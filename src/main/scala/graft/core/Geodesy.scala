@@ -1,0 +1,140 @@
+package graft.core
+
+import org.locationtech.jts.geom._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Geodesic math the reference implements outside its geometry library —
+  * spherical/ellipsoidal measures and web-mercator reprojection.
+  *
+  * ref: rust/geoarrow-old/src/algorithm/geo/{geodesic_area.rs:17,
+  * haversine_length.rs:18, chamberlain_duquette_area.rs:61};
+  * rust/geoarrow-old/src/algorithm/geodesy/reproject.rs:105 (the reference's
+  * `geodesy` backend only supports a small analytic set — we mirror that with
+  * EPSG:4326 ↔ EPSG:3857).
+  *
+  * All formulas are standard published geodesy (WGS84 constants; spherical
+  * excess per Chamberlain–Duquette 2007; haversine per R.W. Sinnott 1984).
+  */
+object Geodesy {
+
+  val EarthRadiusM = 6371008.8      // IAU mean radius
+  val Wgs84A = 6378137.0            // semi-major axis
+  val Wgs84F = 1.0 / 298.257223563  // flattening
+  private val OriginShift = math.Pi * Wgs84A
+
+  // ── EPSG:4326 ↔ EPSG:3857 (web mercator) ─────────────────────────────
+
+  def lonLatToMercator(lon: Double, lat: Double): (Double, Double) = {
+    val x = lon / 180.0 * OriginShift
+    val y = math.log(math.tan((90.0 + lat) * math.Pi / 360.0)) * Wgs84A
+    (x, y)
+  }
+
+  def mercatorToLonLat(x: Double, y: Double): (Double, Double) = {
+    val lon = x / OriginShift * 180.0
+    val lat = math.atan(math.sinh(y / Wgs84A)) * 180.0 / math.Pi
+    (lon, lat)
+  }
+
+  private def mapCoords(b: Array[Byte], f: Coordinate => Coordinate): Array[Byte] = {
+    val g = GeomOps.read(b)
+    val edited = new org.locationtech.jts.geom.util.GeometryEditor(GeomOps.factory).edit(g,
+      new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+        override def edit(coords: Array[Coordinate], geom: Geometry): Array[Coordinate] =
+          coords.map(f)
+      })
+    GeomOps.write(edited)
+  }
+
+  /** ST_Transform limited to the 4326/3857 pair (what the reference's
+    * geodesy backend covers). */
+  def transform(b: Array[Byte], fromSrid: Int, toSrid: Int): Array[Byte] =
+    (fromSrid, toSrid) match {
+      case (4326, 3857) => mapCoords(b, c => {
+        val (x, y) = lonLatToMercator(c.x, c.y); new Coordinate(x, y)
+      })
+      case (3857, 4326) => mapCoords(b, c => {
+        val (x, y) = mercatorToLonLat(c.x, c.y); new Coordinate(x, y)
+      })
+      case (f, t) if f == t => b
+      case _ => throw new IllegalArgumentException(
+        s"ST_Transform: only EPSG:4326<->3857 supported, got $fromSrid->$toSrid")
+    }
+
+  // ── spherical length (haversine) ──────────────────────────────────────
+
+  def haversineMeters(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1)
+    val dLon = math.toRadians(lon2 - lon1)
+    val a = math.pow(math.sin(dLat / 2), 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.pow(math.sin(dLon / 2), 2)
+    2 * EarthRadiusM * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+
+  def distanceSphere(a: Array[Byte], b: Array[Byte]): Double = {
+    val ca = GeomOps.read(a).getCoordinate
+    val cb = GeomOps.read(b).getCoordinate
+    haversineMeters(ca.x, ca.y, cb.x, cb.y)
+  }
+
+  /** Haversine length of a (multi)linestring with lon/lat coordinates.
+    * ref: rust/geoarrow-old/src/algorithm/geo/haversine_length.rs:18 */
+  def lengthSphere(b: Array[Byte]): Double = {
+    val g = GeomOps.read(b)
+    var total = 0.0
+    var i = 0
+    while (i < g.getNumGeometries) {
+      g.getGeometryN(i) match {
+        case l: LineString =>
+          val cs = l.getCoordinates
+          var j = 1
+          while (j < cs.length) {
+            total += haversineMeters(cs(j - 1).x, cs(j - 1).y, cs(j).x, cs(j).y)
+            j += 1
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    total
+  }
+
+  /** Chamberlain–Duquette spherical polygon area (m², absolute value).
+    * ref: rust/geoarrow-old/src/algorithm/geo/chamberlain_duquette_area.rs:61 */
+  def areaSphere(b: Array[Byte]): Double = {
+    val g = GeomOps.read(b)
+    math.abs(sphericalArea(g))
+  }
+
+  private def sphericalArea(g: Geometry): Double = g match {
+    case p: Polygon =>
+      var a = ringArea(p.getExteriorRing.getCoordinates)
+      var i = 0
+      while (i < p.getNumInteriorRing) {
+        a -= ringArea(p.getInteriorRingN(i).getCoordinates)
+        i += 1
+      }
+      a
+    case mp: GeometryCollection =>
+      (0 until mp.getNumGeometries).map(i => sphericalArea(mp.getGeometryN(i))).sum
+    case _ => 0.0
+  }
+
+  // Chamberlain & Duquette (2007), "Some algorithms for polygons on a sphere"
+  private def ringArea(cs: Array[Coordinate]): Double = {
+    if (cs.length < 3) return 0.0
+    var total = 0.0
+    var i = 0
+    val n = cs.length - 1 // closed ring; last == first
+    while (i < n) {
+      val lo = cs(i)
+      val hi = cs((i + 1) % n)
+      val nx = cs((i + 2) % n)
+      total += (math.toRadians(nx.x) - math.toRadians(lo.x)) *
+        math.sin(math.toRadians(hi.y))
+      i += 1
+    }
+    math.abs(total * EarthRadiusM * EarthRadiusM / 2.0)
+  }
+}

@@ -1,0 +1,317 @@
+package graft.core
+
+import org.locationtech.jts.geom._
+import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader, WKTWriter}
+import org.locationtech.jts.simplify.{DouglasPeuckerSimplifier, TopologyPreservingSimplifier, VWSimplifier}
+import org.locationtech.jts.densify.Densifier
+import org.locationtech.jts.algorithm.MinimumDiameter
+import org.locationtech.jts.algorithm.hull.ConcaveHull
+import org.locationtech.jts.algorithm.construct.MaximumInscribedCircle
+import org.locationtech.jts.operation.valid.IsValidOp
+import org.locationtech.jts.operation.linemerge.LineMerger
+import org.locationtech.jts.linearref.{LengthIndexedLine, LocationIndexedLine}
+import org.locationtech.jts.geom.util.AffineTransformation
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+/** Scalar geometry kernels over WKB byte arrays, JTS-backed.
+  *
+  * These are the Spark re-expression of the reference's vectorized kernels
+  * (geoarrow-rs `rust/geoarrow-expr-geo/src` and
+  * `rust/geoarrow-old/src/algorithm/geo`). Where the reference
+  * dispatches on 16 physical array layouts (`GeoArrowType`,
+  * rust/geoarrow-schema/src/datatype.rs:23-67), we deliberately keep a single
+  * type-erased WKB representation: Spark's Tungsten row format would force a
+  * serialization at every exchange anyway, WKB shuffles cheaply, and it is
+  * GeoParquet's default on-disk encoding — so scans are zero-transcode.
+  *
+  * Every method here is a static-forwarder target for Catalyst
+  * `StaticInvoke` expressions (see [[graft.functions]]): the generated Java
+  * calls `graft.core.GeomOps.area(byte[])` directly inside whole-stage
+  * codegen, with null-propagation handled by the expression layer.
+  *
+  * Thread-safety: GeometryFactory is thread-safe; readers/writers are not and
+  * are kept in ThreadLocals (one per executor task thread).
+  */
+object GeomOps {
+
+  val factory = new GeometryFactory(new PrecisionModel(), 0)
+
+  private val wkbReader = ThreadLocal.withInitial[WKBReader](() => new WKBReader(factory))
+  private val wkbWriter = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(2, true))
+  private val wktReader = ThreadLocal.withInitial[WKTReader](() => new WKTReader(factory))
+  private val wktWriter = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter())
+
+  def read(b: Array[Byte]): Geometry = wkbReader.get.read(b)
+  def write(g: Geometry): Array[Byte] = wkbWriter.get.write(g)
+
+  // ── constructors ──────────────────────────────────────────────────────
+  // ref: python/geoarrow-core/.../_constructors.pyi (points/linestrings/…)
+
+  def point(x: Double, y: Double): Array[Byte] =
+    write(factory.createPoint(new Coordinate(x, y)))
+
+  def pointZ(x: Double, y: Double, z: Double): Array[Byte] = {
+    val g = factory.createPoint(new Coordinate(x, y, z))
+    new WKBWriter(3, true).write(g)
+  }
+
+  def makeEnvelope(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Array[Byte] = {
+    val cs = Array(
+      new Coordinate(xmin, ymin), new Coordinate(xmax, ymin),
+      new Coordinate(xmax, ymax), new Coordinate(xmin, ymax),
+      new Coordinate(xmin, ymin))
+    write(factory.createPolygon(cs))
+  }
+
+  def makeLine(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val (ga, gb) = (read(a), read(b))
+    write(factory.createLineString(Array(ga.getCoordinate, gb.getCoordinate)))
+  }
+
+  def makeLineFromMultiPoint(a: Array[Byte]): Array[Byte] = {
+    val g = read(a)
+    write(factory.createLineString(g.getCoordinates))
+  }
+
+  def collect(arr: ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    val geoms = (0 until n).iterator
+      .filterNot(arr.isNullAt)
+      .map(i => read(arr.getBinary(i))).toSeq
+    write(factory.buildGeometry(java.util.Arrays.asList(geoms: _*)))
+  }
+
+  def makePolygon(shell: Array[Byte]): Array[Byte] = read(shell) match {
+    case l: LineString => write(factory.createPolygon(l.getCoordinates))
+    case g => write(g)
+  }
+
+  // ── WKT / WKB codecs ──────────────────────────────────────────────────
+  // ref: rust/geoarrow-cast/src/cast.rs:14-16 (from_wkb/to_wkb/from_wkt/to_wkt)
+
+  def geomFromText(wkt: UTF8String): Array[Byte] = write(wktReader.get.read(wkt.toString))
+  def asText(wkb: Array[Byte]): UTF8String = UTF8String.fromString(wktWriter.get.write(read(wkb)))
+  def geomFromWKB(b: Array[Byte]): Array[Byte] = write(read(b)) // validates + normalizes
+  def asBinary(b: Array[Byte]): Array[Byte] = {
+    val w = new WKBWriter(2, false) // strip EWKB srid flag → ISO WKB
+    w.write(read(b))
+  }
+
+  // ── accessors ─────────────────────────────────────────────────────────
+
+  def stX(b: Array[Byte]): Double = read(b).getCoordinate.x
+  def stY(b: Array[Byte]): Double = read(b).getCoordinate.y
+  def xMin(b: Array[Byte]): Double = read(b).getEnvelopeInternal.getMinX
+  def yMin(b: Array[Byte]): Double = read(b).getEnvelopeInternal.getMinY
+  def xMax(b: Array[Byte]): Double = read(b).getEnvelopeInternal.getMaxX
+  def yMax(b: Array[Byte]): Double = read(b).getEnvelopeInternal.getMaxY
+  def nPoints(b: Array[Byte]): Int = read(b).getNumPoints
+  def numGeometries(b: Array[Byte]): Int = read(b).getNumGeometries
+  /** PostGIS-style tag, e.g. "ST_Point" — mirrors the reference's type ids
+    * (rust/geoarrow-schema/src/type_id.rs:1-91). */
+  def geometryType(b: Array[Byte]): UTF8String =
+    UTF8String.fromString("ST_" + read(b).getGeometryType)
+  def isEmpty(b: Array[Byte]): Boolean = read(b).isEmpty
+  def isValid(b: Array[Byte]): Boolean = read(b).isValid
+  def isValidReason(b: Array[Byte]): UTF8String =
+    UTF8String.fromString(new IsValidOp(read(b)).getValidationError match {
+      case null => "Valid Geometry"
+      case e => e.toString
+    })
+  def isSimple(b: Array[Byte]): Boolean = read(b).isSimple
+  def isRing(b: Array[Byte]): Boolean = read(b) match {
+    case l: LineString => l.isClosed && l.isSimple
+    case _ => false
+  }
+  def srid(b: Array[Byte]): Int = read(b).getSRID
+  def setSrid(b: Array[Byte], srid: Int): Array[Byte] = {
+    val g = read(b); g.setSRID(srid); write(g)
+  }
+
+  // ── measures ──────────────────────────────────────────────────────────
+  // ref: rust/geoarrow-expr-geo/src/{area.rs:11,length.rs:12,distance.rs:9}
+
+  def area(b: Array[Byte]): Double = read(b).getArea
+  def length(b: Array[Byte]): Double = read(b).getLength
+  def perimeter(b: Array[Byte]): Double = read(b) match {
+    case p: Polygonal => p.getLength
+    case _ => 0.0
+  }
+  def distance(a: Array[Byte], b: Array[Byte]): Double = read(a).distance(read(b))
+  def hausdorffDistance(a: Array[Byte], b: Array[Byte]): Double =
+    org.locationtech.jts.algorithm.distance.DiscreteHausdorffDistance.distance(read(a), read(b))
+  /** ref: rust/geoarrow-old/src/algorithm/geo/frechet_distance.rs:25 */
+  def frechetDistance(a: Array[Byte], b: Array[Byte]): Double =
+    org.locationtech.jts.algorithm.distance.DiscreteFrechetDistance.distance(read(a), read(b))
+
+  // ── predicates ────────────────────────────────────────────────────────
+  // ref: rust/geoarrow-expr-geo/src/{intersects.rs:9,contains.rs:9,relate.rs:10};
+  //      rust/geoarrow-old/src/algorithm/geos/bool_ops.rs:11-22
+
+  def intersects(a: Array[Byte], b: Array[Byte]): Boolean = read(a).intersects(read(b))
+  def contains(a: Array[Byte], b: Array[Byte]): Boolean = read(a).contains(read(b))
+  def within(a: Array[Byte], b: Array[Byte]): Boolean = read(a).within(read(b))
+  def covers(a: Array[Byte], b: Array[Byte]): Boolean = read(a).covers(read(b))
+  def coveredBy(a: Array[Byte], b: Array[Byte]): Boolean = read(a).coveredBy(read(b))
+  def crosses(a: Array[Byte], b: Array[Byte]): Boolean = read(a).crosses(read(b))
+  def touches(a: Array[Byte], b: Array[Byte]): Boolean = read(a).touches(read(b))
+  def overlaps(a: Array[Byte], b: Array[Byte]): Boolean = read(a).overlaps(read(b))
+  def disjoint(a: Array[Byte], b: Array[Byte]): Boolean = read(a).disjoint(read(b))
+  def equalsTopo(a: Array[Byte], b: Array[Byte]): Boolean = read(a).equalsTopo(read(b))
+  def equalsExact(a: Array[Byte], b: Array[Byte], tol: Double): Boolean =
+    read(a).equalsExact(read(b), tol)
+  def dWithin(a: Array[Byte], b: Array[Byte], d: Double): Boolean =
+    read(a).isWithinDistance(read(b), d)
+  def relate(a: Array[Byte], b: Array[Byte]): UTF8String =
+    UTF8String.fromString(read(a).relate(read(b)).toString)
+  def relatePattern(a: Array[Byte], b: Array[Byte], pattern: UTF8String): Boolean =
+    read(a).relate(read(b), pattern.toString)
+
+  // ── unary transforms ──────────────────────────────────────────────────
+  // ref: rust/geoarrow-expr-geo/src/{centroid.rs:10,convex_hull.rs:10,
+  //      interior_point.rs:10,minimum_rotated_rect.rs:10,simplify.rs:19}
+
+  def centroid(b: Array[Byte]): Array[Byte] = write(read(b).getCentroid)
+  def envelope(b: Array[Byte]): Array[Byte] = write(read(b).getEnvelope)
+  /** center of bounding box — ref: rust/geoarrow-old/src/algorithm/geo/center.rs:13 */
+  def center(b: Array[Byte]): Array[Byte] = {
+    val e = read(b).getEnvelopeInternal
+    write(factory.createPoint(new Coordinate((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2)))
+  }
+  def boundary(b: Array[Byte]): Array[Byte] = write(read(b).getBoundary)
+  def reverse(b: Array[Byte]): Array[Byte] = write(read(b).reverse())
+  def convexHull(b: Array[Byte]): Array[Byte] = write(read(b).convexHull())
+  def concaveHull(b: Array[Byte], ratio: Double): Array[Byte] =
+    write(ConcaveHull.concaveHullByLengthRatio(read(b), ratio))
+  def pointOnSurface(b: Array[Byte]): Array[Byte] = write(read(b).getInteriorPoint)
+  def orientedEnvelope(b: Array[Byte]): Array[Byte] =
+    write(MinimumDiameter.getMinimumRectangle(read(b)))
+  def buffer(b: Array[Byte], dist: Double): Array[Byte] = write(read(b).buffer(dist))
+  def bufferSegs(b: Array[Byte], dist: Double, quadrantSegments: Int): Array[Byte] =
+    write(read(b).buffer(dist, quadrantSegments))
+  def simplify(b: Array[Byte], tol: Double): Array[Byte] =
+    write(DouglasPeuckerSimplifier.simplify(read(b), tol))
+  def simplifyPreserveTopology(b: Array[Byte], tol: Double): Array[Byte] =
+    write(TopologyPreservingSimplifier.simplify(read(b), tol))
+  /** Visvalingam–Whyatt — ref: rust/geoarrow-old/src/algorithm/geo/simplify_vw.rs:19 */
+  def simplifyVW(b: Array[Byte], tol: Double): Array[Byte] =
+    write(VWSimplifier.simplify(read(b), tol))
+  def densify(b: Array[Byte], maxDist: Double): Array[Byte] =
+    write(Densifier.densify(read(b), maxDist))
+  def makeValid(b: Array[Byte]): Array[Byte] =
+    write(new org.locationtech.jts.geom.util.GeometryFixer(read(b)).getResult)
+  def normalize(b: Array[Byte]): Array[Byte] = {
+    val g = read(b); g.normalize(); write(g)
+  }
+  def reducePrecision(b: Array[Byte], gridSize: Double): Array[Byte] =
+    write(org.locationtech.jts.precision.GeometryPrecisionReducer.reduce(
+      read(b), new PrecisionModel(1.0 / gridSize)))
+  /** pole of inaccessibility — ref: rust/geoarrow-old/src/algorithm/polylabel.rs:24;
+    * JTS MaximumInscribedCircle center is the same point. */
+  def polyLabel(b: Array[Byte], tol: Double): Array[Byte] =
+    write(MaximumInscribedCircle.getCenter(read(b), tol))
+  def lineMerge(b: Array[Byte]): Array[Byte] = {
+    val m = new LineMerger(); m.add(read(b))
+    write(factory.buildGeometry(m.getMergedLineStrings))
+  }
+
+  /** remove consecutive duplicate vertices —
+    * ref: rust/geoarrow-old/src/algorithm/geo/remove_repeated_points.rs:19 */
+  def removeRepeatedPoints(b: Array[Byte], tol: Double): Array[Byte] =
+    write(org.locationtech.jts.geom.util.GeometryCollectionMapper.map(
+      read(b) match { case gc: GeometryCollection => gc; case g => new GeometryCollection(Array(g), factory) },
+      (g: Geometry) => removeRepeated(g, tol)) match {
+        case gc: GeometryCollection if gc.getNumGeometries == 1 => gc.getGeometryN(0)
+        case g => g
+      })
+  private def removeRepeated(g: Geometry, tol: Double): Geometry = {
+    val ed = new org.locationtech.jts.geom.util.GeometryEditor(factory)
+    ed.edit(g, new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+      override def edit(coords: Array[Coordinate], geometry: Geometry): Array[Coordinate] = {
+        val out = scala.collection.mutable.ArrayBuffer[Coordinate]()
+        coords.foreach { c => if (out.isEmpty || out.last.distance(c) > tol) out += c }
+        out.toArray
+      }
+    })
+  }
+
+  // ── affine family ─────────────────────────────────────────────────────
+  // ref: rust/geoarrow-old/src/algorithm/geo/{affine_ops.rs:24,rotate.rs:24,
+  //      scale.rs:23,skew.rs:23,translate.rs:13}
+
+  def affine(b: Array[Byte], m00: Double, m01: Double, m10: Double, m11: Double,
+             xoff: Double, yoff: Double): Array[Byte] = {
+    val t = new AffineTransformation(m00, m01, xoff, m10, m11, yoff)
+    write(t.transform(read(b)))
+  }
+  def translate(b: Array[Byte], dx: Double, dy: Double): Array[Byte] =
+    write(AffineTransformation.translationInstance(dx, dy).transform(read(b)))
+  def rotate(b: Array[Byte], theta: Double): Array[Byte] = {
+    val g = read(b)
+    val c = g.getEnvelopeInternal
+    write(AffineTransformation.rotationInstance(theta,
+      (c.getMinX + c.getMaxX) / 2, (c.getMinY + c.getMaxY) / 2).transform(g))
+  }
+  def scale(b: Array[Byte], sx: Double, sy: Double): Array[Byte] =
+    write(AffineTransformation.scaleInstance(sx, sy).transform(read(b)))
+
+  // ── overlays ──────────────────────────────────────────────────────────
+  // ref: rust/geoarrow-old/src/algorithm/geos/bool_ops.rs:24-27
+
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = write(read(a).union(read(b)))
+  def intersection(a: Array[Byte], b: Array[Byte]): Array[Byte] = write(read(a).intersection(read(b)))
+  def difference(a: Array[Byte], b: Array[Byte]): Array[Byte] = write(read(a).difference(read(b)))
+  def symDifference(a: Array[Byte], b: Array[Byte]): Array[Byte] = write(read(a).symDifference(read(b)))
+  def unaryUnion(b: Array[Byte]): Array[Byte] = write(read(b).union())
+
+  // ── linear referencing ────────────────────────────────────────────────
+  // ref: rust/geoarrow-old/src/algorithm/geo/{line_interpolate_point.rs:42,
+  //      line_locate_point.rs:22}
+
+  def lineInterpolatePoint(line: Array[Byte], frac: Double): Array[Byte] = {
+    val g = read(line)
+    val ix = new LengthIndexedLine(g)
+    write(factory.createPoint(ix.extractPoint(frac * g.getLength)))
+  }
+  def lineLocatePoint(line: Array[Byte], pt: Array[Byte]): Double = {
+    val g = read(line)
+    new LengthIndexedLine(g).indexOf(read(pt).getCoordinate) / g.getLength
+  }
+  def lineSubstring(line: Array[Byte], from: Double, to: Double): Array[Byte] = {
+    val g = read(line)
+    val ix = new LengthIndexedLine(g)
+    write(ix.extractLine(from * g.getLength, to * g.getLength))
+  }
+
+  // ── dump (multi → parts) ──────────────────────────────────────────────
+  // ref: rust/geoarrow-old/src/algorithm/native/explode.rs:17
+
+  def dump(b: Array[Byte]): ArrayData = {
+    val g = read(b)
+    new GenericArrayData(
+      Array.tabulate[Any](g.getNumGeometries)(i => write(g.getGeometryN(i))))
+  }
+
+  /** Plain-struct bbox (xmin,ymin,xmax,ymax) — the GeoParquet 1.1 covering
+    * column. Deliberately NOT a UDT/opaque value so Parquet min/max column
+    * statistics and predicate pushdown work on its leaves (the reference
+    * prunes row groups the same way: rust/geoparquet/src/reader/
+    * spatial_filter.rs:59-181). */
+  def bbox(b: Array[Byte]): InternalRow = {
+    val e = read(b).getEnvelopeInternal
+    new GenericInternalRow(Array[Any](e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
+  }
+
+  def geometryN(b: Array[Byte], n: Int): Array[Byte] = write(read(b).getGeometryN(n))
+  def pointN(b: Array[Byte], n: Int): Array[Byte] = read(b) match {
+    case l: LineString => write(l.getPointN(n))
+    case g => write(g)
+  }
+  def exteriorRing(b: Array[Byte]): Array[Byte] = read(b) match {
+    case p: Polygon => write(factory.createLineString(p.getExteriorRing.getCoordinateSequence))
+    case g => write(g.getBoundary)
+  }
+}

@@ -1,0 +1,198 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** `ST_*` function surface: Catalyst `StaticInvoke` expressions over the
+  * kernels in [[graft.core.GeomOps]] / [[graft.core.Geodesy]].
+  *
+  * Design notes (vs. the reference, geoarrow-rs):
+  *  - The reference dispatches each kernel over 16 physical array types with
+  *    a 1,182-line generated match (rust/geoarrow-expr-geo/src/util/
+  *    downcast.rs). Here the geometry column is type-erased WKB
+  *    (`BinaryType`), so dispatch is a JTS virtual call and each function is
+  *    one static-method invocation that whole-stage codegen inlines — no UDF
+  *    serialization, no Encoder round-trip.
+  *  - `StaticInvoke(propagateNull=true)` reproduces the reference's
+  *    null-propagation contract (null in → null out,
+  *    rust/geoarrow-expr-geo/src/intersects.rs:22-44).
+  *  - Registered under `ST_*` names in the session FunctionRegistry so both
+  *    `spark.sql("… ST_Area(g) …")` and the typed Scala wrappers work.
+  */
+object GeoFunctions {
+
+  private val G = BinaryType  // geometry = WKB bytes
+  private val D = DoubleType
+  private val I = IntegerType
+  private val S = StringType
+  private val B = BooleanType
+
+  private val geomOps = Class.forName("graft.core.GeomOps")
+  private val geodesy = Class.forName("graft.core.Geodesy")
+
+  private val bboxType = StructType(Seq(
+    StructField("xmin", DoubleType, nullable = false),
+    StructField("ymin", DoubleType, nullable = false),
+    StructField("xmax", DoubleType, nullable = false),
+    StructField("ymax", DoubleType, nullable = false)))
+
+  /** name → (method, returnType, paramTypes, implementing class), grouped by
+    * arity so one SQL name can overload (e.g. ST_Buffer/2 and /3). */
+  private case class Sig(method: String, ret: DataType, params: Seq[DataType],
+                         cls: Class[_] = geomOps)
+
+  private val sigs: Seq[(String, Sig)] = Seq(
+    // constructors + codecs
+    "st_point" -> Sig("point", G, Seq(D, D)),
+    "st_makeenvelope" -> Sig("makeEnvelope", G, Seq(D, D, D, D)),
+    "st_makeline" -> Sig("makeLine", G, Seq(G, G)),
+    "st_linefrommultipoint" -> Sig("makeLineFromMultiPoint", G, Seq(G)),
+    "st_makepolygon" -> Sig("makePolygon", G, Seq(G)),
+    "st_collect" -> Sig("collect", G, Seq(ArrayType(BinaryType))),
+    "st_geomfromtext" -> Sig("geomFromText", G, Seq(S)),
+    "st_geomfromwkt" -> Sig("geomFromText", G, Seq(S)),
+    "st_astext" -> Sig("asText", S, Seq(G)),
+    "st_geomfromwkb" -> Sig("geomFromWKB", G, Seq(G)),
+    "st_asbinary" -> Sig("asBinary", G, Seq(G)),
+    // accessors
+    "st_x" -> Sig("stX", D, Seq(G)),
+    "st_y" -> Sig("stY", D, Seq(G)),
+    "st_xmin" -> Sig("xMin", D, Seq(G)),
+    "st_ymin" -> Sig("yMin", D, Seq(G)),
+    "st_xmax" -> Sig("xMax", D, Seq(G)),
+    "st_ymax" -> Sig("yMax", D, Seq(G)),
+    "st_bbox" -> Sig("bbox", bboxType, Seq(G)),
+    "st_npoints" -> Sig("nPoints", I, Seq(G)),
+    "st_numgeometries" -> Sig("numGeometries", I, Seq(G)),
+    "st_geometrytype" -> Sig("geometryType", S, Seq(G)),
+    "st_isempty" -> Sig("isEmpty", B, Seq(G)),
+    "st_isvalid" -> Sig("isValid", B, Seq(G)),
+    "st_isvalidreason" -> Sig("isValidReason", S, Seq(G)),
+    "st_issimple" -> Sig("isSimple", B, Seq(G)),
+    "st_isring" -> Sig("isRing", B, Seq(G)),
+    "st_srid" -> Sig("srid", I, Seq(G)),
+    "st_setsrid" -> Sig("setSrid", G, Seq(G, I)),
+    // measures
+    "st_area" -> Sig("area", D, Seq(G)),
+    "st_length" -> Sig("length", D, Seq(G)),
+    "st_perimeter" -> Sig("perimeter", D, Seq(G)),
+    "st_distance" -> Sig("distance", D, Seq(G, G)),
+    "st_hausdorffdistance" -> Sig("hausdorffDistance", D, Seq(G, G)),
+    "st_frechetdistance" -> Sig("frechetDistance", D, Seq(G, G)),
+    // predicates
+    "st_intersects" -> Sig("intersects", B, Seq(G, G)),
+    "st_contains" -> Sig("contains", B, Seq(G, G)),
+    "st_within" -> Sig("within", B, Seq(G, G)),
+    "st_covers" -> Sig("covers", B, Seq(G, G)),
+    "st_coveredby" -> Sig("coveredBy", B, Seq(G, G)),
+    "st_crosses" -> Sig("crosses", B, Seq(G, G)),
+    "st_touches" -> Sig("touches", B, Seq(G, G)),
+    "st_overlaps" -> Sig("overlaps", B, Seq(G, G)),
+    "st_disjoint" -> Sig("disjoint", B, Seq(G, G)),
+    "st_equals" -> Sig("equalsTopo", B, Seq(G, G)),
+    "st_equalsexact" -> Sig("equalsExact", B, Seq(G, G, D)),
+    "st_dwithin" -> Sig("dWithin", B, Seq(G, G, D)),
+    "st_relate" -> Sig("relate", S, Seq(G, G)),
+    "st_relate" -> Sig("relatePattern", B, Seq(G, G, S)),
+    // unary transforms
+    "st_centroid" -> Sig("centroid", G, Seq(G)),
+    "st_envelope" -> Sig("envelope", G, Seq(G)),
+    "st_center" -> Sig("center", G, Seq(G)),
+    "st_boundary" -> Sig("boundary", G, Seq(G)),
+    "st_reverse" -> Sig("reverse", G, Seq(G)),
+    "st_convexhull" -> Sig("convexHull", G, Seq(G)),
+    "st_concavehull" -> Sig("concaveHull", G, Seq(G, D)),
+    "st_pointonsurface" -> Sig("pointOnSurface", G, Seq(G)),
+    "st_orientedenvelope" -> Sig("orientedEnvelope", G, Seq(G)),
+    "st_buffer" -> Sig("buffer", G, Seq(G, D)),
+    "st_buffer" -> Sig("bufferSegs", G, Seq(G, D, I)),
+    "st_simplify" -> Sig("simplify", G, Seq(G, D)),
+    "st_simplifypreservetopology" -> Sig("simplifyPreserveTopology", G, Seq(G, D)),
+    "st_simplifyvw" -> Sig("simplifyVW", G, Seq(G, D)),
+    "st_densify" -> Sig("densify", G, Seq(G, D)),
+    "st_makevalid" -> Sig("makeValid", G, Seq(G)),
+    "st_normalize" -> Sig("normalize", G, Seq(G)),
+    "st_reduceprecision" -> Sig("reducePrecision", G, Seq(G, D)),
+    "st_polylabel" -> Sig("polyLabel", G, Seq(G, D)),
+    "st_linemerge" -> Sig("lineMerge", G, Seq(G)),
+    "st_removerepeatedpoints" -> Sig("removeRepeatedPoints", G, Seq(G, D)),
+    // affine
+    "st_affine" -> Sig("affine", G, Seq(G, D, D, D, D, D, D)),
+    "st_translate" -> Sig("translate", G, Seq(G, D, D)),
+    "st_rotate" -> Sig("rotate", G, Seq(G, D)),
+    "st_scale" -> Sig("scale", G, Seq(G, D, D)),
+    // overlays
+    "st_union" -> Sig("union", G, Seq(G, G)),
+    "st_union" -> Sig("unaryUnion", G, Seq(G)),
+    "st_intersection" -> Sig("intersection", G, Seq(G, G)),
+    "st_difference" -> Sig("difference", G, Seq(G, G)),
+    "st_symdifference" -> Sig("symDifference", G, Seq(G, G)),
+    // linear referencing
+    "st_lineinterpolatepoint" -> Sig("lineInterpolatePoint", G, Seq(G, D)),
+    "st_linelocatepoint" -> Sig("lineLocatePoint", D, Seq(G, G)),
+    "st_linesubstring" -> Sig("lineSubstring", G, Seq(G, D, D)),
+    // parts
+    "st_dump" -> Sig("dump", ArrayType(BinaryType, containsNull = false), Seq(G)),
+    "st_geometryn" -> Sig("geometryN", G, Seq(G, I)),
+    "st_pointn" -> Sig("pointN", G, Seq(G, I)),
+    "st_exteriorring" -> Sig("exteriorRing", G, Seq(G)),
+    // geodesy
+    "st_transform" -> Sig("transform", G, Seq(G, I, I), geodesy),
+    "st_distancesphere" -> Sig("distanceSphere", D, Seq(G, G), geodesy),
+    "st_lengthsphere" -> Sig("lengthSphere", D, Seq(G), geodesy),
+    "st_areasphere" -> Sig("areaSphere", D, Seq(G), geodesy),
+  )
+
+  private val byName: Map[String, Map[Int, Sig]] =
+    sigs.groupBy(_._1).map { case (n, ss) =>
+      n -> ss.map { case (_, s) => s.params.length -> s }.toMap
+    }
+
+  private def build(name: String, overloads: Map[Int, Sig])(args: Seq[Expression]): Expression = {
+    val sig = overloads.getOrElse(args.length, throw new IllegalArgumentException(
+      s"$name expects ${overloads.keys.toSeq.sorted.mkString("/")} args, got ${args.length}"))
+    val cast = args.zip(sig.params).map { case (e, t) => Cast(e, t) }
+    StaticInvoke(sig.cls, sig.ret, sig.method, cast, Nil,
+      propagateNull = true, returnNullable = false)
+  }
+
+  /** Idempotent per-session registration of all ST_* SQL names. */
+  def register(spark: SparkSession): Unit = synchronized {
+    val reg = spark.sessionState.functionRegistry
+    byName.foreach { case (name, overloads) =>
+      reg.createOrReplaceTempFunction(name, build(name, overloads), "scala_udf")
+    }
+  }
+
+  // ── typed Scala wrappers (require register(spark) on the active session) ──
+
+  def st_point(x: Column, y: Column): Column = call_function("st_point", x, y)
+  def st_makeEnvelope(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
+    call_function("st_makeenvelope", xmin, ymin, xmax, ymax)
+  def st_geomFromText(wkt: Column): Column = call_function("st_geomfromtext", wkt)
+  def st_asText(g: Column): Column = call_function("st_astext", g)
+  def st_area(g: Column): Column = call_function("st_area", g)
+  def st_length(g: Column): Column = call_function("st_length", g)
+  def st_distance(a: Column, b: Column): Column = call_function("st_distance", a, b)
+  def st_intersects(a: Column, b: Column): Column = call_function("st_intersects", a, b)
+  def st_contains(a: Column, b: Column): Column = call_function("st_contains", a, b)
+  def st_within(a: Column, b: Column): Column = call_function("st_within", a, b)
+  def st_dwithin(a: Column, b: Column, d: Column): Column = call_function("st_dwithin", a, b, d)
+  def st_buffer(g: Column, dist: Column): Column = call_function("st_buffer", g, dist)
+  def st_centroid(g: Column): Column = call_function("st_centroid", g)
+  def st_envelope(g: Column): Column = call_function("st_envelope", g)
+  def st_convexHull(g: Column): Column = call_function("st_convexhull", g)
+  def st_simplify(g: Column, tol: Column): Column = call_function("st_simplify", g, tol)
+  def st_dump(g: Column): Column = call_function("st_dump", g)
+  def st_bbox(g: Column): Column = call_function("st_bbox", g)
+  def st_x(g: Column): Column = call_function("st_x", g)
+  def st_y(g: Column): Column = call_function("st_y", g)
+  def st_transform(g: Column, from: Column, to: Column): Column =
+    call_function("st_transform", g, from, to)
+  def st_npoints(g: Column): Column = call_function("st_npoints", g)
+  def st_union(a: Column, b: Column): Column = call_function("st_union", a, b)
+  def st_intersection(a: Column, b: Column): Column = call_function("st_intersection", a, b)
+}
