@@ -212,6 +212,246 @@ object SparkEntry {
       ON px >= zxmin AND px <= zxmin + 20.0 AND py >= zymin AND py <= zymin + 20.0
     GROUP BY n_name ORDER BY n_name"""
 
+  private val q06Spark = """
+    SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY region, nation"""
+
+  private val q06Duck = """
+    SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS total,
+           COUNT(*)::BIGINT AS n
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY region, nation"""
+
+  private val q07Spark = """
+    SELECT date_format(window.start, 'yyyy-MM-dd HH:mm') AS hour_start, event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+    FROM (SELECT window(ts, '1 hour') AS window, event_type, value FROM events) t
+    GROUP BY window, event_type
+    ORDER BY hour_start, event_type
+    LIMIT 500"""
+
+  private val q07Duck = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start, event_type,
+           COUNT(*)::BIGINT AS n,
+           ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4)::DOUBLE AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_start, event_type
+    LIMIT 500"""
+
+  private val g04Spark = """
+    SELECT CAST(1 + s_suppkey % 3 AS DOUBLE) AS r, COUNT(*) AS n,
+           ROUND(MIN(a), 6) AS buf_area
+    FROM (SELECT s_suppkey,
+                 ST_Area(ST_Buffer(ST_Point(CAST(s_suppkey AS DOUBLE), 0.0),
+                                   CAST(1 + s_suppkey % 3 AS DOUBLE))) AS a
+          FROM supplier) t
+    GROUP BY 1 ORDER BY r"""
+
+  private val g04Duck = """
+    SELECT CAST(1 + s_suppkey % 3 AS DOUBLE) AS r, COUNT(*)::BIGINT AS n,
+           ROUND(MIN(0.5 * 32 * (1 + s_suppkey % 3) * (1 + s_suppkey % 3)
+                     * sin(2 * pi() / 32)), 6) AS buf_area
+    FROM supplier
+    GROUP BY 1 ORDER BY r"""
+
+  private val g05Spark = """
+    SELECT o_orderpriority,
+           SUM(CAST(2 * ST_X(c) AS BIGINT)) AS sum_2cx,
+           SUM(CAST(2 * ST_Y(c) AS BIGINT)) AS sum_2cy,
+           COUNT(*) AS n
+    FROM (SELECT o_orderpriority,
+                 ST_Centroid(ST_MakeEnvelope(
+                   CAST(o_orderkey % 50 AS DOUBLE), CAST(o_orderkey % 30 AS DOUBLE),
+                   CAST(o_orderkey % 50 + 1 + o_orderkey % 7 AS DOUBLE),
+                   CAST(o_orderkey % 30 + 2 + o_orderkey % 5 AS DOUBLE))) AS c
+          FROM orders) t
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  private val g05Duck = """
+    SELECT o_orderpriority,
+           SUM(CAST(2 * (o_orderkey % 50) + 1 + o_orderkey % 7 AS BIGINT))::BIGINT AS sum_2cx,
+           SUM(CAST(2 * (o_orderkey % 30) + 2 + o_orderkey % 5 AS BIGINT))::BIGINT AS sum_2cy,
+           COUNT(*)::BIGINT AS n
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  private val g06Spark = """
+    SELECT c_mktsegment,
+           MIN(ST_XMin(pt)) AS xmin, MIN(ST_YMin(pt)) AS ymin,
+           MAX(ST_XMax(pt)) AS xmax, MAX(ST_YMax(pt)) AS ymax,
+           COUNT(*) AS n
+    FROM (SELECT c_mktsegment,
+                 ST_Point(CAST(c_custkey % 97 AS DOUBLE),
+                          CAST((c_custkey * 13) % 89 AS DOUBLE)) AS pt
+          FROM customer) t
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  private val g06Duck = """
+    SELECT c_mktsegment,
+           MIN(CAST(c_custkey % 97 AS DOUBLE)) AS xmin,
+           MIN(CAST((c_custkey * 13) % 89 AS DOUBLE)) AS ymin,
+           MAX(CAST(c_custkey % 97 AS DOUBLE)) AS xmax,
+           MAX(CAST((c_custkey * 13) % 89 AS DOUBLE)) AS ymax,
+           COUNT(*)::BIGINT AS n
+    FROM customer
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  private val g07Spark = """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           ROUND(MIN(len), 6) AS min_len, ROUND(MAX(len), 6) AS max_len,
+           ROUND(AVG(len), 6) AS avg_len
+    FROM (SELECT o_orderstatus,
+                 ST_Length(ST_MakeLine(
+                   ST_Point(CAST(o_orderkey % 61 AS DOUBLE), CAST(o_orderkey % 53 AS DOUBLE)),
+                   ST_Point(CAST(o_custkey % 47 AS DOUBLE), CAST(o_custkey % 43 AS DOUBLE)))) AS len
+          FROM orders) t
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  private val g07Duck = """
+    SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+           ROUND(MIN(len), 6) AS min_len, ROUND(MAX(len), 6) AS max_len,
+           ROUND(AVG(len), 6) AS avg_len
+    FROM (SELECT o_orderstatus,
+                 sqrt((CAST(o_custkey % 47 AS DOUBLE) - CAST(o_orderkey % 61 AS DOUBLE))
+                    * (CAST(o_custkey % 47 AS DOUBLE) - CAST(o_orderkey % 61 AS DOUBLE))
+                    + (CAST(o_custkey % 43 AS DOUBLE) - CAST(o_orderkey % 53 AS DOUBLE))
+                    * (CAST(o_custkey % 43 AS DOUBLE) - CAST(o_orderkey % 53 AS DOUBLE))) AS len
+          FROM orders) t
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  private val g08Spark = """
+    SELECT p_brand,
+           SUM(CAST(2 * ST_Area(ST_ConvexHull(ST_Collect(ARRAY(
+             ST_Point(0.0, 0.0),
+             ST_Point(CAST(p_size AS DOUBLE), 0.0),
+             ST_Point(0.0, CAST(p_size + 2 AS DOUBLE)))))) AS BIGINT)) AS sum_2area,
+           COUNT(*) AS n
+    FROM part GROUP BY p_brand ORDER BY p_brand"""
+
+  private val g08Duck = """
+    SELECT p_brand,
+           SUM(CAST(p_size * (p_size + 2) AS BIGINT))::BIGINT AS sum_2area,
+           COUNT(*)::BIGINT AS n
+    FROM part GROUP BY p_brand ORDER BY p_brand"""
+
+  private val g09Spark = """
+    SELECT c_custkey, ST_AsText(ST_Point(CAST(c_custkey % 50 AS DOUBLE),
+                                         CAST((c_custkey * 3) % 40 AS DOUBLE))) AS wkt
+    FROM customer WHERE c_custkey < 50 ORDER BY c_custkey"""
+
+  private val g09Duck = """
+    SELECT c_custkey, 'POINT (' || (c_custkey % 50) || ' ' || ((c_custkey * 3) % 40) || ')' AS wkt
+    FROM customer WHERE c_custkey < 50 ORDER BY c_custkey"""
+
+  private val g10Spark = """
+    SELECT c_nationkey,
+           MIN(ST_X(m)) AS min_merc_x,
+           ROUND(MIN(ST_Y(m)), 4) AS merc_y,
+           COUNT(*) AS n
+    FROM (SELECT c_nationkey,
+                 ST_Transform(ST_Point(CAST(c_custkey % 360 - 180 AS DOUBLE),
+                                       CAST(c_nationkey - 12 AS DOUBLE)),
+                              4326, 3857) AS m
+          FROM customer) t
+    GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+  private val g10Duck = """
+    SELECT c_nationkey,
+           MIN(CAST(c_custkey % 360 - 180 AS DOUBLE) / 180.0 * (pi() * 6378137.0)) AS min_merc_x,
+           ROUND(MIN(ln(tan((90.0 + CAST(c_nationkey - 12 AS DOUBLE)) * pi() / 360.0)) * 6378137.0), 4) AS merc_y,
+           COUNT(*)::BIGINT AS n
+    FROM customer
+    GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+  private val g11Spark = """
+    SELECT o_orderpriority, COUNT(*) AS n_parts, SUM(CAST(ST_X(part) AS BIGINT)) AS sum_x
+    FROM (SELECT o_orderpriority, explode(ST_Dump(ST_GeomFromText(
+            CASE CAST(o_orderkey % 3 AS INT)
+              WHEN 0 THEN CONCAT('MULTIPOINT ((', CAST(o_orderkey % 100 AS STRING), ' 0))')
+              WHEN 1 THEN CONCAT('MULTIPOINT ((', CAST(o_orderkey % 100 AS STRING), ' 0), (',
+                                 CAST(o_orderkey % 100 AS STRING), ' 1))')
+              ELSE CONCAT('MULTIPOINT ((', CAST(o_orderkey % 100 AS STRING), ' 0), (',
+                          CAST(o_orderkey % 100 AS STRING), ' 1), (',
+                          CAST(o_orderkey % 100 AS STRING), ' 2))')
+            END))) AS part
+          FROM orders) t
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  private val g11Duck = """
+    SELECT o_orderpriority,
+           SUM(1 + o_orderkey % 3)::BIGINT AS n_parts,
+           SUM((1 + o_orderkey % 3) * (o_orderkey % 100))::BIGINT AS sum_x
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  private val g12Spark = """
+    SELECT CAST(l_linenumber % 2 AS INT) AS parity, COUNT(*) AS n,
+           MIN(CAST(ST_NPoints(ST_Simplify(ST_GeomFromText(CONCAT(
+             'LINESTRING (0 0, 1 ',
+             CASE WHEN l_linenumber % 2 = 1 THEN '0.001' ELSE '0' END,
+             ', 2 0)')), 0.0001)) AS BIGINT)) AS npoints
+    FROM lineitem GROUP BY 1 ORDER BY parity"""
+
+  private val g12Duck = """
+    SELECT CAST(l_linenumber % 2 AS INT) AS parity, COUNT(*)::BIGINT AS n,
+           MIN(CASE WHEN l_linenumber % 2 = 1 THEN 3 ELSE 2 END)::BIGINT AS npoints
+    FROM lineitem GROUP BY 1 ORDER BY parity"""
+
+  private val g13Spark = """
+    SELECT l_linestatus,
+           SUM(CAST(ST_Area(ST_Intersection(a, b)) AS BIGINT)) AS inter_area,
+           SUM(CAST(ST_Area(ST_Union(a, b)) AS BIGINT)) AS union_area,
+           SUM(CAST(ST_Area(ST_Difference(a, b)) AS BIGINT)) AS diff_area,
+           SUM(CAST(ST_Area(ST_SymDifference(a, b)) AS BIGINT)) AS symdiff_area
+    FROM (SELECT l_linestatus,
+                 ST_MakeEnvelope(0.0, 0.0, CAST(10 + l_partkey % 10 AS DOUBLE), 10.0) AS a,
+                 ST_MakeEnvelope(CAST(5 + l_suppkey % 10 AS DOUBLE), 0.0, 30.0, 10.0) AS b
+          FROM lineitem) t
+    GROUP BY l_linestatus ORDER BY l_linestatus"""
+
+  private val g13Duck = """
+    SELECT l_linestatus,
+           SUM(CAST(GREATEST(0, (10 + l_partkey % 10) - (5 + l_suppkey % 10)) * 10 AS BIGINT))::BIGINT AS inter_area,
+           SUM(CAST(((10 + l_partkey % 10) * 10 + (30 - (5 + l_suppkey % 10)) * 10
+                     - GREATEST(0, (10 + l_partkey % 10) - (5 + l_suppkey % 10)) * 10) AS BIGINT))::BIGINT AS union_area,
+           SUM(CAST(((10 + l_partkey % 10) * 10
+                     - GREATEST(0, (10 + l_partkey % 10) - (5 + l_suppkey % 10)) * 10) AS BIGINT))::BIGINT AS diff_area,
+           SUM(CAST(((10 + l_partkey % 10) * 10 + (30 - (5 + l_suppkey % 10)) * 10
+                     - 2 * GREATEST(0, (10 + l_partkey % 10) - (5 + l_suppkey % 10)) * 10) AS BIGINT))::BIGINT AS symdiff_area
+    FROM lineitem
+    GROUP BY l_linestatus ORDER BY l_linestatus"""
+
+  private val g14Spark = """
+    SELECT o_orderpriority,
+           CAST(ST_Area(ST_Union(ST_Collect(collect_list(env)))) AS BIGINT) AS union_area,
+           COUNT(*) AS n
+    FROM (SELECT o_orderpriority,
+                 ST_MakeEnvelope(CAST((o_orderkey % 20) * 10 AS DOUBLE), 0.0,
+                                 CAST((o_orderkey % 20) * 10 + 10 AS DOUBLE), 10.0) AS env
+          FROM orders) t
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  private val g14Duck = """
+    SELECT o_orderpriority,
+           (COUNT(DISTINCT o_orderkey % 20) * 100)::BIGINT AS union_area,
+           COUNT(*)::BIGINT AS n
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   // ── registry ──────────────────────────────────────────────────────────
 
   private val all: Seq[(String, String, String)] = Seq(
@@ -223,6 +463,19 @@ object SparkEntry {
     ("g01_point_distance", g01Spark, g01Duck),
     ("g02_rect_area", g02Spark, g02Duck),
     ("g03_zone_contains_join", g03Spark, g03Duck),
+    ("q06_rollup_revenue", q06Spark, q06Duck),
+    ("q07_hourly_events", q07Spark, q07Duck),
+    ("g04_buffer_area", g04Spark, g04Duck),
+    ("g05_centroid", g05Spark, g05Duck),
+    ("g06_extent_agg", g06Spark, g06Duck),
+    ("g07_line_length", g07Spark, g07Duck),
+    ("g08_convexhull_collect", g08Spark, g08Duck),
+    ("g09_wkt_roundtrip", g09Spark, g09Duck),
+    ("g10_transform_mercator", g10Spark, g10Duck),
+    ("g11_dump_explode", g11Spark, g11Duck),
+    ("g12_simplify_npoints", g12Spark, g12Duck),
+    ("g13_overlay_areas", g13Spark, g13Duck),
+    ("g14_union_agg_tiles", g14Spark, g14Duck),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
