@@ -21,6 +21,7 @@ object SparkEntry {
 
   private def views(s: SparkSession, dir: String): Unit = {
     GeoFunctions.register(s)
+    graft.functions.TextFunctions.register(s)
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
     // rejects; read nanos as long and re-expose as microsecond timestamp
     // (DuckDB truncates ns→µs identically).
@@ -452,6 +453,255 @@ object SparkEntry {
     FROM orders
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // ── training-data pipeline ops: text analysis / dedup ─────────────────
+
+  private val t01Spark = """
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(CAST(graft_token_count(text) AS BIGINT)) AS total_tokens,
+           ROUND(CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang ORDER BY lang"""
+
+  private val t01Duck = """
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           SUM(len(string_split_regex(trim(text), '\s+'))::BIGINT)::BIGINT AS total_tokens,
+           ROUND(CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+           COUNT(DISTINCT source)::BIGINT AS n_sources
+    FROM documents GROUP BY lang ORDER BY lang"""
+
+  private val t02Spark = """
+    SELECT n_copies, COUNT(*) AS n_groups
+    FROM (SELECT md5(text) AS h, COUNT(*) AS n_copies
+          FROM (SELECT text FROM documents
+                UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0) aug
+          GROUP BY md5(text)) grp
+    GROUP BY n_copies ORDER BY n_copies"""
+
+  private val t02Duck = """
+    SELECT n_copies, COUNT(*)::BIGINT AS n_groups
+    FROM (SELECT md5(text) AS h, COUNT(*)::BIGINT AS n_copies
+          FROM (SELECT text FROM documents
+                UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0) aug
+          GROUP BY md5(text)) grp
+    GROUP BY n_copies ORDER BY n_copies"""
+
+  private val t03Spark = """
+    SELECT CAST(FLOOR(j * 20) AS INT) AS bucket, COUNT(*) AS n
+    FROM (SELECT graft_jaccard(graft_ngrams(a.text, 3), graft_ngrams(b.text, 3)) AS j
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1) t
+    GROUP BY 1 ORDER BY bucket"""
+
+  private val t03Duck = """
+    WITH ng AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 3
+               THEN list_distinct(list_transform(range(1, length(text) - 3 + 2), i -> substr(text, i, 3)))
+               ELSE [] END AS g
+      FROM documents)
+    SELECT CAST(FLOOR(j * 20) AS INT) AS bucket, COUNT(*)::BIGINT AS n
+    FROM (SELECT CASE WHEN len(list_distinct(list_concat(a.g, b.g))) = 0 THEN 0.0::DOUBLE
+                      ELSE len(list_intersect(a.g, b.g)) / len(list_distinct(list_concat(a.g, b.g))) END AS j
+          FROM ng a JOIN ng b ON b.doc_id = a.doc_id + 1) t
+    GROUP BY 1 ORDER BY bucket"""
+
+  private val t04Spark = """
+    SELECT source, COUNT(*) AS n, ROUND(AVG(graft_quality(text)), 6) AS avg_quality
+    FROM documents GROUP BY source ORDER BY source"""
+
+  private val t04Duck = """
+    WITH q AS (
+      SELECT source,
+             0.3::DOUBLE * (len(list_filter(string_split_regex(trim(text), '\s+'),
+                                t -> t IN ('the','a','of','and','in','to','is')))
+                            / greatest(len(string_split_regex(trim(text), '\s+')), 1))
+           + 0.4::DOUBLE * least(1.0::DOUBLE, len(string_split_regex(trim(text), '\s+')) / 100.0::DOUBLE)
+           + 0.3::DOUBLE * (1.0::DOUBLE - least(1.0::DOUBLE,
+                 len(regexp_extract_all(text, '[.,!?;]'))
+                 / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE))) AS quality
+      FROM documents)
+    SELECT source, COUNT(*)::BIGINT AS n, ROUND(AVG(quality), 6) AS avg_quality
+    FROM q GROUP BY source ORDER BY source"""
+
+  private val t05Spark = """
+    SELECT lang, predicted, COUNT(*) AS n FROM (
+      SELECT lang,
+             CASE WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en'
+                  WHEN c_es >= c_fr AND c_es >= c_de THEN 'es'
+                  WHEN c_fr >= c_de THEN 'fr' ELSE 'de' END AS predicted
+      FROM (SELECT lang,
+                   size(filter(graft_tokens(text), t -> t IN ('the','and','of','is','to'))) AS c_en,
+                   size(filter(graft_tokens(text), t -> t IN ('el','la','de','los','y'))) AS c_es,
+                   size(filter(graft_tokens(text), t -> t IN ('le','les','des','et','un'))) AS c_fr,
+                   size(filter(graft_tokens(text), t -> t IN ('der','die','das','und','ein'))) AS c_de
+            FROM documents) x) y
+    GROUP BY lang, predicted ORDER BY lang, predicted"""
+
+  private val t05Duck = """
+    SELECT lang, predicted, COUNT(*)::BIGINT AS n FROM (
+      SELECT lang,
+             CASE WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en'
+                  WHEN c_es >= c_fr AND c_es >= c_de THEN 'es'
+                  WHEN c_fr >= c_de THEN 'fr' ELSE 'de' END AS predicted
+      FROM (SELECT lang,
+                   len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ('the','and','of','is','to'))) AS c_en,
+                   len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ('el','la','de','los','y'))) AS c_es,
+                   len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ('le','les','des','et','un'))) AS c_fr,
+                   len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ('der','die','das','und','ein'))) AS c_de
+            FROM documents) x) y
+    GROUP BY lang, predicted ORDER BY lang, predicted"""
+
+  private val t06Spark = """
+    SELECT ham, COUNT(*) AS n FROM (
+      SELECT CAST(bit_count(graft_simhash(text) ^
+               graft_simhash(substring(text, 1, CAST(FLOOR(n_chars * 0.8D) AS INT)))) AS INT) AS ham
+      FROM documents) t
+    GROUP BY ham ORDER BY ham"""
+
+  private val t06Duck = """
+    WITH sh AS (
+      SELECT doc_id, s AS full_text, substr(s, 1, CAST(FLOOR(n_chars * 0.8::DOUBLE) AS INT)) AS trunc_text
+      FROM (SELECT doc_id, text AS s, n_chars FROM documents) z),
+    hs AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(full_text), '\s+'),
+                            t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS h_full,
+             list_transform(string_split_regex(trim(trunc_text), '\s+'),
+                            t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS h_trunc
+      FROM sh),
+    sims AS (
+      SELECT doc_id,
+        list_sum(list_transform(range(0, 32), b -> CASE WHEN
+           list_sum(list_transform(h_full,
+             hh -> CASE WHEN ((hh >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+           THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS sim_full,
+        list_sum(list_transform(range(0, 32), b -> CASE WHEN
+           list_sum(list_transform(h_trunc,
+             hh -> CASE WHEN ((hh >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+           THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS sim_trunc
+      FROM hs)
+    SELECT CAST(bit_count(xor(sim_full::BIGINT, sim_trunc::BIGINT)) AS INT) AS ham, COUNT(*)::BIGINT AS n
+    FROM sims GROUP BY ham ORDER BY ham"""
+
+  private val t07Spark = """
+    WITH aug AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, substring(text, 1, CAST(FLOOR(n_chars * 0.8D) AS INT)) FROM documents),
+    sigs AS (
+      SELECT id, graft_minhash(text, 4, 16) AS sig, graft_ngrams(text, 4) AS ng FROM aug),
+    bands AS (
+      SELECT id, b, graft_hash(concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> CAST(x AS STRING)))) AS bkey
+      FROM sigs LATERAL VIEW explode(sequence(0, 3)) bt AS b),
+    cand AS (
+      SELECT DISTINCT x.id AS i, y.id AS j
+      FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.id < y.id)
+    SELECT COUNT(*) AS n_cand,
+           SUM(CASE WHEN j = i + 100000 THEN 1 ELSE 0 END) AS planted,
+           SUM(CASE WHEN jac >= 0.5D THEN 1 ELSE 0 END) AS verified
+    FROM (SELECT c.i, c.j, graft_jaccard(si.ng, sj.ng) AS jac
+          FROM cand c JOIN sigs si ON si.id = c.i JOIN sigs sj ON sj.id = c.j) t"""
+
+  private val t07Duck = """
+    WITH aug AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, substr(text, 1, CAST(FLOOR(n_chars * 0.8::DOUBLE) AS INT)) FROM documents),
+    sigs AS (
+      SELECT id,
+             list_transform(range(0, 16), k -> list_min(list_transform(
+               CASE WHEN length(text) >= 4
+                 THEN list_distinct(list_transform(range(1, length(text) - 4 + 2), i -> substr(text, i, 4)))
+                 ELSE [] END,
+               g -> ('0x' || substr(md5(k || ':' || g), 1, 8))::BIGINT))) AS sig,
+             CASE WHEN length(text) >= 4
+               THEN list_distinct(list_transform(range(1, length(text) - 4 + 2), i -> substr(text, i, 4)))
+               ELSE [] END AS ng
+      FROM aug),
+    bands AS (
+      SELECT id, b,
+             ('0x' || substr(md5(array_to_string(list_transform(
+                array_slice(sig, b * 4 + 1, b * 4 + 4), x -> x::VARCHAR), ',')), 1, 8))::BIGINT AS bkey
+      FROM sigs, (SELECT unnest(range(0, 4)) AS b) bs),
+    cand AS (
+      SELECT DISTINCT x.id AS i, y.id AS j
+      FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.id < y.id)
+    SELECT COUNT(*)::BIGINT AS n_cand,
+           SUM(CASE WHEN j = i + 100000 THEN 1 ELSE 0 END)::BIGINT AS planted,
+           SUM(CASE WHEN jac >= 0.5::DOUBLE THEN 1 ELSE 0 END)::BIGINT AS verified
+    FROM (SELECT c.i, c.j,
+                 CASE WHEN len(list_distinct(list_concat(si.ng, sj.ng))) = 0 THEN 0.0::DOUBLE
+                      ELSE len(list_intersect(si.ng, sj.ng)) / len(list_distinct(list_concat(si.ng, sj.ng))) END AS jac
+          FROM cand c JOIN sigs si ON si.id = c.i JOIN sigs sj ON sj.id = c.j) t"""
+
+  // ── embedding similarity search ───────────────────────────────────────
+
+  private val e01Spark = """
+    WITH v AS (SELECT vec_id, graft_vec(embedding) AS e FROM embeddings),
+    pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, graft_cosine(q.e, c.e) AS cos
+              FROM (SELECT * FROM v WHERE vec_id < 8) q
+              JOIN v c ON c.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM pairs) t
+    WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
+  private val e01Duck = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.e) + 1), i -> q.e[i] * q.e[i])), (x, y) -> x + y))
+                * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])), (x, y) -> x + y))) AS cos
+      FROM (SELECT * FROM v WHERE vec_id < 8) q
+      JOIN v c ON c.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id, rnk::BIGINT AS rnk, ROUND(cos, 6) AS cos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM pairs) t
+    WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
+  private val e02Spark = """
+    WITH v AS (SELECT vec_id, graft_vec(embedding) AS e,
+                      graft_bucket8(graft_vec(embedding)) AS bucket FROM embeddings),
+    pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
+                     graft_cosine(q.e, c.e) AS cos
+              FROM (SELECT * FROM v WHERE vec_id < 8) q
+              JOIN v c ON c.bucket = q.bucket AND c.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id, bucket, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM pairs) t
+    WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
+  private val e02Duck = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
+                      list_sum(list_transform(range(0, 8),
+                        i -> CASE WHEN (list_transform(embedding, x -> x::DOUBLE))[i + 1] > 0.0::DOUBLE
+                                  THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS bucket
+               FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
+             list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.e) + 1), i -> q.e[i] * q.e[i])), (x, y) -> x + y))
+                * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])), (x, y) -> x + y))) AS cos
+      FROM (SELECT * FROM v WHERE vec_id < 8) q
+      JOIN v c ON c.bucket = q.bucket AND c.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id, bucket, rnk::BIGINT AS rnk, ROUND(cos, 6) AS cos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM pairs) t
+    WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
+  private val e03Spark = """
+    SELECT bucket, COUNT(*) AS n, COUNT(DISTINCT label) AS n_labels
+    FROM (SELECT graft_bucket8(graft_vec(embedding)) AS bucket, label FROM embeddings) t
+    GROUP BY bucket ORDER BY bucket"""
+
+  private val e03Duck = """
+    SELECT bucket, COUNT(*)::BIGINT AS n, COUNT(DISTINCT label)::BIGINT AS n_labels
+    FROM (SELECT list_sum(list_transform(range(0, 8),
+            i -> CASE WHEN (list_transform(embedding, x -> x::DOUBLE))[i + 1] > 0.0::DOUBLE
+                      THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS bucket, label
+          FROM embeddings) t
+    GROUP BY bucket ORDER BY bucket"""
+
   // ── registry ──────────────────────────────────────────────────────────
 
   private val all: Seq[(String, String, String)] = Seq(
@@ -476,6 +726,16 @@ object SparkEntry {
     ("g12_simplify_npoints", g12Spark, g12Duck),
     ("g13_overlay_areas", g13Spark, g13Duck),
     ("g14_union_agg_tiles", g14Spark, g14Duck),
+    ("t01_token_stats", t01Spark, t01Duck),
+    ("t02_exact_dedup", t02Spark, t02Duck),
+    ("t03_ngram_jaccard", t03Spark, t03Duck),
+    ("t04_quality_score", t04Spark, t04Duck),
+    ("t05_langid", t05Spark, t05Duck),
+    ("t06_simhash_hamming", t06Spark, t06Duck),
+    ("t07_minhash_lsh", t07Spark, t07Duck),
+    ("e01_cosine_topk", e01Spark, e01Duck),
+    ("e02_ann_bucket", e02Spark, e02Duck),
+    ("e03_bucket_histogram", e03Spark, e03Duck),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

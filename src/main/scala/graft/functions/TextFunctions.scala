@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** Text-analysis / dedup / vector primitives for large-scale training-data
+  * pipelines, defined as Spark SQL UDF macros (CREATE TEMPORARY FUNCTION …
+  * RETURN …). SQL UDFs are macro-expanded into the Catalyst plan at analysis
+  * time, so everything below stays inside whole-stage codegen — no opaque
+  * Scala closures, no Encoder round-trips, no shuffle.
+  *
+  * Portability contract: `graft_hash` is the first 8 hex chars of md5 parsed
+  * as a BIGINT — computable identically in DuckDB
+  * (`('0x' || substr(md5(s),1,8))::BIGINT`), which is what makes the minhash/
+  * simhash pipelines oracle-checkable without sharing code.
+  *
+  * Scale notes (100 TB): all functions are per-row (embarrassingly
+  * parallel). The LSH join in SparkEntry `t07` shuffles on (band, bucket) —
+  * the standard minhash-LSH candidate-generation topology; the ANN bucket
+  * join in `e02` shuffles on the sign-bucket id instead of cross-joining.
+  */
+object TextFunctions {
+
+  private val defs = Seq(
+    // 32-bit-in-long portable hash
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_hash(s STRING) RETURNS BIGINT
+       RETURN CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)""",
+
+    // whitespace tokens
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_tokens(s STRING) RETURNS ARRAY<STRING>
+       RETURN split(trim(s), '\\s+')""",
+
+    // distinct character n-grams (shingles)
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_ngrams(s STRING, n INT) RETURNS ARRAY<STRING>
+       RETURN CASE WHEN length(s) >= n
+         THEN array_distinct(transform(sequence(1, length(s) - n + 1), i -> substring(s, i, n)))
+         ELSE array() END""",
+
+    // n-gram Jaccard similarity (inputs assumed distinct arrays)
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_jaccard(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS DOUBLE
+       RETURN CASE WHEN size(array_union(a, b)) = 0 THEN 0.0D
+         ELSE size(array_intersect(a, b)) / size(array_union(a, b)) END""",
+
+    // minhash signature: h seeded min-hashes over n-char shingles.
+    // NOTE: the hash is inlined rather than calling graft_hash — a SQL UDF
+    // call whose argument references an enclosing lambda variable fails
+    // resolution (the macro expansion drops the lambda binding).
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_minhash(s STRING, n INT, h INT) RETURNS ARRAY<BIGINT>
+       RETURN transform(sequence(0, h - 1),
+         k -> array_min(transform(graft_ngrams(s, n),
+                g -> CAST(conv(substring(md5(concat(CAST(k AS STRING), ':', g)), 1, 8), 16, 10) AS BIGINT))))""",
+
+    // 32-bit simhash over whitespace tokens
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_simhash(s STRING) RETURNS BIGINT
+       RETURN aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+         (acc, b) -> acc + CASE WHEN aggregate(
+             transform(graft_tokens(s),
+               t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)),
+             CAST(0 AS BIGINT),
+             (a, hh) -> a + CASE WHEN (shiftright(hh, b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+           THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)""",
+
+    // token count
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_token_count(s STRING) RETURNS INT
+       RETURN size(graft_tokens(s))""",
+
+    // stopword ratio over a fixed english stop set
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_stop_ratio(s STRING) RETURNS DOUBLE
+       RETURN size(filter(graft_tokens(s), t -> t IN ('the','a','of','and','in','to','is')))
+              / greatest(size(graft_tokens(s)), 1)""",
+
+    // composite quality score in [0,1]
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_quality(s STRING) RETURNS DOUBLE
+       RETURN 0.3 * graft_stop_ratio(s)
+            + 0.4 * least(1.0D, size(graft_tokens(s)) / 100.0D)
+            + 0.3 * (1.0D - least(1.0D, regexp_count(s, '[.,!?;]') / CAST(greatest(size(graft_tokens(s)), 1) AS DOUBLE)))""",
+
+    // rolling-hash document fingerprint (first 64 tokens)
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_fingerprint(s STRING) RETURNS BIGINT
+       RETURN aggregate(slice(graft_tokens(s), 1, 64), CAST(7 AS BIGINT),
+         (acc, t) -> (acc * 31 + CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)) % 1000000007)""",
+
+    // float vector → double vector (deterministic cross-engine arithmetic)
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_vec(a ARRAY<FLOAT>) RETURNS ARRAY<DOUBLE>
+       RETURN transform(a, x -> CAST(x AS DOUBLE))""",
+
+    // dot product (left fold, init 0.0 — mirrors DuckDB list_reduce w/ prepend)
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_dot(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE
+       RETURN aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""",
+
+    // cosine similarity
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_cosine(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE
+       RETURN graft_dot(a, b) / (sqrt(graft_dot(a, a)) * sqrt(graft_dot(b, b)))""",
+
+    // 8-bit sign bucket of the leading dims — the LSH partition key for ANN
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_bucket8(a ARRAY<DOUBLE>) RETURNS BIGINT
+       RETURN aggregate(sequence(0, 7), CAST(0 AS BIGINT),
+         (acc, i) -> acc + CASE WHEN element_at(a, i + 1) > 0.0D
+                            THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)""",
+  )
+
+  def register(spark: SparkSession): Unit = defs.foreach(spark.sql(_))
+}
