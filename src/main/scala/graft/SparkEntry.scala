@@ -19,7 +19,12 @@ object SparkEntry {
   private val tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // one views() registration per (session, dir) — ~10 parquet footer reads
+  // otherwise repeat on every query
+  private val viewsDone = new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Boolean]()
+
   private def views(s: SparkSession, dir: String): Unit = {
+    if (viewsDone.putIfAbsent((s, dir), true) != null) return
     GeoFunctions.register(s)
     graft.functions.TextFunctions.register(s)
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
@@ -35,8 +40,13 @@ object SparkEntry {
     }
   }
 
+  /** {{P}} in query text becomes the session default parallelism — used in
+    * REPARTITION hints on compute-bound per-row kernels. The driver's
+    * single-file testdata parquet arrives as ONE scan partition (one row
+    * group), which would pin JTS/md5-heavy projections to a single core. */
   private def q(sqlText: String): (SparkSession, String) => DataFrame =
-    (s, dir) => { views(s, dir); s.sql(sqlText) }
+    (s, dir) => { views(s, dir)
+      s.sql(sqlText.replace("{{P}}", s.sparkContext.defaultParallelism.toString)) }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The SURVEY.md §7 "minimum end-to-end slice": spatial filter → measure →
@@ -158,7 +168,7 @@ object SparkEntry {
     SELECT l_returnflag, COUNT(*) AS n,
            ROUND(MIN(d), 6) AS min_d, ROUND(MAX(d), 6) AS max_d,
            ROUND(AVG(d), 6) AS avg_d
-    FROM (SELECT l_returnflag,
+    FROM (SELECT /*+ REPARTITION({{P}}) */ l_returnflag,
                  ST_Distance(ST_Point(CAST(l_partkey % 100 AS DOUBLE),
                                       CAST(l_suppkey % 100 AS DOUBLE)),
                              ST_Point(50.0, 50.0)) AS d
@@ -274,7 +284,7 @@ object SparkEntry {
            SUM(CAST(2 * ST_X(c) AS BIGINT)) AS sum_2cx,
            SUM(CAST(2 * ST_Y(c) AS BIGINT)) AS sum_2cy,
            COUNT(*) AS n
-    FROM (SELECT o_orderpriority,
+    FROM (SELECT /*+ REPARTITION({{P}}) */ o_orderpriority,
                  ST_Centroid(ST_MakeEnvelope(
                    CAST(o_orderkey % 50 AS DOUBLE), CAST(o_orderkey % 30 AS DOUBLE),
                    CAST(o_orderkey % 50 + 1 + o_orderkey % 7 AS DOUBLE),
@@ -315,7 +325,7 @@ object SparkEntry {
     SELECT o_orderstatus, COUNT(*) AS n,
            ROUND(MIN(len), 6) AS min_len, ROUND(MAX(len), 6) AS max_len,
            ROUND(AVG(len), 6) AS avg_len
-    FROM (SELECT o_orderstatus,
+    FROM (SELECT /*+ REPARTITION({{P}}) */ o_orderstatus,
                  ST_Length(ST_MakeLine(
                    ST_Point(CAST(o_orderkey % 61 AS DOUBLE), CAST(o_orderkey % 53 AS DOUBLE)),
                    ST_Point(CAST(o_custkey % 47 AS DOUBLE), CAST(o_custkey % 43 AS DOUBLE)))) AS len
@@ -380,7 +390,7 @@ object SparkEntry {
 
   private val g11Spark = """
     SELECT o_orderpriority, COUNT(*) AS n_parts, SUM(CAST(ST_X(part) AS BIGINT)) AS sum_x
-    FROM (SELECT o_orderpriority, explode(ST_Dump(ST_GeomFromText(
+    FROM (SELECT /*+ REPARTITION({{P}}) */ o_orderpriority, explode(ST_Dump(ST_GeomFromText(
             CASE CAST(o_orderkey % 3 AS INT)
               WHEN 0 THEN CONCAT('MULTIPOINT ((', CAST(o_orderkey % 100 AS STRING), ' 0))')
               WHEN 1 THEN CONCAT('MULTIPOINT ((', CAST(o_orderkey % 100 AS STRING), ' 0), (',
@@ -405,7 +415,7 @@ object SparkEntry {
              'LINESTRING (0 0, 1 ',
              CASE WHEN l_linenumber % 2 = 1 THEN '0.001' ELSE '0' END,
              ', 2 0)')), 0.0001)) AS BIGINT)) AS npoints
-    FROM lineitem GROUP BY 1 ORDER BY parity"""
+    FROM (SELECT /*+ REPARTITION({{P}}) */ l_linenumber FROM lineitem) li GROUP BY 1 ORDER BY parity"""
 
   private val g12Duck = """
     SELECT CAST(l_linenumber % 2 AS INT) AS parity, COUNT(*)::BIGINT AS n,
@@ -413,37 +423,40 @@ object SparkEntry {
     FROM lineitem GROUP BY 1 ORDER BY parity"""
 
   private val g13Spark = """
-    SELECT l_linestatus,
+    SELECT o_orderstatus,
            SUM(CAST(ST_Area(ST_Intersection(a, b)) AS BIGINT)) AS inter_area,
            SUM(CAST(ST_Area(ST_Union(a, b)) AS BIGINT)) AS union_area,
            SUM(CAST(ST_Area(ST_Difference(a, b)) AS BIGINT)) AS diff_area,
            SUM(CAST(ST_Area(ST_SymDifference(a, b)) AS BIGINT)) AS symdiff_area
-    FROM (SELECT l_linestatus,
-                 ST_MakeEnvelope(0.0, 0.0, CAST(10 + l_partkey % 10 AS DOUBLE), 10.0) AS a,
-                 ST_MakeEnvelope(CAST(5 + l_suppkey % 10 AS DOUBLE), 0.0, 30.0, 10.0) AS b
-          FROM lineitem) t
-    GROUP BY l_linestatus ORDER BY l_linestatus"""
+    FROM (SELECT /*+ REPARTITION({{P}}) */ o_orderstatus,
+                 ST_MakeEnvelope(0.0, 0.0, CAST(10 + o_orderkey % 10 AS DOUBLE), 10.0) AS a,
+                 ST_MakeEnvelope(CAST(5 + o_custkey % 10 AS DOUBLE), 0.0, 30.0, 10.0) AS b
+          FROM orders) t
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
   private val g13Duck = """
-    SELECT l_linestatus,
-           SUM(CAST(GREATEST(0, (10 + l_partkey % 10) - (5 + l_suppkey % 10)) * 10 AS BIGINT))::BIGINT AS inter_area,
-           SUM(CAST(((10 + l_partkey % 10) * 10 + (30 - (5 + l_suppkey % 10)) * 10
-                     - GREATEST(0, (10 + l_partkey % 10) - (5 + l_suppkey % 10)) * 10) AS BIGINT))::BIGINT AS union_area,
-           SUM(CAST(((10 + l_partkey % 10) * 10
-                     - GREATEST(0, (10 + l_partkey % 10) - (5 + l_suppkey % 10)) * 10) AS BIGINT))::BIGINT AS diff_area,
-           SUM(CAST(((10 + l_partkey % 10) * 10 + (30 - (5 + l_suppkey % 10)) * 10
-                     - 2 * GREATEST(0, (10 + l_partkey % 10) - (5 + l_suppkey % 10)) * 10) AS BIGINT))::BIGINT AS symdiff_area
-    FROM lineitem
-    GROUP BY l_linestatus ORDER BY l_linestatus"""
+    SELECT o_orderstatus,
+           SUM(CAST(GREATEST(0, (10 + o_orderkey % 10) - (5 + o_custkey % 10)) * 10 AS BIGINT))::BIGINT AS inter_area,
+           SUM(CAST(((10 + o_orderkey % 10) * 10 + (30 - (5 + o_custkey % 10)) * 10
+                     - GREATEST(0, (10 + o_orderkey % 10) - (5 + o_custkey % 10)) * 10) AS BIGINT))::BIGINT AS union_area,
+           SUM(CAST(((10 + o_orderkey % 10) * 10
+                     - GREATEST(0, (10 + o_orderkey % 10) - (5 + o_custkey % 10)) * 10) AS BIGINT))::BIGINT AS diff_area,
+           SUM(CAST(((10 + o_orderkey % 10) * 10 + (30 - (5 + o_custkey % 10)) * 10
+                     - 2 * GREATEST(0, (10 + o_orderkey % 10) - (5 + o_custkey % 10)) * 10) AS BIGINT))::BIGINT AS symdiff_area
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  // aggregate union with dedup-first: identical tiles collapse in a cheap
+  // hash aggregate BEFORE the expensive geometric union (union is
+  // idempotent), so JTS unions 20 tiles per group instead of 30k boxes.
   private val g14Spark = """
     SELECT o_orderpriority,
-           CAST(ST_Area(ST_Union(ST_Collect(collect_list(env)))) AS BIGINT) AS union_area,
-           COUNT(*) AS n
-    FROM (SELECT o_orderpriority,
-                 ST_MakeEnvelope(CAST((o_orderkey % 20) * 10 AS DOUBLE), 0.0,
-                                 CAST((o_orderkey % 20) * 10 + 10 AS DOUBLE), 10.0) AS env
-          FROM orders) t
+           CAST(ST_Area(ST_Union(ST_Collect(collect_list(
+             ST_MakeEnvelope(CAST(tile * 10 AS DOUBLE), 0.0,
+                             CAST(tile * 10 + 10 AS DOUBLE), 10.0))))) AS BIGINT) AS union_area,
+           SUM(cnt) AS n
+    FROM (SELECT o_orderpriority, o_orderkey % 20 AS tile, COUNT(*) AS cnt
+          FROM orders GROUP BY 1, 2) p
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
   private val g14Duck = """
@@ -485,17 +498,24 @@ object SparkEntry {
           GROUP BY md5(text)) grp
     GROUP BY n_copies ORDER BY n_copies"""
 
-  private val t03Spark = """
-    SELECT CAST(FLOOR(j * 20) AS INT) AS bucket, COUNT(*) AS n
-    FROM (SELECT graft_jaccard(graft_ngrams(a.text, 3), graft_ngrams(b.text, 3)) AS j
-          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1) t
-    GROUP BY 1 ORDER BY bucket"""
+  /** n-gram arrays are built once per doc and cached: the self-join
+    * references the table twice and Spark inlines CTEs per reference. */
+  private def t03Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql("SELECT /*+ REPARTITION(" + s.sparkContext.defaultParallelism + ") */ doc_id, graft_ngrams(text, 3) AS g FROM documents")
+      .cache().createOrReplaceTempView("t03_ng")
+    s.sql("""
+      SELECT CAST(FLOOR(j * 20) AS INT) AS bucket, COUNT(*) AS n
+      FROM (SELECT graft_jaccard(a.g, b.g) AS j
+            FROM t03_ng a JOIN t03_ng b ON b.doc_id = a.doc_id + 1) t
+      GROUP BY 1 ORDER BY bucket""")
+  }
 
   private val t03Duck = """
     WITH ng AS (
       SELECT doc_id,
              CASE WHEN length(text) >= 3
-               THEN list_distinct(list_transform(range(1, length(text) - 3 + 2), i -> substr(text, i, 3)))
+               THEN list_transform(range(1, length(text) - 3 + 2), i -> substr(text, i, 3))
                ELSE [] END AS g
       FROM documents)
     SELECT CAST(FLOOR(j * 20) AS INT) AS bucket, COUNT(*)::BIGINT AS n
@@ -552,7 +572,7 @@ object SparkEntry {
 
   private val t06Spark = """
     SELECT ham, COUNT(*) AS n FROM (
-      SELECT CAST(bit_count(graft_simhash(text) ^
+      SELECT /*+ REPARTITION({{P}}) */ CAST(bit_count(graft_simhash(text) ^
                graft_simhash(substring(text, 1, CAST(FLOOR(n_chars * 0.8D) AS INT)))) AS INT) AS ham
       FROM documents) t
     GROUP BY ham ORDER BY ham"""
@@ -582,24 +602,38 @@ object SparkEntry {
     SELECT CAST(bit_count(xor(sim_full::BIGINT, sim_trunc::BIGINT)) AS INT) AS ham, COUNT(*)::BIGINT AS n
     FROM sims GROUP BY ham ORDER BY ham"""
 
-  private val t07Spark = """
-    WITH aug AS (
-      SELECT doc_id AS id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 100000, substring(text, 1, CAST(FLOOR(n_chars * 0.8D) AS INT)) FROM documents),
-    sigs AS (
-      SELECT id, graft_minhash(text, 4, 16) AS sig, graft_ngrams(text, 4) AS ng FROM aug),
-    bands AS (
-      SELECT id, b, graft_hash(concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> CAST(x AS STRING)))) AS bkey
-      FROM sigs LATERAL VIEW explode(sequence(0, 3)) bt AS b),
-    cand AS (
-      SELECT DISTINCT x.id AS i, y.id AS j
-      FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.id < y.id)
-    SELECT COUNT(*) AS n_cand,
-           SUM(CASE WHEN j = i + 100000 THEN 1 ELSE 0 END) AS planted,
-           SUM(CASE WHEN jac >= 0.5D THEN 1 ELSE 0 END) AS verified
-    FROM (SELECT c.i, c.j, graft_jaccard(si.ng, sj.ng) AS jac
-          FROM cand c JOIN sigs si ON si.id = c.i JOIN sigs sj ON sj.id = c.j) t"""
+  /** Minhash-LSH dedup. Built in Scala (not one SQL string) so the
+    * signature table can be cached: Spark inlines a WITH-CTE into every
+    * reference, and `sigs` is referenced three times (band explode + both
+    * sides of the verify join) — without the cache the 16-seed minhash would
+    * be recomputed per reference. At 100 TB this is exactly the "persist
+    * signatures, shuffle on (band, bucket)" LSH topology. */
+  private def t07Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val sigs = s.sql("""
+      SELECT id,
+             transform(sequence(0, 15), k -> array_min(transform(ng,
+               g -> CAST(conv(substring(md5(concat(CAST(k AS STRING), ':', g)), 1, 8), 16, 10) AS BIGINT)))) AS sig,
+             ng
+      FROM (SELECT /*+ REPARTITION(64) */ id, graft_shingles(text, 3) AS ng
+            FROM (SELECT doc_id AS id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 100000, substring(text, 1, CAST(FLOOR(n_chars * 0.8D) AS INT))
+                  FROM documents) aug) t""").cache()
+    sigs.createOrReplaceTempView("t07_sigs")
+    s.sql("""
+      WITH bands AS (
+        SELECT id, b, graft_hash(concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> CAST(x AS STRING)))) AS bkey
+        FROM t07_sigs LATERAL VIEW explode(sequence(0, 3)) bt AS b),
+      cand AS (
+        SELECT DISTINCT x.id AS i, y.id AS j
+        FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.id < y.id)
+      SELECT COUNT(*) AS n_cand,
+             SUM(CASE WHEN j = i + 100000 THEN 1 ELSE 0 END) AS planted,
+             SUM(CASE WHEN jac >= 0.5D THEN 1 ELSE 0 END) AS verified
+      FROM (SELECT c.i, c.j, graft_jaccard(si.ng, sj.ng) AS jac
+            FROM cand c JOIN t07_sigs si ON si.id = c.i JOIN t07_sigs sj ON sj.id = c.j) t""")
+  }
 
   private val t07Duck = """
     WITH aug AS (
@@ -608,15 +642,15 @@ object SparkEntry {
       SELECT doc_id + 100000, substr(text, 1, CAST(FLOOR(n_chars * 0.8::DOUBLE) AS INT)) FROM documents),
     sigs AS (
       SELECT id,
-             list_transform(range(0, 16), k -> list_min(list_transform(
-               CASE WHEN length(text) >= 4
-                 THEN list_distinct(list_transform(range(1, length(text) - 4 + 2), i -> substr(text, i, 4)))
-                 ELSE [] END,
+             list_transform(range(0, 16), k -> list_min(list_transform(ng,
                g -> ('0x' || substr(md5(k || ':' || g), 1, 8))::BIGINT))) AS sig,
-             CASE WHEN length(text) >= 4
-               THEN list_distinct(list_transform(range(1, length(text) - 4 + 2), i -> substr(text, i, 4)))
-               ELSE [] END AS ng
-      FROM aug),
+             ng
+      FROM (SELECT id,
+              CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+                THEN list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 3 + 2),
+                       i -> array_to_string(array_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' '))
+                ELSE [] END AS ng
+            FROM aug) augng),
     bands AS (
       SELECT id, b,
              ('0x' || substr(md5(array_to_string(list_transform(
@@ -636,8 +670,11 @@ object SparkEntry {
   // ── embedding similarity search ───────────────────────────────────────
 
   private val e01Spark = """
-    WITH v AS (SELECT vec_id, graft_vec(embedding) AS e FROM embeddings),
-    pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, graft_cosine(q.e, c.e) AS cos
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e,
+                      sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
+               FROM embeddings),
+    pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     graft_dot(q.e, c.e) / (q.nrm * c.nrm) AS cos
               FROM (SELECT * FROM v WHERE vec_id < 8) q
               JOIN v c ON c.vec_id != q.vec_id)
     SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cos
@@ -660,10 +697,11 @@ object SparkEntry {
     WHERE rnk <= 5 ORDER BY query_id, rnk"""
 
   private val e02Spark = """
-    WITH v AS (SELECT vec_id, graft_vec(embedding) AS e,
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e,
+                      sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm,
                       graft_bucket8(graft_vec(embedding)) AS bucket FROM embeddings),
     pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
-                     graft_cosine(q.e, c.e) AS cos
+                     graft_dot(q.e, c.e) / (q.nrm * c.nrm) AS cos
               FROM (SELECT * FROM v WHERE vec_id < 8) q
               JOIN v c ON c.bucket = q.bucket AND c.vec_id != q.vec_id)
     SELECT query_id, neighbor_id, bucket, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cos
@@ -691,7 +729,7 @@ object SparkEntry {
 
   private val e03Spark = """
     SELECT bucket, COUNT(*) AS n, COUNT(DISTINCT label) AS n_labels
-    FROM (SELECT graft_bucket8(graft_vec(embedding)) AS bucket, label FROM embeddings) t
+    FROM (SELECT /*+ REPARTITION({{P}}) */ graft_bucket8(graft_vec(embedding)) AS bucket, label FROM embeddings) t
     GROUP BY bucket ORDER BY bucket"""
 
   private val e03Duck = """
@@ -704,42 +742,42 @@ object SparkEntry {
 
   // ── registry ──────────────────────────────────────────────────────────
 
-  private val all: Seq[(String, String, String)] = Seq(
-    ("q01_pricing_summary", q01Spark, q01Duck),
-    ("q02_revenue_by_nation", q02Spark, q02Duck),
-    ("q03_top_orders_per_cust", q03Spark, q03Duck),
-    ("q04_priority_exists", q04Spark, q04Duck),
-    ("q05_brand_supplier_stats", q05Spark, q05Duck),
-    ("g01_point_distance", g01Spark, g01Duck),
-    ("g02_rect_area", g02Spark, g02Duck),
-    ("g03_zone_contains_join", g03Spark, g03Duck),
-    ("q06_rollup_revenue", q06Spark, q06Duck),
-    ("q07_hourly_events", q07Spark, q07Duck),
-    ("g04_buffer_area", g04Spark, g04Duck),
-    ("g05_centroid", g05Spark, g05Duck),
-    ("g06_extent_agg", g06Spark, g06Duck),
-    ("g07_line_length", g07Spark, g07Duck),
-    ("g08_convexhull_collect", g08Spark, g08Duck),
-    ("g09_wkt_roundtrip", g09Spark, g09Duck),
-    ("g10_transform_mercator", g10Spark, g10Duck),
-    ("g11_dump_explode", g11Spark, g11Duck),
-    ("g12_simplify_npoints", g12Spark, g12Duck),
-    ("g13_overlay_areas", g13Spark, g13Duck),
-    ("g14_union_agg_tiles", g14Spark, g14Duck),
-    ("t01_token_stats", t01Spark, t01Duck),
-    ("t02_exact_dedup", t02Spark, t02Duck),
-    ("t03_ngram_jaccard", t03Spark, t03Duck),
-    ("t04_quality_score", t04Spark, t04Duck),
-    ("t05_langid", t05Spark, t05Duck),
-    ("t06_simhash_hamming", t06Spark, t06Duck),
-    ("t07_minhash_lsh", t07Spark, t07Duck),
-    ("e01_cosine_topk", e01Spark, e01Duck),
-    ("e02_ann_bucket", e02Spark, e02Duck),
-    ("e03_bucket_histogram", e03Spark, e03Duck),
+  private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q01_pricing_summary", q(q01Spark), q01Duck),
+    ("q02_revenue_by_nation", q(q02Spark), q02Duck),
+    ("q03_top_orders_per_cust", q(q03Spark), q03Duck),
+    ("q04_priority_exists", q(q04Spark), q04Duck),
+    ("q05_brand_supplier_stats", q(q05Spark), q05Duck),
+    ("g01_point_distance", q(g01Spark), g01Duck),
+    ("g02_rect_area", q(g02Spark), g02Duck),
+    ("g03_zone_contains_join", q(g03Spark), g03Duck),
+    ("q06_rollup_revenue", q(q06Spark), q06Duck),
+    ("q07_hourly_events", q(q07Spark), q07Duck),
+    ("g04_buffer_area", q(g04Spark), g04Duck),
+    ("g05_centroid", q(g05Spark), g05Duck),
+    ("g06_extent_agg", q(g06Spark), g06Duck),
+    ("g07_line_length", q(g07Spark), g07Duck),
+    ("g08_convexhull_collect", q(g08Spark), g08Duck),
+    ("g09_wkt_roundtrip", q(g09Spark), g09Duck),
+    ("g10_transform_mercator", q(g10Spark), g10Duck),
+    ("g11_dump_explode", q(g11Spark), g11Duck),
+    ("g12_simplify_npoints", q(g12Spark), g12Duck),
+    ("g13_overlay_areas", q(g13Spark), g13Duck),
+    ("g14_union_agg_tiles", q(g14Spark), g14Duck),
+    ("t01_token_stats", q(t01Spark), t01Duck),
+    ("t02_exact_dedup", q(t02Spark), t02Duck),
+    ("t03_ngram_jaccard", t03Fn _, t03Duck),
+    ("t04_quality_score", q(t04Spark), t04Duck),
+    ("t05_langid", q(t05Spark), t05Duck),
+    ("t06_simhash_hamming", q(t06Spark), t06Duck),
+    ("t07_minhash_lsh", t07Fn _, t07Duck),
+    ("e01_cosine_topk", q(e01Spark), e01Duck),
+    ("e02_ann_bucket", q(e02Spark), e02Duck),
+    ("e03_bucket_histogram", q(e03Spark), e03Duck),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map { case (name, sparkSql, _) => name -> q(sparkSql) }.toMap
+    all.map { case (name, fn, _) => name -> fn }.toMap
 
   def oracleSql: Map[String, String] =
     all.map { case (name, _, duck) => name -> duck.trim }.toMap

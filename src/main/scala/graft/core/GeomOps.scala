@@ -262,7 +262,28 @@ object GeomOps {
   // ref: rust/geoarrow-old/src/algorithm/geos/bool_ops.rs:24-27
 
   def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = write(read(a).union(read(b)))
-  def intersection(a: Array[Byte], b: Array[Byte]): Array[Byte] = write(read(a).intersection(read(b)))
+  /** Rectangle×rectangle fast path: OverlayNG's robust noding costs ~0.5 ms
+    * even for two axis-aligned boxes — the dominant geometry in bbox-style
+    * analytics. Envelope clipping is exact for that case (including the
+    * degenerate edge/corner/empty results JTS would produce). */
+  def intersection(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val (ga, gb) = (read(a), read(b))
+    if (ga.isRectangle && gb.isRectangle) {
+      val ea = ga.getEnvelopeInternal
+      val eb = gb.getEnvelopeInternal
+      if (!ea.intersects(eb)) return write(factory.createPolygon())
+      val (x0, x1) = (math.max(ea.getMinX, eb.getMinX), math.min(ea.getMaxX, eb.getMaxX))
+      val (y0, y1) = (math.max(ea.getMinY, eb.getMinY), math.min(ea.getMaxY, eb.getMaxY))
+      val g =
+        if (x0 == x1 && y0 == y1) factory.createPoint(new Coordinate(x0, y0))
+        else if (x0 == x1 || y0 == y1)
+          factory.createLineString(Array(new Coordinate(x0, y0), new Coordinate(x1, y1)))
+        else factory.createPolygon(Array(
+          new Coordinate(x0, y0), new Coordinate(x1, y0),
+          new Coordinate(x1, y1), new Coordinate(x0, y1), new Coordinate(x0, y0)))
+      write(g)
+    } else write(ga.intersection(gb))
+  }
   def difference(a: Array[Byte], b: Array[Byte]): Array[Byte] = write(read(a).difference(read(b)))
   def symDifference(a: Array[Byte], b: Array[Byte]): Array[Byte] = write(read(a).symDifference(read(b)))
   def unaryUnion(b: Array[Byte]): Array[Byte] = write(read(b).union())

@@ -29,10 +29,23 @@ object TextFunctions {
     """CREATE OR REPLACE TEMPORARY FUNCTION graft_tokens(s STRING) RETURNS ARRAY<STRING>
        RETURN split(trim(s), '\\s+')""",
 
-    // distinct character n-grams (shingles)
+    // character n-grams (shingles). Deliberately NOT deduplicated: every
+    // consumer (jaccard via array_intersect/array_union, minhash via
+    // array_min) is duplicate-insensitive, and array_distinct is O(n²)
+    // interpreted — it dominated the profile at 250 shingles/doc.
     """CREATE OR REPLACE TEMPORARY FUNCTION graft_ngrams(s STRING, n INT) RETURNS ARRAY<STRING>
        RETURN CASE WHEN length(s) >= n
-         THEN array_distinct(transform(sequence(1, length(s) - n + 1), i -> substring(s, i, n)))
+         THEN transform(sequence(1, length(s) - n + 1), i -> substring(s, i, n))
+         ELSE array() END""",
+
+    // word k-shingles — the document-dedup shingling unit. Char n-grams of
+    // a small shared vocabulary make *unrelated* docs look similar (LSH
+    // candidate blow-up); word shingles keep collision probability tied to
+    // actual text reuse.
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_shingles(s STRING, k INT) RETURNS ARRAY<STRING>
+       RETURN CASE WHEN size(graft_tokens(s)) >= k
+         THEN transform(sequence(1, size(graft_tokens(s)) - k + 1),
+                i -> concat_ws(' ', slice(graft_tokens(s), i, k)))
          ELSE array() END""",
 
     // n-gram Jaccard similarity (inputs assumed distinct arrays)
@@ -49,15 +62,20 @@ object TextFunctions {
          k -> array_min(transform(graft_ngrams(s, n),
                 g -> CAST(conv(substring(md5(concat(CAST(k AS STRING), ':', g)), 1, 8), 16, 10) AS BIGINT))))""",
 
-    // 32-bit simhash over whitespace tokens
+    // 32-bit simhash over whitespace tokens — single pass: one md5 per
+    // token, folding a 32-counter array (the naive per-bit formulation
+    // recomputes every token hash 32×).
     """CREATE OR REPLACE TEMPORARY FUNCTION graft_simhash(s STRING) RETURNS BIGINT
-       RETURN aggregate(sequence(0, 31), CAST(0 AS BIGINT),
-         (acc, b) -> acc + CASE WHEN aggregate(
-             transform(graft_tokens(s),
-               t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)),
-             CAST(0 AS BIGINT),
-             (a, hh) -> a + CASE WHEN (shiftright(hh, b) & 1) = 1 THEN 1 ELSE -1 END) > 0
-           THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)""",
+       RETURN aggregate(
+         transform(graft_tokens(s),
+           t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)),
+         array_repeat(CAST(0 AS BIGINT), 32),
+         (acc, hh) -> zip_with(acc, sequence(0, 31),
+           (a, b) -> a + CASE WHEN (shiftright(hh, CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END),
+         acc -> aggregate(zip_with(acc, sequence(0, 31),
+                  (a, b) -> CASE WHEN a > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))
+                                 ELSE CAST(0 AS BIGINT) END),
+                CAST(0 AS BIGINT), (x, y) -> x + y))""",
 
     // token count
     """CREATE OR REPLACE TEMPORARY FUNCTION graft_token_count(s STRING) RETURNS INT
