@@ -466,6 +466,43 @@ object SparkEntry {
     FROM orders
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** Broadcast-STRtree spatial join (graft.operators.SpatialJoin): 2000
+    * zone rectangles × full lineitem points. Spark's own plan for a θ-join
+    * on ST_Covers is a BroadcastNestedLoopJoin — 1.2B predicate
+    * evaluations at sf0.1; the STRtree probes ~log(2000) per point. */
+  private def g15Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val pts = s.sql(s"""
+      SELECT /*+ REPARTITION(${s.sparkContext.defaultParallelism}) */
+             ST_Point(CAST(l_partkey % 1000 AS DOUBLE),
+                      CAST((l_orderkey * 7) % 1000 AS DOUBLE)) AS pt
+      FROM lineitem""")
+    val zones = s.sql("""
+      SELECT p_brand,
+             ST_MakeEnvelope(CAST((p_partkey * 13) % 950 AS DOUBLE),
+                             CAST((p_partkey * 29) % 950 AS DOUBLE),
+                             CAST((p_partkey * 13) % 950 + 50 AS DOUBLE),
+                             CAST((p_partkey * 29) % 950 + 50 AS DOUBLE)) AS zone
+      FROM part""")
+    graft.operators.SpatialJoin.broadcast(pts, zones, "pt", "zone", "covers")
+      .groupBy("p_brand").count()
+      .select(org.apache.spark.sql.functions.col("p_brand"),
+              org.apache.spark.sql.functions.col("count").as("n"))
+      .orderBy("p_brand")
+  }
+
+  private val g15Duck = """
+    SELECT p_brand, COUNT(*)::BIGINT AS n
+    FROM (SELECT CAST(l_partkey % 1000 AS DOUBLE) AS px,
+                 CAST((l_orderkey * 7) % 1000 AS DOUBLE) AS py
+          FROM lineitem) pts
+    JOIN (SELECT p_brand,
+                 CAST((p_partkey * 13) % 950 AS DOUBLE) AS zxmin,
+                 CAST((p_partkey * 29) % 950 AS DOUBLE) AS zymin
+          FROM part) zones
+      ON px >= zxmin AND px <= zxmin + 50 AND py >= zymin AND py <= zymin + 50
+    GROUP BY p_brand ORDER BY p_brand"""
+
   // ── training-data pipeline ops: text analysis / dedup ─────────────────
 
   private val t01Spark = """
@@ -764,6 +801,7 @@ object SparkEntry {
     ("g12_simplify_npoints", q(g12Spark), g12Duck),
     ("g13_overlay_areas", q(g13Spark), g13Duck),
     ("g14_union_agg_tiles", q(g14Spark), g14Duck),
+    ("g15_spatial_join_strtree", g15Fn _, g15Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),

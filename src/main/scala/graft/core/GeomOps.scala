@@ -42,10 +42,22 @@ object GeomOps {
   private val wkbReader = ThreadLocal.withInitial[WKBReader](() => new WKBReader(factory))
   private val wkbWriter = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(2, true))
   private val wktReader = ThreadLocal.withInitial[WKTReader](() => new WKTReader(factory))
-  private val wktWriter = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter())
+  // output dimension 4: writes Z/M only when the sequence carries them
+  private val wktWriter = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter(4))
 
   def read(b: Array[Byte]): Geometry = wkbReader.get.read(b)
-  def write(g: Geometry): Array[Byte] = wkbWriter.get.write(g)
+
+  /** WKB write with dimension fidelity: XYZ geometries keep their Z (the
+    * 2D writer would silently drop it — SURVEY.md §7 hard-part 2). XYM/XYZM
+    * measures are not yet preserved (documented divergence this round). */
+  def write(g: Geometry): Array[Byte] =
+    if (hasZ(g)) new WKBWriter(3, true).write(g) else wkbWriter.get.write(g)
+
+  private def hasZ(g: Geometry): Boolean = {
+    if (g.isEmpty) return false
+    val c = g.getCoordinate
+    c != null && !java.lang.Double.isNaN(c.getZ)
+  }
 
   // ── constructors ──────────────────────────────────────────────────────
   // ref: python/geoarrow-core/.../_constructors.pyi (points/linestrings/…)
@@ -104,6 +116,8 @@ object GeomOps {
 
   def stX(b: Array[Byte]): Double = read(b).getCoordinate.x
   def stY(b: Array[Byte]): Double = read(b).getCoordinate.y
+  def stZ(b: Array[Byte]): Double = read(b).getCoordinate.getZ
+  def hasZCol(b: Array[Byte]): Boolean = hasZ(read(b))
   def xMin(b: Array[Byte]): Double = read(b).getEnvelopeInternal.getMinX
   def yMin(b: Array[Byte]): Double = read(b).getEnvelopeInternal.getMinY
   def xMax(b: Array[Byte]): Double = read(b).getEnvelopeInternal.getMaxX

@@ -60,6 +60,9 @@ object GeoFunctions {
     // accessors
     "st_x" -> Sig("stX", D, Seq(G)),
     "st_y" -> Sig("stY", D, Seq(G)),
+    "st_z" -> Sig("stZ", D, Seq(G)),
+    "st_hasz" -> Sig("hasZCol", B, Seq(G)),
+    "st_pointz" -> Sig("pointZ", G, Seq(D, D, D)),
     "st_xmin" -> Sig("xMin", D, Seq(G)),
     "st_ymin" -> Sig("yMin", D, Seq(G)),
     "st_xmax" -> Sig("xMax", D, Seq(G)),

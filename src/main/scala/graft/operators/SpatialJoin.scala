@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.catalyst.expressions.GenericRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.locationtech.jts.geom.{Envelope, Geometry}
+import org.locationtech.jts.index.strtree.STRtree
+import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
+
+import graft.core.GeomOps
+
+/** Spatial join strategies.
+  *
+  * The reference ships the index primitives users compose into a join —
+  * R-tree bulk-load + `intersection_candidates_with_other`
+  * (rust/geoarrow-old/src/indexed/array.rs:20-57). On Spark the same idea
+  * becomes two physical strategies:
+  *
+  *  - [[broadcast]]: build one STRtree of the small side per executor
+  *    (JTS PreparedGeometry for the refinement predicate), stream the big
+  *    side through `mapPartitions`. O(n log m) instead of the O(n·m)
+  *    BroadcastNestedLoopJoin Spark would plan for a θ-join on ST_*.
+  *  - [[grid]]: big×big. Both sides explode to covering grid cells,
+  *    equi-shuffle on cell id, refine with the exact predicate, and dedupe
+  *    multi-cell matches with the reference-point rule (a pair is emitted
+  *    only in the cell containing the top-left corner of the envelope
+  *    intersection) — no DISTINCT pass needed.
+  *
+  * Predicates: intersects | contains | within | covers | dwithin:<d>.
+  * `contains`/`covers`/`within` are evaluated as LEFT pred RIGHT.
+  */
+object SpatialJoin {
+
+  private def pred(name: String): (PreparedGeometry, Geometry) => Boolean = name match {
+    case "intersects" => (p, g) => p.intersects(g)
+    case "contains" => (p, g) => p.contains(g)
+    case "covers" => (p, g) => p.covers(g)
+    case "within" => (p, g) => p.within(g)
+    case d if d.startsWith("dwithin:") =>
+      val dist = d.stripPrefix("dwithin:").toDouble
+      (p, g) => p.getGeometry.isWithinDistance(g, dist)
+    case other => throw new IllegalArgumentException(s"unknown spatial predicate: $other")
+  }
+
+  private def expand(e: Envelope, by: Double): Envelope = {
+    val c = new Envelope(e); c.expandBy(by); c
+  }
+
+  /** Inner join `big ⋈ small ON pred(big.geom, small.geom)` with the small
+    * side broadcast as an STRtree. Column names must be disjoint. */
+  def broadcast(big: DataFrame, small: DataFrame,
+                bigGeomCol: String, smallGeomCol: String,
+                predicate: String = "intersects"): DataFrame = {
+    pred(predicate) // validate on the driver: fail fast, not inside a task
+    val spark = big.sparkSession
+    val smallRows = small.collect()
+    val smallGeomIdx = small.schema.fieldIndex(smallGeomCol)
+    val bigGeomIdx = big.schema.fieldIndex(bigGeomCol)
+    val bSmall = spark.sparkContext.broadcast(smallRows)
+    val outSchema = StructType(big.schema.fields ++ small.schema.fields)
+    val p = predicate
+    val radius = if (p.startsWith("dwithin:")) p.stripPrefix("dwithin:").toDouble else 0.0
+
+    big.mapPartitions { it =>
+      // tree built once per partition from the broadcast (cheap: bulk-load
+      // of |small|); prepared geometries make the refinement ~10x faster
+      val test = pred(p)
+      val tree = new STRtree()
+      val prep = new PreparedGeometryFactory()
+      bSmall.value.foreach { r =>
+        val g = GeomOps.read(r.getAs[Array[Byte]](smallGeomIdx))
+        tree.insert(g.getEnvelopeInternal, (r, prep.create(g)))
+      }
+      tree.build()
+      it.flatMap { lrow =>
+        val lg = GeomOps.read(lrow.getAs[Array[Byte]](bigGeomIdx))
+        val env = if (radius > 0) expand(lg.getEnvelopeInternal, radius) else lg.getEnvelopeInternal
+        val cands = tree.query(env).toArray
+        cands.iterator.collect {
+          case (rrow: Row, pg: PreparedGeometry) if test(pg, lg) =>
+            new GenericRow((lrow.toSeq ++ rrow.toSeq).toArray).asInstanceOf[Row]
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Big×big inner join on `intersects` via grid partitioning: shuffle both
+    * sides on covering cell ids, refine exactly, dedupe with the
+    * reference-point rule. Requires disjoint column names. */
+  def grid(left: DataFrame, right: DataFrame,
+           leftGeomCol: String, rightGeomCol: String,
+           cellSize: Double): DataFrame = {
+    def cells(df: DataFrame, geomCol: String, alias: String): DataFrame = {
+      val cs = lit(cellSize)
+      df.withColumn("__bbox", call_function("st_bbox", col(geomCol)))
+        .withColumn("__cx", explode(sequence(
+          floor(col("__bbox.xmin") / cs).cast("long"),
+          floor(col("__bbox.xmax") / cs).cast("long"))))
+        .withColumn("__cy", explode(sequence(
+          floor(col("__bbox.ymin") / cs).cast("long"),
+          floor(col("__bbox.ymax") / cs).cast("long"))))
+        .withColumnRenamed("__bbox", s"__bbox_$alias")
+        .withColumnRenamed("__cx", s"__cx_$alias")
+        .withColumnRenamed("__cy", s"__cy_$alias")
+    }
+    val l = cells(left, leftGeomCol, "l")
+    val r = cells(right, rightGeomCol, "r")
+    val joined = l.join(r,
+      col("__cx_l") === col("__cx_r") && col("__cy_l") === col("__cy_r") &&
+        // bbox prefilter before the exact JTS predicate
+        col("__bbox_l.xmin") <= col("__bbox_r.xmax") &&
+        col("__bbox_r.xmin") <= col("__bbox_l.xmax") &&
+        col("__bbox_l.ymin") <= col("__bbox_r.ymax") &&
+        col("__bbox_r.ymin") <= col("__bbox_l.ymax") &&
+        // reference point: emit only from the cell holding the top-left
+        // corner of the envelope intersection (dedupe without DISTINCT)
+        floor(greatest(col("__bbox_l.xmin"), col("__bbox_r.xmin")) / lit(cellSize)).cast("long") === col("__cx_l") &&
+        floor(greatest(col("__bbox_l.ymin"), col("__bbox_r.ymin")) / lit(cellSize)).cast("long") === col("__cy_l") &&
+        call_function("st_intersects", col(leftGeomCol), col(rightGeomCol)))
+    joined.drop("__bbox_l", "__bbox_r", "__cx_l", "__cy_l", "__cx_r", "__cy_r")
+  }
+}

@@ -72,6 +72,24 @@ class GeoFunctionsSpec extends SparkTestBase {
     assert(math.abs(d - math.Pi / 2 * 6371008.8) < 1.0)
   }
 
+  test("Z dimension fidelity through WKB roundtrip") {
+    assert(one("ST_Z(ST_PointZ(1, 2, 3))") == 3.0)
+    assert(one("ST_Z(ST_GeomFromText('POINT Z(1 2 3)'))") == 3.0)
+    assert(one("ST_HasZ(ST_PointZ(1, 2, 3))") == true)
+    assert(one("ST_HasZ(ST_Point(1, 2))") == false)
+    // Z survives a transform chain (translate only touches x/y)
+    assert(one("ST_Z(ST_Translate(ST_PointZ(1, 2, 3), 5, 5))") == 3.0)
+    assert(one("ST_AsText(ST_PointZ(1, 2, 3))") == "POINT Z(1 2 3)")
+    // 2D text output unchanged by the 4-dim writer
+    assert(one("ST_AsText(ST_Point(1, 2))") == "POINT (1 2)")
+  }
+
+  test("null vs EMPTY distinction (reference trait_.rs:157 logical nulls)") {
+    assert(one("ST_IsEmpty(ST_GeomFromText('POINT EMPTY'))") == true)
+    assert(one("ST_IsEmpty(CAST(NULL AS BINARY))") == null)
+    assert(one("ST_Area(ST_GeomFromText('POLYGON EMPTY'))") == 0.0)
+  }
+
   test("geometry type + validity") {
     assert(one("ST_GeometryType(ST_Point(1,1))") == "ST_Point")
     assert(one("ST_IsValid(ST_MakeEnvelope(0,0,1,1))") == true)

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SpatialJoin
+
+class SpatialJoinSpec extends SparkTestBase {
+
+  private lazy val points = {
+    val s = spark
+    s.sql("""
+      SELECT id, ST_Point(CAST(id % 20 AS DOUBLE), CAST(CAST(id / 20 AS INT) AS DOUBLE)) AS pt
+      FROM (SELECT explode(sequence(0, 399)) AS id)""")
+  }
+
+  private lazy val zones = spark.sql("""
+    SELECT zid, ST_MakeEnvelope(xmin, ymin, xmin + 7.5, ymin + 7.5) AS zone
+    FROM VALUES (0, 0.0, 0.0), (1, 5.0, 5.0), (2, 12.0, 12.0), (3, 100.0, 100.0)
+         AS t(zid, xmin, ymin)""")
+
+  // ground truth: plain θ-join (BroadcastNestedLoopJoin under the hood)
+  private lazy val expected = points.join(zones,
+      call_function("st_covers", col("zone"), col("pt")))
+    .select("id", "zid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+
+  test("broadcast STRtree join == nested-loop ground truth") {
+    val got = SpatialJoin.broadcast(points, zones, "pt", "zone", "covers")
+      .select("id", "zid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("grid-partitioned join == ground truth (incl. reference-point dedup)") {
+    val got = SpatialJoin.grid(points, zones, "pt", "zone", cellSize = 4.0)
+      .select("id", "zid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    // grid join refines with intersects; for point-in-rect covers==intersects
+    assert(got == expected)
+    // dedup check: a zone spans multiple cells — no pair may appear twice
+    val all = SpatialJoin.grid(points, zones, "pt", "zone", cellSize = 4.0)
+      .select("id", "zid").collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(all.length == all.toSet.size)
+  }
+
+  test("dwithin predicate") {
+    val got = SpatialJoin.broadcast(points, zones, "pt", "zone", "dwithin:2.0")
+      .select("id", "zid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val exp = points.join(zones, call_function("st_dwithin", col("pt"), col("zone"), lit(2.0)))
+      .select("id", "zid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == exp)
+    assert(got.size > expected.size) // strictly looser than containment
+  }
+
+  test("empty small side yields empty result, not failure") {
+    val empty = zones.filter("zid < 0")
+    assert(SpatialJoin.broadcast(points, empty, "pt", "zone").count() == 0)
+  }
+}
