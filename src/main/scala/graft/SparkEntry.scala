@@ -503,6 +503,69 @@ object SparkEntry {
       ON px >= zxmin AND px <= zxmin + 50 AND py >= zymin AND py <= zymin + 50
     GROUP BY p_brand ORDER BY p_brand"""
 
+  /** True partial-aggregating extent (graft.functions.GeoAggregates.ExtentAgg,
+    * the reference's BoundingRect accumulator) — map-side combine, unlike the
+    * min/max composition in g06 which proves the built-in path. Catalyst
+    * dedupes the four identical UDAF calls into one aggregate. */
+  private val g16Spark = """
+    SELECT c_mktsegment,
+           ST_Extent_Agg(pt).xmin AS xmin, ST_Extent_Agg(pt).ymin AS ymin,
+           ST_Extent_Agg(pt).xmax AS xmax, ST_Extent_Agg(pt).ymax AS ymax,
+           COUNT(*) AS n
+    FROM (SELECT c_mktsegment,
+                 ST_Point(CAST(c_custkey % 97 AS DOUBLE),
+                          CAST((c_custkey * 13) % 89 AS DOUBLE)) AS pt
+          FROM customer) t
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  private val g16Duck = """
+    SELECT c_mktsegment,
+           MIN(CAST(c_custkey % 97 AS DOUBLE)) AS xmin,
+           MIN(CAST((c_custkey * 13) % 89 AS DOUBLE)) AS ymin,
+           MAX(CAST(c_custkey % 97 AS DOUBLE)) AS xmax,
+           MAX(CAST((c_custkey * 13) % 89 AS DOUBLE)) AS ymax,
+           COUNT(*)::BIGINT AS n
+    FROM customer
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** Cascaded-union aggregate (ST_Union_Agg): per-partition partials buffer
+    * up to 32 geometries then collapse through JTS UnaryUnionOp, so only one
+    * WKB blob per group crosses the shuffle — vs g14's collect_list which
+    * ships every tile. */
+  private val g17Spark = """
+    SELECT o_orderpriority,
+           CAST(ST_Area(ST_Union_Agg(
+             ST_MakeEnvelope(CAST((o_orderkey % 20) * 10 AS DOUBLE), 0.0,
+                             CAST((o_orderkey % 20) * 10 + 10 AS DOUBLE), 10.0))) AS BIGINT) AS union_area,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  private val g17Duck = """
+    SELECT o_orderpriority,
+           (COUNT(DISTINCT o_orderkey % 20) * 100)::BIGINT AS union_area,
+           COUNT(*)::BIGINT AS n
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** GeoJSON codec roundtrip (graft.core.GeoJson): encode → parse → measure;
+    * the encoded string itself is part of the checked result. */
+  private val g18Spark = """
+    SELECT n_name,
+           ST_AsGeoJSON(pt) AS gj,
+           ROUND(ST_X(ST_GeomFromGeoJSON(ST_AsGeoJSON(pt))), 6) AS rx
+    FROM (SELECT n_name, ST_Point(CAST(n_nationkey * 3 AS DOUBLE),
+                                  CAST(n_nationkey * 7 AS DOUBLE)) AS pt
+          FROM nation) t
+    ORDER BY n_name"""
+
+  private val g18Duck = """
+    SELECT n_name,
+           '{"type":"Point","coordinates":[' || CAST(n_nationkey * 3 AS BIGINT)
+             || ',' || CAST(n_nationkey * 7 AS BIGINT) || ']}' AS gj,
+           ROUND(CAST(n_nationkey * 3 AS DOUBLE), 6) AS rx
+    FROM nation ORDER BY n_name"""
+
   // ── training-data pipeline ops: text analysis / dedup ─────────────────
 
   private val t01Spark = """
@@ -802,6 +865,9 @@ object SparkEntry {
     ("g13_overlay_areas", q(g13Spark), g13Duck),
     ("g14_union_agg_tiles", q(g14Spark), g14Duck),
     ("g15_spatial_join_strtree", g15Fn _, g15Duck),
+    ("g16_extent_agg_native", q(g16Spark), g16Duck),
+    ("g17_union_agg_cascaded", q(g17Spark), g17Duck),
+    ("g18_geojson_roundtrip", q(g18Spark), g18Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),

@@ -340,6 +340,65 @@ object GeomOps {
     new GenericInternalRow(Array[Any](e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
   }
 
+  /** X → Multi-X promotion (the infallible half of the reference's cast
+    * matrix, rust/geoarrow-cast/src/cast.rs:56). */
+  def multi(b: Array[Byte]): Array[Byte] = read(b) match {
+    case p: Point => write(factory.createMultiPoint(Array(p)))
+    case l: LineString => write(factory.createMultiLineString(Array(l)))
+    case p: Polygon => write(factory.createMultiPolygon(Array(p)))
+    case g => write(g) // already multi / collection
+  }
+
+  def skew(b: Array[Byte], xs: Double, ys: Double): Array[Byte] =
+    write(AffineTransformation.shearInstance(math.tan(xs), math.tan(ys)).transform(read(b)))
+
+  /** Chaikin corner-cutting, n iterations — Scala port of the public
+    * algorithm; ref: rust/geoarrow-old/src/algorithm/geo/chaikin_smoothing.rs:22.
+    * Endpoints of open lines are kept; rings stay closed. */
+  def chaikinSmoothing(b: Array[Byte], n: Int): Array[Byte] = {
+    val ed = new org.locationtech.jts.geom.util.GeometryEditor(factory)
+    write(ed.edit(read(b), new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+      override def edit(coords: Array[Coordinate], geometry: Geometry): Array[Coordinate] = {
+        if (coords.length < 3) return coords
+        val closed = coords.head.equals2D(coords.last)
+        var cs = coords
+        var it = 0
+        while (it < n) { cs = chaikinOnce(cs, closed); it += 1 }
+        cs
+      }
+    }))
+  }
+  private def chaikinOnce(cs: Array[Coordinate], closed: Boolean): Array[Coordinate] = {
+    val out = scala.collection.mutable.ArrayBuffer[Coordinate]()
+    if (!closed) out += cs.head
+    var i = 0
+    val last = cs.length - 2
+    while (i <= last) {
+      val (p, q) = (cs(i), cs(i + 1))
+      out += new Coordinate(0.75 * p.x + 0.25 * q.x, 0.75 * p.y + 0.25 * q.y)
+      out += new Coordinate(0.25 * p.x + 0.75 * q.x, 0.25 * p.y + 0.75 * q.y)
+      i += 1
+    }
+    if (closed) out += out.head.copy() else out += cs.last
+    out.toArray
+  }
+
+  def numInteriorRings(b: Array[Byte]): Int = read(b) match {
+    case p: Polygon => p.getNumInteriorRing
+    case _ => 0
+  }
+  def interiorRingN(b: Array[Byte], n: Int): Array[Byte] = read(b) match {
+    case p: Polygon => write(factory.createLineString(p.getInteriorRingN(n).getCoordinateSequence))
+    case g => write(g.getBoundary)
+  }
+
+  // ── GeoJSON codec ─────────────────────────────────────────────────────
+  // ref: rust/geoarrow-geojson/src/writer/mod.rs:51 (encoder),
+  //      rust/geoarrow-old/src/io/geojson/reader.rs:12 (parser)
+
+  def asGeoJson(b: Array[Byte]): UTF8String = UTF8String.fromString(GeoJson.encode(read(b)))
+  def geomFromGeoJson(s: UTF8String): Array[Byte] = write(GeoJson.parse(s.toString))
+
   def geometryN(b: Array[Byte], n: Int): Array[Byte] = write(read(b).getGeometryN(n))
   def pointN(b: Array[Byte], n: Int): Array[Byte] = read(b) match {
     case l: LineString => write(l.getPointN(n))

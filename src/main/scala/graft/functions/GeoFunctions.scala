@@ -137,7 +137,15 @@ object GeoFunctions {
     "st_lineinterpolatepoint" -> Sig("lineInterpolatePoint", G, Seq(G, D)),
     "st_linelocatepoint" -> Sig("lineLocatePoint", D, Seq(G, G)),
     "st_linesubstring" -> Sig("lineSubstring", G, Seq(G, D, D)),
+    "st_multi" -> Sig("multi", G, Seq(G)),
+    "st_skew" -> Sig("skew", G, Seq(G, D, D)),
+    "st_chaikinsmoothing" -> Sig("chaikinSmoothing", G, Seq(G, I)),
+    // GeoJSON codec
+    "st_asgeojson" -> Sig("asGeoJson", S, Seq(G)),
+    "st_geomfromgeojson" -> Sig("geomFromGeoJson", G, Seq(S)),
     // parts
+    "st_numinteriorrings" -> Sig("numInteriorRings", I, Seq(G)),
+    "st_interiorringn" -> Sig("interiorRingN", G, Seq(G, I)),
     "st_dump" -> Sig("dump", ArrayType(BinaryType, containsNull = false), Seq(G)),
     "st_geometryn" -> Sig("geometryN", G, Seq(G, I)),
     "st_pointn" -> Sig("pointN", G, Seq(G, I)),
@@ -168,6 +176,7 @@ object GeoFunctions {
     byName.foreach { case (name, overloads) =>
       reg.createOrReplaceTempFunction(name, build(name, overloads), "scala_udf")
     }
+    GeoAggregates.register(spark)
   }
 
   // ── typed Scala wrappers (require register(spark) on the active session) ──

@@ -90,6 +90,58 @@ class GeoFunctionsSpec extends SparkTestBase {
     assert(one("ST_Area(ST_GeomFromText('POLYGON EMPTY'))") == 0.0)
   }
 
+  test("GeoJSON codec: all seven types + Z + feature unwrap") {
+    assert(one("ST_AsGeoJSON(ST_Point(1, 2))") == """{"type":"Point","coordinates":[1,2]}""")
+    assert(one("ST_AsGeoJSON(ST_PointZ(1, 2, 3))") == """{"type":"Point","coordinates":[1,2,3]}""")
+    val types = Seq(
+      "LINESTRING (0 0, 1 1)",
+      "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0), (0.5 0.5, 1 0.5, 1 1, 0.5 1, 0.5 0.5))",
+      "MULTIPOINT ((0 0), (1 1))",
+      "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)))",
+      "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))")
+    types.foreach { wkt =>
+      assert(one(s"ST_AsText(ST_GeomFromGeoJSON(ST_AsGeoJSON(ST_GeomFromText('$wkt'))))") == wkt,
+        s"roundtrip of $wkt")
+    }
+    // Feature wrapper → geometry member (legacy reader semantics)
+    assert(one("""ST_AsText(ST_GeomFromGeoJSON('{"type":"Feature","properties":{"a":1},"geometry":{"type":"Point","coordinates":[5,6]}}'))""") == "POINT (5 6)")
+  }
+
+  test("cast/affine additions: multi, skew, chaikin, interior rings") {
+    assert(one("ST_AsText(ST_Multi(ST_Point(1, 2)))") == "MULTIPOINT ((1 2))")
+    assert(one("ST_GeometryType(ST_Multi(ST_GeomFromText('LINESTRING(0 0, 1 1)')))") == "ST_MultiLineString")
+    // skew x by 45° maps (0,1)→(1,1); tan(pi/4) is 1-1ulp so round
+    assert(one("ROUND(ST_X(ST_Skew(ST_GeomFromText('POINT(0 1)'), PI()/4, 0)), 9)") == 1.0)
+    // chaikin: open 3-pt line, 1 iter → endpoints + 2 per segment = 6 pts
+    // (matches the reference's open-line convention, chaikin_smoothing.rs:22)
+    assert(one("ST_NPoints(ST_ChaikinSmoothing(ST_GeomFromText('LINESTRING(0 0, 4 4, 8 0)'), 1))") == 6)
+    assert(one("ST_AsText(ST_PointN(ST_ChaikinSmoothing(ST_GeomFromText('LINESTRING(0 0, 4 4, 8 0)'), 1), 0))") == "POINT (0 0)")
+    // ring stays closed through chaikin
+    assert(one("ST_IsValid(ST_ChaikinSmoothing(ST_MakeEnvelope(0,0,10,10), 2))") == true)
+    assert(one("ST_NumInteriorRings(ST_GeomFromText('POLYGON((0 0,3 0,3 3,0 3,0 0),(1 1,2 1,2 2,1 2,1 1))'))") == 1)
+    assert(one("ST_Length(ST_InteriorRingN(ST_GeomFromText('POLYGON((0 0,3 0,3 3,0 3,0 0),(1 1,2 1,2 2,1 2,1 1))'), 0))") == 4.0)
+  }
+
+  test("aggregates: ST_Extent_Agg / ST_Union_Agg partial-merge semantics") {
+    // 100 points over 8 partitions → merge path exercised
+    val r = spark.sql("""
+      SELECT ST_Extent_Agg(pt) AS ext FROM (
+        SELECT /*+ REPARTITION(8) */ ST_Point(CAST(id AS DOUBLE), CAST(id % 7 AS DOUBLE)) AS pt
+        FROM range(100))""").head()
+    val ext = r.getStruct(0)
+    assert(ext.getDouble(0) == 0.0 && ext.getDouble(1) == 0.0 &&
+           ext.getDouble(2) == 99.0 && ext.getDouble(3) == 6.0)
+    // 100 overlapping unit tiles on a 10-tile line → union area 10x... tiles at id%10
+    val area = spark.sql("""
+      SELECT ST_Area(ST_Union_Agg(ST_MakeEnvelope(CAST(id % 10 AS DOUBLE), 0, CAST(id % 10 + 1 AS DOUBLE), 1))) AS a
+      FROM (SELECT /*+ REPARTITION(8) */ id FROM range(100))""").head().getDouble(0)
+    assert(area == 10.0)
+    // null/empty-group handling
+    assert(spark.sql("SELECT ST_Union_Agg(CAST(NULL AS BINARY)) FROM range(5)").head().isNullAt(0))
+    assert(spark.sql("SELECT ST_Extent_Agg(CAST(NULL AS BINARY)) FROM range(5)").head().isNullAt(0))
+  }
+
   test("geometry type + validity") {
     assert(one("ST_GeometryType(ST_Point(1,1))") == "ST_Point")
     assert(one("ST_IsValid(ST_MakeEnvelope(0,0,1,1))") == true)
