@@ -1,0 +1,225 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{Metadata, MetadataBuilder}
+
+/** GeoParquet 1.1 source/sink on top of Spark's native parquet scan.
+  *
+  * Mirrors the reference's geoparquet crate:
+  *  - read: parse the `geo` footer key-value blob → know the geometry
+  *    columns, CRS and covering column (GeoParquetMetadata,
+  *    rust/geoparquet/src/metadata.rs:481; geo_ext.rs:30). The WKB columns
+  *    stay `BinaryType` — our engine's native geometry representation — so
+  *    the scan is zero-transcode, exactly the reference's
+  *    `parse_to_native=false` path.
+  *  - bbox pushdown: a query rect becomes plain `<=`/`>=` filters on the
+  *    covering struct's leaves, which Spark's parquet reader prunes row
+  *    groups/pages with natively (the reference implements the same pruning
+  *    by hand: spatial_filter.rs:59-181). An exact `ST_Intersects` refine
+  *    runs after the coarse filter.
+  *  - write: optionally add the GeoParquet 1.1 `bbox` covering struct, write
+  *    through Spark's parquet writer, then rewrite each part-file footer to
+  *    carry the `geo` KV metadata (writer model:
+  *    rust/geoparquet/src/writer/encode.rs:21-74, metadata.rs:30). Footer
+  *    rewrite streams row groups byte-for-byte via
+  *    `ParquetFileWriter.appendFile` — no re-encode — and per-file bounds
+  *    come from the covering column's own parquet statistics (the same
+  *    stats the reference's `ParquetBboxStatistics` reads,
+  *    spatial_filter.rs:395-416).
+  */
+object GeoParquet {
+
+  private val mapper = new ObjectMapper()
+
+  case class GeomColumn(name: String, encoding: String, crs: Option[String],
+                        bbox: Option[(Double, Double, Double, Double)],
+                        covering: Option[String])
+  case class GeoMeta(version: String, primaryColumn: String, columns: Seq[GeomColumn])
+
+  // ── metadata ──────────────────────────────────────────────────────────
+
+  /** Parse the `geo` KV blob from the first parquet footer under `path`. */
+  def metadata(spark: SparkSession, path: String): Option[GeoMeta] = {
+    val conf = spark.sessionState.newHadoopConf()
+    firstFooterKV(conf, path, "geo").map(parseGeoJson)
+  }
+
+  private def firstFooterKV(conf: Configuration, path: String, key: String): Option[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName).headOption
+      else Some(p)
+    file.flatMap { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try Option(r.getFooter.getFileMetaData.getKeyValueMetaData.get(key))
+      finally r.close()
+    }
+  }
+
+  private def parseGeoJson(json: String): GeoMeta = {
+    val root = mapper.readTree(json)
+    val cols = root.path("columns").properties().asScala.map { e =>
+      val c = e.getValue
+      GeomColumn(
+        name = e.getKey,
+        encoding = c.path("encoding").asText("WKB"),
+        crs = Option(c.get("crs")).filterNot(_.isNull).map(_.toString),
+        bbox = Option(c.get("bbox")).filter(_.size() >= 4).map(b =>
+          (b.get(0).asDouble, b.get(1).asDouble, b.get(2).asDouble, b.get(3).asDouble)),
+        covering = Option(c.at("/covering/bbox/xmin/0")).filterNot(_.isMissingNode)
+          .filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty))
+    }.toSeq
+    GeoMeta(root.path("version").asText("1.1.0"), root.path("primary_column").asText("geometry"), cols)
+  }
+
+  // ── read ──────────────────────────────────────────────────────────────
+
+  /** Read a GeoParquet file/directory. Geometry columns keep WKB binary
+    * encoding and gain field metadata (crs, geoparquet encoding). With
+    * `bbox`, filters push to parquet row-group stats through the covering
+    * column when one exists (coarse) and always refine exactly. */
+  def read(spark: SparkSession, path: String,
+           bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
+    graft.functions.GeoFunctions.register(spark)
+    val meta = metadata(spark, path)
+    var df = spark.read.parquet(path)
+
+    // attach CRS/encoding as column metadata (ARROW:extension-style)
+    meta.foreach { m =>
+      m.columns.filter(c => df.columns.contains(c.name)).foreach { c =>
+        val md = new MetadataBuilder()
+          .putString("geoparquet.encoding", c.encoding)
+        c.crs.foreach(md.putString("geoparquet.crs", _))
+        df = df.withColumn(c.name, col(c.name).as(c.name, md.build()))
+      }
+    }
+
+    bbox match {
+      case Some((qxmin, qymin, qxmax, qymax)) =>
+        val gcol = meta.map(_.primaryColumn).getOrElse("geometry")
+        val covering = meta.flatMap(_.columns.find(_.name == gcol)).flatMap(_.covering)
+        val coarse: Column = covering match {
+          case Some(cov) =>
+            // plain struct-leaf comparisons → native row-group/page pruning
+            col(s"$cov.xmin") <= qxmax && col(s"$cov.xmax") >= qxmin &&
+            col(s"$cov.ymin") <= qymax && col(s"$cov.ymax") >= qymin
+          case None =>
+            // no covering column: still cheap (envelope test), no pushdown
+            call_function("st_xmin", col(gcol)) <= qxmax &&
+            call_function("st_xmax", col(gcol)) >= qxmin &&
+            call_function("st_ymin", col(gcol)) <= qymax &&
+            call_function("st_ymax", col(gcol)) >= qymin
+        }
+        val rect = call_function("st_makeenvelope", lit(qxmin), lit(qymin), lit(qxmax), lit(qymax))
+        df.where(coarse && call_function("st_intersects", col(gcol), rect))
+      case None => df
+    }
+  }
+
+  // ── write ─────────────────────────────────────────────────────────────
+
+  /** Write `df` as GeoParquet 1.1: adds the `bbox` covering struct (unless
+    * `covering=false`), writes via Spark's parquet writer, then rewrites
+    * each part-file footer with the `geo` KV metadata. */
+  def write(df: DataFrame, path: String, geometryColumn: String = "geometry",
+            crs: Option[String] = None, covering: Boolean = true,
+            mode: String = "overwrite"): Unit = {
+    val spark = df.sparkSession
+    graft.functions.GeoFunctions.register(spark)
+    val out =
+      if (covering && !df.columns.contains("bbox"))
+        df.withColumn("bbox", call_function("st_bbox", col(geometryColumn)))
+      else df
+    out.write.mode(mode).parquet(path)
+    addGeoMetadata(spark, path, geometryColumn, crs, if (covering) Some("bbox") else None)
+  }
+
+  /** Rewrite every part-file footer under `dir` to add the `geo` KV entry.
+    * Row groups are byte-copied (`appendFile`), existing KV (Spark's schema
+    * blob) is preserved, and per-file bounds come from the covering column's
+    * parquet statistics when available. */
+  def addGeoMetadata(spark: SparkSession, dir: String, geometryColumn: String,
+                     crs: Option[String], covering: Option[String]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    val parts = fs.listStatus(d).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    parts.foreach { part => rewriteFooter(conf, fs, part, geometryColumn, crs, covering) }
+  }
+
+  private def rewriteFooter(conf: Configuration, fs: FileSystem, part: Path,
+                            geometryColumn: String, crs: Option[String],
+                            covering: Option[String]): Unit = {
+    val in = HadoopInputFile.fromPath(part, conf)
+    val reader = ParquetFileReader.open(in)
+    val (schema, oldKV, bounds) = try {
+      val fmd = reader.getFooter.getFileMetaData
+      (fmd.getSchema, fmd.getKeyValueMetaData.asScala.toMap, statsBounds(reader, covering))
+    } finally reader.close()
+
+    val geo = geoJson(geometryColumn, crs, covering, bounds)
+    val tmp = new Path(part.getParent, "." + part.getName + ".geo.tmp")
+    val writer = new ParquetFileWriter(
+      HadoopOutputFile.fromPath(tmp, conf), schema, ParquetFileWriter.Mode.OVERWRITE,
+      128L * 1024 * 1024, /* maxPaddingSize = */ 8 * 1024 * 1024)
+    writer.start()
+    writer.appendFile(in)
+    writer.end((oldKV + ("geo" -> geo)).asJava)
+    if (!fs.delete(part, false) || !fs.rename(tmp, part))
+      throw new java.io.IOException(s"footer rewrite failed for $part")
+  }
+
+  /** File bounds from parquet column statistics of the covering struct
+    * leaves — zero data read (ref: spatial_filter.rs:395-416). */
+  private def statsBounds(reader: ParquetFileReader,
+                          covering: Option[String]): Option[(Double, Double, Double, Double)] =
+    covering.flatMap { cov =>
+      val blocks = reader.getFooter.getBlocks.asScala
+      def agg(leaf: String, takeMax: Boolean): Option[Double] = {
+        val vals = blocks.flatMap { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == s"$cov.$leaf")
+            .flatMap(c => Option(c.getStatistics))
+            .filter(s => !s.isEmpty)
+            .map(s => (if (takeMax) s.genericGetMax else s.genericGetMin).asInstanceOf[Number].doubleValue())
+        }
+        if (vals.isEmpty) None else Some(if (takeMax) vals.max else vals.min)
+      }
+      for (x0 <- agg("xmin", takeMax = false); y0 <- agg("ymin", takeMax = false);
+           x1 <- agg("xmax", takeMax = true); y1 <- agg("ymax", takeMax = true))
+        yield (x0, y0, x1, y1)
+    }
+
+  private def geoJson(geometryColumn: String, crs: Option[String], covering: Option[String],
+                      bounds: Option[(Double, Double, Double, Double)]): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", "1.1.0")
+    root.put("primary_column", geometryColumn)
+    val cols = root.putObject("columns")
+    val c: ObjectNode = cols.putObject(geometryColumn)
+    c.put("encoding", "WKB")
+    c.putArray("geometry_types") // unconstrained (type-erased WKB)
+    crs.foreach(j => c.set[com.fasterxml.jackson.databind.JsonNode]("crs", mapper.readTree(j)))
+    bounds.foreach { case (x0, y0, x1, y1) =>
+      val b = c.putArray("bbox"); b.add(x0); b.add(y0); b.add(x1); b.add(y1)
+    }
+    covering.foreach { cov =>
+      val bb = c.putObject("covering").putObject("bbox")
+      Seq("xmin", "ymin", "xmax", "ymax").foreach { leaf =>
+        val a = bb.putArray(leaf); a.add(cov); a.add(leaf)
+      }
+    }
+    mapper.writeValueAsString(root)
+  }
+}

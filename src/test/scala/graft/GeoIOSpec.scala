@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.{GeoCsv, GeoJsonSource}
+
+class GeoIOSpec extends SparkTestBase {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("geoio").toString + "/" + name
+
+  test("GeoCsv: WKT roundtrip with property columns") {
+    val dir = tmp("csv")
+    val df = spark.sql("""
+      SELECT id, CONCAT('name_', id) AS name,
+             ST_Point(CAST(id AS DOUBLE), CAST(id * 2 AS DOUBLE)) AS geometry
+      FROM range(50)""")
+    GeoCsv.write(df, dir)
+    val back = GeoCsv.read(spark, dir)
+    assert(back.count() == 50)
+    val r = back.where("id = 7")
+      .select(call_function("st_x", col("geometry")), col("name")).head()
+    assert(r.getDouble(0) == 7.0 && r.getString(1) == "name_7")
+  }
+
+  test("GeoJSON lines: feature roundtrip preserves properties and geometry") {
+    val dir = tmp("gjl")
+    val df = spark.sql("""
+      SELECT id AS fid, CAST(id * 1.5 AS DOUBLE) AS score,
+             ST_Point(CAST(id AS DOUBLE), CAST(id % 10 AS DOUBLE)) AS geometry
+      FROM range(30)""")
+    GeoJsonSource.writeLines(df, dir)
+    // the emitted lines are valid single-Feature JSON
+    val line = spark.read.text(dir).head().getString(0)
+    assert(line.startsWith("""{"type":"Feature","properties":{"""))
+    assert(line.contains(""""geometry":{"type":"Point""""))
+    val back = GeoJsonSource.readLines(spark, dir)
+    assert(back.count() == 30)
+    val r = back.where("fid = 12")
+      .select(call_function("st_x", col("geometry")),
+              call_function("st_y", col("geometry")), col("score")).head()
+    assert(r.getDouble(0) == 12.0 && r.getDouble(1) == 2.0 && r.getDouble(2) == 18.0)
+  }
+
+  test("GeoJSON FeatureCollection read") {
+    val dir = Files.createTempDirectory("geoio").toString
+    // uniform geometry type per file (same constraint as the reference's
+    // header-driven schema inference)
+    val fc = """{"type":"FeatureCollection","features":[
+      {"type":"Feature","properties":{"name":"a"},"geometry":{"type":"LineString","coordinates":[[0,0],[0,2]]}},
+      {"type":"Feature","properties":{"name":"b"},"geometry":{"type":"LineString","coordinates":[[0,0],[3,4]]}}]}"""
+    Files.write(java.nio.file.Paths.get(dir, "fc.geojson"), fc.getBytes)
+    val back = GeoJsonSource.readFeatureCollection(spark, dir + "/fc.geojson")
+    assert(back.count() == 2)
+    val lens = back.select(col("name"), call_function("st_length", col("geometry")).as("len"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(lens("a") == 2.0 && lens("b") == 5.0)
+  }
+
+  // mixed geometry types in one file: spark.read.json can't infer a single
+  // coordinates schema (the reference has the same single-type constraint,
+  // driven by the FGB/GeoJSON header type) — documents the boundary
+  test("GeoJSON lines: mixed geometry types fall back gracefully") {
+    val dir = Files.createTempDirectory("geoio").toString
+    val lines = Seq(
+      """{"type":"Feature","properties":{"n":1},"geometry":{"type":"Point","coordinates":[1,2]}}""",
+      """{"type":"Feature","properties":{"n":2},"geometry":{"type":"LineString","coordinates":[[0,0],[1,1]]}}""")
+    Files.write(java.nio.file.Paths.get(dir, "mixed.json"), lines.mkString("\n").getBytes)
+    val ex = intercept[Exception] {
+      GeoJsonSource.readLines(spark, dir + "/mixed.json").collect()
+    }
+    assert(ex != null)
+  }
+}
