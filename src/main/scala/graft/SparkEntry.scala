@@ -27,6 +27,7 @@ object SparkEntry {
     if (viewsDone.putIfAbsent((s, dir), true) != null) return
     GeoFunctions.register(s)
     graft.functions.TextFunctions.register(s)
+    graft.functions.MediaFunctions.register(s)
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
     // rejects; read nanos as long and re-expose as microsecond timestamp
     // (DuckDB truncates ns→µs identically).
@@ -842,6 +843,53 @@ object SparkEntry {
 
   // ── registry ──────────────────────────────────────────────────────────
 
+  // ── multimodal (graft.operators.Multimodal; decode = documented stub) ──
+
+  /** Media metadata + pixel checksum through the MM_* SQL surface. Payload
+    * is a synthesized 16-byte blob (md5 of the document body) — the decode
+    * stub's fake raster is mirrorable in the DuckDB oracle via hex
+    * arithmetic, so the whole decode→meta→aggregate path is value-checked. */
+  private val m01Spark = """
+    SELECT CAST(MM_Width(payload) AS BIGINT) AS w,
+           CAST(MM_Height(payload) AS BIGINT) AS h,
+           COUNT(*) AS n,
+           SUM(MM_PixelSum(payload)) AS psum,
+           SUM(CAST(MM_FrameLen(payload, 4, 0) AS BIGINT)) AS f0len
+    FROM (SELECT /*+ REPARTITION({{P}}) */ unhex(md5(text)) AS payload FROM documents) t
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  private val m01Duck = """
+    WITH m AS (
+      SELECT md5(text) AS hx,
+             1 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 16 AS w,
+             1 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 16 AS h,
+             list_sum(list_transform(range(16),
+               i -> ('0x' || substr(md5(text), 2*i + 1, 2))::BIGINT)) AS sumall
+      FROM documents)
+    SELECT w, h, COUNT(*)::BIGINT AS n,
+           SUM((w * h // 16) * sumall
+               + COALESCE(list_sum(list_transform(range(CAST(w * h % 16 AS INTEGER)),
+                   i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT)), 0))::BIGINT AS psum,
+           SUM(4)::BIGINT AS f0len
+    FROM m GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Full decode→resize→histogram pipeline through the mapPartitions
+    * operator (the batch shape a real codec UDF would use). Not
+    * SQL-expressible → rows-only check (oracle omitted). */
+  private def m02Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val media = s.sql(s"""
+      SELECT /*+ REPARTITION(${s.sparkContext.defaultParallelism}) */
+             doc_id, unhex(md5(text)) AS payload FROM documents""")
+    val feats = graft.operators.Multimodal.imageFeatures(media, "payload", targetW = 4, targetH = 4, bins = 8)
+    feats.selectExpr("features.width AS w", "features.resized_sum AS rs", "features.hist AS hist")
+      .groupBy("w")
+      .agg(org.apache.spark.sql.functions.expr("SUM(rs)").as("sum_resized"),
+           org.apache.spark.sql.functions.expr("SUM(aggregate(hist, 0L, (a, b) -> a + b))").as("hist_total"),
+           org.apache.spark.sql.functions.expr("COUNT(*)").as("n"))
+      .orderBy("w")
+  }
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -878,11 +926,14 @@ object SparkEntry {
     ("e01_cosine_topk", q(e01Spark), e01Duck),
     ("e02_ann_bucket", q(e02Spark), e02Duck),
     ("e03_bucket_histogram", q(e03Spark), e03Duck),
+    ("m01_media_meta", q(m01Spark), m01Duck),
+    ("m02_decode_resize_hist", m02Fn _, ""), // rows-only: mapPartitions op
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (name, fn, _) => name -> fn }.toMap
 
+  // empty oracle = non-SQL-expressible op → driver's weaker rows-only check
   def oracleSql: Map[String, String] =
-    all.map { case (name, _, duck) => name -> duck.trim }.toMap
+    all.collect { case (name, _, duck) if duck.trim.nonEmpty => name -> duck.trim }.toMap
 }

@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types._
+
+/** `MM_*` media functions over binary payload columns — StaticInvoke
+  * expressions on [[graft.core.MediaOps]], codegen-inlined like the ST_*
+  * surface. Decode semantics are the documented stub in
+  * [[graft.operators.Multimodal]]. */
+object MediaFunctions {
+
+  private val mediaOps = Class.forName("graft.core.MediaOps")
+
+  private case class Sig(method: String, ret: DataType, params: Seq[DataType])
+
+  private val sigs: Map[String, Sig] = Map(
+    "mm_width" -> Sig("mediaWidth", IntegerType, Seq(BinaryType)),
+    "mm_height" -> Sig("mediaHeight", IntegerType, Seq(BinaryType)),
+    "mm_pixelsum" -> Sig("mediaPixelSum", LongType, Seq(BinaryType)),
+    "mm_framelen" -> Sig("mediaFrameLen", IntegerType, Seq(BinaryType, IntegerType, IntegerType)))
+
+  private def build(name: String, sig: Sig)(args: Seq[Expression]): Expression = {
+    require(args.length == sig.params.length, s"$name expects ${sig.params.length} args")
+    val cast = args.zip(sig.params).map { case (e, t) => Cast(e, t) }
+    StaticInvoke(mediaOps, sig.ret, sig.method, cast, Nil,
+      propagateNull = true, returnNullable = false)
+  }
+
+  def register(spark: SparkSession): Unit = synchronized {
+    val reg = spark.sessionState.functionRegistry
+    sigs.foreach { case (name, sig) =>
+      reg.createOrReplaceTempFunction(name, build(name, sig), "scala_udf")
+    }
+  }
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.catalyst.expressions.GenericRow
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines at 100 TB scale.
+  *
+  * Media travels as an opaque `binary` payload column plus a typed metadata
+  * struct; decode / resize / feature-extract run per-partition so a real
+  * codec would amortize its init across a batch (the same batch shape a
+  * vectorized arrow-batch UDF would see).
+  *
+  * DECODE IS A STUB: no image/audio codecs exist in this environment, so
+  * [[decodeImageStub]] fabricates a deterministic image from the payload
+  * bytes (documented below, mirrorable in SQL for the correctness oracle).
+  * Everything downstream of decode — resize kernel, histogram features,
+  * frame sampling, partitioning, schemas — is real and tested, and swapping
+  * the stub for a codec changes no plumbing.
+  */
+object Multimodal {
+
+  /** Decoded raster: interleaved byte pixels, `channels` per sample. */
+  case class DecodedImage(width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  // ── decode (STUB) ─────────────────────────────────────────────────────
+
+  /** STUB decoder. Deterministic fake: width = 1 + payload[0] % 16,
+    * height = 1 + payload[1] % 16, 1 channel, pixels = payload bytes cycled
+    * to width*height. A real implementation would hand `payload` to an image
+    * codec and return its raster — same signature, same plumbing. */
+  def decodeImageStub(payload: Array[Byte]): DecodedImage = {
+    require(payload.nonEmpty, "empty media payload")
+    val w = 1 + (payload(0) & 0xFF) % 16
+    val h = 1 + (payload(1) & 0xFF) % 16
+    val px = new Array[Byte](w * h)
+    var i = 0
+    while (i < px.length) { px(i) = payload(i % payload.length); i += 1 }
+    DecodedImage(w, h, 1, px)
+  }
+
+  // ── real kernels over decoded buffers ─────────────────────────────────
+
+  /** Nearest-neighbor resize on an interleaved byte raster. */
+  def resizeNN(img: DecodedImage, outW: Int, outH: Int): DecodedImage = {
+    val out = new Array[Byte](outW * outH * img.channels)
+    var y = 0
+    while (y < outH) {
+      val sy = y * img.height / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * img.width / outW
+        var c = 0
+        while (c < img.channels) {
+          out((y * outW + x) * img.channels + c) =
+            img.pixels((sy * img.width + sx) * img.channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(outW, outH, img.channels, out)
+  }
+
+  /** Byte-value histogram (256/bins-wide buckets) — the feature-extraction
+    * stand-in; real pipelines would put an embedding model here. */
+  def histogram(pixels: Array[Byte], bins: Int): Array[Long] = {
+    val out = new Array[Long](bins)
+    val width = 256 / bins
+    var i = 0
+    while (i < pixels.length) { out((pixels(i) & 0xFF) / width) += 1; i += 1 }
+    out
+  }
+
+  /** Sample `n` evenly spaced frames from a video payload. STUB framing:
+    * byte-chunks stand in for decoded frames (a real impl seeks keyframes). */
+  def frameSample(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    require(n > 0, "need n > 0 frames")
+    val size = math.max(1, payload.length / n)
+    (0 until n).map { i =>
+      val from = math.min(i * size, payload.length)
+      val until = if (i == n - 1) payload.length else math.min((i + 1) * size, payload.length)
+      java.util.Arrays.copyOfRange(payload, from, until)
+    }
+  }
+
+  // ── DataFrame-level pipeline (the batch shape) ────────────────────────
+
+  private val featureSchema = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("pixel_sum", LongType, nullable = false),
+    StructField("resized_sum", LongType, nullable = false),
+    StructField("hist", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  /** decode → resize(targetW×targetH) → histogram, appended as a `features`
+    * struct column. Runs per-partition: codec init (here: nothing) amortizes
+    * across the partition exactly like an arrow-batch UDF; rows stream
+    * through without materializing the partition. */
+  def imageFeatures(df: DataFrame, payloadCol: String,
+                    targetW: Int = 4, targetH: Int = 4, bins: Int = 8): DataFrame = {
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val outSchema = StructType(df.schema.fields :+ StructField("features", featureSchema))
+    df.mapPartitions { it =>
+      // per-partition decoder context would init here
+      it.map { row =>
+        val payload = row.getAs[Array[Byte]](payloadIdx)
+        val features: Row = if (payload == null || payload.isEmpty) null else {
+          val img = decodeImageStub(payload)
+          val resized = resizeNN(img, targetW, targetH)
+          new GenericRow(Array[Any](
+            img.width, img.height,
+            img.pixels.foldLeft(0L)((a, b) => a + (b & 0xFF)),
+            resized.pixels.foldLeft(0L)((a, b) => a + (b & 0xFF)),
+            histogram(img.pixels, bins)))
+        }
+        new GenericRow((row.toSeq :+ features).toArray).asInstanceOf[Row]
+      }
+    }(Encoders.row(outSchema))
+  }
+}
