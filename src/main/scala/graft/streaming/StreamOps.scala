@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators for the event-pipeline shape of the
+  * `events` table (event_id, ts, user_id, event_type, value).
+  *
+  * The reference is a batch-columnar library with no streaming story; this
+  * module is the Spark-native answer for the same data flowing continuously:
+  * watermarked event-time windows, exactly-once dedup within the watermark,
+  * and gap-based sessionization via typed state. All operators are
+  * partitioned by their natural key (window/event key, event id, user id) —
+  * state lives in the state store sharded across executors, nothing
+  * accumulates on the driver, so the topology holds at cluster scale.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts/sums per event type with a watermark: late rows
+    * beyond `watermark` drop, window state is evicted once the watermark
+    * passes — bounded state at any input rate. */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+                     window: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count("*").as("n"), sum("value").as("total"))
+
+  /** Streaming exact-dedup on event id within the watermark horizon — the
+    * streaming form of the batch `t02_exact_dedup` pipeline. */
+  def dedupe(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Long, total: Double)
+  // not private: the state Encoder instantiates it from generated code
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Gap-based sessionization: a session closes after `gapMs` of user
+    * inactivity (enforced by event-time timeout against the watermark).
+    * State per user is four scalars — O(active users), not O(events). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 watermark: String = "10 minutes"): Dataset[Session] = {
+    implicit val sessEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[SessionState]
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+          } else {
+            var closed = List.empty[Session]
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
+                case Some(s) => // gap exceeded → close, start fresh
+                  closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+class StreamOpsSpec extends SparkTestBase {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  private def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("windowedCounts: tumbling event-time windows with late-row drop") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.windowedCounts(mem.toDF(), watermark = "5 minutes", window = "5 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    mem.addData(
+      Event(1, ts(0), 1, "view", 1.0), Event(2, ts(2), 1, "view", 2.0),
+      Event(3, ts(6), 2, "click", 5.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close both windows
+    mem.addData(Event(9, ts(30), 3, "view", 0.0))
+    q.processAllAvailable()
+    // a late row behind the watermark must be dropped
+    mem.addData(Event(10, ts(1), 9, "view", 100.0))
+    q.processAllAvailable()
+    mem.addData(Event(11, ts(59), 3, "view", 0.0))
+    runToCompletion(q)
+    val rows = s.sql("SELECT event_type, n, total FROM wc ORDER BY event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+    assert(rows.contains(("view", 2L, 3.0)))   // 10:00 window, late row NOT counted
+    assert(rows.contains(("click", 1L, 5.0)))  // 10:05 window
+  }
+
+  test("dedupe drops repeated event ids within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.dedupe(mem.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    mem.addData(
+      Event(1, ts(0), 1, "view", 1.0), Event(1, ts(1), 1, "view", 1.0),
+      Event(2, ts(2), 2, "view", 2.0), Event(1, ts(3), 1, "view", 1.0))
+    runToCompletion(q)
+    assert(s.sql("SELECT COUNT(*) FROM dd").head().getLong(0) == 2)
+  }
+
+  test("sessionize: gap splits sessions, timeout closes them") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000L, watermark = "1 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // user 1: events at 10:00,10:05 (one session), then 10:30 (gap > 10 min → new)
+    mem.addData(
+      Event(1, ts(0), 1, "view", 1.0), Event(2, ts(5), 1, "view", 2.0),
+      Event(3, ts(30), 1, "view", 4.0))
+    q.processAllAvailable()
+    // push the watermark past all timeouts so every session closes
+    mem.addData(Event(99, ts(59), 2, "view", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(100, Timestamp.valueOf("2026-01-01 12:00:00"), 2, "view", 0.0))
+    runToCompletion(q)
+    val sess = s.sql("SELECT user_id, n_events, total FROM sess WHERE user_id = 1 ORDER BY total")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(sess == List((1L, 2L, 3.0), (1L, 1L, 4.0)),
+      s"expected two closed sessions for user 1, got $sess")
+  }
+}
