@@ -57,8 +57,13 @@ object GeoAggregates {
     private def collapse(buf: Seq[Array[Byte]]): Seq[Array[Byte]] =
       if (buf.length < FanIn) buf else Vector(unionAll(buf))
     private def unionAll(buf: Seq[Array[Byte]]): Array[Byte] = {
-      val geoms = new java.util.ArrayList[org.locationtech.jts.geom.Geometry](buf.length)
-      buf.foreach(b => geoms.add(GeomOps.read(b)))
+      // union is idempotent: drop byte-identical geometries before the
+      // cascade (tile/grid workloads repeat a few shapes millions of times)
+      val seen = new java.util.HashSet[java.nio.ByteBuffer]()
+      val distinct = buf.filter(b => seen.add(java.nio.ByteBuffer.wrap(b)))
+      if (distinct.length == 1) return distinct.head
+      val geoms = new java.util.ArrayList[org.locationtech.jts.geom.Geometry](distinct.length)
+      distinct.foreach(b => geoms.add(GeomOps.read(b)))
       GeomOps.write(UnaryUnionOp.union(geoms))
     }
     def bufferEncoder: Encoder[Seq[Array[Byte]]] = Encoders.kryo[Seq[Array[Byte]]]
