@@ -1,0 +1,100 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GeomOps
+
+/** Generator-based properties — an upgrade over the reference, which has no
+  * property-based tests (SURVEY.md §5): WKB roundtrip fidelity and the
+  * predicate algebra (symmetry, duality, complement) over random geometry.
+  * These run on the kernel layer, the exact code Catalyst StaticInvoke
+  * expressions call. */
+class GeoPropertySpec extends AnyFunSuite {
+
+  private val coord = Gen.chooseNum(-180.0, 180.0)
+
+  private val pointWkb: Gen[Array[Byte]] =
+    for (x <- coord; y <- coord) yield GeomOps.point(x, y)
+
+  private val envWkb: Gen[Array[Byte]] =
+    for (x0 <- coord; y0 <- coord; w <- Gen.chooseNum(0.1, 50.0); h <- Gen.chooseNum(0.1, 50.0))
+      yield GeomOps.makeEnvelope(x0, y0, x0 + w, y0 + h)
+
+  private val lineWkb: Gen[Array[Byte]] =
+    for (n <- Gen.chooseNum(2, 12); xs <- Gen.listOfN(n, coord); ys <- Gen.listOfN(n, coord))
+      yield GeomOps.write(GeomOps.factory.createLineString(
+        xs.zip(ys).map { case (x, y) => new org.locationtech.jts.geom.Coordinate(x, y) }.toArray))
+
+  private val anyGeom: Gen[Array[Byte]] = Gen.oneOf(pointWkb, envWkb, lineWkb)
+
+  private def check(name: String, p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("WKB roundtrip is identity") {
+    check("roundtrip", Prop.forAll(anyGeom) { b =>
+      java.util.Arrays.equals(GeomOps.write(GeomOps.read(b)), b)
+    })
+  }
+
+  test("WKT roundtrip preserves coordinates to printed precision") {
+    // WKT is a decimal rendering — roundtrip is exact only to the last
+    // printed digit (~1 ulp on 16-significant-digit doubles)
+    check("wkt", Prop.forAll(anyGeom) { b =>
+      GeomOps.equalsExact(GeomOps.geomFromText(GeomOps.asText(b)), b, 1e-8)
+    })
+  }
+
+  test("GeoJSON roundtrip preserves topology") {
+    check("geojson", Prop.forAll(anyGeom) { b =>
+      GeomOps.equalsTopo(GeomOps.geomFromGeoJson(GeomOps.asGeoJson(b)), b)
+    })
+  }
+
+  test("intersects is symmetric; disjoint is its complement") {
+    check("sym", Prop.forAll(anyGeom, anyGeom) { (a, b) =>
+      GeomOps.intersects(a, b) == GeomOps.intersects(b, a) &&
+      GeomOps.disjoint(a, b) == !GeomOps.intersects(a, b)
+    })
+  }
+
+  test("contains(a,b) == within(b,a); covers is implied by contains") {
+    check("dual", Prop.forAll(envWkb, anyGeom) { (a, b) =>
+      val c = GeomOps.contains(a, b)
+      c == GeomOps.within(b, a) && (!c || GeomOps.covers(a, b))
+    })
+  }
+
+  test("distance is symmetric, nonnegative, zero iff intersecting") {
+    check("dist", Prop.forAll(anyGeom, anyGeom) { (a, b) =>
+      val d = GeomOps.distance(a, b)
+      d == GeomOps.distance(b, a) && d >= 0.0 &&
+      ((d == 0.0) == GeomOps.intersects(a, b))
+    })
+  }
+
+  test("envelope contains its geometry; area nonnegative") {
+    check("env", Prop.forAll(anyGeom) { b =>
+      GeomOps.covers(GeomOps.envelope(b), b) && GeomOps.area(b) >= 0.0
+    })
+  }
+
+  test("union area >= max component; intersection commutes (topologically)") {
+    check("overlay", Prop.forAll(envWkb, envWkb) { (a, b) =>
+      val u = GeomOps.area(GeomOps.union(a, b))
+      val ia = GeomOps.intersection(a, b)
+      val ib = GeomOps.intersection(b, a)
+      u >= math.max(GeomOps.area(a), GeomOps.area(b)) - 1e-9 &&
+      // JTS equalsTopo is false for two empties — handle disjoint inputs
+      ((GeomOps.isEmpty(ia) && GeomOps.isEmpty(ib)) || GeomOps.equalsTopo(ia, ib))
+    })
+  }
+
+  test("buffer(0) preserves valid polygons; simplify never adds points") {
+    check("simplify", Prop.forAll(lineWkb, Gen.chooseNum(0.0, 10.0)) { (l, eps) =>
+      GeomOps.nPoints(GeomOps.simplify(l, eps)) <= GeomOps.nPoints(l)
+    })
+  }
+}
