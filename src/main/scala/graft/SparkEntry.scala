@@ -567,6 +567,337 @@ object SparkEntry {
            ROUND(CAST(n_nationkey * 3 AS DOUBLE), 6) AS rx
     FROM nation ORDER BY n_name"""
 
+  // ── kernel coverage: predicates / linear-ref / affine / validity ──────
+  // (each §2 kernel gets a value-checked entry; oracles are closed-form —
+  //  geometry parameters are integers so results are FP-exact, verified
+  //  against JTS behavior empirically before the oracle was written)
+
+  /** Full binary-predicate matrix on parameterized rectangles: A=(0,0,10,10),
+    * B=(s,0,s+10,10) with s=k%20 sweeping equal/overlap/touch/disjoint, plus
+    * a vertical line for crosses. */
+  private val g19Spark = """
+    SELECT n_nationkey AS k,
+           CAST(ST_Intersects(a, b) AS INT) AS i_sect,
+           CAST(ST_Touches(a, b) AS INT) AS i_touch,
+           CAST(ST_Overlaps(a, b) AS INT) AS i_over,
+           CAST(ST_Within(b, a) AS INT) AS i_within,
+           CAST(ST_Contains(a, b) AS INT) AS i_cont,
+           CAST(ST_Covers(a, b) AS INT) AS i_cov,
+           CAST(ST_CoveredBy(b, a) AS INT) AS i_covby,
+           CAST(ST_Disjoint(a, b) AS INT) AS i_disj,
+           CAST(ST_Equals(a, b) AS INT) AS i_eq,
+           CAST(ST_Crosses(l, a) AS INT) AS i_cross
+    FROM (SELECT n_nationkey,
+                 ST_MakeEnvelope(0.0, 0.0, 10.0, 10.0) AS a,
+                 ST_MakeEnvelope(CAST(n_nationkey % 20 AS DOUBLE), 0.0,
+                                 CAST(n_nationkey % 20 + 10 AS DOUBLE), 10.0) AS b,
+                 ST_GeomFromText(CONCAT('LINESTRING (', n_nationkey % 20, ' -5, ',
+                                        n_nationkey % 20, ' 15)')) AS l
+          FROM nation) t
+    ORDER BY k"""
+
+  private val g19Duck = """
+    SELECT n_nationkey AS k,
+           CASE WHEN s <= 10 THEN 1 ELSE 0 END AS i_sect,
+           CASE WHEN s = 10 THEN 1 ELSE 0 END AS i_touch,
+           CASE WHEN s BETWEEN 1 AND 9 THEN 1 ELSE 0 END AS i_over,
+           CASE WHEN s = 0 THEN 1 ELSE 0 END AS i_within,
+           CASE WHEN s = 0 THEN 1 ELSE 0 END AS i_cont,
+           CASE WHEN s = 0 THEN 1 ELSE 0 END AS i_cov,
+           CASE WHEN s = 0 THEN 1 ELSE 0 END AS i_covby,
+           CASE WHEN s > 10 THEN 1 ELSE 0 END AS i_disj,
+           CASE WHEN s = 0 THEN 1 ELSE 0 END AS i_eq,
+           CASE WHEN s > 0 AND s < 10 THEN 1 ELSE 0 END AS i_cross
+    FROM (SELECT n_nationkey, n_nationkey % 20 AS s FROM nation) t
+    ORDER BY k"""
+
+  /** Linear referencing: interpolate/locate/substring on integer-length
+    * segments — all outputs FP-exact (power-of-two fractions). */
+  private val g20Spark = """
+    SELECT s_suppkey AS k,
+           ST_X(ST_LineInterpolatePoint(line, frac)) AS ip_x,
+           ROUND(ST_LineLocatePoint(line, ST_Point(CAST(s_suppkey % 11 AS DOUBLE), 0.0)), 6) AS loc,
+           ST_Length(ST_LineSubstring(line, 0.25, 0.75)) AS sub_len
+    FROM (SELECT s_suppkey,
+                 ST_MakeLine(ST_Point(0.0, 0.0),
+                             ST_Point(CAST(10 + s_suppkey % 7 AS DOUBLE), 0.0)) AS line,
+                 CAST(s_suppkey % 5 AS DOUBLE) / 4.0 AS frac
+          FROM supplier) t
+    ORDER BY k"""
+
+  private val g20Duck = """
+    SELECT s_suppkey AS k,
+           CAST(s_suppkey % 5 AS DOUBLE) / 4.0 * (10 + s_suppkey % 7) AS ip_x,
+           ROUND(CAST(s_suppkey % 11 AS DOUBLE) / (10 + s_suppkey % 7), 6) AS loc,
+           0.75 * (10 + s_suppkey % 7) - 0.25 * (10 + s_suppkey % 7) AS sub_len
+    FROM supplier ORDER BY k"""
+
+  /** Affine family: translate/scale/general-affine (exact integer math) and
+    * rotate-by-π/2 of a rectangle (ROUND absorbs the cos(π/2)≈6e-17 noise). */
+  private val g21Spark = """
+    SELECT c_mktsegment,
+           SUM(CAST(ST_X(ST_Translate(p, 5.0, 7.0)) AS BIGINT)) AS tx,
+           SUM(CAST(ST_Y(ST_Translate(p, 5.0, 7.0)) AS BIGINT)) AS ty,
+           SUM(CAST(ST_X(ST_Scale(p, 2.0, 3.0)) AS BIGINT)) AS sx,
+           SUM(CAST(ST_Y(ST_Scale(p, 2.0, 3.0)) AS BIGINT)) AS sy,
+           SUM(CAST(ST_X(ST_Affine(p, 0.0, -1.0, 1.0, 0.0, 100.0, 200.0)) AS BIGINT)) AS ax,
+           SUM(CAST(ST_Y(ST_Affine(p, 0.0, -1.0, 1.0, 0.0, 100.0, 200.0)) AS BIGINT)) AS ay,
+           ROUND(SUM(ST_XMin(ST_Rotate(ST_MakeEnvelope(0.0, 0.0,
+                 CAST(1 + c_custkey % 9 AS DOUBLE), CAST(1 + c_custkey % 7 AS DOUBLE)),
+               pi() / 2))), 4) AS rot_xmin_sum,
+           COUNT(*) AS n
+    FROM (SELECT c_mktsegment, c_custkey,
+                 ST_Point(CAST(c_custkey % 50 AS DOUBLE), CAST(c_custkey % 30 AS DOUBLE)) AS p
+          FROM customer) t
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  private val g21Duck = """
+    SELECT c_mktsegment,
+           SUM(c_custkey % 50 + 5)::BIGINT AS tx,
+           SUM(c_custkey % 30 + 7)::BIGINT AS ty,
+           SUM(2 * (c_custkey % 50))::BIGINT AS sx,
+           SUM(3 * (c_custkey % 30))::BIGINT AS sy,
+           SUM(100 - c_custkey % 30)::BIGINT AS ax,
+           SUM(200 + c_custkey % 50)::BIGINT AS ay,
+           ROUND(SUM((1 + c_custkey % 9) / 2.0 - (1 + c_custkey % 7) / 2.0), 4) AS rot_xmin_sum,
+           COUNT(*)::BIGINT AS n
+    FROM customer
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** Validity + repair: self-intersecting bowtie quads → GeometryFixer
+    * (ST_MakeValid) yields a 2-triangle MultiPolygon of area w·h/2. */
+  private val g22Spark = """
+    SELECT p_brand,
+           SUM(CAST(ST_IsValid(bow) AS INT)) AS n_valid_raw,
+           SUM(CAST(ST_IsValid(ST_MakeValid(bow)) AS INT)) AS n_valid_fixed,
+           SUM(CAST(ST_Area(ST_MakeValid(bow)) AS BIGINT)) AS fixed_area,
+           SUM(CAST(ST_NumGeometries(ST_MakeValid(bow)) AS BIGINT)) AS n_parts,
+           COUNT(*) AS n
+    FROM (SELECT p_brand,
+                 ST_GeomFromText(CONCAT('POLYGON ((0 0, ', w, ' 0, 0 ', h, ', ',
+                                        w, ' ', h, ', 0 0))')) AS bow
+          FROM (SELECT p_brand, 2 * (1 + p_partkey % 5) AS w,
+                       2 * (1 + p_partkey % 7) AS h FROM part) z) t
+    GROUP BY p_brand ORDER BY p_brand"""
+
+  private val g22Duck = """
+    SELECT p_brand,
+           0::BIGINT AS n_valid_raw,
+           COUNT(*)::BIGINT AS n_valid_fixed,
+           SUM(CAST(2 * (1 + p_partkey % 5) * (1 + p_partkey % 7) * 2 / 2 AS BIGINT))::BIGINT AS fixed_area,
+           (2 * COUNT(*))::BIGINT AS n_parts,
+           COUNT(*)::BIGINT AS n
+    FROM part
+    GROUP BY p_brand ORDER BY p_brand"""
+
+  /** Interior-point family on squares: PointOnSurface, Center, Centroid and
+    * PolyLabel all land exactly on the center; OrientedEnvelope/ConcaveHull
+    * of a square reproduce its area. */
+  private val g23Spark = """
+    SELECT n_nationkey AS k,
+           ROUND(ST_X(ST_PointOnSurface(sq)), 6) AS pos_x,
+           ROUND(ST_Y(ST_PointOnSurface(sq)), 6) AS pos_y,
+           ROUND(ST_X(ST_Center(sq)), 6) AS ctr_x,
+           ROUND(ST_X(ST_Centroid(sq)), 6) AS cen_x,
+           ROUND(ST_X(ST_PolyLabel(sq, 0.01)), 6) AS pl_x,
+           ROUND(ST_Area(ST_OrientedEnvelope(sq)), 6) AS oenv_area,
+           ROUND(ST_Area(ST_ConcaveHull(sq, 1.0)), 6) AS chull_area
+    FROM (SELECT n_nationkey,
+                 ST_MakeEnvelope(0.0, 0.0, CAST(2 * (1 + n_nationkey % 6) AS DOUBLE),
+                                 CAST(2 * (1 + n_nationkey % 6) AS DOUBLE)) AS sq
+          FROM nation) t ORDER BY k"""
+
+  private val g23Duck = """
+    SELECT n_nationkey AS k,
+           ROUND(CAST(1 + n_nationkey % 6 AS DOUBLE), 6) AS pos_x,
+           ROUND(CAST(1 + n_nationkey % 6 AS DOUBLE), 6) AS pos_y,
+           ROUND(CAST(1 + n_nationkey % 6 AS DOUBLE), 6) AS ctr_x,
+           ROUND(CAST(1 + n_nationkey % 6 AS DOUBLE), 6) AS cen_x,
+           ROUND(CAST(1 + n_nationkey % 6 AS DOUBLE), 6) AS pl_x,
+           ROUND(CAST(4 * (1 + n_nationkey % 6) * (1 + n_nationkey % 6) AS DOUBLE), 6) AS oenv_area,
+           ROUND(CAST(4 * (1 + n_nationkey % 6) * (1 + n_nationkey % 6) AS DOUBLE), 6) AS chull_area
+    FROM nation ORDER BY k"""
+
+  /** Spherical measures (haversine + Chamberlain–Duquette) — the oracle
+    * replicates the published formulas term-by-term; results reported in km
+    * so ROUND headroom ≫ cross-engine libm ulp differences. */
+  private val g24Spark = """
+    SELECT n_nationkey AS k,
+           ROUND(ST_DistanceSphere(ST_Point(lon1, lat1), ST_Point(lon2, lat2)) / 1000.0, 4) AS d_km,
+           ROUND(ST_LengthSphere(ST_MakeLine(ST_Point(lon1, lat1), ST_Point(lon2, lat2))) / 1000.0, 4) AS len_km,
+           ROUND(ST_AreaSphere(ST_GeomFromText(CONCAT('POLYGON ((', a, ' ', b, ', ',
+                 a + 2, ' ', b, ', ', a + 2, ' ', b + 2, ', ', a, ' ', b + 2, ', ',
+                 a, ' ', b, '))'))) / 1000000.0, 3) AS area_km2
+    FROM (SELECT n_nationkey,
+                 CAST(n_nationkey * 3 % 120 - 60 AS DOUBLE) AS lon1,
+                 CAST(n_nationkey % 60 - 30 AS DOUBLE) AS lat1,
+                 CAST(n_nationkey * 3 % 120 - 59 AS DOUBLE) AS lon2,
+                 CAST(n_nationkey % 60 - 29 AS DOUBLE) AS lat2,
+                 n_nationkey % 90 - 45 AS a, n_nationkey % 50 - 25 AS b
+          FROM nation) t ORDER BY k"""
+
+  private val g24Duck = """
+    WITH p AS (SELECT n_nationkey,
+                 CAST(n_nationkey * 3 % 120 - 60 AS DOUBLE) AS lon1,
+                 CAST(n_nationkey % 60 - 30 AS DOUBLE) AS lat1,
+                 CAST(n_nationkey * 3 % 120 - 59 AS DOUBLE) AS lon2,
+                 CAST(n_nationkey % 60 - 29 AS DOUBLE) AS lat2,
+                 CAST(n_nationkey % 90 - 45 AS DOUBLE) AS a,
+                 CAST(n_nationkey % 50 - 25 AS DOUBLE) AS b
+               FROM nation),
+    hav AS (SELECT n_nationkey,
+              2 * 6371008.8 * asin(least(1.0, sqrt(
+                pow(sin(radians(lat2 - lat1) / 2), 2) +
+                cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)))) AS d_m,
+              abs(((radians(a + 2) - radians(a)) * sin(radians(b))
+                 + (radians(a) - radians(a + 2)) * sin(radians(b + 2))
+                 + (radians(a) - radians(a + 2)) * sin(radians(b + 2))
+                 + (radians(a + 2) - radians(a)) * sin(radians(b)))
+                * 6371008.8 * 6371008.8 / 2.0) AS ar_m2
+            FROM p)
+    SELECT n_nationkey AS k,
+           ROUND(d_m / 1000.0, 4) AS d_km,
+           ROUND(d_m / 1000.0, 4) AS len_km,
+           ROUND(ar_m2 / 1000000.0, 3) AS area_km2
+    FROM hav ORDER BY k"""
+
+  /** Discrete Hausdorff/Fréchet distances + DWithin between parallel
+    * segments (both equal the integer offset). */
+  private val g25Spark = """
+    SELECT o_orderpriority,
+           SUM(CAST(ST_HausdorffDistance(la, lb) AS BIGINT)) AS sum_h,
+           SUM(CAST(ST_FrechetDistance(la, lb) AS BIGINT)) AS sum_f,
+           SUM(CAST(ST_DWithin(la, lb, 3.5) AS INT)) AS n_near,
+           COUNT(*) AS n
+    FROM (SELECT /*+ REPARTITION({{P}}) */ o_orderpriority,
+                 ST_MakeLine(ST_Point(0.0, 0.0), ST_Point(10.0, 0.0)) AS la,
+                 ST_MakeLine(ST_Point(0.0, CAST(o_orderkey % 7 AS DOUBLE)),
+                             ST_Point(10.0, CAST(o_orderkey % 7 AS DOUBLE))) AS lb
+          FROM orders) t
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  private val g25Duck = """
+    SELECT o_orderpriority,
+           SUM(o_orderkey % 7)::BIGINT AS sum_h,
+           SUM(o_orderkey % 7)::BIGINT AS sum_f,
+           SUM(CASE WHEN o_orderkey % 7 <= 3 THEN 1 ELSE 0 END)::BIGINT AS n_near,
+           COUNT(*)::BIGINT AS n
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** Vertex-resampling kernels: Densify (L+1 points at maxDist=1), Chaikin
+    * corner-cutting (3→6 points, first cut at 0.25·a), Visvalingam–Whyatt
+    * (keeps/drops the apex by effective area), RemoveRepeatedPoints. */
+  private val g26Spark = """
+    SELECT p_brand,
+           SUM(CAST(ST_NPoints(ST_Densify(seg, 1.0)) AS BIGINT)) AS densify_pts,
+           SUM(CAST(ST_NPoints(ST_ChaikinSmoothing(tri, 1)) AS BIGINT)) AS chaikin_pts,
+           SUM(CAST(ST_X(ST_PointN(ST_ChaikinSmoothing(tri, 1), 1)) AS BIGINT)) AS chaikin_x1,
+           SUM(CAST(ST_NPoints(ST_SimplifyVW(vwl, 1.0)) AS BIGINT)) AS vw_pts,
+           SUM(CAST(ST_NPoints(ST_RemoveRepeatedPoints(rep, 0.0)) AS BIGINT)) AS rrp_pts,
+           COUNT(*) AS n
+    FROM (SELECT p_brand,
+                 ST_MakeLine(ST_Point(0.0, 0.0), ST_Point(CAST(1 + p_partkey % 9 AS DOUBLE), 0.0)) AS seg,
+                 ST_GeomFromText(CONCAT('LINESTRING (0 0, ', 4 * (1 + p_partkey % 5), ' 4, ',
+                                        8 * (1 + p_partkey % 5), ' 0)')) AS tri,
+                 ST_GeomFromText(CASE WHEN p_partkey % 2 = 0
+                    THEN 'LINESTRING (0 0, 1 100, 2 0)'
+                    ELSE 'LINESTRING (0 0, 1 0.0001, 2 0)' END) AS vwl,
+                 ST_GeomFromText('LINESTRING (0 0, 0 0, 3 3, 3 3, 6 6)') AS rep
+          FROM part) t
+    GROUP BY p_brand ORDER BY p_brand"""
+
+  private val g26Duck = """
+    SELECT p_brand,
+           SUM(1 + p_partkey % 9 + 1)::BIGINT AS densify_pts,
+           (6 * COUNT(*))::BIGINT AS chaikin_pts,
+           SUM(1 + p_partkey % 5)::BIGINT AS chaikin_x1,
+           SUM(CASE WHEN p_partkey % 2 = 0 THEN 3 ELSE 2 END)::BIGINT AS vw_pts,
+           (3 * COUNT(*))::BIGINT AS rrp_pts,
+           COUNT(*)::BIGINT AS n
+    FROM part
+    GROUP BY p_brand ORDER BY p_brand"""
+
+  /** Type tags, X→Multi promotion, WKB roundtrip, LineMerge, MakePolygon. */
+  private val g27Spark = """
+    SELECT n_nationkey AS k,
+           ST_GeometryType(g) AS tag,
+           ST_GeometryType(ST_Multi(g)) AS multi_tag,
+           CAST(ST_NumGeometries(ST_Multi(g)) AS INT) AS ngeom,
+           CAST(ST_NPoints(ST_GeomFromWKB(ST_AsBinary(g))) AS INT) AS wkb_rt_pts,
+           CAST(ST_EqualsExact(g, g, 0.0) AS INT) AS eq_exact,
+           CAST(ST_NPoints(ST_LineMerge(ST_GeomFromText(
+             'MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))'))) AS INT) AS merged_pts,
+           CAST(ST_Area(ST_MakePolygon(ST_GeomFromText(
+             'LINESTRING (0 0, 5 0, 5 5, 0 5, 0 0)'))) AS INT) AS ring_area,
+           CAST(ST_NPoints(ST_LineFromMultiPoint(ST_GeomFromText(
+             'MULTIPOINT ((0 0), (3 1), (2 2))'))) AS INT) AS lfmp_pts,
+           CAST(ST_IsEmpty(ST_GeomFromText('POINT EMPTY')) AS INT) AS empty_flag
+    FROM (SELECT n_nationkey,
+                 ST_GeomFromText(CASE CAST(n_nationkey % 4 AS INT)
+                   WHEN 0 THEN 'POINT (1 2)'
+                   WHEN 1 THEN 'LINESTRING (0 0, 1 1)'
+                   WHEN 2 THEN 'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'
+                   ELSE 'MULTIPOINT ((1 1), (2 2))' END) AS g
+          FROM nation) t ORDER BY k"""
+
+  private val g27Duck = """
+    SELECT n_nationkey AS k,
+           CASE n_nationkey % 4 WHEN 0 THEN 'ST_Point' WHEN 1 THEN 'ST_LineString'
+                WHEN 2 THEN 'ST_Polygon' ELSE 'ST_MultiPoint' END AS tag,
+           CASE n_nationkey % 4 WHEN 0 THEN 'ST_MultiPoint' WHEN 1 THEN 'ST_MultiLineString'
+                WHEN 2 THEN 'ST_MultiPolygon' ELSE 'ST_MultiPoint' END AS multi_tag,
+           CASE n_nationkey % 4 WHEN 3 THEN 2 ELSE 1 END AS ngeom,
+           CASE n_nationkey % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 5 ELSE 2 END AS wkb_rt_pts,
+           1 AS eq_exact,
+           3 AS merged_pts,
+           25 AS ring_area,
+           3 AS lfmp_pts,
+           1 AS empty_flag
+    FROM nation ORDER BY k"""
+
+  /** Ring accessors on a polygon with one square hole (h = 1+k%3). */
+  private val g28Spark = """
+    SELECT n_nationkey AS k,
+           CAST(ST_NumInteriorRings(p) AS INT) AS nrings,
+           ST_Length(ST_ExteriorRing(p)) AS shell_len,
+           ST_Length(ST_InteriorRingN(p, 0)) AS hole_len,
+           ST_Area(p) AS area,
+           ST_Perimeter(p) AS perim,
+           CAST(ST_NPoints(ST_Boundary(p)) AS INT) AS bpts,
+           ST_Area(ST_Reverse(p)) AS rev_area
+    FROM (SELECT n_nationkey,
+                 ST_GeomFromText(CONCAT('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 2 ',
+                   2 + h, ', ', 2 + h, ' ', 2 + h, ', ', 2 + h, ' 2, 2 2))')) AS p
+          FROM (SELECT n_nationkey, 1 + n_nationkey % 3 AS h FROM nation) z) t
+    ORDER BY k"""
+
+  private val g28Duck = """
+    SELECT n_nationkey AS k,
+           1 AS nrings,
+           CAST(40 AS DOUBLE) AS shell_len,
+           CAST(4 * (1 + n_nationkey % 3) AS DOUBLE) AS hole_len,
+           CAST(100 - (1 + n_nationkey % 3) * (1 + n_nationkey % 3) AS DOUBLE) AS area,
+           CAST(40 + 4 * (1 + n_nationkey % 3) AS DOUBLE) AS perim,
+           10 AS bpts,
+           CAST(100 - (1 + n_nationkey % 3) * (1 + n_nationkey % 3) AS DOUBLE) AS rev_area
+    FROM nation ORDER BY k"""
+
+  /** SRID plumbing: ST_SetSRID survives the EWKB roundtrip; coordinates are
+    * untouched (SURVEY.md §7 hard-part 4 — SRID lives in the value). */
+  private val g29Spark = """
+    SELECT n_nationkey AS k,
+           CAST(ST_SRID(ST_SetSRID(ST_Point(1.0, 2.0),
+                CAST(4326 + n_nationkey % 3 AS INT))) AS INT) AS srid_out,
+           ST_X(ST_SetSRID(ST_Point(CAST(n_nationkey AS DOUBLE), 2.0), 3857)) AS x_preserved
+    FROM nation ORDER BY k"""
+
+  private val g29Duck = """
+    SELECT n_nationkey AS k,
+           CAST(4326 + n_nationkey % 3 AS INTEGER) AS srid_out,
+           CAST(n_nationkey AS DOUBLE) AS x_preserved
+    FROM nation ORDER BY k"""
+
   // ── training-data pipeline ops: text analysis / dedup ─────────────────
 
   private val t01Spark = """
@@ -916,6 +1247,17 @@ object SparkEntry {
     ("g16_extent_agg_native", q(g16Spark), g16Duck),
     ("g17_union_agg_cascaded", q(g17Spark), g17Duck),
     ("g18_geojson_roundtrip", q(g18Spark), g18Duck),
+    ("g19_predicate_matrix", q(g19Spark), g19Duck),
+    ("g20_linear_ref", q(g20Spark), g20Duck),
+    ("g21_affine_family", q(g21Spark), g21Duck),
+    ("g22_makevalid_bowtie", q(g22Spark), g22Duck),
+    ("g23_surface_points", q(g23Spark), g23Duck),
+    ("g24_sphere_measures", q(g24Spark), g24Duck),
+    ("g25_discrete_distances", q(g25Spark), g25Duck),
+    ("g26_resample_ops", q(g26Spark), g26Duck),
+    ("g27_type_tags", q(g27Spark), g27Duck),
+    ("g28_ring_accessors", q(g28Spark), g28Duck),
+    ("g29_srid_roundtrip", q(g29Spark), g29Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),
