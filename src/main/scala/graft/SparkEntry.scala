@@ -898,6 +898,105 @@ object SparkEntry {
            CAST(n_nationkey AS DOUBLE) AS x_preserved
     FROM nation ORDER BY k"""
 
+  /** XYM/XYZM ordinate fidelity: M survives construction, WKT parse, and the
+    * ISO-WKB roundtrip (SURVEY.md §7 hard-part 2; the reference's Dimension
+    * axis, rust/geoarrow-schema/src/dimension.rs:12-24). */
+  private val g30Spark = """
+    SELECT n_nationkey AS k,
+           ST_M(ST_PointM(1.0, 2.0, CAST(n_nationkey * 2 AS DOUBLE))) AS m_out,
+           CAST(ST_HasM(ST_PointM(1.0, 2.0, 9.0)) AS INT) AS has_m,
+           CAST(ST_HasZ(ST_PointM(1.0, 2.0, 9.0)) AS INT) AS hasz_of_m,
+           ST_Z(ST_PointZM(1.0, 2.0, CAST(n_nationkey AS DOUBLE), 7.0)) AS z_out,
+           ST_M(ST_PointZM(1.0, 2.0, 3.0, CAST(n_nationkey AS DOUBLE))) AS zm_m_out,
+           ST_M(ST_GeomFromText(CONCAT('POINT ZM (1 2 3 ', n_nationkey, ')'))) AS wkt_m,
+           ST_M(ST_GeomFromWKB(ST_AsBinary(ST_PointZM(1.0, 2.0, 3.0,
+                CAST(n_nationkey AS DOUBLE))))) AS wkb_rt_m
+    FROM nation ORDER BY k"""
+
+  private val g30Duck = """
+    SELECT n_nationkey AS k,
+           CAST(n_nationkey * 2 AS DOUBLE) AS m_out,
+           1 AS has_m,
+           0 AS hasz_of_m,
+           CAST(n_nationkey AS DOUBLE) AS z_out,
+           CAST(n_nationkey AS DOUBLE) AS zm_m_out,
+           CAST(n_nationkey AS DOUBLE) AS wkt_m,
+           CAST(n_nationkey AS DOUBLE) AS wkb_rt_m
+    FROM nation ORDER BY k"""
+
+  /** Ellipsoidal (spheroid) measures — Andoyer–Lambert, WGS84. The oracle
+    * replicates the closed-form term-by-term (rounded to 1 m / 1 km² so
+    * cross-engine libm ulp noise is absorbed). */
+  private val g31Spark = """
+    SELECT n_nationkey AS k,
+           ROUND(ST_DistanceSpheroid(ST_Point(lon1, lat1), ST_Point(lon2, lat2)) / 1000.0, 3) AS d_km,
+           ROUND(ST_LengthSpheroid(ST_MakeLine(ST_Point(lon1, lat1), ST_Point(lon2, lat2))) / 1000.0, 3) AS len_km,
+           ROUND(ST_AreaSpheroid(ST_MakeEnvelope(lon1, lat1, lon1 + 2.0, lat1 + 2.0)) / 1000000.0, 2) AS area_km2
+    FROM (SELECT n_nationkey,
+                 CAST(n_nationkey * 7 % 120 - 60 AS DOUBLE) AS lon1,
+                 CAST(n_nationkey * 3 % 60 - 30 AS DOUBLE) AS lat1,
+                 CAST(n_nationkey * 7 % 120 - 55 AS DOUBLE) AS lon2,
+                 CAST(n_nationkey * 3 % 60 - 27 AS DOUBLE) AS lat2
+          FROM nation) t ORDER BY k"""
+
+  private val g31Duck = """
+    WITH p AS (SELECT n_nationkey,
+                 CAST(n_nationkey * 7 % 120 - 60 AS DOUBLE) AS lon1,
+                 CAST(n_nationkey * 3 % 60 - 30 AS DOUBLE) AS lat1,
+                 CAST(n_nationkey * 7 % 120 - 55 AS DOUBLE) AS lon2,
+                 CAST(n_nationkey * 3 % 60 - 27 AS DOUBLE) AS lat2
+               FROM nation),
+    terms AS (SELECT n_nationkey,
+                (radians(lat1) + radians(lat2)) / 2 AS fm,
+                (radians(lat1) - radians(lat2)) / 2 AS gm,
+                (radians(lon1) - radians(lon2)) / 2 AS lm,
+                lon1, lat1 FROM p),
+    sc AS (SELECT n_nationkey, fm, gm, lon1, lat1,
+             pow(sin(gm), 2) * pow(cos(lm), 2) + pow(cos(fm), 2) * pow(sin(lm), 2) AS s,
+             pow(cos(gm), 2) * pow(cos(lm), 2) + pow(sin(fm), 2) * pow(sin(lm), 2) AS c
+           FROM terms),
+    andoyer AS (SELECT n_nationkey, lon1, lat1,
+             2 * atan(sqrt(s / c)) * 6378137.0 *
+             (1 + (1.0 / 298.257223563) *
+               (((3 * (sqrt(s * c) / atan(sqrt(s / c))) - 1) / (2 * c)) * pow(sin(fm), 2) * pow(cos(gm), 2)
+              - ((3 * (sqrt(s * c) / atan(sqrt(s / c))) + 1) / (2 * s)) * pow(cos(fm), 2) * pow(sin(gm), 2))) AS d_m
+           FROM sc),
+    cd AS (SELECT n_nationkey,
+             abs(((radians(lon1 + 2) - radians(lon1)) * sin(radians(lat1))
+                + (radians(lon1) - radians(lon1 + 2)) * sin(radians(lat1 + 2))
+                + (radians(lon1) - radians(lon1 + 2)) * sin(radians(lat1 + 2))
+                + (radians(lon1 + 2) - radians(lon1)) * sin(radians(lat1)))
+               * 6371007.1809 * 6371007.1809 / 2.0) AS ar_m2
+           FROM andoyer)
+    SELECT a.n_nationkey AS k,
+           ROUND(a.d_m / 1000.0, 3) AS d_km,
+           ROUND(a.d_m / 1000.0, 3) AS len_km,
+           ROUND(cd.ar_m2 / 1000000.0, 2) AS area_km2
+    FROM andoyer a JOIN cd ON a.n_nationkey = cd.n_nationkey ORDER BY k"""
+
+  /** Compact-type inference (rust/geoarrow-cast/src/downcast.rs:82):
+    * {Point, MultiPoint} promotes to MultiPoint; mixed families erase to
+    * Geometry. Runs the distributed collect_set pass twice. */
+  private def g32Fn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val nation = s.read.parquet(s"$dir/nation.parquet")
+    val sameFamily = nation.selectExpr(
+      """ST_GeomFromText(CASE WHEN n_nationkey % 2 = 0 THEN 'POINT (1 2)'
+         ELSE 'MULTIPOINT ((1 1), (2 2))' END) AS g""")
+    val mixed = nation.selectExpr(
+      """ST_GeomFromText(CASE WHEN n_nationkey % 2 = 0 THEN 'POINT (1 2)'
+         ELSE 'LINESTRING (0 0, 1 1)' END) AS g""")
+    val a = graft.operators.Downcast.inferDowncastType(sameFamily, col("g"))
+    val b = graft.operators.Downcast.inferDowncastType(mixed, col("g"))
+    s.createDataFrame(java.util.List.of(org.apache.spark.sql.Row(a, b)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("inferred_family", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("inferred_mixed", org.apache.spark.sql.types.StringType))))
+  }
+
+  private val g32Duck = """
+    SELECT 'MultiPoint' AS inferred_family, 'Geometry' AS inferred_mixed"""
+
   // ── training-data pipeline ops: text analysis / dedup ─────────────────
 
   private val t01Spark = """
@@ -1258,6 +1357,9 @@ object SparkEntry {
     ("g27_type_tags", q(g27Spark), g27Duck),
     ("g28_ring_accessors", q(g28Spark), g28Duck),
     ("g29_srid_roundtrip", q(g29Spark), g29Duck),
+    ("g30_zm_fidelity", q(g30Spark), g30Duck),
+    ("g31_spheroid_measures", q(g31Spark), g31Duck),
+    ("g32_downcast_infer", g32Fn _, g32Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),

@@ -47,16 +47,48 @@ object GeomOps {
 
   def read(b: Array[Byte]): Geometry = wkbReader.get.read(b)
 
-  /** WKB write with dimension fidelity: XYZ geometries keep their Z (the
-    * 2D writer would silently drop it — SURVEY.md §7 hard-part 2). XYM/XYZM
-    * measures are not yet preserved (documented divergence this round). */
-  def write(g: Geometry): Array[Byte] =
-    if (hasZ(g)) new WKBWriter(3, true).write(g) else wkbWriter.get.write(g)
+  /** WKB write with dimension fidelity: XYZ/XYM/XYZM geometries keep their
+    * extra ordinates (the 2D writer would silently drop them — SURVEY.md §7
+    * hard-part 2; the reference's Dimension axis,
+    * rust/geoarrow-schema/src/dimension.rs:12-24). */
+  def write(g: Geometry): Array[Byte] = writeDim(g, includeSRID = true)
+
+  private def writeDim(g: Geometry, includeSRID: Boolean): Array[Byte] = {
+    val z = hasZ(g)
+    val m = hasM(g)
+    if (!z && !m) {
+      if (includeSRID) wkbWriter.get.write(g)
+      else new WKBWriter(2, false).write(g)
+    } else {
+      import org.locationtech.jts.io.Ordinate
+      val w = new WKBWriter(if (z && m) 4 else 3, includeSRID)
+      w.setOutputOrdinates(
+        if (z && m) java.util.EnumSet.of(Ordinate.X, Ordinate.Y, Ordinate.Z, Ordinate.M)
+        else if (m) java.util.EnumSet.of(Ordinate.X, Ordinate.Y, Ordinate.M)
+        else java.util.EnumSet.of(Ordinate.X, Ordinate.Y, Ordinate.Z))
+      w.write(g)
+    }
+  }
 
   private def hasZ(g: Geometry): Boolean = {
     if (g.isEmpty) return false
     val c = g.getCoordinate
     c != null && !java.lang.Double.isNaN(c.getZ)
+  }
+
+  // measure presence lives on the coordinate sequence (JTS tracks
+  // dimension/measures per sequence, mirroring the reference's XYM/XYZM
+  // variants); probe the first sequence only
+  private def hasM(g: Geometry): Boolean = {
+    if (g.isEmpty) return false
+    var m = false
+    var seen = false
+    g.apply(new org.locationtech.jts.geom.CoordinateSequenceFilter {
+      override def filter(seq: CoordinateSequence, i: Int): Unit = { m = seq.hasM; seen = true }
+      override def isDone: Boolean = seen
+      override def isGeometryChanged: Boolean = false
+    })
+    m
   }
 
   // ── constructors ──────────────────────────────────────────────────────
@@ -69,6 +101,12 @@ object GeomOps {
     val g = factory.createPoint(new Coordinate(x, y, z))
     new WKBWriter(3, true).write(g)
   }
+
+  def pointM(x: Double, y: Double, m: Double): Array[Byte] =
+    write(factory.createPoint(new CoordinateXYM(x, y, m)))
+
+  def pointZM(x: Double, y: Double, z: Double, m: Double): Array[Byte] =
+    write(factory.createPoint(new CoordinateXYZM(x, y, z, m)))
 
   def makeEnvelope(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Array[Byte] = {
     val cs = Array(
@@ -107,17 +145,17 @@ object GeomOps {
   def geomFromText(wkt: UTF8String): Array[Byte] = write(wktReader.get.read(wkt.toString))
   def asText(wkb: Array[Byte]): UTF8String = UTF8String.fromString(wktWriter.get.write(read(wkb)))
   def geomFromWKB(b: Array[Byte]): Array[Byte] = write(read(b)) // validates + normalizes
-  def asBinary(b: Array[Byte]): Array[Byte] = {
-    val w = new WKBWriter(2, false) // strip EWKB srid flag → ISO WKB
-    w.write(read(b))
-  }
+  // strip EWKB srid flag → ISO WKB, preserving Z/M ordinates
+  def asBinary(b: Array[Byte]): Array[Byte] = writeDim(read(b), includeSRID = false)
 
   // ── accessors ─────────────────────────────────────────────────────────
 
   def stX(b: Array[Byte]): Double = read(b).getCoordinate.x
   def stY(b: Array[Byte]): Double = read(b).getCoordinate.y
   def stZ(b: Array[Byte]): Double = read(b).getCoordinate.getZ
+  def stM(b: Array[Byte]): Double = read(b).getCoordinate.getM
   def hasZCol(b: Array[Byte]): Boolean = hasZ(read(b))
+  def hasMCol(b: Array[Byte]): Boolean = hasM(read(b))
   def xMin(b: Array[Byte]): Double = read(b).getEnvelopeInternal.getMinX
   def yMin(b: Array[Byte]): Double = read(b).getEnvelopeInternal.getMinY
   def xMax(b: Array[Byte]): Double = read(b).getEnvelopeInternal.getMaxX

@@ -61,8 +61,12 @@ object GeoFunctions {
     "st_x" -> Sig("stX", D, Seq(G)),
     "st_y" -> Sig("stY", D, Seq(G)),
     "st_z" -> Sig("stZ", D, Seq(G)),
+    "st_m" -> Sig("stM", D, Seq(G)),
     "st_hasz" -> Sig("hasZCol", B, Seq(G)),
+    "st_hasm" -> Sig("hasMCol", B, Seq(G)),
     "st_pointz" -> Sig("pointZ", G, Seq(D, D, D)),
+    "st_pointm" -> Sig("pointM", G, Seq(D, D, D)),
+    "st_pointzm" -> Sig("pointZM", G, Seq(D, D, D, D)),
     "st_xmin" -> Sig("xMin", D, Seq(G)),
     "st_ymin" -> Sig("yMin", D, Seq(G)),
     "st_xmax" -> Sig("xMax", D, Seq(G)),
@@ -155,6 +159,9 @@ object GeoFunctions {
     "st_distancesphere" -> Sig("distanceSphere", D, Seq(G, G), geodesy),
     "st_lengthsphere" -> Sig("lengthSphere", D, Seq(G), geodesy),
     "st_areasphere" -> Sig("areaSphere", D, Seq(G), geodesy),
+    "st_distancespheroid" -> Sig("distanceSpheroid", D, Seq(G, G), geodesy),
+    "st_lengthspheroid" -> Sig("lengthSpheroid", D, Seq(G), geodesy),
+    "st_areaspheroid" -> Sig("areaSpheroid", D, Seq(G), geodesy),
   )
 
   private val byName: Map[String, Map[Int, Sig]] =

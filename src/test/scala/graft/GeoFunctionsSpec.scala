@@ -147,4 +147,31 @@ class GeoFunctionsSpec extends SparkTestBase {
     assert(one("ST_IsValid(ST_MakeEnvelope(0,0,1,1))") == true)
     assert(one("ST_IsEmpty(ST_GeomFromText('POINT EMPTY'))") == true)
   }
+
+  test("M dimension fidelity: XYM and XYZM through WKB/WKT roundtrips") {
+    // reference Dimension axis: rust/geoarrow-schema/src/dimension.rs:12-24
+    assert(one("ST_M(ST_PointM(1, 2, 42))") == 42.0)
+    assert(one("ST_HasM(ST_PointM(1, 2, 42))") == true)
+    assert(one("ST_HasZ(ST_PointM(1, 2, 42))") == false)
+    assert(one("ST_M(ST_PointZM(1, 2, 3, 4))") == 4.0)
+    assert(one("ST_Z(ST_PointZM(1, 2, 3, 4))") == 3.0)
+    // internal (EWKB) and ISO WKB roundtrips both keep M
+    assert(one("ST_M(ST_GeomFromWKB(ST_AsBinary(ST_PointZM(1, 2, 3, 4))))") == 4.0)
+    assert(one("ST_M(ST_GeomFromText('POINT M (1 2 7)'))") == 7.0)
+    assert(one("ST_AsText(ST_PointM(1, 2, 7))") == "POINT M(1 2 7)")
+    assert(one("ST_AsText(ST_PointZM(1, 2, 3, 4))") == "POINT ZM(1 2 3 4)")
+    // linestring with measures survives too
+    assert(one("ST_M(ST_PointN(ST_GeomFromText('LINESTRING M (0 0 1, 5 0 9)'), 1))") == 9.0)
+  }
+
+  test("spheroid measures: Andoyer distance vs haversine sanity") {
+    // 1 degree of longitude at the equator: a = 6378137 m on the ellipsoid
+    val d = one("ST_DistanceSpheroid(ST_Point(0, 0), ST_Point(1, 0))").asInstanceOf[Double]
+    assert(math.abs(d - 111319.49) < 1.0, s"equator degree = $d")
+    // spheroid and sphere agree within 0.6% anywhere
+    val s = one("ST_DistanceSphere(ST_Point(12, 41), ST_Point(2, 48))").asInstanceOf[Double]
+    val e = one("ST_DistanceSpheroid(ST_Point(12, 41), ST_Point(2, 48))").asInstanceOf[Double]
+    assert(math.abs(s - e) / e < 0.006, s"sphere=$s spheroid=$e")
+    assert(one("ST_DistanceSpheroid(ST_Point(5, 5), ST_Point(5, 5))") == 0.0)
+  }
 }
