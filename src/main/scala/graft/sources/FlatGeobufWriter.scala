@@ -1,0 +1,328 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.locationtech.jts.geom._
+
+import graft.core.GeomOps
+
+/** FlatGeobuf writer — re-expression of the reference's writer
+  * (rust/geoarrow-flatgeobuf/src/writer.rs:16-96,160-228: schema from the
+  * Arrow schema, per-feature geometry + property encoding, optional spatial
+  * index). We write WITHOUT the packed Hilbert R-tree (`index_node_size=0`,
+  * which the spec allows and the reference also defaults to opt-in); bbox
+  * reads over indexless files fall back to the full-scan + envelope filter
+  * path in [[FlatGeobuf.readBbox]].
+  *
+  * Distribution model (the part the single-node reference doesn't have):
+  * one .fgb file per partition, written task-side into a directory — the
+  * mirror image of [[FlatGeobuf.read]]'s one-task-per-file model, so a
+  * 1000-executor write produces 1000 independently-readable files, each
+  * with its own header envelope/count. No driver collect, no global
+  * barrier. Each task buffers only its own partition in memory (the header
+  * carries the envelope, which is only known after the last feature).
+  */
+object FlatGeobufWriter {
+
+  // ── minimal flatbuffer builder (buffer grows downward, like the public
+  //    FlatBuffers builders; offsets measured from the buffer end) ─────────
+  private final class FBB(initial: Int = 4096) {
+    private var buf = new Array[Byte](initial)
+    private var space = buf.length
+    private var minalign = 1
+    private var vtable: Array[Int] = _
+    private var objectStart = 0
+
+    def offset: Int = buf.length - space
+
+    private def grow(): Unit = {
+      val old = buf
+      buf = new Array[Byte](old.length * 2)
+      System.arraycopy(old, 0, buf, buf.length - old.length, old.length)
+      space += buf.length - old.length
+    }
+
+    private def prep(size: Int, additional: Int): Unit = {
+      if (size > minalign) minalign = size
+      val alignSize = ((~(buf.length - space + additional)) + 1) & (size - 1)
+      while (space < alignSize + size + additional) grow()
+      var i = 0
+      while (i < alignSize) { space -= 1; buf(space) = 0; i += 1 }
+    }
+
+    private def putByteRaw(v: Byte): Unit = { space -= 1; buf(space) = v }
+    private def putShortRaw(v: Short): Unit = {
+      space -= 2
+      buf(space) = v.toByte; buf(space + 1) = (v >> 8).toByte
+    }
+    private def putIntRaw(v: Int): Unit = {
+      space -= 4
+      buf(space) = v.toByte; buf(space + 1) = (v >> 8).toByte
+      buf(space + 2) = (v >> 16).toByte; buf(space + 3) = (v >> 24).toByte
+    }
+    private def putLongRaw(v: Long): Unit = { putIntRaw((v >> 32).toInt); putIntRaw(v.toInt) }
+    private def putDoubleRaw(v: Double): Unit = putLongRaw(java.lang.Double.doubleToLongBits(v))
+
+    def addOffset(off: Int): Unit = { prep(4, 0); putIntRaw(offset - off + 4) }
+
+    def startVector(elemSize: Int, count: Int, align: Int): Unit = {
+      prep(4, elemSize * count)
+      prep(align, elemSize * count)
+    }
+    def endVector(count: Int): Int = { putIntRaw(count); offset }
+
+    def createDoubleVector(vs: Array[Double]): Int = {
+      startVector(8, vs.length, 8)
+      var i = vs.length - 1
+      while (i >= 0) { putDoubleRaw(vs(i)); i -= 1 }
+      endVector(vs.length)
+    }
+    def createUIntVector(vs: Array[Int]): Int = {
+      startVector(4, vs.length, 4)
+      var i = vs.length - 1
+      while (i >= 0) { putIntRaw(vs(i)); i -= 1 }
+      endVector(vs.length)
+    }
+    def createByteVector(vs: Array[Byte]): Int = {
+      startVector(1, vs.length, 1)
+      space -= vs.length
+      System.arraycopy(vs, 0, buf, space, vs.length)
+      endVector(vs.length)
+    }
+    def createOffsetVector(offs: Array[Int]): Int = {
+      startVector(4, offs.length, 4)
+      var i = offs.length - 1
+      while (i >= 0) { addOffsetNoPrep(offs(i)); i -= 1 }
+      endVector(offs.length)
+    }
+    private def addOffsetNoPrep(off: Int): Unit = putIntRaw(offset - off + 4)
+    def createString(s: String): Int = {
+      val utf8 = s.getBytes("UTF-8")
+      prep(4, utf8.length + 1)
+      putByteRaw(0)
+      space -= utf8.length
+      System.arraycopy(utf8, 0, buf, space, utf8.length)
+      endVector(utf8.length)
+    }
+
+    def startTable(numFields: Int): Unit = {
+      vtable = new Array[Int](numFields)
+      objectStart = offset
+    }
+    def slotByte(id: Int, v: Byte, dflt: Byte): Unit =
+      if (v != dflt) { prep(1, 0); putByteRaw(v); vtable(id) = offset }
+    def slotShort(id: Int, v: Short, dflt: Short, force: Boolean = false): Unit =
+      if (force || v != dflt) { prep(2, 0); putShortRaw(v); vtable(id) = offset }
+    def slotLong(id: Int, v: Long, dflt: Long): Unit =
+      if (v != dflt) { prep(8, 0); putLongRaw(v); vtable(id) = offset }
+    def slotOffset(id: Int, off: Int): Unit =
+      if (off != 0) { addOffset(off); vtable(id) = offset }
+    def endTable(): Int = {
+      prep(4, 0); putIntRaw(0) // placeholder soffset to vtable
+      val vtableLoc = offset
+      var i = vtable.length - 1
+      while (i >= 0 && vtable(i) == 0) i -= 1
+      val trimmed = i + 1
+      while (i >= 0) {
+        prep(2, 0)
+        putShortRaw(if (vtable(i) != 0) (vtableLoc - vtable(i)).toShort else 0)
+        i -= 1
+      }
+      prep(2, 0); putShortRaw((vtableLoc - objectStart).toShort)
+      prep(2, 0); putShortRaw(((trimmed + 2) * 2).toShort)
+      // patch the placeholder: soffset = tableFilePos - vtableFilePos
+      val patchPos = buf.length - vtableLoc
+      val v = offset - vtableLoc
+      buf(patchPos) = v.toByte; buf(patchPos + 1) = (v >> 8).toByte
+      buf(patchPos + 2) = (v >> 16).toByte; buf(patchPos + 3) = (v >> 24).toByte
+      vtableLoc
+    }
+
+    /** finish with root table; returns the completed flatbuffer bytes. */
+    def finish(root: Int): Array[Byte] = {
+      prep(minalign, 4)
+      addOffset(root)
+      java.util.Arrays.copyOfRange(buf, space, buf.length)
+    }
+  }
+
+  // ── FGB encode (field ids match the reader's H/C/F/G constants) ────────
+
+  private def sparkToFgbType(dt: DataType): Int = dt match {
+    case ByteType => 0
+    case BooleanType => 2
+    case ShortType => 3
+    case IntegerType => 5
+    case LongType => 7
+    case FloatType => 9
+    case DoubleType => 10
+    case StringType => 11
+    case BinaryType => 14
+    case other => throw new IllegalArgumentException(
+      s"FlatGeobuf: unsupported property type $other (cast to string first)")
+  }
+
+  private def headerBytes(name: String, cols: Seq[(String, Int)], count: Long,
+                          env: Array[Double]): Array[Byte] = {
+    val b = new FBB()
+    val nameOff = b.createString(name)
+    val colOffs = cols.map { case (n, t) =>
+      val no = b.createString(n)
+      b.startTable(2)
+      b.slotOffset(0, no)     // Column.name
+      b.slotByte(1, t.toByte, 0) // Column.type
+      b.endTable()
+    }.toArray
+    val colsVec = if (colOffs.isEmpty) 0 else b.createOffsetVector(colOffs)
+    val envVec = if (env == null) 0 else b.createDoubleVector(env)
+    b.startTable(11)
+    b.slotOffset(0, nameOff)
+    b.slotOffset(1, envVec)
+    b.slotByte(2, 0, 0)          // geometry_type Unknown: per-feature tags rule
+    b.slotOffset(7, colsVec)
+    b.slotLong(8, count, 0)
+    b.slotShort(9, 0, 16, force = true) // index_node_size=0: no spatial index
+    b.finish(b.endTable())
+  }
+
+  private def geometryOffset(b: FBB, g: org.locationtech.jts.geom.Geometry): Int = {
+    def xyOf(cs: Array[Coordinate]): Array[Double] = {
+      val xy = new Array[Double](cs.length * 2)
+      var i = 0
+      while (i < cs.length) { xy(2 * i) = cs(i).x; xy(2 * i + 1) = cs(i).y; i += 1 }
+      xy
+    }
+    def simple(tpe: Int, xy: Array[Double], ends: Array[Int]): Int = {
+      val endsVec = if (ends == null) 0 else b.createUIntVector(ends)
+      val xyVec = b.createDoubleVector(xy)
+      b.startTable(8)
+      b.slotOffset(0, endsVec)
+      b.slotOffset(1, xyVec)
+      b.slotByte(6, tpe.toByte, 0)
+      b.endTable()
+    }
+    def polyParts(p: Polygon): (Array[Double], Array[Int]) = {
+      val rings = (p.getExteriorRing +: (0 until p.getNumInteriorRing).map(p.getInteriorRingN)).toArray
+      val xy = xyOf(rings.flatMap(_.getCoordinates))
+      val ends = rings.scanLeft(0)(_ + _.getNumPoints).tail
+      (xy, ends)
+    }
+    g match {
+      case p: Point => simple(1, xyOf(p.getCoordinates), null)
+      case l: LineString => simple(2, xyOf(l.getCoordinates), null)
+      case p: Polygon =>
+        val (xy, ends) = polyParts(p)
+        simple(3, xy, if (ends.length > 1) ends else null)
+      case m: MultiPoint => simple(4, xyOf(m.getCoordinates), null)
+      case m: MultiLineString =>
+        val lines = (0 until m.getNumGeometries).map(m.getGeometryN(_).asInstanceOf[LineString])
+        simple(5, xyOf(lines.toArray.flatMap(_.getCoordinates)),
+          lines.scanLeft(0)(_ + _.getNumPoints).tail.toArray)
+      case m: MultiPolygon =>
+        val parts = (0 until m.getNumGeometries).map { i =>
+          val (xy, ends) = polyParts(m.getGeometryN(i).asInstanceOf[Polygon])
+          simple(3, xy, if (ends.length > 1) ends else null)
+        }.toArray
+        val partsVec = b.createOffsetVector(parts)
+        b.startTable(8)
+        b.slotOffset(7, partsVec)
+        b.slotByte(6, 6, 0)
+        b.endTable()
+      case gc: GeometryCollection =>
+        val parts = (0 until gc.getNumGeometries).map(i => geometryOffset(b, gc.getGeometryN(i))).toArray
+        val partsVec = b.createOffsetVector(parts)
+        b.startTable(8)
+        b.slotOffset(7, partsVec)
+        b.slotByte(6, 7, 0)
+        b.endTable()
+    }
+  }
+
+  private def propertyBytes(row: Row, types: Array[Int]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64)
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >> 16) & 0xFFFF) }
+    def le64(v: Long): Unit = { le32(v.toInt); le32((v >> 32).toInt) }
+    var i = 0
+    while (i < types.length) {
+      if (!row.isNullAt(i)) {
+        le16(i)
+        types(i) match {
+          case 0 => out.write(row.getByte(i).toInt)
+          case 2 => out.write(if (row.getBoolean(i)) 1 else 0)
+          case 3 => le16(row.getShort(i).toInt)
+          case 5 => le32(row.getInt(i))
+          case 7 => le64(row.getLong(i))
+          case 9 => le32(java.lang.Float.floatToIntBits(row.getFloat(i)))
+          case 10 => le64(java.lang.Double.doubleToLongBits(row.getDouble(i)))
+          case 11 =>
+            val bs = row.getString(i).getBytes("UTF-8")
+            le32(bs.length); out.write(bs, 0, bs.length)
+          case 14 =>
+            val bs = row.getAs[Array[Byte]](i)
+            le32(bs.length); out.write(bs, 0, bs.length)
+        }
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  private def featureBytes(row: Row, types: Array[Int], geomIdx: Int): (Array[Byte], Envelope) = {
+    val b = new FBB()
+    val wkb = if (row.isNullAt(geomIdx)) null else row.getAs[Array[Byte]](geomIdx)
+    val geom = if (wkb == null) null else GeomOps.read(wkb)
+    val props = propertyBytes(row, types)
+    val propsVec = if (props.isEmpty) 0 else b.createByteVector(props)
+    val geomOff = if (geom == null || geom.isEmpty) 0 else geometryOffset(b, geom)
+    b.startTable(2)
+    b.slotOffset(0, geomOff)   // Feature.geometry
+    b.slotOffset(1, propsVec)  // Feature.properties
+    val fb = b.finish(b.endTable())
+    (fb, if (geom == null) null else geom.getEnvelopeInternal)
+  }
+
+  /** Write `df` as a directory of .fgb files, one per partition. The
+    * geometry column (WKB) becomes the FGB geometry; all other columns
+    * become typed FGB properties in schema order. */
+  def write(df: DataFrame, path: String, geometryCol: String = "geometry",
+            name: String = "graft"): Unit = {
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geometryCol)
+    require(geomIdx == schema.fields.length - 1,
+      s"geometry column must be last (got schema ${schema.simpleString}); select it last")
+    val propFields = schema.fields.dropRight(1)
+    val cols = propFields.map(f => (f.name, sparkToFgbType(f.dataType))).toSeq
+    val types = cols.map(_._2).toArray
+    val dir = new org.apache.hadoop.fs.Path(path)
+    dir.getFileSystem(df.sparkSession.sessionState.newHadoopConf()).mkdirs(dir)
+    df.rdd.foreachPartition { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val features = new ByteArrayOutputStream(1 << 20)
+      var count = 0L
+      val env = new Envelope()
+      rows.foreach { row =>
+        val (fb, e) = featureBytes(row, types, geomIdx)
+        val size = fb.length
+        features.write(size & 0xFF); features.write((size >> 8) & 0xFF)
+        features.write((size >> 16) & 0xFF); features.write((size >> 24) & 0xFF)
+        features.write(fb, 0, fb.length)
+        if (e != null) env.expandToInclude(e)
+        count += 1
+      }
+      val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.fgb"), true)
+      try {
+        out.write(Array[Byte]('f', 'g', 'b', 3, 'f', 'g', 'b', 0))
+        val hdr = headerBytes(name, cols,
+          count, if (env.isNull) null else Array(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY))
+        out.write(hdr.length & 0xFF); out.write((hdr.length >> 8) & 0xFF)
+        out.write((hdr.length >> 16) & 0xFF); out.write((hdr.length >> 24) & 0xFF)
+        out.write(hdr)
+        features.writeTo(out)
+      } finally out.close()
+    }
+  }
+}

@@ -69,4 +69,44 @@ class FlatGeobufSpec extends SparkTestBase {
     assert(df.count() >= 1)
     assert(df.select(call_function("st_area", col("geometry"))).head().getDouble(0) > 0)
   }
+
+  test("writer roundtrip: synthetic mixed types + typed properties") {
+    import graft.sources.FlatGeobufWriter
+    val out = java.nio.file.Files.createTempDirectory("fgbw").toString
+    val df = spark.sql("""
+      SELECT CAST(id AS INT) AS id, CONCAT('row-', id) AS label,
+             CAST(id * 1.5 AS DOUBLE) AS score, id % 2 = 0 AS flag,
+             ST_GeomFromText(CASE CAST(id % 4 AS INT)
+               WHEN 0 THEN CONCAT('POINT (', id, ' 2)')
+               WHEN 1 THEN 'LINESTRING (0 0, 3 4)'
+               WHEN 2 THEN 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))'
+               ELSE 'MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))'
+             END) AS geometry
+      FROM range(40)""").repartition(3)
+    FlatGeobufWriter.write(df, out)
+    val back = FlatGeobuf.read(spark, out)
+    assert(back.columns.toSeq == Seq("id", "label", "score", "flag", "geometry"))
+    assert(back.count() == 40)
+    // typed properties survive
+    val r7 = back.where("id = 7").head()
+    assert(r7.getAs[String]("label") == "row-7" && r7.getAs[Double]("score") == 10.5
+      && !r7.getAs[Boolean]("flag"))
+    // geometry fidelity: every row's WKT matches the source exactly
+    val src = df.selectExpr("id", "ST_AsText(geometry) AS w")
+    val dst = back.selectExpr("id", "ST_AsText(geometry) AS w")
+    assert(src.except(dst).isEmpty && dst.except(src).isEmpty)
+  }
+
+  test("writer roundtrip: countries.fgb through write → read preserves all geometry") {
+    import graft.sources.FlatGeobufWriter
+    val out = java.nio.file.Files.createTempDirectory("fgbw2").toString
+    val df = FlatGeobuf.read(spark, s"$fixtures/countries.fgb")
+    FlatGeobufWriter.write(df.repartition(4), out)
+    val back = FlatGeobuf.read(spark, out)
+    assert(back.count() == 179)
+    // areas and names survive the full circle
+    val a = df.selectExpr("name", "ROUND(ST_Area(geometry), 9) AS area")
+    val b = back.selectExpr("name", "ROUND(ST_Area(geometry), 9) AS area")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
 }
