@@ -72,4 +72,17 @@ class GeoIOSpec extends SparkTestBase {
     }
     assert(ex != null)
   }
+
+  // the JDBC connection itself needs a live server; the PostGIS-specific
+  // logic — hex-EWKB wire format → WKB column — is what's testable here
+  test("PostGis.decodeGeometryColumns: hex EWKB (with SRID flag) → WKB") {
+    import graft.sources.PostGis
+    // hex of EWKB POINT(1 2) with SRID=4326: 01 01000020 E6100000 x y
+    val hex = "0101000020E6100000000000000000F03F0000000000000040"
+    val df = spark.sql(s"SELECT 7 AS id, '$hex' AS geom")
+    val out = PostGis.decodeGeometryColumns(df, Seq("geom", "geometry"))
+    val r = out.selectExpr("id", "ST_X(geom)", "ST_Y(geom)", "ST_SRID(geom)").head()
+    assert(r.getInt(0) == 7 && r.getDouble(1) == 1.0 && r.getDouble(2) == 2.0)
+    assert(r.getInt(3) == 4326) // SRID carried through the EWKB flag
+  }
 }

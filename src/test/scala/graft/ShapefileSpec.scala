@@ -1,0 +1,138 @@
+package graft
+
+import java.io.{DataOutputStream, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.sources.Shapefile
+
+/** Reader spec over a hand-built .shp/.dbf pair (the ESRI whitepaper layout,
+  * byte-for-byte) — no shapefile fixtures ship with the reference, so the
+  * fixture is constructed here from the public spec. */
+class ShapefileSpec extends SparkTestBase {
+
+  // ── fixture builders ────────────────────────────────────────────────────
+
+  private def le(n: Int): ByteBuffer =
+    ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+
+  private def pointShape(x: Double, y: Double): Array[Byte] =
+    le(20).putInt(1).putDouble(x).putDouble(y).array()
+
+  private def polyShape(shapeType: Int, parts: Seq[Seq[(Double, Double)]]): Array[Byte] = {
+    val pts = parts.flatten
+    val bb = le(4 + 32 + 8 + 4 * parts.length + 16 * pts.length)
+    bb.putInt(shapeType)
+    val xs = pts.map(_._1); val ys = pts.map(_._2)
+    bb.putDouble(xs.min).putDouble(ys.min).putDouble(xs.max).putDouble(ys.max)
+    bb.putInt(parts.length).putInt(pts.length)
+    parts.scanLeft(0)(_ + _.length).dropRight(1).foreach(bb.putInt)
+    pts.foreach { case (x, y) => bb.putDouble(x).putDouble(y) }
+    bb.array()
+  }
+
+  private def writeShp(path: String, shapes: Seq[Array[Byte]]): Unit = {
+    val total = 100 + shapes.map(8 + _.length).sum
+    val out = new DataOutputStream(new FileOutputStream(path))
+    try {
+      val hdr = ByteBuffer.allocate(100).order(ByteOrder.BIG_ENDIAN)
+      hdr.putInt(9994); hdr.position(24); hdr.putInt(total / 2)
+      hdr.order(ByteOrder.LITTLE_ENDIAN)
+      hdr.putInt(28, 1000) // version
+      hdr.putInt(32, shapes.headOption.map(s => le(4).put(s.take(4)).getInt(0)).getOrElse(0))
+      out.write(hdr.array())
+      shapes.zipWithIndex.foreach { case (s, i) =>
+        out.writeInt(i + 1)      // record number, BE
+        out.writeInt(s.length / 2) // content length in words, BE
+        out.write(s)
+      }
+    } finally out.close()
+  }
+
+  private def writeDbf(path: String, fields: Seq[(String, Char, Int, Int)],
+                       records: Seq[Seq[String]]): Unit = {
+    val headerSize = 32 + 32 * fields.length + 1
+    val recordSize = 1 + fields.map(_._3).sum
+    val bb = le(headerSize + recordSize * records.length + 1)
+    bb.put(0x03.toByte); bb.put(Array[Byte](126, 1, 1))
+    bb.putInt(records.length)
+    bb.putShort(headerSize.toShort); bb.putShort(recordSize.toShort)
+    bb.position(32)
+    fields.foreach { case (name, typ, len, dec) =>
+      val start = bb.position()
+      bb.put(name.getBytes("ASCII").take(10))
+      bb.position(start + 11); bb.put(typ.toByte)
+      bb.position(start + 16); bb.put(len.toByte); bb.put(dec.toByte)
+      bb.position(start + 32)
+    }
+    bb.put(0x0D.toByte)
+    records.foreach { rec =>
+      bb.put(' '.toByte)
+      rec.zip(fields).foreach { case (v, (_, typ, len, _)) =>
+        val padded = if (typ == 'N' || typ == 'F') v.reverse.padTo(len, ' ').reverse
+                     else v.padTo(len, ' ')
+        bb.put(padded.take(len).getBytes("ASCII"))
+      }
+    }
+    bb.put(0x1A.toByte)
+    val out = new FileOutputStream(path)
+    try out.write(bb.array()) finally out.close()
+  }
+
+  // ── tests ───────────────────────────────────────────────────────────────
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("shp").toString
+    writeShp(s"$d/pts.shp", Seq(
+      pointShape(1.5, 2.5), pointShape(-3.0, 4.0), pointShape(10.0, 20.0)))
+    writeDbf(s"$d/pts.dbf",
+      Seq(("NAME", 'C', 10, 0), ("VAL", 'N', 8, 0), ("SCORE", 'N', 12, 3)),
+      Seq(Seq("alpha", "7", "1.250"), Seq("beta", "-2", "0.500"), Seq("gamma", "40", "9.875")))
+    val shell = Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0)) // CW
+    val hole = Seq((2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0))      // CCW
+    writeShp(s"$d/poly.shp", Seq(polyShape(5, Seq(shell, hole))))
+    writeDbf(s"$d/poly.dbf", Seq(("ID", 'N', 4, 0)), Seq(Seq("1")))
+    writeShp(s"$d/lines.shp", Seq(
+      polyShape(3, Seq(Seq((0.0, 0.0), (3.0, 4.0)), Seq((10.0, 0.0), (10.0, 5.0), (12.0, 5.0))))))
+    writeDbf(s"$d/lines.dbf", Seq(("ID", 'N', 4, 0)), Seq(Seq("9")))
+    d
+  }
+
+  test("points + typed dbf properties") {
+    val df = Shapefile.read(spark, s"$dir/pts.shp")
+    assert(df.columns.toSeq == Seq("NAME", "VAL", "SCORE", "geometry"))
+    assert(df.schema("VAL").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(df.schema("SCORE").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(df.count() == 3)
+    val r = df.where("NAME = 'beta'").selectExpr("VAL", "SCORE", "ST_X(geometry)", "ST_Y(geometry)").head()
+    assert(r.getInt(0) == -2 && r.getDouble(1) == 0.5 && r.getDouble(2) == -3.0 && r.getDouble(3) == 4.0)
+  }
+
+  test("polygon with hole: ring assembly by orientation") {
+    val df = Shapefile.read(spark, s"$dir/poly.shp")
+    val r = df.selectExpr("ID", "ST_GeometryType(geometry)", "ST_Area(geometry)",
+      "ST_NumInteriorRings(geometry)").head()
+    assert(r.getInt(0) == 1)
+    assert(r.getString(1) == "ST_Polygon")
+    assert(r.getDouble(2) == 96.0) // 100 - 4 hole
+    assert(r.getInt(3) == 1)
+  }
+
+  test("multi-part polyline") {
+    val df = Shapefile.read(spark, s"$dir/lines.shp")
+    val r = df.selectExpr("ST_GeometryType(geometry)", "ST_Length(geometry)", "ST_NPoints(geometry)").head()
+    assert(r.getString(0) == "ST_MultiLineString")
+    assert(r.getDouble(1) == 12.0) // 5 + (5 + 2)
+    assert(r.getInt(2) == 5)
+  }
+
+  test("directory read unions all .shp files' rows (same schema)") {
+    val d2 = java.nio.file.Files.createTempDirectory("shp2").toString
+    writeShp(s"$d2/a.shp", Seq(pointShape(1, 1)))
+    writeDbf(s"$d2/a.dbf", Seq(("ID", 'N', 4, 0)), Seq(Seq("1")))
+    writeShp(s"$d2/b.shp", Seq(pointShape(2, 2), pointShape(3, 3)))
+    writeDbf(s"$d2/b.dbf", Seq(("ID", 'N', 4, 0)), Seq(Seq("2"), Seq("3")))
+    val df = Shapefile.read(spark, d2)
+    assert(df.count() == 3)
+    assert(df.selectExpr("SUM(ID)").head().getLong(0) == 6)
+  }
+}
