@@ -78,17 +78,20 @@ object GeomOps {
 
   // measure presence lives on the coordinate sequence (JTS tracks
   // dimension/measures per sequence, mirroring the reference's XYM/XYZM
-  // variants); probe the first sequence only
+  // variants); probe the first sequence only — this runs on every write(),
+  // so it's an allocation-free type match, not a CoordinateSequenceFilter
+  private def firstSeq(g: Geometry): CoordinateSequence = g match {
+    case p: Point => p.getCoordinateSequence
+    case l: LineString => l.getCoordinateSequence
+    case p: Polygon => p.getExteriorRing.getCoordinateSequence
+    case gc: GeometryCollection if gc.getNumGeometries > 0 => firstSeq(gc.getGeometryN(0))
+    case _ => null
+  }
+
   private def hasM(g: Geometry): Boolean = {
     if (g.isEmpty) return false
-    var m = false
-    var seen = false
-    g.apply(new org.locationtech.jts.geom.CoordinateSequenceFilter {
-      override def filter(seq: CoordinateSequence, i: Int): Unit = { m = seq.hasM; seen = true }
-      override def isDone: Boolean = seen
-      override def isGeometryChanged: Boolean = false
-    })
-    m
+    val s = firstSeq(g)
+    s != null && s.hasM
   }
 
   // ── constructors ──────────────────────────────────────────────────────
@@ -436,6 +439,46 @@ object GeomOps {
 
   def asGeoJson(b: Array[Byte]): UTF8String = UTF8String.fromString(GeoJson.encode(read(b)))
   def geomFromGeoJson(s: UTF8String): Array[Byte] = write(GeoJson.parse(s.toString))
+
+  /** SVG path data (PostGIS ST_AsSVG conventions: y negated for the y-down
+    * SVG space; points as cx/cy attributes, lines/rings as M/L/Z path
+    * commands). The display half of the reference's `_repr_svg_`
+    * (python/geoarrow-core/.../_scalar.pyi) — the wrapping <svg> element is
+    * presentation, the path data is the geometry. */
+  def asSvg(b: Array[Byte]): UTF8String = {
+    val sb = new java.lang.StringBuilder(64)
+    def num(d: Double): String =
+      if (d == math.rint(d) && !d.isInfinite) d.toLong.toString else d.toString
+    def ring(cs: Array[Coordinate], close: Boolean): Unit = {
+      var i = 0
+      while (i < cs.length) {
+        sb.append(if (i == 0) "M " else " L ").append(num(cs(i).x)).append(' ').append(num(-cs(i).y))
+        i += 1
+      }
+      if (close) sb.append(" Z")
+    }
+    def enc(g: Geometry): Unit = g match {
+      case p: Point =>
+        if (!p.isEmpty)
+          sb.append("cx=\"").append(num(p.getX)).append("\" cy=\"").append(num(-p.getY)).append('"')
+      case l: LineString => ring(l.getCoordinates, close = false)
+      case p: Polygon =>
+        ring(p.getExteriorRing.getCoordinates.dropRight(1), close = true)
+        var i = 0
+        while (i < p.getNumInteriorRing) {
+          sb.append(' '); ring(p.getInteriorRingN(i).getCoordinates.dropRight(1), close = true)
+          i += 1
+        }
+      case gc: Geometry =>
+        var i = 0
+        while (i < gc.getNumGeometries) {
+          if (i > 0) sb.append(' ')
+          enc(gc.getGeometryN(i)); i += 1
+        }
+    }
+    enc(read(b))
+    UTF8String.fromString(sb.toString)
+  }
 
   def geometryN(b: Array[Byte], n: Int): Array[Byte] = write(read(b).getGeometryN(n))
   def pointN(b: Array[Byte], n: Int): Array[Byte] = read(b) match {

@@ -57,6 +57,7 @@ object GeoFunctions {
     "st_astext" -> Sig("asText", S, Seq(G)),
     "st_geomfromwkb" -> Sig("geomFromWKB", G, Seq(G)),
     "st_asbinary" -> Sig("asBinary", G, Seq(G)),
+    "st_assvg" -> Sig("asSvg", S, Seq(G)),
     // accessors
     "st_x" -> Sig("stX", D, Seq(G)),
     "st_y" -> Sig("stY", D, Seq(G)),
@@ -185,6 +186,19 @@ object GeoFunctions {
     }
     GeoAggregates.register(spark)
   }
+
+  /** Locate geometry column(s) in a schema — the reference's `geometry_col`
+    * (python geoarrow `_operations`; legacy `Table::geometry_column`,
+    * rust/geoarrow-old/benches/nybb.rs:18). There the marker is the Arrow
+    * extension metadata; here geometry is type-erased WKB, so the markers
+    * are (a) field metadata `geoparquet.encoding` stamped by the geoparquet
+    * reader, (b) the conventional `geometry`/`geom` name on a binary column. */
+  def geometryColumns(schema: StructType): Seq[String] =
+    schema.fields.collect {
+      case f if f.dataType == BinaryType &&
+        (f.metadata.contains("geoparquet.encoding") ||
+         f.name.equalsIgnoreCase("geometry") || f.name.equalsIgnoreCase("geom")) => f.name
+    }.toSeq
 
   // ── typed Scala wrappers (require register(spark) on the active session) ──
 

@@ -164,6 +164,20 @@ class GeoFunctionsSpec extends SparkTestBase {
     assert(one("ST_M(ST_PointN(ST_GeomFromText('LINESTRING M (0 0 1, 5 0 9)'), 1))") == 9.0)
   }
 
+  test("geometryColumns locates geometry by metadata or convention") {
+    import graft.functions.GeoFunctions
+    val df = sql("SELECT 1 AS id, ST_Point(1,2) AS geometry, ST_Point(3,4) AS other")
+    assert(GeoFunctions.geometryColumns(df.schema) == Seq("geometry"))
+  }
+
+  test("ST_AsSVG: PostGIS path-data conventions (y negated)") {
+    assert(one("ST_AsSVG(ST_Point(1, 2))") == "cx=\"1\" cy=\"-2\"")
+    assert(one("ST_AsSVG(ST_GeomFromText('LINESTRING (0 0, 3 4)'))") == "M 0 0 L 3 -4")
+    assert(one("ST_AsSVG(ST_MakeEnvelope(0, 0, 2, 2))") == "M 0 0 L 2 0 L 2 -2 L 0 -2 Z")
+    assert(one("ST_AsSVG(ST_GeomFromText('MULTIPOINT ((1 1), (2 2))'))") ==
+      "cx=\"1\" cy=\"-1\" cx=\"2\" cy=\"-2\"")
+  }
+
   test("spheroid measures: Andoyer distance vs haversine sanity") {
     // 1 degree of longitude at the equator: a = 6378137 m on the ellipsoid
     val d = one("ST_DistanceSpheroid(ST_Point(0, 0), ST_Point(1, 0))").asInstanceOf[Double]
