@@ -1200,6 +1200,39 @@ object SparkEntry {
 
   // ── embedding similarity search ───────────────────────────────────────
 
+  /** Embedding-cosine near-dup dedup: LSH-bucketed candidate join, cosine
+    * threshold, keep-min-id canonical, removal accounting. The corpus has no
+    * natural near-dups (max pairwise cosine < 0.7), so duplicates are
+    * planted deterministically (every third vector re-appears under
+    * vec_id+1000) — identical embeddings make the threshold decision
+    * FP-exact while the natural pairs stay far below it, so the oracle is
+    * closed-form. Scale path: the bucket equi-join shuffles on the LSH key
+    * (no cross join); e01 separately value-checks the cosine math. */
+  private val t08Spark = """
+    WITH base AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e, label
+                  FROM embeddings),
+    v AS (SELECT vec_id, e, label, sqrt(graft_dot(e, e)) AS nrm, graft_bucket8(e) AS bucket
+          FROM (SELECT * FROM base
+                UNION ALL
+                SELECT vec_id + 1000 AS vec_id, e, label FROM base WHERE vec_id % 3 = 0)),
+    pairs AS (SELECT b.vec_id AS dup_id, b.label AS label
+              FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              WHERE graft_dot(a.e, b.e) / (a.nrm * b.nrm) >= 0.9999),
+    removed AS (SELECT dup_id, label FROM pairs GROUP BY dup_id, label),
+    totals AS (SELECT label, COUNT(*) AS n_total FROM v GROUP BY label)
+    SELECT t.label, t.n_total,
+           COUNT(r.dup_id) AS n_removed,
+           COALESCE(SUM(r.dup_id), 0) AS sum_removed
+    FROM totals t LEFT JOIN removed r ON r.label = t.label
+    GROUP BY t.label, t.n_total ORDER BY t.label"""
+
+  private val t08Duck = """
+    SELECT label,
+           (COUNT(*) + SUM(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END))::BIGINT AS n_total,
+           SUM(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+           SUM(CASE WHEN vec_id % 3 = 0 THEN vec_id + 1000 ELSE 0 END)::BIGINT AS sum_removed
+    FROM embeddings GROUP BY label ORDER BY label"""
+
   private val e01Spark = """
     WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e,
                       sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
@@ -1367,6 +1400,7 @@ object SparkEntry {
     ("t05_langid", q(t05Spark), t05Duck),
     ("t06_simhash_hamming", q(t06Spark), t06Duck),
     ("t07_minhash_lsh", t07Fn _, t07Duck),
+    ("t08_embed_neardup", q(t08Spark), t08Duck),
     ("e01_cosine_topk", q(e01Spark), e01Duck),
     ("e02_ann_bucket", q(e02Spark), e02Duck),
     ("e03_bucket_histogram", q(e03Spark), e03Duck),
