@@ -371,8 +371,8 @@ object SparkEntry {
 
   private val g10Spark = """
     SELECT c_nationkey,
-           MIN(ST_X(m)) AS min_merc_x,
-           ROUND(MIN(ST_Y(m)), 4) AS merc_y,
+           ROUND(MIN(ST_X(m)), 3) AS min_merc_x,
+           ROUND(MIN(ST_Y(m)), 3) AS merc_y,
            COUNT(*) AS n
     FROM (SELECT c_nationkey,
                  ST_Transform(ST_Point(CAST(c_custkey % 360 - 180 AS DOUBLE),
@@ -383,8 +383,8 @@ object SparkEntry {
 
   private val g10Duck = """
     SELECT c_nationkey,
-           MIN(CAST(c_custkey % 360 - 180 AS DOUBLE) / 180.0 * (pi() * 6378137.0)) AS min_merc_x,
-           ROUND(MIN(ln(tan((90.0 + CAST(c_nationkey - 12 AS DOUBLE)) * pi() / 360.0)) * 6378137.0), 4) AS merc_y,
+           ROUND(MIN(CAST(c_custkey % 360 - 180 AS DOUBLE) / 180.0 * (pi() * 6378137.0)), 3) AS min_merc_x,
+           ROUND(MIN(ln(tan((90.0 + CAST(c_nationkey - 12 AS DOUBLE)) * pi() / 360.0)) * 6378137.0), 3) AS merc_y,
            COUNT(*)::BIGINT AS n
     FROM customer
     GROUP BY c_nationkey ORDER BY c_nationkey"""
@@ -979,6 +979,7 @@ object SparkEntry {
     * Geometry. Runs the distributed collect_set pass twice. */
   private def g32Fn(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    views(s, dir) // registers ST_* functions; keeps the query order-independent
     val nation = s.read.parquet(s"$dir/nation.parquet")
     val sameFamily = nation.selectExpr(
       """ST_GeomFromText(CASE WHEN n_nationkey % 2 = 0 THEN 'POINT (1 2)'

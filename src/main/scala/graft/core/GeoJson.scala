@@ -26,7 +26,11 @@ object GeoJson {
   }
 
   private def num(d: Double): String =
-    if (d == math.rint(d) && !d.isInfinite) d.toLong.toString else d.toString
+    if (d.isNaN || d.isInfinite)
+      throw new IllegalArgumentException(s"non-finite ordinate not representable in GeoJSON: $d")
+    // integral-double fast path only where Long holds the value exactly
+    else if (d == math.rint(d) && math.abs(d) < 9.007199254740992E15) d.toLong.toString
+    else d.toString
 
   private def coord(c: Coordinate, sb: java.lang.StringBuilder): Unit = {
     sb.append('[').append(num(c.x)).append(',').append(num(c.y))

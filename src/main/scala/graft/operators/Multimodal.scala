@@ -27,13 +27,14 @@ object Multimodal {
   // ── decode (STUB) ─────────────────────────────────────────────────────
 
   /** STUB decoder. Deterministic fake: width = 1 + payload[0] % 16,
-    * height = 1 + payload[1] % 16, 1 channel, pixels = payload bytes cycled
+    * height = 1 + payload[1] % 16 (byte 0 again for 1-byte payloads),
+    * 1 channel, pixels = payload bytes cycled
     * to width*height. A real implementation would hand `payload` to an image
     * codec and return its raster — same signature, same plumbing. */
   def decodeImageStub(payload: Array[Byte]): DecodedImage = {
     require(payload.nonEmpty, "empty media payload")
     val w = 1 + (payload(0) & 0xFF) % 16
-    val h = 1 + (payload(1) & 0xFF) % 16
+    val h = 1 + (payload(math.min(1, payload.length - 1)) & 0xFF) % 16
     val px = new Array[Byte](w * h)
     var i = 0
     while (i < px.length) { px(i) = payload(i % payload.length); i += 1 }

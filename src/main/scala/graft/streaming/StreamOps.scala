@@ -64,7 +64,8 @@ object StreamOps {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
+                  // min(start, t): a late-but-in-gap event may extend the session backwards
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1, s.total + e.value))
                 case Some(s) => // gap exceeded → close, start fresh
                   closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
