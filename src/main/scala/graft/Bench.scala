@@ -28,7 +28,11 @@ object Bench {
     // warmup: JVM + codegen + parquet footer caches
     run(SparkEntry.entry(spark))
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional arg: comma-separated query-name filter (local iteration only)
+    val only: Set[String] = args.headOption.map(_.split(",").toSet).getOrElse(Set.empty)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }

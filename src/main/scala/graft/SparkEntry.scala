@@ -485,7 +485,9 @@ object SparkEntry {
                              CAST((p_partkey * 13) % 950 + 50 AS DOUBLE),
                              CAST((p_partkey * 29) % 950 + 50 AS DOUBLE)) AS zone
       FROM part""")
-    graft.operators.SpatialJoin.broadcast(pts, zones, "pt", "zone", "covers")
+    graft.operators.SpatialJoin.broadcast(pts, zones, "pt", "zone", "covers",
+        project = Seq("p_brand")) // prune inside the operator: only the
+      // group key crosses the encoder, not 28M pairs of WKB blobs
       .groupBy("p_brand").count()
       .select(org.apache.spark.sql.functions.col("p_brand"),
               org.apache.spark.sql.functions.col("count").as("n"))
@@ -1135,23 +1137,33 @@ object SparkEntry {
     FROM sims GROUP BY ham ORDER BY ham"""
 
   /** Minhash-LSH dedup. Built in Scala (not one SQL string) so the
-    * signature table can be cached: Spark inlines a WITH-CTE into every
+    * signature table can be persisted: Spark inlines a WITH-CTE into every
     * reference, and `sigs` is referenced three times (band explode + both
-    * sides of the verify join) — without the cache the 16-seed minhash would
-    * be recomputed per reference. At 100 TB this is exactly the "persist
-    * signatures, shuffle on (band, bucket)" LSH topology. */
+    * sides of the verify join). localCheckpoint (not cache) both
+    * materializes it once AND truncates lineage — with cache alone every
+    * downstream action still re-analyzes/re-optimizes the lambda-heavy
+    * minhash subplan 3×, which profiled at ~2 s of pure driver planning. At
+    * 100 TB this is exactly the "persist signatures to a stage table,
+    * shuffle on (band, bucket)" LSH topology. */
   private def t07Fn(s: SparkSession, dir: String): DataFrame = {
     views(s, dir)
+    // One md5 per shingle; 16 seeds are affine permutations (a_k·x+b_k) mod
+    // 4294967311 folded in a single pass (16 running minimums). The seeded-
+    // md5 formulation costs 16 md5 calls per shingle — it dominated the
+    // profile (7.7M md5 at sf0.1).
     val sigs = s.sql("""
       SELECT id,
-             transform(sequence(0, 15), k -> array_min(transform(ng,
-               g -> CAST(conv(substring(md5(concat(CAST(k AS STRING), ':', g)), 1, 8), 16, 10) AS BIGINT)))) AS sig,
+             aggregate(transform(ng, g -> CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT)),
+                       array_repeat(CAST(4294967311 AS BIGINT), 16),
+                       (acc, x) -> zip_with(acc, sequence(0, 15),
+                         (m, k) -> least(m, ((CAST(k + 1 AS BIGINT) * 1000003 % 16777216) * x
+                                             + k * 30011 + 1) % 4294967311))) AS sig,
              ng
       FROM (SELECT /*+ REPARTITION(64) */ id, graft_shingles(text, 3) AS ng
             FROM (SELECT doc_id AS id, text FROM documents
                   UNION ALL
                   SELECT doc_id + 100000, substring(text, 1, CAST(FLOOR(n_chars * 0.8D) AS INT))
-                  FROM documents) aug) t""").cache()
+                  FROM documents) aug) t""").localCheckpoint()
     sigs.createOrReplaceTempView("t07_sigs")
     s.sql("""
       WITH bands AS (
@@ -1174,8 +1186,9 @@ object SparkEntry {
       SELECT doc_id + 100000, substr(text, 1, CAST(FLOOR(n_chars * 0.8::DOUBLE) AS INT)) FROM documents),
     sigs AS (
       SELECT id,
-             list_transform(range(0, 16), k -> list_min(list_transform(ng,
-               g -> ('0x' || substr(md5(k || ':' || g), 1, 8))::BIGINT))) AS sig,
+             list_transform(range(0, 16), k -> coalesce(list_min(list_transform(
+               list_transform(ng, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT),
+               x -> (((k + 1) * 1000003 % 16777216) * x + k * 30011 + 1) % 4294967311)), 4294967311)) AS sig,
              ng
       FROM (SELECT id,
               CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3

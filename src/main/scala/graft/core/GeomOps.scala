@@ -316,31 +316,65 @@ object GeomOps {
   // ── overlays ──────────────────────────────────────────────────────────
   // ref: rust/geoarrow-old/src/algorithm/geos/bool_ops.rs:24-27
 
-  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = write(read(a).union(read(b)))
+  // Thread-local overlay memo: tile/zone analytics evaluate the same operand
+  // pair millions of times (a few hundred distinct shapes repeated per row),
+  // and one OverlayNG call costs ~50-500 µs vs ~0.1 µs for the byte-level
+  // probe. LRU-bounded; per-thread so no synchronization on the hot path.
+  // Cached arrays are safe to share: callers never mutate WKB (Spark copies
+  // into UnsafeRow buffers).
+  private final class OverlayKey(val op: Int, val a: Array[Byte], val b: Array[Byte]) {
+    override val hashCode: Int =
+      (op * 31 + java.util.Arrays.hashCode(a)) * 31 + java.util.Arrays.hashCode(b)
+    override def equals(o: Any): Boolean = o match {
+      case k: OverlayKey =>
+        k.op == op && java.util.Arrays.equals(k.a, a) && java.util.Arrays.equals(k.b, b)
+      case _ => false
+    }
+  }
+  private val overlayCache =
+    ThreadLocal.withInitial[java.util.LinkedHashMap[OverlayKey, Array[Byte]]](() =>
+      new java.util.LinkedHashMap[OverlayKey, Array[Byte]](256, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[OverlayKey, Array[Byte]]): Boolean =
+          size() > 1024
+      })
+  private def memo(op: Int, a: Array[Byte], b: Array[Byte])(f: => Array[Byte]): Array[Byte] = {
+    val cache = overlayCache.get()
+    val k = new OverlayKey(op, a, b)
+    val hit = cache.get(k)
+    if (hit != null) hit
+    else { val r = f; cache.put(k, r); r }
+  }
+
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    memo(1, a, b) { write(read(a).union(read(b))) }
   /** Rectangle×rectangle fast path: OverlayNG's robust noding costs ~0.5 ms
     * even for two axis-aligned boxes — the dominant geometry in bbox-style
     * analytics. Envelope clipping is exact for that case (including the
     * degenerate edge/corner/empty results JTS would produce). */
-  def intersection(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+  def intersection(a: Array[Byte], b: Array[Byte]): Array[Byte] = memo(2, a, b) {
     val (ga, gb) = (read(a), read(b))
     if (ga.isRectangle && gb.isRectangle) {
       val ea = ga.getEnvelopeInternal
       val eb = gb.getEnvelopeInternal
-      if (!ea.intersects(eb)) return write(factory.createPolygon())
-      val (x0, x1) = (math.max(ea.getMinX, eb.getMinX), math.min(ea.getMaxX, eb.getMaxX))
-      val (y0, y1) = (math.max(ea.getMinY, eb.getMinY), math.min(ea.getMaxY, eb.getMaxY))
-      val g =
-        if (x0 == x1 && y0 == y1) factory.createPoint(new Coordinate(x0, y0))
-        else if (x0 == x1 || y0 == y1)
-          factory.createLineString(Array(new Coordinate(x0, y0), new Coordinate(x1, y1)))
-        else factory.createPolygon(Array(
-          new Coordinate(x0, y0), new Coordinate(x1, y0),
-          new Coordinate(x1, y1), new Coordinate(x0, y1), new Coordinate(x0, y0)))
-      write(g)
+      if (!ea.intersects(eb)) write(factory.createPolygon())
+      else {
+        val (x0, x1) = (math.max(ea.getMinX, eb.getMinX), math.min(ea.getMaxX, eb.getMaxX))
+        val (y0, y1) = (math.max(ea.getMinY, eb.getMinY), math.min(ea.getMaxY, eb.getMaxY))
+        val g =
+          if (x0 == x1 && y0 == y1) factory.createPoint(new Coordinate(x0, y0))
+          else if (x0 == x1 || y0 == y1)
+            factory.createLineString(Array(new Coordinate(x0, y0), new Coordinate(x1, y1)))
+          else factory.createPolygon(Array(
+            new Coordinate(x0, y0), new Coordinate(x1, y0),
+            new Coordinate(x1, y1), new Coordinate(x0, y1), new Coordinate(x0, y0)))
+        write(g)
+      }
     } else write(ga.intersection(gb))
   }
-  def difference(a: Array[Byte], b: Array[Byte]): Array[Byte] = write(read(a).difference(read(b)))
-  def symDifference(a: Array[Byte], b: Array[Byte]): Array[Byte] = write(read(a).symDifference(read(b)))
+  def difference(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    memo(3, a, b) { write(read(a).difference(read(b))) }
+  def symDifference(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    memo(4, a, b) { write(read(a).symDifference(read(b))) }
   def unaryUnion(b: Array[Byte]): Array[Byte] = write(read(b).union())
 
   // ── linear referencing ────────────────────────────────────────────────

@@ -48,8 +48,14 @@ object GeoAggregates {
       * UnaryUnionOp see batches big enough for its cascaded strategy. */
     final val FanIn = 32
     def zero: Seq[Array[Byte]] = Vector.empty
+    // Dedupe on entry, not just inside the collapse: tile/grid workloads
+    // repeat a few distinct shapes per group, and skipping them here keeps
+    // the buffer below FanIn — one JTS union per partition-group instead of
+    // one per FanIn rows. The linear scan is ≤ FanIn short-circuiting
+    // byte-compares, noise next to a single overlay op.
     def reduce(buf: Seq[Array[Byte]], wkb: Array[Byte]): Seq[Array[Byte]] =
-      if (wkb == null) buf else collapse(buf :+ wkb)
+      if (wkb == null || buf.exists(java.util.Arrays.equals(_, wkb))) buf
+      else collapse(buf :+ wkb)
     def merge(a: Seq[Array[Byte]], b: Seq[Array[Byte]]): Seq[Array[Byte]] =
       collapse(a ++ b)
     def finish(buf: Seq[Array[Byte]]): Array[Byte] =

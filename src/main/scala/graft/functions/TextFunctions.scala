@@ -1,6 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types._
 
 /** Text-analysis / dedup / vector primitives for large-scale training-data
   * pipelines, defined as Spark SQL UDF macros (CREATE TEMPORARY FUNCTION …
@@ -53,14 +56,24 @@ object TextFunctions {
        RETURN CASE WHEN size(array_union(a, b)) = 0 THEN 0.0D
          ELSE size(array_intersect(a, b)) / size(array_union(a, b)) END""",
 
-    // minhash signature: h seeded min-hashes over n-char shingles.
-    // NOTE: the hash is inlined rather than calling graft_hash — a SQL UDF
+    // minhash signature: h min-hashes over n-char shingles via ONE md5 per
+    // shingle + per-seed affine permutations (a_k·x + b_k) mod P — the
+    // universal-hashing family. P = 4294967311 (first prime > 2^32);
+    // a_k < 2^24 keeps a_k·x < 2^56, so 64-bit arithmetic is exact and the
+    // DuckDB oracle reproduces it bit-for-bit. The seeded-md5 formulation
+    // costs h md5 calls per shingle — 16× the hashing on the hot path.
+    // NOTE: hashes are inlined rather than calling graft_hash — a SQL UDF
     // call whose argument references an enclosing lambda variable fails
     // resolution (the macro expansion drops the lambda binding).
+    // Single pass: fold the once-hashed shingle array, keeping h running
+    // minimums (init = P, an upper bound for any (a·x+b) mod P).
     """CREATE OR REPLACE TEMPORARY FUNCTION graft_minhash(s STRING, n INT, h INT) RETURNS ARRAY<BIGINT>
-       RETURN transform(sequence(0, h - 1),
-         k -> array_min(transform(graft_ngrams(s, n),
-                g -> CAST(conv(substring(md5(concat(CAST(k AS STRING), ':', g)), 1, 8), 16, 10) AS BIGINT))))""",
+       RETURN aggregate(
+         transform(graft_ngrams(s, n),
+           g -> CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT)),
+         array_repeat(CAST(4294967311 AS BIGINT), h),
+         (acc, x) -> zip_with(acc, sequence(0, h - 1),
+           (m, k) -> least(m, ((CAST(k + 1 AS BIGINT) * 1000003 % 16777216) * x + k * 30011 + 1) % 4294967311)))""",
 
     // 32-bit simhash over whitespace tokens — single pass: one md5 per
     // token, folding a 32-counter array (the naive per-bit formulation
@@ -97,24 +110,28 @@ object TextFunctions {
        RETURN aggregate(slice(graft_tokens(s), 1, 64), CAST(7 AS BIGINT),
          (acc, t) -> (acc * 31 + CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)) % 1000000007)""",
 
-    // float vector → double vector (deterministic cross-engine arithmetic)
-    """CREATE OR REPLACE TEMPORARY FUNCTION graft_vec(a ARRAY<FLOAT>) RETURNS ARRAY<DOUBLE>
-       RETURN transform(a, x -> CAST(x AS DOUBLE))""",
-
-    // dot product (left fold, init 0.0 — mirrors DuckDB list_reduce w/ prepend)
-    """CREATE OR REPLACE TEMPORARY FUNCTION graft_dot(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE
-       RETURN aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""",
-
-    // cosine similarity
-    """CREATE OR REPLACE TEMPORARY FUNCTION graft_cosine(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE
-       RETURN graft_dot(a, b) / (sqrt(graft_dot(a, a)) * sqrt(graft_dot(b, b)))""",
-
-    // 8-bit sign bucket of the leading dims — the LSH partition key for ANN
-    """CREATE OR REPLACE TEMPORARY FUNCTION graft_bucket8(a ARRAY<DOUBLE>) RETURNS BIGINT
-       RETURN aggregate(sequence(0, 7), CAST(0 AS BIGINT),
-         (acc, i) -> acc + CASE WHEN element_at(a, i + 1) > 0.0D
-                            THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)""",
   )
 
-  def register(spark: SparkSession): Unit = defs.foreach(spark.sql(_))
+  // Vector kernels are StaticInvoke statics (graft.core.VecOps), not SQL
+  // macros: the lambda-HOF formulation boxed every element and its generated
+  // code dominated per-query janino compile time. Same left-fold FP
+  // semantics, so the DuckDB oracles are unchanged.
+  private val vecSigs: Seq[(String, String, DataType, Seq[DataType])] = Seq(
+    ("graft_vec", "toDouble", ArrayType(DoubleType, containsNull = false), Seq(ArrayType(FloatType))),
+    ("graft_dot", "dot", DoubleType, Seq(ArrayType(DoubleType), ArrayType(DoubleType))),
+    ("graft_cosine", "cosine", DoubleType, Seq(ArrayType(DoubleType), ArrayType(DoubleType))),
+    ("graft_bucket8", "bucket8", LongType, Seq(ArrayType(DoubleType))),
+  )
+
+  def register(spark: SparkSession): Unit = {
+    defs.foreach(spark.sql(_))
+    val vecOps = Class.forName("graft.core.VecOps")
+    vecSigs.foreach { case (name, method, ret, params) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+        args => StaticInvoke(vecOps, ret, method,
+          args.zip(params).map { case (e, t) => Cast(e, t) }, Nil,
+          propagateNull = true, returnNullable = false),
+        "scala_udf")
+    }
+  }
 }

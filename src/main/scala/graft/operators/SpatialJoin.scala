@@ -48,17 +48,34 @@ object SpatialJoin {
   }
 
   /** Inner join `big ⋈ small ON pred(big.geom, small.geom)` with the small
-    * side broadcast as an STRtree. Column names must be disjoint. */
+    * side broadcast as an STRtree. Column names must be disjoint.
+    *
+    * `project` (optional) lists the output columns to materialize, in order.
+    * The mapPartitions boundary is opaque to Catalyst, so downstream column
+    * pruning can never reach inside this operator — a join whose output is
+    * immediately aggregated on one key would otherwise encode every row's
+    * geometry blobs through the Row encoder for nothing (the dominant cost
+    * when match fan-out is high). Empty = all columns of both sides. */
   def broadcast(big: DataFrame, small: DataFrame,
                 bigGeomCol: String, smallGeomCol: String,
-                predicate: String = "intersects"): DataFrame = {
+                predicate: String = "intersects",
+                project: Seq[String] = Nil): DataFrame = {
     pred(predicate) // validate on the driver: fail fast, not inside a task
     val spark = big.sparkSession
     val smallRows = small.collect()
     val smallGeomIdx = small.schema.fieldIndex(smallGeomCol)
     val bigGeomIdx = big.schema.fieldIndex(bigGeomCol)
     val bSmall = spark.sparkContext.broadcast(smallRows)
-    val outSchema = StructType(big.schema.fields ++ small.schema.fields)
+    val allFields = big.schema.fields ++ small.schema.fields
+    val outNames = if (project.isEmpty) allFields.map(_.name).toSeq else project
+    val nBig = big.schema.length
+    // (sourceIsBig, index-in-source) per output column
+    val outSrc: Array[(Boolean, Int)] = outNames.map { n =>
+      val i = allFields.indexWhere(_.name == n)
+      require(i >= 0, s"unknown output column: $n")
+      if (i < nBig) (true, i) else (false, i - nBig)
+    }.toArray
+    val outSchema = StructType(outNames.map(n => allFields(allFields.indexWhere(_.name == n))))
     val p = predicate
     val radius = if (p.startsWith("dwithin:")) p.stripPrefix("dwithin:").toDouble else 0.0
 
@@ -73,14 +90,28 @@ object SpatialJoin {
         tree.insert(g.getEnvelopeInternal, (r, prep.create(g)))
       }
       tree.build()
+      val srcs = outSrc
       it.flatMap { lrow =>
         val lg = GeomOps.read(lrow.getAs[Array[Byte]](bigGeomIdx))
         val env = if (radius > 0) expand(lg.getEnvelopeInternal, radius) else lg.getEnvelopeInternal
-        val cands = tree.query(env).toArray
-        cands.iterator.collect {
-          case (rrow: Row, pg: PreparedGeometry) if test(pg, lg) =>
-            new GenericRow((lrow.toSeq ++ rrow.toSeq).toArray).asInstanceOf[Row]
+        val cands = tree.query(env)
+        val out = List.newBuilder[Row]
+        var i = 0
+        while (i < cands.size()) {
+          val (rrow, pg) = cands.get(i).asInstanceOf[(Row, PreparedGeometry)]
+          if (test(pg, lg)) {
+            val vals = new Array[Any](srcs.length)
+            var j = 0
+            while (j < srcs.length) {
+              val (fromBig, idx) = srcs(j)
+              vals(j) = if (fromBig) lrow.get(idx) else rrow.get(idx)
+              j += 1
+            }
+            out += new GenericRow(vals)
+          }
+          i += 1
         }
+        out.result()
       }
     }(Encoders.row(outSchema))
   }
