@@ -467,31 +467,29 @@ object SparkEntry {
     FROM orders
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
-  /** Broadcast-STRtree spatial join (graft.operators.SpatialJoin): 2000
-    * zone rectangles × full lineitem points. Spark's own plan for a θ-join
-    * on ST_Covers is a BroadcastNestedLoopJoin — 1.2B predicate
-    * evaluations at sf0.1; the STRtree probes ~log(2000) per point. */
+  /** Spatial join written as a PLAIN SQL θ-join — the planner strategy
+    * (graft.plans.SpatialJoinStrategy, registered by GeoFunctions.register)
+    * rewrites it to SpatialJoinExec: zones broadcast once, one STRtree per
+    * task, UnsafeRow output. Spark's own plan for this query is a
+    * BroadcastNestedLoopJoin — 12B predicate evaluations at sf0.1; the
+    * STRtree probes ~log(20k) per point. The explicit operator API
+    * (graft.operators.SpatialJoin) remains for grid big×big joins. */
   private def g15Fn(s: SparkSession, dir: String): DataFrame = {
     views(s, dir)
-    val pts = s.sql(s"""
-      SELECT /*+ REPARTITION(${s.sparkContext.defaultParallelism}) */
-             ST_Point(CAST(l_partkey % 1000 AS DOUBLE),
-                      CAST((l_orderkey * 7) % 1000 AS DOUBLE)) AS pt
-      FROM lineitem""")
-    val zones = s.sql("""
-      SELECT p_brand,
-             ST_MakeEnvelope(CAST((p_partkey * 13) % 950 AS DOUBLE),
-                             CAST((p_partkey * 29) % 950 AS DOUBLE),
-                             CAST((p_partkey * 13) % 950 + 50 AS DOUBLE),
-                             CAST((p_partkey * 29) % 950 + 50 AS DOUBLE)) AS zone
-      FROM part""")
-    graft.operators.SpatialJoin.broadcast(pts, zones, "pt", "zone", "covers",
-        project = Seq("p_brand")) // prune inside the operator: only the
-      // group key crosses the encoder, not 28M pairs of WKB blobs
-      .groupBy("p_brand").count()
-      .select(org.apache.spark.sql.functions.col("p_brand"),
-              org.apache.spark.sql.functions.col("count").as("n"))
-      .orderBy("p_brand")
+    s.sql(s"""
+      SELECT p_brand, COUNT(*) AS n
+      FROM (SELECT /*+ REPARTITION(${s.sparkContext.defaultParallelism}) */
+                   ST_Point(CAST(l_partkey % 1000 AS DOUBLE),
+                            CAST((l_orderkey * 7) % 1000 AS DOUBLE)) AS pt
+            FROM lineitem) pts
+      JOIN (SELECT p_brand,
+                   ST_MakeEnvelope(CAST((p_partkey * 13) % 950 AS DOUBLE),
+                                   CAST((p_partkey * 29) % 950 AS DOUBLE),
+                                   CAST((p_partkey * 13) % 950 + 50 AS DOUBLE),
+                                   CAST((p_partkey * 29) % 950 + 50 AS DOUBLE)) AS zone
+            FROM part) zones
+        ON ST_Covers(zone, pt)
+      GROUP BY p_brand ORDER BY p_brand""")
   }
 
   private val g15Duck = """

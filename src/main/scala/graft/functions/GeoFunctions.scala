@@ -178,13 +178,19 @@ object GeoFunctions {
       propagateNull = true, returnNullable = false)
   }
 
-  /** Idempotent per-session registration of all ST_* SQL names. */
+  /** Idempotent per-session registration of all ST_* SQL names, aggregates,
+    * and the spatial-join planner strategy. */
   def register(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
     byName.foreach { case (name, overloads) =>
       reg.createOrReplaceTempFunction(name, build(name, overloads), "scala_udf")
     }
     GeoAggregates.register(spark)
+    // auto-plan `JOIN … ON ST_pred(l, r)` as SpatialJoinExec (else Spark
+    // falls back to BroadcastNestedLoopJoin, O(n·m))
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(graft.plans.SpatialJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.SpatialJoinStrategy
   }
 
   /** Locate geometry column(s) in a schema — the reference's `geometry_col`

@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.execution.{FilterExec, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.internal.SQLConf
+
+/** Plans `a JOIN b ON ST_Intersects(a.g, b.g) [AND …]` as [[SpatialJoinExec]].
+  *
+  * Without this rule Catalyst has no equi-join keys to work with and falls
+  * back to `BroadcastNestedLoopJoin` — every pair of rows evaluated, O(n·m).
+  * The rule fires when:
+  *  - the join is Inner with a conjunct that is one supported `ST_*`
+  *    predicate (our functions resolve to `StaticInvoke` onto
+  *    `graft.core.GeomOps`, so the match is structural);
+  *  - one geometry argument references only the left side and the other only
+  *    the right;
+  *  - at least one side's stats fit under
+  *    `spark.sql.autoBroadcastJoinThreshold` (the smaller qualifying side is
+  *    broadcast; for big×big use the explicit
+  *    `graft.operators.SpatialJoin.grid` API — a grid-shuffle strategy is
+  *    deliberately not auto-planned, cell size needs domain knowledge).
+  *
+  * Remaining conjuncts become a `FilterExec` above the join.
+  * `ST_DWithin(a, b, d)` is supported for foldable `d`.
+  *
+  * Registered per-session by `GeoFunctions.register` through
+  * `spark.experimental.extraStrategies` (no spark.sql.extensions config
+  * needed, works on a live session).
+  */
+object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
+
+  private val geomOps = Class.forName("graft.core.GeomOps")
+  private val supported = SpatialJoinExec.transpose.keySet
+
+  private def strip(e: Expression): Expression = e match {
+    case c: Cast => strip(c.child)
+    case other => other
+  }
+
+  /** (leftGeom, rightGeom, normalized predicate, radius) if `c` is a
+    * supported spatial predicate splitting cleanly across the join. */
+  private def extract(c: Expression, left: LogicalPlan, right: LogicalPlan)
+      : Option[(Expression, Expression, String, Double)] = c match {
+    case si: StaticInvoke if si.staticObject == geomOps && supported(si.functionName) =>
+      val args = si.arguments.map(strip)
+      if (args.length < 2) return None
+      val (a, b) = (args(0), args(1))
+      val radius: Option[Double] =
+        if (si.functionName == "dWithin") {
+          if (args.length == 3 && args(2).foldable) {
+            val v = args(2).eval()
+            if (v == null) None else Some(v.toString.toDouble)
+          } else None // non-constant distance: leave to Spark
+        } else Some(0.0)
+      radius.flatMap { r =>
+        if (a.references.nonEmpty && b.references.nonEmpty &&
+            a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet))
+          Some((a, b, si.functionName, r))
+        else if (a.references.nonEmpty && b.references.nonEmpty &&
+                 a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
+          // P(a∈right, b∈left) ⇒ normalize to transpose(P)(left, right)
+          Some((b, a, SpatialJoinExec.transpose(si.functionName), r))
+        else None
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case Join(left, right, Inner, Some(cond), _) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val hit = conjuncts.iterator
+        .map(c => c -> extract(c, left, right))
+        .collectFirst { case (c, Some(x)) => c -> x }
+      hit match {
+        case None => Nil
+        case Some((chosen, (lg, rg, pred, radius))) =>
+          val threshold = SQLConf.get.autoBroadcastJoinThreshold
+          if (threshold <= 0) return Nil
+          val lSize = left.stats.sizeInBytes
+          val rSize = right.stats.sizeInBytes
+          val canLeft = lSize <= threshold
+          val canRight = rSize <= threshold
+          if (!canLeft && !canRight) return Nil
+          val buildRight = if (canLeft && canRight) rSize <= lSize else canRight
+          val exec = SpatialJoinExec(planLater(left), planLater(right),
+            lg, rg, pred, radius, buildRight)
+          val remaining = conjuncts.filterNot(_ fastEquals chosen)
+          val withFilter: SparkPlan =
+            if (remaining.isEmpty) exec
+            else FilterExec(remaining.reduce(And), exec)
+          withFilter :: Nil
+      }
+    case _ => Nil
+  }
+}

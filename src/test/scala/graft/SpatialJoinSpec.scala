@@ -17,10 +17,16 @@ class SpatialJoinSpec extends SparkTestBase {
     FROM VALUES (0, 0.0, 0.0), (1, 5.0, 5.0), (2, 12.0, 12.0), (3, 100.0, 100.0)
          AS t(zid, xmin, ymin)""")
 
-  // ground truth: plain θ-join (BroadcastNestedLoopJoin under the hood)
-  private lazy val expected = points.join(zones,
-      call_function("st_covers", col("zone"), col("pt")))
-    .select("id", "zid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+  // ground truth computed driver-side with the JTS kernels directly — it
+  // must be independent of every join strategy (a SQL θ-join on ST_Covers
+  // now auto-plans to SpatialJoinExec, so it can't serve as its own oracle)
+  private lazy val collectedPts =
+    points.collect().map(r => (r.getInt(0), r.getAs[Array[Byte]]("pt")))
+  private lazy val collectedZones =
+    zones.collect().map(r => (r.getInt(0), r.getAs[Array[Byte]]("zone")))
+  private lazy val expected: Set[(Int, Int)] =
+    (for { (id, pt) <- collectedPts; (zid, zone) <- collectedZones
+           if graft.core.GeomOps.covers(zone, pt) } yield (id, zid)).toSet
 
   test("broadcast STRtree join == nested-loop ground truth") {
     val got = SpatialJoin.broadcast(points, zones, "pt", "zone", "covers")
@@ -52,5 +58,45 @@ class SpatialJoinSpec extends SparkTestBase {
   test("empty small side yields empty result, not failure") {
     val empty = zones.filter("zid < 0")
     assert(SpatialJoin.broadcast(points, empty, "pt", "zone").count() == 0)
+  }
+
+  // ── planner strategy: SQL θ-joins auto-plan to SpatialJoinExec ─────────
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("strategy: SQL join ON ST_Covers plans as SpatialJoinExec") {
+    points.createOrReplaceTempView("sj_pts")
+    zones.createOrReplaceTempView("sj_zones")
+    val q = sql("SELECT id, zid FROM sj_pts JOIN sj_zones ON ST_Covers(zone, pt)")
+    assert(planOf(q).contains("SpatialJoin"), planOf(q))
+    assert(q.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == expected)
+  }
+
+  test("strategy: flipped argument order is normalized (ST_CoveredBy(pt, zone))") {
+    points.createOrReplaceTempView("sj_pts")
+    zones.createOrReplaceTempView("sj_zones")
+    val q = sql("SELECT id, zid FROM sj_pts JOIN sj_zones ON ST_CoveredBy(pt, zone)")
+    assert(planOf(q).contains("SpatialJoin"), planOf(q))
+    assert(q.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == expected)
+  }
+
+  test("strategy: dwithin with residual conjunct becomes join + filter") {
+    points.createOrReplaceTempView("sj_pts")
+    zones.createOrReplaceTempView("sj_zones")
+    val q = sql("""SELECT id, zid FROM sj_pts JOIN sj_zones
+                   ON ST_DWithin(pt, zone, 2.0) AND id % 2 = zid % 2""")
+    assert(planOf(q).contains("SpatialJoin"), planOf(q))
+    val exp = (for { (id, pt) <- collectedPts; (zid, zone) <- collectedZones
+                     if graft.core.GeomOps.dWithin(pt, zone, 2.0) && id % 2 == zid % 2 }
+               yield (id, zid)).toSet
+    assert(q.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == exp)
+  }
+
+  test("strategy: non-spatial joins are untouched") {
+    points.createOrReplaceTempView("sj_pts")
+    zones.createOrReplaceTempView("sj_zones")
+    val q = sql("SELECT id, zid FROM sj_pts JOIN sj_zones ON id = zid")
+    assert(!planOf(q).contains("SpatialJoin"), planOf(q))
   }
 }
