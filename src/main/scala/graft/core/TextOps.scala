@@ -1,0 +1,196 @@
+package graft.core
+
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-analysis kernels (tokenize / n-gram / shingle / hash / dedup
+  * signatures) as JVM statics for `StaticInvoke` registration — see
+  * graft.functions.TextFunctions for the SQL surface and
+  * graft.core.VecOps for why statics beat SQL-macro lambda HOFs here
+  * (boxing per element + janino compile time of the expanded plans).
+  *
+  * SEMANTICS CONTRACT: every function reproduces the exact Spark-SQL macro
+  * it replaced, which in turn mirrors the DuckDB oracle formulation:
+  *  - `tokens` = `split(trim(s), '\\s+')`: trim strips ONLY ' ' (SQL trim),
+  *    split keeps trailing empty strings (Spark split limit = -1), and an
+  *    empty/all-space input yields [""] (one empty token), not [].
+  *  - `ngrams`/`substring` operate on Unicode code points (Spark `length`/
+  *    `substring` semantics), not UTF-16 chars.
+  *  - `hash32` = `conv(substring(md5(s), 1, 8), 16, 10)`: the first 4 md5
+  *    bytes as an unsigned 32-bit value in a long.
+  *  - folds accumulate left-to-right for bit-identical doubles.
+  */
+object TextOps {
+
+  private val ws = Pattern.compile("\\s+")
+  private val punct = Pattern.compile("[.,!?;]")
+  private val md5tl = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+
+  /** SQL `trim`: strip leading/trailing ' ' only (NOT \t/\n — unlike
+    * java.lang.String.trim). */
+  private def sqlTrim(s: String): String = {
+    var from = 0
+    var until = s.length
+    while (from < until && s.charAt(from) == ' ') from += 1
+    while (until > from && s.charAt(until - 1) == ' ') until -= 1
+    s.substring(from, until)
+  }
+
+  private def tokenize(s: UTF8String): Array[String] =
+    ws.split(sqlTrim(s.toString), -1) // -1: keep trailing empties like Spark
+
+  private def md5hex8AsLong(s: String): Long = {
+    val d = md5tl.get()
+    d.reset()
+    val h = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) | ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
+  }
+
+  private def toArrayData(a: Array[String]): ArrayData =
+    new GenericArrayData(a.map(UTF8String.fromString(_).asInstanceOf[AnyRef]))
+
+  // ── SQL-visible kernels ───────────────────────────────────────────────
+
+  /** 32-bit-in-long portable hash: first 8 hex chars of md5. */
+  def hash32(s: UTF8String): Long = md5hex8AsLong(s.toString)
+
+  def tokens(s: UTF8String): ArrayData = toArrayData(tokenize(s))
+
+  def tokenCount(s: UTF8String): Int = tokenize(s).length
+
+  /** Character n-grams over code points; length(s) < n → empty. Deliberately
+    * NOT deduplicated (consumers are duplicate-insensitive; dedup is O(n²)). */
+  def ngrams(s: UTF8String, n: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    if (cps.length < n) new GenericArrayData(Array.empty[AnyRef])
+    else {
+      val out = new Array[AnyRef](cps.length - n + 1)
+      var i = 0
+      while (i + n <= cps.length) {
+        out(i) = UTF8String.fromString(new String(cps, i, n))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** Word k-shingles — the document-dedup unit (word, not char, shingles:
+    * char n-grams of a small shared vocabulary make unrelated docs look
+    * similar and blow up LSH candidate counts). */
+  def shingles(s: UTF8String, k: Int): ArrayData = {
+    val ts = tokenize(s)
+    if (ts.length < k) new GenericArrayData(Array.empty[AnyRef])
+    else {
+      val out = new Array[AnyRef](ts.length - k + 1)
+      var i = 0
+      while (i + k <= ts.length) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < k) { if (j > 0) sb.append(' '); sb.append(ts(i + j)); j += 1 }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** |distinct(a) ∩ distinct(b)| / |distinct(a) ∪ distinct(b)|; 0 for two
+    * empties (mirrors the array_intersect/array_union macro). */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val sa = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < a.numElements()) { sa.add(a.getUTF8String(i)); i += 1 }
+    val sb = new java.util.HashSet[UTF8String]()
+    i = 0
+    while (i < b.numElements()) { sb.add(b.getUTF8String(i)); i += 1 }
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size() + sb.size() - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** 32-bit simhash over whitespace tokens: one md5 per token, 32 signed
+    * counters, bit set where the counter is positive. */
+  def simhash(s: UTF8String): Long = {
+    val ts = tokenize(s)
+    val counters = new Array[Long](32)
+    var i = 0
+    while (i < ts.length) {
+      val h = md5hex8AsLong(ts(i))
+      var b = 0
+      while (b < 32) {
+        counters(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L)
+        b += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var b = 0
+    while (b < 32) { if (counters(b) > 0) acc += (1L << b); b += 1 }
+    acc
+  }
+
+  /** minhash signature: h min-hashes over char n-grams — one md5 per
+    * shingle, per-seed affine permutations (a_k·x+b_k) mod 4294967311,
+    * single pass keeping h running minimums (init = the modulus). */
+  def minhash(s: UTF8String, n: Int, h: Int): ArrayData = {
+    val P = 4294967311L
+    val mins = Array.fill(h)(P)
+    val cps = s.toString.codePoints().toArray
+    var i = 0
+    while (i + n <= cps.length) {
+      val x = md5hex8AsLong(new String(cps, i, n))
+      var k = 0
+      while (k < h) {
+        val v = (((k + 1).toLong * 1000003L % 16777216L) * x + k.toLong * 30011L + 1L) % P
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  private val stopSet: java.util.Set[String] =
+    java.util.Set.of("the", "a", "of", "and", "in", "to", "is")
+
+  /** stopword ratio over a fixed english stop set. */
+  def stopRatio(s: UTF8String): Double = {
+    val ts = tokenize(s)
+    var stops = 0
+    var i = 0
+    while (i < ts.length) { if (stopSet.contains(ts(i))) stops += 1; i += 1 }
+    stops.toDouble / math.max(ts.length, 1)
+  }
+
+  /** composite quality score in [0,1]:
+    * 0.3·stopRatio + 0.4·min(1, tokens/100) + 0.3·(1 − min(1, punct/tokens)). */
+  def quality(s: UTF8String): Double = {
+    val ts = tokenize(s)
+    var stops = 0
+    var i = 0
+    while (i < ts.length) { if (stopSet.contains(ts(i))) stops += 1; i += 1 }
+    val nTok = math.max(ts.length, 1)
+    val m = punct.matcher(s.toString)
+    var nPunct = 0
+    while (m.find()) nPunct += 1
+    0.3 * (stops.toDouble / nTok) +
+      0.4 * math.min(1.0, ts.length / 100.0) +
+      0.3 * (1.0 - math.min(1.0, nPunct / nTok.toDouble))
+  }
+
+  /** rolling-hash fingerprint of the first 64 tokens:
+    * fold (acc·31 + hash32(t)) mod 1e9+7, acc₀ = 7. */
+  def fingerprint(s: UTF8String): Long = {
+    val ts = tokenize(s)
+    val n = math.min(64, ts.length)
+    var acc = 7L
+    var i = 0
+    while (i < n) { acc = (acc * 31L + md5hex8AsLong(ts(i))) % 1000000007L; i += 1 }
+    acc
+  }
+}
