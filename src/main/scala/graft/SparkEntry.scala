@@ -35,7 +35,10 @@ object SparkEntry {
     tables.foreach { n =>
       val df = s.read.parquet(s"$dir/$n.parquet")
       if (n == "events")
-        df.selectExpr("event_id", "timestamp_micros(CAST(ts / 1000 AS BIGINT)) AS ts",
+        // integer DIV, not `/`: float division of ~1.7e18 ns loses sub-µs
+        // precision (double ulp ≈ 256 ns there), which would skew exact
+        // microsecond lags (a01) vs DuckDB's integral ns→µs truncation
+        df.selectExpr("event_id", "timestamp_micros(ts DIV 1000) AS ts",
           "user_id", "event_type", "value", "props").createOrReplaceTempView(n)
       else df.createOrReplaceTempView(n)
     }
@@ -1316,6 +1319,132 @@ object SparkEntry {
           FROM embeddings) t
     GROUP BY bucket ORDER BY bucket"""
 
+  // ── time-series joins & sessionization (batch analogs of streaming/) ──
+
+  /** As-of join through [[graft.operators.AsofJoin]]: every 'view' event
+    * matched to the user's latest preceding (or simultaneous) 'click'.
+    * One shuffle on user_id (union-and-window — see AsofJoin scaladoc for
+    * the 100 TB argument); the oracle is DuckDB's native ASOF LEFT JOIN.
+    * Aggregated per user so the result is small and FP-exact (decimal sums,
+    * integral microsecond lags). */
+  private def a01Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val v = s.sql("SELECT user_id, ts, value FROM events WHERE event_type = 'view'")
+    val c = s.sql("SELECT user_id, ts, value FROM events WHERE event_type = 'click'")
+    graft.operators.AsofJoin.asof(v, c, Seq("user_id"), "ts", "ts", Seq("value"), prefix = "click_")
+      .createOrReplaceTempView("a01_asof")
+    s.sql("""
+      SELECT user_id,
+             COUNT(*) AS n_views,
+             COUNT(click_ts) AS n_matched,
+             CAST(COALESCE(ROUND(SUM(CAST(click_value AS DECIMAL(18,6))), 2), 0) AS DOUBLE) AS sum_click_val,
+             COALESCE(MAX(unix_micros(ts) - unix_micros(click_ts)), 0) AS max_lag_us
+      FROM a01_asof GROUP BY user_id ORDER BY user_id""")
+  }
+
+  private val a01Duck = """
+    WITH v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT v.user_id,
+           COUNT(*)::BIGINT AS n_views,
+           COUNT(c.ts)::BIGINT AS n_matched,
+           COALESCE(ROUND(SUM(CAST(c.value AS DECIMAL(18,6))), 2), 0)::DOUBLE AS sum_click_val,
+           COALESCE(MAX(epoch_us(v.ts) - epoch_us(c.ts)), 0)::BIGINT AS max_lag_us
+    FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.ts >= c.ts
+    GROUP BY v.user_id ORDER BY v.user_id"""
+
+  /** Batch gaps-and-islands sessionization (4 h inactivity gap) — the batch
+    * analog of streaming/StreamOps.sessionize, oracle-checked (the streaming
+    * path is spec-checked; this pins the session semantics cross-engine).
+    * Scale shape: two stacked windows + one aggregation, all partitioned by
+    * user_id — a single shuffle, no self-join. */
+  private val s01Spark = """
+    WITH e AS (SELECT user_id, unix_micros(ts) AS tus FROM events),
+    d AS (SELECT user_id, tus,
+            CASE WHEN LAG(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+                   OR tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus) > 14400000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM e),
+    s AS (SELECT user_id, tus,
+            SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM d),
+    sess AS (SELECT user_id, sid, COUNT(*) AS n_events,
+                    (MAX(tus) - MIN(tus)) DIV 1000000 AS dur_s
+             FROM s GROUP BY user_id, sid)
+    SELECT user_id, COUNT(*) AS n_sessions,
+           SUM(n_events) AS n_events,
+           MAX(n_events) AS max_session_events,
+           MAX(dur_s) AS max_session_dur_s,
+           SUM(dur_s) AS total_dur_s
+    FROM sess GROUP BY user_id ORDER BY user_id"""
+
+  private val s01Duck = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+    d AS (SELECT user_id, tus,
+            CASE WHEN LAG(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+                   OR tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus) > 14400000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM e),
+    s AS (SELECT user_id, tus,
+            SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM d),
+    sess AS (SELECT user_id, sid, COUNT(*) AS n_events,
+                    (MAX(tus) - MIN(tus)) // 1000000 AS dur_s
+             FROM s GROUP BY user_id, sid)
+    SELECT user_id, COUNT(*)::BIGINT AS n_sessions,
+           SUM(n_events)::BIGINT AS n_events,
+           MAX(n_events)::BIGINT AS max_session_events,
+           MAX(dur_s)::BIGINT AS max_session_dur_s,
+           SUM(dur_s)::BIGINT AS total_dur_s
+    FROM sess GROUP BY user_id ORDER BY user_id"""
+
+  /** IVF-style ANN (e04): coarse-quantize every vector to its nearest of K
+    * deterministic centroids (the first 4 vectors), then search only the
+    * query's own list (nProbe = 1). The 100 TB topology: centroids broadcast
+    * (tiny), assignment is map-side, candidate generation is an equi-join on
+    * list_id — the shuffle is keyed by list, never all-pairs. e01 is the
+    * brute-force recall baseline for this. */
+  private val e04Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e,
+                      sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 4),
+    asgn AS (SELECT vec_id, e, nrm, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY graft_dot(e, ce) / (nrm * cnrm) DESC, cid) AS rn
+             FROM v CROSS JOIN c),
+    a AS (SELECT vec_id, e, nrm, cid AS list_id FROM asgn WHERE rn = 1),
+    pairs AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, q.list_id AS list_id,
+                     graft_dot(q.e, x.e) / (q.nrm * x.nrm) AS cos
+              FROM (SELECT * FROM a WHERE vec_id >= 8 AND vec_id < 16) q
+              JOIN a x ON x.list_id = q.list_id AND x.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id, list_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM pairs) t
+    WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
+  private val e04Duck = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * e[i])), (x, y) -> x + y)) AS nrm
+          FROM v),
+    c AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 4),
+    asgn AS (SELECT vec_id, e, nrm, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * ce[i])), (x, y) -> x + y) / (nrm * cnrm) DESC, cid) AS rn
+             FROM n CROSS JOIN c),
+    a AS (SELECT vec_id, e, nrm, cid AS list_id FROM asgn WHERE rn = 1),
+    pairs AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, q.list_id AS list_id,
+                     list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.e) + 1), i -> q.e[i] * x.e[i])), (x, y) -> x + y) / (q.nrm * x.nrm) AS cos
+              FROM (SELECT * FROM a WHERE vec_id >= 8 AND vec_id < 16) q
+              JOIN a x ON x.list_id = q.list_id AND x.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id, list_id, rnk::BIGINT AS rnk, ROUND(cos, 6) AS cos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM pairs) t
+    WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
   // ── registry ──────────────────────────────────────────────────────────
 
   // ── multimodal (graft.operators.Multimodal; decode = documented stub) ──
@@ -1416,6 +1545,9 @@ object SparkEntry {
     ("e01_cosine_topk", q(e01Spark), e01Duck),
     ("e02_ann_bucket", q(e02Spark), e02Duck),
     ("e03_bucket_histogram", q(e03Spark), e03Duck),
+    ("e04_ivf_ann", q(e04Spark), e04Duck),
+    ("a01_asof_join", a01Fn _, a01Duck),
+    ("s01_sessionize", q(s01Spark), s01Duck),
     ("m01_media_meta", q(m01Spark), m01Duck),
     ("m02_decode_resize_hist", m02Fn _, ""), // rows-only: mapPartitions op
   )

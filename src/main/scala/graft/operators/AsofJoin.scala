@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of join: match each left row to the nearest right row in
+  * time, per key — the time-series join Spark lacks natively (pandas
+  * `merge_asof`, DuckDB `ASOF JOIN`).
+  *
+  * Topology (the part that matters at 100 TB): tag both inputs, union, and
+  * shuffle ONCE on the join keys; within each hash partition a window sorted
+  * by (ts, side) carries the most recent right-row payload forward with
+  * `last_value(ignoreNulls)`. Cost = one shuffle of |L| + |R| rows plus a
+  * per-partition sort — no range-condition cross join (Spark would otherwise
+  * plan `t1.ts >= t2.ts` as BNLJ), no per-key `collect_list`. Key skew is
+  * the same hazard as any keyed window: salt the hot key upstream if one key
+  * dominates a partition.
+  *
+  * Semantics:
+  *  - backward (default): latest right row with `r.ts <= l.ts` (inclusive;
+  *    DuckDB `ASOF LEFT JOIN … ON l.ts >= r.ts` and pandas default)
+  *  - forward: earliest right row with `r.ts >= l.ts`
+  *  - left outer: unmatched left rows keep NULL right columns
+  *  - tolerance: optional max |l.ts − r.ts| in microseconds; matches farther
+  *    than that are nulled out (pandas `tolerance=`)
+  *  - ties: right rows sort before left rows at an equal timestamp, so an
+  *    equal-ts right row IS visible to the left row; among several right
+  *    rows with identical (key, ts) the payload struct's natural ordering
+  *    decides deterministically.
+  */
+object AsofJoin {
+
+  /** @param keys       equi-join key column names (present in both inputs)
+    * @param leftTs     left timestamp column (TimestampType or any ordered type)
+    * @param rightTs    right timestamp column
+    * @param rightCols  right payload columns to surface on matches
+    * @param prefix     prefix for surfaced right columns (payload + its ts)
+    * @param direction  "backward" | "forward"
+    * @param toleranceMicros max |l.ts − r.ts| for a match to stand (None = ∞)
+    */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String, rightCols: Seq[String],
+           prefix: String = "r_", direction: String = "backward",
+           toleranceMicros: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val backward = direction == "backward"
+
+    // right payload travels as one struct (ts first: it also breaks ties
+    // between identical-(key, ts) right rows deterministically)
+    val payload = struct((col(rightTs).as("__rts") +: rightCols.map(col)): _*)
+
+    // build with matching schemas: (keys, __ts, __side, __lrow, __rv)
+    val l2 = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
+        struct(left.columns.map(col): _*).as("__lrow")): _*)
+    val rvSchema = right.select(payload.as("__rv")).schema("__rv").dataType
+    val lrowSchema = l2.schema("__lrow").dataType
+    val lFull = l2.withColumn("__rv", lit(null).cast(rvSchema))
+    val rFull = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+        lit(null).cast(lrowSchema).as("__lrow"), payload.as("__rv")): _*)
+
+    val unioned = lFull.unionByName(rFull)
+
+    // one shuffle: hash-partition by keys, sort by time (right before left at
+    // equal ts — in backward order ascending side 0 first; in forward we scan
+    // time-descending so side 0 must STILL precede left rows at equal ts)
+    val ord: Seq[Column] =
+      if (backward) Seq(col("__ts").asc, col("__side").asc, col("__rv").asc)
+      else Seq(col("__ts").desc, col("__side").asc, col("__rv").desc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = unioned
+      .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+
+    // tolerance: null out matches farther than the bound
+    val withTol = toleranceMicros match {
+      case Some(tol) =>
+        val lagMicros =
+          if (backward) unix_micros(col("__ts")) - unix_micros(col("__match.__rts"))
+          else unix_micros(col("__match.__rts")) - unix_micros(col("__ts"))
+        matched.withColumn("__match",
+          when(col("__match").isNotNull && lagMicros <= tol, col("__match")))
+      case None => matched
+    }
+
+    // unpack: left.* then prefixed right ts + payload columns
+    val out = withTol.select(
+      left.columns.map(c => col(s"__lrow.$c").as(c)) ++
+        (col("__match.__rts").as(s"$prefix$rightTs") +:
+          rightCols.map(c => col(s"__match.$c").as(s"$prefix$c"))): _*)
+    out
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsofJoin
+
+class AsofJoinSpec extends SparkTestBase {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  private def mk() = {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, ts(5), "l-a"), (1L, ts(10), "l-b"), (1L, ts(2), "l-early"),
+      (2L, ts(7), "l-c"),
+      (3L, ts(1), "l-nomatch")).toDF("k", "ts", "lv")
+    val right = Seq(
+      (1L, ts(3), 30.0), (1L, ts(5), 50.0), (1L, ts(9), 90.0),
+      (2L, ts(6), 60.0)).toDF("k", "ts", "rv")
+    (left, right)
+  }
+
+  test("backward: latest right with r.ts <= l.ts, inclusive, left outer") {
+    val (l, r) = mk()
+    val out = AsofJoin.asof(l, r, Seq("k"), "ts", "ts", Seq("rv"))
+      .orderBy("k", "ts").collect()
+      .map(x => (x.getLong(0), x.getString(2), Option(x.get(4)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      (1L, "l-early", None),        // before every right row
+      (1L, "l-a", Some(50.0)),      // equal-ts right row matches (inclusive)
+      (1L, "l-b", Some(90.0)),      // latest of 3/5/9 that is <= 10
+      (2L, "l-c", Some(60.0)),
+      (3L, "l-nomatch", None)))     // key with no right rows at all
+  }
+
+  test("forward: earliest right with r.ts >= l.ts") {
+    val (l, r) = mk()
+    val out = AsofJoin.asof(l, r, Seq("k"), "ts", "ts", Seq("rv"), direction = "forward")
+      .orderBy("k", "ts").collect()
+      .map(x => (x.getString(2), Option(x.get(4)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      ("l-early", Some(30.0)), ("l-a", Some(50.0)), ("l-b", None),
+      ("l-c", None), ("l-nomatch", None)))
+  }
+
+  test("tolerance nulls out stale matches") {
+    val (l, r) = mk()
+    // l-b at 10:10 matches right at 10:09 (60s); with 30s tolerance it must drop
+    val out = AsofJoin.asof(l, r, Seq("k"), "ts", "ts", Seq("rv"),
+        toleranceMicros = Some(30L * 1000000))
+      .orderBy("k", "ts").collect()
+      .map(x => (x.getString(2), Option(x.get(4)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      ("l-early", None), ("l-a", Some(50.0)), ("l-b", None),
+      ("l-c", None),                // 60s lag > 30s
+      ("l-nomatch", None)))
+  }
+
+  test("plan has exactly one shuffle (window exchange), no cross join") {
+    val (l, r) = mk()
+    val plan = AsofJoin.asof(l, r, Seq("k"), "ts", "ts", Seq("rv"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // one Exchange for the union'd window; local-table scans add no shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1)
+  }
+}
