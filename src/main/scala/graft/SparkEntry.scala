@@ -374,8 +374,8 @@ object SparkEntry {
 
   private val g10Spark = """
     SELECT c_nationkey,
-           ROUND(MIN(ST_X(m)), 3) AS min_merc_x,
-           ROUND(MIN(ST_Y(m)), 3) AS merc_y,
+           ROUND(MIN(ST_X(m)), 3) + 0.0 AS min_merc_x,
+           ROUND(MIN(ST_Y(m)), 3) + 0.0 AS merc_y,
            COUNT(*) AS n
     FROM (SELECT c_nationkey,
                  ST_Transform(ST_Point(CAST(c_custkey % 360 - 180 AS DOUBLE),
@@ -386,8 +386,8 @@ object SparkEntry {
 
   private val g10Duck = """
     SELECT c_nationkey,
-           ROUND(MIN(CAST(c_custkey % 360 - 180 AS DOUBLE) / 180.0 * (pi() * 6378137.0)), 3) AS min_merc_x,
-           ROUND(MIN(ln(tan((90.0 + CAST(c_nationkey - 12 AS DOUBLE)) * pi() / 360.0)) * 6378137.0), 3) AS merc_y,
+           ROUND(MIN(CAST(c_custkey % 360 - 180 AS DOUBLE) / 180.0 * (pi() * 6378137.0)), 3) + 0.0 AS min_merc_x,
+           ROUND(MIN(ln(tan((90.0 + CAST(c_nationkey - 12 AS DOUBLE)) * pi() / 360.0)) * 6378137.0), 3) + 0.0 AS merc_y,
            COUNT(*)::BIGINT AS n
     FROM customer
     GROUP BY c_nationkey ORDER BY c_nationkey"""
@@ -1001,6 +1001,47 @@ object SparkEntry {
   private val g32Duck = """
     SELECT 'MultiPoint' AS inferred_family, 'Geometry' AS inferred_mixed"""
 
+  /** Big×big spatial join through the auto-planner with the broadcast
+    * threshold disabled — exercises the GridSpatialJoinExec path (sampled
+    * cell size, grid shuffle, reference-point dedup). The threshold is
+    * restored after the physical plan is materialized, so later queries in
+    * the same session are unaffected. */
+  private def g33Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val p = s.sparkContext.defaultParallelism
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = s.sql(s"""
+        SELECT c_nationkey, COUNT(*) AS n, SUM(CAST(o_orderkey % 97 AS BIGINT)) AS s
+        FROM (SELECT /*+ REPARTITION($p) */ c_nationkey,
+                     ST_MakeEnvelope(CAST(c_custkey % 500 AS DOUBLE),
+                                     CAST((c_custkey * 7) % 500 AS DOUBLE),
+                                     CAST(c_custkey % 500 + 2 AS DOUBLE),
+                                     CAST((c_custkey * 7) % 500 + 2 AS DOUBLE)) AS cz
+              FROM customer) c
+        JOIN (SELECT /*+ REPARTITION($p) */ o_orderkey,
+                     ST_MakeEnvelope(CAST(o_orderkey % 500 AS DOUBLE),
+                                     CAST((o_orderkey * 11) % 500 AS DOUBLE),
+                                     CAST(o_orderkey % 500 + 1 AS DOUBLE),
+                                     CAST((o_orderkey * 11) % 500 + 1 AS DOUBLE)) AS oz
+              FROM orders) o
+          ON ST_Intersects(cz, oz)
+        GROUP BY c_nationkey ORDER BY c_nationkey""")
+      df.queryExecution.executedPlan // force planning while threshold = -1
+      df
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private val g33Duck = """
+    SELECT c_nationkey, COUNT(*)::BIGINT AS n, SUM(o_orderkey % 97)::BIGINT AS s
+    FROM (SELECT c_nationkey, CAST(c_custkey % 500 AS DOUBLE) AS cx,
+                 CAST((c_custkey * 7) % 500 AS DOUBLE) AS cy FROM customer) c
+    JOIN (SELECT o_orderkey, CAST(o_orderkey % 500 AS DOUBLE) AS ox,
+                 CAST((o_orderkey * 11) % 500 AS DOUBLE) AS oy FROM orders) o
+      ON cx <= ox + 1 AND ox <= cx + 2 AND cy <= oy + 1 AND oy <= cy + 2
+    GROUP BY c_nationkey ORDER BY c_nationkey"""
+
   // ── training-data pipeline ops: text analysis / dedup ─────────────────
 
   private val t01Spark = """
@@ -1478,21 +1519,46 @@ object SparkEntry {
     FROM m GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Full decode→resize→histogram pipeline through the mapPartitions
-    * operator (the batch shape a real codec UDF would use). Not
-    * SQL-expressible → rows-only check (oracle omitted). */
+    * operator (the batch shape a real codec UDF would use). The stub decode
+    * is deterministic byte arithmetic over the 16-byte md5 payload, so the
+    * whole pipeline is hash-checked against a DuckDB hex-arithmetic mirror
+    * (same pattern as m01): resizeNN(4×4) reads cycled-payload index
+    * ((y*h/4)*w + (x*w/4)) % 16 per output pixel; histogram total = w*h. */
   private def m02Fn(s: SparkSession, dir: String): DataFrame = {
     views(s, dir)
     val media = s.sql(s"""
       SELECT /*+ REPARTITION(${s.sparkContext.defaultParallelism}) */
              doc_id, unhex(md5(text)) AS payload FROM documents""")
     val feats = graft.operators.Multimodal.imageFeatures(media, "payload", targetW = 4, targetH = 4, bins = 8)
-    feats.selectExpr("features.width AS w", "features.resized_sum AS rs", "features.hist AS hist")
+    feats.selectExpr("CAST(features.width AS BIGINT) AS w", "features.resized_sum AS rs", "features.hist AS hist")
       .groupBy("w")
       .agg(org.apache.spark.sql.functions.expr("SUM(rs)").as("sum_resized"),
            org.apache.spark.sql.functions.expr("SUM(aggregate(hist, 0L, (a, b) -> a + b))").as("hist_total"),
            org.apache.spark.sql.functions.expr("COUNT(*)").as("n"))
       .orderBy("w")
   }
+
+  /** DuckDB mirror of m02Fn: pure hex arithmetic over md5(text). Byte i of
+    * the payload is ('0x' || substr(hx, 2i+1, 2)). Stub decode: w = 1+b0%16,
+    * h = 1+b1%16, pixels = payload cycled to w*h. resizeNN(4×4) output pixel
+    * (x = i%4, y = i//4) samples source index (((y*h)//4)*w + ((x*w)//4)) % 16.
+    * Histogram over all w*h pixels sums to w*h. */
+  private val m02Duck = """
+    WITH m AS (
+      SELECT md5(text) AS hx,
+             1 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 16 AS w,
+             1 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 16 AS h
+      FROM documents),
+    r AS (
+      SELECT w, h,
+             list_sum(list_transform(range(16),
+               i -> ('0x' || substr(hx,
+                 2 * CAST((((((i // 4) * h) // 4) * w + ((i % 4) * w) // 4) % 16) AS INTEGER) + 1,
+                 2))::BIGINT)) AS rs
+      FROM m)
+    SELECT w::BIGINT AS w, SUM(rs)::BIGINT AS sum_resized,
+           SUM(w * h)::BIGINT AS hist_total, COUNT(*)::BIGINT AS n
+    FROM r GROUP BY 1 ORDER BY 1"""
 
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
@@ -1534,6 +1600,7 @@ object SparkEntry {
     ("g30_zm_fidelity", q(g30Spark), g30Duck),
     ("g31_spheroid_measures", q(g31Spark), g31Duck),
     ("g32_downcast_infer", g32Fn _, g32Duck),
+    ("g33_grid_join_bigbig", g33Fn _, g33Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),
@@ -1549,7 +1616,7 @@ object SparkEntry {
     ("a01_asof_join", a01Fn _, a01Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("m01_media_meta", q(m01Spark), m01Duck),
-    ("m02_decode_resize_hist", m02Fn _, ""), // rows-only: mapPartitions op
+    ("m02_decode_resize_hist", m02Fn _, m02Duck),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

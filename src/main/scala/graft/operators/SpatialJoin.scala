@@ -62,6 +62,16 @@ object SpatialJoin {
                 project: Seq[String] = Nil): DataFrame = {
     pred(predicate) // validate on the driver: fail fast, not inside a task
     val spark = big.sparkSession
+    // guard the driver-side collect: a misjudged "small" side would OOM the
+    // driver, so refuse when the optimizer's size estimate exceeds the cap
+    // (conf `graft.spatialJoin.maxBuildBytes`, default 512 MiB) and point at
+    // the scale-safe alternatives
+    val maxBuild = spark.conf.get("graft.spatialJoin.maxBuildBytes", (512L << 20).toString).toLong
+    val est = small.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(est <= maxBuild,
+      s"SpatialJoin.broadcast: build side estimated at $est bytes exceeds " +
+        s"graft.spatialJoin.maxBuildBytes=$maxBuild; use SpatialJoin.grid or a " +
+        "plain `JOIN ON ST_pred(...)` (auto-planned grid join) for big×big")
     val smallRows = small.collect()
     val smallGeomIdx = small.schema.fieldIndex(smallGeomCol)
     val bigGeomIdx = big.schema.fieldIndex(bigGeomCol)

@@ -17,11 +17,13 @@ import org.apache.spark.sql.internal.SQLConf
   *    `graft.core.GeomOps`, so the match is structural);
   *  - one geometry argument references only the left side and the other only
   *    the right;
-  *  - at least one side's stats fit under
-  *    `spark.sql.autoBroadcastJoinThreshold` (the smaller qualifying side is
-  *    broadcast; for big×big use the explicit
-  *    `graft.operators.SpatialJoin.grid` API — a grid-shuffle strategy is
-  *    deliberately not auto-planned, cell size needs domain knowledge).
+  *
+  * Physical pick: if one side's stats fit under
+  * `spark.sql.autoBroadcastJoinThreshold`, the smaller qualifying side is
+  * broadcast as an STRtree ([[SpatialJoinExec]]); otherwise — big×big — the
+  * join becomes a [[GridSpatialJoinExec]] grid-shuffle with a cell size
+  * sampled from the data at execution time, so an unbroadcastable spatial
+  * join never silently degrades to BroadcastNestedLoopJoin.
   *
   * Remaining conjuncts become a `FilterExec` above the join.
   * `ST_DWithin(a, b, d)` is supported for foldable `d`.
@@ -78,15 +80,17 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
         case None => Nil
         case Some((chosen, (lg, rg, pred, radius))) =>
           val threshold = SQLConf.get.autoBroadcastJoinThreshold
-          if (threshold <= 0) return Nil
           val lSize = left.stats.sizeInBytes
           val rSize = right.stats.sizeInBytes
-          val canLeft = lSize <= threshold
-          val canRight = rSize <= threshold
-          if (!canLeft && !canRight) return Nil
-          val buildRight = if (canLeft && canRight) rSize <= lSize else canRight
-          val exec = SpatialJoinExec(planLater(left), planLater(right),
-            lg, rg, pred, radius, buildRight)
+          val canLeft = threshold > 0 && lSize <= threshold
+          val canRight = threshold > 0 && rSize <= threshold
+          val exec: SparkPlan =
+            if (canLeft || canRight) {
+              val buildRight = if (canLeft && canRight) rSize <= lSize else canRight
+              SpatialJoinExec(planLater(left), planLater(right),
+                lg, rg, pred, radius, buildRight)
+            } else // big×big: grid shuffle, never BNLJ
+              GridSpatialJoinExec(planLater(left), planLater(right), lg, rg, pred, radius)
           val remaining = conjuncts.filterNot(_ fastEquals chosen)
           val withFilter: SparkPlan =
             if (remaining.isEmpty) exec

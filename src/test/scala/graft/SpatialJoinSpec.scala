@@ -93,6 +93,53 @@ class SpatialJoinSpec extends SparkTestBase {
     assert(q.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == exp)
   }
 
+  test("strategy: big×big (no broadcastable side) plans as GridSpatialJoin, never BNLJ") {
+    points.createOrReplaceTempView("sj_pts")
+    zones.createOrReplaceTempView("sj_zones")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = sql("SELECT id, zid FROM sj_pts JOIN sj_zones ON ST_Covers(zone, pt)")
+      val plan = planOf(q)
+      assert(plan.contains("GridSpatialJoin"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(q.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("grid auto-plan: dwithin semantics and exactly-once output") {
+    points.createOrReplaceTempView("sj_pts")
+    zones.createOrReplaceTempView("sj_zones")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = sql("SELECT id, zid FROM sj_pts JOIN sj_zones ON ST_DWithin(pt, zone, 2.0)")
+      assert(planOf(q).contains("GridSpatialJoin"), planOf(q))
+      val all = q.collect().map(r => (r.getInt(0), r.getInt(1)))
+      val exp = (for { (id, pt) <- collectedPts; (zid, zone) <- collectedZones
+                       if graft.core.GeomOps.dWithin(pt, zone, 2.0) } yield (id, zid)).toSet
+      assert(all.toSet == exp)
+      assert(all.length == all.toSet.size) // reference-point dedup: no pair twice
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("broadcast refuses an oversized build side with a clear error") {
+    val prev = spark.conf.getOption("graft.spatialJoin.maxBuildBytes")
+    spark.conf.set("graft.spatialJoin.maxBuildBytes", "1")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SpatialJoin.broadcast(points, zones, "pt", "zone")
+      }
+      assert(e.getMessage.contains("maxBuildBytes"))
+      assert(e.getMessage.contains("grid"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("graft.spatialJoin.maxBuildBytes", v)
+        case None => spark.conf.unset("graft.spatialJoin.maxBuildBytes")
+      }
+    }
+  }
+
   test("strategy: non-spatial joins are untouched") {
     points.createOrReplaceTempView("sj_pts")
     zones.createOrReplaceTempView("sj_zones")
