@@ -1,0 +1,81 @@
+package graft.core
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.locationtech.jts.geom._
+
+/** GeoArrow (native) coordinate-layout → WKB transcoding kernels.
+  *
+  * GeoParquet 1.1 native encoding stores geometry as nested
+  * list/struct columns in the GeoArrow separated-coordinate layout
+  * (ref: rust/geoparquet/src/reader/parse.rs:30 `infer_geoarrow_schema`;
+  * fixture fixtures/geoparquet/nybb_geoarrow.parquet):
+  *
+  *   point              struct<x,y[,z][,m]>
+  *   linestring         list<struct>
+  *   multipoint         list<struct>
+  *   polygon            list<list<struct>>     (ring 0 = shell)
+  *   multilinestring    list<list<struct>>
+  *   multipolygon       list<list<list<struct>>>
+  *
+  * Each method is a `StaticInvoke` target taking the Catalyst value classes
+  * directly (`ArrayData`/`InternalRow` — no Row conversion, inlines into
+  * whole-stage codegen) plus z/m flags the reader derives from the parquet
+  * schema's struct field names. Output is the engine's native WKB, so a
+  * native-encoded file is indistinguishable from a WKB one past the scan —
+  * the Spark-shaped equivalent of the reference's per-batch
+  * `parse_to_native` conversion. */
+object GeoArrowOps {
+
+  private val factory = new GeometryFactory()
+
+  private def width(hasZ: Boolean, hasM: Boolean): Int =
+    2 + (if (hasZ) 1 else 0) + (if (hasM) 1 else 0)
+
+  /** GeoArrow field order is x, y[, z][, m]. */
+  private def coord(r: InternalRow, hasZ: Boolean, hasM: Boolean): Coordinate =
+    if (hasZ && hasM) new CoordinateXYZM(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    else if (hasM) new CoordinateXYM(r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    else if (hasZ) new Coordinate(r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    else new Coordinate(r.getDouble(0), r.getDouble(1))
+
+  private def coords(a: ArrayData, z: Boolean, m: Boolean): Array[Coordinate] = {
+    val w = width(z, m)
+    Array.tabulate(a.numElements())(i => coord(a.getStruct(i, w), z, m))
+  }
+
+  private def line(a: ArrayData, z: Boolean, m: Boolean): LineString =
+    factory.createLineString(coords(a, z, m))
+
+  private def ring(a: ArrayData, z: Boolean, m: Boolean): LinearRing =
+    factory.createLinearRing(coords(a, z, m))
+
+  private def poly(a: ArrayData, z: Boolean, m: Boolean): Polygon = {
+    val n = a.numElements()
+    if (n == 0) factory.createPolygon()
+    else factory.createPolygon(ring(a.getArray(0), z, m),
+      Array.tabulate(n - 1)(i => ring(a.getArray(i + 1), z, m)))
+  }
+
+  // ── StaticInvoke targets (one per GeoParquet 1.1 native encoding) ──────
+
+  def gaPoint(r: InternalRow, z: Boolean, m: Boolean): Array[Byte] =
+    GeomOps.write(factory.createPoint(coord(r, z, m)))
+
+  def gaLineString(a: ArrayData, z: Boolean, m: Boolean): Array[Byte] =
+    GeomOps.write(line(a, z, m))
+
+  def gaMultiPoint(a: ArrayData, z: Boolean, m: Boolean): Array[Byte] =
+    GeomOps.write(factory.createMultiPoint(coords(a, z, m).map(factory.createPoint)))
+
+  def gaPolygon(a: ArrayData, z: Boolean, m: Boolean): Array[Byte] =
+    GeomOps.write(poly(a, z, m))
+
+  def gaMultiLineString(a: ArrayData, z: Boolean, m: Boolean): Array[Byte] =
+    GeomOps.write(factory.createMultiLineString(
+      Array.tabulate(a.numElements())(i => line(a.getArray(i), z, m))))
+
+  def gaMultiPolygon(a: ArrayData, z: Boolean, m: Boolean): Array[Byte] =
+    GeomOps.write(factory.createMultiPolygon(
+      Array.tabulate(a.numElements())(i => poly(a.getArray(i), z, m))))
+}

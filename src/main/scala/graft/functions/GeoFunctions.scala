@@ -39,10 +39,15 @@ object GeoFunctions {
     StructField("xmax", DoubleType, nullable = false),
     StructField("ymax", DoubleType, nullable = false)))
 
+  private val geoArrow = Class.forName("graft.core.GeoArrowOps")
+
   /** name → (method, returnType, paramTypes, implementing class), grouped by
-    * arity so one SQL name can overload (e.g. ST_Buffer/2 and /3). */
+    * arity so one SQL name can overload (e.g. ST_Buffer/2 and /3).
+    * `cast=false` passes arguments through uncast — for kernels taking
+    * schema-shaped nested inputs (GeoArrow struct/list layouts, whose exact
+    * struct type varies by file and can't be a fixed Cast target). */
   private case class Sig(method: String, ret: DataType, params: Seq[DataType],
-                         cls: Class[_] = geomOps)
+                         cls: Class[_] = geomOps, cast: Boolean = true)
 
   private val sigs: Seq[(String, Sig)] = Seq(
     // constructors + codecs
@@ -163,6 +168,14 @@ object GeoFunctions {
     "st_distancespheroid" -> Sig("distanceSpheroid", D, Seq(G, G), geodesy),
     "st_lengthspheroid" -> Sig("lengthSpheroid", D, Seq(G), geodesy),
     "st_areaspheroid" -> Sig("areaSpheroid", D, Seq(G), geodesy),
+    // GeoArrow native-layout → WKB transcode (GeoParquet 1.1 non-WKB read;
+    // args: nested coords column, hasZ, hasM — see graft.core.GeoArrowOps)
+    "ga_point" -> Sig("gaPoint", G, Seq(NullType, B, B), geoArrow, cast = false),
+    "ga_linestring" -> Sig("gaLineString", G, Seq(NullType, B, B), geoArrow, cast = false),
+    "ga_multipoint" -> Sig("gaMultiPoint", G, Seq(NullType, B, B), geoArrow, cast = false),
+    "ga_polygon" -> Sig("gaPolygon", G, Seq(NullType, B, B), geoArrow, cast = false),
+    "ga_multilinestring" -> Sig("gaMultiLineString", G, Seq(NullType, B, B), geoArrow, cast = false),
+    "ga_multipolygon" -> Sig("gaMultiPolygon", G, Seq(NullType, B, B), geoArrow, cast = false),
   )
 
   private val byName: Map[String, Map[Int, Sig]] =
@@ -173,7 +186,9 @@ object GeoFunctions {
   private def build(name: String, overloads: Map[Int, Sig])(args: Seq[Expression]): Expression = {
     val sig = overloads.getOrElse(args.length, throw new IllegalArgumentException(
       s"$name expects ${overloads.keys.toSeq.sorted.mkString("/")} args, got ${args.length}"))
-    val cast = args.zip(sig.params).map { case (e, t) => Cast(e, t) }
+    val cast =
+      if (sig.cast) args.zip(sig.params).map { case (e, t) => Cast(e, t) }
+      else args
     StaticInvoke(sig.cls, sig.ret, sig.method, cast, Nil,
       propagateNull = true, returnNullable = false)
   }

@@ -95,13 +95,26 @@ object GeoParquet {
     val meta = metadata(spark, path)
     var df = spark.read.parquet(path)
 
-    // attach CRS/encoding as column metadata (ARROW:extension-style)
+    // attach CRS/encoding as column metadata (ARROW:extension-style);
+    // native-geoarrow-encoded columns (GeoParquet 1.1 `encoding: point|…|
+    // multipolygon`, nested list/struct coords) are transcoded to WKB at
+    // scan time so every ST_* function accepts them — the Spark equivalent
+    // of the reference's per-batch parse (rust/geoparquet/src/reader/
+    // parse.rs:30 infer_geoarrow_schema)
     meta.foreach { m =>
       m.columns.filter(c => df.columns.contains(c.name)).foreach { c =>
         val md = new MetadataBuilder()
-          .putString("geoparquet.encoding", c.encoding)
+          .putString("geoparquet.encoding", "WKB") // post-scan representation
         c.crs.foreach(md.putString("geoparquet.crs", _))
-        df = df.withColumn(c.name, col(c.name).as(c.name, md.build()))
+        nativeTranscoder(c.encoding) match {
+          case Some(fn) =>
+            md.putString("geoparquet.source_encoding", c.encoding)
+            val (hasZ, hasM) = zmFlags(df.schema(c.name).dataType)
+            df = df.withColumn(c.name,
+              call_function(fn, col(c.name), lit(hasZ), lit(hasM)).as(c.name, md.build()))
+          case None =>
+            df = df.withColumn(c.name, col(c.name).as(c.name, md.build()))
+        }
       }
     }
 
@@ -127,22 +140,58 @@ object GeoParquet {
     }
   }
 
+  /** GeoParquet 1.1 native encoding name → transcode function. */
+  private def nativeTranscoder(encoding: String): Option[String] =
+    encoding.toLowerCase match {
+      case "point" => Some("ga_point")
+      case "linestring" => Some("ga_linestring")
+      case "polygon" => Some("ga_polygon")
+      case "multipoint" => Some("ga_multipoint")
+      case "multilinestring" => Some("ga_multilinestring")
+      case "multipolygon" => Some("ga_multipolygon")
+      case _ => None // "WKB" (any case) or unknown → leave as-is
+    }
+
+  /** z/m presence from the leaf coordinate struct's field names (GeoArrow
+    * separated layout: x, y[, z][, m]). */
+  private def zmFlags(dt: org.apache.spark.sql.types.DataType): (Boolean, Boolean) = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    def leaf(t: org.apache.spark.sql.types.DataType): Option[StructType] = t match {
+      case ArrayType(e, _) => leaf(e)
+      case s: StructType => Some(s)
+      case _ => None
+    }
+    leaf(dt) match {
+      case Some(s) =>
+        val names = s.fieldNames.map(_.toLowerCase).toSet
+        (names.contains("z"), names.contains("m"))
+      case None => (false, false)
+    }
+  }
+
   // ── write ─────────────────────────────────────────────────────────────
 
   /** Write `df` as GeoParquet 1.1: adds the `bbox` covering struct (unless
     * `covering=false`), writes via Spark's parquet writer, then rewrites
-    * each part-file footer with the `geo` KV metadata. */
+    * each part-file footer with the `geo` KV metadata. When `crs` is not
+    * given, the `geoparquet.crs` field metadata stamped by [[read]] is
+    * propagated automatically — read→write→read preserves CRS with no
+    * caller involvement. */
   def write(df: DataFrame, path: String, geometryColumn: String = "geometry",
             crs: Option[String] = None, covering: Boolean = true,
             mode: String = "overwrite"): Unit = {
     val spark = df.sparkSession
     graft.functions.GeoFunctions.register(spark)
+    val effectiveCrs = crs.orElse(
+      df.schema.fields.find(_.name == geometryColumn)
+        .filter(_.metadata.contains("geoparquet.crs"))
+        .map(_.metadata.getString("geoparquet.crs")))
     val out =
       if (covering && !df.columns.contains("bbox"))
         df.withColumn("bbox", call_function("st_bbox", col(geometryColumn)))
       else df
     out.write.mode(mode).parquet(path)
-    addGeoMetadata(spark, path, geometryColumn, crs, if (covering) Some("bbox") else None)
+    addGeoMetadata(spark, path, geometryColumn, effectiveCrs, if (covering) Some("bbox") else None)
   }
 
   /** Rewrite every part-file footer under `dir` to add the `geo` KV entry.

@@ -66,4 +66,65 @@ class GeoParquetSpec extends SparkTestBase {
   test("plain spark.read.parquet still reads rewritten files (footer intact)") {
     assert(spark.read.parquet(written).where("id = 1234").count() == 1)
   }
+
+  // ── GeoParquet 1.1 native (geoarrow) encoding ──────────────────────────
+
+  private val fixtures = "/root/reference/fixtures/geoparquet"
+
+  test("read: native-encoded file transcodes to WKB and matches the WKB twin") {
+    val native = GeoParquet.read(spark, s"$fixtures/nybb_geoarrow.parquet")
+    val wkb = GeoParquet.read(spark, s"$fixtures/nybb_wkb.parquet")
+    // scan-time transcode: column is WKB binary afterwards
+    assert(native.schema("geometry").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val fld = native.schema("geometry")
+    assert(fld.metadata.getString("geoparquet.encoding") == "WKB")
+    assert(fld.metadata.getString("geoparquet.source_encoding") == "multipolygon")
+    def byBoro(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("BoroCode"),
+          call_function("st_astext", col("geometry")).as("wkt"),
+          call_function("st_npoints", col("geometry")).as("np"))
+        .collect().map(r => r.getInt(0) -> (r.getString(1), r.getInt(2))).toMap
+    val n = byBoro(native)
+    val w = byBoro(wkb)
+    assert(n.keySet == w.keySet && n.nonEmpty)
+    n.keySet.foreach { k => assert(n(k) == w(k), s"BoroCode $k differs") }
+  }
+
+  test("native-encoded column is queryable by every ST_* path (area agg)") {
+    val native = GeoParquet.read(spark, s"$fixtures/nybb_geoarrow.parquet")
+    val wkb = GeoParquet.read(spark, s"$fixtures/nybb_wkb.parquet")
+    def totalArea(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(sum(call_function("st_area", col("geometry")))).head().getDouble(0)
+    assert(math.abs(totalArea(native) - totalArea(wkb)) < 1e-6)
+  }
+
+  test("ga_* transcode kernels: point/linestring/polygon with z") {
+    val df = sql("""
+      SELECT ga_point(named_struct('x', 1.0D, 'y', 2.0D), false, false) AS p,
+             ga_point(named_struct('x', 1.0D, 'y', 2.0D, 'z', 3.0D), true, false) AS pz,
+             ga_linestring(array(named_struct('x', 0.0D, 'y', 0.0D),
+                                 named_struct('x', 3.0D, 'y', 4.0D)), false, false) AS l,
+             ga_polygon(array(array(named_struct('x', 0.0D, 'y', 0.0D),
+                                    named_struct('x', 4.0D, 'y', 0.0D),
+                                    named_struct('x', 4.0D, 'y', 4.0D),
+                                    named_struct('x', 0.0D, 'y', 4.0D),
+                                    named_struct('x', 0.0D, 'y', 0.0D))), false, false) AS pg""")
+      .selectExpr("ST_AsText(p) AS p", "ST_AsText(pz) AS pz",
+                  "ST_Length(l) AS ll", "ST_Area(pg) AS pa")
+      .head()
+    assert(df.getString(0) == "POINT (1 2)")
+    assert(df.getString(1) == "POINT Z(1 2 3)")
+    assert(df.getDouble(2) == 5.0)
+    assert(df.getDouble(3) == 16.0)
+  }
+
+  test("write propagates CRS from read-attached field metadata") {
+    val crsDir = dir + "_crsprop"
+    val df = GeoParquet.read(spark, written) // carries geoparquet.crs metadata
+    GeoParquet.write(df.drop("bbox"), crsDir) // no crs argument
+    val meta = GeoParquet.metadata(spark, crsDir).get
+    assert(meta.columns.head.crs.exists(_.contains("4326")),
+      s"CRS must survive read→write→read without caller involvement: $meta")
+  }
 }
