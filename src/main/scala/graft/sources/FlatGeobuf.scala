@@ -155,6 +155,55 @@ object FlatGeobuf {
     numNodes * 40L
   }
 
+  /** Traverse the packed Hilbert R-tree for features intersecting the query
+    * rect. Returns byte offsets of candidate features relative to the start
+    * of the features section, ascending. Wire format per the public FGB
+    * spec: 40-byte nodes, root at node 0 / leaves last; internal node
+    * payload = first-child node index, leaf payload = feature byte offset. */
+  private[graft] def searchIndex(bytes: Array[Byte],
+                                   x0: Double, y0: Double,
+                                   x1: Double, y1: Double): Seq[Long] = {
+    val header = parseHeader(bytes)
+    val numItems = header.featuresCount
+    val nodeSize = header.indexNodeSize
+    if (numItems == 0 || nodeSize == 0) return Nil
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val base = header.headerEnd
+    // level bounds, LEAF level first (same do-while shape as indexSize)
+    var n = numItems
+    var numNodes = n
+    val levelNumNodes = scala.collection.mutable.ArrayBuffer(n)
+    var done = false
+    while (!done) {
+      n = (n + nodeSize - 1) / nodeSize
+      numNodes += n
+      levelNumNodes += n
+      done = n == 1
+    }
+    var acc = numNodes
+    val bounds = levelNumNodes.map { size => acc -= size; (acc, acc + size) }.toArray
+    val leafStart = numNodes - numItems
+    val results = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val queue = scala.collection.mutable.Queue((0L, bounds.length - 1))
+    while (queue.nonEmpty) {
+      val (nodeIndex, level) = queue.dequeue()
+      val isLeaf = nodeIndex >= leafStart
+      val end = math.min(nodeIndex + nodeSize, bounds(level)._2)
+      var pos = nodeIndex
+      while (pos < end) {
+        val p = base + 40 * pos.toInt
+        val nMinX = bb.getDouble(p); val nMinY = bb.getDouble(p + 8)
+        val nMaxX = bb.getDouble(p + 16); val nMaxY = bb.getDouble(p + 24)
+        if (nMinX <= x1 && nMaxX >= x0 && nMinY <= y1 && nMaxY >= y0) {
+          val off = bb.getLong(p + 32)
+          if (isLeaf) results += off else queue.enqueue((off, level - 1))
+        }
+        pos += 1
+      }
+    }
+    results.sortInPlace().toSeq
+  }
+
   // ── geometry decode ───────────────────────────────────────────────────
 
   private def coords(xy: Array[Double], from: Int, until: Int): Array[Coordinate] =
@@ -253,40 +302,59 @@ object FlatGeobuf {
     header.columns.map { case (n, t) => StructField(n, columnTypes(t)) } :+
       StructField("geometry", BinaryType))
 
-  /** Decode every feature of one FGB blob into Rows (props + WKB). */
+  /** Decode every feature of one FGB blob into Rows (props + WKB). With a
+    * bbox over an indexed file, the packed Hilbert R-tree selects candidate
+    * features and ONLY those are decoded (the reference's async reader
+    * seeks via the same index); indexless files fall back to full scan +
+    * envelope filter. */
   private def decodeFeatures(bytes: Array[Byte],
                              bbox: Option[(Double, Double, Double, Double)]): Iterator[Row] = {
     val header = parseHeader(bytes)
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val types = header.columns.map(_._2).toArray
     val start = header.headerEnd + indexSize(header.featuresCount, header.indexNodeSize)
-    var p = start.toInt
-    val it = new Iterator[Row] {
-      def hasNext: Boolean = p + 4 <= bytes.length
-      def next(): Row = {
-        val size = bb.getInt(p)
-        val root = p + 4
-        p = root + size
-        val t = new Table(bb, root + bb.getInt(root))
-        val out = new Array[Any](types.length + 1)
-        t.indirect(F.Properties) match {
-          case -1 =>
-          case pp => decodeProperties(bb, pp + 4, bb.getInt(pp), types, out)
-        }
-        val geom = t.subTable(F.Geometry).map(g => decodeGeometry(g, header.geometryType)).orNull
-        out(types.length) = if (geom == null) null else GeomOps.write(geom)
-        Row.fromSeq(out.toIndexedSeq)
+
+    def featureAt(root: Int): Row = {
+      val t = new Table(bb, root + bb.getInt(root))
+      val out = new Array[Any](types.length + 1)
+      t.indirect(F.Properties) match {
+        case -1 =>
+        case pp => decodeProperties(bb, pp + 4, bb.getInt(pp), types, out)
+      }
+      val geom = t.subTable(F.Geometry).map(g => decodeGeometry(g, header.geometryType)).orNull
+      out(types.length) = if (geom == null) null else GeomOps.write(geom)
+      Row.fromSeq(out.toIndexedSeq)
+    }
+
+    def envelopeFilter(x0: Double, y0: Double, x1: Double, y1: Double)(r: Row): Boolean = {
+      val wkb = r.getAs[Array[Byte]](types.length)
+      wkb != null && {
+        val e = GeomOps.read(wkb).getEnvelopeInternal
+        e.getMinX <= x1 && e.getMaxX >= x0 && e.getMinY <= y1 && e.getMaxY >= y0
       }
     }
+
     bbox match {
-      case None => it
-      case Some((x0, y0, x1, y1)) => it.filter { r =>
-        val wkb = r.getAs[Array[Byte]](types.length)
-        wkb != null && {
-          val e = GeomOps.read(wkb).getEnvelopeInternal
-          e.getMinX <= x1 && e.getMaxX >= x0 && e.getMinY <= y1 && e.getMaxY >= y0
+      case Some((x0, y0, x1, y1)) if header.indexNodeSize > 0 && header.featuresCount > 0 =>
+        // index-seek path: decode only the tree's candidate features
+        searchIndex(bytes, x0, y0, x1, y1).iterator
+          .map(off => featureAt(start.toInt + off.toInt + 4))
+          .filter(envelopeFilter(x0, y0, x1, y1))
+      case _ =>
+        var p = start.toInt
+        val it = new Iterator[Row] {
+          def hasNext: Boolean = p + 4 <= bytes.length
+          def next(): Row = {
+            val size = bb.getInt(p)
+            val root = p + 4
+            p = root + size
+            featureAt(root)
+          }
         }
-      }
+        bbox match {
+          case None => it
+          case Some((x0, y0, x1, y1)) => it.filter(envelopeFilter(x0, y0, x1, y1))
+        }
     }
   }
 

@@ -11,10 +11,13 @@ import graft.core.GeomOps
 /** FlatGeobuf writer — re-expression of the reference's writer
   * (rust/geoarrow-flatgeobuf/src/writer.rs:16-96,160-228: schema from the
   * Arrow schema, per-feature geometry + property encoding, optional spatial
-  * index). We write WITHOUT the packed Hilbert R-tree (`index_node_size=0`,
-  * which the spec allows and the reference also defaults to opt-in); bbox
-  * reads over indexless files fall back to the full-scan + envelope filter
-  * path in [[FlatGeobuf.readBbox]].
+  * index). By default each file carries the spec's packed Hilbert R-tree
+  * (40-byte nodes, root-first level order; features Hilbert-sorted on a
+  * 2^16 grid over the partition extent), so graft-written files are
+  * bbox-seekable by [[FlatGeobuf.readBbox]] and any spec-conforming FGB
+  * reader. `index=false` (or a partition containing geometry-less rows,
+  * which the packed tree cannot address) falls back to `index_node_size=0`
+  * — spec-legal, bbox reads then full-scan + envelope-filter.
   *
   * Distribution model (the part the single-node reference doesn't have):
   * one .fgb file per partition, written task-side into a directory — the
@@ -164,8 +167,132 @@ object FlatGeobufWriter {
       s"FlatGeobuf: unsupported property type $other (cast to string first)")
   }
 
+  // ── packed Hilbert R-tree (FGB spec / flatbush layout) ─────────────────
+
+  /** flatbush's 16-bit Hilbert curve (public-domain bit-twiddle; the same
+    * function the FGB C++/Rust writers use). x, y ∈ [0, 0xFFFF]. */
+  private[sources] def hilbert(x: Int, y: Int): Long = {
+    var a = x ^ y
+    var b = 0xFFFF ^ a
+    var c = 0xFFFF ^ (x | y)
+    var d = x & (y ^ 0xFFFF)
+    var A = a | (b >> 1)
+    var B = (a >> 1) ^ a
+    var C = ((c >> 1) ^ (b & (d >> 1))) ^ c
+    var D = ((a & (c >> 1)) ^ (d >> 1)) ^ d
+    a = A; b = B; c = C; d = D
+    A = (a & (a >> 2)) ^ (b & (b >> 2))
+    B = (a & (b >> 2)) ^ (b & ((a ^ b) >> 2))
+    C ^= (a & (c >> 2)) ^ (b & (d >> 2))
+    D ^= (b & (c >> 2)) ^ ((a ^ b) & (d >> 2))
+    a = A; b = B; c = C; d = D
+    A = (a & (a >> 4)) ^ (b & (b >> 4))
+    B = (a & (b >> 4)) ^ (b & ((a ^ b) >> 4))
+    C ^= (a & (c >> 4)) ^ (b & (d >> 4))
+    D ^= (b & (c >> 4)) ^ ((a ^ b) & (d >> 4))
+    a = A; b = B; c = C; d = D
+    C ^= (a & (c >> 8)) ^ (b & (d >> 8))
+    D ^= (b & (c >> 8)) ^ ((a ^ b) & (d >> 8))
+    a = C ^ (C >> 1)
+    b = D ^ (D >> 1)
+    var i0 = x ^ y
+    var i1 = b | (0xFFFF ^ (i0 | a))
+    i0 = (i0 | (i0 << 8)) & 0x00FF00FF
+    i0 = (i0 | (i0 << 4)) & 0x0F0F0F0F
+    i0 = (i0 | (i0 << 2)) & 0x33333333
+    i0 = (i0 | (i0 << 1)) & 0x55555555
+    i1 = (i1 | (i1 << 8)) & 0x00FF00FF
+    i1 = (i1 | (i1 << 4)) & 0x0F0F0F0F
+    i1 = (i1 | (i1 << 2)) & 0x33333333
+    i1 = (i1 | (i1 << 1)) & 0x55555555
+    ((i1 << 1) | i0).toLong & 0xFFFFFFFFL
+  }
+
+  private[sources] def hilbertOf(e: Envelope, extent: Envelope): Long = {
+    val hilbertMax = (1 << 16) - 1
+    val w = extent.getWidth
+    val h = extent.getHeight
+    val x = if (w == 0) 0
+      else math.min(hilbertMax, (hilbertMax * (((e.getMinX + e.getMaxX) / 2) - extent.getMinX) / w).toInt)
+    val y = if (h == 0) 0
+      else math.min(hilbertMax, (hilbertMax * (((e.getMinY + e.getMaxY) / 2) - extent.getMinY) / h).toInt)
+    hilbert(x, y)
+  }
+
+  /** Node-index ranges per level, LEAF level first, root last — the same
+    * do-while shape as [[FlatGeobuf.indexSize]] (even 1 item gets a root). */
+  private[sources] def levelBounds(numItems: Long, nodeSize: Int): Array[(Long, Long)] = {
+    var n = numItems
+    var numNodes = n
+    val levelNumNodes = scala.collection.mutable.ArrayBuffer(n)
+    var done = false
+    while (!done) {
+      n = (n + nodeSize - 1) / nodeSize
+      numNodes += n
+      levelNumNodes += n
+      done = n == 1
+    }
+    var acc = numNodes
+    levelNumNodes.map { size => acc -= size; (acc, acc + size) }.toArray
+  }
+
+  /** Serialize the packed Hilbert R-tree over the (already Hilbert-sorted)
+    * leaf envelopes. `featOffsets(i)` = byte offset of feature i within the
+    * features section. Array layout: root at node 0, leaves last; internal
+    * node payload = index of its first child node, leaf payload = feature
+    * byte offset (exactly the C++/Rust PackedRTree wire format). */
+  private def buildIndex(envs: Array[Envelope], featOffsets: Array[Long],
+                         nodeSize: Int): Array[Byte] = {
+    val numItems = envs.length
+    val bounds = levelBounds(numItems, nodeSize)
+    val numNodes = bounds(0)._2.toInt
+    val leafStart = (numNodes - numItems).toInt
+    val minX = new Array[Double](numNodes); val minY = new Array[Double](numNodes)
+    val maxX = new Array[Double](numNodes); val maxY = new Array[Double](numNodes)
+    val off = new Array[Long](numNodes)
+    var i = 0
+    while (i < numItems) {
+      val n = leafStart + i
+      minX(n) = envs(i).getMinX; minY(n) = envs(i).getMinY
+      maxX(n) = envs(i).getMaxX; maxY(n) = envs(i).getMaxY
+      off(n) = featOffsets(i)
+      i += 1
+    }
+    var level = 0
+    while (level < bounds.length - 1) {
+      var pos = bounds(level)._1.toInt
+      val end = bounds(level)._2.toInt
+      var newpos = bounds(level + 1)._1.toInt
+      while (pos < end) {
+        val firstChild = pos
+        var x0 = Double.PositiveInfinity; var y0 = Double.PositiveInfinity
+        var x1 = Double.NegativeInfinity; var y1 = Double.NegativeInfinity
+        var j = 0
+        while (j < nodeSize && pos < end) {
+          x0 = math.min(x0, minX(pos)); y0 = math.min(y0, minY(pos))
+          x1 = math.max(x1, maxX(pos)); y1 = math.max(y1, maxY(pos))
+          pos += 1; j += 1
+        }
+        minX(newpos) = x0; minY(newpos) = y0; maxX(newpos) = x1; maxY(newpos) = y1
+        off(newpos) = firstChild.toLong
+        newpos += 1
+      }
+      level += 1
+    }
+    val bb = java.nio.ByteBuffer.allocate(numNodes * 40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    i = 0
+    while (i < numNodes) {
+      bb.putDouble(minX(i)); bb.putDouble(minY(i))
+      bb.putDouble(maxX(i)); bb.putDouble(maxY(i))
+      bb.putLong(off(i))
+      i += 1
+    }
+    bb.array()
+  }
+
   private def headerBytes(name: String, cols: Seq[(String, Int)], count: Long,
-                          env: Array[Double]): Array[Byte] = {
+                          env: Array[Double], indexNodeSize: Int): Array[Byte] = {
     val b = new FBB()
     val nameOff = b.createString(name)
     val colOffs = cols.map { case (n, t) =>
@@ -183,7 +310,9 @@ object FlatGeobufWriter {
     b.slotByte(2, 0, 0)          // geometry_type Unknown: per-feature tags rule
     b.slotOffset(7, colsVec)
     b.slotLong(8, count, 0)
-    b.slotShort(9, 0, 16, force = true) // index_node_size=0: no spatial index
+    // index_node_size: 16 = packed Hilbert R-tree follows the header;
+    // 0 = no spatial index (fbs default is 16, so always write explicitly)
+    b.slotShort(9, indexNodeSize.toShort, 16, force = true)
     b.finish(b.endTable())
   }
 
@@ -286,9 +415,11 @@ object FlatGeobufWriter {
 
   /** Write `df` as a directory of .fgb files, one per partition. The
     * geometry column (WKB) becomes the FGB geometry; all other columns
-    * become typed FGB properties in schema order. */
+    * become typed FGB properties in schema order. With `index=true` (the
+    * default) features are Hilbert-sorted and each file carries the packed
+    * Hilbert R-tree, making it bbox-seekable. */
   def write(df: DataFrame, path: String, geometryCol: String = "geometry",
-            name: String = "graft"): Unit = {
+            name: String = "graft", index: Boolean = true): Unit = {
     val schema = df.schema
     val geomIdx = schema.fieldIndex(geometryCol)
     require(geomIdx == schema.fields.length - 1,
@@ -298,30 +429,53 @@ object FlatGeobufWriter {
     val types = cols.map(_._2).toArray
     val dir = new org.apache.hadoop.fs.Path(path)
     dir.getFileSystem(df.sparkSession.sessionState.newHadoopConf()).mkdirs(dir)
+    val wantIndex = index
     df.rdd.foreachPartition { rows =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      val features = new ByteArrayOutputStream(1 << 20)
-      var count = 0L
+      // buffer (feature bytes, envelope) — same per-partition memory bound
+      // as the previous streaming buffer, but sortable for the Hilbert index
+      val feats = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Envelope)]
       val env = new Envelope()
+      var allHaveEnv = true
       rows.foreach { row =>
         val (fb, e) = featureBytes(row, types, geomIdx)
-        val size = fb.length
-        features.write(size & 0xFF); features.write((size >> 8) & 0xFF)
-        features.write((size >> 16) & 0xFF); features.write((size >> 24) & 0xFF)
-        features.write(fb, 0, fb.length)
-        if (e != null) env.expandToInclude(e)
-        count += 1
+        feats += ((fb, e))
+        if (e != null) env.expandToInclude(e) else allHaveEnv = false
       }
+      val count = feats.length.toLong
+      // the packed tree addresses every feature by envelope; a partition
+      // with geometry-less rows can't be indexed → spec-legal indexless file
+      val doIndex = wantIndex && count > 0 && allHaveEnv
+      val sorted =
+        if (doIndex) feats.sortBy { case (_, e) => hilbertOf(e, env) }
+        else feats
       val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
       val out = fs.create(new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.fgb"), true)
       try {
         out.write(Array[Byte]('f', 'g', 'b', 3, 'f', 'g', 'b', 0))
-        val hdr = headerBytes(name, cols,
-          count, if (env.isNull) null else Array(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY))
+        val hdr = headerBytes(name, cols, count,
+          if (env.isNull) null else Array(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY),
+          if (doIndex) 16 else 0)
         out.write(hdr.length & 0xFF); out.write((hdr.length >> 8) & 0xFF)
         out.write((hdr.length >> 16) & 0xFF); out.write((hdr.length >> 24) & 0xFF)
         out.write(hdr)
-        features.writeTo(out)
+        if (doIndex) {
+          val offsets = new Array[Long](sorted.length)
+          var acc = 0L
+          var i = 0
+          while (i < sorted.length) {
+            offsets(i) = acc
+            acc += 4L + sorted(i)._1.length
+            i += 1
+          }
+          out.write(buildIndex(sorted.map(_._2).toArray, offsets, 16))
+        }
+        sorted.foreach { case (fb, _) =>
+          val size = fb.length
+          out.write(size & 0xFF); out.write((size >> 8) & 0xFF)
+          out.write((size >> 16) & 0xFF); out.write((size >> 24) & 0xFF)
+          out.write(fb, 0, fb.length)
+        }
       } finally out.close()
     }
   }

@@ -97,6 +97,62 @@ class FlatGeobufSpec extends SparkTestBase {
     assert(src.except(dst).isEmpty && dst.except(src).isEmpty)
   }
 
+  // ── packed Hilbert R-tree (writer emits, reader seeks) ─────────────────
+
+  private def readAllBytes(path: String): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val len = fs.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p); in.readFully(0, bytes); in.close()
+    bytes
+  }
+
+  test("writer emits a packed Hilbert R-tree; readBbox seeks through it") {
+    import graft.sources.FlatGeobufWriter
+    val out = java.nio.file.Files.createTempDirectory("fgbidx").toString
+    // 1000 points on a 100×10 grid, single partition → one indexed file
+    val df = spark.sql("""
+      SELECT CAST(id AS INT) AS id,
+             ST_Point(CAST(id % 100 AS DOUBLE), CAST(CAST(id / 100 AS INT) AS DOUBLE)) AS geometry
+      FROM range(1000)""").coalesce(1)
+    FlatGeobufWriter.write(df, out)
+    val file = new java.io.File(out).listFiles().filter(_.getName.endsWith(".fgb")).head
+    val bytes = readAllBytes(file.toString)
+    val hdr = FlatGeobuf.parseHeader(bytes)
+    assert(hdr.indexNodeSize == 16, "indexed write must declare index_node_size=16")
+    assert(hdr.featuresCount == 1000)
+    // the tree is selective: candidates for a 10×10 rect << total count
+    val hits = FlatGeobuf.searchIndex(bytes, 20.0, 2.0, 29.0, 5.0)
+    assert(hits.nonEmpty && hits.size < hdr.featuresCount,
+      s"index search must touch < full feature count (got ${hits.size})")
+    assert(hits.size == 40, s"exact-envelope leaves: expected 40 candidates, got ${hits.size}")
+    // and the index-seek read returns exactly the right features
+    val sel = FlatGeobuf.readBbox(spark, file.toString, 20.0, 2.0, 29.0, 5.0)
+    val ids = sel.select("id").collect().map(_.getInt(0)).toSet
+    val expected = (0 until 1000).filter(i => (i % 100) >= 20 && (i % 100) <= 29 &&
+      (i / 100) >= 2 && (i / 100) <= 5).toSet
+    assert(ids == expected)
+  }
+
+  test("index roundtrip matches indexless read on identical data") {
+    import graft.sources.FlatGeobufWriter
+    val outIdx = java.nio.file.Files.createTempDirectory("fgbidx2").toString
+    val outNo = java.nio.file.Files.createTempDirectory("fgbnoidx").toString
+    val df = FlatGeobuf.read(spark, s"$fixtures/countries.fgb").coalesce(1)
+    FlatGeobufWriter.write(df, outIdx, index = true)
+    FlatGeobufWriter.write(df, outNo, index = false)
+    val a = FlatGeobuf.readBbox(spark, outIdx, -10, 35, 20, 60)
+      .selectExpr("name", "ROUND(ST_Area(geometry), 9) AS area")
+    val b = FlatGeobuf.readBbox(spark, outNo, -10, 35, 20, 60)
+      .selectExpr("name", "ROUND(ST_Area(geometry), 9) AS area")
+    assert(a.count() > 0)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    val noIdxHdr = FlatGeobuf.parseHeader(readAllBytes(
+      new java.io.File(outNo).listFiles().filter(_.getName.endsWith(".fgb")).head.toString))
+    assert(noIdxHdr.indexNodeSize == 0)
+  }
+
   test("writer roundtrip: countries.fgb through write → read preserves all geometry") {
     import graft.sources.FlatGeobufWriter
     val out = java.nio.file.Files.createTempDirectory("fgbw2").toString
