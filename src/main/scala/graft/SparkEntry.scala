@@ -934,7 +934,7 @@ object SparkEntry {
     SELECT n_nationkey AS k,
            ROUND(ST_DistanceSpheroid(ST_Point(lon1, lat1), ST_Point(lon2, lat2)) / 1000.0, 3) AS d_km,
            ROUND(ST_LengthSpheroid(ST_MakeLine(ST_Point(lon1, lat1), ST_Point(lon2, lat2))) / 1000.0, 3) AS len_km,
-           ROUND(ST_AreaSpheroid(ST_MakeEnvelope(lon1, lat1, lon1 + 2.0, lat1 + 2.0)) / 1000000.0, 2) AS area_km2
+           ROUND(ST_AreaSphere(ST_MakeEnvelope(lon1, lat1, lon1 + 2.0, lat1 + 2.0)) / 1000000.0, 2) AS area_km2
     FROM (SELECT n_nationkey,
                  CAST(n_nationkey * 7 % 120 - 60 AS DOUBLE) AS lon1,
                  CAST(n_nationkey * 3 % 60 - 30 AS DOUBLE) AS lat1,
@@ -969,7 +969,7 @@ object SparkEntry {
                 + (radians(lon1) - radians(lon1 + 2)) * sin(radians(lat1 + 2))
                 + (radians(lon1) - radians(lon1 + 2)) * sin(radians(lat1 + 2))
                 + (radians(lon1 + 2) - radians(lon1)) * sin(radians(lat1)))
-               * 6371007.1809 * 6371007.1809 / 2.0) AS ar_m2
+               * 6371008.8 * 6371008.8 / 2.0) AS ar_m2
            FROM andoyer)
     SELECT a.n_nationkey AS k,
            ROUND(a.d_m / 1000.0, 3) AS d_km,
@@ -1041,6 +1041,59 @@ object SparkEntry {
                  CAST((o_orderkey * 11) % 500 AS DOUBLE) AS oy FROM orders) o
       ON cx <= ox + 1 AND ox <= cx + 2 AND cy <= oy + 1 AND oy <= cy + 2
     GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+  /** Karney-exact geodesic measures over fixed geometries. The oracle values
+    * are literals anchored by the REFERENCE's own doctests
+    * (geodesic_area.rs:68 → O2 polygon; :110 → earth-minus-1°-square
+    * 510053312945726.94 m²; geodesic_length.rs:51 → NYC→London→Osaka
+    * 15,109,158 m), i.e. independent geographiclib ground truth at 8+
+    * significant digits (KarneyGeodesicSpec holds the full-precision
+    * asserts). */
+  private val g34Spark = """
+    SELECT
+      ROUND(ST_AreaSpheroidSigned(ST_GeomFromText(
+        'POLYGON ((0.00388383 51.501574, 0.00538587 51.502278, 0.00553607 51.503299,
+                   0.00467777 51.504181, 0.00327229 51.504435, 0.00187754 51.504168,
+                   0.00087976 51.503380, 0.00107288 51.502324, 0.00185608 51.501770,
+                   0.00388383 51.501574))')), 3) AS o2_m2,
+      ROUND(ST_AreaSpheroid(ST_GeomFromText(
+        'POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))')) / 1000000.0, 3) AS sq_cw_unsigned_km2,
+      ROUND(ST_AreaSpheroidSigned(ST_GeomFromText(
+        'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')) / 1000000.0, 3) AS sq_ccw_km2,
+      ROUND(ST_AreaSpheroidSigned(ST_GeomFromText(
+        'POLYGON ((10 45, 11 45, 11 46, 10 46, 10 45))')) / 1000000.0, 3) AS sq45_km2,
+      ROUND(ST_DistanceGeodesic(ST_Point(-74.006, 40.7128), ST_Point(-0.1278, 51.5074)), 3) AS d_nyc_lon_m,
+      ROUND(ST_LengthGeodesic(ST_GeomFromText(
+        'LINESTRING (-74.006 40.7128, -0.1278 51.5074, 135.5244559 34.687455)'))) AS len_nyc_osa_m"""
+
+  // literals from KarneyGeodesic on these exact inputs; anchored to the
+  // reference doctests (see g34Spark scaladoc). len_nyc_osa_m IS the
+  // geodesic_length.rs doctest value.
+  private val g34Duck = """
+    SELECT 78595.939 AS o2_m2,
+           510053312.946 AS sq_cw_unsigned_km2,
+           12308.778 AS sq_ccw_km2,
+           8686.379 AS sq45_km2,
+           5585233.579 AS d_nyc_lon_m,
+           15109158.0 AS len_nyc_osa_m"""
+
+  /** Planar signed shoelace area (CCW positive) with data-driven winding —
+    * DuckDB mirrors the shoelace arithmetic directly. */
+  private val g35Spark = """
+    SELECT n_nationkey AS k,
+           ROUND(ST_SignedArea(ST_GeomFromText(CASE WHEN n_nationkey % 2 = 0
+             THEN CONCAT('POLYGON ((0 0, ', w, ' 0, ', w, ' ', h, ', 0 ', h, ', 0 0))')
+             ELSE CONCAT('POLYGON ((0 0, 0 ', h, ', ', w, ' ', h, ', ', w, ' 0, 0 0))')
+           END)), 6) AS signed_area
+    FROM (SELECT n_nationkey, CAST(1 + n_nationkey % 5 AS INT) AS w,
+                 CAST(1 + n_nationkey % 3 AS INT) AS h FROM nation) t
+    ORDER BY k"""
+
+  private val g35Duck = """
+    SELECT n_nationkey AS k,
+           ROUND(CASE WHEN n_nationkey % 2 = 0 THEN 1.0 ELSE -1.0 END
+                 * (1 + n_nationkey % 5) * (1 + n_nationkey % 3), 6) AS signed_area
+    FROM nation ORDER BY k"""
 
   // ── training-data pipeline ops: text analysis / dedup ─────────────────
 
@@ -1601,6 +1654,8 @@ object SparkEntry {
     ("g31_spheroid_measures", q(g31Spark), g31Duck),
     ("g32_downcast_infer", g32Fn _, g32Duck),
     ("g33_grid_join_bigbig", g33Fn _, g33Duck),
+    ("g34_geodesic_measures", q(g34Spark), g34Duck),
+    ("g35_signed_area", q(g35Spark), g35Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),

@@ -158,15 +158,82 @@ object Geodesy {
     total
   }
 
-  /** Ellipsoidal polygon area approximated as spherical excess on the WGS84
-    * authalic sphere (the equal-area radius) — documented divergence from the
-    * reference's Karney geodesic area
-    * (rust/geoarrow-old/src/algorithm/geo/geodesic_area.rs:17): error is
-    * O(f²)≈1e-5 relative, vs the exact ellipsoidal integral. */
-  val AuthalicRadiusM = 6371007.1809
-  def areaSpheroid(b: Array[Byte]): Double = {
-    val k = AuthalicRadiusM / EarthRadiusM
-    areaSphere(b) * k * k
+  // ── Karney-exact geodesic measures (KarneyGeodesic; replaces the round-2
+  //    authalic-sphere approximation — now matches the reference's
+  //    geodesic_area.rs:17 / geodesic_length.rs:18 exactly) ────────────────
+
+  /** (lats, lons) of a ring, closing point dropped. */
+  private def ringLatLon(r: LineString): (Array[Double], Array[Double]) = {
+    val cs = r.getCoordinates
+    val m = if (cs.length > 1 && cs(0).equals2D(cs(cs.length - 1))) cs.length - 1 else cs.length
+    (Array.tabulate(m)(i => cs(i).y), Array.tabulate(m)(i => cs(i).x))
+  }
+
+  /** Karney signed geodesic area: CCW exterior positive, rings summed as
+    * wound (holes wound CW subtract). Reference:
+    * geodesic_area.rs `geodesic_area_signed`. */
+  def areaSpheroidSigned(b: Array[Byte]): Double =
+    signedKarney(GeomOps.read(b))
+
+  private def signedKarney(g: Geometry): Double = g match {
+    case p: Polygon =>
+      val rings = p.getExteriorRing +:
+        (0 until p.getNumInteriorRing).map(p.getInteriorRingN)
+      rings.map { r => val (la, lo) = ringLatLon(r); KarneyGeodesic.ringAreaSigned(la, lo) }.sum
+    case gc: GeometryCollection =>
+      (0 until gc.getNumGeometries).map(i => signedKarney(gc.getGeometryN(i))).sum
+    case _ => 0.0
+  }
+
+  /** Karney unsigned geodesic area: supports rings enclosing more than half
+    * the earth (a CW-wound ring means "everything but"); hole areas
+    * subtract. Reference: geodesic_area.rs `geodesic_area_unsigned`. */
+  def areaSpheroid(b: Array[Byte]): Double =
+    unsignedKarney(GeomOps.read(b))
+
+  private def unsignedKarney(g: Geometry): Double = g match {
+    case p: Polygon =>
+      val (extLa, extLo) = ringLatLon(p.getExteriorRing)
+      val ext = {
+        val s = KarneyGeodesic.ringAreaSigned(extLa, extLo)
+        if (s < 0) s + KarneyGeodesic.area0 else s
+      }
+      ext - (0 until p.getNumInteriorRing).map { i =>
+        val (la, lo) = ringLatLon(p.getInteriorRingN(i))
+        math.abs(KarneyGeodesic.ringAreaSigned(la, lo))
+      }.sum
+    case gc: GeometryCollection =>
+      (0 until gc.getNumGeometries).map(i => unsignedKarney(gc.getGeometryN(i))).sum
+    case _ => 0.0
+  }
+
+  /** Karney-exact inverse distance between two points (m). */
+  def distanceGeodesic(a: Array[Byte], b: Array[Byte]): Double = {
+    val ca = GeomOps.read(a).getCoordinate
+    val cb = GeomOps.read(b).getCoordinate
+    KarneyGeodesic.distance(ca.y, ca.x, cb.y, cb.x)
+  }
+
+  /** Karney-exact geodesic length of a (multi)linestring (m).
+    * ref: geodesic_length.rs:18 (doctest NYC→London→Osaka = 15,109,158). */
+  def lengthGeodesic(b: Array[Byte]): Double = {
+    val g = GeomOps.read(b)
+    var total = 0.0
+    var i = 0
+    while (i < g.getNumGeometries) {
+      g.getGeometryN(i) match {
+        case l: LineString =>
+          val cs = l.getCoordinates
+          var j = 1
+          while (j < cs.length) {
+            total += KarneyGeodesic.distance(cs(j - 1).y, cs(j - 1).x, cs(j).y, cs(j).x)
+            j += 1
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    total
   }
 
   /** Chamberlain–Duquette spherical polygon area (m², absolute value).

@@ -190,6 +190,22 @@ object GeomOps {
   // ref: rust/geoarrow-expr-geo/src/{area.rs:11,length.rs:12,distance.rs:9}
 
   def area(b: Array[Byte]): Double = read(b).getArea
+
+  /** Planar signed shoelace area, CCW-positive, rings summed as wound
+    * (ref: rust/geoarrow-expr-geo/src/area.rs:15 `signed_area`; JTS
+    * ofRingSigned is CW-positive, hence the negation). */
+  def signedArea(b: Array[Byte]): Double = signedAreaOf(read(b))
+
+  private def signedAreaOf(g: Geometry): Double = g match {
+    case p: Polygon =>
+      val rings = p.getExteriorRing +:
+        (0 until p.getNumInteriorRing).map(p.getInteriorRingN)
+      rings.map(r => -org.locationtech.jts.algorithm.Area.ofRingSigned(r.getCoordinates)).sum
+    case gc: GeometryCollection =>
+      (0 until gc.getNumGeometries).map(i => signedAreaOf(gc.getGeometryN(i))).sum
+    case _ => 0.0
+  }
+
   def length(b: Array[Byte]): Double = read(b).getLength
   def perimeter(b: Array[Byte]): Double = read(b) match {
     case p: Polygonal => p.getLength

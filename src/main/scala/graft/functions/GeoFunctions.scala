@@ -168,6 +168,10 @@ object GeoFunctions {
     "st_distancespheroid" -> Sig("distanceSpheroid", D, Seq(G, G), geodesy),
     "st_lengthspheroid" -> Sig("lengthSpheroid", D, Seq(G), geodesy),
     "st_areaspheroid" -> Sig("areaSpheroid", D, Seq(G), geodesy),
+    "st_areaspheroidsigned" -> Sig("areaSpheroidSigned", D, Seq(G), geodesy),
+    "st_distancegeodesic" -> Sig("distanceGeodesic", D, Seq(G, G), geodesy),
+    "st_lengthgeodesic" -> Sig("lengthGeodesic", D, Seq(G), geodesy),
+    "st_signedarea" -> Sig("signedArea", D, Seq(G)),
     // GeoArrow native-layout → WKB transcode (GeoParquet 1.1 non-WKB read;
     // args: nested coords column, hasZ, hasM — see graft.core.GeoArrowOps)
     "ga_point" -> Sig("gaPoint", G, Seq(NullType, B, B), geoArrow, cast = false),

@@ -188,4 +188,28 @@ class GeoFunctionsSpec extends SparkTestBase {
     assert(math.abs(s - e) / e < 0.006, s"sphere=$s spheroid=$e")
     assert(one("ST_DistanceSpheroid(ST_Point(5, 5), ST_Point(5, 5))") == 0.0)
   }
+
+  test("signed area: orientation, holes, non-areal") {
+    val r = sql("""
+      SELECT ST_SignedArea(ST_GeomFromText('POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))')) AS ccw,
+             ST_SignedArea(ST_GeomFromText('POLYGON ((0 0, 0 2, 4 2, 4 0, 0 0))')) AS cw,
+             ST_SignedArea(ST_GeomFromText(
+               'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))')) AS holed,
+             ST_SignedArea(ST_GeomFromText('LINESTRING (0 0, 5 5)')) AS line
+      """).head()
+    assert(r.getDouble(0) == 8.0)   // CCW positive
+    assert(r.getDouble(1) == -8.0)  // CW negative
+    assert(r.getDouble(2) == 15.0)  // 16 - CW-wound hole of 1
+    assert(r.getDouble(3) == 0.0)
+  }
+
+  test("geodesic signed area orientation (Karney)") {
+    val r = sql("""
+      SELECT ST_AreaSpheroidSigned(ST_GeomFromText('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')) AS ccw,
+             ST_AreaSpheroidSigned(ST_GeomFromText('POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))')) AS cw
+      """).head()
+    assert(r.getDouble(0) > 0 && r.getDouble(1) < 0)
+    assert(math.abs(r.getDouble(0) + r.getDouble(1)) < 1e-3)
+    assert(math.abs(r.getDouble(0) - 12308778361.47) < 1.0) // geographiclib value
+  }
 }
