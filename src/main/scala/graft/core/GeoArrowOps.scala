@@ -78,4 +78,49 @@ object GeoArrowOps {
   def gaMultiPolygon(a: ArrayData, z: Boolean, m: Boolean): Array[Byte] =
     GeomOps.write(factory.createMultiPolygon(
       Array.tabulate(a.numElements())(i => poly(a.getArray(i), z, m))))
+
+  // ── WKB → GeoArrow export (the interop direction: native-encoded
+  //    GeoParquet write / Arrow interchange; XY layout) ───────────────────
+
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private def coordRow(c: Coordinate): InternalRow =
+    new GenericInternalRow(Array[Any](c.x, c.y))
+
+  private def coordArr(cs: Array[Coordinate]): ArrayData =
+    new GenericArrayData(cs.map(coordRow(_): Any))
+
+  private def polyArr(p: Polygon): ArrayData =
+    new GenericArrayData(
+      ((p.getExteriorRing +: (0 until p.getNumInteriorRing).map(p.getInteriorRingN))
+        .map(r => coordArr(r.getCoordinates): Any)).toArray)
+
+  def toPoint(wkb: Array[Byte]): InternalRow =
+    coordRow(GeomOps.read(wkb).getCoordinate)
+
+  def toLineString(wkb: Array[Byte]): ArrayData =
+    coordArr(GeomOps.read(wkb).getCoordinates)
+
+  def toMultiPoint(wkb: Array[Byte]): ArrayData =
+    coordArr(GeomOps.read(wkb).getCoordinates)
+
+  def toPolygon(wkb: Array[Byte]): ArrayData =
+    polyArr(GeomOps.read(wkb).asInstanceOf[Polygon])
+
+  def toMultiLineString(wkb: Array[Byte]): ArrayData = {
+    val g = GeomOps.read(wkb)
+    new GenericArrayData(Array.tabulate[Any](g.getNumGeometries)(i =>
+      coordArr(g.getGeometryN(i).getCoordinates)))
+  }
+
+  def toMultiPolygon(wkb: Array[Byte]): ArrayData = {
+    val g = GeomOps.read(wkb)
+    new GenericArrayData(Array.tabulate[Any](g.getNumGeometries)(i =>
+      polyArr(g.getGeometryN(i) match {
+        case p: Polygon => p
+        case other => throw new IllegalArgumentException(
+          s"ga_to_multipolygon: component is ${other.getGeometryType}, not Polygon")
+      })))
+  }
 }

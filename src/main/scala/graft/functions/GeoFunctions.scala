@@ -41,6 +41,14 @@ object GeoFunctions {
 
   private val geoArrow = Class.forName("graft.core.GeoArrowOps")
 
+  // GeoArrow separated-coordinate layouts (GeoParquet 1.1 native encoding)
+  private val gaCoord = StructType(Seq(
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false)))
+  private val gaList1 = ArrayType(gaCoord, containsNull = false)
+  private val gaList2 = ArrayType(gaList1, containsNull = false)
+  private val gaList3 = ArrayType(gaList2, containsNull = false)
+
   /** name → (method, returnType, paramTypes, implementing class), grouped by
     * arity so one SQL name can overload (e.g. ST_Buffer/2 and /3).
     * `cast=false` passes arguments through uncast — for kernels taking
@@ -180,6 +188,13 @@ object GeoFunctions {
     "ga_polygon" -> Sig("gaPolygon", G, Seq(NullType, B, B), geoArrow, cast = false),
     "ga_multilinestring" -> Sig("gaMultiLineString", G, Seq(NullType, B, B), geoArrow, cast = false),
     "ga_multipolygon" -> Sig("gaMultiPolygon", G, Seq(NullType, B, B), geoArrow, cast = false),
+    // WKB → GeoArrow export (XY; native-encoded GeoParquet write / Arrow interop)
+    "ga_to_point" -> Sig("toPoint", gaCoord, Seq(G), geoArrow),
+    "ga_to_linestring" -> Sig("toLineString", gaList1, Seq(G), geoArrow),
+    "ga_to_multipoint" -> Sig("toMultiPoint", gaList1, Seq(G), geoArrow),
+    "ga_to_polygon" -> Sig("toPolygon", gaList2, Seq(G), geoArrow),
+    "ga_to_multilinestring" -> Sig("toMultiLineString", gaList2, Seq(G), geoArrow),
+    "ga_to_multipolygon" -> Sig("toMultiPolygon", gaList3, Seq(G), geoArrow),
   )
 
   private val byName: Map[String, Map[Int, Sig]] =

@@ -177,21 +177,38 @@ object GeoParquet {
     * given, the `geoparquet.crs` field metadata stamped by [[read]] is
     * propagated automatically — read→write→read preserves CRS with no
     * caller involvement. */
+  /** geometry WKB column → GeoArrow export function for a native encoding;
+    * inverse of [[nativeTranscoder]]. */
+  private def nativeExporter(encoding: String): Option[String] =
+    nativeTranscoder(encoding).map("ga_to_" + _.stripPrefix("ga_"))
+
   def write(df: DataFrame, path: String, geometryColumn: String = "geometry",
             crs: Option[String] = None, covering: Boolean = true,
-            mode: String = "overwrite"): Unit = {
+            mode: String = "overwrite", encoding: String = "WKB"): Unit = {
     val spark = df.sparkSession
     graft.functions.GeoFunctions.register(spark)
     val effectiveCrs = crs.orElse(
       df.schema.fields.find(_.name == geometryColumn)
         .filter(_.metadata.contains("geoparquet.crs"))
         .map(_.metadata.getString("geoparquet.crs")))
-    val out =
+    var out =
       if (covering && !df.columns.contains("bbox"))
         df.withColumn("bbox", call_function("st_bbox", col(geometryColumn)))
       else df
+    // native (GeoArrow) encoding: transcode the WKB column to the nested
+    // separated-coordinate layout AFTER the covering bbox is computed — the
+    // resulting file is readable zero-copy by GeoPandas/pyarrow (same layout
+    // as fixtures/geoparquet/nybb_geoarrow.parquet) and by GeoParquet.read
+    if (!encoding.equalsIgnoreCase("WKB")) {
+      val fn = nativeExporter(encoding).getOrElse(throw new IllegalArgumentException(
+        s"GeoParquet.write: unsupported encoding '$encoding' (WKB, point, linestring, " +
+          "polygon, multipoint, multilinestring, multipolygon)"))
+      out = out.withColumn(geometryColumn, call_function(fn, col(geometryColumn)))
+    }
     out.write.mode(mode).parquet(path)
-    addGeoMetadata(spark, path, geometryColumn, effectiveCrs, if (covering) Some("bbox") else None)
+    addGeoMetadata(spark, path, geometryColumn, effectiveCrs,
+      if (covering) Some("bbox") else None,
+      if (encoding.equalsIgnoreCase("WKB")) "WKB" else encoding.toLowerCase)
   }
 
   /** Rewrite every part-file footer under `dir` to add the `geo` KV entry.
@@ -199,17 +216,18 @@ object GeoParquet {
     * blob) is preserved, and per-file bounds come from the covering column's
     * parquet statistics when available. */
   def addGeoMetadata(spark: SparkSession, dir: String, geometryColumn: String,
-                     crs: Option[String], covering: Option[String]): Unit = {
+                     crs: Option[String], covering: Option[String],
+                     encoding: String = "WKB"): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
     val parts = fs.listStatus(d).map(_.getPath).filter(_.getName.endsWith(".parquet"))
-    parts.foreach { part => rewriteFooter(conf, fs, part, geometryColumn, crs, covering) }
+    parts.foreach { part => rewriteFooter(conf, fs, part, geometryColumn, crs, covering, encoding) }
   }
 
   private def rewriteFooter(conf: Configuration, fs: FileSystem, part: Path,
                             geometryColumn: String, crs: Option[String],
-                            covering: Option[String]): Unit = {
+                            covering: Option[String], encoding: String): Unit = {
     val in = HadoopInputFile.fromPath(part, conf)
     val reader = ParquetFileReader.open(in)
     val (schema, oldKV, bounds) = try {
@@ -217,7 +235,7 @@ object GeoParquet {
       (fmd.getSchema, fmd.getKeyValueMetaData.asScala.toMap, statsBounds(reader, covering))
     } finally reader.close()
 
-    val geo = geoJson(geometryColumn, crs, covering, bounds)
+    val geo = geoJson(geometryColumn, crs, covering, bounds, encoding)
     val tmp = new Path(part.getParent, "." + part.getName + ".geo.tmp")
     val writer = new ParquetFileWriter(
       HadoopOutputFile.fromPath(tmp, conf), schema, ParquetFileWriter.Mode.OVERWRITE,
@@ -251,14 +269,25 @@ object GeoParquet {
     }
 
   private def geoJson(geometryColumn: String, crs: Option[String], covering: Option[String],
-                      bounds: Option[(Double, Double, Double, Double)]): String = {
+                      bounds: Option[(Double, Double, Double, Double)],
+                      encoding: String = "WKB"): String = {
     val root = mapper.createObjectNode()
     root.put("version", "1.1.0")
     root.put("primary_column", geometryColumn)
     val cols = root.putObject("columns")
     val c: ObjectNode = cols.putObject(geometryColumn)
-    c.put("encoding", "WKB")
-    c.putArray("geometry_types") // unconstrained (type-erased WKB)
+    c.put("encoding", encoding)
+    val gts = c.putArray("geometry_types") // unconstrained for type-erased WKB
+    if (encoding != "WKB") // native encoding is single-type by construction
+      gts.add(encoding.toLowerCase match {
+        case "point" => "Point"
+        case "linestring" => "LineString"
+        case "polygon" => "Polygon"
+        case "multipoint" => "MultiPoint"
+        case "multilinestring" => "MultiLineString"
+        case "multipolygon" => "MultiPolygon"
+        case s => s
+      })
     crs.foreach(j => c.set[com.fasterxml.jackson.databind.JsonNode]("crs", mapper.readTree(j)))
     bounds.foreach { case (x0, y0, x1, y1) =>
       val b = c.putArray("bbox"); b.add(x0); b.add(y0); b.add(x1); b.add(y1)

@@ -119,6 +119,36 @@ class GeoParquetSpec extends SparkTestBase {
     assert(df.getDouble(3) == 16.0)
   }
 
+  test("native-encoding write: WKB fixture → native file → read back identically") {
+    val natOut = dir + "_native"
+    val wkb = GeoParquet.read(spark, s"$fixtures/nybb_wkb.parquet")
+    GeoParquet.write(wkb, natOut, covering = false, encoding = "multipolygon")
+    // footer declares the native encoding
+    val meta = GeoParquet.metadata(spark, natOut).get
+    assert(meta.columns.head.encoding == "multipolygon")
+    // the physical schema is the GeoArrow nested layout, like the reference fixture
+    val raw = spark.read.parquet(natOut)
+    assert(raw.schema("geometry").dataType.simpleString ==
+      "array<array<array<struct<x:double,y:double>>>>", raw.schema("geometry").dataType.simpleString)
+    // read back through the scan-time transcode: values identical to the source
+    val back = GeoParquet.read(spark, natOut)
+    def byBoro2(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("BoroCode"), call_function("st_astext", col("geometry")).as("w"))
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(byBoro2(back) == byBoro2(wkb))
+  }
+
+  test("ga_to_* export kernels roundtrip through ga_* decode") {
+    val r = sql("""
+      SELECT ST_AsText(ga_polygon(ga_to_polygon(g), false, false)) AS rt,
+             ST_AsText(ga_linestring(ga_to_linestring(l), false, false)) AS rtl
+      FROM (SELECT ST_GeomFromText(
+              'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))') AS g,
+            ST_GeomFromText('LINESTRING (0 0, 3 4, 10 0)') AS l)""").head()
+    assert(r.getString(0) == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))")
+    assert(r.getString(1) == "LINESTRING (0 0, 3 4, 10 0)")
+  }
+
   test("write propagates CRS from read-attached field metadata") {
     val crsDir = dir + "_crsprop"
     val df = GeoParquet.read(spark, written) // carries geoparquet.crs metadata
