@@ -1095,6 +1095,38 @@ object SparkEntry {
                  * (1 + n_nationkey % 5) * (1 + n_nationkey % 3), 6) AS signed_area
     FROM nation ORDER BY k"""
 
+  /** Ring/simplicity predicates + DE-9IM relate, previously spec-only.
+    * Three line shapes per key: closed ring (k%3=0), simple open (1),
+    * self-crossing (2); relate over unit-height rectangles with a sliding
+    * offset — `'T********'` (interiors intersect) mirrors as dx < width,
+    * and the equal-rectangles DE-9IM matrix is the textbook `2FFF1FFF2`. */
+  private val g36Spark = """
+    SELECT k,
+           ST_IsRing(line) AS is_ring,
+           ST_IsSimple(line) AS is_simple,
+           ST_Relate(boxa, boxa) AS rel_eq,
+           ST_Relate(boxa, boxb, 'T********') AS interiors_meet
+    FROM (SELECT n_nationkey AS k,
+                 ST_GeomFromText(CASE CAST(n_nationkey % 3 AS INT)
+                   WHEN 0 THEN CONCAT('LINESTRING (0 0, ', w, ' 0, ', w, ' ', h, ', 0 ', h, ', 0 0)')
+                   WHEN 1 THEN CONCAT('LINESTRING (0 0, ', w, ' ', h, ')')
+                   ELSE CONCAT('LINESTRING (0 0, ', w, ' ', h, ', ', w, ' 0, 0 ', h, ')')
+                 END) AS line,
+                 ST_MakeEnvelope(0.0, 0.0, 4.0, 3.0) AS boxa,
+                 ST_MakeEnvelope(CAST(n_nationkey % 6 AS DOUBLE), 0.0,
+                                 CAST(n_nationkey % 6 + 4 AS DOUBLE), 3.0) AS boxb
+          FROM (SELECT n_nationkey, CAST(1 + n_nationkey % 4 AS INT) AS w,
+                       CAST(1 + n_nationkey % 3 AS INT) AS h FROM nation) t0) t
+    ORDER BY k"""
+
+  private val g36Duck = """
+    SELECT n_nationkey AS k,
+           n_nationkey % 3 = 0 AS is_ring,
+           n_nationkey % 3 != 2 AS is_simple,
+           '2FFF1FFF2' AS rel_eq,
+           n_nationkey % 6 < 4 AS interiors_meet
+    FROM nation ORDER BY k"""
+
   // ── training-data pipeline ops: text analysis / dedup ─────────────────
 
   private val t01Spark = """
@@ -1656,6 +1688,7 @@ object SparkEntry {
     ("g33_grid_join_bigbig", g33Fn _, g33Duck),
     ("g34_geodesic_measures", q(g34Spark), g34Duck),
     ("g35_signed_area", q(g35Spark), g35Duck),
+    ("g36_ring_relate", q(g36Spark), g36Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),
