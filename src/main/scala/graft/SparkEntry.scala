@@ -1645,6 +1645,47 @@ object SparkEntry {
            SUM(w * h)::BIGINT AS hist_total, COUNT(*)::BIGINT AS n
     FROM r GROUP BY 1 ORDER BY 1"""
 
+  /** Near-dup cluster resolution: candidate-pair edges → connected
+    * components (operators/ConnectedComponents, iterative min-label
+    * propagation) → cluster-size histogram. Edges = doc chains of 5 via
+    * self-join, so both engines derive the identical graph; the DuckDB
+    * oracle computes the same components with a recursive CTE. */
+  private def t09Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val edges = s.sql("""
+      SELECT d1.doc_id AS src, d2.doc_id AS dst
+      FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      WHERE d1.doc_id % 5 != 4 AND d1.doc_id % 3 != 1""")
+    val comps = graft.operators.ConnectedComponents.run(edges, "src", "dst")
+    comps.groupBy("component")
+      .agg(org.apache.spark.sql.functions.expr("COUNT(*)").as("csize"))
+      .groupBy("csize")
+      .agg(org.apache.spark.sql.functions.expr("COUNT(*)").as("n_clusters"),
+           org.apache.spark.sql.functions.expr("SUM(component)").as("sum_min_id"))
+      .orderBy("csize")
+  }
+
+  private val t09Duck = """
+    WITH RECURSIVE und AS (
+      SELECT d1.doc_id AS a, d2.doc_id AS b
+      FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      WHERE d1.doc_id % 5 != 4 AND d1.doc_id % 3 != 1
+      UNION ALL
+      SELECT d2.doc_id, d1.doc_id
+      FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      WHERE d1.doc_id % 5 != 4 AND d1.doc_id % 3 != 1
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.a, reach.r FROM und u JOIN reach ON reach.id = u.b
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    sizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
+    SELECT csize::BIGINT AS csize, COUNT(*)::BIGINT AS n_clusters,
+           SUM(component)::BIGINT AS sum_min_id
+    FROM sizes GROUP BY 1 ORDER BY 1"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -1697,6 +1738,7 @@ object SparkEntry {
     ("t06_simhash_hamming", q(t06Spark), t06Duck),
     ("t07_minhash_lsh", t07Fn _, t07Duck),
     ("t08_embed_neardup", q(t08Spark), t08Duck),
+    ("t09_neardup_components", t09Fn _, t09Duck),
     ("e01_cosine_topk", q(e01Spark), e01Duck),
     ("e02_ann_bucket", q(e02Spark), e02Duck),
     ("e03_bucket_histogram", q(e03Spark), e03Duck),

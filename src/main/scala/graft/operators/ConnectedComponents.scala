@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a candidate-pair edge list —
+  * the clustering step of a near-dup dedup pipeline: MinHash/SimHash/ANN
+  * buckets emit pairwise edges (t07/t08 topologies), and components turn
+  * "a~b, b~c" into one keep-one-per-cluster decision at 100 TB scale.
+  *
+  * Algorithm: iterative min-label propagation. Each iteration every vertex
+  * takes the minimum label among itself and its neighbors — one
+  * shuffle-join + one shuffle-aggregate per iteration, converging in
+  * O(graph diameter) iterations (near-dup graphs are short-diameter:
+  * clusters are quasi-cliques from shared buckets). Each iteration is
+  * `localCheckpoint`ed so lineage stays O(1) and AQE re-plans per step —
+  * the standard Spark shape for iterative graph algorithms without
+  * dragging in a graph framework.
+  */
+object ConnectedComponents {
+
+  /** `edges(srcCol, dstCol)` (any numeric/long ids) → `(id, component)`
+    * where `component` is the minimum vertex id reachable from `id`.
+    * Vertices only ever seen as isolated (no edges) are absent — union the
+    * full vertex set afterwards if singleton clusters matter. */
+  def run(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
+    require(maxIter > 0, "maxIter must be positive")
+    val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+    // undirected closure; checkpointed once, reused by every iteration
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint()
+    var labels = und.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // neighbor labels flow along edges; min with own label
+      val msgs = und.join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
+        .select(col("a").as("id"), col("label"))
+      val next = labels.union(msgs)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .where(col("label") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+}

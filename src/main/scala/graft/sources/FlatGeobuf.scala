@@ -164,11 +164,15 @@ object FlatGeobuf {
                                    x0: Double, y0: Double,
                                    x1: Double, y1: Double): Seq[Long] = {
     val header = parseHeader(bytes)
-    val numItems = header.featuresCount
-    val nodeSize = header.indexNodeSize
-    if (numItems == 0 || nodeSize == 0) return Nil
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    val base = header.headerEnd
+    searchNodes(bb, header.headerEnd, header.featuresCount, header.indexNodeSize,
+      x0, y0, x1, y1)
+  }
+
+  /** Core packed-R-tree traversal over a node array at `base` in `bb`. */
+  private def searchNodes(bb: ByteBuffer, base: Int, numItems: Long, nodeSize: Int,
+                          x0: Double, y0: Double, x1: Double, y1: Double): Seq[Long] = {
+    if (numItems == 0 || nodeSize == 0) return Nil
     // level bounds, LEAF level first (same do-while shape as indexSize)
     var n = numItems
     var numNodes = n
@@ -307,6 +311,28 @@ object FlatGeobuf {
     * features and ONLY those are decoded (the reference's async reader
     * seeks via the same index); indexless files fall back to full scan +
     * envelope filter. */
+  /** Decode the feature table rooted at `root` in `bb` into a Row. */
+  private def rowOf(bb: ByteBuffer, root: Int, header: Header, types: Array[Int]): Row = {
+    val t = new Table(bb, root + bb.getInt(root))
+    val out = new Array[Any](types.length + 1)
+    t.indirect(F.Properties) match {
+      case -1 =>
+      case pp => decodeProperties(bb, pp + 4, bb.getInt(pp), types, out)
+    }
+    val geom = t.subTable(F.Geometry).map(g => decodeGeometry(g, header.geometryType)).orNull
+    out(types.length) = if (geom == null) null else GeomOps.write(geom)
+    Row.fromSeq(out.toIndexedSeq)
+  }
+
+  private def envelopeHit(r: Row, geomIdx: Int,
+                          x0: Double, y0: Double, x1: Double, y1: Double): Boolean = {
+    val wkb = r.getAs[Array[Byte]](geomIdx)
+    wkb != null && {
+      val e = GeomOps.read(wkb).getEnvelopeInternal
+      e.getMinX <= x1 && e.getMaxX >= x0 && e.getMinY <= y1 && e.getMaxY >= y0
+    }
+  }
+
   private def decodeFeatures(bytes: Array[Byte],
                              bbox: Option[(Double, Double, Double, Double)]): Iterator[Row] = {
     val header = parseHeader(bytes)
@@ -314,32 +340,12 @@ object FlatGeobuf {
     val types = header.columns.map(_._2).toArray
     val start = header.headerEnd + indexSize(header.featuresCount, header.indexNodeSize)
 
-    def featureAt(root: Int): Row = {
-      val t = new Table(bb, root + bb.getInt(root))
-      val out = new Array[Any](types.length + 1)
-      t.indirect(F.Properties) match {
-        case -1 =>
-        case pp => decodeProperties(bb, pp + 4, bb.getInt(pp), types, out)
-      }
-      val geom = t.subTable(F.Geometry).map(g => decodeGeometry(g, header.geometryType)).orNull
-      out(types.length) = if (geom == null) null else GeomOps.write(geom)
-      Row.fromSeq(out.toIndexedSeq)
-    }
-
-    def envelopeFilter(x0: Double, y0: Double, x1: Double, y1: Double)(r: Row): Boolean = {
-      val wkb = r.getAs[Array[Byte]](types.length)
-      wkb != null && {
-        val e = GeomOps.read(wkb).getEnvelopeInternal
-        e.getMinX <= x1 && e.getMaxX >= x0 && e.getMinY <= y1 && e.getMaxY >= y0
-      }
-    }
-
     bbox match {
       case Some((x0, y0, x1, y1)) if header.indexNodeSize > 0 && header.featuresCount > 0 =>
         // index-seek path: decode only the tree's candidate features
         searchIndex(bytes, x0, y0, x1, y1).iterator
-          .map(off => featureAt(start.toInt + off.toInt + 4))
-          .filter(envelopeFilter(x0, y0, x1, y1))
+          .map(off => rowOf(bb, start.toInt + off.toInt + 4, header, types))
+          .filter(envelopeHit(_, types.length, x0, y0, x1, y1))
       case _ =>
         var p = start.toInt
         val it = new Iterator[Row] {
@@ -348,14 +354,63 @@ object FlatGeobuf {
             val size = bb.getInt(p)
             val root = p + 4
             p = root + size
-            featureAt(root)
+            rowOf(bb, root, header, types)
           }
         }
         bbox match {
           case None => it
-          case Some((x0, y0, x1, y1)) => it.filter(envelopeFilter(x0, y0, x1, y1))
+          case Some((x0, y0, x1, y1)) => it.filter(envelopeHit(_, types.length, x0, y0, x1, y1))
         }
     }
+  }
+
+  /** magic + length prefix + header flatbuffer, read with two bounded
+    * positioned reads — never the whole file. */
+  private def readHeaderBytes(fs: org.apache.hadoop.fs.FileSystem,
+                              p: org.apache.hadoop.fs.Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val pre = new Array[Byte](MagicLen + 4)
+      in.readFully(0, pre)
+      require(pre(0) == 'f' && pre(1) == 'g' && pre(2) == 'b',
+        s"not a FlatGeobuf file (bad magic): $p")
+      val headerLen = ByteBuffer.wrap(pre).order(ByteOrder.LITTLE_ENDIAN).getInt(MagicLen)
+      val all = new Array[Byte](MagicLen + 4 + headerLen)
+      in.readFully(0, all)
+      all
+    } finally in.close()
+  }
+
+  /** bbox read over an indexed file touching ONLY header + packed R-tree +
+    * candidate feature ranges — the distributed mirror of the reference's
+    * async range-request reader (rust/geoarrow-flatgeobuf/src/reader/
+    * async.rs:244 `select_bbox`). A 100 TB corpus query reads the few
+    * row-ranges the Hilbert tree selects, not the files. Indexless files
+    * fall back to full-scan + envelope filter. */
+  private def readSelective(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path,
+                            x0: Double, y0: Double, x1: Double, y1: Double): Iterator[Row] = {
+    val header = parseHeader(readHeaderBytes(fs, p))
+    if (header.indexNodeSize == 0 || header.featuresCount == 0)
+      return decodeFeatures(readAll(fs, p), Some((x0, y0, x1, y1)))
+    val types = header.columns.map(_._2).toArray
+    val idxLen = indexSize(header.featuresCount, header.indexNodeSize)
+    val in = fs.open(p)
+    try {
+      val idx = new Array[Byte](idxLen.toInt)
+      in.readFully(header.headerEnd.toLong, idx)
+      val bb = ByteBuffer.wrap(idx).order(ByteOrder.LITTLE_ENDIAN)
+      val offs = searchNodes(bb, 0, header.featuresCount, header.indexNodeSize, x0, y0, x1, y1)
+      val featStart = header.headerEnd.toLong + idxLen
+      val szBuf = new Array[Byte](4)
+      offs.map { off =>
+        in.readFully(featStart + off, szBuf)
+        val size = ByteBuffer.wrap(szBuf).order(ByteOrder.LITTLE_ENDIAN).getInt(0)
+        val fb = new Array[Byte](size + 4)
+        in.readFully(featStart + off, fb)
+        rowOf(ByteBuffer.wrap(fb).order(ByteOrder.LITTLE_ENDIAN), 4, header, types)
+      }.filter(envelopeHit(_, types.length, x0, y0, x1, y1)).iterator
+    } finally in.close()
   }
 
   /** Read FGB file(s) into a DataFrame (property columns + `geometry` WKB).
@@ -371,13 +426,16 @@ object FlatGeobuf {
         fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".fgb")).map(_.toString)
       else Array(path)
     require(files.nonEmpty, s"no .fgb files under $path")
-    // schema from the first header (driver side), like the reference
-    val firstBytes = readAll(fs, new org.apache.hadoop.fs.Path(files.head))
-    val schema = schemaOf(parseHeader(firstBytes))
+    // schema from the first header (driver side, bounded read), like the reference
+    val schema = schemaOf(parseHeader(readHeaderBytes(fs, new org.apache.hadoop.fs.Path(files.head))))
     val rdd = spark.sparkContext.parallelize(files.toIndexedSeq, files.length).flatMap { f =>
       val conf2 = new org.apache.hadoop.conf.Configuration()
       val fp = new org.apache.hadoop.fs.Path(f)
-      decodeFeatures(readAll(fp.getFileSystem(conf2), fp), bbox)
+      val tfs = fp.getFileSystem(conf2)
+      bbox match {
+        case Some((x0, y0, x1, y1)) => readSelective(tfs, fp, x0, y0, x1, y1)
+        case None => decodeFeatures(readAll(tfs, fp), None)
+      }
     }
     spark.createDataFrame(rdd, schema)
   }
