@@ -33,6 +33,12 @@ object ConnectedComponents {
       .withColumn("label", col("id")).localCheckpoint()
     var iter = 0
     var converged = false
+    // labels are monotonically non-increasing, so the global label sum
+    // strictly decreases until fixpoint — convergence is one cheap scan of
+    // the checkpointed table, not a join
+    def sig(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSig = sig(labels)
     while (iter < maxIter && !converged) {
       // neighbor labels flow along edges; min with own label
       val msgs = und.join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
@@ -40,8 +46,9 @@ object ConnectedComponents {
       val next = labels.union(msgs)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .where(col("label") =!= col("prev")).isEmpty
+      val s = sig(next)
+      converged = s.compareTo(prevSig) == 0
+      prevSig = s
       labels = next
       iter += 1
     }

@@ -43,6 +43,18 @@ class KarneyGeodesicSpec extends AnyFunSuite {
     assert(math.abs(math.sqrt(KarneyGeodesic.c2) - 6371007.1810) < 0.001)
   }
 
+  test("antipodal and near-antipodal pairs (astroid start path)") {
+    // equatorial antipodes: the geodesic runs over the pole — exactly twice
+    // the WGS84 meridian quadrant (10,001,965.7293 m, public constant)
+    val anti = KarneyGeodesic.distance(0, 0, 0, 180)
+    assert(math.abs(anti - 2 * 10001965.7293) < 0.01, s"got $anti")
+    // near-antipodal: finite, symmetric, bounded by the antipodal maximum
+    val d1 = KarneyGeodesic.distance(0.3, 10.0, -0.2, -169.8)
+    val d2 = KarneyGeodesic.distance(-0.2, -169.8, 0.3, 10.0)
+    assert(d1.isFinite && math.abs(d1 - d2) < 1e-6)
+    assert(d1 > 19.9e6 && d1 < 20.01e6, s"got $d1")
+  }
+
   test("symmetry and degenerate cases") {
     // antisymmetric distance
     val d1 = KarneyGeodesic.distance(10, 20, -35, 140)
