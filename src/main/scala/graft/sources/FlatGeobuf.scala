@@ -118,7 +118,7 @@ object FlatGeobuf {
 
   case class Header(name: String, geometryType: Int, columns: Seq[(String, Int)],
                     featuresCount: Long, indexNodeSize: Int, envelope: Array[Double],
-                    headerEnd: Int, crsWkt: Option[String])
+                    headerEnd: Int, crsName: Option[String], crsWkt: Option[String])
 
   private val MagicLen = 8
 
@@ -142,7 +142,10 @@ object FlatGeobuf {
       indexNodeSize = t.getShort(H.IndexNodeSize, 16).toInt & 0xFFFF,
       envelope = t.getDoubleVector(H.Envelope),
       headerEnd = MagicLen + 4 + headerLen,
-      crsWkt = t.subTable(H.Crs).flatMap(_.getString(/* wkt */ 2)))
+      // Crs table per the public spec: org(0), code(1), name(2),
+      // description(3), wkt(4)
+      crsName = t.subTable(H.Crs).flatMap(_.getString(2)),
+      crsWkt = t.subTable(H.Crs).flatMap(_.getString(4)))
   }
 
   /** packed Hilbert R-tree byte size (40-byte nodes: 4 doubles + u64).

@@ -292,7 +292,8 @@ object FlatGeobufWriter {
   }
 
   private def headerBytes(name: String, cols: Seq[(String, Int)], count: Long,
-                          env: Array[Double], indexNodeSize: Int): Array[Byte] = {
+                          env: Array[Double], indexNodeSize: Int,
+                          crsWkt: Option[String]): Array[Byte] = {
     val b = new FBB()
     val nameOff = b.createString(name)
     val colOffs = cols.map { case (n, t) =>
@@ -304,12 +305,20 @@ object FlatGeobufWriter {
     }.toArray
     val colsVec = if (colOffs.isEmpty) 0 else b.createOffsetVector(colOffs)
     val envVec = if (env == null) 0 else b.createDoubleVector(env)
+    // Crs table per the public spec: org(0), code(1), name(2), desc(3), wkt(4)
+    val crsOff = crsWkt.fold(0) { wkt =>
+      val w = b.createString(wkt)
+      b.startTable(5)
+      b.slotOffset(4, w)
+      b.endTable()
+    }
     b.startTable(11)
     b.slotOffset(0, nameOff)
     b.slotOffset(1, envVec)
     b.slotByte(2, 0, 0)          // geometry_type Unknown: per-feature tags rule
     b.slotOffset(7, colsVec)
     b.slotLong(8, count, 0)
+    b.slotOffset(10, crsOff)     // Header.crs
     // index_node_size: 16 = packed Hilbert R-tree follows the header;
     // 0 = no spatial index (fbs default is 16, so always write explicitly)
     b.slotShort(9, indexNodeSize.toShort, 16, force = true)
@@ -419,7 +428,8 @@ object FlatGeobufWriter {
     * default) features are Hilbert-sorted and each file carries the packed
     * Hilbert R-tree, making it bbox-seekable. */
   def write(df: DataFrame, path: String, geometryCol: String = "geometry",
-            name: String = "graft", index: Boolean = true): Unit = {
+            name: String = "graft", index: Boolean = true,
+            crsWkt: Option[String] = None): Unit = {
     val schema = df.schema
     val geomIdx = schema.fieldIndex(geometryCol)
     require(geomIdx == schema.fields.length - 1,
@@ -455,7 +465,7 @@ object FlatGeobufWriter {
         out.write(Array[Byte]('f', 'g', 'b', 3, 'f', 'g', 'b', 0))
         val hdr = headerBytes(name, cols, count,
           if (env.isNull) null else Array(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY),
-          if (doIndex) 16 else 0)
+          if (doIndex) 16 else 0, crsWkt)
         out.write(hdr.length & 0xFF); out.write((hdr.length >> 8) & 0xFF)
         out.write((hdr.length >> 16) & 0xFF); out.write((hdr.length >> 24) & 0xFF)
         out.write(hdr)

@@ -153,6 +153,20 @@ class FlatGeobufSpec extends SparkTestBase {
     assert(noIdxHdr.indexNodeSize == 0)
   }
 
+  test("CRS: official fixture exposes name+wkt; writer roundtrips wkt") {
+    import graft.sources.FlatGeobufWriter
+    val hdr = FlatGeobuf.parseHeader(readAllBytes(s"$fixtures/countries.fgb"))
+    assert(hdr.crsName.contains("WGS 84"))
+    assert(hdr.crsWkt.exists(_.contains("WGS")), s"wkt = ${hdr.crsWkt.map(_.take(60))}")
+    val out = java.nio.file.Files.createTempDirectory("fgbcrs").toString
+    val df = spark.sql("SELECT CAST(id AS INT) AS id, ST_Point(CAST(id AS DOUBLE), 0.0) AS geometry FROM range(5)")
+      .coalesce(1)
+    FlatGeobufWriter.write(df, out, crsWkt = Some("""GEOGCS["WGS 84",DATUM["WGS_1984"]]"""))
+    val back = FlatGeobuf.parseHeader(readAllBytes(
+      new java.io.File(out).listFiles().filter(_.getName.endsWith(".fgb")).head.toString))
+    assert(back.crsWkt.contains("""GEOGCS["WGS 84",DATUM["WGS_1984"]]"""))
+  }
+
   test("writer roundtrip: countries.fgb through write → read preserves all geometry") {
     import graft.sources.FlatGeobufWriter
     val out = java.nio.file.Files.createTempDirectory("fgbw2").toString
