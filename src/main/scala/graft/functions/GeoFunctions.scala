@@ -188,6 +188,8 @@ object GeoFunctions {
     "ga_polygon" -> Sig("gaPolygon", G, Seq(NullType, B, B), geoArrow, cast = false),
     "ga_multilinestring" -> Sig("gaMultiLineString", G, Seq(NullType, B, B), geoArrow, cast = false),
     "ga_multipolygon" -> Sig("gaMultiPolygon", G, Seq(NullType, B, B), geoArrow, cast = false),
+    "graft_downcast_promote" -> Sig("promoteTags", S, Seq(ArrayType(StringType)),
+      Class.forName("graft.operators.Downcast")),
     // WKB → GeoArrow export (XY; native-encoded GeoParquet write / Arrow interop)
     "ga_to_point" -> Sig("toPoint", gaCoord, Seq(G), geoArrow),
     "ga_to_linestring" -> Sig("toLineString", gaList1, Seq(G), geoArrow),

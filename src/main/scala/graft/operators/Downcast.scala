@@ -41,10 +41,16 @@ object Downcast {
   }
 
   /** Same inference but as a one-row DataFrame (tag set + inferred type), for
-    * pipelines that stay declarative. */
+    * pipelines that stay declarative. Uses the `graft_downcast_promote`
+    * StaticInvoke kernel — no Scala UDF anywhere in the engine. */
   def inferDowncastTypeDF(df: DataFrame, geom: Column): DataFrame =
     df.select(sort_array(collect_set(call_function("st_geometrytype", geom))).as("tags"))
-      .select(col("tags"), udf(promoteSet _).apply(col("tags")).as("inferred"))
+      .select(col("tags"), call_function("graft_downcast_promote", col("tags")).as("inferred"))
 
-  private def promoteSet(tags: Seq[String]): String = promote(tags.toSet)
+  /** StaticInvoke target for the promotion lattice (ArrayData of tag
+    * strings → narrowest type name). */
+  def promoteTags(a: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val tags = (0 until a.numElements()).map(i => a.getUTF8String(i).toString).toSet
+    org.apache.spark.unsafe.types.UTF8String.fromString(promote(tags))
+  }
 }
