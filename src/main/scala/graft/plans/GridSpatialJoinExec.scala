@@ -42,9 +42,12 @@ case class GridSpatialJoinExec(
     leftGeom: Expression,
     rightGeom: Expression,
     predicate: String,
-    radius: Double) extends BinaryExecNode {
+    radius: Double,
+    projection: Option[Seq[Attribute]] = None) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  /** see [[SpatialJoinExec.output]] — narrowed to the consumed attributes */
+  override def output: Seq[Attribute] =
+    projection.getOrElse(left.output ++ right.output)
 
   private def test(p: PreparedGeometry, g: Geometry): Boolean = predicate match {
     case "intersects" => p.intersects(g)
@@ -142,11 +145,12 @@ case class GridSpatialJoinExec(
 
     val numParts = SQLConf.get.numShufflePartitions
     val outAttrs = output
+    val joinedAttrs = left.output ++ right.output
 
     keyed(left, lBound, r).cogroup(keyed(right, rBound, 0.0), new HashPartitioner(numParts))
       .mapPartitions { it =>
         val joined = new JoinedRow()
-        val proj = UnsafeProjection.create(outAttrs, outAttrs)
+        val proj = UnsafeProjection.create(outAttrs, joinedAttrs)
         it.flatMap { case ((cx, cy), (lRows, rRows)) =>
           if (lRows.isEmpty || rRows.isEmpty) Iterator.empty
           else {

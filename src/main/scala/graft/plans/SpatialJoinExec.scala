@@ -35,9 +35,16 @@ case class SpatialJoinExec(
     rightGeom: Expression,
     predicate: String,
     radius: Double,
-    buildRight: Boolean) extends BinaryExecNode {
+    buildRight: Boolean,
+    projection: Option[Seq[Attribute]] = None) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  /** `projection` narrows the emitted row to the attributes the parent
+    * actually consumes (set by [[SpatialJoinStrategy]] from the enclosing
+    * Project): geometry blobs needed only by the join predicate are never
+    * written into output rows — at high match fan-out that's the dominant
+    * cost. */
+  override def output: Seq[Attribute] =
+    projection.getOrElse(left.output ++ right.output)
 
   override def outputPartitioning: Partitioning =
     (if (buildRight) left else right).outputPartitioning
@@ -77,6 +84,7 @@ case class SpatialJoinExec(
     val r = radius
     val bRight = buildRight
     val outAttrs = output
+    val joinedAttrs = left.output ++ right.output
 
     streamPlan.execute().mapPartitions { iter =>
       val tree = new STRtree()
@@ -90,7 +98,7 @@ case class SpatialJoinExec(
       }
       tree.build()
       val joined = new JoinedRow()
-      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val proj = UnsafeProjection.create(outAttrs, joinedAttrs)
       iter.flatMap { srow =>
         val wkb = streamGeomBound.eval(srow).asInstanceOf[Array[Byte]]
         if (wkb == null) Iterator.empty

@@ -1,10 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, Cast, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeSet, Cast, Expression, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
-import org.apache.spark.sql.execution.{FilterExec, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+import org.apache.spark.sql.execution.{FilterExec, ProjectExec, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.internal.SQLConf
 
 /** Plans `a JOIN b ON ST_Intersects(a.g, b.g) [AND …]` as [[SpatialJoinExec]].
@@ -71,32 +71,59 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case Join(left, right, Inner, Some(cond), _) =>
-      val conjuncts = splitConjunctivePredicates(cond)
-      val hit = conjuncts.iterator
-        .map(c => c -> extract(c, left, right))
-        .collectFirst { case (c, Some(x)) => c -> x }
-      hit match {
-        case None => Nil
-        case Some((chosen, (lg, rg, pred, radius))) =>
-          val threshold = SQLConf.get.autoBroadcastJoinThreshold
-          val lSize = left.stats.sizeInBytes
-          val rSize = right.stats.sizeInBytes
-          val canLeft = threshold > 0 && lSize <= threshold
-          val canRight = threshold > 0 && rSize <= threshold
-          val exec: SparkPlan =
-            if (canLeft || canRight) {
-              val buildRight = if (canLeft && canRight) rSize <= lSize else canRight
-              SpatialJoinExec(planLater(left), planLater(right),
-                lg, rg, pred, radius, buildRight)
-            } else // big×big: grid shuffle, never BNLJ
-              GridSpatialJoinExec(planLater(left), planLater(right), lg, rg, pred, radius)
-          val remaining = conjuncts.filterNot(_ fastEquals chosen)
-          val withFilter: SparkPlan =
-            if (remaining.isEmpty) exec
-            else FilterExec(remaining.reduce(And), exec)
-          withFilter :: Nil
-      }
+    // absorb the pruning Project Catalyst leaves above the join: the join
+    // then emits only consumed attributes — geometry blobs referenced only
+    // by the predicate never reach an output row (dominant cost at high
+    // match fan-out)
+    case Project(projectList, j @ Join(_, _, Inner, Some(_), _)) =>
+      planSpatialJoin(j, Some(projectList))
+    case j @ Join(_, _, Inner, Some(_), _) =>
+      planSpatialJoin(j, None)
     case _ => Nil
+  }
+
+  private def planSpatialJoin(j: Join,
+                              proj: Option[Seq[NamedExpression]]): Seq[SparkPlan] = {
+    val Join(left, right, _, Some(cond), _) = j: @unchecked
+    val conjuncts = splitConjunctivePredicates(cond)
+    val hit = conjuncts.iterator
+      .map(c => c -> extract(c, left, right))
+      .collectFirst { case (c, Some(x)) => c -> x }
+    hit match {
+      case None => Nil
+      case Some((chosen, (lg, rg, pred, radius))) =>
+        val remaining = conjuncts.filterNot(_ fastEquals chosen)
+        val narrowed: Option[Seq[Attribute]] = proj.map { pl =>
+          val needed = AttributeSet(pl.flatMap(_.references) ++ remaining.flatMap(_.references))
+          (left.output ++ right.output).filter(needed.contains)
+        }
+        val threshold = SQLConf.get.autoBroadcastJoinThreshold
+        val lSize = left.stats.sizeInBytes
+        val rSize = right.stats.sizeInBytes
+        val canLeft = threshold > 0 && lSize <= threshold
+        val canRight = threshold > 0 && rSize <= threshold
+        val exec: SparkPlan =
+          if (canLeft || canRight) {
+            val buildRight = if (canLeft && canRight) rSize <= lSize else canRight
+            SpatialJoinExec(planLater(left), planLater(right),
+              lg, rg, pred, radius, buildRight, narrowed)
+          } else // big×big: grid shuffle, never BNLJ
+            GridSpatialJoinExec(planLater(left), planLater(right), lg, rg, pred, radius, narrowed)
+        val withFilter: SparkPlan =
+          if (remaining.isEmpty) exec
+          else FilterExec(remaining.reduce(And), exec)
+        val result: SparkPlan = proj match {
+          case Some(pl)
+            if pl.length == exec.output.length &&
+              pl.zip(exec.output).forall {
+                case (a: Attribute, o) => a.exprId == o.exprId
+                case _ => false
+              } && remaining.isEmpty =>
+            exec // projection IS the join output — no extra node
+          case Some(pl) => ProjectExec(pl, withFilter)
+          case None => withFilter
+        }
+        result :: Nil
+    }
   }
 }

@@ -140,6 +140,17 @@ class SpatialJoinSpec extends SparkTestBase {
     }
   }
 
+  test("strategy: parent Project narrows the join output (no geometry in rows)") {
+    points.createOrReplaceTempView("sj_pts")
+    zones.createOrReplaceTempView("sj_zones")
+    val q = sql("SELECT id, zid FROM sj_pts JOIN sj_zones ON ST_Covers(zone, pt)")
+    val plan = planOf(q)
+    // narrowed output renders as the final List(...) in the node string —
+    // only the consumed columns, no geometry attrs
+    assert("SpatialJoin .*List\\(id#\\d+, zid#\\d+\\)".r.findFirstIn(plan).isDefined, plan)
+    assert(q.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == expected)
+  }
+
   test("strategy: non-spatial joins are untouched") {
     points.createOrReplaceTempView("sj_pts")
     zones.createOrReplaceTempView("sj_zones")
