@@ -190,6 +190,9 @@ object GeoFunctions {
     "ga_multipolygon" -> Sig("gaMultiPolygon", G, Seq(NullType, B, B), geoArrow, cast = false),
     "graft_downcast_promote" -> Sig("promoteTags", S, Seq(ArrayType(StringType)),
       Class.forName("graft.operators.Downcast")),
+    // Hilbert cell of a bbox center over a fixed extent — spatial clustering
+    "graft_hilbert" -> Sig("cell", LongType, Seq(bboxType, D, D, D, D),
+      Class.forName("graft.core.Hilbert")),
     // WKB → GeoArrow export (XY; native-encoded GeoParquet write / Arrow interop)
     "ga_to_point" -> Sig("toPoint", gaCoord, Seq(G), geoArrow),
     "ga_to_linestring" -> Sig("toLineString", gaList1, Seq(G), geoArrow),

@@ -169,55 +169,12 @@ object FlatGeobufWriter {
 
   // ── packed Hilbert R-tree (FGB spec / flatbush layout) ─────────────────
 
-  /** flatbush's 16-bit Hilbert curve (public-domain bit-twiddle; the same
-    * function the FGB C++/Rust writers use). x, y ∈ [0, 0xFFFF]. */
-  private[sources] def hilbert(x: Int, y: Int): Long = {
-    var a = x ^ y
-    var b = 0xFFFF ^ a
-    var c = 0xFFFF ^ (x | y)
-    var d = x & (y ^ 0xFFFF)
-    var A = a | (b >> 1)
-    var B = (a >> 1) ^ a
-    var C = ((c >> 1) ^ (b & (d >> 1))) ^ c
-    var D = ((a & (c >> 1)) ^ (d >> 1)) ^ d
-    a = A; b = B; c = C; d = D
-    A = (a & (a >> 2)) ^ (b & (b >> 2))
-    B = (a & (b >> 2)) ^ (b & ((a ^ b) >> 2))
-    C ^= (a & (c >> 2)) ^ (b & (d >> 2))
-    D ^= (b & (c >> 2)) ^ ((a ^ b) & (d >> 2))
-    a = A; b = B; c = C; d = D
-    A = (a & (a >> 4)) ^ (b & (b >> 4))
-    B = (a & (b >> 4)) ^ (b & ((a ^ b) >> 4))
-    C ^= (a & (c >> 4)) ^ (b & (d >> 4))
-    D ^= (b & (c >> 4)) ^ ((a ^ b) & (d >> 4))
-    a = A; b = B; c = C; d = D
-    C ^= (a & (c >> 8)) ^ (b & (d >> 8))
-    D ^= (b & (c >> 8)) ^ ((a ^ b) & (d >> 8))
-    a = C ^ (C >> 1)
-    b = D ^ (D >> 1)
-    var i0 = x ^ y
-    var i1 = b | (0xFFFF ^ (i0 | a))
-    i0 = (i0 | (i0 << 8)) & 0x00FF00FF
-    i0 = (i0 | (i0 << 4)) & 0x0F0F0F0F
-    i0 = (i0 | (i0 << 2)) & 0x33333333
-    i0 = (i0 | (i0 << 1)) & 0x55555555
-    i1 = (i1 | (i1 << 8)) & 0x00FF00FF
-    i1 = (i1 | (i1 << 4)) & 0x0F0F0F0F
-    i1 = (i1 | (i1 << 2)) & 0x33333333
-    i1 = (i1 | (i1 << 1)) & 0x55555555
-    ((i1 << 1) | i0).toLong & 0xFFFFFFFFL
-  }
+  /** flatbush 16-bit Hilbert curve — shared kernel in [[graft.core.Hilbert]]. */
+  private[sources] def hilbert(x: Int, y: Int): Long = graft.core.Hilbert.index(x, y)
 
-  private[sources] def hilbertOf(e: Envelope, extent: Envelope): Long = {
-    val hilbertMax = (1 << 16) - 1
-    val w = extent.getWidth
-    val h = extent.getHeight
-    val x = if (w == 0) 0
-      else math.min(hilbertMax, (hilbertMax * (((e.getMinX + e.getMaxX) / 2) - extent.getMinX) / w).toInt)
-    val y = if (h == 0) 0
-      else math.min(hilbertMax, (hilbertMax * (((e.getMinY + e.getMaxY) / 2) - extent.getMinY) / h).toInt)
-    hilbert(x, y)
-  }
+  private[sources] def hilbertOf(e: Envelope, extent: Envelope): Long =
+    graft.core.Hilbert.ofCenter((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2,
+      extent.getMinX, extent.getMinY, extent.getMaxX, extent.getMaxY)
 
   /** Node-index ranges per level, LEAF level first, root last — the same
     * do-while shape as [[FlatGeobuf.indexSize]] (even 1 item gets a root). */

@@ -140,6 +140,30 @@ object GeoParquet {
     }
   }
 
+  /** Spatially cluster `df` by Hilbert order of geometry-envelope centers
+    * over the dataset extent: range-partition + sort on the Hilbert cell so
+    * nearby geometries land in the same files/row groups. THIS is what
+    * makes the covering-column bbox pushdown actually prune at scale — with
+    * random row order every row group's bbox spans the whole extent and the
+    * parquet reader can skip nothing. One extent-aggregation job, one
+    * range shuffle (sampled boundaries, Spark's RangePartitioner). */
+  def spatialSort(df: DataFrame, geometryColumn: String = "geometry",
+                  numPartitions: Int = 0): DataFrame = {
+    graft.functions.GeoFunctions.register(df.sparkSession)
+    val b = call_function("st_bbox", col(geometryColumn))
+    val ext = df.select(b.as("b"))
+      .agg(min("b.xmin"), min("b.ymin"), max("b.xmax"), max("b.ymax")).head()
+    if (ext.isNullAt(0)) return df // no geometries
+    val h = call_function("graft_hilbert", b,
+      lit(ext.getDouble(0)), lit(ext.getDouble(1)), lit(ext.getDouble(2)), lit(ext.getDouble(3)))
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    df.withColumn("__hilbert", h)
+      .repartitionByRange(n, col("__hilbert"))
+      .sortWithinPartitions("__hilbert")
+      .drop("__hilbert")
+  }
+
   /** GeoParquet 1.1 native encoding name → transcode function. */
   private def nativeTranscoder(encoding: String): Option[String] =
     encoding.toLowerCase match {

@@ -149,6 +149,36 @@ class GeoParquetSpec extends SparkTestBase {
     assert(r.getString(1) == "LINESTRING (0 0, 3 4, 10 0)")
   }
 
+  test("spatialSort: per-file bboxes become tight (pushdown actually prunes)") {
+    def partBoxes(path: String): Seq[(Double, Double, Double, Double)] =
+      new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+        .flatMap(f => GeoParquet.metadata(spark, f.toString).flatMap(_.columns.head.bbox))
+    def area(b: (Double, Double, Double, Double)): Double = (b._3 - b._1) * (b._4 - b._2)
+    // 2500 points on a 50×50 grid in random row order
+    val df = spark.sql("""
+      SELECT id, ST_Point(CAST(hash(id) % 50 + 49 AS DOUBLE),
+                          CAST(hash(id * 7) % 50 + 49 AS DOUBLE)) AS geometry
+      FROM range(2500)""")
+    val globalArea = 98.0 * 98.0 // coords span [-1+50=?]: hash%50 in (-49,49) → ~98 wide
+    val sortedDir = dir + "_hsorted"
+    val unsortedDir = dir + "_hunsorted"
+    GeoParquet.write(GeoParquet.spatialSort(df, numPartitions = 8), sortedDir)
+    GeoParquet.write(df.repartition(8), unsortedDir)
+    val sortedBoxes = partBoxes(sortedDir)
+    val unsortedBoxes = partBoxes(unsortedDir)
+    assert(sortedBoxes.size >= 4 && unsortedBoxes.size >= 4)
+    val sortedAvg = sortedBoxes.map(area).sum / sortedBoxes.size
+    val unsortedAvg = unsortedBoxes.map(area).sum / unsortedBoxes.size
+    // hilbert clustering: each file covers a small fraction of the extent;
+    // round-robin: each file covers nearly all of it
+    assert(sortedAvg < unsortedAvg / 2.5,
+      s"sortedAvg=$sortedAvg unsortedAvg=$unsortedAvg")
+    assert(unsortedAvg > globalArea * 0.5)
+    // and values survive the clustering untouched
+    val back = GeoParquet.read(spark, sortedDir)
+    assert(back.count() == 2500)
+  }
+
   test("write propagates CRS from read-attached field metadata") {
     val crsDir = dir + "_crsprop"
     val df = GeoParquet.read(spark, written) // carries geoparquet.crs metadata
