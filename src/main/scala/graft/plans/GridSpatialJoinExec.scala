@@ -35,6 +35,12 @@ import graft.core.GeomOps
   *
   * `predicate` is normalized by [[SpatialJoinStrategy]] to take the LEFT
   * geometry as its first argument (GeomOps method name).
+  *
+  * Skew note: cogroup materializes each cell's two row groups in executor
+  * memory, so one pathological hotspot cell (everything at one point) is
+  * the residual risk — the cell-size floor (extent/8192 per axis) bounds
+  * the common case, and shrinking the sampled cell (more cells, same keys
+  * hashed over all shuffle partitions) is the mitigation knob.
   */
 case class GridSpatialJoinExec(
     left: SparkPlan,
