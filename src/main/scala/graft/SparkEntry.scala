@@ -1275,17 +1275,11 @@ object SparkEntry {
   private def t07Fn(s: SparkSession, dir: String): DataFrame = {
     views(s, dir)
     // One md5 per shingle; 16 seeds are affine permutations (a_k·x+b_k) mod
-    // 4294967311 folded in a single pass (16 running minimums). The seeded-
-    // md5 formulation costs 16 md5 calls per shingle — it dominated the
-    // profile (7.7M md5 at sf0.1).
+    // 4294967311 folded in a single pass (graft_minhash_sigs static — was
+    // an interpreted aggregate/transform/zip_with lambda pipeline, 16 array
+    // ops per shingle).
     val sigs = s.sql("""
-      SELECT id,
-             aggregate(transform(ng, g -> CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT)),
-                       array_repeat(CAST(4294967311 AS BIGINT), 16),
-                       (acc, x) -> zip_with(acc, sequence(0, 15),
-                         (m, k) -> least(m, ((CAST(k + 1 AS BIGINT) * 1000003 % 16777216) * x
-                                             + k * 30011 + 1) % 4294967311))) AS sig,
-             ng
+      SELECT id, graft_minhash_sigs(ng, 16) AS sig, ng
       FROM (SELECT /*+ REPARTITION(64) */ id, graft_shingles(text, 3) AS ng
             FROM (SELECT doc_id AS id, text FROM documents
                   UNION ALL

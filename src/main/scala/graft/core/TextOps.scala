@@ -155,6 +155,29 @@ object TextOps {
     new GenericArrayData(mins)
   }
 
+  /** Same affine-permutation minhash over a PRECOMPUTED shingle array (the
+    * t07 topology keeps the shingles for the jaccard verify step): md5 once
+    * per shingle, h running minimums in one pass. Arithmetic must stay
+    * exactly `(((k+1)·1000003 % 2^24)·x + k·30011 + 1) % 4294967311` — the
+    * DuckDB oracle mirrors it term-by-term. */
+  def minhashSigs(ng: ArrayData, h: Int): ArrayData = {
+    val P = 4294967311L
+    val mins = Array.fill(h)(P)
+    val n = ng.numElements()
+    var i = 0
+    while (i < n) {
+      val x = md5hex8AsLong(ng.getUTF8String(i).toString)
+      var k = 0
+      while (k < h) {
+        val v = (((k + 1).toLong * 1000003L % 16777216L) * x + k.toLong * 30011L + 1L) % P
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   private val stopSet: java.util.Set[String] =
     java.util.Set.of("the", "a", "of", "and", "in", "to", "is")
 

@@ -50,6 +50,7 @@ object TextFunctions {
     "graft_jaccard" -> ((textOps, "jaccard", D, Seq(AS, AS))),
     "graft_simhash" -> ((textOps, "simhash", L, Seq(S))),
     "graft_minhash" -> ((textOps, "minhash", ArrayType(LongType, containsNull = false), Seq(S, I, I))),
+    "graft_minhash_sigs" -> ((textOps, "minhashSigs", ArrayType(LongType, containsNull = false), Seq(AS, I))),
     "graft_stop_ratio" -> ((textOps, "stopRatio", D, Seq(S))),
     "graft_quality" -> ((textOps, "quality", D, Seq(S))),
     "graft_fingerprint" -> ((textOps, "fingerprint", L, Seq(S))),
