@@ -1010,7 +1010,12 @@ object SparkEntry {
     views(s, dir)
     val p = s.sparkContext.defaultParallelism
     val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE would re-plan the join at execution time with the RESTORED
+    // threshold (broadcast instead of grid); disabling it at planning time
+    // freezes the physical plan, so the grid path genuinely executes
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = s.sql(s"""
         SELECT c_nationkey, COUNT(*) AS n, SUM(CAST(o_orderkey % 97 AS BIGINT)) AS s
@@ -1028,9 +1033,12 @@ object SparkEntry {
               FROM orders) o
           ON ST_Intersects(cz, oz)
         GROUP BY c_nationkey ORDER BY c_nationkey""")
-      df.queryExecution.executedPlan // force planning while threshold = -1
+      df.queryExecution.executedPlan // force (non-adaptive) planning now
       df
-    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   private val g33Duck = """

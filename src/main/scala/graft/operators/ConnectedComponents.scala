@@ -22,8 +22,15 @@ object ConnectedComponents {
   /** `edges(srcCol, dstCol)` (any numeric/long ids) → `(id, component)`
     * where `component` is the minimum vertex id reachable from `id`.
     * Vertices only ever seen as isolated (no edges) are absent — union the
-    * full vertex set afterwards if singleton clusters matter. */
-  def run(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
+    * full vertex set afterwards if singleton clusters matter.
+    *
+    * Label propagation converges in O(diameter) iterations. If `maxIter` is
+    * reached without a fixpoint the labels are NOT components yet; with
+    * `strict` (the default) that raises instead of silently returning a
+    * wrong clustering — raise `maxIter` for long-chain graphs, or pass
+    * `strict = false` to accept the partial labels deliberately. */
+  def run(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20,
+          strict: Boolean = true): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
     val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
     // undirected closure; checkpointed once, reused by every iteration
@@ -52,6 +59,10 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
+    if (strict && !converged) throw new IllegalStateException(
+      s"ConnectedComponents did not converge in $maxIter iterations — the graph's " +
+        "diameter exceeds maxIter; raise maxIter or pass strict = false to accept " +
+        "partial labels")
     labels.withColumnRenamed("label", "component")
   }
 }

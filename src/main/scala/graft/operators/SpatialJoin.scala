@@ -65,10 +65,14 @@ object SpatialJoin {
     // guard the driver-side collect: a misjudged "small" side would OOM the
     // driver, so refuse when the optimizer's size estimate exceeds the cap
     // (conf `graft.spatialJoin.maxBuildBytes`, default 512 MiB) and point at
-    // the scale-safe alternatives
+    // the scale-safe alternatives. RDD-backed plans without stats report the
+    // defaultSizeInBytes sentinel (Long.MaxValue) — an UNKNOWN size must not
+    // refuse a legitimately tiny side, so the guard only fires on known
+    // estimates (same stance as Spark's own broadcast-hint handling).
     val maxBuild = spark.conf.get("graft.spatialJoin.maxBuildBytes", (512L << 20).toString).toLong
     val est = small.queryExecution.optimizedPlan.stats.sizeInBytes
-    require(est <= maxBuild,
+    val known = est < BigInt(Long.MaxValue) / 4
+    require(!known || est <= maxBuild,
       s"SpatialJoin.broadcast: build side estimated at $est bytes exceeds " +
         s"graft.spatialJoin.maxBuildBytes=$maxBuild; use SpatialJoin.grid or a " +
         "plain `JOIN ON ST_pred(...)` (auto-planned grid join) for big×big")

@@ -80,9 +80,11 @@ case class GridSpatialJoinExec(
     val maxParts = 128
     val step = math.max(1, nParts / maxParts)
     val rowsPerPart = 64
-    val sampled = rdd.mapPartitionsWithIndex { (idx, it) =>
-      if (idx % step != 0) Iterator.empty
-      else it.take(rowsPerPart).flatMap { row =>
+    // PartitionPruningRDD: the sample job schedules ONLY the ~128 selected
+    // partitions — not one no-op task per input partition
+    val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(rdd, idx => idx % step == 0)
+    val sampled = pruned.mapPartitions { it =>
+      it.take(rowsPerPart).flatMap { row =>
         val wkb = bound.eval(row).asInstanceOf[Array[Byte]]
         if (wkb == null) Iterator.empty
         else {

@@ -46,8 +46,18 @@ case class SpatialJoinExec(
   override def output: Seq[Attribute] =
     projection.getOrElse(left.output ++ right.output)
 
-  override def outputPartitioning: Partitioning =
-    (if (buildRight) left else right).outputPartitioning
+  /** Stream-side partitioning survives the join, but only while its
+    * expressions are still present in the (possibly narrowed) output —
+    * otherwise advertising it would break the SparkPlan invariant that
+    * partitioning expressions come from `output`. */
+  override def outputPartitioning: Partitioning = {
+    val p = (if (buildRight) left else right).outputPartitioning
+    p match {
+      case e: Expression if !e.references.subsetOf(outputSet) =>
+        org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(p.numPartitions)
+      case _ => p
+    }
+  }
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (buildRight) Seq(UnspecifiedDistribution, BroadcastDistribution(IdentityBroadcastMode))

@@ -148,15 +148,29 @@ object FlatGeobuf {
       crsWkt = t.subTable(H.Crs).flatMap(_.getString(4)))
   }
 
-  /** packed Hilbert R-tree byte size (40-byte nodes: 4 doubles + u64).
-    * Per spec the level loop is do-while: even one item gets a root level. */
-  private[sources] def indexSize(numItems: Long, nodeSize: Int): Long = {
-    if (numItems == 0 || nodeSize == 0) return 0
+  /** Packed-R-tree node-index ranges per level, LEAF level first, root
+    * last. Per spec the level loop is do-while: even one item gets a root.
+    * THE single source of the level layout — index size, search traversal,
+    * and the writer all derive from this. */
+  private[sources] def levelBounds(numItems: Long, nodeSize: Int): Array[(Long, Long)] = {
     var n = numItems
     var numNodes = n
-    while ({ n = (n + nodeSize - 1) / nodeSize; numNodes += n; n != 1 }) ()
-    numNodes * 40L
+    val levelNumNodes = scala.collection.mutable.ArrayBuffer(n)
+    var done = false
+    while (!done) {
+      n = (n + nodeSize - 1) / nodeSize
+      numNodes += n
+      levelNumNodes += n
+      done = n == 1
+    }
+    var acc = numNodes
+    levelNumNodes.map { size => acc -= size; (acc, acc + size) }.toArray
   }
+
+  /** packed Hilbert R-tree byte size (40-byte nodes: 4 doubles + u64). */
+  private[sources] def indexSize(numItems: Long, nodeSize: Int): Long =
+    if (numItems == 0 || nodeSize == 0) 0
+    else levelBounds(numItems, nodeSize)(0)._2 * 40L
 
   /** Traverse the packed Hilbert R-tree for features intersecting the query
     * rect. Returns byte offsets of candidate features relative to the start
@@ -176,20 +190,8 @@ object FlatGeobuf {
   private def searchNodes(bb: ByteBuffer, base: Int, numItems: Long, nodeSize: Int,
                           x0: Double, y0: Double, x1: Double, y1: Double): Seq[Long] = {
     if (numItems == 0 || nodeSize == 0) return Nil
-    // level bounds, LEAF level first (same do-while shape as indexSize)
-    var n = numItems
-    var numNodes = n
-    val levelNumNodes = scala.collection.mutable.ArrayBuffer(n)
-    var done = false
-    while (!done) {
-      n = (n + nodeSize - 1) / nodeSize
-      numNodes += n
-      levelNumNodes += n
-      done = n == 1
-    }
-    var acc = numNodes
-    val bounds = levelNumNodes.map { size => acc -= size; (acc, acc + size) }.toArray
-    val leafStart = numNodes - numItems
+    val bounds = levelBounds(numItems, nodeSize)
+    val leafStart = bounds(0)._1
     val results = scala.collection.mutable.ArrayBuffer.empty[Long]
     val queue = scala.collection.mutable.Queue((0L, bounds.length - 1))
     while (queue.nonEmpty) {

@@ -176,22 +176,9 @@ object FlatGeobufWriter {
     graft.core.Hilbert.ofCenter((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2,
       extent.getMinX, extent.getMinY, extent.getMaxX, extent.getMaxY)
 
-  /** Node-index ranges per level, LEAF level first, root last — the same
-    * do-while shape as [[FlatGeobuf.indexSize]] (even 1 item gets a root). */
-  private[sources] def levelBounds(numItems: Long, nodeSize: Int): Array[(Long, Long)] = {
-    var n = numItems
-    var numNodes = n
-    val levelNumNodes = scala.collection.mutable.ArrayBuffer(n)
-    var done = false
-    while (!done) {
-      n = (n + nodeSize - 1) / nodeSize
-      numNodes += n
-      levelNumNodes += n
-      done = n == 1
-    }
-    var acc = numNodes
-    levelNumNodes.map { size => acc -= size; (acc, acc + size) }.toArray
-  }
+  /** Level layout — single source of truth in [[FlatGeobuf.levelBounds]]. */
+  private[sources] def levelBounds(numItems: Long, nodeSize: Int): Array[(Long, Long)] =
+    FlatGeobuf.levelBounds(numItems, nodeSize)
 
   /** Serialize the packed Hilbert R-tree over the (already Hilbert-sorted)
     * leaf envelopes. `featOffsets(i)` = byte offset of feature i within the

@@ -104,15 +104,20 @@ object GeoParquet {
     meta.foreach { m =>
       m.columns.filter(c => df.columns.contains(c.name)).foreach { c =>
         val md = new MetadataBuilder()
-          .putString("geoparquet.encoding", "WKB") // post-scan representation
         c.crs.foreach(md.putString("geoparquet.crs", _))
         nativeTranscoder(c.encoding) match {
           case Some(fn) =>
+            // transcoded at scan time → the post-scan representation is WKB
+            md.putString("geoparquet.encoding", "WKB")
             md.putString("geoparquet.source_encoding", c.encoding)
             val (hasZ, hasM) = zmFlags(df.schema(c.name).dataType)
             df = df.withColumn(c.name,
               call_function(fn, col(c.name), lit(hasZ), lit(hasM)).as(c.name, md.build()))
           case None =>
+            // WKB passes through as WKB; an UNKNOWN encoding keeps its
+            // declared name so downstream never mistakes the bytes for WKB
+            md.putString("geoparquet.encoding",
+              if (c.encoding.equalsIgnoreCase("WKB")) "WKB" else c.encoding)
             df = df.withColumn(c.name, col(c.name).as(c.name, md.build()))
         }
       }

@@ -38,4 +38,16 @@ class ConnectedComponentsSpec extends SparkTestBase {
     val got = comps(chain)
     assert(got.values.toSet == Set(0L) && got.size == 16)
   }
+
+  test("strict mode raises on non-convergence instead of returning wrong labels") {
+    val chain = (0L until 12L).map(i => (i, i + 1))
+    val df = spark.createDataFrame(chain).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.run(df, "src", "dst", maxIter = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // explicit opt-out returns the partial labels without throwing
+    val partial = ConnectedComponents.run(df, "src", "dst", maxIter = 3, strict = false)
+    assert(partial.count() == 13)
+  }
 }
