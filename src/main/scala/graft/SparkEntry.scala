@@ -21,10 +21,11 @@ object SparkEntry {
 
   // one views() registration per (session, dir) — ~10 parquet footer reads
   // otherwise repeat on every query
-  private val viewsDone = new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Boolean]()
+  private val viewsDone =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
 
   private def views(s: SparkSession, dir: String): Unit = {
-    if (viewsDone.putIfAbsent((s, dir), true) != null) return
+    if (viewsDone.putIfAbsent((s, dir), java.lang.Boolean.TRUE) != null) return
     GeoFunctions.register(s)
     graft.functions.TextFunctions.register(s)
     graft.functions.MediaFunctions.register(s)
