@@ -151,6 +151,27 @@ class SpatialJoinSpec extends SparkTestBase {
     assert(q.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == expected)
   }
 
+  test("empty relations through both auto-planned paths") {
+    points.createOrReplaceTempView("sj_pts")
+    zones.filter("zid < 0").createOrReplaceTempView("sj_zones_empty")
+    // broadcast path
+    val b = sql("SELECT id, zid FROM sj_pts JOIN sj_zones_empty ON ST_Covers(zone, pt)")
+    assert(b.count() == 0)
+    // grid path (threshold off)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // PropagateEmptyRelation may collapse a known-empty side before any
+      // join strategy fires — either way, zero rows and no failure
+      val g = sql("SELECT id, zid FROM sj_pts JOIN sj_zones_empty ON ST_Covers(zone, pt)")
+      assert(g.count() == 0)
+      // a non-statically-empty but zero-row side does reach the grid path
+      zones.filter("xmin > 1e9").createOrReplaceTempView("sj_zones_empty2")
+      val g2 = sql("SELECT id, zid FROM sj_pts JOIN sj_zones_empty2 ON ST_Covers(zone, pt)")
+      assert(g2.count() == 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("strategy: non-spatial joins are untouched") {
     points.createOrReplaceTempView("sj_pts")
     zones.createOrReplaceTempView("sj_zones")
