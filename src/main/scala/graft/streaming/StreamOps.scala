@@ -81,4 +81,18 @@ object StreamOps {
           }
       }
   }
+
+  /** Streaming geofencing: a stream of point events joined against a static
+    * zone table on a spatial predicate. The stream-static inner join plans
+    * through the same [[graft.plans.SpatialJoinStrategy]] as batch queries
+    * (Structured Streaming's incremental planner applies session
+    * extraStrategies per micro-batch), so each micro-batch probes a
+    * broadcast STRtree of the zones instead of a nested-loop join —
+    * per-batch cost O(batch · log zones), no stream state. */
+  def geofence(points: DataFrame, zones: DataFrame,
+               pointGeom: String = "geom", zoneGeom: String = "zone",
+               predicate: String = "st_contains"): DataFrame = {
+    graft.functions.GeoFunctions.register(points.sparkSession)
+    points.join(zones, call_function(predicate, col(zoneGeom), col(pointGeom)))
+  }
 }

@@ -41,6 +41,34 @@ class StreamOpsSpec extends SparkTestBase {
     assert(rows.contains(("click", 1L, 5.0)))  // 10:05 window
   }
 
+  test("geofence: stream-static spatial join plans through SpatialJoinExec per batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val zones = s.sql("""
+      SELECT zid, ST_MakeEnvelope(x, y, x + 10.0, y + 10.0) AS zone
+      FROM VALUES (1, 0.0, 0.0), (2, 20.0, 20.0) AS t(zid, x, y)""")
+    val mem = MemoryStream[(Long, Double, Double)]
+    val pts = mem.toDF().toDF("id", "x", "y")
+      .selectExpr("id", "ST_Point(x, y) AS geom")
+    val q = StreamOps.geofence(pts, zones).selectExpr("id", "zid")
+      .writeStream.format("memory").queryName("gf").outputMode("append").start()
+    mem.addData((1L, 5.0, 5.0), (2L, 25.0, 25.0), (3L, 50.0, 50.0))
+    q.processAllAvailable()
+    mem.addData((4L, 1.0, 9.0))
+    q.processAllAvailable()
+    val lastPlan = s.streams.active.find(_.name == "gf")
+      .map(_.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString)
+    runToCompletion(q)
+    val rows = s.sql("SELECT id, zid FROM gf ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toList
+    assert(rows == List((1L, 1), (2L, 2), (4L, 1))) // point 3 in no zone
+    lastPlan.foreach(p => assert(p.contains("SpatialJoin"),
+      s"micro-batch must plan the spatial join, got:\n$p"))
+    assert(lastPlan.isDefined)
+  }
+
   test("dedupe drops repeated event ids within the watermark") {
     val s = spark
     import s.implicits._
