@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{ArrowIpc, GeoParquet}
+
+/** Exercised against the reference's nybb.arrow (its own bench input) —
+  * interleaved-GeoArrow geometry + mixed property types. */
+class ArrowIpcSpec extends SparkTestBase {
+
+  private val fixture = "/root/reference/fixtures/nybb.arrow"
+
+  test("nybb.arrow: schema, count, property decode") {
+    val df = ArrowIpc.read(spark, fixture)
+    assert(df.columns.toSeq ==
+      Seq("BoroCode", "BoroName", "Shape_Leng", "Shape_Area", "geometry"))
+    assert(df.schema("geometry").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(df.count() == 5)
+    assert(df.where("BoroName = 'Manhattan'").count() == 1)
+  }
+
+  test("nybb.arrow geometry matches the GeoParquet WKB twin exactly") {
+    val arrow = ArrowIpc.read(spark, fixture)
+    val wkb = GeoParquet.read(spark, "/root/reference/fixtures/geoparquet/nybb_wkb.parquet")
+    def byBoro(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("BoroCode").cast("int"),
+          call_function("st_astext", col("geometry")).as("w"),
+          call_function("st_npoints", col("geometry")).as("np"))
+        .collect().map(r => r.getInt(0) -> (r.getString(1), r.getInt(2))).toMap
+    val a = byBoro(arrow)
+    val b = byBoro(wkb)
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    a.keySet.foreach(k => assert(a(k) == b(k), s"BoroCode $k differs"))
+  }
+
+  test("decoded geometry flows through ST_* kernels and spatial joins") {
+    val df = ArrowIpc.read(spark, fixture)
+    val total = df.agg(sum(call_function("st_area", col("geometry")))).head().getDouble(0)
+    assert(total > 0)
+    // self-join on intersects through the auto-planner (adjacent boroughs touch)
+    df.select(col("BoroCode").as("ac"), col("geometry").as("ag")).createOrReplaceTempView("nybb_a")
+    df.select(col("BoroCode").as("bc"), col("geometry").as("bg")).createOrReplaceTempView("nybb_b")
+    val pairs = sql("SELECT ac, bc FROM nybb_a JOIN nybb_b ON ST_Intersects(ag, bg) AND ac < bc")
+    assert(pairs.count() >= 1) // at least one adjacent borough pair
+  }
+}
