@@ -174,4 +174,81 @@ object ArrowIpc {
       .flatMap(f => decodeFile(f, schema))
     spark.createDataFrame(rdd, schema)
   }
+
+  // ── write ─────────────────────────────────────────────────────────────
+
+  /** Write `df` as a directory of .arrow files, one per partition (same
+    * distribution model as the FlatGeobuf writer — no driver collect). The
+    * geometry column is written as a binary vector tagged
+    * `ARROW:extension:name = geoarrow.wkb`, which GeoPandas/pyarrow and
+    * [[read]] both recognize. Property types: int/long/float/double/
+    * string/boolean/binary. */
+  def write(df: DataFrame, path: String, geometryCol: String = "geometry"): Unit = {
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+    import org.apache.arrow.vector.types.FloatingPointPrecision
+
+    val sparkSchema = df.schema
+    val dir = new org.apache.hadoop.fs.Path(path)
+    dir.getFileSystem(df.sparkSession.sessionState.newHadoopConf()).mkdirs(dir)
+    val geomName = geometryCol
+
+    df.rdd.foreachPartition { rows =>
+      val allocator = new RootAllocator()
+      try {
+        val fields = sparkSchema.fields.map { f =>
+          val at: ArrowType = f.dataType match {
+            case IntegerType => new ArrowType.Int(32, true)
+            case LongType => new ArrowType.Int(64, true)
+            case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+            case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+            case StringType => new ArrowType.Utf8()
+            case BooleanType => new ArrowType.Bool()
+            case BinaryType => new ArrowType.Binary()
+            case other => throw new IllegalArgumentException(
+              s"ArrowIpc.write: unsupported type $other for column ${f.name}")
+          }
+          val md = if (f.name == geomName && f.dataType == BinaryType)
+            java.util.Map.of("ARROW:extension:name", "geoarrow.wkb")
+          else java.util.Map.of[String, String]()
+          new Field(f.name, new FieldType(f.nullable, at, null, md), java.util.List.of[Field]())
+        }
+        val root = VectorSchemaRoot.create(new Schema(java.util.List.of(fields: _*)), allocator)
+        val buffered = rows.toArray
+        root.allocateNew()
+        var c = 0
+        while (c < fields.length) {
+          val vec = root.getVector(c)
+          var i = 0
+          while (i < buffered.length) {
+            val row = buffered(i)
+            if (row.isNullAt(c)) vec.asInstanceOf[FieldVector] match {
+              case v: BaseFixedWidthVector => v.setNull(i)
+              case v: BaseVariableWidthVector => v.setNull(i)
+              case v => throw new IllegalStateException(s"unexpected vector $v")
+            } else vec match {
+              case v: IntVector => v.setSafe(i, row.getInt(c))
+              case v: BigIntVector => v.setSafe(i, row.getLong(c))
+              case v: Float4Vector => v.setSafe(i, row.getFloat(c))
+              case v: Float8Vector => v.setSafe(i, row.getDouble(c))
+              case v: VarCharVector => v.setSafe(i, row.getString(c).getBytes("UTF-8"))
+              case v: BitVector => v.setSafe(i, if (row.getBoolean(c)) 1 else 0)
+              case v: VarBinaryVector => v.setSafe(i, row.getAs[Array[Byte]](c))
+              case v => throw new IllegalStateException(s"unexpected vector $v")
+            }
+            i += 1
+          }
+          c += 1
+        }
+        root.setRowCount(buffered.length)
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.arrow"), true)
+        val ch = java.nio.channels.Channels.newChannel(out)
+        val writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
+        try { writer.start(); writer.writeBatch(); writer.end() }
+        finally { writer.close(); out.close(); root.close() }
+      } finally allocator.close()
+    }
+  }
 }

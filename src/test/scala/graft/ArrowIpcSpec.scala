@@ -33,6 +33,25 @@ class ArrowIpcSpec extends SparkTestBase {
     a.keySet.foreach(k => assert(a(k) == b(k), s"BoroCode $k differs"))
   }
 
+  test("write → read roundtrip (geoarrow.wkb extension column)") {
+    val out = java.nio.file.Files.createTempDirectory("arroww").toString
+    val df = spark.sql("""
+      SELECT CAST(id AS INT) AS id, CONCAT('r', id) AS label,
+             CAST(id * 0.5 AS DOUBLE) AS score, id % 2 = 0 AS flag,
+             ST_Point(CAST(id % 10 AS DOUBLE), CAST(id % 7 AS DOUBLE)) AS geometry
+      FROM range(100)""").repartition(3)
+    ArrowIpc.write(df, out)
+    val back = ArrowIpc.read(spark, out)
+    assert(back.count() == 100)
+    assert(back.schema("geometry").dataType == org.apache.spark.sql.types.BinaryType)
+    val a = df.selectExpr("id", "label", "score", "flag", "ST_AsText(geometry) AS w")
+    val b = back.selectExpr("id", "label", "score", "flag", "ST_AsText(geometry) AS w")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // the written file is valid Arrow readable by any IPC reader
+    val hdr = ArrowIpc.schemaOf(spark, out)
+    assert(hdr.fieldNames.toSeq == Seq("id", "label", "score", "flag", "geometry"))
+  }
+
   test("decoded geometry flows through ST_* kernels and spatial joins") {
     val df = ArrowIpc.read(spark, fixture)
     val total = df.agg(sum(call_function("st_area", col("geometry")))).head().getDouble(0)
