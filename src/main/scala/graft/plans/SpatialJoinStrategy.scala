@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeSet, Cast, Expression, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeSet, Cast, EqualNullSafe, EqualTo, Expression, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
@@ -82,10 +82,28 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
     case _ => Nil
   }
 
+  /** True if `c` is an equality whose sides split across the join — i.e. a
+    * key Spark's own hash/sort-merge joins can use. */
+  private def isEquiConjunct(c: Expression, left: LogicalPlan, right: LogicalPlan): Boolean = {
+    def spans(a: Expression, b: Expression): Boolean =
+      a.references.nonEmpty && b.references.nonEmpty &&
+        ((a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+         (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet)))
+    c match {
+      case EqualTo(a, b) => spans(a, b)
+      case EqualNullSafe(a, b) => spans(a, b)
+      case _ => false
+    }
+  }
+
   private def planSpatialJoin(j: Join,
                               proj: Option[Seq[NamedExpression]]): Seq[SparkPlan] = {
     val Join(left, right, _, Some(cond), _) = j: @unchecked
     val conjuncts = splitConjunctivePredicates(cond)
+    // An equi-key between the sides means Spark's native hash/sort-merge join
+    // (with the ST_* predicate as a post-filter) beats a spatial join with the
+    // equality demoted to a post-filter — especially for selective keys. Yield.
+    if (conjuncts.exists(isEquiConjunct(_, left, right))) return Nil
     val hit = conjuncts.iterator
       .map(c => c -> extract(c, left, right))
       .collectFirst { case (c, Some(x)) => c -> x }

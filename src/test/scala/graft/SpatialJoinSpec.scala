@@ -84,11 +84,13 @@ class SpatialJoinSpec extends SparkTestBase {
   test("strategy: dwithin with residual conjunct becomes join + filter") {
     points.createOrReplaceTempView("sj_pts")
     zones.createOrReplaceTempView("sj_zones")
+    // residual must NOT be an equality across the sides — that now (by
+    // design) yields the whole join to Spark's native hash join
     val q = sql("""SELECT id, zid FROM sj_pts JOIN sj_zones
-                   ON ST_DWithin(pt, zone, 2.0) AND id % 2 = zid % 2""")
+                   ON ST_DWithin(pt, zone, 2.0) AND id % 2 > zid % 2""")
     assert(planOf(q).contains("SpatialJoin"), planOf(q))
     val exp = (for { (id, pt) <- collectedPts; (zid, zone) <- collectedZones
-                     if graft.core.GeomOps.dWithin(pt, zone, 2.0) && id % 2 == zid % 2 }
+                     if graft.core.GeomOps.dWithin(pt, zone, 2.0) && id % 2 > zid % 2 }
                yield (id, zid)).toSet
     assert(q.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == exp)
   }
@@ -169,6 +171,33 @@ class SpatialJoinSpec extends SparkTestBase {
       zones.filter("xmin > 1e9").createOrReplaceTempView("sj_zones_empty2")
       val g2 = sql("SELECT id, zid FROM sj_pts JOIN sj_zones_empty2 ON ST_Covers(zone, pt)")
       assert(g2.count() == 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("strategy: equi-conjunct joins yield to Spark's native hash join") {
+    points.createOrReplaceTempView("sj_pts")
+    zones.createOrReplaceTempView("sj_zones")
+    // a key equality between the sides: Spark's hash/sort-merge join on the
+    // key (spatial predicate as post-filter) beats a spatial join with the
+    // equality demoted to a post-filter — the strategy must not claim this
+    val q = sql("""SELECT id, zid FROM sj_pts JOIN sj_zones
+                   ON id = zid AND ST_Covers(zone, pt)""")
+    val plan = planOf(q)
+    assert(!plan.contains("SpatialJoin"), plan)
+    val exp = (for { (id, pt) <- collectedPts; (zid, zone) <- collectedZones
+                     if id == zid && graft.core.GeomOps.covers(zone, pt) }
+               yield (id, zid)).toSet
+    assert(q.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == exp)
+    // same with the threshold off (previously the grid path claimed it)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q2 = sql("""SELECT id, zid FROM sj_pts JOIN sj_zones
+                      ON id = zid AND ST_Covers(zone, pt)""")
+      val plan2 = planOf(q2)
+      assert(!plan2.contains("SpatialJoin"), plan2)
+      assert(!plan2.contains("BroadcastNestedLoopJoin"), plan2)
+      assert(q2.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == exp)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
