@@ -107,12 +107,41 @@ object ArrowIpc {
 
   // ── read ──────────────────────────────────────────────────────────────
 
+  /** Adapts Hadoop's positioned stream to the SeekableByteChannel the Arrow
+    * IPC reader wants, so .arrow files open through any Hadoop FileSystem
+    * (local, HDFS, S3A, …) — same access path as the FlatGeobuf/GeoParquet
+    * sources. Read-only. */
+  private final class FsChannel(in: org.apache.hadoop.fs.FSDataInputStream, len: Long)
+      extends java.nio.channels.SeekableByteChannel {
+    private var closed = false
+    override def read(dst: java.nio.ByteBuffer): Int = {
+      val want = dst.remaining()
+      if (want == 0) return 0
+      val buf = new Array[Byte](want)
+      val n = in.read(buf, 0, want)
+      if (n > 0) dst.put(buf, 0, n)
+      n
+    }
+    override def position(): Long = in.getPos
+    override def position(p: Long): java.nio.channels.SeekableByteChannel = { in.seek(p); this }
+    override def size(): Long = len
+    override def isOpen: Boolean = !closed
+    override def close(): Unit = if (!closed) { closed = true; in.close() }
+    override def write(src: java.nio.ByteBuffer): Int = throw new UnsupportedOperationException("read-only")
+    override def truncate(s: Long): java.nio.channels.SeekableByteChannel = throw new UnsupportedOperationException("read-only")
+  }
+
+  private def openChannel(path: String, conf: org.apache.hadoop.conf.Configuration): FsChannel = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    new FsChannel(fs.open(p), fs.getFileStatus(p).getLen)
+  }
+
   private def withFirstFile[T](spark: SparkSession, path: String)(f: ArrowFileReader => T): T = {
     val files = listFiles(spark, path)
-    val ch = java.nio.file.Files.newByteChannel(java.nio.file.Paths.get(
-      new org.apache.hadoop.fs.Path(files.head).toUri.getPath))
+    val ch = openChannel(files.head, spark.sessionState.newHadoopConf())
     val allocator = new RootAllocator()
-    val reader = new ArrowFileReader(ch.asInstanceOf[java.nio.channels.SeekableByteChannel], allocator)
+    val reader = new ArrowFileReader(ch, allocator)
     try f(reader)
     finally { reader.close(); allocator.close(); ch.close() }
   }
@@ -128,20 +157,39 @@ object ArrowIpc {
     files
   }
 
-  private def decodeFile(path: String, schema: StructType): Iterator[Row] = {
-    val ch = java.nio.file.Files.newByteChannel(java.nio.file.Paths.get(
-      new org.apache.hadoop.fs.Path(path).toUri.getPath))
+  /** Streams rows batch-by-batch: only one IPC record batch is resident at
+    * a time, so a multi-GB file never materializes in the task. Resources
+    * close when the file is exhausted AND on task completion (whichever
+    * comes first — a `LIMIT` may abandon the iterator mid-file). */
+  private def decodeFile(path: String, conf: org.apache.hadoop.conf.Configuration): Iterator[Row] = {
+    val ch = openChannel(path, conf)
     val allocator = new RootAllocator()
-    val reader = new ArrowFileReader(ch.asInstanceOf[java.nio.channels.SeekableByteChannel], allocator)
+    val reader = new ArrowFileReader(ch, allocator)
+    var closed = false
+    def closeAll(): Unit = if (!closed) {
+      closed = true
+      try reader.close() finally { try allocator.close() finally ch.close() }
+    }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
     try {
       val root = reader.getVectorSchemaRoot
       val fields = root.getSchema.getFields.asScala.toArray
       val geoExt = fields.map(f => Option(f.getMetadata.get("ARROW:extension:name"))
         .filter(_.startsWith("geoarrow.")))
-      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      while (reader.loadNextBatch()) {
-        var i = 0
-        while (i < root.getRowCount) {
+      new Iterator[Row] {
+        private var i = 0
+        private var batchRows = 0
+        private var done = false
+        private def advance(): Unit =
+          while (!done && i >= batchRows) {
+            if (reader.loadNextBatch()) { batchRows = root.getRowCount; i = 0 }
+            else { done = true; closeAll() }
+          }
+        override def hasNext: Boolean = { advance(); !done }
+        override def next(): Row = {
+          advance()
+          if (done) throw new NoSuchElementException("exhausted " + path)
           val vals = new Array[Any](fields.length)
           var c = 0
           while (c < fields.length) {
@@ -157,12 +205,11 @@ object ArrowIpc {
               }
             c += 1
           }
-          out += Row.fromSeq(vals.toIndexedSeq)
           i += 1
+          Row.fromSeq(vals.toIndexedSeq)
         }
       }
-      out.iterator
-    } finally { reader.close(); allocator.close(); ch.close() }
+    } catch { case e: Throwable => closeAll(); throw e }
   }
 
   /** Read .arrow file(s) into a DataFrame; geometry columns become WKB. */
@@ -170,8 +217,10 @@ object ArrowIpc {
     graft.functions.GeoFunctions.register(spark)
     val files = listFiles(spark, path)
     val schema = schemaOf(spark, files.head)
+    val confSer = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
     val rdd = spark.sparkContext.parallelize(files.toIndexedSeq, files.length)
-      .flatMap(f => decodeFile(f, schema))
+      .flatMap(f => decodeFile(f, confSer.value.value))
     spark.createDataFrame(rdd, schema)
   }
 
@@ -192,6 +241,9 @@ object ArrowIpc {
     val dir = new org.apache.hadoop.fs.Path(path)
     dir.getFileSystem(df.sparkSession.sessionState.newHadoopConf()).mkdirs(dir)
     val geomName = geometryCol
+    val confSer = df.sparkSession.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(df.sparkSession.sessionState.newHadoopConf()))
+    val batchSize = 4096 // rows per IPC record batch — bounds task memory
 
     df.rdd.foreachPartition { rows =>
       val allocator = new RootAllocator()
@@ -214,40 +266,45 @@ object ArrowIpc {
           new Field(f.name, new FieldType(f.nullable, at, null, md), java.util.List.of[Field]())
         }
         val root = VectorSchemaRoot.create(new Schema(java.util.List.of(fields: _*)), allocator)
-        val buffered = rows.toArray
-        root.allocateNew()
-        var c = 0
-        while (c < fields.length) {
-          val vec = root.getVector(c)
-          var i = 0
-          while (i < buffered.length) {
-            val row = buffered(i)
-            if (row.isNullAt(c)) vec.asInstanceOf[FieldVector] match {
-              case v: BaseFixedWidthVector => v.setNull(i)
-              case v: BaseVariableWidthVector => v.setNull(i)
-              case v => throw new IllegalStateException(s"unexpected vector $v")
-            } else vec match {
-              case v: IntVector => v.setSafe(i, row.getInt(c))
-              case v: BigIntVector => v.setSafe(i, row.getLong(c))
-              case v: Float4Vector => v.setSafe(i, row.getFloat(c))
-              case v: Float8Vector => v.setSafe(i, row.getDouble(c))
-              case v: VarCharVector => v.setSafe(i, row.getString(c).getBytes("UTF-8"))
-              case v: BitVector => v.setSafe(i, if (row.getBoolean(c)) 1 else 0)
-              case v: VarBinaryVector => v.setSafe(i, row.getAs[Array[Byte]](c))
-              case v => throw new IllegalStateException(s"unexpected vector $v")
-            }
-            i += 1
-          }
-          c += 1
-        }
-        root.setRowCount(buffered.length)
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = dir.getFileSystem(confSer.value.value)
         val out = fs.create(new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.arrow"), true)
         val ch = java.nio.channels.Channels.newChannel(out)
         val writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
-        try { writer.start(); writer.writeBatch(); writer.end() }
-        finally { writer.close(); out.close(); root.close() }
+        try {
+          writer.start()
+          rows.grouped(batchSize).foreach { chunk =>
+            root.allocateNew()
+            var c = 0
+            while (c < fields.length) {
+              val vec = root.getVector(c)
+              var i = 0
+              while (i < chunk.length) {
+                val row = chunk(i)
+                if (row.isNullAt(c)) vec.asInstanceOf[FieldVector] match {
+                  case v: BaseFixedWidthVector => v.setNull(i)
+                  case v: BaseVariableWidthVector => v.setNull(i)
+                  case v => throw new IllegalStateException(s"unexpected vector $v")
+                } else vec match {
+                  case v: IntVector => v.setSafe(i, row.getInt(c))
+                  case v: BigIntVector => v.setSafe(i, row.getLong(c))
+                  case v: Float4Vector => v.setSafe(i, row.getFloat(c))
+                  case v: Float8Vector => v.setSafe(i, row.getDouble(c))
+                  case v: VarCharVector => v.setSafe(i, row.getString(c).getBytes("UTF-8"))
+                  case v: BitVector => v.setSafe(i, if (row.getBoolean(c)) 1 else 0)
+                  case v: VarBinaryVector => v.setSafe(i, row.getAs[Array[Byte]](c))
+                  case v => throw new IllegalStateException(s"unexpected vector $v")
+                }
+                i += 1
+              }
+              c += 1
+            }
+            root.setRowCount(chunk.length)
+            writer.writeBatch()
+          }
+          // an empty partition still writes a valid zero-batch file
+          writer.end()
+        } finally { writer.close(); out.close(); root.close() }
       } finally allocator.close()
     }
   }

@@ -52,6 +52,21 @@ class ArrowIpcSpec extends SparkTestBase {
     assert(hdr.fieldNames.toSeq == Seq("id", "label", "score", "flag", "geometry"))
   }
 
+  test("multi-batch files stream: >batchSize rows roundtrip, LIMIT abandons cleanly") {
+    val out = java.nio.file.Files.createTempDirectory("arrowmb").toString
+    // 10k rows in one partition → 3 record batches at the 4096 batch size
+    val df = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS id,
+             ST_Point(CAST(id % 100 AS DOUBLE), CAST(id % 97 AS DOUBLE)) AS geometry
+      FROM range(10000)""").coalesce(1)
+    ArrowIpc.write(df, out)
+    val back = ArrowIpc.read(spark, out)
+    assert(back.count() == 10000)
+    assert(back.agg(sum("id")).head().getLong(0) == 10000L * 9999 / 2)
+    // a LIMIT stops consuming mid-file — task-completion hook must clean up
+    assert(back.limit(5).collect().length == 5)
+  }
+
   test("decoded geometry flows through ST_* kernels and spatial joins") {
     val df = ArrowIpc.read(spark, fixture)
     val total = df.agg(sum(call_function("st_area", col("geometry")))).head().getDouble(0)
