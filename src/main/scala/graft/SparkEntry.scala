@@ -1004,21 +1004,22 @@ object SparkEntry {
 
   /** Big×big spatial join through the auto-planner with the broadcast
     * threshold disabled — exercises the GridSpatialJoinExec path (sampled
-    * cell size, grid shuffle, reference-point dedup). The threshold is
-    * restored after the physical plan is materialized, so later queries in
-    * the same session are unaffected. */
-  private def g33Fn(s: SparkSession, dir: String): DataFrame = {
+    * cell size, grid shuffle, reference-point dedup). The conf overrides
+    * live in a dedicated `newSession()` (isolated SQLConf, shared
+    * SparkContext), so queries planned concurrently on the parent session
+    * keep broadcast joins and AQE. */
+  private def g33Fn(parent: SparkSession, dir: String): DataFrame = {
+    val s = parent.newSession()
     views(s, dir)
     val p = s.sparkContext.defaultParallelism
-    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.shuffle.partitions",
+      parent.conf.get("spark.sql.shuffle.partitions", "32"))
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    // AQE would re-plan the join at execution time with the RESTORED
-    // threshold (broadcast instead of grid); disabling it at planning time
-    // freezes the physical plan, so the grid path genuinely executes
+    // AQE would re-plan the join at execution time (broadcast instead of
+    // grid) if the threshold changed; keeping it off in this isolated
+    // session freezes the grid plan so that path genuinely executes
     s.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val df = s.sql(s"""
+    val df = s.sql(s"""
         SELECT c_nationkey, COUNT(*) AS n, SUM(CAST(o_orderkey % 97 AS BIGINT)) AS s
         FROM (SELECT /*+ REPARTITION($p) */ c_nationkey,
                      ST_MakeEnvelope(CAST(c_custkey % 500 AS DOUBLE),
@@ -1034,12 +1035,8 @@ object SparkEntry {
               FROM orders) o
           ON ST_Intersects(cz, oz)
         GROUP BY c_nationkey ORDER BY c_nationkey""")
-      df.queryExecution.executedPlan // force (non-adaptive) planning now
-      df
-    } finally {
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    }
+    df.queryExecution.executedPlan // force (non-adaptive) planning now
+    df
   }
 
   private val g33Duck = """

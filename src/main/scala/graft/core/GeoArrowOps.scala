@@ -85,6 +85,20 @@ object GeoArrowOps {
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
   import org.apache.spark.sql.catalyst.util.GenericArrayData
 
+  /** The export layout is XY-only; silently dropping Z/M would corrupt
+    * 3D/measured data on write, so lossy input fails loudly instead. */
+  private def requireXY(g: Geometry, kernel: String): Geometry = {
+    if (GeomOps.hasZ(g) || GeomOps.hasM(g))
+      throw new IllegalArgumentException(
+        s"$kernel: GeoArrow export emits XY only but the input geometry has Z/M " +
+        "coordinates, which would be silently dropped. Strip them first with " +
+        "ST_Force2D, or write with encoding=WKB (Z/M-preserving).")
+    g
+  }
+
+  private def readXY(wkb: Array[Byte], kernel: String): Geometry =
+    requireXY(GeomOps.read(wkb), kernel)
+
   private def coordRow(c: Coordinate): InternalRow =
     new GenericInternalRow(Array[Any](c.x, c.y))
 
@@ -97,25 +111,25 @@ object GeoArrowOps {
         .map(r => coordArr(r.getCoordinates): Any)).toArray)
 
   def toPoint(wkb: Array[Byte]): InternalRow =
-    coordRow(GeomOps.read(wkb).getCoordinate)
+    coordRow(readXY(wkb, "ga_to_point").getCoordinate)
 
   def toLineString(wkb: Array[Byte]): ArrayData =
-    coordArr(GeomOps.read(wkb).getCoordinates)
+    coordArr(readXY(wkb, "ga_to_linestring").getCoordinates)
 
   def toMultiPoint(wkb: Array[Byte]): ArrayData =
-    coordArr(GeomOps.read(wkb).getCoordinates)
+    coordArr(readXY(wkb, "ga_to_multipoint").getCoordinates)
 
   def toPolygon(wkb: Array[Byte]): ArrayData =
-    polyArr(GeomOps.read(wkb).asInstanceOf[Polygon])
+    polyArr(readXY(wkb, "ga_to_polygon").asInstanceOf[Polygon])
 
   def toMultiLineString(wkb: Array[Byte]): ArrayData = {
-    val g = GeomOps.read(wkb)
+    val g = readXY(wkb, "ga_to_multilinestring")
     new GenericArrayData(Array.tabulate[Any](g.getNumGeometries)(i =>
       coordArr(g.getGeometryN(i).getCoordinates)))
   }
 
   def toMultiPolygon(wkb: Array[Byte]): ArrayData = {
-    val g = GeomOps.read(wkb)
+    val g = readXY(wkb, "ga_to_multipolygon")
     new GenericArrayData(Array.tabulate[Any](g.getNumGeometries)(i =>
       polyArr(g.getGeometryN(i) match {
         case p: Polygon => p

@@ -70,7 +70,7 @@ object GeomOps {
     }
   }
 
-  private def hasZ(g: Geometry): Boolean = {
+  private[core] def hasZ(g: Geometry): Boolean = {
     if (g.isEmpty) return false
     val c = g.getCoordinate
     c != null && !java.lang.Double.isNaN(c.getZ)
@@ -88,7 +88,7 @@ object GeomOps {
     case _ => null
   }
 
-  private def hasM(g: Geometry): Boolean = {
+  private[core] def hasM(g: Geometry): Boolean = {
     if (g.isEmpty) return false
     val s = firstSeq(g)
     s != null && s.hasM
@@ -254,6 +254,21 @@ object GeomOps {
   }
   def boundary(b: Array[Byte]): Array[Byte] = write(read(b).getBoundary)
   def reverse(b: Array[Byte]): Array[Byte] = write(read(b).reverse())
+
+  /** Strip Z/M ordinates (PostGIS ST_Force2D) — the sanctioned path into
+    * the XY-only GeoArrow export kernels ([[GeoArrowOps]]). */
+  def force2D(b: Array[Byte]): Array[Byte] = {
+    val g = read(b)
+    if (!hasZ(g) && !hasM(g)) return write(g)
+    val editor = new org.locationtech.jts.geom.util.GeometryEditor(factory)
+    val out = editor.edit(g, new org.locationtech.jts.geom.util.GeometryEditor.CoordinateSequenceOperation() {
+      override def edit(cs: CoordinateSequence, geom: Geometry): CoordinateSequence =
+        factory.getCoordinateSequenceFactory.create(
+          Array.tabulate(cs.size())(i => new Coordinate(cs.getX(i), cs.getY(i))))
+    })
+    out.setSRID(g.getSRID)
+    write(out)
+  }
   def convexHull(b: Array[Byte]): Array[Byte] = write(read(b).convexHull())
   def concaveHull(b: Array[Byte], ratio: Double): Array[Byte] =
     write(ConcaveHull.concaveHullByLengthRatio(read(b), ratio))

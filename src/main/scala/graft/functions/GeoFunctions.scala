@@ -124,6 +124,7 @@ object GeoFunctions {
     "st_center" -> Sig("center", G, Seq(G)),
     "st_boundary" -> Sig("boundary", G, Seq(G)),
     "st_reverse" -> Sig("reverse", G, Seq(G)),
+    "st_force2d" -> Sig("force2D", G, Seq(G)),
     "st_convexhull" -> Sig("convexHull", G, Seq(G)),
     "st_concavehull" -> Sig("concaveHull", G, Seq(G, D)),
     "st_pointonsurface" -> Sig("pointOnSurface", G, Seq(G)),

@@ -119,6 +119,33 @@ class GeoParquetSpec extends SparkTestBase {
     assert(df.getDouble(3) == 16.0)
   }
 
+  test("ga_to_* export refuses Z/M input loudly; ST_Force2D is the escape hatch") {
+    // XY-only export layout: silently dropping Z would corrupt a 3D write
+    def rootMsg(t: Throwable): String = {
+      var cur = t
+      while (cur.getCause != null && (cur.getCause ne cur)) cur = cur.getCause
+      cur.getMessage
+    }
+    val e = intercept[Exception] {
+      sql("SELECT ga_to_point(ST_PointZ(1.0D, 2.0D, 3.0D)) AS p").collect()
+    }
+    assert(rootMsg(e).contains("XY only") && rootMsg(e).contains("ST_Force2D"), rootMsg(e))
+    // measured geometries refuse too
+    val em = intercept[Exception] {
+      sql("""SELECT ga_to_linestring(ST_GeomFromText('LINESTRING M(0 0 1, 1 1 2)')) AS l""").collect()
+    }
+    assert(rootMsg(em).contains("XY only"), rootMsg(em))
+    // ST_Force2D strips Z/M and the export then succeeds
+    val r = sql("""
+      SELECT ST_AsText(ST_Force2D(ST_PointZ(1.0D, 2.0D, 3.0D))) AS w,
+             ST_AsText(ST_Force2D(ST_GeomFromText('LINESTRING M(0 0 1, 1 1 2)'))) AS wm,
+             ga_point(ga_to_point(ST_Force2D(ST_PointZ(1.0D, 2.0D, 3.0D))), false, false) AS rt""")
+      .selectExpr("w", "wm", "ST_AsText(rt) AS rt").head()
+    assert(r.getString(0) == "POINT (1 2)")
+    assert(r.getString(1) == "LINESTRING (0 0, 1 1)")
+    assert(r.getString(2) == "POINT (1 2)")
+  }
+
   test("native-encoding write: WKB fixture → native file → read back identically") {
     val natOut = dir + "_native"
     val wkb = GeoParquet.read(spark, s"$fixtures/nybb_wkb.parquet")
