@@ -1686,6 +1686,55 @@ object SparkEntry {
            SUM(component)::BIGINT AS sum_min_id
     FROM sizes GROUP BY 1 ORDER BY 1"""
 
+  /** Winnowing fingerprints (MOSS) + df-capped posting-list pair counts.
+    *
+    * The pair topology is the 100-TB-safe one: explode fingerprints, drop
+    * ubiquitous values (df > 50 — stop-grams whose posting lists would
+    * drive the bucket join quadratic) and singletons (df < 2 — can't
+    * pair), then equi-join on the fingerprint value. Same shape as the
+    * minhash-LSH candidate join (t07): shuffle on the value, never
+    * doc×doc. */
+  private def t10Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val p = s.sparkContext.defaultParallelism
+    s.sql(s"""
+      SELECT /*+ REPARTITION($p) */ doc_id, explode(graft_fingerprints(text, 8, 4)) AS f
+      FROM documents""").createOrReplaceTempView("t10_ex")
+    s.sql("""
+      WITH keep AS (SELECT f FROM t10_ex GROUP BY f HAVING COUNT(*) BETWEEN 2 AND 50),
+      exk AS (SELECT e.doc_id, e.f FROM t10_ex e JOIN keep k ON e.f = k.f)
+      SELECT shared, COUNT(*) AS n_pairs
+      FROM (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+            FROM exk a JOIN exk b ON a.f = b.f AND b.doc_id > a.doc_id
+            GROUP BY 1, 2) p
+      GROUP BY shared ORDER BY shared""")
+  }
+
+  private val t10Duck = """
+    WITH h AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 8 THEN
+               list_transform(range(1, length(text) - 8 + 2),
+                 p -> list_sum(list_transform(range(0, 8),
+                        j -> ord(substr(text, p + j, 1)) * CAST(power(31, 7 - j) AS BIGINT))))
+             ELSE [] END AS hs
+      FROM documents),
+    fp AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) = 0 THEN []
+             ELSE list_distinct(list_transform(
+                    range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+                    i -> list_min(hs[i : i + 3]))) END AS fps
+      FROM h),
+    ex AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+    keep AS (SELECT f FROM ex GROUP BY f HAVING COUNT(*) BETWEEN 2 AND 50),
+    exk AS (SELECT e.doc_id, e.f FROM ex e JOIN keep k ON e.f = k.f)
+    SELECT shared, COUNT(*)::BIGINT AS n_pairs
+    FROM (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+          FROM exk a JOIN exk b ON a.f = b.f AND b.doc_id > a.doc_id
+          GROUP BY 1, 2) p
+    GROUP BY shared ORDER BY shared"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -1739,6 +1788,7 @@ object SparkEntry {
     ("t07_minhash_lsh", t07Fn _, t07Duck),
     ("t08_embed_neardup", q(t08Spark), t08Duck),
     ("t09_neardup_components", t09Fn _, t09Duck),
+    ("t10_winnow_fingerprints", t10Fn _, t10Duck),
     ("e01_cosine_topk", q(e01Spark), e01Duck),
     ("e02_ann_bucket", q(e02Spark), e02Duck),
     ("e03_bucket_histogram", q(e03Spark), e03Duck),

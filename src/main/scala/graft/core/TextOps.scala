@@ -208,6 +208,47 @@ object TextOps {
 
   /** rolling-hash fingerprint of the first 64 tokens:
     * fold (acc·31 + hash32(t)) mod 1e9+7, acc₀ = 7. */
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
+    * every k-gram of code points with a base-31 polynomial (no modulus —
+    * values stay < 2^53, so the DuckDB oracle's exact-integer arithmetic
+    * reproduces them bit-for-bit), take the min of each w-window of
+    * consecutive hashes, and return the distinct mins in first-seen order.
+    * Guarantees any shared substring of length ≥ k + w - 1 contributes at
+    * least one common fingerprint — the partial-overlap dedup primitive
+    * (complements [[fingerprint]], which is whole-doc).
+    * Fewer than w hashes → one window over all of them; length < k → []. */
+  def fingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
+    require(k > 0 && w > 0, s"fingerprints: k=$k, w=$w must be positive")
+    val cps = s.toString.codePoints().toArray
+    val nh = cps.length - k + 1
+    if (nh <= 0) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](nh)
+    var p = 0
+    while (p < nh) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = h * 31L + cps(p + j); j += 1 }
+      hs(p) = h
+      p += 1
+    }
+    val windows = math.max(nh - w + 1, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < windows) {
+      var min = hs(i)
+      var j = i + 1
+      val end = math.min(i + w, nh)
+      while (j < end) { if (hs(j) < min) min = hs(j); j += 1 }
+      seen.add(min)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   def fingerprint(s: UTF8String): Long = {
     val ts = tokenize(s)
     val n = math.min(64, ts.length)

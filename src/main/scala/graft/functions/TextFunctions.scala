@@ -54,6 +54,7 @@ object TextFunctions {
     "graft_stop_ratio" -> ((textOps, "stopRatio", D, Seq(S))),
     "graft_quality" -> ((textOps, "quality", D, Seq(S))),
     "graft_fingerprint" -> ((textOps, "fingerprint", L, Seq(S))),
+    "graft_fingerprints" -> ((textOps, "fingerprints", ArrayType(LongType, containsNull = false), Seq(S, I, I))),
     // vector kernels
     "graft_vec" -> ((vecOps, "toDouble", ArrayType(DoubleType, containsNull = false), Seq(ArrayType(FloatType)))),
     "graft_dot" -> ((vecOps, "dot", D, Seq(AD, AD))),
