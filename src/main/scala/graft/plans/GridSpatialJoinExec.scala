@@ -1,6 +1,5 @@
 package graft.plans
 
-import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, UnsafeProjection}
@@ -36,11 +35,14 @@ import graft.core.GeomOps
   * `predicate` is normalized by [[SpatialJoinStrategy]] to take the LEFT
   * geometry as its first argument (GeomOps method name).
   *
-  * Skew note: cogroup materializes each cell's two row groups in executor
-  * memory, so one pathological hotspot cell (everything at one point) is
-  * the residual risk — the cell-size floor (extent/8192 per axis) bounds
-  * the common case, and shrinking the sampled cell (more cells, same keys
-  * hashed over all shuffle partitions) is the mitigation knob.
+  * Skew note: the join is a sort-based single pass — both sides shuffle
+  * keyed by (cell, side) with a partitioner that routes by cell only, so
+  * within a partition each cell's LEFT (build) rows sort before its RIGHT
+  * (probe) rows. Only the build side of a cell is ever resident (it has to
+  * be — it becomes the STRtree); probe rows stream through one at a time.
+  * A pathological hotspot cell therefore costs memory proportional to its
+  * build-side rows only, and the cell-size floor (extent/8192 per axis)
+  * bounds the common case.
   */
 case class GridSpatialJoinExec(
     left: SparkPlan,
@@ -155,43 +157,81 @@ case class GridSpatialJoinExec(
     val outAttrs = output
     val joinedAttrs = left.output ++ right.output
 
-    keyed(left, lBound, r).cogroup(keyed(right, rBound, 0.0), new HashPartitioner(numParts))
-      .mapPartitions { it =>
-        val joined = new JoinedRow()
-        val proj = UnsafeProjection.create(outAttrs, joinedAttrs)
-        it.flatMap { case ((cx, cy), (lRows, rRows)) =>
-          if (lRows.isEmpty || rRows.isEmpty) Iterator.empty
-          else {
-            val tree = new STRtree()
-            val prepF = new PreparedGeometryFactory()
-            lRows.foreach { lrow =>
-              val g = GeomOps.read(lBound.eval(lrow).asInstanceOf[Array[Byte]])
-              val env = new Envelope(g.getEnvelopeInternal)
-              if (r > 0) env.expandBy(r)
-              tree.insert(env, (lrow, prepF.create(g), env))
-            }
+    // (cell, side) sort key; side 0 = build (left), 1 = probe (right)
+    val lK = keyed(left, lBound, r).map { case ((cx, cy), row) => ((cx, cy, 0: Byte), row) }
+    val rK = keyed(right, rBound, 0.0).map { case ((cx, cy), row) => ((cx, cy, 1: Byte), row) }
+    val merged = lK.union(rK)
+      .repartitionAndSortWithinPartitions(new GridSpatialJoinExec.CellPartitioner(numParts))
+
+    merged.mapPartitions { it =>
+      val joined = new JoinedRow()
+      val proj = UnsafeProjection.create(outAttrs, joinedAttrs)
+      val prepF = new PreparedGeometryFactory()
+      // per-cell state: build rows accumulate, tree builds lazily at the
+      // first probe row, probe rows never buffer
+      var curX = 0L
+      var curY = 0L
+      var haveCell = false
+      var build = new scala.collection.mutable.ArrayBuffer[(InternalRow, PreparedGeometry, Envelope)]
+      var tree: STRtree = null
+      it.flatMap { case ((cx, cy, side), row) =>
+        if (!haveCell || cx != curX || cy != curY) {
+          haveCell = true; curX = cx; curY = cy
+          if (build.nonEmpty) build = new scala.collection.mutable.ArrayBuffer
+          tree = null
+        }
+        if (side == 0) {
+          val g = GeomOps.read(lBound.eval(row).asInstanceOf[Array[Byte]])
+          val env = new Envelope(g.getEnvelopeInternal)
+          if (r > 0) env.expandBy(r)
+          build += ((row, prepF.create(g), env))
+          Iterator.empty
+        } else if (build.isEmpty) Iterator.empty
+        else {
+          if (tree == null) {
+            tree = new STRtree()
+            build.foreach(t => tree.insert(t._3, t))
             tree.build()
-            rRows.iterator.flatMap { rrow =>
-              val rg = GeomOps.read(rBound.eval(rrow).asInstanceOf[Array[Byte]])
-              val renv = rg.getEnvelopeInternal
-              val cands = tree.query(renv)
-              (0 until cands.size()).iterator.flatMap { i =>
-                val (lrow, pg, lenv) =
-                  cands.get(i).asInstanceOf[(InternalRow, PreparedGeometry, Envelope)]
-                // reference point: min corner of the envelope intersection
-                val refX = math.max(lenv.getMinX, renv.getMinX)
-                val refY = math.max(lenv.getMinY, renv.getMinY)
-                if (math.floor(refX / cs).toLong == cx &&
-                    math.floor(refY / cs).toLong == cy && test(pg, rg))
-                  Iterator.single(proj(joined(lrow, rrow)))
-                else Iterator.empty
-              }
-            }
+          }
+          val rg = GeomOps.read(rBound.eval(row).asInstanceOf[Array[Byte]])
+          val renv = rg.getEnvelopeInternal
+          val cands = tree.query(renv)
+          (0 until cands.size()).iterator.flatMap { i =>
+            val (lrow, pg, lenv) =
+              cands.get(i).asInstanceOf[(InternalRow, PreparedGeometry, Envelope)]
+            // reference point: min corner of the envelope intersection
+            val refX = math.max(lenv.getMinX, renv.getMinX)
+            val refY = math.max(lenv.getMinY, renv.getMinY)
+            if (math.floor(refX / cs).toLong == cx &&
+                math.floor(refY / cs).toLong == cy && test(pg, rg))
+              Iterator.single(proj(joined(lrow, row)))
+            else Iterator.empty
           }
         }
       }
+    }
   }
 
   override protected def withNewChildrenInternal(newLeft: SparkPlan, newRight: SparkPlan): GridSpatialJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object GridSpatialJoinExec {
+  /** Routes by cell only (ignoring the side byte of the sort key), so both
+    * sides of a cell land in the same partition; the key ordering then
+    * yields build-before-probe within each cell. */
+  private[plans] final class CellPartitioner(override val numPartitions: Int)
+      extends org.apache.spark.Partitioner {
+    override def getPartition(key: Any): Int = {
+      val k = key.asInstanceOf[(Long, Long, Byte)]
+      val h = scala.util.hashing.MurmurHash3.productHash((k._1, k._2))
+      val mod = h % numPartitions
+      if (mod < 0) mod + numPartitions else mod
+    }
+    override def equals(other: Any): Boolean = other match {
+      case c: CellPartitioner => c.numPartitions == numPartitions
+      case _ => false
+    }
+    override def hashCode: Int = numPartitions
+  }
 }
