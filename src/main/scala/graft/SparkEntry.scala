@@ -1735,6 +1735,146 @@ object SparkEntry {
           GROUP BY 1, 2) p
     GROUP BY shared ORDER BY shared"""
 
+  /** Gopher/MassiveText-style repetition quality signals: top-bigram
+    * fraction and duplicate-trigram fraction per doc, aggregated per
+    * source. Per-row kernels (codegen-inlined statics) — embarrassingly
+    * parallel, no shuffle beyond the final aggregate. */
+  private val t11Spark = """
+    SELECT source, COUNT(*) AS n_docs,
+           ROUND(AVG(graft_top_ngram_frac(text, 2)), 6) AS avg_top2,
+           ROUND(AVG(graft_dup_ngram_frac(text, 3)), 6) AS avg_dup3,
+           SUM(CASE WHEN graft_dup_ngram_frac(text, 3) > 0.5D THEN 1 ELSE 0 END) AS n_flagged
+    FROM documents GROUP BY source ORDER BY source"""
+
+  private val t11Duck = """
+    WITH toks AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+    g2 AS (SELECT doc_id, CASE WHEN len(ts) >= 2
+             THEN list_transform(range(1, len(ts) - 2 + 2), i -> array_to_string(ts[i : i + 1], ' '))
+             ELSE [] END AS gs FROM toks),
+    g3 AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+             THEN list_transform(range(1, len(ts) - 3 + 2), i -> array_to_string(ts[i : i + 2], ' '))
+             ELSE [] END AS gs FROM toks),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM (SELECT doc_id, unnest(gs) AS g FROM g2) GROUP BY 1, 2),
+    s2 AS (SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS top2 FROM c2 GROUP BY 1),
+    c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM (SELECT doc_id, unnest(gs) AS g FROM g3) GROUP BY 1, 2),
+    s3 AS (SELECT doc_id, 1.0::DOUBLE - COUNT(*)::DOUBLE / SUM(c) AS dup3 FROM c3 GROUP BY 1),
+    per AS (SELECT t.source, COALESCE(s2.top2, 0.0::DOUBLE) AS top2, COALESCE(s3.dup3, 0.0::DOUBLE) AS dup3
+            FROM toks t LEFT JOIN s2 ON s2.doc_id = t.doc_id LEFT JOIN s3 ON s3.doc_id = t.doc_id)
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           ROUND(AVG(top2), 6) AS avg_top2,
+           ROUND(AVG(dup3), 6) AS avg_dup3,
+           SUM(CASE WHEN dup3 > 0.5::DOUBLE THEN 1 ELSE 0 END)::BIGINT AS n_flagged
+    FROM per GROUP BY source ORDER BY source"""
+
+  /** PII detection + redaction. The synthetic corpus carries no natural
+    * PII, so emails/phones/IPs are planted deterministically from doc_id on
+    * BOTH engine sides; the kernels (Java-regex ∩ RE2 common-subset
+    * patterns) then count and redact them. Per-row — no shuffle. */
+  private val t12Spark = """
+    WITH aug AS (SELECT source,
+        text || CASE WHEN doc_id % 3 = 0 THEN ' Contact user' || CAST(doc_id AS STRING) || '@example.org now.' ELSE '' END
+             || CASE WHEN doc_id % 4 = 1 THEN ' Call +1-202-555-' || LPAD(CAST(doc_id % 10000 AS STRING), 4, '0') || ' today.' ELSE '' END
+             || CASE WHEN doc_id % 5 = 2 THEN ' Host 10.' || CAST(doc_id % 256 AS STRING) || '.0.1 up.' ELSE '' END AS t
+      FROM documents)
+    SELECT source,
+           SUM(CAST(graft_pii_emails(t) AS BIGINT)) AS n_emails,
+           SUM(CAST(graft_pii_phones(t) AS BIGINT)) AS n_phones,
+           SUM(CAST(graft_pii_ipv4(t) AS BIGINT)) AS n_ips,
+           SUM(CASE WHEN graft_pii_emails(t) + graft_pii_phones(t) + graft_pii_ipv4(t) > 0 THEN 1 ELSE 0 END) AS n_pii_docs,
+           SUM(CAST(LENGTH(graft_redact(t)) AS BIGINT)) AS redacted_chars
+    FROM aug GROUP BY source ORDER BY source"""
+
+  private val t12Duck = """
+    WITH aug AS (SELECT source,
+        text || CASE WHEN doc_id % 3 = 0 THEN ' Contact user' || doc_id::VARCHAR || '@example.org now.' ELSE '' END
+             || CASE WHEN doc_id % 4 = 1 THEN ' Call +1-202-555-' || LPAD((doc_id % 10000)::VARCHAR, 4, '0') || ' today.' ELSE '' END
+             || CASE WHEN doc_id % 5 = 2 THEN ' Host 10.' || (doc_id % 256)::VARCHAR || '.0.1 up.' ELSE '' END AS t
+      FROM documents),
+    cnt AS (SELECT source, t,
+              len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+              len(regexp_extract_all(t, '\+\d{1,2}-\d{3}-\d{3}-\d{4}')) AS np,
+              len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni
+            FROM aug)
+    SELECT source,
+           SUM(ne)::BIGINT AS n_emails, SUM(np)::BIGINT AS n_phones, SUM(ni)::BIGINT AS n_ips,
+           SUM(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pii_docs,
+           SUM(length(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')))::BIGINT AS redacted_chars
+    FROM cnt GROUP BY source ORDER BY source"""
+
+  /** Deterministic hash-based train/valid/test split (the 100 TB split
+    * primitive: no global sort, no RNG state — membership is a pure
+    * function of the stable id, reproducible across reruns and engines). */
+  private val t13Spark = """
+    WITH s AS (SELECT lang, n_chars,
+        CASE WHEN graft_hash(CAST(doc_id AS STRING) || ':split') % 100 < 80 THEN 'train'
+             WHEN graft_hash(CAST(doc_id AS STRING) || ':split') % 100 < 90 THEN 'valid'
+             ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, lang, COUNT(*) AS n_docs, SUM(CAST(n_chars AS BIGINT)) AS sum_chars
+    FROM s GROUP BY split, lang ORDER BY split, lang"""
+
+  private val t13Duck = """
+    WITH s AS (SELECT lang, n_chars,
+        CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+             WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT % 100 < 90 THEN 'valid'
+             ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, lang, COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS sum_chars
+    FROM s GROUP BY split, lang ORDER BY split, lang"""
+
+  /** Train/eval contamination check: eval items are 120-char prefixes of
+    * every 25th doc (leaked-by-construction), overlap = shared word
+    * 8-grams. Topology is the decontamination standard: explode DISTINCT
+    * shingle hashes per side, equi-join on the hash — shuffle keyed by
+    * shingle, never doc×doc. The source doc itself is the planted leak. */
+  private def t14Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val p = s.sparkContext.defaultParallelism
+    s.sql(s"""
+      WITH ev AS (SELECT doc_id AS eval_id, substring(text, 1, 120) AS etext
+                  FROM documents WHERE doc_id % 25 = 3),
+      esh AS (SELECT DISTINCT eval_id, graft_hash(sh) AS h
+              FROM (SELECT eval_id, explode(graft_shingles(etext, 8)) AS sh FROM ev)),
+      tsh AS (SELECT DISTINCT doc_id, graft_hash(sh) AS h
+              FROM (SELECT /*+ REPARTITION($p) */ doc_id, explode(graft_shingles(text, 8)) AS sh
+                    FROM documents)),
+      hits AS (SELECT e.eval_id, t.doc_id, COUNT(*) AS shared
+               FROM esh e JOIN tsh t ON t.h = e.h
+               GROUP BY e.eval_id, t.doc_id)
+      SELECT v.eval_id,
+             COUNT(h.doc_id) AS n_train_matches,
+             COALESCE(SUM(h.shared), 0) AS n_shared_ngrams
+      FROM (SELECT DISTINCT eval_id FROM ev) v
+      LEFT JOIN hits h ON h.eval_id = v.eval_id
+      GROUP BY v.eval_id ORDER BY v.eval_id""")
+  }
+
+  private val t14Duck = """
+    WITH ev AS (SELECT doc_id AS eval_id, substr(text, 1, 120) AS etext
+                FROM documents WHERE doc_id % 25 = 3),
+    etk AS (SELECT eval_id, string_split_regex(trim(etext), '\s+') AS ts FROM ev),
+    esh AS (SELECT DISTINCT eval_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+            FROM (SELECT eval_id, unnest(CASE WHEN len(ts) >= 8
+                    THEN list_transform(range(1, len(ts) - 8 + 2), i -> array_to_string(ts[i : i + 7], ' '))
+                    ELSE [] END) AS g FROM etk)),
+    ttk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+    tsh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+            FROM (SELECT doc_id, unnest(CASE WHEN len(ts) >= 8
+                    THEN list_transform(range(1, len(ts) - 8 + 2), i -> array_to_string(ts[i : i + 7], ' '))
+                    ELSE [] END) AS g FROM ttk)),
+    hits AS (SELECT e.eval_id, t.doc_id, COUNT(*) AS shared
+             FROM esh e JOIN tsh t ON t.h = e.h
+             GROUP BY e.eval_id, t.doc_id)
+    SELECT v.eval_id,
+           COUNT(h.doc_id)::BIGINT AS n_train_matches,
+           COALESCE(SUM(h.shared), 0)::BIGINT AS n_shared_ngrams
+    FROM (SELECT DISTINCT eval_id FROM ev) v
+    LEFT JOIN hits h ON h.eval_id = v.eval_id
+    GROUP BY v.eval_id ORDER BY v.eval_id"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -1789,6 +1929,10 @@ object SparkEntry {
     ("t08_embed_neardup", q(t08Spark), t08Duck),
     ("t09_neardup_components", t09Fn _, t09Duck),
     ("t10_winnow_fingerprints", t10Fn _, t10Duck),
+    ("t11_repetition_signals", q(t11Spark), t11Duck),
+    ("t12_pii_redaction", q(t12Spark), t12Duck),
+    ("t13_hash_split", q(t13Spark), t13Duck),
+    ("t14_contamination_check", t14Fn _, t14Duck),
     ("e01_cosine_topk", q(e01Spark), e01Duck),
     ("e02_ann_bucket", q(e02Spark), e02Duck),
     ("e03_bucket_histogram", q(e03Spark), e03Duck),

@@ -257,4 +257,77 @@ object TextOps {
     while (i < n) { acc = (acc * 31L + md5hex8AsLong(ts(i))) % 1000000007L; i += 1 }
     acc
   }
+
+  // ── repetition signals (Gopher/MassiveText-style quality filters) ──────
+  // Word n-grams use the same semantics as [[shingles]] (tokenize, join k
+  // consecutive tokens with ' '), so the DuckDB oracle mirrors them with
+  // string_split_regex + list slices.
+
+  /** Builds the word-n-gram multiset counts; shared by the two ratios. */
+  private def ngramCounts(s: UTF8String, n: Int): (java.util.HashMap[String, Int], Int) = {
+    val ts = tokenize(s)
+    val total = ts.length - n + 1
+    val m = new java.util.HashMap[String, Int]()
+    if (total <= 0) return (m, 0)
+    var i = 0
+    while (i < total) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(ts(i + j)); j += 1 }
+      m.merge(sb.toString, 1, (a, b) => a + b)
+      i += 1
+    }
+    (m, total)
+  }
+
+  /** Fraction of word n-grams taken by the single most frequent one
+    * (Gopher "top n-gram fraction"); 0 when the doc has no n-grams. */
+  def topNgramFrac(s: UTF8String, n: Int): Double = {
+    val (m, total) = ngramCounts(s, n)
+    if (total == 0) return 0.0
+    var mx = 0
+    val it = m.values().iterator()
+    while (it.hasNext) { val c = it.next(); if (c > mx) mx = c }
+    mx.toDouble / total
+  }
+
+  /** Fraction of word n-grams that are repeats of an earlier one
+    * (Gopher "duplicate n-gram fraction" = 1 − distinct/total); 0 when the
+    * doc has no n-grams. */
+  def dupNgramFrac(s: UTF8String, n: Int): Double = {
+    val (m, total) = ngramCounts(s, n)
+    if (total == 0) return 0.0
+    1.0 - m.size.toDouble / total
+  }
+
+  // ── PII detection / redaction ─────────────────────────────────────────
+  // Patterns deliberately stay in the Java-regex ∩ RE2 common subset
+  // (character classes, \d, \b, bounded repetition; no lookaround) so the
+  // DuckDB oracle (RE2) sees the exact same matches.
+
+  private val emailRe = Pattern.compile("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+  private val phoneRe = Pattern.compile("\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}")
+  private val ipv4Re = Pattern.compile("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+
+  private def countMatches(p: Pattern, s: UTF8String): Int = {
+    val m = p.matcher(s.toString)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
+  def piiEmails(s: UTF8String): Int = countMatches(emailRe, s)
+  def piiPhones(s: UTF8String): Int = countMatches(phoneRe, s)
+  def piiIpv4(s: UTF8String): Int = countMatches(ipv4Re, s)
+
+  /** Replace emails → `<EMAIL>`, then phones → `<PHONE>`, then IPv4s →
+    * `<IP>` — sequential global replacements, same order as the oracle's
+    * stacked regexp_replace(…, 'g'). */
+  def redact(s: UTF8String): UTF8String = {
+    var t = s.toString
+    t = emailRe.matcher(t).replaceAll("<EMAIL>")
+    t = phoneRe.matcher(t).replaceAll("<PHONE>")
+    t = ipv4Re.matcher(t).replaceAll("<IP>")
+    UTF8String.fromString(t)
+  }
 }

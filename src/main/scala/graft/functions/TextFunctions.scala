@@ -55,6 +55,12 @@ object TextFunctions {
     "graft_quality" -> ((textOps, "quality", D, Seq(S))),
     "graft_fingerprint" -> ((textOps, "fingerprint", L, Seq(S))),
     "graft_fingerprints" -> ((textOps, "fingerprints", ArrayType(LongType, containsNull = false), Seq(S, I, I))),
+    "graft_top_ngram_frac" -> ((textOps, "topNgramFrac", D, Seq(S, I))),
+    "graft_dup_ngram_frac" -> ((textOps, "dupNgramFrac", D, Seq(S, I))),
+    "graft_pii_emails" -> ((textOps, "piiEmails", I, Seq(S))),
+    "graft_pii_phones" -> ((textOps, "piiPhones", I, Seq(S))),
+    "graft_pii_ipv4" -> ((textOps, "piiIpv4", I, Seq(S))),
+    "graft_redact" -> ((textOps, "redact", S, Seq(S))),
     // vector kernels
     "graft_vec" -> ((vecOps, "toDouble", ArrayType(DoubleType, containsNull = false), Seq(ArrayType(FloatType)))),
     "graft_dot" -> ((vecOps, "dot", D, Seq(AD, AD))),

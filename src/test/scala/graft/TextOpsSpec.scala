@@ -60,4 +60,57 @@ class TextOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { fps("abc", 0, 4) }
     intercept[IllegalArgumentException] { fps("abc", 3, 0) }
   }
+
+  // ── repetition signals ─────────────────────────────────────────────────
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  test("topNgramFrac: most frequent n-gram's share of all n-grams") {
+    // bigrams of "a b a b a": [a b, b a, a b, b a] → top = 2/4
+    assert(TextOps.topNgramFrac(u("a b a b a"), 2) == 0.5)
+    // all distinct bigrams → 1/(n-1)
+    assert(TextOps.topNgramFrac(u("w x y z"), 2) == 1.0 / 3)
+    // fully repeated text → 1.0
+    assert(TextOps.topNgramFrac(u("a a a a a"), 2) == 1.0)
+    // too short for any n-gram → 0.0
+    assert(TextOps.topNgramFrac(u("one"), 2) == 0.0)
+    assert(TextOps.topNgramFrac(u(""), 2) == 0.0)
+  }
+
+  test("dupNgramFrac: 1 - distinct/total") {
+    assert(TextOps.dupNgramFrac(u("a b a b a"), 2) == 0.5) // 2 distinct of 4
+    assert(TextOps.dupNgramFrac(u("w x y z"), 2) == 0.0)   // all distinct
+    assert(TextOps.dupNgramFrac(u("a a a a a"), 3) == 1.0 - 1.0 / 3)
+    assert(TextOps.dupNgramFrac(u("one"), 3) == 0.0)
+  }
+
+  // ── PII detection / redaction ─────────────────────────────────────────
+
+  test("pii counters find emails, phones, ipv4") {
+    val t = u("Mail bob.smith+tag@sub.example.org or alice@ex.co, " +
+      "call +1-202-555-0142, server at 192.168.1.254 and 10.0.0.1.")
+    assert(TextOps.piiEmails(t) == 2)
+    assert(TextOps.piiPhones(t) == 1)
+    assert(TextOps.piiIpv4(t) == 2)
+    assert(TextOps.piiEmails(u("no pii here")) == 0)
+    // version strings with only three octets don't count
+    assert(TextOps.piiIpv4(u("v1.2.3 released")) == 0)
+  }
+
+  test("redact replaces all occurrences in email→phone→ip order") {
+    val t = u("a@b.io and c@d.io, +1-202-555-0100, 10.0.0.1")
+    assert(TextOps.redact(t).toString ==
+      "<EMAIL> and <EMAIL>, <PHONE>, <IP>")
+    assert(TextOps.redact(u("clean text")).toString == "clean text")
+  }
+
+  test("SQL surface registered (repetition + pii kernels)") {
+    graft.functions.TextFunctions.register(spark)
+    val r = sql("""SELECT graft_top_ngram_frac('a b a b a', 2) AS t,
+                          graft_dup_ngram_frac('a b a b a', 2) AS d,
+                          graft_pii_emails('x@y.io') AS e,
+                          graft_redact('x@y.io') AS r""").head()
+    assert(r.getDouble(0) == 0.5 && r.getDouble(1) == 0.5)
+    assert(r.getInt(2) == 1 && r.getString(3) == "<EMAIL>")
+  }
 }
