@@ -1571,6 +1571,70 @@ object SparkEntry {
           FROM pairs) t
     WHERE rnk <= 3 ORDER BY query_id, rnk"""
 
+  /** ANN quality evaluation: recall@3 of the IVF path (e04's nProbe=1
+    * search) against the exact brute-force top-3 — the standard offline
+    * eval for an approximate index. The exact side is bounded by the
+    * 8-query set (the same deliberate bound as e01); the ANN side is the
+    * equi-joined IVF topology, so the whole eval stays shuffle-keyed.
+    * Recall < 1 is expected (and the point): nProbe=1 misses neighbors
+    * assigned to other lists. */
+  private val e05Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e,
+                      sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
+               FROM embeddings),
+    ex3 AS (SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY graft_dot(q.e, x.e) / (q.nrm * x.nrm) DESC, x.vec_id) AS rnk
+              FROM (SELECT * FROM v WHERE vec_id >= 8 AND vec_id < 16) q
+              JOIN v x ON x.vec_id != q.vec_id) t WHERE rnk <= 3),
+    c AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 4),
+    asgn AS (SELECT vec_id, e, nrm, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY graft_dot(e, ce) / (nrm * cnrm) DESC, cid) AS rn
+             FROM v CROSS JOIN c),
+    a AS (SELECT vec_id, e, nrm, cid AS list_id FROM asgn WHERE rn = 1),
+    ann3 AS (SELECT query_id, neighbor_id FROM (
+               SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY graft_dot(q.e, x.e) / (q.nrm * x.nrm) DESC, x.vec_id) AS rnk
+               FROM (SELECT * FROM a WHERE vec_id >= 8 AND vec_id < 16) q
+               JOIN a x ON x.list_id = q.list_id AND x.vec_id != q.vec_id) t WHERE rnk <= 3)
+    SELECT e.query_id, COUNT(a.neighbor_id) AS n_hit,
+           ROUND(COUNT(a.neighbor_id) / 3.0D, 6) AS recall_at_3
+    FROM ex3 e LEFT JOIN ann3 a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id ORDER BY e.query_id"""
+
+  private val e05Duck = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * e[i])), (x, y) -> x + y)) AS nrm
+          FROM v),
+    ex3 AS (SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.e) + 1), i -> q.e[i] * x.e[i])), (x, y) -> x + y) / (q.nrm * x.nrm) DESC, x.vec_id) AS rnk
+              FROM (SELECT * FROM n WHERE vec_id >= 8 AND vec_id < 16) q
+              JOIN n x ON x.vec_id != q.vec_id) t WHERE rnk <= 3),
+    c AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 4),
+    asgn AS (SELECT vec_id, e, nrm, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * ce[i])), (x, y) -> x + y) / (nrm * cnrm) DESC, cid) AS rn
+             FROM n CROSS JOIN c),
+    a AS (SELECT vec_id, e, nrm, cid AS list_id FROM asgn WHERE rn = 1),
+    ann3 AS (SELECT query_id, neighbor_id FROM (
+               SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.e) + 1), i -> q.e[i] * x.e[i])), (x, y) -> x + y) / (q.nrm * x.nrm) DESC, x.vec_id) AS rnk
+               FROM (SELECT * FROM a WHERE vec_id >= 8 AND vec_id < 16) q
+               JOIN a x ON x.list_id = q.list_id AND x.vec_id != q.vec_id) t WHERE rnk <= 3)
+    SELECT e.query_id, COUNT(a.neighbor_id)::BIGINT AS n_hit,
+           ROUND(COUNT(a.neighbor_id) / 3.0::DOUBLE, 6) AS recall_at_3
+    FROM ex3 e LEFT JOIN ann3 a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id ORDER BY e.query_id"""
+
   // ── registry ──────────────────────────────────────────────────────────
 
   // ── multimodal (graft.operators.Multimodal; decode = documented stub) ──
@@ -1937,6 +2001,7 @@ object SparkEntry {
     ("e02_ann_bucket", q(e02Spark), e02Duck),
     ("e03_bucket_histogram", q(e03Spark), e03Duck),
     ("e04_ivf_ann", q(e04Spark), e04Duck),
+    ("e05_ann_recall", q(e05Spark), e05Duck),
     ("a01_asof_join", a01Fn _, a01Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("m01_media_meta", q(m01Spark), m01Duck),
