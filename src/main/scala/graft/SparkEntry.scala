@@ -1479,6 +1479,40 @@ object SparkEntry {
     FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.ts >= c.ts
     GROUP BY v.user_id ORDER BY v.user_id"""
 
+  /** Interval join through [[graft.operators.RangeJoin]]: every click
+    * matched to ALL views in the preceding 10 minutes — deliberately
+    * key-less, the shape Spark itself would plan as an O(n·m)
+    * BroadcastNestedLoopJoin. The operator band-buckets both sides and
+    * shuffles on the bucket id instead (see RangeJoin scaladoc for the
+    * 100 TB argument). Aggregated per hour; DuckDB's native inequality
+    * join is the oracle. */
+  private def a02Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val clicks = s.sql("SELECT event_id, ts FROM events WHERE event_type = 'click'")
+    val vw = s.sql("SELECT ts AS vts, value FROM events WHERE event_type = 'view'")
+    graft.operators.RangeJoin.interval(clicks, vw, Nil, "ts", "vts",
+        -600000000L, 0L, Seq("value"), prefix = "v_")
+      .createOrReplaceTempView("a02_rj")
+    s.sql("""
+      SELECT date_trunc('hour', ts) AS hr,
+             COUNT(DISTINCT event_id) AS n_clicks,
+             COUNT(*) AS n_pairs,
+             CAST(ROUND(SUM(CAST(v_value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_view_val,
+             MAX(unix_micros(ts) - unix_micros(v_vts)) AS max_lag_us
+      FROM a02_rj GROUP BY 1 ORDER BY hr""")
+  }
+
+  private val a02Duck = """
+    WITH c AS (SELECT event_id, ts FROM events WHERE event_type = 'click'),
+         v AS (SELECT ts AS vts, value FROM events WHERE event_type = 'view')
+    SELECT date_trunc('hour', c.ts) AS hr,
+           COUNT(DISTINCT c.event_id)::BIGINT AS n_clicks,
+           COUNT(*)::BIGINT AS n_pairs,
+           ROUND(SUM(CAST(v.value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_view_val,
+           MAX(epoch_us(c.ts) - epoch_us(v.vts))::BIGINT AS max_lag_us
+    FROM c JOIN v ON v.vts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts
+    GROUP BY 1 ORDER BY hr"""
+
   /** Batch gaps-and-islands sessionization (4 h inactivity gap) — the batch
     * analog of streaming/StreamOps.sessionize, oracle-checked (the streaming
     * path is spec-checked; this pins the session semantics cross-engine).
@@ -2003,6 +2037,7 @@ object SparkEntry {
     ("e04_ivf_ann", q(e04Spark), e04Duck),
     ("e05_ann_recall", q(e05Spark), e05Duck),
     ("a01_asof_join", a01Fn _, a01Duck),
+    ("a02_range_join", a02Fn _, a02Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("m01_media_meta", q(m01Spark), m01Duck),
     ("m02_decode_resize_hist", m02Fn _, m02Duck),
