@@ -1133,6 +1133,50 @@ object SparkEntry {
            n_nationkey % 6 < 4 AS interiors_meet
     FROM nation ORDER BY k"""
 
+  /** KNN join through [[graft.operators.SpatialJoin.knn]]: 3 nearest part
+    * points for each sampled customer point, via the iterative
+    * radius-doubling grid join (equi-shuffle per round, never all-pairs —
+    * see the operator scaladoc for the 100 TB argument). The oracle is the
+    * brute-force cross join + rank, which DuckDB can afford at the bounded
+    * left-side size. */
+  private def g37Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val l = s.sql("""
+      SELECT c_custkey AS lid,
+             ST_Point(CAST(c_custkey % 97 AS DOUBLE),
+                      CAST((c_custkey * 13) % 89 AS DOUBLE)) AS lg
+      FROM customer WHERE c_custkey % 15 = 1""")
+    val r = s.sql(s"""
+      SELECT /*+ REPARTITION(${s.sparkContext.defaultParallelism}) */
+             p_partkey AS rid,
+             ST_Point(CAST((p_partkey * 13) % 101 AS DOUBLE),
+                      CAST((p_partkey * 29) % 97 AS DOUBLE)) AS rg
+      FROM part""")
+    graft.operators.SpatialJoin.knn(l, r, "lg", "rg", 3, "lid", "rid")
+      .createOrReplaceTempView("g37_knn")
+    s.sql("""
+      SELECT lid, CAST(knn_rank AS BIGINT) AS rnk, rid, ROUND(knn_dist, 6) AS dist
+      FROM g37_knn ORDER BY lid, rnk""")
+  }
+
+  private val g37Duck = """
+    WITH l AS (SELECT c_custkey AS lid,
+                      CAST(c_custkey % 97 AS DOUBLE) AS lx,
+                      CAST((c_custkey * 13) % 89 AS DOUBLE) AS ly
+               FROM customer WHERE c_custkey % 15 = 1),
+    r AS (SELECT p_partkey AS rid,
+                 CAST((p_partkey * 13) % 101 AS DOUBLE) AS rx,
+                 CAST((p_partkey * 29) % 97 AS DOUBLE) AS ry
+          FROM part),
+    pairs AS (SELECT lid, rid,
+                     sqrt((lx - rx) * (lx - rx) + (ly - ry) * (ly - ry)) AS d
+              FROM l CROSS JOIN r),
+    rk AS (SELECT lid, rid, d,
+                  ROW_NUMBER() OVER (PARTITION BY lid ORDER BY d, rid) AS rnk
+           FROM pairs)
+    SELECT lid, rnk::BIGINT AS rnk, rid, ROUND(d, 6) AS dist
+    FROM rk WHERE rnk <= 3 ORDER BY lid, rnk"""
+
   // ── training-data pipeline ops: text analysis / dedup ─────────────────
 
   private val t01Spark = """
@@ -2017,6 +2061,7 @@ object SparkEntry {
     ("g34_geodesic_measures", q(g34Spark), g34Duck),
     ("g35_signed_area", q(g35Spark), g35Duck),
     ("g36_ring_relate", q(g36Spark), g36Duck),
+    ("g37_knn_join", g37Fn _, g37Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),

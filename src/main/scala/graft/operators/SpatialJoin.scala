@@ -130,6 +130,114 @@ object SpatialJoin {
     }(Encoders.row(outSchema))
   }
 
+  /** k-nearest-neighbor join: for every left row, the `k` right rows with
+    * the smallest planar `ST_Distance`, ranked (ties broken by `rightIdCol`
+    * so the result is deterministic). Emits `knn_dist` and `knn_rank`
+    * columns after the two sides' columns (which must be disjoint).
+    *
+    * Topology (the 100 TB shape): iterative radius doubling over a grid
+    * join. Round i buckets both sides into cells of size r_i; a left row
+    * probes the cells its envelope expanded by r_i covers, a right row
+    * lands in its envelope's cells; candidates are an equi-shuffle on
+    * (cx, cy), refined by `dist <= r_i`. A left row whose k-th candidate
+    * sits within r_i is RESOLVED — no unseen right row can beat it (every
+    * non-candidate is strictly farther than r_i). Unresolved rows re-probe
+    * with r_{i+1} = 2·r_i, capped at the combined-extent diagonal, where
+    * every pair is a candidate and everything resolves. Each round is a
+    * pure equi-join — never an all-pairs product — and the unresolved side
+    * shrinks geometrically; r_0 is estimated from the right side's density
+    * (expected k neighbors per probe window), so most rows resolve in one
+    * round. Driver-side loop with localCheckpoint between rounds (same
+    * pattern as ConnectedComponents). Hot cells at a given radius carry the
+    * usual keyed-shuffle skew caveat.
+    */
+  def knn(left: DataFrame, right: DataFrame,
+          leftGeomCol: String, rightGeomCol: String, k: Int,
+          leftIdCol: String, rightIdCol: String,
+          initialRadius: Double = 0.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val outCols =
+      left.columns.map(col) ++ right.columns.map(col) ++
+        Seq(col("knn_dist"), col("knn_rank"))
+
+    // one tiny agg per side: combined extent bounds the search, right
+    // density seeds r0
+    val Array(le) = left.agg(call_function("st_extent_agg", col(leftGeomCol)).as("e"))
+      .select("e.xmin", "e.ymin", "e.xmax", "e.ymax").collect()
+    val Array(re) = right.agg(call_function("st_extent_agg", col(rightGeomCol)).as("e"),
+        count(lit(1)).as("n"))
+      .select("e.xmin", "e.ymin", "e.xmax", "e.ymax", "n").collect()
+    val nRight = re.getLong(4)
+    if (nRight == 0 || le.isNullAt(0))
+      return left.limit(0).crossJoin(right.limit(0))
+        .withColumn("knn_dist", lit(0.0)).withColumn("knn_rank", lit(1L))
+        .select(outCols: _*)
+
+    val (xmin, ymin) = (math.min(le.getDouble(0), re.getDouble(0)), math.min(le.getDouble(1), re.getDouble(1)))
+    val (xmax, ymax) = (math.max(le.getDouble(2), re.getDouble(2)), math.max(le.getDouble(3), re.getDouble(3)))
+    val diag = math.hypot(xmax - xmin, ymax - ymin)
+    val rMax = if (diag > 0) diag else 1.0
+    val density = (xmax - xmin) * (ymax - ymin) / nRight
+    val r0 =
+      if (initialRadius > 0) math.min(initialRadius, rMax)
+      else if (density > 0) math.min(math.sqrt(density * k / math.Pi) * 2.0, rMax)
+      else rMax / 64
+
+    def candidates(lhs: DataFrame, r: Double): DataFrame = {
+      val cs = lit(r)
+      val l = lhs.withColumn("__lb", call_function("st_bbox", col(leftGeomCol)))
+        .withColumn("__cx", explode(sequence(
+          floor((col("__lb.xmin") - cs) / cs).cast("long"),
+          floor((col("__lb.xmax") + cs) / cs).cast("long"))))
+        .withColumn("__cy", explode(sequence(
+          floor((col("__lb.ymin") - cs) / cs).cast("long"),
+          floor((col("__lb.ymax") + cs) / cs).cast("long"))))
+      val rr = right.withColumn("__rb", call_function("st_bbox", col(rightGeomCol)))
+        .withColumn("__rcx", explode(sequence(
+          floor(col("__rb.xmin") / cs).cast("long"),
+          floor(col("__rb.xmax") / cs).cast("long"))))
+        .withColumn("__rcy", explode(sequence(
+          floor(col("__rb.ymin") / cs).cast("long"),
+          floor(col("__rb.ymax") / cs).cast("long"))))
+      l.join(rr, col("__cx") === col("__rcx") && col("__cy") === col("__rcy"))
+        .withColumn("knn_dist",
+          call_function("st_distance", col(leftGeomCol), col(rightGeomCol)))
+        .where(col("knn_dist") <= lit(r))
+        .drop("__lb", "__cx", "__cy", "__rb", "__rcx", "__rcy")
+        // a pair can meet in several cells (envelopes span cells) — one copy
+        .dropDuplicates(leftIdCol, rightIdCol)
+    }
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(leftIdCol)).orderBy(col("knn_dist").asc, col(rightIdCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(leftIdCol))
+
+    var unresolved = left
+    var acc: DataFrame = null
+    var r = r0
+    var done = false
+    while (!done) {
+      val isLast = r >= rMax
+      val ranked = candidates(unresolved, r)
+        .withColumn("knn_rank", row_number().over(w))
+        .withColumn("__cnt", max(col("knn_rank")).over(wAll))
+      val part = ranked
+        .where((lit(isLast) || col("__cnt") >= k) && col("knn_rank") <= k)
+        .select(outCols: _*)
+        .localCheckpoint(true)
+      acc = if (acc == null) part else acc.unionByName(part)
+      if (isLast) done = true
+      else {
+        val resolved = part.select(col(leftIdCol).as("__res_id")).distinct()
+        unresolved = unresolved
+          .join(resolved, col(leftIdCol) === col("__res_id"), "left_anti")
+          .localCheckpoint(true)
+        if (unresolved.isEmpty) done = true else r = math.min(r * 2, rMax)
+      }
+    }
+    acc
+  }
+
   /** Big×big inner join on `intersects` via grid partitioning: shuffle both
     * sides on covering cell ids, refine exactly, dedupe with the
     * reference-point rule. Requires disjoint column names. */

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SpatialJoin
+
+class KnnJoinSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def pts(rows: Seq[(Long, Double, Double)], id: String, g: String) = {
+    graft.functions.GeoFunctions.register(spark)
+    rows.toDF(id, "__x", "__y")
+      .withColumn(g, call_function("st_point", col("__x"), col("__y")))
+      .drop("__x", "__y")
+  }
+
+  /** brute-force expected (lid → ranked list of (rid, dist)) */
+  private def expected(left: Seq[(Long, Double, Double)],
+                       right: Seq[(Long, Double, Double)], k: Int) =
+    left.map { case (lid, lx, ly) =>
+      lid -> right.map { case (rid, rx, ry) => (rid, math.sqrt((lx - rx) * (lx - rx) + (ly - ry) * (ly - ry))) }
+        .sortBy { case (rid, d) => (d, rid) }.take(k)
+    }.toMap
+
+  test("knn matches brute force on a small grid, including ties") {
+    val l = Seq((1L, 0.0, 0.0), (2L, 10.0, 10.0), (3L, 5.0, 5.0))
+    // includes two right points equidistant from left 1 (tie broken by id)
+    val r = Seq((10L, 1.0, 0.0), (11L, 0.0, 1.0), (12L, 3.0, 4.0),
+      (13L, 9.0, 9.0), (14L, 11.0, 11.0), (15L, 100.0, 100.0))
+    val out = SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+      "lg", "rg", 3, "lid", "rid")
+      .select("lid", "rid", "knn_dist", "knn_rank")
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    val exp = expected(l, r, 3)
+    for (lid <- l.map(_._1)) {
+      assert(out(lid).map(_._1) == exp(lid).map(_._1), s"neighbor ids for left $lid")
+      out(lid).zip(exp(lid)).foreach { case ((_, got), (_, want)) =>
+        assert(math.abs(got - want) < 1e-12)
+      }
+    }
+  }
+
+  test("k larger than the right side returns all right rows") {
+    val l = Seq((1L, 0.0, 0.0))
+    val r = Seq((10L, 1.0, 1.0), (11L, 2.0, 2.0))
+    val out = SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+      "lg", "rg", 5, "lid", "rid")
+    assert(out.count() == 2)
+  }
+
+  test("forced multi-round resolution (tiny initial radius) still exact") {
+    val l = Seq((1L, 0.0, 0.0), (2L, 50.0, 0.0))
+    val r = (0L until 40L).map(i => (100L + i, i * 2.5, 30.0))
+    val out = SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+      "lg", "rg", 2, "lid", "rid", initialRadius = 0.001)
+      .select("lid", "rid", "knn_rank").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val exp = expected(l, r, 2)
+    assert(out(1L) == exp(1L).map(_._1))
+    assert(out(2L) == exp(2L).map(_._1))
+  }
+
+  test("empty right side yields empty result with the knn schema") {
+    val l = Seq((1L, 0.0, 0.0))
+    val out = SpatialJoin.knn(pts(l, "lid", "lg"), pts(Nil, "rid", "rg"),
+      "lg", "rg", 3, "lid", "rid")
+    assert(out.isEmpty)
+    assert(out.columns.toSeq == Seq("lid", "lg", "rid", "rg", "knn_dist", "knn_rank"))
+  }
+
+  test("every left row gets exactly min(k, |right|) neighbors at scale") {
+    val l = (0L until 200L).map(i => (i, (i % 20) * 7.0, (i / 20) * 11.0))
+    val r = (0L until 500L).map(i => (1000L + i, (i % 25) * 5.3, (i / 25) * 6.1))
+    val out = SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+      "lg", "rg", 4, "lid", "rid")
+    val counts = out.groupBy("lid").count().select("count").as[Long].collect()
+    assert(counts.length == 200 && counts.forall(_ == 4))
+    // spot-check one row against brute force
+    val exp = expected(l.filter(_._1 == 37L), r, 4)(37L).map(_._1)
+    val got = out.where(col("lid") === 37L).orderBy("knn_rank")
+      .select("rid").as[Long].collect().toSeq
+    assert(got == exp)
+  }
+
+  test("invalid k rejected") {
+    val df = pts(Seq((1L, 0.0, 0.0)), "id", "g")
+    intercept[IllegalArgumentException] {
+      SpatialJoin.knn(df, df, "g", "g", 0, "id", "id")
+    }
+  }
+}
