@@ -36,7 +36,12 @@ object Bench {
       val t0 = System.nanoTime()
       try run(fn(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // cache hygiene between queries: queries that persist intermediates
+      // (t03's n-gram cache, t07's signature checkpoint, knn/CC round
+      // checkpoints) must not carry pinned blocks into the next measurement
+      graft.core.Blocks.scrub(spark)
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

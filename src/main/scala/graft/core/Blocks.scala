@@ -1,0 +1,44 @@
+package graft.core
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Block hygiene for driver-side iterative operators.
+  *
+  * `Dataset.localCheckpoint()` pins the materialized RDD in the executors'
+  * block store and never releases it — an iterative loop that checkpoints
+  * per round would otherwise retain every superseded round's blocks for the
+  * lifetime of the session, steadily eating the unified memory pool and
+  * pushing later queries into spill/GC. Spark exposes no handle from the
+  * checkpointed Dataset back to its RDD, but the persistent-RDD registry
+  * (`SparkContext.getPersistentRDDs`) is public: snapshotting it around the
+  * checkpoint identifies exactly the blocks the checkpoint pinned, so a loop
+  * can release a round's blocks the moment the next round is materialized.
+  */
+object Blocks {
+
+  /** Eagerly `localCheckpoint`s `ds`; returns the checkpointed frame plus
+    * the ids of the RDDs the checkpoint pinned (pass to [[release]] once a
+    * newer checkpoint supersedes this one). Eager by construction — the
+    * caller may release the inputs' blocks immediately afterwards. */
+  def checkpoint[T](ds: Dataset[T]): (Dataset[T], Set[Int]) = {
+    val sc = ds.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = ds.localCheckpoint(true)
+    (cp, (sc.getPersistentRDDs.keySet -- before).toSet)
+  }
+
+  /** Unpersist the given RDD ids (non-blocking). Ids already evicted or
+    * unpersisted are ignored. */
+  def release(spark: SparkSession, ids: Set[Int]): Unit = {
+    val reg = spark.sparkContext.getPersistentRDDs
+    ids.foreach(id => reg.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
+  /** Session-wide scrub: drop the SQL cache and unpersist every registered
+    * RDD block (checkpoints included). For harness boundaries — between
+    * bench queries, after a verify dump — never inside an operator. */
+  def scrub(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+}

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.Blocks
+
 /** Distributed connected components over a candidate-pair edge list —
   * the clustering step of a near-dup dedup pipeline: MinHash/SimHash/ANN
   * buckets emit pairwise edges (t07/t08 topologies), and components turn
@@ -32,12 +34,14 @@ object ConnectedComponents {
   def run(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20,
           strict: Boolean = true): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
+    val spark = edges.sparkSession
     val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
     // undirected closure; checkpointed once, reused by every iteration
-    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .where(col("a") =!= col("b")).distinct().localCheckpoint()
-    var labels = und.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    val (und, undIds) = Blocks.checkpoint(
+      e.union(e.select(col("b").as("a"), col("a").as("b")))
+        .where(col("a") =!= col("b")).distinct())
+    var (labels, labelIds) = Blocks.checkpoint(
+      und.select(col("a").as("id")).distinct().withColumn("label", col("id")))
     var iter = 0
     var converged = false
     // labels are monotonically non-increasing, so the global label sum
@@ -50,19 +54,27 @@ object ConnectedComponents {
       // neighbor labels flow along edges; min with own label
       val msgs = und.join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
         .select(col("a").as("id"), col("label"))
-      val next = labels.union(msgs)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+      val (next, nextIds) = Blocks.checkpoint(
+        labels.union(msgs).groupBy("id").agg(min("label").as("label")))
       val s = sig(next)
       converged = s.compareTo(prevSig) == 0
       prevSig = s
+      // the new checkpoint is materialized — the previous round's blocks are
+      // dead weight from here on
+      Blocks.release(spark, labelIds)
       labels = next
+      labelIds = nextIds
       iter += 1
     }
+    // the result reads only the final checkpoint; the edge closure is done
+    Blocks.release(spark, undIds)
     if (strict && !converged) throw new IllegalStateException(
       s"ConnectedComponents did not converge in $maxIter iterations — the graph's " +
         "diameter exceeds maxIter; raise maxIter or pass strict = false to accept " +
         "partial labels")
+    // NOTE: the final labels checkpoint stays pinned until the caller is done
+    // with the result (it IS the result); Blocks.scrub at harness boundaries
+    // reclaims it
     labels.withColumnRenamed("label", "component")
   }
 }

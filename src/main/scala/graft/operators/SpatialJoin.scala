@@ -212,7 +212,13 @@ object SpatialJoin {
       .partitionBy(col(leftIdCol)).orderBy(col("knn_dist").asc, col(rightIdCol).asc)
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(leftIdCol))
 
+    val spark = left.sparkSession
     var unresolved = left
+    // blocks pinned by the current `unresolved` checkpoint — released the
+    // moment the next round's checkpoint supersedes it (the per-round `part`
+    // checkpoints back the returned result and must outlive the loop;
+    // graft.core.Blocks.scrub at harness boundaries reclaims them)
+    var unresolvedIds = Set.empty[Int]
     var acc: DataFrame = null
     var r = r0
     var done = false
@@ -229,12 +235,15 @@ object SpatialJoin {
       if (isLast) done = true
       else {
         val resolved = part.select(col(leftIdCol).as("__res_id")).distinct()
-        unresolved = unresolved
-          .join(resolved, col(leftIdCol) === col("__res_id"), "left_anti")
-          .localCheckpoint(true)
+        val (next, nextIds) = graft.core.Blocks.checkpoint(
+          unresolved.join(resolved, col(leftIdCol) === col("__res_id"), "left_anti"))
+        graft.core.Blocks.release(spark, unresolvedIds)
+        unresolved = next
+        unresolvedIds = nextIds
         if (unresolved.isEmpty) done = true else r = math.min(r * 2, rMax)
       }
     }
+    graft.core.Blocks.release(spark, unresolvedIds)
     acc
   }
 
