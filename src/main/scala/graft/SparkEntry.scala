@@ -29,20 +29,36 @@ object SparkEntry {
     GeoFunctions.register(s)
     graft.functions.TextFunctions.register(s)
     graft.functions.MediaFunctions.register(s)
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
-    // rejects; read nanos as long and re-expose as microsecond timestamp
-    // (DuckDB truncates ns→µs identically).
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tables.foreach { n =>
-      val df = s.read.parquet(s"$dir/$n.parquet")
       if (n == "events")
         // integer DIV, not `/`: float division of ~1.7e18 ns loses sub-µs
         // precision (double ulp ≈ 256 ns there), which would skew exact
         // microsecond lags (a01) vs DuckDB's integral ns→µs truncation
-        df.selectExpr("event_id", "timestamp_micros(ts DIV 1000) AS ts",
-          "user_id", "event_type", "value", "props").createOrReplaceTempView(n)
-      else df.createOrReplaceTempView(n)
+        readNanosAsLong(s, s"$dir/$n.parquet")
+          .selectExpr("event_id", "timestamp_micros(ts DIV 1000) AS ts",
+            "user_id", "event_type", "value", "props").createOrReplaceTempView(n)
+      else s.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
     }
+  }
+
+  /** Read a parquet file whose timestamps are TIMESTAMP(NANOS) — which
+    * Spark's reader rejects by default — with nanos exposed as plain longs.
+    * The `nanosAsLong` legacy conf is needed only while the schema is
+    * INFERRED (it turns the nanos column into LongType); re-reading with
+    * that schema made explicit needs no conf at execution time, so the
+    * session conf is restored immediately — a user session that later reads
+    * other nanos parquet keeps Spark's default strictness. */
+  private def readNanosAsLong(s: SparkSession, path: String): DataFrame = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    val schema =
+      try s.read.parquet(path).schema
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    s.read.schema(schema).parquet(path)
   }
 
   /** {{P}} in query text becomes the session default parallelism — used in
