@@ -1,14 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.catalyst.expressions.GenericRow
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
-import org.locationtech.jts.geom.{Envelope, Geometry}
-import org.locationtech.jts.index.strtree.STRtree
-import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
-
-import graft.core.GeomOps
 
 /** Spatial join strategies.
   *
@@ -17,10 +10,11 @@ import graft.core.GeomOps
   * (rust/geoarrow-old/src/indexed/array.rs:20-57). On Spark the same idea
   * becomes two physical strategies:
   *
-  *  - [[broadcast]]: build one STRtree of the small side per executor
-  *    (JTS PreparedGeometry for the refinement predicate), stream the big
-  *    side through `mapPartitions`. O(n log m) instead of the O(n·m)
-  *    BroadcastNestedLoopJoin Spark would plan for a θ-join on ST_*.
+  *  - [[broadcast]]: the small side is broadcast through a real
+  *    `BroadcastExchange` and probed via a per-task STRtree
+  *    ([[graft.plans.SpatialJoinExec]], planned by
+  *    [[graft.plans.SpatialJoinStrategy]]). O(n log m) instead of the
+  *    O(n·m) BroadcastNestedLoopJoin Spark would plan for a θ-join on ST_*.
   *  - [[grid]]: big×big. Both sides explode to covering grid cells,
   *    equi-shuffle on cell id, refine with the exact predicate, and dedupe
   *    multi-cell matches with the reference-point rule (a pair is emitted
@@ -28,47 +22,48 @@ import graft.core.GeomOps
   *    intersection) — no DISTINCT pass needed.
   *
   * Predicates: intersects | contains | within | covers | dwithin:<d>.
-  * `contains`/`covers`/`within` are evaluated as LEFT pred RIGHT.
+  * `contains`/`covers`/`within` are evaluated as SMALL pred BIG
+  * (the indexed side is the predicate's first argument).
   */
 object SpatialJoin {
 
-  private def pred(name: String): (PreparedGeometry, Geometry) => Boolean = name match {
-    case "intersects" => (p, g) => p.intersects(g)
-    case "contains" => (p, g) => p.contains(g)
-    case "covers" => (p, g) => p.covers(g)
-    case "within" => (p, g) => p.within(g)
-    case d if d.startsWith("dwithin:") =>
-      val dist = d.stripPrefix("dwithin:").toDouble
-      (p, g) => p.getGeometry.isWithinDistance(g, dist)
+  /** driver-side fail-fast validation of a predicate name. */
+  private def pred(name: String): Unit = name match {
+    case "intersects" | "contains" | "covers" | "within" => ()
+    case d if d.startsWith("dwithin:") => d.stripPrefix("dwithin:").toDouble; ()
     case other => throw new IllegalArgumentException(s"unknown spatial predicate: $other")
   }
 
-  private def expand(e: Envelope, by: Double): Envelope = {
-    val c = new Envelope(e); c.expandBy(by); c
-  }
-
-  /** Inner join `big ⋈ small ON pred(big.geom, small.geom)` with the small
-    * side broadcast as an STRtree. Column names must be disjoint.
+  /** Inner join `big ⋈ small ON pred(small.geom, big.geom)` with the small
+    * side broadcast and probed through an STRtree. Column names must be
+    * disjoint.
     *
-    * `project` (optional) lists the output columns to materialize, in order.
-    * The mapPartitions boundary is opaque to Catalyst, so downstream column
-    * pruning can never reach inside this operator — a join whose output is
-    * immediately aggregated on one key would otherwise encode every row's
-    * geometry blobs through the Row encoder for nothing (the dominant cost
-    * when match fan-out is high). Empty = all columns of both sides. */
+    * Sugar over the auto-planned path: the small side gets a broadcast
+    * hint and the predicate becomes the matching `ST_*` expression, which
+    * [[graft.plans.SpatialJoinStrategy]] plans as
+    * [[graft.plans.SpatialJoinExec]] — the build side arrives through a
+    * real `BroadcastExchange` (reused across stages, AQE-visible, no
+    * driver-side `collect()`), each task bulk-loads one STRtree over it,
+    * and output rows are `UnsafeRow`s Catalyst can prune above and below.
+    *
+    * `project` (optional) lists the output columns to keep, in order —
+    * with the planner path this is ordinary column pruning (the narrowed
+    * projection reaches inside the join), so it exists purely as API
+    * convenience. Empty = all columns of both sides. */
   def broadcast(big: DataFrame, small: DataFrame,
                 bigGeomCol: String, smallGeomCol: String,
                 predicate: String = "intersects",
                 project: Seq[String] = Nil): DataFrame = {
     pred(predicate) // validate on the driver: fail fast, not inside a task
     val spark = big.sparkSession
-    // guard the driver-side collect: a misjudged "small" side would OOM the
-    // driver, so refuse when the optimizer's size estimate exceeds the cap
-    // (conf `graft.spatialJoin.maxBuildBytes`, default 512 MiB) and point at
-    // the scale-safe alternatives. RDD-backed plans without stats report the
-    // defaultSizeInBytes sentinel (Long.MaxValue) — an UNKNOWN size must not
-    // refuse a legitimately tiny side, so the guard only fires on known
-    // estimates (same stance as Spark's own broadcast-hint handling).
+    graft.functions.GeoFunctions.register(spark)
+    // refuse a misjudged "small" side early with an actionable message (conf
+    // `graft.spatialJoin.maxBuildBytes`, default 512 MiB) rather than letting
+    // the broadcast build run into executor memory pressure. RDD-backed plans
+    // without stats report the defaultSizeInBytes sentinel (Long.MaxValue) —
+    // an UNKNOWN size must not refuse a legitimately tiny side, so the guard
+    // only fires on known estimates (same stance as Spark's own
+    // broadcast-hint handling).
     val maxBuild = spark.conf.get("graft.spatialJoin.maxBuildBytes", (512L << 20).toString).toLong
     val est = small.queryExecution.optimizedPlan.stats.sizeInBytes
     val known = est < BigInt(Long.MaxValue) / 4
@@ -76,58 +71,14 @@ object SpatialJoin {
       s"SpatialJoin.broadcast: build side estimated at $est bytes exceeds " +
         s"graft.spatialJoin.maxBuildBytes=$maxBuild; use SpatialJoin.grid or a " +
         "plain `JOIN ON ST_pred(...)` (auto-planned grid join) for big×big")
-    val smallRows = small.collect()
-    val smallGeomIdx = small.schema.fieldIndex(smallGeomCol)
-    val bigGeomIdx = big.schema.fieldIndex(bigGeomCol)
-    val bSmall = spark.sparkContext.broadcast(smallRows)
-    val allFields = big.schema.fields ++ small.schema.fields
-    val outNames = if (project.isEmpty) allFields.map(_.name).toSeq else project
-    val nBig = big.schema.length
-    // (sourceIsBig, index-in-source) per output column
-    val outSrc: Array[(Boolean, Int)] = outNames.map { n =>
-      val i = allFields.indexWhere(_.name == n)
-      require(i >= 0, s"unknown output column: $n")
-      if (i < nBig) (true, i) else (false, i - nBig)
-    }.toArray
-    val outSchema = StructType(outNames.map(n => allFields(allFields.indexWhere(_.name == n))))
-    val p = predicate
-    val radius = if (p.startsWith("dwithin:")) p.stripPrefix("dwithin:").toDouble else 0.0
-
-    big.mapPartitions { it =>
-      // tree built once per partition from the broadcast (cheap: bulk-load
-      // of |small|); prepared geometries make the refinement ~10x faster
-      val test = pred(p)
-      val tree = new STRtree()
-      val prep = new PreparedGeometryFactory()
-      bSmall.value.foreach { r =>
-        val g = GeomOps.read(r.getAs[Array[Byte]](smallGeomIdx))
-        tree.insert(g.getEnvelopeInternal, (r, prep.create(g)))
-      }
-      tree.build()
-      val srcs = outSrc
-      it.flatMap { lrow =>
-        val lg = GeomOps.read(lrow.getAs[Array[Byte]](bigGeomIdx))
-        val env = if (radius > 0) expand(lg.getEnvelopeInternal, radius) else lg.getEnvelopeInternal
-        val cands = tree.query(env)
-        val out = List.newBuilder[Row]
-        var i = 0
-        while (i < cands.size()) {
-          val (rrow, pg) = cands.get(i).asInstanceOf[(Row, PreparedGeometry)]
-          if (test(pg, lg)) {
-            val vals = new Array[Any](srcs.length)
-            var j = 0
-            while (j < srcs.length) {
-              val (fromBig, idx) = srcs(j)
-              vals(j) = if (fromBig) lrow.get(idx) else rrow.get(idx)
-              j += 1
-            }
-            out += new GenericRow(vals)
-          }
-          i += 1
-        }
-        out.result()
-      }
-    }(Encoders.row(outSchema))
+    val (fn, extra) = predicate match {
+      case d if d.startsWith("dwithin:") =>
+        ("st_dwithin", Seq(lit(d.stripPrefix("dwithin:").toDouble)))
+      case p => (s"st_$p", Nil)
+    }
+    val cond = call_function(fn, (small(smallGeomCol) +: big(bigGeomCol) +: extra): _*)
+    val joined = big.join(org.apache.spark.sql.functions.broadcast(small), cond)
+    if (project.isEmpty) joined else joined.select(project.map(col): _*)
   }
 
   /** k-nearest-neighbor join: for every left row, the `k` right rows with

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeSet, Cast, EqualNullSafe, EqualTo, Expression, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan, Project}
 import org.apache.spark.sql.execution.{FilterExec, ProjectExec, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.internal.SQLConf
 
@@ -118,11 +118,18 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
         val threshold = SQLConf.get.autoBroadcastJoinThreshold
         val lSize = left.stats.sizeInBytes
         val rSize = right.stats.sizeInBytes
-        val canLeft = threshold > 0 && lSize <= threshold
-        val canRight = threshold > 0 && rSize <= threshold
+        // an explicit broadcast() hint overrides the size estimate, exactly
+        // like Spark's own join planning (the user asserts the side fits)
+        val hintLeft = j.hint.leftHint.exists(_.strategy.contains(BROADCAST))
+        val hintRight = j.hint.rightHint.exists(_.strategy.contains(BROADCAST))
+        val canLeft = hintLeft || (threshold > 0 && lSize <= threshold)
+        val canRight = hintRight || (threshold > 0 && rSize <= threshold)
         val exec: SparkPlan =
           if (canLeft || canRight) {
-            val buildRight = if (canLeft && canRight) rSize <= lSize else canRight
+            val buildRight =
+              if (hintRight != hintLeft) hintRight
+              else if (canLeft && canRight) rSize <= lSize
+              else canRight
             SpatialJoinExec(planLater(left), planLater(right),
               lg, rg, pred, radius, buildRight, narrowed)
           } else // big×big: grid shuffle, never BNLJ

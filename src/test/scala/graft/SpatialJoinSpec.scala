@@ -35,6 +35,24 @@ class SpatialJoinSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("broadcast goes through a real BroadcastExchange, not a driver collect") {
+    val df = SpatialJoin.broadcast(points, zones, "pt", "zone", "covers",
+      project = Seq("id", "zid"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SpatialJoin"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    // the hint must hold even when stats would disqualify both sides
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hinted = SpatialJoin.broadcast(points, zones, "pt", "zone", "covers")
+      val p2 = hinted.queryExecution.executedPlan.toString
+      assert(p2.contains("SpatialJoin") && p2.contains("BroadcastExchange"), p2)
+      assert(hinted.select("id", "zid").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("grid-partitioned join == ground truth (incl. reference-point dedup)") {
     val got = SpatialJoin.grid(points, zones, "pt", "zone", cellSize = 4.0)
       .select("id", "zid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
