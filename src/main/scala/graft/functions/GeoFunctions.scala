@@ -231,6 +231,9 @@ object GeoFunctions {
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(graft.plans.SpatialJoinStrategy))
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.SpatialJoinStrategy
+    // fold COUNT(*)-over-spatial-join into the probe loop (g15's shape)
+    if (!exp.extraOptimizations.contains(graft.plans.SpatialCountFoldRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.SpatialCountFoldRule
   }
 
   /** Locate geometry column(s) in a schema — the reference's `geometry_col`

@@ -43,8 +43,9 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
   }
 
   /** (leftGeom, rightGeom, normalized predicate, radius) if `c` is a
-    * supported spatial predicate splitting cleanly across the join. */
-  private def extract(c: Expression, left: LogicalPlan, right: LogicalPlan)
+    * supported spatial predicate splitting cleanly across the join.
+    * Shared with [[SpatialCountFoldRule]]. */
+  private[plans] def extract(c: Expression, left: LogicalPlan, right: LogicalPlan)
       : Option[(Expression, Expression, String, Double)] = c match {
     case si: StaticInvoke if si.staticObject == geomOps && supported(si.functionName) =>
       val args = si.arguments.map(strip)
@@ -71,6 +72,11 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    // count-folded spatial join (rewritten by SpatialCountFoldRule)
+    case sc: SpatialCountJoin =>
+      SpatialJoinFoldExec(planLater(sc.left), planLater(sc.right),
+        sc.leftGeom, sc.rightGeom, sc.predicate, sc.radius,
+        sc.buildRight, sc.groupOutput, sc.cntAttr) :: Nil
     // absorb the pruning Project Catalyst leaves above the join: the join
     // then emits only consumed attributes — geometry blobs referenced only
     // by the predicate never reach an output row (dominant cost at high

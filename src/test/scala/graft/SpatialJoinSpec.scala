@@ -219,6 +219,56 @@ class SpatialJoinSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("count fold: COUNT(*) GROUP BY build keys folds into the probe loop") {
+    points.createOrReplaceTempView("sj_pts")
+    zones.createOrReplaceTempView("sj_zones")
+    val q = sql("""SELECT zid, COUNT(*) AS n FROM sj_pts JOIN sj_zones
+                   ON ST_Covers(zone, pt) GROUP BY zid ORDER BY zid""")
+    val plan = planOf(q)
+    assert(plan.contains("SpatialJoinFold"), plan)
+    val exp = expected.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = q.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+    // schema stays what COUNT(*) produced (bigint, non-null path intact)
+    assert(q.schema("n").dataType == org.apache.spark.sql.types.LongType)
+  }
+
+  test("count fold: global COUNT(*) with no grouping also folds") {
+    points.createOrReplaceTempView("sj_pts")
+    zones.createOrReplaceTempView("sj_zones")
+    val q = sql("SELECT COUNT(*) AS n FROM sj_pts JOIN sj_zones ON ST_Covers(zone, pt)")
+    assert(planOf(q).contains("SpatialJoinFold"), planOf(q))
+    assert(q.head().getLong(0) == expected.size.toLong)
+  }
+
+  test("count fold: grouping on the other side swaps the build side and still folds") {
+    points.createOrReplaceTempView("sj_pts")
+    zones.createOrReplaceTempView("sj_zones")
+    // group keys on the points side: points become the (broadcast) build
+    // side, zones the probe — count per point = zones covering it
+    val q = sql("""SELECT id, COUNT(*) AS n FROM sj_pts JOIN sj_zones
+                   ON ST_Covers(zone, pt) GROUP BY id""")
+    assert(planOf(q).contains("SpatialJoinFold"), planOf(q))
+    val exp = expected.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(q.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap == exp)
+  }
+
+  test("count fold: does NOT fire for mixed-side grouping or non-count aggregates") {
+    points.createOrReplaceTempView("sj_pts")
+    zones.createOrReplaceTempView("sj_zones")
+    // grouping spans both sides: no single build side carries the keys
+    val q = sql("""SELECT id, zid, COUNT(*) AS n FROM sj_pts JOIN sj_zones
+                   ON ST_Covers(zone, pt) GROUP BY id, zid""")
+    assert(!planOf(q).contains("SpatialJoinFold"), planOf(q))
+    // non-count aggregate: no fold either
+    val q2 = sql("""SELECT zid, SUM(id) AS s FROM sj_pts JOIN sj_zones
+                    ON ST_Covers(zone, pt) GROUP BY zid""")
+    assert(!planOf(q2).contains("SpatialJoinFold"), planOf(q2))
+    val exp = expected.groupBy(_._2).view
+      .mapValues(_.toSeq.map(_._1.toLong).sum).toMap
+    assert(q2.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap == exp)
+  }
+
   test("strategy: non-spatial joins are untouched") {
     points.createOrReplaceTempView("sj_pts")
     zones.createOrReplaceTempView("sj_zones")
