@@ -47,24 +47,104 @@ object GeoParquet {
 
   // ── metadata ──────────────────────────────────────────────────────────
 
-  /** Parse the `geo` KV blob from the first parquet footer under `path`. */
+  /** Reconciled `geo` metadata for the dataset under `path` — EVERY
+    * part-file footer is read (in parallel), not just the first, mirroring
+    * the reference's multi-fragment `GeoParquetDataset` model
+    * (python/geoarrow-io/.../\_parquet.pyi:31-258 `GeoParquetDataset`;
+    * rust/geoparquet/src/metadata.rs:100). A directory whose part-files
+    * were appended by different tools is the normal case at scale, so
+    * disagreement is handled per axis:
+    *
+    *  - encoding or CRS conflict between files → loud failure (proceeding
+    *    would silently misread one file's bytes or coordinates);
+    *  - native (GeoArrow) encoding declared while some file lacks `geo`
+    *    entirely → loud failure (that file's column cannot be transcoded);
+    *  - some files missing `geo`, the rest WKB → proceed as WKB (the bytes
+    *    agree; plain Spark-appended part-files are the common source);
+    *  - covering column: trusted only when EVERY file declares the same one
+    *    (the coarse pushdown filter is a row-level predicate — a file
+    *    without the covering column would have its rows silently dropped);
+    *    otherwise the exact-refine path runs alone, which is always correct;
+    *  - per-file bbox: unioned into dataset bounds; None unless every file
+    *    declares one.
+    */
   def metadata(spark: SparkSession, path: String): Option[GeoMeta] = {
     val conf = spark.sessionState.newHadoopConf()
-    firstFooterKV(conf, path, "geo").map(parseGeoJson)
-  }
-
-  private def firstFooterKV(conf: Configuration, path: String, key: String): Option[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val file =
+    val files =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName).headOption
-      else Some(p)
-    file.flatMap { f =>
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
-      try Option(r.getFooter.getFileMetaData.getKeyValueMetaData.get(key))
-      finally r.close()
+        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+      else Seq(p)
+    val perFile = footerKVs(conf, files, "geo").map(_.map(parseGeoJson))
+    reconcile(files.map(_.getName).zip(perFile))
+  }
+
+  /** One footer KV read per file, parallel (bounded pool) — footer reads are
+    * tiny ranged IO, and a 100 TB dataset has thousands of part-files. */
+  private def footerKVs(conf: Configuration, files: Seq[Path],
+                        key: String): Seq[Option[String]] = {
+    if (files.isEmpty) return Nil
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, files.length))
+    try {
+      val tasks: java.util.List[java.util.concurrent.Callable[Option[String]]] =
+        files.map { f =>
+          new java.util.concurrent.Callable[Option[String]] {
+            def call(): Option[String] = {
+              val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+              try Option(r.getFooter.getFileMetaData.getKeyValueMetaData.get(key))
+              finally r.close()
+            }
+          }
+        }.asJava
+      pool.invokeAll(tasks).asScala.map(_.get()).toSeq
+    } finally pool.shutdown()
+  }
+
+  /** Merge per-file metadata into one dataset view (rules in [[metadata]]). */
+  private[sources] def reconcile(perFile: Seq[(String, Option[GeoMeta])]): Option[GeoMeta] = {
+    val declared = perFile.collect { case (f, Some(m)) => (f, m) }
+    if (declared.isEmpty) return None
+    val missing = perFile.collect { case (f, None) => f }
+
+    val primaries = declared.map(_._2.primaryColumn).distinct
+    if (primaries.length > 1) throw new IllegalStateException(
+      s"GeoParquet dataset disagrees on primary_column across part-files: " +
+        declared.map { case (f, m) => s"$f=${m.primaryColumn}" }.mkString(", "))
+
+    val colNames = declared.flatMap(_._2.columns.map(_.name)).distinct
+    val cols = colNames.map { name =>
+      val decls = declared.flatMap { case (f, m) => m.columns.find(_.name == name).map(f -> _) }
+      val encodings = decls.map(_._2.encoding.toLowerCase).distinct
+      if (encodings.length > 1) throw new IllegalStateException(
+        s"GeoParquet dataset disagrees on encoding for column '$name': " +
+          decls.map { case (f, c) => s"$f=${c.encoding}" }.mkString(", ") +
+          " — refusing to misread; rewrite the offending part-files")
+      val partial = decls.length < perFile.length // some file doesn't declare it
+      if (partial && encodings.head != "wkb") throw new IllegalStateException(
+        s"GeoParquet dataset declares native encoding '${encodings.head}' for column " +
+          s"'$name' but these part-files carry no metadata for it: " +
+          (missing ++ perFile.map(_._1).diff(decls.map(_._1) ++ missing)).mkString(", ") +
+          " — their column bytes cannot be transcoded; rewrite them as GeoParquet")
+      val crss = decls.map(_._2.crs).distinct
+      if (crss.length > 1) throw new IllegalStateException(
+        s"GeoParquet dataset disagrees on CRS for column '$name': " +
+          decls.map { case (f, c) => s"$f=${c.crs.getOrElse("<default>")}" }.mkString(", ") +
+          " — refusing to mix coordinate systems; ST_Transform the offenders first")
+      val coverings = decls.map(_._2.covering).distinct
+      val covering =
+        if (!partial && coverings.length == 1) coverings.head else None
+      val bboxes = decls.map(_._2.bbox)
+      val bbox =
+        if (partial || bboxes.exists(_.isEmpty)) None
+        else Some(bboxes.flatten.reduce { (a, b) =>
+          (math.min(a._1, b._1), math.min(a._2, b._2),
+           math.max(a._3, b._3), math.max(a._4, b._4))
+        })
+      GeomColumn(name, decls.head._2.encoding, crss.head, bbox, covering)
     }
+    Some(GeoMeta(declared.head._2.version, primaries.head, cols))
   }
 
   private def parseGeoJson(json: String): GeoMeta = {

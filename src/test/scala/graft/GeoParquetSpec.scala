@@ -28,9 +28,9 @@ class GeoParquetSpec extends SparkTestBase {
     assert(gc.encoding == "WKB")
     assert(gc.covering.contains("bbox"))
     assert(gc.crs.exists(_.contains("4326")))
-    // bounds of the FIRST part file only — must be within the global extent
+    // dataset bounds = union of every part-file's footer bounds
     val (x0, y0, x1, y1) = gc.bbox.get
-    assert(x0 >= 0.0 && y0 >= 0.0 && x1 <= 49.0 && y1 <= 49.0)
+    assert(x0 == 0.0 && y0 == 0.0 && x1 == 49.0 && y1 == 49.0)
   }
 
   test("read: roundtrip values + column metadata attach") {
@@ -65,6 +65,78 @@ class GeoParquetSpec extends SparkTestBase {
 
   test("plain spark.read.parquet still reads rewritten files (footer intact)") {
     assert(spark.read.parquet(written).where("id = 1234").count() == 1)
+  }
+
+  // ── multi-file dataset metadata (per-file footers, reconciled) ─────────
+
+  /** copy every part-file of `src` into `dst` with a distinct prefix. */
+  private def mixInto(dst: String, src: String, prefix: String): Unit = {
+    val d = new java.io.File(dst); d.mkdirs()
+    new java.io.File(src).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(d, prefix + f.getName).toPath)
+    }
+  }
+
+  private lazy val mixRoot = Files.createTempDirectory("geoparquet_mix").toString
+
+  test("dataset: heterogeneous covering across part-files disables pushdown, reads correctly") {
+    val aDir = s"$mixRoot/cov_a"; val bDir = s"$mixRoot/cov_b"; val mixed = s"$mixRoot/cov_mixed"
+    val a = spark.sql("SELECT id, ST_Point(CAST(id AS DOUBLE), 0.0) AS geometry FROM range(50)")
+    val b = spark.sql("SELECT id, ST_Point(CAST(id + 100 AS DOUBLE), 0.0) AS geometry FROM range(50)")
+    GeoParquet.write(a.coalesce(1), aDir, covering = true)
+    GeoParquet.write(b.coalesce(1), bDir, covering = false)
+    mixInto(mixed, aDir, "a-")
+    mixInto(mixed, bDir, "b-")
+    // covering must NOT be trusted: file b has no bbox column, so the coarse
+    // row-level filter would silently drop all of b's rows
+    val m = GeoParquet.metadata(spark, mixed).get
+    assert(m.columns.find(_.name == "geometry").get.covering.isEmpty)
+    // schema union makes b's bbox NULL — and the read stays correct because
+    // only the exact-refine path runs
+    val q = GeoParquet.read(spark, mixed, bbox = Some((100.0, -1.0, 149.0, 1.0)))
+    assert(q.count() == 50)
+    assert(GeoParquet.read(spark, mixed).count() == 100)
+  }
+
+  test("dataset: part-file missing the geo footer entirely is tolerated for WKB") {
+    val gDir = s"$mixRoot/miss_g"; val pDir = s"$mixRoot/miss_p"; val mixed = s"$mixRoot/miss_mixed"
+    val g = spark.sql("SELECT id, ST_Point(CAST(id AS DOUBLE), 0.0) AS geometry FROM range(30)")
+    GeoParquet.write(g.coalesce(1), gDir, covering = false,
+      crs = Some("""{"id":{"authority":"EPSG","code":4326}}"""))
+    // a plain Spark-written part-file (same schema, no geo KV) appended in
+    g.withColumn("id", col("id") + 1000).coalesce(1).write.parquet(pDir)
+    mixInto(mixed, gDir, "g-")
+    mixInto(mixed, pDir, "p-")
+    val m = GeoParquet.metadata(spark, mixed).get
+    val gc = m.columns.find(_.name == "geometry").get
+    assert(gc.encoding == "WKB")
+    assert(gc.covering.isEmpty && gc.bbox.isEmpty) // unknowable for the plain file
+    assert(gc.crs.exists(_.contains("4326")))
+    assert(GeoParquet.read(spark, mixed).count() == 60)
+  }
+
+  test("dataset: CRS disagreement between part-files fails loudly") {
+    val aDir = s"$mixRoot/crs_a"; val bDir = s"$mixRoot/crs_b"; val mixed = s"$mixRoot/crs_mixed"
+    val df = spark.sql("SELECT id, ST_Point(CAST(id AS DOUBLE), 0.0) AS geometry FROM range(10)")
+    GeoParquet.write(df.coalesce(1), aDir, crs = Some("""{"id":{"authority":"EPSG","code":4326}}"""))
+    GeoParquet.write(df.coalesce(1), bDir, crs = Some("""{"id":{"authority":"EPSG","code":3857}}"""))
+    mixInto(mixed, aDir, "a-")
+    mixInto(mixed, bDir, "b-")
+    val e = intercept[IllegalStateException] { GeoParquet.metadata(spark, mixed) }
+    assert(e.getMessage.contains("CRS"))
+    assert(e.getMessage.contains("ST_Transform"))
+  }
+
+  test("dataset: native encoding with a metadata-less part-file fails loudly") {
+    val nDir = s"$mixRoot/nat_n"; val pDir = s"$mixRoot/nat_p"; val mixed = s"$mixRoot/nat_mixed"
+    val df = spark.sql("SELECT id, ST_Point(CAST(id AS DOUBLE), 0.0) AS geometry FROM range(10)")
+    GeoParquet.write(df.coalesce(1), nDir, encoding = "point", covering = false)
+    // plain parquet with a same-named binary column and no geo KV
+    df.coalesce(1).write.parquet(pDir)
+    mixInto(mixed, nDir, "n-")
+    mixInto(mixed, pDir, "p-")
+    val e = intercept[IllegalStateException] { GeoParquet.metadata(spark, mixed) }
+    assert(e.getMessage.contains("native encoding"))
   }
 
   // ── GeoParquet 1.1 native (geoarrow) encoding ──────────────────────────
