@@ -4,7 +4,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
-import org.locationtech.jts.geom.{Coordinate, Geometry, LinearRing, Polygon}
+import org.locationtech.jts.geom.{Coordinate, CoordinateXYM, CoordinateXYZM, Geometry, LinearRing, Polygon}
 
 import graft.core.GeomOps
 
@@ -102,12 +102,13 @@ object FlatGeobuf {
 
   private object H { // Header field ids
     val Name = 0; val Envelope = 1; val GeometryType = 2
+    val HasZ = 3; val HasM = 4
     val Columns = 7; val FeaturesCount = 8; val IndexNodeSize = 9; val Crs = 10
   }
   private object C { val Name = 0; val Type = 1 } // Column field ids
   private object F { val Geometry = 0; val Properties = 1 } // Feature field ids
-  private object G { // Geometry field ids
-    val Ends = 0; val Xy = 1; val Type = 6; val Parts = 7
+  private[sources] object G { // Geometry field ids (feature.fbs, public spec)
+    val Ends = 0; val Xy = 1; val Z = 2; val M = 3; val Type = 6; val Parts = 7
   }
 
   private val columnTypes: Array[DataType] = Array(
@@ -118,7 +119,8 @@ object FlatGeobuf {
 
   case class Header(name: String, geometryType: Int, columns: Seq[(String, Int)],
                     featuresCount: Long, indexNodeSize: Int, envelope: Array[Double],
-                    headerEnd: Int, crsName: Option[String], crsWkt: Option[String])
+                    headerEnd: Int, crsName: Option[String], crsWkt: Option[String],
+                    hasZ: Boolean = false, hasM: Boolean = false)
 
   private val MagicLen = 8
 
@@ -145,7 +147,9 @@ object FlatGeobuf {
       // Crs table per the public spec: org(0), code(1), name(2),
       // description(3), wkt(4)
       crsName = t.subTable(H.Crs).flatMap(_.getString(2)),
-      crsWkt = t.subTable(H.Crs).flatMap(_.getString(4)))
+      crsWkt = t.subTable(H.Crs).flatMap(_.getString(4)),
+      hasZ = t.getBool(H.HasZ),
+      hasM = t.getBool(H.HasM))
   }
 
   /** Packed-R-tree node-index ranges per level, LEAF level first, root
@@ -215,22 +219,36 @@ object FlatGeobuf {
 
   // ── geometry decode ───────────────────────────────────────────────────
 
-  private def coords(xy: Array[Double], from: Int, until: Int): Array[Coordinate] =
-    Array.tabulate(until - from)(i => new Coordinate(xy(2 * (from + i)), xy(2 * (from + i) + 1)))
+  /** Coordinates from the xy vector plus optional z/m vectors (feature.fbs
+    * fields 2/3 — ref: rust/geoarrow-flatgeobuf/src/reader/common.rs:52,
+    * 95-110 derives the dimension from the header; here each geometry's own
+    * vectors decide, which also covers per-feature tags). Non-empty z/m
+    * become JTS XYZ/XYM/XYZM coordinates, so downstream EWKB keeps them
+    * (GeomOps.write dimension fidelity). */
+  private def coords(xy: Array[Double], z: Array[Double], m: Array[Double],
+                     from: Int, until: Int): Array[Coordinate] =
+    Array.tabulate(until - from) { i =>
+      val j = from + i
+      val x = xy(2 * j); val y = xy(2 * j + 1)
+      if (z.nonEmpty && m.nonEmpty) new CoordinateXYZM(x, y, z(j), m(j))
+      else if (m.nonEmpty) new CoordinateXYM(x, y, m(j))
+      else if (z.nonEmpty) new Coordinate(x, y, z(j))
+      else new Coordinate(x, y)
+    }
 
-  private def rings(t: Table): (Array[Double], Array[Int]) = {
+  private def rings(t: Table): (Array[Double], Array[Double], Array[Double], Array[Int]) = {
     val xy = t.getDoubleVector(G.Xy)
     val ends0 = t.getIntVector(G.Ends)
     val ends = if (ends0.isEmpty) Array(xy.length / 2) else ends0
-    (xy, ends)
+    (xy, t.getDoubleVector(G.Z), t.getDoubleVector(G.M), ends)
   }
 
   private def polygonOf(t: Table): Polygon = {
-    val (xy, ends) = rings(t)
+    val (xy, z, m, ends) = rings(t)
     val f = GeomOps.factory
     val ringArr: Array[LinearRing] = {
       var from = 0
-      ends.map { end => val r = f.createLinearRing(coords(xy, from, end)); from = end; r }
+      ends.map { end => val r = f.createLinearRing(coords(xy, z, m, from, end)); from = end; r }
     }
     f.createPolygon(ringArr.head, ringArr.tail)
   }
@@ -244,17 +262,20 @@ object FlatGeobuf {
     gtype match {
       case 1 =>
         val xy = t.getDoubleVector(G.Xy)
-        if (xy.isEmpty) f.createPoint() else f.createPoint(new Coordinate(xy(0), xy(1)))
-      case 2 => f.createLineString(coords(t.getDoubleVector(G.Xy), 0, t.getDoubleVector(G.Xy).length / 2))
+        if (xy.isEmpty) f.createPoint()
+        else f.createPoint(coords(xy, t.getDoubleVector(G.Z), t.getDoubleVector(G.M), 0, 1).head)
+      case 2 =>
+        val xy = t.getDoubleVector(G.Xy)
+        f.createLineString(coords(xy, t.getDoubleVector(G.Z), t.getDoubleVector(G.M), 0, xy.length / 2))
       case 3 => polygonOf(t)
       case 4 =>
         val xy = t.getDoubleVector(G.Xy)
-        f.createMultiPointFromCoords(coords(xy, 0, xy.length / 2))
+        f.createMultiPointFromCoords(coords(xy, t.getDoubleVector(G.Z), t.getDoubleVector(G.M), 0, xy.length / 2))
       case 5 =>
-        val (xy, ends) = rings(t)
+        val (xy, z, m, ends) = rings(t)
         var from = 0
         f.createMultiLineString(ends.map { end =>
-          val l = f.createLineString(coords(xy, from, end)); from = end; l })
+          val l = f.createLineString(coords(xy, z, m, from, end)); from = end; l })
       case 6 =>
         val n = t.vectorLen(G.Parts)
         if (n == 0) f.createMultiPolygon(Array(polygonOf(t)))

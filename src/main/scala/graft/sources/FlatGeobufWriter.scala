@@ -237,7 +237,8 @@ object FlatGeobufWriter {
 
   private def headerBytes(name: String, cols: Seq[(String, Int)], count: Long,
                           env: Array[Double], indexNodeSize: Int,
-                          crsWkt: Option[String]): Array[Byte] = {
+                          crsWkt: Option[String],
+                          hasZ: Boolean, hasM: Boolean): Array[Byte] = {
     val b = new FBB()
     val nameOff = b.createString(name)
     val colOffs = cols.map { case (n, t) =>
@@ -260,6 +261,8 @@ object FlatGeobufWriter {
     b.slotOffset(0, nameOff)
     b.slotOffset(1, envVec)
     b.slotByte(2, 0, 0)          // geometry_type Unknown: per-feature tags rule
+    b.slotByte(3, if (hasZ) 1 else 0, 0) // Header.has_z
+    b.slotByte(4, if (hasM) 1 else 0, 0) // Header.has_m
     b.slotOffset(7, colsVec)
     b.slotLong(8, count, 0)
     b.slotOffset(10, crsOff)     // Header.crs
@@ -269,6 +272,13 @@ object FlatGeobufWriter {
     b.finish(b.endTable())
   }
 
+  /** XYZ/XYM/XYZM presence of a coordinate array (JTS: WKB-read coordinates
+    * are CoordinateXYM/CoordinateXYZM instances when measures are present;
+    * a bare Coordinate answers NaN for both). */
+  private def zmOf(cs: Array[Coordinate]): (Boolean, Boolean) =
+    if (cs.isEmpty) (false, false)
+    else (!cs(0).getZ.isNaN, !cs(0).getM.isNaN)
+
   private def geometryOffset(b: FBB, g: org.locationtech.jts.geom.Geometry): Int = {
     def xyOf(cs: Array[Coordinate]): Array[Double] = {
       val xy = new Array[Double](cs.length * 2)
@@ -276,36 +286,42 @@ object FlatGeobufWriter {
       while (i < cs.length) { xy(2 * i) = cs(i).x; xy(2 * i + 1) = cs(i).y; i += 1 }
       xy
     }
-    def simple(tpe: Int, xy: Array[Double], ends: Array[Int]): Int = {
+    // z/m land in their own parallel vectors (feature.fbs fields 2/3)
+    def simple(tpe: Int, cs: Array[Coordinate], ends: Array[Int]): Int = {
+      val (hasZ, hasM) = zmOf(cs)
       val endsVec = if (ends == null) 0 else b.createUIntVector(ends)
-      val xyVec = b.createDoubleVector(xy)
+      val xyVec = b.createDoubleVector(xyOf(cs))
+      val zVec = if (hasZ) b.createDoubleVector(cs.map(_.getZ)) else 0
+      val mVec = if (hasM) b.createDoubleVector(cs.map(_.getM)) else 0
       b.startTable(8)
       b.slotOffset(0, endsVec)
       b.slotOffset(1, xyVec)
+      b.slotOffset(2, zVec)   // Geometry.z
+      b.slotOffset(3, mVec)   // Geometry.m
       b.slotByte(6, tpe.toByte, 0)
       b.endTable()
     }
-    def polyParts(p: Polygon): (Array[Double], Array[Int]) = {
+    def polyParts(p: Polygon): (Array[Coordinate], Array[Int]) = {
       val rings = (p.getExteriorRing +: (0 until p.getNumInteriorRing).map(p.getInteriorRingN)).toArray
-      val xy = xyOf(rings.flatMap(_.getCoordinates))
+      val cs = rings.flatMap(_.getCoordinates)
       val ends = rings.scanLeft(0)(_ + _.getNumPoints).tail
-      (xy, ends)
+      (cs, ends)
     }
     g match {
-      case p: Point => simple(1, xyOf(p.getCoordinates), null)
-      case l: LineString => simple(2, xyOf(l.getCoordinates), null)
+      case p: Point => simple(1, p.getCoordinates, null)
+      case l: LineString => simple(2, l.getCoordinates, null)
       case p: Polygon =>
-        val (xy, ends) = polyParts(p)
-        simple(3, xy, if (ends.length > 1) ends else null)
-      case m: MultiPoint => simple(4, xyOf(m.getCoordinates), null)
+        val (cs, ends) = polyParts(p)
+        simple(3, cs, if (ends.length > 1) ends else null)
+      case m: MultiPoint => simple(4, m.getCoordinates, null)
       case m: MultiLineString =>
         val lines = (0 until m.getNumGeometries).map(m.getGeometryN(_).asInstanceOf[LineString])
-        simple(5, xyOf(lines.toArray.flatMap(_.getCoordinates)),
+        simple(5, lines.toArray.flatMap(_.getCoordinates),
           lines.scanLeft(0)(_ + _.getNumPoints).tail.toArray)
       case m: MultiPolygon =>
         val parts = (0 until m.getNumGeometries).map { i =>
-          val (xy, ends) = polyParts(m.getGeometryN(i).asInstanceOf[Polygon])
-          simple(3, xy, if (ends.length > 1) ends else null)
+          val (cs, ends) = polyParts(m.getGeometryN(i).asInstanceOf[Polygon])
+          simple(3, cs, if (ends.length > 1) ends else null)
         }.toArray
         val partsVec = b.createOffsetVector(parts)
         b.startTable(8)
@@ -352,7 +368,8 @@ object FlatGeobufWriter {
     out.toByteArray
   }
 
-  private def featureBytes(row: Row, types: Array[Int], geomIdx: Int): (Array[Byte], Envelope) = {
+  private def featureBytes(row: Row, types: Array[Int],
+                           geomIdx: Int): (Array[Byte], Envelope, Boolean, Boolean) = {
     val b = new FBB()
     val wkb = if (row.isNullAt(geomIdx)) null else row.getAs[Array[Byte]](geomIdx)
     val geom = if (wkb == null) null else GeomOps.read(wkb)
@@ -363,7 +380,9 @@ object FlatGeobufWriter {
     b.slotOffset(0, geomOff)   // Feature.geometry
     b.slotOffset(1, propsVec)  // Feature.properties
     val fb = b.finish(b.endTable())
-    (fb, if (geom == null) null else geom.getEnvelopeInternal)
+    val (z, m) =
+      if (geom == null || geom.isEmpty) (false, false) else zmOf(geom.getCoordinates)
+    (fb, if (geom == null) null else geom.getEnvelopeInternal, z, m)
   }
 
   /** Write `df` as a directory of .fgb files, one per partition. The
@@ -391,9 +410,12 @@ object FlatGeobufWriter {
       val feats = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Envelope)]
       val env = new Envelope()
       var allHaveEnv = true
+      var anyZ = false
+      var anyM = false
       rows.foreach { row =>
-        val (fb, e) = featureBytes(row, types, geomIdx)
+        val (fb, e, z, m) = featureBytes(row, types, geomIdx)
         feats += ((fb, e))
+        anyZ ||= z; anyM ||= m
         if (e != null) env.expandToInclude(e) else allHaveEnv = false
       }
       val count = feats.length.toLong
@@ -409,7 +431,7 @@ object FlatGeobufWriter {
         out.write(Array[Byte]('f', 'g', 'b', 3, 'f', 'g', 'b', 0))
         val hdr = headerBytes(name, cols, count,
           if (env.isNull) null else Array(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY),
-          if (doIndex) 16 else 0, crsWkt)
+          if (doIndex) 16 else 0, crsWkt, anyZ, anyM)
         out.write(hdr.length & 0xFF); out.write((hdr.length >> 8) & 0xFF)
         out.write((hdr.length >> 16) & 0xFF); out.write((hdr.length >> 24) & 0xFF)
         out.write(hdr)

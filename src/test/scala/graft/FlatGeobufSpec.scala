@@ -167,6 +167,61 @@ class FlatGeobufSpec extends SparkTestBase {
     assert(back.crsWkt.contains("""GEOGCS["WGS 84",DATUM["WGS_1984"]]"""))
   }
 
+  // ── Z/M dimension fidelity ─────────────────────────────────────────────
+
+  test("XYZ write → read roundtrip preserves Z (g30-style fidelity)") {
+    import graft.sources.FlatGeobufWriter
+    val out = java.nio.file.Files.createTempDirectory("fgbz").toString
+    val df = spark.sql("""
+      SELECT CAST(id AS INT) AS id,
+             ST_PointZ(CAST(id AS DOUBLE), CAST(id * 2 AS DOUBLE), CAST(id * 3 AS DOUBLE)) AS geometry
+      FROM range(25)""").coalesce(1)
+    FlatGeobufWriter.write(df, out)
+    val hdr = FlatGeobuf.parseHeader(readAllBytes(
+      new java.io.File(out).listFiles().filter(_.getName.endsWith(".fgb")).head.toString))
+    assert(hdr.hasZ && !hdr.hasM, "header must declare has_z")
+    val back = FlatGeobuf.read(spark, out)
+    assert(back.count() == 25)
+    val r = back.selectExpr("id",
+      "ST_X(geometry) AS x", "ST_Y(geometry) AS y", "ST_Z(geometry) AS z",
+      "ST_HasZ(geometry) AS hz", "ST_HasM(geometry) AS hm")
+      .where("id = 7").head()
+    assert(r.getDouble(1) == 7.0 && r.getDouble(2) == 14.0 && r.getDouble(3) == 21.0)
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+  }
+
+  test("XYZM linestrings roundtrip with both ordinates intact") {
+    import graft.sources.FlatGeobufWriter
+    val out = java.nio.file.Files.createTempDirectory("fgbzm").toString
+    val df = spark.sql("""
+      SELECT CAST(id AS INT) AS id,
+             ST_GeomFromText(CONCAT('LINESTRING ZM (0 0 ', id, ' 1, 5 5 ', id + 1, ' 2)')) AS geometry
+      FROM range(10)""").coalesce(1)
+    FlatGeobufWriter.write(df, out)
+    val hdr = FlatGeobuf.parseHeader(readAllBytes(
+      new java.io.File(out).listFiles().filter(_.getName.endsWith(".fgb")).head.toString))
+    assert(hdr.hasZ && hdr.hasM)
+    val back = FlatGeobuf.read(spark, out)
+    // exact WKT fidelity both ways (writer → reader → EWKB → WKT)
+    val src = df.selectExpr("id", "ST_AsText(geometry) AS w")
+    val dst = back.selectExpr("id", "ST_AsText(geometry) AS w")
+    assert(src.except(dst).isEmpty && dst.except(src).isEmpty)
+    assert(back.selectExpr("ST_AsText(geometry)").head().getString(0).contains("ZM"))
+  }
+
+  test("2D write stays 2D: no z vector, header flags unset") {
+    import graft.sources.FlatGeobufWriter
+    val out = java.nio.file.Files.createTempDirectory("fgb2d").toString
+    val df = spark.sql("SELECT CAST(id AS INT) AS id, ST_Point(CAST(id AS DOUBLE), 0.0) AS geometry FROM range(5)")
+      .coalesce(1)
+    FlatGeobufWriter.write(df, out)
+    val hdr = FlatGeobuf.parseHeader(readAllBytes(
+      new java.io.File(out).listFiles().filter(_.getName.endsWith(".fgb")).head.toString))
+    assert(!hdr.hasZ && !hdr.hasM)
+    val back = FlatGeobuf.read(spark, out)
+    assert(back.selectExpr("SUM(CASE WHEN ST_HasZ(geometry) THEN 1 ELSE 0 END)").head().getLong(0) == 0)
+  }
+
   test("writer roundtrip: countries.fgb through write → read preserves all geometry") {
     import graft.sources.FlatGeobufWriter
     val out = java.nio.file.Files.createTempDirectory("fgbw2").toString
