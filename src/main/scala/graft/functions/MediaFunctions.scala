@@ -15,11 +15,20 @@ object MediaFunctions {
 
   private case class Sig(method: String, ret: DataType, params: Seq[DataType])
 
+  /** struct emitted by the REAL decoder (javax.imageio). */
+  private val decodedStruct = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("pixels", BinaryType, nullable = false)))
+
   private val sigs: Map[String, Sig] = Map(
     "mm_width" -> Sig("mediaWidth", IntegerType, Seq(BinaryType)),
     "mm_height" -> Sig("mediaHeight", IntegerType, Seq(BinaryType)),
     "mm_pixelsum" -> Sig("mediaPixelSum", LongType, Seq(BinaryType)),
-    "mm_framelen" -> Sig("mediaFrameLen", IntegerType, Seq(BinaryType, IntegerType, IntegerType)))
+    "mm_framelen" -> Sig("mediaFrameLen", IntegerType, Seq(BinaryType, IntegerType, IntegerType)),
+    "mm_decode" -> Sig("mediaDecode", decodedStruct, Seq(BinaryType)),
+    "graft_media_decode" -> Sig("mediaDecode", decodedStruct, Seq(BinaryType)))
 
   private def build(name: String, sig: Sig)(args: Seq[Expression]): Expression = {
     require(args.length == sig.params.length, s"$name expects ${sig.params.length} args")

@@ -24,6 +24,45 @@ object Multimodal {
   /** Decoded raster: interleaved byte pixels, `channels` per sample. */
   case class DecodedImage(width: Int, height: Int, channels: Int, pixels: Array[Byte])
 
+  // ── decode (REAL: javax.imageio — PNG/JPEG/BMP/GIF ship in the JDK) ───
+
+  /** Real image decoder via `javax.imageio` (no external dependency):
+    * PNG/JPEG/BMP/GIF payloads become an interleaved byte raster — 1
+    * channel for grayscale, 3 for RGB, 4 for RGBA (sRGB via
+    * `BufferedImage.getRGB`, deterministic across platforms). Feeds the
+    * same resize/histogram plumbing as the stub; an undecodable payload
+    * fails loudly rather than pretending. */
+  def decodeImage(payload: Array[Byte]): DecodedImage = {
+    require(payload != null && payload.nonEmpty, "empty media payload")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable media payload: no registered image codec matched " +
+      s"(${payload.length} bytes, header ${payload.take(4).map(b => f"${b & 0xFF}%02x").mkString})")
+    val w = img.getWidth
+    val h = img.getHeight
+    val cm = img.getColorModel
+    val channels = if (cm.getNumComponents == 1) 1 else if (cm.hasAlpha) 4 else 3
+    val out = new Array[Byte](w * h * channels)
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val argb = img.getRGB(x, y)
+        if (channels == 1) { out(i) = (argb & 0xFF).toByte; i += 1 } // gray: r==g==b
+        else {
+          out(i) = ((argb >> 16) & 0xFF).toByte
+          out(i + 1) = ((argb >> 8) & 0xFF).toByte
+          out(i + 2) = (argb & 0xFF).toByte
+          if (channels == 4) { out(i + 3) = ((argb >>> 24) & 0xFF).toByte; i += 4 }
+          else i += 3
+        }
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(w, h, channels, out)
+  }
+
   // ── decode (STUB) ─────────────────────────────────────────────────────
 
   /** STUB decoder. Deterministic fake: width = 1 + payload[0] % 16,
@@ -97,11 +136,15 @@ object Multimodal {
     StructField("hist", ArrayType(LongType, containsNull = false), nullable = false)))
 
   /** decode → resize(targetW×targetH) → histogram, appended as a `features`
-    * struct column. Runs per-partition: codec init (here: nothing) amortizes
-    * across the partition exactly like an arrow-batch UDF; rows stream
-    * through without materializing the partition. */
+    * struct column. Runs per-partition: codec init amortizes across the
+    * partition exactly like an arrow-batch UDF; rows stream through without
+    * materializing the partition. `decoder` selects the codec —
+    * [[decodeImage]] (real, javax.imageio) or [[decodeImageStub]] (the
+    * closed-form fake the DuckDB oracle can mirror); both run the identical
+    * plumbing downstream. */
   def imageFeatures(df: DataFrame, payloadCol: String,
-                    targetW: Int = 4, targetH: Int = 4, bins: Int = 8): DataFrame = {
+                    targetW: Int = 4, targetH: Int = 4, bins: Int = 8,
+                    decoder: Array[Byte] => DecodedImage = decodeImageStub): DataFrame = {
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val outSchema = StructType(df.schema.fields :+ StructField("features", featureSchema))
     df.mapPartitions { it =>
@@ -109,7 +152,7 @@ object Multimodal {
       it.map { row =>
         val payload = row.getAs[Array[Byte]](payloadIdx)
         val features: Row = if (payload == null || payload.isEmpty) null else {
-          val img = decodeImageStub(payload)
+          val img = decoder(payload)
           val resized = resizeNN(img, targetW, targetH)
           new GenericRow(Array[Any](
             img.width, img.height,

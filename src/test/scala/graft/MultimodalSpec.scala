@@ -41,6 +41,84 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.frameSample(Array[Byte](1, 2), 5).length == 5)
   }
 
+  // ── REAL decode: javax.imageio PNGs through the same plumbing ──────────
+
+  /** encode a grayscale raster as a real PNG via the JDK encoder. */
+  private def grayPng(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, px)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def rgbPng(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, rgb, 0, w)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("real decode: grayscale PNG is pixel-exact") {
+    val px = Array.tabulate[Byte](16)(i => (i * 16).toByte) // 4×4 ramp
+    val img = Multimodal.decodeImage(grayPng(4, 4, px))
+    assert(img.width == 4 && img.height == 4 && img.channels == 1)
+    assert(img.pixels.toSeq == px.toSeq)
+  }
+
+  test("real decode: RGB PNG keeps interleaved channel values exactly") {
+    val rgb = Array(0xFF0000, 0x00FF00, 0x0000FF, 0x102030) // 2×2
+    val img = Multimodal.decodeImage(rgbPng(2, 2, rgb))
+    assert(img.width == 2 && img.height == 2 && img.channels == 3)
+    assert(img.pixels.map(_ & 0xFF).toSeq == Seq(
+      255, 0, 0,  0, 255, 0,
+      0, 0, 255,  0x10, 0x20, 0x30))
+  }
+
+  test("real decode: garbage bytes fail loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(Array[Byte](1, 2, 3, 4, 5))
+    }
+    assert(e.getMessage.contains("undecodable"))
+  }
+
+  test("real decode drives the m02 plumbing end-to-end (pixel-exact features)") {
+    // two real PNGs as a payload column — the exact pipeline m02 runs with
+    // the stub, now on real codec output
+    val ramp = Array.tabulate[Byte](16)(i => (i * 16).toByte)
+    val flat = Array.fill[Byte](16)(100)
+    val rows = Seq((0L, grayPng(4, 4, ramp)), (1L, grayPng(4, 4, flat)))
+    val df = spark.createDataFrame(rows).toDF("id", "payload")
+    val out = Multimodal.imageFeatures(df, "payload", targetW = 2, targetH = 2,
+      bins = 4, decoder = Multimodal.decodeImage).collect()
+
+    val r0 = out.find(_.getLong(0) == 0L).get.getStruct(2)
+    assert(r0.getInt(0) == 4 && r0.getInt(1) == 4)
+    assert(r0.getLong(2) == ramp.map(_ & 0xFF).sum.toLong)          // pixel_sum
+    // resize 4×4→2×2 picks (0,0),(2,0),(0,2),(2,2) = ramp(0,2,8,10)
+    assert(r0.getLong(3) == Seq(0, 2, 8, 10).map(i => ramp(i) & 0xFF).sum.toLong)
+    // histogram of the ramp over 4 bins of width 64: values 0..240 step 16
+    assert(r0.getSeq[Long](4) == Seq(4L, 4L, 4L, 4L))
+
+    val r1 = out.find(_.getLong(0) == 1L).get.getStruct(2)
+    assert(r1.getLong(2) == 1600L && r1.getSeq[Long](4) == Seq(0L, 16L, 0L, 0L))
+  }
+
+  test("SQL surface: graft_media_decode struct on a real PNG") {
+    graft.functions.MediaFunctions.register(spark)
+    val png = grayPng(3, 2, Array[Byte](10, 20, 30, 40, 50, 60))
+    val df = spark.createDataFrame(Seq((1L, png))).toDF("id", "payload")
+    df.createOrReplaceTempView("mm_real")
+    val r = sql("""SELECT graft_media_decode(payload).width AS w,
+                          graft_media_decode(payload).height AS h,
+                          graft_media_decode(payload).channels AS c,
+                          graft_media_decode(payload).pixels AS px
+                   FROM mm_real""").head()
+    assert(r.getInt(0) == 3 && r.getInt(1) == 2 && r.getInt(2) == 1)
+    assert(r.getAs[Array[Byte]](3).toSeq == Seq[Byte](10, 20, 30, 40, 50, 60))
+  }
+
   test("imageFeatures pipeline: schema, null payload, value spot-check") {
     val df = spark.sql(
       "SELECT id, CASE WHEN id = 3 THEN CAST(NULL AS BINARY) ELSE unhex(md5(CAST(id AS STRING))) END AS payload FROM range(5)")
