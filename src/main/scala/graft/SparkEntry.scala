@@ -1803,6 +1803,41 @@ object SparkEntry {
            SUM(w * h)::BIGINT AS hist_total, COUNT(*)::BIGINT AS n
     FROM r GROUP BY 1 ORDER BY 1"""
 
+  /** REAL-codec decode under the hash gate (the g34 literal-anchor pattern).
+    * The payloads are fixed PNG byte strings (hex literals, generated once
+    * with the JDK's own `ImageIO.write` — PNG is deterministic here), decoded
+    * in-query by `graft_media_decode` (javax.imageio, operators/Multimodal
+    * .decodeImage — NOT the stub). One payload per decode-matrix branch:
+    * 8-bit gray (raw raster samples), 16-bit gray (high-byte widening),
+    * palette (color-table expansion to RGB), 8-bit RGB. The oracle pins
+    * width/height/channels and the full pixel buffer (as hex) to literals,
+    * so any pixel-level regression — e.g. the round-5 gray→sRGB gamma bug —
+    * hash-mismatches. */
+  private val m03Spark = """
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(d.width AS BIGINT) AS w,
+           CAST(d.height AS BIGINT) AS h,
+           CAST(d.channels AS BIGINT) AS c,
+           hex(d.pixels) AS px
+    FROM (SELECT id, graft_media_decode(unhex(hx)) AS d FROM VALUES
+      (0, '89504E470D0A1A0A0000000D49484452000000040000000408000000008C9AC1A20000001D49444154785E63601050306070084828606898B06003C3810B0F3E000030D407811611AE690000000049454E44AE426082'),
+      (1, '89504E470D0A1A0A0000000D4948445200000002000000021000000000074D8EBB0000001249444154785E636060103261587DF6FF7F0009D003BD8F93BEFF0000000049454E44AE426082'),
+      (2, '89504E470D0A1A0A0000000D49484452000000020000000208030000004568FD160000000C504C5445FF000000FF000000FF10203054C5F19A0000000E49444154785E6360606464620400001200065FDA0ADB0000000049454E44AE426082'),
+      (3, '89504E470D0A1A0A0000000D4948445200000002000000020802000000FDD49A730000001349444154785E63F8CFC0C000C20CFF05140C001A94035ECDA0268B0000000049454E44AE426082')
+      AS t(id, hx))
+    ORDER BY id"""
+
+  // literals: the PNGs above encode exactly these rasters (4×4 gray ramp
+  // 0..240 step 16; 2×2 16-bit 0000/1234/ABCD/FFFF → high bytes; 2×2 palette
+  // and 2×2 RGB both red/green/blue/0x102030)
+  private val m03Duck = """
+    SELECT * FROM (VALUES
+      (0::BIGINT, 4::BIGINT, 4::BIGINT, 1::BIGINT, '00102030405060708090A0B0C0D0E0F0'),
+      (1::BIGINT, 2::BIGINT, 2::BIGINT, 1::BIGINT, '0012ABFF'),
+      (2::BIGINT, 2::BIGINT, 2::BIGINT, 3::BIGINT, 'FF000000FF000000FF102030'),
+      (3::BIGINT, 2::BIGINT, 2::BIGINT, 3::BIGINT, 'FF000000FF000000FF102030')
+    ) t(id, w, h, c, px) ORDER BY id"""
+
   /** Near-dup cluster resolution: candidate-pair edges → connected
     * components (operators/ConnectedComponents, iterative min-label
     * propagation) → cluster-size histogram. Edges = doc chains of 5 via
@@ -2102,6 +2137,7 @@ object SparkEntry {
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("m01_media_meta", q(m01Spark), m01Duck),
     ("m02_decode_resize_hist", m02Fn _, m02Duck),
+    ("m03_real_decode_matrix", q(m03Spark), m03Duck),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -19,7 +19,15 @@ object Blocks {
   /** Eagerly `localCheckpoint`s `ds`; returns the checkpointed frame plus
     * the ids of the RDDs the checkpoint pinned (pass to [[release]] once a
     * newer checkpoint supersedes this one). Eager by construction — the
-    * caller may release the inputs' blocks immediately afterwards. */
+    * caller may release the inputs' blocks immediately afterwards.
+    *
+    * ASSUMES A SINGLE DRIVER THREAD: the pinned-id set is a registry diff
+    * around the checkpoint call, so an RDD persisted concurrently by another
+    * driver thread would land in the returned set and be unpersisted by a
+    * later [[release]]. Spark exposes no handle from the checkpointed
+    * Dataset back to the RDD it pinned, so the diff is the only public
+    * identification; all in-repo callers (KNN join, connected components)
+    * run their iteration loops on one thread. */
   def checkpoint[T](ds: Dataset[T]): (Dataset[T], Set[Int]) = {
     val sc = ds.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
@@ -36,9 +44,11 @@ object Blocks {
 
   /** Session-wide scrub: drop the SQL cache and unpersist every registered
     * RDD block (checkpoints included). For harness boundaries — between
-    * bench queries, after a verify dump — never inside an operator. */
-  def scrub(spark: SparkSession): Unit = {
+    * bench queries, after a verify dump — never inside an operator.
+    * `blocking = true` waits for eviction to finish before returning, so a
+    * timed measurement started right after cannot overlap the eviction. */
+  def scrub(spark: SparkSession, blocking: Boolean = false): Unit = {
     spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking))
   }
 }

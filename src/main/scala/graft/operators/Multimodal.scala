@@ -28,10 +28,22 @@ object Multimodal {
 
   /** Real image decoder via `javax.imageio` (no external dependency):
     * PNG/JPEG/BMP/GIF payloads become an interleaved byte raster — 1
-    * channel for grayscale, 3 for RGB, 4 for RGBA (sRGB via
-    * `BufferedImage.getRGB`, deterministic across platforms). Feeds the
-    * same resize/histogram plumbing as the stub; an undecodable payload
-    * fails loudly rather than pretending. */
+    * channel for grayscale, 3 for RGB, 4 for RGBA. Feeds the same
+    * resize/histogram plumbing as the stub; an undecodable payload fails
+    * loudly rather than pretending.
+    *
+    * Channel semantics (each deliberate, each spec-tested):
+    *  - 8-bit grayscale: RAW raster samples via `Raster.getSample` —
+    *    `getRGB` would gamma-convert gray→sRGB (raw 16 becomes 71) and
+    *    silently diverge from every other image library's pixel values.
+    *  - 16-bit grayscale: widened to 8 bits by taking the high byte
+    *    (`sample >> 8`, the conventional 16→8 narrowing), not refused —
+    *    a training pipeline wants the features, not an exception.
+    *  - sub-8-bit grayscale (1/2/4-bit): samples rescaled to full range
+    *    (`s * 255 / (2^bits - 1)`), matching how viewers expand them.
+    *  - palette (indexed) PNG/GIF/BMP: expanded through the color table to
+    *    RGB/RGBA via `getRGB` — exact, since palette entries are 8-bit.
+    *  - 8-bit RGB/RGBA: `getRGB`, which is exact for these types. */
   def decodeImage(payload: Array[Byte]): DecodedImage = {
     require(payload != null && payload.nonEmpty, "empty media payload")
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
@@ -40,25 +52,47 @@ object Multimodal {
     val w = img.getWidth
     val h = img.getHeight
     val cm = img.getColorModel
-    val channels = if (cm.getNumComponents == 1) 1 else if (cm.hasAlpha) 4 else 3
+    // IndexColorModel reports the palette's component count; route palette
+    // images through the getRGB expansion path even when the palette is gray.
+    val isGray = cm.getNumComponents == 1 && !cm.isInstanceOf[java.awt.image.IndexColorModel]
+    val channels = if (isGray) 1 else if (cm.hasAlpha) 4 else 3
     val out = new Array[Byte](w * h * channels)
-    var y = 0
-    var i = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val argb = img.getRGB(x, y)
-        if (channels == 1) { out(i) = (argb & 0xFF).toByte; i += 1 } // gray: r==g==b
-        else {
+    if (isGray) {
+      val raster = img.getRaster
+      val bits = raster.getSampleModel.getSampleSize(0)
+      require(bits <= 16, s"unsupported grayscale sample depth: $bits bits")
+      var y = 0
+      var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val s = raster.getSample(x, y, 0)
+          val v =
+            if (bits == 8) s
+            else if (bits == 16) s >> 8
+            else s * 255 / ((1 << bits) - 1)
+          out(i) = v.toByte
+          i += 1
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      var y = 0
+      var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val argb = img.getRGB(x, y)
           out(i) = ((argb >> 16) & 0xFF).toByte
           out(i + 1) = ((argb >> 8) & 0xFF).toByte
           out(i + 2) = (argb & 0xFF).toByte
           if (channels == 4) { out(i + 3) = ((argb >>> 24) & 0xFF).toByte; i += 4 }
           else i += 3
+          x += 1
         }
-        x += 1
+        y += 1
       }
-      y += 1
     }
     DecodedImage(w, h, channels, out)
   }

@@ -76,6 +76,36 @@ class MultimodalSpec extends SparkTestBase {
       0, 0, 255,  0x10, 0x20, 0x30))
   }
 
+  test("real decode: 16-bit grayscale PNG widens to the high byte") {
+    val img16 = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val samples = Array(0x0000, 0x1234, 0xABCD, 0xFFFF)
+    img16.getRaster.setPixels(0, 0, 2, 2, samples)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img16, "png", out)
+    val img = Multimodal.decodeImage(out.toByteArray)
+    assert(img.width == 2 && img.height == 2 && img.channels == 1)
+    assert(img.pixels.map(_ & 0xFF).toSeq == samples.map(_ >> 8).toSeq)
+  }
+
+  test("real decode: palette PNG expands through the color table to RGB") {
+    val palette = Array(0xFF0000, 0x00FF00, 0x0000FF, 0x102030)
+    val icm = new java.awt.image.IndexColorModel(
+      8, 4,
+      palette.map(c => ((c >> 16) & 0xFF).toByte),
+      palette.map(c => ((c >> 8) & 0xFF).toByte),
+      palette.map(c => (c & 0xFF).toByte))
+    val imgIdx = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    imgIdx.getRaster.setDataElements(0, 0, 2, 2, Array[Byte](0, 1, 2, 3))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(imgIdx, "png", out)
+    val img = Multimodal.decodeImage(out.toByteArray)
+    assert(img.width == 2 && img.height == 2 && img.channels == 3)
+    assert(img.pixels.map(_ & 0xFF).toSeq == Seq(
+      255, 0, 0,  0, 255, 0,
+      0, 0, 255,  0x10, 0x20, 0x30))
+  }
+
   test("real decode: garbage bytes fail loudly") {
     val e = intercept[IllegalArgumentException] {
       Multimodal.decodeImage(Array[Byte](1, 2, 3, 4, 5))
