@@ -42,13 +42,20 @@ object Blocks {
     ids.foreach(id => reg.get(id).foreach(_.unpersist(blocking = false)))
   }
 
-  /** Session-wide scrub: drop the SQL cache and unpersist every registered
-    * RDD block (checkpoints included). For harness boundaries — between
-    * bench queries, after a verify dump — never inside an operator.
-    * `blocking = true` waits for eviction to finish before returning, so a
-    * timed measurement started right after cannot overlap the eviction. */
+  /** Session-wide scrub: unpersist every registered RDD block and drop the
+    * SQL cache. For harness boundaries — between bench queries, after a
+    * verify dump — never inside an operator.
+    *
+    * Order matters for the blocking contract: SQL-cached plans (`.cache()`)
+    * materialize their column buffers as persisted RDDs, which land in the
+    * same `getPersistentRDDs` registry — so unpersisting the registry FIRST
+    * with `blocking = true` awaits eviction of SQL-cache blocks too, where
+    * `spark.catalog.clearCache()` alone would evict them non-blocking
+    * internally. `clearCache()` afterwards only drops the plan→buffer
+    * mappings (its internal unpersist is a no-op on already-released RDDs).
+    * Unmaterialized cache entries have no blocks, so nothing is missed. */
   def scrub(spark: SparkSession, blocking: Boolean = false): Unit = {
-    spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking))
+    spark.catalog.clearCache()
   }
 }

@@ -41,6 +41,10 @@ object Multimodal {
     *    a training pipeline wants the features, not an exception.
     *  - sub-8-bit grayscale (1/2/4-bit): samples rescaled to full range
     *    (`s * 255 / (2^bits - 1)`), matching how viewers expand them.
+    *  - gray+alpha (PNG color type 4, 2 components): RAW raster samples on
+    *    both bands (band 0 gray with the same bit-depth widening, band 1
+    *    alpha) → a 2-channel raster. `getRGB` here would reintroduce the
+    *    gray→sRGB gamma conversion the raw path exists to avoid.
     *  - palette (indexed) PNG/GIF/BMP: expanded through the color table to
     *    RGB/RGBA via `getRGB` — exact, since palette entries are 8-bit.
     *  - 8-bit RGB/RGBA: `getRGB`, which is exact for these types. */
@@ -54,25 +58,37 @@ object Multimodal {
     val cm = img.getColorModel
     // IndexColorModel reports the palette's component count; route palette
     // images through the getRGB expansion path even when the palette is gray.
-    val isGray = cm.getNumComponents == 1 && !cm.isInstanceOf[java.awt.image.IndexColorModel]
-    val channels = if (isGray) 1 else if (cm.hasAlpha) 4 else 3
+    // Gray (1 component) and gray+alpha (2) both take the raw-sample path:
+    // getRGB would gamma-convert the gray band on either.
+    val rawGrayBands =
+      if (cm.isInstanceOf[java.awt.image.IndexColorModel]) 0 else cm.getNumComponents match {
+        case 1 | 2 => cm.getNumComponents
+        case _ => 0
+      }
+    val channels = if (rawGrayBands > 0) rawGrayBands else if (cm.hasAlpha) 4 else 3
     val out = new Array[Byte](w * h * channels)
-    if (isGray) {
+    if (rawGrayBands > 0) {
       val raster = img.getRaster
-      val bits = raster.getSampleModel.getSampleSize(0)
-      require(bits <= 16, s"unsupported grayscale sample depth: $bits bits")
+      val sm = raster.getSampleModel
+      val bits = Array.tabulate(rawGrayBands)(sm.getSampleSize)
+      bits.foreach(b => require(b <= 16, s"unsupported grayscale sample depth: $b bits"))
       var y = 0
       var i = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val s = raster.getSample(x, y, 0)
-          val v =
-            if (bits == 8) s
-            else if (bits == 16) s >> 8
-            else s * 255 / ((1 << bits) - 1)
-          out(i) = v.toByte
-          i += 1
+          var b = 0
+          while (b < rawGrayBands) {
+            val s = raster.getSample(x, y, b)
+            val d = bits(b)
+            val v =
+              if (d == 8) s
+              else if (d == 16) s >> 8
+              else s * 255 / ((1 << d) - 1)
+            out(i) = v.toByte
+            i += 1
+            b += 1
+          }
           x += 1
         }
         y += 1

@@ -106,6 +106,28 @@ class MultimodalSpec extends SparkTestBase {
       0, 0, 255,  0x10, 0x20, 0x30))
   }
 
+  test("real decode: gray+alpha PNG takes the raw path (no gamma), 2 channels") {
+    // PNG color type 4: gray + alpha. getRGB here would gamma-convert the
+    // gray band (raw 16 → 71); the raw-sample path must keep it exact.
+    val cs = java.awt.color.ColorSpace.getInstance(java.awt.color.ColorSpace.CS_GRAY)
+    val cm = new java.awt.image.ComponentColorModel(cs, true, false,
+      java.awt.Transparency.TRANSLUCENT, java.awt.image.DataBuffer.TYPE_BYTE)
+    val raster = cm.createCompatibleWritableRaster(2, 2)
+    val gray = Array(16, 100, 200, 255)
+    val alpha = Array(255, 128, 64, 0)
+    for (i <- 0 until 4) {
+      raster.setSample(i % 2, i / 2, 0, gray(i))
+      raster.setSample(i % 2, i / 2, 1, alpha(i))
+    }
+    val src = new java.awt.image.BufferedImage(cm, raster, false, null)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", out)
+    val img = Multimodal.decodeImage(out.toByteArray)
+    assert(img.width == 2 && img.height == 2 && img.channels == 2)
+    assert(img.pixels.map(_ & 0xFF).toSeq ==
+      gray.zip(alpha).flatMap { case (g, a) => Seq(g, a) }.toSeq)
+  }
+
   test("real decode: garbage bytes fail loudly") {
     val e = intercept[IllegalArgumentException] {
       Multimodal.decodeImage(Array[Byte](1, 2, 3, 4, 5))
