@@ -42,7 +42,8 @@ object GeoParquet {
 
   case class GeomColumn(name: String, encoding: String, crs: Option[String],
                         bbox: Option[(Double, Double, Double, Double)],
-                        covering: Option[String])
+                        covering: Option[String],
+                        geometryTypes: Seq[String] = Nil)
   case class GeoMeta(version: String, primaryColumn: String, columns: Seq[GeomColumn])
 
   // ── metadata ──────────────────────────────────────────────────────────
@@ -142,7 +143,13 @@ object GeoParquet {
           (math.min(a._1, b._1), math.min(a._2, b._2),
            math.max(a._3, b._3), math.max(a._4, b._4))
         })
-      GeomColumn(name, decls.head._2.encoding, crss.head, bbox, covering)
+      // geometry_types: [] means unconstrained (GeoParquet 1.1) — the union
+      // is only a real constraint when EVERY declaring file constrains it
+      val typeSets = decls.map(_._2.geometryTypes)
+      val geometryTypes =
+        if (partial || typeSets.exists(_.isEmpty)) Nil
+        else typeSets.flatten.distinct.sorted
+      GeomColumn(name, decls.head._2.encoding, crss.head, bbox, covering, geometryTypes)
     }
     Some(GeoMeta(declared.head._2.version, primaries.head, cols))
   }
@@ -158,7 +165,9 @@ object GeoParquet {
         bbox = Option(c.get("bbox")).filter(_.size() >= 4).map(b =>
           (b.get(0).asDouble, b.get(1).asDouble, b.get(2).asDouble, b.get(3).asDouble)),
         covering = Option(c.at("/covering/bbox/xmin/0")).filterNot(_.isMissingNode)
-          .filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty))
+          .filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty),
+        geometryTypes = Option(c.get("geometry_types")).filter(_.isArray)
+          .map(_.asScala.map(_.asText()).toSeq).getOrElse(Nil))
     }.toSeq
     GeoMeta(root.path("version").asText("1.1.0"), root.path("primary_column").asText("geometry"), cols)
   }
@@ -308,16 +317,63 @@ object GeoParquet {
     // separated-coordinate layout AFTER the covering bbox is computed — the
     // resulting file is readable zero-copy by GeoPandas/pyarrow (same layout
     // as fixtures/geoparquet/nybb_geoarrow.parquet) and by GeoParquet.read
-    if (!encoding.equalsIgnoreCase("WKB")) {
+    val isWkb = encoding.equalsIgnoreCase("WKB")
+    if (!isWkb) {
       val fn = nativeExporter(encoding).getOrElse(throw new IllegalArgumentException(
         s"GeoParquet.write: unsupported encoding '$encoding' (WKB, point, linestring, " +
           "polygon, multipoint, multilinestring, multipolygon)"))
       out = out.withColumn(geometryColumn, call_function(fn, col(geometryColumn)))
     }
-    out.write.mode(mode).parquet(path)
+    // dataset-level geometry_types (GeoParquet 1.1): observed DURING the
+    // write job itself (Dataset.observe = an extra agg over rows already in
+    // flight), never a second scan — at 100 TB a follow-up
+    // `collect_set(ST_GeometryType)` pass would re-read the whole dataset.
+    // Native encodings are single-type by construction and skip observation.
+    val geometryTypes: Seq[String] =
+      if (!isWkb) {
+        out.write.mode(mode).parquet(path)
+        Nil // single-type by construction; geoJson derives it from `encoding`
+      } else {
+        val metric = "graft_geometry_types_" + java.util.UUID.randomUUID().toString.take(8)
+        val g = col(geometryColumn)
+        // "ST_Point" → "Point", 3D → "Point Z" (GeoParquet type vocabulary)
+        val typed = concat(
+          call_function("st_geometrytype", g).substr(lit(4), lit(64)),
+          when(call_function("st_hasz", g), lit(" Z")).otherwise(lit("")))
+        observeDuring(spark, metric) {
+          out.observe(metric, collect_set(typed).as("types"))
+            .write.mode(mode).parquet(path)
+        }
+      }
     addGeoMetadata(spark, path, geometryColumn, effectiveCrs,
       if (covering) Some("bbox") else None,
-      if (encoding.equalsIgnoreCase("WKB")) "WKB" else encoding.toLowerCase)
+      if (isWkb) "WKB" else encoding.toLowerCase,
+      geometryTypes)
+  }
+
+  /** Run `action` (a write) and return the named observed metric's string
+    * set once the query-execution listener reports it. The listener bus is
+    * asynchronous, so this waits (bounded); on timeout the result is Nil —
+    * for geometry_types that degrades to "unconstrained", never wrong. */
+  private def observeDuring(spark: SparkSession, metric: String)(action: => Unit): Seq[String] = {
+    val done = new java.util.concurrent.CompletableFuture[Seq[String]]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.get(metric).foreach { row =>
+          done.complete(row.getSeq[String](0).sorted)
+        }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      action
+      try done.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      catch { case _: java.util.concurrent.TimeoutException => Nil }
+    } finally spark.listenerManager.unregister(listener)
   }
 
   /** Rewrite every part-file footer under `dir` to add the `geo` KV entry.
@@ -326,17 +382,21 @@ object GeoParquet {
     * parquet statistics when available. */
   def addGeoMetadata(spark: SparkSession, dir: String, geometryColumn: String,
                      crs: Option[String], covering: Option[String],
-                     encoding: String = "WKB"): Unit = {
+                     encoding: String = "WKB",
+                     geometryTypes: Seq[String] = Nil): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
     val parts = fs.listStatus(d).map(_.getPath).filter(_.getName.endsWith(".parquet"))
-    parts.foreach { part => rewriteFooter(conf, fs, part, geometryColumn, crs, covering, encoding) }
+    parts.foreach { part =>
+      rewriteFooter(conf, fs, part, geometryColumn, crs, covering, encoding, geometryTypes)
+    }
   }
 
   private def rewriteFooter(conf: Configuration, fs: FileSystem, part: Path,
                             geometryColumn: String, crs: Option[String],
-                            covering: Option[String], encoding: String): Unit = {
+                            covering: Option[String], encoding: String,
+                            geometryTypes: Seq[String]): Unit = {
     val in = HadoopInputFile.fromPath(part, conf)
     val reader = ParquetFileReader.open(in)
     val (schema, oldKV, bounds) = try {
@@ -344,7 +404,7 @@ object GeoParquet {
       (fmd.getSchema, fmd.getKeyValueMetaData.asScala.toMap, statsBounds(reader, covering))
     } finally reader.close()
 
-    val geo = geoJson(geometryColumn, crs, covering, bounds, encoding)
+    val geo = geoJson(geometryColumn, crs, covering, bounds, encoding, geometryTypes)
     val tmp = new Path(part.getParent, "." + part.getName + ".geo.tmp")
     val writer = new ParquetFileWriter(
       HadoopOutputFile.fromPath(tmp, conf), schema, ParquetFileWriter.Mode.OVERWRITE,
@@ -379,14 +439,19 @@ object GeoParquet {
 
   private def geoJson(geometryColumn: String, crs: Option[String], covering: Option[String],
                       bounds: Option[(Double, Double, Double, Double)],
-                      encoding: String = "WKB"): String = {
+                      encoding: String = "WKB",
+                      geometryTypes: Seq[String] = Nil): String = {
     val root = mapper.createObjectNode()
     root.put("version", "1.1.0")
     root.put("primary_column", geometryColumn)
     val cols = root.putObject("columns")
     val c: ObjectNode = cols.putObject(geometryColumn)
     c.put("encoding", encoding)
-    val gts = c.putArray("geometry_types") // unconstrained for type-erased WKB
+    // reference model: record the OBSERVED types, not an unconstrained []
+    // (rust/geoparquet/src/metadata.rs `geometry_types`) — readers prune by
+    // type with this. WKB writes pass the set collected during the write
+    // job; native encodings are single-type by construction.
+    val gts = c.putArray("geometry_types")
     if (encoding != "WKB") // native encoding is single-type by construction
       gts.add(encoding.toLowerCase match {
         case "point" => "Point"
@@ -397,6 +462,7 @@ object GeoParquet {
         case "multipolygon" => "MultiPolygon"
         case s => s
       })
+    else geometryTypes.sorted.foreach(gts.add)
     crs.foreach(j => c.set[com.fasterxml.jackson.databind.JsonNode]("crs", mapper.readTree(j)))
     bounds.foreach { case (x0, y0, x1, y1) =>
       val b = c.putArray("bbox"); b.add(x0); b.add(y0); b.add(x1); b.add(y1)

@@ -67,6 +67,26 @@ class GeoParquetSpec extends SparkTestBase {
     assert(spark.read.parquet(written).where("id = 1234").count() == 1)
   }
 
+  test("write records observed dataset-level geometry_types (WKB)") {
+    // all-point dataset written above: constrained to exactly Point
+    assert(GeoParquet.metadata(spark, written).get.columns.head.geometryTypes == Seq("Point"))
+
+    // mixed 2D/3D multi-type dataset → sorted distinct set with Z suffix
+    val mixed = dir + "_types"
+    val df = spark.sql("""
+      SELECT id,
+             CASE WHEN id % 3 = 0 THEN ST_Point(1.0, 2.0)
+                  WHEN id % 3 = 1 THEN ST_GeomFromText('LINESTRING(0 0, 1 1)')
+                  ELSE ST_PointZ(1.0, 2.0, 3.0) END AS geometry
+      FROM range(30)""")
+    GeoParquet.write(df, mixed)
+    val gc = GeoParquet.metadata(spark, mixed).get.columns.head
+    assert(gc.geometryTypes == Seq("LineString", "Point", "Point Z"))
+    // a reader that prunes by type gets a real constraint, and the data
+    // still reads back whole
+    assert(GeoParquet.read(spark, mixed).count() == 30)
+  }
+
   // ── multi-file dataset metadata (per-file footers, reconciled) ─────────
 
   /** copy every part-file of `src` into `dst` with a distinct prefix. */
