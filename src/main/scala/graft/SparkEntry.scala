@@ -1193,6 +1193,37 @@ object SparkEntry {
     SELECT lid, rnk::BIGINT AS rnk, rid, ROUND(d, 6) AS dist
     FROM rk WHERE rnk <= 3 ORDER BY lid, rnk"""
 
+  /** FlatGeobuf packed-Hilbert-R-tree read path under the driver's hash
+    * gate (the m03 build-fixture-in-query pattern): a fixed point grid is
+    * written as an indexed .fgb inside the query, read back through
+    * `readBbox` — header parse, R-tree traversal, candidate feature range
+    * reads (sources/FlatGeobuf.scala readSelective) — and the surviving
+    * rows are pinned by a closed-form oracle. Any index layout or
+    * traversal regression changes the row set and hash-mismatches. */
+  private def g38Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g38_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val pts = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_Point(CAST(id % 100 AS DOUBLE), CAST(CAST(id / 100 AS INT) AS DOUBLE)) AS geometry
+      FROM range(1000)""").coalesce(1) // one partition → one indexed file
+    graft.sources.FlatGeobufWriter.write(pts, out, index = true)
+    graft.sources.FlatGeobuf.readBbox(s, out, 20.5, 2.5, 24.5, 6.5)
+      .selectExpr("fid",
+        "CAST(ST_X(geometry) AS BIGINT) AS x",
+        "CAST(ST_Y(geometry) AS BIGINT) AS y")
+      .orderBy("fid")
+  }
+
+  // the 100×10 grid's points strictly inside (20.5, 2.5, 24.5, 6.5):
+  // x ∈ 21..24, y ∈ 3..6, fid = y*100 + x
+  private val g38Duck = """
+    SELECT (y.y * 100 + x.x)::BIGINT AS fid, x.x::BIGINT AS x, y.y::BIGINT AS y
+    FROM (SELECT unnest(range(21, 25)) AS x) x
+    CROSS JOIN (SELECT unnest(range(3, 7)) AS y) y
+    ORDER BY fid"""
+
   // ── training-data pipeline ops: text analysis / dedup ─────────────────
 
   private val t01Spark = """
@@ -2113,6 +2144,7 @@ object SparkEntry {
     ("g35_signed_area", q(g35Spark), g35Duck),
     ("g36_ring_relate", q(g36Spark), g36Duck),
     ("g37_knn_join", g37Fn _, g37Duck),
+    ("g38_fgb_index_read", g38Fn _, g38Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),
