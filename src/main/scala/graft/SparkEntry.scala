@@ -1224,6 +1224,99 @@ object SparkEntry {
     CROSS JOIN (SELECT unnest(range(3, 7)) AS y) y
     ORDER BY fid"""
 
+  /** Arrow IPC write→read roundtrip under the hash gate: a fixed point set
+    * goes out through ArrowIpc.write (GeoArrow WKB layout, file-format IPC)
+    * and back through ArrowIpc.read; values are pinned by a closed-form
+    * oracle. Previously spec-only (ArrowIpcSpec vs the reference fixture). */
+  private def g39Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g39_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val df = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_Point(CAST(id % 10 AS DOUBLE), CAST(id AS DOUBLE) / 4) AS geometry
+      FROM range(100)""")
+    graft.sources.ArrowIpc.write(df, out)
+    graft.sources.ArrowIpc.read(s, out)
+      .selectExpr("fid",
+        "CAST(ST_X(geometry) AS BIGINT) AS x",
+        "ROUND(ST_Y(geometry), 2) AS y")
+      .orderBy("fid")
+  }
+
+  private val g39Duck = """
+    SELECT i::BIGINT AS fid, (i % 10)::BIGINT AS x, ROUND(i / 4.0, 2) AS y
+    FROM range(100) t(i) ORDER BY fid"""
+
+  // a 4-point .shp + typed .dbf, built byte-for-byte from the public ESRI
+  // whitepaper layout (the ShapefileSpec builders, serialized once to hex):
+  // points (1 2) (3 4) (5 6) (7 8); NAME C(8) alpha/beta/gamma/delta,
+  // VAL N(6) 10/20/30/40
+  private val g40Shp =
+    "0000270A00000000000000000000000000000000000000000000006AE803000001000000000000000000" +
+    "000000000000000000000000000000000000000000000000000000000000000000000000000000000000" +
+    "00000000000000000000000000000000000000010000000A01000000000000000000F03F000000000000" +
+    "0040000000020000000A0100000000000000000008400000000000001040000000030000000A01000000" +
+    "00000000000014400000000000001840000000040000000A010000000000000000001C40000000000000" +
+    "2040"
+  private val g40Dbf =
+    "037E01010400000061000F0000000000000000000000000000000000000000004E414D45000000000000" +
+    "0043000000000800000000000000000000000000000056414C00000000000000004E0000000006000000" +
+    "0000000000000000000000000D20616C7068612020202020202031302062657461202020202020202032" +
+    "302067616D6D612020202020202033302064656C74612020202020202034301A"
+
+  /** Shapefile source under the hash gate: the fixture above is materialized
+    * to a temp dir in-query, read through sources/Shapefile (.shp geometry +
+    * .dbf typed attributes), and pinned to literals. Previously spec-only. */
+  private def g40Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    def unhex(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val d = java.nio.file.Files.createTempDirectory("graft_g40")
+    java.nio.file.Files.write(d.resolve("pts.shp"), unhex(g40Shp))
+    java.nio.file.Files.write(d.resolve("pts.dbf"), unhex(g40Dbf))
+    graft.sources.Shapefile.read(s, d.resolve("pts.shp").toString)
+      .selectExpr("NAME AS name", "CAST(VAL AS BIGINT) AS val",
+        "ST_AsText(geometry) AS wkt")
+      .orderBy("name")
+  }
+
+  private val g40Duck = """
+    SELECT * FROM (VALUES
+      ('alpha', 10::BIGINT, 'POINT (1 2)'),
+      ('beta',  20::BIGINT, 'POINT (3 4)'),
+      ('delta', 40::BIGINT, 'POINT (7 8)'),
+      ('gamma', 30::BIGINT, 'POINT (5 6)')
+    ) t(name, val, wkt) ORDER BY name"""
+
+  /** ST_AsSVG display surface pinned to literals (PostGIS conventions:
+    * y negated for SVG's y-down space, points as cx/cy, rings as M/L…Z with
+    * the closing duplicate dropped) — the display half of the reference's
+    * `_repr_svg_` (python/geoarrow-core/.../_scalar.pyi). */
+  private val g41Spark = """
+    SELECT id, ST_AsSVG(ST_GeomFromText(wkt)) AS svg FROM VALUES
+      (0, 'POINT (1 2)'),
+      (1, 'LINESTRING (0 0, 1 1, 2 0)'),
+      (2, 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),
+      (3, 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))'),
+      (4, 'MULTIPOINT ((1 1), (2 2))'),
+      (5, 'MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))'),
+      (6, 'GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 0))'),
+      (7, 'POINT (1.5 -2.25)')
+    AS t(id, wkt) ORDER BY id"""
+
+  private val g41Duck = """
+    SELECT * FROM (VALUES
+      (0, 'cx="1" cy="-2"'),
+      (1, 'M 0 0 L 1 -1 L 2 0'),
+      (2, 'M 0 0 L 4 0 L 4 -4 L 0 -4 Z'),
+      (3, 'M 0 0 L 10 0 L 10 -10 L 0 -10 Z M 2 -2 L 2 -4 L 4 -4 L 4 -2 Z'),
+      (4, 'cx="1" cy="-1" cx="2" cy="-2"'),
+      (5, 'M 0 0 L 1 -1 M 2 -2 L 3 -3'),
+      (6, 'cx="1" cy="-1" M 0 0 L 1 0'),
+      (7, 'cx="1.5" cy="2.25"')
+    ) t(id, svg) ORDER BY id"""
+
   // ── training-data pipeline ops: text analysis / dedup ─────────────────
 
   private val t01Spark = """
@@ -2145,6 +2238,9 @@ object SparkEntry {
     ("g36_ring_relate", q(g36Spark), g36Duck),
     ("g37_knn_join", g37Fn _, g37Duck),
     ("g38_fgb_index_read", g38Fn _, g38Duck),
+    ("g39_arrow_ipc_roundtrip", g39Fn _, g39Duck),
+    ("g40_shapefile_read", g40Fn _, g40Duck),
+    ("g41_svg_render", q(g41Spark), g41Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),
