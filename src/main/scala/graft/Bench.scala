@@ -61,19 +61,27 @@ object Bench {
       // fast-looking partial, and never a late failure erasing a real time.
       name -> (if (ok > 0) best else -1.0)
     }
-    // 2 decimals + sf basename keep the 69-query line under the driver's
-    // 2000-char tail window (the r6 3-decimal line overflowed it by ~2 chars
-    // and clipped the leading brace → parsed: null).
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
+    // Window math for the driver's 2000-char stdout tail: sbt's epilogue
+    // ("[success] Total time…") eats ~75 chars after our line, so the JSON
+    // must stay ≤ ~1900 chars. 73 full query names at 2 decimals is 1949
+    // (clipped, like r6's parsed:null) — the stdout line uses 1 decimal
+    // (~1876, ~50 chars of growth headroom); the full 3-decimal figures go
+    // to /tmp/bench.json for automation.
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName
-    val json = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfName"}"""
-    // Duplicate to a file for downstream automation, then print the JSON as
-    // the absolute last stdout line of the run (after spark.stop()) so only
-    // sbt's short epilogue follows it inside the tail window.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"), json.getBytes("UTF-8"))
+    def line(decimals: Int): String = {
+      def num(v: Double): String =
+        String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    }
+    try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
+      line(3).getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
-    println(json)
+    // the absolute last stdout line of the run, so only sbt's short
+    // epilogue follows it inside the tail window
+    println(line(1))
   }
 }
