@@ -1317,6 +1317,56 @@ object SparkEntry {
       (7, 'cx="1.5" cy="2.25"')
     ) t(id, svg) ORDER BY id"""
 
+  /** PostGIS wire-format decode under the hash gate: canonical hex-EWKB
+    * strings (the exact bytes PostGIS sends over JDBC — embedded-SRID flag,
+    * Z flag, plain 2D) through PostGis.decodeGeometryColumns, pinned to
+    * WKT + SRID literals. The JDBC transport itself needs a live server
+    * (spec-mocked); the format decode is the part that can regress. */
+  private def g42Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val df = s.sql("""
+      SELECT id, hx AS geom FROM VALUES
+        (0, '0101000020E6100000000000000000F03F0000000000000040'),
+        (1, '0102000020110F00000200000000000000000000000000000000000000000000000000F03F000000000000F03F'),
+        (2, '0101000000000000000000F03F0000000000000040'),
+        (3, '01010000A0E6100000000000000000F03F00000000000000400000000000000840')
+      AS t(id, hx)""")
+    graft.sources.PostGis.decodeGeometryColumns(df, Seq("geom"))
+      .selectExpr("id", "ST_AsText(geom) AS wkt", "CAST(ST_SRID(geom) AS BIGINT) AS srid")
+      .orderBy("id")
+  }
+
+  private val g42Duck = """
+    SELECT * FROM (VALUES
+      (0, 'POINT (1 2)', 4326::BIGINT),
+      (1, 'LINESTRING (0 0, 1 1)', 3857::BIGINT),
+      (2, 'POINT (1 2)', 0::BIGINT),
+      (3, 'POINT Z(1 2 3)', 4326::BIGINT)
+    ) t(id, wkt, srid) ORDER BY id"""
+
+  /** GeoJSON SOURCE (newline-delimited features file, not the scalar
+    * encode/decode functions g18 covers) under the hash gate: writeLines →
+    * readLines roundtrip with a property column, pinned closed-form. */
+  private def g43Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g43_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val df = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_Point(CAST(id AS DOUBLE), CAST(id % 7 AS DOUBLE)) AS geometry
+      FROM range(60)""")
+    graft.sources.GeoJsonSource.writeLines(df, out)
+    graft.sources.GeoJsonSource.readLines(s, out)
+      .selectExpr("fid",
+        "CAST(ST_X(geometry) AS BIGINT) AS x",
+        "CAST(ST_Y(geometry) AS BIGINT) AS y")
+      .orderBy("fid")
+  }
+
+  private val g43Duck = """
+    SELECT i::BIGINT AS fid, i::BIGINT AS x, (i % 7)::BIGINT AS y
+    FROM range(60) t(i) ORDER BY fid"""
+
   // ── training-data pipeline ops: text analysis / dedup ─────────────────
 
   private val t01Spark = """
@@ -2241,6 +2291,8 @@ object SparkEntry {
     ("g39_arrow_ipc_roundtrip", g39Fn _, g39Duck),
     ("g40_shapefile_read", g40Fn _, g40Duck),
     ("g41_svg_render", q(g41Spark), g41Duck),
+    ("g42_postgis_ewkb", g42Fn _, g42Duck),
+    ("g43_geojson_source", g43Fn _, g43Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),
