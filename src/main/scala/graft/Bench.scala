@@ -62,26 +62,32 @@ object Bench {
       name -> (if (ok > 0) best else -1.0)
     }
     // Window math for the driver's 2000-char stdout tail: sbt's epilogue
-    // ("[success] Total time…") eats ~75 chars after our line, so the JSON
-    // must stay ≤ ~1900 chars. 73 full query names at 2 decimals is 1949
-    // (clipped, like r6's parsed:null) — the stdout line uses 1 decimal
-    // (~1876, ~50 chars of growth headroom); the full 3-decimal figures go
-    // to /tmp/bench.json for automation.
+    // ("[success] Total time…") eats ~75 chars after our line, and 75 full
+    // query names put even a 1-decimal line at ~1998 — one slow query away
+    // from clipping the leading brace (r6's parsed:null). The stdout line
+    // therefore keys queries by their unique short id (the prefix before
+    // the first '_': g33, t07, …, the same ids BASELINE.md uses), ~820
+    // chars with room for hundreds of queries; /tmp/bench.json keeps full
+    // names at 3 decimals for automation. Falls back to full names if ids
+    // ever collide.
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName
-    def line(decimals: Int): String = {
+    def line(decimals: Int, key: String => String): String = {
       def num(v: Double): String =
         String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
+      val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + num(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
-      line(3).getBytes("UTF-8"))
+      line(3, identity).getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    val shortIds = results.map(_._1.takeWhile(_ != '_'))
+    val key: String => String =
+      if (shortIds.distinct.length == shortIds.length) _.takeWhile(_ != '_') else identity
     spark.stop()
     // the absolute last stdout line of the run, so only sbt's short
     // epilogue follows it inside the tail window
-    println(line(1))
+    println(line(1, key))
   }
 }
