@@ -1911,6 +1911,26 @@ object SparkEntry {
     * is a synthesized 16-byte blob (md5 of the document body) — the decode
     * stub's fake raster is mirrorable in the DuckDB oracle via hex
     * arithmetic, so the whole decode→meta→aggregate path is value-checked. */
+  /** Video-style frame sampling under the hash gate: 16-byte payloads split
+    * into 5 evenly spaced frames (sizes 3,3,3,3,4 — the last frame absorbs
+    * the remainder), per-frame length and first-byte sums pinned by hex
+    * arithmetic in the oracle (Multimodal.frameSample / MM_Frame[Len]). */
+  private val m04Spark = """
+    SELECT CAST(i AS BIGINT) AS i,
+           COUNT(*) AS n,
+           SUM(CAST(MM_FrameLen(payload, 5, i) AS BIGINT)) AS total_len,
+           SUM(CAST(conv(substring(hex(MM_Frame(payload, 5, i)), 1, 2), 16, 10) AS BIGINT)) AS sum_first_byte
+    FROM (SELECT /*+ REPARTITION({{P}}) */ unhex(md5(text)) AS payload FROM documents) t
+    LATERAL VIEW explode(sequence(0, 4)) f AS i
+    GROUP BY 1 ORDER BY 1"""
+
+  private val m04Duck = """
+    SELECT i::BIGINT AS i, COUNT(*)::BIGINT AS n,
+           SUM(CASE WHEN i < 4 THEN 3 ELSE 4 END)::BIGINT AS total_len,
+           SUM(('0x' || substr(md5(text), CAST(i*6+1 AS INTEGER), 2))::BIGINT)::BIGINT AS sum_first_byte
+    FROM documents CROSS JOIN (SELECT unnest(range(5)) AS i) t
+    GROUP BY 1 ORDER BY 1"""
+
   private val m01Spark = """
     SELECT CAST(MM_Width(payload) AS BIGINT) AS w,
            CAST(MM_Height(payload) AS BIGINT) AS h,
@@ -2318,6 +2338,7 @@ object SparkEntry {
     ("m01_media_meta", q(m01Spark), m01Duck),
     ("m02_decode_resize_hist", m02Fn _, m02Duck),
     ("m03_real_decode_matrix", q(m03Spark), m03Duck),
+    ("m04_frame_sample", q(m04Spark), m04Duck),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -32,4 +32,8 @@ object MediaOps {
   /** Byte length of frame `i` of an `n`-frame sample. */
   def mediaFrameLen(b: Array[Byte], n: Int, i: Int): Int =
     Multimodal.frameSample(b, n)(i).length
+
+  /** Bytes of frame `i` of an `n`-frame sample. */
+  def mediaFrame(b: Array[Byte], n: Int, i: Int): Array[Byte] =
+    Multimodal.frameSample(b, n)(i)
 }

@@ -27,6 +27,7 @@ object MediaFunctions {
     "mm_height" -> Sig("mediaHeight", IntegerType, Seq(BinaryType)),
     "mm_pixelsum" -> Sig("mediaPixelSum", LongType, Seq(BinaryType)),
     "mm_framelen" -> Sig("mediaFrameLen", IntegerType, Seq(BinaryType, IntegerType, IntegerType)),
+    "mm_frame" -> Sig("mediaFrame", BinaryType, Seq(BinaryType, IntegerType, IntegerType)),
     "mm_decode" -> Sig("mediaDecode", decodedStruct, Seq(BinaryType)),
     "graft_media_decode" -> Sig("mediaDecode", decodedStruct, Seq(BinaryType)))
 
