@@ -74,11 +74,31 @@ object GeoParquet {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
-      else Seq(p)
+      if (fs.getFileStatus(p).isDirectory) listPartFiles(fs, p) else Seq(p)
     val perFile = footerKVs(conf, files, "geo").map(_.map(parseGeoJson))
     reconcile(files.map(_.getName).zip(perFile))
+  }
+
+  /** All data part-files under `root`, recursively — a `partitionBy` layout
+    * nests part-files one directory per partition value (`k=v/part-*.parquet`)
+    * and the reference treats such multi-fragment datasets as first-class
+    * (`GeoParquetDataset`, python/geoarrow-io/.../\_parquet.pyi:31-258).
+    * Hidden/metadata entries (`_SUCCESS`, `_temporary`, dot-files) are
+    * skipped at every level, matching Spark's own path filter. */
+  private def listPartFiles(fs: FileSystem, root: Path): Seq[Path] = {
+    // plain listStatus recursion (not fs.listFiles(recursive=true)): the
+    // latter materializes LocatedFileStatus, which some FileSystem impls
+    // (and our MockFs test scheme) can't serve for non-file URIs
+    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        if (st.isDirectory) walk(st.getPath)
+        else if (name.endsWith(".parquet")) out += st.getPath
+      }
+    }
+    walk(root)
+    out.sortBy(_.toString).toSeq
   }
 
   /** One footer KV read per file, parallel (bounded pool) — footer reads are
@@ -302,7 +322,8 @@ object GeoParquet {
 
   def write(df: DataFrame, path: String, geometryColumn: String = "geometry",
             crs: Option[String] = None, covering: Boolean = true,
-            mode: String = "overwrite", encoding: String = "WKB"): Unit = {
+            mode: String = "overwrite", encoding: String = "WKB",
+            partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     graft.functions.GeoFunctions.register(spark)
     val effectiveCrs = crs.orElse(
@@ -329,9 +350,13 @@ object GeoParquet {
     // flight), never a second scan — at 100 TB a follow-up
     // `collect_set(ST_GeometryType)` pass would re-read the whole dataset.
     // Native encodings are single-type by construction and skip observation.
+    def writer(d: DataFrame) = {
+      val w = d.write.mode(mode)
+      if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+    }
     val geometryTypes: Seq[String] =
       if (!isWkb) {
-        out.write.mode(mode).parquet(path)
+        writer(out).parquet(path)
         Nil // single-type by construction; geoJson derives it from `encoding`
       } else {
         val metric = "graft_geometry_types_" + java.util.UUID.randomUUID().toString.take(8)
@@ -341,8 +366,7 @@ object GeoParquet {
           call_function("st_geometrytype", g).substr(lit(4), lit(64)),
           when(call_function("st_hasz", g), lit(" Z")).otherwise(lit("")))
         observeDuring(spark, metric) {
-          out.observe(metric, collect_set(typed).as("types"))
-            .write.mode(mode).parquet(path)
+          writer(out.observe(metric, collect_set(typed).as("types"))).parquet(path)
         }
       }
     addGeoMetadata(spark, path, geometryColumn, effectiveCrs,
@@ -376,20 +400,54 @@ object GeoParquet {
     } finally spark.listenerManager.unregister(listener)
   }
 
-  /** Rewrite every part-file footer under `dir` to add the `geo` KV entry.
-    * Row groups are byte-copied (`appendFile`), existing KV (Spark's schema
-    * blob) is preserved, and per-file bounds come from the covering column's
-    * parquet statistics when available. */
+  /** Rewrite every part-file footer under `dir` (recursively — partitioned
+    * layouts included) to add the `geo` KV entry. Row groups are byte-copied
+    * (`appendFile`), existing KV (Spark's schema blob) is preserved, and
+    * per-file bounds come from the covering column's parquet statistics.
+    *
+    * The rewrite runs as a Spark job — one task per batch of part-files —
+    * NOT on the driver: it is a full row-group byte copy per file, so at
+    * 100 TB it must scale out with the executors exactly like the write
+    * that preceded it (the reference finalizes `geo` at file close inside
+    * each writer, rust/geoparquet/src/writer/encode.rs:21-74; rewriting
+    * from the driver would re-stream the entire dataset through one
+    * process). Returns the number of footers rewritten inside executor
+    * tasks, which callers/specs can assert equals the part-file count.
+    */
   def addGeoMetadata(spark: SparkSession, dir: String, geometryColumn: String,
                      crs: Option[String], covering: Option[String],
                      encoding: String = "WKB",
-                     geometryTypes: Seq[String] = Nil): Unit = {
+                     geometryTypes: Seq[String] = Nil): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
-    val parts = fs.listStatus(d).map(_.getPath).filter(_.getName.endsWith(".parquet"))
-    parts.foreach { part =>
-      rewriteFooter(conf, fs, part, geometryColumn, crs, covering, encoding, geometryTypes)
+    val parts = listPartFiles(fs, d).map(_.toString)
+    if (parts.isEmpty) return 0L
+    val serConf = new SerializableHadoopConf(conf)
+    val inTask = spark.sparkContext.longAccumulator("graft.geoparquet.footerRewrites")
+    spark.sparkContext
+      .parallelize(parts, math.max(1, math.min(parts.length, spark.sparkContext.defaultParallelism)))
+      .foreach { s =>
+        val part = new Path(s)
+        val c = serConf.value
+        rewriteFooter(c, part.getFileSystem(c), part, geometryColumn, crs, covering, encoding, geometryTypes)
+        if (org.apache.spark.TaskContext.get() != null) inTask.add(1L)
+      }
+    inTask.value
+  }
+
+  /** Hadoop `Configuration` is not `java.io.Serializable`; this carries one
+    * into task closures via its own writable form (the standard Spark-side
+    * pattern — the built-in equivalent is `private[spark]`). */
+  private class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
     }
   }
 
@@ -450,7 +508,10 @@ object GeoParquet {
     // reference model: record the OBSERVED types, not an unconstrained []
     // (rust/geoparquet/src/metadata.rs `geometry_types`) — readers prune by
     // type with this. WKB writes pass the set collected during the write
-    // job; native encodings are single-type by construction.
+    // job; native encodings are single-type by construction. NOTE: every
+    // part-file footer carries the DATASET-level set (a superset of its own
+    // rows' types) — safe for type-pruning readers, but per-file fidelity
+    // would need per-file observation.
     val gts = c.putArray("geometry_types")
     if (encoding != "WKB") // native encoding is single-type by construction
       gts.add(encoding.toLowerCase match {

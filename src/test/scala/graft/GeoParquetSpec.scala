@@ -306,4 +306,50 @@ class GeoParquetSpec extends SparkTestBase {
     assert(meta.columns.head.crs.exists(_.contains("4326")),
       s"CRS must survive read→write→read without caller involvement: $meta")
   }
+
+  test("footer rewrite runs in executor tasks, not on the driver") {
+    val taskDir = dir + "_taskrewrite"
+    val df = spark.sql("""
+      SELECT /*+ REPARTITION(5) */ id, ST_Point(CAST(id AS DOUBLE), 1.0) AS geometry
+      FROM range(500)""")
+    df.write.mode("overwrite").parquet(taskDir) // plain parquet, no geo KV yet
+    val parts = new java.io.File(taskDir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts == 5)
+    // addGeoMetadata returns the count of footers rewritten INSIDE Spark
+    // tasks (accumulator only incremented under a live TaskContext) — equal
+    // to the part count means zero driver-side byte copies
+    val inTask = GeoParquet.addGeoMetadata(spark, taskDir, "geometry",
+      crs = None, covering = None)
+    assert(inTask == parts.toLong,
+      s"expected all $parts footer rewrites to run in executor tasks, got $inTask")
+    assert(GeoParquet.metadata(spark, taskDir).exists(_.primaryColumn == "geometry"))
+    assert(spark.read.parquet(taskDir).count() == 500)
+  }
+
+  test("partitioned dataset (partitionBy): metadata recursion + pruning") {
+    val partDir = dir + "_partby"
+    val df = spark.sql("""
+      SELECT id, CASE WHEN id < 60 THEN 'east' ELSE 'west' END AS region,
+             ST_Point(CAST(id AS DOUBLE), CAST(id % 10 AS DOUBLE)) AS geometry
+      FROM range(100)""")
+    GeoParquet.write(df, partDir, partitionBy = Seq("region"),
+      crs = Some("""{"id":{"authority":"EPSG","code":4326}}"""))
+    // part-files live one level down (region=east/, region=west/) — metadata
+    // must recurse, reconcile CRS, union bbox, and keep geometry_types
+    val m = GeoParquet.metadata(spark, partDir).get
+    val gc = m.columns.find(_.name == "geometry").get
+    assert(gc.crs.exists(_.contains("4326")))
+    assert(gc.bbox.contains((0.0, 0.0, 99.0, 9.0)), s"unioned bbox: ${gc.bbox}")
+    assert(gc.geometryTypes == Seq("Point"))
+    assert(gc.covering.contains("bbox"))
+    // read back: partition column survives, values intact, bbox read prunes
+    val back = GeoParquet.read(spark, partDir)
+    assert(back.columns.contains("region") && back.count() == 100)
+    val q = GeoParquet.read(spark, partDir, bbox = Some((70.0, -1.0, 79.0, 11.0)))
+    assert(q.count() == 10)
+    assert(q.where(col("region") === "east").count() == 0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("bbox.xmin"),
+      s"covering-leaf filters must reach the partitioned parquet scan:\n$plan")
+  }
 }
