@@ -36,13 +36,15 @@ import graft.core.GeomOps
   * geometry as its first argument (GeomOps method name).
   *
   * Skew note: the join is a sort-based single pass — both sides shuffle
-  * keyed by (cell, side) with a partitioner that routes by cell only, so
-  * within a partition each cell's LEFT (build) rows sort before its RIGHT
-  * (probe) rows. Only the build side of a cell is ever resident (it has to
-  * be — it becomes the STRtree); probe rows stream through one at a time.
-  * A pathological hotspot cell therefore costs memory proportional to its
-  * build-side rows only, and the cell-size floor (extent/8192 per axis)
-  * bounds the common case.
+  * keyed by (cell, subcell, side) with a partitioner that routes by
+  * (cell, subcell) only, so within a partition each cell's LEFT (build)
+  * rows sort before its RIGHT (probe) rows. Only the build side of a cell
+  * is ever resident (it has to be — it becomes the STRtree); probe rows
+  * stream through one at a time. Hot cells — detected from the same
+  * bounded sample that picks the cell size — are sub-split into a local
+  * k×k finer grid so clustered real-world data (everything in one metro
+  * tile) spreads across tasks instead of landing in one; see
+  * [[chooseGrid]].
   */
 case class GridSpatialJoinExec(
     left: SparkPlan,
@@ -71,11 +73,12 @@ case class GridSpatialJoinExec(
     case other => throw new IllegalStateException(s"unsupported spatial predicate: $other")
   }
 
-  /** (maxDim per sampled geometry, extent of the sample). Reads at most
-    * `rowsPerPart` rows from at most `maxParts` evenly spaced partitions —
-    * cost is bounded regardless of input size. */
+  /** Sampled envelopes as [minX, minY, maxX, maxY, maxDim] per geometry
+    * (already expanded by `expandBy`). Reads at most `rowsPerPart` rows from
+    * at most `maxParts` evenly spaced partitions — cost is bounded
+    * regardless of input size. */
   private def sampleEnvelopes(plan: SparkPlan, geom: Expression, expandBy: Double)
-      : (Array[Double], Envelope) = {
+      : Array[Array[Double]] = {
     val bound = BindReferences.bindReference(geom, plan.output)
     val rdd = plan.execute()
     val nParts = rdd.getNumPartitions
@@ -85,7 +88,7 @@ case class GridSpatialJoinExec(
     // PartitionPruningRDD: the sample job schedules ONLY the ~128 selected
     // partitions — not one no-op task per input partition
     val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(rdd, idx => idx % step == 0)
-    val sampled = pruned.mapPartitions { it =>
+    pruned.mapPartitions { it =>
       it.take(rowsPerPart).flatMap { row =>
         val wkb = bound.eval(row).asInstanceOf[Array[Byte]]
         if (wkb == null) Iterator.empty
@@ -93,45 +96,90 @@ case class GridSpatialJoinExec(
           val g = GeomOps.read(wkb)
           if (g.isEmpty) Iterator.empty
           else {
-            val e = g.getEnvelopeInternal
+            val e = new Envelope(g.getEnvelopeInternal)
+            if (expandBy > 0) e.expandBy(expandBy)
             Iterator.single(Array(
-              math.max(e.getWidth, e.getHeight) + 2 * expandBy,
-              e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
+              e.getMinX, e.getMinY, e.getMaxX, e.getMaxY,
+              math.max(e.getWidth, e.getHeight)))
           }
         }
       }
     }.collect()
-    val extent = new Envelope()
-    sampled.foreach(a => extent.expandToInclude(new Envelope(a(1), a(3), a(2), a(4))))
-    (sampled.map(_(0)), extent)
   }
 
-  /** Cell edge from the sample: ~4× the median envelope dimension (each
-    * geometry covers O(1) cells), floored so the grid is at most ~8k cells
-    * per axis over the sampled extent (bounds duplication for outlier-huge
-    * geometries and keeps key cardinality sane). */
-  private def chooseCellSize(): Double = {
-    val (lDims, lExt) = sampleEnvelopes(left, leftGeom, radius)
-    val (rDims, rExt) = sampleEnvelopes(right, rightGeom, 0.0)
-    val dims = lDims ++ rDims
-    val extent = new Envelope(lExt); extent.expandToInclude(rExt)
-    val eMax = math.max(extent.getWidth, extent.getHeight)
-    if (dims.isEmpty) return 1.0
+  /** Grid parameters from one bounded sample pass per side:
+    *
+    *  - cell edge: ~4× the median envelope dimension (each geometry covers
+    *    O(1) cells), floored so the grid is at most ~8k cells per axis over
+    *    the sampled extent (bounds duplication for outlier-huge geometries
+    *    and keeps key cardinality sane);
+    *  - hot cells: per-cell sample density at that edge. Real-world
+    *    clustered data (every point in one metro tile) otherwise lands one
+    *    task with most of the input at scale. A cell holding a share `s` of
+    *    either side's sample large enough to dominate a task
+    *    (s ≥ max(0.04, 2/numPartitions), with ≥16 sampled hits so noise
+    *    can't trigger it) is sub-split into a local k×k finer grid,
+    *    k = ceil(√(s·numPartitions)) in [2,16] — splitting BOTH sides'
+    *    build memory and probe CPU with no row replication beyond the
+    *    normal covering-cells duplication. Uniformly distributed inputs
+    *    (g33) never cross the threshold and take the exact prior plan.
+    */
+  private def chooseGrid(numParts: Int): (Double, Map[(Long, Long), Int]) = {
+    val lS = sampleEnvelopes(left, leftGeom, radius)
+    val rS = sampleEnvelopes(right, rightGeom, 0.0)
+    val dims = (lS ++ rS).map(_(4))
+    val extent = new Envelope()
+    (lS ++ rS).foreach(a => extent.expandToInclude(new Envelope(a(0), a(2), a(1), a(3))))
+    if (dims.isEmpty) return (1.0, Map.empty)
     java.util.Arrays.sort(dims)
     val med = dims(dims.length / 2)
+    val eMax = math.max(extent.getWidth, extent.getHeight)
     val base = if (med > 0) med * 4 else if (eMax > 0) eMax / 256 else 1.0
-    val cell = math.max(base, if (eMax > 0) eMax / 8192 else 0.0)
-    if (cell > 0) cell else 1.0
+    val cs = {
+      val c = math.max(base, if (eMax > 0) eMax / 8192 else 0.0)
+      if (c > 0) c else 1.0
+    }
+
+    // per-cell density per side (covering cells per sampled envelope, capped
+    // so one outlier-huge geometry can't blow up the count pass)
+    def cellCounts(s: Array[Array[Double]]): collection.Map[(Long, Long), Int] = {
+      val m = scala.collection.mutable.HashMap.empty[(Long, Long), Int]
+      s.foreach { a =>
+        val x0 = math.floor(a(0) / cs).toLong; val x1 = math.floor(a(2) / cs).toLong
+        val y0 = math.floor(a(1) / cs).toLong; val y1 = math.floor(a(3) / cs).toLong
+        if ((x1 - x0 + 1) * (y1 - y0 + 1) <= 64)
+          for (cx <- x0 to x1; cy <- y0 to y1)
+            m.updateWith((cx, cy)) { c => Some(c.getOrElse(0) + 1) }
+      }
+      m
+    }
+    val lCounts = cellCounts(lS)
+    val rCounts = cellCounts(rS)
+    val threshold = math.max(0.04, 2.0 / numParts)
+    val hot = (lCounts.keySet ++ rCounts.keySet).iterator.flatMap { cell =>
+      val share = math.max(
+        if (lS.nonEmpty) lCounts.getOrElse(cell, 0).toDouble / lS.length else 0.0,
+        if (rS.nonEmpty) rCounts.getOrElse(cell, 0).toDouble / rS.length else 0.0)
+      val hits = math.max(lCounts.getOrElse(cell, 0), rCounts.getOrElse(cell, 0))
+      if (share >= threshold && hits >= 16) {
+        val k = math.min(16, math.max(2, math.ceil(math.sqrt(share * numParts)).toInt))
+        Some(cell -> k)
+      } else None
+    }.toMap
+    (cs, hot)
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val cs = chooseCellSize()
+    val numParts = SQLConf.get.numShufflePartitions
+    val (cs, hotCells) = chooseGrid(numParts)
     val lBound = BindReferences.bindReference(leftGeom, left.output)
     val rBound = BindReferences.bindReference(rightGeom, right.output)
     val r = radius
 
+    // key = (cellX, cellY, subX, subY); (0,0) sub for regular cells, local
+    // k×k sub-grid inside hot cells — same covering-cells rule one level down
     def keyed(plan: SparkPlan, bound: Expression, expandBy: Double)
-        : RDD[((Long, Long), InternalRow)] =
+        : RDD[((Long, Long, Int, Int), InternalRow)] =
       plan.execute().mapPartitions { it =>
         it.flatMap { row =>
           val wkb = bound.eval(row).asInstanceOf[Array[Byte]]
@@ -147,19 +195,27 @@ case class GridSpatialJoinExec(
               val y0 = math.floor(env.getMinY / cs).toLong
               val y1 = math.floor(env.getMaxY / cs).toLong
               val copy = row.copy() // shuffled rows must own their bytes
-              for { cx <- (x0 to x1).iterator; cy <- y0 to y1 } yield ((cx, cy), copy)
+              for {
+                cx <- (x0 to x1).iterator; cy <- y0 to y1
+                k = hotCells.getOrElse((cx, cy), 1)
+                sub = cs / k
+                sx0 = if (k == 1) 0 else math.max(0, math.floor((env.getMinX - cx * cs) / sub).toInt)
+                sx1 = if (k == 1) 0 else math.min(k - 1, math.floor((env.getMaxX - cx * cs) / sub).toInt)
+                sy0 = if (k == 1) 0 else math.max(0, math.floor((env.getMinY - cy * cs) / sub).toInt)
+                sy1 = if (k == 1) 0 else math.min(k - 1, math.floor((env.getMaxY - cy * cs) / sub).toInt)
+                sx <- sx0 to sx1; sy <- sy0 to sy1
+              } yield ((cx, cy, sx, sy), copy)
             }
           }
         }
       }
 
-    val numParts = SQLConf.get.numShufflePartitions
     val outAttrs = output
     val joinedAttrs = left.output ++ right.output
 
-    // (cell, side) sort key; side 0 = build (left), 1 = probe (right)
-    val lK = keyed(left, lBound, r).map { case ((cx, cy), row) => ((cx, cy, 0: Byte), row) }
-    val rK = keyed(right, rBound, 0.0).map { case ((cx, cy), row) => ((cx, cy, 1: Byte), row) }
+    // (cell, sub, side) sort key; side 0 = build (left), 1 = probe (right)
+    val lK = keyed(left, lBound, r).map { case ((cx, cy, sx, sy), row) => ((cx, cy, sx, sy, 0: Byte), row) }
+    val rK = keyed(right, rBound, 0.0).map { case ((cx, cy, sx, sy), row) => ((cx, cy, sx, sy, 1: Byte), row) }
     val merged = lK.union(rK)
       .repartitionAndSortWithinPartitions(new GridSpatialJoinExec.CellPartitioner(numParts))
 
@@ -167,16 +223,18 @@ case class GridSpatialJoinExec(
       val joined = new JoinedRow()
       val proj = UnsafeProjection.create(outAttrs, joinedAttrs)
       val prepF = new PreparedGeometryFactory()
-      // per-cell state: build rows accumulate, tree builds lazily at the
-      // first probe row, probe rows never buffer
+      // per-(cell,sub) state: build rows accumulate, tree builds lazily at
+      // the first probe row, probe rows never buffer
       var curX = 0L
       var curY = 0L
+      var curSX = 0
+      var curSY = 0
       var haveCell = false
       var build = new scala.collection.mutable.ArrayBuffer[(InternalRow, PreparedGeometry, Envelope)]
       var tree: STRtree = null
-      it.flatMap { case ((cx, cy, side), row) =>
-        if (!haveCell || cx != curX || cy != curY) {
-          haveCell = true; curX = cx; curY = cy
+      it.flatMap { case ((cx, cy, sx, sy, side), row) =>
+        if (!haveCell || cx != curX || cy != curY || sx != curSX || sy != curSY) {
+          haveCell = true; curX = cx; curY = cy; curSX = sx; curSY = sy
           if (build.nonEmpty) build = new scala.collection.mutable.ArrayBuffer
           tree = null
         }
@@ -196,14 +254,22 @@ case class GridSpatialJoinExec(
           val rg = GeomOps.read(rBound.eval(row).asInstanceOf[Array[Byte]])
           val renv = rg.getEnvelopeInternal
           val cands = tree.query(renv)
+          val k = hotCells.getOrElse((cx, cy), 1)
+          val sub = cs / k
           (0 until cands.size()).iterator.flatMap { i =>
             val (lrow, pg, lenv) =
               cands.get(i).asInstanceOf[(InternalRow, PreparedGeometry, Envelope)]
-            // reference point: min corner of the envelope intersection
+            // reference point: min corner of the envelope intersection must
+            // fall in THIS cell — and, inside a hot cell, in THIS subcell —
+            // so each pair is emitted exactly once with no global DISTINCT
             val refX = math.max(lenv.getMinX, renv.getMinX)
             val refY = math.max(lenv.getMinY, renv.getMinY)
             if (math.floor(refX / cs).toLong == cx &&
-                math.floor(refY / cs).toLong == cy && test(pg, rg))
+                math.floor(refY / cs).toLong == cy &&
+                (k == 1 ||
+                  (math.min(k - 1, math.floor((refX - cx * cs) / sub).toInt) == sx &&
+                   math.min(k - 1, math.floor((refY - cy * cs) / sub).toInt) == sy)) &&
+                test(pg, rg))
               Iterator.single(proj(joined(lrow, row)))
             else Iterator.empty
           }
@@ -217,14 +283,15 @@ case class GridSpatialJoinExec(
 }
 
 object GridSpatialJoinExec {
-  /** Routes by cell only (ignoring the side byte of the sort key), so both
-    * sides of a cell land in the same partition; the key ordering then
-    * yields build-before-probe within each cell. */
+  /** Routes by (cell, subcell) only (ignoring the side byte of the sort
+    * key), so both sides of a cell land in the same partition; the key
+    * ordering then yields build-before-probe within each cell. Hot-cell
+    * subcells hash independently, spreading a skewed cell across tasks. */
   private[plans] final class CellPartitioner(override val numPartitions: Int)
       extends org.apache.spark.Partitioner {
     override def getPartition(key: Any): Int = {
-      val k = key.asInstanceOf[(Long, Long, Byte)]
-      val h = scala.util.hashing.MurmurHash3.productHash((k._1, k._2))
+      val k = key.asInstanceOf[(Long, Long, Int, Int, Byte)]
+      val h = scala.util.hashing.MurmurHash3.productHash((k._1, k._2, k._3, k._4))
       val mod = h % numPartitions
       if (mod < 0) mod + numPartitions else mod
     }

@@ -269,6 +269,72 @@ class SpatialJoinSpec extends SparkTestBase {
     assert(q2.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap == exp)
   }
 
+  test("grid join: hot-cell sub-split balances clustered data (skew mitigation)") {
+    val s = spark
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "16")
+    // 90% of 2000 points cluster in a ~0.4-wide tile at (50,50) — about one
+    // grid cell — while 10% spread over [0,99]²; without mitigation the
+    // cluster cell's task reads ~90% of the shuffle
+    val pts = s.sql("""
+      SELECT id, CASE WHEN id % 10 = 0
+          THEN ST_Point(CAST(id % 100 AS DOUBLE), CAST(CAST(id / 100 AS INT) AS DOUBLE))
+          ELSE ST_Point(50.0 + (id % 20) * 0.02,
+                        50.0 + (CAST(id / 20 AS INT) % 20) * 0.02)
+        END AS pt
+      FROM (SELECT explode(sequence(0, 1999)) AS id)""")
+    val zs = s.sql("""
+      SELECT zid, ST_MakeEnvelope(x0, y0, x1, y1) AS zone
+      FROM VALUES (0, 49.0, 49.0, 51.0, 51.0), (1, 0.0, 0.0, 30.0, 30.0)
+           AS t(zid, x0, y0, x1, y1)""")
+    pts.createOrReplaceTempView("skew_pts")
+    zs.createOrReplaceTempView("skew_zs")
+
+    val perStage = new java.util.concurrent.ConcurrentHashMap[Int, List[Long]]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics).foreach { m =>
+          perStage.merge(te.stageId, List(m.shuffleReadMetrics.recordsRead),
+            (a, b) => a ++ b)
+        }
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      val q = sql("SELECT id, zid FROM skew_pts JOIN skew_zs ON ST_Covers(zone, pt)")
+      assert(planOf(q).contains("GridSpatialJoin"), planOf(q))
+      val all = q.collect().map(r => (r.getInt(0), r.getInt(1)))
+      // ground truth driver-side with the JTS kernel
+      val cp = pts.collect().map(r => (r.getInt(0), r.getAs[Array[Byte]]("pt")))
+      val cz = zs.collect().map(r => (r.getInt(0), r.getAs[Array[Byte]]("zone")))
+      val exp = (for { (id, pt) <- cp; (zid, zone) <- cz
+                       if graft.core.GeomOps.covers(zone, pt) } yield (id, zid)).toSet
+      assert(all.toSet == exp, s"got ${all.length} rows, expected ${exp.size}")
+      assert(all.length == all.toSet.size, "reference-point dedup must survive sub-split")
+      // listener bus is async: wait until the join stage's totals stabilize
+      var snapshot = Map.empty[Int, List[Long]]
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var stable = false
+      while (!stable && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        val now = scala.jdk.CollectionConverters.MapHasAsScala(perStage).asScala.toMap
+        stable = now == snapshot && now.values.map(_.sum).maxOption.exists(_ > 1000)
+        snapshot = now
+      }
+      val (joinStage, recs) = snapshot.maxBy(_._2.sum)
+      assert(recs.sum > 1000, s"join shuffle stage not found: $snapshot")
+      val maxShare = recs.max.toDouble / recs.sum
+      assert(maxShare < 0.5,
+        s"stage $joinStage skewed: max task reads ${(maxShare * 100).round}% " +
+          s"of ${recs.sum} shuffle records ($recs)")
+    } finally {
+      s.sparkContext.removeSparkListener(listener)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   test("strategy: non-spatial joins are untouched") {
     points.createOrReplaceTempView("sj_pts")
     zones.createOrReplaceTempView("sj_zones")
