@@ -79,12 +79,28 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
-    try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
+    // full-precision sidecar: run-unique path under java.io.tmpdir (or an
+    // explicit SPARK_GRAFT_BENCH_OUT) so concurrent runs can't clobber each
+    // other and a pre-planted symlink at a fixed name is never followed
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"bench-${ProcessHandle.current().pid()}.json").getPath)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
       line(3, identity).getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write sidecar $sidecar: $e")
+    }
     val shortIds = results.map(_._1.takeWhile(_ != '_'))
     val key: String => String =
-      if (shortIds.distinct.length == shortIds.length) _.takeWhile(_ != '_') else identity
+      if (shortIds.distinct.length == shortIds.length) _.takeWhile(_ != '_')
+      else {
+        // full names overflow the driver's 2000-char stdout tail once the
+        // query count grows — make the regression visible before it ships
+        System.err.println("[bench] short-id collision: falling back to full " +
+          "query names on stdout; line may exceed the 2000-char tail window")
+        identity
+      }
     spark.stop()
     // the absolute last stdout line of the run, so only sbt's short
     // epilogue follows it inside the tail window

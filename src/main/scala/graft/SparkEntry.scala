@@ -1367,6 +1367,64 @@ object SparkEntry {
     SELECT i::BIGINT AS fid, i::BIGINT AS x, (i % 7)::BIGINT AS y
     FROM range(60) t(i) ORDER BY fid"""
 
+  /** GeoParquet covering-bbox PRUNED read under the hash gate (the g38
+    * pattern): a Hilbert-sorted dataset is written with the bbox covering
+    * struct in-query, read back through `GeoParquet.read(bbox=…)` — whose
+    * coarse filter is plain struct-leaf comparisons the parquet reader
+    * prunes row groups with (sources/GeoParquet.scala coarse/refine path;
+    * reference: rust/geoparquet spatial_filter.rs) — and the surviving row
+    * set is pinned closed-form. Spatial sort + multi-part write means the
+    * prune actually skips files/row groups, not just rows. */
+  private def g44Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g44_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val pts = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_Point(CAST(id % 64 AS DOUBLE), CAST(CAST(id / 64 AS INT) AS DOUBLE)) AS geometry
+      FROM range(4096)""")
+    graft.sources.GeoParquet.write(
+      graft.sources.GeoParquet.spatialSort(pts, numPartitions = 8), out)
+    graft.sources.GeoParquet.read(s, out, bbox = Some((10.5, 20.5, 17.5, 27.5)))
+      .selectExpr("fid",
+        "CAST(ST_X(geometry) AS BIGINT) AS x",
+        "CAST(ST_Y(geometry) AS BIGINT) AS y")
+      .orderBy("fid")
+  }
+
+  // the 64×64 grid's points strictly inside (10.5, 20.5, 17.5, 27.5):
+  // x ∈ 11..17, y ∈ 21..27, fid = y*64 + x
+  private val g44Duck = """
+    SELECT (y.y * 64 + x.x)::BIGINT AS fid, x.x::BIGINT AS x, y.y::BIGINT AS y
+    FROM (SELECT unnest(range(11, 18)) AS x) x
+    CROSS JOIN (SELECT unnest(range(21, 28)) AS y) y
+    ORDER BY fid"""
+
+  /** UTM reprojection (4326↔326xx/327xx, Krüger series to n^6 —
+    * core/TransverseMercator.scala) pinned at full working precision:
+    * eastings/northings to 0.1 mm, the round trip to 1e-7°. The series is
+    * independently verified in TransverseMercatorSpec (integrated meridian
+    * arc, conformality, textbook UTM-31N anchor); these literals gate
+    * regressions. */
+  private val g45Spark = """
+    SELECT
+      ROUND(ST_X(ST_Transform(ST_Point(13.4050, 52.5200), 4326, 32633)), 4) AS berlin_e,
+      ROUND(ST_Y(ST_Transform(ST_Point(13.4050, 52.5200), 4326, 32633)), 4) AS berlin_n,
+      ROUND(ST_X(ST_Transform(ST_Point(151.2093, -33.8688), 4326, 32756)), 4) AS syd_e,
+      ROUND(ST_Y(ST_Transform(ST_Point(151.2093, -33.8688), 4326, 32756)), 4) AS syd_n,
+      ROUND(ST_X(ST_Transform(ST_Point(-74.006, 40.7128), 4326, 32618)), 4) AS nyc_e,
+      ROUND(ST_Y(ST_Transform(ST_Point(-74.006, 40.7128), 4326, 32618)), 4) AS nyc_n,
+      ROUND(ST_X(ST_Transform(ST_Transform(ST_Point(9.1829, 48.7758), 4326, 32632),
+                              32632, 4326)), 7) AS rt_lon,
+      ROUND(ST_Y(ST_Transform(ST_Transform(ST_Point(9.1829, 48.7758), 4326, 32632),
+                              32632, 4326)), 7) AS rt_lat"""
+
+  private val g45Duck = """
+    SELECT 391779.2593 AS berlin_e, 5820072.1592 AS berlin_n,
+           334368.6336 AS syd_e, 6250948.3454 AS syd_n,
+           583959.3723 AS nyc_e, 4507350.9982 AS nyc_n,
+           9.1829 AS rt_lon, 48.7758 AS rt_lat"""
+
   // ── training-data pipeline ops: text analysis / dedup ─────────────────
 
   private val t01Spark = """
@@ -2313,6 +2371,8 @@ object SparkEntry {
     ("g41_svg_render", q(g41Spark), g41Duck),
     ("g42_postgis_ewkb", g42Fn _, g42Duck),
     ("g43_geojson_source", g43Fn _, g43Duck),
+    ("g44_covering_pruned_read", g44Fn _, g44Duck),
+    ("g45_utm_transform", q(g45Spark), g45Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),

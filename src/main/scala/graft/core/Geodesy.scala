@@ -46,8 +46,18 @@ object Geodesy {
     GeomOps.write(edited)
   }
 
-  /** ST_Transform limited to the 4326/3857 pair (what the reference's
-    * geodesy backend covers). */
+  /** UTM zone from an EPSG code: 326zz (north) / 327zz (south), zz=01..60 */
+  private def utmZone(srid: Int): Option[(Int, Boolean)] = {
+    val zone = srid % 100
+    if (zone < 1 || zone > 60) None
+    else if (srid - zone == 32600) Some((zone, false))
+    else if (srid - zone == 32700) Some((zone, true))
+    else None
+  }
+
+  /** ST_Transform over the analytic pairs: 4326↔3857 (web mercator, what
+    * the reference's geodesy backend covers) plus the UTM families
+    * 4326↔326xx/327xx ([[TransverseMercator]], Krüger series). */
   def transform(b: Array[Byte], fromSrid: Int, toSrid: Int): Array[Byte] =
     (fromSrid, toSrid) match {
       case (4326, 3857) => mapCoords(b, c => {
@@ -57,8 +67,19 @@ object Geodesy {
         val (x, y) = mercatorToLonLat(c.x, c.y); new Coordinate(x, y)
       })
       case (f, t) if f == t => b
+      case (4326, t) if utmZone(t).isDefined =>
+        val (zone, south) = utmZone(t).get
+        mapCoords(b, c => {
+          val (x, y) = TransverseMercator.forward(c.x, c.y, zone, south); new Coordinate(x, y)
+        })
+      case (f, 4326) if utmZone(f).isDefined =>
+        val (zone, south) = utmZone(f).get
+        mapCoords(b, c => {
+          val (x, y) = TransverseMercator.reverse(c.x, c.y, zone, south); new Coordinate(x, y)
+        })
       case _ => throw new IllegalArgumentException(
-        s"ST_Transform: only EPSG:4326<->3857 supported, got $fromSrid->$toSrid")
+        s"ST_Transform: only EPSG:4326<->3857 and 4326<->326xx/327xx (UTM) supported, " +
+          s"got $fromSrid->$toSrid")
     }
 
   // ── spherical length (haversine) ──────────────────────────────────────

@@ -29,6 +29,10 @@ class MockFs extends RawLocalFileSystem {
   }
 }
 
+/** Counters are JVM-global statics and MockFsSpec mutates the shared
+  * sparkContext hadoopConfiguration — valid only because suites run
+  * sequentially in one JVM (the default here). Under parallel suite
+  * execution, key counters per scheme instance instead. */
 object MockFs {
   val opens = new java.util.concurrent.atomic.AtomicInteger(0)
   val creates = new java.util.concurrent.atomic.AtomicInteger(0)
