@@ -11,7 +11,8 @@ import graft.operators.Multimodal
   * buffer must equal the ORIGINAL samples under the documented channel
   * policy (16-bit → high byte, palette → table expansion, 1-bit → 0/255).
   * PNG is lossless, so any mismatch is a decoder-branch bug, not codec loss.
-  * Interlaced (Adam7) encodings are exercised on the grayscale kind. */
+  * Interlaced (Adam7) encodings are exercised across the grayscale,
+  * palette, RGB and RGBA kinds. */
 class MediaPropertySpec extends AnyFunSuite {
 
   import java.awt.image.BufferedImage
@@ -61,32 +62,35 @@ class MediaPropertySpec extends AnyFunSuite {
     }
 
   private val rgb: Gen[Case] =
-    for (w <- dim; h <- dim; px <- Gen.listOfN(w * h, Gen.chooseNum(0, 0xFFFFFF))) yield {
+    for (w <- dim; h <- dim; px <- Gen.listOfN(w * h, Gen.chooseNum(0, 0xFFFFFF));
+         il <- Gen.oneOf(false, true)) yield {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
       img.setRGB(0, 0, w, h, px.toArray, 0, w)
-      (pngBytes(img, interlaced = false), 3,
+      (pngBytes(img, il), 3,
         px.flatMap(c => Seq((c >> 16) & 0xFF, (c >> 8) & 0xFF, c & 0xFF)))
     }
 
   private val rgba: Gen[Case] =
-    for (w <- dim; h <- dim; px <- Gen.listOfN(w * h, Gen.chooseNum(Int.MinValue, Int.MaxValue))) yield {
+    for (w <- dim; h <- dim; px <- Gen.listOfN(w * h, Gen.chooseNum(Int.MinValue, Int.MaxValue));
+         il <- Gen.oneOf(false, true)) yield {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
       img.setRGB(0, 0, w, h, px.toArray, 0, w)
-      (pngBytes(img, interlaced = false), 4,
+      (pngBytes(img, il), 4,
         px.flatMap(c => Seq((c >> 16) & 0xFF, (c >> 8) & 0xFF, c & 0xFF, (c >>> 24) & 0xFF)))
     }
 
   private val palette: Gen[Case] =
     for (w <- dim; h <- dim; n <- Gen.chooseNum(2, 16);
          table <- Gen.listOfN(n, Gen.chooseNum(0, 0xFFFFFF));
-         px <- Gen.listOfN(w * h, Gen.chooseNum(0, n - 1))) yield {
+         px <- Gen.listOfN(w * h, Gen.chooseNum(0, n - 1));
+         il <- Gen.oneOf(false, true)) yield {
       val icm = new java.awt.image.IndexColorModel(8, n,
         table.map(c => ((c >> 16) & 0xFF).toByte).toArray,
         table.map(c => ((c >> 8) & 0xFF).toByte).toArray,
         table.map(c => (c & 0xFF).toByte).toArray)
       val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
       img.getRaster.setPixels(0, 0, w, h, px.toArray)
-      (pngBytes(img, interlaced = false), 3,
+      (pngBytes(img, il), 3,
         px.flatMap { i =>
           val c = table(i); Seq((c >> 16) & 0xFF, (c >> 8) & 0xFF, c & 0xFF)
         })
