@@ -1400,6 +1400,61 @@ object SparkEntry {
     CROSS JOIN (SELECT unnest(range(21, 28)) AS y) y
     ORDER BY fid"""
 
+  /** GeoParquet NATIVE (GeoArrow separated-coordinate) encoding write→read
+    * under the hash gate: points go out with `encoding = "point"` — the
+    * nested list/struct layout GeoPandas reads zero-copy — and come back
+    * through the scan-time `ga_point` transcode
+    * (sources/GeoParquet.scala nativeTranscoder; reference:
+    * rust/geoparquet/src/reader/parse.rs infer_geoarrow_schema). Values
+    * pinned closed-form; was spec-only before round 8. */
+  private def g46Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g46_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val pts = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_Point(CAST(id AS DOUBLE) / 8, CAST(id % 16 AS DOUBLE)) AS geometry
+      FROM range(256)""")
+    graft.sources.GeoParquet.write(pts, out, encoding = "point", covering = false)
+    graft.sources.GeoParquet.read(s, out)
+      .selectExpr("fid",
+        "ROUND(ST_X(geometry), 3) AS x",
+        "CAST(ST_Y(geometry) AS BIGINT) AS y")
+      .orderBy("fid")
+  }
+
+  private val g46Duck = """
+    SELECT i::BIGINT AS fid, ROUND(i / 8.0, 3) AS x, (i % 16)::BIGINT AS y
+    FROM range(256) t(i) ORDER BY fid"""
+
+  /** FlatGeobuf Z/M fidelity through the WRITER (spec-only before round 8):
+    * XYZM points go out through FlatGeobufWriter (separate z/m vectors,
+    * Header.has_z/has_m — sources/FlatGeobufWriter.scala:241-294) and back
+    * through the source; all four ordinates pinned closed-form. */
+  private def g47Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g47_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val pts = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_PointZM(CAST(id AS DOUBLE), CAST(id % 5 AS DOUBLE),
+                        CAST(id AS DOUBLE) / 2, CAST(id * 3 AS DOUBLE)) AS geometry
+      FROM range(80)""").coalesce(1)
+    graft.sources.FlatGeobufWriter.write(pts, out, index = false)
+    graft.sources.FlatGeobuf.read(s, out)
+      .selectExpr("fid",
+        "CAST(ST_X(geometry) AS BIGINT) AS x",
+        "CAST(ST_Y(geometry) AS BIGINT) AS y",
+        "ROUND(ST_Z(geometry), 3) AS z",
+        "CAST(ST_M(geometry) AS BIGINT) AS m")
+      .orderBy("fid")
+  }
+
+  private val g47Duck = """
+    SELECT i::BIGINT AS fid, i::BIGINT AS x, (i % 5)::BIGINT AS y,
+           ROUND(i / 2.0, 3) AS z, (i * 3)::BIGINT AS m
+    FROM range(80) t(i) ORDER BY fid"""
+
   /** UTM reprojection (4326↔326xx/327xx, Krüger series to n^6 —
     * core/TransverseMercator.scala) pinned at full working precision:
     * eastings/northings to 0.1 mm, the round trip to 1e-7°. The series is
@@ -2373,6 +2428,8 @@ object SparkEntry {
     ("g43_geojson_source", g43Fn _, g43Duck),
     ("g44_covering_pruned_read", g44Fn _, g44Duck),
     ("g45_utm_transform", q(g45Spark), g45Duck),
+    ("g46_native_encoding_roundtrip", g46Fn _, g46Duck),
+    ("g47_fgb_zm_write", g47Fn _, g47Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),

@@ -77,8 +77,13 @@ object Geodesy {
         mapCoords(b, c => {
           val (x, y) = TransverseMercator.reverse(c.x, c.y, zone, south); new Coordinate(x, y)
         })
+      // any other pair of supported CRSs composes through 4326 (zone→zone,
+      // UTM↔web-mercator) — both legs are the analytic base cases above
+      case (f, t) if (f == 3857 || utmZone(f).isDefined) &&
+                     (t == 3857 || utmZone(t).isDefined) =>
+        transform(transform(b, f, 4326), 4326, t)
       case _ => throw new IllegalArgumentException(
-        s"ST_Transform: only EPSG:4326<->3857 and 4326<->326xx/327xx (UTM) supported, " +
+        s"ST_Transform: only EPSG 4326/3857/326xx/327xx (UTM) pairs supported, " +
           s"got $fromSrid->$toSrid")
     }
 

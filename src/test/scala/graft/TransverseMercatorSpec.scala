@@ -110,8 +110,15 @@ class TransverseMercatorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.core.Geodesy.transform(pt, 4326, 32661) // polar stereographic: not UTM
     }
-    intercept[IllegalArgumentException] {
-      graft.core.Geodesy.transform(pt, 32633, 32632) // zone-to-zone unsupported
-    }
+    // zone-to-zone composes through 4326 and round-trips
+    val z32 = graft.core.Geodesy.transform(utm, 32633, 32632)
+    val back2 = graft.core.GeomOps.read(
+      graft.core.Geodesy.transform(z32, 32632, 4326)).getCoordinate
+    assert(math.abs(back2.x - 13.4050) < 1e-9 && math.abs(back2.y - 52.5200) < 1e-9)
+    // and UTM <-> web mercator composes too
+    val merc = graft.core.Geodesy.transform(utm, 32633, 3857)
+    val back3 = graft.core.GeomOps.read(
+      graft.core.Geodesy.transform(merc, 3857, 4326)).getCoordinate
+    assert(math.abs(back3.x - 13.4050) < 1e-9 && math.abs(back3.y - 52.5200) < 1e-9)
   }
 }
