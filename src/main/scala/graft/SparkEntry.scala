@@ -1400,6 +1400,68 @@ object SparkEntry {
     CROSS JOIN (SELECT unnest(range(21, 28)) AS y) y
     ORDER BY fid"""
 
+  /** Structured Streaming windowed aggregation under the hash gate
+    * (spec-only before round 8): a deterministic event set streams through
+    * a real file source (one micro-batch per file via maxFilesPerTrigger),
+    * StreamOps.windowedCounts applies watermark + tumbling window + append
+    * mode, and Trigger.AvailableNow drains into a memory sink. Two
+    * far-future sentinel files advance the watermark past every real
+    * window, so the emitted set is exactly ALL real windows — closed-form
+    * in DuckDB — regardless of how the engine schedules cleanup batches.
+    * This exercises the actual streaming machinery (watermark advance,
+    * state eviction, append semantics), not a batch re-expression. */
+  private def s02Fn(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s02").toString
+    val src = new java.io.File(tmp, "src"); src.mkdirs()
+    val ev = s.sql("""
+      SELECT CAST(id AS BIGINT) AS event_id,
+             timestamp_seconds(1700000000 + (id % 40) * 60 + CAST(id / 40 AS INT) * 7) AS ts,
+             CAST(id % 7 AS BIGINT) AS user_id,
+             CASE WHEN id % 3 = 0 THEN 'click' WHEN id % 3 = 1 THEN 'view'
+                  ELSE 'buy' END AS event_type,
+             CAST(id AS DOUBLE) / 10 AS value
+      FROM range(200)""")
+    def sentinel(offset: Long) = s.sql(s"""
+      SELECT CAST(9000 + $offset AS BIGINT) AS event_id,
+             timestamp_seconds(1700000000 + 86400 + $offset) AS ts,
+             CAST(0 AS BIGINT) AS user_id, 'sentinel' AS event_type, 0.0 AS value""")
+    Seq(ev, sentinel(0), sentinel(1)).zipWithIndex.foreach { case (df, i) =>
+      val stage = new java.io.File(tmp, s"stage$i")
+      df.coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(src, s"f$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L) // strict batch order
+    }
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+    val counts = graft.streaming.StreamOps.windowedCounts(
+      stream, watermark = "10 minutes", window = "5 minutes")
+    val qname = "graft_s02_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val q = counts.writeStream.format("memory").queryName(qname)
+      .option("checkpointLocation", tmp + "/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname)
+      .where("event_type <> 'sentinel'")
+      .selectExpr("CAST(window.start AS BIGINT) AS win_start", "event_type",
+        "n", "ROUND(total, 6) AS total")
+      .orderBy("win_start", "event_type")
+  }
+
+  private val s02Duck = """
+    WITH ev AS (
+      SELECT 1700000000 + (i % 40) * 60 + (i // 40) * 7 AS es,
+             CASE WHEN i % 3 = 0 THEN 'click' WHEN i % 3 = 1 THEN 'view'
+                  ELSE 'buy' END AS event_type,
+             i / 10.0 AS value
+      FROM range(200) t(i))
+    SELECT (es // 300) * 300 AS win_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 6) AS total
+    FROM ev GROUP BY 1, 2 ORDER BY win_start, event_type"""
+
   /** GeoParquet NATIVE (GeoArrow separated-coordinate) encoding write→read
     * under the hash gate: points go out with `encoding = "point"` — the
     * nested list/struct layout GeoPandas reads zero-copy — and come back
@@ -2452,6 +2514,7 @@ object SparkEntry {
     ("a01_asof_join", a01Fn _, a01Duck),
     ("a02_range_join", a02Fn _, a02Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
+    ("s02_stream_windowed", s02Fn _, s02Duck),
     ("m01_media_meta", q(m01Spark), m01Duck),
     ("m02_decode_resize_hist", m02Fn _, m02Duck),
     ("m03_real_decode_matrix", q(m03Spark), m03Duck),

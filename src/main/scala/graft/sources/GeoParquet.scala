@@ -75,8 +75,15 @@ object GeoParquet {
     val fs = p.getFileSystem(conf)
     val files =
       if (fs.getFileStatus(p).isDirectory) listPartFiles(fs, p) else Seq(p)
-    val perFile = footerKVs(conf, files, "geo").map(_.map(parseGeoJson))
-    reconcile(files.map(_.getName).zip(perFile))
+    val perFile = footerKVs(spark, conf, files, "geo").map(_.map(parseGeoJson))
+    // labels are root-relative so partitioned layouts (k=v/part-000…) stay
+    // unambiguous in reconcile's error messages
+    val rootStr = p.toString
+    val labels = files.map { f =>
+      val rel = f.toString.stripPrefix(rootStr).stripPrefix("/")
+      if (rel.isEmpty) f.getName else rel
+    }
+    reconcile(labels.zip(perFile))
   }
 
   /** All data part-files under `root`, recursively — a `partitionBy` layout
@@ -101,26 +108,38 @@ object GeoParquet {
     out.sortBy(_.toString).toSeq
   }
 
-  /** One footer KV read per file, parallel (bounded pool) — footer reads are
-    * tiny ranged IO, and a 100 TB dataset has thousands of part-files. */
-  private def footerKVs(conf: Configuration, files: Seq[Path],
+  /** One footer KV read per file. Small datasets use a bounded driver-side
+    * pool (footer reads are tiny ranged IO); past 64 part-files the reads
+    * run as a Spark job so a 100 TB dataset's thousands of footers scale
+    * out with the executors instead of queuing behind 16 driver threads. */
+  private def footerKVs(spark: SparkSession, conf: Configuration, files: Seq[Path],
                         key: String): Seq[Option[String]] = {
     if (files.isEmpty) return Nil
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, files.length))
-    try {
-      val tasks: java.util.List[java.util.concurrent.Callable[Option[String]]] =
-        files.map { f =>
-          new java.util.concurrent.Callable[Option[String]] {
-            def call(): Option[String] = {
-              val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
-              try Option(r.getFooter.getFileMetaData.getKeyValueMetaData.get(key))
-              finally r.close()
+    def readOne(f: Path, c: Configuration): Option[String] = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, c))
+      try Option(r.getFooter.getFileMetaData.getKeyValueMetaData.get(key))
+      finally r.close()
+    }
+    if (files.length > 64) {
+      val serConf = new SerializableHadoopConf(conf)
+      spark.sparkContext
+        .parallelize(files.map(_.toString).zipWithIndex,
+          math.max(1, math.min(files.length, spark.sparkContext.defaultParallelism)))
+        .map { case (f, i) => (i, readOne(new Path(f), serConf.value)) }
+        .collect().sortBy(_._1).map(_._2).toSeq
+    } else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, files.length))
+      try {
+        val tasks: java.util.List[java.util.concurrent.Callable[Option[String]]] =
+          files.map { f =>
+            new java.util.concurrent.Callable[Option[String]] {
+              def call(): Option[String] = readOne(f, conf)
             }
-          }
-        }.asJava
-      pool.invokeAll(tasks).asScala.map(_.get()).toSeq
-    } finally pool.shutdown()
+          }.asJava
+        pool.invokeAll(tasks).asScala.map(_.get()).toSeq
+      } finally pool.shutdown()
+    }
   }
 
   /** Merge per-file metadata into one dataset view (rules in [[metadata]]). */

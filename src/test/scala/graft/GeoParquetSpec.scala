@@ -326,6 +326,18 @@ class GeoParquetSpec extends SparkTestBase {
     assert(spark.read.parquet(taskDir).count() == 500)
   }
 
+  test("metadata reconciles >64 part-files (footer reads take the Spark-job path)") {
+    val manyDir = dir + "_many"
+    val df = spark.sql(
+      "SELECT id, ST_Point(CAST(id AS DOUBLE), 0.0) AS geometry FROM range(700)")
+      .repartition(70)
+    GeoParquet.write(df, manyDir, covering = false)
+    val m = GeoParquet.metadata(spark, manyDir).get
+    assert(m.primaryColumn == "geometry")
+    assert(m.columns.head.geometryTypes == Seq("Point"))
+    assert(spark.read.parquet(manyDir).count() == 700)
+  }
+
   test("partitioned dataset (partitionBy): metadata recursion + pruning") {
     val partDir = dir + "_partby"
     val df = spark.sql("""
