@@ -26,14 +26,16 @@ import org.apache.spark.sql.types.{Metadata, MetadataBuilder}
   *    groups/pages with natively (the reference implements the same pruning
   *    by hand: spatial_filter.rs:59-181). An exact `ST_Intersects` refine
   *    runs after the coarse filter.
-  *  - write: optionally add the GeoParquet 1.1 `bbox` covering struct, write
-  *    through Spark's parquet writer, then rewrite each part-file footer to
-  *    carry the `geo` KV metadata (writer model:
-  *    rust/geoparquet/src/writer/encode.rs:21-74, metadata.rs:30). Footer
-  *    rewrite streams row groups byte-for-byte via
-  *    `ParquetFileWriter.appendFile` — no re-encode — and per-file bounds
-  *    come from the covering column's own parquet statistics (the same
-  *    stats the reference's `ParquetBboxStatistics` reads,
+  *  - write: optionally add the GeoParquet 1.1 `bbox` covering struct, then
+  *    write through [[GeoParquetFileFormat]] — Spark's stock parquet path
+  *    with a WriteSupport that finalizes the `geo` KV at file close inside
+  *    each task, single-pass with per-file observed bbox + geometry_types
+  *    (writer model: rust/geoparquet/src/writer/encode.rs:21-74,
+  *    metadata.rs:30). [[addGeoMetadata]] remains as the retrofit path for
+  *    parquet written by other tools: a distributed byte-for-byte footer
+  *    rewrite (`ParquetFileWriter.appendFile`, no re-encode) with per-file
+  *    bounds from the covering column's parquet statistics (the same stats
+  *    the reference's `ParquetBboxStatistics` reads,
   *    spatial_filter.rs:395-416).
   */
 object GeoParquet {
@@ -364,59 +366,19 @@ object GeoParquet {
           "polygon, multipoint, multilinestring, multipolygon)"))
       out = out.withColumn(geometryColumn, call_function(fn, col(geometryColumn)))
     }
-    // dataset-level geometry_types (GeoParquet 1.1): observed DURING the
-    // write job itself (Dataset.observe = an extra agg over rows already in
-    // flight), never a second scan — at 100 TB a follow-up
-    // `collect_set(ST_GeometryType)` pass would re-read the whole dataset.
-    // Native encodings are single-type by construction and skip observation.
-    def writer(d: DataFrame) = {
-      val w = d.write.mode(mode)
-      if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
-    }
-    val geometryTypes: Seq[String] =
-      if (!isWkb) {
-        writer(out).parquet(path)
-        Nil // single-type by construction; geoJson derives it from `encoding`
-      } else {
-        val metric = "graft_geometry_types_" + java.util.UUID.randomUUID().toString.take(8)
-        val g = col(geometryColumn)
-        // "ST_Point" → "Point", 3D → "Point Z" (GeoParquet type vocabulary)
-        val typed = concat(
-          call_function("st_geometrytype", g).substr(lit(4), lit(64)),
-          when(call_function("st_hasz", g), lit(" Z")).otherwise(lit("")))
-        observeDuring(spark, metric) {
-          writer(out.observe(metric, collect_set(typed).as("types"))).parquet(path)
-        }
-      }
-    addGeoMetadata(spark, path, geometryColumn, effectiveCrs,
-      if (covering) Some("bbox") else None,
-      if (isWkb) "WKB" else encoding.toLowerCase,
-      geometryTypes)
-  }
-
-  /** Run `action` (a write) and return the named observed metric's string
-    * set once the query-execution listener reports it. The listener bus is
-    * asynchronous, so this waits (bounded); on timeout the result is Nil —
-    * for geometry_types that degrades to "unconstrained", never wrong. */
-  private def observeDuring(spark: SparkSession, metric: String)(action: => Unit): Seq[String] = {
-    val done = new java.util.concurrent.CompletableFuture[Seq[String]]()
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String,
-                             qe: org.apache.spark.sql.execution.QueryExecution,
-                             durationNs: Long): Unit =
-        qe.observedMetrics.get(metric).foreach { row =>
-          done.complete(row.getSeq[String](0).sorted)
-        }
-      override def onFailure(funcName: String,
-                             qe: org.apache.spark.sql.execution.QueryExecution,
-                             exception: Exception): Unit = ()
-    }
-    spark.listenerManager.register(listener)
-    try {
-      action
-      try done.get(30, java.util.concurrent.TimeUnit.SECONDS)
-      catch { case _: java.util.concurrent.TimeoutException => Nil }
-    } finally spark.listenerManager.unregister(listener)
+    // single-pass write: [[GeoParquetFileFormat]] reuses Spark's stock
+    // parquet path and finalizes the `geo` KV at file close INSIDE each
+    // writing task — per-file observed bbox + geometry_types, no second
+    // scan, no rewrite, bytes move exactly once (the reference writer
+    // model, rust/geoparquet/src/writer/encode.rs:21-74)
+    var w = out.write.mode(mode)
+      .format(classOf[GeoParquetFileFormat].getName)
+      .option(GeoParquetFileFormat.GeomColKey, geometryColumn)
+      .option(GeoParquetFileFormat.CoveringKey, if (covering) "bbox" else "")
+      .option(GeoParquetFileFormat.EncodingKey, if (isWkb) "WKB" else encoding.toLowerCase)
+    effectiveCrs.foreach(c => w = w.option(GeoParquetFileFormat.CrsKey, c))
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    w.save(path)
   }
 
   /** Rewrite every part-file footer under `dir` (recursively — partitioned
@@ -514,10 +476,10 @@ object GeoParquet {
         yield (x0, y0, x1, y1)
     }
 
-  private def geoJson(geometryColumn: String, crs: Option[String], covering: Option[String],
-                      bounds: Option[(Double, Double, Double, Double)],
-                      encoding: String = "WKB",
-                      geometryTypes: Seq[String] = Nil): String = {
+  private[sources] def geoJson(geometryColumn: String, crs: Option[String], covering: Option[String],
+                               bounds: Option[(Double, Double, Double, Double)],
+                               encoding: String = "WKB",
+                               geometryTypes: Seq[String] = Nil): String = {
     val root = mapper.createObjectNode()
     root.put("version", "1.1.0")
     root.put("primary_column", geometryColumn)
@@ -526,11 +488,11 @@ object GeoParquet {
     c.put("encoding", encoding)
     // reference model: record the OBSERVED types, not an unconstrained []
     // (rust/geoparquet/src/metadata.rs `geometry_types`) — readers prune by
-    // type with this. WKB writes pass the set collected during the write
-    // job; native encodings are single-type by construction. NOTE: every
-    // part-file footer carries the DATASET-level set (a superset of its own
-    // rows' types) — safe for type-pruning readers, but per-file fidelity
-    // would need per-file observation.
+    // type with this. The single-pass writer passes each file's OWN
+    // observed set (GeoParquet 1.1 per-file fidelity); the addGeoMetadata
+    // retrofit path passes a caller-supplied (dataset-level) set — a
+    // superset per file, safe for type-pruning readers. Native encodings
+    // are single-type by construction.
     val gts = c.putArray("geometry_types")
     if (encoding != "WKB") // native encoding is single-type by construction
       gts.add(encoding.toLowerCase match {

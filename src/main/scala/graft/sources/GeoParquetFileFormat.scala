@@ -1,0 +1,153 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.mapreduce.Job
+import org.apache.parquet.hadoop.ParquetOutputFormat
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.io.api.RecordConsumer
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+
+/** Parquet file format that finalizes the GeoParquet `geo` footer KV AT
+  * FILE CLOSE, inside each writing task — the reference's single-pass
+  * writer model (rust/geoparquet/src/writer/encode.rs:21-74, metadata
+  * assembled while rows stream and attached when the file ends). Compared
+  * to write-then-rewrite, a 100 TB dataset's bytes move exactly once, and
+  * every part-file footer carries ITS OWN observed bbox and geometry_types
+  * (the GeoParquet 1.1 per-file metadata model) instead of a stamped
+  * dataset-level superset.
+  *
+  * Mechanics: Spark's stock parquet write path is reused wholesale; the
+  * only change is the registered `WriteSupport`, a thin wrapper around
+  * Spark's own row shredder that additionally tracks the covering bbox
+  * min/max and the WKB type tags it sees, then emits the `geo` JSON from
+  * `finalizeWrite()` (parquet-mr merges it into the footer KV at close).
+  */
+class GeoParquetFileFormat extends ParquetFileFormat with DataSourceRegister {
+
+  override def shortName(): String = "geoparquet"
+
+  override def toString: String = "GeoParquet"
+
+  override def prepareWrite(sparkSession: SparkSession, job: Job,
+                            options: Map[String, String],
+                            dataSchema: StructType): OutputWriterFactory = {
+    val factory = super.prepareWrite(sparkSession, job, options, dataSchema)
+    val conf = job.getConfiguration
+    conf.set(ParquetOutputFormat.WRITE_SUPPORT_CLASS, classOf[GeoParquetWriteSupport].getName)
+    val geomCol = options.getOrElse(GeoParquetFileFormat.GeomColKey, "geometry")
+    conf.set(GeoParquetFileFormat.GeomColKey, geomCol)
+    conf.setInt(GeoParquetFileFormat.GeomIdxKey, dataSchema.fieldNames.indexOf(geomCol))
+    val covering = options.getOrElse(GeoParquetFileFormat.CoveringKey, "")
+    conf.set(GeoParquetFileFormat.CoveringKey, covering)
+    conf.setInt(GeoParquetFileFormat.BboxIdxKey,
+      if (covering.nonEmpty) dataSchema.fieldNames.indexOf(covering) else -1)
+    conf.set(GeoParquetFileFormat.EncodingKey,
+      options.getOrElse(GeoParquetFileFormat.EncodingKey, "WKB"))
+    options.get(GeoParquetFileFormat.CrsKey).foreach(conf.set(GeoParquetFileFormat.CrsKey, _))
+    factory
+  }
+}
+
+object GeoParquetFileFormat {
+  val GeomColKey = "graft.geo.column"
+  val GeomIdxKey = "graft.geo.geomidx"
+  val BboxIdxKey = "graft.geo.bboxidx"
+  val CoveringKey = "graft.geo.covering"
+  val EncodingKey = "graft.geo.encoding"
+  val CrsKey = "graft.geo.crs"
+
+  /** (GeoParquet type name, hasZ) from the first bytes of a WKB blob —
+    * handles both EWKB flag bits (JTS `WKBWriter(_, includeSRID = true)`:
+    * Z = 0x80000000, M = 0x40000000, SRID = 0x20000000) and ISO 1000-block
+    * offsets, without parsing coordinates. */
+  private[sources] def wkbTypeTag(b: Array[Byte]): Option[(String, Boolean)] = {
+    if (b == null || b.length < 5) return None
+    val little = b(0) == 1
+    val code: Long =
+      if (little)
+        (b(1) & 0xFFL) | ((b(2) & 0xFFL) << 8) | ((b(3) & 0xFFL) << 16) | ((b(4) & 0xFFL) << 24)
+      else
+        ((b(1) & 0xFFL) << 24) | ((b(2) & 0xFFL) << 16) | ((b(3) & 0xFFL) << 8) | (b(4) & 0xFFL)
+    val iso = code & 0x0FFFFFFFL // strip EWKB Z/M/SRID flag bits
+    val zFromIso = (iso / 1000) % 4 // ISO: 1 = Z, 2 = M, 3 = ZM
+    val hasZ = (code & 0x80000000L) != 0 || zFromIso == 1 || zFromIso == 3
+    ((iso % 1000).toInt match {
+      case 1 => Some("Point")
+      case 2 => Some("LineString")
+      case 3 => Some("Polygon")
+      case 4 => Some("MultiPoint")
+      case 5 => Some("MultiLineString")
+      case 6 => Some("MultiPolygon")
+      case 7 => Some("GeometryCollection")
+      case _ => None
+    }).map(name => (name, hasZ))
+  }
+}
+
+/** Per-file write support: delegates row shredding to Spark's own parquet
+  * WriteSupport and accumulates the file's geo metadata on the side. One
+  * instance per part-file (instantiated reflectively by ParquetOutputFormat
+  * in the writing task), so the tracked state IS the per-file truth. */
+class GeoParquetWriteSupport extends WriteSupport[InternalRow] {
+  import GeoParquetFileFormat._
+
+  // Spark's shredder is Scala-package-private; parquet-mr's public
+  // WriteSupport supertype is the contract, so instantiate by name
+  private val delegate =
+    Class.forName("org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport")
+      .getDeclaredConstructor().newInstance().asInstanceOf[WriteSupport[InternalRow]]
+
+  private var geomCol = "geometry"
+  private var geomIdx = -1
+  private var bboxIdx = -1
+  private var covering: Option[String] = None
+  private var crs: Option[String] = None
+  private var encoding = "WKB"
+  private var minX = Double.PositiveInfinity
+  private var minY = Double.PositiveInfinity
+  private var maxX = Double.NegativeInfinity
+  private var maxY = Double.NegativeInfinity
+  private val types = scala.collection.mutable.SortedSet.empty[String]
+
+  override def init(conf: Configuration): WriteSupport.WriteContext = {
+    geomCol = conf.get(GeomColKey, "geometry")
+    geomIdx = conf.getInt(GeomIdxKey, -1)
+    bboxIdx = conf.getInt(BboxIdxKey, -1)
+    covering = Option(conf.get(CoveringKey)).filter(_.nonEmpty)
+    crs = Option(conf.get(CrsKey))
+    encoding = conf.get(EncodingKey, "WKB")
+    delegate.init(conf)
+  }
+
+  override def prepareForWrite(recordConsumer: RecordConsumer): Unit =
+    delegate.prepareForWrite(recordConsumer)
+
+  override def write(row: InternalRow): Unit = {
+    if (bboxIdx >= 0 && !row.isNullAt(bboxIdx)) {
+      val s = row.getStruct(bboxIdx, 4)
+      if (!s.isNullAt(0)) {
+        minX = math.min(minX, s.getDouble(0)); minY = math.min(minY, s.getDouble(1))
+        maxX = math.max(maxX, s.getDouble(2)); maxY = math.max(maxY, s.getDouble(3))
+      }
+    }
+    if (encoding == "WKB" && geomIdx >= 0 && !row.isNullAt(geomIdx))
+      wkbTypeTag(row.getBinary(geomIdx)).foreach { case (name, hasZ) =>
+        types += (if (hasZ) name + " Z" else name)
+      }
+    delegate.write(row)
+  }
+
+  override def finalizeWrite(): WriteSupport.FinalizedWriteContext = {
+    val bounds =
+      if (minX.isInfinity) None else Some((minX, minY, maxX, maxY))
+    val geo = GeoParquet.geoJson(geomCol, crs, covering, bounds, encoding, types.toSeq)
+    new WriteSupport.FinalizedWriteContext(Map("geo" -> geo).asJava)
+  }
+}
