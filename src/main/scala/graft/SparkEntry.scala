@@ -1400,6 +1400,33 @@ object SparkEntry {
     CROSS JOIN (SELECT unnest(range(21, 28)) AS y) y
     ORDER BY fid"""
 
+  /** geometry_col discovery under the hash gate (spec-only before round 8):
+    * a GeoParquet roundtrip whose read attaches `geoparquet.encoding` field
+    * metadata, a renamed binary column that is ONLY discoverable through
+    * that metadata (not by the name convention), and a decoy binary column
+    * that must NOT be reported. Mirrors the reference's
+    * `Table::geometry_column` / python `geometry_col` accessor. */
+  private def g48Fn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g48_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val df = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid, CAST('ff' AS BINARY) AS payload,
+             ST_Point(CAST(id AS DOUBLE), 1.0) AS shape_data
+      FROM range(10)""")
+    graft.sources.GeoParquet.write(df, out, geometryColumn = "shape_data", covering = false)
+    val back = graft.sources.GeoParquet.read(s, out)
+    val discovered = graft.functions.GeoFunctions.geometryColumns(back.schema) ++
+      graft.functions.GeoFunctions.geometryColumns(
+        s.sql("SELECT ST_Point(0.0, 0.0) AS geometry, unhex('ff') AS blob").schema)
+    discovered.toDF("col_name").orderBy("col_name")
+  }
+
+  private val g48Duck = """
+    SELECT col_name FROM (VALUES ('geometry'), ('shape_data')) t(col_name)
+    ORDER BY col_name"""
+
   /** Structured Streaming windowed aggregation under the hash gate
     * (spec-only before round 8): a deterministic event set streams through
     * a real file source (one micro-batch per file via maxFilesPerTrigger),
@@ -2492,6 +2519,7 @@ object SparkEntry {
     ("g45_utm_transform", q(g45Spark), g45Duck),
     ("g46_native_encoding_roundtrip", g46Fn _, g46Duck),
     ("g47_fgb_zm_write", g47Fn _, g47Duck),
+    ("g48_geometry_col", g48Fn _, g48Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),
