@@ -1465,12 +1465,20 @@ object SparkEntry {
     val counts = graft.streaming.StreamOps.windowedCounts(
       stream, watermark = "10 minutes", window = "5 minutes")
     val qname = "graft_s02_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-    val q = counts.writeStream.format("memory").queryName(qname)
-      .option("checkpointLocation", tmp + "/ckpt")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // the state store shards per shuffle partition per micro-batch: at 32
+    // session partitions a 200-row stream pays ~100 empty state tasks.
+    // The partition count binds to the NEW checkpoint at first batch, so
+    // narrowing it here is local to this query and restored after.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = counts.writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", tmp + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(qname)
       .where("event_type <> 'sentinel'")
       .selectExpr("CAST(window.start AS BIGINT) AS win_start", "event_type",

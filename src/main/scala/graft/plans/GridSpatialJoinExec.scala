@@ -177,7 +177,12 @@ case class GridSpatialJoinExec(
     val r = radius
 
     // key = (cellX, cellY, subX, subY); (0,0) sub for regular cells, local
-    // k×k sub-grid inside hot cells — same covering-cells rule one level down
+    // k×k sub-grid inside hot cells — same covering-cells rule one level
+    // down. Imperative loops, not a for-comprehension: this is the per-row
+    // hot path of the shuffle and midstream bindings/boxed map lookups cost
+    // real time at 100k+ rows; the common no-hot-cells case never touches
+    // the map at all.
+    val noHot = hotCells.isEmpty
     def keyed(plan: SparkPlan, bound: Expression, expandBy: Double)
         : RDD[((Long, Long, Int, Int), InternalRow)] =
       plan.execute().mapPartitions { it =>
@@ -195,16 +200,32 @@ case class GridSpatialJoinExec(
               val y0 = math.floor(env.getMinY / cs).toLong
               val y1 = math.floor(env.getMaxY / cs).toLong
               val copy = row.copy() // shuffled rows must own their bytes
-              for {
-                cx <- (x0 to x1).iterator; cy <- y0 to y1
-                k = hotCells.getOrElse((cx, cy), 1)
-                sub = cs / k
-                sx0 = if (k == 1) 0 else math.max(0, math.floor((env.getMinX - cx * cs) / sub).toInt)
-                sx1 = if (k == 1) 0 else math.min(k - 1, math.floor((env.getMaxX - cx * cs) / sub).toInt)
-                sy0 = if (k == 1) 0 else math.max(0, math.floor((env.getMinY - cy * cs) / sub).toInt)
-                sy1 = if (k == 1) 0 else math.min(k - 1, math.floor((env.getMaxY - cy * cs) / sub).toInt)
-                sx <- sx0 to sx1; sy <- sy0 to sy1
-              } yield ((cx, cy, sx, sy), copy)
+              val out = new scala.collection.mutable.ArrayBuffer[((Long, Long, Int, Int), InternalRow)](
+                ((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+              var cx = x0
+              while (cx <= x1) {
+                var cy = y0
+                while (cy <= y1) {
+                  val k = if (noHot) 1 else hotCells.getOrElse((cx, cy), 1)
+                  if (k == 1) out += (((cx, cy, 0, 0), copy))
+                  else {
+                    val sub = cs / k
+                    val sx0 = math.max(0, math.floor((env.getMinX - cx * cs) / sub).toInt)
+                    val sx1 = math.min(k - 1, math.floor((env.getMaxX - cx * cs) / sub).toInt)
+                    val sy0 = math.max(0, math.floor((env.getMinY - cy * cs) / sub).toInt)
+                    val sy1 = math.min(k - 1, math.floor((env.getMaxY - cy * cs) / sub).toInt)
+                    var sx = sx0
+                    while (sx <= sx1) {
+                      var sy = sy0
+                      while (sy <= sy1) { out += (((cx, cy, sx, sy), copy)); sy += 1 }
+                      sx += 1
+                    }
+                  }
+                  cy += 1
+                }
+                cx += 1
+              }
+              out.iterator
             }
           }
         }
@@ -254,7 +275,7 @@ case class GridSpatialJoinExec(
           val rg = GeomOps.read(rBound.eval(row).asInstanceOf[Array[Byte]])
           val renv = rg.getEnvelopeInternal
           val cands = tree.query(renv)
-          val k = hotCells.getOrElse((cx, cy), 1)
+          val k = if (noHot) 1 else hotCells.getOrElse((cx, cy), 1)
           val sub = cs / k
           (0 until cands.size()).iterator.flatMap { i =>
             val (lrow, pg, lenv) =
@@ -291,7 +312,9 @@ object GridSpatialJoinExec {
       extends org.apache.spark.Partitioner {
     override def getPartition(key: Any): Int = {
       val k = key.asInstanceOf[(Long, Long, Int, Int, Byte)]
-      val h = scala.util.hashing.MurmurHash3.productHash((k._1, k._2, k._3, k._4))
+      // allocation-free mix of the four route components (hot shuffle path)
+      import scala.util.hashing.MurmurHash3.{mix, finalizeHash}
+      val h = finalizeHash(mix(mix(mix(mix(0x9747b28c, k._1.##), k._2.##), k._3), k._4), 4)
       val mod = h % numPartitions
       if (mod < 0) mod + numPartitions else mod
     }
