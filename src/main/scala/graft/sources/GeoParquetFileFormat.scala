@@ -67,7 +67,7 @@ object GeoParquetFileFormat {
     * handles both EWKB flag bits (JTS `WKBWriter(_, includeSRID = true)`:
     * Z = 0x80000000, M = 0x40000000, SRID = 0x20000000) and ISO 1000-block
     * offsets, without parsing coordinates. */
-  private[sources] def wkbTypeTag(b: Array[Byte]): Option[(String, Boolean)] = {
+  private[graft] def wkbTypeTag(b: Array[Byte]): Option[(String, Boolean)] = {
     if (b == null || b.length < 5) return None
     val little = b(0) == 1
     val code: Long =

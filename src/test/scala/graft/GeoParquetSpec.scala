@@ -307,6 +307,32 @@ class GeoParquetSpec extends SparkTestBase {
       s"CRS must survive read→write→read without caller involvement: $meta")
   }
 
+  test("wkbTypeTag header parse agrees with the full JTS parse across the matrix") {
+    import graft.core.GeomOps
+    val wkts = Seq(
+      "POINT (1 2)", "POINT Z(1 2 3)", "POINT M(1 2 4)", "POINT ZM(1 2 3 4)",
+      "LINESTRING (0 0, 1 1)", "LINESTRING Z(0 0 1, 1 1 2)",
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+      "MULTIPOINT ((1 1), (2 2))", "MULTILINESTRING ((0 0, 1 1))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))",
+      "GEOMETRYCOLLECTION (POINT (1 1))")
+    for (wkt <- wkts) {
+      val wkb = GeomOps.geomFromText(
+        org.apache.spark.unsafe.types.UTF8String.fromString(wkt)) // our writer's EWKB-flagged bytes
+      val (name, hasZ) = graft.sources.GeoParquetFileFormat.wkbTypeTag(wkb).get
+      val g = GeomOps.read(wkb)
+      assert(name == g.getGeometryType, s"$wkt: $name vs ${g.getGeometryType}")
+      val expectZ = !java.lang.Double.isNaN(g.getCoordinate.getZ)
+      assert(hasZ == expectZ, s"$wkt: hasZ=$hasZ")
+    }
+    // ISO-coded big-endian bytes (other tools' WKB): POINT Z = 1001, BE
+    val isoBe = Array[Byte](0, 0, 0, 3, -23) ++ Array.fill(24)(0: Byte) // 1001 = 0x3E9
+    assert(graft.sources.GeoParquetFileFormat.wkbTypeTag(isoBe).contains(("Point", true)))
+    // garbage stays None, never a wrong tag
+    assert(graft.sources.GeoParquetFileFormat.wkbTypeTag(Array[Byte](1, 99, 0, 0, 0)).isEmpty)
+    assert(graft.sources.GeoParquetFileFormat.wkbTypeTag(null).isEmpty)
+  }
+
   test("footer rewrite runs in executor tasks, not on the driver") {
     val taskDir = dir + "_taskrewrite"
     val df = spark.sql("""
