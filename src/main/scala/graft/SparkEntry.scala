@@ -1400,6 +1400,42 @@ object SparkEntry {
     CROSS JOIN (SELECT unnest(range(21, 28)) AS y) y
     ORDER BY fid"""
 
+  /** Multi-geometry-column GeoParquet under the hash gate: a table with a
+    * primary point column AND a secondary polygon column roundtrips through
+    * the single-pass writer; the reconciled footer metadata (column names +
+    * per-column observed geometry_types + primary flag) is pinned as a
+    * literal alongside both columns' coordinate data. Reference:
+    * multi-entry `columns` map, rust/geoparquet/src/metadata.rs:30. */
+  private def g49Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g49_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val df = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_Point(CAST(id AS DOUBLE), CAST(id % 3 AS DOUBLE)) AS geometry,
+             ST_MakeEnvelope(CAST(id AS DOUBLE), 0.0, CAST(id AS DOUBLE) + 2, 4.0) AS boundary
+      FROM range(40)""")
+    graft.sources.GeoParquet.write(df, out, secondaryGeometry = Seq("boundary"))
+    val m = graft.sources.GeoParquet.metadata(s, out).get
+    val metaStr = m.columns.sortBy(_.name).map { c =>
+      val primary = if (c.name == m.primaryColumn) "*" else ""
+      c.name + primary + ":" + c.geometryTypes.mkString("+")
+    }.mkString(",")
+    graft.sources.GeoParquet.read(s, out)
+      .selectExpr("fid",
+        "CAST(ST_X(geometry) AS BIGINT) AS px",
+        "CAST(ST_Y(geometry) AS BIGINT) AS py",
+        "CAST(ST_Area(boundary) AS BIGINT) AS barea")
+      .withColumn("geo_meta", org.apache.spark.sql.functions.lit(metaStr))
+      .orderBy("fid")
+  }
+
+  private val g49Duck = """
+    SELECT i::BIGINT AS fid, i::BIGINT AS px, (i % 3)::BIGINT AS py,
+           8::BIGINT AS barea,
+           'boundary:Polygon,geometry*:Point' AS geo_meta
+    FROM range(40) t(i) ORDER BY fid"""
+
   /** geometry_col discovery under the hash gate (spec-only before round 8):
     * a GeoParquet roundtrip whose read attaches `geoparquet.encoding` field
     * metadata, a renamed binary column that is ONLY discoverable through
@@ -2528,6 +2564,7 @@ object SparkEntry {
     ("g46_native_encoding_roundtrip", g46Fn _, g46Duck),
     ("g47_fgb_zm_write", g47Fn _, g47Duck),
     ("g48_geometry_col", g48Fn _, g48Duck),
+    ("g49_multi_geometry", g49Fn _, g49Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),

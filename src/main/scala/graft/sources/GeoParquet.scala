@@ -341,16 +341,25 @@ object GeoParquet {
   private def nativeExporter(encoding: String): Option[String] =
     nativeTranscoder(encoding).map("ga_to_" + _.stripPrefix("ga_"))
 
+  /** `secondaryGeometry`: additional WKB geometry columns recorded in the
+    * `geo` footer alongside the primary (GeoParquet 1.1 multi-column model,
+    * e.g. centroid + boundary; the reference's `columns` map,
+    * rust/geoparquet/src/metadata.rs:30). Each gets its own per-file
+    * observed geometry_types and a CRS from its `geoparquet.crs` field
+    * metadata (falling back to the primary's); the covering bbox and native
+    * encoding apply to the primary only. */
   def write(df: DataFrame, path: String, geometryColumn: String = "geometry",
             crs: Option[String] = None, covering: Boolean = true,
             mode: String = "overwrite", encoding: String = "WKB",
-            partitionBy: Seq[String] = Nil): Unit = {
+            partitionBy: Seq[String] = Nil,
+            secondaryGeometry: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     graft.functions.GeoFunctions.register(spark)
-    val effectiveCrs = crs.orElse(
-      df.schema.fields.find(_.name == geometryColumn)
+    def metaCrs(name: String): Option[String] =
+      df.schema.fields.find(_.name == name)
         .filter(_.metadata.contains("geoparquet.crs"))
-        .map(_.metadata.getString("geoparquet.crs")))
+        .map(_.metadata.getString("geoparquet.crs"))
+    val effectiveCrs = crs.orElse(metaCrs(geometryColumn))
     var out =
       if (covering && !df.columns.contains("bbox"))
         df.withColumn("bbox", call_function("st_bbox", col(geometryColumn)))
@@ -377,6 +386,16 @@ object GeoParquet {
       .option(GeoParquetFileFormat.CoveringKey, if (covering) "bbox" else "")
       .option(GeoParquetFileFormat.EncodingKey, if (isWkb) "WKB" else encoding.toLowerCase)
     effectiveCrs.foreach(c => w = w.option(GeoParquetFileFormat.CrsKey, c))
+    if (secondaryGeometry.nonEmpty) {
+      require(secondaryGeometry.forall(df.columns.contains),
+        s"GeoParquet.write: secondaryGeometry columns missing from schema: " +
+          secondaryGeometry.filterNot(df.columns.contains).mkString(", "))
+      w = w.option(GeoParquetFileFormat.SecondaryKey, secondaryGeometry.mkString("\t"))
+      secondaryGeometry.foreach { name =>
+        metaCrs(name).orElse(effectiveCrs).foreach(c =>
+          w = w.option(GeoParquetFileFormat.CrsKey + "." + name, c))
+      }
+    }
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     w.save(path)
   }
@@ -476,43 +495,57 @@ object GeoParquet {
         yield (x0, y0, x1, y1)
     }
 
+  /** One geometry column's slice of the `geo` footer blob. */
+  private[graft] case class GeoColJson(name: String, encoding: String,
+                                       crs: Option[String], covering: Option[String],
+                                       bounds: Option[(Double, Double, Double, Double)],
+                                       geometryTypes: Seq[String])
+
   private[sources] def geoJson(geometryColumn: String, crs: Option[String], covering: Option[String],
                                bounds: Option[(Double, Double, Double, Double)],
                                encoding: String = "WKB",
-                               geometryTypes: Seq[String] = Nil): String = {
+                               geometryTypes: Seq[String] = Nil): String =
+    geoJsonMulti(geometryColumn,
+      Seq(GeoColJson(geometryColumn, encoding, crs, covering, bounds, geometryTypes)))
+
+  /** The `geo` footer blob for one-or-many geometry columns (GeoParquet 1.1
+    * `columns` map; reference: rust/geoparquet/src/metadata.rs:30). */
+  private[graft] def geoJsonMulti(primary: String, colSpecs: Seq[GeoColJson]): String = {
     val root = mapper.createObjectNode()
     root.put("version", "1.1.0")
-    root.put("primary_column", geometryColumn)
+    root.put("primary_column", primary)
     val cols = root.putObject("columns")
-    val c: ObjectNode = cols.putObject(geometryColumn)
-    c.put("encoding", encoding)
-    // reference model: record the OBSERVED types, not an unconstrained []
-    // (rust/geoparquet/src/metadata.rs `geometry_types`) — readers prune by
-    // type with this. The single-pass writer passes each file's OWN
-    // observed set (GeoParquet 1.1 per-file fidelity); the addGeoMetadata
-    // retrofit path passes a caller-supplied (dataset-level) set — a
-    // superset per file, safe for type-pruning readers. Native encodings
-    // are single-type by construction.
-    val gts = c.putArray("geometry_types")
-    if (encoding != "WKB") // native encoding is single-type by construction
-      gts.add(encoding.toLowerCase match {
-        case "point" => "Point"
-        case "linestring" => "LineString"
-        case "polygon" => "Polygon"
-        case "multipoint" => "MultiPoint"
-        case "multilinestring" => "MultiLineString"
-        case "multipolygon" => "MultiPolygon"
-        case s => s
-      })
-    else geometryTypes.sorted.foreach(gts.add)
-    crs.foreach(j => c.set[com.fasterxml.jackson.databind.JsonNode]("crs", mapper.readTree(j)))
-    bounds.foreach { case (x0, y0, x1, y1) =>
-      val b = c.putArray("bbox"); b.add(x0); b.add(y0); b.add(x1); b.add(y1)
-    }
-    covering.foreach { cov =>
-      val bb = c.putObject("covering").putObject("bbox")
-      Seq("xmin", "ymin", "xmax", "ymax").foreach { leaf =>
-        val a = bb.putArray(leaf); a.add(cov); a.add(leaf)
+    colSpecs.foreach { spec =>
+      val c: ObjectNode = cols.putObject(spec.name)
+      c.put("encoding", spec.encoding)
+      // reference model: record the OBSERVED types, not an unconstrained []
+      // (rust/geoparquet/src/metadata.rs `geometry_types`) — readers prune
+      // by type with this. The single-pass writer passes each file's OWN
+      // observed set (GeoParquet 1.1 per-file fidelity); the addGeoMetadata
+      // retrofit path passes a caller-supplied (dataset-level) set — a
+      // superset per file, safe for type-pruning readers. Native encodings
+      // are single-type by construction.
+      val gts = c.putArray("geometry_types")
+      if (spec.encoding != "WKB") // native encoding is single-type by construction
+        gts.add(spec.encoding.toLowerCase match {
+          case "point" => "Point"
+          case "linestring" => "LineString"
+          case "polygon" => "Polygon"
+          case "multipoint" => "MultiPoint"
+          case "multilinestring" => "MultiLineString"
+          case "multipolygon" => "MultiPolygon"
+          case s => s
+        })
+      else spec.geometryTypes.sorted.foreach(gts.add)
+      spec.crs.foreach(j => c.set[com.fasterxml.jackson.databind.JsonNode]("crs", mapper.readTree(j)))
+      spec.bounds.foreach { case (x0, y0, x1, y1) =>
+        val b = c.putArray("bbox"); b.add(x0); b.add(y0); b.add(x1); b.add(y1)
+      }
+      spec.covering.foreach { cov =>
+        val bb = c.putObject("covering").putObject("bbox")
+        Seq("xmin", "ymin", "xmax", "ymax").foreach { leaf =>
+          val a = bb.putArray(leaf); a.add(cov); a.add(leaf)
+        }
       }
     }
     mapper.writeValueAsString(root)

@@ -51,6 +51,16 @@ class GeoParquetFileFormat extends ParquetFileFormat with DataSourceRegister {
     conf.set(GeoParquetFileFormat.EncodingKey,
       options.getOrElse(GeoParquetFileFormat.EncodingKey, "WKB"))
     options.get(GeoParquetFileFormat.CrsKey).foreach(conf.set(GeoParquetFileFormat.CrsKey, _))
+    // secondary geometry columns: names, ordinals, per-column CRS
+    options.get(GeoParquetFileFormat.SecondaryKey).filter(_.nonEmpty).foreach { joined =>
+      conf.set(GeoParquetFileFormat.SecondaryKey, joined)
+      conf.set(GeoParquetFileFormat.SecondaryIdxKey,
+        joined.split('\t').map(dataSchema.fieldNames.indexOf(_)).mkString(","))
+      joined.split('\t').foreach { name =>
+        options.get(GeoParquetFileFormat.CrsKey + "." + name)
+          .foreach(conf.set(GeoParquetFileFormat.CrsKey + "." + name, _))
+      }
+    }
     factory
   }
 }
@@ -62,6 +72,8 @@ object GeoParquetFileFormat {
   val CoveringKey = "graft.geo.covering"
   val EncodingKey = "graft.geo.encoding"
   val CrsKey = "graft.geo.crs"
+  val SecondaryKey = "graft.geo.secondary"
+  val SecondaryIdxKey = "graft.geo.secondaryidx"
 
   /** (GeoParquet type name, hasZ) from the first bytes of a WKB blob —
     * handles both EWKB flag bits (JTS `WKBWriter(_, includeSRID = true)`:
@@ -115,6 +127,10 @@ class GeoParquetWriteSupport extends WriteSupport[InternalRow] {
   private var maxX = Double.NegativeInfinity
   private var maxY = Double.NegativeInfinity
   private val types = scala.collection.mutable.SortedSet.empty[String]
+  // secondary geometry columns (multi-column footer model): name, ordinal,
+  // crs, observed types — always WKB, no covering
+  private var secondary: Array[(String, Int, Option[String],
+    scala.collection.mutable.SortedSet[String])] = Array.empty
 
   override def init(conf: Configuration): WriteSupport.WriteContext = {
     geomCol = conf.get(GeomColKey, "geometry")
@@ -123,6 +139,15 @@ class GeoParquetWriteSupport extends WriteSupport[InternalRow] {
     covering = Option(conf.get(CoveringKey)).filter(_.nonEmpty)
     crs = Option(conf.get(CrsKey))
     encoding = conf.get(EncodingKey, "WKB")
+    secondary = (Option(conf.get(SecondaryKey)).filter(_.nonEmpty),
+                 Option(conf.get(SecondaryIdxKey)).filter(_.nonEmpty)) match {
+      case (Some(names), Some(idxs)) =>
+        names.split('\t').zip(idxs.split(',').map(_.toInt)).map { case (n, i) =>
+          (n, i, Option(conf.get(CrsKey + "." + n)),
+            scala.collection.mutable.SortedSet.empty[String])
+        }
+      case _ => Array.empty
+    }
     delegate.init(conf)
   }
 
@@ -141,13 +166,26 @@ class GeoParquetWriteSupport extends WriteSupport[InternalRow] {
       wkbTypeTag(row.getBinary(geomIdx)).foreach { case (name, hasZ) =>
         types += (if (hasZ) name + " Z" else name)
       }
+    var i = 0
+    while (i < secondary.length) {
+      val (_, idx, _, ts) = secondary(i)
+      if (idx >= 0 && !row.isNullAt(idx))
+        wkbTypeTag(row.getBinary(idx)).foreach { case (name, hasZ) =>
+          ts += (if (hasZ) name + " Z" else name)
+        }
+      i += 1
+    }
     delegate.write(row)
   }
 
   override def finalizeWrite(): WriteSupport.FinalizedWriteContext = {
     val bounds =
       if (minX.isInfinity) None else Some((minX, minY, maxX, maxY))
-    val geo = GeoParquet.geoJson(geomCol, crs, covering, bounds, encoding, types.toSeq)
+    val cols = GeoParquet.GeoColJson(geomCol, encoding, crs, covering, bounds, types.toSeq) +:
+      secondary.toSeq.map { case (name, _, colCrs, ts) =>
+        GeoParquet.GeoColJson(name, "WKB", colCrs, None, None, ts.toSeq)
+      }
+    val geo = GeoParquet.geoJsonMulti(geomCol, cols)
     new WriteSupport.FinalizedWriteContext(Map("geo" -> geo).asJava)
   }
 }

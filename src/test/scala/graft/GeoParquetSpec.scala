@@ -364,6 +364,31 @@ class GeoParquetSpec extends SparkTestBase {
     assert(spark.read.parquet(manyDir).count() == 700)
   }
 
+  test("multi-geometry-column write: both columns in the footer, per-column CRS/types") {
+    val multiDir = dir + "_multi"
+    val df = spark.sql("""
+      SELECT /*+ REPARTITION(2) */ id,
+             ST_Point(CAST(id AS DOUBLE), 1.0) AS geometry,
+             ST_MakeEnvelope(CAST(id AS DOUBLE), 0.0, CAST(id AS DOUBLE) + 1, 2.0) AS boundary
+      FROM range(100)""")
+    GeoParquet.write(df, multiDir, secondaryGeometry = Seq("boundary"),
+      crs = Some("""{"id":{"authority":"EPSG","code":4326}}"""))
+    val m = GeoParquet.metadata(spark, multiDir).get
+    assert(m.primaryColumn == "geometry")
+    assert(m.columns.map(_.name).sorted == Seq("boundary", "geometry"))
+    val prim = m.columns.find(_.name == "geometry").get
+    val sec = m.columns.find(_.name == "boundary").get
+    assert(prim.geometryTypes == Seq("Point") && prim.covering.contains("bbox"))
+    assert(sec.geometryTypes == Seq("Polygon") && sec.covering.isEmpty)
+    assert(prim.crs.exists(_.contains("4326")) && sec.crs.exists(_.contains("4326")))
+    // read attaches metadata to BOTH columns; discovery reports both
+    val back = GeoParquet.read(spark, multiDir)
+    assert(back.schema("boundary").metadata.getString("geoparquet.encoding") == "WKB")
+    assert(graft.functions.GeoFunctions.geometryColumns(back.schema).toSet ==
+      Set("geometry", "boundary"))
+    assert(back.count() == 100)
+  }
+
   test("partitioned dataset (partitionBy): metadata recursion + pruning") {
     val partDir = dir + "_partby"
     val df = spark.sql("""
