@@ -364,6 +364,32 @@ class GeoParquetSpec extends SparkTestBase {
     assert(spark.read.parquet(manyDir).count() == 700)
   }
 
+  test("empty and null-geometry writes still produce valid geo footers") {
+    // zero rows: footer carries encoding + unconstrained types, no bbox
+    val emptyDir = dir + "_empty"
+    val empty = spark.sql(
+      "SELECT id, ST_Point(CAST(id AS DOUBLE), 0.0) AS geometry FROM range(0)")
+    GeoParquet.write(empty, emptyDir)
+    val me = GeoParquet.metadata(spark, emptyDir).get
+    assert(me.columns.head.encoding == "WKB")
+    assert(me.columns.head.geometryTypes.isEmpty && me.columns.head.bbox.isEmpty)
+    assert(GeoParquet.read(spark, emptyDir).count() == 0)
+
+    // null geometries among real rows: bbox/types track the non-null subset
+    val nullDir = dir + "_nulls"
+    val withNulls = spark.sql("""
+      SELECT id, CASE WHEN id % 3 = 0 THEN NULL
+                      ELSE ST_Point(CAST(id AS DOUBLE), 1.0) END AS geometry
+      FROM range(30)""")
+    GeoParquet.write(withNulls, nullDir)
+    val mn = GeoParquet.metadata(spark, nullDir).get
+    assert(mn.columns.head.geometryTypes == Seq("Point"))
+    // bbox spans only ids with a geometry (1..29 minus multiples of 3)
+    assert(mn.columns.head.bbox.contains((1.0, 1.0, 29.0, 1.0)), mn.columns.head.bbox)
+    val back = GeoParquet.read(spark, nullDir)
+    assert(back.count() == 30 && back.where("geometry IS NULL").count() == 10)
+  }
+
   test("multi-geometry-column write: both columns in the footer, per-column CRS/types") {
     val multiDir = dir + "_multi"
     val df = spark.sql("""
