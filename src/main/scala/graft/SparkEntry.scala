@@ -2177,70 +2177,80 @@ object SparkEntry {
     FROM documents CROSS JOIN (SELECT unnest(range(5)) AS i) t
     GROUP BY 1 ORDER BY 1"""
 
+  /** REAL-header media metadata over a REAL PNG corpus: one PNG per
+    * document (graft_media_png(doc_id) — JDK encoder, closed-form raster,
+    * operators/Multimodal.encodePngGray), probed by graft_media_meta
+    * (ImageIO header read, NO pixel decode — the O(header) metadata op a
+    * 100 TB corpus scan wants). The oracle derives width/height from the
+    * same closed form and pins format = 'png', so a header-parse regression
+    * hash-mismatches. */
   private val m01Spark = """
-    SELECT CAST(MM_Width(payload) AS BIGINT) AS w,
-           CAST(MM_Height(payload) AS BIGINT) AS h,
+    SELECT CAST(m.width AS BIGINT) AS w,
+           CAST(m.height AS BIGINT) AS h,
+           m.format AS fmt,
            COUNT(*) AS n,
-           SUM(MM_PixelSum(payload)) AS psum,
-           SUM(CAST(MM_FrameLen(payload, 4, 0) AS BIGINT)) AS f0len
-    FROM (SELECT /*+ REPARTITION({{P}}) */ unhex(md5(text)) AS payload FROM documents) t
-    GROUP BY 1, 2 ORDER BY 1, 2"""
+           SUM(CAST(m.width AS BIGINT) * CAST(m.height AS BIGINT)) AS npixels
+    FROM (SELECT /*+ REPARTITION({{P}}) */ graft_media_meta(graft_media_png(doc_id)) AS m
+          FROM documents) t
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 
   private val m01Duck = """
     WITH m AS (
-      SELECT md5(text) AS hx,
-             1 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 16 AS w,
-             1 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 16 AS h,
-             list_sum(list_transform(range(16),
-               i -> ('0x' || substr(md5(text), 2*i + 1, 2))::BIGINT)) AS sumall
-      FROM documents)
-    SELECT w, h, COUNT(*)::BIGINT AS n,
-           SUM((w * h // 16) * sumall
-               + COALESCE(list_sum(list_transform(range(CAST(w * h % 16 AS INTEGER)),
-                   i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT)), 0))::BIGINT AS psum,
-           SUM(4)::BIGINT AS f0len
-    FROM m GROUP BY 1, 2 ORDER BY 1, 2"""
+      SELECT 1 + doc_id % 16 AS w, 1 + (doc_id // 16) % 16 AS h FROM documents)
+    SELECT w::BIGINT AS w, h::BIGINT AS h, 'png' AS fmt, COUNT(*)::BIGINT AS n,
+           SUM(w * h)::BIGINT AS npixels
+    FROM m GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 
   /** Full decode→resize→histogram pipeline through the mapPartitions
-    * operator (the batch shape a real codec UDF would use). The stub decode
-    * is deterministic byte arithmetic over the 16-byte md5 payload, so the
-    * whole pipeline is hash-checked against a DuckDB hex-arithmetic mirror
-    * (same pattern as m01): resizeNN(4×4) reads cycled-payload index
-    * ((y*h/4)*w + (x*w/4)) % 16 per output pixel; histogram total = w*h. */
+    * operator on the REAL codec: one real PNG per document
+    * (graft_media_png(doc_id), JDK encoder) decoded by
+    * Multimodal.decodeImage (javax.imageio — the m03 codec), then
+    * resizeNN(4×4) and an 8-bin histogram. Because the encoded raster is
+    * the closed form pixel(i) = (doc_id*31 + i*7) % 256 with
+    * w = 1 + doc_id % 16, h = 1 + (doc_id/16) % 16, the DuckDB oracle pins
+    * pixel_sum, the resized sample sum, and the bin-weighted histogram mass
+    * by plain arithmetic — any pixel-level codec regression (e.g. the
+    * round-5 gray→sRGB gamma bug) hash-mismatches. */
   private def m02Fn(s: SparkSession, dir: String): DataFrame = {
     views(s, dir)
     val media = s.sql(s"""
       SELECT /*+ REPARTITION(${s.sparkContext.defaultParallelism}) */
-             doc_id, unhex(md5(text)) AS payload FROM documents""")
-    val feats = graft.operators.Multimodal.imageFeatures(media, "payload", targetW = 4, targetH = 4, bins = 8)
-    feats.selectExpr("CAST(features.width AS BIGINT) AS w", "features.resized_sum AS rs", "features.hist AS hist")
+             doc_id, graft_media_png(doc_id) AS payload FROM documents""")
+    val feats = graft.operators.Multimodal.imageFeatures(
+      media, "payload", targetW = 4, targetH = 4, bins = 8,
+      decoder = graft.operators.Multimodal.decodeImage)
+    feats.selectExpr("CAST(features.width AS BIGINT) AS w",
+        "features.pixel_sum AS ps", "features.resized_sum AS rs", "features.hist AS hist")
       .groupBy("w")
-      .agg(org.apache.spark.sql.functions.expr("SUM(rs)").as("sum_resized"),
-           org.apache.spark.sql.functions.expr("SUM(aggregate(hist, 0L, (a, b) -> a + b))").as("hist_total"),
+      .agg(org.apache.spark.sql.functions.expr("SUM(ps)").as("sum_pixels"),
+           org.apache.spark.sql.functions.expr("SUM(rs)").as("sum_resized"),
+           org.apache.spark.sql.functions.expr(
+             "SUM(aggregate(zip_with(hist, sequence(0L, 7L), (c, i) -> c * i), 0L, (a, x) -> a + x))")
+             .as("hist_weighted"),
            org.apache.spark.sql.functions.expr("COUNT(*)").as("n"))
       .orderBy("w")
   }
 
-  /** DuckDB mirror of m02Fn: pure hex arithmetic over md5(text). Byte i of
-    * the payload is ('0x' || substr(hx, 2i+1, 2)). Stub decode: w = 1+b0%16,
-    * h = 1+b1%16, pixels = payload cycled to w*h. resizeNN(4×4) output pixel
-    * (x = i%4, y = i//4) samples source index (((y*h)//4)*w + ((x*w)//4)) % 16.
-    * Histogram over all w*h pixels sums to w*h. */
+  /** DuckDB mirror of m02Fn: the closed-form raster, no codec. pixel(i) =
+    * (doc_id*31 + i*7) % 256 over w*h pixels; resizeNN(4×4) output pixel
+    * (x = i%4, y = i//4) samples source index ((y*h)//4)*w + ((x*w)//4);
+    * the 8-bin histogram weighted by bin index is Σ pixel // 32. */
   private val m02Duck = """
     WITH m AS (
-      SELECT md5(text) AS hx,
-             1 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 16 AS w,
-             1 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 16 AS h
+      SELECT doc_id, 1 + doc_id % 16 AS w, 1 + (doc_id // 16) % 16 AS h
       FROM documents),
     r AS (
       SELECT w, h,
+             list_sum(list_transform(range(w * h),
+               i -> (doc_id * 31 + i * 7) % 256)) AS ps,
              list_sum(list_transform(range(16),
-               i -> ('0x' || substr(hx,
-                 2 * CAST((((((i // 4) * h) // 4) * w + ((i % 4) * w) // 4) % 16) AS INTEGER) + 1,
-                 2))::BIGINT)) AS rs
+               i -> (doc_id * 31 + ((((i // 4) * h) // 4) * w + ((i % 4) * w) // 4) * 7) % 256)) AS rs,
+             list_sum(list_transform(range(w * h),
+               i -> ((doc_id * 31 + i * 7) % 256) // 32)) AS hw
       FROM m)
-    SELECT w::BIGINT AS w, SUM(rs)::BIGINT AS sum_resized,
-           SUM(w * h)::BIGINT AS hist_total, COUNT(*)::BIGINT AS n
+    SELECT w::BIGINT AS w, SUM(ps)::BIGINT AS sum_pixels,
+           SUM(rs)::BIGINT AS sum_resized, SUM(hw)::BIGINT AS hist_weighted,
+           COUNT(*)::BIGINT AS n
     FROM r GROUP BY 1 ORDER BY 1"""
 
   /** REAL-codec decode under the hash gate (the g34 literal-anchor pattern).

@@ -3,14 +3,10 @@ package graft.core
 import graft.operators.Multimodal
 
 /** Static-forwarder targets for the media SQL functions (StaticInvoke,
-  * same pattern as [[GeomOps]]). The `mm_width`/`mm_height`/`mm_pixelsum`
-  * accessors use the documented stub in [[graft.operators.Multimodal]]
-  * (closed form, mirrorable by the DuckDB oracle); [[mediaDecode]] is the
-  * REAL `javax.imageio` decoder exposed to SQL. */
+  * same pattern as [[GeomOps]]). All decode paths are the REAL
+  * `javax.imageio` codec in [[graft.operators.Multimodal]]; nothing here
+  * is stubbed. */
 object MediaOps {
-
-  def mediaWidth(b: Array[Byte]): Int = Multimodal.decodeImageStub(b).width
-  def mediaHeight(b: Array[Byte]): Int = Multimodal.decodeImageStub(b).height
 
   /** Real decode (javax.imageio) → struct(width, height, channels, pixels).
     * SQL: `graft_media_decode(payload)` / `mm_decode(payload)`. */
@@ -20,14 +16,17 @@ object MediaOps {
       Array[Any](img.width, img.height, img.channels, img.pixels))
   }
 
-  /** Sum of decoded pixel bytes (payload cycled to width*height — see stub). */
-  def mediaPixelSum(b: Array[Byte]): Long = {
-    val img = Multimodal.decodeImageStub(b)
-    var s = 0L
-    var i = 0
-    while (i < img.pixels.length) { s += img.pixels(i) & 0xFF; i += 1 }
-    s
+  /** Header-only metadata (no pixel decode) → struct(width, height, format).
+    * SQL: `graft_media_meta(payload)`. */
+  def mediaMeta(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val (w, h, f) = Multimodal.imageMeta(b)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](w, h, org.apache.spark.unsafe.types.UTF8String.fromString(f)))
   }
+
+  /** Deterministic synthetic-corpus PNG (real JDK encoder, closed-form
+    * raster — see [[Multimodal.encodePngGray]]). SQL: `graft_media_png(seed)`. */
+  def mediaPngGray(seed: Long): Array[Byte] = Multimodal.encodePngGray(seed)
 
   /** Byte length of frame `i` of an `n`-frame sample. */
   def mediaFrameLen(b: Array[Byte], n: Int, i: Int): Int =

@@ -5,10 +5,9 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.types._
 
-/** `MM_*` media functions over binary payload columns — StaticInvoke
-  * expressions on [[graft.core.MediaOps]], codegen-inlined like the ST_*
-  * surface. Decode semantics are the documented stub in
-  * [[graft.operators.Multimodal]]. */
+/** `MM_*` / `graft_media_*` media functions over binary payload columns —
+  * StaticInvoke expressions on [[graft.core.MediaOps]], codegen-inlined like
+  * the ST_* surface. All decode paths are the real `javax.imageio` codec. */
 object MediaFunctions {
 
   private val mediaOps = Class.forName("graft.core.MediaOps")
@@ -22,14 +21,19 @@ object MediaFunctions {
     StructField("channels", IntegerType, nullable = false),
     StructField("pixels", BinaryType, nullable = false)))
 
+  /** struct from the header-only metadata probe (no pixel decode). */
+  private val metaStruct = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
   private val sigs: Map[String, Sig] = Map(
-    "mm_width" -> Sig("mediaWidth", IntegerType, Seq(BinaryType)),
-    "mm_height" -> Sig("mediaHeight", IntegerType, Seq(BinaryType)),
-    "mm_pixelsum" -> Sig("mediaPixelSum", LongType, Seq(BinaryType)),
     "mm_framelen" -> Sig("mediaFrameLen", IntegerType, Seq(BinaryType, IntegerType, IntegerType)),
     "mm_frame" -> Sig("mediaFrame", BinaryType, Seq(BinaryType, IntegerType, IntegerType)),
     "mm_decode" -> Sig("mediaDecode", decodedStruct, Seq(BinaryType)),
-    "graft_media_decode" -> Sig("mediaDecode", decodedStruct, Seq(BinaryType)))
+    "graft_media_decode" -> Sig("mediaDecode", decodedStruct, Seq(BinaryType)),
+    "graft_media_meta" -> Sig("mediaMeta", metaStruct, Seq(BinaryType)),
+    "graft_media_png" -> Sig("mediaPngGray", BinaryType, Seq(LongType)))
 
   private def build(name: String, sig: Sig)(args: Seq[Expression]): Expression = {
     require(args.length == sig.params.length, s"$name expects ${sig.params.length} args")

@@ -8,16 +8,17 @@ import org.apache.spark.sql.types._
   * pipelines at 100 TB scale.
   *
   * Media travels as an opaque `binary` payload column plus a typed metadata
-  * struct; decode / resize / feature-extract run per-partition so a real
-  * codec would amortize its init across a batch (the same batch shape a
-  * vectorized arrow-batch UDF would see).
+  * struct; decode / resize / feature-extract run per-partition so the codec
+  * init amortizes across a batch (the same batch shape a vectorized
+  * arrow-batch UDF would see).
   *
-  * DECODE IS A STUB: no image/audio codecs exist in this environment, so
-  * [[decodeImageStub]] fabricates a deterministic image from the payload
-  * bytes (documented below, mirrorable in SQL for the correctness oracle).
-  * Everything downstream of decode — resize kernel, histogram features,
-  * frame sampling, partitioning, schemas — is real and tested, and swapping
-  * the stub for a codec changes no plumbing.
+  * Decode is REAL: [[decodeImage]] runs `javax.imageio` (PNG/JPEG/BMP/GIF
+  * ship in the JDK), and [[imageMeta]] reads width/height/format from the
+  * container header without touching pixel data. [[encodePngGray]] generates
+  * the deterministic synthetic PNG corpus the correctness oracles pin by
+  * closed-form raster arithmetic. Video frame-sampling ([[frameSample]])
+  * keeps a documented byte-chunk stub for framing (no video codec in the
+  * JDK); its plumbing and oracle are real.
   */
 object Multimodal {
 
@@ -113,21 +114,46 @@ object Multimodal {
     DecodedImage(w, h, channels, out)
   }
 
-  // ── decode (STUB) ─────────────────────────────────────────────────────
+  /** Header-only metadata probe: width/height/format from the container
+    * header via ImageIO's reader WITHOUT decoding pixel data — the scalable
+    * metadata op for a 100 TB corpus (reads O(header) bytes per row, not
+    * O(pixels); the PNG reader answers from the 13-byte IHDR). */
+  def imageMeta(payload: Array[Byte]): (Int, Int, String) = {
+    require(payload != null && payload.nonEmpty, "empty media payload")
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "undecodable media payload: no registered image codec matched " +
+        s"(${payload.length} bytes, header ${payload.take(4).map(b => f"${b & 0xFF}%02x").mkString})")
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        (r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase(java.util.Locale.ROOT))
+      } finally r.dispose()
+    } finally iis.close()
+  }
 
-  /** STUB decoder. Deterministic fake: width = 1 + payload[0] % 16,
-    * height = 1 + payload[1] % 16 (byte 0 again for 1-byte payloads),
-    * 1 channel, pixels = payload bytes cycled
-    * to width*height. A real implementation would hand `payload` to an image
-    * codec and return its raster — same signature, same plumbing. */
-  def decodeImageStub(payload: Array[Byte]): DecodedImage = {
-    require(payload.nonEmpty, "empty media payload")
-    val w = 1 + (payload(0) & 0xFF) % 16
-    val h = 1 + (payload(math.min(1, payload.length - 1)) & 0xFF) % 16
+  // ── deterministic synthetic corpus (REAL PNGs, closed-form rasters) ───
+
+  /** A real 8-bit grayscale PNG (JDK ImageIO encoder) whose raster is the
+    * closed form `w = 1 + seed % 16`, `h = 1 + (seed / 16) % 16`,
+    * `pixel(i) = (seed * 31 + i * 7) % 256` — so a SQL oracle can pin the
+    * decoded features by plain arithmetic while the payload itself round-
+    * trips the full real codec (encode → PNG chunks → inflate → decode).
+    * Encoding is per-row and executor-side (a StaticInvoke kernel), so the
+    * corpus generation itself scales out. */
+  def encodePngGray(seed: Long): Array[Byte] = {
+    require(seed >= 0, "need a non-negative corpus seed")
+    val w = 1 + (seed % 16).toInt
+    val h = 1 + ((seed / 16) % 16).toInt
     val px = new Array[Byte](w * h)
     var i = 0
-    while (i < px.length) { px(i) = payload(i % payload.length); i += 1 }
-    DecodedImage(w, h, 1, px)
+    while (i < px.length) { px(i) = ((seed * 31 + i * 7) % 256).toByte; i += 1 }
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, px)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   // ── real kernels over decoded buffers ─────────────────────────────────
@@ -188,13 +214,11 @@ object Multimodal {
   /** decode → resize(targetW×targetH) → histogram, appended as a `features`
     * struct column. Runs per-partition: codec init amortizes across the
     * partition exactly like an arrow-batch UDF; rows stream through without
-    * materializing the partition. `decoder` selects the codec —
-    * [[decodeImage]] (real, javax.imageio) or [[decodeImageStub]] (the
-    * closed-form fake the DuckDB oracle can mirror); both run the identical
-    * plumbing downstream. */
+    * materializing the partition. `decoder` defaults to the real
+    * javax.imageio codec ([[decodeImage]]). */
   def imageFeatures(df: DataFrame, payloadCol: String,
                     targetW: Int = 4, targetH: Int = 4, bins: Int = 8,
-                    decoder: Array[Byte] => DecodedImage = decodeImageStub): DataFrame = {
+                    decoder: Array[Byte] => DecodedImage = decodeImage): DataFrame = {
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val outSchema = StructType(df.schema.fields :+ StructField("features", featureSchema))
     df.mapPartitions { it =>

@@ -5,14 +5,31 @@ import graft.operators.Multimodal.DecodedImage
 
 class MultimodalSpec extends SparkTestBase {
 
-  test("decode stub is deterministic and payload-derived") {
-    val p = Array.tabulate[Byte](16)(i => (i * 17).toByte)
-    val img = Multimodal.decodeImageStub(p)
-    assert(img.width == 1 + (p(0) & 0xFF) % 16)
-    assert(img.height == 1 + (p(1) & 0xFF) % 16)
-    assert(img.pixels.length == img.width * img.height)
-    assert(img.pixels(0) == p(0) && img.pixels(img.pixels.length - 1) ==
-      p((img.pixels.length - 1) % 16))
+  test("synthetic-corpus PNG: closed-form raster roundtrips the real codec") {
+    for (seed <- Seq(0L, 1L, 15L, 16L, 255L, 4999L)) {
+      val png = Multimodal.encodePngGray(seed)
+      // a real PNG stream: magic + IHDR
+      assert(png.take(4).map(_ & 0xFF).toSeq == Seq(0x89, 0x50, 0x4E, 0x47))
+      val img = Multimodal.decodeImage(png)
+      val w = 1 + (seed % 16).toInt
+      val h = 1 + ((seed / 16) % 16).toInt
+      assert(img.width == w && img.height == h && img.channels == 1)
+      assert(img.pixels.zipWithIndex.forall { case (p, i) =>
+        (p & 0xFF) == ((seed * 31 + i * 7) % 256).toInt
+      })
+    }
+  }
+
+  test("imageMeta reads width/height/format from the header without decoding") {
+    val (w, h, fmt) = Multimodal.imageMeta(Multimodal.encodePngGray(37L))
+    assert(w == 1 + 37 % 16 && h == 1 + (37 / 16) % 16 && fmt == "png")
+    // truncating the stream after the IHDR chunk still yields metadata:
+    // proof the probe reads O(header), not the pixel data
+    val full = Multimodal.encodePngGray(37L)
+    val headerOnly = full.take(33) // magic(8) + IHDR len/type/body/crc(25)
+    val (w2, h2, fmt2) = Multimodal.imageMeta(headerOnly)
+    assert(w2 == w && h2 == h && fmt2 == "png")
+    intercept[IllegalArgumentException](Multimodal.imageMeta(Array[Byte](1, 2, 3)))
   }
 
   test("nearest-neighbor resize: identity, downscale, upscale") {
@@ -172,8 +189,9 @@ class MultimodalSpec extends SparkTestBase {
   }
 
   test("imageFeatures pipeline: schema, null payload, value spot-check") {
+    graft.functions.MediaFunctions.register(spark)
     val df = spark.sql(
-      "SELECT id, CASE WHEN id = 3 THEN CAST(NULL AS BINARY) ELSE unhex(md5(CAST(id AS STRING))) END AS payload FROM range(5)")
+      "SELECT id, CASE WHEN id = 3 THEN CAST(NULL AS BINARY) ELSE graft_media_png(id) END AS payload FROM range(5)")
     val out = Multimodal.imageFeatures(df, "payload", targetW = 2, targetH = 2, bins = 4)
     assert(out.schema.fieldNames.toSeq == Seq("id", "payload", "features"))
     val rows = out.collect()
@@ -181,7 +199,7 @@ class MultimodalSpec extends SparkTestBase {
     val nullRow = rows.find(_.getLong(0) == 3L).get
     assert(nullRow.isNullAt(2))
     val r0 = rows.find(_.getLong(0) == 0L).get.getStruct(2)
-    val img = Multimodal.decodeImageStub(rows.find(_.getLong(0) == 0L).get.getAs[Array[Byte]](1))
+    val img = Multimodal.decodeImage(rows.find(_.getLong(0) == 0L).get.getAs[Array[Byte]](1))
     assert(r0.getInt(0) == img.width && r0.getInt(1) == img.height)
     assert(r0.getLong(2) == img.pixels.foldLeft(0L)((a, b) => a + (b & 0xFF)))
     assert(r0.getSeq[Long](4).sum == img.pixels.length) // histogram mass = npixels
