@@ -22,6 +22,12 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode of
+  // an in-memory payload would write a temp file. Memory-backed streams are
+  // strictly better for byte-array payloads (and the only scalable choice
+  // on executors hammering the codec per row).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Decoded raster: interleaved byte pixels, `channels` per sample. */
   case class DecodedImage(width: Int, height: Int, channels: Int, pixels: Array[Byte])
 
