@@ -1436,6 +1436,40 @@ object SparkEntry {
            'boundary:Polygon,geometry*:Point' AS geo_meta
     FROM range(40) t(i) ORDER BY fid"""
 
+  /** Single-document GeoJSON FeatureCollection WRITE under the hash gate
+    * (reference: rust/geoarrow-geojson/src/writer/mod.rs:51 — the
+    * collection writer; writeLines/g43 covers the `:141` lines writer):
+    * writeFeatureCollection → readFeatureCollection roundtrip with a string
+    * property, pinned closed-form. Uniform geometry type per file — the
+    * same header-driven schema-inference constraint as the reference's
+    * readers (see GeoIOSpec's mixed-type boundary test). The write path is
+    * distributed feature serialization + single-stream document assembly;
+    * the read path is Spark's multiLine JSON + features explode. */
+  private def g50Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g50_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val df = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             concat('tag_', CAST(id % 4 AS STRING)) AS tag,
+             ST_GeomFromText(concat('LINESTRING(0 0, ', CAST(id AS STRING),
+                                    ' 2, ', CAST(id AS STRING), ' 5)')) AS geometry
+      FROM range(45)""")
+    graft.sources.GeoJsonSource.writeFeatureCollection(df, out)
+    graft.sources.GeoJsonSource.readFeatureCollection(s, out)
+      .selectExpr("fid", "tag",
+        "ST_GeometryType(geometry) AS gtype",
+        "CAST(FLOOR(ST_Length(geometry)) AS BIGINT) AS measure")
+      .orderBy("fid")
+  }
+
+  // measure: floor(|(0,0)→(i,2)| + |(i,2)→(i,5)|) = floor(sqrt(i²+4) + 3)
+  private val g50Duck = """
+    SELECT i::BIGINT AS fid, 'tag_' || (i % 4)::VARCHAR AS tag,
+           'ST_LineString' AS gtype,
+           CAST(floor(sqrt(i*i + 4) + 3) AS BIGINT) AS measure
+    FROM range(45) t(i) ORDER BY fid"""
+
   /** geometry_col discovery under the hash gate (spec-only before round 8):
     * a GeoParquet roundtrip whose read attaches `geoparquet.encoding` field
     * metadata, a renamed binary column that is ONLY discoverable through
@@ -2575,6 +2609,7 @@ object SparkEntry {
     ("g47_fgb_zm_write", g47Fn _, g47Duck),
     ("g48_geometry_col", g48Fn _, g48Duck),
     ("g49_multi_geometry", g49Fn _, g49Duck),
+    ("g50_geojson_fc_write", g50Fn _, g50Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),

@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * file for schema inference (common.rs geometry-type from header).
   *
   * Write: one Feature per line (RFC 7946 newline-delimited), geometry
-  * encoded by ST_AsGeoJSON, all non-geometry columns as properties.
+  * encoded by ST_AsGeoJSON, all non-geometry columns as properties; or a
+  * single FeatureCollection document ([[writeFeatureCollection]], the
+  * reference's streaming collection writer).
   */
 object GeoJsonSource {
 
@@ -38,6 +40,53 @@ object GeoJsonSource {
     val props = if (raw.columns.contains("properties")) Seq(col("properties.*")) else Nil
     raw.select(props :+
       call_function("st_geomfromgeojson", to_json(col("geometry"))).as("geometry"): _*)
+  }
+
+  /** Write ONE FeatureCollection document (the reference's collection
+    * writer, rust/geoarrow-geojson/src/writer/mod.rs:51 — it too streams
+    * features into a single output). Feature serialization is distributed
+    * (each task JSON-encodes its partition into staged parts); the final
+    * assembly streams the staged bytes through a single Hadoop FS output —
+    * a single JSON document is single-stream by definition. Prefer
+    * [[writeLines]] for corpus-scale exports; this is the web-map /
+    * interchange shape. */
+  def writeFeatureCollection(df: DataFrame, path: String,
+                             geometryColumn: String = "geometry"): Unit = {
+    val staging = path + "_fc_staging_" + java.util.UUID.randomUUID().toString.take(8)
+    writeLines(df, staging, geometryColumn)
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(conf)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    try {
+      // task order is part-file order; listStatus (not listFiles) so any
+      // Hadoop scheme serves it (see MockFsSpec)
+      val parts = fs.listStatus(stagingPath)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
+      val out = fs.create(target, true)
+      try {
+        out.write("""{"type":"FeatureCollection","features":[""".getBytes(utf8))
+        var first = true
+        parts.foreach { p =>
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(fs.open(p.getPath), utf8))
+          try {
+            var line = in.readLine()
+            while (line != null) {
+              if (line.nonEmpty) {
+                if (!first) out.write(','.toInt)
+                out.write(line.getBytes(utf8))
+                first = false
+              }
+              line = in.readLine()
+            }
+          } finally in.close()
+        }
+        out.write("]}".getBytes(utf8))
+      } finally out.close()
+    } finally fs.delete(stagingPath, true)
   }
 
   /** Write as newline-delimited GeoJSON features. */

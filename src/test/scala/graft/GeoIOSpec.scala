@@ -58,6 +58,35 @@ class GeoIOSpec extends SparkTestBase {
     assert(lens("a") == 2.0 && lens("b") == 5.0)
   }
 
+  test("GeoJSON FeatureCollection write: one valid document, roundtrips") {
+    val dir = Files.createTempDirectory("geoio").toString
+    val df = spark.sql("""
+      SELECT id AS fid, concat('n', CAST(id AS STRING)) AS name,
+             ST_Point(CAST(id AS DOUBLE), 1.0) AS geometry
+      FROM range(20)""").repartition(4) // multiple staged parts → comma joins
+    GeoJsonSource.writeFeatureCollection(df, dir + "/out.geojson")
+    // exactly one file, a single well-formed FeatureCollection document
+    val doc = new String(Files.readAllBytes(java.nio.file.Paths.get(dir, "out.geojson")), "UTF-8")
+    assert(doc.startsWith("""{"type":"FeatureCollection","features":[{"""))
+    assert(doc.endsWith("]}"))
+    assert(doc.count(_ == '\n') == 0)
+    assert("\"type\":\"Feature\"".r.findAllIn(doc).length == 20)
+    val back = GeoJsonSource.readFeatureCollection(spark, dir + "/out.geojson")
+    assert(back.count() == 20)
+    val r = back.where("fid = 7")
+      .select(col("name"), call_function("st_x", col("geometry"))).head()
+    assert(r.getString(0) == "n7" && r.getDouble(1) == 7.0)
+  }
+
+  test("GeoJSON FeatureCollection write: zero rows → empty features array") {
+    val dir = Files.createTempDirectory("geoio").toString
+    val df = spark.sql(
+      "SELECT id AS fid, ST_Point(1.0, 1.0) AS geometry FROM range(1)").where("fid < 0")
+    GeoJsonSource.writeFeatureCollection(df, dir + "/empty.geojson")
+    val doc = new String(Files.readAllBytes(java.nio.file.Paths.get(dir, "empty.geojson")), "UTF-8")
+    assert(doc == """{"type":"FeatureCollection","features":[]}""")
+  }
+
   // mixed geometry types in one file: spark.read.json can't infer a single
   // coordinates schema (the reference has the same single-type constraint,
   // driven by the FGB/GeoJSON header type) — documents the boundary
