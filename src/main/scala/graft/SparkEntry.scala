@@ -807,13 +807,19 @@ object SparkEntry {
 
   /** Vertex-resampling kernels: Densify (L+1 points at maxDist=1), Chaikin
     * corner-cutting (3→6 points, first cut at 0.25·a), Visvalingam–Whyatt
-    * (keeps/drops the apex by effective area), RemoveRepeatedPoints. */
+    * (keeps/drops the apex by effective area), topology-preserving VW (even
+    * keys get a simple line whose only sub-threshold vertex is guarded —
+    * its shortcut (0,0)→(10,0) would cross the (5,-5)→(5,1) tail that ends
+    * inside the shortcut triangle — so all 6 points survive; odd keys get
+    * the variant whose tail stays below the baseline, which simplifies to
+    * 5), RemoveRepeatedPoints. */
   private val g26Spark = """
     SELECT p_brand,
            SUM(CAST(ST_NPoints(ST_Densify(seg, 1.0)) AS BIGINT)) AS densify_pts,
            SUM(CAST(ST_NPoints(ST_ChaikinSmoothing(tri, 1)) AS BIGINT)) AS chaikin_pts,
            SUM(CAST(ST_X(ST_PointN(ST_ChaikinSmoothing(tri, 1), 1)) AS BIGINT)) AS chaikin_x1,
            SUM(CAST(ST_NPoints(ST_SimplifyVW(vwl, 1.0)) AS BIGINT)) AS vw_pts,
+           SUM(CAST(ST_NPoints(ST_SimplifyVWPreserve(vwp, 11.0)) AS BIGINT)) AS vwp_pts,
            SUM(CAST(ST_NPoints(ST_RemoveRepeatedPoints(rep, 0.0)) AS BIGINT)) AS rrp_pts,
            COUNT(*) AS n
     FROM (SELECT p_brand,
@@ -823,6 +829,9 @@ object SparkEntry {
                  ST_GeomFromText(CASE WHEN p_partkey % 2 = 0
                     THEN 'LINESTRING (0 0, 1 100, 2 0)'
                     ELSE 'LINESTRING (0 0, 1 0.0001, 2 0)' END) AS vwl,
+                 ST_GeomFromText(CASE WHEN p_partkey % 2 = 0
+                    THEN 'LINESTRING (0 0, 5 2, 10 0, 11 -5, 5 -5, 5 1)'
+                    ELSE 'LINESTRING (0 0, 5 2, 10 0, 11 -5, 5 -5, 5 -1)' END) AS vwp,
                  ST_GeomFromText('LINESTRING (0 0, 0 0, 3 3, 3 3, 6 6)') AS rep
           FROM part) t
     GROUP BY p_brand ORDER BY p_brand"""
@@ -833,6 +842,7 @@ object SparkEntry {
            (6 * COUNT(*))::BIGINT AS chaikin_pts,
            SUM(1 + p_partkey % 5)::BIGINT AS chaikin_x1,
            SUM(CASE WHEN p_partkey % 2 = 0 THEN 3 ELSE 2 END)::BIGINT AS vw_pts,
+           SUM(CASE WHEN p_partkey % 2 = 0 THEN 6 ELSE 5 END)::BIGINT AS vwp_pts,
            (3 * COUNT(*))::BIGINT AS rrp_pts,
            COUNT(*)::BIGINT AS n
     FROM part

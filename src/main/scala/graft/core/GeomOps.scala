@@ -285,6 +285,10 @@ object GeomOps {
   /** Visvalingam–Whyatt — ref: rust/geoarrow-old/src/algorithm/geo/simplify_vw.rs:19 */
   def simplifyVW(b: Array[Byte], tol: Double): Array[Byte] =
     write(VWSimplifier.simplify(read(b), tol))
+  /** topology-preserving VW — ref: rust/geoarrow-expr-geo/src/simplify_vw_preserve.rs:19;
+    * algorithm in [[VwPreserve]] (re-derived, not the JTS DP-based substitute). */
+  def simplifyVWPreserve(b: Array[Byte], tol: Double): Array[Byte] =
+    write(VwPreserve.simplify(read(b), tol))
   def densify(b: Array[Byte], maxDist: Double): Array[Byte] =
     write(Densifier.densify(read(b), maxDist))
   def makeValid(b: Array[Byte]): Array[Byte] =

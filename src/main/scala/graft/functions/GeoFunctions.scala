@@ -134,6 +134,7 @@ object GeoFunctions {
     "st_simplify" -> Sig("simplify", G, Seq(G, D)),
     "st_simplifypreservetopology" -> Sig("simplifyPreserveTopology", G, Seq(G, D)),
     "st_simplifyvw" -> Sig("simplifyVW", G, Seq(G, D)),
+    "st_simplifyvwpreserve" -> Sig("simplifyVWPreserve", G, Seq(G, D)),
     "st_densify" -> Sig("densify", G, Seq(G, D)),
     "st_makevalid" -> Sig("makeValid", G, Seq(G)),
     "st_normalize" -> Sig("normalize", G, Seq(G)),

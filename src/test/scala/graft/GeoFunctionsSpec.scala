@@ -203,6 +203,55 @@ class GeoFunctionsSpec extends SparkTestBase {
     assert(r.getDouble(3) == 0.0)
   }
 
+  test("ST_SimplifyVWPreserve: topology guard blocks the crossing shortcut") {
+    // A SIMPLE line whose only sub-threshold vertex is (5,2) (area 10 < 11):
+    // the tail climbs to (5,1), INSIDE the (0,0)/(5,2)/(10,0) triangle, so
+    // the input crosses nothing, but the shortcut (0,0)→(10,0) would cross
+    // the (5,-5)→(5,1) segment at (5,0). VW-preserve must keep all 6
+    // points; plain VW (JTS, distance tol 3.3 → area 10.89) removes the
+    // vertex and produces a self-intersecting line.
+    val block = "'LINESTRING (0 0, 5 2, 10 0, 11 -5, 5 -5, 5 1)'"
+    val r = sql(s"""
+      SELECT ST_IsSimple(ST_GeomFromText($block)) AS input_simple,
+             ST_NPoints(ST_SimplifyVWPreserve(ST_GeomFromText($block), 11.0)) AS keep_pts,
+             ST_IsSimple(ST_SimplifyVWPreserve(ST_GeomFromText($block), 11.0)) AS keep_simple,
+             ST_NPoints(ST_SimplifyVW(ST_GeomFromText($block), 3.3)) AS vw_pts,
+             ST_IsSimple(ST_SimplifyVW(ST_GeomFromText($block), 3.3)) AS vw_simple
+      """).head()
+    assert(r.getBoolean(0))
+    assert(r.getInt(1) == 6 && r.getBoolean(2))
+    assert(r.getInt(3) == 5 && !r.getBoolean(4)) // plain VW self-intersects here
+  }
+
+  test("ST_SimplifyVWPreserve: unblocked vertices eliminate in area order") {
+    val open = "'LINESTRING (0 0, 5 2, 10 0, 10 10, 5 11, 0 10)'"
+    val r = sql(s"""
+      SELECT ST_AsText(ST_SimplifyVWPreserve(ST_GeomFromText($open), 20.0)) AS wkt,
+             ST_NPoints(ST_SimplifyVWPreserve(ST_GeomFromText($open), 0.0)) AS eps0
+      """).head()
+    // areas: (5,2)=10, (5,11)=5 both < 20, neither shortcut crosses → both
+    // removed; survivors' fresh areas are 50 ≥ 20
+    assert(r.getString(0) == "LINESTRING (0 0, 10 0, 10 10, 0 10)")
+    assert(r.getInt(1) == 6) // eps <= 0 is the identity
+  }
+
+  test("ST_SimplifyVWPreserve: rings keep 4 coords; points/GC pass through") {
+    val r = sql("""
+      SELECT ST_NPoints(ST_SimplifyVWPreserve(ST_GeomFromText(
+               'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'), 1000.0)) AS sq,
+             ST_AsText(ST_SimplifyVWPreserve(ST_GeomFromText(
+               'POLYGON ((0 0, 4 0, 4 4, 2 1, 0 4, 0 0))'), 5.0)) AS notched,
+             ST_AsText(ST_SimplifyVWPreserve(ST_Point(3.0, 4.0), 100.0)) AS pt,
+             ST_AsText(ST_SimplifyVWPreserve(ST_GeomFromText(
+               'GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1, 2 0))'), 100.0)) AS gc
+      """).head()
+    assert(r.getInt(0) == 4)                      // square can shed one corner, never below a triangle
+    assert(r.getString(1).count(_ == ',') == 3)   // notched ring → 4 coords
+    assert(r.getString(2) == "POINT (3 4)")
+    assert(r.getString(3).startsWith("GEOMETRYCOLLECTION")) // unchanged, like the reference
+    assert(r.getString(3).contains("1 1"))        // GC interior untouched
+  }
+
   test("geodesic signed area orientation (Karney)") {
     val r = sql("""
       SELECT ST_AreaSpheroidSigned(ST_GeomFromText('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')) AS ccw,
