@@ -100,10 +100,11 @@ object FlatGeobuf {
 
   // ── FGB schema constants (header.fbs / feature.fbs, public spec) ──────
 
-  private object H { // Header field ids
+  private object H { // Header field ids (header.fbs, public spec)
     val Name = 0; val Envelope = 1; val GeometryType = 2
     val HasZ = 3; val HasM = 4
     val Columns = 7; val FeaturesCount = 8; val IndexNodeSize = 9; val Crs = 10
+    val Title = 11; val Description = 12; val Metadata = 13
   }
   private object C { val Name = 0; val Type = 1 } // Column field ids
   private object F { val Geometry = 0; val Properties = 1 } // Feature field ids
@@ -120,7 +121,9 @@ object FlatGeobuf {
   case class Header(name: String, geometryType: Int, columns: Seq[(String, Int)],
                     featuresCount: Long, indexNodeSize: Int, envelope: Array[Double],
                     headerEnd: Int, crsName: Option[String], crsWkt: Option[String],
-                    hasZ: Boolean = false, hasM: Boolean = false)
+                    hasZ: Boolean = false, hasM: Boolean = false,
+                    title: Option[String] = None, description: Option[String] = None,
+                    metadata: Option[String] = None)
 
   private val MagicLen = 8
 
@@ -149,7 +152,10 @@ object FlatGeobuf {
       crsName = t.subTable(H.Crs).flatMap(_.getString(2)),
       crsWkt = t.subTable(H.Crs).flatMap(_.getString(4)),
       hasZ = t.getBool(H.HasZ),
-      hasM = t.getBool(H.HasM))
+      hasM = t.getBool(H.HasM),
+      title = t.getString(H.Title),
+      description = t.getString(H.Description),
+      metadata = t.getString(H.Metadata))
   }
 
   /** Packed-R-tree node-index ranges per level, LEAF level first, root

@@ -238,9 +238,18 @@ object FlatGeobufWriter {
   private def headerBytes(name: String, cols: Seq[(String, Int)], count: Long,
                           env: Array[Double], indexNodeSize: Int,
                           crsWkt: Option[String],
-                          hasZ: Boolean, hasM: Boolean): Array[Byte] = {
+                          hasZ: Boolean, hasM: Boolean,
+                          title: Option[String] = None,
+                          description: Option[String] = None,
+                          metadata: Option[String] = None): Array[Byte] = {
     val b = new FBB()
     val nameOff = b.createString(name)
+    // dataset annotations — header.fbs fields 11-13; parity with the
+    // reference's with_title/with_description/with_metadata options
+    // (rust/geoarrow-flatgeobuf/src/writer.rs:66-89)
+    val titleOff = title.fold(0)(b.createString)
+    val descOff = description.fold(0)(b.createString)
+    val metaOff = metadata.fold(0)(b.createString)
     val colOffs = cols.map { case (n, t) =>
       val no = b.createString(n)
       b.startTable(2)
@@ -257,7 +266,7 @@ object FlatGeobufWriter {
       b.slotOffset(4, w)
       b.endTable()
     }
-    b.startTable(11)
+    b.startTable(14)
     b.slotOffset(0, nameOff)
     b.slotOffset(1, envVec)
     b.slotByte(2, 0, 0)          // geometry_type Unknown: per-feature tags rule
@@ -266,6 +275,9 @@ object FlatGeobufWriter {
     b.slotOffset(7, colsVec)
     b.slotLong(8, count, 0)
     b.slotOffset(10, crsOff)     // Header.crs
+    b.slotOffset(11, titleOff)   // Header.title
+    b.slotOffset(12, descOff)    // Header.description
+    b.slotOffset(13, metaOff)    // Header.metadata
     // index_node_size: 16 = packed Hilbert R-tree follows the header;
     // 0 = no spatial index (fbs default is 16, so always write explicitly)
     b.slotShort(9, indexNodeSize.toShort, 16, force = true)
@@ -392,7 +404,9 @@ object FlatGeobufWriter {
     * Hilbert R-tree, making it bbox-seekable. */
   def write(df: DataFrame, path: String, geometryCol: String = "geometry",
             name: String = "graft", index: Boolean = true,
-            crsWkt: Option[String] = None): Unit = {
+            crsWkt: Option[String] = None,
+            title: Option[String] = None, description: Option[String] = None,
+            metadata: Option[String] = None): Unit = {
     val schema = df.schema
     val geomIdx = schema.fieldIndex(geometryCol)
     require(geomIdx == schema.fields.length - 1,
@@ -431,7 +445,7 @@ object FlatGeobufWriter {
         out.write(Array[Byte]('f', 'g', 'b', 3, 'f', 'g', 'b', 0))
         val hdr = headerBytes(name, cols, count,
           if (env.isNull) null else Array(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY),
-          if (doIndex) 16 else 0, crsWkt, anyZ, anyM)
+          if (doIndex) 16 else 0, crsWkt, anyZ, anyM, title, description, metadata)
         out.write(hdr.length & 0xFF); out.write((hdr.length >> 8) & 0xFF)
         out.write((hdr.length >> 16) & 0xFF); out.write((hdr.length >> 24) & 0xFF)
         out.write(hdr)

@@ -97,6 +97,36 @@ class FlatGeobufSpec extends SparkTestBase {
     assert(src.except(dst).isEmpty && dst.except(src).isEmpty)
   }
 
+  test("header annotations: title/description/metadata roundtrip; absent stays None") {
+    import graft.sources.FlatGeobufWriter
+    val out = java.nio.file.Files.createTempDirectory("fgbann").toString
+    val df = spark.sql("""
+      SELECT CAST(id AS INT) AS id,
+             ST_Point(CAST(id AS DOUBLE), CAST(id % 5 AS DOUBLE)) AS geometry
+      FROM range(64)""").coalesce(1)
+    FlatGeobufWriter.write(df, out, name = "annotated",
+      title = Some("Test Layer"), description = Some("free-form long text"),
+      metadata = Some("""{"app":"graft"}"""))
+    val file = new java.io.File(out).listFiles().filter(_.getName.endsWith(".fgb")).head
+    val hdr = FlatGeobuf.parseHeader(readAllBytes(file.getAbsolutePath))
+    assert(hdr.name == "annotated")
+    assert(hdr.title.contains("Test Layer"))
+    assert(hdr.description.contains("free-form long text"))
+    assert(hdr.metadata.contains("""{"app":"graft"}"""))
+    // annotations must not disturb the layout: count, index, data and the
+    // index-seek path all still work on the same file
+    assert(hdr.featuresCount == 64 && hdr.indexNodeSize == 16)
+    assert(FlatGeobuf.read(spark, out).count() == 64)
+    assert(FlatGeobuf.readBbox(spark, out, 10.0, 0.0, 20.0, 9.0)
+      .selectExpr("id").count() == 11) // ids 10..20 inclusive
+    // a write without annotations parses to None (fields absent, not "")
+    val out2 = java.nio.file.Files.createTempDirectory("fgbann2").toString
+    FlatGeobufWriter.write(df, out2)
+    val file2 = new java.io.File(out2).listFiles().filter(_.getName.endsWith(".fgb")).head
+    val hdr2 = FlatGeobuf.parseHeader(readAllBytes(file2.getAbsolutePath))
+    assert(hdr2.title.isEmpty && hdr2.description.isEmpty && hdr2.metadata.isEmpty)
+  }
+
   // ── packed Hilbert R-tree (writer emits, reader seeks) ─────────────────
 
   private def readAllBytes(path: String): Array[Byte] = {
