@@ -204,6 +204,14 @@ object GeoFunctions {
     "ga_to_multipolygon" -> Sig("toMultiPolygon", gaList3, Seq(G), geoArrow),
   )
 
+  /** Test hook for the kernel-matrix null audit (GeoPropertySpec): every
+    * StaticInvoke below is built with `returnNullable = false`, so a kernel
+    * that returned Scala null on non-null input would produce garbage under
+    * codegen instead of failing. The spec invokes each target method over
+    * adversarial inputs and asserts non-null-or-throw. */
+  private[graft] def kernelMatrix: Seq[(String, Class[_], String, Seq[DataType], DataType)] =
+    sigs.map { case (n, s) => (n, s.cls, s.method, s.params, s.ret) }
+
   private val byName: Map[String, Map[Int, Sig]] =
     sigs.groupBy(_._1).map { case (n, ss) =>
       n -> ss.map { case (_, s) => s.params.length -> s }.toMap

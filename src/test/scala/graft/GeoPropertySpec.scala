@@ -136,6 +136,63 @@ class GeoPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("kernel matrix never returns silent null (returnNullable=false audit)") {
+    // Every ST_* StaticInvoke is built with returnNullable = false: a kernel
+    // returning Scala null on non-null input would be silent garbage under
+    // codegen. Invoke every scalar-parameter kernel target over adversarial
+    // WKB inputs (EMPTY of each type, collapsed/zero-extent shapes, Z/M
+    // mixes, nested GC) and require each call to either return non-null or
+    // throw — never yield null.
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+
+    val adversarial: Seq[Array[Byte]] = Seq(
+      "POINT EMPTY", "LINESTRING EMPTY", "POLYGON EMPTY",
+      "MULTIPOINT EMPTY", "MULTILINESTRING EMPTY", "MULTIPOLYGON EMPTY",
+      "GEOMETRYCOLLECTION EMPTY",
+      "POINT (0 0)", "POINT Z (1 2 3)", "POINT M (1 2 7)", "POINT ZM (1 2 3 4)",
+      "LINESTRING (0 0, 0 0)",                       // zero length, repeated point
+      "POLYGON ((0 0, 1 1, 1 1, 0 0))",              // collapsed, zero area
+      "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))",         // CW shell
+      "MULTIPOINT ((0 0))",
+      "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 1))",
+      "GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (2 2)))"
+    ).map(w => GeomOps.geomFromText(UTF8String.fromString(w)))
+
+    def argFor(dt: DataType, wkb: Array[Byte]): Option[AnyRef] = dt match {
+      case BinaryType => Some(wkb)
+      case DoubleType => Some(java.lang.Double.valueOf(0.5))
+      case IntegerType => Some(java.lang.Integer.valueOf(1))
+      case BooleanType => Some(java.lang.Boolean.FALSE)
+      case StringType => Some(UTF8String.fromString("T********")) // DE-9IM-shaped
+      case _ => None // struct/array/NullType-shaped kernels audited by their own specs
+    }
+
+    var invoked = 0
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.functions.GeoFunctions.kernelMatrix.foreach { case (sqlName, cls, method, params, _) =>
+      // only audit kernels whose every parameter is scalar-mappable and that
+      // actually take a geometry (string-only codecs get a WKT instead)
+      if (params.forall(p => argFor(p, adversarial.head).isDefined) &&
+          params.contains(BinaryType)) {
+        val m = cls.getMethods.find(m => m.getName == method && m.getParameterCount == params.length)
+          .getOrElse(fail(s"$sqlName: no method $method/${params.length} on $cls"))
+        adversarial.foreach { wkb =>
+          val args = params.map(p => argFor(p, wkb).get).toArray
+          val res =
+            try Some(m.invoke(null, args: _*))
+            catch { case _: Throwable => None } // loud failure is acceptable
+          res.foreach { r =>
+            invoked += 1
+            if (r == null) offenders += s"$sqlName ($method) on ${GeomOps.asText(wkb)}"
+          }
+        }
+      }
+    }
+    assert(invoked > 500, s"audit should exercise the matrix broadly, invoked=$invoked")
+    assert(offenders.isEmpty, s"kernels returned silent null:\n${offenders.distinct.mkString("\n")}")
+  }
+
   test("Hilbert clustering: nearby centers map to nearby curve positions on average") {
     import graft.core.Hilbert
     // locality in the contrapositive form that is actually guaranteed:
