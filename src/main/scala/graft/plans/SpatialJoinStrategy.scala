@@ -1,11 +1,12 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeSet, Cast, EqualNullSafe, EqualTo, Expression, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Attribute, AttributeSet, Cast, EqualNullSafe, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression, PredicateHelper, RowNumber, SortOrder, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, Join, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.execution.{FilterExec, ProjectExec, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.IntegerType
 
 /** Plans `a JOIN b ON ST_Intersects(a.g, b.g) [AND …]` as [[SpatialJoinExec]].
   *
@@ -72,6 +73,13 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    // kNN-per-group: Filter(rk <= k) over Window(row_number ORDER BY
+    // ST_Distance) over a condition-less cross join → adaptive kNN operator
+    // instead of a cartesian + full window sort
+    case Filter(cond,
+        w @ Window(Seq(al @ Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(Seq(pk: Attribute), Seq(so), _)), _)), _, _, wchild, _)) =>
+      planKnn(cond, w.output, al, pk, so, wchild).toSeq
     // count-folded spatial join (rewritten by SpatialCountFoldRule)
     case sc: SpatialCountJoin =>
       SpatialJoinFoldExec(planLater(sc.left), planLater(sc.right),
@@ -86,6 +94,83 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
     case j @ Join(_, _, Inner, Some(_), _) =>
       planSpatialJoin(j, None)
     case _ => Nil
+  }
+
+  /** Plans the windowed-top-k-by-distance shape as [[KnnTopKExec]].
+    *
+    * Fires only on the exact safe shape (anything else falls through to
+    * Spark's own planning):
+    *  - Filter compares the single row_number alias against an int literal
+    *    (`rk <= k`, `rk < k+1`, or `rk = 1`);
+    *  - the window partitions by ONE attribute and orders ascending by
+    *    `ST_Distance(lg, rg)` (possibly analyzer-extracted into a `_w0`
+    *    projection below the window);
+    *  - below sits a Project of plain side attributes (plus distance
+    *    aliases) over an Inner/Cross join with NO condition — a genuine
+    *    cartesian, which is exactly the case worth intercepting;
+    *  - the partition key lives on the same side as `lg`.
+    */
+  private def planKnn(cond: Expression, wOutput: Seq[Attribute], al: Alias,
+                      pk: Attribute, so: SortOrder,
+                      wchild: LogicalPlan): Option[SparkPlan] = {
+    val rk = al.toAttribute
+    val k: Int = cond match {
+      case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) if a.exprId == rk.exprId => v
+      case LessThan(a: Attribute, Literal(v: Int, IntegerType)) if a.exprId == rk.exprId => v - 1
+      case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute) if a.exprId == rk.exprId => v
+      case GreaterThan(Literal(v: Int, IntegerType), a: Attribute) if a.exprId == rk.exprId => v - 1
+      case EqualTo(a: Attribute, Literal(v: Int, IntegerType)) if a.exprId == rk.exprId && v == 1 => 1
+      case _ => return None
+    }
+    if (k < 1 || so.direction != Ascending) return None
+    // the optimizer's top-k window rewrite (InferWindowGroupLimit) may have
+    // inserted a WindowGroupLimit below the Window — our exec subsumes it
+    val below = wchild match {
+      case WindowGroupLimit(_, _, _, _, c) => c
+      case c => c
+    }
+    val (projectList, join) = below match {
+      case Project(pl, j: Join) => (pl, j)
+      case _ => return None
+    }
+    if (join.condition.nonEmpty ||
+        (join.joinType != Inner && join.joinType != Cross)) return None
+    def distArgs(e: Expression): Option[(Attribute, Attribute)] = e match {
+      case si: StaticInvoke if si.staticObject == geomOps && si.functionName == "distance" =>
+        si.arguments.map(strip) match {
+          case Seq(a: Attribute, b: Attribute) => Some((a, b))
+          case _ => None
+        }
+      case _ => None
+    }
+    // resolve the (possibly analyzer-extracted `_w0`) order expression
+    val ordExpr = so.child match {
+      case a: Attribute =>
+        projectList.collectFirst { case pal @ Alias(child, _) if pal.exprId == a.exprId => child }
+          .getOrElse(return None)
+      case other => other
+    }
+    val (g1, g2) = distArgs(ordExpr).getOrElse(return None)
+    // orient: lg with the left side; distance is symmetric so flip freely
+    val (lg, rg) =
+      if (g1.references.subsetOf(join.left.outputSet) &&
+          g2.references.subsetOf(join.right.outputSet)) (g1, g2)
+      else if (g2.references.subsetOf(join.left.outputSet) &&
+               g1.references.subsetOf(join.right.outputSet)) (g2, g1)
+      else return None
+    if (!join.left.outputSet.contains(pk)) return None
+    // every projected item must be a side attribute or a distance alias
+    val sideAttrs = join.left.outputSet ++ join.right.outputSet
+    val distIds = scala.collection.mutable.Set.empty[ExprId]
+    projectList.foreach {
+      case a: Attribute if sideAttrs.contains(a) => ()
+      case pal @ Alias(child, _) if distArgs(child).contains((lg, rg)) ||
+                                    distArgs(child).contains((rg, lg)) =>
+        distIds += pal.exprId
+      case _ => return None
+    }
+    Some(KnnTopKExec(wOutput, join.left, join.right, lg, rg, pk, k,
+      rk.exprId, distIds.toSet))
   }
 
   /** True if `c` is an equality whose sides split across the join — i.e. a

@@ -84,6 +84,55 @@ class KnnJoinSpec extends SparkTestBase {
     assert(got == exp)
   }
 
+  test("planner: windowed top-k-by-distance SQL shape plans as KnnTopKExec") {
+    val l = Seq((1L, 0.0, 0.0), (2L, 10.0, 10.0), (3L, 5.0, 5.0))
+    val r = Seq((10L, 1.0, 0.0), (11L, 0.0, 1.0), (12L, 3.0, 4.0),
+      (13L, 9.0, 9.0), (14L, 11.0, 11.0), (15L, 100.0, 100.0))
+    pts(l, "lid", "lg").createOrReplaceTempView("knn_l")
+    pts(r, "rid", "rg").createOrReplaceTempView("knn_r")
+    val df = sql("""
+      SELECT lid, rid, d, rk FROM (
+        SELECT l.lid, r.rid, ST_Distance(l.lg, r.rg) AS d,
+               ROW_NUMBER() OVER (PARTITION BY l.lid ORDER BY ST_Distance(l.lg, r.rg)) AS rk
+        FROM knn_l l CROSS JOIN knn_r r) t
+      WHERE rk <= 2""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("KnnTopK"), s"expected KnnTopK in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "cartesian survived the rewrite")
+    // results equal the brute-force ground truth (distances are tie-free
+    // here except the documented arbitrary ROW_NUMBER tie at left 1, so
+    // compare the neighbor SETS per rank like the literal plan would allow)
+    val got = df.collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getInt(3)))
+    val exp = expected(l, r, 2)
+    assert(got.length == 6)
+    got.groupBy(_._1).foreach { case (lid, rows) =>
+      assert(rows.map(_._3).sorted.zip(exp(lid).map(_._2)).forall {
+        case (a, b) => math.abs(a - b) < 1e-12
+      }, s"distances for left $lid")
+      assert(rows.map(_._4).sorted.toSeq == Seq(1, 2))
+    }
+  }
+
+  test("planner: near-miss shapes fall through to Spark's own planning") {
+    pts(Seq((1L, 0.0, 0.0)), "lid", "lg").createOrReplaceTempView("knn_l2")
+    pts(Seq((10L, 1.0, 0.0), (11L, 2.0, 0.0)), "rid", "rg").createOrReplaceTempView("knn_r2")
+    // DESC order is not a kNN; RANK() is not row_number; both must not fire
+    val desc = sql("""
+      SELECT * FROM (
+        SELECT l.lid, r.rid,
+               ROW_NUMBER() OVER (PARTITION BY l.lid ORDER BY ST_Distance(l.lg, r.rg) DESC) AS rk
+        FROM knn_l2 l CROSS JOIN knn_r2 r) t WHERE rk <= 1""")
+    assert(!desc.queryExecution.executedPlan.toString.contains("KnnTopK"))
+    assert(desc.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 11L)))
+    val rank = sql("""
+      SELECT * FROM (
+        SELECT l.lid, r.rid,
+               RANK() OVER (PARTITION BY l.lid ORDER BY ST_Distance(l.lg, r.rg)) AS rk
+        FROM knn_l2 l CROSS JOIN knn_r2 r) t WHERE rk <= 1""")
+    assert(!rank.queryExecution.executedPlan.toString.contains("KnnTopK"))
+    assert(rank.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 10L)))
+  }
+
   test("invalid k rejected") {
     val df = pts(Seq((1L, 0.0, 0.0)), "id", "g")
     intercept[IllegalArgumentException] {
