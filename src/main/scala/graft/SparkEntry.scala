@@ -1649,13 +1649,34 @@ object SparkEntry {
       ROUND(ST_X(ST_Transform(ST_Transform(ST_Point(9.1829, 48.7758), 4326, 32632),
                               32632, 4326)), 7) AS rt_lon,
       ROUND(ST_Y(ST_Transform(ST_Transform(ST_Point(9.1829, 48.7758), 4326, 32632),
-                              32632, 4326)), 7) AS rt_lat"""
+                              32632, 4326)), 7) AS rt_lat,
+      -- cross-zone pivot (32633 -> 32632 composes through 4326): must land
+      -- on the direct 4326 -> 32632 analytic leg to 0.1 mm. berlin32_e is
+      -- an engine-pinned regression literal for the out-of-zone case
+      -- (dLambda = 4.4 deg), cross-checked by magnitude: 500 km false
+      -- easting + 4.405 deg * cos(52.52) * 111.32 km * 0.9996 = ~798.6 km
+      ROUND(ST_X(ST_Transform(ST_Transform(ST_Point(13.4050, 52.5200), 4326, 32633),
+                              32633, 32632))
+            - ST_X(ST_Transform(ST_Point(13.4050, 52.5200), 4326, 32632)), 4) AS xzone_de,
+      ROUND(ST_Y(ST_Transform(ST_Transform(ST_Point(13.4050, 52.5200), 4326, 32633),
+                              32633, 32632))
+            - ST_Y(ST_Transform(ST_Point(13.4050, 52.5200), 4326, 32632)), 4) AS xzone_dn,
+      ROUND(ST_X(ST_Transform(ST_Point(13.4050, 52.5200), 4326, 32632)), 4) AS berlin32_e,
+      -- web-mercator pivot (3857 -> 32633 composes through 4326)
+      ROUND(ST_X(ST_Transform(ST_Transform(ST_Point(13.4050, 52.5200), 4326, 3857),
+                              3857, 32633))
+            - ST_X(ST_Transform(ST_Point(13.4050, 52.5200), 4326, 32633)), 4) AS merc_de,
+      ROUND(ST_Y(ST_Transform(ST_Transform(ST_Point(13.4050, 52.5200), 4326, 3857),
+                              3857, 32633))
+            - ST_Y(ST_Transform(ST_Point(13.4050, 52.5200), 4326, 32633)), 4) AS merc_dn"""
 
   private val g45Duck = """
     SELECT 391779.2593 AS berlin_e, 5820072.1592 AS berlin_n,
            334368.6336 AS syd_e, 6250948.3454 AS syd_n,
            583959.3723 AS nyc_e, 4507350.9982 AS nyc_n,
-           9.1829 AS rt_lon, 48.7758 AS rt_lat"""
+           9.1829 AS rt_lon, 48.7758 AS rt_lat,
+           0.0 AS xzone_de, 0.0 AS xzone_dn, 798812.8026 AS berlin32_e,
+           0.0 AS merc_de, 0.0 AS merc_dn"""
 
   // ── training-data pipeline ops: text analysis / dedup ─────────────────
 

@@ -58,9 +58,24 @@ object Geodesy {
   /** ST_Transform over the analytic pairs: 4326↔3857 (web mercator, what
     * the reference's geodesy backend covers) plus the UTM families
     * 4326↔326xx/327xx ([[TransverseMercator]], Krüger series). */
+  /** EPSG:4326 domain validation on transform INPUT coordinates — the
+    * bounds-error contract PROJ-backed engines give (out-of-domain
+    * longitude/latitude fails loudly instead of propagating garbage
+    * through the series). Projected-CRS sources are not bounds-checked:
+    * eastings/northings have no hard domain, matching PROJ. */
+  private def check4326(c: Coordinate, toSrid: Int): Unit = {
+    require(math.abs(c.x) <= 180.0 && math.abs(c.y) <= 90.0,
+      s"ST_Transform: coordinate (${c.x}, ${c.y}) outside the EPSG:4326 domain " +
+        "(|lon| <= 180, |lat| <= 90)")
+    if (toSrid == 3857) require(math.abs(c.y) < 90.0,
+      s"ST_Transform: latitude ${c.y} not representable in EPSG:3857 " +
+        "(web-mercator pole singularity)")
+  }
+
   def transform(b: Array[Byte], fromSrid: Int, toSrid: Int): Array[Byte] =
     (fromSrid, toSrid) match {
       case (4326, 3857) => mapCoords(b, c => {
+        check4326(c, 3857)
         val (x, y) = lonLatToMercator(c.x, c.y); new Coordinate(x, y)
       })
       case (3857, 4326) => mapCoords(b, c => {
@@ -70,6 +85,7 @@ object Geodesy {
       case (4326, t) if utmZone(t).isDefined =>
         val (zone, south) = utmZone(t).get
         mapCoords(b, c => {
+          check4326(c, t)
           val (x, y) = TransverseMercator.forward(c.x, c.y, zone, south); new Coordinate(x, y)
         })
       case (f, 4326) if utmZone(f).isDefined =>

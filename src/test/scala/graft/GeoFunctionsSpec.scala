@@ -252,6 +252,29 @@ class GeoFunctionsSpec extends SparkTestBase {
     assert(r.getString(3).contains("1 1"))        // GC interior untouched
   }
 
+  test("ST_Transform: EPSG domain bounds fail loudly; valid poles pass") {
+    // out-of-domain lon/lat error with the EPSG context, like PROJ engines
+    val badLon = intercept[Exception](
+      sql("SELECT ST_Transform(ST_Point(200.0, 10.0), 4326, 3857)").collect())
+    assert(badLon.getMessage.contains("EPSG:4326 domain"), badLon.getMessage)
+    val badLat = intercept[Exception](
+      sql("SELECT ST_Transform(ST_Point(0.0, 91.0), 4326, 32631)").collect())
+    assert(badLat.getMessage.contains("EPSG:4326 domain"), badLat.getMessage)
+    // the web-mercator pole singularity is its own, clearer error
+    val pole = intercept[Exception](
+      sql("SELECT ST_Transform(ST_Point(0.0, 90.0), 4326, 3857)").collect())
+    assert(pole.getMessage.contains("pole singularity"), pole.getMessage)
+    // unsupported EPSG pair still names the supported set
+    val crs = intercept[Exception](
+      sql("SELECT ST_Transform(ST_Point(0.0, 0.0), 4326, 2154)").collect())
+    assert(crs.getMessage.contains("326xx/327xx"), crs.getMessage)
+    // 85 degrees is fine in 3857 (finite), and cross-zone composition runs
+    val ok = sql("""SELECT ST_Y(ST_Transform(ST_Point(0.0, 85.0), 4326, 3857)) AS y,
+                           ST_X(ST_Transform(ST_Transform(ST_Point(9.0, 50.0), 4326, 32632),
+                                             32632, 32633)) AS e""").head()
+    assert(ok.getDouble(0) > 1.9e7 && ok.getDouble(1) < 500000.0)
+  }
+
   test("geodesic signed area orientation (Karney)") {
     val r = sql("""
       SELECT ST_AreaSpheroidSigned(ST_GeomFromText('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')) AS ccw,
