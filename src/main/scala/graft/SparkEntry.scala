@@ -1577,6 +1577,71 @@ object SparkEntry {
            COUNT(*) AS n, ROUND(SUM(value), 6) AS total
     FROM ev GROUP BY 1, 2 ORDER BY win_start, event_type"""
 
+  /** Streaming exact-dedup across micro-batches under the hash gate: each
+    * logical event arrives THREE times in three separate micro-batch files
+    * (maxFilesPerTrigger=1, staged mtimes), so the second and third copies
+    * can only be dropped by dropDuplicatesWithinWatermark STATE carried
+    * across batches — the streaming form of t02. Copies are byte-identical
+    * (all fields derive from event_id), so the emitted set is closed-form
+    * regardless of which copy wins; sentinels push the watermark far past
+    * every event (the s02 technique). */
+  private def s03Fn(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s03").toString
+    val src = new java.io.File(tmp, "src"); src.mkdirs()
+    def copies = s.sql("""
+      SELECT CAST(id AS BIGINT) AS event_id,
+             timestamp_seconds(1700000000 + id) AS ts,
+             CAST(id % 7 AS BIGINT) AS user_id,
+             CASE WHEN id % 3 = 0 THEN 'click' WHEN id % 3 = 1 THEN 'view'
+                  ELSE 'buy' END AS event_type,
+             CAST(id AS DOUBLE) / 10 AS value
+      FROM range(100)""")
+    def sentinel(offset: Long) = s.sql(s"""
+      SELECT CAST(9000 + $offset AS BIGINT) AS event_id,
+             timestamp_seconds(1700000000 + 86400 + $offset) AS ts,
+             CAST(0 AS BIGINT) AS user_id, 'sentinel' AS event_type, 0.0 AS value""")
+    Seq(copies, copies, copies, sentinel(0), sentinel(1)).zipWithIndex.foreach { case (df, i) =>
+      val stage = new java.io.File(tmp, s"stage$i")
+      df.coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(src, s"f$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = s.readStream.schema(copies.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+    val deduped = graft.streaming.StreamOps.dedupe(stream, watermark = "10 minutes")
+    val qname = "graft_s03_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = deduped.writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", tmp + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(qname)
+      .where("event_type <> 'sentinel'")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.expr("COUNT(*)").as("n"),
+           org.apache.spark.sql.functions.expr("COUNT(DISTINCT event_id)").as("n_ids"),
+           org.apache.spark.sql.functions.expr("ROUND(SUM(value), 6)").as("total"))
+      .orderBy("event_type")
+  }
+
+  private val s03Duck = """
+    WITH ev AS (
+      SELECT i AS event_id,
+             CASE WHEN i % 3 = 0 THEN 'click' WHEN i % 3 = 1 THEN 'view'
+                  ELSE 'buy' END AS event_type,
+             i / 10.0 AS value
+      FROM range(100) t(i))
+    SELECT event_type, COUNT(*)::BIGINT AS n, COUNT(DISTINCT event_id)::BIGINT AS n_ids,
+           ROUND(SUM(value), 6) AS total
+    FROM ev GROUP BY 1 ORDER BY 1"""
+
   /** GeoParquet NATIVE (GeoArrow separated-coordinate) encoding write→read
     * under the hash gate: points go out with `encoding = "point"` — the
     * nested list/struct layout GeoPandas reads zero-copy — and come back
@@ -2583,6 +2648,51 @@ object SparkEntry {
     LEFT JOIN hits h ON h.eval_id = v.eval_id
     GROUP BY v.eval_id ORDER BY v.eval_id"""
 
+  /** CROSS-document duplicated-chunk analysis (the corpus-level C4/
+    * RefinedWeb signal; t11's repetition statics are per-document). Text
+    * splits into non-overlapping 5-word chunks; chunk document-frequency
+    * comes from a group-by on the chunk value (shuffle keyed on content —
+    * the posting-list topology, never doc×doc); each document then gets a
+    * duplicated-chunk ratio decile. At 100 TB the chunk table is the only
+    * shuffle and stop-chunks stay bounded by the vocabulary. */
+  private val t15Spark = """
+    WITH base AS (
+      SELECT /*+ REPARTITION({{P}}) */ doc_id, split(text, ' ') AS ws FROM documents),
+    chunks AS (
+      SELECT doc_id, array_join(slice(ws, i * 5 + 1, 5), ' ') AS chunk
+      FROM base
+      LATERAL VIEW explode(sequence(0, GREATEST(CAST(size(ws) / 5 AS INT) - 1, 0))) t AS i
+      WHERE (i + 1) * 5 <= size(ws)),
+    df AS (SELECT chunk, COUNT(*) AS df FROM chunks GROUP BY chunk),
+    per_doc AS (
+      SELECT c.doc_id, COUNT(*) AS n_chunks,
+             SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS dup_chunks
+      FROM chunks c JOIN df d ON c.chunk = d.chunk
+      GROUP BY c.doc_id)
+    SELECT CAST(dup_chunks * 10 / n_chunks AS BIGINT) AS dup_decile,
+           COUNT(*) AS n_docs,
+           SUM(n_chunks) AS total_chunks,
+           SUM(dup_chunks) AS total_dup
+    FROM per_doc GROUP BY 1 ORDER BY 1"""
+
+  private val t15Duck = """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    chunks AS (
+      SELECT doc_id, array_to_string(ws[i*5+1 : i*5+5], ' ') AS chunk
+      FROM base, LATERAL (SELECT unnest(range(len(ws) // 5)) AS i) t
+      WHERE (i + 1) * 5 <= len(ws)),
+    df AS (SELECT chunk, COUNT(*) AS df FROM chunks GROUP BY chunk),
+    per_doc AS (
+      SELECT c.doc_id, COUNT(*) AS n_chunks,
+             SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS dup_chunks
+      FROM chunks c JOIN df d ON c.chunk = d.chunk
+      GROUP BY c.doc_id)
+    SELECT (dup_chunks * 10 // n_chunks)::BIGINT AS dup_decile,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_chunks)::BIGINT AS total_chunks,
+           SUM(dup_chunks)::BIGINT AS total_dup
+    FROM per_doc GROUP BY 1 ORDER BY 1"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -2662,8 +2772,10 @@ object SparkEntry {
     ("e05_ann_recall", q(e05Spark), e05Duck),
     ("a01_asof_join", a01Fn _, a01Duck),
     ("a02_range_join", a02Fn _, a02Duck),
+    ("t15_corpus_dup_chunks", q(t15Spark), t15Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
+    ("s03_stream_dedup", s03Fn _, s03Duck),
     ("m01_media_meta", q(m01Spark), m01Duck),
     ("m02_decode_resize_hist", m02Fn _, m02Duck),
     ("m03_real_decode_matrix", q(m03Spark), m03Duck),
