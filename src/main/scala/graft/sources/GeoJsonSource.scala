@@ -47,46 +47,51 @@ object GeoJsonSource {
     * features into a single output). Feature serialization is distributed
     * (each task JSON-encodes its partition into staged parts); the final
     * assembly streams the staged bytes through a single Hadoop FS output —
-    * a single JSON document is single-stream by definition. Prefer
-    * [[writeLines]] for corpus-scale exports; this is the web-map /
-    * interchange shape. */
+    * a single JSON document is single-stream by definition — and runs as a
+    * one-task Spark job, so the bytes flow executor→filesystem and never
+    * transit the driver. Prefer [[writeLines]] for corpus-scale exports;
+    * this is the web-map / interchange shape. */
   def writeFeatureCollection(df: DataFrame, path: String,
                              geometryColumn: String = "geometry"): Unit = {
     val staging = path + "_fc_staging_" + java.util.UUID.randomUUID().toString.take(8)
     writeLines(df, staging, geometryColumn)
-    val conf = df.sparkSession.sessionState.newHadoopConf()
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(conf)
-    val stagingPath = new org.apache.hadoop.fs.Path(staging)
-    val utf8 = java.nio.charset.StandardCharsets.UTF_8
-    try {
-      // task order is part-file order; listStatus (not listFiles) so any
-      // Hadoop scheme serves it (see MockFsSpec)
-      val parts = fs.listStatus(stagingPath)
-        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-        .sortBy(_.getPath.getName)
-      val out = fs.create(target, true)
-      try {
-        out.write("""{"type":"FeatureCollection","features":[""".getBytes(utf8))
-        var first = true
-        parts.foreach { p =>
-          val in = new java.io.BufferedReader(
-            new java.io.InputStreamReader(fs.open(p.getPath), utf8))
+    val serConf = new GeoParquet.SerializableHadoopConf(
+      df.sparkSession.sessionState.newHadoopConf())
+    df.sparkSession.sparkContext.parallelize(Seq(path -> staging), 1).foreach {
+      case (targetStr, stagingStr) =>
+        val target = new org.apache.hadoop.fs.Path(targetStr)
+        val fs = target.getFileSystem(serConf.value)
+        val stagingPath = new org.apache.hadoop.fs.Path(stagingStr)
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        try {
+          // task order is part-file order; listStatus (not listFiles) so any
+          // Hadoop scheme serves it (see MockFsSpec)
+          val parts = fs.listStatus(stagingPath)
+            .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+            .sortBy(_.getPath.getName)
+          val out = fs.create(target, true)
           try {
-            var line = in.readLine()
-            while (line != null) {
-              if (line.nonEmpty) {
-                if (!first) out.write(','.toInt)
-                out.write(line.getBytes(utf8))
-                first = false
-              }
-              line = in.readLine()
+            out.write("""{"type":"FeatureCollection","features":[""".getBytes(utf8))
+            var first = true
+            parts.foreach { p =>
+              val in = new java.io.BufferedReader(
+                new java.io.InputStreamReader(fs.open(p.getPath), utf8))
+              try {
+                var line = in.readLine()
+                while (line != null) {
+                  if (line.nonEmpty) {
+                    if (!first) out.write(','.toInt)
+                    out.write(line.getBytes(utf8))
+                    first = false
+                  }
+                  line = in.readLine()
+                }
+              } finally in.close()
             }
-          } finally in.close()
-        }
-        out.write("]}".getBytes(utf8))
-      } finally out.close()
-    } finally fs.delete(stagingPath, true)
+            out.write("]}".getBytes(utf8))
+          } finally out.close()
+        } finally fs.delete(stagingPath, true)
+    }
   }
 
   /** Write as newline-delimited GeoJSON features. */

@@ -439,7 +439,7 @@ object GeoParquet {
   /** Hadoop `Configuration` is not `java.io.Serializable`; this carries one
     * into task closures via its own writable form (the standard Spark-side
     * pattern — the built-in equivalent is `private[spark]`). */
-  private class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private[sources] class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
       out.defaultWriteObject()
       value.write(out)
