@@ -1957,17 +1957,26 @@ object SparkEntry {
     * planted deterministically (every third vector re-appears under
     * vec_id+1000) — identical embeddings make the threshold decision
     * FP-exact while the natural pairs stay far below it, so the oracle is
-    * closed-form. Scale path: the bucket equi-join shuffles on the LSH key
-    * (no cross join); e01 separately value-checks the cosine math. */
+    * closed-form. Scale path: 12-bit seeded random-hyperplane buckets
+    * (graft_bucketk — data-independent, so no corpus can collapse it into
+    * one quadratic bucket; cardinality 2^12 per band grows shuffle
+    * parallelism with the data) × 2 independent bands (seeds 1,2 — the t07
+    * minhash-band recall pattern; identical vectors collide in every band,
+    * so planted-dup recall stays exact and the GROUP BY dedups cross-band
+    * repeats). The equi-join shuffles on (band, bucket) — no cross join;
+    * e01 separately value-checks the cosine math. */
   private val t08Spark = """
     WITH base AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e, label
                   FROM embeddings),
-    v AS (SELECT vec_id, e, label, sqrt(graft_dot(e, e)) AS nrm, graft_bucket8(e) AS bucket
+    v AS (SELECT vec_id, e, label, sqrt(graft_dot(e, e)) AS nrm
           FROM (SELECT * FROM base
                 UNION ALL
                 SELECT vec_id + 1000 AS vec_id, e, label FROM base WHERE vec_id % 3 = 0)),
+    banded AS (SELECT vec_id, e, label, nrm, band, graft_bucketk(e, 12, band) AS bucket
+               FROM v CROSS JOIN (SELECT 1 AS band UNION ALL SELECT 2) bands),
     pairs AS (SELECT b.vec_id AS dup_id, b.label AS label
-              FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
               WHERE graft_dot(a.e, b.e) / (a.nrm * b.nrm) >= 0.9999),
     removed AS (SELECT dup_id, label FROM pairs GROUP BY dup_id, label),
     totals AS (SELECT label, COUNT(*) AS n_total FROM v GROUP BY label)
@@ -2014,7 +2023,7 @@ object SparkEntry {
   private val e02Spark = """
     WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e,
                       sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm,
-                      graft_bucket8(graft_vec(embedding)) AS bucket FROM embeddings),
+                      graft_bucketk(graft_vec(embedding), 8, 7) AS bucket FROM embeddings),
     pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
                      graft_dot(q.e, c.e) / (q.nrm * c.nrm) AS cos
               FROM (SELECT * FROM v WHERE vec_id < 8) q
@@ -2025,11 +2034,20 @@ object SparkEntry {
     WHERE rnk <= 3 ORDER BY query_id, rnk"""
 
   private val e02Duck = """
-    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
-                      list_sum(list_transform(range(0, 8),
-                        i -> CASE WHEN (list_transform(embedding, x -> x::DOUBLE))[i + 1] > 0.0::DOUBLE
-                                  THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS bucket
-               FROM embeddings),
+    WITH planes AS (
+      SELECT j, list_transform(list_transform(list_transform(list_transform(
+               range(0, 64), i -> ((7 * 1000003 + j * 4099 + i) % 2147483648 * 2654435761) % 2147483648),
+               h -> xor(h, h >> 15)),
+               h -> (h * 2246822519) % 2147483648),
+               h -> (xor(h, h >> 13) - 1073741824)::DOUBLE) AS w
+      FROM (SELECT unnest(range(0, 8)) AS j) js),
+    ve AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    vb AS (SELECT vec_id, e,
+                  SUM(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(range(1, len(e) + 1), i -> e[i] * w[i])), (x, y) -> x + y) > 0.0::DOUBLE
+                      THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS bucket
+           FROM ve CROSS JOIN planes GROUP BY vec_id, e),
+    v AS (SELECT vec_id, e, bucket FROM vb),
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
              list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])), (x, y) -> x + y)
@@ -2044,16 +2062,25 @@ object SparkEntry {
 
   private val e03Spark = """
     SELECT bucket, COUNT(*) AS n, COUNT(DISTINCT label) AS n_labels
-    FROM (SELECT /*+ REPARTITION({{P}}) */ graft_bucket8(graft_vec(embedding)) AS bucket, label FROM embeddings) t
+    FROM (SELECT /*+ REPARTITION({{P}}) */ graft_bucketk(graft_vec(embedding), 10, 42) AS bucket, label FROM embeddings) t
     GROUP BY bucket ORDER BY bucket"""
 
   private val e03Duck = """
+    WITH planes AS (
+      SELECT j, list_transform(list_transform(list_transform(list_transform(
+               range(0, 64), i -> ((42 * 1000003 + j * 4099 + i) % 2147483648 * 2654435761) % 2147483648),
+               h -> xor(h, h >> 15)),
+               h -> (h * 2246822519) % 2147483648),
+               h -> (xor(h, h >> 13) - 1073741824)::DOUBLE) AS w
+      FROM (SELECT unnest(range(0, 10)) AS j) js),
+    ve AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    vb AS (SELECT vec_id, ANY_VALUE(label) AS label,
+                  SUM(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(range(1, len(e) + 1), i -> e[i] * w[i])), (x, y) -> x + y) > 0.0::DOUBLE
+                      THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS bucket
+           FROM ve CROSS JOIN planes GROUP BY vec_id, e)
     SELECT bucket, COUNT(*)::BIGINT AS n, COUNT(DISTINCT label)::BIGINT AS n_labels
-    FROM (SELECT list_sum(list_transform(range(0, 8),
-            i -> CASE WHEN (list_transform(embedding, x -> x::DOUBLE))[i + 1] > 0.0::DOUBLE
-                      THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS bucket, label
-          FROM embeddings) t
-    GROUP BY bucket ORDER BY bucket"""
+    FROM vb GROUP BY bucket ORDER BY bucket"""
 
   // ── time-series joins & sessionization (batch analogs of streaming/) ──
 

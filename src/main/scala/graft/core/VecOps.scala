@@ -42,12 +42,61 @@ object VecOps {
   def cosine(a: ArrayData, b: ArrayData): Double =
     dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
 
-  /** 8-bit sign bucket of the leading dims — the LSH partition key for ANN. */
-  def bucket8(a: ArrayData): Long = {
-    val n = math.min(8, a.numElements())
+  /** `bits`-bit random-hyperplane (sign) LSH bucket — the partition key for
+    * ANN bucketing and embedding near-dup candidate generation (SimHash for
+    * cosine, Charikar 2002 §3: bit j = sign(v · r_j) for a pseudo-random
+    * hyperplane r_j).
+    *
+    * Replaces the earlier sign-of-first-8-coords `bucket8`, which was
+    * data-DEPENDENT (a post-ReLU / all-positive corpus collapsed into one
+    * bucket → one quadratic task at scale) and hard-capped at 256 buckets.
+    * Here the hyperplanes are seeded pseudo-random, so bucket occupancy is
+    * balanced regardless of the corpus sign structure, and `bits` scales the
+    * key cardinality with the data (2^bits buckets); multiple seeds give
+    * independent tables for multi-band recall (the t07 minhash-band
+    * pattern).
+    *
+    * Hyperplane weights are INTEGER-valued (symmetric uniform in
+    * [-2^30, 2^30), via a multiply–xor-shift hash mod 2^31) rather than
+    * float Gaussians: every step is exact in 64-bit integer arithmetic, so
+    * an SQL oracle (DuckDB) regenerates bit-identical weights — a
+    * transcendental PRNG (sin/ln/Box–Muller) would risk cross-engine 1-ulp
+    * differences flipping the sign on near-zero dots. Uniform (vs Gaussian)
+    * components trade the exact 1−θ/π angular collision probability for a
+    * still-monotone-in-angle approximation — recall is gated empirically
+    * (e05). The dot accumulates left-to-right like [[dot]], preserving the
+    * bit-identical-with-DuckDB FP contract above.
+    *
+    * Contract: `bits` in [1, 63], `seed` >= 0 (both engines' `%` agree on
+    * non-negative operands).
+    */
+  def bucketk(a: ArrayData, bits: Int, seed: Long): Long = {
+    val n = a.numElements()
     var acc = 0L
-    var i = 0
-    while (i < n) { if (a.getDouble(i) > 0.0) acc |= (1L << i); i += 1 }
+    var j = 0
+    while (j < bits) {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a.getDouble(i) * weight(seed, j, i); i += 1 }
+      if (s > 0.0) acc |= (1L << j)
+      j += 1
+    }
     acc
+  }
+
+  /** Pseudo-random integer weight for hyperplane `j`, coordinate `i`:
+    * multiply–xor-shift mod 2^31 (Knuth/xxHash multipliers), centered to
+    * [-2^30, 2^30). All intermediates < 2^63 (no overflow) and all steps
+    * are plain BIGINT ops (`%`, `*`, `xor`, `>>`) an SQL engine replays
+    * exactly — see the e02/e03 oracle SQL `planes` CTE in SparkEntry.
+    */
+  private def weight(seed: Long, j: Int, i: Int): Double = {
+    val M = 2147483648L // 2^31
+    var h = (seed * 1000003L + j.toLong * 4099L + i.toLong) % M
+    h = (h * 2654435761L) % M
+    h ^= (h >> 15)
+    h = (h * 2246822519L) % M
+    h ^= (h >> 13)
+    (h - 1073741824L).toDouble
   }
 }

@@ -65,7 +65,7 @@ object TextFunctions {
     "graft_vec" -> ((vecOps, "toDouble", ArrayType(DoubleType, containsNull = false), Seq(ArrayType(FloatType)))),
     "graft_dot" -> ((vecOps, "dot", D, Seq(AD, AD))),
     "graft_cosine" -> ((vecOps, "cosine", D, Seq(AD, AD))),
-    "graft_bucket8" -> ((vecOps, "bucket8", L, Seq(AD))),
+    "graft_bucketk" -> ((vecOps, "bucketk", L, Seq(AD, I, L))),
   )
 
   def register(spark: SparkSession): Unit =
