@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, ExprId}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.LeafExecNode
-import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
+import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id, row_number}
 
 /** Physical node for the auto-planned kNN join — the
   * `ROW_NUMBER() OVER (PARTITION BY l.id ORDER BY ST_Distance(l.g, r.g))
@@ -24,10 +24,17 @@ import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
   *
   * Semantics notes (documented contract):
   *  - ties in distance are broken arbitrarily by ROW_NUMBER in the literal
-  *    plan; here they break by an internal right-row id. Both are
-  *    admissible outputs of the same nondeterministic query.
+  *    plan; here they break by internal (right-row id, left-row id). Both
+  *    are admissible outputs of the same nondeterministic query.
   *  - rows of `left` sharing a partition-key value form one ranking group
-  *    in both formulations.
+  *    in both formulations. The operator itself needs a UNIQUE per-row key
+  *    (its candidate dedup and round resolution key on it), so the node
+  *    synthesizes one, runs kNN per ROW, and re-ranks the k-per-row
+  *    candidates with row_number over the user's partition key: the
+  *    group's j-th best pair involves some left row for which that pair is
+  *    within its own top-j <= top-k, so per-group top-k is a subset of the
+  *    per-row union — no pair can be missed, and duplicate key values no
+  *    longer collapse distinct left rows (round-10 fix).
   *  - null geometries: the literal plan ranks their null distances FIRST
   *    (ASC NULLS FIRST) — k meaningless pairs per group; the operator
   *    excludes null-geometry rows from candidate generation instead. This
@@ -52,10 +59,14 @@ case class KnnTopKExec(
     // sides of a self-join may collide on names (never on exprIds)
     val lNames = leftPlan.output.indices.map(i => s"__knn_l$i")
     val rNames = rightPlan.output.indices.map(i => s"__knn_r$i")
+    // synthesized unique per-ROW ids on both sides: the operator's
+    // candidate dedup / round resolution require a unique left key (the
+    // user's partition key may repeat), and the right id drives pair dedup
+    // and tie-break; localCheckpoint(eager) freezes the ids across the
+    // operator's candidate rounds (and caches the sides the rounds re-scan)
     val lDf = GraftInternal.ofRows(ss, leftPlan).toDF(lNames: _*)
-    // a synthesized unique right id drives the operator's pair dedup and
-    // tie-break; localCheckpoint(eager) freezes it across the operator's
-    // candidate rounds (and caches the probe side the rounds re-scan)
+      .withColumn("__knn_lid", monotonically_increasing_id())
+      .localCheckpoint(true)
     val rDf = GraftInternal.ofRows(ss, rightPlan).toDF(rNames: _*)
       .withColumn("__knn_rid", monotonically_increasing_id())
       .localCheckpoint(true)
@@ -63,16 +74,25 @@ case class KnnTopKExec(
     val gj = rightPlan.output.indexWhere(_.exprId == rightGeom.exprId)
     val pi = leftPlan.output.indexWhere(_.exprId == partKey.exprId)
     val res = graft.operators.SpatialJoin.knn(
-      lDf, rDf, lNames(gi), rNames(gj), k, lNames(pi), "__knn_rid")
+      lDf, rDf, lNames(gi), rNames(gj), k, "__knn_lid", "__knn_rid")
+    // re-rank the k-per-row candidates over the user's partition key (a
+    // window over at most k·|left| rows, not the cartesian): reproduces the
+    // literal plan's per-GROUP ranking even when key values repeat
+    val wGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(lNames(pi)))
+      .orderBy(col("knn_dist").asc, col("__knn_rid").asc, col("__knn_lid").asc)
+    val reranked = res
+      .withColumn("__knn_grank", row_number().over(wGroup))
+      .where(col("__knn_grank") <= lit(k))
     val byId: Map[ExprId, org.apache.spark.sql.Column] =
       (leftPlan.output.map(_.exprId).zip(lNames.map(col)) ++
        rightPlan.output.map(_.exprId).zip(rNames.map(col))).toMap
     val sel = output.map { a =>
-      if (a.exprId == rankId) col("knn_rank").cast("int").as(a.name)
+      if (a.exprId == rankId) col("__knn_grank").cast("int").as(a.name)
       else if (distIds.contains(a.exprId)) col("knn_dist").as(a.name)
       else byId(a.exprId).as(a.name)
     }
-    res.select(sel: _*).queryExecution.toRdd
+    reranked.select(sel: _*).queryExecution.toRdd
   }
 }
 

@@ -113,6 +113,48 @@ class KnnJoinSpec extends SparkTestBase {
     }
   }
 
+  test("planner: non-unique partition key ranks per GROUP like the literal plan") {
+    // three left rows share category 'a' (one group of 3) and one is 'b' —
+    // the round-9 advice case: a per-row-unique-key assumption would
+    // collapse/drop rows here. Distances are pairwise distinct by
+    // construction, so group ranking is deterministic and comparable
+    // against the literal window plan run WITHOUT the rewrite.
+    val l = Seq((1L, "a", 0.0, 0.0), (2L, "a", 10.0, 0.0), (3L, "a", 0.3, 0.1),
+                (4L, "b", 5.0, 5.0))
+    val r = Seq((10L, 1.0, 0.0), (11L, 0.0, 2.0), (12L, 9.0, 1.0),
+      (13L, 4.0, 4.0), (14L, 30.0, 30.0))
+    graft.functions.GeoFunctions.register(spark)
+    l.toDF("lid", "cat", "__x", "__y")
+      .withColumn("lg", call_function("st_point", col("__x"), col("__y")))
+      .drop("__x", "__y").createOrReplaceTempView("knn_gl")
+    pts(r, "rid", "rg").createOrReplaceTempView("knn_gr")
+    val q = """
+      SELECT cat, lid, rid, d, rk FROM (
+        SELECT l.cat, l.lid, r.rid, ST_Distance(l.lg, r.rg) AS d,
+               ROW_NUMBER() OVER (PARTITION BY l.cat ORDER BY ST_Distance(l.lg, r.rg)) AS rk
+        FROM knn_gl l CROSS JOIN knn_gr r) t
+      WHERE rk <= 3"""
+    val df = sql(q)
+    assert(df.queryExecution.executedPlan.toString.contains("KnnTopK"))
+    val got = df.collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3), x.getInt(4)))
+      .sortBy(t => (t._1, t._5))
+    // ground truth: rank ALL group pairs by distance (distances pairwise
+    // distinct by construction, so the literal plan's output is unique)
+    val brute = (for ((lid, cat, lx, ly) <- l; (rid, rx, ry) <- r)
+        yield (cat, lid, rid, math.hypot(lx - rx, ly - ry)))
+      .groupBy(_._1).toSeq.flatMap { case (cat, pairs) =>
+        pairs.sortBy(_._4).take(3).zipWithIndex
+          .map { case ((c, lid, rid, d), i) => (c, lid, rid, d, i + 1) }
+      }.sortBy(t => (t._1, t._5))
+    assert(got.length == 6)
+    got.zip(brute).foreach { case (g, b) =>
+      assert(g._1 == b._1 && g._2 == b._2 && g._3 == b._3 && g._5 == b._5,
+        s"got ${got.toSeq}\nexpected ${brute}")
+      assert(math.abs(g._4 - b._4) < 1e-12)
+    }
+  }
+
   test("planner: near-miss shapes fall through to Spark's own planning") {
     pts(Seq((1L, 0.0, 0.0)), "lid", "lg").createOrReplaceTempView("knn_l2")
     pts(Seq((10L, 1.0, 0.0), (11L, 2.0, 0.0)), "rid", "rg").createOrReplaceTempView("knn_r2")
