@@ -18,11 +18,19 @@ import graft.core.GeomOps
   * reads vtable-indexed fields directly rather than shipping generated
   * bindings (no flatbuffers runtime on the classpath).
   *
-  * Distribution model: one file = one task (features are size-prefixed with
-  * no sync markers, so intra-file splits need the spatial index — the
-  * reference's async reader seeks via the same index). Many files
-  * parallelize across the cluster; a 100 TB corpus arrives as many FGB
-  * files. The in-file Hilbert index also enables bbox-selective reads
+  * Distribution model: many files parallelize across the cluster, and ONE
+  * large indexed file also splits across tasks (round 10): features are
+  * size-prefixed with no sync markers, so byte-splits can't self-align —
+  * but the packed Hilbert R-tree's leaf nodes carry every feature's byte
+  * offset in file order, so S-1 positioned 40-byte reads yield S
+  * feature-aligned ranges (the reference's async reader seeks feature
+  * ranges via the same index, rust/geoarrow-flatgeobuf/src/reader/
+  * async.rs:244). Range size follows spark.sql.files.maxPartitionBytes,
+  * mirroring FileSourceScanExec's split sizing; split probing for large
+  * files runs as a Spark job (only tiny (path,start,end) descriptors are
+  * collected), never a driver-side per-file IO loop. Indexless files stay
+  * one task — a 100 TB corpus without indexes should arrive as many files.
+  * The in-file Hilbert index also enables bbox-selective reads
   * ([[readBbox]]): only features whose envelope intersects the query rect
   * are decoded.
   */
@@ -117,6 +125,12 @@ object FlatGeobuf {
     LongType, LongType, LongType, FloatType, DoubleType, StringType,
     StringType, StringType, BinaryType)
   // Byte UByte Bool Short UShort Int UInt Long ULong Float Double String Json DateTime Binary
+  // Unsigned types widen to the next signed Spark type (Spark has no
+  // unsigned integers) — except ULong, which has no wider type: it maps to
+  // LongType and values beyond Long.MaxValue read as the raw
+  // two's-complement bits (documented fallback, pinned by the
+  // alldatatypes.fgb spec; the reference maps ULong to Arrow UInt64,
+  // rust/geoarrow-flatgeobuf/src/reader/common.rs:95-110).
 
   case class Header(name: String, geometryType: Int, columns: Seq[(String, Int)],
                     featuresCount: Long, indexNodeSize: Int, envelope: Array[Double],
@@ -298,11 +312,15 @@ object FlatGeobuf {
 
   // ── property decode (packed: u16 column index + typed value) ──────────
 
-  private def decodeProperties(bb: ByteBuffer, pos: Int, len: Int,
+  private[sources] def decodeProperties(bb: ByteBuffer, pos: Int, len: Int,
                                types: Array[Int], out: Array[Any]): Unit = {
     var p = pos
     val end = pos + len
-    while (p < end) {
+    // p + 2 <= end, not p < end: real-world files (e.g. the reference's
+    // alldatatypes.fgb) pad the properties vector with a trailing byte; a
+    // `p < end` loop would parse a phantom entry from the pad byte plus
+    // whatever follows the vector and overwrite column 0 with garbage
+    while (p + 2 <= end) {
       val idx = bb.getShort(p) & 0xFFFF; p += 2
       types(idx) match {
         case 0 => out(idx) = bb.get(p); p += 1
@@ -365,7 +383,7 @@ object FlatGeobuf {
     }
   }
 
-  private def decodeFeatures(bytes: Array[Byte],
+  private[sources] def decodeFeatures(bytes: Array[Byte],
                              bbox: Option[(Double, Double, Double, Double)]): Iterator[Row] = {
     val header = parseHeader(bytes)
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -445,29 +463,110 @@ object FlatGeobuf {
     } finally in.close()
   }
 
+  /** Feature-aligned byte ranges for one file, from the packed index's leaf
+    * level: S-1 positioned 40-byte reads at evenly spaced leaf nodes give
+    * the boundary features' byte offsets (leaves are in file order — the
+    * writer packs them in the features' Hilbert sort order). Returns
+    * absolute [start, end) ranges covering the whole feature section;
+    * (start, -1) means "whole file from the features section" (indexless or
+    * single-split files). Runs task-side. */
+  private[sources] def splitRanges(fs: org.apache.hadoop.fs.FileSystem,
+                                   p: org.apache.hadoop.fs.Path,
+                                   maxPartitionBytes: Long): Seq[(Long, Long)] = {
+    val header = parseHeader(readHeaderBytes(fs, p))
+    val len = fs.getFileStatus(p).getLen
+    val idxLen = indexSize(header.featuresCount, header.indexNodeSize)
+    val featStart = header.headerEnd.toLong + idxLen
+    val sectionLen = len - featStart
+    val nSplits = math.min(
+      (sectionLen + maxPartitionBytes - 1) / maxPartitionBytes,
+      header.featuresCount).toInt
+    if (header.indexNodeSize == 0 || nSplits <= 1) return Seq((featStart, -1L))
+    val leafStartNode = levelBounds(header.featuresCount, header.indexNodeSize)(0)._1
+    val in = fs.open(p)
+    val offs =
+      try (1 until nSplits).map { t =>
+        val item = header.featuresCount * t / nSplits
+        val buf = new Array[Byte](8)
+        in.readFully(header.headerEnd.toLong + 40L * (leafStartNode + item) + 32L, buf)
+        ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN).getLong(0)
+      } finally in.close()
+    val bounds = (0L +: offs.sorted.distinct) :+ sectionLen
+    bounds.sliding(2).collect { case Seq(a, b) if a < b => (featStart + a, featStart + b) }.toSeq
+  }
+
+  /** Decode the size-prefixed features in absolute byte range [start, end)
+    * (or to EOF when end = -1). Range ends are feature-aligned by
+    * construction (splitRanges). */
+  private def decodeRange(fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path,
+                          start: Long, end: Long): Iterator[Row] = {
+    val header = parseHeader(readHeaderBytes(fs, p))
+    val types = header.columns.map(_._2).toArray
+    val until = if (end < 0) fs.getFileStatus(p).getLen else end
+    val bytes = new Array[Byte]((until - start).toInt)
+    val in = fs.open(p)
+    try in.readFully(start, bytes) finally in.close()
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var pos = 0
+    new Iterator[Row] {
+      def hasNext: Boolean = pos + 4 <= bytes.length
+      def next(): Row = {
+        val size = bb.getInt(pos)
+        val root = pos + 4
+        pos = root + size
+        rowOf(bb, root, header, types)
+      }
+    }
+  }
+
   /** Read FGB file(s) into a DataFrame (property columns + `geometry` WKB).
-    * One task per file; many files parallelize across executors. */
+    * Files parallelize across executors; a large indexed file additionally
+    * splits into maxPartitionBytes-sized feature-aligned ranges (see the
+    * object scaladoc). */
   def read(spark: SparkSession, path: String,
            bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
     graft.functions.GeoFunctions.register(spark)
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    val files =
+    val statuses =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".fgb")).map(_.toString)
-      else Array(path)
-    require(files.nonEmpty, s"no .fgb files under $path")
+        fs.listStatus(p).filter(_.getPath.getName.endsWith(".fgb"))
+          .map(s => (s.getPath.toString, s.getLen))
+      else Array((path, fs.getFileStatus(p).getLen))
+    require(statuses.nonEmpty, s"no .fgb files under $path")
     // schema from the first header (driver side, bounded read), like the reference
-    val schema = schemaOf(parseHeader(readHeaderBytes(fs, new org.apache.hadoop.fs.Path(files.head))))
-    val rdd = spark.sparkContext.parallelize(files.toIndexedSeq, files.length).flatMap { f =>
-      val conf2 = new org.apache.hadoop.conf.Configuration()
-      val fp = new org.apache.hadoop.fs.Path(f)
-      val tfs = fp.getFileSystem(conf2)
-      bbox match {
-        case Some((x0, y0, x1, y1)) => readSelective(tfs, fp, x0, y0, x1, y1)
-        case None => decodeFeatures(readAll(tfs, fp), None)
-      }
+    val schema = schemaOf(parseHeader(readHeaderBytes(fs,
+      new org.apache.hadoop.fs.Path(statuses.head._1))))
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    // (path, start, end): start<0 = whole file; end<0 = from start to EOF
+    val splits: IndexedSeq[(String, Long, Long)] = bbox match {
+      case Some(_) => statuses.map { case (f, _) => (f, -1L, -1L) }.toIndexedSeq
+      case None =>
+        val (big, small) = statuses.partition(_._2 > maxPart)
+        // split-probe large files in a Spark job (one bounded header read +
+        // S-1 leaf-node reads each); only tiny descriptors come back
+        val bigSplits =
+          if (big.isEmpty) IndexedSeq.empty[(String, Long, Long)]
+          else spark.sparkContext.parallelize(big.map(_._1).toIndexedSeq, big.length)
+            .flatMap { f =>
+              val fp = new org.apache.hadoop.fs.Path(f)
+              val tfs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+              splitRanges(tfs, fp, maxPart).map { case (s, e) => (f, s, e) }
+            }.collect().toIndexedSeq
+        small.map { case (f, _) => (f, -1L, -1L) }.toIndexedSeq ++ bigSplits
+    }
+    val rdd = spark.sparkContext.parallelize(splits, splits.length).flatMap {
+      case (f, start, end) =>
+        val conf2 = new org.apache.hadoop.conf.Configuration()
+        val fp = new org.apache.hadoop.fs.Path(f)
+        val tfs = fp.getFileSystem(conf2)
+        bbox match {
+          case Some((x0, y0, x1, y1)) => readSelective(tfs, fp, x0, y0, x1, y1)
+          case None if start < 0 => decodeFeatures(readAll(tfs, fp), None)
+          case None => decodeRange(tfs, fp, start, end)
+        }
     }
     spark.createDataFrame(rdd, schema)
   }

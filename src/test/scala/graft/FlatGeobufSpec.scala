@@ -70,6 +70,41 @@ class FlatGeobufSpec extends SparkTestBase {
     assert(df.select(call_function("st_area", col("geometry"))).head().getDouble(0) > 0)
   }
 
+  test("alldatatypes.fgb: full typed-property matrix with pinned values") {
+    // reference fixture exercising every FGB column type
+    // (rust/geoarrow-flatgeobuf/src/reader/common.rs:95-110 maps them);
+    // expected values independently confirmed by a byte-level parse of the
+    // property section (not by this reader)
+    val df = FlatGeobuf.read(spark, s"$fixtures/alldatatypes.fgb")
+    assert(df.columns.toSeq == Seq("byte", "ubyte", "bool", "short", "ushort",
+      "int", "uint", "long", "ulong", "float", "double", "string", "json",
+      "datetime", "binary", "geometry"))
+    import org.apache.spark.sql.types._
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("byte") == ByteType && types("ubyte") == ShortType
+      && types("bool") == BooleanType && types("short") == ShortType
+      && types("ushort") == IntegerType && types("int") == IntegerType
+      && types("uint") == LongType && types("long") == LongType
+      && types("float") == FloatType && types("double") == DoubleType
+      && types("string") == StringType && types("json") == StringType
+      && types("datetime") == StringType && types("binary") == BinaryType)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Byte]("byte") == -1 && r.getAs[Short]("ubyte") == 255
+      && r.getAs[Boolean]("bool") && r.getAs[Short]("short") == -1
+      && r.getAs[Int]("ushort") == 65535 && r.getAs[Int]("int") == -1
+      && r.getAs[Long]("uint") == 4294967295L && r.getAs[Long]("long") == -1L)
+    // documented fallback: ULong maps to LongType; 2^64-1 reads as the raw
+    // two's-complement bits (-1), not a throw
+    assert(r.getAs[Long]("ulong") == -1L)
+    assert(r.getAs[Float]("float") == 0.0f && r.getAs[Double]("double") == 0.0)
+    assert(r.getAs[String]("string") == "X" && r.getAs[String]("json") == "X"
+      && r.getAs[String]("datetime") == "2020-02-29T12:34:56Z")
+    assert(r.getAs[Array[Byte]]("binary").toSeq == Seq('X'.toByte))
+    assert(graft.core.GeomOps.read(r.getAs[Array[Byte]]("geometry")) != null)
+  }
+
   test("writer roundtrip: synthetic mixed types + typed properties") {
     import graft.sources.FlatGeobufWriter
     val out = java.nio.file.Files.createTempDirectory("fgbw").toString
@@ -95,6 +130,34 @@ class FlatGeobufSpec extends SparkTestBase {
     val src = df.selectExpr("id", "ST_AsText(geometry) AS w")
     val dst = back.selectExpr("id", "ST_AsText(geometry) AS w")
     assert(src.except(dst).isEmpty && dst.except(src).isEmpty)
+  }
+
+  test("one large indexed file splits across tasks via the packed index") {
+    import graft.sources.FlatGeobufWriter
+    val out = java.nio.file.Files.createTempDirectory("fgbsplit").toString
+    val n = 4000
+    val df = spark.sql(
+      s"""SELECT CAST(id AS BIGINT) AS fid,
+                 ST_Point(CAST(id % 200 AS DOUBLE), CAST(id DIV 200 AS DOUBLE)) AS geometry
+          FROM range($n)""").coalesce(1)
+    FlatGeobufWriter.write(df, out) // one partition -> ONE indexed .fgb
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      val split = FlatGeobuf.read(spark, out)
+      // >1 task over the single file — the round-9 "one file = one core" gap
+      assert(split.rdd.getNumPartitions > 1,
+        s"expected multiple splits, got ${split.rdd.getNumPartitions}")
+      val gotIds = split.select("fid").collect().map(_.getLong(0)).sorted
+      assert(gotIds.toSeq == (0L until n), "split read must see every feature exactly once")
+      // identical rows (geometry included) to the single-task read
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1073741824")
+      val whole = FlatGeobuf.read(spark, out)
+      assert(whole.rdd.getNumPartitions == 1)
+      val sp = split.selectExpr("fid", "ST_AsText(geometry) AS w")
+      val wh = whole.selectExpr("fid", "ST_AsText(geometry) AS w")
+      assert(sp.except(wh).isEmpty && wh.except(sp).isEmpty)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
   test("header annotations: title/description/metadata roundtrip; absent stays None") {
