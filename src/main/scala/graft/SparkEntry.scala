@@ -1234,6 +1234,34 @@ object SparkEntry {
     CROSS JOIN (SELECT unnest(range(3, 7)) AS y) y
     ORDER BY fid"""
 
+  /** DSv2 FlatGeobuf read (`format("flatgeobuf")`) under the hash gate: a
+    * generated indexed file read back through the TableProvider with a
+    * pruned projection (id, score — label and geometry never decode,
+    * FlatGeobufSpec proves the decoder-level skip). score = id * 0.5 is
+    * exact in binary, so the double SUM is order-independent and
+    * closed-form. */
+  private def g51Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g51_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val pts = s.sql("""
+      SELECT CAST(id AS INT) AS id, CONCAT('label-', id) AS label,
+             CAST(id * 0.5 AS DOUBLE) AS score,
+             ST_Point(CAST(id AS DOUBLE), 1.0D) AS geometry
+      FROM range(1000)""").coalesce(1)
+    graft.sources.FlatGeobufWriter.write(pts, out, index = true)
+    s.read.format("flatgeobuf").load(out)
+      .where("id % 7 = 0")
+      .groupBy()
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("id").cast("bigint").as("sum_id"),
+        org.apache.spark.sql.functions.sum("score").as("sum_score"))
+  }
+
+  private val g51Duck = """
+    SELECT COUNT(*)::BIGINT AS n, SUM(id)::BIGINT AS sum_id, SUM(id * 0.5)::DOUBLE AS sum_score
+    FROM (SELECT unnest(range(0, 1000)) AS id) t WHERE id % 7 = 0"""
+
   /** Arrow IPC write→read roundtrip under the hash gate: a fixed point set
     * goes out through ArrowIpc.write (GeoArrow WKB layout, file-format IPC)
     * and back through ArrowIpc.read; values are pinned by a closed-form
@@ -2778,6 +2806,7 @@ object SparkEntry {
     ("g48_geometry_col", g48Fn _, g48Duck),
     ("g49_multi_geometry", g49Fn _, g49Duck),
     ("g50_geojson_fc_write", g50Fn _, g50Duck),
+    ("g51_fgb_dsv2_pruned", g51Fn _, g51Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),

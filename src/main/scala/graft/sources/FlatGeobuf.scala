@@ -312,8 +312,20 @@ object FlatGeobuf {
 
   // ── property decode (packed: u16 column index + typed value) ──────────
 
+  /** Count of property values MATERIALIZED by decodeProperties (not
+    * skipped) — a diagnostics hook the DSv2 pruning spec reads to prove
+    * projection reaches the decode level (meaningful in local mode where
+    * tasks share the JVM). A LongAdder add is noise next to the value
+    * allocation it counts. */
+  private[graft] val decodedPropValues = new java.util.concurrent.atomic.LongAdder
+
+  /** Decode the packed property stream. With a non-null `wanted` mask,
+    * values of unwanted columns are SKIPPED (the cursor advances without
+    * materializing — for strings/binary only the length prefix is read):
+    * decode-level column pruning for the DSv2 path. */
   private[sources] def decodeProperties(bb: ByteBuffer, pos: Int, len: Int,
-                               types: Array[Int], out: Array[Any]): Unit = {
+                               types: Array[Int], out: Array[Any],
+                               wanted: Array[Boolean] = null): Unit = {
     var p = pos
     val end = pos + len
     // p + 2 <= end, not p < end: real-world files (e.g. the reference's
@@ -322,29 +334,37 @@ object FlatGeobuf {
     // whatever follows the vector and overwrite column 0 with garbage
     while (p + 2 <= end) {
       val idx = bb.getShort(p) & 0xFFFF; p += 2
+      val want = wanted == null || wanted(idx)
+      if (want) decodedPropValues.increment()
       types(idx) match {
-        case 0 => out(idx) = bb.get(p); p += 1
-        case 1 => out(idx) = (bb.get(p) & 0xFF).toShort; p += 1
-        case 2 => out(idx) = bb.get(p) != 0; p += 1
-        case 3 => out(idx) = bb.getShort(p); p += 2
-        case 4 => out(idx) = bb.getShort(p) & 0xFFFF; p += 2
-        case 5 => out(idx) = bb.getInt(p); p += 4
-        case 6 => out(idx) = bb.getInt(p).toLong & 0xFFFFFFFFL; p += 4
-        case 7 | 8 => out(idx) = bb.getLong(p); p += 8
-        case 9 => out(idx) = bb.getFloat(p); p += 4
-        case 10 => out(idx) = bb.getDouble(p); p += 8
+        case 0 => if (want) out(idx) = bb.get(p); p += 1
+        case 1 => if (want) out(idx) = (bb.get(p) & 0xFF).toShort; p += 1
+        case 2 => if (want) out(idx) = bb.get(p) != 0; p += 1
+        case 3 => if (want) out(idx) = bb.getShort(p); p += 2
+        case 4 => if (want) out(idx) = bb.getShort(p) & 0xFFFF; p += 2
+        case 5 => if (want) out(idx) = bb.getInt(p); p += 4
+        case 6 => if (want) out(idx) = bb.getInt(p).toLong & 0xFFFFFFFFL; p += 4
+        case 7 | 8 => if (want) out(idx) = bb.getLong(p); p += 8
+        case 9 => if (want) out(idx) = bb.getFloat(p); p += 4
+        case 10 => if (want) out(idx) = bb.getDouble(p); p += 8
         case 11 | 12 | 13 => // String / Json / DateTime
           val len = bb.getInt(p); p += 4
-          val arr = new Array[Byte](len)
-          val dup = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
-          dup.position(p); dup.get(arr); p += len
-          out(idx) = new String(arr, "UTF-8")
+          if (want) {
+            val arr = new Array[Byte](len)
+            val dup = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+            dup.position(p); dup.get(arr)
+            out(idx) = new String(arr, "UTF-8")
+          }
+          p += len
         case 14 =>
           val len = bb.getInt(p); p += 4
-          val arr = new Array[Byte](len)
-          val dup = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
-          dup.position(p); dup.get(arr); p += len
-          out(idx) = arr
+          if (want) {
+            val arr = new Array[Byte](len)
+            val dup = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+            dup.position(p); dup.get(arr)
+            out(idx) = arr
+          }
+          p += len
         case other => throw new IllegalArgumentException(s"unsupported FGB column type $other")
       }
     }
@@ -361,16 +381,23 @@ object FlatGeobuf {
     * features and ONLY those are decoded (the reference's async reader
     * seeks via the same index); indexless files fall back to full scan +
     * envelope filter. */
-  /** Decode the feature table rooted at `root` in `bb` into a Row. */
-  private def rowOf(bb: ByteBuffer, root: Int, header: Header, types: Array[Int]): Row = {
+  /** Decode the feature table rooted at `root` in `bb` into a Row. With a
+    * `wanted` mask (length = columns + 1, last slot = geometry) unwanted
+    * properties are cursor-skipped and an unwanted geometry is not decoded
+    * at all. */
+  private[sources] def rowOf(bb: ByteBuffer, root: Int, header: Header,
+                             types: Array[Int],
+                             wanted: Array[Boolean] = null): Row = {
     val t = new Table(bb, root + bb.getInt(root))
     val out = new Array[Any](types.length + 1)
     t.indirect(F.Properties) match {
       case -1 =>
-      case pp => decodeProperties(bb, pp + 4, bb.getInt(pp), types, out)
+      case pp => decodeProperties(bb, pp + 4, bb.getInt(pp), types, out, wanted)
     }
-    val geom = t.subTable(F.Geometry).map(g => decodeGeometry(g, header.geometryType)).orNull
-    out(types.length) = if (geom == null) null else GeomOps.write(geom)
+    if (wanted == null || wanted(types.length)) {
+      val geom = t.subTable(F.Geometry).map(g => decodeGeometry(g, header.geometryType)).orNull
+      out(types.length) = if (geom == null) null else GeomOps.write(geom)
+    }
     Row.fromSeq(out.toIndexedSeq)
   }
 
@@ -384,7 +411,8 @@ object FlatGeobuf {
   }
 
   private[sources] def decodeFeatures(bytes: Array[Byte],
-                             bbox: Option[(Double, Double, Double, Double)]): Iterator[Row] = {
+                             bbox: Option[(Double, Double, Double, Double)],
+                             wanted: Array[Boolean] = null): Iterator[Row] = {
     val header = parseHeader(bytes)
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val types = header.columns.map(_._2).toArray
@@ -394,7 +422,7 @@ object FlatGeobuf {
       case Some((x0, y0, x1, y1)) if header.indexNodeSize > 0 && header.featuresCount > 0 =>
         // index-seek path: decode only the tree's candidate features
         searchIndex(bytes, x0, y0, x1, y1).iterator
-          .map(off => rowOf(bb, start.toInt + off.toInt + 4, header, types))
+          .map(off => rowOf(bb, start.toInt + off.toInt + 4, header, types, wanted))
           .filter(envelopeHit(_, types.length, x0, y0, x1, y1))
       case _ =>
         var p = start.toInt
@@ -404,7 +432,7 @@ object FlatGeobuf {
             val size = bb.getInt(p)
             val root = p + 4
             p = root + size
-            rowOf(bb, root, header, types)
+            rowOf(bb, root, header, types, wanted)
           }
         }
         bbox match {
@@ -498,9 +526,10 @@ object FlatGeobuf {
   /** Decode the size-prefixed features in absolute byte range [start, end)
     * (or to EOF when end = -1). Range ends are feature-aligned by
     * construction (splitRanges). */
-  private def decodeRange(fs: org.apache.hadoop.fs.FileSystem,
+  private[sources] def decodeRange(fs: org.apache.hadoop.fs.FileSystem,
                           p: org.apache.hadoop.fs.Path,
-                          start: Long, end: Long): Iterator[Row] = {
+                          start: Long, end: Long,
+                          wanted: Array[Boolean] = null): Iterator[Row] = {
     val header = parseHeader(readHeaderBytes(fs, p))
     val types = header.columns.map(_._2).toArray
     val until = if (end < 0) fs.getFileStatus(p).getLen else end
@@ -515,7 +544,7 @@ object FlatGeobuf {
         val size = bb.getInt(pos)
         val root = pos + 4
         pos = root + size
-        rowOf(bb, root, header, types)
+        rowOf(bb, root, header, types, wanted)
       }
     }
   }

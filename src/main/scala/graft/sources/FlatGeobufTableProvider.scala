@@ -1,0 +1,188 @@
+package graft.sources
+
+import java.util
+
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `spark.read.format("flatgeobuf")` — DataSource V2 face of
+  * [[FlatGeobuf]], adding what the function-style `read()` cannot express:
+  * Catalyst-driven column pruning that reaches the DECODE level
+  * ([[SupportsPushDownRequiredColumns]] → the `wanted` mask in
+  * `FlatGeobuf.rowOf`): unwanted property values are cursor-skipped
+  * without materializing, and an unwanted geometry is never decoded —
+  * on a wide-schema corpus the dominant per-feature cost. Split planning
+  * is shared with `read()` (one task per file; large indexed files split
+  * into maxPartitionBytes ranges via the packed Hilbert index).
+  *
+  * The reference gains the same effect by mapping only requested columns
+  * into arrays (rust/geoarrow-flatgeobuf/src/reader/common.rs property
+  * schema selection); here it rides Spark's own required-columns pushdown.
+  */
+class FlatGeobufSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "flatgeobuf"
+
+  private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    // Spark puts a single .load(p) into "path" and multiple into a JSON
+    // array under "paths"; FGB paths never contain quotes, so the simple
+    // split is faithful
+    val multi = Option(options.get("paths")).toSeq.flatMap {
+      _.stripPrefix("[").stripSuffix("]").split(",").toSeq
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    }
+    val single = Option(options.get("path")).toSeq
+    val all = (multi ++ single).distinct
+    require(all.nonEmpty, "flatgeobuf: no path given (use .load(path))")
+    all
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val head = FlatGeobufSource.resolveFiles(paths(options)).head._1
+    val p = new Path(head)
+    val fs = p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    FlatGeobuf.schemaOf(FlatGeobuf.parseHeader(FlatGeobufSource.headerBytes(fs, p)))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new FlatGeobufTable(schema,
+      paths(new CaseInsensitiveStringMap(properties)))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+private[sources] object FlatGeobufSource {
+  def resolveFiles(roots: Seq[String]): Seq[(String, Long)] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val files = roots.flatMap { r =>
+      val p = new Path(r)
+      val fs = p.getFileSystem(conf)
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.getPath.getName.endsWith(".fgb"))
+          .map(s => (s.getPath.toString, s.getLen)).toSeq
+      else Seq((p.toString, fs.getFileStatus(p).getLen))
+    }
+    require(files.nonEmpty, s"no .fgb files under ${roots.mkString(",")}")
+    files
+  }
+
+  def headerBytes(fs: org.apache.hadoop.fs.FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val pre = new Array[Byte](12)
+      in.readFully(0, pre)
+      val headerLen = java.nio.ByteBuffer.wrap(pre)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(8)
+      val all = new Array[Byte](12 + headerLen)
+      in.readFully(0, all)
+      all
+    } finally in.close()
+  }
+}
+
+private[sources] class FlatGeobufTable(dataSchema: StructType, roots: Seq[String])
+    extends Table with SupportsRead {
+  override def name(): String = s"flatgeobuf(${roots.mkString(",")})"
+  override def schema(): StructType = dataSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FlatGeobufScanBuilder(dataSchema, roots)
+}
+
+private[sources] class FlatGeobufScanBuilder(dataSchema: StructType, roots: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = dataSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep file field order; Catalyst projects to its own order above
+    required = StructType(dataSchema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+  override def build(): Scan = new FlatGeobufScan(dataSchema, required, roots)
+}
+
+private[sources] case class FgbPartition(path: String, start: Long, end: Long)
+    extends InputPartition
+
+private[sources] class FlatGeobufScan(dataSchema: StructType,
+                                      required: StructType,
+                                      roots: Seq[String]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FlatGeobufScan(required=[${required.fieldNames.mkString(",")}])"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val statuses = FlatGeobufSource.resolveFiles(roots)
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    val (big, small) = statuses.partition(_._2 > maxPart)
+    val bigSplits =
+      if (big.isEmpty) Seq.empty[FgbPartition]
+      else spark.sparkContext.parallelize(big.map(_._1).toIndexedSeq, big.length)
+        .flatMap { f =>
+          val fp = new Path(f)
+          val tfs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          FlatGeobuf.splitRanges(tfs, fp, maxPart).map { case (s, e) => FgbPartition(f, s, e) }
+        }.collect().toSeq
+    (small.map { case (f, _) => FgbPartition(f, -1L, -1L) } ++ bigSplits).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // indices of required fields within the full-width decoded row, and the
+    // decode mask (length = columns + 1; last slot = geometry)
+    val outIdx = required.fieldNames.map(dataSchema.fieldIndex)
+    val wanted = Array.fill(dataSchema.length)(false)
+    outIdx.foreach(wanted(_) = true)
+    FlatGeobufReaderFactory(required, outIdx, wanted)
+  }
+}
+
+private[sources] case class FlatGeobufReaderFactory(required: StructType,
+                                                    outIdx: Array[Int],
+                                                    wanted: Array[Boolean])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val FgbPartition(path, start, end) = partition: @unchecked
+    val p = new Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val rows =
+      if (start < 0) FlatGeobuf.decodeFeatures(FlatGeobufReaderFactory.readAll(fs, p), None, wanted)
+      else FlatGeobuf.decodeRange(fs, p, start, end, wanted)
+    val isString = required.fields.map(_.dataType == StringType)
+    new PartitionReader[InternalRow] {
+      private var row: org.apache.spark.sql.Row = _
+      override def next(): Boolean = { val h = rows.hasNext; if (h) row = rows.next(); h }
+      override def get(): InternalRow = {
+        val vals = new Array[Any](outIdx.length)
+        var i = 0
+        while (i < outIdx.length) {
+          val v = row.get(outIdx(i))
+          vals(i) = if (v != null && isString(i)) UTF8String.fromString(v.asInstanceOf[String]) else v
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private[sources] object FlatGeobufReaderFactory {
+  def readAll(fs: org.apache.hadoop.fs.FileSystem, p: Path): Array[Byte] = {
+    val len = fs.getFileStatus(p).getLen.toInt
+    val out = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, out) finally in.close()
+    out
+  }
+}

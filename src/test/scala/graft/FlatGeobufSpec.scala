@@ -160,6 +160,37 @@ class FlatGeobufSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("DSv2 format(\"flatgeobuf\"): column pruning reaches the decoder") {
+    import graft.sources.FlatGeobufWriter
+    val out = java.nio.file.Files.createTempDirectory("fgbdsv2").toString
+    val n = 500
+    val df = spark.sql(
+      s"""SELECT CAST(id AS INT) AS id, CONCAT('label-', id) AS label,
+                 CAST(id * 0.5 AS DOUBLE) AS score,
+                 ST_Point(CAST(id AS DOUBLE), 1.0D) AS geometry
+          FROM range($n)""").coalesce(1)
+    FlatGeobufWriter.write(df, out)
+    // full read through the DSv2 path matches the function-style read
+    val v2 = spark.read.format("flatgeobuf").load(out)
+    assert(v2.columns.toSeq == Seq("id", "label", "score", "geometry"))
+    assert(v2.count() == n)
+    val fn = FlatGeobuf.read(spark, out)
+    assert(v2.selectExpr("id", "label", "score", "ST_AsText(geometry) AS w")
+      .except(fn.selectExpr("id", "label", "score", "ST_AsText(geometry) AS w")).isEmpty)
+    // projection is pushed into the scan (visible in the plan) ...
+    val pruned = spark.read.format("flatgeobuf").load(out).select("id")
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("required=[id]"), s"pushdown missing in:\n$planStr")
+    // ... and reaches the DECODE level: only n property values materialize
+    // (id), not 3n (id+label+score); local mode shares the JVM so the
+    // diagnostics adder sees task-side work
+    graft.sources.FlatGeobuf.decodedPropValues.reset()
+    val ids = pruned.collect().map(_.getInt(0)).sorted
+    assert(ids.toSeq == (0 until n))
+    val materialized = graft.sources.FlatGeobuf.decodedPropValues.sum()
+    assert(materialized == n, s"expected $n decoded property values, got $materialized")
+  }
+
   test("header annotations: title/description/metadata roundtrip; absent stays None") {
     import graft.sources.FlatGeobufWriter
     val out = java.nio.file.Files.createTempDirectory("fgbann").toString
