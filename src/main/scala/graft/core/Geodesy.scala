@@ -249,6 +249,88 @@ object Geodesy {
     case _ => 0.0
   }
 
+  // ── Vincenty inverse (named legacy variant) ───────────────────────────
+  // The reference ships VincentyLength as a NAMED algorithm
+  // (rust/geoarrow-old/src/algorithm/geo/vincenty_length.rs:16; the Edges
+  // enum also names vincenty, rust/geoarrow-schema/src/edges.rs:35-70).
+  // Karney supersedes it numerically (exact vs Vincenty's ~0.5 mm and
+  // antipodal non-convergence), but users porting code expect the name —
+  // so this is the real Vincenty 1975 inverse iteration, falling back to
+  // Karney on the documented non-convergence region (nearly antipodal),
+  // where the two agree to Vincenty's own error bound anyway.
+
+  /** Vincenty inverse distance (m), WGS84 — Vincenty 1975 eq. 1-13.
+    * Falls back to Karney when the λ iteration does not converge. */
+  def vincentyMeters(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    if (lon1 == lon2 && lat1 == lat2) return 0.0
+    val f = Wgs84F
+    val a = Wgs84A
+    val bAx = a * (1.0 - f) // semi-minor axis
+    val u1 = math.atan((1.0 - f) * math.tan(math.toRadians(lat1)))
+    val u2 = math.atan((1.0 - f) * math.tan(math.toRadians(lat2)))
+    val lCap = math.toRadians(lon2 - lon1)
+    val (sinU1, cosU1) = (math.sin(u1), math.cos(u1))
+    val (sinU2, cosU2) = (math.sin(u2), math.cos(u2))
+    var lambda = lCap
+    var iter = 0
+    var sinSigma = 0.0; var cosSigma = 0.0; var sigma = 0.0
+    var cosSqAlpha = 0.0; var cos2Sm = 0.0
+    while (iter < 200) {
+      val sinL = math.sin(lambda); val cosL = math.cos(lambda)
+      sinSigma = math.hypot(cosU2 * sinL, cosU1 * sinU2 - sinU1 * cosU2 * cosL)
+      if (sinSigma == 0.0) return 0.0 // coincident
+      cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosL
+      sigma = math.atan2(sinSigma, cosSigma)
+      val sinAlpha = cosU1 * cosU2 * sinL / sinSigma
+      cosSqAlpha = 1.0 - sinAlpha * sinAlpha
+      cos2Sm = if (cosSqAlpha == 0.0) 0.0 // equatorial line
+               else cosSigma - 2.0 * sinU1 * sinU2 / cosSqAlpha
+      val c = f / 16.0 * cosSqAlpha * (4.0 + f * (4.0 - 3.0 * cosSqAlpha))
+      val prev = lambda
+      lambda = lCap + (1.0 - c) * f * sinAlpha *
+        (sigma + c * sinSigma * (cos2Sm + c * cosSigma * (-1.0 + 2.0 * cos2Sm * cos2Sm)))
+      if (math.abs(lambda - prev) < 1e-12) {
+        val uSq = cosSqAlpha * (a * a - bAx * bAx) / (bAx * bAx)
+        val bigA = 1.0 + uSq / 16384.0 * (4096.0 + uSq * (-768.0 + uSq * (320.0 - 175.0 * uSq)))
+        val bigB = uSq / 1024.0 * (256.0 + uSq * (-128.0 + uSq * (74.0 - 47.0 * uSq)))
+        val dSigma = bigB * sinSigma * (cos2Sm + bigB / 4.0 *
+          (cosSigma * (-1.0 + 2.0 * cos2Sm * cos2Sm) -
+           bigB / 6.0 * cos2Sm * (-3.0 + 4.0 * sinSigma * sinSigma) * (-3.0 + 4.0 * cos2Sm * cos2Sm)))
+        return bAx * bigA * (sigma - dSigma)
+      }
+      iter += 1
+    }
+    KarneyGeodesic.distance(lat1, lon1, lat2, lon2) // antipodal fallback
+  }
+
+  def distanceVincenty(a: Array[Byte], b: Array[Byte]): Double = {
+    val ca = GeomOps.read(a).getCoordinate
+    val cb = GeomOps.read(b).getCoordinate
+    vincentyMeters(ca.x, ca.y, cb.x, cb.y)
+  }
+
+  /** Vincenty length of a (multi)linestring (m) — named parity with
+    * vincenty_length.rs:16. */
+  def lengthVincenty(b: Array[Byte]): Double = {
+    val g = GeomOps.read(b)
+    var total = 0.0
+    var i = 0
+    while (i < g.getNumGeometries) {
+      g.getGeometryN(i) match {
+        case l: LineString =>
+          val cs = l.getCoordinates
+          var j = 1
+          while (j < cs.length) {
+            total += vincentyMeters(cs(j - 1).x, cs(j - 1).y, cs(j).x, cs(j).y)
+            j += 1
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    total
+  }
+
   /** Karney-exact inverse distance between two points (m). */
   def distanceGeodesic(a: Array[Byte], b: Array[Byte]): Double = {
     val ca = GeomOps.read(a).getCoordinate

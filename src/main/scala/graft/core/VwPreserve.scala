@@ -26,6 +26,16 @@ import org.locationtech.jts.geom._
   *  - A ring never drops below 4 coordinates (3 distinct + closure); an
   *    open line never below its 2 endpoints.
   *  - Each ring / linestring component is guarded independently.
+  *
+  * Documented conservative divergence from the geo crate: a vertex whose
+  * removal is BLOCKED by an intersecting segment leaves the queue and is
+  * re-scored only when one of its immediate neighbours is removed. If the
+  * unrelated blocking segment is itself eliminated later, the vertex is
+  * not re-examined, so the output can RETAIN more vertices than the
+  * reference on such inputs (never fewer, and topology is still
+  * preserved — the divergence is only ever toward less simplification).
+  * Re-enqueueing would need an envelope→blocked-vertex index maintained
+  * across removals; the guard's correctness doesn't depend on it.
   */
 object VwPreserve {
 

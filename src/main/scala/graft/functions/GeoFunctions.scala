@@ -181,6 +181,8 @@ object GeoFunctions {
     "st_areaspheroidsigned" -> Sig("areaSpheroidSigned", D, Seq(G), geodesy),
     "st_distancegeodesic" -> Sig("distanceGeodesic", D, Seq(G, G), geodesy),
     "st_lengthgeodesic" -> Sig("lengthGeodesic", D, Seq(G), geodesy),
+    "st_distancevincenty" -> Sig("distanceVincenty", D, Seq(G, G), geodesy),
+    "st_lengthvincenty" -> Sig("lengthVincenty", D, Seq(G), geodesy),
     "st_signedarea" -> Sig("signedArea", D, Seq(G)),
     // GeoArrow native-layout → WKB transcode (GeoParquet 1.1 non-WKB read;
     // args: nested coords column, hasZ, hasM — see graft.core.GeoArrowOps)

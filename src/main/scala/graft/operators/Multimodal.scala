@@ -23,10 +23,13 @@ import org.apache.spark.sql.types._
 object Multimodal {
 
   // ImageIO defaults to a DISK-backed stream cache: every encode/decode of
-  // an in-memory payload would write a temp file. Memory-backed streams are
-  // strictly better for byte-array payloads (and the only scalable choice
-  // on executors hammering the codec per row).
-  javax.imageio.ImageIO.setUseCache(false)
+  // an in-memory payload would write a temp file. Rather than flipping the
+  // process-global `ImageIO.setUseCache(false)` (which would silently
+  // change behavior for every other ImageIO user in an embedding JVM),
+  // each call site below constructs a Memory(Cache)Image{Input,Output}
+  // Stream explicitly — memory-backed is strictly better for byte-array
+  // payloads, and the only scalable choice on executors hammering the
+  // codec per row, without mutating global state.
 
   /** Decoded raster: interleaved byte pixels, `channels` per sample. */
   case class DecodedImage(width: Int, height: Int, channels: Int, pixels: Array[Byte])
@@ -57,7 +60,10 @@ object Multimodal {
     *  - 8-bit RGB/RGBA: `getRGB`, which is exact for these types. */
   def decodeImage(payload: Array[Byte]): DecodedImage = {
     require(payload != null && payload.nonEmpty, "empty media payload")
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    // ImageIO.read(ImageInputStream) closes the stream itself after reading
+    val img = javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload)))
     require(img != null, "undecodable media payload: no registered image codec matched " +
       s"(${payload.length} bytes, header ${payload.take(4).map(b => f"${b & 0xFF}%02x").mkString})")
     val w = img.getWidth
@@ -126,7 +132,8 @@ object Multimodal {
     * O(pixels); the PNG reader answers from the 13-byte IHDR). */
   def imageMeta(payload: Array[Byte]): (Int, Int, String) = {
     require(payload != null && payload.nonEmpty, "empty media payload")
-    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       require(readers.hasNext, "undecodable media payload: no registered image codec matched " +
@@ -158,7 +165,8 @@ object Multimodal {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     img.getRaster.setDataElements(0, 0, w, h, px)
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
     out.toByteArray
   }
 

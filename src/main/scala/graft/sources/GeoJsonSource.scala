@@ -65,10 +65,17 @@ object GeoJsonSource {
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
         try {
           // task order is part-file order; listStatus (not listFiles) so any
-          // Hadoop scheme serves it (see MockFsSpec)
+          // Hadoop scheme serves it (see MockFsSpec). Sort by the PARSED
+          // part number, not the raw name: Spark zero-pads to 5 digits, so
+          // past 99999 tasks "part-100000" would sort before "part-99999"
+          // lexicographically and scramble feature order
+          val partNum = "part-(\\d+)".r
           val parts = fs.listStatus(stagingPath)
             .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-            .sortBy(_.getPath.getName)
+            .sortBy { st =>
+              partNum.findFirstMatchIn(st.getPath.getName)
+                .map(_.group(1).toLong).getOrElse(Long.MaxValue)
+            }
           val out = fs.create(target, true)
           try {
             out.write("""{"type":"FeatureCollection","features":[""".getBytes(utf8))

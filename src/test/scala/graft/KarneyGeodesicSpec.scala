@@ -72,4 +72,31 @@ class KarneyGeodesicSpec extends AnyFunSuite {
     val cw = KarneyGeodesic.ringAreaSigned(Array(0.0, 1.0, 1.0, 0.0), Array(0.0, 0.0, 1.0, 1.0))
     assert(ccw > 0 && cw < 0 && math.abs(ccw + cw) < 1e-3)
   }
+
+  test("Vincenty inverse: reference doctest value and <1e-6 relative vs Karney") {
+    import graft.core.Geodesy
+    // vincenty_length.rs doctest: NYC → London → Osaka = 15,109,158 m
+    val v = Geodesy.vincentyMeters(-74.006, 40.7128, -0.1278, 51.5074) +
+      Geodesy.vincentyMeters(-0.1278, 51.5074, 135.5244559, 34.687455)
+    assert(math.rint(v) == 15109158.0, s"got $v")
+    // named variant agrees with Karney-exact to far better than 1e-6
+    // relative on a spread of non-antipodal pairs (Vincenty's own bound is
+    // ~0.5 mm); antipodal pairs take the documented Karney fallback
+    val pairs = Seq(
+      (-74.006, 40.7128, -0.1278, 51.5074),   // NYC-London
+      (151.2093, -33.8688, -43.1729, -22.9068), // Sydney-Rio
+      (0.0, 0.0, 0.001, 0.001),                // short equatorial
+      (10.0, 89.0, 12.0, 88.5),                // near-polar
+      (100.0, 45.0, 100.0, -45.0))             // same meridian
+    pairs.foreach { case (lo1, la1, lo2, la2) =>
+      val dv = Geodesy.vincentyMeters(lo1, la1, lo2, la2)
+      val dk = KarneyGeodesic.distance(la1, lo1, la2, lo2)
+      assert(math.abs(dv - dk) / dk < 1e-6, s"($lo1,$la1)->($lo2,$la2): $dv vs $dk")
+    }
+    // antipodal fallback stays finite and Karney-agreeing
+    val anti = Geodesy.vincentyMeters(0.0, 0.0, 179.9999, 0.0001)
+    val antiK = KarneyGeodesic.distance(0.0, 0.0, 0.0001, 179.9999)
+    assert(math.abs(anti - antiK) / antiK < 1e-6)
+    assert(Geodesy.vincentyMeters(5.0, 5.0, 5.0, 5.0) == 0.0)
+  }
 }
