@@ -2226,11 +2226,13 @@ object SparkEntry {
     FROM sess GROUP BY user_id ORDER BY user_id"""
 
   /** IVF-style ANN (e04): coarse-quantize every vector to its nearest of K
-    * deterministic centroids (the first 4 vectors), then search only the
-    * query's own list (nProbe = 1). The 100 TB topology: centroids broadcast
-    * (tiny), assignment is map-side, candidate generation is an equi-join on
-    * list_id — the shuffle is keyed by list, never all-pairs. e01 is the
-    * brute-force recall baseline for this. */
+    * deterministic centroids (the first 4 vectors), then search the
+    * query's nProbe = 2 closest lists (round 10; was nearest-list-only).
+    * The 100 TB topology: centroids broadcast (tiny), assignment is
+    * map-side, candidate generation is an equi-join on (probed) list id —
+    * the shuffle stays keyed by list, never all-pairs; nProbe scales
+    * recall against probe cost linearly and e05 gates the trade. e01 is
+    * the brute-force recall baseline for this. */
   private val e04Spark = """
     WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e,
                       sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
@@ -2241,10 +2243,12 @@ object SparkEntry {
                       ORDER BY graft_dot(e, ce) / (nrm * cnrm) DESC, cid) AS rn
              FROM v CROSS JOIN c),
     a AS (SELECT vec_id, e, nrm, cid AS list_id FROM asgn WHERE rn = 1),
-    pairs AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, q.list_id AS list_id,
+    qp AS (SELECT vec_id, e, nrm, cid AS probe_list FROM asgn
+           WHERE rn <= 2 AND vec_id >= 8 AND vec_id < 16),
+    pairs AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, x.list_id AS list_id,
                      graft_dot(q.e, x.e) / (q.nrm * x.nrm) AS cos
-              FROM (SELECT * FROM a WHERE vec_id >= 8 AND vec_id < 16) q
-              JOIN a x ON x.list_id = q.list_id AND x.vec_id != q.vec_id)
+              FROM qp q
+              JOIN a x ON x.list_id = q.probe_list AND x.vec_id != q.vec_id)
     SELECT query_id, neighbor_id, list_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cos
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
           FROM pairs) t
@@ -2261,22 +2265,24 @@ object SparkEntry {
                       ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * ce[i])), (x, y) -> x + y) / (nrm * cnrm) DESC, cid) AS rn
              FROM n CROSS JOIN c),
     a AS (SELECT vec_id, e, nrm, cid AS list_id FROM asgn WHERE rn = 1),
-    pairs AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, q.list_id AS list_id,
+    qp AS (SELECT vec_id, e, nrm, cid AS probe_list FROM asgn
+           WHERE rn <= 2 AND vec_id >= 8 AND vec_id < 16),
+    pairs AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, x.list_id AS list_id,
                      list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.e) + 1), i -> q.e[i] * x.e[i])), (x, y) -> x + y) / (q.nrm * x.nrm) AS cos
-              FROM (SELECT * FROM a WHERE vec_id >= 8 AND vec_id < 16) q
-              JOIN a x ON x.list_id = q.list_id AND x.vec_id != q.vec_id)
+              FROM qp q
+              JOIN a x ON x.list_id = q.probe_list AND x.vec_id != q.vec_id)
     SELECT query_id, neighbor_id, list_id, rnk::BIGINT AS rnk, ROUND(cos, 6) AS cos
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
           FROM pairs) t
     WHERE rnk <= 3 ORDER BY query_id, rnk"""
 
-  /** ANN quality evaluation: recall@3 of the IVF path (e04's nProbe=1
+  /** ANN quality evaluation: recall@3 of the IVF path (e04's nProbe=2
     * search) against the exact brute-force top-3 — the standard offline
     * eval for an approximate index. The exact side is bounded by the
     * 8-query set (the same deliberate bound as e01); the ANN side is the
     * equi-joined IVF topology, so the whole eval stays shuffle-keyed.
-    * Recall < 1 is expected (and the point): nProbe=1 misses neighbors
-    * assigned to other lists. */
+    * Recall can still fall short of 1 (the gate's point): neighbors in
+    * lists beyond the two probed stay invisible. */
   private val e05Spark = """
     WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e,
                       sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
@@ -2293,12 +2299,14 @@ object SparkEntry {
                       ORDER BY graft_dot(e, ce) / (nrm * cnrm) DESC, cid) AS rn
              FROM v CROSS JOIN c),
     a AS (SELECT vec_id, e, nrm, cid AS list_id FROM asgn WHERE rn = 1),
+    qp AS (SELECT vec_id, e, nrm, cid AS probe_list FROM asgn
+           WHERE rn <= 2 AND vec_id >= 8 AND vec_id < 16),
     ann3 AS (SELECT query_id, neighbor_id FROM (
                SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
                         ORDER BY graft_dot(q.e, x.e) / (q.nrm * x.nrm) DESC, x.vec_id) AS rnk
-               FROM (SELECT * FROM a WHERE vec_id >= 8 AND vec_id < 16) q
-               JOIN a x ON x.list_id = q.list_id AND x.vec_id != q.vec_id) t WHERE rnk <= 3)
+               FROM qp q
+               JOIN a x ON x.list_id = q.probe_list AND x.vec_id != q.vec_id) t WHERE rnk <= 3)
     SELECT e.query_id, COUNT(a.neighbor_id) AS n_hit,
            ROUND(COUNT(a.neighbor_id) / 3.0D, 6) AS recall_at_3
     FROM ex3 e LEFT JOIN ann3 a
@@ -2322,12 +2330,14 @@ object SparkEntry {
                       ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * ce[i])), (x, y) -> x + y) / (nrm * cnrm) DESC, cid) AS rn
              FROM n CROSS JOIN c),
     a AS (SELECT vec_id, e, nrm, cid AS list_id FROM asgn WHERE rn = 1),
+    qp AS (SELECT vec_id, e, nrm, cid AS probe_list FROM asgn
+           WHERE rn <= 2 AND vec_id >= 8 AND vec_id < 16),
     ann3 AS (SELECT query_id, neighbor_id FROM (
                SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
                         ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.e) + 1), i -> q.e[i] * x.e[i])), (x, y) -> x + y) / (q.nrm * x.nrm) DESC, x.vec_id) AS rnk
-               FROM (SELECT * FROM a WHERE vec_id >= 8 AND vec_id < 16) q
-               JOIN a x ON x.list_id = q.list_id AND x.vec_id != q.vec_id) t WHERE rnk <= 3)
+               FROM qp q
+               JOIN a x ON x.list_id = q.probe_list AND x.vec_id != q.vec_id) t WHERE rnk <= 3)
     SELECT e.query_id, COUNT(a.neighbor_id)::BIGINT AS n_hit,
            ROUND(COUNT(a.neighbor_id) / 3.0::DOUBLE, 6) AS recall_at_3
     FROM ex3 e LEFT JOIN ann3 a
