@@ -2758,6 +2758,61 @@ object SparkEntry {
            SUM(dup_chunks)::BIGINT AS total_dup
     FROM per_doc GROUP BY 1 ORDER BY 1"""
 
+  /** Sequence packing: bin documents into fixed token-budget training
+    * sequences (the pre-tokenization packing step of an LLM data pipeline).
+    * Docs hash into 8 independent shards; inside a shard a deterministic
+    * hash order + running token sum assigns each doc to bin
+    * floor(tokens_before / 2048) — greedy append where the doc that crosses
+    * a boundary overflows its bin. No global sort: each shard packs
+    * independently under a window, so at 100 TB the shard count (a
+    * constant here, proportional-to-corpus in production) is the
+    * parallelism and the only shuffle is the hash partition itself. */
+  private val t16Spark = """
+    WITH d AS (
+      SELECT /*+ REPARTITION({{P}}) */ doc_id,
+             CAST(graft_token_count(text) AS BIGINT) AS toks,
+             graft_hash(CAST(doc_id AS STRING) || ':pack') % 8 AS shard
+      FROM documents),
+    w AS (
+      SELECT shard, toks,
+             SUM(toks) OVER (PARTITION BY shard
+                             ORDER BY graft_hash(CAST(doc_id AS STRING) || ':ord'), doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks
+               AS cum_before
+      FROM d),
+    b AS (
+      SELECT shard, CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS bin_id,
+             COUNT(*) AS n_docs, SUM(toks) AS bin_tokens
+      FROM w GROUP BY shard, CAST(FLOOR(cum_before / 2048.0) AS BIGINT))
+    SELECT shard, COUNT(*) AS n_bins, SUM(n_docs) AS n_docs,
+           SUM(bin_tokens) AS total_tokens,
+           MAX(bin_tokens) AS max_bin_tokens,
+           ROUND(CAST(SUM(n_docs) AS DOUBLE) / COUNT(*), 6) AS avg_docs_per_bin
+    FROM b GROUP BY shard ORDER BY shard"""
+
+  private val t16Duck = """
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+'))::BIGINT AS toks,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':pack'), 1, 8))::BIGINT % 8 AS shard
+      FROM documents),
+    w AS (
+      SELECT shard, toks,
+             SUM(toks) OVER (PARTITION BY shard
+                             ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':ord'), 1, 8))::BIGINT, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks
+               AS cum_before
+      FROM d),
+    b AS (
+      SELECT shard, FLOOR(cum_before / 2048.0)::BIGINT AS bin_id,
+             COUNT(*) AS n_docs, SUM(toks) AS bin_tokens
+      FROM w GROUP BY shard, FLOOR(cum_before / 2048.0)::BIGINT)
+    SELECT shard, COUNT(*)::BIGINT AS n_bins, SUM(n_docs)::BIGINT AS n_docs,
+           SUM(bin_tokens)::BIGINT AS total_tokens,
+           MAX(bin_tokens)::BIGINT AS max_bin_tokens,
+           ROUND(CAST(SUM(n_docs) AS DOUBLE) / COUNT(*), 6) AS avg_docs_per_bin
+    FROM b GROUP BY shard ORDER BY shard"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -2839,6 +2894,7 @@ object SparkEntry {
     ("a01_asof_join", a01Fn _, a01Duck),
     ("a02_range_join", a02Fn _, a02Duck),
     ("t15_corpus_dup_chunks", q(t15Spark), t15Duck),
+    ("t16_sequence_pack", q(t16Spark), t16Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),
