@@ -1670,6 +1670,84 @@ object SparkEntry {
            ROUND(SUM(value), 6) AS total
     FROM ev GROUP BY 1 ORDER BY 1"""
 
+  /** Streaming geofence enrichment: a point stream joined per micro-batch
+    * against a static zone table on ST_Contains. The join is STATELESS
+    * (no watermark, no state store — rows emit as they match), and it
+    * plans through SpatialJoinStrategy inside each micro-batch, so every
+    * batch probes a broadcast STRtree of the zones rather than a nested
+    * loop: per-batch cost O(batch · log zones) at any zone count. Zones
+    * are three rectangles + one triangle (overlapping — points can match
+    * several zones); fixture coordinates sit ≥0.005 off every zone edge,
+    * so JTS and the oracle's closed-form arithmetic containment cannot
+    * disagree on boundaries. Per-zone totals aggregate AFTER the stream
+    * materializes (batch group-by on the sink table). */
+  private def s04Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s04").toString
+    val src = new java.io.File(tmp, "src"); src.mkdirs()
+    val pts = s.sql("""
+      SELECT CAST(id AS BIGINT) AS point_id,
+             timestamp_seconds(1700000000 + id) AS ts,
+             (id % 20) * 0.1 + 0.05 AS lon,
+             (id % 13) * 0.1 + 0.05 AS lat
+      FROM range(200)""")
+    // two staged files → two micro-batches through the stateless join
+    Seq(pts.where("point_id < 100"), pts.where("point_id >= 100")).zipWithIndex.foreach {
+      case (df, i) =>
+        val stage = new java.io.File(tmp, s"stage$i")
+        df.coalesce(1).write.parquet(stage.getPath)
+        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(src, s"f$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = s.readStream.schema(pts.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+      .withColumn("geom", org.apache.spark.sql.functions.expr("ST_Point(lon, lat)"))
+    val zones = s.sql("""
+      SELECT zone_id, ST_GeomFromText(wkt) AS zone FROM VALUES
+        (CAST(1 AS BIGINT), 'POLYGON((0 0, 1 0, 1 0.7, 0 0.7, 0 0))'),
+        (CAST(2 AS BIGINT), 'POLYGON((1 0, 2 0, 2 0.7, 1 0.7, 1 0))'),
+        (CAST(3 AS BIGINT), 'POLYGON((0 0.7, 2 0.7, 2 1.4, 0 1.4, 0 0.7))'),
+        (CAST(4 AS BIGINT), 'POLYGON((0 0, 2 0, 2 1.4, 0 0))') AS t(zone_id, wkt)""")
+    val joined = graft.streaming.StreamOps.geofence(stream, zones)
+      .select("zone_id", "point_id", "lon")
+    val qname = "graft_s04_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val q = joined.writeStream.format("memory").queryName(qname)
+      .option("checkpointLocation", tmp + "/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname)
+      .groupBy("zone_id")
+      .agg(org.apache.spark.sql.functions.count("*").as("n_points"),
+        org.apache.spark.sql.functions.expr("COUNT(DISTINCT point_id)").as("n_ids"),
+        org.apache.spark.sql.functions.expr("ROUND(SUM(lon), 6)").as("sum_lon"))
+      .orderBy("zone_id")
+  }
+
+  private val s04Duck = """
+    WITH p AS (
+      SELECT i AS point_id, (i % 20) * 0.1 + 0.05 AS lon, (i % 13) * 0.1 + 0.05 AS lat
+      FROM range(200) t(i)),
+    hits AS (
+      SELECT 1 AS zone_id, point_id, lon FROM p
+      WHERE lon > 0 AND lon < 1 AND lat > 0 AND lat < 0.7
+      UNION ALL
+      SELECT 2, point_id, lon FROM p
+      WHERE lon > 1 AND lon < 2 AND lat > 0 AND lat < 0.7
+      UNION ALL
+      SELECT 3, point_id, lon FROM p
+      WHERE lon > 0 AND lon < 2 AND lat > 0.7 AND lat < 1.4
+      UNION ALL
+      SELECT 4, point_id, lon FROM p
+      WHERE lon > 0 AND lon < 2 AND lat > 0 AND lat < 0.7 * lon)
+    SELECT zone_id::BIGINT AS zone_id, COUNT(*)::BIGINT AS n_points,
+           COUNT(DISTINCT point_id)::BIGINT AS n_ids,
+           ROUND(SUM(lon), 6) AS sum_lon
+    FROM hits GROUP BY 1 ORDER BY 1"""
+
   /** GeoParquet NATIVE (GeoArrow separated-coordinate) encoding write→read
     * under the hash gate: points go out with `encoding = "point"` — the
     * nested list/struct layout GeoPandas reads zero-copy — and come back
@@ -2898,6 +2976,7 @@ object SparkEntry {
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),
+    ("s04_stream_geofence", s04Fn _, s04Duck),
     ("m01_media_meta", q(m01Spark), m01Duck),
     ("m02_decode_resize_hist", m02Fn _, m02Duck),
     ("m03_real_decode_matrix", q(m03Spark), m03Duck),
