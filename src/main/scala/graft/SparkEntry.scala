@@ -2422,6 +2422,70 @@ object SparkEntry {
       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
     GROUP BY e.query_id ORDER BY e.query_id"""
 
+  /** Persisted IVF index, build-once/probe-many (e06): e04's coarse
+    * quantization written as a LIST-PARTITIONED parquet table (inverted
+    * lists = partition directories, centroids alongside), then probed by
+    * reading it back. The distinct probed lists of a query batch are
+    * bounded by K, so collecting them is a metadata collect (the kNN
+    * radius-seed pattern) and `list_id IN (…)` prunes index partitions
+    * STATICALLY — probe IO is O(nProbe lists), not a corpus scan. At
+    * 100 TB this is the lifecycle that matters: one build pass, then
+    * every query batch touches only its lists. Results are pinned to be
+    * byte-identical to the in-query e04 (persistence must not change
+    * answers); the oracle is therefore e04's oracle. */
+  private def e06Fn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    views(s, dir)
+    graft.functions.GeoFunctions.register(s)
+    val p = s.sparkContext.defaultParallelism
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_e06_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+    s.sql(s"""
+      WITH v AS (SELECT /*+ REPARTITION($p) */ vec_id, graft_vec(embedding) AS e,
+                        sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
+                 FROM embeddings),
+      c AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 4),
+      asgn AS (SELECT vec_id, e, nrm, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY graft_dot(e, ce) / (nrm * cnrm) DESC, cid) AS rn
+               FROM v CROSS JOIN c)
+      SELECT vec_id, e, nrm, CAST(cid AS BIGINT) AS list_id
+      FROM asgn WHERE rn = 1""")
+      .write.partitionBy("list_id").parquet(out + "/lists")
+    s.sql("""
+      SELECT vec_id AS cid, graft_vec(embedding) AS ce,
+             sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS cnrm
+      FROM embeddings WHERE vec_id < 4""")
+      .coalesce(1).write.parquet(out + "/centroids")
+    // probe side: the query batch quantizes against the read-back centroids
+    s.read.parquet(out + "/centroids").createOrReplaceTempView("e06_centroids")
+    val qp = s.sql("""
+      WITH q AS (SELECT vec_id, graft_vec(embedding) AS e,
+                        sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
+                 FROM embeddings WHERE vec_id >= 8 AND vec_id < 16)
+      SELECT vec_id, e, nrm, cid AS probe_list FROM (
+        SELECT q.vec_id, q.e, q.nrm, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY graft_dot(q.e, c.ce) / (q.nrm * c.cnrm) DESC, c.cid) AS rn
+        FROM q CROSS JOIN e06_centroids c) t WHERE rn <= 2""")
+    qp.createOrReplaceTempView("e06_probes")
+    // ≤ K distinct lists per batch — bounded metadata collect, NOT data
+    val probed = qp.select("probe_list").distinct().collect().map(_.getLong(0))
+    s.read.parquet(out + "/lists")
+      .where(col("list_id").isin(probed: _*))
+      .withColumn("list_id", col("list_id").cast("bigint"))
+      .createOrReplaceTempView("e06_index")
+    s.sql("""
+      WITH pairs AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, x.list_id,
+                            graft_dot(q.e, x.e) / (q.nrm * x.nrm) AS cos
+                     FROM e06_probes q
+                     JOIN e06_index x ON x.list_id = q.probe_list AND x.vec_id != q.vec_id)
+      SELECT query_id, neighbor_id, list_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cos
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM pairs) t
+      WHERE rnk <= 3 ORDER BY query_id, rnk""")
+  }
+
   // ── registry ──────────────────────────────────────────────────────────
 
   // ── multimodal (graft.operators.Multimodal; decode = documented stub) ──
@@ -2969,6 +3033,7 @@ object SparkEntry {
     ("e03_bucket_histogram", q(e03Spark), e03Duck),
     ("e04_ivf_ann", q(e04Spark), e04Duck),
     ("e05_ann_recall", q(e05Spark), e05Duck),
+    ("e06_ivf_persisted", e06Fn _, e04Duck),
     ("a01_asof_join", a01Fn _, a01Duck),
     ("a02_range_join", a02Fn _, a02Duck),
     ("t15_corpus_dup_chunks", q(t15Spark), t15Duck),
