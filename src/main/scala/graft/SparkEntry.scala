@@ -1262,6 +1262,34 @@ object SparkEntry {
     SELECT COUNT(*)::BIGINT AS n, SUM(id)::BIGINT AS sum_id, SUM(id * 0.5)::DOUBLE AS sum_score
     FROM (SELECT unnest(range(0, 1000)) AS id) t WHERE id % 7 = 0"""
 
+  /** ST_Subdivide: PostGIS-style envelope-halving decomposition, the 100-TB
+    * spatial-join enabler — a multi-MB polygon becomes many bounded-vertex
+    * pieces that index/broadcast/probe in O(piece). Each order row builds a
+    * top-densified w×1 rectangle (w+4 vertices, w ∈ {8,16,24,32}); with a
+    * 10-vertex budget the halving recursion is closed-form (splits land on
+    * integer midpoints, JTS overlay preserves collinear vertices):
+    * f(8)=2, f(16)=4, f(24)=4, f(32)=8 pieces, every piece ≤10 vertices,
+    * areas exact. The oracle pins all three. */
+  private val g52Spark = """
+    SELECT CAST(w AS INT) AS w, COUNT(*) AS n_pieces,
+           CAST(SUM(ST_Area(p)) AS BIGINT) AS sum_area,
+           MAX(CAST(ST_NPoints(p) AS INT)) AS max_np
+    FROM (
+      SELECT w, explode(ST_Subdivide(ST_GeomFromText(CONCAT(
+               'POLYGON ((0 0, ', w, ' 0, ',
+               concat_ws(', ', transform(sequence(w, 0, -1), x -> concat(CAST(x AS STRING), ' 1'))),
+               ', 0 0))')), 10)) AS p
+      FROM (SELECT /*+ REPARTITION({{P}}) */ CAST(8 * (1 + o_orderkey % 4) AS INT) AS w FROM orders)
+    )
+    GROUP BY w ORDER BY w"""
+
+  private val g52Duck = """
+    SELECT (8 * (1 + o_orderkey % 4))::INT AS w,
+           SUM(CASE o_orderkey % 4 WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 4 ELSE 8 END)::BIGINT AS n_pieces,
+           SUM(8 * (1 + o_orderkey % 4))::BIGINT AS sum_area,
+           MAX(CASE WHEN o_orderkey % 4 = 2 THEN 10 ELSE 8 END)::INT AS max_np
+    FROM orders GROUP BY 1 ORDER BY w"""
+
   /** Arrow IPC write→read roundtrip under the hash gate: a fixed point set
     * goes out through ArrowIpc.write (GeoArrow WKB layout, file-format IPC)
     * and back through ArrowIpc.read; values are pinned by a closed-form
@@ -3014,6 +3042,7 @@ object SparkEntry {
     ("g49_multi_geometry", g49Fn _, g49Duck),
     ("g50_geojson_fc_write", g50Fn _, g50Duck),
     ("g51_fgb_dsv2_pruned", g51Fn _, g51Duck),
+    ("g52_subdivide", q(g52Spark), g52Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),

@@ -440,6 +440,45 @@ object GeomOps {
       Array.tabulate[Any](g.getNumGeometries)(i => write(g.getGeometryN(i))))
   }
 
+  /** PostGIS-style ST_Subdivide: recursively halve a geometry's envelope
+    * along its longer axis and clip, until every piece has at most
+    * `maxVertices` vertices. The 100-TB enabler for spatial joins: a
+    * multi-MB coastline polygon becomes many small pieces that index,
+    * broadcast, and probe in O(piece), instead of one giant geometry every
+    * candidate pair must walk. Pieces partition the input (interiors
+    * disjoint, union = input); seam-dimension slivers (lines/points from a
+    * polygon cut) are dropped. Depth is bounded so degenerate inputs
+    * terminate: a piece that stops shrinking is emitted as-is. */
+  def subdivide(b: Array[Byte], maxVertices: Int): ArrayData = {
+    require(maxVertices >= 5, s"maxVertices must be >= 5, got $maxVertices")
+    val g = read(b)
+    val dim = g.getDimension
+    val out = scala.collection.mutable.ArrayBuffer.empty[Geometry]
+    def clip(geom: Geometry, x1: Double, y1: Double, x2: Double, y2: Double): Geometry =
+      geom.intersection(geom.getFactory.toGeometry(new org.locationtech.jts.geom.Envelope(x1, x2, y1, y2)))
+    def go(geom: Geometry, depth: Int): Unit = {
+      if (geom.isEmpty || geom.getDimension < dim) return
+      if (geom.getNumGeometries > 1) {
+        (0 until geom.getNumGeometries).foreach(i => go(geom.getGeometryN(i), depth))
+      } else if (geom.getNumPoints <= maxVertices || depth >= 32) {
+        out += geom
+      } else {
+        val e = geom.getEnvelopeInternal
+        if (e.getWidth >= e.getHeight) {
+          val mid = (e.getMinX + e.getMaxX) / 2
+          go(clip(geom, e.getMinX, e.getMinY, mid, e.getMaxY), depth + 1)
+          go(clip(geom, mid, e.getMinY, e.getMaxX, e.getMaxY), depth + 1)
+        } else {
+          val mid = (e.getMinY + e.getMaxY) / 2
+          go(clip(geom, e.getMinX, e.getMinY, e.getMaxX, mid), depth + 1)
+          go(clip(geom, e.getMinX, mid, e.getMaxX, e.getMaxY), depth + 1)
+        }
+      }
+    }
+    go(g, 0)
+    new GenericArrayData(out.map(write).toArray[Any])
+  }
+
   /** Plain-struct bbox (xmin,ymin,xmax,ymax) — the GeoParquet 1.1 covering
     * column. Deliberately NOT a UDT/opaque value so Parquet min/max column
     * statistics and predicate pushdown work on its leaves (the reference

@@ -167,6 +167,7 @@ object GeoFunctions {
     "st_numinteriorrings" -> Sig("numInteriorRings", I, Seq(G)),
     "st_interiorringn" -> Sig("interiorRingN", G, Seq(G, I)),
     "st_dump" -> Sig("dump", ArrayType(BinaryType, containsNull = false), Seq(G)),
+    "st_subdivide" -> Sig("subdivide", ArrayType(BinaryType, containsNull = false), Seq(G, I)),
     "st_geometryn" -> Sig("geometryN", G, Seq(G, I)),
     "st_pointn" -> Sig("pointN", G, Seq(G, I)),
     "st_exteriorring" -> Sig("exteriorRing", G, Seq(G)),
@@ -280,6 +281,8 @@ object GeoFunctions {
   def st_convexHull(g: Column): Column = call_function("st_convexhull", g)
   def st_simplify(g: Column, tol: Column): Column = call_function("st_simplify", g, tol)
   def st_dump(g: Column): Column = call_function("st_dump", g)
+  def st_subdivide(g: Column, maxVertices: Column): Column =
+    call_function("st_subdivide", g, maxVertices)
   def st_bbox(g: Column): Column = call_function("st_bbox", g)
   def st_x(g: Column): Column = call_function("st_x", g)
   def st_y(g: Column): Column = call_function("st_y", g)

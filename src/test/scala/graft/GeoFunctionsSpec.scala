@@ -56,6 +56,42 @@ class GeoFunctionsSpec extends SparkTestBase {
     assert(rows.length == 3)
   }
 
+  test("subdivide: partition invariants, vertex bound, small-geometry passthrough") {
+    // Small geometry under the budget comes back whole.
+    val whole = sql(
+      "SELECT ST_AsText(p) FROM (SELECT explode(ST_Subdivide(ST_MakeEnvelope(0,0,2,3), 8)) AS p)")
+      .collect()
+    assert(whole.map(_.getString(0)).toSeq == Seq("POLYGON ((0 0, 2 0, 2 3, 0 3, 0 0))"))
+
+    // A top-densified 32x1 rectangle (37 vertices) must split into pieces that
+    // (a) each respect the vertex budget, (b) tile the input exactly: areas sum
+    // to 32 and pairwise interiors are disjoint (sum == union area).
+    val topPts = (32 to 0 by -1).map(x => s"$x 1").mkString(", ")
+    val wkt = s"POLYGON ((0 0, 32 0, $topPts, 0 0))"
+    val rows = sql(
+      s"""SELECT COUNT(*) AS n, SUM(ST_Area(p)) AS area, MAX(ST_NPoints(p)) AS maxnp,
+         |       ST_Area(ST_Union_Agg(p)) AS uarea
+         |FROM (SELECT explode(ST_Subdivide(ST_GeomFromText('$wkt'), 10)) AS p)""".stripMargin)
+      .head()
+    assert(rows.getLong(0) > 1)
+    assert(math.abs(rows.getDouble(1) - 32.0) < 1e-9)
+    assert(rows.getInt(2) <= 10)
+    assert(math.abs(rows.getDouble(3) - 32.0) < 1e-9)
+
+    // Multi-geometries subdivide per part; a linestring subdivides too (dim 1).
+    val multi = sql(
+      """SELECT SUM(ST_Area(p)) FROM (SELECT explode(ST_Subdivide(
+        |ST_GeomFromText('MULTIPOLYGON(((0 0, 4 0, 4 4, 0 4, 0 0)), ((10 0, 14 0, 14 4, 10 4, 10 0)))'), 5)) AS p)""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(multi - 32.0) < 1e-9)
+    val lineLen = sql(
+      s"""SELECT SUM(ST_Length(p)), MAX(ST_NPoints(p)) FROM (SELECT explode(ST_Subdivide(
+         |ST_GeomFromText('LINESTRING (${(0 to 40).map(x => s"$x ${x % 2}").mkString(", ")})'), 8)) AS p)""".stripMargin)
+      .head()
+    assert(math.abs(lineLen.getDouble(0) - 40 * math.sqrt(2)) < 1e-9)
+    assert(lineLen.getInt(1) <= 8)
+  }
+
   test("bbox struct is plain (pushdown-friendly)") {
     val row = sql("SELECT ST_Bbox(ST_MakeEnvelope(1,2,3,4)) AS b").select("b.xmin", "b.ymax").head()
     assert(row == Row(1.0, 4.0))
