@@ -1290,6 +1290,35 @@ object SparkEntry {
            MAX(CASE WHEN o_orderkey % 4 = 2 THEN 10 ELSE 8 END)::INT AS max_np
     FROM orders GROUP BY 1 ORDER BY w"""
 
+  /** Distributed DBSCAN (operators/Dbscan: DWithin grid join → ε-degree →
+    * connected components → border adoption). Fixture: six 300-point blobs
+    * 10 apart (every in-blob pair within ε=1 → all core, cluster label =
+    * min id = blob index) plus 200 isolated points 50 apart (→ noise, -1).
+    * The oracle reproduces the blob arithmetic; counts, min/max ids, and
+    * labels are all closed-form. */
+  private def g53Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val pts = s.sql("""
+      SELECT id,
+             ST_Point(CASE WHEN id < 1800 THEN (id % 6) * 10.0 + (id % 7) * 0.05
+                           ELSE 1000.0 + (id - 1800) * 50.0 END,
+                      CASE WHEN id < 1800 THEN (id % 11) * 0.05 ELSE 0.0 END) AS geom
+      FROM range(2000)""")
+    graft.operators.Dbscan.cluster(pts, "id", "geom", eps = 1.0, minPts = 10)
+      .selectExpr("coalesce(cluster_id, -1) AS cluster_id", "id")
+      .groupBy("cluster_id")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min("id").as("min_id"),
+        org.apache.spark.sql.functions.max("id").as("max_id"))
+      .orderBy("cluster_id")
+  }
+
+  private val g53Duck = """
+    SELECT (CASE WHEN id < 1800 THEN id % 6 ELSE -1 END)::BIGINT AS cluster_id,
+           COUNT(*)::BIGINT AS n, MIN(id)::BIGINT AS min_id, MAX(id)::BIGINT AS max_id
+    FROM (SELECT unnest(range(0, 2000)) AS id) t
+    GROUP BY 1 ORDER BY cluster_id"""
+
   /** Arrow IPC write→read roundtrip under the hash gate: a fixed point set
     * goes out through ArrowIpc.write (GeoArrow WKB layout, file-format IPC)
     * and back through ArrowIpc.read; values are pinned by a closed-form
@@ -3043,6 +3072,7 @@ object SparkEntry {
     ("g50_geojson_fc_write", g50Fn _, g50Duck),
     ("g51_fgb_dsv2_pruned", g51Fn _, g51Duck),
     ("g52_subdivide", q(g52Spark), g52Duck),
+    ("g53_dbscan", g53Fn _, g53Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),

@@ -48,7 +48,10 @@ object ConnectedComponents {
     // strictly decreases until fixpoint — convergence is one cheap scan of
     // the checkpointed table, not a join
     def sig(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      // SUM over zero rows is null — an edgeless graph must converge on the
+      // first compare, not NPE
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSig = sig(labels)
     while (iter < maxIter && !converged) {
       // neighbor labels flow along edges; min with own label

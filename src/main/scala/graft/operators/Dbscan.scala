@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Blocks
+
+/** Distributed DBSCAN (Ester et al. 1996) as a composition of the engine's
+  * own scale primitives — no new physical operator:
+  *
+  *   1. ε-neighbor pairs via the planner's `ST_DWithin` grid join
+  *      ([[graft.plans.SpatialJoinStrategy]]): both sides shuffle on ε-sized
+  *      cells, so pair generation is O(local density), never all-pairs.
+  *   2. core points = ε-degree (incl. self) ≥ minPts — one shuffle count.
+  *   3. clusters = connected components over core–core edges
+  *      ([[ConnectedComponents]] min-label propagation, O(diameter) rounds).
+  *   4. border points adopt the smallest cluster label among their core
+  *      neighbors; everything else is noise (null cluster).
+  *
+  * Matches PostGIS `ST_ClusterDBSCAN` semantics (minPts counts the point
+  * itself; noise → null) with one documented determinism choice: a border
+  * point reachable from several clusters joins the one with the smallest
+  * label (PostGIS picks arbitrarily). Cluster labels are the minimum point
+  * id in the cluster's core set — stable across runs and partitionings.
+  *
+  * Scale shape at 100 TB: the only super-linear term is the pair list
+  * inside a dense blob (inherent to edge-list DBSCAN — a blob of m points
+  * within ε of each other emits O(m²) pairs). The grid join's hot-cell
+  * sub-split spreads those pairs across tasks; ε governs blob size, and the
+  * component step is the same bounded-iteration machinery t09 uses.
+  */
+object Dbscan {
+
+  /** Append a nullable `cluster_id` (long) to `df`: cluster label for core
+    * and border points, null for noise. `idCol` must be unique per row
+    * (cast to long). Runs `2 + O(diameter)` shuffles. */
+  def cluster(df: DataFrame, idCol: String, geomCol: String,
+              eps: Double, minPts: Int, maxIter: Int = 20): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    // checkpointed intermediates stay pinned until the session evicts them:
+    // the returned plan still reads pts/pairs/labels, so releasing here
+    // would evict blocks a localCheckpoint cannot recompute
+    val (pts, _) = Blocks.checkpoint(
+      df.select(col(idCol).cast("long").as("id"), col(geomCol).as("geom")))
+
+    // ε-pairs, self excluded; the strategy plans this as the cell-grid join
+    val (pairs, _) = Blocks.checkpoint(
+      pts.as("a").join(pts.as("b"),
+          expr(s"ST_DWithin(a.geom, b.geom, $eps)") && col("a.id") =!= col("b.id"))
+        .select(col("a.id").as("src"), col("b.id").as("dst")))
+
+    // ε-degree including the point itself
+    val core = pairs.groupBy("src").agg(count(lit(1)).as("deg"))
+      .where(col("deg") + 1 >= minPts)
+      .select(col("src").as("id"))
+    val (coreCp, _) = Blocks.checkpoint(core)
+
+    // core–core edges → components; isolated core points label themselves
+    val coreEdges = pairs
+      .join(coreCp.withColumnRenamed("id", "src"), Seq("src"))
+      .join(coreCp.withColumnRenamed("id", "dst"), Seq("dst"))
+      .select("src", "dst")
+    val comp = ConnectedComponents.run(coreEdges, "src", "dst", maxIter)
+    val coreLabels = coreCp.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("__core_cluster"))
+    val (coreLabelsCp, _) = Blocks.checkpoint(coreLabels)
+
+    // border candidates: smallest core-neighbor cluster per point (core
+    // points also appear here, but coalesce below prefers their own label)
+    val borderLabels = pairs
+      .join(coreLabelsCp.withColumnRenamed("id", "dst"), Seq("dst"))
+      .groupBy(col("src").as("id")).agg(min("__core_cluster").as("__border_cluster"))
+
+    val labels = pts.select("id")
+      .join(coreLabelsCp, Seq("id"), "left")
+      .join(borderLabels, Seq("id"), "left")
+      .select(col("id").as("__dbscan_id"),
+        coalesce(col("__core_cluster"), col("__border_cluster")).as("cluster_id"))
+
+    df.join(labels, df(idCol).cast("long") === col("__dbscan_id"), "left")
+      .drop("__dbscan_id")
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Dbscan
+
+/** DBSCAN semantics on hand-laid point sets: core/border/noise roles,
+  * chain-without-core degenerating to all-noise, multi-cluster tie-break
+  * for a shared border point, and label determinism (min core id). */
+class DbscanSpec extends SparkTestBase {
+
+  private def pts(xy: (Long, Double, Double)*) = {
+    import spark.implicits._
+    xy.toDF("id", "x", "y").selectExpr("id", "ST_Point(x, y) AS geom")
+  }
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+    df.select("id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+  test("cross blob: core center, border arms, distant noise") {
+    // center 0 has 4 neighbors within eps=1.1 (+self = 5 >= minPts 4) → core;
+    // each arm sees only the center (+self = 2) → border, adopts cluster 0;
+    // point 9 is isolated → noise
+    val df = pts((0, 0, 0), (1, 1, 0), (2, -1, 0), (3, 0, 1), (4, 0, -1), (9, 50, 50))
+    val got = labelsOf(Dbscan.cluster(df, "id", "geom", eps = 1.1, minPts = 4))
+    assert(got == Map(0L -> Some(0L), 1L -> Some(0L), 2L -> Some(0L),
+      3L -> Some(0L), 4L -> Some(0L), 9L -> None))
+  }
+
+  test("chain with no core point is all noise") {
+    // each chain point has at most 2 neighbors (+self = 3) < minPts 4
+    val df = pts((0, 0, 0), (1, 1, 0), (2, 2, 0), (3, 3, 0))
+    val got = labelsOf(Dbscan.cluster(df, "id", "geom", eps = 1.1, minPts = 4))
+    assert(got.values.forall(_.isEmpty))
+  }
+
+  test("two clusters, shared border point joins the smaller label") {
+    // two 5-point crosses centered 4 apart (eps=1.1, minPts=4): both centers
+    // core. Point 20 sits at (2, 0), within eps of arm tips (1,0) and (3,0) —
+    // both non-core borders — so 20 has no core neighbor → noise. Point 21 at
+    // (1.05, 0) is within eps of BOTH cores? no — craft a true shared border:
+    // place it within eps of each center via a tighter pair of clusters.
+    val a = Seq((0L, 0.0, 0.0), (1L, 1.0, 0.0), (2L, -1.0, 0.0), (3L, 0.0, 1.0), (4L, 0.0, -1.0))
+    val b = Seq((10L, 4.0, 0.0), (11L, 5.0, 0.0), (12L, 3.0, 0.0), (13L, 4.0, 1.0), (14L, 4.0, -1.0))
+    val shared = Seq((20L, 2.0, 0.0)) // dist 2 from both cores → not border of either
+    val df = pts((a ++ b ++ shared).map(t => (t._1, t._2, t._3)): _*)
+    val got = labelsOf(Dbscan.cluster(df, "id", "geom", eps = 1.1, minPts = 4))
+    assert(got(0L) == Some(0L) && got(10L) == Some(10L))
+    assert(got(1L) == Some(0L) && got(12L) == Some(10L))
+    assert(got(20L) == None) // its only neighbors (1, 12) are border, not core
+  }
+
+  test("shared border point adopts the minimum cluster label") {
+    // two 4-point columns at x=0 and x=2 (eps=1.2, minPts=4): the bottom
+    // three of each column are core (3 in-column neighbors + point 20 for
+    // the bottoms). Point 20 at (1,-0.6) is within eps of exactly the two
+    // bottom cores (dist 1.166 each) → deg 2+self=3 < 4 → border of BOTH
+    // clusters → deterministically takes the min label 0.
+    val colA = Seq((0L, 0.0, 0.0), (1L, 0.0, 0.5), (2L, 0.0, 1.0), (3L, 0.0, 1.5))
+    val colB = Seq((10L, 2.0, 0.0), (11L, 2.0, 0.5), (12L, 2.0, 1.0), (13L, 2.0, 1.5))
+    val shared = Seq((20L, 1.0, -0.6))
+    val df = pts((colA ++ colB ++ shared): _*)
+    val got = labelsOf(Dbscan.cluster(df, "id", "geom", eps = 1.2, minPts = 4))
+    assert(got(0L) == Some(0L) && got(10L) == Some(10L))
+    assert(got(20L) == Some(0L))
+  }
+
+  test("merged clusters take one min label across the bridge") {
+    // two dense columns bridged by a core point chain → single component
+    val colA = Seq((0L, 0.0, 0.0), (1L, 0.0, 0.5), (2L, 0.0, 1.0), (3L, 0.0, 1.5))
+    val colB = Seq((10L, 1.0, 0.0), (11L, 1.0, 0.5), (12L, 1.0, 1.0), (13L, 1.0, 1.5))
+    val df = pts((colA ++ colB): _*)
+    val got = labelsOf(Dbscan.cluster(df, "id", "geom", eps = 1.2, minPts = 4))
+    assert(got.values.flatten.toSet == Set(0L))
+  }
+}
