@@ -2479,6 +2479,102 @@ object SparkEntry {
       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
     GROUP BY e.query_id ORDER BY e.query_id"""
 
+  /** Product-quantization ADC search (e07): the compressed-domain ANN
+    * standard (Jégou et al. 2011, "Product Quantization for Nearest
+    * Neighbor Search"). The 64-d vectors split into M = 8 subspaces of 8
+    * dims; each subspace gets a K = 4-entry codebook (training-free:
+    * the first 4 vectors' subvectors — the e04 determinism trick, so the
+    * DuckDB oracle regenerates it); every vector encodes to its
+    * per-subspace argmin-L2 code. A query builds an M×K distance table
+    * and scores the corpus by Asymmetric Distance Computation —
+    * Σ_m dtable[m, code_m(x)] — then the ADC top-8 re-rank by exact L2
+    * to a final top-3 (the standard refine step).
+    *
+    * 100 TB topology: codes are M small ints per vector (8 codes ≈ 2
+    * bytes vs 512 bytes of floats — the ADC scan reads ~256× fewer
+    * bytes than a flat scan); distance tables are Q×M×K rows (tiny →
+    * broadcast side of the ADC equi-join on (m, code)); the refine
+    * fetches full vectors for ≤8 candidate ids per query via an id
+    * equi-join. Nothing is ever all-pairs. The ADC sum pivots through
+    * one MAX(CASE m=k) singleton per subspace added left-to-right —
+    * a deterministic FP order both engines replay exactly (a bare
+    * SUM over the group would be shuffle-order-dependent).
+    *
+    * SQL form: the per-(vec_id, m) window argmin mirrors e04's
+    * assignment shape; a production build would broadcast the codebook
+    * into a map-side argmin expression instead (no window shuffle) —
+    * the window keys on (vec_id, m), never on pairs, so the shape
+    * scales the same way e04 does. */
+  private val e07Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e FROM embeddings),
+    sub AS (SELECT vec_id, m, slice(e, m * 8 + 1, 8) AS sv
+            FROM v LATERAL VIEW explode(sequence(0, 7)) t AS m),
+    cb AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 4),
+    enc AS (SELECT vec_id, m, cid AS code FROM (
+              SELECT s.vec_id, s.m, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY graft_l2(s.sv, c.cv), c.cid) AS rn
+              FROM sub s JOIN cb c ON c.m = s.m) t WHERE rn = 1),
+    qd AS (SELECT s.vec_id AS query_id, s.m, c.cid, graft_l2(s.sv, c.cv) AS dq
+           FROM sub s JOIN cb c ON c.m = s.m
+           WHERE s.vec_id >= 8 AND s.vec_id < 16),
+    adc AS (SELECT /*+ BROADCAST(d) */ d.query_id, x.vec_id AS neighbor_id,
+                   MAX(CASE WHEN d.m = 0 THEN d.dq END) + MAX(CASE WHEN d.m = 1 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 2 THEN d.dq END) + MAX(CASE WHEN d.m = 3 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 4 THEN d.dq END) + MAX(CASE WHEN d.m = 5 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 6 THEN d.dq END) + MAX(CASE WHEN d.m = 7 THEN d.dq END) AS adc_d
+            FROM enc x JOIN qd d ON d.m = x.m AND d.cid = x.code
+            WHERE x.vec_id != d.query_id
+            GROUP BY d.query_id, x.vec_id),
+    cand AS (SELECT query_id, neighbor_id, adc_d,
+                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d, neighbor_id) AS arnk
+             FROM adc),
+    ref AS (SELECT c.query_id, c.neighbor_id, c.adc_d, graft_l2(qv.e, xv.e) AS exact_d
+            FROM cand c JOIN v qv ON qv.vec_id = c.query_id
+                        JOIN v xv ON xv.vec_id = c.neighbor_id
+            WHERE c.arnk <= 8)
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+           ROUND(adc_d, 6) AS adc_d, ROUND(exact_d, 6) AS exact_d
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY exact_d, neighbor_id) AS rnk
+          FROM ref) t
+    WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
+  private val e07Duck = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    sub AS (SELECT vec_id, m, e[m * 8 + 1 : m * 8 + 8] AS sv
+            FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+    cb AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 4),
+    enc AS (SELECT vec_id, m, cid AS code FROM (
+              SELECT s.vec_id, s.m, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(s.sv) + 1), i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), (x, y) -> x + y), c.cid) AS rn
+              FROM sub s JOIN cb c ON c.m = s.m) t WHERE rn = 1),
+    qd AS (SELECT s.vec_id AS query_id, s.m, c.cid,
+                  list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(s.sv) + 1), i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), (x, y) -> x + y) AS dq
+           FROM sub s JOIN cb c ON c.m = s.m
+           WHERE s.vec_id >= 8 AND s.vec_id < 16),
+    adc AS (SELECT d.query_id, x.vec_id AS neighbor_id,
+                   MAX(CASE WHEN d.m = 0 THEN d.dq END) + MAX(CASE WHEN d.m = 1 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 2 THEN d.dq END) + MAX(CASE WHEN d.m = 3 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 4 THEN d.dq END) + MAX(CASE WHEN d.m = 5 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 6 THEN d.dq END) + MAX(CASE WHEN d.m = 7 THEN d.dq END) AS adc_d
+            FROM enc x JOIN qd d ON d.m = x.m AND d.cid = x.code
+            WHERE x.vec_id != d.query_id
+            GROUP BY d.query_id, x.vec_id),
+    cand AS (SELECT query_id, neighbor_id, adc_d,
+                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d, neighbor_id) AS arnk
+             FROM adc),
+    ref AS (SELECT c.query_id, c.neighbor_id, c.adc_d,
+                   list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(qv.e) + 1), i -> (qv.e[i] - xv.e[i]) * (qv.e[i] - xv.e[i]))), (x, y) -> x + y) AS exact_d
+            FROM cand c JOIN v qv ON qv.vec_id = c.query_id
+                        JOIN v xv ON xv.vec_id = c.neighbor_id
+            WHERE c.arnk <= 8)
+    SELECT query_id, neighbor_id, rnk::BIGINT AS rnk,
+           ROUND(adc_d, 6) AS adc_d, ROUND(exact_d, 6) AS exact_d
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY exact_d, neighbor_id) AS rnk
+          FROM ref) t
+    WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
   /** Persisted IVF index, build-once/probe-many (e06): e04's coarse
     * quantization written as a LIST-PARTITIONED parquet table (inverted
     * lists = partition directories, centroids alongside), then probed by
@@ -3093,6 +3189,7 @@ object SparkEntry {
     ("e04_ivf_ann", q(e04Spark), e04Duck),
     ("e05_ann_recall", q(e05Spark), e05Duck),
     ("e06_ivf_persisted", e06Fn _, e04Duck),
+    ("e07_pq_adc", q(e07Spark), e07Duck),
     ("a01_asof_join", a01Fn _, a01Duck),
     ("a02_range_join", a02Fn _, a02Duck),
     ("t15_corpus_dup_chunks", q(t15Spark), t15Duck),

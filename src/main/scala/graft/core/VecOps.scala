@@ -42,6 +42,22 @@ object VecOps {
   def cosine(a: ArrayData, b: ArrayData): Double =
     dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
 
+  /** Squared euclidean distance, accumulated left-to-right with the term
+    * written as `(a_i - b_i) * (a_i - b_i)` — the exact sequence of FP ops
+    * the DuckDB oracle replays via
+    * `list_reduce(list_prepend(0.0, list_transform(range(1, len+1),
+    * i -> (a[i]-b[i])*(a[i]-b[i]))), (x,y) -> x+y)`, keeping results
+    * bit-identical across engines (same contract as [[dot]]). Used by the
+    * PQ-ADC path (e07): codebook training-free assignment, per-subspace
+    * ADC distance tables, and the exact re-rank. */
+  def l2(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = a.getDouble(i) - b.getDouble(i); s += d * d; i += 1 }
+    s
+  }
+
   /** `bits`-bit random-hyperplane (sign) LSH bucket — the partition key for
     * ANN bucketing and embedding near-dup candidate generation (SimHash for
     * cosine, Charikar 2002 §3: bit j = sign(v · r_j) for a pseudo-random

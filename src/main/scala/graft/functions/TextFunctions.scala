@@ -66,6 +66,7 @@ object TextFunctions {
     "graft_dot" -> ((vecOps, "dot", D, Seq(AD, AD))),
     "graft_cosine" -> ((vecOps, "cosine", D, Seq(AD, AD))),
     "graft_bucketk" -> ((vecOps, "bucketk", L, Seq(AD, I, L))),
+    "graft_l2" -> ((vecOps, "l2", D, Seq(AD, AD))),
   )
 
   def register(spark: SparkSession): Unit =
