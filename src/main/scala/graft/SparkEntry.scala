@@ -3108,6 +3108,61 @@ object SparkEntry {
            ROUND(CAST(SUM(n_docs) AS DOUBLE) / COUNT(*), 6) AS avg_docs_per_bin
     FROM b GROUP BY shard ORDER BY shard"""
 
+  /** Corpus mixture sampling (t17): re-weight a multi-source corpus to
+    * target per-source sampling rates — the step that turns raw crawl
+    * proportions into a training mixture (up-sample high-quality
+    * sources past 1.0 "epochs", down-sample the rest; cf. the
+    * data-mixture tables in the Pile / LLaMA corpus reports). Rates are
+    * per source tier here (2.5 / 1.0 / 0.5 / 0.25 epochs); a doc emits
+    * floor(rate) full copies plus one more iff a content-keyed hash
+    * coin lands under the fractional part, so expectation hits the rate
+    * exactly and the decision is a pure function of (doc_id, salt).
+    *
+    * 100 TB notes: sampling is entirely map-side — no shuffle, no
+    * state, no RNG; a deterministic hash coin means task retries and
+    * speculative duplicates reproduce the same sample (a real
+    * correctness hazard with rand()-based sampling at scale), and the
+    * same corpus+salt always yields the same mixture for training
+    * reproducibility. Up-sampled copies materialize as (doc, epoch)
+    * rows that downstream sequence packing (t16) consumes. The only
+    * shuffle is the final bounded reporting aggregate. */
+  private val t17Spark = """
+    WITH s AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, lang, n_chars,
+                      CAST(substring(source, 4) AS INT) % 4 AS tier,
+                      graft_hash(CAST(doc_id AS STRING) || ':mix') % 1000 AS h
+               FROM documents),
+    r AS (SELECT *, CASE tier WHEN 0 THEN 2500 WHEN 1 THEN 1000 WHEN 2 THEN 500 ELSE 250 END AS permille
+          FROM s),
+    c AS (SELECT doc_id, lang, n_chars, tier,
+                 permille DIV 1000 + CASE WHEN h < permille % 1000 THEN 1 ELSE 0 END AS n_copies
+          FROM r),
+    ex AS (SELECT doc_id, lang, n_chars, tier, explode(sequence(1, n_copies)) AS epoch
+           FROM c WHERE n_copies > 0)
+    SELECT CAST(tier AS BIGINT) AS tier, lang,
+           COUNT(DISTINCT doc_id) AS docs_out,
+           COUNT(*) AS rows_out,
+           SUM(CAST(n_chars AS BIGINT)) AS chars_out,
+           CAST(MAX(epoch) AS BIGINT) AS max_epoch
+    FROM ex GROUP BY tier, lang ORDER BY tier, lang"""
+
+  private val t17Duck = """
+    WITH s AS (SELECT doc_id, lang, n_chars, substr(source, 4)::INT % 4 AS tier,
+                      ('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 8))::BIGINT % 1000 AS h
+               FROM documents),
+    r AS (SELECT *, CASE tier WHEN 0 THEN 2500 WHEN 1 THEN 1000 WHEN 2 THEN 500 ELSE 250 END AS permille
+          FROM s),
+    c AS (SELECT doc_id, lang, n_chars, tier,
+                 permille // 1000 + CASE WHEN h < permille % 1000 THEN 1 ELSE 0 END AS n_copies
+          FROM r),
+    ex AS (SELECT doc_id, lang, n_chars, tier, unnest(generate_series(1, n_copies)) AS epoch
+           FROM c WHERE n_copies > 0)
+    SELECT tier::BIGINT AS tier, lang,
+           COUNT(DISTINCT doc_id)::BIGINT AS docs_out,
+           COUNT(*)::BIGINT AS rows_out,
+           SUM(n_chars)::BIGINT AS chars_out,
+           MAX(epoch)::BIGINT AS max_epoch
+    FROM ex GROUP BY tier, lang ORDER BY tier, lang"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -3194,6 +3249,7 @@ object SparkEntry {
     ("a02_range_join", a02Fn _, a02Duck),
     ("t15_corpus_dup_chunks", q(t15Spark), t15Duck),
     ("t16_sequence_pack", q(t16Spark), t16Duck),
+    ("t17_mixture_sample", q(t17Spark), t17Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),
