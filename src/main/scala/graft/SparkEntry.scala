@@ -1805,6 +1805,91 @@ object SparkEntry {
            ROUND(SUM(lon), 6) AS sum_lon
     FROM hits GROUP BY 1 ORDER BY 1"""
 
+  /** Stream-stream interval join (s05): view→click attribution through
+    * [[graft.streaming.StreamOps.intervalJoin]] — every click within 10
+    * minutes of a same-user view pairs with it. Two independent file
+    * streams over the same two micro-batch files (maxFilesPerTrigger=1),
+    * so view-state from batch 1 must survive to meet clicks arriving in
+    * batch 2 — the symmetric-hash join state machinery is exactly what's
+    * under test; a batch join over the union'd files gives the identical
+    * pair set, which is what the closed-form oracle replays. user_id is
+    * (id² mod 7) — deliberately NOT id % k: a linear id lattice against
+    * the mod-3 view/click type assignment makes user-equality force one
+    * fixed lag (or none at all); the quadratic residue breaks the
+    * lattice so lags vary 74–518 s across groups.
+    * Inner matches emit as the later side arrives (append without
+    * watermark flush), so no sentinel files are needed; the watermark
+    * still bounds join state for eviction. Aggregation to per-user lag
+    * stats happens AFTER the stream materializes (batch group-by on the
+    * sink table, the s03/s04 pattern). */
+  private def s05Fn(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s05").toString
+    val src = new java.io.File(tmp, "src"); src.mkdirs()
+    def slice(lo: Int, hi: Int) = s.sql(s"""
+      SELECT CAST(id AS BIGINT) AS event_id,
+             timestamp_seconds(1700000000 + id * 37) AS ts,
+             (id * id) % 7 AS user_id,
+             CASE WHEN id % 3 = 0 THEN 'click' WHEN id % 3 = 1 THEN 'view'
+                  ELSE 'buy' END AS event_type,
+             CAST(id AS DOUBLE) / 10 AS value
+      FROM range($lo, $hi)""")
+    Seq(slice(0, 60), slice(60, 120)).zipWithIndex.foreach { case (df, i) =>
+      val stage = new java.io.File(tmp, s"stage$i")
+      df.coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(src, s"f$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = slice(0, 1).schema
+    def stream() = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+    val views = stream().filter("event_type = 'view'")
+    val clicks = stream().filter("event_type = 'click'")
+    val joined = graft.streaming.StreamOps
+      .intervalJoin(views, clicks, "user_id", maxLag = "10 minutes", watermark = "20 minutes")
+      .selectExpr("l.user_id AS user_id", "l.event_id AS view_id", "r.event_id AS click_id",
+        "CAST(r.ts AS LONG) - CAST(l.ts AS LONG) AS lag_s")
+    val qname = "graft_s05_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = joined.writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", tmp + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(qname)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.expr("COUNT(*)").as("n_pairs"),
+           org.apache.spark.sql.functions.expr("COUNT(DISTINCT view_id)").as("n_views"),
+           org.apache.spark.sql.functions.expr("COUNT(DISTINCT click_id)").as("n_clicks"),
+           org.apache.spark.sql.functions.expr("MIN(lag_s)").as("min_lag_s"),
+           org.apache.spark.sql.functions.expr("MAX(lag_s)").as("max_lag_s"),
+           org.apache.spark.sql.functions.expr("SUM(lag_s)").as("sum_lag_s"))
+      .orderBy("user_id")
+  }
+
+  private val s05Duck = """
+    WITH ev AS (SELECT i AS event_id, i * 37 AS tsec, (i * i) % 7 AS user_id,
+                       CASE WHEN i % 3 = 0 THEN 'click' WHEN i % 3 = 1 THEN 'view'
+                            ELSE 'buy' END AS et
+                FROM range(120) t(i)),
+    v AS (SELECT * FROM ev WHERE et = 'view'),
+    c AS (SELECT * FROM ev WHERE et = 'click'),
+    p AS (SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+                 c.tsec - v.tsec AS lag_s
+          FROM v JOIN c ON c.user_id = v.user_id
+            AND c.tsec >= v.tsec AND c.tsec <= v.tsec + 600)
+    SELECT user_id, COUNT(*)::BIGINT AS n_pairs,
+           COUNT(DISTINCT view_id)::BIGINT AS n_views,
+           COUNT(DISTINCT click_id)::BIGINT AS n_clicks,
+           MIN(lag_s)::BIGINT AS min_lag_s, MAX(lag_s)::BIGINT AS max_lag_s,
+           SUM(lag_s)::BIGINT AS sum_lag_s
+    FROM p GROUP BY user_id ORDER BY user_id"""
+
   /** GeoParquet NATIVE (GeoArrow separated-coordinate) encoding write→read
     * under the hash gate: points go out with `encoding = "point"` — the
     * nested list/struct layout GeoPandas reads zero-copy — and come back
@@ -3254,6 +3339,7 @@ object SparkEntry {
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),
     ("s04_stream_geofence", s04Fn _, s04Duck),
+    ("s05_stream_interval_join", s05Fn _, s05Duck),
     ("m01_media_meta", q(m01Spark), m01Duck),
     ("m02_decode_resize_hist", m02Fn _, m02Duck),
     ("m03_real_decode_matrix", q(m03Spark), m03Duck),

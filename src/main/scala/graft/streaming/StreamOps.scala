@@ -95,4 +95,26 @@ object StreamOps {
     graft.functions.GeoFunctions.register(points.sparkSession)
     points.join(zones, call_function(predicate, col(zoneGeom), col(pointGeom)))
   }
+
+  /** Stream-stream event-time interval join: pair each left row with every
+    * right row sharing `key` whose `ts` lands in [left.ts, left.ts +
+    * maxLag] — the attribution shape (view→click, request→response,
+    * order→fill). Both sides carry a watermark and the join condition
+    * bounds right's event time relative to left's in both directions,
+    * which is exactly what Spark's symmetric-hash join needs to evict
+    * state: a buffered row drops as soon as the other side's watermark
+    * proves no future match can exist, so state is O(key-rate × lag
+    * horizon), not O(stream). Inner matches emit in the micro-batch where
+    * the later side arrives — append output needs no watermark flush.
+    * State shards by `key` across executors; nothing sits on the driver.
+    *
+    * Output keeps both sides' columns under `l`/`r` qualifiers —
+    * disambiguate with `selectExpr("l.x", "r.y", …)` downstream. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   maxLag: String = "10 minutes",
+                   watermark: String = "20 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r, expr(s"l.$key = r.$key AND r.ts >= l.ts AND r.ts <= l.ts + interval $maxLag"))
+  }
 }
