@@ -41,6 +41,36 @@ class StreamOpsSpec extends SparkTestBase {
     assert(rows.contains(("click", 1L, 5.0)))  // 10:05 window
   }
 
+  test("intervalJoin: cross-batch state pairs in-window clicks, drops out-of-window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val joined = StreamOps.intervalJoin(views.toDF(), clicks.toDF(), "user_id",
+        maxLag = "10 minutes", watermark = "30 minutes")
+      .selectExpr("l.event_id AS view_id", "r.event_id AS click_id")
+    val q = joined.writeStream.format("memory").queryName("ij").outputMode("append").start()
+    // batch 1: view for user 1 plus one in-window click; a click BEFORE the
+    // view and a click for another user must not pair
+    views.addData(Event(100, ts(10), 1, "view", 0.0))
+    clicks.addData(
+      Event(200, ts(12), 1, "click", 0.0),  // in window
+      Event(201, ts(5), 1, "click", 0.0),   // before the view → no pair
+      Event(202, ts(12), 2, "click", 0.0))  // other user → no pair
+    q.processAllAvailable()
+    // batch 2: the view is only in batch-1 state — a second in-window click
+    // must still pair (cross-batch), an out-of-window click must not
+    clicks.addData(
+      Event(203, ts(19), 1, "click", 0.0),  // 9 min lag → in window
+      Event(204, ts(25), 1, "click", 0.0))  // 15 min lag → beyond maxLag
+    q.processAllAvailable()
+    runToCompletion(q)
+    val pairs = s.sql("SELECT view_id, click_id FROM ij ORDER BY click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(pairs === List((100L, 200L), (100L, 203L)))
+  }
+
   test("geofence: stream-static spatial join plans through SpatialJoinExec per batch") {
     val s = spark
     import s.implicits._
