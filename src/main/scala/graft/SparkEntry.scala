@@ -1780,7 +1780,11 @@ object SparkEntry {
       .groupBy("zone_id")
       .agg(org.apache.spark.sql.functions.count("*").as("n_points"),
         org.apache.spark.sql.functions.expr("COUNT(DISTINCT point_id)").as("n_ids"),
-        org.apache.spark.sql.functions.expr("ROUND(SUM(lon), 6)").as("sum_lon"))
+        // SUM over the DECIMAL lon is exact (no FP order sensitivity);
+        // one cast AFTER the sum lands on the same double as the oracle's
+        // decimal-sum → float64 conversion. A bare ROUND(SUM(lon), 6)
+        // stays DECIMAL and hash-mismatches duck's float64.
+        org.apache.spark.sql.functions.expr("ROUND(CAST(SUM(lon) AS DOUBLE), 6)").as("sum_lon"))
       .orderBy("zone_id")
   }
 
@@ -3248,6 +3252,37 @@ object SparkEntry {
            MAX(epoch)::BIGINT AS max_epoch
     FROM ex GROUP BY tier, lang ORDER BY tier, lang"""
 
+  /** Context-window chunking (t18): split every document into overlapping
+    * fixed-size character windows (200 chars, stride 150 → 50-char
+    * overlap) — the preprocessing step in front of every embedding /
+    * retrieval pipeline — then audit the chunk inventory per language.
+    * Chunking is a per-row static (`graft_chunks`) + explode: map-side
+    * only, no shuffle until the bounded reporting aggregate, and chunk
+    * boundaries are code-point-indexed so multi-byte (zh) text chunks
+    * identically in both engines. */
+  private val t18Spark = """
+    WITH c AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, lang,
+                      explode(graft_chunks(text, 200, 150)) AS chunk
+               FROM documents)
+    SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+           SUM(CAST(graft_token_count(chunk) AS BIGINT)) AS chunk_tokens,
+           CAST(MAX(length(chunk)) AS BIGINT) AS max_chunk_chars,
+           CAST(MIN(length(chunk)) AS BIGINT) AS min_chunk_chars,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id), 6) AS chunks_per_doc
+    FROM c GROUP BY lang ORDER BY lang"""
+
+  private val t18Duck = """
+    WITH ks AS (SELECT doc_id, lang, text,
+                       unnest(generate_series(0, (len(text) - 1) // 150)) AS k
+                FROM documents WHERE len(text) > 0),
+    c AS (SELECT doc_id, lang, substr(text, k * 150 + 1, 200) AS chunk FROM ks)
+    SELECT lang, COUNT(DISTINCT doc_id)::BIGINT AS n_docs, COUNT(*)::BIGINT AS n_chunks,
+           SUM(len(string_split_regex(trim(chunk), '\s+'))::BIGINT)::BIGINT AS chunk_tokens,
+           MAX(len(chunk))::BIGINT AS max_chunk_chars,
+           MIN(len(chunk))::BIGINT AS min_chunk_chars,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id), 6) AS chunks_per_doc
+    FROM c GROUP BY lang ORDER BY lang"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -3335,6 +3370,7 @@ object SparkEntry {
     ("t15_corpus_dup_chunks", q(t15Spark), t15Duck),
     ("t16_sequence_pack", q(t16Spark), t16Duck),
     ("t17_mixture_sample", q(t17Spark), t17Duck),
+    ("t18_chunking", q(t18Spark), t18Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),

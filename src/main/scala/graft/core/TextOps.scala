@@ -77,6 +77,25 @@ object TextOps {
     }
   }
 
+  /** Fixed-size sliding character chunks — the context-window split that
+    * feeds embedding / retrieval pipelines (chunk k starts at code point
+    * k·stride, spans `size` code points; stride < size ⇒ overlapping
+    * windows, the RAG default). Counts CODE POINTS via `substringSQL`,
+    * Spark's own SUBSTRING semantics — the DuckDB mirror is
+    * `substr(text, k*stride + 1, size)` over
+    * `generate_series(0, (len(text)-1) // stride)`, which indexes code
+    * points the same way, so chunk boundaries agree byte-for-byte even
+    * on multi-byte (CJK) text. Empty input → no chunks. */
+  def chunks(s: UTF8String, size: Int, stride: Int): ArrayData = {
+    val n = s.numChars()
+    if (n == 0 || size <= 0 || stride <= 0) return new GenericArrayData(Array.empty[AnyRef])
+    val m = (n - 1) / stride + 1
+    val out = new Array[AnyRef](m)
+    var k = 0
+    while (k < m) { out(k) = s.substringSQL(k * stride + 1, size); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Word k-shingles — the document-dedup unit (word, not char, shingles:
     * char n-grams of a small shared vocabulary make unrelated docs look
     * similar and blow up LSH candidate counts). */

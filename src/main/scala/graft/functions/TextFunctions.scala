@@ -47,6 +47,7 @@ object TextFunctions {
     "graft_token_count" -> ((textOps, "tokenCount", I, Seq(S))),
     "graft_ngrams" -> ((textOps, "ngrams", AS, Seq(S, I))),
     "graft_shingles" -> ((textOps, "shingles", AS, Seq(S, I))),
+    "graft_chunks" -> ((textOps, "chunks", AS, Seq(S, I, I))),
     "graft_jaccard" -> ((textOps, "jaccard", D, Seq(AS, AS))),
     "graft_simhash" -> ((textOps, "simhash", L, Seq(S))),
     "graft_minhash" -> ((textOps, "minhash", ArrayType(LongType, containsNull = false), Seq(S, I, I))),

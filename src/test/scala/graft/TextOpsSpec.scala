@@ -104,6 +104,22 @@ class TextOpsSpec extends SparkTestBase {
     assert(TextOps.redact(u("clean text")).toString == "clean text")
   }
 
+  test("chunks: stride windows, short tail, CJK code points, empty input") {
+    def cs(s: String, size: Int, stride: Int): List[String] = {
+      val a = TextOps.chunks(u(s), size, stride)
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString).toList
+    }
+    // 10 chars, size 4, stride 3 → starts 1,4,7,10
+    assert(cs("abcdefghij", 4, 3) === List("abcd", "defg", "ghij", "j"))
+    // overlap: stride < size repeats the boundary chars
+    assert(cs("abcdef", 4, 2) === List("abcd", "cdef", "ef"))
+    // doc shorter than one window → a single whole-doc chunk
+    assert(cs("ab", 100, 50) === List("ab"))
+    // CJK: windows count code points, not bytes
+    assert(cs("一二三四五", 2, 2) === List("一二", "三四", "五"))
+    assert(cs("", 4, 2) === Nil)
+  }
+
   test("SQL surface registered (repetition + pii kernels)") {
     graft.functions.TextFunctions.register(spark)
     val r = sql("""SELECT graft_top_ngram_frac('a b a b a', 2) AS t,
