@@ -1262,6 +1262,29 @@ object SparkEntry {
     SELECT COUNT(*)::BIGINT AS n, SUM(id)::BIGINT AS sum_id, SUM(id * 0.5)::DOUBLE AS sum_score
     FROM (SELECT unnest(range(0, 1000)) AS id) t WHERE id % 7 = 0"""
 
+  /** Shapefile through the DSv2 face (g54): `format("shapefile")` over the
+    * g40 ESRI-whitepaper fixture with an attribute-only projection —
+    * Catalyst's required-columns pushdown reaches the decoder, so the
+    * geometry records are never JTS-built (ShapefileSpec proves the skip
+    * with decode counters; this query hash-gates the values through the
+    * pruned path end-to-end). */
+  private def g54Fn(s: SparkSession, dir: String): DataFrame = {
+    def unhex(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val d = java.nio.file.Files.createTempDirectory("graft_g54")
+    java.nio.file.Files.write(d.resolve("pts.shp"), unhex(g40Shp))
+    java.nio.file.Files.write(d.resolve("pts.dbf"), unhex(g40Dbf))
+    s.read.format("shapefile").load(d.resolve("pts.shp").toString)
+      .selectExpr("NAME AS name", "CAST(VAL AS BIGINT) AS val")
+      .orderBy("name")
+  }
+
+  private val g54Duck = """
+    SELECT * FROM (VALUES
+      ('alpha', 10::BIGINT), ('beta', 20::BIGINT),
+      ('delta', 40::BIGINT), ('gamma', 30::BIGINT)
+    ) t(name, val) ORDER BY name"""
+
   /** ST_Subdivide: PostGIS-style envelope-halving decomposition, the 100-TB
     * spatial-join enabler — a multi-MB polygon becomes many bounded-vertex
     * pieces that index/broadcast/probe in O(piece). Each order row builds a
@@ -3344,6 +3367,7 @@ object SparkEntry {
     ("g51_fgb_dsv2_pruned", g51Fn _, g51Duck),
     ("g52_subdivide", q(g52Spark), g52Duck),
     ("g53_dbscan", g53Fn _, g53Duck),
+    ("g54_shp_dsv2_pruned", g54Fn _, g54Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),

@@ -86,7 +86,10 @@ object Shapefile {
     if (polys.length == 1) polys.head else f.createMultiPolygon(polys)
   }
 
-  private def shpGeometries(bytes: Array[Byte]): Iterator[Geometry] = {
+  /** With `decode = false` the iterator walks record headers only and
+    * yields nulls — a pruned-out geometry column costs a pointer walk, not
+    * a JTS build (the dominant per-record cost on geometry-heavy files). */
+  private def shpGeometries(bytes: Array[Byte], decode: Boolean = true): Iterator[Geometry] = {
     // record headers are big-endian, shape payloads little-endian: two views
     val be = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -97,7 +100,7 @@ object Shapefile {
       def hasNext: Boolean = p + 8 <= math.min(fileLenBytes, bytes.length)
       def next(): Geometry = {
         val contentLen = be.getInt(p + 4) * 2
-        val g = decodeShape(le, p + 8)
+        val g = if (decode) { decodedGeoms.increment(); decodeShape(le, p + 8) } else null
         p += 8 + contentLen
         g
       }
@@ -130,22 +133,36 @@ object Shapefile {
     case other => StringType
   }
 
-  private def dbfRecords(bytes: Array[Byte]): Iterator[Array[Any]] = {
+  // diagnostics (spec-proof of decode-level pruning; LongAdder — task
+  // threads write contention-free, the test sums; same device as
+  // FlatGeobuf.decodedPropValues)
+  private[graft] val decodedPropValues = new java.util.concurrent.atomic.LongAdder
+  private[graft] val decodedGeoms = new java.util.concurrent.atomic.LongAdder
+
+  /** DBF records are fixed-width, so skipping a pruned-out column is free:
+    * `wanted(i) = false` advances the offset without the String alloc +
+    * numeric parse that dominate DBF decode. `wanted = null` decodes all. */
+  private def dbfRecords(bytes: Array[Byte],
+                         wanted: Array[Boolean] = null): Iterator[Array[Any]] = {
     val (fields, numRecords, headerSize, recordSize) = dbfFields(bytes)
     (0 until numRecords).iterator.map { r =>
       val base = headerSize + r * recordSize
       var off = base + 1 // skip deletion flag
-      fields.map { f =>
-        val raw = new String(bytes, off, f.len, "ASCII").trim
-        off += f.len
-        if (raw.isEmpty) null
-        else f.typ match {
-          case 'C' | 'D' => raw
-          case 'N' if f.dec == 0 && f.len < 10 => raw.toInt
-          case 'N' if f.dec == 0 => raw.toLong
-          case 'N' | 'F' => raw.toDouble
-          case 'L' => "YyTt".contains(raw.head)
-          case _ => raw
+      fields.zipWithIndex.map { case (f, fi) =>
+        if (wanted != null && !wanted(fi)) { off += f.len; null }
+        else {
+          val raw = new String(bytes, off, f.len, "ASCII").trim
+          off += f.len
+          decodedPropValues.increment()
+          if (raw.isEmpty) null
+          else f.typ match {
+            case 'C' | 'D' => raw
+            case 'N' if f.dec == 0 && f.len < 10 => raw.toInt
+            case 'N' if f.dec == 0 => raw.toLong
+            case 'N' | 'F' => raw.toDouble
+            case 'L' => "YyTt".contains(raw.head)
+            case _ => raw
+          }
         }
       }.toArray[Any]
     }
@@ -153,38 +170,61 @@ object Shapefile {
 
   // ── public API ────────────────────────────────────────────────────────
 
-  /** Read .shp(+.dbf) file(s) into a DataFrame (property columns +
-    * `geometry` WKB). `path` may be a single .shp or a directory of them. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    graft.functions.GeoFunctions.register(spark)
-    val conf = spark.sessionState.newHadoopConf()
+  /** List .shp files under `path` (a single file or a directory). */
+  private[sources] def resolveFiles(spark: SparkSession, path: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val files =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".shp")).map(_.toString)
-      else Array(path)
+        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".shp"))
+          .map(_.toString).toSeq
+      else Seq(path)
     require(files.nonEmpty, s"no .shp files under $path")
-    // schema from the first .dbf (driver side)
-    val dbfPath = files.head.stripSuffix(".shp") + ".dbf"
-    val schema = StructType(
-      (if (fs.exists(new org.apache.hadoop.fs.Path(dbfPath)))
-        dbfFields(readAll(fs, new org.apache.hadoop.fs.Path(dbfPath)))._1
-          .map(f => StructField(f.name, dbfType(f)))
+    files
+  }
+
+  /** Schema = DBF property columns (file order) + `geometry` WKB. */
+  private[sources] def schemaOf(fs: org.apache.hadoop.fs.FileSystem,
+                                shpFile: String): StructType = {
+    val dbp = new org.apache.hadoop.fs.Path(shpFile.stripSuffix(".shp") + ".dbf")
+    StructType(
+      (if (fs.exists(dbp)) dbfFields(readAll(fs, dbp))._1
+        .map(f => StructField(f.name, dbfType(f)))
       else Seq.empty) :+ StructField("geometry", BinaryType))
-    val rdd = spark.sparkContext.parallelize(files.toIndexedSeq, files.length).flatMap { f =>
-      val conf2 = new org.apache.hadoop.conf.Configuration()
-      val fp = new org.apache.hadoop.fs.Path(f)
-      val fsw = fp.getFileSystem(conf2)
-      val geoms = shpGeometries(readAll(fsw, fp))
-      val dbp = new org.apache.hadoop.fs.Path(f.stripSuffix(".shp") + ".dbf")
-      val props: Iterator[Array[Any]] =
-        if (fsw.exists(dbp)) dbfRecords(readAll(fsw, dbp))
-        else Iterator.continually(Array.empty[Any])
-      geoms.zip(props).map { case (g, pr) =>
-        Row.fromSeq(pr.toIndexedSeq :+ (if (g == null) null else GeomOps.write(g)))
-      }
+  }
+
+  /** Decode one .shp(+.dbf) pair to full-width rows. `wanted` indexes the
+    * full schema (properties in file order, geometry LAST); pruned-out
+    * slots stay null: DBF values skip their parse, a pruned geometry skips
+    * the JTS build entirely. `wanted = null` decodes everything. Runs
+    * task-side — opens its own FileSystem. */
+  private[sources] def fileRows(f: String, wanted: Array[Boolean] = null): Iterator[Row] = {
+    val fp = new org.apache.hadoop.fs.Path(f)
+    val fsw = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val wantGeom = wanted == null || wanted(wanted.length - 1)
+    val geoms = shpGeometries(readAll(fsw, fp), decode = wantGeom)
+    val dbp = new org.apache.hadoop.fs.Path(f.stripSuffix(".shp") + ".dbf")
+    val props: Iterator[Array[Any]] =
+      if (fsw.exists(dbp))
+        dbfRecords(readAll(fsw, dbp), if (wanted == null) null else wanted.dropRight(1))
+      else Iterator.continually(Array.empty[Any])
+    geoms.zip(props).map { case (g, pr) =>
+      Row.fromSeq(pr.toIndexedSeq :+ (if (g == null) null else GeomOps.write(g)))
     }
+  }
+
+  /** Read .shp(+.dbf) file(s) into a DataFrame (property columns +
+    * `geometry` WKB). `path` may be a single .shp or a directory of them.
+    * For Catalyst-driven column pruning use the DSv2 face,
+    * `spark.read.format("shapefile")` ([[ShapefileSource]]). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    graft.functions.GeoFunctions.register(spark)
+    val files = resolveFiles(spark, path)
+    // schema from the first .dbf (driver side)
+    val p0 = new org.apache.hadoop.fs.Path(files.head)
+    val schema = schemaOf(p0.getFileSystem(spark.sessionState.newHadoopConf()), files.head)
+    val rdd = spark.sparkContext.parallelize(files.toIndexedSeq, files.length)
+      .flatMap(f => fileRows(f))
     spark.createDataFrame(rdd, schema)
   }
 

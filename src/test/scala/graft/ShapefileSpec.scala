@@ -125,6 +125,35 @@ class ShapefileSpec extends SparkTestBase {
     assert(r.getInt(2) == 5)
   }
 
+  test("DSv2: format(\"shapefile\") matches read(), prunes at decode level") {
+    // full read through the DSv2 path matches the function-style read
+    val v2 = spark.read.format("shapefile").load(s"$dir/pts.shp")
+    assert(v2.columns.toSeq == Seq("NAME", "VAL", "SCORE", "geometry"))
+    val fn = Shapefile.read(spark, s"$dir/pts.shp")
+    assert(v2.selectExpr("NAME", "VAL", "SCORE", "ST_AsText(geometry) AS w")
+      .except(fn.selectExpr("NAME", "VAL", "SCORE", "ST_AsText(geometry) AS w")).isEmpty)
+    // projection is pushed into the scan (visible in the plan) ...
+    val pruned = spark.read.format("shapefile").load(s"$dir/pts.shp").select("VAL")
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("required=[VAL]"), s"pushdown missing in:\n$planStr")
+    // ... and reaches the DECODE level: 3 property values materialize (VAL
+    // per record), not 9 (NAME+VAL+SCORE), and NO geometry is built; local
+    // mode shares the JVM so the diagnostics adders see task-side work
+    graft.sources.Shapefile.decodedPropValues.reset()
+    graft.sources.Shapefile.decodedGeoms.reset()
+    assert(pruned.collect().map(_.getInt(0)).sorted.toSeq == Seq(-2, 7, 40))
+    assert(graft.sources.Shapefile.decodedPropValues.sum() == 3)
+    assert(graft.sources.Shapefile.decodedGeoms.sum() == 0)
+    // geometry-only projection decodes geometries but zero DBF values
+    graft.sources.Shapefile.decodedPropValues.reset()
+    graft.sources.Shapefile.decodedGeoms.reset()
+    val geoms = spark.read.format("shapefile").load(s"$dir/pts.shp")
+      .selectExpr("ST_AsText(geometry) AS w").collect().map(_.getString(0)).sorted
+    assert(geoms.length == 3 && geoms.head.startsWith("POINT"))
+    assert(graft.sources.Shapefile.decodedPropValues.sum() == 0)
+    assert(graft.sources.Shapefile.decodedGeoms.sum() == 3)
+  }
+
   test("directory read unions all .shp files' rows (same schema)") {
     val d2 = java.nio.file.Files.createTempDirectory("shp2").toString
     writeShp(s"$d2/a.shp", Seq(pointShape(1, 1)))
