@@ -2599,14 +2599,19 @@ object SparkEntry {
     * DuckDB oracle regenerates it); every vector encodes to its
     * per-subspace argmin-L2 code. A query builds an M×K distance table
     * and scores the corpus by Asymmetric Distance Computation —
-    * Σ_m dtable[m, code_m(x)] — then the ADC top-8 re-rank by exact L2
-    * to a final top-3 (the standard refine step).
+    * Σ_m dtable[m, code_m(x)] — then the ADC top-32 re-rank by exact L2
+    * to a final top-3 (the standard refine step; e08 measures why the
+    * pool is 32 — this corpus's subspaces quantize poorly under the
+    * training-free codebook, so pure-ADC recall@3 is ~0.04 and the
+    * refine pool does the lifting, ~0.29 at 32; production would train
+    * codebooks with per-subspace k-means, traded away here for the
+    * cross-engine bit-identical oracle).
     *
     * 100 TB topology: codes are M small ints per vector (8 codes ≈ 2
     * bytes vs 512 bytes of floats — the ADC scan reads ~256× fewer
     * bytes than a flat scan); distance tables are Q×M×K rows (tiny →
     * broadcast side of the ADC equi-join on (m, code)); the refine
-    * fetches full vectors for ≤8 candidate ids per query via an id
+    * fetches full vectors for ≤32 candidate ids per query via an id
     * equi-join. Nothing is ever all-pairs. The ADC sum pivots through
     * one MAX(CASE m=k) singleton per subspace added left-to-right —
     * a deterministic FP order both engines replay exactly (a bare
@@ -2644,7 +2649,7 @@ object SparkEntry {
     ref AS (SELECT c.query_id, c.neighbor_id, c.adc_d, graft_l2(qv.e, xv.e) AS exact_d
             FROM cand c JOIN v qv ON qv.vec_id = c.query_id
                         JOIN v xv ON xv.vec_id = c.neighbor_id
-            WHERE c.arnk <= 8)
+            WHERE c.arnk <= 32)
     SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
            ROUND(adc_d, 6) AS adc_d, ROUND(exact_d, 6) AS exact_d
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY exact_d, neighbor_id) AS rnk
@@ -2680,12 +2685,119 @@ object SparkEntry {
                    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(qv.e) + 1), i -> (qv.e[i] - xv.e[i]) * (qv.e[i] - xv.e[i]))), (x, y) -> x + y) AS exact_d
             FROM cand c JOIN v qv ON qv.vec_id = c.query_id
                         JOIN v xv ON xv.vec_id = c.neighbor_id
-            WHERE c.arnk <= 8)
+            WHERE c.arnk <= 32)
     SELECT query_id, neighbor_id, rnk::BIGINT AS rnk,
            ROUND(adc_d, 6) AS adc_d, ROUND(exact_d, 6) AS exact_d
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY exact_d, neighbor_id) AS rnk
           FROM ref) t
     WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
+  /** PQ quality gate (e08): recall@3 of the PURE ADC ranking vs the
+    * re-ranked pipeline (e07's ADC top-32 → exact-L2 top-3), both against
+    * exact brute-force L2 top-3 — the two numbers that decide codebook
+    * size / subspace count / refine pool before anyone trusts the
+    * compressed scan. On this corpus pure ADC lands ~0.04 (subspaces
+    * quantize poorly under the training-free 8×4 codebook — exactly what
+    * the gate exists to expose) and the 32-wide refine lifts it to ~0.29:
+    * the pool, not the codes, carries the recall here. Same harness shape
+    * as e05 (IVF recall); the exact side stays bounded by the 8-query
+    * probe set. */
+  private val e08Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e FROM embeddings),
+    sub AS (SELECT vec_id, m, slice(e, m * 8 + 1, 8) AS sv
+            FROM v LATERAL VIEW explode(sequence(0, 7)) t AS m),
+    cb AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 4),
+    enc AS (SELECT vec_id, m, cid AS code FROM (
+              SELECT s.vec_id, s.m, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY graft_l2(s.sv, c.cv), c.cid) AS rn
+              FROM sub s JOIN cb c ON c.m = s.m) t WHERE rn = 1),
+    qd AS (SELECT s.vec_id AS query_id, s.m, c.cid, graft_l2(s.sv, c.cv) AS dq
+           FROM sub s JOIN cb c ON c.m = s.m
+           WHERE s.vec_id >= 8 AND s.vec_id < 16),
+    adc AS (SELECT /*+ BROADCAST(d) */ d.query_id, x.vec_id AS neighbor_id,
+                   MAX(CASE WHEN d.m = 0 THEN d.dq END) + MAX(CASE WHEN d.m = 1 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 2 THEN d.dq END) + MAX(CASE WHEN d.m = 3 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 4 THEN d.dq END) + MAX(CASE WHEN d.m = 5 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 6 THEN d.dq END) + MAX(CASE WHEN d.m = 7 THEN d.dq END) AS adc_d
+            FROM enc x JOIN qd d ON d.m = x.m AND d.cid = x.code
+            WHERE x.vec_id != d.query_id
+            GROUP BY d.query_id, x.vec_id),
+    ranked AS (SELECT query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d, neighbor_id) AS rnk
+               FROM adc),
+    ann3 AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= 3),
+    rr3 AS (SELECT query_id, neighbor_id FROM (
+              SELECT c.query_id, c.neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY c.query_id
+                       ORDER BY graft_l2(qv.e, xv.e), c.neighbor_id) AS rrnk
+              FROM (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= 32) c
+              JOIN v qv ON qv.vec_id = c.query_id
+              JOIN v xv ON xv.vec_id = c.neighbor_id) t WHERE rrnk <= 3),
+    ex3 AS (SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY graft_l2(q.e, x.e), x.vec_id) AS rnk
+              FROM (SELECT * FROM v WHERE vec_id >= 8 AND vec_id < 16) q
+              JOIN v x ON x.vec_id != q.vec_id) t WHERE rnk <= 3)
+    SELECT e.query_id,
+           COUNT(a.neighbor_id) AS adc_hits,
+           ROUND(COUNT(a.neighbor_id) / 3.0D, 6) AS adc_recall_at_3,
+           COUNT(r.neighbor_id) AS rerank_hits,
+           ROUND(COUNT(r.neighbor_id) / 3.0D, 6) AS rerank_recall_at_3
+    FROM ex3 e
+    LEFT JOIN ann3 a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    LEFT JOIN rr3 r ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id ORDER BY e.query_id"""
+
+  private val e08Duck = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    sub AS (SELECT vec_id, m, e[m * 8 + 1 : m * 8 + 8] AS sv
+            FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+    cb AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 4),
+    enc AS (SELECT vec_id, m, cid AS code FROM (
+              SELECT s.vec_id, s.m, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(s.sv) + 1), i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), (x, y) -> x + y), c.cid) AS rn
+              FROM sub s JOIN cb c ON c.m = s.m) t WHERE rn = 1),
+    qd AS (SELECT s.vec_id AS query_id, s.m, c.cid,
+                  list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(s.sv) + 1), i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), (x, y) -> x + y) AS dq
+           FROM sub s JOIN cb c ON c.m = s.m
+           WHERE s.vec_id >= 8 AND s.vec_id < 16),
+    adc AS (SELECT d.query_id, x.vec_id AS neighbor_id,
+                   MAX(CASE WHEN d.m = 0 THEN d.dq END) + MAX(CASE WHEN d.m = 1 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 2 THEN d.dq END) + MAX(CASE WHEN d.m = 3 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 4 THEN d.dq END) + MAX(CASE WHEN d.m = 5 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 6 THEN d.dq END) + MAX(CASE WHEN d.m = 7 THEN d.dq END) AS adc_d
+            FROM enc x JOIN qd d ON d.m = x.m AND d.cid = x.code
+            WHERE x.vec_id != d.query_id
+            GROUP BY d.query_id, x.vec_id),
+    ranked AS (SELECT query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d, neighbor_id) AS rnk
+               FROM adc),
+    ann3 AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= 3),
+    rr3 AS (SELECT query_id, neighbor_id FROM (
+              SELECT c.query_id, c.neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY c.query_id
+                       ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(qv.e) + 1), i -> (qv.e[i] - xv.e[i]) * (qv.e[i] - xv.e[i]))), (x, y) -> x + y), c.neighbor_id) AS rrnk
+              FROM (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= 32) c
+              JOIN v qv ON qv.vec_id = c.query_id
+              JOIN v xv ON xv.vec_id = c.neighbor_id) t WHERE rrnk <= 3),
+    ex3 AS (SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.e) + 1), i -> (q.e[i] - x.e[i]) * (q.e[i] - x.e[i]))), (x, y) -> x + y), x.vec_id) AS rnk
+              FROM (SELECT * FROM v WHERE vec_id >= 8 AND vec_id < 16) q
+              JOIN v x ON x.vec_id != q.vec_id) t WHERE rnk <= 3)
+    SELECT e.query_id,
+           COUNT(a.neighbor_id)::BIGINT AS adc_hits,
+           ROUND(COUNT(a.neighbor_id) / 3.0::DOUBLE, 6) AS adc_recall_at_3,
+           COUNT(r.neighbor_id)::BIGINT AS rerank_hits,
+           ROUND(COUNT(r.neighbor_id) / 3.0::DOUBLE, 6) AS rerank_recall_at_3
+    FROM ex3 e
+    LEFT JOIN ann3 a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    LEFT JOIN rr3 r ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id ORDER BY e.query_id"""
 
   /** Persisted IVF index, build-once/probe-many (e06): e04's coarse
     * quantization written as a LIST-PARTITIONED parquet table (inverted
@@ -3389,6 +3501,7 @@ object SparkEntry {
     ("e05_ann_recall", q(e05Spark), e05Duck),
     ("e06_ivf_persisted", e06Fn _, e04Duck),
     ("e07_pq_adc", q(e07Spark), e07Duck),
+    ("e08_pq_recall", q(e08Spark), e08Duck),
     ("a01_asof_join", a01Fn _, a01Duck),
     ("a02_range_join", a02Fn _, a02Duck),
     ("t15_corpus_dup_chunks", q(t15Spark), t15Duck),
