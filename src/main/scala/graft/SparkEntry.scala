@@ -1366,6 +1366,35 @@ object SparkEntry {
     SELECT i::BIGINT AS fid, (i % 10)::BIGINT AS x, ROUND(i / 4.0, 2) AS y
     FROM range(100) t(i) ORDER BY fid"""
 
+  /** Arrow IPC through the DSv2 face (g55): write a geometry + wide
+    * property file, read back with `format("arrowipc")` under an
+    * attribute-only projection — required-columns pushdown reaches the
+    * decoder (no JTS build for the pruned geometry; ArrowIpcSpec proves
+    * the skip with decode counters, this query hash-gates the values
+    * through the pruned path end-to-end). */
+  private def g55Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g55_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val df = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid, CAST(id % 7 AS INT) AS grp,
+             CAST(id AS DOUBLE) / 8 AS score,
+             ST_Point(CAST(id % 10 AS DOUBLE), CAST(id AS DOUBLE) / 4) AS geometry
+      FROM range(200)""")
+    graft.sources.ArrowIpc.write(df, out)
+    s.read.format("arrowipc").load(out)
+      .groupBy("grp")
+      .agg(org.apache.spark.sql.functions.expr("COUNT(*)").as("n"),
+        org.apache.spark.sql.functions.expr("SUM(fid)").as("sum_fid"),
+        org.apache.spark.sql.functions.expr("ROUND(SUM(score), 6)").as("sum_score"))
+      .orderBy("grp")
+  }
+
+  private val g55Duck = """
+    SELECT (i % 7)::INT AS grp, COUNT(*)::BIGINT AS n, SUM(i)::BIGINT AS sum_fid,
+           ROUND(SUM(i / 8.0), 6) AS sum_score
+    FROM range(200) t(i) GROUP BY 1 ORDER BY 1"""
+
   // a 4-point .shp + typed .dbf, built byte-for-byte from the public ESRI
   // whitepaper layout (the ShapefileSpec builders, serialized once to hex):
   // points (1 2) (3 4) (5 6) (7 8); NAME C(8) alpha/beta/gamma/delta,
@@ -3480,6 +3509,7 @@ object SparkEntry {
     ("g52_subdivide", q(g52Spark), g52Duck),
     ("g53_dbscan", g53Fn _, g53Duck),
     ("g54_shp_dsv2_pruned", g54Fn _, g54Duck),
+    ("g55_arrow_dsv2_pruned", g55Fn _, g55Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),

@@ -146,7 +146,7 @@ object ArrowIpc {
     finally { reader.close(); allocator.close(); ch.close() }
   }
 
-  private def listFiles(spark: SparkSession, path: String): Seq[String] = {
+  private[sources] def listFiles(spark: SparkSession, path: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val files =
@@ -157,11 +157,25 @@ object ArrowIpc {
     files
   }
 
+  // diagnostics (spec-proof of decode-level pruning; same device as
+  // FlatGeobuf.decodedPropValues / Shapefile.decodedGeoms)
+  private[graft] val decodedCells = new java.util.concurrent.atomic.LongAdder
+  private[graft] val decodedGeoms = new java.util.concurrent.atomic.LongAdder
+
   /** Streams rows batch-by-batch: only one IPC record batch is resident at
     * a time, so a multi-GB file never materializes in the task. Resources
     * close when the file is exhausted AND on task completion (whichever
-    * comes first — a `LIMIT` may abandon the iterator mid-file). */
-  private def decodeFile(path: String, conf: org.apache.hadoop.conf.Configuration): Iterator[Row] = {
+    * comes first — a `LIMIT` may abandon the iterator mid-file).
+    *
+    * `wanted` (full schema order; null = all) skips per-cell
+    * materialization of pruned-out columns — the Arrow getObject boxing,
+    * Text→String copies and, for geometry columns, the JTS build + WKB
+    * serialization that dominate per-row cost. The IPC record batch
+    * itself still loads (an IPC frame is one contiguous message; true
+    * buffer-level skip would need footer-driven selective loading), so
+    * this prunes CPU, not file IO. */
+  private[sources] def decodeFile(path: String, conf: org.apache.hadoop.conf.Configuration,
+                         wanted: Array[Boolean] = null): Iterator[Row] = {
     val ch = openChannel(path, conf)
     val allocator = new RootAllocator()
     val reader = new ArrowFileReader(ch, allocator)
@@ -193,16 +207,23 @@ object ArrowIpc {
           val vals = new Array[Any](fields.length)
           var c = 0
           while (c < fields.length) {
-            val raw = root.getVector(c).getObject(i)
-            vals(c) =
-              if (raw == null) null
-              else geoExt(c) match {
-                case Some(ext) => GeomOps.write(decodeGeo(ext, raw))
-                case None => raw match {
-                  case t: org.apache.arrow.vector.util.Text => t.toString
-                  case other => other
+            if (wanted != null && !wanted(c)) vals(c) = null
+            else {
+              val raw = root.getVector(c).getObject(i)
+              vals(c) =
+                if (raw == null) null
+                else geoExt(c) match {
+                  case Some(ext) =>
+                    decodedGeoms.increment()
+                    GeomOps.write(decodeGeo(ext, raw))
+                  case None =>
+                    decodedCells.increment()
+                    raw match {
+                      case t: org.apache.arrow.vector.util.Text => t.toString
+                      case other => other
+                    }
                 }
-              }
+            }
             c += 1
           }
           i += 1

@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `spark.read.format("arrowipc")` — DataSource V2 face of [[ArrowIpc]],
+  * completing the decode-level-pruning story across the binary sources
+  * (GeoParquet → FlatGeobuf → Shapefile → Arrow IPC): Catalyst's
+  * required-columns pushdown skips per-cell materialization of pruned-out
+  * columns — Arrow getObject boxing, Text→String copies and, decisively,
+  * the JTS geometry build + WKB serialization of unneeded geometry
+  * columns. The IPC record batch itself still loads (one contiguous
+  * message per batch), so this prunes CPU, not file bytes — the honest
+  * statement of what IPC framing allows without footer-driven selective
+  * buffer loads. One .arrow file = one task, as in the function-style
+  * `read()`.
+  */
+class ArrowIpcSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "arrowipc"
+
+  private def path(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path"))
+    require(p.nonEmpty, "arrowipc: no path given (use .load(path))")
+    p.get
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ArrowIpc.schemaOf(SparkSession.active, path(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ArrowIpcTable(schema, path(new CaseInsensitiveStringMap(properties)))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+private[sources] class ArrowIpcTable(dataSchema: StructType, root: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"arrowipc($root)"
+  override def schema(): StructType = dataSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ArrowIpcScanBuilder(dataSchema, root)
+}
+
+private[sources] class ArrowIpcScanBuilder(dataSchema: StructType, root: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = dataSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep file field order; Catalyst projects to its own order above
+    required = StructType(dataSchema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+  override def build(): Scan = new ArrowIpcScan(dataSchema, required, root)
+}
+
+private[sources] case class ArrowIpcPartition(path: String) extends InputPartition
+
+private[sources] class ArrowIpcScan(dataSchema: StructType,
+                                    required: StructType,
+                                    root: String) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ArrowIpcScan(required=[${required.fieldNames.mkString(",")}])"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    ArrowIpc.listFiles(SparkSession.active, root).map(ArrowIpcPartition.apply).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val outIdx = required.fieldNames.map(dataSchema.fieldIndex)
+    val wanted = Array.fill(dataSchema.length)(false)
+    outIdx.foreach(wanted(_) = true)
+    ArrowIpcReaderFactory(required, outIdx, wanted)
+  }
+}
+
+private[sources] case class ArrowIpcReaderFactory(required: StructType,
+                                                  outIdx: Array[Int],
+                                                  wanted: Array[Boolean])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val ArrowIpcPartition(path) = partition: @unchecked
+    val rows = ArrowIpc.decodeFile(path, new org.apache.hadoop.conf.Configuration(), wanted)
+    val conv = required.fields.map(f =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(f.dataType))
+    val isString = required.fields.map(_.dataType == StringType)
+    new PartitionReader[InternalRow] {
+      private var row: org.apache.spark.sql.Row = _
+      override def next(): Boolean = { val h = rows.hasNext; if (h) row = rows.next(); h }
+      override def get(): InternalRow = {
+        val vals = new Array[Any](outIdx.length)
+        var i = 0
+        while (i < outIdx.length) {
+          val v = row.get(outIdx(i))
+          vals(i) =
+            if (v == null) null
+            else if (isString(i)) UTF8String.fromString(v.asInstanceOf[String])
+            else conv(i)(v)
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -19,6 +19,37 @@ class ArrowIpcSpec extends SparkTestBase {
     assert(df.where("BoroName = 'Manhattan'").count() == 1)
   }
 
+  test("DSv2: format(\"arrowipc\") matches read(), prunes at decode level") {
+    // full read through the DSv2 path matches the function-style read
+    val v2 = spark.read.format("arrowipc").load(fixture)
+    assert(v2.columns.toSeq ==
+      Seq("BoroCode", "BoroName", "Shape_Leng", "Shape_Area", "geometry"))
+    val fn = ArrowIpc.read(spark, fixture)
+    assert(v2.selectExpr("BoroCode", "BoroName", "ST_AsText(geometry) AS w")
+      .except(fn.selectExpr("BoroCode", "BoroName", "ST_AsText(geometry) AS w")).isEmpty)
+    // projection is pushed into the scan (visible in the plan) ...
+    val pruned = spark.read.format("arrowipc").load(fixture).select("BoroName")
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("required=[BoroName]"), s"pushdown missing in:\n$planStr")
+    // ... and reaches the DECODE level: 5 cells materialize (BoroName per
+    // row), and NO JTS geometry is built — on nybb the geometry build is
+    // the dominant per-row cost. Local mode shares the JVM so the
+    // diagnostics adders see task-side work.
+    graft.sources.ArrowIpc.decodedCells.reset()
+    graft.sources.ArrowIpc.decodedGeoms.reset()
+    assert(pruned.collect().map(_.getString(0)).sorted.head == "Bronx")
+    assert(graft.sources.ArrowIpc.decodedCells.sum() == 5)
+    assert(graft.sources.ArrowIpc.decodedGeoms.sum() == 0)
+    // geometry-only projection builds 5 geometries and zero property cells
+    graft.sources.ArrowIpc.decodedCells.reset()
+    graft.sources.ArrowIpc.decodedGeoms.reset()
+    val ng = spark.read.format("arrowipc").load(fixture)
+      .selectExpr("ST_NPoints(geometry) AS np").collect().map(_.getInt(0))
+    assert(ng.length == 5 && ng.forall(_ > 0))
+    assert(graft.sources.ArrowIpc.decodedCells.sum() == 0)
+    assert(graft.sources.ArrowIpc.decodedGeoms.sum() == 5)
+  }
+
   test("nybb.arrow geometry matches the GeoParquet WKB twin exactly") {
     val arrow = ArrowIpc.read(spark, fixture)
     val wkb = GeoParquet.read(spark, "/root/reference/fixtures/geoparquet/nybb_wkb.parquet")
