@@ -2920,6 +2920,44 @@ object SparkEntry {
     FROM documents CROSS JOIN (SELECT unnest(range(5)) AS i) t
     GROUP BY 1 ORDER BY 1"""
 
+  /** Audio branch of the multimodal pipeline (m05), REAL codec end-to-end:
+    * one WAV per document — the JDK `javax.sound.sampled` WAVE writer over
+    * the closed-form PCM16 signal sample(i) = ((doc_id·31 + i²) mod 2000)
+    * − 1000 — then a header-only metadata probe (no sample decode) and a
+    * full decode through `AudioSystem.getAudioInputStream` folding to
+    * exact integer stats. The oracle regenerates the signal arithmetically
+    * and pins peak/sum/sum-of-squares per duration bucket, so a container
+    * or PCM decode regression hash-mismatches. Encode+decode are per-row
+    * statics: map-side, the only shuffle is the bounded report agg. */
+  private val m05Spark = """
+    WITH a AS (SELECT /*+ REPARTITION({{P}}) */ doc_id,
+                      graft_audio_wav(doc_id) AS wav
+               FROM documents),
+    d AS (SELECT doc_id, graft_audio_meta(wav) AS m, graft_audio_stats(wav) AS s FROM a)
+    SELECT CAST(m.rate AS BIGINT) AS rate, CAST(m.channels AS BIGINT) AS channels,
+           CAST(m.bits AS BIGINT) AS bits,
+           CAST(m.frames * 1000 DIV m.rate AS BIGINT) AS dur_ms,
+           COUNT(*) AS n_files,
+           SUM(s.n_samples) AS total_samples,
+           CAST(MAX(s.peak_abs) AS BIGINT) AS max_peak,
+           SUM(s.sum_abs) AS total_abs,
+           SUM(s.sum_sq) AS total_sq
+    FROM d GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4"""
+
+  private val m05Duck = """
+    WITH s AS (SELECT doc_id, i, ((doc_id * 31 + i * i) % 2000) - 1000 AS smp
+               FROM documents CROSS JOIN (SELECT unnest(range(0, 256)) AS i) t),
+    st AS (SELECT doc_id, COUNT(*) AS n_samples, MAX(abs(smp)) AS peak_abs,
+                  SUM(abs(smp)) AS sum_abs, SUM(smp * smp) AS sum_sq
+           FROM s GROUP BY doc_id)
+    SELECT 8000::BIGINT AS rate, 1::BIGINT AS channels, 16::BIGINT AS bits,
+           32::BIGINT AS dur_ms, COUNT(*)::BIGINT AS n_files,
+           SUM(n_samples)::BIGINT AS total_samples,
+           MAX(peak_abs)::BIGINT AS max_peak,
+           SUM(sum_abs)::BIGINT AS total_abs,
+           SUM(sum_sq)::BIGINT AS total_sq
+    FROM st GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4"""
+
   /** REAL-header media metadata over a REAL PNG corpus: one PNG per
     * document (graft_media_png(doc_id) — JDK encoder, closed-form raster,
     * operators/Multimodal.encodePngGray), probed by graft_media_meta
@@ -3547,6 +3585,7 @@ object SparkEntry {
     ("m02_decode_resize_hist", m02Fn _, m02Duck),
     ("m03_real_decode_matrix", q(m03Spark), m03Duck),
     ("m04_frame_sample", q(m04Spark), m04Duck),
+    ("m05_audio_stats", q(m05Spark), m05Duck),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -28,6 +28,28 @@ object MediaOps {
     * raster — see [[Multimodal.encodePngGray]]). SQL: `graft_media_png(seed)`. */
   def mediaPngGray(seed: Long): Array[Byte] = Multimodal.encodePngGray(seed)
 
+  /** Deterministic synthetic-corpus WAV (real JDK WAVE writer, closed-form
+    * PCM16 signal — see [[Multimodal.encodeWavPcm16]]).
+    * SQL: `graft_audio_wav(seed)`. */
+  def audioWav(seed: Long): Array[Byte] = Multimodal.encodeWavPcm16(seed)
+
+  /** Container-header audio metadata (no sample decode) →
+    * struct(rate, channels, bits, frames). SQL: `graft_audio_meta(payload)`. */
+  def audioMeta(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val (rate, ch, bits, frames) = Multimodal.audioMeta(b)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](rate, ch, bits, frames))
+  }
+
+  /** Real decode (javax.sound.sampled) → exact integer signal stats
+    * struct(n_samples, peak_abs, sum_abs, sum_sq).
+    * SQL: `graft_audio_stats(payload)`. */
+  def audioStats(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val (n, peak, sumAbs, sumSq) = Multimodal.audioStats(b)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, peak, sumAbs, sumSq))
+  }
+
   /** Byte length of frame `i` of an `n`-frame sample. */
   def mediaFrameLen(b: Array[Byte], n: Int, i: Int): Int =
     Multimodal.frameSample(b, n)(i).length

@@ -27,13 +27,31 @@ object MediaFunctions {
     StructField("height", IntegerType, nullable = false),
     StructField("format", StringType, nullable = false)))
 
+  /** struct from the audio header probe (no sample decode). */
+  private val audioMetaStruct = StructType(Seq(
+    StructField("rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("frames", LongType, nullable = false)))
+
+  /** struct from the REAL audio decoder (javax.sound.sampled) — exact
+    * integer signal stats the oracle pins from the closed-form signal. */
+  private val audioStatsStruct = StructType(Seq(
+    StructField("n_samples", LongType, nullable = false),
+    StructField("peak_abs", IntegerType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false)))
+
   private val sigs: Map[String, Sig] = Map(
     "mm_framelen" -> Sig("mediaFrameLen", IntegerType, Seq(BinaryType, IntegerType, IntegerType)),
     "mm_frame" -> Sig("mediaFrame", BinaryType, Seq(BinaryType, IntegerType, IntegerType)),
     "mm_decode" -> Sig("mediaDecode", decodedStruct, Seq(BinaryType)),
     "graft_media_decode" -> Sig("mediaDecode", decodedStruct, Seq(BinaryType)),
     "graft_media_meta" -> Sig("mediaMeta", metaStruct, Seq(BinaryType)),
-    "graft_media_png" -> Sig("mediaPngGray", BinaryType, Seq(LongType)))
+    "graft_media_png" -> Sig("mediaPngGray", BinaryType, Seq(LongType)),
+    "graft_audio_wav" -> Sig("audioWav", BinaryType, Seq(LongType)),
+    "graft_audio_meta" -> Sig("audioMeta", audioMetaStruct, Seq(BinaryType)),
+    "graft_audio_stats" -> Sig("audioStats", audioStatsStruct, Seq(BinaryType)))
 
   private def build(name: String, sig: Sig)(args: Seq[Expression]): Expression = {
     require(args.length == sig.params.length, s"$name expects ${sig.params.length} args")

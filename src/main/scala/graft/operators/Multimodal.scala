@@ -252,4 +252,73 @@ object Multimodal {
       }
     }(Encoders.row(outSchema))
   }
+
+  // ── audio (REAL: javax.sound.sampled — WAV/PCM ships in the JDK) ──────
+
+  /** Deterministic synthetic-corpus WAV: `n` mono PCM16 samples at
+    * `rate` Hz, sample(i) = ((seed·31 + i²) mod 2000) − 1000 — exact in
+    * 64-bit integers, so a SQL oracle regenerates the signal and pins the
+    * decoded stats arithmetically (the audio twin of [[encodePngGray]]).
+    * Encoding runs the REAL `javax.sound.sampled` WAVE writer over a
+    * memory stream, so [[audioStats]]' read path exercises the actual
+    * RIFF container, not a hand-rolled one. */
+  def encodeWavPcm16(seed: Long, n: Int = 256, rate: Int = 8000): Array[Byte] = {
+    require(seed >= 0, "need a non-negative corpus seed")
+    val pcm = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      val s = ((seed * 31 + i.toLong * i) % 2000 - 1000).toShort
+      pcm(2 * i) = (s & 0xFF).toByte          // little-endian PCM16
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    finally ais.close()
+    out.toByteArray
+  }
+
+  /** Container-header metadata via the real parser — no sample decode
+    * (the audio twin of [[imageMeta]]): (sampleRate, channels, bits,
+    * frames). */
+  def audioMeta(b: Array[Byte]): (Int, Int, Int, Long) = {
+    val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(b))
+    val f = aff.getFormat
+    (f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits, aff.getFrameLength.toLong)
+  }
+
+  /** Decode through `AudioSystem.getAudioInputStream` (the real codec
+    * path) and fold PCM16LE mono samples to exact integer stats:
+    * (nSamples, peakAbs, sumAbs, sumSq) — all BIGINT-exact so the oracle
+    * pins them from the closed-form signal. */
+  def audioStats(b: Array[Byte]): (Long, Int, Long, Long) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val f = ais.getFormat
+      require(f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
+        s"audioStats expects PCM16LE mono, got $f")
+      val bytes = ais.readAllBytes()
+      var i = 0
+      var nSamples = 0L
+      var peak = 0
+      var sumAbs = 0L
+      var sumSq = 0L
+      while (i + 1 < bytes.length) {
+        val s = ((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort.toInt
+        val a = math.abs(s)
+        nSamples += 1
+        if (a > peak) peak = a
+        sumAbs += a
+        sumSq += s.toLong * s
+        i += 2
+      }
+      (nSamples, peak, sumAbs, sumSq)
+    } finally ais.close()
+  }
 }

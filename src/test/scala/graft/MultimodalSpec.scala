@@ -188,6 +188,25 @@ class MultimodalSpec extends SparkTestBase {
     assert(r.getAs[Array[Byte]](3).toSeq == Seq[Byte](10, 20, 30, 40, 50, 60))
   }
 
+  test("audio: real WAVE container roundtrip, header probe, exact stats") {
+    import graft.operators.Multimodal
+    val wav = Multimodal.encodeWavPcm16(5L, n = 4, rate = 8000)
+    // the payload is a real RIFF/WAVE file the JDK parser accepts
+    assert(new String(wav.take(4), "ASCII") == "RIFF")
+    assert(Multimodal.audioMeta(wav) == ((8000, 1, 16, 4L)))
+    // samples for seed 5: ((5*31 + i*i) % 2000) - 1000, i = 0..3
+    // = -845, -844, -841, -836
+    val (n, peak, sumAbs, sumSq) = Multimodal.audioStats(wav)
+    assert(n == 4L && peak == 845)
+    assert(sumAbs == 845 + 844 + 841 + 836)
+    assert(sumSq == 845L * 845 + 844L * 844 + 841L * 841 + 836L * 836)
+    // SQL surface: the statics are registered and compose
+    graft.functions.MediaFunctions.register(spark)
+    val r = sql("""SELECT graft_audio_meta(graft_audio_wav(5)).frames AS f,
+                          graft_audio_stats(graft_audio_wav(5)).n_samples AS n""").head()
+    assert(r.getLong(0) == 256L && r.getLong(1) == 256L)
+  }
+
   test("imageFeatures pipeline: schema, null payload, value spot-check") {
     graft.functions.MediaFunctions.register(spark)
     val df = spark.sql(
