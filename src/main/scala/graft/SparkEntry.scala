@@ -3485,6 +3485,61 @@ object SparkEntry {
            ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id), 6) AS chunks_per_doc
     FROM c GROUP BY lang ORDER BY lang"""
 
+  /** Corpus vocabulary + OOV scoring (t19): build the top-K (16 here —
+    * the synthetic corpus has ~31 distinct tokens, so K=16 leaves a
+    * discriminating OOV tail; production K would be 10^5-ish) token
+    * vocabulary by global frequency (ties broken by token — fully
+    * deterministic), then score every document's vocabulary coverage —
+    * the CCNet-style corpus-quality signal (docs full of out-of-vocab
+    * tokens are boilerplate/noise/wrong-language candidates). All
+    * integer arithmetic (counts, ranks) except one final ratio of exact
+    * BIGINTs, so the oracle matches bit-for-bit without FP-order
+    * concerns (no logs — a unigram-LM logprob would hinge on cross-
+    * engine libm ulps).
+    *
+    * 100 TB topology: token counts are a map-side-combining shuffle
+    * keyed by token; the vocabulary is tiny by construction (top-K) →
+    * BROADCAST into the coverage join; per-doc re-aggregation keys on
+    * doc_id. Nothing is all-pairs, no driver collect. */
+  private val t19Spark = """
+    WITH tok AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, lang,
+                        explode(graft_tokens(text)) AS tok
+                 FROM documents),
+    cnt AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+    vocab AS (SELECT tok, rnk FROM (
+                SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rnk
+                FROM cnt) t WHERE rnk <= 16),
+    scored AS (SELECT /*+ BROADCAST(v) */ t.doc_id, t.lang,
+                      COUNT(*) AS n_tokens,
+                      SUM(CASE WHEN v.rnk IS NULL THEN 1 ELSE 0 END) AS n_oov,
+                      SUM(COALESCE(v.rnk, 0)) AS sum_rank
+               FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+               GROUP BY t.doc_id, t.lang)
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens, SUM(n_oov) AS total_oov,
+           ROUND(CAST(SUM(n_oov) AS DOUBLE) / SUM(n_tokens), 6) AS oov_rate,
+           SUM(sum_rank) AS total_rank
+    FROM scored GROUP BY lang ORDER BY lang"""
+
+  private val t19Duck = """
+    WITH tok AS (SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                 FROM documents),
+    cnt AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+    vocab AS (SELECT tok, rnk FROM (
+                SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rnk
+                FROM cnt) t WHERE rnk <= 16),
+    scored AS (SELECT t.doc_id, t.lang,
+                      COUNT(*) AS n_tokens,
+                      SUM(CASE WHEN v.rnk IS NULL THEN 1 ELSE 0 END) AS n_oov,
+                      SUM(COALESCE(v.rnk, 0)) AS sum_rank
+               FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+               GROUP BY t.doc_id, t.lang)
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tokens)::BIGINT AS total_tokens, SUM(n_oov)::BIGINT AS total_oov,
+           ROUND(CAST(SUM(n_oov) AS DOUBLE) / SUM(n_tokens), 6) AS oov_rate,
+           SUM(sum_rank)::BIGINT AS total_rank
+    FROM scored GROUP BY lang ORDER BY lang"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -3576,6 +3631,7 @@ object SparkEntry {
     ("t16_sequence_pack", q(t16Spark), t16Duck),
     ("t17_mixture_sample", q(t17Spark), t17Duck),
     ("t18_chunking", q(t18Spark), t18Duck),
+    ("t19_vocab_oov", q(t19Spark), t19Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),
