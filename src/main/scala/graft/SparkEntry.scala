@@ -2828,6 +2828,114 @@ object SparkEntry {
     LEFT JOIN rr3 r ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
     GROUP BY e.query_id ORDER BY e.query_id"""
 
+  /** IVF-PQ composite (e09): the production ANN architecture (FAISS
+    * IVFPQ) — e04's coarse quantizer routes the search to nProbe = 2
+    * inverted lists, and within the probed lists scoring runs in the
+    * compressed domain via e07's PQ-ADC tables, then the ADC top-16
+    * re-rank by exact L2. At 100 TB this is the shape that works: the
+    * corpus scan is (a) PARTITION-pruned to the probed lists (e06 shows
+    * the same pruning persisted) and (b) reads 2-byte codes, not 512-byte
+    * vectors, inside them; distance tables stay broadcast; the refine
+    * join touches ≤16 ids per query. Both quantizers reuse the
+    * first-K-vectors determinism trick so the DuckDB oracle regenerates
+    * the whole index bit-identically. */
+  private val e09Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e,
+                      sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 4),
+    asgn AS (SELECT vec_id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY graft_dot(e, ce) / (nrm * cnrm) DESC, cid) AS rn
+             FROM v CROSS JOIN c),
+    a AS (SELECT vec_id, cid AS list_id FROM asgn WHERE rn = 1),
+    qp AS (SELECT vec_id, cid AS probe_list FROM asgn
+           WHERE rn <= 2 AND vec_id >= 8 AND vec_id < 16),
+    sub AS (SELECT vec_id, m, slice(e, m * 8 + 1, 8) AS sv
+            FROM v LATERAL VIEW explode(sequence(0, 7)) t AS m),
+    cb AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 4),
+    enc AS (SELECT vec_id, m, cid AS code FROM (
+              SELECT s.vec_id, s.m, k.cid,
+                     ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY graft_l2(s.sv, k.cv), k.cid) AS rn
+              FROM sub s JOIN cb k ON k.m = s.m) t WHERE rn = 1),
+    qd AS (SELECT s.vec_id AS query_id, s.m, k.cid, graft_l2(s.sv, k.cv) AS dq
+           FROM sub s JOIN cb k ON k.m = s.m
+           WHERE s.vec_id >= 8 AND s.vec_id < 16),
+    pairs AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, x.list_id
+              FROM qp q JOIN a x ON x.list_id = q.probe_list AND x.vec_id != q.vec_id),
+    adc AS (SELECT /*+ BROADCAST(d) */ p.query_id, p.neighbor_id, p.list_id,
+                   MAX(CASE WHEN d.m = 0 THEN d.dq END) + MAX(CASE WHEN d.m = 1 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 2 THEN d.dq END) + MAX(CASE WHEN d.m = 3 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 4 THEN d.dq END) + MAX(CASE WHEN d.m = 5 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 6 THEN d.dq END) + MAX(CASE WHEN d.m = 7 THEN d.dq END) AS adc_d
+            FROM pairs p
+            JOIN enc x ON x.vec_id = p.neighbor_id
+            JOIN qd d ON d.query_id = p.query_id AND d.m = x.m AND d.cid = x.code
+            GROUP BY p.query_id, p.neighbor_id, p.list_id),
+    cand AS (SELECT query_id, neighbor_id, list_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d, neighbor_id) AS arnk
+             FROM adc),
+    ref AS (SELECT c2.query_id, c2.neighbor_id, c2.list_id, graft_l2(qv.e, xv.e) AS exact_d
+            FROM cand c2 JOIN v qv ON qv.vec_id = c2.query_id
+                         JOIN v xv ON xv.vec_id = c2.neighbor_id
+            WHERE c2.arnk <= 16)
+    SELECT query_id, neighbor_id, CAST(list_id AS BIGINT) AS list_id,
+           CAST(rnk AS BIGINT) AS rnk, ROUND(exact_d, 6) AS exact_d
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY exact_d, neighbor_id) AS rnk
+          FROM ref) t
+    WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
+  private val e09Duck = """
+    WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    v AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * e[i])), (x, y) -> x + y)) AS nrm
+          FROM v0),
+    c AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 4),
+    asgn AS (SELECT vec_id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * ce[i])), (x, y) -> x + y) / (nrm * cnrm) DESC, cid) AS rn
+             FROM v CROSS JOIN c),
+    a AS (SELECT vec_id, cid AS list_id FROM asgn WHERE rn = 1),
+    qp AS (SELECT vec_id, cid AS probe_list FROM asgn
+           WHERE rn <= 2 AND vec_id >= 8 AND vec_id < 16),
+    sub AS (SELECT vec_id, m, e[m * 8 + 1 : m * 8 + 8] AS sv
+            FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+    cb AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 4),
+    enc AS (SELECT vec_id, m, cid AS code FROM (
+              SELECT s.vec_id, s.m, k.cid,
+                     ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(s.sv) + 1), i -> (s.sv[i] - k.cv[i]) * (s.sv[i] - k.cv[i]))), (x, y) -> x + y), k.cid) AS rn
+              FROM sub s JOIN cb k ON k.m = s.m) t WHERE rn = 1),
+    qd AS (SELECT s.vec_id AS query_id, s.m, k.cid,
+                  list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(s.sv) + 1), i -> (s.sv[i] - k.cv[i]) * (s.sv[i] - k.cv[i]))), (x, y) -> x + y) AS dq
+           FROM sub s JOIN cb k ON k.m = s.m
+           WHERE s.vec_id >= 8 AND s.vec_id < 16),
+    pairs AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, x.list_id
+              FROM qp q JOIN a x ON x.list_id = q.probe_list AND x.vec_id != q.vec_id),
+    adc AS (SELECT p.query_id, p.neighbor_id, p.list_id,
+                   MAX(CASE WHEN d.m = 0 THEN d.dq END) + MAX(CASE WHEN d.m = 1 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 2 THEN d.dq END) + MAX(CASE WHEN d.m = 3 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 4 THEN d.dq END) + MAX(CASE WHEN d.m = 5 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 6 THEN d.dq END) + MAX(CASE WHEN d.m = 7 THEN d.dq END) AS adc_d
+            FROM pairs p
+            JOIN enc x ON x.vec_id = p.neighbor_id
+            JOIN qd d ON d.query_id = p.query_id AND d.m = x.m AND d.cid = x.code
+            GROUP BY p.query_id, p.neighbor_id, p.list_id),
+    cand AS (SELECT query_id, neighbor_id, list_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d, neighbor_id) AS arnk
+             FROM adc),
+    ref AS (SELECT c2.query_id, c2.neighbor_id, c2.list_id,
+                   list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(qv.e) + 1), i -> (qv.e[i] - xv.e[i]) * (qv.e[i] - xv.e[i]))), (x, y) -> x + y) AS exact_d
+            FROM cand c2 JOIN v qv ON qv.vec_id = c2.query_id
+                         JOIN v xv ON xv.vec_id = c2.neighbor_id
+            WHERE c2.arnk <= 16)
+    SELECT query_id, neighbor_id, list_id::BIGINT AS list_id,
+           rnk::BIGINT AS rnk, ROUND(exact_d, 6) AS exact_d
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY exact_d, neighbor_id) AS rnk
+          FROM ref) t
+    WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
   /** Persisted IVF index, build-once/probe-many (e06): e04's coarse
     * quantization written as a LIST-PARTITIONED parquet table (inverted
     * lists = partition directories, centroids alongside), then probed by
@@ -3625,6 +3733,7 @@ object SparkEntry {
     ("e06_ivf_persisted", e06Fn _, e04Duck),
     ("e07_pq_adc", q(e07Spark), e07Duck),
     ("e08_pq_recall", q(e08Spark), e08Duck),
+    ("e09_ivfpq", q(e09Spark), e09Duck),
     ("a01_asof_join", a01Fn _, a01Duck),
     ("a02_range_join", a02Fn _, a02Duck),
     ("t15_corpus_dup_chunks", q(t15Spark), t15Duck),
