@@ -87,6 +87,8 @@ object VecOps {
     * non-negative operands).
     */
   def bucketk(a: ArrayData, bits: Int, seed: Long): Long = {
+    require(bits >= 1 && bits <= 63, s"bucketk: bits must be in [1, 63], got $bits")
+    require(seed >= 0, s"bucketk: seed must be >= 0 (oracle % parity), got $seed")
     val n = a.numElements()
     var acc = 0L
     var j = 0

@@ -50,10 +50,15 @@ object Dbscan {
           expr(s"ST_DWithin(a.geom, b.geom, $eps)") && col("a.id") =!= col("b.id"))
         .select(col("a.id").as("src"), col("b.id").as("dst")))
 
-    // ε-degree including the point itself
-    val core = pairs.groupBy("src").agg(count(lit(1)).as("deg"))
-      .where(col("deg") + 1 >= minPts)
-      .select(col("src").as("id"))
+    // ε-degree including the point itself. A point with zero ε-neighbors
+    // never reaches the pairs list, so minPts <= 1 (every point core by
+    // deg-incl-self = 1) must come from pts, not pairs — otherwise
+    // isolated points would read as noise instead of singleton clusters.
+    val core =
+      if (minPts <= 1) pts.select("id")
+      else pairs.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") + 1 >= minPts)
+        .select(col("src").as("id"))
     val (coreCp, _) = Blocks.checkpoint(core)
 
     // core–core edges → components; isolated core points label themselves

@@ -9,9 +9,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
 /** `spark.read.format("arrowipc")` — DataSource V2 face of [[ArrowIpc]],
   * completing the decode-level-pruning story across the binary sources
@@ -91,27 +90,8 @@ private[sources] case class ArrowIpcReaderFactory(required: StructType,
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val ArrowIpcPartition(path) = partition: @unchecked
-    val rows = ArrowIpc.decodeFile(path, new org.apache.hadoop.conf.Configuration(), wanted)
-    val conv = required.fields.map(f =>
-      org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(f.dataType))
-    val isString = required.fields.map(_.dataType == StringType)
-    new PartitionReader[InternalRow] {
-      private var row: org.apache.spark.sql.Row = _
-      override def next(): Boolean = { val h = rows.hasNext; if (h) row = rows.next(); h }
-      override def get(): InternalRow = {
-        val vals = new Array[Any](outIdx.length)
-        var i = 0
-        while (i < outIdx.length) {
-          val v = row.get(outIdx(i))
-          vals(i) =
-            if (v == null) null
-            else if (isString(i)) UTF8String.fromString(v.asInstanceOf[String])
-            else conv(i)(v)
-          i += 1
-        }
-        new GenericInternalRow(vals)
-      }
-      override def close(): Unit = ()
-    }
+    new RowPartitionReader(
+      ArrowIpc.decodeFile(path, new org.apache.hadoop.conf.Configuration(), wanted),
+      outIdx, required)
   }
 }

@@ -328,11 +328,13 @@ object FlatGeobuf {
                                wanted: Array[Boolean] = null): Unit = {
     var p = pos
     val end = pos + len
-    // p + 2 <= end, not p < end: real-world files (e.g. the reference's
-    // alldatatypes.fgb) pad the properties vector with a trailing byte; a
-    // `p < end` loop would parse a phantom entry from the pad byte plus
-    // whatever follows the vector and overwrite column 0 with garbage
-    while (p + 2 <= end) {
+    // p + 3 <= end, not p < end: real-world files (e.g. the reference's
+    // alldatatypes.fgb) pad the properties vector with trailing zero bytes
+    // (FlatBuffers aligns to 4, so 1-3 pads occur); a looser bound would
+    // parse a phantom entry from the pad bytes plus whatever follows the
+    // vector and overwrite column 0 with garbage. 3 = the smallest real
+    // entry: u16 column index + a 1-byte payload.
+    while (p + 3 <= end) {
       val idx = bb.getShort(p) & 0xFFFF; p += 2
       val want = wanted == null || wanted(idx)
       if (want) decodedPropValues.increment()
@@ -444,7 +446,7 @@ object FlatGeobuf {
 
   /** magic + length prefix + header flatbuffer, read with two bounded
     * positioned reads — never the whole file. */
-  private def readHeaderBytes(fs: org.apache.hadoop.fs.FileSystem,
+  private[sources] def readHeaderBytes(fs: org.apache.hadoop.fs.FileSystem,
                               p: org.apache.hadoop.fs.Path): Array[Byte] = {
     val in = fs.open(p)
     try {
@@ -553,6 +555,28 @@ object FlatGeobuf {
     * Files parallelize across executors; a large indexed file additionally
     * splits into maxPartitionBytes-sized feature-aligned ranges (see the
     * object scaladoc). */
+  /** Plan `(path, start, end)` decode splits for a set of `(path, size)`
+    * .fgb files: files above `maxPart` split into feature-aligned ranges
+    * via a Spark probe job over the packed index (one bounded header read
+    * + S−1 leaf-node reads each; only tiny descriptors return to the
+    * driver); smaller files stay whole (`start < 0`). ONE implementation
+    * shared by [[read]] and the DSv2 scan — split sizing must not diverge
+    * between the two faces. */
+  private[sources] def planSplits(spark: SparkSession,
+                                  statuses: IndexedSeq[(String, Long)],
+                                  maxPart: Long): IndexedSeq[(String, Long, Long)] = {
+    val (big, small) = statuses.partition(_._2 > maxPart)
+    val bigSplits =
+      if (big.isEmpty) IndexedSeq.empty[(String, Long, Long)]
+      else spark.sparkContext.parallelize(big.map(_._1), big.length)
+        .flatMap { f =>
+          val fp = new org.apache.hadoop.fs.Path(f)
+          val tfs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          splitRanges(tfs, fp, maxPart).map { case (s, e) => (f, s, e) }
+        }.collect().toIndexedSeq
+    small.map { case (f, _) => (f, -1L, -1L) } ++ bigSplits
+  }
+
   def read(spark: SparkSession, path: String,
            bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
     graft.functions.GeoFunctions.register(spark)
@@ -572,19 +596,7 @@ object FlatGeobuf {
     // (path, start, end): start<0 = whole file; end<0 = from start to EOF
     val splits: IndexedSeq[(String, Long, Long)] = bbox match {
       case Some(_) => statuses.map { case (f, _) => (f, -1L, -1L) }.toIndexedSeq
-      case None =>
-        val (big, small) = statuses.partition(_._2 > maxPart)
-        // split-probe large files in a Spark job (one bounded header read +
-        // S-1 leaf-node reads each); only tiny descriptors come back
-        val bigSplits =
-          if (big.isEmpty) IndexedSeq.empty[(String, Long, Long)]
-          else spark.sparkContext.parallelize(big.map(_._1).toIndexedSeq, big.length)
-            .flatMap { f =>
-              val fp = new org.apache.hadoop.fs.Path(f)
-              val tfs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-              splitRanges(tfs, fp, maxPart).map { case (s, e) => (f, s, e) }
-            }.collect().toIndexedSeq
-        small.map { case (f, _) => (f, -1L, -1L) }.toIndexedSeq ++ bigSplits
+      case None => planSplits(spark, statuses.toIndexedSeq, maxPart)
     }
     val rdd = spark.sparkContext.parallelize(splits, splits.length).flatMap {
       case (f, start, end) =>
@@ -605,7 +617,7 @@ object FlatGeobuf {
                xmin: Double, ymin: Double, xmax: Double, ymax: Double): DataFrame =
     read(spark, path, Some((xmin, ymin, xmax, ymax)))
 
-  private def readAll(fs: org.apache.hadoop.fs.FileSystem,
+  private[sources] def readAll(fs: org.apache.hadoop.fs.FileSystem,
                       p: org.apache.hadoop.fs.Path): Array[Byte] = {
     val len = fs.getFileStatus(p).getLen.toInt
     val out = new Array[Byte](len)

@@ -11,9 +11,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
 /** `spark.read.format("flatgeobuf")` — DataSource V2 face of
   * [[FlatGeobuf]], adding what the function-style `read()` cannot express:
@@ -34,10 +33,12 @@ class FlatGeobufSource extends TableProvider with DataSourceRegister {
 
   private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     // Spark puts a single .load(p) into "path" and multiple into a JSON
-    // array under "paths"; FGB paths never contain quotes, so the simple
-    // split is faithful
+    // array under "paths". Split on the `","` QUOTE boundary, not bare
+    // commas — a comma is legal inside a filesystem path; only a literal
+    // `","` sequence inside a path (not legal JSON here anyway) could
+    // confuse this, vs every comma-bearing path under the naive split.
     val multi = Option(options.get("paths")).toSeq.flatMap {
-      _.stripPrefix("[").stripSuffix("]").split(",").toSeq
+      _.stripPrefix("[").stripSuffix("]").split("\"\\s*,\\s*\"").toSeq
         .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
     }
     val single = Option(options.get("path")).toSeq
@@ -50,7 +51,7 @@ class FlatGeobufSource extends TableProvider with DataSourceRegister {
     val head = FlatGeobufSource.resolveFiles(paths(options)).head._1
     val p = new Path(head)
     val fs = p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
-    FlatGeobuf.schemaOf(FlatGeobuf.parseHeader(FlatGeobufSource.headerBytes(fs, p)))
+    FlatGeobuf.schemaOf(FlatGeobuf.parseHeader(FlatGeobuf.readHeaderBytes(fs, p)))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -76,18 +77,6 @@ private[sources] object FlatGeobufSource {
     files
   }
 
-  def headerBytes(fs: org.apache.hadoop.fs.FileSystem, p: Path): Array[Byte] = {
-    val in = fs.open(p)
-    try {
-      val pre = new Array[Byte](12)
-      in.readFully(0, pre)
-      val headerLen = java.nio.ByteBuffer.wrap(pre)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(8)
-      val all = new Array[Byte](12 + headerLen)
-      in.readFully(0, all)
-      all
-    } finally in.close()
-  }
 }
 
 private[sources] class FlatGeobufTable(dataSchema: StructType, roots: Seq[String])
@@ -124,17 +113,10 @@ private[sources] class FlatGeobufScan(dataSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val statuses = FlatGeobufSource.resolveFiles(roots)
-    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
-    val (big, small) = statuses.partition(_._2 > maxPart)
-    val bigSplits =
-      if (big.isEmpty) Seq.empty[FgbPartition]
-      else spark.sparkContext.parallelize(big.map(_._1).toIndexedSeq, big.length)
-        .flatMap { f =>
-          val fp = new Path(f)
-          val tfs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          FlatGeobuf.splitRanges(tfs, fp, maxPart).map { case (s, e) => FgbPartition(f, s, e) }
-        }.collect().toSeq
-    (small.map { case (f, _) => FgbPartition(f, -1L, -1L) } ++ bigSplits).toArray
+    // shared split planner — sizing must not diverge from FlatGeobuf.read
+    FlatGeobuf.planSplits(spark, statuses.toIndexedSeq,
+        spark.sessionState.conf.filesMaxPartitionBytes)
+      .map { case (f, s, e) => FgbPartition(f, s, e) }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -156,33 +138,8 @@ private[sources] case class FlatGeobufReaderFactory(required: StructType,
     val p = new Path(path)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val rows =
-      if (start < 0) FlatGeobuf.decodeFeatures(FlatGeobufReaderFactory.readAll(fs, p), None, wanted)
+      if (start < 0) FlatGeobuf.decodeFeatures(FlatGeobuf.readAll(fs, p), None, wanted)
       else FlatGeobuf.decodeRange(fs, p, start, end, wanted)
-    val isString = required.fields.map(_.dataType == StringType)
-    new PartitionReader[InternalRow] {
-      private var row: org.apache.spark.sql.Row = _
-      override def next(): Boolean = { val h = rows.hasNext; if (h) row = rows.next(); h }
-      override def get(): InternalRow = {
-        val vals = new Array[Any](outIdx.length)
-        var i = 0
-        while (i < outIdx.length) {
-          val v = row.get(outIdx(i))
-          vals(i) = if (v != null && isString(i)) UTF8String.fromString(v.asInstanceOf[String]) else v
-          i += 1
-        }
-        new GenericInternalRow(vals)
-      }
-      override def close(): Unit = ()
-    }
-  }
-}
-
-private[sources] object FlatGeobufReaderFactory {
-  def readAll(fs: org.apache.hadoop.fs.FileSystem, p: Path): Array[Byte] = {
-    val len = fs.getFileStatus(p).getLen.toInt
-    val out = new Array[Byte](len)
-    val in = fs.open(p)
-    try in.readFully(0, out) finally in.close()
-    out
+    new RowPartitionReader(rows, outIdx, required)
   }
 }

@@ -10,9 +10,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
 /** `spark.read.format("shapefile")` — DataSource V2 face of [[Shapefile]],
   * mirroring [[FlatGeobufSource]]: Catalyst's required-columns pushdown
@@ -99,22 +98,6 @@ private[sources] case class ShapefileReaderFactory(required: StructType,
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val ShpPartition(path) = partition: @unchecked
-    val rows = Shapefile.fileRows(path, wanted)
-    val isString = required.fields.map(_.dataType == StringType)
-    new PartitionReader[InternalRow] {
-      private var row: org.apache.spark.sql.Row = _
-      override def next(): Boolean = { val h = rows.hasNext; if (h) row = rows.next(); h }
-      override def get(): InternalRow = {
-        val vals = new Array[Any](outIdx.length)
-        var i = 0
-        while (i < outIdx.length) {
-          val v = row.get(outIdx(i))
-          vals(i) = if (v != null && isString(i)) UTF8String.fromString(v.asInstanceOf[String]) else v
-          i += 1
-        }
-        new GenericInternalRow(vals)
-      }
-      override def close(): Unit = ()
-    }
+    new RowPartitionReader(Shapefile.fileRows(path, wanted), outIdx, required)
   }
 }

@@ -112,9 +112,11 @@ object StreamOps {
     * disambiguate with `selectExpr("l.x", "r.y", …)` downstream. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    maxLag: String = "10 minutes",
-                   watermark: String = "20 minutes"): DataFrame = {
-    val l = left.withWatermark("ts", watermark).alias("l")
-    val r = right.withWatermark("ts", watermark).alias("r")
-    l.join(r, expr(s"l.$key = r.$key AND r.ts >= l.ts AND r.ts <= l.ts + interval $maxLag"))
+                   watermark: String = "20 minutes",
+                   tsCol: String = "ts"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r, expr(s"l.$key = r.$key AND r.$tsCol >= l.$tsCol" +
+      s" AND r.$tsCol <= l.$tsCol + interval $maxLag"))
   }
 }

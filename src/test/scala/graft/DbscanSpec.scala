@@ -26,6 +26,14 @@ class DbscanSpec extends SparkTestBase {
       3L -> Some(0L), 4L -> Some(0L), 9L -> None))
   }
 
+  test("minPts = 1: isolated points form singleton clusters, not noise") {
+    // deg-including-self = 1 >= 1 makes EVERY point core; an isolated
+    // point (no entry in the ε-pair list) must still label itself
+    val df = pts((0, 0, 0), (1, 0.5, 0), (9, 50, 50))
+    val got = labelsOf(Dbscan.cluster(df, "id", "geom", eps = 1.1, minPts = 1))
+    assert(got == Map(0L -> Some(0L), 1L -> Some(0L), 9L -> Some(9L)))
+  }
+
   test("chain with no core point is all noise") {
     // each chain point has at most 2 neighbors (+self = 3) < minPts 4
     val df = pts((0, 0, 0), (1, 1, 0), (2, 2, 0), (3, 3, 0))
