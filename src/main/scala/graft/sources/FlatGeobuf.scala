@@ -323,19 +323,38 @@ object FlatGeobuf {
     * values of unwanted columns are SKIPPED (the cursor advances without
     * materializing — for strings/binary only the length prefix is read):
     * decode-level column pruning for the DSv2 path. */
-  private[sources] def decodeProperties(bb: ByteBuffer, pos: Int, len: Int,
+  private[graft] def decodeProperties(bb: ByteBuffer, pos: Int, len: Int,
                                types: Array[Int], out: Array[Any],
                                wanted: Array[Boolean] = null): Unit = {
     var p = pos
     val end = pos + len
-    // p + 3 <= end, not p < end: real-world files (e.g. the reference's
-    // alldatatypes.fgb) pad the properties vector with trailing zero bytes
-    // (FlatBuffers aligns to 4, so 1-3 pads occur); a looser bound would
-    // parse a phantom entry from the pad bytes plus whatever follows the
-    // vector and overwrite column 0 with garbage. 3 = the smallest real
-    // entry: u16 column index + a 1-byte payload.
-    while (p + 3 <= end) {
-      val idx = bb.getShort(p) & 0xFFFF; p += 2
+    // Trailing-pad guard, entry-size-aware: real-world files (e.g. the
+    // reference's alldatatypes.fgb) pad the properties vector with
+    // trailing zero bytes (FlatBuffers aligns to 4, so 1-3 pads occur).
+    // A bare `p < end` loop would parse a phantom entry from the pads
+    // plus whatever follows the vector and overwrite column 0 with
+    // garbage. Defense in depth: (a) at least u16 idx + 1 payload byte
+    // must remain, and (b) once the column type is known, its FULL fixed
+    // payload (or the u32 length prefix of a var-length one) must fit
+    // before `end` — 3 zero pads ahead of an Int column would otherwise
+    // still read 4 bytes past the vector. Residual ambiguity: exactly 3
+    // zero pads when column 0 is a 1-byte type decode as (idx 0,
+    // value 0) — indistinguishable on the wire, harmless value.
+    def fits(need: Int): Boolean = p + need <= end
+    var stop = false
+    while (!stop && p + 3 <= end) {
+      val idx = bb.getShort(p) & 0xFFFF
+      val t = types(idx)
+      val need = t match {
+        case 0 | 1 | 2 => 1
+        case 3 | 4 => 2
+        case 5 | 6 | 9 => 4
+        case 7 | 8 | 10 => 8
+        case _ => 4 // var-length: the u32 length prefix
+      }
+      if (!fits(2 + need)) stop = true
+      else {
+      p += 2
       val want = wanted == null || wanted(idx)
       if (want) decodedPropValues.increment()
       types(idx) match {
@@ -368,6 +387,7 @@ object FlatGeobuf {
           }
           p += len
         case other => throw new IllegalArgumentException(s"unsupported FGB column type $other")
+      }
       }
     }
   }

@@ -55,6 +55,23 @@ class FlatGeobufSpec extends SparkTestBase {
     assert(sub.count() < 179)
   }
 
+  test("property decode survives 0-3 trailing pad bytes without phantom entries") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // one Int column (type 5): entry = u16 idx + i32 value = 6 bytes
+    val types = Array(5)
+    for (pads <- 0 to 3) {
+      val body = ByteBuffer.allocate(6 + pads + 8).order(ByteOrder.LITTLE_ENDIAN)
+      body.putShort(0, 0.toShort)    // column index 0
+      body.putInt(2, 42)             // value
+      // pad bytes stay zero; 8 trailing "next message" bytes are nonzero
+      // garbage a phantom entry would read into column 0
+      for (i <- 0 until 8) body.put(6 + pads + i, 0x7F.toByte)
+      val out = new Array[Any](1)
+      graft.sources.FlatGeobuf.decodeProperties(body, 0, 6 + pads, types, out)
+      assert(out(0) == 42, s"pads=$pads corrupted column 0: ${out(0)}")
+    }
+  }
+
   test("alldatatypes.fgb: every property type decodes") {
     val df = FlatGeobuf.read(spark, s"$fixtures/alldatatypes.fgb")
     assert(df.count() >= 1)
