@@ -2936,6 +2936,90 @@ object SparkEntry {
           FROM ref) t
     WHERE rnk <= 3 ORDER BY query_id, rnk"""
 
+  /** Scalar-quantization ANN (e10): the FAISS `SQ8` shape — every
+    * dimension is affinely mapped onto an 8-bit integer grid using the
+    * corpus per-dimension min/max ("training" = one 64-group partial
+    * aggregate with map-side combine, broadcast back as two 64-entry
+    * arrays), and the approximate search runs ENTIRELY in the integer
+    * domain: symmetric distance = Σ_i (qcode_i − xcode_i)², a BIGINT —
+    * no floating point anywhere in the compressed phase, so Spark and
+    * the DuckDB oracle agree bit-for-bit with no rounding pivot at all
+    * (PQ's e07 needs the MAX(CASE) FP-order trick; SQ8 doesn't). The
+    * SQ top-32 then re-rank by exact L2 to a final top-3, same refine
+    * shape as e07/e09.
+    *
+    * 100 TB topology: codes are 64 bytes/vector vs 512 bytes of
+    * doubles — the compressed scan reads 8× fewer bytes (PQ reads
+    * ~256× fewer but loses far more recall; SQ8 is the standard
+    * middle point, and e07/e08/e09/e10 together span the
+    * accuracy-vs-bytes spectrum a production deployment tunes over).
+    * The dim-stats aggregate touches 64 keys regardless of corpus
+    * size; the 8-query code table broadcasts into the scan; the
+    * refine is a bounded id equi-join. Nothing is all-pairs. */
+  private val e10Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e FROM embeddings),
+    dims AS (SELECT i, MIN(element_at(e, i)) AS mn, MAX(element_at(e, i)) AS mx
+             FROM v LATERAL VIEW explode(sequence(1, 64)) t AS i GROUP BY i),
+    sarr AS (SELECT transform(array_sort(collect_list(struct(i, mn))), s -> s.mn) AS mn_arr,
+                    transform(array_sort(collect_list(struct(i, mx))), s -> s.mx) AS mx_arr
+             FROM dims),
+    codes AS (SELECT /*+ BROADCAST(sarr) */ vec_id, e,
+                     transform(sequence(1, 64), i -> CAST(
+                       CASE WHEN element_at(mx_arr, i) = element_at(mn_arr, i) THEN 0.0
+                            ELSE least(255.0, greatest(0.0,
+                              floor((element_at(e, i) - element_at(mn_arr, i)) * 255.0
+                                    / (element_at(mx_arr, i) - element_at(mn_arr, i)))))
+                       END AS INT)) AS c
+              FROM v CROSS JOIN sarr),
+    qc AS (SELECT vec_id AS query_id, c AS q FROM codes WHERE vec_id >= 8 AND vec_id < 16),
+    sq AS (SELECT /*+ BROADCAST(qc) */ qc.query_id, x.vec_id AS neighbor_id,
+                  aggregate(zip_with(qc.q, x.c, (a, b) -> CAST((a - b) * (a - b) AS BIGINT)),
+                            CAST(0 AS BIGINT), (acc, d) -> acc + d) AS sq_d
+           FROM codes x JOIN qc ON x.vec_id != qc.query_id),
+    cand AS (SELECT query_id, neighbor_id, sq_d,
+                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sq_d, neighbor_id) AS arnk
+             FROM sq),
+    ref AS (SELECT c2.query_id, c2.neighbor_id, c2.sq_d, graft_l2(qv.e, xv.e) AS exact_d
+            FROM cand c2 JOIN v qv ON qv.vec_id = c2.query_id
+                         JOIN v xv ON xv.vec_id = c2.neighbor_id
+            WHERE c2.arnk <= 32)
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+           sq_d, ROUND(exact_d, 6) AS exact_d
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY exact_d, neighbor_id) AS rnk
+          FROM ref) t
+    WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
+  private val e10Duck = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    dims AS (SELECT i, MIN(e[i]) AS mn, MAX(e[i]) AS mx
+             FROM v CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t GROUP BY i),
+    sarr AS (SELECT list(mn ORDER BY i) AS mn_arr, list(mx ORDER BY i) AS mx_arr FROM dims),
+    codes AS (SELECT vec_id, e,
+                     list_transform(range(1, 65), i -> (
+                       CASE WHEN mx_arr[i] = mn_arr[i] THEN 0.0
+                            ELSE least(255.0, greatest(0.0,
+                              floor((e[i] - mn_arr[i]) * 255.0 / (mx_arr[i] - mn_arr[i]))))
+                       END)::INT) AS c
+              FROM v CROSS JOIN sarr),
+    qc AS (SELECT vec_id AS query_id, c AS q FROM codes WHERE vec_id >= 8 AND vec_id < 16),
+    sq AS (SELECT qc.query_id, x.vec_id AS neighbor_id,
+                  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 65),
+                    i -> ((qc.q[i] - x.c[i]) * (qc.q[i] - x.c[i]))::BIGINT)), (a, b) -> a + b) AS sq_d
+           FROM codes x JOIN qc ON x.vec_id != qc.query_id),
+    cand AS (SELECT query_id, neighbor_id, sq_d,
+                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sq_d, neighbor_id) AS arnk
+             FROM sq),
+    ref AS (SELECT c2.query_id, c2.neighbor_id, c2.sq_d,
+                   list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(qv.e) + 1), i -> (qv.e[i] - xv.e[i]) * (qv.e[i] - xv.e[i]))), (x, y) -> x + y) AS exact_d
+            FROM cand c2 JOIN v qv ON qv.vec_id = c2.query_id
+                         JOIN v xv ON xv.vec_id = c2.neighbor_id
+            WHERE c2.arnk <= 32)
+    SELECT query_id, neighbor_id, rnk::BIGINT AS rnk,
+           sq_d, ROUND(exact_d, 6) AS exact_d
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY exact_d, neighbor_id) AS rnk
+          FROM ref) t
+    WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
   /** Persisted IVF index, build-once/probe-many (e06): e04's coarse
     * quantization written as a LIST-PARTITIONED parquet table (inverted
     * lists = partition directories, centroids alongside), then probed by
@@ -3734,6 +3818,7 @@ object SparkEntry {
     ("e07_pq_adc", q(e07Spark), e07Duck),
     ("e08_pq_recall", q(e08Spark), e08Duck),
     ("e09_ivfpq", q(e09Spark), e09Duck),
+    ("e10_sq8_ann", q(e10Spark), e10Duck),
     ("a01_asof_join", a01Fn _, a01Duck),
     ("a02_range_join", a02Fn _, a02Duck),
     ("t15_corpus_dup_chunks", q(t15Spark), t15Duck),
