@@ -3150,6 +3150,61 @@ object SparkEntry {
            SUM(sum_sq)::BIGINT AS total_sq
     FROM st GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4"""
 
+  /** Perceptual-hash image dedup (m06): the image twin of exact text
+    * dedup — every document's REAL PNG (JDK encoder) is decoded by the
+    * REAL codec and fingerprinted with a 64-bit average-hash
+    * (`graft_media_phash`: decode → gray → 8×8 nearest-neighbor resize →
+    * integer mean threshold, operators/Multimodal.phash64), and duplicate
+    * images are found by an EQUI-JOIN on the hash. The corpus contains
+    * true duplicates by construction (seeds s and s+256 raster
+    * identically: 256·31 ≡ 0 mod 256), so the pair join has real work.
+    * Output pins both the hash content (popcount histogram + per-bucket
+    * doc-id sums) and the dedup result (pair counts by id gap).
+    *
+    * 100 TB topology: encode/decode/hash are per-row map-side statics;
+    * the only shuffles are a hash-keyed equi-join (key cardinality grows
+    * with the corpus — never all-pairs; hamming-tolerant near-dup would
+    * band the 64 bits into sub-keys like t07's minhash bands) and two
+    * bounded report aggs. The oracle regenerates every hash
+    * arithmetically from the closed-form raster — all steps integer-exact
+    * (threshold is p·64 > Σp, no division). */
+  private val m06Spark = """
+    WITH pc AS (SELECT doc_id, phash,
+                       CAST(length(replace(phash, '0', '')) AS BIGINT) AS nbits
+                FROM (SELECT /*+ REPARTITION({{P}}) */ doc_id,
+                             graft_media_phash(graft_media_png(doc_id)) AS phash
+                      FROM documents) t),
+    pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+              FROM pc a JOIN pc b ON a.phash = b.phash AND b.doc_id > a.doc_id)
+    SELECT 'popcnt' AS part, nbits AS k, COUNT(*) AS n, SUM(doc_id) AS s
+    FROM pc GROUP BY nbits
+    UNION ALL
+    SELECT 'pair_gap' AS part, CAST(db - da AS BIGINT) AS k, COUNT(*) AS n, SUM(da) AS s
+    FROM pairs GROUP BY db - da
+    ORDER BY part, k"""
+
+  private val m06Duck = """
+    WITH m AS (SELECT doc_id, 1 + doc_id % 16 AS w, 1 + (doc_id // 16) % 16 AS h
+               FROM documents),
+    r AS (SELECT doc_id, list_transform(range(64),
+            i -> (doc_id * 31 + ((((i // 8) * h) // 8) * w + ((i % 8) * w) // 8) * 7) % 256) AS rp
+          FROM m),
+    t AS (SELECT doc_id, rp, list_sum(rp) AS sm FROM r),
+    pc AS (SELECT doc_id,
+                  list_reduce(list_transform(range(64),
+                    i -> CASE WHEN rp[i + 1] * 64 > sm THEN '1' ELSE '0' END), (a, b) -> a || b) AS phash,
+                  list_sum(list_transform(range(64),
+                    i -> CASE WHEN rp[i + 1] * 64 > sm THEN 1 ELSE 0 END))::BIGINT AS nbits
+           FROM t),
+    pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+              FROM pc a JOIN pc b ON a.phash = b.phash AND b.doc_id > a.doc_id)
+    SELECT 'popcnt' AS part, nbits AS k, COUNT(*)::BIGINT AS n, SUM(doc_id)::BIGINT AS s
+    FROM pc GROUP BY nbits
+    UNION ALL
+    SELECT 'pair_gap' AS part, (db - da)::BIGINT AS k, COUNT(*)::BIGINT AS n, SUM(da)::BIGINT AS s
+    FROM pairs GROUP BY db - da
+    ORDER BY part, k"""
+
   /** REAL-header media metadata over a REAL PNG corpus: one PNG per
     * document (graft_media_png(doc_id) — JDK encoder, closed-form raster,
     * operators/Multimodal.encodePngGray), probed by graft_media_meta
@@ -3836,6 +3891,7 @@ object SparkEntry {
     ("m03_real_decode_matrix", q(m03Spark), m03Duck),
     ("m04_frame_sample", q(m04Spark), m04Duck),
     ("m05_audio_stats", q(m05Spark), m05Duck),
+    ("m06_image_phash_dedup", q(m06Spark), m06Duck),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -50,6 +50,12 @@ object MediaOps {
       Array[Any](n, peak, sumAbs, sumSq))
   }
 
+  /** 64-bit perceptual average-hash as a '0'/'1' string (real decode →
+    * gray → 8×8 resize → mean threshold — see [[Multimodal.phash64]]).
+    * SQL: `graft_media_phash(payload)`. */
+  def mediaPhash(b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(Multimodal.phash64(b))
+
   /** Byte length of frame `i` of an `n`-frame sample. */
   def mediaFrameLen(b: Array[Byte], n: Int, i: Int): Int =
     Multimodal.frameSample(b, n)(i).length

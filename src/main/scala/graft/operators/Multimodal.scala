@@ -204,6 +204,51 @@ object Multimodal {
     out
   }
 
+  /** 64-bit perceptual average-hash (aHash) of an encoded image, returned
+    * as a 64-char '0'/'1' string (row-major, bit i = pixel y=i/8, x=i%8).
+    * The classic near-dup image fingerprint: decode (REAL codec) →
+    * grayscale → nearest-neighbor resize to 8×8 → threshold each cell
+    * against the mean. Every step is integer-exact (the threshold is
+    * `p*64 > Σp`, avoiding division), so a SQL oracle can regenerate the
+    * hash arithmetically from a closed-form raster. Duplicate detection
+    * is then an equi-join on the hash — key cardinality grows with the
+    * corpus, never all-pairs; a hamming-tolerant variant would band the
+    * 64 bits into sub-keys exactly like the minhash LSH bands. */
+  def phash64(payload: Array[Byte]): String = {
+    val img = decodeImage(payload)
+    // collapse to one gray band: band 0 for gray / gray+alpha, integer
+    // luma for RGB(A) — integer-exact either way
+    val gray = new Array[Int](img.width * img.height)
+    var i = 0
+    while (i < gray.length) {
+      val base = i * img.channels
+      gray(i) =
+        if (img.channels <= 2) img.pixels(base) & 0xFF
+        else ((img.pixels(base) & 0xFF) * 299 + (img.pixels(base + 1) & 0xFF) * 587 +
+              (img.pixels(base + 2) & 0xFF) * 114) / 1000
+      i += 1
+    }
+    val cells = new Array[Int](64)
+    var sum = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = y * img.height / 8
+      var x = 0
+      while (x < 8) {
+        val sx = x * img.width / 8
+        val v = gray(sy * img.width + sx)
+        cells(y * 8 + x) = v
+        sum += v
+        x += 1
+      }
+      y += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    i = 0
+    while (i < 64) { sb.append(if (cells(i) * 64L > sum) '1' else '0'); i += 1 }
+    sb.toString
+  }
+
   /** Sample `n` evenly spaced frames from a video payload. STUB framing:
     * byte-chunks stand in for decoded frames (a real impl seeks keyframes). */
   def frameSample(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {

@@ -145,6 +145,39 @@ class MultimodalSpec extends SparkTestBase {
       gray.zip(alpha).flatMap { case (g, a) => Seq(g, a) }.toSeq)
   }
 
+  test("phash64: closed-form reimplementation, duplicate seeds, luma path") {
+    // independent recomputation of the aHash from the closed-form raster
+    def expected(seed: Long): String = {
+      val w = 1 + (seed % 16).toInt
+      val h = 1 + ((seed / 16) % 16).toInt
+      val cells = for (y <- 0 until 8; x <- 0 until 8)
+        yield ((seed * 31 + ((y * h / 8) * w + x * w / 8) * 7) % 256).toInt
+      val sum = cells.map(_.toLong).sum
+      cells.map(c => if (c * 64L > sum) '1' else '0').mkString
+    }
+    for (seed <- Seq(0L, 7L, 100L, 255L, 256L, 499L)) {
+      assert(Multimodal.phash64(Multimodal.encodePngGray(seed)) == expected(seed),
+        s"seed $seed")
+    }
+    // seeds 256 apart raster identically (256*31 ≡ 0 mod 256) → same hash
+    assert(Multimodal.phash64(Multimodal.encodePngGray(3L)) ==
+      Multimodal.phash64(Multimodal.encodePngGray(259L)))
+    // RGB path goes through integer luma; a red/blue checker must produce
+    // bits only where luma beats the mean (red 76 > mean vs blue 29)
+    val rgb = Array.fill(4)(0).zipWithIndex.map { case (_, i) =>
+      if (i % 2 == 0) 0xFF0000 else 0x0000FF }
+    val hash = Multimodal.phash64(rgbPng(2, 2, rgb))
+    assert(hash.length == 64 && hash.contains('1') && hash.contains('0'))
+    // 2×2 upscaled to 8×8: bit pattern must follow the checker columns
+    val lumaRed = 255 * 299 / 1000
+    val lumaBlue = 255 * 114 / 1000
+    val mean4 = (2L * lumaRed + 2L * lumaBlue) // sum over 64 cells = 16*(lr+lb); p*64 > sum16 ⇔ p*4 > (lr+lb)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val src = if (x * 2 / 8 == 0) lumaRed else lumaBlue
+      assert((hash(y * 8 + x) == '1') == (src * 4L > mean4), s"bit ($x,$y)")
+    }
+  }
+
   test("real decode: garbage bytes fail loudly") {
     val e = intercept[IllegalArgumentException] {
       Multimodal.decodeImage(Array[Byte](1, 2, 3, 4, 5))
