@@ -3787,6 +3787,62 @@ object SparkEntry {
            SUM(sum_rank)::BIGINT AS total_rank
     FROM scored GROUP BY lang ORDER BY lang"""
 
+  /** Bloom-prefiltered contamination check (t20): the 100-TB execution
+    * shape for benchmark decontamination. t14 shuffles EVERY training
+    * shingle into the probe join; here the eval set's shingle hashes
+    * build ONE Bloom filter (Spark's native BloomFilterAggregate — the
+    * runtime-filter machinery — via `graft_bloom_agg`, computed once by a
+    * scalar subquery and broadcast as a binary literal), and the training
+    * scan drops non-candidate shingles MAP-SIDE with
+    * `graft_might_contain` BEFORE the dedup shuffle — so shuffle volume
+    * is O(candidates), not O(corpus shingles). Bloom filters have no
+    * false negatives and the exact equi-join downstream removes false
+    * positives, so the RESULT is bloom-independent — which is exactly
+    * what lets the DuckDB oracle pin it with plain exact SQL.
+    * PipelinePlanSpec proves the pruning (survivor count « corpus) and
+    * the bloom-independence (filtered result == unfiltered result). */
+  private val t20Spark = """
+    WITH ev AS (SELECT doc_id AS eval_id, substring(text, 1, 160) AS etext
+                FROM documents WHERE doc_id % 25 = 7),
+    esh AS (SELECT DISTINCT eval_id, graft_hash(sh) AS h
+            FROM (SELECT eval_id, explode(graft_shingles(etext, 6)) AS sh FROM ev)),
+    tsh AS (SELECT DISTINCT doc_id, h FROM (
+              SELECT /*+ REPARTITION({{P}}) */ doc_id, graft_hash(sh) AS h
+              FROM (SELECT doc_id, explode(graft_shingles(text, 6)) AS sh FROM documents) x)
+            WHERE graft_might_contain((SELECT graft_bloom_agg(h, 65536) FROM esh), h)),
+    hits AS (SELECT e.eval_id, t.doc_id, COUNT(*) AS shared
+             FROM esh e JOIN tsh t ON t.h = e.h
+             GROUP BY e.eval_id, t.doc_id)
+    SELECT v.eval_id,
+           COUNT(h.doc_id) AS n_train_matches,
+           COALESCE(SUM(h.shared), 0) AS n_shared_ngrams
+    FROM (SELECT DISTINCT eval_id FROM ev) v
+    LEFT JOIN hits h ON h.eval_id = v.eval_id
+    GROUP BY v.eval_id ORDER BY v.eval_id"""
+
+  private val t20Duck = """
+    WITH ev AS (SELECT doc_id AS eval_id, substr(text, 1, 160) AS etext
+                FROM documents WHERE doc_id % 25 = 7),
+    etk AS (SELECT eval_id, string_split_regex(trim(etext), '\s+') AS ts FROM ev),
+    esh AS (SELECT DISTINCT eval_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+            FROM (SELECT eval_id, unnest(CASE WHEN len(ts) >= 6
+                    THEN list_transform(range(1, len(ts) - 6 + 2), i -> array_to_string(ts[i : i + 5], ' '))
+                    ELSE [] END) AS g FROM etk)),
+    ttk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+    tsh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+            FROM (SELECT doc_id, unnest(CASE WHEN len(ts) >= 6
+                    THEN list_transform(range(1, len(ts) - 6 + 2), i -> array_to_string(ts[i : i + 5], ' '))
+                    ELSE [] END) AS g FROM ttk)),
+    hits AS (SELECT e.eval_id, t.doc_id, COUNT(*) AS shared
+             FROM esh e JOIN tsh t ON t.h = e.h
+             GROUP BY e.eval_id, t.doc_id)
+    SELECT v.eval_id,
+           COUNT(h.doc_id)::BIGINT AS n_train_matches,
+           COALESCE(SUM(h.shared), 0)::BIGINT AS n_shared_ngrams
+    FROM (SELECT DISTINCT eval_id FROM ev) v
+    LEFT JOIN hits h ON h.eval_id = v.eval_id
+    GROUP BY v.eval_id ORDER BY v.eval_id"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -3881,6 +3937,7 @@ object SparkEntry {
     ("t17_mixture_sample", q(t17Spark), t17Duck),
     ("t18_chunking", q(t18Spark), t18Duck),
     ("t19_vocab_oov", q(t19Spark), t19Duck),
+    ("t20_bloom_contamination", q(t20Spark), t20Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),

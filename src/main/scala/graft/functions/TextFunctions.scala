@@ -70,7 +70,7 @@ object TextFunctions {
     "graft_l2" -> ((vecOps, "l2", D, Seq(AD, AD))),
   )
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     sigs.foreach { case (name, (cls, method, ret, params)) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
         args => StaticInvoke(cls, ret, method,
@@ -78,4 +78,28 @@ object TextFunctions {
           propagateNull = true, returnNullable = false),
         "scala_udf")
     }
+    // Bloom-filter surface: Spark's OWN runtime-filter expressions
+    // (BloomFilterAggregate / BloomFilterMightContain — the machinery
+    // behind spark.sql.optimizer.runtime.bloomFilter), exposed as SQL
+    // functions so a pipeline can build a filter over a SMALL key set
+    // (one binary blob, broadcast via scalar subquery) and prune a 100 TB
+    // scan MAP-SIDE before any shuffle. No false negatives, so an exact
+    // confirm join downstream makes results bloom-independent (t20).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_bloom_agg",
+      args => (args match {
+        case Seq(c) => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(Cast(c, L))
+        case Seq(c, n) => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(Cast(c, L), Cast(n, L))
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_agg(hash[, estimatedItems]) expects 1 or 2 args")
+      }).toAggregateExpression(),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_might_contain",
+      { case Seq(b, v) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(b, Cast(v, L))
+        case _ => throw new IllegalArgumentException(
+          "graft_might_contain(bloom, hash) expects 2 args") },
+      "scala_udf")
+  }
 }

@@ -37,4 +37,48 @@ class PipelinePlanSpec extends SparkTestBase {
     val plan = planOf("t18_chunking")
     assert(!plan.contains("Join"), s"join appeared in chunking plan:\n$plan")
   }
+
+  test("t20 bloom prefilter: prunes map-side, result bloom-independent") {
+    import spark.implicits._
+    // tiny synthetic corpus: 200 "training" keys, 5 of them contaminated
+    // into a 10-key eval set — the bloom must pass all 5 true members (no
+    // false negatives) and drop the overwhelming majority of the rest
+    Seq.tabulate(200)(i => (i.toLong, s"train_key_$i"))
+      .toDF("id", "k").createOrReplaceTempView("t20spec_train")
+    ((0 until 5).map(i => s"train_key_${i * 7}") ++
+      (0 until 5).map(i => s"eval_only_$i"))
+      .toDF("k").createOrReplaceTempView("t20spec_eval")
+    val survivors = spark.sql("""
+      SELECT id FROM t20spec_train
+      WHERE graft_might_contain(
+        (SELECT graft_bloom_agg(graft_hash(k), 64) FROM t20spec_eval),
+        graft_hash(k))""").as[Long].collect().toSet
+    val trueMembers = Set(0L, 7L, 14L, 21L, 28L)
+    assert(trueMembers.subsetOf(survivors), s"bloom dropped a true member: $survivors")
+    assert(survivors.size < 50, s"bloom pruned nothing: ${survivors.size} of 200 survive")
+    // bloom-independence: prefilter + exact confirm == plain exact join
+    val confirmed = spark.sql("""
+      SELECT t.id FROM t20spec_train t JOIN t20spec_eval e ON e.k = t.k
+      WHERE graft_might_contain(
+        (SELECT graft_bloom_agg(graft_hash(k), 64) FROM t20spec_eval),
+        graft_hash(t.k))""").as[Long].collect().toSet
+    val exact = spark.sql(
+      "SELECT t.id FROM t20spec_train t JOIN t20spec_eval e ON e.k = t.k")
+      .as[Long].collect().toSet
+    assert(confirmed == exact, s"bloom changed the confirmed result: $confirmed vs $exact")
+    assert(exact == trueMembers)
+  }
+
+  test("t20 plan: bloom probe sits below the exchange (map-side prune)") {
+    val plan = SparkEntry.queries("t20_bloom_contamination")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+    // the filter must appear under the first exchange above the documents
+    // scan: split at the FIRST Exchange going bottom-up — textually, the
+    // probe must occur BELOW (after, in toString order) the last Exchange
+    val afterLastExchange = plan.substring(plan.lastIndexOf("Exchange"))
+    assert(afterLastExchange.contains("might_contain") ||
+           plan.indexOf("might_contain") > plan.indexOf("Exchange"),
+      s"bloom probe not below a shuffle in:\n$plan")
+  }
 }
