@@ -1946,6 +1946,80 @@ object SparkEntry {
            SUM(lag_s)::BIGINT AS sum_lag_s
     FROM p GROUP BY user_id ORDER BY user_id"""
 
+  /** Streaming trending-terms top-k (s06): tokens explode from a
+    * document-event stream into watermarked tumbling-window counts
+    * (StreamOps.windowedTokenCounts — state keyed by (window, token),
+    * sharded across executors), then the FINALIZED append output ranks
+    * top-3 per window as a batch step — the production dashboard shape
+    * (rank is not incremental; finalized windows are a batch table).
+    * Events arrive in TWO interleaved micro-batch files (even ids then
+    * odd ids, maxFilesPerTrigger=1), so every window's counts are only
+    * correct if per-(window, token) state MERGES across batches; the
+    * oracle pins the closed-form token distribution, so a state-loss
+    * regression hash-mismatches. Sentinels advance the watermark past
+    * every window (the s02 technique). */
+  private def s06Fn(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s06").toString
+    val src = new java.io.File(tmp, "src"); src.mkdirs()
+    def slice(parity: Int) = s.sql(s"""
+      SELECT CAST(id AS BIGINT) AS event_id,
+             timestamp_seconds(1700000000 + id * 7) AS ts,
+             array(concat('tok_', CAST(id % 5 AS STRING)),
+                   concat('tok_', CAST((id * 3) % 7 AS STRING)),
+                   concat('tok_', CAST((id * 7) % 11 AS STRING))) AS toks
+      FROM range(240) WHERE id % 2 = $parity""")
+    def sentinel(offset: Long) = s.sql(s"""
+      SELECT CAST(9000 + $offset AS BIGINT) AS event_id,
+             timestamp_seconds(1700000000 + 86400 + $offset) AS ts,
+             array('sentinel') AS toks""")
+    Seq(slice(0), slice(1), sentinel(0), sentinel(1)).zipWithIndex.foreach { case (df, i) =>
+      val stage = new java.io.File(tmp, s"stage$i")
+      df.coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(src, s"f$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = sentinel(0).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+    val counts = graft.streaming.StreamOps.windowedTokenCounts(
+      stream, watermark = "2 minutes", window = "1 minute")
+    val qname = "graft_s06_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = counts.writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", tmp + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(qname).where("token <> 'sentinel'")
+      .selectExpr("CAST(window.start AS BIGINT) AS win_start", "token", "n")
+      .createOrReplaceTempView(qname + "_fin")
+    s.sql(s"""
+      SELECT win_start, CAST(rnk AS BIGINT) AS rnk, token, n
+      FROM (SELECT win_start, token, n,
+                   ROW_NUMBER() OVER (PARTITION BY win_start ORDER BY n DESC, token) AS rnk
+            FROM ${qname}_fin) t
+      WHERE rnk <= 3 ORDER BY win_start, rnk""")
+  }
+
+  private val s06Duck = """
+    WITH ev AS (SELECT i, 1700000000 + i * 7 AS es FROM range(240) t(i)),
+    tok AS (SELECT es, 'tok_' || (i % 5) AS token FROM ev
+            UNION ALL SELECT es, 'tok_' || ((i * 3) % 7) FROM ev
+            UNION ALL SELECT es, 'tok_' || ((i * 7) % 11) FROM ev),
+    cnt AS (SELECT (es // 60) * 60 AS win_start, token, COUNT(*) AS n
+            FROM tok GROUP BY 1, 2),
+    r AS (SELECT win_start, token, n,
+                 ROW_NUMBER() OVER (PARTITION BY win_start ORDER BY n DESC, token) AS rnk
+          FROM cnt)
+    SELECT win_start::BIGINT AS win_start, rnk::BIGINT AS rnk, token, n::BIGINT AS n
+    FROM r WHERE rnk <= 3 ORDER BY win_start, rnk"""
+
   /** GeoParquet NATIVE (GeoArrow separated-coordinate) encoding write→read
     * under the hash gate: points go out with `encoding = "point"` — the
     * nested list/struct layout GeoPandas reads zero-copy — and come back
@@ -3943,6 +4017,7 @@ object SparkEntry {
     ("s03_stream_dedup", s03Fn _, s03Duck),
     ("s04_stream_geofence", s04Fn _, s04Duck),
     ("s05_stream_interval_join", s05Fn _, s05Duck),
+    ("s06_stream_topk_terms", s06Fn _, s06Duck),
     ("m01_media_meta", q(m01Spark), m01Duck),
     ("m02_decode_resize_hist", m02Fn _, m02Duck),
     ("m03_real_decode_matrix", q(m03Spark), m03Duck),

@@ -96,6 +96,23 @@ object StreamOps {
     points.join(zones, call_function(predicate, col(zoneGeom), col(pointGeom)))
   }
 
+  /** Windowed token counts — the trending-terms shape: explode a token
+    * array, then count per (tumbling window, token) under a watermark.
+    * State is O(active windows × vocabulary actually seen), sharded by
+    * (window, token) across executors; finalized windows emit in append
+    * mode once the watermark passes, and late rows beyond it drop. The
+    * per-window top-k RANK runs downstream as a batch step over the
+    * finalized rows (stream→rank is not incremental; finalized append
+    * output is exactly a batch table). */
+  def windowedTokenCounts(events: DataFrame, tokensCol: String = "toks",
+                          watermark: String = "2 minutes",
+                          window: String = "1 minute"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(col(tokensCol)).as("token"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("token"))
+      .agg(count("*").as("n"))
+
   /** Stream-stream event-time interval join: pair each left row with every
     * right row sharing `key` whose `ts` lands in [left.ts, left.ts +
     * maxLag] — the attribution shape (view→click, request→response,
