@@ -3917,6 +3917,79 @@ object SparkEntry {
     LEFT JOIN hits h ON h.eval_id = v.eval_id
     GROUP BY v.eval_id ORDER BY v.eval_id"""
 
+  /** Canonical-document selection (t21): the dedup-resolution step that
+    * closes the near-dup pipeline — after clustering (t09's connected
+    * components over candidate-pair edges), each cluster keeps ONE
+    * representative: the highest-quality member (t04's quality signal),
+    * doc-id as the deterministic tie-break; docs in no cluster survive as
+    * their own singletons. This is the step that turns "these documents
+    * are duplicates" into an actual training corpus.
+    *
+    * 100 TB topology: components are the t09 iterative min-label
+    * propagation (checkpointed, O(diameter) rounds); the argmax per
+    * cluster is one window over rows shuffled by component id — key
+    * cardinality is the number of clusters, skew bounded by the largest
+    * cluster (itself bounded by the LSH candidate generation upstream).
+    * Quality ranks on ROUND(q, 6) so the cross-engine comparison never
+    * depends on sub-ulp float ordering. */
+  private def t21Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val edges = s.sql("""
+      SELECT d1.doc_id AS src, d2.doc_id AS dst
+      FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      WHERE d1.doc_id % 5 != 4 AND d1.doc_id % 3 != 1""")
+    graft.operators.ConnectedComponents.run(edges, "src", "dst")
+      .createOrReplaceTempView("t21_comps")
+    s.sql("""
+      WITH q AS (SELECT doc_id, ROUND(graft_quality(text), 6) AS ql FROM documents),
+      c AS (SELECT d.doc_id, COALESCE(tc.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN t21_comps tc ON tc.id = d.doc_id),
+      ranked AS (SELECT c.component, c.doc_id, q.ql,
+                        ROW_NUMBER() OVER (PARTITION BY c.component
+                          ORDER BY q.ql DESC, c.doc_id) AS rn,
+                        COUNT(*) OVER (PARTITION BY c.component) AS csize
+                 FROM c JOIN q ON q.doc_id = c.doc_id)
+      SELECT CAST(component AS BIGINT) AS component, CAST(csize AS BIGINT) AS csize,
+             CAST(doc_id AS BIGINT) AS canonical_id, ql AS canonical_quality
+      FROM ranked WHERE rn = 1 ORDER BY component""")
+  }
+
+  private val t21Duck = """
+    WITH RECURSIVE und AS (
+      SELECT d1.doc_id AS a, d2.doc_id AS b
+      FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      WHERE d1.doc_id % 5 != 4 AND d1.doc_id % 3 != 1
+      UNION ALL
+      SELECT d2.doc_id, d1.doc_id
+      FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      WHERE d1.doc_id % 5 != 4 AND d1.doc_id % 3 != 1
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.a, reach.r FROM und u JOIN reach ON reach.id = u.b
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    q AS (SELECT doc_id,
+                 ROUND(0.3::DOUBLE * (len(list_filter(string_split_regex(trim(text), '\s+'),
+                                          t -> t IN ('the','a','of','and','in','to','is')))
+                                      / greatest(len(string_split_regex(trim(text), '\s+')), 1))
+                     + 0.4::DOUBLE * least(1.0::DOUBLE, len(string_split_regex(trim(text), '\s+')) / 100.0::DOUBLE)
+                     + 0.3::DOUBLE * (1.0::DOUBLE - least(1.0::DOUBLE,
+                           len(regexp_extract_all(text, '[.,!?;]'))
+                           / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE))), 6) AS ql
+          FROM documents),
+    c AS (SELECT d.doc_id, COALESCE(cm.component, d.doc_id) AS component
+          FROM documents d LEFT JOIN comp cm ON cm.id = d.doc_id),
+    ranked AS (SELECT c.component, c.doc_id, q.ql,
+                      ROW_NUMBER() OVER (PARTITION BY c.component
+                        ORDER BY q.ql DESC, c.doc_id) AS rn,
+                      COUNT(*) OVER (PARTITION BY c.component) AS csize
+               FROM c JOIN q ON q.doc_id = c.doc_id)
+    SELECT component::BIGINT AS component, csize::BIGINT AS csize,
+           doc_id::BIGINT AS canonical_id, ql AS canonical_quality
+    FROM ranked WHERE rn = 1 ORDER BY component"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -4012,6 +4085,7 @@ object SparkEntry {
     ("t18_chunking", q(t18Spark), t18Duck),
     ("t19_vocab_oov", q(t19Spark), t19Duck),
     ("t20_bloom_contamination", q(t20Spark), t20Duck),
+    ("t21_canonical_select", t21Fn _, t21Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),
