@@ -3990,6 +3990,121 @@ object SparkEntry {
            doc_id::BIGINT AS canonical_id, ql AS canonical_quality
     FROM ranked WHERE rn = 1 ORDER BY component"""
 
+  /** End-to-end corpus build (t22): the four pipeline stages every
+    * training-data run chains — quality filter (t04's signal) → exact
+    * dedup on a prefix fingerprint (C4-style near-exact key; min doc-id
+    * wins) → benchmark decontamination (t20's bloom-prefiltered shingle
+    * semi-join, exact confirm) → fixed-budget sequence packing (t16's
+    * per-shard hash-order cumsum) — composed in ONE declarative query so
+    * Catalyst plans the whole flow. Output pins each stage's attrition
+    * (docs + tokens surviving) and the packed result per shard, so a
+    * regression in ANY stage hash-mismatches.
+    *
+    * 100 TB topology: stage 1 is map-side; stage 2 shuffles on the
+    * dedup key (content-keyed, cardinality grows with corpus); stage 3
+    * prunes map-side through the broadcast bloom before its equi-join;
+    * stage 4 shuffles on shard. Four shuffles total for a four-stage
+    * corpus build, every one on a scalable key. */
+  private val t22Spark = """
+    WITH q AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, text,
+                      CAST(graft_token_count(text) AS BIGINT) AS toks,
+                      ROUND(graft_quality(text), 6) AS ql
+               FROM documents),
+    s1 AS (SELECT doc_id, text, toks FROM q WHERE ql >= 0.5),
+    s2 AS (SELECT doc_id, text, toks FROM (
+             SELECT doc_id, text, toks,
+                    ROW_NUMBER() OVER (PARTITION BY substring(text, 1, 80)
+                                       ORDER BY doc_id) AS rn
+             FROM s1) t WHERE rn = 1),
+    ev AS (SELECT substring(text, 1, 160) AS etext FROM documents WHERE doc_id % 25 = 7),
+    esh AS (SELECT DISTINCT graft_hash(sh) AS h
+            FROM (SELECT explode(graft_shingles(etext, 6)) AS sh FROM ev)),
+    cont AS (SELECT DISTINCT x.doc_id FROM (
+               SELECT s2.doc_id, graft_hash(sh) AS h
+               FROM s2 LATERAL VIEW explode(graft_shingles(text, 6)) t AS sh) x
+             WHERE graft_might_contain((SELECT graft_bloom_agg(h, 65536) FROM esh), x.h)
+               AND x.h IN (SELECT h FROM esh)),
+    s3 AS (SELECT s2.doc_id, s2.toks FROM s2 LEFT ANTI JOIN cont ON cont.doc_id = s2.doc_id),
+    d AS (SELECT doc_id, toks,
+                 graft_hash(CAST(doc_id AS STRING) || ':pack') % 4 AS shard
+          FROM s3),
+    w AS (SELECT shard, toks,
+                 SUM(toks) OVER (PARTITION BY shard
+                                 ORDER BY graft_hash(CAST(doc_id AS STRING) || ':ord'), doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks
+                   AS cum_before
+          FROM d),
+    b AS (SELECT shard, CAST(FLOOR(cum_before / 1024.0) AS BIGINT) AS bin_id,
+                 COUNT(*) AS n_docs, SUM(toks) AS bin_tokens
+          FROM w GROUP BY shard, CAST(FLOOR(cum_before / 1024.0) AS BIGINT)),
+    packed AS (SELECT shard, COUNT(*) AS n_bins, SUM(n_docs) AS n_docs,
+                      SUM(bin_tokens) AS total_tokens
+               FROM b GROUP BY shard)
+    SELECT 'stage' AS part, CAST(1 AS BIGINT) AS k, COUNT(*) AS a,
+           SUM(toks) AS b, CAST(0 AS BIGINT) AS c FROM s1
+    UNION ALL
+    SELECT 'stage', CAST(2 AS BIGINT), COUNT(*), SUM(toks), CAST(0 AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 'stage', CAST(3 AS BIGINT), COUNT(*), SUM(toks), CAST(0 AS BIGINT) FROM s3
+    UNION ALL
+    SELECT 'pack', shard, n_bins, n_docs, total_tokens FROM packed
+    ORDER BY part, k"""
+
+  private val t22Duck = """
+    WITH q AS (SELECT doc_id, text,
+                      len(string_split_regex(trim(text), '\s+'))::BIGINT AS toks,
+                      ROUND(0.3::DOUBLE * (len(list_filter(string_split_regex(trim(text), '\s+'),
+                                               t -> t IN ('the','a','of','and','in','to','is')))
+                                           / greatest(len(string_split_regex(trim(text), '\s+')), 1))
+                          + 0.4::DOUBLE * least(1.0::DOUBLE, len(string_split_regex(trim(text), '\s+')) / 100.0::DOUBLE)
+                          + 0.3::DOUBLE * (1.0::DOUBLE - least(1.0::DOUBLE,
+                                len(regexp_extract_all(text, '[.,!?;]'))
+                                / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE))), 6) AS ql
+               FROM documents),
+    s1 AS (SELECT doc_id, text, toks FROM q WHERE ql >= 0.5),
+    s2 AS (SELECT doc_id, text, toks FROM (
+             SELECT doc_id, text, toks,
+                    ROW_NUMBER() OVER (PARTITION BY substr(text, 1, 80)
+                                       ORDER BY doc_id) AS rn
+             FROM s1) t WHERE rn = 1),
+    ev AS (SELECT substr(text, 1, 160) AS etext FROM documents WHERE doc_id % 25 = 7),
+    etk AS (SELECT string_split_regex(trim(etext), '\s+') AS ts FROM ev),
+    esh AS (SELECT DISTINCT ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+            FROM (SELECT unnest(CASE WHEN len(ts) >= 6
+                    THEN list_transform(range(1, len(ts) - 6 + 2), i -> array_to_string(ts[i : i + 5], ' '))
+                    ELSE [] END) AS g FROM etk)),
+    ttk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM s2),
+    tsh AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+            FROM (SELECT doc_id, unnest(CASE WHEN len(ts) >= 6
+                    THEN list_transform(range(1, len(ts) - 6 + 2), i -> array_to_string(ts[i : i + 5], ' '))
+                    ELSE [] END) AS g FROM ttk)),
+    cont AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN esh e ON e.h = t.h),
+    s3 AS (SELECT s2.doc_id, s2.toks FROM s2 ANTI JOIN cont ON cont.doc_id = s2.doc_id),
+    d AS (SELECT doc_id, toks,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':pack'), 1, 8))::BIGINT % 4 AS shard
+          FROM s3),
+    w AS (SELECT shard, toks,
+                 SUM(toks) OVER (PARTITION BY shard
+                                 ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':ord'), 1, 8))::BIGINT, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks
+                   AS cum_before
+          FROM d),
+    b AS (SELECT shard, FLOOR(cum_before / 1024.0)::BIGINT AS bin_id,
+                 COUNT(*) AS n_docs, SUM(toks) AS bin_tokens
+          FROM w GROUP BY shard, FLOOR(cum_before / 1024.0)::BIGINT),
+    packed AS (SELECT shard, COUNT(*)::BIGINT AS n_bins, SUM(n_docs)::BIGINT AS n_docs,
+                      SUM(bin_tokens)::BIGINT AS total_tokens
+               FROM b GROUP BY shard)
+    SELECT 'stage' AS part, 1::BIGINT AS k, COUNT(*)::BIGINT AS a,
+           SUM(toks)::BIGINT AS b, 0::BIGINT AS c FROM s1
+    UNION ALL
+    SELECT 'stage', 2::BIGINT, COUNT(*)::BIGINT, SUM(toks)::BIGINT, 0::BIGINT FROM s2
+    UNION ALL
+    SELECT 'stage', 3::BIGINT, COUNT(*)::BIGINT, SUM(toks)::BIGINT, 0::BIGINT FROM s3
+    UNION ALL
+    SELECT 'pack', shard, n_bins, n_docs, total_tokens FROM packed
+    ORDER BY part, k"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -4086,6 +4201,7 @@ object SparkEntry {
     ("t19_vocab_oov", q(t19Spark), t19Duck),
     ("t20_bloom_contamination", q(t20Spark), t20Duck),
     ("t21_canonical_select", t21Fn _, t21Duck),
+    ("t22_corpus_build", q(t22Spark), t22Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),
