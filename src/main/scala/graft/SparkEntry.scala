@@ -4105,6 +4105,107 @@ object SparkEntry {
     SELECT 'pack', shard, n_bins, n_docs, total_tokens FROM packed
     ORDER BY part, k"""
 
+  /** Bigram novelty scoring (t23): the n-gram-LM quality proxy — global
+    * bigram document frequencies (the "language model" is the corpus
+    * itself), then each document scores by how many of its bigrams are
+    * corpus-unique (df = 1). High novelty = unusual text (often noise or
+    * boilerplate-free prose); near-zero novelty = templated/duplicated
+    * content. The CCNet/KenLM filtering signal, reduced to integer-exact
+    * corpus statistics. Topology: one content-keyed shuffle for the df
+    * table (vocabulary-bounded, same as t19/t15), one broadcast-scale
+    * report agg per language — no joins keyed on documents. */
+  private val t23Spark = """
+    WITH tok AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, lang, graft_tokens(text) AS ts
+                 FROM documents),
+    big AS (SELECT doc_id, lang, explode(transform(sequence(1, size(ts) - 1),
+                     i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))) AS bg
+            FROM tok WHERE size(ts) >= 2),
+    df AS (SELECT bg, COUNT(*) AS df FROM big GROUP BY bg),
+    scored AS (SELECT b.doc_id, b.lang,
+                      COUNT(*) AS n_bigrams,
+                      SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_novel
+               FROM big b JOIN df d ON d.bg = b.bg
+               GROUP BY b.doc_id, b.lang)
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(n_bigrams) AS total_bigrams, SUM(n_novel) AS total_novel,
+           ROUND(CAST(SUM(n_novel) AS DOUBLE) / SUM(n_bigrams), 6) AS novelty_rate
+    FROM scored GROUP BY lang ORDER BY lang"""
+
+  private val t23Duck = """
+    WITH tok AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ts
+                 FROM documents),
+    big AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(ts)),
+                     i -> ts[i] || ' ' || ts[i + 1])) AS bg
+            FROM tok WHERE len(ts) >= 2),
+    df AS (SELECT bg, COUNT(*) AS df FROM big GROUP BY bg),
+    scored AS (SELECT b.doc_id, b.lang,
+                      COUNT(*) AS n_bigrams,
+                      SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_novel
+               FROM big b JOIN df d ON d.bg = b.bg
+               GROUP BY b.doc_id, b.lang)
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_bigrams)::BIGINT AS total_bigrams, SUM(n_novel)::BIGINT AS total_novel,
+           ROUND(CAST(SUM(n_novel) AS DOUBLE) / SUM(n_bigrams), 6) AS novelty_rate
+    FROM scored GROUP BY lang ORDER BY lang"""
+
+  /** Truncated-dimension two-stage ANN (e11): the Matryoshka-embedding
+    * retrieval shape — stage 1 scores the corpus on only the FIRST 16 of
+    * 64 dimensions (with MRL-trained embeddings the information-dense
+    * prefix; stored as its own column, the stage-1 scan reads 4× fewer
+    * bytes and column pruning keeps the full vector out of it), stage 2
+    * re-ranks the prefix top-32 by exact full-dimension L2. Same
+    * refine topology as e07/e10 — the three queries span the
+    * compressed-domain spectrum: subspace codes (PQ), quantized scalars
+    * (SQ8), truncated prefix (MRL). Prefix distances are ordered-fold
+    * FP, identical in both engines; ROUND(_, 6) guards the surfaced
+    * values. */
+  private val e11Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e,
+                      slice(graft_vec(embedding), 1, 16) AS p
+               FROM embeddings),
+    qv AS (SELECT vec_id AS query_id, e AS qe, p AS qp FROM v
+           WHERE vec_id >= 8 AND vec_id < 16),
+    pre AS (SELECT /*+ BROADCAST(qv) */ qv.query_id, x.vec_id AS neighbor_id,
+                   graft_l2(qv.qp, x.p) AS pre_d
+            FROM v x JOIN qv ON x.vec_id != qv.query_id),
+    cand AS (SELECT query_id, neighbor_id, pre_d,
+                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pre_d, neighbor_id) AS arnk
+             FROM pre),
+    ref AS (SELECT c.query_id, c.neighbor_id, c.pre_d, graft_l2(qv.qe, xv.e) AS full_d
+            FROM cand c JOIN qv ON qv.query_id = c.query_id
+                        JOIN v xv ON xv.vec_id = c.neighbor_id
+            WHERE c.arnk <= 32)
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+           ROUND(pre_d, 6) AS pre_d, ROUND(full_d, 6) AS full_d
+    FROM (SELECT query_id, neighbor_id, pre_d, full_d,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY full_d, neighbor_id) AS rnk
+          FROM ref) t
+    WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
+  private val e11Duck = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
+                      list_transform(embedding, x -> x::DOUBLE)[1:16] AS p
+               FROM embeddings),
+    qv AS (SELECT vec_id AS query_id, e AS qe, p AS qp FROM v
+           WHERE vec_id >= 8 AND vec_id < 16),
+    pre AS (SELECT qv.query_id, x.vec_id AS neighbor_id,
+                   list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 17), i -> (qv.qp[i] - x.p[i]) * (qv.qp[i] - x.p[i]))), (a, b) -> a + b) AS pre_d
+            FROM v x JOIN qv ON x.vec_id != qv.query_id),
+    cand AS (SELECT query_id, neighbor_id, pre_d,
+                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pre_d, neighbor_id) AS arnk
+             FROM pre),
+    ref AS (SELECT c.query_id, c.neighbor_id, c.pre_d,
+                   list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> (qv.qe[i] - xv.e[i]) * (qv.qe[i] - xv.e[i]))), (a, b) -> a + b) AS full_d
+            FROM cand c JOIN qv ON qv.query_id = c.query_id
+                        JOIN v xv ON xv.vec_id = c.neighbor_id
+            WHERE c.arnk <= 32)
+    SELECT query_id, neighbor_id, rnk::BIGINT AS rnk,
+           ROUND(pre_d, 6) AS pre_d, ROUND(full_d, 6) AS full_d
+    FROM (SELECT query_id, neighbor_id, pre_d, full_d,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY full_d, neighbor_id) AS rnk
+          FROM ref) t
+    WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -4202,6 +4303,8 @@ object SparkEntry {
     ("t20_bloom_contamination", q(t20Spark), t20Duck),
     ("t21_canonical_select", t21Fn _, t21Duck),
     ("t22_corpus_build", q(t22Spark), t22Duck),
+    ("t23_bigram_novelty", q(t23Spark), t23Duck),
+    ("e11_truncated_ann", q(e11Spark), e11Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),
