@@ -25,20 +25,33 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
 
   private def views(s: SparkSession, dir: String): Unit = {
-    if (viewsDone.putIfAbsent((s, dir), java.lang.Boolean.TRUE) != null) return
+    if (viewsDone.containsKey((s, dir))) return
     GeoFunctions.register(s)
     graft.functions.TextFunctions.register(s)
     graft.functions.MediaFunctions.register(s)
     tables.foreach { n =>
-      if (n == "events")
-        // integer DIV, not `/`: float division of ~1.7e18 ns loses sub-µs
-        // precision (double ulp ≈ 256 ns there), which would skew exact
-        // microsecond lags (a01) vs DuckDB's integral ns→µs truncation
-        readNanosAsLong(s, s"$dir/$n.parquet")
-          .selectExpr("event_id", "timestamp_micros(ts DIV 1000) AS ts",
-            "user_id", "event_type", "value", "props").createOrReplaceTempView(n)
-      else s.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
+      if (n == "events") {
+        val raw = readNanosAsLong(s, s"$dir/$n.parquet")
+        val tsExpr = raw.schema("ts").dataType match {
+          // TIMESTAMP(NANOS) parquet surfaced as a long: integer DIV, not
+          // `/` — float division of ~1.7e18 ns loses sub-µs precision
+          // (double ulp ≈ 256 ns there), which would skew exact microsecond
+          // lags (a01) vs DuckDB's integral ns→µs truncation
+          case org.apache.spark.sql.types.LongType =>
+            "timestamp_micros(ts DIV 1000) AS ts"
+          // native timestamp[us] parquet (NTZ or instant): normalize to
+          // TimestampType — under the UTC session both carry the identical
+          // microsecond value, and downstream window()/date_format()/
+          // unix_micros() keep their pinned-oracle semantics
+          case _ => "CAST(ts AS TIMESTAMP) AS ts"
+        }
+        raw.selectExpr("event_id", tsExpr,
+          "user_id", "event_type", "value", "props").createOrReplaceTempView(n)
+      } else s.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
     }
+    // mark AFTER success — a throw above (bad path, schema drift) must not
+    // poison the cache and surface as "table not found" on the next query
+    viewsDone.put((s, dir), java.lang.Boolean.TRUE)
   }
 
   /** Read a parquet file whose timestamps are TIMESTAMP(NANOS) — which
