@@ -4219,6 +4219,145 @@ object SparkEntry {
           FROM ref) t
     WHERE rnk <= 3 ORDER BY query_id, rnk"""
 
+  /** Multi-probe LSH ANN (e12): Lv et al. 2007 — instead of `L`
+    * independent hash tables (each of which re-buckets the CORPUS), probe
+    * the query's base bucket plus the buckets reached by flipping the
+    * sign bits with the smallest hyperplane margin |v·r_j| (the bits most
+    * likely to differ between near-identical vectors;
+    * `graft_bucket_probes`, core/VecOps.bucketProbes). The corpus is
+    * bucketed ONCE; only the (tiny) probe side multiplies by nprobe=4.
+    * Output is a per-query recall scorecard: candidate counts and
+    * recall@3 vs the exact top-3 for base-bucket-only vs multi-probe —
+    * pinning both that probing strictly widens the candidate set
+    * (n_cand_base <= n_cand_probe on every row) and the recall it buys
+    * (sf0.01: base 1/24 exact-top-3 hits → probe 3/24 at nprobe=4 —
+    * bits=8 is deliberately coarse here; the e05 harness is the recall
+    * gate, this query pins the probing MACHINERY).
+    *
+    * 100 TB topology: candidate generation is an equi-join on the bucket
+    * key (cardinality 2^bits, scaled by `bits`); probes multiply the
+    * 8-query side only. The exact side (brute force over the corpus) is
+    * the bounded value-check, same as e01/e05 — a production run keeps
+    * only the bucket-join branch. Probe buckets are pairwise distinct and
+    * a corpus vector lives in exactly one bucket, so no candidate dedup
+    * is needed (VecOps scaladoc contract). */
+  private val e12Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e,
+                      sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm,
+                      graft_bucketk(graft_vec(embedding), 8, 7) AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id, e, nrm, bucket FROM v WHERE vec_id < 8),
+    qp AS (SELECT vec_id, e, nrm, bucket,
+                  explode(graft_bucket_probes(e, 8, 7, 4)) AS pb FROM q),
+    cand AS (SELECT /*+ BROADCAST(qp) */ qp.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    graft_dot(qp.e, c.e) / (qp.nrm * c.nrm) AS cos,
+                    CASE WHEN c.bucket = qp.bucket THEN 1 ELSE 0 END AS in_base
+             FROM v c JOIN qp ON c.bucket = qp.pb AND c.vec_id != qp.vec_id),
+    ex AS (SELECT /*+ BROADCAST(q) */ q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  graft_dot(q.e, c.e) / (q.nrm * c.nrm) AS cos
+           FROM v c JOIN q ON c.vec_id != q.vec_id),
+    ex3 AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM ex) t WHERE rnk <= 3),
+    mp3 AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM cand) t WHERE rnk <= 3),
+    sp3 AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM cand WHERE in_base = 1) t WHERE rnk <= 3),
+    agg AS (SELECT query_id, COUNT(*) AS n_cand_probe, SUM(in_base) AS n_cand_base
+            FROM cand GROUP BY query_id),
+    bh AS (SELECT e3.query_id, COUNT(s.neighbor_id) AS base_hits
+           FROM ex3 e3 LEFT JOIN sp3 s
+             ON s.query_id = e3.query_id AND s.neighbor_id = e3.neighbor_id
+           GROUP BY e3.query_id),
+    ph AS (SELECT e3.query_id, COUNT(m.neighbor_id) AS probe_hits
+           FROM ex3 e3 LEFT JOIN mp3 m
+             ON m.query_id = e3.query_id AND m.neighbor_id = e3.neighbor_id
+           GROUP BY e3.query_id)
+    SELECT a.query_id, CAST(a.n_cand_base AS BIGINT) AS n_cand_base,
+           CAST(a.n_cand_probe AS BIGINT) AS n_cand_probe,
+           CAST(bh.base_hits AS BIGINT) AS base_hits,
+           CAST(ph.probe_hits AS BIGINT) AS probe_hits,
+           ROUND(bh.base_hits / 3.0D, 6) AS base_recall_at_3,
+           ROUND(ph.probe_hits / 3.0D, 6) AS probe_recall_at_3
+    FROM agg a JOIN bh ON bh.query_id = a.query_id
+               JOIN ph ON ph.query_id = a.query_id
+    ORDER BY a.query_id"""
+
+  private val e12Duck = """
+    WITH planes AS (
+      SELECT j, list_transform(list_transform(list_transform(list_transform(
+               range(0, 64), i -> ((7 * 1000003 + j * 4099 + i) % 2147483648 * 2654435761) % 2147483648),
+               h -> xor(h, h >> 15)),
+               h -> (h * 2246822519) % 2147483648),
+               h -> (xor(h, h >> 13) - 1073741824)::DOUBLE) AS w
+      FROM (SELECT unnest(range(0, 8)) AS j) js),
+    ve AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    nv AS (SELECT vec_id, e,
+                  sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * e[i])), (x, y) -> x + y)) AS nrm
+           FROM ve),
+    vd AS (SELECT vec_id, j,
+                  list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * w[i])), (x, y) -> x + y) AS d
+           FROM ve CROSS JOIN planes),
+    vb AS (SELECT vec_id, SUM(CASE WHEN d > 0.0::DOUBLE THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS bucket
+           FROM vd GROUP BY vec_id),
+    q AS (SELECT vec_id FROM ve WHERE vec_id < 8),
+    qord AS (SELECT vd.vec_id, vd.j,
+                    ROW_NUMBER() OVER (PARTITION BY vd.vec_id ORDER BY abs(vd.d), vd.j) AS r
+             FROM vd JOIN q ON q.vec_id = vd.vec_id),
+    probes AS (SELECT b.vec_id, b.bucket AS pb FROM vb b JOIN q ON q.vec_id = b.vec_id
+               UNION ALL
+               SELECT o.vec_id, xor(b.bucket, (1::BIGINT << o.j)) AS pb
+               FROM qord o JOIN vb b ON b.vec_id = o.vec_id WHERE o.r <= 3),
+    cand AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(qe.e) + 1), i -> qe.e[i] * c.e[i])), (x, y) -> x + y)
+                      / (qe.nrm * c.nrm) AS cos,
+                    CASE WHEN cb.bucket = qb2.bucket THEN 1 ELSE 0 END AS in_base
+             FROM probes p
+             JOIN vb qb2 ON qb2.vec_id = p.vec_id
+             JOIN nv qe ON qe.vec_id = p.vec_id
+             JOIN vb cb ON cb.bucket = p.pb
+             JOIN nv c ON c.vec_id = cb.vec_id AND c.vec_id != p.vec_id),
+    ex AS (SELECT qe.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(qe.e) + 1), i -> qe.e[i] * c.e[i])), (x, y) -> x + y)
+                    / (qe.nrm * c.nrm) AS cos
+           FROM nv qe JOIN q ON q.vec_id = qe.vec_id
+           JOIN nv c ON c.vec_id != qe.vec_id),
+    ex3 AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM ex) t WHERE rnk <= 3),
+    mp3 AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM cand) t WHERE rnk <= 3),
+    sp3 AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM cand WHERE in_base = 1) t WHERE rnk <= 3),
+    agg AS (SELECT query_id, COUNT(*) AS n_cand_probe, SUM(in_base) AS n_cand_base
+            FROM cand GROUP BY query_id),
+    bh AS (SELECT e3.query_id, COUNT(s.neighbor_id) AS base_hits
+           FROM ex3 e3 LEFT JOIN sp3 s
+             ON s.query_id = e3.query_id AND s.neighbor_id = e3.neighbor_id
+           GROUP BY e3.query_id),
+    ph AS (SELECT e3.query_id, COUNT(m.neighbor_id) AS probe_hits
+           FROM ex3 e3 LEFT JOIN mp3 m
+             ON m.query_id = e3.query_id AND m.neighbor_id = e3.neighbor_id
+           GROUP BY e3.query_id)
+    SELECT a.query_id, a.n_cand_base::BIGINT AS n_cand_base,
+           a.n_cand_probe::BIGINT AS n_cand_probe,
+           bh.base_hits::BIGINT AS base_hits, ph.probe_hits::BIGINT AS probe_hits,
+           ROUND(bh.base_hits / 3.0, 6) AS base_recall_at_3,
+           ROUND(ph.probe_hits / 3.0, 6) AS probe_recall_at_3
+    FROM agg a JOIN bh ON bh.query_id = a.query_id
+               JOIN ph ON ph.query_id = a.query_id
+    ORDER BY a.query_id"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -4318,6 +4457,7 @@ object SparkEntry {
     ("t22_corpus_build", q(t22Spark), t22Duck),
     ("t23_bigram_novelty", q(t23Spark), t23Duck),
     ("e11_truncated_ann", q(e11Spark), e11Duck),
+    ("e12_multiprobe_lsh", q(e12Spark), e12Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),

@@ -102,6 +102,52 @@ object VecOps {
     acc
   }
 
+  /** Multi-probe LSH probe sequence (Lv et al. 2007, VLDB): the base
+    * [[bucketk]] bucket followed by the buckets reached by flipping the
+    * sign bits whose hyperplane margin |v·r_j| is SMALLEST — the bits most
+    * likely to disagree between two near-identical vectors. Probing
+    * `nprobe` buckets per query recovers most of the recall of `nprobe`
+    * independent hash tables while the CORPUS side stays bucketed exactly
+    * once — at 100 TB that is the difference between re-shuffling the
+    * corpus per table and shipping only the (tiny) probe side `nprobe`×.
+    *
+    * Determinism contract: margins are the same left-to-right ordered-fold
+    * dots as [[bucketk]] (bit-identical in DuckDB — see the integer-weight
+    * rationale there), and the probe order sorts by (|margin| ASC, j ASC),
+    * so an exact |margin| tie (possible: two planes can both score 0 on a
+    * sparse vector) breaks on the plane index identically in both engines.
+    * Returned buckets are pairwise distinct by construction (base +
+    * distinct single-bit flips), so a corpus vector — which lives in
+    * exactly one bucket — matches at most one probe: no candidate dedup
+    * step is needed downstream.
+    *
+    * Contract: `bits` in [1, 63], `seed` >= 0, `nprobe` in [1, bits+1].
+    */
+  def bucketProbes(a: ArrayData, bits: Int, seed: Long, nprobe: Int): ArrayData = {
+    require(nprobe >= 1 && nprobe <= bits + 1,
+      s"bucketProbes: nprobe must be in [1, bits+1], got $nprobe (bits=$bits)")
+    require(bits >= 1 && bits <= 63, s"bucketProbes: bits must be in [1, 63], got $bits")
+    require(seed >= 0, s"bucketProbes: seed must be >= 0, got $seed")
+    val n = a.numElements()
+    val margin = new Array[Double](bits)
+    var base = 0L
+    var j = 0
+    while (j < bits) {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a.getDouble(i) * weight(seed, j, i); i += 1 }
+      if (s > 0.0) base |= (1L << j)
+      margin(j) = math.abs(s)
+      j += 1
+    }
+    val order = Array.range(0, bits).sortBy(j => (margin(j), j))
+    val out = new Array[Long](nprobe)
+    out(0) = base
+    var t = 1
+    while (t < nprobe) { out(t) = base ^ (1L << order(t - 1)); t += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Pseudo-random integer weight for hyperplane `j`, coordinate `i`:
     * multiply–xor-shift mod 2^31 (Knuth/xxHash multipliers), centered to
     * [-2^30, 2^30). All intermediates < 2^63 (no overflow) and all steps

@@ -67,6 +67,8 @@ object TextFunctions {
     "graft_dot" -> ((vecOps, "dot", D, Seq(AD, AD))),
     "graft_cosine" -> ((vecOps, "cosine", D, Seq(AD, AD))),
     "graft_bucketk" -> ((vecOps, "bucketk", L, Seq(AD, I, L))),
+    "graft_bucket_probes" -> ((vecOps, "bucketProbes",
+      ArrayType(LongType, containsNull = false), Seq(AD, I, L, I))),
     "graft_l2" -> ((vecOps, "l2", D, Seq(AD, AD))),
   )
 

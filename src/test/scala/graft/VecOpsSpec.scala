@@ -80,6 +80,44 @@ class VecOpsSpec extends SparkTestBase {
     assert(corpus.forall(v => VecOps.bucketk(arr(v), 4, 9L) < 16L))
   }
 
+  test("bucketProbes: base first, distinct buckets, lowest-margin bits flipped") {
+    val corpus = positiveCorpus(100, 64)
+    corpus.foreach { v =>
+      val probes = VecOps.bucketProbes(arr(v), 8, 7L, 4)
+      val ps = (0 until 4).map(probes.getLong)
+      // probe 0 IS the bucketk bucket — a corpus bucketed by bucketk is
+      // probed without re-hashing
+      assert(ps.head == VecOps.bucketk(arr(v), 8, 7L))
+      // pairwise distinct (base + distinct single-bit flips) — the
+      // no-candidate-dedup contract the e12 join relies on
+      assert(ps.distinct.size == 4)
+      // every non-base probe is exactly one bit away from the base
+      ps.tail.foreach(p => assert(java.lang.Long.bitCount(p ^ ps.head) == 1))
+    }
+    // flipped bits are the LOWEST-margin hyperplanes: recompute margins
+    // directly and check the flip set equals the bottom-(nprobe-1) by
+    // (|margin|, j) — the Lv et al. perturbation order
+    val v = corpus.head
+    val probes = VecOps.bucketProbes(arr(v), 8, 7L, 4)
+    val base = probes.getLong(0)
+    val flipped = (1 until 4).map(t => java.lang.Long.numberOfTrailingZeros(probes.getLong(t) ^ base)).toSet
+    val margins = (0 until 8).map { j =>
+      // same integer-weight recurrence as VecOps.weight
+      def w(i: Int): Double = {
+        val M = 2147483648L
+        var h = (7L * 1000003L + j.toLong * 4099L + i.toLong) % M
+        h = (h * 2654435761L) % M; h ^= (h >> 15)
+        h = (h * 2246822519L) % M; h ^= (h >> 13)
+        (h - 1073741824L).toDouble
+      }
+      math.abs(v.indices.foldLeft(0.0)((s, i) => s + v(i) * w(i)))
+    }
+    val expected = (0 until 8).sortBy(j => (margins(j), j)).take(3).toSet
+    assert(flipped == expected, s"flipped $flipped vs lowest-margin $expected")
+    // nprobe=1 degenerates to plain bucketk
+    assert(VecOps.bucketProbes(arr(v), 8, 7L, 1).getLong(0) == VecOps.bucketk(arr(v), 8, 7L))
+  }
+
   test("SQL surface: graft_bucketk registered and matches the static") {
     graft.functions.TextFunctions.register(spark)
     val r = sql(
