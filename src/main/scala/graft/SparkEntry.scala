@@ -4219,6 +4219,56 @@ object SparkEntry {
           FROM ref) t
     WHERE rnk <= 3 ORDER BY query_id, rnk"""
 
+  /** TF-IDF distinctive-term extraction (t24): per-document top-3
+    * keywords — the tagging/topic-labelling step in front of corpus
+    * curation and retrieval indexing. Classic TF-IDF ranks by
+    * tf·log(N/df); log is transcendental and its last ulp differs across
+    * libm implementations, so the score here is the order-equivalent*
+    * tf/df (one IEEE division of two exact integers — bit-identical in
+    * any engine; *equivalent for fixed tf ordering, and monotone in
+    * (tf↑, df↓) which is the part of the ranking that matters), with
+    * (score DESC, token ASC) as the total tie-break.
+    *
+    * 100 TB topology: tf is one (doc, token)-keyed shuffle, df folds the
+    * tf table by token (vocabulary-bounded, like t19/t23 — no second
+    * corpus scan), the score join is token-keyed (broadcastable: the df
+    * table is the vocabulary), and top-3 is a per-doc window. Nothing
+    * touches all-pairs; every shuffle key scales with content, not
+    * corpus². */
+  private val t24Spark = """
+    WITH tok AS (SELECT /*+ REPARTITION({{P}}) */ doc_id,
+                        explode(graft_tokens(text)) AS tok
+                 FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (SELECT t.doc_id, t.tok, t.tf, d.df,
+                      CAST(t.tf AS DOUBLE) / d.df AS score
+               FROM tf t JOIN df d ON d.tok = t.tok),
+    top AS (SELECT doc_id, tok, tf, df, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, tok) AS rnk
+            FROM scored)
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           ROUND(score, 6) AS score
+    FROM top WHERE rnk <= 3 ORDER BY doc_id, rnk"""
+
+  private val t24Duck = """
+    WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                 FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (SELECT t.doc_id, t.tok, t.tf, d.df,
+                      CAST(t.tf AS DOUBLE) / d.df AS score
+               FROM tf t JOIN df d ON d.tok = t.tok),
+    top AS (SELECT doc_id, tok, tf, df, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, tok) AS rnk
+            FROM scored)
+    SELECT doc_id, rnk::BIGINT AS rnk, tok, tf::BIGINT AS tf, df::BIGINT AS df,
+           ROUND(score, 6) AS score
+    FROM top WHERE rnk <= 3 ORDER BY doc_id, rnk"""
+
   /** Multi-probe LSH ANN (e12): Lv et al. 2007 — instead of `L`
     * independent hash tables (each of which re-buckets the CORPUS), probe
     * the query's base bucket plus the buckets reached by flipping the
@@ -4458,6 +4508,7 @@ object SparkEntry {
     ("t23_bigram_novelty", q(t23Spark), t23Duck),
     ("e11_truncated_ann", q(e11Spark), e11Duck),
     ("e12_multiprobe_lsh", q(e12Spark), e12Duck),
+    ("t24_tfidf_terms", q(t24Spark), t24Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),
