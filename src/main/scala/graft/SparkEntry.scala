@@ -2507,6 +2507,48 @@ object SparkEntry {
     FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.ts >= c.ts
     GROUP BY v.user_id ORDER BY v.user_id"""
 
+  /** Forward as-of join with tolerance (a03): every 'view' matched to the
+    * user's EARLIEST following click within 10 minutes — the attribution
+    * shape (pandas `merge_asof(direction='forward', tolerance=...)`),
+    * exercising the two [[graft.operators.AsofJoin]] modes a01 does not:
+    * forward scan order and the tolerance null-out (inclusive bound, so a
+    * click exactly 600 s later still matches). Same single-shuffle
+    * union-and-window topology as a01. The oracle is DuckDB's native ASOF
+    * LEFT JOIN in the <= direction with the tolerance applied as a
+    * post-filter — exactly the operator's documented semantics (nearest
+    * match dropped when too far, never replaced by a farther one). */
+  private def a03Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val v = s.sql("SELECT user_id, ts, value FROM events WHERE event_type = 'view'")
+    val c = s.sql("SELECT user_id, ts, value FROM events WHERE event_type = 'click'")
+    graft.operators.AsofJoin.asof(v, c, Seq("user_id"), "ts", "ts", Seq("value"),
+        prefix = "click_", direction = "forward", toleranceMicros = Some(600000000L))
+      .createOrReplaceTempView("a03_asof")
+    s.sql("""
+      SELECT user_id,
+             COUNT(*) AS n_views,
+             COUNT(click_ts) AS n_matched,
+             CAST(COALESCE(ROUND(SUM(CAST(click_value AS DECIMAL(18,6))), 2), 0) AS DOUBLE) AS sum_click_val,
+             COALESCE(MAX(unix_micros(click_ts) - unix_micros(ts)), 0) AS max_lead_us
+      FROM a03_asof GROUP BY user_id ORDER BY user_id""")
+  }
+
+  private val a03Duck = """
+    WITH v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+    raw AS (SELECT v.user_id, v.ts, c.ts AS cts, c.value AS cval
+            FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.ts <= c.ts),
+    f AS (SELECT user_id, ts,
+                 CASE WHEN cts IS NOT NULL AND epoch_us(cts) - epoch_us(ts) <= 600000000
+                      THEN cts END AS cts,
+                 CASE WHEN cts IS NOT NULL AND epoch_us(cts) - epoch_us(ts) <= 600000000
+                      THEN cval END AS cval
+          FROM raw)
+    SELECT user_id, COUNT(*)::BIGINT AS n_views, COUNT(cts)::BIGINT AS n_matched,
+           COALESCE(ROUND(SUM(CAST(cval AS DECIMAL(18,6))), 2), 0)::DOUBLE AS sum_click_val,
+           COALESCE(MAX(epoch_us(cts) - epoch_us(ts)), 0)::BIGINT AS max_lead_us
+    FROM f GROUP BY user_id ORDER BY user_id"""
+
   /** Interval join through [[graft.operators.RangeJoin]]: every click
     * matched to ALL views in the preceding 10 minutes — deliberately
     * key-less, the shape Spark itself would plan as an O(n·m)
@@ -4497,6 +4539,7 @@ object SparkEntry {
     ("e10_sq8_ann", q(e10Spark), e10Duck),
     ("a01_asof_join", a01Fn _, a01Duck),
     ("a02_range_join", a02Fn _, a02Duck),
+    ("a03_asof_forward_tol", a03Fn _, a03Duck),
     ("t15_corpus_dup_chunks", q(t15Spark), t15Duck),
     ("t16_sequence_pack", q(t16Spark), t16Duck),
     ("t17_mixture_sample", q(t17Spark), t17Duck),
