@@ -4271,21 +4271,22 @@ object SparkEntry {
     * (tf↑, df↓) which is the part of the ranking that matters), with
     * (score DESC, token ASC) as the total tie-break.
     *
-    * 100 TB topology: tf is one (doc, token)-keyed shuffle, df folds the
-    * tf table by token (vocabulary-bounded, like t19/t23 — no second
-    * corpus scan), the score join is token-keyed (broadcastable: the df
-    * table is the vocabulary), and top-3 is a per-doc window. Nothing
-    * touches all-pairs; every shuffle key scales with content, not
-    * corpus². */
+    * 100 TB topology: tf is one (doc, token)-keyed shuffle, and df is a
+    * COUNT window PARTITION BY token over the SAME tf table — no join and
+    * no second corpus scan (a df-as-CTE formulation inlines twice in
+    * Spark and re-tokenizes the corpus; the window form is
+    * plan-asserted single-scan/zero-join in PipelinePlanSpec). Top-3 is
+    * a per-doc window. Three content-keyed shuffles total — (doc,tok),
+    * tok, doc — every key scales with content, never corpus². */
   private val t24Spark = """
     WITH tok AS (SELECT /*+ REPARTITION({{P}}) */ doc_id,
                         explode(graft_tokens(text)) AS tok
                  FROM documents),
     tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
-    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-    scored AS (SELECT t.doc_id, t.tok, t.tf, d.df,
-                      CAST(t.tf AS DOUBLE) / d.df AS score
-               FROM tf t JOIN df d ON d.tok = t.tok),
+    scored AS (SELECT doc_id, tok, tf,
+                      COUNT(*) OVER (PARTITION BY tok) AS df,
+                      CAST(tf AS DOUBLE) / COUNT(*) OVER (PARTITION BY tok) AS score
+               FROM tf),
     top AS (SELECT doc_id, tok, tf, df, score,
                    ROW_NUMBER() OVER (PARTITION BY doc_id
                                       ORDER BY score DESC, tok) AS rnk
@@ -4299,10 +4300,10 @@ object SparkEntry {
     WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
                  FROM documents),
     tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
-    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-    scored AS (SELECT t.doc_id, t.tok, t.tf, d.df,
-                      CAST(t.tf AS DOUBLE) / d.df AS score
-               FROM tf t JOIN df d ON d.tok = t.tok),
+    scored AS (SELECT doc_id, tok, tf,
+                      COUNT(*) OVER (PARTITION BY tok) AS df,
+                      CAST(tf AS DOUBLE) / COUNT(*) OVER (PARTITION BY tok) AS score
+               FROM tf),
     top AS (SELECT doc_id, tok, tf, df, score,
                    ROW_NUMBER() OVER (PARTITION BY doc_id
                                       ORDER BY score DESC, tok) AS rnk
@@ -4333,52 +4334,71 @@ object SparkEntry {
     * only the bucket-join branch. Probe buckets are pairwise distinct and
     * a corpus vector lives in exactly one bucket, so no candidate dedup
     * is needed (VecOps scaladoc contract). */
-  private val e12Spark = """
-    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e,
-                      sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm,
-                      graft_bucketk(graft_vec(embedding), 8, 7) AS bucket
-               FROM embeddings),
-    q AS (SELECT vec_id, e, nrm, bucket FROM v WHERE vec_id < 8),
-    qp AS (SELECT vec_id, e, nrm, bucket,
-                  explode(graft_bucket_probes(e, 8, 7, 4)) AS pb FROM q),
-    cand AS (SELECT /*+ BROADCAST(qp) */ qp.vec_id AS query_id, c.vec_id AS neighbor_id,
-                    graft_dot(qp.e, c.e) / (qp.nrm * c.nrm) AS cos,
-                    CASE WHEN c.bucket = qp.bucket THEN 1 ELSE 0 END AS in_base
-             FROM v c JOIN qp ON c.bucket = qp.pb AND c.vec_id != qp.vec_id),
-    ex AS (SELECT /*+ BROADCAST(q) */ q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                  graft_dot(q.e, c.e) / (q.nrm * c.nrm) AS cos
-           FROM v c JOIN q ON c.vec_id != q.vec_id),
-    ex3 AS (SELECT query_id, neighbor_id FROM (
-              SELECT query_id, neighbor_id,
-                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-              FROM ex) t WHERE rnk <= 3),
-    mp3 AS (SELECT query_id, neighbor_id FROM (
-              SELECT query_id, neighbor_id,
-                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-              FROM cand) t WHERE rnk <= 3),
-    sp3 AS (SELECT query_id, neighbor_id FROM (
-              SELECT query_id, neighbor_id,
-                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-              FROM cand WHERE in_base = 1) t WHERE rnk <= 3),
-    agg AS (SELECT query_id, COUNT(*) AS n_cand_probe, SUM(in_base) AS n_cand_base
-            FROM cand GROUP BY query_id),
-    bh AS (SELECT e3.query_id, COUNT(s.neighbor_id) AS base_hits
-           FROM ex3 e3 LEFT JOIN sp3 s
-             ON s.query_id = e3.query_id AND s.neighbor_id = e3.neighbor_id
-           GROUP BY e3.query_id),
-    ph AS (SELECT e3.query_id, COUNT(m.neighbor_id) AS probe_hits
-           FROM ex3 e3 LEFT JOIN mp3 m
-             ON m.query_id = e3.query_id AND m.neighbor_id = e3.neighbor_id
-           GROUP BY e3.query_id)
-    SELECT a.query_id, CAST(a.n_cand_base AS BIGINT) AS n_cand_base,
-           CAST(a.n_cand_probe AS BIGINT) AS n_cand_probe,
-           CAST(bh.base_hits AS BIGINT) AS base_hits,
-           CAST(ph.probe_hits AS BIGINT) AS probe_hits,
-           ROUND(bh.base_hits / 3.0D, 6) AS base_recall_at_3,
-           ROUND(ph.probe_hits / 3.0D, 6) AS probe_recall_at_3
-    FROM agg a JOIN bh ON bh.query_id = a.query_id
-               JOIN ph ON ph.query_id = a.query_id
-    ORDER BY a.query_id"""
+  private def e12Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    // candidate set and exact top-3 are each referenced by several
+    // downstream CTEs; as plain CTEs Spark inlines every reference and the
+    // corpus gets re-scanned/re-bucketed per use (2 brute-force passes + 3
+    // bucket joins). A localCheckpoint boundary materializes each ONCE —
+    // the t07 signature-table pattern; both tables are query-side-sized
+    // (candidates ~ nprobe × bucket occupancy per query, ex3 = 3 rows/query)
+    s.sql("""
+      WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e,
+                        sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm,
+                        graft_bucketk(graft_vec(embedding), 8, 7) AS bucket
+                 FROM embeddings),
+      q AS (SELECT vec_id, e, nrm, bucket FROM v WHERE vec_id < 8),
+      qp AS (SELECT vec_id, e, nrm, bucket,
+                    explode(graft_bucket_probes(e, 8, 7, 4)) AS pb FROM q),
+      cand AS (SELECT /*+ BROADCAST(qp) */ qp.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      graft_dot(qp.e, c.e) / (qp.nrm * c.nrm) AS cos,
+                      CASE WHEN c.bucket = qp.bucket THEN 1 ELSE 0 END AS in_base
+               FROM v c JOIN qp ON c.bucket = qp.pb AND c.vec_id != qp.vec_id)
+      SELECT query_id, neighbor_id, cos, in_base FROM cand
+      """.replace("{{P}}", s.sparkContext.defaultParallelism.toString))
+      .localCheckpoint().createOrReplaceTempView("e12_cand")
+    s.sql("""
+      WITH v AS (SELECT vec_id, graft_vec(embedding) AS e,
+                        sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
+                 FROM embeddings),
+      q AS (SELECT vec_id, e, nrm FROM v WHERE vec_id < 8),
+      ex AS (SELECT /*+ BROADCAST(q) */ q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    graft_dot(q.e, c.e) / (q.nrm * c.nrm) AS cos
+             FROM v c JOIN q ON c.vec_id != q.vec_id)
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM ex) t WHERE rnk <= 3
+      """).localCheckpoint().createOrReplaceTempView("e12_ex3")
+    s.sql("""
+      WITH mp3 AS (SELECT query_id, neighbor_id FROM (
+                     SELECT query_id, neighbor_id,
+                            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+                     FROM e12_cand) t WHERE rnk <= 3),
+      sp3 AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+                FROM e12_cand WHERE in_base = 1) t WHERE rnk <= 3),
+      agg AS (SELECT query_id, COUNT(*) AS n_cand_probe, SUM(in_base) AS n_cand_base
+              FROM e12_cand GROUP BY query_id),
+      bh AS (SELECT e3.query_id, COUNT(s.neighbor_id) AS base_hits
+             FROM e12_ex3 e3 LEFT JOIN sp3 s
+               ON s.query_id = e3.query_id AND s.neighbor_id = e3.neighbor_id
+             GROUP BY e3.query_id),
+      ph AS (SELECT e3.query_id, COUNT(m.neighbor_id) AS probe_hits
+             FROM e12_ex3 e3 LEFT JOIN mp3 m
+               ON m.query_id = e3.query_id AND m.neighbor_id = e3.neighbor_id
+             GROUP BY e3.query_id)
+      SELECT a.query_id, CAST(a.n_cand_base AS BIGINT) AS n_cand_base,
+             CAST(a.n_cand_probe AS BIGINT) AS n_cand_probe,
+             CAST(bh.base_hits AS BIGINT) AS base_hits,
+             CAST(ph.probe_hits AS BIGINT) AS probe_hits,
+             ROUND(bh.base_hits / 3.0D, 6) AS base_recall_at_3,
+             ROUND(ph.probe_hits / 3.0D, 6) AS probe_recall_at_3
+      FROM agg a JOIN bh ON bh.query_id = a.query_id
+                 JOIN ph ON ph.query_id = a.query_id
+      ORDER BY a.query_id""")
+  }
 
   private val e12Duck = """
     WITH planes AS (
@@ -4550,7 +4570,7 @@ object SparkEntry {
     ("t22_corpus_build", q(t22Spark), t22Duck),
     ("t23_bigram_novelty", q(t23Spark), t23Duck),
     ("e11_truncated_ann", q(e11Spark), e11Duck),
-    ("e12_multiprobe_lsh", q(e12Spark), e12Duck),
+    ("e12_multiprobe_lsh", e12Fn _, e12Duck),
     ("t24_tfidf_terms", q(t24Spark), t24Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),

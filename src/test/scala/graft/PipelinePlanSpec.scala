@@ -69,6 +69,27 @@ class PipelinePlanSpec extends SparkTestBase {
     assert(exact == trueMembers)
   }
 
+  test("e12 multi-probe: report stage joins checkpoints, corpus never re-scanned") {
+    val plan = planOf("e12_multiprobe_lsh")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // candidate set and exact top-3 are localCheckpoint'ed ONCE each; the
+    // report stage must consume the materialized tables, not re-derive them
+    // (the CTE form inlined every reference: 3 bucket joins + 2 brute-force
+    // corpus passes in one plan)
+    assert(!plan.contains("Scan parquet"),
+      s"report stage re-scanned the corpus instead of the checkpoints:\n$plan")
+    // the candidate build itself is the equi-join + bounded-BNLJ shape; it
+    // ran during view setup — here we pin the checkpointed views exist
+    assert(spark.catalog.tableExists("e12_cand") && spark.catalog.tableExists("e12_ex3"))
+  }
+
+  test("t24 tf-idf: zero joins, single corpus scan — df is a window, not a self-join") {
+    val plan = planOf("t24_tfidf_terms")
+    assert(!plan.contains("Join"), s"join appeared in tf-idf plan:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"corpus scanned $scans times (df-as-CTE would inline twice):\n$plan")
+  }
+
   test("t20 plan: bloom probe sits below the exchange (map-side prune)") {
     val plan = SparkEntry.queries("t20_bloom_contamination")(spark, dir)
       .queryExecution.executedPlan.toString
