@@ -4261,6 +4261,48 @@ object SparkEntry {
           FROM ref) t
     WHERE rnk <= 3 ORDER BY query_id, rnk"""
 
+  /** CMS-prefiltered heavy hitters (t25): exact tokens above 1% of the
+    * corpus token mass, found WITHOUT shuffling the token long tail. A
+    * Count-Min sketch of the token stream builds in one pass through
+    * Spark's native `count_min_sketch` aggregate (ObjectHashAggregate —
+    * partial sketches merge map-side, the exchange carries kilobytes) and
+    * folds into a scalar-subquery literal; the probe
+    * (`graft_cms_estimate`, core/SketchOps — thread-local parse cache, one
+    * deserialization per task) then drops sub-threshold tokens MAP-SIDE
+    * before the exact GROUP BY. CMS error is one-sided (estimate >= true
+    * count, the Bloom no-false-negatives analog), so every true heavy
+    * hitter survives the prefilter and the exact HAVING confirm makes the
+    * result sketch-INDEPENDENT — plain exact SQL is the oracle, the t20
+    * pattern applied to aggregation pruning.
+    *
+    * 100 TB topology: real corpora have billion-key token tails (typos,
+    * URLs, numbers) — a plain GROUP BY shuffles all of them to find the
+    * handful of heavy keys. Here the exchange after the prefilter carries
+    * only tokens the sketch already believes heavy (vocabulary-bounded ×
+    * false-positive rate); the threshold is a fraction of corpus mass, so
+    * the query is scale-invariant. PipelinePlanSpec pins the probe below
+    * the exchange and the sketch-independence. */
+  private val t25Spark = """
+    WITH tok AS (SELECT /*+ REPARTITION({{P}}) */ explode(graft_tokens(text)) AS tok
+                 FROM documents),
+    sk AS (SELECT count_min_sketch(tok, 0.0005D, 0.99D, 42) AS s FROM tok),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    cand AS (SELECT tok FROM tok
+             WHERE graft_cms_estimate((SELECT s FROM sk), tok) * 100 >= (SELECT n FROM tot))
+    SELECT tok, COUNT(*) AS n
+    FROM cand GROUP BY tok
+    HAVING COUNT(*) * 100 >= (SELECT n FROM tot)
+    ORDER BY n DESC, tok"""
+
+  private val t25Duck = """
+    WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                 FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT tok, COUNT(*)::BIGINT AS n
+    FROM tok, tot GROUP BY tok, tot.n
+    HAVING COUNT(*) * 100 >= tot.n
+    ORDER BY n DESC, tok"""
+
   /** TF-IDF distinctive-term extraction (t24): per-document top-3
     * keywords — the tagging/topic-labelling step in front of corpus
     * curation and retrieval indexing. Classic TF-IDF ranks by
@@ -4572,6 +4614,7 @@ object SparkEntry {
     ("e11_truncated_ann", q(e11Spark), e11Duck),
     ("e12_multiprobe_lsh", e12Fn _, e12Duck),
     ("t24_tfidf_terms", q(t24Spark), t24Duck),
+    ("t25_cms_heavy_hitters", q(t25Spark), t25Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),

@@ -69,6 +69,10 @@ object TextFunctions {
     "graft_bucketk" -> ((vecOps, "bucketk", L, Seq(AD, I, L))),
     "graft_bucket_probes" -> ((vecOps, "bucketProbes",
       ArrayType(LongType, containsNull = false), Seq(AD, I, L, I))),
+    // CMS probe: pairs with Spark's native count_min_sketch aggregate; the
+    // agg adds StringType as UTF-8 bytes, the static probes the same bytes
+    "graft_cms_estimate" -> ((Class.forName("graft.core.SketchOps"),
+      "cmsEstimate", L, Seq(BinaryType, S))),
     "graft_l2" -> ((vecOps, "l2", D, Seq(AD, AD))),
   )
 

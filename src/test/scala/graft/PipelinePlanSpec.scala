@@ -90,6 +90,43 @@ class PipelinePlanSpec extends SparkTestBase {
     assert(scans == 1, s"corpus scanned $scans times (df-as-CTE would inline twice):\n$plan")
   }
 
+  test("t25 CMS prefilter: tail dropped before the shuffle, result sketch-independent") {
+    import spark.implicits._
+    // 2000 singleton tail tokens + two heavy tokens at 300 occurrences:
+    // threshold = 1% of 2600 = 26, so exactly the two heavies qualify
+    val toks = (0 until 2000).map(i => s"tail_$i") ++
+      Seq.fill(300)("heavy_a") ++ Seq.fill(300)("heavy_b")
+    toks.toDF("tok").createOrReplaceTempView("t25spec_tok")
+    graft.functions.TextFunctions.register(spark)
+    val cand = spark.sql("""
+      SELECT tok FROM t25spec_tok
+      WHERE graft_cms_estimate(
+              (SELECT count_min_sketch(tok, 0.0005D, 0.99D, 42) FROM t25spec_tok),
+              tok) * 100 >= (SELECT COUNT(*) FROM t25spec_tok)""")
+    val survivors = cand.count()
+    // one-sided error: every heavy occurrence survives; the tail is pruned
+    // BEFORE the exact group-by shuffle (this is the 100 TB win: the
+    // billion-key tail never enters the exchange)
+    assert(survivors >= 600, s"CMS dropped heavy occurrences: $survivors")
+    assert(survivors < 900, s"CMS pruned almost nothing: $survivors of 2600")
+    val viaCms = cand.groupBy("tok").count()
+      .where($"count" * 100 >= 2600).collect().map(_.getString(0)).toSet
+    val exact = spark.sql("""
+      SELECT tok FROM t25spec_tok GROUP BY tok
+      HAVING COUNT(*) * 100 >= (SELECT COUNT(*) FROM t25spec_tok)""")
+      .collect().map(_.getString(0)).toSet
+    assert(viaCms == exact && exact == Set("heavy_a", "heavy_b"),
+      s"sketch changed the result: cms=$viaCms exact=$exact")
+  }
+
+  test("t25 plan: CMS probe sits below the exchange (map-side prune)") {
+    val plan = SparkEntry.queries("t25_cms_heavy_hitters")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cmsEstimate"), s"no CMS probe in plan:\n$plan")
+    assert(plan.indexOf("cmsEstimate") > plan.indexOf("Exchange"),
+      s"CMS probe not below a shuffle in:\n$plan")
+  }
+
   test("t20 plan: bloom probe sits below the exchange (map-side prune)") {
     val plan = SparkEntry.queries("t20_bloom_contamination")(spark, dir)
       .queryExecution.executedPlan.toString
