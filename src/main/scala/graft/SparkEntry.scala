@@ -1853,6 +1853,79 @@ object SparkEntry {
       .orderBy("zone_id")
   }
 
+  /** Streaming zone transitions (s07): geofence tagging + per-device
+    * custom state composed in ONE streaming query — the stream-static
+    * spatial join tags each position with its zone (planner-side, the s04
+    * machinery), then [[graft.streaming.StreamOps.zoneTransitions]] emits
+    * ENTER/EXIT rows via `flatMapGroupsWithState` (state = last zone per
+    * device, O(devices)). Positions arrive in TWO micro-batch files split
+    * mid-path, so devices straddle the boundary — a device ending batch 1
+    * in 'west' and opening batch 2 in 'east' must emit exactly one
+    * west→east row, which only happens if per-device state survives the
+    * batch boundary; the closed-form oracle (LAG over the full event set)
+    * hash-mismatches on any state loss OR any duplicate emission.
+    *
+    * 100 TB topology: the zone join broadcasts the (small) zone table per
+    * micro-batch; transition state shards by device across executors and
+    * holds one string each. Nothing accumulates on the driver. */
+  private def s07Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s07").toString
+    val src = new java.io.File(tmp, "src"); src.mkdirs()
+    val pts = s.sql("""
+      SELECT CAST(d AS BIGINT) AS device_id,
+             timestamp_seconds(1700000000 + k * 60) AS ts,
+             CAST((d * 7 + k * 3) % 100 AS DOUBLE) AS x,
+             CAST((d + k) % 2 * 0.5 + 0.25 AS DOUBLE) AS y,
+             CAST(k AS BIGINT) AS k
+      FROM (SELECT id AS d FROM range(10)) CROSS JOIN (SELECT id AS k FROM range(40))""")
+    Seq(pts.where("k < 20"), pts.where("k >= 20")).zipWithIndex.foreach {
+      case (df, i) =>
+        val stage = new java.io.File(tmp, s"stage$i")
+        df.drop("k").coalesce(1).write.parquet(stage.getPath)
+        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(src, s"f$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = s.readStream.schema(pts.drop("k").schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+      .withColumn("geom", org.apache.spark.sql.functions.expr("ST_Point(x, y)"))
+    val zones = s.sql("""
+      SELECT zone_name, ST_GeomFromText(wkt) AS zone FROM VALUES
+        ('west', 'POLYGON((-1 -1, 49.5 -1, 49.5 2, -1 2, -1 -1))'),
+        ('east', 'POLYGON((49.5 -1, 101 -1, 101 2, 49.5 2, 49.5 -1))') AS t(zone_name, wkt)""")
+    val tagged = graft.streaming.StreamOps.geofence(stream, zones)
+      .selectExpr("device_id", "ts", "zone_name AS zone")
+    import s.implicits._
+    val transitions = graft.streaming.StreamOps.zoneTransitions(
+      tagged.as[graft.streaming.StreamOps.PosEvent])
+    val qname = "graft_s07_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val q = transitions.toDF().writeStream.format("memory").queryName(qname)
+      .option("checkpointLocation", tmp + "/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.sql(s"""
+      SELECT device_id, CAST(unix_micros(ts) DIV 1000000 AS BIGINT) AS tsec,
+             from_zone, to_zone
+      FROM $qname ORDER BY device_id, tsec""")
+  }
+
+  private val s07Duck = """
+    WITH e AS (SELECT d, k, 1700000000 + k * 60 AS tsec, (d * 7 + k * 3) % 100 AS x
+               FROM range(10) t1(d) CROSS JOIN range(40) t2(k)),
+    z AS (SELECT d AS device_id, tsec,
+                 CASE WHEN x <= 49 THEN 'west' ELSE 'east' END AS zone FROM e),
+    t AS (SELECT device_id, tsec,
+                 LAG(zone) OVER (PARTITION BY device_id ORDER BY tsec) AS from_zone,
+                 zone AS to_zone
+          FROM z)
+    SELECT device_id::BIGINT AS device_id, tsec::BIGINT AS tsec, from_zone, to_zone
+    FROM t WHERE from_zone IS DISTINCT FROM to_zone
+    ORDER BY device_id, tsec"""
+
   private val s04Duck = """
     WITH p AS (
       SELECT i AS point_id, (i % 20) * 0.1 + 0.05 AS lon, (i % 13) * 0.1 + 0.05 AS lat
@@ -4621,6 +4694,7 @@ object SparkEntry {
     ("s04_stream_geofence", s04Fn _, s04Duck),
     ("s05_stream_interval_join", s05Fn _, s05Duck),
     ("s06_stream_topk_terms", s06Fn _, s06Duck),
+    ("s07_zone_transitions", s07Fn _, s07Duck),
     ("m01_media_meta", q(m01Spark), m01Duck),
     ("m02_decode_resize_hist", m02Fn _, m02Duck),
     ("m03_real_decode_matrix", q(m03Spark), m03Duck),

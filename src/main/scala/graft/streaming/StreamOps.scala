@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -112,6 +112,47 @@ object StreamOps {
       .select(col("ts"), explode(col(tokensCol)).as("token"))
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("token"))
       .agg(count("*").as("n"))
+
+  case class PosEvent(device_id: Long, ts: Timestamp, zone: String)
+  case class Transition(device_id: Long, ts: Timestamp, from_zone: String, to_zone: String)
+  // not private: the state Encoder instantiates it from generated code
+  case class ZoneState(zone: String)
+
+  /** Streaming zone ENTER/EXIT transitions: per-device custom state over a
+    * zone-tagged position stream (tag upstream — e.g. the [[geofence]]
+    * stream-static join — so the stateful op never touches geometry). A
+    * transition row emits whenever a device's zone differs from the zone
+    * it was last seen in, INCLUDING across micro-batches: state is the
+    * last zone per device (one string — O(devices), not O(events)), so a
+    * device that ends batch 1 in zone A and opens batch 2 in zone B emits
+    * exactly one A→B row. First sighting emits null→zone (the ENTER).
+    *
+    * Rows inside a micro-batch are processed in event-time order (the
+    * group iterator is unordered; we sort the per-device batch slice —
+    * bounded by per-device batch volume). Cross-batch order is the
+    * stream's arrival order: pair with a watermark + tolerance upstream
+    * if the source can reorder across batches. */
+  def zoneTransitions(events: Dataset[PosEvent]): Dataset[Transition] = {
+    implicit val outEnc: Encoder[Transition] = Encoders.product[Transition]
+    implicit val stEnc: Encoder[ZoneState] = Encoders.product[ZoneState]
+    events
+      .groupByKey(_.device_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[ZoneState, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (id, rows, state: GroupState[ZoneState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var last = state.getOption.map(_.zone).orNull
+          val out = scala.collection.mutable.ListBuffer.empty[Transition]
+          sorted.foreach { e =>
+            if (e.zone != last) {
+              out += Transition(id, e.ts, last, e.zone)
+              last = e.zone
+            }
+          }
+          if (last != null) state.update(ZoneState(last))
+          out.iterator
+      }
+  }
 
   /** Stream-stream event-time interval join: pair each left row with every
     * right row sharing `key` whose `ts` lands in [left.ts, left.ts +

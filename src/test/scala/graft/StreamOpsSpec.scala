@@ -71,6 +71,33 @@ class StreamOpsSpec extends SparkTestBase {
     assert(pairs === List((100L, 200L), (100L, 203L)))
   }
 
+  test("zoneTransitions: cross-batch state, no spurious re-ENTER, in-batch ordering") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.StreamOps.{PosEvent, Transition}
+    val mem = MemoryStream[PosEvent]
+    val q = StreamOps.zoneTransitions(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("zt").outputMode("append").start()
+    // batch 1, deliberately out of order: device 1 visits A (t1), A (t3),
+    // B (t5) — delivered as t5, t1, t3 to prove per-batch event-time sort
+    mem.addData(PosEvent(1, ts(5), "B"), PosEvent(1, ts(1), "A"), PosEvent(1, ts(3), "A"))
+    q.processAllAvailable()
+    // batch 2: device 1 stays in B (must emit NOTHING — a state loss would
+    // re-ENTER null→B) then moves to C; device 2 appears for the first time
+    mem.addData(PosEvent(1, ts(7), "B"), PosEvent(1, ts(9), "C"), PosEvent(2, ts(8), "A"))
+    q.processAllAvailable()
+    runToCompletion(q)
+    val got = s.sql("SELECT device_id, ts, from_zone, to_zone FROM zt ORDER BY device_id, ts")
+      .as[Transition].collect().toList
+    assert(got === List(
+      Transition(1, ts(1), null, "A"),   // first sighting: ENTER
+      Transition(1, ts(5), "A", "B"),    // in-batch transition (after sort)
+      Transition(1, ts(9), "B", "C"),    // cross-batch: B carried from batch 1
+      Transition(2, ts(8), null, "A")),
+      s"got $got")
+  }
+
   test("geofence: stream-static spatial join plans through SpatialJoinExec per batch") {
     val s = spark
     import s.implicits._
