@@ -1306,6 +1306,47 @@ object SparkEntry {
     * integer midpoints, JTS overlay preserves collinear vertices):
     * f(8)=2, f(16)=4, f(24)=4, f(32)=8 pieces, every piece ≤10 vertices,
     * areas exact. The oracle pins all three. */
+  /** Polygonize + LineMerge (g56): linework → areas, the PostGIS
+    * topology-assembly pair (JTS Polygonizer / LineMerger; beyond the
+    * reference's op set — its overlay story stops at union/intersection).
+    * The 25 nation rows derive a 5×5 unit grid's DISTINCT edge set (shared
+    * edges appear once — Polygonizer requires noded, non-duplicated
+    * linework), which assembles into exactly 25 unit cells; separately a
+    * 3-segment chain per nation merges into one 4-point line each. All
+    * surfaced values are order-insensitive collection aggregates
+    * (count/area/npoints/length), and `GeomOps.polygonize` normalizes and
+    * WKT-sorts its output polygons, so the result is deterministic under
+    * any `collect_list` order. Oracle = closed-form grid arithmetic. */
+  private val g56Spark = """
+    WITH cells AS (SELECT CAST(n_nationkey % 5 AS INT) AS cx,
+                          CAST(n_nationkey DIV 5 AS INT) AS cy FROM nation),
+    ew AS (SELECT DISTINCT wkt FROM cells LATERAL VIEW explode(array(
+             concat('LINESTRING(', cx, ' ', cy, ',', cx + 1, ' ', cy, ')'),
+             concat('LINESTRING(', cx, ' ', cy + 1, ',', cx + 1, ' ', cy + 1, ')'),
+             concat('LINESTRING(', cx, ' ', cy, ',', cx, ' ', cy + 1, ')'),
+             concat('LINESTRING(', cx + 1, ' ', cy, ',', cx + 1, ' ', cy + 1, ')'))) t AS wkt),
+    polys AS (SELECT ST_Polygonize(ST_Collect(collect_list(ST_GeomFromText(wkt)))) AS g FROM ew),
+    cseg AS (SELECT wkt FROM (SELECT n_nationkey AS n FROM nation) LATERAL VIEW explode(array(
+             concat('LINESTRING(', n, ' 0,', n, ' 0.25)'),
+             concat('LINESTRING(', n, ' 0.25,', n, ' 0.5)'),
+             concat('LINESTRING(', n, ' 0.5,', n, ' 1)'))) t AS wkt),
+    merged AS (SELECT ST_LineMerge(ST_Collect(collect_list(ST_GeomFromText(wkt)))) AS g FROM cseg)
+    SELECT CAST(ST_NumGeometries(p.g) AS BIGINT) AS n_polys,
+           ROUND(ST_Area(p.g), 6) AS total_area,
+           CAST(ST_NumGeometries(m.g) AS BIGINT) AS n_merged,
+           CAST(ST_NPoints(m.g) AS BIGINT) AS merged_npoints,
+           ROUND(ST_Length(m.g), 6) AS merged_len
+    FROM polys p CROSS JOIN merged m"""
+
+  private val g56Duck = """
+    WITH cells AS (SELECT n_nationkey % 5 AS cx, n_nationkey // 5 AS cy FROM nation)
+    SELECT COUNT(*)::BIGINT AS n_polys,
+           ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS total_area,
+           COUNT(*)::BIGINT AS n_merged,
+           (COUNT(*) * 4)::BIGINT AS merged_npoints,
+           ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS merged_len
+    FROM cells"""
+
   private val g52Spark = """
     SELECT CAST(w AS INT) AS w, COUNT(*) AS n_pieces,
            CAST(SUM(ST_Area(p)) AS BIGINT) AS sum_area,
@@ -4648,6 +4689,7 @@ object SparkEntry {
     ("g53_dbscan", g53Fn _, g53Duck),
     ("g54_shp_dsv2_pruned", g54Fn _, g54Duck),
     ("g55_arrow_dsv2_pruned", g55Fn _, g55Duck),
+    ("g56_polygonize_linemerge", q(g56Spark), g56Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),

@@ -308,6 +308,22 @@ object GeomOps {
     write(factory.buildGeometry(m.getMergedLineStrings))
   }
 
+  /** Assemble the polygons enclosed by a linework collection (PostGIS
+    * ST_Polygonize; JTS Polygonizer). Input is any geometry whose line
+    * components form the edges; output is a GeometryCollection of the
+    * polygons they enclose (empty collection when the linework closes
+    * nothing). Polygons are normalized and sorted by WKT so the result is
+    * deterministic regardless of input component order — map-side calls
+    * after a `ST_Collect` keep a stable cross-engine representation. */
+  def polygonize(b: Array[Byte]): Array[Byte] = {
+    val p = new org.locationtech.jts.operation.polygonize.Polygonizer()
+    p.add(read(b))
+    val polys = p.getPolygons.toArray(Array.empty[org.locationtech.jts.geom.Polygon])
+    polys.foreach(_.normalize())
+    val sorted = polys.sortBy(_.toText)
+    write(factory.createGeometryCollection(sorted.toArray[Geometry]))
+  }
+
   /** remove consecutive duplicate vertices —
     * ref: rust/geoarrow-old/src/algorithm/geo/remove_repeated_points.rs:19 */
   def removeRepeatedPoints(b: Array[Byte], tol: Double): Array[Byte] =

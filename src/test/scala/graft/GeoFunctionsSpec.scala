@@ -311,6 +311,41 @@ class GeoFunctionsSpec extends SparkTestBase {
     assert(ok.getDouble(0) > 1.9e7 && ok.getDouble(1) < 500000.0)
   }
 
+  test("ST_Polygonize: assembles enclosed cells, ignores dangles, empty when open") {
+    // closed square + a dangling edge: one polygon, dangle discarded
+    val r = sql("""
+      SELECT ST_NumGeometries(g) AS n, ST_Area(g) AS a, ST_AsText(g) AS wkt
+      FROM (SELECT ST_Polygonize(ST_Collect(ARRAY(
+        ST_GeomFromText('LINESTRING(0 0, 1 0)'),
+        ST_GeomFromText('LINESTRING(1 0, 1 1)'),
+        ST_GeomFromText('LINESTRING(1 1, 0 1)'),
+        ST_GeomFromText('LINESTRING(0 1, 0 0)'),
+        ST_GeomFromText('LINESTRING(1 1, 5 5)')))) AS g)""").head()
+    assert(r.getInt(0) == 1 && r.getDouble(1) == 1.0, s"got $r")
+    // open linework closes nothing → empty collection, zero area
+    val e = sql("""
+      SELECT ST_NumGeometries(g) AS n, ST_Area(g) AS a
+      FROM (SELECT ST_Polygonize(ST_Collect(ARRAY(
+        ST_GeomFromText('LINESTRING(0 0, 1 0)'),
+        ST_GeomFromText('LINESTRING(1 0, 1 1)')))) AS g)""").head()
+    assert(e.getInt(0) == 0 && e.getDouble(1) == 0.0, s"got $e")
+    // determinism: two shared-edge cells produce WKT-sorted normalized
+    // polygons regardless of input order
+    val ab = sql("""
+      SELECT ST_AsText(ST_Polygonize(ST_Collect(ARRAY(
+        ST_GeomFromText('LINESTRING(0 0, 1 0)'), ST_GeomFromText('LINESTRING(1 0, 1 1)'),
+        ST_GeomFromText('LINESTRING(1 1, 0 1)'), ST_GeomFromText('LINESTRING(0 1, 0 0)'),
+        ST_GeomFromText('LINESTRING(1 0, 2 0)'), ST_GeomFromText('LINESTRING(2 0, 2 1)'),
+        ST_GeomFromText('LINESTRING(2 1, 1 1)')))) ) AS w""").head().getString(0)
+    val ba = sql("""
+      SELECT ST_AsText(ST_Polygonize(ST_Collect(ARRAY(
+        ST_GeomFromText('LINESTRING(2 1, 1 1)'), ST_GeomFromText('LINESTRING(2 0, 2 1)'),
+        ST_GeomFromText('LINESTRING(1 0, 2 0)'), ST_GeomFromText('LINESTRING(0 1, 0 0)'),
+        ST_GeomFromText('LINESTRING(1 1, 0 1)'), ST_GeomFromText('LINESTRING(1 0, 1 1)'),
+        ST_GeomFromText('LINESTRING(0 0, 1 0)')))) ) AS w""").head().getString(0)
+    assert(ab == ba, s"order-dependent polygonize: $ab vs $ba")
+  }
+
   test("geodesic signed area orientation (Karney)") {
     val r = sql("""
       SELECT ST_AreaSpheroidSigned(ST_GeomFromText('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')) AS ccw,
