@@ -1347,6 +1347,47 @@ object SparkEntry {
            ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS merged_len
     FROM cells"""
 
+  /** Delaunay triangulation (g57): surface the triangulation INVARIANTS —
+    * triangle count 2n − h − 2 (n distinct sites, h hull sites) and total
+    * area = convex-hull area — which hold for EVERY maximal triangulation,
+    * so the oracle derives them arithmetically without re-implementing the
+    * triangulator even though the cocircular grid makes the triangle
+    * CHOICE implementation-defined. Nation's guaranteed-complete 0..24 key
+    * range builds a full 5×5 lattice (n=25, h=16 → 32 triangles, area 16);
+    * region's 0..4 keys build a collinear degenerate (0 triangles, hull is
+    * a zero-area line). Collect-then-kernel per group, the g08/g14
+    * shape. */
+  private val g57Spark = """
+    WITH np AS (SELECT ST_Point(CAST(n_nationkey % 5 AS DOUBLE),
+                                CAST(n_nationkey DIV 5 AS DOUBLE)) AS p FROM nation),
+    gt AS (SELECT ST_DelaunayTriangles(ST_Collect(collect_list(p))) AS g,
+                  ST_ConvexHull(ST_Collect(collect_list(p))) AS hull FROM np),
+    rp AS (SELECT ST_Point(CAST(r_regionkey AS DOUBLE),
+                           CAST(r_regionkey AS DOUBLE)) AS p FROM region),
+    rt AS (SELECT ST_DelaunayTriangles(ST_Collect(collect_list(p))) AS g,
+                  ST_ConvexHull(ST_Collect(collect_list(p))) AS hull FROM rp)
+    SELECT 'grid' AS part, CAST(ST_NumGeometries(g) AS BIGINT) AS n_triangles,
+           ROUND(ST_Area(g), 6) AS tri_area, ROUND(ST_Area(hull), 6) AS hull_area
+    FROM gt
+    UNION ALL
+    SELECT 'line', CAST(ST_NumGeometries(g) AS BIGINT),
+           ROUND(ST_Area(g), 6), ROUND(ST_Area(hull), 6)
+    FROM rt
+    ORDER BY part"""
+
+  private val g57Duck = """
+    WITH g AS (SELECT DISTINCT n_nationkey % 5 AS x, n_nationkey // 5 AS y FROM nation),
+    ga AS (SELECT COUNT(*) AS n, MAX(x) - MIN(x) AS w, MAX(y) - MIN(y) AS h FROM g),
+    ra AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT r_regionkey FROM region))
+    SELECT 'grid' AS part,
+           (2 * n - (2 * w + 2 * h) - 2)::BIGINT AS n_triangles,
+           ROUND(CAST(w * h AS DOUBLE), 6) AS tri_area,
+           ROUND(CAST(w * h AS DOUBLE), 6) AS hull_area
+    FROM ga
+    UNION ALL
+    SELECT 'line', 0::BIGINT, 0.0::DOUBLE, 0.0::DOUBLE FROM ra
+    ORDER BY part"""
+
   private val g52Spark = """
     SELECT CAST(w AS INT) AS w, COUNT(*) AS n_pieces,
            CAST(SUM(ST_Area(p)) AS BIGINT) AS sum_area,
@@ -4690,6 +4731,7 @@ object SparkEntry {
     ("g54_shp_dsv2_pruned", g54Fn _, g54Duck),
     ("g55_arrow_dsv2_pruned", g55Fn _, g55Duck),
     ("g56_polygonize_linemerge", q(g56Spark), g56Duck),
+    ("g57_delaunay", q(g57Spark), g57Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),

@@ -308,6 +308,25 @@ object GeomOps {
     write(factory.buildGeometry(m.getMergedLineStrings))
   }
 
+  /** Delaunay triangulation of the input's vertices (PostGIS
+    * ST_DelaunayTriangles; JTS DelaunayTriangulationBuilder). Returns a
+    * GeometryCollection of triangles, normalized and WKT-sorted like
+    * [[polygonize]] for a deterministic representation. For degenerate
+    * inputs (< 3 distinct points, or all collinear) the collection is
+    * empty. Note for oracle writers: with cocircular points the CHOICE of
+    * triangulation is implementation-defined, but the triangle COUNT
+    * (2n − h − 2 for n distinct points, h on the convex hull) and the
+    * TOTAL area (= convex hull area) are triangulation-invariant — pin
+    * those, not the triangle list. */
+  def delaunay(b: Array[Byte]): Array[Byte] = {
+    val builder = new org.locationtech.jts.triangulate.DelaunayTriangulationBuilder()
+    builder.setSites(read(b))
+    val tris = builder.getTriangles(factory).asInstanceOf[GeometryCollection]
+    val polys = (0 until tris.getNumGeometries).map(tris.getGeometryN).toArray
+    polys.foreach(_.normalize())
+    write(factory.createGeometryCollection(polys.sortBy(_.toText)))
+  }
+
   /** Assemble the polygons enclosed by a linework collection (PostGIS
     * ST_Polygonize; JTS Polygonizer). Input is any geometry whose line
     * components form the edges; output is a GeometryCollection of the

@@ -142,6 +142,7 @@ object GeoFunctions {
     "st_polylabel" -> Sig("polyLabel", G, Seq(G, D)),
     "st_linemerge" -> Sig("lineMerge", G, Seq(G)),
     "st_polygonize" -> Sig("polygonize", G, Seq(G)),
+    "st_delaunaytriangles" -> Sig("delaunay", G, Seq(G)),
     "st_removerepeatedpoints" -> Sig("removeRepeatedPoints", G, Seq(G, D)),
     // affine
     "st_affine" -> Sig("affine", G, Seq(G, D, D, D, D, D, D)),

@@ -346,6 +346,23 @@ class GeoFunctionsSpec extends SparkTestBase {
     assert(ab == ba, s"order-dependent polygonize: $ab vs $ba")
   }
 
+  test("ST_DelaunayTriangles: unique triangulation is order-independent; degenerates empty") {
+    // general position (no cocircular quad) → the Delaunay triangulation is
+    // UNIQUE, so any input order must give the identical normalized WKT
+    val a = sql("""SELECT ST_AsText(ST_DelaunayTriangles(ST_Collect(ARRAY(
+      ST_Point(0.0, 0.0), ST_Point(2.0, 0.0), ST_Point(1.0, 3.0), ST_Point(0.2, 1.1))))) AS w""")
+      .head().getString(0)
+    val b = sql("""SELECT ST_AsText(ST_DelaunayTriangles(ST_Collect(ARRAY(
+      ST_Point(0.2, 1.1), ST_Point(1.0, 3.0), ST_Point(2.0, 0.0), ST_Point(0.0, 0.0))))) AS w""")
+      .head().getString(0)
+    assert(a == b && a.contains("POLYGON"), s"order-dependent: $a vs $b")
+    // collinear and sub-3-point inputs triangulate to nothing
+    for (wkt <- Seq("MULTIPOINT((0 0), (1 1), (2 2), (3 3))", "MULTIPOINT((0 0), (1 1))")) {
+      val r = sql(s"""SELECT ST_NumGeometries(ST_DelaunayTriangles(ST_GeomFromText('$wkt'))) AS n""").head()
+      assert(r.getInt(0) == 0, s"$wkt -> ${r.getInt(0)} triangles")
+    }
+  }
+
   test("geodesic signed area orientation (Karney)") {
     val r = sql("""
       SELECT ST_AreaSpheroidSigned(ST_GeomFromText('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')) AS ccw,
