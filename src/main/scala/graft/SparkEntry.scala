@@ -1375,6 +1375,27 @@ object SparkEntry {
     FROM rt
     ORDER BY part"""
 
+  /** Voronoi partition (g58): cells of the nation 5×5 lattice clipped to
+    * a surrounding box. The clipped cells PARTITION the box, so cell
+    * count (= 25 sites) and total area (= box area 49) hold regardless of
+    * construction details — the g57 invariant-oracle approach; individual
+    * cell shapes are deliberately NOT pinned (boundary-cell geometry is a
+    * construction detail). */
+  private val g58Spark = """
+    WITH np AS (SELECT ST_Point(CAST(n_nationkey % 5 AS DOUBLE),
+                                CAST(n_nationkey DIV 5 AS DOUBLE)) AS p FROM nation),
+    vt AS (SELECT ST_VoronoiPolygons(ST_Collect(collect_list(p)),
+                                     -1.5D, -1.5D, 5.5D, 5.5D) AS g FROM np)
+    SELECT CAST(ST_NumGeometries(g) AS BIGINT) AS n_cells,
+           ROUND(ST_Area(g), 6) AS total_area
+    FROM vt"""
+
+  private val g58Duck = """
+    WITH g AS (SELECT DISTINCT n_nationkey % 5 AS x, n_nationkey // 5 AS y FROM nation)
+    SELECT COUNT(*)::BIGINT AS n_cells,
+           ROUND(CAST(7 * 7 AS DOUBLE), 6) AS total_area
+    FROM g"""
+
   private val g57Duck = """
     WITH g AS (SELECT DISTINCT n_nationkey % 5 AS x, n_nationkey // 5 AS y FROM nation),
     ga AS (SELECT COUNT(*) AS n, MAX(x) - MIN(x) AS w, MAX(y) - MIN(y) AS h FROM g),
@@ -4732,6 +4753,7 @@ object SparkEntry {
     ("g55_arrow_dsv2_pruned", g55Fn _, g55Duck),
     ("g56_polygonize_linemerge", q(g56Spark), g56Duck),
     ("g57_delaunay", q(g57Spark), g57Duck),
+    ("g58_voronoi", q(g58Spark), g58Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),

@@ -327,6 +327,29 @@ object GeomOps {
     write(factory.createGeometryCollection(polys.sortBy(_.toText)))
   }
 
+  /** Voronoi diagram of the input's vertices, clipped to the given
+    * envelope (PostGIS ST_VoronoiPolygons with an extend_to; JTS
+    * VoronoiDiagramBuilder). One cell per distinct site; the clipped
+    * cells PARTITION the envelope, so cell count (= n sites) and total
+    * area (= envelope area) are construction-invariant — the oracle pins
+    * those (the g57 Delaunay-invariant approach). Cells are normalized
+    * and WKT-sorted like [[polygonize]]. JTS's raw cells extend beyond
+    * the clip envelope (it only bounds the construction), so each cell is
+    * intersected with the envelope here. */
+  def voronoi(b: Array[Byte], minX: Double, minY: Double,
+              maxX: Double, maxY: Double): Array[Byte] = {
+    val env = new org.locationtech.jts.geom.Envelope(minX, maxX, minY, maxY)
+    val builder = new org.locationtech.jts.triangulate.VoronoiDiagramBuilder()
+    builder.setSites(read(b))
+    builder.setClipEnvelope(env)
+    val clip = factory.toGeometry(env)
+    val gc = builder.getDiagram(factory).asInstanceOf[GeometryCollection]
+    val cells = (0 until gc.getNumGeometries)
+      .map(i => gc.getGeometryN(i).intersection(clip)).toArray
+    cells.foreach(_.normalize())
+    write(factory.createGeometryCollection(cells.sortBy(_.toText)))
+  }
+
   /** Assemble the polygons enclosed by a linework collection (PostGIS
     * ST_Polygonize; JTS Polygonizer). Input is any geometry whose line
     * components form the edges; output is a GeometryCollection of the

@@ -143,6 +143,7 @@ object GeoFunctions {
     "st_linemerge" -> Sig("lineMerge", G, Seq(G)),
     "st_polygonize" -> Sig("polygonize", G, Seq(G)),
     "st_delaunaytriangles" -> Sig("delaunay", G, Seq(G)),
+    "st_voronoipolygons" -> Sig("voronoi", G, Seq(G, D, D, D, D)),
     "st_removerepeatedpoints" -> Sig("removeRepeatedPoints", G, Seq(G, D)),
     // affine
     "st_affine" -> Sig("affine", G, Seq(G, D, D, D, D, D, D)),
