@@ -4437,6 +4437,37 @@ object SparkEntry {
           FROM ref) t
     WHERE rnk <= 3 ORDER BY query_id, rnk"""
 
+  /** BPE-ish pre-tokenization (t26): the second tokenizer the brief's
+    * token-counting op calls for — a GPT-2-style pre-tokenizer regex
+    * (contractions, space-prefixed letter/digit/punctuation runs;
+    * `graft_bpe_tokens`/`graft_bpe_count`, core/TextOps.BpePattern)
+    * restricted to the Java∩RE2 regex subset so DuckDB's
+    * regexp_extract_all replays it byte-identically (no lookahead, ASCII
+    * classes). Each doc gets a punctuation-bearing suffix appended so the
+    * two tokenizers genuinely diverge ("it's 3.14, ok!" is 3 whitespace
+    * tokens but 8 BPE pre-tokens) and the per-language fertility ratio
+    * (bpe/ws — the tokenizer-cost signal a pipeline budgets context by)
+    * pins the full pattern semantics. Map-side per-row kernels + one
+    * bounded per-lang agg; single corpus scan. */
+  private val t26Spark = """
+    WITH d AS (SELECT /*+ REPARTITION({{P}}) */ lang,
+                      concat(text, " it's 3.14, ok!") AS t FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(CAST(graft_token_count(t) AS BIGINT)) AS ws_tokens,
+           SUM(CAST(graft_bpe_count(t) AS BIGINT)) AS bpe_tokens,
+           ROUND(CAST(SUM(CAST(graft_bpe_count(t) AS BIGINT)) AS DOUBLE)
+                 / SUM(CAST(graft_token_count(t) AS BIGINT)), 6) AS fertility
+    FROM d GROUP BY lang ORDER BY lang"""
+
+  private val t26Duck = """
+    WITH d AS (SELECT lang, text || ' it''s 3.14, ok!' AS t FROM documents)
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           SUM(len(string_split_regex(trim(t), '\s+')))::BIGINT AS ws_tokens,
+           SUM(len(regexp_extract_all(t, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r]+|[ \t\n\r]+')))::BIGINT AS bpe_tokens,
+           ROUND(CAST(SUM(len(regexp_extract_all(t, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r]+|[ \t\n\r]+'))) AS DOUBLE)
+                 / SUM(len(string_split_regex(trim(t), '\s+'))), 6) AS fertility
+    FROM d GROUP BY lang ORDER BY lang"""
+
   /** CMS-prefiltered heavy hitters (t25): exact tokens above 1% of the
     * corpus token mass, found WITHOUT shuffling the token long tail. A
     * Count-Min sketch of the token stream builds in one pass through
@@ -4794,6 +4825,7 @@ object SparkEntry {
     ("e12_multiprobe_lsh", e12Fn _, e12Duck),
     ("t24_tfidf_terms", q(t24Spark), t24Duck),
     ("t25_cms_heavy_hitters", q(t25Spark), t25Duck),
+    ("t26_bpe_pretokenize", q(t26Spark), t26Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),

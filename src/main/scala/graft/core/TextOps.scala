@@ -61,6 +61,36 @@ object TextOps {
 
   def tokenCount(s: UTF8String): Int = tokenize(s).length
 
+  /** GPT-2-style BPE pre-tokenizer, restricted to the regex subset Java
+    * and RE2 (DuckDB `regexp_extract_all`) evaluate IDENTICALLY: no
+    * lookahead (the original GPT-2 pattern's `\s+(?!\S)` is unsupported
+    * by RE2), explicit ASCII classes instead of `\p{L}`/`\s` (whose
+    * definitions differ by a vertical tab between engines), and
+    * leftmost-first alternation — contractions, space-prefixed letter
+    * runs, space-prefixed digit runs, space-prefixed punctuation runs,
+    * then whitespace runs. "it's 3.14, ok!" →
+    * [it][&#39;s][ 3][.][14][,][ ok][!]. Whitespace-run matches count as
+    * tokens on both engines (single inter-word spaces are consumed by the
+    * ` ?` prefixes and never surface). */
+  private val bpeRe = java.util.regex.Pattern.compile(
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n\\r]+|[ \\t\\n\\r]+")
+
+  /** The exact pattern string an SQL oracle passes to RE2 — exposed so the
+    * query text and this kernel can never drift apart. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n\\r]+|[ \\t\\n\\r]+"
+
+  private def bpeSplit(s: String): Array[String] = {
+    val m = bpeRe.matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+
+  def bpeTokens(s: UTF8String): ArrayData = toArrayData(bpeSplit(s.toString))
+
+  def bpeCount(s: UTF8String): Int = bpeSplit(s.toString).length
+
   /** Character n-grams over code points; length(s) < n → empty. Deliberately
     * NOT deduplicated (consumers are duplicate-insensitive; dedup is O(n²)). */
   def ngrams(s: UTF8String, n: Int): ArrayData = {

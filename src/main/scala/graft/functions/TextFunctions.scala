@@ -69,6 +69,8 @@ object TextFunctions {
     "graft_bucketk" -> ((vecOps, "bucketk", L, Seq(AD, I, L))),
     "graft_bucket_probes" -> ((vecOps, "bucketProbes",
       ArrayType(LongType, containsNull = false), Seq(AD, I, L, I))),
+    "graft_bpe_tokens" -> ((textOps, "bpeTokens", AS, Seq(S))),
+    "graft_bpe_count" -> ((textOps, "bpeCount", I, Seq(S))),
     // CMS probe: pairs with Spark's native count_min_sketch aggregate; the
     // agg adds StringType as UTF-8 bytes, the static probes the same bytes
     "graft_cms_estimate" -> ((Class.forName("graft.core.SketchOps"),

@@ -120,6 +120,29 @@ class TextOpsSpec extends SparkTestBase {
     assert(cs("", 4, 2) === Nil)
   }
 
+  test("BPE pre-tokenizer: contractions, runs, whitespace semantics, SQL parity") {
+    def toks(s: String): List[String] = {
+      val a = TextOps.bpeTokens(UTF8String.fromString(s))
+      (0 until a.numElements()).map(a.getUTF8String(_).toString).toList
+    }
+    // the documented example: 3 whitespace tokens but 8 BPE pre-tokens
+    assert(toks("it's 3.14, ok!") ===
+      List("it", "'s", " 3", ".", "14", ",", " ok", "!"))
+    // a single inter-word space is consumed by the ` ?` prefixes; a run of
+    // two or more is swallowed WHOLE by the greedy whitespace alternative,
+    // so the following word loses its space prefix (no-lookahead
+    // divergence from original GPT-2, deliberate — see TextOps scaladoc;
+    // RE2 and Java agree, which is the property that matters)
+    assert(toks("a  b") === List("a", "  ", "b"))
+    assert(toks("") === Nil)
+    assert(TextOps.bpeCount(UTF8String.fromString("it's 3.14, ok!")) == 8)
+    // registered SQL surface matches the static
+    graft.functions.TextFunctions.register(spark)
+    val r = sql("""SELECT graft_bpe_count("it's 3.14, ok!") AS n,
+                          graft_bpe_tokens('a  b') AS t""").head()
+    assert(r.getInt(0) == 8 && r.getSeq[String](1).toList === List("a", "  ", "b"))
+  }
+
   test("SQL surface registered (repetition + pii kernels)") {
     graft.functions.TextFunctions.register(spark)
     val r = sql("""SELECT graft_top_ngram_frac('a b a b a', 2) AS t,
