@@ -2483,6 +2483,80 @@ object SparkEntry {
             FROM cand c JOIN t07_sigs si ON si.id = c.i JOIN t07_sigs sj ON sj.id = c.j) t""")
   }
 
+  /** Minhash estimator calibration (t27): the text-side analog of the
+    * e05/e08 ANN recall gates — for every LSH candidate pair, the
+    * signature-agreement estimate of Jaccard (matching positions / 16,
+    * the MinHash unbiased estimator) side-by-side with the EXACT shingle
+    * Jaccard, so estimator drift (a broken permutation, a biased hash) is
+    * a hash mismatch, not a silent recall regression. Same aug corpus and
+    * banding as t07 (80%-prefix twins are the known-similar pairs); both
+    * surfaced doubles are single divisions of exact integers, so the
+    * DuckDB replay is bit-identical. Bounded output: one row per
+    * candidate pair. */
+  private def t27Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val sigs = s.sql("""
+      SELECT id, graft_minhash_sigs(ng, 16) AS sig, ng
+      FROM (SELECT /*+ REPARTITION(64) */ id, graft_shingles(text, 3) AS ng
+            FROM (SELECT doc_id AS id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 100000, substring(text, 1, CAST(FLOOR(n_chars * 0.8D) AS INT))
+                  FROM documents) aug) t""").localCheckpoint()
+    sigs.createOrReplaceTempView("t27_sigs")
+    s.sql("""
+      WITH bands AS (
+        SELECT id, b, graft_hash(concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> CAST(x AS STRING)))) AS bkey
+        FROM t27_sigs LATERAL VIEW explode(sequence(0, 3)) bt AS b),
+      cand AS (
+        SELECT DISTINCT x.id AS i, y.id AS j
+        FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.id < y.id),
+      pairs AS (
+        SELECT c.i, c.j,
+               size(filter(zip_with(si.sig, sj.sig, (x, y) -> x = y), v -> v)) AS sig_matches,
+               graft_jaccard(si.ng, sj.ng) AS jac
+        FROM cand c JOIN t27_sigs si ON si.id = c.i JOIN t27_sigs sj ON sj.id = c.j)
+      SELECT i, j, CAST(sig_matches AS BIGINT) AS sig_matches,
+             ROUND(sig_matches / 16.0D, 6) AS est_jaccard,
+             ROUND(jac, 6) AS exact_jaccard
+      FROM pairs ORDER BY i, j""")
+  }
+
+  private val t27Duck = """
+    WITH aug AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, substr(text, 1, CAST(FLOOR(n_chars * 0.8::DOUBLE) AS INT)) FROM documents),
+    sigs AS (
+      SELECT id,
+             list_transform(range(0, 16), k -> coalesce(list_min(list_transform(
+               list_transform(ng, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT),
+               x -> (((k + 1) * 1000003 % 16777216) * x + k * 30011 + 1) % 4294967311)), 4294967311)) AS sig,
+             ng
+      FROM (SELECT id,
+              CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+                THEN list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 3 + 2),
+                       i -> array_to_string(array_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' '))
+                ELSE [] END AS ng
+            FROM aug) augng),
+    bands AS (
+      SELECT id, b,
+             ('0x' || substr(md5(array_to_string(list_transform(
+                array_slice(sig, b * 4 + 1, b * 4 + 4), x -> x::VARCHAR), ',')), 1, 8))::BIGINT AS bkey
+      FROM sigs, (SELECT unnest(range(0, 4)) AS b) bs),
+    cand AS (
+      SELECT DISTINCT x.id AS i, y.id AS j
+      FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.id < y.id),
+    pairs AS (
+      SELECT c.i, c.j,
+             len(list_filter(list_transform(range(1, 17), idx -> si.sig[idx] = sj.sig[idx]), v -> v)) AS sig_matches,
+             CASE WHEN len(list_distinct(list_concat(si.ng, sj.ng))) = 0 THEN 0.0::DOUBLE
+                  ELSE len(list_intersect(si.ng, sj.ng)) / len(list_distinct(list_concat(si.ng, sj.ng))) END AS jac
+      FROM cand c JOIN sigs si ON si.id = c.i JOIN sigs sj ON sj.id = c.j)
+    SELECT i::BIGINT AS i, j::BIGINT AS j, sig_matches::BIGINT AS sig_matches,
+           ROUND(sig_matches / 16.0, 6) AS est_jaccard,
+           ROUND(jac, 6) AS exact_jaccard
+    FROM pairs ORDER BY i, j"""
+
   private val t07Duck = """
     WITH aug AS (
       SELECT doc_id AS id, text FROM documents
@@ -4826,6 +4900,7 @@ object SparkEntry {
     ("t24_tfidf_terms", q(t24Spark), t24Duck),
     ("t25_cms_heavy_hitters", q(t25Spark), t25Duck),
     ("t26_bpe_pretokenize", q(t26Spark), t26Duck),
+    ("t27_minhash_calibration", t27Fn _, t27Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),
