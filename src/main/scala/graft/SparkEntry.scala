@@ -198,6 +198,51 @@ object SparkEntry {
   // ── geometry kernels over synthesized coordinates ─────────────────────
   // (oracle = closed-form math; DuckDB spatial is unavailable by design)
 
+  /** Windowed revenue leaderboard (q08): top-3 customers per nation by
+    * exact decimal revenue, with rank and a running within-nation total —
+    * the stacked-window OLAP shape (q03 covers per-group top-k, this adds
+    * the cumulative frame + a second ordering key). All money stays
+    * DECIMAL(18,2) end-to-end (sums and running sums are exact, no FP
+    * order sensitivity); the single shuffle is the nation-keyed window.
+    * Cast to DOUBLE only at the surface, after ROUND. */
+  private val q08Spark = """
+    WITH rev AS (SELECT c.c_nationkey, c.c_custkey,
+                        COUNT(o.o_orderkey) AS n_orders,
+                        SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+                 FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                 GROUP BY c.c_nationkey, c.c_custkey),
+    ranked AS (SELECT c_nationkey, c_custkey, n_orders, revenue,
+                      ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                         ORDER BY revenue DESC, c_custkey) AS rnk,
+                      SUM(revenue) OVER (PARTITION BY c_nationkey
+                                         ORDER BY revenue DESC, c_custkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+               FROM rev)
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey, CAST(rnk AS BIGINT) AS rnk,
+           c_custkey AS custkey, n_orders,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(running AS DOUBLE) AS running_revenue
+    FROM ranked WHERE rnk <= 3 ORDER BY nationkey, rnk"""
+
+  private val q08Duck = """
+    WITH rev AS (SELECT c.c_nationkey, c.c_custkey,
+                        COUNT(o.o_orderkey) AS n_orders,
+                        SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+                 FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                 GROUP BY c.c_nationkey, c.c_custkey),
+    ranked AS (SELECT c_nationkey, c_custkey, n_orders, revenue,
+                      ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                         ORDER BY revenue DESC, c_custkey) AS rnk,
+                      SUM(revenue) OVER (PARTITION BY c_nationkey
+                                         ORDER BY revenue DESC, c_custkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+               FROM rev)
+    SELECT c_nationkey::BIGINT AS nationkey, rnk::BIGINT AS rnk,
+           c_custkey::BIGINT AS custkey, n_orders::BIGINT AS n_orders,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(running AS DOUBLE) AS running_revenue
+    FROM ranked WHERE rnk <= 3 ORDER BY nationkey, rnk"""
+
   private val g01Spark = """
     SELECT l_returnflag, COUNT(*) AS n,
            ROUND(MIN(d), 6) AS min_d, ROUND(MAX(d), 6) AS max_d,
@@ -4804,6 +4849,7 @@ object SparkEntry {
     ("g03_zone_contains_join", q(g03Spark), g03Duck),
     ("q06_rollup_revenue", q(q06Spark), q06Duck),
     ("q07_hourly_events", q(q07Spark), q07Duck),
+    ("q08_revenue_leaderboard", q(q08Spark), q08Duck),
     ("g04_buffer_area", q(g04Spark), g04Duck),
     ("g05_centroid", q(g05Spark), g05Duck),
     ("g06_extent_agg", q(g06Spark), g06Duck),
