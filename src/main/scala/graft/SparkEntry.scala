@@ -3592,6 +3592,42 @@ object SparkEntry {
     * bounded report aggs. The oracle regenerates every hash
     * arithmetically from the closed-form raster — all steps integer-exact
     * (threshold is p·64 > Σp, no division). */
+  /** Format-conversion roundtrip (m07): every corpus PNG transcodes to
+    * BMP through the REAL codec (`graft_media_transcode` — decode,
+    * rebuild raster, re-encode) and back out through the real decoder;
+    * the gate is pixel-level: decode(bmp).pixels must BINARY-EQUAL
+    * decode(png).pixels (both containers lossless), the header probe must
+    * identify the new container, and the BMP byte size must hit the
+    * closed-form 8-bit-palette layout (1078 + h·ceil(w/4)·4) exactly —
+    * so a codec regression (palette change, row padding, channel
+    * promotion) is a hash mismatch. All kernels map-side; one bounded
+    * aggregate. */
+  private val m07Spark = """
+    WITH im AS (SELECT /*+ REPARTITION({{P}}) */ doc_id,
+                       graft_media_png(doc_id) AS png FROM documents),
+    t AS (SELECT doc_id, png, graft_media_transcode(png, 'bmp') AS bmp FROM im),
+    d AS (SELECT doc_id,
+                 graft_media_decode(png) AS dp,
+                 graft_media_decode(bmp) AS db,
+                 graft_media_meta(bmp).format AS bfmt,
+                 length(bmp) AS blen FROM t)
+    SELECT COUNT(*) AS n_files,
+           SUM(CASE WHEN dp.pixels = db.pixels AND dp.width = db.width
+                     AND dp.height = db.height AND dp.channels = db.channels
+                    THEN 1 ELSE 0 END) AS n_lossless,
+           SUM(CASE WHEN bfmt = 'bmp' THEN 1 ELSE 0 END) AS n_bmp,
+           SUM(CAST(blen AS BIGINT)) AS total_bmp_bytes
+    FROM d"""
+
+  private val m07Duck = """
+    WITH dims AS (SELECT doc_id, 1 + doc_id % 16 AS w, 1 + (doc_id // 16) % 16 AS h
+                  FROM documents)
+    SELECT COUNT(*)::BIGINT AS n_files,
+           COUNT(*)::BIGINT AS n_lossless,
+           COUNT(*)::BIGINT AS n_bmp,
+           SUM(1078 + h * ((w + 3) // 4 * 4))::BIGINT AS total_bmp_bytes
+    FROM dims"""
+
   private val m06Spark = """
     WITH pc AS (SELECT doc_id, phash,
                        CAST(length(replace(phash, '0', '')) AS BIGINT) AS nbits
@@ -4960,6 +4996,7 @@ object SparkEntry {
     ("m04_frame_sample", q(m04Spark), m04Duck),
     ("m05_audio_stats", q(m05Spark), m05Duck),
     ("m06_image_phash_dedup", q(m06Spark), m06Duck),
+    ("m07_format_roundtrip", q(m07Spark), m07Duck),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -28,6 +28,11 @@ object MediaOps {
     * raster — see [[Multimodal.encodePngGray]]). SQL: `graft_media_png(seed)`. */
   def mediaPngGray(seed: Long): Array[Byte] = Multimodal.encodePngGray(seed)
 
+  /** Re-encode a decoded image in another container via the real codec —
+    * see [[Multimodal.transcode]]. SQL: `graft_media_transcode(bin, fmt)`. */
+  def mediaTranscode(b: Array[Byte], fmt: org.apache.spark.unsafe.types.UTF8String): Array[Byte] =
+    Multimodal.transcode(b, fmt.toString)
+
   /** Deterministic synthetic-corpus WAV (real JDK WAVE writer, closed-form
     * PCM16 signal — see [[Multimodal.encodeWavPcm16]]).
     * SQL: `graft_audio_wav(seed)`. */

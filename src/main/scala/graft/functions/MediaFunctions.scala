@@ -50,6 +50,7 @@ object MediaFunctions {
     "graft_media_meta" -> Sig("mediaMeta", metaStruct, Seq(BinaryType)),
     "graft_media_png" -> Sig("mediaPngGray", BinaryType, Seq(LongType)),
     "graft_media_phash" -> Sig("mediaPhash", StringType, Seq(BinaryType)),
+    "graft_media_transcode" -> Sig("mediaTranscode", BinaryType, Seq(BinaryType, StringType)),
     "graft_audio_wav" -> Sig("audioWav", BinaryType, Seq(LongType)),
     "graft_audio_meta" -> Sig("audioMeta", audioMetaStruct, Seq(BinaryType)),
     "graft_audio_stats" -> Sig("audioStats", audioStatsStruct, Seq(BinaryType)))

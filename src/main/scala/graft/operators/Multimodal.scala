@@ -170,6 +170,31 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Transcode through the REAL codec: decode `payload` (any ImageIO
+    * format), rebuild the raster, re-encode as `format` ("bmp", "png",
+    * "gif", …). Both sides lossless for the formats used in-engine, so
+    * decode(transcode(x)) is pixel-identical to decode(x) — the m07
+    * roundtrip gate. Container note the oracle relies on: the JDK BMP
+    * writer emits an 8-bit palette BMP for grayscale rasters, so the file
+    * is exactly 1078 + h·ceil(w/4)·4 bytes (14+40 header, 1024 palette,
+    * 4-aligned rows). Memory-backed streams per call site (no global
+    * ImageIO cache mutation). */
+  def transcode(payload: Array[Byte], format: String): Array[Byte] = {
+    val img = decodeImage(payload)
+    val kind =
+      if (img.channels == 1) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+    val bi = new java.awt.image.BufferedImage(img.width, img.height, kind)
+    bi.getRaster.setDataElements(0, 0, img.width, img.height, img.pixels)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try {
+      if (!javax.imageio.ImageIO.write(bi, format, ios))
+        throw new IllegalArgumentException(s"no ImageIO writer for format '$format'")
+    } finally ios.close()
+    out.toByteArray
+  }
+
   // ── real kernels over decoded buffers ─────────────────────────────────
 
   /** Nearest-neighbor resize on an interleaved byte raster. */
