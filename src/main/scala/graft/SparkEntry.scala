@@ -243,6 +243,36 @@ object SparkEntry {
            CAST(running AS DOUBLE) AS running_revenue
     FROM ranked WHERE rnk <= 3 ORDER BY nationkey, rnk"""
 
+  /** Multi-dimensional revenue report (q09): GROUPING SETS over
+    * (nation), (segment), (nation, segment) and the grand total in ONE
+    * aggregation pass — Spark expands the sets into a single
+    * Expand+HashAggregate (one shuffle carrying every grouping
+    * combination), vs four separate scans+shuffles for the UNION ALL
+    * formulation. q06 covers ROLLUP; this covers the general set lattice
+    * + GROUPING() disambiguation of real NULLs vs subtotal NULLs. Money
+    * stays DECIMAL(18,2) to the surface. */
+  private val q09Spark = """
+    SELECT COALESCE(CAST(c.c_nationkey AS STRING), 'ALL') AS nation,
+           COALESCE(c.c_mktsegment, 'ALL') AS segment,
+           CAST(GROUPING(c.c_nationkey) * 2 + GROUPING(c.c_mktsegment) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY GROUPING SETS ((c.c_nationkey), (c.c_mktsegment),
+                            (c.c_nationkey, c.c_mktsegment), ())
+    ORDER BY gid, nation, segment"""
+
+  private val q09Duck = """
+    SELECT COALESCE(CAST(c.c_nationkey AS VARCHAR), 'ALL') AS nation,
+           COALESCE(c.c_mktsegment, 'ALL') AS segment,
+           (GROUPING(c.c_nationkey) * 2 + GROUPING(c.c_mktsegment))::BIGINT AS gid,
+           COUNT(*)::BIGINT AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY GROUPING SETS ((c.c_nationkey), (c.c_mktsegment),
+                            (c.c_nationkey, c.c_mktsegment), ())
+    ORDER BY gid, nation, segment"""
+
   private val g01Spark = """
     SELECT l_returnflag, COUNT(*) AS n,
            ROUND(MIN(d), 6) AS min_d, ROUND(MAX(d), 6) AS max_d,
@@ -4886,6 +4916,7 @@ object SparkEntry {
     ("q06_rollup_revenue", q(q06Spark), q06Duck),
     ("q07_hourly_events", q(q07Spark), q07Duck),
     ("q08_revenue_leaderboard", q(q08Spark), q08Duck),
+    ("q09_grouping_sets", q(q09Spark), q09Duck),
     ("g04_buffer_area", q(g04Spark), g04Duck),
     ("g05_centroid", q(g05Spark), g05Duck),
     ("g06_extent_agg", q(g06Spark), g06Duck),

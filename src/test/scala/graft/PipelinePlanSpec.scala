@@ -127,6 +127,22 @@ class PipelinePlanSpec extends SparkTestBase {
       s"CMS probe not below a shuffle in:\n$plan")
   }
 
+  test("t26/m07: per-row kernel queries keep zero joins and a single scan") {
+    for (name <- Seq("t26_bpe_pretokenize", "m07_format_roundtrip")) {
+      val plan = planOf(name)
+      assert(!plan.contains("Join"), s"$name grew a join:\n$plan")
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      assert(scans == 1, s"$name scanned the corpus $scans times:\n$plan")
+    }
+  }
+
+  test("q09 grouping sets: one Expand + aggregate pass, not a union of scans") {
+    val plan = planOf("q09_grouping_sets")
+    assert(plan.contains("Expand"), s"grouping sets did not plan via Expand:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"expected one scan per joined table, got $scans:\n$plan")
+  }
+
   test("t20 plan: bloom probe sits below the exchange (map-side prune)") {
     val plan = SparkEntry.queries("t20_bloom_contamination")(spark, dir)
       .queryExecution.executedPlan.toString
