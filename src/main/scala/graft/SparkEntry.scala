@@ -2908,6 +2908,42 @@ object SparkEntry {
     FROM c JOIN v ON v.vts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts
     GROUP BY 1 ORDER BY hr"""
 
+  /** Keyed interval join (a04): per-user view→click attribution within
+    * [ts, ts+10min] through [[graft.operators.RangeJoin]]'s KEYED path —
+    * a02 exercises the key-less band-bucket topology, this pins the
+    * compound (key, band) shuffle key the operator uses when an equi-key
+    * exists (the batch analog of s05's symmetric-hash stream join; at
+    * scale the key bounds each band-bucket's population, which is what
+    * keeps hot time-bands from concentrating on one task). DuckDB's
+    * native key+inequality join is the oracle. */
+  private def a04Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val v = s.sql("SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'")
+    val c = s.sql("SELECT user_id, ts AS cts, value FROM events WHERE event_type = 'click'")
+    graft.operators.RangeJoin.interval(v, c, Seq("user_id"), "ts", "cts",
+        0L, 600000000L, Seq("value"), prefix = "c_")
+      .createOrReplaceTempView("a04_rj")
+    s.sql("""
+      SELECT user_id,
+             COUNT(*) AS n_pairs,
+             COUNT(DISTINCT event_id) AS n_views,
+             CAST(ROUND(SUM(CAST(c_value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_click_val,
+             MAX(unix_micros(c_cts) - unix_micros(ts)) AS max_lead_us
+      FROM a04_rj GROUP BY user_id ORDER BY user_id""")
+  }
+
+  private val a04Duck = """
+    WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts AS cts, value FROM events WHERE event_type = 'click')
+    SELECT v.user_id,
+           COUNT(*)::BIGINT AS n_pairs,
+           COUNT(DISTINCT v.event_id)::BIGINT AS n_views,
+           ROUND(SUM(CAST(c.value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_click_val,
+           MAX(epoch_us(c.cts) - epoch_us(v.ts))::BIGINT AS max_lead_us
+    FROM v JOIN c ON c.user_id = v.user_id
+      AND c.cts BETWEEN v.ts AND v.ts + INTERVAL 10 MINUTE
+    GROUP BY v.user_id ORDER BY v.user_id"""
+
   /** Batch gaps-and-islands sessionization (4 h inactivity gap) — the batch
     * analog of streaming/StreamOps.sessionize, oracle-checked (the streaming
     * path is spec-checked; this pins the session semantics cross-engine).
@@ -4999,6 +5035,7 @@ object SparkEntry {
     ("a01_asof_join", a01Fn _, a01Duck),
     ("a02_range_join", a02Fn _, a02Duck),
     ("a03_asof_forward_tol", a03Fn _, a03Duck),
+    ("a04_keyed_interval", a04Fn _, a04Duck),
     ("t15_corpus_dup_chunks", q(t15Spark), t15Duck),
     ("t16_sequence_pack", q(t16Spark), t16Duck),
     ("t17_mixture_sample", q(t17Spark), t17Duck),
