@@ -4940,6 +4940,95 @@ object SparkEntry {
                JOIN ph ON ph.query_id = a.query_id
     ORDER BY a.query_id"""
 
+  /** Semantic deduplication (e13): the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540) — cluster the embedding space with k-means, then
+    * deduplicate ONLY within each cluster by pairwise cosine, keeping the
+    * lowest-id member of every near-duplicate group. One deterministic
+    * Lloyd iteration from fixed seeds (centroids = the first 8 vectors,
+    * then per-dimension member means) makes the whole pipeline
+    * SQL-expressible and hash-checkable against DuckDB; the mean is
+    * computed over FLOOR(x*1e6) BIGINTs so the re-centroid step is an
+    * EXACT integer sum — order-independent across Spark partial
+    * aggregation vs DuckDB's sequential fold (a raw double AVG would be
+    * summation-order-dependent and could flip a borderline assignment).
+    *
+    * 100 TB topology (the reason SemDeDup beats naive all-pairs): the
+    * 8x64 centroid table broadcasts; assignment is map-side; the Lloyd
+    * recompute is one keyed aggregate over (cid, dim) = 512 keys with
+    * map-side combine; and the O(n^2) cosine work is confined WITHIN each
+    * cluster by an equi-join on cluster_id — the shuffle is keyed by
+    * cluster, never corpus-wide all-pairs. Cluster-size skew is the knob:
+    * raise K until the largest cluster's self-join fits an executor. */
+  private val e13Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e,
+                      sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 8),
+    a0 AS (SELECT vec_id, e, cid FROM (
+             SELECT v.vec_id, v.e, c0.cid,
+                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                      ORDER BY graft_dot(v.e, c0.ce) / (v.nrm * c0.cnrm) DESC, c0.cid) AS rn
+             FROM v CROSS JOIN c0) t0 WHERE rn = 1),
+    m AS (SELECT cid, i, SUM(CAST(FLOOR(element_at(e, i) * 1000000.0D) AS BIGINT)) AS s,
+                 COUNT(*) AS cnt
+          FROM a0 LATERAL VIEW explode(sequence(1, 64)) ex AS i
+          GROUP BY cid, i),
+    c1 AS (SELECT cid,
+                  transform(array_sort(collect_list(struct(i, s, cnt))),
+                            p -> CAST(p.s AS DOUBLE) / (1000000.0D * CAST(p.cnt AS DOUBLE))) AS ce
+           FROM m GROUP BY cid),
+    c1n AS (SELECT cid, ce, sqrt(graft_dot(ce, ce)) AS cnrm FROM c1),
+    a1 AS (SELECT vec_id, e, nrm, cid AS cluster_id FROM (
+             SELECT v.vec_id, v.e, v.nrm, c.cid,
+                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                      ORDER BY graft_dot(v.e, c.ce) / (v.nrm * c.cnrm) DESC, c.cid) AS rn
+             FROM v CROSS JOIN c1n c) t1 WHERE rn = 1),
+    dup AS (SELECT b.vec_id
+            FROM a1 a JOIN a1 b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+            WHERE graft_dot(a.e, b.e) / (a.nrm * b.nrm) > 0.4D
+            GROUP BY b.vec_id)
+    SELECT a1.cluster_id, COUNT(*) AS n_members,
+           COUNT(dup.vec_id) AS n_dupped,
+           COUNT(*) - COUNT(dup.vec_id) AS n_kept,
+           MIN(a1.vec_id) AS min_id
+    FROM a1 LEFT JOIN dup ON a1.vec_id = dup.vec_id
+    GROUP BY a1.cluster_id ORDER BY a1.cluster_id"""
+
+  private val e13Duck = """
+    WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    v AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * e[i])), (x, y) -> x + y)) AS nrm
+          FROM v0),
+    c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 8),
+    a0 AS (SELECT vec_id, e, cid FROM (
+             SELECT v.vec_id, v.e, c0.cid,
+                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                      ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(v.e) + 1), i -> v.e[i] * c0.ce[i])), (x, y) -> x + y) / (v.nrm * c0.cnrm) DESC, c0.cid) AS rn
+             FROM v CROSS JOIN c0) t0 WHERE rn = 1),
+    m AS (SELECT cid, i, SUM(FLOOR(e[i] * 1000000.0)::BIGINT) AS s, COUNT(*) AS cnt
+          FROM a0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+          GROUP BY cid, i),
+    c1 AS (SELECT cid, list(s::DOUBLE / (1000000.0 * cnt::DOUBLE) ORDER BY i) AS ce
+           FROM m GROUP BY cid),
+    c1n AS (SELECT cid, ce,
+                   sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(ce) + 1), i -> ce[i] * ce[i])), (x, y) -> x + y)) AS cnrm
+            FROM c1),
+    a1 AS (SELECT vec_id, e, nrm, cid AS cluster_id FROM (
+             SELECT v.vec_id, v.e, v.nrm, c.cid,
+                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                      ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(v.e) + 1), i -> v.e[i] * c.ce[i])), (x, y) -> x + y) / (v.nrm * c.cnrm) DESC, c.cid) AS rn
+             FROM v CROSS JOIN c1n c) t1 WHERE rn = 1),
+    dup AS (SELECT b.vec_id
+            FROM a1 a JOIN a1 b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+            WHERE list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])), (x, y) -> x + y) / (a.nrm * b.nrm) > 0.4
+            GROUP BY b.vec_id)
+    SELECT a1.cluster_id, COUNT(*)::BIGINT AS n_members,
+           COUNT(dup.vec_id)::BIGINT AS n_dupped,
+           (COUNT(*) - COUNT(dup.vec_id))::BIGINT AS n_kept,
+           MIN(a1.vec_id) AS min_id
+    FROM a1 LEFT JOIN dup ON a1.vec_id = dup.vec_id
+    GROUP BY a1.cluster_id ORDER BY a1.cluster_id"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -5047,6 +5136,7 @@ object SparkEntry {
     ("t23_bigram_novelty", q(t23Spark), t23Duck),
     ("e11_truncated_ann", q(e11Spark), e11Duck),
     ("e12_multiprobe_lsh", e12Fn _, e12Duck),
+    ("e13_semdedup", q(e13Spark), e13Duck),
     ("t24_tfidf_terms", q(t24Spark), t24Duck),
     ("t25_cms_heavy_hitters", q(t25Spark), t25Duck),
     ("t26_bpe_pretokenize", q(t26Spark), t26Duck),
