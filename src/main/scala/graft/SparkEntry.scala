@@ -5029,6 +5029,80 @@ object SparkEntry {
     FROM a1 LEFT JOIN dup ON a1.vec_id = dup.vec_id
     GROUP BY a1.cluster_id ORDER BY a1.cluster_id"""
 
+  /** Duplicated-span analysis (t28): the document-internal face of exact
+    * substring dedup (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499) approximated at
+    * token-shingle granularity — every 6-token shingle that occurs in >= 2
+    * distinct documents marks its positions as duplicated, and
+    * overlapping-or-adjacent duplicated positions merge into maximal spans
+    * per document (gaps-and-islands over the position stream). The output
+    * is what a span-removal pass would consume: per doc, how many maximal
+    * duplicated spans, how many tokens they cover, and the duplicated
+    * fraction.
+    *
+    * 100 TB topology: the duplicated-shingle set is a keyed aggregate on
+    * shingle content (map-side combine collapses within-doc repeats), the
+    * position re-join is an equi-join on the same key, and the island
+    * merge is a per-doc window — nothing all-pairs, skew bounded by the
+    * most-repeated shingle (cap with a df ceiling like t10's posting-list
+    * cap if a corpus has a degenerate boilerplate shingle). At scale the
+    * join key would be a 64-bit shingle hash instead of the string; the
+    * string key keeps the oracle exact here. */
+  private val t28Spark = """
+    WITH sh AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, p, s
+                FROM documents
+                LATERAL VIEW posexplode(graft_shingles(text, 6)) t AS p, s),
+    dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+    dp AS (SELECT sh.doc_id, sh.p FROM sh JOIN dup ON sh.s = dup.s),
+    isl AS (SELECT doc_id, p,
+                   CASE WHEN MAX(p + 5) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                        OR p > MAX(p + 5) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                        THEN 1 ELSE 0 END AS is_new
+            FROM dp),
+    grp AS (SELECT doc_id, p,
+                   SUM(is_new) OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+            FROM isl),
+    spans AS (SELECT doc_id, span_id, MIN(p) AS s0, MAX(p) + 5 AS s1
+              FROM grp GROUP BY doc_id, span_id)
+    SELECT sp.doc_id, COUNT(*) AS n_spans,
+           SUM(sp.s1 - sp.s0 + 1) AS dup_tokens,
+           MAX(CAST(graft_token_count(d.text) AS BIGINT)) AS n_tokens,
+           ROUND(CAST(SUM(sp.s1 - sp.s0 + 1) AS DOUBLE)
+                 / MAX(CAST(graft_token_count(d.text) AS BIGINT)), 6) AS dup_frac
+    FROM spans sp JOIN documents d ON d.doc_id = sp.doc_id
+    GROUP BY sp.doc_id ORDER BY sp.doc_id"""
+
+  private val t28Duck = """
+    WITH sh AS (
+      SELECT doc_id, p, array_to_string(toks[p+1:p+6], ' ') AS s
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents) t
+      CROSS JOIN LATERAL (SELECT unnest(range(0, greatest(len(toks)-5, 0))) AS p) ps),
+    dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+    dp AS (SELECT sh.doc_id, sh.p FROM sh JOIN dup ON sh.s = dup.s),
+    isl AS (SELECT doc_id, p,
+                   CASE WHEN MAX(p + 5) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                        OR p > MAX(p + 5) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                        THEN 1 ELSE 0 END AS is_new
+            FROM dp),
+    grp AS (SELECT doc_id, p,
+                   SUM(is_new) OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+            FROM isl),
+    spans AS (SELECT doc_id, span_id, MIN(p) AS s0, MAX(p) + 5 AS s1
+              FROM grp GROUP BY doc_id, span_id)
+    SELECT sp.doc_id, COUNT(*)::BIGINT AS n_spans,
+           SUM(sp.s1 - sp.s0 + 1)::BIGINT AS dup_tokens,
+           MAX(len(string_split_regex(trim(d.text), '\s+'))::BIGINT) AS n_tokens,
+           ROUND(SUM(sp.s1 - sp.s0 + 1)::DOUBLE
+                 / MAX(len(string_split_regex(trim(d.text), '\s+'))::BIGINT), 6) AS dup_frac
+    FROM spans sp JOIN documents d ON d.doc_id = sp.doc_id
+    GROUP BY sp.doc_id ORDER BY sp.doc_id"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -5141,6 +5215,7 @@ object SparkEntry {
     ("t25_cms_heavy_hitters", q(t25Spark), t25Duck),
     ("t26_bpe_pretokenize", q(t26Spark), t26Duck),
     ("t27_minhash_calibration", t27Fn _, t27Duck),
+    ("t28_span_dedup", q(t28Spark), t28Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),
