@@ -5103,6 +5103,94 @@ object SparkEntry {
     FROM spans sp JOIN documents d ON d.doc_id = sp.doc_id
     GROUP BY sp.doc_id ORDER BY sp.doc_id"""
 
+  /** Data selection via importance resampling (t29): the DSIR recipe
+    * (Xie et al. 2023, arXiv:2302.03169) — score every raw document by how
+    * much its hashed-unigram profile looks like a curated target slice
+    * (here sources src0-src2) versus the raw corpus, then keep the top
+    * scorers. Features are 512 hashed token buckets; each bucket carries a
+    * Laplace-smoothed likelihood ratio (target vs raw), and a document's
+    * score is its token-weighted mean ratio.
+    *
+    * Determinism contract (the cross-engine hash gate): no transcendental
+    * anywhere — the classic sum-of-log-ratios is replaced by a
+    * ratio-weighted mean whose per-bucket contribution is integer
+    * products with ONE IEEE division, floored to micro-units and summed
+    * as BIGINT (exact, order-independent across Spark partial aggregation
+    * vs DuckDB's fold; a double SUM of log terms would be both
+    * summation-order- and libm-dependent).
+    *
+    * 100 TB topology: bucket statistics are a 512-key aggregate with
+    * map-side combine (two tiny broadcast tables); per-doc scoring is an
+    * equi-join of (doc, bucket) counts against the broadcast stats; the
+    * top-k is one ORDER BY LIMIT (Spark's TakeOrdered, no full sort).
+    * Nothing scales super-linearly in corpus size and the target slice
+    * never needs to fit anywhere — only its 512-row histogram does. */
+  private val t29Spark = """
+    WITH tok AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, source,
+                        CAST(graft_hash(tok) % 512 AS INT) AS b
+                 FROM (SELECT doc_id, source, explode(graft_tokens(text)) AS tok
+                       FROM documents)),
+    rstat AS (SELECT b, COUNT(*) AS rc FROM tok GROUP BY b),
+    tstat AS (SELECT b, COUNT(*) AS tc FROM tok
+              WHERE source IN ('src0', 'src1', 'src2') GROUP BY b),
+    tots AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nr,
+                    CAST(COUNT(IF(source IN ('src0', 'src1', 'src2'), 1, NULL)) AS DOUBLE) AS nt
+             FROM tok),
+    dc AS (SELECT doc_id, b, COUNT(*) AS cnt FROM tok GROUP BY doc_id, b),
+    contrib AS (SELECT dc.doc_id,
+                       CAST(FLOOR((CAST(dc.cnt AS DOUBLE)
+                         * (((CAST(COALESCE(ts.tc, 0) AS DOUBLE) + 1.0D) * (tots.nr + 512.0D))
+                            / ((CAST(rs.rc AS DOUBLE) + 1.0D) * (tots.nt + 512.0D))))
+                         * 1000000.0D) AS BIGINT) AS mu
+                FROM dc
+                JOIN rstat rs ON rs.b = dc.b
+                LEFT JOIN tstat ts ON ts.b = dc.b
+                CROSS JOIN tots),
+    score AS (SELECT c.doc_id, d.source,
+                     CAST(graft_token_count(d.text) AS BIGINT) AS n_tokens,
+                     SUM(c.mu) AS mu
+              FROM contrib c JOIN documents d ON d.doc_id = c.doc_id
+              GROUP BY c.doc_id, d.source, d.text)
+    SELECT doc_id, source, n_tokens,
+           ROUND(CAST(mu AS DOUBLE) / (1000000.0D * CAST(n_tokens AS DOUBLE)), 6) AS dsir_score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY CAST(mu AS DOUBLE) / CAST(n_tokens AS DOUBLE) DESC, doc_id) AS rnk
+          FROM score) t
+    WHERE rnk <= 20 ORDER BY rnk"""
+
+  private val t29Duck = """
+    WITH tok AS (SELECT doc_id, source,
+                        (('0x' || substr(md5(tk), 1, 8))::BIGINT % 512)::INT AS b
+                 FROM (SELECT doc_id, source, unnest(string_split_regex(trim(text), '\s+')) AS tk
+                       FROM documents) u),
+    rstat AS (SELECT b, COUNT(*) AS rc FROM tok GROUP BY b),
+    tstat AS (SELECT b, COUNT(*) AS tc FROM tok
+              WHERE source IN ('src0', 'src1', 'src2') GROUP BY b),
+    tots AS (SELECT COUNT(*)::DOUBLE AS nr,
+                    COUNT(*) FILTER (source IN ('src0', 'src1', 'src2'))::DOUBLE AS nt
+             FROM tok),
+    dc AS (SELECT doc_id, b, COUNT(*) AS cnt FROM tok GROUP BY doc_id, b),
+    contrib AS (SELECT dc.doc_id,
+                       FLOOR((dc.cnt::DOUBLE
+                         * (((COALESCE(ts.tc, 0)::DOUBLE + 1.0) * (tots.nr + 512.0))
+                            / ((rs.rc::DOUBLE + 1.0) * (tots.nt + 512.0))))
+                         * 1000000.0)::BIGINT AS mu
+                FROM dc
+                JOIN rstat rs ON rs.b = dc.b
+                LEFT JOIN tstat ts ON ts.b = dc.b
+                CROSS JOIN tots),
+    score AS (SELECT c.doc_id, d.source,
+                     len(string_split_regex(trim(d.text), '\s+'))::BIGINT AS n_tokens,
+                     SUM(c.mu) AS mu
+              FROM contrib c JOIN documents d ON d.doc_id = c.doc_id
+              GROUP BY c.doc_id, d.source, d.text)
+    SELECT doc_id, source, n_tokens,
+           ROUND(mu::DOUBLE / (1000000.0 * n_tokens::DOUBLE), 6) AS dsir_score,
+           rnk::BIGINT AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY mu::DOUBLE / n_tokens::DOUBLE DESC, doc_id) AS rnk
+          FROM score) t
+    WHERE rnk <= 20 ORDER BY rnk"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -5216,6 +5304,7 @@ object SparkEntry {
     ("t26_bpe_pretokenize", q(t26Spark), t26Duck),
     ("t27_minhash_calibration", t27Fn _, t27Duck),
     ("t28_span_dedup", q(t28Spark), t28Duck),
+    ("t29_dsir_select", q(t29Spark), t29Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),
