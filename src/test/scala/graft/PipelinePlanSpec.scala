@@ -155,4 +155,30 @@ class PipelinePlanSpec extends SparkTestBase {
            plan.indexOf("might_contain") > plan.indexOf("Exchange"),
       s"bloom probe not below a shuffle in:\n$plan")
   }
+
+  test("e13 semdedup: cosine self-join stays keyed by cluster, never cartesian") {
+    val plan = planOf("e13_semdedup")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // the centroid tables (8 rows) may ride a broadcast nested loop, but
+    // the O(n^2) dup self-join must be a cluster_id equi-join
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+           plan.contains("BroadcastHashJoin"),
+      s"within-cluster dup join is not an equi-join in:\n$plan")
+  }
+
+  test("t28 span dedup: shingle join is an equi-join; islands are one window pass") {
+    val plan = planOf("t28_span_dedup")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"shingle dup join fell to BNLJ in:\n$plan")
+  }
+
+  test("t29 DSIR: top-k is TakeOrdered (no full sort); stats join off broadcast") {
+    val plan = planOf("t29_dsir_select")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 planned as a full sort instead of TakeOrdered:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"512-row bucket stats did not broadcast in:\n$plan")
+  }
 }
