@@ -5191,6 +5191,55 @@ object SparkEntry {
           FROM score) t
     WHERE rnk <= 20 ORDER BY rnk"""
 
+  /** Nearest as-of join (a05): pandas `merge_asof(direction='nearest')` —
+    * each click matched to the closest view in time (either direction, tie
+    * to backward) for the same user, within a ±5 min tolerance. Completes
+    * the as-of family: backward (a01), forward+tolerance (a03), keyed
+    * interval (a04). Both sides are deduplicated to distinct (user, ts)
+    * first so the nearest choice is unique and the DuckDB oracle (a
+    * rank-over-pairs formulation) is exact. The operator cost is unchanged
+    * from one-directional as-of: ONE shuffle of |L|+|R| keyed rows — the
+    * two candidate scans are windows over the same hash partitioning. */
+  private def a05Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val c = s.sql("SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'click'")
+    val v = s.sql("""SELECT user_id, ts, MAX(value) AS value FROM events
+                     WHERE event_type = 'view' GROUP BY user_id, ts""")
+    graft.operators.AsofJoin.asof(c, v, Seq("user_id"), "ts", "ts", Seq("value"),
+        prefix = "view_", direction = "nearest", toleranceMicros = Some(300000000L))
+      .createOrReplaceTempView("a05_nearest")
+    s.sql("""
+      SELECT user_id,
+             COUNT(*) AS n_clicks,
+             COUNT(view_ts) AS n_matched,
+             COUNT(IF(view_ts <= ts, 1, NULL)) AS n_backward,
+             COALESCE(SUM(abs(unix_micros(ts) - unix_micros(view_ts)) DIV 1000000), 0) AS sum_abs_lag_s,
+             CAST(COALESCE(ROUND(SUM(CAST(view_value AS DECIMAL(18,6))), 2), 0) AS DOUBLE) AS sum_view_val
+      FROM a05_nearest GROUP BY user_id ORDER BY user_id""")
+  }
+
+  private val a05Duck = """
+    WITH c AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'click'),
+    v AS (SELECT user_id, ts, MAX(value) AS value FROM events
+          WHERE event_type = 'view' GROUP BY user_id, ts),
+    pairs AS (SELECT c.user_id, c.ts AS cts, v.ts AS vts, v.value,
+                     abs(epoch_us(c.ts) - epoch_us(v.ts)) AS au
+              FROM c JOIN v ON v.user_id = c.user_id
+              WHERE abs(epoch_us(c.ts) - epoch_us(v.ts)) <= 300000000),
+    best AS (SELECT user_id, cts, vts, value, au,
+                    ROW_NUMBER() OVER (PARTITION BY user_id, cts
+                      ORDER BY au, CASE WHEN vts <= cts THEN 0 ELSE 1 END) AS rn
+             FROM pairs),
+    m AS (SELECT c.user_id, c.ts AS cts, b.vts, b.value, b.au
+          FROM c LEFT JOIN best b ON b.user_id = c.user_id AND b.cts = c.ts AND b.rn = 1)
+    SELECT user_id,
+           COUNT(*)::BIGINT AS n_clicks,
+           COUNT(vts)::BIGINT AS n_matched,
+           COUNT(CASE WHEN vts <= cts THEN 1 END)::BIGINT AS n_backward,
+           COALESCE(SUM(au // 1000000), 0)::BIGINT AS sum_abs_lag_s,
+           COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2), 0)::DOUBLE AS sum_view_val
+    FROM m GROUP BY user_id ORDER BY user_id"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -5286,7 +5335,8 @@ object SparkEntry {
     ("a01_asof_join", a01Fn _, a01Duck),
     ("a02_range_join", a02Fn _, a02Duck),
     ("a03_asof_forward_tol", a03Fn _, a03Duck),
-    ("a04_keyed_interval", a04Fn _, a04Duck),
+    ("a05_asof_nearest", a05Fn _, a05Duck),
+    ("a04_keyed_interval",a04Fn _, a04Duck),
     ("t15_corpus_dup_chunks", q(t15Spark), t15Duck),
     ("t16_sequence_pack", q(t16Spark), t16Duck),
     ("t17_mixture_sample", q(t17Spark), t17Duck),

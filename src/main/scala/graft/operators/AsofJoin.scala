@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   *  - backward (default): latest right row with `r.ts <= l.ts` (inclusive;
   *    DuckDB `ASOF LEFT JOIN … ON l.ts >= r.ts` and pandas default)
   *  - forward: earliest right row with `r.ts >= l.ts`
+  *  - nearest: whichever of the backward/forward candidates is closer in
+  *    absolute time (pandas `direction='nearest'`); an exact tie goes to
+  *    the backward candidate. Tolerance applies per candidate BEFORE the
+  *    choice, so an out-of-tolerance backward match never shadows an
+  *    in-tolerance forward one. Still ONE shuffle: both scans are windows
+  *    over the same hash partitioning (two per-partition sorts, zero extra
+  *    exchanges).
   *  - left outer: unmatched left rows keep NULL right columns
   *  - tolerance: optional max |l.ts − r.ts| in microseconds; matches farther
   *    than that are nulled out (pandas `tolerance=`)
@@ -43,8 +50,8 @@ object AsofJoin {
            leftTs: String, rightTs: String, rightCols: Seq[String],
            prefix: String = "r_", direction: String = "backward",
            toleranceMicros: Option[Long] = None): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+    require(direction == "backward" || direction == "forward" || direction == "nearest",
+      s"direction must be backward|forward|nearest, got $direction")
     val backward = direction == "backward"
 
     // right payload travels as one struct (ts first: it also breaks ties
@@ -67,26 +74,40 @@ object AsofJoin {
     // one shuffle: hash-partition by keys, sort by time (right before left at
     // equal ts — in backward order ascending side 0 first; in forward we scan
     // time-descending so side 0 must STILL precede left rows at equal ts)
-    val ord: Seq[Column] =
-      if (backward) Seq(col("__ts").asc, col("__side").asc, col("__rv").asc)
-      else Seq(col("__ts").desc, col("__side").asc, col("__rv").desc)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val bOrd: Seq[Column] = Seq(col("__ts").asc, col("__side").asc, col("__rv").asc)
+    val fOrd: Seq[Column] = Seq(col("__ts").desc, col("__side").asc, col("__rv").desc)
+    def win(ord: Seq[Column]) = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matched = unioned
-      .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
-
-    // tolerance: null out matches farther than the bound
-    val withTol = toleranceMicros match {
-      case Some(tol) =>
-        val lagMicros =
-          if (backward) unix_micros(col("__ts")) - unix_micros(col("__match.__rts"))
-          else unix_micros(col("__match.__rts")) - unix_micros(col("__ts"))
-        matched.withColumn("__match",
-          when(col("__match").isNotNull && lagMicros <= tol, col("__match")))
-      case None => matched
+    def tolerated(m: Column, lagMicros: Column): Column = toleranceMicros match {
+      case Some(tol) => when(m.isNotNull && lagMicros <= tol, m)
+      case None      => m
     }
+    def bLag(m: Column) = unix_micros(col("__ts")) - unix_micros(m.getField("__rts"))
+    def fLag(m: Column) = unix_micros(m.getField("__rts")) - unix_micros(col("__ts"))
+
+    val withTol =
+      if (direction == "nearest") {
+        // both candidate scans ride the SAME hash partitioning — Spark plans
+        // one Exchange with two per-partition sorts, not two shuffles
+        val m = unioned
+          .withColumn("__bm", last(col("__rv"), ignoreNulls = true).over(win(bOrd)))
+          .withColumn("__fm", last(col("__rv"), ignoreNulls = true).over(win(fOrd)))
+          .where(col("__side") === 1)
+          .withColumn("__bm", tolerated(col("__bm"), bLag(col("__bm"))))
+          .withColumn("__fm", tolerated(col("__fm"), fLag(col("__fm"))))
+        m.withColumn("__match",
+          when(col("__bm").isNotNull &&
+               (col("__fm").isNull || bLag(col("__bm")) <= fLag(col("__fm"))),
+            col("__bm")).otherwise(col("__fm")))
+      } else {
+        val matched = unioned
+          .withColumn("__match",
+            last(col("__rv"), ignoreNulls = true).over(win(if (backward) bOrd else fOrd)))
+          .where(col("__side") === 1)
+        val lagMicros = if (backward) bLag(col("__match")) else fLag(col("__match"))
+        matched.withColumn("__match", tolerated(col("__match"), lagMicros))
+      }
 
     // unpack: left.* then prefixed right ts + payload columns
     val out = withTol.select(

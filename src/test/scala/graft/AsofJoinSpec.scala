@@ -65,4 +65,55 @@ class AsofJoinSpec extends SparkTestBase {
     // one Exchange for the union'd window; local-table scans add no shuffles
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1)
   }
+
+  test("nearest: closer of the two candidates wins; exact tie goes backward") {
+    val (l, r) = mk()
+    val out = AsofJoin.asof(l, r, Seq("k"), "ts", "ts", Seq("rv"), direction = "nearest")
+      .orderBy("k", "ts").collect()
+      .map(x => (x.getString(2), Option(x.get(4)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      ("l-early", Some(30.0)),  // 10:02: backward none, forward 10:03 (60s)
+      ("l-a", Some(50.0)),      // exact-ts match, lag 0 both ways -> same row
+      ("l-b", Some(90.0)),      // 10:10: backward 10:09 (60s) only
+      ("l-c", Some(60.0)),      // 10:07: backward 10:06 (60s) ties forward none
+      ("l-nomatch", None)))
+  }
+
+  test("nearest: tie at equal |lag| picks the backward candidate") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, ts(6), "mid")).toDF("k", "ts", "lv")
+    val r = Seq((1L, ts(4), 40.0), (1L, ts(8), 80.0)).toDF("k", "ts", "rv") // both 120s away
+    val out = AsofJoin.asof(l, r, Seq("k"), "ts", "ts", Seq("rv"), direction = "nearest")
+      .collect().map(x => x.get(4).asInstanceOf[Double])
+    assert(out.toSeq == Seq(40.0))
+  }
+
+  test("nearest: tolerance applies per candidate before the choice") {
+    val s = spark
+    import s.implicits._
+    // both candidates sit 60s away — outside a 30s tolerance BOTH must drop
+    val l = Seq((1L, ts(6), "x")).toDF("k", "ts", "lv")
+    val r1 = Seq((1L, ts(5), 50.0), (1L, ts(7), 70.0)).toDF("k", "ts", "rv")
+    val out1 = AsofJoin.asof(l, r1, Seq("k"), "ts", "ts", Seq("rv"),
+        direction = "nearest", toleranceMicros = Some(30L * 1000000))
+      .collect().map(x => Option(x.get(4)))
+    assert(out1.toSeq == Seq(None))
+    // backward 180s out of tolerance, forward 60s inside -> forward wins even
+    // though backward is nearer to the raw window scan
+    val r2 = Seq((1L, ts(3), 30.0), (1L, ts(7), 70.0)).toDF("k", "ts", "rv")
+    val out2 = AsofJoin.asof(l, r2, Seq("k"), "ts", "ts", Seq("rv"),
+        direction = "nearest", toleranceMicros = Some(90L * 1000000))
+      .collect().map(x => Option(x.get(4)).map(_.asInstanceOf[Double]))
+    assert(out2.toSeq == Seq(Some(70.0)))
+  }
+
+  test("nearest: still exactly one shuffle — both windows share the partitioning") {
+    val (l, r) = mk()
+    val plan = AsofJoin.asof(l, r, Seq("k"), "ts", "ts", Seq("rv"), direction = "nearest")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"nearest grew a second shuffle:\n$plan")
+  }
 }
