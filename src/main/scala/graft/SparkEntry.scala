@@ -5240,6 +5240,41 @@ object SparkEntry {
            COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2), 0)::DOUBLE AS sum_view_val
     FROM m GROUP BY user_id ORDER BY user_id"""
 
+  /** Stratified exact-quota sampling (t30): k docs per language stratum,
+    * chosen by ranking on a salted content-independent hash — the
+    * distributed form of per-stratum sampling WITHOUT replacement (t17 is
+    * the rate-based cousin: Bernoulli by hash threshold; this one is exact
+    * quota, the shape eval-set construction needs where "exactly 100 per
+    * language" is a hard requirement, not an expectation). Deterministic:
+    * same corpus, same salt, same sample — reproducibility is the whole
+    * point vs rand().
+    *
+    * 100 TB topology: one shuffle keyed by stratum for the rank window.
+    * For small k << stratum size the window sort can be replaced by a
+    * per-partition top-k + merge (TakeOrdered per key); at 5 strata the
+    * window is already the right plan. */
+  private val t30Spark = """
+    WITH ranked AS (
+      SELECT /*+ REPARTITION({{P}}) */ doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY graft_hash(CONCAT(CAST(doc_id AS STRING), ':t30')), doc_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY lang) AS stratum_n
+      FROM documents)
+    SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rnk AS BIGINT) AS rnk, CAST(stratum_n AS BIGINT) AS stratum_n
+    FROM ranked WHERE rnk <= 10 ORDER BY lang, rnk"""
+
+  private val t30Duck = """
+    WITH ranked AS (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':t30'), 1, 8))::BIGINT, doc_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY lang) AS stratum_n
+      FROM documents)
+    SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars,
+           rnk::BIGINT AS rnk, stratum_n::BIGINT AS stratum_n
+    FROM ranked WHERE rnk <= 10 ORDER BY lang, rnk"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -5355,6 +5390,7 @@ object SparkEntry {
     ("t27_minhash_calibration", t27Fn _, t27Duck),
     ("t28_span_dedup", q(t28Spark), t28Duck),
     ("t29_dsir_select", q(t29Spark), t29Duck),
+    ("t30_stratified_sample", q(t30Spark), t30Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),
