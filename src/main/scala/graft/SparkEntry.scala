@@ -5275,6 +5275,85 @@ object SparkEntry {
            rnk::BIGINT AS rnk, stratum_n::BIGINT AS stratum_n
     FROM ranked WHERE rnk <= 10 ORDER BY lang, rnk"""
 
+  /** Streaming near-dup suppression (s08): documents arrive over 5
+    * micro-batches; each fans out to 4 simhash band keys and a state-store
+    * boolean per band key suppresses any doc sharing a band with anything
+    * earlier — cross-batch near-dup dedup ON ARRIVAL, the streaming face of
+    * the batch LSH dedup family (t06-t08). The synthetic corpus has 25
+    * templates x 4 arrivals, with every 4th doc perturbed in one word:
+    * perturbed docs still share unchanged bands, so they are caught as
+    * near-dups (an exact-key streaming dedup like s03 would pass them).
+    * Oracle: batch replay — kept iff the doc holds the minimum doc_id in
+    * EVERY one of its band groups (arrival order is doc_id order). */
+  private def s08Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s08").toString
+    val src = new java.io.File(tmp, "src"); src.mkdirs()
+    def gen(lo: Int, hi: Int) = s.sql(s"""
+      SELECT CAST(id AS BIGINT) AS doc_id,
+             timestamp_seconds(1700000000 + id) AS ts,
+             CAST(graft_simhash(concat_ws(' ', transform(sequence(0, 19), j ->
+               CASE WHEN j = 0 AND id % 4 = 3 THEN concat('v', CAST(id AS STRING))
+                    ELSE concat('w', CAST((id % 25) * 31 + j AS STRING)) END))) AS BIGINT) AS sim
+      FROM range($lo, $hi)""")
+    (0 until 5).foreach { i =>
+      val stage = new java.io.File(tmp, s"stage$i")
+      gen(i * 20, (i + 1) * 20).coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(src, s"f$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = s.readStream.schema(gen(0, 1).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+    val verdicts = graft.streaming.StreamOps.neardupSuppress(stream)
+    val qname = "graft_s08_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = verdicts.toDF().writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", tmp + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.sql(s"""
+      WITH kept AS (SELECT doc_id, every(first) AS kept
+                    FROM $qname GROUP BY doc_id)
+      SELECT CAST(doc_id % 25 AS BIGINT) AS tmpl,
+             COUNT(*) AS n_docs,
+             COUNT(IF(kept, 1, NULL)) AS n_kept,
+             MIN(IF(kept, doc_id, NULL)) AS min_kept_id
+      FROM kept GROUP BY doc_id % 25 ORDER BY tmpl""")
+  }
+
+  private val s08Duck = """
+    WITH d AS (SELECT i AS doc_id,
+                 list_transform(range(0, 20), j ->
+                   CASE WHEN j = 0 AND i % 4 = 3 THEN 'v' || i
+                        ELSE 'w' || ((i % 25) * 31 + j) END) AS toks
+               FROM range(100) t(i)),
+    hs AS (SELECT doc_id, list_transform(toks, tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS h
+           FROM d),
+    sims AS (SELECT doc_id,
+               list_sum(list_transform(range(0, 32), b -> CASE WHEN
+                  list_sum(list_transform(h,
+                    hh -> CASE WHEN ((hh >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS sim
+             FROM hs),
+    bands AS (SELECT doc_id, b, (sim >> (b * 8)) & 255 AS bk
+              FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+    firsts AS (SELECT b, bk, MIN(doc_id) AS first_doc FROM bands GROUP BY b, bk),
+    verdict AS (SELECT bands.doc_id, bool_and(bands.doc_id = f.first_doc) AS kept
+                FROM bands JOIN firsts f ON f.b = bands.b AND f.bk = bands.bk
+                GROUP BY bands.doc_id)
+    SELECT (doc_id % 25)::BIGINT AS tmpl,
+           COUNT(*)::BIGINT AS n_docs,
+           COUNT(CASE WHEN kept THEN 1 END)::BIGINT AS n_kept,
+           MIN(CASE WHEN kept THEN doc_id END)::BIGINT AS min_kept_id
+    FROM verdict GROUP BY doc_id % 25 ORDER BY tmpl"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -5398,6 +5477,7 @@ object SparkEntry {
     ("s05_stream_interval_join", s05Fn _, s05Duck),
     ("s06_stream_topk_terms", s06Fn _, s06Duck),
     ("s07_zone_transitions", s07Fn _, s07Duck),
+    ("s08_stream_neardup", s08Fn _, s08Duck),
     ("m01_media_meta", q(m01Spark), m01Duck),
     ("m02_decode_resize_hist", m02Fn _, m02Duck),
     ("m03_real_decode_matrix", q(m03Spark), m03Duck),

@@ -154,6 +154,49 @@ object StreamOps {
       }
   }
 
+  case class BandRow(doc_id: Long, band: Int, bk: Long)
+  case class BandVerdict(doc_id: Long, band: Int, first: Boolean)
+  case class BandState(seen: Boolean)
+
+  /** Streaming near-duplicate suppression: each arriving document fans out
+    * to `bands` simhash band keys (8 contiguous bits each), and per band
+    * key a state-store entry remembers whether the band was EVER seen —
+    * in a previous micro-batch or by an earlier (lower doc_id) row of the
+    * current one. A document survives only if ALL its bands are first
+    * arrivals; one shared band with anything earlier marks it a near-dup
+    * (the streaming face of t06/t07's batch LSH dedup — same banding
+    * logic, state store instead of a self-join).
+    *
+    * Emits per-(doc, band) verdicts; the caller ANDs them per doc (in the
+    * sink query, or a downstream `groupBy(doc_id).agg(min(first))`). Scale:
+    * state is one boolean per distinct band key, sharded across executors
+    * by band key — the same key cardinality argument as the batch LSH
+    * bucket join, with no growth in doc count beyond the distinct-key
+    * space. Pair with a TTL/timeout if the key space is unbounded over
+    * months of stream. */
+  def neardupSuppress(docs: DataFrame, bands: Int = 4,
+                      simCol: String = "sim", idCol: String = "doc_id"): Dataset[BandVerdict] = {
+    implicit val inEnc: Encoder[BandRow] = Encoders.product[BandRow]
+    implicit val outEnc: Encoder[BandVerdict] = Encoders.product[BandVerdict]
+    implicit val stEnc: Encoder[BandState] = Encoders.product[BandState]
+    val fan = docs.select(explode(array((0 until bands).map(b =>
+        struct(col(idCol).cast("long").as("doc_id"), lit(b).as("band"),
+               shiftright(col(simCol).cast("long"), b * 8).bitwiseAND(lit(255L)).as("bk"))): _*)).as("r"))
+      .select("r.*").as[BandRow]
+    fan
+      .groupByKey(r => (r.band, r.bk))(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .flatMapGroupsWithState[BandState, BandVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[BandState]) =>
+          val sorted = rows.toSeq.sortBy(_.doc_id)
+          val seenBefore = state.exists
+          if (!seenBefore) state.update(BandState(seen = true))
+          sorted.iterator.zipWithIndex.map { case (r, i) =>
+            BandVerdict(r.doc_id, r.band, first = !seenBefore && i == 0)
+          }
+      }
+  }
+
   /** Stream-stream event-time interval join: pair each left row with every
     * right row sharing `key` whose `ts` lands in [left.ts, left.ts +
     * maxLag] — the attribution shape (view→click, request→response,

@@ -162,4 +162,31 @@ class StreamOpsSpec extends SparkTestBase {
     assert(sess == List((1L, 2L, 3.0), (1L, 1L, 4.0)),
       s"expected two closed sessions for user 1, got $sess")
   }
+
+  test("neardupSuppress: band state persists across batches; partial overlap caught") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // hand-built simhashes: bands are 8-bit slices [b0 b1 b2 b3] low→high
+    def sim(b0: Long, b1: Long, b2: Long, b3: Long): Long =
+      b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+    val mem = MemoryStream[(Long, Long)]
+    val verdicts = StreamOps.neardupSuppress(
+      mem.toDS().toDF("doc_id", "sim"))
+    val q = verdicts.toDF().writeStream.format("memory").queryName("nds")
+      .outputMode("append").start()
+    // batch 1: doc 0 registers its 4 bands; doc 1 disjoint in every band;
+    // doc 2 (same batch, higher id) collides with doc 0 on band 2 only
+    mem.addData((0L, sim(1, 2, 3, 4)), (1L, sim(9, 9, 9, 9)), (2L, sim(7, 7, 3, 7)))
+    q.processAllAvailable()
+    // batch 2: doc 3 shares ONE band with doc 0 (near-dup, must drop);
+    // doc 4 all-fresh (kept)
+    mem.addData((3L, sim(1, 8, 8, 8)), (4L, sim(20, 21, 22, 23)))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val kept = s.sql(
+      "SELECT doc_id FROM nds GROUP BY doc_id HAVING every(first) ORDER BY doc_id")
+      .as[Long].collect().toList
+    assert(kept == List(0L, 1L, 4L), s"kept $kept")
+  }
 }
