@@ -5354,6 +5354,40 @@ object SparkEntry {
            MIN(CASE WHEN kept THEN doc_id END)::BIGINT AS min_kept_id
     FROM verdict GROUP BY doc_id % 25 ORDER BY tmpl"""
 
+  /** Windowed audio energy segmentation (m08): each clip decodes through
+    * the REAL `javax.sound.sampled` codec and folds into fixed 64-sample
+    * windows (`graft_audio_windows`) with exact integer stats — the
+    * segmentation in front of VAD / silence trimming / energy gating in an
+    * audio training pipeline. Windows classify active by integer peak
+    * threshold (no sqrt, no RMS float), so the closed-form PCM16 signal
+    * oracle pins every window arithmetically. Decode+window is map-side;
+    * the only shuffle is the 4-key report aggregate. */
+  private val m08Spark = """
+    WITH a AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, graft_audio_wav(doc_id) AS wav
+               FROM documents),
+    w AS (SELECT doc_id, wi.win_idx, wi.n_samples, wi.peak_abs, wi.sum_abs, wi.sum_sq
+          FROM a LATERAL VIEW explode(graft_audio_windows(wav, 64)) t AS wi)
+    SELECT CAST(win_idx AS BIGINT) AS win_idx, COUNT(*) AS n_windows,
+           SUM(n_samples) AS total_samples,
+           COUNT(IF(peak_abs >= 900, 1, NULL)) AS n_active,
+           CAST(MAX(peak_abs) AS BIGINT) AS max_peak,
+           SUM(sum_abs) AS total_abs, SUM(sum_sq) AS total_sq
+    FROM w GROUP BY win_idx ORDER BY win_idx"""
+
+  private val m08Duck = """
+    WITH s AS (SELECT doc_id, i, i // 64 AS win_idx,
+                      ((doc_id * 31 + i * i) % 2000) - 1000 AS smp
+               FROM documents CROSS JOIN (SELECT unnest(range(0, 256)) AS i) t),
+    w AS (SELECT doc_id, win_idx, COUNT(*) AS n_samples, MAX(abs(smp)) AS peak_abs,
+                 SUM(abs(smp)) AS sum_abs, SUM(smp * smp) AS sum_sq
+          FROM s GROUP BY doc_id, win_idx)
+    SELECT win_idx::BIGINT AS win_idx, COUNT(*)::BIGINT AS n_windows,
+           SUM(n_samples)::BIGINT AS total_samples,
+           COUNT(CASE WHEN peak_abs >= 900 THEN 1 END)::BIGINT AS n_active,
+           MAX(peak_abs)::BIGINT AS max_peak,
+           SUM(sum_abs)::BIGINT AS total_abs, SUM(sum_sq)::BIGINT AS total_sq
+    FROM w GROUP BY win_idx ORDER BY win_idx"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -5485,6 +5519,7 @@ object SparkEntry {
     ("m05_audio_stats", q(m05Spark), m05Duck),
     ("m06_image_phash_dedup", q(m06Spark), m06Duck),
     ("m07_format_roundtrip", q(m07Spark), m07Duck),
+    ("m08_audio_windows", q(m08Spark), m08Duck),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

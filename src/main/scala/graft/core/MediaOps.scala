@@ -55,6 +55,18 @@ object MediaOps {
       Array[Any](n, peak, sumAbs, sumSq))
   }
 
+  /** Real decode → fixed-length sample windows with exact integer stats:
+    * array of struct(win_idx, n_samples, peak_abs, sum_abs, sum_sq).
+    * SQL: `graft_audio_windows(payload, win)`. */
+  def audioWindows(b: Array[Byte], win: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val rows: Array[AnyRef] = Multimodal.audioWindows(b, win).map {
+      case (idx, n, peak, sumAbs, sumSq) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](idx, n, peak, sumAbs, sumSq)): AnyRef
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
   /** 64-bit perceptual average-hash as a '0'/'1' string (real decode →
     * gray → 8×8 resize → mean threshold — see [[Multimodal.phash64]]).
     * SQL: `graft_media_phash(payload)`. */

@@ -53,7 +53,15 @@ object MediaFunctions {
     "graft_media_transcode" -> Sig("mediaTranscode", BinaryType, Seq(BinaryType, StringType)),
     "graft_audio_wav" -> Sig("audioWav", BinaryType, Seq(LongType)),
     "graft_audio_meta" -> Sig("audioMeta", audioMetaStruct, Seq(BinaryType)),
-    "graft_audio_stats" -> Sig("audioStats", audioStatsStruct, Seq(BinaryType)))
+    "graft_audio_stats" -> Sig("audioStats", audioStatsStruct, Seq(BinaryType)),
+    "graft_audio_windows" -> Sig("audioWindows",
+      ArrayType(StructType(Seq(
+        StructField("win_idx", IntegerType, nullable = false),
+        StructField("n_samples", LongType, nullable = false),
+        StructField("peak_abs", IntegerType, nullable = false),
+        StructField("sum_abs", LongType, nullable = false),
+        StructField("sum_sq", LongType, nullable = false))), containsNull = false),
+      Seq(BinaryType, IntegerType)))
 
   private def build(name: String, sig: Sig)(args: Seq[Expression]): Expression = {
     require(args.length == sig.params.length, s"$name expects ${sig.params.length} args")

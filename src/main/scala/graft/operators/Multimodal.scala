@@ -391,4 +391,42 @@ object Multimodal {
       (nSamples, peak, sumAbs, sumSq)
     } finally ais.close()
   }
+
+  /** Decode through the real codec and fold PCM16LE mono samples into
+    * fixed-length windows of `win` samples (last window may be short):
+    * per window (winIdx, nSamples, peakAbs, sumAbs, sumSq) — the
+    * segmentation in front of VAD/silence-trimming/energy-gating, all
+    * integer-exact so a closed-form signal oracle can pin every window. */
+  def audioWindows(b: Array[Byte], win: Int): Array[(Int, Long, Int, Long, Long)] = {
+    require(win > 0, s"window must be positive, got $win")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val f = ais.getFormat
+      require(f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
+        s"audioWindows expects PCM16LE mono, got $f")
+      val bytes = ais.readAllBytes()
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int, Long, Long)]
+      var i = 0
+      var idx = 0
+      while (i + 1 < bytes.length) {
+        var n = 0L
+        var peak = 0
+        var sumAbs = 0L
+        var sumSq = 0L
+        while (n < win && i + 1 < bytes.length) {
+          val s = ((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort.toInt
+          val a = math.abs(s)
+          n += 1
+          if (a > peak) peak = a
+          sumAbs += a
+          sumSq += s.toLong * s
+          i += 2
+        }
+        out += ((idx, n, peak, sumAbs, sumSq))
+        idx += 1
+      }
+      out.toArray
+    } finally ais.close()
+  }
 }
