@@ -5388,6 +5388,110 @@ object SparkEntry {
            SUM(sum_abs)::BIGINT AS total_abs, SUM(sum_sq)::BIGINT AS total_sq
     FROM w GROUP BY win_idx ORDER BY win_idx"""
 
+  /** Reciprocal-rank fusion of two ANN paths (e14): the standard hybrid
+    * retrieval combiner (Cormack et al. 2009) — candidates from the LSH
+    * bucket route (e02's seeded hyperplanes) and the IVF nearest-list
+    * route (e04's deterministic centroids) merge by
+    * RRF(d) = Σ_method 1/(60 + rank_method(d)), a method-agnostic score
+    * needing no calibration between the two cosine scales. Ranks are
+    * integers and each term is ONE IEEE division added in fixed order, so
+    * the score is bit-deterministic cross-engine.
+    *
+    * 100 TB topology: both candidate routes stay keyed shuffles (bucket
+    * equi-join, list equi-join); the fusion is a (query, neighbor)
+    * full-outer equi-join of two already-small candidate sets; nothing
+    * rescans the corpus. The union of two cheap diverse routes is the
+    * production recall lever when no single index is trusted alone. */
+  private val e14Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e,
+                      sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm,
+                      graft_bucketk(graft_vec(embedding), 8, 7) AS bucket FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id >= 8 AND vec_id < 16),
+    lshr AS (SELECT query_id, neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS r
+             FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                          graft_dot(q.e, c.e) / (q.nrm * c.nrm) AS cos
+                   FROM q JOIN v c ON c.bucket = q.bucket AND c.vec_id != q.vec_id) lc),
+    c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 4),
+    asgn AS (SELECT vec_id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY graft_dot(e, ce) / (nrm * cnrm) DESC, cid) AS rn
+             FROM v CROSS JOIN c0),
+    a AS (SELECT vec_id, cid AS list_id FROM asgn WHERE rn = 1),
+    ivfr AS (SELECT query_id, neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS r
+             FROM (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+                          graft_dot(qq.e, c.e) / (qq.nrm * c.nrm) AS cos
+                   FROM q qq
+                   JOIN a qa ON qa.vec_id = qq.vec_id
+                   JOIN a xa ON xa.list_id = qa.list_id AND xa.vec_id != qq.vec_id
+                   JOIN v c ON c.vec_id = xa.vec_id) ic),
+    fused AS (SELECT COALESCE(l.query_id, i.query_id) AS query_id,
+                     COALESCE(l.neighbor_id, i.neighbor_id) AS neighbor_id,
+                     IF(l.r IS NULL, 0, 1) AS in_lsh,
+                     IF(i.r IS NULL, 0, 1) AS in_ivf,
+                     COALESCE(1.0D / (60.0D + CAST(l.r AS DOUBLE)), 0.0D)
+                       + COALESCE(1.0D / (60.0D + CAST(i.r AS DOUBLE)), 0.0D) AS rrf
+              FROM lshr l FULL OUTER JOIN ivfr i
+                ON i.query_id = l.query_id AND i.neighbor_id = l.neighbor_id)
+    SELECT query_id, neighbor_id, CAST(in_lsh AS BIGINT) AS in_lsh,
+           CAST(in_ivf AS BIGINT) AS in_ivf,
+           ROUND(rrf, 6) AS rrf, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rnk
+          FROM fused) t
+    WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
+  private val e14Duck = """
+    WITH planes AS (
+      SELECT j, list_transform(list_transform(list_transform(list_transform(
+               range(0, 64), i -> ((7 * 1000003 + j * 4099 + i) % 2147483648 * 2654435761) % 2147483648),
+               h -> xor(h, h >> 15)),
+               h -> (h * 2246822519) % 2147483648),
+               h -> (xor(h, h >> 13) - 1073741824)::DOUBLE) AS w
+      FROM (SELECT unnest(range(0, 8)) AS j) js),
+    ve AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    vb AS (SELECT vec_id, e,
+                  SUM(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(range(1, len(e) + 1), i -> e[i] * w[i])), (x, y) -> x + y) > 0.0::DOUBLE
+                      THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS bucket
+           FROM ve CROSS JOIN planes GROUP BY vec_id, e),
+    v AS (SELECT vb.vec_id, vb.e, vb.bucket,
+                 sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(vb.e) + 1), i -> vb.e[i] * vb.e[i])), (x, y) -> x + y)) AS nrm
+          FROM vb),
+    q AS (SELECT * FROM v WHERE vec_id >= 8 AND vec_id < 16),
+    lshr AS (SELECT query_id, neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS r
+             FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                          list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])), (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+                   FROM q JOIN v c ON c.bucket = q.bucket AND c.vec_id != q.vec_id) lc),
+    c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 4),
+    asgn AS (SELECT v.vec_id, c0.cid,
+                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                      ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(v.e) + 1), i -> v.e[i] * c0.ce[i])), (x, y) -> x + y) / (v.nrm * c0.cnrm) DESC, c0.cid) AS rn
+             FROM v CROSS JOIN c0),
+    a AS (SELECT vec_id, cid AS list_id FROM asgn WHERE rn = 1),
+    ivfr AS (SELECT query_id, neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS r
+             FROM (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+                          list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(qq.e) + 1), i -> qq.e[i] * c.e[i])), (x, y) -> x + y) / (qq.nrm * c.nrm) AS cos
+                   FROM q qq
+                   JOIN a qa ON qa.vec_id = qq.vec_id
+                   JOIN a xa ON xa.list_id = qa.list_id AND xa.vec_id != qq.vec_id
+                   JOIN v c ON c.vec_id = xa.vec_id) ic),
+    fused AS (SELECT COALESCE(l.query_id, i.query_id) AS query_id,
+                     COALESCE(l.neighbor_id, i.neighbor_id) AS neighbor_id,
+                     CASE WHEN l.r IS NULL THEN 0 ELSE 1 END AS in_lsh,
+                     CASE WHEN i.r IS NULL THEN 0 ELSE 1 END AS in_ivf,
+                     COALESCE(1.0 / (60.0 + l.r::DOUBLE), 0.0)
+                       + COALESCE(1.0 / (60.0 + i.r::DOUBLE), 0.0) AS rrf
+              FROM lshr l FULL OUTER JOIN ivfr i
+                ON i.query_id = l.query_id AND i.neighbor_id = l.neighbor_id)
+    SELECT query_id, neighbor_id, in_lsh::BIGINT AS in_lsh, in_ivf::BIGINT AS in_ivf,
+           ROUND(rrf, 6) AS rrf, rnk::BIGINT AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rnk
+          FROM fused) t
+    WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -5497,6 +5601,7 @@ object SparkEntry {
     ("e11_truncated_ann", q(e11Spark), e11Duck),
     ("e12_multiprobe_lsh", e12Fn _, e12Duck),
     ("e13_semdedup", q(e13Spark), e13Duck),
+    ("e14_rrf_fusion", q(e14Spark), e14Duck),
     ("t24_tfidf_terms", q(t24Spark), t24Duck),
     ("t25_cms_heavy_hitters", q(t25Spark), t25Duck),
     ("t26_bpe_pretokenize", q(t26Spark), t26Duck),
