@@ -5492,6 +5492,47 @@ object SparkEntry {
           FROM fused) t
     WHERE rnk <= 3 ORDER BY query_id, rnk"""
 
+  /** Waiting-supplier report (q10): the TPC-H Q21 shape on this schema —
+    * for finalized orders, suppliers whose line was returned ('R') while
+    * at least one OTHER supplier served the same order (EXISTS → left
+    * semi join) and no other supplier's line was returned (NOT EXISTS →
+    * left anti join). Exercises the correlated-subquery planning surface
+    * the q-family hadn't covered: Catalyst rewrites both subqueries to
+    * semi/anti hash joins keyed on l_orderkey — never a per-row probe —
+    * and the supplier dim broadcasts. Top-20 by (numwait DESC, s_name)
+    * is a TakeOrdered. */
+  private val q10Spark = """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name LIMIT 20"""
+
+  private val q10Duck = """
+    SELECT s.s_name, COUNT(*)::BIGINT AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name LIMIT 20"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -5505,6 +5546,7 @@ object SparkEntry {
     ("q07_hourly_events", q(q07Spark), q07Duck),
     ("q08_revenue_leaderboard", q(q08Spark), q08Duck),
     ("q09_grouping_sets", q(q09Spark), q09Duck),
+    ("q10_waiting_supplier", q(q10Spark), q10Duck),
     ("g04_buffer_area", q(g04Spark), g04Duck),
     ("g05_centroid", q(g05Spark), g05Duck),
     ("g06_extent_agg", q(g06Spark), g06Duck),
