@@ -156,6 +156,21 @@ class PipelinePlanSpec extends SparkTestBase {
       s"bloom probe not below a shuffle in:\n$plan")
   }
 
+  test("q10: correlated EXISTS/NOT EXISTS rewrite to semi/anti hash joins") {
+    val plan = planOf("q10_waiting_supplier")
+    assert(plan.contains("LeftSemi"), s"EXISTS did not plan as a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS did not plan as an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"subquery fell to a nested loop in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 planned as a full sort instead of TakeOrdered:\n$plan")
+  }
+
+  test("e14 RRF fusion: both candidate routes and the fusion stay equi-joins") {
+    val plan = planOf("e14_rrf_fusion")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
   test("e13 semdedup: cosine self-join stays keyed by cluster, never cartesian") {
     val plan = planOf("e13_semdedup")
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
