@@ -5533,6 +5533,63 @@ object SparkEntry {
     GROUP BY s.s_name
     ORDER BY numwait DESC, s_name LIMIT 20"""
 
+  /** Bearing analysis (g59): `ST_Azimuth` (PostGIS convention — radians
+    * clockwise from north, [0, 2π)) over synthetic point pairs, reported
+    * as an 8-sector compass histogram. The sector of each pair is decided
+    * by INTEGER comparisons on (dx, dy) — sign and |dx| vs |dy| — never by
+    * flooring the transcendental angle, so a 1-ulp atan2 divergence
+    * between libm implementations cannot flip a bucket; the angle itself
+    * is only surfaced through ROUND(…, 6) min/max per sector, where ulp
+    * noise is far below the rounding grain (the g10 mercator oracle
+    * establishes the trig-in-oracle precedent). Map-side kernel, one
+    * 8-key aggregate. */
+  private val g59Spark = """
+    WITH p AS (SELECT /*+ REPARTITION({{P}}) */
+                 l_partkey % 100 AS axi, l_suppkey % 100 AS ayi,
+                 (l_partkey * 7) % 100 AS bxi, (l_suppkey * 13) % 100 AS byi
+               FROM lineitem),
+    d AS (SELECT axi, ayi, bxi, byi, bxi - axi AS dx, byi - ayi AS dy FROM p
+          WHERE NOT (axi = bxi AND ayi = byi)),
+    az AS (SELECT
+             CASE WHEN dx >= 0 AND dy > 0 AND dx < dy THEN 0
+                  WHEN dx > 0 AND dy > 0 AND dx >= dy THEN 1
+                  WHEN dx > 0 AND dy <= 0 AND -dy < dx THEN 2
+                  WHEN dx > 0 AND dy < 0 AND -dy >= dx THEN 3
+                  WHEN dx <= 0 AND dy < 0 AND -dx < -dy THEN 4
+                  WHEN dx < 0 AND dy < 0 AND -dx >= -dy THEN 5
+                  WHEN dx < 0 AND dy >= 0 AND dy < -dx THEN 6
+                  ELSE 7 END AS sector,
+             ST_Azimuth(ST_Point(CAST(axi AS DOUBLE), CAST(ayi AS DOUBLE)),
+                        ST_Point(CAST(bxi AS DOUBLE), CAST(byi AS DOUBLE)))
+               * 180.0D / pi() AS deg
+           FROM d)
+    SELECT CAST(sector AS BIGINT) AS sector, COUNT(*) AS n,
+           ROUND(MIN(deg), 6) AS min_deg, ROUND(MAX(deg), 6) AS max_deg
+    FROM az GROUP BY sector ORDER BY sector"""
+
+  private val g59Duck = """
+    WITH p AS (SELECT l_partkey % 100 AS axi, l_suppkey % 100 AS ayi,
+                      (l_partkey * 7) % 100 AS bxi, (l_suppkey * 13) % 100 AS byi
+               FROM lineitem),
+    d AS (SELECT axi, ayi, bxi, byi, bxi - axi AS dx, byi - ayi AS dy FROM p
+          WHERE NOT (axi = bxi AND ayi = byi)),
+    az AS (SELECT
+             CASE WHEN dx >= 0 AND dy > 0 AND dx < dy THEN 0
+                  WHEN dx > 0 AND dy > 0 AND dx >= dy THEN 1
+                  WHEN dx > 0 AND dy <= 0 AND -dy < dx THEN 2
+                  WHEN dx > 0 AND dy < 0 AND -dy >= dx THEN 3
+                  WHEN dx <= 0 AND dy < 0 AND -dx < -dy THEN 4
+                  WHEN dx < 0 AND dy < 0 AND -dx >= -dy THEN 5
+                  WHEN dx < 0 AND dy >= 0 AND dy < -dx THEN 6
+                  ELSE 7 END AS sector,
+             (CASE WHEN atan2(dx::DOUBLE, dy::DOUBLE) < 0.0
+                   THEN atan2(dx::DOUBLE, dy::DOUBLE) + 2.0 * pi()
+                   ELSE atan2(dx::DOUBLE, dy::DOUBLE) END) * 180.0 / pi() AS deg
+           FROM d)
+    SELECT sector::BIGINT AS sector, COUNT(*)::BIGINT AS n,
+           ROUND(MIN(deg), 6) AS min_deg, ROUND(MAX(deg), 6) AS max_deg
+    FROM az GROUP BY sector ORDER BY sector"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -5601,7 +5658,8 @@ object SparkEntry {
     ("g55_arrow_dsv2_pruned", g55Fn _, g55Duck),
     ("g56_polygonize_linemerge", q(g56Spark), g56Duck),
     ("g57_delaunay", q(g57Spark), g57Duck),
-    ("g58_voronoi", q(g58Spark), g58Duck),
+    ("g59_azimuth", q(g59Spark), g59Duck),
+    ("g58_voronoi",q(g58Spark), g58Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
     ("t03_ngram_jaccard", t03Fn _, t03Duck),

@@ -212,6 +212,20 @@ object GeomOps {
     case _ => 0.0
   }
   def distance(a: Array[Byte], b: Array[Byte]): Double = read(a).distance(read(b))
+  /** Planar azimuth from point a to point b, PostGIS convention: radians
+    * clockwise from north in [0, 2π). Coincident points error in PostGIS;
+    * here they return NaN (null-free kernel, filter upstream). */
+  def azimuth(a: Array[Byte], b: Array[Byte]): Double = {
+    val ca = read(a).getCoordinate
+    val cb = read(b).getCoordinate
+    val dx = cb.x - ca.x
+    val dy = cb.y - ca.y
+    if (dx == 0.0 && dy == 0.0) Double.NaN
+    else {
+      val az = math.atan2(dx, dy)
+      if (az < 0.0) az + 2.0 * math.Pi else az
+    }
+  }
   def hausdorffDistance(a: Array[Byte], b: Array[Byte]): Double =
     org.locationtech.jts.algorithm.distance.DiscreteHausdorffDistance.distance(read(a), read(b))
   /** ref: rust/geoarrow-old/src/algorithm/geo/frechet_distance.rs:25 */

@@ -101,6 +101,7 @@ object GeoFunctions {
     "st_length" -> Sig("length", D, Seq(G)),
     "st_perimeter" -> Sig("perimeter", D, Seq(G)),
     "st_distance" -> Sig("distance", D, Seq(G, G)),
+    "st_azimuth" -> Sig("azimuth", D, Seq(G, G)),
     "st_hausdorffdistance" -> Sig("hausdorffDistance", D, Seq(G, G)),
     "st_frechetdistance" -> Sig("frechetDistance", D, Seq(G, G)),
     // predicates

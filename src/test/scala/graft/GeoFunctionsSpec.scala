@@ -372,4 +372,15 @@ class GeoFunctionsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(0) + r.getDouble(1)) < 1e-3)
     assert(math.abs(r.getDouble(0) - 12308778361.47) < 1.0) // geographiclib value
   }
+
+  test("ST_Azimuth: PostGIS convention — clockwise from north, [0, 2pi)") {
+    assert(one("ST_Azimuth(ST_Point(0,0), ST_Point(0,1))") == 0.0)                 // due north
+    assert(one("ST_Azimuth(ST_Point(0,0), ST_Point(1,0))") == math.Pi / 2)         // due east
+    assert(one("ST_Azimuth(ST_Point(0,0), ST_Point(0,-1))") == math.Pi)            // due south
+    assert(one("ST_Azimuth(ST_Point(0,0), ST_Point(-1,0))") == 3 * math.Pi / 2)    // due west
+    assert(one("ST_Azimuth(ST_Point(0,0), ST_Point(1,1))") == math.Pi / 4)         // NE diagonal
+    assert(one("ST_Azimuth(ST_Point(2,2), ST_Point(2,2))")
+      .asInstanceOf[Double].isNaN)                                                 // coincident
+    assert(one("ST_Azimuth(ST_Point(0,0), CAST(NULL AS BINARY))") == null)
+  }
 }
