@@ -5590,6 +5590,51 @@ object SparkEntry {
            ROUND(MIN(deg), 6) AS min_deg, ROUND(MAX(deg), 6) AS max_deg
     FROM az GROUP BY sector ORDER BY sector"""
 
+  /** Closest-point / shortest-line kernels (g60): `ST_ClosestPoint(A, B)`
+    * (nearest point ON A to B — JTS DistanceOp) and `ST_ShortestLine`,
+    * driven against an axis-aligned box where the nearest point has the
+    * closed-form clamp(x, y) — inside points map to themselves (zero-length
+    * shortest line), outside points clamp to the boundary. All checked
+    * values stay integer-exact (coordinate sums as BIGINT, squared
+    * distances as BIGINT); the only float is one sqrt of the MAX square.
+    * Map-side kernels, one small-key aggregate. */
+  private val g60Spark = """
+    WITH p AS (SELECT /*+ REPARTITION({{P}}) */ l_returnflag AS flag,
+                      l_partkey % 100 AS xi, l_suppkey % 100 AS yi FROM lineitem),
+    c AS (SELECT flag, xi, yi,
+                 CAST(ST_X(ST_ClosestPoint(ST_MakeEnvelope(10, 10, 90, 90),
+                                           ST_Point(CAST(xi AS DOUBLE), CAST(yi AS DOUBLE)))) AS BIGINT) AS cx,
+                 CAST(ST_Y(ST_ClosestPoint(ST_MakeEnvelope(10, 10, 90, 90),
+                                           ST_Point(CAST(xi AS DOUBLE), CAST(yi AS DOUBLE)))) AS BIGINT) AS cy,
+                 ST_Length(ST_ShortestLine(ST_Point(CAST(xi AS DOUBLE), CAST(yi AS DOUBLE)),
+                                           ST_MakeEnvelope(10, 10, 90, 90))) AS slen
+          FROM p),
+    d AS (SELECT flag, cx, cy, slen,
+                 (xi - cx) * (xi - cx) + (yi - cy) * (yi - cy) AS sq FROM c)
+    SELECT flag, COUNT(*) AS n,
+           SUM(cx) AS sum_cpx, SUM(cy) AS sum_cpy,
+           COUNT(IF(sq = 0, 1, NULL)) AS n_inside,
+           COUNT(IF(slen = 0.0D, 1, NULL)) AS n_zero_line,
+           SUM(sq) AS sum_sq,
+           ROUND(SQRT(CAST(MAX(sq) AS DOUBLE)), 6) AS max_dist
+    FROM d GROUP BY flag ORDER BY flag"""
+
+  private val g60Duck = """
+    WITH p AS (SELECT l_returnflag AS flag,
+                      l_partkey % 100 AS xi, l_suppkey % 100 AS yi FROM lineitem),
+    c AS (SELECT flag, xi, yi,
+                 least(greatest(xi, 10), 90) AS cx,
+                 least(greatest(yi, 10), 90) AS cy FROM p),
+    d AS (SELECT flag, cx, cy,
+                 (xi - cx) * (xi - cx) + (yi - cy) * (yi - cy) AS sq FROM c)
+    SELECT flag, COUNT(*)::BIGINT AS n,
+           SUM(cx)::BIGINT AS sum_cpx, SUM(cy)::BIGINT AS sum_cpy,
+           COUNT(CASE WHEN sq = 0 THEN 1 END)::BIGINT AS n_inside,
+           COUNT(CASE WHEN sq = 0 THEN 1 END)::BIGINT AS n_zero_line,
+           SUM(sq)::BIGINT AS sum_sq,
+           ROUND(sqrt(MAX(sq)::DOUBLE), 6) AS max_dist
+    FROM d GROUP BY flag ORDER BY flag"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -5659,6 +5704,7 @@ object SparkEntry {
     ("g56_polygonize_linemerge", q(g56Spark), g56Duck),
     ("g57_delaunay", q(g57Spark), g57Duck),
     ("g59_azimuth", q(g59Spark), g59Duck),
+    ("g60_closest_point", q(g60Spark), g60Duck),
     ("g58_voronoi",q(g58Spark), g58Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),

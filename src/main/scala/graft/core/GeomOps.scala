@@ -260,6 +260,18 @@ object GeomOps {
   //      interior_point.rs:10,minimum_rotated_rect.rs:10,simplify.rs:19}
 
   def centroid(b: Array[Byte]): Array[Byte] = write(read(b).getCentroid)
+  /** Nearest point ON `a` to geometry `b` (PostGIS ST_ClosestPoint). */
+  def closestPoint(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val pts = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(read(a), read(b))
+    write(factory.createPoint(pts(0)))
+  }
+  /** 2-point line from the nearest point on `a` to the nearest point on
+    * `b` (PostGIS ST_ShortestLine); degenerate (touching/overlapping)
+    * pairs yield a zero-length line, as PostGIS does. */
+  def shortestLine(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val pts = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(read(a), read(b))
+    write(factory.createLineString(Array(pts(0), pts(1))))
+  }
   def envelope(b: Array[Byte]): Array[Byte] = write(read(b).getEnvelope)
   /** center of bounding box — ref: rust/geoarrow-old/src/algorithm/geo/center.rs:13 */
   def center(b: Array[Byte]): Array[Byte] = {

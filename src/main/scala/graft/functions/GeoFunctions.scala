@@ -102,6 +102,8 @@ object GeoFunctions {
     "st_perimeter" -> Sig("perimeter", D, Seq(G)),
     "st_distance" -> Sig("distance", D, Seq(G, G)),
     "st_azimuth" -> Sig("azimuth", D, Seq(G, G)),
+    "st_closestpoint" -> Sig("closestPoint", G, Seq(G, G)),
+    "st_shortestline" -> Sig("shortestLine", G, Seq(G, G)),
     "st_hausdorffdistance" -> Sig("hausdorffDistance", D, Seq(G, G)),
     "st_frechetdistance" -> Sig("frechetDistance", D, Seq(G, G)),
     // predicates
