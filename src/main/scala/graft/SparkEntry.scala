@@ -5635,6 +5635,82 @@ object SparkEntry {
            ROUND(sqrt(MAX(sq)::DOUBLE), 6) AS max_dist
     FROM d GROUP BY flag ORDER BY flag"""
 
+  /** Filtered ANN: pre-filter vs post-filter (e15): every production
+    * vector search carries a metadata predicate (here: neighbor must share
+    * the query's label), and the two standard execution strategies
+    * diverge in recall — PRE-filter restricts the corpus then ranks
+    * (exact ground truth), POST-filter takes the unfiltered global top-10
+    * and then applies the predicate, losing any constrained neighbor that
+    * didn't crack the global list. The report quantifies that loss per
+    * query: survivors of the post-filter cut and recall@3 against the
+    * pre-filtered truth. Bounded like e01 (8 probe queries x corpus,
+    * broadcast probe side); integer counts + one division, deterministic.
+    * At 100 TB the pre-filter side is the argument for label-partitioned
+    * or label-bucketed layouts (e06's partition pruning applies). */
+  private val e15Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, label, graft_vec(embedding) AS e,
+                      sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
+               FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id >= 8 AND vec_id < 16),
+    pairs AS (SELECT /*+ BROADCAST(q) */ q.vec_id AS qid, q.label AS ql,
+                     x.vec_id AS nid, x.label AS nl,
+                     graft_dot(q.e, x.e) / (q.nrm * x.nrm) AS cos
+              FROM q JOIN v x ON x.vec_id != q.vec_id),
+    exact3 AS (SELECT qid, nid FROM (
+                 SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, nid) AS r
+                 FROM pairs WHERE nl = ql) t WHERE r <= 3),
+    glob10 AS (SELECT qid, ql, nid, nl, cos FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, nid) AS r
+                 FROM pairs) t WHERE r <= 10),
+    post AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cos DESC, nid) AS pr
+             FROM glob10 WHERE nl = ql)
+    SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS label,
+           COALESCE(ps.n_post, 0) AS n_post,
+           COALESCE(h.hits, 0) AS hits,
+           ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / 3.0D, 6) AS post_recall_at_3
+    FROM q
+    LEFT JOIN (SELECT qid, COUNT(*) AS n_post FROM post GROUP BY qid) ps ON ps.qid = q.vec_id
+    LEFT JOIN (SELECT e3.qid, COUNT(p.nid) AS hits
+               FROM exact3 e3 LEFT JOIN (SELECT * FROM post WHERE pr <= 3) p
+                 ON p.qid = e3.qid AND p.nid = e3.nid
+               GROUP BY e3.qid) h ON h.qid = q.vec_id
+    ORDER BY query_id"""
+
+  private val e15Duck = """
+    WITH v0 AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    v AS (SELECT vec_id, label, e,
+                 sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * e[i])), (x, y) -> x + y)) AS nrm
+          FROM v0),
+    q AS (SELECT * FROM v WHERE vec_id >= 8 AND vec_id < 16),
+    pairs AS (SELECT q.vec_id AS qid, q.label AS ql, x.vec_id AS nid, x.label AS nl,
+                     list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.e) + 1), i -> q.e[i] * x.e[i])), (x, y) -> x + y) / (q.nrm * x.nrm) AS cos
+              FROM q JOIN v x ON x.vec_id != q.vec_id),
+    exact3 AS (SELECT qid, nid FROM (
+                 SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, nid) AS r
+                 FROM pairs WHERE nl = ql) t WHERE r <= 3),
+    glob10 AS (SELECT qid, ql, nid, nl, cos FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, nid) AS r
+                 FROM pairs) t WHERE r <= 10),
+    post AS (SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cos DESC, nid) AS pr
+             FROM glob10 WHERE nl = ql)
+    SELECT q.vec_id AS query_id, q.label::BIGINT AS label,
+           COALESCE(ps.n_post, 0)::BIGINT AS n_post,
+           COALESCE(h.hits, 0)::BIGINT AS hits,
+           ROUND(COALESCE(h.hits, 0)::DOUBLE / 3.0, 6) AS post_recall_at_3
+    FROM q
+    LEFT JOIN (SELECT qid, COUNT(*) AS n_post FROM post GROUP BY qid) ps ON ps.qid = q.vec_id
+    LEFT JOIN (SELECT e3.qid, COUNT(p.nid) AS hits
+               FROM exact3 e3 LEFT JOIN (SELECT * FROM post WHERE pr <= 3) p
+                 ON p.qid = e3.qid AND p.nid = e3.nid
+               GROUP BY e3.qid) h ON h.qid = q.vec_id
+    ORDER BY query_id"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -5748,6 +5824,7 @@ object SparkEntry {
     ("e12_multiprobe_lsh", e12Fn _, e12Duck),
     ("e13_semdedup", q(e13Spark), e13Duck),
     ("e14_rrf_fusion", q(e14Spark), e14Duck),
+    ("e15_filtered_ann", q(e15Spark), e15Duck),
     ("t24_tfidf_terms", q(t24Spark), t24Duck),
     ("t25_cms_heavy_hitters", q(t25Spark), t25Duck),
     ("t26_bpe_pretokenize", q(t26Spark), t26Duck),
