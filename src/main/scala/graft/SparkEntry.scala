@@ -5711,6 +5711,52 @@ object SparkEntry {
                GROUP BY e3.qid) h ON h.qid = q.vec_id
     ORDER BY query_id"""
 
+  /** Cross-source overlap matrix (t31): for every pair of corpus sources,
+    * how much 6-token shingle vocabulary they share — the provenance
+    * signal behind source-level dedup decisions (mirror sites, scrapes of
+    * scrapes) and the corpus-composition complement to t15's chunk-level
+    * view. Overlap coefficient = |A∩B| / min(|A|,|B|) — one division of
+    * exact integers. The shuffle is keyed by shingle (distinct-pairs
+    * aggregate, then an equi-join on shingle); pair output is bounded by
+    * sources², never documents². Top-20 pairs by overlap. */
+  private val t31Spark = """
+    WITH ss AS (SELECT /*+ REPARTITION({{P}}) */ DISTINCT source, s
+                FROM documents LATERAL VIEW explode(graft_shingles(text, 6)) t AS s),
+    sz AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+    inter AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+              FROM ss a JOIN ss b ON b.s = a.s AND a.source < b.source
+              GROUP BY a.source, b.source)
+    SELECT src_a, src_b, n_shared, n_a, n_b,
+           ROUND(CAST(n_shared AS DOUBLE) / CAST(LEAST(n_a, n_b) AS DOUBLE), 6) AS overlap,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT i.src_a, i.src_b, i.n_shared, za.n AS n_a, zb.n AS n_b,
+                 ROW_NUMBER() OVER (ORDER BY CAST(i.n_shared AS DOUBLE)
+                   / CAST(LEAST(za.n, zb.n) AS DOUBLE) DESC, i.src_a, i.src_b) AS rnk
+          FROM inter i
+          JOIN sz za ON za.source = i.src_a
+          JOIN sz zb ON zb.source = i.src_b) ranked
+    WHERE rnk <= 20 ORDER BY rnk"""
+
+  private val t31Duck = """
+    WITH ss AS (SELECT DISTINCT source, array_to_string(toks[p+1:p+6], ' ') AS s
+                FROM (SELECT source, string_split_regex(trim(text), '\s+') AS toks FROM documents) t
+                CROSS JOIN LATERAL (SELECT unnest(range(0, greatest(len(toks)-5, 0))) AS p) ps),
+    sz AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+    inter AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+              FROM ss a JOIN ss b ON b.s = a.s AND a.source < b.source
+              GROUP BY a.source, b.source)
+    SELECT src_a, src_b, n_shared::BIGINT AS n_shared,
+           n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+           ROUND(n_shared::DOUBLE / LEAST(n_a, n_b)::DOUBLE, 6) AS overlap,
+           rnk::BIGINT AS rnk
+    FROM (SELECT i.src_a, i.src_b, i.n_shared, za.n AS n_a, zb.n AS n_b,
+                 ROW_NUMBER() OVER (ORDER BY i.n_shared::DOUBLE
+                   / LEAST(za.n, zb.n)::DOUBLE DESC, i.src_a, i.src_b) AS rnk
+          FROM inter i
+          JOIN sz za ON za.source = i.src_a
+          JOIN sz zb ON zb.source = i.src_b) ranked
+    WHERE rnk <= 20 ORDER BY rnk"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -5832,6 +5878,7 @@ object SparkEntry {
     ("t28_span_dedup", q(t28Spark), t28Duck),
     ("t29_dsir_select", q(t29Spark), t29Duck),
     ("t30_stratified_sample", q(t30Spark), t30Duck),
+    ("t31_source_overlap", q(t31Spark), t31Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),
