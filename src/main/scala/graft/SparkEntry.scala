@@ -5757,6 +5757,72 @@ object SparkEntry {
           JOIN sz zb ON zb.source = i.src_b) ranked
     WHERE rnk <= 20 ORDER BY rnk"""
 
+  /** Streaming latest-value enrichment (s09): one stream interleaves
+    * profile updates and click facts across 5 micro-batches; every click
+    * is tagged with the most recent profile value for its user —
+    * `StreamOps.latestValueEnrich`, the CDC enrichment shape where the
+    * dimension rides per-key state (ONE value per user) instead of a
+    * join. Clicks before any profile emit NULL; cross-batch state carry
+    * is what the oracle's as-of-backward batch replay checks. */
+  private def s09Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s09").toString
+    val src = new java.io.File(tmp, "src"); src.mkdirs()
+    def gen(lo: Int, hi: Int) = s.sql(s"""
+      SELECT CAST(id % 7 AS BIGINT) AS user_id,
+             timestamp_seconds(1700000000 + id) AS ts,
+             IF(id % 3 = 0, 'profile', 'click') AS kind,
+             CAST(id AS BIGINT) AS value
+      FROM range($lo, $hi)""")
+    (0 until 5).foreach { i =>
+      val stage = new java.io.File(tmp, s"stage$i")
+      gen(i * 30, (i + 1) * 30).coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(src, s"f$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    import org.apache.spark.sql.Encoders
+    val stream = s.readStream.schema(gen(0, 1).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+      .as[graft.streaming.StreamOps.EnrichEvent](
+        Encoders.product[graft.streaming.StreamOps.EnrichEvent])
+    val enriched = graft.streaming.StreamOps.latestValueEnrich(stream)
+    val qname = "graft_s09_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = enriched.toDF().writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", tmp + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.sql(s"""
+      SELECT user_id, COUNT(*) AS n_clicks,
+             COUNT(profile_value) AS n_enriched,
+             COALESCE(SUM(profile_value), 0) AS sum_profile,
+             COALESCE(MAX(value - profile_value), 0) AS max_staleness
+      FROM $qname GROUP BY user_id ORDER BY user_id""")
+  }
+
+  private val s09Duck = """
+    WITH ev AS (SELECT i % 7 AS user_id, i AS ord,
+                       CASE WHEN i % 3 = 0 THEN 'profile' ELSE 'click' END AS kind,
+                       i AS value
+                FROM range(150) t(i)),
+    clk AS (SELECT c.user_id, c.value,
+                   (SELECT MAX(p.value) FROM ev p
+                    WHERE p.user_id = c.user_id AND p.kind = 'profile'
+                      AND p.ord <= c.ord) AS profile_value
+            FROM ev c WHERE c.kind = 'click')
+    SELECT user_id, COUNT(*)::BIGINT AS n_clicks,
+           COUNT(profile_value)::BIGINT AS n_enriched,
+           COALESCE(SUM(profile_value), 0)::BIGINT AS sum_profile,
+           COALESCE(MAX(value - profile_value), 0)::BIGINT AS max_staleness
+    FROM clk GROUP BY user_id ORDER BY user_id"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -5887,6 +5953,7 @@ object SparkEntry {
     ("s06_stream_topk_terms", s06Fn _, s06Duck),
     ("s07_zone_transitions", s07Fn _, s07Duck),
     ("s08_stream_neardup", s08Fn _, s08Duck),
+    ("s09_latest_enrich", s09Fn _, s09Duck),
     ("m01_media_meta", q(m01Spark), m01Duck),
     ("m02_decode_resize_hist", m02Fn _, m02Duck),
     ("m03_real_decode_matrix", q(m03Spark), m03Duck),

@@ -197,6 +197,43 @@ object StreamOps {
       }
   }
 
+  case class EnrichEvent(user_id: Long, ts: Timestamp, kind: String, value: Long)
+  case class EnrichedClick(user_id: Long, ts: Timestamp, value: Long,
+                           profile_value: java.lang.Long)
+  case class ProfileState(v: Long)
+
+  /** CDC-style latest-value enrichment: one stream carries both dimension
+    * updates (kind = "profile") and fact rows (anything else); each fact
+    * row is tagged with the MOST RECENT profile value for its key seen so
+    * far — the streaming as-of-backward join, with the dimension side as
+    * per-key state instead of a second shuffle. Within a micro-batch rows
+    * process in (ts, profile-first, value) order so an equal-ts update is
+    * visible to its facts (the AsofJoin tie rule); across batches the
+    * state store carries the last value. Facts with no profile yet emit
+    * NULL. State = ONE value per key, sharded by key — O(keys), the
+    * smallest possible enrichment state. */
+  def latestValueEnrich(events: Dataset[EnrichEvent]): Dataset[EnrichedClick] = {
+    implicit val outEnc: Encoder[EnrichedClick] = Encoders.product[EnrichedClick]
+    implicit val stEnc: Encoder[ProfileState] = Encoders.product[ProfileState]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[ProfileState, EnrichedClick](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (id, rows, state: GroupState[ProfileState]) =>
+          val sorted = rows.toSeq.sortBy(e =>
+            (e.ts.getTime, if (e.kind == "profile") 0 else 1, e.value))
+          var cur: Option[Long] = state.getOption.map(_.v)
+          val out = scala.collection.mutable.ListBuffer.empty[EnrichedClick]
+          sorted.foreach { e =>
+            if (e.kind == "profile") cur = Some(e.value)
+            else out += EnrichedClick(id, e.ts, e.value,
+              cur.map(Long.box).orNull)
+          }
+          cur.foreach(v => state.update(ProfileState(v)))
+          out.iterator
+      }
+  }
+
   /** Stream-stream event-time interval join: pair each left row with every
     * right row sharing `key` whose `ts` lands in [left.ts, left.ts +
     * maxLag] — the attribution shape (view→click, request→response,
