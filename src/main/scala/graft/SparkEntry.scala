@@ -5823,6 +5823,43 @@ object SparkEntry {
            COALESCE(MAX(value - profile_value), 0)::BIGINT AS max_staleness
     FROM clk GROUP BY user_id ORDER BY user_id"""
 
+  /** Grid snapping (g61): `ST_ReducePrecision` (JTS
+    * GeometryPrecisionReducer — the ST_SnapToGrid shape) drives points
+    * onto a 5-unit grid; the oracle replays JTS's exact arithmetic —
+    * Math.round(v·scale)/scale with scale = 1.0/5.0 — as
+    * FLOOR(v·(1.0/5.0) + 0.5)/(1.0/5.0) in the same IEEE double ops, then
+    * both sides integer-round the near-integer grid multiples before
+    * summing (BIGINT-exact, order-independent). Snapped-cell cardinality
+    * per flag is the dedup-compression measure a tiling pipeline reads. */
+  private val g61Spark = """
+    WITH p AS (SELECT /*+ REPARTITION({{P}}) */ l_returnflag AS flag,
+                      CAST(l_partkey % 100 AS DOUBLE) + 0.3D AS x,
+                      CAST(l_suppkey % 100 AS DOUBLE) + 0.7D AS y
+               FROM lineitem),
+    sn AS (SELECT flag,
+                  CAST(ROUND(ST_X(ST_ReducePrecision(ST_Point(x, y), 5.0D))) AS BIGINT) AS gx,
+                  CAST(ROUND(ST_Y(ST_ReducePrecision(ST_Point(x, y), 5.0D))) AS BIGINT) AS gy
+           FROM p)
+    SELECT flag, COUNT(*) AS n, COUNT(DISTINCT gx * 1000 + gy) AS n_cells,
+           SUM(gx) AS sum_gx, SUM(gy) AS sum_gy,
+           MIN(gx) AS min_gx, MAX(gy) AS max_gy
+    FROM sn GROUP BY flag ORDER BY flag"""
+
+  private val g61Duck = """
+    WITH p AS (SELECT l_returnflag AS flag,
+                      (l_partkey % 100)::DOUBLE + 0.3 AS x,
+                      (l_suppkey % 100)::DOUBLE + 0.7 AS y
+               FROM lineitem),
+    sn AS (SELECT flag,
+                  ROUND(FLOOR(x * (1.0 / 5.0) + 0.5) / (1.0 / 5.0))::BIGINT AS gx,
+                  ROUND(FLOOR(y * (1.0 / 5.0) + 0.5) / (1.0 / 5.0))::BIGINT AS gy
+           FROM p)
+    SELECT flag, COUNT(*)::BIGINT AS n,
+           COUNT(DISTINCT gx * 1000 + gy)::BIGINT AS n_cells,
+           SUM(gx)::BIGINT AS sum_gx, SUM(gy)::BIGINT AS sum_gy,
+           MIN(gx)::BIGINT AS min_gx, MAX(gy)::BIGINT AS max_gy
+    FROM sn GROUP BY flag ORDER BY flag"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -5893,6 +5930,7 @@ object SparkEntry {
     ("g57_delaunay", q(g57Spark), g57Duck),
     ("g59_azimuth", q(g59Spark), g59Duck),
     ("g60_closest_point", q(g60Spark), g60Duck),
+    ("g61_snap_grid", q(g61Spark), g61Duck),
     ("g58_voronoi",q(g58Spark), g58Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),
