@@ -5860,6 +5860,53 @@ object SparkEntry {
            MIN(gx)::BIGINT AS min_gx, MAX(gy)::BIGINT AS max_gy
     FROM sn GROUP BY flag ORDER BY flag"""
 
+  /** Shot-boundary detection (m09): the video face of the media pipeline —
+    * each document is a 6-frame clip whose frames are REAL PNGs (JDK
+    * encoder), the scene changes at a per-doc position b ∈ {2,3,4}
+    * (frame seed jumps by 311), every frame is decoded and fingerprinted
+    * by the real-codec perceptual hash (`graft_media_phash`), and a
+    * boundary is any frame whose phash differs from its predecessor (LAG
+    * window per clip — the temporal-diff shape of every shot detector).
+    * The oracle regenerates both scene phashes arithmetically (m06's
+    * closed-form fragment) — a doc reports a boundary at b iff the two
+    * scenes' hashes differ, so a codec or hash regression mismatches.
+    * Decode+hash is map-side per frame; the only shuffles are the per-clip
+    * LAG window and a 3-key report. At scale identical frames would
+    * dedup through a distinct-seed phash table joined back (m06's
+    * equi-join pattern). */
+  private val m09Spark = """
+    WITH f AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, j,
+                      graft_media_phash(graft_media_png(
+                        (doc_id % 97) + IF(j < 2 + doc_id % 3, 0, 311))) AS ph
+               FROM documents LATERAL VIEW explode(sequence(0, 5)) t AS j),
+    d AS (SELECT doc_id, j, ph,
+                 LAG(ph) OVER (PARTITION BY doc_id ORDER BY j) AS prev FROM f),
+    b AS (SELECT doc_id, j FROM d WHERE prev IS NOT NULL AND ph != prev)
+    SELECT CAST(j AS BIGINT) AS boundary_frame, COUNT(*) AS n_docs,
+           SUM(doc_id) AS sum_doc
+    FROM b GROUP BY j ORDER BY boundary_frame"""
+
+  private val m09Duck = """
+    WITH dd AS (SELECT doc_id, doc_id % 97 AS sa, doc_id % 97 + 311 AS sb,
+                       2 + doc_id % 3 AS b FROM documents),
+    u AS (SELECT DISTINCT s FROM (SELECT sa AS s FROM dd UNION ALL SELECT sb AS s FROM dd) z),
+    m AS (SELECT s, 1 + s % 16 AS w, 1 + (s // 16) % 16 AS h FROM u),
+    r AS (SELECT s, list_transform(range(64),
+            i -> (s * 31 + ((((i // 8) * h) // 8) * w + ((i % 8) * w) // 8) * 7) % 256) AS rp
+          FROM m),
+    t AS (SELECT s, rp, list_sum(rp) AS sm FROM r),
+    pc AS (SELECT s,
+                  list_reduce(list_transform(range(64),
+                    i -> CASE WHEN rp[i + 1] * 64 > sm THEN '1' ELSE '0' END), (a, b) -> a || b) AS phash
+           FROM t),
+    bnd AS (SELECT dd.doc_id, dd.b
+            FROM dd JOIN pc pa ON pa.s = dd.sa
+                    JOIN pc pb ON pb.s = dd.sb
+            WHERE pa.phash != pb.phash)
+    SELECT b::BIGINT AS boundary_frame, COUNT(*)::BIGINT AS n_docs,
+           SUM(doc_id)::BIGINT AS sum_doc
+    FROM bnd GROUP BY b ORDER BY boundary_frame"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -6000,6 +6047,7 @@ object SparkEntry {
     ("m06_image_phash_dedup", q(m06Spark), m06Duck),
     ("m07_format_roundtrip", q(m07Spark), m07Duck),
     ("m08_audio_windows", q(m08Spark), m08Duck),
+    ("m09_shot_boundaries", q(m09Spark), m09Duck),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
