@@ -5907,6 +5907,44 @@ object SparkEntry {
            SUM(doc_id)::BIGINT AS sum_doc
     FROM bnd GROUP BY b ORDER BY boundary_frame"""
 
+  /** Exact per-group quantiles (t32): the corpus-datasheet numbers
+    * (p25/p50/p90 token counts per source) computed EXACTLY at scale —
+    * rank windows over the group instead of `percentile_approx` (whose
+    * error is unbounded adversarially) or the buffering exact
+    * `percentile` aggregate. Quantile def: value at rank
+    * ceil(p·n) (type-1 / lower empirical quantile) — integer rank
+    * selection, no interpolation, so results are integers and the oracle
+    * is exact. One (source)-keyed window sort; selection is a filter. */
+  private val t32Spark = """
+    WITH tc AS (SELECT /*+ REPARTITION({{P}}) */ source,
+                       CAST(graft_token_count(text) AS BIGINT) AS nt
+                FROM documents),
+    rk AS (SELECT source, nt,
+                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY nt, source) AS r,
+                  COUNT(*) OVER (PARTITION BY source) AS n
+           FROM tc)
+    SELECT source, MAX(n) AS n_docs,
+           MAX(IF(r = CAST(CEIL(n * 0.25D) AS BIGINT), nt, NULL)) AS p25,
+           MAX(IF(r = CAST(CEIL(n * 0.5D) AS BIGINT), nt, NULL)) AS p50,
+           MAX(IF(r = CAST(CEIL(n * 0.9D) AS BIGINT), nt, NULL)) AS p90,
+           MIN(nt) AS min_nt, MAX(nt) AS max_nt
+    FROM rk GROUP BY source ORDER BY source"""
+
+  private val t32Duck = """
+    WITH tc AS (SELECT source,
+                       len(string_split_regex(trim(text), '\s+'))::BIGINT AS nt
+                FROM documents),
+    rk AS (SELECT source, nt,
+                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY nt, source) AS r,
+                  COUNT(*) OVER (PARTITION BY source) AS n
+           FROM tc)
+    SELECT source, MAX(n)::BIGINT AS n_docs,
+           MAX(CASE WHEN r = CEIL(n * 0.25)::BIGINT THEN nt END)::BIGINT AS p25,
+           MAX(CASE WHEN r = CEIL(n * 0.5)::BIGINT THEN nt END)::BIGINT AS p50,
+           MAX(CASE WHEN r = CEIL(n * 0.9)::BIGINT THEN nt END)::BIGINT AS p90,
+           MIN(nt)::BIGINT AS min_nt, MAX(nt)::BIGINT AS max_nt
+    FROM rk GROUP BY source ORDER BY source"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -6030,6 +6068,7 @@ object SparkEntry {
     ("t29_dsir_select", q(t29Spark), t29Duck),
     ("t30_stratified_sample", q(t30Spark), t30Duck),
     ("t31_source_overlap", q(t31Spark), t31Duck),
+    ("t32_exact_quantiles", q(t32Spark), t32Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),
