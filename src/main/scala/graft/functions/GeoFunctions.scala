@@ -297,4 +297,9 @@ object GeoFunctions {
   def st_npoints(g: Column): Column = call_function("st_npoints", g)
   def st_union(a: Column, b: Column): Column = call_function("st_union", a, b)
   def st_intersection(a: Column, b: Column): Column = call_function("st_intersection", a, b)
+  def st_azimuth(a: Column, b: Column): Column = call_function("st_azimuth", a, b)
+  def st_closestPoint(a: Column, b: Column): Column = call_function("st_closestpoint", a, b)
+  def st_shortestLine(a: Column, b: Column): Column = call_function("st_shortestline", a, b)
+  def st_reducePrecision(g: Column, gridSize: Column): Column =
+    call_function("st_reduceprecision", g, gridSize)
 }

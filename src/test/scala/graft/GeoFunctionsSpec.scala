@@ -373,6 +373,21 @@ class GeoFunctionsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(0) - 12308778361.47) < 1.0) // geographiclib value
   }
 
+  test("ST_ClosestPoint / ST_ShortestLine: boundary clamp, inside identity, degenerate") {
+    // outside point clamps to the box edge
+    assert(one("ST_AsText(ST_ClosestPoint(ST_MakeEnvelope(0,0,10,10), ST_Point(15, 5)))") ==
+      "POINT (10 5)")
+    // point INSIDE a polygon is its own closest point (distance 0)
+    assert(one("ST_AsText(ST_ClosestPoint(ST_MakeEnvelope(0,0,10,10), ST_Point(3, 4)))") ==
+      "POINT (3 4)")
+    // shortest line spans the gap, its length equals ST_Distance
+    assert(one("ST_AsText(ST_ShortestLine(ST_Point(0, 0), ST_Point(3, 4)))") ==
+      "LINESTRING (0 0, 3 4)")
+    assert(one("ST_Length(ST_ShortestLine(ST_Point(15, 5), ST_MakeEnvelope(0,0,10,10)))") == 5.0)
+    // touching geometries give a zero-length line, not an error
+    assert(one("ST_Length(ST_ShortestLine(ST_Point(10, 5), ST_MakeEnvelope(0,0,10,10)))") == 0.0)
+  }
+
   test("ST_Azimuth: PostGIS convention — clockwise from north, [0, 2pi)") {
     assert(one("ST_Azimuth(ST_Point(0,0), ST_Point(0,1))") == 0.0)                 // due north
     assert(one("ST_Azimuth(ST_Point(0,0), ST_Point(1,0))") == math.Pi / 2)         // due east

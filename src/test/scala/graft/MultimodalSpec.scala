@@ -240,6 +240,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(r.getLong(0) == 256L && r.getLong(1) == 256L)
   }
 
+  test("audioWindows: window split sums to full-clip stats; short tail window") {
+    import graft.operators.Multimodal
+    val wav = Multimodal.encodeWavPcm16(5L, n = 10, rate = 8000)
+    val ws = Multimodal.audioWindows(wav, 4)
+    // 10 samples at window 4 -> windows of 4, 4, 2
+    assert(ws.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(ws.map(_._2).toSeq == Seq(4L, 4L, 2L))
+    // windows partition the clip exactly: sums recompose the full stats
+    val (n, peak, sumAbs, sumSq) = Multimodal.audioStats(wav)
+    assert(ws.map(_._2).sum == n)
+    assert(ws.map(_._3).max == peak)
+    assert(ws.map(_._4).sum == sumAbs)
+    assert(ws.map(_._5).sum == sumSq)
+    // SQL surface explodes to one row per window
+    graft.functions.MediaFunctions.register(spark)
+    val r = sql("""SELECT w.win_idx, w.n_samples
+                   FROM (SELECT explode(graft_audio_windows(graft_audio_wav(5), 100)) AS w)""")
+      .collect().map(x => (x.getInt(0), x.getLong(1)))
+    assert(r.length == 3 && r(2) == ((2, 56L))) // 256 samples -> 100, 100, 56
+  }
+
   test("imageFeatures pipeline: schema, null payload, value spot-check") {
     graft.functions.MediaFunctions.register(spark)
     val df = spark.sql(
