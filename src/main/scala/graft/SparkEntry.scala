@@ -3574,6 +3574,85 @@ object SparkEntry {
       WHERE rnk <= 3 ORDER BY query_id, rnk""")
   }
 
+  /** IVF index maintenance (e16): the build-once / APPEND-deltas / probe
+    * lifecycle — 90% of the corpus builds the persisted list-partitioned
+    * index (e06's layout), the remaining 10% arrives later as a delta
+    * batch quantized against the READ-BACK persisted centroids (no
+    * retrain, no rebuild) and appended into the same list partitions; the
+    * probe then reads the merged index. Results are pinned byte-identical
+    * to the in-query e04 (and e06): an append must never change answers —
+    * that is the invariant that makes incremental ingestion safe at
+    * 100 TB, where rebuilding the index per batch is a non-starter.
+    * Shuffle/IO topology is e06's: partition-pruned probe, bounded
+    * metadata collect of ≤K probed lists. */
+  private def e16Fn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    views(s, dir)
+    graft.functions.GeoFunctions.register(s)
+    val p = s.sparkContext.defaultParallelism
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_e16_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+    // build: main index from the 90% slice, centroids persisted alongside
+    s.sql(s"""
+      WITH v AS (SELECT /*+ REPARTITION($p) */ vec_id, graft_vec(embedding) AS e,
+                        sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
+                 FROM embeddings WHERE vec_id % 10 != 0),
+      c AS (SELECT vec_id AS cid, graft_vec(embedding) AS ce,
+                   sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS cnrm
+            FROM embeddings WHERE vec_id < 4),
+      asgn AS (SELECT vec_id, e, nrm, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY graft_dot(e, ce) / (nrm * cnrm) DESC, cid) AS rn
+               FROM v CROSS JOIN c)
+      SELECT vec_id, e, nrm, CAST(cid AS BIGINT) AS list_id
+      FROM asgn WHERE rn = 1""")
+      .write.partitionBy("list_id").parquet(out + "/lists")
+    s.sql("""
+      SELECT vec_id AS cid, graft_vec(embedding) AS ce,
+             sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS cnrm
+      FROM embeddings WHERE vec_id < 4""")
+      .coalesce(1).write.parquet(out + "/centroids")
+    s.read.parquet(out + "/centroids").createOrReplaceTempView("e16_centroids")
+    // delta: the late 10% quantizes against the PERSISTED centroids and
+    // appends into the same list partitions — no retrain, no rebuild
+    s.sql(s"""
+      WITH d AS (SELECT /*+ REPARTITION($p) */ vec_id, graft_vec(embedding) AS e,
+                        sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
+                 FROM embeddings WHERE vec_id % 10 = 0),
+      asgn AS (SELECT vec_id, e, nrm, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY graft_dot(e, ce) / (nrm * cnrm) DESC, cid) AS rn
+               FROM d CROSS JOIN e16_centroids)
+      SELECT vec_id, e, nrm, CAST(cid AS BIGINT) AS list_id
+      FROM asgn WHERE rn = 1""")
+      .write.mode("append").partitionBy("list_id").parquet(out + "/lists")
+    // probe the MERGED index exactly as e06 does
+    val qp = s.sql("""
+      WITH q AS (SELECT vec_id, graft_vec(embedding) AS e,
+                        sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
+                 FROM embeddings WHERE vec_id >= 8 AND vec_id < 16)
+      SELECT vec_id, e, nrm, cid AS probe_list FROM (
+        SELECT q.vec_id, q.e, q.nrm, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY graft_dot(q.e, c.ce) / (q.nrm * c.cnrm) DESC, c.cid) AS rn
+        FROM q CROSS JOIN e16_centroids c) t WHERE rn <= 2""")
+    qp.createOrReplaceTempView("e16_probes")
+    val probed = qp.select("probe_list").distinct().collect().map(_.getLong(0))
+    s.read.parquet(out + "/lists")
+      .where(col("list_id").isin(probed: _*))
+      .withColumn("list_id", col("list_id").cast("bigint"))
+      .createOrReplaceTempView("e16_index")
+    s.sql("""
+      WITH pairs AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, x.list_id,
+                            graft_dot(q.e, x.e) / (q.nrm * x.nrm) AS cos
+                     FROM e16_probes q
+                     JOIN e16_index x ON x.list_id = q.probe_list AND x.vec_id != q.vec_id)
+      SELECT query_id, neighbor_id, list_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cos
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM pairs) t
+      WHERE rnk <= 3 ORDER BY query_id, rnk""")
+  }
+
   // ── registry ──────────────────────────────────────────────────────────
 
   // ── multimodal (graft.operators.Multimodal; decode = documented stub) ──
@@ -6060,6 +6139,7 @@ object SparkEntry {
     ("e13_semdedup", q(e13Spark), e13Duck),
     ("e14_rrf_fusion", q(e14Spark), e14Duck),
     ("e15_filtered_ann", q(e15Spark), e15Duck),
+    ("e16_ivf_delta", e16Fn _, e04Duck),
     ("t24_tfidf_terms", q(t24Spark), t24Duck),
     ("t25_cms_heavy_hitters", q(t25Spark), t25Duck),
     ("t26_bpe_pretokenize", q(t26Spark), t26Duck),
