@@ -6024,6 +6024,39 @@ object SparkEntry {
            MIN(nt)::BIGINT AS min_nt, MAX(nt)::BIGINT AS max_nt
     FROM rk GROUP BY source ORDER BY source"""
 
+  /** Rolling time-range windows (q11): per-user 1-hour trailing burst
+    * stats via RANGE BETWEEN INTERVAL frames — the event-time rolling
+    * window the ROWS-frame q08 can't express (frame membership depends on
+    * timestamps, not row offsets; the burst-detection shape for rate
+    * limiting and anomaly screens). Sums ride DECIMAL so the rolling
+    * values are exact; the report keeps per-user maxima. One user-keyed
+    * window shuffle. */
+  private val q11Spark = """
+    WITH r AS (SELECT /*+ REPARTITION({{P}}) */ user_id,
+                      COUNT(*) OVER w AS n_1h,
+                      SUM(CAST(value AS DECIMAL(18,6))) OVER w AS sum_1h
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))
+    SELECT user_id, COUNT(*) AS n_events,
+           MAX(n_1h) AS max_burst_1h,
+           CAST(MAX(sum_1h) AS DOUBLE) AS max_sum_1h,
+           CAST(MIN(n_1h) AS BIGINT) AS min_burst_1h
+    FROM r GROUP BY user_id ORDER BY user_id"""
+
+  private val q11Duck = """
+    WITH r AS (SELECT user_id,
+                      COUNT(*) OVER w AS n_1h,
+                      SUM(CAST(value AS DECIMAL(18,6))) OVER w AS sum_1h
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))
+    SELECT user_id, COUNT(*)::BIGINT AS n_events,
+           MAX(n_1h)::BIGINT AS max_burst_1h,
+           MAX(sum_1h)::DOUBLE AS max_sum_1h,
+           MIN(n_1h)::BIGINT AS min_burst_1h
+    FROM r GROUP BY user_id ORDER BY user_id"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -6038,6 +6071,7 @@ object SparkEntry {
     ("q08_revenue_leaderboard", q(q08Spark), q08Duck),
     ("q09_grouping_sets", q(q09Spark), q09Duck),
     ("q10_waiting_supplier", q(q10Spark), q10Duck),
+    ("q11_rolling_window", q(q11Spark), q11Duck),
     ("g04_buffer_area", q(g04Spark), g04Duck),
     ("g05_centroid", q(g05Spark), g05Duck),
     ("g06_extent_agg", q(g06Spark), g06Duck),
