@@ -6057,6 +6057,74 @@ object SparkEntry {
            MIN(n_1h)::BIGINT AS min_burst_1h
     FROM r GROUP BY user_id ORDER BY user_id"""
 
+  /** Great-circle projection (g62): `ST_Project(point, dist, azimuth)` —
+    * the spherical forward problem on the IAU sphere — fired at the four
+    * cardinal bearings from a world-spanning point cloud, with a
+    * closed-loop consistency gate: the haversine distance back to the
+    * origin must be within 0.5 mm-per-km of the requested 100 km for
+    * EVERY row (forward and inverse kernels must agree). The oracle
+    * replays the identical double formulas in DuckDB; surfaced values go
+    * through ROUND(…, 6) so cross-libm ulp noise is far below the grain
+    * (g10/g24 precedent). Map-side kernels, 4-key report. */
+  private val g62Spark = """
+    WITH p AS (SELECT /*+ REPARTITION({{P}}) */
+                 CAST(c_custkey % 360 AS DOUBLE) - 180.0D + 0.5D AS lon,
+                 CAST(c_custkey % 140 AS DOUBLE) - 70.0D + 0.25D AS lat
+               FROM customer),
+    b AS (SELECT lon, lat, bearing FROM p
+          LATERAL VIEW explode(array(0, 90, 180, 270)) t AS bearing),
+    pr AS (SELECT bearing, lon, lat,
+                  ST_X(ST_Project(ST_Point(lon, lat), 100000.0D,
+                                  radians(CAST(bearing AS DOUBLE)))) AS lon2,
+                  ST_Y(ST_Project(ST_Point(lon, lat), 100000.0D,
+                                  radians(CAST(bearing AS DOUBLE)))) AS lat2
+           FROM b)
+    SELECT CAST(bearing AS BIGINT) AS bearing, COUNT(*) AS n,
+           ROUND(MIN(lat2), 6) AS min_lat2, ROUND(MAX(lat2), 6) AS max_lat2,
+           ROUND(MIN(lon2), 6) AS min_lon2, ROUND(MAX(lon2), 6) AS max_lon2,
+           COUNT(IF(abs(ST_DistanceSphere(ST_Point(lon, lat), ST_Point(lon2, lat2))
+                        - 100000.0D) < 0.05D, 1, NULL)) AS n_roundtrip_ok
+    FROM pr GROUP BY bearing ORDER BY bearing"""
+
+  private val g62Duck = """
+    WITH p AS (SELECT (c_custkey % 360)::DOUBLE - 180.0 + 0.5 AS lon,
+                      (c_custkey % 140)::DOUBLE - 70.0 + 0.25 AS lat
+               FROM customer),
+    b AS (SELECT lon, lat, bearing FROM p
+          CROSS JOIN (SELECT unnest([0, 90, 180, 270]) AS bearing) t),
+    pr0 AS (SELECT bearing, lon, lat,
+                   radians(lat) AS la1, radians(lon) AS lo1,
+                   radians(bearing::DOUBLE) AS az,
+                   100000.0 / 6371008.8 AS delta
+            FROM b),
+    pr1 AS (SELECT bearing, lon, lat, la1, lo1, az, delta,
+                   sin(la1) * cos(delta) + cos(la1) * sin(delta) * cos(az) AS sinla2
+            FROM pr0),
+    pr AS (SELECT bearing, lon, lat,
+                  degrees(asin(sinla2)) AS lat2,
+                  CASE WHEN degrees(lo1 + atan2(sin(az) * sin(delta) * cos(la1),
+                                                cos(delta) - sin(la1) * sinla2)) > 180.0
+                       THEN degrees(lo1 + atan2(sin(az) * sin(delta) * cos(la1),
+                                                cos(delta) - sin(la1) * sinla2)) - 360.0
+                       WHEN degrees(lo1 + atan2(sin(az) * sin(delta) * cos(la1),
+                                                cos(delta) - sin(la1) * sinla2)) <= -180.0
+                       THEN degrees(lo1 + atan2(sin(az) * sin(delta) * cos(la1),
+                                                cos(delta) - sin(la1) * sinla2)) + 360.0
+                       ELSE degrees(lo1 + atan2(sin(az) * sin(delta) * cos(la1),
+                                                cos(delta) - sin(la1) * sinla2)) END AS lon2
+           FROM pr1),
+    d AS (SELECT bearing, lat2, lon2,
+                 2.0 * 6371008.8 * asin(least(1.0, sqrt(
+                   pow(sin(radians(lat2 - lat) / 2), 2) +
+                   cos(radians(lat)) * cos(radians(lat2)) *
+                   pow(sin(radians(lon2 - lon) / 2), 2)))) AS hav
+          FROM pr)
+    SELECT bearing::BIGINT AS bearing, COUNT(*)::BIGINT AS n,
+           ROUND(MIN(lat2), 6) AS min_lat2, ROUND(MAX(lat2), 6) AS max_lat2,
+           ROUND(MIN(lon2), 6) AS min_lon2, ROUND(MAX(lon2), 6) AS max_lon2,
+           COUNT(CASE WHEN abs(hav - 100000.0) < 0.05 THEN 1 END)::BIGINT AS n_roundtrip_ok
+    FROM d GROUP BY bearing ORDER BY bearing"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -6129,6 +6197,7 @@ object SparkEntry {
     ("g59_azimuth", q(g59Spark), g59Duck),
     ("g60_closest_point", q(g60Spark), g60Duck),
     ("g61_snap_grid", q(g61Spark), g61Duck),
+    ("g62_project_sphere", q(g62Spark), g62Duck),
     ("g58_voronoi",q(g58Spark), g58Duck),
     ("t01_token_stats", q(t01Spark), t01Duck),
     ("t02_exact_dedup", q(t02Spark), t02Duck),

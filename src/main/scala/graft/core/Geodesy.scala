@@ -114,6 +114,29 @@ object Geodesy {
     2 * EarthRadiusM * math.asin(math.min(1.0, math.sqrt(a)))
   }
 
+  /** Great-circle forward problem on the IAU sphere (PostGIS ST_Project's
+    * shape): destination of travelling `distM` meters from the point at
+    * initial bearing `azRad` (radians clockwise from north). Standard
+    * spherical direct formulas — lat2 = asin(sin φ1 cos δ + cos φ1 sin δ
+    * cos θ), lon2 = λ1 + atan2(sin θ sin δ cos φ1, cos δ − sin φ1 sin φ2),
+    * δ = d/R — with the longitude normalized to (−180, 180]. */
+  def projectSphere(b: Array[Byte], distM: Double, azRad: Double): Array[Byte] = {
+    val c = GeomOps.read(b).getCoordinate
+    val lat1 = math.toRadians(c.y)
+    val lon1 = math.toRadians(c.x)
+    val delta = distM / EarthRadiusM
+    val sinLat2 = math.sin(lat1) * math.cos(delta) +
+      math.cos(lat1) * math.sin(delta) * math.cos(azRad)
+    val lat2 = math.asin(sinLat2)
+    val lon2 = lon1 + math.atan2(
+      math.sin(azRad) * math.sin(delta) * math.cos(lat1),
+      math.cos(delta) - math.sin(lat1) * sinLat2)
+    var lonDeg = math.toDegrees(lon2)
+    if (lonDeg > 180.0) lonDeg -= 360.0
+    if (lonDeg <= -180.0) lonDeg += 360.0
+    GeomOps.point(lonDeg, math.toDegrees(lat2))
+  }
+
   def distanceSphere(a: Array[Byte], b: Array[Byte]): Double = {
     val ca = GeomOps.read(a).getCoordinate
     val cb = GeomOps.read(b).getCoordinate

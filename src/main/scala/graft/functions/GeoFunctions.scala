@@ -180,6 +180,7 @@ object GeoFunctions {
     // geodesy
     "st_transform" -> Sig("transform", G, Seq(G, I, I), geodesy),
     "st_distancesphere" -> Sig("distanceSphere", D, Seq(G, G), geodesy),
+    "st_project" -> Sig("projectSphere", G, Seq(G, D, D), geodesy),
     "st_lengthsphere" -> Sig("lengthSphere", D, Seq(G), geodesy),
     "st_areasphere" -> Sig("areaSphere", D, Seq(G), geodesy),
     "st_distancespheroid" -> Sig("distanceSpheroid", D, Seq(G, G), geodesy),

@@ -388,6 +388,21 @@ class GeoFunctionsSpec extends SparkTestBase {
     assert(one("ST_Length(ST_ShortestLine(ST_Point(10, 5), ST_MakeEnvelope(0,0,10,10)))") == 0.0)
   }
 
+  test("ST_Project: spherical forward problem, cardinal bearings, meridian arc") {
+    // one degree of meridian arc on the IAU sphere = R * pi/180 meters
+    val oneDeg = 6371008.8 * math.Pi / 180.0
+    val north = sql(s"SELECT ST_Y(ST_Project(ST_Point(10, 0), $oneDeg, 0.0))").head().getDouble(0)
+    assert(math.abs(north - 1.0) < 1e-9, s"1 deg north from equator gave lat $north")
+    // due east from the equator stays on the equator
+    val east = sql(s"SELECT ST_Y(ST_Project(ST_Point(10, 0), $oneDeg, radians(90.0)))")
+      .head().getDouble(0)
+    assert(math.abs(east) < 1e-9)
+    // antimeridian wrap normalizes into (-180, 180]
+    val wrapped = sql(s"SELECT ST_X(ST_Project(ST_Point(179.9, 0), $oneDeg, radians(90.0)))")
+      .head().getDouble(0)
+    assert(wrapped < -178.0 && wrapped > -180.0, s"wrap gave $wrapped")
+  }
+
   test("ST_Azimuth: PostGIS convention — clockwise from north, [0, 2pi)") {
     assert(one("ST_Azimuth(ST_Point(0,0), ST_Point(0,1))") == 0.0)                 // due north
     assert(one("ST_Azimuth(ST_Point(0,0), ST_Point(1,0))") == math.Pi / 2)         // due east
