@@ -6125,6 +6125,36 @@ object SparkEntry {
            COUNT(CASE WHEN abs(hav - 100000.0) < 0.05 THEN 1 END)::BIGINT AS n_roundtrip_ok
     FROM d GROUP BY bearing ORDER BY bearing"""
 
+  /** ViT-style patchification (m10): every corpus PNG decodes through the
+    * real codec and tiles into a 4x4 patch grid
+    * (`graft_media_patches` — row-major patch order, truncated edge
+    * patches), the step in front of patch-embedding an image for
+    * transformer training. Integer channel-0 sums per patch keep the
+    * closed-form raster oracle exact; the report aggregates per patch
+    * index so a tiling/indexing regression (transposed grid, wrong edge
+    * handling) hash-mismatches. Decode+tile map-side; one patch-keyed
+    * report aggregate. */
+  private val m10Spark = """
+    WITH pt AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, p, s
+                FROM (SELECT doc_id, graft_media_patches(graft_media_png(doc_id), 4, 4) AS ps
+                      FROM documents) t
+                LATERAL VIEW posexplode(ps) e AS p, s)
+    SELECT CAST(p AS BIGINT) AS patch_idx, COUNT(*) AS n_images,
+           SUM(s) AS total, MAX(s) AS max_sum
+    FROM pt GROUP BY p ORDER BY patch_idx"""
+
+  private val m10Duck = """
+    WITH m AS (SELECT doc_id, 1 + doc_id % 16 AS w, 1 + (doc_id // 16) % 16 AS h
+               FROM documents),
+    px AS (SELECT doc_id,
+                  ((i // w) // 4) * ((w + 3) // 4) + ((i % w) // 4) AS p,
+                  (doc_id * 31 + i * 7) % 256 AS v
+           FROM m CROSS JOIN LATERAL (SELECT unnest(range(w * h)) AS i) t),
+    ps AS (SELECT doc_id, p, SUM(v) AS s FROM px GROUP BY doc_id, p)
+    SELECT p::BIGINT AS patch_idx, COUNT(*)::BIGINT AS n_images,
+           SUM(s)::BIGINT AS total, MAX(s)::BIGINT AS max_sum
+    FROM ps GROUP BY p ORDER BY patch_idx"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -6270,6 +6300,7 @@ object SparkEntry {
     ("m07_format_roundtrip", q(m07Spark), m07Duck),
     ("m08_audio_windows", q(m08Spark), m08Duck),
     ("m09_shot_boundaries", q(m09Spark), m09Duck),
+    ("m10_patch_grid", q(m10Spark), m10Duck),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

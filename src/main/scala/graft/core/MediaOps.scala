@@ -67,6 +67,12 @@ object MediaOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
 
+  /** Real decode → row-major patch-grid channel-0 sums (ViT
+    * patchification). SQL: `graft_media_patches(payload, pw, ph)`. */
+  def mediaPatchSums(b: Array[Byte], pw: Int, ph: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Multimodal.patchSums(b, pw, ph))
+
   /** 64-bit perceptual average-hash as a '0'/'1' string (real decode →
     * gray → 8×8 resize → mean threshold — see [[Multimodal.phash64]]).
     * SQL: `graft_media_phash(payload)`. */

@@ -392,6 +392,30 @@ object Multimodal {
     } finally ais.close()
   }
 
+  /** Decode through the real codec and tile the raster into a pw x ph
+    * patch grid (edge patches truncated), summing channel-0 pixel values
+    * per patch in row-major patch order — the patchification step in
+    * front of ViT-style image training (each patch would feed an
+    * embedding; the integer sums keep the oracle exact). */
+  def patchSums(b: Array[Byte], pw: Int, ph: Int): Array[Long] = {
+    require(pw > 0 && ph > 0, s"patch dims must be positive, got ${pw}x$ph")
+    val img = decodeImage(b)
+    val nx = (img.width + pw - 1) / pw
+    val ny = (img.height + ph - 1) / ph
+    val out = new Array[Long](nx * ny)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        out((y / ph) * nx + (x / pw)) +=
+          (img.pixels((y * img.width + x) * img.channels) & 0xFF).toLong
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Decode through the real codec and fold PCM16LE mono samples into
     * fixed-length windows of `win` samples (last window may be short):
     * per window (winIdx, nSamples, peakAbs, sumAbs, sumSq) — the
