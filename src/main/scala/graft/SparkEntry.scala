@@ -6155,6 +6155,71 @@ object SparkEntry {
            SUM(s)::BIGINT AS total, MAX(s)::BIGINT AS max_sum
     FROM ps GROUP BY p ORDER BY patch_idx"""
 
+  /** Binary-quantized ANN (e17): 1 bit per dimension — the sign bit of
+    * each of the 64 coords packs into two 32-bit words, approximate distance is
+    * Hamming (bit_count of XOR, pure integer — zero FP in the compressed
+    * phase, like e10's SQ8 but 8x smaller again at 1 byte/vector), the
+    * Hamming top-16 re-ranks by exact cosine to a final top-3. This is
+    * the modern "binary embedding" storage path (64x smaller than
+    * doubles): the whole corpus's codes fit in memory at scales where
+    * even SQ8 spills. Sign-of-coordinate is the textbook BQ for
+    * zero-centered embeddings; for skewed corpora the e02 seeded
+    * hyperplanes are the drop-in (data-independent) alternative. */
+  private val e17Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e,
+                      sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
+               FROM embeddings),
+    bq AS (SELECT vec_id, e, nrm,
+                  aggregate(sequence(1, 32), CAST(0 AS BIGINT),
+                            (acc, i) -> acc + IF(element_at(e, i) > 0.0D,
+                                                 shiftleft(CAST(1 AS BIGINT), i - 1),
+                                                 CAST(0 AS BIGINT))) AS code_lo,
+                  aggregate(sequence(33, 64), CAST(0 AS BIGINT),
+                            (acc, i) -> acc + IF(element_at(e, i) > 0.0D,
+                                                 shiftleft(CAST(1 AS BIGINT), i - 33),
+                                                 CAST(0 AS BIGINT))) AS code_hi
+           FROM v),
+    q AS (SELECT * FROM bq WHERE vec_id >= 8 AND vec_id < 16),
+    ham AS (SELECT /*+ BROADCAST(q) */ q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                   bit_count(q.code_lo ^ x.code_lo) + bit_count(q.code_hi ^ x.code_hi) AS hd,
+                   graft_dot(q.e, x.e) / (q.nrm * x.nrm) AS cos
+            FROM bq x JOIN q ON x.vec_id != q.vec_id),
+    cand AS (SELECT query_id, neighbor_id, hd, cos,
+                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hd, neighbor_id) AS hrnk
+             FROM ham)
+    SELECT query_id, neighbor_id, CAST(hd AS BIGINT) AS hd,
+           CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM cand WHERE hrnk <= 16) t
+    WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
+  private val e17Duck = """
+    WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    v AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * e[i])), (x, y) -> x + y)) AS nrm
+          FROM v0),
+    bq AS (SELECT vec_id, e, nrm,
+                  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 33),
+                    i -> CASE WHEN e[i] > 0.0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)),
+                    (a, b) -> a + b) AS code_lo,
+                  list_reduce(list_prepend(0::BIGINT, list_transform(range(33, 65),
+                    i -> CASE WHEN e[i] > 0.0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END)),
+                    (a, b) -> a + b) AS code_hi
+           FROM v),
+    q AS (SELECT * FROM bq WHERE vec_id >= 8 AND vec_id < 16),
+    ham AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                   bit_count(xor(q.code_lo, x.code_lo)) + bit_count(xor(q.code_hi, x.code_hi)) AS hd,
+                   list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.e) + 1), i -> q.e[i] * x.e[i])), (x2, y2) -> x2 + y2) / (q.nrm * x.nrm) AS cos
+            FROM bq x JOIN q ON x.vec_id != q.vec_id),
+    cand AS (SELECT query_id, neighbor_id, hd, cos,
+                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hd, neighbor_id) AS hrnk
+             FROM ham)
+    SELECT query_id, neighbor_id, hd::BIGINT AS hd,
+           rnk::BIGINT AS rnk, ROUND(cos, 6) AS cos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM cand WHERE hrnk <= 16) t
+    WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -6273,6 +6338,7 @@ object SparkEntry {
     ("e14_rrf_fusion", q(e14Spark), e14Duck),
     ("e15_filtered_ann", q(e15Spark), e15Duck),
     ("e16_ivf_delta", e16Fn _, e04Duck),
+    ("e17_binary_quant", q(e17Spark), e17Duck),
     ("t24_tfidf_terms", q(t24Spark), t24Duck),
     ("t25_cms_heavy_hitters", q(t25Spark), t25Duck),
     ("t26_bpe_pretokenize", q(t26Spark), t26Duck),
