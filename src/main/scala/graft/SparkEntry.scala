@@ -6220,6 +6220,59 @@ object SparkEntry {
           FROM cand WHERE hrnk <= 16) t
     WHERE rnk <= 3 ORDER BY query_id, rnk"""
 
+  /** As-of interpolation (a06): each click samples the view-value signal
+    * at its own timestamp — linear interpolation between the bracketing
+    * views per user (`AsofJoin.interpolate`), hold-last after the final
+    * view, backfill before the first. The per-row interpolated double is
+    * identical cross-engine (exact integer micros into one division +
+    * multiply + add in fixed order), and the report sums
+    * FLOOR(v·1e6) BIGINTs so aggregation order cannot matter. One
+    * shuffle (union + two windows over one partitioning). */
+  private def a06Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val c = s.sql("SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'click'")
+    val v = s.sql("""SELECT user_id, ts, MAX(value) AS value FROM events
+                     WHERE event_type = 'view' GROUP BY user_id, ts""")
+    graft.operators.AsofJoin.interpolate(c, v, Seq("user_id"), "ts", "ts", "value",
+        prefix = "iv_")
+      .createOrReplaceTempView("a06_interp")
+    s.sql("""
+      SELECT user_id, COUNT(*) AS n_clicks,
+             COUNT(iv_value) AS n_valued,
+             COALESCE(SUM(CAST(FLOOR(iv_value * 1000000.0D) AS BIGINT)), 0) AS sum_iv_micros,
+             ROUND(MIN(iv_value), 6) AS min_iv, ROUND(MAX(iv_value), 6) AS max_iv
+      FROM a06_interp GROUP BY user_id ORDER BY user_id""")
+  }
+
+  private val a06Duck = """
+    WITH c AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'click'),
+    v AS (SELECT user_id, ts, MAX(value) AS value FROM events
+          WHERE event_type = 'view' GROUP BY user_id, ts),
+    m AS (SELECT c.user_id, c.ts AS cts,
+            (SELECT v1.ts FROM v v1 WHERE v1.user_id = c.user_id AND v1.ts <= c.ts
+             ORDER BY v1.ts DESC LIMIT 1) AS tb,
+            (SELECT v2.ts FROM v v2 WHERE v2.user_id = c.user_id AND v2.ts >= c.ts
+             ORDER BY v2.ts ASC LIMIT 1) AS tf
+          FROM c),
+    j AS (SELECT m.user_id, m.cts, m.tb, m.tf, vb.value AS vvb, vf.value AS vvf
+          FROM m
+          LEFT JOIN v vb ON vb.user_id = m.user_id AND vb.ts = m.tb
+          LEFT JOIN v vf ON vf.user_id = m.user_id AND vf.ts = m.tf),
+    i AS (SELECT user_id, cts,
+            CASE WHEN tb IS NOT NULL AND tf IS NOT NULL AND epoch_us(tf) != epoch_us(tb)
+                 THEN vvb + (vvf - vvb) *
+                      ((epoch_us(cts)::DOUBLE - epoch_us(tb)::DOUBLE)
+                       / (epoch_us(tf)::DOUBLE - epoch_us(tb)::DOUBLE))
+                 WHEN tb IS NOT NULL AND tf IS NOT NULL THEN vvb
+                 WHEN tb IS NOT NULL THEN vvb
+                 WHEN tf IS NOT NULL THEN vvf END AS iv
+          FROM j)
+    SELECT user_id, COUNT(*)::BIGINT AS n_clicks,
+           COUNT(iv)::BIGINT AS n_valued,
+           COALESCE(SUM(FLOOR(iv * 1000000.0)::BIGINT), 0)::BIGINT AS sum_iv_micros,
+           ROUND(MIN(iv), 6) AS min_iv, ROUND(MAX(iv), 6) AS max_iv
+    FROM i GROUP BY user_id ORDER BY user_id"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -6322,6 +6375,7 @@ object SparkEntry {
     ("a02_range_join", a02Fn _, a02Duck),
     ("a03_asof_forward_tol", a03Fn _, a03Duck),
     ("a05_asof_nearest", a05Fn _, a05Duck),
+    ("a06_asof_interp", a06Fn _, a06Duck),
     ("a04_keyed_interval",a04Fn _, a04Duck),
     ("t15_corpus_dup_chunks", q(t15Spark), t15Duck),
     ("t16_sequence_pack", q(t16Spark), t16Duck),

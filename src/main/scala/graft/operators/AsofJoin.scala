@@ -116,4 +116,51 @@ object AsofJoin {
           rightCols.map(c => col(s"__match.$c").as(s"$prefix$c"))): _*)
     out
   }
+
+  /** Time-weighted as-of INTERPOLATION: each left row gets the right
+    * side's `valueCol` linearly interpolated between its bracketing right
+    * rows — v_b + (v_f − v_b) · (t − t_b)/(t_f − t_b) — the sensor/market
+    * "sample a continuous signal at these timestamps" join
+    * (pandas `DataFrame.interpolate` meets merge_asof). Edge semantics:
+    * only a backward row → its value (hold-last); only a forward row →
+    * its value (backfill); neither → NULL; an exact-timestamp hit
+    * interpolates to that row's value (fraction 0). Same ONE-shuffle
+    * topology as the nearest direction: two windows over one hash
+    * partitioning. Output: left columns + `{prefix}value` (double). */
+  def interpolate(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String, valueCol: String,
+                  prefix: String = "r_"): DataFrame = {
+    val payload = struct(col(rightTs).as("__rts"), col(valueCol).cast("double").as("__v"))
+    val l2 = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
+        struct(left.columns.map(col): _*).as("__lrow")): _*)
+    val rvSchema = right.select(payload.as("__rv")).schema("__rv").dataType
+    val lrowSchema = l2.schema("__lrow").dataType
+    val lFull = l2.withColumn("__rv", lit(null).cast(rvSchema))
+    val rFull = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+        lit(null).cast(lrowSchema).as("__lrow"), payload.as("__rv")): _*)
+    val unioned = lFull.unionByName(rFull)
+    val bOrd: Seq[Column] = Seq(col("__ts").asc, col("__side").asc, col("__rv").asc)
+    val fOrd: Seq[Column] = Seq(col("__ts").desc, col("__side").asc, col("__rv").desc)
+    def win(ord: Seq[Column]) = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = unioned
+      .withColumn("__bm", last(col("__rv"), ignoreNulls = true).over(win(bOrd)))
+      .withColumn("__fm", last(col("__rv"), ignoreNulls = true).over(win(fOrd)))
+      .where(col("__side") === 1)
+    val tb = unix_micros(col("__bm.__rts")).cast("double")
+    val tf = unix_micros(col("__fm.__rts")).cast("double")
+    val t = unix_micros(col("__ts")).cast("double")
+    val vb = col("__bm.__v")
+    val vf = col("__fm.__v")
+    val interp =
+      when(col("__bm").isNotNull && col("__fm").isNotNull && tf =!= tb,
+        vb + (vf - vb) * ((t - tb) / (tf - tb)))
+      .when(col("__bm").isNotNull && col("__fm").isNotNull, vb) // tf == tb: exact hit
+      .when(col("__bm").isNotNull, vb)   // hold-last beyond the final right row
+      .when(col("__fm").isNotNull, vf)   // backfill before the first right row
+    m.select(left.columns.map(c => col(s"__lrow.$c").as(c)) :+
+      interp.as(s"${prefix}value"): _*)
+  }
 }

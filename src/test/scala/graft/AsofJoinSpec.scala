@@ -108,6 +108,25 @@ class AsofJoinSpec extends SparkTestBase {
     assert(out2.toSeq == Seq(Some(70.0)))
   }
 
+  test("interpolate: linear between brackets, hold-last, backfill, exact hit") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, ts(0), "before"), (1L, ts(4), "mid"), (1L, ts(5), "hit"),
+                (1L, ts(20), "after"), (2L, ts(1), "nokey"))
+      .toDF("k", "ts", "tag")
+    val r = Seq((1L, ts(2), 10.0), (1L, ts(5), 40.0), (1L, ts(10), 90.0))
+      .toDF("k", "ts", "value")
+    val out = AsofJoin.interpolate(l, r, Seq("k"), "ts", "ts", "value")
+      .orderBy("k", "ts").collect()
+      .map(x => (x.getString(2), Option(x.get(3)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      ("before", Some(10.0)),   // backfill to the first right value
+      ("mid", Some(30.0)),      // 2/3 of the way from 10 (t=2) to 40 (t=5)
+      ("hit", Some(40.0)),      // exact-timestamp hit
+      ("after", Some(90.0)),    // hold-last beyond the final right row
+      ("nokey", None)))         // no right rows for the key
+  }
+
   test("nearest: still exactly one shuffle — both windows share the partitioning") {
     val (l, r) = mk()
     val plan = AsofJoin.asof(l, r, Seq("k"), "ts", "ts", Seq("rv"), direction = "nearest")
