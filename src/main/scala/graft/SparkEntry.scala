@@ -6273,6 +6273,132 @@ object SparkEntry {
            ROUND(MIN(iv), 6) AS min_iv, ROUND(MAX(iv), 6) AS max_iv
     FROM i GROUP BY user_id ORDER BY user_id"""
 
+  /** Hexagonal binning (g63): `ST_HexBin(x, y, size)` — H3-style flat-top
+    * hex aggregation (the standard 100 TB point-density layout: every
+    * point maps to one orderable bin id map-side, then ONE keyed
+    * aggregate; hexes beat squares on neighbor-distance uniformity).
+    * Axial fractional coords + cube rounding, with rounding written as
+    * floor(v + 0.5) explicitly so the oracle replays the identical IEEE
+    * ops (library round() halves away from zero and would flip negative
+    * .5 cases). Top-15 densest hexes, count-then-id tie-break. */
+  private val g63Spark = """
+    WITH p AS (SELECT /*+ REPARTITION({{P}}) */
+                 CAST(l_partkey % 200 AS DOUBLE) - 100.0D AS x,
+                 CAST(l_suppkey % 200 AS DOUBLE) - 100.0D AS y
+               FROM lineitem),
+    b AS (SELECT ST_HexBin(x, y, 7.0D) AS hex_bin FROM p),
+    c AS (SELECT hex_bin, COUNT(*) AS n FROM b GROUP BY hex_bin)
+    SELECT hex_bin, n, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT hex_bin, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, hex_bin) AS rnk FROM c) t
+    WHERE rnk <= 15 ORDER BY rnk"""
+
+  private val g63Duck = """
+    WITH p AS (SELECT (l_partkey % 200)::DOUBLE - 100.0 AS x,
+                      (l_suppkey % 200)::DOUBLE - 100.0 AS y
+               FROM lineitem),
+    f AS (SELECT (2.0 / 3.0 * x) / 7.0 AS fq,
+                 (-1.0 / 3.0 * x + sqrt(3.0) / 3.0 * y) / 7.0 AS fr
+          FROM p),
+    g AS (SELECT fq, fr, -fq - fr AS fs,
+                 FLOOR(fq + 0.5) AS rq0, FLOOR(fr + 0.5) AS rr0,
+                 FLOOR(-fq - fr + 0.5) AS rs0
+          FROM f),
+    h AS (SELECT *, abs(rq0 - fq) AS dq, abs(rr0 - fr) AS dr, abs(rs0 - fs) AS ds FROM g),
+    bin AS (SELECT (CASE WHEN dq > dr AND dq > ds THEN -rr0 - rs0 ELSE rq0 END)::BIGINT * 2097152
+                   + (CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds THEN -rq0 - rs0 ELSE rr0 END)::BIGINT AS hex_bin
+            FROM h),
+    c AS (SELECT hex_bin, COUNT(*)::BIGINT AS n FROM bin GROUP BY hex_bin)
+    SELECT hex_bin, n, rnk::BIGINT AS rnk
+    FROM (SELECT hex_bin, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, hex_bin) AS rnk FROM c) t
+    WHERE rnk <= 15 ORDER BY rnk"""
+
+  /** IVF tuning curve (e18): recall@3 and probe cost swept over
+    * nProbe ∈ {1, 2, 3} in ONE query — the offline tuning artifact that
+    * picks an operating point on the recall-vs-IO curve (e05 is the
+    * single-point gate; this is the curve it sits on). The sweep is an
+    * inequality filter on the SAME ranked assignment table — the corpus
+    * is scanned and quantized once, not once per setting. */
+  private val e18Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e,
+                      sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 4),
+    asgn AS (SELECT vec_id, e, nrm, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY graft_dot(e, ce) / (nrm * cnrm) DESC, cid) AS rn
+             FROM v CROSS JOIN c),
+    a AS (SELECT vec_id, e, nrm, cid AS list_id FROM asgn WHERE rn = 1),
+    q AS (SELECT vec_id, e, nrm FROM v WHERE vec_id >= 8 AND vec_id < 16),
+    ex3 AS (SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY graft_dot(q.e, x.e) / (q.nrm * x.nrm) DESC, x.vec_id) AS rnk
+              FROM q JOIN v x ON x.vec_id != q.vec_id) t WHERE rnk <= 3),
+    np AS (SELECT explode(array(1, 2, 3)) AS nprobe),
+    cand AS (SELECT np.nprobe, qa.vec_id AS query_id, x.vec_id AS neighbor_id,
+                    graft_dot(qq.e, x.e) / (qq.nrm * x.nrm) AS cos
+             FROM np
+             JOIN asgn qa ON qa.rn <= np.nprobe AND qa.vec_id >= 8 AND qa.vec_id < 16
+             JOIN q qq ON qq.vec_id = qa.vec_id
+             JOIN a x ON x.list_id = qa.cid AND x.vec_id != qa.vec_id),
+    top3 AS (SELECT nprobe, query_id, neighbor_id FROM (
+               SELECT nprobe, query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                        ORDER BY cos DESC, neighbor_id) AS rnk
+               FROM cand) t WHERE rnk <= 3),
+    costs AS (SELECT nprobe, COUNT(*) AS n_cand FROM cand GROUP BY nprobe),
+    hits AS (SELECT t3.nprobe, COUNT(e3.neighbor_id) AS n_hits
+             FROM top3 t3 JOIN ex3 e3
+               ON e3.query_id = t3.query_id AND e3.neighbor_id = t3.neighbor_id
+             GROUP BY t3.nprobe)
+    SELECT CAST(c2.nprobe AS BIGINT) AS nprobe, c2.n_cand,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 24.0D, 6) AS recall_at_3
+    FROM costs c2 LEFT JOIN hits h ON h.nprobe = c2.nprobe
+    ORDER BY nprobe"""
+
+  private val e18Duck = """
+    WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    v AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * e[i])), (x, y) -> x + y)) AS nrm
+          FROM v0),
+    c AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 4),
+    asgn AS (SELECT v.vec_id, v.e, v.nrm, c.cid,
+                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                      ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(v.e) + 1), i -> v.e[i] * c.ce[i])), (x, y) -> x + y) / (v.nrm * c.cnrm) DESC, c.cid) AS rn
+             FROM v CROSS JOIN c),
+    a AS (SELECT vec_id, e, nrm, cid AS list_id FROM asgn WHERE rn = 1),
+    q AS (SELECT vec_id, e, nrm FROM v WHERE vec_id >= 8 AND vec_id < 16),
+    ex3 AS (SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.e) + 1), i -> q.e[i] * x.e[i])), (x, y) -> x + y) / (q.nrm * x.nrm) DESC, x.vec_id) AS rnk
+              FROM q JOIN v x ON x.vec_id != q.vec_id) t WHERE rnk <= 3),
+    np AS (SELECT unnest([1, 2, 3]) AS nprobe),
+    cand AS (SELECT np.nprobe, qa.vec_id AS query_id, x.vec_id AS neighbor_id,
+                    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(qq.e) + 1), i -> qq.e[i] * x.e[i])), (x2, y2) -> x2 + y2) / (qq.nrm * x.nrm) AS cos
+             FROM np
+             JOIN asgn qa ON qa.rn <= np.nprobe AND qa.vec_id >= 8 AND qa.vec_id < 16
+             JOIN q qq ON qq.vec_id = qa.vec_id
+             JOIN a x ON x.list_id = qa.cid AND x.vec_id != qa.vec_id),
+    top3 AS (SELECT nprobe, query_id, neighbor_id FROM (
+               SELECT nprobe, query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                        ORDER BY cos DESC, neighbor_id) AS rnk
+               FROM cand) t WHERE rnk <= 3),
+    costs AS (SELECT nprobe, COUNT(*) AS n_cand FROM cand GROUP BY nprobe),
+    hits AS (SELECT t3.nprobe, COUNT(e3.neighbor_id) AS n_hits
+             FROM top3 t3 JOIN ex3 e3
+               ON e3.query_id = t3.query_id AND e3.neighbor_id = t3.neighbor_id
+             GROUP BY t3.nprobe)
+    SELECT c2.nprobe::BIGINT AS nprobe, c2.n_cand::BIGINT AS n_cand,
+           COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0)::DOUBLE / 24.0, 6) AS recall_at_3
+    FROM costs c2 LEFT JOIN hits h ON h.nprobe = c2.nprobe
+    ORDER BY nprobe"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -6393,6 +6519,8 @@ object SparkEntry {
     ("e15_filtered_ann", q(e15Spark), e15Duck),
     ("e16_ivf_delta", e16Fn _, e04Duck),
     ("e17_binary_quant", q(e17Spark), e17Duck),
+    ("e18_nprobe_curve", q(e18Spark), e18Duck),
+    ("g63_hex_bin", q(g63Spark), g63Duck),
     ("t24_tfidf_terms", q(t24Spark), t24Duck),
     ("t25_cms_heavy_hitters", q(t25Spark), t25Duck),
     ("t26_bpe_pretokenize", q(t26Spark), t26Duck),

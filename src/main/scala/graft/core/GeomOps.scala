@@ -260,6 +260,30 @@ object GeomOps {
   //      interior_point.rs:10,minimum_rotated_rect.rs:10,simplify.rs:19}
 
   def centroid(b: Array[Byte]): Array[Byte] = write(read(b).getCentroid)
+
+  /** Flat-top hexagon bin of a point (H3-style spatial binning, public
+    * axial-coordinate math — Red Blob Games' hex grid reference): axial
+    * fractional coords q = (2/3·x)/size, r = (−1/3·x + √3/3·y)/size, then
+    * cube rounding (round each of q, r, s = −q−r; recompute the one with
+    * the largest rounding error from the other two). Rounding is
+    * floor(v + 0.5) — written out explicitly so an oracle can replay the
+    * same IEEE ops (a library round() may round half away from zero and
+    * disagree at negative .5). Returns q packed with r as
+    * (q·2^21 + r) — a single orderable bin id. */
+  def hexBin(x: Double, y: Double, size: Double): Long = {
+    val fq = (2.0 / 3.0 * x) / size
+    val fr = (-1.0 / 3.0 * x + math.sqrt(3.0) / 3.0 * y) / size
+    val fs = -fq - fr
+    var rq = math.floor(fq + 0.5)
+    var rr = math.floor(fr + 0.5)
+    val rs = math.floor(fs + 0.5)
+    val dq = math.abs(rq - fq)
+    val dr = math.abs(rr - fr)
+    val ds = math.abs(rs - fs)
+    if (dq > dr && dq > ds) rq = -rr - rs
+    else if (dr > ds) rr = -rq - rs
+    rq.toLong * 2097152L + rr.toLong
+  }
   /** Nearest point ON `a` to geometry `b` (PostGIS ST_ClosestPoint). */
   def closestPoint(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     val pts = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(read(a), read(b))

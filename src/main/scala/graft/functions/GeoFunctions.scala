@@ -103,6 +103,7 @@ object GeoFunctions {
     "st_distance" -> Sig("distance", D, Seq(G, G)),
     "st_azimuth" -> Sig("azimuth", D, Seq(G, G)),
     "st_closestpoint" -> Sig("closestPoint", G, Seq(G, G)),
+    "st_hexbin" -> Sig("hexBin", LongType, Seq(D, D, D)),
     "st_shortestline" -> Sig("shortestLine", G, Seq(G, G)),
     "st_hausdorffdistance" -> Sig("hausdorffDistance", D, Seq(G, G)),
     "st_frechetdistance" -> Sig("frechetDistance", D, Seq(G, G)),
