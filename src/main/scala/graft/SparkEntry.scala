@@ -6399,6 +6399,135 @@ object SparkEntry {
     FROM costs c2 LEFT JOIN hits h ON h.nprobe = c2.nprobe
     ORDER BY nprobe"""
 
+  /** PIVOT report (q12): user-cohort x event-type matrix through Spark's
+    * native PIVOT clause (DuckDB oracle spells the same rotation as
+    * conditional aggregation — the two forms are defined to agree, which
+    * is exactly what the gate checks). Decimal sums keep values exact.
+    * One grouped aggregate; PIVOT is a planning-surface feature, not a
+    * new shuffle shape. */
+  private val q12Spark = """
+    SELECT cohort,
+           COALESCE(click_n, 0) AS click_n, COALESCE(click_sum, 0.0D) AS click_sum,
+           COALESCE(view_n, 0) AS view_n, COALESCE(view_sum, 0.0D) AS view_sum,
+           COALESCE(buy_n, 0) AS buy_n, COALESCE(buy_sum, 0.0D) AS buy_sum
+    FROM (
+      SELECT /*+ REPARTITION({{P}}) */ user_id % 10 AS cohort, event_type,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events)
+    PIVOT (COUNT(*) AS n, CAST(ROUND(SUM(v), 2) AS DOUBLE) AS sum
+           FOR event_type IN ('click' AS click, 'view' AS view, 'buy' AS buy))
+    ORDER BY cohort"""
+
+  private val q12Duck = """
+    SELECT user_id % 10 AS cohort,
+           COUNT(*) FILTER (event_type = 'click')::BIGINT AS click_n,
+           COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'click'), 2), 0)::DOUBLE AS click_sum,
+           COUNT(*) FILTER (event_type = 'view')::BIGINT AS view_n,
+           COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'view'), 2), 0)::DOUBLE AS view_sum,
+           COUNT(*) FILTER (event_type = 'buy')::BIGINT AS buy_n,
+           COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'buy'), 2), 0)::DOUBLE AS buy_sum
+    FROM events GROUP BY cohort ORDER BY cohort"""
+
+  /** MMR diversified retrieval (e19): maximal marginal relevance
+    * (Carbonell & Goldstein 1998) — from each query's cosine top-10 pool,
+    * greedily pick 3 results where pick k maximizes
+    * λ·cos(q,d) − (1−λ)·max_{s∈picked} cos(d,s), λ = 0.7: the RAG-time
+    * diversifier that stops near-duplicate passages from filling the
+    * context window. The greedy loop is unrolled to its 3 steps in plain
+    * SQL (each step = one ranked window over the pool joined to the
+    * already-picked set), which keeps the whole thing declarative and
+    * hash-checkable; scores are fixed-shape double arithmetic over the
+    * same cosines both engines compute. Pool is bounded (8 queries x 10),
+    * so every join is tiny; the corpus is scanned once for the pool. */
+  private val e19Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e,
+                      sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
+               FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id >= 8 AND vec_id < 16),
+    pool AS (SELECT query_id, neighbor_id, cos FROM (
+               SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                      graft_dot(q.e, x.e) / (q.nrm * x.nrm) AS cos,
+                      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY graft_dot(q.e, x.e) / (q.nrm * x.nrm) DESC, x.vec_id) AS r
+               FROM q JOIN v x ON x.vec_id != q.vec_id) t WHERE r <= 10),
+    s1 AS (SELECT query_id, neighbor_id AS p1, cos AS c1 FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS r FROM pool) t WHERE r = 1),
+    m2 AS (SELECT p.query_id, p.neighbor_id, p.cos,
+                  (0.7D * p.cos) - (0.3D * (graft_dot(a.e, b.e) / (a.nrm * b.nrm))) AS mmr
+           FROM pool p
+           JOIN s1 ON s1.query_id = p.query_id AND p.neighbor_id != s1.p1
+           JOIN v a ON a.vec_id = p.neighbor_id
+           JOIN v b ON b.vec_id = s1.p1),
+    s2 AS (SELECT query_id, neighbor_id AS p2, mmr AS mmr2 FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY mmr DESC, neighbor_id) AS r FROM m2) t WHERE r = 1),
+    m3 AS (SELECT p.query_id, p.neighbor_id,
+                  (0.7D * p.cos) - (0.3D * GREATEST(
+                    graft_dot(a.e, b1.e) / (a.nrm * b1.nrm),
+                    graft_dot(a.e, b2.e) / (a.nrm * b2.nrm))) AS mmr
+           FROM pool p
+           JOIN s1 ON s1.query_id = p.query_id
+           JOIN s2 ON s2.query_id = p.query_id
+           JOIN v a ON a.vec_id = p.neighbor_id
+           JOIN v b1 ON b1.vec_id = s1.p1
+           JOIN v b2 ON b2.vec_id = s2.p2
+           WHERE p.neighbor_id != s1.p1 AND p.neighbor_id != s2.p2),
+    s3 AS (SELECT query_id, neighbor_id AS p3, mmr AS mmr3 FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY mmr DESC, neighbor_id) AS r FROM m3) t WHERE r = 1)
+    SELECT s1.query_id, s1.p1, ROUND(s1.c1, 6) AS c1,
+           s2.p2, ROUND(s2.mmr2, 6) AS mmr2,
+           s3.p3, ROUND(s3.mmr3, 6) AS mmr3
+    FROM s1 JOIN s2 ON s2.query_id = s1.query_id
+            JOIN s3 ON s3.query_id = s1.query_id
+    ORDER BY s1.query_id"""
+
+  private val e19Duck = """
+    WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    v AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * e[i])), (x, y) -> x + y)) AS nrm
+          FROM v0),
+    q AS (SELECT * FROM v WHERE vec_id >= 8 AND vec_id < 16),
+    pool AS (SELECT query_id, neighbor_id, cos FROM (
+               SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                      list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.e) + 1), i -> q.e[i] * x.e[i])), (a2, b2) -> a2 + b2) / (q.nrm * x.nrm) AS cos,
+                      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.e) + 1), i -> q.e[i] * x.e[i])), (a2, b2) -> a2 + b2) / (q.nrm * x.nrm) DESC, x.vec_id) AS r
+               FROM q JOIN v x ON x.vec_id != q.vec_id) t WHERE r <= 10),
+    s1 AS (SELECT query_id, neighbor_id AS p1, cos AS c1 FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS r FROM pool) t WHERE r = 1),
+    m2 AS (SELECT p.query_id, p.neighbor_id, p.cos,
+                  (0.7 * p.cos) - (0.3 * (list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])), (a2, b2) -> a2 + b2) / (a.nrm * b.nrm))) AS mmr
+           FROM pool p
+           JOIN s1 ON s1.query_id = p.query_id AND p.neighbor_id != s1.p1
+           JOIN v a ON a.vec_id = p.neighbor_id
+           JOIN v b ON b.vec_id = s1.p1),
+    s2 AS (SELECT query_id, neighbor_id AS p2, mmr AS mmr2 FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY mmr DESC, neighbor_id) AS r FROM m2) t WHERE r = 1),
+    m3 AS (SELECT p.query_id, p.neighbor_id,
+                  (0.7 * p.cos) - (0.3 * GREATEST(
+                    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b1.e[i])), (a2, b2) -> a2 + b2) / (a.nrm * b1.nrm),
+                    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b2.e[i])), (a2, b2) -> a2 + b2) / (a.nrm * b2.nrm))) AS mmr
+           FROM pool p
+           JOIN s1 ON s1.query_id = p.query_id
+           JOIN s2 ON s2.query_id = p.query_id
+           JOIN v a ON a.vec_id = p.neighbor_id
+           JOIN v b1 ON b1.vec_id = s1.p1
+           JOIN v b2 ON b2.vec_id = s2.p2
+           WHERE p.neighbor_id != s1.p1 AND p.neighbor_id != s2.p2),
+    s3 AS (SELECT query_id, neighbor_id AS p3, mmr AS mmr3 FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY mmr DESC, neighbor_id) AS r FROM m3) t WHERE r = 1)
+    SELECT s1.query_id, s1.p1, ROUND(s1.c1, 6) AS c1,
+           s2.p2, ROUND(s2.mmr2, 6) AS mmr2,
+           s3.p3, ROUND(s3.mmr3, 6) AS mmr3
+    FROM s1 JOIN s2 ON s2.query_id = s1.query_id
+            JOIN s3 ON s3.query_id = s1.query_id
+    ORDER BY s1.query_id"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -6414,6 +6543,7 @@ object SparkEntry {
     ("q09_grouping_sets", q(q09Spark), q09Duck),
     ("q10_waiting_supplier", q(q10Spark), q10Duck),
     ("q11_rolling_window", q(q11Spark), q11Duck),
+    ("q12_pivot", q(q12Spark), q12Duck),
     ("g04_buffer_area", q(g04Spark), g04Duck),
     ("g05_centroid", q(g05Spark), g05Duck),
     ("g06_extent_agg", q(g06Spark), g06Duck),
@@ -6520,6 +6650,7 @@ object SparkEntry {
     ("e16_ivf_delta", e16Fn _, e04Duck),
     ("e17_binary_quant", q(e17Spark), e17Duck),
     ("e18_nprobe_curve", q(e18Spark), e18Duck),
+    ("e19_mmr", q(e19Spark), e19Duck),
     ("g63_hex_bin", q(g63Spark), g63Duck),
     ("t24_tfidf_terms", q(t24Spark), t24Duck),
     ("t25_cms_heavy_hitters", q(t25Spark), t25Duck),
