@@ -6528,6 +6528,79 @@ object SparkEntry {
             JOIN s3 ON s3.query_id = s1.query_id
     ORDER BY s1.query_id"""
 
+  /** Streaming anomaly detection (s10): events arrive over 5 micro-batches
+    * with periodic injected spikes; each event tests k-sigma against the
+    * running per-user statistics carried in state
+    * (`StreamOps.anomalies` — exact integer milli-units, BigInt
+    * cross-multiplied test, zero FP in the decision). The oracle replays
+    * the identical test with HUGEINT cumulative windows — any FP in
+    * either path, or any state loss across batches, hash-mismatches. */
+  private def s10Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s10").toString
+    val src = new java.io.File(tmp, "src"); src.mkdirs()
+    def gen(lo: Int, hi: Int) = s.sql(s"""
+      SELECT CAST(id % 7 AS BIGINT) AS user_id,
+             timestamp_seconds(1700000000 + id) AS ts,
+             CAST(id AS BIGINT) AS event_id,
+             CAST((id % 97) * 100 + IF(id % 50 = 3, 500000, 0) AS BIGINT) AS vmilli
+      FROM range($lo, $hi)""")
+    (0 until 5).foreach { i =>
+      val stage = new java.io.File(tmp, s"stage$i")
+      gen(i * 70, (i + 1) * 70).coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(src, s"f$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    import org.apache.spark.sql.Encoders
+    val stream = s.readStream.schema(gen(0, 1).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+      .as[graft.streaming.StreamOps.AnomEvent](
+        Encoders.product[graft.streaming.StreamOps.AnomEvent])
+    val verdicts = graft.streaming.StreamOps.anomalies(stream)
+    val qname = "graft_s10_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val qq = verdicts.toDF().writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", tmp + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      qq.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.sql(s"""
+      SELECT user_id, COUNT(*) AS n_events,
+             COUNT(IF(anomaly, 1, NULL)) AS n_anomalies,
+             COALESCE(SUM(IF(anomaly, vmilli, NULL)), 0) AS sum_anom_vmilli,
+             MAX(n_prior) AS max_prior
+      FROM $qname GROUP BY user_id ORDER BY user_id""")
+  }
+
+  private val s10Duck = """
+    WITH e AS (SELECT i % 7 AS user_id, i AS event_id, i AS ord,
+                      (i % 97) * 100 + CASE WHEN i % 50 = 3 THEN 500000 ELSE 0 END AS v
+               FROM range(350) t(i)),
+    w AS (SELECT user_id, event_id, v,
+                 COUNT(*) OVER win AS np,
+                 COALESCE(SUM(v) OVER win, 0) AS s,
+                 COALESCE(SUM(v * v) OVER win, 0) AS q
+          FROM e
+          WINDOW win AS (PARTITION BY user_id ORDER BY ord
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    a AS (SELECT user_id, event_id, v, np,
+                 CASE WHEN np >= 5 AND
+                      (v::HUGEINT * np - s::HUGEINT) * (v::HUGEINT * np - s::HUGEINT)
+                        > 9::HUGEINT * (np::HUGEINT * q::HUGEINT - s::HUGEINT * s::HUGEINT)
+                      THEN 1 ELSE 0 END AS anom
+          FROM w)
+    SELECT user_id, COUNT(*)::BIGINT AS n_events,
+           SUM(anom)::BIGINT AS n_anomalies,
+           COALESCE(SUM(CASE WHEN anom = 1 THEN v END), 0)::BIGINT AS sum_anom_vmilli,
+           MAX(np)::BIGINT AS max_prior
+    FROM a GROUP BY user_id ORDER BY user_id"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -6670,6 +6743,7 @@ object SparkEntry {
     ("s07_zone_transitions", s07Fn _, s07Duck),
     ("s08_stream_neardup", s08Fn _, s08Duck),
     ("s09_latest_enrich", s09Fn _, s09Duck),
+    ("s10_stream_anomaly", s10Fn _, s10Duck),
     ("m01_media_meta", q(m01Spark), m01Duck),
     ("m02_decode_resize_hist", m02Fn _, m02Duck),
     ("m03_real_decode_matrix", q(m03Spark), m03Duck),

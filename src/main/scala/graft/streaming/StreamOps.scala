@@ -234,6 +234,49 @@ object StreamOps {
       }
   }
 
+  case class AnomEvent(user_id: Long, ts: Timestamp, event_id: Long, vmilli: Long)
+  case class AnomVerdict(user_id: Long, event_id: Long, vmilli: Long,
+                         n_prior: Long, anomaly: Boolean)
+  case class AnomState(n: Long, s: Long, q: Long)
+
+  /** Streaming anomaly detection against the RUNNING per-key statistics:
+    * an event is anomalous when it sits more than k sigmas from the mean
+    * of all PRIOR events for its key. The test is EXACT — values are
+    * integer milli-units, state is (count, Σv, Σv²) in longs, and the
+    * k-sigma comparison is cross-multiplied into integers
+    * ((v·n − s)² > k²·(n·q − s²), evaluated in BigInt so nothing
+    * overflows) — no floating point ever enters the decision, so a batch
+    * SQL replay (cumulative windows in an INT128 engine) agrees
+    * bit-for-bit. Rows process in (ts, event_id) order within a batch;
+    * cross-batch the state store carries the three longs per key —
+    * O(keys), sharded by key. */
+  def anomalies(events: Dataset[AnomEvent], minPrior: Int = 5,
+                kSigma: Int = 3): Dataset[AnomVerdict] = {
+    implicit val outEnc: Encoder[AnomVerdict] = Encoders.product[AnomVerdict]
+    implicit val stEnc: Encoder[AnomState] = Encoders.product[AnomState]
+    val kSq = BigInt(kSigma.toLong * kSigma)
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[AnomState, AnomVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (id, rows, state: GroupState[AnomState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(AnomState(0L, 0L, 0L))
+          val out = scala.collection.mutable.ListBuffer.empty[AnomVerdict]
+          sorted.foreach { e =>
+            val flag = st.n >= minPrior && {
+              val lhs = BigInt(e.vmilli) * st.n - BigInt(st.s)
+              lhs * lhs > kSq * (BigInt(st.n) * st.q - BigInt(st.s) * st.s)
+            }
+            out += AnomVerdict(id, e.event_id, e.vmilli, st.n, flag)
+            st = AnomState(st.n + 1, st.s + e.vmilli,
+                           st.q + e.vmilli * e.vmilli)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Stream-stream event-time interval join: pair each left row with every
     * right row sharing `key` whose `ts` lands in [left.ts, left.ts +
     * maxLag] — the attribution shape (view→click, request→response,
