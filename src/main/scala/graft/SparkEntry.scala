@@ -5232,10 +5232,11 @@ object SparkEntry {
               GROUP BY c.doc_id, d.source, d.text)
     SELECT doc_id, source, n_tokens,
            ROUND(CAST(mu AS DOUBLE) / (1000000.0D * CAST(n_tokens AS DOUBLE)), 6) AS dsir_score,
-           CAST(rnk AS BIGINT) AS rnk
-    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY CAST(mu AS DOUBLE) / CAST(n_tokens AS DOUBLE) DESC, doc_id) AS rnk
-          FROM score) t
-    WHERE rnk <= 20 ORDER BY rnk"""
+           CAST(ROW_NUMBER() OVER (ORDER BY CAST(mu AS DOUBLE) / CAST(n_tokens AS DOUBLE) DESC, doc_id) AS BIGINT) AS rnk
+    FROM (SELECT * FROM score
+          ORDER BY CAST(mu AS DOUBLE) / CAST(n_tokens AS DOUBLE) DESC, doc_id
+          LIMIT 20) top
+    ORDER BY rnk"""
 
   private val t29Duck = """
     WITH tok AS (SELECT doc_id, source,
@@ -6288,10 +6289,10 @@ object SparkEntry {
                FROM lineitem),
     b AS (SELECT ST_HexBin(x, y, 7.0D) AS hex_bin FROM p),
     c AS (SELECT hex_bin, COUNT(*) AS n FROM b GROUP BY hex_bin)
-    SELECT hex_bin, n, CAST(rnk AS BIGINT) AS rnk
-    FROM (SELECT hex_bin, n,
-                 ROW_NUMBER() OVER (ORDER BY n DESC, hex_bin) AS rnk FROM c) t
-    WHERE rnk <= 15 ORDER BY rnk"""
+    SELECT hex_bin, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, hex_bin) AS BIGINT) AS rnk
+    FROM (SELECT hex_bin, n FROM c ORDER BY n DESC, hex_bin LIMIT 15) top
+    ORDER BY rnk"""
 
   private val g63Duck = """
     WITH p AS (SELECT (l_partkey % 200)::DOUBLE - 100.0 AS x,
