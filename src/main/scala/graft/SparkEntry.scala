@@ -4358,9 +4358,8 @@ object SparkEntry {
                         explode(graft_tokens(text)) AS tok
                  FROM documents),
     cnt AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
-    vocab AS (SELECT tok, rnk FROM (
-                SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rnk
-                FROM cnt) t WHERE rnk <= 16),
+    vocab AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rnk
+              FROM (SELECT tok, n FROM cnt ORDER BY n DESC, tok LIMIT 16) top),
     scored AS (SELECT /*+ BROADCAST(v) */ t.doc_id, t.lang,
                       COUNT(*) AS n_tokens,
                       SUM(CASE WHEN v.rnk IS NULL THEN 1 ELSE 0 END) AS n_oov,
