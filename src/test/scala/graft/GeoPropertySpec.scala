@@ -203,4 +203,36 @@ class GeoPropertySpec extends AnyFunSuite {
         h == Hilbert.ofCenter(x, y, -180, -180, 180, 180) // deterministic
     })
   }
+
+  test("azimuth: antisymmetry (reverse bearing differs by pi) and range") {
+    check("azimuth", Prop.forAll(pointWkb, pointWkb) { (a, b) =>
+      val ab = GeomOps.azimuth(a, b)
+      val ba = GeomOps.azimuth(b, a)
+      if (ab.isNaN) ba.isNaN // coincident points both ways
+      else {
+        val diff = math.abs(math.abs(ab - ba) - math.Pi)
+        ab >= 0.0 && ab < 2 * math.Pi && ba >= 0.0 && ba < 2 * math.Pi &&
+          diff < 1e-9
+      }
+    })
+  }
+
+  test("hexBin: deterministic; every point lands in the hex whose center is nearest") {
+    val sz = 7.0
+    check("hexbin", Prop.forAll(coord, coord) { (x, y) =>
+      val bin = GeomOps.hexBin(x, y, sz)
+      // decode axial (q, r) from the packed id (q may be negative; the
+      // packing is q*2^21 + r with |r| << 2^21, so round-half division
+      // recovers q when we decode via the nearer multiple)
+      val q = Math.round(bin.toDouble / 2097152.0)
+      val r = bin - q * 2097152L
+      // flat-top axial -> cartesian center
+      val cx = sz * (3.0 / 2.0) * q
+      val cy = sz * (math.sqrt(3.0) / 2.0 * q + math.sqrt(3.0) * r)
+      val d2 = (x - cx) * (x - cx) + (y - cy) * (y - cy)
+      // center of the assigned hex is within the hex circumradius (size)
+      // of the point, up to cube-rounding boundary slack
+      bin == GeomOps.hexBin(x, y, sz) && d2 <= (sz * 1.5) * (sz * 1.5)
+    })
+  }
 }
