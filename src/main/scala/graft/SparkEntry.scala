@@ -6601,6 +6601,114 @@ object SparkEntry {
            MAX(np)::BIGINT AS max_prior
     FROM a GROUP BY user_id ORDER BY user_id"""
 
+  /** Incremental near-dup dedup (t33): the text twin of e16's index
+    * lifecycle — 90% of the corpus builds a PERSISTED minhash signature
+    * store (parquet: id, 16-perm signature, shingles), then an incoming
+    * batch (the 10% holdout plus planted 80%-prefix clones of stored
+    * docs) is deduplicated AGAINST THE STORE: incoming bands equi-join
+    * ONLY store bands (asymmetric — incoming never self-joins), and an
+    * incoming doc drops iff a banded candidate confirms at exact
+    * Jaccard >= 0.5. This is how production dedup actually runs —
+    * signatures are computed once per doc ever, each new crawl batch
+    * joins the accumulated store, O(batch x collisions) not
+    * O(corpus^2). Planted clones must drop; the report separates them
+    * from organic incoming. */
+  private def t33Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val store = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_t33_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+    val storeDf = s.sql("""
+      SELECT id, graft_minhash_sigs(ng, 16) AS sig, ng
+      FROM (SELECT /*+ REPARTITION(64) */ doc_id AS id, graft_shingles(text, 3) AS ng
+            FROM documents WHERE doc_id % 10 != 0) t""")
+    storeDf.write.parquet(store + "/sigs")
+    // file sources force nullable on read-back; the non-null-array kernel
+    // signature (graft_jaccard) rejects the widened element type, so
+    // re-assert element non-nullness through a coalescing transform
+    s.read.parquet(store + "/sigs")
+      .selectExpr("id", "sig", "transform(ng, x -> coalesce(x, '')) AS ng")
+      .createOrReplaceTempView("t33_store")
+    s.sql("""
+      SELECT id, graft_minhash_sigs(ng, 16) AS sig, ng
+      FROM (SELECT /*+ REPARTITION(64) */ id, graft_shingles(text, 3) AS ng
+            FROM (SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 = 0
+                  UNION ALL
+                  SELECT doc_id + 200000, substring(text, 1, CAST(FLOOR(n_chars * 0.8D) AS INT))
+                  FROM documents WHERE doc_id % 10 = 5) inc) t""")
+      .localCheckpoint().createOrReplaceTempView("t33_inc")
+    s.sql("""
+      WITH sb AS (SELECT id, b, graft_hash(concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> CAST(x AS STRING)))) AS bkey
+                  FROM t33_store LATERAL VIEW explode(sequence(0, 3)) bt AS b),
+      ib AS (SELECT id, b, graft_hash(concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> CAST(x AS STRING)))) AS bkey
+             FROM t33_inc LATERAL VIEW explode(sequence(0, 3)) bt AS b),
+      cand AS (SELECT DISTINCT i.id AS inc_id, st.id AS store_id
+               FROM ib i JOIN sb st ON st.b = i.b AND st.bkey = i.bkey),
+      confirmed AS (SELECT c.inc_id
+                    FROM cand c
+                    JOIN t33_inc si ON si.id = c.inc_id
+                    JOIN t33_store ss ON ss.id = c.store_id
+                    WHERE graft_jaccard(si.ng, ss.ng) >= 0.5D
+                    GROUP BY c.inc_id)
+      SELECT CAST(i.id >= 200000 AS INT) AS is_planted,
+             COUNT(*) AS n_incoming,
+             COUNT(cf.inc_id) AS n_dropped,
+             COUNT(*) - COUNT(cf.inc_id) AS n_kept
+      FROM t33_inc i LEFT JOIN confirmed cf ON cf.inc_id = i.id
+      GROUP BY CAST(i.id >= 200000 AS INT) ORDER BY is_planted""")
+  }
+
+  private val t33Duck = """
+    WITH stx AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 != 0),
+    inc AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 200000, substr(text, 1, CAST(FLOOR(n_chars * 0.8::DOUBLE) AS INT))
+            FROM documents WHERE doc_id % 10 = 5),
+    sng AS (SELECT id,
+              CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+                THEN list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 3 + 2),
+                       i -> array_to_string(array_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' '))
+                ELSE [] END AS ng
+            FROM stx),
+    ing AS (SELECT id,
+              CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+                THEN list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 3 + 2),
+                       i -> array_to_string(array_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' '))
+                ELSE [] END AS ng
+            FROM inc),
+    ssig AS (SELECT id, ng,
+               list_transform(range(0, 16), k -> coalesce(list_min(list_transform(
+                 list_transform(ng, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT),
+                 x -> (((k + 1) * 1000003 % 16777216) * x + k * 30011 + 1) % 4294967311)), 4294967311)) AS sig
+             FROM sng),
+    isig AS (SELECT id, ng,
+               list_transform(range(0, 16), k -> coalesce(list_min(list_transform(
+                 list_transform(ng, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT),
+                 x -> (((k + 1) * 1000003 % 16777216) * x + k * 30011 + 1) % 4294967311)), 4294967311)) AS sig
+             FROM ing),
+    sb AS (SELECT id, b,
+             ('0x' || substr(md5(array_to_string(list_transform(
+                array_slice(sig, b * 4 + 1, b * 4 + 4), x -> x::VARCHAR), ',')), 1, 8))::BIGINT AS bkey
+           FROM ssig, (SELECT unnest(range(0, 4)) AS b) bs),
+    ib AS (SELECT id, b,
+             ('0x' || substr(md5(array_to_string(list_transform(
+                array_slice(sig, b * 4 + 1, b * 4 + 4), x -> x::VARCHAR), ',')), 1, 8))::BIGINT AS bkey
+           FROM isig, (SELECT unnest(range(0, 4)) AS b) bs),
+    cand AS (SELECT DISTINCT i.id AS inc_id, st.id AS store_id
+             FROM ib i JOIN sb st ON st.b = i.b AND st.bkey = i.bkey),
+    confirmed AS (SELECT c.inc_id
+                  FROM cand c
+                  JOIN isig si ON si.id = c.inc_id
+                  JOIN ssig ss ON ss.id = c.store_id
+                  WHERE (CASE WHEN len(list_distinct(list_concat(si.ng, ss.ng))) = 0 THEN 0.0::DOUBLE
+                              ELSE len(list_intersect(si.ng, ss.ng)) / len(list_distinct(list_concat(si.ng, ss.ng))) END) >= 0.5
+                  GROUP BY c.inc_id)
+    SELECT (i.id >= 200000)::INT AS is_planted,
+           COUNT(*)::BIGINT AS n_incoming,
+           COUNT(cf.inc_id)::BIGINT AS n_dropped,
+           (COUNT(*) - COUNT(cf.inc_id))::BIGINT AS n_kept
+    FROM isig i LEFT JOIN confirmed cf ON cf.inc_id = i.id
+    GROUP BY (i.id >= 200000)::INT ORDER BY is_planted"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -6734,6 +6842,7 @@ object SparkEntry {
     ("t30_stratified_sample", q(t30Spark), t30Duck),
     ("t31_source_overlap", q(t31Spark), t31Duck),
     ("t32_exact_quantiles", q(t32Spark), t32Duck),
+    ("t33_incremental_dedup", t33Fn _, t33Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),
