@@ -6709,6 +6709,91 @@ object SparkEntry {
     FROM isig i LEFT JOIN confirmed cf ON cf.inc_id = i.id
     GROUP BY (i.id >= 200000)::INT ORDER BY is_planted"""
 
+  /** Edit-distance confirmation (t34): the fuzzy-matching tail of the
+    * dedup family — LSH banding proposes candidates (t07's machinery),
+    * but near-identical SHORT strings (titles, names, URLs) confirm by
+    * LEVENSHTEIN, not Jaccard: shingle sets barely overlap on a
+    * one-typo 8-char string while edit distance is exactly 1. Candidates
+    * here are banded minhash pairs over 64-char prefixes; each confirms
+    * at levenshtein <= 8 (both engines' implementations compute the same
+    * well-defined integer DP, so the gate is exact). The report
+    * histograms candidate pairs by edit distance — banding recall and the
+    * edit metric cross-check each other. */
+  private val t34Spark = """
+    WITH d AS (SELECT /*+ REPARTITION({{P}}) */ doc_id AS id,
+                      substring(text, 1, 64) AS s
+               FROM documents
+               UNION ALL
+               SELECT doc_id + 300000,
+                      concat(substring(text, 1, 30), 'X', substring(text, 32, 33))
+               FROM documents WHERE doc_id % 5 = 0),
+    sig AS (SELECT id, s, graft_minhash_sigs(graft_shingles(s, 2), 16) AS sg FROM d),
+    bands AS (SELECT id, s, b,
+                     graft_hash(concat_ws(',', transform(slice(sg, b * 4 + 1, 4), x -> CAST(x AS STRING)))) AS bkey
+              FROM sig LATERAL VIEW explode(sequence(0, 3)) t AS b),
+    cand AS (SELECT DISTINCT x.id AS i, x.s AS si, y.id AS j, y.s AS sj
+             FROM bands x JOIN bands y ON y.b = x.b AND y.bkey = x.bkey AND x.id < y.id),
+    ed AS (SELECT i, j, levenshtein(si, sj) AS dist FROM cand)
+    SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_pairs,
+           COUNT(IF(j = i + 300000, 1, NULL)) AS n_planted,
+           COUNT(IF(dist <= 8, 1, NULL)) AS n_confirmed
+    FROM ed GROUP BY dist ORDER BY dist"""
+
+  private val t34Duck = """
+    WITH d AS (SELECT doc_id AS id, substr(text, 1, 64) AS s FROM documents
+               UNION ALL
+               SELECT doc_id + 300000,
+                      substr(text, 1, 30) || 'X' || substr(text, 32, 33)
+               FROM documents WHERE doc_id % 5 = 0),
+    sng AS (SELECT id, s,
+              CASE WHEN len(string_split_regex(trim(s), '\s+')) >= 2
+                THEN list_transform(range(1, len(string_split_regex(trim(s), '\s+')) - 2 + 2),
+                       i -> array_to_string(array_slice(string_split_regex(trim(s), '\s+'), i, i + 1), ' '))
+                ELSE [] END AS ng
+            FROM d),
+    sig AS (SELECT id, s,
+              list_transform(range(0, 16), k -> coalesce(list_min(list_transform(
+                list_transform(ng, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT),
+                x -> (((k + 1) * 1000003 % 16777216) * x + k * 30011 + 1) % 4294967311)), 4294967311)) AS sg
+            FROM sng),
+    bands AS (SELECT id, s, b,
+                ('0x' || substr(md5(array_to_string(list_transform(
+                   array_slice(sg, b * 4 + 1, b * 4 + 4), x -> x::VARCHAR), ',')), 1, 8))::BIGINT AS bkey
+              FROM sig, (SELECT unnest(range(0, 4)) AS b) bs),
+    cand AS (SELECT DISTINCT x.id AS i, x.s AS si, y.id AS j, y.s AS sj
+             FROM bands x JOIN bands y ON y.b = x.b AND y.bkey = x.bkey AND x.id < y.id),
+    ed AS (SELECT i, j, levenshtein(si, sj) AS dist FROM cand)
+    SELECT dist::BIGINT AS dist, COUNT(*)::BIGINT AS n_pairs,
+           COUNT(CASE WHEN j = i + 300000 THEN 1 END)::BIGINT AS n_planted,
+           COUNT(CASE WHEN dist <= 8 THEN 1 END)::BIGINT AS n_confirmed
+    FROM ed GROUP BY dist ORDER BY dist"""
+
+  /** Set-operation report (q13): INTERSECT / EXCEPT between two derived
+    * customer cohorts (buyers of high-priority orders vs big spenders) —
+    * the relational set-op planning surface (Spark rewrites both to
+    * semi/anti aggregates under the hood). Pure keys, exact counts. */
+  private val q13Spark = """
+    WITH hi AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+    big AS (SELECT o_custkey FROM orders GROUP BY o_custkey
+            HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 300000)
+    SELECT 'both' AS cohort, COUNT(*) AS n FROM (SELECT o_custkey FROM hi INTERSECT SELECT o_custkey FROM big) a
+    UNION ALL
+    SELECT 'hi_only', COUNT(*) FROM (SELECT o_custkey FROM hi EXCEPT SELECT o_custkey FROM big) b
+    UNION ALL
+    SELECT 'big_only', COUNT(*) FROM (SELECT o_custkey FROM big EXCEPT SELECT o_custkey FROM hi) c
+    ORDER BY cohort"""
+
+  private val q13Duck = """
+    WITH hi AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+    big AS (SELECT o_custkey FROM orders GROUP BY o_custkey
+            HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 300000)
+    SELECT 'both' AS cohort, COUNT(*)::BIGINT AS n FROM (SELECT o_custkey FROM hi INTERSECT SELECT o_custkey FROM big) a
+    UNION ALL
+    SELECT 'hi_only', COUNT(*)::BIGINT FROM (SELECT o_custkey FROM hi EXCEPT SELECT o_custkey FROM big) b
+    UNION ALL
+    SELECT 'big_only', COUNT(*)::BIGINT FROM (SELECT o_custkey FROM big EXCEPT SELECT o_custkey FROM hi) c
+    ORDER BY cohort"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -6843,6 +6928,8 @@ object SparkEntry {
     ("t31_source_overlap", q(t31Spark), t31Duck),
     ("t32_exact_quantiles", q(t32Spark), t32Duck),
     ("t33_incremental_dedup", t33Fn _, t33Duck),
+    ("t34_editdist_confirm", q(t34Spark), t34Duck),
+    ("q13_set_ops", q(q13Spark), q13Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),
