@@ -6794,6 +6794,43 @@ object SparkEntry {
     SELECT 'big_only', COUNT(*)::BIGINT FROM (SELECT o_custkey FROM big EXCEPT SELECT o_custkey FROM hi) c
     ORDER BY cohort"""
 
+  /** Minimum bounding circle (g64): `ST_MinimumBoundingRadius` over
+    * two-point segments, where the smallest enclosing circle has the
+    * CLOSED FORM the oracle replays exactly — center = midpoint,
+    * radius = half the segment length (JTS's Welzl construct must agree
+    * with the geometry theorem). Coordinates are integers, so centers are
+    * exact halves (BIGINT-safe after doubling) and radii square to exact
+    * quarter-integers; the only float surfaced is ROUND(radius, 6). */
+  private val g64Spark = """
+    WITH p AS (SELECT /*+ REPARTITION({{P}}) */ l_returnflag AS flag,
+                      CAST(l_partkey % 100 AS DOUBLE) AS ax, CAST(l_suppkey % 100 AS DOUBLE) AS ay,
+                      CAST((l_partkey * 7) % 100 AS DOUBLE) AS bx, CAST((l_suppkey * 13) % 100 AS DOUBLE) AS by
+               FROM lineitem),
+    m AS (SELECT flag,
+                 ST_MinimumBoundingRadius(ST_MakeLine(ST_Point(ax, ay), ST_Point(bx, by))) AS c
+          FROM p)
+    SELECT flag, COUNT(*) AS n,
+           SUM(CAST(c.center_x * 2.0D AS BIGINT)) AS sum_2cx,
+           SUM(CAST(c.center_y * 2.0D AS BIGINT)) AS sum_2cy,
+           SUM(CAST(ROUND(c.radius * c.radius * 4.0D) AS BIGINT)) AS sum_4r2,
+           ROUND(MAX(c.radius), 6) AS max_r
+    FROM m GROUP BY flag ORDER BY flag"""
+
+  private val g64Duck = """
+    WITH p AS (SELECT l_returnflag AS flag,
+                      (l_partkey % 100)::DOUBLE AS ax, (l_suppkey % 100)::DOUBLE AS ay,
+                      ((l_partkey * 7) % 100)::DOUBLE AS bx, ((l_suppkey * 13) % 100)::DOUBLE AS by
+               FROM lineitem),
+    m AS (SELECT flag, (ax + bx) / 2.0 AS cx, (ay + by) / 2.0 AS cy,
+                 sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay)) / 2.0 AS r
+          FROM p)
+    SELECT flag, COUNT(*)::BIGINT AS n,
+           SUM((cx * 2.0)::BIGINT)::BIGINT AS sum_2cx,
+           SUM((cy * 2.0)::BIGINT)::BIGINT AS sum_2cy,
+           SUM(ROUND(r * r * 4.0)::BIGINT)::BIGINT AS sum_4r2,
+           ROUND(MAX(r), 6) AS max_r
+    FROM m GROUP BY flag ORDER BY flag"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -6930,6 +6967,7 @@ object SparkEntry {
     ("t33_incremental_dedup", t33Fn _, t33Duck),
     ("t34_editdist_confirm", q(t34Spark), t34Duck),
     ("q13_set_ops", q(q13Spark), q13Duck),
+    ("g64_min_bounding_circle", q(g64Spark), g64Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),

@@ -325,6 +325,19 @@ object GeomOps {
   def pointOnSurface(b: Array[Byte]): Array[Byte] = write(read(b).getInteriorPoint)
   def orientedEnvelope(b: Array[Byte]): Array[Byte] =
     write(MinimumDiameter.getMinimumRectangle(read(b)))
+  /** Smallest enclosing circle (PostGIS ST_MinimumBoundingRadius shape):
+    * struct(center_x, center_y, radius) — the JTS Welzl-style construct;
+    * returned as scalars rather than a polygonized circle so consumers
+    * get exact values, not a segmentized approximation. */
+  def minimumBoundingRadius(b: Array[Byte]): InternalRow = {
+    val g = read(b)
+    val mbc = new org.locationtech.jts.algorithm.MinimumBoundingCircle(g)
+    // JTS returns a null centre for the fully-degenerate case (all input
+    // points identical — e.g. a zero-length line); the circle is that
+    // point with radius 0
+    val c = Option(mbc.getCentre).getOrElse(g.getCoordinate)
+    new GenericInternalRow(Array[Any](c.x, c.y, mbc.getRadius))
+  }
   def buffer(b: Array[Byte], dist: Double): Array[Byte] = write(read(b).buffer(dist))
   def bufferSegs(b: Array[Byte], dist: Double, quadrantSegments: Int): Array[Byte] =
     write(read(b).buffer(dist, quadrantSegments))

@@ -86,6 +86,11 @@ object GeoFunctions {
     "st_xmax" -> Sig("xMax", D, Seq(G)),
     "st_ymax" -> Sig("yMax", D, Seq(G)),
     "st_bbox" -> Sig("bbox", bboxType, Seq(G)),
+    "st_minimumboundingradius" -> Sig("minimumBoundingRadius",
+      StructType(Seq(
+        StructField("center_x", DoubleType, nullable = false),
+        StructField("center_y", DoubleType, nullable = false),
+        StructField("radius", DoubleType, nullable = false))), Seq(G)),
     "st_npoints" -> Sig("nPoints", I, Seq(G)),
     "st_numgeometries" -> Sig("numGeometries", I, Seq(G)),
     "st_geometrytype" -> Sig("geometryType", S, Seq(G)),
