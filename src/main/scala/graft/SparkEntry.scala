@@ -6831,6 +6831,118 @@ object SparkEntry {
            ROUND(MAX(r), 6) AS max_r
     FROM m GROUP BY flag ORDER BY flag"""
 
+  /** Cascade retrieval funnel (e20): the production 3-stage shape that
+    * e17 (binary) and e10 (SQ8) are stages of — stage 1 scans 1-bit codes
+    * (64 bits/vector) and keeps the Hamming top-64; stage 2 re-scores
+    * ONLY those with 8-bit SQ codes (integer symmetric distance) and
+    * keeps the top-16; stage 3 re-ranks those few by exact L2. Bytes
+    * touched shrink ~8x per stage while each stage's candidate set
+    * bounds the next stage's work — the funnel is how a 100 TB corpus
+    * serves kNN from a compressed scan without ever computing exact
+    * distance on more than a handful of rows. Integer distances at
+    * stages 1-2 keep the whole funnel bit-deterministic. */
+  private val e20Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e FROM embeddings),
+    bq AS (SELECT vec_id, e,
+                  aggregate(sequence(1, 32), CAST(0 AS BIGINT),
+                            (acc, i) -> acc + IF(element_at(e, i) > 0.0D,
+                                                 shiftleft(CAST(1 AS BIGINT), i - 1),
+                                                 CAST(0 AS BIGINT))) AS lo,
+                  aggregate(sequence(33, 64), CAST(0 AS BIGINT),
+                            (acc, i) -> acc + IF(element_at(e, i) > 0.0D,
+                                                 shiftleft(CAST(1 AS BIGINT), i - 33),
+                                                 CAST(0 AS BIGINT))) AS hi
+           FROM v),
+    dims AS (SELECT i, MIN(element_at(e, i)) AS mn, MAX(element_at(e, i)) AS mx
+             FROM v LATERAL VIEW explode(sequence(1, 64)) t AS i GROUP BY i),
+    sarr AS (SELECT transform(array_sort(collect_list(struct(i, mn))), s -> s.mn) AS mn_arr,
+                    transform(array_sort(collect_list(struct(i, mx))), s -> s.mx) AS mx_arr
+             FROM dims),
+    codes AS (SELECT /*+ BROADCAST(sarr) */ vec_id,
+                     transform(sequence(1, 64), i -> CAST(
+                       CASE WHEN element_at(mx_arr, i) = element_at(mn_arr, i) THEN 0.0
+                            ELSE least(255.0, greatest(0.0,
+                              floor((element_at(e, i) - element_at(mn_arr, i)) * 255.0
+                                    / (element_at(mx_arr, i) - element_at(mn_arr, i)))))
+                       END AS INT)) AS c
+              FROM v CROSS JOIN sarr),
+    q AS (SELECT vec_id FROM v WHERE vec_id >= 8 AND vec_id < 16),
+    st1 AS (SELECT query_id, neighbor_id, hd FROM (
+              SELECT qb.vec_id AS query_id, x.vec_id AS neighbor_id,
+                     bit_count(qb.lo ^ x.lo) + bit_count(qb.hi ^ x.hi) AS hd,
+                     ROW_NUMBER() OVER (PARTITION BY qb.vec_id ORDER BY
+                       bit_count(qb.lo ^ x.lo) + bit_count(qb.hi ^ x.hi), x.vec_id) AS r
+              FROM bq x JOIN (SELECT bq.* FROM bq JOIN q ON q.vec_id = bq.vec_id) qb
+                ON x.vec_id != qb.vec_id) t WHERE r <= 64),
+    st2 AS (SELECT query_id, neighbor_id, hd, sq FROM (
+              SELECT s1.query_id, s1.neighbor_id, s1.hd,
+                     aggregate(zip_with(qc.c, xc.c, (a, b) -> CAST((a - b) * (a - b) AS BIGINT)),
+                               CAST(0 AS BIGINT), (acc, d) -> acc + d) AS sq,
+                     ROW_NUMBER() OVER (PARTITION BY s1.query_id ORDER BY
+                       aggregate(zip_with(qc.c, xc.c, (a, b) -> CAST((a - b) * (a - b) AS BIGINT)),
+                                 CAST(0 AS BIGINT), (acc, d) -> acc + d), s1.neighbor_id) AS r
+              FROM st1 s1
+              JOIN codes qc ON qc.vec_id = s1.query_id
+              JOIN codes xc ON xc.vec_id = s1.neighbor_id) t WHERE r <= 16),
+    st3 AS (SELECT query_id, neighbor_id, hd, sq, graft_l2(qv.e, xv.e) AS exact_d
+            FROM st2
+            JOIN v qv ON qv.vec_id = st2.query_id
+            JOIN v xv ON xv.vec_id = st2.neighbor_id)
+    SELECT query_id, neighbor_id, CAST(hd AS BIGINT) AS hd, sq,
+           CAST(rnk AS BIGINT) AS rnk, ROUND(exact_d, 6) AS exact_d
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY exact_d, neighbor_id) AS rnk
+          FROM st3) t
+    WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
+  private val e20Duck = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    bq AS (SELECT vec_id, e,
+                  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 33),
+                    i -> CASE WHEN e[i] > 0.0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)),
+                    (a, b) -> a + b) AS lo,
+                  list_reduce(list_prepend(0::BIGINT, list_transform(range(33, 65),
+                    i -> CASE WHEN e[i] > 0.0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END)),
+                    (a, b) -> a + b) AS hi
+           FROM v),
+    dims AS (SELECT i, MIN(e[i]) AS mn, MAX(e[i]) AS mx
+             FROM v CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t GROUP BY i),
+    sarr AS (SELECT list(mn ORDER BY i) AS mn_arr, list(mx ORDER BY i) AS mx_arr FROM dims),
+    codes AS (SELECT vec_id,
+                     list_transform(range(1, 65), i -> (
+                       CASE WHEN mx_arr[i] = mn_arr[i] THEN 0.0
+                            ELSE least(255.0, greatest(0.0,
+                              floor((e[i] - mn_arr[i]) * 255.0 / (mx_arr[i] - mn_arr[i]))))
+                       END)::INT) AS c
+              FROM v CROSS JOIN sarr),
+    q AS (SELECT vec_id FROM v WHERE vec_id >= 8 AND vec_id < 16),
+    st1 AS (SELECT query_id, neighbor_id, hd FROM (
+              SELECT qb.vec_id AS query_id, x.vec_id AS neighbor_id,
+                     bit_count(xor(qb.lo, x.lo)) + bit_count(xor(qb.hi, x.hi)) AS hd,
+                     ROW_NUMBER() OVER (PARTITION BY qb.vec_id ORDER BY
+                       bit_count(xor(qb.lo, x.lo)) + bit_count(xor(qb.hi, x.hi)), x.vec_id) AS r
+              FROM bq x JOIN (SELECT bq.* FROM bq JOIN q ON q.vec_id = bq.vec_id) qb
+                ON x.vec_id != qb.vec_id) t WHERE r <= 64),
+    st2 AS (SELECT query_id, neighbor_id, hd, sq FROM (
+              SELECT s1.query_id, s1.neighbor_id, s1.hd,
+                     list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 65),
+                       i -> ((qc.c[i] - xc.c[i]) * (qc.c[i] - xc.c[i]))::BIGINT)), (a, b) -> a + b) AS sq,
+                     ROW_NUMBER() OVER (PARTITION BY s1.query_id ORDER BY
+                       list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 65),
+                         i -> ((qc.c[i] - xc.c[i]) * (qc.c[i] - xc.c[i]))::BIGINT)), (a, b) -> a + b), s1.neighbor_id) AS r
+              FROM st1 s1
+              JOIN codes qc ON qc.vec_id = s1.query_id
+              JOIN codes xc ON xc.vec_id = s1.neighbor_id) t WHERE r <= 16),
+    st3 AS (SELECT query_id, neighbor_id, hd, sq,
+                   list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(qv.e) + 1), i -> (qv.e[i] - xv.e[i]) * (qv.e[i] - xv.e[i]))), (x, y) -> x + y) AS exact_d
+            FROM st2
+            JOIN v qv ON qv.vec_id = st2.query_id
+            JOIN v xv ON xv.vec_id = st2.neighbor_id)
+    SELECT query_id, neighbor_id, hd::BIGINT AS hd, sq,
+           rnk::BIGINT AS rnk, ROUND(exact_d, 6) AS exact_d
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY exact_d, neighbor_id) AS rnk
+          FROM st3) t
+    WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -6954,6 +7066,7 @@ object SparkEntry {
     ("e17_binary_quant", q(e17Spark), e17Duck),
     ("e18_nprobe_curve", q(e18Spark), e18Duck),
     ("e19_mmr", q(e19Spark), e19Duck),
+    ("e20_cascade", q(e20Spark), e20Duck),
     ("g63_hex_bin", q(g63Spark), g63Duck),
     ("t24_tfidf_terms", q(t24Spark), t24Duck),
     ("t25_cms_heavy_hitters", q(t25Spark), t25Duck),
