@@ -6943,6 +6943,93 @@ object SparkEntry {
           FROM st3) t
     WHERE rnk <= 3 ORDER BY query_id, rnk"""
 
+  /** Dedup-method consensus (t35): the model-selection artifact for the
+    * near-dup family — run BOTH candidate generators over the same
+    * aug corpus (80%-prefix twins planted), simhash 2x16-bit band keys
+    * (t06's fingerprint) vs minhash 4x4 banding (t07's), and score each
+    * method's candidate set against exact shingle Jaccard >= 0.5: per
+    * method and per agreement class (both proposed / only one), how many
+    * candidates and how many verify. The numbers that pick a dedup
+    * config: a pair found by both methods verifies far more often than a
+    * single-method pair. All joins stay band-keyed; the exact confirm
+    * touches only proposed candidates. */
+  private val t35Spark = """
+    WITH aug AS (SELECT doc_id AS id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 100000, substring(text, 1, CAST(FLOOR(n_chars * 0.8D) AS INT))
+                 FROM documents),
+    base AS (SELECT /*+ REPARTITION({{P}}) */ id, graft_shingles(text, 3) AS ng,
+                    CAST(graft_simhash(text) AS BIGINT) AS sh,
+                    graft_minhash_sigs(graft_shingles(text, 3), 16) AS sig
+             FROM aug),
+    simb AS (SELECT id, b, (sh >> (b * 16)) & 65535 AS bk
+             FROM base LATERAL VIEW explode(sequence(0, 1)) t AS b),
+    simc AS (SELECT DISTINCT x.id AS i, y.id AS j
+             FROM simb x JOIN simb y ON y.b = x.b AND y.bk = x.bk AND x.id < y.id),
+    mhb AS (SELECT id, b, graft_hash(concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> CAST(x AS STRING)))) AS bk
+            FROM base LATERAL VIEW explode(sequence(0, 3)) t AS b),
+    mhc AS (SELECT DISTINCT x.id AS i, y.id AS j
+            FROM mhb x JOIN mhb y ON y.b = x.b AND y.bk = x.bk AND x.id < y.id),
+    allc AS (SELECT COALESCE(s.i, m.i) AS i, COALESCE(s.j, m.j) AS j,
+                    IF(s.i IS NULL, 0, 1) AS by_sim, IF(m.i IS NULL, 0, 1) AS by_mh
+             FROM simc s FULL OUTER JOIN mhc m ON m.i = s.i AND m.j = s.j),
+    ver AS (SELECT a.by_sim, a.by_mh,
+                   IF(graft_jaccard(bi.ng, bj.ng) >= 0.5D, 1, 0) AS verified
+            FROM allc a
+            JOIN base bi ON bi.id = a.i
+            JOIN base bj ON bj.id = a.j)
+    SELECT CAST(by_sim AS BIGINT) AS by_sim, CAST(by_mh AS BIGINT) AS by_mh,
+           COUNT(*) AS n_cand, SUM(verified) AS n_verified,
+           ROUND(CAST(SUM(verified) AS DOUBLE) / COUNT(*), 6) AS precision
+    FROM ver GROUP BY by_sim, by_mh ORDER BY by_sim, by_mh"""
+
+  private val t35Duck = """
+    WITH aug AS (SELECT doc_id AS id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 100000, substr(text, 1, CAST(FLOOR(n_chars * 0.8::DOUBLE) AS INT))
+                 FROM documents),
+    tk AS (SELECT id, text, string_split_regex(trim(text), '\s+') AS toks FROM aug),
+    base AS (SELECT id,
+               CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 3 + 2),
+                        i -> array_to_string(array_slice(toks, i, i + 2), ' '))
+                 ELSE [] END AS ng,
+               list_sum(list_transform(range(0, 32), b -> CASE WHEN
+                  list_sum(list_transform(list_transform(toks, t2 -> ('0x' || substr(md5(t2), 1, 8))::BIGINT),
+                    hh -> CASE WHEN ((hh >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS sh
+             FROM tk),
+    sig AS (SELECT id, ng, sh,
+              list_transform(range(0, 16), k -> coalesce(list_min(list_transform(
+                list_transform(ng, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT),
+                x -> (((k + 1) * 1000003 % 16777216) * x + k * 30011 + 1) % 4294967311)), 4294967311)) AS mh
+            FROM base),
+    simb AS (SELECT id, b, (sh >> (b * 16)) & 65535 AS bk
+             FROM sig, (SELECT unnest(range(0, 2)) AS b) bs),
+    simc AS (SELECT DISTINCT x.id AS i, y.id AS j
+             FROM simb x JOIN simb y ON y.b = x.b AND y.bk = x.bk AND x.id < y.id),
+    mhb AS (SELECT id, b,
+              ('0x' || substr(md5(array_to_string(list_transform(
+                 array_slice(mh, b * 4 + 1, b * 4 + 4), x -> x::VARCHAR), ',')), 1, 8))::BIGINT AS bk
+            FROM sig, (SELECT unnest(range(0, 4)) AS b) bs),
+    mhc AS (SELECT DISTINCT x.id AS i, y.id AS j
+            FROM mhb x JOIN mhb y ON y.b = x.b AND y.bk = x.bk AND x.id < y.id),
+    allc AS (SELECT COALESCE(s.i, m.i) AS i, COALESCE(s.j, m.j) AS j,
+                    CASE WHEN s.i IS NULL THEN 0 ELSE 1 END AS by_sim,
+                    CASE WHEN m.i IS NULL THEN 0 ELSE 1 END AS by_mh
+             FROM simc s FULL OUTER JOIN mhc m ON m.i = s.i AND m.j = s.j),
+    ver AS (SELECT a.by_sim, a.by_mh,
+                   CASE WHEN (CASE WHEN len(list_distinct(list_concat(bi.ng, bj.ng))) = 0 THEN 0.0::DOUBLE
+                                   ELSE len(list_intersect(bi.ng, bj.ng)) / len(list_distinct(list_concat(bi.ng, bj.ng))) END) >= 0.5
+                        THEN 1 ELSE 0 END AS verified
+            FROM allc a
+            JOIN sig bi ON bi.id = a.i
+            JOIN sig bj ON bj.id = a.j)
+    SELECT by_sim::BIGINT AS by_sim, by_mh::BIGINT AS by_mh,
+           COUNT(*)::BIGINT AS n_cand, SUM(verified)::BIGINT AS n_verified,
+           ROUND(SUM(verified)::DOUBLE / COUNT(*), 6) AS precision
+    FROM ver GROUP BY by_sim, by_mh ORDER BY by_sim, by_mh"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -7079,6 +7166,7 @@ object SparkEntry {
     ("t32_exact_quantiles", q(t32Spark), t32Duck),
     ("t33_incremental_dedup", t33Fn _, t33Duck),
     ("t34_editdist_confirm", q(t34Spark), t34Duck),
+    ("t35_dedup_consensus", q(t35Spark), t35Duck),
     ("q13_set_ops", q(q13Spark), q13Duck),
     ("g64_min_bounding_circle", q(g64Spark), g64Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
