@@ -7030,6 +7030,31 @@ object SparkEntry {
            ROUND(SUM(verified)::DOUBLE / COUNT(*), 6) AS precision
     FROM ver GROUP BY by_sim, by_mh ORDER BY by_sim, by_mh"""
 
+  /** Recursive CTE (q14): Spark 4's WITH RECURSIVE — each customer walks
+    * its halving ancestor chain (node → node/2 → … → 1, an implicit
+    * binary-tree hierarchy over the key space) and the report histograms
+    * chain depth. The iterative-join shape (org charts, BOM explosions,
+    * graph reachability) that previously needed driver-side loops
+    * (t09's components operator) now plans declaratively; depth is
+    * bounded by log2(maxkey) so the recursion is ~17 levels at any SF. */
+  private val q14Spark = """
+    WITH RECURSIVE anc AS (
+      SELECT c_custkey AS node, c_custkey AS cur, 0 AS hops FROM customer
+      UNION ALL
+      SELECT node, cur DIV 2 AS cur, hops + 1 AS hops FROM anc WHERE cur > 1)
+    SELECT depth, COUNT(*) AS n, SUM(node) AS sum_nodes
+    FROM (SELECT node, CAST(MAX(hops) AS BIGINT) AS depth FROM anc GROUP BY node) d
+    GROUP BY depth ORDER BY depth"""
+
+  private val q14Duck = """
+    WITH RECURSIVE anc AS (
+      SELECT c_custkey AS node, c_custkey AS cur, 0 AS hops FROM customer
+      UNION ALL
+      SELECT node, cur // 2 AS cur, hops + 1 AS hops FROM anc WHERE cur > 1)
+    SELECT depth, COUNT(*)::BIGINT AS n, SUM(node)::BIGINT AS sum_nodes
+    FROM (SELECT node, MAX(hops)::BIGINT AS depth FROM anc GROUP BY node) d
+    GROUP BY depth ORDER BY depth"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -7168,6 +7193,7 @@ object SparkEntry {
     ("t34_editdist_confirm", q(t34Spark), t34Duck),
     ("t35_dedup_consensus", q(t35Spark), t35Duck),
     ("q13_set_ops", q(q13Spark), q13Duck),
+    ("q14_recursive_chain", q(q14Spark), q14Duck),
     ("g64_min_bounding_circle", q(g64Spark), g64Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
