@@ -5121,16 +5121,18 @@ object SparkEntry {
     * 100 TB topology: the duplicated-shingle set is a keyed aggregate on
     * shingle content (map-side combine collapses within-doc repeats), the
     * position re-join is an equi-join on the same key, and the island
-    * merge is a per-doc window — nothing all-pairs, skew bounded by the
-    * most-repeated shingle (cap with a df ceiling like t10's posting-list
-    * cap if a corpus has a degenerate boilerplate shingle). At scale the
+    * merge is a per-doc window — nothing all-pairs. Shingles in more than
+    * 64 distinct docs are excluded as boilerplate (t10's posting-list-cap
+    * move): a degenerate navigation-chrome shingle would otherwise funnel
+    * every document's positions through one shuffle key. At scale the
     * join key would be a 64-bit shingle hash instead of the string; the
     * string key keeps the oracle exact here. */
   private val t28Spark = """
     WITH sh AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, p, s
                 FROM documents
                 LATERAL VIEW posexplode(graft_shingles(text, 6)) t AS p, s),
-    dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup AS (SELECT s FROM sh GROUP BY s
+            HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64),
     dp AS (SELECT sh.doc_id, sh.p FROM sh JOIN dup ON sh.s = dup.s),
     isl AS (SELECT doc_id, p,
                    CASE WHEN MAX(p + 5) OVER (PARTITION BY doc_id ORDER BY p
@@ -5158,7 +5160,8 @@ object SparkEntry {
       SELECT doc_id, p, array_to_string(toks[p+1:p+6], ' ') AS s
       FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents) t
       CROSS JOIN LATERAL (SELECT unnest(range(0, greatest(len(toks)-5, 0))) AS p) ps),
-    dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup AS (SELECT s FROM sh GROUP BY s
+            HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64),
     dp AS (SELECT sh.doc_id, sh.p FROM sh JOIN dup ON sh.s = dup.s),
     isl AS (SELECT doc_id, p,
                    CASE WHEN MAX(p + 5) OVER (PARTITION BY doc_id ORDER BY p
