@@ -7058,6 +7058,162 @@ object SparkEntry {
     FROM (SELECT node, MAX(hops)::BIGINT AS depth FROM anc GROUP BY node) d
     GROUP BY depth ORDER BY depth"""
 
+  /** Text-vs-embedding consistency (t36): the cross-modal audit — minhash
+    * banding proposes text near-dup candidates over the documents table,
+    * and each candidate pair is then scored by the COSINE of the two
+    * docs' embedding vectors (vec_id = doc_id in the synthetic corpus).
+    * Jaccard-verified pairs should sit higher in embedding similarity
+    * than unverified band collisions; the report buckets candidates by
+    * (verified, cosine decile) so a drift between the text and embedding
+    * views of "similar" is a hash mismatch. Candidates are band-keyed,
+    * the embedding lookup is an id equi-join — nothing all-pairs. */
+  private val t36Spark = """
+    WITH sg AS (SELECT /*+ REPARTITION({{P}}) */ doc_id AS id,
+                       graft_shingles(text, 3) AS ng,
+                       graft_minhash_sigs(graft_shingles(text, 3), 16) AS sig
+                FROM documents),
+    bands AS (SELECT id, b, graft_hash(concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> CAST(x AS STRING)))) AS bkey
+              FROM sg LATERAL VIEW explode(sequence(0, 3)) t AS b),
+    cand AS (SELECT DISTINCT x.id AS i, y.id AS j
+             FROM bands x JOIN bands y ON y.b = x.b AND y.bkey = x.bkey AND x.id < y.id),
+    v AS (SELECT vec_id, graft_vec(embedding) AS e,
+                 sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
+          FROM embeddings),
+    scored AS (SELECT c.i, c.j,
+                      IF(graft_jaccard(si.ng, sj.ng) >= 0.5D, 1, 0) AS verified,
+                      graft_dot(vi.e, vj.e) / (vi.nrm * vj.nrm) AS cos
+               FROM cand c
+               JOIN sg si ON si.id = c.i JOIN sg sj ON sj.id = c.j
+               JOIN v vi ON vi.vec_id = c.i JOIN v vj ON vj.vec_id = c.j)
+    SELECT CAST(verified AS BIGINT) AS verified,
+           CAST(FLOOR(cos * 5.0D) AS BIGINT) AS cos_bucket,
+           COUNT(*) AS n, ROUND(MIN(cos), 6) AS min_cos, ROUND(MAX(cos), 6) AS max_cos
+    FROM scored GROUP BY verified, CAST(FLOOR(cos * 5.0D) AS BIGINT)
+    ORDER BY verified, cos_bucket"""
+
+  private val t36Duck = """
+    WITH sng AS (SELECT doc_id AS id,
+                   CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+                     THEN list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 3 + 2),
+                            i -> array_to_string(array_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' '))
+                     ELSE [] END AS ng
+                 FROM documents),
+    sg AS (SELECT id, ng,
+             list_transform(range(0, 16), k -> coalesce(list_min(list_transform(
+               list_transform(ng, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT),
+               x -> (((k + 1) * 1000003 % 16777216) * x + k * 30011 + 1) % 4294967311)), 4294967311)) AS sig
+           FROM sng),
+    bands AS (SELECT id, b,
+                ('0x' || substr(md5(array_to_string(list_transform(
+                   array_slice(sig, b * 4 + 1, b * 4 + 4), x -> x::VARCHAR), ',')), 1, 8))::BIGINT AS bkey
+              FROM sg, (SELECT unnest(range(0, 4)) AS b) bs),
+    cand AS (SELECT DISTINCT x.id AS i, y.id AS j
+             FROM bands x JOIN bands y ON y.b = x.b AND y.bkey = x.bkey AND x.id < y.id),
+    v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    v AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * e[i])), (x, y) -> x + y)) AS nrm
+          FROM v0),
+    scored AS (SELECT c.i, c.j,
+                      CASE WHEN (CASE WHEN len(list_distinct(list_concat(si.ng, sj.ng))) = 0 THEN 0.0::DOUBLE
+                                      ELSE len(list_intersect(si.ng, sj.ng)) / len(list_distinct(list_concat(si.ng, sj.ng))) END) >= 0.5
+                           THEN 1 ELSE 0 END AS verified,
+                      list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(vi.e) + 1), i -> vi.e[i] * vj.e[i])), (x, y) -> x + y) / (vi.nrm * vj.nrm) AS cos
+               FROM cand c
+               JOIN sg si ON si.id = c.i JOIN sg sj ON sj.id = c.j
+               JOIN v vi ON vi.vec_id = c.i JOIN v vj ON vj.vec_id = c.j)
+    SELECT verified::BIGINT AS verified,
+           FLOOR(cos * 5.0)::BIGINT AS cos_bucket,
+           COUNT(*)::BIGINT AS n, ROUND(MIN(cos), 6) AS min_cos, ROUND(MAX(cos), 6) AS max_cos
+    FROM scored GROUP BY verified, FLOOR(cos * 5.0)::BIGINT
+    ORDER BY verified, cos_bucket"""
+
+  /** Streaming nearest-centroid classification (s11): the online-inference
+    * shape — a vector stream (5 micro-batches of synthetic integer-exact
+    * 8-dim vectors) classifies each arrival against a STATIC broadcast
+    * centroid table (first 4 corpus embeddings' 8-dim prefixes, scaled to
+    * exact integers) by maximum integer dot product; per-class counts
+    * aggregate after the sink. Stateless per batch (the s04 geofence
+    * pattern with vectors instead of geometry): classification is
+    * map-side against the broadcast, so throughput scales with executors
+    * and nothing accumulates. Integer dots make the argmax exact. */
+  private def s11Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s11").toString
+    val src = new java.io.File(tmp, "src"); src.mkdirs()
+    def gen(lo: Int, hi: Int) = s.sql(s"""
+      SELECT CAST(id AS BIGINT) AS sample_id,
+             timestamp_seconds(1700000000 + id) AS ts,
+             transform(sequence(0, 7), j -> CAST((id * 31 + j * j * 7) % 199 - 99 AS BIGINT)) AS vec
+      FROM range($lo, $hi)""")
+    (0 until 5).foreach { i =>
+      val stage = new java.io.File(tmp, s"stage$i")
+      gen(i * 40, (i + 1) * 40).coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(src, s"f$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    // static centroids: exact integers derived from the embeddings table.
+    // 4 rows — a bounded metadata collect, inlined as a literal so the
+    // streaming classify is a pure row-level expression (windows and
+    // non-watermarked aggregations are disallowed on streams; a model
+    // this size would broadcast as a literal in any real deployment too)
+    val cents = s.sql("""
+      SELECT vec_id AS cid,
+             transform(slice(graft_vec(embedding), 1, 8),
+                       x -> CAST(FLOOR(x * 1000.0D) AS BIGINT)) AS ce
+      FROM embeddings WHERE vec_id < 4""").collect()
+    val centSql = cents.map { r =>
+      val ce = r.getSeq[Long](1).mkString(",")
+      s"struct(CAST(${r.getLong(0)} AS BIGINT) AS cid, array($ce) AS ce)"
+    }.mkString("array(", ",", ")")
+    val stream = s.readStream.schema(gen(0, 1).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+    stream.createOrReplaceTempView("s11_stream")
+    // argmax by integer dot product: array_max over (dot, -cid) structs —
+    // lexicographic struct ordering gives max-dot with min-cid tie-break
+    val classified = s.sql(s"""
+      SELECT sample_id, ts,
+             CAST(-(array_max(transform($centSql, c ->
+               struct(aggregate(zip_with(vec, c.ce, (a, b) -> a * b),
+                                CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dot,
+                      -c.cid AS ncid)))).ncid AS BIGINT) AS cls
+      FROM s11_stream""")
+    val qname = "graft_s11_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val qq = classified.writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", tmp + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      qq.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.sql(s"""
+      SELECT cls, COUNT(*) AS n, MIN(sample_id) AS min_id, SUM(sample_id) AS sum_ids
+      FROM $qname GROUP BY cls ORDER BY cls""")
+  }
+
+  private val s11Duck = """
+    WITH v AS (SELECT i AS sample_id,
+                      list_transform(range(0, 8), j -> (i * 31 + j * j * 7) % 199 - 99) AS vec
+               FROM range(200) t(i)),
+    c AS (SELECT vec_id AS cid,
+                 list_transform(list_transform(embedding, x -> x::DOUBLE)[1:8],
+                                x -> FLOOR(x * 1000.0)::BIGINT) AS ce
+          FROM embeddings WHERE vec_id < 4),
+    cls AS (SELECT sample_id, cid AS cls FROM (
+              SELECT v.sample_id, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY v.sample_id ORDER BY
+                       list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 9),
+                         i -> (vec[i] * ce[i])::BIGINT)), (a, b) -> a + b) DESC,
+                       c.cid) AS rn
+              FROM v CROSS JOIN c) t WHERE rn = 1)
+    SELECT cls, COUNT(*)::BIGINT AS n, MIN(sample_id)::BIGINT AS min_id,
+           SUM(sample_id)::BIGINT AS sum_ids
+    FROM cls GROUP BY cls ORDER BY cls"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -7195,6 +7351,7 @@ object SparkEntry {
     ("t33_incremental_dedup", t33Fn _, t33Duck),
     ("t34_editdist_confirm", q(t34Spark), t34Duck),
     ("t35_dedup_consensus", q(t35Spark), t35Duck),
+    ("t36_text_embed_consistency", q(t36Spark), t36Duck),
     ("q13_set_ops", q(q13Spark), q13Duck),
     ("q14_recursive_chain", q(q14Spark), q14Duck),
     ("g64_min_bounding_circle", q(g64Spark), g64Duck),
@@ -7208,6 +7365,7 @@ object SparkEntry {
     ("s08_stream_neardup", s08Fn _, s08Duck),
     ("s09_latest_enrich", s09Fn _, s09Duck),
     ("s10_stream_anomaly", s10Fn _, s10Duck),
+    ("s11_stream_classify", s11Fn _, s11Duck),
     ("m01_media_meta", q(m01Spark), m01Duck),
     ("m02_decode_resize_hist", m02Fn _, m02Duck),
     ("m03_real_decode_matrix", q(m03Spark), m03Duck),
