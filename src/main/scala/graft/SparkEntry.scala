@@ -7214,6 +7214,42 @@ object SparkEntry {
            SUM(sample_id)::BIGINT AS sum_ids
     FROM cls GROUP BY cls ORDER BY cls"""
 
+  /** Decode-failure quarantine (m11): 30% of the corpus payloads are
+    * corrupted by construction (truncated PNGs, pure-garbage bytes) and
+    * the scan must SURVIVE them — `graft_media_meta_safe` returns NULL
+    * where the real codec rejects the payload instead of failing the
+    * task, so bad rows route to a quarantine count while good rows keep
+    * their header metadata. At 100 TB a one-in-a-billion corrupt blob is
+    * a certainty; a decode path that throws kills the stage, a null-safe
+    * one costs a filter. The oracle pins exactly which corruption classes
+    * decode (none) and the pixel mass of the healthy slice. */
+  private val m11Spark = """
+    WITH pl AS (SELECT /*+ REPARTITION({{P}}) */ doc_id,
+                  CASE WHEN doc_id % 5 = 2 THEN substring(graft_media_png(doc_id), 1, 10)
+                       WHEN doc_id % 10 = 9 THEN unhex(md5(CAST(doc_id AS STRING)))
+                       ELSE graft_media_png(doc_id) END AS payload
+                FROM documents),
+    m AS (SELECT doc_id, graft_media_meta_safe(payload) AS meta,
+                 CASE WHEN doc_id % 5 = 2 THEN 'truncated'
+                      WHEN doc_id % 10 = 9 THEN 'garbage'
+                      ELSE 'ok' END AS klass
+          FROM pl)
+    SELECT klass, COUNT(*) AS n, COUNT(meta) AS n_decoded,
+           COALESCE(SUM(CAST(meta.width AS BIGINT) * CAST(meta.height AS BIGINT)), 0) AS npixels
+    FROM m GROUP BY klass ORDER BY klass"""
+
+  private val m11Duck = """
+    WITH cl AS (SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 2 THEN 'truncated'
+                       WHEN doc_id % 10 = 9 THEN 'garbage'
+                       ELSE 'ok' END AS klass,
+                  1 + doc_id % 16 AS w, 1 + (doc_id // 16) % 16 AS h
+                FROM documents)
+    SELECT klass, COUNT(*)::BIGINT AS n,
+           COUNT(CASE WHEN klass = 'ok' THEN 1 END)::BIGINT AS n_decoded,
+           COALESCE(SUM(CASE WHEN klass = 'ok' THEN w * h END), 0)::BIGINT AS npixels
+    FROM cl GROUP BY klass ORDER BY klass"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -7376,6 +7412,7 @@ object SparkEntry {
     ("m08_audio_windows", q(m08Spark), m08Duck),
     ("m09_shot_boundaries", q(m09Spark), m09Duck),
     ("m10_patch_grid", q(m10Spark), m10Duck),
+    ("m11_decode_quarantine", q(m11Spark), m11Duck),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -55,6 +55,15 @@ object MediaOps {
       Array[Any](n, peak, sumAbs, sumSq))
   }
 
+  /** Null-safe header probe: like [[mediaMeta]] but a payload the codec
+    * rejects yields NULL instead of failing the task — the quarantine
+    * path a 100 TB scan needs (one corrupt blob must not kill the job;
+    * rows with NULL meta route to a quarantine sink for inspection).
+    * SQL: `graft_media_meta_safe(payload)`. */
+  def mediaMetaSafe(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow =
+    try mediaMeta(b)
+    catch { case _: Exception => null }
+
   /** Real decode → fixed-length sample windows with exact integer stats:
     * array of struct(win_idx, n_samples, peak_abs, sum_abs, sum_sq).
     * SQL: `graft_audio_windows(payload, win)`. */

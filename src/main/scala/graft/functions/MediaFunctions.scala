@@ -12,7 +12,8 @@ object MediaFunctions {
 
   private val mediaOps = Class.forName("graft.core.MediaOps")
 
-  private case class Sig(method: String, ret: DataType, params: Seq[DataType])
+  private case class Sig(method: String, ret: DataType, params: Seq[DataType],
+                         nullableRet: Boolean = false)
 
   /** struct emitted by the REAL decoder (javax.imageio). */
   private val decodedStruct = StructType(Seq(
@@ -48,6 +49,7 @@ object MediaFunctions {
     "mm_decode" -> Sig("mediaDecode", decodedStruct, Seq(BinaryType)),
     "graft_media_decode" -> Sig("mediaDecode", decodedStruct, Seq(BinaryType)),
     "graft_media_meta" -> Sig("mediaMeta", metaStruct, Seq(BinaryType)),
+    "graft_media_meta_safe" -> Sig("mediaMetaSafe", metaStruct, Seq(BinaryType), nullableRet = true),
     "graft_media_png" -> Sig("mediaPngGray", BinaryType, Seq(LongType)),
     "graft_media_phash" -> Sig("mediaPhash", StringType, Seq(BinaryType)),
     "graft_media_transcode" -> Sig("mediaTranscode", BinaryType, Seq(BinaryType, StringType)),
@@ -69,7 +71,7 @@ object MediaFunctions {
     require(args.length == sig.params.length, s"$name expects ${sig.params.length} args")
     val cast = args.zip(sig.params).map { case (e, t) => Cast(e, t) }
     StaticInvoke(mediaOps, sig.ret, sig.method, cast, Nil,
-      propagateNull = true, returnNullable = false)
+      propagateNull = true, returnNullable = sig.nullableRet)
   }
 
   def register(spark: SparkSession): Unit = synchronized {
