@@ -7250,6 +7250,74 @@ object SparkEntry {
            COALESCE(SUM(CASE WHEN klass = 'ok' THEN w * h END), 0)::BIGINT AS npixels
     FROM cl GROUP BY klass ORDER BY klass"""
 
+  /** Johnson-Lindenstrauss projection ANN (e21): 64 dims → 16 via a
+    * SEEDED integer-derived random-projection matrix (the bucketk
+    * splitmix recipe, seed 13 — no stored model, both engines regenerate
+    * the weights bit-identically from the seed), stage-1 ranks by L2 in
+    * the projected space (4x fewer multiply-adds and 4x smaller scan than
+    * full vectors — the rotation-sensitive complement to e11's axis-only
+    * truncation), stage-2 re-ranks the projected top-32 by exact 64-dim
+    * L2. Projections are ordered folds of exact integers times doubles —
+    * deterministic cross-engine like e02/e12's hyperplane dots. */
+  private val e21Spark = """
+    WITH planes AS (
+      SELECT j, transform(sequence(0, 63), i -> CAST(
+               ((CAST(13 AS BIGINT) * 1000003 + j * 4099 + i) % 2147483648 * 2654435761) % 2147483648 AS BIGINT)) AS h0
+      FROM (SELECT explode(sequence(0, 15)) AS j)),
+    pw AS (SELECT j, transform(transform(transform(h0,
+                 h -> h ^ shiftright(h, 15)),
+                 h -> (h * 2246822519) % 2147483648),
+                 h -> CAST((h ^ shiftright(h, 13)) - 1073741824 AS DOUBLE)) AS w
+           FROM planes),
+    v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e FROM embeddings),
+    proj AS (SELECT v.vec_id, pw.j, graft_dot(v.e, pw.w) AS p
+             FROM v CROSS JOIN pw),
+    pv AS (SELECT vec_id, transform(array_sort(collect_list(struct(j, p))), s -> s.p) AS pe
+           FROM proj GROUP BY vec_id),
+    q AS (SELECT * FROM pv WHERE vec_id >= 8 AND vec_id < 16),
+    st1 AS (SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY graft_l2(q.pe, x.pe), x.vec_id) AS r
+              FROM q JOIN pv x ON x.vec_id != q.vec_id) t WHERE r <= 32),
+    st2 AS (SELECT s1.query_id, s1.neighbor_id, graft_l2(qv.e, xv.e) AS exact_d
+            FROM st1 s1
+            JOIN v qv ON qv.vec_id = s1.query_id
+            JOIN v xv ON xv.vec_id = s1.neighbor_id)
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, ROUND(exact_d, 6) AS exact_d
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY exact_d, neighbor_id) AS rnk
+          FROM st2) t
+    WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
+  private val e21Duck = """
+    WITH planes AS (
+      SELECT j, list_transform(list_transform(list_transform(list_transform(
+               range(0, 64), i -> ((13 * 1000003 + j * 4099 + i) % 2147483648 * 2654435761) % 2147483648),
+               h -> xor(h, h >> 15)),
+               h -> (h * 2246822519) % 2147483648),
+               h -> (xor(h, h >> 13) - 1073741824)::DOUBLE) AS w
+      FROM (SELECT unnest(range(0, 16)) AS j) js),
+    v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    proj AS (SELECT v.vec_id, planes.j,
+                    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(v.e) + 1), i -> v.e[i] * planes.w[i])), (x, y) -> x + y) AS p
+             FROM v CROSS JOIN planes),
+    pv AS (SELECT vec_id, list(p ORDER BY j) AS pe FROM proj GROUP BY vec_id),
+    q AS (SELECT * FROM pv WHERE vec_id >= 8 AND vec_id < 16),
+    st1 AS (SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.pe) + 1), i -> (q.pe[i] - x.pe[i]) * (q.pe[i] - x.pe[i]))), (a, b) -> a + b), x.vec_id) AS r
+              FROM q JOIN pv x ON x.vec_id != q.vec_id) t WHERE r <= 32),
+    st2 AS (SELECT s1.query_id, s1.neighbor_id,
+                   list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(qv.e) + 1), i -> (qv.e[i] - xv.e[i]) * (qv.e[i] - xv.e[i]))), (a, b) -> a + b) AS exact_d
+            FROM st1 s1
+            JOIN v qv ON qv.vec_id = s1.query_id
+            JOIN v xv ON xv.vec_id = s1.neighbor_id)
+    SELECT query_id, neighbor_id, rnk::BIGINT AS rnk, ROUND(exact_d, 6) AS exact_d
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY exact_d, neighbor_id) AS rnk
+          FROM st2) t
+    WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -7374,6 +7442,7 @@ object SparkEntry {
     ("e18_nprobe_curve", q(e18Spark), e18Duck),
     ("e19_mmr", q(e19Spark), e19Duck),
     ("e20_cascade", q(e20Spark), e20Duck),
+    ("e21_jl_projection", q(e21Spark), e21Duck),
     ("g63_hex_bin", q(g63Spark), g63Duck),
     ("t24_tfidf_terms", q(t24Spark), t24Duck),
     ("t25_cms_heavy_hitters", q(t25Spark), t25Duck),
