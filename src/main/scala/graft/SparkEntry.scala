@@ -7318,6 +7318,38 @@ object SparkEntry {
           FROM st2) t
     WHERE rnk <= 3 ORDER BY query_id, rnk"""
 
+  /** Augmentation geometry audit (m12): every corpus PNG decodes through
+    * the real codec and runs the three training-time geometric
+    * augmentations (identity, horizontal flip, rotate-90°) —
+    * `graft_media_aug` returns a POSITION-WEIGHTED checksum of the
+    * augmented raster, so a transposed axis, off-by-one mirror, or wrong
+    * rotation direction changes the value (a plain pixel sum would pass
+    * all of them). The oracle recomputes each checksum from the
+    * closed-form raster with the transformed coordinates. Map-side
+    * kernels, 3-key report. */
+  private val m12Spark = """
+    WITH a AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, mode,
+                      graft_media_aug(graft_media_png(doc_id), mode) AS cs
+               FROM documents LATERAL VIEW explode(array(0, 1, 2)) t AS mode)
+    SELECT CAST(mode AS BIGINT) AS mode, COUNT(*) AS n,
+           SUM(cs) AS total_cs, MIN(cs) AS min_cs, MAX(cs) AS max_cs
+    FROM a GROUP BY mode ORDER BY mode"""
+
+  private val m12Duck = """
+    WITH m AS (SELECT doc_id, 1 + doc_id % 16 AS w, 1 + (doc_id // 16) % 16 AS h
+               FROM documents),
+    px AS (SELECT doc_id, w, h, i % w AS x, i // w AS y,
+                  (doc_id * 31 + i * 7) % 256 AS v
+           FROM m CROSS JOIN LATERAL (SELECT unnest(range(w * h)) AS i) t),
+    cs AS (SELECT doc_id, 0 AS mode, SUM(v * (1 + x + 1000 * y)) AS cs FROM px GROUP BY doc_id
+           UNION ALL
+           SELECT doc_id, 1, SUM(v * (1 + (w - 1 - x) + 1000 * y)) FROM px GROUP BY doc_id
+           UNION ALL
+           SELECT doc_id, 2, SUM(v * (1 + (h - 1 - y) + 1000 * x)) FROM px GROUP BY doc_id)
+    SELECT mode::BIGINT AS mode, COUNT(*)::BIGINT AS n,
+           SUM(cs)::BIGINT AS total_cs, MIN(cs)::BIGINT AS min_cs, MAX(cs)::BIGINT AS max_cs
+    FROM cs GROUP BY mode ORDER BY mode"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -7482,6 +7514,7 @@ object SparkEntry {
     ("m09_shot_boundaries", q(m09Spark), m09Duck),
     ("m10_patch_grid", q(m10Spark), m10Duck),
     ("m11_decode_quarantine", q(m11Spark), m11Duck),
+    ("m12_augmentation", q(m12Spark), m12Duck),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -76,6 +76,12 @@ object MediaOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
 
+  /** Real decode → position-weighted checksum of an augmented raster
+    * (0 = identity, 1 = hflip, 2 = rot90cw).
+    * SQL: `graft_media_aug(payload, mode)`. */
+  def mediaAugChecksum(b: Array[Byte], mode: Int): Long =
+    Multimodal.augChecksum(b, mode)
+
   /** Real decode → row-major patch-grid channel-0 sums (ViT
     * patchification). SQL: `graft_media_patches(payload, pw, ph)`. */
   def mediaPatchSums(b: Array[Byte], pw: Int, ph: Int): org.apache.spark.sql.catalyst.util.ArrayData =

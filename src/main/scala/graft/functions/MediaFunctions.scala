@@ -56,6 +56,7 @@ object MediaFunctions {
     "graft_audio_wav" -> Sig("audioWav", BinaryType, Seq(LongType)),
     "graft_audio_meta" -> Sig("audioMeta", audioMetaStruct, Seq(BinaryType)),
     "graft_audio_stats" -> Sig("audioStats", audioStatsStruct, Seq(BinaryType)),
+    "graft_media_aug" -> Sig("mediaAugChecksum", LongType, Seq(BinaryType, IntegerType)),
     "graft_media_patches" -> Sig("mediaPatchSums",
       ArrayType(LongType, containsNull = false), Seq(BinaryType, IntegerType, IntegerType)),
     "graft_audio_windows" -> Sig("audioWindows",

@@ -416,6 +416,36 @@ object Multimodal {
     out
   }
 
+  /** Decode through the real codec, apply a geometric augmentation, and
+    * return a POSITION-WEIGHTED integer checksum Σ pixel(x,y)·(1 + x +
+    * 1000·y) over the AUGMENTED raster — the weight makes the checksum
+    * sensitive to where every pixel landed, so it proves the flip/rot
+    * geometry, not just pixel conservation. Modes: 0 identity, 1
+    * horizontal flip (x → w−1−x), 2 rotate 90° clockwise (pixel (x,y) →
+    * (h−1−y, x), so the output is h wide and w tall). Channel 0 only. */
+  def augChecksum(b: Array[Byte], mode: Int): Long = {
+    val img = decodeImage(b)
+    val (w, h) = (img.width, img.height)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (img.pixels((y * w + x) * img.channels) & 0xFF).toLong
+        val (nx, ny) = mode match {
+          case 0 => (x, y)
+          case 1 => (w - 1 - x, y)
+          case 2 => (h - 1 - y, x)
+          case m => throw new IllegalArgumentException(s"unknown augmentation mode $m")
+        }
+        sum += v * (1L + nx + 1000L * ny)
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
   /** Decode through the real codec and fold PCM16LE mono samples into
     * fixed-length windows of `win` samples (last window may be short):
     * per window (winIdx, nSamples, peakAbs, sumAbs, sumSq) — the
