@@ -7350,6 +7350,79 @@ object SparkEntry {
            SUM(cs)::BIGINT AS total_cs, MIN(cs)::BIGINT AS min_cs, MAX(cs)::BIGINT AS max_cs
     FROM cs GROUP BY mode ORDER BY mode"""
 
+  /** Cluster cards (t37): the human-facing artifact on top of the dedup
+    * machinery — near-dup clusters (t21's deterministic component
+    * structure) each labeled with their most DISTINCTIVE token, scored by
+    * exact tf-in-cluster / df-in-corpus (t24's transcendental-free TF-IDF
+    * stand-in). "Cluster 17: 4 docs, keyword 'merge'" is what a curation
+    * UI renders per dup group. Topology: components from the iterative
+    * min-label operator, token stats are (component, token)- and
+    * token-keyed shuffles, label pick is a per-component window. */
+  private def t37Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val edges = s.sql("""
+      SELECT d1.doc_id AS src, d2.doc_id AS dst
+      FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      WHERE d1.doc_id % 5 != 4 AND d1.doc_id % 3 != 1""")
+    graft.operators.ConnectedComponents.run(edges, "src", "dst")
+      .createOrReplaceTempView("t37_comps")
+    s.sql("""
+      WITH c AS (SELECT d.doc_id, COALESCE(tc.component, d.doc_id) AS component
+                 FROM documents d LEFT JOIN t37_comps tc ON tc.id = d.doc_id),
+      tok AS (SELECT /*+ REPARTITION({{P}}) */ c.component, d.doc_id, t.tok
+              FROM documents d JOIN c ON c.doc_id = d.doc_id
+              LATERAL VIEW explode(graft_tokens(d.text)) t AS tok),
+      df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tok) dt
+             GROUP BY tok),
+      tf AS (SELECT component, tok, COUNT(*) AS tf FROM tok GROUP BY component, tok),
+      lab AS (SELECT component, tok, tf, df, rn FROM (
+                SELECT tf.component, tf.tok, tf.tf, df.df,
+                       ROW_NUMBER() OVER (PARTITION BY tf.component
+                         ORDER BY CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) DESC, tf.tok) AS rn
+                FROM tf JOIN df ON df.tok = tf.tok) t WHERE rn = 1),
+      sz AS (SELECT component, COUNT(*) AS csize FROM c GROUP BY component)
+      SELECT CAST(sz.component AS BIGINT) AS component, sz.csize,
+             lab.tok AS label, lab.tf, lab.df,
+             ROUND(CAST(lab.tf AS DOUBLE) / CAST(lab.df AS DOUBLE), 6) AS score
+      FROM sz JOIN lab ON lab.component = sz.component
+      ORDER BY sz.csize DESC, component LIMIT 10""".replace(
+        "{{P}}", s.sparkContext.defaultParallelism.toString))
+  }
+
+  private val t37Duck = """
+    WITH RECURSIVE und AS (
+      SELECT d1.doc_id AS a, d2.doc_id AS b
+      FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      WHERE d1.doc_id % 5 != 4 AND d1.doc_id % 3 != 1
+      UNION ALL
+      SELECT d2.doc_id, d1.doc_id
+      FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      WHERE d1.doc_id % 5 != 4 AND d1.doc_id % 3 != 1),
+    reach(id, r) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.a, reach.r FROM und u JOIN reach ON reach.id = u.b),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    c AS (SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS component
+          FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
+    tok AS (SELECT c.component, d.doc_id, t.tok
+            FROM documents d JOIN c ON c.doc_id = d.doc_id
+            CROSS JOIN LATERAL (SELECT unnest(string_split_regex(trim(d.text), '\s+')) AS tok) t),
+    df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tok) dt
+           GROUP BY tok),
+    tf AS (SELECT component, tok, COUNT(*) AS tf FROM tok GROUP BY component, tok),
+    lab AS (SELECT component, tok, tf, df, rn FROM (
+              SELECT tf.component, tf.tok, tf.tf, df.df,
+                     ROW_NUMBER() OVER (PARTITION BY tf.component
+                       ORDER BY tf.tf::DOUBLE / df.df::DOUBLE DESC, tf.tok) AS rn
+              FROM tf JOIN df ON df.tok = tf.tok) t WHERE rn = 1),
+    sz AS (SELECT component, COUNT(*) AS csize FROM c GROUP BY component)
+    SELECT sz.component::BIGINT AS component, sz.csize::BIGINT AS csize,
+           lab.tok AS label, lab.tf::BIGINT AS tf, lab.df::BIGINT AS df,
+           ROUND(lab.tf::DOUBLE / lab.df::DOUBLE, 6) AS score
+    FROM sz JOIN lab ON lab.component = sz.component
+    ORDER BY sz.csize DESC, component LIMIT 10"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -7489,6 +7562,7 @@ object SparkEntry {
     ("t34_editdist_confirm", q(t34Spark), t34Duck),
     ("t35_dedup_consensus", q(t35Spark), t35Duck),
     ("t36_text_embed_consistency", q(t36Spark), t36Duck),
+    ("t37_cluster_cards", t37Fn _, t37Duck),
     ("q13_set_ops", q(q13Spark), q13Duck),
     ("q14_recursive_chain", q(q14Spark), q14Duck),
     ("g64_min_bounding_circle", q(g64Spark), g64Duck),
