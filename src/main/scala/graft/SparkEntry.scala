@@ -7423,6 +7423,42 @@ object SparkEntry {
     FROM sz JOIN lab ON lab.component = sz.component
     ORDER BY sz.csize DESC, component LIMIT 10"""
 
+  /** Forward gap-fill (q15): sensor-style hole plugging — every third
+    * reading is nulled and LAST_VALUE … IGNORE NULLS over the per-user
+    * event-time order carries the previous observation forward (the
+    * SQL face of what AsofJoin does between tables, within one). Sums
+    * ride DECIMAL so filled mass is exact; the leading-null count pins
+    * the frame semantics (nothing to carry before the first reading). */
+  private val q15Spark = """
+    WITH r AS (SELECT /*+ REPARTITION({{P}}) */ user_id, ts, event_id,
+                      IF(event_id % 3 = 0, CAST(NULL AS DOUBLE), value) AS v
+               FROM events),
+    f AS (SELECT user_id, ts, event_id, v,
+                 last_value(v) IGNORE NULLS OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+          FROM r)
+    SELECT user_id, COUNT(*) AS n,
+           COUNT(v) AS n_observed,
+           COUNT(filled) AS n_after_fill,
+           CAST(COALESCE(ROUND(SUM(CAST(filled AS DECIMAL(18,6))), 2), 0) AS DOUBLE) AS filled_mass
+    FROM f GROUP BY user_id ORDER BY user_id"""
+
+  private val q15Duck = """
+    WITH r AS (SELECT user_id, ts, event_id,
+                      CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+               FROM events),
+    f AS (SELECT user_id, ts, event_id, v,
+                 last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+          FROM r)
+    SELECT user_id, COUNT(*)::BIGINT AS n,
+           COUNT(v)::BIGINT AS n_observed,
+           COUNT(filled)::BIGINT AS n_after_fill,
+           COALESCE(ROUND(SUM(CAST(filled AS DECIMAL(18,6))), 2), 0)::DOUBLE AS filled_mass
+    FROM f GROUP BY user_id ORDER BY user_id"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -7565,6 +7601,7 @@ object SparkEntry {
     ("t37_cluster_cards", t37Fn _, t37Duck),
     ("q13_set_ops", q(q13Spark), q13Duck),
     ("q14_recursive_chain", q(q14Spark), q14Duck),
+    ("q15_gap_fill", q(q15Spark), q15Duck),
     ("g64_min_bounding_circle", q(g64Spark), g64Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
