@@ -7318,6 +7318,89 @@ object SparkEntry {
           FROM st2) t
     WHERE rnk <= 3 ORDER BY query_id, rnk"""
 
+  /** Tombstone-delete ANN lifecycle (e22): the DELETE side of the index
+    * lifecycle whose append side is e16 — 20% of the corpus (vec_id % 5
+    * = 2, sparing the centroid seeds and the query set) lands in a
+    * tombstone table, and the e04 IVF search masks tombstoned candidates
+    * with a LEFT ANTI JOIN at probe time (FAISS's `IDSelector` shape:
+    * the codebook is NOT retrained and the list layout is untouched —
+    * compaction is a separate offline rewrite). Because assignment is
+    * per-vector and deletes never move centroids, probe-time masking is
+    * EXACTLY equivalent to rebuilding the index over the retained set —
+    * which is what the oracle computes (assignment over retained vectors
+    * only), so a deleted id leaking into the top-3, or a rank shift from
+    * a mis-scoped mask, hash-mismatches. `n_masked` pins per query that
+    * the mask suppressed real candidates. 100 TB topology: the tombstone
+    * side is a keyed anti-join — broadcast while the delete set is
+    * small, vec_id-shuffled when it isn't; everything else inherits
+    * e04's keyed probe-join shape, never all-pairs. */
+  private val e22Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e,
+                      sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
+               FROM embeddings),
+    dead AS (SELECT vec_id AS dead_id FROM v WHERE vec_id % 5 = 2 AND vec_id >= 16),
+    c AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 4),
+    asgn AS (SELECT vec_id, e, nrm, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY graft_dot(e, ce) / (nrm * cnrm) DESC, cid) AS rn
+             FROM v CROSS JOIN c),
+    a AS (SELECT vec_id, e, nrm, cid AS list_id FROM asgn WHERE rn = 1),
+    qp AS (SELECT vec_id, e, nrm, cid AS probe_list FROM asgn
+           WHERE rn <= 2 AND vec_id >= 8 AND vec_id < 16),
+    cand AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, x.list_id AS list_id,
+                    graft_dot(q.e, x.e) / (q.nrm * x.nrm) AS cos
+             FROM qp q
+             JOIN a x ON x.list_id = q.probe_list AND x.vec_id != q.vec_id),
+    live AS (SELECT c.* FROM cand c LEFT ANTI JOIN dead d ON c.neighbor_id = d.dead_id),
+    nm AS (SELECT c.query_id, COUNT(*) AS n_masked
+           FROM cand c JOIN dead d ON c.neighbor_id = d.dead_id GROUP BY c.query_id),
+    top AS (SELECT query_id, neighbor_id, list_id, rnk, cos FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM live) t WHERE rnk <= 3)
+    SELECT t.query_id, t.neighbor_id, t.list_id, CAST(t.rnk AS BIGINT) AS rnk,
+           ROUND(t.cos, 6) AS cos,
+           CAST(COALESCE(nm.n_masked, 0) AS BIGINT) AS n_masked
+    FROM top t LEFT JOIN nm ON nm.query_id = t.query_id
+    ORDER BY t.query_id, t.rnk"""
+
+  private val e22Duck = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * e[i])), (x, y) -> x + y)) AS nrm
+          FROM v),
+    dead AS (SELECT vec_id AS dead_id FROM n WHERE vec_id % 5 = 2 AND vec_id >= 16),
+    ret AS (SELECT * FROM n WHERE NOT EXISTS (SELECT 1 FROM dead d WHERE d.dead_id = n.vec_id)),
+    c AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 4),
+    asgn AS (SELECT vec_id, e, nrm, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * ce[i])), (x, y) -> x + y) / (nrm * cnrm) DESC, cid) AS rn
+             FROM ret CROSS JOIN c),
+    a AS (SELECT vec_id, e, nrm, cid AS list_id FROM asgn WHERE rn = 1),
+    qp AS (SELECT vec_id, e, nrm, cid AS probe_list FROM asgn
+           WHERE rn <= 2 AND vec_id >= 8 AND vec_id < 16),
+    live AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, x.list_id AS list_id,
+                    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.e) + 1), i -> q.e[i] * x.e[i])), (x, y) -> x + y) / (q.nrm * x.nrm) AS cos
+             FROM qp q
+             JOIN a x ON x.list_id = q.probe_list AND x.vec_id != q.vec_id),
+    dasgn AS (SELECT vec_id, e, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * ce[i])), (x, y) -> x + y) / (nrm * cnrm) DESC, cid) AS rn
+              FROM (SELECT n.* FROM n JOIN dead d ON d.dead_id = n.vec_id) dd CROSS JOIN c),
+    da AS (SELECT vec_id, cid AS list_id FROM dasgn WHERE rn = 1),
+    nm AS (SELECT q.vec_id AS query_id, COUNT(*) AS n_masked
+           FROM qp q JOIN da x ON x.list_id = q.probe_list
+           GROUP BY q.vec_id),
+    top AS (SELECT query_id, neighbor_id, list_id, rnk, cos FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM live) t WHERE rnk <= 3)
+    SELECT t.query_id, t.neighbor_id, t.list_id, t.rnk::BIGINT AS rnk,
+           ROUND(t.cos, 6) AS cos,
+           COALESCE(nm.n_masked, 0)::BIGINT AS n_masked
+    FROM top t LEFT JOIN nm ON nm.query_id = t.query_id
+    ORDER BY t.query_id, t.rnk"""
+
   /** Augmentation geometry audit (m12): every corpus PNG decodes through
     * the real codec and runs the three training-time geometric
     * augmentations (identity, horizontal flip, rotate-90°) —
@@ -7584,6 +7667,7 @@ object SparkEntry {
     ("e19_mmr", q(e19Spark), e19Duck),
     ("e20_cascade", q(e20Spark), e20Duck),
     ("e21_jl_projection", q(e21Spark), e21Duck),
+    ("e22_tombstone_delete", q(e22Spark), e22Duck),
     ("g63_hex_bin", q(g63Spark), g63Duck),
     ("t24_tfidf_terms", q(t24Spark), t24Duck),
     ("t25_cms_heavy_hitters", q(t25Spark), t25Duck),
