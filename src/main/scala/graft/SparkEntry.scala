@@ -6834,6 +6834,57 @@ object SparkEntry {
            ROUND(MAX(r), 6) AS max_r
     FROM m GROUP BY flag ORDER BY flag"""
 
+  /** XYZ tile-pyramid binning (g65): `ST_TileX`/`ST_TileY` assign every
+    * point its slippy-map (OSM/XYZ) tile at zooms 2 and 6, and
+    * `ST_TileEnvelope` (the PostGIS function) recovers each tile's
+    * web-mercator square. The 100 TB shape is the map-tile layout job:
+    * tile ids are map-side scalar kernels, the only shuffle is ONE
+    * aggregate keyed by (z, tx, ty) — key cardinality grows with zoom,
+    * never with corpus size beyond 4^z. Three independent gates ride the
+    * hash: per-tile membership (count + key sum — the transcendental
+    * floor must agree cross-engine, the g10 ln/tan precedent), the
+    * envelope edges (pure arithmetic once the id is known: each zoom-z
+    * tile is an exact 2πa/2^z square), and id↔envelope consistency —
+    * every point's mercator projection must be ST_Covers-ed by its own
+    * tile's envelope, so `n_covered` must equal `n` (covers, not
+    * contains: integer-degree lons land exactly ON tile edges at 45°
+    * multiples, and an edge point belongs to the tile it floor-assigned
+    * to). */
+  private val g65Spark = """
+    WITH p AS (SELECT /*+ REPARTITION({{P}}) */ c_custkey,
+                      CAST(c_custkey % 360 - 180 AS DOUBLE) AS lon,
+                      CAST((c_custkey * 7) % 140 - 70 AS DOUBLE) AS lat
+               FROM customer),
+    t AS (SELECT c_custkey, lon, lat, z,
+                 ST_TileX(lon, z) AS tx, ST_TileY(lat, z) AS ty
+          FROM p LATERAL VIEW explode(array(2, 6)) zz AS z),
+    e AS (SELECT c_custkey, z, tx, ty,
+                 ST_TileEnvelope(z, tx, ty) AS env,
+                 ST_Transform(ST_Point(lon, lat), 4326, 3857) AS m
+          FROM t)
+    SELECT CAST(z AS BIGINT) AS z, tx, ty,
+           COUNT(*) AS n, SUM(c_custkey) AS sum_key,
+           SUM(CASE WHEN ST_Covers(env, m) THEN 1 ELSE 0 END) AS n_covered,
+           ROUND(MIN(ST_XMin(env)), 3) + 0.0 AS west,
+           ROUND(MIN(ST_YMin(env)), 3) + 0.0 AS south
+    FROM e GROUP BY z, tx, ty ORDER BY z, tx, ty"""
+
+  private val g65Duck = """
+    WITH p AS (SELECT c_custkey,
+                      (c_custkey % 360 - 180)::DOUBLE AS lon,
+                      ((c_custkey * 7) % 140 - 70)::DOUBLE AS lat
+               FROM customer),
+    t AS (SELECT c_custkey, lon, lat, z, (1 << z) AS nt,
+                 LEAST(GREATEST(floor((lon + 180.0) / 360.0 * (1 << z)), 0), (1 << z) - 1)::BIGINT AS tx,
+                 LEAST(GREATEST(floor((1.0 - ln(tan(lat * pi() / 180.0) + 1.0 / cos(lat * pi() / 180.0)) / pi()) / 2.0 * (1 << z)), 0), (1 << z) - 1)::BIGINT AS ty
+          FROM p CROSS JOIN (SELECT unnest([2, 6]) AS z) zz)
+    SELECT z::BIGINT AS z, tx, ty,
+           COUNT(*)::BIGINT AS n, SUM(c_custkey)::BIGINT AS sum_key,
+           COUNT(*)::BIGINT AS n_covered,
+           ROUND(MIN((pi() * 6378137.0) * (2.0 * tx / nt - 1.0)), 3) + 0.0 AS west,
+           ROUND(MIN((pi() * 6378137.0) * (1.0 - 2.0 * (ty + 1) / nt)), 3) + 0.0 AS south
+    FROM t GROUP BY z, tx, ty, nt ORDER BY z, tx, ty"""
+
   /** Cascade retrieval funnel (e20): the production 3-stage shape that
     * e17 (binary) and e10 (SQ8) are stages of — stage 1 scans 1-bit codes
     * (64 bits/vector) and keeps the Hamming top-64; stage 2 re-scores
@@ -7687,6 +7738,7 @@ object SparkEntry {
     ("q14_recursive_chain", q(q14Spark), q14Duck),
     ("q15_gap_fill", q(q15Spark), q15Duck),
     ("g64_min_bounding_circle", q(g64Spark), g64Duck),
+    ("g65_tile_pyramid", q(g65Spark), g65Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
     ("s02_stream_windowed", s02Fn _, s02Duck),
     ("s03_stream_dedup", s03Fn _, s03Duck),

@@ -103,6 +103,60 @@ object Geodesy {
           s"got $fromSrid->$toSrid")
     }
 
+  // ── slippy-map (XYZ / OSM) tile math ──────────────────────────────────
+
+  /** Tile column of a longitude at zoom `z` — the standard slippy-map
+    * formula floor((lon+180)/360 · 2^z), clamped so lon = 180 lands in
+    * the last column. SQL: `ST_TileX(lon, z)`. */
+  def tileX(lon: Double, z: Int): Long = {
+    require(z >= 0 && z <= 30, s"ST_TileX: zoom $z outside [0, 30]")
+    val n = 1L << z
+    val t = math.floor((lon + 180.0) / 360.0 * n).toLong
+    math.min(math.max(t, 0L), n - 1)
+  }
+
+  /** Tile row of a latitude at zoom `z` (y grows southward):
+    * floor((1 − ln(tan φ + 1/cos φ)/π)/2 · 2^z), the OSM wiki formula,
+    * clamped to [0, 2^z−1] at the mercator cutoff. The IEEE steps are
+    * written out exactly as an oracle replays them (ln(tan + sec), not
+    * asinh(tan)). SQL: `ST_TileY(lat, z)`. */
+  def tileY(lat: Double, z: Int): Long = {
+    require(z >= 0 && z <= 30, s"ST_TileY: zoom $z outside [0, 30]")
+    require(math.abs(lat) < 90.0,
+      s"ST_TileY: latitude $lat not representable in web mercator")
+    val n = 1L << z
+    val r = lat * math.Pi / 180.0
+    val t = math.floor(
+      (1.0 - math.log(math.tan(r) + 1.0 / math.cos(r)) / math.Pi) / 2.0 * n).toLong
+    math.min(math.max(t, 0L), n - 1)
+  }
+
+  /** PostGIS `ST_TileEnvelope(z, x, y)`: the EPSG:3857 bounding polygon
+    * of an XYZ tile over the default web-mercator extent ±π·a. Pure
+    * arithmetic — each zoom-z tile is an exact (2πa/2^z)-sided square —
+    * so tile geometry replays with no transcendentals once (z, x, y) are
+    * known. Ring is CCW from the southwest corner. */
+  def tileEnvelope(z: Int, x: Long, y: Long): Array[Byte] = {
+    require(z >= 0 && z <= 30, s"ST_TileEnvelope: zoom $z outside [0, 30]")
+    val n = 1L << z
+    require(x >= 0 && x < n && y >= 0 && y < n,
+      s"ST_TileEnvelope: tile ($x, $y) outside zoom-$z range [0, ${n - 1}]")
+    // Edges as OS·(2k/n − 1), NOT -OS + k·side: the fraction 2k/n is
+    // dyadic-exact, so a point whose longitude lands exactly on a tile
+    // boundary (45° multiples) projects to the IDENTICAL double as the
+    // envelope edge — accumulated -OS + k·side is 1 ulp off and breaks
+    // ST_Covers for edge points.
+    val west = OriginShift * (2.0 * x / n - 1.0)
+    val east = OriginShift * (2.0 * (x + 1) / n - 1.0)
+    val north = OriginShift * (1.0 - 2.0 * y / n)
+    val south = OriginShift * (1.0 - 2.0 * (y + 1) / n)
+    val ring = Array(
+      new Coordinate(west, south), new Coordinate(east, south),
+      new Coordinate(east, north), new Coordinate(west, north),
+      new Coordinate(west, south))
+    GeomOps.write(GeomOps.factory.createPolygon(ring))
+  }
+
   // ── spherical length (haversine) ──────────────────────────────────────
 
   def haversineMeters(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {

@@ -197,6 +197,9 @@ object GeoFunctions {
     "st_lengthgeodesic" -> Sig("lengthGeodesic", D, Seq(G), geodesy),
     "st_distancevincenty" -> Sig("distanceVincenty", D, Seq(G, G), geodesy),
     "st_lengthvincenty" -> Sig("lengthVincenty", D, Seq(G), geodesy),
+    "st_tilex" -> Sig("tileX", LongType, Seq(D, I), geodesy),
+    "st_tiley" -> Sig("tileY", LongType, Seq(D, I), geodesy),
+    "st_tileenvelope" -> Sig("tileEnvelope", G, Seq(I, LongType, LongType), geodesy),
     "st_signedarea" -> Sig("signedArea", D, Seq(G)),
     // GeoArrow native-layout → WKB transcode (GeoParquet 1.1 non-WKB read;
     // args: nested coords column, hasZ, hasM — see graft.core.GeoArrowOps)
@@ -305,6 +308,10 @@ object GeoFunctions {
   def st_union(a: Column, b: Column): Column = call_function("st_union", a, b)
   def st_intersection(a: Column, b: Column): Column = call_function("st_intersection", a, b)
   def st_azimuth(a: Column, b: Column): Column = call_function("st_azimuth", a, b)
+  def st_tileX(lon: Column, z: Column): Column = call_function("st_tilex", lon, z)
+  def st_tileY(lat: Column, z: Column): Column = call_function("st_tiley", lat, z)
+  def st_tileEnvelope(z: Column, x: Column, y: Column): Column =
+    call_function("st_tileenvelope", z, x, y)
   def st_closestPoint(a: Column, b: Column): Column = call_function("st_closestpoint", a, b)
   def st_shortestLine(a: Column, b: Column): Column = call_function("st_shortestline", a, b)
   def st_reducePrecision(g: Column, gridSize: Column): Column =

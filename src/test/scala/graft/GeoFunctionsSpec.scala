@@ -413,4 +413,37 @@ class GeoFunctionsSpec extends SparkTestBase {
       .asInstanceOf[Double].isNaN)                                                 // coincident
     assert(one("ST_Azimuth(ST_Point(0,0), CAST(NULL AS BINARY))") == null)
   }
+
+  test("ST_TileX/Y/Envelope: OSM anchors, clamping, edge-point covers") {
+    // OSM wiki anchor: zoom 0 is the single world tile
+    assert(one("ST_TileX(CAST(13.41 AS DOUBLE), 0)") == 0L)
+    assert(one("ST_TileY(CAST(52.52 AS DOUBLE), 0)") == 0L)
+    // Berlin (13.41, 52.52) at z=10 → tile (550, 335) — the wiki's worked example
+    assert(one("ST_TileX(CAST(13.41 AS DOUBLE), 10)") == 550L)
+    assert(one("ST_TileY(CAST(52.52 AS DOUBLE), 10)") == 335L)
+    // lon=180 clamps into the last column; mercator-cutoff lats clamp to rows 0 / n-1
+    assert(one("ST_TileX(CAST(180 AS DOUBLE), 4)") == 15L)
+    assert(one("ST_TileY(CAST(89.9 AS DOUBLE), 4)") == 0L)
+    assert(one("ST_TileY(CAST(-89.9 AS DOUBLE), 4)") == 15L)
+    // envelope of the world tile is the full mercator square, area (2·pi·a)^2
+    val os = math.Pi * 6378137.0
+    val a0 = one("ST_Area(ST_TileEnvelope(0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)))")
+      .asInstanceOf[Double]
+    assert(math.abs(a0 - 4 * os * os) / (4 * os * os) < 1e-15)
+    // a point exactly on a 45-degree tile edge is covered by its own tile
+    val covered = sql(
+      """SELECT ST_Covers(ST_TileEnvelope(6, ST_TileX(CAST(45 AS DOUBLE), 6),
+                                             ST_TileY(CAST(-35 AS DOUBLE), 6)),
+                          ST_Transform(ST_Point(45.0, -35.0), 4326, 3857))""")
+      .head().getBoolean(0)
+    assert(covered, "edge-landing point must be ST_Covers-ed by its floor-assigned tile")
+    // adjacent tiles tile the plane: east edge of (z,x,y) = west edge of (z,x+1,y)
+    val edges = sql(
+      """SELECT ST_XMax(ST_TileEnvelope(3, CAST(2 AS BIGINT), CAST(1 AS BIGINT))),
+                ST_XMin(ST_TileEnvelope(3, CAST(3 AS BIGINT), CAST(1 AS BIGINT)))""").head()
+    assert(edges.getDouble(0) == edges.getDouble(1))
+    // out-of-range tile / zoom fail loudly
+    intercept[Exception] { sql("SELECT ST_TileEnvelope(2, CAST(4 AS BIGINT), CAST(0 AS BIGINT))").collect() }
+    intercept[Exception] { sql("SELECT ST_TileX(CAST(0 AS DOUBLE), 31)").collect() }
+  }
 }
