@@ -7484,6 +7484,45 @@ object SparkEntry {
            SUM(cs)::BIGINT AS total_cs, MIN(cs)::BIGINT AS min_cs, MAX(cs)::BIGINT AS max_cs
     FROM cs GROUP BY mode ORDER BY mode"""
 
+  /** Sample-rate conversion (m13): every corpus WAV decodes through the
+    * REAL codec, decimates 2:1 (each output sample = floor-average of a
+    * consecutive input pair — Math.floorDiv, integer-exact), and
+    * RE-ENCODES through the real WAVE writer at 4 kHz; the header probe
+    * then re-parses the new container. Gates ride three layers: the
+    * container (rate and frame count halve; total bytes pin the
+    * canonical 44-byte RIFF header + 2·128 payload per file), the
+    * decimation math (peak/sum/sum-sq of the averaged signal, replayed
+    * closed-form by the oracle), and the codec roundtrip itself (stats
+    * come from re-DECODING the re-encoded bytes). The resample chain is
+    * per-row map-side; one bounded report agg. */
+  private val m13Spark = """
+    WITH a AS (SELECT /*+ REPARTITION({{P}}) */ doc_id,
+                      graft_audio_resample(graft_audio_wav(doc_id), 2) AS res
+               FROM documents),
+    d AS (SELECT doc_id, graft_audio_meta(res) AS m, graft_audio_stats(res) AS s,
+                 length(res) AS nbytes
+          FROM a)
+    SELECT CAST(m.rate AS BIGINT) AS rate, CAST(m.frames AS BIGINT) AS frames,
+           COUNT(*) AS n_files, SUM(s.n_samples) AS total_samples,
+           CAST(MAX(s.peak_abs) AS BIGINT) AS max_peak,
+           SUM(s.sum_abs) AS total_abs, SUM(s.sum_sq) AS total_sq,
+           SUM(nbytes) AS total_bytes
+    FROM d GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  private val m13Duck = """
+    WITH s AS (SELECT doc_id, j,
+                      floor((((doc_id * 31 + (2 * j) * (2 * j)) % 2000 - 1000)
+                           + ((doc_id * 31 + (2 * j + 1) * (2 * j + 1)) % 2000 - 1000)) / 2.0)::BIGINT AS smp
+               FROM documents CROSS JOIN (SELECT unnest(range(0, 128)) AS j) t),
+    st AS (SELECT doc_id, COUNT(*) AS n, MAX(abs(smp)) AS peak,
+                  SUM(abs(smp)) AS sum_abs, SUM(smp * smp) AS sum_sq
+           FROM s GROUP BY doc_id)
+    SELECT 4000::BIGINT AS rate, 128::BIGINT AS frames, COUNT(*)::BIGINT AS n_files,
+           SUM(n)::BIGINT AS total_samples, MAX(peak)::BIGINT AS max_peak,
+           SUM(sum_abs)::BIGINT AS total_abs, SUM(sum_sq)::BIGINT AS total_sq,
+           (COUNT(*) * 300)::BIGINT AS total_bytes
+    FROM st"""
+
   /** Cluster cards (t37): the human-facing artifact on top of the dedup
     * machinery — near-dup clusters (t21's deterministic component
     * structure) each labeled with their most DISTINCTIVE token, scored by
@@ -7592,6 +7631,55 @@ object SparkEntry {
            COUNT(filled)::BIGINT AS n_after_fill,
            COALESCE(ROUND(SUM(CAST(filled AS DECIMAL(18,6))), 2), 0)::DOUBLE AS filled_mass
     FROM f GROUP BY user_id ORDER BY user_id"""
+
+  /** C4-style line-level exact dedup (t38): the famous C4 cleaning rule —
+    * any LINE occurring more than once in the corpus keeps only its
+    * FIRST occurrence (Raffel 2020 removed all but one of any
+    * three-sentence span; here a "line" is a fixed 8-word window, the
+    * corpus being unpunctuated). Canonical = minimum (doc_id, line_no),
+    * chosen by one ROW_NUMBER over the line-content partition. Distinct
+    * from t15 (measures chunk-duplication deciles) and t28 (merges
+    * duplicated shingles into spans): t38 is the cleaning TRANSFORM,
+    * with per-source retention accounting — line/char keep rates are
+    * the attrition numbers a corpus-build report shows.
+    *
+    * 100 TB shape: line extraction is map-side; the one data shuffle is
+    * keyed by line CONTENT (cardinality grows with the corpus, spreads
+    * with it), and the canonical pick is a window over that partition —
+    * the same topology as t02 exact doc-dedup, one granularity down.
+    * The report agg is bounded by source count. */
+  private val t38Spark = """
+    WITH base AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, source, split(text, ' ') AS ws
+                  FROM documents),
+    lines AS (SELECT doc_id, source, i AS lid,
+                     array_join(slice(ws, i * 8 + 1, 8), ' ') AS line
+              FROM base LATERAL VIEW explode(sequence(0, size(ws) DIV 8)) t AS i
+              WHERE (i + 1) * 8 <= size(ws)),
+    r AS (SELECT source, doc_id, lid, line,
+                 ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, lid) AS rn
+          FROM lines)
+    SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_lines,
+           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           SUM(length(line)) AS chars_total,
+           SUM(CASE WHEN rn = 1 THEN length(line) ELSE 0 END) AS chars_kept,
+           ROUND(CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate
+    FROM r GROUP BY source ORDER BY source"""
+
+  private val t38Duck = """
+    WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+    lines AS (SELECT doc_id, source, i AS lid,
+                     array_to_string(ws[i*8+1 : i*8+8], ' ') AS line
+              FROM base, LATERAL (SELECT unnest(range(len(ws) // 8 + 1)) AS i) t
+              WHERE (i + 1) * 8 <= len(ws)),
+    r AS (SELECT source, doc_id, lid, line,
+                 ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, lid) AS rn
+          FROM lines)
+    SELECT source, COUNT(DISTINCT doc_id)::BIGINT AS n_docs, COUNT(*)::BIGINT AS n_lines,
+           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           SUM(length(line))::BIGINT AS chars_total,
+           SUM(CASE WHEN rn = 1 THEN length(line) ELSE 0 END)::BIGINT AS chars_kept,
+           ROUND(CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate
+    FROM r GROUP BY source ORDER BY source"""
 
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
@@ -7734,6 +7822,7 @@ object SparkEntry {
     ("t35_dedup_consensus", q(t35Spark), t35Duck),
     ("t36_text_embed_consistency", q(t36Spark), t36Duck),
     ("t37_cluster_cards", t37Fn _, t37Duck),
+    ("t38_line_dedup", q(t38Spark), t38Duck),
     ("q13_set_ops", q(q13Spark), q13Duck),
     ("q14_recursive_chain", q(q14Spark), q14Duck),
     ("q15_gap_fill", q(q15Spark), q15Duck),
@@ -7762,6 +7851,7 @@ object SparkEntry {
     ("m10_patch_grid", q(m10Spark), m10Duck),
     ("m11_decode_quarantine", q(m11Spark), m11Duck),
     ("m12_augmentation", q(m12Spark), m12Duck),
+    ("m13_audio_resample", q(m13Spark), m13Duck),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -76,6 +76,12 @@ object MediaOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
 
+  /** Real decode → integer-factor decimation (block floor-average) →
+    * real re-encode at rate/factor. SQL: `graft_audio_resample(payload,
+    * factor)`. */
+  def audioResample(b: Array[Byte], factor: Int): Array[Byte] =
+    Multimodal.audioResample(b, factor)
+
   /** Real decode → position-weighted checksum of an augmented raster
     * (0 = identity, 1 = hflip, 2 = rot90cw).
     * SQL: `graft_media_aug(payload, mode)`. */

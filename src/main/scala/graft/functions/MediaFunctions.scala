@@ -55,6 +55,7 @@ object MediaFunctions {
     "graft_media_transcode" -> Sig("mediaTranscode", BinaryType, Seq(BinaryType, StringType)),
     "graft_audio_wav" -> Sig("audioWav", BinaryType, Seq(LongType)),
     "graft_audio_meta" -> Sig("audioMeta", audioMetaStruct, Seq(BinaryType)),
+    "graft_audio_resample" -> Sig("audioResample", BinaryType, Seq(BinaryType, IntegerType)),
     "graft_audio_stats" -> Sig("audioStats", audioStatsStruct, Seq(BinaryType)),
     "graft_media_aug" -> Sig("mediaAugChecksum", LongType, Seq(BinaryType, IntegerType)),
     "graft_media_patches" -> Sig("mediaPatchSums",

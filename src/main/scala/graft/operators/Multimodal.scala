@@ -392,6 +392,53 @@ object Multimodal {
     } finally ais.close()
   }
 
+  /** Decode through the real codec, decimate PCM16LE mono by an integer
+    * `factor` (each output sample = floor-average of its consecutive
+    * input block; the trailing partial block is dropped), and RE-ENCODE
+    * through the real WAVE writer at rate/factor — the sample-rate
+    * conversion step of an audio training pipeline (16 kHz corpora fed
+    * to 8 kHz models), kept integer-exact (Math.floorDiv) so a
+    * closed-form signal oracle replays every output sample. Block
+    * averaging is the correct brick-wall-free decimator for a synthetic
+    * oracle; production would band-limit first. */
+  def audioResample(b: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"resample factor must be >= 1, got $factor")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val (rate, pcm) =
+      try {
+        val f = ais.getFormat
+        require(f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
+          s"audioResample expects PCM16LE mono, got $f")
+        (f.getSampleRate.toInt, ais.readAllBytes())
+      } finally ais.close()
+    val nIn = pcm.length / 2
+    val nOut = nIn / factor
+    val out = new Array[Byte](2 * nOut)
+    var j = 0
+    while (j < nOut) {
+      var sum = 0L
+      var k = 0
+      while (k < factor) {
+        val i = j * factor + k
+        sum += ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8)).toShort.toInt
+        k += 1
+      }
+      val s = Math.floorDiv(sum, factor).toShort
+      out(2 * j) = (s & 0xFF).toByte
+      out(2 * j + 1) = ((s >> 8) & 0xFF).toByte
+      j += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat((rate / factor).toFloat, 16, 1, true, false)
+    val rais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(out), fmt, nOut.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(
+      rais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    finally rais.close()
+    bos.toByteArray
+  }
+
   /** Decode through the real codec and tile the raster into a pw x ph
     * patch grid (edge patches truncated), summing channel-0 pixel values
     * per patch in row-major patch order — the patchification step in

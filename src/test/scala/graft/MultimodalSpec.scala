@@ -261,6 +261,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(r.length == 3 && r(2) == ((2, 56L))) // 256 samples -> 100, 100, 56
   }
 
+  test("audioResample: 2:1 floor-average decimation through the real codec") {
+    import graft.operators.Multimodal
+    // seed 5, 5 samples: -845, -844, -841, -836, -829
+    val wav = Multimodal.encodeWavPcm16(5L, n = 5, rate = 8000)
+    val res = Multimodal.audioResample(wav, 2)
+    // re-encoded container: real RIFF at half the rate, trailing odd sample dropped
+    assert(new String(res.take(4), "ASCII") == "RIFF")
+    assert(Multimodal.audioMeta(res) == ((4000, 1, 16, 2L)))
+    // floor-average pairs: floor((-845-844)/2) = -845 (floor, not trunc), floor((-841-836)/2) = -839
+    val (n, peak, sumAbs, _) = Multimodal.audioStats(res)
+    assert(n == 2L && peak == 845 && sumAbs == 845L + 839L)
+    // factor 1 is a pure codec roundtrip: stats unchanged
+    assert(Multimodal.audioStats(Multimodal.audioResample(wav, 1)) == Multimodal.audioStats(wav))
+    // canonical 44-byte RIFF header + 2 bytes per sample
+    assert(res.length == 44 + 2 * 2)
+    intercept[IllegalArgumentException] { Multimodal.audioResample(wav, 0) }
+  }
+
   test("imageFeatures pipeline: schema, null payload, value spot-check") {
     graft.functions.MediaFunctions.register(spark)
     val df = spark.sql(
