@@ -7452,6 +7452,79 @@ object SparkEntry {
     FROM top t LEFT JOIN nm ON nm.query_id = t.query_id
     ORDER BY t.query_id, t.rnk"""
 
+  /** kNN-graph construction (e23): EVERY corpus vector gets its top-3
+    * in-bucket neighbors — the all-corpus self-kNN graph that seeds
+    * NN-Descent refinement, HNSW layer building, and graph-based
+    * clustering (distinct from e02, where only a bounded query set
+    * probes). Candidates come from the same seeded random-hyperplane
+    * buckets as e02 (8 bits, seed 7 — at 100 TB, bits grow with log n
+    * to hold bucket size constant), so the self-join is keyed by bucket
+    * and never all-pairs; the per-node top-3 is a window over the
+    * bucket-keyed shuffle. The report pins graph STRUCTURE three ways:
+    * the out-degree histogram, an edge-weight checksum
+    * (Σ floor(cos·1e6) per degree class — identical ordered-fold dots
+    * cross-engine, so the floor is bit-stable), and the reciprocal-edge
+    * count (edges whose reverse edge also made the other node's top-3 —
+    * NN-Descent's convergence signal), found by joining the edge list
+    * to itself on the swapped key, again never all-pairs. */
+  private val e23Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e,
+                      sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm,
+                      graft_bucketk(graft_vec(embedding), 8, 7) AS bucket FROM embeddings),
+    pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                     graft_dot(a.e, b.e) / (a.nrm * b.nrm) AS cos
+              FROM v a JOIN v b ON b.bucket = a.bucket AND b.vec_id != a.vec_id),
+    knn AS (SELECT src, dst, cos FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+              FROM pairs) t WHERE rnk <= 3),
+    recip AS (SELECT k1.src, COUNT(*) AS n_recip
+              FROM knn k1 JOIN knn k2 ON k2.src = k1.dst AND k2.dst = k1.src
+              GROUP BY k1.src),
+    per_node AS (SELECT src, COUNT(*) AS degree,
+                        SUM(CAST(FLOOR(cos * 1000000.0D) AS BIGINT)) AS wsum
+                 FROM knn GROUP BY src)
+    SELECT p.degree, COUNT(*) AS n_nodes,
+           SUM(p.wsum) AS w_checksum,
+           SUM(COALESCE(r.n_recip, CAST(0 AS BIGINT))) AS n_recip_edges
+    FROM per_node p LEFT JOIN recip r ON r.src = p.src
+    GROUP BY p.degree ORDER BY p.degree"""
+
+  private val e23Duck = """
+    WITH planes AS (
+      SELECT j, list_transform(list_transform(list_transform(list_transform(
+               range(0, 64), i -> ((7 * 1000003 + j * 4099 + i) % 2147483648 * 2654435761) % 2147483648),
+               h -> xor(h, h >> 15)),
+               h -> (h * 2246822519) % 2147483648),
+               h -> (xor(h, h >> 13) - 1073741824)::DOUBLE) AS w
+      FROM (SELECT unnest(range(0, 8)) AS j) js),
+    ve AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    vb AS (SELECT vec_id, e,
+                  SUM(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(range(1, len(e) + 1), i -> e[i] * w[i])), (x, y) -> x + y) > 0.0::DOUBLE
+                      THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS bucket
+           FROM ve CROSS JOIN planes GROUP BY vec_id, e),
+    v AS (SELECT vec_id, e, bucket,
+                 sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * e[i])), (x, y) -> x + y)) AS nrm
+          FROM vb),
+    pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                     list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])), (x, y) -> x + y)
+                       / (a.nrm * b.nrm) AS cos
+              FROM v a JOIN v b ON b.bucket = a.bucket AND b.vec_id != a.vec_id),
+    knn AS (SELECT src, dst, cos FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+              FROM pairs) t WHERE rnk <= 3),
+    recip AS (SELECT k1.src, COUNT(*) AS n_recip
+              FROM knn k1 JOIN knn k2 ON k2.src = k1.dst AND k2.dst = k1.src
+              GROUP BY k1.src),
+    per_node AS (SELECT src, COUNT(*) AS degree,
+                        SUM(FLOOR(cos * 1000000.0)::BIGINT) AS wsum
+                 FROM knn GROUP BY src)
+    SELECT p.degree::BIGINT AS degree, COUNT(*)::BIGINT AS n_nodes,
+           SUM(p.wsum)::BIGINT AS w_checksum,
+           SUM(COALESCE(r.n_recip, 0))::BIGINT AS n_recip_edges
+    FROM per_node p LEFT JOIN recip r ON r.src = p.src
+    GROUP BY p.degree ORDER BY p.degree"""
+
   /** Augmentation geometry audit (m12): every corpus PNG decodes through
     * the real codec and runs the three training-time geometric
     * augmentations (identity, horizontal flip, rotate-90°) —
@@ -7681,6 +7754,62 @@ object SparkEntry {
            ROUND(CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate
     FROM r GROUP BY source ORDER BY source"""
 
+  /** Integer-exact PageRank (q16): 3 power iterations over the
+    * part↔supplier co-occurrence graph (distinct lineitem pairs, doubled
+    * into both directions), the classic iterative-join workload. All
+    * arithmetic is BIGINT micro-units — contribution = score DIV outdeg,
+    * damping = (85·Σ) DIV 100 + 150000 — so the sum over incoming edges
+    * is ORDER-INDEPENDENT (floating-point PageRank is not, and varies
+    * run-to-run under Spark's nondeterministic reduce order; the same
+    * trick as s10/e13). Iterations unroll as CTEs: each is ONE shuffle
+    * joining the edge list to the score vector on the source key then
+    * aggregating by destination — the t09 label-propagation topology
+    * with weights; production would localCheckpoint each iteration to
+    * truncate lineage exactly as t09 does. Top-10 lands via
+    * ORDER BY + LIMIT (TakeOrdered, no global sort). */
+  private val q16Spark = """
+    WITH el AS (SELECT /*+ REPARTITION({{P}}) */ DISTINCT
+                       CONCAT('p', CAST(l_partkey AS STRING)) AS src,
+                       CONCAT('s', CAST(l_suppkey AS STRING)) AS dst
+                FROM lineitem),
+    edges AS (SELECT src, dst FROM el UNION ALL SELECT dst AS src, src AS dst FROM el),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    s0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS score FROM deg),
+    s1 AS (SELECT e.dst AS node,
+                  CAST(150000 AS BIGINT) + (85 * SUM(s.score DIV d.outdeg)) DIV 100 AS score
+           FROM edges e JOIN s0 s ON s.node = e.src JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    s2 AS (SELECT e.dst AS node,
+                  CAST(150000 AS BIGINT) + (85 * SUM(s.score DIV d.outdeg)) DIV 100 AS score
+           FROM edges e JOIN s1 s ON s.node = e.src JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    s3 AS (SELECT e.dst AS node,
+                  CAST(150000 AS BIGINT) + (85 * SUM(s.score DIV d.outdeg)) DIV 100 AS score
+           FROM edges e JOIN s2 s ON s.node = e.src JOIN deg d ON d.src = e.src
+           GROUP BY e.dst)
+    SELECT node, score FROM s3 ORDER BY score DESC, node LIMIT 10"""
+
+  private val q16Duck = """
+    WITH el AS (SELECT DISTINCT 'p' || l_partkey::VARCHAR AS src,
+                                's' || l_suppkey::VARCHAR AS dst
+                FROM lineitem),
+    edges AS (SELECT src, dst FROM el UNION ALL SELECT dst AS src, src AS dst FROM el),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    s0 AS (SELECT src AS node, 1000000::BIGINT AS score FROM deg),
+    s1 AS (SELECT e.dst AS node,
+                  150000::BIGINT + (85 * SUM(s.score // d.outdeg)) // 100 AS score
+           FROM edges e JOIN s0 s ON s.node = e.src JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    s2 AS (SELECT e.dst AS node,
+                  150000::BIGINT + (85 * SUM(s.score // d.outdeg)) // 100 AS score
+           FROM edges e JOIN s1 s ON s.node = e.src JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    s3 AS (SELECT e.dst AS node,
+                  150000::BIGINT + (85 * SUM(s.score // d.outdeg)) // 100 AS score
+           FROM edges e JOIN s2 s ON s.node = e.src JOIN deg d ON d.src = e.src
+           GROUP BY e.dst)
+    SELECT node, score::BIGINT AS score FROM s3 ORDER BY score DESC, node LIMIT 10"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -7807,6 +7936,7 @@ object SparkEntry {
     ("e20_cascade", q(e20Spark), e20Duck),
     ("e21_jl_projection", q(e21Spark), e21Duck),
     ("e22_tombstone_delete", q(e22Spark), e22Duck),
+    ("e23_knn_graph", q(e23Spark), e23Duck),
     ("g63_hex_bin", q(g63Spark), g63Duck),
     ("t24_tfidf_terms", q(t24Spark), t24Duck),
     ("t25_cms_heavy_hitters", q(t25Spark), t25Duck),
@@ -7826,6 +7956,7 @@ object SparkEntry {
     ("q13_set_ops", q(q13Spark), q13Duck),
     ("q14_recursive_chain", q(q14Spark), q14Duck),
     ("q15_gap_fill", q(q15Spark), q15Duck),
+    ("q16_pagerank", q(q16Spark), q16Duck),
     ("g64_min_bounding_circle", q(g64Spark), g64Duck),
     ("g65_tile_pyramid", q(g65Spark), g65Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
