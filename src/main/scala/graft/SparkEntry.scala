@@ -7265,6 +7265,82 @@ object SparkEntry {
            SUM(sample_id)::BIGINT AS sum_ids
     FROM cls GROUP BY cls ORDER BY cls"""
 
+  /** Watermark late-data drop (s12): the OTHER half of the watermark
+    * contract s02 proves — s02 pins that windows FINALIZE once the
+    * watermark passes; s12 pins that data arriving AFTER its window
+    * finalized is DROPPED, not double-counted and not re-emitted.
+    * Batch 1 carries the on-time events (ids 0-99), batches 2-3 carry
+    * sentinels that advance the watermark 24 h past every window — TWO
+    * of them, because Spark's late-row filter uses the watermark with a
+    * one-batch propagation lag (the value computed from batches <= N-2
+    * filters batch N; with a single sentinel the late wave is filtered
+    * against the ON-TIME wave's watermark and 39 rows leak — measured,
+    * not theoretical). Batch 4 is a full second wave of LATE events
+    * (ids 100-199, different values, aimed at the same already-finalized
+    * windows), batch 5 the closing sentinel.
+    * The oracle aggregates ONLY the on-time wave: a state store that
+    * accepted the late rows (or an append sink that re-emitted a
+    * finalized window) changes n/total and hash-mismatches. At 100 TB
+    * this is the semantics that bounds state size — without the drop,
+    * state never evicts and the job eventually OOMs; the cost is the
+    * documented completeness trade (late data needs a batch backfill
+    * path, which is exactly what the a0x as-of family does). */
+  private def s12Fn(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s12").toString
+    val src = new java.io.File(tmp, "src"); src.mkdirs()
+    def wave(lo: Int): DataFrame = s.sql(s"""
+      SELECT CAST(id AS BIGINT) AS event_id,
+             timestamp_seconds(1700000000 + (id % 40) * 60) AS ts,
+             CAST(id % 7 AS BIGINT) AS user_id,
+             CASE WHEN id % 3 = 0 THEN 'click' WHEN id % 3 = 1 THEN 'view'
+                  ELSE 'buy' END AS event_type,
+             CAST(id AS DOUBLE) / 10 AS value
+      FROM range($lo, ${lo + 100})""")
+    def sentinel(offset: Long) = s.sql(s"""
+      SELECT CAST(9000 + $offset AS BIGINT) AS event_id,
+             timestamp_seconds(1700000000 + 86400 + $offset) AS ts,
+             CAST(0 AS BIGINT) AS user_id, 'sentinel' AS event_type, 0.0 AS value""")
+    Seq(wave(0), sentinel(0), sentinel(1), wave(100), sentinel(2)).zipWithIndex.foreach { case (df, i) =>
+      val stage = new java.io.File(tmp, s"stage$i")
+      df.coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(src, s"f$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L) // strict batch order
+    }
+    val stream = s.readStream.schema(wave(0).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+    val counts = graft.streaming.StreamOps.windowedCounts(
+      stream, watermark = "10 minutes", window = "5 minutes")
+    val qname = "graft_s12_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = counts.writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", tmp + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(qname)
+      .where("event_type <> 'sentinel'")
+      .selectExpr("CAST(window.start AS BIGINT) AS win_start", "event_type",
+        "n", "ROUND(total, 6) AS total")
+      .orderBy("win_start", "event_type")
+  }
+
+  private val s12Duck = """
+    WITH ev AS (
+      SELECT 1700000000 + (i % 40) * 60 AS es,
+             CASE WHEN i % 3 = 0 THEN 'click' WHEN i % 3 = 1 THEN 'view'
+                  ELSE 'buy' END AS event_type,
+             i / 10.0 AS value
+      FROM range(100) t(i))
+    SELECT (es // 300) * 300 AS win_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 6) AS total
+    FROM ev GROUP BY 1, 2 ORDER BY win_start, event_type"""
+
   /** Decode-failure quarantine (m11): 30% of the corpus payloads are
     * corrupted by construction (truncated PNGs, pure-garbage bytes) and
     * the scan must SURVIVE them — `graft_media_meta_safe` returns NULL
@@ -7754,6 +7830,51 @@ object SparkEntry {
            ROUND(CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate
     FROM r GROUP BY source ORDER BY source"""
 
+  /** SCD2 reconstruction + point-in-time join (a07): the warehouse
+    * pattern the a01-a06 nearest-sample joins don't cover — a stream of
+    * dimension VERSIONS (signup events) becomes slowly-changing-
+    * dimension rows via ONE LEAD window (valid_from = version ts,
+    * valid_to = next version's ts, half-open so every instant maps to
+    * exactly one version), and facts (purchases) join AS OF their event
+    * time: equi on user_id + the residual range predicate, so Spark
+    * plans a SortMergeJoin keyed by user — never a cross product, and
+    * at 100 TB the key carries the shuffle (a dimension with pathological
+    * per-key version counts would band time like a04). Facts before the
+    * first version stay unmatched through the LEFT join — the
+    * `n_matched < n_facts` gap pins the boundary semantics, and the
+    * version-timestamp checksum pins WHICH version each fact picked. */
+  private val a07Spark = """
+    WITH up AS (SELECT /*+ REPARTITION({{P}}) */ user_id, ts, event_id,
+                       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+                FROM events WHERE event_type = 'signup'),
+    f AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT f.user_id, f.value AS fval, u.ts AS vfrom
+          FROM f LEFT JOIN up u
+            ON u.user_id = f.user_id AND f.ts >= u.ts
+               AND (u.valid_to IS NULL OR f.ts < u.valid_to))
+    SELECT user_id, COUNT(*) AS n_facts, COUNT(vfrom) AS n_matched,
+           COUNT(DISTINCT vfrom) AS n_versions_used,
+           COALESCE(SUM(unix_micros(vfrom)), CAST(0 AS BIGINT)) AS ver_checksum,
+           CAST(COALESCE(ROUND(SUM(CASE WHEN vfrom IS NOT NULL
+                                        THEN CAST(fval AS DECIMAL(18,6)) END), 2), 0) AS DOUBLE) AS matched_mass
+    FROM j GROUP BY user_id ORDER BY user_id"""
+
+  private val a07Duck = """
+    WITH up AS (SELECT user_id, ts, event_id,
+                       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+                FROM events WHERE event_type = 'signup'),
+    f AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT f.user_id, f.value AS fval, u.ts AS vfrom
+          FROM f LEFT JOIN up u
+            ON u.user_id = f.user_id AND f.ts >= u.ts
+               AND (u.valid_to IS NULL OR f.ts < u.valid_to))
+    SELECT user_id, COUNT(*)::BIGINT AS n_facts, COUNT(vfrom)::BIGINT AS n_matched,
+           COUNT(DISTINCT vfrom)::BIGINT AS n_versions_used,
+           COALESCE(SUM(epoch_us(vfrom)), 0)::BIGINT AS ver_checksum,
+           COALESCE(ROUND(SUM(CASE WHEN vfrom IS NOT NULL
+                                   THEN CAST(fval AS DECIMAL(18,6)) END), 2), 0)::DOUBLE AS matched_mass
+    FROM j GROUP BY user_id ORDER BY user_id"""
+
   /** Integer-exact PageRank (q16): 3 power iterations over the
     * part↔supplier co-occurrence graph (distinct lineitem pairs, doubled
     * into both directions), the classic iterative-join workload. All
@@ -7915,6 +8036,7 @@ object SparkEntry {
     ("a05_asof_nearest", a05Fn _, a05Duck),
     ("a06_asof_interp", a06Fn _, a06Duck),
     ("a04_keyed_interval",a04Fn _, a04Duck),
+    ("a07_scd2_join", q(a07Spark), a07Duck),
     ("t15_corpus_dup_chunks", q(t15Spark), t15Duck),
     ("t16_sequence_pack", q(t16Spark), t16Duck),
     ("t17_mixture_sample", q(t17Spark), t17Duck),
@@ -7970,6 +8092,7 @@ object SparkEntry {
     ("s09_latest_enrich", s09Fn _, s09Duck),
     ("s10_stream_anomaly", s10Fn _, s10Duck),
     ("s11_stream_classify", s11Fn _, s11Duck),
+    ("s12_late_drop", s12Fn _, s12Duck),
     ("m01_media_meta", q(m01Spark), m01Duck),
     ("m02_decode_resize_hist", m02Fn _, m02Duck),
     ("m03_real_decode_matrix", q(m03Spark), m03Duck),
