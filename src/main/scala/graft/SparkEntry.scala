@@ -7931,6 +7931,119 @@ object SparkEntry {
            GROUP BY e.dst)
     SELECT node, score::BIGINT AS score FROM s3 ORDER BY score DESC, node LIMIT 10"""
 
+  /** Ranking-window surface (q17): percent_rank / cume_dist / ntile —
+    * the analytic trio q03/q08/q11 don't touch — over the per-priority
+    * order-value distribution, with a total (price, orderkey) tiebreak
+    * so every rank is deterministic. Ratios fold to Σ floor(r·1e6)
+    * BIGINTs: the divisions are single IEEE ops on identical integers
+    * cross-engine, and the floor makes aggregation order irrelevant.
+    * One window shuffle keyed by priority; the report is bounded by the
+    * 5 priorities. */
+  private val q17Spark = """
+    WITH w AS (SELECT /*+ REPARTITION({{P}}) */ o_orderpriority AS pri,
+                      PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                        ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS pr,
+                      CUME_DIST() OVER (PARTITION BY o_orderpriority
+                        ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS cd,
+                      NTILE(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS tile
+               FROM orders)
+    SELECT pri, COUNT(*) AS n,
+           SUM(CAST(FLOOR(pr * 1000000.0D) AS BIGINT)) AS pr_sum,
+           SUM(CAST(FLOOR(cd * 1000000.0D) AS BIGINT)) AS cd_sum,
+           SUM(CASE WHEN tile = 1 THEN 1 ELSE 0 END) AS q1_n,
+           SUM(CASE WHEN tile = 4 THEN 1 ELSE 0 END) AS q4_n
+    FROM w GROUP BY pri ORDER BY pri"""
+
+  private val q17Duck = """
+    WITH w AS (SELECT o_orderpriority AS pri,
+                      PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                        ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS pr,
+                      CUME_DIST() OVER (PARTITION BY o_orderpriority
+                        ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS cd,
+                      NTILE(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS tile
+               FROM orders)
+    SELECT pri, COUNT(*)::BIGINT AS n,
+           SUM(FLOOR(pr * 1000000.0)::BIGINT)::BIGINT AS pr_sum,
+           SUM(FLOOR(cd * 1000000.0)::BIGINT)::BIGINT AS cd_sum,
+           SUM(CASE WHEN tile = 1 THEN 1 ELSE 0 END)::BIGINT AS q1_n,
+           SUM(CASE WHEN tile = 4 THEN 1 ELSE 0 END)::BIGINT AS q4_n
+    FROM w GROUP BY pri ORDER BY pri"""
+
+  /** Time-weighted average (q18): the TWAP/sensor-mean shape — each
+    * reading holds until the next one (LEAD over the per-user event-time
+    * order), so the mean weights each value by its holding duration, not
+    * its sample count (burst-sampled signals are exactly where the
+    * unweighted mean lies). Value scales to floor-milli-units and
+    * duration to whole milliseconds, so weight·value products and both
+    * sums are BIGINT — order-independent, division deferred to one final
+    * IEEE op per user. The last reading has no successor and drops out
+    * (standard left-closed convention). One window + one aggregate over
+    * the same user_id partitioning — a single shuffle. */
+  private val q18Spark = """
+    WITH r AS (SELECT /*+ REPARTITION({{P}}) */ user_id,
+                      CAST(FLOOR(value * 1000.0D) AS BIGINT) AS mv,
+                      unix_micros(ts) AS us,
+                      LEAD(unix_micros(ts)) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS next_us
+               FROM events),
+    d AS (SELECT user_id, mv, (next_us - us) DIV 1000 AS dur_ms
+          FROM r WHERE next_us IS NOT NULL)
+    SELECT user_id, COUNT(*) AS n_intervals,
+           SUM(dur_ms) AS total_ms,
+           SUM(mv * dur_ms) AS weighted_sum,
+           ROUND(CAST(SUM(mv * dur_ms) AS DOUBLE) / SUM(dur_ms) / 1000.0D, 6) AS twap
+    FROM d GROUP BY user_id ORDER BY user_id"""
+
+  private val q18Duck = """
+    WITH r AS (SELECT user_id,
+                      FLOOR(value * 1000.0)::BIGINT AS mv,
+                      epoch_us(ts) AS us,
+                      LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS next_us
+               FROM events),
+    d AS (SELECT user_id, mv, (next_us - us) // 1000 AS dur_ms
+          FROM r WHERE next_us IS NOT NULL)
+    SELECT user_id, COUNT(*)::BIGINT AS n_intervals,
+           SUM(dur_ms)::BIGINT AS total_ms,
+           SUM(mv * dur_ms)::BIGINT AS weighted_sum,
+           ROUND(CAST(SUM(mv * dur_ms) AS DOUBLE) / SUM(dur_ms) / 1000.0, 6) AS twap
+    FROM d GROUP BY user_id ORDER BY user_id"""
+
+  /** Negative buffer / erosion (g66): ST_Buffer with a NEGATIVE distance
+    * shrinks a polygon — the morphological EROSION used to de-noise
+    * coverage polygons and build setback zones. On axis-aligned integer
+    * rectangles the inset is closed-form: area (w−2d)(h−2d) when both
+    * sides survive, EMPTY when either dimension ≤ 2d (JTS must agree
+    * exactly — inner offsets of convex corners have no curve
+    * approximation, so the shoelace of the inset integer rectangle is
+    * IEEE-exact). The empty-count pins the collapse rule; map-side
+    * kernels + one bounded agg. */
+  private val g66Spark = """
+    WITH p AS (SELECT /*+ REPARTITION({{P}}) */ p_brand,
+                      CAST(4 + p_size % 10 AS DOUBLE) AS w,
+                      CAST(1 + (p_size * 3) % 7 AS DOUBLE) AS h
+               FROM part),
+    e AS (SELECT p_brand, w, h,
+                 ST_Buffer(ST_MakeEnvelope(0.0D, 0.0D, w, h), -1.0D) AS er
+          FROM p)
+    SELECT p_brand, COUNT(*) AS n,
+           SUM(CASE WHEN ST_IsEmpty(er) THEN 1 ELSE 0 END) AS n_collapsed,
+           SUM(CAST(ST_Area(er) AS BIGINT)) AS area_sum
+    FROM e GROUP BY p_brand ORDER BY p_brand"""
+
+  private val g66Duck = """
+    WITH p AS (SELECT p_brand,
+                      (4 + p_size % 10)::DOUBLE AS w,
+                      (1 + (p_size * 3) % 7)::DOUBLE AS h
+               FROM part)
+    SELECT p_brand, COUNT(*)::BIGINT AS n,
+           SUM(CASE WHEN w <= 2 OR h <= 2 THEN 1 ELSE 0 END)::BIGINT AS n_collapsed,
+           SUM(CASE WHEN w > 2 AND h > 2
+                    THEN ((w - 2) * (h - 2))::BIGINT ELSE 0 END)::BIGINT AS area_sum
+    FROM p GROUP BY p_brand ORDER BY p_brand"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -8079,6 +8192,9 @@ object SparkEntry {
     ("q14_recursive_chain", q(q14Spark), q14Duck),
     ("q15_gap_fill", q(q15Spark), q15Duck),
     ("q16_pagerank", q(q16Spark), q16Duck),
+    ("q17_rank_windows", q(q17Spark), q17Duck),
+    ("q18_twap", q(q18Spark), q18Duck),
+    ("g66_erosion", q(g66Spark), g66Duck),
     ("g64_min_bounding_circle", q(g64Spark), g64Duck),
     ("g65_tile_pyramid", q(g65Spark), g65Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),
