@@ -8044,6 +8044,51 @@ object SparkEntry {
                     THEN ((w - 2) * (h - 2))::BIGINT ELSE 0 END)::BIGINT AS area_sum
     FROM p GROUP BY p_brand ORDER BY p_brand"""
 
+  /** Geohash binning (g67): `ST_GeoHash` (the PostGIS function) assigns
+    * every point its base-32 cell string — the third spatial-binning
+    * surface next to hex (g63) and XYZ tiles (g65), and the one whose
+    * PREFIX property ("ezs4" contains every "ezs42…") makes prefix
+    * range-scans work on plain string-sorted storage. The kernel is pure
+    * bit math — the same floor-scaled cell fractions as the tile
+    * functions (geohash bisects latitude DEGREES, not mercator),
+    * interleaved lon-first, 5 bits per character — so the oracle replays
+    * it arithmetically against the public alphabet. Map-side hash, ONE
+    * prefix-keyed aggregate; min/max full hashes per group pin the
+    * string content, the spec pins the geohash.org "ezs42" anchor. */
+  private val g67Spark = """
+    WITH p AS (SELECT /*+ REPARTITION({{P}}) */ c_custkey,
+                      ST_GeoHash(ST_Point(CAST(c_custkey % 360 - 180 AS DOUBLE),
+                                          CAST((c_custkey * 7) % 140 - 70 AS DOUBLE)), 4) AS gh
+               FROM customer)
+    SELECT substring(gh, 1, 2) AS cell2, COUNT(*) AS n, SUM(c_custkey) AS sum_key,
+           MIN(gh) AS min_hash, MAX(gh) AS max_hash
+    FROM p GROUP BY substring(gh, 1, 2) ORDER BY cell2"""
+
+  private val g67Duck = """
+    WITH p AS (SELECT c_custkey,
+                      (c_custkey % 360 - 180)::DOUBLE AS lon,
+                      ((c_custkey * 7) % 140 - 70)::DOUBLE AS lat
+               FROM customer),
+    c AS (SELECT c_custkey,
+                 LEAST(GREATEST(floor((lon + 180.0) / 360.0 * 1024), 0), 1023)::BIGINT AS cx,
+                 LEAST(GREATEST(floor((lat + 90.0) / 180.0 * 1024), 0), 1023)::BIGINT AS cy
+          FROM p),
+    code AS (SELECT c_custkey,
+                    list_reduce(list_transform(range(0, 20), k ->
+                      (CASE WHEN k % 2 = 0 THEN (cx >> (9 - k // 2)::INT) & 1
+                            ELSE (cy >> (9 - k // 2)::INT) & 1 END) << (19 - k)::INT),
+                      (a, b) -> a + b) AS cd
+             FROM c),
+    gh AS (SELECT c_custkey,
+                  substr('0123456789bcdefghjkmnpqrstuvwxyz', (((cd >> 15) & 31) + 1)::INT, 1) ||
+                  substr('0123456789bcdefghjkmnpqrstuvwxyz', (((cd >> 10) & 31) + 1)::INT, 1) ||
+                  substr('0123456789bcdefghjkmnpqrstuvwxyz', (((cd >> 5) & 31) + 1)::INT, 1) ||
+                  substr('0123456789bcdefghjkmnpqrstuvwxyz', ((cd & 31) + 1)::INT, 1) AS gh
+           FROM code)
+    SELECT substr(gh, 1, 2) AS cell2, COUNT(*)::BIGINT AS n, SUM(c_custkey)::BIGINT AS sum_key,
+           MIN(gh) AS min_hash, MAX(gh) AS max_hash
+    FROM gh GROUP BY substr(gh, 1, 2) ORDER BY cell2"""
+
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q(q01Spark), q01Duck),
     ("q02_revenue_by_nation", q(q02Spark), q02Duck),
@@ -8195,6 +8240,7 @@ object SparkEntry {
     ("q17_rank_windows", q(q17Spark), q17Duck),
     ("q18_twap", q(q18Spark), q18Duck),
     ("g66_erosion", q(g66Spark), g66Duck),
+    ("g67_geohash", q(g67Spark), g67Duck),
     ("g64_min_bounding_circle", q(g64Spark), g64Duck),
     ("g65_tile_pyramid", q(g65Spark), g65Duck),
     ("s01_sessionize", q(s01Spark), s01Duck),

@@ -131,6 +131,51 @@ object Geodesy {
     math.min(math.max(t, 0L), n - 1)
   }
 
+  /** PostGIS `ST_GeoHash(pt, prec)`: standard geohash of a lon/lat point
+    * to `prec` base-32 characters. Pure bit math — the cell indices are
+    * the same floor-scaled fractions as [[tileX]]/[[tileY]]
+    * (cx = floor((lon+180)/360·2^lonBits), cy latitude-linear — geohash
+    * bisects LATITUDE DEGREES, not mercator), interleaved lon-first into
+    * 5·prec bits — so an oracle replays it with arithmetic plus the
+    * public base-32 alphabet. Anchored to the geohash.org reference
+    * value for (-5.6, 42.6) = "ezs42" in the spec. */
+  private val GeoHashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  def geoHash(b: Array[Byte], prec: Int): UTF8String = {
+    require(prec >= 1 && prec <= 12, s"ST_GeoHash: precision $prec outside [1, 12]")
+    val c = GeomOps.read(b).getCoordinate
+    require(c.x >= -180.0 && c.x <= 180.0 && c.y >= -90.0 && c.y <= 90.0,
+      s"ST_GeoHash: (${c.x}, ${c.y}) outside lon/lat domain")
+    val totalBits = 5 * prec
+    val lonBits = (totalBits + 1) / 2  // even positions (from the left) are longitude
+    val latBits = totalBits / 2
+    def cell(v: Double, lo: Double, hi: Double, bits: Int): Long = {
+      val n = 1L << bits
+      val t = math.floor((v - lo) / (hi - lo) * n).toLong
+      math.min(math.max(t, 0L), n - 1)
+    }
+    val cx = cell(c.x, -180.0, 180.0, lonBits)
+    val cy = cell(c.y, -90.0, 90.0, latBits)
+    // interleave, longitude first: bit k of the code (from the MSB) comes
+    // from lon when k is even, lat when k is odd
+    var code = 0L
+    var k = 0
+    while (k < totalBits) {
+      val bit =
+        if (k % 2 == 0) (cx >> (lonBits - 1 - k / 2)) & 1L
+        else (cy >> (latBits - 1 - k / 2)) & 1L
+      code = (code << 1) | bit
+      k += 1
+    }
+    val sb = new java.lang.StringBuilder(prec)
+    var i = prec - 1
+    while (i >= 0) {
+      sb.append(GeoHashAlphabet.charAt(((code >> (5 * i)) & 31L).toInt))
+      i -= 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** PostGIS `ST_TileEnvelope(z, x, y)`: the EPSG:3857 bounding polygon
     * of an XYZ tile over the default web-mercator extent ±π·a. Pure
     * arithmetic — each zoom-z tile is an exact (2πa/2^z)-sided square —

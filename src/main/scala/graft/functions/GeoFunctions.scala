@@ -197,6 +197,7 @@ object GeoFunctions {
     "st_lengthgeodesic" -> Sig("lengthGeodesic", D, Seq(G), geodesy),
     "st_distancevincenty" -> Sig("distanceVincenty", D, Seq(G, G), geodesy),
     "st_lengthvincenty" -> Sig("lengthVincenty", D, Seq(G), geodesy),
+    "st_geohash" -> Sig("geoHash", S, Seq(G, I), geodesy),
     "st_tilex" -> Sig("tileX", LongType, Seq(D, I), geodesy),
     "st_tiley" -> Sig("tileY", LongType, Seq(D, I), geodesy),
     "st_tileenvelope" -> Sig("tileEnvelope", G, Seq(I, LongType, LongType), geodesy),

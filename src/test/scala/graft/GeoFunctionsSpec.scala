@@ -446,4 +446,17 @@ class GeoFunctionsSpec extends SparkTestBase {
     intercept[Exception] { sql("SELECT ST_TileEnvelope(2, CAST(4 AS BIGINT), CAST(0 AS BIGINT))").collect() }
     intercept[Exception] { sql("SELECT ST_TileX(CAST(0 AS DOUBLE), 31)").collect() }
   }
+
+  test("ST_GeoHash: geohash.org anchor, prefix property, domain errors") {
+    // the canonical worked example from the geohash spec: (-5.6, 42.6) -> ezs42
+    assert(one("ST_GeoHash(ST_Point(-5.6, 42.6), 5)") == "ezs42")
+    // a second public anchor: 57.64911, 10.40744 (Jutland) -> u4pruydqqvj
+    assert(one("ST_GeoHash(ST_Point(10.40744, 57.64911), 11)") == "u4pruydqqvj")
+    // prefix property: lower precision is a strict prefix of higher
+    val h8 = one("ST_GeoHash(ST_Point(13.41, 52.52), 8)").asInstanceOf[String]
+    val h4 = one("ST_GeoHash(ST_Point(13.41, 52.52), 4)").asInstanceOf[String]
+    assert(h8.startsWith(h4) && h4.length == 4 && h8.length == 8)
+    intercept[Exception] { sql("SELECT ST_GeoHash(ST_Point(200.0, 0.0), 5)").collect() }
+    intercept[Exception] { sql("SELECT ST_GeoHash(ST_Point(0.0, 0.0), 13)").collect() }
+  }
 }
