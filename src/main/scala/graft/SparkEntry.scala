@@ -2558,6 +2558,91 @@ object SparkEntry {
             FROM cand c JOIN t07_sigs si ON si.id = c.i JOIN t07_sigs sj ON sj.id = c.j) t""")
   }
 
+  /** Cross-split near-dup leakage audit (t39): hash splitting (t13)
+    * guarantees EXACT-document separation between train/valid/test, but
+    * near-duplicates cross the boundary freely — the classic silent eval
+    * inflation. The audit runs t07's banded-LSH candidate generation
+    * over the split-tagged corpus, keeps only pairs whose members landed
+    * in DIFFERENT splits, and confirms at exact Jaccard >= 0.5 — the
+    * per-split-pair confirmed counts are the "did test leak into train"
+    * numbers an eval readout must disclose. The 80%-prefix twins split
+    * independently of their originals (the split hash sees the augmented
+    * id), so cross-split leakage exists by construction and the planted
+    * count pins recall. Same scale topology as t07: signatures persist
+    * once (localCheckpoint), candidates shuffle on (band, bucket) keys,
+    * the split filter is a residual predicate on the bounded candidate
+    * set. */
+  private def t39Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val sigs = s.sql("""
+      SELECT id, graft_minhash_sigs(ng, 16) AS sig, ng,
+             CASE WHEN graft_hash(CAST(id AS STRING) || ':split') % 100 < 80 THEN 'train'
+                  WHEN graft_hash(CAST(id AS STRING) || ':split') % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (SELECT /*+ REPARTITION(64) */ id, graft_shingles(text, 3) AS ng
+            FROM (SELECT doc_id AS id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 100000, substring(text, 1, CAST(FLOOR(n_chars * 0.8D) AS INT))
+                  FROM documents) aug) t""").localCheckpoint()
+    sigs.createOrReplaceTempView("t39_sigs")
+    s.sql("""
+      WITH bands AS (
+        SELECT id, b, graft_hash(concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> CAST(x AS STRING)))) AS bkey
+        FROM t39_sigs LATERAL VIEW explode(sequence(0, 3)) bt AS b),
+      cand AS (
+        SELECT DISTINCT x.id AS i, y.id AS j
+        FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.id < y.id),
+      scored AS (
+        SELECT least(si.split, sj.split) AS split_a, greatest(si.split, sj.split) AS split_b,
+               CASE WHEN c.j = c.i + 100000 THEN 1 ELSE 0 END AS planted,
+               CASE WHEN graft_jaccard(si.ng, sj.ng) >= 0.5D THEN 1 ELSE 0 END AS confirmed
+        FROM cand c JOIN t39_sigs si ON si.id = c.i JOIN t39_sigs sj ON sj.id = c.j
+        WHERE si.split != sj.split)
+      SELECT split_a, split_b, COUNT(*) AS n_cand,
+             SUM(planted) AS n_planted, SUM(confirmed) AS n_confirmed
+      FROM scored GROUP BY split_a, split_b ORDER BY split_a, split_b""")
+  }
+
+  private val t39Duck = """
+    WITH aug AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, substr(text, 1, CAST(FLOOR(n_chars * 0.8::DOUBLE) AS INT)) FROM documents),
+    sigs AS (
+      SELECT id,
+             list_transform(range(0, 16), k -> coalesce(list_min(list_transform(
+               list_transform(ng, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT),
+               x -> (((k + 1) * 1000003 % 16777216) * x + k * 30011 + 1) % 4294967311)), 4294967311)) AS sig,
+             ng,
+             CASE WHEN ('0x' || substr(md5(id::VARCHAR || ':split'), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                  WHEN ('0x' || substr(md5(id::VARCHAR || ':split'), 1, 8))::BIGINT % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (SELECT id,
+              CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+                THEN list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 3 + 2),
+                       i -> array_to_string(array_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' '))
+                ELSE [] END AS ng
+            FROM aug) augng),
+    bands AS (
+      SELECT id, split, b,
+             ('0x' || substr(md5(array_to_string(list_transform(
+                array_slice(sig, b * 4 + 1, b * 4 + 4), x -> x::VARCHAR), ',')), 1, 8))::BIGINT AS bkey
+      FROM sigs, (SELECT unnest(range(0, 4)) AS b) bs),
+    cand AS (
+      SELECT DISTINCT x.id AS i, y.id AS j
+      FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.id < y.id),
+    scored AS (
+      SELECT LEAST(si.split, sj.split) AS split_a, GREATEST(si.split, sj.split) AS split_b,
+             CASE WHEN c.j = c.i + 100000 THEN 1 ELSE 0 END AS planted,
+             CASE WHEN (CASE WHEN len(list_distinct(list_concat(si.ng, sj.ng))) = 0 THEN 0.0::DOUBLE
+                             ELSE len(list_intersect(si.ng, sj.ng)) / len(list_distinct(list_concat(si.ng, sj.ng))) END) >= 0.5::DOUBLE
+                  THEN 1 ELSE 0 END AS confirmed
+      FROM cand c JOIN sigs si ON si.id = c.i JOIN sigs sj ON sj.id = c.j
+      WHERE si.split != sj.split)
+    SELECT split_a, split_b, COUNT(*)::BIGINT AS n_cand,
+           SUM(planted)::BIGINT AS n_planted, SUM(confirmed)::BIGINT AS n_confirmed
+    FROM scored GROUP BY split_a, split_b ORDER BY split_a, split_b"""
+
   /** Minhash estimator calibration (t27): the text-side analog of the
     * e05/e08 ANN recall gates — for every LSH candidate pair, the
     * signature-agreement estimate of Jaccard (matching positions / 16,
@@ -7876,8 +7961,11 @@ object SparkEntry {
     FROM j GROUP BY user_id ORDER BY user_id"""
 
   /** Integer-exact PageRank (q16): 3 power iterations over the
-    * part↔supplier co-occurrence graph (distinct lineitem pairs, doubled
-    * into both directions), the classic iterative-join workload. All
+    * part↔supplier co-occurrence graph (distinct lineitem pairs — ~1.2M
+    * directed edges at sf0.1 once doubled into both directions; node ids
+    * pack as BIGINTs, even = part·2 / odd = supplier·2+1, so every
+    * iteration shuffles integers, not concatenated strings), the classic
+    * iterative-join workload. All
     * arithmetic is BIGINT micro-units — contribution = score DIV outdeg,
     * damping = (85·Σ) DIV 100 + 150000 — so the sum over incoming edges
     * is ORDER-INDEPENDENT (floating-point PageRank is not, and varies
@@ -7885,34 +7973,48 @@ object SparkEntry {
     * trick as s10/e13). Iterations unroll as CTEs: each is ONE shuffle
     * joining the edge list to the score vector on the source key then
     * aggregating by destination — the t09 label-propagation topology
-    * with weights; production would localCheckpoint each iteration to
-    * truncate lineage exactly as t09 does. Top-10 lands via
-    * ORDER BY + LIMIT (TakeOrdered, no global sort). */
-  private val q16Spark = """
-    WITH el AS (SELECT /*+ REPARTITION({{P}}) */ DISTINCT
-                       CONCAT('p', CAST(l_partkey AS STRING)) AS src,
-                       CONCAT('s', CAST(l_suppkey AS STRING)) AS dst
-                FROM lineitem),
-    edges AS (SELECT src, dst FROM el UNION ALL SELECT dst AS src, src AS dst FROM el),
-    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-    s0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS score FROM deg),
-    s1 AS (SELECT e.dst AS node,
-                  CAST(150000 AS BIGINT) + (85 * SUM(s.score DIV d.outdeg)) DIV 100 AS score
-           FROM edges e JOIN s0 s ON s.node = e.src JOIN deg d ON d.src = e.src
-           GROUP BY e.dst),
-    s2 AS (SELECT e.dst AS node,
-                  CAST(150000 AS BIGINT) + (85 * SUM(s.score DIV d.outdeg)) DIV 100 AS score
-           FROM edges e JOIN s1 s ON s.node = e.src JOIN deg d ON d.src = e.src
-           GROUP BY e.dst),
-    s3 AS (SELECT e.dst AS node,
-                  CAST(150000 AS BIGINT) + (85 * SUM(s.score DIV d.outdeg)) DIV 100 AS score
-           FROM edges e JOIN s2 s ON s.node = e.src JOIN deg d ON d.src = e.src
-           GROUP BY e.dst)
-    SELECT node, score FROM s3 ORDER BY score DESC, node LIMIT 10"""
+    * with weights. Built in Scala, not one SQL string: a WITH-CTE form
+    * inlines the DISTINCT edge list and the degree table into EVERY
+    * iteration (3x the dedup shuffle, 6 extra joins — profiled 5.1 s);
+    * here the degree-annotated edge list materializes ONCE
+    * (localCheckpoint — also what truncates lineage so the iterated
+    * plan doesn't grow, exactly as t09 does per round) and each
+    * iteration is ONE join + ONE aggregate on the node key. Top-10
+    * lands via ORDER BY + LIMIT (TakeOrdered, no global sort). */
+  private def q16Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    // el materializes FIRST: as a CTE it would inline into both UNION
+    // branches and again under deg — four runs of the 600k-row DISTINCT
+    // shuffle (profiled 9.6 s; checkpointed-first, the whole build is ~2 s)
+    val el = s.sql("""
+      SELECT /*+ REPARTITION(64) */ DISTINCT
+             l_partkey * 2 AS src,
+             l_suppkey * 2 + 1 AS dst
+      FROM lineitem""").localCheckpoint()
+    el.createOrReplaceTempView("q16_el")
+    val eo = s.sql("""
+      WITH edges AS (SELECT src, dst FROM q16_el UNION ALL SELECT dst AS src, src AS dst FROM q16_el),
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)
+      SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON d.src = e.src""")
+      .localCheckpoint()
+    eo.createOrReplaceTempView("q16_eo")
+    var score = s.sql(
+      "SELECT src AS node, CAST(1000000 AS BIGINT) AS score FROM q16_eo GROUP BY src")
+    for (_ <- 1 to 3) {
+      score.createOrReplaceTempView("q16_score")
+      score = s.sql("""
+        SELECT e.dst AS node,
+               CAST(150000 AS BIGINT) + (85 * SUM(s.score DIV e.outdeg)) DIV 100 AS score
+        FROM q16_eo e JOIN q16_score s ON s.node = e.src
+        GROUP BY e.dst""").localCheckpoint()
+    }
+    score.createOrReplaceTempView("q16_final")
+    s.sql("SELECT node, score FROM q16_final ORDER BY score DESC, node LIMIT 10")
+  }
 
   private val q16Duck = """
-    WITH el AS (SELECT DISTINCT 'p' || l_partkey::VARCHAR AS src,
-                                's' || l_suppkey::VARCHAR AS dst
+    WITH el AS (SELECT DISTINCT l_partkey * 2 AS src,
+                                l_suppkey * 2 + 1 AS dst
                 FROM lineitem),
     edges AS (SELECT src, dst FROM el UNION ALL SELECT dst AS src, src AS dst FROM el),
     deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
@@ -8043,6 +8145,34 @@ object SparkEntry {
            SUM(CASE WHEN w > 2 AND h > 2
                     THEN ((w - 2) * (h - 2))::BIGINT ELSE 0 END)::BIGINT AS area_sum
     FROM p GROUP BY p_brand ORDER BY p_brand"""
+
+  /** UNPIVOT (q19): the inverse rotation of q12's PIVOT — a wide
+    * per-flag metrics row (quantity / extended-price / discount sums)
+    * melts into (flag, metric, val) tall form through Spark's native
+    * UNPIVOT clause; the oracle replays it as the equivalent UNION ALL
+    * (the rewrite UNPIVOT desugars to). DECIMAL sums make every melted
+    * value exact; one aggregate + a zero-shuffle melt. */
+  private val q19Spark = """
+    WITH w AS (SELECT /*+ REPARTITION({{P}}) */ l_returnflag AS flag,
+                      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+                      CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT flag, metric, ROUND(val, 2) AS val
+    FROM w UNPIVOT (val FOR metric IN (qty, price, disc))
+    ORDER BY flag, metric"""
+
+  private val q19Duck = """
+    WITH w AS (SELECT l_returnflag AS flag,
+                      SUM(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS qty,
+                      SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS price,
+                      SUM(CAST(l_discount AS DECIMAL(18,2)))::DOUBLE AS disc
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT flag, metric, ROUND(val, 2) AS val FROM (
+      SELECT flag, 'qty' AS metric, qty AS val FROM w
+      UNION ALL SELECT flag, 'price', price FROM w
+      UNION ALL SELECT flag, 'disc', disc FROM w) t
+    ORDER BY flag, metric"""
 
   /** Geohash binning (g67): `ST_GeoHash` (the PostGIS function) assigns
     * every point its base-32 cell string — the third spatial-binning
@@ -8233,12 +8363,14 @@ object SparkEntry {
     ("t36_text_embed_consistency", q(t36Spark), t36Duck),
     ("t37_cluster_cards", t37Fn _, t37Duck),
     ("t38_line_dedup", q(t38Spark), t38Duck),
+    ("t39_split_leakage", t39Fn _, t39Duck),
     ("q13_set_ops", q(q13Spark), q13Duck),
     ("q14_recursive_chain", q(q14Spark), q14Duck),
     ("q15_gap_fill", q(q15Spark), q15Duck),
-    ("q16_pagerank", q(q16Spark), q16Duck),
+    ("q16_pagerank", q16Fn _, q16Duck),
     ("q17_rank_windows", q(q17Spark), q17Duck),
     ("q18_twap", q(q18Spark), q18Duck),
+    ("q19_unpivot", q(q19Spark), q19Duck),
     ("g66_erosion", q(g66Spark), g66Duck),
     ("g67_geohash", q(g67Spark), g67Duck),
     ("g64_min_bounding_circle", q(g64Spark), g64Duck),
