@@ -7686,6 +7686,168 @@ object SparkEntry {
     FROM per_node p LEFT JOIN recip r ON r.src = p.src
     GROUP BY p.degree ORDER BY p.degree"""
 
+  /** kNN-graph recall gate (e24): e05's offline-eval discipline applied
+    * to e23's graph — the LSH-bucketed kNN graph scored edge-by-edge
+    * against the EXACT brute-force top-3 graph, per corpus label. The
+    * exact side is the documented eval-scale bound (all-pairs over the
+    * eval corpus — at production scale you'd sample query nodes, the
+    * e01/e05 pattern); the LSH side is e23's keyed topology. Edges in
+    * lists the buckets never co-locate stay invisible — per-label recall
+    * quantifies exactly that loss, and a bucketing regression (the old
+    * data-dependent bucket8 collapse) shows up as a recall cliff, not a
+    * silent quality drop. */
+  private val e24Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, label, graft_vec(embedding) AS e,
+                      sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm,
+                      graft_bucketk(graft_vec(embedding), 8, 7) AS bucket FROM embeddings),
+    exact AS (SELECT src, dst, label FROM (
+                SELECT a.vec_id AS src, b.vec_id AS dst, a.label AS label,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                         ORDER BY graft_dot(a.e, b.e) / (a.nrm * b.nrm) DESC, b.vec_id) AS r
+                FROM v a JOIN v b ON b.vec_id != a.vec_id) t WHERE r <= 3),
+    lsh AS (SELECT src, dst FROM (
+              SELECT a.vec_id AS src, b.vec_id AS dst,
+                     ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY graft_dot(a.e, b.e) / (a.nrm * b.nrm) DESC, b.vec_id) AS r
+              FROM v a JOIN v b ON b.bucket = a.bucket AND b.vec_id != a.vec_id) t WHERE r <= 3),
+    j AS (SELECT e.label, CASE WHEN l.dst IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM exact e LEFT JOIN lsh l ON l.src = e.src AND l.dst = e.dst)
+    SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_exact_edges,
+           SUM(hit) AS n_recalled,
+           ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM j GROUP BY label ORDER BY label"""
+
+  private val e24Duck = """
+    WITH planes AS (
+      SELECT j, list_transform(list_transform(list_transform(list_transform(
+               range(0, 64), i -> ((7 * 1000003 + j * 4099 + i) % 2147483648 * 2654435761) % 2147483648),
+               h -> xor(h, h >> 15)),
+               h -> (h * 2246822519) % 2147483648),
+               h -> (xor(h, h >> 13) - 1073741824)::DOUBLE) AS w
+      FROM (SELECT unnest(range(0, 8)) AS j) js),
+    ve AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    vb AS (SELECT vec_id, label, e,
+                  SUM(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(range(1, len(e) + 1), i -> e[i] * w[i])), (x, y) -> x + y) > 0.0::DOUBLE
+                      THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS bucket
+           FROM ve CROSS JOIN planes GROUP BY vec_id, label, e),
+    v AS (SELECT vec_id, label, e, bucket,
+                 sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * e[i])), (x, y) -> x + y)) AS nrm
+          FROM vb),
+    exact AS (SELECT src, dst, label FROM (
+                SELECT a.vec_id AS src, b.vec_id AS dst, a.label AS label,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                         ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])), (x, y) -> x + y) / (a.nrm * b.nrm) DESC, b.vec_id) AS r
+                FROM v a JOIN v b ON b.vec_id != a.vec_id) t WHERE r <= 3),
+    lsh AS (SELECT src, dst FROM (
+              SELECT a.vec_id AS src, b.vec_id AS dst,
+                     ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])), (x, y) -> x + y) / (a.nrm * b.nrm) DESC, b.vec_id) AS r
+              FROM v a JOIN v b ON b.bucket = a.bucket AND b.vec_id != a.vec_id) t WHERE r <= 3),
+    j AS (SELECT e.label, CASE WHEN l.dst IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM exact e LEFT JOIN lsh l ON l.src = e.src AND l.dst = e.dst)
+    SELECT label::BIGINT AS label, COUNT(*)::BIGINT AS n_exact_edges,
+           SUM(hit)::BIGINT AS n_recalled,
+           ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM j GROUP BY label ORDER BY label"""
+
+  /** Tile-pyramid rollup (g68): the standard pyramid BUILD — the finest
+    * level (z6) aggregates from points ONCE, then every coarser level
+    * derives from the level below by integer halving (parent = child
+    * DIV 2), never rescanning the corpus. That works because the tile
+    * fractions are dyadic: floor(f·2^z) DIV 2 = floor(f·2^(z−1))
+    * EXACTLY, for both the linear lon fraction and the mercator lat
+    * fraction. The oracle computes every level DIRECTLY from the points
+    * with the z-level formulas, so a broken halving (or a non-dyadic
+    * cell function) hash-mismatches; the per-level tile-id checksum pins
+    * WHICH tiles exist, not just how many. At 100 TB: one corpus scan +
+    * log2(zmax) tiny keyed aggs replaces zmax corpus scans. */
+  private val g68Spark = """
+    WITH p AS (SELECT /*+ REPARTITION({{P}}) */ c_custkey,
+                      ST_TileX(CAST(c_custkey % 360 - 180 AS DOUBLE), 6) AS tx,
+                      ST_TileY(CAST((c_custkey * 7) % 140 - 70 AS DOUBLE), 6) AS ty
+               FROM customer),
+    t6 AS (SELECT tx, ty, COUNT(*) AS n FROM p GROUP BY tx, ty),
+    t5 AS (SELECT tx DIV 2 AS tx, ty DIV 2 AS ty, SUM(n) AS n FROM t6 GROUP BY tx DIV 2, ty DIV 2),
+    t4 AS (SELECT tx DIV 2 AS tx, ty DIV 2 AS ty, SUM(n) AS n FROM t5 GROUP BY tx DIV 2, ty DIV 2),
+    t3 AS (SELECT tx DIV 2 AS tx, ty DIV 2 AS ty, SUM(n) AS n FROM t4 GROUP BY tx DIV 2, ty DIV 2),
+    t2 AS (SELECT tx DIV 2 AS tx, ty DIV 2 AS ty, SUM(n) AS n FROM t3 GROUP BY tx DIV 2, ty DIV 2),
+    pyr AS (SELECT 6 AS z, * FROM t6 UNION ALL SELECT 5, * FROM t5
+            UNION ALL SELECT 4, * FROM t4 UNION ALL SELECT 3, * FROM t3
+            UNION ALL SELECT 2, * FROM t2)
+    SELECT CAST(z AS BIGINT) AS z, COUNT(*) AS n_tiles, SUM(n) AS total_pts,
+           MAX(n) AS max_tile, SUM(tx * 4096 + ty) AS tile_id_checksum
+    FROM pyr GROUP BY z ORDER BY z"""
+
+  private val g68Duck = """
+    WITH p AS (SELECT c_custkey,
+                      (c_custkey % 360 - 180)::DOUBLE AS lon,
+                      ((c_custkey * 7) % 140 - 70)::DOUBLE AS lat
+               FROM customer),
+    t AS (SELECT z,
+                 LEAST(GREATEST(floor((lon + 180.0) / 360.0 * (1 << z)), 0), (1 << z) - 1)::BIGINT AS tx,
+                 LEAST(GREATEST(floor((1.0 - ln(tan(lat * pi() / 180.0) + 1.0 / cos(lat * pi() / 180.0)) / pi()) / 2.0 * (1 << z)), 0), (1 << z) - 1)::BIGINT AS ty
+          FROM p CROSS JOIN (SELECT unnest([2, 3, 4, 5, 6]) AS z) zz),
+    g AS (SELECT z, tx, ty, COUNT(*) AS n FROM t GROUP BY z, tx, ty)
+    SELECT z::BIGINT AS z, COUNT(*)::BIGINT AS n_tiles, SUM(n)::BIGINT AS total_pts,
+           MAX(n)::BIGINT AS max_tile, SUM(tx * 4096 + ty)::BIGINT AS tile_id_checksum
+    FROM g GROUP BY z ORDER BY z"""
+
+  /** Hamming-banded perceptual near-dup (m14): the near-duplicate path
+    * m06's exact-hash equi-join can't take — the 64-bit phash splits
+    * into 4 × 16-bit bands (t07's minhash-band pattern on image bits),
+    * candidates share at least one band, and the exact Hamming distance
+    * confirms at <= 6 bits. A pair differing in <= 6 scattered bits
+    * must keep at least one of 4 bands intact (pigeonhole: 6 < 4·2), so
+    * band recall of the near set is GUARANTEED here, not probabilistic —
+    * the constructed seed/seed+256 twins (hamming 0) all surface. Keyed
+    * band join, never all-pairs; hamming runs only on the bounded
+    * candidate set. */
+  private val m14Spark = """
+    WITH im AS (SELECT /*+ REPARTITION({{P}}) */ doc_id,
+                       graft_media_phash(graft_media_png(doc_id)) AS ph
+                FROM documents),
+    bands AS (SELECT doc_id, b, substring(ph, b * 16 + 1, 16) AS bkey
+              FROM im LATERAL VIEW explode(sequence(0, 3)) t AS b),
+    cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+             FROM bands x JOIN bands y ON y.b = x.b AND y.bkey = x.bkey AND y.doc_id > x.doc_id),
+    h AS (SELECT c.i, c.j,
+                 aggregate(sequence(1, 64), 0, (acc, k) ->
+                   acc + IF(substring(pi.ph, k, 1) = substring(pj.ph, k, 1), 0, 1)) AS ham
+          FROM cand c JOIN im pi ON pi.doc_id = c.i JOIN im pj ON pj.doc_id = c.j)
+    SELECT COUNT(*) AS n_cand,
+           SUM(CASE WHEN ham = 0 THEN 1 ELSE 0 END) AS n_exact,
+           SUM(CASE WHEN ham <= 6 THEN 1 ELSE 0 END) AS n_near,
+           SUM(CASE WHEN j = i + 256 THEN 1 ELSE 0 END) AS n_twins,
+           SUM(CAST(ham AS BIGINT)) AS ham_mass
+    FROM h"""
+
+  private val m14Duck = """
+    WITH m AS (SELECT doc_id, 1 + doc_id % 16 AS w, 1 + (doc_id // 16) % 16 AS h
+               FROM documents),
+    r AS (SELECT doc_id, list_transform(range(64),
+            i -> (doc_id * 31 + ((((i // 8) * h) // 8) * w + ((i % 8) * w) // 8) * 7) % 256) AS rp
+          FROM m),
+    t AS (SELECT doc_id, rp, list_sum(rp) AS sm FROM r),
+    pc AS (SELECT doc_id,
+                  list_reduce(list_transform(range(64),
+                    i -> CASE WHEN rp[i + 1] * 64 > sm THEN '1' ELSE '0' END), (a, b) -> a || b) AS ph
+           FROM t),
+    bands AS (SELECT doc_id, b, substr(ph, b * 16 + 1, 16) AS bkey
+              FROM pc, (SELECT unnest(range(0, 4)) AS b) bs),
+    cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+             FROM bands x JOIN bands y ON y.b = x.b AND y.bkey = x.bkey AND y.doc_id > x.doc_id),
+    hm AS (SELECT c.i, c.j,
+                  list_sum(list_transform(range(1, 65),
+                    k -> CASE WHEN substr(pi.ph, k, 1) = substr(pj.ph, k, 1) THEN 0 ELSE 1 END)) AS ham
+           FROM cand c JOIN pc pi ON pi.doc_id = c.i JOIN pc pj ON pj.doc_id = c.j)
+    SELECT COUNT(*)::BIGINT AS n_cand,
+           SUM(CASE WHEN ham = 0 THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+           SUM(CASE WHEN ham <= 6 THEN 1 ELSE 0 END)::BIGINT AS n_near,
+           SUM(CASE WHEN j = i + 256 THEN 1 ELSE 0 END)::BIGINT AS n_twins,
+           SUM(ham)::BIGINT AS ham_mass
+    FROM hm"""
+
   /** Augmentation geometry audit (m12): every corpus PNG decodes through
     * the real codec and runs the three training-time geometric
     * augmentations (identity, horizontal flip, rotate-90°) —
@@ -8347,6 +8509,9 @@ object SparkEntry {
     ("e21_jl_projection", q(e21Spark), e21Duck),
     ("e22_tombstone_delete", q(e22Spark), e22Duck),
     ("e23_knn_graph", q(e23Spark), e23Duck),
+    ("e24_graph_recall", q(e24Spark), e24Duck),
+    ("g68_tile_rollup", q(g68Spark), g68Duck),
+    ("m14_phash_bands", q(m14Spark), m14Duck),
     ("g63_hex_bin", q(g63Spark), g63Duck),
     ("t24_tfidf_terms", q(t24Spark), t24Duck),
     ("t25_cms_heavy_hitters", q(t25Spark), t25Duck),
