@@ -7762,22 +7762,35 @@ object SparkEntry {
     * cell function) hash-mismatches; the per-level tile-id checksum pins
     * WHICH tiles exist, not just how many. At 100 TB: one corpus scan +
     * log2(zmax) tiny keyed aggs replaces zmax corpus scans. */
-  private val g68Spark = """
-    WITH p AS (SELECT /*+ REPARTITION({{P}}) */ c_custkey,
-                      ST_TileX(CAST(c_custkey % 360 - 180 AS DOUBLE), 6) AS tx,
-                      ST_TileY(CAST((c_custkey * 7) % 140 - 70 AS DOUBLE), 6) AS ty
-               FROM customer),
-    t6 AS (SELECT tx, ty, COUNT(*) AS n FROM p GROUP BY tx, ty),
-    t5 AS (SELECT tx DIV 2 AS tx, ty DIV 2 AS ty, SUM(n) AS n FROM t6 GROUP BY tx DIV 2, ty DIV 2),
-    t4 AS (SELECT tx DIV 2 AS tx, ty DIV 2 AS ty, SUM(n) AS n FROM t5 GROUP BY tx DIV 2, ty DIV 2),
-    t3 AS (SELECT tx DIV 2 AS tx, ty DIV 2 AS ty, SUM(n) AS n FROM t4 GROUP BY tx DIV 2, ty DIV 2),
-    t2 AS (SELECT tx DIV 2 AS tx, ty DIV 2 AS ty, SUM(n) AS n FROM t3 GROUP BY tx DIV 2, ty DIV 2),
-    pyr AS (SELECT 6 AS z, * FROM t6 UNION ALL SELECT 5, * FROM t5
-            UNION ALL SELECT 4, * FROM t4 UNION ALL SELECT 3, * FROM t3
-            UNION ALL SELECT 2, * FROM t2)
-    SELECT CAST(z AS BIGINT) AS z, COUNT(*) AS n_tiles, SUM(n) AS total_pts,
-           MAX(n) AS max_tile, SUM(tx * 4096 + ty) AS tile_id_checksum
-    FROM pyr GROUP BY z ORDER BY z"""
+  private def g68Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    // the finest level materializes ONCE (a CTE form would inline it into
+    // every union branch — 5 corpus scans and an O(z^2) exchange chain,
+    // caught by PipelinePlanSpec); each coarser level is a tiny keyed agg
+    // over the level below, the actual pyramid-build topology
+    var level = s.sql("""
+      SELECT tx, ty, COUNT(*) AS n FROM (
+        SELECT /*+ REPARTITION(64) */
+               ST_TileX(CAST(c_custkey % 360 - 180 AS DOUBLE), 6) AS tx,
+               ST_TileY(CAST((c_custkey * 7) % 140 - 70 AS DOUBLE), 6) AS ty
+        FROM customer) p
+      GROUP BY tx, ty""").localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer((6, level))
+    for (z <- 5 to 2 by -1) {
+      level.createOrReplaceTempView("g68_prev")
+      level = s.sql("""
+        SELECT tx DIV 2 AS tx, ty DIV 2 AS ty, SUM(n) AS n
+        FROM g68_prev GROUP BY tx DIV 2, ty DIV 2""").localCheckpoint()
+      levels += ((z, level))
+    }
+    levels.map { case (z, df) =>
+      df.selectExpr(s"CAST($z AS BIGINT) AS z", "tx", "ty", "n")
+    }.reduce(_ unionAll _).createOrReplaceTempView("g68_pyr")
+    s.sql("""
+      SELECT z, COUNT(*) AS n_tiles, SUM(n) AS total_pts,
+             MAX(n) AS max_tile, SUM(tx * 4096 + ty) AS tile_id_checksum
+      FROM g68_pyr GROUP BY z ORDER BY z""")
+  }
 
   private val g68Duck = """
     WITH p AS (SELECT c_custkey,
@@ -7792,6 +7805,53 @@ object SparkEntry {
     SELECT z::BIGINT AS z, COUNT(*)::BIGINT AS n_tiles, SUM(n)::BIGINT AS total_pts,
            MAX(n)::BIGINT AS max_tile, SUM(tx * 4096 + ty)::BIGINT AS tile_id_checksum
     FROM g GROUP BY z ORDER BY z"""
+
+  /** Polygon rasterization / supercoverage (g69): the zonal-statistics
+    * primitive — which unit grid cells does each polygon touch. Cells
+    * come from the polygon's own BBOX (candidates ∝ polygon area, never
+    * the global grid — the 100 TB shape: explode is map-side per
+    * polygon, no join against a world-sized cell table), then the exact
+    * `ST_Intersects(cell, poly)` test keeps touched cells. On
+    * right triangles (0,0)-(a,0)-(0,b) with integer legs the touched
+    * set is closed-form — a closed cell with lower-left corner (i, j)
+    * meets the closed triangle iff b·i + a·j <= a·b (the LL corner
+    * minimizes the hypotenuse form over the cell; leg overruns fail the
+    * inequality automatically) — so the oracle replays the exact count
+    * per (a, b) with integer arithmetic, pinning JTS's closed-boundary
+    * intersects semantics, corner-touch cases included. */
+  private val g69Spark = """
+    WITH tri AS (SELECT /*+ REPARTITION({{P}}) */ p_partkey,
+                        2 + p_partkey % 6 AS a, 1 + p_partkey % 5 AS b
+                 FROM part),
+    cells AS (SELECT p_partkey, a, b, i, j
+              FROM tri
+              LATERAL VIEW explode(sequence(0, a)) ti AS i
+              LATERAL VIEW explode(sequence(0, b)) tj AS j),
+    hit AS (SELECT p_partkey, a, b, i, j
+            FROM cells
+            WHERE ST_Intersects(
+                    ST_MakeEnvelope(CAST(i AS DOUBLE), CAST(j AS DOUBLE),
+                                    CAST(i + 1 AS DOUBLE), CAST(j + 1 AS DOUBLE)),
+                    ST_GeomFromText(CONCAT('POLYGON ((0 0, ', CAST(a AS STRING),
+                      ' 0, 0 ', CAST(b AS STRING), ', 0 0))')))),
+    per AS (SELECT p_partkey, a, b, COUNT(*) AS covered FROM hit GROUP BY p_partkey, a, b)
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           COUNT(*) AS n_polys, MIN(covered) AS min_cov, MAX(covered) AS max_cov,
+           SUM(covered) AS total_cells
+    FROM per GROUP BY a, b ORDER BY a, b"""
+
+  private val g69Duck = """
+    WITH tri AS (SELECT p_partkey, 2 + p_partkey % 6 AS a, 1 + p_partkey % 5 AS b FROM part),
+    cells AS (SELECT p_partkey, a, b, i, j
+              FROM tri,
+              LATERAL (SELECT unnest(range(0, a + 1)) AS i) ti,
+              LATERAL (SELECT unnest(range(0, b + 1)) AS j) tj),
+    hit AS (SELECT p_partkey, a, b FROM cells WHERE b * i + a * j <= a * b),
+    per AS (SELECT p_partkey, a, b, COUNT(*) AS covered FROM hit GROUP BY p_partkey, a, b)
+    SELECT a::BIGINT AS a, b::BIGINT AS b,
+           COUNT(*)::BIGINT AS n_polys, MIN(covered)::BIGINT AS min_cov,
+           MAX(covered)::BIGINT AS max_cov, SUM(covered)::BIGINT AS total_cells
+    FROM per GROUP BY a, b ORDER BY a, b"""
 
   /** Hamming-banded perceptual near-dup (m14): the near-duplicate path
     * m06's exact-hash equi-join can't take — the 64-bit phash splits
@@ -8510,7 +8570,8 @@ object SparkEntry {
     ("e22_tombstone_delete", q(e22Spark), e22Duck),
     ("e23_knn_graph", q(e23Spark), e23Duck),
     ("e24_graph_recall", q(e24Spark), e24Duck),
-    ("g68_tile_rollup", q(g68Spark), g68Duck),
+    ("g68_tile_rollup", g68Fn _, g68Duck),
+    ("g69_rasterize", q(g69Spark), g69Duck),
     ("m14_phash_bands", q(m14Spark), m14Duck),
     ("g63_hex_bin", q(g63Spark), g63Duck),
     ("t24_tfidf_terms", q(t24Spark), t24Duck),

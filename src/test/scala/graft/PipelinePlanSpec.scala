@@ -196,4 +196,40 @@ class PipelinePlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"512-row bucket stats did not broadcast in:\n$plan")
   }
+
+  test("q16 PageRank: final plan reads checkpoints, never rescans lineitem") {
+    // the iterated score table must be cut from the edge-build lineage:
+    // a plan that still contains the parquet scan would recompute the
+    // DISTINCT edge shuffle once per iteration (the 9.6 s pathology)
+    val plan = planOf("q16_pagerank")
+    assert(!plan.contains("FileScan") && !plan.toLowerCase.contains("parquet"),
+      s"final PageRank plan still reaches the source scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 planned as a full sort instead of TakeOrdered:\n$plan")
+  }
+
+  test("t38 line dedup: canonical pick is one window over a content-keyed exchange") {
+    val plan = planOf("t38_line_dedup")
+    assert(!plan.contains("Join"), s"line dedup needs no join:\n$plan")
+    assert(plan.contains("Window"), s"keep-first needs a window:\n$plan")
+    assert(plan.contains("hashpartitioning(line"),
+      s"dedup exchange is not keyed by line content:\n$plan")
+  }
+
+  test("g68 tile rollup: one corpus scan feeds the whole pyramid") {
+    val plan = planOf("g68_tile_rollup")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    // Spark may reuse the exchange rather than the scan node; either way
+    // the finest level must not be recomputed once per zoom
+    assert(scans <= 2 || plan.contains("ReusedExchange"),
+      s"pyramid recomputes the corpus scan per level ($scans scans):\n$plan")
+  }
+
+  test("m14 phash bands / t39 leakage: candidate joins never cartesian") {
+    for (name <- Seq("m14_phash_bands", "t39_split_leakage")) {
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"), s"cartesian in $name:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in $name:\n$plan")
+    }
+  }
 }
