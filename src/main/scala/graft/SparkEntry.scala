@@ -2210,6 +2210,91 @@ object SparkEntry {
            SUM(lag_s)::BIGINT AS sum_lag_s
     FROM p GROUP BY user_id ORDER BY user_id"""
 
+  /** Stream-stream LEFT OUTER interval join (s13): the attribution shape
+    * of s05 with the unmatched side KEPT — a view with no click inside
+    * its 10-minute window must still emit, null-padded, and it can only
+    * do so once the watermark proves no matching click can still arrive
+    * (Spark holds the view in state until watermark > view.ts + maxLag,
+    * then flushes). Sentinel view/click rows a day ahead (user 99,
+    * filtered from the report) push the watermark past every real
+    * interval across TWO trailing micro-batches (the s12
+    * one-batch-propagation lesson), so the unmatched set is total and
+    * closed-form. The oracle replays the outer join in batch: per user,
+    * matched pairs AND viewless counts must both agree — an engine that
+    * dropped unmatched rows (inner-join semantics) or double-emitted
+    * them on the flush hash-mismatches. */
+  private def s13Fn(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s13").toString
+    val src = new java.io.File(tmp, "src"); src.mkdirs()
+    def slice(lo: Int, hi: Int) = s.sql(s"""
+      SELECT CAST(id AS BIGINT) AS event_id,
+             timestamp_seconds(1700000000 + id * 37) AS ts,
+             (id * id) % 7 AS user_id,
+             CASE WHEN id % 3 = 0 THEN 'click' WHEN id % 3 = 1 THEN 'view'
+                  ELSE 'buy' END AS event_type,
+             CAST(id AS DOUBLE) / 10 AS value
+      FROM range($lo, $hi)""")
+    def sentinel(offset: Long) = s.sql(s"""
+      SELECT CAST(9000 + $offset AS BIGINT) AS event_id,
+             timestamp_seconds(1700000000 + 86400 + $offset) AS ts,
+             CAST(99 AS BIGINT) AS user_id, t.et AS event_type, 0.0 AS value
+      FROM (SELECT explode(array('view', 'click')) AS et) t""")
+    Seq(slice(0, 60), slice(60, 120), sentinel(0), sentinel(1)).zipWithIndex.foreach { case (df, i) =>
+      val stage = new java.io.File(tmp, s"stage$i")
+      df.coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(src, s"f$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = slice(0, 1).schema
+    def stream() = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+    val viewsS = stream().filter("event_type = 'view'")
+    val clicksS = stream().filter("event_type = 'click'")
+    val joined = graft.streaming.StreamOps
+      .intervalJoinOuter(viewsS, clicksS, "user_id",
+        maxLag = "10 minutes", watermark = "20 minutes")
+      .selectExpr("l.user_id AS user_id", "l.event_id AS view_id", "r.event_id AS click_id",
+        "CAST(r.ts AS LONG) - CAST(l.ts AS LONG) AS lag_s")
+    val qname = "graft_s13_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = joined.writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", tmp + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(qname)
+      .where("user_id != 99")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.expr("COUNT(*)").as("n_rows"),
+           org.apache.spark.sql.functions.expr("COUNT(click_id)").as("n_matched"),
+           org.apache.spark.sql.functions.expr("SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END)").as("n_unmatched"),
+           org.apache.spark.sql.functions.expr("COALESCE(SUM(lag_s), 0)").as("sum_lag_s"))
+      .orderBy("user_id")
+  }
+
+  private val s13Duck = """
+    WITH ev AS (SELECT i AS event_id, i * 37 AS tsec, (i * i) % 7 AS user_id,
+                       CASE WHEN i % 3 = 0 THEN 'click' WHEN i % 3 = 1 THEN 'view'
+                            ELSE 'buy' END AS et
+                FROM range(120) t(i)),
+    v AS (SELECT * FROM ev WHERE et = 'view'),
+    c AS (SELECT * FROM ev WHERE et = 'click'),
+    p AS (SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+                 c.tsec - v.tsec AS lag_s
+          FROM v LEFT JOIN c ON c.user_id = v.user_id
+            AND c.tsec >= v.tsec AND c.tsec <= v.tsec + 600)
+    SELECT user_id, COUNT(*)::BIGINT AS n_rows,
+           COUNT(click_id)::BIGINT AS n_matched,
+           SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_unmatched,
+           COALESCE(SUM(lag_s), 0)::BIGINT AS sum_lag_s
+    FROM p GROUP BY user_id ORDER BY user_id"""
+
   /** Streaming trending-terms top-k (s06): tokens explode from a
     * document-event stream into watermarked tumbling-window counts
     * (StreamOps.windowedTokenCounts — state keyed by (window, token),
@@ -7806,6 +7891,87 @@ object SparkEntry {
            MAX(n)::BIGINT AS max_tile, SUM(tx * 4096 + ty)::BIGINT AS tile_id_checksum
     FROM g GROUP BY z ORDER BY z"""
 
+  /** Per-language token entropy (t40): Shannon entropy of each
+    * language's unigram distribution — the corpus-diversity number
+    * quoted next to token counts in every dataset card (a collapsed,
+    * template-heavy corpus shows it immediately). The only
+    * transcendental is ln(count) per DISTINCT TOKEN (vocabulary-bounded,
+    * the g10 cross-engine precedent), and every per-token term is
+    * floored to nano-nats BEFORE the sum — so the aggregate is a BIGINT
+    * sum of identical integers, order-independent, immune to the
+    * last-ulp drift a raw Σ −p·ln p would accumulate across a
+    * nondeterministic reduce. H = ln N − (Σ c·ln c)/N decomposes so
+    * each term needs only its own token's count. Two keyed aggregates
+    * (token counts, then per-lang fold) — both vocabulary-bounded. */
+  private val t40Spark = """
+    WITH tok AS (SELECT /*+ REPARTITION({{P}}) */ lang, w
+                 FROM documents LATERAL VIEW explode(split(text, ' ')) t AS w),
+    tc AS (SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY lang, w),
+    agg AS (SELECT lang, COUNT(*) AS vocab, SUM(c) AS n_tokens,
+                   SUM(CAST(FLOOR(c * ln(CAST(c AS DOUBLE)) * 1000000000.0D) AS BIGINT)) AS clogc_nano
+            FROM tc GROUP BY lang)
+    SELECT lang, vocab, n_tokens,
+           CAST(FLOOR(ln(CAST(n_tokens AS DOUBLE)) * 1000000000.0D) AS BIGINT) AS logn_nano,
+           clogc_nano,
+           ROUND(ln(CAST(n_tokens AS DOUBLE))
+                 - CAST(clogc_nano AS DOUBLE) / 1000000000.0D / CAST(n_tokens AS DOUBLE), 6) AS entropy_nats
+    FROM agg ORDER BY lang"""
+
+  private val t40Duck = """
+    WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    tc AS (SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY lang, w),
+    agg AS (SELECT lang, COUNT(*) AS vocab, SUM(c) AS n_tokens,
+                   SUM(FLOOR(c * ln(c::DOUBLE) * 1000000000.0)::BIGINT) AS clogc_nano
+            FROM tc GROUP BY lang)
+    SELECT lang, vocab::BIGINT AS vocab, n_tokens::BIGINT AS n_tokens,
+           FLOOR(ln(n_tokens::DOUBLE) * 1000000000.0)::BIGINT AS logn_nano,
+           clogc_nano::BIGINT AS clogc_nano,
+           ROUND(ln(n_tokens::DOUBLE)
+                 - CAST(clogc_nano AS DOUBLE) / 1000000000.0 / CAST(n_tokens AS DOUBLE), 6) AS entropy_nats
+    FROM agg ORDER BY lang"""
+
+  /** Funnel analysis (q20): the product-analytics staple — how many
+    * users progress view → click → purchase IN ORDER (each stage's
+    * earliest event must precede the next stage's). Stage times come
+    * from ONE conditional aggregate per user (no joins, no self-union);
+    * the funnel test is plain timestamp comparison on the aggregated
+    * row. Event-time ties break toward progression (<=), pinned by the
+    * oracle. One user-keyed shuffle; output is the four funnel depths. */
+  private val q20Spark = """
+    WITH stages AS (SELECT /*+ REPARTITION({{P}}) */ user_id,
+                           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+                    FROM events GROUP BY user_id),
+    f AS (SELECT user_id,
+                 CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
+                 CASE WHEN t_view IS NOT NULL AND t_click >= t_view THEN 1 ELSE 0 END AS s2,
+                 CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                       AND t_buy >= t_click THEN 1 ELSE 0 END AS s3
+          FROM stages)
+    SELECT COUNT(*) AS n_users, SUM(s1) AS reached_view,
+           SUM(s2) AS reached_click, SUM(s3) AS reached_buy,
+           ROUND(CAST(SUM(s3) AS DOUBLE) / COUNT(*), 6) AS conversion
+    FROM f"""
+
+  private val q20Duck = """
+    WITH stages AS (SELECT user_id,
+                           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+                    FROM events GROUP BY user_id),
+    f AS (SELECT user_id,
+                 CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
+                 CASE WHEN t_view IS NOT NULL AND t_click >= t_view THEN 1 ELSE 0 END AS s2,
+                 CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                       AND t_buy >= t_click THEN 1 ELSE 0 END AS s3
+          FROM stages)
+    SELECT COUNT(*)::BIGINT AS n_users, SUM(s1)::BIGINT AS reached_view,
+           SUM(s2)::BIGINT AS reached_click, SUM(s3)::BIGINT AS reached_buy,
+           ROUND(CAST(SUM(s3) AS DOUBLE) / COUNT(*), 6) AS conversion
+    FROM f"""
+
   /** Polygon rasterization / supercoverage (g69): the zonal-statistics
     * primitive — which unit grid cells does each polygon touch. Cells
     * come from the polygon's own BBOX (candidates ∝ polygon area, never
@@ -8590,6 +8756,8 @@ object SparkEntry {
     ("t37_cluster_cards", t37Fn _, t37Duck),
     ("t38_line_dedup", q(t38Spark), t38Duck),
     ("t39_split_leakage", t39Fn _, t39Duck),
+    ("t40_token_entropy", q(t40Spark), t40Duck),
+    ("q20_funnel", q(q20Spark), q20Duck),
     ("q13_set_ops", q(q13Spark), q13Duck),
     ("q14_recursive_chain", q(q14Spark), q14Duck),
     ("q15_gap_fill", q(q15Spark), q15Duck),
@@ -8613,6 +8781,7 @@ object SparkEntry {
     ("s10_stream_anomaly", s10Fn _, s10Duck),
     ("s11_stream_classify", s11Fn _, s11Duck),
     ("s12_late_drop", s12Fn _, s12Duck),
+    ("s13_stream_outer_join", s13Fn _, s13Duck),
     ("m01_media_meta", q(m01Spark), m01Duck),
     ("m02_decode_resize_hist", m02Fn _, m02Duck),
     ("m03_real_decode_matrix", q(m03Spark), m03Duck),

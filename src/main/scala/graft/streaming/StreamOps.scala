@@ -300,4 +300,22 @@ object StreamOps {
     l.join(r, expr(s"l.$key = r.$key AND r.$tsCol >= l.$tsCol" +
       s" AND r.$tsCol <= l.$tsCol + interval $maxLag"))
   }
+
+  /** LEFT OUTER form of [[intervalJoin]]: unmatched left rows ARE
+    * emitted, but only once the watermark proves no future right row can
+    * still land in their interval — Spark holds the left row in state
+    * until `l.ts + maxLag` passes the watermark, then emits it
+    * null-padded. The completeness/latency trade is explicit: outer
+    * results lag the watermark horizon, inner results don't. Both sides
+    * need the event-time range condition for state eviction, same as the
+    * inner form. */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, key: String,
+                        maxLag: String = "10 minutes",
+                        watermark: String = "20 minutes",
+                        tsCol: String = "ts"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r, expr(s"l.$key = r.$key AND r.$tsCol >= l.$tsCol" +
+      s" AND r.$tsCol <= l.$tsCol + interval $maxLag"), "leftOuter")
+  }
 }
