@@ -7836,6 +7836,177 @@ object SparkEntry {
            ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS recall
     FROM j GROUP BY label ORDER BY label"""
 
+  /** Grid resampling (a08): downsample an irregular event stream onto a
+    * regular 30-minute grid with hold-last semantics — the standard
+    * time-series regularization in front of windowed models (a06
+    * interpolates AT query points; a08 GENERATES the aligned grid and
+    * carries the last observation onto it). Ticks are epoch-aligned
+    * (k·1800 s covering each user's [min, max] span — map-side sequence
+    * explode, no calendar join), and the sample at each tick is ONE
+    * as-of backward join (the single-shuffle AsofJoin operator). Every
+    * tick at or after a user's first reading must sample (n_sampled =
+    * n_ticks pins the hold-last totality); the hold-duration sum pins
+    * WHICH reading each tick held. */
+  private def a08Fn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    val grid = s.sql("""
+      SELECT user_id, timestamp_micros(k * 1800000000) AS gts
+      FROM (SELECT user_id,
+                   CAST(CEIL(MIN(unix_micros(ts)) / 1800000000.0D) AS BIGINT) AS k0,
+                   MAX(unix_micros(ts)) DIV 1800000000 AS k1
+            FROM events GROUP BY user_id) b
+      LATERAL VIEW explode(sequence(k0, k1)) t AS k
+      WHERE k0 <= k1""")
+    val r = s.sql("SELECT user_id, ts, value FROM events")
+    graft.operators.AsofJoin.asof(grid, r, Seq("user_id"), "gts", "ts",
+        Seq("value"), prefix = "r_")
+      .createOrReplaceTempView("a08_grid")
+    s.sql("""
+      SELECT user_id, COUNT(*) AS n_ticks, COUNT(r_ts) AS n_sampled,
+             CAST(COALESCE(ROUND(SUM(CAST(r_value AS DECIMAL(18,6))), 2), 0) AS DOUBLE) AS sampled_mass,
+             COALESCE(SUM(unix_micros(gts) - unix_micros(r_ts)), CAST(0 AS BIGINT)) AS hold_us
+      FROM a08_grid GROUP BY user_id ORDER BY user_id""")
+  }
+
+  private val a08Duck = """
+    WITH b AS (SELECT user_id,
+                      CEIL(MIN(epoch_us(ts)) / 1800000000.0)::BIGINT AS k0,
+                      MAX(epoch_us(ts)) // 1800000000 AS k1
+               FROM events GROUP BY user_id),
+    grid AS (SELECT user_id, make_timestamp(k * 1800000000) AS gts
+             FROM b, LATERAL (SELECT unnest(range(k0, k1 + 1)) AS k) t
+             WHERE k0 <= k1),
+    r AS (SELECT user_id, ts, value FROM events)
+    SELECT g.user_id, COUNT(*)::BIGINT AS n_ticks, COUNT(r.ts)::BIGINT AS n_sampled,
+           COALESCE(ROUND(SUM(CAST(r.value AS DECIMAL(18,6))), 2), 0)::DOUBLE AS sampled_mass,
+           COALESCE(SUM(epoch_us(g.gts) - epoch_us(r.ts)), 0)::BIGINT AS hold_us
+    FROM grid g ASOF LEFT JOIN r ON g.user_id = r.user_id AND g.gts >= r.ts
+    GROUP BY g.user_id ORDER BY g.user_id"""
+
+  /** Residual-encoded IVF-PQ (e25): the FAISS-default detail e09 omits —
+    * PQ codes quantize the RESIDUAL x − c(list), not the raw vector, so
+    * one shared codebook only has to cover the (much tighter) spread
+    * around the centroids, and the query builds a distance table PER
+    * PROBED LIST from its own residual against that list's centroid:
+    * ||q − x||² = ||(q − c) − (x − c)||², so residual-ADC approximates
+    * the same exact L2 the re-rank stage uses. Codebook entries are the
+    * residuals of vectors 4-7 (the first-K determinism trick — vectors
+    * 0-3 ARE the centroids, so their residuals are zero and would
+    * degenerate the codebook). Topology is e09's: broadcast distance
+    * tables into the ADC equi-join keyed on (probe_list, m, code),
+    * bounded exact re-rank, never all-pairs. */
+  private val e25Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e,
+                      sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 4),
+    asgn AS (SELECT vec_id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY graft_dot(e, ce) / (nrm * cnrm) DESC, cid) AS rn
+             FROM v CROSS JOIN c),
+    a AS (SELECT s.vec_id, s.cid AS list_id, zip_with(v.e, c.ce, (x, y) -> x - y) AS r
+          FROM asgn s JOIN v ON v.vec_id = s.vec_id JOIN c ON c.cid = s.cid
+          WHERE s.rn = 1),
+    rsub AS (SELECT vec_id, list_id, m, slice(r, m * 8 + 1, 8) AS sv
+             FROM a LATERAL VIEW explode(sequence(0, 7)) t AS m),
+    cb AS (SELECT m, vec_id AS kid, sv AS cv FROM rsub WHERE vec_id >= 4 AND vec_id < 8),
+    enc AS (SELECT vec_id, m, kid AS code FROM (
+              SELECT s.vec_id, s.m, k.kid,
+                     ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY graft_l2(s.sv, k.cv), k.kid) AS rn
+              FROM rsub s JOIN cb k ON k.m = s.m) t WHERE rn = 1),
+    qp AS (SELECT vec_id, cid AS probe_list FROM asgn
+           WHERE rn <= 2 AND vec_id >= 8 AND vec_id < 16),
+    qres AS (SELECT q.vec_id AS query_id, q.probe_list,
+                    zip_with(v.e, c.ce, (x, y) -> x - y) AS r
+             FROM qp q JOIN v ON v.vec_id = q.vec_id JOIN c ON c.cid = q.probe_list),
+    qsub AS (SELECT query_id, probe_list, m, slice(r, m * 8 + 1, 8) AS sv
+             FROM qres LATERAL VIEW explode(sequence(0, 7)) t AS m),
+    qd AS (SELECT s.query_id, s.probe_list, s.m, k.kid AS cid, graft_l2(s.sv, k.cv) AS dq
+           FROM qsub s JOIN cb k ON k.m = s.m),
+    pairs AS (SELECT q.vec_id AS query_id, q.probe_list AS list_id, x.vec_id AS neighbor_id
+              FROM qp q JOIN a x ON x.list_id = q.probe_list AND x.vec_id != q.vec_id),
+    adc AS (SELECT /*+ BROADCAST(d) */ p.query_id, p.neighbor_id, p.list_id,
+                   MAX(CASE WHEN d.m = 0 THEN d.dq END) + MAX(CASE WHEN d.m = 1 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 2 THEN d.dq END) + MAX(CASE WHEN d.m = 3 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 4 THEN d.dq END) + MAX(CASE WHEN d.m = 5 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 6 THEN d.dq END) + MAX(CASE WHEN d.m = 7 THEN d.dq END) AS adc_d
+            FROM pairs p
+            JOIN enc x ON x.vec_id = p.neighbor_id
+            JOIN qd d ON d.query_id = p.query_id AND d.probe_list = p.list_id
+                     AND d.m = x.m AND d.cid = x.code
+            GROUP BY p.query_id, p.neighbor_id, p.list_id),
+    cand AS (SELECT query_id, neighbor_id, list_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d, neighbor_id) AS arnk
+             FROM adc),
+    ref AS (SELECT c2.query_id, c2.neighbor_id, c2.list_id, graft_l2(qv.e, xv.e) AS exact_d
+            FROM cand c2 JOIN v qv ON qv.vec_id = c2.query_id
+                         JOIN v xv ON xv.vec_id = c2.neighbor_id
+            WHERE c2.arnk <= 16)
+    SELECT query_id, neighbor_id, CAST(list_id AS BIGINT) AS list_id,
+           CAST(rnk AS BIGINT) AS rnk, ROUND(exact_d, 6) AS exact_d
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY exact_d, neighbor_id) AS rnk
+          FROM ref) t
+    WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
+  private val e25Duck = """
+    WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    v AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * e[i])), (x, y) -> x + y)) AS nrm
+          FROM v0),
+    c AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 4),
+    asgn AS (SELECT vec_id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * ce[i])), (x, y) -> x + y) / (nrm * cnrm) DESC, cid) AS rn
+             FROM v CROSS JOIN c),
+    a AS (SELECT s.vec_id, s.cid AS list_id,
+                 list_transform(range(1, len(v.e) + 1), i -> v.e[i] - c.ce[i]) AS r
+          FROM asgn s JOIN v ON v.vec_id = s.vec_id JOIN c ON c.cid = s.cid
+          WHERE s.rn = 1),
+    rsub AS (SELECT vec_id, list_id, m, array_slice(r, m * 8 + 1, m * 8 + 8) AS sv
+             FROM a, (SELECT unnest(range(0, 8)) AS m) ms),
+    cb AS (SELECT m, vec_id AS kid, sv AS cv FROM rsub WHERE vec_id >= 4 AND vec_id < 8),
+    enc AS (SELECT vec_id, m, kid AS code FROM (
+              SELECT s.vec_id, s.m, k.kid,
+                     ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(s.sv) + 1), i -> (s.sv[i] - k.cv[i]) * (s.sv[i] - k.cv[i]))), (x, y) -> x + y), k.kid) AS rn
+              FROM rsub s JOIN cb k ON k.m = s.m) t WHERE rn = 1),
+    qp AS (SELECT vec_id, cid AS probe_list FROM asgn
+           WHERE rn <= 2 AND vec_id >= 8 AND vec_id < 16),
+    qres AS (SELECT q.vec_id AS query_id, q.probe_list,
+                    list_transform(range(1, len(v.e) + 1), i -> v.e[i] - c.ce[i]) AS r
+             FROM qp q JOIN v ON v.vec_id = q.vec_id JOIN c ON c.cid = q.probe_list),
+    qsub AS (SELECT query_id, probe_list, m, array_slice(r, m * 8 + 1, m * 8 + 8) AS sv
+             FROM qres, (SELECT unnest(range(0, 8)) AS m) ms),
+    qd AS (SELECT s.query_id, s.probe_list, s.m, k.kid AS cid,
+                  list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(s.sv) + 1), i -> (s.sv[i] - k.cv[i]) * (s.sv[i] - k.cv[i]))), (x, y) -> x + y) AS dq
+           FROM qsub s JOIN cb k ON k.m = s.m),
+    pairs AS (SELECT q.vec_id AS query_id, q.probe_list AS list_id, x.vec_id AS neighbor_id
+              FROM qp q JOIN a x ON x.list_id = q.probe_list AND x.vec_id != q.vec_id),
+    adc AS (SELECT p.query_id, p.neighbor_id, p.list_id,
+                   MAX(CASE WHEN d.m = 0 THEN d.dq END) + MAX(CASE WHEN d.m = 1 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 2 THEN d.dq END) + MAX(CASE WHEN d.m = 3 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 4 THEN d.dq END) + MAX(CASE WHEN d.m = 5 THEN d.dq END)
+                 + MAX(CASE WHEN d.m = 6 THEN d.dq END) + MAX(CASE WHEN d.m = 7 THEN d.dq END) AS adc_d
+            FROM pairs p
+            JOIN enc x ON x.vec_id = p.neighbor_id
+            JOIN qd d ON d.query_id = p.query_id AND d.probe_list = p.list_id
+                     AND d.m = x.m AND d.cid = x.code
+            GROUP BY p.query_id, p.neighbor_id, p.list_id),
+    cand AS (SELECT query_id, neighbor_id, list_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d, neighbor_id) AS arnk
+             FROM adc),
+    ref AS (SELECT c2.query_id, c2.neighbor_id, c2.list_id,
+                   list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(qv.e) + 1), i -> (qv.e[i] - xv.e[i]) * (qv.e[i] - xv.e[i]))), (x, y) -> x + y) AS exact_d
+            FROM cand c2 JOIN v qv ON qv.vec_id = c2.query_id
+                         JOIN v xv ON xv.vec_id = c2.neighbor_id
+            WHERE c2.arnk <= 16)
+    SELECT query_id, neighbor_id, list_id::BIGINT AS list_id,
+           rnk::BIGINT AS rnk, ROUND(exact_d, 6) AS exact_d
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY exact_d, neighbor_id) AS rnk
+          FROM ref) t
+    WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
   /** Tile-pyramid rollup (g68): the standard pyramid BUILD — the finest
     * level (z6) aggregates from points ONCE, then every coarser level
     * derives from the level below by integer halving (parent = child
@@ -8713,6 +8884,7 @@ object SparkEntry {
     ("a06_asof_interp", a06Fn _, a06Duck),
     ("a04_keyed_interval",a04Fn _, a04Duck),
     ("a07_scd2_join", q(a07Spark), a07Duck),
+    ("a08_grid_resample", a08Fn _, a08Duck),
     ("t15_corpus_dup_chunks", q(t15Spark), t15Duck),
     ("t16_sequence_pack", q(t16Spark), t16Duck),
     ("t17_mixture_sample", q(t17Spark), t17Duck),
@@ -8736,6 +8908,7 @@ object SparkEntry {
     ("e22_tombstone_delete", q(e22Spark), e22Duck),
     ("e23_knn_graph", q(e23Spark), e23Duck),
     ("e24_graph_recall", q(e24Spark), e24Duck),
+    ("e25_ivfpq_residual", q(e25Spark), e25Duck),
     ("g68_tile_rollup", g68Fn _, g68Duck),
     ("g69_rasterize", q(g69Spark), g69Duck),
     ("m14_phash_bands", q(m14Spark), m14Duck),
