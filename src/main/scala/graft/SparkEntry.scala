@@ -7836,6 +7836,118 @@ object SparkEntry {
            ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS recall
     FROM j GROUP BY label ORDER BY label"""
 
+  /** Matryoshka dimension-recall curve (e26): e11's truncated-prefix
+    * retrieval swept over prefix widths 16 / 32 / 64 in ONE query — the
+    * dimension analog of e18's nProbe curve. Per width: stage-1 ranks by
+    * prefix L2, the prefix top-32 re-ranks by exact full-dim L2, and
+    * recall@3 scores the result against the exact top-3 (the d = 64
+    * rung IS exact retrieval, so its recall pins 1.0 as the curve's
+    * anchor). The corpus scans once; the width explode multiplies only
+    * the bounded query side. The output is the storage-vs-recall curve
+    * an MRL deployment reads to pick its serving dimension. */
+  private val e26Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, graft_vec(embedding) AS e
+               FROM embeddings),
+    qv AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id >= 8 AND vec_id < 16),
+    ex3 AS (SELECT query_id, neighbor_id FROM (
+              SELECT qv.query_id, x.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY qv.query_id
+                       ORDER BY graft_l2(qv.qe, x.e), x.vec_id) AS r
+              FROM v x JOIN qv ON x.vec_id != qv.query_id) t WHERE r <= 3),
+    qd AS (SELECT query_id, qe, d FROM qv LATERAL VIEW explode(array(16, 32, 64)) t AS d),
+    pre AS (SELECT /*+ BROADCAST(qd) */ qd.query_id, qd.d, x.vec_id AS neighbor_id,
+                   graft_l2(slice(qd.qe, 1, qd.d), slice(x.e, 1, qd.d)) AS pre_d
+            FROM v x JOIN qd ON x.vec_id != qd.query_id),
+    cand AS (SELECT query_id, d, neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id, d ORDER BY pre_d, neighbor_id) AS arnk
+             FROM pre),
+    ref AS (SELECT c.query_id, c.d, c.neighbor_id, graft_l2(qv.qe, xv.e) AS full_d
+            FROM cand c JOIN qv ON qv.query_id = c.query_id
+                        JOIN v xv ON xv.vec_id = c.neighbor_id
+            WHERE c.arnk <= 32),
+    app3 AS (SELECT query_id, d, neighbor_id FROM (
+               SELECT query_id, d, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id, d
+                        ORDER BY full_d, neighbor_id) AS rnk
+               FROM ref) t WHERE rnk <= 3),
+    hits AS (SELECT a.d, COUNT(*) AS n_hit
+             FROM app3 a JOIN ex3 e ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+             GROUP BY a.d)
+    SELECT CAST(d AS BIGINT) AS d, CAST(24 AS BIGINT) AS n_exact,
+           n_hit, ROUND(CAST(n_hit AS DOUBLE) / 24.0D, 6) AS recall
+    FROM hits ORDER BY d"""
+
+  private val e26Duck = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    qv AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id >= 8 AND vec_id < 16),
+    ex3 AS (SELECT query_id, neighbor_id FROM (
+              SELECT qv.query_id, x.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY qv.query_id
+                       ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(qv.qe) + 1), i -> (qv.qe[i] - x.e[i]) * (qv.qe[i] - x.e[i]))), (a, b) -> a + b), x.vec_id) AS r
+              FROM v x JOIN qv ON x.vec_id != qv.query_id) t WHERE r <= 3),
+    qd AS (SELECT query_id, qe, d FROM qv, (SELECT unnest([16, 32, 64]) AS d) ds),
+    pre AS (SELECT qd.query_id, qd.d, x.vec_id AS neighbor_id,
+                   list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, qd.d + 1), i -> (qd.qe[i] - x.e[i]) * (qd.qe[i] - x.e[i]))), (a, b) -> a + b) AS pre_d
+            FROM v x JOIN qd ON x.vec_id != qd.query_id),
+    cand AS (SELECT query_id, d, neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id, d ORDER BY pre_d, neighbor_id) AS arnk
+             FROM pre),
+    ref AS (SELECT c.query_id, c.d, c.neighbor_id,
+                   list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(qv.qe) + 1), i -> (qv.qe[i] - xv.e[i]) * (qv.qe[i] - xv.e[i]))), (a, b) -> a + b) AS full_d
+            FROM cand c JOIN qv ON qv.query_id = c.query_id
+                        JOIN v xv ON xv.vec_id = c.neighbor_id
+            WHERE c.arnk <= 32),
+    app3 AS (SELECT query_id, d, neighbor_id FROM (
+               SELECT query_id, d, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id, d
+                        ORDER BY full_d, neighbor_id) AS rnk
+               FROM ref) t WHERE rnk <= 3),
+    hits AS (SELECT a.d, COUNT(*) AS n_hit
+             FROM app3 a JOIN ex3 e ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+             GROUP BY a.d)
+    SELECT d::BIGINT AS d, 24::BIGINT AS n_exact,
+           n_hit::BIGINT AS n_hit, ROUND(CAST(n_hit AS DOUBLE) / 24.0, 6) AS recall
+    FROM hits ORDER BY d"""
+
+  /** Temperature-weighted mixture (t41): t17's fixed per-tier rates
+    * replaced by LEARNED source weights w_s ∝ n_s^0.7 — the
+    * multilingual-corpus temperature sampling (T = 0.7) that lifts
+    * low-resource sources without letting the head dominate. Weights
+    * floor to integer micro-units PER SOURCE (one pow() each — the g10
+    * transcendental precedent; everything downstream is BIGINT), the
+    * normalizer is an integer sum, and each doc keeps iff its
+    * content-keyed hash coin lands under its source's permille — the
+    * same retry-stable, RNG-free map-side decision as t17. Per-source
+    * keep rates then DECREASE in corpus share, which the output's
+    * permille column shows directly. */
+  private val t41Spark = """
+    WITH sc AS (SELECT /*+ REPARTITION({{P}}) */ source, COUNT(*) AS n FROM documents GROUP BY source),
+    w AS (SELECT source, n, CAST(FLOOR(POW(CAST(n AS DOUBLE), 0.7D) * 1000000.0D) AS BIGINT) AS wgt FROM sc),
+    norm AS (SELECT source, n, wgt, SUM(wgt) OVER () AS total_w FROM w),
+    rate AS (SELECT source, n, (1000 * wgt) DIV total_w AS permille FROM norm),
+    dec AS (SELECT d.doc_id, d.source, d.n_chars, r.permille,
+                   CASE WHEN graft_hash(CAST(d.doc_id AS STRING) || ':temp') % 1000 < r.permille
+                        THEN 1 ELSE 0 END AS keep
+            FROM documents d JOIN rate r ON r.source = d.source)
+    SELECT source, MAX(permille) AS permille, COUNT(*) AS n_docs,
+           SUM(keep) AS n_kept,
+           SUM(CASE WHEN keep = 1 THEN CAST(n_chars AS BIGINT) ELSE 0 END) AS kept_chars
+    FROM dec GROUP BY source ORDER BY source"""
+
+  private val t41Duck = """
+    WITH sc AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    w AS (SELECT source, n, FLOOR(POW(n::DOUBLE, 0.7) * 1000000.0)::BIGINT AS wgt FROM sc),
+    norm AS (SELECT source, n, wgt, SUM(wgt) OVER () AS total_w FROM w),
+    rate AS (SELECT source, n, (1000 * wgt) // total_w AS permille FROM norm),
+    dec AS (SELECT d.doc_id, d.source, d.n_chars, r.permille,
+                   CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR || ':temp'), 1, 8))::BIGINT % 1000 < r.permille
+                        THEN 1 ELSE 0 END AS keep
+            FROM documents d JOIN rate r ON r.source = d.source)
+    SELECT source, MAX(permille)::BIGINT AS permille, COUNT(*)::BIGINT AS n_docs,
+           SUM(keep)::BIGINT AS n_kept,
+           SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END)::BIGINT AS kept_chars
+    FROM dec GROUP BY source ORDER BY source"""
+
   /** Grid resampling (a08): downsample an irregular event stream onto a
     * regular 30-minute grid with hold-last semantics — the standard
     * time-series regularization in front of windowed models (a06
@@ -8909,6 +9021,8 @@ object SparkEntry {
     ("e23_knn_graph", q(e23Spark), e23Duck),
     ("e24_graph_recall", q(e24Spark), e24Duck),
     ("e25_ivfpq_residual", q(e25Spark), e25Duck),
+    ("e26_mrl_curve", q(e26Spark), e26Duck),
+    ("t41_temperature_mix", q(t41Spark), t41Duck),
     ("g68_tile_rollup", g68Fn _, g68Duck),
     ("g69_rasterize", q(g69Spark), g69Duck),
     ("m14_phash_bands", q(m14Spark), m14Duck),
