@@ -8320,10 +8320,13 @@ object SparkEntry {
               FROM im LATERAL VIEW explode(sequence(0, 3)) t AS b),
     cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
              FROM bands x JOIN bands y ON y.b = x.b AND y.bkey = x.bkey AND y.doc_id > x.doc_id),
+    iw AS (SELECT doc_id,
+                  CAST(conv(substring(ph, 1, 32), 2, 10) AS BIGINT) AS hi,
+                  CAST(conv(substring(ph, 33, 32), 2, 10) AS BIGINT) AS lo
+           FROM im),
     h AS (SELECT c.i, c.j,
-                 aggregate(sequence(1, 64), 0, (acc, k) ->
-                   acc + IF(substring(pi.ph, k, 1) = substring(pj.ph, k, 1), 0, 1)) AS ham
-          FROM cand c JOIN im pi ON pi.doc_id = c.i JOIN im pj ON pj.doc_id = c.j)
+                 bit_count(pi.hi ^ pj.hi) + bit_count(pi.lo ^ pj.lo) AS ham
+          FROM cand c JOIN iw pi ON pi.doc_id = c.i JOIN iw pj ON pj.doc_id = c.j)
     SELECT COUNT(*) AS n_cand,
            SUM(CASE WHEN ham = 0 THEN 1 ELSE 0 END) AS n_exact,
            SUM(CASE WHEN ham <= 6 THEN 1 ELSE 0 END) AS n_near,
