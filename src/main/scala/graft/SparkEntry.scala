@@ -2210,6 +2210,136 @@ object SparkEntry {
            SUM(lag_s)::BIGINT AS sum_lag_s
     FROM p GROUP BY user_id ORDER BY user_id"""
 
+  /** Trajectory statistics (g70): the GPS-track report — per device,
+    * consecutive positions (event-time ordered) fold to step distances
+    * on the sphere, total path length, longest hop, and cardinal
+    * drift counts. Steps come from ONE LAG window over the device
+    * partitioning; each haversine step floors to integer millimeters
+    * BEFORE the sum (the established order-free trick — the oracle
+    * replays the identical IEEE chain per row, g24's precedent, and the
+    * BIGINT sum can't drift); direction counts use plain coordinate
+    * comparisons, no transcendental ever picks a bucket (the g59 rule).
+    * One shuffle, keyed by device. */
+  private val g70Spark = """
+    WITH p AS (SELECT /*+ REPARTITION({{P}}) */ user_id, ts, event_id,
+                      CAST((event_id * 13) % 360 - 180 AS DOUBLE) AS lon,
+                      CAST((event_id * 7) % 140 - 70 AS DOUBLE) AS lat
+               FROM events),
+    s AS (SELECT user_id, lon, lat,
+                 LAG(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon,
+                 LAG(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat
+          FROM p),
+    st AS (SELECT user_id, lon, lat, plon, plat,
+                  CAST(FLOOR(ST_DistanceSphere(ST_Point(plon, plat),
+                                               ST_Point(lon, lat)) * 1000.0D) AS BIGINT) AS d_mm
+           FROM s WHERE plon IS NOT NULL)
+    SELECT user_id, COUNT(*) AS n_steps,
+           SUM(d_mm) AS path_mm, MAX(d_mm) AS max_step_mm,
+           SUM(CASE WHEN lon > plon THEN 1 ELSE 0 END) AS n_east,
+           SUM(CASE WHEN lat > plat THEN 1 ELSE 0 END) AS n_north
+    FROM st GROUP BY user_id ORDER BY user_id"""
+
+  private val g70Duck = """
+    WITH p AS (SELECT user_id, ts, event_id,
+                      ((event_id * 13) % 360 - 180)::DOUBLE AS lon,
+                      ((event_id * 7) % 140 - 70)::DOUBLE AS lat
+               FROM events),
+    s AS (SELECT user_id, lon, lat,
+                 LAG(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon,
+                 LAG(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat
+          FROM p),
+    st AS (SELECT user_id, lon, lat, plon, plat,
+                  FLOOR(2 * 6371008.8 * asin(least(1.0, sqrt(
+                    pow(sin(radians(lat - plat) / 2), 2) +
+                    cos(radians(plat)) * cos(radians(lat)) *
+                    pow(sin(radians(lon - plon) / 2), 2)))) * 1000.0)::BIGINT AS d_mm
+           FROM s WHERE plon IS NOT NULL)
+    SELECT user_id, COUNT(*)::BIGINT AS n_steps,
+           SUM(d_mm)::BIGINT AS path_mm, MAX(d_mm)::BIGINT AS max_step_mm,
+           SUM(CASE WHEN lon > plon THEN 1 ELSE 0 END)::BIGINT AS n_east,
+           SUM(CASE WHEN lat > plat THEN 1 ELSE 0 END)::BIGINT AS n_north
+    FROM st GROUP BY user_id ORDER BY user_id"""
+
+  /** Built-in session windows (s14): `session_window(ts, gap)` — the
+    * state-store-native sessionization Spark added in 3.2, the third
+    * face of the session triangle next to s01 (batch gaps-and-islands)
+    * and the flatMapGroupsWithState sessionizer (custom state): the
+    * engine MERGES overlapping per-key session fragments in the state
+    * store and finalizes a session only when the watermark passes its
+    * gap-extended end. Events arrive in TWO interleaved micro-batch
+    * files (even ids then odd ids), so fragments from both batches must
+    * merge before any session closes — a state backend that failed to
+    * merge emits split sessions and hash-mismatches against the
+    * gaps-and-islands oracle. Sentinels close every session (two
+    * trailing batches, the s12 propagation lesson). */
+  private def s14Fn(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s14").toString
+    val src = new java.io.File(tmp, "src"); src.mkdirs()
+    // per user: bursts of 3 events 60 s apart, bursts separated by 1 h
+    def slice(par: Int) = s.sql(s"""
+      SELECT CAST(id AS BIGINT) AS event_id,
+             timestamp_seconds(1700000000 + (id DIV 21) * 3600 + (id % 21) * 60) AS ts,
+             CAST(id % 5 AS BIGINT) AS user_id,
+             'tap' AS event_type,
+             CAST(id AS DOUBLE) / 10 AS value
+      FROM range(200) WHERE id % 2 = $par""")
+    def sentinel(offset: Long) = s.sql(s"""
+      SELECT CAST(9000 + $offset AS BIGINT) AS event_id,
+             timestamp_seconds(1700000000 + 864000 + $offset) AS ts,
+             CAST(0 AS BIGINT) AS user_id, 'sentinel' AS event_type, 0.0 AS value""")
+    Seq(slice(0), slice(1), sentinel(0), sentinel(1)).zipWithIndex.foreach { case (df, i) =>
+      val stage = new java.io.File(tmp, s"stage$i")
+      df.coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(src, s"f$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = slice(0).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+    import org.apache.spark.sql.functions.{session_window, col, count, sum}
+    val sess = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"), col("event_type"))
+      .agg(count("*").as("n_events"), sum("value").as("mass"))
+    val qname = "graft_s14_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = sess.writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", tmp + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(qname)
+      .where("event_type <> 'sentinel'")
+      .selectExpr("user_id", "CAST(session_window.start AS BIGINT) AS sess_start",
+        "CAST(session_window.end AS BIGINT) AS sess_end",
+        "n_events", "ROUND(mass, 6) AS mass")
+      .orderBy("user_id", "sess_start")
+  }
+
+  private val s14Duck = """
+    WITH ev AS (SELECT 1700000000 + (i // 21) * 3600 + (i % 21) * 60 AS es,
+                       i % 5 AS user_id, i / 10.0 AS value
+                FROM range(200) t(i)),
+    d AS (SELECT user_id, es, value,
+            CASE WHEN LAG(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
+                   OR es - LAG(es) OVER (PARTITION BY user_id ORDER BY es) >= 600
+                 THEN 1 ELSE 0 END AS is_new
+          FROM ev),
+    g AS (SELECT user_id, es, value,
+            SUM(is_new) OVER (PARTITION BY user_id ORDER BY es
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM d)
+    SELECT user_id::BIGINT AS user_id, MIN(es)::BIGINT AS sess_start,
+           (MAX(es) + 600)::BIGINT AS sess_end,
+           COUNT(*)::BIGINT AS n_events, ROUND(SUM(value), 6) AS mass
+    FROM g GROUP BY user_id, sid ORDER BY user_id, sess_start"""
+
   /** Stream-stream LEFT OUTER interval join (s13): the attribution shape
     * of s05 with the unmatched side KEPT — a view with no click inside
     * its 10-minute window must still emit, null-padded, and it can only
@@ -9028,6 +9158,7 @@ object SparkEntry {
     ("t41_temperature_mix", q(t41Spark), t41Duck),
     ("g68_tile_rollup", g68Fn _, g68Duck),
     ("g69_rasterize", q(g69Spark), g69Duck),
+    ("g70_trajectory", q(g70Spark), g70Duck),
     ("m14_phash_bands", q(m14Spark), m14Duck),
     ("g63_hex_bin", q(g63Spark), g63Duck),
     ("t24_tfidf_terms", q(t24Spark), t24Duck),
@@ -9072,6 +9203,7 @@ object SparkEntry {
     ("s11_stream_classify", s11Fn _, s11Duck),
     ("s12_late_drop", s12Fn _, s12Duck),
     ("s13_stream_outer_join", s13Fn _, s13Duck),
+    ("s14_session_window", s14Fn _, s14Duck),
     ("m01_media_meta", q(m01Spark), m01Duck),
     ("m02_decode_resize_hist", m02Fn _, m02Duck),
     ("m03_real_decode_matrix", q(m03Spark), m03Duck),
