@@ -7966,6 +7966,128 @@ object SparkEntry {
            ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS recall
     FROM j GROUP BY label ORDER BY label"""
 
+  /** Label-partitioned filtered ANN (e27): the index layout e15's
+    * recall audit argues FOR — when queries always filter by a label,
+    * partition the index BY the label (per-label coarse centroids, list
+    * key = (label, centroid)) so the filter prunes lists instead of
+    * post-filtering candidates: filtered recall loss from candidates of
+    * the wrong label becomes structurally zero, and search cost is
+    * bounded by the label's own lists. Centroids are each label's two
+    * lowest-id vectors (the determinism trick per partition); queries
+    * probe their own label's nearest list (nProbe = 1, so recall < 1
+    * within the label is the honest quantization number, measured
+    * against the exact within-label top-3). The per-tenant index
+    * pattern: everything keys on (label, list). */
+  private val e27Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, label, graft_vec(embedding) AS e,
+                      sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
+               FROM embeddings),
+    c AS (SELECT label, vec_id AS cid, e AS ce, nrm AS cnrm FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM v) t
+          WHERE rn <= 2),
+    asgn AS (SELECT v.vec_id, v.label, v.e, v.nrm, c.cid,
+                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                      ORDER BY graft_dot(v.e, c.ce) / (v.nrm * c.cnrm) DESC, c.cid) AS rn
+             FROM v JOIN c ON c.label = v.label),
+    a AS (SELECT vec_id, label, e, nrm, cid AS list_id FROM asgn WHERE rn = 1),
+    qp AS (SELECT vec_id AS query_id, label, e, nrm, cid AS probe_list FROM asgn
+           WHERE rn = 1 AND vec_id >= 8 AND vec_id < 16),
+    cand AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+                    graft_dot(q.e, x.e) / (q.nrm * x.nrm) AS cos
+             FROM qp q JOIN a x ON x.label = q.label AND x.list_id = q.probe_list
+                              AND x.vec_id != q.query_id),
+    ann3 AS (SELECT query_id, neighbor_id FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rnk FROM cand) t WHERE rnk <= 3),
+    ex3 AS (SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY graft_dot(q.e, x.e) / (q.nrm * x.nrm) DESC, x.vec_id) AS rnk
+              FROM (SELECT * FROM v WHERE vec_id >= 8 AND vec_id < 16) q
+              JOIN v x ON x.label = q.label AND x.vec_id != q.vec_id) t WHERE rnk <= 3),
+    nc AS (SELECT query_id, COUNT(*) AS n_cand FROM cand GROUP BY query_id)
+    SELECT e.query_id, COUNT(*) AS n_exact,
+           SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_recalled,
+           MAX(nc.n_cand) AS n_cand
+    FROM ex3 e
+    LEFT JOIN ann3 a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    JOIN nc ON nc.query_id = e.query_id
+    GROUP BY e.query_id ORDER BY e.query_id"""
+
+  private val e27Duck = """
+    WITH v0 AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    v AS (SELECT vec_id, label, e,
+                 sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * e[i])), (x, y) -> x + y)) AS nrm
+          FROM v0),
+    c AS (SELECT label, vec_id AS cid, e AS ce, nrm AS cnrm FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM v) t
+          WHERE rn <= 2),
+    asgn AS (SELECT v.vec_id, v.label, v.e, v.nrm, c.cid,
+                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                      ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(v.e) + 1), i -> v.e[i] * c.ce[i])), (x, y) -> x + y) / (v.nrm * c.cnrm) DESC, c.cid) AS rn
+             FROM v JOIN c ON c.label = v.label),
+    a AS (SELECT vec_id, label, e, nrm, cid AS list_id FROM asgn WHERE rn = 1),
+    qp AS (SELECT vec_id AS query_id, label, e, nrm, cid AS probe_list FROM asgn
+           WHERE rn = 1 AND vec_id >= 8 AND vec_id < 16),
+    cand AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+                    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.e) + 1), i -> q.e[i] * x.e[i])), (x, y) -> x + y) / (q.nrm * x.nrm) AS cos
+             FROM qp q JOIN a x ON x.label = q.label AND x.list_id = q.probe_list
+                              AND x.vec_id != q.query_id),
+    ann3 AS (SELECT query_id, neighbor_id FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rnk FROM cand) t WHERE rnk <= 3),
+    ex3 AS (SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.e) + 1), i -> q.e[i] * x.e[i])), (x, y) -> x + y) / (q.nrm * x.nrm) DESC, x.vec_id) AS rnk
+              FROM (SELECT * FROM v WHERE vec_id >= 8 AND vec_id < 16) q
+              JOIN v x ON x.label = q.label AND x.vec_id != q.vec_id) t WHERE rnk <= 3),
+    nc AS (SELECT query_id, COUNT(*) AS n_cand FROM cand GROUP BY query_id)
+    SELECT e.query_id, COUNT(*)::BIGINT AS n_exact,
+           SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_recalled,
+           MAX(nc.n_cand)::BIGINT AS n_cand
+    FROM ex3 e
+    LEFT JOIN ann3 a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    JOIN nc ON nc.query_id = e.query_id
+    GROUP BY e.query_id ORDER BY e.query_id"""
+
+  /** Cross-crawl novelty (t42): how much genuinely NEW content does a
+    * fresh crawl contribute — the dataset-refresh number next to t33's
+    * incremental dedup. Docs split into crawl A (even ids) and crawl B
+    * (odd ids); B's distinct 6-token shingles anti-join A's shingle
+    * vocabulary, and per-source novelty = novel-shingle share. Both
+    * sides are DISTINCT shingle sets before the join (never row-level),
+    * the join keys on shingle content — the t31 overlap-matrix topology
+    * pointed at the arrival direction. */
+  private val t42Spark = """
+    WITH a AS (SELECT DISTINCT ng FROM (
+                 SELECT /*+ REPARTITION({{P}}) */ explode(graft_shingles(text, 6)) AS ng
+                 FROM documents WHERE doc_id % 2 = 0) t),
+    b AS (SELECT source, ng FROM (
+            SELECT source, explode(graft_shingles(text, 6)) AS ng
+            FROM documents WHERE doc_id % 2 = 1) t GROUP BY source, ng),
+    nv AS (SELECT b.source, b.ng, CASE WHEN a.ng IS NULL THEN 1 ELSE 0 END AS novel
+           FROM b LEFT JOIN a ON a.ng = b.ng)
+    SELECT source, COUNT(*) AS n_shingles, SUM(novel) AS n_novel,
+           ROUND(CAST(SUM(novel) AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM nv GROUP BY source ORDER BY source"""
+
+  private val t42Duck = """
+    WITH sh AS (SELECT doc_id, source,
+                       CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 6
+                         THEN list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 6 + 2),
+                                i -> array_to_string(array_slice(string_split_regex(trim(text), '\s+'), i, i + 5), ' '))
+                         ELSE [] END AS ngs
+                FROM documents),
+    a AS (SELECT DISTINCT unnest(ngs) AS ng FROM sh WHERE doc_id % 2 = 0),
+    b AS (SELECT source, unnest(ngs) AS ng FROM sh WHERE doc_id % 2 = 1),
+    bd AS (SELECT source, ng FROM b GROUP BY source, ng),
+    nv AS (SELECT bd.source, bd.ng, CASE WHEN a.ng IS NULL THEN 1 ELSE 0 END AS novel
+           FROM bd LEFT JOIN a ON a.ng = bd.ng)
+    SELECT source, COUNT(*)::BIGINT AS n_shingles, SUM(novel)::BIGINT AS n_novel,
+           ROUND(CAST(SUM(novel) AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM nv GROUP BY source ORDER BY source"""
+
   /** Matryoshka dimension-recall curve (e26): e11's truncated-prefix
     * retrieval swept over prefix widths 16 / 32 / 64 in ONE query — the
     * dimension analog of e18's nProbe curve. Per width: stage-1 ranks by
@@ -9155,6 +9277,8 @@ object SparkEntry {
     ("e24_graph_recall", q(e24Spark), e24Duck),
     ("e25_ivfpq_residual", q(e25Spark), e25Duck),
     ("e26_mrl_curve", q(e26Spark), e26Duck),
+    ("e27_filtered_ivf", q(e27Spark), e27Duck),
+    ("t42_crawl_novelty", q(t42Spark), t42Duck),
     ("t41_temperature_mix", q(t41Spark), t41Duck),
     ("g68_tile_rollup", g68Fn _, g68Duck),
     ("g69_rasterize", q(g69Spark), g69Duck),
