@@ -2260,6 +2260,54 @@ object SparkEntry {
            SUM(CASE WHEN lat > plat THEN 1 ELSE 0 END)::BIGINT AS n_north
     FROM st GROUP BY user_id ORDER BY user_id"""
 
+  /** Cross-track distance (g71): for every point, the signed spherical
+    * distance to a great-circle route — the fleet-monitoring "how far
+    * off the corridor" report (and the pruning predicate behind
+    * route-buffer joins at scale: |xt| < w is the corridor test). The
+    * kernel chains haversine + two initial bearings + asin, every step
+    * a plain libm call the oracle replays IEEE-identically (g24/g62
+    * precedent); per-point magnitudes floor to mm before summing
+    * (order-free), and the side split uses the SIGN of the identical
+    * double, so the report is deterministic cross-engine. Map-side
+    * kernel + one bounded agg. */
+  private val g71Spark = """
+    WITH p AS (SELECT /*+ REPARTITION({{P}}) */ s_suppkey AS k,
+                      ST_Point(CAST(s_suppkey % 80 - 40 AS DOUBLE),
+                               CAST((s_suppkey * 3) % 80 - 40 AS DOUBLE)) AS pt
+               FROM supplier),
+    x AS (SELECT k, ST_CrossTrackDistance(pt, ST_Point(-30.0D, -10.0D),
+                                          ST_Point(30.0D, 15.0D)) AS xt
+          FROM p)
+    SELECT CASE WHEN xt >= 0 THEN 'right' ELSE 'left' END AS side,
+           COUNT(*) AS n,
+           SUM(CAST(FLOOR(ABS(xt) * 1000.0D) AS BIGINT)) AS dist_mm,
+           MAX(CAST(FLOOR(ABS(xt) * 1000.0D) AS BIGINT)) AS max_mm
+    FROM x GROUP BY 1 ORDER BY 1"""
+
+  private val g71Duck = """
+    WITH p AS (SELECT s_suppkey AS k,
+                      (s_suppkey % 80 - 40)::DOUBLE AS plon,
+                      ((s_suppkey * 3) % 80 - 40)::DOUBLE AS plat
+               FROM supplier),
+    x AS (SELECT k,
+            asin(sin((2 * 6371008.8 * asin(least(1.0, sqrt(
+                   pow(sin(radians(plat - (-10.0)) / 2), 2) +
+                   cos(radians(-10.0)) * cos(radians(plat)) *
+                   pow(sin(radians(plon - (-30.0)) / 2), 2))))) / 6371008.8)
+               * sin(atan2(sin(radians(plon - (-30.0))) * cos(radians(plat)),
+                           cos(radians(-10.0)) * sin(radians(plat))
+                         - sin(radians(-10.0)) * cos(radians(plat)) * cos(radians(plon - (-30.0))))
+                   - atan2(sin(radians(30.0 - (-30.0))) * cos(radians(15.0)),
+                           cos(radians(-10.0)) * sin(radians(15.0))
+                         - sin(radians(-10.0)) * cos(radians(15.0)) * cos(radians(30.0 - (-30.0))))))
+            * 6371008.8 AS xt
+          FROM p)
+    SELECT CASE WHEN xt >= 0 THEN 'right' ELSE 'left' END AS side,
+           COUNT(*)::BIGINT AS n,
+           SUM(FLOOR(ABS(xt) * 1000.0)::BIGINT)::BIGINT AS dist_mm,
+           MAX(FLOOR(ABS(xt) * 1000.0)::BIGINT)::BIGINT AS max_mm
+    FROM x GROUP BY 1 ORDER BY 1"""
+
   /** Built-in session windows (s14): `session_window(ts, gap)` — the
     * state-store-native sessionization Spark added in 3.2, the third
     * face of the session triangle next to s01 (batch gaps-and-islands)
@@ -9283,6 +9331,7 @@ object SparkEntry {
     ("g68_tile_rollup", g68Fn _, g68Duck),
     ("g69_rasterize", q(g69Spark), g69Duck),
     ("g70_trajectory", q(g70Spark), g70Duck),
+    ("g71_cross_track", q(g71Spark), g71Duck),
     ("m14_phash_bands", q(m14Spark), m14Duck),
     ("g63_hex_bin", q(g63Spark), g63Duck),
     ("t24_tfidf_terms", q(t24Spark), t24Duck),

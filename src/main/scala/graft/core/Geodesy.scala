@@ -213,6 +213,31 @@ object Geodesy {
     2 * EarthRadiusM * math.asin(math.min(1.0, math.sqrt(a)))
   }
 
+  /** Cross-track distance on the IAU sphere: signed distance from point
+    * `p` to the great circle through `a` → `b` (the navigation "how far
+    * off the route am I" number; sign encodes the side — positive when
+    * the point lies right of the track direction). Standard
+    * spherical formula d_xt = asin(sin(δ13) · sin(θ13 − θ12)) · R with
+    * δ13 the angular distance a→p and θ13/θ12 the initial bearings
+    * a→p / a→b — every step a plain libm call, so an oracle replays the
+    * identical IEEE chain (the g24/g62 precedent).
+    * SQL: `ST_CrossTrackDistance(p, a, b)`. */
+  def crossTrackMeters(p: Array[Byte], a: Array[Byte], b: Array[Byte]): Double = {
+    val cp = GeomOps.read(p).getCoordinate
+    val ca = GeomOps.read(a).getCoordinate
+    val cb = GeomOps.read(b).getCoordinate
+    def bearing(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+      val dl = math.toRadians(lon2 - lon1)
+      val f1 = math.toRadians(lat1); val f2 = math.toRadians(lat2)
+      math.atan2(math.sin(dl) * math.cos(f2),
+        math.cos(f1) * math.sin(f2) - math.sin(f1) * math.cos(f2) * math.cos(dl))
+    }
+    val d13 = haversineMeters(ca.x, ca.y, cp.x, cp.y) / EarthRadiusM
+    val t13 = bearing(ca.x, ca.y, cp.x, cp.y)
+    val t12 = bearing(ca.x, ca.y, cb.x, cb.y)
+    math.asin(math.sin(d13) * math.sin(t13 - t12)) * EarthRadiusM
+  }
+
   /** Great-circle forward problem on the IAU sphere (PostGIS ST_Project's
     * shape): destination of travelling `distM` meters from the point at
     * initial bearing `azRad` (radians clockwise from north). Standard

@@ -198,6 +198,7 @@ object GeoFunctions {
     "st_distancevincenty" -> Sig("distanceVincenty", D, Seq(G, G), geodesy),
     "st_lengthvincenty" -> Sig("lengthVincenty", D, Seq(G), geodesy),
     "st_geohash" -> Sig("geoHash", S, Seq(G, I), geodesy),
+    "st_crosstrackdistance" -> Sig("crossTrackMeters", D, Seq(G, G, G), geodesy),
     "st_tilex" -> Sig("tileX", LongType, Seq(D, I), geodesy),
     "st_tiley" -> Sig("tileY", LongType, Seq(D, I), geodesy),
     "st_tileenvelope" -> Sig("tileEnvelope", G, Seq(I, LongType, LongType), geodesy),

@@ -459,4 +459,22 @@ class GeoFunctionsSpec extends SparkTestBase {
     intercept[Exception] { sql("SELECT ST_GeoHash(ST_Point(200.0, 0.0), 5)").collect() }
     intercept[Exception] { sql("SELECT ST_GeoHash(ST_Point(0.0, 0.0), 13)").collect() }
   }
+
+  test("ST_CrossTrackDistance: meridian anchor, on-track zero, side signs") {
+    // route due north along the prime meridian; a point 1 deg east at the
+    // equator is ~111.19 km right of track (R * 1 deg, small-angle exact
+    // to < 20 m at this distance)
+    val xt = one("ST_CrossTrackDistance(ST_Point(1, 0), ST_Point(0, -10), ST_Point(0, 10))")
+      .asInstanceOf[Double]
+    val oneDeg = 6371008.8 * math.Pi / 180.0
+    assert(math.abs(xt - oneDeg) < 20.0, s"expected ~$oneDeg, got $xt")
+    // west of the northbound track is negative (left)
+    val xtw = one("ST_CrossTrackDistance(ST_Point(-1, 0), ST_Point(0, -10), ST_Point(0, 10))")
+      .asInstanceOf[Double]
+    assert(math.abs(xtw + oneDeg) < 20.0, s"expected ~-$oneDeg, got $xtw")
+    // a point ON the route midpoint is on-track
+    val xt0 = one("ST_CrossTrackDistance(ST_Point(0, 0), ST_Point(0, -10), ST_Point(0, 10))")
+      .asInstanceOf[Double]
+    assert(math.abs(xt0) < 1e-6)
+  }
 }
