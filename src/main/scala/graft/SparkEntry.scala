@@ -2260,6 +2260,36 @@ object SparkEntry {
            SUM(CASE WHEN lat > plat THEN 1 ELSE 0 END)::BIGINT AS n_north
     FROM st GROUP BY user_id ORDER BY user_id"""
 
+  /** Linework noding (g72): PostGIS `ST_Node` semantics via the overlay
+    * union — two crossing segments split at their intersection, the
+    * topology-cleaning step in front of polygonization (g56 consumes
+    * noded linework). Constructed crosses make the edge count
+    * closed-form: a vertical at interior x splits both lines (4 edges),
+    * at x = 0 or 10 it touches the horizontal's endpoint and only the
+    * vertical splits (3), beyond the span nothing splits (2); noding
+    * preserves total length exactly (integer 20 per pair), which pins
+    * that splitting never duplicates or drops pieces. Map-side kernels
+    * + one bounded agg keyed by edge count. */
+  private val g72Spark = """
+    WITH s AS (SELECT /*+ REPARTITION({{P}}) */ p_partkey AS k,
+                      CAST(p_partkey % 12 AS DOUBLE) AS x,
+                      CAST(1 + (p_partkey * 3) % 8 AS DOUBLE) AS y
+               FROM part),
+    g AS (SELECT k, x, ST_Union(
+            ST_GeomFromText(CONCAT('LINESTRING (0 ', CAST(y AS STRING), ', 10 ', CAST(y AS STRING), ')')),
+            ST_GeomFromText(CONCAT('LINESTRING (', CAST(x AS STRING), ' 0, ', CAST(x AS STRING), ' 10)'))) AS u
+          FROM s)
+    SELECT CAST(size(ST_Dump(u)) AS BIGINT) AS n_edges, COUNT(*) AS n,
+           SUM(CAST(ST_Length(u) AS BIGINT)) AS total_len, SUM(CAST(x AS BIGINT)) AS x_sum
+    FROM g GROUP BY 1 ORDER BY 1"""
+
+  private val g72Duck = """
+    WITH s AS (SELECT p_partkey AS k, p_partkey % 12 AS x FROM part)
+    SELECT (CASE WHEN x >= 1 AND x <= 9 THEN 4
+                 WHEN x = 0 OR x = 10 THEN 3 ELSE 2 END)::BIGINT AS n_edges,
+           COUNT(*)::BIGINT AS n, SUM(20)::BIGINT AS total_len, SUM(x)::BIGINT AS x_sum
+    FROM s GROUP BY 1 ORDER BY 1"""
+
   /** Cross-track distance (g71): for every point, the signed spherical
     * distance to a great-circle route — the fleet-monitoring "how far
     * off the corridor" report (and the pruning predicate behind
@@ -9332,6 +9362,7 @@ object SparkEntry {
     ("g69_rasterize", q(g69Spark), g69Duck),
     ("g70_trajectory", q(g70Spark), g70Duck),
     ("g71_cross_track", q(g71Spark), g71Duck),
+    ("g72_noding", q(g72Spark), g72Duck),
     ("m14_phash_bands", q(m14Spark), m14Duck),
     ("g63_hex_bin", q(g63Spark), g63Duck),
     ("t24_tfidf_terms", q(t24Spark), t24Duck),
