@@ -2260,6 +2260,131 @@ object SparkEntry {
            SUM(CASE WHEN lat > plat THEN 1 ELSE 0 END)::BIGINT AS n_north
     FROM st GROUP BY user_id ORDER BY user_id"""
 
+  /** Buffer endcap styles (g73): `ST_Buffer(line, d, 'endcap=…')` — the
+    * PostGIS style-parameter surface. On integer horizontal segments the
+    * flat and square caps are closed-form EXACT (axis-aligned rectangle
+    * shoelace: 2dL and 2d(L+2d)), and the round cap adds the inscribed
+    * 4·quadrantSegments-gon of the circle, bounded in (π−0.05, π)·d² —
+    * the area inequality pins the cap actually emitted (flat ⊂ round ⊂
+    * square strictly, per segment). Map-side kernels, one bounded agg
+    * per style. */
+  private val g73Spark = """
+    WITH s AS (SELECT /*+ REPARTITION({{P}}) */ p_partkey AS k,
+                      CAST(4 + p_partkey % 12 AS DOUBLE) AS len
+               FROM part),
+    g AS (SELECT k, len, style,
+                 ST_Area(ST_Buffer(ST_GeomFromText(CONCAT('LINESTRING (0 0, ',
+                   CAST(len AS STRING), ' 0)')), 1.0D, style)) AS area
+          FROM s LATERAL VIEW explode(array('endcap=flat', 'endcap=square', 'endcap=round')) t AS style)
+    SELECT style, COUNT(*) AS n,
+           SUM(CASE WHEN style = 'endcap=flat' AND area = 2.0D * len THEN 1
+                    WHEN style = 'endcap=square' AND area = 2.0D * (len + 2.0D) THEN 1
+                    WHEN style = 'endcap=round'
+                         AND area - 2.0D * len > 3.09D AND area - 2.0D * len < 3.1416D THEN 1
+                    ELSE 0 END) AS n_exact,
+           SUM(CAST(FLOOR(area) AS BIGINT)) AS floor_area_sum
+    FROM g GROUP BY style ORDER BY style"""
+
+  private val g73Duck = """
+    WITH s AS (SELECT p_partkey AS k, (4 + p_partkey % 12)::DOUBLE AS len FROM part),
+    g AS (SELECT k, len, style,
+                 CASE style WHEN 'endcap=flat' THEN 2.0 * len
+                            WHEN 'endcap=square' THEN 2.0 * (len + 2.0)
+                            ELSE 2.0 * len + 3.1 END AS area_class
+          FROM s, (SELECT unnest(['endcap=flat', 'endcap=square', 'endcap=round']) AS style) st)
+    SELECT style, COUNT(*)::BIGINT AS n, COUNT(*)::BIGINT AS n_exact,
+           SUM(CASE style WHEN 'endcap=round' THEN FLOOR(2.0 * len + 3.0)
+                          ELSE FLOOR(area_class) END)::BIGINT AS floor_area_sum
+    FROM g GROUP BY style ORDER BY style"""
+
+  /** Hashed-feature linear classifier (t43): the fastText-style quality
+    * gate production corpora actually ship (LLaMA's CCNet filter) — a
+    * LINEAR model over hashed token features, inference entirely
+    * map-side: score = Σ w[hash(token) mod 64] via one aggregate() fold
+    * over the split array, integer weights w[h] = (h·37 mod 21) − 10,
+    * keep iff score > 0. No per-token shuffle, no model broadcast (the
+    * weights are a closed-form function of the bucket — a learned model
+    * would broadcast a 64-entry map, same topology); the only exchange
+    * is the bounded per-source report. Everything integer, the oracle
+    * replays the fold exactly. */
+  private val t43Spark = """
+    WITH sc AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, source,
+                       aggregate(split(text, ' '), CAST(0 AS BIGINT),
+                         (acc, w) -> acc + (graft_hash(w) % 64) * 37 % 21 - 10) AS score
+                FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS n_kept,
+           SUM(score) AS score_sum,
+           MIN(score) AS score_min, MAX(score) AS score_max
+    FROM sc GROUP BY source ORDER BY source"""
+
+  private val t43Duck = """
+    WITH sc AS (SELECT doc_id, source,
+                       list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ' '),
+                         w -> (('0x' || substr(md5(w), 1, 8))::BIGINT % 64) * 37 % 21 - 10)),
+                         (a, b) -> a + b) AS score
+                FROM documents)
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           SUM(score)::BIGINT AS score_sum,
+           MIN(score)::BIGINT AS score_min, MAX(score)::BIGINT AS score_max
+    FROM sc GROUP BY source ORDER BY source"""
+
+  /** Incremental aggregate maintenance (q22): the nightly-ETL identity —
+    * a base aggregate plus a delta batch's aggregate MERGE into exactly
+    * the full recompute (count/sum add, min/max fold; avg re-derives
+    * from merged sums — never averaged averages). The merged and direct
+    * paths both surface per user with an equality flag the oracle pins
+    * TRUE for every row — a merge rule that drifts (the classic
+    * incremental-ETL bug) hash-mismatches. DECIMAL sums keep the
+    * addition exact; at 100 TB only the delta is rescanned, which is
+    * the point. */
+  private val q22Spark = """
+    WITH olda AS (SELECT user_id, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s,
+                         MIN(value) AS mn, MAX(value) AS mx
+                  FROM events WHERE event_id % 10 < 7 GROUP BY user_id),
+    newa AS (SELECT user_id, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s,
+                    MIN(value) AS mn, MAX(value) AS mx
+             FROM events WHERE event_id % 10 >= 7 GROUP BY user_id),
+    merged AS (SELECT COALESCE(o.user_id, nn.user_id) AS user_id,
+                      COALESCE(o.n, 0) + COALESCE(nn.n, 0) AS n,
+                      COALESCE(o.s, 0) + COALESCE(nn.s, 0) AS s,
+                      LEAST(COALESCE(o.mn, nn.mn), COALESCE(nn.mn, o.mn)) AS mn,
+                      GREATEST(COALESCE(o.mx, nn.mx), COALESCE(nn.mx, o.mx)) AS mx
+               FROM olda o FULL OUTER JOIN newa nn ON nn.user_id = o.user_id),
+    direct AS (SELECT user_id, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s,
+                      MIN(value) AS mn, MAX(value) AS mx
+               FROM events GROUP BY user_id)
+    SELECT d.user_id, d.n, CAST(ROUND(d.s, 2) AS DOUBLE) AS mass,
+           ROUND(d.mn, 6) AS vmin, ROUND(d.mx, 6) AS vmax,
+           CAST(CASE WHEN m.n = d.n AND m.s = d.s AND m.mn = d.mn AND m.mx = d.mx
+                     THEN 1 ELSE 0 END AS BIGINT) AS merge_ok
+    FROM direct d JOIN merged m ON m.user_id = d.user_id
+    ORDER BY d.user_id"""
+
+  private val q22Duck = """
+    WITH olda AS (SELECT user_id, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s,
+                         MIN(value) AS mn, MAX(value) AS mx
+                  FROM events WHERE event_id % 10 < 7 GROUP BY user_id),
+    newa AS (SELECT user_id, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s,
+                    MIN(value) AS mn, MAX(value) AS mx
+             FROM events WHERE event_id % 10 >= 7 GROUP BY user_id),
+    merged AS (SELECT COALESCE(o.user_id, nn.user_id) AS user_id,
+                      COALESCE(o.n, 0) + COALESCE(nn.n, 0) AS n,
+                      COALESCE(o.s, 0) + COALESCE(nn.s, 0) AS s,
+                      LEAST(COALESCE(o.mn, nn.mn), COALESCE(nn.mn, o.mn)) AS mn,
+                      GREATEST(COALESCE(o.mx, nn.mx), COALESCE(nn.mx, o.mx)) AS mx
+               FROM olda o FULL OUTER JOIN newa nn ON nn.user_id = o.user_id),
+    direct AS (SELECT user_id, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s,
+                      MIN(value) AS mn, MAX(value) AS mx
+               FROM events GROUP BY user_id)
+    SELECT d.user_id, d.n::BIGINT AS n, ROUND(d.s, 2)::DOUBLE AS mass,
+           ROUND(d.mn, 6) AS vmin, ROUND(d.mx, 6) AS vmax,
+           (CASE WHEN m.n = d.n AND m.s = d.s AND m.mn = d.mn AND m.mx = d.mx
+                 THEN 1 ELSE 0 END)::BIGINT AS merge_ok
+    FROM direct d JOIN merged m ON m.user_id = d.user_id
+    ORDER BY d.user_id"""
+
   /** Linework noding (g72): PostGIS `ST_Node` semantics via the overlay
     * union — two crossing segments split at their intersection, the
     * topology-cleaning step in front of polygonization (g56 consumes
@@ -9363,6 +9488,9 @@ object SparkEntry {
     ("g70_trajectory", q(g70Spark), g70Duck),
     ("g71_cross_track", q(g71Spark), g71Duck),
     ("g72_noding", q(g72Spark), g72Duck),
+    ("g73_buffer_styles", q(g73Spark), g73Duck),
+    ("t43_linear_classifier", q(t43Spark), t43Duck),
+    ("q22_incremental_agg", q(q22Spark), q22Duck),
     ("m14_phash_bands", q(m14Spark), m14Duck),
     ("g63_hex_bin", q(g63Spark), g63Duck),
     ("t24_tfidf_terms", q(t24Spark), t24Duck),

@@ -341,6 +341,23 @@ object GeomOps {
   def buffer(b: Array[Byte], dist: Double): Array[Byte] = write(read(b).buffer(dist))
   def bufferSegs(b: Array[Byte], dist: Double, quadrantSegments: Int): Array[Byte] =
     write(read(b).buffer(dist, quadrantSegments))
+  /** PostGIS-style `ST_Buffer(geom, d, 'endcap=…')`: the endcap style for
+    * open linework — `round` (default), `flat` (ends cut at the line's
+    * end, the GIS corridor convention), `square` (extended by d). Only
+    * the `endcap=` key is parsed; unknown styles fail loudly. */
+  def bufferStyled(b: Array[Byte], dist: Double, style: UTF8String): Array[Byte] = {
+    import org.locationtech.jts.operation.buffer.{BufferOp, BufferParameters}
+    val cap = style.toString.trim.toLowerCase match {
+      case "endcap=round" | "" => BufferParameters.CAP_ROUND
+      case "endcap=flat" | "endcap=butt" => BufferParameters.CAP_FLAT
+      case "endcap=square" => BufferParameters.CAP_SQUARE
+      case other => throw new IllegalArgumentException(
+        s"ST_Buffer: unsupported style '$other' (endcap=round|flat|square)")
+    }
+    val params = new BufferParameters()
+    params.setEndCapStyle(cap)
+    write(BufferOp.bufferOp(read(b), dist, params))
+  }
   def simplify(b: Array[Byte], tol: Double): Array[Byte] =
     write(DouglasPeuckerSimplifier.simplify(read(b), tol))
   def simplifyPreserveTopology(b: Array[Byte], tol: Double): Array[Byte] =

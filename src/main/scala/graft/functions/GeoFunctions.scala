@@ -238,9 +238,19 @@ object GeoFunctions {
       n -> ss.map { case (_, s) => s.params.length -> s }.toMap
     }
 
+  // ST_Buffer's third argument is overloaded BY TYPE, PostGIS-style:
+  // an integer is quadrant segments, a string is a style spec
+  // ('endcap=round|flat|square'). Arity alone can't split these, so the
+  // builder dispatches on the resolved type of arg 3.
+  private val bufferStyledSig = Sig("bufferStyled", G, Seq(G, D, S))
+
   private def build(name: String, overloads: Map[Int, Sig])(args: Seq[Expression]): Expression = {
-    val sig = overloads.getOrElse(args.length, throw new IllegalArgumentException(
-      s"$name expects ${overloads.keys.toSeq.sorted.mkString("/")} args, got ${args.length}"))
+    val byType =
+      if (name == "st_buffer" && args.length == 3 &&
+          args(2).resolved && args(2).dataType == StringType) Some(bufferStyledSig)
+      else None
+    val sig = byType.getOrElse(overloads.getOrElse(args.length, throw new IllegalArgumentException(
+      s"$name expects ${overloads.keys.toSeq.sorted.mkString("/")} args, got ${args.length}")))
     val cast =
       if (sig.cast) args.zip(sig.params).map { case (e, t) => Cast(e, t) }
       else args
