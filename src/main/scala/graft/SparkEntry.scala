@@ -2260,6 +2260,114 @@ object SparkEntry {
            SUM(CASE WHEN lat > plat THEN 1 ELSE 0 END)::BIGINT AS n_north
     FROM st GROUP BY user_id ORDER BY user_id"""
 
+  /** Image mip pyramid (m15): the antialiased multi-resolution build
+    * (mipmaps / thumbnail chains) the nearest-neighbor resize of m02
+    * is not — each level box-averages complete 2×2 blocks
+    * (floor-average, odd edges truncate) through the REAL codec, and
+    * every level carries the m12 position-weighted checksum so a
+    * shifted window, transposed axis, or wrong rounding direction
+    * hash-mismatches. The oracle replays level 1 directly from the
+    * closed-form raster and level 2 by re-aggregating level 1's
+    * complete 2×2 groups — floor(Σv1 / 4) is exactly the kernel's
+    * nested floor-average. Map-side decode + explode; one bounded agg
+    * per level. */
+  private val m15Spark = """
+    WITH py AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, p.level AS level, p.w AS w, p.h AS h,
+                       p.checksum AS cs
+                FROM documents
+                LATERAL VIEW explode(graft_media_pyramid(graft_media_png(doc_id), 2)) t AS p)
+    SELECT CAST(level AS BIGINT) AS level, COUNT(*) AS n_images,
+           SUM(CAST(w AS BIGINT) * h) AS total_px,
+           SUM(cs) AS checksum_sum, MAX(cs) AS checksum_max
+    FROM py GROUP BY level ORDER BY level"""
+
+  private val m15Duck = """
+    WITH m AS (SELECT doc_id, 1 + doc_id % 16 AS w, 1 + (doc_id // 16) % 16 AS h
+               FROM documents),
+    l1 AS (SELECT doc_id, w // 2 AS w1, h // 2 AS h1, x1, y1,
+                  (  (doc_id * 31 + ((2 * y1) * w + 2 * x1) * 7) % 256
+                   + (doc_id * 31 + ((2 * y1) * w + 2 * x1 + 1) * 7) % 256
+                   + (doc_id * 31 + ((2 * y1 + 1) * w + 2 * x1) * 7) % 256
+                   + (doc_id * 31 + ((2 * y1 + 1) * w + 2 * x1 + 1) * 7) % 256) // 4 AS v1
+           FROM m,
+           LATERAL (SELECT unnest(range(w // 2)) AS x1) tx,
+           LATERAL (SELECT unnest(range(h // 2)) AS y1) ty
+           WHERE w // 2 >= 1 AND h // 2 >= 1),
+    c1 AS (SELECT doc_id, 1 AS level, SUM(v1 * (1 + x1 + 1000 * y1)) AS cs,
+                  MAX(w1) AS w, MAX(h1) AS h
+           FROM l1 GROUP BY doc_id),
+    l2 AS (SELECT doc_id, w1 // 2 AS w2, h1 // 2 AS h2, x1 // 2 AS x2, y1 // 2 AS y2,
+                  SUM(v1) // 4 AS v2
+           FROM l1
+           WHERE x1 < 2 * (w1 // 2) AND y1 < 2 * (h1 // 2)
+                 AND w1 // 2 >= 1 AND h1 // 2 >= 1
+           GROUP BY doc_id, w1 // 2, h1 // 2, x1 // 2, y1 // 2),
+    c2 AS (SELECT doc_id, 2 AS level, SUM(v2 * (1 + x2 + 1000 * y2)) AS cs,
+                  MAX(w2) AS w, MAX(h2) AS h
+           FROM l2 GROUP BY doc_id),
+    allc AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+    SELECT level::BIGINT AS level, COUNT(*)::BIGINT AS n_images,
+           SUM(w * h)::BIGINT AS total_px,
+           SUM(cs)::BIGINT AS checksum_sum, MAX(cs)::BIGINT AS checksum_max
+    FROM allc GROUP BY level ORDER BY level"""
+
+  /** Hard-negative mining (e28): the contrastive-training data-prep
+    * step — for every query, the most-similar vectors of a DIFFERENT
+    * label (the negatives that actually teach a margin), each scored
+    * with its margin below the query's best same-label positive. A
+    * negative with margin <= 0 outranks the positive — exactly the
+    * pairs a triplet loss needs most. Bounded query set against the
+    * corpus (the e01 eval discipline); per-query top-3 negatives +
+    * positive cosine and margin, every value a single division of
+    * identical IEEE dots. */
+  private val e28Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id, label, graft_vec(embedding) AS e,
+                      sqrt(graft_dot(graft_vec(embedding), graft_vec(embedding))) AS nrm
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, e AS qe, nrm AS qnrm
+          FROM v WHERE vec_id >= 8 AND vec_id < 16),
+    pos AS (SELECT query_id, MAX(cos) AS pos_cos FROM (
+              SELECT q.query_id, graft_dot(q.qe, x.e) / (q.qnrm * x.nrm) AS cos
+              FROM q JOIN v x ON x.label = q.qlabel AND x.vec_id != q.query_id) t
+            GROUP BY query_id),
+    neg AS (SELECT query_id, neg_id, neg_label, cos, rnk FROM (
+              SELECT q.query_id, x.vec_id AS neg_id, x.label AS neg_label,
+                     graft_dot(q.qe, x.e) / (q.qnrm * x.nrm) AS cos,
+                     ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY graft_dot(q.qe, x.e) / (q.qnrm * x.nrm) DESC, x.vec_id) AS rnk
+              FROM q JOIN v x ON x.label != q.qlabel) t WHERE rnk <= 3)
+    SELECT n.query_id, CAST(n.rnk AS BIGINT) AS rnk, n.neg_id,
+           CAST(n.neg_label AS BIGINT) AS neg_label,
+           ROUND(n.cos, 6) AS neg_cos, ROUND(p.pos_cos, 6) AS pos_cos,
+           ROUND(p.pos_cos - n.cos, 6) AS margin
+    FROM neg n JOIN pos p ON p.query_id = n.query_id
+    ORDER BY n.query_id, n.rnk"""
+
+  private val e28Duck = """
+    WITH v0 AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    v AS (SELECT vec_id, label, e,
+                 sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e) + 1), i -> e[i] * e[i])), (x, y) -> x + y)) AS nrm
+          FROM v0),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, e AS qe, nrm AS qnrm
+          FROM v WHERE vec_id >= 8 AND vec_id < 16),
+    pos AS (SELECT query_id, MAX(cos) AS pos_cos FROM (
+              SELECT q.query_id,
+                     list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * x.e[i])), (a, b) -> a + b) / (q.qnrm * x.nrm) AS cos
+              FROM q JOIN v x ON x.label = q.qlabel AND x.vec_id != q.query_id) t
+            GROUP BY query_id),
+    neg AS (SELECT query_id, neg_id, neg_label, cos, rnk FROM (
+              SELECT q.query_id, x.vec_id AS neg_id, x.label AS neg_label,
+                     list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * x.e[i])), (a, b) -> a + b) / (q.qnrm * x.nrm) AS cos,
+                     ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * x.e[i])), (a, b) -> a + b) / (q.qnrm * x.nrm) DESC, x.vec_id) AS rnk
+              FROM q JOIN v x ON x.label != q.qlabel) t WHERE rnk <= 3)
+    SELECT n.query_id, n.rnk::BIGINT AS rnk, n.neg_id,
+           n.neg_label::BIGINT AS neg_label,
+           ROUND(n.cos, 6) AS neg_cos, ROUND(p.pos_cos, 6) AS pos_cos,
+           ROUND(p.pos_cos - n.cos, 6) AS margin
+    FROM neg n JOIN pos p ON p.query_id = n.query_id
+    ORDER BY n.query_id, n.rnk"""
+
   /** Buffer endcap styles (g73): `ST_Buffer(line, d, 'endcap=…')` — the
     * PostGIS style-parameter surface. On integer horizontal segments the
     * flat and square caps are closed-form EXACT (axis-aligned rectangle
@@ -9491,6 +9599,8 @@ object SparkEntry {
     ("g73_buffer_styles", q(g73Spark), g73Duck),
     ("t43_linear_classifier", q(t43Spark), t43Duck),
     ("q22_incremental_agg", q(q22Spark), q22Duck),
+    ("m15_mip_pyramid", q(m15Spark), m15Duck),
+    ("e28_hard_negatives", q(e28Spark), e28Duck),
     ("m14_phash_bands", q(m14Spark), m14Duck),
     ("g63_hex_bin", q(g63Spark), g63Duck),
     ("t24_tfidf_terms", q(t24Spark), t24Duck),

@@ -76,6 +76,17 @@ object MediaOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
 
+  /** Real decode → box-average mip pyramid: array of struct(level, w,
+    * h, checksum). SQL: `graft_media_pyramid(payload, maxLevels)`. */
+  def mediaPyramid(b: Array[Byte], maxLevels: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val rows: Array[AnyRef] = Multimodal.pyramidChecksums(b, maxLevels).map {
+      case (lvl, w, h, cs) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](lvl, w, h, cs)): AnyRef
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
   /** Real decode → integer-factor decimation (block floor-average) →
     * real re-encode at rate/factor. SQL: `graft_audio_resample(payload,
     * factor)`. */

@@ -56,6 +56,13 @@ object MediaFunctions {
     "graft_audio_wav" -> Sig("audioWav", BinaryType, Seq(LongType)),
     "graft_audio_meta" -> Sig("audioMeta", audioMetaStruct, Seq(BinaryType)),
     "graft_audio_resample" -> Sig("audioResample", BinaryType, Seq(BinaryType, IntegerType)),
+    "graft_media_pyramid" -> Sig("mediaPyramid",
+      ArrayType(StructType(Seq(
+        StructField("level", IntegerType, nullable = false),
+        StructField("w", IntegerType, nullable = false),
+        StructField("h", IntegerType, nullable = false),
+        StructField("checksum", LongType, nullable = false))), containsNull = false),
+      Seq(BinaryType, IntegerType)),
     "graft_audio_stats" -> Sig("audioStats", audioStatsStruct, Seq(BinaryType)),
     "graft_media_aug" -> Sig("mediaAugChecksum", LongType, Seq(BinaryType, IntegerType)),
     "graft_media_patches" -> Sig("mediaPatchSums",

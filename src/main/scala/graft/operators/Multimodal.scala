@@ -392,6 +392,54 @@ object Multimodal {
     } finally ais.close()
   }
 
+  /** Decode through the real codec and build a box-average mip pyramid:
+    * each level halves both dimensions, every output pixel the
+    * floor-average of its complete 2×2 source block (odd trailing
+    * rows/columns truncate — blocks are always complete). Returns per
+    * level (level, w, h, position-weighted checksum Σ v·(1+x+1000·y) —
+    * the m12 trick, so a transposed or shifted downsample changes the
+    * value). Levels stop when a dimension would hit zero or at
+    * `maxLevels`. Channel 0 only. The antialiased counterpart of the
+    * nearest-neighbor [[resizeNN]]. */
+  def pyramidChecksums(b: Array[Byte], maxLevels: Int): Array[(Int, Int, Int, Long)] = {
+    require(maxLevels >= 1, s"maxLevels must be >= 1, got $maxLevels")
+    val img = decodeImage(b)
+    var w = img.width
+    var h = img.height
+    var cur = Array.tabulate(w * h)(i => (img.pixels(i * img.channels) & 0xFF))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long)]
+    var level = 1
+    while (level <= maxLevels && w / 2 >= 1 && h / 2 >= 1) {
+      val nw = w / 2
+      val nh = h / 2
+      val nxt = new Array[Int](nw * nh)
+      var y = 0
+      while (y < nh) {
+        var x = 0
+        while (x < nw) {
+          val s = cur(2 * y * w + 2 * x) + cur(2 * y * w + 2 * x + 1) +
+            cur((2 * y + 1) * w + 2 * x) + cur((2 * y + 1) * w + 2 * x + 1)
+          nxt(y * nw + x) = Math.floorDiv(s, 4)
+          x += 1
+        }
+        y += 1
+      }
+      var cs = 0L
+      y = 0
+      while (y < nh) {
+        var x = 0
+        while (x < nw) {
+          cs += nxt(y * nw + x).toLong * (1L + x + 1000L * y)
+          x += 1
+        }
+        y += 1
+      }
+      out += ((level, nw, nh, cs))
+      cur = nxt; w = nw; h = nh; level += 1
+    }
+    out.toArray
+  }
+
   /** Decode through the real codec, decimate PCM16LE mono by an integer
     * `factor` (each output sample = floor-average of its consecutive
     * input block; the trailing partial block is dropped), and RE-ENCODE
