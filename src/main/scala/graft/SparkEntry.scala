@@ -2260,6 +2260,55 @@ object SparkEntry {
            SUM(CASE WHEN lat > plat THEN 1 ELSE 0 END)::BIGINT AS n_north
     FROM st GROUP BY user_id ORDER BY user_id"""
 
+  /** Span-corruption data prep (t44): the T5/UL2 denoising objective's
+    * bookkeeping — tokens group into 3-token blocks, a content-keyed
+    * hash coin masks ~1/5 of blocks (deterministic per (doc, block):
+    * retry-stable, no RNG, the t17 coin), and each masked block
+    * contributes one sentinel to the encoder input and its tokens + a
+    * sentinel to the decoder target. The report pins the exact
+    * input/target length accounting per source — the numbers that size
+    * a training batch: input = kept + sentinels, target = masked +
+    * sentinels. Everything integer and map-side; two keyed aggregates
+    * (per-doc fold, per-source report). */
+  private val t44Spark = """
+    WITH tok AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, source, pos, w,
+                        CAST(pos AS INT) DIV 3 AS blk
+                 FROM documents LATERAL VIEW posexplode(split(text, ' ')) t AS pos, w),
+    mk AS (SELECT doc_id, source, pos, blk,
+                  CASE WHEN graft_hash(CAST(doc_id AS STRING) || ':' || CAST(blk AS STRING)) % 5 = 0
+                       THEN 1 ELSE 0 END AS masked
+           FROM tok),
+    per_doc AS (SELECT doc_id, source, COUNT(*) AS n_tok,
+                       SUM(masked) AS n_masked,
+                       COUNT(DISTINCT CASE WHEN masked = 1 THEN blk END) AS n_spans
+                FROM mk GROUP BY doc_id, source)
+    SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+           SUM(n_masked) AS n_masked, SUM(n_spans) AS n_spans,
+           SUM(n_tok - n_masked + n_spans) AS input_len,
+           SUM(n_masked + n_spans) AS target_len,
+           ROUND(CAST(SUM(n_masked) AS DOUBLE) / SUM(n_tok), 6) AS corruption_rate
+    FROM per_doc GROUP BY source ORDER BY source"""
+
+  private val t44Duck = """
+    WITH tok AS (SELECT doc_id, source, pos - 1 AS pos, (pos - 1) // 3 AS blk
+                 FROM (SELECT doc_id, source,
+                              generate_subscripts(string_split(text, ' '), 1) AS pos
+                       FROM documents) t),
+    mk AS (SELECT doc_id, source, pos, blk,
+                  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':' || blk::VARCHAR), 1, 8))::BIGINT % 5 = 0
+                       THEN 1 ELSE 0 END AS masked
+           FROM tok),
+    per_doc AS (SELECT doc_id, source, COUNT(*) AS n_tok,
+                       SUM(masked) AS n_masked,
+                       COUNT(DISTINCT CASE WHEN masked = 1 THEN blk END) AS n_spans
+                FROM mk GROUP BY doc_id, source)
+    SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(n_tok)::BIGINT AS n_tokens,
+           SUM(n_masked)::BIGINT AS n_masked, SUM(n_spans)::BIGINT AS n_spans,
+           SUM(n_tok - n_masked + n_spans)::BIGINT AS input_len,
+           SUM(n_masked + n_spans)::BIGINT AS target_len,
+           ROUND(CAST(SUM(n_masked) AS DOUBLE) / SUM(n_tok), 6) AS corruption_rate
+    FROM per_doc GROUP BY source ORDER BY source"""
+
   /** Image mip pyramid (m15): the antialiased multi-resolution build
     * (mipmaps / thumbnail chains) the nearest-neighbor resize of m02
     * is not — each level box-averages complete 2×2 blocks
@@ -9601,6 +9650,7 @@ object SparkEntry {
     ("q22_incremental_agg", q(q22Spark), q22Duck),
     ("m15_mip_pyramid", q(m15Spark), m15Duck),
     ("e28_hard_negatives", q(e28Spark), e28Duck),
+    ("t44_span_corruption", q(t44Spark), t44Duck),
     ("m14_phash_bands", q(m14Spark), m14Duck),
     ("g63_hex_bin", q(g63Spark), g63Duck),
     ("t24_tfidf_terms", q(t24Spark), t24Duck),
