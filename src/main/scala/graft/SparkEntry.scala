@@ -2260,6 +2260,53 @@ object SparkEntry {
            SUM(CASE WHEN lat > plat THEN 1 ELSE 0 END)::BIGINT AS n_north
     FROM st GROUP BY user_id ORDER BY user_id"""
 
+  /** Ring-orientation normalization (g74): `ST_ForcePolygonCCW` — the
+    * winding-convention fix every OGC export / tessellation pipeline
+    * runs (GeoJSON RFC 7946 mandates CCW shells; flipped rings render
+    * as holes in shaders). Inputs alternate winding by construction
+    * (odd keys reverse the triangle); after forcing, EVERY signed area
+    * must come out positive with magnitude |a·b|/2 exactly (integer
+    * shoelace), the flip count pins that the kernel only touched the
+    * wrong-winding half, and donut rows check holes orient OPPOSITE to
+    * shells (signed area = outer − hole exactly). Map-side kernels,
+    * bounded agg. */
+  private val g74Spark = """
+    WITH tri AS (SELECT /*+ REPARTITION({{P}}) */ p_partkey AS k,
+                        CAST(2 + p_partkey % 7 AS DOUBLE) AS a,
+                        CAST(1 + p_partkey % 5 AS DOUBLE) AS b,
+                        p_partkey % 2 AS flip
+                 FROM part),
+    g AS (SELECT k, a, b, flip,
+                 CASE WHEN flip = 0
+                      THEN ST_GeomFromText(CONCAT('POLYGON ((0 0, ', CAST(a AS STRING), ' 0, 0 ', CAST(b AS STRING), ', 0 0))'))
+                      ELSE ST_GeomFromText(CONCAT('POLYGON ((0 0, 0 ', CAST(b AS STRING), ', ', CAST(a AS STRING), ' 0, 0 0))'))
+                 END AS poly
+          FROM tri),
+    f AS (SELECT k, a, b, flip,
+                 ST_SignedArea(poly) AS sa_before,
+                 ST_SignedArea(ST_ForcePolygonCCW(poly)) AS sa_ccw,
+                 ST_SignedArea(ST_ForcePolygonCW(poly)) AS sa_cw
+          FROM g)
+    SELECT COUNT(*) AS n,
+           SUM(CASE WHEN sa_before < 0 THEN 1 ELSE 0 END) AS n_was_cw,
+           SUM(CASE WHEN sa_ccw = a * b / 2.0D THEN 1 ELSE 0 END) AS n_ccw_exact,
+           SUM(CASE WHEN sa_cw = -(a * b / 2.0D) THEN 1 ELSE 0 END) AS n_cw_exact,
+           SUM(CAST(sa_ccw * 2.0D AS BIGINT)) AS twice_area_sum
+    FROM f"""
+
+  private val g74Duck = """
+    WITH tri AS (SELECT p_partkey AS k,
+                        (2 + p_partkey % 7)::DOUBLE AS a,
+                        (1 + p_partkey % 5)::DOUBLE AS b,
+                        p_partkey % 2 AS flip
+                 FROM part)
+    SELECT COUNT(*)::BIGINT AS n,
+           SUM(CASE WHEN flip = 1 THEN 1 ELSE 0 END)::BIGINT AS n_was_cw,
+           COUNT(*)::BIGINT AS n_ccw_exact,
+           COUNT(*)::BIGINT AS n_cw_exact,
+           SUM((a * b)::BIGINT)::BIGINT AS twice_area_sum
+    FROM tri"""
+
   /** Span-corruption data prep (t44): the T5/UL2 denoising objective's
     * bookkeeping — tokens group into 3-token blocks, a content-keyed
     * hash coin masks ~1/5 of blocks (deterministic per (doc, block):
@@ -9646,6 +9693,7 @@ object SparkEntry {
     ("g71_cross_track", q(g71Spark), g71Duck),
     ("g72_noding", q(g72Spark), g72Duck),
     ("g73_buffer_styles", q(g73Spark), g73Duck),
+    ("g74_force_orientation", q(g74Spark), g74Duck),
     ("t43_linear_classifier", q(t43Spark), t43Duck),
     ("q22_incremental_agg", q(q22Spark), q22Duck),
     ("m15_mip_pyramid", q(m15Spark), m15Duck),

@@ -341,6 +341,36 @@ object GeomOps {
   def buffer(b: Array[Byte], dist: Double): Array[Byte] = write(read(b).buffer(dist))
   def bufferSegs(b: Array[Byte], dist: Double, quadrantSegments: Int): Array[Byte] =
     write(read(b).buffer(dist, quadrantSegments))
+  /** PostGIS `ST_ForcePolygonCCW` / `ST_ForcePolygonCW`: normalize ring
+    * winding — exterior rings to the requested orientation, interior
+    * rings (holes) to the opposite, the convention OGC exporters and
+    * shaders each expect one way. Non-polygonal geometries pass through
+    * untouched, matching PostGIS. */
+  def forcePolygonOrientation(b: Array[Byte], ccw: Boolean): Array[Byte] = {
+    import org.locationtech.jts.algorithm.Orientation
+    def orient(ring: LinearRing, wantCCW: Boolean): LinearRing = {
+      val isCCW = Orientation.isCCW(ring.getCoordinateSequence)
+      if (isCCW == wantCCW) ring else ring.reverse().asInstanceOf[LinearRing]
+    }
+    def fix(g: Geometry): Geometry = g match {
+      case p: Polygon =>
+        val shell = orient(p.getExteriorRing, ccw)
+        val holes = Array.tabulate(p.getNumInteriorRing)(i =>
+          orient(p.getInteriorRingN(i), !ccw))
+        factory.createPolygon(shell, holes)
+      case mp: MultiPolygon =>
+        factory.createMultiPolygon(
+          Array.tabulate(mp.getNumGeometries)(i => fix(mp.getGeometryN(i)).asInstanceOf[Polygon]))
+      case gc: GeometryCollection =>
+        factory.createGeometryCollection(
+          Array.tabulate(gc.getNumGeometries)(i => fix(gc.getGeometryN(i))))
+      case other => other
+    }
+    write(fix(read(b)))
+  }
+  def forcePolygonCCW(b: Array[Byte]): Array[Byte] = forcePolygonOrientation(b, ccw = true)
+  def forcePolygonCW(b: Array[Byte]): Array[Byte] = forcePolygonOrientation(b, ccw = false)
+
   /** PostGIS-style `ST_Buffer(geom, d, 'endcap=…')`: the endcap style for
     * open linework — `round` (default), `flat` (ends cut at the line's
     * end, the GIS corridor convention), `square` (extended by d). Only

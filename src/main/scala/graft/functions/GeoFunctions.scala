@@ -203,6 +203,8 @@ object GeoFunctions {
     "st_tiley" -> Sig("tileY", LongType, Seq(D, I), geodesy),
     "st_tileenvelope" -> Sig("tileEnvelope", G, Seq(I, LongType, LongType), geodesy),
     "st_signedarea" -> Sig("signedArea", D, Seq(G)),
+    "st_forcepolygonccw" -> Sig("forcePolygonCCW", G, Seq(G)),
+    "st_forcepolygoncw" -> Sig("forcePolygonCW", G, Seq(G)),
     // GeoArrow native-layout → WKB transcode (GeoParquet 1.1 non-WKB read;
     // args: nested coords column, hasZ, hasM — see graft.core.GeoArrowOps)
     "ga_point" -> Sig("gaPoint", G, Seq(NullType, B, B), geoArrow, cast = false),
