@@ -460,6 +460,24 @@ class GeoFunctionsSpec extends SparkTestBase {
     intercept[Exception] { sql("SELECT ST_GeoHash(ST_Point(0.0, 0.0), 13)").collect() }
   }
 
+  test("ST_Buffer styles + ST_ForcePolygonCCW: styles parse, holes counter-orient") {
+    // unknown style fails loudly; integer segs still routes to quadrant variant
+    intercept[Exception] {
+      sql("SELECT ST_Buffer(ST_Point(0,0), 1.0D, 'endcap=bevel')").collect()
+    }
+    assert(one("ST_Area(ST_Buffer(ST_GeomFromText('LINESTRING (0 0, 4 0)'), 1.0D, 'endcap=flat'))") == 8.0)
+    // donut: exterior forced CCW, hole forced CW — signed area = outer - hole
+    val donut = "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))"
+    val sa = one(s"ST_SignedArea(ST_ForcePolygonCCW(ST_GeomFromText('$donut')))")
+      .asInstanceOf[Double]
+    assert(sa == 99.0, s"donut CCW signed area $sa")
+    val saCw = one(s"ST_SignedArea(ST_ForcePolygonCW(ST_GeomFromText('$donut')))")
+      .asInstanceOf[Double]
+    assert(saCw == -99.0, s"donut CW signed area $saCw")
+    // non-polygonal input passes through untouched
+    assert(one("ST_AsText(ST_ForcePolygonCCW(ST_Point(1, 2)))") == "POINT (1 2)")
+  }
+
   test("ST_CrossTrackDistance: meridian anchor, on-track zero, side signs") {
     // route due north along the prime meridian; a point 1 deg east at the
     // equator is ~111.19 km right of track (R * 1 deg, small-angle exact
