@@ -2260,6 +2260,106 @@ object SparkEntry {
            SUM(CASE WHEN lat > plat THEN 1 ELSE 0 END)::BIGINT AS n_north
     FROM st GROUP BY user_id ORDER BY user_id"""
 
+  /** Correlated LATERAL subquery (q23): each customer's two most
+    * expensive orders via `JOIN LATERAL (… ORDER BY … LIMIT 2)` — the
+    * modern SQL face of per-row top-k. Catalyst DECORRELATES the
+    * lateral into a ranked window join, so the plan is the same
+    * shuffle-and-rank as q03, not a per-row re-execution — which is the
+    * whole reason the surface is usable at scale. DECIMAL totals keep
+    * the mass exact. */
+  private val q23Spark = """
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_top,
+           CAST(COALESCE(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS top_mass,
+           COALESCE(MAX(o.o_orderkey), CAST(0 AS BIGINT)) AS max_key
+    FROM customer c
+    JOIN LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey
+                  LIMIT 2) o
+    WHERE c.c_custkey % 3 = 0
+    GROUP BY c.c_custkey ORDER BY c.c_custkey"""
+
+  private val q23Duck = """
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey)::BIGINT AS n_top,
+           COALESCE(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2), 0)::DOUBLE AS top_mass,
+           COALESCE(MAX(o.o_orderkey), 0)::BIGINT AS max_key
+    FROM customer c
+    JOIN LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey
+                  LIMIT 2) o ON true
+    WHERE c.c_custkey % 3 = 0
+    GROUP BY c.c_custkey ORDER BY c.c_custkey"""
+
+  /** Detection-style bbox IoU matching (g75): two "detectors" emit
+    * integer boxes (B's are A's shifted by 1 in both axes); candidate
+    * pairs share a coarse grid cell (map-side key, never all-pairs —
+    * the g03 discipline applied to eval tooling), and matches confirm at
+    * exact IoU > 0.3. Intersection and union areas of integer boxes are
+    * exact integers, so IoU is ONE division of identical ints —
+    * bit-identical cross-engine, and the oracle replays the overlap
+    * arithmetic in closed form. The mAP-prep shape every detection eval
+    * runs, as a relational pipeline. */
+  private val g75Spark = """
+    WITH a AS (SELECT /*+ REPARTITION({{P}}) */ p_partkey AS id,
+                      CAST(p_partkey % 50 AS INT) * 3 AS x,
+                      CAST((p_partkey * 3) % 40 AS INT) * 3 AS y,
+                      4 + CAST(p_partkey % 5 AS INT) AS w,
+                      3 + CAST(p_partkey % 4 AS INT) AS h
+               FROM part),
+    b AS (SELECT id, x + 1 AS x, y + 1 AS y, w, h FROM a),
+    ga AS (SELECT id, x, y, w, h, gx, gy FROM a
+           LATERAL VIEW explode(sequence(x DIV 30, (x + w) DIV 30)) tx AS gx
+           LATERAL VIEW explode(sequence(y DIV 30, (y + h) DIV 30)) ty AS gy),
+    gb AS (SELECT id, x, y, w, h, gx, gy FROM b
+           LATERAL VIEW explode(sequence(x DIV 30, (x + w) DIV 30)) tx AS gx
+           LATERAL VIEW explode(sequence(y DIV 30, (y + h) DIV 30)) ty AS gy),
+    cand AS (SELECT DISTINCT ga.id AS ida, gb.id AS idb,
+                    GREATEST(0, LEAST(ga.x + ga.w, gb.x + gb.w) - GREATEST(ga.x, gb.x)) *
+                    GREATEST(0, LEAST(ga.y + ga.h, gb.y + gb.h) - GREATEST(ga.y, gb.y)) AS inter,
+                    ga.w * ga.h + gb.w * gb.h AS sum_area
+             FROM ga JOIN gb ON gb.gx = ga.gx AND gb.gy = ga.gy),
+    iou AS (SELECT ida, idb, inter,
+                   CAST(inter AS DOUBLE) / (sum_area - inter) AS iou
+            FROM cand WHERE inter > 0)
+    SELECT COUNT(*) AS n_overlapping,
+           SUM(CASE WHEN iou > 0.3D THEN 1 ELSE 0 END) AS n_matched,
+           SUM(CASE WHEN ida = idb THEN 1 ELSE 0 END) AS n_self_pairs,
+           SUM(CAST(inter AS BIGINT)) AS inter_mass,
+           ROUND(SUM(CAST(FLOOR(iou * 1000000.0D) AS BIGINT)) / 1000000.0D, 6) AS iou_mass
+    FROM iou"""
+
+  private val g75Duck = """
+    WITH a AS (SELECT p_partkey AS id,
+                      (p_partkey % 50)::INT * 3 AS x,
+                      ((p_partkey * 3) % 40)::INT * 3 AS y,
+                      4 + (p_partkey % 5)::INT AS w,
+                      3 + (p_partkey % 4)::INT AS h
+               FROM part),
+    b AS (SELECT id, x + 1 AS x, y + 1 AS y, w, h FROM a),
+    ga AS (SELECT id, x, y, w, h, gx, gy FROM a,
+           LATERAL (SELECT unnest(range(x // 30, (x + w) // 30 + 1)) AS gx) tx,
+           LATERAL (SELECT unnest(range(y // 30, (y + h) // 30 + 1)) AS gy) ty),
+    gb AS (SELECT id, x, y, w, h, gx, gy FROM b,
+           LATERAL (SELECT unnest(range(x // 30, (x + w) // 30 + 1)) AS gx) tx,
+           LATERAL (SELECT unnest(range(y // 30, (y + h) // 30 + 1)) AS gy) ty),
+    cand AS (SELECT DISTINCT ga.id AS ida, gb.id AS idb,
+                    GREATEST(0, LEAST(ga.x + ga.w, gb.x + gb.w) - GREATEST(ga.x, gb.x)) *
+                    GREATEST(0, LEAST(ga.y + ga.h, gb.y + gb.h) - GREATEST(ga.y, gb.y)) AS inter,
+                    ga.w * ga.h + gb.w * gb.h AS sum_area
+             FROM ga JOIN gb ON gb.gx = ga.gx AND gb.gy = ga.gy),
+    iou AS (SELECT ida, idb, inter,
+                   CAST(inter AS DOUBLE) / (sum_area - inter) AS iou
+            FROM cand WHERE inter > 0)
+    SELECT COUNT(*)::BIGINT AS n_overlapping,
+           SUM(CASE WHEN iou > 0.3 THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+           SUM(CASE WHEN ida = idb THEN 1 ELSE 0 END)::BIGINT AS n_self_pairs,
+           SUM(inter)::BIGINT AS inter_mass,
+           ROUND(SUM(FLOOR(iou * 1000000.0)::BIGINT) / 1000000.0, 6) AS iou_mass
+    FROM iou"""
+
   /** Ring-orientation normalization (g74): `ST_ForcePolygonCCW` — the
     * winding-convention fix every OGC export / tessellation pipeline
     * runs (GeoJSON RFC 7946 mandates CCW shells; flipped rings render
@@ -9694,6 +9794,8 @@ object SparkEntry {
     ("g72_noding", q(g72Spark), g72Duck),
     ("g73_buffer_styles", q(g73Spark), g73Duck),
     ("g74_force_orientation", q(g74Spark), g74Duck),
+    ("g75_bbox_iou", q(g75Spark), g75Duck),
+    ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("t43_linear_classifier", q(t43Spark), t43Duck),
     ("q22_incremental_agg", q(q22Spark), q22Duck),
     ("m15_mip_pyramid", q(m15Spark), m15Duck),
