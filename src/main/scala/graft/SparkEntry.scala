@@ -2260,6 +2260,97 @@ object SparkEntry {
            SUM(CASE WHEN lat > plat THEN 1 ELSE 0 END)::BIGINT AS n_north
     FROM st GROUP BY user_id ORDER BY user_id"""
 
+  /** Session-scoped attribution (a09): a click attributes to the most
+    * recent view INSIDE ITS OWN SESSION — the marketing-attribution rule
+    * the unscoped as-of joins (a01) overcount, since a view from hours
+    * ago shouldn't claim a click in a fresh session. Built entirely
+    * from stacked windows over ONE user-keyed shuffle: the s01
+    * gaps-and-islands cumsum assigns sessions, then a LAST_VALUE …
+    * IGNORE NULLS carry (the q15 machinery) propagates the latest view
+    * timestamp WITHIN the (user, session) partition — no join anywhere.
+    * Unattributed clicks (no prior view in session) pin the scoping;
+    * lag sums pin WHICH view won. */
+  private val a09Spark = """
+    WITH e AS (SELECT /*+ REPARTITION({{P}}) */ user_id, ts, event_id, event_type,
+                      unix_micros(ts) AS tus
+               FROM events WHERE event_type IN ('view', 'click')),
+    d AS (SELECT *, CASE WHEN LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+                           OR tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 14400000000
+                         THEN 1 ELSE 0 END AS is_new
+          FROM e),
+    s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM d),
+    c AS (SELECT user_id, sid, tus, event_type,
+                 LAST_VALUE(CASE WHEN event_type = 'view' THEN tus END) IGNORE NULLS
+                   OVER (PARTITION BY user_id, sid ORDER BY tus, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_tus
+          FROM s)
+    SELECT user_id, COUNT(*) AS n_clicks,
+           COUNT(last_view_tus) AS n_attributed,
+           COALESCE(SUM(tus - last_view_tus), CAST(0 AS BIGINT)) AS lag_us_sum,
+           COUNT(DISTINCT sid) AS n_sessions_with_clicks
+    FROM c WHERE event_type = 'click'
+    GROUP BY user_id ORDER BY user_id"""
+
+  private val a09Duck = """
+    WITH e AS (SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS tus
+               FROM events WHERE event_type IN ('view', 'click')),
+    d AS (SELECT *, CASE WHEN LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+                           OR tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 14400000000
+                         THEN 1 ELSE 0 END AS is_new
+          FROM e),
+    s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM d),
+    c AS (SELECT user_id, sid, tus, event_type,
+                 LAST_VALUE(CASE WHEN event_type = 'view' THEN tus END IGNORE NULLS)
+                   OVER (PARTITION BY user_id, sid ORDER BY tus, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_tus
+          FROM s)
+    SELECT user_id, COUNT(*)::BIGINT AS n_clicks,
+           COUNT(last_view_tus)::BIGINT AS n_attributed,
+           COALESCE(SUM(tus - last_view_tus), 0)::BIGINT AS lag_us_sum,
+           COUNT(DISTINCT sid)::BIGINT AS n_sessions_with_clicks
+    FROM c WHERE event_type = 'click'
+    GROUP BY user_id ORDER BY user_id"""
+
+  /** Dataset normalization constants (m16): the corpus-wide channel
+    * mean/std every vision training run hard-codes (the ImageNet
+    * 0.485/0.229 numbers) — accumulated as EXACT integer (n, Σv, Σv²)
+    * per image through the real codec, merged by plain BIGINT addition
+    * (trivially partial-aggregable at 100 TB), with the only floating
+    * point two final expressions over the three exact totals. The
+    * oracle regenerates the accumulators from the closed-form raster,
+    * so a decode or accumulation regression shifts integers, not
+    * rounded tails. */
+  private val m16Spark = """
+    WITH st AS (SELECT /*+ REPARTITION({{P}}) */
+                       graft_media_pixstats(graft_media_png(doc_id)) AS s
+                FROM documents)
+    SELECT COUNT(*) AS n_images, SUM(s.n) AS n_px,
+           SUM(s.sum) AS sum_v, SUM(s.sum_sq) AS sum_sq,
+           ROUND(CAST(SUM(s.sum) AS DOUBLE) / SUM(s.n) / 255.0D, 6) AS mean_norm,
+           ROUND(SQRT(CAST(SUM(s.sum_sq) AS DOUBLE) / SUM(s.n)
+                      - CAST(SUM(s.sum) AS DOUBLE) / SUM(s.n)
+                        * (CAST(SUM(s.sum) AS DOUBLE) / SUM(s.n))) / 255.0D, 6) AS std_norm
+    FROM st"""
+
+  private val m16Duck = """
+    WITH m AS (SELECT doc_id, 1 + doc_id % 16 AS w, 1 + (doc_id // 16) % 16 AS h
+               FROM documents),
+    px AS (SELECT doc_id, (doc_id * 31 + i * 7) % 256 AS v
+           FROM m CROSS JOIN LATERAL (SELECT unnest(range(w * h)) AS i) t),
+    st AS (SELECT doc_id, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS sq
+           FROM px GROUP BY doc_id)
+    SELECT COUNT(*)::BIGINT AS n_images, SUM(n)::BIGINT AS n_px,
+           SUM(s)::BIGINT AS sum_v, SUM(sq)::BIGINT AS sum_sq,
+           ROUND(CAST(SUM(s) AS DOUBLE) / SUM(n) / 255.0, 6) AS mean_norm,
+           ROUND(SQRT(CAST(SUM(sq) AS DOUBLE) / SUM(n)
+                      - CAST(SUM(s) AS DOUBLE) / SUM(n)
+                        * (CAST(SUM(s) AS DOUBLE) / SUM(n))) / 255.0, 6) AS std_norm
+    FROM st"""
+
   /** Correlated LATERAL subquery (q23): each customer's two most
     * expensive orders via `JOIN LATERAL (… ORDER BY … LIMIT 2)` — the
     * modern SQL face of per-row top-k. Catalyst DECORRELATES the
@@ -9796,6 +9887,8 @@ object SparkEntry {
     ("g74_force_orientation", q(g74Spark), g74Duck),
     ("g75_bbox_iou", q(g75Spark), g75Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
+    ("a09_session_attribution", q(a09Spark), a09Duck),
+    ("m16_norm_constants", q(m16Spark), m16Duck),
     ("t43_linear_classifier", q(t43Spark), t43Duck),
     ("q22_incremental_agg", q(q22Spark), q22Duck),
     ("m15_mip_pyramid", q(m15Spark), m15Duck),

@@ -76,6 +76,23 @@ object MediaOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
 
+  /** Real decode → exact channel-0 pixel stats (n, sum, sum_sq) — the
+    * corpus normalization-constant accumulators. SQL:
+    * `graft_media_pixstats(payload)`. */
+  def mediaPixStats(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val img = graft.operators.Multimodal.decodeImage(b)
+    var i = 0
+    var n = 0L
+    var s = 0L
+    var sq = 0L
+    while (i < img.width * img.height) {
+      val v = (img.pixels(i * img.channels) & 0xFF).toLong
+      n += 1; s += v; sq += v * v
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](n, s, sq))
+  }
+
   /** Real decode → box-average mip pyramid: array of struct(level, w,
     * h, checksum). SQL: `graft_media_pyramid(payload, maxLevels)`. */
   def mediaPyramid(b: Array[Byte], maxLevels: Int): org.apache.spark.sql.catalyst.util.ArrayData = {

@@ -56,6 +56,11 @@ object MediaFunctions {
     "graft_audio_wav" -> Sig("audioWav", BinaryType, Seq(LongType)),
     "graft_audio_meta" -> Sig("audioMeta", audioMetaStruct, Seq(BinaryType)),
     "graft_audio_resample" -> Sig("audioResample", BinaryType, Seq(BinaryType, IntegerType)),
+    "graft_media_pixstats" -> Sig("mediaPixStats",
+      StructType(Seq(
+        StructField("n", LongType, nullable = false),
+        StructField("sum", LongType, nullable = false),
+        StructField("sum_sq", LongType, nullable = false))), Seq(BinaryType)),
     "graft_media_pyramid" -> Sig("mediaPyramid",
       ArrayType(StructType(Seq(
         StructField("level", IntegerType, nullable = false),
