@@ -74,6 +74,74 @@ object SparkEntry {
     s.read.schema(schema).parquet(path)
   }
 
+  // ── streaming harness (shared by the s-suite) ─────────────────────────
+
+  /** Stage each DataFrame as ONE parquet file under `tmp`/src with strictly
+    * increasing mtimes — the s-suite's deterministic micro-batch script
+    * (with maxFilesPerTrigger=1 each staged file becomes its own batch, in
+    * mtime order). Returns the source directory path. */
+  private def stageBatches(tmp: String, dfs: Seq[DataFrame]): String = {
+    val src = new java.io.File(tmp, "src"); src.mkdirs()
+    dfs.zipWithIndex.foreach { case (df, i) =>
+      val stage = new java.io.File(tmp, s"stage$i")
+      df.coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(src, s"f$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L) // strict batch order
+    }
+    src.getPath
+  }
+
+  /** JSON progress of the last completed [[runStream]] query — spec hook
+    * (StreamingStateSpec asserts the RocksDB provider actually ran). */
+  @volatile private[graft] var lastStreamProgress: String = ""
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+  }
+
+  /** Run a streaming pipeline built by `build(session, tmpDir)` through an
+    * in-memory sink to completion and return the sink table.
+    *
+    * Isolation and hygiene (round-10 advice): the pipeline runs on a
+    * FORKED session (`SparkSession.newSession` — same SparkContext, own
+    * SQLConf/catalog), so the per-query conf below never touches the
+    * caller's session (the old global set/restore flip was racy under
+    * concurrent query execution), and the staging + checkpoint temp dir is
+    * deleted once the query terminates (repeated verify/bench sweeps used
+    * to leak disk). Per-query conf:
+    *  - shuffle partitions 4: the state store shards per shuffle partition
+    *    per micro-batch, so at 32 session partitions a 200-row fixture
+    *    stream pays ~100 empty state-store tasks; the count binds to the
+    *    fresh checkpoint at first batch, so the narrowing is local here.
+    *  - RocksDB state-store provider: at 100-TB key cardinality (s03 dedup
+    *    keys, s08 band keys) the default HDFS-backed IN-HEAP store is the
+    *    first streaming scale-killer — state must live off-heap and spill;
+    *    the s-suite therefore runs the provider a production cluster would,
+    *    not just the toy default. */
+  private def runStream(parent: SparkSession, prefix: String)(
+      build: (SparkSession, String) => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    val sess = parent.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "4")
+    sess.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val qname = prefix + "_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    try {
+      val q = build(sess, tmp).writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", tmp + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastStreamProgress = Option(q.lastProgress).map(_.json).getOrElse("")
+    } finally deleteRecursively(new java.io.File(tmp))
+    sess.table(qname)
+  }
+
   /** {{P}} in query text becomes the session default parallelism — used in
     * REPARTITION hints on compute-bound per-row kernels. The driver's
     * single-file testdata parquet arrives as ONE scan partition (one row
@@ -1360,8 +1428,11 @@ object SparkEntry {
     def unhex(h: String): Array[Byte] =
       h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     val d = java.nio.file.Files.createTempDirectory("graft_g54")
-    java.nio.file.Files.write(d.resolve("pts.shp"), unhex(g40Shp))
-    java.nio.file.Files.write(d.resolve("pts.dbf"), unhex(g40Dbf))
+    // files must outlive this call (the returned plan reads them lazily);
+    // deleteOnExit runs in reverse registration order — dir last
+    d.toFile.deleteOnExit()
+    java.nio.file.Files.write(d.resolve("pts.shp"), unhex(g40Shp)).toFile.deleteOnExit()
+    java.nio.file.Files.write(d.resolve("pts.dbf"), unhex(g40Dbf)).toFile.deleteOnExit()
     s.read.format("shapefile").load(d.resolve("pts.shp").toString)
       .selectExpr("NAME AS name", "CAST(VAL AS BIGINT) AS val")
       .orderBy("name")
@@ -1611,8 +1682,9 @@ object SparkEntry {
     def unhex(h: String): Array[Byte] =
       h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     val d = java.nio.file.Files.createTempDirectory("graft_g40")
-    java.nio.file.Files.write(d.resolve("pts.shp"), unhex(g40Shp))
-    java.nio.file.Files.write(d.resolve("pts.dbf"), unhex(g40Dbf))
+    d.toFile.deleteOnExit() // see g54 — plan reads lazily, clean at JVM exit
+    java.nio.file.Files.write(d.resolve("pts.shp"), unhex(g40Shp)).toFile.deleteOnExit()
+    java.nio.file.Files.write(d.resolve("pts.dbf"), unhex(g40Dbf)).toFile.deleteOnExit()
     graft.sources.Shapefile.read(s, d.resolve("pts.shp").toString)
       .selectExpr("NAME AS name", "CAST(VAL AS BIGINT) AS val",
         "ST_AsText(geometry) AS wkt")
@@ -1846,48 +1918,25 @@ object SparkEntry {
     * This exercises the actual streaming machinery (watermark advance,
     * state eviction, append semantics), not a batch re-expression. */
   private def s02Fn(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s02").toString
-    val src = new java.io.File(tmp, "src"); src.mkdirs()
-    val ev = s.sql("""
-      SELECT CAST(id AS BIGINT) AS event_id,
-             timestamp_seconds(1700000000 + (id % 40) * 60 + CAST(id / 40 AS INT) * 7) AS ts,
-             CAST(id % 7 AS BIGINT) AS user_id,
-             CASE WHEN id % 3 = 0 THEN 'click' WHEN id % 3 = 1 THEN 'view'
-                  ELSE 'buy' END AS event_type,
-             CAST(id AS DOUBLE) / 10 AS value
-      FROM range(200)""")
-    def sentinel(offset: Long) = s.sql(s"""
-      SELECT CAST(9000 + $offset AS BIGINT) AS event_id,
-             timestamp_seconds(1700000000 + 86400 + $offset) AS ts,
-             CAST(0 AS BIGINT) AS user_id, 'sentinel' AS event_type, 0.0 AS value""")
-    Seq(ev, sentinel(0), sentinel(1)).zipWithIndex.foreach { case (df, i) =>
-      val stage = new java.io.File(tmp, s"stage$i")
-      df.coalesce(1).write.parquet(stage.getPath)
-      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(src, s"f$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + i * 60000L) // strict batch order
+    runStream(s, "graft_s02") { (sess, tmp) =>
+      val ev = sess.sql("""
+        SELECT CAST(id AS BIGINT) AS event_id,
+               timestamp_seconds(1700000000 + (id % 40) * 60 + CAST(id / 40 AS INT) * 7) AS ts,
+               CAST(id % 7 AS BIGINT) AS user_id,
+               CASE WHEN id % 3 = 0 THEN 'click' WHEN id % 3 = 1 THEN 'view'
+                    ELSE 'buy' END AS event_type,
+               CAST(id AS DOUBLE) / 10 AS value
+        FROM range(200)""")
+      def sentinel(offset: Long) = sess.sql(s"""
+        SELECT CAST(9000 + $offset AS BIGINT) AS event_id,
+               timestamp_seconds(1700000000 + 86400 + $offset) AS ts,
+               CAST(0 AS BIGINT) AS user_id, 'sentinel' AS event_type, 0.0 AS value""")
+      val src = stageBatches(tmp, Seq(ev, sentinel(0), sentinel(1)))
+      val stream = sess.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      graft.streaming.StreamOps.windowedCounts(
+        stream, watermark = "10 minutes", window = "5 minutes")
     }
-    val stream = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
-    val counts = graft.streaming.StreamOps.windowedCounts(
-      stream, watermark = "10 minutes", window = "5 minutes")
-    val qname = "graft_s02_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-    // the state store shards per shuffle partition per micro-batch: at 32
-    // session partitions a 200-row stream pays ~100 empty state tasks.
-    // The partition count binds to the NEW checkpoint at first batch, so
-    // narrowing it here is local to this query and restored after.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = counts.writeStream.format("memory").queryName(qname)
-        .option("checkpointLocation", tmp + "/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    s.table(qname)
       .where("event_type <> 'sentinel'")
       .selectExpr("CAST(window.start AS BIGINT) AS win_start", "event_type",
         "n", "ROUND(total, 6) AS total")
@@ -1914,43 +1963,24 @@ object SparkEntry {
     * regardless of which copy wins; sentinels push the watermark far past
     * every event (the s02 technique). */
   private def s03Fn(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s03").toString
-    val src = new java.io.File(tmp, "src"); src.mkdirs()
-    def copies = s.sql("""
-      SELECT CAST(id AS BIGINT) AS event_id,
-             timestamp_seconds(1700000000 + id) AS ts,
-             CAST(id % 7 AS BIGINT) AS user_id,
-             CASE WHEN id % 3 = 0 THEN 'click' WHEN id % 3 = 1 THEN 'view'
-                  ELSE 'buy' END AS event_type,
-             CAST(id AS DOUBLE) / 10 AS value
-      FROM range(100)""")
-    def sentinel(offset: Long) = s.sql(s"""
-      SELECT CAST(9000 + $offset AS BIGINT) AS event_id,
-             timestamp_seconds(1700000000 + 86400 + $offset) AS ts,
-             CAST(0 AS BIGINT) AS user_id, 'sentinel' AS event_type, 0.0 AS value""")
-    Seq(copies, copies, copies, sentinel(0), sentinel(1)).zipWithIndex.foreach { case (df, i) =>
-      val stage = new java.io.File(tmp, s"stage$i")
-      df.coalesce(1).write.parquet(stage.getPath)
-      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(src, s"f$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + i * 60000L)
+    runStream(s, "graft_s03") { (sess, tmp) =>
+      def copies = sess.sql("""
+        SELECT CAST(id AS BIGINT) AS event_id,
+               timestamp_seconds(1700000000 + id) AS ts,
+               CAST(id % 7 AS BIGINT) AS user_id,
+               CASE WHEN id % 3 = 0 THEN 'click' WHEN id % 3 = 1 THEN 'view'
+                    ELSE 'buy' END AS event_type,
+               CAST(id AS DOUBLE) / 10 AS value
+        FROM range(100)""")
+      def sentinel(offset: Long) = sess.sql(s"""
+        SELECT CAST(9000 + $offset AS BIGINT) AS event_id,
+               timestamp_seconds(1700000000 + 86400 + $offset) AS ts,
+               CAST(0 AS BIGINT) AS user_id, 'sentinel' AS event_type, 0.0 AS value""")
+      val src = stageBatches(tmp, Seq(copies, copies, copies, sentinel(0), sentinel(1)))
+      val stream = sess.readStream.schema(copies.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      graft.streaming.StreamOps.dedupe(stream, watermark = "10 minutes")
     }
-    val stream = s.readStream.schema(copies.schema)
-      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
-    val deduped = graft.streaming.StreamOps.dedupe(stream, watermark = "10 minutes")
-    val qname = "graft_s03_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = deduped.writeStream.format("memory").queryName(qname)
-        .option("checkpointLocation", tmp + "/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    s.table(qname)
       .where("event_type <> 'sentinel'")
       .groupBy("event_type")
       .agg(org.apache.spark.sql.functions.expr("COUNT(*)").as("n"),
@@ -1982,44 +2012,29 @@ object SparkEntry {
     * disagree on boundaries. Per-zone totals aggregate AFTER the stream
     * materializes (batch group-by on the sink table). */
   private def s04Fn(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GeoFunctions.register(s)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s04").toString
-    val src = new java.io.File(tmp, "src"); src.mkdirs()
-    val pts = s.sql("""
-      SELECT CAST(id AS BIGINT) AS point_id,
-             timestamp_seconds(1700000000 + id) AS ts,
-             (id % 20) * 0.1 + 0.05 AS lon,
-             (id % 13) * 0.1 + 0.05 AS lat
-      FROM range(200)""")
-    // two staged files → two micro-batches through the stateless join
-    Seq(pts.where("point_id < 100"), pts.where("point_id >= 100")).zipWithIndex.foreach {
-      case (df, i) =>
-        val stage = new java.io.File(tmp, s"stage$i")
-        df.coalesce(1).write.parquet(stage.getPath)
-        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(src, s"f$i.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(1700000000000L + i * 60000L)
+    runStream(s, "graft_s04") { (sess, tmp) =>
+      graft.functions.GeoFunctions.register(sess)
+      val pts = sess.sql("""
+        SELECT CAST(id AS BIGINT) AS point_id,
+               timestamp_seconds(1700000000 + id) AS ts,
+               (id % 20) * 0.1 + 0.05 AS lon,
+               (id % 13) * 0.1 + 0.05 AS lat
+        FROM range(200)""")
+      // two staged files → two micro-batches through the stateless join
+      val src = stageBatches(tmp,
+        Seq(pts.where("point_id < 100"), pts.where("point_id >= 100")))
+      val stream = sess.readStream.schema(pts.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withColumn("geom", org.apache.spark.sql.functions.expr("ST_Point(lon, lat)"))
+      val zones = sess.sql("""
+        SELECT zone_id, ST_GeomFromText(wkt) AS zone FROM VALUES
+          (CAST(1 AS BIGINT), 'POLYGON((0 0, 1 0, 1 0.7, 0 0.7, 0 0))'),
+          (CAST(2 AS BIGINT), 'POLYGON((1 0, 2 0, 2 0.7, 1 0.7, 1 0))'),
+          (CAST(3 AS BIGINT), 'POLYGON((0 0.7, 2 0.7, 2 1.4, 0 1.4, 0 0.7))'),
+          (CAST(4 AS BIGINT), 'POLYGON((0 0, 2 0, 2 1.4, 0 0))') AS t(zone_id, wkt)""")
+      graft.streaming.StreamOps.geofence(stream, zones)
+        .select("zone_id", "point_id", "lon")
     }
-    val stream = s.readStream.schema(pts.schema)
-      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
-      .withColumn("geom", org.apache.spark.sql.functions.expr("ST_Point(lon, lat)"))
-    val zones = s.sql("""
-      SELECT zone_id, ST_GeomFromText(wkt) AS zone FROM VALUES
-        (CAST(1 AS BIGINT), 'POLYGON((0 0, 1 0, 1 0.7, 0 0.7, 0 0))'),
-        (CAST(2 AS BIGINT), 'POLYGON((1 0, 2 0, 2 0.7, 1 0.7, 1 0))'),
-        (CAST(3 AS BIGINT), 'POLYGON((0 0.7, 2 0.7, 2 1.4, 0 1.4, 0 0.7))'),
-        (CAST(4 AS BIGINT), 'POLYGON((0 0, 2 0, 2 1.4, 0 0))') AS t(zone_id, wkt)""")
-    val joined = graft.streaming.StreamOps.geofence(stream, zones)
-      .select("zone_id", "point_id", "lon")
-    val qname = "graft_s04_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-    val q = joined.writeStream.format("memory").queryName(qname)
-      .option("checkpointLocation", tmp + "/ckpt")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(qname)
       .groupBy("zone_id")
       .agg(org.apache.spark.sql.functions.count("*").as("n_points"),
         org.apache.spark.sql.functions.expr("COUNT(DISTINCT point_id)").as("n_ids"),
@@ -2047,48 +2062,33 @@ object SparkEntry {
     * micro-batch; transition state shards by device across executors and
     * holds one string each. Nothing accumulates on the driver. */
   private def s07Fn(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GeoFunctions.register(s)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s07").toString
-    val src = new java.io.File(tmp, "src"); src.mkdirs()
-    val pts = s.sql("""
-      SELECT CAST(d AS BIGINT) AS device_id,
-             timestamp_seconds(1700000000 + k * 60) AS ts,
-             CAST((d * 7 + k * 3) % 100 AS DOUBLE) AS x,
-             CAST((d + k) % 2 * 0.5 + 0.25 AS DOUBLE) AS y,
-             CAST(k AS BIGINT) AS k
-      FROM (SELECT id AS d FROM range(10)) CROSS JOIN (SELECT id AS k FROM range(40))""")
-    Seq(pts.where("k < 20"), pts.where("k >= 20")).zipWithIndex.foreach {
-      case (df, i) =>
-        val stage = new java.io.File(tmp, s"stage$i")
-        df.drop("k").coalesce(1).write.parquet(stage.getPath)
-        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(src, s"f$i.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(1700000000000L + i * 60000L)
+    runStream(s, "graft_s07") { (sess, tmp) =>
+      graft.functions.GeoFunctions.register(sess)
+      val pts = sess.sql("""
+        SELECT CAST(d AS BIGINT) AS device_id,
+               timestamp_seconds(1700000000 + k * 60) AS ts,
+               CAST((d * 7 + k * 3) % 100 AS DOUBLE) AS x,
+               CAST((d + k) % 2 * 0.5 + 0.25 AS DOUBLE) AS y,
+               CAST(k AS BIGINT) AS k
+        FROM (SELECT id AS d FROM range(10)) CROSS JOIN (SELECT id AS k FROM range(40))""")
+      val src = stageBatches(tmp,
+        Seq(pts.where("k < 20").drop("k"), pts.where("k >= 20").drop("k")))
+      val stream = sess.readStream.schema(pts.drop("k").schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withColumn("geom", org.apache.spark.sql.functions.expr("ST_Point(x, y)"))
+      val zones = sess.sql("""
+        SELECT zone_name, ST_GeomFromText(wkt) AS zone FROM VALUES
+          ('west', 'POLYGON((-1 -1, 49.5 -1, 49.5 2, -1 2, -1 -1))'),
+          ('east', 'POLYGON((49.5 -1, 101 -1, 101 2, 49.5 2, 49.5 -1))') AS t(zone_name, wkt)""")
+      val tagged = graft.streaming.StreamOps.geofence(stream, zones)
+        .selectExpr("device_id", "ts", "zone_name AS zone")
+      import sess.implicits._
+      graft.streaming.StreamOps.zoneTransitions(
+        tagged.as[graft.streaming.StreamOps.PosEvent]).toDF()
     }
-    val stream = s.readStream.schema(pts.drop("k").schema)
-      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
-      .withColumn("geom", org.apache.spark.sql.functions.expr("ST_Point(x, y)"))
-    val zones = s.sql("""
-      SELECT zone_name, ST_GeomFromText(wkt) AS zone FROM VALUES
-        ('west', 'POLYGON((-1 -1, 49.5 -1, 49.5 2, -1 2, -1 -1))'),
-        ('east', 'POLYGON((49.5 -1, 101 -1, 101 2, 49.5 2, 49.5 -1))') AS t(zone_name, wkt)""")
-    val tagged = graft.streaming.StreamOps.geofence(stream, zones)
-      .selectExpr("device_id", "ts", "zone_name AS zone")
-    import s.implicits._
-    val transitions = graft.streaming.StreamOps.zoneTransitions(
-      tagged.as[graft.streaming.StreamOps.PosEvent])
-    val qname = "graft_s07_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-    val q = transitions.toDF().writeStream.format("memory").queryName(qname)
-      .option("checkpointLocation", tmp + "/ckpt")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.sql(s"""
-      SELECT device_id, CAST(unix_micros(ts) DIV 1000000 AS BIGINT) AS tsec,
-             from_zone, to_zone
-      FROM $qname ORDER BY device_id, tsec""")
+      .selectExpr("device_id", "CAST(unix_micros(ts) DIV 1000000 AS BIGINT) AS tsec",
+        "from_zone", "to_zone")
+      .orderBy("device_id", "tsec")
   }
 
   private val s07Duck = """
@@ -2143,45 +2143,26 @@ object SparkEntry {
     * stats happens AFTER the stream materializes (batch group-by on the
     * sink table, the s03/s04 pattern). */
   private def s05Fn(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s05").toString
-    val src = new java.io.File(tmp, "src"); src.mkdirs()
-    def slice(lo: Int, hi: Int) = s.sql(s"""
-      SELECT CAST(id AS BIGINT) AS event_id,
-             timestamp_seconds(1700000000 + id * 37) AS ts,
-             (id * id) % 7 AS user_id,
-             CASE WHEN id % 3 = 0 THEN 'click' WHEN id % 3 = 1 THEN 'view'
-                  ELSE 'buy' END AS event_type,
-             CAST(id AS DOUBLE) / 10 AS value
-      FROM range($lo, $hi)""")
-    Seq(slice(0, 60), slice(60, 120)).zipWithIndex.foreach { case (df, i) =>
-      val stage = new java.io.File(tmp, s"stage$i")
-      df.coalesce(1).write.parquet(stage.getPath)
-      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(src, s"f$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + i * 60000L)
+    runStream(s, "graft_s05") { (sess, tmp) =>
+      def slice(lo: Int, hi: Int) = sess.sql(s"""
+        SELECT CAST(id AS BIGINT) AS event_id,
+               timestamp_seconds(1700000000 + id * 37) AS ts,
+               (id * id) % 7 AS user_id,
+               CASE WHEN id % 3 = 0 THEN 'click' WHEN id % 3 = 1 THEN 'view'
+                    ELSE 'buy' END AS event_type,
+               CAST(id AS DOUBLE) / 10 AS value
+        FROM range($lo, $hi)""")
+      val src = stageBatches(tmp, Seq(slice(0, 60), slice(60, 120)))
+      val schema = slice(0, 1).schema
+      def stream() = sess.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val views = stream().filter("event_type = 'view'")
+      val clicks = stream().filter("event_type = 'click'")
+      graft.streaming.StreamOps
+        .intervalJoin(views, clicks, "user_id", maxLag = "10 minutes", watermark = "20 minutes")
+        .selectExpr("l.user_id AS user_id", "l.event_id AS view_id", "r.event_id AS click_id",
+          "CAST(r.ts AS LONG) - CAST(l.ts AS LONG) AS lag_s")
     }
-    val schema = slice(0, 1).schema
-    def stream() = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
-    val views = stream().filter("event_type = 'view'")
-    val clicks = stream().filter("event_type = 'click'")
-    val joined = graft.streaming.StreamOps
-      .intervalJoin(views, clicks, "user_id", maxLag = "10 minutes", watermark = "20 minutes")
-      .selectExpr("l.user_id AS user_id", "l.event_id AS view_id", "r.event_id AS click_id",
-        "CAST(r.ts AS LONG) - CAST(l.ts AS LONG) AS lag_s")
-    val qname = "graft_s05_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = joined.writeStream.format("memory").queryName(qname)
-        .option("checkpointLocation", tmp + "/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    s.table(qname)
       .groupBy("user_id")
       .agg(org.apache.spark.sql.functions.expr("COUNT(*)").as("n_pairs"),
            org.apache.spark.sql.functions.expr("COUNT(DISTINCT view_id)").as("n_views"),
@@ -2450,6 +2431,155 @@ object SparkEntry {
            SUM(inter)::BIGINT AS inter_mass,
            ROUND(SUM(FLOOR(iou * 1000000.0)::BIGINT) / 1000000.0, 6) AS iou_mass
     FROM iou"""
+
+  /** 1004-vertex "comb" polygon for g76: base slab y∈[0,1] over x∈[0,500]
+    * plus a width-1 tooth of height h(c) = 1 + (c·7 mod 13) above every
+    * EVEN column c. Rectilinear with integer vertices, so point-in-polygon
+    * for half-integer-offset probes has an exact closed form the oracle
+    * replays: inside ⟺ j = 0 (slab) OR (i even AND j ≤ h(i)) (tooth). */
+  private val g76Poly: String = {
+    val sb = new StringBuilder("POLYGON ((0 0, 500 0, 500 1")
+    var c = 498
+    while (c >= 0) {
+      val h = 1 + (c * 7) % 13
+      sb ++= s", ${c + 1} 1, ${c + 1} ${1 + h}, $c ${1 + h}, $c 1"
+      c -= 2
+    }
+    sb ++= ", 0 0))"
+    sb.toString
+  }
+
+  /** Scalar-predicate scan against a COMPLEX LITERAL polygon (g76): the
+    * `WHERE ST_pred(geom, lit(1k-vertex polygon))` shape — Catalyst
+    * constant-folds the literal to one WKB, and the predicate family's
+    * per-thread prepared-geometry cache (GeomOps.cachedRead/pred) promotes
+    * the repeating operand to a JTS PreparedGeometry, so the scan runs the
+    * indexed point-in-area path instead of re-parsing + unprepared relate
+    * per row (a 10-100× constant factor at a 100-TB scan; the reference
+    * pre-converts scalar kernel operands once per array call). Probes sit
+    * at half-integer offsets — never on a boundary — so JTS and the
+    * oracle's closed-form containment cannot disagree. ST_Contains puts
+    * the hot literal on the LEFT, ST_Intersects on the RIGHT: both
+    * prepared dispatch directions are exercised and must agree. */
+  private val g76Spark = s"""
+    WITH pts AS (SELECT /*+ REPARTITION({{P}}) */ CAST(l_orderkey % 500 AS INT) AS i,
+                        CAST(l_partkey % 16 AS INT) AS j
+                 FROM lineitem),
+    t AS (SELECT i, j,
+                 ST_Contains(ST_GeomFromText('$g76Poly'),
+                             ST_Point(i + 0.5D, j + 0.5D)) AS c,
+                 ST_Intersects(ST_Point(i + 0.5D, j + 0.5D),
+                               ST_GeomFromText('$g76Poly')) AS x
+          FROM pts)
+    SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN c THEN 1 ELSE 0 END) AS n_contains,
+           SUM(CASE WHEN x THEN 1 ELSE 0 END) AS n_intersects,
+           SUM(CASE WHEN c THEN CAST(i AS BIGINT) * 16 + j ELSE 0 END) AS checksum
+    FROM t"""
+
+  private val g76Duck = """
+    WITH pts AS (SELECT (l_orderkey % 500)::INT AS i, (l_partkey % 16)::INT AS j
+                 FROM lineitem),
+    t AS (SELECT i, j,
+                 (j = 0) OR (i % 2 = 0 AND j <= 1 + (i * 7) % 13) AS c
+          FROM pts)
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           SUM(CASE WHEN c THEN 1 ELSE 0 END)::BIGINT AS n_contains,
+           SUM(CASE WHEN c THEN 1 ELSE 0 END)::BIGINT AS n_intersects,
+           SUM(CASE WHEN c THEN i::BIGINT * 16 + j ELSE 0 END)::BIGINT AS checksum
+    FROM t"""
+
+  /** Geodesic polygon perimeter (g77): `ST_PerimeterSpheroid` — the last
+    * reference compute-API function without a named equivalent
+    * (geodesic_perimeter, _compute.pyi:272). Donut polygons near the
+    * equator: perimeter = exterior ring + hole ring (total boundary
+    * walked, holes ADD — the PostGIS ST_Perimeter convention). The oracle
+    * replays the Andoyer segment sums in closed form: each ring is a
+    * rectangle in degrees, so its perimeter decomposes into two
+    * meridian segments (same length at any longitude) and two parallel
+    * segments at the two latitudes; ROUND(…, 3) mm-level agreement
+    * absorbs cross-engine libm noise. The Karney-exact variant
+    * (ST_PerimeterGeodesic) is pinned separately in GeodesySpec against
+    * geographiclib values; here the consistency gate is
+    * karney − andoyer < 40 m on ~100 km rings (Andoyer's documented
+    * error band), computed per row and max-aggregated. */
+  private val g77Spark = """
+    WITH poly AS (SELECT /*+ REPARTITION({{P}}) */ s_suppkey AS k,
+                         CAST(s_suppkey % 30 AS DOUBLE) AS lon0,
+                         CAST(s_suppkey % 20 - 10 AS DOUBLE) AS lat0,
+                         0.2D + CAST(s_suppkey % 5 AS DOUBLE) * 0.1D AS w,
+                         0.3D + CAST(s_suppkey % 3 AS DOUBLE) * 0.1D AS h
+                  FROM supplier),
+    g AS (SELECT k,
+                 ST_MakePolygon(
+                   ST_LineFromMultiPoint(ST_Collect(array(
+                     ST_Point(lon0, lat0), ST_Point(lon0 + w, lat0),
+                     ST_Point(lon0 + w, lat0 + h), ST_Point(lon0, lat0 + h),
+                     ST_Point(lon0, lat0)))),
+                   array(ST_LineFromMultiPoint(ST_Collect(array(
+                     ST_Point(lon0 + w * 0.25D, lat0 + h * 0.25D),
+                     ST_Point(lon0 + w * 0.75D, lat0 + h * 0.25D),
+                     ST_Point(lon0 + w * 0.75D, lat0 + h * 0.75D),
+                     ST_Point(lon0 + w * 0.25D, lat0 + h * 0.75D),
+                     ST_Point(lon0 + w * 0.25D, lat0 + h * 0.25D)))))) AS geom
+          FROM poly)
+    SELECT k, ROUND(ST_PerimeterSpheroid(geom), 3) AS perim_m,
+           CAST(FLOOR(ST_PerimeterGeodesic(geom) - ST_PerimeterSpheroid(geom)) AS BIGINT) < 40 AS karney_close
+    FROM g ORDER BY k"""
+
+  // Andoyer–Lambert replayed in closed form (the engine's exact IEEE step
+  // sequence: Geodesy.andoyerMeters — sin/cos/atan/sqrt over WGS84
+  // a=6378137, f=1/298.257223563). A meridian/parallel rectangle's
+  // perimeter is 2·(meridian segment) + parallel(lat0) + parallel(lat1),
+  // for shell and hole alike; hole spans are w/2, h/2 of the shell's.
+  private val g77Duck = """
+    WITH poly AS (SELECT s_suppkey AS k,
+                         (s_suppkey % 30)::DOUBLE AS lon0,
+                         (s_suppkey % 20 - 10)::DOUBLE AS lat0,
+                         0.2 + (s_suppkey % 5)::DOUBLE * 0.1 AS w,
+                         0.3 + (s_suppkey % 3)::DOUBLE * 0.1 AS h
+                  FROM supplier),
+    seg AS (SELECT k, lon0, lat0, w, h FROM poly),
+    f AS (SELECT 1.0 / 298.257223563 AS fl, 6378137.0 AS a),
+    -- andoyer(lon1,lat1,lon2,lat2) expanded inline via a macro-style CTE:
+    -- DuckDB has no scalar functions here, so each needed segment is one
+    -- row in a lateral list and the formula is applied once, uniformly
+    pairs AS (
+      SELECT k, seg_id, lon1, lat1, lon2, lat2, mult FROM seg, LATERAL (
+        SELECT * FROM (VALUES
+          -- shell: two meridians (same length), bottom parallel, top parallel
+          (1, lon0, lat0, lon0, lat0 + h, 2.0),
+          (2, lon0, lat0, lon0 + w, lat0, 1.0),
+          (3, lon0, lat0 + h, lon0 + w, lat0 + h, 1.0),
+          -- hole: two meridians of span h/2, two parallels of span w/2
+          (4, lon0, lat0 + h * 0.25, lon0, lat0 + h * 0.75, 2.0),
+          (5, lon0 + w * 0.25, lat0 + h * 0.25, lon0 + w * 0.75, lat0 + h * 0.25, 1.0),
+          (6, lon0 + w * 0.25, lat0 + h * 0.75, lon0 + w * 0.75, lat0 + h * 0.75, 1.0)
+        ) v(seg_id, lon1, lat1, lon2, lat2, mult)) s),
+    d AS (SELECT k, mult,
+                 radians(lat1) AS f1, radians(lat2) AS f2,
+                 (radians(lat1) + radians(lat2)) / 2.0 AS fm,
+                 (radians(lat1) - radians(lat2)) / 2.0 AS gm,
+                 (radians(lon1) - radians(lon2)) / 2.0 AS lm
+          FROM pairs),
+    sc AS (SELECT k, mult,
+                  sin(gm)*sin(gm)*cos(lm)*cos(lm) + cos(fm)*cos(fm)*sin(lm)*sin(lm) AS s,
+                  cos(gm)*cos(gm)*cos(lm)*cos(lm) + sin(fm)*sin(fm)*sin(lm)*sin(lm) AS c,
+                  fm, gm
+           FROM d),
+    res AS (SELECT k, mult,
+                   CASE WHEN s = 0 OR c = 0 THEN 0.0 ELSE
+                     2.0 * atan(sqrt(s / c)) * 6378137.0 *
+                     (1.0 + (1.0 / 298.257223563) *
+                       ((3.0 * (sqrt(s * c) / atan(sqrt(s / c))) - 1.0) / (2.0 * c)
+                          * sin(fm)*sin(fm)*cos(gm)*cos(gm)
+                        - (3.0 * (sqrt(s * c) / atan(sqrt(s / c))) + 1.0) / (2.0 * s)
+                          * cos(fm)*cos(fm)*sin(gm)*sin(gm)))
+                   END AS meters
+            FROM sc)
+    SELECT k::BIGINT AS k, ROUND(SUM(meters * mult), 3) AS perim_m,
+           TRUE AS karney_close
+    FROM res GROUP BY k ORDER BY k"""
 
   /** Ring-orientation normalization (g74): `ST_ForcePolygonCCW` — the
     * winding-convention fix every OGC export / tessellation pipeline
@@ -2871,48 +3001,28 @@ object SparkEntry {
     * gaps-and-islands oracle. Sentinels close every session (two
     * trailing batches, the s12 propagation lesson). */
   private def s14Fn(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s14").toString
-    val src = new java.io.File(tmp, "src"); src.mkdirs()
-    // per user: bursts of 3 events 60 s apart, bursts separated by 1 h
-    def slice(par: Int) = s.sql(s"""
-      SELECT CAST(id AS BIGINT) AS event_id,
-             timestamp_seconds(1700000000 + (id DIV 21) * 3600 + (id % 21) * 60) AS ts,
-             CAST(id % 5 AS BIGINT) AS user_id,
-             'tap' AS event_type,
-             CAST(id AS DOUBLE) / 10 AS value
-      FROM range(200) WHERE id % 2 = $par""")
-    def sentinel(offset: Long) = s.sql(s"""
-      SELECT CAST(9000 + $offset AS BIGINT) AS event_id,
-             timestamp_seconds(1700000000 + 864000 + $offset) AS ts,
-             CAST(0 AS BIGINT) AS user_id, 'sentinel' AS event_type, 0.0 AS value""")
-    Seq(slice(0), slice(1), sentinel(0), sentinel(1)).zipWithIndex.foreach { case (df, i) =>
-      val stage = new java.io.File(tmp, s"stage$i")
-      df.coalesce(1).write.parquet(stage.getPath)
-      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(src, s"f$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + i * 60000L)
+    runStream(s, "graft_s14") { (sess, tmp) =>
+      // per user: bursts of 3 events 60 s apart, bursts separated by 1 h
+      def slice(par: Int) = sess.sql(s"""
+        SELECT CAST(id AS BIGINT) AS event_id,
+               timestamp_seconds(1700000000 + (id DIV 21) * 3600 + (id % 21) * 60) AS ts,
+               CAST(id % 5 AS BIGINT) AS user_id,
+               'tap' AS event_type,
+               CAST(id AS DOUBLE) / 10 AS value
+        FROM range(200) WHERE id % 2 = $par""")
+      def sentinel(offset: Long) = sess.sql(s"""
+        SELECT CAST(9000 + $offset AS BIGINT) AS event_id,
+               timestamp_seconds(1700000000 + 864000 + $offset) AS ts,
+               CAST(0 AS BIGINT) AS user_id, 'sentinel' AS event_type, 0.0 AS value""")
+      val src = stageBatches(tmp, Seq(slice(0), slice(1), sentinel(0), sentinel(1)))
+      val stream = sess.readStream.schema(slice(0).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      import org.apache.spark.sql.functions.{session_window, col, count, sum}
+      stream
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"), col("event_type"))
+        .agg(count("*").as("n_events"), sum("value").as("mass"))
     }
-    val schema = slice(0).schema
-    val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
-    import org.apache.spark.sql.functions.{session_window, col, count, sum}
-    val sess = stream
-      .withWatermark("ts", "10 minutes")
-      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"), col("event_type"))
-      .agg(count("*").as("n_events"), sum("value").as("mass"))
-    val qname = "graft_s14_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = sess.writeStream.format("memory").queryName(qname)
-        .option("checkpointLocation", tmp + "/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    s.table(qname)
       .where("event_type <> 'sentinel'")
       .selectExpr("user_id", "CAST(session_window.start AS BIGINT) AS sess_start",
         "CAST(session_window.end AS BIGINT) AS sess_end",
@@ -2952,51 +3062,32 @@ object SparkEntry {
     * dropped unmatched rows (inner-join semantics) or double-emitted
     * them on the flush hash-mismatches. */
   private def s13Fn(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s13").toString
-    val src = new java.io.File(tmp, "src"); src.mkdirs()
-    def slice(lo: Int, hi: Int) = s.sql(s"""
-      SELECT CAST(id AS BIGINT) AS event_id,
-             timestamp_seconds(1700000000 + id * 37) AS ts,
-             (id * id) % 7 AS user_id,
-             CASE WHEN id % 3 = 0 THEN 'click' WHEN id % 3 = 1 THEN 'view'
-                  ELSE 'buy' END AS event_type,
-             CAST(id AS DOUBLE) / 10 AS value
-      FROM range($lo, $hi)""")
-    def sentinel(offset: Long) = s.sql(s"""
-      SELECT CAST(9000 + $offset AS BIGINT) AS event_id,
-             timestamp_seconds(1700000000 + 86400 + $offset) AS ts,
-             CAST(99 AS BIGINT) AS user_id, t.et AS event_type, 0.0 AS value
-      FROM (SELECT explode(array('view', 'click')) AS et) t""")
-    Seq(slice(0, 60), slice(60, 120), sentinel(0), sentinel(1)).zipWithIndex.foreach { case (df, i) =>
-      val stage = new java.io.File(tmp, s"stage$i")
-      df.coalesce(1).write.parquet(stage.getPath)
-      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(src, s"f$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + i * 60000L)
+    runStream(s, "graft_s13") { (sess, tmp) =>
+      def slice(lo: Int, hi: Int) = sess.sql(s"""
+        SELECT CAST(id AS BIGINT) AS event_id,
+               timestamp_seconds(1700000000 + id * 37) AS ts,
+               (id * id) % 7 AS user_id,
+               CASE WHEN id % 3 = 0 THEN 'click' WHEN id % 3 = 1 THEN 'view'
+                    ELSE 'buy' END AS event_type,
+               CAST(id AS DOUBLE) / 10 AS value
+        FROM range($lo, $hi)""")
+      def sentinel(offset: Long) = sess.sql(s"""
+        SELECT CAST(9000 + $offset AS BIGINT) AS event_id,
+               timestamp_seconds(1700000000 + 86400 + $offset) AS ts,
+               CAST(99 AS BIGINT) AS user_id, t.et AS event_type, 0.0 AS value
+        FROM (SELECT explode(array('view', 'click')) AS et) t""")
+      val src = stageBatches(tmp, Seq(slice(0, 60), slice(60, 120), sentinel(0), sentinel(1)))
+      val schema = slice(0, 1).schema
+      def stream() = sess.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val viewsS = stream().filter("event_type = 'view'")
+      val clicksS = stream().filter("event_type = 'click'")
+      graft.streaming.StreamOps
+        .intervalJoinOuter(viewsS, clicksS, "user_id",
+          maxLag = "10 minutes", watermark = "20 minutes")
+        .selectExpr("l.user_id AS user_id", "l.event_id AS view_id", "r.event_id AS click_id",
+          "CAST(r.ts AS LONG) - CAST(l.ts AS LONG) AS lag_s")
     }
-    val schema = slice(0, 1).schema
-    def stream() = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
-    val viewsS = stream().filter("event_type = 'view'")
-    val clicksS = stream().filter("event_type = 'click'")
-    val joined = graft.streaming.StreamOps
-      .intervalJoinOuter(viewsS, clicksS, "user_id",
-        maxLag = "10 minutes", watermark = "20 minutes")
-      .selectExpr("l.user_id AS user_id", "l.event_id AS view_id", "r.event_id AS click_id",
-        "CAST(r.ts AS LONG) - CAST(l.ts AS LONG) AS lag_s")
-    val qname = "graft_s13_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = joined.writeStream.format("memory").queryName(qname)
-        .option("checkpointLocation", tmp + "/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    s.table(qname)
       .where("user_id != 99")
       .groupBy("user_id")
       .agg(org.apache.spark.sql.functions.expr("COUNT(*)").as("n_rows"),
@@ -3036,51 +3127,32 @@ object SparkEntry {
     * regression hash-mismatches. Sentinels advance the watermark past
     * every window (the s02 technique). */
   private def s06Fn(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s06").toString
-    val src = new java.io.File(tmp, "src"); src.mkdirs()
-    def slice(parity: Int) = s.sql(s"""
-      SELECT CAST(id AS BIGINT) AS event_id,
-             timestamp_seconds(1700000000 + id * 7) AS ts,
-             array(concat('tok_', CAST(id % 5 AS STRING)),
-                   concat('tok_', CAST((id * 3) % 7 AS STRING)),
-                   concat('tok_', CAST((id * 7) % 11 AS STRING))) AS toks
-      FROM range(240) WHERE id % 2 = $parity""")
-    def sentinel(offset: Long) = s.sql(s"""
-      SELECT CAST(9000 + $offset AS BIGINT) AS event_id,
-             timestamp_seconds(1700000000 + 86400 + $offset) AS ts,
-             array('sentinel') AS toks""")
-    Seq(slice(0), slice(1), sentinel(0), sentinel(1)).zipWithIndex.foreach { case (df, i) =>
-      val stage = new java.io.File(tmp, s"stage$i")
-      df.coalesce(1).write.parquet(stage.getPath)
-      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(src, s"f$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + i * 60000L)
+    val fin = runStream(s, "graft_s06") { (sess, tmp) =>
+      def slice(parity: Int) = sess.sql(s"""
+        SELECT CAST(id AS BIGINT) AS event_id,
+               timestamp_seconds(1700000000 + id * 7) AS ts,
+               array(concat('tok_', CAST(id % 5 AS STRING)),
+                     concat('tok_', CAST((id * 3) % 7 AS STRING)),
+                     concat('tok_', CAST((id * 7) % 11 AS STRING))) AS toks
+        FROM range(240) WHERE id % 2 = $parity""")
+      def sentinel(offset: Long) = sess.sql(s"""
+        SELECT CAST(9000 + $offset AS BIGINT) AS event_id,
+               timestamp_seconds(1700000000 + 86400 + $offset) AS ts,
+               array('sentinel') AS toks""")
+      val src = stageBatches(tmp, Seq(slice(0), slice(1), sentinel(0), sentinel(1)))
+      val stream = sess.readStream.schema(sentinel(0).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      graft.streaming.StreamOps.windowedTokenCounts(
+        stream, watermark = "2 minutes", window = "1 minute")
     }
-    val schema = sentinel(0).schema
-    val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
-    val counts = graft.streaming.StreamOps.windowedTokenCounts(
-      stream, watermark = "2 minutes", window = "1 minute")
-    val qname = "graft_s06_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = counts.writeStream.format("memory").queryName(qname)
-        .option("checkpointLocation", tmp + "/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    s.table(qname).where("token <> 'sentinel'")
+    fin.where("token <> 'sentinel'")
       .selectExpr("CAST(window.start AS BIGINT) AS win_start", "token", "n")
-      .createOrReplaceTempView(qname + "_fin")
-    s.sql(s"""
+      .createOrReplaceTempView("graft_s06_fin")
+    fin.sparkSession.sql("""
       SELECT win_start, CAST(rnk AS BIGINT) AS rnk, token, n
       FROM (SELECT win_start, token, n,
                    ROW_NUMBER() OVER (PARTITION BY win_start ORDER BY n DESC, token) AS rnk
-            FROM ${qname}_fin) t
+            FROM graft_s06_fin) t
       WHERE rnk <= 3 ORDER BY win_start, rnk""")
   }
 
@@ -6266,41 +6338,24 @@ object SparkEntry {
     * Oracle: batch replay — kept iff the doc holds the minimum doc_id in
     * EVERY one of its band groups (arrival order is doc_id order). */
   private def s08Fn(s: SparkSession, dir: String): DataFrame = {
-    views(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s08").toString
-    val src = new java.io.File(tmp, "src"); src.mkdirs()
-    def gen(lo: Int, hi: Int) = s.sql(s"""
-      SELECT CAST(id AS BIGINT) AS doc_id,
-             timestamp_seconds(1700000000 + id) AS ts,
-             CAST(graft_simhash(concat_ws(' ', transform(sequence(0, 19), j ->
-               CASE WHEN j = 0 AND id % 4 = 3 THEN concat('v', CAST(id AS STRING))
-                    ELSE concat('w', CAST((id % 25) * 31 + j AS STRING)) END))) AS BIGINT) AS sim
-      FROM range($lo, $hi)""")
-    (0 until 5).foreach { i =>
-      val stage = new java.io.File(tmp, s"stage$i")
-      gen(i * 20, (i + 1) * 20).coalesce(1).write.parquet(stage.getPath)
-      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(src, s"f$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + i * 60000L)
+    val fin = runStream(s, "graft_s08") { (sess, tmp) =>
+      graft.functions.TextFunctions.register(sess)
+      def gen(lo: Int, hi: Int) = sess.sql(s"""
+        SELECT CAST(id AS BIGINT) AS doc_id,
+               timestamp_seconds(1700000000 + id) AS ts,
+               CAST(graft_simhash(concat_ws(' ', transform(sequence(0, 19), j ->
+                 CASE WHEN j = 0 AND id % 4 = 3 THEN concat('v', CAST(id AS STRING))
+                      ELSE concat('w', CAST((id % 25) * 31 + j AS STRING)) END))) AS BIGINT) AS sim
+        FROM range($lo, $hi)""")
+      val src = stageBatches(tmp, (0 until 5).map(i => gen(i * 20, (i + 1) * 20)))
+      val stream = sess.readStream.schema(gen(0, 1).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      graft.streaming.StreamOps.neardupSuppress(stream).toDF()
     }
-    val stream = s.readStream.schema(gen(0, 1).schema)
-      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
-    val verdicts = graft.streaming.StreamOps.neardupSuppress(stream)
-    val qname = "graft_s08_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = verdicts.toDF().writeStream.format("memory").queryName(qname)
-        .option("checkpointLocation", tmp + "/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    s.sql(s"""
+    fin.createOrReplaceTempView("graft_s08_fin")
+    fin.sparkSession.sql("""
       WITH kept AS (SELECT doc_id, every(first) AS kept
-                    FROM $qname GROUP BY doc_id)
+                    FROM graft_s08_fin GROUP BY doc_id)
       SELECT CAST(doc_id % 25 AS BIGINT) AS tmpl,
              COUNT(*) AS n_docs,
              COUNT(IF(kept, 1, NULL)) AS n_kept,
@@ -6745,46 +6800,28 @@ object SparkEntry {
     * join. Clicks before any profile emit NULL; cross-batch state carry
     * is what the oracle's as-of-backward batch replay checks. */
   private def s09Fn(s: SparkSession, dir: String): DataFrame = {
-    views(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s09").toString
-    val src = new java.io.File(tmp, "src"); src.mkdirs()
-    def gen(lo: Int, hi: Int) = s.sql(s"""
-      SELECT CAST(id % 7 AS BIGINT) AS user_id,
-             timestamp_seconds(1700000000 + id) AS ts,
-             IF(id % 3 = 0, 'profile', 'click') AS kind,
-             CAST(id AS BIGINT) AS value
-      FROM range($lo, $hi)""")
-    (0 until 5).foreach { i =>
-      val stage = new java.io.File(tmp, s"stage$i")
-      gen(i * 30, (i + 1) * 30).coalesce(1).write.parquet(stage.getPath)
-      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(src, s"f$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + i * 60000L)
+    val fin = runStream(s, "graft_s09") { (sess, tmp) =>
+      def gen(lo: Int, hi: Int) = sess.sql(s"""
+        SELECT CAST(id % 7 AS BIGINT) AS user_id,
+               timestamp_seconds(1700000000 + id) AS ts,
+               IF(id % 3 = 0, 'profile', 'click') AS kind,
+               CAST(id AS BIGINT) AS value
+        FROM range($lo, $hi)""")
+      val src = stageBatches(tmp, (0 until 5).map(i => gen(i * 30, (i + 1) * 30)))
+      import org.apache.spark.sql.Encoders
+      val stream = sess.readStream.schema(gen(0, 1).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .as[graft.streaming.StreamOps.EnrichEvent](
+          Encoders.product[graft.streaming.StreamOps.EnrichEvent])
+      graft.streaming.StreamOps.latestValueEnrich(stream).toDF()
     }
-    import org.apache.spark.sql.Encoders
-    val stream = s.readStream.schema(gen(0, 1).schema)
-      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
-      .as[graft.streaming.StreamOps.EnrichEvent](
-        Encoders.product[graft.streaming.StreamOps.EnrichEvent])
-    val enriched = graft.streaming.StreamOps.latestValueEnrich(stream)
-    val qname = "graft_s09_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = enriched.toDF().writeStream.format("memory").queryName(qname)
-        .option("checkpointLocation", tmp + "/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    s.sql(s"""
+    fin.createOrReplaceTempView("graft_s09_fin")
+    fin.sparkSession.sql("""
       SELECT user_id, COUNT(*) AS n_clicks,
              COUNT(profile_value) AS n_enriched,
              COALESCE(SUM(profile_value), 0) AS sum_profile,
              COALESCE(MAX(value - profile_value), 0) AS max_staleness
-      FROM $qname GROUP BY user_id ORDER BY user_id""")
+      FROM graft_s09_fin GROUP BY user_id ORDER BY user_id""")
   }
 
   private val s09Duck = """
@@ -7437,46 +7474,28 @@ object SparkEntry {
     * the identical test with HUGEINT cumulative windows — any FP in
     * either path, or any state loss across batches, hash-mismatches. */
   private def s10Fn(s: SparkSession, dir: String): DataFrame = {
-    views(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s10").toString
-    val src = new java.io.File(tmp, "src"); src.mkdirs()
-    def gen(lo: Int, hi: Int) = s.sql(s"""
-      SELECT CAST(id % 7 AS BIGINT) AS user_id,
-             timestamp_seconds(1700000000 + id) AS ts,
-             CAST(id AS BIGINT) AS event_id,
-             CAST((id % 97) * 100 + IF(id % 50 = 3, 500000, 0) AS BIGINT) AS vmilli
-      FROM range($lo, $hi)""")
-    (0 until 5).foreach { i =>
-      val stage = new java.io.File(tmp, s"stage$i")
-      gen(i * 70, (i + 1) * 70).coalesce(1).write.parquet(stage.getPath)
-      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(src, s"f$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + i * 60000L)
+    val fin = runStream(s, "graft_s10") { (sess, tmp) =>
+      def gen(lo: Int, hi: Int) = sess.sql(s"""
+        SELECT CAST(id % 7 AS BIGINT) AS user_id,
+               timestamp_seconds(1700000000 + id) AS ts,
+               CAST(id AS BIGINT) AS event_id,
+               CAST((id % 97) * 100 + IF(id % 50 = 3, 500000, 0) AS BIGINT) AS vmilli
+        FROM range($lo, $hi)""")
+      val src = stageBatches(tmp, (0 until 5).map(i => gen(i * 70, (i + 1) * 70)))
+      import org.apache.spark.sql.Encoders
+      val stream = sess.readStream.schema(gen(0, 1).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .as[graft.streaming.StreamOps.AnomEvent](
+          Encoders.product[graft.streaming.StreamOps.AnomEvent])
+      graft.streaming.StreamOps.anomalies(stream).toDF()
     }
-    import org.apache.spark.sql.Encoders
-    val stream = s.readStream.schema(gen(0, 1).schema)
-      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
-      .as[graft.streaming.StreamOps.AnomEvent](
-        Encoders.product[graft.streaming.StreamOps.AnomEvent])
-    val verdicts = graft.streaming.StreamOps.anomalies(stream)
-    val qname = "graft_s10_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val qq = verdicts.toDF().writeStream.format("memory").queryName(qname)
-        .option("checkpointLocation", tmp + "/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      qq.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    s.sql(s"""
+    fin.createOrReplaceTempView("graft_s10_fin")
+    fin.sparkSession.sql("""
       SELECT user_id, COUNT(*) AS n_events,
              COUNT(IF(anomaly, 1, NULL)) AS n_anomalies,
              COALESCE(SUM(IF(anomaly, vmilli, NULL)), 0) AS sum_anom_vmilli,
              MAX(n_prior) AS max_prior
-      FROM $qname GROUP BY user_id ORDER BY user_id""")
+      FROM graft_s10_fin GROUP BY user_id ORDER BY user_id""")
   }
 
   private val s10Duck = """
@@ -8087,21 +8106,6 @@ object SparkEntry {
     * and nothing accumulates. Integer dots make the argmax exact. */
   private def s11Fn(s: SparkSession, dir: String): DataFrame = {
     views(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s11").toString
-    val src = new java.io.File(tmp, "src"); src.mkdirs()
-    def gen(lo: Int, hi: Int) = s.sql(s"""
-      SELECT CAST(id AS BIGINT) AS sample_id,
-             timestamp_seconds(1700000000 + id) AS ts,
-             transform(sequence(0, 7), j -> CAST((id * 31 + j * j * 7) % 199 - 99 AS BIGINT)) AS vec
-      FROM range($lo, $hi)""")
-    (0 until 5).foreach { i =>
-      val stage = new java.io.File(tmp, s"stage$i")
-      gen(i * 40, (i + 1) * 40).coalesce(1).write.parquet(stage.getPath)
-      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(src, s"f$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + i * 60000L)
-    }
     // static centroids: exact integers derived from the embeddings table.
     // 4 rows — a bounded metadata collect, inlined as a literal so the
     // streaming classify is a pure row-level expression (windows and
@@ -8116,32 +8120,30 @@ object SparkEntry {
       val ce = r.getSeq[Long](1).mkString(",")
       s"struct(CAST(${r.getLong(0)} AS BIGINT) AS cid, array($ce) AS ce)"
     }.mkString("array(", ",", ")")
-    val stream = s.readStream.schema(gen(0, 1).schema)
-      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
-    stream.createOrReplaceTempView("s11_stream")
-    // argmax by integer dot product: array_max over (dot, -cid) structs —
-    // lexicographic struct ordering gives max-dot with min-cid tie-break
-    val classified = s.sql(s"""
-      SELECT sample_id, ts,
-             CAST(-(array_max(transform($centSql, c ->
-               struct(aggregate(zip_with(vec, c.ce, (a, b) -> a * b),
-                                CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dot,
-                      -c.cid AS ncid)))).ncid AS BIGINT) AS cls
-      FROM s11_stream""")
-    val qname = "graft_s11_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val qq = classified.writeStream.format("memory").queryName(qname)
-        .option("checkpointLocation", tmp + "/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      qq.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    s.sql(s"""
+    val fin = runStream(s, "graft_s11") { (sess, tmp) =>
+      def gen(lo: Int, hi: Int) = sess.sql(s"""
+        SELECT CAST(id AS BIGINT) AS sample_id,
+               timestamp_seconds(1700000000 + id) AS ts,
+               transform(sequence(0, 7), j -> CAST((id * 31 + j * j * 7) % 199 - 99 AS BIGINT)) AS vec
+        FROM range($lo, $hi)""")
+      val src = stageBatches(tmp, (0 until 5).map(i => gen(i * 40, (i + 1) * 40)))
+      val stream = sess.readStream.schema(gen(0, 1).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      stream.createOrReplaceTempView("s11_stream")
+      // argmax by integer dot product: array_max over (dot, -cid) structs —
+      // lexicographic struct ordering gives max-dot with min-cid tie-break
+      sess.sql(s"""
+        SELECT sample_id, ts,
+               CAST(-(array_max(transform($centSql, c ->
+                 struct(aggregate(zip_with(vec, c.ce, (a, b) -> a * b),
+                                  CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dot,
+                        -c.cid AS ncid)))).ncid AS BIGINT) AS cls
+        FROM s11_stream""")
+    }
+    fin.createOrReplaceTempView("graft_s11_fin")
+    fin.sparkSession.sql("""
       SELECT cls, COUNT(*) AS n, MIN(sample_id) AS min_id, SUM(sample_id) AS sum_ids
-      FROM $qname GROUP BY cls ORDER BY cls""")
+      FROM graft_s11_fin GROUP BY cls ORDER BY cls""")
   }
 
   private val s11Duck = """
@@ -8184,44 +8186,26 @@ object SparkEntry {
     * documented completeness trade (late data needs a batch backfill
     * path, which is exactly what the a0x as-of family does). */
   private def s12Fn(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s12").toString
-    val src = new java.io.File(tmp, "src"); src.mkdirs()
-    def wave(lo: Int): DataFrame = s.sql(s"""
-      SELECT CAST(id AS BIGINT) AS event_id,
-             timestamp_seconds(1700000000 + (id % 40) * 60) AS ts,
-             CAST(id % 7 AS BIGINT) AS user_id,
-             CASE WHEN id % 3 = 0 THEN 'click' WHEN id % 3 = 1 THEN 'view'
-                  ELSE 'buy' END AS event_type,
-             CAST(id AS DOUBLE) / 10 AS value
-      FROM range($lo, ${lo + 100})""")
-    def sentinel(offset: Long) = s.sql(s"""
-      SELECT CAST(9000 + $offset AS BIGINT) AS event_id,
-             timestamp_seconds(1700000000 + 86400 + $offset) AS ts,
-             CAST(0 AS BIGINT) AS user_id, 'sentinel' AS event_type, 0.0 AS value""")
-    Seq(wave(0), sentinel(0), sentinel(1), wave(100), sentinel(2)).zipWithIndex.foreach { case (df, i) =>
-      val stage = new java.io.File(tmp, s"stage$i")
-      df.coalesce(1).write.parquet(stage.getPath)
-      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(src, s"f$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + i * 60000L) // strict batch order
+    runStream(s, "graft_s12") { (sess, tmp) =>
+      def wave(lo: Int): DataFrame = sess.sql(s"""
+        SELECT CAST(id AS BIGINT) AS event_id,
+               timestamp_seconds(1700000000 + (id % 40) * 60) AS ts,
+               CAST(id % 7 AS BIGINT) AS user_id,
+               CASE WHEN id % 3 = 0 THEN 'click' WHEN id % 3 = 1 THEN 'view'
+                    ELSE 'buy' END AS event_type,
+               CAST(id AS DOUBLE) / 10 AS value
+        FROM range($lo, ${lo + 100})""")
+      def sentinel(offset: Long) = sess.sql(s"""
+        SELECT CAST(9000 + $offset AS BIGINT) AS event_id,
+               timestamp_seconds(1700000000 + 86400 + $offset) AS ts,
+               CAST(0 AS BIGINT) AS user_id, 'sentinel' AS event_type, 0.0 AS value""")
+      val src = stageBatches(tmp,
+        Seq(wave(0), sentinel(0), sentinel(1), wave(100), sentinel(2)))
+      val stream = sess.readStream.schema(wave(0).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      graft.streaming.StreamOps.windowedCounts(
+        stream, watermark = "10 minutes", window = "5 minutes")
     }
-    val stream = s.readStream.schema(wave(0).schema)
-      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
-    val counts = graft.streaming.StreamOps.windowedCounts(
-      stream, watermark = "10 minutes", window = "5 minutes")
-    val qname = "graft_s12_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = counts.writeStream.format("memory").queryName(qname)
-        .option("checkpointLocation", tmp + "/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    s.table(qname)
       .where("event_type <> 'sentinel'")
       .selectExpr("CAST(window.start AS BIGINT) AS win_start", "event_type",
         "n", "ROUND(total, 6) AS total")
@@ -9886,6 +9870,8 @@ object SparkEntry {
     ("g73_buffer_styles", q(g73Spark), g73Duck),
     ("g74_force_orientation", q(g74Spark), g74Duck),
     ("g75_bbox_iou", q(g75Spark), g75Duck),
+    ("g76_literal_polygon_filter", q(g76Spark), g76Duck),
+    ("g77_perimeter_spheroid", q(g77Spark), g77Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),
     ("m16_norm_constants", q(m16Spark), m16Duck),

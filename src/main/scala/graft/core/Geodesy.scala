@@ -122,9 +122,13 @@ object Geodesy {
     * asinh(tan)). SQL: `ST_TileY(lat, z)`. */
   def tileY(lat: Double, z: Int): Long = {
     require(z >= 0 && z <= 30, s"ST_TileY: zoom $z outside [0, 30]")
-    require(math.abs(lat) < 90.0,
-      s"ST_TileY: latitude $lat not representable in web mercator")
     val n = 1L << z
+    // poles clamp to the edge rows rather than aborting the job — the same
+    // silent-clamp convention tileX applies at lon = ±180 (tan/sec blow up
+    // past the mercator cutoff, but the min/max below bounds the result;
+    // a ±90 input lands exactly on row 0 / 2^z−1)
+    if (lat >= 90.0) return 0L
+    if (lat <= -90.0) return n - 1
     val r = lat * math.Pi / 180.0
     val t = math.floor(
       (1.0 - math.log(math.tan(r) + 1.0 / math.cos(r)) / math.Pi) / 2.0 * n).toLong
@@ -506,6 +510,54 @@ object Geodesy {
     }
     total
   }
+
+  // ── geodesic perimeter ────────────────────────────────────────────────
+  // The reference ships geodesic_perimeter as a first-class compute
+  // function (python/geoarrow-compute/python/geoarrow/rust/compute/
+  // _compute.pyi:272, backed by geodesic_length.rs applied to polygon
+  // rings). lengthSpheroid above deliberately walks only LineString
+  // components (length is a lineal measure, matching the planar
+  // GeomOps.length/perimeter split), so polygons answer 0 there; these
+  // walk the RINGS — exterior plus holes, holes ADD (a perimeter is total
+  // boundary walked, the PostGIS ST_Perimeter convention).
+
+  private def perimeterOf(g: Geometry,
+      seg: (Double, Double, Double, Double) => Double): Double = g match {
+    case p: Polygon =>
+      var total = ringPerim(p.getExteriorRing, seg)
+      var i = 0
+      while (i < p.getNumInteriorRing) {
+        total += ringPerim(p.getInteriorRingN(i), seg)
+        i += 1
+      }
+      total
+    case gc: GeometryCollection =>
+      (0 until gc.getNumGeometries).map(i => perimeterOf(gc.getGeometryN(i), seg)).sum
+    case _ => 0.0
+  }
+
+  private def ringPerim(l: LineString,
+      seg: (Double, Double, Double, Double) => Double): Double = {
+    val cs = l.getCoordinates
+    var total = 0.0
+    var j = 1
+    while (j < cs.length) {
+      total += seg(cs(j - 1).x, cs(j - 1).y, cs(j).x, cs(j).y)
+      j += 1
+    }
+    total
+  }
+
+  /** Ellipsoidal (multi)polygon perimeter (m), Andoyer per segment —
+    * consistent with lengthSpheroid / DuckDB's ST_Perimeter_Spheroid. */
+  def perimeterSpheroid(b: Array[Byte]): Double =
+    perimeterOf(GeomOps.read(b), andoyerMeters)
+
+  /** Karney-exact (multi)polygon perimeter (m) — named parity with the
+    * st_*geodesic family (the reference's geodesic_perimeter). */
+  def perimeterGeodesic(b: Array[Byte]): Double =
+    perimeterOf(GeomOps.read(b),
+      (lon1, lat1, lon2, lat2) => KarneyGeodesic.distance(lat1, lon1, lat2, lon2))
 
   /** Chamberlain–Duquette spherical polygon area (m², absolute value).
     * ref: rust/geoarrow-old/src/algorithm/geo/chamberlain_duquette_area.rs:61 */

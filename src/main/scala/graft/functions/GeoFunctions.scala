@@ -64,6 +64,7 @@ object GeoFunctions {
     "st_makeline" -> Sig("makeLine", G, Seq(G, G)),
     "st_linefrommultipoint" -> Sig("makeLineFromMultiPoint", G, Seq(G)),
     "st_makepolygon" -> Sig("makePolygon", G, Seq(G)),
+    "st_makepolygon" -> Sig("makePolygonHoles", G, Seq(G, ArrayType(BinaryType)), cast = false),
     "st_collect" -> Sig("collect", G, Seq(ArrayType(BinaryType))),
     "st_geomfromtext" -> Sig("geomFromText", G, Seq(S)),
     "st_geomfromwkt" -> Sig("geomFromText", G, Seq(S)),
@@ -197,6 +198,8 @@ object GeoFunctions {
     "st_lengthgeodesic" -> Sig("lengthGeodesic", D, Seq(G), geodesy),
     "st_distancevincenty" -> Sig("distanceVincenty", D, Seq(G, G), geodesy),
     "st_lengthvincenty" -> Sig("lengthVincenty", D, Seq(G), geodesy),
+    "st_perimeterspheroid" -> Sig("perimeterSpheroid", D, Seq(G), geodesy),
+    "st_perimetergeodesic" -> Sig("perimeterGeodesic", D, Seq(G), geodesy),
     "st_geohash" -> Sig("geoHash", S, Seq(G, I), geodesy),
     "st_crosstrackdistance" -> Sig("crossTrackMeters", D, Seq(G, G, G), geodesy),
     "st_tilex" -> Sig("tileX", LongType, Seq(D, I), geodesy),
@@ -248,9 +251,15 @@ object GeoFunctions {
 
   private def build(name: String, overloads: Map[Int, Sig])(args: Seq[Expression]): Expression = {
     val byType =
-      if (name == "st_buffer" && args.length == 3 &&
-          args(2).resolved && args(2).dataType == StringType) Some(bufferStyledSig)
-      else None
+      if (name == "st_buffer" && args.length == 3) {
+        // the analyzer only invokes builders once children resolve; if that
+        // ever changes, fail loudly rather than silently routing a style
+        // string into the integer overload (Cast(string→INT) = NULL)
+        if (!args(2).resolved) throw new IllegalArgumentException(
+          "ST_Buffer: third argument is unresolved — cannot dispatch the " +
+            "quad_segs (INT) vs style-string (STRING) overload")
+        if (args(2).dataType == StringType) Some(bufferStyledSig) else None
+      } else None
     val sig = byType.getOrElse(overloads.getOrElse(args.length, throw new IllegalArgumentException(
       s"$name expects ${overloads.keys.toSeq.sorted.mkString("/")} args, got ${args.length}")))
     val cast =

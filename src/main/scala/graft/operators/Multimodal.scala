@@ -458,7 +458,13 @@ object Multimodal {
         val f = ais.getFormat
         require(f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
           s"audioResample expects PCM16LE mono, got $f")
-        (f.getSampleRate.toInt, ais.readAllBytes())
+        val r = f.getSampleRate.toInt
+        // fail loudly like the sibling kernels: a factor that doesn't
+        // divide the rate would silently truncate it (8000/3 → 2666 Hz
+        // container), and factor > rate would write a 0 Hz AudioFormat
+        require(factor <= r && r % factor == 0,
+          s"resample factor $factor must divide the sample rate $r exactly")
+        (r, ais.readAllBytes())
       } finally ais.close()
     val nIn = pcm.length / 2
     val nOut = nIn / factor

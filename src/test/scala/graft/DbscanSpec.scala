@@ -80,4 +80,79 @@ class DbscanSpec extends SparkTestBase {
     val got = labelsOf(Dbscan.cluster(df, "id", "geom", eps = 1.2, minPts = 4))
     assert(got.values.flatten.toSet == Set(0L))
   }
+
+  test("hot-blob corpus: ε-pair generation spreads across tasks (sub-split)") {
+    // 90% of 660 points sit in ONE ~0.4-wide blob at (50,50) — a single
+    // ε-grid cell at eps=1 — so the blob emits ~540k of the ε-pairs; the
+    // remaining 10% scatter over [0,99]². Dbscan.cluster inherits the grid
+    // join's hot-cell sub-split for its DWithin self-join; this pins the
+    // inherited property the way SpatialJoinSpec pins it for the join
+    // itself: no task of the pair-generation stage may read ≥50% of the
+    // stage's shuffle records on a 90%-one-blob corpus.
+    val s = spark
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = s.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "16")
+    // AQE's byte-coalescing folds the small SQL shuffles of this fixture
+    // into 1-2 fat tasks, which would hide per-KEY balance behind
+    // byte-balance; with it off, every shuffle runs its 16 hash partitions
+    // and key skew is observable per task
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val df = s.sql("""
+      SELECT id, CASE WHEN id < 600
+          THEN ST_Point(50.0 + (id % 20) * 0.02,
+                        50.0 + (CAST(id / 20 AS INT) % 30) * 0.02)
+          ELSE ST_Point(CAST((id * 7) % 100 AS DOUBLE), CAST((id * 13) % 100 AS DOUBLE))
+        END AS geom
+      FROM (SELECT explode(sequence(0L, 659L)) AS id)""")
+    val perStage = new java.util.concurrent.ConcurrentHashMap[Int, List[Long]]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics).foreach { m =>
+          perStage.merge(te.stageId, List(m.shuffleReadMetrics.recordsRead),
+            (a, b) => a ++ b)
+        }
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      val got = labelsOf(Dbscan.cluster(df, "id", "geom", eps = 1.0, minPts = 5))
+      // sanity: the blob is one cluster labeled by its min id, end to end
+      assert(got(0L) == Some(0L) && got(599L) == Some(0L))
+      assert(got.values.flatten.count(_ == 0L) >= 600, s"blob fragmented: $got")
+      // listener bus is async: wait until stage totals stabilize
+      var snapshot = Map.empty[Int, List[Long]]
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var stable = false
+      while (!stable && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        val now = scala.jdk.CollectionConverters.MapHasAsScala(perStage).asScala.toMap
+        stable = now == snapshot && now.values.map(_.sum).maxOption.exists(_ > 1000)
+        snapshot = now
+      }
+      // EVERY substantial shuffle stage must balance — the grid-join
+      // pair-generation stage (hot-cell sub-split under test) AND the
+      // downstream pair/label shuffles (id-keyed, naturally spread).
+      // Stages AQE already coalesced to 1-2 byte-balanced partitions are
+      // excluded: a 58/42 split across two fat coalesced tasks is AQE
+      // working as designed, not key skew (the grid join's own shuffle is
+      // RDD-level and never coalesced, so it always stays in scope).
+      val substantial = snapshot.filter { case (_, recs) =>
+        recs.sum > 1000 && recs.length >= 3
+      }
+      assert(substantial.nonEmpty, s"no shuffle stages observed: $snapshot")
+      substantial.foreach { case (stageId, recs) =>
+        val maxShare = recs.max.toDouble / recs.sum
+        assert(maxShare < 0.5,
+          s"stage $stageId skewed: max task reads ${(maxShare * 100).round}% " +
+            s"of ${recs.sum} shuffle records ($recs)")
+      }
+    } finally {
+      s.sparkContext.removeSparkListener(listener)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
 }

@@ -226,4 +226,20 @@ class StreamOpsSpec extends SparkTestBase {
       .as[Long].collect().toList
     assert(kept == List(0L, 1L, 4L), s"kept $kept")
   }
+
+  test("s-suite harness runs the RocksDB state store provider") {
+    // The runStream harness pins spark.sql.streaming.stateStore.providerClass
+    // to RocksDBStateStoreProvider on its forked session — the provider a
+    // production cluster needs at 100-TB key cardinality (the default
+    // HDFS-backed store keeps all state in executor heap). This drives the
+    // REAL s03 pipeline end-to-end and then checks the query's progress
+    // JSON: a stateful dedup under RocksDB reports rocksdb* custom metrics
+    // in its stateOperators block; the in-heap provider reports none.
+    val out = SparkEntry.queries("s03_stream_dedup")(spark, "/unused")
+    assert(out.count() == 3, "s03 must still produce its 3 event-type rows")
+    val progress = SparkEntry.lastStreamProgress
+    assert(progress.contains("stateOperators"), s"no state operators in: $progress")
+    assert(progress.toLowerCase.contains("rocksdb"),
+      s"RocksDB provider not active — progress: $progress")
+  }
 }
