@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scale-slope evidence harness (BASELINE.md "time vs rows"): generates
+  * k× synthetic blow-ups of the sf0.1 inputs for the four heaviest shuffle
+  * families — t07 banded-LSH dedup, g33 big×big grid join, q16 PageRank,
+  * e13 SemDeDup — and times each family at 1×/3×/10×, printing one JSON
+  * line per (family, factor). The 100×-cluster claims in the scaladocs are
+  * design arguments; this turns them into measured slopes.
+  *
+  * Blow-up construction preserves each family's work DISTRIBUTION instead
+  * of stacking duplicates:
+  *  - documents: copy c salts text by inserting a per-copy token between
+  *    every word pair, so no shingle survives across copies (copies are
+  *    NOT near-dups of their originals — the dup rate per row stays the
+  *    corpus's own), while within-copy near-dup structure is preserved.
+  *  - lineitem (q16 edges): copy c offsets l_partkey/l_suppkey by
+  *    c·maxKey, growing the node set with the edge set (an offset-free
+  *    copy would only thicken the same graph and collapse the DISTINCT).
+  *  - orders (g33 probe side): copy c offsets o_orderkey, spreading new
+  *    points uniformly over the same 500×500 grid — candidate pairs and
+  *    output grow ~k× (the build side stays fixed, as a stable zone table
+  *    would; growing both sides k× densifies cells and costs k², which is
+  *    a density change, not a data-volume change).
+  *  - embeddings: copy c jitters every lane by an id-seeded ±1.5% step —
+  *    new vectors cluster like the originals without being their dups.
+  * Untouched tables are copied through so `views()` finds the full set.
+  */
+object ScaleSlope {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val base = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val blown = Set("documents", "lineitem", "orders", "embeddings")
+
+    def gen(factor: Int): String = {
+      if (factor == 1) return sfDir
+      val dir = s"$base/x$factor"
+      val done = new java.io.File(s"$dir/_DONE")
+      if (done.exists()) return dir
+      new java.io.File(dir).mkdirs()
+      tables.filterNot(blown).foreach { t =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$sfDir/$t.parquet"),
+          java.nio.file.Paths.get(s"$dir/$t.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      import org.apache.spark.sql.functions.expr
+      def src(t: String) = spark.read.parquet(s"$sfDir/$t.parquet")
+        .crossJoin(spark.range(factor).selectExpr("CAST(id AS BIGINT) AS c"))
+      // documents: per-copy salt token between every word (see scaladoc)
+      src("documents")
+        .withColumn("doc_id", expr("doc_id + c * 1000000"))
+        .withColumn("text", expr(
+          "CASE WHEN c = 0 THEN text ELSE regexp_replace(text, ' ', concat(' zsalt', CAST(c AS STRING), ' ')) END"))
+        .withColumn("n_chars", expr("CAST(length(text) AS BIGINT)"))
+        .drop("c")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // lineitem: offset part/supp keys per copy (q16 node growth); other
+      // columns ride along unchanged (only the edge columns matter here)
+      src("lineitem")
+        .withColumn("l_orderkey", expr("l_orderkey + c * 10000000"))
+        .withColumn("l_partkey", expr("l_partkey + c * 1000000"))
+        .withColumn("l_suppkey", expr("l_suppkey + c * 1000000"))
+        .drop("c")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      // orders: offset orderkey per copy (g33 probe-side growth)
+      src("orders")
+        .withColumn("o_orderkey", expr("o_orderkey + c * 10000000"))
+        .drop("c")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      // embeddings: id-seeded jitter per lane, same clustering shape
+      src("embeddings")
+        .withColumn("embedding", expr(
+          """CASE WHEN c = 0 THEN embedding ELSE transform(embedding, (x, i) ->
+             CAST(x + CAST((vec_id * 31 + i * 7 + c * 13) % 11 - 5 AS FLOAT) * CAST(0.003 AS FLOAT) AS FLOAT)) END"""))
+        .withColumn("vec_id", expr("vec_id + c * 1000000"))
+        .drop("c")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      done.createNewFile()
+      dir
+    }
+
+    val families = Seq("t07_minhash_lsh", "g33_grid_join_bigbig",
+      "q16_pagerank", "e13_semdedup")
+    def run(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
+    val out = new StringBuilder
+    Seq(1, 3, 10).foreach { factor =>
+      val dir = gen(factor)
+      families.foreach { fam =>
+        var best = Double.MaxValue
+        (0 until reps).foreach { _ =>
+          graft.core.Blocks.scrub(spark, blocking = true)
+          val t0 = System.nanoTime()
+          run(SparkEntry.queries(fam)(spark, dir))
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        val line = f"""{"family":"$fam","factor":$factor,"sec":$best%.2f}"""
+        println(line); out ++= line += '\n'
+      }
+    }
+    spark.stop()
+    println("SCALE_SLOPE_DONE")
+    print(out)
+  }
+}
