@@ -2241,6 +2241,79 @@ object SparkEntry {
            SUM(CASE WHEN lat > plat THEN 1 ELSE 0 END)::BIGINT AS n_north
     FROM st GROUP BY user_id ORDER BY user_id"""
 
+  /** Late-data partition backfill (a10): the batch half of the lateness
+    * contract s12 pins — the streaming side DROPS rows behind the
+    * watermark to bound state, and the backfill job repairs the serving
+    * table by recomputing ONLY the partitions the late wave touched (the
+    * Hive/Delta dynamic-partition-overwrite pattern; q22's mergeable-agg
+    * MERGE is the other repair mechanism, this is the partition-scoped
+    * rescan for when aggregates are NOT mergeable or corrections must be
+    * exact). Late rows (a second wave of 20 events aimed at the last 10
+    * of 40 minutes) derive the affected-window set, untouched windows
+    * pass through from the serving table, affected windows recompute from
+    * the unioned source — and the result is pinned row-for-row equal to a
+    * full recompute by checksum equality emitted as a boolean. The
+    * affected-set derivation and both joins are window-keyed (a handful
+    * of keys at any scale); only the affected partitions' source rescan
+    * grows with the late volume, not the table. */
+  private val a10Spark = """
+    WITH ontime AS (SELECT /*+ REPARTITION({{P}}) */ id,
+                           1700000000 + CAST(id % 40 AS BIGINT) * 60 AS es,
+                           CASE WHEN id % 3 = 0 THEN 'click' WHEN id % 3 = 1 THEN 'view'
+                                ELSE 'buy' END AS et,
+                           CAST(id % 89 AS BIGINT) AS v
+                    FROM range(0, 100)),
+    late AS (SELECT id, 1700000000 + CAST(30 + id % 10 AS BIGINT) * 60 AS es,
+                    CASE WHEN id % 3 = 0 THEN 'click' WHEN id % 3 = 1 THEN 'view'
+                         ELSE 'buy' END AS et,
+                    CAST(id % 89 AS BIGINT) AS v
+             FROM range(100, 120)),
+    serving AS (SELECT (es DIV 300) * 300 AS win, et,
+                       COUNT(*) AS n, SUM(v) AS tot
+                FROM ontime GROUP BY 1, 2),
+    affected AS (SELECT DISTINCT (es DIV 300) * 300 AS win FROM late),
+    recomputed AS (SELECT (es DIV 300) * 300 AS win, et, COUNT(*) AS n, SUM(v) AS tot
+                   FROM (SELECT es, et, v FROM ontime
+                         UNION ALL SELECT es, et, v FROM late) u
+                   WHERE (es DIV 300) * 300 IN (SELECT win FROM affected)
+                   GROUP BY 1, 2),
+    merged AS (SELECT s.win, s.et, s.n, s.tot FROM serving s
+               WHERE s.win NOT IN (SELECT win FROM affected)
+               UNION ALL SELECT win, et, n, tot FROM recomputed),
+    full_rc AS (SELECT (es DIV 300) * 300 AS win, et, COUNT(*) AS n, SUM(v) AS tot
+                FROM (SELECT es, et, v FROM ontime
+                      UNION ALL SELECT es, et, v FROM late) u
+                GROUP BY 1, 2)
+    SELECT (SELECT COUNT(*) FROM affected) AS n_affected_windows,
+           COUNT(*) AS n_rows,
+           SUM(m.n) AS total_events, SUM(m.tot) AS value_mass,
+           SUM(m.win * m.n) = (SELECT SUM(f.win * f.n) FROM full_rc f) AND
+           SUM(m.tot * 31 + m.n) = (SELECT SUM(f.tot * 31 + f.n) FROM full_rc f) AND
+           COUNT(*) = (SELECT COUNT(*) FROM full_rc) AS matches_full_recompute
+    FROM merged m"""
+
+  private val a10Duck = """
+    WITH ontime AS (SELECT i AS id, 1700000000 + (i % 40) * 60 AS es,
+                           CASE WHEN i % 3 = 0 THEN 'click' WHEN i % 3 = 1 THEN 'view'
+                                ELSE 'buy' END AS et,
+                           i % 89 AS v
+                    FROM range(0, 100) t(i)),
+    late AS (SELECT i AS id, 1700000000 + (30 + i % 10) * 60 AS es,
+                    CASE WHEN i % 3 = 0 THEN 'click' WHEN i % 3 = 1 THEN 'view'
+                         ELSE 'buy' END AS et,
+                    i % 89 AS v
+             FROM range(100, 120) t(i)),
+    affected AS (SELECT DISTINCT (es // 300) * 300 AS win FROM late),
+    full_rc AS (SELECT (es // 300) * 300 AS win, et, COUNT(*) AS n, SUM(v) AS tot
+                FROM (SELECT es, et, v FROM ontime
+                      UNION ALL SELECT es, et, v FROM late) u
+                GROUP BY 1, 2)
+    SELECT (SELECT COUNT(*) FROM affected)::BIGINT AS n_affected_windows,
+           COUNT(*)::BIGINT AS n_rows,
+           SUM(n)::BIGINT AS total_events, SUM(tot)::BIGINT AS value_mass,
+           TRUE AS matches_full_recompute
+    FROM full_rc"""
+
   /** Session-scoped attribution (a09): a click attributes to the most
     * recent view INSIDE ITS OWN SESSION — the marketing-attribution rule
     * the unscoped as-of joins (a01) overcount, since a view from hours
@@ -2677,6 +2750,190 @@ object SparkEntry {
            ROUND(CAST(SUM(n_masked) AS DOUBLE) / SUM(n_tok), 6) AS corruption_rate
     FROM per_doc GROUP BY source ORDER BY source"""
 
+  /** Bigram-LM pseudo-perplexity scoring (t45): the CCNet/KenLM quality
+    * gate t23's novelty rate approximates — an actual smoothed language
+    * model trained ON the corpus, each document scored by its total bigram
+    * log-probability. Add-one smoothing: P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V)
+    * with V = corpus vocabulary size, so every probability is a ratio of
+    * BIGINTs and each bigram contributes floor(1e6·ln P) micro-nats — a
+    * BIGINT whose per-doc SUM is reduce-order-free (the t40/g10
+    * transcendental-floor precedent). The keep rule compares total
+    * micro-nats against threshold×n_bigrams by integer MULTIPLY (never
+    * integer division: Spark DIV truncates toward zero, DuckDB // floors —
+    * they disagree on negatives). Topology: the model is two
+    * vocabulary-bounded content-keyed aggregates (c12, c1 — same cost
+    * class as t23's df table); scoring re-joins doc bigrams to the model
+    * on content keys; one report agg. At 100 TB the model tables are the
+    * square-root-scale side and broadcast or shuffle by ngram — never by
+    * document. */
+  private val t45Spark = """
+    WITH tok AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, lang, graft_tokens(text) AS ts
+                 FROM documents),
+    bg AS (SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2
+           FROM tok LATERAL VIEW explode(transform(sequence(1, size(ts) - 1),
+                  i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))) t AS p
+           WHERE size(ts) >= 2),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w) AS v
+          FROM (SELECT explode(ts) AS w FROM tok)),
+    scored AS (SELECT b.doc_id, b.lang, COUNT(*) AS n_bg,
+                      SUM(CAST(FLOOR(ln((m.c12 + 1.0D) / (p.c1 + v.v)) * 1000000.0D) AS BIGINT)) AS logp_micro
+               FROM bg b JOIN c12 m ON m.w1 = b.w1 AND m.w2 = b.w2
+                         JOIN c1 p ON p.w1 = b.w1
+                         CROSS JOIN v
+               GROUP BY b.doc_id, b.lang)
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_bg) AS total_bigrams,
+           SUM(logp_micro) AS logp_mass,
+           SUM(CASE WHEN logp_micro >= -3400000 * n_bg THEN 1 ELSE 0 END) AS n_keep
+    FROM scored GROUP BY lang ORDER BY lang"""
+
+  private val t45Duck = """
+    WITH tok AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ts
+                 FROM documents),
+    bg AS (SELECT doc_id, lang, ts[i] AS w1, ts[i + 1] AS w2
+           FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS i) t
+           WHERE len(ts) >= 2),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w) AS v
+          FROM (SELECT unnest(ts) AS w FROM tok)),
+    scored AS (SELECT b.doc_id, b.lang, COUNT(*) AS n_bg,
+                      SUM(FLOOR(ln((m.c12 + 1.0) / (p.c1 + v.v)) * 1000000.0)::BIGINT) AS logp_micro
+               FROM bg b JOIN c12 m ON m.w1 = b.w1 AND m.w2 = b.w2
+                         JOIN c1 p ON p.w1 = b.w1
+                         CROSS JOIN v
+               GROUP BY b.doc_id, b.lang)
+    SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(n_bg)::BIGINT AS total_bigrams,
+           SUM(logp_micro)::BIGINT AS logp_mass,
+           SUM(CASE WHEN logp_micro >= -3400000 * n_bg THEN 1 ELSE 0 END)::BIGINT AS n_keep
+    FROM scored GROUP BY lang ORDER BY lang"""
+
+  /** Graded n-gram contamination score (t47): t20 decontaminates by EXACT
+    * benchmark membership (bloom prefilter + exact confirm); this is the
+    * GPT-3-appendix graded variant — for every training doc, the FRACTION
+    * of its 8-gram shingles that appear anywhere in the held-out benchmark
+    * set (docs with doc_id ≡ 0 mod 97, excluded from scoring), bucketed
+    * into clean / partial / quarantine bands. Contamination is PLANTED
+    * deterministically so the bands discriminate at every scale: docs with
+    * id ≡ 3 (mod 11) get a 15%-length benchmark prefix prepended (~13%
+    * shingle overlap → partial band), id ≡ 7 (mod 11) a 70% prefix (~41%
+    * → quarantine), everything else stays organic (clean). Shape: the
+    * benchmark's DISTINCT shingle set is the square-root-scale side
+    * (broadcast or shingle-keyed); doc shingles LEFT JOIN it on content
+    * key; per-doc fraction is exact integers; band cuts compare by
+    * integer MULTIPLY (20·hits vs n, 100·hits vs 20·n), never division. */
+  private val t47Spark = """
+    WITH bench_docs AS (SELECT ROW_NUMBER() OVER (ORDER BY doc_id) AS rb, text AS btext
+                        FROM documents WHERE doc_id % 97 = 0),
+    nb AS (SELECT COUNT(*) AS n FROM bench_docs),
+    corpus AS (SELECT /*+ REPARTITION({{P}}) */ d.doc_id, d.source,
+                      CASE WHEN d.doc_id % 11 = 3
+                             THEN concat(substring(b.btext, 1, CAST(FLOOR(length(b.btext) * 0.15D) AS INT)), ' ', d.text)
+                           WHEN d.doc_id % 11 = 7
+                             THEN concat(substring(b.btext, 1, CAST(FLOOR(length(b.btext) * 0.7D) AS INT)), ' ', d.text)
+                           ELSE d.text END AS text
+               FROM documents d CROSS JOIN nb
+               JOIN bench_docs b ON b.rb = d.doc_id % nb.n + 1
+               WHERE d.doc_id % 97 != 0),
+    bench AS (SELECT DISTINCT explode(graft_shingles(btext, 8)) AS s FROM bench_docs),
+    sh AS (SELECT doc_id, source, explode(graft_shingles(text, 8)) AS s FROM corpus),
+    scored AS (SELECT t.doc_id, t.source, COUNT(*) AS n_sh,
+                      SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+               FROM sh t LEFT JOIN bench b ON b.s = t.s
+               GROUP BY t.doc_id, t.source)
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(n_sh) AS total_shingles, SUM(n_hit) AS total_hits,
+           SUM(CASE WHEN n_hit = 0 THEN 1 ELSE 0 END) AS n_clean,
+           SUM(CASE WHEN n_hit > 0 AND n_hit * 5 <= n_sh THEN 1 ELSE 0 END) AS n_partial,
+           SUM(CASE WHEN n_hit * 5 > n_sh THEN 1 ELSE 0 END) AS n_quarantine
+    FROM scored GROUP BY source ORDER BY source"""
+
+  private val t47Duck = """
+    WITH bench_docs AS (SELECT ROW_NUMBER() OVER (ORDER BY doc_id) AS rb, text AS btext
+                        FROM documents WHERE doc_id % 97 = 0),
+    nb AS (SELECT COUNT(*) AS n FROM bench_docs),
+    corpus AS (SELECT d.doc_id, d.source,
+                      CASE WHEN d.doc_id % 11 = 3
+                             THEN substring(b.btext, 1, FLOOR(length(b.btext) * 0.15)::INT) || ' ' || d.text
+                           WHEN d.doc_id % 11 = 7
+                             THEN substring(b.btext, 1, FLOOR(length(b.btext) * 0.7)::INT) || ' ' || d.text
+                           ELSE d.text END AS text
+               FROM documents d CROSS JOIN nb
+               JOIN bench_docs b ON b.rb = d.doc_id % nb.n + 1
+               WHERE d.doc_id % 97 != 0),
+    btok AS (SELECT string_split_regex(trim(btext), '\s+') AS ts FROM bench_docs),
+    bench AS (SELECT DISTINCT list_reduce(ts[i:i+7], (a, b) -> a || ' ' || b) AS s
+              FROM btok, LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) t
+              WHERE len(ts) >= 8),
+    tok AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts FROM corpus),
+    sh AS (SELECT doc_id, source, list_reduce(ts[i:i+7], (a, b) -> a || ' ' || b) AS s
+           FROM tok, LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) t
+           WHERE len(ts) >= 8),
+    scored AS (SELECT t.doc_id, t.source, COUNT(*) AS n_sh,
+                      SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+               FROM sh t LEFT JOIN bench b ON b.s = t.s
+               GROUP BY t.doc_id, t.source)
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_sh)::BIGINT AS total_shingles, SUM(n_hit)::BIGINT AS total_hits,
+           SUM(CASE WHEN n_hit = 0 THEN 1 ELSE 0 END)::BIGINT AS n_clean,
+           SUM(CASE WHEN n_hit > 0 AND n_hit * 5 <= n_sh THEN 1 ELSE 0 END)::BIGINT AS n_partial,
+           SUM(CASE WHEN n_hit * 5 > n_sh THEN 1 ELSE 0 END)::BIGINT AS n_quarantine
+    FROM scored GROUP BY source ORDER BY source"""
+
+  /** Sketch-accuracy audit (t46): at 100 TB the exact operators this suite
+    * verifies with (COUNT(DISTINCT …), exact percentiles) are what you pay
+    * for ONCE to calibrate the sketches you then run always —
+    * HyperLogLog++ (`approx_count_distinct`, rsd 0.01) for cardinality and
+    * the GK/KLL `percentile_approx` for quantiles, both Spark-native
+    * partial-aggregating. This query runs sketch and exact side by side
+    * per source and emits the exact values plus error-band BOOLEANS
+    * computed Spark-side (|est − exact| within 3% / p50 within 2 tokens);
+    * the oracle replays the exact values and pins the booleans TRUE — a
+    * sketch regression (hash change, merge bug, rsd drift) hash-
+    * mismatches. The disclosure pattern of e05's recall gate applied to
+    * the relational sketches; complements t25's count-min heavy hitters.
+    * Booleans compare by integer MULTIPLY (100·|Δ| ≤ 3·exact), never
+    * division. */
+  private val t46Spark = """
+    WITH d AS (SELECT /*+ REPARTITION({{P}}) */ source, text,
+                      CAST(graft_token_count(text) AS BIGINT) AS toks
+               FROM documents),
+    r AS (SELECT source, toks,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY toks) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM d),
+    ex AS (SELECT source, MAX(toks) AS exact_p50
+           FROM r WHERE rn * 2 <= n + 1 GROUP BY source),
+    per AS (SELECT source,
+                   COUNT(DISTINCT text) AS n_distinct,
+                   approx_count_distinct(text, 0.01) AS est_distinct,
+                   CAST(percentile_approx(toks, 0.5D, 10000) AS BIGINT) AS est_p50,
+                   COUNT(*) AS n_docs
+            FROM d GROUP BY source)
+    SELECT p.source, p.n_docs, p.n_distinct, e.exact_p50,
+           ABS(p.est_distinct - p.n_distinct) * 100 <= p.n_distinct * 3 AS hll_within_3pct,
+           ABS(p.est_p50 - e.exact_p50) <= 2 AS p50_within_2
+    FROM per p JOIN ex e ON e.source = p.source
+    ORDER BY p.source"""
+
+  private val t46Duck = """
+    WITH d AS (SELECT source, text, len(string_split_regex(trim(text), '\s+')) AS toks
+               FROM documents),
+    r AS (SELECT source, toks,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY toks) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM d),
+    ex AS (SELECT source, MAX(toks) AS exact_p50
+           FROM r WHERE rn * 2 <= n + 1 GROUP BY source),
+    per AS (SELECT source, COUNT(DISTINCT text) AS n_distinct, COUNT(*) AS n_docs
+            FROM d GROUP BY source)
+    SELECT p.source, p.n_docs::BIGINT AS n_docs, p.n_distinct::BIGINT AS n_distinct,
+           e.exact_p50::BIGINT AS exact_p50,
+           TRUE AS hll_within_3pct, TRUE AS p50_within_2
+    FROM per p JOIN ex e ON e.source = p.source
+    ORDER BY p.source"""
+
   /** Image mip pyramid (m15): the antialiased multi-resolution build
     * (mipmaps / thumbnail chains) the nearest-neighbor resize of m02
     * is not — each level box-averages complete 2×2 blocks
@@ -2727,6 +2984,102 @@ object SparkEntry {
            SUM(w * h)::BIGINT AS total_px,
            SUM(cs)::BIGINT AS checksum_sum, MAX(cs)::BIGINT AS checksum_max
     FROM allc GROUP BY level ORDER BY level"""
+
+  /** Index staleness monitor (e29): the "when do I rebuild" signal for the
+    * e16 append-only IVF lifecycle — after a delta lands (vec_id ≡ 7 mod
+    * 10 plays the new 10%), each list reports (a) CENTROID DRIFT, the
+    * cosine gap between the stored centroid and the current assigned-set
+    * mean, and (b) the fraction of delta vectors whose nearest list would
+    * CHANGE under the drifted means — the recall-loss proxy. Everything
+    * routes through milli-quantized BIGINT lanes: per-lane sums are exact
+    * integers (reduce-order-free — a double mean would be shuffle-order
+    * nondeterministic), cosine is scale-invariant so the SUM vector stands
+    * in for the mean with no division, and each reported cosine is one
+    * IEEE expression over exact integer dots. Rebuild flags compare by
+    * integer multiply. Cross joins are corpus × K centroids — the e04
+    * shape, linear in the corpus at any scale. */
+  private val e29Spark = """
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ vec_id,
+                      transform(graft_vec(embedding), x -> CAST(FLOOR(x * 1000.0D) AS BIGINT)) AS iv,
+                      CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END AS is_delta
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, iv AS civ FROM v WHERE vec_id < 4 AND is_delta = 0),
+    asgn AS (SELECT vec_id, iv, is_delta, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+                      CAST(aggregate(zip_with(iv, civ, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x) AS DOUBLE)
+                        / (sqrt(aggregate(zip_with(iv, iv, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x))
+                           * sqrt(aggregate(zip_with(civ, civ, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x))) DESC,
+                      cid) AS rn
+             FROM v CROSS JOIN c),
+    a AS (SELECT vec_id, iv, is_delta, cid FROM asgn WHERE rn = 1),
+    lanes AS (SELECT cid, p.i AS lane, SUM(p.x) AS sx
+              FROM a LATERAL VIEW posexplode(iv) p AS i, x
+              GROUP BY cid, p.i),
+    sums AS (SELECT cid, transform(array_sort(collect_list(struct(lane, sx))), s -> s.sx) AS siv
+             FROM lanes GROUP BY cid),
+    drift AS (SELECT c.cid,
+                     CAST(FLOOR((1.0D -
+                       CAST(aggregate(zip_with(c.civ, s.siv, (a, b) -> a * b), CAST(0 AS BIGINT), (s2, x) -> s2 + x) AS DOUBLE)
+                         / (sqrt(aggregate(zip_with(c.civ, c.civ, (a, b) -> a * b), CAST(0 AS BIGINT), (s2, x) -> s2 + x))
+                            * sqrt(aggregate(zip_with(s.siv, s.siv, (a, b) -> a * b), CAST(0 AS BIGINT), (s2, x) -> s2 + x)))) * 1000000.0D) AS BIGINT) AS drift_micro
+              FROM c JOIN sums s ON s.cid = c.cid),
+    renew AS (SELECT d.vec_id, d.cid AS old_cid, s.cid AS new_cid,
+                     ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+                       CAST(aggregate(zip_with(d.iv, s.siv, (a, b) -> a * b), CAST(0 AS BIGINT), (s2, x) -> s2 + x) AS DOUBLE)
+                         / (sqrt(aggregate(zip_with(d.iv, d.iv, (a, b) -> a * b), CAST(0 AS BIGINT), (s2, x) -> s2 + x))
+                            * sqrt(aggregate(zip_with(s.siv, s.siv, (a, b) -> a * b), CAST(0 AS BIGINT), (s2, x) -> s2 + x))) DESC,
+                       s.cid) AS rn
+              FROM (SELECT * FROM a WHERE is_delta = 1) d CROSS JOIN sums s),
+    moved AS (SELECT old_cid AS cid,
+                     COUNT(*) AS n_delta,
+                     SUM(CASE WHEN new_cid != old_cid THEN 1 ELSE 0 END) AS n_moved
+              FROM renew WHERE rn = 1 GROUP BY old_cid),
+    pop AS (SELECT cid, COUNT(*) AS n_total FROM a GROUP BY cid)
+    SELECT p.cid, p.n_total, m.n_delta, m.n_moved, d.drift_micro,
+           d.drift_micro > 2000 OR m.n_moved * 5 > m.n_delta AS rebuild
+    FROM pop p JOIN moved m ON m.cid = p.cid JOIN drift d ON d.cid = p.cid
+    ORDER BY p.cid"""
+
+  private val e29Duck = """
+    WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> FLOOR(x::DOUBLE * 1000.0)::BIGINT) AS iv,
+                       CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END AS is_delta
+                FROM embeddings),
+    c AS (SELECT vec_id AS cid, iv AS civ FROM v0 WHERE vec_id < 4 AND is_delta = 0),
+    asgn AS (SELECT vec_id, iv, is_delta, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+                      list_reduce(list_prepend(0::BIGINT, list_transform(range(1, len(iv) + 1), i -> iv[i] * civ[i])), (a, b) -> a + b)::DOUBLE
+                        / (sqrt(list_reduce(list_prepend(0::BIGINT, list_transform(range(1, len(iv) + 1), i -> iv[i] * iv[i])), (a, b) -> a + b))
+                           * sqrt(list_reduce(list_prepend(0::BIGINT, list_transform(range(1, len(civ) + 1), i -> civ[i] * civ[i])), (a, b) -> a + b))) DESC,
+                      cid) AS rn
+             FROM v0 CROSS JOIN c),
+    a AS (SELECT vec_id, iv, is_delta, cid FROM asgn WHERE rn = 1),
+    lanes AS (SELECT cid, i AS lane, SUM(iv[i + 1]) AS sx
+              FROM a, LATERAL (SELECT unnest(range(0, len(iv))) AS i) t
+              GROUP BY cid, i),
+    sums AS (SELECT cid, list(sx ORDER BY lane) AS siv FROM lanes GROUP BY cid),
+    drift AS (SELECT c.cid,
+                     FLOOR((1.0 -
+                       list_reduce(list_prepend(0::BIGINT, list_transform(range(1, len(c.civ) + 1), i -> c.civ[i] * s.siv[i])), (a, b) -> a + b)::DOUBLE
+                         / (sqrt(list_reduce(list_prepend(0::BIGINT, list_transform(range(1, len(c.civ) + 1), i -> c.civ[i] * c.civ[i])), (a, b) -> a + b))
+                            * sqrt(list_reduce(list_prepend(0::BIGINT, list_transform(range(1, len(s.siv) + 1), i -> s.siv[i] * s.siv[i])), (a, b) -> a + b)))) * 1000000.0)::BIGINT AS drift_micro
+              FROM c JOIN sums s ON s.cid = c.cid),
+    renew AS (SELECT d.vec_id, d.cid AS old_cid, s.cid AS new_cid,
+                     ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+                       list_reduce(list_prepend(0::BIGINT, list_transform(range(1, len(d.iv) + 1), i -> d.iv[i] * s.siv[i])), (a, b) -> a + b)::DOUBLE
+                         / (sqrt(list_reduce(list_prepend(0::BIGINT, list_transform(range(1, len(d.iv) + 1), i -> d.iv[i] * d.iv[i])), (a, b) -> a + b))
+                            * sqrt(list_reduce(list_prepend(0::BIGINT, list_transform(range(1, len(s.siv) + 1), i -> s.siv[i] * s.siv[i])), (a, b) -> a + b))) DESC,
+                       s.cid) AS rn
+              FROM (SELECT * FROM a WHERE is_delta = 1) d CROSS JOIN sums s),
+    moved AS (SELECT old_cid AS cid, COUNT(*) AS n_delta,
+                     SUM(CASE WHEN new_cid != old_cid THEN 1 ELSE 0 END) AS n_moved
+              FROM renew WHERE rn = 1 GROUP BY old_cid),
+    pop AS (SELECT cid, COUNT(*) AS n_total FROM a GROUP BY cid)
+    SELECT p.cid::BIGINT AS cid, p.n_total::BIGINT AS n_total,
+           m.n_delta::BIGINT AS n_delta, m.n_moved::BIGINT AS n_moved,
+           d.drift_micro::BIGINT AS drift_micro,
+           (d.drift_micro > 2000 OR m.n_moved * 5 > m.n_delta) AS rebuild
+    FROM pop p JOIN moved m ON m.cid = p.cid JOIN drift d ON d.cid = p.cid
+    ORDER BY p.cid"""
 
   /** Hard-negative mining (e28): the contrastive-training data-prep
     * step — for every query, the most-similar vectors of a DIFFERENT
@@ -9872,6 +10225,11 @@ object SparkEntry {
     ("g75_bbox_iou", q(g75Spark), g75Duck),
     ("g76_literal_polygon_filter", q(g76Spark), g76Duck),
     ("g77_perimeter_spheroid", q(g77Spark), g77Duck),
+    ("t45_bigram_lm", q(t45Spark), t45Duck),
+    ("t46_sketch_audit", q(t46Spark), t46Duck),
+    ("t47_contamination_score", q(t47Spark), t47Duck),
+    ("a10_late_backfill", q(a10Spark), a10Duck),
+    ("e29_index_staleness", q(e29Spark), e29Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),
     ("m16_norm_constants", q(m16Spark), m16Duck),
