@@ -2654,6 +2654,36 @@ object SparkEntry {
            TRUE AS karney_close
     FROM res GROUP BY k ORDER BY k"""
 
+  /** Dimension + boundary semantics (g78): `ST_Dimension` (topological
+    * dim: 0/1/2, collections take the max) and `ST_Boundary` (polygon →
+    * rings whose length is the perimeter, line → its 2 endpoints, point →
+    * EMPTY) — all closed-form on integer envelopes so the oracle replays
+    * exactly. Map-side kernels, bounded rows. */
+  private val g78Spark = """
+    SELECT n_nationkey AS k,
+           ST_Dimension(ST_Point(CAST(n_nationkey AS DOUBLE), 0.0)) AS d_pt,
+           ST_Dimension(ln) AS d_ln,
+           ST_Dimension(pg) AS d_pg,
+           ST_Dimension(ST_Collect(array(ln, pg))) AS d_mix,
+           ST_NPoints(ST_Boundary(ln)) AS b_ln_pts,
+           CAST(ST_Length(ST_Boundary(pg)) AS BIGINT) AS b_pg_len,
+           CASE WHEN ST_IsEmpty(ST_Boundary(ST_Point(0.0, 0.0))) THEN 1 ELSE 0 END AS b_pt_empty
+    FROM (SELECT n_nationkey,
+                 ST_MakeLine(ST_Point(0.0, 0.0),
+                             ST_Point(CAST(3 + n_nationkey % 5 AS DOUBLE), 0.0)) AS ln,
+                 ST_MakeEnvelope(0.0, 0.0, CAST(2 + n_nationkey % 7 AS DOUBLE),
+                                 CAST(1 + n_nationkey % 4 AS DOUBLE)) AS pg
+          FROM nation) t
+    ORDER BY k"""
+
+  private val g78Duck = """
+    SELECT n_nationkey AS k,
+           0 AS d_pt, 1 AS d_ln, 2 AS d_pg, 2 AS d_mix,
+           2 AS b_ln_pts,
+           (2 * ((2 + n_nationkey % 7) + (1 + n_nationkey % 4)))::BIGINT AS b_pg_len,
+           1 AS b_pt_empty
+    FROM nation ORDER BY k"""
+
   /** Ring-orientation normalization (g74): `ST_ForcePolygonCCW` — the
     * winding-convention fix every OGC export / tessellation pipeline
     * runs (GeoJSON RFC 7946 mandates CCW shells; flipped rings render
@@ -10298,6 +10328,7 @@ object SparkEntry {
     ("t47_contamination_score", q(t47Spark), t47Duck),
     ("a10_late_backfill", q(a10Spark), a10Duck),
     ("e29_index_staleness", q(e29Spark), e29Duck),
+    ("g78_dimension_boundary", q(g78Spark), g78Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),
     ("m16_norm_constants", q(m16Spark), m16Duck),

@@ -176,6 +176,9 @@ object GeomOps {
   def yMax(b: Array[Byte]): Double = read(b).getEnvelopeInternal.getMaxY
   def nPoints(b: Array[Byte]): Int = read(b).getNumPoints
   def numGeometries(b: Array[Byte]): Int = read(b).getNumGeometries
+  /** Topological dimension (0 points, 1 lines, 2 areas; collections take
+    * the max) — PostGIS ST_Dimension. */
+  def dimension(b: Array[Byte]): Int = read(b).getDimension
   /** PostGIS-style tag, e.g. "ST_Point" — mirrors the reference's type ids
     * (rust/geoarrow-schema/src/type_id.rs:1-91). */
   def geometryType(b: Array[Byte]): UTF8String =

@@ -94,6 +94,7 @@ object GeoFunctions {
         StructField("radius", DoubleType, nullable = false))), Seq(G)),
     "st_npoints" -> Sig("nPoints", I, Seq(G)),
     "st_numgeometries" -> Sig("numGeometries", I, Seq(G)),
+    "st_dimension" -> Sig("dimension", I, Seq(G)),
     "st_geometrytype" -> Sig("geometryType", S, Seq(G)),
     "st_isempty" -> Sig("isEmpty", B, Seq(G)),
     "st_isvalid" -> Sig("isValid", B, Seq(G)),

@@ -235,4 +235,46 @@ class GeoPropertySpec extends AnyFunSuite {
       bin == GeomOps.hexBin(x, y, sz) && d2 <= (sz * 1.5) * (sz * 1.5)
     })
   }
+
+  test("prepared-geometry cache: every predicate agrees with direct JTS on both hot sides") {
+    // The round-11 predicate cache promotes a repeating operand to a JTS
+    // PreparedGeometry — and the prepared ops take the prepared side as the
+    // LEFT receiver, so the non-commutative predicates route through
+    // hand-mapped swaps (contains(a,b) ⇔ prepared(b).within(a), covers ⇔
+    // coveredBy, …). A wrong swap only shows when the SWAPPED side is the
+    // hot one, which g76 doesn't cover for within/covers/coveredBy/crosses.
+    // This hammers each predicate 8× per operand role (past the promotion
+    // threshold) on random geometry pairs and pins every call to the
+    // direct unprepared JTS answer.
+    val preds: Seq[(String, (Array[Byte], Array[Byte]) => Boolean,
+                    (org.locationtech.jts.geom.Geometry, org.locationtech.jts.geom.Geometry) => Boolean)] = Seq(
+      ("intersects", GeomOps.intersects, _ intersects _),
+      ("contains", GeomOps.contains, _ contains _),
+      ("within", GeomOps.within, _ within _),
+      ("covers", GeomOps.covers, _ covers _),
+      ("coveredBy", GeomOps.coveredBy, _ coveredBy _),
+      ("crosses", GeomOps.crosses, _ crosses _),
+      ("touches", GeomOps.touches, _ touches _),
+      ("overlaps", GeomOps.overlaps, _ overlaps _),
+      ("disjoint", GeomOps.disjoint, _ disjoint _))
+    check("predCache", Prop.forAll(anyGeom, anyGeom) { (a, b) =>
+      preds.forall { case (name, cached, direct) =>
+        // role 1: `a` hot (same bytes 8×) against VARYING b translates —
+        // the cache is content-keyed, so only content variation keeps the
+        // cold side's hit count at 0 and forces the hot side's prepared
+        // path; role 2 mirrors with `b` hot.
+        val hotA = (0 until 8).forall { i =>
+          val bi = GeomOps.translate(b, 0.0011 * i, 0.0007 * i)
+          cached(a, bi) == direct(GeomOps.read(a), GeomOps.read(bi))
+        }
+        val hotB = (0 until 8).forall { i =>
+          val ai = GeomOps.translate(a, 0.0011 * i, 0.0007 * i)
+          cached(ai, b) == direct(GeomOps.read(ai), GeomOps.read(b))
+        }
+        if (!(hotA && hotB))
+          println(s"predCache mismatch: $name a=${GeomOps.read(a)} b=${GeomOps.read(b)}")
+        hotA && hotB
+      }
+    })
+  }
 }
