@@ -92,12 +92,17 @@ object ScaleSlope {
       dir
     }
 
-    val families = Seq("t07_minhash_lsh", "g33_grid_join_bigbig",
-      "q16_pagerank", "e13_semdedup")
+    val families: Seq[String] =
+      if (args.length > 2) args(2).split(",").toSeq
+      else Seq("t07_minhash_lsh", "g33_grid_join_bigbig",
+        "q16_pagerank", "e13_semdedup")
+    val factors: Seq[Int] =
+      if (args.length > 3) args(3).split(",").toSeq.map(_.toInt)
+      else Seq(1, 3, 10)
     def run(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
     val out = new StringBuilder
-    Seq(1, 3, 10).foreach { factor =>
+    factors.foreach { factor =>
       val dir = gen(factor)
       families.foreach { fam =>
         var best = Double.MaxValue

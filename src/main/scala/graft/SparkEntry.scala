@@ -3037,7 +3037,7 @@ object SparkEntry {
                       CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END AS is_delta
                FROM embeddings),
     c AS (SELECT vec_id AS cid, iv AS civ FROM v WHERE vec_id < 4 AND is_delta = 0),
-    asgn AS (SELECT vec_id, iv, is_delta, cid,
+    asgn AS (SELECT /*+ BROADCAST(c) */ vec_id, iv, is_delta, cid,
                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
                       CAST(aggregate(zip_with(iv, civ, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x) AS DOUBLE)
                         / (sqrt(aggregate(zip_with(iv, iv, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x))
@@ -3056,7 +3056,7 @@ object SparkEntry {
                          / (sqrt(aggregate(zip_with(c.civ, c.civ, (a, b) -> a * b), CAST(0 AS BIGINT), (s2, x) -> s2 + x))
                             * sqrt(aggregate(zip_with(s.siv, s.siv, (a, b) -> a * b), CAST(0 AS BIGINT), (s2, x) -> s2 + x)))) * 1000000.0D) AS BIGINT) AS drift_micro
               FROM c JOIN sums s ON s.cid = c.cid),
-    renew AS (SELECT d.vec_id, d.cid AS old_cid, s.cid AS new_cid,
+    renew AS (SELECT /*+ BROADCAST(s) */ d.vec_id, d.cid AS old_cid, s.cid AS new_cid,
                      ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
                        CAST(aggregate(zip_with(d.iv, s.siv, (a, b) -> a * b), CAST(0 AS BIGINT), (s2, x) -> s2 + x) AS DOUBLE)
                          / (sqrt(aggregate(zip_with(d.iv, d.iv, (a, b) -> a * b), CAST(0 AS BIGINT), (s2, x) -> s2 + x))
