@@ -2911,6 +2911,96 @@ object SparkEntry {
            SUM(CASE WHEN n_hit * 5 > n_sh THEN 1 ELSE 0 END)::BIGINT AS n_quarantine
     FROM scored GROUP BY source ORDER BY source"""
 
+  /** HTML-to-text extraction (t48): the raw-crawl → training-text step the
+    * t-suite assumed away — `graft_strip_html` drops script/style BODIES
+    * (their content is code; an unstripped `<` inside would corrupt the
+    * tag pass — the fixture's script contains a bare `1 < 2` to prove it),
+    * comments, and tags, decodes the six common entities, collapses
+    * whitespace. Each doc is wrapped in a deterministic page skeleton
+    * (title, style, script-with-angle-bracket, h1 with `&amp;`, footer
+    * comment), so the oracle can build the EXPECTED extraction directly
+    * and both sides compare md5-prefix checksums — any divergence in any
+    * doc's extraction hash-mismatches. Pure map-side kernel + one report
+    * agg; the corpus was pre-checked free of `<>&` so the closed form is
+    * total. */
+  private val t48Spark = """
+    WITH page AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, lang,
+                         concat('<html><head><title>T', CAST(doc_id AS STRING),
+                                '</title><style type="text/css">body { margin: 0; }</style>',
+                                '<script>if (1 < 2) { x(); }</script></head>',
+                                '<body><h1>Doc &amp; ', CAST(doc_id AS STRING),
+                                '</h1><p>', text, '</p><!-- footer --></body></html>') AS html,
+                         text
+                  FROM documents),
+    ext AS (SELECT doc_id, lang, graft_strip_html(html) AS stripped FROM page)
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(length(stripped)) AS total_chars,
+           SUM(CAST(graft_token_count(stripped) AS BIGINT)) AS total_tokens,
+           SUM(CAST(conv(substring(md5(stripped), 1, 8), 16, 10) AS BIGINT)) AS content_checksum
+    FROM ext GROUP BY lang ORDER BY lang"""
+
+  private val t48Duck = """
+    WITH ext AS (SELECT doc_id, lang,
+                        'T' || doc_id || ' Doc & ' || doc_id || ' ' ||
+                        trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS stripped
+                 FROM documents)
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           SUM(length(stripped))::BIGINT AS total_chars,
+           SUM(len(string_split_regex(trim(stripped), '\s+')))::BIGINT AS total_tokens,
+           SUM(('0x' || substr(md5(stripped), 1, 8))::BIGINT)::BIGINT AS content_checksum
+    FROM ext GROUP BY lang ORDER BY lang"""
+
+  /** Canonical-URL dedup (t49): the crawl-frontier dedup that runs BEFORE
+    * any content fetch — URLs normalize (lowercase host, strip `www.`,
+    * strip trailing slash, drop `utm_*` tracking params keeping the rest,
+    * drop fragments) and duplicates collapse on the canonical form. The
+    * Spark side exercises the real codegen'd `parse_url`
+    * (HOST/PATH/QUERY) over deterministically synthesized messy URLs
+    * (mixed-case hosts, tracking params in both positions, fragments,
+    * trailing slashes); the oracle builds the canonical forms closed-form
+    * from the same id arithmetic, so a parse_url or filter divergence
+    * hash-mismatches on the md5 checksum. Map-side normalize, one
+    * content-keyed distinct — the same shuffle class as t02. */
+  private val t49Spark = """
+    WITH u AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, source,
+                      concat('https://',
+                        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'WWW.Example'
+                             WHEN 1 THEN 'example' ELSE 'Blog.Example' END,
+                        '.COM/p', CAST(doc_id % 50 AS STRING),
+                        CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+                        CASE WHEN doc_id % 5 = 0 THEN concat('?utm_source=x&id=', CAST(doc_id % 7 AS STRING))
+                             WHEN doc_id % 5 = 1 THEN concat('?id=', CAST(doc_id % 7 AS STRING), '&utm_medium=z')
+                             ELSE '' END,
+                        CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+               FROM documents),
+    p AS (SELECT doc_id, source,
+                 lower(parse_url(url, 'HOST')) AS host,
+                 parse_url(url, 'PATH') AS path,
+                 parse_url(url, 'QUERY') AS qs
+          FROM u),
+    canon AS (SELECT doc_id, source,
+                     concat(regexp_replace(host, '^www\.', ''),
+                            regexp_replace(path, '/$', ''),
+                            CASE WHEN qs IS NULL THEN ''
+                                 WHEN array_join(filter(split(qs, '&'), x -> NOT x LIKE 'utm%'), '&') = '' THEN ''
+                                 ELSE concat('?', array_join(filter(split(qs, '&'), x -> NOT x LIKE 'utm%'), '&')) END) AS curl
+              FROM p)
+    SELECT source, COUNT(*) AS n_urls, COUNT(DISTINCT curl) AS n_canonical,
+           SUM(CAST(conv(substring(md5(curl), 1, 8), 16, 10) AS BIGINT)) AS checksum
+    FROM canon GROUP BY source ORDER BY source"""
+
+  private val t49Duck = """
+    WITH canon AS (SELECT doc_id, source,
+                          (CASE doc_id % 3 WHEN 0 THEN 'example.com' WHEN 1 THEN 'example.com'
+                                ELSE 'blog.example.com' END)
+                          || '/p' || (doc_id % 50)
+                          || (CASE WHEN doc_id % 5 IN (0, 1) THEN '?id=' || (doc_id % 7) ELSE '' END) AS curl
+                   FROM documents)
+    SELECT source, COUNT(*)::BIGINT AS n_urls,
+           COUNT(DISTINCT curl)::BIGINT AS n_canonical,
+           SUM(('0x' || substr(md5(curl), 1, 8))::BIGINT)::BIGINT AS checksum
+    FROM canon GROUP BY source ORDER BY source"""
+
   /** Sketch-accuracy audit (t46): at 100 TB the exact operators this suite
     * verifies with (COUNT(DISTINCT …), exact percentiles) are what you pay
     * for ONCE to calibrate the sketches you then run always —
@@ -10329,6 +10419,8 @@ object SparkEntry {
     ("a10_late_backfill", q(a10Spark), a10Duck),
     ("e29_index_staleness", q(e29Spark), e29Duck),
     ("g78_dimension_boundary", q(g78Spark), g78Duck),
+    ("t48_html_strip", q(t48Spark), t48Duck),
+    ("t49_url_canonical", q(t49Spark), t49Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),
     ("m16_norm_constants", q(m16Spark), m16Duck),

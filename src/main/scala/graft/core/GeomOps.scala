@@ -285,6 +285,13 @@ object GeomOps {
     }
   }
   private val PrepHits = 4
+  // per-entry size cap: a cached geometry (and its eventual prepared
+  // index) is retained per THREAD, so without a bound a scan over multi-MB
+  // polygons could pin 256 × threads of them. Oversized operands skip the
+  // cache and parse per call — they keep correctness and lose only the
+  // optimization, and a >1 MB WKB costs far more in JTS evaluation than in
+  // parsing anyway.
+  private val PredCacheMaxWkb = 1 << 20
   private val predCache =
     ThreadLocal.withInitial[java.util.LinkedHashMap[BytesKey, CachedGeom]](() =>
       new java.util.LinkedHashMap[BytesKey, CachedGeom](256, 0.75f, true) {
@@ -292,6 +299,7 @@ object GeomOps {
           size() > 256
       })
   private def cachedRead(b: Array[Byte]): CachedGeom = {
+    if (b.length > PredCacheMaxWkb) return new CachedGeom(read(b))
     val cache = predCache.get()
     val k = new BytesKey(b)
     var hit = cache.get(k)

@@ -379,4 +379,31 @@ object TextOps {
     t = ipv4Re.matcher(t).replaceAll("<IP>")
     UTF8String.fromString(t)
   }
+
+  // crawl-to-text extraction (trafilatura-lite): patterns are RE2-safe (no
+  // backreferences — script/style each get their own pattern) and the
+  // whitespace class is the explicit [ \t\n\r] so Java (whose \s adds
+  // \x0B) and RE2 replay identically
+  private val scriptRe = java.util.regex.Pattern.compile("(?is)<script[^>]*>.*?</script>")
+  private val styleRe = java.util.regex.Pattern.compile("(?is)<style[^>]*>.*?</style>")
+  private val commentRe = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
+  private val tagRe = java.util.regex.Pattern.compile("<[^>]+>")
+  private val wsRe = java.util.regex.Pattern.compile("[ \t\n\r]+")
+
+  /** Strip HTML to text: drop script/style bodies (their CONTENT is code,
+    * and un-stripped `<` inside it would corrupt the tag pass), drop
+    * comments, drop tags (→ space, so adjacent text nodes don't weld),
+    * decode the six common entities, collapse whitespace. The raw-crawl →
+    * training-text extraction step; element text (title, headings) is
+    * kept — tag-strip semantics, not readability scoring. */
+  def stripHtml(s: UTF8String): UTF8String = {
+    var t = s.toString
+    t = scriptRe.matcher(t).replaceAll(" ")
+    t = styleRe.matcher(t).replaceAll(" ")
+    t = commentRe.matcher(t).replaceAll(" ")
+    t = tagRe.matcher(t).replaceAll(" ")
+    t = t.replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'").replace("&amp;", "&")
+    UTF8String.fromString(wsRe.matcher(t).replaceAll(" ").trim)
+  }
 }
