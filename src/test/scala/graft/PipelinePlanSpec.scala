@@ -232,4 +232,34 @@ class PipelinePlanSpec extends SparkTestBase {
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in $name:\n$plan")
     }
   }
+
+  test("t45 bigram LM: model joins are hash joins, never cartesian") {
+    // the scoring join re-keys doc bigrams against the (vocabulary-bounded)
+    // c12/c1 model tables on content keys; only the single-row vocab-size
+    // scalar may ride a broadcast nested loop
+    val plan = planOf("t45_bigram_lm")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), s"no hash join for the model in:\n$plan")
+  }
+
+  test("t47 contamination: benchmark shingle join is a hash join") {
+    val plan = planOf("t47_contamination_score")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), s"no hash join in:\n$plan")
+  }
+
+  test("e29 index staleness: centroid fan-outs broadcast, never cartesian") {
+    // corpus × K-centroid cross joins must be broadcast loops over the
+    // 4-row side (a CartesianProduct here would shuffle the corpus against
+    // itself at scale — round-11 hint fix)
+    val plan = planOf("e29_index_staleness")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("t49 URL canonicalize: map-side normalize, no joins") {
+    val plan = planOf("t49_url_canonical")
+    assert(!plan.contains("Join"), s"join appeared in normalize plan:\n$plan")
+  }
 }
