@@ -425,6 +425,12 @@ class GeoFunctionsSpec extends SparkTestBase {
     assert(one("ST_TileX(CAST(180 AS DOUBLE), 4)") == 15L)
     assert(one("ST_TileY(CAST(89.9 AS DOUBLE), 4)") == 0L)
     assert(one("ST_TileY(CAST(-89.9 AS DOUBLE), 4)") == 15L)
+    // poles clamp to the edge rows instead of aborting the job (round-11
+    // advice fix — tan/sec blow up past the cutoff; tileX's lon=180
+    // convention applied to latitude)
+    assert(one("ST_TileY(CAST(90 AS DOUBLE), 4)") == 0L)
+    assert(one("ST_TileY(CAST(-90 AS DOUBLE), 4)") == 15L)
+    assert(one("ST_TileY(CAST(90 AS DOUBLE), 0)") == 0L)
     // envelope of the world tile is the full mercator square, area (2·pi·a)^2
     val os = math.Pi * 6378137.0
     val a0 = one("ST_Area(ST_TileEnvelope(0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)))")
@@ -476,6 +482,27 @@ class GeoFunctionsSpec extends SparkTestBase {
     assert(saCw == -99.0, s"donut CW signed area $saCw")
     // non-polygonal input passes through untouched
     assert(one("ST_AsText(ST_ForcePolygonCCW(ST_Point(1, 2)))") == "POINT (1 2)")
+    // POLYGON EMPTY passes through instead of throwing in Orientation.isCCW
+    // (round-11 advice fix; PostGIS returns the empty geometry)
+    assert(one("ST_IsEmpty(ST_ForcePolygonCCW(ST_GeomFromText('POLYGON EMPTY')))") == true)
+    // multi-key PostGIS style strings tokenize (round-11 grammar): flat
+    // caps with explicit quad_segs behave like the single-key form
+    assert(one("ST_Area(ST_Buffer(ST_GeomFromText('LINESTRING (0 0, 4 0)'), 1.0D, 'quad_segs=4 endcap=flat'))") == 8.0)
+    // join=mitre on a right-angle line keeps the square outer corner:
+    // area = round-join area + the (2 - pi/2) corner wedge at d=1
+    val aRound = one("ST_Area(ST_Buffer(ST_GeomFromText('LINESTRING (0 0, 4 0, 4 4)'), 1.0D, 'quad_segs=64 endcap=flat join=round'))").asInstanceOf[Double]
+    val aMitre = one("ST_Area(ST_Buffer(ST_GeomFromText('LINESTRING (0 0, 4 0, 4 4)'), 1.0D, 'quad_segs=64 endcap=flat join=mitre mitre_limit=5'))").asInstanceOf[Double]
+    assert(math.abs((aMitre - aRound) - (1.0 - math.Pi / 4)) < 1e-3,
+      s"mitre corner wedge: round=$aRound mitre=$aMitre")
+    // side=left/right: single-sided buffers of a straight segment are
+    // half-plane strips of area len*d on opposite sides
+    val left = one("ST_AsText(ST_Centroid(ST_Buffer(ST_GeomFromText('LINESTRING (0 0, 4 0)'), 1.0D, 'side=left')))")
+    val right = one("ST_AsText(ST_Centroid(ST_Buffer(ST_GeomFromText('LINESTRING (0 0, 4 0)'), 1.0D, 'side=right')))")
+    assert(left == "POINT (2 0.5)" && right == "POINT (2 -0.5)", s"$left / $right")
+    // unknown key still fails loudly under the tokenizer
+    intercept[Exception] {
+      sql("SELECT ST_Buffer(ST_Point(0,0), 1.0D, 'endcap=flat frobnicate=1')").collect()
+    }
   }
 
   test("ST_CrossTrackDistance: meridian anchor, on-track zero, side signs") {

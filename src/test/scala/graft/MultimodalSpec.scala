@@ -277,6 +277,13 @@ class MultimodalSpec extends SparkTestBase {
     // canonical 44-byte RIFF header + 2 bytes per sample
     assert(res.length == 44 + 2 * 2)
     intercept[IllegalArgumentException] { Multimodal.audioResample(wav, 0) }
+    // round-11 advice fix: factors that would silently drift the rate fail
+    // loudly — 3 doesn't divide 8000 (8000/3 → a 2666 Hz container), and a
+    // factor above the rate would write a 0 Hz AudioFormat
+    intercept[IllegalArgumentException] { Multimodal.audioResample(wav, 3) }
+    intercept[IllegalArgumentException] { Multimodal.audioResample(wav, 8001) }
+    // a factor that divides exactly still works (8000/4 = 2000 Hz)
+    assert(Multimodal.audioMeta(Multimodal.audioResample(wav, 4))._1 == 2000)
   }
 
   test("imageFeatures pipeline: schema, null payload, value spot-check") {

@@ -242,4 +242,16 @@ class StreamOpsSpec extends SparkTestBase {
     assert(progress.toLowerCase.contains("rocksdb"),
       s"RocksDB provider not active — progress: $progress")
   }
+
+  test("runStream deletes its staging + checkpoint temp dirs (round-11 hygiene)") {
+    // repeated verify/bench sweeps used to leak one parquet-staging +
+    // checkpoint dir per streaming query; the harness now deletes the
+    // whole tree once the query terminates
+    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def dirs = tmpRoot.listFiles().filter(_.getName.startsWith("graft_s02")).map(_.getName).toSet
+    val before = dirs
+    assert(SparkEntry.queries("s02_stream_windowed")(spark, "/unused").count() > 0)
+    val leaked = dirs -- before
+    assert(leaked.isEmpty, s"leaked temp dirs: $leaked")
+  }
 }
