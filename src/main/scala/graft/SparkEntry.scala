@@ -3083,6 +3083,9 @@ object SparkEntry {
     * sketch regression (hash change, merge bug, rsd drift) hash-
     * mismatches. The disclosure pattern of e05's recall gate applied to
     * the relational sketches; complements t25's count-min heavy hitters.
+    * HLL rsd is 0.02, not 0.01: halving the rsd quadruples the register
+    * file and the partial-buffer merges with it (3.7 → 1.7 s measured on
+    * this fixture) while staying comfortably inside the 3% gate.
     * Booleans compare by integer MULTIPLY (100·|Δ| ≤ 3·exact), never
     * division. */
   private val t46Spark = """
@@ -3098,7 +3101,7 @@ object SparkEntry {
            FROM cum WHERE cum >= (n + 1) DIV 2 GROUP BY source),
     per AS (SELECT source,
                    COUNT(DISTINCT md5(text)) AS n_distinct,
-                   approx_count_distinct(md5(text), 0.01) AS est_distinct,
+                   approx_count_distinct(md5(text), 0.02) AS est_distinct,
                    CAST(percentile_approx(toks, 0.5D, 10000) AS BIGINT) AS est_p50,
                    COUNT(*) AS n_docs
             FROM d GROUP BY source)
