@@ -440,6 +440,37 @@ object SparkEntry {
     ORDER BY hour_start, event_type
     LIMIT 500"""
 
+  /** Cumulative distinct reach (q24): daily active users PLUS the running
+    * count of distinct users ever seen — the growth-dashboard curve. A
+    * naive cumulative COUNT(DISTINCT) re-scans all history per day; the
+    * scalable form is the FIRST-OCCURRENCE trick: each user contributes to
+    * exactly one day (their min day), so cumulative reach = running sum of
+    * per-day first-occurrence counts — one user-keyed aggregate + a
+    * handful-of-rows window, history never re-scanned. */
+  private val q24Spark = """
+    WITH f AS (SELECT user_id, MIN(date_format(ts, 'yyyy-MM-dd')) AS first_day
+               FROM events GROUP BY user_id),
+    days AS (SELECT date_format(ts, 'yyyy-MM-dd') AS day,
+                    COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS dau
+             FROM events GROUP BY 1),
+    nf AS (SELECT first_day AS day, COUNT(*) AS n_new FROM f GROUP BY 1)
+    SELECT d.day, d.n_events, d.dau, COALESCE(nf.n_new, 0) AS n_new,
+           SUM(COALESCE(nf.n_new, 0)) OVER (ORDER BY d.day) AS cumulative_reach
+    FROM days d LEFT JOIN nf ON nf.day = d.day
+    ORDER BY d.day"""
+
+  private val q24Duck = """
+    WITH f AS (SELECT user_id, MIN(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS first_day
+               FROM events GROUP BY user_id),
+    days AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                    COUNT(*)::BIGINT AS n_events, COUNT(DISTINCT user_id)::BIGINT AS dau
+             FROM events GROUP BY 1),
+    nf AS (SELECT first_day AS day, COUNT(*) AS n_new FROM f GROUP BY 1)
+    SELECT d.day, d.n_events, d.dau, COALESCE(nf.n_new, 0)::BIGINT AS n_new,
+           SUM(COALESCE(nf.n_new, 0)) OVER (ORDER BY d.day)::BIGINT AS cumulative_reach
+    FROM days d LEFT JOIN nf ON nf.day = d.day
+    ORDER BY d.day"""
+
   private val g04Spark = """
     SELECT CAST(1 + s_suppkey % 3 AS DOUBLE) AS r, COUNT(*) AS n,
            ROUND(MIN(a), 6) AS buf_area
@@ -10496,6 +10527,7 @@ object SparkEntry {
     ("t49_url_canonical", q(t49Spark), t49Duck),
     ("g79_voronoi_delaunay", q(g79Spark), g79Duck),
     ("g80_polygonize", q(g80Spark), g80Duck),
+    ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),
     ("m16_norm_constants", q(m16Spark), m16Duck),
