@@ -3588,7 +3588,7 @@ object SparkEntry {
     * batches, so a state-loss regression undercounts), under the RocksDB
     * provider like the rest of the s-suite. The finalized append output
     * then joins a batch EXACT distinct per window and the report emits the
-    * exact value plus a within-3% boolean the oracle pins TRUE — the
+    * exact value plus a within-5% boolean the oracle pins TRUE — the
     * production shape (sketch online, exact calibration offline). At
     * 100-TB event rates the HLL sketch is what makes per-window distinct
     * feasible: state is O(windows × sketch bytes), not O(distinct ids). */
@@ -3614,7 +3614,7 @@ object SparkEntry {
       // ~16× and the per-row streaming state-buffer serialization with it
       // (measured 9.0 s vs 2.5 s on this fixture); at per-window
       // cardinalities this small HLL++'s sparse/bias-corrected mode is
-      // near-exact at either setting, so the 3% gate holds regardless
+      // near-exact at either setting, so the 5% gate holds regardless
       stream.withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "5 minutes"))
         .agg(count("*").as("n_events"),

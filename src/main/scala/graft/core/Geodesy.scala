@@ -122,6 +122,12 @@ object Geodesy {
     * asinh(tan)). SQL: `ST_TileY(lat, z)`. */
   def tileY(lat: Double, z: Int): Long = {
     require(z >= 0 && z <= 30, s"ST_TileY: zoom $z outside [0, 30]")
+    // NaN would fall through both pole guards and floor to row 0 — a
+    // plausible-looking tile for garbage input. Likewise a latitude far
+    // outside [-90, 90] is corrupt data, not a pole overshoot: only a
+    // small epsilon past the poles (projection round-trip error) clamps.
+    require(!lat.isNaN && lat >= -90.5 && lat <= 90.5,
+      s"ST_TileY: latitude $lat outside [-90, 90]")
     val n = 1L << z
     // poles clamp to the edge rows rather than aborting the job — the same
     // silent-clamp convention tileX applies at lon = ±180 (tan/sec blow up

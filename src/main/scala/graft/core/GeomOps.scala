@@ -180,26 +180,6 @@ object GeomOps {
     * the max) — PostGIS ST_Dimension. */
   def dimension(b: Array[Byte]): Int = read(b).getDimension
 
-  /** Voronoi diagram of the input's vertices, cells CLIPPED to `env`'s
-    * bounding box (PostGIS ST_VoronoiPolygons extends cells to an expanded
-    * envelope instead — documented divergence: the clipped form makes the
-    * cells an exact partition of the clip box, which is what tessellation
-    * pipelines and the g79 oracle want). */
-  def voronoiPolygons(b: Array[Byte], env: Array[Byte]): Array[Byte] = {
-    val vb = new org.locationtech.jts.triangulate.VoronoiDiagramBuilder()
-    vb.setSites(read(b))
-    vb.setClipEnvelope(read(env).getEnvelopeInternal)
-    write(vb.getDiagram(factory))
-  }
-
-  /** Delaunay triangulation of the input's vertices (PostGIS
-    * ST_DelaunayTriangles with flags=0: polygon output). */
-  def delaunayTriangles(b: Array[Byte]): Array[Byte] = {
-    val db = new org.locationtech.jts.triangulate.DelaunayTriangulationBuilder()
-    db.setSites(read(b))
-    write(db.getTriangles(factory))
-  }
-
   /** PostGIS-style tag, e.g. "ST_Point" — mirrors the reference's type ids
     * (rust/geoarrow-schema/src/type_id.rs:1-91). */
   def geometryType(b: Array[Byte]): UTF8String =
@@ -313,18 +293,41 @@ object GeomOps {
   // optimization, and a >1 MB WKB costs far more in JTS evaluation than in
   // parsing anyway.
   private val PredCacheMaxWkb = 1 << 20
-  private val predCache =
-    ThreadLocal.withInitial[java.util.LinkedHashMap[BytesKey, CachedGeom]](() =>
-      new java.util.LinkedHashMap[BytesKey, CachedGeom](256, 0.75f, true) {
-        override def removeEldestEntry(e: java.util.Map.Entry[BytesKey, CachedGeom]): Boolean =
-          size() > 256
-      })
+  // retained-bytes budget per thread ON TOP of the entry cap: the parsed
+  // Geometry plus its lazily-built prepared index retain several times the
+  // WKB size, so 256 entries of ~1 MB operands could otherwise pin hundreds
+  // of MB × threads on a real 4–8 GiB executor heap. Budgeting on summed WKB
+  // bytes (a stable proxy for retained size) bounds the worst case at
+  // ~16 MB × expansion-factor per thread; eviction is size-weighted LRU —
+  // least-recently-used entries go first until both caps hold.
+  private[graft] val PredCacheMaxBytes: Long = 16L << 20
+  private final class PredCache
+      extends java.util.LinkedHashMap[BytesKey, CachedGeom](256, 0.75f, true) {
+    private var bytes: Long = 0L
+    def retainedBytes: Long = bytes
+    def putBounded(k: BytesKey, v: CachedGeom): Unit = {
+      put(k, v)
+      bytes += k.b.length
+      if (size() > 256 || bytes > PredCacheMaxBytes) {
+        // access-ordered map iterates least-recently-used first; the fresh
+        // insert is most recent so it survives (entries are ≤1 MB ≪ budget)
+        val it = entrySet().iterator()
+        while ((size() > 256 || bytes > PredCacheMaxBytes) && it.hasNext) {
+          bytes -= it.next().getKey.b.length
+          it.remove()
+        }
+      }
+    }
+  }
+  private val predCache = ThreadLocal.withInitial[PredCache](() => new PredCache)
+  /** Test hook: this thread's predicate-cache retained-WKB-bytes gauge. */
+  private[graft] def predCacheRetainedBytes: Long = predCache.get().retainedBytes
   private def cachedRead(b: Array[Byte]): CachedGeom = {
     if (b.length > PredCacheMaxWkb) return new CachedGeom(read(b))
     val cache = predCache.get()
     val k = new BytesKey(b)
     var hit = cache.get(k)
-    if (hit == null) { hit = new CachedGeom(read(b)); cache.put(k, hit) }
+    if (hit == null) { hit = new CachedGeom(read(b)); cache.putBounded(k, hit) }
     else if (hit.hits < Int.MaxValue) hit.hits += 1
     hit
   }
@@ -506,7 +509,10 @@ object GeomOps {
   def bufferStyled(b: Array[Byte], dist: Double, style: UTF8String): Array[Byte] = {
     import org.locationtech.jts.operation.buffer.{BufferOp, BufferParameters}
     val params = new BufferParameters()
-    var d = dist
+    // side is parsed into a variable and the right-side negation applied
+    // once AFTER the token loop — cumulative `d = -d` would let a repeated
+    // 'side=right' token double-negate back to a left-side buffer.
+    var side: String = null
     style.toString.trim.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty).foreach { tok =>
       tok.split("=", 2) match {
         case Array("endcap", v) => params.setEndCapStyle(v match {
@@ -526,13 +532,19 @@ object GeomOps {
         case Array("quad_segs", v) => params.setQuadrantSegments(v.toInt)
         case Array("mitre_limit", v) => params.setMitreLimit(v.toDouble)
         case Array("miter_limit", v) => params.setMitreLimit(v.toDouble)
-        case Array("side", "left") => params.setSingleSided(true)
-        case Array("side", "right") => params.setSingleSided(true); d = -d
+        case Array("side", v @ ("left" | "right")) =>
+          if (side != null && side != v) throw new IllegalArgumentException(
+            s"ST_Buffer: conflicting side tokens '$side' and '$v'")
+          side = v
+        case Array("side", other) => throw new IllegalArgumentException(
+          s"ST_Buffer: unsupported side '$other' (left|right)")
         case other => throw new IllegalArgumentException(
           s"ST_Buffer: unsupported style token '${other.mkString("=")}' " +
             "(quad_segs|endcap|join|mitre_limit|side)")
       }
     }
+    if (side != null) params.setSingleSided(true)
+    val d = if (side == "right") -dist else dist
     write(BufferOp.bufferOp(read(b), d, params))
   }
   def simplify(b: Array[Byte], tol: Double): Array[Byte] =

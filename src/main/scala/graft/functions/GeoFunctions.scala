@@ -95,8 +95,6 @@ object GeoFunctions {
     "st_npoints" -> Sig("nPoints", I, Seq(G)),
     "st_numgeometries" -> Sig("numGeometries", I, Seq(G)),
     "st_dimension" -> Sig("dimension", I, Seq(G)),
-    "st_voronoipolygons" -> Sig("voronoiPolygons", G, Seq(G, G)),
-    "st_delaunaytriangles" -> Sig("delaunayTriangles", G, Seq(G)),
     "st_geometrytype" -> Sig("geometryType", S, Seq(G)),
     "st_isempty" -> Sig("isEmpty", B, Seq(G)),
     "st_isvalid" -> Sig("isValid", B, Seq(G)),
@@ -243,6 +241,14 @@ object GeoFunctions {
 
   private val byName: Map[String, Map[Int, Sig]] =
     sigs.groupBy(_._1).map { case (n, ss) =>
+      // duplicate (name, arity) rows would silently shadow each other via
+      // Seq→Map ordering — fail at class-init instead, so a registry edit
+      // that collides is caught by the first test that touches GeoFunctions
+      val collisions = ss.groupBy(_._2.params.length).filter(_._2.length > 1)
+      require(collisions.isEmpty,
+        s"GeoFunctions: duplicate registration of $n at arity " +
+          s"${collisions.keys.toSeq.sorted.mkString(",")} — " +
+          s"methods ${collisions.values.flatten.map(_._2.method).mkString(", ")}")
       n -> ss.map { case (_, s) => s.params.length -> s }.toMap
     }
 

@@ -431,6 +431,15 @@ class GeoFunctionsSpec extends SparkTestBase {
     assert(one("ST_TileY(CAST(90 AS DOUBLE), 4)") == 0L)
     assert(one("ST_TileY(CAST(-90 AS DOUBLE), 4)") == 15L)
     assert(one("ST_TileY(CAST(90 AS DOUBLE), 0)") == 0L)
+    // but GARBAGE latitudes still fail loudly (round-12 advice fix): the
+    // pole clamp only absorbs a small projection-round-trip epsilon; NaN
+    // and lat=200 are corrupt data, not pole overshoots
+    intercept[Exception] { graft.core.Geodesy.tileY(Double.NaN, 4) }
+    intercept[Exception] { graft.core.Geodesy.tileY(200.0, 4) }
+    intercept[Exception] { graft.core.Geodesy.tileY(-120.0, 4) }
+    // the epsilon band just past the pole still clamps (reprojection jitter)
+    assert(graft.core.Geodesy.tileY(90.2, 4) == 0L)
+    assert(graft.core.Geodesy.tileY(-90.2, 4) == 15L)
     // envelope of the world tile is the full mercator square, area (2·pi·a)^2
     val os = math.Pi * 6378137.0
     val a0 = one("ST_Area(ST_TileEnvelope(0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)))")
@@ -503,6 +512,27 @@ class GeoFunctionsSpec extends SparkTestBase {
     intercept[Exception] {
       sql("SELECT ST_Buffer(ST_Point(0,0), 1.0D, 'endcap=flat frobnicate=1')").collect()
     }
+    // a REPEATED side token must not double-negate back to the other side
+    // (round-12 advice fix: negation is applied once after parsing)
+    val rr = one("ST_AsText(ST_Centroid(ST_Buffer(ST_GeomFromText('LINESTRING (0 0, 4 0)'), 1.0D, 'side=right side=right')))")
+    assert(rr == "POINT (2 -0.5)", s"repeated side=right stayed right: $rr")
+    // conflicting sides and bad side values fail loudly
+    intercept[Exception] {
+      sql("SELECT ST_Buffer(ST_GeomFromText('LINESTRING (0 0, 4 0)'), 1.0D, 'side=left side=right')").collect()
+    }
+    intercept[Exception] {
+      sql("SELECT ST_Buffer(ST_GeomFromText('LINESTRING (0 0, 4 0)'), 1.0D, 'side=up')").collect()
+    }
+  }
+
+  test("function registry: no duplicate (name, arity) registrations") {
+    // round-12 fix: st_delaunaytriangles was declared twice at arity 1 and
+    // survived only via Seq→Map ordering. byName now fails at class-init on
+    // collisions; this spec pins the invariant directly on the sig table.
+    val dupes = graft.functions.GeoFunctions.kernelMatrix
+      .groupBy { case (name, _, _, params, _) => (name, params.length) }
+      .filter(_._2.length > 1)
+    assert(dupes.isEmpty, s"duplicate (name, arity) sigs: ${dupes.keys.mkString(", ")}")
   }
 
   test("ST_CrossTrackDistance: meridian anchor, on-track zero, side signs") {

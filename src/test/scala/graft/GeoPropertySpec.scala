@@ -277,4 +277,37 @@ class GeoPropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("predicate cache: retained WKB bytes stay under the per-thread budget") {
+    // Round-12 advice fix: the cache is byte-budgeted as well as
+    // entry-capped. Stream >2× the budget of distinct ~512 KB operands
+    // through a predicate on one thread and assert the retained-bytes gauge
+    // never exceeds the budget — a pure entry cap (256 × 1 MB) would blow
+    // ~8× past it. Distinct content per operand defeats the content-keyed
+    // dedup; the big ring keeps each WKB near the 1 MB per-entry cap.
+    val t = new Thread(() => {
+      val n = 80 // 80 × ~512 KB ≈ 40 MB streamed vs a 16 MB budget
+      val probe = GeomOps.point(0.5, 0.5)
+      (0 until n).foreach { i =>
+        // ~16k-vertex ring, unique per i → ~512 KB WKB each
+        val pts = 16384
+        val coords = (0 to pts).map { j =>
+          val ang = 2 * math.Pi * j / pts
+          new org.locationtech.jts.geom.Coordinate(
+            math.cos(ang) * (10 + i * 0.001), math.sin(ang) * (10 + i * 0.001))
+        }.toArray
+        coords(pts) = coords(0)
+        val poly = GeomOps.write(GeomOps.factory.createPolygon(coords))
+        assert(poly.length < GeomOps.PredCacheMaxBytes / 8, "fixture under per-entry cap")
+        GeomOps.contains(poly, probe)
+        assert(GeomOps.predCacheRetainedBytes <= GeomOps.PredCacheMaxBytes,
+          s"retained ${GeomOps.predCacheRetainedBytes} > budget after insert $i")
+      }
+      assert(GeomOps.predCacheRetainedBytes > 0, "cache did retain something")
+    })
+    var err: Throwable = null
+    t.setUncaughtExceptionHandler((_, e) => err = e)
+    t.start(); t.join()
+    if (err != null) throw err
+  }
 }
