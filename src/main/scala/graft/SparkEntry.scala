@@ -1841,6 +1841,41 @@ object SparkEntry {
     CROSS JOIN (SELECT unnest(range(21, 28)) AS y) y
     ORDER BY fid"""
 
+  /** Native-coord-stats PRUNED read under the hash gate — the g44 shape but
+    * with the file written NATIVE-encoded (GeoArrow point layout) and
+    * WITHOUT a covering struct, the common shape of externally produced
+    * GeoParquet. The read's bbox routes through GeoParquetFileFormat's
+    * stats-pruning reader: row groups are planned per task from the x/y
+    * leaf columns' own parquet min/max statistics (reference:
+    * rust/geoparquet/src/reader/spatial_filter.rs:59-181 — the same leaf
+    * is both the minx and maxx source) and the stock vectorized reader
+    * runs over exactly the surviving byte ranges. The GeoParquetSpec twin
+    * proves the skip via scan metrics; this oracle pins the surviving row
+    * set closed-form. */
+  private def g81Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g81_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val pts = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_Point(CAST(id % 64 AS DOUBLE), CAST(CAST(id / 64 AS INT) AS DOUBLE)) AS geometry
+      FROM range(4096)""")
+    graft.sources.GeoParquet.write(
+      graft.sources.GeoParquet.spatialSort(pts, numPartitions = 8), out,
+      covering = false, encoding = "point")
+    graft.sources.GeoParquet.read(s, out, bbox = Some((10.5, 20.5, 17.5, 27.5)))
+      .selectExpr("fid",
+        "CAST(ST_X(geometry) AS BIGINT) AS x",
+        "CAST(ST_Y(geometry) AS BIGINT) AS y")
+      .orderBy("fid")
+  }
+
+  private val g81Duck = """
+    SELECT (y.y * 64 + x.x)::BIGINT AS fid, x.x::BIGINT AS x, y.y::BIGINT AS y
+    FROM (SELECT unnest(range(11, 18)) AS x) x
+    CROSS JOIN (SELECT unnest(range(21, 28)) AS y) y
+    ORDER BY fid"""
+
   /** Multi-geometry-column GeoParquet under the hash gate: a table with a
     * primary point column AND a secondary polygon column roundtrips through
     * the single-pass writer; the reconciled footer metadata (column names +
@@ -10527,6 +10562,7 @@ object SparkEntry {
     ("t49_url_canonical", q(t49Spark), t49Duck),
     ("g79_voronoi_delaunay", q(g79Spark), g79Duck),
     ("g80_polygonize", q(g80Spark), g80Duck),
+    ("g81_native_stats_pruned_read", g81Fn _, g81Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

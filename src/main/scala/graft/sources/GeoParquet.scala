@@ -223,7 +223,25 @@ object GeoParquet {
            bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
     graft.functions.GeoFunctions.register(spark)
     val meta = metadata(spark, path)
-    var df = spark.read.parquet(path)
+    // bbox on a NATIVE-encoded column with no covering struct: route the
+    // scan through GeoParquetFileFormat's stats-pruning reader, which plans
+    // row groups from the x/y leaf columns' own parquet min/max stats (the
+    // reference's second pruning path, spatial_filter.rs:59-181). Stock
+    // Spark can't push predicates on repeated leaves, so without this an
+    // externally produced native file full-scans at 100 TB.
+    val statsPrune: Option[String] = bbox.flatMap { case (qxmin, qymin, qxmax, qymax) =>
+      meta.flatMap { m =>
+        m.columns.find(_.name == m.primaryColumn)
+          .filter(c => c.covering.isEmpty && nativeTranscoder(c.encoding).isDefined)
+          .map(c => s"${c.name};$qxmin,$qymin,$qxmax,$qymax")
+      }
+    }
+    var df = statsPrune match {
+      case Some(spec) =>
+        spark.read.format(classOf[GeoParquetFileFormat].getName)
+          .option(GeoParquetFileFormat.BboxFilterKey, spec).load(path)
+      case None => spark.read.parquet(path)
+    }
 
     // attach CRS/encoding as column metadata (ARROW:extension-style);
     // native-geoarrow-encoded columns (GeoParquet 1.1 `encoding: point|…|
@@ -263,7 +281,9 @@ object GeoParquet {
             col(s"$cov.xmin") <= qxmax && col(s"$cov.xmax") >= qxmin &&
             col(s"$cov.ymin") <= qymax && col(s"$cov.ymax") >= qymin
           case None =>
-            // no covering column: still cheap (envelope test), no pushdown
+            // no covering column: the envelope test refines exactly; for
+            // native encodings the row-group-level skip already happened in
+            // GeoParquetFileFormat's stats-pruning reader (statsPrune above)
             call_function("st_xmin", col(gcol)) <= qxmax &&
             call_function("st_xmax", col(gcol)) >= qxmin &&
             call_function("st_ymin", col(gcol)) <= qymax &&

@@ -35,6 +35,53 @@ class GeoParquetFileFormat extends ParquetFileFormat with DataSourceRegister {
 
   override def toString: String = "GeoParquet"
 
+  /** Read-side row-group pruning from NATIVE separated-coordinate column
+    * statistics — the reference's second pruning path
+    * (rust/geoparquet/src/reader/spatial_filter.rs:59-181): a native
+    * (GeoArrow-encoded) geometry column's x/y leaf columns carry ordinary
+    * parquet min/max stats, and the same leaf serves as both the minx and
+    * maxx source (min stat = minx, max stat = maxx). Spark's stock reader
+    * cannot push predicates on REPEATED leaves (parquet-mr rejects them),
+    * so a covering-less native file would otherwise full-scan; this
+    * override plans row groups by hand and drives the stock vectorized
+    * reader over exactly the surviving byte ranges.
+    *
+    * Mechanics: with the [[GeoParquetFileFormat.BboxFilterKey]] option set
+    * ("gcol;xmin,ymin,xmax,ymax"), each task reads its split's FOOTER
+    * (KB-scale IO), takes the row groups whose byte midpoints fall in the
+    * split (parquet-mr's own ownership rule, so no row group is read twice
+    * across splits), drops those whose x/y-leaf stats bbox misses the
+    * query rect, merges surviving neighbors into contiguous runs, and
+    * invokes the parent ParquetFileFormat reader once per run with a
+    * sub-range `PartitionedFile` — full whole-stage-codegen'd vectorized
+    * decode on exactly the surviving groups. A fully-pruned split returns
+    * empty after footer-only IO; at 100 TB against spatially-sorted data
+    * this is the difference between a full scan and reading the query
+    * window. Row groups with absent/non-double stats are conservatively
+    * kept. */
+  override def buildReaderWithPartitionValues(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      options: Map[String, String],
+      hadoopConf: Configuration)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow] = {
+    val parent = super.buildReaderWithPartitionValues(
+      sparkSession, dataSchema, partitionSchema, requiredSchema, filters, options, hadoopConf)
+    options.get(GeoParquetFileFormat.BboxFilterKey) match {
+      case None => parent
+      case Some(spec) =>
+        val Array(gcol, nums) = spec.split(";", 2)
+        val Array(qxmin, qymin, qxmax, qymax) = nums.split(",").map(_.toDouble)
+        val confBc = sparkSession.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(hadoopConf))
+        file => GeoParquetFileFormat.statsPrunedRead(
+          parent, file, confBc.value.value, gcol, qxmin, qymin, qxmax, qymax)
+    }
+  }
+
   override def prepareWrite(sparkSession: SparkSession, job: Job,
                             options: Map[String, String],
                             dataSchema: StructType): OutputWriterFactory = {
@@ -67,6 +114,83 @@ class GeoParquetFileFormat extends ParquetFileFormat with DataSourceRegister {
 
 object GeoParquetFileFormat {
   val GeomColKey = "graft.geo.column"
+  /** Read option enabling native-stats row-group pruning:
+    * "geometryCol;xmin,ymin,xmax,ymax". */
+  val BboxFilterKey = "graft.geo.bboxfilter"
+
+  /** Task-side planner for [[GeoParquetFileFormat.buildReaderWithPartitionValues]]:
+    * footer → owned row groups → stats-bbox prune → parent reader over
+    * surviving contiguous runs. Separated from the closure for testability. */
+  private[sources] def statsPrunedRead(
+      parent: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow],
+      file: org.apache.spark.sql.execution.datasources.PartitionedFile,
+      conf: Configuration, gcol: String,
+      qxmin: Double, qymin: Double, qxmax: Double, qymax: Double): Iterator[InternalRow] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.filePath.toUri), conf))
+    val runs: Seq[(Long, Long)] =
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        // split ownership = parquet-mr's midpoint rule (filterFileMetaDataByMidpoint):
+        // a row group belongs to the split containing startingPos + compressedSize/2
+        val owned = blocks.filter { b =>
+          val mid = b.getStartingPos + b.getCompressedSize / 2
+          mid >= file.start && mid < file.start + file.length
+        }
+        val surviving = owned.filter { b =>
+          rowGroupBbox(b, gcol) match {
+            case Some((bxmin, bymin, bxmax, bymax)) =>
+              bxmin <= qxmax && bxmax >= qxmin && bymin <= qymax && bymax >= qymin
+            case None => true // no usable stats → cannot prune safely
+          }
+        }
+        // merge row groups adjacent IN FILE ORDER into one byte range per
+        // run: the range [first.startingPos, last.end) contains exactly the
+        // run's midpoints — a pruned group between runs keeps its midpoint
+        // outside both, so the parent reader never decodes it
+        val ordered = surviving.sortBy(_.getStartingPos)
+        val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        ordered.foreach { b =>
+          val end = b.getStartingPos + b.getCompressedSize
+          merged.lastOption match {
+            case Some((s, e)) if b.getStartingPos <= e => merged(merged.length - 1) = (s, end)
+            case _ => merged += ((b.getStartingPos, end))
+          }
+        }
+        merged.toSeq
+      } finally reader.close()
+    runs.iterator.flatMap { case (s, e) => parent(file.copy(start = s, length = e - s)) }
+  }
+
+  /** Bbox of one row group from the geometry column's x/y LEAF statistics —
+    * the same-leaf minx/maxx trick of spatial_filter.rs:167-181. Matches
+    * both the point struct layout (path [gcol, x]) and nested list layouts
+    * (path [gcol, list, element, …, x]); returns None unless both an x and
+    * a y leaf under `gcol` carry non-null double stats. */
+  private[sources] def rowGroupBbox(
+      b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      gcol: String): Option[(Double, Double, Double, Double)] = {
+    var xmin, ymin = Double.NaN
+    var xmax, ymax = Double.NaN
+    b.getColumns.asScala.foreach { c =>
+      val path = c.getPath.toArray
+      if (path.length >= 2 && path(0) == gcol) {
+        val leaf = path(path.length - 1)
+        if (leaf == "x" || leaf == "y") {
+          c.getStatistics match {
+            case st: org.apache.parquet.column.statistics.DoubleStatistics
+                if st != null && st.hasNonNullValue =>
+              if (leaf == "x") { xmin = st.getMin; xmax = st.getMax }
+              else { ymin = st.getMin; ymax = st.getMax }
+            case _ => // absent or non-double stats → leave NaN
+          }
+        }
+      }
+    }
+    if (xmin.isNaN || ymin.isNaN) None else Some((xmin, ymin, xmax, ymax))
+  }
   val GeomIdxKey = "graft.geo.geomidx"
   val BboxIdxKey = "graft.geo.bboxidx"
   val CoveringKey = "graft.geo.covering"

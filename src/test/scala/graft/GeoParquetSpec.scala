@@ -441,4 +441,82 @@ class GeoParquetSpec extends SparkTestBase {
     assert(plan.contains("PushedFilters") && plan.contains("bbox.xmin"),
       s"covering-leaf filters must reach the partitioned parquet scan:\n$plan")
   }
+
+  /** Rows the parquet scan actually DECODED (post-action metric) — pruned
+    * row groups never reach the decoder, so this is the skip proof. */
+  private def scannedRows(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    def finalPlan(p: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+    finalPlan(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metrics("numOutputRows").value
+    }.sum
+  }
+
+  test("native covering-less bbox read: row groups skipped via coord-leaf stats (point layout)") {
+    // Externally-produced shape: NATIVE point encoding, NO covering struct.
+    // Small parquet.block.size forces many row groups per part-file so the
+    // skip is visible WITHIN files, not just across them.
+    val out = dir + "_native_nocov"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 16 * 1024)
+    try {
+      val pts = spark.sql("""
+        SELECT CAST(id AS BIGINT) AS fid,
+               ST_Point(CAST(id % 64 AS DOUBLE), CAST(CAST(id / 64 AS INT) AS DOUBLE)) AS geometry
+        FROM range(4096)""")
+      GeoParquet.write(GeoParquet.spatialSort(pts, numPartitions = 4), out,
+        covering = false, encoding = "point")
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", prevBlock)
+    }
+    val m = GeoParquet.metadata(spark, out).get.columns.head
+    assert(m.encoding == "point" && m.covering.isEmpty, s"fixture must be native covering-less: $m")
+    // corner query window: 7×7 of the 64×64 grid
+    val q = GeoParquet.read(spark, out, bbox = Some((10.5, 20.5, 17.5, 27.5)))
+      .selectExpr("fid", "CAST(ST_X(geometry) AS BIGINT) AS x", "CAST(ST_Y(geometry) AS BIGINT) AS y")
+    val rows = q.collect()
+    // correctness: exactly the strictly-inside grid points, same as a full scan
+    assert(rows.length == 49, s"expected 49 surviving points, got ${rows.length}")
+    val expected = (for (y <- 21 to 27; x <- 11 to 17) yield (y * 64 + x).toLong).toSet
+    assert(rows.map(_.getLong(0)).toSet == expected)
+    // the skip: decoded rows are a small fraction of the 4096 total — row
+    // groups whose x/y leaf stats miss the window were never decoded
+    val decoded = scannedRows(GeoParquet.read(spark, out, bbox = Some((10.5, 20.5, 17.5, 27.5))))
+    assert(decoded >= 49 && decoded < 4096 / 2,
+      s"stats pruning must skip most row groups: decoded $decoded of 4096")
+    // control: the same file without bbox decodes everything
+    assert(scannedRows(GeoParquet.read(spark, out)) == 4096)
+  }
+
+  test("native covering-less bbox read: nested list layout (polygon) also prunes") {
+    // polygon native layout nests coords under list/list/element — the leaf
+    // path still ends in x/y, so the same stats planning applies
+    val out = dir + "_native_poly_nocov"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 16 * 1024)
+    try {
+      val polys = spark.sql("""
+        SELECT CAST(id AS BIGINT) AS fid,
+               ST_Buffer(ST_Point(CAST(id % 32 AS DOUBLE) * 4, CAST(CAST(id / 32 AS INT) AS DOUBLE) * 4), 0.5) AS geometry
+        FROM range(1024)""")
+      GeoParquet.write(GeoParquet.spatialSort(polys, numPartitions = 4), out,
+        covering = false, encoding = "polygon")
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", prevBlock)
+    }
+    // window catches the buffered cells centered at x ∈ {8,12}, y ∈ {8,12}
+    val q = GeoParquet.read(spark, out, bbox = Some((7.0, 7.0, 13.0, 13.0)))
+    val got = q.selectExpr("fid").collect().map(_.getLong(0)).toSet
+    val expected = (for (cy <- 2 to 3; cx <- 2 to 3) yield (cy * 32 + cx).toLong).toSet
+    assert(got == expected, s"got $got")
+    val decoded = scannedRows(GeoParquet.read(spark, out, bbox = Some((7.0, 7.0, 13.0, 13.0))))
+    assert(decoded >= 4 && decoded < 1024 / 2,
+      s"nested-layout stats pruning must skip most row groups: decoded $decoded of 1024")
+  }
 }
