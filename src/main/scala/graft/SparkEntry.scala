@@ -1876,6 +1876,52 @@ object SparkEntry {
     CROSS JOIN (SELECT unnest(range(21, 28)) AS y) y
     ORDER BY fid"""
 
+  /** FlatGeobuf `promoteToMulti` write option (reference:
+    * rust/geoarrow-flatgeobuf/src/writer.rs:59-64) under the hash gate — a
+    * MIXED Polygon/MultiPolygon frame is written with promotion on, so
+    * every feature becomes MultiPolygon and the file header declares ONE
+    * homogeneous geometry type (code 6), which strict readers require.
+    * The read-back pins, per feature, the post-promotion type tag, part
+    * count, and area; the header's declared type rides along as a literal
+    * column so a header regression (back to Unknown, or a wrong code)
+    * breaks the hash. */
+  private def g82Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g82_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    // even fid → single Polygon cell (area 0.5); odd fid → MultiPolygon of
+    // two disjoint cells (area 1.0) via union of separated envelopes
+    val mixed = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE WHEN id % 2 = 0
+               THEN ST_MakeEnvelope(CAST(id AS DOUBLE), 0.0, CAST(id AS DOUBLE) + 0.5, 1.0)
+               ELSE ST_Union(
+                 ST_MakeEnvelope(CAST(id AS DOUBLE), 0.0, CAST(id AS DOUBLE) + 0.5, 1.0),
+                 ST_MakeEnvelope(CAST(id AS DOUBLE), 2.0, CAST(id AS DOUBLE) + 0.5, 3.0))
+             END AS geometry
+      FROM range(40)""").coalesce(1)
+    graft.sources.FlatGeobufWriter.write(mixed, out, index = false, promoteToMulti = true)
+    // declared header type from the written part-file (bounded driver-side
+    // metadata read, the g49 footer-literal pattern)
+    val part = new java.io.File(out).listFiles().filter(_.getName.endsWith(".fgb")).head
+    val headerType = graft.sources.FlatGeobuf.parseHeader(
+      java.nio.file.Files.readAllBytes(part.toPath)).geometryType
+    graft.sources.FlatGeobuf.read(s, out)
+      .selectExpr("fid",
+        "ST_GeometryType(geometry) AS gtype",
+        "CAST(ST_NumGeometries(geometry) AS BIGINT) AS nparts",
+        "ROUND(ST_Area(geometry), 6) AS area")
+      .withColumn("header_type", org.apache.spark.sql.functions.lit(headerType.toLong))
+      .orderBy("fid")
+  }
+
+  private val g82Duck = """
+    SELECT i::BIGINT AS fid, 'ST_MultiPolygon' AS gtype,
+           (CASE WHEN i % 2 = 0 THEN 1 ELSE 2 END)::BIGINT AS nparts,
+           ROUND(CASE WHEN i % 2 = 0 THEN 0.5 ELSE 1.0 END, 6) AS area,
+           6::BIGINT AS header_type
+    FROM range(40) t(i) ORDER BY fid"""
+
   /** Multi-geometry-column GeoParquet under the hash gate: a table with a
     * primary point column AND a secondary polygon column roundtrips through
     * the single-pass writer; the reconciled footer metadata (column names +
@@ -10563,6 +10609,7 @@ object SparkEntry {
     ("g79_voronoi_delaunay", q(g79Spark), g79Duck),
     ("g80_polygonize", q(g80Spark), g80Duck),
     ("g81_native_stats_pruned_read", g81Fn _, g81Duck),
+    ("g82_fgb_promote_multi", g82Fn _, g82Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

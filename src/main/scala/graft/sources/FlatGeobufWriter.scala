@@ -241,7 +241,8 @@ object FlatGeobufWriter {
                           hasZ: Boolean, hasM: Boolean,
                           title: Option[String] = None,
                           description: Option[String] = None,
-                          metadata: Option[String] = None): Array[Byte] = {
+                          metadata: Option[String] = None,
+                          geometryType: Int = 0): Array[Byte] = {
     val b = new FBB()
     val nameOff = b.createString(name)
     // dataset annotations — header.fbs fields 11-13; parity with the
@@ -269,7 +270,11 @@ object FlatGeobufWriter {
     b.startTable(14)
     b.slotOffset(0, nameOff)
     b.slotOffset(1, envVec)
-    b.slotByte(2, 0, 0)          // geometry_type Unknown: per-feature tags rule
+    // geometry_type: the partition's detected uniform type (reference
+    // detect_type semantics, writer.rs:52-57) or Unknown(0) on a mix —
+    // per-feature tags are always present either way, so both strict and
+    // per-feature readers decode the file
+    b.slotByte(2, geometryType.toByte, 0)
     b.slotByte(3, if (hasZ) 1 else 0, 0) // Header.has_z
     b.slotByte(4, if (hasM) 1 else 0, 0) // Header.has_m
     b.slotOffset(7, colsVec)
@@ -380,11 +385,37 @@ object FlatGeobufWriter {
     out.toByteArray
   }
 
-  private def featureBytes(row: Row, types: Array[Int],
-                           geomIdx: Int): (Array[Byte], Envelope, Boolean, Boolean) = {
+  /** Single → multi promotion (Point→MultiPoint, LineString→
+    * MultiLineString, Polygon→MultiPolygon; multis and collections pass
+    * through) — the writer-side half of the reference's `promote_to_multi`
+    * option (rust/geoarrow-flatgeobuf/src/writer.rs:59-64). Promoting at
+    * write time lets a mixed single/multi frame declare ONE homogeneous
+    * header geometry type, which strict readers require. */
+  private def promoteMulti(g: org.locationtech.jts.geom.Geometry): org.locationtech.jts.geom.Geometry =
+    g match {
+      case p: Point => g.getFactory.createMultiPoint(Array(p))
+      case l: LineString => g.getFactory.createMultiLineString(Array(l))
+      case p: Polygon => g.getFactory.createMultiPolygon(Array(p))
+      case other => other
+    }
+
+  /** FGB geometry type code (public spec, header.fbs GeometryType). */
+  private def fgbTypeCode(g: org.locationtech.jts.geom.Geometry): Int = g match {
+    case _: Point => 1
+    case _: LineString => 2
+    case _: Polygon => 3
+    case _: MultiPoint => 4
+    case _: MultiLineString => 5
+    case _: MultiPolygon => 6
+    case _: GeometryCollection => 7
+  }
+
+  private def featureBytes(row: Row, types: Array[Int], geomIdx: Int,
+                           promote: Boolean): (Array[Byte], Envelope, Boolean, Boolean, Int) = {
     val b = new FBB()
     val wkb = if (row.isNullAt(geomIdx)) null else row.getAs[Array[Byte]](geomIdx)
-    val geom = if (wkb == null) null else GeomOps.read(wkb)
+    val raw = if (wkb == null) null else GeomOps.read(wkb)
+    val geom = if (raw != null && promote) promoteMulti(raw) else raw
     val props = propertyBytes(row, types)
     val propsVec = if (props.isEmpty) 0 else b.createByteVector(props)
     val geomOff = if (geom == null || geom.isEmpty) 0 else geometryOffset(b, geom)
@@ -394,7 +425,8 @@ object FlatGeobufWriter {
     val fb = b.finish(b.endTable())
     val (z, m) =
       if (geom == null || geom.isEmpty) (false, false) else zmOf(geom.getCoordinates)
-    (fb, if (geom == null) null else geom.getEnvelopeInternal, z, m)
+    (fb, if (geom == null) null else geom.getEnvelopeInternal, z, m,
+      if (geom == null || geom.isEmpty) 0 else fgbTypeCode(geom))
   }
 
   /** Write `df` as a directory of .fgb files, one per partition. The
@@ -406,7 +438,8 @@ object FlatGeobufWriter {
             name: String = "graft", index: Boolean = true,
             crsWkt: Option[String] = None,
             title: Option[String] = None, description: Option[String] = None,
-            metadata: Option[String] = None): Unit = {
+            metadata: Option[String] = None,
+            promoteToMulti: Boolean = false): Unit = {
     val schema = df.schema
     val geomIdx = schema.fieldIndex(geometryCol)
     require(geomIdx == schema.fields.length - 1,
@@ -417,6 +450,7 @@ object FlatGeobufWriter {
     val dir = new org.apache.hadoop.fs.Path(path)
     dir.getFileSystem(df.sparkSession.sessionState.newHadoopConf()).mkdirs(dir)
     val wantIndex = index
+    val promote = promoteToMulti
     df.rdd.foreachPartition { rows =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       // buffer (feature bytes, envelope) — same per-partition memory bound
@@ -426,12 +460,20 @@ object FlatGeobufWriter {
       var allHaveEnv = true
       var anyZ = false
       var anyM = false
+      // header geometry_type: the partition's uniform post-promotion type,
+      // or Unknown (0) on a mix — with promoteToMulti a mixed Polygon/
+      // MultiPolygon frame becomes uniformly MultiPolygon and the header
+      // declares it, which strict homogeneous-type readers require
+      var uniformType = -1 // -1 = unseen, 0 = mixed, else the shared code
       rows.foreach { row =>
-        val (fb, e, z, m) = featureBytes(row, types, geomIdx)
+        val (fb, e, z, m, tcode) = featureBytes(row, types, geomIdx, promote)
         feats += ((fb, e))
         anyZ ||= z; anyM ||= m
         if (e != null) env.expandToInclude(e) else allHaveEnv = false
+        if (tcode != 0)
+          uniformType = if (uniformType == -1 || uniformType == tcode) tcode else 0
       }
+      val headerType = math.max(uniformType, 0)
       val count = feats.length.toLong
       // the packed tree addresses every feature by envelope; a partition
       // with geometry-less rows can't be indexed → spec-legal indexless file
@@ -445,7 +487,8 @@ object FlatGeobufWriter {
         out.write(Array[Byte]('f', 'g', 'b', 3, 'f', 'g', 'b', 0))
         val hdr = headerBytes(name, cols, count,
           if (env.isNull) null else Array(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY),
-          if (doIndex) 16 else 0, crsWkt, anyZ, anyM, title, description, metadata)
+          if (doIndex) 16 else 0, crsWkt, anyZ, anyM, title, description, metadata,
+          geometryType = headerType)
         out.write(hdr.length & 0xFF); out.write((hdr.length >> 8) & 0xFF)
         out.write((hdr.length >> 16) & 0xFF); out.write((hdr.length >> 24) & 0xFF)
         out.write(hdr)

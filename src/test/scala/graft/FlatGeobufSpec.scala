@@ -375,4 +375,43 @@ class FlatGeobufSpec extends SparkTestBase {
     val b = back.selectExpr("name", "ROUND(ST_Area(geometry), 9) AS area")
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
+
+  test("promoteToMulti: mixed Polygon/MultiPolygon header declares MultiPolygon (6)") {
+    import graft.sources.FlatGeobufWriter
+    def headerOf(out: String) = FlatGeobuf.parseHeader(readAllBytes(
+      new java.io.File(out).listFiles().filter(_.getName.endsWith(".fgb")).head.toString))
+    val mixed = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE WHEN id % 2 = 0
+               THEN ST_MakeEnvelope(CAST(id AS DOUBLE), 0.0, CAST(id AS DOUBLE) + 0.5, 1.0)
+               ELSE ST_Union(
+                 ST_MakeEnvelope(CAST(id AS DOUBLE), 0.0, CAST(id AS DOUBLE) + 0.5, 1.0),
+                 ST_MakeEnvelope(CAST(id AS DOUBLE), 2.0, CAST(id AS DOUBLE) + 0.5, 3.0))
+             END AS geometry
+      FROM range(20)""").coalesce(1)
+    // promotion on: homogeneous MultiPolygon file, header code 6
+    val outP = java.nio.file.Files.createTempDirectory("fgbpromote").toString
+    FlatGeobufWriter.write(mixed, outP, promoteToMulti = true)
+    assert(headerOf(outP).geometryType == 6, "promoted header must declare MultiPolygon")
+    val back = FlatGeobuf.read(spark, outP)
+    assert(back.selectExpr("ST_GeometryType(geometry) AS t").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("ST_MultiPolygon"))
+    // part structure survives promotion: singles wrap (1 part), multis keep 2
+    val parts = back.selectExpr("fid", "ST_NumGeometries(geometry) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert((0 until 20).forall(i => parts(i.toLong) == (if (i % 2 == 0) 1 else 2)))
+    // promotion off: mixed frame → header stays Unknown (0), types preserved
+    val outM = java.nio.file.Files.createTempDirectory("fgbmixed").toString
+    FlatGeobufWriter.write(mixed, outM)
+    assert(headerOf(outM).geometryType == 0, "mixed unpromoted header must stay Unknown")
+    val types = FlatGeobuf.read(spark, outM)
+      .selectExpr("ST_GeometryType(geometry) AS t").distinct().collect().map(_.getString(0)).toSet
+    assert(types == Set("ST_Polygon", "ST_MultiPolygon"))
+    // detect_type semantics: a uniform unpromoted frame declares its type
+    val outU = java.nio.file.Files.createTempDirectory("fgbuniform").toString
+    FlatGeobufWriter.write(spark.sql(
+      "SELECT CAST(id AS BIGINT) AS fid, ST_Point(CAST(id AS DOUBLE), 0.0) AS geometry FROM range(5)")
+      .coalesce(1), outU)
+    assert(headerOf(outU).geometryType == 1, "uniform point file must declare Point")
+  }
 }
