@@ -5357,24 +5357,39 @@ object SparkEntry {
     * is a synthesized 16-byte blob (md5 of the document body) — the decode
     * stub's fake raster is mirrorable in the DuckDB oracle via hex
     * arithmetic, so the whole decode→meta→aggregate path is value-checked. */
-  /** Video-style frame sampling under the hash gate: 16-byte payloads split
-    * into 5 evenly spaced frames (sizes 3,3,3,3,4 — the last frame absorbs
-    * the remainder), per-frame length and first-byte sums pinned by hex
-    * arithmetic in the oracle (Multimodal.frameSample / MM_Frame[Len]). */
+  /** Video frame sampling with a REAL container and a REAL codec under the
+    * hash gate: per document, `graft_video_avi(doc_id)` builds an
+    * MJPEG-in-AVI clip (RIFF container, 6 uniform-gray 48×32 JPEG frames —
+    * JDK-encoded; frame f's gray = (doc_id·31 + f·41) mod 256), then
+    * `MM_Frame(avi, 4, i)` parses the container and returns sampled frame
+    * floor(i·6/4) as a standalone JPEG, which `graft_media_pixstats`
+    * decodes through `javax.imageio`. Uniform frames are DC-only JPEG
+    * blocks and roundtrip bit-exact (MultimodalSpec proves it for all 256
+    * grays), so the oracle pins the decoded pixel sums — container parse,
+    * frame sampling arithmetic, and JPEG decode all gate the hash.
+    * Encode/sample/decode are map-side statics; the only shuffle is the
+    * bounded 4-row report agg. */
   private val m04Spark = """
-    SELECT CAST(i AS BIGINT) AS i,
-           COUNT(*) AS n,
-           SUM(CAST(MM_FrameLen(payload, 5, i) AS BIGINT)) AS total_len,
-           SUM(CAST(conv(substring(hex(MM_Frame(payload, 5, i)), 1, 2), 16, 10) AS BIGINT)) AS sum_first_byte
-    FROM (SELECT /*+ REPARTITION({{P}}) */ unhex(md5(text)) AS payload FROM documents) t
-    LATERAL VIEW explode(sequence(0, 4)) f AS i
-    GROUP BY 1 ORDER BY 1"""
+    WITH v AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, graft_video_avi(doc_id) AS avi
+               FROM documents),
+    f AS (SELECT doc_id, i,
+                 graft_media_pixstats(MM_Frame(avi, 4, i)) AS s,
+                 graft_media_meta(MM_Frame(avi, 4, i)) AS m,
+                 MM_FrameCount(avi) AS nf
+          FROM v LATERAL VIEW explode(sequence(0, 3)) t AS i)
+    SELECT CAST(i AS BIGINT) AS i, COUNT(*) AS n,
+           SUM(CAST(m.width AS BIGINT)) AS sum_w,
+           SUM(CAST(m.height AS BIGINT)) AS sum_h,
+           SUM(CAST(nf AS BIGINT)) AS sum_frames,
+           SUM(s.sum) AS sum_pix
+    FROM f GROUP BY 1 ORDER BY 1"""
 
   private val m04Duck = """
     SELECT i::BIGINT AS i, COUNT(*)::BIGINT AS n,
-           SUM(CASE WHEN i < 4 THEN 3 ELSE 4 END)::BIGINT AS total_len,
-           SUM(('0x' || substr(md5(text), CAST(i*6+1 AS INTEGER), 2))::BIGINT)::BIGINT AS sum_first_byte
-    FROM documents CROSS JOIN (SELECT unnest(range(5)) AS i) t
+           SUM(48)::BIGINT AS sum_w, SUM(32)::BIGINT AS sum_h,
+           SUM(6)::BIGINT AS sum_frames,
+           SUM(((doc_id * 31 + ((i * 6) // 4) * 41) % 256) * 1536)::BIGINT AS sum_pix
+    FROM documents CROSS JOIN (SELECT unnest(range(4)) AS i) t
     GROUP BY 1 ORDER BY 1"""
 
   /** Audio branch of the multimodal pipeline (m05), REAL codec end-to-end:

@@ -132,7 +132,16 @@ object MediaOps {
   def mediaFrameLen(b: Array[Byte], n: Int, i: Int): Int =
     Multimodal.frameSample(b, n)(i).length
 
-  /** Bytes of frame `i` of an `n`-frame sample. */
+  /** Bytes of frame `i` of an `n`-frame sample (a standalone JPEG). */
   def mediaFrame(b: Array[Byte], n: Int, i: Int): Array[Byte] =
     Multimodal.frameSample(b, n)(i)
+
+  /** Total video frame chunks in an AVI container (container parse only,
+    * no pixel decode). SQL: `MM_FrameCount(payload)`. */
+  def mediaFrameCount(b: Array[Byte]): Int = Multimodal.aviFrames(b).length
+
+  /** Deterministic MJPEG-in-AVI fixture clip for `seed` — real RIFF
+    * container wrapping real JDK-encoded JPEG frames.
+    * SQL: `graft_video_avi(seed)`. */
+  def videoAvi(seed: Long): Array[Byte] = Multimodal.encodeAviMjpeg(seed)
 }

@@ -46,6 +46,8 @@ object MediaFunctions {
   private val sigs: Map[String, Sig] = Map(
     "mm_framelen" -> Sig("mediaFrameLen", IntegerType, Seq(BinaryType, IntegerType, IntegerType)),
     "mm_frame" -> Sig("mediaFrame", BinaryType, Seq(BinaryType, IntegerType, IntegerType)),
+    "mm_framecount" -> Sig("mediaFrameCount", IntegerType, Seq(BinaryType)),
+    "graft_video_avi" -> Sig("videoAvi", BinaryType, Seq(LongType)),
     "mm_decode" -> Sig("mediaDecode", decodedStruct, Seq(BinaryType)),
     "graft_media_decode" -> Sig("mediaDecode", decodedStruct, Seq(BinaryType)),
     "graft_media_meta" -> Sig("mediaMeta", metaStruct, Seq(BinaryType)),

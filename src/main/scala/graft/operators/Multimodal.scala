@@ -16,9 +16,10 @@ import org.apache.spark.sql.types._
   * ship in the JDK), and [[imageMeta]] reads width/height/format from the
   * container header without touching pixel data. [[encodePngGray]] generates
   * the deterministic synthetic PNG corpus the correctness oracles pin by
-  * closed-form raster arithmetic. Video frame-sampling ([[frameSample]])
-  * keeps a documented byte-chunk stub for framing (no video codec in the
-  * JDK); its plumbing and oracle are real.
+  * closed-form raster arithmetic. Video is real too: [[aviFrames]] parses
+  * the RIFF/AVI container and [[frameSample]] returns evenly spaced MJPEG
+  * frames, each a standalone JPEG decoded by the same `javax.imageio`
+  * codec ([[encodeAviMjpeg]] builds the deterministic fixture clips).
   */
 object Multimodal {
 
@@ -274,16 +275,126 @@ object Multimodal {
     sb.toString
   }
 
-  /** Sample `n` evenly spaced frames from a video payload. STUB framing:
-    * byte-chunks stand in for decoded frames (a real impl seeks keyframes). */
+  // ── video (REAL container + codec: RIFF/AVI parse, javax.imageio JPEG) ─
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+          ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] =
+    fourcc(id) ++ le32(body.length) ++ body ++
+      (if ((body.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+  private def riffList(tpe: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", fourcc(tpe) ++ body)
+
+  /** Single-frame JPEG encode of a uniform-gray raster through the JDK
+    * codec. Uniform frames are DC-only JPEG blocks, which the spec proves
+    * roundtrip BIT-EXACT for all 256 gray values — that exactness is what
+    * lets the m04 oracle pin decoded video-frame pixel sums arithmetically
+    * despite JPEG being lossy in general. */
+  private[graft] def encodeJpegGray(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { r.setSample(x, y, 0, gray & 0xFF); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val ok = javax.imageio.ImageIO.write(img, "jpg", ios)
+    ios.close()
+    require(ok, "no JPEG writer registered")
+    bos.toByteArray
+  }
+
+  /** Deterministic MJPEG-in-AVI fixture: [[VideoFrames]] uniform-gray
+    * 48×32 JPEG frames (frame f's gray = (seed·31 + f·41) mod 256) in a
+    * structurally complete RIFF AVI — hdrl (avih + vids/MJPG strh/strf),
+    * movi with one `00dc` chunk per frame, and a keyframe idx1. Real
+    * container, real codec, closed-form pixels for the oracle. */
+  val VideoFrames = 6
+  val VideoW = 48
+  val VideoH = 32
+  def encodeAviMjpeg(seed: Long): Array[Byte] = {
+    val frames = (0 until VideoFrames).map { f =>
+      encodeJpegGray(VideoW, VideoH, java.lang.Math.floorMod(seed * 31 + f * 41, 256).toInt)
+    }
+    val maxFrame = frames.map(_.length).max
+    val avih = le32(100000) ++ le32(0) ++ le32(0) ++ le32(0x10) ++ // usec/frame, maxBps, pad, HASINDEX
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(maxFrame) ++ // totalFrames, initial, streams, bufSize
+      le32(VideoW) ++ le32(VideoH) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(10) ++ le32(0) ++ le32(frames.length) ++ // init, scale, rate, start, length
+      le32(maxFrame) ++ le32(-1) ++ le32(0) ++ // bufSize, quality, sampleSize
+      le16(0) ++ le16(0) ++ le16(VideoW) ++ le16(VideoH) // rcFrame
+    val strf = le32(40) ++ le32(VideoW) ++ le32(VideoH) ++ le16(1) ++ le16(24) ++
+      fourcc("MJPG") ++ le32(VideoW * VideoH * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = riffList("hdrl",
+      riffChunk("avih", avih) ++
+        riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
+    val moviChunks = frames.map(fb => riffChunk("00dc", fb))
+    val movi = riffList("movi", moviChunks.reduce(_ ++ _))
+    // idx1 offsets are relative to the byte after the movi list's fourcc
+    val offsets = moviChunks.scanLeft(4)(_ + _.length).init
+    val idx1 = riffChunk("idx1",
+      frames.indices.map { i =>
+        fourcc("00dc") ++ le32(0x10) ++ le32(offsets(i)) ++ le32(frames(i).length)
+      }.reduce(_ ++ _))
+    val body = fourcc("AVI ") ++ hdrl ++ movi ++ idx1
+    fourcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** Parse a RIFF/AVI container and return the raw bytes of every video
+    * frame chunk (`##dc`/`##db`) in stream order — the container half of
+    * the real video path; each frame then decodes through the same
+    * `javax.imageio` codec as still images. Recurses into LISTs (movi,
+    * and `rec ` groupings inside it), honors RIFF even-byte padding, and
+    * fails loudly on a non-AVI payload. */
+  def aviFrames(payload: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    require(payload != null && payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+      payload(8) == 'A' && payload(9) == 'V' && payload(10) == 'I' && payload(11) == ' ',
+      "not a RIFF AVI payload")
+    def u32(p: Int): Long =
+      (payload(p) & 0xFFL) | ((payload(p + 1) & 0xFFL) << 8) |
+        ((payload(p + 2) & 0xFFL) << 16) | ((payload(p + 3) & 0xFFL) << 24)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def isFrameId(p: Int): Boolean = {
+      val a = payload(p).toChar; val b = payload(p + 1).toChar
+      val c = payload(p + 2).toChar; val d = payload(p + 3).toChar
+      a.isDigit && b.isDigit && c == 'd' && (d == 'c' || d == 'b')
+    }
+    def walk(from: Int, to: Int): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        val sz = u32(p + 4)
+        val body = p + 8
+        val end = math.min(body + sz, to.toLong).toInt
+        if (payload(p) == 'L' && payload(p + 1) == 'I' && payload(p + 2) == 'S' &&
+            payload(p + 3) == 'T' && sz >= 4) {
+          walk(body + 4, end)
+        } else if (isFrameId(p)) {
+          frames += java.util.Arrays.copyOfRange(payload, body, end)
+        }
+        p = end + (sz & 1).toInt
+      }
+    }
+    walk(12, payload.length)
+    frames.toIndexedSeq
+  }
+
+  /** Sample `n` evenly spaced frames from an AVI video payload — REAL
+    * container parse ([[aviFrames]]); frame i of n is source frame
+    * floor(i·count/n), so the sample spans the clip. Each returned frame
+    * is a standalone JPEG that decodes through [[decodeImage]]. */
   def frameSample(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
     require(n > 0, "need n > 0 frames")
-    val size = math.max(1, payload.length / n)
-    (0 until n).map { i =>
-      val from = math.min(i * size, payload.length)
-      val until = if (i == n - 1) payload.length else math.min((i + 1) * size, payload.length)
-      java.util.Arrays.copyOfRange(payload, from, until)
-    }
+    val fr = aviFrames(payload)
+    require(fr.nonEmpty, "AVI payload contains no video frame chunks")
+    (0 until n).map(i => fr((i.toLong * fr.length / n).toInt))
   }
 
   // ── DataFrame-level pipeline (the batch shape) ────────────────────────

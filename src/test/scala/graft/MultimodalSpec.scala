@@ -48,14 +48,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(h.sum == 4)
   }
 
-  test("frame sampling covers the payload exactly") {
-    val p = Array.tabulate[Byte](100)(_.toByte)
-    val frames = Multimodal.frameSample(p, 4)
-    assert(frames.length == 4)
-    assert(frames.map(_.length).sum == 100)
-    assert(frames.flatMap(_.toSeq) == p.toSeq)
-    // n > payload size still yields n frames, some empty
-    assert(Multimodal.frameSample(Array[Byte](1, 2), 5).length == 5)
+  test("AVI container: encode → parse returns every MJPEG frame byte-exact") {
+    val avi = Multimodal.encodeAviMjpeg(7L)
+    // RIFF/AVI magic and idx1 present (structural completeness)
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF" &&
+           new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    val frames = Multimodal.aviFrames(avi)
+    assert(frames.length == Multimodal.VideoFrames)
+    // every frame chunk is a standalone JFIF the JDK codec decodes, and the
+    // uniform gray roundtrips exactly: gray(f) = (7*31 + f*41) mod 256
+    frames.zipWithIndex.foreach { case (fb, f) =>
+      assert((fb(0) & 0xFF) == 0xFF && (fb(1) & 0xFF) == 0xD8, s"frame $f is not JPEG")
+      val d = Multimodal.decodeImage(fb)
+      assert(d.width == Multimodal.VideoW && d.height == Multimodal.VideoH && d.channels == 1)
+      val g = java.lang.Math.floorMod(7L * 31 + f * 41, 256).toInt
+      assert(d.pixels.forall(p => (p & 0xFF) == g), s"frame $f gray mismatch")
+    }
+    // non-AVI payloads fail loudly instead of silently chunking bytes
+    intercept[Exception] { Multimodal.frameSample(Array.tabulate[Byte](100)(_.toByte), 4) }
+  }
+
+  test("uniform-gray JPEG roundtrips bit-exact for every gray (the m04 oracle premise)") {
+    // uniform frames are DC-only blocks: quantized DC reconstructs the
+    // exact level for all 256 values — this is what lets the m04 oracle
+    // pin decoded pixel sums arithmetically despite JPEG lossiness
+    (0 until 256).foreach { g =>
+      val d = Multimodal.decodeImage(Multimodal.encodeJpegGray(16, 16, g))
+      assert(d.pixels.forall(p => (p & 0xFF) == g), s"gray $g did not roundtrip")
+    }
+  }
+
+  test("frame sampling picks evenly spaced REAL frames: floor(i*count/n)") {
+    val avi = Multimodal.encodeAviMjpeg(3L)
+    val all = Multimodal.aviFrames(avi)
+    val sampled = Multimodal.frameSample(avi, 4)
+    assert(sampled.length == 4)
+    // 6 frames sampled at n=4 → source indices 0, 1, 3, 4
+    val expectIdx = Seq(0, 1, 3, 4)
+    sampled.zip(expectIdx).foreach { case (fb, si) =>
+      assert(java.util.Arrays.equals(fb, all(si)), s"sample should be source frame $si")
+    }
+    // n = count is identity; n > count repeats frames rather than failing
+    assert(Multimodal.frameSample(avi, 6).zip(all).forall(p => java.util.Arrays.equals(p._1, p._2)))
+    assert(Multimodal.frameSample(avi, 12).length == 12)
   }
 
   // ── REAL decode: javax.imageio PNGs through the same plumbing ──────────
