@@ -1922,6 +1922,55 @@ object SparkEntry {
            6::BIGINT AS header_type
     FROM range(40) t(i) ORDER BY fid"""
 
+  /** Edges-metadata measure dispatch under the hash gate (reference:
+    * per-column `Edges`, rust/geoarrow-schema/src/edges.rs:35-70): the
+    * same lon/lat segments are written twice — once with
+    * `edges=spherical`, once planar — and BOTH read back through
+    * `GeoParquet.read`, which stamps `geoparquet.edges` column metadata.
+    * `GeoFunctions.edgeLength` dispatches each frame by its own stamp:
+    * the spherical file measures haversine meters (pinned by the g24
+    * closed form), the planar file cartesian degrees (√2 per 1°×1°
+    * segment) — no caller-side variant picking. The stamped edges string
+    * rides as a literal so the metadata roundtrip itself gates the hash. */
+  private def g83Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    import org.apache.spark.sql.functions.{col, lit, round}
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g83_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val lines = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_MakeLine(
+               ST_Point(CAST(id * 3 % 120 - 60 AS DOUBLE), CAST(id % 60 - 30 AS DOUBLE)),
+               ST_Point(CAST(id * 3 % 120 - 59 AS DOUBLE), CAST(id % 60 - 29 AS DOUBLE))
+             ) AS geometry
+      FROM range(40)""")
+    graft.sources.GeoParquet.write(lines, base + "_sph", edges = Some("spherical"))
+    graft.sources.GeoParquet.write(lines, base + "_pla")
+    val sph = graft.sources.GeoParquet.read(s, base + "_sph")
+    val pla = graft.sources.GeoParquet.read(s, base + "_pla")
+    val stamped = sph.schema("geometry").metadata.getString("geoparquet.edges")
+    val sphLen = sph.select(col("fid"),
+      round(graft.functions.GeoFunctions.edgeLength(sph), 4).as("sphere_m"),
+      lit(stamped).as("edges"))
+    val plaLen = pla.select(col("fid"),
+      round(graft.functions.GeoFunctions.edgeLength(pla), 6).as("planar_deg"))
+    sphLen.join(plaLen, "fid").orderBy("fid")
+  }
+
+  private val g83Duck = """
+    WITH p AS (SELECT i,
+                 CAST(i * 3 % 120 - 60 AS DOUBLE) AS lon1, CAST(i % 60 - 30 AS DOUBLE) AS lat1,
+                 CAST(i * 3 % 120 - 59 AS DOUBLE) AS lon2, CAST(i % 60 - 29 AS DOUBLE) AS lat2
+               FROM range(40) t(i))
+    SELECT i::BIGINT AS fid,
+           ROUND(2 * 6371008.8 * asin(least(1.0, sqrt(
+             pow(sin(radians(lat2 - lat1) / 2), 2) +
+             cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)))), 4)
+             AS sphere_m,
+           'spherical' AS edges,
+           ROUND(sqrt(2.0), 6) AS planar_deg
+    FROM p ORDER BY fid"""
+
   /** Multi-geometry-column GeoParquet under the hash gate: a table with a
     * primary point column AND a secondary polygon column roundtrips through
     * the single-pass writer; the reconciled footer metadata (column names +
@@ -10625,6 +10674,7 @@ object SparkEntry {
     ("g80_polygonize", q(g80Spark), g80Duck),
     ("g81_native_stats_pruned_read", g81Fn _, g81Duck),
     ("g82_fgb_promote_multi", g82Fn _, g82Duck),
+    ("g83_edges_dispatch", g83Fn _, g83Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, col}
 import org.apache.spark.sql.types._
 
 /** `ST_*` function surface: Catalyst `StaticInvoke` expressions over the
@@ -308,6 +308,49 @@ object GeoFunctions {
         (f.metadata.contains("geoparquet.encoding") ||
          f.name.equalsIgnoreCase("geometry") || f.name.equalsIgnoreCase("geom")) => f.name
     }.toSeq
+
+  // ── edge-model measure dispatch (geoparquet.edges column metadata) ─────
+
+  /** The SQL measure function matching a column's declared edge model
+    * (reference: per-column `Edges` metadata,
+    * rust/geoarrow-schema/src/edges.rs:35-70). Omitted/`planar` → the
+    * euclidean measure; `spherical` → the sphere formulas (haversine
+    * length, Chamberlain–Duquette area); `karney`/`andoyer`/`thomas` →
+    * the Karney spheroid formulas; `vincenty` → Vincenty length (area
+    * falls back to the spheroid formula — Vincenty defines distance, not
+    * area). Unknown declarations fail loudly rather than silently
+    * measuring planar. */
+  private def edgeVariant(edges: Option[String], planar: String, sphere: String,
+                          spheroid: String, vincenty: String): String =
+    edges.map(_.toLowerCase) match {
+      case None | Some("planar") => planar
+      case Some("spherical") => sphere
+      case Some("karney") | Some("andoyer") | Some("thomas") => spheroid
+      case Some("vincenty") => vincenty
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown edges declaration '$other' (planar|spherical|karney|andoyer|thomas|vincenty)")
+    }
+
+  private def declaredEdges(df: org.apache.spark.sql.DataFrame, colName: String): Option[String] =
+    df.schema.fields.find(_.name == colName)
+      .filter(_.metadata.contains("geoparquet.edges"))
+      .map(_.metadata.getString("geoparquet.edges"))
+
+  /** Length of `df`'s geometry column under ITS OWN declared edge model —
+    * the `geoparquet.edges` metadata stamped by [[graft.sources.GeoParquet.read]]
+    * routes to the matching formula, so a spherical-edges file measures
+    * great-circle meters and a planar file cartesian units without the
+    * caller hand-picking a variant. */
+  def edgeLength(df: org.apache.spark.sql.DataFrame, geometryColumn: String = "geometry"): Column =
+    call_function(edgeVariant(declaredEdges(df, geometryColumn),
+      "st_length", "st_lengthsphere", "st_lengthspheroid", "st_lengthvincenty"),
+      col(geometryColumn))
+
+  /** Area under the column's declared edge model — see [[edgeLength]]. */
+  def edgeArea(df: org.apache.spark.sql.DataFrame, geometryColumn: String = "geometry"): Column =
+    call_function(edgeVariant(declaredEdges(df, geometryColumn),
+      "st_area", "st_areasphere", "st_areaspheroid", "st_areaspheroid"),
+      col(geometryColumn))
 
   // ── typed Scala wrappers (require register(spark) on the active session) ──
 

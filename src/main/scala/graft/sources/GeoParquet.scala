@@ -45,7 +45,8 @@ object GeoParquet {
   case class GeomColumn(name: String, encoding: String, crs: Option[String],
                         bbox: Option[(Double, Double, Double, Double)],
                         covering: Option[String],
-                        geometryTypes: Seq[String] = Nil)
+                        geometryTypes: Seq[String] = Nil,
+                        edges: Option[String] = None)
   case class GeoMeta(version: String, primaryColumn: String, columns: Seq[GeomColumn])
 
   // ── metadata ──────────────────────────────────────────────────────────
@@ -190,7 +191,12 @@ object GeoParquet {
       val geometryTypes =
         if (partial || typeSets.exists(_.isEmpty)) Nil
         else typeSets.flatten.distinct.sorted
-      GeomColumn(name, decls.head._2.encoding, crss.head, bbox, covering, geometryTypes)
+      // edges (planar|spherical per GeoParquet 1.1; GeoArrow also names the
+      // spheroid formulas): trusted only on unanimous declaration — mixing
+      // edge models within a column would silently mismeasure
+      val edgeDecls = decls.map(_._2.edges).distinct
+      val edges = if (!partial && edgeDecls.length == 1) edgeDecls.head else None
+      GeomColumn(name, decls.head._2.encoding, crss.head, bbox, covering, geometryTypes, edges)
     }
     Some(GeoMeta(declared.head._2.version, primaries.head, cols))
   }
@@ -208,7 +214,8 @@ object GeoParquet {
         covering = Option(c.at("/covering/bbox/xmin/0")).filterNot(_.isMissingNode)
           .filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty),
         geometryTypes = Option(c.get("geometry_types")).filter(_.isArray)
-          .map(_.asScala.map(_.asText()).toSeq).getOrElse(Nil))
+          .map(_.asScala.map(_.asText()).toSeq).getOrElse(Nil),
+        edges = Option(c.get("edges")).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty))
     }.toSeq
     GeoMeta(root.path("version").asText("1.1.0"), root.path("primary_column").asText("geometry"), cols)
   }
@@ -253,6 +260,9 @@ object GeoParquet {
       m.columns.filter(c => df.columns.contains(c.name)).foreach { c =>
         val md = new MetadataBuilder()
         c.crs.foreach(md.putString("geoparquet.crs", _))
+        // edge model rides the column so measure dispatch (GeoFunctions.
+        // edgeLength/edgeArea) can route to the matching formula downstream
+        c.edges.foreach(md.putString("geoparquet.edges", _))
         nativeTranscoder(c.encoding) match {
           case Some(fn) =>
             // transcoded at scan time → the post-scan representation is WKB
@@ -372,14 +382,19 @@ object GeoParquet {
             crs: Option[String] = None, covering: Boolean = true,
             mode: String = "overwrite", encoding: String = "WKB",
             partitionBy: Seq[String] = Nil,
-            secondaryGeometry: Seq[String] = Nil): Unit = {
+            secondaryGeometry: Seq[String] = Nil,
+            edges: Option[String] = None): Unit = {
     val spark = df.sparkSession
     graft.functions.GeoFunctions.register(spark)
-    def metaCrs(name: String): Option[String] =
+    def metaField(name: String, key: String): Option[String] =
       df.schema.fields.find(_.name == name)
-        .filter(_.metadata.contains("geoparquet.crs"))
-        .map(_.metadata.getString("geoparquet.crs"))
+        .filter(_.metadata.contains(key))
+        .map(_.metadata.getString(key))
+    def metaCrs(name: String): Option[String] = metaField(name, "geoparquet.crs")
     val effectiveCrs = crs.orElse(metaCrs(geometryColumn))
+    // edges propagate read→write like CRS: explicit param, else the column
+    // metadata stamped by [[read]]
+    val effectiveEdges = edges.orElse(metaField(geometryColumn, "geoparquet.edges"))
     var out =
       if (covering && !df.columns.contains("bbox"))
         df.withColumn("bbox", call_function("st_bbox", col(geometryColumn)))
@@ -406,6 +421,7 @@ object GeoParquet {
       .option(GeoParquetFileFormat.CoveringKey, if (covering) "bbox" else "")
       .option(GeoParquetFileFormat.EncodingKey, if (isWkb) "WKB" else encoding.toLowerCase)
     effectiveCrs.foreach(c => w = w.option(GeoParquetFileFormat.CrsKey, c))
+    effectiveEdges.foreach(e => w = w.option(GeoParquetFileFormat.EdgesKey, e))
     if (secondaryGeometry.nonEmpty) {
       require(secondaryGeometry.forall(df.columns.contains),
         s"GeoParquet.write: secondaryGeometry columns missing from schema: " +
@@ -519,7 +535,8 @@ object GeoParquet {
   private[graft] case class GeoColJson(name: String, encoding: String,
                                        crs: Option[String], covering: Option[String],
                                        bounds: Option[(Double, Double, Double, Double)],
-                                       geometryTypes: Seq[String])
+                                       geometryTypes: Seq[String],
+                                       edges: Option[String] = None)
 
   private[sources] def geoJson(geometryColumn: String, crs: Option[String], covering: Option[String],
                                bounds: Option[(Double, Double, Double, Double)],
@@ -558,6 +575,10 @@ object GeoParquet {
         })
       else spec.geometryTypes.sorted.foreach(gts.add)
       spec.crs.foreach(j => c.set[com.fasterxml.jackson.databind.JsonNode]("crs", mapper.readTree(j)))
+      // edge interpretation between vertices (GeoParquet 1.1 `edges`;
+      // reference: rust/geoarrow-schema/src/edges.rs:35-70) — omitted means
+      // planar, so only non-planar declarations are written
+      spec.edges.filterNot(_.equalsIgnoreCase("planar")).foreach(c.put("edges", _))
       spec.bounds.foreach { case (x0, y0, x1, y1) =>
         val b = c.putArray("bbox"); b.add(x0); b.add(y0); b.add(x1); b.add(y1)
       }

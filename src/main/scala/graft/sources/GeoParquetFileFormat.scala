@@ -98,6 +98,7 @@ class GeoParquetFileFormat extends ParquetFileFormat with DataSourceRegister {
     conf.set(GeoParquetFileFormat.EncodingKey,
       options.getOrElse(GeoParquetFileFormat.EncodingKey, "WKB"))
     options.get(GeoParquetFileFormat.CrsKey).foreach(conf.set(GeoParquetFileFormat.CrsKey, _))
+    options.get(GeoParquetFileFormat.EdgesKey).foreach(conf.set(GeoParquetFileFormat.EdgesKey, _))
     // secondary geometry columns: names, ordinals, per-column CRS
     options.get(GeoParquetFileFormat.SecondaryKey).filter(_.nonEmpty).foreach { joined =>
       conf.set(GeoParquetFileFormat.SecondaryKey, joined)
@@ -196,6 +197,7 @@ object GeoParquetFileFormat {
   val CoveringKey = "graft.geo.covering"
   val EncodingKey = "graft.geo.encoding"
   val CrsKey = "graft.geo.crs"
+  val EdgesKey = "graft.geo.edges"
   val SecondaryKey = "graft.geo.secondary"
   val SecondaryIdxKey = "graft.geo.secondaryidx"
 
@@ -245,6 +247,7 @@ class GeoParquetWriteSupport extends WriteSupport[InternalRow] {
   private var bboxIdx = -1
   private var covering: Option[String] = None
   private var crs: Option[String] = None
+  private var edges: Option[String] = None
   private var encoding = "WKB"
   private var minX = Double.PositiveInfinity
   private var minY = Double.PositiveInfinity
@@ -262,6 +265,7 @@ class GeoParquetWriteSupport extends WriteSupport[InternalRow] {
     bboxIdx = conf.getInt(BboxIdxKey, -1)
     covering = Option(conf.get(CoveringKey)).filter(_.nonEmpty)
     crs = Option(conf.get(CrsKey))
+    edges = Option(conf.get(EdgesKey)).filter(_.nonEmpty)
     encoding = conf.get(EncodingKey, "WKB")
     secondary = (Option(conf.get(SecondaryKey)).filter(_.nonEmpty),
                  Option(conf.get(SecondaryIdxKey)).filter(_.nonEmpty)) match {
@@ -305,7 +309,7 @@ class GeoParquetWriteSupport extends WriteSupport[InternalRow] {
   override def finalizeWrite(): WriteSupport.FinalizedWriteContext = {
     val bounds =
       if (minX.isInfinity) None else Some((minX, minY, maxX, maxY))
-    val cols = GeoParquet.GeoColJson(geomCol, encoding, crs, covering, bounds, types.toSeq) +:
+    val cols = GeoParquet.GeoColJson(geomCol, encoding, crs, covering, bounds, types.toSeq, edges) +:
       secondary.toSeq.map { case (name, _, colCrs, ts) =>
         GeoParquet.GeoColJson(name, "WKB", colCrs, None, None, ts.toSeq)
       }

@@ -493,6 +493,51 @@ class GeoParquetSpec extends SparkTestBase {
     assert(scannedRows(GeoParquet.read(spark, out)) == 4096)
   }
 
+  test("edges metadata: footer roundtrip, column stamp, measure dispatch") {
+    import graft.functions.GeoFunctions
+    val line = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_MakeLine(ST_Point(0.0, 0.0), ST_Point(CAST(1 AS DOUBLE), 0.0)) AS geometry
+      FROM range(3)""")
+    // spherical: footer records edges, read stamps it, dispatch = haversine
+    val outS = dir + "_edges_sph"
+    GeoParquet.write(line, outS, edges = Some("spherical"))
+    assert(GeoParquet.metadata(spark, outS).get.columns.head.edges.contains("spherical"))
+    val backS = GeoParquet.read(spark, outS)
+    assert(backS.schema("geometry").metadata.getString("geoparquet.edges") == "spherical")
+    val oneDeg = 6371008.8 * math.Pi / 180.0 // 1 deg of equatorial great circle
+    val lenS = backS.select(GeoFunctions.edgeLength(backS)).head().getDouble(0)
+    assert(math.abs(lenS - oneDeg) < 1e-6, s"spherical dispatch: $lenS vs $oneDeg")
+    // read→write propagation: rewriting the stamped frame keeps edges
+    val outS2 = dir + "_edges_sph2"
+    GeoParquet.write(backS, outS2)
+    assert(GeoParquet.metadata(spark, outS2).get.columns.head.edges.contains("spherical"))
+    // planar (no declaration): dispatch = euclidean degrees
+    val outP = dir + "_edges_pla"
+    GeoParquet.write(line, outP)
+    assert(GeoParquet.metadata(spark, outP).get.columns.head.edges.isEmpty)
+    val backP = GeoParquet.read(spark, outP)
+    assert(!backP.schema("geometry").metadata.contains("geoparquet.edges"))
+    assert(backP.select(GeoFunctions.edgeLength(backP)).head().getDouble(0) == 1.0)
+    // spheroid names route to the Karney kernel; vincenty to its own length
+    val outK = dir + "_edges_kar"
+    GeoParquet.write(line, outK, edges = Some("karney"))
+    val backK = GeoParquet.read(spark, outK)
+    val lenK = backK.select(GeoFunctions.edgeLength(backK)).head().getDouble(0)
+    // 1 deg along the WGS84 equator = 111319.49079... m
+    assert(math.abs(lenK - 111319.4908) < 0.1, s"karney dispatch: $lenK")
+    val outV = dir + "_edges_vin"
+    GeoParquet.write(line, outV, edges = Some("vincenty"))
+    val backV = GeoParquet.read(spark, outV)
+    val lenV = backV.select(GeoFunctions.edgeLength(backV)).head().getDouble(0)
+    assert(math.abs(lenV - 111319.4908) < 0.1, s"vincenty dispatch: $lenV")
+    // unknown declarations fail loudly instead of silently measuring planar
+    val outX = dir + "_edges_bogus"
+    GeoParquet.write(line, outX, edges = Some("mercatorish"))
+    val backX = GeoParquet.read(spark, outX)
+    intercept[IllegalArgumentException] { GeoFunctions.edgeLength(backX) }
+  }
+
   test("native covering-less bbox read: nested list layout (polygon) also prunes") {
     // polygon native layout nests coords under list/list/element — the leaf
     // path still ends in x/y, so the same stats planning applies
