@@ -161,6 +161,184 @@ object ArrowIpc {
   // FlatGeobuf.decodedPropValues / Shapefile.decodedGeoms)
   private[graft] val decodedCells = new java.util.concurrent.atomic.LongAdder
   private[graft] val decodedGeoms = new java.util.concurrent.atomic.LongAdder
+  // byte-level pruning proof: body bytes actually fetched vs the batches'
+  // total body size (pruned-out columns' buffers are never read)
+  private[graft] val bodyBytesRead = new java.util.concurrent.atomic.LongAdder
+  private[graft] val bodyBytesTotal = new java.util.concurrent.atomic.LongAdder
+
+  // ── byte-level column pruning (footer-driven selective buffer reads) ──
+
+  /** IPC buffer/node counts of a field SUBTREE — the layout contract that
+    * lets a reader skip a column: buffers are laid out in schema pre-order,
+    * each field contributing `TypeLayout.getTypeBufferCount` of its own
+    * plus its children's, so a top-level field owns one contiguous run of
+    * the RecordBatch header's buffer entries. */
+  private def subtreeBuffers(f: org.apache.arrow.vector.types.pojo.Field): Int =
+    org.apache.arrow.vector.TypeLayout.getTypeBufferCount(f.getType) +
+      f.getChildren.asScala.map(subtreeBuffers).sum
+  private def subtreeNodes(f: org.apache.arrow.vector.types.pojo.Field): Int =
+    1 + f.getChildren.asScala.map(subtreeNodes).sum
+  private def hasDictionary(f: org.apache.arrow.vector.types.pojo.Field): Boolean =
+    f.getDictionary != null || f.getChildren.asScala.exists(hasDictionary)
+
+  private def readFully(ch: FsChannel, pos: Long, len: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    ch.position(pos)
+    var off = 0
+    while (off < len) {
+      val bb = java.nio.ByteBuffer.wrap(out, off, len - off)
+      val n = ch.read(bb)
+      require(n > 0, s"ArrowIpc: unexpected EOF at ${pos + off}")
+      off += n
+    }
+    out
+  }
+
+  /** Byte-level pruned decode: reads the file FOOTER for the record-batch
+    * blocks, then per batch reads only the message HEADER (node and buffer
+    * offsets) plus the body byte ranges of the `wanted` columns — a pruned
+    * column's buffers are never fetched from storage, matching the
+    * columnar-IPC projection discipline of the reference's readers
+    * (rust/geoarrow-old/benches/wkb.rs:20-21 ProjectionMask). The surviving
+    * buffers are reassembled into a reduced-schema `ArrowRecordBatch` and
+    * loaded through the stock `VectorLoader`, so decode semantics are
+    * identical to the full path. Compressed bodies (LZ4/ZSTD
+    * tags — GDAL's .arrow default) pass their `BodyCompression` through to
+    * a compression-capable `VectorLoader`, so the prune skips the pruned
+    * columns' COMPRESSED extents; only dictionary-encoded files fall back
+    * to the full reader. */
+  private[sources] def decodeFilePruned(path: String, conf: org.apache.hadoop.conf.Configuration,
+                                        wanted: Array[Boolean]): Iterator[Row] = {
+    import org.apache.arrow.vector.ipc.message.{ArrowFieldNode, ArrowRecordBatch, MessageSerializer}
+    import org.apache.arrow.vector.ipc.ReadChannel
+    val ch = openChannel(path, conf)
+    val allocator = new RootAllocator()
+    val reader = new ArrowFileReader(ch, allocator) // footer + schema only
+    var reducedRoot: org.apache.arrow.vector.VectorSchemaRoot = null
+    var closed = false
+    def closeAll(): Unit = if (!closed) {
+      closed = true
+      try { if (reducedRoot != null) reducedRoot.close() }
+      finally { try reader.close() finally { try allocator.close() finally ch.close() } }
+    }
+    try {
+      val schema = reader.getVectorSchemaRoot.getSchema
+      val fields = schema.getFields.asScala.toArray
+      require(fields.length == wanted.length, s"ArrowIpc: wanted mask arity ${wanted.length} != ${fields.length}")
+      if (fields.exists(hasDictionary)) { closeAll(); return decodeFile(path, conf, wanted) }
+      val blocks = reader.getRecordBlocks.asScala.toIndexedSeq
+      val keepIdx = fields.indices.filter(wanted(_)).toArray
+      val reducedFields = keepIdx.map(fields(_))
+      reducedRoot = org.apache.arrow.vector.VectorSchemaRoot.create(
+        new org.apache.arrow.vector.types.pojo.Schema(reducedFields.toSeq.asJava), allocator)
+      // compression-capable loader: a batch tagged LZ4/ZSTD (GDAL's default
+      // for .arrow) decompresses per buffer on load; the byte-level prune
+      // still skips pruned columns' COMPRESSED extents, which is strictly
+      // more bytes saved
+      val loader = new org.apache.arrow.vector.VectorLoader(
+        reducedRoot, org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
+      val geoExt = reducedFields.map(f => Option(f.getMetadata.get("ARROW:extension:name"))
+        .filter(_.startsWith("geoarrow.")))
+      val nodeRuns = fields.map(subtreeNodes)
+      val bufRuns = fields.map(subtreeBuffers)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
+      new Iterator[Row] {
+        private var blockIdx = 0
+        private var i = 0
+        private var batchRows = 0
+        private var done = false
+        private def loadBlock(): Unit = {
+          val block = blocks(blockIdx)
+          ch.position(block.getOffset)
+          val msg = MessageSerializer.readMessage(new ReadChannel(ch)).getMessage
+          val rb = msg.header(new org.apache.arrow.flatbuf.RecordBatch())
+            .asInstanceOf[org.apache.arrow.flatbuf.RecordBatch]
+          val bodyStart = block.getOffset + block.getMetadataLength
+          val nodes = new java.util.ArrayList[ArrowFieldNode]()
+          val bufs = new java.util.ArrayList[org.apache.arrow.memory.ArrowBuf]()
+          var n = 0
+          var b = 0
+          var c = 0
+          while (c < fields.length) {
+            if (wanted(c)) {
+              var j = n
+              while (j < n + nodeRuns(c)) {
+                val fn = rb.nodes(j)
+                nodes.add(new ArrowFieldNode(fn.length(), fn.nullCount()))
+                j += 1
+              }
+              j = b
+              while (j < b + bufRuns(c)) {
+                val bufMeta = rb.buffers(j)
+                val len = bufMeta.length()
+                val ab = allocator.buffer(len)
+                if (len > 0) {
+                  val bytes = readFully(ch, bodyStart + bufMeta.offset(), len.toInt)
+                  ab.setBytes(0, bytes, 0, len)
+                }
+                ab.writerIndex(len)
+                bufs.add(ab)
+                bodyBytesRead.add(len)
+                j += 1
+              }
+            }
+            n += nodeRuns(c); b += bufRuns(c); c += 1
+          }
+          bodyBytesTotal.add(block.getBodyLength)
+          val batch = Option(rb.compression()) match {
+            case Some(bc) => new ArrowRecordBatch(rb.length().toInt, nodes, bufs,
+              new org.apache.arrow.vector.ipc.message.ArrowBodyCompression(bc.codec(), bc.method()))
+            case None => new ArrowRecordBatch(rb.length().toInt, nodes, bufs)
+          }
+          try loader.load(batch) finally batch.close()
+          // the batch (and now the vectors) hold their own refs; drop ours
+          bufs.asScala.foreach(_.getReferenceManager.release())
+          batchRows = reducedRoot.getRowCount
+          i = 0
+          blockIdx += 1
+        }
+        private def advance(): Unit =
+          while (!done && i >= batchRows) {
+            if (blockIdx < blocks.length) loadBlock()
+            else { done = true; closeAll() }
+          }
+        override def hasNext: Boolean = { advance(); !done }
+        override def next(): Row = {
+          advance()
+          if (done) throw new NoSuchElementException("exhausted " + path)
+          val vals = new Array[Any](fields.length)
+          var k = 0
+          while (k < keepIdx.length) {
+            val raw = reducedRoot.getVector(k).getObject(i)
+            vals(keepIdx(k)) =
+              if (raw == null) null
+              else geoExt(k) match {
+                case Some(ext) =>
+                  decodedGeoms.increment()
+                  GeomOps.write(decodeGeo(ext, raw))
+                case None =>
+                  decodedCells.increment()
+                  raw match {
+                    case t: org.apache.arrow.vector.util.Text => t.toString
+                    case other => other
+                  }
+              }
+            k += 1
+          }
+          i += 1
+          Row.fromSeq(vals.toIndexedSeq)
+        }
+      }
+    } catch { case e: Throwable => closeAll(); throw e }
+  }
+
+  /** DSv2 decode entry: byte-level pruning when a proper subset of columns
+    * is required, the stock full-batch reader otherwise. */
+  private[sources] def decodeFileAuto(path: String, conf: org.apache.hadoop.conf.Configuration,
+                                      wanted: Array[Boolean]): Iterator[Row] =
+    if (wanted == null || wanted.forall(identity)) decodeFile(path, conf, wanted)
+    else decodeFilePruned(path, conf, wanted)
 
   /** Streams rows batch-by-batch: only one IPC record batch is resident at
     * a time, so a multi-GB file never materializes in the task. Resources

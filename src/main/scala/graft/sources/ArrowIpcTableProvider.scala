@@ -13,16 +13,18 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** `spark.read.format("arrowipc")` — DataSource V2 face of [[ArrowIpc]],
-  * completing the decode-level-pruning story across the binary sources
-  * (GeoParquet → FlatGeobuf → Shapefile → Arrow IPC): Catalyst's
-  * required-columns pushdown skips per-cell materialization of pruned-out
-  * columns — Arrow getObject boxing, Text→String copies and, decisively,
-  * the JTS geometry build + WKB serialization of unneeded geometry
-  * columns. The IPC record batch itself still loads (one contiguous
-  * message per batch), so this prunes CPU, not file bytes — the honest
-  * statement of what IPC framing allows without footer-driven selective
-  * buffer loads. One .arrow file = one task, as in the function-style
-  * `read()`.
+  * completing the pruning story across the binary sources (GeoParquet →
+  * FlatGeobuf → Shapefile → Arrow IPC): Catalyst's required-columns
+  * pushdown now prunes at BOTH levels. Byte level: when a proper subset
+  * of columns is required, [[ArrowIpc.decodeFilePruned]] reads only each
+  * batch's header plus the wanted columns' buffer byte ranges — a
+  * pruned column's buffers are never fetched from storage (the columnar
+  * projection discipline of the reference's readers,
+  * rust/geoarrow-old/benches/wkb.rs:20-21). Decode level: per-cell
+  * materialization — Arrow getObject boxing, Text→String copies and,
+  * decisively, the JTS geometry build + WKB serialization — runs only
+  * for required columns. One .arrow file = one task, as in the
+  * function-style `read()`.
   */
 class ArrowIpcSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "arrowipc"
@@ -91,7 +93,7 @@ private[sources] case class ArrowIpcReaderFactory(required: StructType,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val ArrowIpcPartition(path) = partition: @unchecked
     new RowPartitionReader(
-      ArrowIpc.decodeFile(path, new org.apache.hadoop.conf.Configuration(), wanted),
+      ArrowIpc.decodeFileAuto(path, new org.apache.hadoop.conf.Configuration(), wanted),
       outIdx, required)
   }
 }

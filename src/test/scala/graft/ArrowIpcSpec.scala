@@ -50,6 +50,27 @@ class ArrowIpcSpec extends SparkTestBase {
     assert(graft.sources.ArrowIpc.decodedGeoms.sum() == 5)
   }
 
+  test("DSv2 pruning is BYTE level: pruned columns' buffers are never fetched") {
+    // nybb's bytes are dominated by the multipolygon coordinate buffers, so
+    // a property-only projection must fetch a small fraction of the body
+    graft.sources.ArrowIpc.bodyBytesRead.reset()
+    graft.sources.ArrowIpc.bodyBytesTotal.reset()
+    val names = spark.read.format("arrowipc").load(fixture).select("BoroName")
+      .collect().map(_.getString(0)).sorted
+    assert(names.head == "Bronx" && names.length == 5)
+    val read = graft.sources.ArrowIpc.bodyBytesRead.sum()
+    val total = graft.sources.ArrowIpc.bodyBytesTotal.sum()
+    assert(total > 0, "pruned path must have engaged (total body accounted)")
+    assert(read > 0 && read < total / 10,
+      s"byte-level prune: read $read of $total body bytes — geometry buffers must be skipped")
+    // mixed subset through the pruned buffer path matches the full read
+    val sub = spark.read.format("arrowipc").load(fixture)
+      .selectExpr("BoroCode", "ST_AsText(geometry) AS w")
+    val full = ArrowIpc.read(spark, fixture)
+      .selectExpr("BoroCode", "ST_AsText(geometry) AS w")
+    assert(sub.except(full).isEmpty && full.except(sub).isEmpty)
+  }
+
   test("nybb.arrow geometry matches the GeoParquet WKB twin exactly") {
     val arrow = ArrowIpc.read(spark, fixture)
     val wkb = GeoParquet.read(spark, "/root/reference/fixtures/geoparquet/nybb_wkb.parquet")
