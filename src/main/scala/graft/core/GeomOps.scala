@@ -605,6 +605,15 @@ object GeomOps {
     * and WKT-sorted like [[polygonize]]. JTS's raw cells extend beyond
     * the clip envelope (it only bounds the construction), so each cell is
     * intersected with the envelope here. */
+  /** 2-arg PostGIS-style overload: clip envelope taken from the second
+    * geometry's bounds, then the same normalized/sorted [[voronoi]] kernel —
+    * one construction path for both arities (the round-12 dedup of the raw
+    * shadowed variant). */
+  def voronoiClip(b: Array[Byte], env: Array[Byte]): Array[Byte] = {
+    val e = read(env).getEnvelopeInternal
+    voronoi(b, e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+  }
+
   def voronoi(b: Array[Byte], minX: Double, minY: Double,
               maxX: Double, maxY: Double): Array[Byte] = {
     val env = new org.locationtech.jts.geom.Envelope(minX, maxX, minY, maxY)

@@ -155,6 +155,7 @@ object GeoFunctions {
     "st_polygonize" -> Sig("polygonize", G, Seq(G)),
     "st_delaunaytriangles" -> Sig("delaunay", G, Seq(G)),
     "st_voronoipolygons" -> Sig("voronoi", G, Seq(G, D, D, D, D)),
+    "st_voronoipolygons" -> Sig("voronoiClip", G, Seq(G, G)),
     "st_removerepeatedpoints" -> Sig("removeRepeatedPoints", G, Seq(G, D)),
     // affine
     "st_affine" -> Sig("affine", G, Seq(G, D, D, D, D, D, D)),
