@@ -57,11 +57,33 @@ object ArrowIpc {
     }
   }
 
-  /** Public schema of an .arrow file (geometry columns as WKB binary). */
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Public schema of an .arrow file (geometry columns as WKB binary).
+    * GeoArrow `ARROW:extension:metadata` (JSON with optional `crs`/`edges`,
+    * the per-array metadata of rust/geoarrow-schema — edges.rs:35-70
+    * attaches the edge model to EVERY array type, not just GeoParquet) is
+    * surfaced as the same `geoparquet.crs`/`geoparquet.edges` Spark field
+    * metadata the parquet reader stamps, so `GeoFunctions.edgeLength`/
+    * `edgeArea` dispatch identically across sources. */
   def schemaOf(spark: SparkSession, path: String): StructType =
     withFirstFile(spark, path) { reader =>
-      StructType(reader.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
-        .map(f => StructField(f.getName, sparkType(f))))
+      StructType(reader.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq.map { f =>
+        val base = StructField(f.getName, sparkType(f))
+        if (!isGeo(f.getMetadata)) base
+        else {
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          Option(f.getMetadata.get("ARROW:extension:metadata")).filter(_.nonEmpty).foreach { json =>
+            val node = jsonMapper.readTree(json)
+            Option(node.get("edges")).filterNot(_.isNull).map(_.asText).filter(_.nonEmpty)
+              .foreach(mb.putString("geoparquet.edges", _))
+            Option(node.get("crs")).filterNot(_.isNull)
+              .foreach(c => mb.putString("geoparquet.crs",
+                if (c.isTextual) c.asText else c.toString))
+          }
+          base.copy(metadata = mb.build())
+        }
+      })
     }
 
   // ── GeoArrow nested-value decode (both coordinate layouts) ────────────
@@ -443,6 +465,20 @@ object ArrowIpc {
     val confSer = df.sparkSession.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(df.sparkSession.sessionState.newHadoopConf()))
     val batchSize = 4096 // rows per IPC record batch — bounds task memory
+    // GeoArrow extension metadata (crs/edges) propagates from the column's
+    // Spark metadata — a GeoParquet.read → ArrowIpc.write hop keeps the
+    // edge model, mirroring the reference's per-array Metadata
+    val extMetaJson: String = sparkSchema.fields.find(_.name == geomName).map { f =>
+      val node = jsonMapper.createObjectNode()
+      if (f.metadata.contains("geoparquet.edges"))
+        node.put("edges", f.metadata.getString("geoparquet.edges"))
+      if (f.metadata.contains("geoparquet.crs")) {
+        val crs = f.metadata.getString("geoparquet.crs")
+        try node.set[com.fasterxml.jackson.databind.JsonNode]("crs", jsonMapper.readTree(crs))
+        catch { case _: Exception => node.put("crs", crs) }
+      }
+      if (node.isEmpty) null else jsonMapper.writeValueAsString(node)
+    }.orNull
 
     df.rdd.foreachPartition { rows =>
       val allocator = new RootAllocator()
@@ -459,9 +495,12 @@ object ArrowIpc {
             case other => throw new IllegalArgumentException(
               s"ArrowIpc.write: unsupported type $other for column ${f.name}")
           }
-          val md = if (f.name == geomName && f.dataType == BinaryType)
-            java.util.Map.of("ARROW:extension:name", "geoarrow.wkb")
-          else java.util.Map.of[String, String]()
+          val md = if (f.name == geomName && f.dataType == BinaryType) {
+            if (extMetaJson != null)
+              java.util.Map.of("ARROW:extension:name", "geoarrow.wkb",
+                               "ARROW:extension:metadata", extMetaJson)
+            else java.util.Map.of("ARROW:extension:name", "geoarrow.wkb")
+          } else java.util.Map.of[String, String]()
           new Field(f.name, new FieldType(f.nullable, at, null, md), java.util.List.of[Field]())
         }
         val root = VectorSchemaRoot.create(new Schema(java.util.List.of(fields: _*)), allocator)

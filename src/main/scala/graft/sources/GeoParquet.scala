@@ -257,28 +257,38 @@ object GeoParquet {
     // of the reference's per-batch parse (rust/geoparquet/src/reader/
     // parse.rs:30 infer_geoarrow_schema)
     meta.foreach { m =>
-      m.columns.filter(c => df.columns.contains(c.name)).foreach { c =>
-        val md = new MetadataBuilder()
-        c.crs.foreach(md.putString("geoparquet.crs", _))
-        // edge model rides the column so measure dispatch (GeoFunctions.
-        // edgeLength/edgeArea) can route to the matching formula downstream
-        c.edges.foreach(md.putString("geoparquet.edges", _))
-        nativeTranscoder(c.encoding) match {
-          case Some(fn) =>
-            // transcoded at scan time → the post-scan representation is WKB
-            md.putString("geoparquet.encoding", "WKB")
-            md.putString("geoparquet.source_encoding", c.encoding)
-            val (hasZ, hasM) = zmFlags(df.schema(c.name).dataType)
-            df = df.withColumn(c.name,
-              call_function(fn, col(c.name), lit(hasZ), lit(hasM)).as(c.name, md.build()))
-          case None =>
-            // WKB passes through as WKB; an UNKNOWN encoding keeps its
-            // declared name so downstream never mistakes the bytes for WKB
-            md.putString("geoparquet.encoding",
-              if (c.encoding.equalsIgnoreCase("WKB")) "WKB" else c.encoding)
-            df = df.withColumn(c.name, col(c.name).as(c.name, md.build()))
+      val geomCols = m.columns.filter(c => df.columns.contains(c.name)).map(c => c.name -> c).toMap
+      // ONE select over all columns rather than per-column withColumn:
+      // withColumn(name, expr.as(name, md)) can silently drop the alias
+      // metadata depending on the child plan's shape (observed on
+      // SQL-derived children); a Project with explicit aliases always
+      // keeps it, and collapses to a single node anyway
+      val projected = df.columns.map { name =>
+        geomCols.get(name) match {
+          case Some(c) =>
+            val md = new MetadataBuilder()
+            c.crs.foreach(md.putString("geoparquet.crs", _))
+            // edge model rides the column so measure dispatch (GeoFunctions.
+            // edgeLength/edgeArea) routes to the matching formula downstream
+            c.edges.foreach(md.putString("geoparquet.edges", _))
+            nativeTranscoder(c.encoding) match {
+              case Some(fn) =>
+                // transcoded at scan time → post-scan representation is WKB
+                md.putString("geoparquet.encoding", "WKB")
+                md.putString("geoparquet.source_encoding", c.encoding)
+                val (hasZ, hasM) = zmFlags(df.schema(c.name).dataType)
+                call_function(fn, col(c.name), lit(hasZ), lit(hasM)).as(name, md.build())
+              case None =>
+                // WKB passes through as WKB; an UNKNOWN encoding keeps its
+                // declared name so downstream never mistakes bytes for WKB
+                md.putString("geoparquet.encoding",
+                  if (c.encoding.equalsIgnoreCase("WKB")) "WKB" else c.encoding)
+                col(name).as(name, md.build())
+            }
+          case None => col(name)
         }
       }
+      if (geomCols.nonEmpty) df = df.select(projected.toIndexedSeq: _*)
     }
 
     bbox match {

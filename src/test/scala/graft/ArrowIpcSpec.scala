@@ -71,6 +71,39 @@ class ArrowIpcSpec extends SparkTestBase {
     assert(sub.except(full).isEmpty && full.except(sub).isEmpty)
   }
 
+  test("GeoArrow extension metadata: edges/crs roundtrip through .arrow, dispatch works") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.MetadataBuilder
+    // stamp edges+crs on the column (what GeoParquet.read does) and write
+    val md = new MetadataBuilder()
+      .putString("geoparquet.edges", "spherical")
+      .putString("geoparquet.crs", """{"id":{"authority":"EPSG","code":4326}}""")
+      .build()
+    // select-form attach: withColumn(name, col(name).as(name, md)) can drop
+    // alias metadata depending on the child plan's shape; select keeps it
+    val df = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_MakeLine(ST_Point(0.0, 0.0), ST_Point(1.0, 0.0)) AS geometry
+      FROM range(3)""")
+      .select(col("fid"), col("geometry").as("geometry", md))
+    val out = java.nio.file.Files.createTempDirectory("arrowedges").toString
+    ArrowIpc.write(df.coalesce(1), out)
+    // read back: the ARROW:extension:metadata JSON re-stamps the column
+    val back = ArrowIpc.read(spark, out)
+    val m = back.schema("geometry").metadata
+    assert(m.getString("geoparquet.edges") == "spherical")
+    assert(m.getString("geoparquet.crs").contains("4326"))
+    // and the cross-source measure dispatch picks haversine, same as parquet
+    val len = back.select(graft.functions.GeoFunctions.edgeLength(back)).head().getDouble(0)
+    assert(math.abs(len - 6371008.8 * math.Pi / 180.0) < 1e-6, s"arrow edges dispatch: $len")
+    // a frame with no stamps writes no extension metadata and stays planar
+    val out2 = java.nio.file.Files.createTempDirectory("arrowplanar").toString
+    ArrowIpc.write(spark.sql(
+      "SELECT CAST(id AS BIGINT) AS fid, ST_Point(0.0, 0.0) AS geometry FROM range(2)").coalesce(1), out2)
+    val back2 = ArrowIpc.read(spark, out2)
+    assert(!back2.schema("geometry").metadata.contains("geoparquet.edges"))
+  }
+
   test("nybb.arrow geometry matches the GeoParquet WKB twin exactly") {
     val arrow = ArrowIpc.read(spark, fixture)
     val wkb = GeoParquet.read(spark, "/root/reference/fixtures/geoparquet/nybb_wkb.parquet")
