@@ -491,6 +491,33 @@ class GeoParquetSpec extends SparkTestBase {
       s"stats pruning must skip most row groups: decoded $decoded of 4096")
     // control: the same file without bbox decodes everything
     assert(scannedRows(GeoParquet.read(spark, out)) == 4096)
+    // a window that misses the whole extent decodes NOTHING — every split
+    // returns empty after footer-only IO (the file-level skip case)
+    val miss = GeoParquet.read(spark, out, bbox = Some((500.0, 500.0, 510.0, 510.0)))
+    assert(miss.count() == 0)
+    assert(scannedRows(GeoParquet.read(spark, out, bbox = Some((500.0, 500.0, 510.0, 510.0)))) == 0,
+      "fully-pruned read must decode zero rows")
+  }
+
+  test("native covering-less bbox read: partitionBy layout prunes per leaf file") {
+    // partition dirs + native encoding + no covering: the stats-pruning
+    // reader must coexist with partition discovery (partition column rides
+    // as a directory value, row groups prune within each leaf file)
+    val out = dir + "_native_nocov_part"
+    val pts = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE WHEN id < 2048 THEN 'west' ELSE 'east' END AS side,
+             ST_Point(CAST(id % 64 AS DOUBLE), CAST(CAST(id / 64 AS INT) AS DOUBLE)) AS geometry
+      FROM range(4096)""")
+    GeoParquet.write(pts, out, covering = false, encoding = "point",
+      partitionBy = Seq("side"))
+    val q = GeoParquet.read(spark, out, bbox = Some((10.5, 20.5, 17.5, 27.5)))
+    val rows = q.selectExpr("fid", "side").collect()
+    // same 49 surviving grid points as the flat-layout test; ids 11..17 +
+    // 64*(21..27) are all < 2048 → all 'west'
+    assert(rows.length == 49 && rows.forall(_.getString(1) == "west"))
+    val expected = (for (y <- 21 to 27; x <- 11 to 17) yield (y * 64 + x).toLong).toSet
+    assert(rows.map(_.getLong(0)).toSet == expected)
   }
 
   test("edges metadata: footer roundtrip, column stamp, measure dispatch") {
