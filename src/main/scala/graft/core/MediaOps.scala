@@ -140,6 +140,14 @@ object MediaOps {
     * no pixel decode). SQL: `MM_FrameCount(payload)`. */
   def mediaFrameCount(b: Array[Byte]): Int = Multimodal.aviFrames(b).length
 
+  /** All `n` sampled frames in ONE container parse — the batch form of
+    * [[mediaFrame]]: explode the returned array instead of calling
+    * per-frame functions row-by-row (each of which re-walks the
+    * container). SQL: `MM_FrameSample(payload, n)` → `array<binary>`. */
+  def mediaFrameSample(b: Array[Byte], n: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Multimodal.frameSample(b, n).toArray[Any])
+
   /** Deterministic MJPEG-in-AVI fixture clip for `seed` — real RIFF
     * container wrapping real JDK-encoded JPEG frames.
     * SQL: `graft_video_avi(seed)`. */

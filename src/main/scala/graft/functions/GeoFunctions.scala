@@ -316,17 +316,21 @@ object GeoFunctions {
     * (reference: per-column `Edges` metadata,
     * rust/geoarrow-schema/src/edges.rs:35-70). Omitted/`planar` → the
     * euclidean measure; `spherical` → the sphere formulas (haversine
-    * length, Chamberlain–Duquette area); `karney`/`andoyer`/`thomas` →
-    * the Karney spheroid formulas; `vincenty` → Vincenty length (area
-    * falls back to the spheroid formula — Vincenty defines distance, not
-    * area). Unknown declarations fail loudly rather than silently
-    * measuring planar. */
+    * length, Chamberlain–Duquette area); `karney` → the Karney-EXACT
+    * geodesic length (`st_lengthgeodesic`, Karney 2013 — the formula the
+    * declaration names); `andoyer`/`thomas` → the Andoyer/Thomas-family
+    * spheroid approximation (`st_lengthspheroid`); `vincenty` → Vincenty
+    * length. Spheroid AREAS all route to the Karney ellipsoidal area —
+    * the andoyer/thomas/vincenty papers define distance, not area.
+    * Unknown declarations fail loudly rather than silently measuring
+    * planar. */
   private def edgeVariant(edges: Option[String], planar: String, sphere: String,
-                          spheroid: String, vincenty: String): String =
+                          karney: String, spheroid: String, vincenty: String): String =
     edges.map(_.toLowerCase) match {
       case None | Some("planar") => planar
       case Some("spherical") => sphere
-      case Some("karney") | Some("andoyer") | Some("thomas") => spheroid
+      case Some("karney") => karney
+      case Some("andoyer") | Some("thomas") => spheroid
       case Some("vincenty") => vincenty
       case Some(other) => throw new IllegalArgumentException(
         s"unknown edges declaration '$other' (planar|spherical|karney|andoyer|thomas|vincenty)")
@@ -344,13 +348,15 @@ object GeoFunctions {
     * caller hand-picking a variant. */
   def edgeLength(df: org.apache.spark.sql.DataFrame, geometryColumn: String = "geometry"): Column =
     call_function(edgeVariant(declaredEdges(df, geometryColumn),
-      "st_length", "st_lengthsphere", "st_lengthspheroid", "st_lengthvincenty"),
+      "st_length", "st_lengthsphere", "st_lengthgeodesic", "st_lengthspheroid",
+      "st_lengthvincenty"),
       col(geometryColumn))
 
   /** Area under the column's declared edge model — see [[edgeLength]]. */
   def edgeArea(df: org.apache.spark.sql.DataFrame, geometryColumn: String = "geometry"): Column =
     call_function(edgeVariant(declaredEdges(df, geometryColumn),
-      "st_area", "st_areasphere", "st_areaspheroid", "st_areaspheroid"),
+      "st_area", "st_areasphere", "st_areaspheroid", "st_areaspheroid",
+      "st_areaspheroid"),
       col(geometryColumn))
 
   // ── typed Scala wrappers (require register(spark) on the active session) ──

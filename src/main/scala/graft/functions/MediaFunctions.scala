@@ -47,6 +47,8 @@ object MediaFunctions {
     "mm_framelen" -> Sig("mediaFrameLen", IntegerType, Seq(BinaryType, IntegerType, IntegerType)),
     "mm_frame" -> Sig("mediaFrame", BinaryType, Seq(BinaryType, IntegerType, IntegerType)),
     "mm_framecount" -> Sig("mediaFrameCount", IntegerType, Seq(BinaryType)),
+    "mm_framesample" -> Sig("mediaFrameSample",
+      ArrayType(BinaryType, containsNull = false), Seq(BinaryType, IntegerType)),
     "graft_video_avi" -> Sig("videoAvi", BinaryType, Seq(LongType)),
     "mm_decode" -> Sig("mediaDecode", decodedStruct, Seq(BinaryType)),
     "graft_media_decode" -> Sig("mediaDecode", decodedStruct, Seq(BinaryType)),

@@ -74,12 +74,17 @@ object ArrowIpc {
         else {
           val mb = new org.apache.spark.sql.types.MetadataBuilder()
           Option(f.getMetadata.get("ARROW:extension:metadata")).filter(_.nonEmpty).foreach { json =>
-            val node = jsonMapper.readTree(json)
-            Option(node.get("edges")).filterNot(_.isNull).map(_.asText).filter(_.nonEmpty)
-              .foreach(mb.putString("geoparquet.edges", _))
-            Option(node.get("crs")).filterNot(_.isNull)
-              .foreach(c => mb.putString("geoparquet.crs",
-                if (c.isTextual) c.asText else c.toString))
+            // the Arrow spec allows arbitrary bytes here — a non-JSON blob
+            // from another producer must not fail schema inference, it just
+            // carries no crs/edges for us
+            try {
+              val node = jsonMapper.readTree(json)
+              Option(node.get("edges")).filterNot(_.isNull).map(_.asText).filter(_.nonEmpty)
+                .foreach(mb.putString("geoparquet.edges", _))
+              Option(node.get("crs")).filterNot(_.isNull)
+                .foreach(c => mb.putString("geoparquet.crs",
+                  if (c.isTextual) c.asText else c.toString))
+            } catch { case _: com.fasterxml.jackson.core.JacksonException => }
           }
           base.copy(metadata = mb.build())
         }
@@ -216,6 +221,22 @@ object ArrowIpc {
     out
   }
 
+  /** Fill `ab`'s first `len` bytes from the channel at `pos`, chunked —
+    * Arrow buffer lengths are 64-bit, so a single ≥2 GiB buffer must not
+    * truncate through an Int (byte[] is the 2 GiB-bounded staging, the
+    * ArrowBuf itself is long-addressed). */
+  private def readIntoBuf(ch: FsChannel, pos: Long, len: Long,
+                          ab: org.apache.arrow.memory.ArrowBuf): Unit = {
+    val chunk = 1 << 26 // 64 MB staging
+    var done = 0L
+    while (done < len) {
+      val n = math.min(chunk.toLong, len - done).toInt
+      val bytes = readFully(ch, pos + done, n)
+      ab.setBytes(done, bytes, 0, n)
+      done += n
+    }
+  }
+
   /** Byte-level pruned decode: reads the file FOOTER for the record-batch
     * blocks, then per batch reads only the message HEADER (node and buffer
     * offsets) plus the body byte ranges of the `wanted` columns — a pruned
@@ -295,10 +316,7 @@ object ArrowIpc {
                 val bufMeta = rb.buffers(j)
                 val len = bufMeta.length()
                 val ab = allocator.buffer(len)
-                if (len > 0) {
-                  val bytes = readFully(ch, bodyStart + bufMeta.offset(), len.toInt)
-                  ab.setBytes(0, bytes, 0, len)
-                }
+                if (len > 0) readIntoBuf(ch, bodyStart + bufMeta.offset(), len, ab)
                 ab.writerIndex(len)
                 bufs.add(ab)
                 bodyBytesRead.add(len)
@@ -313,8 +331,16 @@ object ArrowIpc {
               new org.apache.arrow.vector.ipc.message.ArrowBodyCompression(bc.codec(), bc.method()))
             case None => new ArrowRecordBatch(rb.length().toInt, nodes, bufs)
           }
+          // refcount contract (verified against arrow-vector 18.3.0 bytecode):
+          // ctor retains each buffer once (alloc 1 → 2). Uncompressed load:
+          // loadFieldBuffers retains for the vectors (3); batch.close (2);
+          // our release (1 = the vectors'). Compressed load: the codec closes
+          // the input (1) but VectorLoader.loadBuffers RE-RETAINS the
+          // original right after (2 — the compensation at its
+          // decompressionNeeded branch), vectors own the NEW decompressed
+          // buffers; batch.close (1); our release (0). Releasing BEFORE load
+          // instead would unmap compressed buffers mid-load.
           try loader.load(batch) finally batch.close()
-          // the batch (and now the vectors) hold their own refs; drop ours
           bufs.asScala.foreach(_.getReferenceManager.release())
           batchRows = reducedRoot.getRowCount
           i = 0

@@ -403,8 +403,17 @@ object GeoParquet {
     def metaCrs(name: String): Option[String] = metaField(name, "geoparquet.crs")
     val effectiveCrs = crs.orElse(metaCrs(geometryColumn))
     // edges propagate read→write like CRS: explicit param, else the column
-    // metadata stamped by [[read]]
+    // metadata stamped by [[read]]. Validated at the PRODUCER: GeoParquet
+    // 1.1 names planar|spherical; the GeoArrow spheroid vocabulary
+    // (edges.rs:35-70) is accepted as a documented superset our own reader
+    // dispatches on. Anything else (a typo) would poison the footer with a
+    // declaration no reader can honor — fail fast here instead.
     val effectiveEdges = edges.orElse(metaField(geometryColumn, "geoparquet.edges"))
+    effectiveEdges.map(_.toLowerCase).foreach { e =>
+      require(Set("planar", "spherical", "karney", "andoyer", "thomas", "vincenty")(e),
+        s"GeoParquet.write: unknown edges declaration '$e' " +
+          "(planar|spherical|karney|andoyer|thomas|vincenty)")
+    }
     var out =
       if (covering && !df.columns.contains("bbox"))
         df.withColumn("bbox", call_function("st_bbox", col(geometryColumn)))

@@ -546,23 +546,45 @@ class GeoParquetSpec extends SparkTestBase {
     val backP = GeoParquet.read(spark, outP)
     assert(!backP.schema("geometry").metadata.contains("geoparquet.edges"))
     assert(backP.select(GeoFunctions.edgeLength(backP)).head().getDouble(0) == 1.0)
-    // spheroid names route to the Karney kernel; vincenty to its own length
-    val outK = dir + "_edges_kar"
-    GeoParquet.write(line, outK, edges = Some("karney"))
-    val backK = GeoParquet.read(spark, outK)
-    val lenK = backK.select(GeoFunctions.edgeLength(backK)).head().getDouble(0)
-    // 1 deg along the WGS84 equator = 111319.49079... m
-    assert(math.abs(lenK - 111319.4908) < 0.1, s"karney dispatch: $lenK")
-    val outV = dir + "_edges_vin"
-    GeoParquet.write(line, outV, edges = Some("vincenty"))
-    val backV = GeoParquet.read(spark, outV)
-    val lenV = backV.select(GeoFunctions.edgeLength(backV)).head().getDouble(0)
-    assert(math.abs(lenV - 111319.4908) < 0.1, s"vincenty dispatch: $lenV")
-    // unknown declarations fail loudly instead of silently measuring planar
-    val outX = dir + "_edges_bogus"
-    GeoParquet.write(line, outX, edges = Some("mercatorish"))
-    val backX = GeoParquet.read(spark, outX)
-    intercept[IllegalArgumentException] { GeoFunctions.edgeLength(backX) }
+    // each spheroid name routes to ITS named kernel — pinned by exact
+    // double equality against the kernel called directly, on a long
+    // diagonal where Karney-exact and the Andoyer approximation visibly
+    // differ (so a wrong route can't hide inside a tolerance)
+    val diag = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_MakeLine(ST_Point(2.0, 41.0), ST_Point(55.0, -21.0)) AS geometry
+      FROM range(2)""")
+    def dispatched(edgesName: String): Double = {
+      val out = dir + "_edges_" + edgesName
+      GeoParquet.write(diag, out, edges = Some(edgesName))
+      val back = GeoParquet.read(spark, out)
+      back.select(GeoFunctions.edgeLength(back)).head().getDouble(0)
+    }
+    def direct(fn: String): Double =
+      diag.selectExpr(s"$fn(geometry)").head().getDouble(0)
+    val kar = dispatched("karney")
+    val and = dispatched("andoyer")
+    val vin = dispatched("vincenty")
+    assert(kar == direct("ST_LengthGeodesic"), "karney must route to the Karney-exact kernel")
+    assert(and == direct("ST_LengthSpheroid"), "andoyer must route to the Andoyer kernel")
+    assert(vin == direct("ST_LengthVincenty"), "vincenty must route to the Vincenty kernel")
+    // Karney-exact and Andoyer genuinely differ on this line (else the
+    // routing assertions above would be vacuous); Vincenty agrees with
+    // Karney to sub-mm (same ellipsoid geodesic, iterative solution)
+    assert(math.abs(kar - and) > 0.01, s"kernels indistinguishable: kar=$kar and=$and")
+    assert(math.abs(kar - vin) < 0.01, s"vincenty vs karney: $vin vs $kar")
+    // an unknown declaration is rejected at the PRODUCER — a typo must not
+    // poison the footer with a model no reader can honor
+    intercept[IllegalArgumentException] {
+      GeoParquet.write(line, dir + "_edges_bogus", edges = Some("mercatorish"))
+    }
+    // ...and a frame stamped with one (externally produced file) fails
+    // loudly at dispatch instead of silently measuring planar
+    val bogusMd = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("geoparquet.edges", "mercatorish").build()
+    val bogus = line.select(org.apache.spark.sql.functions.col("fid"),
+      org.apache.spark.sql.functions.col("geometry").as("geometry", bogusMd))
+    intercept[IllegalArgumentException] { GeoFunctions.edgeLength(bogus) }
   }
 
   test("native covering-less bbox read: nested list layout (polygon) also prunes") {
