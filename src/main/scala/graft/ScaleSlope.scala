@@ -102,18 +102,69 @@ object ScaleSlope {
     def run(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
     val out = new StringBuilder
-    factors.foreach { factor =>
-      val dir = gen(factor)
-      families.foreach { fam =>
-        var best = Double.MaxValue
+
+    /** Native-stats row-group pruning slope (the g81 path at growing data
+      * size): per factor, a spatially-sorted native covering-less file of
+      * 65_536·k points; the FIXED corner window's pruned read should stay
+      * ~flat (reads only the window's row groups + footers) while the full
+      * scan grows ~linearly — the measured form of the 100-TB claim. */
+    def statsPruneSlope(factor: Int): Unit = {
+      graft.functions.GeoFunctions.register(spark)
+      val n = 1048576L * factor
+      val side = math.max(1L, math.round(math.sqrt(n.toDouble)))
+      val dir = s"$base/gpq_x$factor"
+      if (!new java.io.File(s"$dir/_DONE").exists()) {
+        val pts = spark.sql(
+          s"""SELECT CAST(id AS BIGINT) AS fid,
+                     ST_Point(CAST(id % $side AS DOUBLE), CAST(CAST(id / $side AS INT) AS DOUBLE)) AS geometry
+              FROM range($n)""")
+        // hold ROW-GROUP size constant as data grows (production: ~100 MB
+        // groups, growing FILE COUNT) — without this, bigger factors write
+        // single giant row groups and granularity, not the reader, degrades
+        val hc = spark.sparkContext.hadoopConfiguration
+        val prev = hc.get("parquet.block.size")
+        hc.setInt("parquet.block.size", 2 << 20)
+        try graft.sources.GeoParquet.write(
+          graft.sources.GeoParquet.spatialSort(pts, numPartitions = 8), s"$dir/data",
+          covering = false, encoding = "point")
+        finally { if (prev == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", prev) }
+        new java.io.File(s"$dir/_DONE").createNewFile()
+      }
+      def best(mk: => DataFrame): Double = {
+        var b = Double.MaxValue
         (0 until reps).foreach { _ =>
           graft.core.Blocks.scrub(spark, blocking = true)
           val t0 = System.nanoTime()
-          run(SparkEntry.queries(fam)(spark, dir))
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          run(mk)
+          b = math.min(b, (System.nanoTime() - t0) / 1e9)
         }
-        val line = f"""{"family":"$fam","factor":$factor,"sec":$best%.2f}"""
-        println(line); out ++= line += '\n'
+        b
+      }
+      // fixed 8×8 window in the grid's corner regardless of extent
+      val pruned = best(graft.sources.GeoParquet.read(spark, s"$dir/data",
+        bbox = Some((10.5, 20.5, 18.5, 28.5))))
+      val full = best(graft.sources.GeoParquet.read(spark, s"$dir/data"))
+      val line = f"""{"family":"gp_stats_prune","factor":$factor,"sec":$pruned%.2f,"full_sec":$full%.2f}"""
+      println(line); out ++= line += '\n'
+    }
+
+    factors.foreach { factor =>
+      // the gp_stats_prune family writes its own fixture; only materialize
+      // the blown-up table set when a table-driven family is requested
+      lazy val dir = gen(factor)
+      families.foreach { fam =>
+        if (fam == "gp_stats_prune") statsPruneSlope(factor)
+        else {
+          var best = Double.MaxValue
+          (0 until reps).foreach { _ =>
+            graft.core.Blocks.scrub(spark, blocking = true)
+            val t0 = System.nanoTime()
+            run(SparkEntry.queries(fam)(spark, dir))
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          }
+          val line = f"""{"family":"$fam","factor":$factor,"sec":$best%.2f}"""
+          println(line); out ++= line += '\n'
+        }
       }
     }
     spark.stop()
