@@ -359,6 +359,22 @@ object GeoFunctions {
       "st_areaspheroid"),
       col(geometryColumn))
 
+  /** Polygon perimeter under the column's declared edge model — see
+    * [[edgeLength]]. Spherical composes haversine length over the
+    * boundary rings (no dedicated sphere-perimeter kernel needed);
+    * karney → the Karney-exact `st_perimetergeodesic`; the approximation
+    * family → `st_perimeterspheroid`. */
+  def edgePerimeter(df: org.apache.spark.sql.DataFrame, geometryColumn: String = "geometry"): Column =
+    declaredEdges(df, geometryColumn).map(_.toLowerCase) match {
+      case Some("spherical") =>
+        call_function("st_lengthsphere", call_function("st_boundary", col(geometryColumn)))
+      case e =>
+        call_function(edgeVariant(e,
+          "st_perimeter", "<unreachable>", "st_perimetergeodesic",
+          "st_perimeterspheroid", "st_perimeterspheroid"),
+          col(geometryColumn))
+    }
+
   // ── typed Scala wrappers (require register(spark) on the active session) ──
 
   def st_point(x: Column, y: Column): Column = call_function("st_point", x, y)

@@ -71,6 +71,30 @@ class ArrowIpcSpec extends SparkTestBase {
     assert(sub.except(full).isEmpty && full.except(sub).isEmpty)
   }
 
+  test("pruned reader handles buffers past the 64 MB staging chunk (multi-chunk fill)") {
+    // one batch whose binary data buffer (~80 MB) spans two staging chunks
+    // of the long-safe fill path; a truncation or offset bug would corrupt
+    // the payload checksums
+    val out = java.nio.file.Files.createTempDirectory("arrowbig").toString
+    // `note` makes (fid, payload) a PROPER subset, forcing the pruned path.
+    // payload stays an UNTAGGED plain binary column (geometryCol absent from
+    // the schema) so read-back is byte-identical — a geoarrow.wkb tag would
+    // canonicalize the WKB (+4 EWKB bytes) and mask nothing/everything.
+    val df = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CONCAT('row-', CAST(id AS STRING)) AS note,
+             ST_AsBinary(ST_Buffer(ST_Point(CAST(id AS DOUBLE), 0.0), 1.0, 1024)) AS payload
+      FROM range(1200)""")
+    ArrowIpc.write(df.coalesce(1), out)
+    val expected = df.selectExpr("fid", "CAST(crc32(payload) AS BIGINT) AS crc")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // payload-only projection → pruned byte-level path
+    val got = spark.read.format("arrowipc").load(out)
+      .selectExpr("fid", "CAST(crc32(payload) AS BIGINT) AS crc")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 1200 && got == expected, "multi-chunk payload roundtrip must be exact")
+  }
+
   test("GeoArrow extension metadata: edges/crs roundtrip through .arrow, dispatch works") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.MetadataBuilder

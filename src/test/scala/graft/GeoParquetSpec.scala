@@ -539,6 +539,19 @@ class GeoParquetSpec extends SparkTestBase {
     val outS2 = dir + "_edges_sph2"
     GeoParquet.write(backS, outS2)
     assert(GeoParquet.metadata(spark, outS2).get.columns.head.edges.contains("spherical"))
+    // perimeter dispatch: spherical composes haversine over the boundary
+    val sq = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_MakeEnvelope(0.0, 0.0, 1.0, 1.0) AS geometry FROM range(2)""")
+    val outSq = dir + "_edges_sq"
+    GeoParquet.write(sq, outSq, edges = Some("spherical"))
+    val backSq = GeoParquet.read(spark, outSq)
+    val perim = backSq.select(GeoFunctions.edgePerimeter(backSq)).head().getDouble(0)
+    val perimDirect = backSq.selectExpr("ST_LengthSphere(ST_Boundary(geometry))").head().getDouble(0)
+    assert(perim == perimDirect && perim > 4 * 110000.0 && perim < 4 * 112000.0,
+      s"spherical perimeter dispatch: $perim vs $perimDirect")
+    // planar control is the cartesian perimeter
+    assert(sq.select(GeoFunctions.edgePerimeter(sq)).head().getDouble(0) == 4.0)
     // planar (no declaration): dispatch = euclidean degrees
     val outP = dir + "_edges_pla"
     GeoParquet.write(line, outP)

@@ -78,6 +78,29 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("aviFrames: adversarial bytes throw or return cleanly, never crash out of bounds") {
+    val rnd = new scala.util.Random(42)
+    // random garbage (non-RIFF) must throw the typed require, not AIOOBE
+    (0 until 200).foreach { _ =>
+      val junk = Array.fill[Byte](rnd.nextInt(64))((rnd.nextInt(256) - 128).toByte)
+      intercept[IllegalArgumentException] { Multimodal.aviFrames(junk) }
+    }
+    // RIFF/AVI magic + random tails: chunk sizes lie, LISTs truncate — the
+    // parser must bound every access (frames found or not, but no crash)
+    (0 until 500).foreach { _ =>
+      val tail = Array.fill[Byte](rnd.nextInt(256))((rnd.nextInt(256) - 128).toByte)
+      val payload = "RIFF".getBytes("US-ASCII") ++
+        Array[Byte]((tail.length + 4).toByte, 0, 0, 0) ++
+        "AVI ".getBytes("US-ASCII") ++ tail
+      Multimodal.aviFrames(payload) // any return is fine; throwing AIOOBE is not
+    }
+    // truncating a REAL clip at every boundary parses what remains
+    val avi = Multimodal.encodeAviMjpeg(11L)
+    Seq(12, 50, avi.length / 2, avi.length - 3).foreach { cut =>
+      Multimodal.aviFrames(java.util.Arrays.copyOf(avi, cut)) // must not crash
+    }
+  }
+
   test("frame sampling picks evenly spaced REAL frames: floor(i*count/n)") {
     val avi = Multimodal.encodeAviMjpeg(3L)
     val all = Multimodal.aviFrames(avi)
