@@ -499,6 +499,50 @@ class GeoParquetSpec extends SparkTestBase {
       "fully-pruned read must decode zero rows")
   }
 
+  test("native covering-less bbox read: pruned == full-scan-filtered for random windows") {
+    // equivalence property over the stats-pruning planner: for ANY window
+    // (incl. degenerate, off-extent, negative-coord, and sliver shapes),
+    // the pruned read returns exactly the rows a full scan + envelope
+    // filter would — row groups may be skipped, rows may not
+    val out = dir + "_native_nocov_prop"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 16 * 1024)
+    try {
+      val pts = spark.sql("""
+        SELECT CAST(id AS BIGINT) AS fid,
+               ST_Point(CAST(id % 64 AS DOUBLE) - 32.0, CAST(CAST(id / 64 AS INT) AS DOUBLE) - 32.0) AS geometry
+        FROM range(4096)""")
+      GeoParquet.write(GeoParquet.spatialSort(pts, numPartitions = 4), out,
+        covering = false, encoding = "point")
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", prevBlock)
+    }
+    val full = GeoParquet.read(spark, out)
+    full.createOrReplaceTempView("prop_full")
+    val rnd = new scala.util.Random(7)
+    val windows = Seq(
+      (-100.0, -100.0, -90.0, -90.0),   // fully off-extent
+      (-32.5, -32.5, 31.5, 31.5),       // whole extent
+      (0.0, 0.0, 0.0, 0.0),             // degenerate point window
+      (-5.0, -40.0, -4.9, 40.0)         // sliver column
+    ) ++ (0 until 8).map { _ =>
+      val x0 = rnd.nextDouble() * 80 - 40; val y0 = rnd.nextDouble() * 80 - 40
+      (x0, y0, x0 + rnd.nextDouble() * 30, y0 + rnd.nextDouble() * 30)
+    }
+    windows.foreach { case (x0, y0, x1, y1) =>
+      val pruned = GeoParquet.read(spark, out, bbox = Some((x0, y0, x1, y1)))
+        .selectExpr("fid").collect().map(_.getLong(0)).toSet
+      val expected = spark.sql(
+        s"""SELECT fid FROM prop_full
+            WHERE ST_X(geometry) BETWEEN $x0 AND $x1 AND ST_Y(geometry) BETWEEN $y0 AND $y1""")
+        .collect().map(_.getLong(0)).toSet
+      assert(pruned == expected,
+        s"window ($x0,$y0,$x1,$y1): pruned ${pruned.size} vs expected ${expected.size}; " +
+          s"missing=${(expected -- pruned).take(5)} extra=${(pruned -- expected).take(5)}")
+    }
+  }
+
   test("native covering-less bbox read: partitionBy layout prunes per leaf file") {
     // partition dirs + native encoding + no covering: the stats-pruning
     // reader must coexist with partition discovery (partition column rides
