@@ -243,6 +243,51 @@ class StreamOpsSpec extends SparkTestBase {
       s"RocksDB provider not active — progress: $progress")
   }
 
+  test("GeoParquet streaming sink: per-file geo footers finalize under the file sink") {
+    // the single-pass writer's file-close footer model is sink-agnostic:
+    // writeStream.format(GeoParquetFileFormat) produces part-files whose
+    // geo KV carries the batch's OWN observed bbox/types — streaming geo
+    // ETL lands queryable GeoParquet with no post-pass
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft_geostream").toString
+    val src = new java.io.File(tmp, "src"); src.mkdirs()
+    def stage(i: Int, lo: Int, hi: Int): Unit = {
+      val st = new java.io.File(tmp, s"stage$i")
+      s.sql(s"""SELECT CAST(id AS BIGINT) AS fid,
+                       ST_AsBinary(ST_Point(CAST(id AS DOUBLE), CAST(id % 7 AS DOUBLE))) AS geometry
+                FROM range($lo, $hi)""").coalesce(1).write.parquet(st.getPath)
+      val part = new java.io.File(st.getPath).listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, new java.io.File(src, s"f$i.parquet").toPath)
+    }
+    stage(0, 0, 40); stage(1, 40, 100)
+    val q = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fid", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("geometry", org.apache.spark.sql.types.BinaryType))))
+      .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+      .withColumn("bbox", call_function("st_bbox", col("geometry")))
+      .writeStream.format(classOf[graft.sources.GeoParquetFileFormat].getName)
+      .option(graft.sources.GeoParquetFileFormat.GeomColKey, "geometry")
+      .option(graft.sources.GeoParquetFileFormat.CoveringKey, "bbox")
+      .option(graft.sources.GeoParquetFileFormat.EncodingKey, "WKB")
+      .option("path", tmp + "/out")
+      .option("checkpointLocation", tmp + "/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // every value landed exactly once and the dataset reads back AS GeoParquet
+    val back = graft.sources.GeoParquet.read(s, tmp + "/out")
+    assert(back.count() == 100 && back.select("fid").distinct().count() == 100)
+    val meta = graft.sources.GeoParquet.metadata(s, tmp + "/out").get
+    val gc = meta.columns.find(_.name == "geometry").get
+    assert(gc.encoding == "WKB" && gc.geometryTypes == Seq("Point"))
+    // per-file footers carry each micro-batch file's OWN bounds; the
+    // reconciled dataset bbox is their union = the full staged extent
+    assert(gc.bbox.contains((0.0, 0.0, 99.0, 6.0)), s"unioned bbox: ${gc.bbox}")
+    // and the geometry is live: a spatial filter works directly on the sink output
+    assert(back.where(call_function("st_x", col("geometry")) < 40.0).count() == 40)
+  }
+
   test("runStream deletes its staging + checkpoint temp dirs (round-11 hygiene)") {
     // repeated verify/bench sweeps used to leak one parquet-staging +
     // checkpoint dir per streaming query; the harness now deletes the
