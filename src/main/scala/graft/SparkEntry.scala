@@ -1954,7 +1954,13 @@ object SparkEntry {
       lit(stamped).as("edges"))
     val plaLen = pla.select(col("fid"),
       round(graft.functions.GeoFunctions.edgeLength(pla), 6).as("planar_deg"))
-    sphLen.join(plaLen, "fid").orderBy("fid")
+    // plain-SQL dispatch rides the same gate: ST_Length over the stamped
+    // view rewrites to haversine at analysis time (builder-level edges
+    // dispatch), pinned equal to the Scala helper's column
+    sph.createOrReplaceTempView("graft_g83_sph")
+    val sqlLen = s.sql(
+      "SELECT fid, ROUND(ST_Length(geometry), 4) AS sql_sphere_m FROM graft_g83_sph")
+    sphLen.join(plaLen, "fid").join(sqlLen, "fid").orderBy("fid")
   }
 
   private val g83Duck = """
@@ -1968,7 +1974,11 @@ object SparkEntry {
              cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)))), 4)
              AS sphere_m,
            'spherical' AS edges,
-           ROUND(sqrt(2.0), 6) AS planar_deg
+           ROUND(sqrt(2.0), 6) AS planar_deg,
+           ROUND(2 * 6371008.8 * asin(least(1.0, sqrt(
+             pow(sin(radians(lat2 - lat1) / 2), 2) +
+             cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)))), 4)
+             AS sql_sphere_m
     FROM p ORDER BY fid"""
 
   /** Multi-geometry-column GeoParquet under the hash gate: a table with a

@@ -272,11 +272,67 @@ object GeoFunctions {
       } else None
     val sig = byType.getOrElse(overloads.getOrElse(args.length, throw new IllegalArgumentException(
       s"$name expects ${overloads.keys.toSeq.sorted.mkString("/")} args, got ${args.length}")))
-    val cast =
-      if (sig.cast) args.zip(sig.params).map { case (e, t) => Cast(e, t) }
-      else args
-    StaticInvoke(sig.cls, sig.ret, sig.method, cast, Nil,
-      propagateNull = true, returnNullable = false)
+    // plain-SQL edges dispatch: ST_Length/ST_Area/ST_Perimeter over a
+    // DIRECT reference to a `geoparquet.edges`-stamped column rewrite to
+    // the declared model's kernel at ANALYSIS time (the builder runs with
+    // resolved children — the st_buffer type-dispatch precedent). The
+    // optimizer is too late: the metadata-carrying alias collapses away
+    // before user rules run, and foldable inputs constant-fold planar.
+    edgesDispatch(name, args).getOrElse {
+      val cast =
+        if (sig.cast) args.zip(sig.params).map { case (e, t) => Cast(e, t) }
+        else args
+      StaticInvoke(sig.cls, sig.ret, sig.method, cast, Nil,
+        propagateNull = true, returnNullable = false)
+    }
+  }
+
+  /** planar SQL name → (spherical, karney, andoyer/thomas, vincenty)
+    * kernel names on [[graft.core.Geodesy]] (spheroid AREAS all route to
+    * the Karney ellipsoidal area — the approximation papers define
+    * distance, not area; the sphere perimeter composes haversine over the
+    * boundary). Reference semantics: the edges declaration "does affect
+    * … length, and area calculations" (rust/geoarrow-schema/src/edges.rs:3-8),
+    * so measuring a spherical-edges column planar would be a silent
+    * mismeasurement. Scope is deliberately a DIRECT column reference —
+    * a derived geometry (`ST_Length(ST_Simplify(g, t))`) keeps the measure
+    * the user wrote. Disable with `spark.graft.edges.dispatch=false`. */
+  private val edgeMeasureVariants: Map[String, (String, String, String, String)] = Map(
+    "st_length" -> (("lengthSphere", "lengthGeodesic", "lengthSpheroid", "lengthVincenty")),
+    "st_area" -> (("areaSphere", "areaSpheroid", "areaSpheroid", "areaSpheroid")),
+    "st_perimeter" -> (("perimeterSphereViaBoundary", "perimeterGeodesic",
+      "perimeterSpheroid", "perimeterSpheroid")))
+
+  private def edgesDispatch(name: String, args: Seq[Expression]): Option[Expression] = {
+    if (args.length != 1 || !edgeMeasureVariants.contains(name)) return None
+    val model = args.head match {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if a.resolved && a.metadata.contains("geoparquet.edges") =>
+        Some(a.metadata.getString("geoparquet.edges").toLowerCase).filterNot(_ == "planar")
+      case _ => None
+    }
+    if (model.isEmpty) return None
+    val enabled = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.edges.dispatch", "true").toBoolean
+    if (!enabled) return None
+    val (sphere, karney, spheroid, vincenty) = edgeMeasureVariants(name)
+    val target = model.get match {
+      case "spherical" => sphere
+      case "karney" => karney
+      case "andoyer" | "thomas" => spheroid
+      case "vincenty" => vincenty
+      case other => throw new IllegalArgumentException(
+        s"unknown edges declaration '$other' (planar|spherical|karney|andoyer|thomas|vincenty)")
+    }
+    def invoke(cls: Class[_], method: String, arg: Expression): Expression =
+      StaticInvoke(cls, D, method, Seq(Cast(arg, G)), Nil,
+        propagateNull = true, returnNullable = false)
+    Some(
+      if (target == "perimeterSphereViaBoundary")
+        invoke(geodesy, "lengthSphere",
+          StaticInvoke(geomOps, G, "boundary", Seq(Cast(args.head, G)), Nil,
+            propagateNull = true, returnNullable = false))
+      else invoke(geodesy, target, args.head))
   }
 
   /** Idempotent per-session registration of all ST_* SQL names, aggregates,

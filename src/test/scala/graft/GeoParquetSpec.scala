@@ -630,6 +630,28 @@ class GeoParquetSpec extends SparkTestBase {
     // Karney to sub-mm (same ellipsoid geodesic, iterative solution)
     assert(math.abs(kar - and) > 0.01, s"kernels indistinguishable: kar=$kar and=$and")
     assert(math.abs(kar - vin) < 0.01, s"vincenty vs karney: $vin vs $kar")
+    // ── SQL-level dispatch (EdgesMeasureRule): plain ST_Length/ST_Area/
+    // ST_Perimeter over the stamped column rewrite to the declared model
+    backS.createOrReplaceTempView("edges_sph_view")
+    val sqlLen = spark.sql("SELECT ST_Length(geometry) AS l FROM edges_sph_view")
+      .head().getDouble(0)
+    assert(math.abs(sqlLen - oneDeg) < 1e-6, s"SQL dispatch must be haversine: $sqlLen")
+    val sqlPer = spark.sql(
+      "SELECT ST_Perimeter(ST_MakeEnvelope(0.0, 0.0, 1.0, 1.0)) AS p FROM edges_sph_view LIMIT 1")
+      .head().getDouble(0)
+    assert(sqlPer == 4.0, "literal (unstamped) geometry keeps the planar measure")
+    // a DERIVED geometry keeps the measure the user wrote (the derivation
+    // may not preserve the edge model) — conservative scope
+    val derived = spark.sql(
+      "SELECT ST_Length(ST_Simplify(geometry, 0.0)) AS l FROM edges_sph_view").head().getDouble(0)
+    assert(derived == 1.0, s"derived geometry must stay planar: $derived")
+    // kill switch restores planar behavior for the direct reference too
+    spark.conf.set("spark.graft.edges.dispatch", "false")
+    try {
+      val off = spark.sql("SELECT ST_Length(geometry) AS l FROM edges_sph_view").head().getDouble(0)
+      assert(off == 1.0, s"disabled dispatch must measure planar: $off")
+    } finally spark.conf.unset("spark.graft.edges.dispatch")
+
     // an unknown declaration is rejected at the PRODUCER — a typo must not
     // poison the footer with a model no reader can honor
     intercept[IllegalArgumentException] {
