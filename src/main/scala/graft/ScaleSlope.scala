@@ -102,17 +102,29 @@ object ScaleSlope {
     def run(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
     val out = new StringBuilder
+    // ONE timing methodology for every family (scrub outside the window,
+    // min over reps) — keep this the single copy so slopes stay comparable
+    def best(mk: => DataFrame): Double = {
+      var b = Double.MaxValue
+      (0 until reps).foreach { _ =>
+        graft.core.Blocks.scrub(spark, blocking = true)
+        val t0 = System.nanoTime()
+        run(mk)
+        b = math.min(b, (System.nanoTime() - t0) / 1e9)
+      }
+      b
+    }
 
     /** Native-stats row-group pruning slope (the g81 path at growing data
       * size): per factor, a spatially-sorted native covering-less file of
-      * 65_536·k points; the FIXED corner window's pruned read should stay
+      * 1_048_576·k points; the FIXED corner window's pruned read should stay
       * ~flat (reads only the window's row groups + footers) while the full
       * scan grows ~linearly — the measured form of the 100-TB claim. */
     def statsPruneSlope(factor: Int): Unit = {
       graft.functions.GeoFunctions.register(spark)
       val n = 1048576L * factor
       val side = math.max(1L, math.round(math.sqrt(n.toDouble)))
-      val dir = s"$base/gpq_x$factor"
+      val dir = s"$base/gpq2m_x$factor" // 2m = 2 MB row groups; layout version keys the cache
       if (!new java.io.File(s"$dir/_DONE").exists()) {
         val pts = spark.sql(
           s"""SELECT CAST(id AS BIGINT) AS fid,
@@ -130,16 +142,6 @@ object ScaleSlope {
         finally { if (prev == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", prev) }
         new java.io.File(s"$dir/_DONE").createNewFile()
       }
-      def best(mk: => DataFrame): Double = {
-        var b = Double.MaxValue
-        (0 until reps).foreach { _ =>
-          graft.core.Blocks.scrub(spark, blocking = true)
-          val t0 = System.nanoTime()
-          run(mk)
-          b = math.min(b, (System.nanoTime() - t0) / 1e9)
-        }
-        b
-      }
       // fixed 8×8 window in the grid's corner regardless of extent
       val pruned = best(graft.sources.GeoParquet.read(spark, s"$dir/data",
         bbox = Some((10.5, 20.5, 18.5, 28.5))))
@@ -155,14 +157,8 @@ object ScaleSlope {
       families.foreach { fam =>
         if (fam == "gp_stats_prune") statsPruneSlope(factor)
         else {
-          var best = Double.MaxValue
-          (0 until reps).foreach { _ =>
-            graft.core.Blocks.scrub(spark, blocking = true)
-            val t0 = System.nanoTime()
-            run(SparkEntry.queries(fam)(spark, dir))
-            best = math.min(best, (System.nanoTime() - t0) / 1e9)
-          }
-          val line = f"""{"family":"$fam","factor":$factor,"sec":$best%.2f}"""
+          val sec = best(SparkEntry.queries(fam)(spark, dir))
+          val line = f"""{"family":"$fam","factor":$factor,"sec":$sec%.2f}"""
           println(line); out ++= line += '\n'
         }
       }

@@ -1956,11 +1956,16 @@ object SparkEntry {
       round(graft.functions.GeoFunctions.edgeLength(pla), 6).as("planar_deg"))
     // plain-SQL dispatch rides the same gate: ST_Length over the stamped
     // view rewrites to haversine at analysis time (builder-level edges
-    // dispatch), pinned equal to the Scala helper's column
-    sph.createOrReplaceTempView("graft_g83_sph")
+    // dispatch), pinned equal to the Scala helper's column. The view name
+    // is run-scoped (UUID) and dropped once the join is analyzed, so
+    // concurrent evaluations can't clobber each other.
+    val viewName = "graft_g83_sph_" + new java.io.File(base).getName.split('_').last
+    sph.createOrReplaceTempView(viewName)
     val sqlLen = s.sql(
-      "SELECT fid, ROUND(ST_Length(geometry), 4) AS sql_sphere_m FROM graft_g83_sph")
-    sphLen.join(plaLen, "fid").join(sqlLen, "fid").orderBy("fid")
+      s"SELECT fid, ROUND(ST_Length(geometry), 4) AS sql_sphere_m FROM $viewName")
+    val joined = sphLen.join(plaLen, "fid").join(sqlLen, "fid").orderBy("fid")
+    s.catalog.dropTempView(viewName) // plans are analyzed eagerly; safe to drop
+    joined
   }
 
   private val g83Duck = """

@@ -321,8 +321,12 @@ object GeoFunctions {
       case "karney" => karney
       case "andoyer" | "thomas" => spheroid
       case "vincenty" => vincenty
-      case other => throw new IllegalArgumentException(
-        s"unknown edges declaration '$other' (planar|spherical|karney|andoyer|thomas|vincenty)")
+      // an UNKNOWN declaration stamped from an external file keeps the
+      // planar measure the user wrote — throwing here would break EVERY
+      // plain measure over that table, a regression from pre-dispatch
+      // behavior. The EXPLICIT helpers (edgeLength/edgeArea/edgePerimeter)
+      // still fail loudly: calling them is an opt-in to the edge model.
+      case _ => return None
     }
     def invoke(cls: Class[_], method: String, arg: Expression): Expression =
       StaticInvoke(cls, D, method, Seq(Cast(arg, G)), Nil,

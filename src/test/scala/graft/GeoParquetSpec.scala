@@ -630,7 +630,7 @@ class GeoParquetSpec extends SparkTestBase {
     // Karney to sub-mm (same ellipsoid geodesic, iterative solution)
     assert(math.abs(kar - and) > 0.01, s"kernels indistinguishable: kar=$kar and=$and")
     assert(math.abs(kar - vin) < 0.01, s"vincenty vs karney: $vin vs $kar")
-    // ── SQL-level dispatch (EdgesMeasureRule): plain ST_Length/ST_Area/
+    // ── SQL-level dispatch (GeoFunctions.build's edgesDispatch): plain ST_Length/ST_Area/
     // ST_Perimeter over the stamped column rewrite to the declared model
     backS.createOrReplaceTempView("edges_sph_view")
     val sqlLen = spark.sql("SELECT ST_Length(geometry) AS l FROM edges_sph_view")
@@ -664,6 +664,13 @@ class GeoParquetSpec extends SparkTestBase {
     val bogus = line.select(org.apache.spark.sql.functions.col("fid"),
       org.apache.spark.sql.functions.col("geometry").as("geometry", bogusMd))
     intercept[IllegalArgumentException] { GeoFunctions.edgeLength(bogus) }
+    // …but the IMPLICIT SQL dispatch must NOT break every plain measure
+    // over an externally-stamped table: unknown model → planar, the
+    // pre-dispatch behavior (only the explicit helpers are loud)
+    bogus.createOrReplaceTempView("edges_bogus_view")
+    assert(spark.sql("SELECT ST_Length(geometry) AS l FROM edges_bogus_view")
+      .head().getDouble(0) == 1.0,
+      "unknown external stamp keeps the planar measure in implicit dispatch")
   }
 
   test("native covering-less bbox read: nested list layout (polygon) also prunes") {

@@ -286,6 +286,12 @@ class StreamOpsSpec extends SparkTestBase {
     assert(gc.bbox.contains((0.0, 0.0, 99.0, 6.0)), s"unioned bbox: ${gc.bbox}")
     // and the geometry is live: a spatial filter works directly on the sink output
     assert(back.where(call_function("st_x", col("geometry")) < 40.0).count() == 40)
+    // same hygiene bar as runStream: no temp tree left behind per sweep
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(tmp))
   }
 
   test("runStream deletes its staging + checkpoint temp dirs (round-11 hygiene)") {
