@@ -5443,8 +5443,9 @@ object SparkEntry {
     -- encode+sample expression into a pre-filter below the exchange (3×
     -- re-evaluation, measured 1.45 → 3.1 s); the sample is never empty, so
     -- OUTER is value-identical and keeps the expression evaluated once
-    f AS (SELECT doc_id, MM_FrameCount(avi) AS nf, MM_FrameSample(avi, 4) AS frames FROM v),
-    g AS (SELECT doc_id, nf, i,
+    f AS (SELECT doc_id, MM_FrameCount(avi) AS nf, graft_video_meta(avi) AS vm,
+                 MM_FrameSample(avi, 4) AS frames FROM v),
+    g AS (SELECT doc_id, nf, vm, i,
                  graft_media_pixstats(frame) AS s,
                  graft_media_meta(frame) AS m
           FROM f LATERAL VIEW OUTER posexplode(frames) t AS i, frame)
@@ -5452,6 +5453,10 @@ object SparkEntry {
            SUM(CAST(m.width AS BIGINT)) AS sum_w,
            SUM(CAST(m.height AS BIGINT)) AS sum_h,
            SUM(CAST(nf AS BIGINT)) AS sum_frames,
+           -- header-only probe cross-checks the per-frame decode: the avih
+           -- declares the same frame count/usec without touching pixels
+           SUM(CAST(vm.frames AS BIGINT)) AS sum_hdr_frames,
+           SUM(CAST(vm.usec_per_frame AS BIGINT)) AS sum_usec,
            SUM(s.sum) AS sum_pix
     FROM g GROUP BY 1 ORDER BY 1"""
 
@@ -5459,6 +5464,8 @@ object SparkEntry {
     SELECT i::BIGINT AS i, COUNT(*)::BIGINT AS n,
            SUM(48)::BIGINT AS sum_w, SUM(32)::BIGINT AS sum_h,
            SUM(6)::BIGINT AS sum_frames,
+           SUM(6)::BIGINT AS sum_hdr_frames,
+           SUM(100000)::BIGINT AS sum_usec,
            SUM(((doc_id * 31 + ((i * 6) // 4) * 41) % 256) * 1536)::BIGINT AS sum_pix
     FROM documents CROSS JOIN (SELECT unnest(range(4)) AS i) t
     GROUP BY 1 ORDER BY 1"""

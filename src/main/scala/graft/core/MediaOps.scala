@@ -152,4 +152,12 @@ object MediaOps {
     * container wrapping real JDK-encoded JPEG frames.
     * SQL: `graft_video_avi(seed)`. */
   def videoAvi(seed: Long): Array[Byte] = Multimodal.encodeAviMjpeg(seed)
+
+  /** Header-only video metadata (avih parse, no frame decode) — the video
+    * face of `mediaMeta`/`audioMeta`. SQL: `graft_video_meta(payload)`. */
+  def videoMeta(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val (w, h, frames, usec) = Multimodal.aviMeta(b)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](w, h, frames, usec))
+  }
 }

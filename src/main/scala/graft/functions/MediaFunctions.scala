@@ -49,6 +49,12 @@ object MediaFunctions {
     "mm_framecount" -> Sig("mediaFrameCount", IntegerType, Seq(BinaryType)),
     "mm_framesample" -> Sig("mediaFrameSample",
       ArrayType(BinaryType, containsNull = false), Seq(BinaryType, IntegerType)),
+    "graft_video_meta" -> Sig("videoMeta",
+      StructType(Seq(
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false),
+        StructField("frames", IntegerType, nullable = false),
+        StructField("usec_per_frame", IntegerType, nullable = false))), Seq(BinaryType)),
     "graft_video_avi" -> Sig("videoAvi", BinaryType, Seq(LongType)),
     "mm_decode" -> Sig("mediaDecode", decodedStruct, Seq(BinaryType)),
     "graft_media_decode" -> Sig("mediaDecode", decodedStruct, Seq(BinaryType)),

@@ -386,6 +386,43 @@ object Multimodal {
     frames.toIndexedSeq
   }
 
+  /** Header-only video metadata probe: the avih main header of a RIFF/AVI
+    * container → (width, height, total frames, µs per frame) with NO frame
+    * decode — the video face of the image/audio header probes
+    * ([[imageMeta]]/`audioMeta`): at 100 TB a cataloging pass reads
+    * kilobytes per clip, not the stream. Fails loudly when the hdrl/avih
+    * structure is absent. */
+  def aviMeta(payload: Array[Byte]): (Int, Int, Int, Int) = {
+    require(payload != null && payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+      payload(8) == 'A' && payload(9) == 'V' && payload(10) == 'I' && payload(11) == ' ',
+      "not a RIFF AVI payload")
+    def u32(p: Int): Long =
+      (payload(p) & 0xFFL) | ((payload(p + 1) & 0xFFL) << 8) |
+        ((payload(p + 2) & 0xFFL) << 16) | ((payload(p + 3) & 0xFFL) << 24)
+    def id(p: Int): String = new String(payload, p, 4, "US-ASCII")
+    var found: (Int, Int, Int, Int) = null
+    def walk(from: Int, to: Int): Unit = {
+      var p = from
+      while (found == null && p + 8 <= to) {
+        val sz = u32(p + 4)
+        val body = p + 8
+        val end = math.min(body + sz, to.toLong).toInt
+        id(p) match {
+          case "LIST" if sz >= 4 => walk(body + 4, end)
+          case "avih" if end - body >= 40 =>
+            found = (u32(body + 32).toInt, u32(body + 36).toInt, // dwWidth, dwHeight
+                     u32(body + 16).toInt, u32(body).toInt)      // dwTotalFrames, dwMicroSecPerFrame
+          case _ =>
+        }
+        p = end + (sz & 1).toInt
+      }
+    }
+    walk(12, payload.length)
+    require(found != null, "AVI payload has no avih main header")
+    found
+  }
+
   /** Sample `n` evenly spaced frames from an AVI video payload — REAL
     * container parse ([[aviFrames]]); frame i of n is source frame
     * floor(i·count/n), so the sample spans the clip. Each returned frame

@@ -101,6 +101,22 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("aviMeta: header-only probe reads avih without decoding frames") {
+    val avi = Multimodal.encodeAviMjpeg(5L)
+    val (w, h, frames, usec) = Multimodal.aviMeta(avi)
+    assert(w == Multimodal.VideoW && h == Multimodal.VideoH)
+    assert(frames == Multimodal.VideoFrames && usec == 100000)
+    // header probe agrees with the full container parse — two independent
+    // paths over the same file
+    assert(frames == Multimodal.aviFrames(avi).length)
+    // a frame-less but headered AVI still probes; garbage still throws
+    intercept[IllegalArgumentException] { Multimodal.aviMeta(Array[Byte](1, 2, 3)) }
+    intercept[IllegalArgumentException] {
+      // valid RIFF/AVI magic but no hdrl/avih → loud, not zeros
+      Multimodal.aviMeta("RIFF".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "AVI ".getBytes)
+    }
+  }
+
   test("frame sampling picks evenly spaced REAL frames: floor(i*count/n)") {
     val avi = Multimodal.encodeAviMjpeg(3L)
     val all = Multimodal.aviFrames(avi)
