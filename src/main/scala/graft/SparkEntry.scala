@@ -1986,6 +1986,73 @@ object SparkEntry {
              AS sql_sphere_m
     FROM p ORDER BY fid"""
 
+  /** Edge-aware ST_Distance/ST_DWithin dispatch (the distance half of the
+    * edges contract, rust/geoarrow-schema/src/edges.rs:3-8 — "does affect
+    * distance …"). The same spherical/planar file pair as g83, points this
+    * time: plain-SQL `ST_Distance(geometry, ST_Point(10,20))` over the
+    * spherical-stamped view rewrites to haversine meters at analysis time,
+    * over the planar file it stays cartesian degrees — both directions
+    * hash-gated against closed forms. `ST_DWithin` rides the same rewrite
+    * with model-unit thresholds picked to give a true/false MIX under the
+    * declared model (3000 km on the sphere, 30° planar), so a
+    * wrong-direction dispatch flips rows, not just scales them. The
+    * explicit `edgeDistance` helper is pinned equal to the SQL column. */
+  private def g84Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    import org.apache.spark.sql.functions.{col, lit, round}
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g84_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val pts = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_Point(CAST(id * 3 % 120 - 60 AS DOUBLE), CAST(id % 60 - 30 AS DOUBLE)) AS geometry
+      FROM range(40)""")
+    graft.sources.GeoParquet.write(pts, base + "_sph", edges = Some("spherical"))
+    graft.sources.GeoParquet.write(pts, base + "_pla")
+    val sph = graft.sources.GeoParquet.read(s, base + "_sph")
+    val pla = graft.sources.GeoParquet.read(s, base + "_pla")
+    val tag = new java.io.File(base).getName.split('_').last
+    val vS = "graft_g84_sph_" + tag
+    val vP = "graft_g84_pla_" + tag
+    sph.createOrReplaceTempView(vS)
+    pla.createOrReplaceTempView(vP)
+    val sqlSph = s.sql(s"""
+      SELECT fid,
+             ROUND(ST_Distance(geometry, ST_Point(10.0, 20.0)), 4) AS sphere_m,
+             ST_DWithin(geometry, ST_Point(10.0, 20.0), 3000000.0) AS within_3000km
+      FROM $vS""")
+    val sqlPla = s.sql(s"""
+      SELECT fid,
+             ROUND(ST_Distance(geometry, ST_Point(10.0, 20.0)), 6) AS planar_deg,
+             ST_DWithin(geometry, ST_Point(10.0, 20.0), 30.0) AS within_30deg
+      FROM $vP""")
+    val helper = sph.select(col("fid"),
+      round(graft.functions.GeoFunctions.edgeDistance(sph,
+        graft.functions.GeoFunctions.st_point(lit(10.0), lit(20.0))), 4).as("helper_m"))
+    val joined = sqlSph.join(sqlPla, "fid").join(helper, "fid").orderBy("fid")
+    s.catalog.dropTempView(vS) // plans are analyzed eagerly; safe to drop
+    s.catalog.dropTempView(vP)
+    joined
+  }
+
+  private val g84Duck = """
+    WITH p AS (SELECT i,
+                 CAST(i * 3 % 120 - 60 AS DOUBLE) AS lon, CAST(i % 60 - 30 AS DOUBLE) AS lat
+               FROM range(40) t(i)),
+         d AS (SELECT i, lon, lat,
+                 2 * 6371008.8 * asin(least(1.0, sqrt(
+                   pow(sin(radians(20.0 - lat) / 2), 2) +
+                   cos(radians(lat)) * cos(radians(20.0)) * pow(sin(radians(10.0 - lon) / 2), 2))))
+                   AS hm,
+                 sqrt(pow(lon - 10.0, 2) + pow(lat - 20.0, 2)) AS pd
+               FROM p)
+    SELECT i::BIGINT AS fid,
+           ROUND(hm, 4) AS sphere_m,
+           hm <= 3000000.0 AS within_3000km,
+           ROUND(pd, 6) AS planar_deg,
+           pd <= 30.0 AS within_30deg,
+           ROUND(hm, 4) AS helper_m
+    FROM d ORDER BY fid"""
+
   /** Multi-geometry-column GeoParquet under the hash gate: a table with a
     * primary point column AND a secondary polygon column roundtrips through
     * the single-pass writer; the reconciled footer metadata (column names +
@@ -10704,6 +10771,7 @@ object SparkEntry {
     ("g81_native_stats_pruned_read", g81Fn _, g81Duck),
     ("g82_fgb_promote_multi", g82Fn _, g82Duck),
     ("g83_edges_dispatch", g83Fn _, g83Duck),
+    ("g84_edges_distance", g84Fn _, g84Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   *  - Registered under `ST_*` names in the session FunctionRegistry so both
   *    `spark.sql("… ST_Area(g) …")` and the typed Scala wrappers work.
   */
-object GeoFunctions {
+object GeoFunctions extends org.apache.spark.internal.Logging {
 
   private val G = BinaryType  // geometry = WKB bytes
   private val D = DoubleType
@@ -303,40 +303,97 @@ object GeoFunctions {
     "st_perimeter" -> (("perimeterSphereViaBoundary", "perimeterGeodesic",
       "perimeterSpheroid", "perimeterSpheroid")))
 
+  /** Binary-measure half of the dispatch: the reference's edges contract
+    * names DISTANCE explicitly ("does affect distance, intersection,
+    * bounding, overlay, length, and area",
+    * rust/geoarrow-schema/src/edges.rs:3-8). Edge-aware
+    * intersection/overlay is beyond the reference's own compute layer too
+    * (its geo kernels run planar regardless of the declaration) — that
+    * half is documented divergence-shared-with-reference, not implemented. */
+  private val edgeDistanceVariants: Map[String, (String, String, String, String)] = Map(
+    "st_distance" -> (("distanceSphere", "distanceGeodesic", "distanceSpheroid",
+      "distanceVincenty")),
+    "st_dwithin" -> (("distanceSphere", "distanceGeodesic", "distanceSpheroid",
+      "distanceVincenty")))
+
+  /** The declared edges model of a DIRECT stamped column reference, or None.
+    * Non-attribute expressions (derived geometry) deliberately return None:
+    * `ST_Length(ST_Simplify(g, t))` keeps the measure the user wrote. */
+  private def stampOf(e: Expression): Option[String] = e match {
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+        if a.resolved && a.metadata.contains("geoparquet.edges") =>
+      Some(a.metadata.getString("geoparquet.edges").toLowerCase).filterNot(_ == "planar")
+    case _ => None
+  }
+
+  private def pickVariant(model: String,
+                          v: (String, String, String, String)): Option[String] = model match {
+    case "spherical" => Some(v._1)
+    case "karney" => Some(v._2)
+    case "andoyer" | "thomas" => Some(v._3)
+    case "vincenty" => Some(v._4)
+    case _ => None
+  }
+
   private def edgesDispatch(name: String, args: Seq[Expression]): Option[Expression] = {
-    if (args.length != 1 || !edgeMeasureVariants.contains(name)) return None
-    val model = args.head match {
-      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
-          if a.resolved && a.metadata.contains("geoparquet.edges") =>
-        Some(a.metadata.getString("geoparquet.edges").toLowerCase).filterNot(_ == "planar")
-      case _ => None
+    val unary = args.length == 1 && edgeMeasureVariants.contains(name)
+    val binary = args.length >= 2 && edgeDistanceVariants.contains(name) &&
+      (name != "st_dwithin" || args.length == 3)
+    if (!unary && !binary) return None
+    val stamps = (if (unary) args.take(1) else args.take(2)).flatMap(stampOf)
+    if (stamps.isEmpty) return None
+    val model = stamps.distinct match {
+      case Seq(one) => one
+      case many =>
+        // two stamped columns with CONFLICTING declarations: no model is
+        // right, so keep the planar measure the user wrote — but loudly,
+        // because silence here is the mismeasurement this feature targets
+        logWarning(s"$name over columns with conflicting edges declarations " +
+          s"(${many.mkString(" vs ")}) — measuring planar; use the explicit " +
+          "st_distance<model> variants to pick one")
+        return None
     }
-    if (model.isEmpty) return None
     val enabled = org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.edges.dispatch", "true").toBoolean
     if (!enabled) return None
-    val (sphere, karney, spheroid, vincenty) = edgeMeasureVariants(name)
-    val target = model.get match {
-      case "spherical" => sphere
-      case "karney" => karney
-      case "andoyer" | "thomas" => spheroid
-      case "vincenty" => vincenty
-      // an UNKNOWN declaration stamped from an external file keeps the
-      // planar measure the user wrote — throwing here would break EVERY
-      // plain measure over that table, a regression from pre-dispatch
-      // behavior. The EXPLICIT helpers (edgeLength/edgeArea/edgePerimeter)
-      // still fail loudly: calling them is an opt-in to the edge model.
-      case _ => return None
-    }
-    def invoke(cls: Class[_], method: String, arg: Expression): Expression =
-      StaticInvoke(cls, D, method, Seq(Cast(arg, G)), Nil,
+    def invoke(cls: Class[_], method: String, in: Seq[Expression]): Expression =
+      StaticInvoke(cls, D, method, in.map(Cast(_, G)), Nil,
         propagateNull = true, returnNullable = false)
-    Some(
-      if (target == "perimeterSphereViaBoundary")
-        invoke(geodesy, "lengthSphere",
-          StaticInvoke(geomOps, G, "boundary", Seq(Cast(args.head, G)), Nil,
-            propagateNull = true, returnNullable = false))
-      else invoke(geodesy, target, args.head))
+    if (unary) {
+      val target = pickVariant(model, edgeMeasureVariants(name)).getOrElse {
+        // an UNKNOWN declaration stamped from an external file keeps the
+        // planar measure the user wrote — throwing here would break EVERY
+        // plain measure over that table, a regression from pre-dispatch
+        // behavior. The EXPLICIT helpers (edgeLength/edgeArea/edgePerimeter)
+        // still fail loudly: calling them is an opt-in to the edge model.
+        logWarning(s"$name over a column declaring edges='$model' (not a " +
+          "recognized model: planar|spherical|karney|andoyer|thomas|vincenty) " +
+          "— measuring PLANAR. Set spark.graft.edges.dispatch=false to " +
+          "silence, or rewrite the declaration.")
+        return None
+      }
+      Some(
+        if (target == "perimeterSphereViaBoundary")
+          invoke(geodesy, "lengthSphere", Seq(
+            StaticInvoke(geomOps, G, "boundary", Seq(Cast(args.head, G)), Nil,
+              propagateNull = true, returnNullable = false)))
+        else invoke(geodesy, target, Seq(args.head)))
+    } else {
+      val target = pickVariant(model, edgeDistanceVariants(name)).getOrElse {
+        logWarning(s"$name over a column declaring edges='$model' (not a " +
+          "recognized model) — measuring PLANAR.")
+        return None
+      }
+      val dist = invoke(geodesy, target, args.take(2))
+      Some(name match {
+        case "st_distance" => dist
+        // ST_DWithin under an edge model: the threshold is in the model's
+        // units (meters), compared against the model's distance
+        case "st_dwithin" =>
+          org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+            dist, Cast(args(2), D))
+      })
+    }
   }
 
   /** Idempotent per-session registration of all ST_* SQL names, aggregates,
@@ -434,6 +491,34 @@ object GeoFunctions {
           "st_perimeterspheroid", "st_perimeterspheroid"),
           col(geometryColumn))
     }
+
+  /** Distance from `df`'s stamped geometry column to `other` under the
+    * column's declared edge model — spherical → haversine meters,
+    * karney → exact geodesic, andoyer/thomas → Andoyer–Lambert,
+    * vincenty → Vincenty. Unknown declarations fail loudly (calling this
+    * helper is an opt-in to the edge model; contrast the plain-SQL
+    * dispatch, which keeps planar). */
+  def edgeDistance(df: org.apache.spark.sql.DataFrame, other: Column,
+                   geometryColumn: String = "geometry"): Column =
+    call_function(edgeVariant(declaredEdges(df, geometryColumn),
+      "st_distance", "st_distancesphere", "st_distancegeodesic",
+      "st_distancespheroid", "st_distancevincenty"),
+      col(geometryColumn), other)
+
+  /** `ST_DWithin` under the column's declared edge model: the threshold is
+    * in the model's units (meters for every non-planar model). */
+  def edgeDWithin(df: org.apache.spark.sql.DataFrame, other: Column, dist: Column,
+                  geometryColumn: String = "geometry"): Column = {
+    declaredEdges(df, geometryColumn).map(_.toLowerCase) match {
+      case None | Some("planar") =>
+        call_function("st_dwithin", col(geometryColumn), other, dist)
+      case e =>
+        call_function(edgeVariant(e,
+          "<unreachable>", "st_distancesphere", "st_distancegeodesic",
+          "st_distancespheroid", "st_distancevincenty"),
+          col(geometryColumn), other) <= dist
+    }
+  }
 
   // ── typed Scala wrappers (require register(spark) on the active session) ──
 

@@ -673,6 +673,87 @@ class GeoParquetSpec extends SparkTestBase {
       "unknown external stamp keeps the planar measure in implicit dispatch")
   }
 
+  test("edges dispatch: ST_Distance/ST_DWithin honor the declared model") {
+    import graft.functions.GeoFunctions
+    import org.apache.spark.sql.functions.{col, lit}
+    val pts = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_Point(CAST(id AS DOUBLE), 0.0) AS geometry FROM range(3)""")
+    val outS = dir + "_edges_dist_sph"
+    GeoParquet.write(pts, outS, edges = Some("spherical"))
+    val backS = GeoParquet.read(spark, outS)
+    backS.createOrReplaceTempView("edges_dist_sph")
+    val oneDeg = 6371008.8 * math.Pi / 180.0
+    // plain SQL over the stamped column → haversine meters
+    val d = spark.sql(
+      "SELECT ST_Distance(geometry, ST_Point(0.0, 0.0)) AS d FROM edges_dist_sph WHERE fid = 1")
+      .head().getDouble(0)
+    assert(math.abs(d - oneDeg) < 1e-6, s"spherical ST_Distance dispatch: $d vs $oneDeg")
+    // symmetric: stamp on the SECOND argument dispatches too
+    val d2 = spark.sql(
+      "SELECT ST_Distance(ST_Point(0.0, 0.0), geometry) AS d FROM edges_dist_sph WHERE fid = 1")
+      .head().getDouble(0)
+    assert(math.abs(d2 - oneDeg) < 1e-6, s"second-arg stamp must dispatch: $d2")
+    // ST_DWithin threshold is in model units (meters): 1° ≈ 111 km
+    val within = spark.sql(
+      s"""SELECT fid, ST_DWithin(geometry, ST_Point(0.0, 0.0), 150000.0) AS w
+          FROM edges_dist_sph ORDER BY fid""").collect().map(r => r.getLong(0) -> r.getBoolean(1))
+    assert(within.toSeq == Seq(0L -> true, 1L -> true, 2L -> false),
+      s"meter-unit DWithin under spherical model: ${within.toSeq}")
+    // per-model routing pinned against the explicit kernels
+    for ((model, fn) <- Seq("karney" -> "ST_DistanceGeodesic",
+                            "andoyer" -> "ST_DistanceSpheroid",
+                            "vincenty" -> "ST_DistanceVincenty")) {
+      val out = dir + "_edges_dist_" + model
+      GeoParquet.write(pts, out, edges = Some(model))
+      val back = GeoParquet.read(spark, out)
+      back.createOrReplaceTempView("edges_dist_m")
+      val got = spark.sql(
+        "SELECT ST_Distance(geometry, ST_Point(10.0, 20.0)) AS d FROM edges_dist_m WHERE fid = 2")
+        .head().getDouble(0)
+      val want = pts.where(col("fid") === 2)
+        .selectExpr(s"$fn(geometry, ST_Point(10.0, 20.0))").head().getDouble(0)
+      assert(got == want, s"$model must route to $fn: $got vs $want")
+    }
+    // explicit helper rides the same model; planar frame stays euclidean
+    val helper = backS.where(col("fid") === 1)
+      .select(GeoFunctions.edgeDistance(backS, GeoFunctions.st_point(lit(0.0), lit(0.0))))
+      .head().getDouble(0)
+    assert(math.abs(helper - oneDeg) < 1e-6, s"edgeDistance helper: $helper")
+    assert(pts.where(col("fid") === 1)
+      .select(GeoFunctions.edgeDistance(pts, GeoFunctions.st_point(lit(0.0), lit(0.0))))
+      .head().getDouble(0) == 1.0, "planar edgeDistance = euclidean")
+    val hw = backS.select(GeoFunctions.edgeDWithin(backS,
+      GeoFunctions.st_point(lit(0.0), lit(0.0)), lit(150000.0)).as("w"), col("fid"))
+      .orderBy("fid").collect().map(_.getBoolean(0)).toSeq
+    assert(hw == Seq(true, true, false), s"edgeDWithin helper: $hw")
+    // kill switch restores planar for distance too
+    spark.conf.set("spark.graft.edges.dispatch", "false")
+    try {
+      val off = spark.sql(
+        "SELECT ST_Distance(geometry, ST_Point(0.0, 0.0)) AS d FROM edges_dist_sph WHERE fid = 1")
+        .head().getDouble(0)
+      assert(off == 1.0, s"disabled dispatch must measure planar: $off")
+    } finally spark.conf.unset("spark.graft.edges.dispatch")
+    // conflicting declarations between the two sides: planar (with a
+    // warning), because no one model is right — pinned so the behavior
+    // is deliberate, not dispatch-order luck
+    val outK = dir + "_edges_dist_karney2"
+    GeoParquet.write(pts, outK, edges = Some("karney"))
+    val backK = GeoParquet.read(spark, outK).selectExpr("fid", "geometry AS kgeom")
+    val both = backS.join(backK, "fid").where(col("fid") === 1)
+    both.createOrReplaceTempView("edges_dist_conflict")
+    val conflicted = spark.sql(
+      "SELECT ST_Distance(geometry, kgeom) AS d FROM edges_dist_conflict")
+      .head().getDouble(0)
+    assert(conflicted == 0.0, s"conflicting stamps must fall back planar: $conflicted")
+    // derived geometry keeps the planar measure (conservative scope, as g83)
+    val derived = spark.sql(
+      "SELECT ST_Distance(ST_Centroid(geometry), ST_Point(0.0, 0.0)) AS d " +
+        "FROM edges_dist_sph WHERE fid = 1").head().getDouble(0)
+    assert(derived == 1.0, s"derived geometry stays planar: $derived")
+  }
+
   test("native covering-less bbox read: nested list layout (polygon) also prunes") {
     // polygon native layout nests coords under list/list/element — the leaf
     // path still ends in x/y, so the same stats planning applies
