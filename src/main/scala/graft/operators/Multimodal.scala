@@ -353,6 +353,12 @@ object Multimodal {
     * `javax.imageio` codec as still images. Recurses into LISTs (movi,
     * and `rec ` groupings inside it), honors RIFF even-byte padding, and
     * fails loudly on a non-AVI payload. */
+  /** Recursion bound for RIFF LIST nesting — real AVI is ≤3 levels; a
+    * crafted payload of nested 12-byte LIST headers could otherwise drive
+    * ~len/12 stack frames into StackOverflowError instead of the typed
+    * IllegalArgumentException the quarantine path expects. */
+  private val MaxRiffDepth = 16
+
   def aviFrames(payload: Array[Byte]): IndexedSeq[Array[Byte]] = {
     require(payload != null && payload.length >= 12 &&
       payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
@@ -367,7 +373,10 @@ object Multimodal {
       val c = payload(p + 2).toChar; val d = payload(p + 3).toChar
       a.isDigit && b.isDigit && c == 'd' && (d == 'c' || d == 'b')
     }
-    def walk(from: Int, to: Int): Unit = {
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      // crafted deep LIST nesting must fail typed, not StackOverflowError —
+      // real AVI nesting is ≤3 (RIFF > movi > rec )
+      require(depth <= MaxRiffDepth, s"AVI LIST nesting exceeds $MaxRiffDepth")
       var p = from
       while (p + 8 <= to) {
         val sz = u32(p + 4)
@@ -375,14 +384,14 @@ object Multimodal {
         val end = math.min(body + sz, to.toLong).toInt
         if (payload(p) == 'L' && payload(p + 1) == 'I' && payload(p + 2) == 'S' &&
             payload(p + 3) == 'T' && sz >= 4) {
-          walk(body + 4, end)
+          walk(body + 4, end, depth + 1)
         } else if (isFrameId(p)) {
           frames += java.util.Arrays.copyOfRange(payload, body, end)
         }
         p = end + (sz & 1).toInt
       }
     }
-    walk(12, payload.length)
+    walk(12, payload.length, 1)
     frames.toIndexedSeq
   }
 
@@ -402,14 +411,15 @@ object Multimodal {
         ((payload(p + 2) & 0xFFL) << 16) | ((payload(p + 3) & 0xFFL) << 24)
     def id(p: Int): String = new String(payload, p, 4, "US-ASCII")
     var found: (Int, Int, Int, Int) = null
-    def walk(from: Int, to: Int): Unit = {
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      require(depth <= MaxRiffDepth, s"AVI LIST nesting exceeds $MaxRiffDepth")
       var p = from
       while (found == null && p + 8 <= to) {
         val sz = u32(p + 4)
         val body = p + 8
         val end = math.min(body + sz, to.toLong).toInt
         id(p) match {
-          case "LIST" if sz >= 4 => walk(body + 4, end)
+          case "LIST" if sz >= 4 => walk(body + 4, end, depth + 1)
           case "avih" if end - body >= 40 =>
             found = (u32(body + 32).toInt, u32(body + 36).toInt, // dwWidth, dwHeight
                      u32(body + 16).toInt, u32(body).toInt)      // dwTotalFrames, dwMicroSecPerFrame
@@ -418,7 +428,7 @@ object Multimodal {
         p = end + (sz & 1).toInt
       }
     }
-    walk(12, payload.length)
+    walk(12, payload.length, 1)
     require(found != null, "AVI payload has no avih main header")
     found
   }

@@ -32,10 +32,18 @@ object ArrowIpc {
   private def isGeo(md: java.util.Map[String, String]): Boolean =
     Option(md.get("ARROW:extension:name")).exists(_.startsWith("geoarrow."))
 
-  private def sparkType(f: org.apache.arrow.vector.types.pojo.Field): DataType = {
+  private def sparkType(f: org.apache.arrow.vector.types.pojo.Field): DataType =
+    sparkTypeOf(f.getMetadata, f.getType, f.getName)
+
+  /** Metadata + type → Spark type. Split from the Field so dictionary-encoded
+    * columns (whose in-memory Field carries the INDEX type, the value type
+    * living on the dictionary's own vector) can map by their VALUE type. */
+  private def sparkTypeOf(md: java.util.Map[String, String],
+                          tpe: org.apache.arrow.vector.types.pojo.ArrowType,
+                          name: String): DataType = {
     import org.apache.arrow.vector.types.pojo.ArrowType
-    if (isGeo(f.getMetadata)) BinaryType
-    else f.getType match {
+    if (isGeo(md)) BinaryType
+    else tpe match {
       case t: ArrowType.Int =>
         (t.getBitWidth, t.getIsSigned) match {
           case (8, _) => ByteType
@@ -46,16 +54,26 @@ object ArrowIpc {
       case t: ArrowType.FloatingPoint =>
         if (t.getPrecision == org.apache.arrow.vector.types.FloatingPointPrecision.SINGLE) FloatType
         else DoubleType
-      case _: ArrowType.Utf8 | _: ArrowType.LargeUtf8 => StringType
+      case _: ArrowType.Utf8 | _: ArrowType.LargeUtf8 | _: ArrowType.Utf8View => StringType
       case _: ArrowType.Bool => BooleanType
       case t: ArrowType.Decimal => DecimalType(t.getPrecision, t.getScale)
-      case _: ArrowType.Binary | _: ArrowType.LargeBinary => BinaryType
+      case _: ArrowType.Binary | _: ArrowType.LargeBinary | _: ArrowType.BinaryView => BinaryType
       case _: ArrowType.Date => DateType
       case _: ArrowType.Timestamp => TimestampType
       case other => throw new IllegalArgumentException(
-        s"ArrowIpc: unsupported arrow type $other for column ${f.getName}")
+        s"ArrowIpc: unsupported arrow type $other for column $name")
     }
   }
+
+  /** Value type of a (possibly dictionary-encoded) top-level field: the
+    * reader's dictionary vectors exist with the right type from
+    * initialization (ArrowReader.initialize pre-creates them from the
+    * schema), so this is safe even on zero-batch files. */
+  private def valueTypeOf(reader: ArrowFileReader,
+                          f: org.apache.arrow.vector.types.pojo.Field)
+      : org.apache.arrow.vector.types.pojo.ArrowType =
+    Option(f.getDictionary).flatMap(enc => Option(reader.lookup(enc.getId)))
+      .map(_.getVector.getField.getType).getOrElse(f.getType)
 
   private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -69,7 +87,8 @@ object ArrowIpc {
   def schemaOf(spark: SparkSession, path: String): StructType =
     withFirstFile(spark, path) { reader =>
       StructType(reader.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq.map { f =>
-        val base = StructField(f.getName, sparkType(f))
+        val base = StructField(f.getName,
+          sparkTypeOf(f.getMetadata, valueTypeOf(reader, f), f.getName))
         if (!isGeo(f.getMetadata)) base
         else {
           val mb = new org.apache.spark.sql.types.MetadataBuilder()
@@ -208,6 +227,22 @@ object ArrowIpc {
   private def hasDictionary(f: org.apache.arrow.vector.types.pojo.Field): Boolean =
     f.getDictionary != null || f.getChildren.asScala.exists(hasDictionary)
 
+  /** Types whose buffer count per record batch is NOT the fixed
+    * `TypeLayout.getTypeBufferCount` — view types carry extra variadic data
+    * buffers declared per-batch in the RecordBatch's variadicBufferCounts,
+    * which the pre-order run arithmetic of [[decodeFilePruned]] cannot
+    * size. A geo-tagged BinaryView column (legal GeoArrow from newer
+    * producers) would otherwise slip past the sparkType check and
+    * mis-slice every subsequent column's buffers. */
+  private def hasInexactLayout(f: org.apache.arrow.vector.types.pojo.Field): Boolean = {
+    import org.apache.arrow.vector.types.pojo.ArrowType
+    val t = f.getType
+    t.isInstanceOf[ArrowType.Utf8View] || t.isInstanceOf[ArrowType.BinaryView] ||
+      t.isInstanceOf[ArrowType.ListView] || t.isInstanceOf[ArrowType.LargeListView] ||
+      t.isInstanceOf[ArrowType.RunEndEncoded] ||
+      f.getChildren.asScala.exists(hasInexactLayout)
+  }
+
   private def readFully(ch: FsChannel, pos: Long, len: Int): Array[Byte] = {
     val out = new Array[Byte](len)
     ch.position(pos)
@@ -248,8 +283,11 @@ object ArrowIpc {
     * identical to the full path. Compressed bodies (LZ4/ZSTD
     * tags — GDAL's .arrow default) pass their `BodyCompression` through to
     * a compression-capable `VectorLoader`, so the prune skips the pruned
-    * columns' COMPRESSED extents; only dictionary-encoded files fall back
-    * to the full reader. */
+    * columns' COMPRESSED extents. Top-level dictionary-encoded columns
+    * prune natively (their wire batches are index buffers; the dictionary
+    * batches load once up front via the stock reader's initialize); only
+    * view-typed (variadic-buffer) or nested-dictionary files fall back to
+    * the full reader. */
   private[sources] def decodeFilePruned(path: String, conf: org.apache.hadoop.conf.Configuration,
                                         wanted: Array[Boolean]): Iterator[Row] = {
     import org.apache.arrow.vector.ipc.message.{ArrowFieldNode, ArrowRecordBatch, MessageSerializer}
@@ -268,10 +306,24 @@ object ArrowIpc {
       val schema = reader.getVectorSchemaRoot.getSchema
       val fields = schema.getFields.asScala.toArray
       require(fields.length == wanted.length, s"ArrowIpc: wanted mask arity ${wanted.length} != ${fields.length}")
-      if (fields.exists(hasDictionary)) { closeAll(); return decodeFile(path, conf, wanted) }
+      // view/variadic-buffer layouts break the fixed buffer-run arithmetic
+      // below; NESTED dictionary encoding breaks the per-column value
+      // lookup (top-level dictionaries are handled natively — their wire
+      // batches hold plain index buffers, and initialize() above already
+      // loaded the dictionary batches)
+      if (fields.exists(hasInexactLayout) ||
+          fields.exists(_.getChildren.asScala.exists(hasDictionary))) {
+        closeAll(); return decodeFile(path, conf, wanted)
+      }
       val blocks = reader.getRecordBlocks.asScala.toIndexedSeq
       val keepIdx = fields.indices.filter(wanted(_)).toArray
       val reducedFields = keepIdx.map(fields(_))
+      // top-level dictionary-encoded columns: per-cell index → value lookup
+      // against the reader-owned dictionary vectors (complete before any
+      // record batch is read — file-format dictionaries precede batches)
+      val dicts: Array[org.apache.arrow.vector.dictionary.Dictionary] =
+        reducedFields.map(f => Option(f.getDictionary)
+          .map(enc => reader.lookup(enc.getId)).orNull)
       reducedRoot = org.apache.arrow.vector.VectorSchemaRoot.create(
         new org.apache.arrow.vector.types.pojo.Schema(reducedFields.toSeq.asJava), allocator)
       // compression-capable loader: a batch tagged LZ4/ZSTD (GDAL's default
@@ -297,6 +349,10 @@ object ArrowIpc {
           val msg = MessageSerializer.readMessage(new ReadChannel(ch)).getMessage
           val rb = msg.header(new org.apache.arrow.flatbuf.RecordBatch())
             .asInstanceOf[org.apache.arrow.flatbuf.RecordBatch]
+          // belt-and-suspenders vs the schema-level guard: a batch that
+          // declares variadic buffers would silently mis-slice — refuse
+          require(rb.variadicBufferCountsLength() == 0,
+            s"ArrowIpc: $path declares variadic buffers the pruned reader cannot slice")
           val bodyStart = block.getOffset + block.getMetadataLength
           val nodes = new java.util.ArrayList[ArrowFieldNode]()
           val bufs = new java.util.ArrayList[org.apache.arrow.memory.ArrowBuf]()
@@ -358,7 +414,11 @@ object ArrowIpc {
           val vals = new Array[Any](fields.length)
           var k = 0
           while (k < keepIdx.length) {
-            val raw = reducedRoot.getVector(k).getObject(i)
+            val raw0 = reducedRoot.getVector(k).getObject(i)
+            val raw =
+              if (raw0 != null && dicts(k) != null)
+                dicts(k).getVector.getObject(raw0.asInstanceOf[Number].intValue())
+              else raw0
             vals(keepIdx(k)) =
               if (raw == null) null
               else geoExt(k) match {
@@ -417,6 +477,11 @@ object ArrowIpc {
       val fields = root.getSchema.getFields.asScala.toArray
       val geoExt = fields.map(f => Option(f.getMetadata.get("ARROW:extension:name"))
         .filter(_.startsWith("geoarrow.")))
+      // top-level dictionary-encoded columns decode per cell (index → value);
+      // without this the raw getObject would return the INDEX as data
+      val dicts: Array[org.apache.arrow.vector.dictionary.Dictionary] =
+        fields.map(f => Option(f.getDictionary)
+          .map(enc => reader.lookup(enc.getId)).orNull)
       new Iterator[Row] {
         private var i = 0
         private var batchRows = 0
@@ -435,7 +500,11 @@ object ArrowIpc {
           while (c < fields.length) {
             if (wanted != null && !wanted(c)) vals(c) = null
             else {
-              val raw = root.getVector(c).getObject(i)
+              val raw0 = root.getVector(c).getObject(i)
+              val raw =
+                if (raw0 != null && dicts(c) != null)
+                  dicts(c).getVector.getObject(raw0.asInstanceOf[Number].intValue())
+                else raw0
               vals(c) =
                 if (raw == null) null
                 else geoExt(c) match {

@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
 import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -76,8 +76,21 @@ object GeoParquet {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val files =
-      if (fs.getFileStatus(p).isDirectory) listPartFiles(fs, p) else Seq(p)
+    val stats =
+      if (fs.getFileStatus(p).isDirectory) listPartFiles(fs, p)
+      else Seq(fs.getFileStatus(p))
+    // dataset-level metadata cache (the reference's GeoParquetDataset holds
+    // per-fragment metadata once, python/geoarrow-io/.../_parquet.pyi:31-258;
+    // here repeated read()/metadata() calls over the same 100 TB dataset
+    // must not re-read thousands of footers). Validity = the directory
+    // LISTING signature (path, length, mtime per part-file) — one listing
+    // RPC replaces N ranged footer reads; any append/overwrite/delete
+    // changes the signature and recomputes.
+    val key = fs.makeQualified(p).toString
+    val sig = stats.map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+    val hit = metaCache.get(key)
+    if (hit != null && hit.signature == sig) return hit.meta
+    val files = stats.map(_.getPath)
     val perFile = footerKVs(spark, conf, files, "geo").map(_.map(parseGeoJson))
     // labels are root-relative so partitioned layouts (k=v/part-000…) stay
     // unambiguous in reconcile's error messages
@@ -86,7 +99,30 @@ object GeoParquet {
       val rel = f.toString.stripPrefix(rootStr).stripPrefix("/")
       if (rel.isEmpty) f.getName else rel
     }
-    reconcile(labels.zip(perFile))
+    val result = reconcile(labels.zip(perFile))
+    if (metaCache.size > 1024) metaCache.clear() // bound the driver map
+    metaCache.put(key, MetaCacheEntry(sig, result))
+    result
+  }
+
+  private case class MetaCacheEntry(signature: Seq[(String, Long, Long)],
+                                    meta: Option[GeoMeta])
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, MetaCacheEntry]()
+
+  /** Drop cached dataset metadata — all of it, or one dataset's. Normal
+    * invalidation is automatic (listing signature); this is the escape
+    * hatch for filesystems whose mtime granularity can hide a same-size
+    * overwrite. */
+  def invalidateMetadataCache(path: Option[String] = None): Unit = path match {
+    case None => metaCache.clear()
+    case Some(p) =>
+      // path may be unqualified — drop every key whose path part matches
+      val it = metaCache.keys()
+      while (it.hasMoreElements) {
+        val k = it.nextElement()
+        if (k == p || k.endsWith(p)) metaCache.remove(k)
+      }
   }
 
   /** All data part-files under `root`, recursively — a `partitionBy` layout
@@ -95,29 +131,36 @@ object GeoParquet {
     * (`GeoParquetDataset`, python/geoarrow-io/.../\_parquet.pyi:31-258).
     * Hidden/metadata entries (`_SUCCESS`, `_temporary`, dot-files) are
     * skipped at every level, matching Spark's own path filter. */
-  private def listPartFiles(fs: FileSystem, root: Path): Seq[Path] = {
+  private def listPartFiles(fs: FileSystem, root: Path): Seq[FileStatus] = {
     // plain listStatus recursion (not fs.listFiles(recursive=true)): the
     // latter materializes LocatedFileStatus, which some FileSystem impls
     // (and our MockFs test scheme) can't serve for non-file URIs
-    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val out = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
     def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
       val name = st.getPath.getName
       if (!name.startsWith("_") && !name.startsWith(".")) {
         if (st.isDirectory) walk(st.getPath)
-        else if (name.endsWith(".parquet")) out += st.getPath
+        else if (name.endsWith(".parquet")) out += st
       }
     }
     walk(root)
-    out.sortBy(_.toString).toSeq
+    out.sortBy(_.getPath.toString).toSeq
   }
 
   /** One footer KV read per file. Small datasets use a bounded driver-side
     * pool (footer reads are tiny ranged IO); past 64 part-files the reads
     * run as a Spark job so a 100 TB dataset's thousands of footers scale
     * out with the executors instead of queuing behind 16 driver threads. */
+  /** Test gauge: footer opens performed by [[footerKVs]]. */
+  private[graft] val footerOpens = new java.util.concurrent.atomic.LongAdder
+
   private def footerKVs(spark: SparkSession, conf: Configuration, files: Seq[Path],
                         key: String): Seq[Option[String]] = {
     if (files.isEmpty) return Nil
+    // gauge counts here (driver side, exactly one open per file on every
+    // path) — NOT inside readOne: an object-field reference from the
+    // Spark-job closure would capture the non-serializable module
+    footerOpens.add(files.length)
     def readOne(f: Path, c: Configuration): Option[String] = {
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, c))
       try Option(r.getFooter.getFileMetaData.getKeyValueMetaData.get(key))
@@ -215,7 +258,12 @@ object GeoParquet {
           .filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty),
         geometryTypes = Option(c.get("geometry_types")).filter(_.isArray)
           .map(_.asScala.map(_.asText()).toSeq).getOrElse(Nil),
-        edges = Option(c.get("edges")).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty))
+        // exact model from our auxiliary key when present (spheroid families
+        // footer-encode as the spec-compliant `edges: spherical`); raw
+        // `edges` otherwise — including legacy files that carried the family
+        // name directly in `edges`
+        edges = Option(c.get("graft:edges_model")).orElse(Option(c.get("edges")))
+          .filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty))
     }.toSeq
     GeoMeta(root.path("version").asText("1.1.0"), root.path("primary_column").asText("geometry"), cols)
   }
@@ -476,7 +524,7 @@ object GeoParquet {
     val conf = spark.sessionState.newHadoopConf()
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
-    val parts = listPartFiles(fs, d).map(_.toString)
+    val parts = listPartFiles(fs, d).map(_.getPath.toString)
     if (parts.isEmpty) return 0L
     val serConf = new SerializableHadoopConf(conf)
     val inTask = spark.sparkContext.longAccumulator("graft.geoparquet.footerRewrites")
@@ -594,10 +642,19 @@ object GeoParquet {
         })
       else spec.geometryTypes.sorted.foreach(gts.add)
       spec.crs.foreach(j => c.set[com.fasterxml.jackson.databind.JsonNode]("crs", mapper.readTree(j)))
-      // edge interpretation between vertices (GeoParquet 1.1 `edges`;
-      // reference: rust/geoarrow-schema/src/edges.rs:35-70) — omitted means
-      // planar, so only non-planar declarations are written
-      spec.edges.filterNot(_.equalsIgnoreCase("planar")).foreach(c.put("edges", _))
+      // edge interpretation between vertices — omitted means planar, so only
+      // non-planar declarations are written. GeoParquet 1.1's `edges` field
+      // admits ONLY planar|spherical (the spheroid vocabulary —
+      // karney/andoyer/thomas/vincenty — is GeoArrow per-array metadata,
+      // rust/geoarrow-schema/src/edges.rs:35-70, NOT footer vocabulary), so
+      // a spheroid family writes the spec-compliant `edges: spherical`
+      // (externally validated readers stay happy, and haversine is the
+      // honest non-planar approximation for them) plus an auxiliary
+      // `graft:edges_model` key our own reader prefers for exact dispatch.
+      spec.edges.map(_.toLowerCase).filterNot(_ == "planar").foreach { e =>
+        c.put("edges", "spherical")
+        if (e != "spherical") c.put("graft:edges_model", e)
+      }
       spec.bounds.foreach { case (x0, y0, x1, y1) =>
         val b = c.putArray("bbox"); b.add(x0); b.add(y0); b.add(x1); b.add(y1)
       }

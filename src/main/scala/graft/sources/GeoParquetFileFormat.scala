@@ -119,9 +119,25 @@ object GeoParquetFileFormat {
     * "geometryCol;xmin,ymin,xmax,ymax". */
   val BboxFilterKey = "graft.geo.bboxfilter"
 
+  /** Per-executor footer digest cache for [[statsPrunedRead]]: a file split
+    * into thousands of tasks would otherwise re-open and re-parse the same
+    * footer once PER SPLIT — repeated KB-scale ranged IO that object-store
+    * latency turns into the dominant cost. Keyed by (path, size, mtime,
+    * gcol) — all from the `PartitionedFile` Spark already planned with, so
+    * a hit does ZERO filesystem calls; an overwritten file changes
+    * size/mtime and misses. Values are compact per-row-group digests
+    * (offset, size, stats bbox), not parquet footer objects. */
+  private case class GroupDigest(start: Long, compressedSize: Long,
+                                 bbox: Option[(Double, Double, Double, Double)])
+  private val footerDigestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, String), IndexedSeq[GroupDigest]]
+  /** Test gauge: actual footer opens by the pruned reader. */
+  private[graft] val prunedFooterOpens = new java.util.concurrent.atomic.LongAdder
+
   /** Task-side planner for [[GeoParquetFileFormat.buildReaderWithPartitionValues]]:
-    * footer → owned row groups → stats-bbox prune → parent reader over
-    * surviving contiguous runs. Separated from the closure for testability. */
+    * footer (cached per executor) → owned row groups → stats-bbox prune →
+    * parent reader over surviving contiguous runs. Separated from the
+    * closure for testability. */
   private[sources] def statsPrunedRead(
       parent: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow],
       file: org.apache.spark.sql.execution.datasources.PartitionedFile,
@@ -129,40 +145,45 @@ object GeoParquetFileFormat {
       qxmin: Double, qymin: Double, qxmax: Double, qymax: Double): Iterator[InternalRow] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.filePath.toUri), conf))
-    val runs: Seq[(Long, Long)] =
-      try {
-        val blocks = reader.getFooter.getBlocks.asScala.toSeq
-        // split ownership = parquet-mr's midpoint rule (filterFileMetaDataByMidpoint):
-        // a row group belongs to the split containing startingPos + compressedSize/2
-        val owned = blocks.filter { b =>
-          val mid = b.getStartingPos + b.getCompressedSize / 2
-          mid >= file.start && mid < file.start + file.length
-        }
-        val surviving = owned.filter { b =>
-          rowGroupBbox(b, gcol) match {
-            case Some((bxmin, bymin, bxmax, bymax)) =>
-              bxmin <= qxmax && bxmax >= qxmin && bymin <= qymax && bymax >= qymin
-            case None => true // no usable stats → cannot prune safely
-          }
-        }
-        // merge row groups adjacent IN FILE ORDER into one byte range per
-        // run: the range [first.startingPos, last.end) contains exactly the
-        // run's midpoints — a pruned group between runs keeps its midpoint
-        // outside both, so the parent reader never decodes it
-        val ordered = surviving.sortBy(_.getStartingPos)
-        val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        ordered.foreach { b =>
-          val end = b.getStartingPos + b.getCompressedSize
-          merged.lastOption match {
-            case Some((s, e)) if b.getStartingPos <= e => merged(merged.length - 1) = (s, end)
-            case _ => merged += ((b.getStartingPos, end))
-          }
-        }
-        merged.toSeq
-      } finally reader.close()
-    runs.iterator.flatMap { case (s, e) => parent(file.copy(start = s, length = e - s)) }
+    val key = (file.filePath.toString, file.fileSize, file.modificationTime, gcol)
+    if (footerDigestCache.size > 1024) footerDigestCache.clear() // bound per executor
+    // computeIfAbsent: concurrent splits of one file block on a single
+    // footer parse instead of racing N parses past a plain get/put
+    val groups = footerDigestCache.computeIfAbsent(key, _ => {
+      prunedFooterOpens.increment()
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.filePath.toUri), conf))
+      try reader.getFooter.getBlocks.asScala.map(b =>
+        GroupDigest(b.getStartingPos, b.getCompressedSize, rowGroupBbox(b, gcol))).toIndexedSeq
+      finally reader.close()
+    })
+    // split ownership = parquet-mr's midpoint rule (filterFileMetaDataByMidpoint):
+    // a row group belongs to the split containing startingPos + compressedSize/2
+    val owned = groups.filter { b =>
+      val mid = b.start + b.compressedSize / 2
+      mid >= file.start && mid < file.start + file.length
+    }
+    val surviving = owned.filter { b =>
+      b.bbox match {
+        case Some((bxmin, bymin, bxmax, bymax)) =>
+          bxmin <= qxmax && bxmax >= qxmin && bymin <= qymax && bymax >= qymin
+        case None => true // no usable stats → cannot prune safely
+      }
+    }
+    // merge row groups adjacent IN FILE ORDER into one byte range per
+    // run: the range [first.startingPos, last.end) contains exactly the
+    // run's midpoints — a pruned group between runs keeps its midpoint
+    // outside both, so the parent reader never decodes it
+    val ordered = surviving.sortBy(_.start)
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    ordered.foreach { b =>
+      val end = b.start + b.compressedSize
+      merged.lastOption match {
+        case Some((s, e)) if b.start <= e => merged(merged.length - 1) = (s, end)
+        case _ => merged += ((b.start, end))
+      }
+    }
+    merged.iterator.flatMap { case (s, e) => parent(file.copy(start = s, length = e - s)) }
   }
 
   /** Bbox of one row group from the geometry column's x/y LEAF statistics —

@@ -95,6 +95,85 @@ class ArrowIpcSpec extends SparkTestBase {
     assert(got.size == 1200 && got == expected, "multi-chunk payload roundtrip must be exact")
   }
 
+  test("dictionary-encoded columns: values decode, byte-level prune engages") {
+    // hand-written fixture (ArrowIpc.write never dictionary-encodes, but
+    // external producers — GDAL property columns — do): a dict-encoded
+    // string column + a geometry column whose buffers dominate the body
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.types.pojo._
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
+    import org.apache.arrow.vector.types.pojo.DictionaryEncoding
+    val dirOut = java.nio.file.Files.createTempDirectory("arrowdict").toString
+    val file = new java.io.File(dirOut, "part-00000.arrow")
+    val n = 200
+    val cats = Array("alpha", "beta", "gamma")
+    val alloc = new RootAllocator()
+    var dictValues: VarCharVector = null
+    try {
+      dictValues = new VarCharVector("cat_dict", alloc)
+      dictValues.allocateNew()
+      cats.zipWithIndex.foreach { case (s, i) => dictValues.setSafe(i, s.getBytes("UTF-8")) }
+      dictValues.setValueCount(cats.length)
+      val enc = new DictionaryEncoding(7L, false, new ArrowType.Int(32, true))
+      val dict = new Dictionary(dictValues, enc)
+      val provider = new DictionaryProvider.MapDictionaryProvider(dict)
+      val schema = new Schema(java.util.List.of(
+        new Field("fid", FieldType.nullable(new ArrowType.Int(64, true)), java.util.List.of[Field]()),
+        new Field("cat", new FieldType(true, new ArrowType.Int(32, true), enc, null),
+          java.util.List.of[Field]()),
+        new Field("geometry", new FieldType(true, new ArrowType.Binary(), null,
+          java.util.Map.of("ARROW:extension:name", "geoarrow.wkb")), java.util.List.of[Field]())))
+      val root = VectorSchemaRoot.create(schema, alloc)
+      try {
+        root.allocateNew()
+        val ids = root.getVector(0).asInstanceOf[BigIntVector]
+        val cix = root.getVector(1).asInstanceOf[IntVector]
+        val geo = root.getVector(2).asInstanceOf[VarBinaryVector]
+        (0 until n).foreach { i =>
+          ids.setSafe(i, i.toLong)
+          cix.setSafe(i, i % 3)
+          geo.setSafe(i, graft.core.GeomOps.buffer(
+            graft.core.GeomOps.point(i.toDouble, 0.0), 1.0))
+        }
+        root.setRowCount(n)
+        val out = new java.io.FileOutputStream(file)
+        val writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(
+          root, provider, out.getChannel)
+        try { writer.start(); writer.writeBatch(); writer.end() }
+        finally { writer.close(); out.close() }
+      } finally root.close()
+    } finally {
+      if (dictValues != null) dictValues.close()
+      alloc.close()
+    }
+    // full read: schema maps the dict column by its VALUE type, and cells
+    // are the looked-up values, not raw indices
+    val full = ArrowIpc.read(spark, file.getAbsolutePath)
+    assert(full.schema("cat").dataType == org.apache.spark.sql.types.StringType)
+    val sample = full.selectExpr("fid", "cat").orderBy("fid").limit(4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(sample == Seq(0L -> "alpha", 1L -> "beta", 2L -> "gamma", 3L -> "alpha"),
+      s"dictionary values must decode: $sample")
+    // property-only projection goes through the pruned byte-level path and
+    // skips the dominant geometry buffers (<10% of body read)
+    graft.sources.ArrowIpc.bodyBytesRead.reset()
+    graft.sources.ArrowIpc.bodyBytesTotal.reset()
+    val counted = spark.read.format("arrowipc").load(file.getAbsolutePath)
+      .groupBy("cat").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counted == Map("alpha" -> 67L, "beta" -> 67L, "gamma" -> 66L), s"$counted")
+    val read = graft.sources.ArrowIpc.bodyBytesRead.sum()
+    val total = graft.sources.ArrowIpc.bodyBytesTotal.sum()
+    assert(total > 0, "pruned path must have engaged on the dictionary file")
+    assert(read > 0 && read < total / 10,
+      s"dictionary file byte-level prune: read $read of $total body bytes")
+    // pruned mixed projection (dict + geometry) matches the full read
+    val viaPruned = spark.read.format("arrowipc").load(file.getAbsolutePath)
+      .selectExpr("cat", "ST_AsText(ST_Centroid(geometry)) AS c")
+    val viaFull = full.selectExpr("cat", "ST_AsText(ST_Centroid(geometry)) AS c")
+    assert(viaPruned.except(viaFull).isEmpty && viaFull.except(viaPruned).isEmpty)
+  }
+
   test("GeoArrow extension metadata: edges/crs roundtrip through .arrow, dispatch works") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.MetadataBuilder

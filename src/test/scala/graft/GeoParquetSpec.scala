@@ -33,6 +33,39 @@ class GeoParquetSpec extends SparkTestBase {
     assert(x0 == 0.0 && y0 == 0.0 && x1 == 49.0 && y1 == 49.0)
   }
 
+  test("metadata cache: second read does zero footer IO, mutation invalidates") {
+    val out = dir + "_metacache"
+    val df = spark.sql(
+      "SELECT CAST(id AS BIGINT) AS fid, ST_Point(CAST(id AS DOUBLE), 0.0) AS geometry FROM range(64)")
+    GeoParquet.write(df.repartition(4), out)
+    GeoParquet.invalidateMetadataCache()
+    GeoParquet.footerOpens.reset()
+    val m1 = GeoParquet.metadata(spark, out)
+    val coldOpens = GeoParquet.footerOpens.sum()
+    assert(m1.isDefined && coldOpens >= 4, s"cold metadata must read footers: $coldOpens")
+    // warm: the listing signature matches → ZERO footer opens
+    GeoParquet.footerOpens.reset()
+    val m2 = GeoParquet.metadata(spark, out)
+    assert(m2 == m1)
+    assert(GeoParquet.footerOpens.sum() == 0,
+      s"warm metadata must do zero footer IO, did ${GeoParquet.footerOpens.sum()}")
+    // read() rides the same cache
+    GeoParquet.footerOpens.reset()
+    assert(GeoParquet.read(spark, out).count() == 64)
+    assert(GeoParquet.footerOpens.sum() == 0, "read() must reuse cached metadata")
+    // mutating the dataset (overwrite → new file list/mtimes) recomputes
+    GeoParquet.write(df.repartition(2), out)
+    GeoParquet.footerOpens.reset()
+    val m3 = GeoParquet.metadata(spark, out)
+    assert(m3.isDefined && GeoParquet.footerOpens.sum() >= 2,
+      s"changed listing must recompute, did ${GeoParquet.footerOpens.sum()} opens")
+    // explicit invalidation forces a recompute even with an unchanged listing
+    GeoParquet.invalidateMetadataCache(Some(out))
+    GeoParquet.footerOpens.reset()
+    assert(GeoParquet.metadata(spark, out) == m3)
+    assert(GeoParquet.footerOpens.sum() >= 2, "invalidate must drop the entry")
+  }
+
   test("read: roundtrip values + column metadata attach") {
     val df = GeoParquet.read(spark, written)
     assert(df.count() == 2500)
@@ -499,6 +532,49 @@ class GeoParquetSpec extends SparkTestBase {
       "fully-pruned read must decode zero rows")
   }
 
+  test("statsPrunedRead: footer parsed once per file across many splits") {
+    val out = dir + "_native_footercache"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 16 * 1024)
+    try {
+      val pts = spark.sql("""
+        SELECT CAST(id AS BIGINT) AS fid,
+               ST_Point(CAST(id % 64 AS DOUBLE), CAST(CAST(id / 64 AS INT) AS DOUBLE)) AS geometry
+        FROM range(16384)""")
+      // ONE part-file, many row groups — so many splits share one footer
+      GeoParquet.write(GeoParquet.spatialSort(pts, numPartitions = 1), out,
+        covering = false, encoding = "point")
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", prevBlock)
+    }
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      val q = GeoParquet.read(spark, out, bbox = Some((10.5, 20.5, 17.5, 27.5)))
+        .selectExpr("fid")
+      // the plan must actually have split the file — otherwise this test
+      // proves nothing about per-split reuse
+      val parts = q.rdd.getNumPartitions
+      assert(parts > 2, s"expected a multi-split scan, got $parts partitions")
+      graft.sources.GeoParquetFileFormat.prunedFooterOpens.reset()
+      assert(q.count() == 49)
+      val opens = graft.sources.GeoParquetFileFormat.prunedFooterOpens.sum()
+      assert(opens <= 1,
+        s"footer must be parsed at most once per distinct file (was $opens for $parts splits)")
+      // second query over the same file: zero opens (digest cached)
+      graft.sources.GeoParquetFileFormat.prunedFooterOpens.reset()
+      assert(GeoParquet.read(spark, out, bbox = Some((0.5, 0.5, 5.5, 5.5))).count() == 25)
+      assert(graft.sources.GeoParquetFileFormat.prunedFooterOpens.sum() == 0,
+        "repeated reads of an unchanged file must reuse the cached footer digest")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
+  }
+
   test("native covering-less bbox read: pruned == full-scan-filtered for random windows") {
     // equivalence property over the stats-pruning planner: for ANY window
     // (incl. degenerate, off-extent, negative-coord, and sliver shapes),
@@ -630,6 +706,25 @@ class GeoParquetSpec extends SparkTestBase {
     // Karney to sub-mm (same ellipsoid geodesic, iterative solution)
     assert(math.abs(kar - and) > 0.01, s"kernels indistinguishable: kar=$kar and=$and")
     assert(math.abs(kar - vin) < 0.01, s"vincenty vs karney: $vin vs $kar")
+    // footer vocabulary: GeoParquet 1.1 `edges` admits only planar|spherical,
+    // so a spheroid family must footer-encode as edges=spherical + the exact
+    // model in the auxiliary graft:edges_model key (round-tripped above by
+    // the dispatch assertions); external validators never see 'karney'
+    def rawGeoKv(path: String): String = {
+      val f = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getFileMetaData.getKeyValueMetaData.get("geo") finally r.close()
+    }
+    val karKv = rawGeoKv(dir + "_edges_karney")
+    assert(karKv.contains("\"edges\":\"spherical\""), karKv)
+    assert(karKv.contains("\"graft:edges_model\":\"karney\""), karKv)
+    assert(!karKv.contains("\"edges\":\"karney\""), karKv)
+    val sphKv = rawGeoKv(outS)
+    assert(sphKv.contains("\"edges\":\"spherical\"") && !sphKv.contains("graft:edges_model"), sphKv)
     // ── SQL-level dispatch (GeoFunctions.build's edgesDispatch): plain ST_Length/ST_Area/
     // ST_Perimeter over the stamped column rewrite to the declared model
     backS.createOrReplaceTempView("edges_sph_view")

@@ -99,6 +99,27 @@ class MultimodalSpec extends SparkTestBase {
     Seq(12, 50, avi.length / 2, avi.length - 3).foreach { cut =>
       Multimodal.aviFrames(java.util.Arrays.copyOf(avi, cut)) // must not crash
     }
+    // crafted DEEP LIST nesting (one 12-byte header per level) must fail
+    // with the typed require, not StackOverflowError — ~85k levels here
+    // would otherwise exhaust the default 512k-frame stack
+    val depth = 1 << 16
+    val deep = new java.io.ByteArrayOutputStream()
+    deep.write("RIFF".getBytes("US-ASCII"))
+    val totalSz = 4 + depth * 12
+    deep.write(Array[Byte](totalSz.toByte, (totalSz >> 8).toByte,
+      (totalSz >> 16).toByte, (totalSz >> 24).toByte))
+    deep.write("AVI ".getBytes("US-ASCII"))
+    var remaining = depth * 12
+    (0 until depth).foreach { _ =>
+      deep.write("LIST".getBytes("US-ASCII"))
+      val sz = remaining - 8
+      deep.write(Array[Byte](sz.toByte, (sz >> 8).toByte, (sz >> 16).toByte, (sz >> 24).toByte))
+      deep.write("movi".getBytes("US-ASCII"))
+      remaining -= 12
+    }
+    val deepBytes = deep.toByteArray
+    intercept[IllegalArgumentException] { Multimodal.aviFrames(deepBytes) }
+    intercept[IllegalArgumentException] { Multimodal.aviMeta(deepBytes) }
   }
 
   test("aviMeta: header-only probe reads avih without decoding frames") {
