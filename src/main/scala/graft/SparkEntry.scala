@@ -1922,6 +1922,43 @@ object SparkEntry {
            6::BIGINT AS header_type
     FROM range(40) t(i) ORDER BY fid"""
 
+  /** Single-file FlatGeobuf artifact under the hash gate (reference:
+    * rust/geoarrow-flatgeobuf/src/writer.rs:16-96 writes ONE file): a
+    * multi-partition frame goes through `writeSingle` — distributed global
+    * Hilbert range-sort, then one spill-backed assembly task — and the
+    * result is a single .fgb whose packed index serves a bbox window
+    * read-back. Pinned: the window's exact rows, the artifact file count
+    * (must be 1), and the header-declared feature count, so a regression
+    * to per-partition files or a broken global index breaks the hash. */
+  private def g85Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g85_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val out = base + "/dataset.fgb"
+    val pts = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_Point(CAST(id % 80 AS DOUBLE), CAST(CAST(id / 80 AS INT) AS DOUBLE)) AS geometry
+      FROM range(3200)""").repartition(8)
+    graft.sources.FlatGeobufWriter.writeSingle(pts, out)
+    val files = new java.io.File(base).listFiles().count(_.getName.endsWith(".fgb"))
+    val header = graft.sources.FlatGeobuf.parseHeader(
+      java.nio.file.Files.readAllBytes(new java.io.File(out).toPath))
+    graft.sources.FlatGeobuf.readBbox(s, out, 10.5, 20.5, 17.5, 27.5)
+      .selectExpr("fid",
+        "CAST(ST_X(geometry) AS BIGINT) AS x",
+        "CAST(ST_Y(geometry) AS BIGINT) AS y")
+      .withColumn("n_files", org.apache.spark.sql.functions.lit(files.toLong))
+      .withColumn("declared_count", org.apache.spark.sql.functions.lit(header.featuresCount))
+      .orderBy("fid")
+  }
+
+  private val g85Duck = """
+    SELECT (y.y * 80 + x.x)::BIGINT AS fid, x.x::BIGINT AS x, y.y::BIGINT AS y,
+           1::BIGINT AS n_files, 3200::BIGINT AS declared_count
+    FROM (SELECT unnest(range(11, 18)) AS x) x
+    CROSS JOIN (SELECT unnest(range(21, 28)) AS y) y
+    ORDER BY fid"""
+
   /** Edges-metadata measure dispatch under the hash gate (reference:
     * per-column `Edges`, rust/geoarrow-schema/src/edges.rs:35-70): the
     * same lon/lat segments are written twice — once with
@@ -10772,6 +10809,7 @@ object SparkEntry {
     ("g82_fgb_promote_multi", g82Fn _, g82Duck),
     ("g83_edges_dispatch", g83Fn _, g83Duck),
     ("g84_edges_distance", g84Fn _, g84Duck),
+    ("g85_fgb_single_file", g85Fn _, g85Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

