@@ -1922,6 +1922,24 @@ object SparkEntry {
            6::BIGINT AS header_type
     FROM range(40) t(i) ORDER BY fid"""
 
+  /** Large-star/small-star connected components under the hash gate
+    * (Kiveris et al., SoCC 2014 — diameter-independent O(log² n) rounds,
+    * the scale path for chain-shaped graphs where min-label propagation
+    * needs O(diameter) shuffles): a planted forest of 20 disjoint 50-node
+    * chains labels every vertex with its chain's minimum id. The closed
+    * form makes the oracle exact. */
+  private def t50Fn(s: SparkSession, dir: String): DataFrame = {
+    val edges = s.sql(
+      "SELECT CAST(id AS BIGINT) AS src, CAST(id + 1 AS BIGINT) AS dst " +
+        "FROM range(1000) WHERE id % 50 != 49")
+    graft.operators.ConnectedComponents.runStars(edges, "src", "dst")
+      .orderBy("id")
+  }
+
+  private val t50Duck = """
+    SELECT i::BIGINT AS id, ((i // 50) * 50)::BIGINT AS component
+    FROM range(1000) t(i) ORDER BY id"""
+
   /** Single-file FlatGeobuf artifact under the hash gate (reference:
     * rust/geoarrow-flatgeobuf/src/writer.rs:16-96 writes ONE file): a
     * multi-partition frame goes through `writeSingle` — distributed global
@@ -10810,6 +10828,7 @@ object SparkEntry {
     ("g83_edges_dispatch", g83Fn _, g83Duck),
     ("g84_edges_distance", g84Fn _, g84Duck),
     ("g85_fgb_single_file", g85Fn _, g85Duck),
+    ("t50_components_stars", t50Fn _, t50Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),
