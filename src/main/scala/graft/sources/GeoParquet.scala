@@ -293,9 +293,46 @@ object GeoParquet {
     }
     var df = statsPrune match {
       case Some(spec) =>
+        // nested predicate pushdown is gated on the format's shortName
+        // being listed (DataSourceUtils.supportNestedPredicatePushdown
+        // matches HadoopFsRelation.toString = shortName): without this the
+        // point-layout struct-leaf filters below stop at DataFilters and
+        // parquet's column-index page skip never engages
+        val key = "spark.sql.optimizer.nestedPredicatePushdown.supportedFileSources"
+        val cur = spark.conf.get(key, "parquet,orc")
+        if (!cur.toLowerCase.split(",").map(_.trim).contains("geoparquet"))
+          spark.conf.set(key, cur + ",geoparquet")
         spark.read.format(classOf[GeoParquetFileFormat].getName)
           .option(GeoParquetFileFormat.BboxFilterKey, spec).load(path)
       case None => spark.read.parquet(path)
+    }
+
+    // Row-level refine DURING decode for the native covering-less path —
+    // the reference's ArrowPredicate (rust/geoparquet/src/reader/
+    // spatial_filter.rs:183-196): after the row-group prune, surviving
+    // groups still hold rows outside the window. The envelope test runs on
+    // the RAW coordinate columns before any WKB transcode/JTS parse:
+    //  - point layout: plain struct-leaf comparisons that PUSH DOWN to the
+    //    parquet reader (PushedFilters on geometry.x/geometry.y), so
+    //    parquet-mr's column indexes skip whole PAGES inside
+    //    partially-matching groups before decode;
+    //  - nested list layouts: codegen'd array_min/array_max over the
+    //    coordinate arrays — no page skip (parquet rejects predicates on
+    //    repeated leaves) but rows outside the window never reach the
+    //    transcode + JTS stage.
+    var nativePreFiltered = false
+    (bbox, statsPrune) match {
+      case (Some((qxmin, qymin, qxmax, qymax)), Some(_)) =>
+        meta.foreach { m =>
+          m.columns.find(_.name == m.primaryColumn).foreach { c =>
+            nativeEnvelopePredicate(c.name, c.encoding,
+              df.schema(c.name).dataType, qxmin, qymin, qxmax, qymax).foreach { p =>
+              df = df.where(p)
+              nativePreFiltered = true
+            }
+          }
+        }
+      case _ =>
     }
 
     // attach CRS/encoding as column metadata (ARROW:extension-style);
@@ -348,6 +385,11 @@ object GeoParquet {
             // plain struct-leaf comparisons → native row-group/page pruning
             col(s"$cov.xmin") <= qxmax && col(s"$cov.xmax") >= qxmin &&
             col(s"$cov.ymin") <= qymax && col(s"$cov.ymax") >= qymin
+          case None if nativePreFiltered =>
+            // the raw-coordinate envelope test already ran pre-transcode
+            // (and pushed to the scan for point layouts) — re-running it
+            // on WKB would just re-parse every surviving row four times
+            lit(true)
           case None =>
             // no covering column: the envelope test refines exactly; for
             // native encodings the row-group-level skip already happened in
@@ -385,6 +427,38 @@ object GeoParquet {
       .repartitionByRange(n, col("__hilbert"))
       .sortWithinPartitions("__hilbert")
       .drop("__hilbert")
+  }
+
+  /** Envelope-intersects-window predicate over a NATIVE (GeoArrow
+    * separated-coordinate) column's raw nested doubles — evaluated before
+    * any WKB transcode or JTS parse. Point layout yields struct-leaf
+    * comparisons (parquet-pushable); list layouts flatten to the
+    * coordinate array and compare its min/max per axis (codegen'd
+    * higher-order functions, no pushdown — parquet rejects predicates on
+    * repeated leaves). Null/empty geometries evaluate null → filtered,
+    * matching ST_Intersects(null/empty, rect). */
+  private[sources] def nativeEnvelopePredicate(
+      gcol: String, encoding: String, dt: org.apache.spark.sql.types.DataType,
+      qxmin: Double, qymin: Double, qxmax: Double, qymax: Double): Option[Column] = {
+    val depth = encoding.toLowerCase match {
+      case "point" => 0
+      case "linestring" | "multipoint" => 1
+      case "polygon" | "multilinestring" => 2
+      case "multipolygon" => 3
+      case _ => return None
+    }
+    if (depth == 0)
+      Some(col(s"$gcol.x") <= qxmax && col(s"$gcol.x") >= qxmin &&
+           col(s"$gcol.y") <= qymax && col(s"$gcol.y") >= qymin)
+    else {
+      var coords: Column = col(gcol)
+      var d = depth
+      while (d > 1) { coords = flatten(coords); d -= 1 }
+      val xs = transform(coords, c => c.getField("x"))
+      val ys = transform(coords, c => c.getField("y"))
+      Some(array_min(xs) <= qxmax && array_max(xs) >= qxmin &&
+           array_min(ys) <= qymax && array_max(ys) >= qymin)
+    }
   }
 
   /** GeoParquet 1.1 native encoding name → transcode function. */

@@ -532,6 +532,70 @@ class GeoParquetSpec extends SparkTestBase {
       "fully-pruned read must decode zero rows")
   }
 
+  test("native bbox read: row-level refine pushes point leaves to the scan, skips pages") {
+    val out = dir + "_native_rowrefine"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    val prevPage = hc.get("parquet.page.size")
+    val prevRows = hc.get("parquet.page.row.count.limit")
+    // LARGE row groups with MANY SMALL PAGES inside: the row-group prune
+    // keeps whole groups, the page-level (column index) skip inside
+    // partially-matching groups is what this test isolates
+    hc.setInt("parquet.block.size", 4 * 1024 * 1024)
+    hc.setInt("parquet.page.size", 1024)
+    hc.setInt("parquet.page.row.count.limit", 256)
+    try {
+      val pts = spark.sql("""
+        SELECT CAST(id AS BIGINT) AS fid,
+               ST_Point(CAST(id % 64 AS DOUBLE), CAST(CAST(id / 64 AS INT) AS DOUBLE)) AS geometry
+        FROM range(16384)""")
+      GeoParquet.write(GeoParquet.spatialSort(pts, numPartitions = 1), out,
+        covering = false, encoding = "point")
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", prevBlock)
+      if (prevPage == null) hc.unset("parquet.page.size") else hc.set("parquet.page.size", prevPage)
+      if (prevRows == null) hc.unset("parquet.page.row.count.limit")
+      else hc.set("parquet.page.row.count.limit", prevRows)
+    }
+    val q = GeoParquet.read(spark, out, bbox = Some((10.5, 20.5, 17.5, 27.5)))
+    // the raw struct-leaf envelope comparisons reach the parquet scan as
+    // pushed filters (nested predicate pushdown) — the page-skip contract
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("geometry.x"),
+      s"point-leaf filters must push to the scan:\n${plan.take(2000)}")
+    // correctness unchanged
+    val rows = q.selectExpr("fid").collect().map(_.getLong(0)).toSet
+    assert(rows == (for (y <- 21 to 27; x <- 11 to 17) yield (y * 64 + x).toLong).toSet)
+    // decode gauge: within surviving row groups, column-index page skipping
+    // decodes a small fraction of the 16384 rows — strictly tighter than
+    // the row-group-only bound (a 4 MB block holds ALL rows: group-level
+    // pruning alone could not skip anything here)
+    val decoded = scannedRows(GeoParquet.read(spark, out, bbox = Some((10.5, 20.5, 17.5, 27.5))))
+    assert(decoded >= 49 && decoded <= 16384 / 4,
+      s"page-level refine must skip most pages: decoded $decoded of 16384")
+    // nested layout (polygon): no pushdown possible, but the pre-transcode
+    // refine still returns exactly the right rows
+    val outPoly = dir + "_native_rowrefine_poly"
+    val hc2 = spark.sparkContext.hadoopConfiguration
+    val prevBlock2 = hc2.get("parquet.block.size")
+    hc2.setInt("parquet.block.size", 16 * 1024)
+    try {
+      val polys = spark.sql("""
+        SELECT CAST(id AS BIGINT) AS fid,
+               ST_Buffer(ST_Point(CAST(id % 32 AS DOUBLE) * 4, CAST(CAST(id / 32 AS INT) AS DOUBLE) * 4), 0.5) AS geometry
+        FROM range(1024)""")
+      GeoParquet.write(GeoParquet.spatialSort(polys, numPartitions = 2), outPoly,
+        covering = false, encoding = "polygon")
+    } finally {
+      if (prevBlock2 == null) hc2.unset("parquet.block.size") else hc2.set("parquet.block.size", prevBlock2)
+    }
+    val polyQ = GeoParquet.read(spark, outPoly, bbox = Some((15.9, 15.9, 24.1, 24.1)))
+    val polyFull = GeoParquet.read(spark, outPoly)
+      .where("ST_Intersects(geometry, ST_MakeEnvelope(15.9, 15.9, 24.1, 24.1))")
+    assert(polyQ.select("fid").collect().map(_.getLong(0)).toSet ==
+      polyFull.select("fid").collect().map(_.getLong(0)).toSet)
+  }
+
   test("statsPrunedRead: footer parsed once per file across many splits") {
     val out = dir + "_native_footercache"
     val hc = spark.sparkContext.hadoopConfiguration
