@@ -1922,6 +1922,36 @@ object SparkEntry {
            6::BIGINT AS header_type
     FROM range(40) t(i) ORDER BY fid"""
 
+  /** Dictionary-encoded Arrow IPC write→read under the hash gate (GDAL's
+    * property-column interop shape): a low-cardinality string column is
+    * written dictionary-encoded (driver-scanned values broadcast, one
+    * dictionary batch per file, 4-byte indexes on the wire) alongside a
+    * geometry column, then read back through the byte-pruning DSv2 path —
+    * the aggregate pins both the index→value lookup and the geometry
+    * coordinates against closed forms. */
+  private def g86Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g86_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val df = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CONCAT('cat-', CAST(id % 5 AS STRING)) AS cat,
+             ST_Point(CAST(id AS DOUBLE), 1.0) AS geometry
+      FROM range(200)""").coalesce(1)
+    graft.sources.ArrowIpc.write(df, out, dictionaryColumns = Seq("cat"))
+    s.read.format("arrowipc").load(out)
+      .selectExpr("cat", "ST_X(geometry) AS x")
+      .groupBy("cat")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("x").cast("bigint").as("sum_x"))
+      .orderBy("cat")
+  }
+
+  private val g86Duck = """
+    SELECT CONCAT('cat-', CAST(k AS VARCHAR)) AS cat, 40::BIGINT AS n,
+           (40 * k + 3900)::BIGINT AS sum_x
+    FROM range(5) t(k) ORDER BY cat"""
+
   /** Large-star/small-star connected components under the hash gate
     * (Kiveris et al., SoCC 2014 — diameter-independent O(log² n) rounds,
     * the scale path for chain-shaped graphs where min-label propagation
@@ -10829,6 +10859,7 @@ object SparkEntry {
     ("g84_edges_distance", g84Fn _, g84Duck),
     ("g85_fgb_single_file", g85Fn _, g85Duck),
     ("t50_components_stars", t50Fn _, t50Duck),
+    ("g86_arrow_dictionary", g86Fn _, g86Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

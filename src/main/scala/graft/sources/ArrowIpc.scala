@@ -547,8 +547,16 @@ object ArrowIpc {
     * geometry column is written as a binary vector tagged
     * `ARROW:extension:name = geoarrow.wkb`, which GeoPandas/pyarrow and
     * [[read]] both recognize. Property types: int/long/float/double/
-    * string/boolean/binary. */
-  def write(df: DataFrame, path: String, geometryCol: String = "geometry"): Unit = {
+    * string/boolean/binary.
+    *
+    * `dictionaryColumns`: low-cardinality STRING columns to
+    * dictionary-encode (the GDAL interop shape [[decodeFilePruned]]
+    * consumes): one bounded distributed distinct per column (≤64k values
+    * enforced), values broadcast so every part-file carries the SAME
+    * dictionary; on disk each such column is 4-byte indexes + one
+    * dictionary batch instead of repeated strings. */
+  def write(df: DataFrame, path: String, geometryCol: String = "geometry",
+            dictionaryColumns: Seq[String] = Nil): Unit = {
     import org.apache.arrow.vector._
     import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
     import org.apache.arrow.vector.types.FloatingPointPrecision
@@ -560,6 +568,26 @@ object ArrowIpc {
     val confSer = df.sparkSession.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(df.sparkSession.sessionState.newHadoopConf()))
     val batchSize = 4096 // rows per IPC record batch — bounds task memory
+    // dictionary-encoded string columns: one distributed distinct per
+    // column (bounded — dictionary encoding only makes sense for low
+    // cardinality, enforced at 64k), values broadcast so every task
+    // writes the SAME dictionary ids and files stay mutually consistent
+    dictionaryColumns.foreach { c =>
+      val f = sparkSchema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"ArrowIpc.write: dictionary column '$c' not in schema ${sparkSchema.simpleString}"))
+      require(f.dataType == StringType,
+        s"ArrowIpc.write: dictionary column '$c' must be STRING, is ${f.dataType}")
+      require(c != geomName, "ArrowIpc.write: the geometry column cannot be dictionary-encoded")
+    }
+    val dictValuesBc: Map[String, org.apache.spark.broadcast.Broadcast[Array[String]]] =
+      dictionaryColumns.map { c =>
+        val vals = df.select(c).na.drop().distinct()
+          .limit(65537).collect().map(_.getString(0)).sorted
+        require(vals.length <= 65536,
+          s"ArrowIpc.write: dictionary column '$c' exceeds 65536 distinct values — " +
+            "dictionary encoding would not pay; drop it from dictionaryColumns")
+        c -> df.sparkSession.sparkContext.broadcast(vals)
+      }.toMap
     // GeoArrow extension metadata (crs/edges) propagates from the column's
     // Spark metadata — a GeoParquet.read → ArrowIpc.write hop keeps the
     // edge model, mirroring the reference's per-array Metadata
@@ -577,7 +605,29 @@ object ArrowIpc {
 
     df.rdd.foreachPartition { rows =>
       val allocator = new RootAllocator()
+      val dictVectors = scala.collection.mutable.ArrayBuffer.empty[VarCharVector]
       try {
+        // dictionaries first: a per-column VarCharVector of the broadcast
+        // values, registered in the provider so ArrowFileWriter emits the
+        // dictionary batches ahead of the record batches (IPC file layout)
+        val dictByCol: Map[String, (org.apache.arrow.vector.dictionary.Dictionary, Map[String, Int])] =
+          dictionaryColumns.zipWithIndex.map { case (c, id) =>
+            val vals = dictValuesBc(c).value
+            val dv = new VarCharVector(c + "$dict", allocator)
+            dictVectors += dv
+            dv.allocateNew()
+            var i = 0
+            while (i < vals.length) { dv.setSafe(i, vals(i).getBytes("UTF-8")); i += 1 }
+            dv.setValueCount(vals.length)
+            val enc = new org.apache.arrow.vector.types.pojo.DictionaryEncoding(
+              id.toLong, false, new ArrowType.Int(32, true))
+            c -> ((new org.apache.arrow.vector.dictionary.Dictionary(dv, enc),
+              vals.iterator.zipWithIndex.toMap))
+          }.toMap
+        val provider: org.apache.arrow.vector.dictionary.DictionaryProvider =
+          if (dictByCol.isEmpty) null
+          else new org.apache.arrow.vector.dictionary.DictionaryProvider.MapDictionaryProvider(
+            dictByCol.values.map(_._1).toSeq: _*)
         val fields = sparkSchema.fields.map { f =>
           val at: ArrowType = f.dataType match {
             case IntegerType => new ArrowType.Int(32, true)
@@ -596,14 +646,26 @@ object ArrowIpc {
                                "ARROW:extension:metadata", extMetaJson)
             else java.util.Map.of("ARROW:extension:name", "geoarrow.wkb")
           } else java.util.Map.of[String, String]()
-          new Field(f.name, new FieldType(f.nullable, at, null, md), java.util.List.of[Field]())
+          dictByCol.get(f.name) match {
+            case Some((dict, _)) =>
+              // in-memory field = the INDEX type + the encoding; the wire
+              // schema carries the value type, arrow-java converts on write
+              new Field(f.name,
+                new FieldType(f.nullable, new ArrowType.Int(32, true),
+                  dict.getEncoding, md),
+                java.util.List.of[Field]())
+            case None =>
+              new Field(f.name, new FieldType(f.nullable, at, null, md), java.util.List.of[Field]())
+          }
         }
+        val dictLookup: Array[Map[String, Int]] =
+          sparkSchema.fields.map(f => dictByCol.get(f.name).map(_._2).orNull)
         val root = VectorSchemaRoot.create(new Schema(java.util.List.of(fields: _*)), allocator)
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val fs = dir.getFileSystem(confSer.value.value)
         val out = fs.create(new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.arrow"), true)
         val ch = java.nio.channels.Channels.newChannel(out)
-        val writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
+        val writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, provider, ch)
         try {
           writer.start()
           rows.grouped(batchSize).foreach { chunk =>
@@ -618,6 +680,14 @@ object ArrowIpc {
                   case v: BaseFixedWidthVector => v.setNull(i)
                   case v: BaseVariableWidthVector => v.setNull(i)
                   case v => throw new IllegalStateException(s"unexpected vector $v")
+                } else if (dictLookup(c) != null) {
+                  // the driver pre-pass saw every non-null value; a miss
+                  // here would mean non-deterministic data — fail loudly
+                  val idx = dictLookup(c).getOrElse(row.getString(c),
+                    throw new IllegalStateException(
+                      s"ArrowIpc.write: value absent from pre-scanned dictionary " +
+                        s"for column ${sparkSchema.fields(c).name}"))
+                  vec.asInstanceOf[IntVector].setSafe(i, idx)
                 } else vec match {
                   case v: IntVector => v.setSafe(i, row.getInt(c))
                   case v: BigIntVector => v.setSafe(i, row.getLong(c))
@@ -638,7 +708,10 @@ object ArrowIpc {
           // an empty partition still writes a valid zero-batch file
           writer.end()
         } finally { writer.close(); out.close(); root.close() }
-      } finally allocator.close()
+      } finally {
+        dictVectors.foreach(v => try v.close() catch { case _: Exception => })
+        allocator.close()
+      }
     }
   }
 }

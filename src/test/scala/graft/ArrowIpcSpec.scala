@@ -174,6 +174,45 @@ class ArrowIpcSpec extends SparkTestBase {
     assert(viaPruned.except(viaFull).isEmpty && viaFull.except(viaPruned).isEmpty)
   }
 
+  test("dictionary WRITE: low-cardinality column roundtrips, shrinks bytes, prunes") {
+    val outPlain = java.nio.file.Files.createTempDirectory("arrowdw_p").toString
+    val outDict = java.nio.file.Files.createTempDirectory("arrowdw_d").toString
+    // a long repeated string column — the dictionary's win case — plus a
+    // geometry column and a null sprinkled in
+    val df = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE WHEN id % 97 = 0 THEN NULL
+                  ELSE CONCAT('category-with-a-deliberately-long-name-', CAST(id % 5 AS STRING))
+             END AS cat,
+             ST_Point(CAST(id AS DOUBLE), 0.0) AS geometry
+      FROM range(20000)""").coalesce(2)
+    ArrowIpc.write(df, outPlain)
+    ArrowIpc.write(df, outDict, dictionaryColumns = Seq("cat"))
+    def dirBytes(d: String): Long =
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".arrow")).map(_.length()).sum
+    val (plainB, dictB) = (dirBytes(outPlain), dirBytes(outDict))
+    assert(dictB < plainB * 6 / 10,
+      s"dictionary write must shrink the file: $dictB vs $plainB plain")
+    // values (incl. nulls) roundtrip exactly through both readers
+    val back = ArrowIpc.read(spark, outDict)
+    assert(back.schema("cat").dataType == org.apache.spark.sql.types.StringType)
+    val a = df.selectExpr("fid", "cat")
+    val b = back.selectExpr("fid", "cat")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // pruned DSv2 path decodes the dictionary column correctly too
+    val counted = spark.read.format("arrowipc").load(outDict)
+      .groupBy("cat").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+    assert(counted("NULL") == 207 && counted.size == 6, s"$counted")
+    // dictionary column validation is loud
+    intercept[IllegalArgumentException] {
+      ArrowIpc.write(df, outDict + "_bad", dictionaryColumns = Seq("fid"))
+    }
+    intercept[IllegalArgumentException] {
+      ArrowIpc.write(df, outDict + "_bad2", dictionaryColumns = Seq("nope"))
+    }
+  }
+
   test("GeoArrow extension metadata: edges/crs roundtrip through .arrow, dispatch works") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.MetadataBuilder
