@@ -1922,6 +1922,61 @@ object SparkEntry {
            6::BIGINT AS header_type
     FROM range(40) t(i) ORDER BY fid"""
 
+  /** Streaming GeoParquet ingest with native stats pruning (s16): a
+    * point stream arrives as NATIVE-encoded covering-less GeoParquet
+    * files (the external-producer shape), read through
+    * `format("geoparquet")` under Structured Streaming with the
+    * bbox-filter option — EACH micro-batch plans row groups from the
+    * x/y leaf statistics before decode, then the row-level raw-coordinate
+    * refine and the exact WKB test run per batch. At 100 TB/day ingest
+    * this is "stream the window, not the firehose": the same pruning
+    * contract as the batch path (g81/g44), running inside the stream.
+    * Two staged files → two micro-batches; the aggregate pins window
+    * membership + coordinates against a closed form. */
+  private def s16Fn(s: SparkSession, dir: String): DataFrame = {
+    runStream(s, "graft_s16") { (sess, tmp) =>
+      graft.functions.GeoFunctions.register(sess)
+      val pts = sess.sql("""
+        SELECT CAST(id AS BIGINT) AS fid,
+               ST_Point(CAST(id % 10 AS DOUBLE), CAST(id % 3 AS DOUBLE)) AS geometry
+        FROM range(200)""")
+      val src = new java.io.File(tmp, "src"); src.mkdirs()
+      Seq(pts.where("fid < 100"), pts.where("fid >= 100")).zipWithIndex.foreach { case (b, i) =>
+        val stage = new java.io.File(tmp, s"stage$i").getPath
+        graft.sources.GeoParquet.write(b.coalesce(1), stage,
+          covering = false, encoding = "point")
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(src, s"f$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L)
+      }
+      val schema = sess.read.parquet(src.getPath).schema
+      sess.readStream.schema(schema)
+        .format(classOf[graft.sources.GeoParquetFileFormat].getName)
+        .option(graft.sources.GeoParquetFileFormat.BboxFilterKey,
+          "geometry;2.5,-0.5,5.5,1.5")
+        .option("maxFilesPerTrigger", 1)
+        .load(src.getPath)
+        // row-level refine on the raw native coordinates (pre-transcode)
+        .where("geometry.x BETWEEN 2.5 AND 5.5 AND geometry.y BETWEEN -0.5 AND 1.5")
+        .selectExpr("fid", "ga_point(geometry, false, false) AS wkb")
+        // exact refine on the WKB, as the batch path does
+        .where("ST_Intersects(wkb, ST_MakeEnvelope(2.5, -0.5, 5.5, 1.5))")
+        .selectExpr("fid", "CAST(ST_X(wkb) AS BIGINT) AS x")
+    }
+      .groupBy("x")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("fid").as("sum_fid"))
+      .orderBy("x")
+  }
+
+  private val s16Duck = """
+    SELECT (i % 10)::BIGINT AS x, COUNT(*)::BIGINT AS n, SUM(i)::BIGINT AS sum_fid
+    FROM range(200) t(i)
+    WHERE i % 10 BETWEEN 3 AND 5 AND i % 3 != 2
+    GROUP BY 1 ORDER BY 1"""
+
   /** Dictionary-encoded Arrow IPC write→read under the hash gate (GDAL's
     * property-column interop shape): a low-cardinality string column is
     * written dictionary-encoded (driver-scanned values broadcast, one
@@ -10860,6 +10915,7 @@ object SparkEntry {
     ("g85_fgb_single_file", g85Fn _, g85Duck),
     ("t50_components_stars", t50Fn _, t50Duck),
     ("g86_arrow_dictionary", g86Fn _, g86Duck),
+    ("s16_stream_geoparquet_pruned", s16Fn _, s16Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),
