@@ -1922,6 +1922,49 @@ object SparkEntry {
            6::BIGINT AS header_type
     FROM range(40) t(i) ORDER BY fid"""
 
+  /** Unicode normalization for dedup hygiene (t51): NFC composition
+    * (`graft_nfc`, JDK Normalizer — DuckDB `nfc_normalize` is the oracle
+    * twin) + invisible-codepoint strip (`graft_strip_invisible`:
+    * zero-widths, bidi embeds, word joiners, BOM, soft hyphen — the RE2
+    * class is the oracle twin). The fixture plants the same word in
+    * decomposed, precomposed, and zero-width-polluted spellings: without
+    * normalization exact dedup sees three documents, with it one — the
+    * under-dedup failure this step exists to prevent. */
+  private val t51Spark = {
+    // Scala's lexer resolves these \u escapes, so the SQL literals carry
+    // the REAL code points (Spark's CHAR() clamps to one byte, useless
+    // beyond Latin-1)
+    val decomposed = "café"        // e + combining acute
+    val precomposed = "café"        // é
+    val zwPolluted = "caf​é"   // ZWSP inside
+    s"""
+    WITH raw AS (
+      SELECT id,
+             CASE CAST(id % 4 AS INT)
+               WHEN 0 THEN '$decomposed'
+               WHEN 1 THEN '$precomposed'
+               WHEN 2 THEN '$zwPolluted'
+               ELSE CONCAT('plain-', CAST(id AS STRING))
+             END AS txt
+      FROM range(40))
+    SELECT graft_nfc(graft_strip_invisible(txt)) AS norm,
+           COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS sum_id
+    FROM raw GROUP BY 1 ORDER BY norm"""
+  }
+
+  private val t51Duck = """
+    WITH raw AS (SELECT i AS id,
+      CASE i % 4
+        WHEN 0 THEN 'cafe' || chr(769)
+        WHEN 1 THEN 'caf' || chr(233)
+        WHEN 2 THEN 'caf' || chr(8203) || chr(233)
+        ELSE 'plain-' || CAST(i AS VARCHAR) END AS txt
+      FROM range(40) t(i))
+    SELECT nfc_normalize(regexp_replace(txt,
+             '[\x{200B}-\x{200F}\x{202A}-\x{202E}\x{2060}-\x{2064}\x{FEFF}\x{00AD}]', '', 'g')) AS norm,
+           COUNT(*)::BIGINT AS n, SUM(id)::BIGINT AS sum_id
+    FROM raw GROUP BY 1 ORDER BY norm"""
+
   /** Streaming GeoParquet ingest with native stats pruning (s16): a
     * point stream arrives as NATIVE-encoded covering-less GeoParquet
     * files (the external-producer shape), read through
@@ -10916,6 +10959,7 @@ object SparkEntry {
     ("t50_components_stars", t50Fn _, t50Duck),
     ("g86_arrow_dictionary", g86Fn _, g86Duck),
     ("s16_stream_geoparquet_pruned", s16Fn _, s16Duck),
+    ("t51_unicode_normalize", q(t51Spark), t51Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

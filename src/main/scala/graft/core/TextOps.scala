@@ -406,4 +406,33 @@ object TextOps {
       .replace("&quot;", "\"").replace("&#39;", "'").replace("&amp;", "&")
     UTF8String.fromString(wsRe.matcher(t).replaceAll(" ").trim)
   }
+
+  /** Unicode NFC normalization (canonical composition) — the step a
+    * dedup pipeline needs BEFORE hashing: 'e'+U+0301 and U+00E9 are the
+    * same text but different bytes, so unnormalized corpora under-dedup.
+    * Exact JDK `java.text.Normalizer` NFC, mirrored by DuckDB's
+    * `nfc_normalize` in the oracle. */
+  def nfc(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+
+  /** Strip invisible formatting code points: zero-widths U+200B–U+200F,
+    * bidi embeds U+202A–U+202E, word-joiner block U+2060–U+2064, BOM/zwnbsp
+    * U+FEFF, soft hyphen U+00AD. These survive crawls, break exact-hash
+    * dedup, and are a known prompt-smuggling channel — stripping them is
+    * standard corpus hygiene. Mirrored by the oracle's RE2 class. */
+  def stripInvisible(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length)
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val invisible =
+        (cp >= 0x200B && cp <= 0x200F) || (cp >= 0x202A && cp <= 0x202E) ||
+        (cp >= 0x2060 && cp <= 0x2064) || cp == 0xFEFF || cp == 0xAD
+      if (!invisible) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
 }

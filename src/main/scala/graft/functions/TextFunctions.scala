@@ -63,6 +63,8 @@ object TextFunctions {
     "graft_pii_ipv4" -> ((textOps, "piiIpv4", I, Seq(S))),
     "graft_redact" -> ((textOps, "redact", S, Seq(S))),
     "graft_strip_html" -> ((textOps, "stripHtml", S, Seq(S))),
+    "graft_nfc" -> ((textOps, "nfc", S, Seq(S))),
+    "graft_strip_invisible" -> ((textOps, "stripInvisible", S, Seq(S))),
     // vector kernels
     "graft_vec" -> ((vecOps, "toDouble", ArrayType(DoubleType, containsNull = false), Seq(ArrayType(FloatType)))),
     "graft_dot" -> ((vecOps, "dot", D, Seq(AD, AD))),

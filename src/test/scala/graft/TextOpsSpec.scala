@@ -143,6 +143,31 @@ class TextOpsSpec extends SparkTestBase {
     assert(r.getInt(0) == 8 && r.getSeq[String](1).toList === List("a", "  ", "b"))
   }
 
+  test("nfc + stripInvisible: composition, invisibles, astral planes, idempotence") {
+    def nfc(s: String): String = TextOps.nfc(UTF8String.fromString(s)).toString
+    def strip(s: String): String = TextOps.stripInvisible(UTF8String.fromString(s)).toString
+    val composed = "café"
+    assert(nfc("café") == composed, "combining acute must compose")
+    assert(nfc(composed) == composed, "already-NFC input is unchanged")
+    assert(strip("a​b‌‍c﻿d­e\u202Ef") == "abcdef")
+    // astral-plane (surrogate pair) content survives both ops untouched
+    val astral = "x😀y" // 😀
+    assert(nfc(astral) == astral && strip(astral) == astral)
+    // idempotence: normalize twice = normalize once
+    val messy = "Å​ + é﻿"
+    assert(nfc(strip(messy)) == nfc(strip(nfc(strip(messy)))))
+    assert(nfc(strip(messy)) == "Å + é")
+    // the dedup story: three spellings of one word hash apart raw,
+    // together normalized
+    val spellings = Seq("café", "café", "caf​é")
+    assert(spellings.distinct.length == 3)
+    assert(spellings.map(s => nfc(strip(s))).distinct == Seq(composed))
+    // SQL surface
+    graft.functions.TextFunctions.register(spark)
+    val r = sql("SELECT graft_nfc(graft_strip_invisible('caf​é')) AS n").head()
+    assert(r.getString(0) == composed)
+  }
+
   test("SQL surface registered (repetition + pii kernels)") {
     graft.functions.TextFunctions.register(spark)
     val r = sql("""SELECT graft_top_ngram_frac('a b a b a', 2) AS t,
