@@ -70,6 +70,8 @@ case class GridSpatialJoinExec(
     case "crosses" => p.crosses(g)
     case "equalsTopo" => p.getGeometry.equalsTopo(g)
     case "dWithin" => p.getGeometry.isWithinDistance(g, radius)
+    case n if SpatialJoinExec.isGeodesicDWithin(n) =>
+      SpatialJoinExec.geodesicTest(n, p.getGeometry, g, radius)
     case other => throw new IllegalStateException(s"unsupported spatial predicate: $other")
   }
 
@@ -97,7 +99,7 @@ case class GridSpatialJoinExec(
           if (g.isEmpty) Iterator.empty
           else {
             val e = new Envelope(g.getEnvelopeInternal)
-            if (expandBy > 0) e.expandBy(expandBy)
+            SpatialJoinExec.padForRadius(e, predicate, expandBy)
             Iterator.single(Array(
               e.getMinX, e.getMinY, e.getMaxX, e.getMaxY,
               math.max(e.getWidth, e.getHeight)))
@@ -194,7 +196,7 @@ case class GridSpatialJoinExec(
             if (g.isEmpty) Iterator.empty
             else {
               val env = new Envelope(g.getEnvelopeInternal)
-              if (expandBy > 0) env.expandBy(expandBy)
+              SpatialJoinExec.padForRadius(env, predicate, expandBy)
               val x0 = math.floor(env.getMinX / cs).toLong
               val x1 = math.floor(env.getMaxX / cs).toLong
               val y0 = math.floor(env.getMinY / cs).toLong

@@ -81,6 +81,8 @@ case class SpatialJoinExec(
       case "crosses" => p.crosses(g)
       case "equalsTopo" => p.getGeometry.equalsTopo(g)
       case "dWithin" => p.getGeometry.isWithinDistance(g, radius)
+      case n if SpatialJoinExec.isGeodesicDWithin(n) =>
+        SpatialJoinExec.geodesicTest(n, p.getGeometry, g, radius)
       case other => throw new IllegalStateException(s"unsupported spatial predicate: $other")
     }
   }
@@ -117,7 +119,7 @@ case class SpatialJoinExec(
           if (sg.isEmpty) Iterator.empty
           else {
             val env = new Envelope(sg.getEnvelopeInternal)
-            if (r > 0) env.expandBy(r)
+            SpatialJoinExec.padForRadius(env, predicate, r)
             val cands = tree.query(env)
             // lazy: each next() projects into the reused UnsafeRow buffer —
             // the doExecute contract allows row reuse, so no per-row copy
@@ -144,5 +146,65 @@ object SpatialJoinExec {
     "intersects" -> "intersects", "contains" -> "within", "within" -> "contains",
     "covers" -> "coveredBy", "coveredBy" -> "covers", "touches" -> "touches",
     "overlaps" -> "overlaps", "crosses" -> "crosses", "equalsTopo" -> "equalsTopo",
-    "dWithin" -> "dWithin")
+    "dWithin" -> "dWithin",
+    // geodesic dWithin family (symmetric): planned from the edges-dispatch
+    // rewrite of ST_DWithin over stamped columns — `radius` is METERS
+    "dWithinSphere" -> "dWithinSphere", "dWithinGeodesic" -> "dWithinGeodesic",
+    "dWithinSpheroid" -> "dWithinSpheroid", "dWithinVincenty" -> "dWithinVincenty")
+
+  /** Geodesy kernel method name (as it appears in the analysis-time
+    * rewrite's StaticInvoke) → the planner's predicate name. */
+  val geodesicDistanceToPredicate: Map[String, String] = Map(
+    "distanceSphere" -> "dWithinSphere", "distanceGeodesic" -> "dWithinGeodesic",
+    "distanceSpheroid" -> "dWithinSpheroid", "distanceVincenty" -> "dWithinVincenty")
+
+  def isGeodesicDWithin(name: String): Boolean =
+    name != "dWithin" && name.startsWith("dWithin")
+
+  /** Exact geodesic dWithin test — SAME point semantics as the rewritten
+    * expression's kernels (first coordinate of each geometry, as
+    * `Geodesy.distance*` read their WKB args). */
+  def geodesicTest(name: String, a: Geometry, b: Geometry, meters: Double): Boolean = {
+    val ca = a.getCoordinate
+    val cb = b.getCoordinate
+    if (ca == null || cb == null) return false
+    val d = name match {
+      case "dWithinSphere" => graft.core.Geodesy.haversineMeters(ca.x, ca.y, cb.x, cb.y)
+      case "dWithinGeodesic" => graft.core.KarneyGeodesic.distance(ca.y, ca.x, cb.y, cb.x)
+      case "dWithinSpheroid" => graft.core.Geodesy.andoyerMeters(ca.x, ca.y, cb.x, cb.y)
+      case "dWithinVincenty" => graft.core.Geodesy.vincentyMeters(ca.x, ca.y, cb.x, cb.y)
+      case other => throw new IllegalStateException(s"not a geodesic dWithin: $other")
+    }
+    d <= meters
+  }
+
+  /** Expand a lon/lat envelope so it covers every point within `meters`
+    * of it, CONSERVATIVELY across all supported earth models: latitude
+    * degrees use the global minimum meters-per-degree (110,574 at the
+    * WGS84 equator, rounded DOWN to 110,000 for slack), longitude scales
+    * by 1/cos of the most extreme padded latitude. Pole-adjacent
+    * envelopes widen to the full longitude span (meridians converge —
+    * no bounded lon pad is correct there). Over-padding only costs extra
+    * CANDIDATES; the exact geodesic test decides membership. */
+  def padGeodesic(env: Envelope, meters: Double): Unit = {
+    val latPad = meters / 110000.0
+    val y0 = math.max(env.getMinY - latPad, -90.0)
+    val y1 = math.min(env.getMaxY + latPad, 90.0)
+    val phiMax = math.max(math.abs(y0), math.abs(y1))
+    if (phiMax >= 89.0) {
+      env.expandToInclude(-180.0, y0)
+      env.expandToInclude(180.0, y1)
+    } else {
+      val lonPad = meters / (110000.0 * math.cos(math.toRadians(phiMax)))
+      env.expandBy(lonPad, latPad)
+    }
+  }
+
+  /** Envelope expansion for a dWithin radius: planar units for the planar
+    * predicate, geodesic meters→degrees for the geodesic family. */
+  def padForRadius(env: Envelope, predicate: String, radius: Double): Unit =
+    if (radius > 0) {
+      if (isGeodesicDWithin(predicate)) padGeodesic(env, radius)
+      else env.expandBy(radius)
+    }
 }

@@ -59,6 +59,8 @@ case class SpatialJoinFoldExec(
       case "crosses" => p.crosses(g)
       case "equalsTopo" => p.getGeometry.equalsTopo(g)
       case "dWithin" => p.getGeometry.isWithinDistance(g, radius)
+      case n if SpatialJoinExec.isGeodesicDWithin(n) =>
+        SpatialJoinExec.geodesicTest(n, p.getGeometry, g, radius)
       case other => throw new IllegalStateException(s"unsupported spatial predicate: $other")
     }
   }

@@ -36,6 +36,7 @@ import org.apache.spark.sql.types.IntegerType
 object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
 
   private val geomOps = Class.forName("graft.core.GeomOps")
+  private val geodesy = Class.forName("graft.core.Geodesy")
   private val supported = SpatialJoinExec.transpose.keySet
 
   private def strip(e: Expression): Expression = e match {
@@ -69,7 +70,41 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
           Some((b, a, SpatialJoinExec.transpose(si.functionName), r))
         else None
       }
+    // the edges-dispatch rewrite of ST_DWithin over stamped columns:
+    // `distance<Model>(a, b) <= d` — without this case the rewritten join
+    // condition would fall through to BroadcastNestedLoopJoin, the exact
+    // O(n·m) the strategy exists to prevent. Symmetric predicate, meters
+    // radius; the exec pads envelopes via the meters→degrees conversion.
+    case LessThanOrEqual(si: StaticInvoke, d)
+        if si.staticObject == geodesy &&
+           SpatialJoinExec.geodesicDistanceToPredicate.contains(si.functionName) &&
+           d.foldable =>
+      extractGeodesic(si, d, left, right)
+    case GreaterThanOrEqual(d, si: StaticInvoke)
+        if si.staticObject == geodesy &&
+           SpatialJoinExec.geodesicDistanceToPredicate.contains(si.functionName) &&
+           d.foldable =>
+      extractGeodesic(si, d, left, right)
     case _ => None
+  }
+
+  private def extractGeodesic(si: StaticInvoke, d: Expression,
+                              left: LogicalPlan, right: LogicalPlan)
+      : Option[(Expression, Expression, String, Double)] = {
+    val v = d.eval()
+    if (v == null) return None
+    val meters = v.toString.toDouble
+    val args = si.arguments.map(strip)
+    if (args.length != 2) return None
+    val (a, b) = (args(0), args(1))
+    val pred = SpatialJoinExec.geodesicDistanceToPredicate(si.functionName)
+    if (a.references.nonEmpty && b.references.nonEmpty &&
+        a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet))
+      Some((a, b, pred, meters))
+    else if (a.references.nonEmpty && b.references.nonEmpty &&
+             a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
+      Some((b, a, pred, meters)) // distance is symmetric
+    else None
   }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {

@@ -113,6 +113,69 @@ class SpatialJoinSpec extends SparkTestBase {
     assert(q.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == exp)
   }
 
+  test("strategy: edges-stamped ST_DWithin join plans spatial, never BNLJ") {
+    // ST_DWithin over a geoparquet.edges-stamped column rewrites at
+    // ANALYSIS time to `distanceSphere(a,b) <= d` — the strategy must
+    // recognize that form or the join regresses to BroadcastNestedLoopJoin
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("sj_edges").toString
+    val stations = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS sid,
+             ST_Point(CAST(id AS DOUBLE) * 2.0, 0.0) AS geometry
+      FROM range(5)""")
+    graft.sources.GeoParquet.write(stations, tmp + "/stations", edges = Some("spherical"))
+    val st = graft.sources.GeoParquet.read(spark, tmp + "/stations")
+    val reports = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS rid,
+             ST_Point(CAST(id AS DOUBLE) * 0.5, 0.1) AS geometry
+      FROM range(20)""").selectExpr("rid", "geometry AS rgeom")
+    st.createOrReplaceTempView("sj_stations")
+    reports.createOrReplaceTempView("sj_reports")
+    // 60 km radius: haversine meters, NOT degrees — at the equator 0.5°
+    // is ~55.6 km, so each station catches only nearby report columns
+    val q = sql("""SELECT sid, rid FROM sj_stations JOIN sj_reports
+                   ON ST_DWithin(geometry, rgeom, 60000.0)""")
+    val plan = planOf(q)
+    assert(plan.contains("SpatialJoin"), s"stamped DWithin join must plan spatial:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // ground truth from the haversine kernel directly
+    val sts = st.select(col("sid"), col("geometry")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    val rps = reports.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    val exp = (for {
+      (sid, sg) <- sts; (rid, rg) <- rps
+      if graft.core.Geodesy.distanceSphere(sg, rg) <= 60000.0
+    } yield (sid, rid)).toSet
+    assert(exp.nonEmpty && exp.size < sts.length * rps.length,
+      s"fixture must be selective: ${exp.size}")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == exp)
+    // the same stamped join through the grid (big×big) path
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val qg = sql("""SELECT sid, rid FROM sj_stations JOIN sj_reports
+                      ON ST_DWithin(geometry, rgeom, 60000.0)""")
+      val gplan = planOf(qg)
+      assert(gplan.contains("GridSpatialJoin") && !gplan.contains("BroadcastNestedLoopJoin"), gplan)
+      assert(qg.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == exp)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("geodesic envelope pad: pole-adjacent widens to full longitude span") {
+    import org.locationtech.jts.geom.Envelope
+    // mid-latitude: lon pad > lat pad by 1/cos(φ)
+    val e = new Envelope(10.0, 10.0, 60.0, 60.0)
+    graft.plans.SpatialJoinExec.padGeodesic(e, 111000.0)
+    val latPad = 60.0 - e.getMinY
+    val lonPad = 10.0 - e.getMinX
+    assert(latPad > 0.9 && latPad < 1.2, s"latPad $latPad")
+    assert(lonPad > latPad * 1.8, s"lon must widen by ~1/cos(61°): $lonPad vs $latPad")
+    // pole-adjacent: no bounded lon pad is correct — full span
+    val p = new Envelope(5.0, 5.0, 89.5, 89.5)
+    graft.plans.SpatialJoinExec.padGeodesic(p, 50000.0)
+    assert(p.getMinX <= -180.0 && p.getMaxX >= 180.0, s"$p")
+  }
+
   test("strategy: big×big (no broadcastable side) plans as GridSpatialJoin, never BNLJ") {
     points.createOrReplaceTempView("sj_pts")
     zones.createOrReplaceTempView("sj_zones")
