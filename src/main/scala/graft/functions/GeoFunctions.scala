@@ -309,7 +309,17 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     * rust/geoarrow-schema/src/edges.rs:3-8). Edge-aware
     * intersection/overlay is beyond the reference's own compute layer too
     * (its geo kernels run planar regardless of the declaration) — that
-    * half is documented divergence-shared-with-reference, not implemented. */
+    * half is documented divergence-shared-with-reference, not implemented.
+    *
+    * Plan interactions: a rewritten ST_DWithin in a JOIN condition is
+    * re-recognized by [[graft.plans.SpatialJoinStrategy]] (geodesic
+    * dWithin family — never BNLJ). The kNN WINDOW shape
+    * (`ROW_NUMBER() OVER (ORDER BY ST_Distance(stamped, g))`) is NOT
+    * intercepted by the adaptive kNN operator when the distance rewrites
+    * to a geodesic kernel: results stay correct (the window ranks by the
+    * geodesic distance) but execute as the literal cross-join + window —
+    * use the explicit planar `st_distance` (kill switch) or the
+    * `SpatialJoin.knn` API when that shape must scale. */
   private val edgeDistanceVariants: Map[String, (String, String, String, String)] = Map(
     "st_distance" -> (("distanceSphere", "distanceGeodesic", "distanceSpheroid",
       "distanceVincenty")),

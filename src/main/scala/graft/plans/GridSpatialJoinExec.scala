@@ -264,7 +264,10 @@ case class GridSpatialJoinExec(
         if (side == 0) {
           val g = GeomOps.read(lBound.eval(row).asInstanceOf[Array[Byte]])
           val env = new Envelope(g.getEnvelopeInternal)
-          if (r > 0) env.expandBy(r)
+          // MUST match keyed()'s routing pad exactly: the reference-point
+          // dedup compares this envelope's min corner against cell ids the
+          // routing envelope generated
+          SpatialJoinExec.padForRadius(env, predicate, r)
           build += ((row, prepF.create(g), env))
           Iterator.empty
         } else if (build.isEmpty) Iterator.empty

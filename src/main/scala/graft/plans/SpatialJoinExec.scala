@@ -191,11 +191,21 @@ object SpatialJoinExec {
     val y0 = math.max(env.getMinY - latPad, -90.0)
     val y1 = math.min(env.getMaxY + latPad, 90.0)
     val phiMax = math.max(math.abs(y0), math.abs(y1))
-    if (phiMax >= 89.0) {
+    // full longitude span when (a) pole-adjacent — meridians converge, no
+    // bounded lon pad is correct — or (b) the padded range would cross the
+    // ±180 antimeridian: envelopes don't wrap, so a neighborhood that
+    // straddles the seam must widen to the full span or pairs across it
+    // silently vanish from join output. Over-padding costs only
+    // candidates; note the grid path replicates a full-span row into every
+    // covering lon cell (bounded by the ≤8k-cells-per-axis grid floor) —
+    // pole-adjacent/seam-straddling geodesic grid joins pay that
+    // replication, the broadcast path does not.
+    lazy val lonPad = meters / (110000.0 * math.cos(math.toRadians(phiMax)))
+    if (phiMax >= 89.0 ||
+        env.getMinX - lonPad < -180.0 || env.getMaxX + lonPad > 180.0) {
       env.expandToInclude(-180.0, y0)
       env.expandToInclude(180.0, y1)
     } else {
-      val lonPad = meters / (110000.0 * math.cos(math.toRadians(phiMax)))
       env.expandBy(lonPad, latPad)
     }
   }

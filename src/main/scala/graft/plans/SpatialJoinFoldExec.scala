@@ -97,7 +97,7 @@ case class SpatialJoinFoldExec(
           val sg = GeomOps.read(wkb)
           if (!sg.isEmpty) {
             val env = new Envelope(sg.getEnvelopeInternal)
-            if (r > 0) env.expandBy(r)
+            SpatialJoinExec.padForRadius(env, predicate, r)
             val cands = tree.query(env)
             var c = 0
             while (c < cands.size()) {

@@ -456,13 +456,20 @@ object FlatGeobufWriter {
     val target = new org.apache.hadoop.fs.Path(path)
     target.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
       .mkdirs(target.getParent)
+    val confSer = df.sparkSession.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        df.sparkSession.sessionState.newHadoopConf()))
     val wantIndex = index
     val promote = promoteToMulti
     // global Hilbert order via distributed range shuffle; with index off a
-    // plain single-range repartition suffices (order is then irrelevant)
+    // plain single-range repartition suffices (order is then irrelevant).
+    // The trailing coalesce(1) is a no-op on the already-single-range sort
+    // but REQUIRED for the all-null-geometry case: spatialSort early-returns
+    // the original multi-partition frame there, and multiple tasks racing
+    // one fs.create(target) would corrupt the artifact.
     val ordered =
-      if (wantIndex) GeoParquet.spatialSort(df, geometryCol, numPartitions = 1)
-      else df.repartition(1)
+      (if (wantIndex) GeoParquet.spatialSort(df, geometryCol, numPartitions = 1)
+       else df.repartition(1)).coalesce(1)
     ordered.rdd.foreachPartition { rows =>
       val spillFile = java.io.File.createTempFile("graft_fgb_single", ".spill")
       val spill = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
@@ -495,7 +502,9 @@ object FlatGeobufWriter {
         spill.close()
         val count = envs.length.toLong
         val doIndex = wantIndex && count > 0 && allHaveEnv
-        val fs = target.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        // the SESSION Hadoop conf (spark.hadoop.* overlays — object-store
+        // credentials/endpoints), not a bare new Configuration()
+        val fs = target.getFileSystem(confSer.value.value)
         val out = fs.create(target, true)
         try {
           out.write(Array[Byte]('f', 'g', 'b', 3, 'f', 'g', 'b', 0))

@@ -297,10 +297,16 @@ object GeoParquet {
         // being listed (DataSourceUtils.supportNestedPredicatePushdown
         // matches HadoopFsRelation.toString = shortName): without this the
         // point-layout struct-leaf filters below stop at DataFilters and
-        // parquet's column-index page skip never engages
+        // parquet's column-index page skip never engages. DOCUMENTED
+        // session-conf mutation: the filter translation runs when the
+        // USER'S query plans (long after this method returns), so the
+        // setting cannot be scoped to this call. An explicitly EMPTIED
+        // list (user disabled nested pushdown globally) is honored — the
+        // read stays correct, just unpushed.
         val key = "spark.sql.optimizer.nestedPredicatePushdown.supportedFileSources"
         val cur = spark.conf.get(key, "parquet,orc")
-        if (!cur.toLowerCase.split(",").map(_.trim).contains("geoparquet"))
+        if (cur.trim.nonEmpty &&
+            !cur.toLowerCase.split(",").map(_.trim).contains("geoparquet"))
           spark.conf.set(key, cur + ",geoparquet")
         spark.read.format(classOf[GeoParquetFileFormat].getName)
           .option(GeoParquetFileFormat.BboxFilterKey, spec).load(path)
@@ -326,7 +332,7 @@ object GeoParquet {
         meta.foreach { m =>
           m.columns.find(_.name == m.primaryColumn).foreach { c =>
             nativeEnvelopePredicate(c.name, c.encoding,
-              df.schema(c.name).dataType, qxmin, qymin, qxmax, qymax).foreach { p =>
+              qxmin, qymin, qxmax, qymax).foreach { p =>
               df = df.where(p)
               nativePreFiltered = true
             }
@@ -438,7 +444,7 @@ object GeoParquet {
     * repeated leaves). Null/empty geometries evaluate null → filtered,
     * matching ST_Intersects(null/empty, rect). */
   private[sources] def nativeEnvelopePredicate(
-      gcol: String, encoding: String, dt: org.apache.spark.sql.types.DataType,
+      gcol: String, encoding: String,
       qxmin: Double, qymin: Double, qxmax: Double, qymax: Double): Option[Column] = {
     val depth = encoding.toLowerCase match {
       case "point" => 0

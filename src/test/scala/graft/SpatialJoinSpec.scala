@@ -174,6 +174,49 @@ class SpatialJoinSpec extends SparkTestBase {
     val p = new Envelope(5.0, 5.0, 89.5, 89.5)
     graft.plans.SpatialJoinExec.padGeodesic(p, 50000.0)
     assert(p.getMinX <= -180.0 && p.getMaxX >= 180.0, s"$p")
+    // antimeridian: a padded range crossing ±180 widens to full span
+    // (envelopes don't wrap — a bounded pad would silently drop pairs
+    // straddling the seam)
+    val a = new Envelope(179.9, 179.9, 0.0, 0.0)
+    graft.plans.SpatialJoinExec.padGeodesic(a, 100000.0)
+    assert(a.getMinX <= -180.0 && a.getMaxX >= 180.0, s"$a")
+  }
+
+  test("geodesic dWithin join finds pairs across the antimeridian") {
+    val tmp = java.nio.file.Files.createTempDirectory("sj_seam").toString
+    // (179.9, 0) and (-179.5, 0) are ~66.8 km apart by haversine — a true
+    // 100 km match that a non-wrapping envelope pad would silently drop
+    val a = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS aid,
+             ST_Point(CASE WHEN id = 0 THEN 179.9 ELSE CAST(id AS DOUBLE) END, 0.0) AS geometry
+      FROM range(4)""")
+    graft.sources.GeoParquet.write(a, tmp + "/a", edges = Some("spherical"))
+    graft.sources.GeoParquet.read(spark, tmp + "/a").createOrReplaceTempView("sj_seam_a")
+    spark.sql("""
+      SELECT CAST(id AS BIGINT) AS bid,
+             ST_Point(CASE WHEN id = 0 THEN -179.5 ELSE CAST(id AS DOUBLE) - 50.0 END, 0.0) AS bgeom
+      FROM range(4)""").createOrReplaceTempView("sj_seam_b")
+    val q = sql("""SELECT aid, bid FROM sj_seam_a JOIN sj_seam_b
+                   ON ST_DWithin(geometry, bgeom, 100000.0)""")
+    assert(planOf(q).contains("SpatialJoin"), planOf(q))
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 0L)),
+      s"the seam-straddling pair must survive the envelope pad: $got")
+    // identical rows via the grid path
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val qg = sql("""SELECT aid, bid FROM sj_seam_a JOIN sj_seam_b
+                      ON ST_DWithin(geometry, bgeom, 100000.0)""")
+      assert(planOf(qg).contains("GridSpatialJoin"), planOf(qg))
+      assert(qg.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == got)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // COUNT(*) fold path agrees (exercises SpatialJoinFoldExec's pad)
+    val qc = sql("""SELECT aid, COUNT(*) AS n FROM sj_seam_a JOIN sj_seam_b
+                    ON ST_DWithin(geometry, bgeom, 100000.0) GROUP BY aid""")
+    val counts = qc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expCounts = got.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(counts == expCounts, s"$counts vs $expCounts (plan: ${planOf(qc)})")
   }
 
   test("strategy: big×big (no broadcastable side) plans as GridSpatialJoin, never BNLJ") {
