@@ -582,19 +582,38 @@ object FlatGeobuf {
     * driver); smaller files stay whole (`start < 0`). ONE implementation
     * shared by [[read]] and the DSv2 scan — split sizing must not diverge
     * between the two faces. */
+  /** Split-plan cache: the index probe job costs one bounded header read
+    * + S−1 leaf reads PER big file PER read() call — repeated queries over
+    * the same 100 TB dataset would re-probe identical files every time.
+    * Keyed by (path, size, mtime, maxPart) — same contract as the
+    * GeoParquet metadata cache: any overwrite/append changes the
+    * signature and re-probes. */
+  private val splitPlanCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), IndexedSeq[(Long, Long)]]
+  /** Test gauge: probe jobs actually launched by [[planSplits]]. */
+  private[graft] val splitProbeJobs = new java.util.concurrent.atomic.LongAdder
+
   private[sources] def planSplits(spark: SparkSession,
-                                  statuses: IndexedSeq[(String, Long)],
+                                  statuses: IndexedSeq[(String, Long, Long)],
                                   maxPart: Long): IndexedSeq[(String, Long, Long)] = {
     val (big, small) = statuses.partition(_._2 > maxPart)
-    val bigSplits =
-      if (big.isEmpty) IndexedSeq.empty[(String, Long, Long)]
-      else spark.sparkContext.parallelize(big.map(_._1), big.length)
-        .flatMap { f =>
+    if (splitPlanCache.size > 4096) splitPlanCache.clear() // bound the driver map
+    val miss = big.filterNot { case (f, len, mt) =>
+      splitPlanCache.containsKey((f, len, mt, maxPart)) }
+    if (miss.nonEmpty) {
+      splitProbeJobs.increment()
+      val probed = spark.sparkContext.parallelize(miss.map(_._1), miss.length)
+        .map { f =>
           val fp = new org.apache.hadoop.fs.Path(f)
           val tfs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          splitRanges(tfs, fp, maxPart).map { case (s, e) => (f, s, e) }
-        }.collect().toIndexedSeq
-    small.map { case (f, _) => (f, -1L, -1L) } ++ bigSplits
+          f -> splitRanges(tfs, fp, maxPart).toIndexedSeq
+        }.collect().toMap
+      miss.foreach { case (f, len, mt) =>
+        splitPlanCache.put((f, len, mt, maxPart), probed(f)) }
+    }
+    small.map { case (f, _, _) => (f, -1L, -1L) } ++
+      big.flatMap { case (f, len, mt) =>
+        splitPlanCache.get((f, len, mt, maxPart)).map { case (s, e) => (f, s, e) } }
   }
 
   def read(spark: SparkSession, path: String,
@@ -606,8 +625,11 @@ object FlatGeobuf {
     val statuses =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(_.getPath.getName.endsWith(".fgb"))
-          .map(s => (s.getPath.toString, s.getLen))
-      else Array((path, fs.getFileStatus(p).getLen))
+          .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
+      else {
+        val st = fs.getFileStatus(p)
+        Array((path, st.getLen, st.getModificationTime))
+      }
     require(statuses.nonEmpty, s"no .fgb files under $path")
     // schema from the first header (driver side, bounded read), like the reference
     val schema = schemaOf(parseHeader(readHeaderBytes(fs,
@@ -615,7 +637,7 @@ object FlatGeobuf {
     val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
     // (path, start, end): start<0 = whole file; end<0 = from start to EOF
     val splits: IndexedSeq[(String, Long, Long)] = bbox match {
-      case Some(_) => statuses.map { case (f, _) => (f, -1L, -1L) }.toIndexedSeq
+      case Some(_) => statuses.map { case (f, _, _) => (f, -1L, -1L) }.toIndexedSeq
       case None => planSplits(spark, statuses.toIndexedSeq, maxPart)
     }
     val rdd = spark.sparkContext.parallelize(splits, splits.length).flatMap {

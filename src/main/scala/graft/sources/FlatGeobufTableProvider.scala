@@ -63,15 +63,18 @@ class FlatGeobufSource extends TableProvider with DataSourceRegister {
 }
 
 private[sources] object FlatGeobufSource {
-  def resolveFiles(roots: Seq[String]): Seq[(String, Long)] = {
+  def resolveFiles(roots: Seq[String]): Seq[(String, Long, Long)] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val files = roots.flatMap { r =>
       val p = new Path(r)
       val fs = p.getFileSystem(conf)
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(_.getPath.getName.endsWith(".fgb"))
-          .map(s => (s.getPath.toString, s.getLen)).toSeq
-      else Seq((p.toString, fs.getFileStatus(p).getLen))
+          .map(s => (s.getPath.toString, s.getLen, s.getModificationTime)).toSeq
+      else {
+        val st = fs.getFileStatus(p)
+        Seq((p.toString, st.getLen, st.getModificationTime))
+      }
     }
     require(files.nonEmpty, s"no .fgb files under ${roots.mkString(",")}")
     files

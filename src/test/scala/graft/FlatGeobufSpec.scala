@@ -220,6 +220,19 @@ class FlatGeobufSpec extends SparkTestBase {
       val sp = split.selectExpr("fid", "ST_AsText(geometry) AS w")
       val wh = whole.selectExpr("fid", "ST_AsText(geometry) AS w")
       assert(sp.except(wh).isEmpty && wh.except(sp).isEmpty)
+      // split-plan cache: a second read of the unchanged file launches
+      // ZERO index-probe jobs (plan keyed by path/size/mtime)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      graft.sources.FlatGeobuf.splitProbeJobs.reset()
+      assert(FlatGeobuf.read(spark, out).count() == n)
+      assert(graft.sources.FlatGeobuf.splitProbeJobs.sum() == 0,
+        "repeated split planning over an unchanged file must hit the cache")
+      // rewriting the file (new size/mtime) re-probes
+      FlatGeobufWriter.write(df.where("fid < 2000"), out)
+      graft.sources.FlatGeobuf.splitProbeJobs.reset()
+      assert(FlatGeobuf.read(spark, out).count() == 2000)
+      assert(graft.sources.FlatGeobuf.splitProbeJobs.sum() == 1,
+        "changed file must re-probe")
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
