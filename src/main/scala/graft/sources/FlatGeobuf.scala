@@ -598,22 +598,30 @@ object FlatGeobuf {
                                   maxPart: Long): IndexedSeq[(String, Long, Long)] = {
     val (big, small) = statuses.partition(_._2 > maxPart)
     if (splitPlanCache.size > 4096) splitPlanCache.clear() // bound the driver map
-    val miss = big.filterNot { case (f, len, mt) =>
-      splitPlanCache.containsKey((f, len, mt, maxPart)) }
-    if (miss.nonEmpty) {
-      splitProbeJobs.increment()
-      val probed = spark.sparkContext.parallelize(miss.map(_._1), miss.length)
-        .map { f =>
-          val fp = new org.apache.hadoop.fs.Path(f)
-          val tfs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          f -> splitRanges(tfs, fp, maxPart).toIndexedSeq
-        }.collect().toMap
-      miss.foreach { case (f, len, mt) =>
-        splitPlanCache.put((f, len, mt, maxPart), probed(f)) }
-    }
-    small.map { case (f, _, _) => (f, -1L, -1L) } ++
+    // emission reads LOCAL values only — never back through the cache, so
+    // a concurrent size-bound clear() between put and emit cannot drop a
+    // file's splits from this plan
+    val cachedByFile: Map[String, IndexedSeq[(Long, Long)]] =
       big.flatMap { case (f, len, mt) =>
-        splitPlanCache.get((f, len, mt, maxPart)).map { case (s, e) => (f, s, e) } }
+        Option(splitPlanCache.get((f, len, mt, maxPart))).map(f -> _)
+      }.toMap
+    val miss = big.filterNot { case (f, _, _) => cachedByFile.contains(f) }
+    val probed: Map[String, IndexedSeq[(Long, Long)]] =
+      if (miss.isEmpty) Map.empty
+      else {
+        splitProbeJobs.increment()
+        spark.sparkContext.parallelize(miss.map(_._1), miss.length)
+          .map { f =>
+            val fp = new org.apache.hadoop.fs.Path(f)
+            val tfs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            f -> splitRanges(tfs, fp, maxPart).toIndexedSeq
+          }.collect().toMap
+      }
+    miss.foreach { case (f, len, mt) =>
+      splitPlanCache.put((f, len, mt, maxPart), probed(f)) }
+    val ranges = cachedByFile ++ probed
+    small.map { case (f, _, _) => (f, -1L, -1L) } ++
+      big.flatMap { case (f, _, _) => ranges(f).map { case (s, e) => (f, s, e) } }
   }
 
   def read(spark: SparkSession, path: String,
