@@ -1965,6 +1965,36 @@ object SparkEntry {
            COUNT(*)::BIGINT AS n, SUM(id)::BIGINT AS sum_id
     FROM raw GROUP BY 1 ORDER BY norm"""
 
+  /** NFKC compatibility folding (t52): fullwidth digits, ligatures,
+    * circled and superscript forms fold onto plain equivalents — without
+    * this a tokenizer treats '１２３' and '123' as distinct tokens. The
+    * oracle is CLOSED-FORM: DuckDB has no nfkc, so it states the expected
+    * post-fold literals; the JDK Normalizer output must match them
+    * byte-for-byte under the hash gate. */
+  private val t52Spark = {
+    val full = "１２３"     // fullwidth １２３
+    val lig = "ﬁnd"                // ﬁnd
+    val circ = "①②"           // ①②
+    val sup = "x²"                 // x²
+    s"""
+    WITH raw AS (
+      SELECT id,
+             CASE CAST(id % 4 AS INT)
+               WHEN 0 THEN '$full'
+               WHEN 1 THEN '$lig'
+               WHEN 2 THEN '$circ'
+               ELSE '$sup'
+             END AS txt
+      FROM range(20))
+    SELECT graft_nfkc(txt) AS folded, COUNT(*) AS n
+    FROM raw GROUP BY 1 ORDER BY folded"""
+  }
+
+  private val t52Duck = """
+    SELECT folded, n::BIGINT AS n FROM (VALUES
+      ('123', 5), ('12', 5), ('find', 5), ('x2', 5)) t(folded, n)
+    ORDER BY folded"""
+
   /** Streaming GeoParquet ingest with native stats pruning (s16): a
     * point stream arrives as NATIVE-encoded covering-less GeoParquet
     * files (the external-producer shape), read through
@@ -10960,6 +10990,7 @@ object SparkEntry {
     ("g86_arrow_dictionary", g86Fn _, g86Duck),
     ("s16_stream_geoparquet_pruned", s16Fn _, s16Duck),
     ("t51_unicode_normalize", q(t51Spark), t51Duck),
+    ("t52_nfkc_fold", q(t52Spark), t52Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -416,6 +416,15 @@ object TextOps {
     UTF8String.fromString(
       java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
 
+  /** Unicode NFKC (compatibility composition): folds fullwidth forms,
+    * ligatures, circled/superscript digits etc. onto their plain
+    * equivalents — tokenizers treat '１２３' and '123' as different
+    * tokens unless this runs first. Lossy by design (compatibility
+    * mappings erase styling), so it's a SEPARATE opt-in from [[nfc]]. */
+  def nfkc(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFKC))
+
   /** Strip invisible formatting code points: zero-widths U+200B–U+200F,
     * bidi embeds U+202A–U+202E, word-joiner block U+2060–U+2064, BOM/zwnbsp
     * U+FEFF, soft hyphen U+00AD. These survive crawls, break exact-hash

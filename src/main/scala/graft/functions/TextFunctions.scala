@@ -64,6 +64,7 @@ object TextFunctions {
     "graft_redact" -> ((textOps, "redact", S, Seq(S))),
     "graft_strip_html" -> ((textOps, "stripHtml", S, Seq(S))),
     "graft_nfc" -> ((textOps, "nfc", S, Seq(S))),
+    "graft_nfkc" -> ((textOps, "nfkc", S, Seq(S))),
     "graft_strip_invisible" -> ((textOps, "stripInvisible", S, Seq(S))),
     // vector kernels
     "graft_vec" -> ((vecOps, "toDouble", ArrayType(DoubleType, containsNull = false), Seq(ArrayType(FloatType)))),

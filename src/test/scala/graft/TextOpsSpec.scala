@@ -166,6 +166,11 @@ class TextOpsSpec extends SparkTestBase {
     graft.functions.TextFunctions.register(spark)
     val r = sql("SELECT graft_nfc(graft_strip_invisible('caf​é')) AS n").head()
     assert(r.getString(0) == composed)
+    // NFKC folds compatibility forms NFC leaves alone
+    def nfkc(s: String): String = TextOps.nfkc(UTF8String.fromString(s)).toString
+    assert(nfkc("１２３") == "123" && nfc("１２３") == "１２３")
+    assert(nfkc("ﬁnd") == "find" && nfkc("x²") == "x2" && nfkc("①") == "1")
+    assert(nfkc("plain") == "plain")
   }
 
   test("SQL surface registered (repetition + pii kernels)") {
