@@ -182,6 +182,34 @@ class SpatialJoinSpec extends SparkTestBase {
     assert(a.getMinX <= -180.0 && a.getMaxX >= 180.0, s"$a")
   }
 
+  test("padGeodesic property: every point within r meters lies inside the padded envelope") {
+    // the false-negative guard for the whole geodesic join family: if this
+    // holds, no matching pair can be lost to the candidate envelope —
+    // over-padding is allowed, under-padding is the bug class
+    import org.locationtech.jts.geom.Envelope
+    val rnd = new scala.util.Random(1234)
+    var checked = 0
+    (0 until 3000).foreach { _ =>
+      val lon = rnd.nextDouble() * 360.0 - 180.0
+      val lat = rnd.nextDouble() * 179.8 - 89.9
+      val meters = math.pow(10.0, 1.0 + rnd.nextDouble() * 5.3) // 10 m .. ~2000 km
+      val az = rnd.nextDouble() * 2 * math.Pi
+      val frac = rnd.nextDouble() // anywhere inside the radius
+      val src = graft.core.GeomOps.point(lon, lat)
+      val dst = graft.core.GeomOps.read(
+        graft.core.Geodesy.projectSphere(src, meters * frac, az)).getCoordinate
+      val e = new Envelope(lon, lon, lat, lat)
+      graft.plans.SpatialJoinExec.padGeodesic(e, meters)
+      // haversine is the model the pad serves; the destination point's
+      // actual distance is meters*frac <= meters by construction
+      assert(e.covers(dst.x, dst.y),
+        f"dest ($lat%.4f,$lon%.4f) +${meters * frac}%.0fm az ${math.toDegrees(az)}%.0f° " +
+          f"→ (${dst.y}%.4f,${dst.x}%.4f) escaped $e")
+      checked += 1
+    }
+    assert(checked == 3000)
+  }
+
   test("geodesic dWithin join finds pairs across the antimeridian") {
     val tmp = java.nio.file.Files.createTempDirectory("sj_seam").toString
     // (179.9, 0) and (-179.5, 0) are ~66.8 km apart by haversine — a true
