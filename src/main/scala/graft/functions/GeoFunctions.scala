@@ -313,13 +313,14 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     *
     * Plan interactions: a rewritten ST_DWithin in a JOIN condition is
     * re-recognized by [[graft.plans.SpatialJoinStrategy]] (geodesic
-    * dWithin family — never BNLJ). The kNN WINDOW shape
-    * (`ROW_NUMBER() OVER (ORDER BY ST_Distance(stamped, g))`) is NOT
-    * intercepted by the adaptive kNN operator when the distance rewrites
-    * to a geodesic kernel: results stay correct (the window ranks by the
-    * geodesic distance) but execute as the literal cross-join + window —
-    * use the explicit planar `st_distance` (kill switch) or the
-    * `SpatialJoin.knn` API when that shape must scale. */
+    * dWithin family — never BNLJ), and the kNN WINDOW shape
+    * (`ROW_NUMBER() OVER (ORDER BY ST_Distance(stamped, g))`) is
+    * intercepted by the adaptive kNN operator with the matching METERS
+    * metric (`SpatialJoin.knn(metric = …)`) — candidate grids convert
+    * meters→degrees conservatively over the data extent. Lon/lat data
+    * straddling the ±180 antimeridian is the kNN grid's documented
+    * caveat (cells don't wrap there; the join family handles the seam
+    * via full-span pads). */
   private val edgeDistanceVariants: Map[String, (String, String, String, String)] = Map(
     "st_distance" -> (("distanceSphere", "distanceGeodesic", "distanceSpheroid",
       "distanceVincenty")),

@@ -105,8 +105,25 @@ object SpatialJoin {
   def knn(left: DataFrame, right: DataFrame,
           leftGeomCol: String, rightGeomCol: String, k: Int,
           leftIdCol: String, rightIdCol: String,
-          initialRadius: Double = 0.0): DataFrame = {
+          initialRadius: Double = 0.0,
+          metric: String = "planar"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // metric: "planar" ranks by euclidean coordinate distance (the
+    // default); the geodesic metrics rank by METERS on the named earth
+    // model — radii are then meters, and the candidate grid converts
+    // meters→degrees conservatively over the data extent (full coverage
+    // guarantee away from the poles; lon/lat data straddling the ±180
+    // antimeridian is a documented caveat — cells don't wrap).
+    val distFn = metric match {
+      case "planar" => "st_distance"
+      case "sphere" | "spherical" => "st_distancesphere"
+      case "karney" => "st_distancegeodesic"
+      case "spheroid" | "andoyer" | "thomas" => "st_distancespheroid"
+      case "vincenty" => "st_distancevincenty"
+      case other => throw new IllegalArgumentException(
+        s"knn metric '$other' (planar|sphere|karney|spheroid|vincenty)")
+    }
+    val geodesic = metric != "planar"
     val outCols =
       left.columns.map(col) ++ right.columns.map(col) ++
         Seq(col("knn_dist"), col("knn_rank"))
@@ -126,16 +143,30 @@ object SpatialJoin {
 
     val (xmin, ymin) = (math.min(le.getDouble(0), re.getDouble(0)), math.min(le.getDouble(1), re.getDouble(1)))
     val (xmax, ymax) = (math.max(le.getDouble(2), re.getDouble(2)), math.max(le.getDouble(3), re.getDouble(3)))
-    val diag = math.hypot(xmax - xmin, ymax - ymin)
-    val rMax = if (diag > 0) diag else 1.0
+    // most extreme |latitude| the data (or a radius-padded neighborhood of
+    // it) can reach — fixes the meters→degrees conversion for the rounds
+    val phiMax = math.min(89.0, math.max(math.abs(ymin), math.abs(ymax)) + 1.0)
+    val cosMin = math.cos(math.toRadians(phiMax))
+    // meters of r → a cell size in DEGREES that bounds BOTH axes'
+    // displacement (lat: r/110000 ≤ this; lon: r/(110000·cosφ) = this)
+    def csDegFor(rM: Double): Double = rM / (110000.0 * cosMin)
+    val diagDeg = math.hypot(xmax - xmin, ymax - ymin)
+    val rMax =
+      if (!geodesic) { if (diagDeg > 0) diagDeg else 1.0 }
+      else 2.0031e7 // half the earth's circumference: the global distance bound
     val density = (xmax - xmin) * (ymax - ymin) / nRight
     val r0 =
       if (initialRadius > 0) math.min(initialRadius, rMax)
-      else if (density > 0) math.min(math.sqrt(density * k / math.Pi) * 2.0, rMax)
+      else if (density > 0) {
+        val r0Deg = math.sqrt(density * k / math.Pi) * 2.0
+        math.min(if (geodesic) r0Deg * 111320.0 else r0Deg, rMax)
+      }
       else rMax / 64
 
     def candidates(lhs: DataFrame, r: Double): DataFrame = {
-      val cs = lit(r)
+      // grid in coordinate units: for geodesic metrics the DEGREE cell is
+      // sized so every point within r METERS is at most one cell away
+      val cs = lit(if (geodesic) csDegFor(r) else r)
       val l = lhs.withColumn("__lb", call_function("st_bbox", col(leftGeomCol)))
         .withColumn("__cx", explode(sequence(
           floor((col("__lb.xmin") - cs) / cs).cast("long"),
@@ -152,7 +183,7 @@ object SpatialJoin {
           floor(col("__rb.ymax") / cs).cast("long"))))
       l.join(rr, col("__cx") === col("__rcx") && col("__cy") === col("__rcy"))
         .withColumn("knn_dist",
-          call_function("st_distance", col(leftGeomCol), col(rightGeomCol)))
+          call_function(distFn, col(leftGeomCol), col(rightGeomCol)))
         .where(col("knn_dist") <= lit(r))
         .drop("__lb", "__cx", "__cy", "__rb", "__rcx", "__rcy")
         // a pair can meet in several cells (envelopes span cells) — one copy

@@ -51,7 +51,8 @@ case class KnnTopKExec(
     partKey: Attribute,
     k: Int,
     rankId: ExprId,
-    distIds: Set[ExprId]) extends LeafExecNode {
+    distIds: Set[ExprId],
+    metric: String = "planar") extends LeafExecNode {
 
   override protected def doExecute(): RDD[InternalRow] = {
     val ss = session
@@ -74,7 +75,8 @@ case class KnnTopKExec(
     val gj = rightPlan.output.indexWhere(_.exprId == rightGeom.exprId)
     val pi = leftPlan.output.indexWhere(_.exprId == partKey.exprId)
     val res = graft.operators.SpatialJoin.knn(
-      lDf, rDf, lNames(gi), rNames(gj), k, "__knn_lid", "__knn_rid")
+      lDf, rDf, lNames(gi), rNames(gj), k, "__knn_lid", "__knn_rid",
+      metric = metric)
     // re-rank the k-per-row candidates over the user's partition key (a
     // window over at most k·|left| rows, not the cartesian): reproduces the
     // literal plan's per-GROUP ranking even when key values repeat

@@ -170,10 +170,20 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
     }
     if (join.condition.nonEmpty ||
         (join.joinType != Inner && join.joinType != Cross)) return None
-    def distArgs(e: Expression): Option[(Attribute, Attribute)] = e match {
+    // (left geom, right geom, knn metric): plain planar distance, or the
+    // edges-dispatch geodesic kernels — an ORDER BY over a stamped column
+    // must still take the adaptive kNN operator, now with a meters metric
+    def distArgs(e: Expression): Option[(Attribute, Attribute, String)] = e match {
       case si: StaticInvoke if si.staticObject == geomOps && si.functionName == "distance" =>
         si.arguments.map(strip) match {
-          case Seq(a: Attribute, b: Attribute) => Some((a, b))
+          case Seq(a: Attribute, b: Attribute) => Some((a, b, "planar"))
+          case _ => None
+        }
+      case si: StaticInvoke if si.staticObject == geodesy &&
+          knnMetricOf.contains(si.functionName) =>
+        si.arguments.map(strip) match {
+          case Seq(a: Attribute, b: Attribute) =>
+            Some((a, b, knnMetricOf(si.functionName)))
           case _ => None
         }
       case _ => None
@@ -185,7 +195,7 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
           .getOrElse(return None)
       case other => other
     }
-    val (g1, g2) = distArgs(ordExpr).getOrElse(return None)
+    val (g1, g2, metric) = distArgs(ordExpr).getOrElse(return None)
     // orient: lg with the left side; distance is symmetric so flip freely
     val (lg, rg) =
       if (g1.references.subsetOf(join.left.outputSet) &&
@@ -195,18 +205,25 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
       else return None
     if (!join.left.outputSet.contains(pk)) return None
     // every projected item must be a side attribute or a distance alias
+    // (of the SAME metric — mixing metrics would re-rank inconsistently)
     val sideAttrs = join.left.outputSet ++ join.right.outputSet
     val distIds = scala.collection.mutable.Set.empty[ExprId]
     projectList.foreach {
       case a: Attribute if sideAttrs.contains(a) => ()
-      case pal @ Alias(child, _) if distArgs(child).contains((lg, rg)) ||
-                                    distArgs(child).contains((rg, lg)) =>
+      case pal @ Alias(child, _) if distArgs(child).contains((lg, rg, metric)) ||
+                                    distArgs(child).contains((rg, lg, metric)) =>
         distIds += pal.exprId
       case _ => return None
     }
     Some(KnnTopKExec(wOutput, join.left, join.right, lg, rg, pk, k,
-      rk.exprId, distIds.toSet))
+      rk.exprId, distIds.toSet, metric))
   }
+
+  /** Geodesy kernel name (as StaticInvoke'd by the edges dispatch) →
+    * [[graft.operators.SpatialJoin.knn]] metric name. */
+  private val knnMetricOf: Map[String, String] = Map(
+    "distanceSphere" -> "sphere", "distanceGeodesic" -> "karney",
+    "distanceSpheroid" -> "spheroid", "distanceVincenty" -> "vincenty")
 
   /** True if `c` is an equality whose sides split across the join — i.e. a
     * key Spark's own hash/sort-merge joins can use. */

@@ -84,6 +84,86 @@ class KnnJoinSpec extends SparkTestBase {
     assert(got == exp)
   }
 
+  /** brute-force haversine ground truth */
+  private def expectedSphere(left: Seq[(Long, Double, Double)],
+                             right: Seq[(Long, Double, Double)], k: Int) =
+    left.map { case (lid, lx, ly) =>
+      lid -> right.map { case (rid, rx, ry) =>
+        (rid, graft.core.Geodesy.haversineMeters(lx, ly, rx, ry))
+      }.sortBy { case (rid, d) => (d, rid) }.take(k)
+    }.toMap
+
+  test("geodesic knn: meters metric, high latitude where planar order is WRONG") {
+    // at lat 60 a degree of longitude is ~55.8 km vs ~111.3 km per degree
+    // of latitude: B (0, 61.5) is planar-closer to Q than A (1.9, 60) but
+    // haversine-FARTHER — the metric genuinely changes the answer
+    val l = Seq((1L, 0.0, 60.0))
+    val r = Seq((10L, 1.9, 60.0), (11L, 0.0, 61.5), (12L, 30.0, 60.0))
+    val planar = SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+      "lg", "rg", 1, "lid", "rid")
+      .select("rid").as[Long].collect().toSeq
+    val sphere = SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+      "lg", "rg", 1, "lid", "rid", metric = "sphere")
+      .select("rid").as[Long].collect().toSeq
+    assert(planar == Seq(11L), s"planar nearest must be B: $planar")
+    assert(sphere == Seq(10L), s"haversine nearest must be A: $sphere")
+    // full ranking matches brute-force haversine, including forced
+    // multi-round resolution from a tiny meters radius
+    val out = SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+      "lg", "rg", 3, "lid", "rid", initialRadius = 5.0, metric = "sphere")
+      .select("rid", "knn_dist", "knn_rank").as[(Long, Double, Long)]
+      .collect().sortBy(_._3).toSeq
+    val exp = expectedSphere(l, r, 3)(1L)
+    assert(out.map(_._1) == exp.map(_._1), s"${out.map(_._1)} vs ${exp.map(_._1)}")
+    out.zip(exp).foreach { case ((_, got, _), (_, want)) =>
+      assert(math.abs(got - want) < 1e-6, s"$got vs $want")
+    }
+  }
+
+  test("geodesic knn at scale: every row exact vs brute-force haversine") {
+    val rnd = new scala.util.Random(99)
+    val l = (0L until 60L).map(i =>
+      (i, rnd.nextDouble() * 40.0 - 20.0, 45.0 + rnd.nextDouble() * 30.0))
+    val r = (0L until 300L).map(i =>
+      (1000L + i, rnd.nextDouble() * 40.0 - 20.0, 45.0 + rnd.nextDouble() * 30.0))
+    val out = SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+      "lg", "rg", 3, "lid", "rid", metric = "sphere")
+      .select("lid", "rid", "knn_rank").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val exp = expectedSphere(l, r, 3)
+    l.foreach { case (lid, _, _) =>
+      assert(out(lid) == exp(lid).map(_._1), s"left $lid: ${out(lid)} vs ${exp(lid)}")
+    }
+  }
+
+  test("planner: stamped-column kNN window shape takes KnnTopKExec with the sphere metric") {
+    val tmp = java.nio.file.Files.createTempDirectory("knn_edges").toString
+    val l = Seq((1L, 0.0, 60.0), (2L, 5.0, 70.0))
+    val r = Seq((10L, 1.9, 60.0), (11L, 0.0, 61.5), (12L, 30.0, 60.0), (13L, 5.2, 70.1))
+    graft.sources.GeoParquet.write(pts(l, "lid", "geometry"), tmp + "/l",
+      edges = Some("spherical"))
+    graft.sources.GeoParquet.read(spark, tmp + "/l")
+      .selectExpr("lid", "geometry AS lg").createOrReplaceTempView("knn_el")
+    pts(r, "rid", "rg").createOrReplaceTempView("knn_er")
+    // ST_Distance over the stamped column rewrites to haversine; the kNN
+    // planner must still intercept the window shape AND carry the metric
+    val df = sql("""
+      SELECT lid, rid, d, rk FROM (
+        SELECT l.lid, r.rid, ST_Distance(l.lg, r.rg) AS d,
+               ROW_NUMBER() OVER (PARTITION BY l.lid ORDER BY ST_Distance(l.lg, r.rg)) AS rk
+        FROM knn_el l CROSS JOIN knn_er r) t
+      WHERE rk <= 1""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("KnnTopK"), s"expected KnnTopK in:\n$plan")
+    val got = df.collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).sortBy(_._1)
+    val exp = expectedSphere(l, r, 1)
+    assert(got.map(_._2).toSeq == Seq(exp(1L).head._1, exp(2L).head._1),
+      s"haversine nearest per row: ${got.toSeq}")
+    got.foreach { case (lid, _, d) =>
+      assert(math.abs(d - exp(lid).head._2) < 1e-6, s"distance column is meters: $d")
+    }
+  }
+
   test("planner: windowed top-k-by-distance SQL shape plans as KnnTopKExec") {
     val l = Seq((1L, 0.0, 0.0), (2L, 10.0, 10.0), (3L, 5.0, 5.0))
     val r = Seq((10L, 1.0, 0.0), (11L, 0.0, 1.0), (12L, 3.0, 4.0),
