@@ -1965,6 +1965,77 @@ object SparkEntry {
            COUNT(*)::BIGINT AS n, SUM(id)::BIGINT AS sum_id
     FROM raw GROUP BY 1 ORDER BY norm"""
 
+  /** Geodesic kNN under the hash gate (g87): the ROW_NUMBER-over-
+    * ST_Distance window shape on a SPHERICAL-stamped left table — the
+    * edges dispatch rewrites the measure to haversine, the kNN planner
+    * intercepts the shape and runs the adaptive radius-doubling operator
+    * with the meters metric (never the literal cross join). High-latitude
+    * fixture: degree-space and meter-space orderings genuinely differ
+    * there, so a planar-metric regression flips neighbors, not just
+    * distances. Oracle = closed-form haversine + the same window in
+    * DuckDB. */
+  private def g87Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g87_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val l = s.sql("""
+      SELECT CAST(id AS BIGINT) AS lid,
+             ST_Point(CAST(id * 3 - 15 AS DOUBLE), CAST(55 + id AS DOUBLE)) AS geometry
+      FROM range(10)""")
+    graft.sources.GeoParquet.write(l, base, edges = Some("spherical"))
+    val tag = new java.io.File(base).getName.split('_').last
+    val vL = "graft_g87_l_" + tag
+    val vR = "graft_g87_r_" + tag
+    graft.sources.GeoParquet.read(s, base)
+      .selectExpr("lid", "geometry AS lg").createOrReplaceTempView(vL)
+    // per-rid latitude skew breaks the lon-mirror symmetry that would
+    // otherwise produce EXACT haversine ties (rx pairs mirrored about a
+    // query meridian) — ties would make the single-key window
+    // nondeterministic across engines
+    s.sql("""
+      SELECT CAST(id AS BIGINT) AS rid,
+             ST_Point(CAST((id % 8) * 4 - 16 AS DOUBLE),
+                      CAST(54 + CAST(id / 8 AS INT) * 3 AS DOUBLE) + CAST(id AS DOUBLE) * 0.001) AS rg
+      FROM range(40)""").createOrReplaceTempView(vR)
+    val out = s.sql(s"""
+      SELECT lid, rid, ROUND(d, 3) AS meters, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT l.lid, r.rid, ST_Distance(l.lg, r.rg) AS d,
+               ROW_NUMBER() OVER (PARTITION BY l.lid
+                 ORDER BY ST_Distance(l.lg, r.rg)) AS rk
+        FROM $vL l CROSS JOIN $vR r) t
+      WHERE rk <= 2 ORDER BY lid, rk""")
+    // the shape MUST take the adaptive kNN operator — a silent fall-through
+    // to the literal cross join would still hash-match, so pin the plan
+    require(out.queryExecution.executedPlan.toString.contains("KnnTopK"),
+      "g87: stamped kNN window shape must plan as KnnTopKExec")
+    val materialized = out.orderBy("lid", "rk")
+    materialized.count() // analyze + run before the views drop
+    s.catalog.dropTempView(vL)
+    s.catalog.dropTempView(vR)
+    materialized
+  }
+
+  private val g87Duck = """
+    WITH l AS (SELECT i AS lid, CAST(i * 3 - 15 AS DOUBLE) AS lx,
+                      CAST(55 + i AS DOUBLE) AS ly FROM range(10) t(i)),
+         r AS (SELECT i AS rid, CAST((i % 8) * 4 - 16 AS DOUBLE) AS rx,
+                      CAST(54 + (i // 8) * 3 AS DOUBLE) + i * 0.001 AS ry
+               FROM range(40) t(i)),
+         d AS (SELECT lid, rid,
+                 2 * 6371008.8 * asin(least(1.0, sqrt(
+                   pow(sin(radians(ry - ly) / 2), 2) +
+                   cos(radians(ly)) * cos(radians(ry)) *
+                     pow(sin(radians(rx - lx) / 2), 2)))) AS hm,
+                 ROW_NUMBER() OVER (PARTITION BY lid ORDER BY
+                   2 * 6371008.8 * asin(least(1.0, sqrt(
+                     pow(sin(radians(ry - ly) / 2), 2) +
+                     cos(radians(ly)) * cos(radians(ry)) *
+                       pow(sin(radians(rx - lx) / 2), 2))))) AS rk
+               FROM l CROSS JOIN r)
+    SELECT lid::BIGINT AS lid, rid::BIGINT AS rid, ROUND(hm, 3) AS meters,
+           rk::BIGINT AS rk
+    FROM d WHERE rk <= 2 ORDER BY lid, rk"""
+
   /** NFKC compatibility folding (t52): fullwidth digits, ligatures,
     * circled and superscript forms fold onto plain equivalents — without
     * this a tokenizer treats '１２３' and '123' as distinct tokens. The
@@ -10991,6 +11062,7 @@ object SparkEntry {
     ("s16_stream_geoparquet_pruned", s16Fn _, s16Duck),
     ("t51_unicode_normalize", q(t51Spark), t51Duck),
     ("t52_nfkc_fold", q(t52Spark), t52Duck),
+    ("g87_geodesic_knn", g87Fn _, g87Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),
