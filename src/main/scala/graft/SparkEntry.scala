@@ -2036,6 +2036,81 @@ object SparkEntry {
            rk::BIGINT AS rk
     FROM d WHERE rk <= 2 ORDER BY lid, rk"""
 
+  /** Antimeridian-seam geodesic kNN (g88): left points sit just EAST of
+    * ±180; every true top-2 neighbor sits just WEST of it (~111 km across
+    * the seam), while same-side decoys are ≥160 km away. A candidate grid
+    * whose lon cells don't wrap resolves each row with the decoys and never
+    * sees the true neighbors — the wrapped (exact-divisor, pmod) cell keys
+    * are the thing under test. Same planner gate as g87: the window shape
+    * over a SPHERICAL-stamped column must run through KnnTopKExec. Oracle =
+    * closed-form haversine + the same window in DuckDB. */
+  private def g88Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g88_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val l = s.sql("""
+      SELECT CAST(id AS BIGINT) AS lid,
+             ST_Point(179.9, CAST(40 + id * 2 AS DOUBLE)) AS geometry
+      FROM range(8)""")
+    graft.sources.GeoParquet.write(l, base, edges = Some("spherical"))
+    val tag = new java.io.File(base).getName.split('_').last
+    val vL = "graft_g88_l_" + tag
+    val vR = "graft_g88_r_" + tag
+    graft.sources.GeoParquet.read(s, base)
+      .selectExpr("lid", "geometry AS lg").createOrReplaceTempView(vL)
+    // cross-seam bands at odd lats 39..57 bracket every left lat from both
+    // sides; the 0.0004/0.001 skews keep all pair distances distinct
+    s.sql("""
+      SELECT CAST(id AS BIGINT) AS rid,
+             ST_Point(CASE WHEN id % 5 = 0
+                        THEN -179.9 + CAST(id AS DOUBLE) * 0.0004
+                        ELSE 176.0 + CAST(id % 5 AS DOUBLE) * 0.5
+                               + CAST(id AS DOUBLE) * 0.0004 END,
+                      CAST(39 + CAST(id / 5 AS INT) * 2 AS DOUBLE)
+                        + CAST(id AS DOUBLE) * 0.001) AS rg
+      FROM range(50)""").createOrReplaceTempView(vR)
+    val out = s.sql(s"""
+      SELECT lid, rid, ROUND(d, 3) AS meters, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT l.lid, r.rid, ST_Distance(l.lg, r.rg) AS d,
+               ROW_NUMBER() OVER (PARTITION BY l.lid
+                 ORDER BY ST_Distance(l.lg, r.rg)) AS rk
+        FROM $vL l CROSS JOIN $vR r) t
+      WHERE rk <= 2 ORDER BY lid, rk""")
+    require(out.queryExecution.executedPlan.toString.contains("KnnTopK"),
+      "g88: stamped kNN window shape must plan as KnnTopKExec")
+    val materialized = out.orderBy("lid", "rk")
+    materialized.count() // analyze + run before the views drop
+    s.catalog.dropTempView(vL)
+    s.catalog.dropTempView(vR)
+    materialized
+  }
+
+  private val g88Duck = """
+    WITH l AS (SELECT i AS lid, 179.9 AS lx,
+                      CAST(40 + i * 2 AS DOUBLE) AS ly FROM range(8) t(i)),
+         r AS (SELECT i AS rid,
+                      CASE WHEN i % 5 = 0
+                        THEN -179.9 + CAST(i AS DOUBLE) * 0.0004
+                        ELSE 176.0 + CAST(i % 5 AS DOUBLE) * 0.5
+                               + CAST(i AS DOUBLE) * 0.0004 END AS rx,
+                      CAST(39 + (i // 5) * 2 AS DOUBLE)
+                        + CAST(i AS DOUBLE) * 0.001 AS ry
+               FROM range(50) t(i)),
+         d AS (SELECT lid, rid,
+                 2 * 6371008.8 * asin(least(1.0, sqrt(
+                   pow(sin(radians(ry - ly) / 2), 2) +
+                   cos(radians(ly)) * cos(radians(ry)) *
+                     pow(sin(radians(rx - lx) / 2), 2)))) AS hm,
+                 ROW_NUMBER() OVER (PARTITION BY lid ORDER BY
+                   2 * 6371008.8 * asin(least(1.0, sqrt(
+                     pow(sin(radians(ry - ly) / 2), 2) +
+                     cos(radians(ly)) * cos(radians(ry)) *
+                       pow(sin(radians(rx - lx) / 2), 2))))) AS rk
+               FROM l CROSS JOIN r)
+    SELECT lid::BIGINT AS lid, rid::BIGINT AS rid, ROUND(hm, 3) AS meters,
+           rk::BIGINT AS rk
+    FROM d WHERE rk <= 2 ORDER BY lid, rk"""
+
   /** NFKC compatibility folding (t52): fullwidth digits, ligatures,
     * circled and superscript forms fold onto plain equivalents — without
     * this a tokenizer treats '１２３' and '123' as distinct tokens. The
@@ -11063,6 +11138,7 @@ object SparkEntry {
     ("t51_unicode_normalize", q(t51Spark), t51Duck),
     ("t52_nfkc_fold", q(t52Spark), t52Duck),
     ("g87_geodesic_knn", g87Fn _, g87Duck),
+    ("g88_knn_antimeridian", g88Fn _, g88Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

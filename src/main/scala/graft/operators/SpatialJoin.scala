@@ -27,6 +27,8 @@ import org.apache.spark.sql.functions._
   */
 object SpatialJoin {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** driver-side fail-fast validation of a predicate name. */
   private def pred(name: String): Unit = name match {
     case "intersects" | "contains" | "covers" | "within" => ()
@@ -93,14 +95,25 @@ object SpatialJoin {
     * (cx, cy), refined by `dist <= r_i`. A left row whose k-th candidate
     * sits within r_i is RESOLVED — no unseen right row can beat it (every
     * non-candidate is strictly farther than r_i). Unresolved rows re-probe
-    * with r_{i+1} = 2·r_i, capped at the combined-extent diagonal, where
-    * every pair is a candidate and everything resolves. Each round is a
-    * pure equi-join — never an all-pairs product — and the unresolved side
-    * shrinks geometrically; r_0 is estimated from the right side's density
-    * (expected k neighbors per probe window), so most rows resolve in one
-    * round. Driver-side loop with localCheckpoint between rounds (same
-    * pattern as ConnectedComponents). Hot cells at a given radius carry the
-    * usual keyed-shuffle skew caveat.
+    * with r_{i+1} = 2·r_i. Each bounded round is a pure equi-join — never
+    * an all-pairs product — and the unresolved side shrinks geometrically;
+    * r_0 is estimated from the right side's density (expected k neighbors
+    * per probe window), so most rows resolve in one round. Driver-side
+    * loop with localCheckpoint between rounds (same pattern as
+    * ConnectedComponents). Hot cells at a given radius carry the usual
+    * keyed-shuffle skew caveat.
+    *
+    * Rows still unresolved once the radius would exceed the global bound
+    * (combined-extent diagonal planar; half the earth's circumference
+    * geodesic) take a FINAL broadcast pass instead of a degenerate grid
+    * round: at that radius every grid key is constant, so the old
+    * one-more-round topology put |unresolved|×|right| in a single task.
+    * The remainder is by construction the small side (the rows that found
+    * < k neighbors within every bounded radius), so it broadcasts; each
+    * right partition ranks it against a bounded per-left heap map-side and
+    * only |remainder|·k·partitions rows reach the merge shuffle. A
+    * remainder larger than `graft.knn.broadcastRemainderMaxRows` (default
+    * 2M) falls back to the grid round with a warning.
     */
   def knn(left: DataFrame, right: DataFrame,
           leftGeomCol: String, rightGeomCol: String, k: Int,
@@ -111,9 +124,10 @@ object SpatialJoin {
     // metric: "planar" ranks by euclidean coordinate distance (the
     // default); the geodesic metrics rank by METERS on the named earth
     // model — radii are then meters, and the candidate grid converts
-    // meters→degrees conservatively over the data extent (full coverage
-    // guarantee away from the poles; lon/lat data straddling the ±180
-    // antimeridian is a documented caveat — cells don't wrap).
+    // meters→degrees conservatively with a RADIUS-dependent latitude
+    // allowance (see lonGrid). Geodesic lon cells tile the circle exactly
+    // and wrap modulo the cell count, so the ±180 antimeridian seam is
+    // adjacent — a probe at lon 179.9 reaches candidates at −179.9.
     val distFn = metric match {
       case "planar" => "st_distance"
       case "sphere" | "spherical" => "st_distancesphere"
@@ -143,13 +157,27 @@ object SpatialJoin {
 
     val (xmin, ymin) = (math.min(le.getDouble(0), re.getDouble(0)), math.min(le.getDouble(1), re.getDouble(1)))
     val (xmax, ymax) = (math.max(le.getDouble(2), re.getDouble(2)), math.max(le.getDouble(3), re.getDouble(3)))
-    // most extreme |latitude| the data (or a radius-padded neighborhood of
-    // it) can reach — fixes the meters→degrees conversion for the rounds
-    val phiMax = math.min(89.0, math.max(math.abs(ymin), math.abs(ymax)) + 1.0)
-    val cosMin = math.cos(math.toRadians(phiMax))
-    // meters of r → a cell size in DEGREES that bounds BOTH axes'
-    // displacement (lat: r/110000 ≤ this; lon: r/(110000·cosφ) = this)
-    def csDegFor(rM: Double): Double = rM / (110000.0 * cosMin)
+    val maxAbsLat = math.max(math.abs(ymin), math.abs(ymax))
+    // lon-cell layout for a geodesic round: the cell size snaps to an
+    // EXACT divisor of 360 so cells tile the circle and pmod-wrapped keys
+    // make the ±180 seam adjacent (snapping rounds the cell UP, which
+    // keeps the ≤1-cell displacement guarantee). The meters→degrees
+    // allowance is RADIUS-dependent: the far endpoint of an r-meter
+    // geodesic can sit r/110574° poleward of the data's extreme latitude,
+    // so the cos(φ) lon scaling must use that padded latitude — a fixed
+    // extent-derived allowance under-sizes cells for multi-1000-km rounds
+    // at mid/high latitude and silently drops true neighbors. Rounds whose
+    // padded latitude reaches the pole collapse to a single lon cell:
+    // meridians converge there and no bounded lon cell is correct.
+    def lonGrid(rM: Double): (Double, Long) = {
+      val phi = maxAbsLat + 1.0 + rM / 110000.0
+      lazy val raw = rM / (110000.0 * math.cos(math.toRadians(phi)))
+      if (phi >= 89.0 || raw >= 360.0) (360.0, 1L)
+      else {
+        val n = math.max(1L, math.floor(360.0 / raw).toLong)
+        (360.0 / n, n)
+      }
+    }
     val diagDeg = math.hypot(xmax - xmin, ymax - ymin)
     val rMax =
       if (!geodesic) { if (diagDeg > 0) diagDeg else 1.0 }
@@ -164,26 +192,40 @@ object SpatialJoin {
       else rMax / 64
 
     def candidates(lhs: DataFrame, r: Double): DataFrame = {
-      // grid in coordinate units: for geodesic metrics the DEGREE cell is
-      // sized so every point within r METERS is at most one cell away
-      val cs = lit(if (geodesic) csDegFor(r) else r)
+      // grid in coordinate units: geodesic rounds use the exact-divisor
+      // lon cell (wrapped mod nLon, see lonGrid) and a latitude cell
+      // bounding the r-meter displacement; planar rounds use r both axes
+      val (csXv, nLon, csYv) =
+        if (geodesic) { val (cx, n) = lonGrid(r); (cx, n, r / 110000.0) }
+        else (r, 0L, r)
+      val csx = lit(csXv)
+      val csy = lit(csYv)
+      def wrapX(c: org.apache.spark.sql.Column) =
+        if (geodesic) pmod(c, lit(nLon)) else c
       val l = lhs.withColumn("__lb", call_function("st_bbox", col(leftGeomCol)))
         .withColumn("__cx", explode(sequence(
-          floor((col("__lb.xmin") - cs) / cs).cast("long"),
-          floor((col("__lb.xmax") + cs) / cs).cast("long"))))
+          floor((col("__lb.xmin") - csx) / csx).cast("long"),
+          floor((col("__lb.xmax") + csx) / csx).cast("long"))))
+        .withColumn("__cx", wrapX(col("__cx")))
         .withColumn("__cy", explode(sequence(
-          floor((col("__lb.ymin") - cs) / cs).cast("long"),
-          floor((col("__lb.ymax") + cs) / cs).cast("long"))))
+          floor((col("__lb.ymin") - csy) / csy).cast("long"),
+          floor((col("__lb.ymax") + csy) / csy).cast("long"))))
       val rr = right.withColumn("__rb", call_function("st_bbox", col(rightGeomCol)))
         .withColumn("__rcx", explode(sequence(
-          floor(col("__rb.xmin") / cs).cast("long"),
-          floor(col("__rb.xmax") / cs).cast("long"))))
+          floor(col("__rb.xmin") / csx).cast("long"),
+          floor(col("__rb.xmax") / csx).cast("long"))))
+        .withColumn("__rcx", wrapX(col("__rcx")))
         .withColumn("__rcy", explode(sequence(
-          floor(col("__rb.ymin") / cs).cast("long"),
-          floor(col("__rb.ymax") / cs).cast("long"))))
+          floor(col("__rb.ymin") / csy).cast("long"),
+          floor(col("__rb.ymax") / csy).cast("long"))))
       l.join(rr, col("__cx") === col("__rcx") && col("__cy") === col("__rcy"))
         .withColumn("knn_dist",
           call_function(distFn, col(leftGeomCol), col(rightGeomCol)))
+        // a NaN from a kernel edge case must fail LOUDLY — `NaN <= r` is
+        // silently false and would return plausible-but-wrong neighbors
+        .withColumn("knn_dist", when(isnan(col("knn_dist")), raise_error(lit(
+            s"graft.knn: NaN distance from $distFn — kernel regression, refusing to rank")))
+          .otherwise(col("knn_dist")))
         .where(col("knn_dist") <= lit(r))
         .drop("__lb", "__cx", "__cy", "__rb", "__rcx", "__rcy")
         // a pair can meet in several cells (envelopes span cells) — one copy
@@ -195,6 +237,85 @@ object SpatialJoin {
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(leftIdCol))
 
     val spark = left.sparkSession
+
+    /** Final pass for rows unresolved at the global radius bound: rank the
+      * (small, broadcast) remainder against every right partition with a
+      * bounded per-left max-heap — the |remainder|×|right| work distributes
+      * over the right side's partitions instead of landing on the one task
+      * that owned the old rMax grid round's constant cell key, and only
+      * |remainder|·k·partitions rows reach the merge shuffle. The kernel is
+      * the SAME WKB distance the SQL rounds rank by. */
+    def broadcastRemainder(unres: DataFrame): DataFrame = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+      val lSchema = unres.schema
+      val lGeomIdx = lSchema.fieldIndex(leftGeomCol)
+      val lIdIdx = lSchema.fieldIndex(leftIdCol)
+      // bounded collect: caller guards |unres| ≤ graft.knn.broadcastRemainderMaxRows
+      val uRows = unres.collect()
+      val bu = spark.sparkContext.broadcast(uRows.map(row =>
+        (row.get(lIdIdx), row.getAs[Array[Byte]](lGeomIdx))))
+      val rSchema = right.schema
+      val rGeomIdx = rSchema.fieldIndex(rightGeomCol)
+      val rIdIdx = rSchema.fieldIndex(rightIdCol)
+      val dk = distKernel(metric)
+      val kk = k
+      val mName = metric
+      val partial = right.rdd.mapPartitions { it =>
+        val lefts = bu.value
+        // max-heap ordered like the rank window (dist asc, right id asc):
+        // top = current worst of the best k, evicted when beaten
+        val ord = new Ordering[(Double, Any, Row)] {
+          def compare(a: (Double, Any, Row), b: (Double, Any, Row)): Int = {
+            val c = java.lang.Double.compare(a._1, b._1)
+            if (c != 0) c
+            else a._2.asInstanceOf[Comparable[Any]].compareTo(b._2)
+          }
+        }
+        val heaps = lefts.map(_ =>
+          new scala.collection.mutable.PriorityQueue[(Double, Any, Row)]()(ord))
+        it.foreach { rrow =>
+          if (!rrow.isNullAt(rGeomIdx)) {
+            val rwkb = rrow.getAs[Array[Byte]](rGeomIdx)
+            val rid = rrow.get(rIdIdx)
+            var i = 0
+            while (i < lefts.length) {
+              val lwkb = lefts(i)._2
+              if (lwkb != null) {
+                val d = dk(lwkb, rwkb)
+                if (java.lang.Double.isNaN(d)) throw new IllegalStateException(
+                  s"graft.knn: NaN distance from the $mName kernel — kernel regression, refusing to rank")
+                val h = heaps(i)
+                if (h.size < kk) h.enqueue((d, rid, rrow))
+                else if (ord.compare((d, rid, rrow), h.head) < 0) {
+                  h.dequeue(); h.enqueue((d, rid, rrow))
+                }
+              }
+              i += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          val uid = lefts(i)._1
+          h.iterator.map { case (d, _, rrow) => Row.fromSeq(uid +: (rrow.toSeq :+ d)) }
+        }
+      }
+      val partSchema = StructType(
+        StructField("__uid", lSchema(leftIdCol).dataType) +:
+          (rSchema.fields :+ StructField("knn_dist", DoubleType)))
+      val merged = spark.createDataFrame(partial, partSchema)
+        .withColumn("knn_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__uid"))
+            .orderBy(col("knn_dist").asc, col(rightIdCol).asc)))
+        .where(col("knn_rank") <= kk)
+      // reattach the left columns: the remainder is small by construction
+      merged.join(org.apache.spark.sql.functions.broadcast(unres),
+          col("__uid") === unres(leftIdCol))
+        .select(outCols: _*)
+    }
+
+    val maxRemainder = spark.conf.get(
+      "graft.knn.broadcastRemainderMaxRows", "2000000").toLong
     var unresolved = left
     // blocks pinned by the current `unresolved` checkpoint — released the
     // moment the next round's checkpoint supersedes it (the per-round `part`
@@ -205,17 +326,45 @@ object SpatialJoin {
     var r = r0
     var done = false
     while (!done) {
-      val isLast = r >= rMax
-      val ranked = candidates(unresolved, r)
-        .withColumn("knn_rank", row_number().over(w))
-        .withColumn("__cnt", max(col("knn_rank")).over(wAll))
-      val part = ranked
-        .where((lit(isLast) || col("__cnt") >= k) && col("knn_rank") <= k)
-        .select(outCols: _*)
-        .localCheckpoint(true)
-      acc = if (acc == null) part else acc.unionByName(part)
-      if (isLast) done = true
-      else {
+      if (r >= rMax) {
+        // every bounded round is exhausted: brute-force the remainder,
+        // distributed (see broadcastRemainder). Grid fallback only if the
+        // remainder is too large to broadcast — that round's constant cell
+        // key funnels |unresolved|×|right| through one task, so warn.
+        val nRem = unresolved.count()
+        // eager checkpoint: the plan references the `unresolved` checkpoint
+        // whose blocks are released right after the loop — cut the lineage
+        // here like every bounded round's part does
+        val finalPart =
+          if (nRem == 0) null
+          else if (nRem <= maxRemainder)
+            broadcastRemainder(unresolved).localCheckpoint(true)
+          else {
+            log.warn(s"graft.knn: remainder $nRem > graft.knn.broadcastRemainderMaxRows=" +
+              s"$maxRemainder; falling back to the degenerate single-cell grid " +
+              "round (single-task hotspot)")
+            candidates(unresolved, rMax)
+              .withColumn("knn_rank", row_number().over(w))
+              .where(col("knn_rank") <= k)
+              .select(outCols: _*)
+              .localCheckpoint(true)
+          }
+        if (finalPart != null)
+          acc = if (acc == null) finalPart else acc.unionByName(finalPart)
+        if (acc == null)
+          acc = left.limit(0).crossJoin(right.limit(0))
+            .withColumn("knn_dist", lit(0.0)).withColumn("knn_rank", lit(1L))
+            .select(outCols: _*)
+        done = true
+      } else {
+        val ranked = candidates(unresolved, r)
+          .withColumn("knn_rank", row_number().over(w))
+          .withColumn("__cnt", max(col("knn_rank")).over(wAll))
+        val part = ranked
+          .where(col("__cnt") >= k && col("knn_rank") <= k)
+          .select(outCols: _*)
+          .localCheckpoint(true)
+        acc = if (acc == null) part else acc.unionByName(part)
         val resolved = part.select(col(leftIdCol).as("__res_id")).distinct()
         val (next, nextIds) = graft.core.Blocks.checkpoint(
           unresolved.join(resolved, col(leftIdCol) === col("__res_id"), "left_anti"))
@@ -228,6 +377,19 @@ object SpatialJoin {
     graft.core.Blocks.release(spark, unresolvedIds)
     acc
   }
+
+  /** WKB→meters (or planar units) distance kernel matching the SQL
+    * function the grid rounds rank by — the broadcast remainder pass must
+    * use the IDENTICAL metric or ranks flip at the seam between paths. */
+  private def distKernel(metric: String): (Array[Byte], Array[Byte]) => Double =
+    metric match {
+      case "planar" => graft.core.GeomOps.distance
+      case "sphere" | "spherical" => graft.core.Geodesy.distanceSphere
+      case "karney" => graft.core.Geodesy.distanceGeodesic
+      case "spheroid" | "andoyer" | "thomas" => graft.core.Geodesy.distanceSpheroid
+      case "vincenty" => graft.core.Geodesy.distanceVincenty
+      case other => throw new IllegalArgumentException(s"knn metric '$other'")
+    }
 
   /** Big×big inner join on `intersects` via grid partitioning: shuffle both
     * sides on covering cell ids, refine exactly, dedupe with the

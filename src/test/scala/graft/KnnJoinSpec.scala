@@ -255,6 +255,146 @@ class KnnJoinSpec extends SparkTestBase {
     assert(rank.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 10L)))
   }
 
+  test("geodesic knn wraps the ±180 antimeridian seam (resolved in bounded rounds)") {
+    // left sits just EAST of the seam; the true top-2 neighbors per row sit
+    // just WEST of it (~111 km away), while same-side decoys are ~196+ km.
+    // initialRadius forces multi-round resolution at radii where a
+    // non-wrapping grid would resolve every row with the k inferior
+    // same-side decoys (r=320 km sees the 196 km decoy but never the
+    // cross-seam cell) — so equality here proves the wrapped cell keys,
+    // not the final broadcast pass (which never fires: rMax is ~20,000 km)
+    val l = (0L until 8L).map(i => (i, 179.9, 40.0 + i * 2.0))
+    // cross-seam bands at odd lats 39..57 bracket every left lat from both
+    // sides (~111 km each way); same-side decoys are ≥160 km
+    val r = (0L until 50L).map { i =>
+      val lon = if (i % 5 == 0) -179.9 + i * 0.0004
+                else 176.0 + (i % 5) * 0.5 + i * 0.0004
+      (100L + i, lon, 39.0 + (i / 5) * 2.0 + i * 0.001)
+    }
+    val out = SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+      "lg", "rg", 2, "lid", "rid", initialRadius = 10000.0, metric = "sphere")
+      .select("lid", "rid", "knn_dist", "knn_rank").as[(Long, Long, Double, Long)]
+      .collect().groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    val exp = expectedSphere(l, r, 2)
+    l.foreach { case (lid, _, _) =>
+      assert(out(lid).map(_._1) == exp(lid).map(_._1),
+        s"left $lid neighbors: ${out(lid)} vs ${exp(lid)} — seam candidates missed")
+      out(lid).zip(exp(lid)).foreach { case ((_, got), (_, want)) =>
+        assert(math.abs(got - want) < 1e-6) }
+      // the point of the fixture: every true top-2 neighbor is cross-seam
+      assert(exp(lid).forall(_._1 % 5 == 0), s"fixture decayed for left $lid")
+    }
+  }
+
+  test("planar knn does NOT wrap coordinates that happen to look like longitudes") {
+    val l = Seq((1L, 179.9, 0.0))
+    val r = Seq((10L, -179.9, 0.0), (11L, 170.0, 0.0))
+    val out = SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+      "lg", "rg", 1, "lid", "rid")
+      .select("rid", "knn_dist").as[(Long, Double)].collect().toSeq
+    assert(out.head._1 == 11L, s"planar must rank by coordinates, not wrap: $out")
+    assert(math.abs(out.head._2 - 9.9) < 1e-9)
+  }
+
+  /** brute-force Karney ground truth */
+  private def expectedKarney(left: Seq[(Long, Double, Double)],
+                             right: Seq[(Long, Double, Double)], k: Int) =
+    left.map { case (lid, lx, ly) =>
+      lid -> right.map { case (rid, rx, ry) =>
+        (rid, graft.core.KarneyGeodesic.distance(ly, lx, ry, rx))
+      }.sortBy { case (rid, d) => (d, rid) }.take(k)
+    }.toMap
+
+  test("geodesic knn: multi-1000-km rounds at high latitude stay exact (radius-dependent φ)") {
+    // sparse high-latitude data forces rounds with r in the 1000s of km,
+    // where the meters→degrees lon cell must account for the latitude the
+    // round's radius can REACH, not just the extent's (a fixed allowance
+    // under-sizes cells and silently drops true neighbors)
+    val rnd = new scala.util.Random(7)
+    val l = (0L until 12L).map(i =>
+      (i, rnd.nextDouble() * 60.0 - 30.0, 55.0 + rnd.nextDouble() * 20.0))
+    val r = (0L until 25L).map(i =>
+      (100L + i, rnd.nextDouble() * 60.0 - 30.0, 55.0 + rnd.nextDouble() * 20.0))
+    val out = SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+      "lg", "rg", 2, "lid", "rid", initialRadius = 50000.0, metric = "karney")
+      .select("lid", "rid", "knn_rank").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val exp = expectedKarney(l, r, 2)
+    l.foreach { case (lid, _, _) =>
+      assert(out(lid) == exp(lid).map(_._1), s"left $lid: ${out(lid)} vs ${exp(lid)}")
+    }
+  }
+
+  test("final round broadcasts the remainder: no single task holds the cross-product") {
+    val s = spark
+    // 40 lefts inside the right cloud resolve in bounded rounds; 5 isolated
+    // lefts ~6900 units away stay unresolved until r reaches the extent
+    // diagonal — the final pass must rank them against all 5000 rights
+    // WITHOUT one task reading the |remainder|×|right| product (the old
+    // rMax grid round had a constant cell key = one 25k-record task)
+    val rnd = new scala.util.Random(42)
+    val l = (0L until 40L).map(i =>
+      (i, rnd.nextDouble() * 100.0, rnd.nextDouble() * 100.0)) ++
+      (40L until 45L).map(i => (i, 5000.0 + (i - 40L) * 3.0, 5000.0 + (i - 40L) * 5.0))
+    val r = (0L until 5000L).map(i =>
+      (10000L + i, rnd.nextDouble() * 100.0, rnd.nextDouble() * 100.0))
+    val perTask = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics).foreach(m => perTask.add(m.shuffleReadMetrics.recordsRead))
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      val out = SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+        "lg", "rg", 3, "lid", "rid", initialRadius = 2.0)
+        .select("lid", "rid", "knn_rank").as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+      // output equality: the isolated rows can ONLY come from the final pass
+      val exp = expected(l, r, 3)
+      l.foreach { case (lid, _, _) =>
+        assert(out(lid) == exp(lid).map(_._1), s"left $lid: ${out(lid)} vs ${exp(lid)}")
+      }
+      // listener bus is async — wait until the task totals stabilize
+      var snap = -1
+      var stable = false
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!stable && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        val now = perTask.size()
+        stable = now == snap && now > 0
+        snap = now
+      }
+      val max = scala.jdk.CollectionConverters.IteratorHasAsScala(perTask.iterator).asScala
+        .foldLeft(0L)(math.max)
+      assert(max < 5000,
+        s"a task read $max shuffle records — the 5×5000 remainder product " +
+          "must distribute map-side, not land on one task")
+    } finally s.sparkContext.removeSparkListener(listener)
+  }
+
+  test("oversized remainder falls back to the grid round and stays correct") {
+    val s = spark
+    val prev = s.conf.getOption("graft.knn.broadcastRemainderMaxRows")
+    s.conf.set("graft.knn.broadcastRemainderMaxRows", "0")
+    try {
+      val l = Seq((1L, 0.0, 0.0), (2L, 5000.0, 5000.0))
+      val r = (0L until 50L).map(i => (100L + i, i * 2.0, 1.0))
+      val out = SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+        "lg", "rg", 2, "lid", "rid", initialRadius = 1.0)
+        .select("lid", "rid", "knn_rank").as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+      val exp = expected(l, r, 2)
+      assert(out(1L) == exp(1L).map(_._1))
+      assert(out(2L) == exp(2L).map(_._1))
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("graft.knn.broadcastRemainderMaxRows", v)
+        case None => s.conf.unset("graft.knn.broadcastRemainderMaxRows")
+      }
+    }
+  }
+
   test("invalid k rejected") {
     val df = pts(Seq((1L, 0.0, 0.0)), "id", "g")
     intercept[IllegalArgumentException] {
