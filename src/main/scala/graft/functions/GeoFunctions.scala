@@ -317,10 +317,12 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     * (`ROW_NUMBER() OVER (ORDER BY ST_Distance(stamped, g))`) is
     * intercepted by the adaptive kNN operator with the matching METERS
     * metric (`SpatialJoin.knn(metric = …)`) — candidate grids convert
-    * meters→degrees conservatively over the data extent. Lon/lat data
-    * straddling the ±180 antimeridian is the kNN grid's documented
-    * caveat (cells don't wrap there; the join family handles the seam
-    * via full-span pads). */
+    * meters→degrees conservatively with a radius-dependent latitude
+    * allowance, and their lon cells wrap the ±180 antimeridian (the join
+    * family handles the seam via full-span pads). Because the kernels are
+    * first-coordinate distance, the binary dispatch additionally requires
+    * point-only geometry_types evidence on every stamped attribute (see
+    * the gate in [[edgesDispatch]]). */
   private val edgeDistanceVariants: Map[String, (String, String, String, String)] = Map(
     "st_distance" -> (("distanceSphere", "distanceGeodesic", "distanceSpheroid",
       "distanceVincenty")),
@@ -336,6 +338,17 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
       Some(a.metadata.getString("geoparquet.edges").toLowerCase).filterNot(_ == "planar")
     case _ => None
   }
+
+  /** True when the column's declared geometry_types constraint (stamped
+    * from the GeoParquet footer / GeoArrow extension name) proves every
+    * value is a point ("Point", "Point Z", …). An absent or empty
+    * constraint proves nothing — returns false. */
+  private def pointOnlyTypes(md: org.apache.spark.sql.types.Metadata): Boolean =
+    md.contains("geoparquet.geometry_types") && {
+      val ts = md.getString("geoparquet.geometry_types")
+        .split(",").map(_.trim).filter(_.nonEmpty)
+      ts.nonEmpty && ts.forall(_.takeWhile(_ != ' ') == "Point")
+    }
 
   private def pickVariant(model: String,
                           v: (String, String, String, String)): Option[String] = model match {
@@ -393,6 +406,28 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
       val target = pickVariant(model, edgeDistanceVariants(name)).getOrElse {
         logWarning(s"$name over a column declaring edges='$model' (not a " +
           "recognized model) — measuring PLANAR.")
+        return None
+      }
+      // the geodesic distance kernels read only the FIRST coordinate of
+      // each WKB — exact for points, silently different semantics for
+      // lines/polygons (planar ST_Distance is true geometry distance, JTS
+      // isWithinDistance). This dispatch is AUTOMATIC, so every stamped
+      // attribute must carry point-only evidence (the source's
+      // geometry_types constraint, stamped by GeoParquet.read/ArrowIpc);
+      // a stamped column without it keeps the planar measure — loudly.
+      // Derived expressions and unstamped point views pass: the user
+      // constructed those geometries in the query.
+      val unproven = args.take(2).collect {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if a.metadata.contains("geoparquet.edges") &&
+              !pointOnlyTypes(a.metadata) => a.name
+      }
+      if (unproven.nonEmpty) {
+        logWarning(s"$name over edges='$model' stamped column(s) " +
+          s"${unproven.mkString(", ")} without a point-only geometry_types " +
+          "declaration — keeping the PLANAR measure (the geodesic kernels " +
+          "are point-to-point; use the explicit st_distance<model> " +
+          "variants to opt in for non-point geometry).")
         return None
       }
       val dist = invoke(geodesy, target, args.take(2))

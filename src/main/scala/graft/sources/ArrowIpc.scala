@@ -92,6 +92,18 @@ object ArrowIpc {
         if (!isGeo(f.getMetadata)) base
         else {
           val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          // a geometry-specific extension name IS a type constraint — stamp
+          // it like GeoParquet's footer geometry_types so the binary edges
+          // distance dispatch has point evidence (geoarrow.wkb stays
+          // unconstrained: the bytes could hold any type)
+          Option(f.getMetadata.get("ARROW:extension:name")).collect {
+            case "geoarrow.point" => "Point"
+            case "geoarrow.linestring" => "LineString"
+            case "geoarrow.polygon" => "Polygon"
+            case "geoarrow.multipoint" => "MultiPoint"
+            case "geoarrow.multilinestring" => "MultiLineString"
+            case "geoarrow.multipolygon" => "MultiPolygon"
+          }.foreach(mb.putString("geoparquet.geometry_types", _))
           Option(f.getMetadata.get("ARROW:extension:metadata")).filter(_.nonEmpty).foreach { json =>
             // the Arrow spec allows arbitrary bytes here — a non-JSON blob
             // from another producer must not fail schema inference, it just

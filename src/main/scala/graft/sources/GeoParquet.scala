@@ -40,6 +40,8 @@ import org.apache.spark.sql.types.{Metadata, MetadataBuilder}
   */
 object GeoParquet {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private val mapper = new ObjectMapper()
 
   case class GeomColumn(name: String, encoding: String, crs: Option[String],
@@ -91,7 +93,7 @@ object GeoParquet {
     val hit = metaCache.get(key)
     if (hit != null && hit.signature == sig) return hit.meta
     val files = stats.map(_.getPath)
-    val perFile = footerKVs(spark, conf, files, "geo").map(_.map(parseGeoJson))
+    val perFile = footerKVs(spark, conf, files, "geo")
     // labels are root-relative so partitioned layouts (k=v/part-000…) stay
     // unambiguous in reconcile's error messages
     val rootStr = p.toString
@@ -99,7 +101,9 @@ object GeoParquet {
       val rel = f.toString.stripPrefix(rootStr).stripPrefix("/")
       if (rel.isEmpty) f.getName else rel
     }
-    val result = reconcile(labels.zip(perFile))
+    val result = reconcile(labels.zip(perFile).map {
+      case (l, (kv, rows)) => (l, kv.map(parseGeoJson), rows)
+    })
     if (metaCache.size > 1024) metaCache.clear() // bound the driver map
     metaCache.put(key, MetaCacheEntry(sig, result))
     result
@@ -117,11 +121,14 @@ object GeoParquet {
   def invalidateMetadataCache(path: Option[String] = None): Unit = path match {
     case None => metaCache.clear()
     case Some(p) =>
-      // path may be unqualified — drop every key whose path part matches
+      // path may be unqualified — drop every key whose path matches on a
+      // SEGMENT boundary ("…/data" matches, "…/mydata" must not: a bare
+      // suffix match would over-evict unrelated datasets)
+      val suffix = "/" + p.stripPrefix("/")
       val it = metaCache.keys()
       while (it.hasMoreElements) {
         val k = it.nextElement()
-        if (k == p || k.endsWith(p)) metaCache.remove(k)
+        if (k == p || k.stripSuffix("/").endsWith(suffix)) metaCache.remove(k)
       }
   }
 
@@ -154,16 +161,21 @@ object GeoParquet {
   /** Test gauge: footer opens performed by [[footerKVs]]. */
   private[graft] val footerOpens = new java.util.concurrent.atomic.LongAdder
 
+  /** Per file: (KV value for `key`, row count) — the row count rides along
+    * from the same footer read so [[reconcile]] can treat empty fragments'
+    * declarations as vacuous (an empty part-file observes `geometry_types:
+    * []` and no bbox, which must not defeat the dataset-level union). */
   private def footerKVs(spark: SparkSession, conf: Configuration, files: Seq[Path],
-                        key: String): Seq[Option[String]] = {
+                        key: String): Seq[(Option[String], Long)] = {
     if (files.isEmpty) return Nil
     // gauge counts here (driver side, exactly one open per file on every
     // path) — NOT inside readOne: an object-field reference from the
     // Spark-job closure would capture the non-serializable module
     footerOpens.add(files.length)
-    def readOne(f: Path, c: Configuration): Option[String] = {
+    def readOne(f: Path, c: Configuration): (Option[String], Long) = {
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, c))
-      try Option(r.getFooter.getFileMetaData.getKeyValueMetaData.get(key))
+      try (Option(r.getFooter.getFileMetaData.getKeyValueMetaData.get(key)),
+        r.getRecordCount)
       finally r.close()
     }
     if (files.length > 64) {
@@ -177,10 +189,10 @@ object GeoParquet {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(16, files.length))
       try {
-        val tasks: java.util.List[java.util.concurrent.Callable[Option[String]]] =
+        val tasks: java.util.List[java.util.concurrent.Callable[(Option[String], Long)]] =
           files.map { f =>
-            new java.util.concurrent.Callable[Option[String]] {
-              def call(): Option[String] = readOne(f, conf)
+            new java.util.concurrent.Callable[(Option[String], Long)] {
+              def call(): (Option[String], Long) = readOne(f, conf)
             }
           }.asJava
         pool.invokeAll(tasks).asScala.map(_.get()).toSeq
@@ -188,8 +200,17 @@ object GeoParquet {
     }
   }
 
-  /** Merge per-file metadata into one dataset view (rules in [[metadata]]). */
-  private[sources] def reconcile(perFile: Seq[(String, Option[GeoMeta])]): Option[GeoMeta] = {
+  /** Merge per-file metadata into one dataset view (rules in [[metadata]]).
+    * The per-file row count marks ZERO-ROW fragments, whose observed
+    * declarations (`geometry_types: []`, no bbox) are VACUOUS — a writer
+    * task that received an empty partition must not defeat the dataset
+    * unions. Empty fragments still participate in encoding/CRS/edges
+    * conflict checks: a conflicting declaration signals a mixed dataset
+    * even when it holds no rows. */
+  private[sources] def reconcile(
+      perFileWithRows: Seq[(String, Option[GeoMeta], Long)]): Option[GeoMeta] = {
+    val perFile = perFileWithRows.map { case (f, m, _) => (f, m) }
+    val emptyFiles = perFileWithRows.collect { case (f, _, 0L) => f }.toSet
     val declared = perFile.collect { case (f, Some(m)) => (f, m) }
     if (declared.isEmpty) return None
     val missing = perFile.collect { case (f, None) => f }
@@ -221,18 +242,25 @@ object GeoParquet {
       val coverings = decls.map(_._2.covering).distinct
       val covering =
         if (!partial && coverings.length == 1) coverings.head else None
-      val bboxes = decls.map(_._2.bbox)
+      // bbox / geometry_types unions run over the NON-EMPTY fragments only:
+      // an empty fragment observes nothing, so its absent bbox and
+      // unconstrained [] are vacuously true of its zero rows
+      val solid = decls.filterNot { case (f, _) => emptyFiles(f) }
+      val solidTotal = perFile.count { case (f, _) => !emptyFiles(f) }
+      val partialSolid = solid.length < solidTotal
+      val bboxes = solid.map(_._2.bbox)
       val bbox =
-        if (partial || bboxes.exists(_.isEmpty)) None
+        if (partialSolid || bboxes.isEmpty || bboxes.exists(_.isEmpty)) None
         else Some(bboxes.flatten.reduce { (a, b) =>
           (math.min(a._1, b._1), math.min(a._2, b._2),
            math.max(a._3, b._3), math.max(a._4, b._4))
         })
       // geometry_types: [] means unconstrained (GeoParquet 1.1) — the union
-      // is only a real constraint when EVERY declaring file constrains it
-      val typeSets = decls.map(_._2.geometryTypes)
+      // is only a real constraint when EVERY non-empty declaring file
+      // constrains it
+      val typeSets = solid.map(_._2.geometryTypes)
       val geometryTypes =
-        if (partial || typeSets.exists(_.isEmpty)) Nil
+        if (partialSolid || typeSets.isEmpty || typeSets.exists(_.isEmpty)) Nil
         else typeSets.flatten.distinct.sorted
       // edges (planar|spherical per GeoParquet 1.1; GeoArrow also names the
       // spheroid formulas): trusted only on unanimous declaration — mixing
@@ -273,7 +301,15 @@ object GeoParquet {
   /** Read a GeoParquet file/directory. Geometry columns keep WKB binary
     * encoding and gain field metadata (crs, geoparquet encoding). With
     * `bbox`, filters push to parquet row-group stats through the covering
-    * column when one exists (coarse) and always refine exactly. */
+    * column when one exists (coarse) and always refine exactly.
+    *
+    * Session-conf side effect (bbox + native encoding only): appends
+    * `geoparquet` to `spark.sql.optimizer.nestedPredicatePushdown
+    * .supportedFileSources` — once, logged — so the struct-leaf envelope
+    * filters reach parquet's column-index page skip when the user's query
+    * later plans. The setting outlives this call by necessity; an
+    * explicitly emptied list (nested pushdown disabled globally) is
+    * honored. */
   def read(spark: SparkSession, path: String,
            bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
     graft.functions.GeoFunctions.register(spark)
@@ -306,8 +342,12 @@ object GeoParquet {
         val key = "spark.sql.optimizer.nestedPredicatePushdown.supportedFileSources"
         val cur = spark.conf.get(key, "parquet,orc")
         if (cur.trim.nonEmpty &&
-            !cur.toLowerCase.split(",").map(_.trim).contains("geoparquet"))
+            !cur.toLowerCase.split(",").map(_.trim).contains("geoparquet")) {
+          log.info(s"GeoParquet.read: appending 'geoparquet' to $key " +
+            s"(was '$cur') so native-encoding bbox filters reach the " +
+            "parquet column-index; persists for the session (see read() scaladoc)")
           spark.conf.set(key, cur + ",geoparquet")
+        }
         spark.read.format(classOf[GeoParquetFileFormat].getName)
           .option(GeoParquetFileFormat.BboxFilterKey, spec).load(path)
       case None => spark.read.parquet(path)
@@ -362,6 +402,11 @@ object GeoParquet {
             // edge model rides the column so measure dispatch (GeoFunctions.
             // edgeLength/edgeArea) routes to the matching formula downstream
             c.edges.foreach(md.putString("geoparquet.edges", _))
+            // footer geometry_types constraint rides along too: the binary
+            // edges distance dispatch fires only on proven point-only
+            // columns (its kernels are first-coordinate distance)
+            if (c.geometryTypes.nonEmpty)
+              md.putString("geoparquet.geometry_types", c.geometryTypes.mkString(","))
             nativeTranscoder(c.encoding) match {
               case Some(fn) =>
                 // transcoded at scan time → post-scan representation is WKB

@@ -913,6 +913,58 @@ class GeoParquetSpec extends SparkTestBase {
     assert(derived == 1.0, s"derived geometry stays planar: $derived")
   }
 
+  test("edges distance dispatch is gated on point-only geometry_types evidence") {
+    // the geodesic distance kernels are FIRST-COORDINATE distance; for a
+    // line, planar ST_Distance is true geometry distance (0 for a point ON
+    // the line) while first-vertex haversine would be ~55 km — an automatic
+    // rewrite over non-point geometry would silently change semantics, so
+    // the dispatch must keep the planar measure and warn
+    val lines = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_MakeLine(ST_Point(CAST(id AS DOUBLE), 0.0),
+                         ST_Point(CAST(id AS DOUBLE) + 1.0, 0.0)) AS geometry
+      FROM range(3)""")
+    val out = dir + "_edges_dist_lines"
+    GeoParquet.write(lines, out, edges = Some("spherical"))
+    val back = GeoParquet.read(spark, out)
+    // the footer constrains the column to LineString — stamped, not point
+    assert(back.schema("geometry").metadata.getString("geoparquet.edges") == "spherical")
+    assert(back.schema("geometry").metadata
+      .getString("geoparquet.geometry_types").contains("LineString"))
+    back.createOrReplaceTempView("edges_dist_lines")
+    val d = spark.sql(
+      "SELECT ST_Distance(geometry, ST_Point(0.5, 0.0)) AS d FROM edges_dist_lines WHERE fid = 0")
+      .head().getDouble(0)
+    assert(d == 0.0, s"line-typed stamped column must keep planar geometry distance: $d")
+    // dWithin inherits the same gate: threshold stays in planar units
+    val w = spark.sql(
+      "SELECT ST_DWithin(geometry, ST_Point(0.5, 0.1), 0.2) AS w FROM edges_dist_lines WHERE fid = 0")
+      .head().getBoolean(0)
+    assert(w, "planar dWithin over the gated line column")
+    // UNARY measures are whole-geometry kernels — they still dispatch:
+    // spherical length of a 1-degree equatorial segment is ~111.195 km
+    val len = spark.sql(
+      "SELECT ST_Length(geometry) AS l FROM edges_dist_lines WHERE fid = 0")
+      .head().getDouble(0)
+    assert(math.abs(len - 6371008.8 * math.Pi / 180.0) < 1e-6,
+      s"unary measures keep dispatching for line columns: $len")
+  }
+
+  test("zero-row part-files do not defeat the dataset geometry_types/bbox union") {
+    // a writer task that received an empty partition observes
+    // `geometry_types: []` and no bbox — vacuous, must not collapse the
+    // dataset-level constraint (it gates the edges distance dispatch)
+    val pts = spark.sql(
+      "SELECT CAST(id AS BIGINT) AS fid, ST_Point(CAST(id AS DOUBLE), 1.0) AS geometry FROM range(3)")
+      .repartition(8) // more partitions than rows → guaranteed empty tasks
+    val out = dir + "_empty_parts"
+    GeoParquet.write(pts, out)
+    val meta = GeoParquet.metadata(spark, out).get
+    val c = meta.columns.find(_.name == "geometry").get
+    assert(c.geometryTypes == Seq("Point"), s"types union: ${c.geometryTypes}")
+    assert(c.bbox.contains((0.0, 1.0, 2.0, 1.0)), s"bbox union: ${c.bbox}")
+  }
+
   test("native covering-less bbox read: nested list layout (polygon) also prunes") {
     // polygon native layout nests coords under list/list/element — the leaf
     // path still ends in x/y, so the same stats planning applies
