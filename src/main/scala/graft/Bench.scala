@@ -39,16 +39,24 @@ object Bench {
     // timed window so one rep's block eviction can't overlap the next rep's
     // measurement.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    // per-rep times survive into the sidecar: a min-of-3 where ALL reps were
+    // contaminated (round-13's g52 read 101.5 s driver-side, 1.8 s quiet) is
+    // indistinguishable from a real regression without them — the rep array
+    // makes the ambient/regression separation forensically possible without
+    // a judge re-run. Failed reps record -1 in place.
+    val repTimes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = selected.map { case (name, fn) =>
       var best = Double.MaxValue
       var ok = 0
       var r = 0
+      val times = Array.fill(reps)(-1.0)
       while (r < reps) {
         graft.core.Blocks.scrub(spark, blocking = true)
         val t0 = System.nanoTime()
         try {
           run(fn(spark, sfDir))
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          times(r) = (System.nanoTime() - t0) / 1e9
+          best = math.min(best, times(r))
           ok += 1
         } catch {
           case e: Throwable =>
@@ -56,6 +64,7 @@ object Bench {
         }
         r += 1
       }
+      repTimes(name) = times.toSeq
       // A query that succeeded at least once reports the min of its
       // successful reps; -1 only when every rep failed — never a
       // fast-looking partial, and never a late failure erasing a real time.
@@ -104,8 +113,11 @@ object Bench {
     def excessJson(decimals: Int, top: Int, key: String => String): String =
       if (excess.isEmpty) "{}"
       else qmap(excess.sortBy(-_._2).take(top), decimals, key)
+    val repsJson = repTimes.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(num(3)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     def fullLine: String =
-      s"""{"metric":"total","value":${num(3)(total)},"unit":"sec","n":${results.length},"n_ok":$nOk,"queries":${qmap(results, 3, identity)},"excess_vs_floor":${excessJson(3, Int.MaxValue, identity)},"excess_total":${num(3)(excessTotal)},"queries_without_floor":$newQueries,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${num(3)(total)},"unit":"sec","n":${results.length},"n_ok":$nOk,"queries":${qmap(results, 3, identity)},"reps":$repsJson,"excess_vs_floor":${excessJson(3, Int.MaxValue, identity)},"excess_total":${num(3)(excessTotal)},"queries_without_floor":$newQueries,"sf":"$sfName"}"""
     // full-precision sidecar: run-unique path under java.io.tmpdir (or an
     // explicit SPARK_GRAFT_BENCH_OUT) so concurrent runs can't clobber each
     // other and a pre-planted symlink at a fixed name is never followed
