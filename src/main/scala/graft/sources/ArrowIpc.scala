@@ -239,20 +239,72 @@ object ArrowIpc {
   private def hasDictionary(f: org.apache.arrow.vector.types.pojo.Field): Boolean =
     f.getDictionary != null || f.getChildren.asScala.exists(hasDictionary)
 
-  /** Types whose buffer count per record batch is NOT the fixed
-    * `TypeLayout.getTypeBufferCount` — view types carry extra variadic data
-    * buffers declared per-batch in the RecordBatch's variadicBufferCounts,
-    * which the pre-order run arithmetic of [[decodeFilePruned]] cannot
-    * size. A geo-tagged BinaryView column (legal GeoArrow from newer
-    * producers) would otherwise slip past the sparkType check and
-    * mis-slice every subsequent column's buffers. */
-  private def hasInexactLayout(f: org.apache.arrow.vector.types.pojo.Field): Boolean = {
+  /** Layouts the pruned reader still refuses: ListView/LargeListView/
+    * RunEndEncoded have exact fixed buffer counts, but reassembling them
+    * through our hand-built `ArrowRecordBatch` is unexercised against any
+    * producer — fall back to the stock reader rather than risk a
+    * mis-slice. View types (Utf8View/BinaryView) are handled natively:
+    * their per-batch variadic data buffers are sized from the
+    * RecordBatch's `variadicBufferCounts` (see [[decodeFilePruned]]). */
+  private def hasUnprunableLayout(f: org.apache.arrow.vector.types.pojo.Field): Boolean = {
     import org.apache.arrow.vector.types.pojo.ArrowType
     val t = f.getType
-    t.isInstanceOf[ArrowType.Utf8View] || t.isInstanceOf[ArrowType.BinaryView] ||
-      t.isInstanceOf[ArrowType.ListView] || t.isInstanceOf[ArrowType.LargeListView] ||
+    t.isInstanceOf[ArrowType.ListView] || t.isInstanceOf[ArrowType.LargeListView] ||
       t.isInstanceOf[ArrowType.RunEndEncoded] ||
-      f.getChildren.asScala.exists(hasInexactLayout)
+      f.getChildren.asScala.exists(hasUnprunableLayout)
+  }
+
+  /** Pre-order count of variadic-buffer-carrying (view-typed) nodes in a
+    * field subtree — the RecordBatch's `variadicBufferCounts` carries one
+    * entry per such node, in schema pre-order, sizing the extra data
+    * buffers that follow the node's fixed (validity, views) pair. */
+  private def subtreeViewSlots(f: org.apache.arrow.vector.types.pojo.Field): Int = {
+    import org.apache.arrow.vector.types.pojo.ArrowType
+    val t = f.getType
+    val self =
+      if (t.isInstanceOf[ArrowType.Utf8View] || t.isInstanceOf[ArrowType.BinaryView]) 1 else 0
+    self + f.getChildren.asScala.map(subtreeViewSlots).sum
+  }
+
+  /** Resolve dictionary-encoded values INSIDE a nested column's raw
+    * `getObject` tree. The stock reader leaves nested dictionary children
+    * as raw indexes (only flat vectors are conventionally decoded by
+    * callers), so a struct/list geometry with a dict-encoded child would
+    * otherwise decode INDEXES as coordinates — silently wrong data, not
+    * just an unpruned read. Walks the value guided by the Field tree;
+    * ids resolve through the reader's loaded dictionaries (file-format
+    * dictionary batches precede record batches, so they are complete
+    * before any row is read). Costs nothing for columns without nested
+    * dictionaries — callers gate on [[hasDictionary]] over children. */
+  private def resolveNestedDicts(f: org.apache.arrow.vector.types.pojo.Field, v: Any,
+      lookup: Long => org.apache.arrow.vector.dictionary.Dictionary): Any = {
+    if (v == null) return null
+    Option(f.getDictionary) match {
+      case Some(enc) =>
+        val d = lookup(enc.getId)
+        require(d != null,
+          s"ArrowIpc: dictionary ${enc.getId} for field ${f.getName} not present in file")
+        d.getVector.getObject(v.asInstanceOf[Number].intValue())
+      case None =>
+        val kids = f.getChildren
+        if (kids.isEmpty || !kids.asScala.exists(hasDictionary)) v
+        else v match {
+          case m: java.util.Map[_, _] =>
+            val byName = kids.asScala.map(k => k.getName -> k).toMap
+            val out = new java.util.LinkedHashMap[Any, Any]()
+            m.asInstanceOf[java.util.Map[Any, Any]].forEach { (k, value) =>
+              out.put(k, byName.get(k.toString)
+                .map(cf => resolveNestedDicts(cf, value, lookup)).getOrElse(value))
+            }
+            out
+          case l: java.util.List[_] =>
+            val child = kids.get(0)
+            val out = new java.util.ArrayList[Any](l.size())
+            l.forEach(e => out.add(resolveNestedDicts(child, e, lookup)))
+            out
+          case other => other
+        }
+    }
   }
 
   private def readFully(ch: FsChannel, pos: Long, len: Int): Array[Byte] = {
@@ -295,11 +347,18 @@ object ArrowIpc {
     * identical to the full path. Compressed bodies (LZ4/ZSTD
     * tags — GDAL's .arrow default) pass their `BodyCompression` through to
     * a compression-capable `VectorLoader`, so the prune skips the pruned
-    * columns' COMPRESSED extents. Top-level dictionary-encoded columns
-    * prune natively (their wire batches are index buffers; the dictionary
-    * batches load once up front via the stock reader's initialize); only
-    * view-typed (variadic-buffer) or nested-dictionary files fall back to
-    * the full reader. */
+    * columns' COMPRESSED extents. Dictionary-encoded columns prune
+    * natively at ANY nesting depth (their wire batches are index buffers;
+    * the dictionary batches load once up front via the stock reader's
+    * initialize; nested children resolve per cell through
+    * [[resolveNestedDicts]]). View-typed columns (Utf8View/BinaryView —
+    * the reference treats WkbView/WktView as first-class geometry types,
+    * rust/geoarrow-schema/src/datatype.rs:50-66) prune natively too:
+    * their per-batch variadic data buffers are sized from the
+    * RecordBatch's `variadicBufferCounts` and the reassembled batch
+    * re-declares the kept counts for the loader. Only
+    * ListView/LargeListView/RunEndEncoded layouts fall back to the full
+    * reader. */
   private[sources] def decodeFilePruned(path: String, conf: org.apache.hadoop.conf.Configuration,
                                         wanted: Array[Boolean]): Iterator[Row] = {
     import org.apache.arrow.vector.ipc.message.{ArrowFieldNode, ArrowRecordBatch, MessageSerializer}
@@ -318,13 +377,7 @@ object ArrowIpc {
       val schema = reader.getVectorSchemaRoot.getSchema
       val fields = schema.getFields.asScala.toArray
       require(fields.length == wanted.length, s"ArrowIpc: wanted mask arity ${wanted.length} != ${fields.length}")
-      // view/variadic-buffer layouts break the fixed buffer-run arithmetic
-      // below; NESTED dictionary encoding breaks the per-column value
-      // lookup (top-level dictionaries are handled natively — their wire
-      // batches hold plain index buffers, and initialize() above already
-      // loaded the dictionary batches)
-      if (fields.exists(hasInexactLayout) ||
-          fields.exists(_.getChildren.asScala.exists(hasDictionary))) {
+      if (fields.exists(hasUnprunableLayout)) {
         closeAll(); return decodeFile(path, conf, wanted)
       }
       val blocks = reader.getRecordBlocks.asScala.toIndexedSeq
@@ -336,6 +389,12 @@ object ArrowIpc {
       val dicts: Array[org.apache.arrow.vector.dictionary.Dictionary] =
         reducedFields.map(f => Option(f.getDictionary)
           .map(enc => reader.lookup(enc.getId)).orNull)
+      // dictionary-encoded CHILDREN (struct/list subtrees): the wire
+      // batches hold their index buffers (the in-memory Field carries the
+      // index type, so the buffer-run arithmetic below is already exact);
+      // values resolve per cell through [[resolveNestedDicts]]
+      val nestedDict: Array[Boolean] =
+        reducedFields.map(_.getChildren.asScala.exists(hasDictionary))
       reducedRoot = org.apache.arrow.vector.VectorSchemaRoot.create(
         new org.apache.arrow.vector.types.pojo.Schema(reducedFields.toSeq.asJava), allocator)
       // compression-capable loader: a batch tagged LZ4/ZSTD (GDAL's default
@@ -348,6 +407,8 @@ object ArrowIpc {
         .filter(_.startsWith("geoarrow.")))
       val nodeRuns = fields.map(subtreeNodes)
       val bufRuns = fields.map(subtreeBuffers)
+      val viewSlots = fields.map(subtreeViewSlots)
+      val totalViewSlots = viewSlots.sum
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
       new Iterator[Row] {
@@ -361,17 +422,37 @@ object ArrowIpc {
           val msg = MessageSerializer.readMessage(new ReadChannel(ch)).getMessage
           val rb = msg.header(new org.apache.arrow.flatbuf.RecordBatch())
             .asInstanceOf[org.apache.arrow.flatbuf.RecordBatch]
-          // belt-and-suspenders vs the schema-level guard: a batch that
-          // declares variadic buffers would silently mis-slice — refuse
-          require(rb.variadicBufferCountsLength() == 0,
-            s"ArrowIpc: $path declares variadic buffers the pruned reader cannot slice")
+          // view columns declare their per-batch variadic data-buffer
+          // counts here, one entry per view-typed node in schema pre-order;
+          // a count vector that disagrees with the schema's view slots
+          // would mis-slice every subsequent column — refuse loudly
+          require(rb.variadicBufferCountsLength() == totalViewSlots,
+            s"ArrowIpc: $path declares ${rb.variadicBufferCountsLength()} variadic " +
+              s"buffer counts but the schema has $totalViewSlots view-typed nodes")
           val bodyStart = block.getOffset + block.getMetadataLength
           val nodes = new java.util.ArrayList[ArrowFieldNode]()
           val bufs = new java.util.ArrayList[org.apache.arrow.memory.ArrowBuf]()
+          // variadic counts for the KEPT view slots, reduced pre-order —
+          // the reassembled batch must declare them for VectorLoader to
+          // route the extra data buffers to the view vectors
+          val keptVariadic = new java.util.ArrayList[java.lang.Long]()
           var n = 0
           var b = 0
+          var v = 0
           var c = 0
           while (c < fields.length) {
+            // this batch's buffer-run length for the column = the fixed
+            // subtree count + the variadic data buffers its view nodes
+            // declare (each view node lays out [validity, views, data…])
+            var extra = 0L
+            var s = 0
+            while (s < viewSlots(c)) {
+              val cnt = rb.variadicBufferCounts(v + s)
+              extra += cnt
+              if (wanted(c)) keptVariadic.add(cnt)
+              s += 1
+            }
+            val runLen = bufRuns(c) + extra.toInt
             if (wanted(c)) {
               var j = n
               while (j < n + nodeRuns(c)) {
@@ -380,7 +461,7 @@ object ArrowIpc {
                 j += 1
               }
               j = b
-              while (j < b + bufRuns(c)) {
+              while (j < b + runLen) {
                 val bufMeta = rb.buffers(j)
                 val len = bufMeta.length()
                 val ab = allocator.buffer(len)
@@ -391,14 +472,16 @@ object ArrowIpc {
                 j += 1
               }
             }
-            n += nodeRuns(c); b += bufRuns(c); c += 1
+            n += nodeRuns(c); b += runLen; v += viewSlots(c); c += 1
           }
           bodyBytesTotal.add(block.getBodyLength)
-          val batch = Option(rb.compression()) match {
-            case Some(bc) => new ArrowRecordBatch(rb.length().toInt, nodes, bufs,
-              new org.apache.arrow.vector.ipc.message.ArrowBodyCompression(bc.codec(), bc.method()))
-            case None => new ArrowRecordBatch(rb.length().toInt, nodes, bufs)
+          val bodyCompression = Option(rb.compression()) match {
+            case Some(bc) =>
+              new org.apache.arrow.vector.ipc.message.ArrowBodyCompression(bc.codec(), bc.method())
+            case None => org.apache.arrow.vector.compression.NoCompressionCodec.DEFAULT_BODY_COMPRESSION
           }
+          val batch = new ArrowRecordBatch(rb.length().toInt, nodes, bufs,
+            bodyCompression, keptVariadic, true)
           // refcount contract (verified against arrow-vector 18.3.0 bytecode):
           // ctor retains each buffer once (alloc 1 → 2). Uncompressed load:
           // loadFieldBuffers retains for the vectors (3); batch.close (2);
@@ -430,6 +513,8 @@ object ArrowIpc {
             val raw =
               if (raw0 != null && dicts(k) != null)
                 dicts(k).getVector.getObject(raw0.asInstanceOf[Number].intValue())
+              else if (raw0 != null && nestedDict(k))
+                resolveNestedDicts(reducedFields(k), raw0, reader.lookup)
               else raw0
             vals(keepIdx(k)) =
               if (raw == null) null
@@ -494,6 +579,9 @@ object ArrowIpc {
       val dicts: Array[org.apache.arrow.vector.dictionary.Dictionary] =
         fields.map(f => Option(f.getDictionary)
           .map(enc => reader.lookup(enc.getId)).orNull)
+      // dictionary-encoded children (struct/list subtrees) resolve per cell
+      val nestedDict: Array[Boolean] =
+        fields.map(_.getChildren.asScala.exists(hasDictionary))
       new Iterator[Row] {
         private var i = 0
         private var batchRows = 0
@@ -516,6 +604,8 @@ object ArrowIpc {
               val raw =
                 if (raw0 != null && dicts(c) != null)
                   dicts(c).getVector.getObject(raw0.asInstanceOf[Number].intValue())
+                else if (raw0 != null && nestedDict(c))
+                  resolveNestedDicts(fields(c), raw0, reader.lookup)
                 else raw0
               vals(c) =
                 if (raw == null) null

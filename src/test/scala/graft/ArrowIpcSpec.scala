@@ -174,6 +174,166 @@ class ArrowIpcSpec extends SparkTestBase {
     assert(viaPruned.except(viaFull).isEmpty && viaFull.except(viaPruned).isEmpty)
   }
 
+  test("view-typed columns (Utf8View property + BinaryView geometry) decode AND prune") {
+    // the reference treats WkbView/WktView as first-class geometry types
+    // (rust/geoarrow-schema/src/datatype.rs:50-66) and newer Arrow
+    // producers emit view layouts by default. Two record batches so the
+    // PER-BATCH variadicBufferCounts slicing is exercised; strings are
+    // >12 bytes so they live in variadic data buffers, not inline views.
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.types.pojo._
+    val dirOut = java.nio.file.Files.createTempDirectory("arrowview").toString
+    val file = new java.io.File(dirOut, "part-00000.arrow")
+    val n = 150
+    val alloc = new RootAllocator()
+    val schema = new Schema(java.util.List.of(
+      new Field("fid", FieldType.nullable(new ArrowType.Int(64, true)), java.util.List.of[Field]()),
+      new Field("name", FieldType.nullable(new ArrowType.Utf8View()), java.util.List.of[Field]()),
+      new Field("geometry", new FieldType(true, new ArrowType.BinaryView(), null,
+        java.util.Map.of("ARROW:extension:name", "geoarrow.wkb")), java.util.List.of[Field]())))
+    val root = VectorSchemaRoot.create(schema, alloc)
+    try {
+      val out = new java.io.FileOutputStream(file)
+      val writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, out.getChannel)
+      try {
+        writer.start()
+        for (batch <- 0 until 2) {
+          root.allocateNew()
+          val ids = root.getVector(0).asInstanceOf[BigIntVector]
+          val names = root.getVector(1).asInstanceOf[ViewVarCharVector]
+          val geo = root.getVector(2).asInstanceOf[ViewVarBinaryVector]
+          (0 until n).foreach { i =>
+            val fid = batch * n + i
+            ids.setSafe(i, fid.toLong)
+            names.setSafe(i, s"feature-name-number-$fid".getBytes("UTF-8"))
+            geo.setSafe(i, graft.core.GeomOps.buffer(
+              graft.core.GeomOps.point(fid.toDouble, 0.0), 1.0))
+          }
+          root.setRowCount(n)
+          writer.writeBatch()
+        }
+        writer.end()
+      } finally { writer.close(); out.close() }
+    } finally { root.close(); alloc.close() }
+    // full read: view columns map to String/Binary and values decode
+    val full = ArrowIpc.read(spark, file.getAbsolutePath)
+    assert(full.schema("name").dataType == org.apache.spark.sql.types.StringType)
+    assert(full.schema("geometry").dataType == org.apache.spark.sql.types.BinaryType)
+    assert(full.count() == 2L * n)
+    val sample = full.selectExpr("fid", "name").orderBy("fid").limit(2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(sample == Seq(0L -> "feature-name-number-0", 1L -> "feature-name-number-1"))
+    // property-only projection takes the PRUNED byte-level path: the
+    // BinaryView geometry's variadic data buffers dominate the body and
+    // must never be fetched
+    graft.sources.ArrowIpc.bodyBytesRead.reset()
+    graft.sources.ArrowIpc.bodyBytesTotal.reset()
+    val got = spark.read.format("arrowipc").load(file.getAbsolutePath)
+      .selectExpr("fid", "name").orderBy("fid")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(got.length == 2 * n && got(37)._2 == "feature-name-number-37")
+    val read = graft.sources.ArrowIpc.bodyBytesRead.sum()
+    val total = graft.sources.ArrowIpc.bodyBytesTotal.sum()
+    assert(total > 0, "pruned path must have engaged on the view file")
+    assert(read > 0 && read < total / 10,
+      s"view-file byte-level prune: read $read of $total body bytes")
+    // mixed projection (view property + view geometry) through the pruned
+    // path equals the full reader — variadic slicing must be exact
+    val viaPruned = spark.read.format("arrowipc").load(file.getAbsolutePath)
+      .selectExpr("name", "ST_AsText(ST_Centroid(geometry)) AS c")
+    val viaFull = full.selectExpr("name", "ST_AsText(ST_Centroid(geometry)) AS c")
+    assert(viaPruned.except(viaFull).isEmpty && viaFull.except(viaPruned).isEmpty)
+  }
+
+  test("nested-dictionary children decode real values and prune at byte level") {
+    // a separated-layout point whose x/y children are dictionary-encoded
+    // doubles: the wire batches hold 4-byte indexes (which is what the
+    // buffer-run slicer sees), and the decode must resolve them through
+    // the loaded dictionaries — raw getObject would return INDEXES as
+    // coordinates, silently wrong in both read paths
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.complex.StructVector
+    import org.apache.arrow.vector.types.pojo._
+    import org.apache.arrow.vector.types.FloatingPointPrecision
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
+    val dirOut = java.nio.file.Files.createTempDirectory("arrownestdict").toString
+    val file = new java.io.File(dirOut, "part-00000.arrow")
+    val n = 120
+    val xs = Array(10.25, 20.5, 30.75)
+    val ys = Array(-5.5, 5.5)
+    val alloc = new RootAllocator()
+    var dx: Float8Vector = null
+    var dy: Float8Vector = null
+    try {
+      dx = new Float8Vector("x_dict", alloc)
+      dx.allocateNew(); xs.zipWithIndex.foreach { case (v, i) => dx.setSafe(i, v) }
+      dx.setValueCount(xs.length)
+      dy = new Float8Vector("y_dict", alloc)
+      dy.allocateNew(); ys.zipWithIndex.foreach { case (v, i) => dy.setSafe(i, v) }
+      dy.setValueCount(ys.length)
+      val encX = new DictionaryEncoding(1L, false, new ArrowType.Int(32, true))
+      val encY = new DictionaryEncoding(2L, false, new ArrowType.Int(32, true))
+      val provider = new DictionaryProvider.MapDictionaryProvider(
+        new Dictionary(dx, encX), new Dictionary(dy, encY))
+      val fx = new Field("x", new FieldType(true, new ArrowType.Int(32, true), encX, null),
+        java.util.List.of[Field]())
+      val fy = new Field("y", new FieldType(true, new ArrowType.Int(32, true), encY, null),
+        java.util.List.of[Field]())
+      val schema = new Schema(java.util.List.of(
+        new Field("fid", FieldType.nullable(new ArrowType.Int(64, true)), java.util.List.of[Field]()),
+        new Field("geometry", new FieldType(true, new ArrowType.Struct(), null,
+          java.util.Map.of("ARROW:extension:name", "geoarrow.point")),
+          java.util.List.of(fx, fy)),
+        new Field("blob", FieldType.nullable(new ArrowType.Binary()), java.util.List.of[Field]())))
+      val root = VectorSchemaRoot.create(schema, alloc)
+      try {
+        root.allocateNew()
+        val ids = root.getVector(0).asInstanceOf[BigIntVector]
+        val sv = root.getVector(1).asInstanceOf[StructVector]
+        val cx = sv.getChild("x").asInstanceOf[IntVector]
+        val cy = sv.getChild("y").asInstanceOf[IntVector]
+        val blob = root.getVector(2).asInstanceOf[VarBinaryVector]
+        (0 until n).foreach { i =>
+          ids.setSafe(i, i.toLong)
+          sv.setIndexDefined(i)
+          cx.setSafe(i, i % xs.length)
+          cy.setSafe(i, i % ys.length)
+          blob.setSafe(i, Array.fill[Byte](2048)((i % 127).toByte)) // dominates body
+        }
+        root.setRowCount(n)
+        val out = new java.io.FileOutputStream(file)
+        val writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, provider, out.getChannel)
+        try { writer.start(); writer.writeBatch(); writer.end() }
+        finally { writer.close(); out.close() }
+      } finally root.close()
+    } finally {
+      if (dx != null) dx.close()
+      if (dy != null) dy.close()
+      alloc.close()
+    }
+    // full reader resolves the nested dictionaries to real coordinates
+    val full = ArrowIpc.read(spark, file.getAbsolutePath)
+    val c0 = full.where("fid = 0").selectExpr("ST_X(geometry) AS x", "ST_Y(geometry) AS y")
+      .head()
+    assert(c0.getDouble(0) == 10.25 && c0.getDouble(1) == -5.5,
+      s"nested-dict coords must be VALUES not indexes: $c0")
+    // geometry-only projection goes through the PRUNED path (blob column
+    // dominates and is skipped), with identical resolution
+    graft.sources.ArrowIpc.bodyBytesRead.reset()
+    graft.sources.ArrowIpc.bodyBytesTotal.reset()
+    val viaPruned = spark.read.format("arrowipc").load(file.getAbsolutePath)
+      .selectExpr("fid", "ST_AsText(geometry) AS w")
+    val viaFull = full.selectExpr("fid", "ST_AsText(geometry) AS w")
+    assert(viaPruned.except(viaFull).isEmpty && viaFull.except(viaPruned).isEmpty)
+    val read = graft.sources.ArrowIpc.bodyBytesRead.sum()
+    val total = graft.sources.ArrowIpc.bodyBytesTotal.sum()
+    assert(total > 0, "pruned path must have engaged on the nested-dict file")
+    assert(read > 0 && read < total / 10,
+      s"nested-dict byte-level prune: read $read of $total body bytes — blob must be skipped")
+  }
+
   test("dictionary WRITE: low-cardinality column roundtrips, shrinks bytes, prunes") {
     val outPlain = java.nio.file.Files.createTempDirectory("arrowdw_p").toString
     val outDict = java.nio.file.Files.createTempDirectory("arrowdw_d").toString
