@@ -2111,6 +2111,65 @@ object SparkEntry {
            rk::BIGINT AS rk
     FROM d WHERE rk <= 2 ORDER BY lid, rk"""
 
+  /** Edges-stamp roundtrip audit (g89): a SPHERICAL-stamped point column
+    * survives (a) a FlatGeobuf `writeSingle` hop — the model rides the
+    * header metadata JSON (`graft:edges`), the header's concrete geometry
+    * type supplies the point evidence — and (b) an Arrow IPC
+    * dictionary-write hop — extension metadata carries edges +
+    * `graft:geometry_types`. The measure is hash-gated: plain ST_Distance
+    * over each read-back column must produce HAVERSINE meters (the
+    * reference keeps `Metadata` inside every array,
+    * rust/geoarrow-schema/src/metadata.rs:16); a dropped stamp or lost
+    * point evidence would measure planar degrees and fail the hash. */
+  private def g89Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_g89").toString
+    val pts = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CONCAT('c', CAST(id % 3 AS STRING)) AS cat,
+             ST_Point(CAST(id AS DOUBLE), CAST(50 + id AS DOUBLE)) AS geometry
+      FROM range(12)""")
+    graft.sources.GeoParquet.write(pts, tmp + "/gp", edges = Some("spherical"))
+    val stamped = graft.sources.GeoParquet.read(s, tmp + "/gp")
+      .select("fid", "cat", "geometry")
+    graft.sources.FlatGeobufWriter.writeSingle(stamped, tmp + "/single.fgb")
+    val viaFgb = graft.sources.FlatGeobuf.read(s, tmp + "/single.fgb")
+    graft.sources.ArrowIpc.write(stamped, tmp + "/arrow",
+      dictionaryColumns = Seq("cat"))
+    val viaArrow = graft.sources.ArrowIpc.read(s, tmp + "/arrow")
+    val tag = new java.io.File(tmp).getName.split('_').last
+    val vF = "graft_g89_f_" + tag
+    val vA = "graft_g89_a_" + tag
+    viaFgb.createOrReplaceTempView(vF)
+    viaArrow.createOrReplaceTempView(vA)
+    val out = s.sql(s"""
+      SELECT src, fid, meters FROM (
+        SELECT 'fgb' AS src, fid,
+               ROUND(ST_Distance(geometry, ST_Point(5.0, 55.0)), 3) AS meters FROM $vF
+        UNION ALL
+        SELECT 'arrow' AS src, fid,
+               ROUND(ST_Distance(geometry, ST_Point(5.0, 55.0)), 3) AS meters FROM $vA)
+      ORDER BY src, fid""")
+    val materialized = out.orderBy("src", "fid")
+    materialized.count() // run before the views drop
+    s.catalog.dropTempView(vF)
+    s.catalog.dropTempView(vA)
+    materialized
+  }
+
+  private val g89Duck = """
+    WITH pts AS (SELECT i AS fid, CAST(i AS DOUBLE) AS x,
+                        CAST(50 + i AS DOUBLE) AS y FROM range(12) t(i)),
+         d AS (SELECT fid,
+                 ROUND(2 * 6371008.8 * asin(least(1.0, sqrt(
+                   pow(sin(radians(55.0 - y) / 2), 2) +
+                   cos(radians(y)) * cos(radians(55.0)) *
+                     pow(sin(radians(5.0 - x) / 2), 2)))), 3) AS meters
+               FROM pts)
+    SELECT s.src, d.fid::BIGINT AS fid, d.meters
+    FROM (VALUES ('arrow'), ('fgb')) s(src) CROSS JOIN d
+    ORDER BY s.src, d.fid"""
+
   /** NFKC compatibility folding (t52): fullwidth digits, ligatures,
     * circled and superscript forms fold onto plain equivalents — without
     * this a tokenizer treats '１２３' and '123' as distinct tokens. The
@@ -11139,6 +11198,7 @@ object SparkEntry {
     ("t52_nfkc_fold", q(t52Spark), t52Duck),
     ("g87_geodesic_knn", g87Fn _, g87Duck),
     ("g88_knn_antimeridian", g88Fn _, g88Duck),
+    ("g89_edges_roundtrip", g89Fn _, g89Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

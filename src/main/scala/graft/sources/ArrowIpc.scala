@@ -115,6 +115,12 @@ object ArrowIpc {
               Option(node.get("crs")).filterNot(_.isNull)
                 .foreach(c => mb.putString("geoparquet.crs",
                   if (c.isTextual) c.asText else c.toString))
+              // auxiliary constraint written by [[write]] for wkb columns —
+              // a typed extension name (handled above) wins if both present
+              Option(node.get("graft:geometry_types")).filterNot(_.isNull)
+                .map(_.asText).filter(_.nonEmpty)
+                .filterNot(_ => mb.build().contains("geoparquet.geometry_types"))
+                .foreach(mb.putString("geoparquet.geometry_types", _))
             } catch { case _: com.fasterxml.jackson.core.JacksonException => }
           }
           base.copy(metadata = mb.build())
@@ -697,6 +703,13 @@ object ArrowIpc {
       val node = jsonMapper.createObjectNode()
       if (f.metadata.contains("geoparquet.edges"))
         node.put("edges", f.metadata.getString("geoparquet.edges"))
+      // geometry_types evidence rides along (auxiliary key — not GeoArrow
+      // vocabulary): a geoarrow.wkb column is otherwise unconstrained, and
+      // the edges DISTANCE dispatch requires point-only evidence, so
+      // without this a GeoParquet→Arrow hop would silently stop
+      // dispatching ST_Distance over the stamped column
+      if (f.metadata.contains("geoparquet.geometry_types"))
+        node.put("graft:geometry_types", f.metadata.getString("geoparquet.geometry_types"))
       if (f.metadata.contains("geoparquet.crs")) {
         val crs = f.metadata.getString("geoparquet.crs")
         try node.set[com.fasterxml.jackson.databind.JsonNode]("crs", jsonMapper.readTree(crs))

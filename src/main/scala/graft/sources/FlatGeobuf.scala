@@ -394,9 +394,35 @@ object FlatGeobuf {
 
   // ── public API ────────────────────────────────────────────────────────
 
-  def schemaOf(header: Header): StructType = StructType(
-    header.columns.map { case (n, t) => StructField(n, columnTypes(t)) } :+
-      StructField("geometry", BinaryType))
+  /** FGB geometry-type code → GeoParquet geometry_types name (FGB spec:
+    * 0 Unknown … 7 GeometryCollection). Unknown/mixed stamps nothing. */
+  private val fgbTypeNames = Map(
+    1 -> "Point", 2 -> "LineString", 3 -> "Polygon", 4 -> "MultiPoint",
+    5 -> "MultiLineString", 6 -> "MultiPolygon", 7 -> "GeometryCollection")
+
+  /** The geometry column carries the same `geoparquet.*` Spark metadata the
+    * GeoParquet/ArrowIpc readers stamp: the header's concrete geometry type
+    * becomes the geometry_types constraint (point evidence for the edges
+    * distance dispatch), and an edge model stored by [[FlatGeobufWriter]]
+    * in the header metadata JSON (`graft:edges` — the FGB header has no
+    * native edges field) round-trips so measures keep dispatching after an
+    * FGB hop, mirroring the reference's per-array Metadata
+    * (rust/geoarrow-schema/src/metadata.rs:16). */
+  def schemaOf(header: Header): StructType = {
+    val mb = new org.apache.spark.sql.types.MetadataBuilder()
+    fgbTypeNames.get(header.geometryType)
+      .foreach(mb.putString("geoparquet.geometry_types", _))
+    header.metadata.foreach { json =>
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+        Option(node.get("graft:edges")).filterNot(_.isNull).map(_.asText)
+          .filter(_.nonEmpty).foreach(mb.putString("geoparquet.edges", _))
+      } catch { case _: com.fasterxml.jackson.core.JacksonException => }
+    }
+    StructType(
+      header.columns.map { case (n, t) => StructField(n, columnTypes(t)) } :+
+        StructField("geometry", BinaryType, nullable = true, mb.build()))
+  }
 
   /** Decode every feature of one FGB blob into Rows (props + WKB). With a
     * bbox over an indexed file, the packed Hilbert R-tree selects candidate

@@ -29,6 +29,41 @@ import graft.core.GeomOps
   */
 object FlatGeobufWriter {
 
+  /** Caller metadata JSON merged with the geometry column's edge model
+    * (`graft:edges`): the FGB header has no native edges field, so the
+    * model rides the free-form header metadata and
+    * [[FlatGeobuf.schemaOf]] re-stamps it on read — an FGB hop keeps
+    * measures dispatching, mirroring the reference's per-array Metadata
+    * (rust/geoarrow-schema/src/metadata.rs:16). A non-JSON-object caller
+    * metadata string passes through untouched (the model is dropped
+    * rather than corrupting the caller's payload). */
+  private def metadataWithEdges(schema: StructType, geometryCol: String,
+                                metadata: Option[String]): Option[String] = {
+    val edges = schema.fields.find(_.name == geometryCol)
+      .filter(_.metadata.contains("geoparquet.edges"))
+      .map(_.metadata.getString("geoparquet.edges"))
+    edges match {
+      case None => metadata
+      case Some(e) =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        metadata match {
+          case None =>
+            val n = mapper.createObjectNode()
+            n.put("graft:edges", e)
+            Some(mapper.writeValueAsString(n))
+          case Some(m) =>
+            try mapper.readTree(m) match {
+              case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+                if (!o.has("graft:edges")) o.put("graft:edges", e)
+                Some(mapper.writeValueAsString(o))
+              case _ => metadata
+            } catch {
+              case _: com.fasterxml.jackson.core.JacksonException => metadata
+            }
+        }
+    }
+  }
+
   // ── minimal flatbuffer builder (buffer grows downward, like the public
   //    FlatBuffers builders; offsets measured from the buffer end) ─────────
   private final class FBB(initial: Int = 4096) {
@@ -461,6 +496,7 @@ object FlatGeobufWriter {
         df.sparkSession.sessionState.newHadoopConf()))
     val wantIndex = index
     val promote = promoteToMulti
+    val effMeta = metadataWithEdges(schema, geometryCol, metadata)
     // global Hilbert order via distributed range shuffle; with index off a
     // plain single-range repartition suffices (order is then irrelevant).
     // The trailing coalesce(1) is a no-op on the already-single-range sort
@@ -510,7 +546,7 @@ object FlatGeobufWriter {
           out.write(Array[Byte]('f', 'g', 'b', 3, 'f', 'g', 'b', 0))
           val hdr = headerBytes(name, cols, count,
             if (env.isNull) null else Array(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY),
-            if (doIndex) 16 else 0, crsWkt, anyZ, anyM, title, description, metadata,
+            if (doIndex) 16 else 0, crsWkt, anyZ, anyM, title, description, effMeta,
             geometryType = math.max(uniformType, 0))
           out.write(hdr.length & 0xFF); out.write((hdr.length >> 8) & 0xFF)
           out.write((hdr.length >> 16) & 0xFF); out.write((hdr.length >> 24) & 0xFF)
@@ -549,6 +585,7 @@ object FlatGeobufWriter {
     val propFields = schema.fields.dropRight(1)
     val cols = propFields.map(f => (f.name, sparkToFgbType(f.dataType))).toSeq
     val types = cols.map(_._2).toArray
+    val effMeta = metadataWithEdges(schema, geometryCol, metadata)
     val dir = new org.apache.hadoop.fs.Path(path)
     dir.getFileSystem(df.sparkSession.sessionState.newHadoopConf()).mkdirs(dir)
     val wantIndex = index
@@ -589,7 +626,7 @@ object FlatGeobufWriter {
         out.write(Array[Byte]('f', 'g', 'b', 3, 'f', 'g', 'b', 0))
         val hdr = headerBytes(name, cols, count,
           if (env.isNull) null else Array(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY),
-          if (doIndex) 16 else 0, crsWkt, anyZ, anyM, title, description, metadata,
+          if (doIndex) 16 else 0, crsWkt, anyZ, anyM, title, description, effMeta,
           geometryType = headerType)
         out.write(hdr.length & 0xFF); out.write((hdr.length >> 8) & 0xFF)
         out.write((hdr.length >> 16) & 0xFF); out.write((hdr.length >> 24) & 0xFF)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.sources.FlatGeobuf
+import graft.sources.{FlatGeobuf, FlatGeobufWriter}
 
 /** Exercised against the reference repo's public FGB fixtures
   * (read-only test data; behavior parity with the reference reader). */
@@ -472,5 +472,46 @@ class FlatGeobufSpec extends SparkTestBase {
       "SELECT CAST(id AS BIGINT) AS fid, ST_Point(CAST(id AS DOUBLE), 0.0) AS geometry FROM range(5)")
       .coalesce(1), outU)
     assert(headerOf(outU).geometryType == 1, "uniform point file must declare Point")
+  }
+
+  test("edges stamp survives write AND writeSingle; read-back dispatches geodesic") {
+    // FGB has no native edges field — the model rides the header metadata
+    // JSON (graft:edges), and the header's concrete geometry type supplies
+    // the point evidence the edges DISTANCE dispatch requires
+    val base = java.nio.file.Files.createTempDirectory("fgbedges").toString
+    val pts = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_Point(CAST(id AS DOUBLE), 0.0) AS geometry FROM range(3)""")
+    graft.sources.GeoParquet.write(pts, base + "/gp", edges = Some("spherical"))
+    val stamped = graft.sources.GeoParquet.read(spark, base + "/gp")
+      .select("fid", "geometry")
+    val oneDeg = 6371008.8 * math.Pi / 180.0
+    FlatGeobufWriter.write(stamped, base + "/dir")
+    FlatGeobufWriter.writeSingle(stamped, base + "/one.fgb")
+    for ((label, back) <- Seq(
+        ("write", FlatGeobuf.read(spark, base + "/dir")),
+        ("writeSingle", FlatGeobuf.read(spark, base + "/one.fgb")))) {
+      val md = back.schema("geometry").metadata
+      assert(md.getString("geoparquet.edges") == "spherical", s"$label: $md")
+      assert(md.getString("geoparquet.geometry_types") == "Point", s"$label: $md")
+      back.createOrReplaceTempView("fgb_edges_back")
+      val d = sql(
+        "SELECT ST_Distance(geometry, ST_Point(0.0, 0.0)) AS d FROM fgb_edges_back WHERE fid = 1")
+        .head().getDouble(0)
+      assert(math.abs(d - oneDeg) < 1e-6, s"$label read-back must measure haversine: $d")
+    }
+    // caller-supplied metadata JSON is merged, not clobbered
+    FlatGeobufWriter.writeSingle(stamped, base + "/meta.fgb",
+      metadata = Some("""{"source":"unit-test"}"""))
+    val hdr = FlatGeobuf.parseHeader(readAllBytes(base + "/meta.fgb"))
+    val metaJson = hdr.metadata.get
+    assert(metaJson.contains("unit-test") && metaJson.contains("graft:edges"), metaJson)
+    // an unstamped frame writes NO edges key and reads back planar
+    FlatGeobufWriter.writeSingle(pts, base + "/plain.fgb")
+    val plain = FlatGeobuf.read(spark, base + "/plain.fgb")
+    assert(!plain.schema("geometry").metadata.contains("geoparquet.edges"))
+    plain.createOrReplaceTempView("fgb_edges_plain")
+    assert(sql("SELECT ST_Distance(geometry, ST_Point(0.0, 0.0)) AS d FROM fgb_edges_plain WHERE fid = 1")
+      .head().getDouble(0) == 1.0)
   }
 }
