@@ -150,12 +150,75 @@ object ScaleSlope {
       println(line); out ++= line += '\n'
     }
 
+    /** Geodesic (meters-metric) kNN join slope — the g87 adaptive
+      * radius-doubling operator: both sides grow k× over a FIXED
+      * lat-40..70 extent, so per-probe density (and r0) track the data and
+      * the candidate count per left row stays ~k. Sub-linear wall growth
+      * is the measured form of "the conservative meters→degrees pads don't
+      * blow up candidates at high latitude". */
+    def geoKnnSlope(factor: Int): Unit = {
+      graft.functions.GeoFunctions.register(spark)
+      val nl = 10000L * factor
+      val nr = 30000L * factor
+      def pts(n: Long, salt: Int, idCol: String, geomCol: String) = spark.sql(
+        s"""SELECT CAST(id AS BIGINT) AS $idCol,
+                   ST_Point(CAST((id * 2654435761 + $salt * 999331) % 6000000 AS DOUBLE) / 100000.0 - 30.0,
+                            40.0 + CAST((id * 40503 + $salt * 7919) % 3000000 AS DOUBLE) / 100000.0)
+                     AS $geomCol
+            FROM range($n)""")
+      val sec = best(graft.operators.SpatialJoin.knn(
+        pts(nl, 1, "lid", "lg"), pts(nr, 2, "rid", "rg"),
+        "lg", "rg", 4, "lid", "rid", metric = "sphere"))
+      val line = f"""{"family":"geo_knn_sphere","factor":$factor,"sec":$sec%.2f}"""
+      println(line); out ++= line += '\n'
+    }
+
+    /** Geodesic dWithin grid-join slope — the g84 planner family over a
+      * SPHERICAL-stamped GeoParquet table: the probe side grows k× against
+      * a fixed 50k right side (the g33 convention — growing both sides
+      * densifies cells, a density change, not a volume change). Broadcast
+      * is disabled so the slope pins the GRID exec, the 100 TB path. */
+    def geoDWithinSlope(factor: Int): Unit = {
+      graft.functions.GeoFunctions.register(spark)
+      val nl = 100000L * factor
+      val dir = s"$base/geodw_x$factor"
+      if (!new java.io.File(s"$dir/_DONE").exists()) {
+        val l = spark.sql(s"""
+          SELECT CAST(id AS BIGINT) AS lid,
+                 ST_Point(CAST((id * 2654435761) % 6000000 AS DOUBLE) / 100000.0 - 30.0,
+                          40.0 + CAST((id * 40503) % 3000000 AS DOUBLE) / 100000.0) AS geometry
+          FROM range($nl)""")
+        graft.sources.GeoParquet.write(l, s"$dir/data", edges = Some("spherical"))
+        new java.io.File(s"$dir/_DONE").createNewFile()
+      }
+      graft.sources.GeoParquet.read(spark, s"$dir/data")
+        .createOrReplaceTempView("geodw_l")
+      spark.sql("""
+        SELECT CAST(id AS BIGINT) AS rid,
+               ST_Point(CAST((id * 48271 + 7) % 6000000 AS DOUBLE) / 100000.0 - 30.0,
+                        40.0 + CAST((id * 69621 + 11) % 3000000 AS DOUBLE) / 100000.0) AS rg
+        FROM range(50000)""").createOrReplaceTempView("geodw_r")
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val q = spark.sql(
+          "SELECT l.lid, r.rid FROM geodw_l l JOIN geodw_r r ON ST_DWithin(l.geometry, r.rg, 2000.0)")
+        require(q.queryExecution.executedPlan.toString.contains("GridSpatialJoin"),
+          "geo_dwithin_sphere must plan the grid exec")
+        val sec = best(q)
+        val line = f"""{"family":"geo_dwithin_sphere","factor":$factor,"sec":$sec%.2f}"""
+        println(line); out ++= line += '\n'
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+
     factors.foreach { factor =>
       // the gp_stats_prune family writes its own fixture; only materialize
       // the blown-up table set when a table-driven family is requested
       lazy val dir = gen(factor)
       families.foreach { fam =>
         if (fam == "gp_stats_prune") statsPruneSlope(factor)
+        else if (fam == "geo_knn_sphere") geoKnnSlope(factor)
+        else if (fam == "geo_dwithin_sphere") geoDWithinSlope(factor)
         else {
           val sec = best(SparkEntry.queries(fam)(spark, dir))
           val line = f"""{"family":"$fam","factor":$factor,"sec":$sec%.2f}"""
