@@ -127,12 +127,94 @@ object GeoParquetFileFormat {
     * a hit does ZERO filesystem calls; an overwritten file changes
     * size/mtime and misses. Values are compact per-row-group digests
     * (offset, size, stats bbox), not parquet footer objects. */
-  private case class GroupDigest(start: Long, compressedSize: Long,
-                                 bbox: Option[(Double, Double, Double, Double)])
+  private case class GroupDigest(start: Long, compressedSize: Long, rowCount: Long,
+                                 bbox: Option[(Double, Double, Double, Double)],
+                                 xPages: Option[LeafPages], yPages: Option[LeafPages])
   private val footerDigestCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, String), IndexedSeq[GroupDigest]]
   /** Test gauge: actual footer opens by the pruned reader. */
   private[graft] val prunedFooterOpens = new java.util.concurrent.atomic.LongAdder
+  /** Test gauge: row groups whose AGGREGATE stats intersect the window but
+    * whose page-level x/y row ranges prove no row can match. */
+  private[graft] val pageRefinePrunedGroups = new java.util.concurrent.atomic.LongAdder
+
+  /** Per-page stats of one double leaf: page row spans (offset index) +
+    * min/max (column index). parquet-mr emits BOTH indexes for repeated
+    * leaves too (pages break at record boundaries, so first_row_index is a
+    * top-level row index even under nested list layouts) — which is what
+    * makes page-level evidence available where page-level FILTERING isn't
+    * (parquet-mr rejects predicates on repeated columns). `conservative`
+    * marks pages whose stats are unusable (all-null or non-8-byte): they
+    * count as hits. */
+  private case class LeafPages(firstRow: Array[Long], min: Array[Double],
+                               max: Array[Double], conservative: Array[Boolean])
+
+  private def leafPages(reader: org.apache.parquet.hadoop.ParquetFileReader,
+                        c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Option[LeafPages] =
+    try {
+      val ci = reader.readColumnIndex(c)
+      val oi = reader.readOffsetIndex(c)
+      if (ci == null || oi == null) None
+      else {
+        val n = oi.getPageCount
+        val first = Array.tabulate(n)(i => oi.getFirstRowIndex(i))
+        val mins = new Array[Double](n)
+        val maxs = new Array[Double](n)
+        val cons = new Array[Boolean](n)
+        val nulls = ci.getNullPages
+        val minBufs = ci.getMinValues
+        val maxBufs = ci.getMaxValues
+        var i = 0
+        while (i < n) {
+          if (nulls.get(i)) cons(i) = true
+          else {
+            val mn = minBufs.get(i).duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val mx = maxBufs.get(i).duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            if (mn.remaining() >= 8 && mx.remaining() >= 8) {
+              mins(i) = mn.getDouble(mn.position())
+              maxs(i) = mx.getDouble(mx.position())
+            } else cons(i) = true
+          }
+          i += 1
+        }
+        Some(LeafPages(first, mins, maxs, cons))
+      }
+    } catch { case _: Exception => None }
+
+  /** Row spans (merged, ordered) of the pages whose [min,max] intersects
+    * [lo,hi] — page i covers rows [firstRow(i), firstRow(i+1)). */
+  private def pageHitRanges(lp: LeafPages, rowCount: Long,
+                            lo: Double, hi: Double): IndexedSeq[(Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var i = 0
+    val n = lp.firstRow.length
+    while (i < n) {
+      val hit = lp.conservative(i) || !(lp.max(i) < lo || lp.min(i) > hi)
+      if (hit) {
+        val s = lp.firstRow(i)
+        val e = if (i + 1 < n) lp.firstRow(i + 1) else rowCount
+        out.lastOption match {
+          case Some((ps, pe)) if s <= pe => out(out.length - 1) = (ps, math.max(pe, e))
+          case _ => out += ((s, e))
+        }
+      }
+      i += 1
+    }
+    out.toIndexedSeq
+  }
+
+  /** Two ordered disjoint range lists share at least one row? */
+  private def rangesOverlap(a: IndexedSeq[(Long, Long)], b: IndexedSeq[(Long, Long)]): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val (as, ae) = a(i)
+      val (bs, be) = b(j)
+      if (as < be && bs < ae) return true
+      if (ae <= bs) i += 1 else j += 1
+    }
+    false
+  }
 
   /** Task-side planner for [[GeoParquetFileFormat.buildReaderWithPartitionValues]]:
     * footer (cached per executor) → owned row groups → stats-bbox prune →
@@ -153,8 +235,23 @@ object GeoParquetFileFormat {
       prunedFooterOpens.increment()
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.filePath.toUri), conf))
-      try reader.getFooter.getBlocks.asScala.map(b =>
-        GroupDigest(b.getStartingPos, b.getCompressedSize, rowGroupBbox(b, gcol))).toIndexedSeq
+      try reader.getFooter.getBlocks.asScala.map { b =>
+        // page-level evidence for the geometry's x/y leaves rides the
+        // digest (column+offset index: a near-footer KB-scale read, cached
+        // with the rest) so partially-matching groups can be re-judged at
+        // page granularity per query window
+        val xCol = b.getColumns.asScala.find { c =>
+          val p = c.getPath.toArray
+          p.length >= 2 && p(0) == gcol && p(p.length - 1) == "x"
+        }
+        val yCol = b.getColumns.asScala.find { c =>
+          val p = c.getPath.toArray
+          p.length >= 2 && p(0) == gcol && p(p.length - 1) == "y"
+        }
+        GroupDigest(b.getStartingPos, b.getCompressedSize, b.getRowCount,
+          rowGroupBbox(b, gcol),
+          xCol.flatMap(leafPages(reader, _)), yCol.flatMap(leafPages(reader, _)))
+      }.toIndexedSeq
       finally reader.close()
     })
     // split ownership = parquet-mr's midpoint rule (filterFileMetaDataByMidpoint):
@@ -166,7 +263,24 @@ object GeoParquetFileFormat {
     val surviving = owned.filter { b =>
       b.bbox match {
         case Some((bxmin, bymin, bxmax, bymax)) =>
-          bxmin <= qxmax && bxmax >= qxmin && bymin <= qymax && bymax >= qymin
+          val aggHit = bxmin <= qxmax && bxmax >= qxmin && bymin <= qymax && bymax >= qymin
+          // page-level re-judge of partially-matching groups: the window
+          // hits the group's AGGREGATE box, but if the rows whose x pages
+          // reach the x window never overlap the rows whose y pages reach
+          // the y window, no row can match — prune the group. This is the
+          // page-granular stance the reference's ArrowPredicate takes
+          // (spatial_filter.rs:183-258) re-expressed on the IO plan: for
+          // nested list layouts parquet-mr refuses page FILTERS on
+          // repeated leaves, but its page STATS are still evidence.
+          aggHit && ((b.xPages, b.yPages) match {
+            case (Some(xp), Some(yp)) =>
+              val keep = rangesOverlap(
+                pageHitRanges(xp, b.rowCount, qxmin, qxmax),
+                pageHitRanges(yp, b.rowCount, qymin, qymax))
+              if (!keep) pageRefinePrunedGroups.increment()
+              keep
+            case _ => true
+          })
         case None => true // no usable stats → cannot prune safely
       }
     }

@@ -596,6 +596,63 @@ class GeoParquetSpec extends SparkTestBase {
       polyFull.select("fid").collect().map(_.getLong(0)).toSet)
   }
 
+  test("nested list layout: page-stats row ranges prune partially-matching row groups") {
+    // parquet-mr refuses page FILTERS on repeated leaves (so polygon
+    // layouts get no pushed-filter page skip), but it still WRITES
+    // column/offset indexes for them: per-page x/y min-max + first-row
+    // spans. A row group whose halves occupy disjoint corners has an
+    // AGGREGATE box covering both — the window below hits the box, yet the
+    // rows whose x pages reach it and the rows whose y pages reach it
+    // never overlap, which proves no row can match and the whole group is
+    // skipped before any decode.
+    val out = dir + "_native_pagejudge_poly"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    val prevRows = hc.get("parquet.page.row.count.limit")
+    hc.setInt("parquet.block.size", 8 * 1024 * 1024) // ONE row group
+    hc.setInt("parquet.page.row.count.limit", 256)   // many pages inside it
+    try {
+      // rows 0..2047: x∈[0,6.4], y∈[100,106.5); rows 2048..4095: x∈[50,56.4], y∈[0,6.5)
+      val polys = spark.sql("""
+        SELECT CAST(id AS BIGINT) AS fid,
+               CASE WHEN id < 2048
+                 THEN ST_MakeEnvelope(
+                   CAST(id % 64 AS DOUBLE) * 0.1,
+                   100.0 + CAST(CAST(id / 64 AS INT) AS DOUBLE) * 0.2,
+                   CAST(id % 64 AS DOUBLE) * 0.1 + 0.05,
+                   100.0 + CAST(CAST(id / 64 AS INT) AS DOUBLE) * 0.2 + 0.05)
+                 ELSE ST_MakeEnvelope(
+                   50.0 + CAST(id % 64 AS DOUBLE) * 0.1,
+                   CAST(CAST((id - 2048) / 64 AS INT) AS DOUBLE) * 0.2,
+                   50.0 + CAST(id % 64 AS DOUBLE) * 0.1 + 0.05,
+                   CAST(CAST((id - 2048) / 64 AS INT) AS DOUBLE) * 0.2 + 0.05)
+               END AS geometry
+        FROM range(4096)""")
+      GeoParquet.write(polys.repartition(1).sortWithinPartitions("fid"), out,
+        covering = false, encoding = "polygon")
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", prevBlock)
+      if (prevRows == null) hc.unset("parquet.page.row.count.limit")
+      else hc.set("parquet.page.row.count.limit", prevRows)
+    }
+    // the window hits the group's aggregate box ([0,56.45]×[0,106.55]) but
+    // x-hit rows (first half) and y-hit rows (second half) are disjoint
+    graft.sources.GeoParquetFileFormat.pageRefinePrunedGroups.reset()
+    val decoded = scannedRows(GeoParquet.read(spark, out, bbox = Some((2.0, 2.0, 4.0, 4.0))))
+    assert(decoded == 0,
+      s"page-range refine must skip the partially-matching group: decoded $decoded of 4096")
+    assert(graft.sources.GeoParquetFileFormat.pageRefinePrunedGroups.sum() >= 1,
+      "the page-level re-judge must be what pruned it")
+    assert(GeoParquet.read(spark, out, bbox = Some((2.0, 2.0, 4.0, 4.0))).count() == 0)
+    // a window that genuinely matches first-half rows keeps the group and
+    // returns exactly the full-scan-refined set
+    val q = GeoParquet.read(spark, out, bbox = Some((2.0, 100.5, 4.0, 104.0)))
+    val full = GeoParquet.read(spark, out)
+      .where("ST_Intersects(geometry, ST_MakeEnvelope(2.0, 100.5, 4.0, 104.0))")
+    val got = q.select("fid").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got == full.select("fid").collect().map(_.getLong(0)).toSet)
+  }
+
   test("statsPrunedRead: footer parsed once per file across many splits") {
     val out = dir + "_native_footercache"
     val hc = spark.sparkContext.hadoopConfiguration
