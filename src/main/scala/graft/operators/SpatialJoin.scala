@@ -158,26 +158,6 @@ object SpatialJoin {
     val (xmin, ymin) = (math.min(le.getDouble(0), re.getDouble(0)), math.min(le.getDouble(1), re.getDouble(1)))
     val (xmax, ymax) = (math.max(le.getDouble(2), re.getDouble(2)), math.max(le.getDouble(3), re.getDouble(3)))
     val maxAbsLat = math.max(math.abs(ymin), math.abs(ymax))
-    // lon-cell layout for a geodesic round: the cell size snaps to an
-    // EXACT divisor of 360 so cells tile the circle and pmod-wrapped keys
-    // make the ±180 seam adjacent (snapping rounds the cell UP, which
-    // keeps the ≤1-cell displacement guarantee). The meters→degrees
-    // allowance is RADIUS-dependent: the far endpoint of an r-meter
-    // geodesic can sit r/110574° poleward of the data's extreme latitude,
-    // so the cos(φ) lon scaling must use that padded latitude — a fixed
-    // extent-derived allowance under-sizes cells for multi-1000-km rounds
-    // at mid/high latitude and silently drops true neighbors. Rounds whose
-    // padded latitude reaches the pole collapse to a single lon cell:
-    // meridians converge there and no bounded lon cell is correct.
-    def lonGrid(rM: Double): (Double, Long) = {
-      val phi = maxAbsLat + 1.0 + rM / 110000.0
-      lazy val raw = rM / (110000.0 * math.cos(math.toRadians(phi)))
-      if (phi >= 89.0 || raw >= 360.0) (360.0, 1L)
-      else {
-        val n = math.max(1L, math.floor(360.0 / raw).toLong)
-        (360.0 / n, n)
-      }
-    }
     val diagDeg = math.hypot(xmax - xmin, ymax - ymin)
     val rMax =
       if (!geodesic) { if (diagDeg > 0) diagDeg else 1.0 }
@@ -196,7 +176,7 @@ object SpatialJoin {
       // lon cell (wrapped mod nLon, see lonGrid) and a latitude cell
       // bounding the r-meter displacement; planar rounds use r both axes
       val (csXv, nLon, csYv) =
-        if (geodesic) { val (cx, n) = lonGrid(r); (cx, n, r / 110000.0) }
+        if (geodesic) { val (cx, n) = lonGrid(maxAbsLat, r); (cx, n, r / 110000.0) }
         else (r, 0L, r)
       val csx = lit(csXv)
       val csy = lit(csYv)
@@ -376,6 +356,29 @@ object SpatialJoin {
     }
     graft.core.Blocks.release(spark, unresolvedIds)
     acc
+  }
+
+  /** Lon-cell layout for a geodesic [[knn]] round: the cell size snaps to
+    * an EXACT divisor of 360 so cells tile the circle and pmod-wrapped
+    * keys make the ±180 seam adjacent (snapping rounds the cell UP, which
+    * keeps the ≤1-cell displacement guarantee). The meters→degrees
+    * allowance is RADIUS-dependent: the far endpoint of an r-meter
+    * geodesic can sit r/110574° poleward of the data's extreme latitude,
+    * so the cos(φ) lon scaling must use that padded latitude — a fixed
+    * extent-derived allowance under-sizes cells for multi-1000-km rounds
+    * at mid/high latitude and silently drops true neighbors. Rounds whose
+    * padded latitude reaches the pole collapse to a single lon cell:
+    * meridians converge there and no bounded lon cell is correct.
+    * Returns (cellSizeDegrees, cellCount); package-visible for the fuzz
+    * property pinning the ≤1-wrapped-cell displacement guarantee. */
+  private[graft] def lonGrid(maxAbsLat: Double, rM: Double): (Double, Long) = {
+    val phi = maxAbsLat + 1.0 + rM / 110000.0
+    lazy val raw = rM / (110000.0 * math.cos(math.toRadians(phi)))
+    if (phi >= 89.0 || raw >= 360.0) (360.0, 1L)
+    else {
+      val n = math.max(1L, math.floor(360.0 / raw).toLong)
+      (360.0 / n, n)
+    }
   }
 
   /** WKB→meters (or planar units) distance kernel matching the SQL

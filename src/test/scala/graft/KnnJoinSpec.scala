@@ -395,6 +395,48 @@ class KnnJoinSpec extends SparkTestBase {
     }
   }
 
+  test("lonGrid property: any point within r meters is ≤1 wrapped lon cell and ≤1 lat cell away") {
+    // the false-negative guard for the geodesic kNN grid (the padGeodesic
+    // analogue for cell keys): a probe explores ±1 cell around its own, so
+    // a true neighbor >1 cell away would be silently dropped while the row
+    // still resolves with inferior candidates. Covers the radius-dependent
+    // latitude allowance AND the pmod seam wrap, across the full globe.
+    val rnd = new scala.util.Random(4321)
+    var checked = 0
+    (0 until 4000).foreach { _ =>
+      val lon = rnd.nextDouble() * 360.0 - 180.0
+      val lat = rnd.nextDouble() * 179.8 - 89.9
+      val meters = math.pow(10.0, 1.0 + rnd.nextDouble() * 5.6) // 10 m .. ~4000 km
+      val az = rnd.nextDouble() * 2 * math.Pi
+      val frac = rnd.nextDouble()
+      val src = graft.core.GeomOps.point(lon, lat)
+      val dst = graft.core.GeomOps.read(
+        graft.core.Geodesy.projectSphere(src, meters * frac, az)).getCoordinate
+      // the operator derives maxAbsLat from the EXTENT, which contains
+      // both endpoints — use the smaller |lat| as the worst case (the
+      // extent's extreme is at least max of the two; using min stresses
+      // the radius-dependent allowance hardest... the extent always
+      // includes BOTH points, so maxAbsLat >= max(|src|, |dst|); model that)
+      val maxAbsLat = math.max(math.abs(lat), math.abs(dst.y))
+      val (csLon, nLon) = graft.operators.SpatialJoin.lonGrid(maxAbsLat, meters)
+      val csLat = meters / 110000.0
+      def cx(x: Double): Long = {
+        val c = math.floor(x / csLon).toLong % nLon
+        if (c < 0) c + nLon else c
+      }
+      val dLon = (cx(lon) - cx(dst.x) + nLon) % nLon
+      assert(dLon <= 1 || dLon == nLon - 1,
+        f"lon cells not adjacent: ($lat%.4f,$lon%.4f) +${meters * frac}%.0fm " +
+          f"az ${math.toDegrees(az)}%.0f° → (${dst.y}%.4f,${dst.x}%.4f); " +
+          f"cells ${cx(lon)} vs ${cx(dst.x)} of $nLon (cs=$csLon%.4f°, r=$meters%.0fm)")
+      val dLat = math.abs(math.floor(lat / csLat).toLong - math.floor(dst.y / csLat).toLong)
+      assert(dLat <= 1,
+        f"lat cells not adjacent: $lat%.4f vs ${dst.y}%.4f at cs=$csLat%.6f° (r=$meters%.0fm)")
+      checked += 1
+    }
+    assert(checked == 4000)
+  }
+
   test("invalid k rejected") {
     val df = pts(Seq((1L, 0.0, 0.0)), "id", "g")
     intercept[IllegalArgumentException] {
