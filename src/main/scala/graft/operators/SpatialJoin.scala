@@ -281,16 +281,16 @@ object SpatialJoin {
         }
       }
       val partSchema = StructType(
-        StructField("__uid", lSchema(leftIdCol).dataType) +:
+        StructField("__graft_knn_uid", lSchema(leftIdCol).dataType) +:
           (rSchema.fields :+ StructField("knn_dist", DoubleType)))
       val merged = spark.createDataFrame(partial, partSchema)
         .withColumn("knn_rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("__uid"))
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__graft_knn_uid"))
             .orderBy(col("knn_dist").asc, col(rightIdCol).asc)))
         .where(col("knn_rank") <= kk)
       // reattach the left columns: the remainder is small by construction
       merged.join(org.apache.spark.sql.functions.broadcast(unres),
-          col("__uid") === unres(leftIdCol))
+          col("__graft_knn_uid") === unres(leftIdCol))
         .select(outCols: _*)
     }
 
