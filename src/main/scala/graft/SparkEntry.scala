@@ -2170,6 +2170,59 @@ object SparkEntry {
     FROM (VALUES ('arrow'), ('fgb')) s(src) CROSS JOIN d
     ORDER BY s.src, d.fid"""
 
+  /** Distance-comparison join shapes (g90): `ST_Distance(a,b) <= d` and
+    * strict `< d` join conditions plan as spatial joins (the strategy
+    * rewrites them to the dWithin family; strict keeps the original
+    * conjunct as a residual filter). The fixture has pairs at EXACTLY the
+    * radius (1.5² + 2² = 2.5²), so `<=` and `<` produce different row
+    * sets — a residual regression (boundary pairs leaking into `<`) or a
+    * BNLJ fall-through both break the hash. The plan must contain the
+    * spatial exec and no BroadcastNestedLoopJoin. */
+  private def g90Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val vP = "graft_g90_p_" + tag
+    val vQ = "graft_g90_q_" + tag
+    s.sql("""
+      SELECT CAST(id AS BIGINT) AS pid,
+             ST_Point(CAST(id % 40 AS DOUBLE), CAST(CAST(id / 40 AS INT) AS DOUBLE)) AS pg
+      FROM range(1600)""").createOrReplaceTempView(vP)
+    s.sql("""
+      SELECT CAST(id AS BIGINT) AS qid,
+             ST_Point(CAST(CAST(id * 7 AS BIGINT) % 40 AS DOUBLE) + 0.5,
+                      CAST(CAST(id * 3 AS BIGINT) % 40 AS DOUBLE) + 0.5) AS qg
+      FROM range(8)""").createOrReplaceTempView(vQ)
+    val out = s.sql(s"""
+      SELECT 'le' AS op, p.pid, q.qid FROM $vP p JOIN $vQ q ON ST_Distance(p.pg, q.qg) <= 2.5
+      UNION ALL
+      SELECT 'lt' AS op, p.pid, q.qid FROM $vP p JOIN $vQ q ON ST_Distance(p.pg, q.qg) < 2.5
+      ORDER BY op, pid, qid""")
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("SpatialJoin"),
+      "g90: distance-comparison joins must plan as spatial joins")
+    require(!plan.contains("BroadcastNestedLoopJoin"),
+      "g90: distance-comparison joins must never fall to BNLJ")
+    val materialized = out.orderBy("op", "pid", "qid")
+    materialized.count()
+    s.catalog.dropTempView(vP)
+    s.catalog.dropTempView(vQ)
+    materialized
+  }
+
+  private val g90Duck = """
+    WITH p AS (SELECT i AS pid, CAST(i % 40 AS DOUBLE) AS px,
+                      CAST(i // 40 AS DOUBLE) AS py FROM range(1600) t(i)),
+         q AS (SELECT i AS qid, CAST((i * 7) % 40 AS DOUBLE) + 0.5 AS qx,
+                      CAST((i * 3) % 40 AS DOUBLE) + 0.5 AS qy FROM range(8) t(i)),
+         d AS (SELECT pid, qid,
+                      sqrt((px - qx) * (px - qx) + (py - qy) * (py - qy)) AS dist
+               FROM p CROSS JOIN q)
+    SELECT op, pid::BIGINT AS pid, qid::BIGINT AS qid FROM (
+      SELECT 'le' AS op, pid, qid FROM d WHERE dist <= 2.5
+      UNION ALL
+      SELECT 'lt' AS op, pid, qid FROM d WHERE dist < 2.5)
+    ORDER BY op, pid, qid"""
+
   /** NFKC compatibility folding (t52): fullwidth digits, ligatures,
     * circled and superscript forms fold onto plain equivalents — without
     * this a tokenizer treats '１２３' and '123' as distinct tokens. The
@@ -11199,6 +11252,7 @@ object SparkEntry {
     ("g87_geodesic_knn", g87Fn _, g87Duck),
     ("g88_knn_antimeridian", g88Fn _, g88Duck),
     ("g89_edges_roundtrip", g89Fn _, g89Duck),
+    ("g90_distance_radius_join", g90Fn _, g90Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -88,8 +88,10 @@ object SpatialCountFoldRule extends Rule[LogicalPlan] with PredicateHelper {
     if (conjuncts.length != 1) return None
     val (lg, rg, pred, radius) =
       SpatialJoinStrategy.extract(conjuncts.head, left, right) match {
-        case Some(x) => x
-        case None => return None
+        // exact only: the fold counts matches inside the exec, so an
+        // inexact (strict-<) extraction's residual would come too late
+        case Some((a, b, p, r, true)) => (a, b, p, r)
+        case _ => return None
       }
 
     // every aggregate function must be COUNT(*); everything else the

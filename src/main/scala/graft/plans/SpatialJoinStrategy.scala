@@ -44,11 +44,16 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
     case other => other
   }
 
-  /** (leftGeom, rightGeom, normalized predicate, radius) if `c` is a
+  /** (leftGeom, rightGeom, normalized predicate, radius, exact) if `c` is a
     * supported spatial predicate splitting cleanly across the join.
-    * Shared with [[SpatialCountFoldRule]]. */
+    * `exact = false` means the planned predicate is a SUPERSET of the
+    * conjunct (strict `<` planned as `<=`): the caller must keep the
+    * original conjunct as a residual filter — the join then generates
+    * candidates, the residual restores exactness. Shared with
+    * [[SpatialCountFoldRule]] (which requires `exact`: a fold counts
+    * matches inside the exec, so a residual would be too late). */
   private[plans] def extract(c: Expression, left: LogicalPlan, right: LogicalPlan)
-      : Option[(Expression, Expression, String, Double)] = c match {
+      : Option[(Expression, Expression, String, Double, Boolean)] = c match {
     case si: StaticInvoke if si.staticObject == geomOps && supported(si.functionName) =>
       val args = si.arguments.map(strip)
       if (args.length < 2) return None
@@ -63,47 +68,56 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
       radius.flatMap { r =>
         if (a.references.nonEmpty && b.references.nonEmpty &&
             a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet))
-          Some((a, b, si.functionName, r))
+          Some((a, b, si.functionName, r, true))
         else if (a.references.nonEmpty && b.references.nonEmpty &&
                  a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
           // P(a∈right, b∈left) ⇒ normalize to transpose(P)(left, right)
-          Some((b, a, SpatialJoinExec.transpose(si.functionName), r))
+          Some((b, a, SpatialJoinExec.transpose(si.functionName), r, true))
         else None
       }
-    // the edges-dispatch rewrite of ST_DWithin over stamped columns:
-    // `distance<Model>(a, b) <= d` — without this case the rewritten join
-    // condition would fall through to BroadcastNestedLoopJoin, the exact
-    // O(n·m) the strategy exists to prevent. Symmetric predicate, meters
-    // radius; the exec pads envelopes via the meters→degrees conversion.
-    case LessThanOrEqual(si: StaticInvoke, d)
-        if si.staticObject == geodesy &&
-           SpatialJoinExec.geodesicDistanceToPredicate.contains(si.functionName) &&
-           d.foldable =>
-      extractGeodesic(si, d, left, right)
-    case GreaterThanOrEqual(d, si: StaticInvoke)
-        if si.staticObject == geodesy &&
-           SpatialJoinExec.geodesicDistanceToPredicate.contains(si.functionName) &&
-           d.foldable =>
-      extractGeodesic(si, d, left, right)
+    // distance-comparison shapes: `ST_Distance*(a, b) <= d` is a radius
+    // join the user spelled without ST_DWithin — covers the planar kernel,
+    // the explicit geodesic kernels (`ST_DistanceSphere(a,b) <= d`), and
+    // the edges-dispatch rewrite over stamped columns, which all resolve
+    // to the same StaticInvoke trees. Without these cases the condition
+    // falls through to BroadcastNestedLoopJoin, the exact O(n·m) the
+    // strategy exists to prevent. Strict `<` plans the inclusive
+    // predicate and keeps the conjunct as a residual (exact = false).
+    case LessThanOrEqual(si: StaticInvoke, d) if isDistanceKernel(si) && d.foldable =>
+      extractRadius(si, d, left, right, exact = true)
+    case GreaterThanOrEqual(d, si: StaticInvoke) if isDistanceKernel(si) && d.foldable =>
+      extractRadius(si, d, left, right, exact = true)
+    case LessThan(si: StaticInvoke, d) if isDistanceKernel(si) && d.foldable =>
+      extractRadius(si, d, left, right, exact = false)
+    case GreaterThan(d, si: StaticInvoke) if isDistanceKernel(si) && d.foldable =>
+      extractRadius(si, d, left, right, exact = false)
     case _ => None
   }
 
-  private def extractGeodesic(si: StaticInvoke, d: Expression,
-                              left: LogicalPlan, right: LogicalPlan)
-      : Option[(Expression, Expression, String, Double)] = {
+  private def isDistanceKernel(si: StaticInvoke): Boolean =
+    (si.staticObject == geomOps && si.functionName == "distance") ||
+      (si.staticObject == geodesy &&
+        SpatialJoinExec.geodesicDistanceToPredicate.contains(si.functionName))
+
+  private def extractRadius(si: StaticInvoke, d: Expression,
+                            left: LogicalPlan, right: LogicalPlan, exact: Boolean)
+      : Option[(Expression, Expression, String, Double, Boolean)] = {
     val v = d.eval()
     if (v == null) return None
-    val meters = v.toString.toDouble
+    val r = v.toString.toDouble
+    if (r < 0 || r.isNaN) return None // degenerate: leave to Spark
     val args = si.arguments.map(strip)
     if (args.length != 2) return None
     val (a, b) = (args(0), args(1))
-    val pred = SpatialJoinExec.geodesicDistanceToPredicate(si.functionName)
+    val pred =
+      if (si.staticObject == geomOps) "dWithin"
+      else SpatialJoinExec.geodesicDistanceToPredicate(si.functionName)
     if (a.references.nonEmpty && b.references.nonEmpty &&
         a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet))
-      Some((a, b, pred, meters))
+      Some((a, b, pred, r, exact))
     else if (a.references.nonEmpty && b.references.nonEmpty &&
              a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
-      Some((b, a, pred, meters)) // distance is symmetric
+      Some((b, a, pred, r, exact)) // distance is symmetric
     else None
   }
 
@@ -252,8 +266,12 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
       .collectFirst { case (c, Some(x)) => c -> x }
     hit match {
       case None => Nil
-      case Some((chosen, (lg, rg, pred, radius))) =>
-        val remaining = conjuncts.filterNot(_ fastEquals chosen)
+      case Some((chosen, (lg, rg, pred, radius, exact))) =>
+        // inexact extraction (strict <): the join generates candidates at
+        // the inclusive radius; the original conjunct stays as a residual
+        // filter to restore exactness on the boundary
+        val remaining =
+          if (exact) conjuncts.filterNot(_ fastEquals chosen) else conjuncts
         val narrowed: Option[Seq[Attribute]] = proj.map { pl =>
           val needed = AttributeSet(pl.flatMap(_.references) ++ remaining.flatMap(_.references))
           (left.output ++ right.output).filter(needed.contains)

@@ -210,6 +210,57 @@ class SpatialJoinSpec extends SparkTestBase {
     assert(checked == 3000)
   }
 
+  test("distance-comparison join shapes plan as spatial joins, strict < stays exact") {
+    // users spell radius joins as `ST_Distance(a,b) <= d` at least as often
+    // as ST_DWithin — both must take the spatial join, never BNLJ
+    points.createOrReplaceTempView("dc_pts")
+    spark.sql("""
+      SELECT qid, ST_Point(x, y) AS qg
+      FROM VALUES (0, 3.0, 3.0), (1, 15.0, 12.0) AS t(qid, x, y)""")
+      .createOrReplaceTempView("dc_q")
+    val le = sql("SELECT id, qid FROM dc_pts JOIN dc_q ON ST_Distance(pt, qg) <= 2.0")
+    assert(planOf(le).contains("SpatialJoin"), planOf(le))
+    assert(!planOf(le).contains("BroadcastNestedLoopJoin"))
+    // ground truth via the JTS kernel driver-side
+    val qs = Seq((0, 3.0, 3.0), (1, 15.0, 12.0))
+    def bruteWithin(r: Double, strict: Boolean) =
+      (for { (id, pt) <- collectedPts; (qid, qx, qy) <- qs
+             d = graft.core.GeomOps.read(pt).distance(
+               graft.core.GeomOps.factory.createPoint(
+                 new org.locationtech.jts.geom.Coordinate(qx, qy)))
+             if (strict && d < r) || (!strict && d <= r) } yield (id, qid)).toSet
+    assert(le.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == bruteWithin(2.0, strict = false))
+    // strict <: the integer grid has points at EXACTLY distance 2.0 from
+    // (3,3) — (1,3),(5,3),(3,1),(3,5) — which <= would wrongly include;
+    // the residual filter must exclude them while the join still plans
+    val lt = sql("SELECT id, qid FROM dc_pts JOIN dc_q ON ST_Distance(pt, qg) < 2.0")
+    assert(planOf(lt).contains("SpatialJoin"), planOf(lt))
+    val gotLt = lt.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val expLt = bruteWithin(2.0, strict = true)
+    assert(gotLt == expLt, s"strict boundary: ${gotLt.diff(expLt)} extra, ${expLt.diff(gotLt)} missing")
+    assert(bruteWithin(2.0, strict = false).size > expLt.size,
+      "fixture must actually have boundary pairs")
+    // flipped literal-first comparison plans too
+    val ge = sql("SELECT id, qid FROM dc_pts JOIN dc_q ON 2.0 >= ST_Distance(pt, qg)")
+    assert(planOf(ge).contains("SpatialJoin"), planOf(ge))
+    assert(ge.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == bruteWithin(2.0, strict = false))
+    // explicit geodesic kernel without any stamped column: a meters-radius
+    // join over lon/lat plans the geodesic dWithin family
+    spark.sql("""
+      SELECT aid, ST_Point(lon, lat) AS ag
+      FROM VALUES (0, 179.9, 0.0), (1, 10.0, 50.0) AS t(aid, lon, lat)""")
+      .createOrReplaceTempView("dc_ga")
+    spark.sql("""
+      SELECT bid, ST_Point(lon, lat) AS bg
+      FROM VALUES (0, -179.5, 0.0), (1, 10.1, 50.05) AS t(bid, lon, lat)""")
+      .createOrReplaceTempView("dc_gb")
+    val sph = sql(
+      "SELECT aid, bid FROM dc_ga JOIN dc_gb ON ST_DistanceSphere(ag, bg) <= 100000.0")
+    assert(planOf(sph).contains("SpatialJoin"), planOf(sph))
+    // (179.9,0)↔(−179.5,0) is ~66.8 km ACROSS the seam; (10,50)↔(10.1,50.05) ~9 km
+    assert(sph.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == Set((0, 0), (1, 1)))
+  }
+
   test("geodesic dWithin join finds pairs across the antimeridian") {
     val tmp = java.nio.file.Files.createTempDirectory("sj_seam").toString
     // (179.9, 0) and (-179.5, 0) are ~66.8 km apart by haversine — a true
