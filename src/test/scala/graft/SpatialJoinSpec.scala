@@ -244,6 +244,17 @@ class SpatialJoinSpec extends SparkTestBase {
     val ge = sql("SELECT id, qid FROM dc_pts JOIN dc_q ON 2.0 >= ST_Distance(pt, qg)")
     assert(planOf(ge).contains("SpatialJoin"), planOf(ge))
     assert(ge.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == bruteWithin(2.0, strict = false))
+    // BETWEEN desugars to (d >= lo) AND (d <= hi): the hi conjunct extracts
+    // as the radius predicate, the lo conjunct stays a residual filter —
+    // an annulus join through the spatial exec
+    val bt = sql("SELECT id, qid FROM dc_pts JOIN dc_q ON ST_Distance(pt, qg) BETWEEN 1.0 AND 2.0")
+    assert(planOf(bt).contains("SpatialJoin"), planOf(bt))
+    val expBt = (for { (id, pt) <- collectedPts; (qid, qx, qy) <- qs
+                       d = graft.core.GeomOps.read(pt).distance(
+                         graft.core.GeomOps.factory.createPoint(
+                           new org.locationtech.jts.geom.Coordinate(qx, qy)))
+                       if d >= 1.0 && d <= 2.0 } yield (id, qid)).toSet
+    assert(bt.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == expBt)
     // explicit geodesic kernel without any stamped column: a meters-radius
     // join over lon/lat plans the geodesic dWithin family
     spark.sql("""
