@@ -164,6 +164,29 @@ class KnnJoinSpec extends SparkTestBase {
     }
   }
 
+  test("planner: explicit ST_DistanceSphere window (no stamped column) takes KnnTopKExec with meters") {
+    // a user without edges-stamped files writes the geodesic kNN directly —
+    // the same window interception must fire on the explicit kernel
+    val l = Seq((1L, 0.0, 60.0), (2L, 5.0, 70.0))
+    val r = Seq((10L, 1.9, 60.0), (11L, 0.0, 61.5), (12L, 30.0, 60.0), (13L, 5.2, 70.1))
+    pts(l, "lid", "lg").createOrReplaceTempView("knn_ek_l")
+    pts(r, "rid", "rg").createOrReplaceTempView("knn_ek_r")
+    val df = sql("""
+      SELECT lid, rid, d, rk FROM (
+        SELECT l.lid, r.rid, ST_DistanceSphere(l.lg, r.rg) AS d,
+               ROW_NUMBER() OVER (PARTITION BY l.lid ORDER BY ST_DistanceSphere(l.lg, r.rg)) AS rk
+        FROM knn_ek_l l CROSS JOIN knn_ek_r r) t
+      WHERE rk <= 1""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("KnnTopK"), s"expected KnnTopK in:\n$plan")
+    val got = df.collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).sortBy(_._1)
+    val exp = expectedSphere(l, r, 1)
+    assert(got.map(_._2).toSeq == Seq(exp(1L).head._1, exp(2L).head._1))
+    got.foreach { case (lid, _, d) =>
+      assert(math.abs(d - exp(lid).head._2) < 1e-6, s"meters column: $d")
+    }
+  }
+
   test("planner: windowed top-k-by-distance SQL shape plans as KnnTopKExec") {
     val l = Seq((1L, 0.0, 0.0), (2L, 10.0, 10.0), (3L, 5.0, 5.0))
     val r = Seq((10L, 1.0, 0.0), (11L, 0.0, 1.0), (12L, 3.0, 4.0),
