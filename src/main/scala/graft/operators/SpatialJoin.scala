@@ -113,7 +113,9 @@ object SpatialJoin {
     * right partition ranks it against a bounded per-left heap map-side and
     * only |remainder|·k·partitions rows reach the merge shuffle. A
     * remainder larger than `graft.knn.broadcastRemainderMaxRows` (default
-    * 2M) falls back to the grid round with a warning.
+    * 1M; note the driver broadcast is |remainder| rows and each task's
+    * heap memory is |remainder|·k entries, so size the cap down for large
+    * k) falls back to the grid round with a warning.
     */
   def knn(left: DataFrame, right: DataFrame,
           leftGeomCol: String, rightGeomCol: String, k: Int,
@@ -295,7 +297,7 @@ object SpatialJoin {
     }
 
     val maxRemainder = spark.conf.get(
-      "graft.knn.broadcastRemainderMaxRows", "2000000").toLong
+      "graft.knn.broadcastRemainderMaxRows", "1000000").toLong
     var unresolved = left
     // blocks pinned by the current `unresolved` checkpoint — released the
     // moment the next round's checkpoint supersedes it (the per-round `part`
