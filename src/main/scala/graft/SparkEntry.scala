@@ -3642,10 +3642,17 @@ object SparkEntry {
                         FROM documents WHERE doc_id % 97 = 0),
     nb AS (SELECT COUNT(*) AS n FROM bench_docs),
     corpus AS (SELECT /*+ REPARTITION({{P}}) */ d.doc_id, d.source,
+                      -- INTEGER prefix arithmetic (len·k DIV 100), never
+                      -- len*0.7 in doubles: 350*0.7 is 244.999… as an IEEE
+                      -- double but exactly 245 in DuckDB's DECIMAL literal
+                      -- arithmetic — the floor then disagrees by one char
+                      -- whenever the product is an exact integer (first
+                      -- seen at sf0.1, where bench lengths hit multiples
+                      -- of 10)
                       CASE WHEN d.doc_id % 11 = 3
-                             THEN concat(substring(b.btext, 1, CAST(FLOOR(length(b.btext) * 0.15D) AS INT)), ' ', d.text)
+                             THEN concat(substring(b.btext, 1, CAST(length(b.btext) * 15 DIV 100 AS INT)), ' ', d.text)
                            WHEN d.doc_id % 11 = 7
-                             THEN concat(substring(b.btext, 1, CAST(FLOOR(length(b.btext) * 0.7D) AS INT)), ' ', d.text)
+                             THEN concat(substring(b.btext, 1, CAST(length(b.btext) * 70 DIV 100 AS INT)), ' ', d.text)
                            ELSE d.text END AS text
                FROM documents d CROSS JOIN nb
                JOIN bench_docs b ON b.rb = d.doc_id % nb.n + 1
@@ -3669,9 +3676,9 @@ object SparkEntry {
     nb AS (SELECT COUNT(*) AS n FROM bench_docs),
     corpus AS (SELECT d.doc_id, d.source,
                       CASE WHEN d.doc_id % 11 = 3
-                             THEN substring(b.btext, 1, FLOOR(length(b.btext) * 0.15)::INT) || ' ' || d.text
+                             THEN substring(b.btext, 1, ((length(b.btext) * 15) // 100)::INT) || ' ' || d.text
                            WHEN d.doc_id % 11 = 7
-                             THEN substring(b.btext, 1, FLOOR(length(b.btext) * 0.7)::INT) || ' ' || d.text
+                             THEN substring(b.btext, 1, ((length(b.btext) * 70) // 100)::INT) || ' ' || d.text
                            ELSE d.text END AS text
                FROM documents d CROSS JOIN nb
                JOIN bench_docs b ON b.rb = d.doc_id % nb.n + 1
@@ -7560,7 +7567,11 @@ object SparkEntry {
               FROM contrib c JOIN documents d ON d.doc_id = c.doc_id
               GROUP BY c.doc_id, d.source, d.text)
     SELECT doc_id, source, n_tokens,
-           ROUND(CAST(mu AS DOUBLE) / (1000000.0D * CAST(n_tokens AS DOUBLE)), 6) AS dsir_score,
+           -- integer micro-units, not ROUND(double, 6): the two engines
+           -- round half-way doubles differently (BigDecimal HALF_UP vs
+           -- std::round on the scaled binary value), which flipped a 6th
+           -- decimal at sf0.1 — DIV is exact and order-independent
+           mu DIV n_tokens AS dsir_score_micro,
            CAST(ROW_NUMBER() OVER (ORDER BY CAST(mu AS DOUBLE) / CAST(n_tokens AS DOUBLE) DESC, doc_id) AS BIGINT) AS rnk
     FROM (SELECT * FROM score
           ORDER BY CAST(mu AS DOUBLE) / CAST(n_tokens AS DOUBLE) DESC, doc_id
@@ -7594,7 +7605,7 @@ object SparkEntry {
               FROM contrib c JOIN documents d ON d.doc_id = c.doc_id
               GROUP BY c.doc_id, d.source, d.text)
     SELECT doc_id, source, n_tokens,
-           ROUND(mu::DOUBLE / (1000000.0 * n_tokens::DOUBLE), 6) AS dsir_score,
+           (mu // n_tokens)::BIGINT AS dsir_score_micro,
            rnk::BIGINT AS rnk
     FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY mu::DOUBLE / n_tokens::DOUBLE DESC, doc_id) AS rnk
           FROM score) t
