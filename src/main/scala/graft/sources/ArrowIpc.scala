@@ -32,48 +32,55 @@ object ArrowIpc {
   private def isGeo(md: java.util.Map[String, String]): Boolean =
     Option(md.get("ARROW:extension:name")).exists(_.startsWith("geoarrow."))
 
-  private def sparkType(f: org.apache.arrow.vector.types.pojo.Field): DataType =
-    sparkTypeOf(f.getMetadata, f.getType, f.getName)
-
-  /** Metadata + type → Spark type. Split from the Field so dictionary-encoded
-    * columns (whose in-memory Field carries the INDEX type, the value type
-    * living on the dictionary's own vector) can map by their VALUE type. */
-  private def sparkTypeOf(md: java.util.Map[String, String],
-                          tpe: org.apache.arrow.vector.types.pojo.ArrowType,
-                          name: String): DataType = {
+  /** Field → Spark type, recursive over nested layouts. Dictionary-encoded
+    * fields (whose in-memory Field carries the INDEX type, the value type
+    * living on the dictionary's own vector) map by their VALUE type via
+    * `lookup` — the reader's dictionary vectors exist with the right type
+    * from initialization (ArrowReader.initialize pre-creates them from the
+    * schema), so this is safe even on zero-batch files. List-kind layouts
+    * (List/LargeList/FixedSizeList and the view variants ListView/
+    * LargeListView) all surface as `ArrayType`; RunEndEncoded surfaces as
+    * its LOGICAL (values-child) type — run lookup is a physical encoding,
+    * not a data shape, and `getObject` resolves it per row. */
+  private def sparkTypeOf(
+      f: org.apache.arrow.vector.types.pojo.Field,
+      lookup: Long => org.apache.arrow.vector.dictionary.Dictionary): DataType = {
     import org.apache.arrow.vector.types.pojo.ArrowType
-    if (isGeo(md)) BinaryType
-    else tpe match {
-      case t: ArrowType.Int =>
-        (t.getBitWidth, t.getIsSigned) match {
-          case (8, _) => ByteType
-          case (16, _) => ShortType
-          case (32, _) => IntegerType
-          case _ => LongType
-        }
-      case t: ArrowType.FloatingPoint =>
-        if (t.getPrecision == org.apache.arrow.vector.types.FloatingPointPrecision.SINGLE) FloatType
-        else DoubleType
-      case _: ArrowType.Utf8 | _: ArrowType.LargeUtf8 | _: ArrowType.Utf8View => StringType
-      case _: ArrowType.Bool => BooleanType
-      case t: ArrowType.Decimal => DecimalType(t.getPrecision, t.getScale)
-      case _: ArrowType.Binary | _: ArrowType.LargeBinary | _: ArrowType.BinaryView => BinaryType
-      case _: ArrowType.Date => DateType
-      case _: ArrowType.Timestamp => TimestampType
-      case other => throw new IllegalArgumentException(
-        s"ArrowIpc: unsupported arrow type $other for column $name")
+    if (isGeo(f.getMetadata)) BinaryType
+    else Option(f.getDictionary).flatMap(enc => Option(lookup(enc.getId))) match {
+      case Some(d) => sparkTypeOf(d.getVector.getField, lookup)
+      case None => f.getType match {
+        case t: ArrowType.Int =>
+          (t.getBitWidth, t.getIsSigned) match {
+            case (8, _) => ByteType
+            case (16, _) => ShortType
+            case (32, _) => IntegerType
+            case _ => LongType
+          }
+        case t: ArrowType.FloatingPoint =>
+          if (t.getPrecision == org.apache.arrow.vector.types.FloatingPointPrecision.SINGLE) FloatType
+          else DoubleType
+        case _: ArrowType.Utf8 | _: ArrowType.LargeUtf8 | _: ArrowType.Utf8View => StringType
+        case _: ArrowType.Bool => BooleanType
+        case t: ArrowType.Decimal => DecimalType(t.getPrecision, t.getScale)
+        case _: ArrowType.Binary | _: ArrowType.LargeBinary | _: ArrowType.BinaryView => BinaryType
+        case _: ArrowType.Date => DateType
+        case _: ArrowType.Timestamp => TimestampType
+        case _: ArrowType.List | _: ArrowType.LargeList | _: ArrowType.FixedSizeList |
+             _: ArrowType.ListView | _: ArrowType.LargeListView =>
+          val elem = f.getChildren.get(0)
+          ArrayType(sparkTypeOf(elem, lookup), elem.isNullable)
+        case _: ArrowType.Struct =>
+          StructType(f.getChildren.asScala.toSeq.map(c =>
+            StructField(c.getName, sparkTypeOf(c, lookup), c.isNullable)))
+        case _: ArrowType.RunEndEncoded =>
+          // children are [run_ends, values]; the logical type is the values'
+          sparkTypeOf(f.getChildren.get(1), lookup)
+        case other => throw new IllegalArgumentException(
+          s"ArrowIpc: unsupported arrow type $other for column ${f.getName}")
+      }
     }
   }
-
-  /** Value type of a (possibly dictionary-encoded) top-level field: the
-    * reader's dictionary vectors exist with the right type from
-    * initialization (ArrowReader.initialize pre-creates them from the
-    * schema), so this is safe even on zero-batch files. */
-  private def valueTypeOf(reader: ArrowFileReader,
-                          f: org.apache.arrow.vector.types.pojo.Field)
-      : org.apache.arrow.vector.types.pojo.ArrowType =
-    Option(f.getDictionary).flatMap(enc => Option(reader.lookup(enc.getId)))
-      .map(_.getVector.getField.getType).getOrElse(f.getType)
 
   private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -87,8 +94,7 @@ object ArrowIpc {
   def schemaOf(spark: SparkSession, path: String): StructType =
     withFirstFile(spark, path) { reader =>
       StructType(reader.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq.map { f =>
-        val base = StructField(f.getName,
-          sparkTypeOf(f.getMetadata, valueTypeOf(reader, f), f.getName))
+        val base = StructField(f.getName, sparkTypeOf(f, reader.lookup))
         if (!isGeo(f.getMetadata)) base
         else {
           val mb = new org.apache.spark.sql.types.MetadataBuilder()
@@ -245,21 +251,6 @@ object ArrowIpc {
   private def hasDictionary(f: org.apache.arrow.vector.types.pojo.Field): Boolean =
     f.getDictionary != null || f.getChildren.asScala.exists(hasDictionary)
 
-  /** Layouts the pruned reader still refuses: ListView/LargeListView/
-    * RunEndEncoded have exact fixed buffer counts, but reassembling them
-    * through our hand-built `ArrowRecordBatch` is unexercised against any
-    * producer — fall back to the stock reader rather than risk a
-    * mis-slice. View types (Utf8View/BinaryView) are handled natively:
-    * their per-batch variadic data buffers are sized from the
-    * RecordBatch's `variadicBufferCounts` (see [[decodeFilePruned]]). */
-  private def hasUnprunableLayout(f: org.apache.arrow.vector.types.pojo.Field): Boolean = {
-    import org.apache.arrow.vector.types.pojo.ArrowType
-    val t = f.getType
-    t.isInstanceOf[ArrowType.ListView] || t.isInstanceOf[ArrowType.LargeListView] ||
-      t.isInstanceOf[ArrowType.RunEndEncoded] ||
-      f.getChildren.asScala.exists(hasUnprunableLayout)
-  }
-
   /** Pre-order count of variadic-buffer-carrying (view-typed) nodes in a
     * field subtree — the RecordBatch's `variadicBufferCounts` carries one
     * entry per such node, in schema pre-order, sizing the extra data
@@ -291,6 +282,12 @@ object ArrowIpc {
         require(d != null,
           s"ArrowIpc: dictionary ${enc.getId} for field ${f.getName} not present in file")
         d.getVector.getObject(v.asInstanceOf[Number].intValue())
+      case None if f.getType.isInstanceOf[
+          org.apache.arrow.vector.types.pojo.ArrowType.RunEndEncoded] =>
+        // getObject already resolved the run lookup: the value has the
+        // VALUES child's shape (children are [run_ends, values]); walking
+        // the generic child list would misapply run_ends' field
+        resolveNestedDicts(f.getChildren.get(1), v, lookup)
       case None =>
         val kids = f.getChildren
         if (kids.isEmpty || !kids.asScala.exists(hasDictionary)) v
@@ -310,6 +307,39 @@ object ArrowIpc {
             out
           case other => other
         }
+    }
+  }
+
+  /** Arrow `getObject` tree → Spark external value, guided by the Field:
+    * `Text` → String, list-kind layouts (incl. ListView/LargeListView) →
+    * `Seq`, `Struct` → [[Row]] in child-field order, RunEndEncoded →
+    * converted by its values child (the run lookup already happened inside
+    * `getObject`). Dictionary-encoded fields convert by their VALUE field —
+    * callers resolve indexes to values first (top-level `dicts` lookup /
+    * [[resolveNestedDicts]]). Scalars pass through for
+    * [[org.apache.spark.sql.catalyst.CatalystTypeConverters]]. */
+  private def toSparkValue(f: org.apache.arrow.vector.types.pojo.Field, v: Any,
+      lookup: Long => org.apache.arrow.vector.dictionary.Dictionary): Any = {
+    import org.apache.arrow.vector.types.pojo.ArrowType
+    if (v == null) return null
+    Option(f.getDictionary).flatMap(enc => Option(lookup(enc.getId))) match {
+      case Some(d) => toSparkValue(d.getVector.getField, v, lookup)
+      case None => f.getType match {
+        case _: ArrowType.RunEndEncoded => toSparkValue(f.getChildren.get(1), v, lookup)
+        case _: ArrowType.List | _: ArrowType.LargeList | _: ArrowType.FixedSizeList |
+             _: ArrowType.ListView | _: ArrowType.LargeListView =>
+          val elem = f.getChildren.get(0)
+          v.asInstanceOf[java.util.List[_]].asScala.toSeq
+            .map(e => toSparkValue(elem, e, lookup))
+        case _: ArrowType.Struct =>
+          val m = v.asInstanceOf[java.util.Map[_, _]]
+          Row.fromSeq(f.getChildren.asScala.toSeq
+            .map(c => toSparkValue(c, m.get(c.getName), lookup)))
+        case _ => v match {
+          case t: org.apache.arrow.vector.util.Text => t.toString
+          case other => other
+        }
+      }
     }
   }
 
@@ -362,9 +392,12 @@ object ArrowIpc {
     * rust/geoarrow-schema/src/datatype.rs:50-66) prune natively too:
     * their per-batch variadic data buffers are sized from the
     * RecordBatch's `variadicBufferCounts` and the reassembled batch
-    * re-declares the kept counts for the loader. Only
-    * ListView/LargeListView/RunEndEncoded layouts fall back to the full
-    * reader. */
+    * re-declares the kept counts for the loader. ListView/LargeListView
+    * (3 fixed buffers: validity/offsets/sizes) and RunEndEncoded (0 own
+    * buffers, children [run_ends, values] carry their own nodes+buffers)
+    * follow the same pre-order buffer-run arithmetic — every layout that
+    * passes [[schemaOf]] prunes natively; there is no full-reader
+    * fallback. */
   private[sources] def decodeFilePruned(path: String, conf: org.apache.hadoop.conf.Configuration,
                                         wanted: Array[Boolean]): Iterator[Row] = {
     import org.apache.arrow.vector.ipc.message.{ArrowFieldNode, ArrowRecordBatch, MessageSerializer}
@@ -383,9 +416,6 @@ object ArrowIpc {
       val schema = reader.getVectorSchemaRoot.getSchema
       val fields = schema.getFields.asScala.toArray
       require(fields.length == wanted.length, s"ArrowIpc: wanted mask arity ${wanted.length} != ${fields.length}")
-      if (fields.exists(hasUnprunableLayout)) {
-        closeAll(); return decodeFile(path, conf, wanted)
-      }
       val blocks = reader.getRecordBlocks.asScala.toIndexedSeq
       val keepIdx = fields.indices.filter(wanted(_)).toArray
       val reducedFields = keepIdx.map(fields(_))
@@ -530,10 +560,7 @@ object ArrowIpc {
                   GeomOps.write(decodeGeo(ext, raw))
                 case None =>
                   decodedCells.increment()
-                  raw match {
-                    case t: org.apache.arrow.vector.util.Text => t.toString
-                    case other => other
-                  }
+                  toSparkValue(reducedFields(k), raw, reader.lookup)
               }
             k += 1
           }
@@ -621,10 +648,7 @@ object ArrowIpc {
                     GeomOps.write(decodeGeo(ext, raw))
                   case None =>
                     decodedCells.increment()
-                    raw match {
-                      case t: org.apache.arrow.vector.util.Text => t.toString
-                      case other => other
-                    }
+                    toSparkValue(fields(c), raw, reader.lookup)
                 }
             }
             c += 1

@@ -334,6 +334,114 @@ class ArrowIpcSpec extends SparkTestBase {
       s"nested-dict byte-level prune: read $read of $total body bytes — blob must be skipped")
   }
 
+  test("nested property layouts (List, ListView, Struct, RunEndEncoded) decode AND prune") {
+    // external producers (GDAL field lists, newer Arrow emitters using the
+    // view/REE layouts) carry nested PROPERTY columns, not just nested
+    // geometry. Schema maps them to Array/Struct/logical types, values
+    // decode through BOTH readers, and the byte-level pruner handles their
+    // pre-order buffer runs (ListView = validity/offsets/sizes, REE = 0
+    // own buffers + [run_ends, values] children) with no fallback.
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.complex.{ListVector, ListViewVector, RunEndEncodedVector, StructVector}
+    import org.apache.arrow.vector.types.pojo._
+    import org.apache.arrow.vector.types.FloatingPointPrecision
+    val dirOut = java.nio.file.Files.createTempDirectory("arrownested").toString
+    val file = new java.io.File(dirOut, "part-00000.arrow")
+    val n = 120
+    val alloc = new RootAllocator()
+    try {
+      val ids = new BigIntVector("fid", alloc)
+      ids.allocateNew(n)
+      val lv = ListViewVector.empty("lv", alloc)
+      val lvw = lv.getWriter; lvw.allocate()
+      val tags = ListVector.empty("tags", alloc)
+      val tw = tags.getWriter; tw.allocate()
+      val meta = StructVector.empty("meta", alloc)
+      val ma = meta.addOrGet("a",
+        FieldType.nullable(new ArrowType.Int(32, true)), classOf[IntVector])
+      val mb = meta.addOrGet("b",
+        FieldType.nullable(new ArrowType.Utf8()), classOf[VarCharVector])
+      meta.allocateNew()
+      val ree = RunEndEncodedVector.empty("cat", alloc)
+      ree.initializeChildrenFromFields(java.util.List.of(
+        new Field("run_ends", FieldType.notNullable(new ArrowType.Int(32, true)),
+          java.util.List.of[Field]()),
+        new Field("values", FieldType.nullable(new ArrowType.Utf8()),
+          java.util.List.of[Field]())))
+      val runEnds = ree.getRunEndsVector.asInstanceOf[IntVector]
+      val reeVals = ree.getValuesVector.asInstanceOf[VarCharVector]
+      runEnds.allocateNew(3); reeVals.allocateNew()
+      val geo = new VarBinaryVector(new Field("geometry",
+        new FieldType(true, new ArrowType.Binary(), null,
+          java.util.Map.of("ARROW:extension:name", "geoarrow.wkb")), null), alloc)
+      geo.allocateNew()
+      (0 until n).foreach { i =>
+        ids.setSafe(i, i.toLong)
+        lvw.setPosition(i); lvw.startListView()
+        (0 to i % 4).foreach(j => lvw.writeInt(i * 10 + j))
+        lvw.endListView()
+        tw.setPosition(i); tw.startList()
+        tw.float8().writeFloat8(i * 0.5); tw.float8().writeFloat8(i * 0.25)
+        tw.endList()
+        meta.setIndexDefined(i)
+        ma.setSafe(i, i * 2)
+        mb.setSafe(i, s"m${i % 5}".getBytes("UTF-8"))
+        geo.setSafe(i, graft.core.GeomOps.buffer( // dominates the body bytes
+          graft.core.GeomOps.point(i.toDouble, 0.0), 1.0))
+      }
+      // three runs of 40 rows each
+      runEnds.set(0, 40); runEnds.set(1, 80); runEnds.set(2, n)
+      runEnds.setValueCount(3)
+      Seq("r0", "r1", "r2").zipWithIndex.foreach { case (s, i) =>
+        reeVals.setSafe(i, s.getBytes("UTF-8")) }
+      reeVals.setValueCount(3)
+      ids.setValueCount(n); lv.setValueCount(n); tags.setValueCount(n)
+      meta.setValueCount(n); ree.setValueCount(n); geo.setValueCount(n)
+      val root = new VectorSchemaRoot(java.util.List.of[FieldVector](
+        ids, lv, tags, meta, ree, geo))
+      try {
+        val out = new java.io.FileOutputStream(file)
+        val writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, out.getChannel)
+        try { writer.start(); writer.writeBatch(); writer.end() }
+        finally { writer.close(); out.close() }
+      } finally root.close() // closes the vectors it wraps
+    } finally alloc.close()
+    // full read: nested layouts map to Spark types and values decode
+    import org.apache.spark.sql.types._
+    val full = ArrowIpc.read(spark, file.getAbsolutePath)
+    assert(full.schema("lv").dataType == ArrayType(IntegerType, containsNull = true))
+    assert(full.schema("tags").dataType == ArrayType(DoubleType, containsNull = true))
+    assert(full.schema("meta").dataType ==
+      StructType(Seq(StructField("a", IntegerType), StructField("b", StringType))))
+    assert(full.schema("cat").dataType == StringType) // REE surfaces its LOGICAL type
+    val r7 = full.where("fid = 7")
+      .selectExpr("lv", "tags", "meta.a", "meta.b", "cat").head()
+    assert(r7.getSeq[Int](0) == Seq(70, 71, 72, 73), s"ListView row: $r7")
+    assert(r7.getSeq[Double](1) == Seq(3.5, 1.75), s"List row: $r7")
+    assert(r7.getInt(2) == 14 && r7.getString(3) == "m2", s"Struct row: $r7")
+    assert(r7.getString(4) == "r0", s"REE row: $r7")
+    assert(full.where("fid = 100").selectExpr("cat").head().getString(0) == "r2")
+    // proper-subset projection → PRUNED byte-level path; every nested
+    // layout must reassemble exactly (compare via canonical JSON)
+    graft.sources.ArrowIpc.bodyBytesRead.reset()
+    graft.sources.ArrowIpc.bodyBytesTotal.reset()
+    val sel = Seq("fid", "to_json(struct(lv, tags, meta, cat)) AS j")
+    val viaPruned = spark.read.format("arrowipc").load(file.getAbsolutePath)
+      .selectExpr(sel: _*)
+    val viaFull = full.selectExpr(sel: _*)
+    assert(viaPruned.except(viaFull).isEmpty && viaFull.except(viaPruned).isEmpty)
+    val read = graft.sources.ArrowIpc.bodyBytesRead.sum()
+    val total = graft.sources.ArrowIpc.bodyBytesTotal.sum()
+    assert(total > 0, "pruned path must have engaged on the nested-layout file")
+    assert(read > 0 && read < total / 2,
+      s"nested-layout byte prune: read $read of $total body bytes — geometry must be skipped")
+    // aggregation over the REE logical column sees the run values
+    val counted = spark.read.format("arrowipc").load(file.getAbsolutePath)
+      .groupBy("cat").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counted == Map("r0" -> 40L, "r1" -> 40L, "r2" -> 40L), s"$counted")
+  }
+
   test("dictionary WRITE: low-cardinality column roundtrips, shrinks bytes, prunes") {
     val outPlain = java.nio.file.Files.createTempDirectory("arrowdw_p").toString
     val outDict = java.nio.file.Files.createTempDirectory("arrowdw_d").toString
