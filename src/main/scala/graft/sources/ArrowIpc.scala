@@ -398,7 +398,7 @@ object ArrowIpc {
     * follow the same pre-order buffer-run arithmetic — every layout that
     * passes [[schemaOf]] prunes natively; there is no full-reader
     * fallback. */
-  private[sources] def decodeFilePruned(path: String, conf: org.apache.hadoop.conf.Configuration,
+  private[graft] def decodeFilePruned(path: String, conf: org.apache.hadoop.conf.Configuration,
                                         wanted: Array[Boolean]): Iterator[Row] = {
     import org.apache.arrow.vector.ipc.message.{ArrowFieldNode, ArrowRecordBatch, MessageSerializer}
     import org.apache.arrow.vector.ipc.ReadChannel
@@ -590,7 +590,7 @@ object ArrowIpc {
     * itself still loads (an IPC frame is one contiguous message; true
     * buffer-level skip would need footer-driven selective loading), so
     * this prunes CPU, not file IO. */
-  private[sources] def decodeFile(path: String, conf: org.apache.hadoop.conf.Configuration,
+  private[graft] def decodeFile(path: String, conf: org.apache.hadoop.conf.Configuration,
                          wanted: Array[Boolean] = null): Iterator[Row] = {
     val ch = openChannel(path, conf)
     val allocator = new RootAllocator()

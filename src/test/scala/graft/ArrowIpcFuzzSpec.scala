@@ -1,0 +1,192 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.{FixedSizeListVector, ListVector, ListViewVector, RunEndEncodedVector, StructVector}
+import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
+import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.pojo._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ArrowIpc
+
+/** Randomized producer fuzz for the byte-level pruned Arrow IPC reader:
+  * for random schemas drawn from every supported layout family (scalars,
+  * view types, List/ListView/FixedSizeList, Struct, RunEndEncoded,
+  * dictionary-encoded, LZ4/ZSTD-compressed bodies) and random projection
+  * masks, [[ArrowIpc.decodeFilePruned]] must return exactly what the
+  * stock full reader returns. This pins the pre-order buffer-run
+  * arithmetic (a mis-slice anywhere shifts EVERY later column) against
+  * arbitrary producers, not just the hand-built fixtures. Seeded —
+  * deterministic across runs. */
+class ArrowIpcFuzzSpec extends AnyFunSuite {
+
+  private val conf = new org.apache.hadoop.conf.Configuration()
+
+  /** One random column: build + populate a FieldVector for `n` rows.
+    * Returns the vector plus any dictionary it registered. */
+  private def makeColumn(kind: Int, name: String, n: Int, dictId: Long,
+                         rnd: Random, alloc: RootAllocator)
+      : (FieldVector, Option[Dictionary]) = kind match {
+    case 0 => // int32 with nulls
+      val v = new IntVector(name, alloc); v.allocateNew(n)
+      (0 until n).foreach(i => if (rnd.nextDouble() < 0.15) v.setNull(i) else v.setSafe(i, rnd.nextInt()))
+      v.setValueCount(n); (v, None)
+    case 1 => // float8
+      val v = new Float8Vector(name, alloc); v.allocateNew(n)
+      (0 until n).foreach(i => if (rnd.nextDouble() < 0.15) v.setNull(i) else v.setSafe(i, rnd.nextDouble() * 1e6))
+      v.setValueCount(n); (v, None)
+    case 2 => // utf8, lengths straddling nothing special
+      val v = new VarCharVector(name, alloc); v.allocateNew()
+      (0 until n).foreach(i => if (rnd.nextDouble() < 0.15) v.setNull(i)
+        else v.setSafe(i, rnd.alphanumeric.take(rnd.nextInt(20)).mkString.getBytes("UTF-8")))
+      v.setValueCount(n); (v, None)
+    case 3 => // utf8view — lengths both sides of the 12-byte inline cutoff
+      val v = new ViewVarCharVector(name, alloc); v.allocateNew()
+      (0 until n).foreach(i => if (rnd.nextDouble() < 0.15) v.setNull(i)
+        else v.setSafe(i, rnd.alphanumeric.take(rnd.nextInt(25)).mkString.getBytes("UTF-8")))
+      v.setValueCount(n); (v, None)
+    case 4 => // binary
+      val v = new VarBinaryVector(name, alloc); v.allocateNew()
+      (0 until n).foreach { i =>
+        if (rnd.nextDouble() < 0.15) v.setNull(i)
+        else { val b = new Array[Byte](rnd.nextInt(30)); rnd.nextBytes(b); v.setSafe(i, b) }
+      }
+      v.setValueCount(n); (v, None)
+    case 5 => // bool
+      val v = new BitVector(name, alloc); v.allocateNew(n)
+      (0 until n).foreach(i => if (rnd.nextDouble() < 0.15) v.setNull(i) else v.setSafe(i, if (rnd.nextBoolean()) 1 else 0))
+      v.setValueCount(n); (v, None)
+    case 6 => // list<float8>, incl. null and empty lists
+      val v = ListVector.empty(name, alloc)
+      val w = v.getWriter; w.allocate()
+      (0 until n).foreach { i =>
+        if (rnd.nextDouble() >= 0.15) { // unwritten position = null list
+          w.setPosition(i); w.startList()
+          (0 until rnd.nextInt(5)).foreach(_ => w.float8().writeFloat8(rnd.nextDouble()))
+          w.endList()
+        }
+      }
+      v.setValueCount(n); (v, None)
+    case 7 => // listview<int> — 3 fixed buffers (validity/offsets/sizes)
+      val v = ListViewVector.empty(name, alloc)
+      val w = v.getWriter; w.allocate()
+      (0 until n).foreach { i =>
+        if (rnd.nextDouble() >= 0.15) {
+          w.setPosition(i); w.startListView()
+          (0 until rnd.nextInt(5)).foreach(_ => w.integer().writeInt(rnd.nextInt()))
+          w.endListView()
+        }
+      }
+      v.setValueCount(n); (v, None)
+    case 8 => // struct{a:int, b:utf8} with null rows and null children
+      val v = StructVector.empty(name, alloc)
+      val a = v.addOrGet("a", FieldType.nullable(new ArrowType.Int(32, true)), classOf[IntVector])
+      val b = v.addOrGet("b", FieldType.nullable(new ArrowType.Utf8()), classOf[VarCharVector])
+      v.allocateNew()
+      (0 until n).foreach { i =>
+        if (rnd.nextDouble() >= 0.15) {
+          v.setIndexDefined(i)
+          if (rnd.nextDouble() >= 0.2) a.setSafe(i, rnd.nextInt(1000))
+          if (rnd.nextDouble() >= 0.2) b.setSafe(i, rnd.alphanumeric.take(rnd.nextInt(8)).mkString.getBytes("UTF-8"))
+        }
+      }
+      v.setValueCount(n); (v, None)
+    case 9 => // run-end-encoded utf8 — random run lengths covering n
+      val v = RunEndEncodedVector.empty(name, alloc)
+      v.initializeChildrenFromFields(java.util.List.of(
+        new Field("run_ends", FieldType.notNullable(new ArrowType.Int(32, true)), java.util.List.of[Field]()),
+        new Field("values", FieldType.nullable(new ArrowType.Utf8()), java.util.List.of[Field]())))
+      val re = v.getRunEndsVector.asInstanceOf[IntVector]
+      val vals = v.getValuesVector.asInstanceOf[VarCharVector]
+      re.allocateNew(); vals.allocateNew()
+      var end = 0; var r = 0
+      while (end < n) {
+        end = math.min(n, end + 1 + rnd.nextInt(math.max(1, n / 2)))
+        re.setSafe(r, end)
+        if (rnd.nextDouble() < 0.2) vals.setNull(r)
+        else vals.setSafe(r, s"run-$r-${rnd.nextInt(100)}".getBytes("UTF-8"))
+        r += 1
+      }
+      re.setValueCount(r); vals.setValueCount(r); v.setValueCount(n)
+      (v, None)
+    case 10 => // dictionary-encoded utf8 (top level)
+      val pool = Array("alpha", "beta", "gamma", "delta")
+      val dv = new VarCharVector(name + "_dict", alloc); dv.allocateNew()
+      pool.zipWithIndex.foreach { case (s, i) => dv.setSafe(i, s.getBytes("UTF-8")) }
+      dv.setValueCount(pool.length)
+      val enc = new DictionaryEncoding(dictId, false, new ArrowType.Int(32, true))
+      val idx = new IntVector(new Field(name,
+        new FieldType(true, new ArrowType.Int(32, true), enc, null), null), alloc)
+      idx.allocateNew(n)
+      (0 until n).foreach(i => if (rnd.nextDouble() < 0.15) idx.setNull(i) else idx.setSafe(i, rnd.nextInt(pool.length)))
+      idx.setValueCount(n)
+      (idx, Some(new Dictionary(dv, enc)))
+    case _ => // fixed_size_list<2, float8> (the interleaved-coord layout shape)
+      val v = FixedSizeListVector.empty(name, 2, alloc)
+      val w = v.getWriter; w.allocate()
+      (0 until n).foreach { i =>
+        if (rnd.nextDouble() >= 0.15) {
+          w.setPosition(i); w.startList()
+          w.float8().writeFloat8(rnd.nextDouble()); w.float8().writeFloat8(rnd.nextDouble())
+          w.endList()
+        }
+      }
+      v.setValueCount(n); (v, None)
+  }
+
+  test("pruned reader == full reader over random schemas, masks, and compression") {
+    val rnd = new Random(20260815L)
+    val dir = java.nio.file.Files.createTempDirectory("arrowfuzz").toString
+    var trial = 0
+    while (trial < 40) {
+      val ncols = 2 + rnd.nextInt(4)
+      val kinds = Array.fill(ncols)(rnd.nextInt(12))
+      val n = if (trial % 10 == 0) 0 else 1 + rnd.nextInt(50) // exercise 0-row files too
+      val file = new java.io.File(dir, f"fuzz-$trial%03d.arrow")
+      val alloc = new RootAllocator()
+      var dictVecs: Seq[FieldVector] = Nil
+      try {
+        val cols = kinds.zipWithIndex.map { case (k, i) =>
+          makeColumn(k, s"c$i", n, i + 1L, rnd, alloc)
+        }
+        dictVecs = cols.flatMap(_._2).map(_.getVector).toSeq
+        val provider = new DictionaryProvider.MapDictionaryProvider(cols.flatMap(_._2): _*)
+        val root = new VectorSchemaRoot(java.util.List.copyOf(
+          java.util.Arrays.asList(cols.map(_._1): _*)))
+        try {
+          val out = new java.io.FileOutputStream(file)
+          val writer = rnd.nextInt(3) match {
+            case 0 => new org.apache.arrow.vector.ipc.ArrowFileWriter(root, provider, out.getChannel)
+            case c => new org.apache.arrow.vector.ipc.ArrowFileWriter(root, provider, out.getChannel,
+              new java.util.HashMap[String, String](),
+              org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+              org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE,
+              if (c == 1) org.apache.arrow.vector.compression.CompressionUtil.CodecType.LZ4_FRAME
+              else org.apache.arrow.vector.compression.CompressionUtil.CodecType.ZSTD)
+          }
+          try { writer.start(); writer.writeBatch(); writer.end() }
+          finally { writer.close(); out.close() }
+        } finally root.close()
+      } finally { dictVecs.foreach(_.close()); alloc.close() }
+
+      // random projection mask (at least one column kept) + the full mask
+      val mask = Array.fill(ncols)(rnd.nextBoolean())
+      if (!mask.exists(identity)) mask(rnd.nextInt(ncols)) = true
+      for (m <- Seq(mask, Array.fill(ncols)(true))) {
+        val full = ArrowIpc.decodeFile(file.getAbsolutePath, conf, m).toVector
+        val pruned = ArrowIpc.decodeFilePruned(file.getAbsolutePath, conf, m).toVector
+        assert(pruned.size == full.size,
+          s"trial $trial kinds=${kinds.mkString(",")} mask=${m.mkString(",")}: " +
+            s"row count ${pruned.size} != ${full.size}")
+        pruned.zip(full).zipWithIndex.foreach { case ((p, f), i) =>
+          assert(p == f, s"trial $trial kinds=${kinds.mkString(",")} " +
+            s"mask=${m.mkString(",")} row $i:\n  pruned=$p\n  full  =$f")
+        }
+      }
+      trial += 1
+    }
+  }
+}
