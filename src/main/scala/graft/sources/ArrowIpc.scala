@@ -679,7 +679,9 @@ object ArrowIpc {
     * geometry column is written as a binary vector tagged
     * `ARROW:extension:name = geoarrow.wkb`, which GeoPandas/pyarrow and
     * [[read]] both recognize. Property types: int/long/float/double/
-    * string/boolean/binary.
+    * string/boolean/binary, plus nested array/struct of those (any
+    * depth) written as List/Struct subtrees — the shapes [[read]] maps
+    * back, so write∘read is identity for nested properties too.
     *
     * `dictionaryColumns`: low-cardinality STRING columns to
     * dictionary-encode (the GDAL interop shape [[decodeFilePruned]]
@@ -767,18 +769,34 @@ object ArrowIpc {
           if (dictByCol.isEmpty) null
           else new org.apache.arrow.vector.dictionary.DictionaryProvider.MapDictionaryProvider(
             dictByCol.values.map(_._1).toSeq: _*)
+        // recursive Spark→Arrow field mapping: nested property columns
+        // (array/struct, any depth) write as List/Struct subtrees — the
+        // shapes [[sparkTypeOf]] reads back, so write∘read is identity
+        def arrowFieldOf(name: String, dt: DataType, nullable: Boolean,
+                         md: java.util.Map[String, String]): Field = dt match {
+          case ArrayType(et, cn) =>
+            new Field(name, new FieldType(nullable, new ArrowType.List(), null, md),
+              java.util.List.of(arrowFieldOf("item", et, cn, java.util.Map.of[String, String]())))
+          case st: StructType =>
+            new Field(name, new FieldType(nullable, new ArrowType.Struct(), null, md),
+              java.util.List.of(st.fields.map(sf =>
+                arrowFieldOf(sf.name, sf.dataType, sf.nullable,
+                  java.util.Map.of[String, String]())): _*))
+          case scalar =>
+            val at: ArrowType = scalar match {
+              case IntegerType => new ArrowType.Int(32, true)
+              case LongType => new ArrowType.Int(64, true)
+              case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+              case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+              case StringType => new ArrowType.Utf8()
+              case BooleanType => new ArrowType.Bool()
+              case BinaryType => new ArrowType.Binary()
+              case other => throw new IllegalArgumentException(
+                s"ArrowIpc.write: unsupported type $other for column $name")
+            }
+            new Field(name, new FieldType(nullable, at, null, md), java.util.List.of[Field]())
+        }
         val fields = sparkSchema.fields.map { f =>
-          val at: ArrowType = f.dataType match {
-            case IntegerType => new ArrowType.Int(32, true)
-            case LongType => new ArrowType.Int(64, true)
-            case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
-            case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
-            case StringType => new ArrowType.Utf8()
-            case BooleanType => new ArrowType.Bool()
-            case BinaryType => new ArrowType.Binary()
-            case other => throw new IllegalArgumentException(
-              s"ArrowIpc.write: unsupported type $other for column ${f.name}")
-          }
           val md = if (f.name == geomName && f.dataType == BinaryType) {
             if (extMetaJson != null)
               java.util.Map.of("ARROW:extension:name", "geoarrow.wkb",
@@ -793,12 +811,69 @@ object ArrowIpc {
                 new FieldType(f.nullable, new ArrowType.Int(32, true),
                   dict.getEncoding, md),
                 java.util.List.of[Field]())
-            case None =>
-              new Field(f.name, new FieldType(f.nullable, at, null, md), java.util.List.of[Field]())
+            case None => arrowFieldOf(f.name, f.dataType, f.nullable, md)
           }
         }
         val dictLookup: Array[Map[String, Int]] =
           sparkSchema.fields.map(f => dictByCol.get(f.name).map(_._2).orNull)
+        // recursive population for nested columns, via the arrow writer API
+        // (position-based: unwritten positions stay null)
+        import org.apache.arrow.vector.complex.writer.BaseWriter
+        def writeArray(w: BaseWriter.ListWriter, et: DataType,
+                       xs: scala.collection.Seq[Any]): Unit = {
+          w.startList()
+          xs.foreach {
+            case null => et match {
+              case IntegerType => w.integer().writeNull()
+              case LongType => w.bigInt().writeNull()
+              case FloatType => w.float4().writeNull()
+              case DoubleType => w.float8().writeNull()
+              case StringType => w.varChar().writeNull()
+              case BooleanType => w.bit().writeNull()
+              case BinaryType => w.varBinary().writeNull()
+              case _: ArrayType => w.list().writeNull()
+              case _: StructType => w.struct().writeNull()
+              case other => throw new IllegalArgumentException(
+                s"ArrowIpc.write: unsupported array element type $other")
+            }
+            case e => et match {
+              case IntegerType => w.integer().writeInt(e.asInstanceOf[Int])
+              case LongType => w.bigInt().writeBigInt(e.asInstanceOf[Long])
+              case FloatType => w.float4().writeFloat4(e.asInstanceOf[Float])
+              case DoubleType => w.float8().writeFloat8(e.asInstanceOf[Double])
+              case StringType => w.varChar().writeVarChar(e.asInstanceOf[String])
+              case BooleanType => w.bit().writeBit(if (e.asInstanceOf[Boolean]) 1 else 0)
+              case BinaryType => w.varBinary().writeVarBinary(e.asInstanceOf[Array[Byte]])
+              case ArrayType(et2, _) => writeArray(w.list(), et2, e.asInstanceOf[scala.collection.Seq[Any]])
+              case st: StructType => writeStructVal(w.struct(), st, e.asInstanceOf[Row])
+              case other => throw new IllegalArgumentException(
+                s"ArrowIpc.write: unsupported array element type $other")
+            }
+          }
+          w.endList()
+        }
+        def writeStructVal(w: BaseWriter.StructWriter, st: StructType, r: Row): Unit = {
+          w.start()
+          var i = 0
+          while (i < st.fields.length) { // absent (unwritten) child = null
+            val f = st.fields(i)
+            if (!r.isNullAt(i)) f.dataType match {
+              case IntegerType => w.integer(f.name).writeInt(r.getInt(i))
+              case LongType => w.bigInt(f.name).writeBigInt(r.getLong(i))
+              case FloatType => w.float4(f.name).writeFloat4(r.getFloat(i))
+              case DoubleType => w.float8(f.name).writeFloat8(r.getDouble(i))
+              case StringType => w.varChar(f.name).writeVarChar(r.getString(i))
+              case BooleanType => w.bit(f.name).writeBit(if (r.getBoolean(i)) 1 else 0)
+              case BinaryType => w.varBinary(f.name).writeVarBinary(r.getAs[Array[Byte]](i))
+              case ArrayType(et, _) => writeArray(w.list(f.name), et, r.getSeq[Any](i))
+              case st2: StructType => writeStructVal(w.struct(f.name), st2, r.getStruct(i))
+              case other => throw new IllegalArgumentException(
+                s"ArrowIpc.write: unsupported struct field type $other for ${f.name}")
+            }
+            i += 1
+          }
+          w.end()
+        }
         val root = VectorSchemaRoot.create(new Schema(java.util.List.of(fields: _*)), allocator)
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val fs = dir.getFileSystem(confSer.value.value)
@@ -812,13 +887,31 @@ object ArrowIpc {
             var c = 0
             while (c < fields.length) {
               val vec = root.getVector(c)
+              // complex columns populate through a per-batch writer
+              val listW = vec match {
+                case v: org.apache.arrow.vector.complex.ListVector => v.getWriter
+                case _ => null
+              }
+              val structW = vec match {
+                case v: org.apache.arrow.vector.complex.StructVector => v.getWriter
+                case _ => null
+              }
+              val colType = sparkSchema.fields(c).dataType
               var i = 0
               while (i < chunk.length) {
                 val row = chunk(i)
                 if (row.isNullAt(c)) vec.asInstanceOf[FieldVector] match {
                   case v: BaseFixedWidthVector => v.setNull(i)
                   case v: BaseVariableWidthVector => v.setNull(i)
+                  case _: org.apache.arrow.vector.complex.ListVector |
+                       _: org.apache.arrow.vector.complex.StructVector => () // unwritten = null
                   case v => throw new IllegalStateException(s"unexpected vector $v")
+                } else if (listW != null) {
+                  listW.setPosition(i)
+                  writeArray(listW, colType.asInstanceOf[ArrayType].elementType, row.getSeq[Any](c))
+                } else if (structW != null) {
+                  structW.setPosition(i)
+                  writeStructVal(structW, colType.asInstanceOf[StructType], row.getStruct(c))
                 } else if (dictLookup(c) != null) {
                   // the driver pre-pass saw every non-null value; a miss
                   // here would mean non-deterministic data — fail loudly

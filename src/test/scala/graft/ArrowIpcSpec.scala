@@ -442,6 +442,44 @@ class ArrowIpcSpec extends SparkTestBase {
     assert(counted == Map("r0" -> 40L, "r1" -> 40L, "r2" -> 40L), s"$counted")
   }
 
+  test("nested property WRITE: array/struct columns roundtrip write→read exactly") {
+    val out = java.nio.file.Files.createTempDirectory("arrownw").toString
+    // arrays (with null elements and null rows), structs (with null
+    // children), array<struct>, struct-with-array — plus a geometry column
+    val df = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE WHEN id % 11 = 0 THEN NULL
+                  ELSE array(CAST(id AS INT), CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id+1 AS INT) END)
+             END AS xs,
+             named_struct('a', CAST(id*2 AS INT),
+                          'b', CASE WHEN id % 7 = 0 THEN CAST(NULL AS STRING) ELSE CONCAT('s', CAST(id AS STRING)) END,
+                          'ws', array(CAST(id AS DOUBLE) * 0.5, CAST(id AS DOUBLE) * 0.25)) AS meta,
+             array(named_struct('k', CONCAT('k', CAST(id % 4 AS STRING)), 'v', CAST(id AS DOUBLE))) AS kv,
+             ST_Point(CAST(id AS DOUBLE), 1.0) AS geometry
+      FROM range(500)""").coalesce(2)
+    ArrowIpc.write(df, out)
+    val back = ArrowIpc.read(spark, out)
+    assert(back.schema("xs").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))
+    // values (incl. null rows / null elements / null children) are identical
+    val sel = Seq("fid", "to_json(struct(xs, meta, kv)) AS j", "ST_AsText(geometry) AS w")
+    val a = df.selectExpr(sel: _*)
+    val b = back.selectExpr(sel: _*)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "nested write→read roundtrip must be exact")
+    // nested columns prune at byte level like everything else
+    graft.sources.ArrowIpc.bodyBytesRead.reset()
+    graft.sources.ArrowIpc.bodyBytesTotal.reset()
+    val kvOnly = spark.read.format("arrowipc").load(out)
+      .selectExpr("explode(kv) AS e").selectExpr("e.k AS k", "e.v AS v")
+      .groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kvOnly == Map("k0" -> 125L, "k1" -> 125L, "k2" -> 125L, "k3" -> 125L), s"$kvOnly")
+    val read = graft.sources.ArrowIpc.bodyBytesRead.sum()
+    val total = graft.sources.ArrowIpc.bodyBytesTotal.sum()
+    assert(total > 0 && read < total,
+      s"nested prune: read $read of $total — other columns' buffers must be skipped")
+  }
+
   test("dictionary WRITE: low-cardinality column roundtrips, shrinks bytes, prunes") {
     val outPlain = java.nio.file.Files.createTempDirectory("arrowdw_p").toString
     val outDict = java.nio.file.Files.createTempDirectory("arrowdw_d").toString
