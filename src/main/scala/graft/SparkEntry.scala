@@ -2338,6 +2338,48 @@ object SparkEntry {
            (40 * k + 3900)::BIGINT AS sum_x
     FROM range(5) t(k) ORDER BY cat"""
 
+  /** Nested property columns through the Arrow IPC write→read hop under
+    * the hash gate: an `array<int>` (with null elements) and a
+    * `struct{k,w}` write as List/Struct subtrees, read back through the
+    * byte-pruning DSv2 path, and aggregate to closed forms — pinning the
+    * recursive field mapping, the writer-API population, and the
+    * getObject→Spark conversion in one oracle. */
+  private def g91Fn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g91_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val df = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             array(CAST(id AS INT),
+                   CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id * 2 AS INT) END) AS xs,
+             named_struct('k', CONCAT('g', CAST(id % 4 AS STRING)),
+                          'w', CAST(id AS DOUBLE) * 0.5) AS meta,
+             ST_Point(CAST(id AS DOUBLE), 0.0) AS geometry
+      FROM range(240)""").coalesce(1)
+    graft.sources.ArrowIpc.write(df, out)
+    s.read.format("arrowipc").load(out)
+      .selectExpr("meta.k AS k", "CAST(meta.w + ST_X(geometry) AS DOUBLE) AS wgx",
+        "explode_outer(xs) AS x")
+      .groupBy("k")
+      .agg(count(col("x")).as("n_x"),
+        sum(col("x")).cast("bigint").as("sum_x"),
+        sum(col("wgx")).cast("bigint").as("sum_wgx"))
+      .orderBy("k")
+  }
+
+  private val g91Duck = """
+    WITH e AS (
+      SELECT 'g' || CAST(i % 4 AS VARCHAR) AS k, i::BIGINT AS x, 1.5 * i AS wgx
+      FROM range(240) s(i)
+      UNION ALL
+      SELECT 'g' || CAST(i % 4 AS VARCHAR) AS k,
+             CASE WHEN i % 3 = 0 THEN NULL ELSE (i * 2)::BIGINT END AS x, 1.5 * i AS wgx
+      FROM range(240) s(i))
+    SELECT k, COUNT(x)::BIGINT AS n_x, SUM(x)::BIGINT AS sum_x,
+           CAST(SUM(wgx) AS BIGINT) AS sum_wgx
+    FROM e GROUP BY k ORDER BY k"""
+
   /** Large-star/small-star connected components under the hash gate
     * (Kiveris et al., SoCC 2014 — diameter-independent O(log² n) rounds,
     * the scale path for chain-shaped graphs where min-label propagation
@@ -11264,6 +11306,7 @@ object SparkEntry {
     ("g88_knn_antimeridian", g88Fn _, g88Duck),
     ("g89_edges_roundtrip", g89Fn _, g89Duck),
     ("g90_distance_radius_join", g90Fn _, g90Duck),
+    ("g91_arrow_nested", g91Fn _, g91Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),
