@@ -65,7 +65,11 @@ object ArrowIpc {
         case t: ArrowType.Decimal => DecimalType(t.getPrecision, t.getScale)
         case _: ArrowType.Binary | _: ArrowType.LargeBinary | _: ArrowType.BinaryView => BinaryType
         case _: ArrowType.Date => DateType
-        case _: ArrowType.Timestamp => TimestampType
+        case t: ArrowType.Timestamp =>
+          // a zone means instant semantics; zoneless is wall-clock (NTZ) —
+          // arrow TZ vectors yield epoch longs, zoneless yield LocalDateTime
+          if (t.getTimezone != null && t.getTimezone.nonEmpty) TimestampType
+          else TimestampNTZType
         case _: ArrowType.List | _: ArrowType.LargeList | _: ArrowType.FixedSizeList |
              _: ArrowType.ListView | _: ArrowType.LargeListView =>
           val elem = f.getChildren.get(0)
@@ -335,6 +339,33 @@ object ArrowIpc {
           val m = v.asInstanceOf[java.util.Map[_, _]]
           Row.fromSeq(f.getChildren.asScala.toSeq
             .map(c => toSparkValue(c, m.get(c.getName), lookup)))
+        case _: ArrowType.Date => v match {
+          // DateDay yields epoch-day Integers, DateMilli LocalDateTime —
+          // neither is a Catalyst-convertible date on its own
+          case i: java.lang.Integer => java.time.LocalDate.ofEpochDay(i.longValue())
+          case ldt: java.time.LocalDateTime => ldt.toLocalDate
+          case other => other
+        }
+        case t: ArrowType.Timestamp =>
+          import org.apache.arrow.vector.types.TimeUnit
+          val zoned = t.getTimezone != null && t.getTimezone.nonEmpty
+          v match {
+            case l: java.lang.Long if zoned => // TZ vectors: epoch in the declared unit
+              val e = l.longValue()
+              t.getUnit match {
+                case TimeUnit.SECOND => java.time.Instant.ofEpochSecond(e)
+                case TimeUnit.MILLISECOND => java.time.Instant.ofEpochMilli(e)
+                case TimeUnit.MICROSECOND => java.time.Instant.ofEpochSecond(
+                  Math.floorDiv(e, 1000000L), Math.floorMod(e, 1000000L) * 1000L)
+                case TimeUnit.NANOSECOND => java.time.Instant.ofEpochSecond(
+                  Math.floorDiv(e, 1000000000L), Math.floorMod(e, 1000000000L))
+              }
+            case ldt: java.time.LocalDateTime if zoned =>
+              // zoned vectors normally yield longs; a producer's wall-clock
+              // object is interpreted in the column's declared zone
+              ldt.atZone(java.time.ZoneId.of(t.getTimezone)).toInstant
+            case other => other // zoneless LocalDateTime = NTZ external type
+          }
         case _ => v match {
           case t: org.apache.arrow.vector.util.Text => t.toString
           case other => other
@@ -679,9 +710,12 @@ object ArrowIpc {
     * geometry column is written as a binary vector tagged
     * `ARROW:extension:name = geoarrow.wkb`, which GeoPandas/pyarrow and
     * [[read]] both recognize. Property types: int/long/float/double/
-    * string/boolean/binary, plus nested array/struct of those (any
-    * depth) written as List/Struct subtrees — the shapes [[read]] maps
-    * back, so write∘read is identity for nested properties too.
+    * string/boolean/binary, date (day unit), timestamp (zoned UTC
+    * micros) and timestamp_ntz (zoneless micros), plus nested
+    * array/struct of those (any depth; zoned timestamps top-level only —
+    * the writer API has no TZ variant) written as List/Struct subtrees —
+    * the shapes [[read]] maps back, so write∘read is identity for nested
+    * properties too.
     *
     * `dictionaryColumns`: low-cardinality STRING columns to
     * dictionary-encode (the GDAL interop shape [[decodeFilePruned]]
@@ -791,6 +825,11 @@ object ArrowIpc {
               case StringType => new ArrowType.Utf8()
               case BooleanType => new ArrowType.Bool()
               case BinaryType => new ArrowType.Binary()
+              case DateType => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
+              case TimestampType => // instant semantics → zoned micros
+                new ArrowType.Timestamp(org.apache.arrow.vector.types.TimeUnit.MICROSECOND, "UTC")
+              case TimestampNTZType => // wall-clock → zoneless micros
+                new ArrowType.Timestamp(org.apache.arrow.vector.types.TimeUnit.MICROSECOND, null)
               case other => throw new IllegalArgumentException(
                 s"ArrowIpc.write: unsupported type $other for column $name")
             }
@@ -816,6 +855,26 @@ object ArrowIpc {
         }
         val dictLookup: Array[Map[String, Int]] =
           sparkSchema.fields.map(f => dictByCol.get(f.name).map(_._2).orNull)
+        // datetime externals → arrow physical values (both the legacy
+        // java.sql and the java.time external types Spark may hand out)
+        def dateDays(v: Any): Int = v match {
+          case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+          case ld: java.time.LocalDate => ld.toEpochDay.toInt
+          case other => throw new IllegalArgumentException(
+            s"ArrowIpc.write: unexpected date value ${other.getClass}")
+        }
+        def instantMicros(v: Any): Long = v match {
+          case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+          case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
+          case other => throw new IllegalArgumentException(
+            s"ArrowIpc.write: unexpected timestamp value ${other.getClass}")
+        }
+        def ntzMicros(v: Any): Long = v match {
+          case ldt: java.time.LocalDateTime =>
+            ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+          case other => throw new IllegalArgumentException(
+            s"ArrowIpc.write: unexpected timestamp_ntz value ${other.getClass}")
+        }
         // recursive population for nested columns, via the arrow writer API
         // (position-based: unwritten positions stay null)
         import org.apache.arrow.vector.complex.writer.BaseWriter
@@ -831,6 +890,8 @@ object ArrowIpc {
               case StringType => w.varChar().writeNull()
               case BooleanType => w.bit().writeNull()
               case BinaryType => w.varBinary().writeNull()
+              case DateType => w.dateDay().writeNull()
+              case TimestampNTZType => w.timeStampMicro().writeNull()
               case _: ArrayType => w.list().writeNull()
               case _: StructType => w.struct().writeNull()
               case other => throw new IllegalArgumentException(
@@ -844,10 +905,15 @@ object ArrowIpc {
               case StringType => w.varChar().writeVarChar(e.asInstanceOf[String])
               case BooleanType => w.bit().writeBit(if (e.asInstanceOf[Boolean]) 1 else 0)
               case BinaryType => w.varBinary().writeVarBinary(e.asInstanceOf[Array[Byte]])
+              case DateType => w.dateDay().writeDateDay(dateDays(e))
+              case TimestampNTZType => w.timeStampMicro().writeTimeStampMicro(ntzMicros(e))
               case ArrayType(et2, _) => writeArray(w.list(), et2, e.asInstanceOf[scala.collection.Seq[Any]])
               case st: StructType => writeStructVal(w.struct(), st, e.asInstanceOf[Row])
               case other => throw new IllegalArgumentException(
-                s"ArrowIpc.write: unsupported array element type $other")
+                s"ArrowIpc.write: unsupported array element type $other" +
+                  (if (other == TimestampType)
+                    " (zoned timestamps nest no further than top level — the writer API has no TZ variant)"
+                  else ""))
             }
           }
           w.endList()
@@ -865,6 +931,8 @@ object ArrowIpc {
               case StringType => w.varChar(f.name).writeVarChar(r.getString(i))
               case BooleanType => w.bit(f.name).writeBit(if (r.getBoolean(i)) 1 else 0)
               case BinaryType => w.varBinary(f.name).writeVarBinary(r.getAs[Array[Byte]](i))
+              case DateType => w.dateDay(f.name).writeDateDay(dateDays(r.get(i)))
+              case TimestampNTZType => w.timeStampMicro(f.name).writeTimeStampMicro(ntzMicros(r.get(i)))
               case ArrayType(et, _) => writeArray(w.list(f.name), et, r.getSeq[Any](i))
               case st2: StructType => writeStructVal(w.struct(f.name), st2, r.getStruct(i))
               case other => throw new IllegalArgumentException(
@@ -928,6 +996,9 @@ object ArrowIpc {
                   case v: VarCharVector => v.setSafe(i, row.getString(c).getBytes("UTF-8"))
                   case v: BitVector => v.setSafe(i, if (row.getBoolean(c)) 1 else 0)
                   case v: VarBinaryVector => v.setSafe(i, row.getAs[Array[Byte]](c))
+                  case v: DateDayVector => v.setSafe(i, dateDays(row.get(c)))
+                  case v: TimeStampMicroTZVector => v.setSafe(i, instantMicros(row.get(c)))
+                  case v: TimeStampMicroVector => v.setSafe(i, ntzMicros(row.get(c)))
                   case v => throw new IllegalStateException(s"unexpected vector $v")
                 }
                 i += 1

@@ -124,6 +124,18 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
       (0 until n).foreach(i => if (rnd.nextDouble() < 0.15) idx.setNull(i) else idx.setSafe(i, rnd.nextInt(pool.length)))
       idx.setValueCount(n)
       (idx, Some(new Dictionary(dv, enc)))
+    case 12 => // date (day unit)
+      val v = new DateDayVector(name, alloc); v.allocateNew(n)
+      (0 until n).foreach(i => if (rnd.nextDouble() < 0.15) v.setNull(i) else v.setSafe(i, rnd.nextInt(30000)))
+      v.setValueCount(n); (v, None)
+    case 13 => // zoned timestamp (epoch micros)
+      val v = new TimeStampMicroTZVector(name, alloc, "UTC"); v.allocateNew(n)
+      (0 until n).foreach(i => if (rnd.nextDouble() < 0.15) v.setNull(i) else v.setSafe(i, math.abs(rnd.nextLong()) % 4102444800000000L))
+      v.setValueCount(n); (v, None)
+    case 14 => // zoneless timestamp (wall-clock micros)
+      val v = new TimeStampMicroVector(name, alloc); v.allocateNew(n)
+      (0 until n).foreach(i => if (rnd.nextDouble() < 0.15) v.setNull(i) else v.setSafe(i, math.abs(rnd.nextLong()) % 4102444800000000L))
+      v.setValueCount(n); (v, None)
     case _ => // fixed_size_list<2, float8> (the interleaved-coord layout shape)
       val v = FixedSizeListVector.empty(name, 2, alloc)
       val w = v.getWriter; w.allocate()
@@ -143,7 +155,7 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
     var trial = 0
     while (trial < 40) {
       val ncols = 2 + rnd.nextInt(4)
-      val kinds = Array.fill(ncols)(rnd.nextInt(12))
+      val kinds = Array.fill(ncols)(rnd.nextInt(16))
       val n = if (trial % 10 == 0) 0 else 1 + rnd.nextInt(50) // exercise 0-row files too
       val file = new java.io.File(dir, f"fuzz-$trial%03d.arrow")
       val alloc = new RootAllocator()

@@ -442,6 +442,75 @@ class ArrowIpcSpec extends SparkTestBase {
     assert(counted == Map("r0" -> 40L, "r1" -> 40L, "r2" -> 40L), s"$counted")
   }
 
+  test("date/timestamp columns: external producer shapes decode; write→read roundtrips") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    // external producer: every physical datetime shape arrow-java yields
+    // differently (DateDay→Integer, DateMilli→LocalDateTime, zoneless
+    // TimeStampMilli→LocalDateTime, zoned TimeStampMicroTZ→epoch Long)
+    val dirOut = java.nio.file.Files.createTempDirectory("arrowdt").toString
+    val file = new java.io.File(dirOut, "part-00000.arrow")
+    val alloc = new RootAllocator()
+    try {
+      val dd = new DateDayVector("dd", alloc); dd.allocateNew(3)
+      dd.set(0, 19000); dd.set(1, 19001); dd.setNull(2); dd.setValueCount(3)
+      val dm = new DateMilliVector("dm", alloc); dm.allocateNew(3)
+      dm.set(0, 19000L * 86400000L); dm.set(1, 19001L * 86400000L); dm.setNull(2)
+      dm.setValueCount(3)
+      val tsn = new TimeStampMilliVector("tsn", alloc); tsn.allocateNew(3)
+      tsn.set(0, 1700000000000L); tsn.set(1, 1700000001500L); tsn.setNull(2)
+      tsn.setValueCount(3)
+      val tsz = new TimeStampMicroTZVector("tsz", alloc, "UTC"); tsz.allocateNew(3)
+      tsz.set(0, 1700000000000000L); tsz.set(1, 1700000000000001L); tsz.setNull(2)
+      tsz.setValueCount(3)
+      val root = new VectorSchemaRoot(java.util.List.of[FieldVector](dd, dm, tsn, tsz))
+      try {
+        val out = new java.io.FileOutputStream(file)
+        val writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, out.getChannel)
+        try { writer.start(); writer.writeBatch(); writer.end() }
+        finally { writer.close(); out.close() }
+      } finally root.close()
+    } finally alloc.close()
+    import org.apache.spark.sql.types._
+    val df = ArrowIpc.read(spark, file.getAbsolutePath)
+    assert(df.schema("dd").dataType == DateType && df.schema("dm").dataType == DateType)
+    assert(df.schema("tsn").dataType == TimestampNTZType, "zoneless = wall-clock NTZ")
+    assert(df.schema("tsz").dataType == TimestampType, "zoned = instant")
+    val got = df.selectExpr("CAST(dd AS STRING)", "CAST(dm AS STRING)",
+      "CAST(tsn AS STRING)", "unix_micros(tsz)")
+      .orderBy(org.apache.spark.sql.functions.col("dd").asc_nulls_last).collect()
+    assert(got(0).getString(0) == "2022-01-08" && got(0).getString(1) == "2022-01-08")
+    assert(got(0).getString(2) == "2023-11-14 22:13:20")
+    assert(got(0).getLong(3) == 1700000000000000L)
+    assert(got(1).getString(2) == "2023-11-14 22:13:21.5")
+    assert(got(2).isNullAt(0) && got(2).isNullAt(1) && got(2).isNullAt(2) && got(2).isNullAt(3))
+    // DSv2 pruned path decodes the same values
+    val viaPruned = spark.read.format("arrowipc").load(file.getAbsolutePath)
+      .selectExpr("CAST(dd AS STRING) AS d", "unix_micros(tsz) AS u")
+    val viaFull = df.selectExpr("CAST(dd AS STRING) AS d", "unix_micros(tsz) AS u")
+    assert(viaPruned.except(viaFull).isEmpty && viaFull.except(viaPruned).isEmpty)
+
+    // write→read roundtrip: top-level date/ts/ntz + nested date/ntz
+    val out2 = java.nio.file.Files.createTempDirectory("arrowdtw").toString
+    val src = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             DATE_ADD(DATE '2020-01-01', CAST(id AS INT)) AS d,
+             TIMESTAMP '2024-06-01 12:00:00' + make_interval(0,0,0,0,0,0, id) AS ts,
+             TIMESTAMP_NTZ '2024-06-01 08:30:00' + make_interval(0,0,0,0,0,0, id) AS tn,
+             CASE WHEN id % 5 = 0 THEN NULL
+                  ELSE array(DATE_ADD(DATE '2021-01-01', CAST(id AS INT))) END AS ds,
+             named_struct('when', TIMESTAMP_NTZ '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, id)) AS ev
+      FROM range(300)""").coalesce(2)
+    ArrowIpc.write(src, out2)
+    val back = ArrowIpc.read(spark, out2)
+    val sel = Seq("fid", "CAST(d AS STRING) AS d", "unix_micros(ts) AS ts",
+      "CAST(tn AS STRING) AS tn", "to_json(struct(ds, ev)) AS j")
+    val a = src.selectExpr(sel: _*)
+    val b = back.selectExpr(sel: _*)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "datetime write→read roundtrip must be exact")
+  }
+
   test("nested property WRITE: array/struct columns roundtrip write→read exactly") {
     val out = java.nio.file.Files.createTempDirectory("arrownw").toString
     // arrays (with null elements and null rows), structs (with null
