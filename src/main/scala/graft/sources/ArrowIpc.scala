@@ -77,6 +77,12 @@ object ArrowIpc {
         case _: ArrowType.Struct =>
           StructType(f.getChildren.asScala.toSeq.map(c =>
             StructField(c.getName, sparkTypeOf(c, lookup), c.isNullable)))
+        case _: ArrowType.Map =>
+          // child is entries: struct<key, value>; keys are non-null by spec
+          val entries = f.getChildren.get(0)
+          val vf = entries.getChildren.get(1)
+          MapType(sparkTypeOf(entries.getChildren.get(0), lookup),
+            sparkTypeOf(vf, lookup), vf.isNullable)
         case _: ArrowType.RunEndEncoded =>
           // children are [run_ends, values]; the logical type is the values'
           sparkTypeOf(f.getChildren.get(1), lookup)
@@ -330,6 +336,18 @@ object ArrowIpc {
       case Some(d) => toSparkValue(d.getVector.getField, v, lookup)
       case None => f.getType match {
         case _: ArrowType.RunEndEncoded => toSparkValue(f.getChildren.get(1), v, lookup)
+        case _: ArrowType.Map =>
+          // getObject yields a List of {key, value} entry maps
+          val entries = f.getChildren.get(0)
+          val kf = entries.getChildren.get(0)
+          val vf = entries.getChildren.get(1)
+          val out = scala.collection.mutable.LinkedHashMap.empty[Any, Any]
+          v.asInstanceOf[java.util.List[_]].asScala.foreach { e =>
+            val m = e.asInstanceOf[java.util.Map[_, _]]
+            out(toSparkValue(kf, m.get(kf.getName), lookup)) =
+              toSparkValue(vf, m.get(vf.getName), lookup)
+          }
+          out
         case _: ArrowType.List | _: ArrowType.LargeList | _: ArrowType.FixedSizeList |
              _: ArrowType.ListView | _: ArrowType.LargeListView =>
           val elem = f.getChildren.get(0)
@@ -712,8 +730,9 @@ object ArrowIpc {
     * [[read]] both recognize. Property types: int/long/float/double/
     * string/boolean/binary, date (day unit), timestamp (zoned UTC
     * micros) and timestamp_ntz (zoneless micros), plus nested
-    * array/struct of those (any depth; zoned timestamps top-level only —
-    * the writer API has no TZ variant) written as List/Struct subtrees —
+    * array/struct/map of those (any depth; zoned timestamps top-level
+    * only — the writer API has no TZ variant) written as List/Struct/Map
+    * subtrees —
     * the shapes [[read]] maps back, so write∘read is identity for nested
     * properties too.
     *
@@ -816,6 +835,13 @@ object ArrowIpc {
               java.util.List.of(st.fields.map(sf =>
                 arrowFieldOf(sf.name, sf.dataType, sf.nullable,
                   java.util.Map.of[String, String]())): _*))
+          case MapType(kt, vt, vcn) => // entries: struct<key not null, value>
+            new Field(name, new FieldType(nullable, new ArrowType.Map(false), null, md),
+              java.util.List.of(new Field("entries",
+                FieldType.notNullable(new ArrowType.Struct()),
+                java.util.List.of(
+                  arrowFieldOf("key", kt, nullable = false, java.util.Map.of[String, String]()),
+                  arrowFieldOf("value", vt, vcn, java.util.Map.of[String, String]())))))
           case scalar =>
             val at: ArrowType = scalar match {
               case IntegerType => new ArrowType.Int(32, true)
@@ -878,45 +904,61 @@ object ArrowIpc {
         // recursive population for nested columns, via the arrow writer API
         // (position-based: unwritten positions stay null)
         import org.apache.arrow.vector.complex.writer.BaseWriter
+        def writeNullElem(w: BaseWriter.ListWriter, et: DataType): Unit = et match {
+          case IntegerType => w.integer().writeNull()
+          case LongType => w.bigInt().writeNull()
+          case FloatType => w.float4().writeNull()
+          case DoubleType => w.float8().writeNull()
+          case StringType => w.varChar().writeNull()
+          case BooleanType => w.bit().writeNull()
+          case BinaryType => w.varBinary().writeNull()
+          case DateType => w.dateDay().writeNull()
+          case TimestampNTZType => w.timeStampMicro().writeNull()
+          case _: ArrayType => w.list().writeNull()
+          case _: StructType => w.struct().writeNull()
+          case _: MapType => w.map(false).writeNull()
+          case other => throw new IllegalArgumentException(
+            s"ArrowIpc.write: unsupported array element type $other")
+        }
+        def writeElem(w: BaseWriter.ListWriter, et: DataType, e: Any): Unit = et match {
+          case IntegerType => w.integer().writeInt(e.asInstanceOf[Int])
+          case LongType => w.bigInt().writeBigInt(e.asInstanceOf[Long])
+          case FloatType => w.float4().writeFloat4(e.asInstanceOf[Float])
+          case DoubleType => w.float8().writeFloat8(e.asInstanceOf[Double])
+          case StringType => w.varChar().writeVarChar(e.asInstanceOf[String])
+          case BooleanType => w.bit().writeBit(if (e.asInstanceOf[Boolean]) 1 else 0)
+          case BinaryType => w.varBinary().writeVarBinary(e.asInstanceOf[Array[Byte]])
+          case DateType => w.dateDay().writeDateDay(dateDays(e))
+          case TimestampNTZType => w.timeStampMicro().writeTimeStampMicro(ntzMicros(e))
+          case ArrayType(et2, _) => writeArray(w.list(), et2, e.asInstanceOf[scala.collection.Seq[Any]])
+          case st: StructType => writeStructVal(w.struct(), st, e.asInstanceOf[Row])
+          case MapType(kt, vt, _) =>
+            writeMap(w.map(false), kt, vt, e.asInstanceOf[scala.collection.Map[Any, Any]])
+          case other => throw new IllegalArgumentException(
+            s"ArrowIpc.write: unsupported array element type $other" +
+              (if (other == TimestampType)
+                " (zoned timestamps nest no further than top level — the writer API has no TZ variant)"
+              else ""))
+        }
         def writeArray(w: BaseWriter.ListWriter, et: DataType,
                        xs: scala.collection.Seq[Any]): Unit = {
           w.startList()
           xs.foreach {
-            case null => et match {
-              case IntegerType => w.integer().writeNull()
-              case LongType => w.bigInt().writeNull()
-              case FloatType => w.float4().writeNull()
-              case DoubleType => w.float8().writeNull()
-              case StringType => w.varChar().writeNull()
-              case BooleanType => w.bit().writeNull()
-              case BinaryType => w.varBinary().writeNull()
-              case DateType => w.dateDay().writeNull()
-              case TimestampNTZType => w.timeStampMicro().writeNull()
-              case _: ArrayType => w.list().writeNull()
-              case _: StructType => w.struct().writeNull()
-              case other => throw new IllegalArgumentException(
-                s"ArrowIpc.write: unsupported array element type $other")
-            }
-            case e => et match {
-              case IntegerType => w.integer().writeInt(e.asInstanceOf[Int])
-              case LongType => w.bigInt().writeBigInt(e.asInstanceOf[Long])
-              case FloatType => w.float4().writeFloat4(e.asInstanceOf[Float])
-              case DoubleType => w.float8().writeFloat8(e.asInstanceOf[Double])
-              case StringType => w.varChar().writeVarChar(e.asInstanceOf[String])
-              case BooleanType => w.bit().writeBit(if (e.asInstanceOf[Boolean]) 1 else 0)
-              case BinaryType => w.varBinary().writeVarBinary(e.asInstanceOf[Array[Byte]])
-              case DateType => w.dateDay().writeDateDay(dateDays(e))
-              case TimestampNTZType => w.timeStampMicro().writeTimeStampMicro(ntzMicros(e))
-              case ArrayType(et2, _) => writeArray(w.list(), et2, e.asInstanceOf[scala.collection.Seq[Any]])
-              case st: StructType => writeStructVal(w.struct(), st, e.asInstanceOf[Row])
-              case other => throw new IllegalArgumentException(
-                s"ArrowIpc.write: unsupported array element type $other" +
-                  (if (other == TimestampType)
-                    " (zoned timestamps nest no further than top level — the writer API has no TZ variant)"
-                  else ""))
-            }
+            case null => writeNullElem(w, et)
+            case e => writeElem(w, et, e)
           }
           w.endList()
+        }
+        def writeMap(w: BaseWriter.MapWriter, kt: DataType, vt: DataType,
+                     m: scala.collection.Map[Any, Any]): Unit = {
+          w.startMap()
+          m.foreach { case (k, v) =>
+            w.startEntry()
+            writeElem(w.key(), kt, k) // spark map keys are never null
+            if (v == null) writeNullElem(w.value(), vt) else writeElem(w.value(), vt, v)
+            w.endEntry()
+          }
+          w.endMap()
         }
         def writeStructVal(w: BaseWriter.StructWriter, st: StructType, r: Row): Unit = {
           w.start()
@@ -935,6 +977,8 @@ object ArrowIpc {
               case TimestampNTZType => w.timeStampMicro(f.name).writeTimeStampMicro(ntzMicros(r.get(i)))
               case ArrayType(et, _) => writeArray(w.list(f.name), et, r.getSeq[Any](i))
               case st2: StructType => writeStructVal(w.struct(f.name), st2, r.getStruct(i))
+              case MapType(kt, vt, _) =>
+                writeMap(w.map(f.name, false), kt, vt, r.getMap[Any, Any](i))
               case other => throw new IllegalArgumentException(
                 s"ArrowIpc.write: unsupported struct field type $other for ${f.name}")
             }
@@ -956,7 +1000,13 @@ object ArrowIpc {
             while (c < fields.length) {
               val vec = root.getVector(c)
               // complex columns populate through a per-batch writer
+              // (MapVector extends ListVector — match it first)
+              val mapW = vec match {
+                case v: org.apache.arrow.vector.complex.MapVector => v.getWriter
+                case _ => null
+              }
               val listW = vec match {
+                case _: org.apache.arrow.vector.complex.MapVector => null
                 case v: org.apache.arrow.vector.complex.ListVector => v.getWriter
                 case _ => null
               }
@@ -974,6 +1024,10 @@ object ArrowIpc {
                   case _: org.apache.arrow.vector.complex.ListVector |
                        _: org.apache.arrow.vector.complex.StructVector => () // unwritten = null
                   case v => throw new IllegalStateException(s"unexpected vector $v")
+                } else if (mapW != null) {
+                  mapW.setPosition(i)
+                  val mt = colType.asInstanceOf[MapType]
+                  writeMap(mapW, mt.keyType, mt.valueType, row.getMap[Any, Any](c))
                 } else if (listW != null) {
                   listW.setPosition(i)
                   writeArray(listW, colType.asInstanceOf[ArrayType].elementType, row.getSeq[Any](c))

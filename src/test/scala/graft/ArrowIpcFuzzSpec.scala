@@ -136,6 +136,32 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
       val v = new TimeStampMicroVector(name, alloc); v.allocateNew(n)
       (0 until n).foreach(i => if (rnd.nextDouble() < 0.15) v.setNull(i) else v.setSafe(i, math.abs(rnd.nextLong()) % 4102444800000000L))
       v.setValueCount(n); (v, None)
+    case 15 => // map<utf8, float8> with null rows, empty maps, null values;
+      // schema declared upfront (the lazy writer would emit a degenerate
+      // Map<$data$: Null> schema when no entry is ever written)
+      val v = new Field(name, FieldType.nullable(new ArrowType.Map(false)),
+        java.util.List.of(new Field("entries",
+          FieldType.notNullable(new ArrowType.Struct()),
+          java.util.List.of(
+            new Field("key", FieldType.notNullable(new ArrowType.Utf8()), java.util.List.of[Field]()),
+            new Field("value", FieldType.nullable(
+              new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)), java.util.List.of[Field]())))))
+        .createVector(alloc).asInstanceOf[org.apache.arrow.vector.complex.MapVector]
+      val w = v.getWriter; w.allocate()
+      (0 until n).foreach { i =>
+        if (rnd.nextDouble() >= 0.15) {
+          w.setPosition(i); w.startMap()
+          (0 until rnd.nextInt(4)).foreach { j =>
+            w.startEntry()
+            w.key().varChar().writeVarChar(s"k$j")
+            if (rnd.nextDouble() < 0.2) w.value().float8().writeNull()
+            else w.value().float8().writeFloat8(rnd.nextDouble())
+            w.endEntry()
+          }
+          w.endMap()
+        }
+      }
+      v.setValueCount(n); (v, None)
     case _ => // fixed_size_list<2, float8> (the interleaved-coord layout shape)
       val v = FixedSizeListVector.empty(name, 2, alloc)
       val w = v.getWriter; w.allocate()
@@ -155,7 +181,7 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
     var trial = 0
     while (trial < 40) {
       val ncols = 2 + rnd.nextInt(4)
-      val kinds = Array.fill(ncols)(rnd.nextInt(16))
+      val kinds = Array.fill(ncols)(rnd.nextInt(17))
       val n = if (trial % 10 == 0) 0 else 1 + rnd.nextInt(50) // exercise 0-row files too
       val file = new java.io.File(dir, f"fuzz-$trial%03d.arrow")
       val alloc = new RootAllocator()

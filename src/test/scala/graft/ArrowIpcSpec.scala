@@ -524,12 +524,24 @@ class ArrowIpcSpec extends SparkTestBase {
                           'b', CASE WHEN id % 7 = 0 THEN CAST(NULL AS STRING) ELSE CONCAT('s', CAST(id AS STRING)) END,
                           'ws', array(CAST(id AS DOUBLE) * 0.5, CAST(id AS DOUBLE) * 0.25)) AS meta,
              array(named_struct('k', CONCAT('k', CAST(id % 4 AS STRING)), 'v', CAST(id AS DOUBLE))) AS kv,
+             CASE WHEN id % 13 = 0 THEN NULL
+                  ELSE map(CONCAT('m', CAST(id % 3 AS STRING)), CAST(id AS BIGINT),
+                           'fixed', CASE WHEN id % 2 = 0 THEN NULL ELSE CAST(id * 7 AS BIGINT) END)
+             END AS tags,
              ST_Point(CAST(id AS DOUBLE), 1.0) AS geometry
       FROM range(500)""").coalesce(2)
     ArrowIpc.write(df, out)
     val back = ArrowIpc.read(spark, out)
     assert(back.schema("xs").dataType ==
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))
+    assert(back.schema("tags").dataType ==
+      org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType))
+    // map equality order-independently: null row, null value, looked-up keys
+    val mapSel = Seq("fid", "tags['fixed'] AS f", "element_at(map_filter(tags, (k, v) -> k != 'fixed'), CONCAT('m', CAST(fid % 3 AS STRING))) AS m", "size(tags) AS n")
+    val ma = df.selectExpr(mapSel: _*)
+    val mbk = back.selectExpr(mapSel: _*)
+    assert(ma.except(mbk).isEmpty && mbk.except(ma).isEmpty, "map column roundtrip")
     // values (incl. null rows / null elements / null children) are identical
     val sel = Seq("fid", "to_json(struct(xs, meta, kv)) AS j", "ST_AsText(geometry) AS w")
     val a = df.selectExpr(sel: _*)
