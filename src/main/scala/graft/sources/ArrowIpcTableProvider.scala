@@ -82,18 +82,24 @@ private[sources] class ArrowIpcScan(dataSchema: StructType,
     val outIdx = required.fieldNames.map(dataSchema.fieldIndex)
     val wanted = Array.fill(dataSchema.length)(false)
     outIdx.foreach(wanted(_) = true)
-    ArrowIpcReaderFactory(required, outIdx, wanted)
+    // session hadoop conf captured DRIVER-side: a bare executor-side
+    // `new Configuration()` would drop spark.hadoop.* overrides and
+    // credentials (s3a/hdfs clusters)
+    ArrowIpcReaderFactory(required, outIdx, wanted,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
   }
 }
 
 private[sources] case class ArrowIpcReaderFactory(required: StructType,
                                                   outIdx: Array[Int],
-                                                  wanted: Array[Boolean])
+                                                  wanted: Array[Boolean],
+                                                  confSer: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val ArrowIpcPartition(path) = partition: @unchecked
     new RowPartitionReader(
-      ArrowIpc.decodeFileAuto(path, new org.apache.hadoop.conf.Configuration(), wanted),
+      ArrowIpc.decodeFileAuto(path, confSer.value, wanted),
       outIdx, required)
   }
 }

@@ -636,10 +636,13 @@ object FlatGeobuf {
       if (miss.isEmpty) Map.empty
       else {
         splitProbeJobs.increment()
+        val confSer = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf()))
         spark.sparkContext.parallelize(miss.map(_._1), miss.length)
           .map { f =>
             val fp = new org.apache.hadoop.fs.Path(f)
-            val tfs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val tfs = fp.getFileSystem(confSer.value.value)
             f -> splitRanges(tfs, fp, maxPart).toIndexedSeq
           }.collect().toMap
       }
@@ -674,11 +677,12 @@ object FlatGeobuf {
       case Some(_) => statuses.map { case (f, _, _) => (f, -1L, -1L) }.toIndexedSeq
       case None => planSplits(spark, statuses.toIndexedSeq, maxPart)
     }
+    val confSer = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
     val rdd = spark.sparkContext.parallelize(splits, splits.length).flatMap {
       case (f, start, end) =>
-        val conf2 = new org.apache.hadoop.conf.Configuration()
         val fp = new org.apache.hadoop.fs.Path(f)
-        val tfs = fp.getFileSystem(conf2)
+        val tfs = fp.getFileSystem(confSer.value.value)
         bbox match {
           case Some((x0, y0, x1, y1)) => readSelective(tfs, fp, x0, y0, x1, y1)
           case None if start < 0 => decodeFeatures(readAll(tfs, fp), None)

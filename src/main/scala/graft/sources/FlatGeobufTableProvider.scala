@@ -128,18 +128,24 @@ private[sources] class FlatGeobufScan(dataSchema: StructType,
     val outIdx = required.fieldNames.map(dataSchema.fieldIndex)
     val wanted = Array.fill(dataSchema.length)(false)
     outIdx.foreach(wanted(_) = true)
-    FlatGeobufReaderFactory(required, outIdx, wanted)
+    // session hadoop conf captured DRIVER-side: a bare executor-side
+    // `new Configuration()` would drop spark.hadoop.* overrides and
+    // credentials (s3a/hdfs clusters)
+    FlatGeobufReaderFactory(required, outIdx, wanted,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
   }
 }
 
 private[sources] case class FlatGeobufReaderFactory(required: StructType,
                                                     outIdx: Array[Int],
-                                                    wanted: Array[Boolean])
+                                                    wanted: Array[Boolean],
+                                                    confSer: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val FgbPartition(path, start, end) = partition: @unchecked
     val p = new Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(confSer.value)
     val rows =
       if (start < 0) FlatGeobuf.decodeFeatures(FlatGeobuf.readAll(fs, p), None, wanted)
       else FlatGeobuf.decodeRange(fs, p, start, end, wanted)

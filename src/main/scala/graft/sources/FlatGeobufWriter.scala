@@ -590,6 +590,9 @@ object FlatGeobufWriter {
     dir.getFileSystem(df.sparkSession.sessionState.newHadoopConf()).mkdirs(dir)
     val wantIndex = index
     val promote = promoteToMulti
+    val confSer = df.sparkSession.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        df.sparkSession.sessionState.newHadoopConf()))
     df.rdd.foreachPartition { rows =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       // buffer (feature bytes, envelope) — same per-partition memory bound
@@ -620,7 +623,7 @@ object FlatGeobufWriter {
       val sorted =
         if (doIndex) feats.sortBy { case (_, e) => hilbertOf(e, env) }
         else feats
-      val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = dir.getFileSystem(confSer.value.value)
       val out = fs.create(new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.fgb"), true)
       try {
         out.write(Array[Byte]('f', 'g', 'b', 3, 'f', 'g', 'b', 0))

@@ -198,9 +198,13 @@ object Shapefile {
     * slots stay null: DBF values skip their parse, a pruned geometry skips
     * the JTS build entirely. `wanted = null` decodes everything. Runs
     * task-side — opens its own FileSystem. */
-  private[sources] def fileRows(f: String, wanted: Array[Boolean] = null): Iterator[Row] = {
+  private[sources] def fileRows(f: String, wanted: Array[Boolean] = null,
+      conf: org.apache.hadoop.conf.Configuration = null): Iterator[Row] = {
     val fp = new org.apache.hadoop.fs.Path(f)
-    val fsw = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // callers pass the session hadoop conf (spark.hadoop.* overrides,
+    // credentials); the bare fallback only serves legacy direct calls
+    val fsw = fp.getFileSystem(
+      if (conf != null) conf else new org.apache.hadoop.conf.Configuration())
     val wantGeom = wanted == null || wanted(wanted.length - 1)
     val geoms = shpGeometries(readAll(fsw, fp), decode = wantGeom)
     val dbp = new org.apache.hadoop.fs.Path(f.stripSuffix(".shp") + ".dbf")
@@ -223,8 +227,10 @@ object Shapefile {
     // schema from the first .dbf (driver side)
     val p0 = new org.apache.hadoop.fs.Path(files.head)
     val schema = schemaOf(p0.getFileSystem(spark.sessionState.newHadoopConf()), files.head)
+    val confSer = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
     val rdd = spark.sparkContext.parallelize(files.toIndexedSeq, files.length)
-      .flatMap(f => fileRows(f))
+      .flatMap(f => fileRows(f, null, confSer.value.value))
     spark.createDataFrame(rdd, schema)
   }
 

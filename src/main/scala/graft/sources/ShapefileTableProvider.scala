@@ -88,16 +88,22 @@ private[sources] class ShapefileScan(dataSchema: StructType,
     val outIdx = required.fieldNames.map(dataSchema.fieldIndex)
     val wanted = Array.fill(dataSchema.length)(false)
     outIdx.foreach(wanted(_) = true)
-    ShapefileReaderFactory(required, outIdx, wanted)
+    // session hadoop conf captured DRIVER-side: a bare executor-side
+    // `new Configuration()` would drop spark.hadoop.* overrides and
+    // credentials (s3a/hdfs clusters)
+    ShapefileReaderFactory(required, outIdx, wanted,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
   }
 }
 
 private[sources] case class ShapefileReaderFactory(required: StructType,
                                                    outIdx: Array[Int],
-                                                   wanted: Array[Boolean])
+                                                   wanted: Array[Boolean],
+                                                   confSer: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val ShpPartition(path) = partition: @unchecked
-    new RowPartitionReader(Shapefile.fileRows(path, wanted), outIdx, required)
+    new RowPartitionReader(Shapefile.fileRows(path, wanted, confSer.value), outIdx, required)
   }
 }
