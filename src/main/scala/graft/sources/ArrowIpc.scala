@@ -320,57 +320,72 @@ object ArrowIpc {
     }
   }
 
-  /** Arrow `getObject` tree → Spark external value, guided by the Field:
-    * `Text` → String, list-kind layouts (incl. ListView/LargeListView) →
-    * `Seq`, `Struct` → [[Row]] in child-field order, RunEndEncoded →
-    * converted by its values child (the run lookup already happened inside
-    * `getObject`). Dictionary-encoded fields convert by their VALUE field —
-    * callers resolve indexes to values first (top-level `dicts` lookup /
-    * [[resolveNestedDicts]]). Scalars pass through for
-    * [[org.apache.spark.sql.catalyst.CatalystTypeConverters]]. */
-  private def toSparkValue(f: org.apache.arrow.vector.types.pojo.Field, v: Any,
-      lookup: Long => org.apache.arrow.vector.dictionary.Dictionary): Any = {
+  /** Build a per-FIELD converter closure, Arrow `getObject` tree → Spark
+    * external value: `Text` → String, list-kind layouts (incl.
+    * ListView/LargeListView) → `Seq`, `Struct` → [[Row]] in child-field
+    * order, `Map` → scala Map, RunEndEncoded → converted by its values
+    * child (the run lookup already happened inside `getObject`),
+    * Date/Timestamp physical shapes → LocalDate/Instant. Dictionary-encoded
+    * fields convert by their VALUE field — callers resolve indexes to
+    * values first (top-level `dicts` lookup / [[resolveNestedDicts]]).
+    * The Field walk, type dispatch and dictionary lookups happen ONCE per
+    * column here, not per cell — decode loops pay one closure call per
+    * value (plain scalars get `identity`). Every returned closure is
+    * null-safe. */
+  private def valueConverter(f: org.apache.arrow.vector.types.pojo.Field,
+      lookup: Long => org.apache.arrow.vector.dictionary.Dictionary): Any => Any = {
     import org.apache.arrow.vector.types.pojo.ArrowType
-    if (v == null) return null
+    def nullSafe(g: Any => Any): Any => Any =
+      v => if (v == null) null else g(v)
     Option(f.getDictionary).flatMap(enc => Option(lookup(enc.getId))) match {
-      case Some(d) => toSparkValue(d.getVector.getField, v, lookup)
+      case Some(d) => valueConverter(d.getVector.getField, lookup)
       case None => f.getType match {
-        case _: ArrowType.RunEndEncoded => toSparkValue(f.getChildren.get(1), v, lookup)
+        case _: ArrowType.RunEndEncoded => valueConverter(f.getChildren.get(1), lookup)
         case _: ArrowType.Map =>
           // getObject yields a List of {key, value} entry maps
           val entries = f.getChildren.get(0)
           val kf = entries.getChildren.get(0)
           val vf = entries.getChildren.get(1)
-          val out = scala.collection.mutable.LinkedHashMap.empty[Any, Any]
-          v.asInstanceOf[java.util.List[_]].asScala.foreach { e =>
-            val m = e.asInstanceOf[java.util.Map[_, _]]
-            out(toSparkValue(kf, m.get(kf.getName), lookup)) =
-              toSparkValue(vf, m.get(vf.getName), lookup)
+          val (kName, vName) = (kf.getName, vf.getName)
+          val (kc, vc) = (valueConverter(kf, lookup), valueConverter(vf, lookup))
+          nullSafe { v =>
+            val out = scala.collection.mutable.LinkedHashMap.empty[Any, Any]
+            v.asInstanceOf[java.util.List[_]].asScala.foreach { e =>
+              val m = e.asInstanceOf[java.util.Map[_, _]]
+              out(kc(m.get(kName))) = vc(m.get(vName))
+            }
+            out
           }
-          out
         case _: ArrowType.List | _: ArrowType.LargeList | _: ArrowType.FixedSizeList |
              _: ArrowType.ListView | _: ArrowType.LargeListView =>
-          val elem = f.getChildren.get(0)
-          v.asInstanceOf[java.util.List[_]].asScala.toSeq
-            .map(e => toSparkValue(elem, e, lookup))
+          val ec = valueConverter(f.getChildren.get(0), lookup)
+          nullSafe(v => v.asInstanceOf[java.util.List[_]].asScala.toSeq.map(ec))
         case _: ArrowType.Struct =>
-          val m = v.asInstanceOf[java.util.Map[_, _]]
-          Row.fromSeq(f.getChildren.asScala.toSeq
-            .map(c => toSparkValue(c, m.get(c.getName), lookup)))
-        case _: ArrowType.Date => v match {
+          val kids = f.getChildren.asScala.toArray
+          val names = kids.map(_.getName)
+          val convs = kids.map(valueConverter(_, lookup))
+          nullSafe { v =>
+            val m = v.asInstanceOf[java.util.Map[_, _]]
+            val vals = new Array[Any](kids.length)
+            var i = 0
+            while (i < kids.length) { vals(i) = convs(i)(m.get(names(i))); i += 1 }
+            Row.fromSeq(vals.toIndexedSeq)
+          }
+        case _: ArrowType.Date => nullSafe {
           // DateDay yields epoch-day Integers, DateMilli LocalDateTime —
           // neither is a Catalyst-convertible date on its own
           case i: java.lang.Integer => java.time.LocalDate.ofEpochDay(i.longValue())
           case ldt: java.time.LocalDateTime => ldt.toLocalDate
           case other => other
         }
-        case t: ArrowType.Timestamp =>
+        case t: ArrowType.Timestamp if t.getTimezone != null && t.getTimezone.nonEmpty =>
           import org.apache.arrow.vector.types.TimeUnit
-          val zoned = t.getTimezone != null && t.getTimezone.nonEmpty
-          v match {
-            case l: java.lang.Long if zoned => // TZ vectors: epoch in the declared unit
+          val unit = t.getUnit
+          val zone = t.getTimezone
+          nullSafe {
+            case l: java.lang.Long => // TZ vectors: epoch in the declared unit
               val e = l.longValue()
-              t.getUnit match {
+              unit match {
                 case TimeUnit.SECOND => java.time.Instant.ofEpochSecond(e)
                 case TimeUnit.MILLISECOND => java.time.Instant.ofEpochMilli(e)
                 case TimeUnit.MICROSECOND => java.time.Instant.ofEpochSecond(
@@ -378,16 +393,18 @@ object ArrowIpc {
                 case TimeUnit.NANOSECOND => java.time.Instant.ofEpochSecond(
                   Math.floorDiv(e, 1000000000L), Math.floorMod(e, 1000000000L))
               }
-            case ldt: java.time.LocalDateTime if zoned =>
+            case ldt: java.time.LocalDateTime =>
               // zoned vectors normally yield longs; a producer's wall-clock
               // object is interpreted in the column's declared zone
-              ldt.atZone(java.time.ZoneId.of(t.getTimezone)).toInstant
-            case other => other // zoneless LocalDateTime = NTZ external type
+              ldt.atZone(java.time.ZoneId.of(zone)).toInstant
+            case other => other
           }
-        case _ => v match {
-          case t: org.apache.arrow.vector.util.Text => t.toString
-          case other => other
-        }
+        case _: ArrowType.Utf8 | _: ArrowType.LargeUtf8 | _: ArrowType.Utf8View =>
+          nullSafe {
+            case t: org.apache.arrow.vector.util.Text => t.toString
+            case other => other
+          }
+        case _ => identity // numeric/bool/binary/decimal/NTZ pass through as-is
       }
     }
   }
@@ -490,6 +507,9 @@ object ArrowIpc {
         reducedRoot, org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
       val geoExt = reducedFields.map(f => Option(f.getMetadata.get("ARROW:extension:name"))
         .filter(_.startsWith("geoarrow.")))
+      // one converter closure per kept column — field walk + type dispatch
+      // happen here, not per cell
+      val toSpark = reducedFields.map(f => valueConverter(f, reader.lookup))
       val nodeRuns = fields.map(subtreeNodes)
       val bufRuns = fields.map(subtreeBuffers)
       val viewSlots = fields.map(subtreeViewSlots)
@@ -609,7 +629,7 @@ object ArrowIpc {
                   GeomOps.write(decodeGeo(ext, raw))
                 case None =>
                   decodedCells.increment()
-                  toSparkValue(reducedFields(k), raw, reader.lookup)
+                  toSpark(k)(raw)
               }
             k += 1
           }
@@ -664,6 +684,8 @@ object ArrowIpc {
       // dictionary-encoded children (struct/list subtrees) resolve per cell
       val nestedDict: Array[Boolean] =
         fields.map(_.getChildren.asScala.exists(hasDictionary))
+      // one converter closure per column (see decodeFilePruned)
+      val toSpark = fields.map(f => valueConverter(f, reader.lookup))
       new Iterator[Row] {
         private var i = 0
         private var batchRows = 0
@@ -697,7 +719,7 @@ object ArrowIpc {
                     GeomOps.write(decodeGeo(ext, raw))
                   case None =>
                     decodedCells.increment()
-                    toSparkValue(fields(c), raw, reader.lookup)
+                    toSpark(c)(raw)
                 }
             }
             c += 1
@@ -730,8 +752,7 @@ object ArrowIpc {
     * [[read]] both recognize. Property types: int/long/float/double/
     * string/boolean/binary, date (day unit), timestamp (zoned UTC
     * micros) and timestamp_ntz (zoneless micros), plus nested
-    * array/struct/map of those (any depth; zoned timestamps top-level
-    * only — the writer API has no TZ variant) written as List/Struct/Map
+    * array/struct/map of those (any depth) written as List/Struct/Map
     * subtrees —
     * the shapes [[read]] maps back, so write∘read is identity for nested
     * properties too.
@@ -882,22 +903,24 @@ object ArrowIpc {
         val dictLookup: Array[Map[String, Int]] =
           sparkSchema.fields.map(f => dictByCol.get(f.name).map(_._2).orNull)
         // datetime externals → arrow physical values (both the legacy
-        // java.sql and the java.time external types Spark may hand out)
+        // java.sql and the java.time external types Spark may hand out);
+        // Spark's own converters, which throw on overflow instead of
+        // silently wrapping far-out-of-range values into the file
+        import org.apache.spark.sql.catalyst.util.DateTimeUtils
         def dateDays(v: Any): Int = v match {
-          case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
-          case ld: java.time.LocalDate => ld.toEpochDay.toInt
+          case d: java.sql.Date => DateTimeUtils.fromJavaDate(d)
+          case ld: java.time.LocalDate => DateTimeUtils.localDateToDays(ld)
           case other => throw new IllegalArgumentException(
             s"ArrowIpc.write: unexpected date value ${other.getClass}")
         }
         def instantMicros(v: Any): Long = v match {
-          case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
-          case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
+          case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
+          case i: java.time.Instant => DateTimeUtils.instantToMicros(i)
           case other => throw new IllegalArgumentException(
             s"ArrowIpc.write: unexpected timestamp value ${other.getClass}")
         }
         def ntzMicros(v: Any): Long = v match {
-          case ldt: java.time.LocalDateTime =>
-            ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+          case ldt: java.time.LocalDateTime => DateTimeUtils.localDateTimeToMicros(ldt)
           case other => throw new IllegalArgumentException(
             s"ArrowIpc.write: unexpected timestamp_ntz value ${other.getClass}")
         }
@@ -913,6 +936,7 @@ object ArrowIpc {
           case BooleanType => w.bit().writeNull()
           case BinaryType => w.varBinary().writeNull()
           case DateType => w.dateDay().writeNull()
+          case TimestampType => w.timeStampMicroTZ().writeNull()
           case TimestampNTZType => w.timeStampMicro().writeNull()
           case _: ArrayType => w.list().writeNull()
           case _: StructType => w.struct().writeNull()
@@ -929,16 +953,14 @@ object ArrowIpc {
           case BooleanType => w.bit().writeBit(if (e.asInstanceOf[Boolean]) 1 else 0)
           case BinaryType => w.varBinary().writeVarBinary(e.asInstanceOf[Array[Byte]])
           case DateType => w.dateDay().writeDateDay(dateDays(e))
+          case TimestampType => w.timeStampMicroTZ().writeTimeStampMicroTZ(instantMicros(e))
           case TimestampNTZType => w.timeStampMicro().writeTimeStampMicro(ntzMicros(e))
           case ArrayType(et2, _) => writeArray(w.list(), et2, e.asInstanceOf[scala.collection.Seq[Any]])
           case st: StructType => writeStructVal(w.struct(), st, e.asInstanceOf[Row])
           case MapType(kt, vt, _) =>
             writeMap(w.map(false), kt, vt, e.asInstanceOf[scala.collection.Map[Any, Any]])
           case other => throw new IllegalArgumentException(
-            s"ArrowIpc.write: unsupported array element type $other" +
-              (if (other == TimestampType)
-                " (zoned timestamps nest no further than top level — the writer API has no TZ variant)"
-              else ""))
+            s"ArrowIpc.write: unsupported array element type $other")
         }
         def writeArray(w: BaseWriter.ListWriter, et: DataType,
                        xs: scala.collection.Seq[Any]): Unit = {
@@ -974,6 +996,8 @@ object ArrowIpc {
               case BooleanType => w.bit(f.name).writeBit(if (r.getBoolean(i)) 1 else 0)
               case BinaryType => w.varBinary(f.name).writeVarBinary(r.getAs[Array[Byte]](i))
               case DateType => w.dateDay(f.name).writeDateDay(dateDays(r.get(i)))
+              case TimestampType =>
+                w.timeStampMicroTZ(f.name, "UTC").writeTimeStampMicroTZ(instantMicros(r.get(i)))
               case TimestampNTZType => w.timeStampMicro(f.name).writeTimeStampMicro(ntzMicros(r.get(i)))
               case ArrayType(et, _) => writeArray(w.list(f.name), et, r.getSeq[Any](i))
               case st2: StructType => writeStructVal(w.struct(f.name), st2, r.getStruct(i))

@@ -52,31 +52,36 @@ private[sources] class ArrowIpcTable(dataSchema: StructType, root: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ArrowIpcScanBuilder(dataSchema, root)
+    // pin the session that plans the scan — SparkSession.active at
+    // execution time could be a DIFFERENT session sharing the context,
+    // with different spark.hadoop.* overrides/credentials
+    new ArrowIpcScanBuilder(dataSchema, root, SparkSession.active)
 }
 
-private[sources] class ArrowIpcScanBuilder(dataSchema: StructType, root: String)
+private[sources] class ArrowIpcScanBuilder(dataSchema: StructType, root: String,
+                                           session: SparkSession)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = dataSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep file field order; Catalyst projects to its own order above
     required = StructType(dataSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
-  override def build(): Scan = new ArrowIpcScan(dataSchema, required, root)
+  override def build(): Scan = new ArrowIpcScan(dataSchema, required, root, session)
 }
 
 private[sources] case class ArrowIpcPartition(path: String) extends InputPartition
 
 private[sources] class ArrowIpcScan(dataSchema: StructType,
                                     required: StructType,
-                                    root: String) extends Scan with Batch {
+                                    root: String,
+                                    session: SparkSession) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"ArrowIpcScan(required=[${required.fieldNames.mkString(",")}])"
 
   override def planInputPartitions(): Array[InputPartition] =
-    ArrowIpc.listFiles(SparkSession.active, root).map(ArrowIpcPartition.apply).toArray
+    ArrowIpc.listFiles(session, root).map(ArrowIpcPartition.apply).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val outIdx = required.fieldNames.map(dataSchema.fieldIndex)
@@ -87,7 +92,7 @@ private[sources] class ArrowIpcScan(dataSchema: StructType,
     // credentials (s3a/hdfs clusters)
     ArrowIpcReaderFactory(required, outIdx, wanted,
       new org.apache.spark.util.SerializableConfiguration(
-        SparkSession.active.sessionState.newHadoopConf()))
+        session.sessionState.newHadoopConf()))
   }
 }
 

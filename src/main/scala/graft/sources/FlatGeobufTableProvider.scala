@@ -63,8 +63,9 @@ class FlatGeobufSource extends TableProvider with DataSourceRegister {
 }
 
 private[sources] object FlatGeobufSource {
-  def resolveFiles(roots: Seq[String]): Seq[(String, Long, Long)] = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
+  def resolveFiles(roots: Seq[String],
+                   session: SparkSession = SparkSession.active): Seq[(String, Long, Long)] = {
+    val conf = session.sessionState.newHadoopConf()
     val files = roots.flatMap { r =>
       val p = new Path(r)
       val fs = p.getFileSystem(conf)
@@ -89,17 +90,21 @@ private[sources] class FlatGeobufTable(dataSchema: StructType, roots: Seq[String
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FlatGeobufScanBuilder(dataSchema, roots)
+    // pin the session that plans the scan — SparkSession.active at
+    // execution time could be a DIFFERENT session sharing the context,
+    // with different spark.hadoop.* overrides/credentials
+    new FlatGeobufScanBuilder(dataSchema, roots, SparkSession.active)
 }
 
-private[sources] class FlatGeobufScanBuilder(dataSchema: StructType, roots: Seq[String])
+private[sources] class FlatGeobufScanBuilder(dataSchema: StructType, roots: Seq[String],
+                                             session: SparkSession)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = dataSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep file field order; Catalyst projects to its own order above
     required = StructType(dataSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
-  override def build(): Scan = new FlatGeobufScan(dataSchema, required, roots)
+  override def build(): Scan = new FlatGeobufScan(dataSchema, required, roots, session)
 }
 
 private[sources] case class FgbPartition(path: String, start: Long, end: Long)
@@ -107,18 +112,18 @@ private[sources] case class FgbPartition(path: String, start: Long, end: Long)
 
 private[sources] class FlatGeobufScan(dataSchema: StructType,
                                       required: StructType,
-                                      roots: Seq[String]) extends Scan with Batch {
+                                      roots: Seq[String],
+                                      session: SparkSession) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"FlatGeobufScan(required=[${required.fieldNames.mkString(",")}])"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val spark = SparkSession.active
-    val statuses = FlatGeobufSource.resolveFiles(roots)
+    val statuses = FlatGeobufSource.resolveFiles(roots, session)
     // shared split planner — sizing must not diverge from FlatGeobuf.read
-    FlatGeobuf.planSplits(spark, statuses.toIndexedSeq,
-        spark.sessionState.conf.filesMaxPartitionBytes)
+    FlatGeobuf.planSplits(session, statuses.toIndexedSeq,
+        session.sessionState.conf.filesMaxPartitionBytes)
       .map { case (f, s, e) => FgbPartition(f, s, e) }.toArray
   }
 
@@ -133,7 +138,7 @@ private[sources] class FlatGeobufScan(dataSchema: StructType,
     // credentials (s3a/hdfs clusters)
     FlatGeobufReaderFactory(required, outIdx, wanted,
       new org.apache.spark.util.SerializableConfiguration(
-        SparkSession.active.sessionState.newHadoopConf()))
+        session.sessionState.newHadoopConf()))
   }
 }
 

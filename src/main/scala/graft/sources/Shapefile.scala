@@ -198,13 +198,13 @@ object Shapefile {
     * slots stay null: DBF values skip their parse, a pruned geometry skips
     * the JTS build entirely. `wanted = null` decodes everything. Runs
     * task-side — opens its own FileSystem. */
-  private[sources] def fileRows(f: String, wanted: Array[Boolean] = null,
-      conf: org.apache.hadoop.conf.Configuration = null): Iterator[Row] = {
+  private[sources] def fileRows(f: String, wanted: Array[Boolean],
+      conf: org.apache.hadoop.conf.Configuration): Iterator[Row] = {
     val fp = new org.apache.hadoop.fs.Path(f)
-    // callers pass the session hadoop conf (spark.hadoop.* overrides,
-    // credentials); the bare fallback only serves legacy direct calls
-    val fsw = fp.getFileSystem(
-      if (conf != null) conf else new org.apache.hadoop.conf.Configuration())
+    // conf is REQUIRED (the session hadoop conf, shipped via
+    // SerializableConfiguration): a bare new Configuration() here would
+    // drop spark.hadoop.* overrides and credentials on s3a/hdfs
+    val fsw = fp.getFileSystem(conf)
     val wantGeom = wanted == null || wanted(wanted.length - 1)
     val geoms = shpGeometries(readAll(fsw, fp), decode = wantGeom)
     val dbp = new org.apache.hadoop.fs.Path(f.stripSuffix(".shp") + ".dbf")

@@ -56,31 +56,36 @@ private[sources] class ShapefileTable(dataSchema: StructType, root: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ShapefileScanBuilder(dataSchema, root)
+    // pin the session that plans the scan — SparkSession.active at
+    // execution time could be a DIFFERENT session sharing the context,
+    // with different spark.hadoop.* overrides/credentials
+    new ShapefileScanBuilder(dataSchema, root, SparkSession.active)
 }
 
-private[sources] class ShapefileScanBuilder(dataSchema: StructType, root: String)
+private[sources] class ShapefileScanBuilder(dataSchema: StructType, root: String,
+                                            session: SparkSession)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = dataSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep file field order; Catalyst projects to its own order above
     required = StructType(dataSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
-  override def build(): Scan = new ShapefileScan(dataSchema, required, root)
+  override def build(): Scan = new ShapefileScan(dataSchema, required, root, session)
 }
 
 private[sources] case class ShpPartition(path: String) extends InputPartition
 
 private[sources] class ShapefileScan(dataSchema: StructType,
                                      required: StructType,
-                                     root: String) extends Scan with Batch {
+                                     root: String,
+                                     session: SparkSession) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"ShapefileScan(required=[${required.fieldNames.mkString(",")}])"
 
   override def planInputPartitions(): Array[InputPartition] =
-    Shapefile.resolveFiles(SparkSession.active, root).map(ShpPartition.apply).toArray
+    Shapefile.resolveFiles(session, root).map(ShpPartition.apply).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // indices of required fields within the full-width decoded row, and the
@@ -93,7 +98,7 @@ private[sources] class ShapefileScan(dataSchema: StructType,
     // credentials (s3a/hdfs clusters)
     ShapefileReaderFactory(required, outIdx, wanted,
       new org.apache.spark.util.SerializableConfiguration(
-        SparkSession.active.sessionState.newHadoopConf()))
+        session.sessionState.newHadoopConf()))
   }
 }
 

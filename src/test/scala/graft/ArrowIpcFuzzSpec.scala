@@ -13,7 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.ArrowIpc
 
 /** Randomized producer fuzz for the byte-level pruned Arrow IPC reader:
-  * for random schemas drawn from every supported layout family (scalars,
+  * for 60 random schemas drawn from every supported layout family (scalars,
   * view types, List/ListView/FixedSizeList, Struct, RunEndEncoded,
   * dictionary-encoded, LZ4/ZSTD-compressed bodies) and random projection
   * masks, [[ArrowIpc.decodeFilePruned]] must return exactly what the
@@ -162,7 +162,7 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
         }
       }
       v.setValueCount(n); (v, None)
-    case _ => // fixed_size_list<2, float8> (the interleaved-coord layout shape)
+    case 16 => // fixed_size_list<2, float8> (the interleaved-coord layout shape)
       val v = FixedSizeListVector.empty(name, 2, alloc)
       val w = v.getWriter; w.allocate()
       (0 until n).foreach { i =>
@@ -173,15 +173,66 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
         }
       }
       v.setValueCount(n); (v, None)
+    case 17 => // largelist<float8> — 64-bit offsets
+      val v = org.apache.arrow.vector.complex.LargeListVector.empty(name, alloc)
+      val w = v.getWriter; w.allocate()
+      (0 until n).foreach { i =>
+        if (rnd.nextDouble() >= 0.15) {
+          w.setPosition(i); w.startList()
+          (0 until rnd.nextInt(4)).foreach(_ => w.float8().writeFloat8(rnd.nextDouble()))
+          w.endList()
+        }
+      }
+      v.setValueCount(n); (v, None)
+    case 18 => // largelistview<int> — 64-bit offsets + sizes
+      val v = org.apache.arrow.vector.complex.LargeListViewVector.empty(name, alloc)
+      val w = v.getWriter; w.allocate()
+      (0 until n).foreach { i =>
+        if (rnd.nextDouble() >= 0.15) {
+          w.setPosition(i); w.startListView()
+          (0 until rnd.nextInt(4)).foreach(_ => w.integer().writeInt(rnd.nextInt()))
+          w.endListView()
+        }
+      }
+      v.setValueCount(n); (v, None)
+    case 19 => // largeutf8 — 64-bit offset scalar
+      val v = new LargeVarCharVector(name, alloc); v.allocateNew()
+      (0 until n).foreach(i => if (rnd.nextDouble() < 0.15) v.setNull(i)
+        else v.setSafe(i, rnd.alphanumeric.take(rnd.nextInt(20)).mkString.getBytes("UTF-8")))
+      v.setValueCount(n); (v, None)
+    case 20 => // largebinary
+      val v = new LargeVarBinaryVector(name, alloc); v.allocateNew()
+      (0 until n).foreach { i =>
+        if (rnd.nextDouble() < 0.15) v.setNull(i)
+        else { val b = new Array[Byte](rnd.nextInt(25)); rnd.nextBytes(b); v.setSafe(i, b) }
+      }
+      v.setValueCount(n); (v, None)
+    case _ => // struct{s: utf8view, d: float8} — a VIEW node NESTED under a
+      // struct: its variadic buffer slot sits mid-pre-order, the most
+      // delicate case for the buffer-run slicing
+      val v = StructVector.empty(name, alloc)
+      val s = v.addOrGet("s", FieldType.nullable(new ArrowType.Utf8View()), classOf[ViewVarCharVector])
+      val d = v.addOrGet("d", FieldType.nullable(
+        new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)), classOf[Float8Vector])
+      v.allocateNew()
+      (0 until n).foreach { i =>
+        if (rnd.nextDouble() >= 0.15) {
+          v.setIndexDefined(i)
+          if (rnd.nextDouble() >= 0.2) // lengths straddle the 12-byte inline cutoff
+            s.setSafe(i, rnd.alphanumeric.take(rnd.nextInt(25)).mkString.getBytes("UTF-8"))
+          if (rnd.nextDouble() >= 0.2) d.setSafe(i, rnd.nextDouble())
+        }
+      }
+      v.setValueCount(n); (v, None)
   }
 
   test("pruned reader == full reader over random schemas, masks, and compression") {
     val rnd = new Random(20260815L)
     val dir = java.nio.file.Files.createTempDirectory("arrowfuzz").toString
     var trial = 0
-    while (trial < 40) {
+    while (trial < 60) {
       val ncols = 2 + rnd.nextInt(4)
-      val kinds = Array.fill(ncols)(rnd.nextInt(17))
+      val kinds = Array.fill(ncols)(rnd.nextInt(22))
       val n = if (trial % 10 == 0) 0 else 1 + rnd.nextInt(50) // exercise 0-row files too
       val file = new java.io.File(dir, f"fuzz-$trial%03d.arrow")
       val alloc = new RootAllocator()

@@ -499,12 +499,17 @@ class ArrowIpcSpec extends SparkTestBase {
              TIMESTAMP_NTZ '2024-06-01 08:30:00' + make_interval(0,0,0,0,0,0, id) AS tn,
              CASE WHEN id % 5 = 0 THEN NULL
                   ELSE array(DATE_ADD(DATE '2021-01-01', CAST(id AS INT))) END AS ds,
-             named_struct('when', TIMESTAMP_NTZ '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, id)) AS ev
+             array(TIMESTAMP '2023-03-01 06:00:00' + make_interval(0,0,0,0,0,0, id),
+                   CASE WHEN id % 4 = 0 THEN NULL
+                        ELSE TIMESTAMP '2023-03-02 06:00:00' END) AS tss,
+             named_struct('when', TIMESTAMP_NTZ '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, id),
+                          'zoned', TIMESTAMP '2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0, id)) AS ev
       FROM range(300)""").coalesce(2)
     ArrowIpc.write(src, out2)
     val back = ArrowIpc.read(spark, out2)
     val sel = Seq("fid", "CAST(d AS STRING) AS d", "unix_micros(ts) AS ts",
-      "CAST(tn AS STRING) AS tn", "to_json(struct(ds, ev)) AS j")
+      "CAST(tn AS STRING) AS tn", "to_json(struct(ds, ev)) AS j",
+      "unix_micros(tss[0]) AS t0", "unix_micros(tss[1]) AS t1")
     val a = src.selectExpr(sel: _*)
     val b = back.selectExpr(sel: _*)
     assert(a.except(b).isEmpty && b.except(a).isEmpty,
