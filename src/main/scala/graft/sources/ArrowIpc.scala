@@ -21,9 +21,12 @@ import graft.core.GeomOps
   * (`fixed_size_list<xy>[2]`, what GDAL/GeoPandas emit to .arrow) or
   * separated (`struct<x,y>`). Everything else maps by Arrow type.
   *
-  * Distribution model: one file = one task (IPC batches aren't splittable
-  * without the footer); directories of .arrow files parallelize, same as
-  * the FlatGeobuf/Shapefile sources.
+  * Distribution model: directories of .arrow files parallelize, and any
+  * file larger than `spark.sql.files.maxPartitionBytes` additionally
+  * splits into contiguous record-batch ranges planned from its FOOTER
+  * (the block list carries every batch's offset + lengths) — the same
+  * split discipline as the FlatGeobuf index reads, so one 50 GB .arrow
+  * fans out instead of decoding in a single task.
   */
 object ArrowIpc {
 
@@ -226,15 +229,80 @@ object ArrowIpc {
     finally { reader.close(); allocator.close(); ch.close() }
   }
 
-  private[sources] def listFiles(spark: SparkSession, path: String): Seq[String] = {
+  private[sources] def listFiles(spark: SparkSession, path: String): Seq[String] =
+    listFileStatuses(spark, path).map(_._1)
+
+  private[sources] def listFileStatuses(spark: SparkSession, path: String)
+      : Seq[(String, Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val files =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".arrow")).map(_.toString).toSeq
-      else Seq(path)
+        fs.listStatus(p).filter(_.getPath.getName.endsWith(".arrow"))
+          .map(s => (s.getPath.toString, s.getLen, s.getModificationTime)).toSeq
+      else {
+        val st = fs.getFileStatus(p)
+        Seq((path, st.getLen, st.getModificationTime))
+      }
     require(files.nonEmpty, s"no .arrow files under $path")
     files
+  }
+
+  // split-plan cache, the FlatGeobuf device: a (path, size, mtime, maxPart)
+  // key re-probes only when the file actually changed
+  private val splitPlanCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), IndexedSeq[(Int, Int)]]()
+
+  /** One large IPC file never splits with the stock one-file-one-task model
+    * — a 50 GB .arrow would decode in a single task. The file FOOTER lists
+    * every record-batch block (offset + metadata + body lengths), so a big
+    * file partitions into contiguous BATCH ranges sized to
+    * `spark.sql.files.maxPartitionBytes`, the same discipline as the
+    * FlatGeobuf index splits. Returns (path, startBlock, endBlockExcl);
+    * (-1, -1) = whole file. Footer probing for big files runs as a Spark
+    * job (one bounded footer read per file, never a driver loop), cached
+    * by (path, size, mtime). */
+  private[sources] def planSplits(spark: SparkSession,
+      statuses: Seq[(String, Long, Long)]): IndexedSeq[(String, Int, Int)] = {
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    val (big, small) = statuses.partition(_._2 > maxPart)
+    val cached = big.flatMap { case (f, len, mt) =>
+      Option(splitPlanCache.get((f, len, mt, maxPart))).map(f -> _)
+    }.toMap
+    val miss = big.filterNot { case (f, _, _) => cached.contains(f) }
+    val probed: Map[String, IndexedSeq[(Int, Int)]] =
+      if (miss.isEmpty) Map.empty
+      else {
+        val confSer = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf()))
+        val mp = maxPart
+        spark.sparkContext.parallelize(miss.map(_._1), miss.length).map { f =>
+          val ch = openChannel(f, confSer.value.value)
+          val allocator = new RootAllocator()
+          val reader = new ArrowFileReader(ch, allocator)
+          try {
+            val blocks = reader.getRecordBlocks.asScala.toIndexedSeq
+            val groups = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+            var start = 0
+            var acc = 0L
+            var i = 0
+            while (i < blocks.length) {
+              val sz = blocks(i).getMetadataLength + blocks(i).getBodyLength
+              if (i > start && acc + sz > mp) { groups += ((start, i)); start = i; acc = 0L }
+              acc += sz
+              i += 1
+            }
+            if (start < blocks.length) groups += ((start, blocks.length))
+            f -> groups.toIndexedSeq
+          } finally { reader.close(); allocator.close(); ch.close() }
+        }.collect().toMap
+      }
+    miss.foreach { case (f, len, mt) =>
+      splitPlanCache.put((f, len, mt, maxPart), probed(f)) }
+    val ranges = cached ++ probed
+    (small.map { case (f, _, _) => (f, -1, -1) } ++
+      big.flatMap { case (f, _, _) => ranges(f).map { case (s, e) => (f, s, e) } }).toIndexedSeq
   }
 
   // diagnostics (spec-proof of decode-level pruning; same device as
@@ -465,7 +533,9 @@ object ArrowIpc {
     * passes [[schemaOf]] prunes natively; there is no full-reader
     * fallback. */
   private[graft] def decodeFilePruned(path: String, conf: org.apache.hadoop.conf.Configuration,
-                                        wanted: Array[Boolean]): Iterator[Row] = {
+                                        wanted: Array[Boolean],
+                                        blockStart: Int = -1,
+                                        blockEnd: Int = -1): Iterator[Row] = {
     import org.apache.arrow.vector.ipc.message.{ArrowFieldNode, ArrowRecordBatch, MessageSerializer}
     import org.apache.arrow.vector.ipc.ReadChannel
     val ch = openChannel(path, conf)
@@ -482,7 +552,10 @@ object ArrowIpc {
       val schema = reader.getVectorSchemaRoot.getSchema
       val fields = schema.getFields.asScala.toArray
       require(fields.length == wanted.length, s"ArrowIpc: wanted mask arity ${wanted.length} != ${fields.length}")
-      val blocks = reader.getRecordBlocks.asScala.toIndexedSeq
+      val allBlocks = reader.getRecordBlocks.asScala.toIndexedSeq
+      // a batch-range split (planSplits) decodes only its slice of blocks
+      val blocks =
+        if (blockStart < 0) allBlocks else allBlocks.slice(blockStart, blockEnd)
       val keepIdx = fields.indices.filter(wanted(_)).toArray
       val reducedFields = keepIdx.map(fields(_))
       // top-level dictionary-encoded columns: per-cell index → value lookup
@@ -641,11 +714,15 @@ object ArrowIpc {
   }
 
   /** DSv2 decode entry: byte-level pruning when a proper subset of columns
-    * is required, the stock full-batch reader otherwise. */
+    * is required, the stock full-batch reader otherwise. `blockStart`/
+    * `blockEnd` (−1 = whole file) select a batch-range split. */
   private[sources] def decodeFileAuto(path: String, conf: org.apache.hadoop.conf.Configuration,
-                                      wanted: Array[Boolean]): Iterator[Row] =
-    if (wanted == null || wanted.forall(identity)) decodeFile(path, conf, wanted)
-    else decodeFilePruned(path, conf, wanted)
+                                      wanted: Array[Boolean],
+                                      blockStart: Int = -1,
+                                      blockEnd: Int = -1): Iterator[Row] =
+    if (wanted == null || wanted.forall(identity))
+      decodeFile(path, conf, wanted, blockStart, blockEnd)
+    else decodeFilePruned(path, conf, wanted, blockStart, blockEnd)
 
   /** Streams rows batch-by-batch: only one IPC record batch is resident at
     * a time, so a multi-GB file never materializes in the task. Resources
@@ -660,7 +737,9 @@ object ArrowIpc {
     * buffer-level skip would need footer-driven selective loading), so
     * this prunes CPU, not file IO. */
   private[graft] def decodeFile(path: String, conf: org.apache.hadoop.conf.Configuration,
-                         wanted: Array[Boolean] = null): Iterator[Row] = {
+                         wanted: Array[Boolean] = null,
+                         blockStart: Int = -1,
+                         blockEnd: Int = -1): Iterator[Row] = {
     val ch = openChannel(path, conf)
     val allocator = new RootAllocator()
     val reader = new ArrowFileReader(ch, allocator)
@@ -672,6 +751,16 @@ object ArrowIpc {
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
     try {
+      // batch-range split: random-access the slice's blocks via the footer
+      val rangeBlocks: IndexedSeq[org.apache.arrow.vector.ipc.message.ArrowBlock] =
+        if (blockStart < 0) null
+        else reader.getRecordBlocks.asScala.toIndexedSeq.slice(blockStart, blockEnd)
+      var rangeIdx = 0
+      def loadNext(): Boolean =
+        if (rangeBlocks == null) reader.loadNextBatch()
+        else if (rangeIdx < rangeBlocks.length) {
+          val ok = reader.loadRecordBatch(rangeBlocks(rangeIdx)); rangeIdx += 1; ok
+        } else false
       val root = reader.getVectorSchemaRoot
       val fields = root.getSchema.getFields.asScala.toArray
       val geoExt = fields.map(f => Option(f.getMetadata.get("ARROW:extension:name"))
@@ -692,7 +781,7 @@ object ArrowIpc {
         private var done = false
         private def advance(): Unit =
           while (!done && i >= batchRows) {
-            if (reader.loadNextBatch()) { batchRows = root.getRowCount; i = 0 }
+            if (loadNext()) { batchRows = root.getRowCount; i = 0 }
             else { done = true; closeAll() }
           }
         override def hasNext: Boolean = { advance(); !done }
@@ -731,15 +820,18 @@ object ArrowIpc {
     } catch { case e: Throwable => closeAll(); throw e }
   }
 
-  /** Read .arrow file(s) into a DataFrame; geometry columns become WKB. */
+  /** Read .arrow file(s) into a DataFrame; geometry columns become WKB.
+    * Files larger than `spark.sql.files.maxPartitionBytes` split into
+    * batch-range tasks via [[planSplits]], same as the DSv2 face. */
   def read(spark: SparkSession, path: String): DataFrame = {
     graft.functions.GeoFunctions.register(spark)
-    val files = listFiles(spark, path)
-    val schema = schemaOf(spark, files.head)
+    val statuses = listFileStatuses(spark, path)
+    val schema = schemaOf(spark, statuses.head._1)
+    val splits = planSplits(spark, statuses)
     val confSer = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
-    val rdd = spark.sparkContext.parallelize(files.toIndexedSeq, files.length)
-      .flatMap(f => decodeFile(f, confSer.value.value))
+    val rdd = spark.sparkContext.parallelize(splits, splits.length)
+      .flatMap { case (f, s, e) => decodeFile(f, confSer.value.value, null, s, e) }
     spark.createDataFrame(rdd, schema)
   }
 

@@ -69,7 +69,8 @@ private[sources] class ArrowIpcScanBuilder(dataSchema: StructType, root: String,
   override def build(): Scan = new ArrowIpcScan(dataSchema, required, root, session)
 }
 
-private[sources] case class ArrowIpcPartition(path: String) extends InputPartition
+private[sources] case class ArrowIpcPartition(path: String, blockStart: Int, blockEnd: Int)
+    extends InputPartition
 
 private[sources] class ArrowIpcScan(dataSchema: StructType,
                                     required: StructType,
@@ -81,7 +82,10 @@ private[sources] class ArrowIpcScan(dataSchema: StructType,
     s"ArrowIpcScan(required=[${required.fieldNames.mkString(",")}])"
 
   override def planInputPartitions(): Array[InputPartition] =
-    ArrowIpc.listFiles(session, root).map(ArrowIpcPartition.apply).toArray
+    // big files split into batch ranges sized to maxPartitionBytes (the
+    // footer lists every record-batch block); small files = one task
+    ArrowIpc.planSplits(session, ArrowIpc.listFileStatuses(session, root))
+      .map { case (f, s, e) => ArrowIpcPartition(f, s, e) }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val outIdx = required.fieldNames.map(dataSchema.fieldIndex)
@@ -102,9 +106,9 @@ private[sources] case class ArrowIpcReaderFactory(required: StructType,
                                                   confSer: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val ArrowIpcPartition(path) = partition: @unchecked
+    val ArrowIpcPartition(path, blockStart, blockEnd) = partition: @unchecked
     new RowPartitionReader(
-      ArrowIpc.decodeFileAuto(path, confSer.value, wanted),
+      ArrowIpc.decodeFileAuto(path, confSer.value, wanted, blockStart, blockEnd),
       outIdx, required)
   }
 }

@@ -442,6 +442,41 @@ class ArrowIpcSpec extends SparkTestBase {
     assert(counted == Map("r0" -> 40L, "r1" -> 40L, "r2" -> 40L), s"$counted")
   }
 
+  test("large single .arrow splits into batch-range tasks sized to maxPartitionBytes") {
+    // ~25 batches of 4096 rows with a ~200 B payload each (~20 MB file);
+    // a 4 MB maxPartitionBytes must fan the ONE file into multiple tasks
+    val out = java.nio.file.Files.createTempDirectory("arrowsplit").toString
+    val df = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CAST(repeat(CAST(id % 97 AS STRING), 100) AS BINARY) AS payload,
+             ST_AsBinary(ST_Point(CAST(id AS DOUBLE), 0.0)) AS geomwkb
+      FROM range(100000)""").coalesce(1)
+    ArrowIpc.write(df, out)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, (4L * 1024 * 1024).toString)
+      val v2 = spark.read.format("arrowipc").load(out)
+      assert(v2.rdd.getNumPartitions > 2,
+        s"one big file must fan out, got ${v2.rdd.getNumPartitions} partitions")
+      // full-width (stock reader, random-access block slices) equality
+      val sums = v2.selectExpr("COUNT(*) AS n", "SUM(fid) AS s",
+        "SUM(crc32(payload)) AS cp").head()
+      val exp = df.selectExpr("COUNT(*) AS n", "SUM(fid) AS s",
+        "SUM(crc32(payload)) AS cp").head()
+      assert(sums == exp, s"split full read mismatch: $sums vs $exp")
+      // pruned byte-level path over the same splits
+      val pr = v2.selectExpr("SUM(crc32(payload)) AS cp").head()
+      assert(pr.getLong(0) == exp.getLong(2), "split pruned read mismatch")
+      // function-style read shares the planner
+      assert(ArrowIpc.read(spark, out).rdd.getNumPartitions > 2)
+      assert(ArrowIpc.read(spark, out).count() == 100000L)
+    } finally spark.conf.set(key, prev)
+    // default maxPartitionBytes: the same file stays one task (plan cache
+    // keys on maxPart, so this exercises the small-file path again)
+    assert(spark.read.format("arrowipc").load(out).rdd.getNumPartitions >= 1)
+  }
+
   test("date/timestamp columns: external producer shapes decode; write→read roundtrips") {
     import org.apache.arrow.memory.RootAllocator
     import org.apache.arrow.vector._
