@@ -106,7 +106,17 @@ object ArrowIpc {
     * `edgeArea` dispatch identically across sources. */
   def schemaOf(spark: SparkSession, path: String): StructType =
     withFirstFile(spark, path) { reader =>
-      StructType(reader.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq.map { f =>
+      val fields0 = reader.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
+      // stream-format dictionaries arrive INLINE with the batches, so the
+      // value type is unknowable at schema time — refuse loudly rather
+      // than silently mapping the index type as data
+      if (reader.isInstanceOf[org.apache.arrow.vector.ipc.ArrowStreamReader] &&
+          fields0.exists(hasDictionary))
+        throw new IllegalArgumentException(
+          s"ArrowIpc: $path is STREAM-format IPC with dictionary-encoded " +
+            "columns; dictionaries are inline there and cannot be schema-" +
+            "mapped upfront — rewrite as file-format .arrow")
+      StructType(fields0.map { f =>
         val base = StructField(f.getName, sparkTypeOf(f, reader.lookup))
         if (!isGeo(f.getMetadata)) base
         else {
@@ -220,11 +230,35 @@ object ArrowIpc {
     new FsChannel(fs.open(p), fs.getFileStatus(p).getLen)
   }
 
-  private def withFirstFile[T](spark: SparkSession, path: String)(f: ArrowFileReader => T): T = {
+  /** True = IPC FILE format (leading "ARROW1" magic, footer-bearing);
+    * false = STREAM format (.arrows — a bare message sequence). Costs one
+    * 6-byte read. */
+  private[sources] def isFileFormat(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val ch = openChannel(path, conf)
+    try {
+      if (ch.size() < 6) false
+      else java.util.Arrays.equals(readFully(ch, 0, 6), "ARROW1".getBytes("US-ASCII"))
+    } finally ch.close()
+  }
+
+  /** Format-appropriate reader over an open channel. Stream-format files
+    * carry dictionaries INLINE (they materialize only as batches are read),
+    * so dictionary-encoded columns there cannot be schema-mapped upfront —
+    * refused loudly in [[schemaOf]]. */
+  private def openReader(ch: FsChannel, allocator: RootAllocator, fileFormat: Boolean)
+      : org.apache.arrow.vector.ipc.ArrowReader =
+    if (fileFormat) new ArrowFileReader(ch, allocator)
+    else new org.apache.arrow.vector.ipc.ArrowStreamReader(ch, allocator)
+
+  private def withFirstFile[T](spark: SparkSession, path: String)(
+      f: org.apache.arrow.vector.ipc.ArrowReader => T): T = {
     val files = listFiles(spark, path)
-    val ch = openChannel(files.head, spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val fileFormat = isFileFormat(files.head, conf)
+    val ch = openChannel(files.head, conf)
     val allocator = new RootAllocator()
-    val reader = new ArrowFileReader(ch, allocator)
+    val reader = openReader(ch, allocator, fileFormat)
     try f(reader)
     finally { reader.close(); allocator.close(); ch.close() }
   }
@@ -238,7 +272,8 @@ object ArrowIpc {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val files =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.getPath.getName.endsWith(".arrow"))
+        fs.listStatus(p).filter(s => s.getPath.getName.endsWith(".arrow") ||
+            s.getPath.getName.endsWith(".arrows")) // stream-format spelling
           .map(s => (s.getPath.toString, s.getLen, s.getModificationTime)).toSeq
       else {
         val st = fs.getFileStatus(p)
@@ -278,6 +313,10 @@ object ArrowIpc {
             spark.sessionState.newHadoopConf()))
         val mp = maxPart
         spark.sparkContext.parallelize(miss.map(_._1), miss.length).map { f =>
+          if (!isFileFormat(f, confSer.value.value)) {
+            // stream format has no footer — a big stream file stays one task
+            f -> IndexedSeq((-1, -1))
+          } else {
           val ch = openChannel(f, confSer.value.value)
           val allocator = new RootAllocator()
           val reader = new ArrowFileReader(ch, allocator)
@@ -296,6 +335,7 @@ object ArrowIpc {
             if (start < blocks.length) groups += ((start, blocks.length))
             f -> groups.toIndexedSeq
           } finally { reader.close(); allocator.close(); ch.close() }
+          }
         }.collect().toMap
       }
     miss.foreach { case (f, len, mt) =>
@@ -720,8 +760,8 @@ object ArrowIpc {
                                       wanted: Array[Boolean],
                                       blockStart: Int = -1,
                                       blockEnd: Int = -1): Iterator[Row] =
-    if (wanted == null || wanted.forall(identity))
-      decodeFile(path, conf, wanted, blockStart, blockEnd)
+    if (wanted == null || wanted.forall(identity) || !isFileFormat(path, conf))
+      decodeFile(path, conf, wanted, blockStart, blockEnd) // stream: no footer to prune by
     else decodeFilePruned(path, conf, wanted, blockStart, blockEnd)
 
   /** Streams rows batch-by-batch: only one IPC record batch is resident at
@@ -740,9 +780,10 @@ object ArrowIpc {
                          wanted: Array[Boolean] = null,
                          blockStart: Int = -1,
                          blockEnd: Int = -1): Iterator[Row] = {
+    val fileFormat = isFileFormat(path, conf)
     val ch = openChannel(path, conf)
     val allocator = new RootAllocator()
-    val reader = new ArrowFileReader(ch, allocator)
+    val reader = openReader(ch, allocator, fileFormat)
     var closed = false
     def closeAll(): Unit = if (!closed) {
       closed = true
@@ -752,14 +793,17 @@ object ArrowIpc {
       .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
     try {
       // batch-range split: random-access the slice's blocks via the footer
+      // (file format only — planSplits never splits a stream file)
       val rangeBlocks: IndexedSeq[org.apache.arrow.vector.ipc.message.ArrowBlock] =
         if (blockStart < 0) null
-        else reader.getRecordBlocks.asScala.toIndexedSeq.slice(blockStart, blockEnd)
+        else reader.asInstanceOf[ArrowFileReader]
+          .getRecordBlocks.asScala.toIndexedSeq.slice(blockStart, blockEnd)
       var rangeIdx = 0
       def loadNext(): Boolean =
         if (rangeBlocks == null) reader.loadNextBatch()
         else if (rangeIdx < rangeBlocks.length) {
-          val ok = reader.loadRecordBatch(rangeBlocks(rangeIdx)); rangeIdx += 1; ok
+          val ok = reader.asInstanceOf[ArrowFileReader]
+            .loadRecordBatch(rangeBlocks(rangeIdx)); rangeIdx += 1; ok
         } else false
       val root = reader.getVectorSchemaRoot
       val fields = root.getSchema.getFields.asScala.toArray

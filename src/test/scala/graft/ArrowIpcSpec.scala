@@ -442,6 +442,81 @@ class ArrowIpcSpec extends SparkTestBase {
     assert(counted == Map("r0" -> 40L, "r1" -> 40L, "r2" -> 40L), s"$counted")
   }
 
+  test("STREAM-format IPC (.arrows) reads through both paths; dictionaries refused loudly") {
+    // pyarrow's ipc.new_stream / Flight dumps emit the footer-less stream
+    // format; decode is sequential (no footer → no pruning, no splits)
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.types.pojo._
+    val dirOut = java.nio.file.Files.createTempDirectory("arrowstream").toString
+    val file = new java.io.File(dirOut, "part-00000.arrows")
+    val n = 120
+    val alloc = new RootAllocator()
+    val schema = new Schema(java.util.List.of(
+      new Field("fid", FieldType.nullable(new ArrowType.Int(64, true)), java.util.List.of[Field]()),
+      new Field("name", FieldType.nullable(new ArrowType.Utf8()), java.util.List.of[Field]()),
+      new Field("geometry", new FieldType(true, new ArrowType.Binary(), null,
+        java.util.Map.of("ARROW:extension:name", "geoarrow.wkb")), java.util.List.of[Field]())))
+    val root = VectorSchemaRoot.create(schema, alloc)
+    try {
+      val out = new java.io.FileOutputStream(file)
+      val writer = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null, out.getChannel)
+      try {
+        writer.start()
+        for (batch <- 0 until 3) { // multiple stream messages
+          root.allocateNew()
+          val ids = root.getVector(0).asInstanceOf[BigIntVector]
+          val names = root.getVector(1).asInstanceOf[VarCharVector]
+          val geo = root.getVector(2).asInstanceOf[VarBinaryVector]
+          (0 until n).foreach { i =>
+            val fid = batch * n + i
+            ids.setSafe(i, fid.toLong)
+            names.setSafe(i, s"row-$fid".getBytes("UTF-8"))
+            geo.setSafe(i, graft.core.GeomOps.point(fid.toDouble, 1.0))
+          }
+          root.setRowCount(n)
+          writer.writeBatch()
+        }
+        writer.end()
+      } finally { writer.close(); out.close() }
+    } finally { root.close(); alloc.close() }
+    val full = ArrowIpc.read(spark, file.getAbsolutePath)
+    assert(full.count() == 3L * n)
+    val r5 = full.where("fid = 205").selectExpr("name", "ST_AsText(geometry) AS w").head()
+    assert(r5.getString(0) == "row-205" && r5.getString(1) == "POINT (205 1)")
+    // DSv2 projection falls back to the sequential full decode — correct,
+    // just unpruned (no footer)
+    val names = spark.read.format("arrowipc").load(file.getAbsolutePath)
+      .select("name").collect().map(_.getString(0))
+    assert(names.length == 3 * n && names.contains("row-0") && names.contains("row-359"))
+    // dictionary-encoded stream column → loud refusal at schema time
+    val dictFile = new java.io.File(dirOut, "dict.arrows")
+    val alloc2 = new RootAllocator()
+    var dv: VarCharVector = null
+    try {
+      import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
+      dv = new VarCharVector("c_dict", alloc2); dv.allocateNew()
+      dv.setSafe(0, "x".getBytes("UTF-8")); dv.setValueCount(1)
+      val enc = new DictionaryEncoding(3L, false, new ArrowType.Int(32, true))
+      val provider = new DictionaryProvider.MapDictionaryProvider(new Dictionary(dv, enc))
+      val s2 = new Schema(java.util.List.of(new Field("c",
+        new FieldType(true, new ArrowType.Int(32, true), enc, null), java.util.List.of[Field]())))
+      val root2 = VectorSchemaRoot.create(s2, alloc2)
+      try {
+        root2.allocateNew()
+        root2.getVector(0).asInstanceOf[IntVector].setSafe(0, 0)
+        root2.setRowCount(1)
+        val out2 = new java.io.FileOutputStream(dictFile)
+        val w2 = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root2, provider, out2.getChannel)
+        try { w2.start(); w2.writeBatch(); w2.end() } finally { w2.close(); out2.close() }
+      } finally root2.close()
+    } finally { if (dv != null) dv.close(); alloc2.close() }
+    val err = intercept[IllegalArgumentException] {
+      ArrowIpc.read(spark, dictFile.getAbsolutePath)
+    }
+    assert(err.getMessage.contains("STREAM-format"), err.getMessage)
+  }
+
   test("large single .arrow splits into batch-range tasks sized to maxPartitionBytes") {
     // ~25 batches of 4096 rows with a ~200 B payload each (~20 MB file);
     // a 4 MB maxPartitionBytes must fan the ONE file into multiple tasks
