@@ -207,6 +207,31 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
         else { val b = new Array[Byte](rnd.nextInt(25)); rnd.nextBytes(b); v.setSafe(i, b) }
       }
       v.setValueCount(n); (v, None)
+    case 21 => // list<utf8view> — a VIEW node under a LIST: its variadic
+      // slot follows the list's fixed buffers in pre-order
+      val v = new Field(name, FieldType.nullable(new ArrowType.List()),
+        java.util.List.of(new Field("item", FieldType.nullable(new ArrowType.Utf8View()),
+          java.util.List.of[Field]())))
+        .createVector(alloc).asInstanceOf[ListVector]
+      v.allocateNew()
+      val child = v.getDataVector.asInstanceOf[ViewVarCharVector]
+      var off = 0
+      (0 until n).foreach { i =>
+        if (rnd.nextDouble() < 0.15) () // unset = null list
+        else {
+          val sz = rnd.nextInt(4)
+          v.startNewValue(i)
+          (0 until sz).foreach { j =>
+            if (rnd.nextDouble() < 0.2) child.setNull(off + j)
+            else child.setSafe(off + j, // straddle the 12-byte inline cutoff
+              rnd.alphanumeric.take(rnd.nextInt(25)).mkString.getBytes("UTF-8"))
+          }
+          off += sz
+          v.endValue(i, sz)
+        }
+      }
+      child.setValueCount(off)
+      v.setValueCount(n); (v, None)
     case _ => // struct{s: utf8view, d: float8} — a VIEW node NESTED under a
       // struct: its variadic buffer slot sits mid-pre-order, the most
       // delicate case for the buffer-run slicing
@@ -232,7 +257,7 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
     var trial = 0
     while (trial < 60) {
       val ncols = 2 + rnd.nextInt(4)
-      val kinds = Array.fill(ncols)(rnd.nextInt(22))
+      val kinds = Array.fill(ncols)(rnd.nextInt(23))
       val n = if (trial % 10 == 0) 0 else 1 + rnd.nextInt(50) // exercise 0-row files too
       val file = new java.io.File(dir, f"fuzz-$trial%03d.arrow")
       val alloc = new RootAllocator()
