@@ -790,8 +790,6 @@ object GeomOps {
     val g = read(b)
     val dim = g.getDimension
     val out = scala.collection.mutable.ArrayBuffer.empty[Geometry]
-    def clip(geom: Geometry, x1: Double, y1: Double, x2: Double, y2: Double): Geometry =
-      geom.intersection(geom.getFactory.toGeometry(new org.locationtech.jts.geom.Envelope(x1, x2, y1, y2)))
     def go(geom: Geometry, depth: Int): Unit = {
       if (geom.isEmpty || geom.getDimension < dim) return
       if (geom.getNumGeometries > 1) {
@@ -800,19 +798,208 @@ object GeomOps {
         out += geom
       } else {
         val e = geom.getEnvelopeInternal
-        if (e.getWidth >= e.getHeight) {
-          val mid = (e.getMinX + e.getMaxX) / 2
-          go(clip(geom, e.getMinX, e.getMinY, mid, e.getMaxY), depth + 1)
-          go(clip(geom, mid, e.getMinY, e.getMaxX, e.getMaxY), depth + 1)
-        } else {
-          val mid = (e.getMinY + e.getMaxY) / 2
-          go(clip(geom, e.getMinX, e.getMinY, e.getMaxX, mid), depth + 1)
-          go(clip(geom, e.getMinX, mid, e.getMaxX, e.getMaxY), depth + 1)
-        }
+        val axisX = e.getWidth >= e.getHeight
+        val mid = if (axisX) (e.getMinX + e.getMaxX) / 2 else (e.getMinY + e.getMaxY) / 2
+        go(clipHalf(geom, e, axisX, mid, keepLess = true), depth + 1)
+        go(clipHalf(geom, e, axisX, mid, keepLess = false), depth + 1)
       }
     }
     go(g, 0)
     new GenericArrayData(out.map(write).toArray[Any])
+  }
+
+  /** Clip to one closed half-plane of the geometry's own envelope. Hot path
+    * for [[subdivide]]: a Sutherland–Hodgman sweep against a single
+    * axis-aligned line — crossing points sit at exactly `mid` on the clip
+    * axis, untouched vertices are kept by reference. OverlayNG (the previous
+    * implementation, with its snap-rounding fallback and per-clip topology
+    * graph) is reached only when the fast path can't guarantee a simple
+    * result: the ring crosses the line more than twice (the clipped region
+    * may be disconnected, which Sutherland–Hodgman would bridge with
+    * zero-width seams) or an interior ring straddles the line. */
+  private def clipHalf(geom: Geometry, e: org.locationtech.jts.geom.Envelope,
+                       axisX: Boolean, mid: Double, keepLess: Boolean): Geometry = {
+    val fast: Geometry = geom match {
+      case p: Polygon => clipPolygonHalf(p, axisX, mid, keepLess)
+      case l: LineString => clipLineHalf(l, axisX, mid, keepLess)
+      case _ => null
+    }
+    if (fast != null) fast
+    else {
+      val env =
+        if (axisX) {
+          if (keepLess) new org.locationtech.jts.geom.Envelope(e.getMinX, mid, e.getMinY, e.getMaxY)
+          else new org.locationtech.jts.geom.Envelope(mid, e.getMaxX, e.getMinY, e.getMaxY)
+        } else {
+          if (keepLess) new org.locationtech.jts.geom.Envelope(e.getMinX, e.getMaxX, e.getMinY, mid)
+          else new org.locationtech.jts.geom.Envelope(e.getMinX, e.getMaxX, mid, e.getMaxY)
+        }
+      geom.intersection(geom.getFactory.toGeometry(env))
+    }
+  }
+
+  @inline private def halfPlaneSide(c: Coordinate, axisX: Boolean, mid: Double, keepLess: Boolean): Int = {
+    val v = if (axisX) c.x else c.y
+    val d = if (keepLess) mid - v else v - mid
+    if (d > 0) 1 else if (d < 0) -1 else 0
+  }
+
+  @inline private def halfPlaneCross(a: Coordinate, bb: Coordinate, axisX: Boolean, mid: Double): Coordinate = {
+    val va = if (axisX) a.x else a.y
+    val vb = if (axisX) bb.x else bb.y
+    val t = (mid - va) / (vb - va)
+    val c = if (axisX) new Coordinate(mid, a.y + t * (bb.y - a.y))
+            else new Coordinate(a.x + t * (bb.x - a.x), mid)
+    if (!a.getZ.isNaN && !bb.getZ.isNaN) c.setZ(a.getZ + t * (bb.getZ - a.getZ))
+    c
+  }
+
+  /** Sutherland–Hodgman one ring against one half-plane. Returns the clipped
+    * closed ring, the input unchanged when fully kept, an empty array when
+    * the ring is clipped away (or collapses to zero area), or null when only
+    * the robust overlay can produce a simple result: the ring strictly
+    * crosses the line more than twice (kept region may be disconnected — the
+    * sweep would bridge the pieces with zero-width seams), or it has on-line
+    * structure other than a lone pass-through vertex or a lone outside touch
+    * (runs along the line / touches embedded in the kept chain can make the
+    * closing chord overlap retained boundary). */
+  private def clipRingHalf(ring: Array[Coordinate], axisX: Boolean, mid: Double, keepLess: Boolean): Array[Coordinate] = {
+    val n = ring.length - 1 // closed input: ring(n) == ring(0)
+    if (n < 3) return Array.empty
+    val sides = new Array[Int](n)
+    var anyIn = false
+    var anyOut = false
+    var i = 0
+    while (i < n) {
+      val s = halfPlaneSide(ring(i), axisX, mid, keepLess)
+      sides(i) = s
+      if (s > 0) anyIn = true else if (s < 0) anyOut = true
+      i += 1
+    }
+    if (!anyIn) return Array.empty // at most a zero-area trace on the line
+    if (!anyOut) return ring       // fully inside the closed half
+    // Circular count of strict in<->out transitions; on-line vertices extend
+    // the current run. > 2 means more than one outside arc => the kept region
+    // may be disconnected.
+    var transitions = 0
+    var prev = 0
+    var first = 0
+    i = 0
+    while (i < n) {
+      val s = sides(i)
+      if (s != 0) {
+        if (prev != 0 && s != prev) transitions += 1
+        if (first == 0) first = s
+        prev = s
+      }
+      i += 1
+    }
+    if (first != prev) transitions += 1 // close the circle (both nonzero here)
+    if (transitions > 2) return null
+    // On-vertex policy: a lone pass-through vertex acts as the crossing point
+    // and is kept; a lone touch embedded in the outside arc is a zero-area
+    // pinch and is dropped (reclassified as out); anything else falls back.
+    i = 0
+    while (i < n) {
+      if (sides(i) == 0) {
+        val lp = sides((i + n - 1) % n)
+        val rp = sides((i + 1) % n)
+        if (lp == 0 || rp == 0) return null // on-run of length >= 2
+        if (lp > 0 && rp > 0) return null   // touch embedded in the kept chain
+        if (lp < 0 && rp < 0) sides(i) = -1 // outside pinch: drop
+        // else pass-through: keep
+      }
+      i += 1
+    }
+    val buf = new scala.collection.mutable.ArrayBuffer[Coordinate](ring.length)
+    def emit(c: Coordinate): Unit =
+      if (buf.isEmpty || buf.last.x != c.x || buf.last.y != c.y) buf += c
+    i = 0
+    while (i < n) {
+      val j = if (i + 1 == n) 0 else i + 1
+      val sa = sides(i)
+      val sb = sides(j)
+      if (sa >= 0) emit(ring(i))
+      // crossing edges always join two strictly-sided vertices here (a
+      // reclassified on-vertex has both neighbours strictly out), so the
+      // interpolation denominator is nonzero
+      if ((sa > 0 && sb < 0) || (sa < 0 && sb > 0)) emit(halfPlaneCross(ring(i), ring(j), axisX, mid))
+      i += 1
+    }
+    if (buf.length >= 2 && buf.head.x == buf.last.x && buf.head.y == buf.last.y) buf.remove(buf.length - 1)
+    if (buf.length < 3) return Array.empty
+    // zero-area collapse must vanish like the overlay path's
+    // dimension-collapsed slivers do
+    var area2 = 0.0
+    i = 0
+    while (i < buf.length) {
+      val p = buf(i); val q = buf((i + 1) % buf.length)
+      area2 += p.x * q.y - q.x * p.y
+      i += 1
+    }
+    if (area2 == 0.0) return Array.empty
+    buf += buf.head.copy()
+    buf.toArray
+  }
+
+  /** Polygon against one half-plane; null => OverlayNG fallback. Interior
+    * rings entirely in the kept half survive, entirely outside vanish, and a
+    * ring that straddles the line sends the whole clip to the fallback. */
+  private def clipPolygonHalf(p: Polygon, axisX: Boolean, mid: Double, keepLess: Boolean): Geometry = {
+    val shell = clipRingHalf(p.getExteriorRing.getCoordinates, axisX, mid, keepLess)
+    if (shell == null) return null
+    val f = p.getFactory
+    if (shell.isEmpty) return f.createPolygon()
+    val holes = scala.collection.mutable.ArrayBuffer.empty[org.locationtech.jts.geom.LinearRing]
+    var h = 0
+    while (h < p.getNumInteriorRing) {
+      val hole = p.getInteriorRingN(h)
+      val cs = hole.getCoordinates
+      var anyIn = false
+      var anyOut = false
+      var i = 0
+      while (i < cs.length - 1) {
+        val s = halfPlaneSide(cs(i), axisX, mid, keepLess)
+        if (s > 0) anyIn = true else if (s < 0) anyOut = true
+        i += 1
+      }
+      if (anyIn && anyOut) return null // hole straddles the clip line
+      if (anyIn) holes += hole // entirely in the kept (closed) half
+      h += 1
+    }
+    f.createPolygon(f.createLinearRing(shell), holes.toArray)
+  }
+
+  /** LineString against one half-plane: exact, never falls back — each
+    * maximal in-half run becomes one piece, crossings inserted at `mid`. */
+  private def clipLineHalf(l: LineString, axisX: Boolean, mid: Double, keepLess: Boolean): Geometry = {
+    val cs = l.getCoordinates
+    val f = l.getFactory
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[LineString]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[Coordinate]
+    def emit(c: Coordinate): Unit =
+      if (cur.isEmpty || cur.last.x != c.x || cur.last.y != c.y) cur += c
+    def flush(): Unit = {
+      if (cur.length >= 2) pieces += f.createLineString(cur.toArray)
+      cur.clear()
+    }
+    var i = 0
+    while (i < cs.length - 1) {
+      val a = cs(i); val bb = cs(i + 1)
+      val sa = halfPlaneSide(a, axisX, mid, keepLess)
+      val sb = halfPlaneSide(bb, axisX, mid, keepLess)
+      if (sa >= 0) emit(a)
+      if ((sa > 0 && sb < 0) || (sa < 0 && sb > 0)) {
+        emit(halfPlaneCross(a, bb, axisX, mid))
+        if (sb < 0) flush()
+      } else if (sa >= 0 && sb < 0) flush()
+      i += 1
+    }
+    if (halfPlaneSide(cs(cs.length - 1), axisX, mid, keepLess) >= 0) emit(cs(cs.length - 1))
+    flush()
+    if (pieces.isEmpty) f.createLineString()
+    else if (pieces.length == 1) pieces.head
+    else f.createMultiLineString(pieces.toArray)
   }
 
   /** Plain-struct bbox (xmin,ymin,xmax,ymax) — the GeoParquet 1.1 covering

@@ -92,6 +92,74 @@ class GeoFunctionsSpec extends SparkTestBase {
     assert(lineLen.getInt(1) <= 8)
   }
 
+  test("subdivide: half-plane fast path vs OverlayNG fallback agree on partition invariants") {
+    // A REAL comb (teeth with gaps): any horizontal cut across the teeth
+    // produces a disconnected region, so the ring crosses the clip line >2
+    // times and the clip must route to the OverlayNG fallback rather than
+    // emit Sutherland–Hodgman bridge slivers. 8 teeth, each 1x3, on a 16x1
+    // spine => area = 16*1 + 8*3 = 40.
+    val teeth = (7 to 0 by -1).map { i =>
+      val x = 2 * i
+      s"${x + 1} 1, ${x + 1} 4, $x 4, $x 1"
+    }.mkString(", ")
+    val comb = s"POLYGON ((0 0, 16 0, 16 1, $teeth, 0 1, 0 0))"
+    val r = sql(
+      s"""SELECT COUNT(*) AS n, SUM(ST_Area(p)) AS area, MAX(ST_NPoints(p)) AS maxnp,
+         |       ST_Area(ST_Union_Agg(p)) AS uarea
+         |FROM (SELECT explode(ST_Subdivide(ST_GeomFromText('$comb'), 8)) AS p)""".stripMargin).head()
+    assert(r.getLong(0) > 1)
+    assert(math.abs(r.getDouble(1) - 40.0) < 1e-9)
+    assert(r.getInt(2) <= 8)
+    assert(math.abs(r.getDouble(3) - 40.0) < 1e-9)
+
+    // Donut with a densified outer ring: splits keep the hole when it lands
+    // entirely in one half and fall back when the hole straddles the line.
+    // Outer 10x10 with densified top (16 extra vertices), hole 2x2 at center
+    // => area 96.
+    val top = (10 to 0 by -1).map(x => s"$x 10").mkString(", ")
+    val donut = s"POLYGON ((0 0, 10 0, $top, 0 0), (4 4, 4 6, 6 6, 6 4, 4 4))"
+    val d = sql(
+      s"""SELECT SUM(ST_Area(p)) AS area, ST_Area(ST_Union_Agg(p)) AS uarea,
+         |       MAX(ST_NPoints(p)) AS maxnp
+         |FROM (SELECT explode(ST_Subdivide(ST_GeomFromText('$donut'), 8)) AS p)""".stripMargin).head()
+    assert(math.abs(d.getDouble(0) - 96.0) < 1e-9)
+    assert(math.abs(d.getDouble(1) - 96.0) < 1e-9)
+    assert(d.getInt(2) <= 8)
+  }
+
+  test("subdivide: seeded fuzz — random star polygons tile exactly") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    val f = new GeometryFactory()
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 120) {
+      val nPts = 12 + rnd.nextInt(40)
+      val coords = (0 until nPts).map { i =>
+        val ang = 2 * math.Pi * i / nPts
+        val r = 1.0 + 9.0 * rnd.nextDouble()
+        new Coordinate(r * math.cos(ang), r * math.sin(ang))
+      }.toArray
+      val poly = f.createPolygon(coords :+ coords.head.copy())
+      val wkb = graft.core.GeomOps.write(poly)
+      val maxV = 6 + rnd.nextInt(8)
+      val pieces = graft.core.GeomOps.subdivide(wkb, maxV)
+      val geoms = (0 until pieces.numElements())
+        .map(i => graft.core.GeomOps.read(pieces.getBinary(i)))
+      assert(geoms.nonEmpty)
+      // The depth-32 bailout may emit an over-budget piece, but only after 32
+      // envelope halvings — i.e. only microscopic slivers at razor-sharp
+      // spikes (same contract as the pre-fast-path implementation).
+      assert(geoms.forall(g => g.getNumPoints <= maxV ||
+        g.getEnvelopeInternal.getDiameter < 1e-2))
+      val areaSum = geoms.map(_.getArea).sum
+      assert(math.abs(areaSum - poly.getArea) < 1e-8 * math.max(1.0, poly.getArea),
+        s"area sum $areaSum != ${poly.getArea} for $poly")
+      val union = org.locationtech.jts.operation.union.UnaryUnionOp.union(
+        scala.jdk.CollectionConverters.SeqHasAsJava(geoms).asJava)
+      assert(math.abs(union.getArea - poly.getArea) < 1e-8 * math.max(1.0, poly.getArea),
+        s"union area ${union.getArea} != ${poly.getArea} (overlapping pieces?) for $poly")
+    }
+  }
+
   test("bbox struct is plain (pushdown-friendly)") {
     val row = sql("SELECT ST_Bbox(ST_MakeEnvelope(1,2,3,4)) AS b").select("b.xmin", "b.ymax").head()
     assert(row == Row(1.0, 4.0))
