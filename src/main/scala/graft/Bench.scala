@@ -45,17 +45,30 @@ object Bench {
     // makes the ambient/regression separation forensically possible without
     // a judge re-run. Failed reps record -1 in place.
     val repTimes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // per-rep GC wall (delta of the collector MXBean totals): separates "this
+    // rep was slow because the JVM collected for N seconds" from ambient load
+    // and real regressions without a judge re-run
+    val repGc = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    def gcMillis(): Long = {
+      var total = 0L
+      val it = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.iterator()
+      while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) total += t }
+      total
+    }
     val results = selected.map { case (name, fn) =>
       var best = Double.MaxValue
       var ok = 0
       var r = 0
       val times = Array.fill(reps)(-1.0)
+      val gcs = Array.fill(reps)(-1.0)
       while (r < reps) {
         graft.core.Blocks.scrub(spark, blocking = true)
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         try {
           run(fn(spark, sfDir))
           times(r) = (System.nanoTime() - t0) / 1e9
+          gcs(r) = (gcMillis() - gc0) / 1e3
           best = math.min(best, times(r))
           ok += 1
         } catch {
@@ -65,6 +78,7 @@ object Bench {
         r += 1
       }
       repTimes(name) = times.toSeq
+      repGc(name) = gcs.toSeq
       // A query that succeeded at least once reports the min of its
       // successful reps; -1 only when every rep failed — never a
       // fast-looking partial, and never a late failure erasing a real time.
@@ -116,8 +130,11 @@ object Bench {
     val repsJson = repTimes.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(num(3)).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val gcJson = repGc.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(num(3)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     def fullLine: String =
-      s"""{"metric":"total","value":${num(3)(total)},"unit":"sec","n":${results.length},"n_ok":$nOk,"queries":${qmap(results, 3, identity)},"reps":$repsJson,"excess_vs_floor":${excessJson(3, Int.MaxValue, identity)},"excess_total":${num(3)(excessTotal)},"queries_without_floor":$newQueries,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${num(3)(total)},"unit":"sec","n":${results.length},"n_ok":$nOk,"queries":${qmap(results, 3, identity)},"reps":$repsJson,"gc":$gcJson,"excess_vs_floor":${excessJson(3, Int.MaxValue, identity)},"excess_total":${num(3)(excessTotal)},"queries_without_floor":$newQueries,"sf":"$sfName"}"""
     // full-precision sidecar: run-unique path under java.io.tmpdir (or an
     // explicit SPARK_GRAFT_BENCH_OUT) so concurrent runs can't clobber each
     // other and a pre-planted symlink at a fixed name is never followed

@@ -138,7 +138,22 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       lastStreamProgress = Option(q.lastProgress).map(_.json).getOrElse("")
-    } finally deleteRecursively(new java.io.File(tmp))
+    } finally {
+      // The providers loaded by this query bind to the throwaway checkpoint
+      // below and can never be reused; left loaded they accumulate across
+      // bench reps / verify sweeps (native RocksDB handles included) and the
+      // maintenance thread churns on their deleted directories. Unload
+      // before the delete. (A concurrently-running stream elsewhere just
+      // reloads its provider from its checkpoint on the next batch — the
+      // executor-loss path — so the global unload is safe.)
+      // (unloadAll is private[sql] at the Scala level but public in
+      // bytecode; reflection keeps graft out of Spark's package namespace)
+      try {
+        val ss = Class.forName("org.apache.spark.sql.execution.streaming.state.StateStore$")
+        ss.getMethod("unloadAll").invoke(ss.getField("MODULE$").get(null))
+      } catch { case _: ReflectiveOperationException => /* hygiene only */ }
+      deleteRecursively(new java.io.File(tmp))
+    }
     sess.table(qname)
   }
 
