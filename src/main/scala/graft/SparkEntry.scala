@@ -1662,17 +1662,21 @@ object SparkEntry {
       SELECT CAST(id AS BIGINT) AS fid,
              ST_Point(CAST(id % 10 AS DOUBLE), CAST(id AS DOUBLE) / 4) AS geometry
       FROM range(100)""")
+    // both wire formats roundtrip: footer-bearing FILE (.arrow) and
+    // bare-message STREAM (.arrows — schema + batches + EOS, no footer)
     graft.sources.ArrowIpc.write(df, out)
-    graft.sources.ArrowIpc.read(s, out)
-      .selectExpr("fid",
-        "CAST(ST_X(geometry) AS BIGINT) AS x",
-        "ROUND(ST_Y(geometry), 2) AS y")
-      .orderBy("fid")
+    graft.sources.ArrowIpc.write(df, out + "_s", streamFormat = true)
+    def back(p: String, fmt: String): DataFrame =
+      graft.sources.ArrowIpc.read(s, p)
+        .selectExpr(s"'$fmt' AS fmt", "fid",
+          "CAST(ST_X(geometry) AS BIGINT) AS x",
+          "ROUND(ST_Y(geometry), 2) AS y")
+    back(out, "file").unionAll(back(out + "_s", "stream")).orderBy("fmt", "fid")
   }
 
   private val g39Duck = """
-    SELECT i::BIGINT AS fid, (i % 10)::BIGINT AS x, ROUND(i / 4.0, 2) AS y
-    FROM range(100) t(i) ORDER BY fid"""
+    SELECT f.fmt, i::BIGINT AS fid, (i % 10)::BIGINT AS x, ROUND(i / 4.0, 2) AS y
+    FROM range(100) t(i), (VALUES ('file'), ('stream')) f(fmt) ORDER BY fmt, fid"""
 
   /** Arrow IPC through the DSv2 face (g55): write a geometry + wide
     * property file, read back with `format("arrowipc")` under an

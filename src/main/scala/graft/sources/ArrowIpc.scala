@@ -900,7 +900,17 @@ object ArrowIpc {
     * dictionary; on disk each such column is 4-byte indexes + one
     * dictionary batch instead of repeated strings. */
   def write(df: DataFrame, path: String, geometryCol: String = "geometry",
-            dictionaryColumns: Seq[String] = Nil): Unit = {
+            dictionaryColumns: Seq[String] = Nil,
+            streamFormat: Boolean = false): Unit = {
+    // STREAM wire format (.arrows): schema message + batches + EOS, no
+    // footer — the shape stream-first consumers (Flight-style pipes,
+    // arrow-js) ingest directly. Dictionaries are refused because they
+    // arrive inline there and [[schemaOf]] cannot map them upfront — the
+    // same loud contract the reader enforces.
+    require(!streamFormat || dictionaryColumns.isEmpty,
+      "ArrowIpc.write: dictionary columns require the file format " +
+        "(.arrow) — STREAM-format dictionaries are inline and the reader " +
+        "cannot schema-map them upfront")
     import org.apache.arrow.vector._
     import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
     import org.apache.arrow.vector.types.FloatingPointPrecision
@@ -1149,9 +1159,12 @@ object ArrowIpc {
         val root = VectorSchemaRoot.create(new Schema(java.util.List.of(fields: _*)), allocator)
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val fs = dir.getFileSystem(confSer.value.value)
-        val out = fs.create(new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.arrow"), true)
+        val ext = if (streamFormat) "arrows" else "arrow"
+        val out = fs.create(new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.$ext"), true)
         val ch = java.nio.channels.Channels.newChannel(out)
-        val writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, provider, ch)
+        val writer: org.apache.arrow.vector.ipc.ArrowWriter =
+          if (streamFormat) new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, provider, ch)
+          else new org.apache.arrow.vector.ipc.ArrowFileWriter(root, provider, ch)
         try {
           writer.start()
           rows.grouped(batchSize).foreach { chunk =>

@@ -25,6 +25,9 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
 
   private val conf = new org.apache.hadoop.conf.Configuration()
 
+  private def streamTwin(file: java.io.File): java.io.File =
+    new java.io.File(file.getParentFile, file.getName.stripSuffix(".arrow") + ".arrows")
+
   /** One random column: build + populate a FieldVector for `n` rows.
     * Returns the vector plus any dictionary it registered. */
   private def makeColumn(kind: Int, name: String, n: Int, dictId: Long,
@@ -283,6 +286,16 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
           }
           try { writer.start(); writer.writeBatch(); writer.end() }
           finally { writer.close(); out.close() }
+          // STREAM-format (.arrows) twin of the same root: the bare
+          // message-sequence wire format must decode to the identical rows
+          // (dictionary trials stay file-only — stream dictionaries are
+          // inline and the reader refuses them by documented contract)
+          if (dictVecs.isEmpty) {
+            val sOut = new java.io.FileOutputStream(streamTwin(file))
+            val sWriter = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, provider, sOut.getChannel)
+            try { sWriter.start(); sWriter.writeBatch(); sWriter.end() }
+            finally { sWriter.close(); sOut.close() }
+          }
         } finally root.close()
       } finally { dictVecs.foreach(_.close()); alloc.close() }
 
@@ -298,6 +311,13 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
         pruned.zip(full).zipWithIndex.foreach { case ((p, f), i) =>
           assert(p == f, s"trial $trial kinds=${kinds.mkString(",")} " +
             s"mask=${m.mkString(",")} row $i:\n  pruned=$p\n  full  =$f")
+        }
+        // .arrows twin decodes to the same rows through the stream path
+        val twin = streamTwin(file)
+        if (twin.exists()) {
+          val stream = ArrowIpc.decodeFile(twin.getAbsolutePath, conf, m).toVector
+          assert(stream == full, s"trial $trial kinds=${kinds.mkString(",")} " +
+            s"mask=${m.mkString(",")}: stream decode diverged from file decode")
         }
       }
       trial += 1

@@ -781,6 +781,44 @@ class ArrowIpcSpec extends SparkTestBase {
     assert(hdr.fieldNames.toSeq == Seq("id", "label", "score", "flag", "geometry"))
   }
 
+  test("STREAM-format WRITE: .arrows roundtrip (nested + geometry + metadata), wire shape, dictionary refusal") {
+    val out = java.nio.file.Files.createTempDirectory("arrowsw").toString
+    val df = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE WHEN id % 9 = 0 THEN NULL ELSE CONCAT('r', id) END AS label,
+             CASE WHEN id % 11 = 0 THEN NULL
+                  ELSE array(CAST(id AS INT), CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id+1 AS INT) END)
+             END AS xs,
+             named_struct('a', CAST(id*2 AS INT), 'b', CONCAT('s', CAST(id AS STRING))) AS meta,
+             ST_Point(CAST(id % 10 AS DOUBLE), CAST(id % 7 AS DOUBLE)) AS geometry
+      FROM range(300)""").repartition(3)
+    ArrowIpc.write(df, out, streamFormat = true)
+    // wire shape: .arrows part files, NO leading ARROW1 magic (bare messages)
+    val parts = new java.io.File(out).listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".arrows")))
+    val head6 = new Array[Byte](6)
+    val in = new java.io.FileInputStream(parts.head)
+    try in.read(head6) finally in.close()
+    assert(!java.util.Arrays.equals(head6, "ARROW1".getBytes("US-ASCII")),
+      "stream format must not carry the file-format magic")
+    // roundtrip through both read faces
+    val back = ArrowIpc.read(spark, out)
+    val sel = Seq("fid", "label", "to_json(struct(xs, meta)) AS j", "ST_AsText(geometry) AS w")
+    val a = df.selectExpr(sel: _*)
+    val b = back.selectExpr(sel: _*)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty, "stream write→read roundtrip")
+    assert(spark.read.format("arrowipc").load(out).count() == 300)
+    // geometry extension metadata survives the stream hop
+    assert(ArrowIpc.schemaOf(spark, out)("geometry").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    // dictionaries are file-format-only, refused loudly at entry
+    val err = intercept[IllegalArgumentException] {
+      ArrowIpc.write(df.selectExpr("fid", "label"), out + "_d",
+        geometryCol = "none", dictionaryColumns = Seq("label"), streamFormat = true)
+    }
+    assert(err.getMessage.contains("STREAM-format"), err.getMessage)
+  }
+
   test("multi-batch files stream: >batchSize rows roundtrip, LIMIT abandons cleanly") {
     val out = java.nio.file.Files.createTempDirectory("arrowmb").toString
     // 10k rows in one partition → 3 record batches at the 4096 batch size
