@@ -283,39 +283,49 @@ object ArrowIpc {
     files
   }
 
-  // split-plan cache, the FlatGeobuf device: a (path, size, mtime, maxPart)
-  // key re-probes only when the file actually changed
+  // split-plan + wire-format cache, the FlatGeobuf device: a (path, size,
+  // mtime, maxPart-if-big) key re-probes only when the file actually
+  // changed; bounded like FlatGeobuf.planSplits so a long-lived driver
+  // scanning many changing files never grows the map without bound
   private val splitPlanCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), IndexedSeq[(Int, Int)]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), (Boolean, IndexedSeq[(Int, Int)])]()
 
   /** One large IPC file never splits with the stock one-file-one-task model
     * — a 50 GB .arrow would decode in a single task. The file FOOTER lists
     * every record-batch block (offset + metadata + body lengths), so a big
     * file partitions into contiguous BATCH ranges sized to
     * `spark.sql.files.maxPartitionBytes`, the same discipline as the
-    * FlatGeobuf index splits. Returns (path, startBlock, endBlockExcl);
-    * (-1, -1) = whole file. Footer probing for big files runs as a Spark
-    * job (one bounded footer read per file, never a driver loop), cached
-    * by (path, size, mtime). */
+    * FlatGeobuf index splits. Returns (path, startBlock, endBlockExcl,
+    * isFileFormat); (-1, -1) = whole file. Probing (6-byte magic for every
+    * file, footer blocks for big file-format ones) runs as ONE Spark job
+    * over the cache misses — never a driver loop, and the cached format
+    * flag rides into every task so the decode path re-probes nothing
+    * (object-store round trips per task, not per file, were the old
+    * cost). */
   private[sources] def planSplits(spark: SparkSession,
-      statuses: Seq[(String, Long, Long)]): IndexedSeq[(String, Int, Int)] = {
+      statuses: Seq[(String, Long, Long)]): IndexedSeq[(String, Int, Int, Boolean)] = {
     val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
-    val (big, small) = statuses.partition(_._2 > maxPart)
-    val cached = big.flatMap { case (f, len, mt) =>
-      Option(splitPlanCache.get((f, len, mt, maxPart))).map(f -> _)
+    // a small file's plan is (-1,-1) regardless of maxPart — key those 0L so
+    // a session maxPartitionBytes change doesn't invalidate them
+    def key(f: String, len: Long, mt: Long) =
+      (f, len, mt, if (len > maxPart) maxPart else 0L)
+    val cached = statuses.flatMap { case (f, len, mt) =>
+      Option(splitPlanCache.get(key(f, len, mt))).map(f -> _)
     }.toMap
-    val miss = big.filterNot { case (f, _, _) => cached.contains(f) }
-    val probed: Map[String, IndexedSeq[(Int, Int)]] =
+    val miss = statuses.filterNot { case (f, _, _) => cached.contains(f) }
+    val probed: Map[String, (Boolean, IndexedSeq[(Int, Int)])] =
       if (miss.isEmpty) Map.empty
       else {
         val confSer = spark.sparkContext.broadcast(
           new org.apache.spark.util.SerializableConfiguration(
             spark.sessionState.newHadoopConf()))
         val mp = maxPart
-        spark.sparkContext.parallelize(miss.map(_._1), miss.length).map { f =>
-          if (!isFileFormat(f, confSer.value.value)) {
-            // stream format has no footer — a big stream file stays one task
-            f -> IndexedSeq((-1, -1))
+        spark.sparkContext.parallelize(miss, miss.length).map { case (f, len, _) =>
+          val fileFmt = isFileFormat(f, confSer.value.value)
+          if (!fileFmt || len <= mp) {
+            // small file = one task; a big STREAM file has no footer and
+            // also stays one task
+            f -> ((fileFmt, IndexedSeq((-1, -1))))
           } else {
           val ch = openChannel(f, confSer.value.value)
           val allocator = new RootAllocator()
@@ -333,16 +343,18 @@ object ArrowIpc {
               i += 1
             }
             if (start < blocks.length) groups += ((start, blocks.length))
-            f -> groups.toIndexedSeq
+            f -> ((true, groups.toIndexedSeq))
           } finally { reader.close(); allocator.close(); ch.close() }
           }
         }.collect().toMap
       }
-    miss.foreach { case (f, len, mt) =>
-      splitPlanCache.put((f, len, mt, maxPart), probed(f)) }
-    val ranges = cached ++ probed
-    (small.map { case (f, _, _) => (f, -1, -1) } ++
-      big.flatMap { case (f, _, _) => ranges(f).map { case (s, e) => (f, s, e) } }).toIndexedSeq
+    if (splitPlanCache.size() > 4096) splitPlanCache.clear()
+    miss.foreach { case (f, len, mt) => splitPlanCache.put(key(f, len, mt), probed(f)) }
+    val all = cached ++ probed
+    statuses.flatMap { case (f, _, _) =>
+      val (fmt, ranges) = all(f)
+      ranges.map { case (s, e) => (f, s, e, fmt) }
+    }.toIndexedSeq
   }
 
   // diagnostics (spec-proof of decode-level pruning; same device as
@@ -759,10 +771,15 @@ object ArrowIpc {
   private[sources] def decodeFileAuto(path: String, conf: org.apache.hadoop.conf.Configuration,
                                       wanted: Array[Boolean],
                                       blockStart: Int = -1,
-                                      blockEnd: Int = -1): Iterator[Row] =
-    if (wanted == null || wanted.forall(identity) || !isFileFormat(path, conf))
-      decodeFile(path, conf, wanted, blockStart, blockEnd) // stream: no footer to prune by
+                                      blockEnd: Int = -1,
+                                      knownFormat: Option[Boolean] = None): Iterator[Row] = {
+    // format comes from planning when available (planSplits probed + cached
+    // it) — no extra per-task round trip against an object store
+    val fileFmt = knownFormat.getOrElse(isFileFormat(path, conf))
+    if (wanted == null || wanted.forall(identity) || !fileFmt)
+      decodeFile(path, conf, wanted, blockStart, blockEnd, Some(fileFmt)) // stream: no footer to prune by
     else decodeFilePruned(path, conf, wanted, blockStart, blockEnd)
+  }
 
   /** Streams rows batch-by-batch: only one IPC record batch is resident at
     * a time, so a multi-GB file never materializes in the task. Resources
@@ -779,8 +796,9 @@ object ArrowIpc {
   private[graft] def decodeFile(path: String, conf: org.apache.hadoop.conf.Configuration,
                          wanted: Array[Boolean] = null,
                          blockStart: Int = -1,
-                         blockEnd: Int = -1): Iterator[Row] = {
-    val fileFormat = isFileFormat(path, conf)
+                         blockEnd: Int = -1,
+                         knownFormat: Option[Boolean] = None): Iterator[Row] = {
+    val fileFormat = knownFormat.getOrElse(isFileFormat(path, conf))
     val ch = openChannel(path, conf)
     val allocator = new RootAllocator()
     val reader = openReader(ch, allocator, fileFormat)
@@ -875,7 +893,7 @@ object ArrowIpc {
     val confSer = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
     val rdd = spark.sparkContext.parallelize(splits, splits.length)
-      .flatMap { case (f, s, e) => decodeFile(f, confSer.value.value, null, s, e) }
+      .flatMap { case (f, s, e, fmt) => decodeFile(f, confSer.value.value, null, s, e, Some(fmt)) }
     spark.createDataFrame(rdd, schema)
   }
 

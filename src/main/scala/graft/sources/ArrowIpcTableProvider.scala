@@ -69,7 +69,8 @@ private[sources] class ArrowIpcScanBuilder(dataSchema: StructType, root: String,
   override def build(): Scan = new ArrowIpcScan(dataSchema, required, root, session)
 }
 
-private[sources] case class ArrowIpcPartition(path: String, blockStart: Int, blockEnd: Int)
+private[sources] case class ArrowIpcPartition(path: String, blockStart: Int, blockEnd: Int,
+                                               fileFormat: Boolean)
     extends InputPartition
 
 private[sources] class ArrowIpcScan(dataSchema: StructType,
@@ -85,7 +86,7 @@ private[sources] class ArrowIpcScan(dataSchema: StructType,
     // big files split into batch ranges sized to maxPartitionBytes (the
     // footer lists every record-batch block); small files = one task
     ArrowIpc.planSplits(session, ArrowIpc.listFileStatuses(session, root))
-      .map { case (f, s, e) => ArrowIpcPartition(f, s, e) }.toArray
+      .map { case (f, s, e, fmt) => ArrowIpcPartition(f, s, e, fmt) }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val outIdx = required.fieldNames.map(dataSchema.fieldIndex)
@@ -106,9 +107,10 @@ private[sources] case class ArrowIpcReaderFactory(required: StructType,
                                                   confSer: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val ArrowIpcPartition(path, blockStart, blockEnd) = partition: @unchecked
+    val ArrowIpcPartition(path, blockStart, blockEnd, fileFormat) = partition: @unchecked
     new RowPartitionReader(
-      ArrowIpc.decodeFileAuto(path, confSer.value, wanted, blockStart, blockEnd),
+      ArrowIpc.decodeFileAuto(path, confSer.value, wanted, blockStart, blockEnd,
+        Some(fileFormat)),
       outIdx, required)
   }
 }

@@ -76,5 +76,16 @@ class MockFsSpec extends SparkTestBase {
     val x = back.agg(avg(call_function("st_x", col("geometry")))).head().getDouble(0)
     assert(math.abs(x - 49.5) < 1e-9)
     assert(MockFs.opens.get() > o0, "ArrowIpc.read never opened via mockfs://")
+
+    // Re-read: the split plan AND the wire-format flag are cached from the
+    // first read and ride into every task, so the whole read costs exactly
+    // 2 opens for schemaOf (magic probe + reader) plus ONE open per task.
+    // On an object store those saved per-task magic probes are round trips.
+    val o1 = MockFs.opens.get()
+    val back2 = ArrowIpc.read(spark, out)
+    val nTasks = back2.rdd.getNumPartitions
+    assert(back2.count() == 100)
+    assert(MockFs.opens.get() - o1 == nTasks + 2,
+      s"expected ${nTasks + 2} opens (schemaOf 2 + 1/task), got ${MockFs.opens.get() - o1}")
   }
 }
