@@ -123,6 +123,18 @@ object SpatialJoin {
           initialRadius: Double = 0.0,
           metric: String = "planar"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // the tie-break (knn_dist asc, right id asc) runs through BOTH a SQL
+    // window (any orderable type) and the broadcast-remainder heap (JVM
+    // comparison) — restrict to atomic scalars so the two paths cannot
+    // disagree; struct/array ids would compare differently or not at all
+    locally {
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val ridType = right.schema(rightIdCol).dataType
+      require(!ridType.isInstanceOf[StructType] && !ridType.isInstanceOf[ArrayType] &&
+          !ridType.isInstanceOf[MapType],
+        s"knn: rightIdCol '$rightIdCol' must be an atomic (orderable scalar) type for the " +
+          s"rank tie-break, is ${ridType.simpleString}")
+    }
     // metric: "planar" ranks by euclidean coordinate distance (the
     // default); the geodesic metrics rank by METERS on the named earth
     // model — radii are then meters, and the candidate grid converts
@@ -231,12 +243,12 @@ object SpatialJoin {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
       val lSchema = unres.schema
-      val lGeomIdx = lSchema.fieldIndex(leftGeomCol)
-      val lIdIdx = lSchema.fieldIndex(leftIdCol)
-      // bounded collect: caller guards |unres| ≤ graft.knn.broadcastRemainderMaxRows
-      val uRows = unres.collect()
+      // bounded collect: caller guards |unres| ≤ graft.knn.broadcastRemainderMaxRows,
+      // and only the two needed columns come to the driver — a wide left
+      // schema must not inflate what the cap actually bounds
+      val uRows = unres.select(col(leftIdCol), col(leftGeomCol)).collect()
       val bu = spark.sparkContext.broadcast(uRows.map(row =>
-        (row.get(lIdIdx), row.getAs[Array[Byte]](lGeomIdx))))
+        (row.get(0), row.getAs[Array[Byte]](1))))
       val rSchema = right.schema
       val rGeomIdx = rSchema.fieldIndex(rightGeomCol)
       val rIdIdx = rSchema.fieldIndex(rightIdCol)
@@ -247,11 +259,21 @@ object SpatialJoin {
         val lefts = bu.value
         // max-heap ordered like the rank window (dist asc, right id asc):
         // top = current worst of the best k, evicted when beaten
+        // tie-break identical to the SQL rounds' orderBy(dist asc, rid asc):
+        // Spark asc puts nulls FIRST, and binary compares unsigned
+        // lexicographic — the entry require() pins rid to atomic types, so
+        // everything else is Comparable
+        def cmpRid(x: Any, y: Any): Int =
+          if (x == null) { if (y == null) 0 else -1 }
+          else if (y == null) 1
+          else (x, y) match {
+            case (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b)
+            case _ => x.asInstanceOf[Comparable[Any]].compareTo(y)
+          }
         val ord = new Ordering[(Double, Any, Row)] {
           def compare(a: (Double, Any, Row), b: (Double, Any, Row)): Int = {
             val c = java.lang.Double.compare(a._1, b._1)
-            if (c != 0) c
-            else a._2.asInstanceOf[Comparable[Any]].compareTo(b._2)
+            if (c != 0) c else cmpRid(a._2, b._2)
           }
         }
         val heaps = lefts.map(_ =>
@@ -322,6 +344,7 @@ object SpatialJoin {
           else if (nRem <= maxRemainder)
             broadcastRemainder(unresolved).localCheckpoint(true)
           else {
+            gridFallbackCount.increment()
             log.warn(s"graft.knn: remainder $nRem > graft.knn.broadcastRemainderMaxRows=" +
               s"$maxRemainder; falling back to the degenerate single-cell grid " +
               "round (single-task hotspot)")
@@ -359,6 +382,10 @@ object SpatialJoin {
     graft.core.Blocks.release(spark, unresolvedIds)
     acc
   }
+
+  /** Spec probe: number of oversized-remainder grid fallbacks taken (the
+    * single-task-hotspot path behind graft.knn.broadcastRemainderMaxRows). */
+  private[graft] val gridFallbackCount = new java.util.concurrent.atomic.LongAdder
 
   /** Lon-cell layout for a geodesic [[knn]] round: the cell size snaps to
     * an EXACT divisor of 360 so cells tile the circle and pmod-wrapped

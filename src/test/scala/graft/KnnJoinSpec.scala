@@ -396,6 +396,76 @@ class KnnJoinSpec extends SparkTestBase {
     } finally s.sparkContext.removeSparkListener(listener)
   }
 
+  test("cap boundary at forced scale: broadcast under the cap == grid fallback over it") {
+    val s = spark
+    // 1200 isolated lefts never resolve in bounded rounds (nearest rights
+    // sit ~7000 units away) — the final-round remainder is exactly 1200.
+    // cap=2000 takes the broadcast path; cap=1000 must trip the grid
+    // fallback. Same fixture, both paths, identical answers required.
+    val rnd = new scala.util.Random(7)
+    val l = (0L until 1200L).map(i =>
+      (i, 5000.0 + rnd.nextDouble() * 50.0, 5000.0 + rnd.nextDouble() * 50.0))
+    val r = (0L until 4000L).map(i =>
+      (10000L + i, rnd.nextDouble() * 100.0, rnd.nextDouble() * 100.0))
+    val prev = s.conf.getOption("graft.knn.broadcastRemainderMaxRows")
+    def run(cap: Long): Map[Long, Seq[Long]] = {
+      s.conf.set("graft.knn.broadcastRemainderMaxRows", cap.toString)
+      SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+        "lg", "rg", 3, "lid", "rid", initialRadius = 2.0)
+        .select("lid", "rid", "knn_rank").as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    }
+    try {
+      val fb0 = SpatialJoin.gridFallbackCount.sum()
+      val viaBroadcast = run(2000L)
+      assert(SpatialJoin.gridFallbackCount.sum() == fb0,
+        "cap=2000 with a 1200-row remainder must NOT take the grid fallback")
+      val viaFallback = run(1000L)
+      assert(SpatialJoin.gridFallbackCount.sum() == fb0 + 1,
+        "cap=1000 with a 1200-row remainder must take the grid fallback")
+      assert(viaBroadcast.size == 1200 && viaFallback.size == 1200)
+      l.foreach { case (lid, _, _) =>
+        assert(viaBroadcast(lid) == viaFallback(lid),
+          s"left $lid diverged: ${viaBroadcast(lid)} vs ${viaFallback(lid)}")
+      }
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("graft.knn.broadcastRemainderMaxRows", v)
+        case None => s.conf.unset("graft.knn.broadcastRemainderMaxRows")
+      }
+    }
+  }
+
+  test("remainder tie-break handles null and binary right ids like the SQL rounds") {
+    val s = spark
+    import s.implicits._
+    // rights at IDENTICAL distance from the left probe force the rid
+    // tie-break inside the remainder heap; a null rid must sort FIRST
+    // (Spark asc nulls-first) and binary rids unsigned-lexicographically
+    val left = Seq((1L, 0.0, 0.0)).toDF("lid", "x", "y")
+      .selectExpr("lid", "ST_Point(x, y) AS lg")
+    val right = Seq(
+      (Option("b"), 3.0, 0.0), (None: Option[String], 0.0, 3.0),
+      (Option("a"), -3.0, 0.0), (Option("c"), 0.0, -3.0))
+      .toDF("rid", "x", "y").selectExpr("rid", "ST_Point(x, y) AS rg")
+    // initialRadius far beyond the extent => bounded rounds never resolve
+    // (k=3 > what a tiny radius finds)... instead force the remainder path
+    // by starting at a radius so small every round under rMax misses k=3,
+    // then the final pass ranks all four rights
+    val out = SpatialJoin.knn(left, right, "lg", "rg", 3, "lid", "rid",
+      initialRadius = 0.001)
+      .select("rid", "knn_rank").as[(Option[String], Long)].collect().sortBy(_._2)
+    assert(out.map(_._1).toSeq == Seq(None, Some("a"), Some("b")),
+      s"nulls-first then lexicographic expected, got ${out.toSeq}")
+    // struct right ids are refused at entry (the heap cannot compare them)
+    val badRight = Seq((1L, 2L)).toDF("a", "b")
+      .selectExpr("named_struct('a', a, 'b', b) AS rid", "ST_Point(0.0, 0.0) AS rg")
+    val err = intercept[IllegalArgumentException] {
+      SpatialJoin.knn(left, badRight, "lg", "rg", 1, "lid", "rid")
+    }
+    assert(err.getMessage.contains("atomic"), err.getMessage)
+  }
+
   test("oversized remainder falls back to the grid round and stays correct") {
     val s = spark
     val prev = s.conf.getOption("graft.knn.broadcastRemainderMaxRows")
