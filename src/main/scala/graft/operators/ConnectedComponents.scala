@@ -21,18 +21,27 @@ import graft.core.Blocks
   */
 object ConnectedComponents {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Spec probe: number of automatic min-label → star-rounds switches. */
+  private[graft] val starSwitches = new java.util.concurrent.atomic.LongAdder
+
   /** `edges(srcCol, dstCol)` (any numeric/long ids) → `(id, component)`
     * where `component` is the minimum vertex id reachable from `id`.
     * Vertices only ever seen as isolated (no edges) are absent — union the
     * full vertex set afterwards if singleton clusters matter.
     *
-    * Label propagation converges in O(diameter) iterations. If `maxIter` is
-    * reached without a fixpoint the labels are NOT components yet; with
-    * `strict` (the default) that raises instead of silently returning a
-    * wrong clustering — raise `maxIter` for long-chain graphs, or pass
-    * `strict = false` to accept the partial labels deliberately. */
+    * Label propagation converges in O(diameter) iterations — the right
+    * regime for near-dup cluster graphs (quasi-cliques, diameter 2-3). A
+    * graph still unconverged after `starSwitchIter` rounds is evidently
+    * high-diameter (chains, lineage paths), so the default entry point
+    * SWITCHES to [[runStars]] (O(log² n) rounds independent of diameter)
+    * instead of burning O(diameter) shuffles or failing at `maxIter` — a
+    * cheap diameter probe by observation, not estimation. Set
+    * `starSwitchIter >= maxIter` to forbid the switch (the pre-round-15
+    * strict-failure contract). */
   def run(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20,
-          strict: Boolean = true): DataFrame = {
+          strict: Boolean = true, starSwitchIter: Int = 8): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
     val spark = edges.sparkSession
     val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
@@ -54,6 +63,18 @@ object ConnectedComponents {
         .getOrElse(java.math.BigDecimal.ZERO)
     var prevSig = sig(labels)
     while (iter < maxIter && !converged) {
+      if (iter >= starSwitchIter) {
+        // still moving after starSwitchIter rounds => high-diameter graph;
+        // hand the ORIGINAL (checkpointed) edge closure to the star
+        // algorithm — correct by construction, and the wasted label rounds
+        // are bounded by the threshold
+        starSwitches.increment()
+        log.info(s"ConnectedComponents: no fixpoint after $iter min-label rounds — " +
+          "switching to alternating star rounds (diameter-independent)")
+        Blocks.release(spark, labelIds)
+        try return runStars(und, "a", "b", maxIter = math.max(maxIter, 50), strict = strict)
+        finally Blocks.release(spark, undIds)
+      }
       // neighbor labels flow along edges; min with own label
       val msgs = und.join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
         .select(col("a").as("id"), col("label"))
@@ -73,8 +94,9 @@ object ConnectedComponents {
     Blocks.release(spark, undIds)
     if (strict && !converged) throw new IllegalStateException(
       s"ConnectedComponents did not converge in $maxIter iterations — the graph's " +
-        "diameter exceeds maxIter; raise maxIter or pass strict = false to accept " +
-        "partial labels")
+        "diameter exceeds maxIter; use runStars (diameter-independent), lower " +
+        "starSwitchIter to re-enable the automatic switch, raise maxIter, or pass " +
+        "strict = false to accept partial labels")
     // NOTE: the final labels checkpoint stays pinned until the caller is done
     // with the result (it IS the result); Blocks.scrub at harness boundaries
     // reclaims it

@@ -75,18 +75,44 @@ class ConnectedComponentsSpec extends SparkTestBase {
 
   test("runStars: long-chain graph converges in logarithmic rounds") {
     // a 4096-node chain has diameter 4096: min-label needs thousands of
-    // shuffles (here: provably does NOT converge in 10), the star
-    // algorithm finishes inside 20 rounds (O(log² n) bound; measured ~6)
+    // shuffles (provably does NOT converge when the auto-switch is
+    // forbidden), the star algorithm finishes inside 20 rounds (O(log² n)
+    // bound; measured ~6)
     val n = 4096L
     val chain = (0L until n - 1).map(i => (i, i + 1))
     val df = spark.createDataFrame(chain).toDF("src", "dst")
     intercept[IllegalStateException] {
-      ConnectedComponents.run(df, "src", "dst", maxIter = 10)
+      ConnectedComponents.run(df, "src", "dst", maxIter = 10,
+        starSwitchIter = Int.MaxValue)
     }
     val labels = ConnectedComponents.runStars(df, "src", "dst", maxIter = 20)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(labels.length == n)
     assert(labels.forall(_._2 == 0L), "every chain node must label to the min id 0")
+  }
+
+  test("DEFAULT entry point converges on a 4096-chain via the automatic star switch") {
+    // a user who never heard of runStars gets the O(log² n) algorithm
+    // instead of a failure: min-label makes no fixpoint by starSwitchIter
+    // rounds, the switch fires (counter-pinned), and every node labels to 0
+    val n = 4096L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val df = spark.createDataFrame(chain).toDF("src", "dst")
+    val s0 = ConnectedComponents.starSwitches.sum()
+    val labels = ConnectedComponents.run(df, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(ConnectedComponents.starSwitches.sum() == s0 + 1,
+      "the 4096-chain must trip the min-label → star switch")
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 0L), "every chain node must label to the min id 0")
+    // short-diameter graphs stay on cheap min-label: no switch
+    val clique = for (a <- 0L until 20L; b <- 0L until a) yield (a, b)
+    val s1 = ConnectedComponents.starSwitches.sum()
+    val cl = ConnectedComponents.run(
+      spark.createDataFrame(clique).toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(cl == Set(0L) && ConnectedComponents.starSwitches.sum() == s1,
+      "a diameter-1 clique must not trip the star switch")
   }
 
   test("runStars: strict mode raises when rounds are exhausted") {
