@@ -17,10 +17,11 @@ import graft.core.GeomOps
   * [record# BE, length BE, shape] records; .dbf = 32-byte header + 32-byte
   * field descriptors + fixed-width ASCII records.
   *
-  * Distribution model: like [[FlatGeobuf.read]], one file pair = one task
-  * (records are variable-length with no sync markers; the .shx offset index
-  * could split large files — not needed while shapefiles cap at 2 GB by
-  * spec). Many files parallelize across executors.
+  * Distribution model: one small file pair = one task; a file larger than
+  * `spark.sql.files.maxPartitionBytes` splits into record-aligned byte
+  * ranges via the .shx offset index ([[planSplits]] — the FGB/IPC split
+  * discipline), and the fixed-width .dbf maps the same record range to a
+  * byte range directly. Many files also fan out across executors.
   */
 object Shapefile {
 
@@ -88,16 +89,23 @@ object Shapefile {
 
   /** With `decode = false` the iterator walks record headers only and
     * yields nulls — a pruned-out geometry column costs a pointer walk, not
-    * a JTS build (the dominant per-record cost on geometry-heavy files). */
-  private def shpGeometries(bytes: Array[Byte], decode: Boolean = true): Iterator[Geometry] = {
+    * a JTS build (the dominant per-record cost on geometry-heavy files).
+    * `sliced = true` means `bytes` is a record-aligned byte RANGE (from a
+    * .shx split, no 100-byte header, records start at 0). */
+  private def shpGeometries(bytes: Array[Byte], decode: Boolean = true,
+                            sliced: Boolean = false): Iterator[Geometry] = {
     // record headers are big-endian, shape payloads little-endian: two views
     val be = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    require(be.getInt(0) == 9994, "not a shapefile (bad file code)")
-    val fileLenBytes = be.getInt(24) * 2 // length in 16-bit words
-    var p = 100
+    val (start, endExcl) =
+      if (sliced) (0, bytes.length)
+      else {
+        require(be.getInt(0) == 9994, "not a shapefile (bad file code)")
+        (100, math.min(be.getInt(24) * 2, bytes.length)) // length in 16-bit words
+      }
+    var p = start
     new Iterator[Geometry] {
-      def hasNext: Boolean = p + 8 <= math.min(fileLenBytes, bytes.length)
+      def hasNext: Boolean = p + 8 <= endExcl
       def next(): Geometry = {
         val contentLen = be.getInt(p + 4) * 2
         val g = if (decode) { decodedGeoms.increment(); decodeShape(le, p + 8) } else null
@@ -142,45 +150,126 @@ object Shapefile {
   /** DBF records are fixed-width, so skipping a pruned-out column is free:
     * `wanted(i) = false` advances the offset without the String alloc +
     * numeric parse that dominate DBF decode. `wanted = null` decodes all. */
+  private def decodeDbfRecord(bytes: Array[Byte], base: Int, fields: Seq[DbfField],
+                              wanted: Array[Boolean]): Array[Any] = {
+    var off = base + 1 // skip deletion flag
+    fields.zipWithIndex.map { case (f, fi) =>
+      if (wanted != null && !wanted(fi)) { off += f.len; null }
+      else {
+        val raw = new String(bytes, off, f.len, "ASCII").trim
+        off += f.len
+        decodedPropValues.increment()
+        if (raw.isEmpty) null
+        else f.typ match {
+          case 'C' | 'D' => raw
+          case 'N' if f.dec == 0 && f.len < 10 => raw.toInt
+          case 'N' if f.dec == 0 => raw.toLong
+          case 'N' | 'F' => raw.toDouble
+          case 'L' => "YyTt".contains(raw.head)
+          case _ => raw
+        }
+      }
+    }.toArray[Any]
+  }
+
   private def dbfRecords(bytes: Array[Byte],
                          wanted: Array[Boolean] = null): Iterator[Array[Any]] = {
     val (fields, numRecords, headerSize, recordSize) = dbfFields(bytes)
-    (0 until numRecords).iterator.map { r =>
-      val base = headerSize + r * recordSize
-      var off = base + 1 // skip deletion flag
-      fields.zipWithIndex.map { case (f, fi) =>
-        if (wanted != null && !wanted(fi)) { off += f.len; null }
-        else {
-          val raw = new String(bytes, off, f.len, "ASCII").trim
-          off += f.len
-          decodedPropValues.increment()
-          if (raw.isEmpty) null
-          else f.typ match {
-            case 'C' | 'D' => raw
-            case 'N' if f.dec == 0 && f.len < 10 => raw.toInt
-            case 'N' if f.dec == 0 => raw.toLong
-            case 'N' | 'F' => raw.toDouble
-            case 'L' => "YyTt".contains(raw.head)
-            case _ => raw
-          }
-        }
-      }.toArray[Any]
-    }
+    (0 until numRecords).iterator.map(r =>
+      decodeDbfRecord(bytes, headerSize + r * recordSize, fields, wanted))
   }
 
   // ── public API ────────────────────────────────────────────────────────
 
   /** List .shp files under `path` (a single file or a directory). */
-  private[sources] def resolveFiles(spark: SparkSession, path: String): Seq[String] = {
+  private[sources] def resolveFiles(spark: SparkSession, path: String): Seq[String] =
+    resolveStatuses(spark, path).map(_._1)
+
+  private[graft] def resolveStatuses(spark: SparkSession, path: String)
+      : Seq[(String, Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val files =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".shp"))
-          .map(_.toString).toSeq
-      else Seq(path)
+        fs.listStatus(p).filter(_.getPath.getName.endsWith(".shp"))
+          .map(s => (s.getPath.toString, s.getLen, s.getModificationTime)).toSeq
+      else {
+        val st = fs.getFileStatus(p)
+        Seq((path, st.getLen, st.getModificationTime))
+      }
     require(files.nonEmpty, s"no .shp files under $path")
     files
+  }
+
+  // split-plan cache, the FlatGeobuf/ArrowIpc device: (path, size, mtime,
+  // maxPart-if-big) re-probes only when the file actually changed; bounded
+  private val splitPlanCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), IndexedSeq[(Int, Int, Long, Long)]]()
+
+  /** One .shp pair = one task is wrong for a single large file. The .shx
+    * sidecar is a fixed-width index (8 bytes per record: offset + content
+    * length in 16-bit words, both BE), so a big .shp partitions into
+    * record-aligned byte ranges sized to `spark.sql.files.maxPartitionBytes`
+    * — the FGB/IPC split discipline: probing runs as ONE Spark job over the
+    * cache misses, never a driver loop. The fixed-width .dbf maps the same
+    * record range to a byte range directly. Returns (path, recStart, nRecs,
+    * shpByteStart, shpByteEndExcl); recStart = -1 means whole file (small,
+    * or no .shx to split by). */
+  private[graft] def planSplits(spark: SparkSession,
+      statuses: Seq[(String, Long, Long)]): IndexedSeq[(String, Int, Int, Long, Long)] = {
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    def key(f: String, len: Long, mt: Long) =
+      (f, len, mt, if (len > maxPart) maxPart else 0L)
+    val cached = statuses.flatMap { case (f, len, mt) =>
+      Option(splitPlanCache.get(key(f, len, mt))).map(f -> _)
+    }.toMap
+    val miss = statuses.filterNot { case (f, _, _) => cached.contains(f) }
+    val whole = IndexedSeq((-1, -1, -1L, -1L))
+    val probed: Map[String, IndexedSeq[(Int, Int, Long, Long)]] =
+      if (miss.isEmpty) Map.empty
+      else {
+        val confSer = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf()))
+        val mp = maxPart
+        spark.sparkContext.parallelize(miss, miss.length).map { case (f, len, _) =>
+          val shxP = new org.apache.hadoop.fs.Path(f.stripSuffix(".shp") + ".shx")
+          val fs = shxP.getFileSystem(confSer.value.value)
+          if (len <= mp || !fs.exists(shxP)) f -> whole
+          else {
+            val shx = readAll(fs, shxP)
+            val be = ByteBuffer.wrap(shx).order(ByteOrder.BIG_ENDIAN)
+            val n = (shx.length - 100) / 8
+            val groups = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
+            var gStart = 0
+            var gByteStart = if (n > 0) be.getInt(100).toLong * 2 else 100L
+            var acc = 0L
+            var i = 0
+            while (i < n) {
+              val off = be.getInt(100 + 8 * i).toLong * 2
+              val sz = 8L + be.getInt(104 + 8 * i).toLong * 2
+              if (i > gStart && acc + sz > mp) {
+                groups += ((gStart, i - gStart, gByteStart, off))
+                gStart = i; gByteStart = off; acc = 0L
+              }
+              acc += sz
+              i += 1
+            }
+            if (gStart < n) {
+              val lastEnd = be.getInt(100 + 8 * (n - 1)).toLong * 2 +
+                8L + be.getInt(104 + 8 * (n - 1)).toLong * 2
+              groups += ((gStart, n - gStart, gByteStart, lastEnd))
+            }
+            f -> (if (groups.length <= 1) whole else groups.toIndexedSeq)
+          }
+        }.collect().toMap
+      }
+    if (splitPlanCache.size() > 4096) splitPlanCache.clear()
+    miss.foreach { case (f, len, mt) => splitPlanCache.put(key(f, len, mt), probed(f)) }
+    val all = cached ++ probed
+    statuses.flatMap { case (f, _, _) =>
+      all(f).map { case (rs, nr, bs, be2) => (f, rs, nr, bs, be2) }
+    }.toIndexedSeq
   }
 
   /** Schema = DBF property columns (file order) + `geometry` WKB. */
@@ -217,20 +306,53 @@ object Shapefile {
     }
   }
 
+  /** [[fileRows]] over one .shx-planned record range: reads ONLY the
+    * range's .shp bytes and the matching fixed-width .dbf record slice —
+    * a split task's IO is proportional to its range, not the file.
+    * `recStart = -1` delegates to the whole-pair path. */
+  private[sources] def fileRowsRange(f: String, recStart: Int, nRecs: Int,
+      shpStart: Long, shpEnd: Long, wanted: Array[Boolean],
+      conf: org.apache.hadoop.conf.Configuration): Iterator[Row] = {
+    if (recStart < 0) return fileRows(f, wanted, conf)
+    val fp = new org.apache.hadoop.fs.Path(f)
+    val fsw = fp.getFileSystem(conf)
+    val wantGeom = wanted == null || wanted(wanted.length - 1)
+    val slice = readRange(fsw, fp, shpStart, (shpEnd - shpStart).toInt)
+    val geoms = shpGeometries(slice, decode = wantGeom, sliced = true)
+    val dbp = new org.apache.hadoop.fs.Path(f.stripSuffix(".shp") + ".dbf")
+    val props: Iterator[Array[Any]] =
+      if (fsw.exists(dbp)) {
+        val head = readRange(fsw, dbp, 0, 32)
+        val hb = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
+        val headerSize = hb.getShort(8) & 0xFFFF
+        val recordSize = hb.getShort(10) & 0xFFFF
+        val (fields, _, _, _) = dbfFields(readRange(fsw, dbp, 0, headerSize))
+        val recBytes = readRange(fsw, dbp,
+          headerSize.toLong + recStart.toLong * recordSize, nRecs * recordSize)
+        val w = if (wanted == null) null else wanted.dropRight(1)
+        (0 until nRecs).iterator.map(r => decodeDbfRecord(recBytes, r * recordSize, fields, w))
+      } else Iterator.continually(Array.empty[Any])
+    geoms.zip(props).map { case (g, pr) =>
+      Row.fromSeq(pr.toIndexedSeq :+ (if (g == null) null else GeomOps.write(g)))
+    }
+  }
+
   /** Read .shp(+.dbf) file(s) into a DataFrame (property columns +
     * `geometry` WKB). `path` may be a single .shp or a directory of them.
     * For Catalyst-driven column pruning use the DSv2 face,
     * `spark.read.format("shapefile")` ([[ShapefileSource]]). */
   def read(spark: SparkSession, path: String): DataFrame = {
     graft.functions.GeoFunctions.register(spark)
-    val files = resolveFiles(spark, path)
+    val statuses = resolveStatuses(spark, path)
     // schema from the first .dbf (driver side)
-    val p0 = new org.apache.hadoop.fs.Path(files.head)
-    val schema = schemaOf(p0.getFileSystem(spark.sessionState.newHadoopConf()), files.head)
+    val p0 = new org.apache.hadoop.fs.Path(statuses.head._1)
+    val schema = schemaOf(p0.getFileSystem(spark.sessionState.newHadoopConf()), statuses.head._1)
+    val splits = planSplits(spark, statuses)
     val confSer = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
-    val rdd = spark.sparkContext.parallelize(files.toIndexedSeq, files.length)
-      .flatMap(f => fileRows(f, null, confSer.value.value))
+    val rdd = spark.sparkContext.parallelize(splits, splits.length)
+      .flatMap { case (f, rs, nr, bs, be) =>
+        fileRowsRange(f, rs, nr, bs, be, null, confSer.value.value) }
     spark.createDataFrame(rdd, schema)
   }
 
@@ -240,6 +362,14 @@ object Shapefile {
     val out = new Array[Byte](len)
     val in = fs.open(p)
     try in.readFully(0, out) finally in.close()
+    out
+  }
+
+  private def readRange(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path, start: Long, len: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(start, out) finally in.close()
     out
   }
 }

@@ -18,9 +18,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * reaches the DECODE level, so a pruned-out DBF column skips its
   * fixed-width parse (offset hop only) and a pruned-out geometry skips the
   * JTS build entirely — on attribute-only queries over geometry-heavy
-  * files that is most of the per-record cost. Partitioning stays one file
-  * pair = one task (shapefiles cap at 2 GB by spec; many files fan out
-  * across executors), same as the function-style `read()`.
+  * files that is most of the per-record cost. Partitioning: big files
+  * split into .shx-indexed record ranges sized to maxPartitionBytes,
+  * small pairs stay one task, many files fan out across executors — same
+  * as the function-style `read()`.
   *
   * The reference's legacy driver reads all columns unconditionally
   * (rust/geoarrow-old/src/io/shapefile/reader.rs:34); column selection is
@@ -73,7 +74,9 @@ private[sources] class ShapefileScanBuilder(dataSchema: StructType, root: String
   override def build(): Scan = new ShapefileScan(dataSchema, required, root, session)
 }
 
-private[sources] case class ShpPartition(path: String) extends InputPartition
+private[sources] case class ShpPartition(path: String, recStart: Int, nRecs: Int,
+                                          shpStart: Long, shpEnd: Long)
+    extends InputPartition
 
 private[sources] class ShapefileScan(dataSchema: StructType,
                                      required: StructType,
@@ -85,7 +88,10 @@ private[sources] class ShapefileScan(dataSchema: StructType,
     s"ShapefileScan(required=[${required.fieldNames.mkString(",")}])"
 
   override def planInputPartitions(): Array[InputPartition] =
-    Shapefile.resolveFiles(session, root).map(ShpPartition.apply).toArray
+    // a big .shp splits into .shx-indexed record ranges sized to
+    // maxPartitionBytes; small files (or no .shx) stay one pair = one task
+    Shapefile.planSplits(session, Shapefile.resolveStatuses(session, root))
+      .map { case (f, rs, nr, bs, be) => ShpPartition(f, rs, nr, bs, be) }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // indices of required fields within the full-width decoded row, and the
@@ -108,7 +114,8 @@ private[sources] case class ShapefileReaderFactory(required: StructType,
                                                    confSer: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val ShpPartition(path) = partition: @unchecked
-    new RowPartitionReader(Shapefile.fileRows(path, wanted, confSer.value), outIdx, required)
+    val ShpPartition(path, rs, nr, bs, be) = partition: @unchecked
+    new RowPartitionReader(
+      Shapefile.fileRowsRange(path, rs, nr, bs, be, wanted, confSer.value), outIdx, required)
   }
 }

@@ -78,6 +78,22 @@ class ShapefileSpec extends SparkTestBase {
     try out.write(bb.array()) finally out.close()
   }
 
+  private def writeShx(shpPath: String, shxPath: String, shapes: Seq[Array[Byte]]): Unit = {
+    val out = new DataOutputStream(new FileOutputStream(shxPath))
+    try {
+      val total = 100 + shapes.length * 8
+      val hdr = ByteBuffer.allocate(100).order(ByteOrder.BIG_ENDIAN)
+      hdr.putInt(9994); hdr.position(24); hdr.putInt(total / 2)
+      out.write(hdr.array())
+      var off = 100
+      shapes.foreach { s =>
+        out.writeInt(off / 2)      // record offset in words, BE
+        out.writeInt(s.length / 2) // content length in words, BE
+        off += 8 + s.length
+      }
+    } finally out.close()
+  }
+
   // ── tests ───────────────────────────────────────────────────────────────
 
   private lazy val dir = {
@@ -163,5 +179,59 @@ class ShapefileSpec extends SparkTestBase {
     val df = Shapefile.read(spark, d2)
     assert(df.count() == 3)
     assert(df.selectExpr("SUM(ID)").head().getLong(0) == 6)
+  }
+
+  test("big .shp splits into .shx record ranges; split read == whole-file read") {
+    val d3 = java.nio.file.Files.createTempDirectory("shpsplit").toString
+    // 5000 points (~28 bytes per .shp record) + a typed .dbf + the .shx
+    // index; with maxPartitionBytes forced tiny the file must plan multiple
+    // record-aligned ranges whose union is exactly the whole file
+    val shapes = (0 until 5000).map(i => pointShape(i.toDouble, (i % 97).toDouble))
+    writeShp(s"$d3/big.shp", shapes)
+    writeShx(s"$d3/big.shp", s"$d3/big.shx", shapes)
+    writeDbf(s"$d3/big.dbf", Seq(("ID", 'N', 8, 0), ("TAG", 'C', 6, 0)),
+      (0 until 5000).map(i => Seq(i.toString, s"t${i % 5}")))
+    val prev = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (16 * 1024).toString)
+      val splits = Shapefile.planSplits(spark,
+        Shapefile.resolveStatuses(spark, s"$d3/big.shp"))
+      assert(splits.length > 4, s"expected multiple ranges, got ${splits.length}")
+      assert(splits.map(_._3).sum == 5000, "ranges must cover every record exactly once")
+      // contiguity: each range's byte end is the next range's byte start
+      splits.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 == b._4, s"gap between $a and $b")
+        case _ => ()
+      }
+      val split = Shapefile.read(spark, s"$d3/big.shp")
+      assert(split.rdd.getNumPartitions == splits.length)
+      val sel = Seq("ID", "TAG", "ST_AsText(geometry) AS w")
+      // whole-file twin: same bytes, no .shx => one task
+      val d4 = java.nio.file.Files.createTempDirectory("shpwhole").toString
+      writeShp(s"$d4/big.shp", shapes)
+      writeDbf(s"$d4/big.dbf", Seq(("ID", 'N', 8, 0), ("TAG", 'C', 6, 0)),
+        (0 until 5000).map(i => Seq(i.toString, s"t${i % 5}")))
+      val whole = Shapefile.read(spark, s"$d4/big.shp")
+      val a = split.selectExpr(sel: _*)
+      val b = whole.selectExpr(sel: _*)
+      assert(a.count() == 5000)
+      assert(a.except(b).isEmpty && b.except(a).isEmpty, "split read diverged")
+      // DSv2 face plans the same ranges and prunes within them
+      val dsv2 = spark.read.format("shapefile").load(s"$d3/big.shp")
+      assert(dsv2.rdd.getNumPartitions == splits.length)
+      assert(dsv2.selectExpr("SUM(ID)").head().getLong(0) == 5000L * 4999 / 2)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+        case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      }
+    }
+  }
+
+  test("g40/g54 fixture (no .shx) still reads whole-pair") {
+    // the driver-embedded 4-point fixture ships no .shx: planSplits must
+    // fall back to one pair = one task
+    val splits = Shapefile.planSplits(spark, Shapefile.resolveStatuses(spark, s"$dir/pts.shp"))
+    assert(splits == IndexedSeq((s"$dir/pts.shp", -1, -1, -1L, -1L)))
   }
 }
