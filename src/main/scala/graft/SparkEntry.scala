@@ -10852,6 +10852,148 @@ object SparkEntry {
            ROUND(CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate
     FROM r GROUP BY source ORDER BY source"""
 
+  /** Domain-conditional boilerplate removal (t53): the CCNet/RefinedWeb
+    * cleaning rule t38's GLOBAL line dedup does not express — a line is
+    * boilerplate when it recurs across a large share of the documents of
+    * the SAME domain (nav menus, cookie banners, footers), and is removed
+    * from every doc of that domain, while the identical words appearing
+    * once on some other domain survive. Threshold: seen in
+    * max(3, ceil(50% of the domain's docs)) distinct docs. The synthetic
+    * corpus has no cross-doc boilerplate, so the fixture injects one
+    * deterministic 8-word header per source (declared, like g52's
+    * generated polygons) — the transform then has real positives (the
+    * header, in 100% of the domain's docs) and real negatives (body
+    * lines) to separate.
+    *
+    * 100 TB shape: line windows are map-side; the only data-sized
+    * shuffle key is (source, line) — the frequency agg and the flag
+    * join-back are co-keyed on it, so the big join never re-shuffles;
+    * the per-source doc-count side is domain-cardinality (a broadcast
+    * dimension). Same topology family as t38, one conditioning level up. */
+  private val t53Spark = """
+    WITH aug AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, source,
+                        CONCAT('bpzz ', source, ' cookie accept banner nav menu footer ', text) AS text
+                 FROM documents),
+    base AS (SELECT doc_id, source, split(text, ' ') AS ws FROM aug),
+    lines AS (SELECT doc_id, source, i AS lid,
+                     array_join(slice(ws, i * 8 + 1, 8), ' ') AS line
+              FROM base LATERAL VIEW explode(sequence(0, size(ws) DIV 8)) t AS i
+              WHERE (i + 1) * 8 <= size(ws)),
+    freq AS (SELECT source, line, COUNT(DISTINCT doc_id) AS nd
+             FROM lines GROUP BY source, line),
+    dom AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM lines GROUP BY source),
+    flagged AS (SELECT l.source, d.n_docs, l.line, length(l.line) AS chars,
+                       CASE WHEN f.nd >= GREATEST(3, CAST(CEIL(0.5 * d.n_docs) AS BIGINT))
+                            THEN 1 ELSE 0 END AS bp
+                FROM lines l
+                JOIN freq f ON l.source = f.source AND l.line = f.line
+                JOIN dom d ON l.source = d.source)
+    SELECT source, MAX(n_docs) AS n_docs,
+           COUNT(DISTINCT CASE WHEN bp = 1 THEN line END) AS bp_lines,
+           SUM(bp) AS bp_occurrences,
+           SUM(chars) AS chars_total,
+           SUM(CASE WHEN bp = 0 THEN chars ELSE 0 END) AS chars_kept,
+           ROUND(CAST(SUM(CASE WHEN bp = 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate
+    FROM flagged GROUP BY source ORDER BY source"""
+
+  private val t53Duck = """
+    WITH aug AS (SELECT doc_id, source,
+                        CONCAT('bpzz ', source, ' cookie accept banner nav menu footer ', text) AS text
+                 FROM documents),
+    base AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM aug),
+    lines AS (SELECT doc_id, source, i AS lid,
+                     array_to_string(ws[i*8+1 : i*8+8], ' ') AS line
+              FROM base, LATERAL (SELECT unnest(range(len(ws) // 8 + 1)) AS i) t
+              WHERE (i + 1) * 8 <= len(ws)),
+    freq AS (SELECT source, line, COUNT(DISTINCT doc_id) AS nd
+             FROM lines GROUP BY source, line),
+    dom AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM lines GROUP BY source),
+    flagged AS (SELECT l.source, d.n_docs, l.line, length(l.line) AS chars,
+                       CASE WHEN f.nd >= GREATEST(3, CEIL(0.5 * d.n_docs)::BIGINT)
+                            THEN 1 ELSE 0 END AS bp
+                FROM lines l
+                JOIN freq f ON l.source = f.source AND l.line = f.line
+                JOIN dom d ON l.source = d.source)
+    SELECT source, MAX(n_docs)::BIGINT AS n_docs,
+           COUNT(DISTINCT CASE WHEN bp = 1 THEN line END)::BIGINT AS bp_lines,
+           SUM(bp)::BIGINT AS bp_occurrences,
+           SUM(chars)::BIGINT AS chars_total,
+           SUM(CASE WHEN bp = 0 THEN chars ELSE 0 END)::BIGINT AS chars_kept,
+           ROUND(CAST(SUM(CASE WHEN bp = 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate
+    FROM flagged GROUP BY source ORDER BY source"""
+
+  /** Code-switch segmentation (t54): doc-LEVEL language ID (t05) mislabels
+    * code-switched documents — here each 8-word window is language-ID'd
+    * with the same stopword heuristic, and the per-doc signals a cleaning
+    * pipeline thresholds on are the SWITCH COUNT (adjacent windows
+    * disagreeing) and the dominant-language share. Aggregated per labeled
+    * lang: a monolingual corpus reads avg_dom_share ≈ 1, switches ≈ 0.
+    *
+    * 100 TB shape: windows and window-ID are map-side; the LAG and the
+    * per-doc aggregates all partition by doc_id (one doc-keyed exchange
+    * reused by every stage — Spark keeps the partitioning), and the final
+    * agg is lang-cardinality. Nothing global. */
+  private val t54Spark = """
+    WITH base AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, lang, split(text, ' ') AS ws
+                  FROM documents),
+    seg AS (SELECT doc_id, lang, i, slice(ws, i * 8 + 1, 8) AS wnd
+            FROM base LATERAL VIEW explode(sequence(0, size(ws) DIV 8)) t AS i
+            WHERE (i + 1) * 8 <= size(ws)),
+    pred AS (SELECT doc_id, lang, i,
+                    CASE WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en'
+                         WHEN c_es >= c_fr AND c_es >= c_de THEN 'es'
+                         WHEN c_fr >= c_de THEN 'fr' ELSE 'de' END AS p
+             FROM (SELECT doc_id, lang, i,
+                          size(filter(wnd, t -> t IN ('the','and','of','is','to'))) AS c_en,
+                          size(filter(wnd, t -> t IN ('el','la','de','los','y'))) AS c_es,
+                          size(filter(wnd, t -> t IN ('le','les','des','et','un'))) AS c_fr,
+                          size(filter(wnd, t -> t IN ('der','die','das','und','ein'))) AS c_de
+                   FROM seg) c),
+    lagged AS (SELECT doc_id, lang, p,
+                      LAG(p) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+               FROM pred),
+    perdoc AS (SELECT doc_id, lang, COUNT(*) AS n_seg,
+                      SUM(CASE WHEN prev IS NOT NULL AND p <> prev THEN 1 ELSE 0 END) AS n_switch
+               FROM lagged GROUP BY doc_id, lang),
+    dom AS (SELECT doc_id, MAX(c) AS dom_c
+            FROM (SELECT doc_id, p, COUNT(*) AS c FROM pred GROUP BY doc_id, p) pc
+            GROUP BY doc_id)
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(CAST(n_switch AS DOUBLE)), 6) AS avg_switches,
+           ROUND(AVG(CAST(dom_c AS DOUBLE) / n_seg), 6) AS avg_dom_share
+    FROM perdoc JOIN dom USING (doc_id)
+    GROUP BY lang ORDER BY lang"""
+
+  private val t54Duck = """
+    WITH base AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+    seg AS (SELECT doc_id, lang, i, ws[i*8+1 : i*8+8] AS wnd
+            FROM base, LATERAL (SELECT unnest(range(len(ws) // 8 + 1)) AS i) t
+            WHERE (i + 1) * 8 <= len(ws)),
+    pred AS (SELECT doc_id, lang, i,
+                    CASE WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en'
+                         WHEN c_es >= c_fr AND c_es >= c_de THEN 'es'
+                         WHEN c_fr >= c_de THEN 'fr' ELSE 'de' END AS p
+             FROM (SELECT doc_id, lang, i,
+                          len(list_filter(wnd, t -> t IN ('the','and','of','is','to'))) AS c_en,
+                          len(list_filter(wnd, t -> t IN ('el','la','de','los','y'))) AS c_es,
+                          len(list_filter(wnd, t -> t IN ('le','les','des','et','un'))) AS c_fr,
+                          len(list_filter(wnd, t -> t IN ('der','die','das','und','ein'))) AS c_de
+                   FROM seg) c),
+    lagged AS (SELECT doc_id, lang, p,
+                      LAG(p) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+               FROM pred),
+    perdoc AS (SELECT doc_id, lang, COUNT(*) AS n_seg,
+                      SUM(CASE WHEN prev IS NOT NULL AND p <> prev THEN 1 ELSE 0 END) AS n_switch
+               FROM lagged GROUP BY doc_id, lang),
+    dom AS (SELECT doc_id, MAX(c) AS dom_c
+            FROM (SELECT doc_id, p, COUNT(*) AS c FROM pred GROUP BY doc_id, p) pc
+            GROUP BY doc_id)
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           ROUND(AVG(CAST(n_switch AS DOUBLE)), 6) AS avg_switches,
+           ROUND(AVG(CAST(dom_c AS DOUBLE) / n_seg), 6) AS avg_dom_share
+    FROM perdoc JOIN dom USING (doc_id)
+    GROUP BY lang ORDER BY lang"""
+
   /** SCD2 reconstruction + point-in-time join (a07): the warehouse
     * pattern the a01-a06 nearest-sample joins don't cover — a stream of
     * dimension VERSIONS (signup events) becomes slowly-changing-
@@ -11321,6 +11463,8 @@ object SparkEntry {
     ("s16_stream_geoparquet_pruned", s16Fn _, s16Duck),
     ("t51_unicode_normalize", q(t51Spark), t51Duck),
     ("t52_nfkc_fold", q(t52Spark), t52Duck),
+    ("t53_boilerplate", q(t53Spark), t53Duck),
+    ("t54_code_switch", q(t54Spark), t54Duck),
     ("g87_geodesic_knn", g87Fn _, g87Duck),
     ("g88_knn_antimeridian", g88Fn _, g88Duck),
     ("g89_edges_roundtrip", g89Fn _, g89Duck),
