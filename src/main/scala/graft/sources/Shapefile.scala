@@ -218,13 +218,15 @@ object Shapefile {
   private[graft] def planSplits(spark: SparkSession,
       statuses: Seq[(String, Long, Long)]): IndexedSeq[(String, Int, Int, Long, Long)] = {
     val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
-    def key(f: String, len: Long, mt: Long) =
-      (f, len, mt, if (len > maxPart) maxPart else 0L)
-    val cached = statuses.flatMap { case (f, len, mt) =>
+    def key(f: String, len: Long, mt: Long) = (f, len, mt, maxPart)
+    val whole = IndexedSeq((-1, -1, -1L, -1L))
+    // a small file's plan is decidable from the listing alone (unlike
+    // ArrowIpc, no per-task flag depends on a probe) — no job, no cache
+    val (big, small) = statuses.partition(_._2 > maxPart)
+    val cached = big.flatMap { case (f, len, mt) =>
       Option(splitPlanCache.get(key(f, len, mt))).map(f -> _)
     }.toMap
-    val miss = statuses.filterNot { case (f, _, _) => cached.contains(f) }
-    val whole = IndexedSeq((-1, -1, -1L, -1L))
+    val miss = big.filterNot { case (f, _, _) => cached.contains(f) }
     val probed: Map[String, IndexedSeq[(Int, Int, Long, Long)]] =
       if (miss.isEmpty) Map.empty
       else {
@@ -235,7 +237,7 @@ object Shapefile {
         spark.sparkContext.parallelize(miss, miss.length).map { case (f, len, _) =>
           val shxP = new org.apache.hadoop.fs.Path(f.stripSuffix(".shp") + ".shx")
           val fs = shxP.getFileSystem(confSer.value.value)
-          if (len <= mp || !fs.exists(shxP)) f -> whole
+          if (!fs.exists(shxP)) f -> whole
           else {
             val shx = readAll(fs, shxP)
             val be = ByteBuffer.wrap(shx).order(ByteOrder.BIG_ENDIAN)
@@ -267,8 +269,9 @@ object Shapefile {
     if (splitPlanCache.size() > 4096) splitPlanCache.clear()
     miss.foreach { case (f, len, mt) => splitPlanCache.put(key(f, len, mt), probed(f)) }
     val all = cached ++ probed
-    statuses.flatMap { case (f, _, _) =>
-      all(f).map { case (rs, nr, bs, be2) => (f, rs, nr, bs, be2) }
+    statuses.flatMap { case (f, len, _) =>
+      (if (len > maxPart) all(f) else whole)
+        .map { case (rs, nr, bs, be2) => (f, rs, nr, bs, be2) }
     }.toIndexedSeq
   }
 
