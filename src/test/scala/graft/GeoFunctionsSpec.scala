@@ -160,6 +160,62 @@ class GeoFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("subdivide: seeded fuzz — polygons WITH HOLES and zigzag lines tile exactly") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    val f = new GeometryFactory()
+    val rnd = new scala.util.Random(99)
+    // donuts: random star shell + 1-2 small rectangular holes strictly inside
+    for (_ <- 0 until 60) {
+      val nPts = 16 + rnd.nextInt(24)
+      val shell = (0 until nPts).map { i =>
+        val ang = 2 * math.Pi * i / nPts
+        val r = 6.0 + 4.0 * rnd.nextDouble()
+        new Coordinate(r * math.cos(ang), r * math.sin(ang))
+      }.toArray
+      val holes = (0 until 1 + rnd.nextInt(2)).map { h =>
+        val cx = -2.0 + 4.0 * rnd.nextDouble(); val cy = -2.0 + 4.0 * rnd.nextDouble()
+        val w = 0.3 + 0.5 * rnd.nextDouble(); val ht = 0.3 + 0.5 * rnd.nextDouble()
+        f.createLinearRing(Array(
+          new Coordinate(cx - w, cy - ht), new Coordinate(cx - w, cy + ht),
+          new Coordinate(cx + w, cy + ht), new Coordinate(cx + w, cy - ht),
+          new Coordinate(cx - w, cy - ht)))
+      }.toArray
+      val poly = f.createPolygon(f.createLinearRing(shell :+ shell.head.copy()), holes)
+      if (poly.isValid) { // hole placement is random; only valid donuts are fixtures
+        val maxV = 8 + rnd.nextInt(8)
+        val pieces = graft.core.GeomOps.subdivide(graft.core.GeomOps.write(poly), maxV)
+        val geoms = (0 until pieces.numElements())
+          .map(i => graft.core.GeomOps.read(pieces.getBinary(i)))
+        val areaSum = geoms.map(_.getArea).sum
+        assert(math.abs(areaSum - poly.getArea) < 1e-8 * poly.getArea,
+          s"hole-polygon area sum $areaSum != ${poly.getArea} for $poly")
+        val union = org.locationtech.jts.operation.union.UnaryUnionOp.union(
+          scala.jdk.CollectionConverters.SeqHasAsJava(geoms).asJava)
+        assert(math.abs(union.getArea - poly.getArea) < 1e-8 * poly.getArea,
+          s"hole-polygon union ${union.getArea} != ${poly.getArea} for $poly")
+      }
+    }
+    // zigzag lines: length must be conserved exactly across line splits
+    for (_ <- 0 until 40) {
+      val n = 20 + rnd.nextInt(60)
+      var x = 0.0; var y = 0.0
+      val pts = Array.tabulate(n) { _ =>
+        x += rnd.nextDouble() * 3.0; y = rnd.nextDouble() * 5.0 - 2.5
+        new Coordinate(x, y)
+      }
+      val line = f.createLineString(pts)
+      val maxV = 5 + rnd.nextInt(8)
+      val pieces = graft.core.GeomOps.subdivide(graft.core.GeomOps.write(line), maxV)
+      val geoms = (0 until pieces.numElements())
+        .map(i => graft.core.GeomOps.read(pieces.getBinary(i)))
+      val lenSum = geoms.map(_.getLength).sum
+      assert(math.abs(lenSum - line.getLength) < 1e-8 * line.getLength,
+        s"line length sum $lenSum != ${line.getLength}")
+      assert(geoms.forall(g => g.getNumPoints <= maxV ||
+        g.getEnvelopeInternal.getDiameter < 1e-2))
+    }
+  }
+
   test("bbox struct is plain (pushdown-friendly)") {
     val row = sql("SELECT ST_Bbox(ST_MakeEnvelope(1,2,3,4)) AS b").select("b.xmin", "b.ymax").head()
     assert(row == Row(1.0, 4.0))
