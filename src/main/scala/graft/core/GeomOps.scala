@@ -942,14 +942,19 @@ object GeomOps {
     buf.toArray
   }
 
-  /** Polygon against one half-plane; null => OverlayNG fallback. Interior
-    * rings entirely in the kept half survive, entirely outside vanish, and a
-    * ring that straddles the line sends the whole clip to the fallback. */
+  /** Polygon against one half-plane; null => robust-overlay fallback.
+    * Interior rings entirely in the kept half survive, entirely outside
+    * vanish; a ring that straddles the line — or one that TOUCHES it while
+    * the shell was actually cut (its boundary could then overlap the
+    * shell's closing chord along the line, an invalid pinch the overlay
+    * engine resolves properly) — sends the whole clip to the fallback. */
   private def clipPolygonHalf(p: Polygon, axisX: Boolean, mid: Double, keepLess: Boolean): Geometry = {
-    val shell = clipRingHalf(p.getExteriorRing.getCoordinates, axisX, mid, keepLess)
+    val shellCoords = p.getExteriorRing.getCoordinates
+    val shell = clipRingHalf(shellCoords, axisX, mid, keepLess)
     if (shell == null) return null
     val f = p.getFactory
     if (shell.isEmpty) return f.createPolygon()
+    val shellCut = !(shell eq shellCoords) // fully-inside returns the input by reference
     val holes = scala.collection.mutable.ArrayBuffer.empty[org.locationtech.jts.geom.LinearRing]
     var h = 0
     while (h < p.getNumInteriorRing) {
@@ -957,13 +962,15 @@ object GeomOps {
       val cs = hole.getCoordinates
       var anyIn = false
       var anyOut = false
+      var anyOn = false
       var i = 0
       while (i < cs.length - 1) {
         val s = halfPlaneSide(cs(i), axisX, mid, keepLess)
-        if (s > 0) anyIn = true else if (s < 0) anyOut = true
+        if (s > 0) anyIn = true else if (s < 0) anyOut = true else anyOn = true
         i += 1
       }
       if (anyIn && anyOut) return null // hole straddles the clip line
+      if (anyIn && anyOn && shellCut) return null // hole touches the new chord
       if (anyIn) holes += hole // entirely in the kept (closed) half
       h += 1
     }

@@ -348,7 +348,9 @@ object ArrowIpc {
           }
         }.collect().toMap
       }
-    if (splitPlanCache.size() > 4096) splitPlanCache.clear()
+    // bound only when this plan actually inserts — an unconditional clear
+    // would make every other read of a >4096-file dataset re-probe it all
+    if (miss.nonEmpty && splitPlanCache.size() + miss.size > 4096) splitPlanCache.clear()
     miss.foreach { case (f, len, mt) => splitPlanCache.put(key(f, len, mt), probed(f)) }
     val all = cached ++ probed
     statuses.flatMap { case (f, _, _) =>

@@ -623,7 +623,6 @@ object FlatGeobuf {
                                   statuses: IndexedSeq[(String, Long, Long)],
                                   maxPart: Long): IndexedSeq[(String, Long, Long)] = {
     val (big, small) = statuses.partition(_._2 > maxPart)
-    if (splitPlanCache.size > 4096) splitPlanCache.clear() // bound the driver map
     // emission reads LOCAL values only — never back through the cache, so
     // a concurrent size-bound clear() between put and emit cannot drop a
     // file's splits from this plan
@@ -646,6 +645,10 @@ object FlatGeobuf {
             f -> splitRanges(tfs, fp, maxPart).toIndexedSeq
           }.collect().toMap
       }
+    // bound the driver map — but only when this plan actually INSERTS: an
+    // unconditional clear made every other read of a >4096-file dataset
+    // re-probe the whole directory (hit, wipe, miss-all, repeat)
+    if (miss.nonEmpty && splitPlanCache.size + miss.size > 4096) splitPlanCache.clear()
     miss.foreach { case (f, len, mt) =>
       splitPlanCache.put((f, len, mt, maxPart), probed(f)) }
     val ranges = cachedByFile ++ probed

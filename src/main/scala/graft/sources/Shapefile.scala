@@ -222,7 +222,7 @@ object Shapefile {
     val whole = IndexedSeq((-1, -1, -1L, -1L))
     // a small file's plan is decidable from the listing alone (unlike
     // ArrowIpc, no per-task flag depends on a probe) — no job, no cache
-    val (big, small) = statuses.partition(_._2 > maxPart)
+    val big = statuses.filter(_._2 > maxPart)
     val cached = big.flatMap { case (f, len, mt) =>
       Option(splitPlanCache.get(key(f, len, mt))).map(f -> _)
     }.toMap
@@ -266,7 +266,9 @@ object Shapefile {
           }
         }.collect().toMap
       }
-    if (splitPlanCache.size() > 4096) splitPlanCache.clear()
+    // bound only when this plan actually inserts — an unconditional clear
+    // would make every other read of a >4096-file dataset re-probe it all
+    if (miss.nonEmpty && splitPlanCache.size() + miss.size > 4096) splitPlanCache.clear()
     miss.foreach { case (f, len, mt) => splitPlanCache.put(key(f, len, mt), probed(f)) }
     val all = cached ++ probed
     statuses.flatMap { case (f, len, _) =>
@@ -325,15 +327,47 @@ object Shapefile {
     val dbp = new org.apache.hadoop.fs.Path(f.stripSuffix(".shp") + ".dbf")
     val props: Iterator[Array[Any]] =
       if (fsw.exists(dbp)) {
-        val head = readRange(fsw, dbp, 0, 32)
-        val hb = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
-        val headerSize = hb.getShort(8) & 0xFFFF
-        val recordSize = hb.getShort(10) & 0xFFFF
-        val (fields, _, _, _) = dbfFields(readRange(fsw, dbp, 0, headerSize))
-        val recBytes = readRange(fsw, dbp,
-          headerSize.toLong + recStart.toLong * recordSize, nRecs * recordSize)
-        val w = if (wanted == null) null else wanted.dropRight(1)
-        (0 until nRecs).iterator.map(r => decodeDbfRecord(recBytes, r * recordSize, fields, w))
+        // ONE stream for header + record batches (object-store round trips
+        // cost more than the positioned reads), and the slice decodes in
+        // bounded batches: nRecs * recordSize can exceed Int range for wide
+        // DBFs (recordSize up to 64 KiB), so no single whole-range array
+        val in = fsw.open(dbp)
+        var closed = false
+        def closeIn(): Unit = if (!closed) { closed = true; in.close() }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeIn()))
+        try {
+          val head = new Array[Byte](32)
+          in.readFully(0, head)
+          val hb = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
+          val headerSize = hb.getShort(8) & 0xFFFF
+          val recordSize = math.max(1, hb.getShort(10) & 0xFFFF)
+          val hdr = new Array[Byte](headerSize)
+          in.readFully(0, hdr)
+          val fields = dbfFields(hdr)._1
+          val w = if (wanted == null) null else wanted.dropRight(1)
+          val batchRecs = math.max(1, (16 << 20) / recordSize) // ≤16 MiB per batch
+          new Iterator[Array[Any]] {
+            private var r = 0
+            private var batch: Array[Byte] = null
+            private var batchStart = 0
+            private var batchRows = 0
+            def hasNext: Boolean = r < nRecs
+            def next(): Array[Any] = {
+              if (batch == null || r >= batchStart + batchRows) {
+                batchStart = r
+                batchRows = math.min(batchRecs, nRecs - r)
+                if (batch == null || batch.length != batchRows * recordSize)
+                  batch = new Array[Byte](batchRows * recordSize)
+                in.readFully(headerSize.toLong + (recStart.toLong + r) * recordSize, batch)
+                if (r + batchRows >= nRecs) closeIn() // last batch is in memory
+              }
+              val out = decodeDbfRecord(batch, (r - batchStart) * recordSize, fields, w)
+              r += 1
+              out
+            }
+          }
+        } catch { case e: Throwable => closeIn(); throw e }
       } else Iterator.continually(Array.empty[Any])
     geoms.zip(props).map { case (g, pr) =>
       Row.fromSeq(pr.toIndexedSeq :+ (if (g == null) null else GeomOps.write(g)))

@@ -127,6 +127,24 @@ class GeoFunctionsSpec extends SparkTestBase {
     assert(d.getInt(2) <= 8)
   }
 
+  test("subdivide: hole edge collinear with the clip chord stays valid (overlay fallback)") {
+    // 10x20 shell (densified so it must split; envelope mid-Y = 10) with a
+    // triangular hole whose base (4 10)-(6 10) lies exactly ON the clip
+    // line: keeping the hole verbatim would overlap the shell's closing
+    // chord (an invalid pinch) — the clip must detect the touch and route
+    // to the robust overlay. Pieces must be valid and tile exactly.
+    val top = (10 to 0 by -1).map(x => s"$x 20").mkString(", ")
+    val wkt = s"POLYGON ((0 0, 10 0, $top, 0 0), (4 10, 6 10, 5 12, 4 10))"
+    val r = sql(
+      s"""SELECT SUM(ST_Area(p)) AS area, ST_Area(ST_Union_Agg(p)) AS uarea,
+         |       MIN(CAST(ST_IsValid(p) AS INT)) AS all_valid
+         |FROM (SELECT explode(ST_Subdivide(ST_GeomFromText('$wkt'), 8)) AS p)""".stripMargin).head()
+    val expected = 10.0 * 20.0 - 2.0 // hole area = base 2 * height 2 / 2
+    assert(math.abs(r.getDouble(0) - expected) < 1e-9, s"area ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - expected) < 1e-9, s"union ${r.getDouble(1)}")
+    assert(r.getInt(2) == 1, "every piece must be OGC-valid")
+  }
+
   test("subdivide: seeded fuzz — random star polygons tile exactly") {
     import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
     val f = new GeometryFactory()
