@@ -2399,6 +2399,89 @@ object SparkEntry {
            CAST(SUM(wgx) AS BIGINT) AS sum_wgx
     FROM e GROUP BY k ORDER BY k"""
 
+  /** Conic national-grid projections under the hash gate (g92): Albers
+    * Equal-Area (EPSG:5070 Conus Albers) and Lambert Conformal Conic 2SP
+    * (EPSG:2154 Lambert-93) — the graft extension past the reference's
+    * 4326/3857/UTM geodesy subset (core/ConicProjections, Snyder 1987,
+    * anchored to the published worked examples in ConicProjectionsSpec).
+    * The oracle REPLICATES the closed-form forward formulas in DuckDB SQL
+    * (q/m/t, cone constant, rho/theta) over the same generated CONUS and
+    * France point grids, cm-rounded — a full independent recomputation,
+    * not a fixture dump. */
+  private val g92Spark = """
+    SELECT id, ROUND(ST_X(a), 2) AS ax, ROUND(ST_Y(a), 2) AS ay,
+           ROUND(ST_X(l), 2) AS lx, ROUND(ST_Y(l), 2) AS ly
+    FROM (SELECT id, ST_Transform(pa, 4326, 5070) AS a, ST_Transform(pl, 4326, 2154) AS l
+          FROM (SELECT c_custkey AS id,
+                       ST_Point(-124.0 + CAST(c_custkey % 570 AS DOUBLE) / 10.0,
+                                24.0 + CAST(c_custkey % 250 AS DOUBLE) / 10.0) AS pa,
+                       ST_Point(-5.0 + CAST(c_custkey % 140 AS DOUBLE) / 10.0,
+                                41.0 + CAST(c_custkey % 100 AS DOUBLE) / 10.0) AS pl
+                FROM customer) p)
+    ORDER BY id"""
+
+  private val g92Duck = """
+    WITH k AS (
+      SELECT 6378137.0 AS a, 1.0/298.257222101 AS f
+    ), e AS (
+      SELECT a, f*(2-f) AS e2, sqrt(f*(2-f)) AS ee FROM k
+    ), alb AS (
+      SELECT a, e2, ee,
+        cos(radians(29.5))/sqrt(1-e2*sin(radians(29.5))*sin(radians(29.5))) AS m1,
+        cos(radians(45.5))/sqrt(1-e2*sin(radians(45.5))*sin(radians(45.5))) AS m2,
+        (1-e2)*(sin(radians(29.5))/(1-e2*sin(radians(29.5))*sin(radians(29.5)))
+                - (1/(2*ee))*ln((1-ee*sin(radians(29.5)))/(1+ee*sin(radians(29.5))))) AS q1,
+        (1-e2)*(sin(radians(45.5))/(1-e2*sin(radians(45.5))*sin(radians(45.5)))
+                - (1/(2*ee))*ln((1-ee*sin(radians(45.5)))/(1+ee*sin(radians(45.5))))) AS q2,
+        (1-e2)*(sin(radians(23.0))/(1-e2*sin(radians(23.0))*sin(radians(23.0)))
+                - (1/(2*ee))*ln((1-ee*sin(radians(23.0)))/(1+ee*sin(radians(23.0))))) AS q0
+      FROM e
+    ), albc AS (
+      SELECT a, e2, ee,
+             (m1*m1 - m2*m2)/(q2 - q1) AS n,
+             m1*m1 + (m1*m1 - m2*m2)/(q2 - q1)*q1 AS c, q0
+      FROM alb
+    ), albk AS (
+      SELECT a, e2, ee, n, c, a*sqrt(c - n*q0)/n AS rho0 FROM albc
+    ), lccp AS (
+      SELECT a, e2, ee,
+        cos(radians(44.0))/sqrt(1-e2*sin(radians(44.0))*sin(radians(44.0))) AS m1,
+        cos(radians(49.0))/sqrt(1-e2*sin(radians(49.0))*sin(radians(49.0))) AS m2,
+        tan(pi()/4 - radians(44.0)/2)/pow((1-ee*sin(radians(44.0)))/(1+ee*sin(radians(44.0))), ee/2) AS t1,
+        tan(pi()/4 - radians(49.0)/2)/pow((1-ee*sin(radians(49.0)))/(1+ee*sin(radians(49.0))), ee/2) AS t2,
+        tan(pi()/4 - radians(46.5)/2)/pow((1-ee*sin(radians(46.5)))/(1+ee*sin(radians(46.5))), ee/2) AS t0
+      FROM e
+    ), lccc AS (
+      SELECT a, e2, ee, (ln(m1) - ln(m2))/(ln(t1) - ln(t2)) AS n,
+             m1/(((ln(m1) - ln(m2))/(ln(t1) - ln(t2))) * pow(t1, (ln(m1) - ln(m2))/(ln(t1) - ln(t2)))) AS bf, t0
+      FROM lccp
+    ), lcck AS (
+      SELECT a, e2, ee, n, bf, a*bf*pow(t0, n) AS rho0 FROM lccc
+    ), pts AS (
+      SELECT c_custkey AS id,
+             -124.0 + (c_custkey % 570)/10.0 AS alon, 24.0 + (c_custkey % 250)/10.0 AS alat,
+             -5.0 + (c_custkey % 140)/10.0 AS llon, 41.0 + (c_custkey % 100)/10.0 AS llat
+      FROM customer
+    ), aproj AS (
+      SELECT id,
+             a*sqrt(c - n*((1-e2)*(sin(radians(alat))/(1-e2*sin(radians(alat))*sin(radians(alat)))
+                - (1/(2*ee))*ln((1-ee*sin(radians(alat)))/(1+ee*sin(radians(alat)))))))/n AS rho,
+             radians(n*(alon - (-96.0))) AS th, rho0
+      FROM pts, albk
+    ), lproj AS (
+      SELECT id, a*bf*pow(tan(pi()/4 - radians(llat)/2)
+               / pow((1-ee*sin(radians(llat)))/(1+ee*sin(radians(llat))), ee/2), n) AS rho,
+             radians(n*(llon - 3.0)) AS th, rho0
+      FROM pts, lcck
+    )
+    SELECT p.id,
+           ROUND(ap.rho*sin(ap.th), 2) AS ax,
+           ROUND(ap.rho0 - ap.rho*cos(ap.th), 2) AS ay,
+           ROUND(700000.0 + lp.rho*sin(lp.th), 2) AS lx,
+           ROUND(6600000.0 + lp.rho0 - lp.rho*cos(lp.th), 2) AS ly
+    FROM pts p JOIN aproj ap ON p.id = ap.id JOIN lproj lp ON p.id = lp.id
+    ORDER BY p.id"""
+
   /** Large-star/small-star connected components under the hash gate
     * (Kiveris et al., SoCC 2014 — diameter-independent O(log² n) rounds,
     * the scale path for chain-shaped graphs where min-label propagation
@@ -11470,6 +11553,7 @@ object SparkEntry {
     ("g89_edges_roundtrip", g89Fn _, g89Duck),
     ("g90_distance_radius_join", g90Fn _, g90Duck),
     ("g91_arrow_nested", g91Fn _, g91Duck),
+    ("g92_conic_projections", q(g92Spark), g92Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -93,15 +93,41 @@ object Geodesy {
         mapCoords(b, c => {
           val (x, y) = TransverseMercator.reverse(c.x, c.y, zone, south); new Coordinate(x, y)
         })
+      // conic national grids (graft extension beyond the reference's
+      // geodesy subset — Snyder 1987 ellipsoidal formulas, see
+      // [[ConicProjections]]): 5070 Conus Albers, 2154 Lambert-93
+      case (4326, t) if conicOf(t).isDefined =>
+        val (conic, albersKind) = conicOf(t).get
+        mapCoords(b, c => {
+          check4326(c, t)
+          val (x, y) = if (albersKind) ConicProjections.albersForward(conic, c.x, c.y)
+                       else ConicProjections.lccForward(conic, c.x, c.y)
+          new Coordinate(x, y)
+        })
+      case (f, 4326) if conicOf(f).isDefined =>
+        val (conic, albersKind) = conicOf(f).get
+        mapCoords(b, c => {
+          val (lon, lat) = if (albersKind) ConicProjections.albersInverse(conic, c.x, c.y)
+                           else ConicProjections.lccInverse(conic, c.x, c.y)
+          new Coordinate(lon, lat)
+        })
       // any other pair of supported CRSs composes through 4326 (zone→zone,
-      // UTM↔web-mercator) — both legs are the analytic base cases above
-      case (f, t) if (f == 3857 || utmZone(f).isDefined) &&
-                     (t == 3857 || utmZone(t).isDefined) =>
+      // UTM↔web-mercator, conic↔anything) — both legs are the analytic
+      // base cases above
+      case (f, t) if (f == 3857 || utmZone(f).isDefined || conicOf(f).isDefined) &&
+                     (t == 3857 || utmZone(t).isDefined || conicOf(t).isDefined) =>
         transform(transform(b, f, 4326), 4326, t)
       case _ => throw new IllegalArgumentException(
-        s"ST_Transform: only EPSG 4326/3857/326xx/327xx (UTM) pairs supported, " +
+        s"ST_Transform: only EPSG 4326/3857/326xx/327xx (UTM)/5070/2154 pairs supported, " +
           s"got $fromSrid->$toSrid")
     }
+
+  /** Conic parameter lookup: (params, isAlbers). */
+  private def conicOf(srid: Int): Option[(ConicProjections.Conic, Boolean)] = srid match {
+    case 5070 => Some((ConicProjections.conusAlbers, true))
+    case 2154 => Some((ConicProjections.lambert93, false))
+    case _ => None
+  }
 
   // ── slippy-map (XYZ / OSM) tile math ──────────────────────────────────
 
