@@ -2406,11 +2406,14 @@ object SparkEntry {
     * anchored to the published worked examples in ConicProjectionsSpec).
     * The oracle REPLICATES the closed-form forward formulas in DuckDB SQL
     * (q/m/t, cone constant, rho/theta) over the same generated CONUS and
-    * France point grids, cm-rounded — a full independent recomputation,
-    * not a fixture dump. */
+    * France point grids — a full independent recomputation, not a fixture
+    * dump. Gate at INTEGER meters: cross-engine libm (JVM Math vs duck)
+    * differs in the last ulps (~1e-8 m on 1e6-m values), and a finer grid
+    * puts values measurably close to rounding boundaries across scale
+    * factors (the cross-scale-determinism discipline of the verify gate). */
   private val g92Spark = """
-    SELECT id, ROUND(ST_X(a), 2) AS ax, ROUND(ST_Y(a), 2) AS ay,
-           ROUND(ST_X(l), 2) AS lx, ROUND(ST_Y(l), 2) AS ly
+    SELECT id, ROUND(ST_X(a), 0) AS ax, ROUND(ST_Y(a), 0) AS ay,
+           ROUND(ST_X(l), 0) AS lx, ROUND(ST_Y(l), 0) AS ly
     FROM (SELECT id, ST_Transform(pa, 4326, 5070) AS a, ST_Transform(pl, 4326, 2154) AS l
           FROM (SELECT c_custkey AS id,
                        ST_Point(-124.0 + CAST(c_custkey % 570 AS DOUBLE) / 10.0,
@@ -2475,10 +2478,10 @@ object SparkEntry {
       FROM pts, lcck
     )
     SELECT p.id,
-           ROUND(ap.rho*sin(ap.th), 2) AS ax,
-           ROUND(ap.rho0 - ap.rho*cos(ap.th), 2) AS ay,
-           ROUND(700000.0 + lp.rho*sin(lp.th), 2) AS lx,
-           ROUND(6600000.0 + lp.rho0 - lp.rho*cos(lp.th), 2) AS ly
+           ROUND(ap.rho*sin(ap.th), 0) AS ax,
+           ROUND(ap.rho0 - ap.rho*cos(ap.th), 0) AS ay,
+           ROUND(700000.0 + lp.rho*sin(lp.th), 0) AS lx,
+           ROUND(6600000.0 + lp.rho0 - lp.rho*cos(lp.th), 0) AS ly
     FROM pts p JOIN aproj ap ON p.id = ap.id JOIN lproj lp ON p.id = lp.id
     ORDER BY p.id"""
 

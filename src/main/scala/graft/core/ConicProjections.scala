@@ -62,18 +62,32 @@ object ConicProjections {
   private def albers(p: Conic): AlbersConsts =
     albersCache.computeIfAbsent(p, new AlbersConsts(_))
 
-  /** (lon, lat) degrees → (easting, northing) meters. */
-  def albersForward(p: Conic, lon: Double, lat: Double): (Double, Double) = {
+  /** Per-call closure binding the cone constants ONCE — the hot mapCoords
+    * loop must not pay a map probe + 8-double hash per vertex. */
+  def albersForwardFn(p: Conic): (Double, Double) => (Double, Double) = {
     val k = albers(p)
-    val rho = p.a * math.sqrt(k.c - k.n * qOf(p, lat)) / k.n // 14-12
-    val theta = math.toRadians(k.n * (lon - p.lon0))         // 14-4
-    (p.fe + rho * math.sin(theta), p.fn + k.rho0 - rho * math.cos(theta)) // 14-1/14-2
+    (lon, lat) => {
+      val rho = p.a * math.sqrt(k.c - k.n * qOf(p, lat)) / k.n // 14-12
+      val theta = math.toRadians(k.n * (lon - p.lon0))         // 14-4
+      (p.fe + rho * math.sin(theta), p.fn + k.rho0 - rho * math.cos(theta)) // 14-1/14-2
+    }
   }
+
+  /** (lon, lat) degrees → (easting, northing) meters. */
+  def albersForward(p: Conic, lon: Double, lat: Double): (Double, Double) =
+    albersForwardFn(p)(lon, lat)
 
   /** (easting, northing) meters → (lon, lat) degrees. Latitude by Snyder
     * 3-16 iteration (converges in 3-4 steps to <1e-12 rad). */
-  def albersInverse(p: Conic, x0: Double, y0: Double): (Double, Double) = {
+  def albersInverseFn(p: Conic): (Double, Double) => (Double, Double) = {
     val k = albers(p)
+    (x0, y0) => albersInverseWith(p, k, x0, y0)
+  }
+
+  def albersInverse(p: Conic, x0: Double, y0: Double): (Double, Double) =
+    albersInverseWith(p, albers(p), x0, y0)
+
+  private def albersInverseWith(p: Conic, k: AlbersConsts, x0: Double, y0: Double): (Double, Double) = {
     val x = x0 - p.fe
     val y = k.rho0 - (y0 - p.fn)
     // for n < 0 (southern cone) both rho and the atan2 operands flip sign;
@@ -117,18 +131,31 @@ object ConicProjections {
   private def lcc(p: Conic): LccConsts =
     lccCache.computeIfAbsent(p, new LccConsts(_))
 
-  /** (lon, lat) degrees → (easting, northing) meters. */
-  def lccForward(p: Conic, lon: Double, lat: Double): (Double, Double) = {
+  /** Per-call closure binding the cone constants ONCE (see albersForwardFn). */
+  def lccForwardFn(p: Conic): (Double, Double) => (Double, Double) = {
     val k = lcc(p)
-    val rho = p.a * k.bigF * math.pow(tOf(p, lat), k.n) // 15-7
-    val theta = math.toRadians(k.n * (lon - p.lon0))    // 14-4
-    (p.fe + rho * math.sin(theta), p.fn + k.rho0 - rho * math.cos(theta))
+    (lon, lat) => {
+      val rho = p.a * k.bigF * math.pow(tOf(p, lat), k.n) // 15-7
+      val theta = math.toRadians(k.n * (lon - p.lon0))    // 14-4
+      (p.fe + rho * math.sin(theta), p.fn + k.rho0 - rho * math.cos(theta))
+    }
   }
+
+  /** (lon, lat) degrees → (easting, northing) meters. */
+  def lccForward(p: Conic, lon: Double, lat: Double): (Double, Double) =
+    lccForwardFn(p)(lon, lat)
 
   /** (easting, northing) meters → (lon, lat) degrees. Latitude by Snyder
     * 7-9 fixed-point iteration. */
-  def lccInverse(p: Conic, x0: Double, y0: Double): (Double, Double) = {
+  def lccInverseFn(p: Conic): (Double, Double) => (Double, Double) = {
     val k = lcc(p)
+    (x0, y0) => lccInverseWith(p, k, x0, y0)
+  }
+
+  def lccInverse(p: Conic, x0: Double, y0: Double): (Double, Double) =
+    lccInverseWith(p, lcc(p), x0, y0)
+
+  private def lccInverseWith(p: Conic, k: LccConsts, x0: Double, y0: Double): (Double, Double) = {
     val x = x0 - p.fe
     val y = k.rho0 - (y0 - p.fn)
     val sgn = if (k.n >= 0) 1.0 else -1.0

@@ -98,17 +98,20 @@ object Geodesy {
       // [[ConicProjections]]): 5070 Conus Albers, 2154 Lambert-93
       case (4326, t) if conicOf(t).isDefined =>
         val (conic, albersKind) = conicOf(t).get
+        // constants resolved ONCE per geometry, not per vertex
+        val fwd = if (albersKind) ConicProjections.albersForwardFn(conic)
+                  else ConicProjections.lccForwardFn(conic)
         mapCoords(b, c => {
           check4326(c, t)
-          val (x, y) = if (albersKind) ConicProjections.albersForward(conic, c.x, c.y)
-                       else ConicProjections.lccForward(conic, c.x, c.y)
+          val (x, y) = fwd(c.x, c.y)
           new Coordinate(x, y)
         })
       case (f, 4326) if conicOf(f).isDefined =>
         val (conic, albersKind) = conicOf(f).get
+        val inv = if (albersKind) ConicProjections.albersInverseFn(conic)
+                  else ConicProjections.lccInverseFn(conic)
         mapCoords(b, c => {
-          val (lon, lat) = if (albersKind) ConicProjections.albersInverse(conic, c.x, c.y)
-                           else ConicProjections.lccInverse(conic, c.x, c.y)
+          val (lon, lat) = inv(c.x, c.y)
           new Coordinate(lon, lat)
         })
       // any other pair of supported CRSs composes through 4326 (zone→zone,

@@ -347,12 +347,16 @@ object Shapefile {
           val fields = dbfFields(hdr)._1
           val w = if (wanted == null) null else wanted.dropRight(1)
           val batchRecs = math.max(1, (16 << 20) / recordSize) // ≤16 MiB per batch
+          // lifetime: the stream closes when the LAST batch is in memory,
+          // on natural exhaustion, and (inside a task) at task completion;
+          // a caller outside Spark that abandons mid-iteration leaks until
+          // GC — acceptable for a private per-split decoder
           new Iterator[Array[Any]] {
             private var r = 0
             private var batch: Array[Byte] = null
             private var batchStart = 0
             private var batchRows = 0
-            def hasNext: Boolean = r < nRecs
+            def hasNext: Boolean = { val h = r < nRecs; if (!h) closeIn(); h }
             def next(): Array[Any] = {
               if (batch == null || r >= batchStart + batchRows) {
                 batchStart = r

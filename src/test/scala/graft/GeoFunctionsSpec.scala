@@ -442,9 +442,10 @@ class GeoFunctionsSpec extends SparkTestBase {
     val pole = intercept[Exception](
       sql("SELECT ST_Transform(ST_Point(0.0, 90.0), 4326, 3857)").collect())
     assert(pole.getMessage.contains("pole singularity"), pole.getMessage)
-    // unsupported EPSG pair still names the supported set
+    // unsupported EPSG pair still names the supported set (2154 became a
+    // supported conic in round 15 — 27700 OSGB stays out: datum shift)
     val crs = intercept[Exception](
-      sql("SELECT ST_Transform(ST_Point(0.0, 0.0), 4326, 2154)").collect())
+      sql("SELECT ST_Transform(ST_Point(0.0, 0.0), 4326, 27700)").collect())
     assert(crs.getMessage.contains("326xx/327xx"), crs.getMessage)
     // 85 degrees is fine in 3857 (finite), and cross-zone composition runs
     val ok = sql("""SELECT ST_Y(ST_Transform(ST_Point(0.0, 85.0), 4326, 3857)) AS y,
