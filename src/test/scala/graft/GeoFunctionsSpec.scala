@@ -447,6 +447,10 @@ class GeoFunctionsSpec extends SparkTestBase {
     val crs = intercept[Exception](
       sql("SELECT ST_Transform(ST_Point(0.0, 0.0), 4326, 27700)").collect())
     assert(crs.getMessage.contains("326xx/327xx"), crs.getMessage)
+    // conic targets enforce the same 4326 input domain
+    val conicBad = intercept[Exception](
+      sql("SELECT ST_Transform(ST_Point(200.0, 0.0), 4326, 5070)").collect())
+    assert(conicBad.getMessage.contains("EPSG:4326 domain"), conicBad.getMessage)
     // 85 degrees is fine in 3857 (finite), and cross-zone composition runs
     val ok = sql("""SELECT ST_Y(ST_Transform(ST_Point(0.0, 85.0), 4326, 3857)) AS y,
                            ST_X(ST_Transform(ST_Transform(ST_Point(9.0, 50.0), 4326, 32632),
