@@ -49,6 +49,21 @@ object Bench {
     // rep was slow because the JVM collected for N seconds" from ambient load
     // and real regressions without a judge re-run
     val repGc = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // per-rep process-CPU seconds + 1-min system load average: the round-15
+    // driver window had e07/e08 5-7× floor across ALL reps with 0 GC while
+    // a quiet same-order replay sat at floor — a contiguous ambient-load
+    // window (e06→e10) that min-of-3 can't defeat because it outlasts the
+    // reps. cpu/wall ≈ achieved parallelism makes the call mechanical:
+    // slow rep + cpu/wall well below a quiet rep's ratio + elevated loadavg
+    // → something else held the cores (ambient); slow rep + cpu scaled with
+    // wall → the query really did more work (regression).
+    val repCpu = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val repLoad = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def cpuNanos(): Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
     def gcMillis(): Long = {
       var total = 0L
       val it = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.iterator()
@@ -61,14 +76,19 @@ object Bench {
       var r = 0
       val times = Array.fill(reps)(-1.0)
       val gcs = Array.fill(reps)(-1.0)
+      val cpus = Array.fill(reps)(-1.0)
+      val loads = Array.fill(reps)(-1.0)
       while (r < reps) {
         graft.core.Blocks.scrub(spark, blocking = true)
         val gc0 = gcMillis()
+        val cpu0 = cpuNanos()
         val t0 = System.nanoTime()
         try {
           run(fn(spark, sfDir))
           times(r) = (System.nanoTime() - t0) / 1e9
           gcs(r) = (gcMillis() - gc0) / 1e3
+          if (cpu0 >= 0) cpus(r) = (cpuNanos() - cpu0) / 1e9
+          loads(r) = osBean.getSystemLoadAverage
           best = math.min(best, times(r))
           ok += 1
         } catch {
@@ -79,6 +99,8 @@ object Bench {
       }
       repTimes(name) = times.toSeq
       repGc(name) = gcs.toSeq
+      repCpu(name) = cpus.toSeq
+      repLoad(name) = loads.toSeq
       // A query that succeeded at least once reports the min of its
       // successful reps; -1 only when every rep failed — never a
       // fast-looking partial, and never a late failure erasing a real time.
@@ -133,8 +155,14 @@ object Bench {
     val gcJson = repGc.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(num(3)).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val cpuJson = repCpu.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(num(3)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val loadJson = repLoad.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(num(2)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     def fullLine: String =
-      s"""{"metric":"total","value":${num(3)(total)},"unit":"sec","n":${results.length},"n_ok":$nOk,"queries":${qmap(results, 3, identity)},"reps":$repsJson,"gc":$gcJson,"excess_vs_floor":${excessJson(3, Int.MaxValue, identity)},"excess_total":${num(3)(excessTotal)},"queries_without_floor":$newQueries,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${num(3)(total)},"unit":"sec","n":${results.length},"n_ok":$nOk,"queries":${qmap(results, 3, identity)},"reps":$repsJson,"gc":$gcJson,"cpu":$cpuJson,"load":$loadJson,"excess_vs_floor":${excessJson(3, Int.MaxValue, identity)},"excess_total":${num(3)(excessTotal)},"queries_without_floor":$newQueries,"sf":"$sfName"}"""
     // full-precision sidecar: run-unique path under java.io.tmpdir (or an
     // explicit SPARK_GRAFT_BENCH_OUT) so concurrent runs can't clobber each
     // other and a pre-planted symlink at a fixed name is never followed
