@@ -1749,6 +1749,89 @@ object SparkEntry {
       ('gamma', 30::BIGINT, 'POINT (5 6)')
     ) t(name, val, wkt) ORDER BY name"""
 
+  // Z/M shapefile fixtures (ESRI whitepaper byte layout, ShapefileSpec's
+  // builders serialized to hex): PointZ with/without the optional M slot,
+  // PolyLineZ with and without the optional M band, PolygonZ (shell+hole,
+  // Z only), MultiPointZ with M. The reference reader materializes XYZ for
+  // all four Z types (rust/geoarrow-old/src/io/shapefile/reader.rs:100-230);
+  // decoding the M band on top is this repo's extension.
+  private val g93Files: Seq[(String, String)] = Seq(
+    "pz.shp" -> ("0000270A00000000000000000000000000000000000000000000005AE80300000B000000000000000000" +
+      "000000000000000000000000000000000000000000000000000000000000000000000000000000000000" +
+      "0000000000000000000000000000000000000001000000120B000000000000000000F03F000000000000" +
+      "00400000000000003E400000000000001E40000000020000000E0B000000000000000000084000000000" +
+      "000010400000000000004940"),
+    "pz.dbf" -> ("037E01010200000041000500000000000000000000000000000000000000000049440000000000000000" +
+      "004E00000000040000000000000000000000000000000D202020203120202020321A"),
+    "lz.shp" -> ("0000270A0000000000000000000000000000000000000000000000ECE80300000D000000000000000000" +
+      "000000000000000000000000000000000000000000000000000000000000000000000000000000000000" +
+      "00000000000000000000000000000000000000010000007A0D0000000000000000000000000000000000" +
+      "000000000000000028400000000000001440020000000500000000000000020000000000000000000000" +
+      "000000000000000000000000000008400000000000001040000000000000244000000000000000000000" +
+      "000000002440000000000000144000000000000028400000000000001440000000000000F03F00000000" +
+      "0000344000000000000024400000000000003440000000000000F03F0000000000000040000000000000" +
+      "084000000000000059400000000000407F40000000000000594000000000000069400000000000C07240" +
+      "00000000000079400000000000407F4000000002000000380D0000000000000000001440000000000000" +
+      "144000000000000018400000000000001840010000000200000000000000000000000000144000000000" +
+      "00001440000000000000184000000000000018400000000000001C400000000000002040000000000000" +
+      "1C400000000000002040"),
+    "lz.dbf" -> ("037E01010200000041000500000000000000000000000000000000000000000049440000000000000000" +
+      "004E00000000040000000000000000000000000000000D202020203120202020321A"),
+    "gz.shp" -> ("0000270A0000000000000000000000000000000000000000000000D0E80300000F000000000000000000" +
+      "000000000000000000000000000000000000000000000000000000000000000000000000000000000000" +
+      "00000000000000000000000000000000000000010000009A0F0000000000000000000000000000000000" +
+      "000000000000000024400000000000002440020000000A00000000000000050000000000000000000000" +
+      "000000000000000000000000000000000000000000002440000000000000244000000000000024400000" +
+      "000000002440000000000000000000000000000000000000000000000000000000000000004000000000" +
+      "000000400000000000001040000000000000004000000000000010400000000000001040000000000000" +
+      "004000000000000010400000000000000040000000000000004000000000000014400000000000001440" +
+      "000000000000144000000000000014400000000000001440000000000000144000000000000014400000" +
+      "0000000014400000000000001440000000000000144000000000000014400000000000001440"),
+    "gz.dbf" -> ("037E01010100000041000500000000000000000000000000000000000000000049440000000000000000" +
+      "004E00000000040000000000000000000000000000000D20202020311A"),
+    "mz.shp" -> ("0000270A00000000000000000000000000000000000000000000007AE803000012000000000000000000" +
+      "000000000000000000000000000000000000000000000000000000000000000000000000000000000000" +
+      "00000000000000000000000000000000000000010000004412000000000000000000F03F000000000000" +
+      "00400000000000000840000000000000104002000000000000000000F03F000000000000004000000000" +
+      "000008400000000000001040000000000000264000000000000036400000000000002640000000000000" +
+      "3640000000000000E03F000000000000F83F000000000000E03F000000000000F83F"),
+    "mz.dbf" -> ("037E01010100000041000500000000000000000000000000000000000000000049440000000000000000" +
+      "004E00000000040000000000000000000000000000000D20202020311A"))
+
+  /** Shapefile Z/M band fidelity under the hash gate (g93): all four Z
+    * record types (PointZ/PolyLineZ/PolygonZ/MultiPointZ) decode their Z
+    * band — and the OPTIONAL trailing M band when the record's content
+    * length holds one — into JTS XYZ/XYZM sequences, pinned to WKT
+    * literals that carry every ordinate. Covers the per-record M-slot
+    * distinction (pz rec 1 vs 2; lz rec 1 vs 2) that content-length
+    * band detection keys on. */
+  private def g93Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    def unhex(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val d = java.nio.file.Files.createTempDirectory("graft_g93")
+    d.toFile.deleteOnExit()
+    g93Files.foreach { case (name, hex) =>
+      java.nio.file.Files.write(d.resolve(name), unhex(hex)).toFile.deleteOnExit()
+    }
+    Seq("pz", "lz", "gz", "mz").map { src =>
+      graft.sources.Shapefile.read(s, d.resolve(s"$src.shp").toString)
+        .selectExpr(s"'$src' AS src", "CAST(ID AS BIGINT) AS id",
+          "ST_AsText(geometry) AS wkt",
+          "ST_HasZ(geometry) AS has_z", "ST_HasM(geometry) AS has_m")
+    }.reduce(_ unionAll _).orderBy("src", "id")
+  }
+
+  private val g93Duck = """
+    SELECT * FROM (VALUES
+      ('gz', 1::BIGINT, 'POLYGON Z((0 0 5, 0 10 5, 10 10 5, 10 0 5, 0 0 5), (2 2 5, 4 2 5, 4 4 5, 2 4 5, 2 2 5))', true, false),
+      ('lz', 1::BIGINT, 'MULTILINESTRING ZM((0 0 10 100, 3 4 20 200), (10 0 1 300, 10 5 2 400, 12 5 3 500))', true, true),
+      ('lz', 2::BIGINT, 'LINESTRING Z(5 5 7, 6 6 8)', true, false),
+      ('mz', 1::BIGINT, 'MULTIPOINT ZM((1 2 11 0.5), (3 4 22 1.5))', true, true),
+      ('pz', 1::BIGINT, 'POINT ZM(1 2 30 7.5)', true, true),
+      ('pz', 2::BIGINT, 'POINT Z(3 4 50)', true, false)
+    ) t(src, id, wkt, has_z, has_m) ORDER BY src, id"""
+
   /** ST_AsSVG display surface pinned to literals (PostGIS conventions:
     * y negated for SVG's y-down space, points as cx/cy, rings as M/L…Z with
     * the closing duplicate dropped) — the display half of the reference's
@@ -11557,6 +11640,7 @@ object SparkEntry {
     ("g90_distance_radius_join", g90Fn _, g90Duck),
     ("g91_arrow_nested", g91Fn _, g91Duck),
     ("g92_conic_projections", q(g92Spark), g92Duck),
+    ("g93_shapefile_zm", g93Fn _, g93Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

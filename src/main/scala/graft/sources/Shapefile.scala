@@ -4,7 +4,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
-import org.locationtech.jts.geom.{Coordinate, Geometry, LinearRing, Polygon}
+import org.locationtech.jts.geom.{Coordinate, CoordinateXYM, CoordinateXYZM, Geometry, LinearRing, Polygon}
 
 import graft.core.GeomOps
 
@@ -27,29 +27,67 @@ object Shapefile {
 
   // ── .shp decode ───────────────────────────────────────────────────────
 
-  private def decodeShape(bb: ByteBuffer, pos0: Int): Geometry = {
+  /** ESRI nodata sentinel: any ordinate below -10^38 means "no value"
+    * (whitepaper p.2); materialized as NaN so a nodata M never masquerades
+    * as a real measure. */
+  private def ord(v: Double): Double = if (v < -1e38) Double.NaN else v
+
+  /** Decode one shape payload at `pos0`; `contentLen` (from the record
+    * header) bounds the record so the OPTIONAL trailing M band is detected
+    * by the bytes actually present, per the whitepaper ("optional" on every
+    * Z and M type — writers legally omit it).
+    *
+    * Z bands decode for all Z types — the reference reader materializes
+    * Dimension::XYZ for PointZ/MultipointZ/PolylineZ/PolygonZ
+    * (rust/geoarrow-old/src/io/shapefile/reader.rs:100-230); M bands decode
+    * to JTS measures on top (XYM/XYZM coordinate sequences → M-flagged ISO
+    * WKB), which EXCEEDS the reference's XYZ-only materialization. */
+  private def decodeShape(bb: ByteBuffer, pos0: Int, contentLen: Int): Geometry = {
     val f = GeomOps.factory
     var p = pos0
+    val end = pos0 + contentLen
     def d(): Double = { val v = bb.getDouble(p); p += 8; v }
     def i(): Int = { val v = bb.getInt(p); p += 4; v }
     val shapeType = i()
-    // M/Z variants share the XY layout prefix; trailing Z/M bands are skipped
-    // (shapefile Z/M fidelity is not in the reference's reader either)
+    val zType = shapeType >= 11 && shapeType <= 18
+    val mType = shapeType >= 21 && shapeType <= 28
+    // one Z/M band = [min, max, v0..v(n-1)]; the range prefix is redundant
+    // with the values so it's skipped, not validated
+    def band(n: Int): Array[Double] = { p += 16; Array.fill(n)(ord(d())) }
+    // xy block, then a required Z band on Z types, then the optional M band
+    // on BOTH Z and M types when the record's remaining bytes hold it
+    def coords(n: Int): Array[Coordinate] = {
+      val xs = new Array[Double](n); val ys = new Array[Double](n)
+      var j = 0
+      while (j < n) { xs(j) = d(); ys(j) = d(); j += 1 }
+      val zs = if (zType) band(n) else null
+      val ms = if ((zType || mType) && end - p >= 16 + 8L * n) band(n) else null
+      Array.tabulate(n) { j =>
+        if (zs != null && ms != null) new CoordinateXYZM(xs(j), ys(j), zs(j), ms(j))
+        else if (zs != null) new Coordinate(xs(j), ys(j), zs(j))
+        else if (ms != null) new CoordinateXYM(xs(j), ys(j), ms(j))
+        else new Coordinate(xs(j), ys(j))
+      }
+    }
     shapeType match {
       case 0 => f.createGeometryCollection() // null shape
       case 1 | 11 | 21 => // Point / PointZ / PointM
         val x = d(); val y = d()
-        if (shapeType == 11) f.createPoint(new Coordinate(x, y, bb.getDouble(p)))
+        if (shapeType == 11) {
+          val z = ord(d())
+          if (end - p >= 8) f.createPoint(new CoordinateXYZM(x, y, z, ord(d())))
+          else f.createPoint(new Coordinate(x, y, z))
+        } else if (shapeType == 21) f.createPoint(new CoordinateXYM(x, y, ord(d())))
         else f.createPoint(new Coordinate(x, y))
       case 8 | 18 | 28 => // MultiPoint (+Z/M)
         p += 32 // bbox
         val n = i()
-        f.createMultiPointFromCoords(Array.fill(n) { new Coordinate(d(), d()) })
+        f.createMultiPointFromCoords(coords(n))
       case 3 | 13 | 23 => // PolyLine (+Z/M)
         p += 32
         val numParts = i(); val numPoints = i()
         val parts = Array.fill(numParts)(i())
-        val pts = Array.fill(numPoints) { new Coordinate(d(), d()) }
+        val pts = coords(numPoints)
         val lines = partsToSlices(parts, numPoints).map { case (a, b) =>
           f.createLineString(pts.slice(a, b)) }
         if (lines.length == 1) lines.head else f.createMultiLineString(lines)
@@ -57,7 +95,7 @@ object Shapefile {
         p += 32
         val numParts = i(); val numPoints = i()
         val parts = Array.fill(numParts)(i())
-        val pts = Array.fill(numPoints) { new Coordinate(d(), d()) }
+        val pts = coords(numPoints)
         val rings = partsToSlices(parts, numPoints).map { case (a, b) =>
           f.createLinearRing(pts.slice(a, b)) }
         assemblePolygons(rings)
@@ -108,7 +146,7 @@ object Shapefile {
       def hasNext: Boolean = p + 8 <= endExcl
       def next(): Geometry = {
         val contentLen = be.getInt(p + 4) * 2
-        val g = if (decode) { decodedGeoms.increment(); decodeShape(le, p + 8) } else null
+        val g = if (decode) { decodedGeoms.increment(); decodeShape(le, p + 8, contentLen) } else null
         p += 8 + contentLen
         g
       }
@@ -287,6 +325,24 @@ object Shapefile {
       else Seq.empty) :+ StructField("geometry", BinaryType))
   }
 
+  /** Zip geometries with property records, FAILING LOUDLY when the two
+    * sides disagree in length: a plain `zip` stops at the shorter iterator,
+    * so a truncated/corrupt .shp (or a .dbf with a different record count)
+    * would silently drop rows AND leave the .dbf stream un-exhausted (its
+    * close rides natural exhaustion). Checking both `hasNext`s every step
+    * surfaces the mismatch at the first divergent record. */
+  private def strictZip(f: String, geoms: Iterator[Geometry],
+      props: Iterator[Array[Any]]): Iterator[(Geometry, Array[Any])] =
+    new Iterator[(Geometry, Array[Any])] {
+      def hasNext: Boolean = {
+        val g = geoms.hasNext; val pr = props.hasNext
+        require(g == pr, s"shp/dbf record-count mismatch in $f: " +
+          (if (g) "more geometries than .dbf records" else "more .dbf records than geometries"))
+        g
+      }
+      def next(): (Geometry, Array[Any]) = (geoms.next(), props.next())
+    }
+
   /** Decode one .shp(+.dbf) pair to full-width rows. `wanted` indexes the
     * full schema (properties in file order, geometry LAST); pruned-out
     * slots stay null: DBF values skip their parse, a pruned geometry skips
@@ -302,11 +358,14 @@ object Shapefile {
     val wantGeom = wanted == null || wanted(wanted.length - 1)
     val geoms = shpGeometries(readAll(fsw, fp), decode = wantGeom)
     val dbp = new org.apache.hadoop.fs.Path(f.stripSuffix(".shp") + ".dbf")
+    val hasDbf = fsw.exists(dbp)
     val props: Iterator[Array[Any]] =
-      if (fsw.exists(dbp))
+      if (hasDbf)
         dbfRecords(readAll(fsw, dbp), if (wanted == null) null else wanted.dropRight(1))
       else Iterator.continually(Array.empty[Any])
-    geoms.zip(props).map { case (g, pr) =>
+    // no .dbf → props is infinite, only plain zip terminates
+    val zipped = if (hasDbf) strictZip(f, geoms, props) else geoms.zip(props)
+    zipped.map { case (g, pr) =>
       Row.fromSeq(pr.toIndexedSeq :+ (if (g == null) null else GeomOps.write(g)))
     }
   }
@@ -325,8 +384,9 @@ object Shapefile {
     val slice = readRange(fsw, fp, shpStart, (shpEnd - shpStart).toInt)
     val geoms = shpGeometries(slice, decode = wantGeom, sliced = true)
     val dbp = new org.apache.hadoop.fs.Path(f.stripSuffix(".shp") + ".dbf")
+    val hasDbf = fsw.exists(dbp)
     val props: Iterator[Array[Any]] =
-      if (fsw.exists(dbp)) {
+      if (hasDbf) {
         // ONE stream for header + record batches (object-store round trips
         // cost more than the positioned reads), and the slice decodes in
         // bounded batches: nRecs * recordSize can exceed Int range for wide
@@ -373,7 +433,13 @@ object Shapefile {
           }
         } catch { case e: Throwable => closeIn(); throw e }
       } else Iterator.continually(Array.empty[Any])
-    geoms.zip(props).map { case (g, pr) =>
+    // the sliced .dbf iterator is bounded by nRecs, so strictZip both
+    // surfaces a truncated .shp range AND guarantees the stream's
+    // natural-exhaustion close runs (the task listener is the backstop)
+    val zipped =
+      if (hasDbf) strictZip(s"$f[$recStart+$nRecs]", geoms, props)
+      else geoms.zip(props)
+    zipped.map { case (g, pr) =>
       Row.fromSeq(pr.toIndexedSeq :+ (if (g == null) null else GeomOps.write(g)))
     }
   }

@@ -30,6 +30,54 @@ class ShapefileSpec extends SparkTestBase {
     bb.array()
   }
 
+  /** PointZ record: X Y Z [M] — the M slot is genuinely optional per the
+    * whitepaper (content length decides), which is exactly what the reader's
+    * band detection keys on. */
+  private def pointZShape(x: Double, y: Double, z: Double, m: Option[Double]): Array[Byte] = {
+    val bb = le(28 + (if (m.isDefined) 8 else 0))
+    bb.putInt(11).putDouble(x).putDouble(y).putDouble(z)
+    m.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  private def pointMShape(x: Double, y: Double, m: Double): Array[Byte] =
+    le(28).putInt(21).putDouble(x).putDouble(y).putDouble(m).array()
+
+  /** PolyLineZ/PolygonZ (13/15) with a required Z band and an optional M
+    * band; MultiPointZ (18) via the n-only header. Z/M bands are
+    * [min, max, v…] blocks after the XY points, per the whitepaper. */
+  private def polyZShape(shapeType: Int, parts: Seq[Seq[(Double, Double, Double)]],
+                         ms: Option[Seq[Double]]): Array[Byte] = {
+    val pts = parts.flatten
+    val n = pts.length
+    val bb = le(4 + 32 + 8 + 4 * parts.length + 16 * n + (16 + 8 * n) +
+      (if (ms.isDefined) 16 + 8 * n else 0))
+    bb.putInt(shapeType)
+    val xs = pts.map(_._1); val ys = pts.map(_._2); val zs = pts.map(_._3)
+    bb.putDouble(xs.min).putDouble(ys.min).putDouble(xs.max).putDouble(ys.max)
+    bb.putInt(parts.length).putInt(n)
+    parts.scanLeft(0)(_ + _.length).dropRight(1).foreach(bb.putInt)
+    pts.foreach { case (x, y, _) => bb.putDouble(x).putDouble(y) }
+    bb.putDouble(zs.min).putDouble(zs.max); zs.foreach(bb.putDouble)
+    ms.foreach { mm => bb.putDouble(mm.min).putDouble(mm.max); mm.foreach(bb.putDouble) }
+    bb.array()
+  }
+
+  private def multiPointZShape(pts: Seq[(Double, Double, Double)],
+                               ms: Option[Seq[Double]]): Array[Byte] = {
+    val n = pts.length
+    val bb = le(4 + 32 + 4 + 16 * n + (16 + 8 * n) + (if (ms.isDefined) 16 + 8 * n else 0))
+    bb.putInt(18)
+    bb.putDouble(pts.map(_._1).min).putDouble(pts.map(_._2).min)
+    bb.putDouble(pts.map(_._1).max).putDouble(pts.map(_._2).max)
+    bb.putInt(n)
+    pts.foreach { case (x, y, _) => bb.putDouble(x).putDouble(y) }
+    bb.putDouble(pts.map(_._3).min).putDouble(pts.map(_._3).max)
+    pts.foreach { case (_, _, z) => bb.putDouble(z) }
+    ms.foreach { mm => bb.putDouble(mm.min).putDouble(mm.max); mm.foreach(bb.putDouble) }
+    bb.array()
+  }
+
   private def writeShp(path: String, shapes: Seq[Array[Byte]]): Unit = {
     val total = 100 + shapes.map(8 + _.length).sum
     val out = new DataOutputStream(new FileOutputStream(path))
@@ -226,6 +274,78 @@ class ShapefileSpec extends SparkTestBase {
         case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
       }
     }
+  }
+
+  test("PointZ records: Z always, M by content length, nodata M → NaN") {
+    val d = java.nio.file.Files.createTempDirectory("shpz").toString
+    writeShp(s"$d/pz.shp", Seq(
+      pointZShape(1, 2, 30, Some(7.5)),   // full XYZM
+      pointZShape(3, 4, 50, None),        // 28-byte record: no M slot
+      pointZShape(5, 6, 70, Some(-1e40)))) // M slot present but ESRI nodata
+    writeDbf(s"$d/pz.dbf", Seq(("ID", 'N', 4, 0)), Seq(Seq("1"), Seq("2"), Seq("3")))
+    val rows = graft.sources.Shapefile.read(spark, s"$d/pz.shp")
+      .selectExpr("ID", "ST_X(geometry) x", "ST_Y(geometry) y", "ST_Z(geometry) z",
+        "ST_M(geometry) m", "ST_HasZ(geometry) hz", "ST_HasM(geometry) hm")
+      .orderBy("ID").collect()
+    assert(rows(0).getDouble(1) == 1 && rows(0).getDouble(2) == 2 &&
+      rows(0).getDouble(3) == 30 && rows(0).getDouble(4) == 7.5 &&
+      rows(0).getBoolean(5) && rows(0).getBoolean(6))
+    assert(rows(1).getDouble(3) == 50 && rows(1).getBoolean(5) && !rows(1).getBoolean(6))
+    assert(rows(2).getDouble(3) == 70 && rows(2).getDouble(4).isNaN)
+  }
+
+  test("PointM records decode the measure without a Z") {
+    val d = java.nio.file.Files.createTempDirectory("shpm").toString
+    writeShp(s"$d/pm.shp", Seq(pointMShape(1, 2, 9.25)))
+    writeDbf(s"$d/pm.dbf", Seq(("ID", 'N', 4, 0)), Seq(Seq("1")))
+    val r = graft.sources.Shapefile.read(spark, s"$d/pm.shp")
+      .selectExpr("ST_M(geometry)", "ST_HasM(geometry)", "ST_HasZ(geometry)").head()
+    assert(r.getDouble(0) == 9.25 && r.getBoolean(1) && !r.getBoolean(2))
+  }
+
+  test("PolyLineZ + M band round-trips all four ordinates through WKB/WKT") {
+    val d = java.nio.file.Files.createTempDirectory("shplz").toString
+    writeShp(s"$d/lz.shp", Seq(polyZShape(13,
+      Seq(Seq((0.0, 0.0, 10.0), (3.0, 4.0, 20.0))), Some(Seq(100.0, 200.0)))))
+    writeDbf(s"$d/lz.dbf", Seq(("ID", 'N', 4, 0)), Seq(Seq("1")))
+    val r = graft.sources.Shapefile.read(spark, s"$d/lz.shp")
+      .selectExpr("ST_AsText(geometry)", "ST_Length(geometry)").head()
+    assert(r.getString(0) == "LINESTRING ZM(0 0 10 100, 3 4 20 200)", r.getString(0))
+    assert(r.getDouble(1) == 5.0) // length stays planar
+  }
+
+  test("PolygonZ without M: Z band decodes, ring assembly unchanged") {
+    val d = java.nio.file.Files.createTempDirectory("shppz").toString
+    val shell = Seq((0.0, 0.0, 5.0), (0.0, 10.0, 5.0), (10.0, 10.0, 5.0),
+      (10.0, 0.0, 5.0), (0.0, 0.0, 5.0)) // CW
+    writeShp(s"$d/gz.shp", Seq(polyZShape(15, Seq(shell), None)))
+    writeDbf(s"$d/gz.dbf", Seq(("ID", 'N', 4, 0)), Seq(Seq("1")))
+    val r = graft.sources.Shapefile.read(spark, s"$d/gz.shp")
+      .selectExpr("ST_GeometryType(geometry)", "ST_Area(geometry)",
+        "ST_Z(geometry)", "ST_HasZ(geometry)", "ST_HasM(geometry)").head()
+    assert(r.getString(0) == "ST_Polygon" && r.getDouble(1) == 100.0)
+    assert(r.getDouble(2) == 5.0 && r.getBoolean(3) && !r.getBoolean(4))
+  }
+
+  test("MultiPointZ with M band keeps per-point Z and M") {
+    val d = java.nio.file.Files.createTempDirectory("shpmz").toString
+    writeShp(s"$d/mz.shp", Seq(multiPointZShape(
+      Seq((1.0, 2.0, 11.0), (3.0, 4.0, 22.0)), Some(Seq(0.5, 1.5)))))
+    writeDbf(s"$d/mz.dbf", Seq(("ID", 'N', 4, 0)), Seq(Seq("1")))
+    val r = graft.sources.Shapefile.read(spark, s"$d/mz.shp")
+      .selectExpr("ST_AsText(geometry)").head()
+    assert(r.getString(0) == "MULTIPOINT ZM((1 2 11 0.5), (3 4 22 1.5))", r.getString(0))
+  }
+
+  test("shp/dbf record-count mismatch fails loudly (not a silent truncation)") {
+    val d = java.nio.file.Files.createTempDirectory("shpbad").toString
+    writeShp(s"$d/bad.shp", Seq(pointShape(1, 1), pointShape(2, 2), pointShape(3, 3)))
+    writeDbf(s"$d/bad.dbf", Seq(("ID", 'N', 4, 0)), Seq(Seq("1"), Seq("2"))) // one short
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.sources.Shapefile.read(spark, s"$d/bad.shp").collect()
+    }
+    assert(e.getMessage.contains("record-count mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("record-count mismatch")))
   }
 
   test("g40/g54 fixture (no .shx) still reads whole-pair") {
