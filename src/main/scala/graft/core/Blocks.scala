@@ -36,10 +36,33 @@ object Blocks {
   }
 
   /** Unpersist the given RDD ids (non-blocking). Ids already evicted or
-    * unpersisted are ignored. */
+    * unpersisted are ignored.
+    *
+    * CONTRACT: a locally-checkpointed RDD cannot be recomputed once its
+    * blocks are gone (Spark WARNs on every such unpersist), so callers must
+    * release a round's ids only after nothing reachable still depends on
+    * them — in the iterative operators, after the SUPERSEDING round's
+    * checkpoint has materialized. Loop bodies should go through
+    * [[releaseSuperseded]], which asserts that ordering. */
   def release(spark: SparkSession, ids: Set[Int]): Unit = {
     val reg = spark.sparkContext.getPersistentRDDs
     ids.foreach(id => reg.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
+  /** [[release]] for the iterate-and-supersede pattern: frees `prev` only
+    * after asserting the superseding checkpoint actually pinned blocks that
+    * are still registered. [[checkpoint]] is eager, so a non-empty,
+    * registered `next` means the new round's data is materialized and the
+    * old round's blocks are genuinely unreachable — the unpersist can never
+    * strand a recomputation. A failure here means the checkpoint call above
+    * it silently stopped pinning (a Spark behavior change this assert is
+    * designed to surface loudly instead of as a data-loss heisenbug). */
+  def releaseSuperseded(spark: SparkSession, prev: Set[Int], next: Set[Int]): Unit = {
+    val reg = spark.sparkContext.getPersistentRDDs
+    require(next.nonEmpty && next.exists(reg.contains),
+      s"superseding checkpoint pinned no registered blocks (next=$next) — " +
+        "releasing the prior round would make it unrecomputable")
+    release(spark, prev)
   }
 
   /** Session-wide scrub: unpersist every registered RDD block and drop the

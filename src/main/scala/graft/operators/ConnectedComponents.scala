@@ -84,8 +84,9 @@ object ConnectedComponents {
       converged = s.compareTo(prevSig) == 0
       prevSig = s
       // the new checkpoint is materialized — the previous round's blocks are
-      // dead weight from here on
-      Blocks.release(spark, labelIds)
+      // dead weight from here on (the supersede assert makes that ordering
+      // loud instead of a recompute heisenbug if checkpointing ever changed)
+      Blocks.releaseSuperseded(spark, labelIds, nextIds)
       labels = next
       labelIds = nextIds
       iter += 1
@@ -162,7 +163,7 @@ object ConnectedComponents {
       val s = sig(next)
       converged = s == prevSig
       prevSig = s
-      Blocks.release(spark, curIds)
+      Blocks.releaseSuperseded(spark, curIds, nextIds)
       cur = next
       curIds = nextIds
       iter += 1

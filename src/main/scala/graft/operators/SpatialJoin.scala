@@ -373,7 +373,7 @@ object SpatialJoin {
         val resolved = part.select(col(leftIdCol).as("__res_id")).distinct()
         val (next, nextIds) = graft.core.Blocks.checkpoint(
           unresolved.join(resolved, col(leftIdCol) === col("__res_id"), "left_anti"))
-        graft.core.Blocks.release(spark, unresolvedIds)
+        graft.core.Blocks.releaseSuperseded(spark, unresolvedIds, nextIds)
         unresolved = next
         unresolvedIds = nextIds
         if (unresolved.isEmpty) done = true else r = math.min(r * 2, rMax)
