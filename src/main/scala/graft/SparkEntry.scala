@@ -1832,6 +1832,43 @@ object SparkEntry {
       ('pz', 2::BIGINT, 'POINT Z(3 4 50)', true, false)
     ) t(src, id, wkt, has_z, has_m) ORDER BY src, id"""
 
+  /** Conic pivot-matrix closure (g94): arbitrary projected↔projected pairs
+    * involving the round-15 conic grids compose through the 4326 pivot
+    * (Geodesy.transform's composition case). Pinned as ZERO-DELTA gates —
+    * the 4326→X→Y→4326 round trip returns the input at the 0.1-µdeg grid
+    * (inverse iterations converge to 1e-13 rad, so the deltas are ~1e5×
+    * under the grid), and 4326→5070→2154 equals the direct 4326→2154 leg
+    * at the millimeter grid. Any wiring error in the composition case
+    * (wrong leg order, missed domain check, constants resolved for the
+    * wrong CRS) breaks a pin by many grid steps. */
+  private val g94Spark = """
+    WITH pts AS (SELECT * FROM VALUES
+        (0, -100.0D, 40.0D), (1, -80.0D, 35.0D), (2, 2.35D, 48.85D),
+        (3, 5.0D, 44.0D), (4, -120.0D, 49.0D)
+      AS t(id, lon, lat)),
+    t AS (SELECT id, lon, lat,
+            ST_Transform(ST_Transform(ST_Transform(
+              ST_Point(lon, lat), 4326, 5070), 5070, 2154), 2154, 4326) AS rt,
+            ST_Transform(ST_Point(lon, lat), 4326, 2154) AS direct,
+            ST_Transform(ST_Transform(
+              ST_Point(lon, lat), 4326, 5070), 5070, 2154) AS composed
+          FROM pts)
+    SELECT id,
+      CAST(ROUND(ABS(ST_X(rt) - lon) * 1e7, 0) AS BIGINT) AS dlon_01udeg,
+      CAST(ROUND(ABS(ST_Y(rt) - lat) * 1e7, 0) AS BIGINT) AS dlat_01udeg,
+      CAST(ROUND(ABS(ST_X(composed) - ST_X(direct)) * 1e3, 0) AS BIGINT) AS dx_mm,
+      CAST(ROUND(ABS(ST_Y(composed) - ST_Y(direct)) * 1e3, 0) AS BIGINT) AS dy_mm
+    FROM t ORDER BY id"""
+
+  private val g94Duck = """
+    SELECT * FROM (VALUES
+      (0, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT),
+      (1, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT),
+      (2, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT),
+      (3, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT),
+      (4, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT)
+    ) t(id, dlon_01udeg, dlat_01udeg, dx_mm, dy_mm) ORDER BY id"""
+
   /** ST_AsSVG display surface pinned to literals (PostGIS conventions:
     * y negated for SVG's y-down space, points as cx/cy, rings as M/L…Z with
     * the closing duplicate dropped) — the display half of the reference's
@@ -11641,6 +11678,7 @@ object SparkEntry {
     ("g91_arrow_nested", g91Fn _, g91Duck),
     ("g92_conic_projections", q(g92Spark), g92Duck),
     ("g93_shapefile_zm", g93Fn _, g93Duck),
+    ("g94_conic_pivot", q(g94Spark), g94Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -70,6 +70,13 @@ object Geodesy {
     if (toSrid == 3857) require(math.abs(c.y) < 90.0,
       s"ST_Transform: latitude ${c.y} not representable in EPSG:3857 " +
         "(web-mercator pole singularity)")
+    // conic targets share the loud-failure contract: LCC's forward hits
+    // tan(π/2)→∞ at the antipodal pole and the Albers inverse iteration
+    // divides by cos(φ)=0 at ±90 — without this, pole inputs yield silent
+    // Infinity/NaN coordinates where the 3857 path raises
+    if (conicOf(toSrid).isDefined) require(math.abs(c.y) < 90.0,
+      s"ST_Transform: latitude ${c.y} not representable in EPSG:$toSrid " +
+        "(conic pole singularity)")
   }
 
   def transform(b: Array[Byte], fromSrid: Int, toSrid: Int): Array[Byte] =

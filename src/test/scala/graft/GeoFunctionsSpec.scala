@@ -456,6 +456,44 @@ class GeoFunctionsSpec extends SparkTestBase {
                            ST_X(ST_Transform(ST_Transform(ST_Point(9.0, 50.0), 4326, 32632),
                                              32632, 32633)) AS e""").head()
     assert(ok.getDouble(0) > 1.9e7 && ok.getDouble(1) < 500000.0)
+    // conic targets share the pole-singularity contract with 3857: LCC's
+    // forward is tan(π/2)-divergent and the Albers inverse divides by
+    // cos(φ)=0 at the pole — loud error, never silent Infinity/NaN
+    for (conic <- Seq(5070, 2154); lat <- Seq(90.0, -90.0)) {
+      val p = intercept[Exception](
+        sql(s"SELECT ST_Transform(ST_Point(0.0, $lat), 4326, $conic)").collect())
+      assert(p.getMessage.contains("pole singularity"), s"$conic/$lat: ${p.getMessage}")
+    }
+  }
+
+  test("ST_Transform conic pivot matrix: projected↔projected composes through 4326 with the same bounds contract") {
+    // round-trip closure for every conic-involving pair shape — two pivot
+    // hops accumulate only the 1e-13 rad inverse-iteration tolerance, so
+    // closure holds at micrometer scale
+    val rt = sql("""
+      SELECT
+        ST_X(ST_Transform(ST_Transform(ST_Point(-100.0, 40.0), 5070, 2154), 2154, 5070)) AS x1,
+        ST_Y(ST_Transform(ST_Transform(ST_Point(-100.0, 40.0), 5070, 2154), 2154, 5070)) AS y1,
+        ST_X(ST_Transform(ST_Transform(ST_Point(-1.1e7, 4.8e6), 3857, 5070), 5070, 3857)) AS x2,
+        ST_X(ST_Transform(ST_Transform(ST_Point(500000.0, 4400000.0), 32618, 2154), 2154, 32618)) AS x3
+    """).head()
+    assert(math.abs(rt.getDouble(0) - -100.0) < 1e-6 && math.abs(rt.getDouble(1) - 40.0) < 1e-6)
+    assert(math.abs(rt.getDouble(2) - -1.1e7) < 1e-5)
+    assert(math.abs(rt.getDouble(3) - 500000.0) < 1e-5)
+    // composed-through-pivot equals the direct analytic leg exactly at the
+    // shared 4326 waypoint: 4326→5070→2154 vs 4326→2154 diverge only by the
+    // 5070 round-trip's iteration tolerance
+    val d = sql("""
+      SELECT ABS(ST_X(ST_Transform(ST_Transform(ST_Point(2.35, 48.85), 4326, 5070), 5070, 2154))
+               - ST_X(ST_Transform(ST_Point(2.35, 48.85), 4326, 2154))) AS dx
+    """).head().getDouble(0)
+    assert(d < 1e-4, s"composed vs direct diverged by $d m")
+    // a projected input whose pivot waypoint falls outside the 4326 domain
+    // surfaces as the pivot leg's loud domain error, not NaN propagation
+    // (an easting of 1e9 m in 3857 inverts to lon ≈ 5157°)
+    val bad = intercept[Exception](
+      sql("SELECT ST_Transform(ST_Point(1.0e9, 0.0), 3857, 5070)").collect())
+    assert(bad.getMessage.contains("EPSG:4326 domain"), bad.getMessage)
   }
 
   test("ST_Polygonize: assembles enclosed cells, ignores dangles, empty when open") {
