@@ -1869,6 +1869,38 @@ object SparkEntry {
       (4, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT)
     ) t(id, dlon_01udeg, dlat_01udeg, dx_mm, dy_mm) ORDER BY id"""
 
+  /** Dictionary-encoded STREAM-format Arrow IPC (g95): the g86 interop
+    * shape through the footer-less .arrows wire format — the default of
+    * pyarrow's `ipc.new_stream` and Flight-style pipes, where dictionary
+    * batches ride INLINE ahead of the record batches (previously refused;
+    * round 16 maps the value types from the schema message, which declares
+    * them for both wire formats). Write emits inline dictionaries, read
+    * decodes index→value per cell; the aggregate pins lookup + geometry
+    * against closed forms. */
+  private def g95Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g95_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val df = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CONCAT('tag-', CAST(id % 7 AS STRING)) AS tag,
+             ST_Point(CAST(id AS DOUBLE), 2.0) AS geometry
+      FROM range(200)""").coalesce(1)
+    graft.sources.ArrowIpc.write(df, out, dictionaryColumns = Seq("tag"),
+      streamFormat = true)
+    s.read.format("arrowipc").load(out)
+      .selectExpr("tag", "ST_X(geometry) AS x")
+      .groupBy("tag")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("x").cast("bigint").as("sum_fid"))
+      .orderBy("tag")
+  }
+
+  private val g95Duck = """
+    SELECT CONCAT('tag-', CAST(i % 7 AS VARCHAR)) AS tag, COUNT(*)::BIGINT AS n,
+           SUM(i)::BIGINT AS sum_fid
+    FROM range(200) t(i) GROUP BY 1 ORDER BY 1"""
+
   /** ST_AsSVG display surface pinned to literals (PostGIS conventions:
     * y negated for SVG's y-down space, points as cx/cy, rings as M/L…Z with
     * the closing duplicate dropped) — the display half of the reference's
@@ -11679,6 +11711,7 @@ object SparkEntry {
     ("g92_conic_projections", q(g92Spark), g92Duck),
     ("g93_shapefile_zm", g93Fn _, g93Duck),
     ("g94_conic_pivot", q(g94Spark), g94Duck),
+    ("g95_arrow_stream_dict", g95Fn _, g95Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

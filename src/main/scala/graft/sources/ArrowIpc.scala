@@ -107,15 +107,13 @@ object ArrowIpc {
   def schemaOf(spark: SparkSession, path: String): StructType =
     withFirstFile(spark, path) { reader =>
       val fields0 = reader.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
-      // stream-format dictionaries arrive INLINE with the batches, so the
-      // value type is unknowable at schema time — refuse loudly rather
-      // than silently mapping the index type as data
-      if (reader.isInstanceOf[org.apache.arrow.vector.ipc.ArrowStreamReader] &&
-          fields0.exists(hasDictionary))
-        throw new IllegalArgumentException(
-          s"ArrowIpc: $path is STREAM-format IPC with dictionary-encoded " +
-            "columns; dictionaries are inline there and cannot be schema-" +
-            "mapped upfront — rewrite as file-format .arrow")
+      // stream-format dictionaries arrive INLINE with the batches, but the
+      // schema message still declares every encoded field's VALUE type:
+      // ArrowReader.initialize pre-creates each dictionary's vector (empty,
+      // correctly typed) at schema read, so `lookup` maps stream and file
+      // dictionaries identically here — only the values arrive later, and
+      // loadNextBatch fills the same vector in place (round 16; previously
+      // refused on the wrong belief that the value type was unknowable)
       StructType(fields0.map { f =>
         val base = StructField(f.getName, sparkTypeOf(f, reader.lookup))
         if (!isGeo(f.getMetadata)) base
@@ -243,9 +241,10 @@ object ArrowIpc {
   }
 
   /** Format-appropriate reader over an open channel. Stream-format files
-    * carry dictionaries INLINE (they materialize only as batches are read),
-    * so dictionary-encoded columns there cannot be schema-mapped upfront —
-    * refused loudly in [[schemaOf]]. */
+    * carry dictionary VALUES inline with the batches, but the schema
+    * message declares the value types, so [[schemaOf]] maps both formats
+    * identically (the reader pre-creates typed empty dictionary vectors at
+    * schema read). */
   private def openReader(ch: FsChannel, allocator: RootAllocator, fileFormat: Boolean)
       : org.apache.arrow.vector.ipc.ArrowReader =
     if (fileFormat) new ArrowFileReader(ch, allocator)
@@ -924,13 +923,10 @@ object ArrowIpc {
             streamFormat: Boolean = false): Unit = {
     // STREAM wire format (.arrows): schema message + batches + EOS, no
     // footer — the shape stream-first consumers (Flight-style pipes,
-    // arrow-js) ingest directly. Dictionaries are refused because they
-    // arrive inline there and [[schemaOf]] cannot map them upfront — the
-    // same loud contract the reader enforces.
-    require(!streamFormat || dictionaryColumns.isEmpty,
-      "ArrowIpc.write: dictionary columns require the file format " +
-        "(.arrow) — STREAM-format dictionaries are inline and the reader " +
-        "cannot schema-map them upfront")
+    // arrow-js) ingest directly. Dictionary columns work in both formats:
+    // ArrowStreamWriter emits the provider's dictionary batches inline
+    // ahead of the record batches, and the reader maps them from the
+    // schema message's value types (round 16).
     import org.apache.arrow.vector._
     import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
     import org.apache.arrow.vector.types.FloatingPointPrecision

@@ -287,15 +287,14 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
           try { writer.start(); writer.writeBatch(); writer.end() }
           finally { writer.close(); out.close() }
           // STREAM-format (.arrows) twin of the same root: the bare
-          // message-sequence wire format must decode to the identical rows
-          // (dictionary trials stay file-only — stream dictionaries are
-          // inline and the reader refuses them by documented contract)
-          if (dictVecs.isEmpty) {
-            val sOut = new java.io.FileOutputStream(streamTwin(file))
-            val sWriter = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, provider, sOut.getChannel)
-            try { sWriter.start(); sWriter.writeBatch(); sWriter.end() }
-            finally { sWriter.close(); sOut.close() }
-          }
+          // message-sequence wire format must decode to the identical rows.
+          // Dictionary trials twin too (round 16): their dictionary batches
+          // ride inline ahead of the record batch and the reader maps the
+          // value types from the schema message
+          val sOut = new java.io.FileOutputStream(streamTwin(file))
+          val sWriter = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, provider, sOut.getChannel)
+          try { sWriter.start(); sWriter.writeBatch(); sWriter.end() }
+          finally { sWriter.close(); sOut.close() }
         } finally root.close()
       } finally { dictVecs.foreach(_.close()); alloc.close() }
 

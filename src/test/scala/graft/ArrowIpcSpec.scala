@@ -442,7 +442,7 @@ class ArrowIpcSpec extends SparkTestBase {
     assert(counted == Map("r0" -> 40L, "r1" -> 40L, "r2" -> 40L), s"$counted")
   }
 
-  test("STREAM-format IPC (.arrows) reads through both paths; dictionaries refused loudly") {
+  test("STREAM-format IPC (.arrows) reads through both paths; inline dictionaries decode") {
     // pyarrow's ipc.new_stream / Flight dumps emit the footer-less stream
     // format; decode is sequential (no footer → no pruning, no splits)
     import org.apache.arrow.memory.RootAllocator
@@ -489,7 +489,10 @@ class ArrowIpcSpec extends SparkTestBase {
     val names = spark.read.format("arrowipc").load(file.getAbsolutePath)
       .select("name").collect().map(_.getString(0))
     assert(names.length == 3 * n && names.contains("row-0") && names.contains("row-359"))
-    // dictionary-encoded stream column → loud refusal at schema time
+    // dictionary-encoded stream column: the schema message declares the
+    // VALUE type and the inline dictionary batch precedes the record
+    // batch, so the external-writer shape (pyarrow/arrow-js default)
+    // decodes to values — previously refused on a wrong premise
     val dictFile = new java.io.File(dirOut, "dict.arrows")
     val alloc2 = new RootAllocator()
     var dv: VarCharVector = null
@@ -511,10 +514,10 @@ class ArrowIpcSpec extends SparkTestBase {
         try { w2.start(); w2.writeBatch(); w2.end() } finally { w2.close(); out2.close() }
       } finally root2.close()
     } finally { if (dv != null) dv.close(); alloc2.close() }
-    val err = intercept[IllegalArgumentException] {
-      ArrowIpc.read(spark, dictFile.getAbsolutePath)
-    }
-    assert(err.getMessage.contains("STREAM-format"), err.getMessage)
+    val dictDf = ArrowIpc.read(spark, dictFile.getAbsolutePath)
+    assert(dictDf.schema("c").dataType == org.apache.spark.sql.types.StringType,
+      s"stream dictionary column must map its VALUE type: ${dictDf.schema}")
+    assert(dictDf.collect().map(_.getString(0)).toSeq == Seq("x"))
   }
 
   test("large single .arrow splits into batch-range tasks sized to maxPartitionBytes") {
@@ -781,7 +784,7 @@ class ArrowIpcSpec extends SparkTestBase {
     assert(hdr.fieldNames.toSeq == Seq("id", "label", "score", "flag", "geometry"))
   }
 
-  test("STREAM-format WRITE: .arrows roundtrip (nested + geometry + metadata), wire shape, dictionary refusal") {
+  test("STREAM-format WRITE: .arrows roundtrip (nested + geometry + metadata), wire shape, dictionary roundtrip") {
     val out = java.nio.file.Files.createTempDirectory("arrowsw").toString
     val df = spark.sql("""
       SELECT CAST(id AS BIGINT) AS fid,
@@ -811,12 +814,18 @@ class ArrowIpcSpec extends SparkTestBase {
     // geometry extension metadata survives the stream hop
     assert(ArrowIpc.schemaOf(spark, out)("geometry").dataType ==
       org.apache.spark.sql.types.BinaryType)
-    // dictionaries are file-format-only, refused loudly at entry
-    val err = intercept[IllegalArgumentException] {
-      ArrowIpc.write(df.selectExpr("fid", "label"), out + "_d",
-        geometryCol = "none", dictionaryColumns = Seq("label"), streamFormat = true)
-    }
-    assert(err.getMessage.contains("STREAM-format"), err.getMessage)
+    // dictionary columns work in the stream format too: the writer emits
+    // the dictionary batch inline ahead of the records, the reader maps
+    // the value type from the schema message (round 16)
+    val dLow = df.selectExpr("fid", "CONCAT('t', fid % 5) AS tag")
+    ArrowIpc.write(dLow, out + "_d",
+      geometryCol = "none", dictionaryColumns = Seq("tag"), streamFormat = true)
+    val backD = ArrowIpc.read(spark, out + "_d")
+    assert(backD.schema("tag").dataType == org.apache.spark.sql.types.StringType)
+    val ad = dLow.selectExpr("fid", "tag")
+    val bd = backD.selectExpr("fid", "tag")
+    assert(ad.except(bd).isEmpty && bd.except(ad).isEmpty,
+      "stream dictionary write→read roundtrip")
   }
 
   test("multi-batch files stream: >batchSize rows roundtrip, LIMIT abandons cleanly") {
