@@ -929,15 +929,23 @@ object GeomOps {
     if (buf.length >= 2 && buf.head.x == buf.last.x && buf.head.y == buf.last.y) buf.remove(buf.length - 1)
     if (buf.length < 3) return Array.empty
     // zero-area collapse must vanish like the overlay path's
-    // dimension-collapsed slivers do
+    // dimension-collapsed slivers do — tested at a RELATIVE epsilon, not
+    // exact zero: a clipped ring whose shoelace sum is a few ulps from
+    // zero is a numerically degenerate hairline the overlay path would
+    // have snapped away, so emitting it would trade robustness for noise
     var area2 = 0.0
+    var minX = Double.MaxValue; var maxX = -Double.MaxValue
+    var minY = Double.MaxValue; var maxY = -Double.MaxValue
     i = 0
     while (i < buf.length) {
       val p = buf(i); val q = buf((i + 1) % buf.length)
       area2 += p.x * q.y - q.x * p.y
+      if (p.x < minX) minX = p.x; if (p.x > maxX) maxX = p.x
+      if (p.y < minY) minY = p.y; if (p.y > maxY) maxY = p.y
       i += 1
     }
-    if (area2 == 0.0) return Array.empty
+    val span = math.max(maxX - minX, maxY - minY)
+    if (math.abs(area2) <= 1e-12 * span * span) return Array.empty
     buf += buf.head.copy()
     buf.toArray
   }

@@ -128,10 +128,21 @@ object SpatialJoin {
     // comparison) — restrict to atomic scalars so the two paths cannot
     // disagree; struct/array ids would compare differently or not at all
     locally {
-      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      import org.apache.spark.sql.types._
       val ridType = right.schema(rightIdCol).dataType
-      require(!ridType.isInstanceOf[StructType] && !ridType.isInstanceOf[ArrayType] &&
-          !ridType.isInstanceOf[MapType],
+      // WHITELIST of scalars both tie-break paths order identically, not a
+      // container blacklist: a UDT or year-month interval would pass a
+      // blacklist, survive the SQL-window path, then throw
+      // ClassCastException only in the broadcast-remainder heap's
+      // comparator — the same query succeeding or failing depending on
+      // which round resolves a row. Every type here maps to a Comparable
+      // JVM value (or Array[Byte], compared unsigned like SQL binary).
+      val orderableAtomic = ridType match {
+        case _: NumericType | StringType | BooleanType | DateType |
+             TimestampType | TimestampNTZType | BinaryType | NullType => true
+        case _ => false
+      }
+      require(orderableAtomic,
         s"knn: rightIdCol '$rightIdCol' must be an atomic (orderable scalar) type for the " +
           s"rank tie-break, is ${ridType.simpleString}")
     }
