@@ -315,14 +315,29 @@ object Shapefile {
     }.toIndexedSeq
   }
 
-  /** Schema = DBF property columns (file order) + `geometry` WKB. */
+  /** Schema = DBF property columns (file order) + `geometry` WKB. A `.prj`
+    * sidecar (ESRI/OGC WKT CRS text) stamps the geometry column's
+    * `geoparquet.crs` field metadata — the same key the GeoParquet/FGB/
+    * Arrow faces use, so a Shapefile→GeoParquet hop carries the CRS. The
+    * reference leaves .prj to the caller (reader.rs:26-28 "Read this from
+    * the `.prj` file ... with the same filename"); reading it here is the
+    * engine doing that step for the user. */
   private[sources] def schemaOf(fs: org.apache.hadoop.fs.FileSystem,
                                 shpFile: String): StructType = {
     val dbp = new org.apache.hadoop.fs.Path(shpFile.stripSuffix(".shp") + ".dbf")
+    val prj = new org.apache.hadoop.fs.Path(shpFile.stripSuffix(".shp") + ".prj")
+    val geomMeta = {
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      if (fs.exists(prj)) {
+        val wkt = new String(readAll(fs, prj), "UTF-8").trim
+        if (wkt.nonEmpty) mb.putString("geoparquet.crs", wkt)
+      }
+      mb.build()
+    }
     StructType(
       (if (fs.exists(dbp)) dbfFields(readAll(fs, dbp))._1
         .map(f => StructField(f.name, dbfType(f)))
-      else Seq.empty) :+ StructField("geometry", BinaryType))
+      else Seq.empty) :+ StructField("geometry", BinaryType, nullable = true, geomMeta))
   }
 
   /** Zip geometries with property records, FAILING LOUDLY when the two

@@ -348,6 +348,23 @@ class ShapefileSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("record-count mismatch")))
   }
 
+  test(".prj sidecar stamps geoparquet.crs on the geometry column (both faces)") {
+    val d = java.nio.file.Files.createTempDirectory("shpprj").toString
+    writeShp(s"$d/p.shp", Seq(pointShape(1, 2)))
+    writeDbf(s"$d/p.dbf", Seq(("ID", 'N', 4, 0)), Seq(Seq("1")))
+    val wkt = """GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/p.prj"), wkt.getBytes("UTF-8"))
+    for (df <- Seq(Shapefile.read(spark, s"$d/p.shp"),
+                   spark.read.format("shapefile").load(s"$d/p.shp"))) {
+      val m = df.schema("geometry").metadata
+      assert(m.contains("geoparquet.crs") && m.getString("geoparquet.crs") == wkt,
+        s"missing/garbled crs stamp: ${df.schema("geometry")}")
+    }
+    // no .prj → no stamp (absent, not empty)
+    assert(!Shapefile.read(spark, s"$dir/pts.shp").schema("geometry")
+      .metadata.contains("geoparquet.crs"))
+  }
+
   test("g40/g54 fixture (no .shx) still reads whole-pair") {
     // the driver-embedded 4-point fixture ships no .shx: planSplits must
     // fall back to one pair = one task
