@@ -442,6 +442,74 @@ class ArrowIpcSpec extends SparkTestBase {
     assert(counted == Map("r0" -> 40L, "r1" -> 40L, "r2" -> 40L), s"$counted")
   }
 
+  test("mid-stream DELTA and REPLACEMENT dictionary batches decode per-batch-correct values") {
+    // a foreign producer (pyarrow can emit both) may grow a dictionary with
+    // delta batches or re-emit it wholesale between record batches; the
+    // reader's per-cell lookup rides the live dictionary vector, so each
+    // record batch decodes against the dictionary state at its point in
+    // the stream. Constructed at the message level — our own writer never
+    // emits mid-stream dictionaries.
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.types.pojo._
+    import org.apache.arrow.vector.dictionary._
+    import org.apache.arrow.vector.ipc.WriteChannel
+    import org.apache.arrow.vector.ipc.message._
+    import scala.jdk.CollectionConverters._
+    val dirOut = java.nio.file.Files.createTempDirectory("arrowdelta").toString
+    val alloc = new RootAllocator()
+    try {
+      val enc = new DictionaryEncoding(7L, false, new ArrowType.Int(32, true))
+      def dictBatch(vals: Seq[String], isDelta: Boolean): ArrowDictionaryBatch = {
+        val dv = new VarCharVector("d", alloc); dv.allocateNew()
+        vals.zipWithIndex.foreach { case (s, i) => dv.setSafe(i, s.getBytes("UTF-8")) }
+        dv.setValueCount(vals.length)
+        val root = new VectorSchemaRoot(Seq(dv.getField).asJava, Seq[FieldVector](dv).asJava, vals.length)
+        try new ArrowDictionaryBatch(7L, new VectorUnloader(root).getRecordBatch, isDelta)
+        finally root.close()
+      }
+      def recBatch(ids: Seq[Int]): ArrowRecordBatch = {
+        val iv = new IntVector("color", alloc); iv.allocateNew()
+        ids.zipWithIndex.foreach { case (v, i) => iv.setSafe(i, v) }
+        iv.setValueCount(ids.length)
+        val root = new VectorSchemaRoot(Seq(iv.getField).asJava, Seq[FieldVector](iv).asJava, ids.length)
+        try new VectorUnloader(root).getRecordBatch finally root.close()
+      }
+      // wire schema carries the VALUE type + the encoding (IPC message format)
+      val wireSchema = new Schema(Seq(new Field("color",
+        new FieldType(true, new ArrowType.Utf8(), enc, null),
+        null.asInstanceOf[java.util.List[Field]])).asJava)
+      // batches retain buffer slices — close each after it hits the wire
+      def serD(wch: WriteChannel, b: ArrowDictionaryBatch): Unit =
+        try MessageSerializer.serialize(wch, b) finally b.close()
+      def serR(wch: WriteChannel, b: ArrowRecordBatch): Unit =
+        try MessageSerializer.serialize(wch, b) finally b.close()
+      def writeStream(file: java.io.File, second: () => ArrowDictionaryBatch): Unit = {
+        val out = new java.io.FileOutputStream(file)
+        try {
+          val wch = new WriteChannel(out.getChannel)
+          MessageSerializer.serialize(wch, wireSchema)
+          serD(wch, dictBatch(Seq("red", "green"), false))
+          serR(wch, recBatch(Seq(0, 1)))
+          serD(wch, second())
+          serR(wch, recBatch(Seq(2, 0)))
+          wch.writeIntLittleEndian(0) // EOS
+        } finally out.close()
+      }
+      val deltaFile = new java.io.File(dirOut, "delta.arrows")
+      writeStream(deltaFile, () => dictBatch(Seq("blue"), isDelta = true)) // ids grow to {0,1,2}
+      val repFile = new java.io.File(dirOut, "replace.arrows")
+      writeStream(repFile, () => dictBatch(Seq("cyan", "mauve", "blue"), isDelta = false))
+      val delta = ArrowIpc.read(spark, deltaFile.getAbsolutePath)
+        .collect().map(_.getString(0)).toSeq
+      assert(delta == Seq("red", "green", "blue", "red"), s"delta decode: $delta")
+      val rep = ArrowIpc.read(spark, repFile.getAbsolutePath)
+        .collect().map(_.getString(0)).toSeq
+      // batch 2 decodes under the REPLACED dictionary: id 2 → blue, id 0 → cyan
+      assert(rep == Seq("red", "green", "blue", "cyan"), s"replacement decode: $rep")
+    } finally alloc.close()
+  }
+
   test("STREAM-format IPC (.arrows) reads through both paths; inline dictionaries decode") {
     // pyarrow's ipc.new_stream / Flight dumps emit the footer-less stream
     // format; decode is sequential (no footer → no pruning, no splits)
