@@ -1900,6 +1900,172 @@ object SparkEntry {
     SELECT CONCAT('tag-', CAST(i % 7 AS VARCHAR)) AS tag, COUNT(*)::BIGINT AS n,
            SUM(i)::BIGINT AS sum_fid
     FROM range(200) t(i) GROUP BY 1 ORDER BY 1"""
+  // GeoArrow geometry-UNION fixture (arrow-java-built, serialized to hex):
+  // fid BIGINT; twkt Utf8 tagged geoarrow.wkt; bbox struct tagged
+  // geoarrow.box; geometry = DENSE UNION tagged geoarrow.geometry with
+  // reference type ids (1 Point XY, 12 LineString Z, 24 MultiPoint M —
+  // rust/geoarrow-schema/src/type.rs:1064-1106) over interleaved coords;
+  // gc = List over a (Point, LineString) union tagged
+  // geoarrow.geometrycollection, incl. an EMPTY and a NULL collection.
+  private val g96Arrow: String =
+      "4152524F57310000FFFFFFFFC00600001000000000000A000E0006000D0008000A000000000004001000" +
+      "000000010A000C000000080004000A0000000800000008000000000000000500000044060000B4050000" +
+      "48040000E001000004000000E2F9FFFF1400000060000000C001000000000C01BC010000010000000400" +
+      "00005CFAFFFF08000000240000001B00000067656F6172726F772E67656F6D65747279636F6C6C656374" +
+      "696F6E00140000004152524F573A657874656E73696F6E3A6E616D6500000000010000000400000052FA" +
+      "FFFF14000000140000002801000000000E01380100000000000002000000AC000000040000007AFAFFFF" +
+      "14000000140000008400000000000C01800000000000000001000000040000009EFAFFFF140000001400" +
+      "00004800000000001001480000000000000001000000040000009AFBFFFF140000001400000014000000" +
+      "0000000314000000000000000000000086FBFFFF00000200020000007879000022FDFFFF020000000800" +
+      "00007665727469636573000000001CFBFFFF0A0000004C696E65537472696E6700001EFBFFFF14000000" +
+      "140000004800000000001001480000000000000001000000040000001AFCFFFF14000000140000001400" +
+      "00000000000314000000000000000000000006FCFFFF000002000200000078790000A2FDFFFF02000000" +
+      "05000000506F696E740000009CFDFFFF08000000000001000200000001000000020000000A0000006765" +
+      "6F6D6574726965730000C0FBFFFF0200000067630000BAFBFFFF14000000580000002C02000000000E01" +
+      "40020000010000000400000034FCFFFF080000001C0000001100000067656F6172726F772E67656F6D65" +
+      "747279000000140000004152524F573A657874656E73696F6E3A6E616D6500000000030000005C010000" +
+      "B0000000040000002AFCFFFF14000000140000008400000000000C018000000000000000010000000400" +
+      "00004EFCFFFF14000000140000004800000000001001480000000000000001000000040000004AFDFFFF" +
+      "1400000014000000140000000000000314000000000000000000000036FDFFFF00000200030000007879" +
+      "6D00D2FEFFFF0300000008000000766572746963657300000000CCFCFFFF0C0000004D756C7469506F69" +
+      "6E74204D00000000D2FCFFFF14000000140000008400000000000C018000000000000000010000000400" +
+      "0000F6FCFFFF1400000014000000480000000000100148000000000000000100000004000000F2FDFFFF" +
+      "14000000140000001400000000000003140000000000000000000000DEFDFFFF00000200030000007879" +
+      "7A007AFFFFFF030000000800000076657274696365730000000074FDFFFF0C0000004C696E6553747269" +
+      "6E67205A000000007AFDFFFF140000001400000050000000000010015000000000000000010000000400" +
+      "000076FEFFFF1400000014000000140000000000000314000000000000000000000062FEFFFF00000200" +
+      "02000000787900000000060008000400060000000200000005000000506F696E7400000008000C000A00" +
+      "040008000000080000000000010003000000010000000C000000180000000800000067656F6D65747279" +
+      "000000001EFEFFFF14000000540000004C01000000000D0148010000010000000400000098FEFFFF0800" +
+      "0000180000000C00000067656F6172726F772E626F7800000000140000004152524F573A657874656E73" +
+      "696F6E3A6E616D650000000004000000BC000000740000003C0000000400000066FFFFFF140000001400" +
+      "0000140000000000000314000000000000000000000052FFFFFF0000020004000000796D617800000000" +
+      "9AFFFFFF1400000014000000140000000000000314000000000000000000000086FFFFFF000002000400" +
+      "0000786D617800000000CEFFFFFF14000000140000001400000000000003140000000000000000000000" +
+      "BAFFFFFF0000020004000000796D696E0000120018001400000013000C00000008000400120000001400" +
+      "0000140000001C000000000000031C000000000000000000000000000600080006000600000000000200" +
+      "04000000786D696E0000000088FFFFFF0400000062626F780000000086FFFFFF140000005C0000006000" +
+      "0000000005015C000000010000000C00000008000C00080004000800000008000000180000000C000000" +
+      "67656F6172726F772E776B7400000000140000004152524F573A657874656E73696F6E3A6E616D650000" +
+      "00000000000004000400040000000400000074776B740000120018001400130012000C00000008000400" +
+      "1200000014000000140000001C0000000000020120000000000000000000000008000C00080007000800" +
+      "00000000000140000000030000006669640000000000FFFFFFFF5804000014000000000000000C001600" +
+      "0E001500100004000C000000C002000000000000000004001000000000030A0018000C00080004000A00" +
+      "000014000000A80200000400000000000000000000002900000000000000000000000100000000000000" +
+      "080000000000000020000000000000002800000000000000010000000000000030000000000000001400" +
+      "00000000000048000000000000003A000000000000008800000000000000010000000000000090000000" +
+      "00000000010000000000000098000000000000002000000000000000B800000000000000010000000000" +
+      "0000C0000000000000002000000000000000E0000000000000000100000000000000E800000000000000" +
+      "200000000000000008010000000000000100000000000000100100000000000020000000000000003001" +
+      "000000000000040000000000000038010000000000001000000000000000480100000000000001000000" +
+      "000000005001000000000000010000000000000058010000000000002000000000000000780100000000" +
+      "000001000000000000008001000000000000080000000000000088010000000000000100000000000000" +
+      "9001000000000000010000000000000098010000000000003000000000000000C8010000000000000100" +
+      "000000000000D0010000000000000800000000000000D8010000000000000100000000000000E0010000" +
+      "000000000100000000000000E80100000000000030000000000000001802000000000000010000000000" +
+      "000020020000000000001400000000000000380200000000000003000000000000004002000000000000" +
+      "0C0000000000000050020000000000000100000000000000580200000000000001000000000000006002" +
+      "000000000000200000000000000080020000000000000100000000000000880200000000000008000000" +
+      "000000009002000000000000010000000000000098020000000000000100000000000000A00200000000" +
+      "000020000000000000000000000017000000040000000000000000000000000000000400000000000000" +
+      "000000000000000004000000000000000000000000000000040000000000000000000000000000000400" +
+      "000000000000000000000000000004000000000000000000000000000000040000000000000000000000" +
+      "000000000400000000000000000000000000000002000000000000000000000000000000040000000000" +
+      "000000000000000000000100000000000000000000000000000002000000000000000000000000000000" +
+      "060000000000000000000000000000000100000000000000000000000000000002000000000000000000" +
+      "000000000000060000000000000000000000000000000400000000000000010000000000000003000000" +
+      "000000000000000000000000020000000000000000000000000000000400000000000000000000000000" +
+      "000001000000000000000000000000000000020000000000000000000000000000000400000000000000" +
+      "00000000000000000F000000000000000000000000000000010000000000000002000000000000000300" +
+      "0000000000000F00000000000000000000000B000000200000002F0000003A00000000000000504F494E" +
+      "542028392039294C494E45535452494E4720283020302C2032203229504F494E54205A20283120322033" +
+      "29504F494E542028342034290000000000000F000000000000000F000000000000000000000000000000" +
+      "000000000000F03F000000000000004000000000000008400F0000000000000000000000000000000000" +
+      "000000000000000000000000000000000000000000000F00000000000000000000000000004000000000" +
+      "00000840000000000000104000000000000014400F000000000000000000000000000840000000000000" +
+      "084000000000000008400000000000000840010C18010000000000000000000000000000000001000000" +
+      "03000000000000000F00000000000000000000000000F83F00000000000004400000000000001C400000" +
+      "0000000020400100000000000000000000000200000003000000000000003F0000000000000000000000" +
+      "000000000000000000000000000000000000244000000000000008400000000000001040000000000000" +
+      "34400100000000000000000000000200000003000000000000003F00000000000000000000000000F03F" +
+      "000000000000004000000000000014400000000000000840000000000000104000000000000018400700" +
+      "000000000000000000000100000003000000030000000300000000000000010102000000000000000000" +
+      "01000000000000000000000003000000000000000F00000000000000000000000000F03F000000000000" +
+      "F03F00000000000000400000000000000040010000000000000000000000020000000300000000000000" +
+      "0F0000000000000000000000000000000000000000000000000000000000F03F000000000000F03FFFFF" +
+      "FFFF00000000100000000C001400060010000C0008000C000000000004000C0000002800000034000000" +
+      "01000000D0060000000000006004000000000000C002000000000000000000000000000000000A000C00" +
+      "0000080004000A0000000800000008000000000000000500000044060000B405000048040000E0010000" +
+      "04000000E2F9FFFF1400000060000000C001000000000C01BC01000001000000040000005CFAFFFF0800" +
+      "0000240000001B00000067656F6172726F772E67656F6D65747279636F6C6C656374696F6E0014000000" +
+      "4152524F573A657874656E73696F6E3A6E616D6500000000010000000400000052FAFFFF140000001400" +
+      "00002801000000000E01380100000000000002000000AC000000040000007AFAFFFF1400000014000000" +
+      "8400000000000C01800000000000000001000000040000009EFAFFFF1400000014000000480000000000" +
+      "1001480000000000000001000000040000009AFBFFFF1400000014000000140000000000000314000000" +
+      "000000000000000086FBFFFF00000200020000007879000022FDFFFF0200000008000000766572746963" +
+      "6573000000001CFBFFFF0A0000004C696E65537472696E6700001EFBFFFF140000001400000048000000" +
+      "00001001480000000000000001000000040000001AFCFFFF140000001400000014000000000000031400" +
+      "0000000000000000000006FCFFFF000002000200000078790000A2FDFFFF0200000005000000506F696E" +
+      "740000009CFDFFFF08000000000001000200000001000000020000000A00000067656F6D657472696573" +
+      "0000C0FBFFFF0200000067630000BAFBFFFF14000000580000002C02000000000E014002000001000000" +
+      "0400000034FCFFFF080000001C0000001100000067656F6172726F772E67656F6D657472790000001400" +
+      "00004152524F573A657874656E73696F6E3A6E616D6500000000030000005C010000B000000004000000" +
+      "2AFCFFFF14000000140000008400000000000C01800000000000000001000000040000004EFCFFFF1400" +
+      "0000140000004800000000001001480000000000000001000000040000004AFDFFFF1400000014000000" +
+      "140000000000000314000000000000000000000036FDFFFF000002000300000078796D00D2FEFFFF0300" +
+      "000008000000766572746963657300000000CCFCFFFF0C0000004D756C7469506F696E74204D00000000" +
+      "D2FCFFFF14000000140000008400000000000C0180000000000000000100000004000000F6FCFFFF1400" +
+      "000014000000480000000000100148000000000000000100000004000000F2FDFFFF1400000014000000" +
+      "1400000000000003140000000000000000000000DEFDFFFF000002000300000078797A007AFFFFFF0300" +
+      "00000800000076657274696365730000000074FDFFFF0C0000004C696E65537472696E67205A00000000" +
+      "7AFDFFFF140000001400000050000000000010015000000000000000010000000400000076FEFFFF1400" +
+      "000014000000140000000000000314000000000000000000000062FEFFFF000002000200000078790000" +
+      "0000060008000400060000000200000005000000506F696E7400000008000C000A000400080000000800" +
+      "00000000010003000000010000000C000000180000000800000067656F6D65747279000000001EFEFFFF" +
+      "14000000540000004C01000000000D0148010000010000000400000098FEFFFF08000000180000000C00" +
+      "000067656F6172726F772E626F7800000000140000004152524F573A657874656E73696F6E3A6E616D65" +
+      "0000000004000000BC000000740000003C0000000400000066FFFFFF1400000014000000140000000000" +
+      "000314000000000000000000000052FFFFFF0000020004000000796D6178000000009AFFFFFF14000000" +
+      "14000000140000000000000314000000000000000000000086FFFFFF0000020004000000786D61780000" +
+      "0000CEFFFFFF14000000140000001400000000000003140000000000000000000000BAFFFFFF00000200" +
+      "04000000796D696E0000120018001400000013000C000000080004001200000014000000140000001C00" +
+      "0000000000031C00000000000000000000000000060008000600060000000000020004000000786D696E" +
+      "0000000088FFFFFF0400000062626F780000000086FFFFFF140000005C00000060000000000005015C00" +
+      "0000010000000C00000008000C00080004000800000008000000180000000C00000067656F6172726F77" +
+      "2E776B7400000000140000004152524F573A657874656E73696F6E3A6E616D6500000000000000000400" +
+      "0400040000000400000074776B740000120018001400130012000C000000080004001200000014000000" +
+      "140000001C0000000000020120000000000000000000000008000C000800070008000000000000014000" +
+      "00000300000066696400E80600004152524F5731"
+
+  /** Mixed-geometry Arrow IPC under the hash gate (g96): the reference's
+    * heterogeneous-array default — `geoarrow.geometry` dense unions,
+    * `geoarrow.geometrycollection` (List over the union), `geoarrow.wkt`
+    * serialized text, and `geoarrow.box` bbox structs — decode to WKB
+    * through the byte-pruning DSv2 face; every value pinned to WKT
+    * literals, including Z and M ordinates carried by the union children's
+    * dimension-suffixed names. */
+  private def g96Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    def unhex(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val d = java.nio.file.Files.createTempDirectory("graft_g96")
+    d.toFile.deleteOnExit()
+    java.nio.file.Files.write(d.resolve("u.arrow"), unhex(g96Arrow)).toFile.deleteOnExit()
+    s.read.format("arrowipc").load(d.resolve("u.arrow").toString)
+      .selectExpr("CAST(fid AS BIGINT) AS fid", "ST_AsText(twkt) AS wkt_text",
+        "ST_AsText(bbox) AS box_poly", "ST_AsText(geometry) AS geom",
+        "COALESCE(ST_AsText(gc), 'NULL') AS coll")
+      .orderBy("fid")
+  }
+
+  private val g96Duck = """
+    SELECT * FROM (VALUES
+      (0::BIGINT, 'POINT (9 9)', 'POLYGON ((0 0, 0 3, 2 3, 2 0, 0 0))', 'POINT (1.5 2.5)', 'GEOMETRYCOLLECTION (POINT (1 1))'),
+      (1::BIGINT, 'LINESTRING (0 0, 2 2)', 'POLYGON ((1 0, 1 3, 3 3, 3 0, 1 0))', 'LINESTRING Z(0 0 10, 3 4 20)', 'GEOMETRYCOLLECTION (POINT (2 2), LINESTRING (0 0, 1 1))'),
+      (2::BIGINT, 'POINT Z(1 2 3)', 'POLYGON ((2 0, 2 3, 4 3, 4 0, 2 0))', 'MULTIPOINT M((1 2 5), (3 4 6))', 'GEOMETRYCOLLECTION EMPTY'),
+      (3::BIGINT, 'POINT (4 4)', 'POLYGON ((3 0, 3 3, 5 3, 5 0, 3 0))', 'POINT (7 8)', 'NULL')
+    ) t(fid, wkt_text, box_poly, geom, coll) ORDER BY fid"""
+
 
   /** ST_AsSVG display surface pinned to literals (PostGIS conventions:
     * y negated for SVG's y-down space, points as cx/cy, rings as M/L…Z with
@@ -11712,6 +11878,7 @@ object SparkEntry {
     ("g93_shapefile_zm", g93Fn _, g93Duck),
     ("g94_conic_pivot", q(g94Spark), g94Duck),
     ("g95_arrow_stream_dict", g95Fn _, g95Duck),
+    ("g96_arrow_geometry_union", g96Fn _, g96Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

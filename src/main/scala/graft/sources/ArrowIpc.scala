@@ -6,7 +6,7 @@ import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector.ipc.ArrowFileReader
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
-import org.locationtech.jts.geom.{Coordinate, Geometry}
+import org.locationtech.jts.geom.{Coordinate, CoordinateXYM, CoordinateXYZM, Geometry}
 
 import graft.core.GeomOps
 
@@ -157,44 +157,167 @@ object ArrowIpc {
 
   // ── GeoArrow nested-value decode (both coordinate layouts) ────────────
 
-  private def coordOf(v: Any): Coordinate = v match {
+  /** `dims` disambiguates what the raw object alone cannot: an interleaved
+    * 3-wide coord is XYZ or XYM depending on the coord child's NAME
+    * ("xyz"/"xym" per the GeoArrow spec), which `getObject` erases —
+    * "" = XY, "z", "m", "zm" (derived once per column by [[dimsOf]] or per
+    * union child by [[parseUnionChild]]). Separated structs self-describe
+    * through their keys, so `dims` is advisory there. */
+  private def coordOf(v: Any, dims: String): Coordinate = v match {
     case l: java.util.List[_] => // interleaved fixed_size_list
       val d = l.asScala.map(_.asInstanceOf[Number].doubleValue())
-      if (d.length >= 3) new Coordinate(d(0), d(1), d(2)) else new Coordinate(d(0), d(1))
+      d.length match {
+        case 2 => new Coordinate(d(0), d(1))
+        case 3 => if (dims == "m") new CoordinateXYM(d(0), d(1), d(2))
+                  else new Coordinate(d(0), d(1), d(2))
+        case _ => new CoordinateXYZM(d(0), d(1), d(2), d(3))
+      }
     case m: java.util.Map[_, _] => // separated struct
       val mm = m.asInstanceOf[java.util.Map[Any, Any]].asScala.map {
         case (k, value) => k.toString -> value.asInstanceOf[Number].doubleValue()
       }
-      if (mm.contains("z")) new Coordinate(mm("x"), mm("y"), mm("z"))
+      val hasZ = mm.contains("z"); val hasM = mm.contains("m")
+      if (hasZ && hasM) new CoordinateXYZM(mm("x"), mm("y"), mm("z"), mm("m"))
+      else if (hasM) new CoordinateXYM(mm("x"), mm("y"), mm("m"))
+      else if (hasZ) new Coordinate(mm("x"), mm("y"), mm("z"))
       else new Coordinate(mm("x"), mm("y"))
     case other => throw new IllegalArgumentException(s"ArrowIpc: unexpected coord $other")
   }
 
-  private def coords(v: Any): Array[Coordinate] =
-    v.asInstanceOf[java.util.List[_]].asScala.map(coordOf).toArray
+  private def coords(v: Any, dims: String): Array[Coordinate] =
+    v.asInstanceOf[java.util.List[_]].asScala.map(coordOf(_, dims)).toArray
 
-  private def polygon(v: Any): org.locationtech.jts.geom.Polygon = {
-    val rings = v.asInstanceOf[java.util.List[_]].asScala.map(r => GeomOps.factory.createLinearRing(coords(r)))
+  private def polygon(v: Any, dims: String): org.locationtech.jts.geom.Polygon = {
+    val rings = v.asInstanceOf[java.util.List[_]].asScala
+      .map(r => GeomOps.factory.createLinearRing(coords(r, dims)))
     if (rings.isEmpty) GeomOps.factory.createPolygon()
     else GeomOps.factory.createPolygon(rings.head, rings.tail.toArray)
   }
 
-  private def decodeGeo(extName: String, v: Any): Geometry = {
+  private val wktReaderTL = ThreadLocal.withInitial[org.locationtech.jts.io.WKTReader](
+    () => new org.locationtech.jts.io.WKTReader(GeomOps.factory))
+
+  private def decodeGeo(extName: String, v: Any, dims: String = ""): Geometry = {
     val f = GeomOps.factory
     extName.stripPrefix("geoarrow.") match {
-      case "point" => f.createPoint(coordOf(v))
-      case "linestring" => f.createLineString(coords(v))
-      case "multipoint" => f.createMultiPointFromCoords(coords(v))
-      case "polygon" => polygon(v)
+      case "point" => f.createPoint(coordOf(v, dims))
+      case "linestring" => f.createLineString(coords(v, dims))
+      case "multipoint" => f.createMultiPointFromCoords(coords(v, dims))
+      case "polygon" => polygon(v, dims)
       case "multilinestring" =>
         f.createMultiLineString(
-          v.asInstanceOf[java.util.List[_]].asScala.map(l => f.createLineString(coords(l))).toArray)
+          v.asInstanceOf[java.util.List[_]].asScala.map(l => f.createLineString(coords(l, dims))).toArray)
       case "multipolygon" =>
-        f.createMultiPolygon(v.asInstanceOf[java.util.List[_]].asScala.map(polygon).toArray)
+        f.createMultiPolygon(v.asInstanceOf[java.util.List[_]].asScala.map(polygon(_, dims)).toArray)
       case "wkb" => GeomOps.read(v.asInstanceOf[Array[Byte]])
+      // serialized-text geometry (rust/geoarrow-schema/src/type.rs:1487 —
+      // WktType over Utf8/LargeUtf8): the raw object is arrow Text
+      case "wkt" => wktReaderTL.get.read(v.toString)
+      // bbox struct (type.rs:1333 — "geoarrow.box", RectType): 2D envelope
+      // polygon; a z range, when present, is a bbox attribute, not geometry
+      case "box" =>
+        val mm = v.asInstanceOf[java.util.Map[_, _]]
+          .asInstanceOf[java.util.Map[Any, Any]].asScala.map {
+            case (k, value) => k.toString -> value.asInstanceOf[Number].doubleValue()
+          }
+        f.toGeometry(new org.locationtech.jts.geom.Envelope(
+          mm("xmin"), mm("xmax"), mm("ymin"), mm("ymax")))
       case other => throw new IllegalArgumentException(s"ArrowIpc: unsupported geoarrow type $other")
     }
   }
+
+  /** Coord dimensionality of a geometry column, from the Field tree (the
+    * value objects erase it): the interleaved coord node is a
+    * FixedSizeList whose single child is NAMED "xy"/"xyz"/"xym"/"xyzm";
+    * the separated node is a struct with x/y[/z][/m] children. */
+  private def dimsOf(f: org.apache.arrow.vector.types.pojo.Field): String = {
+    import org.apache.arrow.vector.types.pojo.ArrowType
+    f.getType match {
+      case _: ArrowType.FixedSizeList if f.getChildren.size() == 1 &&
+          Set("xy", "xyz", "xym", "xyzm")(f.getChildren.get(0).getName.toLowerCase) =>
+        f.getChildren.get(0).getName.toLowerCase.stripPrefix("xy")
+      case _: ArrowType.Struct =>
+        val names = f.getChildren.asScala.map(_.getName.toLowerCase).toSet
+        if (names("x") && names("y"))
+          (if (names("z")) "z" else "") + (if (names("m")) "m" else "")
+        else f.getChildren.asScala.map(dimsOf).find(_.nonEmpty).getOrElse("")
+      case _ =>
+        f.getChildren.asScala.map(dimsOf).find(_.nonEmpty).getOrElse("")
+    }
+  }
+
+  /** Union child name → (geoarrow kind, dims): the reference names the
+    * geometry union's children "Point", "Point Z", "MultiPolygon ZM", …
+    * (rust/geoarrow-schema/src/type.rs:1064-1106). */
+  private def parseUnionChild(name: String): (String, String) = {
+    val parts = name.trim.split("\\s+")
+    val kind = parts(0).toLowerCase
+    require(Set("point", "linestring", "polygon", "multipoint",
+        "multilinestring", "multipolygon", "geometrycollection")(kind),
+      s"ArrowIpc: unrecognized geometry-union child '$name'")
+    val dims = if (parts.length > 1) parts(1).toLowerCase else ""
+    require(Set("", "z", "m", "zm")(dims),
+      s"ArrowIpc: unrecognized dimension suffix in union child '$name'")
+    (kind, dims)
+  }
+
+  /** One value of a `geoarrow.geometry` DENSE-UNION column: the type-id
+    * selects the concrete child (getObject would erase which one), the
+    * child's name carries kind + dims, and GeometryCollection children
+    * recurse through [[gcGeom]] (their elements are again union values). */
+  private def unionGeom(
+      du: org.apache.arrow.vector.complex.DenseUnionVector, i: Int): Geometry = {
+    val child = du.getVectorByType(du.getTypeId(i))
+    require(child != null, s"ArrowIpc: geometry union has no child for type id ${du.getTypeId(i)}")
+    val off = du.getOffset(i)
+    val (kind, dims) = parseUnionChild(child.getName)
+    if (kind == "geometrycollection")
+      gcGeom(child.asInstanceOf[org.apache.arrow.vector.complex.ListVector], off)
+    else {
+      val raw = child.getObject(off)
+      if (raw == null) null else decodeGeo(kind, raw, dims)
+    }
+  }
+
+  /** One value of a `geoarrow.geometrycollection` column: List over the
+    * geometry union — element decode needs the union's type ids, so this
+    * walks the list's data vector directly instead of `getObject`. */
+  private def gcGeom(
+      lv: org.apache.arrow.vector.complex.ListVector, i: Int): Geometry = {
+    if (lv.isNull(i)) return null
+    val du = lv.getDataVector match {
+      case d: org.apache.arrow.vector.complex.DenseUnionVector => d
+      case other => throw new IllegalArgumentException(
+        s"ArrowIpc: geometrycollection child must be a dense union, got ${other.getField.getType}")
+    }
+    val geoms = (lv.getElementStartIndex(i) until lv.getElementEndIndex(i))
+      .map(j => unionGeom(du, j))
+    GeomOps.factory.createGeometryCollection(geoms.toArray)
+  }
+
+  /** Per-column geometry decoder, built ONCE at scan setup: union-backed
+    * extensions need the vector (type ids), everything else decodes the
+    * raw `getObject` value with the column's dims resolved upfront and
+    * dictionary-encoded CHILDREN (the GDAL interop shape) resolved per
+    * cell through [[resolveNestedDicts]]. */
+  private def geoDecoder(f: org.apache.arrow.vector.types.pojo.Field, extName: String,
+      lookup: Long => org.apache.arrow.vector.dictionary.Dictionary)
+      : (org.apache.arrow.vector.FieldVector, Int) => Geometry =
+    extName.stripPrefix("geoarrow.") match {
+      case "geometry" => (vec, i) =>
+        unionGeom(vec.asInstanceOf[org.apache.arrow.vector.complex.DenseUnionVector], i)
+      case "geometrycollection" => (vec, i) =>
+        gcGeom(vec.asInstanceOf[org.apache.arrow.vector.complex.ListVector], i)
+      case _ =>
+        val dims = dimsOf(f)
+        val nested = f.getChildren.asScala.exists(hasDictionary)
+        (vec, i) => {
+          val raw0 = vec.getObject(i)
+          if (raw0 == null) null
+          else decodeGeo(extName,
+            if (nested) resolveNestedDicts(f, raw0, lookup) else raw0, dims)
+        }
+    }
 
   // ── read ──────────────────────────────────────────────────────────────
 
@@ -633,9 +756,13 @@ object ArrowIpc {
         reducedRoot, org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
       val geoExt = reducedFields.map(f => Option(f.getMetadata.get("ARROW:extension:name"))
         .filter(_.startsWith("geoarrow.")))
-      // one converter closure per kept column — field walk + type dispatch
-      // happen here, not per cell
-      val toSpark = reducedFields.map(f => valueConverter(f, reader.lookup))
+      // geometry columns decode through per-column closures with VECTOR
+      // access (union extensions need type ids); one converter closure per
+      // kept PROPERTY column — field walk + type dispatch happen here, not
+      // per cell
+      val geoDec = reducedFields.zip(geoExt).map { case (f, e) => e.map(geoDecoder(f, _, reader.lookup)).orNull }
+      val toSpark = reducedFields.zip(geoExt).map { case (f, e) =>
+        if (e.isDefined) null else valueConverter(f, reader.lookup) }
       val nodeRuns = fields.map(subtreeNodes)
       val bufRuns = fields.map(subtreeBuffers)
       val viewSlots = fields.map(subtreeViewSlots)
@@ -740,23 +867,22 @@ object ArrowIpc {
           val vals = new Array[Any](fields.length)
           var k = 0
           while (k < keepIdx.length) {
-            val raw0 = reducedRoot.getVector(k).getObject(i)
-            val raw =
-              if (raw0 != null && dicts(k) != null)
-                dicts(k).getVector.getObject(raw0.asInstanceOf[Number].intValue())
-              else if (raw0 != null && nestedDict(k))
-                resolveNestedDicts(reducedFields(k), raw0, reader.lookup)
-              else raw0
-            vals(keepIdx(k)) =
-              if (raw == null) null
-              else geoExt(k) match {
-                case Some(ext) =>
-                  decodedGeoms.increment()
-                  GeomOps.write(decodeGeo(ext, raw))
-                case None =>
-                  decodedCells.increment()
-                  toSpark(k)(raw)
-              }
+            if (geoDec(k) != null) {
+              val g = geoDec(k)(reducedRoot.getVector(k), i)
+              vals(keepIdx(k)) = if (g == null) null
+                                 else { decodedGeoms.increment(); GeomOps.write(g) }
+            } else {
+              val raw0 = reducedRoot.getVector(k).getObject(i)
+              val raw =
+                if (raw0 != null && dicts(k) != null)
+                  dicts(k).getVector.getObject(raw0.asInstanceOf[Number].intValue())
+                else if (raw0 != null && nestedDict(k))
+                  resolveNestedDicts(reducedFields(k), raw0, reader.lookup)
+                else raw0
+              vals(keepIdx(k)) =
+                if (raw == null) null
+                else { decodedCells.increment(); toSpark(k)(raw) }
+            }
             k += 1
           }
           i += 1
@@ -836,8 +962,14 @@ object ArrowIpc {
       // dictionary-encoded children (struct/list subtrees) resolve per cell
       val nestedDict: Array[Boolean] =
         fields.map(_.getChildren.asScala.exists(hasDictionary))
-      // one converter closure per column (see decodeFilePruned)
-      val toSpark = fields.map(f => valueConverter(f, reader.lookup))
+      // geometry columns decode through a per-column closure with VECTOR
+      // access (union-backed extensions need type ids, which getObject
+      // erases); property columns get one converter closure each — built
+      // only for non-geo columns so a union-typed geometry never hits the
+      // property-type dispatch
+      val geoDec = fields.zip(geoExt).map { case (f, e) => e.map(geoDecoder(f, _, reader.lookup)).orNull }
+      val toSpark = fields.zip(geoExt).map { case (f, e) =>
+        if (e.isDefined) null else valueConverter(f, reader.lookup) }
       new Iterator[Row] {
         private var i = 0
         private var batchRows = 0
@@ -855,7 +987,11 @@ object ArrowIpc {
           var c = 0
           while (c < fields.length) {
             if (wanted != null && !wanted(c)) vals(c) = null
-            else {
+            else if (geoDec(c) != null) {
+              val g = geoDec(c)(root.getVector(c), i)
+              vals(c) = if (g == null) null
+                        else { decodedGeoms.increment(); GeomOps.write(g) }
+            } else {
               val raw0 = root.getVector(c).getObject(i)
               val raw =
                 if (raw0 != null && dicts(c) != null)
@@ -865,14 +1001,7 @@ object ArrowIpc {
                 else raw0
               vals(c) =
                 if (raw == null) null
-                else geoExt(c) match {
-                  case Some(ext) =>
-                    decodedGeoms.increment()
-                    GeomOps.write(decodeGeo(ext, raw))
-                  case None =>
-                    decodedCells.increment()
-                    toSpark(c)(raw)
-                }
+                else { decodedCells.increment(); toSpark(c)(raw) }
             }
             c += 1
           }

@@ -921,4 +921,156 @@ class ArrowIpcSpec extends SparkTestBase {
     val pairs = sql("SELECT ac, bc FROM nybb_a JOIN nybb_b ON ST_Intersects(ag, bg) AND ac < bc")
     assert(pairs.count() >= 1) // at least one adjacent borough pair
   }
+
+  test("geoarrow.wkt / geoarrow.box / geometry union / geometrycollection decode (both faces)") {
+    // the four GeoArrow encodings beyond the concrete six: serialized-text
+    // WKT, bbox structs, the mixed-type DENSE UNION (geoarrow-rs's default
+    // for heterogeneous arrays; type ids per dimension block, children
+    // named "Point", "LineString Z", "MultiPoint M", …) and
+    // GeometryCollection = List over that union. Built vector-by-vector —
+    // no writer in the repo emits these, like a geoarrow-rs producer would.
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.complex.{DenseUnionVector, FixedSizeListVector, ListVector, StructVector}
+    import org.apache.arrow.vector.types.pojo._
+    import org.apache.arrow.vector.types.{FloatingPointPrecision, UnionMode}
+    import scala.jdk.CollectionConverters._
+    val f64 = new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+    def fNN(n: String, t: ArrowType, ch: Field*) =
+      new Field(n, new FieldType(false, t, null, null), ch.asJava)
+    def fN(n: String, t: ArrowType, ch: Field*) =
+      new Field(n, FieldType.nullable(t), ch.asJava)
+    def fExt(n: String, t: ArrowType, ext: String, ch: Field*) =
+      new Field(n, new FieldType(true, t, null,
+        java.util.Map.of("ARROW:extension:name", ext)), ch.asJava)
+    def interleaved(name: String, dims: String) =
+      fN(name, new ArrowType.FixedSizeList(dims.length), fNN(dims, f64))
+    def lineOf(name: String, dims: String) =
+      fN(name, new ArrowType.List(), interleaved("vertices", dims))
+
+    val dirOut = java.nio.file.Files.createTempDirectory("arrowunion").toString
+    val file = new java.io.File(dirOut, "u.arrow")
+    val alloc = new RootAllocator()
+    try {
+      // geometry union: reference type ids — 1 Point (XY), 12 LineString Z,
+      // 24 MultiPoint M (XYM block starts at 21)
+      val geomField = fExt("geometry",
+        new ArrowType.Union(UnionMode.Dense, Array(1, 12, 24)), "geoarrow.geometry",
+        interleaved("Point", "xy"), lineOf("LineString Z", "xyz"), lineOf("MultiPoint M", "xym"))
+      // geometrycollection: List over a smaller union (1 Point, 2 LineString)
+      val gcField = fExt("gc", new ArrowType.List(), "geoarrow.geometrycollection",
+        fN("geometries", new ArrowType.Union(UnionMode.Dense, Array(1, 2)),
+          interleaved("Point", "xy"), lineOf("LineString", "xy")))
+      val fields = Seq(
+        fN("fid", new ArrowType.Int(64, true)),
+        fExt("twkt", new ArrowType.Utf8(), "geoarrow.wkt"),
+        fExt("bbox", new ArrowType.Struct(), "geoarrow.box",
+          fNN("xmin", f64), fNN("ymin", f64), fNN("xmax", f64), fNN("ymax", f64)),
+        geomField, gcField)
+      val vectors = fields.map(_.createVector(alloc))
+      val n = 4
+
+      val fid = vectors(0).asInstanceOf[BigIntVector]
+      fid.allocateNew(); (0 until n).foreach(i => fid.setSafe(i, i.toLong)); fid.setValueCount(n)
+
+      val twkt = vectors(1).asInstanceOf[VarCharVector]
+      twkt.allocateNew()
+      Seq("POINT (9 9)", "LINESTRING (0 0, 2 2)", "POINT Z (1 2 3)", "POINT (4 4)")
+        .zipWithIndex.foreach { case (w, i) => twkt.setSafe(i, w.getBytes("UTF-8")) }
+      twkt.setValueCount(n)
+
+      val bbox = vectors(2).asInstanceOf[StructVector]
+      bbox.allocateNew()
+      val bch = Seq("xmin", "ymin", "xmax", "ymax").map(bbox.getChild(_).asInstanceOf[Float8Vector])
+      (0 until n).foreach { i =>
+        bbox.setIndexDefined(i)
+        bch(0).setSafe(i, i.toDouble); bch(1).setSafe(i, 0.0)
+        bch(2).setSafe(i, i + 2.0); bch(3).setSafe(i, 3.0)
+      }
+      bbox.setValueCount(n)
+
+      // geometry union rows: Point(1.5 2.5) | LineString Z | MultiPoint M | Point(7 8)
+      val du = vectors(3).asInstanceOf[DenseUnionVector]
+      du.allocateNew()
+      def fillInterleaved(flv: FixedSizeListVector, row: Int, cs: Seq[Double]): Unit = {
+        flv.setNotNull(row)
+        val dv = flv.getDataVector.asInstanceOf[Float8Vector]
+        cs.zipWithIndex.foreach { case (v, j) => dv.setSafe(row * cs.length + j, v) }
+      }
+      def fillLine(lv: ListVector, row: Int, verts: Seq[Seq[Double]]): Int = {
+        val start = lv.startNewValue(row)
+        val flv = lv.getDataVector.asInstanceOf[FixedSizeListVector]
+        verts.zipWithIndex.foreach { case (c, k) => fillInterleaved(flv, start + k, c) }
+        lv.endValue(row, verts.length)
+        start + verts.length
+      }
+      val dpt = du.getVectorByType(1).asInstanceOf[FixedSizeListVector]
+      val dls = du.getVectorByType(12).asInstanceOf[ListVector]
+      val dmp = du.getVectorByType(24).asInstanceOf[ListVector]
+      du.setTypeId(0, 1); du.setOffset(0, 0); fillInterleaved(dpt, 0, Seq(1.5, 2.5))
+      du.setTypeId(1, 12); du.setOffset(1, 0)
+      fillLine(dls, 0, Seq(Seq(0, 0, 10), Seq(3, 4, 20)))
+      du.setTypeId(2, 24); du.setOffset(2, 0)
+      fillLine(dmp, 0, Seq(Seq(1, 2, 5), Seq(3, 4, 6)))
+      du.setTypeId(3, 1); du.setOffset(3, 1); fillInterleaved(dpt, 3 - 2, Seq(7, 8))
+      dpt.setValueCount(2); dls.setValueCount(1); dmp.setValueCount(1)
+      du.setValueCount(n)
+
+      // gc rows: [Point(1 1)] | [Point(2 2), LineString(0 0, 1 1)] | [] | null
+      val gc = vectors(4).asInstanceOf[ListVector]
+      gc.allocateNew()
+      val gdu = gc.getDataVector.asInstanceOf[DenseUnionVector]
+      val gpt = gdu.getVectorByType(1).asInstanceOf[FixedSizeListVector]
+      val gls = gdu.getVectorByType(2).asInstanceOf[ListVector]
+      var s0 = gc.startNewValue(0)
+      gdu.setTypeId(s0, 1); gdu.setOffset(s0, 0); fillInterleaved(gpt, 0, Seq(1, 1))
+      gc.endValue(0, 1)
+      val s1 = gc.startNewValue(1)
+      gdu.setTypeId(s1, 1); gdu.setOffset(s1, 1); fillInterleaved(gpt, 1, Seq(2, 2))
+      gdu.setTypeId(s1 + 1, 2); gdu.setOffset(s1 + 1, 0)
+      fillLine(gls, 0, Seq(Seq(0, 0), Seq(1, 1)))
+      gc.endValue(1, 2)
+      val s2 = gc.startNewValue(2); gc.endValue(2, 0) // empty collection
+      // row 3 stays null
+      gpt.setValueCount(2); gls.setValueCount(1); gdu.setValueCount(3)
+      gc.setValueCount(n)
+
+      val root = new VectorSchemaRoot(fields.asJava,
+        vectors.map(_.asInstanceOf[FieldVector]).asJava, n)
+      try {
+        val out = new java.io.FileOutputStream(file)
+        val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, out.getChannel)
+        try { w.start(); w.writeBatch(); w.end() } finally { w.close(); out.close() }
+      } finally root.close()
+    } finally alloc.close()
+
+    val expectGeom = Seq(
+      "POINT (1.5 2.5)",
+      "LINESTRING Z(0 0 10, 3 4 20)",
+      "MULTIPOINT M((1 2 5), (3 4 6))",
+      "POINT (7 8)")
+    val expectGc = Seq(
+      "GEOMETRYCOLLECTION (POINT (1 1))",
+      "GEOMETRYCOLLECTION (POINT (2 2), LINESTRING (0 0, 1 1))",
+      "GEOMETRYCOLLECTION EMPTY",
+      null)
+    for (df <- Seq(ArrowIpc.read(spark, file.getAbsolutePath),
+                   spark.read.format("arrowipc").load(file.getAbsolutePath))) {
+      val rows = df.selectExpr("fid", "ST_AsText(twkt) w", "ST_AsText(bbox) b",
+          "ST_AsText(geometry) g", "ST_AsText(gc) c")
+        .collect().sortBy(_.getLong(0))
+      assert(rows.map(_.getString(3)).toSeq == expectGeom,
+        s"union decode: ${rows.map(_.getString(3)).toSeq}")
+      assert(rows.map(_.getString(4)).toSeq == expectGc,
+        s"gc decode: ${rows.map(_.getString(4)).toSeq}")
+      assert(rows(0).getString(1) == "POINT (9 9)" && rows(2).getString(1) == "POINT Z(1 2 3)")
+      assert(rows(1).getString(2) == "POLYGON ((1 0, 1 3, 3 3, 3 0, 1 0))",
+        s"box decode: ${rows(1).getString(2)}")
+    }
+    // a projection WITHOUT the union columns still byte-prunes past them
+    // (union = types+offsets buffer run; the arithmetic must skip it exactly)
+    val fids = spark.read.format("arrowipc").load(file.getAbsolutePath)
+      .selectExpr("fid", "ST_AsText(twkt) w").collect().sortBy(_.getLong(0))
+    assert(fids.length == 4 && fids(3).getString(1) == "POINT (4 4)")
+  }
 }
