@@ -1072,5 +1072,15 @@ class ArrowIpcSpec extends SparkTestBase {
     val fids = spark.read.format("arrowipc").load(file.getAbsolutePath)
       .selectExpr("fid", "ST_AsText(twkt) w").collect().sortBy(_.getLong(0))
     assert(fids.length == 4 && fids(3).getString(1) == "POINT (4 4)")
+    // ... and a proper subset that KEEPS the union + collection columns
+    // loads them through the pruned byte-run reassembly (types + offsets +
+    // child runs land in the reduced batch in pre-order)
+    val kept = spark.read.format("arrowipc").load(file.getAbsolutePath)
+      .selectExpr("fid", "ST_AsText(geometry) g", "ST_AsText(gc) c")
+      .collect().sortBy(_.getLong(0))
+    assert(kept.map(_.getString(1)).toSeq == expectGeom,
+      s"pruned union load: ${kept.map(_.getString(1)).toSeq}")
+    assert(kept.map(_.getString(2)).toSeq == expectGc,
+      s"pruned gc load: ${kept.map(_.getString(2)).toSeq}")
   }
 }
