@@ -2037,6 +2037,39 @@ object SparkEntry {
       "140000001C0000000000020120000000000000000000000008000C000800070008000000000000014000" +
       "00000300000066696400E80600004152524F5731"
 
+
+  /** Native-encoding Arrow IPC write→read under the hash gate (g97): the
+    * geometry column transcodes to the separated GeoArrow point layout at
+    * write (the reference's own array format — zero-copy for its readers)
+    * and maps back to WKB on read through the byte-pruning DSv2 face; the
+    * aggregate pins coordinates and the null row against closed forms. */
+  private def g97Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g97_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val df = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE WHEN id % 11 = 0 THEN NULL
+                  ELSE ST_Point(CAST(id AS DOUBLE), CAST(id % 5 AS DOUBLE)) END AS geometry
+      FROM range(200)""").coalesce(1)
+    graft.sources.ArrowIpc.write(df, out, geometryEncoding = "point")
+    s.read.format("arrowipc").load(out)
+      .selectExpr("CAST(fid % 5 AS BIGINT) AS grp",
+        "CASE WHEN geometry IS NULL THEN 0 ELSE 1 END AS present",
+        "COALESCE(ST_X(geometry), -1.0D) AS x")
+      .groupBy("grp")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("present").as("n_geom"),
+        org.apache.spark.sql.functions.sum("x").cast("bigint").as("sum_x"))
+      .orderBy("grp")
+  }
+
+  private val g97Duck = """
+    SELECT (i % 5)::BIGINT AS grp, COUNT(*)::BIGINT AS n,
+           SUM(CASE WHEN i % 11 = 0 THEN 0 ELSE 1 END)::BIGINT AS n_geom,
+           SUM(CASE WHEN i % 11 = 0 THEN -1 ELSE i END)::BIGINT AS sum_x
+    FROM range(200) t(i) GROUP BY 1 ORDER BY 1"""
+
   /** Mixed-geometry Arrow IPC under the hash gate (g96): the reference's
     * heterogeneous-array default — `geoarrow.geometry` dense unions,
     * `geoarrow.geometrycollection` (List over the union), `geoarrow.wkt`
@@ -11879,6 +11912,7 @@ object SparkEntry {
     ("g94_conic_pivot", q(g94Spark), g94Duck),
     ("g95_arrow_stream_dict", g95Fn _, g95Duck),
     ("g96_arrow_geometry_union", g96Fn _, g96Duck),
+    ("g97_arrow_native_write", g97Fn _, g97Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

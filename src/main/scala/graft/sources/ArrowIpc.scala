@@ -1049,7 +1049,8 @@ object ArrowIpc {
     * dictionary batch instead of repeated strings. */
   def write(df: DataFrame, path: String, geometryCol: String = "geometry",
             dictionaryColumns: Seq[String] = Nil,
-            streamFormat: Boolean = false): Unit = {
+            streamFormat: Boolean = false,
+            geometryEncoding: String = "wkb"): Unit = {
     // STREAM wire format (.arrows): schema message + batches + EOS, no
     // footer — the shape stream-first consumers (Flight-style pipes,
     // arrow-js) ingest directly. Dictionary columns work in both formats:
@@ -1060,7 +1061,35 @@ object ArrowIpc {
     import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
     import org.apache.arrow.vector.types.FloatingPointPrecision
 
-    val sparkSchema = df.schema
+    // native GeoArrow encoding (round 16): transcode the WKB geometry to
+    // the separated nested layout via the same ga_to_* exporters the
+    // GeoParquet writer uses — the nested field builder below already
+    // writes List/Struct subtrees, so the only geometry-specific part is
+    // the extension tag. The reference's IPC writers emit exactly these
+    // native arrays; zero-copy-readable by GeoPandas/pyarrow and mapped
+    // back by [[schemaOf]] (which also stamps geometry_types evidence from
+    // the typed extension name).
+    val geoExtName = geometryEncoding.toLowerCase match {
+      case "wkb" => "geoarrow.wkb"
+      case e @ ("point" | "linestring" | "polygon" | "multipoint" |
+                "multilinestring" | "multipolygon") => s"geoarrow.$e"
+      case other => throw new IllegalArgumentException(
+        s"ArrowIpc.write: unsupported geometryEncoding '$other' " +
+          "(wkb, point, linestring, polygon, multipoint, multilinestring, multipolygon)")
+    }
+    // extension metadata (crs/edges) reads from the ORIGINAL column before
+    // the transcode drops Spark field metadata
+    val preSchema = df.schema
+    val df1 =
+      if (geoExtName == "geoarrow.wkb") df
+      else {
+        graft.functions.GeoFunctions.register(df.sparkSession)
+        df.withColumn(geometryCol, org.apache.spark.sql.functions.call_function(
+          "ga_to_" + geoExtName.stripPrefix("geoarrow."),
+          org.apache.spark.sql.functions.col(geometryCol)))
+      }
+
+    val sparkSchema = df1.schema
     val dir = new org.apache.hadoop.fs.Path(path)
     dir.getFileSystem(df.sparkSession.sessionState.newHadoopConf()).mkdirs(dir)
     val geomName = geometryCol
@@ -1090,7 +1119,7 @@ object ArrowIpc {
     // GeoArrow extension metadata (crs/edges) propagates from the column's
     // Spark metadata — a GeoParquet.read → ArrowIpc.write hop keeps the
     // edge model, mirroring the reference's per-array Metadata
-    val extMetaJson: String = sparkSchema.fields.find(_.name == geomName).map { f =>
+    val extMetaJson: String = preSchema.fields.find(_.name == geomName).map { f =>
       val node = jsonMapper.createObjectNode()
       if (f.metadata.contains("geoparquet.edges"))
         node.put("edges", f.metadata.getString("geoparquet.edges"))
@@ -1109,7 +1138,7 @@ object ArrowIpc {
       if (node.isEmpty) null else jsonMapper.writeValueAsString(node)
     }.orNull
 
-    df.rdd.foreachPartition { rows =>
+    df1.rdd.foreachPartition { rows =>
       val allocator = new RootAllocator()
       val dictVectors = scala.collection.mutable.ArrayBuffer.empty[VarCharVector]
       try {
@@ -1174,11 +1203,13 @@ object ArrowIpc {
             new Field(name, new FieldType(nullable, at, null, md), java.util.List.of[Field]())
         }
         val fields = sparkSchema.fields.map { f =>
-          val md = if (f.name == geomName && f.dataType == BinaryType) {
+          val isGeomCol = f.name == geomName &&
+            (geoExtName != "geoarrow.wkb" || f.dataType == BinaryType)
+          val md = if (isGeomCol) {
             if (extMetaJson != null)
-              java.util.Map.of("ARROW:extension:name", "geoarrow.wkb",
+              java.util.Map.of("ARROW:extension:name", geoExtName,
                                "ARROW:extension:metadata", extMetaJson)
-            else java.util.Map.of("ARROW:extension:name", "geoarrow.wkb")
+            else java.util.Map.of("ARROW:extension:name", geoExtName)
           } else java.util.Map.of[String, String]()
           dictByCol.get(f.name) match {
             case Some((dict, _)) =>

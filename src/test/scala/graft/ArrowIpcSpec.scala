@@ -922,6 +922,42 @@ class ArrowIpcSpec extends SparkTestBase {
     assert(pairs.count() >= 1) // at least one adjacent borough pair
   }
 
+  test("native-encoding WRITE: ga_to_* separated layouts roundtrip with typed extension tags") {
+    // the reference's writers emit native GeoArrow arrays; geometryEncoding
+    // transcodes WKB through the same ga_to_* exporters GeoParquet uses and
+    // tags the nested field, so a reference consumer reads the arrays
+    // zero-copy and our own reader maps them straight back to WKB — with
+    // geometry_types evidence stamped from the typed extension name
+    val base = java.nio.file.Files.createTempDirectory("arrownative").toString
+    val pts = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE WHEN id = 7 THEN NULL
+                  ELSE ST_Point(CAST(id AS DOUBLE), CAST(id % 5 AS DOUBLE)) END AS geometry
+      FROM range(40)""").repartition(2)
+    ArrowIpc.write(pts, s"$base/pt", geometryEncoding = "point")
+    val ptBack = ArrowIpc.read(spark, s"$base/pt")
+    assert(ptBack.schema("geometry").metadata.getString("geoparquet.geometry_types") == "Point",
+      "typed extension name must stamp geometry_types on read-back")
+    val a = pts.selectExpr("fid", "ST_AsText(geometry) w")
+    val b = ptBack.selectExpr("fid", "ST_AsText(geometry) w")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty, "native point roundtrip")
+    // polygons with holes through the 3-deep multipolygon layout
+    val polys = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_Multi(ST_Buffer(ST_Point(CAST(id * 20 AS DOUBLE), 0.0), 5.0)) AS geometry
+      FROM range(12)""")
+    ArrowIpc.write(polys, s"$base/mp", geometryEncoding = "multipolygon")
+    val mpBack = ArrowIpc.read(spark, s"$base/mp")
+    val pa = polys.selectExpr("fid", "ST_AsText(geometry) w")
+    val pb = mpBack.selectExpr("fid", "ST_AsText(geometry) w")
+    assert(pa.except(pb).isEmpty && pb.except(pa).isEmpty, "native multipolygon roundtrip")
+    // an unknown encoding fails loudly at entry
+    val err = intercept[IllegalArgumentException] {
+      ArrowIpc.write(pts, s"$base/bad", geometryEncoding = "hexagon")
+    }
+    assert(err.getMessage.contains("geometryEncoding"), err.getMessage)
+  }
+
   test("geoarrow.wkt / geoarrow.box / geometry union / geometrycollection decode (both faces)") {
     // the four GeoArrow encodings beyond the concrete six: serialized-text
     // WKT, bbox structs, the mixed-type DENSE UNION (geoarrow-rs's default
