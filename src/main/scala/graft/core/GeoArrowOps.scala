@@ -137,4 +137,63 @@ object GeoArrowOps {
           s"ga_to_multipolygon: component is ${other.getGeometryType}, not Polygon")
       })))
   }
+
+  // ── XYZ export twins (round 16): the reference emits Dimension::XYZ
+  //    native arrays; a separate kernel family because a SQL function's
+  //    return struct is fixed — {x,y,z} is a different type than {x,y}.
+  //    Input must actually CARRY Z (and no M — GeoParquet 1.1 native has
+  //    no measured encoding): half-fidelity would silently fabricate or
+  //    drop an ordinate, so both directions fail loudly. ──────────────────
+
+  private def readXYZ(wkb: Array[Byte], kernel: String): Geometry = {
+    val g = GeomOps.read(wkb)
+    if (!GeomOps.hasZ(g))
+      throw new IllegalArgumentException(
+        s"$kernel: XYZ export requires Z coordinates but the input geometry is 2D — " +
+        "use the XY kernel (drop the _z suffix) instead")
+    if (GeomOps.hasM(g))
+      throw new IllegalArgumentException(
+        s"$kernel: XYZ export cannot carry the input's M measures — strip them " +
+        "first or write with encoding=WKB (Z/M-preserving)")
+    g
+  }
+
+  private def coordRowZ(c: Coordinate): InternalRow =
+    new GenericInternalRow(Array[Any](c.x, c.y, c.getZ))
+
+  private def coordArrZ(cs: Array[Coordinate]): ArrayData =
+    new GenericArrayData(cs.map(coordRowZ(_): Any))
+
+  private def polyArrZ(p: Polygon): ArrayData =
+    new GenericArrayData(
+      ((p.getExteriorRing +: (0 until p.getNumInteriorRing).map(p.getInteriorRingN))
+        .map(r => coordArrZ(r.getCoordinates): Any)).toArray)
+
+  def toPointZ(wkb: Array[Byte]): InternalRow =
+    coordRowZ(readXYZ(wkb, "ga_to_point_z").getCoordinate)
+
+  def toLineStringZ(wkb: Array[Byte]): ArrayData =
+    coordArrZ(readXYZ(wkb, "ga_to_linestring_z").getCoordinates)
+
+  def toMultiPointZ(wkb: Array[Byte]): ArrayData =
+    coordArrZ(readXYZ(wkb, "ga_to_multipoint_z").getCoordinates)
+
+  def toPolygonZ(wkb: Array[Byte]): ArrayData =
+    polyArrZ(readXYZ(wkb, "ga_to_polygon_z").asInstanceOf[Polygon])
+
+  def toMultiLineStringZ(wkb: Array[Byte]): ArrayData = {
+    val g = readXYZ(wkb, "ga_to_multilinestring_z")
+    new GenericArrayData(Array.tabulate[Any](g.getNumGeometries)(i =>
+      coordArrZ(g.getGeometryN(i).getCoordinates)))
+  }
+
+  def toMultiPolygonZ(wkb: Array[Byte]): ArrayData = {
+    val g = readXYZ(wkb, "ga_to_multipolygon_z")
+    new GenericArrayData(Array.tabulate[Any](g.getNumGeometries)(i =>
+      polyArrZ(g.getGeometryN(i) match {
+        case p: Polygon => p
+        case other => throw new IllegalArgumentException(
+          s"ga_to_multipolygon_z: component is ${other.getGeometryType}, not Polygon")
+      })))
+  }
 }

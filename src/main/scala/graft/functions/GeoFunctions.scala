@@ -48,6 +48,13 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
   private val gaList1 = ArrayType(gaCoord, containsNull = false)
   private val gaList2 = ArrayType(gaList1, containsNull = false)
   private val gaList3 = ArrayType(gaList2, containsNull = false)
+  private val gaCoordZ = StructType(Seq(
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false),
+    StructField("z", DoubleType, nullable = false)))
+  private val gaList1Z = ArrayType(gaCoordZ, containsNull = false)
+  private val gaList2Z = ArrayType(gaList1Z, containsNull = false)
+  private val gaList3Z = ArrayType(gaList2Z, containsNull = false)
 
   /** name → (method, returnType, paramTypes, implementing class), grouped by
     * arity so one SQL name can overload (e.g. ST_Buffer/2 and /3).
@@ -230,6 +237,13 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "ga_to_polygon" -> Sig("toPolygon", gaList2, Seq(G), geoArrow),
     "ga_to_multilinestring" -> Sig("toMultiLineString", gaList2, Seq(G), geoArrow),
     "ga_to_multipolygon" -> Sig("toMultiPolygon", gaList3, Seq(G), geoArrow),
+    // XYZ export twins (round 16; reference Dimension::XYZ arrays)
+    "ga_to_point_z" -> Sig("toPointZ", gaCoordZ, Seq(G), geoArrow),
+    "ga_to_linestring_z" -> Sig("toLineStringZ", gaList1Z, Seq(G), geoArrow),
+    "ga_to_multipoint_z" -> Sig("toMultiPointZ", gaList1Z, Seq(G), geoArrow),
+    "ga_to_polygon_z" -> Sig("toPolygonZ", gaList2Z, Seq(G), geoArrow),
+    "ga_to_multilinestring_z" -> Sig("toMultiLineStringZ", gaList2Z, Seq(G), geoArrow),
+    "ga_to_multipolygon_z" -> Sig("toMultiPolygonZ", gaList3Z, Seq(G), geoArrow),
   )
 
   /** Test hook for the kernel-matrix null audit (GeoPropertySpec): every

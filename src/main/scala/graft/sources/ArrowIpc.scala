@@ -1069,13 +1069,17 @@ object ArrowIpc {
     // native arrays; zero-copy-readable by GeoPandas/pyarrow and mapped
     // back by [[schemaOf]] (which also stamps geometry_types evidence from
     // the typed extension name).
-    val geoExtName = geometryEncoding.toLowerCase match {
+    // "_z" selects the XYZ exporter family; the GeoArrow extension name is
+    // dimensionless either way (dimension lives in the coord struct)
+    val encLower = geometryEncoding.toLowerCase
+    val geoExtName = encLower.stripSuffix("_z") match {
       case "wkb" => "geoarrow.wkb"
       case e @ ("point" | "linestring" | "polygon" | "multipoint" |
                 "multilinestring" | "multipolygon") => s"geoarrow.$e"
       case other => throw new IllegalArgumentException(
         s"ArrowIpc.write: unsupported geometryEncoding '$other' " +
-          "(wkb, point, linestring, polygon, multipoint, multilinestring, multipolygon)")
+          "(wkb, point[_z], linestring[_z], polygon[_z], multipoint[_z], " +
+          "multilinestring[_z], multipolygon[_z])")
     }
     // extension metadata (crs/edges) reads from the ORIGINAL column before
     // the transcode drops Spark field metadata
@@ -1085,7 +1089,7 @@ object ArrowIpc {
       else {
         graft.functions.GeoFunctions.register(df.sparkSession)
         df.withColumn(geometryCol, org.apache.spark.sql.functions.call_function(
-          "ga_to_" + geoExtName.stripPrefix("geoarrow."),
+          "ga_to_" + encLower,
           org.apache.spark.sql.functions.col(geometryCol)))
       }
 

@@ -596,10 +596,16 @@ object GeoParquet {
     // resulting file is readable zero-copy by GeoPandas/pyarrow (same layout
     // as fixtures/geoparquet/nybb_geoarrow.parquet) and by GeoParquet.read
     val isWkb = encoding.equalsIgnoreCase("WKB")
+    // "_z" suffix selects the XYZ exporter family (round 16) — the footer
+    // `encoding` name stays dimensionless (GeoParquet 1.1 vocabulary; the
+    // coord struct carries the z field, and the reader's zmFlags detect it)
+    val baseEncoding = encoding.toLowerCase.stripSuffix("_z")
     if (!isWkb) {
-      val fn = nativeExporter(encoding).getOrElse(throw new IllegalArgumentException(
-        s"GeoParquet.write: unsupported encoding '$encoding' (WKB, point, linestring, " +
-          "polygon, multipoint, multilinestring, multipolygon)"))
+      val fn = nativeExporter(baseEncoding)
+        .map(f => if (encoding.toLowerCase.endsWith("_z")) f + "_z" else f)
+        .getOrElse(throw new IllegalArgumentException(
+          s"GeoParquet.write: unsupported encoding '$encoding' (WKB, point[_z], linestring[_z], " +
+            "polygon[_z], multipoint[_z], multilinestring[_z], multipolygon[_z])"))
       out = out.withColumn(geometryColumn, call_function(fn, col(geometryColumn)))
     }
     // single-pass write: [[GeoParquetFileFormat]] reuses Spark's stock
@@ -611,7 +617,7 @@ object GeoParquet {
       .format(classOf[GeoParquetFileFormat].getName)
       .option(GeoParquetFileFormat.GeomColKey, geometryColumn)
       .option(GeoParquetFileFormat.CoveringKey, if (covering) "bbox" else "")
-      .option(GeoParquetFileFormat.EncodingKey, if (isWkb) "WKB" else encoding.toLowerCase)
+      .option(GeoParquetFileFormat.EncodingKey, if (isWkb) "WKB" else baseEncoding)
     effectiveCrs.foreach(c => w = w.option(GeoParquetFileFormat.CrsKey, c))
     effectiveEdges.foreach(e => w = w.option(GeoParquetFileFormat.EdgesKey, e))
     if (secondaryGeometry.nonEmpty) {

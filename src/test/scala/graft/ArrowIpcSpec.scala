@@ -951,6 +951,29 @@ class ArrowIpcSpec extends SparkTestBase {
     val pa = polys.selectExpr("fid", "ST_AsText(geometry) w")
     val pb = mpBack.selectExpr("fid", "ST_AsText(geometry) w")
     assert(pa.except(pb).isEmpty && pb.except(pa).isEmpty, "native multipolygon roundtrip")
+    // XYZ twins: _z encodings carry elevation natively both ways
+    val zpts = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_PointZ(CAST(id AS DOUBLE), 1.0, CAST(id * 10 AS DOUBLE)) AS geometry
+      FROM range(20)""")
+    ArrowIpc.write(zpts, s"$base/ptz", geometryEncoding = "point_z")
+    val zBack = ArrowIpc.read(spark, s"$base/ptz")
+    val za = zpts.selectExpr("fid", "ST_AsText(geometry) w")
+    val zb = zBack.selectExpr("fid", "ST_AsText(geometry) w")
+    assert(za.except(zb).isEmpty && zb.except(za).isEmpty, "native point_z roundtrip")
+    assert(zBack.selectExpr("ST_Z(geometry)").collect().map(_.getDouble(0)).sum == (0 until 20).map(_ * 10).sum)
+    // half-fidelity fails loudly in both directions
+    val zOn2d = intercept[Exception] {
+      ArrowIpc.write(pts.na.drop(), s"$base/z2d", geometryEncoding = "point_z")
+    }
+    assert(zOn2d.getMessage.contains("XYZ export requires Z") ||
+      Option(zOn2d.getCause).exists(_.getMessage.contains("XYZ export requires Z")),
+      zOn2d.getMessage)
+    val flat = intercept[Exception] {
+      ArrowIpc.write(zpts, s"$base/2dz", geometryEncoding = "point")
+    }
+    assert(flat.getMessage.contains("XY only") ||
+      Option(flat.getCause).exists(_.getMessage.contains("XY only")), flat.getMessage)
     // an unknown encoding fails loudly at entry
     val err = intercept[IllegalArgumentException] {
       ArrowIpc.write(pts, s"$base/bad", geometryEncoding = "hexagon")

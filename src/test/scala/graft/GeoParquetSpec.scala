@@ -290,6 +290,36 @@ class GeoParquetSpec extends SparkTestBase {
     assert(byBoro2(back) == byBoro2(wkb))
   }
 
+  test("native XYZ write (encoding = point_z): z survives the native hop; footer stays 'point'") {
+    val zOut = dir + "_native_z"
+    val df = spark.sql("""
+      SELECT CAST(id AS INT) AS fid,
+             ST_PointZ(CAST(id AS DOUBLE), 1.0, CAST(id * 10 AS DOUBLE)) AS geometry
+      FROM range(15)""")
+    GeoParquet.write(df.coalesce(1), zOut, covering = false, encoding = "point_z")
+    // footer encoding is the dimensionless GeoParquet 1.1 name; the coord
+    // struct carries the z field the reader's zmFlags detect
+    val meta = GeoParquet.metadata(spark, zOut).get
+    assert(meta.columns.head.encoding == "point")
+    val raw = spark.read.parquet(zOut)
+    assert(raw.schema("geometry").dataType.simpleString ==
+      "struct<x:double,y:double,z:double>", raw.schema("geometry").dataType.simpleString)
+    val back = GeoParquet.read(spark, zOut)
+    val a = df.selectExpr("fid", "ST_AsText(geometry) w")
+    val b = back.selectExpr("fid", "ST_AsText(geometry) w")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty, "native point_z parquet roundtrip")
+    assert(back.selectExpr("SUM(ST_Z(geometry))").head().getDouble(0) == (0 until 15).map(_ * 10).sum)
+    // 2D input through a _z encoding fails loudly (no fabricated ordinate)
+    val flat = intercept[Exception] {
+      GeoParquet.write(spark.sql(
+        "SELECT ST_Point(1.0, 2.0) AS geometry FROM range(3)").coalesce(1),
+        dir + "_native_z_bad", covering = false, encoding = "point_z")
+    }
+    assert(flat.getMessage.contains("XYZ export requires Z") ||
+      Option(flat.getCause).exists(_.getMessage.contains("XYZ export requires Z")),
+      flat.getMessage)
+  }
+
   test("ga_to_* export kernels roundtrip through ga_* decode") {
     val r = sql("""
       SELECT ST_AsText(ga_polygon(ga_to_polygon(g), false, false)) AS rt,
