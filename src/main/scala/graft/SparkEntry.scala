@@ -2070,6 +2070,37 @@ object SparkEntry {
            SUM(CASE WHEN i % 11 = 0 THEN -1 ELSE i END)::BIGINT AS sum_x
     FROM range(200) t(i) GROUP BY 1 ORDER BY 1"""
 
+  /** Native XYZ GeoParquet hop under the hash gate (g98): ST_PointZ rows
+    * write through the ga_to_point_z exporter (coord struct {x,y,z}, footer
+    * encoding stays the dimensionless 'point'), read back through the
+    * scan-time transcode whose zmFlags detect the z field — the aggregate
+    * pins x AND z, so a dropped or fabricated ordinate breaks the hash. */
+  private def g98Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g98_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val df = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_PointZ(CAST(id AS DOUBLE), CAST(id % 3 AS DOUBLE),
+                       CAST(id * 7 AS DOUBLE)) AS geometry
+      FROM range(120)""").coalesce(1)
+    graft.sources.GeoParquet.write(df, out, covering = false, encoding = "point_z")
+    graft.sources.GeoParquet.read(s, out)
+      .selectExpr("CAST(fid % 3 AS BIGINT) AS grp", "ST_X(geometry) AS x",
+        "ST_Z(geometry) AS z", "CASE WHEN ST_HasZ(geometry) THEN 1 ELSE 0 END AS hz")
+      .groupBy("grp")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("x").cast("bigint").as("sum_x"),
+        org.apache.spark.sql.functions.sum("z").cast("bigint").as("sum_z"),
+        org.apache.spark.sql.functions.sum("hz").as("n_z"))
+      .orderBy("grp")
+  }
+
+  private val g98Duck = """
+    SELECT (i % 3)::BIGINT AS grp, COUNT(*)::BIGINT AS n, SUM(i)::BIGINT AS sum_x,
+           SUM(i * 7)::BIGINT AS sum_z, COUNT(*)::BIGINT AS n_z
+    FROM range(120) t(i) GROUP BY 1 ORDER BY 1"""
+
   /** Mixed-geometry Arrow IPC under the hash gate (g96): the reference's
     * heterogeneous-array default — `geoarrow.geometry` dense unions,
     * `geoarrow.geometrycollection` (List over the union), `geoarrow.wkt`
@@ -11913,6 +11944,7 @@ object SparkEntry {
     ("g95_arrow_stream_dict", g95Fn _, g95Duck),
     ("g96_arrow_geometry_union", g96Fn _, g96Duck),
     ("g97_arrow_native_write", g97Fn _, g97Duck),
+    ("g98_geoparquet_native_z", g98Fn _, g98Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),
