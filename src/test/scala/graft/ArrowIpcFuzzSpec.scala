@@ -4,9 +4,9 @@ import scala.util.Random
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
-import org.apache.arrow.vector.complex.{FixedSizeListVector, ListVector, ListViewVector, RunEndEncodedVector, StructVector}
+import org.apache.arrow.vector.complex.{DenseUnionVector, FixedSizeListVector, ListVector, ListViewVector, RunEndEncodedVector, StructVector}
 import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
-import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.{FloatingPointPrecision, UnionMode}
 import org.apache.arrow.vector.types.pojo._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -235,6 +235,49 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
       }
       child.setValueCount(off)
       v.setValueCount(n); (v, None)
+    case 23 => // geoarrow.geometry DENSE UNION root (Point XY + LineString Z):
+      // the union's types+offsets buffer run plus heterogeneous children,
+      // under the same compression codecs and random masks as every other
+      // kind — decoded as geometry (ext metadata), so pruned == full == WKB
+      val f64 = new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      def interleaved(nm: String, dims: String) =
+        new Field(nm, FieldType.nullable(new ArrowType.FixedSizeList(dims.length)),
+          java.util.List.of(new Field(dims, new FieldType(false, f64, null, null),
+            java.util.List.of[Field]())))
+      val lineF = new Field("LineString Z", FieldType.nullable(new ArrowType.List()),
+        java.util.List.of(interleaved("vertices", "xyz")))
+      val unionField = new Field(name,
+        new FieldType(true, new ArrowType.Union(UnionMode.Dense, Array(1, 12)), null,
+          java.util.Map.of("ARROW:extension:name", "geoarrow.geometry")),
+        java.util.List.of(interleaved("Point", "xy"), lineF))
+      val du = unionField.createVector(alloc).asInstanceOf[DenseUnionVector]
+      du.allocateNew()
+      val pt = du.getVectorByType(1).asInstanceOf[FixedSizeListVector]
+      val ls = du.getVectorByType(12).asInstanceOf[ListVector]
+      var ptN = 0; var lsN = 0
+      (0 until n).foreach { i =>
+        if (rnd.nextBoolean()) {
+          du.setTypeId(i, 1); du.setOffset(i, ptN)
+          pt.setNotNull(ptN)
+          val dv = pt.getDataVector.asInstanceOf[Float8Vector]
+          dv.setSafe(ptN * 2, rnd.nextInt(1000) / 4.0)
+          dv.setSafe(ptN * 2 + 1, rnd.nextInt(1000) / 4.0)
+          ptN += 1
+        } else {
+          du.setTypeId(i, 12); du.setOffset(i, lsN)
+          val start = ls.startNewValue(lsN)
+          val nv = 2 + rnd.nextInt(3)
+          val flv = ls.getDataVector.asInstanceOf[FixedSizeListVector]
+          val dv = flv.getDataVector.asInstanceOf[Float8Vector]
+          (0 until nv).foreach { k =>
+            flv.setNotNull(start + k)
+            (0 until 3).foreach(j => dv.setSafe((start + k) * 3 + j, rnd.nextInt(1000) / 4.0))
+          }
+          ls.endValue(lsN, nv); lsN += 1
+        }
+      }
+      pt.setValueCount(ptN); ls.setValueCount(lsN); du.setValueCount(n)
+      (du, None)
     case _ => // struct{s: utf8view, d: float8} — a VIEW node NESTED under a
       // struct: its variadic buffer slot sits mid-pre-order, the most
       // delicate case for the buffer-run slicing
@@ -260,7 +303,7 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
     var trial = 0
     while (trial < 60) {
       val ncols = 2 + rnd.nextInt(4)
-      val kinds = Array.fill(ncols)(rnd.nextInt(23))
+      val kinds = Array.fill(ncols)(rnd.nextInt(24))
       val n = if (trial % 10 == 0) 0 else 1 + rnd.nextInt(50) // exercise 0-row files too
       val file = new java.io.File(dir, f"fuzz-$trial%03d.arrow")
       val alloc = new RootAllocator()
