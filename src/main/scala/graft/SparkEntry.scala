@@ -2101,6 +2101,51 @@ object SparkEntry {
            SUM(i * 7)::BIGINT AS sum_z, COUNT(*)::BIGINT AS n_z
     FROM range(120) t(i) GROUP BY 1 ORDER BY 1"""
 
+  /** Heterogeneous-column union WRITE under the hash gate (g99): a single
+    * geometry column mixing points, 3D points, linestrings and polygons —
+    * plus nulls — writes as the reference's `geoarrow.geometry` dense
+    * union (per-row kind/dimension dispatch into XY/XYZ children) and
+    * reads back through [[graft.sources.ArrowIpc.read]]'s vector-level
+    * union decode; the aggregate pins coordinates, Z, planar area, and
+    * the null count against closed forms. */
+  private def g99Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g99_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val df = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE CAST(id % 4 AS INT)
+               WHEN 0 THEN ST_Point(CAST(id AS DOUBLE), 1.0)
+               WHEN 1 THEN ST_PointZ(CAST(id AS DOUBLE), 2.0, CAST(id * 3 AS DOUBLE))
+               WHEN 2 THEN ST_MakeEnvelope(0.0, 0.0, CAST(id AS DOUBLE), 2.0)
+               ELSE NULL
+             END AS geometry
+      FROM range(100)""").coalesce(1)
+    graft.sources.ArrowIpc.write(df, out, geometryEncoding = "geometry")
+    s.read.format("arrowipc").load(out)
+      .selectExpr("CAST(fid % 4 AS BIGINT) AS grp",
+        "CASE WHEN geometry IS NULL THEN 1 ELSE 0 END AS is_null",
+        "COALESCE(ST_X(ST_Centroid(geometry)), 0.0D) AS cx",
+        "CASE WHEN ST_HasZ(geometry) THEN ST_Z(geometry) ELSE 0.0D END AS z",
+        "COALESCE(ST_Area(geometry), 0.0D) AS area")
+      .groupBy("grp")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("is_null").as("n_null"),
+        org.apache.spark.sql.functions.sum("cx").cast("bigint").as("sum_cx"),
+        org.apache.spark.sql.functions.sum("z").cast("bigint").as("sum_z"),
+        org.apache.spark.sql.functions.sum("area").cast("bigint").as("sum_area"))
+      .orderBy("grp")
+  }
+
+  private val g99Duck = """
+    SELECT (i % 4)::BIGINT AS grp, COUNT(*)::BIGINT AS n,
+           SUM(CASE WHEN i % 4 = 3 THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           SUM(CASE WHEN i % 4 = 0 THEN i WHEN i % 4 = 1 THEN i
+                    WHEN i % 4 = 2 THEN i / 2.0 ELSE 0 END)::BIGINT AS sum_cx,
+           SUM(CASE WHEN i % 4 = 1 THEN i * 3 ELSE 0 END)::BIGINT AS sum_z,
+           SUM(CASE WHEN i % 4 = 2 THEN i * 2 ELSE 0 END)::BIGINT AS sum_area
+    FROM range(100) t(i) GROUP BY 1 ORDER BY 1"""
+
   /** Mixed-geometry Arrow IPC under the hash gate (g96): the reference's
     * heterogeneous-array default — `geoarrow.geometry` dense unions,
     * `geoarrow.geometrycollection` (List over the union), `geoarrow.wkt`
@@ -11945,6 +11990,7 @@ object SparkEntry {
     ("g96_arrow_geometry_union", g96Fn _, g96Duck),
     ("g97_arrow_native_write", g97Fn _, g97Duck),
     ("g98_geoparquet_native_z", g98Fn _, g98Duck),
+    ("g99_arrow_union_write", g99Fn _, g99Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

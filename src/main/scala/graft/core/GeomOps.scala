@@ -70,7 +70,7 @@ object GeomOps {
     }
   }
 
-  private[core] def hasZ(g: Geometry): Boolean = {
+  private[graft] def hasZ(g: Geometry): Boolean = {
     if (g.isEmpty) return false
     val c = g.getCoordinate
     c != null && !java.lang.Double.isNaN(c.getZ)
@@ -88,7 +88,7 @@ object GeomOps {
     case _ => null
   }
 
-  private[core] def hasM(g: Geometry): Boolean = {
+  private[graft] def hasM(g: Geometry): Boolean = {
     if (g.isEmpty) return false
     val s = firstSeq(g)
     s != null && s.hasM

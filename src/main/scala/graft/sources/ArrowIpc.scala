@@ -1074,18 +1074,23 @@ object ArrowIpc {
     val encLower = geometryEncoding.toLowerCase
     val geoExtName = encLower.stripSuffix("_z") match {
       case "wkb" => "geoarrow.wkb"
+      // heterogeneous columns: the DENSE-UNION type (reference type ids,
+      // XY children 1-6 + XYZ children 11-16); per-row kind/dimension
+      // dispatch happens at vector-population time, so mixed 2D/3D
+      // columns are first-class — no transcode, the WKB decodes in-task
+      case "geometry" => "geoarrow.geometry"
       case e @ ("point" | "linestring" | "polygon" | "multipoint" |
                 "multilinestring" | "multipolygon") => s"geoarrow.$e"
       case other => throw new IllegalArgumentException(
         s"ArrowIpc.write: unsupported geometryEncoding '$other' " +
-          "(wkb, point[_z], linestring[_z], polygon[_z], multipoint[_z], " +
+          "(wkb, geometry, point[_z], linestring[_z], polygon[_z], multipoint[_z], " +
           "multilinestring[_z], multipolygon[_z])")
     }
     // extension metadata (crs/edges) reads from the ORIGINAL column before
     // the transcode drops Spark field metadata
     val preSchema = df.schema
     val df1 =
-      if (geoExtName == "geoarrow.wkb") df
+      if (geoExtName == "geoarrow.wkb" || geoExtName == "geoarrow.geometry") df
       else {
         graft.functions.GeoFunctions.register(df.sparkSession)
         df.withColumn(geometryCol, org.apache.spark.sql.functions.call_function(
@@ -1206,9 +1211,37 @@ object ArrowIpc {
             }
             new Field(name, new FieldType(nullable, at, null, md), java.util.List.of[Field]())
         }
+        // geometry-union field tree: reference type ids and child names
+        // ("Point", "MultiPolygon Z", ...), interleaved coords — exactly
+        // the shapes [[unionGeom]] reads back
+        def unionGeomField(name: String, md: java.util.Map[String, String]): Field = {
+          val f64 = new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+          def interleaved(nm: String, dims: String) =
+            new Field(nm, FieldType.nullable(new ArrowType.FixedSizeList(dims.length)),
+              java.util.List.of(new Field(dims, new FieldType(false, f64, null, null),
+                java.util.List.of[Field]())))
+          def l1(nm: String, dims: String) = new Field(nm,
+            FieldType.nullable(new ArrowType.List()),
+            java.util.List.of(interleaved("vertices", dims)))
+          def l2(nm: String, dims: String) = new Field(nm,
+            FieldType.nullable(new ArrowType.List()),
+            java.util.List.of(l1("rings", dims)))
+          def l3(nm: String, dims: String) = new Field(nm,
+            FieldType.nullable(new ArrowType.List()),
+            java.util.List.of(l2("polygons", dims)))
+          def block(suffix: String, dims: String) = Seq(
+            interleaved("Point" + suffix, dims), l1("LineString" + suffix, dims),
+            l2("Polygon" + suffix, dims), l1("MultiPoint" + suffix, dims),
+            l2("MultiLineString" + suffix, dims), l3("MultiPolygon" + suffix, dims))
+          new Field(name, new FieldType(true,
+            new org.apache.arrow.vector.types.pojo.ArrowType.Union(
+              org.apache.arrow.vector.types.UnionMode.Dense,
+              Array(1, 2, 3, 4, 5, 6, 11, 12, 13, 14, 15, 16)), null, md),
+            java.util.List.of(block("", "xy") ++ block(" Z", "xyz"): _*))
+        }
         val fields = sparkSchema.fields.map { f =>
           val isGeomCol = f.name == geomName &&
-            (geoExtName != "geoarrow.wkb" || f.dataType == BinaryType)
+            (!Set("geoarrow.wkb", "geoarrow.geometry")(geoExtName) || f.dataType == BinaryType)
           val md = if (isGeomCol) {
             if (extMetaJson != null)
               java.util.Map.of("ARROW:extension:name", geoExtName,
@@ -1223,7 +1256,9 @@ object ArrowIpc {
                 new FieldType(f.nullable, new ArrowType.Int(32, true),
                   dict.getEncoding, md),
                 java.util.List.of[Field]())
-            case None => arrowFieldOf(f.name, f.dataType, f.nullable, md)
+            case None =>
+              if (isGeomCol && geoExtName == "geoarrow.geometry") unionGeomField(f.name, md)
+              else arrowFieldOf(f.name, f.dataType, f.nullable, md)
           }
         }
         val dictLookup: Array[Map[String, Int]] =
@@ -1368,6 +1403,105 @@ object ArrowIpc {
                 case _ => null
               }
               val colType = sparkSchema.fields(c).dataType
+              // geometry-union population: per-row WKB decode → kind/dim
+              // dispatch → child append; type ids/offsets live on the
+              // union itself (dense unions carry no validity — a null or
+              // empty geometry becomes a null Point child value)
+              val duVec = vec match {
+                case v: org.apache.arrow.vector.complex.DenseUnionVector => v
+                case _ => null
+              }
+              if (duVec != null) {
+                import org.apache.arrow.vector.complex.{FixedSizeListVector => FSL, ListVector => LV}
+                import org.locationtech.jts.geom._
+                val counters = new Array[Int](17) // indexed by type id
+                def fillCoords(flv: FSL, start: Int, cs: Array[Coordinate], d: Int): Unit = {
+                  val dv = flv.getDataVector.asInstanceOf[Float8Vector]
+                  var k = 0
+                  while (k < cs.length) {
+                    flv.setNotNull(start + k)
+                    dv.setSafe((start + k) * d, cs(k).x)
+                    dv.setSafe((start + k) * d + 1, cs(k).y)
+                    if (d == 3) dv.setSafe((start + k) * d + 2, cs(k).getZ)
+                    k += 1
+                  }
+                }
+                def fillLine(lv: LV, row2: Int, cs: Array[Coordinate], d: Int): Unit = {
+                  val start = lv.startNewValue(row2)
+                  fillCoords(lv.getDataVector.asInstanceOf[FSL], start, cs, d)
+                  lv.endValue(row2, cs.length)
+                }
+                def fillRings(lv2: LV, row2: Int, rings: Seq[Array[Coordinate]], d: Int): Unit = {
+                  val start = lv2.startNewValue(row2)
+                  val inner = lv2.getDataVector.asInstanceOf[LV]
+                  rings.zipWithIndex.foreach { case (cs, k) => fillLine(inner, start + k, cs, d) }
+                  lv2.endValue(row2, rings.length)
+                }
+                def ringsOf(p: Polygon): Seq[Array[Coordinate]] =
+                  (p.getExteriorRing +: (0 until p.getNumInteriorRing).map(p.getInteriorRingN))
+                    .map(_.getCoordinates)
+                def fillMPoly(lv3: LV, row2: Int, polys: Seq[Polygon], d: Int): Unit = {
+                  val start = lv3.startNewValue(row2)
+                  val inner = lv3.getDataVector.asInstanceOf[LV]
+                  polys.zipWithIndex.foreach { case (pp, k) => fillRings(inner, start + k, ringsOf(pp), d) }
+                  lv3.endValue(row2, polys.length)
+                }
+                var i = 0
+                while (i < chunk.length) {
+                  val row = chunk(i)
+                  val wkb = if (row.isNullAt(c)) null else row.getAs[Array[Byte]](c)
+                  val g = if (wkb == null) null else graft.core.GeomOps.read(wkb)
+                  if (g == null || g.isEmpty) {
+                    // null/empty → null Point child value (type id 1)
+                    val tid: Byte = 1
+                    val off = counters(tid)
+                    duVec.getVectorByType(tid).asInstanceOf[FSL].setNull(off)
+                    duVec.setTypeId(i, tid); duVec.setOffset(i, off)
+                    counters(tid) += 1
+                  } else {
+                    require(!graft.core.GeomOps.hasM(g),
+                      "ArrowIpc.write: geometry-union encoding has no measured (M) children — " +
+                        "write with geometryEncoding=wkb (Z/M-preserving) instead")
+                    val d = if (graft.core.GeomOps.hasZ(g)) 3 else 2
+                    val base = if (d == 3) 10 else 0
+                    val (tid0, fill) = g match {
+                      case p: Point => (1, (tid: Byte, off: Int) =>
+                        fillCoords(duVec.getVectorByType(tid).asInstanceOf[FSL], off,
+                          Array(p.getCoordinate), d))
+                      case l: LineString => (2, (tid: Byte, off: Int) =>
+                        fillLine(duVec.getVectorByType(tid).asInstanceOf[LV], off, l.getCoordinates, d))
+                      case p: Polygon => (3, (tid: Byte, off: Int) =>
+                        fillRings(duVec.getVectorByType(tid).asInstanceOf[LV], off, ringsOf(p), d))
+                      case mp: MultiPoint => (4, (tid: Byte, off: Int) =>
+                        fillLine(duVec.getVectorByType(tid).asInstanceOf[LV], off, mp.getCoordinates, d))
+                      case mls: MultiLineString => (5, (tid: Byte, off: Int) =>
+                        fillRings(duVec.getVectorByType(tid).asInstanceOf[LV], off,
+                          (0 until mls.getNumGeometries).map(mls.getGeometryN(_).getCoordinates), d))
+                      case mp: MultiPolygon => (6, (tid: Byte, off: Int) =>
+                        fillMPoly(duVec.getVectorByType(tid).asInstanceOf[LV], off,
+                          (0 until mp.getNumGeometries).map(mp.getGeometryN(_).asInstanceOf[Polygon]), d))
+                      case other => throw new IllegalArgumentException(
+                        s"ArrowIpc.write: geometry-union encoding cannot hold a " +
+                          s"${other.getGeometryType} — write with geometryEncoding=wkb")
+                    }
+                    val tid = (base + tid0).toByte
+                    val off = counters(tid)
+                    fill(tid, off)
+                    duVec.setTypeId(i, tid); duVec.setOffset(i, off)
+                    counters(tid) += 1
+                  }
+                  i += 1
+                }
+                // children's own counts first; the union's count last
+                var t = 1
+                while (t <= 16) {
+                  val child = duVec.getVectorByType(t.toByte)
+                  if (child != null) child.setValueCount(counters(t))
+                  t += 1
+                }
+                duVec.setValueCount(chunk.length)
+                c += 1
+              } else {
               var i = 0
               while (i < chunk.length) {
                 val row = chunk(i)
@@ -1411,6 +1545,7 @@ object ArrowIpc {
                 i += 1
               }
               c += 1
+              }
             }
             root.setRowCount(chunk.length)
             writer.writeBatch()

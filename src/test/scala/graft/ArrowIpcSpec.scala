@@ -981,6 +981,45 @@ class ArrowIpcSpec extends SparkTestBase {
     assert(err.getMessage.contains("geometryEncoding"), err.getMessage)
   }
 
+  test("geometry-union WRITE: mixed kinds/dims/nulls roundtrip, stream twin included") {
+    // heterogeneous columns write as the reference's dense-union type with
+    // per-row kind + dimension dispatch — mixed 2D/3D in ONE column is
+    // first-class (separate XY and XYZ children per the reference ids)
+    val base = java.nio.file.Files.createTempDirectory("arrowuw").toString
+    val df = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE CAST(id % 7 AS INT)
+               WHEN 0 THEN ST_Point(CAST(id AS DOUBLE), 1.0)
+               WHEN 1 THEN ST_PointZ(CAST(id AS DOUBLE), 2.0, CAST(id * 3 AS DOUBLE))
+               WHEN 2 THEN ST_GeomFromText('LINESTRING (0 0, 3 4, 6 0)')
+               WHEN 3 THEN ST_GeomFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))')
+               WHEN 4 THEN ST_GeomFromText('MULTIPOINT ((1 1), (2 2))')
+               WHEN 5 THEN ST_GeomFromText('MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))')
+               ELSE NULL
+             END AS geometry
+      FROM range(70)""").repartition(2)
+    for (stream <- Seq(false, true)) {
+      val out = s"$base/u_$stream"
+      ArrowIpc.write(df, out, geometryEncoding = "geometry", streamFormat = stream)
+      val back = ArrowIpc.read(spark, out)
+      val a = df.selectExpr("fid", "COALESCE(ST_AsText(geometry), 'NULL') w")
+      val b = back.selectExpr("fid", "COALESCE(ST_AsText(geometry), 'NULL') w")
+      assert(a.except(b).isEmpty && b.except(a).isEmpty,
+        s"union write roundtrip (stream=$stream)")
+    }
+    // a 3D linestring rides the XYZ child, pinned exactly
+    val z = spark.sql(
+      "SELECT 0L AS fid, ST_GeomFromText('LINESTRING Z(0 0 10, 3 4 20)') AS geometry")
+    ArrowIpc.write(z, s"$base/lz", geometryEncoding = "geometry")
+    assert(ArrowIpc.read(spark, s"$base/lz").selectExpr("ST_AsText(geometry)")
+      .head().getString(0) == "LINESTRING Z(0 0 10, 3 4 20)")
+    // measured input is refused loudly (no M children in the union)
+    val m = spark.sql("SELECT ST_PointM(1.0, 2.0, 3.0) AS geometry FROM range(2)")
+    val err = intercept[Exception] { ArrowIpc.write(m, s"$base/m", geometryEncoding = "geometry") }
+    assert(err.getMessage.contains("measured") ||
+      Option(err.getCause).exists(_.getMessage.contains("measured")), err.getMessage)
+  }
+
   test("geoarrow.wkt / geoarrow.box / geometry union / geometrycollection decode (both faces)") {
     // the four GeoArrow encodings beyond the concrete six: serialized-text
     // WKT, bbox structs, the mixed-type DENSE UNION (geoarrow-rs's default
