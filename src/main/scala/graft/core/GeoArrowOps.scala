@@ -59,8 +59,14 @@ object GeoArrowOps {
 
   // ── StaticInvoke targets (one per GeoParquet 1.1 native encoding) ──────
 
-  def gaPoint(r: InternalRow, z: Boolean, m: Boolean): Array[Byte] =
-    GeomOps.write(factory.createPoint(coord(r, z, m)))
+  def gaPoint(r: InternalRow, z: Boolean, m: Boolean): Array[Byte] = {
+    val c = coord(r, z, m)
+    // GeoArrow encodes POINT EMPTY as all-NaN ordinates (the null slot means
+    // SQL NULL — reference trait_.rs:157-198 logical nulls)
+    if (java.lang.Double.isNaN(c.x) && java.lang.Double.isNaN(c.y))
+      GeomOps.write(factory.createPoint())
+    else GeomOps.write(factory.createPoint(c))
+  }
 
   def gaLineString(a: ArrayData, z: Boolean, m: Boolean): Array[Byte] =
     GeomOps.write(line(a, z, m))
@@ -110,8 +116,13 @@ object GeoArrowOps {
       ((p.getExteriorRing +: (0 until p.getNumInteriorRing).map(p.getInteriorRingN))
         .map(r => coordArr(r.getCoordinates): Any)).toArray)
 
-  def toPoint(wkb: Array[Byte]): InternalRow =
-    coordRow(readXY(wkb, "ga_to_point").getCoordinate)
+  def toPoint(wkb: Array[Byte]): InternalRow = {
+    val g = readXY(wkb, "ga_to_point")
+    // POINT EMPTY exports as the spec's NaN pair (getCoordinate is null for
+    // an empty point — a bare NPE here was round-16's defect)
+    if (g.isEmpty) new GenericInternalRow(Array[Any](Double.NaN, Double.NaN))
+    else coordRow(g.getCoordinate)
+  }
 
   def toLineString(wkb: Array[Byte]): ArrayData =
     coordArr(readXY(wkb, "ga_to_linestring").getCoordinates)
@@ -196,4 +207,90 @@ object GeoArrowOps {
           s"ga_to_multipolygon_z: component is ${other.getGeometryType}, not Polygon")
       })))
   }
+
+  // ── XYM / XYZM export twins (round 17): completes the reference's
+  //    all-dims native write coverage (rust/geoparquet/src/writer/
+  //    encode.rs:21-74 encodes any GeoArrowType dimension). Same exact-
+  //    fidelity contract as the Z family: the input must carry EXACTLY the
+  //    kernel's dimensions — fabricating or dropping an ordinate fails
+  //    loudly in both directions. ───────────────────────────────────────────
+
+  private def readDims(wkb: Array[Byte], kernel: String,
+                       wantZ: Boolean, wantM: Boolean): Geometry = {
+    val g = GeomOps.read(wkb)
+    val z = GeomOps.hasZ(g); val m = GeomOps.hasM(g)
+    if (z != wantZ || m != wantM) {
+      def dims(hz: Boolean, hm: Boolean) =
+        "XY" + (if (hz) "Z" else "") + (if (hm) "M" else "")
+      throw new IllegalArgumentException(
+        s"$kernel: ${dims(wantZ, wantM)} export requires ${dims(wantZ, wantM)} input but the " +
+        s"geometry is ${dims(z, m)} — use the matching kernel, or write with " +
+        "encoding=WKB (Z/M-preserving)")
+    }
+    g
+  }
+
+  /** GeoArrow separated order is x, y[, z][, m]. */
+  private def coordRowD(c: Coordinate, z: Boolean, m: Boolean): InternalRow =
+    new GenericInternalRow(
+      (Seq(c.x, c.y) ++ (if (z) Seq(c.getZ) else Nil) ++ (if (m) Seq(c.getM) else Nil))
+        .map(_.asInstanceOf[Any]).toArray)
+
+  private def coordArrD(cs: Array[Coordinate], z: Boolean, m: Boolean): ArrayData =
+    new GenericArrayData(cs.map(coordRowD(_, z, m): Any))
+
+  private def polyArrD(p: Polygon, z: Boolean, m: Boolean): ArrayData =
+    new GenericArrayData(
+      ((p.getExteriorRing +: (0 until p.getNumInteriorRing).map(p.getInteriorRingN))
+        .map(r => coordArrD(r.getCoordinates, z, m): Any)).toArray)
+
+  private def mlsArrD(g: Geometry, z: Boolean, m: Boolean): ArrayData =
+    new GenericArrayData(Array.tabulate[Any](g.getNumGeometries)(i =>
+      coordArrD(g.getGeometryN(i).getCoordinates, z, m)))
+
+  private def mpolyArrD(g: Geometry, kernel: String, z: Boolean, m: Boolean): ArrayData =
+    new GenericArrayData(Array.tabulate[Any](g.getNumGeometries)(i =>
+      polyArrD(g.getGeometryN(i) match {
+        case p: Polygon => p
+        case other => throw new IllegalArgumentException(
+          s"$kernel: component is ${other.getGeometryType}, not Polygon")
+      }, z, m)))
+
+  def toPointM(wkb: Array[Byte]): InternalRow =
+    coordRowD(readDims(wkb, "ga_to_point_m", wantZ = false, wantM = true).getCoordinate,
+      z = false, m = true)
+  def toLineStringM(wkb: Array[Byte]): ArrayData =
+    coordArrD(readDims(wkb, "ga_to_linestring_m", wantZ = false, wantM = true).getCoordinates,
+      z = false, m = true)
+  def toMultiPointM(wkb: Array[Byte]): ArrayData =
+    coordArrD(readDims(wkb, "ga_to_multipoint_m", wantZ = false, wantM = true).getCoordinates,
+      z = false, m = true)
+  def toPolygonM(wkb: Array[Byte]): ArrayData =
+    polyArrD(readDims(wkb, "ga_to_polygon_m", wantZ = false, wantM = true).asInstanceOf[Polygon],
+      z = false, m = true)
+  def toMultiLineStringM(wkb: Array[Byte]): ArrayData =
+    mlsArrD(readDims(wkb, "ga_to_multilinestring_m", wantZ = false, wantM = true),
+      z = false, m = true)
+  def toMultiPolygonM(wkb: Array[Byte]): ArrayData =
+    mpolyArrD(readDims(wkb, "ga_to_multipolygon_m", wantZ = false, wantM = true),
+      "ga_to_multipolygon_m", z = false, m = true)
+
+  def toPointZM(wkb: Array[Byte]): InternalRow =
+    coordRowD(readDims(wkb, "ga_to_point_zm", wantZ = true, wantM = true).getCoordinate,
+      z = true, m = true)
+  def toLineStringZM(wkb: Array[Byte]): ArrayData =
+    coordArrD(readDims(wkb, "ga_to_linestring_zm", wantZ = true, wantM = true).getCoordinates,
+      z = true, m = true)
+  def toMultiPointZM(wkb: Array[Byte]): ArrayData =
+    coordArrD(readDims(wkb, "ga_to_multipoint_zm", wantZ = true, wantM = true).getCoordinates,
+      z = true, m = true)
+  def toPolygonZM(wkb: Array[Byte]): ArrayData =
+    polyArrD(readDims(wkb, "ga_to_polygon_zm", wantZ = true, wantM = true).asInstanceOf[Polygon],
+      z = true, m = true)
+  def toMultiLineStringZM(wkb: Array[Byte]): ArrayData =
+    mlsArrD(readDims(wkb, "ga_to_multilinestring_zm", wantZ = true, wantM = true),
+      z = true, m = true)
+  def toMultiPolygonZM(wkb: Array[Byte]): ArrayData =
+    mpolyArrD(readDims(wkb, "ga_to_multipolygon_zm", wantZ = true, wantM = true),
+      "ga_to_multipolygon_zm", z = true, m = true)
 }

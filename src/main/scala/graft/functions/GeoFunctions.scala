@@ -55,6 +55,21 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
   private val gaList1Z = ArrayType(gaCoordZ, containsNull = false)
   private val gaList2Z = ArrayType(gaList1Z, containsNull = false)
   private val gaList3Z = ArrayType(gaList2Z, containsNull = false)
+  private val gaCoordM = StructType(Seq(
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false),
+    StructField("m", DoubleType, nullable = false)))
+  private val gaList1M = ArrayType(gaCoordM, containsNull = false)
+  private val gaList2M = ArrayType(gaList1M, containsNull = false)
+  private val gaList3M = ArrayType(gaList2M, containsNull = false)
+  private val gaCoordZM = StructType(Seq(
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false),
+    StructField("z", DoubleType, nullable = false),
+    StructField("m", DoubleType, nullable = false)))
+  private val gaList1ZM = ArrayType(gaCoordZM, containsNull = false)
+  private val gaList2ZM = ArrayType(gaList1ZM, containsNull = false)
+  private val gaList3ZM = ArrayType(gaList2ZM, containsNull = false)
 
   /** name → (method, returnType, paramTypes, implementing class), grouped by
     * arity so one SQL name can overload (e.g. ST_Buffer/2 and /3).
@@ -244,6 +259,20 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "ga_to_polygon_z" -> Sig("toPolygonZ", gaList2Z, Seq(G), geoArrow),
     "ga_to_multilinestring_z" -> Sig("toMultiLineStringZ", gaList2Z, Seq(G), geoArrow),
     "ga_to_multipolygon_z" -> Sig("toMultiPolygonZ", gaList3Z, Seq(G), geoArrow),
+    // XYM / XYZM export twins (round 17; the reference writes all four
+    // dimensions natively — rust/geoparquet/src/writer/encode.rs:21-74)
+    "ga_to_point_m" -> Sig("toPointM", gaCoordM, Seq(G), geoArrow),
+    "ga_to_linestring_m" -> Sig("toLineStringM", gaList1M, Seq(G), geoArrow),
+    "ga_to_multipoint_m" -> Sig("toMultiPointM", gaList1M, Seq(G), geoArrow),
+    "ga_to_polygon_m" -> Sig("toPolygonM", gaList2M, Seq(G), geoArrow),
+    "ga_to_multilinestring_m" -> Sig("toMultiLineStringM", gaList2M, Seq(G), geoArrow),
+    "ga_to_multipolygon_m" -> Sig("toMultiPolygonM", gaList3M, Seq(G), geoArrow),
+    "ga_to_point_zm" -> Sig("toPointZM", gaCoordZM, Seq(G), geoArrow),
+    "ga_to_linestring_zm" -> Sig("toLineStringZM", gaList1ZM, Seq(G), geoArrow),
+    "ga_to_multipoint_zm" -> Sig("toMultiPointZM", gaList1ZM, Seq(G), geoArrow),
+    "ga_to_polygon_zm" -> Sig("toPolygonZM", gaList2ZM, Seq(G), geoArrow),
+    "ga_to_multilinestring_zm" -> Sig("toMultiLineStringZM", gaList2ZM, Seq(G), geoArrow),
+    "ga_to_multipolygon_zm" -> Sig("toMultiPolygonZM", gaList3ZM, Seq(G), geoArrow),
   )
 
   /** Test hook for the kernel-matrix null audit (GeoPropertySpec): every

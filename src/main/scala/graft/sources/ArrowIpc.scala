@@ -200,7 +200,12 @@ object ArrowIpc {
   private def decodeGeo(extName: String, v: Any, dims: String = ""): Geometry = {
     val f = GeomOps.factory
     extName.stripPrefix("geoarrow.") match {
-      case "point" => f.createPoint(coordOf(v, dims))
+      case "point" =>
+        // GeoArrow encodes POINT EMPTY as all-NaN ordinates (a null point is
+        // SQL NULL, a distinct thing — reference trait_.rs:157-198)
+        val cd = coordOf(v, dims)
+        if (java.lang.Double.isNaN(cd.x) && java.lang.Double.isNaN(cd.y)) f.createPoint()
+        else f.createPoint(cd)
       case "linestring" => f.createLineString(coords(v, dims))
       case "multipoint" => f.createMultiPointFromCoords(coords(v, dims))
       case "polygon" => polygon(v, dims)
@@ -309,13 +314,32 @@ object ArrowIpc {
       case "geometrycollection" => (vec, i) =>
         gcGeom(vec.asInstanceOf[org.apache.arrow.vector.complex.ListVector], i)
       case _ =>
-        val dims = dimsOf(f)
-        val nested = f.getChildren.asScala.exists(hasDictionary)
-        (vec, i) => {
-          val raw0 = vec.getObject(i)
-          if (raw0 == null) null
-          else decodeGeo(extName,
-            if (nested) resolveNestedDicts(f, raw0, lookup) else raw0, dims)
+        // a geometry column that is ITSELF dictionary-encoded (e.g. a
+        // dict-encoded geoarrow.wkb of repeated footprints): getObject
+        // returns the index — resolve through the dictionary before the
+        // geometry decode, and take dims from the dictionary's VALUE field
+        // (the outer field is just the index int)
+        Option(f.getDictionary) match {
+          case Some(enc) =>
+            val dict = lookup(enc.getId)
+            val dims = dimsOf(dict.getVector.getField)
+            (vec, i) => {
+              val idx = vec.getObject(i)
+              if (idx == null) null
+              else {
+                val raw0 = dict.getVector.getObject(idx.asInstanceOf[Number].intValue())
+                if (raw0 == null) null else decodeGeo(extName, raw0, dims)
+              }
+            }
+          case None =>
+            val dims = dimsOf(f)
+            val nested = f.getChildren.asScala.exists(hasDictionary)
+            (vec, i) => {
+              val raw0 = vec.getObject(i)
+              if (raw0 == null) null
+              else decodeGeo(extName,
+                if (nested) resolveNestedDicts(f, raw0, lookup) else raw0, dims)
+            }
         }
     }
 
@@ -1069,23 +1093,34 @@ object ArrowIpc {
     // native arrays; zero-copy-readable by GeoPandas/pyarrow and mapped
     // back by [[schemaOf]] (which also stamps geometry_types evidence from
     // the typed extension name).
-    // "_z" selects the XYZ exporter family; the GeoArrow extension name is
-    // dimensionless either way (dimension lives in the coord struct)
+    // "_z"/"_m"/"_zm" select the dimensioned exporter families; the GeoArrow
+    // extension name is dimensionless either way (dimension lives in the
+    // coord struct). `wkt` writes the serialized-text type
+    // (rust/geoarrow-schema/src/datatype.rs:60-66 WktType over Utf8) and
+    // `box` the bbox struct (array/rect.rs RectType) — both decode-supported
+    // since round 16, write-supported round 17.
     val encLower = geometryEncoding.toLowerCase
-    val geoExtName = encLower.stripSuffix("_z") match {
+    val encSuffix = Seq("_zm", "_z", "_m").find(encLower.endsWith).getOrElse("")
+    val geoExtName = encLower.stripSuffix(encSuffix) match {
       case "wkb" => "geoarrow.wkb"
-      // heterogeneous columns: the DENSE-UNION type (reference type ids,
-      // XY children 1-6 + XYZ children 11-16); per-row kind/dimension
-      // dispatch happens at vector-population time, so mixed 2D/3D
-      // columns are first-class — no transcode, the WKB decodes in-task
+      // heterogeneous columns: the DENSE-UNION type (the reference's full
+      // 28-id matrix — 7 kinds × 4 dims); per-row kind/dimension dispatch
+      // happens at vector-population time, so mixed 2D/3D/measured columns
+      // are first-class — no transcode, the WKB decodes in-task
       case "geometry" => "geoarrow.geometry"
+      case "wkt" => "geoarrow.wkt"
+      case "box" => "geoarrow.box"
       case e @ ("point" | "linestring" | "polygon" | "multipoint" |
                 "multilinestring" | "multipolygon") => s"geoarrow.$e"
       case other => throw new IllegalArgumentException(
         s"ArrowIpc.write: unsupported geometryEncoding '$other' " +
-          "(wkb, geometry, point[_z], linestring[_z], polygon[_z], multipoint[_z], " +
-          "multilinestring[_z], multipolygon[_z])")
+          "(wkb, geometry, wkt, box, or point|linestring|polygon|multipoint|" +
+          "multilinestring|multipolygon with an optional _z/_m/_zm suffix)")
     }
+    require(encSuffix.isEmpty || !Set("geoarrow.wkb", "geoarrow.geometry",
+        "geoarrow.wkt", "geoarrow.box")(geoExtName),
+      s"ArrowIpc.write: '$geometryEncoding' — dimension suffixes apply to the " +
+        "typed native encodings only (wkb/geometry/wkt carry Z/M inherently; box is 2D)")
     // extension metadata (crs/edges) reads from the ORIGINAL column before
     // the transcode drops Spark field metadata
     val preSchema = df.schema
@@ -1093,9 +1128,15 @@ object ArrowIpc {
       if (geoExtName == "geoarrow.wkb" || geoExtName == "geoarrow.geometry") df
       else {
         graft.functions.GeoFunctions.register(df.sparkSession)
-        df.withColumn(geometryCol, org.apache.spark.sql.functions.call_function(
-          "ga_to_" + encLower,
-          org.apache.spark.sql.functions.col(geometryCol)))
+        import org.apache.spark.sql.functions.{call_function, col}
+        val transcoded = geoExtName match {
+          // text serialization preserves kind + Z/M per value, like wkb
+          case "geoarrow.wkt" => call_function("st_astext", col(geometryCol))
+          // the GeoParquet covering-struct assembly reused as the rect value
+          case "geoarrow.box" => call_function("st_bbox", col(geometryCol))
+          case _ => call_function("ga_to_" + encLower, col(geometryCol))
+        }
+        df.withColumn(geometryCol, transcoded)
       }
 
     val sparkSchema = df1.schema
@@ -1211,9 +1252,15 @@ object ArrowIpc {
             }
             new Field(name, new FieldType(nullable, at, null, md), java.util.List.of[Field]())
         }
-        // geometry-union field tree: reference type ids and child names
-        // ("Point", "MultiPolygon Z", ...), interleaved coords — exactly
-        // the shapes [[unionGeom]] reads back
+        // geometry-union field tree: the reference's FULL 28-id matrix —
+        // 7 kinds × 4 dims, type id = dim_order*10 + kind offset
+        // (rust/geoarrow-schema/src/type_id.rs:28-35; GeometryCollection
+        // offset 7, type_id.rs:85-91). The GC child is List<"geometries":
+        // dense union of the SAME dimension's 6 concrete kinds>
+        // (type.rs:728-805 mixed_data_type — no GC inside a GC, which is
+        // what terminates the schema recursion). Child names ("Point",
+        // "MultiPolygon ZM", ...) are exactly what [[parseUnionChild]]
+        // reads back; interleaved coords with the dims-named child.
         def unionGeomField(name: String, md: java.util.Map[String, String]): Field = {
           val f64 = new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
           def interleaved(nm: String, dims: String) =
@@ -1229,15 +1276,31 @@ object ArrowIpc {
           def l3(nm: String, dims: String) = new Field(nm,
             FieldType.nullable(new ArrowType.List()),
             java.util.List.of(l2("polygons", dims)))
-          def block(suffix: String, dims: String) = Seq(
-            interleaved("Point" + suffix, dims), l1("LineString" + suffix, dims),
-            l2("Polygon" + suffix, dims), l1("MultiPoint" + suffix, dims),
-            l2("MultiLineString" + suffix, dims), l3("MultiPolygon" + suffix, dims))
+          def kindField(kind: Int, suffix: String, dims: String): Field = kind match {
+            case 1 => interleaved("Point" + suffix, dims)
+            case 2 => l1("LineString" + suffix, dims)
+            case 3 => l2("Polygon" + suffix, dims)
+            case 4 => l1("MultiPoint" + suffix, dims)
+            case 5 => l2("MultiLineString" + suffix, dims)
+            case 6 => l3("MultiPolygon" + suffix, dims)
+          }
+          def gcField(suffix: String, dims: String, dimBase: Int): Field = {
+            val innerUnion = new Field("geometries", new FieldType(false,
+              new org.apache.arrow.vector.types.pojo.ArrowType.Union(
+                org.apache.arrow.vector.types.UnionMode.Dense,
+                (1 to 6).map(dimBase + _).toArray), null, null),
+              java.util.List.of((1 to 6).map(kindField(_, suffix, dims)): _*))
+            new Field("GeometryCollection" + suffix,
+              FieldType.nullable(new ArrowType.List()), java.util.List.of(innerUnion))
+          }
+          val dimSpecs = Seq(("", "xy", 0), (" Z", "xyz", 10), (" M", "xym", 20), (" ZM", "xyzm", 30))
+          val ids = dimSpecs.flatMap { case (_, _, b) => (1 to 7).map(b + _) }
+          val children = dimSpecs.flatMap { case (sfx, dims, b) =>
+            (1 to 6).map(kindField(_, sfx, dims)) :+ gcField(sfx, dims, b) }
           new Field(name, new FieldType(true,
             new org.apache.arrow.vector.types.pojo.ArrowType.Union(
-              org.apache.arrow.vector.types.UnionMode.Dense,
-              Array(1, 2, 3, 4, 5, 6, 11, 12, 13, 14, 15, 16)), null, md),
-            java.util.List.of(block("", "xy") ++ block(" Z", "xyz"): _*))
+              org.apache.arrow.vector.types.UnionMode.Dense, ids.toArray), null, md),
+            java.util.List.of(children: _*))
         }
         val fields = sparkSchema.fields.map { f =>
           val isGeomCol = f.name == geomName &&
@@ -1412,94 +1475,169 @@ object ArrowIpc {
                 case _ => null
               }
               if (duVec != null) {
-                import org.apache.arrow.vector.complex.{FixedSizeListVector => FSL, ListVector => LV}
+                import org.apache.arrow.vector.complex.{DenseUnionVector => DUV, FixedSizeListVector => FSL, ListVector => LV}
                 import org.locationtech.jts.geom._
-                val counters = new Array[Int](17) // indexed by type id
-                def fillCoords(flv: FSL, start: Int, cs: Array[Coordinate], d: Int): Unit = {
+                // per-union type-id offset counters, keyed by vector identity:
+                // the top-level union plus up to four inner GC "geometries"
+                // unions, each with its own dense-union offset space
+                val unionCounters = new java.util.IdentityHashMap[DUV, Array[Int]]()
+                def countersFor(du: DUV): Array[Int] = {
+                  var a = unionCounters.get(du)
+                  if (a == null) { a = new Array[Int](38); unionCounters.put(du, a) }
+                  a
+                }
+                def dimsOfGeom(g: Geometry): String =
+                  "xy" + (if (graft.core.GeomOps.hasZ(g)) "z" else "") +
+                         (if (graft.core.GeomOps.hasM(g)) "m" else "")
+                def dimBase(dims: String): Int = dims match {
+                  case "xy" => 0; case "xyz" => 10; case "xym" => 20; case _ => 30
+                }
+                def ordinates(cd: Coordinate, dims: String): Array[Double] = dims match {
+                  case "xy" => Array(cd.x, cd.y)
+                  case "xyz" => Array(cd.x, cd.y, cd.getZ)
+                  case "xym" => Array(cd.x, cd.y, cd.getM)
+                  case _ => Array(cd.x, cd.y, cd.getZ, cd.getM)
+                }
+                def fillCoords(flv: FSL, start: Int, cs: Array[Coordinate], dims: String): Unit = {
+                  val d = dims.length
                   val dv = flv.getDataVector.asInstanceOf[Float8Vector]
                   var k = 0
                   while (k < cs.length) {
                     flv.setNotNull(start + k)
-                    dv.setSafe((start + k) * d, cs(k).x)
-                    dv.setSafe((start + k) * d + 1, cs(k).y)
-                    if (d == 3) dv.setSafe((start + k) * d + 2, cs(k).getZ)
+                    val o = ordinates(cs(k), dims)
+                    var j = 0
+                    while (j < d) { dv.setSafe((start + k) * d + j, o(j)); j += 1 }
                     k += 1
                   }
                 }
-                def fillLine(lv: LV, row2: Int, cs: Array[Coordinate], d: Int): Unit = {
+                def fillLine(lv: LV, row2: Int, cs: Array[Coordinate], dims: String): Unit = {
                   val start = lv.startNewValue(row2)
-                  fillCoords(lv.getDataVector.asInstanceOf[FSL], start, cs, d)
+                  fillCoords(lv.getDataVector.asInstanceOf[FSL], start, cs, dims)
                   lv.endValue(row2, cs.length)
                 }
-                def fillRings(lv2: LV, row2: Int, rings: Seq[Array[Coordinate]], d: Int): Unit = {
+                def fillRings(lv2: LV, row2: Int, rings: Seq[Array[Coordinate]], dims: String): Unit = {
                   val start = lv2.startNewValue(row2)
                   val inner = lv2.getDataVector.asInstanceOf[LV]
-                  rings.zipWithIndex.foreach { case (cs, k) => fillLine(inner, start + k, cs, d) }
+                  rings.zipWithIndex.foreach { case (cs, k) => fillLine(inner, start + k, cs, dims) }
                   lv2.endValue(row2, rings.length)
                 }
                 def ringsOf(p: Polygon): Seq[Array[Coordinate]] =
                   (p.getExteriorRing +: (0 until p.getNumInteriorRing).map(p.getInteriorRingN))
                     .map(_.getCoordinates)
-                def fillMPoly(lv3: LV, row2: Int, polys: Seq[Polygon], d: Int): Unit = {
+                def fillMPoly(lv3: LV, row2: Int, polys: Seq[Polygon], dims: String): Unit = {
                   val start = lv3.startNewValue(row2)
                   val inner = lv3.getDataVector.asInstanceOf[LV]
-                  polys.zipWithIndex.foreach { case (pp, k) => fillRings(inner, start + k, ringsOf(pp), d) }
+                  polys.zipWithIndex.foreach { case (pp, k) => fillRings(inner, start + k, ringsOf(pp), dims) }
                   lv3.endValue(row2, polys.length)
+                }
+                def fillEmptyList(lv: LV, row2: Int): Unit = {
+                  lv.startNewValue(row2); lv.endValue(row2, 0)
+                }
+                // append one geometry at union position `pos`. EMPTY ≠ NULL
+                // (the reference's logical-null contract, trait_.rs:157-198):
+                // null → null Point child; POINT EMPTY → all-NaN coords (the
+                // GeoArrow empty-point encoding); every list-backed EMPTY →
+                // a length-0 outer list in its own kind child.
+                def appendGeom(du: DUV, pos: Int, g: Geometry, topLevel: Boolean): Unit = {
+                  val cnt = countersFor(du)
+                  if (g == null) {
+                    val tid: Byte = 1
+                    val off = cnt(1)
+                    du.getVectorByType(tid).asInstanceOf[FSL].setNull(off)
+                    du.setTypeId(pos, tid); du.setOffset(pos, off)
+                    cnt(1) += 1
+                    return
+                  }
+                  val dims = dimsOfGeom(g) // empties probe as XY (no coords)
+                  val base = dimBase(dims)
+                  def put(tid0: Int)(fill: org.apache.arrow.vector.ValueVector => Unit): Unit = {
+                    val tid = (base + tid0).toByte
+                    val child = du.getVectorByType(tid)
+                    require(child != null,
+                      s"ArrowIpc.write: geometry union has no child for type id $tid — " +
+                        "a GeometryCollection's elements must share one dimension " +
+                        "(the reference's mixed type is single-dimension per collection)")
+                    fill(child)
+                    du.setTypeId(pos, tid); du.setOffset(pos, cnt(base + tid0))
+                    cnt(base + tid0) += 1
+                  }
+                  g match {
+                    case p: Point => put(1) { ch =>
+                      val flv = ch.asInstanceOf[FSL]
+                      val off = cnt(base + 1)
+                      if (p.isEmpty) { // NaN ordinates, NOT null: null means SQL NULL
+                        flv.setNotNull(off)
+                        val dv = flv.getDataVector.asInstanceOf[Float8Vector]
+                        var j = 0
+                        while (j < dims.length) { dv.setSafe(off * dims.length + j, Double.NaN); j += 1 }
+                      } else fillCoords(flv, off, Array(p.getCoordinate), dims)
+                    }
+                    case l: LineString => put(2)(ch =>
+                      fillLine(ch.asInstanceOf[LV], cnt(base + 2), l.getCoordinates, dims))
+                    case p: Polygon => put(3) { ch =>
+                      if (p.isEmpty) fillEmptyList(ch.asInstanceOf[LV], cnt(base + 3))
+                      else fillRings(ch.asInstanceOf[LV], cnt(base + 3), ringsOf(p), dims)
+                    }
+                    case mp: MultiPoint => put(4)(ch =>
+                      fillLine(ch.asInstanceOf[LV], cnt(base + 4), mp.getCoordinates, dims))
+                    case mls: MultiLineString => put(5)(ch =>
+                      fillRings(ch.asInstanceOf[LV], cnt(base + 5),
+                        (0 until mls.getNumGeometries).map(mls.getGeometryN(_).getCoordinates), dims))
+                    case mp: MultiPolygon => put(6)(ch =>
+                      fillMPoly(ch.asInstanceOf[LV], cnt(base + 6),
+                        (0 until mp.getNumGeometries).map(mp.getGeometryN(_).asInstanceOf[Polygon]), dims))
+                    case gc: GeometryCollection => // after the Multi* subclasses
+                      require(topLevel,
+                        "ArrowIpc.write: a GeometryCollection nested inside another " +
+                          "GeometryCollection is not representable in geoarrow.geometry " +
+                          "(the reference's collection type holds only concrete kinds, " +
+                          "type.rs:738-805) — write with geometryEncoding=wkb")
+                      put(7) { ch =>
+                        val lv = ch.asInstanceOf[LV]
+                        val off = cnt(base + 7)
+                        if (gc.getNumGeometries == 0) fillEmptyList(lv, off)
+                        else {
+                          val start = lv.startNewValue(off)
+                          val innerDu = lv.getDataVector.asInstanceOf[DUV]
+                          var k = 0
+                          while (k < gc.getNumGeometries) {
+                            appendGeom(innerDu, start + k, gc.getGeometryN(k), topLevel = false)
+                            k += 1
+                          }
+                          lv.endValue(off, gc.getNumGeometries)
+                        }
+                      }
+                    case other => throw new IllegalArgumentException(
+                      s"ArrowIpc.write: geometry-union encoding cannot hold a " +
+                        s"${other.getGeometryType} — write with geometryEncoding=wkb")
+                  }
                 }
                 var i = 0
                 while (i < chunk.length) {
                   val row = chunk(i)
                   val wkb = if (row.isNullAt(c)) null else row.getAs[Array[Byte]](c)
-                  val g = if (wkb == null) null else graft.core.GeomOps.read(wkb)
-                  if (g == null || g.isEmpty) {
-                    // null/empty → null Point child value (type id 1)
-                    val tid: Byte = 1
-                    val off = counters(tid)
-                    duVec.getVectorByType(tid).asInstanceOf[FSL].setNull(off)
-                    duVec.setTypeId(i, tid); duVec.setOffset(i, off)
-                    counters(tid) += 1
-                  } else {
-                    require(!graft.core.GeomOps.hasM(g),
-                      "ArrowIpc.write: geometry-union encoding has no measured (M) children — " +
-                        "write with geometryEncoding=wkb (Z/M-preserving) instead")
-                    val d = if (graft.core.GeomOps.hasZ(g)) 3 else 2
-                    val base = if (d == 3) 10 else 0
-                    val (tid0, fill) = g match {
-                      case p: Point => (1, (tid: Byte, off: Int) =>
-                        fillCoords(duVec.getVectorByType(tid).asInstanceOf[FSL], off,
-                          Array(p.getCoordinate), d))
-                      case l: LineString => (2, (tid: Byte, off: Int) =>
-                        fillLine(duVec.getVectorByType(tid).asInstanceOf[LV], off, l.getCoordinates, d))
-                      case p: Polygon => (3, (tid: Byte, off: Int) =>
-                        fillRings(duVec.getVectorByType(tid).asInstanceOf[LV], off, ringsOf(p), d))
-                      case mp: MultiPoint => (4, (tid: Byte, off: Int) =>
-                        fillLine(duVec.getVectorByType(tid).asInstanceOf[LV], off, mp.getCoordinates, d))
-                      case mls: MultiLineString => (5, (tid: Byte, off: Int) =>
-                        fillRings(duVec.getVectorByType(tid).asInstanceOf[LV], off,
-                          (0 until mls.getNumGeometries).map(mls.getGeometryN(_).getCoordinates), d))
-                      case mp: MultiPolygon => (6, (tid: Byte, off: Int) =>
-                        fillMPoly(duVec.getVectorByType(tid).asInstanceOf[LV], off,
-                          (0 until mp.getNumGeometries).map(mp.getGeometryN(_).asInstanceOf[Polygon]), d))
-                      case other => throw new IllegalArgumentException(
-                        s"ArrowIpc.write: geometry-union encoding cannot hold a " +
-                          s"${other.getGeometryType} — write with geometryEncoding=wkb")
-                    }
-                    val tid = (base + tid0).toByte
-                    val off = counters(tid)
-                    fill(tid, off)
-                    duVec.setTypeId(i, tid); duVec.setOffset(i, off)
-                    counters(tid) += 1
-                  }
+                  appendGeom(duVec, i, if (wkb == null) null else graft.core.GeomOps.read(wkb),
+                    topLevel = true)
                   i += 1
                 }
-                // children's own counts first; the union's count last
-                var t = 1
-                while (t <= 16) {
-                  val child = duVec.getVectorByType(t.toByte)
-                  if (child != null) child.setValueCount(counters(t))
-                  t += 1
+                // children's own counts first (inner GC unions before their
+                // list parents); the union's own count last
+                val allTids = Seq(0, 10, 20, 30).flatMap(b => (1 to 7).map(b + _))
+                def closeUnion(du: DUV, total: Int): Unit = {
+                  val cnt = countersFor(du)
+                  allTids.foreach { t =>
+                    val child = du.getVectorByType(t.toByte)
+                    if (child != null) {
+                      if (t % 10 == 7) {
+                        val innerDu = child.asInstanceOf[LV].getDataVector.asInstanceOf[DUV]
+                        closeUnion(innerDu, countersFor(innerDu).sum)
+                      }
+                      child.setValueCount(cnt(t))
+                    }
+                  }
+                  du.setValueCount(total)
                 }
-                duVec.setValueCount(chunk.length)
+                closeUnion(duVec, chunk.length)
                 c += 1
               } else {
               var i = 0

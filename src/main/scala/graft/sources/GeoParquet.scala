@@ -596,16 +596,22 @@ object GeoParquet {
     // resulting file is readable zero-copy by GeoPandas/pyarrow (same layout
     // as fixtures/geoparquet/nybb_geoarrow.parquet) and by GeoParquet.read
     val isWkb = encoding.equalsIgnoreCase("WKB")
-    // "_z" suffix selects the XYZ exporter family (round 16) — the footer
-    // `encoding` name stays dimensionless (GeoParquet 1.1 vocabulary; the
-    // coord struct carries the z field, and the reader's zmFlags detect it)
-    val baseEncoding = encoding.toLowerCase.stripSuffix("_z")
+    // "_z"/"_m"/"_zm" suffixes select the dimensioned exporter families
+    // (XYZ round 16; XYM/XYZM round 17, matching the reference's all-dims
+    // native write, rust/geoparquet/src/writer/encode.rs:21-74) — the
+    // footer `encoding` name stays dimensionless (GeoParquet 1.1
+    // vocabulary; the coord struct carries the z/m fields, and the
+    // reader's zmFlags detect them)
+    val encLower = encoding.toLowerCase
+    val dimSuffix = Seq("_zm", "_z", "_m").find(encLower.endsWith).getOrElse("")
+    val baseEncoding = encLower.stripSuffix(dimSuffix)
     if (!isWkb) {
       val fn = nativeExporter(baseEncoding)
-        .map(f => if (encoding.toLowerCase.endsWith("_z")) f + "_z" else f)
+        .map(_ + dimSuffix)
         .getOrElse(throw new IllegalArgumentException(
-          s"GeoParquet.write: unsupported encoding '$encoding' (WKB, point[_z], linestring[_z], " +
-            "polygon[_z], multipoint[_z], multilinestring[_z], multipolygon[_z])"))
+          s"GeoParquet.write: unsupported encoding '$encoding' (WKB, or " +
+            "point|linestring|polygon|multipoint|multilinestring|multipolygon " +
+            "with an optional _z/_m/_zm dimension suffix)"))
       out = out.withColumn(geometryColumn, call_function(fn, col(geometryColumn)))
     }
     // single-pass write: [[GeoParquetFileFormat]] reuses Spark's stock
@@ -772,7 +778,18 @@ object GeoParquet {
           case s => s
         })
       else spec.geometryTypes.sorted.foreach(gts.add)
-      spec.crs.foreach(j => c.set[com.fasterxml.jackson.databind.JsonNode]("crs", mapper.readTree(j)))
+      // crs is normally JSON (PROJJSON object, or the JSON-string-literal
+      // form the Shapefile .prj stamp writes); a caller-supplied bare WKT
+      // string degrades to a JSON string node rather than failing the whole
+      // write (mirrors ArrowIpc.write) — GeoArrow admits string crs values,
+      // and dropping the footer would lose the CRS entirely.
+      spec.crs.foreach { j =>
+        val node =
+          try mapper.readTree(j)
+          catch { case _: com.fasterxml.jackson.core.JsonProcessingException =>
+            mapper.getNodeFactory.textNode(j) }
+        c.set[com.fasterxml.jackson.databind.JsonNode]("crs", node)
+      }
       // edge interpretation between vertices — omitted means planar, so only
       // non-planar declarations are written. GeoParquet 1.1's `edges` field
       // admits ONLY planar|spherical (the spheroid vocabulary —

@@ -321,7 +321,17 @@ object Shapefile {
     * Arrow faces use, so a Shapefile→GeoParquet hop carries the CRS. The
     * reference leaves .prj to the caller (reader.rs:26-28 "Read this from
     * the `.prj` file ... with the same filename"); reading it here is the
-    * engine doing that step for the user. */
+    * engine doing that step for the user.
+    *
+    * Every consumer of `geoparquet.crs` treats the value as JSON (the
+    * GeoParquet footer writer `readTree`s it; ArrowIpc JSON-parses with a
+    * string fallback), so the WKT is stamped as a JSON STRING LITERAL, not
+    * raw text — GeoArrow's metadata spec admits a plain-string crs (WKT2 /
+    * authority:code), and a quoted string survives `readTree` everywhere.
+    * GeoParquet 1.1 strictly wants PROJJSON objects; converting arbitrary
+    * ESRI WKT to PROJJSON needs a CRS database we don't ship, so the
+    * string form is the honest lossless carrier (readers that need PROJJSON
+    * see a well-formed JSON string they can hand to PROJ). */
   private[sources] def schemaOf(fs: org.apache.hadoop.fs.FileSystem,
                                 shpFile: String): StructType = {
     val dbp = new org.apache.hadoop.fs.Path(shpFile.stripSuffix(".shp") + ".dbf")
@@ -330,7 +340,16 @@ object Shapefile {
       val mb = new org.apache.spark.sql.types.MetadataBuilder()
       if (fs.exists(prj)) {
         val wkt = new String(readAll(fs, prj), "UTF-8").trim
-        if (wkt.nonEmpty) mb.putString("geoparquet.crs", wkt)
+        if (wkt.nonEmpty) {
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          // already-JSON .prj content (rare, e.g. a PROJJSON sidecar) passes
+          // through verbatim; bare WKT is quoted into a JSON string literal
+          val asJson =
+            try { mapper.readTree(wkt); wkt }
+            catch { case _: com.fasterxml.jackson.core.JsonProcessingException =>
+              mapper.writeValueAsString(wkt) }
+          mb.putString("geoparquet.crs", asJson)
+        }
       }
       mb.build()
     }

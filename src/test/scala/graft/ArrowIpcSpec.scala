@@ -174,6 +174,60 @@ class ArrowIpcSpec extends SparkTestBase {
     assert(viaPruned.except(viaFull).isEmpty && viaFull.except(viaPruned).isEmpty)
   }
 
+  test("dictionary-encoded GEOMETRY column decodes through the dictionary (both decode paths)") {
+    // external producers dict-encode repeated footprints (a few distinct
+    // polygons over millions of rows); the geometry decoder must resolve
+    // the index through the dictionary, not hand the Integer to decodeGeo
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.types.pojo._
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
+    val dirOut = java.nio.file.Files.createTempDirectory("arrowdictgeo").toString
+    val file = new java.io.File(dirOut, "part-00000.arrow")
+    val n = 90
+    val shapes = Array((10.0, 0.0), (20.0, 5.0), (30.0, -5.0))
+    val alloc = new RootAllocator()
+    var dictValues: VarBinaryVector = null
+    try {
+      dictValues = new VarBinaryVector("geom_dict", alloc)
+      dictValues.allocateNew()
+      shapes.zipWithIndex.foreach { case ((x, y), i) =>
+        dictValues.setSafe(i, graft.core.GeomOps.point(x, y)) }
+      dictValues.setValueCount(shapes.length)
+      val enc = new DictionaryEncoding(11L, false, new ArrowType.Int(32, true))
+      val provider = new DictionaryProvider.MapDictionaryProvider(new Dictionary(dictValues, enc))
+      val schema = new Schema(java.util.List.of(
+        new Field("fid", FieldType.nullable(new ArrowType.Int(64, true)), java.util.List.of[Field]()),
+        new Field("geometry", new FieldType(true, new ArrowType.Int(32, true), enc,
+          java.util.Map.of("ARROW:extension:name", "geoarrow.wkb")), java.util.List.of[Field]())))
+      val root = VectorSchemaRoot.create(schema, alloc)
+      try {
+        root.allocateNew()
+        val ids = root.getVector(0).asInstanceOf[BigIntVector]
+        val gix = root.getVector(1).asInstanceOf[IntVector]
+        (0 until n).foreach { i => ids.setSafe(i, i.toLong); gix.setSafe(i, i % 3) }
+        root.setRowCount(n)
+        val out = new java.io.FileOutputStream(file)
+        val writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, provider, out.getChannel)
+        try { writer.start(); writer.writeBatch(); writer.end() }
+        finally { writer.close(); out.close() }
+      } finally root.close()
+    } finally {
+      if (dictValues != null) dictValues.close()
+      alloc.close()
+    }
+    // full-batch path (all columns wanted)
+    val full = ArrowIpc.read(spark, file.getAbsolutePath)
+    val xs = full.selectExpr("fid", "ST_X(geometry) AS x").orderBy("fid").limit(3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(xs == Seq(0L -> 10.0, 1L -> 20.0, 2L -> 30.0), s"dict geometry must decode: $xs")
+    // pruned path (proper column subset): geometry-only projection
+    val pruned = spark.read.format("arrowipc").load(file.getAbsolutePath)
+      .selectExpr("ST_Y(geometry) AS y").collect().map(_.getDouble(0)).sorted
+    assert(pruned.count(_ == 0.0) == 30 && pruned.count(_ == 5.0) == 30 &&
+      pruned.count(_ == -5.0) == 30, s"pruned dict geometry decode: ${pruned.distinct.toSeq}")
+  }
+
   test("view-typed columns (Utf8View property + BinaryView geometry) decode AND prune") {
     // the reference treats WkbView/WktView as first-class geometry types
     // (rust/geoarrow-schema/src/datatype.rs:50-66) and newer Arrow
@@ -979,6 +1033,68 @@ class ArrowIpcSpec extends SparkTestBase {
       ArrowIpc.write(pts, s"$base/bad", geometryEncoding = "hexagon")
     }
     assert(err.getMessage.contains("geometryEncoding"), err.getMessage)
+    // XYM / XYZM twins (round 17): measures carry natively both ways
+    val mpts = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_PointM(CAST(id AS DOUBLE), 1.0, CAST(id * 7 AS DOUBLE)) AS geometry
+      FROM range(15)""")
+    ArrowIpc.write(mpts, s"$base/ptm", geometryEncoding = "point_m")
+    val mBack = ArrowIpc.read(spark, s"$base/ptm")
+    val maw = mpts.selectExpr("fid", "ST_AsText(geometry) w")
+    val mbw = mBack.selectExpr("fid", "ST_AsText(geometry) w")
+    assert(maw.except(mbw).isEmpty && mbw.except(maw).isEmpty, "native point_m roundtrip")
+    val zmls = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_GeomFromText(CONCAT('LINESTRING ZM(0 0 1 2, ', CAST(id AS STRING), ' 4 5 6)')) AS geometry
+      FROM range(8)""")
+    ArrowIpc.write(zmls, s"$base/lszm", geometryEncoding = "linestring_zm")
+    val zmBack = ArrowIpc.read(spark, s"$base/lszm")
+    val zma = zmls.selectExpr("fid", "ST_AsText(geometry) w")
+    val zmb = zmBack.selectExpr("fid", "ST_AsText(geometry) w")
+    assert(zma.except(zmb).isEmpty && zmb.except(zma).isEmpty, "native linestring_zm roundtrip")
+    // dimension mismatch fails loudly (2D input into an _m kernel)
+    val mOn2d = intercept[Exception] {
+      ArrowIpc.write(pts.na.drop(), s"$base/m2d", geometryEncoding = "point_m")
+    }
+    assert(mOn2d.getMessage.contains("XYM export requires") ||
+      Option(mOn2d.getCause).exists(_.getMessage.contains("XYM export requires")),
+      mOn2d.getMessage)
+  }
+
+  test("geoarrow.wkt / geoarrow.box WRITE encodings roundtrip through own reader") {
+    // round 17: the two serialized encodings the reference emits as
+    // first-class types (datatype.rs:60-66 WktType; array/rect.rs RectType)
+    // — decode landed in round 16 (g96), this closes the write face
+    val base = java.nio.file.Files.createTempDirectory("arrowwktbox").toString
+    val df = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE CAST(id % 4 AS INT)
+               WHEN 0 THEN ST_Point(CAST(id AS DOUBLE), 2.0)
+               WHEN 1 THEN ST_GeomFromText('LINESTRING Z(0 0 5, 3 4 9)')
+               WHEN 2 THEN ST_PointM(1.0, 2.0, CAST(id AS DOUBLE))
+               ELSE NULL
+             END AS geometry
+      FROM range(20)""")
+    ArrowIpc.write(df, s"$base/wkt", geometryEncoding = "wkt")
+    val wktBack = ArrowIpc.read(spark, s"$base/wkt")
+    val a = df.selectExpr("fid", "COALESCE(ST_AsText(geometry), 'NULL') w")
+    val b = wktBack.selectExpr("fid", "COALESCE(ST_AsText(geometry), 'NULL') w")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty, "wkt write roundtrip (Z/M preserved)")
+    // box: the envelope struct — reads back as the envelope POLYGON
+    val polys = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_Buffer(ST_Point(CAST(id * 10 AS DOUBLE), 0.0), 2.0) AS geometry
+      FROM range(6)""")
+    ArrowIpc.write(polys, s"$base/box", geometryEncoding = "box")
+    val boxBack = ArrowIpc.read(spark, s"$base/box")
+    val ba = polys.selectExpr("fid", "ST_AsText(ST_Envelope(geometry)) w")
+    val bb = boxBack.selectExpr("fid", "ST_AsText(geometry) w")
+    assert(ba.except(bb).isEmpty && bb.except(ba).isEmpty, "box write reads back as envelopes")
+    // dimension suffixes don't apply to the serialized encodings
+    val sfx = intercept[IllegalArgumentException] {
+      ArrowIpc.write(polys, s"$base/wz", geometryEncoding = "wkt_z")
+    }
+    assert(sfx.getMessage.contains("suffix"), sfx.getMessage)
   }
 
   test("geometry-union WRITE: mixed kinds/dims/nulls roundtrip, stream twin included") {
@@ -1013,11 +1129,52 @@ class ArrowIpcSpec extends SparkTestBase {
     ArrowIpc.write(z, s"$base/lz", geometryEncoding = "geometry")
     assert(ArrowIpc.read(spark, s"$base/lz").selectExpr("ST_AsText(geometry)")
       .head().getString(0) == "LINESTRING Z(0 0 10, 3 4 20)")
-    // measured input is refused loudly (no M children in the union)
-    val m = spark.sql("SELECT ST_PointM(1.0, 2.0, 3.0) AS geometry FROM range(2)")
-    val err = intercept[Exception] { ArrowIpc.write(m, s"$base/m", geometryEncoding = "geometry") }
-    assert(err.getMessage.contains("measured") ||
-      Option(err.getCause).exists(_.getMessage.contains("measured")), err.getMessage)
+    // round 17: measured + ZM + GeometryCollection children are first-class
+    // (the reference's full 28-id matrix, type_id.rs:28-35 / :85-91)
+    val mzm = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE CAST(id % 4 AS INT)
+               WHEN 0 THEN ST_PointM(CAST(id AS DOUBLE), 2.0, CAST(id * 5 AS DOUBLE))
+               WHEN 1 THEN ST_GeomFromText('LINESTRING M(0 0 1, 3 4 2)')
+               WHEN 2 THEN ST_GeomFromText('POINT ZM(1 2 3 4)')
+               ELSE ST_GeomFromText('GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))')
+             END AS geometry
+      FROM range(16)""")
+    ArrowIpc.write(mzm, s"$base/mzm", geometryEncoding = "geometry")
+    val mzmBack = ArrowIpc.read(spark, s"$base/mzm")
+    val ma = mzm.selectExpr("fid", "ST_AsText(geometry) w")
+    val mb = mzmBack.selectExpr("fid", "ST_AsText(geometry) w")
+    assert(ma.except(mb).isEmpty && mb.except(ma).isEmpty, "M/ZM/GC union write roundtrip")
+    // EMPTY ≠ NULL across the union hop: empties come back empty, not null
+    // (POINT EMPTY = NaN coords; list-backed kinds = length-0 outer list)
+    val empties = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE CAST(id % 4 AS INT)
+               WHEN 0 THEN ST_GeomFromText('POINT EMPTY')
+               WHEN 1 THEN ST_GeomFromText('MULTIPOLYGON EMPTY')
+               WHEN 2 THEN ST_GeomFromText('POLYGON EMPTY')
+               ELSE NULL
+             END AS geometry
+      FROM range(8)""")
+    ArrowIpc.write(empties, s"$base/empty", geometryEncoding = "geometry")
+    val eBack = ArrowIpc.read(spark, s"$base/empty")
+    val counted = eBack.selectExpr(
+      "SUM(CASE WHEN geometry IS NULL THEN 1 ELSE 0 END) AS nulls",
+      "SUM(CASE WHEN geometry IS NOT NULL AND ST_IsEmpty(geometry) THEN 1 ELSE 0 END) AS empties").head()
+    assert(counted.getLong(0) == 2 && counted.getLong(1) == 6,
+      s"EMPTY/NULL must stay distinct: nulls=${counted.getLong(0)} empties=${counted.getLong(1)}")
+    val eKinds = eBack.where("geometry IS NOT NULL")
+      .selectExpr("fid", "ST_AsText(geometry) w").collect()
+      .map(r => r.getLong(0) % 4 -> r.getString(1)).toMap
+    assert(eKinds(0) == "POINT EMPTY" && eKinds(1) == "MULTIPOLYGON EMPTY" &&
+      eKinds(2) == "POLYGON EMPTY", s"empty kinds must survive: $eKinds")
+    // a GC nested inside a GC is not representable (the reference's mixed
+    // type holds only concrete kinds) — refused loudly
+    val nested = spark.sql(
+      "SELECT ST_GeomFromText('GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (1 2)))') AS geometry")
+    val err = intercept[Exception] { ArrowIpc.write(nested, s"$base/gcgc", geometryEncoding = "geometry") }
+    assert(err.getMessage.contains("nested") ||
+      Option(err.getCause).exists(_.getMessage.contains("nested")), err.getMessage)
   }
 
   test("geoarrow.wkt / geoarrow.box / geometry union / geometrycollection decode (both faces)") {

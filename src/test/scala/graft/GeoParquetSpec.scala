@@ -320,6 +320,45 @@ class GeoParquetSpec extends SparkTestBase {
       flat.getMessage)
   }
 
+  test("native XYM/XYZM write (encoding = point_m / linestring_zm): measures survive the hop") {
+    // round 17: all four dimensions write natively, matching the
+    // reference's encode.rs:21-74 coverage
+    val mOut = dir + "_native_m"
+    val mdf = spark.sql("""
+      SELECT CAST(id AS INT) AS fid,
+             ST_PointM(CAST(id AS DOUBLE), 1.0, CAST(id * 3 AS DOUBLE)) AS geometry
+      FROM range(12)""")
+    GeoParquet.write(mdf.coalesce(1), mOut, covering = false, encoding = "point_m")
+    assert(GeoParquet.metadata(spark, mOut).get.columns.head.encoding == "point")
+    assert(spark.read.parquet(mOut).schema("geometry").dataType.simpleString ==
+      "struct<x:double,y:double,m:double>")
+    val mBack = GeoParquet.read(spark, mOut)
+    val ma = mdf.selectExpr("fid", "ST_AsText(geometry) w")
+    val mb = mBack.selectExpr("fid", "ST_AsText(geometry) w")
+    assert(ma.except(mb).isEmpty && mb.except(ma).isEmpty, "native point_m parquet roundtrip")
+    val zmOut = dir + "_native_zm"
+    val zmdf = spark.sql("""
+      SELECT CAST(id AS INT) AS fid,
+             ST_GeomFromText(CONCAT('LINESTRING ZM(0 0 1 2, ', CAST(id AS STRING), ' 3 4 5)')) AS geometry
+      FROM range(9)""")
+    GeoParquet.write(zmdf.coalesce(1), zmOut, covering = false, encoding = "linestring_zm")
+    assert(spark.read.parquet(zmOut).schema("geometry").dataType.simpleString ==
+      "array<struct<x:double,y:double,z:double,m:double>>")
+    val zmBack = GeoParquet.read(spark, zmOut)
+    val za = zmdf.selectExpr("fid", "ST_AsText(geometry) w")
+    val zb = zmBack.selectExpr("fid", "ST_AsText(geometry) w")
+    assert(za.except(zb).isEmpty && zb.except(za).isEmpty, "native linestring_zm parquet roundtrip")
+    // Z-only input through a _zm encoding fails loudly (no fabricated measure)
+    val half = intercept[Exception] {
+      GeoParquet.write(spark.sql(
+        "SELECT ST_PointZ(1.0, 2.0, 3.0) AS geometry FROM range(3)").coalesce(1),
+        dir + "_native_zm_bad", covering = false, encoding = "point_zm")
+    }
+    assert(half.getMessage.contains("XYZM export requires") ||
+      Option(half.getCause).exists(_.getMessage.contains("XYZM export requires")),
+      half.getMessage)
+  }
+
   test("ga_to_* export kernels roundtrip through ga_* decode") {
     val r = sql("""
       SELECT ST_AsText(ga_polygon(ga_to_polygon(g), false, false)) AS rt,

@@ -354,15 +354,36 @@ class ShapefileSpec extends SparkTestBase {
     writeDbf(s"$d/p.dbf", Seq(("ID", 'N', 4, 0)), Seq(Seq("1")))
     val wkt = """GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]"""
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/p.prj"), wkt.getBytes("UTF-8"))
+    // the stamp is the WKT as a JSON STRING LITERAL (every geoparquet.crs
+    // consumer readTree's the value), so parse it back to compare
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     for (df <- Seq(Shapefile.read(spark, s"$d/p.shp"),
                    spark.read.format("shapefile").load(s"$d/p.shp"))) {
       val m = df.schema("geometry").metadata
-      assert(m.contains("geoparquet.crs") && m.getString("geoparquet.crs") == wkt,
-        s"missing/garbled crs stamp: ${df.schema("geometry")}")
+      assert(m.contains("geoparquet.crs"), s"missing crs stamp: ${df.schema("geometry")}")
+      val node = mapper.readTree(m.getString("geoparquet.crs"))
+      assert(node.isTextual && node.asText == wkt, s"garbled crs stamp: $node")
     }
     // no .prj → no stamp (absent, not empty)
     assert(!Shapefile.read(spark, s"$dir/pts.shp").schema("geometry")
       .metadata.contains("geoparquet.crs"))
+  }
+
+  test("Shapefile(.prj) -> GeoParquet.write round-trips the CRS (no JSON parse failure)") {
+    val d = java.nio.file.Files.createTempDirectory("shpprjgpq").toString
+    writeShp(s"$d/p.shp", Seq(pointShape(3, 4)))
+    writeDbf(s"$d/p.dbf", Seq(("ID", 'N', 4, 0)), Seq(Seq("1")))
+    val wkt = """PROJCS["NAD_1983_UTM_Zone_10N",GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",SPHEROID["GRS_1980",6378137.0,298.257222101]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],UNIT["Meter",1.0]]"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/p.prj"), wkt.getBytes("UTF-8"))
+    val df = Shapefile.read(spark, s"$d/p.shp")
+    // the advertised hop: the .prj CRS must survive into the GeoParquet
+    // footer (as a JSON string node) instead of throwing JsonParseException
+    graft.sources.GeoParquet.write(df, s"$d/out.gpq")
+    val back = graft.sources.GeoParquet.read(spark, s"$d/out.gpq")
+    val crs = back.schema("geometry").metadata.getString("geoparquet.crs")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(crs)
+    assert(node.isTextual && node.asText == wkt, s"crs did not round-trip: $crs")
+    assert(back.selectExpr("ST_AsText(geometry)").head().getString(0) == "POINT (3 4)")
   }
 
   test("g40/g54 fixture (no .shx) still reads whole-pair") {
