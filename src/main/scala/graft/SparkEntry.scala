@@ -2146,6 +2146,141 @@ object SparkEntry {
            SUM(CASE WHEN i % 4 = 2 THEN i * 2 ELSE 0 END)::BIGINT AS sum_area
     FROM range(100) t(i) GROUP BY 1 ORDER BY 1"""
 
+  /** Full-matrix union WRITE under the hash gate (g100): measured (XYM),
+    * XYZM and GeometryCollection rows — the type ids the round-16 writer
+    * refused (reference ids 21-26/31-36 and the dim*10+7 GC children,
+    * rust/geoarrow-schema/src/type_id.rs:28-35,85-91) — plus the
+    * EMPTY-vs-NULL fidelity contract (trait_.rs:157-198: `POINT EMPTY` is
+    * NOT null): empties write as real child values (NaN-coord point /
+    * length-0 lists) and read back as empties, nulls stay null. Every row
+    * pins its exact WKT against a DuckDB closed form. */
+  private def g100Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g100_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val df = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE CAST(id % 6 AS INT)
+               WHEN 0 THEN ST_PointM(CAST(id AS DOUBLE), 2.0, CAST(id * 5 AS DOUBLE))
+               WHEN 1 THEN ST_GeomFromText(CONCAT('LINESTRING ZM(0 0 1 2, ',
+                                                  CAST(id AS STRING), ' 4 5 6)'))
+               WHEN 2 THEN ST_GeomFromText(CONCAT('GEOMETRYCOLLECTION (POINT (',
+                                                  CAST(id AS STRING),
+                                                  ' 2), LINESTRING (0 0, 1 1))'))
+               WHEN 3 THEN ST_GeomFromText('POINT EMPTY')
+               WHEN 4 THEN ST_GeomFromText('MULTIPOLYGON EMPTY')
+               ELSE NULL
+             END AS geometry
+      FROM range(60)""").coalesce(1)
+    graft.sources.ArrowIpc.write(df, out, geometryEncoding = "geometry")
+    s.read.format("arrowipc").load(out)
+      .selectExpr("fid",
+        "COALESCE(ST_AsText(geometry), 'NULL') AS wkt",
+        "CAST(CASE WHEN geometry IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_null",
+        "CAST(CASE WHEN geometry IS NOT NULL AND ST_IsEmpty(geometry) THEN 1 ELSE 0 END AS BIGINT) AS is_empty")
+      .orderBy("fid")
+  }
+
+  private val g100Duck = """
+    SELECT i::BIGINT AS fid,
+           CASE i % 6
+             WHEN 0 THEN 'POINT M(' || i || ' 2 ' || (i * 5) || ')'
+             WHEN 1 THEN 'LINESTRING ZM(0 0 1 2, ' || i || ' 4 5 6)'
+             WHEN 2 THEN 'GEOMETRYCOLLECTION (POINT (' || i || ' 2), LINESTRING (0 0, 1 1))'
+             WHEN 3 THEN 'POINT EMPTY'
+             WHEN 4 THEN 'MULTIPOLYGON EMPTY'
+             ELSE 'NULL'
+           END AS wkt,
+           (CASE WHEN i % 6 = 5 THEN 1 ELSE 0 END)::BIGINT AS is_null,
+           (CASE WHEN i % 6 IN (3, 4) THEN 1 ELSE 0 END)::BIGINT AS is_empty
+    FROM range(60) t(i) ORDER BY fid"""
+
+  /** Native XYM/XYZM GeoParquet hops under the hash gate (g101): the
+    * measured twins of g98 — point_m writes the {x,y,m} coord struct,
+    * point_zm the {x,y,z,m} one (reference writes all four dims,
+    * rust/geoparquet/src/writer/encode.rs:21-74); the aggregates pin x, z
+    * AND m per hop, so a dropped/fabricated ordinate breaks the hash. */
+  private def g101Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    import org.apache.spark.sql.functions._
+    def hop(encoding: String, mk: String): DataFrame = {
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_g101_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+      val df = s.sql(s"SELECT $mk AS geometry FROM range(90)").coalesce(1)
+      graft.sources.GeoParquet.write(df, out, covering = false, encoding = encoding)
+      graft.sources.GeoParquet.read(s, out)
+        .selectExpr("ST_X(geometry) AS x",
+          "CASE WHEN ST_HasZ(geometry) THEN ST_Z(geometry) ELSE 0.0D END AS z",
+          "CASE WHEN ST_HasM(geometry) THEN ST_M(geometry) ELSE 0.0D END AS m")
+        .agg(count(lit(1)).as("n"), sum("x").cast("bigint").as("sum_x"),
+          sum("z").cast("bigint").as("sum_z"), sum("m").cast("bigint").as("sum_m"))
+        .withColumn("enc", lit(encoding))
+        .select("enc", "n", "sum_x", "sum_z", "sum_m")
+    }
+    hop("point_m",
+        "ST_PointM(CAST(id AS DOUBLE), 1.0, CAST(id * 3 AS DOUBLE))")
+      .union(hop("point_zm",
+        "ST_GeomFromText(CONCAT('POINT ZM(', CAST(id AS STRING), ' 1 ', CAST(id * 7 AS STRING), ' ', CAST(id * 2 AS STRING), ')'))"))
+      .orderBy("enc")
+  }
+
+  private val g101Duck = """
+    SELECT 'point_m' AS enc, COUNT(*)::BIGINT AS n, SUM(i)::BIGINT AS sum_x,
+           0::BIGINT AS sum_z, SUM(i * 3)::BIGINT AS sum_m
+    FROM range(90) t(i)
+    UNION ALL
+    SELECT 'point_zm' AS enc, COUNT(*)::BIGINT AS n, SUM(i)::BIGINT AS sum_x,
+           SUM(i * 7)::BIGINT AS sum_z, SUM(i * 2)::BIGINT AS sum_m
+    FROM range(90) t(i)
+    ORDER BY enc"""
+
+  /** Serialized-encoding WRITEs under the hash gate (g102): `geoarrow.wkt`
+    * (reference WktType, datatype.rs:60-66) pins exact WKT text — Z/M
+    * preserved through the text serialization — and `geoarrow.box`
+    * (RectType, array/rect.rs) writes the bbox covering struct and reads
+    * back as the envelope, pinned by its four corners. Closes the write
+    * face of round 16's decode-only g96 matrix. */
+  private def g102Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val wktOut = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g102w_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val boxOut = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g102b_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val df = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE CAST(id % 3 AS INT)
+               WHEN 0 THEN ST_PointZ(CAST(id AS DOUBLE), 2.0, CAST(id * 3 AS DOUBLE))
+               WHEN 1 THEN ST_PointM(CAST(id AS DOUBLE), 4.0, CAST(id * 5 AS DOUBLE))
+               ELSE NULL
+             END AS geometry,
+             ST_MakeEnvelope(CAST(id AS DOUBLE), 0.0,
+                             CAST(id + 2 AS DOUBLE), 3.0) AS footprint
+      FROM range(45)""").coalesce(1)
+    graft.sources.ArrowIpc.write(df.select("fid", "geometry"), wktOut,
+      geometryEncoding = "wkt")
+    graft.sources.ArrowIpc.write(
+      df.select(df.col("fid"), df.col("footprint").as("geometry")), boxOut,
+      geometryEncoding = "box")
+    val w = s.read.format("arrowipc").load(wktOut)
+      .selectExpr("fid", "COALESCE(ST_AsText(geometry), 'NULL') AS wkt")
+    val b = s.read.format("arrowipc").load(boxOut)
+      .selectExpr("fid",
+        "CAST(ST_XMin(geometry) AS BIGINT) AS bxmin",
+        "CAST(ST_YMax(geometry) AS BIGINT) AS bymax",
+        "CAST(ST_XMax(geometry) AS BIGINT) AS bxmax")
+    w.join(b, "fid").orderBy("fid")
+  }
+
+  private val g102Duck = """
+    SELECT i::BIGINT AS fid,
+           CASE i % 3
+             WHEN 0 THEN 'POINT Z(' || i || ' 2 ' || (i * 3) || ')'
+             WHEN 1 THEN 'POINT M(' || i || ' 4 ' || (i * 5) || ')'
+             ELSE 'NULL'
+           END AS wkt,
+           i::BIGINT AS bxmin, 3::BIGINT AS bymax, (i + 2)::BIGINT AS bxmax
+    FROM range(45) t(i) ORDER BY fid"""
+
   /** Mixed-geometry Arrow IPC under the hash gate (g96): the reference's
     * heterogeneous-array default — `geoarrow.geometry` dense unions,
     * `geoarrow.geometrycollection` (List over the union), `geoarrow.wkt`
@@ -11991,6 +12126,9 @@ object SparkEntry {
     ("g97_arrow_native_write", g97Fn _, g97Duck),
     ("g98_geoparquet_native_z", g98Fn _, g98Duck),
     ("g99_arrow_union_write", g99Fn _, g99Duck),
+    ("g100_arrow_union_full_matrix", g100Fn _, g100Duck),
+    ("g101_geoparquet_native_m_zm", g101Fn _, g101Duck),
+    ("g102_arrow_wkt_box_write", g102Fn _, g102Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),
