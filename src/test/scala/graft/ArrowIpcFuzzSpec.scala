@@ -127,6 +127,23 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
       (0 until n).foreach(i => if (rnd.nextDouble() < 0.15) idx.setNull(i) else idx.setSafe(i, rnd.nextInt(pool.length)))
       idx.setValueCount(n)
       (idx, Some(new Dictionary(dv, enc)))
+    case 11 => // dictionary-encoded GEOMETRY (geoarrow.wkb over a dict — the
+      // round-17 regression class: the decoder must resolve the index
+      // through the dictionary before the geometry decode, in BOTH paths)
+      val pool: Array[Array[Byte]] =
+        Array.tabulate(4)(k => graft.core.GeomOps.point(k * 10.0, k + 0.5))
+      val dv = new VarBinaryVector(name + "_dict", alloc); dv.allocateNew()
+      pool.zipWithIndex.foreach { case (b, i) => dv.setSafe(i, b) }
+      dv.setValueCount(pool.length)
+      val enc = new DictionaryEncoding(dictId, false, new ArrowType.Int(32, true))
+      val idx = new IntVector(new Field(name,
+        new FieldType(true, new ArrowType.Int(32, true), enc,
+          java.util.Map.of("ARROW:extension:name", "geoarrow.wkb")), null), alloc)
+      idx.allocateNew(n)
+      (0 until n).foreach(i => if (rnd.nextDouble() < 0.15) idx.setNull(i)
+        else idx.setSafe(i, rnd.nextInt(pool.length)))
+      idx.setValueCount(n)
+      (idx, Some(new Dictionary(dv, enc)))
     case 12 => // date (day unit)
       val v = new DateDayVector(name, alloc); v.allocateNew(n)
       (0 until n).foreach(i => if (rnd.nextDouble() < 0.15) v.setNull(i) else v.setSafe(i, rnd.nextInt(30000)))
@@ -235,6 +252,84 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
       }
       child.setValueCount(off)
       v.setValueCount(n); (v, None)
+    case 22 => // geoarrow.geometry union with the ROUND-17 children: measured
+      // Point M (tid 21), LineString ZM (tid 32), GeometryCollection
+      // (tid 7, List over an inner XY union) — plus the EMPTY encodings
+      // (NaN-coord points, length-0 lists) that must decode as empties,
+      // not nulls, under every codec and mask
+      val f64b = new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      def inter(nm: String, dims: String) =
+        new Field(nm, FieldType.nullable(new ArrowType.FixedSizeList(dims.length)),
+          java.util.List.of(new Field(dims, new FieldType(false, f64b, null, null),
+            java.util.List.of[Field]())))
+      val lineZm = new Field("LineString ZM", FieldType.nullable(new ArrowType.List()),
+        java.util.List.of(inter("vertices", "xyzm")))
+      val gcF = new Field("GeometryCollection", FieldType.nullable(new ArrowType.List()),
+        java.util.List.of(new Field("geometries",
+          new FieldType(false, new ArrowType.Union(UnionMode.Dense, Array(1)), null, null),
+          java.util.List.of(inter("Point", "xy")))))
+      val uf = new Field(name,
+        new FieldType(true, new ArrowType.Union(UnionMode.Dense, Array(7, 21, 32)), null,
+          java.util.Map.of("ARROW:extension:name", "geoarrow.geometry")),
+        java.util.List.of(gcF, inter("Point M", "xym"), lineZm))
+      val du2 = uf.createVector(alloc).asInstanceOf[DenseUnionVector]
+      du2.allocateNew()
+      val gcLv = du2.getVectorByType(7).asInstanceOf[ListVector]
+      val innerDu = gcLv.getDataVector.asInstanceOf[DenseUnionVector]
+      val innerPt = innerDu.getVectorByType(1).asInstanceOf[FixedSizeListVector]
+      val ptm = du2.getVectorByType(21).asInstanceOf[FixedSizeListVector]
+      val lzm = du2.getVectorByType(32).asInstanceOf[ListVector]
+      var gcN = 0; var ptmN = 0; var lzmN = 0; var innerN = 0
+      (0 until n).foreach { i =>
+        rnd.nextInt(6) match {
+          case 0 => // Point M value
+            du2.setTypeId(i, 21); du2.setOffset(i, ptmN)
+            ptm.setNotNull(ptmN)
+            val dv = ptm.getDataVector.asInstanceOf[Float8Vector]
+            (0 until 3).foreach(j => dv.setSafe(ptmN * 3 + j, rnd.nextInt(1000) / 4.0))
+            ptmN += 1
+          case 1 => // Point M EMPTY (NaN ordinates — must decode empty, not null)
+            du2.setTypeId(i, 21); du2.setOffset(i, ptmN)
+            ptm.setNotNull(ptmN)
+            val dv = ptm.getDataVector.asInstanceOf[Float8Vector]
+            (0 until 3).foreach(j => dv.setSafe(ptmN * 3 + j, Double.NaN))
+            ptmN += 1
+          case 2 => // LineString ZM value
+            du2.setTypeId(i, 32); du2.setOffset(i, lzmN)
+            val start = lzm.startNewValue(lzmN)
+            val nv = 2 + rnd.nextInt(3)
+            val flv = lzm.getDataVector.asInstanceOf[FixedSizeListVector]
+            val dv = flv.getDataVector.asInstanceOf[Float8Vector]
+            (0 until nv).foreach { k =>
+              flv.setNotNull(start + k)
+              (0 until 4).foreach(j => dv.setSafe((start + k) * 4 + j, rnd.nextInt(1000) / 4.0))
+            }
+            lzm.endValue(lzmN, nv); lzmN += 1
+          case 3 => // LINESTRING ZM EMPTY (length-0 list)
+            du2.setTypeId(i, 32); du2.setOffset(i, lzmN)
+            lzm.startNewValue(lzmN); lzm.endValue(lzmN, 0); lzmN += 1
+          case 4 => // GeometryCollection of 1-2 XY points
+            du2.setTypeId(i, 7); du2.setOffset(i, gcN)
+            val start = gcLv.startNewValue(gcN)
+            val k = 1 + rnd.nextInt(2)
+            (0 until k).foreach { j =>
+              innerDu.setTypeId(start + j, 1); innerDu.setOffset(start + j, innerN)
+              innerPt.setNotNull(innerN)
+              val dv = innerPt.getDataVector.asInstanceOf[Float8Vector]
+              dv.setSafe(innerN * 2, rnd.nextInt(1000) / 4.0)
+              dv.setSafe(innerN * 2 + 1, rnd.nextInt(1000) / 4.0)
+              innerN += 1
+            }
+            gcLv.endValue(gcN, k); gcN += 1
+          case _ => // GEOMETRYCOLLECTION EMPTY (length-0 list)
+            du2.setTypeId(i, 7); du2.setOffset(i, gcN)
+            gcLv.startNewValue(gcN); gcLv.endValue(gcN, 0); gcN += 1
+        }
+      }
+      innerPt.setValueCount(innerN); innerDu.setValueCount(innerN)
+      gcLv.setValueCount(gcN); ptm.setValueCount(ptmN); lzm.setValueCount(lzmN)
+      du2.setValueCount(n)
+      (du2, None)
     case 23 => // geoarrow.geometry DENSE UNION root (Point XY + LineString Z):
       // the union's types+offsets buffer run plus heterogeneous children,
       // under the same compression codecs and random masks as every other
