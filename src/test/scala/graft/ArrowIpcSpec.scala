@@ -1175,6 +1175,26 @@ class ArrowIpcSpec extends SparkTestBase {
     val err = intercept[Exception] { ArrowIpc.write(nested, s"$base/gcgc", geometryEncoding = "geometry") }
     assert(err.getMessage.contains("nested") ||
       Option(err.getCause).exists(_.getMessage.contains("nested")), err.getMessage)
+    // MULTI-BATCH: >4096 rows cross the per-batch boundary, so the union's
+    // per-chunk offset counters (incl. the inner GC union's) must reset
+    // cleanly between record batches
+    val big = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE CAST(id % 5 AS INT)
+               WHEN 0 THEN ST_Point(CAST(id AS DOUBLE), 1.0)
+               WHEN 1 THEN ST_PointM(CAST(id AS DOUBLE), 2.0, 7.0)
+               WHEN 2 THEN ST_GeomFromText(CONCAT('GEOMETRYCOLLECTION (POINT (',
+                                                  CAST(id AS STRING), ' 3))'))
+               WHEN 3 THEN ST_GeomFromText('POINT EMPTY')
+               ELSE NULL
+             END AS geometry
+      FROM range(10000)""").coalesce(1)
+    ArrowIpc.write(big, s"$base/big", geometryEncoding = "geometry")
+    val bigBack = ArrowIpc.read(spark, s"$base/big")
+    val ba = big.selectExpr("fid", "COALESCE(ST_AsText(geometry), 'NULL') w")
+    val bb = bigBack.selectExpr("fid", "COALESCE(ST_AsText(geometry), 'NULL') w")
+    assert(ba.except(bb).isEmpty && bb.except(ba).isEmpty,
+      "multi-batch union write roundtrip (10k rows across 3 record batches)")
   }
 
   test("geoarrow.wkt / geoarrow.box / geometry union / geometrycollection decode (both faces)") {
