@@ -2281,6 +2281,49 @@ object SparkEntry {
            i::BIGINT AS bxmin, 3::BIGINT AS bymax, (i + 2)::BIGINT AS bxmax
     FROM range(45) t(i) ORDER BY fid"""
 
+  /** Homogeneous-collection WRITE under the hash gate (g103): the last
+    * GeoArrow extension type to gain a write face —
+    * `geometryEncoding = geometrycollection` emits the reference's
+    * GeometryCollectionType (List over a single-dimension geometries
+    * union, rust/geoarrow-schema/src/type.rs:700-736). Rows pin exact WKT
+    * incl. the EMPTY collection (distinct from the null row) and a
+    * two-kind collection whose elements exercise the inner union. */
+  private def g103Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g103_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val df = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE CAST(id % 4 AS INT)
+               WHEN 0 THEN ST_GeomFromText(CONCAT('GEOMETRYCOLLECTION (POINT (',
+                                                  CAST(id AS STRING),
+                                                  ' 2), LINESTRING (0 0, 1 1))'))
+               WHEN 1 THEN ST_GeomFromText('GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))')
+               WHEN 2 THEN ST_GeomFromText('GEOMETRYCOLLECTION EMPTY')
+               ELSE NULL
+             END AS geometry
+      FROM range(40)""").coalesce(1)
+    graft.sources.ArrowIpc.write(df, out, geometryEncoding = "geometrycollection")
+    s.read.format("arrowipc").load(out)
+      .selectExpr("fid",
+        "COALESCE(ST_AsText(geometry), 'NULL') AS wkt",
+        "CAST(CASE WHEN geometry IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_null",
+        "CAST(CASE WHEN geometry IS NOT NULL AND ST_IsEmpty(geometry) THEN 1 ELSE 0 END AS BIGINT) AS is_empty")
+      .orderBy("fid")
+  }
+
+  private val g103Duck = """
+    SELECT i::BIGINT AS fid,
+           CASE i % 4
+             WHEN 0 THEN 'GEOMETRYCOLLECTION (POINT (' || i || ' 2), LINESTRING (0 0, 1 1))'
+             WHEN 1 THEN 'GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))'
+             WHEN 2 THEN 'GEOMETRYCOLLECTION EMPTY'
+             ELSE 'NULL'
+           END AS wkt,
+           (CASE WHEN i % 4 = 3 THEN 1 ELSE 0 END)::BIGINT AS is_null,
+           (CASE WHEN i % 4 = 2 THEN 1 ELSE 0 END)::BIGINT AS is_empty
+    FROM range(40) t(i) ORDER BY fid"""
+
   /** Mixed-geometry Arrow IPC under the hash gate (g96): the reference's
     * heterogeneous-array default — `geoarrow.geometry` dense unions,
     * `geoarrow.geometrycollection` (List over the union), `geoarrow.wkt`
@@ -12129,6 +12172,7 @@ object SparkEntry {
     ("g100_arrow_union_full_matrix", g100Fn _, g100Duck),
     ("g101_geoparquet_native_m_zm", g101Fn _, g101Duck),
     ("g102_arrow_wkt_box_write", g102Fn _, g102Duck),
+    ("g103_arrow_gc_write", g103Fn _, g103Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -1108,6 +1108,12 @@ object ArrowIpc {
       // happens at vector-population time, so mixed 2D/3D/measured columns
       // are first-class — no transcode, the WKB decodes in-task
       case "geometry" => "geoarrow.geometry"
+      // homogeneous collection columns: the reference's
+      // GeometryCollectionType (List over a single-dimension 6-kind
+      // union, type.rs:728-805) — the suffix declares the dimension,
+      // matching the type's single-dim contract; per-row WKB decodes
+      // in-task like the geometry union
+      case "geometrycollection" => "geoarrow.geometrycollection"
       case "wkt" => "geoarrow.wkt"
       case "box" => "geoarrow.box"
       case e @ ("point" | "linestring" | "polygon" | "multipoint" |
@@ -1115,17 +1121,27 @@ object ArrowIpc {
       case other => throw new IllegalArgumentException(
         s"ArrowIpc.write: unsupported geometryEncoding '$other' " +
           "(wkb, geometry, wkt, box, or point|linestring|polygon|multipoint|" +
-          "multilinestring|multipolygon with an optional _z/_m/_zm suffix)")
+          "multilinestring|multipolygon|geometrycollection with an optional _z/_m/_zm suffix)")
     }
     require(encSuffix.isEmpty || !Set("geoarrow.wkb", "geoarrow.geometry",
         "geoarrow.wkt", "geoarrow.box")(geoExtName),
       s"ArrowIpc.write: '$geometryEncoding' — dimension suffixes apply to the " +
         "typed native encodings only (wkb/geometry/wkt carry Z/M inherently; box is 2D)")
+    // collection dimension block from the suffix (the reference's GC type
+    // is single-dimension; elements of another dimension fail loudly at
+    // vector-population time via the child-id check)
+    val (gcSuffixLabel, gcDims, gcDimBase) = encSuffix match {
+      case "_z" => (" Z", "xyz", 10)
+      case "_m" => (" M", "xym", 20)
+      case "_zm" => (" ZM", "xyzm", 30)
+      case _ => ("", "xy", 0)
+    }
     // extension metadata (crs/edges) reads from the ORIGINAL column before
     // the transcode drops Spark field metadata
     val preSchema = df.schema
     val df1 =
-      if (geoExtName == "geoarrow.wkb" || geoExtName == "geoarrow.geometry") df
+      if (geoExtName == "geoarrow.wkb" || geoExtName == "geoarrow.geometry" ||
+          geoExtName == "geoarrow.geometrycollection") df
       else {
         graft.functions.GeoFunctions.register(df.sparkSession)
         import org.apache.spark.sql.functions.{call_function, col}
@@ -1261,38 +1277,41 @@ object ArrowIpc {
         // what terminates the schema recursion). Child names ("Point",
         // "MultiPolygon ZM", ...) are exactly what [[parseUnionChild]]
         // reads back; interleaved coords with the dims-named child.
+        val f64Geo = new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+        def interleaved(nm: String, dims: String) =
+          new Field(nm, FieldType.nullable(new ArrowType.FixedSizeList(dims.length)),
+            java.util.List.of(new Field(dims, new FieldType(false, f64Geo, null, null),
+              java.util.List.of[Field]())))
+        def l1(nm: String, dims: String) = new Field(nm,
+          FieldType.nullable(new ArrowType.List()),
+          java.util.List.of(interleaved("vertices", dims)))
+        def l2(nm: String, dims: String) = new Field(nm,
+          FieldType.nullable(new ArrowType.List()),
+          java.util.List.of(l1("rings", dims)))
+        def l3(nm: String, dims: String) = new Field(nm,
+          FieldType.nullable(new ArrowType.List()),
+          java.util.List.of(l2("polygons", dims)))
+        def kindField(kind: Int, suffix: String, dims: String): Field = kind match {
+          case 1 => interleaved("Point" + suffix, dims)
+          case 2 => l1("LineString" + suffix, dims)
+          case 3 => l2("Polygon" + suffix, dims)
+          case 4 => l1("MultiPoint" + suffix, dims)
+          case 5 => l2("MultiLineString" + suffix, dims)
+          case 6 => l3("MultiPolygon" + suffix, dims)
+        }
+        // the single-dimension "geometries" union a collection holds
+        // (type.rs:738-805 mixed_data_type)
+        def innerGcUnion(suffix: String, dims: String, dimBase: Int): Field =
+          new Field("geometries", new FieldType(false,
+            new org.apache.arrow.vector.types.pojo.ArrowType.Union(
+              org.apache.arrow.vector.types.UnionMode.Dense,
+              (1 to 6).map(dimBase + _).toArray), null, null),
+            java.util.List.of((1 to 6).map(kindField(_, suffix, dims)): _*))
         def unionGeomField(name: String, md: java.util.Map[String, String]): Field = {
-          val f64 = new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
-          def interleaved(nm: String, dims: String) =
-            new Field(nm, FieldType.nullable(new ArrowType.FixedSizeList(dims.length)),
-              java.util.List.of(new Field(dims, new FieldType(false, f64, null, null),
-                java.util.List.of[Field]())))
-          def l1(nm: String, dims: String) = new Field(nm,
-            FieldType.nullable(new ArrowType.List()),
-            java.util.List.of(interleaved("vertices", dims)))
-          def l2(nm: String, dims: String) = new Field(nm,
-            FieldType.nullable(new ArrowType.List()),
-            java.util.List.of(l1("rings", dims)))
-          def l3(nm: String, dims: String) = new Field(nm,
-            FieldType.nullable(new ArrowType.List()),
-            java.util.List.of(l2("polygons", dims)))
-          def kindField(kind: Int, suffix: String, dims: String): Field = kind match {
-            case 1 => interleaved("Point" + suffix, dims)
-            case 2 => l1("LineString" + suffix, dims)
-            case 3 => l2("Polygon" + suffix, dims)
-            case 4 => l1("MultiPoint" + suffix, dims)
-            case 5 => l2("MultiLineString" + suffix, dims)
-            case 6 => l3("MultiPolygon" + suffix, dims)
-          }
-          def gcField(suffix: String, dims: String, dimBase: Int): Field = {
-            val innerUnion = new Field("geometries", new FieldType(false,
-              new org.apache.arrow.vector.types.pojo.ArrowType.Union(
-                org.apache.arrow.vector.types.UnionMode.Dense,
-                (1 to 6).map(dimBase + _).toArray), null, null),
-              java.util.List.of((1 to 6).map(kindField(_, suffix, dims)): _*))
+          def gcField(suffix: String, dims: String, dimBase: Int): Field =
             new Field("GeometryCollection" + suffix,
-              FieldType.nullable(new ArrowType.List()), java.util.List.of(innerUnion))
-          }
+              FieldType.nullable(new ArrowType.List()),
+              java.util.List.of(innerGcUnion(suffix, dims, dimBase)))
           val dimSpecs = Seq(("", "xy", 0), (" Z", "xyz", 10), (" M", "xym", 20), (" ZM", "xyzm", 30))
           val ids = dimSpecs.flatMap { case (_, _, b) => (1 to 7).map(b + _) }
           val children = dimSpecs.flatMap { case (sfx, dims, b) =>
@@ -1302,6 +1321,12 @@ object ArrowIpc {
               org.apache.arrow.vector.types.UnionMode.Dense, ids.toArray), null, md),
             java.util.List.of(children: _*))
         }
+        // a homogeneous geoarrow.geometrycollection COLUMN: List over the
+        // declared dimension's geometries union (reference
+        // GeometryCollectionType::data_type, type.rs:700-736)
+        def gcColumnField(name: String, md: java.util.Map[String, String]): Field =
+          new Field(name, new FieldType(true, new ArrowType.List(), null, md),
+            java.util.List.of(innerGcUnion(gcSuffixLabel, gcDims, gcDimBase)))
         val fields = sparkSchema.fields.map { f =>
           val isGeomCol = f.name == geomName &&
             (!Set("geoarrow.wkb", "geoarrow.geometry")(geoExtName) || f.dataType == BinaryType)
@@ -1321,6 +1346,8 @@ object ArrowIpc {
                 java.util.List.of[Field]())
             case None =>
               if (isGeomCol && geoExtName == "geoarrow.geometry") unionGeomField(f.name, md)
+              else if (isGeomCol && geoExtName == "geoarrow.geometrycollection")
+                gcColumnField(f.name, md)
               else arrowFieldOf(f.name, f.dataType, f.nullable, md)
           }
         }
@@ -1456,8 +1483,17 @@ object ArrowIpc {
                 case v: org.apache.arrow.vector.complex.MapVector => v.getWriter
                 case _ => null
               }
+              // a geoarrow.geometrycollection COLUMN is a ListVector but
+              // populates through the union machinery below, not the
+              // generic list writer
+              val gcColVec: org.apache.arrow.vector.complex.ListVector =
+                if ("geoarrow.geometrycollection" ==
+                    fields(c).getMetadata.get("ARROW:extension:name"))
+                  vec.asInstanceOf[org.apache.arrow.vector.complex.ListVector]
+                else null
               val listW = vec match {
                 case _: org.apache.arrow.vector.complex.MapVector => null
+                case _ if gcColVec != null => null
                 case v: org.apache.arrow.vector.complex.ListVector => v.getWriter
                 case _ => null
               }
@@ -1474,7 +1510,7 @@ object ArrowIpc {
                 case v: org.apache.arrow.vector.complex.DenseUnionVector => v
                 case _ => null
               }
-              if (duVec != null) {
+              if (duVec != null || gcColVec != null) {
                 import org.apache.arrow.vector.complex.{DenseUnionVector => DUV, FixedSizeListVector => FSL, ListVector => LV}
                 import org.locationtech.jts.geom._
                 // per-union type-id offset counters, keyed by vector identity:
@@ -1612,14 +1648,6 @@ object ArrowIpc {
                         s"${other.getGeometryType} — write with geometryEncoding=wkb")
                   }
                 }
-                var i = 0
-                while (i < chunk.length) {
-                  val row = chunk(i)
-                  val wkb = if (row.isNullAt(c)) null else row.getAs[Array[Byte]](c)
-                  appendGeom(duVec, i, if (wkb == null) null else graft.core.GeomOps.read(wkb),
-                    topLevel = true)
-                  i += 1
-                }
                 // children's own counts first (inner GC unions before their
                 // list parents); the union's own count last
                 val allTids = Seq(0, 10, 20, 30).flatMap(b => (1 to 7).map(b + _))
@@ -1637,7 +1665,54 @@ object ArrowIpc {
                   }
                   du.setValueCount(total)
                 }
-                closeUnion(duVec, chunk.length)
+                if (duVec != null) {
+                  var i = 0
+                  while (i < chunk.length) {
+                    val row = chunk(i)
+                    val wkb = if (row.isNullAt(c)) null else row.getAs[Array[Byte]](c)
+                    appendGeom(duVec, i, if (wkb == null) null else graft.core.GeomOps.read(wkb),
+                      topLevel = true)
+                    i += 1
+                  }
+                  closeUnion(duVec, chunk.length)
+                } else {
+                  // homogeneous geoarrow.geometrycollection column: null row
+                  // = unwritten (null list); GEOMETRYCOLLECTION EMPTY =
+                  // length-0 list; elements append into the declared-dim
+                  // inner union (a wrong-dim element fails loudly via the
+                  // child-id check in appendGeom)
+                  val innerDu = gcColVec.getDataVector.asInstanceOf[DUV]
+                  var i = 0
+                  while (i < chunk.length) {
+                    val row = chunk(i)
+                    if (!row.isNullAt(c)) {
+                      graft.core.GeomOps.read(row.getAs[Array[Byte]](c)) match {
+                        case _: MultiPoint | _: MultiLineString | _: MultiPolygon =>
+                          throw new IllegalArgumentException(
+                            "ArrowIpc.write: geometrycollection encoding requires " +
+                              "GEOMETRYCOLLECTION rows (a Multi* type has its own encoding)")
+                        case gc: GeometryCollection =>
+                          if (gc.getNumGeometries == 0) fillEmptyList(gcColVec, i)
+                          else {
+                            val start = gcColVec.startNewValue(i)
+                            var k = 0
+                            while (k < gc.getNumGeometries) {
+                              appendGeom(innerDu, start + k, gc.getGeometryN(k), topLevel = false)
+                              k += 1
+                            }
+                            gcColVec.endValue(i, gc.getNumGeometries)
+                          }
+                        case other => throw new IllegalArgumentException(
+                          "ArrowIpc.write: geometrycollection encoding requires " +
+                            s"GEOMETRYCOLLECTION rows, got ${other.getGeometryType} — " +
+                            "use geometryEncoding=geometry for mixed columns")
+                      }
+                    }
+                    i += 1
+                  }
+                  closeUnion(innerDu, countersFor(innerDu).sum)
+                  gcColVec.setValueCount(chunk.length)
+                }
                 c += 1
               } else {
               var i = 0

@@ -1061,6 +1061,59 @@ class ArrowIpcSpec extends SparkTestBase {
       mOn2d.getMessage)
   }
 
+  test("geoarrow.geometrycollection WRITE encoding roundtrips (XY and _zm, empties, nulls)") {
+    // the last GeoArrow extension type to gain a write face (decode landed
+    // with g96): a homogeneous collection column = List over the declared
+    // dimension's 6-kind geometries union (reference type.rs:700-736)
+    val base = java.nio.file.Files.createTempDirectory("arrowgcw").toString
+    val df = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE CAST(id % 4 AS INT)
+               WHEN 0 THEN ST_GeomFromText(CONCAT('GEOMETRYCOLLECTION (POINT (',
+                                                  CAST(id AS STRING), ' 2), LINESTRING (0 0, 1 1))'))
+               WHEN 1 THEN ST_GeomFromText('GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))')
+               WHEN 2 THEN ST_GeomFromText('GEOMETRYCOLLECTION EMPTY')
+               ELSE NULL
+             END AS geometry
+      FROM range(20)""")
+    ArrowIpc.write(df, s"$base/gc", geometryEncoding = "geometrycollection")
+    val back = ArrowIpc.read(spark, s"$base/gc")
+    val a = df.selectExpr("fid", "COALESCE(ST_AsText(geometry), 'NULL') w")
+    val b = back.selectExpr("fid", "COALESCE(ST_AsText(geometry), 'NULL') w")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty, "gc column write roundtrip")
+    // empty collections come back EMPTY, nulls stay NULL
+    val counted = back.selectExpr(
+      "SUM(CASE WHEN geometry IS NULL THEN 1 ELSE 0 END) AS nn",
+      "SUM(CASE WHEN geometry IS NOT NULL AND ST_IsEmpty(geometry) THEN 1 ELSE 0 END) AS ne").head()
+    assert(counted.getLong(0) == 5 && counted.getLong(1) == 5, counted.toString)
+    // _zm variant carries all four ordinates
+    val zm = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_GeomFromText(CONCAT('GEOMETRYCOLLECTION (POINT ZM(', CAST(id AS STRING),
+                                    ' 2 3 4), LINESTRING ZM(0 0 1 2, 5 6 7 8))')) AS geometry
+      FROM range(6)""")
+    ArrowIpc.write(zm, s"$base/gczm", geometryEncoding = "geometrycollection_zm")
+    val zmBack = ArrowIpc.read(spark, s"$base/gczm")
+    val za = zm.selectExpr("fid", "ST_AsText(geometry) w")
+    val zb = zmBack.selectExpr("fid", "ST_AsText(geometry) w")
+    assert(za.except(zb).isEmpty && zb.except(za).isEmpty, "gc _zm write roundtrip")
+    // a wrong-dimension element fails loudly (XY column, ZM data)
+    val badDim = intercept[Exception] {
+      ArrowIpc.write(zm, s"$base/gcbad", geometryEncoding = "geometrycollection")
+    }
+    assert(badDim.getMessage.contains("no child for type id") ||
+      Option(badDim.getCause).exists(_.getMessage.contains("no child for type id")),
+      badDim.getMessage)
+    // a non-collection row fails loudly
+    val notGc = spark.sql("SELECT ST_Point(1.0, 2.0) AS geometry FROM range(2)")
+    val err = intercept[Exception] {
+      ArrowIpc.write(notGc, s"$base/notgc", geometryEncoding = "geometrycollection")
+    }
+    assert(err.getMessage.contains("GEOMETRYCOLLECTION rows") ||
+      Option(err.getCause).exists(_.getMessage.contains("GEOMETRYCOLLECTION rows")),
+      err.getMessage)
+  }
+
   test("geoarrow.wkt / geoarrow.box WRITE encodings roundtrip through own reader") {
     // round 17: the two serialized encodings the reference emits as
     // first-class types (datatype.rs:60-66 WktType; array/rect.rs RectType)
