@@ -359,6 +359,25 @@ class GeoParquetSpec extends SparkTestBase {
       half.getMessage)
   }
 
+  test("native point write roundtrips POINT EMPTY as the NaN pair (empty back, not null)") {
+    val out = dir + "_native_empty"
+    val df = spark.sql("""
+      SELECT CAST(id AS INT) AS fid,
+             CASE CAST(id % 3 AS INT)
+               WHEN 0 THEN ST_Point(CAST(id AS DOUBLE), 1.0)
+               WHEN 1 THEN ST_GeomFromText('POINT EMPTY')
+               ELSE NULL
+             END AS geometry
+      FROM range(9)""")
+    GeoParquet.write(df.coalesce(1), out, covering = false, encoding = "point")
+    val back = GeoParquet.read(spark, out)
+    val r = back.selectExpr(
+      "SUM(CASE WHEN geometry IS NULL THEN 1 ELSE 0 END) AS nn",
+      "SUM(CASE WHEN geometry IS NOT NULL AND ST_IsEmpty(geometry) THEN 1 ELSE 0 END) AS ne").head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3,
+      s"EMPTY/NULL must stay distinct through the native point hop: $r")
+  }
+
   test("ga_to_* export kernels roundtrip through ga_* decode") {
     val r = sql("""
       SELECT ST_AsText(ga_polygon(ga_to_polygon(g), false, false)) AS rt,
