@@ -373,6 +373,47 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
       }
       pt.setValueCount(ptN); ls.setValueCount(lsN); du.setValueCount(n)
       (du, None)
+    case 24 => // geoarrow.geometrycollection ROOT (round 17's write shape):
+      // List over a dense "geometries" union — its buffer run is the
+      // list's fixed buffers followed by the union subtree, pruned like
+      // any other column; empties (length-0 lists) and nulls ride along
+      val f64c = new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      def interC(nm: String, dims: String) =
+        new Field(nm, FieldType.nullable(new ArrowType.FixedSizeList(dims.length)),
+          java.util.List.of(new Field(dims, new FieldType(false, f64c, null, null),
+            java.util.List.of[Field]())))
+      val gcRoot = new Field(name,
+        new FieldType(true, new ArrowType.List(), null,
+          java.util.Map.of("ARROW:extension:name", "geoarrow.geometrycollection")),
+        java.util.List.of(new Field("geometries",
+          new FieldType(false, new ArrowType.Union(UnionMode.Dense, Array(1)), null, null),
+          java.util.List.of(interC("Point", "xy")))))
+      val gv = gcRoot.createVector(alloc).asInstanceOf[ListVector]
+      gv.allocateNew()
+      val gDu = gv.getDataVector.asInstanceOf[DenseUnionVector]
+      val gPt = gDu.getVectorByType(1).asInstanceOf[FixedSizeListVector]
+      var gN = 0
+      (0 until n).foreach { i =>
+        rnd.nextInt(4) match {
+          case 0 => () // unwritten = null collection
+          case 1 => // GEOMETRYCOLLECTION EMPTY
+            gv.startNewValue(i); gv.endValue(i, 0)
+          case _ =>
+            val start = gv.startNewValue(i)
+            val k = 1 + rnd.nextInt(3)
+            (0 until k).foreach { j =>
+              gDu.setTypeId(start + j, 1); gDu.setOffset(start + j, gN)
+              gPt.setNotNull(gN)
+              val dv = gPt.getDataVector.asInstanceOf[Float8Vector]
+              dv.setSafe(gN * 2, rnd.nextInt(1000) / 4.0)
+              dv.setSafe(gN * 2 + 1, rnd.nextInt(1000) / 4.0)
+              gN += 1
+            }
+            gv.endValue(i, k)
+        }
+      }
+      gPt.setValueCount(gN); gDu.setValueCount(gN); gv.setValueCount(n)
+      (gv, None)
     case _ => // struct{s: utf8view, d: float8} — a VIEW node NESTED under a
       // struct: its variadic buffer slot sits mid-pre-order, the most
       // delicate case for the buffer-run slicing
@@ -398,7 +439,7 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
     var trial = 0
     while (trial < 60) {
       val ncols = 2 + rnd.nextInt(4)
-      val kinds = Array.fill(ncols)(rnd.nextInt(24))
+      val kinds = Array.fill(ncols)(rnd.nextInt(26))
       val n = if (trial % 10 == 0) 0 else 1 + rnd.nextInt(50) // exercise 0-row files too
       val file = new java.io.File(dir, f"fuzz-$trial%03d.arrow")
       val alloc = new RootAllocator()
