@@ -1574,7 +1574,11 @@ object ArrowIpc {
                 // null → null Point child; POINT EMPTY → all-NaN coords (the
                 // GeoArrow empty-point encoding); every list-backed EMPTY →
                 // a length-0 outer list in its own kind child.
-                def appendGeom(du: DUV, pos: Int, g: Geometry, topLevel: Boolean): Unit = {
+                // `emptyDims`: an EMPTY geometry has no coordinates to probe,
+                // so inside a single-dimension collection it inherits the
+                // collection's declared dims (a top-level empty rides XY)
+                def appendGeom(du: DUV, pos: Int, g: Geometry, topLevel: Boolean,
+                               emptyDims: String = "xy"): Unit = {
                   val cnt = countersFor(du)
                   if (g == null) {
                     val tid: Byte = 1
@@ -1584,7 +1588,7 @@ object ArrowIpc {
                     cnt(1) += 1
                     return
                   }
-                  val dims = dimsOfGeom(g) // empties probe as XY (no coords)
+                  val dims = if (g.isEmpty) emptyDims else dimsOfGeom(g)
                   val base = dimBase(dims)
                   def put(tid0: Int)(fill: org.apache.arrow.vector.ValueVector => Unit): Unit = {
                     val tid = (base + tid0).toByte
@@ -1637,7 +1641,8 @@ object ArrowIpc {
                           val innerDu = lv.getDataVector.asInstanceOf[DUV]
                           var k = 0
                           while (k < gc.getNumGeometries) {
-                            appendGeom(innerDu, start + k, gc.getGeometryN(k), topLevel = false)
+                            appendGeom(innerDu, start + k, gc.getGeometryN(k),
+                              topLevel = false, emptyDims = dims)
                             k += 1
                           }
                           lv.endValue(off, gc.getNumGeometries)
@@ -1697,7 +1702,8 @@ object ArrowIpc {
                             val start = gcColVec.startNewValue(i)
                             var k = 0
                             while (k < gc.getNumGeometries) {
-                              appendGeom(innerDu, start + k, gc.getGeometryN(k), topLevel = false)
+                              appendGeom(innerDu, start + k, gc.getGeometryN(k),
+                                topLevel = false, emptyDims = gcDims)
                               k += 1
                             }
                             gcColVec.endValue(i, gc.getNumGeometries)

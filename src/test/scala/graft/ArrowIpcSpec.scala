@@ -1097,6 +1097,17 @@ class ArrowIpcSpec extends SparkTestBase {
     val za = zm.selectExpr("fid", "ST_AsText(geometry) w")
     val zb = zmBack.selectExpr("fid", "ST_AsText(geometry) w")
     assert(za.except(zb).isEmpty && zb.except(za).isEmpty, "gc _zm write roundtrip")
+    // an EMPTY element inside a dimensioned collection inherits the
+    // declared dims (it has no coordinates to probe) instead of failing
+    val zmEmpty = spark.sql(
+      """SELECT ST_GeomFromText(
+           'GEOMETRYCOLLECTION ZM(POINT ZM(1 2 3 4), POINT ZM EMPTY, LINESTRING ZM EMPTY)') AS geometry""")
+    ArrowIpc.write(zmEmpty, s"$base/gczme", geometryEncoding = "geometrycollection_zm")
+    val zmeBack = ArrowIpc.read(spark, s"$base/gczme")
+      .selectExpr("ST_NumGeometries(geometry) AS n",
+        "ST_IsEmpty(ST_GeometryN(geometry, 1)) AS e1").head()
+    assert(zmeBack.getInt(0) == 3 && zmeBack.getBoolean(1),
+      s"empty elements must survive a dimensioned collection: $zmeBack")
     // a wrong-dimension element fails loudly (XY column, ZM data)
     val badDim = intercept[Exception] {
       ArrowIpc.write(zm, s"$base/gcbad", geometryEncoding = "geometrycollection")
