@@ -179,7 +179,11 @@ object Bench {
         val minIdx = okIdx.minBy(ts(_))
         val label =
           if (gs(minIdx) >= 0 && gs(minIdx) / ts(minIdx) > 0.3) "gc"
-          else if (okIdx.head == 0 && minIdx > okIdx.length / 2 && ts(0) >= 2 * v) "warm"
+          // the min's POSITION among successful reps, not its raw index —
+          // a failed middle rep would otherwise flip the verdict; "later
+          // half" must stay satisfiable at 2 successful reps (ceil(n/2))
+          else if (okIdx.head == 0 && okIdx.indexOf(minIdx) >= (okIdx.length + 1) / 2 &&
+                   ts(0) >= 2 * v) "warm"
           else if (cpuFloors.contains(n) && cs(minIdx) > 0 &&
                    cs(minIdx) <= 1.5 * cpuFloors(n)) "ambient"
           else {

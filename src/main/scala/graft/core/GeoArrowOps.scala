@@ -158,6 +158,9 @@ object GeoArrowOps {
 
   private def readXYZ(wkb: Array[Byte], kernel: String): Geometry = {
     val g = GeomOps.read(wkb)
+    // an EMPTY has no coordinates to contradict the declared dimensions —
+    // it exports as the natural empty shape (NaN point / zero-length lists)
+    if (g.isEmpty) return g
     if (!GeomOps.hasZ(g))
       throw new IllegalArgumentException(
         s"$kernel: XYZ export requires Z coordinates but the input geometry is 2D — " +
@@ -180,8 +183,11 @@ object GeoArrowOps {
       ((p.getExteriorRing +: (0 until p.getNumInteriorRing).map(p.getInteriorRingN))
         .map(r => coordArrZ(r.getCoordinates): Any)).toArray)
 
-  def toPointZ(wkb: Array[Byte]): InternalRow =
-    coordRowZ(readXYZ(wkb, "ga_to_point_z").getCoordinate)
+  def toPointZ(wkb: Array[Byte]): InternalRow = {
+    val g = readXYZ(wkb, "ga_to_point_z")
+    if (g.isEmpty) new GenericInternalRow(Array[Any](Double.NaN, Double.NaN, Double.NaN))
+    else coordRowZ(g.getCoordinate)
+  }
 
   def toLineStringZ(wkb: Array[Byte]): ArrayData =
     coordArrZ(readXYZ(wkb, "ga_to_linestring_z").getCoordinates)
@@ -218,6 +224,9 @@ object GeoArrowOps {
   private def readDims(wkb: Array[Byte], kernel: String,
                        wantZ: Boolean, wantM: Boolean): Geometry = {
     val g = GeomOps.read(wkb)
+    // an EMPTY has no coordinates to contradict the declared dimensions —
+    // it exports as the natural empty shape (NaN point / zero-length lists)
+    if (g.isEmpty) return g
     val z = GeomOps.hasZ(g); val m = GeomOps.hasM(g)
     if (z != wantZ || m != wantM) {
       def dims(hz: Boolean, hm: Boolean) =
@@ -256,9 +265,13 @@ object GeoArrowOps {
           s"$kernel: component is ${other.getGeometryType}, not Polygon")
       }, z, m)))
 
-  def toPointM(wkb: Array[Byte]): InternalRow =
-    coordRowD(readDims(wkb, "ga_to_point_m", wantZ = false, wantM = true).getCoordinate,
-      z = false, m = true)
+  private def nanRow(width: Int): InternalRow =
+    new GenericInternalRow(Array.fill[Any](width)(Double.NaN))
+
+  def toPointM(wkb: Array[Byte]): InternalRow = {
+    val g = readDims(wkb, "ga_to_point_m", wantZ = false, wantM = true)
+    if (g.isEmpty) nanRow(3) else coordRowD(g.getCoordinate, z = false, m = true)
+  }
   def toLineStringM(wkb: Array[Byte]): ArrayData =
     coordArrD(readDims(wkb, "ga_to_linestring_m", wantZ = false, wantM = true).getCoordinates,
       z = false, m = true)
@@ -275,9 +288,10 @@ object GeoArrowOps {
     mpolyArrD(readDims(wkb, "ga_to_multipolygon_m", wantZ = false, wantM = true),
       "ga_to_multipolygon_m", z = false, m = true)
 
-  def toPointZM(wkb: Array[Byte]): InternalRow =
-    coordRowD(readDims(wkb, "ga_to_point_zm", wantZ = true, wantM = true).getCoordinate,
-      z = true, m = true)
+  def toPointZM(wkb: Array[Byte]): InternalRow = {
+    val g = readDims(wkb, "ga_to_point_zm", wantZ = true, wantM = true)
+    if (g.isEmpty) nanRow(4) else coordRowD(g.getCoordinate, z = true, m = true)
+  }
   def toLineStringZM(wkb: Array[Byte]): ArrayData =
     coordArrD(readDims(wkb, "ga_to_linestring_zm", wantZ = true, wantM = true).getCoordinates,
       z = true, m = true)

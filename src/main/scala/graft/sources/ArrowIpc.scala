@@ -194,6 +194,14 @@ object ArrowIpc {
     else GeomOps.factory.createPolygon(rings.head, rings.tail.toArray)
   }
 
+  /** One row per GeoArrow dimension: (union-child name suffix, coord dims
+    * string, type-id base) — type id = base + kind offset
+    * (rust/geoarrow-schema/src/type_id.rs:28-35). SINGLE SOURCE for both
+    * the union field tree and the encoding-suffix resolution; the two
+    * desynchronizing would split the GC-column schema from the union's. */
+  private val DimSpecs: Seq[(String, String, Int)] =
+    Seq(("", "xy", 0), (" Z", "xyz", 10), (" M", "xym", 20), (" ZM", "xyzm", 30))
+
   private val wktReaderTL = ThreadLocal.withInitial[org.locationtech.jts.io.WKTReader](
     () => new org.locationtech.jts.io.WKTReader(GeomOps.factory))
 
@@ -225,7 +233,12 @@ object ArrowIpc {
           .asInstanceOf[java.util.Map[Any, Any]].asScala.map {
             case (k, value) => k.toString -> value.asInstanceOf[Number].doubleValue()
           }
-        f.toGeometry(new org.locationtech.jts.geom.Envelope(
+        // all-NaN extent = the EMPTY sentinel (mirrors the NaN empty-point
+        // convention; a JTS null-envelope written raw would normalize into
+        // a spurious [-1,0]² polygon on read)
+        if (java.lang.Double.isNaN(mm("xmin")) && java.lang.Double.isNaN(mm("ymin")))
+          f.createPolygon()
+        else f.toGeometry(new org.locationtech.jts.geom.Envelope(
           mm("xmin"), mm("xmax"), mm("ymin"), mm("ymax")))
       case other => throw new IllegalArgumentException(s"ArrowIpc: unsupported geoarrow type $other")
     }
@@ -1130,12 +1143,8 @@ object ArrowIpc {
     // collection dimension block from the suffix (the reference's GC type
     // is single-dimension; elements of another dimension fail loudly at
     // vector-population time via the child-id check)
-    val (gcSuffixLabel, gcDims, gcDimBase) = encSuffix match {
-      case "_z" => (" Z", "xyz", 10)
-      case "_m" => (" M", "xym", 20)
-      case "_zm" => (" ZM", "xyzm", 30)
-      case _ => ("", "xy", 0)
-    }
+    val (gcSuffixLabel, gcDims, gcDimBase) = DimSpecs
+      .find(_._1.trim.toLowerCase == encSuffix.stripPrefix("_")).get
     // extension metadata (crs/edges) reads from the ORIGINAL column before
     // the transcode drops Spark field metadata
     val preSchema = df.schema
@@ -1148,8 +1157,17 @@ object ArrowIpc {
         val transcoded = geoExtName match {
           // text serialization preserves kind + Z/M per value, like wkb
           case "geoarrow.wkt" => call_function("st_astext", col(geometryCol))
-          // the GeoParquet covering-struct assembly reused as the rect value
-          case "geoarrow.box" => call_function("st_bbox", col(geometryCol))
+          // the GeoParquet covering-struct assembly reused as the rect
+          // value; EMPTY writes the all-NaN extent sentinel (st_bbox would
+          // emit JTS's null-envelope 0/-1 sentinel, which reads back as a
+          // spurious normalized polygon — EMPTY must stay EMPTY)
+          case "geoarrow.box" =>
+            import org.apache.spark.sql.functions.{lit, struct, when}
+            val nan = lit(Double.NaN)
+            when(col(geometryCol).isNull, lit(null))
+              .when(call_function("st_isempty", col(geometryCol)),
+                struct(nan.as("xmin"), nan.as("ymin"), nan.as("xmax"), nan.as("ymax")))
+              .otherwise(call_function("st_bbox", col(geometryCol)))
           case _ => call_function("ga_to_" + encLower, col(geometryCol))
         }
         df.withColumn(geometryCol, transcoded)
@@ -1198,8 +1216,8 @@ object ArrowIpc {
         node.put("graft:geometry_types", f.metadata.getString("geoparquet.geometry_types"))
       if (f.metadata.contains("geoparquet.crs")) {
         val crs = f.metadata.getString("geoparquet.crs")
-        try node.set[com.fasterxml.jackson.databind.JsonNode]("crs", jsonMapper.readTree(crs))
-        catch { case _: Exception => node.put("crs", crs) }
+        node.set[com.fasterxml.jackson.databind.JsonNode]("crs",
+          GeoParquet.crsJsonNode(jsonMapper, crs))
       }
       if (node.isEmpty) null else jsonMapper.writeValueAsString(node)
     }.orNull
@@ -1312,9 +1330,8 @@ object ArrowIpc {
             new Field("GeometryCollection" + suffix,
               FieldType.nullable(new ArrowType.List()),
               java.util.List.of(innerGcUnion(suffix, dims, dimBase)))
-          val dimSpecs = Seq(("", "xy", 0), (" Z", "xyz", 10), (" M", "xym", 20), (" ZM", "xyzm", 30))
-          val ids = dimSpecs.flatMap { case (_, _, b) => (1 to 7).map(b + _) }
-          val children = dimSpecs.flatMap { case (sfx, dims, b) =>
+          val ids = DimSpecs.flatMap { case (_, _, b) => (1 to 7).map(b + _) }
+          val children = DimSpecs.flatMap { case (sfx, dims, b) =>
             (1 to 6).map(kindField(_, sfx, dims)) :+ gcField(sfx, dims, b) }
           new Field(name, new FieldType(true,
             new org.apache.arrow.vector.types.pojo.ArrowType.Union(
@@ -1522,27 +1539,38 @@ object ArrowIpc {
                   if (a == null) { a = new Array[Int](38); unionCounters.put(du, a) }
                   a
                 }
-                def dimsOfGeom(g: Geometry): String =
-                  "xy" + (if (graft.core.GeomOps.hasZ(g)) "z" else "") +
-                         (if (graft.core.GeomOps.hasM(g)) "m" else "")
+                // collection kinds probe their FIRST NON-EMPTY component —
+                // hasZ/hasM read only the first element's coordinate, so a
+                // leading EMPTY would misreport a Z/M collection as XY (an
+                // order-dependent refusal of a representable value)
+                def dimsOfGeom(g: Geometry): String = g match {
+                  case gc: GeometryCollection =>
+                    (0 until gc.getNumGeometries).iterator.map(gc.getGeometryN)
+                      .find(!_.isEmpty).map(dimsOfGeom).getOrElse("xy")
+                  case _ =>
+                    "xy" + (if (graft.core.GeomOps.hasZ(g)) "z" else "") +
+                           (if (graft.core.GeomOps.hasM(g)) "m" else "")
+                }
                 def dimBase(dims: String): Int = dims match {
                   case "xy" => 0; case "xyz" => 10; case "xym" => 20; case _ => 30
                 }
-                def ordinates(cd: Coordinate, dims: String): Array[Double] = dims match {
-                  case "xy" => Array(cd.x, cd.y)
-                  case "xyz" => Array(cd.x, cd.y, cd.getZ)
-                  case "xym" => Array(cd.x, cd.y, cd.getM)
-                  case _ => Array(cd.x, cd.y, cd.getZ, cd.getM)
-                }
+                // hot loop: dims decode ONCE per geometry, ordinates written
+                // straight to the vector (no per-vertex array allocation)
                 def fillCoords(flv: FSL, start: Int, cs: Array[Coordinate], dims: String): Unit = {
                   val d = dims.length
+                  val withZ = dims == "xyz" || dims == "xyzm"
+                  val withM = dims == "xym" || dims == "xyzm"
                   val dv = flv.getDataVector.asInstanceOf[Float8Vector]
                   var k = 0
                   while (k < cs.length) {
                     flv.setNotNull(start + k)
-                    val o = ordinates(cs(k), dims)
-                    var j = 0
-                    while (j < d) { dv.setSafe((start + k) * d + j, o(j)); j += 1 }
+                    val cd = cs(k)
+                    val base = (start + k) * d
+                    dv.setSafe(base, cd.x)
+                    dv.setSafe(base + 1, cd.y)
+                    var j = 2
+                    if (withZ) { dv.setSafe(base + j, cd.getZ); j += 1 }
+                    if (withM) dv.setSafe(base + j, cd.getM)
                     k += 1
                   }
                 }

@@ -44,6 +44,24 @@ object GeoParquet {
 
   private val mapper = new ObjectMapper()
 
+  /** The `geoparquet.crs` metadata contract, enforced in ONE place for all
+    * three faces (GeoParquet footer, Arrow IPC extension metadata, the
+    * Shapefile .prj stamp): the value is JSON TEXT — a PROJJSON object when
+    * available, else a JSON STRING LITERAL wrapping raw WKT/authority text
+    * (GeoArrow admits string crs values). [[crsJsonText]] normalizes
+    * arbitrary input into that form; [[crsJsonNode]] parses a stored value,
+    * degrading a bare non-JSON string to a text node instead of failing
+    * the write that consumes it. */
+  private[sources] def crsJsonText(s: String): String =
+    try { mapper.readTree(s); s }
+    catch { case _: com.fasterxml.jackson.core.JsonProcessingException =>
+      mapper.writeValueAsString(s) }
+
+  private[sources] def crsJsonNode(m: ObjectMapper, s: String): com.fasterxml.jackson.databind.JsonNode =
+    try m.readTree(s)
+    catch { case _: com.fasterxml.jackson.core.JsonProcessingException =>
+      m.getNodeFactory.textNode(s) }
+
   case class GeomColumn(name: String, encoding: String, crs: Option[String],
                         bbox: Option[(Double, Double, Double, Double)],
                         covering: Option[String],
@@ -781,15 +799,9 @@ object GeoParquet {
       // crs is normally JSON (PROJJSON object, or the JSON-string-literal
       // form the Shapefile .prj stamp writes); a caller-supplied bare WKT
       // string degrades to a JSON string node rather than failing the whole
-      // write (mirrors ArrowIpc.write) — GeoArrow admits string crs values,
-      // and dropping the footer would lose the CRS entirely.
-      spec.crs.foreach { j =>
-        val node =
-          try mapper.readTree(j)
-          catch { case _: com.fasterxml.jackson.core.JsonProcessingException =>
-            mapper.getNodeFactory.textNode(j) }
-        c.set[com.fasterxml.jackson.databind.JsonNode]("crs", node)
-      }
+      // write — the shared [[crsJsonNode]] contract.
+      spec.crs.foreach(j =>
+        c.set[com.fasterxml.jackson.databind.JsonNode]("crs", crsJsonNode(mapper, j)))
       // edge interpretation between vertices — omitted means planar, so only
       // non-planar declarations are written. GeoParquet 1.1's `edges` field
       // admits ONLY planar|spherical (the spheroid vocabulary —

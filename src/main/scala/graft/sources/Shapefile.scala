@@ -340,16 +340,10 @@ object Shapefile {
       val mb = new org.apache.spark.sql.types.MetadataBuilder()
       if (fs.exists(prj)) {
         val wkt = new String(readAll(fs, prj), "UTF-8").trim
-        if (wkt.nonEmpty) {
-          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-          // already-JSON .prj content (rare, e.g. a PROJJSON sidecar) passes
-          // through verbatim; bare WKT is quoted into a JSON string literal
-          val asJson =
-            try { mapper.readTree(wkt); wkt }
-            catch { case _: com.fasterxml.jackson.core.JsonProcessingException =>
-              mapper.writeValueAsString(wkt) }
-          mb.putString("geoparquet.crs", asJson)
-        }
+        // already-JSON .prj content (rare, e.g. a PROJJSON sidecar) passes
+        // through verbatim; bare WKT is quoted into a JSON string literal —
+        // the shared GeoParquet.crsJsonText contract
+        if (wkt.nonEmpty) mb.putString("geoparquet.crs", GeoParquet.crsJsonText(wkt))
       }
       mb.build()
     }

@@ -1159,6 +1159,51 @@ class ArrowIpcSpec extends SparkTestBase {
       ArrowIpc.write(polys, s"$base/wz", geometryEncoding = "wkt_z")
     }
     assert(sfx.getMessage.contains("suffix"), sfx.getMessage)
+    // EMPTY through the box hop stays EMPTY (the all-NaN extent sentinel —
+    // JTS's raw null-envelope 0/-1 would read back as a spurious polygon)
+    val withEmpty = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE CAST(id % 3 AS INT)
+               WHEN 0 THEN ST_Buffer(ST_Point(CAST(id AS DOUBLE), 0.0), 1.0)
+               WHEN 1 THEN ST_GeomFromText('POLYGON EMPTY')
+               ELSE NULL
+             END AS geometry
+      FROM range(9)""")
+    ArrowIpc.write(withEmpty, s"$base/boxe", geometryEncoding = "box")
+    val eb = ArrowIpc.read(spark, s"$base/boxe").selectExpr(
+      "SUM(CASE WHEN geometry IS NULL THEN 1 ELSE 0 END) AS nn",
+      "SUM(CASE WHEN geometry IS NOT NULL AND ST_IsEmpty(geometry) THEN 1 ELSE 0 END) AS ne",
+      "SUM(CASE WHEN geometry IS NOT NULL AND NOT ST_IsEmpty(geometry) THEN 1 ELSE 0 END) AS ng").head()
+    assert(eb.getLong(0) == 3 && eb.getLong(1) == 3 && eb.getLong(2) == 3,
+      s"box EMPTY/NULL fidelity: $eb")
+  }
+
+  test("native _z/_m/_zm encodings accept EMPTY rows (empty back, not an error)") {
+    val base = java.nio.file.Files.createTempDirectory("arrownatempty").toString
+    val df = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE CAST(id % 2 AS INT)
+               WHEN 0 THEN ST_GeomFromText(CONCAT('LINESTRING ZM(0 0 1 2, ',
+                                                  CAST(id AS STRING), ' 4 5 6)'))
+               ELSE ST_GeomFromText('LINESTRING ZM EMPTY')
+             END AS geometry
+      FROM range(8)""")
+    ArrowIpc.write(df, s"$base/lszm", geometryEncoding = "linestring_zm")
+    val back = ArrowIpc.read(spark, s"$base/lszm")
+    val a = df.selectExpr("fid", "ST_AsText(geometry) w")
+    val b = back.selectExpr("fid", "ST_AsText(geometry) w")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty, "empty rows through _zm hop")
+    // point_m EMPTY rides the NaN sentinel
+    val pm = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE WHEN id = 1 THEN ST_GeomFromText('POINT M EMPTY')
+                  ELSE ST_PointM(CAST(id AS DOUBLE), 1.0, 2.0) END AS geometry
+      FROM range(4)""")
+    ArrowIpc.write(pm, s"$base/ptm", geometryEncoding = "point_m")
+    val pmBack = ArrowIpc.read(spark, s"$base/ptm")
+      .selectExpr("fid", "ST_IsEmpty(geometry) AS e").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(pmBack(1L) && !pmBack(0L), s"point_m EMPTY fidelity: $pmBack")
   }
 
   test("geometry-union WRITE: mixed kinds/dims/nulls roundtrip, stream twin included") {
