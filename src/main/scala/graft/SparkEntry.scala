@@ -7727,21 +7727,24 @@ object SparkEntry {
     * corpus-unique (df = 1). High novelty = unusual text (often noise or
     * boilerplate-free prose); near-zero novelty = templated/duplicated
     * content. The CCNet/KenLM filtering signal, reduced to integer-exact
-    * corpus statistics. Topology: one content-keyed shuffle for the df
-    * table (vocabulary-bounded, same as t19/t15), one broadcast-scale
-    * report agg per language — no joins keyed on documents. */
+    * corpus statistics. Topology: ONE tokenize+explode of the corpus, one
+    * bigram-keyed shuffle where `COUNT(*) OVER (PARTITION BY bg)` attaches
+    * each bigram's corpus df in place (the t24 single-scan discipline — the
+    * earlier df-as-CTE join form inlined `big` twice and re-tokenized the
+    * whole corpus per run, a 2× corpus scan at 100 TB), then one
+    * doc_id-keyed agg and a broadcast-scale report agg per language. */
   private val t23Spark = """
     WITH tok AS (SELECT /*+ REPARTITION({{P}}) */ doc_id, lang, graft_tokens(text) AS ts
                  FROM documents),
     big AS (SELECT doc_id, lang, explode(transform(sequence(1, size(ts) - 1),
                      i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))) AS bg
             FROM tok WHERE size(ts) >= 2),
-    df AS (SELECT bg, COUNT(*) AS df FROM big GROUP BY bg),
-    scored AS (SELECT b.doc_id, b.lang,
+    wdf AS (SELECT doc_id, lang, COUNT(*) OVER (PARTITION BY bg) AS df FROM big),
+    scored AS (SELECT doc_id, lang,
                       COUNT(*) AS n_bigrams,
-                      SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_novel
-               FROM big b JOIN df d ON d.bg = b.bg
-               GROUP BY b.doc_id, b.lang)
+                      SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_novel
+               FROM wdf
+               GROUP BY doc_id, lang)
     SELECT lang, COUNT(*) AS n_docs,
            SUM(n_bigrams) AS total_bigrams, SUM(n_novel) AS total_novel,
            ROUND(CAST(SUM(n_novel) AS DOUBLE) / SUM(n_bigrams), 6) AS novelty_rate

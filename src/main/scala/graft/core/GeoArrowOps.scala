@@ -72,7 +72,11 @@ object GeoArrowOps {
     GeomOps.write(line(a, z, m))
 
   def gaMultiPoint(a: ArrayData, z: Boolean, m: Boolean): Array[Byte] =
-    GeomOps.write(factory.createMultiPoint(coords(a, z, m).map(factory.createPoint)))
+    // an all-NaN member decodes to POINT EMPTY — the element-count-preserving
+    // encoding [[mpCoords]] writes for MULTIPOINT (..., EMPTY)
+    GeomOps.write(factory.createMultiPoint(coords(a, z, m).map(c =>
+      if (java.lang.Double.isNaN(c.x) && java.lang.Double.isNaN(c.y)) factory.createPoint()
+      else factory.createPoint(c))))
 
   def gaPolygon(a: ArrayData, z: Boolean, m: Boolean): Array[Byte] =
     GeomOps.write(poly(a, z, m))
@@ -127,8 +131,19 @@ object GeoArrowOps {
   def toLineString(wkb: Array[Byte]): ArrayData =
     coordArr(readXY(wkb, "ga_to_linestring").getCoordinates)
 
+  /** Per-member multipoint coords: JTS's flattening getCoordinates SKIPS
+    * empty point members, silently changing the element count on roundtrip
+    * (round-18 ADVICE). An EMPTY member rides the all-NaN coordinate — the
+    * same GeoArrow empty-point convention the point kernels use; base
+    * Coordinate reports NaN for getZ/getM, covering every dims family. */
+  private def mpCoords(g: Geometry): Array[Coordinate] =
+    Array.tabulate(g.getNumGeometries) { i =>
+      val p = g.getGeometryN(i).asInstanceOf[Point]
+      if (p.isEmpty) new Coordinate(Double.NaN, Double.NaN) else p.getCoordinate
+    }
+
   def toMultiPoint(wkb: Array[Byte]): ArrayData =
-    coordArr(readXY(wkb, "ga_to_multipoint").getCoordinates)
+    coordArr(mpCoords(readXY(wkb, "ga_to_multipoint")))
 
   def toPolygon(wkb: Array[Byte]): ArrayData =
     polyArr(readXY(wkb, "ga_to_polygon").asInstanceOf[Polygon])
@@ -193,7 +208,7 @@ object GeoArrowOps {
     coordArrZ(readXYZ(wkb, "ga_to_linestring_z").getCoordinates)
 
   def toMultiPointZ(wkb: Array[Byte]): ArrayData =
-    coordArrZ(readXYZ(wkb, "ga_to_multipoint_z").getCoordinates)
+    coordArrZ(mpCoords(readXYZ(wkb, "ga_to_multipoint_z")))
 
   def toPolygonZ(wkb: Array[Byte]): ArrayData =
     polyArrZ(readXYZ(wkb, "ga_to_polygon_z").asInstanceOf[Polygon])
@@ -276,7 +291,7 @@ object GeoArrowOps {
     coordArrD(readDims(wkb, "ga_to_linestring_m", wantZ = false, wantM = true).getCoordinates,
       z = false, m = true)
   def toMultiPointM(wkb: Array[Byte]): ArrayData =
-    coordArrD(readDims(wkb, "ga_to_multipoint_m", wantZ = false, wantM = true).getCoordinates,
+    coordArrD(mpCoords(readDims(wkb, "ga_to_multipoint_m", wantZ = false, wantM = true)),
       z = false, m = true)
   def toPolygonM(wkb: Array[Byte]): ArrayData =
     polyArrD(readDims(wkb, "ga_to_polygon_m", wantZ = false, wantM = true).asInstanceOf[Polygon],
@@ -296,7 +311,7 @@ object GeoArrowOps {
     coordArrD(readDims(wkb, "ga_to_linestring_zm", wantZ = true, wantM = true).getCoordinates,
       z = true, m = true)
   def toMultiPointZM(wkb: Array[Byte]): ArrayData =
-    coordArrD(readDims(wkb, "ga_to_multipoint_zm", wantZ = true, wantM = true).getCoordinates,
+    coordArrD(mpCoords(readDims(wkb, "ga_to_multipoint_zm", wantZ = true, wantM = true)),
       z = true, m = true)
   def toPolygonZM(wkb: Array[Byte]): ArrayData =
     polyArrD(readDims(wkb, "ga_to_polygon_zm", wantZ = true, wantM = true).asInstanceOf[Polygon],

@@ -139,9 +139,15 @@ object ArrowIpc {
               val node = jsonMapper.readTree(json)
               Option(node.get("edges")).filterNot(_.isNull).map(_.asText).filter(_.nonEmpty)
                 .foreach(mb.putString("geoparquet.edges", _))
+              // normalize through crsJsonText so all three readers
+              // (GeoParquet footer, Shapefile .prj, Arrow extension
+              // metadata) stamp the IDENTICAL JSON-text form — a textual
+              // crs becomes a JSON string literal here exactly as it does
+              // in GeoParquet.read, keeping string-equality comparisons of
+              // the metadata stable across sources
               Option(node.get("crs")).filterNot(_.isNull)
                 .foreach(c => mb.putString("geoparquet.crs",
-                  if (c.isTextual) c.asText else c.toString))
+                  GeoParquet.crsJsonText(if (c.isTextual) c.asText else c.toString)))
               // auxiliary constraint written by [[write]] for wkb columns —
               // a typed extension name (handled above) wins if both present
               Option(node.get("graft:geometry_types")).filterNot(_.isNull)
@@ -215,7 +221,17 @@ object ArrowIpc {
         if (java.lang.Double.isNaN(cd.x) && java.lang.Double.isNaN(cd.y)) f.createPoint()
         else f.createPoint(cd)
       case "linestring" => f.createLineString(coords(v, dims))
-      case "multipoint" => f.createMultiPointFromCoords(coords(v, dims))
+      case "multipoint" =>
+        // an all-NaN member is POINT EMPTY (the write side's element-count-
+        // preserving encoding for MULTIPOINT (..., EMPTY)); the common
+        // all-real case keeps the cheap fromCoords path
+        val cs = coords(v, dims)
+        def isEmptyC(c: Coordinate) =
+          java.lang.Double.isNaN(c.x) && java.lang.Double.isNaN(c.y)
+        if (cs.exists(isEmptyC))
+          f.createMultiPoint(cs.map(c =>
+            if (isEmptyC(c)) f.createPoint() else f.createPoint(c)))
+        else f.createMultiPointFromCoords(cs)
       case "polygon" => polygon(v, dims)
       case "multilinestring" =>
         f.createMultiLineString(
@@ -1646,8 +1662,21 @@ object ArrowIpc {
                       if (p.isEmpty) fillEmptyList(ch.asInstanceOf[LV], cnt(base + 3))
                       else fillRings(ch.asInstanceOf[LV], cnt(base + 3), ringsOf(p), dims)
                     }
-                    case mp: MultiPoint => put(4)(ch =>
-                      fillLine(ch.asInstanceOf[LV], cnt(base + 4), mp.getCoordinates, dims))
+                    case mp: MultiPoint => put(4) { ch =>
+                      // per-member coords, NOT the flattening getCoordinates:
+                      // JTS skips EMPTY point members there, so
+                      // MULTIPOINT (1 1, EMPTY) would silently lose an element
+                      // on roundtrip. An EMPTY member rides the all-NaN
+                      // coordinate — the same GeoArrow empty-point convention
+                      // the Point child uses (base Coordinate reports NaN for
+                      // getZ/getM, covering every dims family).
+                      val cs = Array.tabulate(mp.getNumGeometries) { k =>
+                        val p = mp.getGeometryN(k).asInstanceOf[Point]
+                        if (p.isEmpty) new Coordinate(Double.NaN, Double.NaN)
+                        else p.getCoordinate
+                      }
+                      fillLine(ch.asInstanceOf[LV], cnt(base + 4), cs, dims)
+                    }
                     case mls: MultiLineString => put(5)(ch =>
                       fillRings(ch.asInstanceOf[LV], cnt(base + 5),
                         (0 until mls.getNumGeometries).map(mls.getGeometryN(_).getCoordinates), dims))

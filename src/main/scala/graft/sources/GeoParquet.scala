@@ -52,13 +52,24 @@ object GeoParquet {
     * arbitrary input into that form; [[crsJsonNode]] parses a stored value,
     * degrading a bare non-JSON string to a text node instead of failing
     * the write that consumes it. */
+  // STRICT trailing-token parse for the is-it-JSON probe: Jackson's default
+  // readTree accepts a leading token and ignores the rest, so a .prj-style
+  // value like "4326 +proj=..." would be misclassified as already-JSON and
+  // truncated to `4326` by the first consumer that reparses it. With
+  // FAIL_ON_TRAILING_TOKENS the probe only accepts input that is a SINGLE
+  // complete JSON document; anything else degrades to a string literal.
+  private def strictTree(m: ObjectMapper, s: String): com.fasterxml.jackson.databind.JsonNode =
+    m.reader()
+      .`with`(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+      .readTree(s)
+
   private[sources] def crsJsonText(s: String): String =
-    try { mapper.readTree(s); s }
+    try { strictTree(mapper, s); s }
     catch { case _: com.fasterxml.jackson.core.JsonProcessingException =>
       mapper.writeValueAsString(s) }
 
   private[sources] def crsJsonNode(m: ObjectMapper, s: String): com.fasterxml.jackson.databind.JsonNode =
-    try m.readTree(s)
+    try strictTree(m, s)
     catch { case _: com.fasterxml.jackson.core.JsonProcessingException =>
       m.getNodeFactory.textNode(s) }
 

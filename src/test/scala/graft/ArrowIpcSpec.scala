@@ -1277,6 +1277,24 @@ class ArrowIpcSpec extends SparkTestBase {
       .map(r => r.getLong(0) % 4 -> r.getString(1)).toMap
     assert(eKinds(0) == "POINT EMPTY" && eKinds(1) == "MULTIPOLYGON EMPTY" &&
       eKinds(2) == "POLYGON EMPTY", s"empty kinds must survive: $eKinds")
+    // a degenerate EMPTY member INSIDE a Multi* (round-18 ADVICE): the
+    // per-member NaN-coordinate encoding preserves the element count where
+    // the flattening getCoordinates path silently dropped it
+    val mpe = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE CAST(id AS INT)
+               WHEN 0 THEN ST_GeomFromText('MULTIPOINT ((1 1), EMPTY)')
+               WHEN 1 THEN ST_GeomFromText('MULTIPOINT (EMPTY, (2 3), EMPTY)')
+               WHEN 2 THEN ST_GeomFromText('MULTILINESTRING ((0 0, 1 1), EMPTY)')
+               ELSE ST_GeomFromText('MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), EMPTY)')
+             END AS geometry
+      FROM range(4)""")
+    ArrowIpc.write(mpe, s"$base/mpe", geometryEncoding = "geometry")
+    val mpeBack = ArrowIpc.read(spark, s"$base/mpe")
+      .selectExpr("fid", "ST_NumGeometries(geometry) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(mpeBack == Map(0L -> 2, 1L -> 3, 2L -> 2, 3L -> 2),
+      s"EMPTY members inside Multi* must survive the union hop: $mpeBack")
     // a GC nested inside a GC is not representable (the reference's mixed
     // type holds only concrete kinds) — refused loudly
     val nested = spark.sql(

@@ -136,6 +136,18 @@ class PipelinePlanSpec extends SparkTestBase {
     }
   }
 
+  test("t23 plan: single corpus scan, df via window — no self-join") {
+    // round-17 judge finding: the df-as-CTE join form inlined `big` twice,
+    // tokenizing and exploding the whole corpus per run (a 2× corpus scan at
+    // 100 TB). The window rewrite must keep exactly one scan of `documents`
+    // and no join anywhere in the plan.
+    val plan = planOf("t23_bigram_novelty")
+    assert(!plan.contains("Join"), s"t23 grew a join back:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"t23 scanned the corpus $scans times:\n$plan")
+    assert(plan.contains("Window"), s"t23 df not computed via window:\n$plan")
+  }
+
   test("q09 grouping sets: one Expand + aggregate pass, not a union of scans") {
     val plan = planOf("q09_grouping_sets")
     assert(plan.contains("Expand"), s"grouping sets did not plan via Expand:\n$plan")
