@@ -1869,6 +1869,124 @@ object SparkEntry {
       (4, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT)
     ) t(id, dlon_01udeg, dlat_01udeg, dx_mm, dy_mm) ORDER BY id"""
 
+  /** EPSG:27700 British National Grid (g104) — the first non-WGS84-datum
+    * CRS: WGS84 geodetic → ECEF → 7-param Helmert (position-vector, the
+    * published OS national parameters) → Airy 1830 geodetic (fixed-point
+    * iteration) → Krüger-series transverse Mercator with the 49°N/2°W
+    * false origin. The DuckDB oracle REPLAYS the entire chain from the
+    * published formulas (the g92 discipline) with hyperbolics in exp/ln
+    * form; both sides gate at integer metres on ~1e5-1e6 m values, a grid
+    * ~1e9× above JVM-vs-libm ulp noise. */
+  private val g104Spark = """
+    SELECT id, ROUND(ST_X(g), 0) AS easting, ROUND(ST_Y(g), 0) AS northing
+    FROM (SELECT c_custkey AS id,
+                 ST_Transform(ST_Point(-6.0 + CAST(c_custkey % 76 AS DOUBLE) / 10.0,
+                                       50.0 + CAST(c_custkey % 85 AS DOUBLE) / 10.0),
+                              4326, 27700) AS g
+          FROM customer)
+    ORDER BY id"""
+
+  private val g104Duck = """
+    WITH k AS (
+      SELECT 6378137.0 AS aw,
+             (1.0/298.257223563)*(2.0 - 1.0/298.257223563) AS e2w,
+             6377563.396 AS aa,
+             (6377563.396 - 6356256.909)/6377563.396 AS fa,
+             -446.448 AS tx, 125.157 AS ty, -542.060 AS tz, 20.4894*1e-6 AS hs,
+             radians(-0.1502/3600.0) AS rx, radians(-0.2470/3600.0) AS ry,
+             radians(-0.8421/3600.0) AS rz,
+             0.9996012717 AS k0, radians(-2.0) AS lam0, radians(49.0) AS phi0,
+             400000.0 AS e00, -100000.0 AS n00
+    ), k2 AS (
+      SELECT *, fa*(2.0-fa) AS e2a, sqrt(fa*(2.0-fa)) AS ea, fa/(2.0-fa) AS tn FROM k
+    ), k3 AS (
+      SELECT *,
+        aa/(1.0+tn)*(1.0 + tn*tn/4.0 + (tn*tn)*(tn*tn)/64.0
+                     + (tn*tn)*(tn*tn)*(tn*tn)/256.0) AS biga,
+        tn/2.0 - 2.0*tn*tn/3.0 + 5.0*tn*tn*tn/16.0 + 41.0*tn*tn*tn*tn/180.0
+          - 127.0*tn*tn*tn*tn*tn/288.0 + 7891.0*tn*tn*tn*tn*tn*tn/37800.0 AS c1,
+        13.0*tn*tn/48.0 - 3.0*tn*tn*tn/5.0 + 557.0*tn*tn*tn*tn/1440.0
+          + 281.0*tn*tn*tn*tn*tn/630.0 - 1983433.0*tn*tn*tn*tn*tn*tn/1935360.0 AS c2,
+        61.0*tn*tn*tn/240.0 - 103.0*tn*tn*tn*tn/140.0 + 15061.0*tn*tn*tn*tn*tn/26880.0
+          + 167603.0*tn*tn*tn*tn*tn*tn/181440.0 AS c3,
+        49561.0*tn*tn*tn*tn/161280.0 - 179.0*tn*tn*tn*tn*tn/168.0
+          + 6601661.0*tn*tn*tn*tn*tn*tn/7257600.0 AS c4,
+        34729.0*tn*tn*tn*tn*tn/80640.0 - 3418889.0*tn*tn*tn*tn*tn*tn/1995840.0 AS c5,
+        212378941.0*tn*tn*tn*tn*tn*tn/319334400.0 AS c6
+      FROM k2
+    ), k4 AS (
+      SELECT *, 0.5*ln((1.0+sin(phi0))/(1.0-sin(phi0)))
+                - ea*0.5*ln((1.0+ea*sin(phi0))/(1.0-ea*sin(phi0))) AS u0
+      FROM k3
+    ), k5 AS (
+      SELECT *, atan((exp(u0)-exp(-u0))/2.0) AS xip0 FROM k4
+    ), k6 AS (
+      SELECT *, xip0 + c1*sin(2.0*xip0) + c2*sin(4.0*xip0) + c3*sin(6.0*xip0)
+              + c4*sin(8.0*xip0) + c5*sin(10.0*xip0) + c6*sin(12.0*xip0) AS xi0
+      FROM k5
+    ), pts AS (
+      SELECT c_custkey AS id,
+             radians(-6.0 + (c_custkey % 76)/10.0) AS lam,
+             radians(50.0 + (c_custkey % 85)/10.0) AS phi
+      FROM customer
+    ), ecef AS (
+      SELECT id,
+             (aw/sqrt(1.0-e2w*sin(phi)*sin(phi)))*cos(phi)*cos(lam) AS x1,
+             (aw/sqrt(1.0-e2w*sin(phi)*sin(phi)))*cos(phi)*sin(lam) AS y1,
+             (aw/sqrt(1.0-e2w*sin(phi)*sin(phi)))*(1.0-e2w)*sin(phi) AS z1
+      FROM pts, k6
+    ), helm AS (
+      SELECT id,
+             tx + (1.0+hs)*x1 - rz*y1 + ry*z1 AS x2,
+             ty + rz*x1 + (1.0+hs)*y1 - rx*z1 AS y2,
+             tz - ry*x1 + rx*y1 + (1.0+hs)*z1 AS z2
+      FROM ecef, k6
+    ), g0 AS (
+      SELECT id, atan2(y2, x2) AS lam2, sqrt(x2*x2+y2*y2) AS p, z2,
+             atan2(z2, sqrt(x2*x2+y2*y2)*(1.0-e2a)) AS f
+      FROM helm, k6
+    ), g1 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g0, k6),
+    g2 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g1, k6),
+    g3 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g2, k6),
+    g4 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g3, k6),
+    g5 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g4, k6),
+    g6 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g5, k6),
+    g7 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g6, k6),
+    g8 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g7, k6),
+    g9 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g8, k6),
+    tm0 AS (
+      SELECT id, lam2 - lam0 AS dl, sin(f) AS sf FROM g9, k6
+    ), tm1 AS (
+      SELECT id, dl, 0.5*ln((1.0+sf)/(1.0-sf)) - ea*0.5*ln((1.0+ea*sf)/(1.0-ea*sf)) AS u
+      FROM tm0, k6
+    ), tm2 AS (
+      SELECT id, dl, (exp(u)-exp(-u))/2.0 AS t FROM tm1
+    ), tm3 AS (
+      SELECT id, atan2(t, cos(dl)) AS xip,
+             ln(sin(dl)/sqrt(t*t + cos(dl)*cos(dl))
+                + sqrt((sin(dl)/sqrt(t*t + cos(dl)*cos(dl)))
+                       *(sin(dl)/sqrt(t*t + cos(dl)*cos(dl))) + 1.0)) AS etap
+      FROM tm2
+    ), tm4 AS (
+      SELECT id,
+             xip + c1*sin(2.0*xip)*(exp(2.0*etap)+exp(-2.0*etap))/2.0
+                 + c2*sin(4.0*xip)*(exp(4.0*etap)+exp(-4.0*etap))/2.0
+                 + c3*sin(6.0*xip)*(exp(6.0*etap)+exp(-6.0*etap))/2.0
+                 + c4*sin(8.0*xip)*(exp(8.0*etap)+exp(-8.0*etap))/2.0
+                 + c5*sin(10.0*xip)*(exp(10.0*etap)+exp(-10.0*etap))/2.0
+                 + c6*sin(12.0*xip)*(exp(12.0*etap)+exp(-12.0*etap))/2.0 AS xi,
+             etap + c1*cos(2.0*xip)*(exp(2.0*etap)-exp(-2.0*etap))/2.0
+                  + c2*cos(4.0*xip)*(exp(4.0*etap)-exp(-4.0*etap))/2.0
+                  + c3*cos(6.0*xip)*(exp(6.0*etap)-exp(-6.0*etap))/2.0
+                  + c4*cos(8.0*xip)*(exp(8.0*etap)-exp(-8.0*etap))/2.0
+                  + c5*cos(10.0*xip)*(exp(10.0*etap)-exp(-10.0*etap))/2.0
+                  + c6*cos(12.0*xip)*(exp(12.0*etap)-exp(-12.0*etap))/2.0 AS eta
+      FROM tm3, k6
+    )
+    SELECT id, ROUND(e00 + k0*biga*eta, 0) AS easting,
+           ROUND(n00 + k0*biga*(xi - xi0), 0) AS northing
+    FROM tm4, k6 ORDER BY id"""
+
   /** Dictionary-encoded STREAM-format Arrow IPC (g95): the g86 interop
     * shape through the footer-less .arrows wire format — the default of
     * pyarrow's `ipc.new_stream` and Flight-style pipes, where dictionary
@@ -12176,6 +12294,7 @@ object SparkEntry {
     ("g101_geoparquet_native_m_zm", g101Fn _, g101Duck),
     ("g102_arrow_wkt_box_write", g102Fn _, g102Duck),
     ("g103_arrow_gc_write", g103Fn _, g103Duck),
+    ("g104_bng_datum_shift", q(g104Spark), g104Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -1,23 +1,29 @@
 package graft.core
 
-/** WGS84 transverse Mercator (UTM) via the Krüger series in the third
+/** Ellipsoidal transverse Mercator via the Krüger series in the third
   * flattening n, to order n^6 — the published Karney (2011, "Transverse
   * Mercator with an accuracy of a few nanometers", J. Geodesy 85)
   * formulation; coefficients are the standard public series (the same ones
-  * GeographicLib documents). Accuracy within a UTM zone (|λ−λ0| ≤ 3°) is
-  * far below a millimeter, which the property spec checks by independent
-  * numeric integration of the meridian arc and by conformality of the
-  * finite-difference Jacobian.
+  * GeographicLib documents). Accuracy within a national-grid zone
+  * (|λ−λ0| ≤ 3-4°) is far below a millimeter, which the property spec
+  * checks by independent numeric integration of the meridian arc and by
+  * conformality of the finite-difference Jacobian.
+  *
+  * Parameterized over ellipsoid + grid constants (round 18): the same
+  * series drives both WGS84 UTM (EPSG:326xx/327xx) and the Airy 1830
+  * British National Grid (EPSG:27700, with [[Datum]] supplying the
+  * WGS84↔OSGB36 Helmert shift).
   *
   * The reference's geodesy backend covers only 4326↔3857
-  * (rust/geoarrow/src/algorithm/geo/ — `geodesy` feature); UTM is the first
-  * projection a user reprojecting regional data reaches for, so graft adds
-  * the 326xx/327xx EPSG families on top.
+  * (rust/geoarrow-old/src/algorithm/geodesy/reproject.rs:105); UTM and the
+  * national grids are the first projections a user reprojecting regional
+  * data reaches for, so graft adds them on top.
   */
-object TransverseMercator {
+final class TmProjection(val a: Double, val f: Double, val k0: Double,
+                         val lon0Deg: Double, val lat0Deg: Double,
+                         val falseEasting: Double, val falseNorthing: Double) {
+  import TransverseMercator.{atanh, asinh}
 
-  private val a = 6378137.0 // WGS84 semi-major
-  private val f = 1.0 / 298.257223563
   private val n = f / (2.0 - f)
   private val e = math.sqrt(f * (2.0 - f)) // first eccentricity
 
@@ -51,17 +57,25 @@ object TransverseMercator {
       20648693.0 * n6 / 638668800.0)
   }
 
-  private val k0 = 0.9996 // UTM central-meridian scale
-  private val falseEasting = 500000.0
-  private val falseNorthingSouth = 10000000.0
+  /** Krüger ξ of a latitude on the central meridian (λ = λ0): η' = 0, so
+    * ξ' is just the conformal latitude and every cosh factor is 1. */
+  private def xiOfMeridian(latDeg: Double): Double = {
+    val phi = math.toRadians(latDeg)
+    val t = math.sinh(atanh(math.sin(phi)) - e * atanh(e * math.sin(phi)))
+    val xiP = math.atan(t)
+    var xi = xiP
+    var j = 1
+    while (j <= 6) { xi += alpha(j - 1) * math.sin(2.0 * j * xiP); j += 1 }
+    xi
+  }
 
-  /** central meridian of UTM zone 1..60, degrees */
-  def centralMeridian(zone: Int): Double = -183.0 + 6.0 * zone
+  /** rectified northing of the grid's latitude origin — subtracted so a
+    * non-equatorial origin (OSGB's 49°N) zeroes at the right parallel */
+  private val xi0 = if (lat0Deg == 0.0) 0.0 else xiOfMeridian(lat0Deg)
 
-  /** geodetic (lon°, lat°) → UTM (easting, northing) for `zone`,
-    * `south` = southern-hemisphere false northing. */
-  def forward(lon: Double, lat: Double, zone: Int, south: Boolean): (Double, Double) = {
-    val lam = math.toRadians(lon - centralMeridian(zone))
+  /** geodetic (lon°, lat°) → grid (easting, northing). */
+  def forward(lon: Double, lat: Double): (Double, Double) = {
+    val lam = math.toRadians(lon - lon0Deg)
     val phi = math.toRadians(lat)
     // conformal latitude: tan χ = sinh( asinh(tan φ) − e atanh(e sin φ) )
     val t = math.sinh(atanh(math.sin(phi)) - e * atanh(e * math.sin(phi)))
@@ -76,13 +90,13 @@ object TransverseMercator {
       j += 1
     }
     val easting = falseEasting + k0 * bigA * eta
-    val northing = (if (south) falseNorthingSouth else 0.0) + k0 * bigA * xi
+    val northing = falseNorthing + k0 * bigA * (xi - xi0)
     (easting, northing)
   }
 
-  /** UTM (easting, northing) → geodetic (lon°, lat°). */
-  def reverse(easting: Double, northing: Double, zone: Int, south: Boolean): (Double, Double) = {
-    val xi = (northing - (if (south) falseNorthingSouth else 0.0)) / (k0 * bigA)
+  /** grid (easting, northing) → geodetic (lon°, lat°). */
+  def reverse(easting: Double, northing: Double): (Double, Double) = {
+    val xi = (northing - falseNorthing) / (k0 * bigA) + xi0
     val eta = (easting - falseEasting) / (k0 * bigA)
     var xiP = xi
     var etaP = eta
@@ -102,9 +116,149 @@ object TransverseMercator {
       if (math.abs(next - phi) < 1e-15) { phi = next; k = 10 } else { phi = next; k += 1 }
     }
     val lam = math.atan2(math.sinh(etaP), math.cos(xiP))
-    (centralMeridian(zone) + math.toDegrees(lam), math.toDegrees(phi))
+    (lon0Deg + math.toDegrees(lam), math.toDegrees(phi))
+  }
+}
+
+/** WGS84 UTM facade over [[TmProjection]] — EPSG:326xx (north) / 327xx
+  * (south); the southern false northing is additive over the shared
+  * per-zone instance. */
+object TransverseMercator {
+
+  private val falseNorthingSouth = 10000000.0
+
+  /** central meridian of UTM zone 1..60, degrees */
+  def centralMeridian(zone: Int): Double = -183.0 + 6.0 * zone
+
+  // one projection per zone, built lazily (a bench touches 1-2 zones)
+  private val zones = new Array[TmProjection](60)
+  private def zoneProj(zone: Int): TmProjection = {
+    require(zone >= 1 && zone <= 60, s"UTM zone $zone outside [1, 60]")
+    var p = zones(zone - 1)
+    if (p == null) {
+      p = new TmProjection(a = 6378137.0, f = 1.0 / 298.257223563, k0 = 0.9996,
+        lon0Deg = centralMeridian(zone), lat0Deg = 0.0,
+        falseEasting = 500000.0, falseNorthing = 0.0)
+      zones(zone - 1) = p // benign race: identical instances
+    }
+    p
   }
 
-  private def atanh(x: Double): Double = 0.5 * math.log((1.0 + x) / (1.0 - x))
-  private def asinh(x: Double): Double = math.log(x + math.sqrt(x * x + 1.0))
+  /** geodetic (lon°, lat°) → UTM (easting, northing) for `zone`,
+    * `south` = southern-hemisphere false northing. */
+  def forward(lon: Double, lat: Double, zone: Int, south: Boolean): (Double, Double) = {
+    val (e, nn) = zoneProj(zone).forward(lon, lat)
+    (e, nn + (if (south) falseNorthingSouth else 0.0))
+  }
+
+  /** UTM (easting, northing) → geodetic (lon°, lat°). */
+  def reverse(easting: Double, northing: Double, zone: Int, south: Boolean): (Double, Double) = {
+    val n0 = northing - (if (south) falseNorthingSouth else 0.0)
+    zoneProj(zone).reverse(easting, n0)
+  }
+
+  private[core] def atanh(x: Double): Double = 0.5 * math.log((1.0 + x) / (1.0 - x))
+  private[core] def asinh(x: Double): Double = math.log(x + math.sqrt(x * x + 1.0))
+}
+
+/** 7-parameter Helmert datum shifts between geodetic datums — the first
+  * NON-WGS84 datum in the engine (round 18). The shift runs through
+  * earth-centred cartesian coordinates: geodetic → ECEF on the source
+  * ellipsoid, small-angle Helmert (position-vector / Bursa-Wolf sign
+  * convention, the one OSGB publishes), ECEF → geodetic on the target
+  * ellipsoid by fixed-point iteration. Heights are carried as 0 — the
+  * engine's geometries are 2D-on-datum, matching PROJ's treatment of
+  * 2D input. Formulas: OS "A guide to coordinate systems in Great
+  * Britain" (public), annexes B/C. */
+object Datum {
+
+  final case class Ellipsoid(a: Double, f: Double) {
+    val e2: Double = f * (2.0 - f)
+  }
+  val Wgs84 = Ellipsoid(6378137.0, 1.0 / 298.257223563)
+  /** Airy 1830: a = 6377563.396, b = 6356256.909 (OS guide A.1). */
+  val Airy1830 = Ellipsoid(6377563.396, (6377563.396 - 6356256.909) / 6377563.396)
+
+  /** translations in metres, scale in ppm, rotations in arc-seconds
+    * (position-vector convention). */
+  final case class Helmert(tx: Double, ty: Double, tz: Double, sPpm: Double,
+                           rxAs: Double, ryAs: Double, rzAs: Double) {
+    val s: Double = sPpm * 1e-6
+    private def rad(as: Double): Double = math.toRadians(as / 3600.0)
+    val rx: Double = rad(rxAs); val ry: Double = rad(ryAs); val rz: Double = rad(rzAs)
+    def reversed: Helmert = Helmert(-tx, -ty, -tz, -sPpm, -rxAs, -ryAs, -rzAs)
+  }
+
+  /** WGS84/ETRS89 → OSGB36 national standard single Helmert (OS guide
+    * 6.6; ~3.5 m accuracy vs the OSTN grid shift, which needs an external
+    * correction-grid file and is out of scope like full PROJ). */
+  val Wgs84ToOsgb36 = Helmert(-446.448, 125.157, -542.060, 20.4894,
+    -0.1502, -0.2470, -0.8421)
+
+  def geodeticToEcef(ell: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
+    val lam = math.toRadians(lonDeg); val phi = math.toRadians(latDeg)
+    val sp = math.sin(phi); val cp = math.cos(phi)
+    val nu = ell.a / math.sqrt(1.0 - ell.e2 * sp * sp)
+    (nu * cp * math.cos(lam), nu * cp * math.sin(lam), nu * (1.0 - ell.e2) * sp)
+  }
+
+  def ecefToGeodetic(ell: Ellipsoid, x: Double, y: Double, z: Double): (Double, Double) = {
+    val lam = math.atan2(y, x)
+    val p = math.hypot(x, y)
+    // fixed point φ ← atan2(z + e²·ν(φ)·sinφ, p); linear convergence with
+    // factor ≈ e² (~0.0067), so double precision in well under 10 rounds
+    var phi = math.atan2(z, p * (1.0 - ell.e2))
+    var k = 0
+    while (k < 12) {
+      val sp = math.sin(phi)
+      val nu = ell.a / math.sqrt(1.0 - ell.e2 * sp * sp)
+      val next = math.atan2(z + ell.e2 * nu * sp, p)
+      if (math.abs(next - phi) < 1e-15) { phi = next; k = 12 } else { phi = next; k += 1 }
+    }
+    (math.toDegrees(lam), math.toDegrees(phi))
+  }
+
+  /** small-angle position-vector Helmert on ECEF (OS guide eq. 3):
+    * x' = t + (1+s)·x + R×x with R the rotation pseudo-vector. */
+  def applyHelmert(h: Helmert, x: Double, y: Double, z: Double): (Double, Double, Double) = {
+    (h.tx + (1.0 + h.s) * x - h.rz * y + h.ry * z,
+     h.ty + h.rz * x + (1.0 + h.s) * y - h.rx * z,
+     h.tz - h.ry * x + h.rx * y + (1.0 + h.s) * z)
+  }
+
+  /** full geodetic datum shift `from` → `to` through ECEF. The inverse
+    * direction uses the negated-parameter Helmert — second-order error
+    * (s·r·R ≈ sub-millimetre), far inside the transformation's own
+    * published accuracy. */
+  def shift(from: Ellipsoid, to: Ellipsoid, h: Helmert,
+            lonDeg: Double, latDeg: Double): (Double, Double) = {
+    val (x, y, z) = geodeticToEcef(from, lonDeg, latDeg)
+    val (x2, y2, z2) = applyHelmert(h, x, y, z)
+    ecefToGeodetic(to, x2, y2, z2)
+  }
+}
+
+/** EPSG:27700 — British National Grid: Airy 1830 transverse Mercator
+  * (k0 = 0.9996012717, origin 49°N 2°W, false origin 400000/−100000, OS
+  * guide A.2) composed with the national WGS84↔OSGB36 Helmert. The first
+  * supported CRS whose datum is not WGS84 — exceeds the reference's
+  * geodesy subset (reproject.rs:105). */
+object Osgb36 {
+
+  val projection = new TmProjection(
+    a = Datum.Airy1830.a, f = Datum.Airy1830.f, k0 = 0.9996012717,
+    lon0Deg = -2.0, lat0Deg = 49.0,
+    falseEasting = 400000.0, falseNorthing = -100000.0)
+
+  /** WGS84 (lon°, lat°) → OSGB easting/northing. */
+  def forward(lonWgs: Double, latWgs: Double): (Double, Double) = {
+    val (lo, la) = Datum.shift(Datum.Wgs84, Datum.Airy1830, Datum.Wgs84ToOsgb36, lonWgs, latWgs)
+    projection.forward(lo, la)
+  }
+
+  /** OSGB easting/northing → WGS84 (lon°, lat°). */
+  def reverse(easting: Double, northing: Double): (Double, Double) = {
+    val (lo, la) = projection.reverse(easting, northing)
+    Datum.shift(Datum.Airy1830, Datum.Wgs84, Datum.Wgs84ToOsgb36.reversed, lo, la)
+  }
 }

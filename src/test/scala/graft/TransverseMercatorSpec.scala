@@ -121,4 +121,69 @@ class TransverseMercatorSpec extends AnyFunSuite {
       graft.core.Geodesy.transform(merc, 3857, 4326)).getCoordinate
     assert(math.abs(back3.x - 13.4050) < 1e-9 && math.abs(back3.y - 52.5200) < 1e-9)
   }
+
+  // ── EPSG:27700 — Airy 1830 TM + WGS84↔OSGB36 Helmert (round 18) ───────
+
+  test("OS worked example: OSGB36 geodetic -> BNG E/N to the millimetre") {
+    // OS "A guide to coordinate systems in Great Britain", worked example
+    // (Caister water tower): OSGB36 φ = 52°39'27.2531"N, λ = 1°43'4.5177"E
+    // → E 651409.903, N 313177.270. Pure projection — no datum shift —
+    // so this anchors the Airy TM constants and the non-zero lat0 handling.
+    val lat = 52.0 + 39.0 / 60.0 + 27.2531 / 3600.0
+    val lon = 1.0 + 43.0 / 60.0 + 4.5177 / 3600.0
+    val (e, n) = graft.core.Osgb36.projection.forward(lon, lat)
+    assert(math.abs(e - 651409.903) < 2e-3, s"easting $e")
+    assert(math.abs(n - 313177.270) < 2e-3, s"northing $n")
+    // grid true origin: 49°N 2°W must land exactly on the false origin
+    val (e0, n0) = graft.core.Osgb36.projection.reverse(400000.0, -100000.0)
+    assert(math.abs(e0 - (-2.0)) < 1e-12 && math.abs(n0 - 49.0) < 1e-12,
+      s"false origin inverts to ($e0, $n0)")
+  }
+
+  test("Helmert shift: ETRS89 Caister lands within the published ~3.5 m of OSTN truth") {
+    // same tower in ETRS89/WGS84: φ = 52°39'28.8282", λ = 1°42'57.8663".
+    // The single national Helmert is published as ~3.5 m accurate vs the
+    // OSTN grid-shift truth (651409.903, 313177.270) — assert inside 5 m,
+    // and well OUTSIDE 50 m of the unshifted projection (i.e. the datum
+    // shift is actually doing ~100 m of work).
+    val lat = 52.0 + 39.0 / 60.0 + 28.8282 / 3600.0
+    val lon = 1.0 + 42.0 / 60.0 + 57.8663 / 3600.0
+    val (e, n) = graft.core.Osgb36.forward(lon, lat)
+    val d = math.hypot(e - 651409.903, n - 313177.270)
+    assert(d < 5.0, s"Helmert path landed $d m from OSTN truth ($e, $n)")
+    val (eRaw, nRaw) = graft.core.Osgb36.projection.forward(lon, lat)
+    val dRaw = math.hypot(eRaw - 651409.903, nRaw - 313177.270)
+    assert(dRaw > 50.0, s"unshifted projection only $dRaw m off — shift not exercised")
+  }
+
+  test("27700 round-trip closes below 1 cm across Great Britain") {
+    // the negated-parameter inverse Helmert carries only second-order
+    // error (s·r·R, sub-mm) — round-trip must close far inside a cm
+    val pts = Seq((-5.5, 50.1), (-3.2, 51.5), (-0.1276, 51.5072), // Penzance/Cardiff/London
+      (-2.0, 49.0), (1.75, 52.48), (-4.25, 57.48), (-6.2, 58.2), (-1.6, 54.97))
+    for ((lon, lat) <- pts) {
+      val (e, n) = graft.core.Osgb36.forward(lon, lat)
+      val (lon2, lat2) = graft.core.Osgb36.reverse(e, n)
+      val dm = math.hypot((lon2 - lon) * 111320.0 * math.cos(math.toRadians(lat)),
+                          (lat2 - lat) * 110574.0)
+      assert(dm < 0.01, s"($lon, $lat) round-trip moved $dm m")
+    }
+  }
+
+  test("ST_Transform wires 27700 (both directions + composition through 4326)") {
+    val london = graft.core.GeomOps.point(-0.1276, 51.5072)
+    val bng = graft.core.Geodesy.transform(london, 4326, 27700)
+    val c = graft.core.GeomOps.read(bng).getCoordinate
+    // central London sits near E 530000, N 180000 on the national grid
+    assert(math.abs(c.x - 530000) < 2000 && math.abs(c.y - 180000) < 2000,
+      s"London on BNG reads (${c.x}, ${c.y})")
+    val back = graft.core.GeomOps.read(
+      graft.core.Geodesy.transform(bng, 27700, 4326)).getCoordinate
+    assert(math.abs(back.x - -0.1276) < 1e-7 && math.abs(back.y - 51.5072) < 1e-7)
+    // composes through 4326 with the other families
+    val utm30 = graft.core.Geodesy.transform(bng, 27700, 32630)
+    val back2 = graft.core.GeomOps.read(
+      graft.core.Geodesy.transform(utm30, 32630, 4326)).getCoordinate
+    assert(math.abs(back2.x - -0.1276) < 1e-7 && math.abs(back2.y - 51.5072) < 1e-7)
+  }
 }
