@@ -2219,6 +2219,56 @@ object SparkEntry {
            SUM(i * 7)::BIGINT AS sum_z, COUNT(*)::BIGINT AS n_z
     FROM range(120) t(i) GROUP BY 1 ORDER BY 1"""
 
+  /** Native-point columnar fast path (g105, round 18): coordinate
+    * accessors and ST_Extent_Agg over a NATIVE-encoded GeoParquet point
+    * column run on the struct leaves directly — [[graft.plans.
+    * NativePointFastPath]] removes the ga_point WKB transcode + JTS parse
+    * from the plan (asserted in NativePointFastPathSpec; values gated
+    * here against DuckDB recomputing from the generator). EMPTY rows ride
+    * the NaN sentinel and NULL rows stay NULL; both must stay out of the
+    * sums and the extent. */
+  private def g105Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g105_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val df = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE WHEN id % 17 = 7 THEN ST_GeomFromText('POINT EMPTY')
+                  WHEN id % 23 = 11 THEN NULL
+                  ELSE ST_Point(CAST(id % 97 AS DOUBLE), CAST(id % 89 AS DOUBLE))
+             END AS geometry
+      FROM range(500)""").coalesce(1)
+    graft.sources.GeoParquet.write(df, out, covering = false, encoding = "point")
+    graft.sources.GeoParquet.read(s, out).createOrReplaceTempView("g105_pts")
+    s.sql("""
+      SELECT sum_x, sum_y, n_pts, ext.xmin AS xmin, ext.ymin AS ymin,
+             ext.xmax AS xmax, ext.ymax AS ymax
+      FROM (SELECT
+              CAST(SUM(CASE WHEN geometry IS NOT NULL AND NOT ST_IsEmpty(geometry)
+                            THEN ST_X(geometry) END) AS BIGINT) AS sum_x,
+              CAST(SUM(CASE WHEN geometry IS NOT NULL AND NOT ST_IsEmpty(geometry)
+                            THEN ST_Y(geometry) END) AS BIGINT) AS sum_y,
+              CAST(COUNT(CASE WHEN geometry IS NOT NULL AND NOT ST_IsEmpty(geometry)
+                              THEN 1 END) AS BIGINT) AS n_pts,
+              ST_Extent_Agg(geometry) AS ext
+            FROM g105_pts) t""")
+  }
+
+  private val g105Duck = """
+    WITH r AS (
+      SELECT i, CASE WHEN i % 17 = 7 THEN 'empty'
+                     WHEN i % 23 = 11 THEN 'null'
+                     ELSE 'pt' END AS kind
+      FROM range(500) t(i))
+    SELECT SUM(CASE WHEN kind = 'pt' THEN i % 97 END)::BIGINT AS sum_x,
+           SUM(CASE WHEN kind = 'pt' THEN i % 89 END)::BIGINT AS sum_y,
+           COUNT(CASE WHEN kind = 'pt' THEN 1 END)::BIGINT AS n_pts,
+           MIN(CASE WHEN kind = 'pt' THEN i % 97 END)::DOUBLE AS xmin,
+           MIN(CASE WHEN kind = 'pt' THEN i % 89 END)::DOUBLE AS ymin,
+           MAX(CASE WHEN kind = 'pt' THEN i % 97 END)::DOUBLE AS xmax,
+           MAX(CASE WHEN kind = 'pt' THEN i % 89 END)::DOUBLE AS ymax
+    FROM r"""
+
   /** Heterogeneous-column union WRITE under the hash gate (g99): a single
     * geometry column mixing points, 3D points, linestrings and polygons —
     * plus nulls — writes as the reference's `geoarrow.geometry` dense
@@ -12295,6 +12345,7 @@ object SparkEntry {
     ("g102_arrow_wkt_box_write", g102Fn _, g102Duck),
     ("g103_arrow_gc_write", g103Fn _, g103Duck),
     ("g104_bng_datum_shift", q(g104Spark), g104Duck),
+    ("g105_native_point_fastpath", g105Fn _, g105Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -501,6 +501,10 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     // fold COUNT(*)-over-spatial-join into the probe loop (g15's shape)
     if (!exp.extraOptimizations.contains(graft.plans.SpatialCountFoldRule))
       exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.SpatialCountFoldRule
+    // native-point columnar fast path: coordinate accessors / extent over a
+    // ga_point scan transcode read the struct leaves directly (no WKB/JTS)
+    if (!exp.extraOptimizations.contains(graft.plans.NativePointFastPath))
+      exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.NativePointFastPath
   }
 
   /** Locate geometry column(s) in a schema — the reference's `geometry_col`

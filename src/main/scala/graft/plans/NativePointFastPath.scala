@@ -1,0 +1,168 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.optimizer.{CollapseProject, ColumnPruning}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{BooleanType, DoubleType, StructType}
+
+/** Columnar fast path for NATIVE-encoded GeoParquet point columns.
+  *
+  * [[graft.sources.GeoParquet.read]] transcodes native (GeoArrow struct)
+  * geometry columns to WKB at scan time (`ga_point(col, z, m)`) so every
+  * ST_* kernel accepts them. For coordinate-only consumers that is pure
+  * waste: `ST_X(ga_point(s))` serializes the struct into WKB bytes, parses
+  * them back into a JTS Point, and reads the X it already had as a codegen'd
+  * column leaf. The reference computes such accessors directly on the
+  * separated coordinate arrays (rust/geoarrow-array/src/trait_.rs:251);
+  * this rule is the Spark-shaped equivalent — rewrite the composed
+  * expression so the plan touches only the struct leaves and the WKB/JTS
+  * stage disappears entirely:
+  *
+  *  - `ST_X/ST_Y/ST_XMin/ST_YMin/ST_XMax/ST_YMax(ga_point(s))` → `s.x`/`s.y`
+  *    (a point's envelope IS its coordinate)
+  *  - `ST_IsEmpty(ga_point(s))` → `s IS NULL ? NULL : isnan(s.x)` (the
+  *    GeoArrow all-NaN empty-point sentinel)
+  *  - `ST_Extent_Agg(ga_point(s))` → min/max over the leaves with NaN
+  *    (EMPTY) rows nulled out — the same skip ExtentAgg's envelope-isNull
+  *    check performs — rebuilt into the aggregator's xmin/ymin/xmax/ymax
+  *    struct, NULL when no valid row contributed
+  *
+  * Two plan shapes are covered: the FUSED form where CollapseProject
+  * already composed consumer and transcode into one expression, and the
+  * LAYERED form (Aggregate/Project/Filter directly above the transcode
+  * Project) where the consumer references the transcode through an
+  * attribute — there the rule inlines through the alias, adds the raw
+  * struct column as a passthrough, and lets ColumnPruning drop the
+  * now-dead `ga_point` alias.
+  *
+  * Runs in `experimental.extraOptimizations` (after the main batches).
+  * EMPTY-point divergence, documented: the WKB path NPEs on
+  * `ST_X(POINT EMPTY)` and reports JTS's 0-width null envelope for
+  * `ST_XMin`; the fast path yields NaN (the sentinel the column stores) —
+  * strictly more useful, and unreachable for the non-degenerate data the
+  * WKB path already handled. */
+object NativePointFastPath extends Rule[LogicalPlan] {
+
+  private def strip(e: Expression): Expression = e match {
+    case c: Cast => strip(c.child)
+    case other => other
+  }
+
+  /** the struct argument of a `ga_point` scan transcode, if `e` is one */
+  private def gaPointArg(e: Expression): Option[Expression] = strip(e) match {
+    case si: StaticInvoke if si.functionName == "gaPoint" &&
+        si.staticObject.getName == "graft.core.GeoArrowOps" =>
+      Some(si.arguments.head)
+    case _ => None
+  }
+
+  private def leaf(s: Expression, name: String): Option[Expression] = s.dataType match {
+    case st: StructType =>
+      val i = st.fieldNames.indexOf(name)
+      if (i < 0) None else Some(GetStructField(s, i, Some(name)))
+    case _ => None
+  }
+
+  private def nanToNull(e: Expression): Expression =
+    If(IsNaN(e), Literal(null, DoubleType), e)
+
+  // a point's envelope is its coordinate: min and max both read the leaf
+  private val coordKernels = Map(
+    "stX" -> "x", "xMin" -> "x", "xMax" -> "x",
+    "stY" -> "y", "yMin" -> "y", "yMax" -> "y")
+
+  private def isGeomOp(si: StaticInvoke, name: String): Boolean =
+    si.staticObject.getName == "graft.core.GeomOps" && si.functionName == name
+
+  private def isExtentAgg(ae: AggregateExpression): Boolean = ae.aggregateFunction match {
+    case sa: org.apache.spark.sql.execution.aggregate.ScalaAggregator[_, _, _] =>
+      (sa.agg eq graft.functions.GeoAggregates.ExtentAgg) && sa.children.length == 1
+    case _ => false
+  }
+
+  private def extentChild(ae: AggregateExpression): Expression =
+    ae.aggregateFunction
+      .asInstanceOf[org.apache.spark.sql.execution.aggregate.ScalaAggregator[_, _, _]]
+      .children.head
+
+  private def extentRewrite(ae: AggregateExpression, s: Expression): Option[Expression] =
+    (leaf(s, "x"), leaf(s, "y"), ae.dataType) match {
+      case (Some(x), Some(y), st: StructType) if st.length == 4 =>
+        def agg(fn: Expression => AggregateFunction, e: Expression): Expression =
+          AggregateExpression(fn(nanToNull(e)), ae.mode, isDistinct = false,
+            ae.filter, NamedExpression.newExprId)
+        val xmin = agg(Min(_), x); val ymin = agg(Min(_), y)
+        val xmax = agg(Max(_), x); val ymax = agg(Max(_), y)
+        // all-null/EMPTY group → NULL struct, matching ExtentAgg.finish
+        Some(If(IsNull(xmin), Literal(null, st),
+          CreateNamedStruct(Seq(
+            Literal(st.fieldNames(0)), xmin, Literal(st.fieldNames(1)), ymin,
+            Literal(st.fieldNames(2)), xmax, Literal(st.fieldNames(3)), ymax))))
+      case _ => None
+    }
+
+  private def rewriteNode(node: LogicalPlan): LogicalPlan = {
+    // transcode aliases exposed by direct Project children whose struct
+    // source is a plain column (the shape GeoParquet.read emits)
+    val entries: Map[ExprId, Attribute] = node.children.flatMap {
+      case p: Project => p.projectList.collect {
+        case a @ Alias(e, _) if gaPointArg(e).exists(_.isInstanceOf[AttributeReference]) =>
+          a.exprId -> gaPointArg(e).get.asInstanceOf[AttributeReference]
+      }
+      case _ => Nil
+    }.toMap
+    val used = mutable.Set.empty[ExprId]
+    // the struct behind a consumer's argument: fused call or aliased attr
+    def resolveStruct(arg: Expression): Option[Expression] =
+      gaPointArg(arg).orElse(strip(arg) match {
+        case ar: AttributeReference if entries.contains(ar.exprId) =>
+          used += ar.exprId
+          Some(entries(ar.exprId))
+        case _ => None
+      })
+    val newNode = node.transformExpressions {
+      case si: StaticInvoke if coordKernels.contains(si.functionName) &&
+          si.staticObject.getName == "graft.core.GeomOps" =>
+        resolveStruct(si.arguments.head)
+          .flatMap(s => leaf(s, coordKernels(si.functionName))).getOrElse(si)
+      case si: StaticInvoke if isGeomOp(si, "isEmpty") =>
+        (for {
+          s <- resolveStruct(si.arguments.head)
+          x <- leaf(s, "x")
+        } yield If(IsNull(s), Literal(null, BooleanType), IsNaN(x))).getOrElse(si)
+      case ae: AggregateExpression if !ae.isDistinct && isExtentAgg(ae) =>
+        resolveStruct(extentChild(ae)).flatMap(extentRewrite(ae, _)).getOrElse(ae)
+    }
+    val usedNow = used.toSet
+    if (usedNow.isEmpty) newNode
+    else newNode.withNewChildren(newNode.children.map {
+      case p: Project =>
+        // pass the raw struct column through so the inlined leaf reads
+        // resolve above this Project; the dead ga_point alias goes to
+        // ColumnPruning afterwards
+        val need = p.projectList.collect {
+          case a: Alias if usedNow.contains(a.exprId) => entries(a.exprId)
+        }.distinct.filterNot(att => p.projectList.exists(_.toAttribute.exprId == att.exprId))
+        if (need.isEmpty) p else p.copy(projectList = p.projectList ++ need)
+      case other => other
+    })
+  }
+
+  def apply(plan: LogicalPlan): LogicalPlan = {
+    // escape hatch (also how the before/after benchmark isolates the WKB
+    // path — GeoParquet.read re-registers the rule, so de-registration
+    // alone cannot hold it off)
+    if (!conf.getConfString("spark.graft.nativePointFastPath", "true").toBoolean)
+      return plan
+    val rewritten = plan.transformUp { case node => rewriteNode(node) }
+    if (rewritten.fastEquals(plan)) plan
+    // clean up what the rewrite orphaned: the unused ga_point alias (and
+    // the passthrough, where nothing ended up needing it)
+    else CollapseProject(ColumnPruning(rewritten))
+  }
+}

@@ -443,10 +443,16 @@ class GeoFunctionsSpec extends SparkTestBase {
       sql("SELECT ST_Transform(ST_Point(0.0, 90.0), 4326, 3857)").collect())
     assert(pole.getMessage.contains("pole singularity"), pole.getMessage)
     // unsupported EPSG pair still names the supported set (2154 became a
-    // supported conic in round 15 — 27700 OSGB stays out: datum shift)
+    // supported conic in round 15; 27700 gained its Helmert datum shift in
+    // round 18 — 2193 NZTM stays out)
     val crs = intercept[Exception](
-      sql("SELECT ST_Transform(ST_Point(0.0, 0.0), 4326, 27700)").collect())
+      sql("SELECT ST_Transform(ST_Point(0.0, 0.0), 4326, 2193)").collect())
     assert(crs.getMessage.contains("326xx/327xx"), crs.getMessage)
+    // 27700 is now a supported target (datum-shifted — see
+    // TransverseMercatorSpec for the numeric anchors)
+    val bng = sql(
+      "SELECT ST_X(ST_Transform(ST_Point(-0.1276, 51.5072), 4326, 27700)) AS e").head()
+    assert(math.abs(bng.getDouble(0) - 530000.0) < 3000.0, s"BNG easting ${bng.getDouble(0)}")
     // conic targets enforce the same 4326 input domain
     val conicBad = intercept[Exception](
       sql("SELECT ST_Transform(ST_Point(200.0, 0.0), 4326, 5070)").collect())
