@@ -276,6 +276,23 @@ class KnnJoinSpec extends SparkTestBase {
         FROM knn_l2 l CROSS JOIN knn_r2 r) t WHERE rk <= 1""")
     assert(!rank.queryExecution.executedPlan.toString.contains("KnnTopK"))
     assert(rank.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 10L)))
+    // RANK/DENSE_RANK tie semantics are exactly WHY these shapes stay on
+    // Spark's plan (round 18): with two right rows tied at the boundary
+    // distance, rk <= 1 must return BOTH — the kNN operator's candidate cut
+    // at k would have dropped one. The fallback (with its logged warning)
+    // preserves the tie extension.
+    pts(Seq((20L, 1.0, 0.0), (21L, 0.0, 1.0), (22L, 5.0, 0.0)), "rid", "rg")
+      .createOrReplaceTempView("knn_r3")
+    for (fn <- Seq("RANK", "DENSE_RANK")) {
+      val tied = sql(s"""
+        SELECT * FROM (
+          SELECT l.lid, r.rid,
+                 $fn() OVER (PARTITION BY l.lid ORDER BY ST_Distance(l.lg, r.rg)) AS rk
+          FROM knn_l2 l CROSS JOIN knn_r3 r) t WHERE rk <= 1""")
+      assert(!tied.queryExecution.executedPlan.toString.contains("KnnTopK"))
+      assert(tied.collect().map(_.getLong(1)).sorted.toSeq == Seq(20L, 21L),
+        s"$fn tie at the boundary must keep both rows")
+    }
   }
 
   test("geodesic knn wraps the ±180 antimeridian seam (resolved in bounded rounds)") {
