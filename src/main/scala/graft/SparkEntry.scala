@@ -12376,7 +12376,14 @@ object SparkEntry {
     ("t40_token_entropy", q(t40Spark), t40Duck),
     ("q20_funnel", q(q20Spark), q20Duck),
     ("q13_set_ops", q(q13Spark), q13Duck),
-    ("q14_recursive_chain", q(q14Spark), q14Duck),
+    // recursion emits |customer| × ~log2(maxkey) rows total; Spark's
+    // default cteRecursionRowLimit (1M) trips at sf1 (1.5M customers × 21
+    // levels) even though the recursion is provably depth-bounded — raise
+    // the safety valve, keep the level limit as the real runaway guard
+    ("q14_recursive_chain", ((s: SparkSession, dir: String) => {
+      s.conf.set("spark.sql.cteRecursionRowLimit", (2000000000L).toString)
+      q(q14Spark)(s, dir)
+    }): (SparkSession, String) => DataFrame, q14Duck),
     ("q15_gap_fill", q(q15Spark), q15Duck),
     ("q16_pagerank", q16Fn _, q16Duck),
     ("q17_rank_windows", q(q17Spark), q17Duck),

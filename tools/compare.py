@@ -16,7 +16,10 @@ def norm(df):
     df = df[sorted(df.columns)]
     return df.reset_index(drop=True)
 
-def main(sf_dir, out_dir):
+def fresh_con(sf_dir):
+    # one connection PER QUERY: a runaway oracle (brute-force recall at a
+    # big scale factor) that OOMs DuckDB otherwise poisons the shared
+    # connection and fails every later query on phantom tiny allocations
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -25,9 +28,17 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+def main(sf_dir, out_dir, only=None, skip=None):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
+        if skip and name in skip:
+            print(f"SKIP {name} (per --skip)"); continue
+        con = fresh_con(sf_dir)
         res_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{res_dir}/*.parquet")
         if not files:
@@ -67,4 +78,12 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = skip = None
+    args = sys.argv[1:]
+    rest = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--only": only = set(args[i+1].split(",")); i += 2
+        elif args[i] == "--skip": skip = set(args[i+1].split(",")); i += 2
+        else: rest.append(args[i]); i += 1
+    sys.exit(main(rest[0], rest[1], only, skip))
