@@ -12379,9 +12379,17 @@ object SparkEntry {
     // recursion emits |customer| × ~log2(maxkey) rows total; Spark's
     // default cteRecursionRowLimit (1M) trips at sf1 (1.5M customers × 21
     // levels) even though the recursion is provably depth-bounded — raise
-    // the safety valve, keep the level limit as the real runaway guard
+    // the safety valve PROPORTIONALLY to the input (64 rows of headroom
+    // per anchor row, never below the 1M default), keeping both the level
+    // limit and a scale-appropriate row valve as runaway guards. The conf
+    // is session-scoped by necessity (it is read when the recursion
+    // EXECUTES, after this builder returns) — the data-proportional bound
+    // keeps the guard meaningful for any later query in the same session.
     ("q14_recursive_chain", ((s: SparkSession, dir: String) => {
-      s.conf.set("spark.sql.cteRecursionRowLimit", (2000000000L).toString)
+      val anchors = s.read.parquet(s"$dir/customer.parquet").count()
+      val limit = math.max(1000000L, 64L * anchors)
+      s.conf.set("spark.sql.cteRecursionRowLimit",
+        math.min(limit, Int.MaxValue.toLong).toString)
       q(q14Spark)(s, dir)
     }): (SparkSession, String) => DataFrame, q14Duck),
     ("q15_gap_fill", q(q15Spark), q15Duck),

@@ -75,8 +75,7 @@ object GeoArrowOps {
     // an all-NaN member decodes to POINT EMPTY — the element-count-preserving
     // encoding [[mpCoords]] writes for MULTIPOINT (..., EMPTY)
     GeomOps.write(factory.createMultiPoint(coords(a, z, m).map(c =>
-      if (java.lang.Double.isNaN(c.x) && java.lang.Double.isNaN(c.y)) factory.createPoint()
-      else factory.createPoint(c))))
+      if (nanEmptyPoint(c)) factory.createPoint() else factory.createPoint(c))))
 
   def gaPolygon(a: ArrayData, z: Boolean, m: Boolean): Array[Byte] =
     GeomOps.write(poly(a, z, m))
@@ -131,19 +130,32 @@ object GeoArrowOps {
   def toLineString(wkb: Array[Byte]): ArrayData =
     coordArr(readXY(wkb, "ga_to_linestring").getCoordinates)
 
+  /** THE empty-member sentinel, defined once: an all-NaN x/y coordinate
+    * ⇔ POINT EMPTY inside a multipoint (the GeoArrow empty-point
+    * convention, element-count-preserving). Both directions of both hops
+    * (ga_to_multipoint* here, the Arrow IPC union writer/reader) share
+    * these two helpers so the convention cannot silently fork. */
+  private[graft] def nanEmptyPoint(c: Coordinate): Boolean =
+    java.lang.Double.isNaN(c.x) && java.lang.Double.isNaN(c.y)
+
   /** Per-member multipoint coords: JTS's flattening getCoordinates SKIPS
     * empty point members, silently changing the element count on roundtrip
-    * (round-18 ADVICE). An EMPTY member rides the all-NaN coordinate — the
-    * same GeoArrow empty-point convention the point kernels use; base
-    * Coordinate reports NaN for getZ/getM, covering every dims family. */
-  private def mpCoords(g: Geometry): Array[Coordinate] =
+    * (round-18 ADVICE). An EMPTY member rides the all-NaN coordinate; base
+    * Coordinate reports NaN for getZ/getM, covering every dims family.
+    * Non-point members fail with the kernel-named contract error the
+    * sibling readers use, not a bare ClassCastException. */
+  private[graft] def mpCoords(g: Geometry, kernel: String): Array[Coordinate] =
     Array.tabulate(g.getNumGeometries) { i =>
-      val p = g.getGeometryN(i).asInstanceOf[Point]
-      if (p.isEmpty) new Coordinate(Double.NaN, Double.NaN) else p.getCoordinate
+      g.getGeometryN(i) match {
+        case p: Point =>
+          if (p.isEmpty) new Coordinate(Double.NaN, Double.NaN) else p.getCoordinate
+        case other => throw new IllegalArgumentException(
+          s"$kernel: member $i is ${other.getGeometryType}, not Point")
+      }
     }
 
   def toMultiPoint(wkb: Array[Byte]): ArrayData =
-    coordArr(mpCoords(readXY(wkb, "ga_to_multipoint")))
+    coordArr(mpCoords(readXY(wkb, "ga_to_multipoint"), "ga_to_multipoint"))
 
   def toPolygon(wkb: Array[Byte]): ArrayData =
     polyArr(readXY(wkb, "ga_to_polygon").asInstanceOf[Polygon])
@@ -208,7 +220,7 @@ object GeoArrowOps {
     coordArrZ(readXYZ(wkb, "ga_to_linestring_z").getCoordinates)
 
   def toMultiPointZ(wkb: Array[Byte]): ArrayData =
-    coordArrZ(mpCoords(readXYZ(wkb, "ga_to_multipoint_z")))
+    coordArrZ(mpCoords(readXYZ(wkb, "ga_to_multipoint_z"), "ga_to_multipoint_z"))
 
   def toPolygonZ(wkb: Array[Byte]): ArrayData =
     polyArrZ(readXYZ(wkb, "ga_to_polygon_z").asInstanceOf[Polygon])
@@ -291,7 +303,8 @@ object GeoArrowOps {
     coordArrD(readDims(wkb, "ga_to_linestring_m", wantZ = false, wantM = true).getCoordinates,
       z = false, m = true)
   def toMultiPointM(wkb: Array[Byte]): ArrayData =
-    coordArrD(mpCoords(readDims(wkb, "ga_to_multipoint_m", wantZ = false, wantM = true)),
+    coordArrD(mpCoords(readDims(wkb, "ga_to_multipoint_m", wantZ = false, wantM = true),
+      "ga_to_multipoint_m"),
       z = false, m = true)
   def toPolygonM(wkb: Array[Byte]): ArrayData =
     polyArrD(readDims(wkb, "ga_to_polygon_m", wantZ = false, wantM = true).asInstanceOf[Polygon],
@@ -311,7 +324,8 @@ object GeoArrowOps {
     coordArrD(readDims(wkb, "ga_to_linestring_zm", wantZ = true, wantM = true).getCoordinates,
       z = true, m = true)
   def toMultiPointZM(wkb: Array[Byte]): ArrayData =
-    coordArrD(mpCoords(readDims(wkb, "ga_to_multipoint_zm", wantZ = true, wantM = true)),
+    coordArrD(mpCoords(readDims(wkb, "ga_to_multipoint_zm", wantZ = true, wantM = true),
+      "ga_to_multipoint_zm"),
       z = true, m = true)
   def toPolygonZM(wkb: Array[Byte]): ArrayData =
     polyArrD(readDims(wkb, "ga_to_polygon_zm", wantZ = true, wantM = true).asInstanceOf[Polygon],

@@ -161,8 +161,18 @@ object NativePointFastPath extends Rule[LogicalPlan] {
       return plan
     val rewritten = plan.transformUp { case node => rewriteNode(node) }
     if (rewritten.fastEquals(plan)) plan
-    // clean up what the rewrite orphaned: the unused ga_point alias (and
-    // the passthrough, where nothing ended up needing it)
-    else CollapseProject(ColumnPruning(rewritten))
+    else {
+      // clean up what the rewrite orphaned: the unused ga_point alias (and
+      // the passthrough, where nothing ended up needing it)
+      val cleaned = CollapseProject(ColumnPruning(rewritten))
+      // an optimizer rule must NEVER change the plan's output schema: the
+      // passthrough column added to the transcode Project propagates
+      // through schema-transparent parents (Sort/Filter at the root —
+      // e.g. `SELECT * FROM pts ORDER BY ST_X(geometry)`), where
+      // ColumnPruning has no consumer to prune against. Restore the
+      // analyzed output with a trimming Project when that happens.
+      if (cleaned.output.map(_.exprId) == plan.output.map(_.exprId)) cleaned
+      else Project(plan.output, cleaned)
+    }
   }
 }

@@ -140,7 +140,7 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
         Window(Seq(Alias(WindowExpression(rf @ (_: Rank | _: DenseRank),
           WindowSpecDefinition(Seq(_: Attribute), Seq(so), _)), _)), _, _, wchild, _))
         if knnShape(so, wchild) =>
-      logWarning(s"graft: ${rf.prettyName.toUpperCase}() over ST_Distance on a " +
+      warnOnce(rf.prettyName, s"graft: ${rf.prettyName.toUpperCase}() over ST_Distance on a " +
         "cross join is NOT planned as the adaptive kNN operator (tie rows " +
         "beyond k cannot be recovered from its candidate set) — executing " +
         "the literal cartesian + window sort. If ROW_NUMBER tie-breaking is " +
@@ -161,6 +161,13 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
       planSpatialJoin(j, None)
     case _ => Nil
   }
+
+  // once per JVM per shape: repeated planning passes (AQE stage
+  // re-optimization, plan enumeration) would otherwise re-log the same
+  // multi-line warning and bury the one actionable message
+  private val warnedShapes = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def warnOnce(key: String, msg: String): Unit =
+    if (warnedShapes.add(key)) logWarning(msg + " (logged once per JVM)")
 
   /** true when the window's order expression is a recognized distance
     * kernel over a condition-less cross join below (the kNN shape, modulo
@@ -222,7 +229,7 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
       // nearest-only (candidate pruning assumes a shrinking bound), so the
       // DESC shape executes literally — warn with the same loudness as the
       // RANK near-miss so the cartesian never ships silently
-      if (knnShape(so, wchild)) logWarning("graft: ROW_NUMBER() over " +
+      if (knnShape(so, wchild)) warnOnce("farthest-k", "graft: ROW_NUMBER() over " +
         "ST_Distance DESC (farthest-k) on a cross join is NOT planned as " +
         "the adaptive kNN operator (its pruning is nearest-only) — " +
         "executing the literal cartesian + window sort.")

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 import org.locationtech.jts.geom.{Coordinate, CoordinateXYM, CoordinateXYZM, Geometry}
 
-import graft.core.GeomOps
+import graft.core.{GeoArrowOps, GeomOps}
 
 /** Arrow IPC (Feather v2 / .arrow) reader with GeoArrow geometry support —
   * closes the reference's Arrow interchange row (`fixtures/nybb.arrow`,
@@ -223,14 +223,13 @@ object ArrowIpc {
       case "linestring" => f.createLineString(coords(v, dims))
       case "multipoint" =>
         // an all-NaN member is POINT EMPTY (the write side's element-count-
-        // preserving encoding for MULTIPOINT (..., EMPTY)); the common
+        // preserving encoding for MULTIPOINT (..., EMPTY); sentinel defined
+        // once in GeomOps' sibling — GeoArrowOps.nanEmptyPoint); the common
         // all-real case keeps the cheap fromCoords path
         val cs = coords(v, dims)
-        def isEmptyC(c: Coordinate) =
-          java.lang.Double.isNaN(c.x) && java.lang.Double.isNaN(c.y)
-        if (cs.exists(isEmptyC))
+        if (cs.exists(GeoArrowOps.nanEmptyPoint))
           f.createMultiPoint(cs.map(c =>
-            if (isEmptyC(c)) f.createPoint() else f.createPoint(c)))
+            if (GeoArrowOps.nanEmptyPoint(c)) f.createPoint() else f.createPoint(c)))
         else f.createMultiPointFromCoords(cs)
       case "polygon" => polygon(v, dims)
       case "multilinestring" =>
@@ -1662,21 +1661,14 @@ object ArrowIpc {
                       if (p.isEmpty) fillEmptyList(ch.asInstanceOf[LV], cnt(base + 3))
                       else fillRings(ch.asInstanceOf[LV], cnt(base + 3), ringsOf(p), dims)
                     }
-                    case mp: MultiPoint => put(4) { ch =>
-                      // per-member coords, NOT the flattening getCoordinates:
-                      // JTS skips EMPTY point members there, so
-                      // MULTIPOINT (1 1, EMPTY) would silently lose an element
-                      // on roundtrip. An EMPTY member rides the all-NaN
-                      // coordinate — the same GeoArrow empty-point convention
-                      // the Point child uses (base Coordinate reports NaN for
-                      // getZ/getM, covering every dims family).
-                      val cs = Array.tabulate(mp.getNumGeometries) { k =>
-                        val p = mp.getGeometryN(k).asInstanceOf[Point]
-                        if (p.isEmpty) new Coordinate(Double.NaN, Double.NaN)
-                        else p.getCoordinate
-                      }
-                      fillLine(ch.asInstanceOf[LV], cnt(base + 4), cs, dims)
-                    }
+                    case mp: MultiPoint => put(4)(ch =>
+                      // per-member coords with the shared all-NaN EMPTY
+                      // sentinel (GeoArrowOps.mpCoords), NOT the flattening
+                      // getCoordinates: JTS skips EMPTY point members there,
+                      // so MULTIPOINT (1 1, EMPTY) would silently lose an
+                      // element on roundtrip
+                      fillLine(ch.asInstanceOf[LV], cnt(base + 4),
+                        GeoArrowOps.mpCoords(mp, "ArrowIpc.write[geometry]"), dims))
                     case mls: MultiLineString => put(5)(ch =>
                       fillRings(ch.asInstanceOf[LV], cnt(base + 5),
                         (0 until mls.getNumGeometries).map(mls.getGeometryN(_).getCoordinates), dims))

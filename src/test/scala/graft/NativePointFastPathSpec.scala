@@ -91,6 +91,26 @@ class NativePointFastPathSpec extends SparkTestBase {
     assert(rows(2).isNullAt(1), "NULL geometry stays NULL")
   }
 
+  test("schema-transparent root (ORDER BY ST_X): rewrite never widens the output") {
+    // round-18 review finding: the layered-form passthrough column must not
+    // leak through Sort/Filter roots — the rule restores the analyzed
+    // output with a trimming Project when pruning has no consumer to act on
+    val df = GeoParquet.read(spark, nativeDir)
+    df.createOrReplaceTempView("npfp_pts4")
+    val q = spark.sql(
+      "SELECT fid, geometry FROM npfp_pts4 WHERE fid NOT IN (7, 11) ORDER BY ST_X(geometry)")
+    assert(q.queryExecution.optimizedPlan.output.length == q.schema.length,
+      s"optimized output widened:\n${q.queryExecution.optimizedPlan}")
+    // the widened plan used to break Union's ragged-arity transpose
+    val other = spark.sql(
+      "SELECT CAST(id AS BIGINT) AS fid, ST_Point(1.0, 2.0) AS geometry FROM range(3)")
+    assert(q.union(other).count() == 98 + 3)
+    // and the sort itself must still run on the leaf (no transcode)
+    val plan = optimizedPlan(q)
+    assert(!plan.contains("gaPoint") || plan.contains("Project"),
+      s"unexpected shape:\n$plan")
+  }
+
   test("the WKB path is untouched when geometry is genuinely WKB") {
     graft.functions.GeoFunctions.register(spark)
     val q = spark.sql(
