@@ -2269,6 +2269,50 @@ object SparkEntry {
            MAX(CASE WHEN kind = 'pt' THEN i % 89 END)::DOUBLE AS ymax
     FROM r"""
 
+  /** RANK()-with-ties kNN join (g106, round 18): the SQL window shape
+    * `RANK() OVER (PARTITION BY lid ORDER BY ST_Distance) <= k` over a
+    * cross join is planned as [[graft.plans.KnnTopKExec]] in withTies
+    * mode (plan asserted in KnnJoinSpec) — membership is `dist ≤ k-th
+    * smallest group distance`, so the output SET is deterministic and
+    * boundary ties are kept, unlike the ROW_NUMBER shape's arbitrary
+    * tie-break. The right side's modular coordinates collide every 50
+    * keys (exact duplicate points), so the rank-k boundary lands inside
+    * ~40-member tie classes and the tie extension carries real weight.
+    * Squared distances are integers, so tie equality is exact in BOTH
+    * engines; the oracle replays the literal cartesian + RANK window. */
+  private val g106Spark = """
+    SELECT lid, CAST(rk AS BIGINT) AS rnk, rid, ROUND(d, 6) AS dist
+    FROM (SELECT l.lid, r.rid, ST_Distance(l.lg, r.rg) AS d,
+                 RANK() OVER (PARTITION BY l.lid ORDER BY ST_Distance(l.lg, r.rg)) AS rk
+          FROM (SELECT c_custkey AS lid,
+                       ST_Point(CAST(c_custkey % 41 AS DOUBLE),
+                                CAST((c_custkey * 7) % 37 AS DOUBLE)) AS lg
+                FROM customer WHERE c_custkey % 30 = 1) l
+          CROSS JOIN (SELECT p_partkey AS rid,
+                             ST_Point(CAST(p_partkey % 50 AS DOUBLE),
+                                      CAST((p_partkey * 7) % 50 AS DOUBLE)) AS rg
+                      FROM part) r) t
+    WHERE rk <= 3
+    ORDER BY lid, rnk, rid"""
+
+  private val g106Duck = """
+    WITH l AS (SELECT c_custkey AS lid,
+                      CAST(c_custkey % 41 AS DOUBLE) AS lx,
+                      CAST((c_custkey * 7) % 37 AS DOUBLE) AS ly
+               FROM customer WHERE c_custkey % 30 = 1),
+    r AS (SELECT p_partkey AS rid,
+                 CAST(p_partkey % 50 AS DOUBLE) AS rx,
+                 CAST((p_partkey * 7) % 50 AS DOUBLE) AS ry
+          FROM part),
+    pairs AS (SELECT lid, rid,
+                     sqrt((lx - rx) * (lx - rx) + (ly - ry) * (ly - ry)) AS d
+              FROM l CROSS JOIN r),
+    rk AS (SELECT lid, rid, d,
+                  RANK() OVER (PARTITION BY lid ORDER BY d) AS rnk
+           FROM pairs)
+    SELECT lid, rnk::BIGINT AS rnk, rid, ROUND(d, 6) AS dist
+    FROM rk WHERE rnk <= 3 ORDER BY lid, rnk, rid"""
+
   /** Heterogeneous-column union WRITE under the hash gate (g99): a single
     * geometry column mixing points, 3D points, linestrings and polygons —
     * plus nulls — writes as the reference's `geoarrow.geometry` dense
@@ -12346,6 +12390,7 @@ object SparkEntry {
     ("g103_arrow_gc_write", g103Fn _, g103Duck),
     ("g104_bng_datum_shift", q(g104Spark), g104Duck),
     ("g105_native_point_fastpath", g105Fn _, g105Duck),
+    ("g106_knn_rank_ties", q(g106Spark), g106Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

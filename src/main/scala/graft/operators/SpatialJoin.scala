@@ -116,12 +116,24 @@ object SpatialJoin {
     * 1M; note the driver broadcast is |remainder| rows and each task's
     * heap memory is |remainder|·k entries, so size the cap down for large
     * k) falls back to the grid round with a warning.
+    *
+    * `withTies = true` switches the per-row cut from ROW_NUMBER to RANK
+    * semantics: every right row whose distance equals the k-th smallest
+    * (counted with multiplicity) is kept, so the result SET is fully
+    * deterministic (no arbitrary rid tie-break decides membership) and
+    * `knn_rank` carries RANK values (ties share a rank, the next rank
+    * skips). Exactness argument: a row resolves only when its candidate
+    * pool — all right rows within the round radius r — holds ≥ k entries,
+    * so d_k ≤ r and every tie at d_k is already in the pool; the cut
+    * `rank() <= k` (⟺ dist ≤ d_k) therefore never misses a tie. Output
+    * size is k + |boundary ties| per left row.
     */
   def knn(left: DataFrame, right: DataFrame,
           leftGeomCol: String, rightGeomCol: String, k: Int,
           leftIdCol: String, rightIdCol: String,
           initialRadius: Double = 0.0,
-          metric: String = "planar"): DataFrame = {
+          metric: String = "planar",
+          withTies: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     // the tie-break (knn_dist asc, right id asc) runs through BOTH a SQL
     // window (any orderable type) and the broadcast-remainder heap (JVM
@@ -240,6 +252,22 @@ object SpatialJoin {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(leftIdCol)).orderBy(col("knn_dist").asc, col(rightIdCol).asc)
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(leftIdCol))
+    // ties mode ranks by DISTANCE ALONE — rank() ties share a value, so
+    // `<= k` keeps every boundary tie and the output set is deterministic
+    val wTies = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(leftIdCol)).orderBy(col("knn_dist").asc)
+    /** per-row cut: row_number ≤ k, or rank-with-ties ≤ k. `__cnt` (pool
+      * size) stays row_number-based in both modes — resolution needs the
+      * k-th candidate WITH multiplicity inside the proven radius. */
+    def cut(pool: DataFrame): DataFrame =
+      if (withTies)
+        pool.withColumn("__rn", row_number().over(w))
+          .withColumn("__cnt", max(col("__rn")).over(wAll))
+          .withColumn("knn_rank", rank().over(wTies).cast("long"))
+          .drop("__rn")
+      else
+        pool.withColumn("knn_rank", row_number().over(w).cast("long"))
+          .withColumn("__cnt", max(col("knn_rank")).over(wAll))
 
     val spark = left.sparkSession
 
@@ -266,6 +294,7 @@ object SpatialJoin {
       val dk = distKernel(metric)
       val kk = k
       val mName = metric
+      val ties = withTies
       val partial = right.rdd.mapPartitions { it =>
         val lefts = bu.value
         // max-heap ordered like the rank window (dist asc, right id asc):
@@ -287,8 +316,17 @@ object SpatialJoin {
             if (c != 0) c else cmpRid(a._2, b._2)
           }
         }
+        // ties mode: membership is decided by DISTANCE ALONE (the rid
+        // tie-break never drops a row), so the heap orders by dist only and
+        // keeps every entry with dist ≤ the k-th smallest seen (counted
+        // with multiplicity). Invariant between inserts: sorted positions
+        // k..size all equal the head value T, so at most ONE whole-class
+        // eviction is ever pending (belowTop can reach exactly k).
+        val ordDist = Ordering.by[(Double, Any, Row), Double](_._1)
         val heaps = lefts.map(_ =>
-          new scala.collection.mutable.PriorityQueue[(Double, Any, Row)]()(ord))
+          new scala.collection.mutable.PriorityQueue[(Double, Any, Row)]()(
+            if (ties) ordDist else ord))
+        val belowTop = new Array[Int](lefts.length) // entries strictly below head
         it.foreach { rrow =>
           if (!rrow.isNullAt(rGeomIdx)) {
             val rwkb = rrow.getAs[Array[Byte]](rGeomIdx)
@@ -301,9 +339,29 @@ object SpatialJoin {
                 if (java.lang.Double.isNaN(d)) throw new IllegalStateException(
                   s"graft.knn: NaN distance from the $mName kernel — kernel regression, refusing to rank")
                 val h = heaps(i)
-                if (h.size < kk) h.enqueue((d, rid, rrow))
-                else if (ord.compare((d, rid, rrow), h.head) < 0) {
-                  h.dequeue(); h.enqueue((d, rid, rrow))
+                if (!ties) {
+                  if (h.size < kk) h.enqueue((d, rid, rrow))
+                  else if (ord.compare((d, rid, rrow), h.head) < 0) {
+                    h.dequeue(); h.enqueue((d, rid, rrow))
+                  }
+                } else {
+                  if (h.size < kk) {
+                    h.enqueue((d, rid, rrow))
+                    if (h.size == kk) belowTop(i) = h.count(_._1 < h.head._1)
+                  } else {
+                    val top = h.head._1
+                    if (d < top) {
+                      h.enqueue((d, rid, rrow))
+                      belowTop(i) += 1
+                      if (belowTop(i) >= kk) {
+                        // the k smallest all sit below T: T's whole tie
+                        // class is now beyond rank k — evict it
+                        while (h.nonEmpty && h.head._1 == top) h.dequeue()
+                        belowTop(i) = h.count(_._1 < h.head._1)
+                      }
+                    } else if (d == top) h.enqueue((d, rid, rrow)) // boundary tie
+                    // d > top: beyond the k-th distance, discard
+                  }
                 }
               }
               i += 1
@@ -318,10 +376,16 @@ object SpatialJoin {
       val partSchema = StructType(
         StructField("__graft_knn_uid", lSchema(leftIdCol).dataType) +:
           (rSchema.fields :+ StructField("knn_dist", DoubleType)))
+      // merge: per-partition kept sets are supersets of the global answer
+      // (every pair with global rank ≤ k survives its own partition's cut),
+      // so one bounded global re-rank restores exactness in both modes
+      val wMerge = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__graft_knn_uid"))
+      val mergeRank =
+        if (withTies) rank().over(wMerge.orderBy(col("knn_dist").asc))
+        else row_number().over(wMerge.orderBy(col("knn_dist").asc, col(rightIdCol).asc))
       val merged = spark.createDataFrame(partial, partSchema)
-        .withColumn("knn_rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("__graft_knn_uid"))
-            .orderBy(col("knn_dist").asc, col(rightIdCol).asc)))
+        .withColumn("knn_rank", mergeRank.cast("long"))
         .where(col("knn_rank") <= kk)
       // reattach the left columns: the remainder is small by construction
       merged.join(org.apache.spark.sql.functions.broadcast(unres),
@@ -359,8 +423,7 @@ object SpatialJoin {
             log.warn(s"graft.knn: remainder $nRem > graft.knn.broadcastRemainderMaxRows=" +
               s"$maxRemainder; falling back to the degenerate single-cell grid " +
               "round (single-task hotspot)")
-            candidates(unresolved, rMax)
-              .withColumn("knn_rank", row_number().over(w))
+            cut(candidates(unresolved, rMax))
               .where(col("knn_rank") <= k)
               .select(outCols: _*)
               .localCheckpoint(true)
@@ -373,9 +436,7 @@ object SpatialJoin {
             .select(outCols: _*)
         done = true
       } else {
-        val ranked = candidates(unresolved, r)
-          .withColumn("knn_rank", row_number().over(w))
-          .withColumn("__cnt", max(col("knn_rank")).over(wAll))
+        val ranked = cut(candidates(unresolved, r))
         val part = ranked
           .where(col("__cnt") >= k && col("knn_rank") <= k)
           .select(outCols: _*)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, ExprId}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.LeafExecNode
-import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id, row_number}
+import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id, rank, row_number}
 
 /** Physical node for the auto-planned kNN join — the
   * `ROW_NUMBER() OVER (PARTITION BY l.id ORDER BY ST_Distance(l.g, r.g))
@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id, ro
   * Semantics notes (documented contract):
   *  - ties in distance are broken arbitrarily by ROW_NUMBER in the literal
   *    plan; here they break by internal (right-row id, left-row id). Both
-  *    are admissible outputs of the same nondeterministic query.
+  *    are admissible outputs of the same nondeterministic query. With
+  *    `withTies` (the RANK() shape) there is no arbitrary break at all:
+  *    membership is `dist ≤ k-th smallest group distance` — deterministic,
+  *    boundary ties included, rank values shared exactly like the literal
+  *    RANK window.
   *  - rows of `left` sharing a partition-key value form one ranking group
   *    in both formulations. The operator itself needs a UNIQUE per-row key
   *    (its candidate dedup and round resolution key on it), so the node
@@ -52,7 +56,11 @@ case class KnnTopKExec(
     k: Int,
     rankId: ExprId,
     distIds: Set[ExprId],
-    metric: String = "planar") extends LeafExecNode {
+    metric: String = "planar",
+    // RANK() semantics (round 18): keep every boundary tie by distance,
+    // rank values shared across ties — the operator runs in withTies mode
+    // and the group re-rank below uses rank() ordered by distance ALONE
+    withTies: Boolean = false) extends LeafExecNode {
 
   override protected def doExecute(): RDD[InternalRow] = {
     val ss = session
@@ -76,15 +84,20 @@ case class KnnTopKExec(
     val pi = leftPlan.output.indexWhere(_.exprId == partKey.exprId)
     val res = graft.operators.SpatialJoin.knn(
       lDf, rDf, lNames(gi), rNames(gj), k, "__knn_lid", "__knn_rid",
-      metric = metric)
+      metric = metric, withTies = withTies)
     // re-rank the k-per-row candidates over the user's partition key (a
-    // window over at most k·|left| rows, not the cartesian): reproduces the
-    // literal plan's per-GROUP ranking even when key values repeat
-    val wGroup = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(lNames(pi)))
-      .orderBy(col("knn_dist").asc, col("__knn_rid").asc, col("__knn_lid").asc)
+    // window over at most k·|left| (+ ties) rows, not the cartesian):
+    // reproduces the literal plan's per-GROUP ranking even when key values
+    // repeat. Ties mode is exact here because the group's k-th smallest
+    // distance T ≤ every member row's own k-th smallest, so each pair with
+    // group-rank ≤ k (dist ≤ T) is inside its row's ties-extended set.
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy(col(lNames(pi)))
+    val grank =
+      if (withTies) rank().over(wG.orderBy(col("knn_dist").asc))
+      else row_number().over(wG.orderBy(
+        col("knn_dist").asc, col("__knn_rid").asc, col("__knn_lid").asc))
     val reranked = res
-      .withColumn("__knn_grank", row_number().over(wGroup))
+      .withColumn("__knn_grank", grank)
       .where(col("__knn_grank") <= lit(k))
     val byId: Map[ExprId, org.apache.spark.sql.Column] =
       (leftPlan.output.map(_.exprId).zip(lNames.map(col)) ++

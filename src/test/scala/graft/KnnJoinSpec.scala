@@ -261,7 +261,7 @@ class KnnJoinSpec extends SparkTestBase {
   test("planner: near-miss shapes fall through to Spark's own planning") {
     pts(Seq((1L, 0.0, 0.0)), "lid", "lg").createOrReplaceTempView("knn_l2")
     pts(Seq((10L, 1.0, 0.0), (11L, 2.0, 0.0)), "rid", "rg").createOrReplaceTempView("knn_r2")
-    // DESC order is not a kNN; RANK() is not row_number; both must not fire
+    // DESC order is not a kNN (pruning is nearest-only) — must not fire
     val desc = sql("""
       SELECT * FROM (
         SELECT l.lid, r.rid,
@@ -269,30 +269,90 @@ class KnnJoinSpec extends SparkTestBase {
         FROM knn_l2 l CROSS JOIN knn_r2 r) t WHERE rk <= 1""")
     assert(!desc.queryExecution.executedPlan.toString.contains("KnnTopK"))
     assert(desc.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 11L)))
-    val rank = sql("""
+    // DENSE_RANK needs k DISTINCT distance values per group — unbounded
+    // multiplicity below the threshold, which the operator's resolution
+    // criterion (k with multiplicity inside the proven radius) cannot
+    // bound. It stays on Spark's plan (with a logged warning) and the tie
+    // extension survives.
+    pts(Seq((20L, 1.0, 0.0), (21L, 0.0, 1.0), (22L, 5.0, 0.0)), "rid", "rg")
+      .createOrReplaceTempView("knn_r3")
+    val dr = sql("""
+      SELECT * FROM (
+        SELECT l.lid, r.rid,
+               DENSE_RANK() OVER (PARTITION BY l.lid ORDER BY ST_Distance(l.lg, r.rg)) AS rk
+        FROM knn_l2 l CROSS JOIN knn_r3 r) t WHERE rk <= 1""")
+    assert(!dr.queryExecution.executedPlan.toString.contains("KnnTopK"))
+    assert(dr.collect().map(_.getLong(1)).sorted.toSeq == Seq(20L, 21L),
+      "DENSE_RANK tie at the boundary must keep both rows")
+  }
+
+  test("planner: RANK() kNN shape plans as KnnTopKExec and keeps boundary ties") {
+    pts(Seq((1L, 0.0, 0.0)), "lid", "lg").createOrReplaceTempView("knn_rk_l")
+    // two rights tied at distance 1, one at 5: RANK <= 1 must return BOTH
+    // tied rows — the round-18 withTies plan serves the shape the round-17
+    // warning only narrated
+    pts(Seq((20L, 1.0, 0.0), (21L, 0.0, 1.0), (22L, 5.0, 0.0)), "rid", "rg")
+      .createOrReplaceTempView("knn_rk_r")
+    val tied = sql("""
       SELECT * FROM (
         SELECT l.lid, r.rid,
                RANK() OVER (PARTITION BY l.lid ORDER BY ST_Distance(l.lg, r.rg)) AS rk
-        FROM knn_l2 l CROSS JOIN knn_r2 r) t WHERE rk <= 1""")
-    assert(!rank.queryExecution.executedPlan.toString.contains("KnnTopK"))
-    assert(rank.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 10L)))
-    // RANK/DENSE_RANK tie semantics are exactly WHY these shapes stay on
-    // Spark's plan (round 18): with two right rows tied at the boundary
-    // distance, rk <= 1 must return BOTH — the kNN operator's candidate cut
-    // at k would have dropped one. The fallback (with its logged warning)
-    // preserves the tie extension.
-    pts(Seq((20L, 1.0, 0.0), (21L, 0.0, 1.0), (22L, 5.0, 0.0)), "rid", "rg")
-      .createOrReplaceTempView("knn_r3")
-    for (fn <- Seq("RANK", "DENSE_RANK")) {
-      val tied = sql(s"""
-        SELECT * FROM (
-          SELECT l.lid, r.rid,
-                 $fn() OVER (PARTITION BY l.lid ORDER BY ST_Distance(l.lg, r.rg)) AS rk
-          FROM knn_l2 l CROSS JOIN knn_r3 r) t WHERE rk <= 1""")
-      assert(!tied.queryExecution.executedPlan.toString.contains("KnnTopK"))
-      assert(tied.collect().map(_.getLong(1)).sorted.toSeq == Seq(20L, 21L),
-        s"$fn tie at the boundary must keep both rows")
-    }
+        FROM knn_rk_l l CROSS JOIN knn_rk_r r) t WHERE rk <= 1""")
+    val plan = tied.queryExecution.executedPlan.toString
+    assert(plan.contains("KnnTopK"), s"RANK shape must plan as KnnTopK:\n$plan")
+    val rows = tied.collect().map(r => (r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq((20L, 1), (21L, 1)),
+      s"both boundary ties at shared rank 1 expected, got ${rows.toSeq}")
+    // rank VALUES skip after a tie class exactly like the literal window:
+    // four rights tied at 1, k=5 → ranks 1,1,1,1 then 5,5 for the two at 2
+    pts(Seq((30L, 1.0, 0.0), (31L, 0.0, 1.0), (32L, -1.0, 0.0), (33L, 0.0, -1.0),
+            (34L, 2.0, 0.0), (35L, 0.0, 2.0), (36L, 3.0, 0.0)), "rid", "rg")
+      .createOrReplaceTempView("knn_rk_r2")
+    val skip = sql("""
+      SELECT * FROM (
+        SELECT l.lid, r.rid,
+               RANK() OVER (PARTITION BY l.lid ORDER BY ST_Distance(l.lg, r.rg)) AS rk
+        FROM knn_rk_l l CROSS JOIN knn_rk_r2 r) t WHERE rk <= 5""")
+    assert(skip.queryExecution.executedPlan.toString.contains("KnnTopK"))
+    val got = skip.collect().map(r => (r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((30L, 1), (31L, 1), (32L, 1), (33L, 1), (34L, 5), (35L, 5)),
+      s"rank-skip after the tie class expected, got ${got.toSeq}")
+  }
+
+  test("planner: RANK with non-unique partition key keeps GROUP ties like the literal plan") {
+    // two left rows share category 'a'; rights contain exact coordinate
+    // duplicates so the group's rank-k boundary is a tie class spanning
+    // BOTH left rows (each left is at distance 1 from the duplicated
+    // coordinate pair nearest it — symmetric by construction)
+    graft.functions.GeoFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, "a", 0.0, 0.0), (2L, "a", 10.0, 0.0))
+      .toDF("lid", "cat", "__x", "__y")
+      .withColumn("lg", call_function("st_point", col("__x"), col("__y")))
+      .drop("__x", "__y").createOrReplaceTempView("knn_rkg_l")
+    val r = Seq((10L, 1.0, 0.0), (11L, 9.0, 0.0),   // dist 1 from left 1 / left 2
+                (12L, 0.0, 2.0), (13L, 10.0, 2.0),  // dist 2
+                (14L, 50.0, 50.0))
+    pts(r, "rid", "rg").createOrReplaceTempView("knn_rkg_r")
+    val df = sql("""
+      SELECT cat, lid, rid, rk FROM (
+        SELECT l.cat, l.lid, r.rid,
+               RANK() OVER (PARTITION BY l.cat ORDER BY ST_Distance(l.lg, r.rg)) AS rk
+        FROM knn_rkg_l l CROSS JOIN knn_rkg_r r) t WHERE rk <= 2""")
+    assert(df.queryExecution.executedPlan.toString.contains("KnnTopK"))
+    val got = df.collect().map(x => (x.getLong(1), x.getLong(2), x.getInt(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // group 'a' pair distances: (1,10)=1, (2,11)=1 (tie class rank 1),
+    // then (1,12)... wait — ground truth from brute force below
+    val brute = (for ((lid, lx, ly) <- Seq((1L, 0.0, 0.0), (2L, 10.0, 0.0));
+                      (rid, rx, ry) <- r)
+        yield (lid, rid, math.hypot(lx - rx, ly - ry)))
+    val ranked = brute.sortBy(_._3).zipWithIndex.map { case ((lid, rid, d), _) =>
+      (lid, rid, 1 + brute.count(_._3 < d))
+    }.filter(_._3 <= 2).sortBy(t => (t._1, t._2))
+    assert(got == ranked, s"got $got\nexpected $ranked")
+    // the rank-1 tie class spans both left rows of the group
+    assert(got.count(_._3 == 1) == 2 && got.map(_._1).distinct.length == 2)
   }
 
   test("geodesic knn wraps the ±180 antimeridian seam (resolved in bounded rounds)") {
@@ -545,6 +605,112 @@ class KnnJoinSpec extends SparkTestBase {
       checked += 1
     }
     assert(checked == 4000)
+  }
+
+  /** brute-force RANK-semantics ground truth: every pair whose distance is
+    * ≤ the k-th smallest (with multiplicity), with shared rank values */
+  private def expectedTies(left: Seq[(Long, Double, Double)],
+                           right: Seq[(Long, Double, Double)], k: Int) =
+    left.map { case (lid, lx, ly) =>
+      val ds = right.map { case (rid, rx, ry) =>
+        (rid, math.sqrt((lx - rx) * (lx - rx) + (ly - ry) * (ly - ry)))
+      }.sortBy(_._2)
+      val kept = if (ds.length <= k) ds else ds.filter(_._2 <= ds(k - 1)._2)
+      lid -> kept.map { case (rid, d) =>
+        (rid, d, 1L + ds.count(_._2 < d)) }
+    }.toMap
+
+  test("knn withTies: RANK semantics on heavy exact ties (duplicate right points)") {
+    val l = Seq((1L, 0.0, 0.0), (2L, 20.0, 20.0))
+    // four rights exactly at distance 1 from left 1; exact coordinate
+    // duplicates around left 2 — both tie mechanisms
+    val r = Seq((10L, 1.0, 0.0), (11L, 0.0, 1.0), (12L, -1.0, 0.0), (13L, 0.0, -1.0),
+      (14L, 2.0, 0.0), (15L, 21.0, 20.0), (16L, 21.0, 20.0), (17L, 21.0, 20.0),
+      (18L, 25.0, 20.0))
+    val out = SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+      "lg", "rg", 3, "lid", "rid", withTies = true)
+      .select("lid", "rid", "knn_dist", "knn_rank")
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(_._1).toSeq).toMap
+    val exp = expectedTies(l, r, 3)
+    for (lid <- l.map(_._1)) {
+      val want = exp(lid).sortBy(_._1)
+      assert(out(lid).map(_._1) == want.map(_._1),
+        s"tie-extended neighbor SET for left $lid: ${out(lid)} vs $want")
+      out(lid).zip(want).foreach { case ((_, gd, gr), (_, wd, wr)) =>
+        assert(math.abs(gd - wd) < 1e-12)
+        assert(gr == wr, s"rank values must be RANK semantics: $gr vs $wr")
+      }
+    }
+    // left 1: 4 ties at rank 1 (k=3 cut inside the tie class extends it)
+    assert(out(1L).length == 4 && out(1L).forall(_._3 == 1L))
+    // left 2: 3 duplicate-coordinate ties at rank 1
+    assert(out(2L).length == 3 && out(2L).forall(_._3 == 1L))
+  }
+
+  test("knn withTies: forced multi-round resolution stays tie-exact") {
+    // ties at the k-th distance resolved in a LATER round (tiny initial
+    // radius): the pool-contains-all-within-r invariant is what makes the
+    // rank cut exact — this pins it across round boundaries
+    val l = Seq((1L, 0.0, 0.0))
+    val r = Seq((10L, 30.0, 0.0), (11L, 0.0, 30.0), (12L, -30.0, 0.0),
+      (13L, 0.0, -30.0), (14L, 31.0, 0.0), (15L, 60.0, 0.0))
+    val out = SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+      "lg", "rg", 2, "lid", "rid", initialRadius = 0.01, withTies = true)
+      .select("rid", "knn_rank").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // k=2 cuts inside the 4-way tie at distance 30 → all four kept, rank 1
+    assert(out == Seq((10L, 1L), (11L, 1L), (12L, 1L), (13L, 1L)), s"got $out")
+  }
+
+  test("knn withTies: broadcast-remainder heap keeps and evicts whole tie classes") {
+    val s = spark
+    // the isolated left never resolves in bounded rounds → the final
+    // broadcast pass ranks it against ALL rights through the ties-aware
+    // heap. Right ordering puts the far tie class FIRST so the heap must
+    // fill, then evict the whole class when closer rows arrive, then keep
+    // the new boundary class' duplicates.
+    val l = Seq((1L, 5000.0, 5000.0))
+    val far = Seq((30L, 0.0, 0.0), (31L, 0.0, 0.0), (32L, 0.0, 0.0)) // dist ~7071, tied
+    val near = Seq((20L, 100.0, 100.0), (21L, 100.0, 100.0), (22L, 100.0, 100.0)) // dist ~6929, tied
+    val mid = Seq((25L, 50.0, 50.0)) // dist ~7000
+    val r = far ++ mid ++ near
+    val out = SpatialJoin.knn(
+      pts(l, "lid", "lg"), pts(r, "rid", "rg").coalesce(1),
+      "lg", "rg", 2, "lid", "rid", initialRadius = 1.0, withTies = true)
+      .select("rid", "knn_rank").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // k=2 lands inside the 3-way near class → all three kept at rank 1
+    assert(out == Seq((20L, 1L), (21L, 1L), (22L, 1L)), s"got $out")
+    // and the same fixture through the oversized-remainder grid fallback
+    val prev = s.conf.getOption("graft.knn.broadcastRemainderMaxRows")
+    s.conf.set("graft.knn.broadcastRemainderMaxRows", "0")
+    try {
+      val fb = SpatialJoin.knn(
+        pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+        "lg", "rg", 2, "lid", "rid", initialRadius = 1.0, withTies = true)
+        .select("rid", "knn_rank").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(fb == out, s"grid fallback diverged: $fb vs $out")
+    } finally prev match {
+      case Some(v) => s.conf.set("graft.knn.broadcastRemainderMaxRows", v)
+      case None => s.conf.unset("graft.knn.broadcastRemainderMaxRows")
+    }
+  }
+
+  test("knn withTies at scale matches brute-force rank semantics") {
+    // modular coordinates collide heavily → many exact duplicate right
+    // points; every left row's tie-extended set must match brute force
+    val l = (0L until 40L).map(i => (i, (i % 8) * 9.0, (i / 8) * 9.0))
+    val r = (0L until 400L).map(i => (1000L + i, (i % 20).toDouble * 3.0, ((i * 7) % 20).toDouble * 3.0))
+    val out = SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+      "lg", "rg", 3, "lid", "rid", withTies = true)
+      .select("lid", "rid", "knn_rank").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    val exp = expectedTies(l, r, 3)
+    l.foreach { case (lid, _, _) =>
+      assert(out(lid) == exp(lid).map(t => (t._1, t._3)).sortBy(_._1),
+        s"left $lid: ${out(lid)} vs ${exp(lid)}")
+    }
+    // the fixture is meaningful: at least one row's set exceeds k
+    assert(l.exists { case (lid, _, _) => exp(lid).length > 3 }, "fixture decayed: no ties")
   }
 
   test("invalid k rejected") {
