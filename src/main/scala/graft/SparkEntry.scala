@@ -1987,6 +1987,166 @@ object SparkEntry {
            ROUND(n00 + k0*biga*(xi - xi0), 0) AS northing
     FROM tm4, k6 ORDER BY id"""
 
+  /** EPSG:3035 LAEA Europe (g107, round 18) — the third projection family
+    * (azimuthal equal-area; [[graft.core.LaeaProjection]], Snyder 24-17..
+    * 24-20 + 3-12). The oracle REPLAYS the closed-form ellipsoidal forward
+    * from the published formulas over a Europe grid (the g104 discipline);
+    * both sides gate at integer metres on ~1e6-7 m values. The equal-area
+    * physical property and the EPSG worked example are pinned in LaeaSpec. */
+  private val g107Spark = """
+    SELECT id, ROUND(ST_X(g), 0) AS easting, ROUND(ST_Y(g), 0) AS northing
+    FROM (SELECT c_custkey AS id,
+                 ST_Transform(ST_Point(-10.0 + CAST(c_custkey % 90 AS DOUBLE) / 2.0,
+                                       35.0 + CAST(c_custkey % 70 AS DOUBLE) / 2.0),
+                              4326, 3035) AS g
+          FROM customer)
+    ORDER BY id"""
+
+  private val g107Duck = """
+    WITH k AS (
+      SELECT 6378137.0 AS a, 1.0/298.257222101 AS f,
+             radians(52.0) AS phi0, radians(10.0) AS lam0,
+             4321000.0 AS fe, 3210000.0 AS fn
+    ), k2 AS (
+      SELECT *, f*(2.0-f) AS e2, sqrt(f*(2.0-f)) AS e FROM k
+    ), k3 AS (
+      SELECT *,
+        (1.0-e2)*(sin(phi0)/(1.0-e2*sin(phi0)*sin(phi0))
+          - (1.0/(2.0*e))*ln((1.0-e*sin(phi0))/(1.0+e*sin(phi0)))) AS q1,
+        (1.0-e2)*(1.0/(1.0-e2) - (1.0/(2.0*e))*ln((1.0-e)/(1.0+e))) AS qp
+      FROM k2
+    ), k4 AS (
+      SELECT *, asin(q1/qp) AS b1, a*sqrt(qp/2.0) AS rq,
+             cos(phi0)/sqrt(1.0-e2*sin(phi0)*sin(phi0)) AS m1
+      FROM k3
+    ), k5 AS (
+      SELECT *, a*m1/(rq*cos(b1)) AS d FROM k4
+    ), pts AS (
+      SELECT c_custkey AS id,
+             radians(-10.0 + (c_custkey % 90)/2.0) AS lam,
+             radians(35.0 + (c_custkey % 70)/2.0) AS phi
+      FROM customer
+    ), t1 AS (
+      SELECT id, lam - lam0 AS dl,
+             asin(((1.0-e2)*(sin(phi)/(1.0-e2*sin(phi)*sin(phi))
+               - (1.0/(2.0*e))*ln((1.0-e*sin(phi))/(1.0+e*sin(phi)))))/qp) AS beta
+      FROM pts, k5
+    ), t2 AS (
+      SELECT id, dl, beta,
+             rq*sqrt(2.0/(1.0 + sin(b1)*sin(beta) + cos(b1)*cos(beta)*cos(dl))) AS bb
+      FROM t1, k5
+    )
+    SELECT id,
+           ROUND(fe + bb*d*cos(beta)*sin(dl), 0) AS easting,
+           ROUND(fn + (bb/d)*(cos(b1)*sin(beta) - sin(b1)*cos(beta)*cos(dl)), 0) AS northing
+    FROM t2, k5 ORDER BY id"""
+
+  /** ED50 datum family (g108, round 18) — the SECOND non-WGS84 datum:
+    * EPSG:4230 (ED50 geographic, International 1924 ellipsoid) via the
+    * inverse of the published mean-European geocentric translation
+    * (EPSG tfm 1133), and EPSG:23032 (ED50/UTM 32N) composing that shift
+    * with the Krüger TM series on Hayford. The oracle replays BOTH chains:
+    * ECEF → translate → unrolled fixed-point geodetic inverse → TM (the
+    * g104 discipline, translation-only Helmert, equatorial origin so
+    * xi0 = 0). Gates: 1e-6 deg (~0.1 m) on the geographic pair, integer
+    * metres on the grid pair. */
+  private val g108Spark = """
+    SELECT id, ROUND(ST_X(g), 6) AS ed50_lon, ROUND(ST_Y(g), 6) AS ed50_lat,
+           ROUND(ST_X(u), 0) AS easting, ROUND(ST_Y(u), 0) AS northing
+    FROM (SELECT c_custkey AS id,
+                 ST_Transform(pt, 4326, 4230) AS g,
+                 ST_Transform(pt, 4326, 23032) AS u
+          FROM (SELECT c_custkey,
+                       ST_Point(6.0 + CAST(c_custkey % 60 AS DOUBLE) / 10.0,
+                                36.0 + CAST(c_custkey % 240 AS DOUBLE) / 10.0) AS pt
+                FROM customer) t0)
+    ORDER BY id"""
+
+  private val g108Duck = """
+    WITH k AS (
+      SELECT 6378137.0 AS aw,
+             (1.0/298.257223563)*(2.0 - 1.0/298.257223563) AS e2w,
+             6378388.0 AS aa, 1.0/297.0 AS fa,
+             87.0 AS tx, 98.0 AS ty, 121.0 AS tz,
+             0.9996 AS k0, radians(9.0) AS lam0, 500000.0 AS e00, 0.0 AS n00
+    ), k2 AS (
+      SELECT *, fa*(2.0-fa) AS e2a, sqrt(fa*(2.0-fa)) AS ea, fa/(2.0-fa) AS tn FROM k
+    ), k3 AS (
+      SELECT *,
+        aa/(1.0+tn)*(1.0 + tn*tn/4.0 + (tn*tn)*(tn*tn)/64.0
+                     + (tn*tn)*(tn*tn)*(tn*tn)/256.0) AS biga,
+        tn/2.0 - 2.0*tn*tn/3.0 + 5.0*tn*tn*tn/16.0 + 41.0*tn*tn*tn*tn/180.0
+          - 127.0*tn*tn*tn*tn*tn/288.0 + 7891.0*tn*tn*tn*tn*tn*tn/37800.0 AS c1,
+        13.0*tn*tn/48.0 - 3.0*tn*tn*tn/5.0 + 557.0*tn*tn*tn*tn/1440.0
+          + 281.0*tn*tn*tn*tn*tn/630.0 - 1983433.0*tn*tn*tn*tn*tn*tn/1935360.0 AS c2,
+        61.0*tn*tn*tn/240.0 - 103.0*tn*tn*tn*tn/140.0 + 15061.0*tn*tn*tn*tn*tn/26880.0
+          + 167603.0*tn*tn*tn*tn*tn*tn/181440.0 AS c3,
+        49561.0*tn*tn*tn*tn/161280.0 - 179.0*tn*tn*tn*tn*tn/168.0
+          + 6601661.0*tn*tn*tn*tn*tn*tn/7257600.0 AS c4,
+        34729.0*tn*tn*tn*tn*tn/80640.0 - 3418889.0*tn*tn*tn*tn*tn*tn/1995840.0 AS c5,
+        212378941.0*tn*tn*tn*tn*tn*tn/319334400.0 AS c6
+      FROM k2
+    ), pts AS (
+      SELECT c_custkey AS id,
+             radians(6.0 + (c_custkey % 60)/10.0) AS lam,
+             radians(36.0 + (c_custkey % 240)/10.0) AS phi
+      FROM customer
+    ), ecef AS (
+      SELECT id,
+             (aw/sqrt(1.0-e2w*sin(phi)*sin(phi)))*cos(phi)*cos(lam) AS x1,
+             (aw/sqrt(1.0-e2w*sin(phi)*sin(phi)))*cos(phi)*sin(lam) AS y1,
+             (aw/sqrt(1.0-e2w*sin(phi)*sin(phi)))*(1.0-e2w)*sin(phi) AS z1
+      FROM pts, k3
+    ), helm AS (
+      SELECT id, x1 + tx AS x2, y1 + ty AS y2, z1 + tz AS z2 FROM ecef, k3
+    ), g0 AS (
+      SELECT id, atan2(y2, x2) AS lam2, sqrt(x2*x2+y2*y2) AS p, z2,
+             atan2(z2, sqrt(x2*x2+y2*y2)*(1.0-e2a)) AS f
+      FROM helm, k3
+    ), g1 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g0, k3),
+    g2 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g1, k3),
+    g3 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g2, k3),
+    g4 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g3, k3),
+    g5 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g4, k3),
+    g6 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g5, k3),
+    g7 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g6, k3),
+    g8 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g7, k3),
+    g9 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g8, k3),
+    tm0 AS (
+      SELECT id, lam2, f AS phi, lam2 - lam0 AS dl, sin(f) AS sf FROM g9, k3
+    ), tm1 AS (
+      SELECT id, lam2, phi, dl,
+             0.5*ln((1.0+sf)/(1.0-sf)) - ea*0.5*ln((1.0+ea*sf)/(1.0-ea*sf)) AS u
+      FROM tm0, k3
+    ), tm2 AS (
+      SELECT id, lam2, phi, dl, (exp(u)-exp(-u))/2.0 AS t FROM tm1
+    ), tm3 AS (
+      SELECT id, lam2, phi, atan2(t, cos(dl)) AS xip,
+             ln(sin(dl)/sqrt(t*t + cos(dl)*cos(dl))
+                + sqrt((sin(dl)/sqrt(t*t + cos(dl)*cos(dl)))
+                       *(sin(dl)/sqrt(t*t + cos(dl)*cos(dl))) + 1.0)) AS etap
+      FROM tm2
+    ), tm4 AS (
+      SELECT id, lam2, phi,
+             xip + c1*sin(2.0*xip)*(exp(2.0*etap)+exp(-2.0*etap))/2.0
+                 + c2*sin(4.0*xip)*(exp(4.0*etap)+exp(-4.0*etap))/2.0
+                 + c3*sin(6.0*xip)*(exp(6.0*etap)+exp(-6.0*etap))/2.0
+                 + c4*sin(8.0*xip)*(exp(8.0*etap)+exp(-8.0*etap))/2.0
+                 + c5*sin(10.0*xip)*(exp(10.0*etap)+exp(-10.0*etap))/2.0
+                 + c6*sin(12.0*xip)*(exp(12.0*etap)+exp(-12.0*etap))/2.0 AS xi,
+             etap + c1*cos(2.0*xip)*(exp(2.0*etap)-exp(-2.0*etap))/2.0
+                  + c2*cos(4.0*xip)*(exp(4.0*etap)-exp(-4.0*etap))/2.0
+                  + c3*cos(6.0*xip)*(exp(6.0*etap)-exp(-6.0*etap))/2.0
+                  + c4*cos(8.0*xip)*(exp(8.0*etap)-exp(-8.0*etap))/2.0
+                  + c5*cos(10.0*xip)*(exp(10.0*etap)-exp(-10.0*etap))/2.0
+                  + c6*cos(12.0*xip)*(exp(12.0*etap)-exp(-12.0*etap))/2.0 AS eta
+      FROM tm3, k3
+    )
+    SELECT id, ROUND(degrees(lam2), 6) AS ed50_lon, ROUND(degrees(phi), 6) AS ed50_lat,
+           ROUND(e00 + k0*biga*eta, 0) AS easting,
+           ROUND(n00 + k0*biga*xi, 0) AS northing
+    FROM tm4, k3 ORDER BY id"""
+
   /** Dictionary-encoded STREAM-format Arrow IPC (g95): the g86 interop
     * shape through the footer-less .arrows wire format — the default of
     * pyarrow's `ipc.new_stream` and Flight-style pipes, where dictionary
@@ -12391,6 +12551,8 @@ object SparkEntry {
     ("g104_bng_datum_shift", q(g104Spark), g104Duck),
     ("g105_native_point_fastpath", g105Fn _, g105Duck),
     ("g106_knn_rank_ties", q(g106Spark), g106Duck),
+    ("g107_laea_europe", q(g107Spark), g107Duck),
+    ("g108_ed50_datum", q(g108Spark), g108Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

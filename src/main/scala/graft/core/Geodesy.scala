@@ -121,26 +121,32 @@ object Geodesy {
           val (lon, lat) = inv(c.x, c.y)
           new Coordinate(lon, lat)
         })
-      // EPSG:27700 British National Grid — the first non-WGS84-datum CRS:
-      // WGS84→OSGB36 Helmert shift + Airy 1830 transverse Mercator
-      // ([[Osgb36]]; OS guide formulas, exceeds the reference's geodesy
-      // subset which is WGS84-datum only)
-      case (4326, 27700) => mapCoords(b, c => {
-        check4326(c, 27700)
-        val (x, y) = Osgb36.forward(c.x, c.y); new Coordinate(x, y)
-      })
-      case (27700, 4326) => mapCoords(b, c => {
-        val (lon, lat) = Osgb36.reverse(c.x, c.y); new Coordinate(lon, lat)
-      })
+      // national/regional CRS registry ([[NatCrs]]): 27700 BNG (OSGB36
+      // datum), 3035 LAEA Europe, ED50 (4230 + 230xx UTM), ETRS89 (4258 +
+      // 258xx UTM), NAD83 (4269), OSGB36 geographic (4277) — datum shifts
+      // compose with projections inside the registry entry, so a hop like
+      // 4230→23031 or 27700→3035 is two analytic legs through 4326
+      case (4326, t) if NatCrs.supports(t) =>
+        val fwd = NatCrs.forwardFn(t) // resolved once per geometry
+        mapCoords(b, c => {
+          check4326(c, t)
+          val (x, y) = fwd(c.x, c.y); new Coordinate(x, y)
+        })
+      case (f, 4326) if NatCrs.supports(f) =>
+        val rev = NatCrs.reverseFn(f)
+        mapCoords(b, c => {
+          val (lon, lat) = rev(c.x, c.y); new Coordinate(lon, lat)
+        })
       // any other pair of supported CRSs composes through 4326 (zone→zone,
       // UTM↔web-mercator, conic↔anything) — both legs are the analytic
       // base cases above
-      case (f, t) if (f == 3857 || f == 27700 || utmZone(f).isDefined || conicOf(f).isDefined) &&
-                     (t == 3857 || t == 27700 || utmZone(t).isDefined || conicOf(t).isDefined) =>
+      case (f, t) if (f == 3857 || utmZone(f).isDefined || conicOf(f).isDefined || NatCrs.supports(f)) &&
+                     (t == 3857 || utmZone(t).isDefined || conicOf(t).isDefined || NatCrs.supports(t)) =>
         transform(transform(b, f, 4326), 4326, t)
       case _ => throw new IllegalArgumentException(
-        s"ST_Transform: only EPSG 4326/3857/326xx/327xx (UTM)/5070/2154/27700 pairs supported, " +
-          s"got $fromSrid->$toSrid")
+        "ST_Transform: only EPSG 4326/3857/326xx/327xx (UTM)/5070/2154/27700/" +
+          "3035/4230/230xx (ED50 UTM)/4258/258xx (ETRS89 UTM)/4269/4277 pairs " +
+          s"supported, got $fromSrid->$toSrid")
     }
 
   /** Conic parameter lookup: (params, isAlbers). */

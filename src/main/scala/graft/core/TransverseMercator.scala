@@ -178,6 +178,11 @@ object Datum {
   val Wgs84 = Ellipsoid(6378137.0, 1.0 / 298.257223563)
   /** Airy 1830: a = 6377563.396, b = 6356256.909 (OS guide A.1). */
   val Airy1830 = Ellipsoid(6377563.396, (6377563.396 - 6356256.909) / 6377563.396)
+  /** International 1924 (Hayford) — the ED50 ellipsoid. */
+  val International1924 = Ellipsoid(6378388.0, 1.0 / 297.0)
+  /** GRS 1980 — NAD83/ETRS89; differs from WGS84 only in the 1e-10 tail
+    * of the flattening. */
+  val Grs80 = Ellipsoid(6378137.0, 1.0 / 298.257222101)
 
   /** translations in metres, scale in ppm, rotations in arc-seconds
     * (position-vector convention). */
@@ -194,6 +199,13 @@ object Datum {
     * correction-grid file and is out of scope like full PROJ). */
   val Wgs84ToOsgb36 = Helmert(-446.448, 125.157, -542.060, 20.4894,
     -0.1502, -0.2470, -0.8421)
+
+  /** WGS84 → ED50 (European Datum 1950 on International 1924): the
+    * inverse of the published mean-European geocentric translation
+    * "ED50 to WGS 84 (1)" (EPSG transformation 1133: dx −87, dy −98,
+    * dz −121 m; ~10 m stated accuracy — the per-country variants refine
+    * it but need regional parameter sets). */
+  val Wgs84ToEd50 = Helmert(87.0, 98.0, 121.0, 0.0, 0.0, 0.0, 0.0)
 
   def geodeticToEcef(ell: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
     val lam = math.toRadians(lonDeg); val phi = math.toRadians(latDeg)
@@ -260,5 +272,104 @@ object Osgb36 {
   def reverse(easting: Double, northing: Double): (Double, Double) = {
     val (lo, la) = projection.reverse(easting, northing)
     Datum.shift(Datum.Airy1830, Datum.Wgs84, Datum.Wgs84ToOsgb36.reversed, lo, la)
+  }
+}
+
+/** National/regional CRS registry beyond the analytic base set — every
+  * entry maps WGS84 (lon°, lat°) ↔ the target CRS's native coordinates,
+  * composing a datum shift (where the CRS's datum is not WGS84) with the
+  * projection (where the CRS is projected). Geographic CRSs that ARE a
+  * datum (4277/4230/4258/4269) are entries whose "projection" is the
+  * identity, so datum hops compose through 4326 like everything else.
+  *
+  * Round-18 additions over 27700: EPSG:3035 (LAEA Europe), ED50 (4230 +
+  * ED50/UTM 23028-23038, the second non-WGS84 datum), ETRS89 (4258 +
+  * ETRS89/UTM 25828-25838) and NAD83 (4269). ETRS89/NAD83 use the null
+  * datum shift (sub-metre vs WGS84, PROJ's own gridless default). */
+object NatCrs {
+
+  /** ED50/UTM zone from EPSG 230zz (zz = 28..38, northern Europe). */
+  private def ed50Zone(srid: Int): Option[Int] = {
+    val z = srid - 23000
+    if (z >= 28 && z <= 38) Some(z) else None
+  }
+  /** ETRS89/UTM zone from EPSG 258zz (zz = 28..38). */
+  private def etrsZone(srid: Int): Option[Int] = {
+    val z = srid - 25800
+    if (z >= 28 && z <= 38) Some(z) else None
+  }
+
+  // per-zone TM projections on the non-WGS84 ellipsoids, built lazily —
+  // the same benign-race cache shape as TransverseMercator.zones
+  private val ed50Zones = new Array[TmProjection](60)
+  private def ed50Proj(zone: Int): TmProjection = {
+    var p = ed50Zones(zone - 1)
+    if (p == null) {
+      p = new TmProjection(a = Datum.International1924.a, f = Datum.International1924.f,
+        k0 = 0.9996, lon0Deg = TransverseMercator.centralMeridian(zone), lat0Deg = 0.0,
+        falseEasting = 500000.0, falseNorthing = 0.0)
+      ed50Zones(zone - 1) = p
+    }
+    p
+  }
+  private val etrsZones = new Array[TmProjection](60)
+  private def etrsProj(zone: Int): TmProjection = {
+    var p = etrsZones(zone - 1)
+    if (p == null) {
+      p = new TmProjection(a = Datum.Grs80.a, f = Datum.Grs80.f,
+        k0 = 0.9996, lon0Deg = TransverseMercator.centralMeridian(zone), lat0Deg = 0.0,
+        falseEasting = 500000.0, falseNorthing = 0.0)
+      etrsZones(zone - 1) = p
+    }
+    p
+  }
+
+  def supports(srid: Int): Boolean = srid match {
+    case 27700 | 3035 | 4277 | 4230 | 4258 | 4269 => true
+    case s => ed50Zone(s).isDefined || etrsZone(s).isDefined
+  }
+
+  /** WGS84 (lon°, lat°) → target-CRS coordinates; resolved once per
+    * geometry (the conic-fn discipline — no per-vertex dispatch). */
+  def forwardFn(srid: Int): (Double, Double) => (Double, Double) = srid match {
+    case 27700 => Osgb36.forward
+    case 3035 => LaeaEurope.projection.forward // ETRS89 ≈ WGS84: null shift
+    case 4277 => (lon, lat) =>
+      Datum.shift(Datum.Wgs84, Datum.Airy1830, Datum.Wgs84ToOsgb36, lon, lat)
+    case 4230 => (lon, lat) =>
+      Datum.shift(Datum.Wgs84, Datum.International1924, Datum.Wgs84ToEd50, lon, lat)
+    case 4258 | 4269 => (lon, lat) => (lon, lat) // ETRS89 / NAD83 ≈ WGS84
+    case s if ed50Zone(s).isDefined =>
+      val p = ed50Proj(ed50Zone(s).get)
+      (lon, lat) => {
+        val (lo, la) = Datum.shift(Datum.Wgs84, Datum.International1924,
+          Datum.Wgs84ToEd50, lon, lat)
+        p.forward(lo, la)
+      }
+    case s if etrsZone(s).isDefined =>
+      val p = etrsProj(etrsZone(s).get)
+      (lon, lat) => p.forward(lon, lat)
+    case s => throw new IllegalArgumentException(s"NatCrs: unsupported EPSG:$s")
+  }
+
+  /** target-CRS coordinates → WGS84 (lon°, lat°). */
+  def reverseFn(srid: Int): (Double, Double) => (Double, Double) = srid match {
+    case 27700 => Osgb36.reverse
+    case 3035 => LaeaEurope.projection.reverse
+    case 4277 => (lon, lat) =>
+      Datum.shift(Datum.Airy1830, Datum.Wgs84, Datum.Wgs84ToOsgb36.reversed, lon, lat)
+    case 4230 => (lon, lat) =>
+      Datum.shift(Datum.International1924, Datum.Wgs84, Datum.Wgs84ToEd50.reversed, lon, lat)
+    case 4258 | 4269 => (lon, lat) => (lon, lat)
+    case s if ed50Zone(s).isDefined =>
+      val p = ed50Proj(ed50Zone(s).get)
+      (x, y) => {
+        val (lo, la) = p.reverse(x, y)
+        Datum.shift(Datum.International1924, Datum.Wgs84, Datum.Wgs84ToEd50.reversed, lo, la)
+      }
+    case s if etrsZone(s).isDefined =>
+      val p = etrsProj(etrsZone(s).get)
+      (x, y) => p.reverse(x, y)
+    case s => throw new IllegalArgumentException(s"NatCrs: unsupported EPSG:$s")
   }
 }
