@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Max, Min}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.optimizer.{CollapseProject, ColumnPruning}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BooleanType, DoubleType, StructType}
 
@@ -79,6 +79,56 @@ object NativePointFastPath extends Rule[LogicalPlan] {
   private def isGeomOp(si: StaticInvoke, name: String): Boolean =
     si.staticObject.getName == "graft.core.GeomOps" && si.functionName == name
 
+  private def isGeodesyOp(si: StaticInvoke, name: String): Boolean =
+    si.staticObject.getName == "graft.core.Geodesy" && si.functionName == name
+
+  /** (x, y) of a FOLDABLE point argument (e.g. `ST_Point(2.35, 48.85)`
+    * folded to a WKB literal) — evaluated once at optimization time.
+    * Non-point / EMPTY / unparseable literals refuse the rewrite. */
+  private def litPointCoords(arg: Expression): Option[(Expression, Expression)] = {
+    val e = strip(arg)
+    if (!e.foldable || e.dataType != org.apache.spark.sql.types.BinaryType) return None
+    try {
+      val wkb = e.eval().asInstanceOf[Array[Byte]]
+      if (wkb == null) return None
+      graft.core.GeomOps.read(wkb) match {
+        case p: org.locationtech.jts.geom.Point if !p.isEmpty =>
+          Some((Literal(p.getX), Literal(p.getY)))
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** planar point distance, the exact JTS IEEE chain:
+    * sqrt(dx·dx + dy·dy). NaN (EMPTY sentinel) flows through naturally. */
+  private def planarDist(x1: Expression, y1: Expression,
+                         x2: Expression, y2: Expression): Expression = {
+    val dx = Subtract(x1, x2)
+    val dy = Subtract(y1, y2)
+    Sqrt(Add(Multiply(dx, dx), Multiply(dy, dy)))
+  }
+
+  /** haversine meters, the exact [[graft.core.Geodesy.haversineMeters]]
+    * IEEE chain via codegen'd trig built-ins (every step is the same
+    * java.lang.Math call). EMPTY's NaN sentinel must yield NaN like the
+    * kernel — `Least` would swallow it (Spark orders NaN last), so the
+    * NaN case is guarded explicitly. */
+  private def sphereDist(x1: Expression, y1: Expression,
+                         x2: Expression, y2: Expression): Expression = {
+    val dLat = ToRadians(Subtract(y2, y1))
+    val dLon = ToRadians(Subtract(x2, x1))
+    val a = Add(
+      Pow(Sin(Divide(dLat, Literal(2.0))), Literal(2.0)),
+      Multiply(Multiply(Cos(ToRadians(y1)), Cos(ToRadians(y2))),
+        Pow(Sin(Divide(dLon, Literal(2.0))), Literal(2.0))))
+    val root = Sqrt(a)
+    // Least SKIPS null and orders NaN last — both must pass through as
+    // themselves (NULL input stays NULL, the EMPTY NaN sentinel stays NaN)
+    val clamped = If(Or(IsNull(root), IsNaN(root)), root,
+      Least(Seq(Literal(1.0), root)))
+    Multiply(Literal(2.0 * graft.core.Geodesy.EarthRadiusM), Asin(clamped))
+  }
+
   private def isExtentAgg(ae: AggregateExpression): Boolean = ae.aggregateFunction match {
     case sa: org.apache.spark.sql.execution.aggregate.ScalaAggregator[_, _, _] =>
       (sa.agg eq graft.functions.GeoAggregates.ExtentAgg) && sa.children.length == 1
@@ -125,6 +175,24 @@ object NativePointFastPath extends Rule[LogicalPlan] {
           Some(entries(ar.exprId))
         case _ => None
       })
+    // (x, y) of a distance-kernel argument: struct leaves (native column)
+    // or a foldable point literal. The rewrite needs ≥1 struct side —
+    // literal-literal pairs are constant folding's job.
+    def coordsOf(arg: Expression): Option[(Expression, Expression, Boolean)] =
+      resolveStruct(arg).flatMap(s =>
+        for { x <- leaf(s, "x"); y <- leaf(s, "y") } yield (x, y, true))
+        .orElse(litPointCoords(arg).map { case (x, y) => (x, y, false) })
+    // NEVER rewrite inside a Join node: SpatialJoinStrategy and the count
+    // fold match the StaticInvoke shape in join conditions — a rewritten
+    // condition would silently degrade the join to BroadcastNestedLoopJoin
+    def binCoords(si: StaticInvoke)
+        : Option[((Expression, Expression), (Expression, Expression))] =
+      if (node.isInstanceOf[Join]) None
+      else for {
+        a <- coordsOf(si.arguments(0))
+        b <- coordsOf(si.arguments(1))
+        if a._3 || b._3
+      } yield ((a._1, a._2), (b._1, b._2))
     val newNode = node.transformExpressions {
       case si: StaticInvoke if coordKernels.contains(si.functionName) &&
           si.staticObject.getName == "graft.core.GeomOps" =>
@@ -135,6 +203,22 @@ object NativePointFastPath extends Rule[LogicalPlan] {
           s <- resolveStruct(si.arguments.head)
           x <- leaf(s, "x")
         } yield If(IsNull(s), Literal(null, BooleanType), IsNaN(x))).getOrElse(si)
+      // distance kernels against a native point column (round 18): the
+      // point-radius scan shape — `WHERE ST_DWithin(g, ST_Point(…), r)` /
+      // `ST_Distance(g, lit)` / `ST_DistanceSphere(g, lit)` — runs as
+      // codegen'd leaf arithmetic (the exact kernel IEEE chains) instead
+      // of per-row WKB serialize + JTS parse
+      case si: StaticInvoke if isGeomOp(si, "distance") && si.arguments.length == 2 =>
+        binCoords(si).map { case ((x1, y1), (x2, y2)) =>
+          planarDist(x1, y1, x2, y2) }.getOrElse(si)
+      case si: StaticInvoke if isGeodesyOp(si, "distanceSphere") && si.arguments.length == 2 =>
+        binCoords(si).map { case ((x1, y1), (x2, y2)) =>
+          sphereDist(x1, y1, x2, y2) }.getOrElse(si)
+      case si: StaticInvoke if isGeomOp(si, "dWithin") && si.arguments.length == 3 &&
+          strip(si.arguments(2)).foldable =>
+        binCoords(si).map { case ((x1, y1), (x2, y2)) =>
+          LessThanOrEqual(planarDist(x1, y1, x2, y2), strip(si.arguments(2)))
+        }.getOrElse(si)
       case ae: AggregateExpression if !ae.isDistinct && isExtentAgg(ae) =>
         resolveStruct(extentChild(ae)).flatMap(extentRewrite(ae, _)).getOrElse(ae)
     }

@@ -111,6 +111,66 @@ class NativePointFastPathSpec extends SparkTestBase {
       s"unexpected shape:\n$plan")
   }
 
+  test("distance kernels against a literal point run on the struct leaves") {
+    val df = GeoParquet.read(spark, nativeDir)
+    df.createOrReplaceTempView("npfp_pts5")
+    // the point-radius scan shape: filter + projection, no JTS in the plan
+    val q = spark.sql("""
+      SELECT fid, ST_Distance(geometry, ST_Point(3.0, 5.0)) AS d,
+             ST_DistanceSphere(geometry, ST_Point(3.0, 5.0)) AS ds
+      FROM npfp_pts5
+      WHERE ST_DWithin(geometry, ST_Point(3.0, 5.0), 4.0) AND fid NOT IN (7, 11)
+      ORDER BY fid""")
+    val plan = optimizedPlan(q)
+    assert(!plan.contains("gaPoint"), s"WKB transcode survived:\n$plan")
+    assert(!plan.contains("dWithin") && !plan.contains("distance"),
+      s"JTS kernel survived:\n$plan")
+    val rows = q.collect()
+    // ground truth straight from the generator (x = fid/10, y = fid % 13)
+    val exp = (0 until 100).filter(i => i != 7 && i != 11).flatMap { i =>
+      val (x, y) = (i / 10.0, (i % 13).toDouble)
+      val d = math.sqrt((x - 3.0) * (x - 3.0) + (y - 5.0) * (y - 5.0))
+      if (d <= 4.0)
+        Some((i.toLong, d, graft.core.Geodesy.haversineMeters(x, y, 3.0, 5.0)))
+      else None
+    }
+    assert(rows.length == exp.length, s"row count ${rows.length} vs ${exp.length}")
+    rows.zip(exp).foreach { case (r, (fid, d, ds)) =>
+      assert(r.getLong(0) == fid)
+      assert(r.getDouble(1) == d, s"planar fid=$fid: ${r.getDouble(1)} vs $d (must be bit-exact)")
+      assert(r.getDouble(2) == ds, s"sphere fid=$fid: ${r.getDouble(2)} vs $ds (must be bit-exact)")
+    }
+    // EMPTY sentinel: NaN distance (documented divergence), NULL stays NULL
+    val edge = spark.sql("""
+      SELECT fid, ST_Distance(geometry, ST_Point(0.0, 0.0)) AS d,
+             ST_DistanceSphere(geometry, ST_Point(0.0, 0.0)) AS ds
+      FROM npfp_pts5 WHERE fid IN (7, 11) ORDER BY fid""").collect()
+    assert(edge(0).getDouble(1).isNaN && edge(0).getDouble(2).isNaN,
+      "EMPTY point must yield NaN through both fast-path kernels")
+    assert(edge(1).isNullAt(1) && edge(1).isNullAt(2), "NULL stays NULL")
+  }
+
+  test("native-native distance between two point columns rewrites; JOIN conditions never do") {
+    val df = GeoParquet.read(spark, nativeDir)
+    df.createOrReplaceTempView("npfp_a")
+    // same-row native-native distance (self-join-free shape) rewrites
+    val q = spark.sql("""
+      SELECT SUM(ST_Distance(geometry, geometry)) AS s
+      FROM npfp_a WHERE fid NOT IN (7, 11)""")
+    assert(!optimizedPlan(q).contains("gaPoint"), s"transcode survived:\n${optimizedPlan(q)}")
+    assert(q.head().getDouble(0) == 0.0)
+    // a dWithin JOIN between two native tables must still take the spatial
+    // strategy (the rule must not dissolve the condition the planner keys on)
+    val j = spark.sql("""
+      SELECT COUNT(*) FROM npfp_a a JOIN npfp_a b
+      ON ST_DWithin(a.geometry, b.geometry, 0.05)""")
+    val phys = j.queryExecution.executedPlan.toString
+    assert(phys.contains("SpatialJoin") || phys.contains("GridSpatialJoin"),
+      s"native-native spatial join lost the strategy:\n$phys")
+    assert(!phys.contains("BroadcastNestedLoopJoin"), s"BNLJ:\n$phys")
+    assert(j.head().getLong(0) >= 98L) // every valid row matches itself
+  }
+
   test("the WKB path is untouched when geometry is genuinely WKB") {
     graft.functions.GeoFunctions.register(spark)
     val q = spark.sql(
