@@ -1987,6 +1987,45 @@ object SparkEntry {
            ROUND(n00 + k0*biga*(xi - xi0), 0) AS northing
     FROM tm4, k6 ORDER BY id"""
 
+  /** DENSE_RANK()-kNN join (g109, round 18): the third rank function over
+    * the same cross-join window shape, planned as KnnTopKExec in
+    * dense_rank mode — the k smallest distance CLASSES per probe (the
+    * operator resolves on distinct-distance count, i.e. the pool's own
+    * max dense_rank). Same duplicate-heavy fixture as g106, so each class
+    * holds ~40 exact copies and `rk <= 2` returns ~80 rows per probe. */
+  private val g109Spark = """
+    SELECT lid, CAST(rk AS BIGINT) AS rnk, rid, ROUND(d, 6) AS dist
+    FROM (SELECT l.lid, r.rid, ST_Distance(l.lg, r.rg) AS d,
+                 DENSE_RANK() OVER (PARTITION BY l.lid ORDER BY ST_Distance(l.lg, r.rg)) AS rk
+          FROM (SELECT c_custkey AS lid,
+                       ST_Point(CAST(c_custkey % 41 AS DOUBLE),
+                                CAST((c_custkey * 7) % 37 AS DOUBLE)) AS lg
+                FROM customer WHERE c_custkey % 60 = 1) l
+          CROSS JOIN (SELECT p_partkey AS rid,
+                             ST_Point(CAST(p_partkey % 50 AS DOUBLE),
+                                      CAST((p_partkey * 7) % 50 AS DOUBLE)) AS rg
+                      FROM part) r) t
+    WHERE rk <= 2
+    ORDER BY lid, rnk, rid"""
+
+  private val g109Duck = """
+    WITH l AS (SELECT c_custkey AS lid,
+                      CAST(c_custkey % 41 AS DOUBLE) AS lx,
+                      CAST((c_custkey * 7) % 37 AS DOUBLE) AS ly
+               FROM customer WHERE c_custkey % 60 = 1),
+    r AS (SELECT p_partkey AS rid,
+                 CAST(p_partkey % 50 AS DOUBLE) AS rx,
+                 CAST((p_partkey * 7) % 50 AS DOUBLE) AS ry
+          FROM part),
+    pairs AS (SELECT lid, rid,
+                     sqrt((lx - rx) * (lx - rx) + (ly - ry) * (ly - ry)) AS d
+              FROM l CROSS JOIN r),
+    rk AS (SELECT lid, rid, d,
+                  DENSE_RANK() OVER (PARTITION BY lid ORDER BY d) AS rnk
+           FROM pairs)
+    SELECT lid, rnk::BIGINT AS rnk, rid, ROUND(d, 6) AS dist
+    FROM rk WHERE rnk <= 2 ORDER BY lid, rnk, rid"""
+
   /** EPSG:3035 LAEA Europe (g107, round 18) — the third projection family
     * (azimuthal equal-area; [[graft.core.LaeaProjection]], Snyder 24-17..
     * 24-20 + 3-12). The oracle REPLAYS the closed-form ellipsoidal forward
@@ -12553,6 +12592,7 @@ object SparkEntry {
     ("g106_knn_rank_ties", q(g106Spark), g106Duck),
     ("g107_laea_europe", q(g107Spark), g107Duck),
     ("g108_ed50_datum", q(g108Spark), g108Duck),
+    ("g109_knn_dense_rank", q(g109Spark), g109Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -117,24 +117,33 @@ object SpatialJoin {
     * heap memory is |remainder|·k entries, so size the cap down for large
     * k) falls back to the grid round with a warning.
     *
-    * `withTies = true` switches the per-row cut from ROW_NUMBER to RANK
-    * semantics: every right row whose distance equals the k-th smallest
-    * (counted with multiplicity) is kept, so the result SET is fully
-    * deterministic (no arbitrary rid tie-break decides membership) and
-    * `knn_rank` carries RANK values (ties share a rank, the next rank
-    * skips). Exactness argument: a row resolves only when its candidate
-    * pool — all right rows within the round radius r — holds ≥ k entries,
-    * so d_k ≤ r and every tie at d_k is already in the pool; the cut
-    * `rank() <= k` (⟺ dist ≤ d_k) therefore never misses a tie. Output
-    * size is k + |boundary ties| per left row.
+    * `rankMode` selects the per-row cut semantics, matching the SQL window
+    * function of the same name:
+    *  - `"row_number"` (default): exactly k rows, ties broken by rightId.
+    *  - `"rank"`: every right row whose distance ≤ the k-th smallest
+    *    (counted WITH multiplicity) — boundary ties kept, the result SET
+    *    is fully deterministic, `knn_rank` carries RANK values (ties share
+    *    a rank, the next rank skips).
+    *  - `"dense_rank"`: every right row whose distance ≤ the k-th smallest
+    *    DISTINCT distance — k whole distance classes per row.
+    * Exactness argument (both ties modes): a row resolves only when its
+    * candidate pool — all right rows within the round radius r — proves
+    * the k-th threshold ≤ r (rank: pool holds ≥ k entries; dense_rank:
+    * pool holds ≥ k distinct distances), so every row at or under the
+    * threshold is already in the pool and the windowed cut never misses
+    * a tie.
     */
   def knn(left: DataFrame, right: DataFrame,
           leftGeomCol: String, rightGeomCol: String, k: Int,
           leftIdCol: String, rightIdCol: String,
           initialRadius: Double = 0.0,
           metric: String = "planar",
-          withTies: Boolean = false): DataFrame = {
+          rankMode: String = "row_number"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(Set("row_number", "rank", "dense_rank")(rankMode),
+      s"knn rankMode '$rankMode' (row_number|rank|dense_rank)")
+    val withTies = rankMode != "row_number"
+    val dense = rankMode == "dense_rank"
     // the tie-break (knn_dist asc, right id asc) runs through BOTH a SQL
     // window (any orderable type) and the broadcast-remainder heap (JVM
     // comparison) — restrict to atomic scalars so the two paths cannot
@@ -256,18 +265,23 @@ object SpatialJoin {
     // `<= k` keeps every boundary tie and the output set is deterministic
     val wTies = org.apache.spark.sql.expressions.Window
       .partitionBy(col(leftIdCol)).orderBy(col("knn_dist").asc)
-    /** per-row cut: row_number ≤ k, or rank-with-ties ≤ k. `__cnt` (pool
-      * size) stays row_number-based in both modes — resolution needs the
-      * k-th candidate WITH multiplicity inside the proven radius. */
-    def cut(pool: DataFrame): DataFrame =
-      if (withTies)
+    /** per-row cut in the selected rank semantics, plus the resolution
+      * counter `__cnt`: row_number/rank resolve on POOL SIZE ≥ k (k-th
+      * with multiplicity inside the proven radius), dense_rank on
+      * DISTINCT-DISTANCE count ≥ k (its own max rank, for free). */
+    def cut(pool: DataFrame): DataFrame = rankMode match {
+      case "row_number" =>
+        pool.withColumn("knn_rank", row_number().over(w).cast("long"))
+          .withColumn("__cnt", max(col("knn_rank")).over(wAll))
+      case "rank" =>
         pool.withColumn("__rn", row_number().over(w))
           .withColumn("__cnt", max(col("__rn")).over(wAll))
           .withColumn("knn_rank", rank().over(wTies).cast("long"))
           .drop("__rn")
-      else
-        pool.withColumn("knn_rank", row_number().over(w).cast("long"))
+      case _ => // dense_rank
+        pool.withColumn("knn_rank", dense_rank().over(wTies).cast("long"))
           .withColumn("__cnt", max(col("knn_rank")).over(wAll))
+    }
 
     val spark = left.sparkSession
 
@@ -295,14 +309,15 @@ object SpatialJoin {
       val kk = k
       val mName = metric
       val ties = withTies
+      val dMode = dense
       val partial = right.rdd.mapPartitions { it =>
         val lefts = bu.value
-        // max-heap ordered like the rank window (dist asc, right id asc):
-        // top = current worst of the best k, evicted when beaten
-        // tie-break identical to the SQL rounds' orderBy(dist asc, rid asc):
-        // Spark asc puts nulls FIRST, and binary compares unsigned
-        // lexicographic — the entry require() pins rid to atomic types, so
-        // everything else is Comparable
+        // row_number mode: max-heap ordered like the rank window (dist asc,
+        // right id asc): top = current worst of the best k, evicted when
+        // beaten. Tie-break identical to the SQL rounds' orderBy(dist asc,
+        // rid asc): Spark asc puts nulls FIRST, and binary compares
+        // unsigned lexicographic — the entry require() pins rid to atomic
+        // types, so everything else is Comparable
         def cmpRid(x: Any, y: Any): Int =
           if (x == null) { if (y == null) 0 else -1 }
           else if (y == null) 1
@@ -316,17 +331,19 @@ object SpatialJoin {
             if (c != 0) c else cmpRid(a._2, b._2)
           }
         }
-        // ties mode: membership is decided by DISTANCE ALONE (the rid
-        // tie-break never drops a row), so the heap orders by dist only and
-        // keeps every entry with dist ≤ the k-th smallest seen (counted
-        // with multiplicity). Invariant between inserts: sorted positions
-        // k..size all equal the head value T, so at most ONE whole-class
-        // eviction is ever pending (belowTop can reach exactly k).
-        val ordDist = Ordering.by[(Double, Any, Row), Double](_._1)
-        val heaps = lefts.map(_ =>
-          new scala.collection.mutable.PriorityQueue[(Double, Any, Row)]()(
-            if (ties) ordDist else ord))
-        val belowTop = new Array[Int](lefts.length) // entries strictly below head
+        val heaps = if (ties) null else lefts.map(_ =>
+          new scala.collection.mutable.PriorityQueue[(Double, Any, Row)]()(ord))
+        // ties modes: membership is decided by DISTANCE ALONE (no rid
+        // tie-break ever drops a row), so kept rows bucket by exact
+        // distance in a TreeMap. Invariants between inserts —
+        //   rank:       kept = all entries with dist ≤ k-th smallest seen
+        //               (with multiplicity); evict the LAST class while
+        //               the remaining total still covers k
+        //   dense_rank: kept = the k smallest distance CLASSES; evict the
+        //               last class when a new class pushes past k
+        val buckets = if (!ties) null else lefts.map(_ =>
+          new java.util.TreeMap[Double, scala.collection.mutable.ArrayBuffer[Row]]())
+        val totals = new Array[Long](lefts.length) // rank mode: kept rows
         it.foreach { rrow =>
           if (!rrow.isNullAt(rGeomIdx)) {
             val rwkb = rrow.getAs[Array[Byte]](rGeomIdx)
@@ -338,29 +355,31 @@ object SpatialJoin {
                 val d = dk(lwkb, rwkb)
                 if (java.lang.Double.isNaN(d)) throw new IllegalStateException(
                   s"graft.knn: NaN distance from the $mName kernel — kernel regression, refusing to rank")
-                val h = heaps(i)
                 if (!ties) {
+                  val h = heaps(i)
                   if (h.size < kk) h.enqueue((d, rid, rrow))
                   else if (ord.compare((d, rid, rrow), h.head) < 0) {
                     h.dequeue(); h.enqueue((d, rid, rrow))
                   }
                 } else {
-                  if (h.size < kk) {
-                    h.enqueue((d, rid, rrow))
-                    if (h.size == kk) belowTop(i) = h.count(_._1 < h.head._1)
-                  } else {
-                    val top = h.head._1
-                    if (d < top) {
-                      h.enqueue((d, rid, rrow))
-                      belowTop(i) += 1
-                      if (belowTop(i) >= kk) {
-                        // the k smallest all sit below T: T's whole tie
-                        // class is now beyond rank k — evict it
-                        while (h.nonEmpty && h.head._1 == top) h.dequeue()
-                        belowTop(i) = h.count(_._1 < h.head._1)
-                      }
-                    } else if (d == top) h.enqueue((d, rid, rrow)) // boundary tie
-                    // d > top: beyond the k-th distance, discard
+                  val m = buckets(i)
+                  val admit =
+                    if (dMode) m.size < kk || d <= m.lastKey
+                    else totals(i) < kk || d <= m.lastKey
+                  if (admit) {
+                    var bucket = m.get(d)
+                    if (bucket == null) {
+                      bucket = scala.collection.mutable.ArrayBuffer.empty[Row]
+                      m.put(d, bucket)
+                    }
+                    bucket += rrow
+                    totals(i) += 1
+                    if (dMode) {
+                      if (m.size > kk) totals(i) -= m.pollLastEntry().getValue.length
+                    } else {
+                      while (totals(i) - m.lastEntry().getValue.length >= kk)
+                        totals(i) -= m.pollLastEntry().getValue.length
+                    }
                   }
                 }
               }
@@ -368,10 +387,18 @@ object SpatialJoin {
             }
           }
         }
-        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
-          val uid = lefts(i)._1
-          h.iterator.map { case (d, _, rrow) => Row.fromSeq(uid +: (rrow.toSeq :+ d)) }
-        }
+        if (!ties)
+          heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+            val uid = lefts(i)._1
+            h.iterator.map { case (d, _, rrow) => Row.fromSeq(uid +: (rrow.toSeq :+ d)) }
+          }
+        else
+          buckets.iterator.zipWithIndex.flatMap { case (m, i) =>
+            val uid = lefts(i)._1
+            scala.jdk.CollectionConverters.MapHasAsScala(m).asScala.iterator.flatMap {
+              case (d, rows) => rows.iterator.map(rrow => Row.fromSeq(uid +: (rrow.toSeq :+ d)))
+            }
+          }
       }
       val partSchema = StructType(
         StructField("__graft_knn_uid", lSchema(leftIdCol).dataType) +:
@@ -381,9 +408,12 @@ object SpatialJoin {
       // so one bounded global re-rank restores exactness in both modes
       val wMerge = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__graft_knn_uid"))
-      val mergeRank =
-        if (withTies) rank().over(wMerge.orderBy(col("knn_dist").asc))
-        else row_number().over(wMerge.orderBy(col("knn_dist").asc, col(rightIdCol).asc))
+      val mergeRank = rankMode match {
+        case "row_number" =>
+          row_number().over(wMerge.orderBy(col("knn_dist").asc, col(rightIdCol).asc))
+        case "rank" => rank().over(wMerge.orderBy(col("knn_dist").asc))
+        case _ => dense_rank().over(wMerge.orderBy(col("knn_dist").asc))
+      }
       val merged = spark.createDataFrame(partial, partSchema)
         .withColumn("knn_rank", mergeRank.cast("long"))
         .where(col("knn_rank") <= kk)

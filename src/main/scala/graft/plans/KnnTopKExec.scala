@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, ExprId}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.LeafExecNode
-import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id, rank, row_number}
+import org.apache.spark.sql.functions.{col, dense_rank, lit, monotonically_increasing_id, rank, row_number}
 
 /** Physical node for the auto-planned kNN join — the
   * `ROW_NUMBER() OVER (PARTITION BY l.id ORDER BY ST_Distance(l.g, r.g))
@@ -57,10 +57,11 @@ case class KnnTopKExec(
     rankId: ExprId,
     distIds: Set[ExprId],
     metric: String = "planar",
-    // RANK() semantics (round 18): keep every boundary tie by distance,
-    // rank values shared across ties — the operator runs in withTies mode
-    // and the group re-rank below uses rank() ordered by distance ALONE
-    withTies: Boolean = false) extends LeafExecNode {
+    // which SQL rank function the original window used (round 18):
+    // RANK/DENSE_RANK keep every boundary tie by distance — the operator
+    // runs in the matching ties mode and the group re-rank below uses the
+    // same rank function ordered by distance ALONE
+    rankMode: String = "row_number") extends LeafExecNode {
 
   override protected def doExecute(): RDD[InternalRow] = {
     val ss = session
@@ -84,18 +85,21 @@ case class KnnTopKExec(
     val pi = leftPlan.output.indexWhere(_.exprId == partKey.exprId)
     val res = graft.operators.SpatialJoin.knn(
       lDf, rDf, lNames(gi), rNames(gj), k, "__knn_lid", "__knn_rid",
-      metric = metric, withTies = withTies)
+      metric = metric, rankMode = rankMode)
     // re-rank the k-per-row candidates over the user's partition key (a
     // window over at most k·|left| (+ ties) rows, not the cartesian):
     // reproduces the literal plan's per-GROUP ranking even when key values
-    // repeat. Ties mode is exact here because the group's k-th smallest
-    // distance T ≤ every member row's own k-th smallest, so each pair with
-    // group-rank ≤ k (dist ≤ T) is inside its row's ties-extended set.
+    // repeat. Ties modes are exact here because the group's k-th threshold
+    // (rank: k-th smallest with multiplicity; dense_rank: k-th smallest
+    // distinct) is ≤ every member row's own k-th threshold, so each pair
+    // with group-rank ≤ k is inside its row's ties-extended set.
     val wG = org.apache.spark.sql.expressions.Window.partitionBy(col(lNames(pi)))
-    val grank =
-      if (withTies) rank().over(wG.orderBy(col("knn_dist").asc))
-      else row_number().over(wG.orderBy(
+    val grank = rankMode match {
+      case "row_number" => row_number().over(wG.orderBy(
         col("knn_dist").asc, col("__knn_rid").asc, col("__knn_lid").asc))
+      case "rank" => rank().over(wG.orderBy(col("knn_dist").asc))
+      case _ => dense_rank().over(wG.orderBy(col("knn_dist").asc))
+    }
     val reranked = res
       .withColumn("__knn_grank", grank)
       .where(col("__knn_grank") <= lit(k))

@@ -122,34 +122,25 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    // kNN-per-group: Filter(rk <= k) over Window(ROW_NUMBER or RANK
-    // ORDER BY ST_Distance) over a condition-less cross join → adaptive
-    // kNN operator instead of a cartesian + full window sort. RANK plans
-    // in withTies mode (round 18 upgrade of judge item 6): the operator's
-    // candidate pool for a resolved row provably holds every right row
-    // within the proven radius ≥ d_k, so boundary ties are recovered
-    // exactly — RANK keeps them, ranks shared, next rank skipped.
+    // kNN-per-group: Filter(rk <= k) over Window(ROW_NUMBER / RANK /
+    // DENSE_RANK ORDER BY ST_Distance) over a condition-less cross join →
+    // adaptive kNN operator instead of a cartesian + full window sort.
+    // RANK and DENSE_RANK plan in the matching ties mode (round 18): a
+    // row resolves only when its candidate pool — all right rows within
+    // the proven radius — proves the k-th threshold (rank: k-th smallest
+    // with multiplicity; dense_rank: k-th smallest DISTINCT distance,
+    // counted as the pool's own max dense_rank), so boundary ties are
+    // recovered exactly with the literal window's shared-rank values.
     case Filter(cond,
         w @ Window(Seq(al @ Alias(WindowExpression(rf,
           WindowSpecDefinition(Seq(pk: Attribute), Seq(so), _)), _)), _, _, wchild, _)) =>
       rf match {
         case RowNumber() =>
-          planKnn(cond, w.output, al, pk, so, wchild, withTies = false).toSeq
+          planKnn(cond, w.output, al, pk, so, wchild, "row_number").toSeq
         case _: Rank =>
-          planKnn(cond, w.output, al, pk, so, wchild, withTies = true).toSeq
-        // DENSE_RANK <= k needs the k-th smallest DISTINCT distance per
-        // group — unbounded multiplicity below it, which the operator's
-        // k-with-multiplicity resolution criterion cannot bound. The query
-        // stays on Spark's literal cartesian + full window sort, but
-        // LOUDLY: at 100 TB that plan is the bottleneck.
-        case _: DenseRank if knnShape(so, wchild) =>
-          warnOnce("dense_rank", "graft: DENSE_RANK() over ST_Distance on a " +
-            "cross join is NOT planned as the adaptive kNN operator (its " +
-            "resolution bound counts with multiplicity; k distinct distance " +
-            "values per group cannot be proven inside a bounded radius) — " +
-            "executing the literal cartesian + window sort. RANK() and " +
-            "ROW_NUMBER() both get the O(k·n) kNN plan.")
-          Nil
+          planKnn(cond, w.output, al, pk, so, wchild, "rank").toSeq
+        case _: DenseRank =>
+          planKnn(cond, w.output, al, pk, so, wchild, "dense_rank").toSeq
         case _ => Nil
       }
     // count-folded spatial join (rewritten by SpatialCountFoldRule)
@@ -219,7 +210,7 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
     */
   private def planKnn(cond: Expression, wOutput: Seq[Attribute], al: Alias,
                       pk: Attribute, so: SortOrder,
-                      wchild: LogicalPlan, withTies: Boolean): Option[SparkPlan] = {
+                      wchild: LogicalPlan, rankMode: String): Option[SparkPlan] = {
     val rk = al.toAttribute
     val k: Int = cond match {
       case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) if a.exprId == rk.exprId => v
@@ -299,7 +290,7 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
       case _ => return None
     }
     Some(KnnTopKExec(wOutput, join.left, join.right, lg, rg, pk, k,
-      rk.exprId, distIds.toSet, metric, withTies))
+      rk.exprId, distIds.toSet, metric, rankMode))
   }
 
   /** Geodesy kernel name (as StaticInvoke'd by the edges dispatch) →

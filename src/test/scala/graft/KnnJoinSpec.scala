@@ -269,21 +269,25 @@ class KnnJoinSpec extends SparkTestBase {
         FROM knn_l2 l CROSS JOIN knn_r2 r) t WHERE rk <= 1""")
     assert(!desc.queryExecution.executedPlan.toString.contains("KnnTopK"))
     assert(desc.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 11L)))
-    // DENSE_RANK needs k DISTINCT distance values per group — unbounded
-    // multiplicity below the threshold, which the operator's resolution
-    // criterion (k with multiplicity inside the proven radius) cannot
-    // bound. It stays on Spark's plan (with a logged warning) and the tie
-    // extension survives.
-    pts(Seq((20L, 1.0, 0.0), (21L, 0.0, 1.0), (22L, 5.0, 0.0)), "rid", "rg")
-      .createOrReplaceTempView("knn_r3")
+  }
+
+  test("planner: DENSE_RANK() kNN shape plans as KnnTopKExec with k distinct classes") {
+    pts(Seq((1L, 0.0, 0.0)), "lid", "lg").createOrReplaceTempView("knn_dr_l")
+    // distances: 1 (x2 tie), 2, 5 — DENSE_RANK <= 2 keeps the first TWO
+    // distance classes (3 rows), unlike RANK <= 2 (2 rows) or
+    // ROW_NUMBER <= 2 (2 rows)
+    pts(Seq((20L, 1.0, 0.0), (21L, 0.0, 1.0), (22L, 2.0, 0.0), (23L, 5.0, 0.0)),
+        "rid", "rg").createOrReplaceTempView("knn_dr_r")
     val dr = sql("""
       SELECT * FROM (
         SELECT l.lid, r.rid,
                DENSE_RANK() OVER (PARTITION BY l.lid ORDER BY ST_Distance(l.lg, r.rg)) AS rk
-        FROM knn_l2 l CROSS JOIN knn_r3 r) t WHERE rk <= 1""")
-    assert(!dr.queryExecution.executedPlan.toString.contains("KnnTopK"))
-    assert(dr.collect().map(_.getLong(1)).sorted.toSeq == Seq(20L, 21L),
-      "DENSE_RANK tie at the boundary must keep both rows")
+        FROM knn_dr_l l CROSS JOIN knn_dr_r r) t WHERE rk <= 2""")
+    val plan = dr.queryExecution.executedPlan.toString
+    assert(plan.contains("KnnTopK"), s"DENSE_RANK shape must plan as KnnTopK:\n$plan")
+    val rows = dr.collect().map(r => (r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq((20L, 1), (21L, 1), (22L, 2)),
+      s"two distance classes with shared dense ranks expected, got ${rows.toSeq}")
   }
 
   test("planner: RANK() kNN shape plans as KnnTopKExec and keeps boundary ties") {
@@ -628,7 +632,7 @@ class KnnJoinSpec extends SparkTestBase {
       (14L, 2.0, 0.0), (15L, 21.0, 20.0), (16L, 21.0, 20.0), (17L, 21.0, 20.0),
       (18L, 25.0, 20.0))
     val out = SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
-      "lg", "rg", 3, "lid", "rid", withTies = true)
+      "lg", "rg", 3, "lid", "rid", rankMode = "rank")
       .select("lid", "rid", "knn_dist", "knn_rank")
       .as[(Long, Long, Double, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(_._1).toSeq).toMap
@@ -656,7 +660,7 @@ class KnnJoinSpec extends SparkTestBase {
     val r = Seq((10L, 30.0, 0.0), (11L, 0.0, 30.0), (12L, -30.0, 0.0),
       (13L, 0.0, -30.0), (14L, 31.0, 0.0), (15L, 60.0, 0.0))
     val out = SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
-      "lg", "rg", 2, "lid", "rid", initialRadius = 0.01, withTies = true)
+      "lg", "rg", 2, "lid", "rid", initialRadius = 0.01, rankMode = "rank")
       .select("rid", "knn_rank").as[(Long, Long)].collect().sortBy(_._1).toSeq
     // k=2 cuts inside the 4-way tie at distance 30 → all four kept, rank 1
     assert(out == Seq((10L, 1L), (11L, 1L), (12L, 1L), (13L, 1L)), s"got $out")
@@ -676,7 +680,7 @@ class KnnJoinSpec extends SparkTestBase {
     val r = far ++ mid ++ near
     val out = SpatialJoin.knn(
       pts(l, "lid", "lg"), pts(r, "rid", "rg").coalesce(1),
-      "lg", "rg", 2, "lid", "rid", initialRadius = 1.0, withTies = true)
+      "lg", "rg", 2, "lid", "rid", initialRadius = 1.0, rankMode = "rank")
       .select("rid", "knn_rank").as[(Long, Long)].collect().sortBy(_._1).toSeq
     // k=2 lands inside the 3-way near class → all three kept at rank 1
     assert(out == Seq((20L, 1L), (21L, 1L), (22L, 1L)), s"got $out")
@@ -686,7 +690,7 @@ class KnnJoinSpec extends SparkTestBase {
     try {
       val fb = SpatialJoin.knn(
         pts(l, "lid", "lg"), pts(r, "rid", "rg"),
-        "lg", "rg", 2, "lid", "rid", initialRadius = 1.0, withTies = true)
+        "lg", "rg", 2, "lid", "rid", initialRadius = 1.0, rankMode = "rank")
         .select("rid", "knn_rank").as[(Long, Long)].collect().sortBy(_._1).toSeq
       assert(fb == out, s"grid fallback diverged: $fb vs $out")
     } finally prev match {
@@ -701,7 +705,7 @@ class KnnJoinSpec extends SparkTestBase {
     val l = (0L until 40L).map(i => (i, (i % 8) * 9.0, (i / 8) * 9.0))
     val r = (0L until 400L).map(i => (1000L + i, (i % 20).toDouble * 3.0, ((i * 7) % 20).toDouble * 3.0))
     val out = SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
-      "lg", "rg", 3, "lid", "rid", withTies = true)
+      "lg", "rg", 3, "lid", "rid", rankMode = "rank")
       .select("lid", "rid", "knn_rank").as[(Long, Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
     val exp = expectedTies(l, r, 3)
@@ -711,6 +715,84 @@ class KnnJoinSpec extends SparkTestBase {
     }
     // the fixture is meaningful: at least one row's set exceeds k
     assert(l.exists { case (lid, _, _) => exp(lid).length > 3 }, "fixture decayed: no ties")
+  }
+
+  /** brute-force DENSE_RANK-semantics ground truth: the k smallest
+    * distance CLASSES, with dense rank values */
+  private def expectedDense(left: Seq[(Long, Double, Double)],
+                            right: Seq[(Long, Double, Double)], k: Int) =
+    left.map { case (lid, lx, ly) =>
+      val ds = right.map { case (rid, rx, ry) =>
+        (rid, math.sqrt((lx - rx) * (lx - rx) + (ly - ry) * (ly - ry)))
+      }.sortBy(_._2)
+      val classes = ds.map(_._2).distinct.take(k)
+      val kept = ds.filter(d => classes.contains(d._2))
+      lid -> kept.map { case (rid, d) => (rid, 1L + classes.indexOf(d)) }
+    }.toMap
+
+  test("knn dense_rank: k distance classes on duplicate-heavy points, all paths") {
+    val s = spark
+    // duplicates at three distances around left 1 — class sizes 2, 3, 1
+    val l = Seq((1L, 0.0, 0.0))
+    val r = Seq((10L, 1.0, 0.0), (11L, 0.0, 1.0),
+      (12L, 2.0, 0.0), (13L, 0.0, 2.0), (14L, -2.0, 0.0),
+      (15L, 5.0, 0.0), (16L, 9.0, 0.0))
+    val exp = expectedDense(l, r, 2)(1L).sortBy(_._1)
+    def got(extra: (String, String)*): Seq[(Long, Long)] = {
+      extra.foreach { case (k2, v) => s.conf.set(k2, v) }
+      try SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+        "lg", "rg", 2, "lid", "rid", initialRadius = 0.01, rankMode = "dense_rank")
+        .select("rid", "knn_rank").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      finally extra.foreach { case (k2, _) => s.conf.unset(k2) }
+    }
+    // bounded rounds (tiny radius forces multi-round resolution)
+    assert(got() == exp, s"bounded rounds: ${got()} vs $exp")
+    assert(exp.length == 5, "fixture decayed: classes 1+2 must hold 5 rows")
+  }
+
+  test("knn dense_rank: broadcast-remainder buckets keep k distance classes") {
+    val s = spark
+    // the isolated left resolves only in the final broadcast pass; rights
+    // carry duplicate distances so class-eviction in the TreeMap runs
+    val l = Seq((1L, 5000.0, 5000.0))
+    val r = Seq(
+      (30L, 0.0, 0.0), (31L, 0.0, 0.0),          // farthest class (evicted)
+      (25L, 50.0, 50.0),                          // middle class
+      (20L, 100.0, 100.0), (21L, 100.0, 100.0), (22L, 100.0, 100.0)) // nearest
+    val out = SpatialJoin.knn(
+      pts(l, "lid", "lg"), pts(r, "rid", "rg").coalesce(1),
+      "lg", "rg", 2, "lid", "rid", initialRadius = 1.0, rankMode = "dense_rank")
+      .select("rid", "knn_rank").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // k=2 classes: the three at ~6929 (rank 1) and the one at ~7000 (rank 2)
+    assert(out == Seq((20L, 1L), (21L, 1L), (22L, 1L), (25L, 2L)), s"got $out")
+    // grid fallback agrees
+    val prev = s.conf.getOption("graft.knn.broadcastRemainderMaxRows")
+    s.conf.set("graft.knn.broadcastRemainderMaxRows", "0")
+    try {
+      val fb = SpatialJoin.knn(
+        pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+        "lg", "rg", 2, "lid", "rid", initialRadius = 1.0, rankMode = "dense_rank")
+        .select("rid", "knn_rank").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(fb == out, s"grid fallback diverged: $fb vs $out")
+    } finally prev match {
+      case Some(v) => s.conf.set("graft.knn.broadcastRemainderMaxRows", v)
+      case None => s.conf.unset("graft.knn.broadcastRemainderMaxRows")
+    }
+  }
+
+  test("knn dense_rank at scale matches brute-force dense semantics") {
+    val l = (0L until 30L).map(i => (i, (i % 6) * 9.0, (i / 6) * 9.0))
+    val r = (0L until 300L).map(i => (1000L + i, (i % 15).toDouble * 3.0, ((i * 7) % 15).toDouble * 3.0))
+    val out = SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+      "lg", "rg", 3, "lid", "rid", rankMode = "dense_rank")
+      .select("lid", "rid", "knn_rank").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    val exp = expectedDense(l, r, 3)
+    l.foreach { case (lid, _, _) =>
+      assert(out(lid) == exp(lid).sortBy(_._1), s"left $lid: ${out(lid)} vs ${exp(lid)}")
+    }
+    // dense keeps MORE than k rows wherever classes have duplicates
+    assert(l.exists { case (lid, _, _) => exp(lid).length > 3 }, "fixture decayed")
   }
 
   test("invalid k rejected") {
