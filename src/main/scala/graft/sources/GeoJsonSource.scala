@@ -21,25 +21,65 @@ import org.apache.spark.sql.functions._
   */
 object GeoJsonSource {
 
-  /** Newline-delimited GeoJSON features (one Feature per line). */
+  /** Newline-delimited GeoJSON features (one Feature per line).
+    *
+    * The geometry member is extracted as a RAW JSON substring
+    * (`get_json_object`) and parsed by the codec — it never passes
+    * through Spark's JSON schema inference, whose merge of mixed
+    * geometry types (Point `[x,y]` vs Polygon `[[[x,y]…]]` coordinates)
+    * produces mangled nested arrays. Only the `properties` member is
+    * schema-inferred. Mixed-geometry-type files therefore read fine
+    * (RFC 7946 allows them; the reference's readers require a uniform
+    * type per file — this exceeds that). */
   def readLines(spark: SparkSession, path: String): DataFrame = {
     graft.functions.GeoFunctions.register(spark)
-    val raw = spark.read.json(path)
-    flatten(raw)
+    val txt = spark.read.text(path)
+      .where(length(trim(col("value"))) > 0)
+      .select(col("value").as("feature"))
+    featuresToDf(spark, txt)
   }
 
-  /** A single FeatureCollection document. */
+  /** A single FeatureCollection document (one document per file; a
+    * directory of part files reads as the union of its documents). The
+    * features split out via a per-file Jackson parse, then take the same
+    * inference-free geometry path as [[readLines]]. */
   def readFeatureCollection(spark: SparkSession, path: String): DataFrame = {
     graft.functions.GeoFunctions.register(spark)
-    val raw = spark.read.option("multiLine", "true").json(path)
-      .select(explode(col("features")).as("f")).select("f.*")
-    flatten(raw)
+    import spark.implicits._
+    val whole = spark.read.option("wholetext", "true").text(path)
+    val feats = whole.as[String].flatMap(splitFeatures _).toDF("feature")
+    featuresToDf(spark, feats)
   }
 
-  private def flatten(raw: DataFrame): DataFrame = {
-    val props = if (raw.columns.contains("properties")) Seq(col("properties.*")) else Nil
-    raw.select(props :+
-      call_function("st_geomfromgeojson", to_json(col("geometry"))).as("geometry"): _*)
+  /** feature JSON strings of a FeatureCollection document (executor-side;
+    * one document is one file, so the parse is file-bounded). */
+  private def splitFeatures(doc: String): Seq[String] = {
+    if (doc.trim.isEmpty) return Nil
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(doc)
+    val fs = root.path("features")
+    require(!fs.isMissingNode && fs.isArray,
+      "readFeatureCollection: document has no 'features' array")
+    (0 until fs.size()).map(i => fs.get(i).toString)
+  }
+
+  /** features (one JSON string per row, column `feature`) → flattened
+    * DataFrame: inferred properties columns + WKB `geometry`. */
+  private def featuresToDf(spark: SparkSession, feats: DataFrame): DataFrame = {
+    import spark.implicits._
+    val geomJson = get_json_object(col("feature"), "$.geometry")
+    val propsJson = get_json_object(col("feature"), "$.properties")
+    // schema inference over the properties member ALONE — its own scan,
+    // like spark.read.json's inference pass, but blind to geometry
+    val propStrings = feats.select(propsJson.as("p")).where(col("p").isNotNull).as[String]
+    val propSchema = spark.read.json(propStrings).schema
+    val propCols =
+      if (propSchema.isEmpty) Nil
+      else Seq(from_json(propsJson, propSchema).as("__props"))
+    val selected = feats.select(propCols :+
+      call_function("st_geomfromgeojson", geomJson).as("geometry"): _*)
+    if (propSchema.isEmpty) selected
+    else selected.select(col("__props.*"), col("geometry"))
   }
 
   /** Write ONE FeatureCollection document (the reference's collection

@@ -90,16 +90,24 @@ class GeoIOSpec extends SparkTestBase {
   // mixed geometry types in one file: spark.read.json can't infer a single
   // coordinates schema (the reference has the same single-type constraint,
   // driven by the FGB/GeoJSON header type) — documents the boundary
-  test("GeoJSON lines: mixed geometry types fall back gracefully") {
+  test("GeoJSON lines: mixed geometry types in one file parse exactly (round 18)") {
+    // RFC 7946 allows mixed FeatureCollections; Spark's JSON schema merge
+    // of Point [x,y] vs LineString [[x,y]…] coordinates used to mangle
+    // them (and the reference requires a uniform type per file) — the
+    // inference-free geometry path reads them correctly
     val dir = Files.createTempDirectory("geoio").toString
     val lines = Seq(
       """{"type":"Feature","properties":{"n":1},"geometry":{"type":"Point","coordinates":[1,2]}}""",
-      """{"type":"Feature","properties":{"n":2},"geometry":{"type":"LineString","coordinates":[[0,0],[1,1]]}}""")
+      """{"type":"Feature","properties":{"n":2},"geometry":{"type":"LineString","coordinates":[[0,0],[1,1]]}}""",
+      """{"type":"Feature","properties":{"n":3},"geometry":{"type":"Polygon","coordinates":[[[0,0],[2,0],[2,2],[0,0]]]}}""")
     Files.write(java.nio.file.Paths.get(dir, "mixed.json"), lines.mkString("\n").getBytes)
-    val ex = intercept[Exception] {
-      GeoJsonSource.readLines(spark, dir + "/mixed.json").collect()
-    }
-    assert(ex != null)
+    val rows = GeoJsonSource.readLines(spark, dir + "/mixed.json")
+      .selectExpr("n", "ST_AsText(geometry) AS wkt").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, "POINT (1 2)"),
+      (2L, "LINESTRING (0 0, 1 1)"),
+      (3L, "POLYGON ((0 0, 2 0, 2 2, 0 0))")), rows.mkString("; "))
   }
 
   // the JDBC connection itself needs a live server; the PostGIS-specific
