@@ -33,11 +33,37 @@ class SinkRoundtripFuzzSpec extends SparkTestBase {
       .cache()
   }
 
+  /** the corpus re-dimensioned to XYZ (or XYM): deterministic per-vertex
+    * ordinate so a sink that drops or reorders the extra dimension
+    * mismatches loudly */
+  private def dimCorpus(m: Boolean): DataFrame = {
+    graft.functions.GeoFunctions.register(spark)
+    import org.locationtech.jts.geom.{Coordinate, CoordinateXYM, Geometry}
+    val rows = WktFuzzGen.all.zipWithIndex.map { case (w, i) =>
+      val g = graft.core.GeomOps.read(graft.core.GeomOps.geomFromText(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+      val edited = new org.locationtech.jts.geom.util.GeometryEditor(
+        graft.core.GeomOps.factory).edit(g,
+        new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+          override def edit(coords: Array[Coordinate], geom: Geometry): Array[Coordinate] =
+            coords.map(c =>
+              if (m) (new CoordinateXYM(c.x, c.y, c.x + c.y)): Coordinate
+              else new Coordinate(c.x, c.y, c.x - c.y))
+        })
+      (i.toLong, i % 6, graft.core.GeomOps.write(edited))
+    }
+    rows.toDF("id", "kind", "geometry")
+  }
+  private lazy val corpusZ: DataFrame = dimCorpus(m = false).cache()
+  private lazy val corpusM: DataFrame = dimCorpus(m = true).cache()
+
   /** joins read-back rows to the corpus by id and requires canonical-WKT
     * equality on every one of the expected ids */
-  private def assertExact(back: DataFrame, expectedIds: Seq[Long], format: String): Unit = {
+  private def assertExact(back: DataFrame, expectedIds: Seq[Long], format: String,
+                          base: DataFrame = null): Unit = {
+    val ref = if (base == null) corpus else base
     val got = back.selectExpr("id", "geometry AS g2")
-    val joined = corpus.join(got, "id")
+    val joined = ref.join(got, "id")
       .selectExpr("id", "ST_AsText(geometry) AS a", "ST_AsText(g2) AS b")
       .collect()
     assert(joined.length == expectedIds.length,
@@ -82,5 +108,30 @@ class SinkRoundtripFuzzSpec extends SparkTestBase {
       val ids = allIds.filter(_ % 6 == kind)
       assertExact(graft.sources.FlatGeobuf.read(spark, out), ids, s"flatgeobuf(kind=$kind)")
     }
+  }
+
+  test("XYZ and XYM corpora roundtrip exactly through the dimension-capable sinks") {
+    for ((base, tag) <- Seq((corpusZ, "z"), (corpusM, "m"))) {
+      val gpq = tmp(s"gpq_$tag")
+      graft.sources.GeoParquet.write(base, gpq, covering = false)
+      assertExact(graft.sources.GeoParquet.read(spark, gpq), allIds, s"geoparquet-$tag", base)
+      val arrow = tmp(s"arrow_$tag")
+      graft.sources.ArrowIpc.write(base.coalesce(2), arrow)
+      assertExact(graft.sources.ArrowIpc.read(spark, arrow), allIds, s"arrowipc-$tag", base)
+      val csv = tmp(s"csv_$tag")
+      graft.sources.GeoCsv.write(base, csv)
+      assertExact(graft.sources.GeoCsv.read(spark, csv), allIds, s"geocsv-$tag", base)
+      (0 until 6).foreach { kind =>
+        val out = tmp(s"fgb_${tag}_$kind")
+        graft.sources.FlatGeobufWriter.write(
+          base.where(col("kind") === kind).coalesce(1), out)
+        assertExact(graft.sources.FlatGeobuf.read(spark, out),
+          allIds.filter(_ % 6 == kind), s"flatgeobuf-$tag(kind=$kind)", base)
+      }
+    }
+    // GeoJSON carries Z (RFC 7946 third element) but has no M
+    val gjl = tmp("gjl_z")
+    graft.sources.GeoJsonSource.writeLines(corpusZ, gjl)
+    assertExact(graft.sources.GeoJsonSource.readLines(spark, gjl), allIds, "geojson-z", corpusZ)
   }
 }
