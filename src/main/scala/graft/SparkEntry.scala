@@ -1987,6 +1987,40 @@ object SparkEntry {
            ROUND(n00 + k0*biga*(xi - xi0), 0) AS northing
     FROM tm4, k6 ORDER BY id"""
 
+  /** Shapefile WRITE → READ under the hash gate (g110, round 18 — the
+    * reference reads shapefiles only; [[graft.sources.ShapefileWriter]]
+    * closes the asymmetry). Builds a PointZ fixture with typed .dbf
+    * properties in-query (the g38 discipline), writes a full .shp/.shx/
+    * .dbf set, reads it back through the ordinary [[graft.sources.
+    * Shapefile.read]] split-planned path, and pins ids, adaptive-N ints,
+    * value-exact F doubles, C strings, and X/Y/Z coordinates against a
+    * closed-form oracle. */
+  private def g110Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g110_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val df = s.sql("""
+      SELECT CAST(id AS INT) AS fid,
+             CONCAT('tag-', CAST(id % 7 AS STRING)) AS tag,
+             CAST(id AS DOUBLE) / 4.0 AS score,
+             ST_PointZ(CAST(id % 50 AS DOUBLE), CAST(CAST(id / 50 AS INT) AS DOUBLE),
+                       CAST(id % 10 AS DOUBLE)) AS geometry
+      FROM range(600)""").coalesce(1)
+    graft.sources.ShapefileWriter.write(df, out)
+    graft.sources.Shapefile.read(s, out)
+      .selectExpr("CAST(fid AS BIGINT) AS fid", "tag", "score",
+        "CAST(ST_X(geometry) AS BIGINT) AS x",
+        "CAST(ST_Y(geometry) AS BIGINT) AS y",
+        "CAST(ST_Z(geometry) AS BIGINT) AS z")
+      .orderBy("fid")
+  }
+
+  private val g110Duck = """
+    SELECT i::BIGINT AS fid, CONCAT('tag-', CAST(i % 7 AS VARCHAR)) AS tag,
+           i / 4.0 AS score, (i % 50)::BIGINT AS x, (i // 50)::BIGINT AS y,
+           (i % 10)::BIGINT AS z
+    FROM range(600) t(i) ORDER BY fid"""
+
   /** DENSE_RANK()-kNN join (g109, round 18): the third rank function over
     * the same cross-join window shape, planned as KnnTopKExec in
     * dense_rank mode — the k smallest distance CLASSES per probe (the
@@ -12593,6 +12627,7 @@ object SparkEntry {
     ("g107_laea_europe", q(g107Spark), g107Duck),
     ("g108_ed50_datum", q(g108Spark), g108Duck),
     ("g109_knn_dense_rank", q(g109Spark), g109Duck),
+    ("g110_shapefile_write", g110Fn _, g110Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),
