@@ -1987,6 +1987,109 @@ object SparkEntry {
            ROUND(n00 + k0*biga*(xi - xi0), 0) AS northing
     FROM tm4, k6 ORDER BY id"""
 
+  /** NAD27 datum family (g111, round 18) — the THIRD non-WGS84 datum:
+    * EPSG:4267 (NAD27 geographic, Clarke 1866) via the inverse of the
+    * published CONUS-mean geocentric translation (EPSG tfm 1173) and
+    * EPSG:26714 (NAD27/UTM 14N). Same oracle discipline as g108: DuckDB
+    * replays ECEF → translate → unrolled geodetic inverse → Krüger on
+    * Clarke 1866 over a CONUS grid. */
+  private val g111Spark = """
+    SELECT id, ROUND(ST_X(g), 6) AS nad_lon, ROUND(ST_Y(g), 6) AS nad_lat,
+           ROUND(ST_X(u), 0) AS easting, ROUND(ST_Y(u), 0) AS northing
+    FROM (SELECT c_custkey AS id,
+                 ST_Transform(pt, 4326, 4267) AS g,
+                 ST_Transform(pt, 4326, 26714) AS u
+          FROM (SELECT c_custkey,
+                       ST_Point(-102.0 + CAST(c_custkey % 58 AS DOUBLE) / 10.0,
+                                27.0 + CAST(c_custkey % 220 AS DOUBLE) / 10.0) AS pt
+                FROM customer) t0)
+    ORDER BY id"""
+
+  private val g111Duck = """
+    WITH k AS (
+      SELECT 6378137.0 AS aw,
+             (1.0/298.257223563)*(2.0 - 1.0/298.257223563) AS e2w,
+             6378206.4 AS aa, (6378206.4 - 6356583.8)/6378206.4 AS fa,
+             8.0 AS tx, -160.0 AS ty, -176.0 AS tz,
+             0.9996 AS k0, radians(-99.0) AS lam0, 500000.0 AS e00, 0.0 AS n00
+    ), k2 AS (
+      SELECT *, fa*(2.0-fa) AS e2a, sqrt(fa*(2.0-fa)) AS ea, fa/(2.0-fa) AS tn FROM k
+    ), k3 AS (
+      SELECT *,
+        aa/(1.0+tn)*(1.0 + tn*tn/4.0 + (tn*tn)*(tn*tn)/64.0
+                     + (tn*tn)*(tn*tn)*(tn*tn)/256.0) AS biga,
+        tn/2.0 - 2.0*tn*tn/3.0 + 5.0*tn*tn*tn/16.0 + 41.0*tn*tn*tn*tn/180.0
+          - 127.0*tn*tn*tn*tn*tn/288.0 + 7891.0*tn*tn*tn*tn*tn*tn/37800.0 AS c1,
+        13.0*tn*tn/48.0 - 3.0*tn*tn*tn/5.0 + 557.0*tn*tn*tn*tn/1440.0
+          + 281.0*tn*tn*tn*tn*tn/630.0 - 1983433.0*tn*tn*tn*tn*tn*tn/1935360.0 AS c2,
+        61.0*tn*tn*tn/240.0 - 103.0*tn*tn*tn*tn/140.0 + 15061.0*tn*tn*tn*tn*tn/26880.0
+          + 167603.0*tn*tn*tn*tn*tn*tn/181440.0 AS c3,
+        49561.0*tn*tn*tn*tn/161280.0 - 179.0*tn*tn*tn*tn*tn/168.0
+          + 6601661.0*tn*tn*tn*tn*tn*tn/7257600.0 AS c4,
+        34729.0*tn*tn*tn*tn*tn/80640.0 - 3418889.0*tn*tn*tn*tn*tn*tn/1995840.0 AS c5,
+        212378941.0*tn*tn*tn*tn*tn*tn/319334400.0 AS c6
+      FROM k2
+    ), pts AS (
+      SELECT c_custkey AS id,
+             radians(-102.0 + (c_custkey % 58)/10.0) AS lam,
+             radians(27.0 + (c_custkey % 220)/10.0) AS phi
+      FROM customer
+    ), ecef AS (
+      SELECT id,
+             (aw/sqrt(1.0-e2w*sin(phi)*sin(phi)))*cos(phi)*cos(lam) AS x1,
+             (aw/sqrt(1.0-e2w*sin(phi)*sin(phi)))*cos(phi)*sin(lam) AS y1,
+             (aw/sqrt(1.0-e2w*sin(phi)*sin(phi)))*(1.0-e2w)*sin(phi) AS z1
+      FROM pts, k3
+    ), helm AS (
+      SELECT id, x1 + tx AS x2, y1 + ty AS y2, z1 + tz AS z2 FROM ecef, k3
+    ), g0 AS (
+      SELECT id, atan2(y2, x2) AS lam2, sqrt(x2*x2+y2*y2) AS p, z2,
+             atan2(z2, sqrt(x2*x2+y2*y2)*(1.0-e2a)) AS f
+      FROM helm, k3
+    ), g1 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g0, k3),
+    g2 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g1, k3),
+    g3 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g2, k3),
+    g4 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g3, k3),
+    g5 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g4, k3),
+    g6 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g5, k3),
+    g7 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g6, k3),
+    g8 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g7, k3),
+    g9 AS (SELECT id, lam2, p, z2, atan2(z2 + e2a*(aa/sqrt(1.0-e2a*sin(f)*sin(f)))*sin(f), p) AS f FROM g8, k3),
+    tm0 AS (
+      SELECT id, lam2, f AS phi, lam2 - lam0 AS dl, sin(f) AS sf FROM g9, k3
+    ), tm1 AS (
+      SELECT id, lam2, phi, dl,
+             0.5*ln((1.0+sf)/(1.0-sf)) - ea*0.5*ln((1.0+ea*sf)/(1.0-ea*sf)) AS u
+      FROM tm0, k3
+    ), tm2 AS (
+      SELECT id, lam2, phi, dl, (exp(u)-exp(-u))/2.0 AS t FROM tm1
+    ), tm3 AS (
+      SELECT id, lam2, phi, atan2(t, cos(dl)) AS xip,
+             ln(sin(dl)/sqrt(t*t + cos(dl)*cos(dl))
+                + sqrt((sin(dl)/sqrt(t*t + cos(dl)*cos(dl)))
+                       *(sin(dl)/sqrt(t*t + cos(dl)*cos(dl))) + 1.0)) AS etap
+      FROM tm2
+    ), tm4 AS (
+      SELECT id, lam2, phi,
+             xip + c1*sin(2.0*xip)*(exp(2.0*etap)+exp(-2.0*etap))/2.0
+                 + c2*sin(4.0*xip)*(exp(4.0*etap)+exp(-4.0*etap))/2.0
+                 + c3*sin(6.0*xip)*(exp(6.0*etap)+exp(-6.0*etap))/2.0
+                 + c4*sin(8.0*xip)*(exp(8.0*etap)+exp(-8.0*etap))/2.0
+                 + c5*sin(10.0*xip)*(exp(10.0*etap)+exp(-10.0*etap))/2.0
+                 + c6*sin(12.0*xip)*(exp(12.0*etap)+exp(-12.0*etap))/2.0 AS xi,
+             etap + c1*cos(2.0*xip)*(exp(2.0*etap)-exp(-2.0*etap))/2.0
+                  + c2*cos(4.0*xip)*(exp(4.0*etap)-exp(-4.0*etap))/2.0
+                  + c3*cos(6.0*xip)*(exp(6.0*etap)-exp(-6.0*etap))/2.0
+                  + c4*cos(8.0*xip)*(exp(8.0*etap)-exp(-8.0*etap))/2.0
+                  + c5*cos(10.0*xip)*(exp(10.0*etap)-exp(-10.0*etap))/2.0
+                  + c6*cos(12.0*xip)*(exp(12.0*etap)-exp(-12.0*etap))/2.0 AS eta
+      FROM tm3, k3
+    )
+    SELECT id, ROUND(degrees(lam2), 6) AS nad_lon, ROUND(degrees(phi), 6) AS nad_lat,
+           ROUND(e00 + k0*biga*eta, 0) AS easting,
+           ROUND(n00 + k0*biga*xi, 0) AS northing
+    FROM tm4, k3 ORDER BY id"""
+
   /** Shapefile WRITE → READ under the hash gate (g110, round 18 — the
     * reference reads shapefiles only; [[graft.sources.ShapefileWriter]]
     * closes the asymmetry). Builds a PointZ fixture with typed .dbf
@@ -12628,6 +12731,7 @@ object SparkEntry {
     ("g108_ed50_datum", q(g108Spark), g108Duck),
     ("g109_knn_dense_rank", q(g109Spark), g109Duck),
     ("g110_shapefile_write", g110Fn _, g110Duck),
+    ("g111_nad27_datum", q(g111Spark), g111Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -122,8 +122,9 @@ object Geodesy {
           new Coordinate(lon, lat)
         })
       // national/regional CRS registry ([[NatCrs]]): 27700 BNG (OSGB36
-      // datum), 3035 LAEA Europe, ED50 (4230 + 230xx UTM), ETRS89 (4258 +
-      // 258xx UTM), NAD83 (4269), OSGB36 geographic (4277) — datum shifts
+      // datum), 3035 LAEA Europe, ED50 (4230 + 230xx UTM), NAD27 (4267 +
+      // 267xx UTM), ETRS89 (4258 + 258xx UTM), NAD83 (4269), OSGB36
+      // geographic (4277) — datum shifts
       // compose with projections inside the registry entry, so a hop like
       // 4230→23031 or 27700→3035 is two analytic legs through 4326
       case (4326, t) if NatCrs.supports(t) =>
@@ -145,8 +146,8 @@ object Geodesy {
         transform(transform(b, f, 4326), 4326, t)
       case _ => throw new IllegalArgumentException(
         "ST_Transform: only EPSG 4326/3857/326xx/327xx (UTM)/5070/2154/27700/" +
-          "3035/4230/230xx (ED50 UTM)/4258/258xx (ETRS89 UTM)/4269/4277 pairs " +
-          s"supported, got $fromSrid->$toSrid")
+          "3035/4230/230xx (ED50 UTM)/4267/267xx (NAD27 UTM)/4258/258xx " +
+          s"(ETRS89 UTM)/4269/4277 pairs supported, got $fromSrid->$toSrid")
     }
 
   /** Conic parameter lookup: (params, isAlbers). */

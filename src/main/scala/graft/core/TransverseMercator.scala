@@ -180,6 +180,8 @@ object Datum {
   val Airy1830 = Ellipsoid(6377563.396, (6377563.396 - 6356256.909) / 6377563.396)
   /** International 1924 (Hayford) — the ED50 ellipsoid. */
   val International1924 = Ellipsoid(6378388.0, 1.0 / 297.0)
+  /** Clarke 1866 — the NAD27 ellipsoid: a = 6378206.4, b = 6356583.8. */
+  val Clarke1866 = Ellipsoid(6378206.4, (6378206.4 - 6356583.8) / 6378206.4)
   /** GRS 1980 — NAD83/ETRS89; differs from WGS84 only in the 1e-10 tail
     * of the flattening. */
   val Grs80 = Ellipsoid(6378137.0, 1.0 / 298.257222101)
@@ -206,6 +208,13 @@ object Datum {
     * dz −121 m; ~10 m stated accuracy — the per-country variants refine
     * it but need regional parameter sets). */
   val Wgs84ToEd50 = Helmert(87.0, 98.0, 121.0, 0.0, 0.0, 0.0, 0.0)
+
+  /** WGS84 → NAD27 (North American Datum 1927 on Clarke 1866): the
+    * inverse of the published CONUS-mean geocentric translation
+    * "NAD27 to WGS 84 (1)" (EPSG transformation 1173: dx −8, dy 160,
+    * dz 176 m; ~10 m stated accuracy — NADCON grid shifts refine it but
+    * need external grid files, out of scope like full PROJ). */
+  val Wgs84ToNad27 = Helmert(8.0, -160.0, -176.0, 0.0, 0.0, 0.0, 0.0)
 
   def geodeticToEcef(ell: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
     val lam = math.toRadians(lonDeg); val phi = math.toRadians(latDeg)
@@ -283,7 +292,8 @@ object Osgb36 {
   * identity, so datum hops compose through 4326 like everything else.
   *
   * Round-18 additions over 27700: EPSG:3035 (LAEA Europe), ED50 (4230 +
-  * ED50/UTM 23028-23038, the second non-WGS84 datum), ETRS89 (4258 +
+  * ED50/UTM 23028-23038, the second non-WGS84 datum), NAD27 (4267 +
+  * NAD27/UTM 26701-26722 on Clarke 1866, the third), ETRS89 (4258 +
   * ETRS89/UTM 25828-25838) and NAD83 (4269). ETRS89/NAD83 use the null
   * datum shift (sub-metre vs WGS84, PROJ's own gridless default). */
 object NatCrs {
@@ -297,6 +307,11 @@ object NatCrs {
   private def etrsZone(srid: Int): Option[Int] = {
     val z = srid - 25800
     if (z >= 28 && z <= 38) Some(z) else None
+  }
+  /** NAD27/UTM zone from EPSG 267zz (zz = 01..22, the published range). */
+  private def nad27Zone(srid: Int): Option[Int] = {
+    val z = srid - 26700
+    if (z >= 1 && z <= 22) Some(z) else None
   }
 
   // per-zone TM projections on the non-WGS84 ellipsoids, built lazily —
@@ -323,10 +338,21 @@ object NatCrs {
     }
     p
   }
+  private val nad27Zones = new Array[TmProjection](60)
+  private def nad27Proj(zone: Int): TmProjection = {
+    var p = nad27Zones(zone - 1)
+    if (p == null) {
+      p = new TmProjection(a = Datum.Clarke1866.a, f = Datum.Clarke1866.f,
+        k0 = 0.9996, lon0Deg = TransverseMercator.centralMeridian(zone), lat0Deg = 0.0,
+        falseEasting = 500000.0, falseNorthing = 0.0)
+      nad27Zones(zone - 1) = p
+    }
+    p
+  }
 
   def supports(srid: Int): Boolean = srid match {
-    case 27700 | 3035 | 4277 | 4230 | 4258 | 4269 => true
-    case s => ed50Zone(s).isDefined || etrsZone(s).isDefined
+    case 27700 | 3035 | 4277 | 4230 | 4258 | 4269 | 4267 => true
+    case s => ed50Zone(s).isDefined || etrsZone(s).isDefined || nad27Zone(s).isDefined
   }
 
   /** WGS84 (lon°, lat°) → target-CRS coordinates; resolved once per
@@ -339,6 +365,8 @@ object NatCrs {
     case 4230 => (lon, lat) =>
       Datum.shift(Datum.Wgs84, Datum.International1924, Datum.Wgs84ToEd50, lon, lat)
     case 4258 | 4269 => (lon, lat) => (lon, lat) // ETRS89 / NAD83 ≈ WGS84
+    case 4267 => (lon, lat) =>
+      Datum.shift(Datum.Wgs84, Datum.Clarke1866, Datum.Wgs84ToNad27, lon, lat)
     case s if ed50Zone(s).isDefined =>
       val p = ed50Proj(ed50Zone(s).get)
       (lon, lat) => {
@@ -349,6 +377,13 @@ object NatCrs {
     case s if etrsZone(s).isDefined =>
       val p = etrsProj(etrsZone(s).get)
       (lon, lat) => p.forward(lon, lat)
+    case s if nad27Zone(s).isDefined =>
+      val p = nad27Proj(nad27Zone(s).get)
+      (lon, lat) => {
+        val (lo, la) = Datum.shift(Datum.Wgs84, Datum.Clarke1866,
+          Datum.Wgs84ToNad27, lon, lat)
+        p.forward(lo, la)
+      }
     case s => throw new IllegalArgumentException(s"NatCrs: unsupported EPSG:$s")
   }
 
@@ -361,6 +396,8 @@ object NatCrs {
     case 4230 => (lon, lat) =>
       Datum.shift(Datum.International1924, Datum.Wgs84, Datum.Wgs84ToEd50.reversed, lon, lat)
     case 4258 | 4269 => (lon, lat) => (lon, lat)
+    case 4267 => (lon, lat) =>
+      Datum.shift(Datum.Clarke1866, Datum.Wgs84, Datum.Wgs84ToNad27.reversed, lon, lat)
     case s if ed50Zone(s).isDefined =>
       val p = ed50Proj(ed50Zone(s).get)
       (x, y) => {
@@ -370,6 +407,12 @@ object NatCrs {
     case s if etrsZone(s).isDefined =>
       val p = etrsProj(etrsZone(s).get)
       (x, y) => p.reverse(x, y)
+    case s if nad27Zone(s).isDefined =>
+      val p = nad27Proj(nad27Zone(s).get)
+      (x, y) => {
+        val (lo, la) = p.reverse(x, y)
+        Datum.shift(Datum.Clarke1866, Datum.Wgs84, Datum.Wgs84ToNad27.reversed, lo, la)
+      }
     case s => throw new IllegalArgumentException(s"NatCrs: unsupported EPSG:$s")
   }
 }

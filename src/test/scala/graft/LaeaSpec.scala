@@ -114,6 +114,29 @@ class LaeaSpec extends AnyFunSuite {
     }
   }
 
+  test("NAD27 datum (third non-WGS84): offset in the published CONUS range, roundtrips") {
+    for ((lon, lat) <- Seq((-99.0, 35.0), (-120.0, 40.0), (-80.0, 30.0), (-95.0, 45.0))) {
+      val (lonN, latN) = Datum.shift(Datum.Wgs84, Datum.Clarke1866,
+        Datum.Wgs84ToNad27, lon, lat)
+      // CONUS NAD27-vs-WGS84 ground differences run ~10-200 m: the
+      // geocentric |T| is 238 m, the ellipsoid change adds tens of metres
+      val moved = Geodesy.haversineMeters(lon, lat, lonN, latN)
+      assert(moved > 5.0 && moved < 300.0, s"($lon, $lat): NAD27 offset $moved m")
+      val (lon2, lat2) = Datum.shift(Datum.Clarke1866, Datum.Wgs84,
+        Datum.Wgs84ToNad27.reversed, lonN, latN)
+      assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7)
+      // NAD27/UTM 14N through the registry: roundtrip + datum-offset shows
+      if (lon > -102.0 && lon < -96.0) {
+        val (x, y) = NatCrs.forwardFn(26714)(lon, lat)
+        val (lo3, la3) = NatCrs.reverseFn(26714)(x, y)
+        assert(math.abs(lo3 - lon) < 1e-7 && math.abs(la3 - lat) < 1e-7)
+        val (xw, yw) = graft.core.TransverseMercator.forward(lon, lat, 14, south = false)
+        val d = math.hypot(x - xw, y - yw)
+        assert(d > 5.0 && d < 300.0, s"NAD27 vs WGS84 UTM offset $d m")
+      }
+    }
+  }
+
   test("geographic datum codes and compositions through ST_Transform WKB paths") {
     val pt = GeomOps.point(1.5, 52.5)
     // 4258 (ETRS89) / 4269 (NAD83): null shift — identical coordinates
