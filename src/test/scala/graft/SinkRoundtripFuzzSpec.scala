@@ -110,6 +110,25 @@ class SinkRoundtripFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("GeoParquet NATIVE encodings roundtrip the corpus per kind, all dimensions") {
+    // the GeoArrow struct/list encodings (not WKB): every kind through its
+    // native layout, XY + XYZ + XYM — the encode/decode matrix against the
+    // same 1200 geometries the kernel fuzz uses
+    val encOf = Map(0 -> "point", 1 -> "multipoint", 2 -> "linestring",
+      3 -> "polygon", 4 -> "polygon", 5 -> "multipolygon")
+    for ((base, dimTag, suffix) <- Seq((corpus, "xy", ""), (corpusZ, "z", "_z"),
+                                       (corpusM, "m", "_m"))) {
+      (0 until 6).foreach { kind =>
+        val out = tmp(s"gpqnat_${dimTag}_$kind")
+        graft.sources.GeoParquet.write(
+          base.where(col("kind") === kind).coalesce(1), out,
+          covering = false, encoding = encOf(kind) + suffix)
+        assertExact(graft.sources.GeoParquet.read(spark, out),
+          allIds.filter(_ % 6 == kind), s"geoparquet-native-$dimTag(${encOf(kind)})", base)
+      }
+    }
+  }
+
   test("XYZ and XYM corpora roundtrip exactly through the dimension-capable sinks") {
     for ((base, tag) <- Seq((corpusZ, "z"), (corpusM, "m"))) {
       val gpq = tmp(s"gpq_$tag")
