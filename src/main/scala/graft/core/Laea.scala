@@ -45,7 +45,12 @@ final class LaeaProjection(val a: Double, val invF: Double,
   def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
     val lam = math.toRadians(lonDeg) - lam0
     val phi = math.toRadians(latDeg)
-    val beta = math.asin(qOf(phi) / qp)
+    // clamp q/qp into asin's domain: within ~1e-8° of the poles the
+    // analytic margin (~(π/2−φ)²) drops below the q computation's own
+    // rounding noise and the ratio can exceed 1 by an ulp — unclamped
+    // that NaNs beta and mis-fires the antipode guard for a point
+    // nowhere near the antipode (the reverse path already clamps)
+    val beta = math.asin(math.max(-1.0, math.min(1.0, qOf(phi) / qp)))
     val sinB = math.sin(beta); val cosB = math.cos(beta)
     val denom = 1.0 + sinB1 * sinB + cosB1 * cosB * math.cos(lam)
     require(denom > 1e-10,
@@ -68,6 +73,12 @@ final class LaeaProjection(val a: Double, val invF: Double,
     val q = qp * (cosCe * sinB1 + bigD * y * sinCe * cosB1 / rho) // 24-27
     val lam = math.atan2(x * sinCe,
       bigD * rho * cosB1 * cosCe - bigD * bigD * y * sinB1 * sinCe) // 24-26
+    // lon0 + atan2(...) spans (lon0−180, lon0+180]: normalize into the
+    // EPSG:4326 domain or a western-hemisphere roundtrip returns lon up
+    // to lon0+180 (e.g. −175 → 185) and composed hops through 4326 throw
+    var lonOut = lon0Deg + math.toDegrees(lam)
+    if (lonOut > 180.0) lonOut -= 360.0
+    if (lonOut <= -180.0) lonOut += 360.0
     // latitude from q: Snyder 3-16 fixed-point iteration (converges to
     // double precision in a handful of rounds; seed with the authalic
     // approximation φ ≈ asin(q/2 ... ) — asin(q/qp·sin 90°) is enough)
@@ -87,7 +98,7 @@ final class LaeaProjection(val a: Double, val invF: Double,
         else { phi = next; k += 1 }
       }
     }
-    (lon0Deg + math.toDegrees(lam), math.toDegrees(phi))
+    (lonOut, math.toDegrees(phi))
   }
 }
 

@@ -315,40 +315,29 @@ object NatCrs {
   }
 
   // per-zone TM projections on the non-WGS84 ellipsoids, built lazily —
-  // the same benign-race cache shape as TransverseMercator.zones
+  // the same benign-race cache shape as TransverseMercator.zones; ONE
+  // builder parameterized by ellipsoid serves every datum family (the
+  // UTM grid constants are shared by all of them)
+  private def zoneProj(cache: Array[TmProjection], ell: Datum.Ellipsoid,
+                       zone: Int): TmProjection = {
+    var p = cache(zone - 1)
+    if (p == null) {
+      p = new TmProjection(a = ell.a, f = ell.f, k0 = 0.9996,
+        lon0Deg = TransverseMercator.centralMeridian(zone), lat0Deg = 0.0,
+        falseEasting = 500000.0, falseNorthing = 0.0)
+      cache(zone - 1) = p
+    }
+    p
+  }
   private val ed50Zones = new Array[TmProjection](60)
-  private def ed50Proj(zone: Int): TmProjection = {
-    var p = ed50Zones(zone - 1)
-    if (p == null) {
-      p = new TmProjection(a = Datum.International1924.a, f = Datum.International1924.f,
-        k0 = 0.9996, lon0Deg = TransverseMercator.centralMeridian(zone), lat0Deg = 0.0,
-        falseEasting = 500000.0, falseNorthing = 0.0)
-      ed50Zones(zone - 1) = p
-    }
-    p
-  }
+  private def ed50Proj(zone: Int): TmProjection =
+    zoneProj(ed50Zones, Datum.International1924, zone)
   private val etrsZones = new Array[TmProjection](60)
-  private def etrsProj(zone: Int): TmProjection = {
-    var p = etrsZones(zone - 1)
-    if (p == null) {
-      p = new TmProjection(a = Datum.Grs80.a, f = Datum.Grs80.f,
-        k0 = 0.9996, lon0Deg = TransverseMercator.centralMeridian(zone), lat0Deg = 0.0,
-        falseEasting = 500000.0, falseNorthing = 0.0)
-      etrsZones(zone - 1) = p
-    }
-    p
-  }
+  private def etrsProj(zone: Int): TmProjection =
+    zoneProj(etrsZones, Datum.Grs80, zone)
   private val nad27Zones = new Array[TmProjection](60)
-  private def nad27Proj(zone: Int): TmProjection = {
-    var p = nad27Zones(zone - 1)
-    if (p == null) {
-      p = new TmProjection(a = Datum.Clarke1866.a, f = Datum.Clarke1866.f,
-        k0 = 0.9996, lon0Deg = TransverseMercator.centralMeridian(zone), lat0Deg = 0.0,
-        falseEasting = 500000.0, falseNorthing = 0.0)
-      nad27Zones(zone - 1) = p
-    }
-    p
-  }
+  private def nad27Proj(zone: Int): TmProjection =
+    zoneProj(nad27Zones, Datum.Clarke1866, zone)
 
   def supports(srid: Int): Boolean = srid match {
     case 27700 | 3035 | 4277 | 4230 | 4258 | 4269 | 4267 => true

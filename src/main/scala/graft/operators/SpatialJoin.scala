@@ -373,10 +373,11 @@ object SpatialJoin {
                       m.put(d, bucket)
                     }
                     bucket += rrow
-                    totals(i) += 1
                     if (dMode) {
-                      if (m.size > kk) totals(i) -= m.pollLastEntry().getValue.length
+                      // dense: admit/evict on CLASS count alone
+                      if (m.size > kk) m.pollLastEntry()
                     } else {
+                      totals(i) += 1
                       while (totals(i) - m.lastEntry().getValue.length >= kk)
                         totals(i) -= m.pollLastEntry().getValue.length
                     }

@@ -67,7 +67,19 @@ object GeoJsonSource {
     * DataFrame: inferred properties columns + WKB `geometry`. */
   private def featuresToDf(spark: SparkSession, feats: DataFrame): DataFrame = {
     import spark.implicits._
-    val geomJson = get_json_object(col("feature"), "$.geometry")
+    val typeStr = get_json_object(col("feature"), "$.type")
+    // a malformed line (unparseable JSON, or JSON with no `type` member)
+    // fails LOUDLY instead of dissolving into an all-NULL row; a bare
+    // geometry object (the common wild NDJSON shape) is accepted as the
+    // row's geometry, matching the codec's own parse(). A Feature whose
+    // geometry member is null stays a NULL-geometry row (RFC 7946 allows
+    // it).
+    val geomJson =
+      when(typeStr.isNull,
+        raise_error(concat(lit("GeoJSON: line is not a Feature or geometry object: "),
+          substring(col("feature"), 1, 80))))
+        .when(typeStr === "Feature", get_json_object(col("feature"), "$.geometry"))
+        .otherwise(col("feature"))
     val propsJson = get_json_object(col("feature"), "$.properties")
     // schema inference over the properties member ALONE — its own scan,
     // like spark.read.json's inference pass, but blind to geometry

@@ -290,6 +290,13 @@ object ShapefileWriter {
     }
     val headerSize = 32 + 32 * fs.length + 1
     val recordSize = 1 + fs.map(_.len).sum
+    // both live in unsigned 16-bit header slots (putShort stores the right
+    // bit pattern up to 0xFFFF; readers decode `& 0xFFFF`) — beyond that
+    // every reader misparses the table, so refuse loudly
+    require(headerSize <= 0xFFFF, s"shapefile .dbf header $headerSize bytes " +
+      s"exceeds the format's 16-bit limit (${fs.length} fields)")
+    require(recordSize <= 0xFFFF, s"shapefile .dbf record $recordSize bytes " +
+      "exceeds the format's 16-bit limit; drop or narrow columns")
     val bb = ByteBuffer.allocate(headerSize + recordSize * rows.length + 1)
       .order(ByteOrder.LITTLE_ENDIAN)
     bb.put(0x03.toByte)

@@ -110,6 +110,31 @@ class GeoIOSpec extends SparkTestBase {
       (3L, "POLYGON ((0 0, 2 0, 2 2, 0 0))")), rows.mkString("; "))
   }
 
+  test("GeoJSON lines: bare geometry objects read; malformed lines fail loudly (round 18)") {
+    // bare-geometry NDJSON (a common wild shape) is accepted as the row's
+    // geometry, like the codec's parse(); a line that parses to nothing
+    // raises instead of dissolving into an all-NULL row
+    val dir = Files.createTempDirectory("geoio").toString
+    Files.write(java.nio.file.Paths.get(dir, "bare.json"),
+      """{"type":"Point","coordinates":[7,8]}""".getBytes)
+    val bare = GeoJsonSource.readLines(spark, dir + "/bare.json")
+      .selectExpr("ST_AsText(geometry)").collect()
+    assert(bare.map(_.getString(0)).toSeq == Seq("POINT (7 8)"))
+    // null-geometry Features stay NULL rows (RFC 7946 allows them)
+    Files.write(java.nio.file.Paths.get(dir, "nullgeom.json"),
+      """{"type":"Feature","properties":{"n":1},"geometry":null}""".getBytes)
+    val ng = GeoJsonSource.readLines(spark, dir + "/nullgeom.json").collect()
+    assert(ng.length == 1 && ng.head.isNullAt(ng.head.length - 1))
+    // corrupt line → loud error
+    Files.write(java.nio.file.Paths.get(dir, "corrupt.json"),
+      "{\"type\":\"Feature\",\"properties\":{},\"geometry\":{\"type\":\"Point\",\"coordinates\":[1,2]}}\nnot json at all".getBytes)
+    val err = intercept[Exception] {
+      GeoJsonSource.readLines(spark, dir + "/corrupt.json").collect()
+    }
+    assert(err.getMessage.contains("not a Feature") ||
+      Option(err.getCause).exists(_.getMessage.contains("not a Feature")), err.getMessage)
+  }
+
   // the JDBC connection itself needs a live server; the PostGIS-specific
   // logic — hex-EWKB wire format → WKB column — is what's testable here
   test("PostGis.decodeGeometryColumns: hex EWKB (with SRID flag) → WKB") {

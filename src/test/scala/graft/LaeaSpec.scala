@@ -21,15 +21,40 @@ class LaeaSpec extends AnyFunSuite {
     assert(math.abs(lon - 5.0) < 1e-7 && math.abs(lat - 50.0) < 1e-7, s"($lon, $lat)")
   }
 
-  test("LAEA roundtrip property over the European domain (and beyond)") {
+  test("LAEA roundtrip property over the FULL globe (antipode vicinity excluded)") {
+    // full-longitude coverage matters: reverse() computes lon0 + atan2 in
+    // (lon0−180, lon0+180], so a western-hemisphere point (lon −175) used
+    // to come back as 185 — outside the 4326 domain (review round 18)
     val rnd = new scala.util.Random(30352026L)
-    for (_ <- 0 until 1000) {
-      val lon = -25.0 + rnd.nextDouble() * 70.0   // -25..45
-      val lat = 25.0 + rnd.nextDouble() * 60.0    // 25..85 (incl. high Arctic)
-      val (x, y) = LaeaEurope.projection.forward(lon, lat)
-      val (lon2, lat2) = LaeaEurope.projection.reverse(x, y)
-      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
-        s"roundtrip ($lon, $lat) -> ($x, $y) -> ($lon2, $lat2)")
+    var checked = 0
+    for (_ <- 0 until 2000) {
+      val lon = rnd.nextDouble() * 360.0 - 180.0
+      val lat = rnd.nextDouble() * 178.0 - 89.0
+      // skip a 5° disc around the antipode of (10, 52): no finite image
+      if (graft.core.Geodesy.haversineMeters(lon, lat, -170.0, -52.0) > 556000.0) {
+        val (x, y) = LaeaEurope.projection.forward(lon, lat)
+        val (lon2, lat2) = LaeaEurope.projection.reverse(x, y)
+        assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+          s"roundtrip ($lon, $lat) -> ($x, $y) -> ($lon2, $lat2)")
+        assert(lon2 > -180.0 && lon2 <= 180.0, s"lon out of domain: $lon2")
+        checked += 1
+      }
+    }
+    assert(checked > 1800)
+    // a composed hop from the western hemisphere must not throw on the
+    // 4326 pivot (the original failure shape)
+    val pt = GeomOps.point(-175.0, 10.0)
+    val back = GeomOps.read(Geodesy.transform(
+      Geodesy.transform(pt, 4326, 3035), 3035, 3857)).getCoordinate
+    assert(back.x < 0.0, s"western-hemisphere mercator x must be negative: ${back.x}")
+  }
+
+  test("LAEA forward at the near-pole rounding boundary stays finite") {
+    // q(φ)/qp can exceed 1 by an ulp within ~1e-8° of the pole; unclamped
+    // asin NaN'd and mis-fired the antipode guard (review round 18)
+    for (lat <- Seq(90.0, 89.999999999, -89.999999999, -90.0 + 1e-12)) {
+      val (x, y) = LaeaEurope.projection.forward(10.0, lat)
+      assert(!x.isNaN && !y.isNaN, s"lat $lat -> ($x, $y)")
     }
   }
 

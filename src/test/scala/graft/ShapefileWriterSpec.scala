@@ -123,6 +123,27 @@ class ShapefileWriterSpec extends SparkTestBase {
     assert(e2.getMessage.contains("family") || e2.getCause.getMessage.contains("family"))
   }
 
+  test(".dbf refuses record sizes beyond the 16-bit header slot (round-18 review)") {
+    graft.functions.GeoFunctions.register(spark)
+    // 260 C(254) columns -> recordSize ~66k > 0xFFFF: must refuse loudly,
+    // not wrap the short and corrupt every reader's offsets
+    val wide = (0 until 260).map(i => s"c$i").toArray
+    val row = org.apache.spark.sql.Row.fromSeq(wide.indices.map(_ => "x" * 254) :+
+      graft.core.GeomOps.point(1.0, 2.0))
+    val schema = org.apache.spark.sql.types.StructType(
+      wide.map(n => org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.StringType)) :+
+        org.apache.spark.sql.types.StructField("geometry",
+          org.apache.spark.sql.types.BinaryType))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), schema)
+    val e = intercept[org.apache.spark.SparkException] {
+      ShapefileWriter.write(df, tmp("wide"))
+    }
+    assert(e.getMessage.contains("16-bit") || e.getCause.getMessage.contains("16-bit"),
+      e.getMessage)
+  }
+
   test("long field names launder to 10 chars with dedup suffixes (the ogr2ogr convention)") {
     graft.functions.GeoFunctions.register(spark)
     val out = tmp("launder")
