@@ -795,6 +795,35 @@ class KnnJoinSpec extends SparkTestBase {
     assert(l.exists { case (lid, _, _) => exp(lid).length > 3 }, "fixture decayed")
   }
 
+  test("cross-mode invariants: row_number ⊆ rank ⊆ dense_rank per probe, all paths") {
+    // the three rank modes are cuts of the SAME ordered candidate stream:
+    // row_number keeps exactly min(k, n) rows, rank extends to the k-th
+    // distance's whole tie class, dense_rank extends to k whole classes —
+    // so per probe the result SETS must nest. A seeded duplicate-heavy
+    // fixture checks the nesting (and the count laws) over every probe.
+    val rnd = new scala.util.Random(181818L)
+    val l = (0L until 25L).map(i => (i, rnd.nextInt(12) * 5.0, rnd.nextInt(12) * 5.0))
+    val r = (0L until 300L).map(i =>
+      (1000L + i, rnd.nextInt(15) * 4.0, rnd.nextInt(15) * 4.0)) // heavy dups
+    def run(mode: String): Map[Long, Set[Long]] =
+      SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+        "lg", "rg", 3, "lid", "rid", rankMode = mode)
+        .select("lid", "rid").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rn = run("row_number")
+    val rk = run("rank")
+    val dr = run("dense_rank")
+    l.foreach { case (lid, _, _) =>
+      assert(rn(lid).subsetOf(rk(lid)), s"row_number ⊄ rank for $lid")
+      assert(rk(lid).subsetOf(dr(lid)), s"rank ⊄ dense_rank for $lid")
+      assert(rn(lid).size == 3)
+      assert(rk(lid).size >= 3, s"rank must cover k: ${rk(lid).size}")
+    }
+    // the fixture is meaningful: strict extension happens somewhere
+    assert(l.exists { case (lid, _, _) => rk(lid).size > rn(lid).size }, "no rank ties hit")
+    assert(l.exists { case (lid, _, _) => dr(lid).size > rk(lid).size }, "no dense extension hit")
+  }
+
   test("invalid k rejected") {
     val df = pts(Seq((1L, 0.0, 0.0)), "id", "g")
     intercept[IllegalArgumentException] {
