@@ -795,6 +795,28 @@ class KnnJoinSpec extends SparkTestBase {
     assert(l.exists { case (lid, _, _) => exp(lid).length > 3 }, "fixture decayed")
   }
 
+  test("planner: geodesic metric composes with RANK ties (sphere kernel, shared ranks)") {
+    // the metric extraction and the rank-function dispatch are independent
+    // planner axes — this pins their combination: RANK over
+    // ST_DistanceSphere plans as KnnTopK in ties mode with METERS distances
+    pts(Seq((1L, 0.0, 60.0)), "lid", "lg").createOrReplaceTempView("knn_grk_l")
+    // two rights symmetric in longitude about the probe: equal haversine
+    // distance EXACTLY (same |Δλ| at the same latitude), third farther
+    pts(Seq((10L, 1.0, 60.0), (11L, -1.0, 60.0), (12L, 10.0, 60.0)), "rid", "rg")
+      .createOrReplaceTempView("knn_grk_r")
+    val df = sql("""
+      SELECT lid, rid, d, rk FROM (
+        SELECT l.lid, r.rid, ST_DistanceSphere(l.lg, r.rg) AS d,
+               RANK() OVER (PARTITION BY l.lid ORDER BY ST_DistanceSphere(l.lg, r.rg)) AS rk
+        FROM knn_grk_l l CROSS JOIN knn_grk_r r) t WHERE rk <= 1""")
+    assert(df.queryExecution.executedPlan.toString.contains("KnnTopK"))
+    val rows = df.collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(10L, 11L), s"both haversine ties: ${rows.toSeq}")
+    assert(rows.forall(_._3 == 1), "shared rank 1")
+    val want = graft.core.Geodesy.haversineMeters(0.0, 60.0, 1.0, 60.0)
+    rows.foreach { case (_, d, _) => assert(math.abs(d - want) < 1e-6, s"meters: $d") }
+  }
+
   test("cross-mode invariants: row_number ⊆ rank ⊆ dense_rank per probe, all paths") {
     // the three rank modes are cuts of the SAME ordered candidate stream:
     // row_number keeps exactly min(k, n) rows, rank extends to the k-th

@@ -123,6 +123,32 @@ class ShapefileWriterSpec extends SparkTestBase {
     assert(e2.getMessage.contains("family") || e2.getCause.getMessage.contains("family"))
   }
 
+  test("writer-produced files read through the .shx split path identically") {
+    graft.functions.GeoFunctions.register(spark)
+    val out = tmp("split")
+    val n = 5000
+    spark.sql(s"""
+      SELECT CAST(id AS INT) AS fid,
+             ST_Point(CAST(id % 100 AS DOUBLE), CAST(CAST(id / 100 AS INT) AS DOUBLE)) AS geometry
+      FROM range($n)""").coalesce(1).createOrReplaceTempView("shpw_split")
+    ShapefileWriter.write(spark.table("shpw_split"), out)
+    val whole = Shapefile.read(spark, out)
+      .selectExpr("fid", "CAST(ST_X(geometry) AS INT) AS x").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1)
+    // force tiny splits so the reader's .shx record-range planner kicks in
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+    try { // the split-plan cache keys on maxPartitionBytes: no invalidation needed
+      val split = Shapefile.read(spark, out)
+      assert(split.rdd.getNumPartitions > 4,
+        s"expected multiple .shx splits, got ${split.rdd.getNumPartitions}")
+      val got = split.selectExpr("fid", "CAST(ST_X(geometry) AS INT) AS x").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1)
+      assert(got.length == n && got.sameElements(whole),
+        "split read diverged from whole-file read on a writer-produced file")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test(".dbf refuses record sizes beyond the 16-bit header slot (round-18 review)") {
     graft.functions.GeoFunctions.register(spark)
     // 260 C(254) columns -> recordSize ~66k > 0xFFFF: must refuse loudly,
