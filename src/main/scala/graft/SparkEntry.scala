@@ -1987,6 +1987,112 @@ object SparkEntry {
            ROUND(n00 + k0*biga*(xi - xi0), 0) AS northing
     FROM tm4, k6 ORDER BY id"""
 
+  /** Parameterized projections (g112, round 18): custom grids from RAW
+    * parameters — the escape hatch for CRSs outside the EPSG registry
+    * (`ST_TransformTM` / `ST_TransformLAEA`, graft.core.Geodesy
+    * `transformTm`/`transformLaea`; projections cached per parameter
+    * tuple). The fixture uses deliberately NON-EPSG constants (made-up
+    * ellipsoid a=6378200 1/f=297.5, k0=1.0003, offset false origins) so
+    * nothing can secretly route through a registered code; the oracle
+    * replays both chains from the same raw constants (the g104/g107
+    * discipline). */
+  private val g112Spark = """
+    SELECT id, ROUND(ST_X(t), 0) AS tm_e, ROUND(ST_Y(t), 0) AS tm_n,
+           ROUND(ST_X(l), 0) AS la_e, ROUND(ST_Y(l), 0) AS la_n
+    FROM (SELECT c_custkey AS id,
+                 ST_TransformTM(pt, 6378200.0D, 297.5D, 1.0003D, 13.5D, 0.0D,
+                                123456.0D, -50000.0D) AS t,
+                 ST_TransformLAEA(pt, 6378200.0D, 297.5D, 47.0D, 13.5D,
+                                  500000.0D, 400000.0D) AS l
+          FROM (SELECT c_custkey,
+                       ST_Point(10.0 + CAST(c_custkey % 70 AS DOUBLE) / 10.0,
+                                40.0 + CAST(c_custkey % 150 AS DOUBLE) / 10.0) AS pt
+                FROM customer) t0)
+    ORDER BY id"""
+
+  private val g112Duck = """
+    WITH k AS (
+      SELECT 6378200.0 AS aa, 1.0/297.5 AS fa,
+             1.0003 AS k0, radians(13.5) AS lam0, 123456.0 AS e00, -50000.0 AS n00,
+             radians(47.0) AS lphi0, radians(13.5) AS llam0,
+             500000.0 AS lfe, 400000.0 AS lfn
+    ), k2 AS (
+      SELECT *, fa*(2.0-fa) AS e2a, sqrt(fa*(2.0-fa)) AS ea, fa/(2.0-fa) AS tn FROM k
+    ), k3 AS (
+      SELECT *,
+        aa/(1.0+tn)*(1.0 + tn*tn/4.0 + (tn*tn)*(tn*tn)/64.0
+                     + (tn*tn)*(tn*tn)*(tn*tn)/256.0) AS biga,
+        tn/2.0 - 2.0*tn*tn/3.0 + 5.0*tn*tn*tn/16.0 + 41.0*tn*tn*tn*tn/180.0
+          - 127.0*tn*tn*tn*tn*tn/288.0 + 7891.0*tn*tn*tn*tn*tn*tn/37800.0 AS c1,
+        13.0*tn*tn/48.0 - 3.0*tn*tn*tn/5.0 + 557.0*tn*tn*tn*tn/1440.0
+          + 281.0*tn*tn*tn*tn*tn/630.0 - 1983433.0*tn*tn*tn*tn*tn*tn/1935360.0 AS c2,
+        61.0*tn*tn*tn/240.0 - 103.0*tn*tn*tn*tn/140.0 + 15061.0*tn*tn*tn*tn*tn/26880.0
+          + 167603.0*tn*tn*tn*tn*tn*tn/181440.0 AS c3,
+        49561.0*tn*tn*tn*tn/161280.0 - 179.0*tn*tn*tn*tn*tn/168.0
+          + 6601661.0*tn*tn*tn*tn*tn*tn/7257600.0 AS c4,
+        34729.0*tn*tn*tn*tn*tn/80640.0 - 3418889.0*tn*tn*tn*tn*tn*tn/1995840.0 AS c5,
+        212378941.0*tn*tn*tn*tn*tn*tn/319334400.0 AS c6,
+        (1.0-e2a)*(sin(lphi0)/(1.0-e2a*sin(lphi0)*sin(lphi0))
+          - (1.0/(2.0*ea))*ln((1.0-ea*sin(lphi0))/(1.0+ea*sin(lphi0)))) AS q1,
+        (1.0-e2a)*(1.0/(1.0-e2a) - (1.0/(2.0*ea))*ln((1.0-ea)/(1.0+ea))) AS qp
+      FROM k2
+    ), k4 AS (
+      SELECT *, asin(q1/qp) AS b1, aa*sqrt(qp/2.0) AS rq,
+             cos(lphi0)/sqrt(1.0-e2a*sin(lphi0)*sin(lphi0)) AS m1
+      FROM k3
+    ), k5 AS (
+      SELECT *, aa*m1/(rq*cos(b1)) AS d FROM k4
+    ), pts AS (
+      SELECT c_custkey AS id,
+             radians(10.0 + (c_custkey % 70)/10.0) AS lam,
+             radians(40.0 + (c_custkey % 150)/10.0) AS phi
+      FROM customer
+    ), tm1 AS (
+      SELECT id, lam, phi, lam - lam0 AS dl, sin(phi) AS sf FROM pts, k5
+    ), tm2 AS (
+      SELECT id, lam, phi, dl,
+             (exp(0.5*ln((1.0+sf)/(1.0-sf)) - ea*0.5*ln((1.0+ea*sf)/(1.0-ea*sf)))
+              - exp(-(0.5*ln((1.0+sf)/(1.0-sf)) - ea*0.5*ln((1.0+ea*sf)/(1.0-ea*sf)))))/2.0 AS t
+      FROM tm1, k5
+    ), tm3 AS (
+      SELECT id, lam, phi, atan2(t, cos(dl)) AS xip,
+             ln(sin(dl)/sqrt(t*t + cos(dl)*cos(dl))
+                + sqrt((sin(dl)/sqrt(t*t + cos(dl)*cos(dl)))
+                       *(sin(dl)/sqrt(t*t + cos(dl)*cos(dl))) + 1.0)) AS etap
+      FROM tm2
+    ), tm4 AS (
+      SELECT id, lam, phi,
+             xip + c1*sin(2.0*xip)*(exp(2.0*etap)+exp(-2.0*etap))/2.0
+                 + c2*sin(4.0*xip)*(exp(4.0*etap)+exp(-4.0*etap))/2.0
+                 + c3*sin(6.0*xip)*(exp(6.0*etap)+exp(-6.0*etap))/2.0
+                 + c4*sin(8.0*xip)*(exp(8.0*etap)+exp(-8.0*etap))/2.0
+                 + c5*sin(10.0*xip)*(exp(10.0*etap)+exp(-10.0*etap))/2.0
+                 + c6*sin(12.0*xip)*(exp(12.0*etap)+exp(-12.0*etap))/2.0 AS xi,
+             etap + c1*cos(2.0*xip)*(exp(2.0*etap)-exp(-2.0*etap))/2.0
+                  + c2*cos(4.0*xip)*(exp(4.0*etap)-exp(-4.0*etap))/2.0
+                  + c3*cos(6.0*xip)*(exp(6.0*etap)-exp(-6.0*etap))/2.0
+                  + c4*cos(8.0*xip)*(exp(8.0*etap)-exp(-8.0*etap))/2.0
+                  + c5*cos(10.0*xip)*(exp(10.0*etap)-exp(-10.0*etap))/2.0
+                  + c6*cos(12.0*xip)*(exp(12.0*etap)-exp(-12.0*etap))/2.0 AS eta
+      FROM tm3, k5
+    ), laea AS (
+      SELECT id, lam - llam0 AS dl,
+             asin(((1.0-e2a)*(sin(phi)/(1.0-e2a*sin(phi)*sin(phi))
+               - (1.0/(2.0*ea))*ln((1.0-ea*sin(phi))/(1.0+ea*sin(phi)))))/qp) AS beta
+      FROM pts, k5
+    ), laea2 AS (
+      SELECT id, dl, beta,
+             rq*sqrt(2.0/(1.0 + sin(b1)*sin(beta) + cos(b1)*cos(beta)*cos(dl))) AS bb
+      FROM laea, k5
+    )
+    SELECT t.id,
+           ROUND(e00 + k0*biga*eta, 0) AS tm_e,
+           ROUND(n00 + k0*biga*xi, 0) AS tm_n,
+           ROUND(lfe + bb*d*cos(beta)*sin(l2.dl), 0) AS la_e,
+           ROUND(lfn + (bb/d)*(cos(b1)*sin(beta) - sin(b1)*cos(beta)*cos(l2.dl)), 0) AS la_n
+    FROM tm4 t JOIN laea2 l2 ON l2.id = t.id, k5
+    ORDER BY t.id"""
+
   /** NAD27 datum family (g111, round 18) — the THIRD non-WGS84 datum:
     * EPSG:4267 (NAD27 geographic, Clarke 1866) via the inverse of the
     * published CONUS-mean geocentric translation (EPSG tfm 1173) and
@@ -12732,6 +12838,7 @@ object SparkEntry {
     ("g109_knn_dense_rank", q(g109Spark), g109Duck),
     ("g110_shapefile_write", g110Fn _, g110Duck),
     ("g111_nad27_datum", q(g111Spark), g111Duck),
+    ("g112_param_projections", q(g112Spark), g112Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -157,6 +157,90 @@ object Geodesy {
     case _ => None
   }
 
+  // ── parameterized projections — the "my CRS has no EPSG code here"
+  //    escape hatch (a PROJ-substitute for custom grids): the same four
+  //    projection engines driven by RAW parameters instead of a code.
+  //    Input/output geodetic coordinates are on the STATED ellipsoid's
+  //    datum — datum shifts are the caller's job (compose with
+  //    ST_Transform's datum codes when the grid sits on one of them).
+  //    Projections are cached per parameter tuple: the StaticInvoke runs
+  //    per ROW, and deriving the Krüger series (or conic constants) per
+  //    row would dominate the scan — a bounded concurrent map makes the
+  //    per-row cost one lookup. SQL: ST_TransformTM / ST_TransformTMInv /
+  //    ST_TransformLAEA(+Inv) / ST_TransformAlbers(+Inv) /
+  //    ST_TransformLCC(+Inv). ────────────────────────────────────────────
+  private val customCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Seq[Double]), AnyRef]()
+  private def cached[T <: AnyRef](kind: String, params: Seq[Double])(mk: => T): T = {
+    if (customCache.size > 4096) customCache.clear() // literal-param workloads never get here
+    customCache.computeIfAbsent((kind, params), _ => mk).asInstanceOf[T]
+  }
+  private def checkGeodetic(c: Coordinate): Unit =
+    require(math.abs(c.x) <= 180.0 && math.abs(c.y) <= 90.0,
+      s"parameterized transform: coordinate (${c.x}, ${c.y}) outside the geodetic domain")
+
+  def transformTm(b: Array[Byte], a: Double, invF: Double, k0: Double,
+                  lon0: Double, lat0: Double, fe: Double, fn: Double): Array[Byte] = {
+    val p = cached("tm", Seq(a, invF, k0, lon0, lat0, fe, fn))(
+      new TmProjection(a, 1.0 / invF, k0, lon0, lat0, fe, fn))
+    mapCoords(b, c => { checkGeodetic(c)
+      val (x, y) = p.forward(c.x, c.y); new Coordinate(x, y) })
+  }
+  def transformTmInv(b: Array[Byte], a: Double, invF: Double, k0: Double,
+                     lon0: Double, lat0: Double, fe: Double, fn: Double): Array[Byte] = {
+    val p = cached("tm", Seq(a, invF, k0, lon0, lat0, fe, fn))(
+      new TmProjection(a, 1.0 / invF, k0, lon0, lat0, fe, fn))
+    mapCoords(b, c => { val (lo, la) = p.reverse(c.x, c.y); new Coordinate(lo, la) })
+  }
+
+  def transformLaea(b: Array[Byte], a: Double, invF: Double, lat0: Double,
+                    lon0: Double, fe: Double, fn: Double): Array[Byte] = {
+    val p = cached("laea", Seq(a, invF, lat0, lon0, fe, fn))(
+      new LaeaProjection(a, invF, lat0, lon0, fe, fn))
+    mapCoords(b, c => { checkGeodetic(c)
+      val (x, y) = p.forward(c.x, c.y); new Coordinate(x, y) })
+  }
+  def transformLaeaInv(b: Array[Byte], a: Double, invF: Double, lat0: Double,
+                       lon0: Double, fe: Double, fn: Double): Array[Byte] = {
+    val p = cached("laea", Seq(a, invF, lat0, lon0, fe, fn))(
+      new LaeaProjection(a, invF, lat0, lon0, fe, fn))
+    mapCoords(b, c => { val (lo, la) = p.reverse(c.x, c.y); new Coordinate(lo, la) })
+  }
+
+  private def conicFns(albers: Boolean, a: Double, invF: Double, lat1: Double,
+                       lat2: Double, lat0: Double, lon0: Double, fe: Double, fn: Double) = {
+    val kind = if (albers) "albers" else "lcc"
+    cached(kind, Seq(a, invF, lat1, lat2, lat0, lon0, fe, fn)) {
+      val c = ConicProjections.Conic(a, invF, lat1, lat2, lat0, lon0, fe, fn)
+      if (albers) (ConicProjections.albersForwardFn(c), ConicProjections.albersInverseFn(c))
+      else (ConicProjections.lccForwardFn(c), ConicProjections.lccInverseFn(c))
+    }
+  }
+  def transformAlbers(b: Array[Byte], a: Double, invF: Double, lat1: Double, lat2: Double,
+                      lat0: Double, lon0: Double, fe: Double, fn: Double): Array[Byte] = {
+    val (fwd, _) = conicFns(albers = true, a, invF, lat1, lat2, lat0, lon0, fe, fn)
+    mapCoords(b, c => { checkGeodetic(c); require(math.abs(c.y) < 90.0,
+      "parameterized Albers: pole not representable")
+      val (x, y) = fwd(c.x, c.y); new Coordinate(x, y) })
+  }
+  def transformAlbersInv(b: Array[Byte], a: Double, invF: Double, lat1: Double, lat2: Double,
+                         lat0: Double, lon0: Double, fe: Double, fn: Double): Array[Byte] = {
+    val (_, inv) = conicFns(albers = true, a, invF, lat1, lat2, lat0, lon0, fe, fn)
+    mapCoords(b, c => { val (lo, la) = inv(c.x, c.y); new Coordinate(lo, la) })
+  }
+  def transformLcc(b: Array[Byte], a: Double, invF: Double, lat1: Double, lat2: Double,
+                   lat0: Double, lon0: Double, fe: Double, fn: Double): Array[Byte] = {
+    val (fwd, _) = conicFns(albers = false, a, invF, lat1, lat2, lat0, lon0, fe, fn)
+    mapCoords(b, c => { checkGeodetic(c); require(math.abs(c.y) < 90.0,
+      "parameterized LCC: pole not representable")
+      val (x, y) = fwd(c.x, c.y); new Coordinate(x, y) })
+  }
+  def transformLccInv(b: Array[Byte], a: Double, invF: Double, lat1: Double, lat2: Double,
+                      lat0: Double, lon0: Double, fe: Double, fn: Double): Array[Byte] = {
+    val (_, inv) = conicFns(albers = false, a, invF, lat1, lat2, lat0, lon0, fe, fn)
+    mapCoords(b, c => { val (lo, la) = inv(c.x, c.y); new Coordinate(lo, la) })
+  }
+
   // ── slippy-map (XYZ / OSM) tile math ──────────────────────────────────
 
   /** Tile column of a longitude at zoom `z` — the standard slippy-map

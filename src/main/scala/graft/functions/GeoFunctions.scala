@@ -210,6 +210,16 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_exteriorring" -> Sig("exteriorRing", G, Seq(G)),
     // geodesy
     "st_transform" -> Sig("transform", G, Seq(G, I, I), geodesy),
+    // parameterized projections (custom grids without an EPSG code; the
+    // stated ellipsoid's datum is the caller's responsibility)
+    "st_transformtm" -> Sig("transformTm", G, Seq(G, D, D, D, D, D, D, D), geodesy),
+    "st_transformtminv" -> Sig("transformTmInv", G, Seq(G, D, D, D, D, D, D, D), geodesy),
+    "st_transformlaea" -> Sig("transformLaea", G, Seq(G, D, D, D, D, D, D), geodesy),
+    "st_transformlaeainv" -> Sig("transformLaeaInv", G, Seq(G, D, D, D, D, D, D), geodesy),
+    "st_transformalbers" -> Sig("transformAlbers", G, Seq(G, D, D, D, D, D, D, D, D), geodesy),
+    "st_transformalbersinv" -> Sig("transformAlbersInv", G, Seq(G, D, D, D, D, D, D, D, D), geodesy),
+    "st_transformlcc" -> Sig("transformLcc", G, Seq(G, D, D, D, D, D, D, D, D), geodesy),
+    "st_transformlccinv" -> Sig("transformLccInv", G, Seq(G, D, D, D, D, D, D, D, D), geodesy),
     "st_distancesphere" -> Sig("distanceSphere", D, Seq(G, G), geodesy),
     "st_project" -> Sig("projectSphere", G, Seq(G, D, D), geodesy),
     "st_lengthsphere" -> Sig("lengthSphere", D, Seq(G), geodesy),
