@@ -2711,6 +2711,101 @@ object SparkEntry {
            MAX(CASE WHEN kind = 'pt' THEN i % 89 END)::DOUBLE AS ymax
     FROM r"""
 
+  /** Native NESTED-kind columnar fast path (g113, round 19): measures
+    * over NATIVE-encoded linestring and polygon GeoParquet columns —
+    * ST_Length/ST_Area/ST_Perimeter/ST_NPoints/bounds — run as
+    * [[graft.core.NativeMeasures]] leaf arithmetic over the raw
+    * `array<struct<x,y>>` scan values (the `ga_linestring`/`ga_polygon`
+    * WKB transcode + JTS parse drops out of the plan; asserted in
+    * NativeNestedFastPathSpec, bit-exactness vs the WKB path fuzzed
+    * there). The geometries are integer staircases and quarter-offset
+    * holed rectangles, so every measure is EXACT in FP and DuckDB can
+    * replay the generator arithmetic: staircase length a+b, rectangle
+    * area w·h − 1 (unit hole), perimeter 2(w+h) + 4 (hole ring). EMPTY
+    * and NULL rows are in the corpus; empties count 0 points and stay
+    * out of the bounds via the ST_IsEmpty guard. */
+  private def g113Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g113_" + java.util.UUID.randomUUID().toString.take(8))
+    val lineOut = new java.io.File(base, "lines").getAbsolutePath
+    val polyOut = new java.io.File(base, "polys").getAbsolutePath
+    s.sql("""
+      SELECT id,
+             CAST(id % 13 AS DOUBLE) * 10.0 AS ox,
+             CAST(1 + id % 7 AS DOUBLE) AS a,
+             CAST(1 + id % 5 AS DOUBLE) AS b,
+             CAST(2 + id % 9 AS DOUBLE) AS w,
+             CAST(2 + id % 6 AS DOUBLE) AS h,
+             CASE WHEN id % 37 = 3 THEN 'null'
+                  WHEN id % 31 = 5 THEN 'empty' ELSE 'geom' END AS kind
+      FROM range(300)""").createOrReplaceTempView("g113_src")
+    val lines = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE WHEN kind = 'null' THEN NULL
+                  WHEN kind = 'empty' THEN ST_GeomFromText('LINESTRING EMPTY')
+                  ELSE ST_GeomFromText(CONCAT('LINESTRING (', ox, ' 0, ',
+                                              ox + a, ' 0, ', ox + a, ' ', b, ')'))
+             END AS geometry
+      FROM g113_src""").coalesce(1)
+    val polys = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE WHEN kind = 'null' THEN NULL
+                  WHEN kind = 'empty' THEN ST_GeomFromText('POLYGON EMPTY')
+                  ELSE ST_GeomFromText(CONCAT(
+                    'POLYGON ((', ox, ' 0, ', ox + w, ' 0, ', ox + w, ' ', h,
+                    ', ', ox, ' ', h, ', ', ox, ' 0), (',
+                    ox + 0.25, ' 0.25, ', ox + 1.25, ' 0.25, ',
+                    ox + 1.25, ' 1.25, ', ox + 0.25, ' 1.25, ',
+                    ox + 0.25, ' 0.25))'))
+             END AS geometry
+      FROM g113_src""").coalesce(1)
+    graft.sources.GeoParquet.write(lines, lineOut, covering = false, encoding = "linestring")
+    graft.sources.GeoParquet.write(polys, polyOut, covering = false, encoding = "polygon")
+    graft.sources.GeoParquet.read(s, lineOut).createOrReplaceTempView("g113_ln")
+    graft.sources.GeoParquet.read(s, polyOut).createOrReplaceTempView("g113_pg")
+    s.sql("""
+      SELECT * FROM
+        (SELECT CAST(SUM(CASE WHEN geometry IS NOT NULL AND NOT ST_IsEmpty(geometry)
+                              THEN ST_Length(geometry) END) AS BIGINT) AS ln_len,
+                CAST(SUM(ST_NPoints(geometry)) AS BIGINT) AS ln_np,
+                CAST(MIN(CASE WHEN geometry IS NOT NULL AND NOT ST_IsEmpty(geometry)
+                              THEN ST_XMin(geometry) END) AS BIGINT) AS ln_xmin,
+                CAST(MAX(CASE WHEN geometry IS NOT NULL AND NOT ST_IsEmpty(geometry)
+                              THEN ST_XMax(geometry) END) AS BIGINT) AS ln_xmax,
+                CAST(COUNT(CASE WHEN ST_IsEmpty(geometry) THEN 1 END) AS BIGINT) AS ln_empty,
+                CAST(COUNT(CASE WHEN geometry IS NULL THEN 1 END) AS BIGINT) AS ln_null
+         FROM g113_ln) l
+      CROSS JOIN
+        (SELECT CAST(SUM(CASE WHEN geometry IS NOT NULL AND NOT ST_IsEmpty(geometry)
+                              THEN ST_Area(geometry) END) AS BIGINT) AS pg_area,
+                CAST(SUM(CASE WHEN geometry IS NOT NULL AND NOT ST_IsEmpty(geometry)
+                              THEN ST_Perimeter(geometry) END) AS BIGINT) AS pg_perim,
+                CAST(SUM(ST_NPoints(geometry)) AS BIGINT) AS pg_np,
+                CAST(MAX(CASE WHEN geometry IS NOT NULL AND NOT ST_IsEmpty(geometry)
+                              THEN ST_YMax(geometry) END) AS BIGINT) AS pg_ymax
+         FROM g113_pg) p""")
+  }
+
+  private val g113Duck = """
+    WITH r AS (
+      SELECT i, (i % 13) * 10 AS ox, 1 + i % 7 AS a, 1 + i % 5 AS b,
+             2 + i % 9 AS w, 2 + i % 6 AS h,
+             CASE WHEN i % 37 = 3 THEN 'null'
+                  WHEN i % 31 = 5 THEN 'empty' ELSE 'geom' END AS kind
+      FROM range(300) t(i))
+    SELECT SUM(CASE WHEN kind = 'geom' THEN a + b END)::BIGINT AS ln_len,
+           SUM(CASE WHEN kind = 'geom' THEN 3 WHEN kind = 'empty' THEN 0 END)::BIGINT AS ln_np,
+           MIN(CASE WHEN kind = 'geom' THEN ox END)::BIGINT AS ln_xmin,
+           MAX(CASE WHEN kind = 'geom' THEN ox + a END)::BIGINT AS ln_xmax,
+           COUNT(CASE WHEN kind = 'empty' THEN 1 END)::BIGINT AS ln_empty,
+           COUNT(CASE WHEN kind = 'null' THEN 1 END)::BIGINT AS ln_null,
+           SUM(CASE WHEN kind = 'geom' THEN w * h - 1 END)::BIGINT AS pg_area,
+           SUM(CASE WHEN kind = 'geom' THEN 2 * (w + h) + 4 END)::BIGINT AS pg_perim,
+           SUM(CASE WHEN kind = 'geom' THEN 10 WHEN kind = 'empty' THEN 0 END)::BIGINT AS pg_np,
+           MAX(CASE WHEN kind = 'geom' THEN h END)::BIGINT AS pg_ymax
+    FROM r"""
+
   /** RANK()-with-ties kNN join (g106, round 18): the SQL window shape
     * `RANK() OVER (PARTITION BY lid ORDER BY ST_Distance) <= k` over a
     * cross join is planned as [[graft.plans.KnnTopKExec]] in withTies
@@ -12839,6 +12934,7 @@ object SparkEntry {
     ("g110_shapefile_write", g110Fn _, g110Duck),
     ("g111_nad27_datum", q(g111Spark), g111Duck),
     ("g112_param_projections", q(g112Spark), g112Duck),
+    ("g113_native_nested_fastpath", g113Fn _, g113Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -1,0 +1,310 @@
+package graft.core
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Scalar measure kernels over the RAW GeoArrow nested-array layouts —
+  * the non-point half of the native columnar fast path
+  * ([[graft.plans.NativePointFastPath]]).
+  *
+  * [[graft.sources.GeoParquet.read]] transcodes native-encoded columns to
+  * WKB at scan time (`ga_linestring(col, z, m)` …) so every ST_* kernel
+  * accepts them; for measure/accessor consumers that is WKB serialize +
+  * JTS parse work whose answer is already sitting in the coordinate
+  * leaves. The reference computes these directly on the separated
+  * coordinate arrays (rust/geoarrow-expr-geo/src/{area.rs,length.rs},
+  * rust/geoarrow-array/src/trait_.rs:251); these methods are the
+  * Spark-shaped equivalent: StaticInvoke targets over the scan's
+  * `array<struct<x,y[,z][,m]>>` values, rewritten into the plan by
+  * [[graft.plans.NativePointFastPath]] so the `ga_*` transcode drops out.
+  *
+  * Every method replicates the EXACT JTS 1.20 IEEE chain of the WKB
+  * kernel it replaces (bit-exactness is asserted in
+  * NativeNestedFastPathSpec over fuzz corpora):
+  *
+  *  - length: `Length.ofLine` — `Math.hypot(dx, dy)` per segment, summed
+  *    in coordinate order; collections sum each member's total
+  *    (`GeometryCollection.getLength` accumulates member sums, which is
+  *    NOT the same floating-point value as one flat accumulation).
+  *  - area: `Area.ofRingSigned(CoordinateSequence)` — the x0-reduced
+  *    shoelace `Σ (x[i]-x0)·(y[i-1]-y[i+1]) / 2`; `Polygon.getArea` =
+  *    `|shell| - Σ|holes|` in ring order.
+  *  - bounds: `Envelope.expandToInclude` — first-coordinate init, then
+  *    `<`/`>` compares (NaN never updates, a leading NaN sticks);
+  *    collection envelopes combine MEMBER envelopes (an all-NaN-leading
+  *    member absorbs its later real coordinates — flattening would not),
+  *    a polygon's envelope is its SHELL's, and the null envelope of an
+  *    empty geometry reads 0/-1 (`Envelope.setToNull`). Methods return
+  *    null for the null envelope; the rewrite supplies the 0/-1 sentinel
+  *    for the direct kernels and lets aggregates skip it (ExtentAgg's
+  *    envelope-isNull contract).
+  *
+  * Width is the coordinate struct's field count (2 + z + m); x/y are
+  * fields 0 and 1 in the GeoArrow separated layout, and all measures are
+  * 2D exactly like the JTS originals. The all-NaN coordinate is the
+  * GeoArrow POINT EMPTY sentinel (only meaningful inside multipoint). */
+object NativeMeasures {
+
+  // ── length (JTS Length.ofLine: Math.hypot per segment) ────────────────
+
+  def lineLength(a: ArrayData, width: Int): Double = {
+    val n = a.numElements()
+    if (n <= 1) return 0.0
+    var len = 0.0
+    var c = a.getStruct(0, width)
+    var x0 = c.getDouble(0)
+    var y0 = c.getDouble(1)
+    var i = 1
+    while (i < n) {
+      c = a.getStruct(i, width)
+      val x1 = c.getDouble(0)
+      val y1 = c.getDouble(1)
+      len += java.lang.Math.hypot(x1 - x0, y1 - y0)
+      x0 = x1; y0 = y1
+      i += 1
+    }
+    len
+  }
+
+  /** Σ member/ring totals — Polygon.getLength (perimeter) over rings and
+    * MultiLineString.getLength over members share this exact chain. */
+  def ringsLength(a: ArrayData, width: Int): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { s += lineLength(a.getArray(i), width); i += 1 }
+    s
+  }
+
+  /** MultiPolygon.getLength: each member polygon's ring sum is completed
+    * FIRST, then added (GeometryCollection accumulation order). */
+  def ringsLengthL3(a: ArrayData, width: Int): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { s += ringsLength(a.getArray(i), width); i += 1 }
+    s
+  }
+
+  // ── area (JTS Area.ofRingSigned, CoordinateSequence variant) ──────────
+
+  /** CW-positive signed ring area, the exact x0-reduced shoelace JTS runs
+    * (p2.x is reduced by x0 AT LOAD, term is p1x·(p0y−p2y), sum halved at
+    * the end). */
+  def ringAreaSigned(a: ArrayData, width: Int): Double = {
+    val n = a.numElements()
+    if (n < 3) return 0.0
+    val c0 = a.getStruct(0, width)
+    val x0 = c0.getDouble(0)
+    var p1y = c0.getDouble(1)
+    val c1 = a.getStruct(1, width)
+    var p2x = c1.getDouble(0) - x0
+    var p2y = c1.getDouble(1)
+    var sum = 0.0
+    var i = 1
+    while (i < n - 1) {
+      val p0y = p1y
+      val p1x = p2x
+      p1y = p2y
+      val ci = a.getStruct(i + 1, width)
+      p2x = ci.getDouble(0) - x0
+      p2y = ci.getDouble(1)
+      sum += p1x * (p0y - p2y)
+      i += 1
+    }
+    sum / 2.0
+  }
+
+  /** Polygon.getArea: `0 + |shell| − |hole₁| − |hole₂| …` in ring order. */
+  def polygonArea(a: ArrayData, width: Int): Double = {
+    val n = a.numElements()
+    var area = 0.0
+    if (n > 0) {
+      area += java.lang.Math.abs(ringAreaSigned(a.getArray(0), width))
+      var i = 1
+      while (i < n) {
+        area -= java.lang.Math.abs(ringAreaSigned(a.getArray(i), width))
+        i += 1
+      }
+    }
+    area
+  }
+
+  /** MultiPolygon.getArea: member polygon areas summed in order. */
+  def multiPolygonArea(a: ArrayData, width: Int): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { s += polygonArea(a.getArray(i), width); i += 1 }
+    s
+  }
+
+  // ── numPoints (JTS getNumPoints) ───────────────────────────────────────
+
+  /** MultiPoint.getNumPoints: Σ member counts — an all-NaN (EMPTY
+    * sentinel) member is POINT EMPTY, which counts 0. */
+  def numPointsMultiPoint(a: ArrayData, width: Int): Int = {
+    var s = 0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val c = a.getStruct(i, width)
+      if (!(java.lang.Double.isNaN(c.getDouble(0)) &&
+            java.lang.Double.isNaN(c.getDouble(1)))) s += 1
+      i += 1
+    }
+    s
+  }
+
+  /** Polygon/MultiLineString getNumPoints: Σ ring/member sizes. */
+  def numPointsL2(a: ArrayData): Int = {
+    var s = 0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { s += a.getArray(i).numElements(); i += 1 }
+    s
+  }
+
+  def numPointsL3(a: ArrayData): Int = {
+    var s = 0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { s += numPointsL2(a.getArray(i)); i += 1 }
+    s
+  }
+
+  // ── envelope bounds (JTS Envelope.expandToInclude chains) ─────────────
+  // ord: 0 = x, 1 = y; min/max by flag. null ⇔ the JTS null envelope
+  // (empty geometry) — the plan rewrite supplies getMin*/getMax*'s 0/-1
+  // null-envelope sentinel for the direct kernels and leaves null for
+  // the ExtentAgg skip.
+
+  /** LineString envelope bound: first-coordinate init, then compare —
+    * NaN coordinates behave exactly as in Envelope.expandToInclude
+    * (never update; a leading NaN sticks). */
+  def boundLine(a: ArrayData, width: Int, ord: Int, isMin: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n == 0) return null
+    var v = a.getStruct(0, width).getDouble(ord)
+    var i = 1
+    while (i < n) {
+      val c = a.getStruct(i, width).getDouble(ord)
+      if (if (isMin) c < v else c > v) v = c
+      i += 1
+    }
+    java.lang.Double.valueOf(v)
+  }
+
+  /** MultiPoint envelope bound: EMPTY (all-NaN) members are skipped
+    * entirely (their member envelope is null), others contribute their
+    * coordinate. */
+  def boundMultiPoint(a: ArrayData, width: Int, ord: Int, isMin: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    var init = false
+    var v = 0.0
+    var i = 0
+    while (i < n) {
+      val r = a.getStruct(i, width)
+      if (!(java.lang.Double.isNaN(r.getDouble(0)) &&
+            java.lang.Double.isNaN(r.getDouble(1)))) {
+        val c = r.getDouble(ord)
+        if (!init) { v = c; init = true }
+        else if (if (isMin) c < v else c > v) v = c
+      }
+      i += 1
+    }
+    if (init) java.lang.Double.valueOf(v) else null
+  }
+
+  /** Polygon envelope = SHELL envelope (JTS computeEnvelopeInternal uses
+    * only the exterior ring; holes are presumed inside). */
+  def boundShell(a: ArrayData, width: Int, ord: Int, isMin: Boolean): java.lang.Double =
+    if (a.numElements() == 0) null else boundLine(a.getArray(0), width, ord, isMin)
+
+  /** MultiLineString envelope bound: MEMBER envelopes combined (not a
+    * flat coordinate scan — a member whose FIRST coordinate is NaN
+    * absorbs its later real coordinates into a NaN envelope, and the
+    * combine then ignores it; flattening would resurrect them). */
+  def boundL2(a: ArrayData, width: Int, ord: Int, isMin: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    var init = false
+    var v = 0.0
+    var i = 0
+    while (i < n) {
+      val b = boundLine(a.getArray(i), width, ord, isMin)
+      if (b != null) {
+        val c = b.doubleValue()
+        if (!init) { v = c; init = true }
+        else if (if (isMin) c < v else c > v) v = c
+      }
+      i += 1
+    }
+    if (init) java.lang.Double.valueOf(v) else null
+  }
+
+  /** MultiPolygon envelope bound: member polygon envelopes (= shells). */
+  def boundMPolyShells(a: ArrayData, width: Int, ord: Int, isMin: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    var init = false
+    var v = 0.0
+    var i = 0
+    while (i < n) {
+      val b = boundShell(a.getArray(i), width, ord, isMin)
+      if (b != null) {
+        val c = b.doubleValue()
+        if (!init) { v = c; init = true }
+        else if (if (isMin) c < v else c > v) v = c
+      }
+      i += 1
+    }
+    if (init) java.lang.Double.valueOf(v) else null
+  }
+
+  // ── isEmpty / numPoints over the point struct ──────────────────────────
+
+  def isEmptyL1(a: ArrayData): Boolean = a.numElements() == 0
+
+  /** Polygon.isEmpty delegates to the SHELL ring's isEmpty. */
+  def isEmptyPolygon(a: ArrayData): Boolean =
+    a.numElements() == 0 || a.getArray(0).numElements() == 0
+
+  /** MultiLineString.isEmpty: every member empty (vacuously true for 0
+    * members). */
+  def isEmptyL2(a: ArrayData): Boolean = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.getArray(i).numElements() != 0) return false
+      i += 1
+    }
+    true
+  }
+
+  def isEmptyMultiPolygon(a: ArrayData): Boolean = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (!isEmptyPolygon(a.getArray(i))) return false
+      i += 1
+    }
+    true
+  }
+
+  /** MultiPoint.isEmpty: every member is the all-NaN EMPTY sentinel. */
+  def isEmptyMultiPoint(a: ArrayData, width: Int): Boolean = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val r = a.getStruct(i, width)
+      if (!(java.lang.Double.isNaN(r.getDouble(0)) &&
+            java.lang.Double.isNaN(r.getDouble(1)))) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Point.getNumPoints: 0 when EMPTY (all-NaN sentinel), else 1. */
+  def numPointsPoint(r: InternalRow, width: Int): Int =
+    if (java.lang.Double.isNaN(r.getDouble(0)) &&
+        java.lang.Double.isNaN(r.getDouble(1))) 0 else 1
+}

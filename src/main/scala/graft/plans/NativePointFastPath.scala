@@ -8,44 +8,54 @@ import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.optimizer.{CollapseProject, ColumnPruning}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{BooleanType, DoubleType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, StructType}
 
-/** Columnar fast path for NATIVE-encoded GeoParquet point columns.
+/** Columnar fast path for NATIVE-encoded GeoParquet geometry columns.
   *
-  * [[graft.sources.GeoParquet.read]] transcodes native (GeoArrow struct)
-  * geometry columns to WKB at scan time (`ga_point(col, z, m)`) so every
-  * ST_* kernel accepts them. For coordinate-only consumers that is pure
-  * waste: `ST_X(ga_point(s))` serializes the struct into WKB bytes, parses
-  * them back into a JTS Point, and reads the X it already had as a codegen'd
-  * column leaf. The reference computes such accessors directly on the
-  * separated coordinate arrays (rust/geoarrow-array/src/trait_.rs:251);
-  * this rule is the Spark-shaped equivalent — rewrite the composed
-  * expression so the plan touches only the struct leaves and the WKB/JTS
-  * stage disappears entirely:
+  * [[graft.sources.GeoParquet.read]] transcodes native (GeoArrow
+  * struct/list) geometry columns to WKB at scan time (`ga_point(col, z,
+  * m)`, `ga_linestring(…)`, …) so every ST_* kernel accepts them. For
+  * coordinate-only and measure consumers that is pure waste:
+  * `ST_X(ga_point(s))` serializes the struct into WKB bytes, parses them
+  * back into a JTS Point, and reads the X it already had as a codegen'd
+  * column leaf; `ST_Length(ga_linestring(a))` rebuilds a JTS LineString
+  * whose only purpose is one arithmetic pass over coordinates the scan
+  * already delivered as `array<struct<x,y>>`. The reference computes
+  * these directly on the separated coordinate arrays
+  * (rust/geoarrow-array/src/trait_.rs:251,
+  * rust/geoarrow-expr-geo/src/{area.rs,length.rs}); this rule is the
+  * Spark-shaped equivalent — rewrite the composed expression so the plan
+  * touches only the array/struct leaves and the WKB/JTS stage disappears
+  * entirely:
   *
-  *  - `ST_X/ST_Y/ST_XMin/ST_YMin/ST_XMax/ST_YMax(ga_point(s))` → `s.x`/`s.y`
-  *    (a point's envelope IS its coordinate)
-  *  - `ST_IsEmpty(ga_point(s))` → `s IS NULL ? NULL : isnan(s.x)` (the
-  *    GeoArrow all-NaN empty-point sentinel)
-  *  - `ST_Extent_Agg(ga_point(s))` → min/max over the leaves with NaN
-  *    (EMPTY) rows nulled out — the same skip ExtentAgg's envelope-isNull
-  *    check performs — rebuilt into the aggregator's xmin/ymin/xmax/ymax
-  *    struct, NULL when no valid row contributed
+  *  - POINT columns: `ST_X/ST_Y/ST_XMin/…` → `s.x`/`s.y` leaf reads;
+  *    `ST_IsEmpty` → the all-NaN sentinel test; `ST_Distance`/
+  *    `ST_DistanceSphere`/`ST_DWithin` against a point literal or second
+  *    native column → the exact kernel IEEE chains as leaf arithmetic;
+  *    `ST_Extent_Agg` → min/max over the leaves.
+  *  - LINESTRING/POLYGON/MULTI* columns (round 19): `ST_Length`/
+  *    `ST_Area`/`ST_Perimeter`/`ST_NPoints`/`ST_XMin` family/`ST_IsEmpty`
+  *    /`ST_Extent_Agg` → [[graft.core.NativeMeasures]] StaticInvoke
+  *    kernels over the raw nested arrays, each replicating the exact JTS
+  *    1.20 chain of the WKB kernel it replaces (bit-exactness asserted in
+  *    NativeNestedFastPathSpec).
   *
   * Two plan shapes are covered: the FUSED form where CollapseProject
   * already composed consumer and transcode into one expression, and the
   * LAYERED form (Aggregate/Project/Filter directly above the transcode
   * Project) where the consumer references the transcode through an
   * attribute — there the rule inlines through the alias, adds the raw
-  * struct column as a passthrough, and lets ColumnPruning drop the
-  * now-dead `ga_point` alias.
+  * native column as a passthrough, and lets ColumnPruning drop the
+  * now-dead `ga_*` alias.
   *
   * Runs in `experimental.extraOptimizations` (after the main batches).
-  * EMPTY-point divergence, documented: the WKB path NPEs on
+  * EMPTY-geometry divergence for POINTS, documented: the WKB path NPEs on
   * `ST_X(POINT EMPTY)` and reports JTS's 0-width null envelope for
   * `ST_XMin`; the fast path yields NaN (the sentinel the column stores) —
   * strictly more useful, and unreachable for the non-degenerate data the
-  * WKB path already handled. */
+  * WKB path already handled. The nested kinds have no such divergence:
+  * their bound rewrites reproduce the JTS null-envelope 0/-1 sentinel
+  * exactly. */
 object NativePointFastPath extends Rule[LogicalPlan] {
 
   private def strip(e: Expression): Expression = e match {
@@ -53,11 +63,25 @@ object NativePointFastPath extends Rule[LogicalPlan] {
     case other => other
   }
 
-  /** the struct argument of a `ga_point` scan transcode, if `e` is one */
-  private def gaPointArg(e: Expression): Option[Expression] = strip(e) match {
-    case si: StaticInvoke if si.functionName == "gaPoint" &&
-        si.staticObject.getName == "graft.core.GeoArrowOps" =>
-      Some(si.arguments.head)
+  /** scan-transcode function name → geometry kind */
+  private val transcodeKinds = Map(
+    "gaPoint" -> "point", "gaLineString" -> "line", "gaPolygon" -> "polygon",
+    "gaMultiPoint" -> "multipoint", "gaMultiLineString" -> "mls",
+    "gaMultiPolygon" -> "mpoly")
+
+  /** the raw argument of a `ga_*` scan transcode, with its kind and the
+    * coordinate struct width (2 + z + m — the z/m flags are the scan's
+    * literals; a non-literal flag refuses the rewrite, width must be
+    * static) */
+  private def gaNativeArg(e: Expression): Option[(Expression, String, Int)] = strip(e) match {
+    case si: StaticInvoke if si.staticObject.getName == "graft.core.GeoArrowOps" &&
+        transcodeKinds.contains(si.functionName) && si.arguments.length == 3 =>
+      (strip(si.arguments(1)), strip(si.arguments(2))) match {
+        case (Literal(z: Boolean, BooleanType), Literal(m: Boolean, BooleanType)) =>
+          Some((si.arguments.head, transcodeKinds(si.functionName),
+            2 + (if (z) 1 else 0) + (if (m) 1 else 0)))
+        case _ => None
+      }
     case _ => None
   }
 
@@ -76,11 +100,33 @@ object NativePointFastPath extends Rule[LogicalPlan] {
     "stX" -> "x", "xMin" -> "x", "xMax" -> "x",
     "stY" -> "y", "yMin" -> "y", "yMax" -> "y")
 
+  // envelope kernels valid on EVERY kind: (ordinal in the coord struct,
+  // isMin, JTS null-envelope sentinel — Envelope.setToNull is (0,-1,0,-1))
+  private val boundKernels = Map(
+    "xMin" -> ((0, true, 0.0)), "yMin" -> ((1, true, 0.0)),
+    "xMax" -> ((0, false, -1.0)), "yMax" -> ((1, false, -1.0)))
+
+  // kind → NativeMeasures bound method (null ⇔ JTS null envelope)
+  private val boundMethod = Map(
+    "line" -> "boundLine", "multipoint" -> "boundMultiPoint",
+    "polygon" -> "boundShell", "mls" -> "boundL2", "mpoly" -> "boundMPolyShells")
+
   private def isGeomOp(si: StaticInvoke, name: String): Boolean =
     si.staticObject.getName == "graft.core.GeomOps" && si.functionName == name
 
   private def isGeodesyOp(si: StaticInvoke, name: String): Boolean =
     si.staticObject.getName == "graft.core.Geodesy" && si.functionName == name
+
+  private val nmCls = Class.forName("graft.core.NativeMeasures")
+
+  private def nm(method: String, ret: DataType, args: Seq[Expression],
+                 nullable: Boolean = false): Expression =
+    StaticInvoke(nmCls, ret, method, args, Nil,
+      propagateNull = true, returnNullable = nullable)
+
+  /** the kernel's value on an EMPTY/zero-measure kind: 0.0, null-through */
+  private def zeroOf(a: Expression): Expression =
+    If(IsNull(a), Literal(null, DoubleType), Literal(0.0))
 
   /** (x, y) of a FOLDABLE point argument (e.g. `ST_Point(2.35, 48.85)`
     * folded to a WKB literal) — evaluated once at optimization time.
@@ -140,14 +186,32 @@ object NativePointFastPath extends Rule[LogicalPlan] {
       .asInstanceOf[org.apache.spark.sql.execution.aggregate.ScalaAggregator[_, _, _]]
       .children.head
 
-  private def extentRewrite(ae: AggregateExpression, s: Expression): Option[Expression] =
-    (leaf(s, "x"), leaf(s, "y"), ae.dataType) match {
-      case (Some(x), Some(y), st: StructType) if st.length == 4 =>
+  /** the four per-row bound expressions (xmin, ymin, xmax, ymax), null on
+    * EMPTY rows so the Min/Max aggregates skip them — ExtentAgg's
+    * envelope-isNull contract */
+  private def extentBounds(s: Expression, kind: String,
+                           width: Int): Option[Seq[Expression]] =
+    if (kind == "point")
+      for { x <- leaf(s, "x"); y <- leaf(s, "y") }
+        yield Seq(nanToNull(x), nanToNull(y), nanToNull(x), nanToNull(y))
+    else boundMethod.get(kind).map { method =>
+      boundKernels("xMin") :: boundKernels("yMin") ::
+        boundKernels("xMax") :: boundKernels("yMax") :: Nil map {
+          case (ord, isMin, _) =>
+            nm(method, DoubleType,
+              Seq(s, Literal(width), Literal(ord), Literal(isMin)), nullable = true)
+        }
+    }
+
+  private def extentRewrite(ae: AggregateExpression, s: Expression,
+                            kind: String, width: Int): Option[Expression] =
+    (extentBounds(s, kind, width), ae.dataType) match {
+      case (Some(Seq(bxmin, bymin, bxmax, bymax)), st: StructType) if st.length == 4 =>
         def agg(fn: Expression => AggregateFunction, e: Expression): Expression =
-          AggregateExpression(fn(nanToNull(e)), ae.mode, isDistinct = false,
+          AggregateExpression(fn(e), ae.mode, isDistinct = false,
             ae.filter, NamedExpression.newExprId)
-        val xmin = agg(Min(_), x); val ymin = agg(Min(_), y)
-        val xmax = agg(Max(_), x); val ymax = agg(Max(_), y)
+        val xmin = agg(Min(_), bxmin); val ymin = agg(Min(_), bymin)
+        val xmax = agg(Max(_), bxmax); val ymax = agg(Max(_), bymax)
         // all-null/EMPTY group → NULL struct, matching ExtentAgg.finish
         Some(If(IsNull(xmin), Literal(null, st),
           CreateNamedStruct(Seq(
@@ -157,29 +221,33 @@ object NativePointFastPath extends Rule[LogicalPlan] {
     }
 
   private def rewriteNode(node: LogicalPlan): LogicalPlan = {
-    // transcode aliases exposed by direct Project children whose struct
+    // transcode aliases exposed by direct Project children whose raw
     // source is a plain column (the shape GeoParquet.read emits)
-    val entries: Map[ExprId, Attribute] = node.children.flatMap {
+    val entries: Map[ExprId, (Attribute, String, Int)] = node.children.flatMap {
       case p: Project => p.projectList.collect {
-        case a @ Alias(e, _) if gaPointArg(e).exists(_.isInstanceOf[AttributeReference]) =>
-          a.exprId -> gaPointArg(e).get.asInstanceOf[AttributeReference]
+        case a @ Alias(e, _) if gaNativeArg(e).exists(_._1.isInstanceOf[AttributeReference]) =>
+          val (arg, kind, w) = gaNativeArg(e).get
+          a.exprId -> ((arg.asInstanceOf[AttributeReference], kind, w))
       }
       case _ => Nil
     }.toMap
     val used = mutable.Set.empty[ExprId]
-    // the struct behind a consumer's argument: fused call or aliased attr
-    def resolveStruct(arg: Expression): Option[Expression] =
-      gaPointArg(arg).orElse(strip(arg) match {
+    // the raw native value behind a consumer's argument: fused call or
+    // aliased attribute
+    def resolveNative(arg: Expression): Option[(Expression, String, Int)] =
+      gaNativeArg(arg).orElse(strip(arg) match {
         case ar: AttributeReference if entries.contains(ar.exprId) =>
           used += ar.exprId
           Some(entries(ar.exprId))
         case _ => None
       })
+    def resolvePoint(arg: Expression): Option[Expression] =
+      resolveNative(arg).collect { case (s, "point", _) => s }
     // (x, y) of a distance-kernel argument: struct leaves (native column)
     // or a foldable point literal. The rewrite needs ≥1 struct side —
     // literal-literal pairs are constant folding's job.
     def coordsOf(arg: Expression): Option[(Expression, Expression, Boolean)] =
-      resolveStruct(arg).flatMap(s =>
+      resolvePoint(arg).flatMap(s =>
         for { x <- leaf(s, "x"); y <- leaf(s, "y") } yield (x, y, true))
         .orElse(litPointCoords(arg).map { case (x, y) => (x, y, false) })
     // NEVER rewrite inside a Join node: SpatialJoinStrategy and the count
@@ -193,16 +261,75 @@ object NativePointFastPath extends Rule[LogicalPlan] {
         b <- coordsOf(si.arguments(1))
         if a._3 || b._3
       } yield ((a._1, a._2), (b._1, b._2))
+    // measure rewrite over the raw nested arrays, per kind
+    def measure(arg: Expression)(f: (Expression, String, Int) => Option[Expression])
+        : Option[Expression] =
+      resolveNative(arg).flatMap { case (s, kind, w) => f(s, kind, w) }
     val newNode = node.transformExpressions {
       case si: StaticInvoke if coordKernels.contains(si.functionName) &&
           si.staticObject.getName == "graft.core.GeomOps" =>
-        resolveStruct(si.arguments.head)
-          .flatMap(s => leaf(s, coordKernels(si.functionName))).getOrElse(si)
+        resolveNative(si.arguments.head).flatMap {
+          case (s, "point", _) => leaf(s, coordKernels(si.functionName))
+          case (s, kind, w) =>
+            // nested kinds: envelope bounds only (ST_X/ST_Y on a line read
+            // the first coordinate via JTS — rarely used, not rewritten);
+            // the JTS null-envelope sentinel stands in for EMPTY
+            for {
+              (ord, isMin, sentinel) <- boundKernels.get(si.functionName)
+              method <- boundMethod.get(kind)
+            } yield Coalesce(Seq(
+              nm(method, DoubleType,
+                Seq(s, Literal(w), Literal(ord), Literal(isMin)), nullable = true),
+              If(IsNull(s), Literal(null, DoubleType), Literal(sentinel))))
+        }.getOrElse(si)
       case si: StaticInvoke if isGeomOp(si, "isEmpty") =>
-        (for {
-          s <- resolveStruct(si.arguments.head)
-          x <- leaf(s, "x")
-        } yield If(IsNull(s), Literal(null, BooleanType), IsNaN(x))).getOrElse(si)
+        measure(si.arguments.head) {
+          case (s, "point", _) =>
+            leaf(s, "x").map(x => If(IsNull(s), Literal(null, BooleanType), IsNaN(x)))
+          case (s, "line", _) => Some(nm("isEmptyL1", BooleanType, Seq(s)))
+          case (s, "polygon", _) => Some(nm("isEmptyPolygon", BooleanType, Seq(s)))
+          case (s, "multipoint", w) =>
+            Some(nm("isEmptyMultiPoint", BooleanType, Seq(s, Literal(w))))
+          case (s, "mls", _) => Some(nm("isEmptyL2", BooleanType, Seq(s)))
+          case (s, "mpoly", _) => Some(nm("isEmptyMultiPolygon", BooleanType, Seq(s)))
+          case _ => None
+        }.getOrElse(si)
+      case si: StaticInvoke if isGeomOp(si, "length") && si.arguments.length == 1 =>
+        measure(si.arguments.head) {
+          case (s, "line", w) => Some(nm("lineLength", DoubleType, Seq(s, Literal(w))))
+          // Polygon.getLength IS the perimeter (Σ ring lengths)
+          case (s, "polygon" | "mls", w) =>
+            Some(nm("ringsLength", DoubleType, Seq(s, Literal(w))))
+          case (s, "mpoly", w) => Some(nm("ringsLengthL3", DoubleType, Seq(s, Literal(w))))
+          case (s, "point" | "multipoint", _) => Some(zeroOf(s))
+          case _ => None
+        }.getOrElse(si)
+      case si: StaticInvoke if isGeomOp(si, "area") && si.arguments.length == 1 =>
+        measure(si.arguments.head) {
+          case (s, "polygon", w) => Some(nm("polygonArea", DoubleType, Seq(s, Literal(w))))
+          case (s, "mpoly", w) => Some(nm("multiPolygonArea", DoubleType, Seq(s, Literal(w))))
+          case (s, "point" | "line" | "multipoint" | "mls", _) => Some(zeroOf(s))
+          case _ => None
+        }.getOrElse(si)
+      case si: StaticInvoke if isGeomOp(si, "perimeter") && si.arguments.length == 1 =>
+        measure(si.arguments.head) {
+          case (s, "polygon", w) => Some(nm("ringsLength", DoubleType, Seq(s, Literal(w))))
+          case (s, "mpoly", w) => Some(nm("ringsLengthL3", DoubleType, Seq(s, Literal(w))))
+          // GeomOps.perimeter: non-Polygonal → 0.0
+          case (s, "point" | "line" | "multipoint" | "mls", _) => Some(zeroOf(s))
+          case _ => None
+        }.getOrElse(si)
+      case si: StaticInvoke if isGeomOp(si, "nPoints") && si.arguments.length == 1 =>
+        measure(si.arguments.head) {
+          case (s, "point", w) =>
+            Some(nm("numPointsPoint", IntegerType, Seq(s, Literal(w))))
+          case (s, "line", _) => Some(Size(s, legacySizeOfNull = false))
+          case (s, "multipoint", w) =>
+            Some(nm("numPointsMultiPoint", IntegerType, Seq(s, Literal(w))))
+          case (s, "polygon" | "mls", _) => Some(nm("numPointsL2", IntegerType, Seq(s)))
+          case (s, "mpoly", _) => Some(nm("numPointsL3", IntegerType, Seq(s)))
+          case _ => None
+        }.getOrElse(si)
       // distance kernels against a native point column (round 18): the
       // point-radius scan shape — `WHERE ST_DWithin(g, ST_Point(…), r)` /
       // `ST_Distance(g, lit)` / `ST_DistanceSphere(g, lit)` — runs as
@@ -220,17 +347,19 @@ object NativePointFastPath extends Rule[LogicalPlan] {
           LessThanOrEqual(planarDist(x1, y1, x2, y2), strip(si.arguments(2)))
         }.getOrElse(si)
       case ae: AggregateExpression if !ae.isDistinct && isExtentAgg(ae) =>
-        resolveStruct(extentChild(ae)).flatMap(extentRewrite(ae, _)).getOrElse(ae)
+        resolveNative(extentChild(ae))
+          .flatMap { case (s, kind, w) => extentRewrite(ae, s, kind, w) }
+          .getOrElse(ae)
     }
     val usedNow = used.toSet
     if (usedNow.isEmpty) newNode
     else newNode.withNewChildren(newNode.children.map {
       case p: Project =>
-        // pass the raw struct column through so the inlined leaf reads
-        // resolve above this Project; the dead ga_point alias goes to
+        // pass the raw native column through so the inlined leaf reads
+        // resolve above this Project; the dead ga_* alias goes to
         // ColumnPruning afterwards
         val need = p.projectList.collect {
-          case a: Alias if usedNow.contains(a.exprId) => entries(a.exprId)
+          case a: Alias if usedNow.contains(a.exprId) => entries(a.exprId)._1
         }.distinct.filterNot(att => p.projectList.exists(_.toAttribute.exprId == att.exprId))
         if (need.isEmpty) p else p.copy(projectList = p.projectList ++ need)
       case other => other
@@ -246,7 +375,7 @@ object NativePointFastPath extends Rule[LogicalPlan] {
     val rewritten = plan.transformUp { case node => rewriteNode(node) }
     if (rewritten.fastEquals(plan)) plan
     else {
-      // clean up what the rewrite orphaned: the unused ga_point alias (and
+      // clean up what the rewrite orphaned: the unused ga_* alias (and
       // the passthrough, where nothing ended up needing it)
       val cleaned = CollapseProject(ColumnPruning(rewritten))
       // an optimizer rule must NEVER change the plan's output schema: the

@@ -1,0 +1,318 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.locationtech.jts.geom._
+
+import graft.core.NativeMeasures
+import graft.sources.GeoParquet
+
+/** The nested-kind half of the native columnar fast path (round 19):
+  * ST_Length/ST_Area/ST_Perimeter/ST_NPoints/bounds/ST_IsEmpty/
+  * ST_Extent_Agg over NATIVE-encoded linestring/polygon/multi* GeoParquet
+  * columns must run as [[NativeMeasures]] leaf arithmetic — the `ga_*`
+  * WKB transcode + JTS parse must vanish from the optimized plan, and
+  * every value must be BIT-EXACT against the WKB/JTS path.
+  *
+  * Layer 1 fuzzes the kernels directly against the real JTS methods they
+  * replicate (incl. NaN coordinates, XYZ width, EMPTY shapes — the JTS
+  * chains are pinned byte-for-byte from jts-core-1.20.0). Layer 2 drives
+  * the full plan rewrite through native GeoParquet files, comparing the
+  * fast path against the transcode path cell-for-cell. */
+class NativeNestedFastPathSpec extends SparkTestBase {
+
+  private val f = graft.core.GeomOps.factory
+  private def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+
+  // ── JTS → raw GeoArrow nested-array layouts (what the scan delivers) ──
+
+  private def row(c: Coordinate, w: Int): InternalRow = {
+    val vals = new Array[Any](w)
+    vals(0) = c.x; vals(1) = c.y
+    if (w > 2) vals(2) = c.getZ
+    new GenericInternalRow(vals)
+  }
+  private def nanRow(w: Int): InternalRow =
+    new GenericInternalRow(Array.fill[Any](w)(Double.NaN))
+  private def arrCoords(cs: Array[Coordinate], w: Int): ArrayData =
+    new GenericArrayData(cs.map(row(_, w): Any))
+  private def arrRings(p: Polygon, w: Int): ArrayData =
+    new GenericArrayData(
+      ((p.getExteriorRing +: (0 until p.getNumInteriorRing).map(p.getInteriorRingN))
+        .map(r => arrCoords(r.getCoordinates, w): Any)).toArray)
+  private def arrMls(m: MultiLineString, w: Int): ArrayData =
+    new GenericArrayData(Array.tabulate[Any](m.getNumGeometries)(i =>
+      arrCoords(m.getGeometryN(i).getCoordinates, w)))
+  private def arrMPoly(m: MultiPolygon, w: Int): ArrayData =
+    new GenericArrayData(Array.tabulate[Any](m.getNumGeometries)(i =>
+      arrRings(m.getGeometryN(i).asInstanceOf[Polygon], w)))
+  private def arrMp(m: MultiPoint, w: Int): ArrayData =
+    new GenericArrayData(Array.tabulate[Any](m.getNumGeometries) { i =>
+      val p = m.getGeometryN(i).asInstanceOf[Point]
+      if (p.isEmpty) nanRow(w) else row(p.getCoordinate, w)
+    })
+
+  /** all four bounds of `a` via `method` must equal the JTS envelope —
+    * incl. the null envelope ⇔ null contract */
+  private def checkBounds(g: Geometry,
+                          bound: (Int, Boolean) => java.lang.Double): Unit = {
+    val env = g.getEnvelopeInternal
+    val expected: Seq[(java.lang.Double, Double)] = Seq(
+      (bound(0, true), env.getMinX), (bound(1, true), env.getMinY),
+      (bound(0, false), env.getMaxX), (bound(1, false), env.getMaxY))
+    if (env.isNull)
+      expected.foreach { case (b, _) => assert(b == null, s"empty ${g.toText} must bound null") }
+    else expected.foreach { case (b, e) =>
+      assert(b != null && bits(b.doubleValue()) == bits(e),
+        s"${g.toText}: bound $b vs JTS $e")
+    }
+  }
+
+  test("fuzz: NativeMeasures == JTS bit-for-bit over the WKT corpus") {
+    val reader = new org.locationtech.jts.io.WKTReader(f)
+    var (nLine, nPoly, nMp, nMpoly) = (0, 0, 0, 0)
+    WktFuzzGen.all.foreach { wkt =>
+      reader.read(wkt) match {
+        case l: LineString =>
+          val a = arrCoords(l.getCoordinates, 2)
+          assert(bits(NativeMeasures.lineLength(a, 2)) == bits(l.getLength), wkt)
+          checkBounds(l, NativeMeasures.boundLine(a, 2, _, _))
+          assert(a.numElements() == l.getNumPoints)
+          assert(NativeMeasures.isEmptyL1(a) == l.isEmpty)
+          nLine += 1
+        case p: Polygon =>
+          val a = arrRings(p, 2)
+          assert(bits(NativeMeasures.polygonArea(a, 2)) == bits(p.getArea),
+            s"$wkt area ${NativeMeasures.polygonArea(a, 2)} vs ${p.getArea}")
+          assert(bits(NativeMeasures.ringsLength(a, 2)) == bits(p.getLength), wkt)
+          checkBounds(p, NativeMeasures.boundShell(a, 2, _, _))
+          assert(NativeMeasures.numPointsL2(a) == p.getNumPoints)
+          assert(NativeMeasures.isEmptyPolygon(a) == p.isEmpty)
+          nPoly += 1
+        case m: MultiPoint =>
+          val a = arrMp(m, 2)
+          checkBounds(m, NativeMeasures.boundMultiPoint(a, 2, _, _))
+          assert(NativeMeasures.numPointsMultiPoint(a, 2) == m.getNumPoints)
+          assert(NativeMeasures.isEmptyMultiPoint(a, 2) == m.isEmpty)
+          nMp += 1
+        case m: MultiPolygon =>
+          val a = arrMPoly(m, 2)
+          assert(bits(NativeMeasures.multiPolygonArea(a, 2)) == bits(m.getArea), wkt)
+          assert(bits(NativeMeasures.ringsLengthL3(a, 2)) == bits(m.getLength), wkt)
+          checkBounds(m, NativeMeasures.boundMPolyShells(a, 2, _, _))
+          assert(NativeMeasures.numPointsL3(a) == m.getNumPoints)
+          assert(NativeMeasures.isEmptyMultiPolygon(a) == m.isEmpty)
+          nMpoly += 1
+        case _: Point => // covered by NativePointFastPathSpec
+      }
+    }
+    assert(nLine > 50 && nPoly > 100 && nMp > 50 && nMpoly > 50,
+      s"corpus coverage: line=$nLine poly=$nPoly mp=$nMp mpoly=$nMpoly")
+  }
+
+  test("fuzz: multilinestring kernels == JTS (hand-rolled corpus + empties)") {
+    val rnd = new scala.util.Random(0x9E3779B9L)
+    (0 until 200).foreach { i =>
+      val members = (0 until rnd.nextInt(4)).map { _ =>
+        val n = 2 + rnd.nextInt(6)
+        f.createLineString(Array.tabulate(n)(k =>
+          new Coordinate(rnd.nextDouble() * 100 - 50, rnd.nextDouble() * 80 - 40)))
+      }.toArray
+      val m = f.createMultiLineString(members)
+      val a = arrMls(m, 2)
+      assert(bits(NativeMeasures.ringsLength(a, 2)) == bits(m.getLength), m.toText)
+      checkBounds(m, NativeMeasures.boundL2(a, 2, _, _))
+      assert(NativeMeasures.numPointsL2(a) == m.getNumPoints)
+      assert(NativeMeasures.isEmptyL2(a) == m.isEmpty, m.toText)
+    }
+    // members with 0 coordinates are skipped by the envelope combine
+    val withEmpty = f.createMultiLineString(Array(
+      f.createLineString(Array.empty[Coordinate]),
+      f.createLineString(Array(new Coordinate(3, 4), new Coordinate(5, 6)))))
+    val a = arrMls(withEmpty, 2)
+    checkBounds(withEmpty, NativeMeasures.boundL2(a, 2, _, _))
+    assert(bits(NativeMeasures.ringsLength(a, 2)) == bits(withEmpty.getLength))
+    assert(!NativeMeasures.isEmptyL2(a))
+  }
+
+  test("NaN coordinates follow the exact JTS envelope semantics") {
+    // a LEADING NaN sticks (compares never update it); a mid-sequence NaN
+    // is ignored — and for collections the member envelope is computed
+    // FIRST, so a member whose first coordinate is NaN absorbs its later
+    // real coordinates (a flat scan would resurrect them)
+    val leadNaN = f.createLineString(Array(
+      new Coordinate(Double.NaN, 0), new Coordinate(2, 2)))
+    val midNaN = f.createLineString(Array(
+      new Coordinate(1, 1), new Coordinate(Double.NaN, 5), new Coordinate(2, 2)))
+    Seq(leadNaN, midNaN).foreach { l =>
+      checkBounds(l, NativeMeasures.boundLine(arrCoords(l.getCoordinates, 2), 2, _, _))
+    }
+    val mls = f.createMultiLineString(Array(
+      f.createLineString(Array(new Coordinate(5, 0), new Coordinate(6, 1))),
+      f.createLineString(Array(new Coordinate(Double.NaN, 0), new Coordinate(2, 2)))))
+    checkBounds(mls, NativeMeasures.boundL2(arrMls(mls, 2), 2, _, _))
+    // sanity on the divergent-looking case: JTS keeps 5.0 as minX because
+    // member 2's NaN envelope loses its real coordinate
+    assert(NativeMeasures.boundL2(arrMls(mls, 2), 2, 0, true).doubleValue() == 5.0)
+  }
+
+  test("XYZ width: measures stay 2D and read the right leaves") {
+    val l = f.createLineString(Array(
+      new Coordinate(0, 0, 7), new Coordinate(3, 4, 9), new Coordinate(3, 10, 2)))
+    val a3 = arrCoords(l.getCoordinates, 3)
+    assert(bits(NativeMeasures.lineLength(a3, 3)) == bits(l.getLength)) // 5 + 6
+    checkBounds(l, NativeMeasures.boundLine(a3, 3, _, _))
+    val shell = f.createLinearRing(Array(
+      new Coordinate(0, 0, 1), new Coordinate(10, 0, 1),
+      new Coordinate(10, 10, 1), new Coordinate(0, 10, 1), new Coordinate(0, 0, 1)))
+    val p = f.createPolygon(shell)
+    val ar = arrRings(p, 3)
+    assert(bits(NativeMeasures.polygonArea(ar, 3)) == bits(p.getArea))
+    assert(bits(NativeMeasures.ringsLength(ar, 3)) == bits(p.getLength))
+  }
+
+  test("empty shapes: zero measures, null bounds, JTS sentinel parity") {
+    val el = f.createLineString(Array.empty[Coordinate])
+    val ea = arrCoords(el.getCoordinates, 2)
+    assert(NativeMeasures.lineLength(ea, 2) == 0.0)
+    assert(NativeMeasures.boundLine(ea, 2, 0, true) == null)
+    // the direct-kernel rewrite supplies the JTS null-envelope sentinel —
+    // pin the JTS side so the 0/-1 constants in the rule stay honest
+    assert(el.getEnvelopeInternal.getMinX == 0.0 && el.getEnvelopeInternal.getMaxX == -1.0)
+    assert(el.getEnvelopeInternal.getMinY == 0.0 && el.getEnvelopeInternal.getMaxY == -1.0)
+    val ep = f.createPolygon()
+    val epa = arrRings(ep, 2)
+    assert(NativeMeasures.polygonArea(epa, 2) == 0.0)
+    assert(NativeMeasures.boundShell(epa, 2, 1, false) == null)
+    assert(NativeMeasures.isEmptyPolygon(epa))
+    assert(NativeMeasures.numPointsL2(epa) == ep.getNumPoints)
+    // MULTIPOINT (3 4, EMPTY): EMPTY member is the all-NaN sentinel row
+    val mp = f.createMultiPoint(Array(f.createPoint(new Coordinate(3, 4)), f.createPoint()))
+    val mpa = arrMp(mp, 2)
+    assert(NativeMeasures.numPointsMultiPoint(mpa, 2) == 1)
+    checkBounds(mp, NativeMeasures.boundMultiPoint(mpa, 2, _, _))
+    assert(!NativeMeasures.isEmptyMultiPoint(mpa, 2))
+    val allEmpty = f.createMultiPoint(Array(f.createPoint(), f.createPoint()))
+    assert(NativeMeasures.isEmptyMultiPoint(arrMp(allEmpty, 2), 2))
+    assert(NativeMeasures.boundMultiPoint(arrMp(allEmpty, 2), 2, 0, true) == null)
+  }
+
+  // ── layer 2: the plan rewrite over native GeoParquet files ────────────
+
+  /** WKT corpus per native encoding, incl. EMPTY and NULL rows */
+  private def corpusFor(kind: String): Seq[String] = {
+    val base = kind match {
+      case "linestring" => WktFuzzGen.all.filter(_.startsWith("LINESTRING")) :+ "LINESTRING EMPTY"
+      case "polygon" => WktFuzzGen.all.filter(_.startsWith("POLYGON")) :+ "POLYGON EMPTY"
+      case "multipoint" => WktFuzzGen.all.filter(_.startsWith("MULTIPOINT")) ++
+        Seq("MULTIPOINT EMPTY", "MULTIPOINT ((1 1), EMPTY)")
+      case "multilinestring" => Seq(
+        "MULTILINESTRING ((0 0, 3 4), (1 1, 2 2, 4 1))",
+        "MULTILINESTRING ((10 10, 20 10, 20 20))",
+        "MULTILINESTRING EMPTY",
+        "MULTILINESTRING ((-5 2, -7 9))")
+      case "multipolygon" => WktFuzzGen.all.filter(_.startsWith("MULTIPOLYGON")) :+
+        "MULTIPOLYGON EMPTY"
+    }
+    base :+ null
+  }
+
+  private def nativeTable(kind: String): String = {
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"nnfp_${kind}_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    graft.functions.GeoFunctions.register(spark)
+    import spark.implicits._
+    val df = corpusFor(kind).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("fid", "wkt")
+      .selectExpr("fid", "CASE WHEN wkt IS NULL THEN NULL ELSE ST_GeomFromText(wkt) END AS geometry")
+    GeoParquet.write(df.coalesce(1), out, encoding = kind, covering = false)
+    out
+  }
+
+  private val measureSql =
+    """SELECT fid, ST_Length(geometry) AS len, ST_Area(geometry) AS area,
+      |       ST_Perimeter(geometry) AS perim, ST_NPoints(geometry) AS np,
+      |       ST_XMin(geometry) AS x0, ST_YMin(geometry) AS y0,
+      |       ST_XMax(geometry) AS x1, ST_YMax(geometry) AS y1,
+      |       ST_IsEmpty(geometry) AS emp
+      |FROM nnfp_t ORDER BY fid""".stripMargin
+
+  private def runBoth(dir: String): (Array[org.apache.spark.sql.Row],
+                                     Array[org.apache.spark.sql.Row], String) = {
+    GeoParquet.read(spark, dir).createOrReplaceTempView("nnfp_t")
+    spark.conf.set("spark.graft.nativePointFastPath", "true")
+    val fastQ = spark.sql(measureSql)
+    val plan = fastQ.queryExecution.optimizedPlan.toString
+    val fast = fastQ.collect()
+    spark.conf.set("spark.graft.nativePointFastPath", "false")
+    val slow = try spark.sql(measureSql).collect()
+    finally spark.conf.set("spark.graft.nativePointFastPath", "true")
+    (fast, slow, plan)
+  }
+
+  private def assertCellExact(kind: String): Unit = {
+    val dir = nativeTable(kind)
+    val (fast, slow, plan) = runBoth(dir)
+    assert(!plan.contains("gaLineString") && !plan.contains("gaPolygon") &&
+      !plan.contains("gaMultiPoint") && !plan.contains("gaMultiLineString") &&
+      !plan.contains("gaMultiPolygon"),
+      s"[$kind] WKB transcode survived:\n$plan")
+    assert(fast.length == slow.length && fast.nonEmpty)
+    fast.zip(slow).foreach { case (a, b) =>
+      (0 until a.length).foreach { i =>
+        val cell = (a.isNullAt(i), b.isNullAt(i)) match {
+          case (true, true) => true
+          case (false, false) => a.get(i) match {
+            case d: java.lang.Double => bits(d) == bits(b.getDouble(i))
+            case v => v == b.get(i)
+          }
+          case _ => false
+        }
+        assert(cell, s"[$kind] fid=${a.get(0)} col=$i fast=${a.get(i)} wkb=${b.get(i)}")
+      }
+    }
+  }
+
+  test("native linestring: measures bit-exact, transcode gone")(assertCellExact("linestring"))
+  test("native polygon: measures bit-exact, transcode gone")(assertCellExact("polygon"))
+  test("native multipoint: measures bit-exact, transcode gone")(assertCellExact("multipoint"))
+  test("native multilinestring: measures bit-exact, transcode gone")(assertCellExact("multilinestring"))
+  test("native multipolygon: measures bit-exact, transcode gone")(assertCellExact("multipolygon"))
+
+  test("ST_Extent_Agg over a native polygon column rewrites to shell min/max") {
+    val dir = nativeTable("polygon")
+    GeoParquet.read(spark, dir).createOrReplaceTempView("nnfp_ext")
+    spark.conf.set("spark.graft.nativePointFastPath", "true")
+    val q = spark.sql("SELECT ST_Extent_Agg(geometry) AS ext FROM nnfp_ext")
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("gaPolygon"), s"transcode survived:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaaggregator"),
+      s"ExtentAgg UDAF survived the rewrite:\n$plan")
+    val ext = q.head().getStruct(0)
+    spark.conf.set("spark.graft.nativePointFastPath", "false")
+    val truth = try spark.sql("SELECT ST_Extent_Agg(geometry) AS ext FROM nnfp_ext").head().getStruct(0)
+    finally spark.conf.set("spark.graft.nativePointFastPath", "true")
+    (0 until 4).foreach(i => assert(bits(ext.getDouble(i)) == bits(truth.getDouble(i)),
+      s"extent field $i: ${ext.getDouble(i)} vs ${truth.getDouble(i)}"))
+    // all-EMPTY group yields NULL, matching ExtentAgg.finish
+    val grouped = spark.sql("""
+      SELECT CASE WHEN geometry IS NULL OR ST_IsEmpty(geometry) THEN 'bad' ELSE 'ok' END AS k,
+             ST_Extent_Agg(geometry) AS ext
+      FROM nnfp_ext GROUP BY 1 ORDER BY 1""").collect()
+    assert(grouped.length == 2 && grouped(0).isNullAt(1) && !grouped(1).isNullAt(1))
+  }
+
+  test("a spatial join on native linestring columns keeps the spatial strategy") {
+    val dir = nativeTable("linestring")
+    GeoParquet.read(spark, dir).createOrReplaceTempView("nnfp_j")
+    val j = spark.sql("""
+      SELECT COUNT(*) FROM nnfp_j a JOIN nnfp_j b
+      ON ST_Intersects(a.geometry, b.geometry)""")
+    val phys = j.queryExecution.executedPlan.toString
+    assert(phys.contains("SpatialJoin") || phys.contains("GridSpatialJoin"),
+      s"native linestring spatial join lost the strategy:\n$phys")
+    assert(!phys.contains("BroadcastNestedLoopJoin"), s"BNLJ:\n$phys")
+    assert(j.head().getLong(0) > 0L)
+  }
+}
