@@ -2806,6 +2806,78 @@ object SparkEntry {
            MAX(CASE WHEN kind = 'geom' THEN h END)::BIGINT AS pg_ymax
     FROM r"""
 
+  /** Meter-true geodesic buffer (g114, round 19): `ST_BufferGeodesic`
+    * projects to a local ellipsoidal AEQD (exact Karney geodesic
+    * problems, [[graft.core.Aeqd]]), buffers on that plane, and inverts
+    * each vertex through the exact direct problem — so every boundary
+    * vertex of a POINT buffer lies on the true geodesic circle by
+    * construction. The oracle pins that invariant: across 100 centers
+    * spanning ±68° latitude and radii 5-24 km, the worst vertex's
+    * deviation from its radius is 0 mm (measured back with the
+    * independent Karney INVERSE), rings close (33 vertices at the
+    * default 8 quadrant segments), results are valid polygons, and the
+    * 2r buffer contains the r buffer everywhere. DuckDB states the
+    * expected constants (the g34 fixed-anchor discipline). */
+  private val g114Spark = """
+    WITH c AS (
+      SELECT id,
+             CAST((id % 36) * 10 AS DOUBLE) - 175.0 AS lon,
+             CAST((id % 17) * 8 AS DOUBLE) - 64.0 AS lat,
+             CAST((5 + id % 20) * 1000 AS DOUBLE) AS r
+      FROM range(100)),
+    b AS (
+      SELECT id, lon, lat, r,
+             ST_BufferGeodesic(ST_Point(lon, lat), r) AS buf
+      FROM c),
+    v AS (
+      SELECT b.id, b.lon, b.lat, b.r,
+             ST_PointN(ST_ExteriorRing(b.buf), CAST(k.id AS INT)) AS p
+      FROM b CROSS JOIN range(33) k)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(MAX(ROUND(ABS(ST_DistanceGeodesic(ST_Point(lon, lat), p) - r) * 1000)) AS BIGINT)
+             AS max_dev_mm,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b
+             WHERE ST_IsValid(buf) AND ST_NPoints(buf) = 33
+               AND ST_Contains(buf, ST_Point(lon, lat))) AS n_valid,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c
+             WHERE ST_Contains(ST_BufferGeodesic(ST_Point(lon, lat), 2 * r),
+                               ST_BufferGeodesic(ST_Point(lon, lat), r))) AS n_mono
+    FROM v"""
+
+  private val g114Duck = """
+    SELECT 3300::BIGINT AS n_vertices, 0::BIGINT AS max_dev_mm,
+           100::BIGINT AS n_valid, 100::BIGINT AS n_mono"""
+
+  /** Ellipsoidal AEQD (g115, round 19): `ST_TransformAeqd` is the exact
+    * geodesic-problem construction, so along the EQUATOR its easting is
+    * the closed-form equatorial arc a·λ (the Karney equatorial branch
+    * computes literally `a * toRadians(λ)`), which DuckDB replays with
+    * the same IEEE chain; the northing at the pole is the WGS84 meridian
+    * quadrant, 10,001,965.729 m (published constant, the g34 fixed-anchor
+    * discipline). Roundtrips through ST_TransformAeqdInv recover the
+    * input to sub-micro-degree. */
+  private val g115Spark = """
+    WITH eq AS (SELECT id, 1.0 + CAST(id AS DOUBLE) * 1.5 AS lon FROM range(60)),
+    fwd AS (
+      SELECT id, lon,
+             ST_TransformAeqd(ST_Point(lon, 0.0), 0.0, 0.0) AS p
+      FROM eq)
+    SELECT id,
+           ROUND(ST_X(p), 3) AS x_m,
+           ROUND(ST_Y(p), 3) AS y_m,
+           ROUND(ST_X(ST_TransformAeqdInv(p, 0.0, 0.0)) - lon, 6) AS lon_rt,
+           (SELECT CAST(ROUND(ST_Y(ST_TransformAeqd(ST_Point(0.0, 90.0), 0.0, 0.0))) AS BIGINT))
+             AS quadrant_m
+    FROM fwd ORDER BY id"""
+
+  private val g115Duck = """
+    SELECT i AS id,
+           ROUND(6378137.0 * (((1.0 + i * 1.5) / 180.0) * pi()), 3) AS x_m,
+           0.0 AS y_m,
+           0.0 AS lon_rt,
+           10001966::BIGINT AS quadrant_m
+    FROM range(60) t(i) ORDER BY id"""
+
   /** RANK()-with-ties kNN join (g106, round 18): the SQL window shape
     * `RANK() OVER (PARTITION BY lid ORDER BY ST_Distance) <= k` over a
     * cross join is planned as [[graft.plans.KnnTopKExec]] in withTies
@@ -12935,6 +13007,8 @@ object SparkEntry {
     ("g111_nad27_datum", q(g111Spark), g111Duck),
     ("g112_param_projections", q(g112Spark), g112Duck),
     ("g113_native_nested_fastpath", g113Fn _, g113Duck),
+    ("g114_geodesic_buffer", q(g114Spark), g114Duck),
+    ("g115_aeqd_transform", q(g115Spark), g115Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -1,0 +1,110 @@
+package graft.core
+
+import org.locationtech.jts.geom.{Coordinate, Geometry}
+
+/** Ellipsoidal Azimuthal Equidistant (AEQD) on WGS84 — the fifth
+  * projection family, built directly on the exact geodesic problems
+  * ([[KarneyGeodesic]]): forward is (x, y) = (s·sin α₁, s·cos α₁) from
+  * the inverse geodesic between the projection origin and the point,
+  * reverse solves the DIRECT problem from the recovered azimuth and
+  * range. This is the "geodesic" AEQD construction (Snyder 1987 p. 197;
+  * PROJ's `aeqd` ellipsoidal mode uses the identical geodesic-problem
+  * formulation) — distance and azimuth FROM THE ORIGIN are exact by
+  * construction, which is the projection's defining property and the
+  * reason it backs the meter-true geodesic buffer
+  * ([[Aeqd.bufferGeodesic]]).
+  *
+  * The reference's reprojection support is the geodesy crate's
+  * 4326↔3857 subset (rust/geoarrow-old/src/algorithm/geodesy/
+  * reproject.rs:105); AEQD and the geodesic buffer exceed it — they are
+  * what a user reaches for on "everything within X meters of a site"
+  * workloads where a planar degree buffer is wrong by cos(latitude).
+  *
+  * Singularities handled loudly: the origin's ANTIPODE has every azimuth
+  * at range π·R — forward refuses within ~10 m of it; reverse refuses
+  * ranges beyond half the meridian circumference (no unique preimage). */
+object Aeqd {
+
+  /** half the meridian circumference, m — the reverse range limit */
+  private val MaxRange: Double = {
+    // meridian quadrant via the exact inverse (pole to equator) × 2
+    KarneyGeodesic.distance(0.0, 0.0, 90.0, 0.0) * 2.0
+  }
+
+  /** geodetic (lon°, lat°) → AEQD (x, y) meters about (lon0°, lat0°) */
+  def forward(lon0: Double, lat0: Double, lon: Double, lat: Double): (Double, Double) = {
+    val (s, azi1, _) = KarneyGeodesic.inverseAzimuth(lat0, lon0, lat, lon)
+    if (s == 0.0) return (0.0, 0.0)
+    require(MaxRange - s > 10.0,
+      f"AEQD: point ($lon%.6f, $lat%.6f) is within 10 m of the antipode of the " +
+        f"origin ($lon0%.4f, $lat0%.4f) — its azimuth (and image) is undefined")
+    val az = math.toRadians(azi1)
+    (s * math.sin(az), s * math.cos(az))
+  }
+
+  /** AEQD (x, y) meters about (lon0°, lat0°) → geodetic (lon°, lat°) */
+  def reverse(lon0: Double, lat0: Double, x: Double, y: Double): (Double, Double) = {
+    val s = math.hypot(x, y)
+    if (s == 0.0) return (lon0, lat0)
+    require(s <= MaxRange,
+      f"AEQD: range $s%.1f m exceeds the half-circumference $MaxRange%.1f m — " +
+        "no geodetic preimage")
+    val azi1 = math.toDegrees(math.atan2(x, y))
+    val (lat2, lon2, _) = KarneyGeodesic.direct(lat0, lon0, azi1, s)
+    (lon2, lat2)
+  }
+
+  // ── geodesic buffer ─────────────────────────────────────────────────────
+
+  /** Distance beyond which the local-AEQD buffer approximation is refused:
+    * the azimuthal distance distortion at range s from the anchor scales
+    * as (s/R)²/3 along circles of constant range, so at 1500 km the
+    * buffer-width error is bounded by ~1.9% of the radius — past that the
+    * construction stops being honest. Split the geometry first. */
+  private val MaxAnchorRange = 1.5e6
+
+  /** Meter-true buffer of a lon/lat geometry: project to a local AEQD
+    * anchored at the geometry's centroid (exact geodesic ranges from the
+    * anchor), JTS-buffer in meters on that plane, and invert each output
+    * vertex through the exact direct problem. For a POINT input the
+    * result's boundary vertices lie on the true geodesic circle to
+    * sub-millimeter by construction; for extended geometries the width
+    * error is bounded by the anchor-range distortion (≤(s/R)²/3,
+    * enforced ≤ ~1.9% via [[MaxAnchorRange]]; ≲0.01% for a 100 km-scale
+    * geometry). JTS `quadrantSegments` semantics apply unchanged
+    * (negative radius shrinks polygons, styles via the planar API). */
+  def bufferGeodesic(b: Array[Byte], radiusM: Double, quadSegs: Int): Array[Byte] = {
+    val g = GeomOps.read(b)
+    if (g.isEmpty) return GeomOps.write(g.getFactory.createPolygon())
+    val c = g.getCentroid
+    val (lon0, lat0) = (c.getX, c.getY)
+    require(math.abs(lat0) <= 90.0 && math.abs(lon0) <= 180.0,
+      s"ST_BufferGeodesic: geometry centroid ($lon0, $lat0) outside the geodetic " +
+        "domain — input must be lon/lat degrees (EPSG:4326)")
+    var maxRange = 0.0
+    val proj = new org.locationtech.jts.geom.util.GeometryEditor(GeomOps.factory).edit(g,
+      new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+        override def edit(coords: Array[Coordinate], geom: Geometry): Array[Coordinate] =
+          coords.map { cc =>
+            val (x, y) = forward(lon0, lat0, cc.x, cc.y)
+            val r = math.hypot(x, y)
+            if (r > maxRange) maxRange = r
+            new Coordinate(x, y)
+          }
+      })
+    require(maxRange <= MaxAnchorRange,
+      f"ST_BufferGeodesic: geometry extends $maxRange%.0f m from its centroid — " +
+        f"beyond ${MaxAnchorRange}%.0f m the local-plane width error exceeds ~2%%. " +
+        "Split the geometry (e.g. ST_Dump / ST_Subdivide) and buffer the parts")
+    val buffered = proj.buffer(radiusM, quadSegs)
+    val back = new org.locationtech.jts.geom.util.GeometryEditor(GeomOps.factory).edit(buffered,
+      new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+        override def edit(coords: Array[Coordinate], geom: Geometry): Array[Coordinate] =
+          coords.map { cc =>
+            val (lon, lat) = reverse(lon0, lat0, cc.x, cc.y)
+            new Coordinate(lon, lat)
+          }
+      })
+    GeomOps.write(back)
+  }
+}

@@ -207,6 +207,25 @@ object Geodesy {
     mapCoords(b, c => { val (lo, la) = p.reverse(c.x, c.y); new Coordinate(lo, la) })
   }
 
+  /** Parameterized ellipsoidal AEQD about (lon0, lat0) — WGS84-exact via
+    * the Karney geodesic problems ([[Aeqd]]); other datums compose through
+    * the NatCrs datum hops like every projection here. No constants to
+    * derive, so no cache entry needed. SQL: ST_TransformAeqd(+Inv). */
+  def transformAeqd(b: Array[Byte], lon0: Double, lat0: Double): Array[Byte] =
+    mapCoords(b, c => { checkGeodetic(c)
+      val (x, y) = Aeqd.forward(lon0, lat0, c.x, c.y); new Coordinate(x, y) })
+  def transformAeqdInv(b: Array[Byte], lon0: Double, lat0: Double): Array[Byte] =
+    mapCoords(b, c => {
+      val (lo, la) = Aeqd.reverse(lon0, lat0, c.x, c.y); new Coordinate(lo, la) })
+
+  /** Meter-true geodesic buffer of a lon/lat geometry (local AEQD plane,
+    * [[Aeqd.bufferGeodesic]]); default JTS quadrant segments (8), matching
+    * the planar ST_Buffer default. SQL: ST_BufferGeodesic(g, meters[, quadSegs]). */
+  def bufferGeodesic(b: Array[Byte], radiusM: Double): Array[Byte] =
+    Aeqd.bufferGeodesic(b, radiusM, 8)
+  def bufferGeodesicSegs(b: Array[Byte], radiusM: Double, quadSegs: Int): Array[Byte] =
+    Aeqd.bufferGeodesic(b, radiusM, quadSegs)
+
   private def conicFns(albers: Boolean, a: Double, invF: Double, lat1: Double,
                        lat2: Double, lat0: Double, lon0: Double, fe: Double, fn: Double) = {
     val kind = if (albers) "albers" else "lcc"

@@ -102,6 +102,22 @@ object KarneyGeodesic {
     }
   }
 
+  /** atan2 in degrees with exact cardinal directions (GeographicLib
+    * atan2d: quadrant fold so ±90/180 come out exact). */
+  private def atan2d(y: Double, x: Double): Double = {
+    var xx = x; var yy = y
+    var q = 0
+    if (math.abs(yy) > math.abs(xx)) { val t = xx; xx = yy; yy = t; q = 2 }
+    if (xx < 0) { xx = -xx; q += 1 }
+    val ang = math.toDegrees(math.atan2(yy, xx))
+    q match {
+      case 1 => (if (yy >= 0) 180.0 else -180.0) - ang
+      case 2 => 90.0 - ang
+      case 3 => -90.0 + ang
+      case _ => ang
+    }
+  }
+
   private def polyval(N: Int, p: Array[Double], s: Int, x: Double): Double = {
     var y = if (N < 0) 0.0 else p(s)
     var i = s + 1
@@ -130,6 +146,31 @@ object KarneyGeodesic {
     while (l <= nC) {
       val m = (nC - l) / 2
       c(l) = d * polyval(m, C1fCoeff, o, eps2) / C1fCoeff(o + m + 1)
+      o += m + 2
+      d *= eps
+      l += 1
+    }
+  }
+
+  /** Reverted distance series C'₁ (Karney 2013 eq. 21): τ → σ for the
+    * DIRECT problem. Coefficients are the paper's primed table reduced to
+    * a common denominator per order (the same layout as [[C1fCoeff]]). */
+  private val C1pfCoeff = Array[Double](
+    205, -432, 768, 1536,      // C'1[1]: ε(205ε⁴ − 432ε² + 768)/1536
+    4005, -4736, 3840, 12288,  // C'1[2]
+    -225, 116, 384,            // C'1[3]
+    -7173, 2695, 7680,         // C'1[4]
+    3467, 7680,                // C'1[5]
+    38081, 61440)              // C'1[6]
+
+  private def C1pf(eps: Double, c: Array[Double]): Unit = {
+    val eps2 = sq(eps)
+    var d = eps
+    var o = 0
+    var l = 1
+    while (l <= nC) {
+      val m = (nC - l) / 2
+      c(l) = d * polyval(m, C1pfCoeff, o, eps2) / C1pfCoeff(o + m + 1)
       o += m + 2
       d *= eps
       l += 1
@@ -483,6 +524,21 @@ object KarneyGeodesic {
 
   /** Inverse geodesic: (s12 meters, S12 area integral m²). */
   def inverse(lat1In: Double, lon1: Double, lat2In: Double, lon2: Double): (Double, Double) = {
+    val r = inverseFull(lat1In, lon1, lat2In, lon2)
+    (r._1, r._2)
+  }
+
+  /** Inverse geodesic with azimuths: (s12 meters, azi1°, azi2°) — the
+    * forward azimuths at the endpoints, degrees clockwise from north in
+    * (−180, 180]. */
+  def inverseAzimuth(lat1: Double, lon1: Double,
+                     lat2: Double, lon2: Double): (Double, Double, Double) = {
+    val r = inverseFull(lat1, lon1, lat2, lon2)
+    (r._1, r._3, r._4)
+  }
+
+  private def inverseFull(lat1In: Double, lon1: Double,
+                          lat2In: Double, lon2: Double): (Double, Double, Double, Double) = {
     val w = new Scratch
     var (lon12, lon12s) = angDiff(lon1, lon2)
     var lonsign = if (lon12 >= 0) 1.0 else -1.0
@@ -651,12 +707,83 @@ object KarneyGeodesic {
     S12 += c2 * alp12
     S12 *= swapp * lonsign * latsign
     S12 += 0.0
-    (s12x, S12)
+    // undo the canonical reductions for the azimuths (GeographicLib tail:
+    // swap endpoints back, then apply the sign folds to each component)
+    if (swapp < 0) {
+      var t = salp1; salp1 = salp2; salp2 = t
+      t = calp1; calp1 = calp2; calp2 = t
+    }
+    salp1 *= swapp * lonsign; calp1 *= swapp * latsign
+    salp2 *= swapp * lonsign; calp2 *= swapp * latsign
+    (s12x, S12, atan2d(salp1, calp1), atan2d(salp2, calp2))
   }
 
   /** Karney inverse distance in meters. */
   def distance(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double =
     inverse(lat1, lon1, lat2, lon2)._1
+
+  /** DIRECT geodesic problem (Karney 2013 §5 / GeographicLib
+    * GeodesicLine.Position, distance mode): from (lat1, lon1) along the
+    * geodesic with forward azimuth `azi1Deg` for `s12` meters →
+    * (lat2°, lon2°, azi2°). σ is recovered from the reverted distance
+    * series [[C1pf]]; WGS84's |f| < 0.01 keeps the solution inside the
+    * series' stated accuracy without the large-flattening Newton polish
+    * (the GeographicLib gate). Longitude comes out normalized to
+    * (−180, 180]. */
+  def direct(lat1In: Double, lon1: Double, azi1Deg: Double, s12: Double)
+      : (Double, Double, Double) = {
+    require(math.abs(lat1In) <= 90.0, s"KarneyGeodesic.direct: |lat1| > 90 ($lat1In)")
+    val lat1 = angRound(lat1In)
+    val (salp1, calp1) = sincosd(angRound(angNormalize(azi1Deg)))
+    var sbet1 = 0.0; var cbet1 = 0.0
+    locally { val (s, c) = sincosd(lat1); sbet1 = s * f1; cbet1 = c }
+    locally { val (s, c) = norm(sbet1, cbet1); sbet1 = s; cbet1 = math.max(tiny, c) }
+    val salp0 = salp1 * cbet1
+    val calp0 = math.hypot(calp1, salp1 * sbet1)
+    var ssig1 = sbet1
+    val somg1 = salp0 * sbet1
+    var csig1 = if (sbet1 != 0 || calp1 != 0) cbet1 * calp1 else 1.0
+    val comg1 = csig1
+    locally { val (s, c) = norm(ssig1, csig1); ssig1 = s; csig1 = c }
+    val k2 = sq(calp0) * ep2
+    val eps = k2 / (2 * (1 + math.sqrt(1 + k2)) + k2)
+    val A1m1 = A1m1f(eps)
+    val C1a = new Array[Double](nC + 1)
+    C1f(eps, C1a)
+    val B11 = sinCosSeries(sinp = true, ssig1, csig1, C1a)
+    val sB = math.sin(B11); val cB = math.cos(B11)
+    val stau1 = ssig1 * cB + csig1 * sB
+    val ctau1 = csig1 * cB - ssig1 * sB
+    val C1pa = new Array[Double](nC + 1)
+    C1pf(eps, C1pa)
+    val C3a = new Array[Double](nC)
+    C3f(eps, C3a)
+    val A3c = -f * salp0 * A3f(eps)
+    val B31 = sinCosSeries(sinp = true, ssig1, csig1, C3a)
+    // τ₁₂ → σ₁₂ through the reverted series
+    val tau12 = s12 / (b * (1 + A1m1))
+    val st = math.sin(tau12); val ct = math.cos(tau12)
+    val B12 = -sinCosSeries(sinp = true,
+      stau1 * ct + ctau1 * st, ctau1 * ct - stau1 * st, C1pa)
+    val sig12 = tau12 - (B12 - B11)
+    val ssig12 = math.sin(sig12); val csig12 = math.cos(sig12)
+    var ssig2 = ssig1 * csig12 + csig1 * ssig12
+    var csig2 = csig1 * csig12 - ssig1 * ssig12
+    val sbet2 = calp0 * ssig2
+    var cbet2 = math.hypot(salp0, calp0 * csig2)
+    if (cbet2 == 0) { cbet2 = tiny; csig2 = tiny }
+    val somg2 = salp0 * ssig2; val comg2 = csig2
+    val salp2 = salp0; val calp2 = calp0 * csig2
+    val omg12 = math.atan2(somg2 * comg1 - comg2 * somg1,
+      comg2 * comg1 + somg2 * somg1)
+    val lam12 = omg12 + A3c *
+      (sig12 + (sinCosSeries(sinp = true, ssig2, csig2, C3a) - B31))
+    val lon12 = math.toDegrees(lam12)
+    val lon2 = angNormalize(angNormalize(lon1) + angNormalize(lon12))
+    val lat2 = atan2d(sbet2, f1 * cbet2)
+    val azi2 = atan2d(salp2, calp2)
+    (lat2, lon2, azi2)
+  }
 
   // ── polygon area accumulation (GeographicLib PolygonArea) ─────────────
 

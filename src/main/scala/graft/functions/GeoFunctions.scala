@@ -220,6 +220,12 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_transformalbersinv" -> Sig("transformAlbersInv", G, Seq(G, D, D, D, D, D, D, D, D), geodesy),
     "st_transformlcc" -> Sig("transformLcc", G, Seq(G, D, D, D, D, D, D, D, D), geodesy),
     "st_transformlccinv" -> Sig("transformLccInv", G, Seq(G, D, D, D, D, D, D, D, D), geodesy),
+    // ellipsoidal AEQD (WGS84-exact via the Karney geodesic problems) +
+    // the meter-true geodesic buffer built on it
+    "st_transformaeqd" -> Sig("transformAeqd", G, Seq(G, D, D), geodesy),
+    "st_transformaeqdinv" -> Sig("transformAeqdInv", G, Seq(G, D, D), geodesy),
+    "st_buffergeodesic" -> Sig("bufferGeodesic", G, Seq(G, D), geodesy),
+    "st_buffergeodesic" -> Sig("bufferGeodesicSegs", G, Seq(G, D, I), geodesy),
     "st_distancesphere" -> Sig("distanceSphere", D, Seq(G, G), geodesy),
     "st_project" -> Sig("projectSphere", G, Seq(G, D, D), geodesy),
     "st_lengthsphere" -> Sig("lengthSphere", D, Seq(G), geodesy),

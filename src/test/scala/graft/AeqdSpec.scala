@@ -1,0 +1,150 @@
+package graft
+
+import org.locationtech.jts.geom.Coordinate
+
+import graft.core.{Aeqd, GeomOps, KarneyGeodesic}
+
+/** Ellipsoidal AEQD (the exact geodesic-problem construction) and the
+  * meter-true geodesic buffer built on it. The projection's DEFINING
+  * property — range and azimuth from the origin are exact — is asserted
+  * directly against the Karney inverse; buffers are gated on the
+  * geodesic-circle invariant (every boundary vertex of a point buffer is
+  * exactly r away) and on bounded width error for extended geometries. */
+class AeqdSpec extends SparkTestBase {
+
+  private def wkb(wkt: String): Array[Byte] =
+    GeomOps.write(new org.locationtech.jts.io.WKTReader(GeomOps.factory).read(wkt))
+  private def geom(b: Array[Byte]) = GeomOps.read(b)
+
+  test("forward preserves geodesic range and azimuth from the origin exactly") {
+    val rnd = new scala.util.Random(0xAE0DL)
+    (0 until 500).foreach { _ =>
+      val lon0 = rnd.nextDouble() * 340 - 170
+      val lat0 = rnd.nextDouble() * 160 - 80
+      val lon = rnd.nextDouble() * 340 - 170
+      val lat = rnd.nextDouble() * 160 - 80
+      val (x, y) = Aeqd.forward(lon0, lat0, lon, lat)
+      val s = KarneyGeodesic.distance(lat0, lon0, lat, lon)
+      assert(math.abs(math.hypot(x, y) - s) < 1e-8 * math.max(1.0, s),
+        s"range: ${math.hypot(x, y)} vs $s")
+    }
+    // origin maps to (0, 0); due north is +y, due east +x
+    assert(Aeqd.forward(10, 50, 10, 50) == ((0.0, 0.0)))
+    val (nx, ny) = Aeqd.forward(10, 50, 10, 51)
+    assert(math.abs(nx) < 1e-6 && ny > 110000, s"north: ($nx, $ny)")
+    val (ex, ey) = Aeqd.forward(0, 0, 1, 0)
+    assert(ex > 110000 && math.abs(ey) < 1e-6, s"east: ($ex, $ey)")
+  }
+
+  test("reverse ∘ forward roundtrips to nanometers; singularities are loud") {
+    val rnd = new scala.util.Random(0xBE11L)
+    (0 until 500).foreach { _ =>
+      val lon0 = rnd.nextDouble() * 340 - 170
+      val lat0 = rnd.nextDouble() * 160 - 80
+      val lon = rnd.nextDouble() * 340 - 170
+      val lat = rnd.nextDouble() * 160 - 80
+      val (x, y) = Aeqd.forward(lon0, lat0, lon, lat)
+      val (rlon, rlat) = Aeqd.reverse(lon0, lat0, x, y)
+      assert(KarneyGeodesic.distance(lat, lon, rlat, rlon) < 1e-6,
+        s"roundtrip ($lon, $lat) about ($lon0, $lat0) -> ($rlon, $rlat)")
+    }
+    // antipode refused on forward; beyond-half-circumference refused on reverse
+    intercept[IllegalArgumentException](Aeqd.forward(0, 0, 180, 0))
+    intercept[IllegalArgumentException](Aeqd.reverse(0, 0, 2.1e7, 0))
+  }
+
+  test("SQL surface: ST_TransformAeqd(+Inv) roundtrip and range semantics") {
+    graft.functions.GeoFunctions.register(spark)
+    val rows = spark.sql("""
+      SELECT id,
+             ST_TransformAeqd(ST_Point(2.0 + id * 0.1, 48.0 + id * 0.05), 2.35, 48.85) AS p
+      FROM range(20)""")
+    rows.createOrReplaceTempView("aeqd_t")
+    val back = spark.sql("""
+      SELECT id, ST_X(ST_TransformAeqdInv(p, 2.35, 48.85)) AS lon,
+             ST_Y(ST_TransformAeqdInv(p, 2.35, 48.85)) AS lat,
+             SQRT(ST_X(p) * ST_X(p) + ST_Y(p) * ST_Y(p)) AS range,
+             ST_DistanceGeodesic(ST_Point(2.0 + id * 0.1, 48.0 + id * 0.05),
+                                 ST_Point(2.35, 48.85)) AS s
+      FROM aeqd_t ORDER BY id""").collect()
+    back.foreach { r =>
+      val id = r.getLong(0)
+      assert(math.abs(r.getDouble(1) - (2.0 + id * 0.1)) < 1e-9)
+      assert(math.abs(r.getDouble(2) - (48.0 + id * 0.05)) < 1e-9)
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) < 1e-6,
+        s"AEQD range ${r.getDouble(3)} vs geodesic ${r.getDouble(4)}")
+    }
+  }
+
+  test("point buffer: every boundary vertex sits on the geodesic circle") {
+    Seq((2.35, 48.85, 10000.0), (-73.98, 40.75, 250000.0),
+        (151.2, -33.87, 1000000.0), (0.0, 0.0, 50000.0),
+        (10.0, 78.0, 300000.0) /* high latitude */).foreach {
+      case (lon, lat, r) =>
+        val out = geom(Aeqd.bufferGeodesic(wkb(s"POINT ($lon $lat)"), r, 16))
+        assert(out.getGeometryType == "Polygon" && out.isValid)
+        val ring = out.asInstanceOf[org.locationtech.jts.geom.Polygon].getExteriorRing
+        assert(ring.getNumPoints == 4 * 16 + 1, s"ring size ${ring.getNumPoints}")
+        var worst = 0.0
+        ring.getCoordinates.foreach { c =>
+          val d = KarneyGeodesic.distance(lat, lon, c.y, c.x)
+          worst = math.max(worst, math.abs(d - r))
+        }
+        assert(worst < 1e-3, s"($lon, $lat, r=$r): worst vertex deviation $worst m")
+        // contains its center, in lon/lat space
+        assert(out.contains(GeomOps.factory.createPoint(new Coordinate(lon, lat))))
+    }
+  }
+
+  test("line and polygon buffers: width correct within the documented bound") {
+    // a ~170 km diagonal line buffered by 20 km: sampled boundary vertices
+    // must lie 20 km (±0.05%) from the line, measured geodesically via a
+    // dense resampling of the input
+    val line = wkb("LINESTRING (2.0 48.0, 3.0 49.0)")
+    val buf = geom(Aeqd.bufferGeodesic(line, 20000.0, 12))
+    assert(buf.isValid && buf.getGeometryType == "Polygon")
+    val samples = (0 to 400).map { i =>
+      val t = i / 400.0
+      (2.0 + t * 1.0, 48.0 + t * 1.0) // geodesic≈chord at this scale for sampling
+    }
+    var worstRel = 0.0
+    buf.asInstanceOf[org.locationtech.jts.geom.Polygon].getExteriorRing.getCoordinates
+      .foreach { c =>
+        val dMin = samples.map { case (lo, la) =>
+          KarneyGeodesic.distance(la, lo, c.y, c.x)
+        }.min
+        worstRel = math.max(worstRel, math.abs(dMin - 20000.0) / 20000.0)
+      }
+    // the straight-segment resample of the input is itself ~11 m off the
+    // true geodesic at this length; 0.1% (20 m) absorbs sampling + plane
+    assert(worstRel < 1e-3, s"line buffer worst width error ${worstRel * 100}%")
+    // polygon: buffer contains the original; negative buffer shrinks it
+    val poly = wkb("POLYGON ((10 50, 11 50, 11 51, 10 51, 10 50))")
+    val grown = geom(Aeqd.bufferGeodesic(poly, 5000.0, 8))
+    val shrunk = geom(Aeqd.bufferGeodesic(poly, -5000.0, 8))
+    assert(grown.contains(geom(poly)) && geom(poly).contains(shrunk))
+    assert(shrunk.getArea > 0 && shrunk.getArea < geom(poly).getArea)
+  }
+
+  test("buffer guards: empty in, empty out; oversized geometry refused") {
+    assert(geom(Aeqd.bufferGeodesic(wkb("POINT EMPTY"), 1000.0, 8)).isEmpty)
+    // a geometry spanning ~40° (> 1500 km from its centroid) must refuse
+    val wide = wkb("LINESTRING (-20 0, 20 0)")
+    val e = intercept[IllegalArgumentException](Aeqd.bufferGeodesic(wide, 1000.0, 8))
+    assert(e.getMessage.contains("Split the geometry"))
+  }
+
+  test("SQL surface: ST_BufferGeodesic at both arities, monotone containment") {
+    graft.functions.GeoFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT ST_NPoints(ST_BufferGeodesic(ST_Point(2.35, 48.85), 10000.0)) AS np8,
+             ST_NPoints(ST_BufferGeodesic(ST_Point(2.35, 48.85), 10000.0, 24)) AS np24,
+             ST_Contains(ST_BufferGeodesic(ST_Point(2.35, 48.85), 20000.0),
+                         ST_BufferGeodesic(ST_Point(2.35, 48.85), 10000.0)) AS mono,
+             ST_BufferGeodesic(NULL, 10000.0) AS nul
+      """).head()
+    assert(r.getInt(0) == 33 && r.getInt(1) == 97)
+    assert(r.getBoolean(2), "larger radius must contain smaller")
+    assert(r.isNullAt(3))
+  }
+}

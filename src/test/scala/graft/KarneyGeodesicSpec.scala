@@ -99,4 +99,124 @@ class KarneyGeodesicSpec extends AnyFunSuite {
     assert(math.abs(anti - antiK) / antiK < 1e-6)
     assert(Geodesy.vincentyMeters(5.0, 5.0, 5.0, 5.0) == 0.0)
   }
+
+  test("direct problem: cardinal anchors pin the azimuth convention") {
+    // 10° of equator = 1,113,194.908 m (a·λ); due east keeps lat 0
+    val (s, a1, a2) = KarneyGeodesic.inverseAzimuth(0, 0, 0, 10)
+    assert(a1 == 90.0 && a2 == 90.0, s"equatorial azimuths $a1/$a2")
+    assert(math.abs(s - 1113194.9079327357) < 1e-6)
+    val (la, lo, az) = KarneyGeodesic.direct(0, 0, 90.0, s)
+    assert(math.abs(la) < 1e-12 && math.abs(lo - 10.0) < 1e-12 && math.abs(az - 90.0) < 1e-12,
+      s"east along equator: ($la, $lo, $az)")
+    // due north along a meridian
+    val (sm, m1, m2) = KarneyGeodesic.inverseAzimuth(10, 20, 45, 20)
+    assert(m1 == 0.0 && m2 == 0.0, s"meridional azimuths $m1/$m2")
+    val (la2, lo2, _) = KarneyGeodesic.direct(10, 20, 0.0, sm)
+    assert(math.abs(la2 - 45.0) < 1e-11 && math.abs(lo2 - 20.0) < 1e-11)
+    // due south and west come out negative-normalized
+    val (_, w1, _) = KarneyGeodesic.inverseAzimuth(0, 10, 0, 0)
+    assert(w1 == -90.0, s"westward azimuth $w1")
+  }
+
+  test("direct ∘ inverseAzimuth roundtrips to nanometers over a fuzz corpus") {
+    // the reverted series C1pf + the unswap tail are exercised across all
+    // canonical-form branches (swapp/latsign/lonsign, meridional,
+    // equatorial, near-antipodal): shooting the inverse's azimuth for the
+    // inverse's distance must land on the target point
+    val rnd = new scala.util.Random(0xA5E9D17L)
+    var worst = 0.0
+    var worstAzi = 0.0
+    (0 until 2000).foreach { _ =>
+      val la1 = rnd.nextDouble() * 178 - 89
+      val lo1 = rnd.nextDouble() * 360 - 180
+      val la2 = rnd.nextDouble() * 178 - 89
+      val lo2 = rnd.nextDouble() * 360 - 180
+      val (s, az1, az2) = KarneyGeodesic.inverseAzimuth(la1, lo1, la2, lo2)
+      val (rla, rlo, raz2) = KarneyGeodesic.direct(la1, lo1, az1, s)
+      val err = KarneyGeodesic.distance(la2, lo2, rla, rlo)
+      if (err > worst) worst = err
+      val dAzi = math.abs(az2 - raz2)
+      if (dAzi < 180 && dAzi > worstAzi) worstAzi = dAzi
+    }
+    assert(worst < 1e-6, s"worst position roundtrip $worst m")
+    assert(worstAzi < 1e-9, s"worst azi2 disagreement $worstAzi deg")
+    // structured slices: meridional (lon equal), equatorial, near-antipodal
+    Seq((10.0, 30.0, 80.0, 30.0), (0.0, -170.0, 0.0, 170.0),
+        (0.3, 10.0, -0.2, -169.8), (45.0, 0.0, -44.9, 179.9)).foreach {
+      case (la1, lo1, la2, lo2) =>
+        val (s, az1, _) = KarneyGeodesic.inverseAzimuth(la1, lo1, la2, lo2)
+        val (rla, rlo, _) = KarneyGeodesic.direct(la1, lo1, az1, s)
+        assert(KarneyGeodesic.distance(la2, lo2, rla, rlo) < 1e-6,
+          s"($la1,$lo1)->($la2,$lo2)")
+    }
+  }
+
+  test("direct vs an inline Vincenty direct: <1 mm (independent algorithm family)") {
+    // Vincenty 1975 eqs. 1-11 (the DIRECT problem), implemented here from
+    // the published paper — a fully independent check that KarneyGeodesic
+    // .direct's azimuth convention and position are geodesy's, not a
+    // self-consistent invention (Vincenty direct is ~0.5 mm accurate and
+    // always converges)
+    def vincentyDirect(lat1: Double, lon1: Double, azi1: Double, s: Double)
+        : (Double, Double) = {
+      val a = 6378137.0; val f = 1.0 / 298.257223563; val b = a * (1 - f)
+      val al1 = math.toRadians(azi1)
+      val u1 = math.atan((1 - f) * math.tan(math.toRadians(lat1)))
+      val sig1 = math.atan2(math.tan(u1), math.cos(al1))
+      val sinAl = math.cos(u1) * math.sin(al1)
+      val cos2Al = 1 - sinAl * sinAl
+      val u2 = cos2Al * (a * a - b * b) / (b * b)
+      val bigA = 1 + u2 / 16384 * (4096 + u2 * (-768 + u2 * (320 - 175 * u2)))
+      val bigB = u2 / 1024 * (256 + u2 * (-128 + u2 * (74 - 47 * u2)))
+      var sig = s / (b * bigA)
+      var prev = Double.MaxValue
+      var cos2m = 0.0
+      var it = 0
+      while (math.abs(sig - prev) > 1e-13 && it < 200) {
+        cos2m = math.cos(2 * sig1 + sig)
+        val ss = math.sin(sig); val cs = math.cos(sig)
+        val dSig = bigB * ss * (cos2m + bigB / 4 * (cs * (-1 + 2 * cos2m * cos2m) -
+          bigB / 6 * cos2m * (-3 + 4 * ss * ss) * (-3 + 4 * cos2m * cos2m)))
+        prev = sig; sig = s / (b * bigA) + dSig; it += 1
+      }
+      cos2m = math.cos(2 * sig1 + sig)
+      val ss = math.sin(sig); val cs = math.cos(sig)
+      val lat2 = math.atan2(
+        math.sin(u1) * cs + math.cos(u1) * ss * math.cos(al1),
+        (1 - f) * math.hypot(sinAl,
+          math.sin(u1) * ss - math.cos(u1) * cs * math.cos(al1)))
+      val lam = math.atan2(ss * math.sin(al1),
+        math.cos(u1) * cs - math.sin(u1) * ss * math.cos(al1))
+      val c = f / 16 * cos2Al * (4 + f * (4 - 3 * cos2Al))
+      val bigL = lam - (1 - c) * f * sinAl *
+        (sig + c * ss * (cos2m + c * cs * (-1 + 2 * cos2m * cos2m)))
+      (math.toDegrees(lat2), lon1 + math.toDegrees(bigL))
+    }
+    val rnd = new scala.util.Random(0xC0FFEEL)
+    (0 until 500).foreach { _ =>
+      val la1 = rnd.nextDouble() * 160 - 80
+      val lo1 = rnd.nextDouble() * 340 - 170
+      val azi = rnd.nextDouble() * 360 - 180
+      val s = rnd.nextDouble() * 15000000.0
+      val (kla, klo, _) = KarneyGeodesic.direct(la1, lo1, azi, s)
+      val (vla, vlo) = vincentyDirect(la1, lo1, azi, s)
+      val err = KarneyGeodesic.distance(kla, klo, vla, vlo)
+      assert(err < 1e-3, s"from ($la1,$lo1) azi=$azi s=$s: " +
+        s"karney ($kla,$klo) vs vincenty ($vla,$vlo), $err m apart")
+    }
+    // Clairaut's relation: sin α · cos β is constant along every geodesic —
+    // an exact invariant tying the REPORTED azimuths to the positions
+    def beta(latDeg: Double) =
+      math.atan((1 - 1.0 / 298.257223563) * math.tan(math.toRadians(latDeg)))
+    (0 until 200).foreach { _ =>
+      val la1 = rnd.nextDouble() * 160 - 80
+      val lo1 = rnd.nextDouble() * 340 - 170
+      val azi = rnd.nextDouble() * 360 - 180
+      val s = rnd.nextDouble() * 15000000.0
+      val (la2, _, azi2) = KarneyGeodesic.direct(la1, lo1, azi, s)
+      val c1 = math.sin(math.toRadians(azi)) * math.cos(beta(la1))
+      val c2 = math.sin(math.toRadians(azi2)) * math.cos(beta(la2))
+      assert(math.abs(c1 - c2) < 1e-12, s"Clairaut violated: $c1 vs $c2")
+    }
+  }
 }
