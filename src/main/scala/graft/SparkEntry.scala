@@ -2878,6 +2878,43 @@ object SparkEntry {
            10001966::BIGINT AS quadrant_m
     FROM range(60) t(i) ORDER BY id"""
 
+  /** Geodesic segmentize + interpolation (g116, round 19): along the
+    * EQUATOR the geodesic is the closed-form arc s = a·λ, so DuckDB can
+    * replay everything: `ST_SegmentizeGeodesic` of `LINESTRING (0 0,
+    * Δλ 0)` at 200 km yields ⌈a·rad(Δλ)/2·10⁵⌉ hops with the second
+    * vertex at Δλ/n (waypoints are exact Karney direct shots — they stay
+    * on the equator to the bit, pinned via the nano-degree latitude
+    * column), and `ST_LineInterpolatePointGeodesic(·, 0.5)` lands at
+    * Δλ/2. Micro-degree rounding absorbs the ~1e-9° direct∘inverse
+    * roundtrip noise while still resolving ~0.1 m. */
+  private val g116Spark = """
+    WITH lines AS (
+      SELECT id, CAST(1 + id % 7 AS DOUBLE) * 5.0 AS dlam FROM range(40)),
+    seg AS (
+      SELECT id, dlam,
+             ST_SegmentizeGeodesic(
+               ST_GeomFromText(CONCAT('LINESTRING (0 0, ', dlam, ' 0)')),
+               200000.0) AS g
+      FROM lines)
+    SELECT id,
+           CAST(ST_NPoints(g) AS BIGINT) AS np,
+           CAST(ROUND(ST_X(ST_PointN(g, 1)) * 1e6) AS BIGINT) AS x1_microdeg,
+           CAST(ROUND(ST_Y(ST_PointN(g, 1)) * 1e9) AS BIGINT) AS y1_nanodeg,
+           CAST(ROUND(ST_X(ST_LineInterpolatePointGeodesic(g, 0.5)) * 1e6) AS BIGINT)
+             AS mid_microdeg
+    FROM seg ORDER BY id"""
+
+  private val g116Duck = """
+    WITH r AS (
+      SELECT i AS id, (1 + i % 7) * 5.0 AS dlam,
+             CEIL(6378137.0 * radians((1 + i % 7) * 5.0) / 200000.0) AS n
+      FROM range(40) t(i))
+    SELECT id, (n + 1)::BIGINT AS np,
+           ROUND(dlam / n * 1e6)::BIGINT AS x1_microdeg,
+           0::BIGINT AS y1_nanodeg,
+           ROUND(dlam / 2 * 1e6)::BIGINT AS mid_microdeg
+    FROM r ORDER BY id"""
+
   /** RANK()-with-ties kNN join (g106, round 18): the SQL window shape
     * `RANK() OVER (PARTITION BY lid ORDER BY ST_Distance) <= k` over a
     * cross join is planned as [[graft.plans.KnnTopKExec]] in withTies
@@ -13009,6 +13046,7 @@ object SparkEntry {
     ("g113_native_nested_fastpath", g113Fn _, g113Duck),
     ("g114_geodesic_buffer", q(g114Spark), g114Duck),
     ("g115_aeqd_transform", q(g115Spark), g115Duck),
+    ("g116_geodesic_segmentize", q(g116Spark), g116Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

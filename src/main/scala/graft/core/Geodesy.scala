@@ -207,6 +207,79 @@ object Geodesy {
     mapCoords(b, c => { val (lo, la) = p.reverse(c.x, c.y); new Coordinate(lo, la) })
   }
 
+  /** Geodesic segmentize (PostGIS ST_Segmentize on GEOGRAPHY): insert
+    * vertices ALONG THE GEODESIC of every segment so no hop exceeds
+    * `maxLenM` meters — the inserted points are exact Karney waypoints
+    * (inverse for azimuth + total, direct for each fraction), so a
+    * long segment densifies onto the true shortest path, not the
+    * chart line. Applies to every coordinate sequence (LineString,
+    * ring, Multi*); points pass through. Repeated vertices (zero-length
+    * hops) are preserved untouched. SQL: ST_SegmentizeGeodesic(g, m). */
+  def segmentizeGeodesic(b: Array[Byte], maxLenM: Double): Array[Byte] = {
+    require(maxLenM > 0.0, s"ST_SegmentizeGeodesic: max length $maxLenM must be > 0")
+    val g = GeomOps.read(b)
+    val edited = new org.locationtech.jts.geom.util.GeometryEditor(GeomOps.factory).edit(g,
+      new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+        override def edit(coords: Array[Coordinate], geom: Geometry): Array[Coordinate] = {
+          if (coords.length < 2) return coords
+          val out = scala.collection.mutable.ArrayBuffer.empty[Coordinate]
+          out += coords(0)
+          var i = 1
+          while (i < coords.length) {
+            val p = coords(i - 1); val q = coords(i)
+            val (s, azi1, _) = KarneyGeodesic.inverseAzimuth(p.y, p.x, q.y, q.x)
+            if (s > maxLenM) {
+              val n = math.ceil(s / maxLenM).toInt
+              var k = 1
+              while (k < n) {
+                val (la, lo, _) = KarneyGeodesic.direct(p.y, p.x, azi1, s * k / n)
+                out += new Coordinate(lo, la)
+                k += 1
+              }
+            }
+            out += q
+            i += 1
+          }
+          out.toArray
+        }
+      })
+    GeomOps.write(edited)
+  }
+
+  /** Point at geodesic `frac` ∈ [0, 1] of a LineString's total GEODESIC
+    * length — the geography twin of the planar line_interpolate_point:
+    * hop lengths are Karney distances and the landing point is an exact
+    * direct-problem waypoint inside its segment.
+    * SQL: ST_LineInterpolatePointGeodesic(line, frac). */
+  def lineInterpolatePointGeodesic(b: Array[Byte], frac: Double): Array[Byte] = {
+    require(frac >= 0.0 && frac <= 1.0,
+      s"ST_LineInterpolatePointGeodesic: fraction $frac outside [0, 1]")
+    val g = GeomOps.read(b)
+    val line = g match {
+      case l: org.locationtech.jts.geom.LineString => l
+      case other => throw new IllegalArgumentException(
+        s"ST_LineInterpolatePointGeodesic: expected LineString, got ${other.getGeometryType}")
+    }
+    val cs = line.getCoordinates
+    require(cs.length >= 2, "ST_LineInterpolatePointGeodesic: empty/degenerate line")
+    val hops = Array.tabulate(cs.length - 1) { i =>
+      KarneyGeodesic.distance(cs(i).y, cs(i).x, cs(i + 1).y, cs(i + 1).x)
+    }
+    val total = hops.sum
+    if (total == 0.0 || frac == 0.0) return GeomOps.point(cs(0).x, cs(0).y)
+    var target = frac * total
+    var i = 0
+    while (i < hops.length && target > hops(i)) { target -= hops(i); i += 1 }
+    if (i == hops.length) { // frac == 1 (or accumulated rounding): the far end
+      val last = cs(cs.length - 1)
+      return GeomOps.point(last.x, last.y)
+    }
+    val p = cs(i); val q = cs(i + 1)
+    val (s, azi1, _) = KarneyGeodesic.inverseAzimuth(p.y, p.x, q.y, q.x)
+    val (la, lo, _) = KarneyGeodesic.direct(p.y, p.x, azi1, math.min(target, s))
+    GeomOps.point(lo, la)
+  }
+
   /** Parameterized ellipsoidal AEQD about (lon0, lat0) — WGS84-exact via
     * the Karney geodesic problems ([[Aeqd]]); other datums compose through
     * the NatCrs datum hops like every projection here. No constants to

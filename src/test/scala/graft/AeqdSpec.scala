@@ -134,6 +134,64 @@ class AeqdSpec extends SparkTestBase {
     assert(e.getMessage.contains("Split the geometry"))
   }
 
+  test("geodesic segmentize: waypoints on the true geodesic, hops bounded, rings stay closed") {
+    import graft.core.Geodesy
+    // equatorial closed form: 10° = 1,113,194.908 m, maxLen 200 km → 6 hops
+    val eq = geom(Geodesy.segmentizeGeodesic(wkb("LINESTRING (0 0, 10 0)"), 200000.0))
+    assert(eq.getNumPoints == 7, s"equator np ${eq.getNumPoints}")
+    eq.getCoordinates.zipWithIndex.foreach { case (c, k) =>
+      assert(math.abs(c.x - 10.0 * k / 6) < 1e-8 && math.abs(c.y) < 1e-12,
+        s"equator vertex $k: (${c.x}, ${c.y})")
+    }
+    // a long oblique segment: every hop ≤ maxLen, total geodesic length
+    // preserved (waypoints sit ON the geodesic, so hop lengths are additive)
+    val s0 = KarneyGeodesic.distance(40.0, -74.0, 35.0, 139.7) // NYC→Tokyo-ish
+    val segd = geom(Geodesy.segmentizeGeodesic(
+      wkb("LINESTRING (-74 40, 139.7 35)"), 500000.0))
+    val cs = segd.getCoordinates
+    assert(cs.length == math.ceil(s0 / 500000.0).toInt + 1)
+    var sum = 0.0
+    (1 until cs.length).foreach { i =>
+      val hop = KarneyGeodesic.distance(cs(i - 1).y, cs(i - 1).x, cs(i).y, cs(i).x)
+      assert(hop <= 500000.0 * (1 + 1e-12), s"hop $i = $hop")
+      sum += hop
+    }
+    assert(math.abs(sum - s0) < 1e-6, s"length drift: $sum vs $s0")
+    // polygon rings segmentize closed and valid; short segments untouched
+    val ring = geom(Geodesy.segmentizeGeodesic(
+      wkb("POLYGON ((0 40, 20 40, 20 50, 0 50, 0 40))"), 300000.0))
+    assert(ring.isValid && ring.getGeometryType == "Polygon")
+    assert(ring.getNumPoints > 5)
+    val short = wkb("LINESTRING (1 1, 1.001 1.001)")
+    assert(geom(Geodesy.segmentizeGeodesic(short, 200000.0)).getNumPoints == 2)
+    intercept[IllegalArgumentException](Geodesy.segmentizeGeodesic(short, 0.0))
+  }
+
+  test("geodesic line interpolation: exact fractional ranges along the path") {
+    import graft.core.Geodesy
+    val line = wkb("LINESTRING (-74 40, 139.7 35)")
+    val total = KarneyGeodesic.distance(40.0, -74.0, 35.0, 139.7)
+    Seq(0.0, 0.25, 0.5, 0.75, 1.0).foreach { frac =>
+      val p = geom(Geodesy.lineInterpolatePointGeodesic(line, frac)).getCoordinate
+      val d = KarneyGeodesic.distance(40.0, -74.0, p.y, p.x)
+      assert(math.abs(d - frac * total) < 1e-6,
+        s"frac $frac: range $d vs ${frac * total}")
+    }
+    // multi-segment: cumulative geodesic length semantics (frac can land
+    // inside the second hop)
+    val two = wkb("LINESTRING (0 0, 10 0, 10 10)")
+    val h1 = KarneyGeodesic.distance(0, 0, 0, 10)
+    val h2 = KarneyGeodesic.distance(0, 10, 10, 10)
+    val frac = (h1 + h2 / 2) / (h1 + h2)
+    val mid = geom(Geodesy.lineInterpolatePointGeodesic(two, frac)).getCoordinate
+    assert(math.abs(mid.x - 10.0) < 1e-9 &&
+      math.abs(KarneyGeodesic.distance(0, 10, mid.y, mid.x) - h2 / 2) < 1e-6)
+    intercept[IllegalArgumentException](
+      Geodesy.lineInterpolatePointGeodesic(line, 1.5))
+    intercept[IllegalArgumentException](
+      Geodesy.lineInterpolatePointGeodesic(wkb("POINT (1 1)"), 0.5))
+  }
+
   test("SQL surface: ST_BufferGeodesic at both arities, monotone containment") {
     graft.functions.GeoFunctions.register(spark)
     val r = spark.sql("""
