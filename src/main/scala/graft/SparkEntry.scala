@@ -2915,6 +2915,39 @@ object SparkEntry {
            ROUND(dlam / 2 * 1e6)::BIGINT AS mid_microdeg
     FROM r ORDER BY id"""
 
+  /** Ellipsoidal forward problem + azimuth (g117, round 19):
+    * `ST_ProjectGeodesic` / `ST_AzimuthGeodesic` — the GEOGRAPHY twins of
+    * ST_Project/ST_Azimuth on the exact Karney problems. DuckDB replays
+    * the closed forms: an eastward equatorial shot advances the longitude
+    * by degrees(s/a) (micro-degree gate), cardinal azimuths are exactly
+    * π/2 and π, and project∘azimuth closes (initial azimuth recovered to
+    * < 1e-9 rad across 40 oblique shots up to 440 km). */
+  private val g117Spark = """
+    WITH p AS (
+      SELECT id, CAST(id AS DOUBLE) * 3.0 - 60.0 AS lon,
+             RADIANS(20.0 + CAST(id AS DOUBLE) * 7.0) AS az,
+             50000.0 + CAST(id AS DOUBLE) * 10000.0 AS s
+      FROM range(40))
+    SELECT id,
+           ROUND(ST_X(ST_ProjectGeodesic(ST_Point(lon, 0.0), 200000.0, RADIANS(90.0)))
+                 - lon, 6) AS eq_dlon,
+           ROUND(ST_AzimuthGeodesic(ST_Point(lon, 0.0), ST_Point(lon + 5.0, 0.0)), 9)
+             AS az_east,
+           ROUND(ST_AzimuthGeodesic(ST_Point(lon, 10.0), ST_Point(lon, -5.0)), 9)
+             AS az_south,
+           ROUND(ST_AzimuthGeodesic(ST_Point(lon, 0.0),
+                                    ST_ProjectGeodesic(ST_Point(lon, 0.0), s, az)) - az, 9)
+             AS rt
+    FROM p ORDER BY id"""
+
+  private val g117Duck = """
+    SELECT i AS id,
+           ROUND(degrees(200000.0 / 6378137.0), 6) AS eq_dlon,
+           ROUND(pi() / 2, 9) AS az_east,
+           ROUND(pi(), 9) AS az_south,
+           0.0 AS rt
+    FROM range(40) t(i) ORDER BY id"""
+
   /** RANK()-with-ties kNN join (g106, round 18): the SQL window shape
     * `RANK() OVER (PARTITION BY lid ORDER BY ST_Distance) <= k` over a
     * cross join is planned as [[graft.plans.KnnTopKExec]] in withTies
@@ -13047,6 +13080,7 @@ object SparkEntry {
     ("g114_geodesic_buffer", q(g114Spark), g114Duck),
     ("g115_aeqd_transform", q(g115Spark), g115Duck),
     ("g116_geodesic_segmentize", q(g116Spark), g116Duck),
+    ("g117_project_azimuth_geodesic", q(g117Spark), g117Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

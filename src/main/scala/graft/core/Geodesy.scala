@@ -207,6 +207,32 @@ object Geodesy {
     mapCoords(b, c => { val (lo, la) = p.reverse(c.x, c.y); new Coordinate(lo, la) })
   }
 
+  /** Ellipsoidal forward problem (PostGIS ST_Project on GEOGRAPHY,
+    * spheroid-exact): destination of `distM` meters from the point at
+    * initial bearing `azRad` (radians clockwise from north — the planar
+    * [[projectSphere]] argument convention) via the exact Karney direct
+    * problem. SQL: ST_ProjectGeodesic(pt, m, azRad). */
+  def projectGeodesic(b: Array[Byte], distM: Double, azRad: Double): Array[Byte] = {
+    val c = GeomOps.read(b).getCoordinate
+    val (la, lo, _) = KarneyGeodesic.direct(c.y, c.x, math.toDegrees(azRad), distM)
+    GeomOps.point(lo, la)
+  }
+
+  /** Ellipsoidal forward azimuth from point a to point b (PostGIS
+    * ST_Azimuth on GEOGRAPHY): radians clockwise from north in [0, 2π),
+    * the planar [[GeomOps.azimuth]] convention — coincident points yield
+    * NaN (null-free kernel, filter upstream). SQL: ST_AzimuthGeodesic. */
+  def azimuthGeodesic(a: Array[Byte], b: Array[Byte]): Double = {
+    val ca = GeomOps.read(a).getCoordinate
+    val cb = GeomOps.read(b).getCoordinate
+    if (ca.x == cb.x && ca.y == cb.y) Double.NaN
+    else {
+      val azDeg = KarneyGeodesic.inverseAzimuth(ca.y, ca.x, cb.y, cb.x)._2
+      val az = math.toRadians(azDeg)
+      if (az < 0.0) az + 2.0 * math.Pi else az
+    }
+  }
+
   /** Geodesic segmentize (PostGIS ST_Segmentize on GEOGRAPHY): insert
     * vertices ALONG THE GEODESIC of every segment so no hop exceeds
     * `maxLenM` meters — the inserted points are exact Karney waypoints

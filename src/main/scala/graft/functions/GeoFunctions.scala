@@ -226,6 +226,8 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_transformaeqdinv" -> Sig("transformAeqdInv", G, Seq(G, D, D), geodesy),
     "st_buffergeodesic" -> Sig("bufferGeodesic", G, Seq(G, D), geodesy),
     "st_buffergeodesic" -> Sig("bufferGeodesicSegs", G, Seq(G, D, I), geodesy),
+    "st_projectgeodesic" -> Sig("projectGeodesic", G, Seq(G, D, D), geodesy),
+    "st_azimuthgeodesic" -> Sig("azimuthGeodesic", D, Seq(G, G), geodesy),
     "st_segmentizegeodesic" -> Sig("segmentizeGeodesic", G, Seq(G, D), geodesy),
     "st_lineinterpolatepointgeodesic" ->
       Sig("lineInterpolatePointGeodesic", G, Seq(G, D), geodesy),

@@ -192,6 +192,36 @@ class AeqdSpec extends SparkTestBase {
       Geodesy.lineInterpolatePointGeodesic(wkb("POINT (1 1)"), 0.5))
   }
 
+  test("ST_ProjectGeodesic / ST_AzimuthGeodesic: spheroid-exact forward/azimuth pair") {
+    graft.functions.GeoFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT ST_AzimuthGeodesic(ST_Point(0.0, 0.0), ST_Point(10.0, 0.0)) AS east,
+             ST_AzimuthGeodesic(ST_Point(5.0, 10.0), ST_Point(5.0, -5.0)) AS south,
+             ST_AzimuthGeodesic(ST_Point(3.0, 3.0), ST_Point(3.0, 3.0)) AS coincident,
+             ST_Y(ST_ProjectGeodesic(ST_Point(7.0, 20.0), 100000.0, RADIANS(0.0))) AS northed
+      """).head()
+    assert(r.getDouble(0) == math.Pi / 2)
+    assert(r.getDouble(1) == math.Pi)
+    assert(r.getDouble(2).isNaN, "coincident points yield NaN like the planar kernel")
+    assert(r.getDouble(3) > 20.8 && r.getDouble(3) < 21.0)
+    // project ∘ azimuth closes: shooting s meters at azimuth az, the
+    // azimuth back to the landing point is az and its range is s
+    val rnd = new scala.util.Random(0x9107L)
+    (0 until 200).foreach { _ =>
+      val lon = rnd.nextDouble() * 340 - 170
+      val lat = rnd.nextDouble() * 160 - 80
+      val az = rnd.nextDouble() * 2 * math.Pi
+      val s = 1000.0 + rnd.nextDouble() * 5e6
+      val p = geom(graft.core.Geodesy.projectGeodesic(
+        wkb(s"POINT ($lon $lat)"), s, az)).getCoordinate
+      val azBack = graft.core.Geodesy.azimuthGeodesic(
+        wkb(s"POINT ($lon $lat)"), wkb(s"POINT (${p.x} ${p.y})"))
+      val dAz = math.abs(azBack - az)
+      assert(math.min(dAz, 2 * math.Pi - dAz) < 1e-11, s"az $az back $azBack")
+      assert(math.abs(KarneyGeodesic.distance(lat, lon, p.y, p.x) - s) < 1e-6)
+    }
+  }
+
   test("SQL surface: ST_BufferGeodesic at both arities, monotone containment") {
     graft.functions.GeoFunctions.register(spark)
     val r = spark.sql("""
