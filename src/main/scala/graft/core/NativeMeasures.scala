@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.locationtech.jts.geom.Coordinate
 
 /** Scalar measure kernels over the RAW GeoArrow nested-array layouts —
   * the non-point half of the native columnar fast path
@@ -307,4 +308,150 @@ object NativeMeasures {
   def numPointsPoint(r: InternalRow, width: Int): Int =
     if (java.lang.Double.isNaN(r.getDouble(0)) &&
         java.lang.Double.isNaN(r.getDouble(1))) 0 else 1
+
+  // ── centroid (JTS Centroid, jts-core-1.20.0, field-for-field) ─────────
+  // The dimension-cascade accumulator: triangle fan over each ring from
+  // the CURRENT shell's first vertex (areaBasePt is re-set per shell),
+  // signed by Orientation.isCCW — called on the REAL JTS entry point so
+  // the robust-orientation corner cases (collinear top edges resolved via
+  // DD arithmetic) are decided by the same code; degenerate rings throw
+  // exactly where JTS's own getCentroid would. Zero-area input falls back
+  // to the length-weighted midpoint sum, zero-length to the point
+  // average, and a zero-length LINE SEGMENT run contributes its first
+  // vertex as a point (the addLineSegments tail). All accumulation orders
+  // match the Java originals (x before y, per-member sub-sums).
+
+  private final class CentroidAcc {
+    var baseX = 0.0; var baseY = 0.0
+    var cg3x = 0.0; var cg3y = 0.0; var areasum2 = 0.0
+    var lineX = 0.0; var lineY = 0.0; var totalLength = 0.0
+    var ptCount = 0; var ptX = 0.0; var ptY = 0.0
+
+    def addPoint(x: Double, y: Double): Unit = {
+      ptCount += 1; ptX += x; ptY += y
+    }
+
+    def addLineSegments(cs: Array[Coordinate]): Unit = {
+      var lineLen = 0.0
+      var i = 0
+      while (i < cs.length - 1) {
+        val segLen = java.lang.Math.hypot(cs(i).x - cs(i + 1).x, cs(i).y - cs(i + 1).y)
+        if (segLen != 0.0) {
+          lineLen += segLen
+          lineX += segLen * ((cs(i).x + cs(i + 1).x) / 2.0)
+          lineY += segLen * ((cs(i).y + cs(i + 1).y) / 2.0)
+        }
+        i += 1
+      }
+      totalLength += lineLen
+      if (lineLen == 0.0 && cs.length > 0) addPoint(cs(0).x, cs(0).y)
+    }
+
+    private def addTriangle(ax: Double, ay: Double, b: Coordinate, c: Coordinate,
+                            positive: Boolean): Unit = {
+      val sign = if (positive) 1.0 else -1.0
+      val c3x = ax + b.x + c.x
+      val c3y = ay + b.y + c.y
+      val area2 = (b.x - ax) * (c.y - ay) - (c.x - ax) * (b.y - ay)
+      cg3x += sign * area2 * c3x
+      cg3y += sign * area2 * c3y
+      areasum2 += sign * area2
+    }
+
+    private def addRing(cs: Array[Coordinate], positive: Boolean): Unit = {
+      var i = 0
+      while (i < cs.length - 1) {
+        addTriangle(baseX, baseY, cs(i), cs(i + 1), positive)
+        i += 1
+      }
+      addLineSegments(cs)
+    }
+
+    def addShell(cs: Array[Coordinate]): Unit = {
+      if (cs.length > 0) { baseX = cs(0).x; baseY = cs(0).y }
+      addRing(cs, positive = !org.locationtech.jts.algorithm.Orientation.isCCW(cs))
+    }
+
+    def addHole(cs: Array[Coordinate]): Unit =
+      addRing(cs, positive = org.locationtech.jts.algorithm.Orientation.isCCW(cs))
+
+    /** Centroid.getCentroid's dimension cascade → point WKB (EMPTY when
+      * nothing contributed, matching Geometry.getCentroid on empties). */
+    def result(): Array[Byte] = {
+      if (java.lang.Math.abs(areasum2) > 0.0)
+        GeomOps.point(cg3x / 3.0 / areasum2, cg3y / 3.0 / areasum2)
+      else if (totalLength > 0.0)
+        GeomOps.point(lineX / totalLength, lineY / totalLength)
+      else if (ptCount > 0)
+        GeomOps.point(ptX / ptCount, ptY / ptCount)
+      else GeomOps.write(GeomOps.factory.createPoint())
+    }
+  }
+
+  private def coordsOf(a: ArrayData, width: Int): Array[Coordinate] =
+    Array.tabulate(a.numElements()) { i =>
+      val r = a.getStruct(i, width)
+      new Coordinate(r.getDouble(0), r.getDouble(1))
+    }
+
+  def centroidLine(a: ArrayData, width: Int): Array[Byte] = {
+    val acc = new CentroidAcc
+    if (a.numElements() > 0) acc.addLineSegments(coordsOf(a, width))
+    acc.result()
+  }
+
+  private def addPolygon(acc: CentroidAcc, rings: ArrayData, width: Int): Unit = {
+    // Centroid.add(Geometry) skips EMPTY geometries wholesale: a polygon
+    // whose shell is empty contributes nothing, holes included
+    val n = rings.numElements()
+    if (n == 0) return
+    val shell = coordsOf(rings.getArray(0), width)
+    if (shell.length == 0) return
+    acc.addShell(shell)
+    var i = 1
+    while (i < n) {
+      acc.addHole(coordsOf(rings.getArray(i), width))
+      i += 1
+    }
+  }
+
+  def centroidPolygon(a: ArrayData, width: Int): Array[Byte] = {
+    val acc = new CentroidAcc
+    addPolygon(acc, a, width)
+    acc.result()
+  }
+
+  def centroidMultiPoint(a: ArrayData, width: Int): Array[Byte] = {
+    val acc = new CentroidAcc
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      val r = a.getStruct(i, width)
+      val x = r.getDouble(0); val y = r.getDouble(1)
+      // the all-NaN sentinel is POINT EMPTY — skipped like any empty member
+      if (!(java.lang.Double.isNaN(x) && java.lang.Double.isNaN(y))) acc.addPoint(x, y)
+      i += 1
+    }
+    acc.result()
+  }
+
+  def centroidMultiLineString(a: ArrayData, width: Int): Array[Byte] = {
+    val acc = new CentroidAcc
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      val cs = coordsOf(a.getArray(i), width)
+      if (cs.length > 0) acc.addLineSegments(cs) // empty members are skipped
+      i += 1
+    }
+    acc.result()
+  }
+
+  def centroidMultiPolygon(a: ArrayData, width: Int): Array[Byte] = {
+    val acc = new CentroidAcc
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { addPolygon(acc, a.getArray(i), width); i += 1 }
+    acc.result()
+  }
 }

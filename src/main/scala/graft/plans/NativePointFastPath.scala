@@ -319,6 +319,22 @@ object NativePointFastPath extends Rule[LogicalPlan] {
           case (s, "point" | "line" | "multipoint" | "mls", _) => Some(zeroOf(s))
           case _ => None
         }.getOrElse(si)
+      case si: StaticInvoke if isGeomOp(si, "centroid") && si.arguments.length == 1 =>
+        // point kind excluded: its centroid IS the point, and rebuilding
+        // the WKB would just re-create the transcode this rule removes
+        measure(si.arguments.head) {
+          case (s, "line", w) =>
+            Some(nm("centroidLine", si.dataType, Seq(s, Literal(w))))
+          case (s, "polygon", w) =>
+            Some(nm("centroidPolygon", si.dataType, Seq(s, Literal(w))))
+          case (s, "multipoint", w) =>
+            Some(nm("centroidMultiPoint", si.dataType, Seq(s, Literal(w))))
+          case (s, "mls", w) =>
+            Some(nm("centroidMultiLineString", si.dataType, Seq(s, Literal(w))))
+          case (s, "mpoly", w) =>
+            Some(nm("centroidMultiPolygon", si.dataType, Seq(s, Literal(w))))
+          case _ => None
+        }.getOrElse(si)
       case si: StaticInvoke if isGeomOp(si, "nPoints") && si.arguments.length == 1 =>
         measure(si.arguments.head) {
           case (s, "point", w) =>

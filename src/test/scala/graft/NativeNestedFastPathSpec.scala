@@ -69,6 +69,13 @@ class NativeNestedFastPathSpec extends SparkTestBase {
     }
   }
 
+  /** byte-for-byte WKB equality with the kernel chain `write(getCentroid)` */
+  private def checkCentroid(g: Geometry, fast: Array[Byte]): Unit = {
+    val expected = graft.core.GeomOps.write(g.getCentroid)
+    assert(java.util.Arrays.equals(fast, expected),
+      s"centroid of ${g.toText}: ${graft.core.GeomOps.read(fast)} vs ${g.getCentroid}")
+  }
+
   test("fuzz: NativeMeasures == JTS bit-for-bit over the WKT corpus") {
     val reader = new org.locationtech.jts.io.WKTReader(f)
     var (nLine, nPoly, nMp, nMpoly) = (0, 0, 0, 0)
@@ -78,6 +85,7 @@ class NativeNestedFastPathSpec extends SparkTestBase {
           val a = arrCoords(l.getCoordinates, 2)
           assert(bits(NativeMeasures.lineLength(a, 2)) == bits(l.getLength), wkt)
           checkBounds(l, NativeMeasures.boundLine(a, 2, _, _))
+          checkCentroid(l, NativeMeasures.centroidLine(a, 2))
           assert(a.numElements() == l.getNumPoints)
           assert(NativeMeasures.isEmptyL1(a) == l.isEmpty)
           nLine += 1
@@ -87,12 +95,14 @@ class NativeNestedFastPathSpec extends SparkTestBase {
             s"$wkt area ${NativeMeasures.polygonArea(a, 2)} vs ${p.getArea}")
           assert(bits(NativeMeasures.ringsLength(a, 2)) == bits(p.getLength), wkt)
           checkBounds(p, NativeMeasures.boundShell(a, 2, _, _))
+          checkCentroid(p, NativeMeasures.centroidPolygon(a, 2))
           assert(NativeMeasures.numPointsL2(a) == p.getNumPoints)
           assert(NativeMeasures.isEmptyPolygon(a) == p.isEmpty)
           nPoly += 1
         case m: MultiPoint =>
           val a = arrMp(m, 2)
           checkBounds(m, NativeMeasures.boundMultiPoint(a, 2, _, _))
+          checkCentroid(m, NativeMeasures.centroidMultiPoint(a, 2))
           assert(NativeMeasures.numPointsMultiPoint(a, 2) == m.getNumPoints)
           assert(NativeMeasures.isEmptyMultiPoint(a, 2) == m.isEmpty)
           nMp += 1
@@ -101,6 +111,7 @@ class NativeNestedFastPathSpec extends SparkTestBase {
           assert(bits(NativeMeasures.multiPolygonArea(a, 2)) == bits(m.getArea), wkt)
           assert(bits(NativeMeasures.ringsLengthL3(a, 2)) == bits(m.getLength), wkt)
           checkBounds(m, NativeMeasures.boundMPolyShells(a, 2, _, _))
+          checkCentroid(m, NativeMeasures.centroidMultiPolygon(a, 2))
           assert(NativeMeasures.numPointsL3(a) == m.getNumPoints)
           assert(NativeMeasures.isEmptyMultiPolygon(a) == m.isEmpty)
           nMpoly += 1
@@ -109,6 +120,35 @@ class NativeNestedFastPathSpec extends SparkTestBase {
     }
     assert(nLine > 50 && nPoly > 100 && nMp > 50 && nMpoly > 50,
       s"corpus coverage: line=$nLine poly=$nPoly mp=$nMp mpoly=$nMpoly")
+  }
+
+  test("centroid dimension cascade: degenerate shapes fall back exactly like JTS") {
+    // zero-area polygon → length fallback; zero-length line → point
+    // fallback; empties → POINT EMPTY; multipoint EMPTY members skipped
+    val flatPoly = f.createPolygon(f.createLinearRing(Array(
+      new Coordinate(0, 0), new Coordinate(4, 0), new Coordinate(2, 0),
+      new Coordinate(0, 0))))
+    checkCentroid(flatPoly, NativeMeasures.centroidPolygon(arrRings(flatPoly, 2), 2))
+    val zeroLine = f.createLineString(Array(new Coordinate(3, 7), new Coordinate(3, 7)))
+    checkCentroid(zeroLine, NativeMeasures.centroidLine(arrCoords(zeroLine.getCoordinates, 2), 2))
+    val emptyLine = f.createLineString(Array.empty[Coordinate])
+    checkCentroid(emptyLine, NativeMeasures.centroidLine(arrCoords(emptyLine.getCoordinates, 2), 2))
+    checkCentroid(f.createPolygon(), NativeMeasures.centroidPolygon(arrRings(f.createPolygon(), 2), 2))
+    val mpe = f.createMultiPoint(Array(f.createPoint(new Coordinate(2, 4)), f.createPoint()))
+    checkCentroid(mpe, NativeMeasures.centroidMultiPoint(arrMp(mpe, 2), 2))
+    // CW-wound shell + CCW hole (the reversed-orientation path)
+    val cw = f.createPolygon(
+      f.createLinearRing(Array(new Coordinate(0, 0), new Coordinate(0, 10),
+        new Coordinate(10, 10), new Coordinate(10, 0), new Coordinate(0, 0))),
+      Array(f.createLinearRing(Array(new Coordinate(2, 2), new Coordinate(4, 2),
+        new Coordinate(4, 4), new Coordinate(2, 4), new Coordinate(2, 2)))))
+    checkCentroid(cw, NativeMeasures.centroidPolygon(arrRings(cw, 2), 2))
+    // hand-rolled multilinestrings incl. degenerate members
+    val mls = f.createMultiLineString(Array(
+      f.createLineString(Array(new Coordinate(0, 0), new Coordinate(6, 8))),
+      f.createLineString(Array(new Coordinate(5, 5), new Coordinate(5, 5))),
+      f.createLineString(Array.empty[Coordinate])))
+    checkCentroid(mls, NativeMeasures.centroidMultiLineString(arrMls(mls, 2), 2))
   }
 
   test("fuzz: multilinestring kernels == JTS (hand-rolled corpus + empties)") {
@@ -235,7 +275,8 @@ class NativeNestedFastPathSpec extends SparkTestBase {
       |       ST_Perimeter(geometry) AS perim, ST_NPoints(geometry) AS np,
       |       ST_XMin(geometry) AS x0, ST_YMin(geometry) AS y0,
       |       ST_XMax(geometry) AS x1, ST_YMax(geometry) AS y1,
-      |       ST_IsEmpty(geometry) AS emp
+      |       ST_IsEmpty(geometry) AS emp,
+      |       ST_AsText(ST_Centroid(geometry)) AS cent
       |FROM nnfp_t ORDER BY fid""".stripMargin
 
   private def runBoth(dir: String): (Array[org.apache.spark.sql.Row],
