@@ -309,6 +309,55 @@ object NativeMeasures {
     if (java.lang.Double.isNaN(r.getDouble(0)) &&
         java.lang.Double.isNaN(r.getDouble(1))) 0 else 1
 
+  // ── edge-model (geography) lengths over native layouts ────────────────
+  // The geodesic length kernels (Geodesy.lengthSphere/Spheroid/Geodesic/
+  // Vincenty) walk LineString components segment-by-segment into ONE flat
+  // accumulator; these replicate that chain over the raw arrays so an
+  // edges-stamped native linestring column dispatches without the WKB
+  // stage. metric: 0 = haversine, 1 = Andoyer, 2 = Karney, 3 = Vincenty.
+
+  private def segMeters(metric: Int, x1: Double, y1: Double,
+                        x2: Double, y2: Double): Double = metric match {
+    case 0 => Geodesy.haversineMeters(x1, y1, x2, y2)
+    case 1 => Geodesy.andoyerMeters(x1, y1, x2, y2)
+    case 2 => KarneyGeodesic.distance(y1, x1, y2, x2)
+    case _ => Geodesy.vincentyMeters(x1, y1, x2, y2)
+  }
+
+  def edgeLengthLine(a: ArrayData, width: Int, metric: Int): Double = {
+    val n = a.numElements()
+    var total = 0.0
+    var j = 1
+    while (j < n) {
+      val p = a.getStruct(j - 1, width); val q = a.getStruct(j, width)
+      total += segMeters(metric, p.getDouble(0), p.getDouble(1),
+        q.getDouble(0), q.getDouble(1))
+      j += 1
+    }
+    total
+  }
+
+  /** MultiLineString: the kernels accumulate every member's segments into
+    * the SAME running total (flat, not per-member subtotals). */
+  def edgeLengthL2(a: ArrayData, width: Int, metric: Int): Double = {
+    val n = a.numElements()
+    var total = 0.0
+    var i = 0
+    while (i < n) {
+      val cs = a.getArray(i)
+      val m = cs.numElements()
+      var j = 1
+      while (j < m) {
+        val p = cs.getStruct(j - 1, width); val q = cs.getStruct(j, width)
+        total += segMeters(metric, p.getDouble(0), p.getDouble(1),
+          q.getDouble(0), q.getDouble(1))
+        j += 1
+      }
+      i += 1
+    }
+    total
+  }
+
   // ── centroid (JTS Centroid, jts-core-1.20.0, field-for-field) ─────────
   // The dimension-cascade accumulator: triangle fan over each ring from
   // the CURRENT shell's first vertex (areaBasePt is re-set per shell),

@@ -119,6 +119,11 @@ object NativePointFastPath extends Rule[LogicalPlan] {
 
   private val nmCls = Class.forName("graft.core.NativeMeasures")
 
+  // Geodesy length kernel → NativeMeasures metric id
+  private val edgeLengthMetric = Map(
+    "lengthSphere" -> 0, "lengthSpheroid" -> 1,
+    "lengthGeodesic" -> 2, "lengthVincenty" -> 3)
+
   private def nm(method: String, ret: DataType, args: Seq[Expression],
                  nullable: Boolean = false): Expression =
     StaticInvoke(nmCls, ret, method, args, Nil,
@@ -317,6 +322,22 @@ object NativePointFastPath extends Rule[LogicalPlan] {
           case (s, "mpoly", w) => Some(nm("ringsLengthL3", DoubleType, Seq(s, Literal(w))))
           // GeomOps.perimeter: non-Polygonal → 0.0
           case (s, "point" | "line" | "multipoint" | "mls", _) => Some(zeroOf(s))
+          case _ => None
+        }.getOrElse(si)
+      // edge-dispatched geography lengths (analysis rewrote ST_Length on a
+      // stamped column into these): segment-loop leaf kernels, no WKB. The
+      // geodesic length kernels walk LINESTRING components only, so areal
+      // and puntal kinds answer 0.0 exactly like the WKB originals.
+      case si: StaticInvoke if si.arguments.length == 1 &&
+          edgeLengthMetric.contains(si.functionName) &&
+          si.staticObject.getName == "graft.core.Geodesy" =>
+        val metric = edgeLengthMetric(si.functionName)
+        measure(si.arguments.head) {
+          case (s, "line", w) =>
+            Some(nm("edgeLengthLine", DoubleType, Seq(s, Literal(w), Literal(metric))))
+          case (s, "mls", w) =>
+            Some(nm("edgeLengthL2", DoubleType, Seq(s, Literal(w), Literal(metric))))
+          case (s, "point" | "multipoint" | "polygon" | "mpoly", _) => Some(zeroOf(s))
           case _ => None
         }.getOrElse(si)
       case si: StaticInvoke if isGeomOp(si, "centroid") && si.arguments.length == 1 =>

@@ -344,6 +344,65 @@ class NativeNestedFastPathSpec extends SparkTestBase {
     assert(grouped.length == 2 && grouped(0).isNullAt(1) && !grouped(1).isNullAt(1))
   }
 
+  test("edge-model lengths: unit kernels == Geodesy chains bit-for-bit") {
+    import graft.core.{Geodesy, GeomOps, NativeMeasures}
+    val reader = new org.locationtech.jts.io.WKTReader(f)
+    val lines = WktFuzzGen.all.filter(_.startsWith("LINESTRING")).take(120)
+    lines.foreach { wkt =>
+      val l = reader.read(wkt).asInstanceOf[LineString]
+      val a = arrCoords(l.getCoordinates, 2)
+      val wkb = GeomOps.write(l)
+      assert(bits(NativeMeasures.edgeLengthLine(a, 2, 0)) == bits(Geodesy.lengthSphere(wkb)), wkt)
+      assert(bits(NativeMeasures.edgeLengthLine(a, 2, 1)) == bits(Geodesy.lengthSpheroid(wkb)), wkt)
+      assert(bits(NativeMeasures.edgeLengthLine(a, 2, 2)) == bits(Geodesy.lengthGeodesic(wkb)), wkt)
+      assert(bits(NativeMeasures.edgeLengthLine(a, 2, 3)) == bits(Geodesy.lengthVincenty(wkb)), wkt)
+    }
+    // multilinestring: FLAT accumulation across members, like the kernels
+    val m = f.createMultiLineString(Array(
+      f.createLineString(Array(new Coordinate(0, 0), new Coordinate(3, 4), new Coordinate(5, 5))),
+      f.createLineString(Array(new Coordinate(10, 10), new Coordinate(11, 12)))))
+    val ma = arrMls(m, 2)
+    val mw = graft.core.GeomOps.write(m)
+    (0 to 3).foreach { metric =>
+      val kernel = metric match {
+        case 0 => graft.core.Geodesy.lengthSphere _
+        case 1 => graft.core.Geodesy.lengthSpheroid _
+        case 2 => graft.core.Geodesy.lengthGeodesic _
+        case _ => graft.core.Geodesy.lengthVincenty _
+      }
+      assert(bits(NativeMeasures.edgeLengthL2(ma, 2, metric)) == bits(kernel(mw)))
+    }
+  }
+
+  test("edges-stamped native linestring: ST_Length dispatches AND drops the transcode") {
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "nnfp_edges_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    graft.functions.GeoFunctions.register(spark)
+    import spark.implicits._
+    val df = WktFuzzGen.all.filter(_.startsWith("LINESTRING")).take(60).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("fid", "wkt")
+      .selectExpr("fid", "ST_GeomFromText(wkt) AS geometry")
+    GeoParquet.write(df.coalesce(1), out, encoding = "linestring", covering = false,
+      edges = Some("spherical"))
+    GeoParquet.read(spark, out).createOrReplaceTempView("nnfp_e")
+    spark.conf.set("spark.graft.nativePointFastPath", "true")
+    val q = spark.sql("SELECT fid, ST_Length(geometry) AS len FROM nnfp_e ORDER BY fid")
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("gaLineString"), s"transcode survived:\n$plan")
+    assert(plan.contains("edgeLengthLine"), s"edge dispatch lost:\n$plan")
+    val fast = q.collect()
+    spark.conf.set("spark.graft.nativePointFastPath", "false")
+    val slow = try spark.sql(
+      "SELECT fid, ST_Length(geometry) AS len FROM nnfp_e ORDER BY fid").collect()
+    finally spark.conf.set("spark.graft.nativePointFastPath", "true")
+    fast.zip(slow).foreach { case (a, b) =>
+      assert(bits(a.getDouble(1)) == bits(b.getDouble(1)),
+        s"fid ${a.getLong(0)}: ${a.getDouble(1)} vs ${b.getDouble(1)}")
+    }
+    // and the values really are the spherical model, not planar degrees
+    assert(fast.forall(_.getDouble(1) > 1000.0), "meters, not degrees")
+  }
+
   test("a spatial join on native linestring columns keeps the spatial strategy") {
     val dir = nativeTable("linestring")
     GeoParquet.read(spark, dir).createOrReplaceTempView("nnfp_j")
