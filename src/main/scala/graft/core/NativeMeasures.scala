@@ -358,6 +358,136 @@ object NativeMeasures {
     total
   }
 
+  /** MultiPolygon boundary length: every member's every ring's segments
+    * into ONE flat accumulator (lengthSphere over getBoundary's
+    * MultiLineString — the sphere-perimeter composition). */
+  def edgeLengthL3(a: ArrayData, width: Int, metric: Int): Double = {
+    val n = a.numElements()
+    var total = 0.0
+    var i = 0
+    while (i < n) {
+      val rings = a.getArray(i)
+      val rn = rings.numElements()
+      var r = 0
+      while (r < rn) {
+        val cs = rings.getArray(r)
+        val m = cs.numElements()
+        var j = 1
+        while (j < m) {
+          val p = cs.getStruct(j - 1, width); val q = cs.getStruct(j, width)
+          total += segMeters(metric, p.getDouble(0), p.getDouble(1),
+            q.getDouble(0), q.getDouble(1))
+          j += 1
+        }
+        r += 1
+      }
+      i += 1
+    }
+    total
+  }
+
+  // ── edge-model (geography) areas and perimeters over native layouts ───
+
+  /** Chamberlain–Duquette spherical ring area (Geodesy.ringArea): closed
+    * ring, per-ring abs(total·R²/2). */
+  private def cdRingArea(cs: ArrayData, width: Int): Double = {
+    val len = cs.numElements()
+    if (len < 3) return 0.0
+    var total = 0.0
+    var i = 0
+    val n = len - 1 // closed ring; last == first
+    while (i < n) {
+      val lo = cs.getStruct(i, width)
+      val hi = cs.getStruct((i + 1) % n, width)
+      val nx = cs.getStruct((i + 2) % n, width)
+      total += (java.lang.Math.toRadians(nx.getDouble(0)) -
+        java.lang.Math.toRadians(lo.getDouble(0))) *
+        java.lang.Math.sin(java.lang.Math.toRadians(hi.getDouble(1)))
+      i += 1
+    }
+    java.lang.Math.abs(total * Geodesy.EarthRadiusM * Geodesy.EarthRadiusM / 2.0)
+  }
+
+  /** Geodesy.sphericalArea(Polygon): exterior MINUS holes SEQUENTIALLY. */
+  private def cdPolySigned(rings: ArrayData, width: Int): Double = {
+    val n = rings.numElements()
+    if (n == 0) return 0.0
+    var a = cdRingArea(rings.getArray(0), width)
+    var i = 1
+    while (i < n) { a -= cdRingArea(rings.getArray(i), width); i += 1 }
+    a
+  }
+
+  def sphereAreaPolygon(a: ArrayData, width: Int): Double =
+    java.lang.Math.abs(cdPolySigned(a, width))
+
+  def sphereAreaMultiPolygon(a: ArrayData, width: Int): Double = {
+    // GeometryCollection sum of member signed values, abs at the top
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += cdPolySigned(a.getArray(i), width); i += 1 }
+    java.lang.Math.abs(s)
+  }
+
+  /** (lats, lons) with the closing point dropped — Geodesy.ringLatLon. */
+  private def ringLatLonArr(cs: ArrayData, width: Int): (Array[Double], Array[Double]) = {
+    val len = cs.numElements()
+    val m =
+      if (len > 1 && {
+        val f0 = cs.getStruct(0, width); val l0 = cs.getStruct(len - 1, width)
+        f0.getDouble(0) == l0.getDouble(0) && f0.getDouble(1) == l0.getDouble(1)
+      }) len - 1
+      else len
+    (Array.tabulate(m)(i => cs.getStruct(i, width).getDouble(1)),
+     Array.tabulate(m)(i => cs.getStruct(i, width).getDouble(0)))
+  }
+
+  /** Geodesy.unsignedKarney(Polygon): exterior normalized into [0, area0),
+    * hole |areas| summed FIRST then subtracted once (the original's
+    * `ext - holes.map(..).sum` grouping). Calls the real
+    * KarneyGeodesic.ringAreaSigned so the series is shared, not cloned. */
+  def spheroidAreaPolygon(a: ArrayData, width: Int): Double = {
+    val n = a.numElements()
+    if (n == 0) return 0.0
+    val (extLa, extLo) = ringLatLonArr(a.getArray(0), width)
+    val s0 = KarneyGeodesic.ringAreaSigned(extLa, extLo)
+    val ext = if (s0 < 0) s0 + KarneyGeodesic.area0 else s0
+    var holes = 0.0
+    var i = 1
+    while (i < n) {
+      val (la, lo) = ringLatLonArr(a.getArray(i), width)
+      holes += java.lang.Math.abs(KarneyGeodesic.ringAreaSigned(la, lo))
+      i += 1
+    }
+    ext - holes
+  }
+
+  def spheroidAreaMultiPolygon(a: ArrayData, width: Int): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += spheroidAreaPolygon(a.getArray(i), width); i += 1 }
+    s
+  }
+
+  /** Geodesy.perimeterOf(Polygon): per-ring subtotals, exterior first. */
+  def edgePerimRings(a: ArrayData, width: Int, metric: Int): Double = {
+    val n = a.numElements()
+    var total = 0.0
+    var i = 0
+    while (i < n) { total += edgeLengthLine(a.getArray(i), width, metric); i += 1 }
+    total
+  }
+
+  def edgePerimL3(a: ArrayData, width: Int, metric: Int): Double = {
+    val n = a.numElements()
+    var total = 0.0
+    var i = 0
+    while (i < n) { total += edgePerimRings(a.getArray(i), width, metric); i += 1 }
+    total
+  }
+
   // ── centroid (JTS Centroid, jts-core-1.20.0, field-for-field) ─────────
   // The dimension-cascade accumulator: triangle fan over each ring from
   // the CURRENT shell's first vertex (areaBasePt is re-set per shell),

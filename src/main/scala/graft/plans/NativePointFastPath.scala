@@ -123,6 +123,8 @@ object NativePointFastPath extends Rule[LogicalPlan] {
   private val edgeLengthMetric = Map(
     "lengthSphere" -> 0, "lengthSpheroid" -> 1,
     "lengthGeodesic" -> 2, "lengthVincenty" -> 3)
+  private val edgePerimMetric = Map(
+    "perimeterSpheroid" -> 1, "perimeterGeodesic" -> 2)
 
   private def nm(method: String, ret: DataType, args: Seq[Expression],
                  nullable: Boolean = false): Expression =
@@ -327,17 +329,56 @@ object NativePointFastPath extends Rule[LogicalPlan] {
       // edge-dispatched geography lengths (analysis rewrote ST_Length on a
       // stamped column into these): segment-loop leaf kernels, no WKB. The
       // geodesic length kernels walk LINESTRING components only, so areal
-      // and puntal kinds answer 0.0 exactly like the WKB originals.
+      // and puntal kinds answer 0.0 exactly like the WKB originals. The
+      // sphere-perimeter dispatch composes `lengthSphere(boundary(g))` —
+      // a polygon's boundary rings measure flat, non-areal boundaries
+      // (endpoints / empties) measure 0.
       case si: StaticInvoke if si.arguments.length == 1 &&
           edgeLengthMetric.contains(si.functionName) &&
           si.staticObject.getName == "graft.core.Geodesy" =>
         val metric = edgeLengthMetric(si.functionName)
-        measure(si.arguments.head) {
-          case (s, "line", w) =>
+        val (arg, viaBoundary) = strip(si.arguments.head) match {
+          case b: StaticInvoke if isGeomOp(b, "boundary") && b.arguments.length == 1 =>
+            (b.arguments.head, true)
+          case _ => (si.arguments.head, false)
+        }
+        measure(arg) {
+          case (s, "line", w) if !viaBoundary =>
             Some(nm("edgeLengthLine", DoubleType, Seq(s, Literal(w), Literal(metric))))
-          case (s, "mls", w) =>
+          case (s, "mls", w) if !viaBoundary =>
             Some(nm("edgeLengthL2", DoubleType, Seq(s, Literal(w), Literal(metric))))
-          case (s, "point" | "multipoint" | "polygon" | "mpoly", _) => Some(zeroOf(s))
+          case (s, "polygon", w) if viaBoundary =>
+            Some(nm("edgeLengthL2", DoubleType, Seq(s, Literal(w), Literal(metric))))
+          case (s, "mpoly", w) if viaBoundary =>
+            Some(nm("edgeLengthL3", DoubleType, Seq(s, Literal(w), Literal(metric))))
+          case (s, _, _) => Some(zeroOf(s))
+        }.getOrElse(si)
+      // edge-dispatched geography areas/perimeters over stamped native
+      // polygon columns
+      case si: StaticInvoke if isGeodesyOp(si, "areaSphere") && si.arguments.length == 1 =>
+        measure(si.arguments.head) {
+          case (s, "polygon", w) => Some(nm("sphereAreaPolygon", DoubleType, Seq(s, Literal(w))))
+          case (s, "mpoly", w) => Some(nm("sphereAreaMultiPolygon", DoubleType, Seq(s, Literal(w))))
+          case (s, "point" | "multipoint" | "line" | "mls", _) => Some(zeroOf(s))
+          case _ => None
+        }.getOrElse(si)
+      case si: StaticInvoke if isGeodesyOp(si, "areaSpheroid") && si.arguments.length == 1 =>
+        measure(si.arguments.head) {
+          case (s, "polygon", w) => Some(nm("spheroidAreaPolygon", DoubleType, Seq(s, Literal(w))))
+          case (s, "mpoly", w) => Some(nm("spheroidAreaMultiPolygon", DoubleType, Seq(s, Literal(w))))
+          case (s, "point" | "multipoint" | "line" | "mls", _) => Some(zeroOf(s))
+          case _ => None
+        }.getOrElse(si)
+      case si: StaticInvoke if si.arguments.length == 1 &&
+          edgePerimMetric.contains(si.functionName) &&
+          si.staticObject.getName == "graft.core.Geodesy" =>
+        val metric = edgePerimMetric(si.functionName)
+        measure(si.arguments.head) {
+          case (s, "polygon", w) =>
+            Some(nm("edgePerimRings", DoubleType, Seq(s, Literal(w), Literal(metric))))
+          case (s, "mpoly", w) =>
+            Some(nm("edgePerimL3", DoubleType, Seq(s, Literal(w), Literal(metric))))
+          case (s, "point" | "multipoint" | "line" | "mls", _) => Some(zeroOf(s))
           case _ => None
         }.getOrElse(si)
       case si: StaticInvoke if isGeomOp(si, "centroid") && si.arguments.length == 1 =>

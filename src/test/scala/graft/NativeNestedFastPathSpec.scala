@@ -403,6 +403,69 @@ class NativeNestedFastPathSpec extends SparkTestBase {
     assert(fast.forall(_.getDouble(1) > 1000.0), "meters, not degrees")
   }
 
+  test("edge-model areas/perimeters: unit kernels == Geodesy chains bit-for-bit") {
+    import graft.core.{Geodesy, GeomOps, NativeMeasures}
+    val reader = new org.locationtech.jts.io.WKTReader(f)
+    var (nPoly, nMpoly) = (0, 0)
+    WktFuzzGen.all.foreach { wkt =>
+      reader.read(wkt) match {
+        case p: Polygon =>
+          val a = arrRings(p, 2)
+          val w = GeomOps.write(p)
+          assert(bits(NativeMeasures.sphereAreaPolygon(a, 2)) == bits(Geodesy.areaSphere(w)), wkt)
+          assert(bits(NativeMeasures.spheroidAreaPolygon(a, 2)) == bits(Geodesy.areaSpheroid(w)), wkt)
+          assert(bits(NativeMeasures.edgePerimRings(a, 2, 1)) == bits(Geodesy.perimeterSpheroid(w)), wkt)
+          assert(bits(NativeMeasures.edgePerimRings(a, 2, 2)) == bits(Geodesy.perimeterGeodesic(w)), wkt)
+          // sphere perimeter = lengthSphere over the boundary rings, flat
+          assert(bits(NativeMeasures.edgeLengthL2(a, 2, 0)) ==
+            bits(Geodesy.lengthSphere(GeomOps.write(p.getBoundary))), wkt)
+          nPoly += 1
+        case m: MultiPolygon =>
+          val a = arrMPoly(m, 2)
+          val w = GeomOps.write(m)
+          assert(bits(NativeMeasures.sphereAreaMultiPolygon(a, 2)) == bits(Geodesy.areaSphere(w)), wkt)
+          assert(bits(NativeMeasures.spheroidAreaMultiPolygon(a, 2)) == bits(Geodesy.areaSpheroid(w)), wkt)
+          assert(bits(NativeMeasures.edgePerimL3(a, 2, 1)) == bits(Geodesy.perimeterSpheroid(w)), wkt)
+          assert(bits(NativeMeasures.edgeLengthL3(a, 2, 0)) ==
+            bits(Geodesy.lengthSphere(GeomOps.write(m.getBoundary))), wkt)
+          nMpoly += 1
+        case _ =>
+      }
+    }
+    assert(nPoly > 100 && nMpoly > 50, s"coverage poly=$nPoly mpoly=$nMpoly")
+  }
+
+  test("edges-stamped native polygon: ST_Area/ST_Perimeter dispatch transcode-free") {
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "nnfp_edgespg_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    graft.functions.GeoFunctions.register(spark)
+    import spark.implicits._
+    val df = WktFuzzGen.all.filter(_.startsWith("POLYGON")).take(60).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("fid", "wkt")
+      .selectExpr("fid", "ST_GeomFromText(wkt) AS geometry")
+    GeoParquet.write(df.coalesce(1), out, encoding = "polygon", covering = false,
+      edges = Some("spherical"))
+    GeoParquet.read(spark, out).createOrReplaceTempView("nnfp_epg")
+    spark.conf.set("spark.graft.nativePointFastPath", "true")
+    val sql = """SELECT fid, ST_Area(geometry) AS a, ST_Perimeter(geometry) AS p
+                 FROM nnfp_epg ORDER BY fid"""
+    val q = spark.sql(sql)
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("gaPolygon"), s"transcode survived:\n$plan")
+    assert(plan.contains("sphereAreaPolygon") && plan.contains("edgeLengthL2"),
+      s"edge dispatch lost:\n$plan")
+    val fast = q.collect()
+    spark.conf.set("spark.graft.nativePointFastPath", "false")
+    val slow = try spark.sql(sql).collect()
+    finally spark.conf.set("spark.graft.nativePointFastPath", "true")
+    fast.zip(slow).foreach { case (a, b) =>
+      assert(bits(a.getDouble(1)) == bits(b.getDouble(1)) &&
+        bits(a.getDouble(2)) == bits(b.getDouble(2)), s"fid ${a.getLong(0)}")
+    }
+    assert(fast.forall(r => r.getDouble(1) > 1e6 && r.getDouble(2) > 1e3),
+      "square meters / meters, not degrees")
+  }
+
   test("a spatial join on native linestring columns keeps the spatial strategy") {
     val dir = nativeTable("linestring")
     GeoParquet.read(spark, dir).createOrReplaceTempView("nnfp_j")
