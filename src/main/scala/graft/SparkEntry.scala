@@ -2948,6 +2948,45 @@ object SparkEntry {
            0.0 AS rt
     FROM range(40) t(i) ORDER BY id"""
 
+  /** Line-editing + offset-curve utilities (g118, round 19):
+    * ST_OffsetCurve (JTS OffsetCurve, the PostGIS left-positive
+    * convention — inside corners trim exactly on the integer staircase,
+    * so DuckDB replays the shifted WKT verbatim), ST_FlipCoordinates,
+    * and the PostGIS vertex-editing trio ST_AddPoint (append + insert-at)
+    * / ST_SetPoint (negative index from the end) / ST_RemovePoint. All
+    * gated by exact WKT text equality against strings DuckDB assembles
+    * from the same integer generator. */
+  private val g118Spark = """
+    WITH p AS (
+      SELECT id, CAST(2 + id % 8 AS INT) AS w, CAST(3 + id % 5 AS INT) AS h
+      FROM range(60))
+    SELECT id,
+      ST_AsText(ST_OffsetCurve(ST_GeomFromText(
+        CONCAT('LINESTRING (0 0, ', w, ' 0, ', w, ' ', h, ')')), 1.0)) AS oc,
+      ST_AsText(ST_FlipCoordinates(ST_GeomFromText(
+        CONCAT('LINESTRING (1 2, ', w, ' ', h, ')')))) AS flip,
+      ST_AsText(ST_AddPoint(ST_GeomFromText(CONCAT('LINESTRING (0 0, ', w, ' 0)')),
+        ST_Point(CAST(w AS DOUBLE), CAST(h AS DOUBLE)))) AS addp,
+      ST_AsText(ST_AddPoint(ST_GeomFromText(CONCAT('LINESTRING (0 0, ', w, ' 0)')),
+        ST_Point(-1.0, -1.0), 0)) AS addp0,
+      ST_AsText(ST_SetPoint(ST_GeomFromText(
+        CONCAT('LINESTRING (0 0, ', w, ' 0, ', w, ' ', h, ')')), -1, ST_Point(9.0, 9.0))) AS setp,
+      ST_AsText(ST_RemovePoint(ST_GeomFromText(
+        CONCAT('LINESTRING (0 0, ', w, ' 0, ', w, ' ', h, ')')), 1)) AS remp
+    FROM p ORDER BY id"""
+
+  private val g118Duck = """
+    WITH p AS (
+      SELECT i AS id, 2 + i % 8 AS w, 3 + i % 5 AS h FROM range(60) t(i))
+    SELECT id,
+      'LINESTRING (0 1, ' || (w - 1) || ' 1, ' || (w - 1) || ' ' || h || ')' AS oc,
+      'LINESTRING (2 1, ' || h || ' ' || w || ')' AS flip,
+      'LINESTRING (0 0, ' || w || ' 0, ' || w || ' ' || h || ')' AS addp,
+      'LINESTRING (-1 -1, 0 0, ' || w || ' 0)' AS addp0,
+      'LINESTRING (0 0, ' || w || ' 0, 9 9)' AS setp,
+      'LINESTRING (0 0, ' || w || ' ' || h || ')' AS remp
+    FROM p ORDER BY id"""
+
   /** RANK()-with-ties kNN join (g106, round 18): the SQL window shape
     * `RANK() OVER (PARTITION BY lid ORDER BY ST_Distance) <= k` over a
     * cross join is planned as [[graft.plans.KnnTopKExec]] in withTies
@@ -13081,6 +13120,7 @@ object SparkEntry {
     ("g115_aeqd_transform", q(g115Spark), g115Duck),
     ("g116_geodesic_segmentize", q(g116Spark), g116Duck),
     ("g117_project_azimuth_geodesic", q(g117Spark), g117Duck),
+    ("g118_line_editing", q(g118Spark), g118Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -429,6 +429,82 @@ object GeomOps {
   def boundary(b: Array[Byte]): Array[Byte] = write(read(b).getBoundary)
   def reverse(b: Array[Byte]): Array[Byte] = write(read(b).reverse())
 
+  /** Offset curve at signed distance `d` (PostGIS ST_OffsetCurve: positive
+    * = left of the line's direction; JTS OffsetCurve shares the
+    * convention). Inside corners trim, outside corners take the round
+    * join, straight runs shift exactly. */
+  def offsetCurve(b: Array[Byte], d: Double): Array[Byte] =
+    write(org.locationtech.jts.operation.buffer.OffsetCurve.getCurve(read(b), d))
+
+  /** Swap X and Y in place (PostGIS ST_FlipCoordinates — the lat/lon
+    * order-mixup repair), Z/M preserved via in-sequence mutation. */
+  def flipCoordinates(b: Array[Byte]): Array[Byte] = {
+    val g = read(b).copy()
+    g.apply(new org.locationtech.jts.geom.CoordinateSequenceFilter {
+      override def filter(seq: CoordinateSequence, i: Int): Unit = {
+        val x = seq.getOrdinate(i, 0)
+        seq.setOrdinate(i, 0, seq.getOrdinate(i, 1))
+        seq.setOrdinate(i, 1, x)
+      }
+      override def isDone: Boolean = false
+      override def isGeometryChanged: Boolean = true
+    })
+    g.geometryChanged()
+    write(g)
+  }
+
+  private def lineAnd(b: Array[Byte], kernel: String): (LineString, Array[Coordinate]) =
+    read(b) match {
+      case l: LineString => (l, l.getCoordinates)
+      case other => throw new IllegalArgumentException(
+        s"$kernel: expected LineString, got ${other.getGeometryType}")
+    }
+
+  private def pointCoord(p: Array[Byte], kernel: String): Coordinate = read(p) match {
+    case pt: Point if !pt.isEmpty => pt.getCoordinate
+    case other => throw new IllegalArgumentException(
+      s"$kernel: expected non-empty Point, got ${other.toText}")
+  }
+
+  /** Append a vertex (PostGIS ST_AddPoint 2-arg form). */
+  def addPoint(b: Array[Byte], p: Array[Byte]): Array[Byte] =
+    addPointAt(b, p, -1)
+
+  /** Insert a vertex BEFORE 0-based `position`; -1 appends (PostGIS
+    * ST_AddPoint 3-arg form). */
+  def addPointAt(b: Array[Byte], p: Array[Byte], position: Int): Array[Byte] = {
+    val (_, cs) = lineAnd(b, "ST_AddPoint")
+    val c = pointCoord(p, "ST_AddPoint")
+    val pos = if (position == -1) cs.length else position
+    require(pos >= 0 && pos <= cs.length,
+      s"ST_AddPoint: position $position outside [0, ${cs.length}] (or -1 to append)")
+    write(factory.createLineString(
+      (cs.take(pos) :+ c) ++ cs.drop(pos)))
+  }
+
+  /** Replace the vertex at `index` (negative counts from the end, PostGIS
+    * ST_SetPoint: -1 is the last point). */
+  def setPoint(b: Array[Byte], index: Int, p: Array[Byte]): Array[Byte] = {
+    val (_, cs) = lineAnd(b, "ST_SetPoint")
+    val i = if (index < 0) cs.length + index else index
+    require(i >= 0 && i < cs.length,
+      s"ST_SetPoint: index $index outside the line's ${cs.length} points")
+    val out = cs.clone()
+    out(i) = pointCoord(p, "ST_SetPoint")
+    write(factory.createLineString(out))
+  }
+
+  /** Remove the vertex at 0-based `index`; the result must still be a
+    * line (PostGIS ST_RemovePoint). */
+  def removePoint(b: Array[Byte], index: Int): Array[Byte] = {
+    val (_, cs) = lineAnd(b, "ST_RemovePoint")
+    require(index >= 0 && index < cs.length,
+      s"ST_RemovePoint: index $index outside the line's ${cs.length} points")
+    require(cs.length > 2,
+      s"ST_RemovePoint: removing a point from a ${cs.length}-point line would not leave a line")
+    write(factory.createLineString(cs.take(index) ++ cs.drop(index + 1)))
+  }
+
   /** Strip Z/M ordinates (PostGIS ST_Force2D) — the sanctioned path into
     * the XY-only GeoArrow export kernels ([[GeoArrowOps]]). */
   def force2D(b: Array[Byte]): Array[Byte] = {

@@ -157,6 +157,12 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_center" -> Sig("center", G, Seq(G)),
     "st_boundary" -> Sig("boundary", G, Seq(G)),
     "st_reverse" -> Sig("reverse", G, Seq(G)),
+    "st_offsetcurve" -> Sig("offsetCurve", G, Seq(G, D)),
+    "st_flipcoordinates" -> Sig("flipCoordinates", G, Seq(G)),
+    "st_addpoint" -> Sig("addPoint", G, Seq(G, G)),
+    "st_addpoint" -> Sig("addPointAt", G, Seq(G, G, I)),
+    "st_setpoint" -> Sig("setPoint", G, Seq(G, I, G)),
+    "st_removepoint" -> Sig("removePoint", G, Seq(G, I)),
     "st_force2d" -> Sig("force2D", G, Seq(G)),
     "st_convexhull" -> Sig("convexHull", G, Seq(G)),
     "st_concavehull" -> Sig("concaveHull", G, Seq(G, D)),

@@ -743,4 +743,35 @@ class GeoFunctionsSpec extends SparkTestBase {
       .asInstanceOf[Double]
     assert(math.abs(xt0) < 1e-6)
   }
+
+  test("line editing: OffsetCurve / FlipCoordinates / Add-Set-RemovePoint (round 19)") {
+    // PostGIS conventions: offset positive = left; AddPoint -1 appends,
+    // position inserts BEFORE; SetPoint -1 = last; RemovePoint must leave
+    // a line
+    assert(one("ST_AsText(ST_OffsetCurve(ST_GeomFromText('LINESTRING (0 0, 10 0)'), 2.0))") ==
+      "LINESTRING (0 2, 10 2)")
+    assert(one("ST_AsText(ST_OffsetCurve(ST_GeomFromText('LINESTRING (0 0, 10 0)'), -2.0))") ==
+      "LINESTRING (0 -2, 10 -2)")
+    // Z/M survive the flip (in-sequence mutation, not XY rebuild)
+    assert(one("ST_AsText(ST_FlipCoordinates(ST_GeomFromText('LINESTRING ZM (1 2 7 8, 3 4 5 6)')))") ==
+      "LINESTRING ZM(2 1 7 8, 4 3 5 6)")
+    assert(one("ST_AsText(ST_AddPoint(ST_GeomFromText('LINESTRING (0 0, 1 1)'), ST_Point(2, 2)))") ==
+      "LINESTRING (0 0, 1 1, 2 2)")
+    assert(one("ST_AsText(ST_AddPoint(ST_GeomFromText('LINESTRING (0 0, 1 1)'), ST_Point(5, 5), 1))") ==
+      "LINESTRING (0 0, 5 5, 1 1)")
+    assert(one("ST_AsText(ST_SetPoint(ST_GeomFromText('LINESTRING (0 0, 1 1, 2 2)'), -1, ST_Point(9, 9)))") ==
+      "LINESTRING (0 0, 1 1, 9 9)")
+    assert(one("ST_AsText(ST_RemovePoint(ST_GeomFromText('LINESTRING (0 0, 1 1, 2 2)'), 1))") ==
+      "LINESTRING (0 0, 2 2)")
+    // loud contracts
+    Seq(
+      "ST_AddPoint(ST_GeomFromText('POLYGON ((0 0, 1 0, 1 1, 0 0))'), ST_Point(1, 1))",
+      "ST_SetPoint(ST_GeomFromText('LINESTRING (0 0, 1 1)'), 5, ST_Point(1, 1))",
+      "ST_RemovePoint(ST_GeomFromText('LINESTRING (0 0, 1 1)'), 0)",
+      "ST_AddPoint(ST_GeomFromText('LINESTRING (0 0, 1 1)'), ST_GeomFromText('POINT EMPTY'))"
+    ).foreach { bad =>
+      val e = intercept[Exception](one(s"ST_AsText($bad)"))
+      assert(e.getMessage != null, bad)
+    }
+  }
 }
