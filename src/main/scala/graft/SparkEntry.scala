@@ -2987,6 +2987,51 @@ object SparkEntry {
       'LINESTRING (0 0, ' || w || ' ' || h || ')' AS remp
     FROM p ORDER BY id"""
 
+  /** Geodesic overlay (g119, round 19): ST_IntersectionGeodesic/
+    * ST_UnionGeodesic/ST_DifferenceGeodesic on the shared local-AEQD
+    * plane — the edges-contract half BOTH engines previously ran planar
+    * (edges.rs names overlay; its compute layer doesn't implement it).
+    * Oracle pins measure-theoretic invariants that hold because the
+    * projection is a bijection and the overlay nodes both inputs on one
+    * plane: containment (small ⊂ big → ∩ ≡ small, ∪ ≡ big by area),
+    * the partition identity |a|+|b| = |a∪b|+|a∩b| on overlapping pairs,
+    * empty intersections for disjoint pairs, and difference-identity —
+    * across 50 centers spanning ±60° latitude. Winding is normalized
+    * CCW before measuring (JTS emits CW shells; areaSpheroid honors the
+    * reference's CW-complement convention). */
+  private val g119Spark = """
+    WITH c AS (
+      SELECT id, -170.0 + CAST(id % 18 AS DOUBLE) * 20.0 AS lon,
+             -60.0 + CAST(id % 13 AS DOUBLE) * 10.0 AS lat,
+             CAST((5 + id % 7) * 1000 AS DOUBLE) AS r
+      FROM range(50)),
+    shapes AS (
+      SELECT id,
+        ST_BufferGeodesic(ST_Point(lon, lat), r) AS small,
+        ST_BufferGeodesic(ST_Point(lon, lat), 2 * r) AS big,
+        ST_BufferGeodesic(ST_Point(lon + 0.02, lat), r) AS near,
+        ST_BufferGeodesic(ST_Point(lon + 1.0, lat), r) AS far
+      FROM c)
+    SELECT id,
+      ROUND(ST_AreaSpheroid(ST_ForcePolygonCCW(ST_IntersectionGeodesic(big, small))) /
+            ST_AreaSpheroid(ST_ForcePolygonCCW(small)), 6) AS contain_i,
+      ROUND(ST_AreaSpheroid(ST_ForcePolygonCCW(ST_UnionGeodesic(big, small))) /
+            ST_AreaSpheroid(ST_ForcePolygonCCW(big)), 6) AS contain_u,
+      ROUND((ST_AreaSpheroid(ST_ForcePolygonCCW(small)) +
+             ST_AreaSpheroid(ST_ForcePolygonCCW(near))) /
+            (ST_AreaSpheroid(ST_ForcePolygonCCW(ST_UnionGeodesic(small, near))) +
+             ST_AreaSpheroid(ST_ForcePolygonCCW(ST_IntersectionGeodesic(small, near)))), 6)
+        AS partition_id,
+      ST_IsEmpty(ST_IntersectionGeodesic(small, far)) AS disjoint_i,
+      ROUND(ST_AreaSpheroid(ST_ForcePolygonCCW(ST_DifferenceGeodesic(small, far))) /
+            ST_AreaSpheroid(ST_ForcePolygonCCW(small)), 6) AS diff_id
+    FROM shapes ORDER BY id"""
+
+  private val g119Duck = """
+    SELECT i AS id, 1.0 AS contain_i, 1.0 AS contain_u, 1.0 AS partition_id,
+           true AS disjoint_i, 1.0 AS diff_id
+    FROM range(50) t(i) ORDER BY id"""
+
   /** RANK()-with-ties kNN join (g106, round 18): the SQL window shape
     * `RANK() OVER (PARTITION BY lid ORDER BY ST_Distance) <= k` over a
     * cross join is planned as [[graft.plans.KnnTopKExec]] in withTies
@@ -13121,6 +13166,7 @@ object SparkEntry {
     ("g116_geodesic_segmentize", q(g116Spark), g116Duck),
     ("g117_project_azimuth_geodesic", q(g117Spark), g117Duck),
     ("g118_line_editing", q(g118Spark), g118Duck),
+    ("g119_geodesic_overlay", q(g119Spark), g119Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

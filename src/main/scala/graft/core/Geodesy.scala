@@ -306,6 +306,19 @@ object Geodesy {
     GeomOps.point(lo, la)
   }
 
+  /** Geodesic overlays on the shared local AEQD plane
+    * ([[Aeqd.overlayGeodesic]]) — closes the edges-contract half both
+    * engines previously left planar. SQL: ST_IntersectionGeodesic /
+    * ST_UnionGeodesic / ST_DifferenceGeodesic / ST_SymDifferenceGeodesic. */
+  def intersectionGeodesic(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    Aeqd.overlayGeodesic(a, b, 0)
+  def unionGeodesic(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    Aeqd.overlayGeodesic(a, b, 1)
+  def differenceGeodesic(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    Aeqd.overlayGeodesic(a, b, 2)
+  def symDifferenceGeodesic(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    Aeqd.overlayGeodesic(a, b, 3)
+
   /** Parameterized ellipsoidal AEQD about (lon0, lat0) — WGS84-exact via
     * the Karney geodesic problems ([[Aeqd]]); other datums compose through
     * the NatCrs datum hops like every projection here. No constants to

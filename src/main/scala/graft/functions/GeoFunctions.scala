@@ -232,6 +232,10 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_transformaeqdinv" -> Sig("transformAeqdInv", G, Seq(G, D, D), geodesy),
     "st_buffergeodesic" -> Sig("bufferGeodesic", G, Seq(G, D), geodesy),
     "st_buffergeodesic" -> Sig("bufferGeodesicSegs", G, Seq(G, D, I), geodesy),
+    "st_intersectiongeodesic" -> Sig("intersectionGeodesic", G, Seq(G, G), geodesy),
+    "st_uniongeodesic" -> Sig("unionGeodesic", G, Seq(G, G), geodesy),
+    "st_differencegeodesic" -> Sig("differenceGeodesic", G, Seq(G, G), geodesy),
+    "st_symdifferencegeodesic" -> Sig("symDifferenceGeodesic", G, Seq(G, G), geodesy),
     "st_projectgeodesic" -> Sig("projectGeodesic", G, Seq(G, D, D), geodesy),
     "st_azimuthgeodesic" -> Sig("azimuthGeodesic", D, Seq(G, G), geodesy),
     "st_segmentizegeodesic" -> Sig("segmentizeGeodesic", G, Seq(G, D), geodesy),

@@ -222,6 +222,61 @@ class AeqdSpec extends SparkTestBase {
     }
   }
 
+  test("geodesic overlay: containment, partition identity, disjointness, long-segment semantics") {
+    import graft.core.{Aeqd, Geodesy}
+    def circle(lon: Double, lat: Double, r: Double) =
+      Aeqd.bufferGeodesic(wkb(s"POINT ($lon $lat)"), r, 16)
+    // JTS buffer/overlay emit CW shells, and areaSpheroid honors the
+    // reference's CW-means-complement convention (a CW ring encloses
+    // everything BUT itself) — normalize winding before measuring
+    def areaSp(b: Array[Byte]) = Geodesy.areaSpheroid(GeomOps.forcePolygonCCW(b))
+    // containment: small ⊂ big → intersection ≡ small, union ≡ big (area
+    // ratio to 1e-9; the boundary roundtrips through the shared plane)
+    val big = circle(10.0, 60.0, 20000.0)
+    val small = circle(10.0, 60.0, 10000.0)
+    val inter = Aeqd.overlayGeodesic(big, small, 0)
+    val union = Aeqd.overlayGeodesic(big, small, 1)
+    assert(math.abs(areaSp(inter) / areaSp(small) - 1.0) < 1e-9)
+    assert(math.abs(areaSp(union) / areaSp(big) - 1.0) < 1e-9)
+    // measure partition identity on an OVERLAPPING pair at high latitude:
+    // area(a) + area(b) = area(a∪b) + area(a∩b) (bijective projection,
+    // shared noding plane — holds to the chord-deviation dust)
+    val a = circle(10.0, 60.0, 10000.0)
+    val b = circle(10.25, 60.0, 10000.0)
+    val u = Aeqd.overlayGeodesic(a, b, 1)
+    val i = Aeqd.overlayGeodesic(a, b, 0)
+    val sd = Aeqd.overlayGeodesic(a, b, 3)
+    assert(areaSp(i) > 0.0, "circles 13.9 km apart with r=10 km must overlap")
+    assert(math.abs((areaSp(a) + areaSp(b)) / (areaSp(u) + areaSp(i)) - 1.0) < 1e-9)
+    assert(math.abs((areaSp(u) - areaSp(i)) / areaSp(sd) - 1.0) < 1e-9)
+    // disjoint → empty intersection; difference of disjoint = identity area
+    val far = circle(12.0, 60.0, 10000.0)
+    assert(GeomOps.read(Aeqd.overlayGeodesic(a, far, 0)).isEmpty)
+    assert(math.abs(areaSp(Aeqd.overlayGeodesic(a, far, 2)) / areaSp(a) - 1.0) < 1e-9)
+    // LONG segments: geodesic noding differs from naive planar-degrees
+    // noding by kilometers (the semantics this op exists for) — two
+    // 2000-km chords crossing near 60°N
+    val l1 = wkb("LINESTRING (-10 55, 20 65)")
+    val l2 = wkb("LINESTRING (-10 65, 20 55)")
+    val gx = GeomOps.read(Aeqd.overlayGeodesic(l1, l2, 0)).getCoordinate
+    val px = GeomOps.read(l1).intersection(GeomOps.read(l2)).getCoordinate
+    val sep = KarneyGeodesic.distance(gx.y, gx.x, px.y, px.x)
+    assert(sep > 5000.0, s"geodesic vs planar-degrees crossing only $sep m apart")
+    // the geodesic crossing sits ON both geodesics (cross-track < 50 m for
+    // the plane's chord approximation at this extent)
+    Seq(("-10,55,20,65"), ("-10,65,20,55")).foreach { s0 =>
+      val Array(lo1, la1, lo2, la2) = s0.split(",").map(_.toDouble)
+      val (d1, az1, _) = KarneyGeodesic.inverseAzimuth(la1, lo1, gx.y, gx.x)
+      val (dt, azt, _) = KarneyGeodesic.inverseAzimuth(la1, lo1, la2, lo2)
+      val xtrack = math.abs(d1 * math.sin(math.toRadians(az1 - azt)))
+      assert(xtrack < 2000.0, s"crossing off the geodesic by $xtrack m")
+    }
+    // guard: continental-scale inputs refused with the split hint
+    val e = intercept[IllegalArgumentException](
+      Aeqd.overlayGeodesic(wkb("POLYGON ((-40 0, 40 0, 0 40, -40 0))"), a, 0))
+    assert(e.getMessage.contains("Split the inputs"))
+  }
+
   test("SQL surface: ST_BufferGeodesic at both arities, monotone containment") {
     graft.functions.GeoFunctions.register(spark)
     val r = spark.sql("""
