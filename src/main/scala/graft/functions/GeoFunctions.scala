@@ -403,6 +403,21 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_dwithin" -> (("distanceSphere", "distanceGeodesic", "distanceSpheroid",
       "distanceVincenty")))
 
+  /** Overlay half of the dispatch (round 19 — closes the last named piece
+    * of the edges contract, which the reference's compute layer leaves
+    * planar): ST_Intersection/Union/Difference/SymDifference over a
+    * stamped column route to the shared local-AEQD geodesic overlay
+    * ([[graft.core.Aeqd.overlayGeodesic]]). The construction is
+    * model-INDEPENDENT (every recognized model is WGS84-datum and overlay
+    * is topology, not measure — the exact Karney plane serves them all).
+    * True-geometry semantics, so no point-only gate; continental extents
+    * fail loudly with the split hint rather than silently going planar. */
+  private val edgeOverlayVariants: Map[String, String] = Map(
+    "st_intersection" -> "intersectionGeodesic",
+    "st_union" -> "unionGeodesic",
+    "st_difference" -> "differenceGeodesic",
+    "st_symdifference" -> "symDifferenceGeodesic")
+
   /** The declared edges model of a DIRECT stamped column reference, or None.
     * Non-attribute expressions (derived geometry) deliberately return None:
     * `ST_Length(ST_Simplify(g, t))` keeps the measure the user wrote. */
@@ -437,7 +452,8 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     val unary = args.length == 1 && edgeMeasureVariants.contains(name)
     val binary = args.length >= 2 && edgeDistanceVariants.contains(name) &&
       (name != "st_dwithin" || args.length == 3)
-    if (!unary && !binary) return None
+    val overlay = args.length == 2 && edgeOverlayVariants.contains(name)
+    if (!unary && !binary && !overlay) return None
     val stamps = (if (unary) args.take(1) else args.take(2)).flatMap(stampOf)
     if (stamps.isEmpty) return None
     val model = stamps.distinct match {
@@ -457,6 +473,18 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     def invoke(cls: Class[_], method: String, in: Seq[Expression]): Expression =
       StaticInvoke(cls, D, method, in.map(Cast(_, G)), Nil,
         propagateNull = true, returnNullable = false)
+    if (overlay) {
+      // model-independent: any recognized model takes the shared geodesic
+      // plane; an unrecognized declaration keeps the planar overlay, loudly
+      if (pickVariant(model, ("g", "g", "g", "g")).isEmpty) {
+        logWarning(s"$name over a column declaring edges='$model' (not a " +
+          "recognized model) — overlaying PLANAR.")
+        return None
+      }
+      return Some(StaticInvoke(geodesy, G, edgeOverlayVariants(name),
+        args.take(2).map(Cast(_, G)), Nil,
+        propagateNull = true, returnNullable = false))
+    }
     if (unary) {
       val target = pickVariant(model, edgeMeasureVariants(name)).getOrElse {
         // an UNKNOWN declaration stamped from an external file keeps the

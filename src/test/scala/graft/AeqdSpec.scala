@@ -277,6 +277,35 @@ class AeqdSpec extends SparkTestBase {
     assert(e.getMessage.contains("Split the inputs"))
   }
 
+  test("edges dispatch routes ST_Intersection on stamped columns to the geodesic overlay") {
+    graft.functions.GeoFunctions.register(spark)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "aeqd_ov_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    // two long chords crossing near 60N, stamped spherical
+    val df = spark.sql("""
+      SELECT 1L AS fid, ST_GeomFromText('LINESTRING (-10 55, 20 65)') AS geometry,
+             ST_GeomFromText('LINESTRING (-10 65, 20 55)') AS other""")
+    graft.sources.GeoParquet.write(df.coalesce(1), out, covering = false,
+      edges = Some("spherical"), secondaryGeometry = Seq("other"))
+    graft.sources.GeoParquet.read(spark, out).createOrReplaceTempView("aeqd_ov")
+    val x = spark.sql(
+      "SELECT ST_X(ST_Intersection(geometry, other)) AS x, ST_Y(ST_Intersection(geometry, other)) AS y FROM aeqd_ov")
+      .head()
+    // the planar-degrees crossing is exactly (5, 60); the geodesic one
+    // sits kilometers north — dispatch must have fired
+    val planar = (5.0, 60.0)
+    val dKm = graft.core.KarneyGeodesic.distance(x.getDouble(1), x.getDouble(0),
+      planar._2, planar._1) / 1000.0
+    assert(dKm > 5.0, s"dispatch did not fire: crossing ${x.getDouble(0)}, ${x.getDouble(1)}")
+    // kill switch restores the planar overlay
+    spark.conf.set("spark.graft.edges.dispatch", "false")
+    try {
+      val p = spark.sql(
+        "SELECT ST_X(ST_Intersection(geometry, other)) AS x FROM aeqd_ov").head()
+      assert(math.abs(p.getDouble(0) - 5.0) < 1e-9, s"kill switch ignored: ${p.getDouble(0)}")
+    } finally spark.conf.set("spark.graft.edges.dispatch", "true")
+  }
+
   test("SQL surface: ST_BufferGeodesic at both arities, monotone containment") {
     graft.functions.GeoFunctions.register(spark)
     val r = spark.sql("""
