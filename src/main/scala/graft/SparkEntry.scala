@@ -3032,6 +3032,32 @@ object SparkEntry {
            true AS disjoint_i, 1.0 AS diff_id
     FROM range(50) t(i) ORDER BY id"""
 
+  /** ST_ClusterWithin (g120, round 19): connected components of the
+    * within-distance graph via [[graft.operators.Dbscan.clusterWithin]]
+    * (DBSCAN at minPts = 1 — the ε-grid pair join + star-rounds
+    * components, never all-pairs). The fixture is 40 three-point chains
+    * at 0.4° spacing where every even/odd pair of chains overlaps into
+    * one six-point component and consecutive pairs sit 5° apart, so the
+    * min-id label has the closed form 6·⌊id/6⌋ that DuckDB replays
+    * directly — merging across blob boundaries is exactly what the
+    * transitive-closure step must get right. */
+  private def g120Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val pts = s.sql("""
+      SELECT CAST(id AS BIGINT) AS pid,
+             ST_Point((CAST(id AS DOUBLE) - CAST(id % 6 AS DOUBLE)) / 6.0 * 7.0
+                        + CAST(id % 6 AS DOUBLE) * 0.4,
+                      0.0) AS geom
+      FROM range(120)""")
+    graft.operators.Dbscan.clusterWithin(pts, "pid", "geom", 1.0)
+      .selectExpr("pid", "CAST(cluster_id AS BIGINT) AS cluster_id")
+      .orderBy("pid")
+  }
+
+  private val g120Duck = """
+    SELECT i AS pid, (i // 6) * 6 AS cluster_id
+    FROM range(120) t(i) ORDER BY pid"""
+
   /** RANK()-with-ties kNN join (g106, round 18): the SQL window shape
     * `RANK() OVER (PARTITION BY lid ORDER BY ST_Distance) <= k` over a
     * cross join is planned as [[graft.plans.KnnTopKExec]] in withTies
@@ -13167,6 +13193,7 @@ object SparkEntry {
     ("g117_project_azimuth_geodesic", q(g117Spark), g117Duck),
     ("g118_line_editing", q(g118Spark), g118Duck),
     ("g119_geodesic_overlay", q(g119Spark), g119Duck),
+    ("g120_cluster_within", g120Fn _, g120Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

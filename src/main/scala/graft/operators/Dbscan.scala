@@ -86,4 +86,15 @@ object Dbscan {
     df.join(labels, df(idCol).cast("long") === col("__dbscan_id"), "left")
       .drop("__dbscan_id")
   }
+
+  /** PostGIS `ST_ClusterWithin` as a DataFrame transform (round 19):
+    * clusters are the CONNECTED COMPONENTS of the "within `dist`" graph —
+    * exactly DBSCAN with minPts = 1 (every point core, no noise, so
+    * `cluster_id` is never null). Labels are the minimum id in the
+    * component, stable across runs and partitionings; the scale shape is
+    * [[cluster]]'s: ε-grid pair join + bounded-round components, never
+    * all-pairs. */
+  def clusterWithin(df: DataFrame, idCol: String, geomCol: String,
+                    dist: Double, maxIter: Int = 20): DataFrame =
+    cluster(df, idCol, geomCol, dist, minPts = 1, maxIter = maxIter)
 }

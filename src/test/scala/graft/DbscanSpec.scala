@@ -81,6 +81,17 @@ class DbscanSpec extends SparkTestBase {
     assert(got.values.flatten.toSet == Set(0L))
   }
 
+  test("clusterWithin: components of the dwithin graph, never null (round 19)") {
+    // PostGIS ST_ClusterWithin semantics = DBSCAN at minPts 1: a 4-hop
+    // chain is ONE component (transitive, not pairwise), the far point a
+    // singleton cluster (not noise), labels = min id
+    val df = pts((0, 0, 0), (1, 0.9, 0), (2, 1.8, 0), (3, 2.7, 0), (4, 3.6, 0), (9, 50, 50))
+    val got = labelsOf(Dbscan.clusterWithin(df, "id", "geom", dist = 1.0))
+    assert(got == Map(0L -> Some(0L), 1L -> Some(0L), 2L -> Some(0L),
+      3L -> Some(0L), 4L -> Some(0L), 9L -> Some(9L)))
+    assert(got.values.forall(_.isDefined), "clusterWithin never yields noise")
+  }
+
   test("hot-blob corpus: ε-pair generation spreads across tasks (sub-split)") {
     // 90% of 660 points sit in ONE ~0.4-wide blob at (50,50) — a single
     // ε-grid cell at eps=1 — so the blob emits ~540k of the ε-pairs; the
