@@ -3058,6 +3058,39 @@ object SparkEntry {
     SELECT i AS pid, (i // 6) * 6 AS cluster_id
     FROM range(120) t(i) ORDER BY pid"""
 
+  /** Geodesic closest-point / shortest-line (g121, round 19): on an
+    * equator segment the true foot from (λ, φ) is (λ, 0) by meridian
+    * perpendicularity, so DuckDB can gate the semantics: the returned
+    * foot lies ON the equator (nano-degree), its geodesic distance
+    * exceeds the analytic minimum by < 0.5 m at these ≤ 350 km ranges
+    * (the documented second-order plane contract), and the shortest
+    * line's geodesic length equals that distance to the millimeter. */
+  private val g121Spark = """
+    WITH p AS (
+      SELECT id, 2.0 + CAST(id % 7 AS DOUBLE) AS lon,
+             0.5 + CAST(id % 5 AS DOUBLE) * 0.5 AS lat
+      FROM range(40)),
+    c AS (
+      SELECT id, lon, lat,
+             ST_ClosestPointGeodesic(ST_GeomFromText('LINESTRING (0 0, 10 0)'),
+                                     ST_Point(lon, lat)) AS cp,
+             ST_ShortestLineGeodesic(ST_GeomFromText('LINESTRING (0 0, 10 0)'),
+                                     ST_Point(lon, lat)) AS sl
+      FROM p)
+    SELECT id,
+           CAST(ROUND(ST_Y(cp) * 1e9) AS BIGINT) AS y_nanodeg,
+           CAST(ROUND(ST_DistanceGeodesic(ST_Point(lon, lat), cp)
+                      - ST_DistanceGeodesic(ST_Point(lon, lat), ST_Point(lon, 0.0)))
+             AS BIGINT) AS excess_m,
+           CAST(ROUND((ST_LengthGeodesic(sl)
+                       - ST_DistanceGeodesic(ST_Point(lon, lat), cp)) * 1000)
+             AS BIGINT) AS len_mm
+    FROM c ORDER BY id"""
+
+  private val g121Duck = """
+    SELECT i AS id, 0::BIGINT AS y_nanodeg, 0::BIGINT AS excess_m, 0::BIGINT AS len_mm
+    FROM range(40) t(i) ORDER BY id"""
+
   /** RANK()-with-ties kNN join (g106, round 18): the SQL window shape
     * `RANK() OVER (PARTITION BY lid ORDER BY ST_Distance) <= k` over a
     * cross join is planned as [[graft.plans.KnnTopKExec]] in withTies
@@ -13194,6 +13227,7 @@ object SparkEntry {
     ("g118_line_editing", q(g118Spark), g118Duck),
     ("g119_geodesic_overlay", q(g119Spark), g119Duck),
     ("g120_cluster_within", g120Fn _, g120Duck),
+    ("g121_closest_geodesic", q(g121Spark), g121Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

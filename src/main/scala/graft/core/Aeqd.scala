@@ -121,6 +121,41 @@ object Aeqd {
     GeomOps.write(inverseFrom(lon0, lat0, planarOp(pa, pb)))
   }
 
+  /** Geodesic closest-point / shortest-line (round 19): both inputs on
+    * the shared local-AEQD plane (meter-true ranges), JTS nearestPoints
+    * there, endpoints inverted exactly. Returns the 2-point line from
+    * `a`'s closest point to `b`'s; [[closestGeodesic]] returns just the
+    * point on `a`. Same chord contract and extent guard as the overlay.
+    * Accuracy contract (spec-pinned): the plane's lateral distortion can
+    * shift the foot ALONG the target by ~(s/R)²·s/3 (hundreds of meters
+    * at 500-km anchor ranges), but the returned pair's EXCESS DISTANCE
+    * over the true minimum is second-order in that shift — sub-meter at
+    * those ranges, mm at city scale. */
+  def shortestLineGeodesic(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ga = GeomOps.read(a)
+    val gb = GeomOps.read(b)
+    require(!ga.isEmpty && !gb.isEmpty,
+      "geodesic shortest line: both inputs must be non-empty")
+    val anchor = GeomOps.factory.createGeometryCollection(Array(ga, gb)).getCentroid
+    val (lon0, lat0) = (anchor.getX, anchor.getY)
+    val (pa, ra) = projectTo(lon0, lat0, ga)
+    val (pb, rb) = projectTo(lon0, lat0, gb)
+    require(math.max(ra, rb) <= MaxAnchorRange,
+      f"geodesic shortest line: inputs extend ${math.max(ra, rb)}%.0f m from their " +
+        f"joint centroid — beyond ${MaxAnchorRange}%.0f m the local-plane error " +
+        "exceeds ~2%. Split the inputs and take the minimum")
+    val np = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(pa, pb)
+    val (lo1, la1) = reverse(lon0, lat0, np(0).x, np(0).y)
+    val (lo2, la2) = reverse(lon0, lat0, np(1).x, np(1).y)
+    GeomOps.write(GeomOps.factory.createLineString(Array(
+      new Coordinate(lo1, la1), new Coordinate(lo2, la2))))
+  }
+
+  def closestGeodesic(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val line = GeomOps.read(shortestLineGeodesic(a, b))
+    GeomOps.write(GeomOps.factory.createPoint(line.getCoordinates()(0)))
+  }
+
   /** Meter-true buffer of a lon/lat geometry: project to a local AEQD
     * anchored at the geometry's centroid (exact geodesic ranges from the
     * anchor), JTS-buffer in meters on that plane, and invert each output

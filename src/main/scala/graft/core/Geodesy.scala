@@ -319,6 +319,13 @@ object Geodesy {
   def symDifferenceGeodesic(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     Aeqd.overlayGeodesic(a, b, 3)
 
+  /** Geodesic closest-point pair on the shared AEQD plane. SQL:
+    * ST_ClosestPointGeodesic / ST_ShortestLineGeodesic. */
+  def closestPointGeodesic(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    Aeqd.closestGeodesic(a, b)
+  def shortestLineGeodesic(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    Aeqd.shortestLineGeodesic(a, b)
+
   /** Parameterized ellipsoidal AEQD about (lon0, lat0) — WGS84-exact via
     * the Karney geodesic problems ([[Aeqd]]); other datums compose through
     * the NatCrs datum hops like every projection here. No constants to

@@ -232,6 +232,8 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_transformaeqdinv" -> Sig("transformAeqdInv", G, Seq(G, D, D), geodesy),
     "st_buffergeodesic" -> Sig("bufferGeodesic", G, Seq(G, D), geodesy),
     "st_buffergeodesic" -> Sig("bufferGeodesicSegs", G, Seq(G, D, I), geodesy),
+    "st_closestpointgeodesic" -> Sig("closestPointGeodesic", G, Seq(G, G), geodesy),
+    "st_shortestlinegeodesic" -> Sig("shortestLineGeodesic", G, Seq(G, G), geodesy),
     "st_intersectiongeodesic" -> Sig("intersectionGeodesic", G, Seq(G, G), geodesy),
     "st_uniongeodesic" -> Sig("unionGeodesic", G, Seq(G, G), geodesy),
     "st_differencegeodesic" -> Sig("differenceGeodesic", G, Seq(G, G), geodesy),

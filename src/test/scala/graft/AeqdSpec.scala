@@ -306,6 +306,34 @@ class AeqdSpec extends SparkTestBase {
     } finally spark.conf.set("spark.graft.edges.dispatch", "true")
   }
 
+  test("geodesic closest point / shortest line: the analytic foot within sub-cm distance") {
+    import graft.core.{Aeqd, Geodesy}
+    // equator segment: the true foot from (lonP, latP) is (lonP, 0) by
+    // meridian perpendicularity. The plane-nearest foot shifts LATERALLY
+    // by ~(s/R)²·s/3 (hundreds of meters at 500-km ranges), but the
+    // distance excess is second-order in that shift (δ²/2d) — the
+    // contract is meter-grade EXCESS DISTANCE, not vertex-grade feet
+    val line = wkb("LINESTRING (0 0, 10 0)")
+    Seq((2.0, 3.0), (5.0, 1.0), (8.5, 4.0), (3.3, -2.5)).foreach { case (lonP, latP) =>
+      val pt = wkb(s"POINT ($lonP $latP)")
+      val cp = geom(Aeqd.closestGeodesic(line, pt)).getCoordinate
+      assert(math.abs(cp.y) < 1e-9, s"foot off the equator: $cp")
+      val dGot = KarneyGeodesic.distance(latP, lonP, cp.y, cp.x)
+      val dTrue = KarneyGeodesic.distance(latP, lonP, 0.0, lonP)
+      assert(dGot - dTrue >= -1e-6 && dGot - dTrue < 1.0,
+        s"($lonP,$latP): got $dGot vs true $dTrue")
+      val sl = geom(Aeqd.shortestLineGeodesic(line, pt))
+      val cs = sl.getCoordinates
+      assert(cs.length == 2 && cs(0).equals2D(cp), "line starts at the on-a closest point")
+      assert(math.abs(KarneyGeodesic.distance(cs(0).y, cs(0).x, cs(1).y, cs(1).x) - dGot) < 1e-6)
+    }
+    // endpoint clamp: a point past the segment end snaps to the endpoint
+    val cpEnd = geom(Aeqd.closestGeodesic(line, wkb("POINT (14 2)"))).getCoordinate
+    assert(math.abs(cpEnd.x - 10.0) < 1e-9 && math.abs(cpEnd.y) < 1e-9, s"$cpEnd")
+    intercept[IllegalArgumentException](
+      Aeqd.closestGeodesic(line, wkb("POINT EMPTY")))
+  }
+
   test("SQL surface: ST_BufferGeodesic at both arities, monotone containment") {
     graft.functions.GeoFunctions.register(spark)
     val r = spark.sql("""
