@@ -174,30 +174,11 @@ object Aeqd {
     require(math.abs(lat0) <= 90.0 && math.abs(lon0) <= 180.0,
       s"ST_BufferGeodesic: geometry centroid ($lon0, $lat0) outside the geodetic " +
         "domain — input must be lon/lat degrees (EPSG:4326)")
-    var maxRange = 0.0
-    val proj = new org.locationtech.jts.geom.util.GeometryEditor(GeomOps.factory).edit(g,
-      new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
-        override def edit(coords: Array[Coordinate], geom: Geometry): Array[Coordinate] =
-          coords.map { cc =>
-            val (x, y) = forward(lon0, lat0, cc.x, cc.y)
-            val r = math.hypot(x, y)
-            if (r > maxRange) maxRange = r
-            new Coordinate(x, y)
-          }
-      })
+    val (proj, maxRange) = projectTo(lon0, lat0, g)
     require(maxRange <= MaxAnchorRange,
       f"ST_BufferGeodesic: geometry extends $maxRange%.0f m from its centroid — " +
         f"beyond ${MaxAnchorRange}%.0f m the local-plane width error exceeds ~2%%. " +
         "Split the geometry (e.g. ST_Dump / ST_Subdivide) and buffer the parts")
-    val buffered = proj.buffer(radiusM, quadSegs)
-    val back = new org.locationtech.jts.geom.util.GeometryEditor(GeomOps.factory).edit(buffered,
-      new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
-        override def edit(coords: Array[Coordinate], geom: Geometry): Array[Coordinate] =
-          coords.map { cc =>
-            val (lon, lat) = reverse(lon0, lat0, cc.x, cc.y)
-            new Coordinate(lon, lat)
-          }
-      })
-    GeomOps.write(back)
+    GeomOps.write(inverseFrom(lon0, lat0, proj.buffer(radiusM, quadSegs)))
   }
 }

@@ -255,8 +255,15 @@ object Geodesy {
             val p = coords(i - 1); val q = coords(i)
             val (s, azi1, _) = KarneyGeodesic.inverseAzimuth(p.y, p.x, q.y, q.x)
             if (s > maxLenM) {
-              val n = math.ceil(s / maxLenM).toInt
-              var k = 1
+              // Long math + a loud cap: ceil(...).toInt silently clamps at
+              // Int.MaxValue, turning a fat-finger maxLen (1e-6 on a
+              // 10,000-km segment) into a multi-hour task + OOM instead
+              // of an error
+              val n = math.ceil(s / maxLenM).toLong
+              require(n <= 10000000L,
+                f"ST_SegmentizeGeodesic: segment of $s%.0f m at max length $maxLenM " +
+                  f"would insert $n%d vertices (cap 10,000,000) — raise the max length")
+              var k = 1L
               while (k < n) {
                 val (la, lo, _) = KarneyGeodesic.direct(p.y, p.x, azi1, s * k / n)
                 out += new Coordinate(lo, la)

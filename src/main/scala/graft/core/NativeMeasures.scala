@@ -304,9 +304,12 @@ object NativeMeasures {
     true
   }
 
-  /** Point.getNumPoints: 0 when EMPTY (all-NaN sentinel), else 1. */
+  /** Point.getNumPoints: 0 when EMPTY. ANY NaN ordinate counts as empty —
+    * the WKB hop the slow path takes collapses every NaN-bearing point to
+    * POINT EMPTY (JTS WKBReader convention), and that is the observable
+    * contract this kernel must match. */
   def numPointsPoint(r: InternalRow, width: Int): Int =
-    if (java.lang.Double.isNaN(r.getDouble(0)) &&
+    if (java.lang.Double.isNaN(r.getDouble(0)) ||
         java.lang.Double.isNaN(r.getDouble(1))) 0 else 1
 
   // ── edge-model (geography) lengths over native layouts ────────────────

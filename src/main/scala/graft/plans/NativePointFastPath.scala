@@ -92,9 +92,6 @@ object NativePointFastPath extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def nanToNull(e: Expression): Expression =
-    If(IsNaN(e), Literal(null, DoubleType), e)
-
   // a point's envelope is its coordinate: min and max both read the leaf
   private val coordKernels = Map(
     "stX" -> "x", "xMin" -> "x", "xMax" -> "x",
@@ -195,12 +192,19 @@ object NativePointFastPath extends Rule[LogicalPlan] {
 
   /** the four per-row bound expressions (xmin, ymin, xmax, ymax), null on
     * EMPTY rows so the Min/Max aggregates skip them — ExtentAgg's
-    * envelope-isNull contract */
+    * envelope-isNull contract. Points skip when ANY ordinate is NaN: the
+    * GeoArrow sentinel is both-NaN, but the WKB hop the slow path takes
+    * collapses every NaN-bearing point to POINT EMPTY (the JTS WKBReader
+    * NaN convention), so that is the observable contract to match. */
   private def extentBounds(s: Expression, kind: String,
                            width: Int): Option[Seq[Expression]] =
     if (kind == "point")
-      for { x <- leaf(s, "x"); y <- leaf(s, "y") }
-        yield Seq(nanToNull(x), nanToNull(y), nanToNull(x), nanToNull(y))
+      for { x <- leaf(s, "x"); y <- leaf(s, "y") } yield {
+        val empty = Or(IsNaN(x), IsNaN(y))
+        val ex = If(empty, Literal(null, DoubleType), x)
+        val ey = If(empty, Literal(null, DoubleType), y)
+        Seq(ex, ey, ex, ey)
+      }
     else boundMethod.get(kind).map { method =>
       boundKernels("xMin") :: boundKernels("yMin") ::
         boundKernels("xMax") :: boundKernels("yMax") :: Nil map {
@@ -217,8 +221,18 @@ object NativePointFastPath extends Rule[LogicalPlan] {
         def agg(fn: Expression => AggregateFunction, e: Expression): Expression =
           AggregateExpression(fn(e), ae.mode, isDistinct = false,
             ae.filter, NamedExpression.newExprId)
-        val xmin = agg(Min(_), bxmin); val ymin = agg(Min(_), bymin)
-        val xmax = agg(Max(_), bxmax); val ymax = agg(Max(_), bymax)
+        // ExtentAgg reduces with java Math.min/max, which PROPAGATE NaN;
+        // Spark's Min/Max order NaN last and would silently drop it. A
+        // second Max(IsNaN(bound)) aggregate per ordinate restores the
+        // poison exactly (null bounds — EMPTY rows — stay skipped: IsNaN
+        // is false on null, and false is the flag's neutral element).
+        def bound(fn: Expression => AggregateFunction, e: Expression): Expression = {
+          val v = agg(fn, e)
+          If(Coalesce(Seq(agg(Max(_), IsNaN(e)), Literal(false))),
+            Literal(Double.NaN), v)
+        }
+        val xmin = bound(Min(_), bxmin); val ymin = bound(Min(_), bymin)
+        val xmax = bound(Max(_), bxmax); val ymax = bound(Max(_), bymax)
         // all-null/EMPTY group → NULL struct, matching ExtentAgg.finish
         Some(If(IsNull(xmin), Literal(null, st),
           CreateNamedStruct(Seq(
@@ -292,7 +306,10 @@ object NativePointFastPath extends Rule[LogicalPlan] {
       case si: StaticInvoke if isGeomOp(si, "isEmpty") =>
         measure(si.arguments.head) {
           case (s, "point", _) =>
-            leaf(s, "x").map(x => If(IsNull(s), Literal(null, BooleanType), IsNaN(x)))
+            // ANY-NaN ordinate reads empty through the WKB hop (JTS
+            // WKBReader collapses NaN-bearing points to POINT EMPTY)
+            for { x <- leaf(s, "x"); y <- leaf(s, "y") }
+              yield If(IsNull(s), Literal(null, BooleanType), Or(IsNaN(x), IsNaN(y)))
           case (s, "line", _) => Some(nm("isEmptyL1", BooleanType, Seq(s)))
           case (s, "polygon", _) => Some(nm("isEmptyPolygon", BooleanType, Seq(s)))
           case (s, "multipoint", w) =>

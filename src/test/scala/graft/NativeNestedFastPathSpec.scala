@@ -466,6 +466,55 @@ class NativeNestedFastPathSpec extends SparkTestBase {
       "square meters / meters, not degrees")
   }
 
+  test("ST_Extent_Agg NaN poison parity: degenerate coordinates match the WKB reduce") {
+    // ExtentAgg reduces with Math.min/max, which PROPAGATE NaN; Spark's
+    // Min/Max would silently drop it — the rewrite carries a poison flag
+    // per ordinate (round-19 review finding). EMPTY points (both-NaN)
+    // still skip; a single-NaN ordinate poisons exactly that ordinate.
+    graft.functions.GeoFunctions.register(spark)
+    val ptDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "nnfp_nan_pt_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val pts = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE WHEN id = 3 THEN ST_Point(CAST('NaN' AS DOUBLE), 7.0)
+                  WHEN id = 5 THEN ST_GeomFromText('POINT EMPTY')
+                  ELSE ST_Point(CAST(id AS DOUBLE), CAST(id AS DOUBLE) + 1.0) END AS geometry
+      FROM range(10)""")
+    GeoParquet.write(pts.coalesce(1), ptDir, encoding = "point", covering = false)
+    val lnDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "nnfp_nan_ln_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val lns = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CASE WHEN id = 2 THEN ST_GeomFromText('LINESTRING (NaN 1, 4 4)')
+                  WHEN id = 6 THEN ST_GeomFromText('LINESTRING EMPTY')
+                  ELSE ST_GeomFromText(CONCAT('LINESTRING (', id, ' 0, ', id + 1, ' 2)')) END AS geometry
+      FROM range(10)""")
+    GeoParquet.write(lns.coalesce(1), lnDir, encoding = "linestring", covering = false)
+    def both(dir: String): (org.apache.spark.sql.Row, org.apache.spark.sql.Row) = {
+      GeoParquet.read(spark, dir).createOrReplaceTempView("nnfp_nan")
+      spark.conf.set("spark.graft.nativePointFastPath", "true")
+      val fast = spark.sql("SELECT ST_Extent_Agg(geometry) AS e FROM nnfp_nan").head().getStruct(0)
+      spark.conf.set("spark.graft.nativePointFastPath", "false")
+      val slow = try spark.sql("SELECT ST_Extent_Agg(geometry) AS e FROM nnfp_nan").head().getStruct(0)
+      finally spark.conf.set("spark.graft.nativePointFastPath", "true")
+      (0 until 4).foreach { i =>
+        assert(bits(fast.getDouble(i)) == bits(slow.getDouble(i)),
+          s"[$dir] field $i: fast ${fast.getDouble(i)} vs wkb ${slow.getDouble(i)}")
+      }
+      (fast, slow)
+    }
+    // POINTS: a NaN-bearing point COLLAPSES to POINT EMPTY through the
+    // WKB hop (JTS WKBReader convention) — both paths must SKIP it
+    val (fp, _) = both(ptDir)
+    assert(!fp.getDouble(0).isNaN && fp.getDouble(0) == 0.0,
+      s"NaN-bearing point must be skipped, not poison: $fp")
+    // LINESTRINGS keep NaN coordinates through WKB — the row's envelope
+    // has a NaN minX and must POISON exactly that ordinate
+    val (fl, _) = both(lnDir)
+    assert(fl.getDouble(0).isNaN && !fl.getDouble(1).isNaN,
+      s"NaN line coordinate must poison xmin only: $fl")
+  }
+
   test("a spatial join on native linestring columns keeps the spatial strategy") {
     val dir = nativeTable("linestring")
     GeoParquet.read(spark, dir).createOrReplaceTempView("nnfp_j")
