@@ -3091,6 +3091,63 @@ object SparkEntry {
     SELECT i AS id, 0::BIGINT AS y_nanodeg, 0::BIGINT AS excess_m, 0::BIGINT AS len_mm
     FROM range(40) t(i) ORDER BY id"""
 
+  /** K-means (g122, round 19): [[graft.operators.KMeans.cluster]] is
+    * deterministic Lloyd — k-smallest-id seeding, fixed iterations,
+    * integer-exact FLOOR(coord·1e6) re-centroiding (the e13 discipline),
+    * strict-< argmin — so DuckDB replays the ENTIRE unrolled recursion:
+    * three assignment/update rounds over four overlapping blobs, the
+    * final labels compared row-for-row. The blobs overlap on purpose
+    * (centers 6 apart, spread 0..4) so assignments genuinely move
+    * between iterations and the replay exercises the full loop, not a
+    * converged fixed point. */
+  private def g122Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val pts = s.sql("""
+      SELECT CAST(id AS BIGINT) AS pid,
+             ST_Point(CAST((id % 4) * 6 + (id DIV 4) % 5 AS DOUBLE),
+                      CAST((id % 4) * 3 + (id DIV 20) % 5 AS DOUBLE)) AS geom
+      FROM range(200)""")
+    graft.operators.KMeans.cluster(pts, "pid", "geom", k = 4, iters = 3)
+      .selectExpr("pid", "CAST(cluster_id AS INT) AS cid")
+      .orderBy("pid")
+  }
+
+  private val g122Duck = """
+    WITH pts AS (
+      SELECT i AS id,
+             CAST((i % 4) * 6 + (i // 4) % 5 AS DOUBLE) AS x,
+             CAST((i % 4) * 3 + (i // 20) % 5 AS DOUBLE) AS y
+      FROM range(200) t(i)),
+    c0 AS (SELECT id::INT AS cid, x AS cx, y AS cy FROM pts WHERE id < 4),
+    a0 AS (SELECT p.id, p.x, p.y, c.cid FROM pts p CROSS JOIN c0 c
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY p.id
+             ORDER BY (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy), c.cid) = 1),
+    u1 AS (SELECT cid, (SUM(FLOOR(x*1e6))::BIGINT::DOUBLE / COUNT(*)) / 1e6 AS cx,
+                  (SUM(FLOOR(y*1e6))::BIGINT::DOUBLE / COUNT(*)) / 1e6 AS cy
+           FROM a0 GROUP BY cid),
+    c1 AS (SELECT s.cid, COALESCE(u.cx, s.cx) AS cx, COALESCE(u.cy, s.cy) AS cy
+           FROM c0 s LEFT JOIN u1 u USING (cid)),
+    a1 AS (SELECT p.id, p.x, p.y, c.cid FROM pts p CROSS JOIN c1 c
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY p.id
+             ORDER BY (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy), c.cid) = 1),
+    u2 AS (SELECT cid, (SUM(FLOOR(x*1e6))::BIGINT::DOUBLE / COUNT(*)) / 1e6 AS cx,
+                  (SUM(FLOOR(y*1e6))::BIGINT::DOUBLE / COUNT(*)) / 1e6 AS cy
+           FROM a1 GROUP BY cid),
+    c2 AS (SELECT s.cid, COALESCE(u.cx, s.cx) AS cx, COALESCE(u.cy, s.cy) AS cy
+           FROM c1 s LEFT JOIN u2 u USING (cid)),
+    a2 AS (SELECT p.id, p.x, p.y, c.cid FROM pts p CROSS JOIN c2 c
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY p.id
+             ORDER BY (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy), c.cid) = 1),
+    u3 AS (SELECT cid, (SUM(FLOOR(x*1e6))::BIGINT::DOUBLE / COUNT(*)) / 1e6 AS cx,
+                  (SUM(FLOOR(y*1e6))::BIGINT::DOUBLE / COUNT(*)) / 1e6 AS cy
+           FROM a2 GROUP BY cid),
+    c3 AS (SELECT s.cid, COALESCE(u.cx, s.cx) AS cx, COALESCE(u.cy, s.cy) AS cy
+           FROM c2 s LEFT JOIN u3 u USING (cid)),
+    a3 AS (SELECT p.id, c.cid FROM pts p CROSS JOIN c3 c
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY p.id
+             ORDER BY (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy), c.cid) = 1)
+    SELECT id AS pid, cid FROM a3 ORDER BY pid"""
+
   /** RANK()-with-ties kNN join (g106, round 18): the SQL window shape
     * `RANK() OVER (PARTITION BY lid ORDER BY ST_Distance) <= k` over a
     * cross join is planned as [[graft.plans.KnnTopKExec]] in withTies
@@ -13228,6 +13285,7 @@ object SparkEntry {
     ("g119_geodesic_overlay", q(g119Spark), g119Duck),
     ("g120_cluster_within", g120Fn _, g120Duck),
     ("g121_closest_geodesic", q(g121Spark), g121Duck),
+    ("g122_kmeans", g122Fn _, g122Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -209,6 +209,11 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     // parts
     "st_numinteriorrings" -> Sig("numInteriorRings", I, Seq(G)),
     "st_interiorringn" -> Sig("interiorRingN", G, Seq(G, I)),
+    // k-means plumbing (graft.operators.KMeans): codegen'd argmin over the
+    // broadcast centroid arrays — internal, hence the graft_ prefix
+    "graft_nearest_centroid" -> Sig("nearestCentroid", I,
+      Seq(D, D, ArrayType(DoubleType), ArrayType(DoubleType)),
+      Class.forName("graft.operators.KMeans"), cast = false),
     "st_dump" -> Sig("dump", ArrayType(BinaryType, containsNull = false), Seq(G)),
     "st_subdivide" -> Sig("subdivide", ArrayType(BinaryType, containsNull = false), Seq(G, I)),
     "st_geometryn" -> Sig("geometryN", G, Seq(G, I)),
