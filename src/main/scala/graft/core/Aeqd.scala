@@ -118,7 +118,11 @@ object Aeqd {
       f"geodesic overlay: inputs extend $maxRange%.0f m from their joint centroid — " +
         f"beyond ${MaxAnchorRange}%.0f m the local-plane error exceeds ~2%%. " +
         "Split the inputs (ST_Dump / ST_Subdivide) and overlay the parts")
-    GeomOps.write(inverseFrom(lon0, lat0, planarOp(pa, pb)))
+    val back = inverseFrom(lon0, lat0, planarOp(pa, pb))
+    // same near-tangent inversion guard as the buffer (fuzz-found there)
+    GeomOps.write(
+      if (back.isValid) back
+      else new org.locationtech.jts.geom.util.GeometryFixer(back).getResult)
   }
 
   /** Geodesic closest-point / shortest-line (round 19): both inputs on
@@ -179,6 +183,14 @@ object Aeqd {
       f"ST_BufferGeodesic: geometry extends $maxRange%.0f m from its centroid — " +
         f"beyond ${MaxAnchorRange}%.0f m the local-plane width error exceeds ~2%%. " +
         "Split the geometry (e.g. ST_Dump / ST_Subdivide) and buffer the parts")
-    GeomOps.write(inverseFrom(lon0, lat0, proj.buffer(radiusM, quadSegs)))
+    val back = inverseFrom(lon0, lat0, proj.buffer(radiusM, quadSegs))
+    // a buffer of a self-crossing input can come back from the plane with
+    // NEAR-TANGENT vertices; the inversion's sub-meter nudge can push such
+    // a pair across into a micro self-intersection (fuzz-found on zigzag
+    // linestrings). Repair with the same GeometryFixer ST_MakeValid uses —
+    // the check is cheap and the fix fires only on those degenerate shapes.
+    GeomOps.write(
+      if (back.isValid) back
+      else new org.locationtech.jts.geom.util.GeometryFixer(back).getResult)
   }
 }

