@@ -333,6 +333,60 @@ object Geodesy {
   def shortestLineGeodesic(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     Aeqd.shortestLineGeodesic(a, b)
 
+  /** Geodesic fractional sub-line (the geography twin of the planar
+    * ST_LineSubstring): the piece of `line` between geodesic-length
+    * fractions `from` and `to` — cut points are exact direct-problem
+    * waypoints inside their segments, original vertices in between are
+    * preserved. A zero-length slice yields the point's 2-vertex
+    * degenerate line (the PostGIS convention is a POINT; a line keeps
+    * the output type stable for SQL schemas). SQL:
+    * ST_LineSubstringGeodesic(line, from, to). */
+  def lineSubstringGeodesic(b: Array[Byte], from: Double, to: Double): Array[Byte] = {
+    require(from >= 0.0 && to <= 1.0 && from <= to,
+      s"ST_LineSubstringGeodesic: fractions ($from, $to) must satisfy 0 <= from <= to <= 1")
+    val g = GeomOps.read(b)
+    val line = g match {
+      case l: org.locationtech.jts.geom.LineString => l
+      case other => throw new IllegalArgumentException(
+        s"ST_LineSubstringGeodesic: expected LineString, got ${other.getGeometryType}")
+    }
+    val cs = line.getCoordinates
+    require(cs.length >= 2, "ST_LineSubstringGeodesic: empty/degenerate line")
+    val hops = Array.tabulate(cs.length - 1) { i =>
+      KarneyGeodesic.distance(cs(i).y, cs(i).x, cs(i + 1).y, cs(i + 1).x)
+    }
+    val total = hops.sum
+    def pointAt(target0: Double): (Coordinate, Int) = {
+      // (coordinate at geodesic range target0 from the start, index of the
+      // vertex FOLLOWING it)
+      var target = target0
+      var i = 0
+      while (i < hops.length && target > hops(i)) { target -= hops(i); i += 1 }
+      if (i == hops.length) (cs(cs.length - 1), cs.length)
+      else if (target <= 0.0) (cs(i), i + 1)
+      else {
+        val p = cs(i); val q = cs(i + 1)
+        val (s, azi1, _) = KarneyGeodesic.inverseAzimuth(p.y, p.x, q.y, q.x)
+        val (la, lo, _) = KarneyGeodesic.direct(p.y, p.x, azi1, math.min(target, s))
+        (new Coordinate(lo, la), i + 1)
+      }
+    }
+    if (total == 0.0)
+      return GeomOps.write(GeomOps.factory.createLineString(Array(cs(0), cs(0))))
+    val (start, iAfterStart) = pointAt(from * total)
+    val (end, iAfterEnd) = pointAt(to * total)
+    val mid = cs.slice(iAfterStart, iAfterEnd)
+    val outRaw = (start +: mid) :+ end
+    // collapse exact duplicates the slicing can produce at vertex-aligned
+    // fractions, keeping at least two points
+    val out = outRaw.foldLeft(Vector.empty[Coordinate]) {
+      case (acc, c) if acc.nonEmpty && acc.last.equals2D(c) => acc
+      case (acc, c) => acc :+ c
+    }
+    val fin = if (out.length < 2) Array(out.head, out.head) else out.toArray
+    GeomOps.write(GeomOps.factory.createLineString(fin))
+  }
+
   /** Parameterized ellipsoidal AEQD about (lon0, lat0) — WGS84-exact via
     * the Karney geodesic problems ([[Aeqd]]); other datums compose through
     * the NatCrs datum hops like every projection here. No constants to

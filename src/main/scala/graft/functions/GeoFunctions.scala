@@ -248,6 +248,7 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_segmentizegeodesic" -> Sig("segmentizeGeodesic", G, Seq(G, D), geodesy),
     "st_lineinterpolatepointgeodesic" ->
       Sig("lineInterpolatePointGeodesic", G, Seq(G, D), geodesy),
+    "st_linesubstringgeodesic" -> Sig("lineSubstringGeodesic", G, Seq(G, D, D), geodesy),
     "st_distancesphere" -> Sig("distanceSphere", D, Seq(G, G), geodesy),
     "st_project" -> Sig("projectSphere", G, Seq(G, D, D), geodesy),
     "st_lengthsphere" -> Sig("lengthSphere", D, Seq(G), geodesy),

@@ -361,6 +361,37 @@ class AeqdSpec extends SparkTestBase {
     assert(n >= 600, s"corpus coverage $n")
   }
 
+  test("geodesic line substring: exact fractional ranges, vertices preserved") {
+    import graft.core.Geodesy
+    // equator closed form: [0.25, 0.75] of 0..10° is 2.5°..7.5°
+    val eq = geom(Geodesy.lineSubstringGeodesic(wkb("LINESTRING (0 0, 10 0)"), 0.25, 0.75))
+    val cse = eq.getCoordinates
+    assert(cse.length == 2 &&
+      math.abs(cse(0).x - 2.5) < 1e-8 && math.abs(cse(1).x - 7.5) < 1e-8, eq.toText)
+    // multi-segment: interior vertices inside the window survive, and the
+    // piece's geodesic length is exactly (to - from) · total
+    val line = wkb("LINESTRING (0 0, 10 0, 10 10, 20 10)")
+    val h = Seq((0, 0, 10, 0), (10, 0, 10, 10), (10, 10, 20, 10)).map {
+      case (x1, y1, x2, y2) => KarneyGeodesic.distance(y1, x1, y2, x2)
+    }
+    val total = h.sum
+    val sub = geom(Geodesy.lineSubstringGeodesic(line, 0.1, 0.9))
+    val cs = sub.getCoordinates
+    var len = 0.0
+    (1 until cs.length).foreach(i =>
+      len += KarneyGeodesic.distance(cs(i - 1).y, cs(i - 1).x, cs(i).y, cs(i).x))
+    assert(math.abs(len - 0.8 * total) < 1e-5, s"len $len vs ${0.8 * total}")
+    assert(cs.exists(c => math.abs(c.x - 10.0) < 1e-9 && math.abs(c.y) < 1e-9),
+      "interior vertex (10, 0) must survive")
+    // vertex-aligned fractions do not duplicate points; full range is identity
+    val full = geom(Geodesy.lineSubstringGeodesic(line, 0.0, 1.0))
+    assert(full.getNumPoints == 4)
+    val zero = geom(Geodesy.lineSubstringGeodesic(line, 0.5, 0.5))
+    assert(zero.getNumPoints == 2 && zero.getLength == 0.0)
+    intercept[IllegalArgumentException](
+      Geodesy.lineSubstringGeodesic(line, 0.7, 0.3))
+  }
+
   test("SQL surface: ST_BufferGeodesic at both arities, monotone containment") {
     graft.functions.GeoFunctions.register(spark)
     val r = spark.sql("""
