@@ -3148,6 +3148,35 @@ object SparkEntry {
              ORDER BY (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy), c.cid) = 1)
     SELECT id AS pid, cid FROM a3 ORDER BY pid"""
 
+  /** Geodesic line substring (g123, round 19): the equator closed form
+    * again — `[from, to]` of `LINESTRING (0 0, Δλ 0)` cuts at exactly
+    * from·Δλ and to·Δλ (micro-degree gate over the direct∘inverse
+    * roundtrip noise), stays on the equator to the nano-degree, and the
+    * piece's geodesic length is (to−from)·a·rad(Δλ) to the millimeter. */
+  private val g123Spark = """
+    WITH p AS (
+      SELECT id, CAST(5 + id % 6 AS DOUBLE) * 5.0 AS dlam,
+             0.05 * CAST(1 + id % 5 AS DOUBLE) AS f0,
+             1.0 - 0.05 * CAST(1 + id % 7 AS DOUBLE) AS f1
+      FROM range(40)),
+    c AS (
+      SELECT id, dlam, f0, f1,
+             ST_LineSubstringGeodesic(
+               ST_GeomFromText(CONCAT('LINESTRING (0 0, ', dlam, ' 0)')), f0, f1) AS sub
+      FROM p)
+    SELECT id,
+           CAST(ROUND((ST_X(ST_PointN(sub, 0)) - f0 * dlam) * 1e6) AS BIGINT) AS x0_microdeg,
+           CAST(ROUND((ST_X(ST_PointN(sub, 1)) - f1 * dlam) * 1e6) AS BIGINT) AS x1_microdeg,
+           CAST(ROUND(ST_Y(ST_PointN(sub, 0)) * 1e9) AS BIGINT) AS y_nanodeg,
+           CAST(ROUND((ST_LengthGeodesic(sub)
+                       - (f1 - f0) * 6378137.0 * RADIANS(dlam)) * 1000) AS BIGINT) AS len_mm
+    FROM c ORDER BY id"""
+
+  private val g123Duck = """
+    SELECT i AS id, 0::BIGINT AS x0_microdeg, 0::BIGINT AS x1_microdeg,
+           0::BIGINT AS y_nanodeg, 0::BIGINT AS len_mm
+    FROM range(40) t(i) ORDER BY id"""
+
   /** RANK()-with-ties kNN join (g106, round 18): the SQL window shape
     * `RANK() OVER (PARTITION BY lid ORDER BY ST_Distance) <= k` over a
     * cross join is planned as [[graft.plans.KnnTopKExec]] in withTies
@@ -13286,6 +13315,7 @@ object SparkEntry {
     ("g120_cluster_within", g120Fn _, g120Duck),
     ("g121_closest_geodesic", q(g121Spark), g121Duck),
     ("g122_kmeans", g122Fn _, g122Duck),
+    ("g123_line_substring_geodesic", q(g123Spark), g123Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),
