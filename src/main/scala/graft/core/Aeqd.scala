@@ -111,13 +111,28 @@ object Aeqd {
     if (ga.isEmpty && gb.isEmpty) return GeomOps.write(planarOp(ga, gb))
     val anchor = GeomOps.factory.createGeometryCollection(Array(ga, gb)).getCentroid
     val (lon0, lat0) = (anchor.getX, anchor.getY)
-    val (pa, ra) = projectTo(lon0, lat0, ga)
-    val (pb, rb) = projectTo(lon0, lat0, gb)
+    // near-antipodal inputs hit forward()'s antipode require deep in the
+    // projection — rewrap so the error names the OVERLAY and its opt-outs
+    def proj(g: Geometry): (Geometry, Double) =
+      try projectTo(lon0, lat0, g)
+      catch {
+        case e: IllegalArgumentException if e.getMessage != null &&
+            e.getMessage.contains("antipode") =>
+          throw new IllegalArgumentException(
+            "geodesic overlay: an input vertex is near-antipodal to the inputs' " +
+              s"joint centroid, so it has no AEQD image (${e.getMessage}). Split " +
+              "the inputs (ST_Dump / ST_Subdivide), or set " +
+              "spark.graft.edges.dispatch.overlay=false to keep planar overlays " +
+              "over edges-stamped columns", e)
+      }
+    val (pa, ra) = proj(ga)
+    val (pb, rb) = proj(gb)
     val maxRange = math.max(ra, rb)
     require(maxRange <= MaxAnchorRange,
       f"geodesic overlay: inputs extend $maxRange%.0f m from their joint centroid — " +
         f"beyond ${MaxAnchorRange}%.0f m the local-plane error exceeds ~2%%. " +
-        "Split the inputs (ST_Dump / ST_Subdivide) and overlay the parts")
+        "Split the inputs (ST_Dump / ST_Subdivide) and overlay the parts, or set " +
+        "spark.graft.edges.dispatch.overlay=false to keep planar overlays")
     val back = inverseFrom(lon0, lat0, planarOp(pa, pb))
     // same near-tangent inversion guard as the buffer (fuzz-found there)
     GeomOps.write(

@@ -337,10 +337,11 @@ object Geodesy {
     * ST_LineSubstring): the piece of `line` between geodesic-length
     * fractions `from` and `to` — cut points are exact direct-problem
     * waypoints inside their segments, original vertices in between are
-    * preserved. A zero-length slice yields the point's 2-vertex
-    * degenerate line (the PostGIS convention is a POINT; a line keeps
-    * the output type stable for SQL schemas). SQL:
-    * ST_LineSubstringGeodesic(line, from, to). */
+    * preserved. A zero-length slice (from == to, or a zero-length input)
+    * yields a POINT — the PostGIS ST_LineSubstring convention; the
+    * 2-vertex degenerate line it previously produced fails ST_IsValid
+    * ('too few points') and is rejected by downstream overlay/buffer.
+    * SQL: ST_LineSubstringGeodesic(line, from, to). */
   def lineSubstringGeodesic(b: Array[Byte], from: Double, to: Double): Array[Byte] = {
     require(from >= 0.0 && to <= 1.0 && from <= to,
       s"ST_LineSubstringGeodesic: fractions ($from, $to) must satisfy 0 <= from <= to <= 1")
@@ -372,19 +373,19 @@ object Geodesy {
       }
     }
     if (total == 0.0)
-      return GeomOps.write(GeomOps.factory.createLineString(Array(cs(0), cs(0))))
+      return GeomOps.write(GeomOps.factory.createPoint(cs(0)))
     val (start, iAfterStart) = pointAt(from * total)
     val (end, iAfterEnd) = pointAt(to * total)
     val mid = cs.slice(iAfterStart, iAfterEnd)
     val outRaw = (start +: mid) :+ end
     // collapse exact duplicates the slicing can produce at vertex-aligned
-    // fractions, keeping at least two points
+    // fractions; a slice that collapses to one coordinate is a POINT
     val out = outRaw.foldLeft(Vector.empty[Coordinate]) {
       case (acc, c) if acc.nonEmpty && acc.last.equals2D(c) => acc
       case (acc, c) => acc :+ c
     }
-    val fin = if (out.length < 2) Array(out.head, out.head) else out.toArray
-    GeomOps.write(GeomOps.factory.createLineString(fin))
+    if (out.length < 2) GeomOps.write(GeomOps.factory.createPoint(out.head))
+    else GeomOps.write(GeomOps.factory.createLineString(out.toArray))
   }
 
   /** Parameterized ellipsoidal AEQD about (lon0, lat0) — WGS84-exact via

@@ -142,15 +142,16 @@ object NativeMeasures {
 
   // ── numPoints (JTS getNumPoints) ───────────────────────────────────────
 
-  /** MultiPoint.getNumPoints: Σ member counts — an all-NaN (EMPTY
-    * sentinel) member is POINT EMPTY, which counts 0. */
+  /** MultiPoint.getNumPoints: Σ member counts — an any-NaN member is
+    * POINT EMPTY (WKBReader collapses when isNaN(x) || isNaN(y), the
+    * same contract as the point kernels below), which counts 0. */
   def numPointsMultiPoint(a: ArrayData, width: Int): Int = {
     var s = 0
     var i = 0
     val n = a.numElements()
     while (i < n) {
       val c = a.getStruct(i, width)
-      if (!(java.lang.Double.isNaN(c.getDouble(0)) &&
+      if (!(java.lang.Double.isNaN(c.getDouble(0)) ||
             java.lang.Double.isNaN(c.getDouble(1)))) s += 1
       i += 1
     }
@@ -196,9 +197,9 @@ object NativeMeasures {
     java.lang.Double.valueOf(v)
   }
 
-  /** MultiPoint envelope bound: EMPTY (all-NaN) members are skipped
-    * entirely (their member envelope is null), others contribute their
-    * coordinate. */
+  /** MultiPoint envelope bound: EMPTY (any-NaN, the WKBReader collapse)
+    * members are skipped entirely (their member envelope is null),
+    * others contribute their coordinate. */
   def boundMultiPoint(a: ArrayData, width: Int, ord: Int, isMin: Boolean): java.lang.Double = {
     val n = a.numElements()
     var init = false
@@ -206,7 +207,7 @@ object NativeMeasures {
     var i = 0
     while (i < n) {
       val r = a.getStruct(i, width)
-      if (!(java.lang.Double.isNaN(r.getDouble(0)) &&
+      if (!(java.lang.Double.isNaN(r.getDouble(0)) ||
             java.lang.Double.isNaN(r.getDouble(1)))) {
         val c = r.getDouble(ord)
         if (!init) { v = c; init = true }
@@ -291,13 +292,14 @@ object NativeMeasures {
     true
   }
 
-  /** MultiPoint.isEmpty: every member is the all-NaN EMPTY sentinel. */
+  /** MultiPoint.isEmpty: every member is EMPTY — any-NaN, matching the
+    * WKBReader collapse the slow path goes through. */
   def isEmptyMultiPoint(a: ArrayData, width: Int): Boolean = {
     var i = 0
     val n = a.numElements()
     while (i < n) {
       val r = a.getStruct(i, width)
-      if (!(java.lang.Double.isNaN(r.getDouble(0)) &&
+      if (!(java.lang.Double.isNaN(r.getDouble(0)) ||
             java.lang.Double.isNaN(r.getDouble(1)))) return false
       i += 1
     }
@@ -610,8 +612,8 @@ object NativeMeasures {
     while (i < n) {
       val r = a.getStruct(i, width)
       val x = r.getDouble(0); val y = r.getDouble(1)
-      // the all-NaN sentinel is POINT EMPTY — skipped like any empty member
-      if (!(java.lang.Double.isNaN(x) && java.lang.Double.isNaN(y))) acc.addPoint(x, y)
+      // any-NaN is POINT EMPTY (WKBReader collapse) — skipped like any empty member
+      if (!(java.lang.Double.isNaN(x) || java.lang.Double.isNaN(y))) acc.addPoint(x, y)
       i += 1
     }
     acc.result()

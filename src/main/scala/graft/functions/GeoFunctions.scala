@@ -482,6 +482,17 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
       StaticInvoke(cls, D, method, in.map(Cast(_, G)), Nil,
         propagateNull = true, returnNullable = false)
     if (overlay) {
+      // the overlay half dispatches to a LOUD-FAILURE kernel (extent /
+      // antipode requires), so it gets its own opt-out: users who need the
+      // old always-succeeding planar overlays over stamped data keep them
+      // without losing the measure/distance dispatch
+      val overlayEnabled = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.edges.dispatch.overlay", "true").toBoolean
+      if (!overlayEnabled) {
+        logWarning(s"$name over an edges='$model' stamped column with " +
+          "spark.graft.edges.dispatch.overlay=false — overlaying PLANAR.")
+        return None
+      }
       // model-independent: any recognized model takes the shared geodesic
       // plane; an unrecognized declaration keeps the planar overlay, loudly
       if (pickVariant(model, ("g", "g", "g", "g")).isEmpty) {

@@ -14,8 +14,9 @@ import graft.core.Blocks
   *    across runs, partitionings, and engines);
   *  - fixed iteration count (no convergence test whose float epsilon
   *    could flip between engines);
-  *  - re-centroiding sums FLOOR(coord·1e6) BIGINTs (the e13/SemDeDup
-  *    discipline): integer sums are order-independent, so the centroid
+  *  - re-centroiding sums FLOOR(coord·1e6) as DECIMAL(38,0) (the
+  *    e13/SemDeDup discipline, widened past Long so ~5e10-row clusters
+  *    cannot wrap): integer sums are order-independent, so the centroid
   *    doubles — and therefore every assignment — are bit-reproducible
   *    and DuckDB can replay the whole unrolled recursion (oracle g122);
   *  - argmin ties break toward the smallest cluster index (strict `<`
@@ -60,7 +61,11 @@ object KMeans {
         .where(col("__km_g").isNotNull && !call_function("st_isempty", col("__km_g")))
         .select(col("__km_id"),
           call_function("st_x", call_function("st_centroid", col("__km_g"))).as("__km_x"),
-          call_function("st_y", call_function("st_centroid", col("__km_g"))).as("__km_y")))
+          call_function("st_y", call_function("st_centroid", col("__km_g"))).as("__km_y"))
+        // a NaN centroid ordinate (degenerate geometry) would become a null
+        // addend that SUM skips while count() still counts the row, skewing
+        // the mean — exclude it up front like null/EMPTY
+        .where(!isnan(col("__km_x")) && !isnan(col("__km_y"))))
 
     var cents: Array[(Double, Double)] =
       pts.orderBy("__km_id").limit(k).collect()
@@ -78,17 +83,19 @@ object KMeans {
     var it = 0
     while (it < iters) {
       // integer-exact partial sums: order-independent across tasks, so
-      // the division below yields the same doubles on every run/engine
+      // the division below yields the same doubles on every run/engine.
+      // DECIMAL(38,0), not BIGINT: a cluster of ~5e10 rows at |coord|~180
+      // (well inside 100-TB scale) would silently wrap a non-ANSI Long sum
       val sums = assigned.groupBy("__km_c").agg(
-        sum(floor(col("__km_x") * 1e6).cast("long")).as("sx"),
-        sum(floor(col("__km_y") * 1e6).cast("long")).as("sy"),
+        sum(floor(col("__km_x") * 1e6).cast("decimal(38,0)")).as("sx"),
+        sum(floor(col("__km_y") * 1e6).cast("decimal(38,0)")).as("sy"),
         count(lit(1)).as("n")).collect()
       val next = cents.clone()
       sums.foreach { r =>
         val c = r.getInt(0)
         val n = r.getLong(3)
-        next(c) = ((r.getLong(1).toDouble / n) / 1e6,
-                   (r.getLong(2).toDouble / n) / 1e6)
+        next(c) = ((r.getDecimal(1).doubleValue() / n) / 1e6,
+                   (r.getDecimal(2).doubleValue() / n) / 1e6)
       }
       cents = next // empty clusters keep their previous centroid
       it += 1

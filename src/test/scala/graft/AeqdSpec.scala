@@ -304,6 +304,33 @@ class AeqdSpec extends SparkTestBase {
         "SELECT ST_X(ST_Intersection(geometry, other)) AS x FROM aeqd_ov").head()
       assert(math.abs(p.getDouble(0) - 5.0) < 1e-9, s"kill switch ignored: ${p.getDouble(0)}")
     } finally spark.conf.set("spark.graft.edges.dispatch", "true")
+    // the OVERLAY-ONLY opt-out keeps planar overlays while the measure
+    // dispatch stays live (round-19 advisor finding: the geodesic overlay
+    // kernel fails loudly on >1.5e6 m extents; users need a way to keep
+    // plain ST_Intersection working without losing geodesic lengths)
+    spark.conf.set("spark.graft.edges.dispatch.overlay", "false")
+    try {
+      val p = spark.sql(
+        "SELECT ST_X(ST_Intersection(geometry, other)) AS x, " +
+        "       ST_Length(geometry) AS len FROM aeqd_ov").head()
+      assert(math.abs(p.getDouble(0) - 5.0) < 1e-9,
+        s"overlay opt-out ignored: ${p.getDouble(0)}")
+      assert(p.getDouble(1) > 100000.0,
+        s"measure dispatch must stay geodesic (meters): ${p.getDouble(1)}")
+    } finally spark.conf.unset("spark.graft.edges.dispatch.overlay")
+  }
+
+  test("geodesic overlay antipode failure names the overlay and its opt-out") {
+    import graft.core.Aeqd
+    // the long a dominates the length-weighted joint centroid (≈ (1e-5°, 0),
+    // ~1 m east of the origin), so b's vertex at (180, 0) sits ~1 m from the
+    // centroid's antipode → forward()'s antipode require fires during
+    // projection, and the overlay wrapper must recontextualize it
+    val a = wkb("LINESTRING (-1 0, 1 0)")
+    val b = wkb("LINESTRING (180 0, 180 0.0000001)")
+    val e = intercept[IllegalArgumentException](Aeqd.overlayGeodesic(a, b, 1))
+    assert(e.getMessage.contains("geodesic overlay"), e.getMessage)
+    assert(e.getMessage.contains("spark.graft.edges.dispatch.overlay"), e.getMessage)
   }
 
   test("geodesic closest point / shortest line: the analytic foot within sub-cm distance") {
@@ -386,8 +413,13 @@ class AeqdSpec extends SparkTestBase {
     // vertex-aligned fractions do not duplicate points; full range is identity
     val full = geom(Geodesy.lineSubstringGeodesic(line, 0.0, 1.0))
     assert(full.getNumPoints == 4)
+    // zero-length slice is a POINT (PostGIS ST_LineSubstring convention) —
+    // and therefore valid, unlike a 2-point degenerate line
     val zero = geom(Geodesy.lineSubstringGeodesic(line, 0.5, 0.5))
-    assert(zero.getNumPoints == 2 && zero.getLength == 0.0)
+    assert(zero.getGeometryType == "Point" && zero.isValid, zero.toText)
+    val mid = geom(Geodesy.lineSubstringGeodesic(wkb("LINESTRING (0 0, 10 0)"), 0.5, 0.5))
+    assert(mid.getGeometryType == "Point" &&
+      math.abs(mid.getCoordinate.x - 5.0) < 1e-8, mid.toText)
     intercept[IllegalArgumentException](
       Geodesy.lineSubstringGeodesic(line, 0.7, 0.3))
   }

@@ -238,6 +238,33 @@ class NativeNestedFastPathSpec extends SparkTestBase {
     assert(NativeMeasures.boundMultiPoint(arrMp(allEmpty, 2), 2, 0, true) == null)
   }
 
+  test("multipoint mixed-NaN members collapse to EMPTY like the WKB hop") {
+    // The slow path the kernels replace is native → gaMultiPoint → WKB →
+    // WKBReader, and JTS 1.20's WKBReader.readPoint collapses a member to
+    // POINT EMPTY when isNaN(x) || isNaN(y) — not only when both are NaN.
+    // A member like (5, NaN) must therefore be skipped/counted-0 by the
+    // native kernels too (round-19 advisor finding). The oracle here IS
+    // that chain: transcode the raw array, reparse, compare.
+    import graft.core.{GeoArrowOps, GeomOps}
+    def mk(members: (Double, Double)*): ArrayData =
+      new GenericArrayData(members.map { case (x, y) =>
+        new GenericInternalRow(Array[Any](x, y)): Any }.toArray)
+    val cases = Seq(
+      mk((5.0, Double.NaN), (1.0, 2.0), (Double.NaN, 7.0)),   // mixed NaN + real
+      mk((5.0, Double.NaN), (Double.NaN, 7.0)),               // all members NaN-bearing
+      mk((Double.NaN, Double.NaN), (3.0, 4.0)),               // classic sentinel + real
+      mk((0.0, 0.0), (Double.NaN, Double.NaN), (5.0, Double.NaN)))
+    cases.foreach { a =>
+      val viaWkb = GeomOps.read(GeoArrowOps.gaMultiPoint(a, z = false, m = false))
+      assert(NativeMeasures.numPointsMultiPoint(a, 2) == viaWkb.getNumPoints,
+        s"numPoints vs ${viaWkb.toText}")
+      assert(NativeMeasures.isEmptyMultiPoint(a, 2) == viaWkb.isEmpty,
+        s"isEmpty vs ${viaWkb.toText}")
+      checkBounds(viaWkb, NativeMeasures.boundMultiPoint(a, 2, _, _))
+      checkCentroid(viaWkb, NativeMeasures.centroidMultiPoint(a, 2))
+    }
+  }
+
   // ── layer 2: the plan rewrite over native GeoParquet files ────────────
 
   /** WKT corpus per native encoding, incl. EMPTY and NULL rows */
