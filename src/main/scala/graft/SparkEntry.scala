@@ -3058,6 +3058,57 @@ object SparkEntry {
     SELECT i AS pid, (i // 6) * 6 AS cluster_id
     FROM range(120) t(i) ORDER BY pid"""
 
+  /** ST_ClusterIntersecting (g125, round 19 — completes the PostGIS
+    * cluster quartet): connected components of the ST_Intersects graph.
+    * Chains of 5 envelopes overlap pairwise inside a group (offset 1 <
+    * width 1.2) and groups sit 100 apart, so the closed-form component
+    * label is the group's minimum id. The pair join rides the planner's
+    * grid strategy — candidate generation is O(local overlap). */
+  private def g125Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val boxes = s.sql("""
+      SELECT CAST(id AS BIGINT) AS pid,
+             ST_MakeEnvelope(
+               CAST(CAST(id / 5 AS INT) * 100 + id % 5 AS DOUBLE), 0.0,
+               CAST(CAST(id / 5 AS INT) * 100 + id % 5 AS DOUBLE) + 1.2, 1.0) AS geom
+      FROM range(150)""")
+    graft.operators.Dbscan.clusterIntersecting(boxes, "pid", "geom")
+      .selectExpr("pid", "CAST(cluster_id AS BIGINT) AS cluster_id")
+      .orderBy("pid")
+  }
+
+  private val g125Duck = """
+    SELECT i AS pid, (i // 5) * 5 AS cluster_id
+    FROM range(150) t(i) ORDER BY pid"""
+
+  /** Boolean predicates over edges-stamped POINT columns (g126, round 19):
+    * a point has no edges, so predicates are model-independent and the
+    * planar kernel answers exactly — the documented decision's oracle
+    * half (non-point stamped columns stay planar-with-warning, pinned in
+    * GeodesicBoundSpec). Points (id%25, id%10) are equal iff
+    * id ≡ id' (mod 50); the ST_Intersects self-join over the stamped
+    * read must return exactly those pairs, grid-planned like any
+    * predicate join. */
+  private def g126Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g126_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    graft.sources.GeoParquet.write(s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             ST_Point(CAST(id % 25 AS DOUBLE), CAST(id % 10 AS DOUBLE)) AS geometry
+      FROM range(100)"""), out, edges = Some("spherical"))
+    graft.sources.GeoParquet.read(s, out).createOrReplaceTempView("g126_pts")
+    s.sql("""
+      SELECT a.fid AS aid, b.fid AS bid
+      FROM g126_pts a JOIN g126_pts b
+        ON ST_Intersects(a.geometry, b.geometry) AND a.fid < b.fid
+      ORDER BY aid""")
+  }
+
+  private val g126Duck = """
+    SELECT i::BIGINT AS aid, (i + 50)::BIGINT AS bid
+    FROM range(50) t(i) ORDER BY aid"""
+
   /** Geodesic closest-point / shortest-line (g121, round 19): on an
     * equator segment the true foot from (λ, φ) is (λ, 0) by meridian
     * perpendicularity, so DuckDB can gate the semantics: the returned
@@ -3177,6 +3228,38 @@ object SparkEntry {
            0::BIGINT AS y_nanodeg, 0::BIGINT AS len_mm
     FROM range(40) t(i) ORDER BY id"""
 
+  /** Geodesic BOUNDED bbox read (g124, round 19) — the wrong-answer-by-
+    * pruning scenario the edges contract names (edges.rs:3-8 "bounding"):
+    * symmetric chords `(-Δλ φ0, Δλ φ0)` are written edges-stamped; their
+    * arcs bow poleward to the Clairaut vertex φv = atan(tan φ0 / cos Δλ),
+    * far above the chord bbox (lat φ0). A polar window crossed by the ARC
+    * but disjoint from every CHORD box must still return those rows: the
+    * stamped write pads the covering to the vertex (st_bboxgeodesic) and
+    * the stamped read refines along the segmentized arc. Membership is
+    * decided with ≥ 1° margin, so the spherical closed form in DuckDB and
+    * the engine's Karney-arc refine (≤ 0.2° apart) agree exactly. */
+  private def g124Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g124_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val rows = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CAST(30 + 10 * (id % 4) AS DOUBLE) AS dlam,
+             CAST(35 + 5 * (CAST(id / 4 AS INT) % 5) AS DOUBLE) AS lat0
+      FROM range(20)""")
+      .selectExpr("fid",
+        "ST_GeomFromText(CONCAT('LINESTRING (-', dlam, ' ', lat0, ', ', dlam, ' ', lat0, ')')) AS geometry")
+    graft.sources.GeoParquet.write(rows.coalesce(2), out, edges = Some("spherical"))
+    graft.sources.GeoParquet.read(s, out, bbox = Some((-0.5, 64.5, 0.5, 90.0)))
+      .selectExpr("fid AS id").orderBy("id")
+  }
+
+  private val g124Duck = """
+    SELECT i::BIGINT AS id FROM range(20) t(i)
+    WHERE DEGREES(ATAN(TAN(RADIANS(35 + 5 * ((i // 4) % 5)))
+                       / COS(RADIANS(30 + 10 * (i % 4))))) > 64.5
+    ORDER BY id"""
+
   /** RANK()-with-ties kNN join (g106, round 18): the SQL window shape
     * `RANK() OVER (PARTITION BY lid ORDER BY ST_Distance) <= k` over a
     * cross join is planned as [[graft.plans.KnnTopKExec]] in withTies
@@ -3217,6 +3300,48 @@ object SparkEntry {
               FROM l CROSS JOIN r),
     rk AS (SELECT lid, rid, d,
                   RANK() OVER (PARTITION BY lid ORDER BY d) AS rnk
+           FROM pairs)
+    SELECT lid, rnk::BIGINT AS rnk, rid, ROUND(d, 6) AS dist
+    FROM rk WHERE rnk <= 3 ORDER BY lid, rnk, rid"""
+
+  /** Farthest-k join (g127, round 19 — the g106 shape with ORDER BY
+    * DESC): `RANK() OVER (… ORDER BY ST_Distance DESC) <= 3` over a cross
+    * join plans as [[graft.plans.KnnTopKExec]] in descending mode
+    * (plan-asserted in KnnJoinSpec), which runs the exact cell-bound
+    * farthest-k operator — candidate cells are those whose max corner
+    * distance reaches the k-th largest per-cell lower bound, never a
+    * cartesian. Same duplicate-point tie classes as g106, so the RANK
+    * boundary extension carries weight; squared distances are integers,
+    * making tie equality exact in both engines. */
+  private val g127Spark = """
+    SELECT lid, CAST(rk AS BIGINT) AS rnk, rid, ROUND(d, 6) AS dist
+    FROM (SELECT l.lid, r.rid, ST_Distance(l.lg, r.rg) AS d,
+                 RANK() OVER (PARTITION BY l.lid ORDER BY ST_Distance(l.lg, r.rg) DESC) AS rk
+          FROM (SELECT c_custkey AS lid,
+                       ST_Point(CAST(c_custkey % 41 AS DOUBLE),
+                                CAST((c_custkey * 7) % 37 AS DOUBLE)) AS lg
+                FROM customer WHERE c_custkey % 30 = 1) l
+          CROSS JOIN (SELECT p_partkey AS rid,
+                             ST_Point(CAST(p_partkey % 50 AS DOUBLE),
+                                      CAST((p_partkey * 7) % 50 AS DOUBLE)) AS rg
+                      FROM part) r) t
+    WHERE rk <= 3
+    ORDER BY lid, rnk, rid"""
+
+  private val g127Duck = """
+    WITH l AS (SELECT c_custkey AS lid,
+                      CAST(c_custkey % 41 AS DOUBLE) AS lx,
+                      CAST((c_custkey * 7) % 37 AS DOUBLE) AS ly
+               FROM customer WHERE c_custkey % 30 = 1),
+    r AS (SELECT p_partkey AS rid,
+                 CAST(p_partkey % 50 AS DOUBLE) AS rx,
+                 CAST((p_partkey * 7) % 50 AS DOUBLE) AS ry
+          FROM part),
+    pairs AS (SELECT lid, rid,
+                     sqrt((lx - rx) * (lx - rx) + (ly - ry) * (ly - ry)) AS d
+              FROM l CROSS JOIN r),
+    rk AS (SELECT lid, rid, d,
+                  RANK() OVER (PARTITION BY lid ORDER BY d DESC) AS rnk
            FROM pairs)
     SELECT lid, rnk::BIGINT AS rnk, rid, ROUND(d, 6) AS dist
     FROM rk WHERE rnk <= 3 ORDER BY lid, rnk, rid"""
@@ -13316,6 +13441,10 @@ object SparkEntry {
     ("g121_closest_geodesic", q(g121Spark), g121Duck),
     ("g122_kmeans", g122Fn _, g122Duck),
     ("g123_line_substring_geodesic", q(g123Spark), g123Duck),
+    ("g124_geodesic_bounded_read", g124Fn _, g124Duck),
+    ("g125_cluster_intersecting", g125Fn _, g125Duck),
+    ("g126_point_predicate_stamped", g126Fn _, g126Duck),
+    ("g127_farthest_k", q(g127Spark), g127Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -313,6 +313,127 @@ object Geodesy {
     GeomOps.point(lo, la)
   }
 
+  // ── geodesic bounding (round 20: the last operation the edges contract
+  //    names — rust/geoarrow-schema/src/edges.rs:3-8 "does affect …
+  //    bounding") ──────────────────────────────────────────────────────
+
+  /** ~1.1 cm of latitude: absorbs the Karney series truncation so the
+    * bound is strictly conservative over every supported edge model. */
+  private val LatPadEps = 1e-7
+
+  /** Latitude range of the ARC p→q traced as a geodesic (endpoints
+    * included). Along a shortest geodesic sin α keeps its sign (Clairaut),
+    * so LONGITUDE is monotonic and needs no extension — but latitude bows
+    * poleward to the vertex latitude φv whenever the azimuth crosses
+    * 90°/270° inside the segment. φv is closed-form: Clairaut on the
+    * auxiliary sphere gives cos βv = |sin α₁ · cos β₁| with the reduced
+    * latitude β = atan((1−f)·tan φ). Both the spheroid (Karney azimuths —
+    * covers karney/andoyer/thomas/vincenty, all WGS84-geodesic paths) and
+    * the sphere (haversine-model azimuths, f = 0) are evaluated and the
+    * more poleward extension wins, so one bound is conservative for every
+    * recognized edge model. */
+  private def segmentLatRange(lat1: Double, lon1: Double,
+                              lat2: Double, lon2: Double): (Double, Double) = {
+    var lo = math.min(lat1, lat2)
+    var hi = math.max(lat1, lat2)
+    // spheroid: Karney azimuths + reduced-latitude Clairaut
+    val (s, azi1, azi2) = KarneyGeodesic.inverseAzimuth(lat1, lon1, lat2, lon2)
+    if (s > 0.0) {
+      val c1 = math.cos(math.toRadians(azi1))
+      val c2 = math.cos(math.toRadians(azi2))
+      lazy val phiV = {
+        val b1 = math.atan((1.0 - KarneyGeodesic.f) * math.tan(math.toRadians(lat1)))
+        val bv = math.acos(math.min(1.0,
+          math.abs(math.sin(math.toRadians(azi1)) * math.cos(b1))))
+        math.toDegrees(math.atan(math.tan(bv) / (1.0 - KarneyGeodesic.f)))
+      }
+      if (c1 >= 0.0 && c2 <= 0.0) hi = math.max(hi, phiV + LatPadEps)
+      if (c1 <= 0.0 && c2 >= 0.0) lo = math.min(lo, -phiV - LatPadEps)
+      // sphere: same construction at f = 0 with great-circle azimuths
+      val f1 = math.toRadians(lat1); val f2 = math.toRadians(lat2)
+      val dl = math.toRadians(lon2 - lon1)
+      val a1 = math.atan2(math.sin(dl) * math.cos(f2),
+        math.cos(f1) * math.sin(f2) - math.sin(f1) * math.cos(f2) * math.cos(dl))
+      // forward azimuth at q is the reverse bearing + 180°, so cos flips
+      val cRev = math.cos(math.atan2(math.sin(-dl) * math.cos(f1),
+        math.cos(f2) * math.sin(f1) - math.sin(f2) * math.cos(f1) * math.cos(dl)))
+      val c1s = math.cos(a1)
+      val c2s = -cRev
+      lazy val phiVs = math.toDegrees(math.acos(math.min(1.0,
+        math.abs(math.sin(a1) * math.cos(f1)))))
+      if (c1s >= 0.0 && c2s <= 0.0) hi = math.max(hi, phiVs + LatPadEps)
+      if (c1s <= 0.0 && c2s >= 0.0) lo = math.min(lo, -phiVs - LatPadEps)
+    }
+    (math.max(-90.0, lo), math.min(90.0, hi))
+  }
+
+  /** lon/lat envelope of `g` with its edges traced as GEODESICS instead of
+    * chords — the chord (vertex) envelope extended poleward by the exact
+    * per-segment vertex latitude ([[segmentLatRange]]). Strictly contains
+    * the vertex envelope, the true arcs of every supported edge model, and
+    * any [[segmentizeGeodesic]] densification of them (waypoints lie ON
+    * the geodesic; chords between waypoints interpolate within their
+    * endpoints' range). Polygons walk ALL rings (a geodesic-traced hole
+    * edge may bow past the shell's chord box). */
+  def geodesicEnvelope(g: Geometry): Envelope = {
+    val env = new Envelope()
+    def walk(coords: Array[Coordinate]): Unit = {
+      var i = 0
+      while (i < coords.length) {
+        val c = coords(i)
+        val cOk = !c.x.isNaN && !c.y.isNaN
+        if (cOk) env.expandToInclude(c.x, c.y)
+        if (i > 0) {
+          val p = coords(i - 1)
+          if (cOk && !p.x.isNaN && !p.y.isNaN && (p.x != c.x || p.y != c.y)) {
+            val (lo, hi) = segmentLatRange(p.y, p.x, c.y, c.x)
+            env.expandToInclude(p.x, lo)
+            env.expandToInclude(p.x, hi)
+          }
+        }
+        i += 1
+      }
+    }
+    def rec(geom: Geometry): Unit = geom match {
+      case p: Point =>
+        if (!p.isEmpty) {
+          val c = p.getCoordinate
+          if (!c.x.isNaN && !c.y.isNaN) env.expandToInclude(c.x, c.y)
+        }
+      case l: LineString => walk(l.getCoordinates)
+      case pl: Polygon =>
+        if (!pl.isEmpty) {
+          walk(pl.getExteriorRing.getCoordinates)
+          var r = 0
+          while (r < pl.getNumInteriorRing) {
+            walk(pl.getInteriorRingN(r).getCoordinates); r += 1
+          }
+        }
+      case coll: GeometryCollection =>
+        var i = 0
+        while (i < coll.getNumGeometries) { rec(coll.getGeometryN(i)); i += 1 }
+      case other => walk(other.getCoordinates)
+    }
+    rec(g)
+    env
+  }
+
+  /** Geodesic covering bbox — [[GeomOps.bbox]]'s struct shape over
+    * [[geodesicEnvelope]] (empty reads the JTS null-envelope 0/-1
+    * sentinel, same as the planar kernel). SQL: ST_BboxGeodesic. */
+  def bboxGeodesic(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val e = geodesicEnvelope(GeomOps.read(b))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
+  }
+
+  /** Geodesic envelope as a geometry (rectangle; degenerate inputs follow
+    * JTS toGeometry: point/line for zero-extent envelopes). SQL:
+    * ST_EnvelopeGeodesic — also what ST_Envelope/ST_Extent_Agg dispatch
+    * to over edges-stamped columns. */
+  def envelopeGeodesic(b: Array[Byte]): Array[Byte] =
+    GeomOps.write(GeomOps.factory.toGeometry(geodesicEnvelope(GeomOps.read(b))))
+
   /** Geodesic overlays on the shared local AEQD plane
     * ([[Aeqd.overlayGeodesic]]) — closes the edges-contract half both
     * engines previously left planar. SQL: ST_IntersectionGeodesic /

@@ -249,6 +249,8 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_lineinterpolatepointgeodesic" ->
       Sig("lineInterpolatePointGeodesic", G, Seq(G, D), geodesy),
     "st_linesubstringgeodesic" -> Sig("lineSubstringGeodesic", G, Seq(G, D, D), geodesy),
+    "st_bboxgeodesic" -> Sig("bboxGeodesic", bboxType, Seq(G), geodesy),
+    "st_envelopegeodesic" -> Sig("envelopeGeodesic", G, Seq(G), geodesy),
     "st_distancesphere" -> Sig("distanceSphere", D, Seq(G, G), geodesy),
     "st_project" -> Sig("projectSphere", G, Seq(G, D, D), geodesy),
     "st_lengthsphere" -> Sig("lengthSphere", D, Seq(G), geodesy),
@@ -426,6 +428,21 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_difference" -> "differenceGeodesic",
     "st_symdifference" -> "symDifferenceGeodesic")
 
+  /** Boolean predicates under an edge model (round 19 — the documented
+    * decision, not a rewrite): for POINT geometries every predicate is
+    * model-INDEPENDENT (a point has no edges — equality/containment of
+    * zero-dimensional sets reads the same under any edge tracing), so the
+    * planar kernel already returns the model-true answer and point-only
+    * stamped columns dispatch to… exactly what the user wrote. For
+    * non-point stamped columns the predicates stay PLANAR — a divergence
+    * SHARED with the reference (its compute layer has no geodesic
+    * predicate either) — but loudly: one warning per query build names the
+    * columns and the segmentize workaround. */
+  private val edgePredicateNames: Set[String] = Set(
+    "st_intersects", "st_contains", "st_within", "st_covers", "st_coveredby",
+    "st_crosses", "st_disjoint", "st_equals", "st_overlaps", "st_touches",
+    "st_relate")
+
   /** The declared edges model of a DIRECT stamped column reference, or None.
     * Non-attribute expressions (derived geometry) deliberately return None:
     * `ST_Length(ST_Simplify(g, t))` keeps the measure the user wrote. */
@@ -461,8 +478,10 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     val binary = args.length >= 2 && edgeDistanceVariants.contains(name) &&
       (name != "st_dwithin" || args.length == 3)
     val overlay = args.length == 2 && edgeOverlayVariants.contains(name)
-    if (!unary && !binary && !overlay) return None
-    val stamps = (if (unary) args.take(1) else args.take(2)).flatMap(stampOf)
+    val bounding = args.length == 1 && (name == "st_envelope" || name == "st_bbox")
+    val predicate = args.length >= 2 && edgePredicateNames.contains(name)
+    if (!unary && !binary && !overlay && !bounding && !predicate) return None
+    val stamps = (if (unary || bounding) args.take(1) else args.take(2)).flatMap(stampOf)
     if (stamps.isEmpty) return None
     val model = stamps.distinct match {
       case Seq(one) => one
@@ -478,9 +497,45 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     val enabled = org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.edges.dispatch", "true").toBoolean
     if (!enabled) return None
+    if (predicate) {
+      // the documented predicate decision (see edgePredicateNames): points
+      // are model-independent, so the planar kernel already answers
+      // exactly; a stamped column not proven point-only gets the planar
+      // answer WITH a warning naming the workaround
+      val unproven = args.take(2).collect {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if a.metadata.contains("geoparquet.edges") &&
+              !pointOnlyTypes(a.metadata) => a.name
+      }
+      if (unproven.nonEmpty)
+        logWarning(s"$name over edges='$model' stamped non-point column(s) " +
+          s"${unproven.mkString(", ")} — evaluating PLANAR (shared divergence " +
+          "with the reference: boolean predicates have no geodesic kernel). " +
+          "Densify with ST_SegmentizeGeodesic first if chord-vs-arc topology " +
+          "matters at your extent, or set spark.graft.edges.dispatch=false " +
+          "to silence.")
+      return None
+    }
     def invoke(cls: Class[_], method: String, in: Seq[Expression]): Expression =
       StaticInvoke(cls, D, method, in.map(Cast(_, G)), Nil,
         propagateNull = true, returnNullable = false)
+    if (bounding) {
+      // bounding under an edge model (edges.rs:3-8 names it): the chord
+      // (vertex) envelope is extended poleward to each segment's exact
+      // vertex latitude. Model-independent like the overlays — the bound
+      // is conservative for every recognized model — and never loud
+      // (closed-form, no extent limit), so only the global kill switch
+      // applies. An unrecognized declaration keeps the planar bound, loudly.
+      if (pickVariant(model, ("g", "g", "g", "g")).isEmpty) {
+        logWarning(s"$name over a column declaring edges='$model' (not a " +
+          "recognized model) — bounding PLANAR (vertex envelope).")
+        return None
+      }
+      val method = if (name == "st_bbox") "bboxGeodesic" else "envelopeGeodesic"
+      val rt = if (name == "st_bbox") bboxType else G
+      return Some(StaticInvoke(geodesy, rt, method,
+        Seq(Cast(args.head, G)), Nil, propagateNull = true, returnNullable = false))
+    }
     if (overlay) {
       // the overlay half dispatches to a LOUD-FAILURE kernel (extent /
       // antipode requires), so it gets its own opt-out: users who need the
@@ -579,6 +634,11 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     // fold COUNT(*)-over-spatial-join into the probe loop (g15's shape)
     if (!exp.extraOptimizations.contains(graft.plans.SpatialCountFoldRule))
       exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.SpatialCountFoldRule
+    // ST_Extent_Agg over edges-stamped columns aggregates geodesic bounds;
+    // must precede NativePointFastPath so the planar leaf-stats extent
+    // rewrite cannot claim a stamped column first
+    if (!exp.extraOptimizations.contains(graft.plans.GeodesicExtentRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.GeodesicExtentRule
     // native-point columnar fast path: coordinate accessors / extent over a
     // ga_point scan transcode read the struct leaves directly (no WKB/JTS)
     if (!exp.extraOptimizations.contains(graft.plans.NativePointFastPath))

@@ -37,17 +37,28 @@ object Dbscan {
   def cluster(df: DataFrame, idCol: String, geomCol: String,
               eps: Double, minPts: Int, maxIter: Int = 20): DataFrame = {
     require(eps > 0, s"eps must be positive, got $eps")
+    componentsOf(df, idCol, geomCol,
+      s"ST_DWithin(a.geom, b.geom, $eps)", minPts, maxIter)
+  }
+
+  /** The shared engine: neighbor pairs via the planner's grid join on
+    * `predicateSql` (any binary ST_ predicate over `a.geom`/`b.geom`),
+    * then DBSCAN's core/border/noise labeling over them. */
+  private def componentsOf(df: DataFrame, idCol: String, geomCol: String,
+                           predicateSql: String, minPts: Int,
+                           maxIter: Int): DataFrame = {
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    graft.functions.GeoFunctions.register(df.sparkSession)
     // checkpointed intermediates stay pinned until the session evicts them:
     // the returned plan still reads pts/pairs/labels, so releasing here
     // would evict blocks a localCheckpoint cannot recompute
     val (pts, _) = Blocks.checkpoint(
       df.select(col(idCol).cast("long").as("id"), col(geomCol).as("geom")))
 
-    // ε-pairs, self excluded; the strategy plans this as the cell-grid join
+    // neighbor pairs, self excluded; the strategy plans the cell-grid join
     val (pairs, _) = Blocks.checkpoint(
       pts.as("a").join(pts.as("b"),
-          expr(s"ST_DWithin(a.geom, b.geom, $eps)") && col("a.id") =!= col("b.id"))
+          expr(predicateSql) && col("a.id") =!= col("b.id"))
         .select(col("a.id").as("src"), col("b.id").as("dst")))
 
     // ε-degree including the point itself. A point with zero ε-neighbors
@@ -97,4 +108,19 @@ object Dbscan {
   def clusterWithin(df: DataFrame, idCol: String, geomCol: String,
                     dist: Double, maxIter: Int = 20): DataFrame =
     cluster(df, idCol, geomCol, dist, minPts = 1, maxIter = maxIter)
+
+  /** PostGIS `ST_ClusterIntersecting` as a DataFrame transform (round 19,
+    * completing the cluster quartet): clusters are the connected
+    * components of the `ST_Intersects` graph — [[clusterWithin]] minus the
+    * distance. Every row gets a non-null `cluster_id` (the minimum id in
+    * its component; a geometry intersecting nothing is its own singleton
+    * cluster). The pair join rides the planner's grid strategy like every
+    * ST_Intersects join, so candidate generation is O(local overlap),
+    * never all-pairs. PostGIS shapes the result as an aggregate of
+    * GeometryCollections; the per-row label is this engine's convention
+    * (collect with `ST_Union_Agg`/`collect_list` GROUP BY cluster_id). */
+  def clusterIntersecting(df: DataFrame, idCol: String, geomCol: String,
+                          maxIter: Int = 20): DataFrame =
+    componentsOf(df, idCol, geomCol, "ST_Intersects(a.geom, b.geom)",
+      minPts = 1, maxIter = maxIter)
 }

@@ -490,6 +490,157 @@ object SpatialJoin {
     * single-task-hotspot path behind graft.knn.broadcastRemainderMaxRows). */
   private[graft] val gridFallbackCount = new java.util.concurrent.atomic.LongAdder
 
+  /** Farthest-k join (round 19 — the last warned-not-planned window
+    * shape): per left row, the k rows of `right` with the LARGEST planar
+    * `ST_Distance`. Exact, one candidate pass, never a cartesian:
+    *
+    *  1. the right side buckets into ≤ `graft.knn.farthestCells` grid
+    *     cells (envelope-center assignment); per-cell stats — row count +
+    *     the union bbox of member envelopes — collect to the driver
+    *     (bounded) and broadcast;
+    *  2. per left row, each cell gets distance BOUNDS from pure box
+    *     arithmetic: `lo` = box-gap distance (every member's distance ≥
+    *     lo), `hi` = max corner-pair distance (every member's distance ≤
+    *     hi). τ = the k-th largest value of the {lo × count} multiset —
+    *     at least k rows sit at distance ≥ τ, so the true k-th farthest
+    *     distance d_k ≥ τ, and every top-k row (ties included) lives in a
+    *     cell with hi ≥ d_k ≥ τ: candidate cells = {hi ≥ τ}, exact;
+    *  3. candidates explode to (left, cell) pairs, equi-join the bucketed
+    *     right side on the cell id, and a per-left-id window (dist DESC)
+    *     cuts rank ≤ k in the chosen mode.
+    *
+    * Planar metric only: the box bounds are euclidean extreme-point facts
+    * (min/max over a product of boxes is attained at vertices); no such
+    * corner rule holds for geodesic distance, so the DESC geodesic shape
+    * keeps [[graft.plans.SpatialJoinStrategy]]'s loud warning. The τ
+    * pruning is sound for row_number and rank; dense_rank (k-th DISTINCT
+    * distance) has no box bound and scans every cell per left row —
+    * correct but unpruned, so the strategy doesn't claim that shape
+    * either. Null/EMPTY
+    * geometries are excluded on both sides (the documented kNN
+    * divergence: the literal plan window-ranks their null distances).
+    * Scale shape: one stats aggregate, one ≤`farthestCells`-row collect,
+    * one equi-shuffle join over the candidate pairs, one bounded window —
+    * no driver loop, no radius iteration. */
+  def farthestK(left: DataFrame, right: DataFrame,
+                leftGeomCol: String, rightGeomCol: String, k: Int,
+                leftIdCol: String, rightIdCol: String,
+                rankMode: String = "row_number"): DataFrame = {
+    require(k >= 1, s"farthestK: k must be >= 1, got $k")
+    require(Set("row_number", "rank", "dense_rank")(rankMode),
+      s"farthestK rankMode '$rankMode' (row_number|rank|dense_rank)")
+    val spark = left.sparkSession
+    graft.functions.GeoFunctions.register(spark)
+    val outCols =
+      left.columns.map(col) ++ right.columns.map(col) ++
+        Seq(col("knn_dist"), col("knn_rank"))
+    def nonEmptyGeom(c: org.apache.spark.sql.Column) =
+      c.isNotNull && !call_function("st_isempty", c)
+
+    val Array(re) = right.where(nonEmptyGeom(col(rightGeomCol)))
+      .agg(call_function("st_extent_agg", col(rightGeomCol)).as("e"),
+        count(lit(1)).as("n"))
+      .select("e.xmin", "e.ymin", "e.xmax", "e.ymax", "n").collect()
+    val nRight = re.getLong(4)
+    if (nRight == 0)
+      return left.limit(0).crossJoin(right.limit(0))
+        .withColumn("knn_dist", lit(0.0)).withColumn("knn_rank", lit(1L))
+        .select(outCols: _*)
+    val (xmin, ymin, xmax, ymax) =
+      (re.getDouble(0), re.getDouble(1), re.getDouble(2), re.getDouble(3))
+    val targetCells = spark.conf.get("graft.knn.farthestCells", "1024").toInt
+    val perAxis = math.max(1, math.sqrt(targetCells.toDouble).toInt)
+    val csx = math.max((xmax - xmin) / perAxis, 1e-9)
+    val csy = math.max((ymax - ymin) / perAxis, 1e-9)
+    def cellOf(cxCol: org.apache.spark.sql.Column, cyCol: org.apache.spark.sql.Column) = {
+      val cx = least(greatest(floor((cxCol - lit(xmin)) / lit(csx)), lit(0.0)),
+        lit((perAxis - 1).toDouble)).cast("long")
+      val cy = least(greatest(floor((cyCol - lit(ymin)) / lit(csy)), lit(0.0)),
+        lit((perAxis - 1).toDouble)).cast("long")
+      cx * lit(perAxis.toLong) + cy
+    }
+    val rBucketed = right.where(nonEmptyGeom(col(rightGeomCol)))
+      .withColumn("__fb", call_function("st_bbox", col(rightGeomCol)))
+      .withColumn("__fcell", cellOf(
+        (col("__fb.xmin") + col("__fb.xmax")) / 2,
+        (col("__fb.ymin") + col("__fb.ymax")) / 2))
+    // per-cell stats: count + union bbox of member ENVELOPES (the bounds
+    // below need geom ⊆ env ⊆ cell box, which envelope-union guarantees
+    // regardless of which cell the center landed in)
+    val stats = rBucketed.groupBy("__fcell").agg(
+      count(lit(1)).as("n"),
+      min("__fb.xmin").as("bxmin"), min("__fb.ymin").as("bymin"),
+      max("__fb.xmax").as("bxmax"), max("__fb.ymax").as("bymax"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val bStats = spark.sparkContext.broadcast(stats)
+    val kk = k
+    val denseMode = rankMode == "dense_rank"
+    if (denseMode)
+      log.warn("graft.farthestK: dense_rank mode has no sound cell bound " +
+        "for the k-th DISTINCT distance — every candidate cell is scanned " +
+        "per left row (correct, but no pruning)")
+    val candCells = udf { (lxmin: Double, lymin: Double, lxmax: Double, lymax: Double) =>
+      val cs = bStats.value
+      // per cell: lo = box-gap (min possible member distance),
+      //           hi = max corner-pair distance (max possible)
+      val lo = new Array[Double](cs.length)
+      val hi = new Array[Double](cs.length)
+      var i = 0
+      while (i < cs.length) {
+        val (_, _, bx0, by0, bx1, by1) = cs(i)
+        val dx = math.max(0.0, math.max(bx0 - lxmax, lxmin - bx1))
+        val dy = math.max(0.0, math.max(by0 - lymax, lymin - by1))
+        lo(i) = math.hypot(dx, dy)
+        val fx = math.max(math.abs(bx1 - lxmin), math.abs(lxmax - bx0))
+        val fy = math.max(math.abs(by1 - lymin), math.abs(lymax - by0))
+        hi(i) = math.hypot(fx, fy)
+        i += 1
+      }
+      // τ = k-th largest of the {lo × count} multiset — sound for
+      // row_number and rank (both cut at the k-th largest distance WITH
+      // multiplicity, which is ≥ τ by the prefix-count argument). NOT
+      // sound for dense_rank: the k-th DISTINCT distance has no box
+      // bound (arbitrarily many far rows can share one distance on a
+      // circle arc), so dense mode keeps every cell (τ = 0) — correct,
+      // at full per-left candidate cost.
+      var tau = 0.0
+      if (!denseMode) {
+        val order = cs.indices.sortBy(j => -lo(j))
+        var acc = 0L
+        val it = order.iterator
+        while (it.hasNext && acc < kk) {
+          val j = it.next()
+          acc += cs(j)._2
+          tau = lo(j)
+        }
+        if (acc < kk) tau = 0.0 // fewer than k rows total: keep every cell
+      }
+      cs.indices.collect { case j if hi(j) >= tau => cs(j)._1 }.toArray
+    }
+    val lCand = left.where(nonEmptyGeom(col(leftGeomCol)))
+      .withColumn("__lb", call_function("st_bbox", col(leftGeomCol)))
+      .withColumn("__fcell", explode(candCells(
+        col("__lb.xmin"), col("__lb.ymin"), col("__lb.xmax"), col("__lb.ymax"))))
+    val pool = lCand.join(rBucketed.drop("__fb"), Seq("__fcell"))
+      .withColumn("knn_dist",
+        call_function("st_distance", col(leftGeomCol), col(rightGeomCol)))
+      .withColumn("knn_dist", when(isnan(col("knn_dist")), raise_error(lit(
+          "graft.farthestK: NaN distance — kernel regression, refusing to rank")))
+        .otherwise(col("knn_dist")))
+    val wDesc = org.apache.spark.sql.expressions.Window.partitionBy(col(leftIdCol))
+    val rankCol = rankMode match {
+      case "row_number" => row_number().over(
+        wDesc.orderBy(col("knn_dist").desc, col(rightIdCol).asc))
+      case "rank" => rank().over(wDesc.orderBy(col("knn_dist").desc))
+      case _ => dense_rank().over(wDesc.orderBy(col("knn_dist").desc))
+    }
+    pool.withColumn("knn_rank", rankCol.cast("long"))
+      .where(col("knn_rank") <= k)
+      .select(outCols: _*)
+  }
+
   /** Lon-cell layout for a geodesic [[knn]] round: the cell size snaps to
     * an EXACT divisor of 360 so cells tile the circle and pmod-wrapped
     * keys make the ±180 seam adjacent (snapping rounds the cell UP, which

@@ -61,7 +61,12 @@ case class KnnTopKExec(
     // RANK/DENSE_RANK keep every boundary tie by distance — the operator
     // runs in the matching ties mode and the group re-rank below uses the
     // same rank function ordered by distance ALONE
-    rankMode: String = "row_number") extends LeafExecNode {
+    rankMode: String = "row_number",
+    // ORDER BY … DESC = farthest-k (round 19): runs
+    // [[graft.operators.SpatialJoin.farthestK]] (exact cell-bound
+    // candidates, planar metric only — the strategy gates it) and the
+    // group re-rank orders descending
+    descending: Boolean = false) extends LeafExecNode {
 
   override protected def doExecute(): RDD[InternalRow] = {
     val ss = session
@@ -83,9 +88,14 @@ case class KnnTopKExec(
     val gi = leftPlan.output.indexWhere(_.exprId == leftGeom.exprId)
     val gj = rightPlan.output.indexWhere(_.exprId == rightGeom.exprId)
     val pi = leftPlan.output.indexWhere(_.exprId == partKey.exprId)
-    val res = graft.operators.SpatialJoin.knn(
-      lDf, rDf, lNames(gi), rNames(gj), k, "__knn_lid", "__knn_rid",
-      metric = metric, rankMode = rankMode)
+    val res =
+      if (descending)
+        graft.operators.SpatialJoin.farthestK(
+          lDf, rDf, lNames(gi), rNames(gj), k, "__knn_lid", "__knn_rid",
+          rankMode = rankMode)
+      else graft.operators.SpatialJoin.knn(
+        lDf, rDf, lNames(gi), rNames(gj), k, "__knn_lid", "__knn_rid",
+        metric = metric, rankMode = rankMode)
     // re-rank the k-per-row candidates over the user's partition key (a
     // window over at most k·|left| (+ ties) rows, not the cartesian):
     // reproduces the literal plan's per-GROUP ranking even when key values
@@ -94,11 +104,12 @@ case class KnnTopKExec(
     // distinct) is ≤ every member row's own k-th threshold, so each pair
     // with group-rank ≤ k is inside its row's ties-extended set.
     val wG = org.apache.spark.sql.expressions.Window.partitionBy(col(lNames(pi)))
+    val distOrd = if (descending) col("knn_dist").desc else col("knn_dist").asc
     val grank = rankMode match {
       case "row_number" => row_number().over(wG.orderBy(
-        col("knn_dist").asc, col("__knn_rid").asc, col("__knn_lid").asc))
-      case "rank" => rank().over(wG.orderBy(col("knn_dist").asc))
-      case _ => dense_rank().over(wG.orderBy(col("knn_dist").asc))
+        distOrd, col("__knn_rid").asc, col("__knn_lid").asc))
+      case "rank" => rank().over(wG.orderBy(distOrd))
+      case _ => dense_rank().over(wG.orderBy(distOrd))
     }
     val reranked = res
       .withColumn("__knn_grank", grank)

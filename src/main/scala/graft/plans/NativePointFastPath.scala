@@ -190,6 +190,16 @@ object NativePointFastPath extends Rule[LogicalPlan] {
       .asInstanceOf[org.apache.spark.sql.execution.aggregate.ScalaAggregator[_, _, _]]
       .children.head
 
+  /** An edges-stamped (non-planar) column's extent is the GEODESIC bound
+    * ([[GeodesicExtentRule]]); the planar leaf-stats rewrite must refuse
+    * it — both rules run in the same fixed-point batch, so without this
+    * guard whichever fires first would win. */
+  private def edgesStamped(e: Expression): Boolean = strip(e) match {
+    case a: AttributeReference if a.resolved && a.metadata.contains("geoparquet.edges") =>
+      a.metadata.getString("geoparquet.edges").toLowerCase != "planar"
+    case _ => false
+  }
+
   /** the four per-row bound expressions (xmin, ymin, xmax, ymax), null on
     * EMPTY rows so the Min/Max aggregates skip them — ExtentAgg's
     * envelope-isNull contract. Points skip when ANY ordinate is NaN: the
@@ -441,7 +451,8 @@ object NativePointFastPath extends Rule[LogicalPlan] {
         binCoords(si).map { case ((x1, y1), (x2, y2)) =>
           LessThanOrEqual(planarDist(x1, y1, x2, y2), strip(si.arguments(2)))
         }.getOrElse(si)
-      case ae: AggregateExpression if !ae.isDistinct && isExtentAgg(ae) =>
+      case ae: AggregateExpression if !ae.isDistinct && isExtentAgg(ae) &&
+          !edgesStamped(extentChild(ae)) =>
         resolveNative(extentChild(ae))
           .flatMap { case (s, kind, w) => extentRewrite(ae, s, kind, w) }
           .getOrElse(ae)

@@ -166,34 +166,6 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
   private def warnOnce(key: String, msg: String): Unit =
     if (warnedShapes.add(key)) logWarning(msg + " (logged once per JVM)")
 
-  /** true when the window's order expression is a recognized distance
-    * kernel over a condition-less cross join below (the kNN shape, modulo
-    * the rank function / direction) — scopes the near-miss warnings so
-    * unrelated RANK windows never log. */
-  private def knnShape(so: SortOrder, wchild: LogicalPlan): Boolean = {
-    val below = wchild match {
-      case WindowGroupLimit(_, _, _, _, c) => c
-      case c => c
-    }
-    below match {
-      case Project(pl, j: Join) if j.condition.isEmpty &&
-          (j.joinType == Inner || j.joinType == Cross) =>
-        val ordExpr = so.child match {
-          case a: Attribute =>
-            pl.collectFirst { case pal @ Alias(child, _) if pal.exprId == a.exprId => child }
-              .getOrElse(return false)
-          case other => other
-        }
-        ordExpr match {
-          case si: StaticInvoke =>
-            (si.staticObject == geomOps && si.functionName == "distance") ||
-            (si.staticObject == geodesy && knnMetricOf.contains(si.functionName))
-          case _ => false
-        }
-      case _ => false
-    }
-  }
-
   /** Plans the windowed-top-k-by-distance shape as [[KnnTopKExec]].
     *
     * Fires only on the exact safe shape (anything else falls through to
@@ -221,17 +193,11 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
       case _ => return None
     }
     if (k < 1) return None
-    if (so.direction != Ascending) {
-      // farthest-k: the adaptive operator's radius-doubling search is
-      // nearest-only (candidate pruning assumes a shrinking bound), so the
-      // DESC shape executes literally — warn with the same loudness as the
-      // RANK near-miss so the cartesian never ships silently
-      if (knnShape(so, wchild)) warnOnce("farthest-k", "graft: a ranking window " +
-        "over ST_Distance DESC (farthest-k) on a cross join is NOT planned " +
-        "as the adaptive kNN operator (its pruning is nearest-only) — " +
-        "executing the literal cartesian + window sort.")
-      return None
-    }
+    // DESC = farthest-k (round 19): planned for the PLANAR metric via
+    // [[graft.operators.SpatialJoin.farthestK]] (exact cell-bound
+    // candidates — box arithmetic has no geodesic analogue, so the
+    // geodesic DESC shape keeps the loud warning below)
+    val descending = so.direction != Ascending
     // the optimizer's top-k window rewrite (InferWindowGroupLimit) may have
     // inserted a WindowGroupLimit below the Window — our exec subsumes it
     val below = wchild match {
@@ -270,6 +236,20 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
       case other => other
     }
     val (g1, g2, metric) = distArgs(ordExpr).getOrElse(return None)
+    if (descending && metric != "planar") {
+      warnOnce("farthest-k-geodesic", "graft: a ranking window over a GEODESIC " +
+        "distance DESC (farthest-k) on a cross join is NOT planned (the " +
+        "cell-bound pruning is planar-only) — executing the literal " +
+        "cartesian + window sort.")
+      return None
+    }
+    if (descending && rankMode == "dense_rank") {
+      warnOnce("farthest-k-dense", "graft: DENSE_RANK over ST_Distance DESC " +
+        "(farthest-k distance classes) is NOT planned — the k-th DISTINCT " +
+        "distance has no cell bound, so the operator would scan every " +
+        "candidate anyway; executing the literal cartesian + window sort.")
+      return None
+    }
     // orient: lg with the left side; distance is symmetric so flip freely
     val (lg, rg) =
       if (g1.references.subsetOf(join.left.outputSet) &&
@@ -290,7 +270,7 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
       case _ => return None
     }
     Some(KnnTopKExec(wOutput, join.left, join.right, lg, rg, pk, k,
-      rk.exprId, distIds.toSet, metric, rankMode))
+      rk.exprId, distIds.toSet, metric, rankMode, descending))
   }
 
   /** Geodesy kernel name (as StaticInvoke'd by the edges dispatch) →

@@ -77,7 +77,13 @@ object GeoParquet {
                         bbox: Option[(Double, Double, Double, Double)],
                         covering: Option[String],
                         geometryTypes: Seq[String] = Nil,
-                        edges: Option[String] = None)
+                        edges: Option[String] = None,
+                        /** the covering bboxes are GEODESIC bounds (arc-
+                          * padded, `graft:covering_bounds: geodesic`) — a
+                          * chord covering of edges-stamped data cannot
+                          * safely prune latitudes (arcs bow poleward past
+                          * the chord box) */
+                        coveringGeodesic: Boolean = false)
   case class GeoMeta(version: String, primaryColumn: String, columns: Seq[GeomColumn])
 
   // ── metadata ──────────────────────────────────────────────────────────
@@ -296,7 +302,12 @@ object GeoParquet {
       // edge models within a column would silently mismeasure
       val edgeDecls = decls.map(_._2.edges).distinct
       val edges = if (!partial && edgeDecls.length == 1) edgeDecls.head else None
-      GeomColumn(name, decls.head._2.encoding, crss.head, bbox, covering, geometryTypes, edges)
+      // the geodesic-bounds promise holds for the dataset only if EVERY
+      // file that contributed covering boxes made it (one chord-covering
+      // file poisons lat pruning for the union)
+      val coveringGeodesic = covering.isDefined && decls.forall(_._2.coveringGeodesic)
+      GeomColumn(name, decls.head._2.encoding, crss.head, bbox, covering, geometryTypes,
+        edges, coveringGeodesic)
     }
     Some(GeoMeta(declared.head._2.version, primaries.head, cols))
   }
@@ -320,7 +331,9 @@ object GeoParquet {
         // `edges` otherwise — including legacy files that carried the family
         // name directly in `edges`
         edges = Option(c.get("graft:edges_model")).orElse(Option(c.get("edges")))
-          .filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty))
+          .filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty),
+        coveringGeodesic = Option(c.get("graft:covering_bounds"))
+          .filterNot(_.isNull).exists(_.asText() == "geodesic"))
     }.toSeq
     GeoMeta(root.path("version").asText("1.1.0"), root.path("primary_column").asText("geometry"), cols)
   }
@@ -349,11 +362,27 @@ object GeoParquet {
     // reference's second pruning path, spatial_filter.rs:59-181). Stock
     // Spark can't push predicates on repeated leaves, so without this an
     // externally produced native file full-scans at 100 TB.
+    // Edge-model discipline for a bbox read of STAMPED data (round 20 —
+    // the last operation the edges contract names, edges.rs:3-8
+    // "bounding"): a geodesic edge bows poleward past its vertex-chord
+    // bbox, so vertex-derived stats (native leaf min/max, chord covering
+    // boxes) can only prune LONGITUDES (monotone along a shortest
+    // geodesic); latitudes prune only against geodesic-padded boxes (our
+    // writer's graft:covering_bounds promise). The final refine traces
+    // the arcs (segmentized) instead of the chords. Honors the global
+    // spark.graft.edges.dispatch kill switch like every edges rewrite.
+    val edgesAware = spark.conf.get("spark.graft.edges.dispatch", "true").toBoolean
+    def nonPlanarModel(c: GeomColumn): Boolean = edgesAware &&
+      c.edges.map(_.toLowerCase).exists(
+        Set("spherical", "karney", "andoyer", "thomas", "vincenty"))
     val statsPrune: Option[String] = bbox.flatMap { case (qxmin, qymin, qxmax, qymax) =>
       meta.flatMap { m =>
         m.columns.find(_.name == m.primaryColumn)
           .filter(c => c.covering.isEmpty && nativeTranscoder(c.encoding).isDefined)
-          .map(c => s"${c.name};$qxmin,$qymin,$qxmax,$qymax")
+          .map { c =>
+            if (nonPlanarModel(c)) s"${c.name};$qxmin,-9e99,$qxmax,9e99"
+            else s"${c.name};$qxmin,$qymin,$qxmax,$qymax"
+          }
       }
     }
     var df = statsPrune match {
@@ -400,8 +429,12 @@ object GeoParquet {
       case (Some((qxmin, qymin, qxmax, qymax)), Some(_)) =>
         meta.foreach { m =>
           m.columns.find(_.name == m.primaryColumn).foreach { c =>
+            // stamped columns: the raw-coordinate test sees vertices, not
+            // arcs — latitude comparisons widen away (lon-only prefilter)
+            val (pymin, pymax) =
+              if (nonPlanarModel(c)) (-9e99, 9e99) else (qymin, qymax)
             nativeEnvelopePredicate(c.name, c.encoding,
-              qxmin, qymin, qxmax, qymax).foreach { p =>
+              qxmin, pymin, qxmax, pymax).foreach { p =>
               df = df.where(p)
               nativePreFiltered = true
             }
@@ -459,10 +492,24 @@ object GeoParquet {
     bbox match {
       case Some((qxmin, qymin, qxmax, qymax)) =>
         val gcol = meta.map(_.primaryColumn).getOrElse("geometry")
-        val covering = meta.flatMap(_.columns.find(_.name == gcol)).flatMap(_.covering)
+        val colMeta = meta.flatMap(_.columns.find(_.name == gcol))
+        val covering = colMeta.flatMap(_.covering)
+        val stamped = colMeta.exists(nonPlanarModel)
+        val coveringGeo = colMeta.exists(_.coveringGeodesic)
         val coarse: Column = covering match {
+          case Some(cov) if stamped && !coveringGeo =>
+            // foreign chord covering of arc data: latitudes cannot prune
+            // (the arc bows poleward past the chord box either way);
+            // longitudes stay safe — geodesic longitude is monotone
+            log.warn(s"GeoParquet.read: bbox filter over edges-stamped column " +
+              s"'$gcol' whose covering boxes are vertex-chord (no " +
+              "graft:covering_bounds promise) — pruning longitudes only. " +
+              "Rewrite with GeoParquet.write to restore latitude pruning.")
+            col(s"$cov.xmin") <= qxmax && col(s"$cov.xmax") >= qxmin
           case Some(cov) =>
             // plain struct-leaf comparisons → native row-group/page pruning
+            // (geodesic-padded boxes for stamped data: same test, the pad
+            // is baked into the stored values and their parquet stats)
             col(s"$cov.xmin") <= qxmax && col(s"$cov.xmax") >= qxmin &&
             col(s"$cov.ymin") <= qymax && col(s"$cov.ymax") >= qymin
           case None if nativePreFiltered =>
@@ -470,6 +517,11 @@ object GeoParquet {
             // (and pushed to the scan for point layouts) — re-running it
             // on WKB would just re-parse every surviving row four times
             lit(true)
+          case None if stamped =>
+            // per-row geodesic bound instead of the vertex envelope
+            val bb = call_function("st_bboxgeodesic", col(gcol))
+            bb.getField("xmin") <= qxmax && bb.getField("xmax") >= qxmin &&
+            bb.getField("ymin") <= qymax && bb.getField("ymax") >= qymin
           case None =>
             // no covering column: the envelope test refines exactly; for
             // native encodings the row-group-level skip already happened in
@@ -480,7 +532,20 @@ object GeoParquet {
             call_function("st_ymax", col(gcol)) >= qymin
         }
         val rect = call_function("st_makeenvelope", lit(qxmin), lit(qymin), lit(qxmax), lit(qymax))
-        df.where(coarse && call_function("st_intersects", col(gcol), rect))
+        val refine =
+          if (stamped) {
+            // trace the ARCS, not the chords: rows surviving the coarse
+            // prune are densified with exact geodesic waypoints before the
+            // intersects test, so a window crossed by the arc but not the
+            // chord keeps its row (chord-vs-arc error at the default 50-km
+            // step is ~s²/8R ≈ 50 m). Candidate rows only — the coarse
+            // prune has already run.
+            val step = spark.conf
+              .get("spark.graft.edges.refine.segmentizeMeters", "50000").toDouble
+            call_function("st_intersects",
+              call_function("st_segmentizegeodesic", col(gcol), lit(step)), rect)
+          } else call_function("st_intersects", col(gcol), rect)
+        df.where(coarse && refine)
       case None => df
     }
   }
@@ -616,9 +681,22 @@ object GeoParquet {
         s"GeoParquet.write: unknown edges declaration '$e' " +
           "(planar|spherical|karney|andoyer|thomas|vincenty)")
     }
+    // covering under a non-planar edges declaration is the GEODESIC bound
+    // (arc-padded to the Clairaut vertex latitude, st_bbox_geodesic): a
+    // chord covering of geodesic data lets a bbox-filtered read prune a
+    // row whose arc-but-not-chord crosses the window. The footer records
+    // the promise (graft:covering_bounds) so the reader can lat-prune.
+    val nonPlanarEdges = effectiveEdges.map(_.toLowerCase).exists(_ != "planar")
+    val userBbox = df.columns.contains("bbox")
+    if (covering && userBbox && nonPlanarEdges)
+      log.warn("GeoParquet.write: caller-supplied bbox column on an edges-" +
+        "stamped write — cannot promise geodesic covering bounds; readers " +
+        "will not lat-prune this dataset. Drop the column to let the writer " +
+        "compute ST_BBoxGeodesic, or supply arc-padded boxes yourself.")
     var out =
-      if (covering && !df.columns.contains("bbox"))
-        df.withColumn("bbox", call_function("st_bbox", col(geometryColumn)))
+      if (covering && !userBbox)
+        df.withColumn("bbox", call_function(
+          if (nonPlanarEdges) "st_bboxgeodesic" else "st_bbox", col(geometryColumn)))
       else df
     // native (GeoArrow) encoding: transcode the WKB column to the nested
     // separated-coordinate layout AFTER the covering bbox is computed — the
@@ -655,6 +733,8 @@ object GeoParquet {
       .option(GeoParquetFileFormat.EncodingKey, if (isWkb) "WKB" else baseEncoding)
     effectiveCrs.foreach(c => w = w.option(GeoParquetFileFormat.CrsKey, c))
     effectiveEdges.foreach(e => w = w.option(GeoParquetFileFormat.EdgesKey, e))
+    if (covering && !userBbox && nonPlanarEdges)
+      w = w.option(GeoParquetFileFormat.CoveringGeodesicKey, "true")
     if (secondaryGeometry.nonEmpty) {
       require(secondaryGeometry.forall(df.columns.contains),
         s"GeoParquet.write: secondaryGeometry columns missing from schema: " +
@@ -769,7 +849,8 @@ object GeoParquet {
                                        crs: Option[String], covering: Option[String],
                                        bounds: Option[(Double, Double, Double, Double)],
                                        geometryTypes: Seq[String],
-                                       edges: Option[String] = None)
+                                       edges: Option[String] = None,
+                                       coveringGeodesic: Boolean = false)
 
   private[sources] def geoJson(geometryColumn: String, crs: Option[String], covering: Option[String],
                                bounds: Option[(Double, Double, Double, Double)],
@@ -834,6 +915,11 @@ object GeoParquet {
         Seq("xmin", "ymin", "xmax", "ymax").foreach { leaf =>
           val a = bb.putArray(leaf); a.add(cov); a.add(leaf)
         }
+        // auxiliary promise (our reader's lat-pruning gate): the covering
+        // boxes are geodesic bounds, arc-padded to the Clairaut vertex —
+        // not chord boxes. Foreign readers ignore the key; padded boxes
+        // are a plain superset, so their pruning stays correct too.
+        if (spec.coveringGeodesic) c.put("graft:covering_bounds", "geodesic")
       }
     }
     mapper.writeValueAsString(root)

@@ -99,6 +99,8 @@ class GeoParquetFileFormat extends ParquetFileFormat with DataSourceRegister {
       options.getOrElse(GeoParquetFileFormat.EncodingKey, "WKB"))
     options.get(GeoParquetFileFormat.CrsKey).foreach(conf.set(GeoParquetFileFormat.CrsKey, _))
     options.get(GeoParquetFileFormat.EdgesKey).foreach(conf.set(GeoParquetFileFormat.EdgesKey, _))
+    options.get(GeoParquetFileFormat.CoveringGeodesicKey)
+      .foreach(conf.set(GeoParquetFileFormat.CoveringGeodesicKey, _))
     // secondary geometry columns: names, ordinals, per-column CRS
     options.get(GeoParquetFileFormat.SecondaryKey).filter(_.nonEmpty).foreach { joined =>
       conf.set(GeoParquetFileFormat.SecondaryKey, joined)
@@ -333,6 +335,7 @@ object GeoParquetFileFormat {
   val EncodingKey = "graft.geo.encoding"
   val CrsKey = "graft.geo.crs"
   val EdgesKey = "graft.geo.edges"
+  val CoveringGeodesicKey = "graft.geo.covering.geodesic"
   val SecondaryKey = "graft.geo.secondary"
   val SecondaryIdxKey = "graft.geo.secondaryidx"
 
@@ -383,6 +386,7 @@ class GeoParquetWriteSupport extends WriteSupport[InternalRow] {
   private var covering: Option[String] = None
   private var crs: Option[String] = None
   private var edges: Option[String] = None
+  private var coveringGeodesic = false
   private var encoding = "WKB"
   private var minX = Double.PositiveInfinity
   private var minY = Double.PositiveInfinity
@@ -401,6 +405,7 @@ class GeoParquetWriteSupport extends WriteSupport[InternalRow] {
     covering = Option(conf.get(CoveringKey)).filter(_.nonEmpty)
     crs = Option(conf.get(CrsKey))
     edges = Option(conf.get(EdgesKey)).filter(_.nonEmpty)
+    coveringGeodesic = conf.getBoolean(CoveringGeodesicKey, false)
     encoding = conf.get(EncodingKey, "WKB")
     secondary = (Option(conf.get(SecondaryKey)).filter(_.nonEmpty),
                  Option(conf.get(SecondaryIdxKey)).filter(_.nonEmpty)) match {
@@ -444,7 +449,8 @@ class GeoParquetWriteSupport extends WriteSupport[InternalRow] {
   override def finalizeWrite(): WriteSupport.FinalizedWriteContext = {
     val bounds =
       if (minX.isInfinity) None else Some((minX, minY, maxX, maxY))
-    val cols = GeoParquet.GeoColJson(geomCol, encoding, crs, covering, bounds, types.toSeq, edges) +:
+    val cols = GeoParquet.GeoColJson(geomCol, encoding, crs, covering, bounds, types.toSeq, edges,
+      coveringGeodesic = coveringGeodesic && covering.isDefined) +:
       secondary.toSeq.map { case (name, _, colCrs, ts) =>
         GeoParquet.GeoColJson(name, "WKB", colCrs, None, None, ts.toSeq)
       }

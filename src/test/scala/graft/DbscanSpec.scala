@@ -92,6 +92,44 @@ class DbscanSpec extends SparkTestBase {
     assert(got.values.forall(_.isDefined), "clusterWithin never yields noise")
   }
 
+  test("clusterIntersecting: components of the intersects graph (round 19)") {
+    // PostGIS ST_ClusterIntersecting semantics: overlap chains merge
+    // transitively; touching (boundary-only contact) counts as
+    // intersecting; disjoint geometries are singleton clusters
+    graft.functions.GeoFunctions.register(spark)
+    val df = spark.sql("""
+      SELECT * FROM VALUES
+        (0L, ST_MakeEnvelope(0.0, 0.0, 2.0, 1.0)),
+        (1L, ST_MakeEnvelope(1.5, 0.0, 3.5, 1.0)),
+        (2L, ST_MakeEnvelope(3.0, 0.0, 5.0, 1.0)),
+        (3L, ST_MakeEnvelope(5.0, 0.0, 7.0, 1.0)),
+        (7L, ST_MakeEnvelope(50.0, 50.0, 51.0, 51.0))
+      AS t(id, geom)""")
+    val got = labelsOf(Dbscan.clusterIntersecting(df, "id", "geom"))
+    // 0-1-2 overlap-chain; 3 TOUCHES 2 at x=5 → same component; 7 alone
+    assert(got == Map(0L -> Some(0L), 1L -> Some(0L), 2L -> Some(0L),
+      3L -> Some(0L), 7L -> Some(7L)), got.toString)
+    assert(got.values.forall(_.isDefined), "clusterIntersecting never yields noise")
+    // all-disjoint: every row its own cluster
+    val disjoint = spark.sql("""
+      SELECT * FROM VALUES
+        (0L, ST_MakeEnvelope(0.0, 0.0, 1.0, 1.0)),
+        (5L, ST_MakeEnvelope(10.0, 0.0, 11.0, 1.0)),
+        (9L, ST_MakeEnvelope(20.0, 0.0, 21.0, 1.0))
+      AS t(id, geom)""")
+    assert(labelsOf(Dbscan.clusterIntersecting(disjoint, "id", "geom")) ==
+      Map(0L -> Some(0L), 5L -> Some(5L), 9L -> Some(9L)))
+    // single cluster: a common geometry glues everything together
+    val glued = spark.sql("""
+      SELECT * FROM VALUES
+        (2L, ST_MakeEnvelope(0.0, 0.0, 100.0, 100.0)),
+        (4L, ST_MakeEnvelope(10.0, 10.0, 11.0, 11.0)),
+        (6L, ST_MakeEnvelope(90.0, 90.0, 91.0, 91.0))
+      AS t(id, geom)""")
+    assert(labelsOf(Dbscan.clusterIntersecting(glued, "id", "geom"))
+      .values.flatten.toSet == Set(2L))
+  }
+
   test("hot-blob corpus: ε-pair generation spreads across tasks (sub-split)") {
     // 90% of 660 points sit in ONE ~0.4-wide blob at (50,50) — a single
     // ε-grid cell at eps=1 — so the blob emits ~540k of the ε-pairs; the

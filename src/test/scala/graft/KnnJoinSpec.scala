@@ -261,11 +261,13 @@ class KnnJoinSpec extends SparkTestBase {
   test("planner: near-miss shapes fall through to Spark's own planning") {
     pts(Seq((1L, 0.0, 0.0)), "lid", "lg").createOrReplaceTempView("knn_l2")
     pts(Seq((10L, 1.0, 0.0), (11L, 2.0, 0.0)), "rid", "rg").createOrReplaceTempView("knn_r2")
-    // DESC order is not a kNN (pruning is nearest-only) — must not fire
+    // DENSE_RANK DESC is not planned (the k-th DISTINCT distance has no
+    // cell bound — see SpatialJoin.farthestK) — must not fire; plain
+    // ROW_NUMBER/RANK DESC now plan as descending KnnTopK (round 19)
     val desc = sql("""
       SELECT * FROM (
         SELECT l.lid, r.rid,
-               ROW_NUMBER() OVER (PARTITION BY l.lid ORDER BY ST_Distance(l.lg, r.rg) DESC) AS rk
+               DENSE_RANK() OVER (PARTITION BY l.lid ORDER BY ST_Distance(l.lg, r.rg) DESC) AS rk
         FROM knn_l2 l CROSS JOIN knn_r2 r) t WHERE rk <= 1""")
     assert(!desc.queryExecution.executedPlan.toString.contains("KnnTopK"))
     assert(desc.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 11L)))
@@ -851,5 +853,109 @@ class KnnJoinSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       SpatialJoin.knn(df, df, "g", "g", 0, "id", "id")
     }
+  }
+
+  // ── farthest-k (round 19: the last warned-not-planned window shape) ───
+
+  /** brute-force farthest: (lid → ranked (rid, dist) DESC, rid-asc ties) */
+  private def expectedFar(left: Seq[(Long, Double, Double)],
+                          right: Seq[(Long, Double, Double)], k: Int) =
+    left.map { case (lid, lx, ly) =>
+      lid -> right.map { case (rid, rx, ry) => (rid, math.hypot(lx - rx, ly - ry)) }
+        .sortBy { case (rid, d) => (-d, rid) }.take(k)
+    }.toMap
+
+  test("farthestK matches brute force on a grid, including exact ties") {
+    val l = Seq((1L, 0.0, 0.0), (2L, 55.0, 55.0), (3L, 110.0, 0.0))
+    // 10×10 lattice: corner symmetry around (55,55) produces real distance
+    // ties, exercising the rid-asc tie-break
+    val r = (0 until 100).map(i => (100L + i, (i % 10) * 11.0, (i / 10) * 11.0))
+    val got = SpatialJoin.farthestK(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+      "lg", "rg", 5, "lid", "rid")
+      .select("lid", "rid", "knn_dist", "knn_rank").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3)))
+    val exp = expectedFar(l, r, 5)
+    assert(got.length == 15, s"rows ${got.length}")
+    got.groupBy(_._1).foreach { case (lid, rows) =>
+      val sorted = rows.sortBy(_._4).map(t => (t._2, t._3)).toSeq
+      assert(sorted == exp(lid), s"left $lid: $sorted vs ${exp(lid)}")
+    }
+  }
+
+  test("farthestK: k > |right|, empty right, rank-mode tie extension") {
+    val l = Seq((1L, 0.0, 0.0))
+    val rSmall = Seq((10L, 1.0, 0.0), (11L, 2.0, 0.0))
+    val all = SpatialJoin.farthestK(pts(l, "lid", "lg"), pts(rSmall, "rid", "rg"),
+      "lg", "rg", 5, "lid", "rid").select("rid").as[Long].collect().toSet
+    assert(all == Set(10L, 11L), "k > |right| returns every right row")
+    val empty = SpatialJoin.farthestK(pts(l, "lid", "lg"),
+      pts(Seq.empty, "rid", "rg"), "lg", "rg", 3, "lid", "rid")
+    assert(empty.count() == 0 && empty.columns.contains("knn_rank"))
+    // duplicate right points at the far rim: RANK keeps the whole boundary
+    // tie class, ROW_NUMBER cuts at exactly k
+    val rTies = Seq((20L, 10.0, 0.0), (21L, 10.0, 0.0), (22L, 10.0, 0.0),
+      (23L, 5.0, 0.0), (24L, 1.0, 0.0))
+    def far(mode: String): Seq[Long] =
+      SpatialJoin.farthestK(pts(l, "lid", "lg"), pts(rTies, "rid", "rg"),
+        "lg", "rg", 2, "lid", "rid", rankMode = mode)
+        .select("rid").as[Long].collect().toSeq.sorted
+    assert(far("row_number") == Seq(20L, 21L), far("row_number").toString)
+    assert(far("rank") == Seq(20L, 21L, 22L), "rank keeps the tie class")
+    assert(far("dense_rank") == Seq(20L, 21L, 22L, 23L),
+      "dense_rank keeps 2 distance classes")
+  }
+
+  test("farthestK at scale matches brute force (every candidate cell path)") {
+    val rnd = new scala.util.Random(1919L)
+    val l = (0L until 30L).map(i => (i, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+    val r = (0L until 500L).map(i => (1000L + i, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+    val got = SpatialJoin.farthestK(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+      "lg", "rg", 4, "lid", "rid")
+      .select("lid", "rid", "knn_rank").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val exp = expectedFar(l, r, 4)
+    assert(got.length == 120)
+    got.groupBy(_._1).foreach { case (lid, rows) =>
+      assert(rows.sortBy(_._3).map(_._2).toSeq == exp(lid).map(_._1),
+        s"left $lid")
+    }
+  }
+
+  test("planner: farthest-k DESC shape plans as KnnTopKExec (round 19)") {
+    val l = Seq((1L, 0.0, 0.0), (2L, 10.0, 10.0), (3L, 5.0, 5.0))
+    val r = Seq((10L, 1.0, 0.0), (11L, 0.0, 1.0), (12L, 3.0, 4.0),
+      (13L, 9.0, 9.0), (14L, 11.0, 11.0), (15L, 100.0, 100.0))
+    pts(l, "lid", "lg").createOrReplaceTempView("far_l")
+    pts(r, "rid", "rg").createOrReplaceTempView("far_r")
+    val df = sql("""
+      SELECT lid, rid, d, rk FROM (
+        SELECT l.lid, r.rid, ST_Distance(l.lg, r.rg) AS d,
+               ROW_NUMBER() OVER (PARTITION BY l.lid ORDER BY ST_Distance(l.lg, r.rg) DESC) AS rk
+        FROM far_l l CROSS JOIN far_r r) t
+      WHERE rk <= 2""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("KnnTopK"), s"expected KnnTopK in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "cartesian survived the rewrite")
+    val got = df.collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(3)))
+      .sortBy(t => (t._1, t._3))
+    val exp = expectedFar(l, r, 2).toSeq.sortBy(_._1).flatMap { case (lid, rows) =>
+      rows.zipWithIndex.map { case ((rid, _), i) => (lid, rid, i + 1) }
+    }
+    assert(got.toSeq == exp, s"got ${got.toSeq}\nexpected $exp")
+  }
+
+  test("planner: geodesic farthest-k DESC keeps the literal plan (warned, not planned)") {
+    pts(Seq((1L, 0.0, 50.0)), "lid", "lg").createOrReplaceTempView("farg_l")
+    pts(Seq((10L, 1.0, 50.0), (11L, 2.0, 50.0)), "rid", "rg")
+      .createOrReplaceTempView("farg_r")
+    val df = sql("""
+      SELECT lid, rid, rk FROM (
+        SELECT l.lid, r.rid,
+               ROW_NUMBER() OVER (PARTITION BY l.lid ORDER BY ST_DistanceSphere(l.lg, r.rg) DESC) AS rk
+        FROM farg_l l CROSS JOIN farg_r r) t
+      WHERE rk <= 1""")
+    assert(!df.queryExecution.executedPlan.toString.contains("KnnTopK"),
+      "geodesic DESC must not take the planar cell-bound operator")
+    assert(df.collect().map(_.getLong(1)).toSeq == Seq(11L))
   }
 }
