@@ -3328,6 +3328,70 @@ object SparkEntry {
     WHERE rk <= 3
     ORDER BY lid, rnk, rid"""
 
+  /** GDA2020 datum hop (g128, round 19 — the g104 full-chain replay
+    * discipline for the fourth/fifth non-WGS84-aligned datums): WGS84 →
+    * EPSG:7844 runs the national 7-param Helmert (EPSG 8048,
+    * coordinate-frame → position-vector sign flip) through ECEF on
+    * GRS80; DuckDB replays the whole chain — geodetic→ECEF, small-angle
+    * position-vector Helmert, ECEF→geodetic by the same unrolled fixed
+    * point — from raw constants. The fourth column gates the
+    * time-dependent 14-param twin (EPSG 8447) at its reference epoch:
+    * ST_TransformGda2020Epoch(p, 2020.0) must be the exact identity. */
+  private val g128Spark = """
+    SELECT id,
+           CAST(ROUND(ST_X(g) * 1e7) AS BIGINT) AS lon20,
+           CAST(ROUND(ST_Y(g) * 1e7) AS BIGINT) AS lat20,
+           CAST(ROUND((ST_X(ST_TransformGda2020Epoch(p, 2020.0D)) - ST_X(p)) * 1e9) AS BIGINT) AS ident20
+    FROM (SELECT c_custkey AS id,
+                 ST_Point(114.0 + CAST(c_custkey % 77 AS DOUBLE) / 2.0,
+                          -38.0 + CAST(c_custkey % 53 AS DOUBLE) / 2.0) AS p,
+                 ST_Transform(ST_Point(114.0 + CAST(c_custkey % 77 AS DOUBLE) / 2.0,
+                                       -38.0 + CAST(c_custkey % 53 AS DOUBLE) / 2.0),
+                              4326, 7844) AS g
+          FROM customer)
+    ORDER BY id"""
+
+  private val g128Duck = """
+    WITH k AS (
+      SELECT 6378137.0 AS a, (1.0/298.257222101)*(2.0 - 1.0/298.257222101) AS e2,
+             0.06155 AS tx, -0.01087 AS ty, -0.04019 AS tz, -0.009994*1e-6 AS hs,
+             radians(0.0394924/3600.0) AS rx, radians(0.0327221/3600.0) AS ry,
+             radians(0.0328979/3600.0) AS rz
+    ), pts AS (
+      SELECT c_custkey AS id,
+             radians(114.0 + (c_custkey % 77)/2.0) AS lam,
+             radians(-38.0 + (c_custkey % 53)/2.0) AS phi
+      FROM customer
+    ), ecef AS (
+      SELECT id,
+             (a/sqrt(1.0-e2*sin(phi)*sin(phi)))*cos(phi)*cos(lam) AS x1,
+             (a/sqrt(1.0-e2*sin(phi)*sin(phi)))*cos(phi)*sin(lam) AS y1,
+             (a/sqrt(1.0-e2*sin(phi)*sin(phi)))*(1.0-e2)*sin(phi) AS z1
+      FROM pts, k
+    ), helm AS (
+      SELECT id,
+             tx + (1.0+hs)*x1 - rz*y1 + ry*z1 AS x2,
+             ty + rz*x1 + (1.0+hs)*y1 - rx*z1 AS y2,
+             tz - ry*x1 + rx*y1 + (1.0+hs)*z1 AS z2
+      FROM ecef, k
+    ), g0 AS (
+      SELECT id, atan2(y2, x2) AS lam2, sqrt(x2*x2+y2*y2) AS p, z2,
+             atan2(z2, sqrt(x2*x2+y2*y2)*(1.0-e2)) AS f
+      FROM helm, k
+    ), g1 AS (SELECT id, lam2, p, z2, atan2(z2 + e2*(a/sqrt(1.0-e2*sin(f)*sin(f)))*sin(f), p) AS f FROM g0, k),
+    g2 AS (SELECT id, lam2, p, z2, atan2(z2 + e2*(a/sqrt(1.0-e2*sin(f)*sin(f)))*sin(f), p) AS f FROM g1, k),
+    g3 AS (SELECT id, lam2, p, z2, atan2(z2 + e2*(a/sqrt(1.0-e2*sin(f)*sin(f)))*sin(f), p) AS f FROM g2, k),
+    g4 AS (SELECT id, lam2, p, z2, atan2(z2 + e2*(a/sqrt(1.0-e2*sin(f)*sin(f)))*sin(f), p) AS f FROM g3, k),
+    g5 AS (SELECT id, lam2, p, z2, atan2(z2 + e2*(a/sqrt(1.0-e2*sin(f)*sin(f)))*sin(f), p) AS f FROM g4, k),
+    g6 AS (SELECT id, lam2, p, z2, atan2(z2 + e2*(a/sqrt(1.0-e2*sin(f)*sin(f)))*sin(f), p) AS f FROM g5, k),
+    g7 AS (SELECT id, lam2, p, z2, atan2(z2 + e2*(a/sqrt(1.0-e2*sin(f)*sin(f)))*sin(f), p) AS f FROM g6, k),
+    g8 AS (SELECT id, lam2, p, z2, atan2(z2 + e2*(a/sqrt(1.0-e2*sin(f)*sin(f)))*sin(f), p) AS f FROM g7, k),
+    g9 AS (SELECT id, lam2, p, z2, atan2(z2 + e2*(a/sqrt(1.0-e2*sin(f)*sin(f)))*sin(f), p) AS f FROM g8, k)
+    SELECT id, CAST(ROUND(degrees(lam2) * 1e7) AS BIGINT) AS lon20,
+           CAST(ROUND(degrees(f) * 1e7) AS BIGINT) AS lat20,
+           0::BIGINT AS ident20
+    FROM g9 ORDER BY id"""
+
   private val g127Duck = """
     WITH l AS (SELECT c_custkey AS lid,
                       CAST(c_custkey % 41 AS DOUBLE) AS lx,
@@ -13445,6 +13509,7 @@ object SparkEntry {
     ("g125_cluster_intersecting", g125Fn _, g125Duck),
     ("g126_point_predicate_stamped", g126Fn _, g126Duck),
     ("g127_farthest_k", q(g127Spark), g127Duck),
+    ("g128_gda2020_datum", q(g128Spark), g128Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

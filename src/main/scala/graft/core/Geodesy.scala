@@ -520,6 +520,31 @@ object Geodesy {
     mapCoords(b, c => {
       val (lo, la) = Aeqd.reverse(lon0, lat0, c.x, c.y); new Coordinate(lo, la) })
 
+  /** ITRF2014 geographic coordinates observed at `epochYears` (decimal
+    * years) → GDA2020 — the time-dependent 14-param half of the GDA pair
+    * ([[Datum.Itrf2014ToGda2020]], EPSG 8447: identity at 2020.0, pure
+    * Australian-plate rotation rates). The static CRS route
+    * (`ST_Transform(g, 4326, 7844)`) treats the input as GDA94≈WGS84;
+    * THIS function is for epoch-tagged ITRF/WGS84-G2139 observations,
+    * where the epoch is data, not registry. SQL:
+    * ST_TransformGda2020Epoch(g, epochYears) (+Inv). */
+  def transformGda2020Epoch(b: Array[Byte], epochYears: Double): Array[Byte] = {
+    require(epochYears >= 1980.0 && epochYears <= 2100.0,
+      s"ST_TransformGda2020Epoch: epoch $epochYears outside [1980, 2100] decimal years")
+    val h = Datum.Itrf2014ToGda2020.at(epochYears)
+    mapCoords(b, c => { checkGeodetic(c)
+      val (lo, la) = Datum.shift(Datum.Grs80, Datum.Grs80, h, c.x, c.y)
+      new Coordinate(lo, la) })
+  }
+  def transformGda2020EpochInv(b: Array[Byte], epochYears: Double): Array[Byte] = {
+    require(epochYears >= 1980.0 && epochYears <= 2100.0,
+      s"ST_TransformGda2020EpochInv: epoch $epochYears outside [1980, 2100] decimal years")
+    val h = Datum.Itrf2014ToGda2020.at(epochYears).reversed
+    mapCoords(b, c => { checkGeodetic(c)
+      val (lo, la) = Datum.shift(Datum.Grs80, Datum.Grs80, h, c.x, c.y)
+      new Coordinate(lo, la) })
+  }
+
   /** Meter-true geodesic buffer of a lon/lat geometry (local AEQD plane,
     * [[Aeqd.bufferGeodesic]]); default JTS quadrant segments (8), matching
     * the planar ST_Buffer default. SQL: ST_BufferGeodesic(g, meters[, quadSegs]). */

@@ -216,6 +216,42 @@ object Datum {
     * need external grid files, out of scope like full PROJ). */
   val Wgs84ToNad27 = Helmert(8.0, -160.0, -176.0, 0.0, 0.0, 0.0, 0.0)
 
+  /** GDA94 → GDA2020 national 7-param conformal transformation (ICSM
+    * GDA2020 Technical Manual table 3.2 / EPSG transformation 8048 —
+    * published in the COORDINATE-FRAME rotation convention, so the
+    * rotation signs are NEGATED here for [[applyHelmert]]'s
+    * position-vector form). The ~1.8 m NNE displacement is 25.75 years
+    * of Australian plate motion (ITRF92@1994.0 → ITRF2014@2020.0);
+    * WGS84 ≈ GDA94 under the same gridless convention as ETRS89/NAD83,
+    * so this Helmert also serves WGS84 → GDA2020. */
+  val Gda94ToGda2020 = Helmert(0.06155, -0.01087, -0.04019, -0.009994,
+    0.0394924, 0.0327221, 0.0328979)
+
+  /** 14-parameter TIME-DEPENDENT Helmert: parameters + per-year rates
+    * about a reference epoch (decimal years), the EPSG "time-dependent
+    * position vector" method re-expressed in [[applyHelmert]]'s
+    * convention. `at(epoch)` materializes the plain 7-param set. */
+  final case class Helmert14(tx: Double, ty: Double, tz: Double, sPpm: Double,
+                             rxAs: Double, ryAs: Double, rzAs: Double,
+                             dtx: Double, dty: Double, dtz: Double, dsPpm: Double,
+                             drxAs: Double, dryAs: Double, drzAs: Double,
+                             refEpoch: Double) {
+    def at(epochYears: Double): Helmert = {
+      val dt = epochYears - refEpoch
+      Helmert(tx + dtx * dt, ty + dty * dt, tz + dtz * dt, sPpm + dsPpm * dt,
+        rxAs + drxAs * dt, ryAs + dryAs * dt, rzAs + drzAs * dt)
+    }
+  }
+
+  /** ITRF2014 → GDA2020 (EPSG transformation 8447): identity at the
+    * 2020.0 reference epoch, pure Australian-plate rotation RATES
+    * (published 1.50379 / 1.18346 / 1.20716 mas/yr in the
+    * coordinate-frame convention → negated arc-seconds/yr here). At
+    * epoch 1994.0 this reproduces [[Gda94ToGda2020]]'s rotations within
+    * ~1 cm — the published consistency check between the pair. */
+  val Itrf2014ToGda2020 = Helmert14(0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, -1.50379e-3, -1.18346e-3, -1.20716e-3, 2020.0)
+
   def geodeticToEcef(ell: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
     val lam = math.toRadians(lonDeg); val phi = math.toRadians(latDeg)
     val sp = math.sin(phi); val cp = math.cos(phi)
@@ -295,7 +331,15 @@ object Osgb36 {
   * ED50/UTM 23028-23038, the second non-WGS84 datum), NAD27 (4267 +
   * NAD27/UTM 26701-26722 on Clarke 1866, the third), ETRS89 (4258 +
   * ETRS89/UTM 25828-25838) and NAD83 (4269). ETRS89/NAD83 use the null
-  * datum shift (sub-metre vs WGS84, PROJ's own gridless default). */
+  * datum shift (sub-metre vs WGS84, PROJ's own gridless default).
+  *
+  * Round 19: the GDA pair — GDA94 (4283 + MGA94 28349-28356, null shift
+  * like ETRS89) and GDA2020 (7844 + MGA2020 7846-7859, the national
+  * 7-param [[Datum.Gda94ToGda2020]]: ~1.8 m NNE of GDA94). The
+  * time-dependent 14-param twin (EPSG 8447) is exposed as
+  * `ST_TransformGda2020Epoch(g, epochYears)` for epoch-tagged ITRF2014
+  * data — the engine's geometries carry no epoch, so it is an explicit
+  * argument rather than a CRS-registry entry. */
 object NatCrs {
 
   /** ED50/UTM zone from EPSG 230zz (zz = 28..38, northern Europe). */
@@ -312,6 +356,17 @@ object NatCrs {
   private def nad27Zone(srid: Int): Option[Int] = {
     val z = srid - 26700
     if (z >= 1 && z <= 22) Some(z) else None
+  }
+  /** MGA94 (GDA94 / Map Grid of Australia) zone from EPSG 283zz
+    * (zz = 49..56, the published range). UTM SOUTH: false northing 10⁷. */
+  private def mga94Zone(srid: Int): Option[Int] = {
+    val z = srid - 28300
+    if (z >= 49 && z <= 56) Some(z) else None
+  }
+  /** MGA2020 zone from EPSG 78zz (7846..7859 → zones 46..59). */
+  private def mga2020Zone(srid: Int): Option[Int] = {
+    val z = srid - 7800
+    if (z >= 46 && z <= 59) Some(z) else None
   }
 
   // per-zone TM projections on the non-WGS84 ellipsoids, built lazily —
@@ -338,10 +393,27 @@ object NatCrs {
   private val nad27Zones = new Array[TmProjection](60)
   private def nad27Proj(zone: Int): TmProjection =
     zoneProj(nad27Zones, Datum.Clarke1866, zone)
+  // MGA = UTM SOUTH on GRS80 (false northing 10,000,000); both MGA94 and
+  // MGA2020 use the same grid — only the datum hop differs
+  private def zoneProjSouth(cache: Array[TmProjection], ell: Datum.Ellipsoid,
+                            zone: Int): TmProjection = {
+    var p = cache(zone - 1)
+    if (p == null) {
+      p = new TmProjection(a = ell.a, f = ell.f, k0 = 0.9996,
+        lon0Deg = TransverseMercator.centralMeridian(zone), lat0Deg = 0.0,
+        falseEasting = 500000.0, falseNorthing = 10000000.0)
+      cache(zone - 1) = p
+    }
+    p
+  }
+  private val mgaZones = new Array[TmProjection](60)
+  private def mgaProj(zone: Int): TmProjection =
+    zoneProjSouth(mgaZones, Datum.Grs80, zone)
 
   def supports(srid: Int): Boolean = srid match {
-    case 27700 | 3035 | 4277 | 4230 | 4258 | 4269 | 4267 => true
-    case s => ed50Zone(s).isDefined || etrsZone(s).isDefined || nad27Zone(s).isDefined
+    case 27700 | 3035 | 4277 | 4230 | 4258 | 4269 | 4267 | 4283 | 7844 => true
+    case s => ed50Zone(s).isDefined || etrsZone(s).isDefined || nad27Zone(s).isDefined ||
+      mga94Zone(s).isDefined || mga2020Zone(s).isDefined
   }
 
   /** WGS84 (lon°, lat°) → target-CRS coordinates; resolved once per
@@ -373,6 +445,19 @@ object NatCrs {
           Datum.Wgs84ToNad27, lon, lat)
         p.forward(lo, la)
       }
+    case 4283 => (lon, lat) => (lon, lat) // GDA94 ≈ WGS84 (EPSG 1150: null)
+    case 7844 => (lon, lat) =>
+      Datum.shift(Datum.Grs80, Datum.Grs80, Datum.Gda94ToGda2020, lon, lat)
+    case s if mga94Zone(s).isDefined =>
+      val p = mgaProj(mga94Zone(s).get)
+      (lon, lat) => p.forward(lon, lat) // null datum hop (GDA94 ≈ WGS84)
+    case s if mga2020Zone(s).isDefined =>
+      val p = mgaProj(mga2020Zone(s).get)
+      (lon, lat) => {
+        val (lo, la) = Datum.shift(Datum.Grs80, Datum.Grs80,
+          Datum.Gda94ToGda2020, lon, lat)
+        p.forward(lo, la)
+      }
     case s => throw new IllegalArgumentException(s"NatCrs: unsupported EPSG:$s")
   }
 
@@ -401,6 +486,18 @@ object NatCrs {
       (x, y) => {
         val (lo, la) = p.reverse(x, y)
         Datum.shift(Datum.Clarke1866, Datum.Wgs84, Datum.Wgs84ToNad27.reversed, lo, la)
+      }
+    case 4283 => (lon, lat) => (lon, lat)
+    case 7844 => (lon, lat) =>
+      Datum.shift(Datum.Grs80, Datum.Grs80, Datum.Gda94ToGda2020.reversed, lon, lat)
+    case s if mga94Zone(s).isDefined =>
+      val p = mgaProj(mga94Zone(s).get)
+      (x, y) => p.reverse(x, y)
+    case s if mga2020Zone(s).isDefined =>
+      val p = mgaProj(mga2020Zone(s).get)
+      (x, y) => {
+        val (lo, la) = p.reverse(x, y)
+        Datum.shift(Datum.Grs80, Datum.Grs80, Datum.Gda94ToGda2020.reversed, lo, la)
       }
     case s => throw new IllegalArgumentException(s"NatCrs: unsupported EPSG:$s")
   }

@@ -235,6 +235,8 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     // the meter-true geodesic buffer built on it
     "st_transformaeqd" -> Sig("transformAeqd", G, Seq(G, D, D), geodesy),
     "st_transformaeqdinv" -> Sig("transformAeqdInv", G, Seq(G, D, D), geodesy),
+    "st_transformgda2020epoch" -> Sig("transformGda2020Epoch", G, Seq(G, D), geodesy),
+    "st_transformgda2020epochinv" -> Sig("transformGda2020EpochInv", G, Seq(G, D), geodesy),
     "st_buffergeodesic" -> Sig("bufferGeodesic", G, Seq(G, D), geodesy),
     "st_buffergeodesic" -> Sig("bufferGeodesicSegs", G, Seq(G, D, I), geodesy),
     "st_closestpointgeodesic" -> Sig("closestPointGeodesic", G, Seq(G, G), geodesy),
