@@ -921,6 +921,45 @@ class KnnJoinSpec extends SparkTestBase {
     }
   }
 
+  test("farthestK on NON-POINT geometries: envelope bounds stay exact") {
+    // the cell bounds are box facts over member ENVELOPES; polygons and
+    // multi-cell-spanning boxes are where lo/hi could go wrong — fuzz a
+    // mixed corpus against brute-force JTS distance across seeds
+    graft.functions.GeoFunctions.register(spark)
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(7000L + seed)
+      def boxRow(i: Long) = {
+        val x = rnd.nextDouble() * 100; val y = rnd.nextDouble() * 100
+        val w = rnd.nextDouble() * (if (i % 7 == 0) 30.0 else 2.0) // some huge spanners
+        (i, x, y, x + w, y + w * 0.5)
+      }
+      val l = (0L until 12L).map(boxRow)
+      val r = (100L until 250L).map(boxRow)
+      def df(rows: Seq[(Long, Double, Double, Double, Double)], id: String, g: String) =
+        rows.toDF(id, "__a", "__b", "__c", "__d")
+          .withColumn(g, call_function("st_makeenvelope",
+            col("__a"), col("__b"), col("__c"), col("__d")))
+          .drop("__a", "__b", "__c", "__d")
+      val got = SpatialJoin.farthestK(df(l, "lid", "lg"), df(r, "rid", "rg"),
+        "lg", "rg", 3, "lid", "rid")
+        .select("lid", "rid", "knn_rank").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      // brute force with the same JTS kernel
+      val f = graft.core.GeomOps.factory
+      def env(t: (Long, Double, Double, Double, Double)) =
+        f.toGeometry(new org.locationtech.jts.geom.Envelope(t._2, t._4, t._3, t._5))
+      val exp = l.map { lt =>
+        lt._1 -> r.map(rt => (rt._1, env(lt).distance(env(rt))))
+          .sortBy { case (rid, d) => (-d, rid) }.take(3).map(_._1)
+      }.toMap
+      assert(got.length == 36, s"seed $seed: ${got.length}")
+      got.groupBy(_._1).foreach { case (lid, rows) =>
+        assert(rows.sortBy(_._3).map(_._2).toSeq == exp(lid),
+          s"seed $seed left $lid: ${rows.sortBy(_._3).map(_._2).toSeq} vs ${exp(lid)}")
+      }
+    }
+  }
+
   test("planner: farthest-k DESC shape plans as KnnTopKExec (round 19)") {
     val l = Seq((1L, 0.0, 0.0), (2L, 10.0, 10.0), (3L, 5.0, 5.0))
     val r = Seq((10L, 1.0, 0.0), (11L, 0.0, 1.0), (12L, 3.0, 4.0),
