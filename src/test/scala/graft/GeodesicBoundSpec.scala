@@ -194,6 +194,37 @@ class GeodesicBoundSpec extends SparkTestBase {
     finally spark.conf.set("spark.graft.edges.dispatch", "true")
   }
 
+  test("native-encoded stamped columns: extent dispatch and the lat-safe stats prune") {
+    // the NATIVE twin of the g124 scenario: a linestring-encoded stamped
+    // file has NO covering struct, so the bbox read plans row groups from
+    // the raw x/y leaf stats — vertex stats, which under-cover arcs. The
+    // read must widen the latitude window away (lon-only prune + arc
+    // refine), and ST_Extent_Agg must take the GeodesicExtentRule wrap
+    // rather than NativePointFastPath's planar leaf-stats rewrite.
+    graft.functions.GeoFunctions.register(spark)
+    import graft.sources.GeoParquet
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "gnative_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val df = spark.sql("""
+      SELECT 1L AS fid, ST_GeomFromText('LINESTRING (-60 50, 60 50)') AS geometry
+      UNION ALL
+      SELECT 2L, ST_GeomFromText('LINESTRING (100 -20, 110 -25)')""")
+    GeoParquet.write(df.coalesce(1), out, covering = false,
+      encoding = "linestring", edges = Some("spherical"))
+    // extent aggregate: geodesic (the planar leaf rewrite must refuse)
+    GeoParquet.read(spark, out).createOrReplaceTempView("gnative_t")
+    val agg = spark.sql("SELECT ST_Extent_Agg(geometry) AS e FROM gnative_t")
+    val ymax = agg.head().getStruct(0).getDouble(3)
+    assert(ymax > 67.0, s"native stamped extent must be geodesic: $ymax")
+    // arc-but-not-chord bbox read through the native stats-prune path
+    val hit = GeoParquet.read(spark, out, bbox = Some((-1.0, 66.0, 1.0, 68.0)))
+      .select("fid").collect().map(_.getLong(0)).toSeq
+    assert(hit == Seq(1L), s"native stamped arc read: $hit")
+    // a window that matches NOTHING (lon range off every geometry) still
+    // prunes/filters to empty — the widened lat must not break lon pruning
+    assert(GeoParquet.read(spark, out, bbox = Some((160.0, -5.0, 170.0, 5.0))).count() == 0)
+  }
+
   test("boolean predicates under an edge model: exact for points, planar for the rest") {
     // the round-19 documented decision: a point has no edges, so every
     // predicate over point-only stamped columns is model-independent —
