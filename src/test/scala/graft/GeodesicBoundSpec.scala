@@ -225,6 +225,55 @@ class GeodesicBoundSpec extends SparkTestBase {
     assert(GeoParquet.read(spark, out, bbox = Some((160.0, -5.0, 170.0, 5.0))).count() == 0)
   }
 
+
+  test("fuzz: stamped bbox reads never lose an arc-intersecting row") {
+    // end-to-end pruning exactness for the whole covering/prune/refine
+    // pipeline: random stamped datasets × random windows; the expected
+    // row set replicates the refine semantics EXACTLY (segmentized arc ∩
+    // window via the same kernels), so any divergence is a pruning loss
+    // (the g124 bug class) or an over-return
+    graft.functions.GeoFunctions.register(spark)
+    import graft.sources.GeoParquet
+    import graft.core.{Geodesy, GeomOps}
+    val rnd = new scala.util.Random(23)
+    val step = 50000.0 // the refine default
+    var windowsChecked = 0
+    (1 to 5).foreach { iter =>
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"gfz_${iter}_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+      val rows = (0 until 40).map { i =>
+        val lon1 = rnd.nextDouble() * 300 - 150
+        val lat1 = rnd.nextDouble() * 140 - 70
+        val lon2 = math.max(-179.0, math.min(179.0, lon1 + rnd.nextDouble() * 100 - 50))
+        val lat2 = rnd.nextDouble() * 140 - 70
+        (i.toLong, s"LINESTRING ($lon1 $lat1, $lon2 $lat2)")
+      }
+      import spark.implicits._
+      val df = rows.toDF("fid", "wkt")
+        .selectExpr("fid", "ST_GeomFromText(wkt) AS geometry")
+      GeoParquet.write(df.coalesce(2), out, edges = Some("spherical"))
+      (1 to 3).foreach { _ =>
+        val wx = rnd.nextDouble() * 300 - 150
+        val wy = rnd.nextDouble() * 150 - 75
+        val (ww, wh) = (rnd.nextDouble() * 20 + 1, rnd.nextDouble() * 20 + 1)
+        val window = (wx, wy, wx + ww, wy + wh)
+        val expected = rows.collect { case (fid, wkt) =>
+          val g = GeomOps.read(Geodesy.segmentizeGeodesic(
+            GeomOps.write(new org.locationtech.jts.io.WKTReader(GeomOps.factory).read(wkt)), step))
+          val rect = GeomOps.factory.toGeometry(
+            new org.locationtech.jts.geom.Envelope(window._1, window._3, window._2, window._4))
+          if (g.intersects(rect)) Some(fid) else None
+        }.flatten.toSet
+        val got = GeoParquet.read(spark, out, bbox = Some(window))
+          .select("fid").collect().map(_.getLong(0)).toSet
+        assert(got == expected,
+          s"iter $iter window $window: lost ${expected -- got}, extra ${got -- expected}")
+        windowsChecked += 1
+      }
+    }
+    assert(windowsChecked == 15)
+  }
+
   test("boolean predicates under an edge model: exact for points, planar for the rest") {
     // the round-19 documented decision: a point has no edges, so every
     // predicate over point-only stamped columns is model-independent —
