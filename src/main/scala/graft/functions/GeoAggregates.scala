@@ -81,4 +81,38 @@ object GeoAggregates {
     spark.udf.register("st_extent_agg", F.udaf(ExtentAgg, Encoders.BINARY))
     spark.udf.register("st_union_agg", F.udaf(UnionAgg, Encoders.BINARY))
   }
+
+  /** The aggregates as `injectFunction` descriptors (the
+    * [[graft.GraftExtensions]] path): the builder constructs the SAME
+    * [[org.apache.spark.sql.execution.aggregate.ScalaAggregator]]
+    * expression `spark.udf.register(F.udaf(...))` resolves to — built
+    * directly because the udaf's Column-level apply yields a ColumnNode
+    * that only a live session's converter can lower, which an
+    * injectFunction builder does not have. `agg` stays the SAME
+    * singleton, so [[graft.plans.NativePointFastPath]]'s and
+    * [[graft.plans.GeodesicExtentRule]]'s `eq`-based ExtentAgg matches
+    * fire identically on both wirings. */
+  private[graft] def functionDescriptors: Seq[(
+      org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    import org.apache.spark.sql.execution.aggregate.ScalaAggregator
+    def desc[BUF](name: String,
+                  agg: org.apache.spark.sql.expressions.Aggregator[Array[Byte], BUF, _],
+                  bufEnc: Encoder[BUF]) =
+      (FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GeoAggregates", name),
+        (args: Seq[Expression]) => new ScalaAggregator(
+          args, agg,
+          ExpressionEncoder(Encoders.BINARY.asInstanceOf[org.apache.spark.sql.catalyst.encoders.AgnosticEncoder[Array[Byte]]]),
+          ExpressionEncoder(bufEnc.asInstanceOf[org.apache.spark.sql.catalyst.encoders.AgnosticEncoder[BUF]]),
+          true, true, 0, 0, scala.None)
+          .toAggregateExpression(): Expression)
+    Seq(desc("st_extent_agg", ExtentAgg, Encoders.product[BBox]),
+        desc("st_union_agg", UnionAgg, Encoders.kryo[Seq[Array[Byte]]]))
+  }
 }

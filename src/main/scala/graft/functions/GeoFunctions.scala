@@ -620,6 +620,24 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** `injectFunction` descriptors for [[graft.GraftExtensions]] — the
+    * SAME builders `register` installs, exposed as extension injections.
+    * Resolution-time availability is the point: Spark 4 raises
+    * UNRESOLVED_ROUTINE during resolution, so a post-resolution
+    * registration hook can never serve a session's first query. */
+  private[graft] def functionDescriptors: Seq[(
+      org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    byName.toSeq.map { case (name, overloads) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GeoFunctions", name),
+        (args: Seq[Expression]) => build(name, overloads)(args))
+    } ++ GeoAggregates.functionDescriptors
+  }
+
   /** Idempotent per-session registration of all ST_* SQL names, aggregates,
     * and the spatial-join planner strategy. */
   def register(spark: SparkSession): Unit = synchronized {
