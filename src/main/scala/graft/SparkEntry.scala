@@ -3351,6 +3351,69 @@ object SparkEntry {
           FROM customer)
     ORDER BY id"""
 
+  /** Editing/analysis parity batch (g129, round 19): ST_Split (line by
+    * point + polygon by line), ST_Angle (clockwise-from-north), ST_Snap,
+    * ST_Segmentize (planar densify contract), ST_BoundingDiagonal and
+    * ST_SharedPaths — every output a closed form DuckDB recomputes from
+    * the same fixture arithmetic. */
+  private val g129Spark = """
+    WITH p AS (
+      SELECT CAST(id AS BIGINT) AS id,
+             CAST(6 + id % 7 AS DOUBLE) AS L,
+             CAST(1 + id % 5 AS DOUBLE) AS c,
+             CAST(1 + id % 9 AS DOUBLE) AS v,
+             CAST(1 + id % 4 AS DOUBLE) AS x3,
+             CAST(1 + id % 3 AS DOUBLE) AS y3,
+             CAST(3 + id % 3 AS DOUBLE) AS seg
+      FROM range(30)),
+    f AS (
+      SELECT id, L, c, v, x3, y3, seg,
+             ST_Split(ST_GeomFromText(CONCAT('LINESTRING (0 0, ', L, ' 0)')),
+                      ST_GeomFromText(CONCAT('POINT (', c, ' 0)'))) AS cutl,
+             ST_Split(ST_GeomFromText('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'),
+                      ST_GeomFromText(CONCAT('LINESTRING (', v, ' -1, ', v, ' 11)'))) AS cutp,
+             ST_SharedPaths(
+               ST_GeomFromText('LINESTRING (0 0, 20 0)'),
+               ST_GeomFromText(CONCAT('MULTILINESTRING ((', c, ' 0, ', c + 2.0, ' 0), (',
+                                      c + 10.0, ' 0, ', c + 8.0, ' 0))'))) AS sp,
+             ST_BoundingDiagonal(
+               ST_MakeEnvelope(2.0, 1.0, 2.0 + x3, 1.0 + y3)) AS diag,
+             ST_Snap(ST_GeomFromText(CONCAT('LINESTRING (0 0, ', L - 0.05, ' 0.05)')),
+                     ST_GeomFromText(CONCAT('POINT (', L, ' 0)')), 0.2) AS snapped
+      FROM p)
+    SELECT id,
+           CAST(ST_NumGeometries(cutl) AS BIGINT) AS line_pieces,
+           ROUND(LEAST(ST_Length(ST_GeometryN(cutl, 0)), ST_Length(ST_GeometryN(cutl, 1))), 9) AS min_cut,
+           CAST(ST_NumGeometries(cutp) AS BIGINT) AS poly_pieces,
+           ROUND(LEAST(ST_Area(ST_GeometryN(cutp, 0)), ST_Area(ST_GeometryN(cutp, 1))), 9) AS min_area,
+           CAST(ROUND(ST_Angle(ST_Point(0.0, 1.0), ST_Point(0.0, 0.0), ST_Point(x3, y3)) * 1e9) AS BIGINT) AS angle_nano,
+           ROUND(ST_Length(ST_GeometryN(sp, 0)), 9) AS shared_same,
+           ROUND(ST_Length(ST_GeometryN(sp, 1)), 9) AS shared_opp,
+           ROUND(ST_X(ST_PointN(diag, 1)), 9) AS diag_x,
+           ROUND(ST_Y(ST_PointN(diag, 1)), 9) AS diag_y,
+           CAST(ST_NPoints(ST_Segmentize(ST_GeomFromText('LINESTRING (0 0, 10 0)'), seg)) AS BIGINT) AS seg_np,
+           ROUND(ST_X(ST_PointN(snapped, 1)), 9) AS snap_x
+    FROM f ORDER BY id"""
+
+  private val g129Duck = """
+    WITH p AS (
+      SELECT i::BIGINT AS id,
+             (6 + i % 7)::DOUBLE AS L, (1 + i % 5)::DOUBLE AS c,
+             (1 + i % 9)::DOUBLE AS v, (1 + i % 4)::DOUBLE AS x3,
+             (1 + i % 3)::DOUBLE AS y3, (3 + i % 3)::DOUBLE AS seg
+      FROM range(30) t(i))
+    SELECT id,
+           2::BIGINT AS line_pieces,
+           ROUND(LEAST(c, L - c), 9) AS min_cut,
+           2::BIGINT AS poly_pieces,
+           ROUND(LEAST(10.0 * v, 100.0 - 10.0 * v), 9) AS min_area,
+           CAST(ROUND(atan2(x3, y3) * 1e9) AS BIGINT) AS angle_nano,
+           2.0 AS shared_same, 2.0 AS shared_opp,
+           ROUND(2.0 + x3, 9) AS diag_x, ROUND(1.0 + y3, 9) AS diag_y,
+           (CEIL(10.0 / seg) + 1)::BIGINT AS seg_np,
+           ROUND(L, 9) AS snap_x
+    FROM p ORDER BY id"""
+
   private val g128Duck = """
     WITH k AS (
       SELECT 6378137.0 AS a, (1.0/298.257222101)*(2.0 - 1.0/298.257222101) AS e2,
@@ -13510,6 +13573,7 @@ object SparkEntry {
     ("g126_point_predicate_stamped", g126Fn _, g126Duck),
     ("g127_farthest_k", q(g127Spark), g127Duck),
     ("g128_gda2020_datum", q(g128Spark), g128Duck),
+    ("g129_editing_parity", q(g129Spark), g129Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

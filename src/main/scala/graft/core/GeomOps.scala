@@ -824,6 +824,168 @@ object GeomOps {
     memo(4, a, b) { write(read(a).symDifference(read(b))) }
   def unaryUnion(b: Array[Byte]): Array[Byte] = write(read(b).union())
 
+  // ── PostGIS editing/analysis parity (round 19) ────────────────────────
+
+  /** ST_Snap: vertices/segments of `a` within `tol` of `ref`'s vertices
+    * snap onto them (JTS GeometrySnapper — the GEOS kernel PostGIS wraps). */
+  def snap(a: Array[Byte], ref: Array[Byte], tol: Double): Array[Byte] =
+    write(org.locationtech.jts.operation.overlay.snap.GeometrySnapper
+      .snap(read(a), read(ref), tol)(0))
+
+  /** ST_CollectionExtract(g, dim): members of the requested dimension
+    * (PostGIS codes — 1 point, 2 line, 3 polygon), recursively, returned
+    * as the matching Multi type (EMPTY when none). Atomic inputs of the
+    * right dimension pass through wrapped. */
+  def collectionExtract(b: Array[Byte], dim: Int): Array[Byte] = {
+    require(dim >= 1 && dim <= 3,
+      s"ST_CollectionExtract: dimension code $dim (1=point, 2=line, 3=polygon)")
+    val g = read(b)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Geometry]
+    def rec(x: Geometry): Unit = x match {
+      case c: GeometryCollection =>
+        var i = 0
+        while (i < c.getNumGeometries) { rec(c.getGeometryN(i)); i += 1 }
+      case p: Point if dim == 1 && !p.isEmpty => out += p
+      case l: LineString if dim == 2 && !l.isEmpty => out += l
+      case p: Polygon if dim == 3 && !p.isEmpty => out += p
+      case _ =>
+    }
+    rec(g)
+    write(dim match {
+      case 1 => factory.createMultiPoint(out.map(_.asInstanceOf[Point]).toArray)
+      case 2 => factory.createMultiLineString(out.map(_.asInstanceOf[LineString]).toArray)
+      case _ => factory.createMultiPolygon(out.map(_.asInstanceOf[Polygon]).toArray)
+    })
+  }
+
+  /** ST_BoundingDiagonal: the LineString from the envelope's min corner
+    * to its max corner (empty input → LINESTRING EMPTY, the PostGIS
+    * null-ish degenerate). */
+  def boundingDiagonal(b: Array[Byte]): Array[Byte] = {
+    val e = read(b).getEnvelopeInternal
+    if (e.isNull) write(factory.createLineString())
+    else write(factory.createLineString(Array(
+      new Coordinate(e.getMinX, e.getMinY), new Coordinate(e.getMaxX, e.getMaxY))))
+  }
+
+  /** planar azimuth in radians, clockwise from north (the ST_Azimuth
+    * convention shared by [[azimuth]]) — helper for [[angle]]. */
+  private def planarAz(x1: Double, y1: Double, x2: Double, y2: Double): Double = {
+    val a = math.atan2(x2 - x1, y2 - y1)
+    if (a < 0) a + 2 * math.Pi else a
+  }
+
+  /** ST_Angle(P1, P2, P3): the angle at P2 swept CLOCKWISE from ray
+    * P2→P1 to ray P2→P3, in [0, 2π) — the PostGIS convention
+    * (ST_Angle(P1,P2,P3) = ST_Angle(P2,P1, P2,P3)). */
+  def angle3(p1: Array[Byte], p2: Array[Byte], p3: Array[Byte]): Double = {
+    val a = read(p1).getCoordinate; val b = read(p2).getCoordinate
+    val c = read(p3).getCoordinate
+    val d = planarAz(b.x, b.y, c.x, c.y) - planarAz(b.x, b.y, a.x, a.y)
+    if (d < 0) d + 2 * math.Pi else d
+  }
+
+  /** ST_Angle(P1, P2, P3, P4): clockwise angle from the direction P1→P2
+    * to the direction P3→P4, in [0, 2π). */
+  def angle4(p1: Array[Byte], p2: Array[Byte],
+             p3: Array[Byte], p4: Array[Byte]): Double = {
+    val a = read(p1).getCoordinate; val b = read(p2).getCoordinate
+    val c = read(p3).getCoordinate; val d0 = read(p4).getCoordinate
+    val d = planarAz(c.x, c.y, d0.x, d0.y) - planarAz(a.x, a.y, b.x, b.y)
+    if (d < 0) d + 2 * math.Pi else d
+  }
+
+  /** ST_Split(input, blade) — the PostGIS splitter for the supported
+    * pairs: line by point/multipoint (cut at points ON the line), line by
+    * line/polygon-boundary (noded pieces), polygon/multipolygon by line
+    * (polygonize boundary ∪ blade, keep faces inside the input). Returns
+    * a GeometryCollection of the pieces; an input the blade misses comes
+    * back as a single-member collection (PostGIS behavior). */
+  def split(input: Array[Byte], blade: Array[Byte]): Array[Byte] = {
+    val g = read(input)
+    val bl = read(blade)
+    def collect(parts: Seq[Geometry]): Array[Byte] =
+      write(factory.createGeometryCollection(parts.toArray))
+    (g, bl) match {
+      case (line, pts) if line.getDimension == 1 && pts.getDimension == 0 =>
+        // cut each component at blade points that lie on it — exact
+        // (PostGIS does not snap either; use ST_Snap first if needed)
+        val pieces = scala.collection.mutable.ArrayBuffer.empty[Geometry]
+        (0 until line.getNumGeometries).foreach { i =>
+          val comp = line.getGeometryN(i).asInstanceOf[LineString]
+          val ix = new LengthIndexedLine(comp)
+          val cuts = (0 until pts.getNumGeometries).map(j => pts.getGeometryN(j))
+            .filter(p => comp.distance(p) == 0.0)
+            .map(p => ix.indexOf(p.getCoordinate))
+            .filter(idx => idx > 0.0 && idx < comp.getLength)
+            .distinct.sorted
+          val bounds = 0.0 +: cuts :+ comp.getLength
+          bounds.sliding(2).foreach { case Seq(f, t) =>
+            if (t > f) pieces += ix.extractLine(f, t)
+          }
+        }
+        collect(pieces.toSeq)
+      case (line, cutter) if line.getDimension == 1 =>
+        // node the linework; keep pieces of the INPUT (those the cutter
+        // merely crosses): union-node, then filter by piece midpoint —
+        // endpoints touch at crossings, midpoints sit on exactly one
+        // source (1e-9 absorbs the noding's intersection rounding)
+        val cutLines = if (cutter.getDimension == 2) cutter.getBoundary else cutter
+        val noded = line.union(cutLines)
+        val pieces = (0 until noded.getNumGeometries).map(noded.getGeometryN)
+          .filter { p =>
+            p.getDimension == 1 && p.getLength > 0 && {
+              val mid = new LengthIndexedLine(p).extractPoint(p.getLength / 2)
+              line.distance(factory.createPoint(mid)) < 1e-9
+            }
+          }
+        collect(pieces)
+      case (poly, cutter) if poly.getDimension == 2 && cutter.getDimension == 1 =>
+        val p = new org.locationtech.jts.operation.polygonize.Polygonizer()
+        p.add(poly.getBoundary.union(cutter))
+        val faces = scala.jdk.CollectionConverters
+          .CollectionHasAsScala(p.getPolygons).asScala.toSeq
+          .map(_.asInstanceOf[Polygon])
+          .filter(f => poly.contains(f.getInteriorPoint))
+          .sortBy(f => { val c = f.getInteriorPoint; (c.getX, c.getY) })
+        collect(faces)
+      case _ => throw new IllegalArgumentException(
+        s"ST_Split: unsupported pair ${g.getGeometryType} by ${bl.getGeometryType} " +
+          "(line by point/line/polygon-boundary, or polygon by line)")
+    }
+  }
+
+  /** ST_SharedPaths(g1, g2): GEOMETRYCOLLECTION(MULTILINESTRING same-
+    * direction, MULTILINESTRING opposite-direction) of the linework the
+    * two lineal inputs share — the PostGIS/GEOS contract. The overlay's
+    * piece orientation is arbitrary, so direction is judged RELATIVE:
+    * each piece's first segment is projected onto the nearest component
+    * of BOTH inputs (LengthIndexedLine), and the piece is same-direction
+    * iff the traversal indices increase on both or decrease on both. */
+  def sharedPaths(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val g1 = read(a); val g2 = read(b)
+    require(g1.getDimension == 1 && g2.getDimension == 1,
+      "ST_SharedPaths: both inputs must be lineal")
+    val shared = g1.intersection(g2)
+    val same = scala.collection.mutable.ArrayBuffer.empty[LineString]
+    val opp = scala.collection.mutable.ArrayBuffer.empty[LineString]
+    def dirOn(g: Geometry, l: LineString): Int = {
+      val comps = (0 until g.getNumGeometries).map(g.getGeometryN)
+      val host = comps.minBy(_.distance(l))
+      val ix = new LengthIndexedLine(host)
+      java.lang.Double.compare(ix.indexOf(l.getCoordinateN(1)),
+        ix.indexOf(l.getCoordinateN(0)))
+    }
+    (0 until shared.getNumGeometries).map(shared.getGeometryN).foreach {
+      case l: LineString if !l.isEmpty && l.getLength > 0 =>
+        if (dirOn(g1, l) * dirOn(g2, l) >= 0) same += l else opp += l
+      case _ => // crossing points — not shared PATHS
+    }
+    write(factory.createGeometryCollection(Array(
+      factory.createMultiLineString(same.toArray),
+      factory.createMultiLineString(opp.toArray))))
+  }
+
   // ── linear referencing ────────────────────────────────────────────────
   // ref: rust/geoarrow-old/src/algorithm/geo/{line_interpolate_point.rs:42,
   //      line_locate_point.rs:22}

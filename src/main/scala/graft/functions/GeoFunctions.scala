@@ -175,6 +175,16 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_simplifyvw" -> Sig("simplifyVW", G, Seq(G, D)),
     "st_simplifyvwpreserve" -> Sig("simplifyVWPreserve", G, Seq(G, D)),
     "st_densify" -> Sig("densify", G, Seq(G, D)),
+    // PostGIS ST_Segmentize (planar): same max-segment-length contract —
+    // JTS Densifier splits every longer segment into equal pieces ≤ max
+    "st_segmentize" -> Sig("densify", G, Seq(G, D)),
+    "st_snap" -> Sig("snap", G, Seq(G, G, D)),
+    "st_collectionextract" -> Sig("collectionExtract", G, Seq(G, I)),
+    "st_boundingdiagonal" -> Sig("boundingDiagonal", G, Seq(G)),
+    "st_angle" -> Sig("angle3", D, Seq(G, G, G)),
+    "st_angle" -> Sig("angle4", D, Seq(G, G, G, G)),
+    "st_split" -> Sig("split", G, Seq(G, G)),
+    "st_sharedpaths" -> Sig("sharedPaths", G, Seq(G, G)),
     "st_makevalid" -> Sig("makeValid", G, Seq(G)),
     "st_normalize" -> Sig("normalize", G, Seq(G)),
     "st_reduceprecision" -> Sig("reducePrecision", G, Seq(G, D)),

@@ -1,0 +1,107 @@
+package graft
+
+import graft.core.GeomOps
+
+/** PostGIS editing/analysis parity batch (round 19): ST_Snap,
+  * ST_Segmentize (planar alias of the densify contract),
+  * ST_CollectionExtract, ST_BoundingDiagonal, ST_Angle (3- and 4-arg,
+  * clockwise-from-north convention), ST_Split (line-by-point,
+  * line-by-line, polygon-by-line) and ST_SharedPaths (same/opposite
+  * direction buckets). Oracle g129 replays the closed forms in DuckDB. */
+class EditingParitySpec extends SparkTestBase {
+
+  private def g(w: String) =
+    GeomOps.read(GeomOps.write(new org.locationtech.jts.io.WKTReader(GeomOps.factory).read(w)))
+  private def wkb(w: String) = GeomOps.write(g(w))
+
+  test("ST_Snap pulls near-miss vertices onto the reference") {
+    val snapped = GeomOps.read(GeomOps.snap(
+      wkb("LINESTRING (0 0, 9.95 0.05)"), wkb("POINT (10 0)"), 0.2))
+    val last = snapped.getCoordinates.last
+    assert(last.x == 10.0 && last.y == 0.0, snapped.toText)
+    // beyond tolerance: unchanged
+    val un = GeomOps.read(GeomOps.snap(
+      wkb("LINESTRING (0 0, 9.5 0.5)"), wkb("POINT (10 0)"), 0.2))
+    assert(un.getCoordinates.last.x == 9.5)
+  }
+
+  test("ST_Segmentize is the planar max-length contract (densify alias)") {
+    graft.functions.GeoFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT ST_NPoints(ST_Segmentize(ST_GeomFromText('LINESTRING (0 0, 10 0)'), 3.0)) AS np,
+             ST_AsText(ST_Segmentize(ST_GeomFromText('LINESTRING (0 0, 10 0)'), 5.0)) AS w
+      """).head()
+    assert(r.getInt(0) == 5, s"ceil(10/3)=4 pieces -> 5 points: ${r.getInt(0)}")
+    assert(r.getString(1) == "LINESTRING (0 0, 5 0, 10 0)", r.getString(1))
+  }
+
+  test("ST_CollectionExtract splits a mixed collection by dimension code") {
+    val mixed = wkb("GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 0), " +
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)), GEOMETRYCOLLECTION (POINT (2 2)))")
+    assert(GeomOps.read(GeomOps.collectionExtract(mixed, 1)).toText ==
+      "MULTIPOINT ((1 1), (2 2))")
+    assert(GeomOps.read(GeomOps.collectionExtract(mixed, 2)).toText ==
+      "MULTILINESTRING ((0 0, 1 0))")
+    assert(GeomOps.read(GeomOps.collectionExtract(mixed, 3)).getArea == 1.0)
+    assert(GeomOps.read(GeomOps.collectionExtract(wkb("POINT (3 3)"), 2)).isEmpty)
+    intercept[IllegalArgumentException](GeomOps.collectionExtract(mixed, 4))
+  }
+
+  test("ST_BoundingDiagonal and ST_Angle closed forms") {
+    assert(GeomOps.read(GeomOps.boundingDiagonal(
+      wkb("POLYGON ((2 1, 6 1, 6 4, 2 4, 2 1))"))).toText == "LINESTRING (2 1, 6 4)")
+    assert(GeomOps.read(GeomOps.boundingDiagonal(wkb("POLYGON EMPTY"))).isEmpty)
+    // 3-arg: clockwise at P2 from ray P2->P1 (north) to ray P2->P3 (east) = 90°
+    val a3 = GeomOps.angle3(wkb("POINT (0 1)"), wkb("POINT (0 0)"), wkb("POINT (1 0)"))
+    assert(math.abs(a3 - math.Pi / 2) < 1e-12, a3.toString)
+    // 4-arg: from direction east to direction north, clockwise = 270°
+    val a4 = GeomOps.angle4(wkb("POINT (0 0)"), wkb("POINT (1 0)"),
+      wkb("POINT (0 0)"), wkb("POINT (0 1)"))
+    assert(math.abs(a4 - 3 * math.Pi / 2) < 1e-12, a4.toString)
+  }
+
+  test("ST_Split: line by point, line by line, polygon by line") {
+    // line by point on it → two pieces; off it → one
+    val byPt = GeomOps.read(GeomOps.split(
+      wkb("LINESTRING (0 0, 10 0)"), wkb("POINT (4 0)")))
+    assert(byPt.getNumGeometries == 2 &&
+      byPt.getGeometryN(0).getLength == 4.0 && byPt.getGeometryN(1).getLength == 6.0,
+      byPt.toText)
+    assert(GeomOps.read(GeomOps.split(
+      wkb("LINESTRING (0 0, 10 0)"), wkb("POINT (4 1)"))).getNumGeometries == 1)
+    // line by crossing line → two pieces of the INPUT only
+    val byLine = GeomOps.read(GeomOps.split(
+      wkb("LINESTRING (0 0, 10 0)"), wkb("LINESTRING (5 -1, 5 1)")))
+    assert(byLine.getNumGeometries == 2 &&
+      math.abs(byLine.getLength - 10.0) < 1e-9, byLine.toText)
+    // polygon by line → two faces covering the input exactly
+    val byCut = GeomOps.read(GeomOps.split(
+      wkb("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"), wkb("LINESTRING (3 -1, 3 11)")))
+    assert(byCut.getNumGeometries == 2, byCut.toText)
+    val areas = (0 until 2).map(byCut.getGeometryN(_).getArea).sorted
+    assert(areas == Seq(30.0, 70.0), areas.toString)
+    // blade missing the polygon → single-member collection (PostGIS)
+    assert(GeomOps.read(GeomOps.split(
+      wkb("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+      wkb("LINESTRING (20 0, 20 10)"))).getNumGeometries == 1)
+    intercept[IllegalArgumentException](
+      GeomOps.split(wkb("POINT (0 0)"), wkb("LINESTRING (0 0, 1 1)")))
+  }
+
+  test("ST_SharedPaths: same- and opposite-direction buckets") {
+    val sp = GeomOps.read(GeomOps.sharedPaths(
+      wkb("LINESTRING (0 0, 10 0)"),
+      wkb("MULTILINESTRING ((2 0, 5 0), (9 0, 6 0), (3 5, 4 5))")))
+    assert(sp.getNumGeometries == 2, sp.toText)
+    val sameLen = sp.getGeometryN(0).getLength
+    val oppLen = sp.getGeometryN(1).getLength
+    assert(sameLen == 3.0, s"same-direction [2,5]: $sameLen (${sp.toText})")
+    assert(oppLen == 3.0, s"opposite [6,9]: $oppLen (${sp.toText})")
+    // disjoint linework → two EMPTY multilinestrings
+    val none = GeomOps.read(GeomOps.sharedPaths(
+      wkb("LINESTRING (0 0, 1 0)"), wkb("LINESTRING (5 5, 6 5)")))
+    assert(none.getGeometryN(0).isEmpty && none.getGeometryN(1).isEmpty)
+    intercept[IllegalArgumentException](
+      GeomOps.sharedPaths(wkb("POINT (0 0)"), wkb("LINESTRING (0 0, 1 0)")))
+  }
+}
