@@ -3395,6 +3395,39 @@ object SparkEntry {
            ROUND(ST_X(ST_PointN(snapped, 1)), 9) AS snap_x
     FROM f ORDER BY id"""
 
+  /** 3D measures (g130, round 19): pythagorean closed forms over the
+    * Z-preserving WKB — 3D distance/length/perimeter/dwithin replayed
+    * arithmetically in DuckDB. */
+  private val g130Spark = """
+    WITH p AS (
+      SELECT CAST(id AS BIGINT) AS id,
+             CAST(1 + id % 5 AS DOUBLE) AS a,
+             CAST(1 + id % 7 AS DOUBLE) AS b,
+             CAST(1 + id % 4 AS DOUBLE) AS c
+      FROM range(40))
+    SELECT id,
+           ROUND(ST_3DDistance(ST_GeomFromText('POINT Z(0 0 0)'),
+                               ST_GeomFromText(CONCAT('POINT Z(', a, ' ', b, ' ', c, ')'))), 9) AS d3,
+           ROUND(ST_3DLength(ST_GeomFromText(
+             CONCAT('LINESTRING Z(0 0 0, ', a, ' ', b, ' ', c, ', ', a, ' ', b, ' 0)'))), 9) AS l3,
+           ROUND(ST_3DPerimeter(ST_GeomFromText(
+             CONCAT('POLYGON Z((0 0 0, ', a, ' 0 0, ', a, ' 0 ', c, ', 0 0 ', c, ', 0 0 0))'))), 9) AS p3,
+           ST_3DDWithin(ST_GeomFromText('POINT Z(0 0 0)'),
+                        ST_GeomFromText(CONCAT('POINT Z(', a, ' ', b, ' ', c, ')')), 6.0) AS w3
+    FROM p ORDER BY id"""
+
+  private val g130Duck = """
+    WITH p AS (
+      SELECT i::BIGINT AS id, (1 + i % 5)::DOUBLE AS a,
+             (1 + i % 7)::DOUBLE AS b, (1 + i % 4)::DOUBLE AS c
+      FROM range(40) t(i))
+    SELECT id,
+           ROUND(sqrt(a*a + b*b + c*c), 9) AS d3,
+           ROUND(sqrt(a*a + b*b + c*c) + c, 9) AS l3,
+           ROUND(2*a + 2*c, 9) AS p3,
+           sqrt(a*a + b*b + c*c) <= 6.0 AS w3
+    FROM p ORDER BY id"""
+
   private val g129Duck = """
     WITH p AS (
       SELECT i::BIGINT AS id,
@@ -13574,6 +13607,7 @@ object SparkEntry {
     ("g127_farthest_k", q(g127Spark), g127Duck),
     ("g128_gda2020_datum", q(g128Spark), g128Duck),
     ("g129_editing_parity", q(g129Spark), g129Duck),
+    ("g130_3d_measures", q(g130Spark), g130Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -824,6 +824,57 @@ object GeomOps {
     memo(4, a, b) { write(read(a).symDifference(read(b))) }
   def unaryUnion(b: Array[Byte]): Array[Byte] = write(read(b).union())
 
+  // ── 3D measures (round 19 — the Z-aware PostGIS family over the
+  //    engine's Z-preserving WKB; JTS Distance3DOp + per-segment 3D
+  //    hypot; coordinates without Z measure as planar, the JTS NaN-Z
+  //    convention both engines share) ────────────────────────────────────
+
+  def distance3D(a: Array[Byte], b: Array[Byte]): Double =
+    org.locationtech.jts.operation.distance3d.Distance3DOp.distance(read(a), read(b))
+
+  def dWithin3D(a: Array[Byte], b: Array[Byte], d: Double): Boolean =
+    org.locationtech.jts.operation.distance3d.Distance3DOp.isWithinDistance(
+      read(a), read(b), d)
+
+  /** ST_3DLength: Σ per-segment sqrt(dx² + dy² + dz²) over every lineal
+    * component (rings included — the ST_3DPerimeter share the walk);
+    * segments with a NaN Z on either end fall back to their planar
+    * length (the PostGIS treatment of 2D members in mixed input). */
+  private def length3DOf(g: Geometry): Double = g match {
+    case l: LineString =>
+      val cs = l.getCoordinates
+      var s = 0.0
+      var i = 1
+      while (i < cs.length) {
+        val dx = cs(i).x - cs(i - 1).x
+        val dy = cs(i).y - cs(i - 1).y
+        val dz = cs(i).getZ - cs(i - 1).getZ
+        s += (if (dz.isNaN) math.hypot(dx, dy)
+              else math.sqrt(dx * dx + dy * dy + dz * dz))
+        i += 1
+      }
+      s
+    case p: Polygon => 0.0 // lineal length of areal input is 0 (PostGIS)
+    case c: GeometryCollection =>
+      (0 until c.getNumGeometries).map(i => length3DOf(c.getGeometryN(i))).sum
+    case _ => 0.0
+  }
+
+  def length3D(b: Array[Byte]): Double = length3DOf(read(b))
+
+  /** ST_3DPerimeter: the 3D ring walk over polygon boundaries. */
+  private def perimeter3DOf(g: Geometry): Double = g match {
+    case p: Polygon =>
+      val rings = p.getExteriorRing +:
+        (0 until p.getNumInteriorRing).map(p.getInteriorRingN)
+      rings.map(length3DOf).sum
+    case c: GeometryCollection =>
+      (0 until c.getNumGeometries).map(i => perimeter3DOf(c.getGeometryN(i))).sum
+    case _ => 0.0
+  }
+
+  def perimeter3D(b: Array[Byte]): Double = perimeter3DOf(read(b))
+
   // ── PostGIS editing/analysis parity (round 19) ────────────────────────
 
   /** ST_Snap: vertices/segments of `a` within `tol` of `ref`'s vertices

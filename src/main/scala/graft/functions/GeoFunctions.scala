@@ -185,6 +185,10 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_angle" -> Sig("angle4", D, Seq(G, G, G, G)),
     "st_split" -> Sig("split", G, Seq(G, G)),
     "st_sharedpaths" -> Sig("sharedPaths", G, Seq(G, G)),
+    "st_3ddistance" -> Sig("distance3D", D, Seq(G, G)),
+    "st_3ddwithin" -> Sig("dWithin3D", B, Seq(G, G, D)),
+    "st_3dlength" -> Sig("length3D", D, Seq(G)),
+    "st_3dperimeter" -> Sig("perimeter3D", D, Seq(G)),
     "st_makevalid" -> Sig("makeValid", G, Seq(G)),
     "st_normalize" -> Sig("normalize", G, Seq(G)),
     "st_reduceprecision" -> Sig("reducePrecision", G, Seq(G, D)),

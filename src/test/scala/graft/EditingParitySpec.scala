@@ -88,6 +88,48 @@ class EditingParitySpec extends SparkTestBase {
       GeomOps.split(wkb("POINT (0 0)"), wkb("LINESTRING (0 0, 1 1)")))
   }
 
+  test("3D measures: pythagorean closed forms, NaN-Z fallback, dwithin boundary") {
+    assert(GeomOps.distance3D(wkb("POINT Z (0 0 0)"), wkb("POINT Z (3 4 12)")) == 13.0)
+    // 2D inputs measure planar (JTS NaN-Z convention)
+    assert(GeomOps.distance3D(wkb("POINT (0 0)"), wkb("POINT (3 4)")) == 5.0)
+    assert(GeomOps.length3D(wkb("LINESTRING Z (0 0 0, 3 4 12, 3 4 0)")) == 25.0)
+    // a segment missing Z on one end measures planar
+    assert(GeomOps.length3D(wkb("LINESTRING (0 0, 3 4)")) == 5.0)
+    // tilted rectangle: two horizontal edges (len 3) + two climbing 4-up
+    // edges of planar length 0 → 3D length 4 each
+    val p = wkb("POLYGON Z ((0 0 0, 3 0 0, 3 0 4, 0 0 4, 0 0 0))")
+    assert(GeomOps.perimeter3D(p) == 14.0, GeomOps.perimeter3D(p).toString)
+    assert(GeomOps.dWithin3D(wkb("POINT Z (0 0 0)"), wkb("POINT Z (0 0 5)"), 5.0))
+    assert(!GeomOps.dWithin3D(wkb("POINT Z (0 0 0)"), wkb("POINT Z (0 0 5)"), 4.9))
+    // SQL surface
+    graft.functions.GeoFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT ST_3DDistance(ST_GeomFromText('POINT Z(0 0 0)'), ST_GeomFromText('POINT Z(2 3 6)')) AS d,
+             ST_3DLength(ST_GeomFromText('LINESTRING Z(0 0 0, 2 3 6)')) AS l""").head()
+    assert(r.getDouble(0) == 7.0 && r.getDouble(1) == 7.0)
+  }
+
+  test("fuzz: split invariants — length and area are partitioned exactly") {
+    val rnd = new scala.util.Random(129)
+    (1 to 60).foreach { _ =>
+      // random 3-vertex line cut by a random crossing chord
+      val pts = Array.fill(3)((rnd.nextDouble() * 20, rnd.nextDouble() * 20))
+      val lineW = s"LINESTRING (${pts.map(p => s"${p._1} ${p._2}").mkString(", ")})"
+      val cx = rnd.nextDouble() * 20
+      val cut = s"LINESTRING ($cx -5, ${cx + rnd.nextDouble() * 4 - 2} 25)"
+      val res = GeomOps.read(GeomOps.split(wkb(lineW), wkb(cut)))
+      assert(math.abs(res.getLength - g(lineW).getLength) < 1e-6,
+        s"$lineW by $cut: ${res.getLength} vs ${g(lineW).getLength}")
+      // random convex quad cut by a random chord: areas partition
+      val quad = "POLYGON ((0 0, 12 0, 12 9, 0 9, 0 0))"
+      val chord = s"LINESTRING (${rnd.nextDouble() * 12} -1, ${rnd.nextDouble() * 12} 10)"
+      val faces = GeomOps.read(GeomOps.split(wkb(quad), wkb(chord)))
+      val total = (0 until faces.getNumGeometries).map(faces.getGeometryN(_).getArea).sum
+      assert(math.abs(total - 108.0) < 1e-6, s"$chord: area $total")
+      assert(faces.getNumGeometries >= 1 && faces.getNumGeometries <= 3)
+    }
+  }
+
   test("ST_SharedPaths: same- and opposite-direction buckets") {
     val sp = GeomOps.read(GeomOps.sharedPaths(
       wkb("LINESTRING (0 0, 10 0)"),
