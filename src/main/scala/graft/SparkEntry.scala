@@ -3416,6 +3416,47 @@ object SparkEntry {
                         ST_GeomFromText(CONCAT('POINT Z(', a, ' ', b, ' ', c, ')')), 6.0) AS w3
     FROM p ORDER BY id"""
 
+  /** Measured (LRS) family (g131, round 19): M gets semantics beyond
+    * roundtripping — locate-along/between interpolate the measure
+    * linearly per segment; Z/M bounds; Force3D stamps. All closed-form
+    * in DuckDB. */
+  private val g131Spark = """
+    WITH p AS (
+      SELECT CAST(id AS BIGINT) AS id,
+             CAST(10 + id % 5 AS DOUBLE) AS L,
+             CAST(10 * (1 + id % 9) AS DOUBLE) AS m0,
+             CAST(10 * (1 + id % 4) AS DOUBLE) AS m1,
+             CAST(10 * (5 + id % 5) AS DOUBLE) AS m2
+      FROM range(36)),
+    f AS (
+      SELECT id, L, m0, m1, m2,
+             ST_GeomFromText(CONCAT('LINESTRING M (0 0 0, ', L, ' 0 100)')) AS g
+      FROM p)
+    SELECT id,
+           ROUND(ST_X(ST_GeometryN(ST_LocateAlong(g, m0), 0)), 9) AS along_x,
+           ROUND(ST_Length(ST_LocateBetween(g, m1, m2)), 9) AS between_len,
+           ROUND(ST_MMax(g), 9) AS mmax,
+           ROUND(ST_MMin(g), 9) AS mmin,
+           ROUND(ST_ZMin(ST_Force3D(g, CAST(id AS DOUBLE) + 0.5)), 9) AS forced_z,
+           ROUND(ST_3DLength(ST_Force3D(ST_GeomFromText('LINESTRING (0 0, 3 4)'),
+                                        0.0)), 9) AS flat3d
+    FROM f ORDER BY id"""
+
+  private val g131Duck = """
+    WITH p AS (
+      SELECT i::BIGINT AS id, (10 + i % 5)::DOUBLE AS L,
+             (10 * (1 + i % 9))::DOUBLE AS m0,
+             (10 * (1 + i % 4))::DOUBLE AS m1,
+             (10 * (5 + i % 5))::DOUBLE AS m2
+      FROM range(36) t(i))
+    SELECT id,
+           ROUND(m0 / 100.0 * L, 9) AS along_x,
+           ROUND((m2 - m1) / 100.0 * L, 9) AS between_len,
+           100.0 AS mmax, 0.0 AS mmin,
+           ROUND(id + 0.5, 9) AS forced_z,
+           5.0 AS flat3d
+    FROM p ORDER BY id"""
+
   private val g130Duck = """
     WITH p AS (
       SELECT i::BIGINT AS id, (1 + i % 5)::DOUBLE AS a,
@@ -13608,6 +13649,7 @@ object SparkEntry {
     ("g128_gda2020_datum", q(g128Spark), g128Duck),
     ("g129_editing_parity", q(g129Spark), g129Duck),
     ("g130_3d_measures", q(g130Spark), g130Duck),
+    ("g131_lrs_family", q(g131Spark), g131Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -875,6 +875,171 @@ object GeomOps {
 
   def perimeter3D(b: Array[Byte]): Double = perimeter3DOf(read(b))
 
+  // ── Z/M bounds + the measured (LRS) family (round 19) ────────────────
+  // The engine's WKB carries Z and M end to end; these give M semantics
+  // beyond roundtripping. Absent ordinates answer NaN — the ST_Z/ST_M
+  // convention this registry already uses (and kernel-contract-safe:
+  // every StaticInvoke is returnNullable = false), vs PostGIS's box3d
+  // zero-default — a documented divergence.
+
+  private def ordBound(b: Array[Byte], get: Coordinate => Double,
+                       isMin: Boolean): Double = {
+    var best = Double.NaN
+    read(b).getCoordinates.foreach { c =>
+      val v = get(c)
+      if (!v.isNaN && (best.isNaN || (if (isMin) v < best else v > best))) best = v
+    }
+    best
+  }
+  def zMinOf(b: Array[Byte]): Double = ordBound(b, _.getZ, isMin = true)
+  def zMaxOf(b: Array[Byte]): Double = ordBound(b, _.getZ, isMin = false)
+  def mMinOf(b: Array[Byte]): Double = ordBound(b, _.getM, isMin = true)
+  def mMaxOf(b: Array[Byte]): Double = ordBound(b, _.getM, isMin = false)
+
+  /** ST_Force3D(g[, z]): stamp a Z (default 0) on every coordinate that
+    * lacks one; existing Z values are kept (PostGIS semantics). */
+  def force3D(b: Array[Byte], z: Double): Array[Byte] = {
+    val ed = new org.locationtech.jts.geom.util.GeometryEditor(factory)
+    write(ed.edit(read(b), new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+      override def edit(coords: Array[Coordinate], geometry: Geometry): Array[Coordinate] =
+        coords.map { c =>
+          if (c.getZ.isNaN) new Coordinate(c.x, c.y, z)
+          else new Coordinate(c.x, c.y, c.getZ)
+        }
+    }))
+  }
+
+  // measured geometry builders: the default CoordinateArraySequence has
+  // measures = 0, so writeDim's sequence-level hasM probe would drop M —
+  // an explicit (dim, measures) sequence keeps it
+  private def measuredSeq(cs: Array[Coordinate]): CoordinateSequence = {
+    // normalize the coordinate CLASS to the sequence's (dim, measures):
+    // in an XYM sequence getOrdinate(i, 2) must be M, which a stray
+    // CoordinateXYZM would answer with Z
+    val anyZ = cs.exists(c => !c.getZ.isNaN)
+    val norm: Array[Coordinate] =
+      if (anyZ) cs.map(c => new org.locationtech.jts.geom.CoordinateXYZM(
+        c.x, c.y, c.getZ, c.getM))
+      else cs.map(c => new CoordinateXYM(c.x, c.y, c.getM))
+    new org.locationtech.jts.geom.impl.CoordinateArraySequence(
+      norm, if (anyZ) 4 else 3, 1)
+  }
+  private def measuredLine(cs: Array[Coordinate]): LineString =
+    factory.createLineString(measuredSeq(cs))
+  private def measuredPoint(c: Coordinate): Point =
+    factory.createPoint(measuredSeq(Array(c)))
+
+  /** ST_LocateAlong(g, m): the locations on a MEASURED geometry whose
+    * interpolated M equals `m` — (multi)point in, matching points out;
+    * (multi)line in, one interpolated point per segment crossing the
+    * measure (constant-measure segments matching exactly contribute
+    * their start vertex). Returns MULTIPOINT (EMPTY when nothing
+    * matches; segments without M are skipped). */
+  def locateAlong(b: Array[Byte], m: Double): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Coordinate]
+    def interp(c1: Coordinate, c2: Coordinate, t: Double): Coordinate = {
+      val z =
+        if (c1.getZ.isNaN || c2.getZ.isNaN) Double.NaN
+        else c1.getZ + (c2.getZ - c1.getZ) * t
+      val c = new org.locationtech.jts.geom.CoordinateXYZM(
+        c1.x + (c2.x - c1.x) * t, c1.y + (c2.y - c1.y) * t, z, m)
+      c
+    }
+    def walk(g: Geometry): Unit = g match {
+      case p: Point if !p.isEmpty && p.getCoordinate.getM == m => out += p.getCoordinate
+      case l: LineString =>
+        val cs = l.getCoordinates
+        var i = 1
+        while (i < cs.length) {
+          val (m1, m2) = (cs(i - 1).getM, cs(i).getM)
+          if (!m1.isNaN && !m2.isNaN) {
+            if (m1 == m2) { if (m == m1) out += cs(i - 1) }
+            else {
+              val t = (m - m1) / (m2 - m1)
+              if (t >= 0.0 && t <= 1.0) out += interp(cs(i - 1), cs(i), t)
+            }
+          }
+          i += 1
+        }
+      case c: GeometryCollection =>
+        (0 until c.getNumGeometries).foreach(i => walk(c.getGeometryN(i)))
+      case _ =>
+    }
+    walk(read(b))
+    // consecutive duplicates (a measure hit exactly at a shared vertex)
+    val dedup = out.foldLeft(Vector.empty[Coordinate]) {
+      case (acc, c) if acc.nonEmpty && acc.last.equals2D(c) => acc
+      case (acc, c) => acc :+ c
+    }
+    write(factory.createMultiPoint(dedup.map(measuredPoint).toArray))
+  }
+
+  /** ST_LocateBetween(g, m1, m2): the sub-geometry whose measures lie in
+    * [m1, m2] — points filter, lines clip per segment with interpolated
+    * cut coordinates (M linear along each segment, the LRS convention).
+    * Line input returns MULTILINESTRING of the clipped pieces
+    * (single-point touches are dropped, documented); point input returns
+    * MULTIPOINT. */
+  def locateBetween(b: Array[Byte], mLo: Double, mHi: Double): Array[Byte] = {
+    require(mLo <= mHi, s"ST_LocateBetween: range [$mLo, $mHi] inverted")
+    val g = read(b)
+    if (g.getDimension == 0) {
+      val keep = (0 until g.getNumGeometries).map(g.getGeometryN).collect {
+        case p: Point if !p.isEmpty && !p.getCoordinate.getM.isNaN &&
+          p.getCoordinate.getM >= mLo && p.getCoordinate.getM <= mHi => p
+      }
+      return write(factory.createMultiPoint(keep.toArray))
+    }
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[LineString]
+    def interp(c1: Coordinate, c2: Coordinate, t: Double): Coordinate = {
+      val z = if (c1.getZ.isNaN || c2.getZ.isNaN) Double.NaN
+              else c1.getZ + (c2.getZ - c1.getZ) * t
+      new org.locationtech.jts.geom.CoordinateXYZM(
+        c1.x + (c2.x - c1.x) * t, c1.y + (c2.y - c1.y) * t, z,
+        c1.getM + (c2.getM - c1.getM) * t)
+    }
+    def walk(geom: Geometry): Unit = geom match {
+      case l: LineString =>
+        val cs = l.getCoordinates
+        var run = Vector.empty[Coordinate]
+        def flush(): Unit = {
+          if (run.length >= 2) pieces += measuredLine(run.toArray)
+          run = Vector.empty
+        }
+        var i = 1
+        while (i < cs.length) {
+          val (a, c) = (cs(i - 1), cs(i))
+          val (m1, m2) = (a.getM, c.getM)
+          if (m1.isNaN || m2.isNaN) flush()
+          else {
+            // parameter interval of the segment with m(t) ∈ [mLo, mHi]
+            val (t0, t1) =
+              if (m1 == m2) { if (m1 >= mLo && m1 <= mHi) (0.0, 1.0) else (1.0, 0.0) }
+              else {
+                val ta = (mLo - m1) / (m2 - m1); val tb = (mHi - m1) / (m2 - m1)
+                (math.max(0.0, math.min(ta, tb)), math.min(1.0, math.max(ta, tb)))
+              }
+            if (t0 > t1) flush() // segment entirely outside
+            else {
+              val p0 = if (t0 == 0.0) a else interp(a, c, t0)
+              val p1 = if (t1 == 1.0) c else interp(a, c, t1)
+              if (run.isEmpty) run = Vector(p0)
+              else if (!run.last.equals2D(p0)) { flush(); run = Vector(p0) }
+              if (!p0.equals2D(p1)) run = run :+ p1
+              if (t1 < 1.0) flush() // piece ends mid-segment
+            }
+          }
+          i += 1
+        }
+        flush()
+      case c: GeometryCollection =>
+        (0 until c.getNumGeometries).foreach(i => walk(c.getGeometryN(i)))
+      case _ =>
+    }
+    walk(g)
+    write(factory.createMultiLineString(pieces.toArray))
+  }
+
   // ── PostGIS editing/analysis parity (round 19) ────────────────────────
 
   /** ST_Snap: vertices/segments of `a` within `tol` of `ref`'s vertices

@@ -185,6 +185,13 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_angle" -> Sig("angle4", D, Seq(G, G, G, G)),
     "st_split" -> Sig("split", G, Seq(G, G)),
     "st_sharedpaths" -> Sig("sharedPaths", G, Seq(G, G)),
+    "st_zmin" -> Sig("zMinOf", D, Seq(G)),
+    "st_zmax" -> Sig("zMaxOf", D, Seq(G)),
+    "st_mmin" -> Sig("mMinOf", D, Seq(G)),
+    "st_mmax" -> Sig("mMaxOf", D, Seq(G)),
+    "st_force3d" -> Sig("force3D", G, Seq(G, D)),
+    "st_locatealong" -> Sig("locateAlong", G, Seq(G, D)),
+    "st_locatebetween" -> Sig("locateBetween", G, Seq(G, D, D)),
     "st_3ddistance" -> Sig("distance3D", D, Seq(G, G)),
     "st_3ddwithin" -> Sig("dWithin3D", B, Seq(G, G, D)),
     "st_3dlength" -> Sig("length3D", D, Seq(G)),

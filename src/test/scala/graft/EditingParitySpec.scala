@@ -109,6 +109,39 @@ class EditingParitySpec extends SparkTestBase {
     assert(r.getDouble(0) == 7.0 && r.getDouble(1) == 7.0)
   }
 
+  test("LRS family: locate-along/between interpolate M linearly; Z/M bounds") {
+    val line = wkb("LINESTRING M (0 0 0, 10 0 100)")
+    // along: m=37 lands at x=3.7
+    val at = GeomOps.read(GeomOps.locateAlong(line, 37.0))
+    assert(at.getNumGeometries == 1 &&
+      math.abs(at.getGeometryN(0).getCoordinate.x - 3.7) < 1e-12, at.toText)
+    // non-monotone measures: both crossings found
+    val vee = wkb("LINESTRING M (0 0 0, 10 0 100, 20 0 0)")
+    assert(GeomOps.read(GeomOps.locateAlong(vee, 50.0)).getNumGeometries == 2)
+    // between: [20, 50] clips to x ∈ [2, 5]
+    val piece = GeomOps.read(GeomOps.locateBetween(line, 20.0, 50.0))
+    assert(piece.getNumGeometries == 1 && math.abs(piece.getLength - 3.0) < 1e-12,
+      piece.toText)
+    val cs = piece.getGeometryN(0).getCoordinates
+    assert(math.abs(cs.head.x - 2.0) < 1e-12 && math.abs(cs.last.x - 5.0) < 1e-12)
+    assert(math.abs(cs.head.getM - 20.0) < 1e-12 && math.abs(cs.last.getM - 50.0) < 1e-12,
+      "cut coordinates must carry the interpolated measure")
+    // point input filters
+    val mp = GeomOps.read(GeomOps.locateBetween(
+      wkb("MULTIPOINT M ((0 0 5), (1 1 15), (2 2 25))"), 10.0, 20.0))
+    assert(mp.getNumGeometries == 1 && mp.getGeometryN(0).getCoordinate.x == 1.0)
+    // bounds: NaN for absent ordinates (the ST_Z/ST_M convention)
+    assert(GeomOps.mMinOf(line) == 0.0 && GeomOps.mMaxOf(line) == 100.0)
+    assert(GeomOps.zMinOf(line).isNaN, "no Z → NaN")
+    assert(GeomOps.zMinOf(wkb("LINESTRING Z (0 0 3, 1 1 7)")) == 3.0)
+    assert(GeomOps.zMaxOf(wkb("LINESTRING Z (0 0 3, 1 1 7)")) == 7.0)
+    // force3d stamps missing Z, keeps existing
+    val f3 = GeomOps.read(GeomOps.force3D(wkb("LINESTRING (0 0, 1 1)"), 9.0))
+    assert(f3.getCoordinates.forall(_.getZ == 9.0), f3.toText)
+    assert(GeomOps.read(GeomOps.force3D(wkb("POINT Z (1 2 3)"), 9.0))
+      .getCoordinate.getZ == 3.0)
+  }
+
   test("fuzz: split invariants — length and area are partitioned exactly") {
     val rnd = new scala.util.Random(129)
     (1 to 60).foreach { _ =>
