@@ -3442,6 +3442,48 @@ object SparkEntry {
                                         0.0)), 9) AS flat3d
     FROM f ORDER BY id"""
 
+  /** Max-distance/longest-line/generate-points (g132, round 19):
+    * vertex-pair extremes have exact closed forms; the seeded point
+    * generator gates on count, containment, and determinism (boolean
+    * closed forms — the coordinates themselves are implementation-seeded
+    * and deliberately not oracled). */
+  private val g132Spark = """
+    WITH p AS (
+      SELECT CAST(id AS BIGINT) AS id,
+             CAST(3 + id % 6 AS DOUBLE) AS w,
+             CAST(2 + id % 4 AS DOUBLE) AS h,
+             CAST(10 + id % 7 AS DOUBLE) AS px
+      FROM range(30)),
+    f AS (
+      SELECT id, w, h, px,
+             ST_MakeEnvelope(0.0, 0.0, w, h) AS box,
+             ST_Point(px, 0.0) AS far,
+             ST_GeneratePoints(ST_MakeEnvelope(0.0, 0.0, w, h),
+                               CAST(20 + id % 10 AS INT), id) AS pts
+      FROM p)
+    SELECT id,
+           ROUND(ST_MaxDistance(box, box), 9) AS diam,
+           ROUND(ST_MaxDistance(box, far), 9) AS reach,
+           ROUND(ST_Length(ST_LongestLine(box, far)), 9) AS ll_len,
+           CAST(ST_NumGeometries(pts) AS BIGINT) AS npts,
+           ST_CoveredBy(pts, ST_MakeEnvelope(0.0, 0.0, w, h)) AS inside,
+           ST_Equals(pts, ST_GeneratePoints(ST_MakeEnvelope(0.0, 0.0, w, h),
+                                            CAST(20 + id % 10 AS INT), id)) AS deterministic
+    FROM f ORDER BY id"""
+
+  private val g132Duck = """
+    WITH p AS (
+      SELECT i::BIGINT AS id, (3 + i % 6)::DOUBLE AS w,
+             (2 + i % 4)::DOUBLE AS h, (10 + i % 7)::DOUBLE AS px
+      FROM range(30) t(i))
+    SELECT id,
+           ROUND(sqrt(w*w + h*h), 9) AS diam,
+           ROUND(sqrt(px*px + h*h), 9) AS reach,
+           ROUND(sqrt(px*px + h*h), 9) AS ll_len,
+           (20 + id % 10)::BIGINT AS npts,
+           true AS inside, true AS deterministic
+    FROM p ORDER BY id"""
+
   private val g131Duck = """
     WITH p AS (
       SELECT i::BIGINT AS id, (10 + i % 5)::DOUBLE AS L,
@@ -13650,6 +13692,7 @@ object SparkEntry {
     ("g129_editing_parity", q(g129Spark), g129Duck),
     ("g130_3d_measures", q(g130Spark), g130Duck),
     ("g131_lrs_family", q(g131Spark), g131Duck),
+    ("g132_max_distance_genpoints", q(g132Spark), g132Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

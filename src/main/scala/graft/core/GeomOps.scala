@@ -1040,6 +1040,83 @@ object GeomOps {
     write(factory.createMultiLineString(pieces.toArray))
   }
 
+  // ── max distance / longest line / point generation (round 19) ────────
+
+  /** the vertex pair attaining the maximum distance — |p−q| is convex in
+    * each argument along segments, so the max over two geometries is
+    * attained at a vertex pair (O(n·m) scan, deterministic first-winner
+    * tie-break in coordinate order). */
+  private def farthestPair(a: Geometry, b: Geometry): (Coordinate, Coordinate) = {
+    require(!a.isEmpty && !b.isEmpty, "max distance: empty input")
+    val ca = a.getCoordinates; val cb = b.getCoordinates
+    var best = -1.0
+    var bi = 0; var bj = 0
+    var i = 0
+    while (i < ca.length) {
+      var j = 0
+      while (j < cb.length) {
+        val dx = ca(i).x - cb(j).x; val dy = ca(i).y - cb(j).y
+        val d = dx * dx + dy * dy
+        if (d > best) { best = d; bi = i; bj = j }
+        j += 1
+      }
+      i += 1
+    }
+    (ca(bi), cb(bj))
+  }
+
+  /** ST_MaxDistance(g1, g2): the largest 2D distance between any point of
+    * g1 and any point of g2 (PostGIS semantics; self-pair gives a
+    * geometry's diameter). */
+  def maxDistance(a: Array[Byte], b: Array[Byte]): Double = {
+    val (p, q) = farthestPair(read(a), read(b))
+    math.hypot(p.x - q.x, p.y - q.y)
+  }
+
+  /** ST_LongestLine(g1, g2): the 2-point line realizing [[maxDistance]],
+    * from g1's vertex to g2's. */
+  def longestLine(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val (p, q) = farthestPair(read(a), read(b))
+    write(factory.createLineString(Array(
+      new Coordinate(p.x, p.y), new Coordinate(q.x, q.y))))
+  }
+
+  /** ST_GeneratePoints(g, n, seed): n uniform points inside an areal
+    * geometry — SEEDED rejection sampling from the envelope, so the
+    * result is deterministic across runs/partitions (the PostGIS 3-arg
+    * form; the unseeded 2-arg variant is deliberately not offered — a
+    * nondeterministic kernel breaks retries and the oracle gate). The
+    * rejection loop is bounded: after 10000·n misses (acceptance below
+    * ~0.01%, e.g. a degenerate sliver) it fails loudly instead of
+    * spinning. */
+  def generatePoints(b: Array[Byte], n: Int, seed: Long): Array[Byte] = {
+    require(n >= 0 && n <= 10000000,
+      s"ST_GeneratePoints: n $n outside [0, 10,000,000]")
+    val g = read(b)
+    require(g.getDimension == 2 && !g.isEmpty,
+      "ST_GeneratePoints: input must be a non-empty areal geometry")
+    val e = g.getEnvelopeInternal
+    val rnd = new java.util.Random(seed)
+    val out = new Array[Point](n)
+    val loc = new org.locationtech.jts.algorithm.locate.IndexedPointInAreaLocator(g)
+    var made = 0
+    var tries = 0L
+    val maxTries = 10000L * math.max(1, n)
+    while (made < n) {
+      val x = e.getMinX + rnd.nextDouble() * e.getWidth
+      val y = e.getMinY + rnd.nextDouble() * e.getHeight
+      tries += 1
+      if (loc.locate(new Coordinate(x, y)) !=
+          org.locationtech.jts.geom.Location.EXTERIOR) {
+        out(made) = factory.createPoint(new Coordinate(x, y))
+        made += 1
+      } else require(tries < maxTries,
+        s"ST_GeneratePoints: acceptance collapsed ($made/$n after $tries draws) — " +
+          "degenerate areal input")
+    }
+    write(factory.createMultiPoint(out))
+  }
+
   // ── PostGIS editing/analysis parity (round 19) ────────────────────────
 
   /** ST_Snap: vertices/segments of `a` within `tol` of `ref`'s vertices

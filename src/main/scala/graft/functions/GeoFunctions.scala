@@ -185,6 +185,9 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_angle" -> Sig("angle4", D, Seq(G, G, G, G)),
     "st_split" -> Sig("split", G, Seq(G, G)),
     "st_sharedpaths" -> Sig("sharedPaths", G, Seq(G, G)),
+    "st_maxdistance" -> Sig("maxDistance", D, Seq(G, G)),
+    "st_longestline" -> Sig("longestLine", G, Seq(G, G)),
+    "st_generatepoints" -> Sig("generatePoints", G, Seq(G, I, LongType)),
     "st_zmin" -> Sig("zMinOf", D, Seq(G)),
     "st_zmax" -> Sig("zMaxOf", D, Seq(G)),
     "st_mmin" -> Sig("mMinOf", D, Seq(G)),

@@ -163,6 +163,33 @@ class EditingParitySpec extends SparkTestBase {
     }
   }
 
+  test("ST_MaxDistance / ST_LongestLine: vertex-pair extremes; seeded ST_GeneratePoints") {
+    // diameter of a unit square = its diagonal
+    val sq = wkb("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    assert(math.abs(GeomOps.maxDistance(sq, sq) - math.sqrt(2)) < 1e-12)
+    val far = GeomOps.maxDistance(wkb("LINESTRING (0 0, 2 0)"), wkb("POINT (10 0)"))
+    assert(far == 10.0)
+    val ll = GeomOps.read(GeomOps.longestLine(
+      wkb("LINESTRING (0 0, 2 0)"), wkb("MULTIPOINT ((5 0), (9 0))")))
+    assert(ll.getLength == 9.0 && ll.getCoordinates.head.x == 0.0, ll.toText)
+    intercept[IllegalArgumentException](
+      GeomOps.maxDistance(sq, wkb("POINT EMPTY")))
+    // generate points: count, containment, determinism, seed sensitivity
+    val ring = wkb("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 8 2, 8 8, 2 8, 2 2))")
+    val pts = GeomOps.read(GeomOps.generatePoints(ring, 200, 42L))
+    assert(pts.getNumGeometries == 200)
+    val poly = GeomOps.read(ring)
+    assert((0 until 200).forall(i => poly.covers(pts.getGeometryN(i))),
+      "every generated point inside (hole excluded)")
+    assert(java.util.Arrays.equals(
+      GeomOps.generatePoints(ring, 200, 42L), GeomOps.generatePoints(ring, 200, 42L)),
+      "same seed → byte-identical result")
+    assert(!java.util.Arrays.equals(
+      GeomOps.generatePoints(ring, 200, 42L), GeomOps.generatePoints(ring, 200, 43L)))
+    intercept[IllegalArgumentException](
+      GeomOps.generatePoints(wkb("LINESTRING (0 0, 1 1)"), 5, 1L))
+  }
+
   test("ST_SharedPaths: same- and opposite-direction buckets") {
     val sp = GeomOps.read(GeomOps.sharedPaths(
       wkb("LINESTRING (0 0, 10 0)"),
