@@ -3471,6 +3471,33 @@ object SparkEntry {
                                             CAST(20 + id % 10 AS INT), id)) AS deterministic
     FROM f ORDER BY id"""
 
+  /** Trajectory CPA quartet (g133, round 19): two linear motions — A
+    * along the x-axis at unit speed, B vertical at x = 5+o — have the
+    * closed form t* = (5+c)/2, d = |c−5|/√2, replayed arithmetically. */
+  private val g133Spark = """
+    WITH p AS (
+      SELECT CAST(id AS BIGINT) AS id, CAST(5 + id % 4 AS DOUBLE) AS c
+      FROM range(28)),
+    f AS (
+      SELECT id, c,
+             ST_GeomFromText('LINESTRING M (0 0 0, 10 0 10)') AS a,
+             ST_GeomFromText(CONCAT('LINESTRING M (', c, ' -5 0, ', c, ' 5 10)')) AS bt
+      FROM p)
+    SELECT id,
+           ST_IsValidTrajectory(a) AS va,
+           ROUND(ST_ClosestPointOfApproach(a, bt), 9) AS tstar,
+           ROUND(ST_DistanceCPA(a, bt), 9) AS dcpa,
+           ST_CPAWithin(a, bt, 1.5) AS near
+    FROM f ORDER BY id"""
+
+  private val g133Duck = """
+    WITH p AS (SELECT i::BIGINT AS id, (5 + i % 4)::DOUBLE AS c FROM range(28) t(i))
+    SELECT id, true AS va,
+           ROUND((5.0 + c) / 2.0, 9) AS tstar,
+           ROUND((c - 5.0) / sqrt(2.0), 9) AS dcpa,
+           (c - 5.0) / sqrt(2.0) <= 1.5 AS near
+    FROM p ORDER BY id"""
+
   private val g132Duck = """
     WITH p AS (
       SELECT i::BIGINT AS id, (3 + i % 6)::DOUBLE AS w,
@@ -13693,6 +13720,7 @@ object SparkEntry {
     ("g130_3d_measures", q(g130Spark), g130Duck),
     ("g131_lrs_family", q(g131Spark), g131Duck),
     ("g132_max_distance_genpoints", q(g132Spark), g132Duck),
+    ("g133_trajectory_cpa", q(g133Spark), g133Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

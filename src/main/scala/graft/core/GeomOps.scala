@@ -1040,6 +1040,103 @@ object GeomOps {
     write(factory.createMultiLineString(pieces.toArray))
   }
 
+  // ── trajectories: M as time (round 19 — the PostGIS CPA quartet) ─────
+  // A trajectory is a LINESTRING M with strictly increasing measures;
+  // closest point of approach treats each track as piecewise-LINEAR
+  // MOTION in time and minimizes the quadratic |Δp(t)|² per overlapping
+  // segment pair — closed form, no sampling. Disjoint time ranges answer
+  // NaN (the registry's no-value convention; PostGIS returns NULL).
+
+  def isValidTrajectory(b: Array[Byte]): Boolean = read(b) match {
+    case l: LineString if l.getNumPoints >= 2 =>
+      val cs = l.getCoordinates
+      var i = 0
+      var ok = true
+      while (ok && i < cs.length) {
+        val m = cs(i).getM
+        if (m.isNaN || (i > 0 && m <= cs(i - 1).getM)) ok = false
+        i += 1
+      }
+      ok
+    case _ => false
+  }
+
+  /** (time of closest approach, squared distance) over the common time
+    * interval, or null when the tracks don't overlap in time. */
+  private def cpaCore(a: Array[Byte], b: Array[Byte]): (Double, Double) = {
+    def track(bytes: Array[Byte]): Array[Coordinate] = read(bytes) match {
+      case l: LineString if l.getNumPoints >= 2 =>
+        val cs = l.getCoordinates
+        require(cs.forall(c => !c.getM.isNaN) &&
+          cs.sliding(2).forall { case Array(p, q) => q.getM > p.getM },
+          "CPA: input is not a valid trajectory (LINESTRING M, strictly " +
+            "increasing measures — check ST_IsValidTrajectory)")
+        cs
+      case _ => throw new IllegalArgumentException(
+        "CPA: input is not a valid trajectory (LINESTRING M with >= 2 points)")
+    }
+    val ca = track(a); val cb = track(b)
+    val lo = math.max(ca.head.getM, cb.head.getM)
+    val hi = math.min(ca.last.getM, cb.last.getM)
+    if (lo > hi) return null
+    // position linear in t inside each segment; walk overlapping pairs
+    var bestD2 = Double.MaxValue
+    var bestT = lo
+    var i = 0
+    while (i < ca.length - 1) {
+      var j = 0
+      while (j < cb.length - 1) {
+        val (a0, a1) = (ca(i), ca(i + 1)); val (b0, b1) = (cb(j), cb(j + 1))
+        val s0 = math.max(math.max(a0.getM, b0.getM), lo)
+        val s1 = math.min(math.min(a1.getM, b1.getM), hi)
+        if (s0 <= s1) {
+          val va = ((a1.x - a0.x) / (a1.getM - a0.getM),
+                    (a1.y - a0.y) / (a1.getM - a0.getM))
+          val vb = ((b1.x - b0.x) / (b1.getM - b0.getM),
+                    (b1.y - b0.y) / (b1.getM - b0.getM))
+          def posA(t: Double) = (a0.x + va._1 * (t - a0.getM), a0.y + va._2 * (t - a0.getM))
+          def posB(t: Double) = (b0.x + vb._1 * (t - b0.getM), b0.y + vb._2 * (t - b0.getM))
+          val (dx0, dy0) = { val (ax, ay) = posA(s0); val (bx, by) = posB(s0); (ax - bx, ay - by) }
+          val (dvx, dvy) = (va._1 - vb._1, va._2 - vb._2)
+          val dv2 = dvx * dvx + dvy * dvy
+          val tStar =
+            if (dv2 == 0.0) s0
+            else math.max(s0, math.min(s1, s0 - (dx0 * dvx + dy0 * dvy) / dv2))
+          Seq(s0, s1, tStar).foreach { t =>
+            val (ax, ay) = posA(t); val (bx, by) = posB(t)
+            val d2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+            if (d2 < bestD2 || (d2 == bestD2 && t < bestT)) { bestD2 = d2; bestT = t }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    (bestT, bestD2)
+  }
+
+  /** ST_ClosestPointOfApproach: the measure (time) at which the two
+    * trajectories are closest; NaN when they share no time interval. */
+  def closestPointOfApproach(a: Array[Byte], b: Array[Byte]): Double = {
+    val r = cpaCore(a, b)
+    if (r == null) Double.NaN else r._1
+  }
+
+  /** ST_DistanceCPA: the distance at the closest point of approach; NaN
+    * when the tracks share no time interval. */
+  def distanceCPA(a: Array[Byte], b: Array[Byte]): Double = {
+    val r = cpaCore(a, b)
+    if (r == null) Double.NaN else math.sqrt(r._2)
+  }
+
+  /** ST_CPAWithin: true iff the tracks come within `d` of each other at
+    * some SHARED time (false when they never overlap in time — NaN
+    * compares false, matching the PostGIS null-ish behavior). */
+  def cpaWithin(a: Array[Byte], b: Array[Byte], d: Double): Boolean = {
+    val r = cpaCore(a, b)
+    r != null && math.sqrt(r._2) <= d
+  }
+
   // ── max distance / longest line / point generation (round 19) ────────
 
   /** the vertex pair attaining the maximum distance — |p−q| is convex in

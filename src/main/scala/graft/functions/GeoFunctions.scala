@@ -185,6 +185,10 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_angle" -> Sig("angle4", D, Seq(G, G, G, G)),
     "st_split" -> Sig("split", G, Seq(G, G)),
     "st_sharedpaths" -> Sig("sharedPaths", G, Seq(G, G)),
+    "st_isvalidtrajectory" -> Sig("isValidTrajectory", B, Seq(G)),
+    "st_closestpointofapproach" -> Sig("closestPointOfApproach", D, Seq(G, G)),
+    "st_distancecpa" -> Sig("distanceCPA", D, Seq(G, G)),
+    "st_cpawithin" -> Sig("cpaWithin", B, Seq(G, G, D)),
     "st_maxdistance" -> Sig("maxDistance", D, Seq(G, G)),
     "st_longestline" -> Sig("longestLine", G, Seq(G, G)),
     "st_generatepoints" -> Sig("generatePoints", G, Seq(G, I, LongType)),

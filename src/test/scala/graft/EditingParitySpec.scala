@@ -163,6 +163,33 @@ class EditingParitySpec extends SparkTestBase {
     }
   }
 
+  test("trajectory CPA quartet: closed-form closest approach over M-as-time") {
+    val a = wkb("LINESTRING M (0 0 0, 10 0 10)")          // x = t
+    val cross = wkb("LINESTRING M (5 -5 0, 5 5 10)")      // meets A at t = 5
+    assert(GeomOps.isValidTrajectory(a))
+    assert(!GeomOps.isValidTrajectory(wkb("LINESTRING M (0 0 5, 1 0 5)")),
+      "measures must strictly increase")
+    assert(!GeomOps.isValidTrajectory(wkb("LINESTRING (0 0, 1 0)")), "M required")
+    assert(GeomOps.closestPointOfApproach(a, cross) == 5.0)
+    assert(GeomOps.distanceCPA(a, cross) == 0.0)
+    // offset crossing: d²(t) = (t−6)² + (t−5)² → t* = 5.5, d = √0.5
+    val off = wkb("LINESTRING M (6 -5 0, 6 5 10)")
+    assert(math.abs(GeomOps.closestPointOfApproach(a, off) - 5.5) < 1e-12)
+    assert(math.abs(GeomOps.distanceCPA(a, off) - math.sqrt(0.5)) < 1e-12)
+    assert(GeomOps.cpaWithin(a, off, 0.8) && !GeomOps.cpaWithin(a, off, 0.7))
+    // disjoint time ranges: NaN / false (the registry's no-value convention)
+    val later = wkb("LINESTRING M (0 0 20, 10 0 30)")
+    assert(GeomOps.distanceCPA(a, later).isNaN)
+    assert(GeomOps.closestPointOfApproach(a, later).isNaN)
+    assert(!GeomOps.cpaWithin(a, later, 1e9))
+    intercept[IllegalArgumentException](
+      GeomOps.distanceCPA(a, wkb("LINESTRING (0 0, 1 0)")))
+    // multi-segment tracks: A slows down; closest at the shared vertex time
+    val zig = wkb("LINESTRING M (0 0 0, 4 0 4, 4 4 10)")
+    val chase = wkb("LINESTRING M (0 1 0, 4 1 4, 4 5 10)")
+    assert(GeomOps.distanceCPA(zig, chase) == 1.0, "parallel motion keeps gap 1")
+  }
+
   test("ST_MaxDistance / ST_LongestLine: vertex-pair extremes; seeded ST_GeneratePoints") {
     // diameter of a unit square = its diagonal
     val sq = wkb("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
