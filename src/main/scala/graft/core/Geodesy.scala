@@ -279,6 +279,65 @@ object Geodesy {
     GeomOps.write(edited)
   }
 
+  /** Does the GEODESIC trace of `b` intersect the lon/lat box — the
+    * seam-aware membership test behind stamped bbox reads (the refine
+    * step in [[graft.sources.GeoParquet.read]]). Edges are densified
+    * with exact Karney waypoints at `stepM` (chord-vs-arc error
+    * ~ stepM²/8R, ≈ 50 m at the 50 km default), then each waypoint
+    * chord is tested against the box with JTS's exact segment-rectangle
+    * kernel. A consecutive-waypoint pair whose longitudes jump by more
+    * than 180° is a shortest path crossing the antimeridian: the chord
+    * is UNWRAPPED to both sides of the seam and tested twice, so a
+    * seam-crossing arc hits windows near ±180 and does NOT phantom-hit
+    * mid-world windows the naive planar chord (which spans the whole
+    * map) would cross. Polygon-bearing inputs fall back to the planar
+    * intersects of the densified geometry (interior containment needs
+    * ring topology, which a seam split would break — the documented
+    * planar caveat for seam-crossing polygons). SQL:
+    * ST_ArcIntersectsBox(g, xmin, ymin, xmax, ymax, stepMeters). */
+  def arcIntersectsBox(b: Array[Byte], xmin: Double, ymin: Double,
+                       xmax: Double, ymax: Double, stepM: Double): Boolean = {
+    val dense = GeomOps.read(segmentizeGeodesic(b, stepM))
+    if (dense.isEmpty) return false
+    val env = new Envelope(xmin, xmax, ymin, ymax)
+    var hasPoly = false
+    dense.apply(new org.locationtech.jts.geom.GeometryFilter {
+      override def filter(geom: Geometry): Unit = geom match {
+        case _: Polygon => hasPoly = true
+        case _ => ()
+      }
+    })
+    if (hasPoly) return dense.intersects(GeomOps.factory.toGeometry(env))
+    val rli = new org.locationtech.jts.algorithm.RectangleLineIntersector(env)
+    def seqHits(cs: Array[Coordinate]): Boolean = {
+      var i = 1
+      while (i < cs.length) {
+        val p = cs(i - 1); val q = cs(i)
+        if (math.abs(q.x - p.x) > 180.0) {
+          val shift = if (q.x < p.x) 360.0 else -360.0
+          if (rli.intersects(p, new Coordinate(q.x + shift, q.y)) ||
+              rli.intersects(new Coordinate(p.x - shift, p.y), q)) return true
+        } else if (rli.intersects(p, q)) return true
+        i += 1
+      }
+      false
+    }
+    var hit = false
+    def rec(geom: Geometry): Unit = if (!hit) geom match {
+      case p: Point =>
+        if (!p.isEmpty && env.covers(p.getCoordinate)) hit = true
+      case gc: GeometryCollection =>
+        var i = 0
+        while (i < gc.getNumGeometries && !hit) { rec(gc.getGeometryN(i)); i += 1 }
+      case other =>
+        val cs = other.getCoordinates
+        if (cs.length == 1) { if (env.covers(cs(0))) hit = true }
+        else if (seqHits(cs)) hit = true
+    }
+    rec(dense)
+    hit
+  }
+
   /** Point at geodesic `frac` ∈ [0, 1] of a LineString's total GEODESIC
     * length — the geography twin of the planar line_interpolate_point:
     * hop lengths are Karney distances and the landing point is an exact
@@ -374,7 +433,17 @@ object Geodesy {
     * any [[segmentizeGeodesic]] densification of them (waypoints lie ON
     * the geodesic; chords between waypoints interpolate within their
     * endpoints' range). Polygons walk ALL rings (a geodesic-traced hole
-    * edge may bow past the shell's chord box). */
+    * edge may bow past the shell's chord box).
+    *
+    * Antimeridian: a SHORTEST geodesic between vertices whose raw
+    * longitudes differ by more than 180° runs the short way round —
+    * through ±180, OUTSIDE the vertex longitude interval (lon 170 → −170
+    * passes lon 180, not lon 0). Longitude is monotone along the geodesic
+    * only modulo 360, so for such seam-crossing segments the single-box
+    * envelope is widened to the full [−180, 180] longitude span (an
+    * Envelope cannot represent a split range; conservative containment is
+    * the contract here — this box feeds covering columns, extent
+    * aggregates, and bbox pruning, all of which require ⊇, never ⊆). */
   def geodesicEnvelope(g: Geometry): Envelope = {
     val env = new Envelope()
     def walk(coords: Array[Coordinate]): Unit = {
@@ -389,6 +458,13 @@ object Geodesy {
             val (lo, hi) = segmentLatRange(p.y, p.x, c.y, c.x)
             env.expandToInclude(p.x, lo)
             env.expandToInclude(p.x, hi)
+            if (math.abs(c.x - p.x) >= 180.0) {
+              // shortest path crosses ±180 (or is ambiguous at exactly
+              // 180°) — the arc's longitudes lie outside [min,max] of the
+              // vertices; widen to the full span at the segment's lats
+              env.expandToInclude(-180.0, lo)
+              env.expandToInclude(180.0, hi)
+            }
           }
         }
         i += 1

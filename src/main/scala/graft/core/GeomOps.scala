@@ -1349,9 +1349,13 @@ object GeomOps {
     * direction, MULTILINESTRING opposite-direction) of the linework the
     * two lineal inputs share — the PostGIS/GEOS contract. The overlay's
     * piece orientation is arbitrary, so direction is judged RELATIVE:
-    * each piece's first segment is projected onto the nearest component
-    * of BOTH inputs (LengthIndexedLine), and the piece is same-direction
-    * iff the traversal indices increase on both or decrease on both. */
+    * the piece's first-segment midpoint is projected onto the nearest
+    * component of BOTH inputs and the piece's direction is dotted with
+    * the host's LOCAL TANGENT there (the segment the projection lands
+    * on). A tangent comparison — unlike ordering two traversal indices —
+    * is immune to the index wrap a closed (ring) host produces when a
+    * shared piece spans the ring's closure vertex (indices 0.95L then
+    * 0.02L would invert an endpoint-order test). */
   def sharedPaths(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     val g1 = read(a); val g2 = read(b)
     require(g1.getDimension == 1 && g2.getDimension == 1,
@@ -1362,9 +1366,13 @@ object GeomOps {
     def dirOn(g: Geometry, l: LineString): Int = {
       val comps = (0 until g.getNumGeometries).map(g.getGeometryN)
       val host = comps.minBy(_.distance(l))
-      val ix = new LengthIndexedLine(host)
-      java.lang.Double.compare(ix.indexOf(l.getCoordinateN(1)),
-        ix.indexOf(l.getCoordinateN(0)))
+      val c0 = l.getCoordinateN(0); val c1 = l.getCoordinateN(1)
+      val mid = new Coordinate((c0.x + c1.x) / 2, (c0.y + c1.y) / 2)
+      val lil = new org.locationtech.jts.linearref.LocationIndexedLine(host)
+      val seg = lil.project(mid).getSegment(host)
+      val dot = (seg.p1.x - seg.p0.x) * (c1.x - c0.x) +
+                (seg.p1.y - seg.p0.y) * (c1.y - c0.y)
+      java.lang.Double.compare(dot, 0.0)
     }
     (0 until shared.getNumGeometries).map(shared.getGeometryN).foreach {
       case l: LineString if !l.isEmpty && l.getLength > 0 =>

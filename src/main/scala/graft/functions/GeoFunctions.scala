@@ -276,6 +276,7 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_projectgeodesic" -> Sig("projectGeodesic", G, Seq(G, D, D), geodesy),
     "st_azimuthgeodesic" -> Sig("azimuthGeodesic", D, Seq(G, G), geodesy),
     "st_segmentizegeodesic" -> Sig("segmentizeGeodesic", G, Seq(G, D), geodesy),
+    "st_arcintersectsbox" -> Sig("arcIntersectsBox", B, Seq(G, D, D, D, D, D), geodesy),
     "st_lineinterpolatepointgeodesic" ->
       Sig("lineInterpolatePointGeodesic", G, Seq(G, D), geodesy),
     "st_linesubstringgeodesic" -> Sig("lineSubstringGeodesic", G, Seq(G, D, D), geodesy),

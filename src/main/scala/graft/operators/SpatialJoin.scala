@@ -574,7 +574,16 @@ object SpatialJoin {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1),
         r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
-    val bStats = spark.sparkContext.broadcast(stats)
+    // ≤ graft.knn.farthestCells rows (default 1024, ~50 KB): ship inside
+    // the task closure — a Broadcast here would live as long as the lazy
+    // plan (the UDF closure pins it), accumulating driver/executor blocks
+    // across repeated farthest-k queries in a long session. Only a
+    // user-raised cell budget big enough to bloat closures gets a real
+    // Broadcast (cleaned by ContextCleaner when the plan is dropped).
+    val getStats: () => Array[(Long, Long, Double, Double, Double, Double)] =
+      if (stats.length > 16384) {
+        val b = spark.sparkContext.broadcast(stats); () => b.value
+      } else () => stats
     val kk = k
     val denseMode = rankMode == "dense_rank"
     if (denseMode)
@@ -582,7 +591,7 @@ object SpatialJoin {
         "for the k-th DISTINCT distance — every candidate cell is scanned " +
         "per left row (correct, but no pruning)")
     val candCells = udf { (lxmin: Double, lymin: Double, lxmax: Double, lymax: Double) =>
-      val cs = bStats.value
+      val cs = getStats()
       // per cell: lo = box-gap (min possible member distance),
       //           hi = max corner-pair distance (max possible)
       val lo = new Array[Double](cs.length)

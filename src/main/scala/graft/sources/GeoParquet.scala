@@ -500,12 +500,23 @@ object GeoParquet {
           case Some(cov) if stamped && !coveringGeo =>
             // foreign chord covering of arc data: latitudes cannot prune
             // (the arc bows poleward past the chord box either way);
-            // longitudes stay safe — geodesic longitude is monotone
+            // longitudes prune only when the box PROVES no seam crossing —
+            // geodesic longitude is monotone only modulo 360, and a
+            // shortest geodesic whose endpoints' raw lons differ by >180°
+            // runs through ±180, outside the vertex interval. Such a
+            // segment forces the vertex box's width past 180°, so any box
+            // with width ≤ 180° (and the normal xmin ≤ xmax orientation —
+            // xmin > xmax is the GeoJSON/GeoParquet antimeridian-spanning
+            // convention) is wrap-free and its lon test is exact-safe;
+            // wider or inverted boxes pass through to the arc refine.
             log.warn(s"GeoParquet.read: bbox filter over edges-stamped column " +
               s"'$gcol' whose covering boxes are vertex-chord (no " +
-              "graft:covering_bounds promise) — pruning longitudes only. " +
+              "graft:covering_bounds promise) — pruning longitudes only, " +
+              "and only for boxes that provably avoid the antimeridian. " +
               "Rewrite with GeoParquet.write to restore latitude pruning.")
-            col(s"$cov.xmin") <= qxmax && col(s"$cov.xmax") >= qxmin
+            (col(s"$cov.xmin") <= qxmax && col(s"$cov.xmax") >= qxmin) ||
+            col(s"$cov.xmax") - col(s"$cov.xmin") > 180.0 ||
+            col(s"$cov.xmin") > col(s"$cov.xmax")
           case Some(cov) =>
             // plain struct-leaf comparisons → native row-group/page pruning
             // (geodesic-padded boxes for stamped data: same test, the pad
@@ -536,14 +547,17 @@ object GeoParquet {
           if (stamped) {
             // trace the ARCS, not the chords: rows surviving the coarse
             // prune are densified with exact geodesic waypoints before the
-            // intersects test, so a window crossed by the arc but not the
-            // chord keeps its row (chord-vs-arc error at the default 50-km
-            // step is ~s²/8R ≈ 50 m). Candidate rows only — the coarse
-            // prune has already run.
+            // box test, so a window crossed by the arc but not the chord
+            // keeps its row, and a seam-crossing arc (vertex lons >180°
+            // apart) is tested on BOTH sides of ±180 instead of as a
+            // world-spanning planar chord (chord-vs-arc error at the
+            // default 50-km step is ~s²/8R ≈ 50 m; see
+            // docs/FUNCTIONS.md on spark.graft.edges.refine.segmentizeMeters).
+            // Candidate rows only — the coarse prune has already run.
             val step = spark.conf
               .get("spark.graft.edges.refine.segmentizeMeters", "50000").toDouble
-            call_function("st_intersects",
-              call_function("st_segmentizegeodesic", col(gcol), lit(step)), rect)
+            call_function("st_arcintersectsbox", col(gcol),
+              lit(qxmin), lit(qymin), lit(qxmax), lit(qymax), lit(step))
           } else call_function("st_intersects", col(gcol), rect)
         df.where(coarse && refine)
       case None => df

@@ -233,4 +233,26 @@ class EditingParitySpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       GeomOps.sharedPaths(wkb("POINT (0 0)"), wkb("LINESTRING (0 0, 1 0)")))
   }
+
+  test("ST_SharedPaths: closed-ring host — pieces spanning the closure vertex") {
+    // unit-square ring closed at (0 0); probes running THROUGH the
+    // closure vertex get traversal indices that wrap (3.5L then 0.5),
+    // which inverted an endpoint-index-order test; the tangent
+    // comparison classifies by actual local direction instead.
+    val ring = wkb("LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)")
+    // same direction as the ring's bottom edge (west→east at y=0), but the
+    // shared piece [(0 1)..(0 0)..(0.5 0)] spans the closure vertex when
+    // probed along the ring's own left edge + bottom start
+    val probeSame = wkb("LINESTRING (0 0.5, 0 0, 0.5 0)") // ring goes (0 1)→(0 0)→(1 0): same
+    val spSame = GeomOps.read(GeomOps.sharedPaths(ring, probeSame))
+    assert(spSame.getGeometryN(0).getLength == 1.0 &&
+      spSame.getGeometryN(1).isEmpty,
+      s"closure-spanning same-direction piece misclassified: ${spSame.toText}")
+    // reversed probe: must land in the opposite bucket
+    val probeOpp = wkb("LINESTRING (0.5 0, 0 0, 0 0.5)")
+    val spOpp = GeomOps.read(GeomOps.sharedPaths(ring, probeOpp))
+    assert(spOpp.getGeometryN(0).isEmpty &&
+      spOpp.getGeometryN(1).getLength == 1.0,
+      s"closure-spanning opposite piece misclassified: ${spOpp.toText}")
+  }
 }

@@ -274,6 +274,73 @@ class GeodesicBoundSpec extends SparkTestBase {
     assert(windowsChecked == 15)
   }
 
+  test("antimeridian: seam-crossing segments widen the envelope and read correctly") {
+    // lon 170 → -170: the SHORTEST geodesic passes through ±180, OUTSIDE
+    // the vertex lon interval — the round-19 under-coverage bug. The
+    // envelope must cover the seam (full lon span; an Envelope can't
+    // split), and the seam-aware box kernel must hit windows near ±180
+    // but NOT mid-world windows the world-spanning planar chord crosses.
+    val e = env("LINESTRING (170 10, -170 20)")
+    assert(e.getMinX == -180.0 && e.getMaxX == 180.0,
+      s"seam-crossing arc must widen lon to the full span: $e")
+    assert(e.getMinY == 10.0 && e.getMaxY <= 20.5, s"lat stays tight: $e")
+    // a non-wrapping 340°-APART pair going the long way doesn't exist for
+    // shortest geodesics; a 160°-apart pair stays vertex-bounded
+    val n = env("LINESTRING (10 10, 170 20)")
+    assert(n.getMinX == 10.0 && n.getMaxX == 170.0, s"no false widening: $n")
+
+    // seam-aware membership: arc crosses ±180 near lat 15
+    val w = wkb("LINESTRING (170 10, -170 20)")
+    assert(Geodesy.arcIntersectsBox(w, 178.0, 10.0, 180.0, 20.0, 50000.0),
+      "east-of-seam window crossed by the arc")
+    assert(Geodesy.arcIntersectsBox(w, -180.0, 10.0, -178.0, 20.0, 50000.0),
+      "west-of-seam window crossed by the arc")
+    assert(!Geodesy.arcIntersectsBox(w, -1.0, 10.0, 1.0, 20.0, 50000.0),
+      "mid-world window: the ARC never goes there (the naive planar chord does)")
+    assert(!Geodesy.arcIntersectsBox(w, 178.0, 30.0, 180.0, 40.0, 50000.0),
+      "poleward-of-arc window misses")
+    // non-wrapping inputs keep the exact old semantics
+    val nw = wkb("LINESTRING (-60 50, 60 50)")
+    assert(Geodesy.arcIntersectsBox(nw, -1.0, 66.0, 1.0, 68.0, 50000.0),
+      "arc-but-not-chord window still hits")
+    assert(!Geodesy.arcIntersectsBox(nw, -1.0, 40.0, 1.0, 45.0, 50000.0))
+  }
+
+  test("antimeridian: stamped bbox reads keep seam-crossing rows, drop mid-world") {
+    graft.functions.GeoFunctions.register(spark)
+    import graft.sources.GeoParquet
+    def tmp(tag: String) = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"gseam_${tag}_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val df = spark.sql("""
+      SELECT 1L AS fid, ST_GeomFromText('LINESTRING (170 10, -170 20)') AS geometry
+      UNION ALL
+      SELECT 2L, ST_GeomFromText('LINESTRING (-10 -40, 10 -45)')""")
+    val seamWindow = Some((178.0, 10.0, 180.0, 20.0))
+    val midWindow = Some((-1.0, 10.0, 1.0, 20.0))
+
+    // our write: covering padded to the full lon span for the wrapping row
+    val stampedDir = tmp("stamped")
+    GeoParquet.write(df.coalesce(1), stampedDir, edges = Some("spherical"))
+    def fids(dir: String, w: Option[(Double, Double, Double, Double)]) =
+      GeoParquet.read(spark, dir, bbox = w).select("fid")
+        .collect().map(_.getLong(0)).toSeq.sorted
+    assert(fids(stampedDir, seamWindow) == Seq(1L),
+      "seam-crossing row must survive a window at the antimeridian")
+    assert(fids(stampedDir, midWindow) == Seq(),
+      "the arc never passes lon 0 — no phantom hit from the world-spanning chord")
+
+    // foreign chord covering (vertex box [-170,170], width 340 > 180):
+    // the lon prune must let it through to the arc refine
+    val foreignDir = tmp("foreign")
+    val chordDf = df.withColumn("bbox",
+      org.apache.spark.sql.functions.call_function("st_bbox",
+        org.apache.spark.sql.functions.col("geometry")))
+    GeoParquet.write(chordDf.coalesce(1), foreignDir, edges = Some("spherical"))
+    assert(fids(foreignDir, seamWindow) == Seq(1L),
+      "wide chord boxes must not be lon-pruned away at the seam")
+    assert(fids(foreignDir, midWindow) == Seq())
+  }
+
   test("boolean predicates under an edge model: exact for points, planar for the rest") {
     // the round-19 documented decision: a point has no edges, so every
     // predicate over point-only stamped columns is model-independent —
