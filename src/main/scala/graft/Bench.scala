@@ -25,6 +25,30 @@ object Bench {
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // ── pre-flight (round 20): don't MEASURE from a hot machine. Rounds
+    // 18/19 recorded 122.8/80.1 s of pure ambient excess because the
+    // suite launched while stray build daemons / previous Spark JVMs
+    // still held cores; min-of-reps and the re-rep passes healed most
+    // but not all of it. The run now waits (bounded) for the 1-minute
+    // loadavg to fall under cores/4 before the first timed rep, and the
+    // artifact records the launch/start loads + wait so a contaminated
+    // window is self-documenting instead of needing forensics. Waiting
+    // beats refusing: the per-round driver must still produce a line.
+    val osBeanPre = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val launchLoad = osBeanPre.getSystemLoadAverage
+    val quietBar = cpus.toDouble / 4
+    val preflightWaitMax =
+      math.max(0, sys.env.getOrElse("SPARK_GRAFT_PREFLIGHT_WAIT", "180").toInt)
+    var preflightWaited = 0
+    while (osBeanPre.getSystemLoadAverage > quietBar &&
+           preflightWaited < preflightWaitMax) {
+      Thread.sleep(5000); preflightWaited += 5
+    }
+    val startLoad = osBeanPre.getSystemLoadAverage
+    if (startLoad > quietBar)
+      System.err.println(f"[bench] pre-flight: still loaded after ${preflightWaited}s " +
+        f"(loadavg $startLoad%.1f > $quietBar%.1f) — recording anyway, artifact flagged")
+
     // warmup: JVM + codegen + parquet footer caches
     run(SparkEntry.entry(spark))
 
@@ -286,8 +310,10 @@ object Bench {
     val jitJson = repJit.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(num(3)).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val preflightJson =
+      s"""{"launch_load":${num(2)(launchLoad)},"start_load":${num(2)(startLoad)},"waited_sec":$preflightWaited,"quiet":${startLoad <= quietBar}}"""
     def fullLine: String =
-      s"""{"metric":"total","value":${num(3)(total)},"unit":"sec","n":${results.length},"n_ok":$nOk,"queries":${qmap(results, 3, identity)},"reps":$repsJson,"gc":$gcJson,"cpu":$cpuJson,"load":$loadJson,"jit":$jitJson,"excess_vs_floor":${excessJson(3, Int.MaxValue, identity)},"excess_total":${num(3)(excessTotal)},"verdicts":$verdictsJson,"rerep":${strArr(rerepNames)},"rerep_load":${strArr(loadNames)},"rerep_resolved":${strArr(rerepResolved)},"queries_without_floor":$newQueries,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${num(3)(total)},"unit":"sec","n":${results.length},"n_ok":$nOk,"queries":${qmap(results, 3, identity)},"reps":$repsJson,"gc":$gcJson,"cpu":$cpuJson,"load":$loadJson,"jit":$jitJson,"excess_vs_floor":${excessJson(3, Int.MaxValue, identity)},"excess_total":${num(3)(excessTotal)},"verdicts":$verdictsJson,"rerep":${strArr(rerepNames)},"rerep_load":${strArr(loadNames)},"rerep_resolved":${strArr(rerepResolved)},"queries_without_floor":$newQueries,"preflight":$preflightJson,"sf":"$sfName"}"""
     // full-precision sidecar: run-unique path under java.io.tmpdir (or an
     // explicit SPARK_GRAFT_BENCH_OUT) so concurrent runs can't clobber each
     // other and a pre-planted symlink at a fixed name is never followed
@@ -312,6 +338,6 @@ object Bench {
     // epilogue follows it inside the tail window
     // inline excess: the top-5 deltas over floor — the regression signal —
     // plus the aggregate, bounded the same way as worstN
-    println(s"""{"metric":"total","value":${num(1)(total)},"unit":"sec","n":${results.length},"n_ok":$nOk,"queries":${qmap(worstN, 1, key)},"excess":${excessJson(1, 5, key)},"excess_total":${num(1)(excessTotal)},"sf":"$sfName","full":"$sidecar"}""")
+    println(s"""{"metric":"total","value":${num(1)(total)},"unit":"sec","n":${results.length},"n_ok":$nOk,"queries":${qmap(worstN, 1, key)},"excess":${excessJson(1, 5, key)},"excess_total":${num(1)(excessTotal)},"preflight":$preflightJson,"sf":"$sfName","full":"$sidecar"}""")
   }
 }

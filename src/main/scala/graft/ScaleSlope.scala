@@ -32,9 +32,18 @@ object ScaleSlope {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val base = if (args.length > 1) args(1) else "/tmp/graft_scale"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // AQE exchange sizing: shuffle.partitions pins the FLOOR the bench
+    // harness uses, but at the sf10 decade the iterated 150M-edge joins
+    // (q16) spill at 32 partitions — the round-19 finding. Exchanges
+    // start at `initialPartitionNum` and AQE coalesces each one down to
+    // the advisory size, so small stages still run at ~32 while the big
+    // decades fan out. This is exactly what a 1000-executor cluster
+    // does; the env knob keeps the pinned-32 floor reproducible.
+    val initParts = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

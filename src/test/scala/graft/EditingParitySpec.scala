@@ -190,6 +190,81 @@ class EditingParitySpec extends SparkTestBase {
     assert(GeomOps.distanceCPA(zig, chase) == 1.0, "parallel motion keeps gap 1")
   }
 
+  test("CPA sweep: O(n+m) pair visits, bit-equal to the all-pairs formulation") {
+    import org.locationtech.jts.geom.{Coordinate, CoordinateXYM}
+    def traj(n: Int, seed: Long, tJitter: Boolean): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      val cs: Array[Coordinate] = Array.tabulate(n) { i =>
+        val t = i.toDouble + (if (tJitter) rnd.nextDouble() * 0.5 else 0.0)
+        new CoordinateXYM(rnd.nextDouble() * 100, rnd.nextDouble() * 100, t)
+      }
+      GeomOps.write(GeomOps.factory.createLineString(cs))
+    }
+    // two ~10k-point tracks: the co-walk must visit ~n+m pairs, not n·m
+    val bigA = traj(10000, 1L, tJitter = false)
+    val bigB = traj(10000, 2L, tJitter = true)
+    val (_, _, visits) = GeomOps.cpaSweep(bigA, bigB)
+    val allPairs = 9999L * 9999L
+    assert(visits <= 20000L, s"sweep visited $visits pairs — not O(n+m)")
+    assert(allPairs / visits >= 100L,
+      s"sweep must be >=100x fewer visits than all-pairs: $visits vs $allPairs")
+    // fuzz: the sweep's (t*, d²) equals a brute-force all-pairs reference
+    def brute(aB: Array[Byte], bB: Array[Byte]): (Double, Double) = {
+      def cs(x: Array[Byte]) = GeomOps.read(x).getCoordinates
+      val ca = cs(aB); val cb = cs(bB)
+      val lo = math.max(ca.head.getM, cb.head.getM)
+      val hi = math.min(ca.last.getM, cb.last.getM)
+      if (lo > hi) return null
+      var bestD2 = Double.MaxValue; var bestT = lo
+      for (i <- 0 until ca.length - 1; j <- 0 until cb.length - 1) {
+        val (a0, a1) = (ca(i), ca(i + 1)); val (b0, b1) = (cb(j), cb(j + 1))
+        val s0 = math.max(math.max(a0.getM, b0.getM), lo)
+        val s1 = math.min(math.min(a1.getM, b1.getM), hi)
+        if (s0 <= s1) {
+          val va = ((a1.x - a0.x) / (a1.getM - a0.getM), (a1.y - a0.y) / (a1.getM - a0.getM))
+          val vb = ((b1.x - b0.x) / (b1.getM - b0.getM), (b1.y - b0.y) / (b1.getM - b0.getM))
+          def pA(t: Double) = (a0.x + va._1 * (t - a0.getM), a0.y + va._2 * (t - a0.getM))
+          def pB(t: Double) = (b0.x + vb._1 * (t - b0.getM), b0.y + vb._2 * (t - b0.getM))
+          val (dx0, dy0) = { val (ax, ay) = pA(s0); val (bx, by) = pB(s0); (ax - bx, ay - by) }
+          val (dvx, dvy) = (va._1 - vb._1, va._2 - vb._2)
+          val dv2 = dvx * dvx + dvy * dvy
+          val tS = if (dv2 == 0.0) s0
+            else math.max(s0, math.min(s1, s0 - (dx0 * dvx + dy0 * dvy) / dv2))
+          Seq(s0, s1, tS).foreach { t =>
+            val (ax, ay) = pA(t); val (bx, by) = pB(t)
+            val d2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+            if (d2 < bestD2 || (d2 == bestD2 && t < bestT)) { bestD2 = d2; bestT = t }
+          }
+        }
+      }
+      (bestT, bestD2)
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 60).foreach { k =>
+      // random lengths + random time offsets so overlap windows vary,
+      // including partial and empty overlaps
+      val na = 2 + rnd.nextInt(40); val nb = 2 + rnd.nextInt(40)
+      def shifted(n: Int, seed: Long, off: Double): Array[Byte] = {
+        val r2 = new scala.util.Random(seed)
+        val cs: Array[Coordinate] = Array.tabulate(n) { i =>
+          new CoordinateXYM(r2.nextDouble() * 50, r2.nextDouble() * 50,
+            off + i.toDouble + r2.nextDouble() * 0.5)
+        }
+        GeomOps.write(GeomOps.factory.createLineString(cs))
+      }
+      val aB = shifted(na, k * 2L, 0.0)
+      val bB = shifted(nb, k * 2L + 1, rnd.nextDouble() * na - na / 2.0)
+      val s = GeomOps.cpaSweep(aB, bB)
+      val bf = brute(aB, bB)
+      if (bf == null) assert(s == null, s"case $k: sweep found overlap, brute didn't")
+      else {
+        assert(s != null, s"case $k: brute found overlap, sweep didn't")
+        assert(s._1 == bf._1 && s._2 == bf._2,
+          s"case $k: sweep (${s._1}, ${s._2}) != brute (${bf._1}, ${bf._2})")
+      }
+    }
+  }
+
   test("ST_MaxDistance / ST_LongestLine: vertex-pair extremes; seeded ST_GeneratePoints") {
     // diameter of a unit square = its diagonal
     val sq = wkb("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
@@ -215,6 +290,53 @@ class EditingParitySpec extends SparkTestBase {
       GeomOps.generatePoints(ring, 200, 42L), GeomOps.generatePoints(ring, 200, 43L)))
     intercept[IllegalArgumentException](
       GeomOps.generatePoints(wkb("LINESTRING (0 0, 1 1)"), 5, 1L))
+  }
+
+  test("ST_MaxDistance: hull-filtered pair scan — million-vertex inputs, brute-equal") {
+    // a 1,000,000-vertex noisy coastline-ish line: hull has ~tens of
+    // vertices, so the pair scan is trivial after the O(n log n) hull —
+    // the quadratic scan would be 10¹² distance probes
+    def noisyLine(n: Int, seed: Long, cx: Double): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      val cs = Array.tabulate(n) { i =>
+        val t = i.toDouble / n * 2 * math.Pi
+        // radial noise keeps interior vertices strictly inside the hull
+        val r = 50.0 + rnd.nextDouble() * 40.0
+        new org.locationtech.jts.geom.Coordinate(
+          cx + r * math.cos(t) * 0.999, r * math.sin(t) * 0.999)
+      }
+      GeomOps.write(GeomOps.factory.createLineString(cs))
+    }
+    val big1 = noisyLine(1000000, 11L, 0.0)
+    val big2 = noisyLine(1000000, 12L, 500.0)
+    val t0 = System.nanoTime()
+    val d = GeomOps.maxDistance(big1, big2)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(d > 500.0 && d < 700.0, s"sanity: $d")
+    assert(sec < 10.0, s"million-vertex max distance took $sec s — hull filter not engaged")
+    // fuzz: hull-filtered result equals the brute-force vertex scan
+    val rnd = new scala.util.Random(13)
+    (1 to 50).foreach { k =>
+      def geom(seed: Long): Array[Byte] = {
+        val r2 = new scala.util.Random(seed)
+        val n = 3 + r2.nextInt(60)
+        val cs = Array.tabulate(n)(_ => new org.locationtech.jts.geom.Coordinate(
+          r2.nextDouble() * 100 - 50, r2.nextDouble() * 100 - 50))
+        if (r2.nextBoolean()) GeomOps.write(GeomOps.factory.createLineString(cs))
+        else GeomOps.write(GeomOps.factory.createMultiPointFromCoords(cs))
+      }
+      val aB = geom(k * 3L); val bB = geom(k * 3L + 1)
+      def brute(x: Array[Byte], y: Array[Byte]): Double = {
+        var best = 0.0
+        for (p <- GeomOps.read(x).getCoordinates; q <- GeomOps.read(y).getCoordinates)
+          best = math.max(best, math.hypot(p.x - q.x, p.y - q.y))
+        best
+      }
+      assert(GeomOps.maxDistance(aB, bB) == brute(aB, bB), s"case $k diverged")
+      // the longest line's endpoints must realize the same distance
+      val ll = GeomOps.read(GeomOps.longestLine(aB, bB)).getCoordinates
+      assert(math.hypot(ll(0).x - ll(1).x, ll(0).y - ll(1).y) == brute(aB, bB))
+    }
   }
 
   test("ST_SharedPaths: same- and opposite-direction buckets") {
