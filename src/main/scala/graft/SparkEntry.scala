@@ -3498,6 +3498,122 @@ object SparkEntry {
            (c - 5.0) / sqrt(2.0) <= 1.5 AS near
     FROM p ORDER BY id"""
 
+  /** 3D predicate batch (g135, round 20): a diagonal Z segment
+    * (0 0 0)→(8 0 8) probed by points (t, 0, t+gap). Power-of-two
+    * geometry makes the on-line projection EXACT (u = t/8, dyadic), so
+    * ST_3DIntersects answers gap = 0 with no epsilon; the vertex-pair
+    * max distance has the pythagorean closed form both engines evaluate
+    * on identical doubles. Flat-plate polygon caveat documented at the
+    * kernel. */
+  private val g135Spark = """
+    WITH p AS (
+      SELECT CAST(id AS BIGINT) AS id,
+             CAST(1 + id % 5 AS DOUBLE) AS t,
+             CAST(id % 3 AS DOUBLE) AS gap
+      FROM range(30)),
+    f AS (
+      SELECT id, t, gap,
+             ST_GeomFromText('LINESTRING Z (0 0 0, 8 0 8)') AS seg,
+             ST_GeomFromText(CONCAT('POINT Z(', t, ' 0 ', t + gap, ')')) AS pt
+      FROM p)
+    SELECT id,
+           ST_3DIntersects(seg, pt) AS hits,
+           ROUND(ST_3DMaxDistance(seg, pt), 9) AS dmax,
+           ROUND(ST_3DLength(ST_3DLongestLine(seg, pt)), 9) AS lll,
+           ROUND(ST_3DDistance(seg, pt) * ST_3DDistance(seg, pt) * 2.0, 9) AS gap2x2
+    FROM f ORDER BY id"""
+
+  private val g135Duck = """
+    WITH p AS (SELECT i::BIGINT AS id, (1 + i % 5)::DOUBLE AS t,
+                      (i % 3)::DOUBLE AS gap
+               FROM range(30) t0(i))
+    SELECT id, (gap = 0) AS hits,
+           ROUND(GREATEST(sqrt(t*t + (t+gap)*(t+gap)),
+                          sqrt((8-t)*(8-t) + (8-t-gap)*(8-t-gap))), 9) AS dmax,
+           ROUND(GREATEST(sqrt(t*t + (t+gap)*(t+gap)),
+                          sqrt((8-t)*(8-t) + (8-t-gap)*(8-t-gap))), 9) AS lll,
+           ROUND(gap * gap, 9) AS gap2x2
+    FROM p ORDER BY id"""
+
+  /** LRS inverse pair (g136, round 20): ST_AddMeasure stamps M linearly
+    * by 2D length (continuous across multi components), and
+    * ST_InterpolatePoint reads M back at the closest approach — the
+    * inverse of ST_LocateAlong/ST_LineLocatePoint. Closed forms: on
+    * LINESTRING (0 0, L 0) with measures m0→m1, the point (px, 3)
+    * projects to fraction px·L/L² and reads m0 + (m1−m0)·frac; the
+    * multi fixture pins cross-component continuity at the halfway
+    * measure. */
+  private val g136Spark = """
+    WITH p AS (
+      SELECT CAST(id AS BIGINT) AS id,
+             CAST(8 + id % 5 AS DOUBLE) AS L,
+             CAST(10 * (id % 4) AS DOUBLE) AS m0,
+             CAST(id % 7 AS DOUBLE) + 0.5 AS px
+      FROM range(35)),
+    f AS (
+      SELECT id, L, m0, px,
+             ST_AddMeasure(ST_GeomFromText(CONCAT('LINESTRING (0 0, ', L, ' 0)')),
+                           m0, m0 + 100.0) AS am,
+             ST_AddMeasure(ST_GeomFromText('MULTILINESTRING ((0 0, 4 0), (4 0, 8 0))'),
+                           0.0, 80.0) AS am2
+      FROM p)
+    SELECT id,
+           ROUND(ST_M(ST_PointN(am, 0)), 9) AS m_start,
+           ROUND(ST_M(ST_PointN(am, 1)), 9) AS m_end,
+           ROUND(ST_InterpolatePoint(am, ST_Point(px, 3.0)), 9) AS m_at,
+           ROUND(ST_InterpolatePoint(am2, ST_Point(6.0, 1.0)), 9) AS m_cont
+    FROM f ORDER BY id"""
+
+  private val g136Duck = """
+    WITH p AS (SELECT i::BIGINT AS id, (8 + i % 5)::DOUBLE AS L,
+                      (10 * (i % 4))::DOUBLE AS m0,
+                      (i % 7)::DOUBLE + 0.5 AS px
+               FROM range(35) t(i))
+    SELECT id,
+           ROUND(m0, 9) AS m_start,
+           ROUND(m0 + 100.0, 9) AS m_end,
+           ROUND(m0 + 100.0 * ((px * L) / (L * L)), 9) AS m_at,
+           60.0 AS m_cont
+    FROM p ORDER BY id"""
+
+  /** Antimeridian-safe stamped reads (g137, round 20): rows whose
+    * SHORTEST geodesic crosses ±180 (vertex lons >180° apart) must
+    * survive a bbox window AT the seam and must NOT phantom-match a
+    * mid-world window the naive world-spanning chord would cross — the
+    * end-to-end proof of the round's geodesicEnvelope widening +
+    * ST_ArcIntersectsBox refine. Expected membership is pure
+    * arithmetic with NO vertex-latitude dependence: row i wraps iff
+    * 2·o > 180, and a wrapping arc crosses the full seam strip
+    * longitudinally somewhere in lat [endpoint, vertex] ⊂ [0, 90] — so
+    * the seam window spans all northern latitudes and catches exactly
+    * the wrapping rows (non-wrap rows never pass lon 90). The second
+    * window sits in the SOUTHERN hemisphere: every arc bows poleward of
+    * its ≥5°N endpoints, so nothing can match — including the
+    * world-spanning planar chord a naive refine would trace. */
+  private def g137Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g137_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val rows = s.sql("""
+      SELECT CAST(id AS BIGINT) AS fid,
+             CAST(60 + 10 * (id % 6) AS DOUBLE) AS o,
+             CAST(5 + id % 7 AS DOUBLE) AS lat
+      FROM range(24)""")
+      .selectExpr("fid",
+        "ST_GeomFromText(CONCAT('LINESTRING (', o, ' ', lat, ', -', o, ' ', lat + 2, ')')) AS geometry")
+    graft.sources.GeoParquet.write(rows.coalesce(2), out, edges = Some("spherical"))
+    val seam = graft.sources.GeoParquet.read(s, out, bbox = Some((178.0, 0.0, 180.0, 90.0)))
+      .selectExpr("fid AS id", "CAST(1 AS INT) AS win")
+    val mid = graft.sources.GeoParquet.read(s, out, bbox = Some((-1.0, -50.0, 1.0, -40.0)))
+      .selectExpr("fid AS id", "CAST(2 AS INT) AS win")
+    seam.unionAll(mid).orderBy("win", "id")
+  }
+
+  private val g137Duck = """
+    SELECT i::BIGINT AS id, 1 AS win FROM range(24) t(i)
+    WHERE 60 + 10 * (i % 6) > 90
+    ORDER BY id"""
+
   private val g132Duck = """
     WITH p AS (
       SELECT i::BIGINT AS id, (3 + i % 6)::DOUBLE AS w,
@@ -13721,6 +13837,9 @@ object SparkEntry {
     ("g131_lrs_family", q(g131Spark), g131Duck),
     ("g132_max_distance_genpoints", q(g132Spark), g132Duck),
     ("g133_trajectory_cpa", q(g133Spark), g133Duck),
+    ("g135_3d_predicates", q(g135Spark), g135Duck),
+    ("g136_lrs_inverse_pair", q(g136Spark), g136Duck),
+    ("g137_antimeridian_read", g137Fn _, g137Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

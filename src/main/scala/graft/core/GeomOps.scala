@@ -875,6 +875,56 @@ object GeomOps {
 
   def perimeter3D(b: Array[Byte]): Double = perimeter3DOf(read(b))
 
+  /** ST_3DIntersects: zero 3D distance. Exact for point/line inputs
+    * (the Distance3DOp segment arithmetic); polygons are FLAT PLATES in
+    * their supporting plane — the PostGIS caveat applies unchanged: a
+    * 3D polygon's interior is planar, there is no solid model. */
+  def intersects3D(a: Array[Byte], b: Array[Byte]): Boolean =
+    org.locationtech.jts.operation.distance3d.Distance3DOp.distance(
+      read(a), read(b)) == 0.0
+
+  /** the 3D vertex-pair maximum: |p−q|₃ is convex along segments in
+    * every ordinate, so the max is attained at a vertex pair, like the
+    * 2D twin — but WITHOUT the hull filter (a 2D convex hull does not
+    * bound the 3D metric; a proper 3D hull isn't worth it for a per-row
+    * kernel). NaN Z on either vertex contributes dz = 0 — the same
+    * planar fallback [[distance3D]]/[[length3D]] use for 2D members. */
+  private def farthestPair3D(a: Geometry, b: Geometry): (Coordinate, Coordinate) = {
+    require(!a.isEmpty && !b.isEmpty, "3D max distance: empty input")
+    val ca = a.getCoordinates; val cb = b.getCoordinates
+    var best = -1.0
+    var bi = 0; var bj = 0
+    var i = 0
+    while (i < ca.length) {
+      var j = 0
+      while (j < cb.length) {
+        val dx = ca(i).x - cb(j).x; val dy = ca(i).y - cb(j).y
+        val dzRaw = ca(i).getZ - cb(j).getZ
+        val dz = if (dzRaw.isNaN) 0.0 else dzRaw
+        val d = dx * dx + dy * dy + dz * dz
+        if (d > best) { best = d; bi = i; bj = j }
+        j += 1
+      }
+      i += 1
+    }
+    (ca(bi), cb(bj))
+  }
+
+  /** ST_3DMaxDistance(g1, g2): the largest 3D distance between any
+    * vertex pair of the inputs (PostGIS semantics). */
+  def maxDistance3D(a: Array[Byte], b: Array[Byte]): Double = {
+    val (p, q) = farthestPair3D(read(a), read(b))
+    val dz = { val d = p.getZ - q.getZ; if (d.isNaN) 0.0 else d }
+    math.sqrt((p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) + dz * dz)
+  }
+
+  /** ST_3DLongestLine(g1, g2): the 2-point line realizing
+    * [[maxDistance3D]], Z preserved from the winning vertices. */
+  def longestLine3D(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val (p, q) = farthestPair3D(read(a), read(b))
+    write(factory.createLineString(Array(p.copy(), q.copy())))
+  }
+
   // ── Z/M bounds + the measured (LRS) family (round 19) ────────────────
   // The engine's WKB carries Z and M end to end; these give M semantics
   // beyond roundtripping. Absent ordinates answer NaN — the ST_Z/ST_M
@@ -1038,6 +1088,71 @@ object GeomOps {
     }
     walk(g)
     write(factory.createMultiLineString(pieces.toArray))
+  }
+
+  /** ST_AddMeasure(line, m0, m1): stamp M linearly interpolated by 2D
+    * length from m0 at the start to m1 at the end — CONTINUOUS across
+    * MultiLineString components, proportional to cumulative length (the
+    * PostGIS contract; existing measures are discarded, Z is kept). A
+    * zero-length input stamps m0 everywhere. The inverse pair of
+    * ST_LocateAlong/ST_LineLocatePoint for building LRS columns. */
+  def addMeasure(b: Array[Byte], m0: Double, m1: Double): Array[Byte] = {
+    val g = read(b)
+    val lines: Seq[LineString] = g match {
+      case l: LineString => Seq(l)
+      case m: MultiLineString =>
+        (0 until m.getNumGeometries).map(m.getGeometryN(_).asInstanceOf[LineString])
+      case other => throw new IllegalArgumentException(
+        s"ST_AddMeasure: expected (Multi)LineString, got ${other.getGeometryType}")
+    }
+    val total = lines.map(_.getLength).sum
+    var acc = 0.0
+    def stamp(l: LineString): LineString = {
+      val cs = l.getCoordinates
+      val out = new Array[Coordinate](cs.length)
+      var i = 0
+      while (i < cs.length) {
+        if (i > 0) acc += cs(i).distance(cs(i - 1))
+        val m = if (total == 0.0) m0 else m0 + (m1 - m0) * (acc / total)
+        val c = cs(i)
+        out(i) = if (c.getZ.isNaN) new CoordinateXYM(c.x, c.y, m)
+        else new org.locationtech.jts.geom.CoordinateXYZM(c.x, c.y, c.getZ, m)
+        i += 1
+      }
+      measuredLine(out)
+    }
+    val stamped = lines.map(stamp)
+    write(g match {
+      case _: LineString => stamped.head
+      case _ => factory.createMultiLineString(stamped.toArray)
+    })
+  }
+
+  /** ST_InterpolatePoint(line, point): the measure of the line at its
+    * closest approach to `point` — M linearly interpolated inside the
+    * host segment (PostGIS semantics). The line must carry measures on
+    * the host segment's endpoints; nearest component wins for multis. */
+  def interpolatePoint(b: Array[Byte], ptB: Array[Byte]): Double = {
+    val g = read(b)
+    val pt = read(ptB)
+    require(g.getDimension == 1, "ST_InterpolatePoint: first input must be lineal")
+    require(pt.isInstanceOf[Point] && !pt.isEmpty,
+      "ST_InterpolatePoint: second input must be a POINT")
+    val comps = (0 until g.getNumGeometries).map(g.getGeometryN)
+    val host = comps.minBy(_.distance(pt))
+    val lil = new org.locationtech.jts.linearref.LocationIndexedLine(host)
+    val loc = lil.project(pt.getCoordinate)
+    val seg = loc.getSegment(host)
+    val m0 = seg.p0.getM; val m1 = seg.p1.getM
+    require(!m0.isNaN && !m1.isNaN,
+      "ST_InterpolatePoint: line has no measure at the nearest segment")
+    // end-of-line locations sit AT the last point (segmentIndex = n−1,
+    // fraction 0) while getSegment answers the LAST segment — that
+    // location means fraction 1 of it, not 0
+    val frac =
+      if (loc.getSegmentIndex >= host.getNumPoints - 1) 1.0
+      else math.max(0.0, math.min(1.0, loc.getSegmentFraction))
+    m0 + (m1 - m0) * frac
   }
 
   // ── trajectories: M as time (round 19 — the PostGIS CPA quartet) ─────

@@ -203,6 +203,11 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_3ddwithin" -> Sig("dWithin3D", B, Seq(G, G, D)),
     "st_3dlength" -> Sig("length3D", D, Seq(G)),
     "st_3dperimeter" -> Sig("perimeter3D", D, Seq(G)),
+    "st_3dintersects" -> Sig("intersects3D", B, Seq(G, G)),
+    "st_3dmaxdistance" -> Sig("maxDistance3D", D, Seq(G, G)),
+    "st_3dlongestline" -> Sig("longestLine3D", G, Seq(G, G)),
+    "st_addmeasure" -> Sig("addMeasure", G, Seq(G, D, D)),
+    "st_interpolatepoint" -> Sig("interpolatePoint", D, Seq(G, G)),
     "st_makevalid" -> Sig("makeValid", G, Seq(G)),
     "st_normalize" -> Sig("normalize", G, Seq(G)),
     "st_reduceprecision" -> Sig("reducePrecision", G, Seq(G, D)),

@@ -190,6 +190,54 @@ class EditingParitySpec extends SparkTestBase {
     assert(GeomOps.distanceCPA(zig, chase) == 1.0, "parallel motion keeps gap 1")
   }
 
+  test("3D predicates + LRS inverse pair: closed forms and edge cases") {
+    // 3DIntersects: exact on-line hit (dyadic projection), miss off-line
+    assert(GeomOps.intersects3D(
+      wkb("LINESTRING Z (0 0 0, 8 0 8)"), wkb("POINT Z(2 0 2)")))
+    assert(!GeomOps.intersects3D(
+      wkb("LINESTRING Z (0 0 0, 8 0 8)"), wkb("POINT Z(2 0 3)")))
+    // flat-plate polygon: point in the plane hits, above it misses
+    assert(GeomOps.intersects3D(
+      wkb("POLYGON Z ((0 0 0, 4 0 0, 4 4 0, 0 4 0, 0 0 0))"), wkb("POINT Z(2 2 0)")))
+    assert(!GeomOps.intersects3D(
+      wkb("POLYGON Z ((0 0 0, 4 0 0, 4 4 0, 0 4 0, 0 0 0))"), wkb("POINT Z(2 2 1)")))
+    // 3DMaxDistance: opposite corners of a unit cube's diagonal
+    assert(GeomOps.maxDistance3D(
+      wkb("POINT Z(0 0 0)"), wkb("POINT Z(1 1 1)")) == math.sqrt(3.0))
+    // NaN-Z members fall back to dz = 0 (the distance3D convention)
+    assert(GeomOps.maxDistance3D(wkb("POINT (0 0)"), wkb("POINT Z(3 4 12)")) == 5.0)
+    val ll3 = GeomOps.read(GeomOps.longestLine3D(
+      wkb("LINESTRING Z (0 0 0, 1 0 0)"), wkb("POINT Z(5 0 3)")))
+    assert(ll3.getCoordinates.head.x == 0.0 && ll3.getCoordinates.last.x == 5.0)
+
+    // AddMeasure: linear stamp, Z kept, multi continuity, zero-length
+    val am = GeomOps.read(GeomOps.addMeasure(
+      wkb("LINESTRING (0 0, 4 0, 10 0)"), 100.0, 200.0))
+    val ms = am.getCoordinates.map(_.getM).toSeq
+    assert(ms == Seq(100.0, 140.0, 200.0), ms.toString)
+    val amZ = GeomOps.read(GeomOps.addMeasure(
+      wkb("LINESTRING Z (0 0 7, 10 0 9)"), 0.0, 1.0))
+    assert(amZ.getCoordinates.map(_.getZ).toSeq == Seq(7.0, 9.0))
+    val am2 = GeomOps.read(GeomOps.addMeasure(
+      wkb("MULTILINESTRING ((0 0, 4 0), (4 0, 8 0))"), 0.0, 80.0))
+    assert(am2.getGeometryN(0).getCoordinates.last.getM == 40.0 &&
+      am2.getGeometryN(1).getCoordinates.head.getM == 40.0,
+      "continuous across components")
+    intercept[IllegalArgumentException](
+      GeomOps.addMeasure(wkb("POINT (0 0)"), 0.0, 1.0))
+
+    // InterpolatePoint: interior, clamped ends, multi nearest component
+    val line = GeomOps.addMeasure(wkb("LINESTRING (0 0, 10 0)"), 0.0, 100.0)
+    assert(GeomOps.interpolatePoint(line, wkb("POINT (3 5)")) == 30.0)
+    assert(GeomOps.interpolatePoint(line, wkb("POINT (-4 1)")) == 0.0, "clamp start")
+    assert(GeomOps.interpolatePoint(line, wkb("POINT (14 1)")) == 100.0, "clamp end")
+    val multi = GeomOps.addMeasure(
+      wkb("MULTILINESTRING ((0 0, 4 0), (4 0, 8 0))"), 0.0, 80.0)
+    assert(GeomOps.interpolatePoint(multi, wkb("POINT (6 1)")) == 60.0)
+    intercept[IllegalArgumentException](
+      GeomOps.interpolatePoint(wkb("LINESTRING (0 0, 1 0)"), wkb("POINT (0 0)")))
+  }
+
   test("CPA sweep: O(n+m) pair visits, bit-equal to the all-pairs formulation") {
     import org.locationtech.jts.geom.{Coordinate, CoordinateXYM}
     def traj(n: Int, seed: Long, tJitter: Boolean): Array[Byte] = {
