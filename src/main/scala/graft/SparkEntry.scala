@@ -3498,6 +3498,51 @@ object SparkEntry {
            (c - 5.0) / sqrt(2.0) <= 1.5 AS near
     FROM p ORDER BY id"""
 
+  /** Geodesic farthest-k, PLANNED (g134, round 20): the ROW_NUMBER /
+    * ST_DistanceSphere DESC window over a cross join — the last DESC
+    * shape the strategy used to warn about — now takes
+    * [[graft.plans.KnnTopKExec]] → farthestK's triangle-inequality
+    * circle bounds (EntryViewsSpec pins the plan; this oracle pins the
+    * RESULT). Fixture: right points march up a meridian 4° apart, so
+    * top-3 farthest distances per left row are hundreds of km apart and
+    * rank order is engine-independent; DuckDB replays the exact
+    * haversine (IAU radius 6371008.8) and the same window. */
+  private val g134Spark = """
+    WITH l AS (SELECT CAST(id AS BIGINT) AS lid,
+                      ST_Point(CAST(10 * id AS DOUBLE) - 30.0,
+                               CAST(7 * id AS DOUBLE) - 20.0) AS lg
+               FROM range(6)),
+    r AS (SELECT CAST(1000 + id AS BIGINT) AS rid,
+                 ST_Point(0.5, CAST(4 * id AS DOUBLE) - 80.0) AS rg
+          FROM range(40))
+    SELECT lid, rid, CAST(rk AS BIGINT) AS rnk, ROUND(d / 1000.0, 4) AS dist_km
+    FROM (SELECT l.lid, r.rid, ST_DistanceSphere(l.lg, r.rg) AS d,
+                 ROW_NUMBER() OVER (PARTITION BY l.lid
+                                    ORDER BY ST_DistanceSphere(l.lg, r.rg) DESC) AS rk
+          FROM l CROSS JOIN r) t
+    WHERE rk <= 3
+    ORDER BY lid, rnk"""
+
+  private val g134Duck = """
+    WITH l AS (SELECT i::BIGINT AS lid, (10 * i)::DOUBLE - 30.0 AS lx,
+                      (7 * i)::DOUBLE - 20.0 AS ly
+               FROM range(6) t(i)),
+    r AS (SELECT (1000 + i)::BIGINT AS rid, 0.5 AS rx,
+                 (4 * i)::DOUBLE - 80.0 AS ry
+          FROM range(40) t(i)),
+    d AS (SELECT lid, rid,
+                 2 * 6371008.8 * asin(least(1.0,
+                   sqrt(pow(sin(radians(ry - ly) / 2), 2) +
+                        cos(radians(ly)) * cos(radians(ry)) *
+                        pow(sin(radians(rx - lx) / 2), 2)))) AS d
+          FROM l CROSS JOIN r)
+    SELECT lid, rid, rnk, ROUND(d / 1000.0, 4) AS dist_km
+    FROM (SELECT lid, rid, d,
+                 ROW_NUMBER() OVER (PARTITION BY lid ORDER BY d DESC) AS rnk
+          FROM d) t
+    WHERE rnk <= 3
+    ORDER BY lid, rnk"""
+
   /** 3D predicate batch (g135, round 20): a diagonal Z segment
     * (0 0 0)→(8 0 8) probed by points (t, 0, t+gap). Power-of-two
     * geometry makes the on-line projection EXACT (u = t/8, dyadic), so
@@ -13837,6 +13882,7 @@ object SparkEntry {
     ("g131_lrs_family", q(g131Spark), g131Duck),
     ("g132_max_distance_genpoints", q(g132Spark), g132Duck),
     ("g133_trajectory_cpa", q(g133Spark), g133Duck),
+    ("g134_farthest_geodesic", q(g134Spark), g134Duck),
     ("g135_3d_predicates", q(g135Spark), g135Duck),
     ("g136_lrs_inverse_pair", q(g136Spark), g136Duck),
     ("g137_antimeridian_read", g137Fn _, g137Duck),

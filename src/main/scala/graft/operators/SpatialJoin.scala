@@ -509,14 +509,21 @@ object SpatialJoin {
     *     right side on the cell id, and a per-left-id window (dist DESC)
     *     cuts rank ≤ k in the chosen mode.
     *
-    * Planar metric only: the box bounds are euclidean extreme-point facts
-    * (min/max over a product of boxes is attained at vertices); no such
-    * corner rule holds for geodesic distance, so the DESC geodesic shape
-    * keeps [[graft.plans.SpatialJoinStrategy]]'s loud warning. The τ
+    * Metrics (round 20): `planar` keeps the exact euclidean box bounds
+    * (min/max over a box product is attained at vertices). The GEODESIC
+    * metrics (sphere/karney/spheroid/vincenty) bound by the TRIANGLE
+    * INEQUALITY instead — every geodesic distance family is a metric, so
+    * with per-box enclosing circles (center c, radius r = max corner
+    * distance, spheroid-padded) the bounds
+    * `lo = d(cL,cC) − rL − rC`, `hi = d(cL,cC) + rL + rC` are sound with
+    * no corner rule and no antipode special-casing; boxes too wide for a
+    * meaningful circle (≥ 180° of lon) cap r at half the circumference
+    * (those rows simply prune nothing). Looser than the planar corner
+    * arithmetic, but exact-superset candidates all the same. The τ
     * pruning is sound for row_number and rank; dense_rank (k-th DISTINCT
     * distance) has no box bound and scans every cell per left row —
     * correct but unpruned, so the strategy doesn't claim that shape
-    * either. Null/EMPTY
+    * (documented + spec-pinned divergence). Null/EMPTY
     * geometries are excluded on both sides (the documented kNN
     * divergence: the literal plan window-ranks their null distances).
     * Scale shape: one stats aggregate, one ≤`farthestCells`-row collect,
@@ -525,7 +532,8 @@ object SpatialJoin {
   def farthestK(left: DataFrame, right: DataFrame,
                 leftGeomCol: String, rightGeomCol: String, k: Int,
                 leftIdCol: String, rightIdCol: String,
-                rankMode: String = "row_number"): DataFrame = {
+                rankMode: String = "row_number",
+                metric: String = "planar"): DataFrame = {
     require(k >= 1, s"farthestK: k must be >= 1, got $k")
     require(Set("row_number", "rank", "dense_rank")(rankMode),
       s"farthestK rankMode '$rankMode' (row_number|rank|dense_rank)")
@@ -590,21 +598,48 @@ object SpatialJoin {
       log.warn("graft.farthestK: dense_rank mode has no sound cell bound " +
         "for the k-th DISTINCT distance — every candidate cell is scanned " +
         "per left row (correct, but no pruning)")
+    val planarMetric = metric match {
+      case "planar" => true
+      case "sphere" | "spherical" | "karney" | "spheroid" | "andoyer" |
+           "thomas" | "vincenty" => false
+      case other => throw new IllegalArgumentException(s"farthestK metric '$other'")
+    }
     val candCells = udf { (lxmin: Double, lymin: Double, lxmax: Double, lymax: Double) =>
       val cs = getStats()
-      // per cell: lo = box-gap (min possible member distance),
-      //           hi = max corner-pair distance (max possible)
+      // per cell: lo = min possible member distance, hi = max possible.
+      // Planar: exact box arithmetic (extremes at vertices). Geodesic:
+      // triangle inequality on enclosing circles — center distance by
+      // haversine with a ±1% earth-model pad (covers every supported
+      // metric's deviation from the mean-radius great circle), radius =
+      // meridian+parallel path bound (≥ any surface distance center→box
+      // point, no corner rule needed) + 100 m approximation slack
+      // (Andoyer is a near-metric). Sound, metric-free soundness proofs,
+      // slightly looser pruning than the planar corner arithmetic.
       val lo = new Array[Double](cs.length)
       val hi = new Array[Double](cs.length)
+      val halfCirc = 2.1e7
+      def radiusOf(x0: Double, y0: Double, x1: Double, y1: Double): Double =
+        math.min(halfCirc,
+          6.4e6 * (math.toRadians((x1 - x0) / 2) + math.toRadians((y1 - y0) / 2)) + 100.0)
+      val lcx = (lxmin + lxmax) / 2; val lcy = (lymin + lymax) / 2
+      val lr = radiusOf(lxmin, lymin, lxmax, lymax)
       var i = 0
       while (i < cs.length) {
         val (_, _, bx0, by0, bx1, by1) = cs(i)
-        val dx = math.max(0.0, math.max(bx0 - lxmax, lxmin - bx1))
-        val dy = math.max(0.0, math.max(by0 - lymax, lymin - by1))
-        lo(i) = math.hypot(dx, dy)
-        val fx = math.max(math.abs(bx1 - lxmin), math.abs(lxmax - bx0))
-        val fy = math.max(math.abs(by1 - lymin), math.abs(lymax - by0))
-        hi(i) = math.hypot(fx, fy)
+        if (planarMetric) {
+          val dx = math.max(0.0, math.max(bx0 - lxmax, lxmin - bx1))
+          val dy = math.max(0.0, math.max(by0 - lymax, lymin - by1))
+          lo(i) = math.hypot(dx, dy)
+          val fx = math.max(math.abs(bx1 - lxmin), math.abs(lxmax - bx0))
+          val fy = math.max(math.abs(by1 - lymin), math.abs(lymax - by0))
+          hi(i) = math.hypot(fx, fy)
+        } else {
+          val ccx = (bx0 + bx1) / 2; val ccy = (by0 + by1) / 2
+          val cr = radiusOf(bx0, by0, bx1, by1)
+          val d = graft.core.Geodesy.haversineMeters(lcx, lcy, ccx, ccy)
+          lo(i) = math.max(0.0, 0.99 * d - lr - cr)
+          hi(i) = math.min(halfCirc * 1.02, 1.01 * d + lr + cr)
+        }
         i += 1
       }
       // τ = k-th largest of the {lo × count} multiset — sound for
@@ -632,9 +667,16 @@ object SpatialJoin {
       .withColumn("__lb", call_function("st_bbox", col(leftGeomCol)))
       .withColumn("__fcell", explode(candCells(
         col("__lb.xmin"), col("__lb.ymin"), col("__lb.xmax"), col("__lb.ymax"))))
+    val distFn = metric match {
+      case "planar" => "st_distance"
+      case "sphere" | "spherical" => "st_distancesphere"
+      case "karney" => "st_distancegeodesic"
+      case "spheroid" | "andoyer" | "thomas" => "st_distancespheroid"
+      case "vincenty" => "st_distancevincenty"
+    }
     val pool = lCand.join(rBucketed.drop("__fb"), Seq("__fcell"))
       .withColumn("knn_dist",
-        call_function("st_distance", col(leftGeomCol), col(rightGeomCol)))
+        call_function(distFn, col(leftGeomCol), col(rightGeomCol)))
       .withColumn("knn_dist", when(isnan(col("knn_dist")), raise_error(lit(
           "graft.farthestK: NaN distance — kernel regression, refusing to rank")))
         .otherwise(col("knn_dist")))

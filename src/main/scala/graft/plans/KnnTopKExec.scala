@@ -62,10 +62,11 @@ case class KnnTopKExec(
     // runs in the matching ties mode and the group re-rank below uses the
     // same rank function ordered by distance ALONE
     rankMode: String = "row_number",
-    // ORDER BY … DESC = farthest-k (round 19): runs
-    // [[graft.operators.SpatialJoin.farthestK]] (exact cell-bound
-    // candidates, planar metric only — the strategy gates it) and the
-    // group re-rank orders descending
+    // ORDER BY … DESC = farthest-k (round 19; geodesic metrics round
+    // 20): runs [[graft.operators.SpatialJoin.farthestK]] (exact
+    // cell-bound candidates — planar box arithmetic or the
+    // triangle-inequality circle bounds) and the group re-rank orders
+    // descending
     descending: Boolean = false) extends LeafExecNode {
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -92,7 +93,7 @@ case class KnnTopKExec(
       if (descending)
         graft.operators.SpatialJoin.farthestK(
           lDf, rDf, lNames(gi), rNames(gj), k, "__knn_lid", "__knn_rid",
-          rankMode = rankMode)
+          rankMode = rankMode, metric = metric)
       else graft.operators.SpatialJoin.knn(
         lDf, rDf, lNames(gi), rNames(gj), k, "__knn_lid", "__knn_rid",
         metric = metric, rankMode = rankMode)

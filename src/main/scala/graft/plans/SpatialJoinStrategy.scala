@@ -193,10 +193,11 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
       case _ => return None
     }
     if (k < 1) return None
-    // DESC = farthest-k (round 19): planned for the PLANAR metric via
-    // [[graft.operators.SpatialJoin.farthestK]] (exact cell-bound
-    // candidates — box arithmetic has no geodesic analogue, so the
-    // geodesic DESC shape keeps the loud warning below)
+    // DESC = farthest-k (round 19, geodesic metrics round 20): planned
+    // via [[graft.operators.SpatialJoin.farthestK]] for every supported
+    // metric (planar box bounds / triangle-inequality circle bounds);
+    // only DENSE_RANK-DESC keeps the loud warning below — the k-th
+    // DISTINCT distance has no cell bound, documented divergence
     val descending = so.direction != Ascending
     // the optimizer's top-k window rewrite (InferWindowGroupLimit) may have
     // inserted a WindowGroupLimit below the Window — our exec subsumes it
@@ -236,13 +237,9 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
       case other => other
     }
     val (g1, g2, metric) = distArgs(ordExpr).getOrElse(return None)
-    if (descending && metric != "planar") {
-      warnOnce("farthest-k-geodesic", "graft: a ranking window over a GEODESIC " +
-        "distance DESC (farthest-k) on a cross join is NOT planned (the " +
-        "cell-bound pruning is planar-only) — executing the literal " +
-        "cartesian + window sort.")
-      return None
-    }
+    // geodesic DESC (round 20): planned — farthestK's triangle-inequality
+    // circle bounds are metric-free-sound, so every supported meters
+    // metric takes the same cell-pruned path as planar
     if (descending && rankMode == "dense_rank") {
       warnOnce("farthest-k-dense", "graft: DENSE_RANK over ST_Distance DESC " +
         "(farthest-k distance classes) is NOT planned — the k-th DISTINCT " +

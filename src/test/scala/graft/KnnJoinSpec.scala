@@ -983,7 +983,7 @@ class KnnJoinSpec extends SparkTestBase {
     assert(got.toSeq == exp, s"got ${got.toSeq}\nexpected $exp")
   }
 
-  test("planner: geodesic farthest-k DESC keeps the literal plan (warned, not planned)") {
+  test("planner: geodesic farthest-k DESC is PLANNED (round 20) and exact") {
     pts(Seq((1L, 0.0, 50.0)), "lid", "lg").createOrReplaceTempView("farg_l")
     pts(Seq((10L, 1.0, 50.0), (11L, 2.0, 50.0)), "rid", "rg")
       .createOrReplaceTempView("farg_r")
@@ -993,8 +993,62 @@ class KnnJoinSpec extends SparkTestBase {
                ROW_NUMBER() OVER (PARTITION BY l.lid ORDER BY ST_DistanceSphere(l.lg, r.rg) DESC) AS rk
         FROM farg_l l CROSS JOIN farg_r r) t
       WHERE rk <= 1""")
-    assert(!df.queryExecution.executedPlan.toString.contains("KnnTopK"),
-      "geodesic DESC must not take the planar cell-bound operator")
+    assert(df.queryExecution.executedPlan.toString.contains("KnnTopK"),
+      "geodesic DESC must take the cell-bound farthest-k operator")
     assert(df.collect().map(_.getLong(1)).toSeq == Seq(11L))
+  }
+
+  test("planner: DENSE_RANK-DESC stays literal (documented divergence, spec-pinned)") {
+    // the ONE remaining unplanned DESC shape: the k-th DISTINCT distance
+    // has no cell bound (arbitrarily many rows can share one distance on
+    // a circle arc), so planning it through farthestK would scan every
+    // cell anyway — the strategy warns once and the literal plan runs.
+    // docs/FUNCTIONS.md carries the rewrite recipe (DISTINCT distances +
+    // dense join-back).
+    pts(Seq((1L, 0.0, 0.0)), "lid", "lg").createOrReplaceTempView("fard_l")
+    pts(Seq((10L, 1.0, 0.0), (11L, 2.0, 0.0), (12L, 0.0, 2.0)), "rid", "rg")
+      .createOrReplaceTempView("fard_r")
+    val df = sql("""
+      SELECT lid, rid, rk FROM (
+        SELECT l.lid, r.rid,
+               DENSE_RANK() OVER (PARTITION BY l.lid ORDER BY ST_Distance(l.lg, r.rg) DESC) AS rk
+        FROM fard_l l CROSS JOIN fard_r r) t
+      WHERE rk <= 1""")
+    assert(!df.queryExecution.executedPlan.toString.contains("KnnTopK"),
+      "DENSE_RANK-DESC must keep the literal plan")
+    // the farthest distance CLASS is d = 2 with BOTH members kept
+    assert(df.collect().map(_.getLong(1)).toSeq.sorted == Seq(11L, 12L))
+  }
+
+  test("farthestK geodesic metrics match brute force (sphere + karney)") {
+    // points spread over mid/high latitude so geodesic and planar ranks
+    // genuinely DISAGREE (lon degrees shrink with cos φ): the planar
+    // farthest is often the wrong geodesic answer, so a passing match
+    // proves the triangle-inequality pruning kept the true top-k
+    val rnd = new scala.util.Random(41)
+    val l = (0 until 12).map(i =>
+      (i.toLong, rnd.nextDouble() * 300 - 150, rnd.nextDouble() * 140 - 70))
+    val r = (0 until 400).map(i =>
+      (1000L + i, rnd.nextDouble() * 340 - 170, rnd.nextDouble() * 150 - 75))
+    for (metric <- Seq("sphere", "karney")) {
+      val dk: (Double, Double, Double, Double) => Double = metric match {
+        case "sphere" => graft.core.Geodesy.haversineMeters
+        case _ => (x1, y1, x2, y2) => graft.core.KarneyGeodesic.distance(y1, x1, y2, x2)
+      }
+      val expected = l.map { case (lid, lx, ly) =>
+        lid -> r.map { case (rid, rx, ry) => (rid, dk(lx, ly, rx, ry)) }
+          .sortBy { case (rid, d) => (-d, rid) }.take(3).map(_._1).toSeq
+      }.toMap
+      val got = SpatialJoin.farthestK(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+        "lg", "rg", 3, "lid", "rid", metric = metric)
+        .select("lid", "rid", "knn_rank").collect()
+        .groupBy(_.getLong(0))
+        .map { case (lid, rows) =>
+          lid -> rows.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq }
+      l.foreach { case (lid, _, _) =>
+        assert(got(lid) == expected(lid),
+          s"$metric lid=$lid: got ${got(lid)} expected ${expected(lid)}")
+      }
+    }
   }
 }
