@@ -660,6 +660,10 @@ object FlatGeobuf {
            bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
     graft.functions.GeoFunctions.register(spark)
     val conf = spark.sessionState.newHadoopConf()
+    // bare http(s):// URLs read through the range-request FileSystem —
+    // the reference's remote demo path (async.rs:244); object-store
+    // schemes keep their real Hadoop connectors
+    HttpFileSystem.install(conf)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val statuses =

@@ -1,0 +1,133 @@
+package graft
+
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.sources.{FlatGeobuf, HttpFileSystem}
+
+/** `http(s)://` FlatGeobuf reads (round 20): a local range-serving HTTP
+  * server hosts countries.fgb and the reads must (a) match the local
+  * reads bit-for-bit and (b) PROVE the Hilbert-index traversal over the
+  * wire — a bbox read fetches header + index + candidate ranges only,
+  * asserted through the FileSystem's request/byte counters. Mirror of
+  * the reference's async range-request reader
+  * (rust/geoarrow-flatgeobuf/src/reader/async.rs:244). */
+class HttpFsSpec extends SparkTestBase {
+
+  private val fixture = "/root/reference/fixtures/flatgeobuf/countries.fgb"
+  private val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fixture))
+
+  private def withServer(headSupported: Boolean = true)(body: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/countries.fgb", (ex: HttpExchange) => {
+      try {
+        val range = Option(ex.getRequestHeaders.getFirst("Range"))
+        ex.getRequestMethod match {
+          case "HEAD" if headSupported =>
+            ex.getResponseHeaders.set("Content-Length", bytes.length.toString)
+            // HttpServer forbids a body on HEAD: -1 = no body, and the
+            // explicit header above carries the length
+            ex.sendResponseHeaders(200, -1)
+          case "HEAD" =>
+            ex.sendResponseHeaders(405, -1)
+          case "GET" =>
+            range match {
+              case Some(r) if r.startsWith("bytes=") =>
+                val Array(s, e) = r.stripPrefix("bytes=").split("-", 2)
+                val start = s.toLong
+                val end = if (e.isEmpty) bytes.length - 1L else math.min(e.toLong, bytes.length - 1L)
+                val slice = java.util.Arrays.copyOfRange(bytes, start.toInt, end.toInt + 1)
+                ex.getResponseHeaders.set("Content-Range",
+                  s"bytes $start-$end/${bytes.length}")
+                ex.sendResponseHeaders(206, slice.length.toLong)
+                ex.getResponseBody.write(slice)
+              case _ =>
+                ex.sendResponseHeaders(200, bytes.length.toLong)
+                ex.getResponseBody.write(bytes)
+            }
+          case _ => ex.sendResponseHeaders(405, -1)
+        }
+      } finally ex.close()
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/countries.fgb")
+    finally server.stop(0)
+  }
+
+  private def counters(): (Long, Long) =
+    (HttpFileSystem.requests.sum(), HttpFileSystem.fetchedBytes.sum())
+
+  test("full read over http matches the local read") {
+    withServer() { url =>
+      val local = FlatGeobuf.read(spark, fixture)
+        .selectExpr("name", "ST_AsText(geometry) AS w").collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+      val remote = FlatGeobuf.read(spark, url)
+        .selectExpr("name", "ST_AsText(geometry) AS w").collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+      assert(remote.length == 179 && remote.toSeq == local.toSeq)
+    }
+  }
+
+  test("bbox read over http traverses the index: candidate ranges only") {
+    withServer() { url =>
+      // 8 KB blocks: the 205 KB fixture spans ~26 blocks, so selective
+      // vs full-file is measurable (the 256 KB production default would
+      // make ANY read a one-block full fetch on a file this small).
+      // Set on the context hadoopConfiguration: newHadoopConf() copies
+      // it, and the executor-side broadcast conf carries it through.
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.setInt("graft.http.blockBytes", 8192)
+      val window = (5.0, 45.0, 15.0, 55.0) // central Europe
+      val expected = FlatGeobuf.read(spark, fixture,
+        bbox = Some(window)).select("name").collect().map(_.getString(0)).sorted
+      assert(expected.nonEmpty && expected.length < 40, expected.mkString(","))
+      val (r0, b0) = counters()
+      val got = FlatGeobuf.read(spark, url, bbox = Some(window))
+        .select("name").collect().map(_.getString(0)).sorted
+      val (r1, b1) = counters()
+      assert(got.toSeq == expected.toSeq)
+      val (reqs, fetched) = (r1 - r0, b1 - b0)
+      // request-count proof: driver schema read + executor selective read
+      // = a bounded handful of block fetches, and the fetched bytes are a
+      // FRACTION of the 205 KB file (header ~few KB + 179-leaf index
+      // ~7 KB + the candidate features) — a full-file fallback would
+      // fetch ≥ 2× the file (driver + executor) in ≥ 2× the blocks
+      assert(reqs > 0 && reqs <= 24, s"requests $reqs — range traversal broken?")
+      assert(fetched < bytes.length, s"fetched $fetched of ${bytes.length} " +
+        "bytes — bbox read must NOT read the whole file")
+      hc.unset("graft.http.blockBytes")
+    }
+  }
+
+  test("HEAD-less server: sizing falls back to a 1-byte ranged GET") {
+    withServer(headSupported = false) { url =>
+      val n = FlatGeobuf.read(spark, url,
+        bbox = Some((5.0, 45.0, 15.0, 55.0))).count()
+      assert(n > 0)
+    }
+  }
+
+  test("the filesystem is read-only and single-file") {
+    withServer() { url =>
+      val conf = spark.sessionState.newHadoopConf()
+      graft.sources.HttpFileSystem.install(conf)
+      val p = new org.apache.hadoop.fs.Path(url)
+      val fs = p.getFileSystem(conf)
+      assert(fs.getFileStatus(p).getLen == bytes.length)
+      assert(fs.listStatus(p).length == 1)
+      intercept[UnsupportedOperationException](fs.delete(p, false))
+      intercept[UnsupportedOperationException](fs.mkdirs(p))
+      // seekable stream: read the magic through the generic FS surface
+      val in = fs.open(p)
+      try {
+        val b = new Array[Byte](3)
+        in.readFully(0, b)
+        assert(new String(b, "ASCII") == "fgb")
+        in.seek(1)
+        assert(in.read() == 'g'.toInt)
+      } finally in.close()
+    }
+  }
+}
