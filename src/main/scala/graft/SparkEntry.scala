@@ -3659,6 +3659,39 @@ object SparkEntry {
     WHERE 60 + 10 * (i % 6) > 90
     ORDER BY id"""
 
+  /** Reader-level pagination (g138, round 20): GeoParquet.read's
+    * limit/offset — the reference's _parquet.pyi:134-135 options —
+    * over a deterministically ordered single-partition write. Windows
+    * pin exact half-open [offset, offset+limit) contents incl. an
+    * offset-only tail and an EOF clamp; expected membership is pure
+    * range arithmetic. */
+  private def g138Fn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    import org.apache.spark.sql.functions.{col, lit, call_function}
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_g138_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val rows = s.range(0, 1000).toDF("fid")
+      .withColumn("geometry", call_function("st_point",
+        col("fid").cast("double"), lit(0.5)))
+      .orderBy("fid").coalesce(1)
+    graft.sources.GeoParquet.write(rows, out)
+    val a = graft.sources.GeoParquet.read(s, out, limit = 37, offset = 421)
+      .selectExpr("fid AS id", "CAST(1 AS INT) AS win", "ST_X(geometry) AS x")
+    val b = graft.sources.GeoParquet.read(s, out, limit = -1, offset = 990)
+      .selectExpr("fid AS id", "CAST(2 AS INT) AS win", "ST_X(geometry) AS x")
+    val c = graft.sources.GeoParquet.read(s, out, limit = 50, offset = 980)
+      .selectExpr("fid AS id", "CAST(3 AS INT) AS win", "ST_X(geometry) AS x")
+    a.unionAll(b).unionAll(c).orderBy("win", "id")
+  }
+
+  private val g138Duck = """
+    SELECT i::BIGINT AS id, 1 AS win, i::DOUBLE AS x FROM range(421, 458) t(i)
+    UNION ALL
+    SELECT i::BIGINT, 2, i::DOUBLE FROM range(990, 1000) t(i)
+    UNION ALL
+    SELECT i::BIGINT, 3, i::DOUBLE FROM range(980, 1000) t(i)
+    ORDER BY win, id"""
+
   private val g132Duck = """
     WITH p AS (
       SELECT i::BIGINT AS id, (3 + i % 6)::DOUBLE AS w,
@@ -13886,6 +13919,7 @@ object SparkEntry {
     ("g135_3d_predicates", q(g135Spark), g135Duck),
     ("g136_lrs_inverse_pair", q(g136Spark), g136Duck),
     ("g137_antimeridian_read", g137Fn _, g137Duck),
+    ("g138_reader_pagination", g138Fn _, g138Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

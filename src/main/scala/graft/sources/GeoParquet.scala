@@ -353,8 +353,14 @@ object GeoParquet {
     * explicitly emptied list (nested pushdown disabled globally) is
     * honored. */
   def read(spark: SparkSession, path: String,
-           bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
+           bbox: Option[(Double, Double, Double, Double)] = None,
+           limit: Long = -1L, offset: Long = 0L): DataFrame = {
     graft.functions.GeoFunctions.register(spark)
+    require(offset >= 0, s"GeoParquet.read: offset $offset must be >= 0")
+    require(bbox.isEmpty || (offset == 0 && limit < 0),
+      "GeoParquet.read: limit/offset with bbox is ambiguous in a parallel " +
+        "engine (no defined row order after a spatial filter) — apply " +
+        ".limit/.offset on the returned DataFrame instead")
     val meta = metadata(spark, path)
     // bbox on a NATIVE-encoded column with no covering struct: route the
     // scan through GeoParquetFileFormat's stats-pruning reader, which plans
@@ -408,6 +414,7 @@ object GeoParquet {
         }
         spark.read.format(classOf[GeoParquetFileFormat].getName)
           .option(GeoParquetFileFormat.BboxFilterKey, spec).load(path)
+      case None if offset > 0 || limit >= 0 => rowWindowDf(spark, path, limit, offset)
       case None => spark.read.parquet(path)
     }
 
@@ -571,6 +578,73 @@ object GeoParquet {
     * random row order every row group's bbox spans the whole extent and the
     * parquet reader can skip nothing. One extent-aggregation job, one
     * range shuffle (sampled boundaries, Spark's RangePartitioner). */
+  /** Reader-level `limit`/`offset` (the reference's pagination options,
+    * python/geoarrow-io/.../_parquet.pyi:134-135,153-154) over the
+    * dataset's STABLE row order: files sorted by path, row groups in
+    * file order, rows in group order. The driver reads footers only
+    * (row counts per file), selects the files overlapping the half-open
+    * window [offset, offset+limit), and each task decodes only its row
+    * groups inside the window ([[GeoParquetFileFormat.rowWindowRead]]);
+    * the ≤ 2 boundary FILES get a row-exact trim via the codegen'd
+    * `_metadata.row_index` comparison — rows before `offset` or past the
+    * limit are never decoded beyond their own row group. Hive-style
+    * partitioned layouts are rejected (subdirectory ordering vs
+    * partition-column reconstruction is ambiguous — paginate a
+    * partition directory instead). The returned rows are the exact
+    * window SET; Spark DataFrames carry no inter-partition order, so
+    * re-sort on output if presentation order matters. */
+  private def rowWindowDf(spark: SparkSession, path: String,
+                          limit: Long, offset: Long): DataFrame = {
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val parts = listPartFiles(fs, root).map(_.getPath)
+    require(parts.nonEmpty, s"GeoParquet.read: no parquet files under $path")
+    require(!parts.exists(_.getParent.getName.contains("=")),
+      "GeoParquet.read: limit/offset over a hive-partitioned layout is " +
+        "not supported — paginate one partition directory at a time")
+    val sorted = parts.map(_.toString).sorted
+    val counts: Seq[Long] = sorted.map { f =>
+      footerOpens.increment()
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+    }
+    val starts = counts.scanLeft(0L)(_ + _)
+    val total = starts.last
+    val winStart = math.min(offset, total)
+    val winEnd = if (limit < 0) total
+      else math.min(total, math.addExact(winStart, limit))
+    val windowed = sorted.zip(starts.zip(counts)).collect {
+      case (f, (s, n)) if s < winEnd && s + n > winStart => (f, s, n)
+    }
+    if (windowed.isEmpty)
+      return spark.read.parquet(sorted.head).where(org.apache.spark.sql.functions.lit(false))
+    val spec = s"$winStart\t$winEnd\t" +
+      windowed.map { case (f, s, _) => s"$f=$s" }.mkString("")
+    var df = spark.read.format(classOf[GeoParquetFileFormat].getName)
+      .option(GeoParquetFileFormat.RowWindowKey, spec)
+      .load(windowed.map(_._1): _*)
+    // row-exact trim for the boundary files only (codegen'd literals —
+    // middle files pass with a single path comparison short-circuit)
+    val (headF, headS, _) = windowed.head
+    val (tailF, tailS, _) = windowed.last
+    val needHead = headS < winStart
+    val needTail = tailS + windowed.last._3 > winEnd
+    if (needHead || needTail) {
+      val p = col("_metadata.file_path")
+      val gpos = col("_metadata.row_index")
+      var cond = lit(true)
+      if (needHead)
+        cond = cond && (p =!= lit(headF) || gpos >= lit(winStart - headS))
+      if (needTail)
+        cond = cond && (p =!= lit(tailF) || gpos < lit(winEnd - tailS))
+      df = df.where(cond)
+    }
+    df
+  }
+
   def spatialSort(df: DataFrame, geometryColumn: String = "geometry",
                   numPartitions: Int = 0): DataFrame = {
     graft.functions.GeoFunctions.register(df.sparkSession)

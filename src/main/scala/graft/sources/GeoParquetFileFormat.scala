@@ -71,7 +71,22 @@ class GeoParquetFileFormat extends ParquetFileFormat with DataSourceRegister {
     val parent = super.buildReaderWithPartitionValues(
       sparkSession, dataSchema, partitionSchema, requiredSchema, filters, options, hadoopConf)
     options.get(GeoParquetFileFormat.BboxFilterKey) match {
-      case None => parent
+      case None =>
+        options.get(GeoParquetFileFormat.RowWindowKey) match {
+          case None => parent
+          case Some(spec) =>
+            // "<start>\t<end>\t<path>=<globalFirstRow>…" — see
+            // GeoParquet.read(limit, offset)
+            val parts = spec.split("\t", 3)
+            val (winStart, winEnd) = (parts(0).toLong, parts(1).toLong)
+            val fileStarts: Map[String, Long] = parts(2).split('\u0001')
+              .map { kv => val i = kv.lastIndexOf('='); (kv.take(i), kv.drop(i + 1).toLong) }
+              .toMap
+            val confBc = sparkSession.sparkContext.broadcast(
+              new org.apache.spark.util.SerializableConfiguration(hadoopConf))
+            file => GeoParquetFileFormat.rowWindowRead(
+              parent, file, confBc.value.value, winStart, winEnd, fileStarts)
+        }
       case Some(spec) =>
         val Array(gcol, nums) = spec.split(";", 2)
         val Array(qxmin, qymin, qxmax, qymax) = nums.split(",").map(_.toDouble)
@@ -120,6 +135,72 @@ object GeoParquetFileFormat {
   /** Read option enabling native-stats row-group pruning:
     * "geometryCol;xmin,ymin,xmax,ymax". */
   val BboxFilterKey = "graft.geo.bboxfilter"
+
+  /** Read option enabling reader-level offset/limit short-circuit:
+    * "winStart\twinEnd\tpath=firstGlobalRow␁path=firstGlobalRow…" —
+    * the half-open GLOBAL row window [winStart, winEnd) over the
+    * dataset's stable row order (files sorted by path, row groups in
+    * file order, rows in group order). Set by
+    * [[GeoParquet.read]]'s `limit`/`offset` parameters. */
+  val RowWindowKey = "graft.geo.rowwindow"
+
+  /** Reader-level offset/limit — the short-circuit-decode twin of the
+    * reference's `limit`/`offset` reader options
+    * (python/geoarrow-io/.../_parquet.pyi:134-135,153-154): each split
+    * reads its footer (cached digest, KB-scale), maps its owned row
+    * groups to GLOBAL row positions via the driver-computed per-file
+    * first-row index, and decodes ONLY the groups overlapping the
+    * window (single merged byte run — the window is contiguous, so
+    * surviving groups are consecutive in file order). Group-granular by
+    * design: the iterator may carry ColumnarBatches (vectorized path),
+    * so the row-exact boundary trim lives in [[GeoParquet.read]] as a
+    * codegen'd filter on `_metadata.row_index` — only the ≤ 2 boundary
+    * files pay a per-row comparison. A fully-outside split answers
+    * empty after footer-only IO — `offset`-skipped terabytes are never
+    * decoded. */
+  private[sources] def rowWindowRead(
+      parent: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow],
+      file: org.apache.spark.sql.execution.datasources.PartitionedFile,
+      conf: Configuration,
+      winStart: Long, winEnd: Long,
+      fileStarts: Map[String, Long]): Iterator[InternalRow] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    // normalize to Hadoop Path's canonical string ("file:/x", never
+    // "file:///x") — PartitionedFile.filePath and the driver's listing
+    // render the same file differently
+    val normPath = new org.apache.hadoop.fs.Path(file.filePath.toUri).toString
+    val fStart = fileStarts.getOrElse(normPath, return Iterator.empty)
+    val key = (file.filePath.toString, file.fileSize, file.modificationTime, "")
+    if (footerDigestCache.size > 1024) footerDigestCache.clear()
+    val groups = footerDigestCache.computeIfAbsent(key, _ => {
+      prunedFooterOpens.increment()
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.filePath.toUri), conf))
+      try reader.getFooter.getBlocks.asScala.map { b =>
+        GroupDigest(b.getStartingPos, b.getCompressedSize, b.getRowCount,
+          None, None, None)
+      }.toIndexedSeq
+      finally reader.close()
+    })
+    val ordered = groups.sortBy(_.start)
+    // (group, its first global row)
+    val withPos = ordered.zip(
+      ordered.scanLeft(fStart)((acc, g) => acc + g.rowCount))
+    val owned = withPos.filter { case (g, _) =>
+      val mid = g.start + g.compressedSize / 2
+      mid >= file.start && mid < file.start + file.length
+    }
+    val surviving = owned.filter { case (g, s) =>
+      s < winEnd && s + g.rowCount > winStart
+    }
+    if (surviving.isEmpty) return Iterator.empty
+    // the window is a contiguous row range and global rows increase with
+    // file position, so surviving groups are CONSECUTIVE: one byte run
+    val runStart = surviving.head._1.start
+    val runEnd = surviving.last._1.start + surviving.last._1.compressedSize
+    parent(file.copy(start = runStart, length = runEnd - runStart))
+  }
 
   /** Per-executor footer digest cache for [[statsPrunedRead]]: a file split
     * into thousands of tasks would otherwise re-open and re-parse the same
