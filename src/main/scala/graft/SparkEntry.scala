@@ -3565,7 +3565,10 @@ object SparkEntry {
            ST_3DIntersects(seg, pt) AS hits,
            ROUND(ST_3DMaxDistance(seg, pt), 9) AS dmax,
            ROUND(ST_3DLength(ST_3DLongestLine(seg, pt)), 9) AS lll,
-           ROUND(ST_3DDistance(seg, pt) * ST_3DDistance(seg, pt) * 2.0, 9) AS gap2x2
+           ROUND(ST_3DDistance(seg, pt) * ST_3DDistance(seg, pt) * 2.0, 9) AS gap2x2,
+           ROUND(ST_3DLength(ST_3DShortestLine(seg, pt)) *
+                 ST_3DLength(ST_3DShortestLine(seg, pt)) * 2.0, 9) AS sl2x2,
+           ROUND(ST_X(ST_3DClosestPoint(seg, pt)) * 2.0, 9) AS cp2x
     FROM f ORDER BY id"""
 
   private val g135Duck = """
@@ -3577,7 +3580,9 @@ object SparkEntry {
                           sqrt((8-t)*(8-t) + (8-t-gap)*(8-t-gap))), 9) AS dmax,
            ROUND(GREATEST(sqrt(t*t + (t+gap)*(t+gap)),
                           sqrt((8-t)*(8-t) + (8-t-gap)*(8-t-gap))), 9) AS lll,
-           ROUND(gap * gap, 9) AS gap2x2
+           ROUND(gap * gap, 9) AS gap2x2,
+           ROUND(gap * gap, 9) AS sl2x2,
+           ROUND(2 * t + gap, 9) AS cp2x
     FROM p ORDER BY id"""
 
   /** LRS inverse pair (g136, round 20): ST_AddMeasure stamps M linearly

@@ -829,12 +829,26 @@ object GeomOps {
   //    hypot; coordinates without Z measure as planar, the JTS NaN-Z
   //    convention both engines share) ────────────────────────────────────
 
-  def distance3D(a: Array[Byte], b: Array[Byte]): Double =
-    org.locationtech.jts.operation.distance3d.Distance3DOp.distance(read(a), read(b))
+  /** ST_3DDistance. Puntal/lineal pairs take the exact closed-form
+    * nearest-pair kernel ([[nearestPair3D]]) — JTS's
+    * CGAlgorithms3D.distanceSegmentSegment OVERESTIMATES skew
+    * segment-segment distances whose minimizing parameter clamps to a
+    * boundary (fuzz-found: reports 7.5498 where the true clamped
+    * minimum is 6.1246, numerically adjudicated), so Distance3DOp is
+    * only trusted where a polygon plate is involved (its
+    * point-in-plate projection has no replacement here). */
+  def distance3D(a: Array[Byte], b: Array[Byte]): Double = {
+    val ga = read(a); val gb = read(b)
+    if (ga.getDimension <= 1 && gb.getDimension <= 1 && !ga.isEmpty && !gb.isEmpty) {
+      val (p, q) = nearestPair3D(ga, gb)
+      val dz = { val d = p.getZ - q.getZ; if (d.isNaN) 0.0 else d }
+      math.sqrt((p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) + dz * dz)
+    } else
+      org.locationtech.jts.operation.distance3d.Distance3DOp.distance(ga, gb)
+  }
 
   def dWithin3D(a: Array[Byte], b: Array[Byte], d: Double): Boolean =
-    org.locationtech.jts.operation.distance3d.Distance3DOp.isWithinDistance(
-      read(a), read(b), d)
+    distance3D(a, b) <= d
 
   /** ST_3DLength: Σ per-segment sqrt(dx² + dy² + dz²) over every lineal
     * component (rings included — the ST_3DPerimeter share the walk);
@@ -876,12 +890,11 @@ object GeomOps {
   def perimeter3D(b: Array[Byte]): Double = perimeter3DOf(read(b))
 
   /** ST_3DIntersects: zero 3D distance. Exact for point/line inputs
-    * (the Distance3DOp segment arithmetic); polygons are FLAT PLATES in
-    * their supporting plane — the PostGIS caveat applies unchanged: a
-    * 3D polygon's interior is planar, there is no solid model. */
+    * (the [[distance3D]] closed-form pair kernel); polygons are FLAT
+    * PLATES in their supporting plane — the PostGIS caveat applies
+    * unchanged: a 3D polygon's interior is planar, no solid model. */
   def intersects3D(a: Array[Byte], b: Array[Byte]): Boolean =
-    org.locationtech.jts.operation.distance3d.Distance3DOp.distance(
-      read(a), read(b)) == 0.0
+    distance3D(a, b) == 0.0
 
   /** the 3D vertex-pair maximum: |p−q|₃ is convex along segments in
     * every ordinate, so the max is attained at a vertex pair, like the
@@ -922,6 +935,96 @@ object GeomOps {
     * [[maxDistance3D]], Z preserved from the winning vertices. */
   def longestLine3D(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     val (p, q) = farthestPair3D(read(a), read(b))
+    write(factory.createLineString(Array(p.copy(), q.copy())))
+  }
+
+  /** nearest 3D pair, CLOSED FORM over point/segment components — JTS's
+    * Distance3DOp reports correct distances but does NOT compute nearest
+    * LOCATIONS (it echoes an input vertex), so the pair is derived here:
+    * point–point, point–segment (clamped projection), segment–segment
+    * (the standard clamped two-parameter minimization). NaN Z reads as
+    * 0 (the mixed-dimension convention of [[distance3D]]). Puntal and
+    * lineal inputs only — a 3D polygon's nearest point can lie in its
+    * plate interior, which this vertex/segment walk cannot represent, so
+    * areal inputs are rejected loudly rather than answered wrong. */
+  private def nearestPair3D(ga: Geometry, gb: Geometry): (Coordinate, Coordinate) = {
+    require(ga.getDimension <= 1 && gb.getDimension <= 1,
+      "ST_3DClosestPoint/ST_3DShortestLine: puntal/lineal inputs only " +
+        "(a flat-plate polygon's nearest point may be interior — use " +
+        "ST_3DDistance for the distance, or the boundary for locations)")
+    require(!ga.isEmpty && !gb.isEmpty, "3D nearest pair: empty input")
+    @inline def z(c: Coordinate): Double = { val v = c.getZ; if (v.isNaN) 0.0 else v }
+    def sub(p: Coordinate, q: Coordinate) = (p.x - q.x, p.y - q.y, z(p) - z(q))
+    def d2(p: Coordinate, q: Coordinate): Double = {
+      val (dx, dy, dz) = sub(p, q); dx * dx + dy * dy + dz * dz
+    }
+    def lerp(p: Coordinate, q: Coordinate, t: Double) =
+      new CoordinateXYZM(p.x + (q.x - p.x) * t, p.y + (q.y - p.y) * t,
+        z(p) + (z(q) - z(p)) * t, Double.NaN)
+    // closest parameters between segments [a0,a1] and [b0,b1] — the
+    // canonical clamped minimization (Ericson, Real-Time Collision
+    // Detection §5.1.9, public standard algorithm)
+    def segSeg(a0: Coordinate, a1: Coordinate,
+               b0: Coordinate, b1: Coordinate): (Coordinate, Coordinate) = {
+      @inline def clamp(v: Double) = math.max(0.0, math.min(1.0, v))
+      val (ux, uy, uz) = sub(a1, a0); val (vx, vy, vz) = sub(b1, b0)
+      val (wx, wy, wz) = sub(a0, b0)
+      val a = ux * ux + uy * uy + uz * uz
+      val b = ux * vx + uy * vy + uz * vz
+      val c = vx * vx + vy * vy + vz * vz
+      val d = ux * wx + uy * wy + uz * wz
+      val e = vx * wx + vy * wy + vz * wz
+      var s = 0.0
+      var t = 0.0
+      if (a == 0.0 && c == 0.0) { /* two points */ }
+      else if (a == 0.0) { t = clamp(e / c) }
+      else if (c == 0.0) { s = clamp(-d / a) }
+      else {
+        val den = a * c - b * b
+        s = if (den != 0.0) clamp((b * e - c * d) / den) else 0.0
+        val tNom = b * s + e
+        if (tNom < 0.0) { t = 0.0; s = clamp(-d / a) }
+        else if (tNom > c) { t = 1.0; s = clamp((b - d) / a) }
+        else t = tNom / c
+      }
+      (lerp(a0, a1, s), lerp(b0, b1, t))
+    }
+    var best = Double.MaxValue
+    var bp: Coordinate = null
+    var bq: Coordinate = null
+    def consider(p: Coordinate, q: Coordinate): Unit = {
+      val dd = d2(p, q)
+      if (dd < best) { best = dd; bp = p; bq = q }
+    }
+    def segments(g: Geometry): Seq[(Coordinate, Coordinate)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Coordinate, Coordinate)]
+      def rec(x: Geometry): Unit = x match {
+        case p: Point => if (!p.isEmpty) out += ((p.getCoordinate, p.getCoordinate))
+        case l: LineString =>
+          val cs = l.getCoordinates
+          if (cs.length == 1) out += ((cs(0), cs(0)))
+          else (1 until cs.length).foreach(i => out += ((cs(i - 1), cs(i))))
+        case gc: GeometryCollection =>
+          (0 until gc.getNumGeometries).foreach(i => rec(gc.getGeometryN(i)))
+        case _ => ()
+      }
+      rec(g)
+      out.toSeq
+    }
+    for ((a0, a1) <- segments(ga); (b0, b1) <- segments(gb))
+      consider _ tupled segSeg(a0, a1, b0, b1)
+    (bp, bq)
+  }
+
+  /** ST_3DClosestPoint(g1, g2): the point ON g1 nearest to g2 in the 3D
+    * metric (the flat-plate polygon model of [[intersects3D]] applies). */
+  def closestPoint3D(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    write(factory.createPoint(nearestPair3D(read(a), read(b))._1))
+
+  /** ST_3DShortestLine(g1, g2): the 2-point line realizing the 3D
+    * minimum distance, from g1's nearest point to g2's. */
+  def shortestLine3D(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val (p, q) = nearestPair3D(read(a), read(b))
     write(factory.createLineString(Array(p.copy(), q.copy())))
   }
 

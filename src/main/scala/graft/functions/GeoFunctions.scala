@@ -206,6 +206,8 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_3dintersects" -> Sig("intersects3D", B, Seq(G, G)),
     "st_3dmaxdistance" -> Sig("maxDistance3D", D, Seq(G, G)),
     "st_3dlongestline" -> Sig("longestLine3D", G, Seq(G, G)),
+    "st_3dclosestpoint" -> Sig("closestPoint3D", G, Seq(G, G)),
+    "st_3dshortestline" -> Sig("shortestLine3D", G, Seq(G, G)),
     "st_addmeasure" -> Sig("addMeasure", G, Seq(G, D, D)),
     "st_interpolatepoint" -> Sig("interpolatePoint", D, Seq(G, G)),
     "st_makevalid" -> Sig("makeValid", G, Seq(G)),

@@ -110,6 +110,7 @@ object GeoParquet {
     *    declares one.
     */
   def metadata(spark: SparkSession, path: String): Option[GeoMeta] = {
+    installHttpIfUrl(spark, path)
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
@@ -356,6 +357,7 @@ object GeoParquet {
            bbox: Option[(Double, Double, Double, Double)] = None,
            limit: Long = -1L, offset: Long = 0L): DataFrame = {
     graft.functions.GeoFunctions.register(spark)
+    installHttpIfUrl(spark, path)
     require(offset >= 0, s"GeoParquet.read: offset $offset must be >= 0")
     require(bbox.isEmpty || (offset == 0 && limit < 0),
       "GeoParquet.read: limit/offset with bbox is ambiguous in a parallel " +
@@ -578,6 +580,18 @@ object GeoParquet {
     * random row order every row group's bbox spans the whole extent and the
     * parquet reader can skip nothing. One extent-aggregation job, one
     * range shuffle (sampled boundaries, Spark's RangePartitioner). */
+  /** `http(s)://` datasets read through [[HttpFileSystem]]'s range
+    * requests like FlatGeobuf's (the reference's remote demo path) —
+    * footer seeks and row-group reads become ranged GETs. Installed on
+    * the CONTEXT hadoopConfiguration (defaults only, never overriding a
+    * user binding) because `spark.read.parquet` plans through the
+    * session conf, which inherits from it. */
+  private def installHttpIfUrl(spark: SparkSession, path: String): Unit = {
+    val lower = path.toLowerCase(java.util.Locale.ROOT)
+    if (lower.startsWith("http://") || lower.startsWith("https://"))
+      HttpFileSystem.install(spark.sparkContext.hadoopConfiguration)
+  }
+
   /** Reader-level `limit`/`offset` (the reference's pagination options,
     * python/geoarrow-io/.../_parquet.pyi:134-135,153-154) over the
     * dataset's STABLE row order: files sorted by path, row groups in

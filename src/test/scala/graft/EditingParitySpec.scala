@@ -210,6 +210,62 @@ class EditingParitySpec extends SparkTestBase {
       wkb("LINESTRING Z (0 0 0, 1 0 0)"), wkb("POINT Z(5 0 3)")))
     assert(ll3.getCoordinates.head.x == 0.0 && ll3.getCoordinates.last.x == 5.0)
 
+    // 3D closest pair: own closed form (JTS Distance3DOp reports correct
+    // distances but echoes an input vertex as the "nearest" location)
+    val sl = GeomOps.read(GeomOps.shortestLine3D(
+      wkb("LINESTRING Z (0 0 0, 8 0 8)"), wkb("POINT Z(2 0 3)"))).getCoordinates
+    assert(sl(0).x == 2.5 && sl(0).getZ == 2.5 && sl(1).x == 2.0,
+      s"projection point wrong: ${sl.toSeq}")
+    val cp = GeomOps.read(GeomOps.closestPoint3D(
+      wkb("POINT Z(2 0 3)"), wkb("LINESTRING Z (0 0 0, 8 0 8)"))).getCoordinate
+    assert(cp.x == 2.0 && cp.getZ == 3.0, "first point must lie ON g1")
+    // skew segment pair: closest between (0,0,0)-(4,0,0) and (2,1,1)-(2,1,5)
+    val ss = GeomOps.read(GeomOps.shortestLine3D(
+      wkb("LINESTRING Z (0 0 0, 4 0 0)"), wkb("LINESTRING Z (2 1 1, 2 1 5)"))).getCoordinates
+    assert(ss(0).x == 2.0 && ss(0).y == 0.0 && ss(1).getZ == 1.0, ss.toSeq.toString)
+    // fuzz adjudication of the closed-form pair: the JTS Distance3DOp
+    // value is attained by SOME real point pair (upper bound — and for
+    // skew clamped cases it genuinely overestimates, the bug this kernel
+    // replaces), while a dense parameter sampling is a separate upper
+    // bound that converges to the truth — ours must sit at or below
+    // both, and within sampling resolution of the sampled minimum
+    val fz = new scala.util.Random(5)
+    (1 to 40).foreach { _ =>
+      def ln() = wkb(s"LINESTRING Z (${fz.nextInt(20)} ${fz.nextInt(20)} ${fz.nextInt(20)}, " +
+        s"${fz.nextInt(20)} ${fz.nextInt(20)} ${fz.nextInt(20)}, " +
+        s"${fz.nextInt(20)} ${fz.nextInt(20)} ${fz.nextInt(20)})")
+      val (x, y) = (ln(), ln())
+      val ours = GeomOps.distance3D(x, y)
+      val viaPair = GeomOps.length3D(GeomOps.shortestLine3D(x, y))
+      assert(math.abs(viaPair - ours) < 1e-9, s"pair length $viaPair != $ours")
+      val jts = org.locationtech.jts.operation.distance3d.Distance3DOp.distance(
+        GeomOps.read(x), GeomOps.read(y))
+      assert(ours <= jts + 1e-9, s"ours $ours above the JTS upper bound $jts")
+      // dense sample: project each sampled point of A onto B's segments
+      val ca = GeomOps.read(x).getCoordinates; val cb = GeomOps.read(y).getCoordinates
+      var sampled = Double.MaxValue
+      for (i <- 0 until ca.length - 1; s <- 0 to 100) {
+        val f = s / 100.0
+        val px = ca(i).x + (ca(i + 1).x - ca(i).x) * f
+        val py = ca(i).y + (ca(i + 1).y - ca(i).y) * f
+        val pz = ca(i).getZ + (ca(i + 1).getZ - ca(i).getZ) * f
+        for (j <- 0 until cb.length - 1) {
+          val (vx, vy, vz) = (cb(j + 1).x - cb(j).x, cb(j + 1).y - cb(j).y,
+            cb(j + 1).getZ - cb(j).getZ)
+          val vv = vx * vx + vy * vy + vz * vz
+          val t = if (vv == 0) 0.0 else math.max(0.0, math.min(1.0,
+            ((px - cb(j).x) * vx + (py - cb(j).y) * vy + (pz - cb(j).getZ) * vz) / vv))
+          val (qx, qy, qz) = (cb(j).x + vx * t, cb(j).y + vy * t, cb(j).getZ + vz * t)
+          sampled = math.min(sampled, math.sqrt(
+            (px - qx) * (px - qx) + (py - qy) * (py - qy) + (pz - qz) * (pz - qz)))
+        }
+      }
+      assert(ours <= sampled + 1e-9 && sampled - ours < 0.5,
+        s"ours $ours vs sampled-min $sampled — outside sampling resolution")
+    }
+    intercept[IllegalArgumentException](GeomOps.closestPoint3D(
+      wkb("POLYGON Z ((0 0 0, 1 0 0, 1 1 0, 0 1 0, 0 0 0))"), wkb("POINT Z(5 5 5)")))
+
     // AddMeasure: linear stamp, Z kept, multi continuity, zero-length
     val am = GeomOps.read(GeomOps.addMeasure(
       wkb("LINESTRING (0 0, 4 0, 10 0)"), 100.0, 200.0))

@@ -109,6 +109,62 @@ class HttpFsSpec extends SparkTestBase {
     }
   }
 
+  test("GeoParquet over http: footer + bbox read through range requests") {
+    graft.functions.GeoFunctions.register(spark)
+    import graft.sources.GeoParquet
+    // build a small covering-indexed GeoParquet file, then serve it
+    val gdir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "httpgpq_" + java.util.UUID.randomUUID().toString.take(8))
+    val df = spark.range(0, 2000).toDF("fid")
+      .withColumn("geometry", org.apache.spark.sql.functions.call_function("st_point",
+        (org.apache.spark.sql.functions.col("fid") % 50).cast("double"),
+        (org.apache.spark.sql.functions.col("fid") / 50).cast("double")))
+    GeoParquet.write(df.coalesce(1), gdir.getAbsolutePath)
+    val part = gdir.listFiles().find(_.getName.endsWith(".parquet")).get
+    val gbytes = java.nio.file.Files.readAllBytes(part.toPath)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data.parquet", (ex: HttpExchange) => {
+      try {
+        val range = Option(ex.getRequestHeaders.getFirst("Range"))
+        ex.getRequestMethod match {
+          case "HEAD" =>
+            ex.getResponseHeaders.set("Content-Length", gbytes.length.toString)
+            ex.sendResponseHeaders(200, -1)
+          case "GET" => range match {
+            case Some(r) if r.startsWith("bytes=") =>
+              val Array(s, e) = r.stripPrefix("bytes=").split("-", 2)
+              val start = s.toLong
+              val end = if (e.isEmpty) gbytes.length - 1L
+                else math.min(e.toLong, gbytes.length - 1L)
+              val slice = java.util.Arrays.copyOfRange(gbytes, start.toInt, end.toInt + 1)
+              ex.getResponseHeaders.set("Content-Range", s"bytes $start-$end/${gbytes.length}")
+              ex.sendResponseHeaders(206, slice.length.toLong)
+              ex.getResponseBody.write(slice)
+            case _ =>
+              ex.sendResponseHeaders(200, gbytes.length.toLong)
+              ex.getResponseBody.write(gbytes)
+          }
+          case _ => ex.sendResponseHeaders(405, -1)
+        }
+      } finally ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data.parquet"
+      // footer metadata over the wire
+      val m = GeoParquet.metadata(spark, url)
+      assert(m.exists(_.primaryColumn == "geometry"), m.toString)
+      // full read + bbox read match the local file
+      assert(GeoParquet.read(spark, url).count() == 2000)
+      val window = Some((10.0, 10.0, 12.0, 12.0))
+      val localIds = GeoParquet.read(spark, part.getAbsolutePath, bbox = window)
+        .select("fid").collect().map(_.getLong(0)).sorted
+      val httpIds = GeoParquet.read(spark, url, bbox = window)
+        .select("fid").collect().map(_.getLong(0)).sorted
+      assert(localIds.nonEmpty && httpIds.toSeq == localIds.toSeq)
+    } finally server.stop(0)
+  }
+
   test("the filesystem is read-only and single-file") {
     withServer() { url =>
       val conf = spark.sessionState.newHadoopConf()
