@@ -3664,6 +3664,69 @@ object SparkEntry {
     WHERE 60 + 10 * (i % 6) > 90
     ORDER BY id"""
 
+  /** Construction/precision parity batch (g139, round 20):
+    * ST_MaximumInscribedCircle (square side 2a → radius a, unique
+    * center, both within the PostGIS-default tolerance absorbed by
+    * ROUND 2 after normalizing by a), ST_LargestEmptyCircle (two
+    * obstacles on the bottom edge of a square boundary → unique max at
+    * the top-edge midpoint, radius a√5), ST_MinimumClearance(+Line)
+    * (rectangle → the short side, exactly), ST_MinimumBoundingCircle
+    * (covers its input; 4·quadSegs+1 ring points), ST_TriangulatePolygon
+    * (rectangle → 2 triangles whose integer-coordinate areas sum
+    * exactly), ST_3DLineInterpolatePoint (3-4-5 segment → dyadic-exact
+    * landing), ST_Node (crossing integer segments → 4 pieces, length
+    * preserved), ST_UnaryUnion (two overlapping squares → inclusion-
+    * exclusion area). */
+  private val g139Spark = """
+    WITH p AS (SELECT CAST(id AS BIGINT) AS id,
+                      CAST(1 + id % 5 AS DOUBLE) AS a
+               FROM range(25)),
+    f AS (SELECT id, a,
+        ST_GeomFromText(CONCAT('POLYGON ((0 0, ', 2*a, ' 0, ', 2*a, ' ', 2*a, ', 0 ', 2*a, ', 0 0))')) AS sq,
+        ST_GeomFromText(CONCAT('POLYGON ((0 0, ', 3*a, ' 0, ', 3*a, ' ', a, ', 0 ', a, ', 0 0))')) AS rect,
+        ST_GeomFromText(CONCAT('MULTIPOINT ((0 0), (', 2*a, ' 0))')) AS obs,
+        ST_GeomFromText(CONCAT('LINESTRING Z (0 0 0, ', 3*a, ' 0 ', 4*a, ')')) AS seg3,
+        ST_GeomFromText(CONCAT('MULTILINESTRING ((0 0, ', 2*a, ' ', 2*a, '), (0 ', 2*a, ', ', 2*a, ' 0))')) AS cross_ls,
+        ST_GeomFromText(CONCAT('GEOMETRYCOLLECTION (POLYGON ((0 0, ', 2*a, ' 0, ', 2*a, ' ', 2*a, ', 0 ', 2*a, ', 0 0)), POLYGON ((', a, ' ', a, ', ', 3*a, ' ', a, ', ', 3*a, ' ', 3*a, ', ', a, ' ', 3*a, ', ', a, ' ', a, ')))')) AS twosq
+      FROM p)
+    SELECT id,
+           ROUND(ST_MaximumInscribedCircle(sq).radius / a, 2) AS mic_r,
+           ROUND(ST_X(ST_GeomFromWKB(ST_MaximumInscribedCircle(sq).center)) / a, 2) AS mic_cx,
+           ROUND(ST_LargestEmptyCircle(obs, a * 0.0001, sq).radius / a, 2) AS lec_r,
+           ROUND(ST_Y(ST_GeomFromWKB(ST_LargestEmptyCircle(obs, a * 0.0001, sq).center)) / a, 2) AS lec_cy,
+           ST_MinimumClearance(rect) AS clr,
+           ROUND(ST_Length(ST_MinimumClearanceLine(rect)), 9) AS clr_len,
+           ROUND(ST_X(ST_Centroid(ST_MinimumBoundingCircle(sq))) / a, 2) AS mbc_cx,
+           ST_NPoints(ST_MinimumBoundingCircle(sq, 12)) AS mbc_np,
+           ST_NumGeometries(ST_TriangulatePolygon(rect)) AS tri_n,
+           ROUND(ST_Area(ST_TriangulatePolygon(rect)), 9) AS tri_area,
+           ROUND(ST_X(ST_3DLineInterpolatePoint(seg3, 0.25)), 9) AS p3d_x,
+           ROUND(ST_Z(ST_3DLineInterpolatePoint(seg3, 0.25)), 9) AS p3d_z,
+           ST_NumGeometries(ST_Node(cross_ls)) AS node_n,
+           ROUND(ST_Length(ST_Node(cross_ls)), 9) AS node_len,
+           ROUND(ST_Area(ST_UnaryUnion(twosq)), 9) AS uu_area
+    FROM f ORDER BY id"""
+
+  private val g139Duck = """
+    WITH p AS (SELECT i::BIGINT AS id, (1 + i % 5)::DOUBLE AS a FROM range(25) t(i))
+    SELECT id,
+           1.0 AS mic_r,
+           1.0 AS mic_cx,
+           ROUND(sqrt(5.0), 2) AS lec_r,
+           2.0 AS lec_cy,
+           a AS clr,
+           ROUND(a, 9) AS clr_len,
+           1.0 AS mbc_cx,
+           49 AS mbc_np,
+           2 AS tri_n,
+           ROUND(3 * a * a, 9) AS tri_area,
+           ROUND(0.75 * a, 9) AS p3d_x,
+           ROUND(a, 9) AS p3d_z,
+           4 AS node_n,
+           ROUND(2 * sqrt(8 * a * a), 9) AS node_len,
+           ROUND(7 * a * a, 9) AS uu_area
+    FROM p ORDER BY id"""
+
   /** Reader-level pagination (g138, round 20): GeoParquet.read's
     * limit/offset — the reference's _parquet.pyi:134-135 options —
     * over a deterministically ordered single-partition write. Windows
@@ -13925,6 +13988,7 @@ object SparkEntry {
     ("g136_lrs_inverse_pair", q(g136Spark), g136Duck),
     ("g137_antimeridian_read", g137Fn _, g137Duck),
     ("g138_reader_pagination", g138Fn _, g138Duck),
+    ("g139_construction_batch", q(g139Spark), g139Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -538,6 +538,118 @@ object GeomOps {
     val c = Option(mbc.getCentre).getOrElse(g.getCoordinate)
     new GenericInternalRow(Array[Any](c.x, c.y, mbc.getRadius))
   }
+  /** ST_MinimumBoundingCircle(g[, quadSegs]): the bounding circle as a
+    * POLYGON (quadSegs arcs per quadrant, PostGIS default 48); the
+    * degenerate all-points-identical case answers the point itself. */
+  def minimumBoundingCircle(b: Array[Byte]): Array[Byte] =
+    minimumBoundingCircleSegs(b, 48)
+  def minimumBoundingCircleSegs(b: Array[Byte], quadSegs: Int): Array[Byte] = {
+    require(quadSegs >= 1, s"ST_MinimumBoundingCircle: quadSegs $quadSegs must be >= 1")
+    val g = read(b)
+    val mbc = new org.locationtech.jts.algorithm.MinimumBoundingCircle(g)
+    val c = Option(mbc.getCentre).getOrElse(g.getCoordinate)
+    val r = mbc.getRadius
+    if (r == 0.0) write(factory.createPoint(c))
+    else write(factory.createPoint(c).buffer(r, quadSegs))
+  }
+
+  /** ST_MaximumInscribedCircle(g): (center, nearest boundary point,
+    * radius) of the largest circle inside an areal input — the PostGIS
+    * record shape. Iterative grid refinement to the PostGIS default
+    * tolerance max(width, height)/1000. */
+  def maximumInscribedCircle(b: Array[Byte]): InternalRow = {
+    val g = read(b)
+    require(g.getDimension == 2 && !g.isEmpty,
+      "ST_MaximumInscribedCircle: non-empty areal input required")
+    val env = g.getEnvelopeInternal
+    val tol = math.max(env.getWidth, env.getHeight) / 1000.0
+    val mic = new org.locationtech.jts.algorithm.construct.MaximumInscribedCircle(g, tol)
+    new GenericInternalRow(Array[Any](
+      write(mic.getCenter), write(mic.getRadiusPoint),
+      mic.getRadiusLine.getLength))
+  }
+
+  /** ST_LargestEmptyCircle(g, tolerance, boundary): the largest circle
+    * whose center lies within `boundary` (empty boundary = the convex
+    * hull of the obstacles, the PostGIS default) that touches no point
+    * of the obstacle geometry `g`. Returns (center, nearest obstacle
+    * point, radius). */
+  def largestEmptyCircle(b: Array[Byte], tol: Double,
+                         boundaryB: Array[Byte]): InternalRow = {
+    require(tol > 0.0, s"ST_LargestEmptyCircle: tolerance $tol must be > 0")
+    val obstacles = read(b)
+    val boundary = read(boundaryB)
+    val lec = new org.locationtech.jts.algorithm.construct.LargestEmptyCircle(
+      obstacles, if (boundary.isEmpty) obstacles.convexHull() else boundary, tol)
+    new GenericInternalRow(Array[Any](
+      write(lec.getCenter), write(lec.getRadiusPoint),
+      lec.getRadiusLine.getLength))
+  }
+
+  /** ST_MinimumClearance / ST_MinimumClearanceLine: the smallest
+    * distance a vertex can move before the geometry becomes invalid —
+    * the robustness measure (JTS MinimumClearance; Infinity/EMPTY for
+    * geometries with no clearance, the PostGIS convention). */
+  def minimumClearance(b: Array[Byte]): Double =
+    org.locationtech.jts.precision.MinimumClearance.getDistance(read(b))
+  def minimumClearanceLine(b: Array[Byte]): Array[Byte] =
+    write(org.locationtech.jts.precision.MinimumClearance.getLine(read(b)))
+
+  /** ST_TriangulatePolygon(g): constrained Delaunay triangulation of an
+    * areal input — GEOMETRYCOLLECTION of triangles partitioning the
+    * polygon exactly (holes respected). */
+  def triangulatePolygon(b: Array[Byte]): Array[Byte] = {
+    val g = read(b)
+    require(g.getDimension == 2 && !g.isEmpty,
+      "ST_TriangulatePolygon: non-empty areal input required")
+    write(org.locationtech.jts.triangulate.polygon
+      .ConstrainedDelaunayTriangulator.triangulate(g))
+  }
+
+  /** ST_3DLineInterpolatePoint(line, frac): the point at `frac` of the
+    * line's 3D length — hops measured √(dx²+dy²+dz²) (NaN Z = 0, the
+    * [[length3D]] convention), landing point lerped inside its segment
+    * with Z. */
+  def lineInterpolatePoint3D(b: Array[Byte], frac: Double): Array[Byte] = {
+    require(frac >= 0.0 && frac <= 1.0,
+      s"ST_3DLineInterpolatePoint: fraction $frac outside [0, 1]")
+    val g = read(b)
+    val line = g match {
+      case l: LineString if l.getNumPoints >= 2 => l
+      case other => throw new IllegalArgumentException(
+        s"ST_3DLineInterpolatePoint: expected LineString, got ${other.getGeometryType}")
+    }
+    @inline def z(c: Coordinate): Double = { val v = c.getZ; if (v.isNaN) 0.0 else v }
+    val cs = line.getCoordinates
+    val hops = Array.tabulate(cs.length - 1) { i =>
+      val dx = cs(i + 1).x - cs(i).x; val dy = cs(i + 1).y - cs(i).y
+      val dz = z(cs(i + 1)) - z(cs(i))
+      math.sqrt(dx * dx + dy * dy + dz * dz)
+    }
+    val total = hops.sum
+    def mk(c: Coordinate) = write(factory.createPoint(
+      new CoordinateXYZM(c.x, c.y, z(c), Double.NaN)))
+    if (total == 0.0 || frac == 0.0) return mk(cs(0))
+    var target = frac * total
+    var i = 0
+    while (i < hops.length && target > hops(i)) { target -= hops(i); i += 1 }
+    if (i == hops.length) return mk(cs(cs.length - 1))
+    val t = if (hops(i) == 0.0) 0.0 else target / hops(i)
+    val (p, q) = (cs(i), cs(i + 1))
+    write(factory.createPoint(new CoordinateXYZM(
+      p.x + (q.x - p.x) * t, p.y + (q.y - p.y) * t,
+      z(p) + (z(q) - z(p)) * t, Double.NaN)))
+  }
+
+  /** ST_Node(g): fully node (and dissolve duplicate) linework — the
+    * unary union of the lineal input (PostGIS semantics for lineal
+    * inputs; vertices are introduced at every crossing). */
+  def nodeLines(b: Array[Byte]): Array[Byte] = {
+    val g = read(b)
+    require(g.getDimension == 1, "ST_Node: lineal input required")
+    write(g.union())
+  }
+
   def buffer(b: Array[Byte], dist: Double): Array[Byte] = write(read(b).buffer(dist))
   def bufferSegs(b: Array[Byte], dist: Double, quadrantSegments: Int): Array[Byte] =
     write(read(b).buffer(dist, quadrantSegments))

@@ -33,6 +33,13 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
   private val geomOps = Class.forName("graft.core.GeomOps")
   private val geodesy = Class.forName("graft.core.Geodesy")
 
+  /** ST_MaximumInscribedCircle/ST_LargestEmptyCircle record shape —
+    * the PostGIS (center geometry, nearest geometry, radius) triple. */
+  private val circleType = StructType(Seq(
+    StructField("center", BinaryType, nullable = false),
+    StructField("nearest", BinaryType, nullable = false),
+    StructField("radius", DoubleType, nullable = false)))
+
   private val bboxType = StructType(Seq(
     StructField("xmin", DoubleType, nullable = false),
     StructField("ymin", DoubleType, nullable = false),
@@ -114,6 +121,16 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
         StructField("center_x", DoubleType, nullable = false),
         StructField("center_y", DoubleType, nullable = false),
         StructField("radius", DoubleType, nullable = false))), Seq(G)),
+    "st_minimumboundingcircle" -> Sig("minimumBoundingCircle", G, Seq(G)),
+    "st_minimumboundingcircle" -> Sig("minimumBoundingCircleSegs", G, Seq(G, I)),
+    "st_maximuminscribedcircle" -> Sig("maximumInscribedCircle", circleType, Seq(G)),
+    "st_largestemptycircle" -> Sig("largestEmptyCircle", circleType, Seq(G, D, G)),
+    "st_minimumclearance" -> Sig("minimumClearance", D, Seq(G)),
+    "st_minimumclearanceline" -> Sig("minimumClearanceLine", G, Seq(G)),
+    "st_triangulatepolygon" -> Sig("triangulatePolygon", G, Seq(G)),
+    "st_3dlineinterpolatepoint" -> Sig("lineInterpolatePoint3D", G, Seq(G, D)),
+    "st_node" -> Sig("nodeLines", G, Seq(G)),
+    "st_unaryunion" -> Sig("unaryUnion", G, Seq(G)),
     "st_npoints" -> Sig("nPoints", I, Seq(G)),
     "st_numgeometries" -> Sig("numGeometries", I, Seq(G)),
     "st_dimension" -> Sig("dimension", I, Seq(G)),
