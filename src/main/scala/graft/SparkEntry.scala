@@ -3727,6 +3727,49 @@ object SparkEntry {
            ROUND(7 * a * a, 9) AS uu_area
     FROM p ORDER BY id"""
 
+  /** MVT tile-space quantization (g140, round 20): ST_AsMVTGeom over
+    * ST_TileEnvelope bounds — inputs built FROM the envelope corners at
+    * dyadic fractions, so the transformed integers are closed-form
+    * (Y flips: tile space grows downward); the clip case pins the
+    * buffered box, and a point lands on exact integer tile coords. */
+  private val g140Spark = """
+    WITH p AS (SELECT CAST(id AS BIGINT) AS id,
+                      CAST(id % 4 AS INT) AS tx, CAST(id % 3 AS INT) AS ty
+               FROM range(24)),
+    f AS (SELECT id,
+                 ST_TileEnvelope(2, CAST(tx AS BIGINT), CAST(ty AS BIGINT)) AS tile
+          FROM p),
+    geoms AS (SELECT id, tile,
+        ST_MakeEnvelope(ST_XMin(tile) + (ST_XMax(tile) - ST_XMin(tile)) / 4,
+                        ST_YMin(tile) + (ST_YMax(tile) - ST_YMin(tile)) / 4,
+                        ST_XMin(tile) + 3 * (ST_XMax(tile) - ST_XMin(tile)) / 4,
+                        ST_YMin(tile) + (ST_YMax(tile) - ST_YMin(tile)) / 2) AS inner_box,
+        ST_MakeEnvelope(ST_XMin(tile) + (ST_XMax(tile) - ST_XMin(tile)) / 2,
+                        ST_YMin(tile),
+                        ST_XMax(tile) + (ST_XMax(tile) - ST_XMin(tile)),
+                        ST_YMax(tile)) AS overflow_box,
+        ST_Point((ST_XMin(tile) + ST_XMax(tile)) / 2,
+                 (ST_YMin(tile) + ST_YMax(tile)) / 2) AS center
+      FROM f)
+    SELECT id,
+           ROUND(ST_Area(ST_AsMVTGeom(inner_box, tile, 4096, 256, true)), 9) AS a_in,
+           ST_BBox(ST_AsMVTGeom(inner_box, tile, 4096, 256, true)).xmin AS in_x0,
+           ST_BBox(ST_AsMVTGeom(inner_box, tile, 4096, 256, true)).ymin AS in_y0,
+           ST_BBox(ST_AsMVTGeom(overflow_box, tile, 4096, 256, true)).xmax AS ov_x1,
+           ST_BBox(ST_AsMVTGeom(overflow_box, tile, 4096, 256, false)).xmax AS ov_x1_noclip,
+           ST_AsText(ST_AsMVTGeom(center, tile)) AS ctr
+    FROM geoms ORDER BY id"""
+
+  private val g140Duck = """
+    SELECT i::BIGINT AS id,
+           2048.0 * 1024.0 AS a_in,
+           1024.0 AS in_x0,
+           2048.0 AS in_y0,
+           (4096 + 256)::DOUBLE AS ov_x1,
+           8192.0 AS ov_x1_noclip,
+           'POINT (2048 2048)' AS ctr
+    FROM range(24) t(i) ORDER BY id"""
+
   /** Reader-level pagination (g138, round 20): GeoParquet.read's
     * limit/offset — the reference's _parquet.pyi:134-135 options —
     * over a deterministically ordered single-partition write. Windows
@@ -13989,6 +14032,7 @@ object SparkEntry {
     ("g137_antimeridian_read", g137Fn _, g137Duck),
     ("g138_reader_pagination", g138Fn _, g138Duck),
     ("g139_construction_batch", q(g139Spark), g139Duck),
+    ("g140_mvt_tilespace", q(g140Spark), g140Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

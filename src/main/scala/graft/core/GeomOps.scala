@@ -650,6 +650,52 @@ object GeomOps {
     write(g.union())
   }
 
+  /** ST_AsMVTGeom(g, bounds, extent, buffer, clip): transform `g` into
+    * MVT tile coordinate space — the PostGIS vector-tile preparation
+    * step. `bounds` (usually an ST_TileEnvelope output, same CRS as
+    * `g`) maps to [0, extent]² with Y FLIPPED (tile space grows
+    * downward); coordinates snap to the integer grid via topology-
+    * preserving precision reduction (snapping repairs collapsed rings),
+    * and `clip` intersects with the buffered tile box
+    * [−buffer, extent+buffer]². A geometry that collapses entirely
+    * answers EMPTY — the engine's no-value convention (PostGIS returns
+    * NULL; documented divergence, kernels are null-free). */
+  def asMvtGeom(b: Array[Byte], boundsB: Array[Byte], extent: Int,
+                bufferPx: Int, clip: Boolean): Array[Byte] = {
+    require(extent > 0, s"ST_AsMVTGeom: extent $extent must be > 0")
+    require(bufferPx >= 0, s"ST_AsMVTGeom: buffer $bufferPx must be >= 0")
+    val g = read(b)
+    val env = read(boundsB).getEnvelopeInternal
+    require(env.getWidth > 0 && env.getHeight > 0,
+      "ST_AsMVTGeom: bounds must be a non-degenerate rectangle")
+    if (g.isEmpty) return write(g)
+    val fx = extent / env.getWidth
+    val fy = extent / env.getHeight
+    val transformed = new org.locationtech.jts.geom.util.GeometryEditor(factory)
+      .edit(g, new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+        override def edit(coords: Array[Coordinate], geom: Geometry): Array[Coordinate] =
+          coords.map(c => new Coordinate(
+            (c.x - env.getMinX) * fx, (env.getMaxY - c.y) * fy))
+      })
+    // integer snap + validity repair in one step (scale-1 precision model)
+    val snapped = org.locationtech.jts.precision.GeometryPrecisionReducer.reduce(
+      transformed, new org.locationtech.jts.geom.PrecisionModel(1.0))
+    val out =
+      if (!clip) snapped
+      else {
+        val box = factory.toGeometry(new Envelope(
+          -bufferPx.toDouble, extent + bufferPx.toDouble,
+          -bufferPx.toDouble, extent + bufferPx.toDouble))
+        val clipped = snapped.intersection(box)
+        // re-snap: the clip can introduce fractional vertices at the box
+        org.locationtech.jts.precision.GeometryPrecisionReducer.reduce(
+          clipped, new org.locationtech.jts.geom.PrecisionModel(1.0))
+      }
+    write(out)
+  }
+  def asMvtGeomDefault(b: Array[Byte], boundsB: Array[Byte]): Array[Byte] =
+    asMvtGeom(b, boundsB, 4096, 256, clip = true)
+
   def buffer(b: Array[Byte], dist: Double): Array[Byte] = write(read(b).buffer(dist))
   def bufferSegs(b: Array[Byte], dist: Double, quadrantSegments: Int): Array[Byte] =
     write(read(b).buffer(dist, quadrantSegments))

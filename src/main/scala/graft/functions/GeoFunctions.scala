@@ -131,6 +131,8 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_3dlineinterpolatepoint" -> Sig("lineInterpolatePoint3D", G, Seq(G, D)),
     "st_node" -> Sig("nodeLines", G, Seq(G)),
     "st_unaryunion" -> Sig("unaryUnion", G, Seq(G)),
+    "st_asmvtgeom" -> Sig("asMvtGeomDefault", G, Seq(G, G)),
+    "st_asmvtgeom" -> Sig("asMvtGeom", G, Seq(G, G, I, I, B)),
     "st_npoints" -> Sig("nPoints", I, Seq(G)),
     "st_numgeometries" -> Sig("numGeometries", I, Seq(G)),
     "st_dimension" -> Sig("dimension", I, Seq(G)),
