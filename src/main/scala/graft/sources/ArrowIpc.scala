@@ -1068,6 +1068,8 @@ object ArrowIpc {
     * Files larger than `spark.sql.files.maxPartitionBytes` split into
     * batch-range tasks via [[planSplits]], same as the DSv2 face. */
   def read(spark: SparkSession, path: String): DataFrame = {
+    if (path.toLowerCase(java.util.Locale.ROOT).startsWith("http"))
+      HttpFileSystem.install(spark.sparkContext.hadoopConfiguration)
     graft.functions.GeoFunctions.register(spark)
     val statuses = listFileStatuses(spark, path)
     val schema = schemaOf(spark, statuses.head._1)

@@ -66,6 +66,10 @@ class HttpFileSystem extends FileSystem {
     val viaHead: Option[(Long, Long)] =
       try {
         val code = head.getResponseCode
+        if (code == 404)
+          // the Hadoop contract: absent files are FileNotFound, which
+          // FileSystem.exists() (sibling probes: .shx/.prj/.dbf) catches
+          throw new java.io.FileNotFoundException(s"$url: HTTP 404")
         val l = head.getContentLengthLong
         if (code < 400 && l >= 0) Some((l, math.max(0L, head.getLastModified)))
         else None // HEAD-less (405/501) or length-less server: fall back
@@ -78,6 +82,7 @@ class HttpFileSystem extends FileSystem {
       HttpFileSystem.requests.increment()
       try {
         val code = get.getResponseCode
+        if (code == 404) throw new java.io.FileNotFoundException(s"$url: HTTP 404")
         if (code >= 400) throw new IOException(s"GET $url: HTTP $code")
         val cr = get.getHeaderField("Content-Range")
         if (cr != null && cr.contains("/"))

@@ -478,6 +478,8 @@ object Shapefile {
     * `spark.read.format("shapefile")` ([[ShapefileSource]]). */
   def read(spark: SparkSession, path: String): DataFrame = {
     graft.functions.GeoFunctions.register(spark)
+    if (path.toLowerCase(java.util.Locale.ROOT).startsWith("http"))
+      HttpFileSystem.install(spark.sparkContext.hadoopConfiguration)
     val statuses = resolveStatuses(spark, path)
     // schema from the first .dbf (driver side)
     val p0 = new org.apache.hadoop.fs.Path(statuses.head._1)

@@ -165,6 +165,60 @@ class HttpFsSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("Shapefile over http: sibling probes (.dbf/.shx/.prj) and ranged decode") {
+    graft.functions.GeoFunctions.register(spark)
+    // write a small shapefile set locally, then serve the whole directory
+    val sdir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "httpshp_" + java.util.UUID.randomUUID().toString.take(8))
+    val df = spark.range(0, 200).toDF("fid")
+      .withColumn("geometry", org.apache.spark.sql.functions.call_function("st_point",
+        (org.apache.spark.sql.functions.col("fid") % 20).cast("double"),
+        (org.apache.spark.sql.functions.col("fid") / 20).cast("double")))
+    graft.sources.ShapefileWriter.write(df.coalesce(1), sdir.getAbsolutePath)
+    val parts = new java.io.File(sdir.getAbsolutePath).listFiles()
+    val shpName = parts.map(_.getName).find(_.endsWith(".shp")).get
+    val files = parts.map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath)).toMap
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      try {
+        val name = ex.getRequestURI.getPath.stripPrefix("/")
+        files.get(name) match {
+          case None => ex.sendResponseHeaders(404, -1)
+          case Some(fb) =>
+            val range = Option(ex.getRequestHeaders.getFirst("Range"))
+            ex.getRequestMethod match {
+              case "HEAD" =>
+                ex.getResponseHeaders.set("Content-Length", fb.length.toString)
+                ex.sendResponseHeaders(200, -1)
+              case "GET" => range match {
+                case Some(r) if r.startsWith("bytes=") =>
+                  val Array(s, e) = r.stripPrefix("bytes=").split("-", 2)
+                  val start = s.toLong
+                  val end = if (e.isEmpty) fb.length - 1L else math.min(e.toLong, fb.length - 1L)
+                  val slice = java.util.Arrays.copyOfRange(fb, start.toInt, end.toInt + 1)
+                  ex.getResponseHeaders.set("Content-Range", s"bytes $start-$end/${fb.length}")
+                  ex.sendResponseHeaders(206, slice.length.toLong)
+                  ex.getResponseBody.write(slice)
+                case _ =>
+                  ex.sendResponseHeaders(200, fb.length.toLong)
+                  ex.getResponseBody.write(fb)
+              }
+              case _ => ex.sendResponseHeaders(405, -1)
+            }
+        }
+      } finally ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/$shpName"
+      val got = graft.sources.Shapefile.read(spark, url)
+      assert(got.count() == 200)
+      val x = got.selectExpr("ST_X(geometry) AS x").agg(
+        org.apache.spark.sql.functions.sum("x")).head().getDouble(0)
+      assert(x == (0 until 200).map(_ % 20).sum.toDouble, s"coord checksum $x")
+    } finally server.stop(0)
+  }
+
   test("the filesystem is read-only and single-file") {
     withServer() { url =>
       val conf = spark.sessionState.newHadoopConf()
