@@ -3770,6 +3770,144 @@ object SparkEntry {
            'POINT (2048 2048)' AS ctr
     FROM range(24) t(i) ORDER BY id"""
 
+  /** Polygonal coverage family (g141, round 20): the PostGIS 3.4 /
+    * GEOS 3.12 ST_Coverage* surface over per-id unit-cell grids —
+    * closed forms everywhere. ST_CoverageUnion_Agg (the map-side-
+    * mergeable edge-dissolve union; exterior edges survive bit-exact,
+    * so area = nx·ny, perimeter = 2(nx+ny), and EVERY boundary grid
+    * vertex is kept: npoints = 2(nx+ny)+1), the scalar
+    * ST_CoverageUnion over the collected collection (same answer),
+    * ST_CoverageIsValid / ST_CoverageInvalidEdges (a grid IS a valid
+    * coverage: all nx·ny per-element linework entries EMPTY), and
+    * ST_CoverageSimplify over a two-parcel zigzag fixture (amplitude
+    * 0.2a « tolerance a) whose shared edge straightens to x = 5a —
+    * both halves land on the exact 20a² rectangle area, and the
+    * simplified pair is still a valid coverage (neighbors moved in
+    * lockstep — the property plain per-geometry simplify destroys). */
+  private val g141Spark = """
+    WITH p AS (SELECT CAST(id AS BIGINT) AS id,
+                      CAST(2 + id % 4 AS INT) AS nx,
+                      CAST(2 + id % 3 AS INT) AS ny,
+                      CAST(1 + id % 5 AS DOUBLE) AS a
+               FROM range(24)),
+    cells AS (SELECT p.id, p.nx, p.ny,
+                     ST_MakeEnvelope(CAST(i AS DOUBLE), CAST(j AS DOUBLE),
+                                     CAST(i + 1 AS DOUBLE), CAST(j + 1 AS DOUBLE)) AS cell
+              FROM p
+              LATERAL VIEW explode(sequence(0, p.nx - 1)) t1 AS i
+              LATERAL VIEW explode(sequence(0, p.ny - 1)) t2 AS j),
+    cov AS (SELECT id, nx, ny,
+                   ST_CoverageUnion_Agg(cell) AS u,
+                   ST_Collect(collect_list(cell)) AS coll
+            FROM cells GROUP BY id, nx, ny),
+    zig AS (SELECT p.id, p.a, ST_Collect(array(
+        ST_GeomFromText(CONCAT('POLYGON ((0 0, ', 5*a, ' 0, ', 4.8*a, ' ', a,
+          ', ', 5.2*a, ' ', 2*a, ', ', 4.8*a, ' ', 3*a, ', ', 5*a, ' ', 4*a,
+          ', 0 ', 4*a, ', 0 0))')),
+        ST_GeomFromText(CONCAT('POLYGON ((', 5*a, ' 0, ', 10*a, ' 0, ', 10*a,
+          ' ', 4*a, ', ', 5*a, ' ', 4*a, ', ', 4.8*a, ' ', 3*a, ', ', 5.2*a,
+          ' ', 2*a, ', ', 4.8*a, ' ', a, ', ', 5*a, ' 0))')))) AS parcels
+      FROM p),
+    simp AS (SELECT id, a, ST_CoverageSimplify(parcels, a) AS s FROM zig)
+    SELECT cov.id,
+           ROUND(ST_Area(u), 9) AS cov_area,
+           ROUND(ST_Perimeter(u), 9) AS cov_perim,
+           ST_NPoints(u) AS cov_np,
+           ROUND(ST_Area(ST_CoverageUnion(coll)), 9) AS scalar_area,
+           ST_CoverageIsValid(coll) AS is_valid,
+           ST_NumGeometries(ST_CoverageInvalidEdges(coll)) AS inv_n,
+           ST_NumGeometries(s) AS simp_n,
+           ROUND(ST_Area(ST_GeometryN(s, 0)) / (simp.a * simp.a), 9) AS simp_a0,
+           ROUND(ST_Area(ST_GeometryN(s, 1)) / (simp.a * simp.a), 9) AS simp_a1,
+           ST_CoverageIsValid(s) AS simp_valid
+    FROM cov JOIN simp ON cov.id = simp.id ORDER BY cov.id"""
+
+  private val g141Duck = """
+    WITH p AS (SELECT i::BIGINT AS id,
+                      (2 + i % 4)::INT AS nx, (2 + i % 3)::INT AS ny
+               FROM range(24) t(i))
+    SELECT id,
+           ROUND(nx * ny, 9)::DOUBLE AS cov_area,
+           ROUND(2 * (nx + ny), 9)::DOUBLE AS cov_perim,
+           (2 * (nx + ny) + 1)::INT AS cov_np,
+           ROUND(nx * ny, 9)::DOUBLE AS scalar_area,
+           true AS is_valid,
+           (nx * ny)::INT AS inv_n,
+           2 AS simp_n,
+           20.0 AS simp_a0,
+           20.0 AS simp_a1,
+           true AS simp_valid
+    FROM p ORDER BY id"""
+
+  /** Geometric median + longitude-convention helpers (g142, round 20).
+    * ST_GeometricMedian: Weiszfeld over a CENTRALLY SYMMETRIC dyadic
+    * point set {c ± d_k} — the centroid equals the center of symmetry
+    * c, the gradient there cancels pairwise, so the iterate starts and
+    * stays at c (exact to rounding; ROUND 9 absorbs the ~1e-15 of the
+    * reciprocal-distance sums), and the vertex variant adds c ITSELF to
+    * the set, making the start a data point the Vardi–Zhang step
+    * refuses to leave (r = 0 ≤ η). ST_ShiftLongitude: the [-180,180] ↔
+    * [0,360] toggle, involutive. ST_WrapX: a rectangle straddling
+    * wrap=0 moved +360 splits into exactly 2 pieces with conserved area
+    * and the [0,360] extent. ST_Scroll: ring restarted at an interior
+    * vertex — same perimeter, new closed-form start. */
+  private val g142Spark = """
+    WITH p AS (SELECT CAST(id AS BIGINT) AS id,
+                      CAST(id % 7 AS DOUBLE) + 0.5 AS cx,
+                      CAST(id % 5 AS DOUBLE) + 0.25 AS cy,
+                      CAST(1 + id % 3 AS DOUBLE) AS w
+               FROM range(28)),
+    f AS (SELECT id, cx, cy, w,
+        ST_GeomFromText(CONCAT('MULTIPOINT ((', cx + 1, ' ', cy + 2, '), (', cx - 1, ' ', cy - 2,
+          '), (', cx + 3, ' ', cy - 1, '), (', cx - 3, ' ', cy + 1,
+          '), (', cx - 2, ' ', cy - 4, '), (', cx + 2, ' ', cy + 4, '))')) AS sym_pts,
+        ST_GeomFromText(CONCAT('MULTIPOINT ((', cx, ' ', cy, '), (', cx + 1, ' ', cy + 2,
+          '), (', cx - 1, ' ', cy - 2, '), (', cx + 3, ' ', cy - 1, '), (', cx - 3, ' ', cy + 1, '))')) AS vtx_pts,
+        ST_GeomFromText(CONCAT('POLYGON ((', -10*w, ' 0, ', 20*w, ' 0, ', 20*w, ' ', 10*w,
+          ', ', -10*w, ' ', 10*w, ', ', -10*w, ' 0))')) AS straddle,
+        ST_GeomFromText(CONCAT('LINESTRING (', 170 + (id % 9), ' 10, ', -(170 + (id % 9)), ' 20)')) AS seam_line,
+        ST_GeomFromText(CONCAT('LINESTRING (0 0, ', w, ' 0, ', w, ' ', w, ', 0 ', w, ', 0 0)')) AS ring,
+        ST_Point(CAST(w AS DOUBLE), CAST(w AS DOUBLE)) AS pivot
+      FROM p)
+    SELECT id,
+           ROUND(ST_X(ST_GeometricMedian(sym_pts)), 9) AS med_x,
+           ROUND(ST_Y(ST_GeometricMedian(sym_pts)), 9) AS med_y,
+           ROUND(ST_X(ST_GeometricMedian(vtx_pts, 1e-12, 50)), 9) AS vtx_x,
+           ROUND(ST_Y(ST_GeometricMedian(vtx_pts, 1e-12, 50)), 9) AS vtx_y,
+           ST_XMin(ST_ShiftLongitude(seam_line)) AS sl_xmin,
+           ST_XMax(ST_ShiftLongitude(seam_line)) AS sl_xmax,
+           ST_XMax(ST_ShiftLongitude(ST_ShiftLongitude(seam_line))) AS sl_invol,
+           ST_NumGeometries(ST_WrapX(straddle, 0.0, 360.0)) AS wrap_n,
+           ROUND(ST_Area(ST_WrapX(straddle, 0.0, 360.0)), 9) AS wrap_area,
+           ST_XMin(ST_WrapX(straddle, 0.0, 360.0)) AS wrap_x0,
+           ST_XMax(ST_WrapX(straddle, 0.0, 360.0)) AS wrap_x1,
+           ST_AsText(ST_PointN(ST_Scroll(ring, pivot), 0)) AS scroll_start,
+           ROUND(ST_Length(ST_Scroll(ring, pivot)), 9) AS scroll_len
+    FROM f ORDER BY id"""
+
+  private val g142Duck = """
+    WITH p AS (SELECT i::BIGINT AS id,
+                      (i % 7)::DOUBLE + 0.5 AS cx,
+                      (i % 5)::DOUBLE + 0.25 AS cy,
+                      (1 + i % 3)::DOUBLE AS w
+               FROM range(28) t(i))
+    SELECT id,
+           ROUND(cx, 9) AS med_x,
+           ROUND(cy, 9) AS med_y,
+           ROUND(cx, 9) AS vtx_x,
+           ROUND(cy, 9) AS vtx_y,
+           (170 + (id % 9))::DOUBLE AS sl_xmin,
+           (190 - (id % 9))::DOUBLE AS sl_xmax,
+           (170 + (id % 9))::DOUBLE AS sl_invol,
+           2 AS wrap_n,
+           ROUND(300 * w * w, 9) AS wrap_area,
+           0.0 AS wrap_x0,
+           360.0 AS wrap_x1,
+           CONCAT('POINT (', CASE WHEN w = CAST(w AS BIGINT) THEN CAST(CAST(w AS BIGINT) AS VARCHAR) ELSE CAST(w AS VARCHAR) END,
+                  ' ', CASE WHEN w = CAST(w AS BIGINT) THEN CAST(CAST(w AS BIGINT) AS VARCHAR) ELSE CAST(w AS VARCHAR) END, ')') AS scroll_start,
+           ROUND(4 * w, 9) AS scroll_len
+    FROM p ORDER BY id"""
+
   /** Reader-level pagination (g138, round 20): GeoParquet.read's
     * limit/offset — the reference's _parquet.pyi:134-135 options —
     * over a deterministically ordered single-partition write. Windows
@@ -14033,6 +14171,8 @@ object SparkEntry {
     ("g138_reader_pagination", g138Fn _, g138Duck),
     ("g139_construction_batch", q(g139Spark), g139Duck),
     ("g140_mvt_tilespace", q(g140Spark), g140Duck),
+    ("g141_coverage_family", q(g141Spark), g141Duck),
+    ("g142_median_wrap", q(g142Spark), g142Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

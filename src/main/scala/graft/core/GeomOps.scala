@@ -982,6 +982,240 @@ object GeomOps {
     memo(4, a, b) { write(read(a).symDifference(read(b))) }
   def unaryUnion(b: Array[Byte]): Array[Byte] = write(read(b).union())
 
+  // ── polygonal coverage operations (round 20 — the PostGIS 3.4 /
+  //    GEOS 3.12 ST_Coverage* family over JTS's coverage package). A
+  //    "coverage" is a set of polygons whose shared edges match
+  //    VERTEX-EXACTLY: no overlaps, no gaps, no partial edge overlap.
+  //    Under that contract CoverageUnion dissolves interior edges by
+  //    pure boundary matching — linear in edge count, NO snap-rounding,
+  //    NO overlay noding — where UnaryUnionOp pays the full cascaded
+  //    overlay. The exterior boundary comes out bit-exact, which is what
+  //    makes the AGGREGATE form (st_coverageunion_agg) mergeable: a
+  //    partial union of any subset keeps its outward-facing edges
+  //    unchanged, so partials from different partitions still form a
+  //    coverage with their neighbors and the merge is exact. ──────────────
+
+  /** Flatten a collection into the coverage element array the JTS
+    * coverage operations take; every element must be polygonal. */
+  private def coverageElems(g: Geometry): Array[Geometry] = {
+    val out = Vector.newBuilder[Geometry]
+    def rec(x: Geometry): Unit = x match {
+      case p: Polygon => if (!p.isEmpty) out += p
+      case mp: MultiPolygon =>
+        var i = 0; while (i < mp.getNumGeometries) { rec(mp.getGeometryN(i)); i += 1 }
+      case gc: GeometryCollection =>
+        var i = 0; while (i < gc.getNumGeometries) { rec(gc.getGeometryN(i)); i += 1 }
+      case e if e.isEmpty => ()
+      case other => throw new IllegalArgumentException(
+        s"coverage operations take polygonal elements, got ${other.getGeometryType}")
+    }
+    rec(g)
+    out.result().toArray
+  }
+
+  /** ST_CoverageUnion(collection): union a valid polygonal coverage by
+    * dissolving interior shared edges — O(edges), no noding, exterior
+    * boundary preserved bit-exact. Input polygons MUST form a valid
+    * coverage (check with ST_CoverageInvalidEdges); on non-coverage
+    * input the result is undefined (the GEOS/PostGIS contract). */
+  def coverageUnion(b: Array[Byte]): Array[Byte] = {
+    val elems = coverageElems(read(b))
+    if (elems.isEmpty) write(factory.createPolygon())
+    else write(org.locationtech.jts.coverage.CoverageUnion.union(elems))
+  }
+
+  /** ST_CoverageSimplify(collection, tolerance): simplify the shared
+    * boundaries of a polygonal coverage (topology-preserving VW on the
+    * extracted edge graph) so neighbors stay vertex-matched — the
+    * per-element results return as a GEOMETRYCOLLECTION in input order
+    * (PostGIS exposes this as a window function; here the window set is
+    * the collection). */
+  def coverageSimplify(b: Array[Byte], tolerance: Double): Array[Byte] = {
+    require(tolerance >= 0.0, s"ST_CoverageSimplify: tolerance $tolerance must be >= 0")
+    val elems = coverageElems(read(b))
+    if (elems.isEmpty) return write(factory.createGeometryCollection())
+    val simplified =
+      org.locationtech.jts.coverage.CoverageSimplifier.simplify(elems, tolerance)
+    write(factory.createGeometryCollection(simplified))
+  }
+
+  /** ST_CoverageInvalidEdges(collection[, gapWidth]): per-element
+    * linework where the element breaks the coverage contract (edge
+    * mismatch with a neighbor, overlap, or a gap narrower than
+    * `gapWidth`) — LINESTRING EMPTY where the element is valid. Returned
+    * as a GEOMETRYCOLLECTION in input order; all-EMPTY means the input
+    * is a valid coverage. */
+  def coverageInvalidEdges(b: Array[Byte], gapWidth: Double): Array[Byte] = {
+    require(gapWidth >= 0.0, s"ST_CoverageInvalidEdges: gapWidth $gapWidth must be >= 0")
+    val elems = coverageElems(read(b))
+    if (elems.isEmpty) return write(factory.createGeometryCollection())
+    val invalid =
+      org.locationtech.jts.coverage.CoverageValidator.validate(elems, gapWidth)
+    val parts: Array[Geometry] = invalid.map {
+      case null => factory.createLineString(): Geometry
+      case g => g
+    }
+    write(factory.createGeometryCollection(parts))
+  }
+
+  def coverageInvalidEdgesDefault(b: Array[Byte]): Array[Byte] =
+    coverageInvalidEdges(b, 0.0)
+
+  /** ST_CoverageIsValid(collection[, gapWidth]): does the collection form
+    * a valid polygonal coverage (vertex-matched shared edges, no
+    * overlaps, no sub-gapWidth gaps)? */
+  def coverageIsValidDefault(b: Array[Byte]): Boolean = coverageIsValid(b, 0.0)
+  def coverageIsValid(b: Array[Byte], gapWidth: Double): Boolean = {
+    require(gapWidth >= 0.0, s"ST_CoverageIsValid: gapWidth $gapWidth must be >= 0")
+    val elems = coverageElems(read(b))
+    elems.isEmpty || {
+      val invalid =
+        org.locationtech.jts.coverage.CoverageValidator.validate(elems, gapWidth)
+      invalid.forall(g => g == null || g.isEmpty)
+    }
+  }
+
+  /** ST_GeometricMedian(points[, tolerance, maxIter]): the point
+    * minimizing the SUM of distances to the input points (the 1-median /
+    * Fermat point — robust central tendency, unlike the centroid's
+    * sum-of-squares). Weiszfeld iteration from the centroid with the
+    * Vardi–Zhang step so an iterate landing ON an input point does not
+    * divide by zero; converges when the step length drops below
+    * `tolerance` (default: 1e-9 of the extent diagonal, the PostGIS
+    * auto-tolerance shape). Puntal input only — the PostGIS contract. */
+  def geometricMedian(b: Array[Byte]): Array[Byte] =
+    geometricMedianTol(b, 0.0, 10000)
+  def geometricMedianTol(b: Array[Byte], tolerance: Double, maxIter: Int): Array[Byte] = {
+    require(tolerance >= 0.0, s"ST_GeometricMedian: tolerance $tolerance must be >= 0")
+    require(maxIter >= 1, s"ST_GeometricMedian: maxIter $maxIter must be >= 1")
+    val g = read(b)
+    require(g.isEmpty || g.getDimension == 0,
+      s"ST_GeometricMedian: puntal input required, got ${g.getGeometryType}")
+    val pts = g.getCoordinates.filter(c => !c.x.isNaN && !c.y.isNaN)
+    if (pts.isEmpty) return write(factory.createPoint())
+    if (pts.length == 1) return write(factory.createPoint(pts(0)))
+    val env = g.getEnvelopeInternal
+    val tol =
+      if (tolerance > 0.0) tolerance
+      else math.max(1e-300, math.hypot(env.getWidth, env.getHeight) * 1e-9)
+    var cx = pts.foldLeft(0.0)(_ + _.x) / pts.length
+    var cy = pts.foldLeft(0.0)(_ + _.y) / pts.length
+    var it = 0
+    var moved = Double.MaxValue
+    while (it < maxIter && moved > tol) {
+      var sx = 0.0; var sy = 0.0; var sw = 0.0
+      var atVertex = 0 // multiplicity of input points coinciding with the iterate
+      var i = 0
+      while (i < pts.length) {
+        val d = math.hypot(pts(i).x - cx, pts(i).y - cy)
+        if (d == 0.0) atVertex += 1
+        else { val w = 1.0 / d; sx += pts(i).x * w; sy += pts(i).y * w; sw += w }
+        i += 1
+      }
+      if (sw == 0.0) { moved = 0.0 } // all points coincide with the iterate
+      else {
+        var nx = sx / sw; var ny = sy / sw
+        if (atVertex > 0) {
+          // Vardi–Zhang: damp the pull past the coincident vertex (weight =
+          // its multiplicity η) so the iterate can leave it only when the
+          // rest of the mass genuinely outpulls it
+          val rx = sx - cx * sw; val ry = sy - cy * sw
+          val r = math.hypot(rx, ry)
+          if (r <= atVertex) { nx = cx; ny = cy } // the vertex IS the median
+          else {
+            val a = atVertex / r
+            nx = (1 - a) * nx + a * cx; ny = (1 - a) * ny + a * cy
+          }
+        }
+        moved = math.hypot(nx - cx, ny - cy)
+        cx = nx; cy = ny
+      }
+      it += 1
+    }
+    write(factory.createPoint(new Coordinate(cx, cy)))
+  }
+
+  /** ST_ShiftLongitude(g): toggle every X between the [-180, 180] and
+    * [0, 360] longitude conventions — x < 0 gains 360, x > 180 loses 360
+    * (the PostGIS kernel; involutive on either convention). The
+    * antimeridian-straddling helper: data in [0, 360] never splits at
+    * ±180. Y/Z/M untouched. */
+  def shiftLongitude(b: Array[Byte]): Array[Byte] = {
+    val g = read(b).copy()
+    g.apply(new CoordinateSequenceFilter {
+      def filter(seq: CoordinateSequence, i: Int): Unit = {
+        val x = seq.getX(i)
+        if (x < 0.0) seq.setOrdinate(i, 0, x + 360.0)
+        else if (x > 180.0) seq.setOrdinate(i, 0, x - 360.0)
+      }
+      def isDone: Boolean = false
+      def isGeometryChanged: Boolean = true
+    })
+    g.geometryChanged()
+    write(g)
+  }
+
+  /** ST_WrapX(g, wrap, move): split the geometry at the vertical line
+    * x = `wrap` and translate by `move` the side that falls BEFORE the
+    * line when move > 0 (x <= wrap) or AFTER it when move < 0
+    * (x >= wrap) — the PostGIS world-wrapping kernel (e.g. wrap=0,
+    * move=360 maps [-180, 180] data into [0, 360]; wrap=180, move=-360
+    * maps it back). Pieces are clipped exactly at the line; the result
+    * collects both sides (MULTI where homogeneous). */
+  def wrapX(b: Array[Byte], wrap: Double, move: Double): Array[Byte] = {
+    require(!wrap.isNaN && !move.isNaN, "ST_WrapX: wrap/move must be numbers")
+    val g = read(b)
+    if (g.isEmpty || move == 0.0) return write(g)
+    val env = g.getEnvelopeInternal
+    val needsSplit = if (move > 0.0) env.getMinX < wrap else env.getMaxX > wrap
+    if (!needsSplit) return write(g)
+    val pad = 1.0 + math.max(env.getWidth, env.getHeight)
+    val lo = math.min(env.getMinX, wrap) - pad
+    val hi = math.max(env.getMaxX, wrap) + pad
+    val y0 = env.getMinY - pad; val y1 = env.getMaxY + pad
+    val moveRect = factory.toGeometry(
+      if (move > 0.0) new Envelope(lo, wrap, y0, y1) else new Envelope(wrap, hi, y0, y1))
+    val movePart = g.intersection(moveRect)
+    val stayPart = g.difference(moveRect)
+    val t = AffineTransformation.translationInstance(move, 0.0)
+    val pieces = new java.util.ArrayList[Geometry]()
+    def add(x: Geometry): Unit = if (!x.isEmpty) {
+      var i = 0
+      while (i < x.getNumGeometries) { pieces.add(x.getGeometryN(i)); i += 1 }
+    }
+    add(t.transform(movePart)); add(stayPart)
+    if (pieces.isEmpty) write(factory.createGeometryCollection())
+    else write(factory.buildGeometry(pieces))
+  }
+
+  /** ST_Scroll(ring, point): rotate a CLOSED LineString's vertex order to
+    * start (and end) at `point`, which must be one of its vertices —
+    * ring direction and shape unchanged (the PostGIS kernel). */
+  def scroll(b: Array[Byte], pointB: Array[Byte]): Array[Byte] = {
+    val g = read(b); val p = read(pointB)
+    val line = g match {
+      case l: LineString => l
+      case other => throw new IllegalArgumentException(
+        s"ST_Scroll: LINESTRING input required, got ${other.getGeometryType}")
+    }
+    require(line.isClosed, "ST_Scroll: input must be a closed LineString")
+    val target = p match {
+      case pt: Point if !pt.isEmpty => pt.getCoordinate
+      case other => throw new IllegalArgumentException(
+        s"ST_Scroll: POINT start required, got ${other.getGeometryType}")
+    }
+    val cs = line.getCoordinates // closed: first == last
+    val n = cs.length - 1
+    val at = (0 until n).indexWhere(i => cs(i).equals2D(target))
+    require(at >= 0, s"ST_Scroll: point ${target.x} ${target.y} is not a vertex of the ring")
+    if (at == 0) return write(line)
+    val out = new Array[Coordinate](cs.length)
+    var i = 0
+    while (i < n) { out(i) = cs((at + i) % n).copy(); i += 1 }
+    out(n) = out(0).copy()
+    write(factory.createLineString(out))
+  }
+
   // ── 3D measures (round 19 — the Z-aware PostGIS family over the
   //    engine's Z-preserving WKB; JTS Distance3DOp + per-segment 3D
   //    hypot; coordinates without Z measure as planar, the JTS NaN-Z

@@ -76,10 +76,44 @@ object GeoAggregates {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  /** Idempotent registration under `ST_Extent_Agg` / `ST_Union_Agg`. */
+  /** `ST_CoverageUnion_Agg`: union rows that form a valid polygonal
+    * COVERAGE (vertex-matched shared edges, no overlaps/gaps — parcel
+    * fabrics, admin tessellations, tile grids). JTS CoverageUnion
+    * dissolves interior edges by pure boundary matching — linear in edge
+    * count, no overlay noding — where the cascaded `ST_Union_Agg` pays
+    * O(n log n) overlay work. Mergeability is what licenses the partial
+    * aggregate: CoverageUnion preserves every EXTERIOR edge bit-exact, so
+    * the partial union of any row subset still vertex-matches its
+    * neighbors in other partitions and the merge step is again a plain
+    * coverage union. Per-partition state collapses every [[FanIn]] rows,
+    * so shuffled state is one WKB blob per group per partition. Input
+    * must be a valid coverage (ST_CoverageInvalidEdges to audit);
+    * non-coverage input gives undefined linework, same as PostGIS. */
+  object CoverageUnionAgg extends Aggregator[Array[Byte], Seq[Array[Byte]], Array[Byte]] {
+    final val FanIn = 64
+    def zero: Seq[Array[Byte]] = Vector.empty
+    def reduce(buf: Seq[Array[Byte]], wkb: Array[Byte]): Seq[Array[Byte]] =
+      if (wkb == null) buf else collapse(buf :+ wkb)
+    def merge(a: Seq[Array[Byte]], b: Seq[Array[Byte]]): Seq[Array[Byte]] =
+      collapse(a ++ b)
+    def finish(buf: Seq[Array[Byte]]): Array[Byte] =
+      if (buf.isEmpty) null else unionAll(buf)
+    private def collapse(buf: Seq[Array[Byte]]): Seq[Array[Byte]] =
+      if (buf.length < FanIn) buf else Vector(unionAll(buf))
+    private def unionAll(buf: Seq[Array[Byte]]): Array[Byte] =
+      if (buf.length == 1) buf.head else GeomOps.coverageUnion(
+        GeomOps.write(GeomOps.factory.createGeometryCollection(
+          buf.map(GeomOps.read).toArray)))
+    def bufferEncoder: Encoder[Seq[Array[Byte]]] = Encoders.kryo[Seq[Array[Byte]]]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Idempotent registration under `ST_Extent_Agg` / `ST_Union_Agg` /
+    * `ST_CoverageUnion_Agg`. */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("st_extent_agg", F.udaf(ExtentAgg, Encoders.BINARY))
     spark.udf.register("st_union_agg", F.udaf(UnionAgg, Encoders.BINARY))
+    spark.udf.register("st_coverageunion_agg", F.udaf(CoverageUnionAgg, Encoders.BINARY))
   }
 
   /** The aggregates as `injectFunction` descriptors (the
@@ -113,6 +147,7 @@ object GeoAggregates {
           true, true, 0, 0, scala.None)
           .toAggregateExpression(): Expression)
     Seq(desc("st_extent_agg", ExtentAgg, Encoders.product[BBox]),
-        desc("st_union_agg", UnionAgg, Encoders.kryo[Seq[Array[Byte]]]))
+        desc("st_union_agg", UnionAgg, Encoders.kryo[Seq[Array[Byte]]]),
+        desc("st_coverageunion_agg", CoverageUnionAgg, Encoders.kryo[Seq[Array[Byte]]]))
   }
 }

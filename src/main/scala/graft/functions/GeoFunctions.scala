@@ -131,6 +131,17 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_3dlineinterpolatepoint" -> Sig("lineInterpolatePoint3D", G, Seq(G, D)),
     "st_node" -> Sig("nodeLines", G, Seq(G)),
     "st_unaryunion" -> Sig("unaryUnion", G, Seq(G)),
+    "st_coverageunion" -> Sig("coverageUnion", G, Seq(G)),
+    "st_coveragesimplify" -> Sig("coverageSimplify", G, Seq(G, D)),
+    "st_coverageinvalidedges" -> Sig("coverageInvalidEdgesDefault", G, Seq(G)),
+    "st_coverageinvalidedges" -> Sig("coverageInvalidEdges", G, Seq(G, D)),
+    "st_coverageisvalid" -> Sig("coverageIsValidDefault", B, Seq(G)),
+    "st_coverageisvalid" -> Sig("coverageIsValid", B, Seq(G, D)),
+    "st_geometricmedian" -> Sig("geometricMedian", G, Seq(G)),
+    "st_geometricmedian" -> Sig("geometricMedianTol", G, Seq(G, D, I)),
+    "st_shiftlongitude" -> Sig("shiftLongitude", G, Seq(G)),
+    "st_wrapx" -> Sig("wrapX", G, Seq(G, D, D)),
+    "st_scroll" -> Sig("scroll", G, Seq(G, G)),
     "st_asmvtgeom" -> Sig("asMvtGeomDefault", G, Seq(G, G)),
     "st_asmvtgeom" -> Sig("asMvtGeom", G, Seq(G, G, I, I, B)),
     "st_npoints" -> Sig("nPoints", I, Seq(G)),

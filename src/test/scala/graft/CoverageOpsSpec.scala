@@ -1,0 +1,194 @@
+package graft
+
+import org.locationtech.jts.io.WKTReader
+
+import graft.core.GeomOps
+import graft.functions.GeoAggregates
+
+/** Round-20 coverage/median/wrap batch: the PostGIS 3.4 ST_Coverage*
+  * family (edge-dissolve union, topology-preserving coverage simplify,
+  * coverage validation), ST_GeometricMedian (Weiszfeld/Vardi–Zhang),
+  * and the antimeridian convention helpers ST_ShiftLongitude /
+  * ST_WrapX / ST_Scroll. */
+class CoverageOpsSpec extends SparkTestBase {
+
+  private val reader = new WKTReader(GeomOps.factory)
+  private def g(w: String) = reader.read(w)
+  private def wkb(w: String) = GeomOps.write(g(w))
+
+  /** nx × ny unit-cell grid as a coverage collection WKT. */
+  private def gridWkt(nx: Int, ny: Int): String = {
+    val cells = for { i <- 0 until nx; j <- 0 until ny } yield
+      s"(($i $j, ${i + 1} $j, ${i + 1} ${j + 1}, $i ${j + 1}, $i $j))"
+    "MULTIPOLYGON (" + cells.mkString(", ") + ")"
+  }
+
+  test("ST_CoverageUnion: grid coverage dissolves to one rectangle, boundary kept exact") {
+    val u = GeomOps.read(GeomOps.coverageUnion(wkb(gridWkt(3, 2))))
+    assert(u.getArea == 6.0 && u.getLength == 10.0, s"got ${u.toText}")
+    assert(u.getGeometryType == "Polygon")
+    // boundary vertices are PRESERVED (no simplification): every grid
+    // vertex on the outer rectangle stays → 2(nx+ny) ring points + closure
+    assert(u.getNumPoints == 2 * (3 + 2) + 1, s"npoints ${u.getNumPoints}")
+    // agrees with the overlay union where both apply
+    val o = GeomOps.read(GeomOps.unaryUnion(wkb(gridWkt(3, 2))))
+    assert(u.symDifference(o).getArea == 0.0)
+  }
+
+  test("ST_CoverageUnion_Agg: partial merges across partitions are exact") {
+    GeoAggregates.register(spark)
+    import spark.implicits._
+    val nx = 16; val ny = 8
+    val cells = for { i <- 0 until nx; j <- 0 until ny } yield
+      (i % 2, // two groups: even/odd columns DON'T form one coverage each…
+        s"POLYGON (($i $j, ${i + 1} $j, ${i + 1} ${j + 1}, $i ${j + 1}, $i $j))")
+    // …so group on a constant instead: one coverage, many partitions
+    val df = cells.map { case (_, w) => (1, w) }.toDF("grp", "wkt")
+      .repartition(7) // force ≥2 map-side partials per group
+      .selectExpr("grp", "ST_GeomFromText(wkt) AS geom")
+    df.createOrReplaceTempView("cov_cells")
+    val row = sql("""
+      SELECT ST_Area(u) AS area, ST_Perimeter(u) AS perim, ST_NPoints(u) AS np
+      FROM (SELECT ST_CoverageUnion_Agg(geom) AS u FROM cov_cells GROUP BY grp)
+    """).head()
+    assert(row.getDouble(0) == nx * ny.toDouble, s"area ${row.getDouble(0)}")
+    assert(row.getDouble(1) == 2.0 * (nx + ny), s"perimeter ${row.getDouble(1)}")
+    assert(row.getInt(2) == 2 * (nx + ny) + 1, s"npoints ${row.getInt(2)}")
+  }
+
+  test("ST_CoverageSimplify: shared zigzag edge straightens, elements stay matched") {
+    // two parcels split by a zigzag at x≈5 (amplitude 0.2); tolerance 1
+    // removes every interior zigzag vertex → the shared edge becomes the
+    // straight line x=5 and the halves get exact closed-form areas
+    val left = "POLYGON ((0 0, 5 0, 4.8 1, 5.2 2, 4.8 3, 5 4, 0 4, 0 0))"
+    val right = "POLYGON ((5 0, 10 0, 10 4, 5 4, 4.8 3, 5.2 2, 4.8 1, 5 0))"
+    val coll = wkb(s"GEOMETRYCOLLECTION ($left, $right)")
+    val simp = GeomOps.read(GeomOps.coverageSimplify(coll, 1.0))
+    assert(simp.getNumGeometries == 2, "element count and order preserved")
+    val a0 = simp.getGeometryN(0).getArea
+    val a1 = simp.getGeometryN(1).getArea
+    assert(a0 == 20.0 && a1 == 20.0, s"straightened halves: $a0 / $a1")
+    // result is still a valid coverage: neighbors moved in lockstep
+    assert(GeomOps.coverageIsValid(GeomOps.write(simp), 0.0))
+    // and the total area was conserved by the simplification
+    assert(a0 + a1 == 40.0)
+  }
+
+  test("ST_CoverageInvalidEdges: valid grid → all EMPTY; overlap → flagged linework") {
+    val ok = GeomOps.read(GeomOps.coverageInvalidEdgesDefault(wkb(gridWkt(2, 2))))
+    assert(ok.getNumGeometries == 4)
+    assert((0 until 4).forall(ok.getGeometryN(_).isEmpty), s"valid grid: ${ok.toText}")
+    assert(GeomOps.coverageIsValidDefault(wkb(gridWkt(2, 2))))
+
+    // second square overlaps the first by 0.5 — not a coverage
+    val bad = wkb("GEOMETRYCOLLECTION (" +
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)), " +
+      "POLYGON ((0.5 0, 1.5 0, 1.5 1, 0.5 1, 0.5 0)))")
+    assert(!GeomOps.coverageIsValidDefault(bad))
+    val inv = GeomOps.read(GeomOps.coverageInvalidEdges(bad, 0.0))
+    assert(inv.getNumGeometries == 2)
+    assert((0 until 2).exists(!inv.getGeometryN(_).isEmpty), "overlap must be flagged")
+  }
+
+  test("ST_CoverageUnion: contract errors on non-polygonal elements") {
+    intercept[IllegalArgumentException](
+      GeomOps.coverageUnion(wkb("GEOMETRYCOLLECTION (POINT (0 0))")))
+    // empty input → POLYGON EMPTY, not a throw
+    assert(GeomOps.read(GeomOps.coverageUnion(wkb("GEOMETRYCOLLECTION EMPTY"))).isEmpty)
+  }
+
+  test("ST_GeometricMedian: centrally symmetric set answers the center exactly") {
+    // pairs (p, 2c−p): centroid = c, gradient at c cancels pairwise → the
+    // Weiszfeld iterate starts AND stays at c
+    val m = GeomOps.read(GeomOps.geometricMedian(wkb(
+      "MULTIPOINT ((1 1), (9 7), (2 6), (8 2), (0 3), (10 5))"))) // c = (5, 4)
+    val c = m.getCoordinate
+    assert(math.hypot(c.x - 5.0, c.y - 4.0) < 1e-9, s"median ${m.toText}")
+  }
+
+  test("ST_GeometricMedian: a data point IS the median (Vardi–Zhang stays put)") {
+    // (5,5) is both a data point and the true median of the 5-point set
+    val m = GeomOps.read(GeomOps.geometricMedian(wkb(
+      "MULTIPOINT ((0 0), (0 10), (10 0), (10 10), (5 5))")))
+    val c = m.getCoordinate
+    assert(math.hypot(c.x - 5.0, c.y - 5.0) < 1e-9, s"median ${m.toText}")
+    // multiplicity: 3 coincident points outweigh one distant point — the
+    // median is the heavy vertex (sum of unit pulls 1 < η 3)
+    val h = GeomOps.read(GeomOps.geometricMedianTol(wkb(
+      "MULTIPOINT ((0 0), (0 0), (0 0), (10 0))"), 0.0, 10000)).getCoordinate
+    assert(math.hypot(h.x, h.y) < 1e-6, s"heavy vertex: $h")
+  }
+
+  test("ST_GeometricMedian: median ≠ centroid on a skewed set (robustness)") {
+    // 3 points at the origin cluster + 1 far outlier: centroid drifts 25
+    // toward the outlier, the median stays at the cluster
+    val pts = "MULTIPOINT ((0 0), (0 1), (1 0), (100 0))"
+    val med = GeomOps.read(GeomOps.geometricMedian(wkb(pts))).getCoordinate
+    assert(med.x < 2.0 && med.y < 2.0, s"median pulled to outlier: $med")
+    intercept[IllegalArgumentException](
+      GeomOps.geometricMedian(wkb("LINESTRING (0 0, 1 1)")))
+  }
+
+  test("ST_ShiftLongitude: toggles [-180,180] ↔ [0,360], involutive") {
+    val shifted = GeomOps.read(GeomOps.shiftLongitude(wkb(
+      "LINESTRING (170 10, -170 20)")))
+    assert(shifted.getCoordinates.map(_.x).toSeq == Seq(170.0, 190.0),
+      s"${shifted.toText}")
+    val back = GeomOps.read(GeomOps.shiftLongitude(GeomOps.write(shifted)))
+    assert(back.getCoordinates.map(_.x).toSeq == Seq(170.0, -170.0))
+  }
+
+  test("ST_WrapX: splits at the line and translates one side") {
+    // rectangle spanning x ∈ [-10, 20]; wrap=0, move=360 → [-10,0] piece
+    // lands at [350,360], [0,20] piece stays: area conserved, 2 pieces
+    val w = GeomOps.read(GeomOps.wrapX(wkb(
+      "POLYGON ((-10 0, 20 0, 20 10, -10 10, -10 0))"), 0.0, 360.0))
+    assert(w.getNumGeometries == 2, s"${w.toText}")
+    assert(w.getArea == 300.0)
+    val e = w.getEnvelopeInternal
+    assert(e.getMinX == 0.0 && e.getMaxX == 360.0, s"$e")
+    // wrap back: pieces with x ≥ 180 move −360 → original extent restored
+    val back = GeomOps.read(GeomOps.wrapX(GeomOps.write(w), 180.0, -360.0))
+    assert(back.getArea == 300.0)
+    val be = back.getEnvelopeInternal
+    assert(be.getMinX == -10.0 && be.getMaxX == 20.0, s"$be")
+    // geometry entirely on the stay side passes through untouched
+    val stay = GeomOps.read(GeomOps.wrapX(wkb("POINT (5 5)"), 0.0, 360.0))
+    assert(stay.getCoordinate.x == 5.0)
+    // point on the move side translates whole
+    val moved = GeomOps.read(GeomOps.wrapX(wkb("POINT (-5 5)"), 0.0, 360.0))
+    assert(moved.getCoordinate.x == 355.0)
+  }
+
+  test("ST_Scroll: ring restarts at the given vertex, direction preserved") {
+    val s = GeomOps.read(GeomOps.scroll(
+      wkb("LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)"), wkb("POINT (1 1)")))
+    assert(s.toText == "LINESTRING (1 1, 0 1, 0 0, 1 0, 1 1)", s.toText)
+    intercept[IllegalArgumentException](GeomOps.scroll(
+      wkb("LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)"), wkb("POINT (9 9)")))
+    intercept[IllegalArgumentException](GeomOps.scroll(
+      wkb("LINESTRING (0 0, 1 0)"), wkb("POINT (0 0)")))
+  }
+
+  test("SQL surface: the batch resolves and answers through spark.sql") {
+    val r = sql("""
+      SELECT
+        ST_Area(ST_CoverageUnion(ST_Collect(array(
+          ST_GeomFromText('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'),
+          ST_GeomFromText('POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))'))))) AS a,
+        ST_CoverageIsValid(ST_Collect(array(
+          ST_GeomFromText('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'),
+          ST_GeomFromText('POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))')))) AS v,
+        ST_AsText(ST_GeometricMedian(
+          ST_GeomFromText('MULTIPOINT ((0 0), (4 0), (2 0), (2 2), (2 -2))'))) AS m,
+        ST_XMax(ST_ShiftLongitude(ST_GeomFromText('POINT (-170 0)'))) AS sx,
+        ST_NumGeometries(ST_WrapX(
+          ST_GeomFromText('LINESTRING (-10 0, 10 0)'), 0, 360)) AS wn
+    """).head()
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getBoolean(1))
+    assert(r.getString(2).startsWith("POINT (2"), r.getString(2))
+    assert(r.getDouble(3) == 190.0)
+    assert(r.getInt(4) == 2)
+  }
+}
