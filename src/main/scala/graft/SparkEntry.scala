@@ -3908,6 +3908,54 @@ object SparkEntry {
            ROUND(4 * w, 9) AS scroll_len
     FROM p ORDER BY id"""
 
+  /** Neighborhood/editing parity quartet (g143, round 20):
+    * ST_Expand (envelope ± d as the bbox-prefilter polygon — 2- and
+    * 3-arg), ST_DFullyWithin (MAX pairwise distance ≤ d, the complement
+    * of ST_DWithin's min test; collinear fixtures make the boundary
+    * case d = 3a exact in integer doubles), ST_LineExtend (2- and
+    * 3-arg; axis-aligned ends land on exact integers, the 3-4-5
+    * hypotenuse extension is dyadic to ROUND 9), ST_Points (every
+    * vertex incl. the ring closure repeat). */
+  private val g143Spark = """
+    WITH p AS (SELECT CAST(id AS BIGINT) AS id,
+                      CAST(1 + id % 5 AS DOUBLE) AS a
+               FROM range(25)),
+    f AS (SELECT id, a,
+        ST_GeomFromText(CONCAT('LINESTRING (0 0, ', 4*a, ' ', 3*a, ')')) AS diag,
+        ST_GeomFromText(CONCAT('LINESTRING (0 0, ', a, ' 0)')) AS seg1,
+        ST_GeomFromText(CONCAT('LINESTRING (', 2*a, ' 0, ', 3*a, ' 0)')) AS seg2,
+        ST_GeomFromText(CONCAT('LINESTRING (0 0, ', 3*a, ' 0, ', 3*a, ' ', 4*a, ')')) AS bent,
+        ST_GeomFromText(CONCAT('LINESTRING (0 0, ', 3*a, ' ', 4*a, ')')) AS hyp,
+        ST_GeomFromText(CONCAT('POLYGON ((0 0, ', a, ' 0, ', a, ' ', a, ', 0 0))')) AS tri
+      FROM p)
+    SELECT id,
+           ROUND(ST_Area(ST_Expand(diag, a)), 9) AS exp_area,
+           ST_XMin(ST_Expand(diag, a)) AS exp_x0,
+           ROUND(ST_Area(ST_Expand(diag, a, 2 * a)), 9) AS exp_area2,
+           ST_DFullyWithin(seg1, seg2, 3 * a) AS dfw_t,
+           ST_DFullyWithin(seg1, seg2, 2.5 * a) AS dfw_f,
+           ST_XMin(ST_LineExtend(bent, 2 * a, a)) AS ext_x0,
+           ST_YMax(ST_LineExtend(bent, 2 * a, a)) AS ext_y1,
+           ROUND(ST_Length(ST_LineExtend(bent, 2 * a, a)), 9) AS ext_len,
+           ROUND(ST_XMax(ST_LineExtend(hyp, 5 * a)), 9) AS hyp_x1,
+           ST_NPoints(ST_Points(tri)) AS np
+    FROM f ORDER BY id"""
+
+  private val g143Duck = """
+    WITH p AS (SELECT i::BIGINT AS id, (1 + i % 5)::DOUBLE AS a FROM range(25) t(i))
+    SELECT id,
+           ROUND((4*a + 2*a) * (3*a + 2*a), 9) AS exp_area,
+           -a AS exp_x0,
+           ROUND((4*a + 2*a) * (3*a + 4*a), 9) AS exp_area2,
+           true AS dfw_t,
+           false AS dfw_f,
+           -a AS ext_x0,
+           6*a AS ext_y1,
+           ROUND(10*a, 9) AS ext_len,
+           ROUND(6*a, 9) AS hyp_x1,
+           4 AS np
+    FROM p ORDER BY id"""
+
   /** Reader-level pagination (g138, round 20): GeoParquet.read's
     * limit/offset — the reference's _parquet.pyi:134-135 options —
     * over a deterministically ordered single-partition write. Windows
@@ -14173,6 +14221,7 @@ object SparkEntry {
     ("g140_mvt_tilespace", q(g140Spark), g140Duck),
     ("g141_coverage_family", q(g141Spark), g141Duck),
     ("g142_median_wrap", q(g142Spark), g142Duck),
+    ("g143_expand_extend", q(g143Spark), g143Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

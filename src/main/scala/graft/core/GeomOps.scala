@@ -1809,6 +1809,71 @@ object GeomOps {
     math.hypot(p.x - q.x, p.y - q.y)
   }
 
+  /** ST_DFullyWithin(g1, g2, d): is EVERY point of each geometry within
+    * `d` of every point of the other — max pairwise distance ≤ d (the
+    * PostGIS contract; the complement of ST_DWithin's min-distance
+    * test). Rides [[farthestPair]]'s hull-filtered vertex scan. */
+  def dFullyWithin(a: Array[Byte], b: Array[Byte], d: Double): Boolean = {
+    require(d >= 0.0, s"ST_DFullyWithin: distance $d must be >= 0")
+    maxDistance(a, b) <= d
+  }
+
+  /** ST_Expand(g, dx[, dy]): the envelope grown by dx/dy on each side,
+    * as a POLYGON (negative deltas shrink; a fully collapsed box answers
+    * POLYGON EMPTY) — the bbox pre-filter constructor PostGIS pairs with
+    * ST_DWithin. */
+  def expand(b: Array[Byte], d: Double): Array[Byte] = expandXY(b, d, d)
+  def expandXY(b: Array[Byte], dx: Double, dy: Double): Array[Byte] = {
+    val g = read(b)
+    if (g.isEmpty) return write(factory.createPolygon())
+    val e = g.getEnvelopeInternal
+    val xmin = e.getMinX - dx; val xmax = e.getMaxX + dx
+    val ymin = e.getMinY - dy; val ymax = e.getMaxY + dy
+    if (xmin > xmax || ymin > ymax) return write(factory.createPolygon())
+    write(factory.toGeometry(new Envelope(xmin, xmax, ymin, ymax)))
+  }
+
+  /** ST_LineExtend(line, distForward[, distBackward]): extend the last
+    * segment's bearing by distForward past the end vertex and the first
+    * segment's bearing by distBackward before the start (PostGIS 3.4).
+    * Zero-length extensions leave that end untouched. */
+  def lineExtend(b: Array[Byte], distForward: Double): Array[Byte] =
+    lineExtendBoth(b, distForward, 0.0)
+  def lineExtendBoth(b: Array[Byte], distForward: Double,
+                     distBackward: Double): Array[Byte] = {
+    require(distForward >= 0.0 && distBackward >= 0.0,
+      s"ST_LineExtend: distances ($distForward, $distBackward) must be >= 0")
+    val line = read(b) match {
+      case l: LineString if l.getNumPoints >= 2 => l
+      case other => throw new IllegalArgumentException(
+        s"ST_LineExtend: LINESTRING with >= 2 points required, got ${other.getGeometryType}")
+    }
+    val cs = line.getCoordinates.map(_.copy())
+    def unit(p: Coordinate, q: Coordinate): (Double, Double) = {
+      val len = math.hypot(q.x - p.x, q.y - p.y)
+      require(len > 0.0, "ST_LineExtend: end segment has zero length")
+      ((q.x - p.x) / len, (q.y - p.y) / len)
+    }
+    if (distForward > 0.0) {
+      val (ux, uy) = unit(cs(cs.length - 2), cs(cs.length - 1))
+      val e = cs(cs.length - 1)
+      cs(cs.length - 1) = new Coordinate(e.x + ux * distForward, e.y + uy * distForward)
+    }
+    if (distBackward > 0.0) {
+      val (ux, uy) = unit(cs(1), cs(0))
+      val s = cs(0)
+      cs(0) = new Coordinate(s.x + ux * distBackward, s.y + uy * distBackward)
+    }
+    write(factory.createLineString(cs))
+  }
+
+  /** ST_Points(g): every vertex as a MULTIPOINT, duplicates preserved in
+    * traversal order (the PostGIS contract — ring closures repeat). */
+  def points(b: Array[Byte]): Array[Byte] = {
+    val g = read(b)
+    write(factory.createMultiPointFromCoords(g.getCoordinates))
+  }
+
   /** ST_LongestLine(g1, g2): the 2-point line realizing [[maxDistance]],
     * from g1's vertex to g2's. */
   def longestLine(a: Array[Byte], b: Array[Byte]): Array[Byte] = {

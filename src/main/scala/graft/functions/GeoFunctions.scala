@@ -221,6 +221,12 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_cpawithin" -> Sig("cpaWithin", B, Seq(G, G, D)),
     "st_maxdistance" -> Sig("maxDistance", D, Seq(G, G)),
     "st_longestline" -> Sig("longestLine", G, Seq(G, G)),
+    "st_dfullywithin" -> Sig("dFullyWithin", B, Seq(G, G, D)),
+    "st_expand" -> Sig("expand", G, Seq(G, D)),
+    "st_expand" -> Sig("expandXY", G, Seq(G, D, D)),
+    "st_lineextend" -> Sig("lineExtend", G, Seq(G, D)),
+    "st_lineextend" -> Sig("lineExtendBoth", G, Seq(G, D, D)),
+    "st_points" -> Sig("points", G, Seq(G)),
     "st_generatepoints" -> Sig("generatePoints", G, Seq(G, I, LongType)),
     "st_zmin" -> Sig("zMinOf", D, Seq(G)),
     "st_zmax" -> Sig("zMaxOf", D, Seq(G)),

@@ -170,6 +170,37 @@ class CoverageOpsSpec extends SparkTestBase {
       wkb("LINESTRING (0 0, 1 0)"), wkb("POINT (0 0)")))
   }
 
+  test("ST_Expand / ST_DFullyWithin / ST_LineExtend / ST_Points") {
+    // expand: envelope ± d as a polygon; negative shrink can collapse
+    val e = GeomOps.read(GeomOps.expand(wkb("LINESTRING (2 3, 6 5)"), 1.0))
+    assert(e.getEnvelopeInternal == new org.locationtech.jts.geom.Envelope(1, 7, 2, 6))
+    assert(e.getArea == 6.0 * 4.0)
+    val ex = GeomOps.read(GeomOps.expandXY(wkb("POINT (5 5)"), 2.0, 0.5))
+    assert(ex.getEnvelopeInternal == new org.locationtech.jts.geom.Envelope(3, 7, 4.5, 5.5))
+    assert(GeomOps.read(GeomOps.expandXY(wkb("POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))"),
+      -3.0, -0.5)).isEmpty, "over-shrunk box collapses to EMPTY")
+
+    // dFullyWithin: max pairwise distance ≤ d (PostGIS), vs dWithin's min
+    val a = wkb("LINESTRING (0 0, 1 0)"); val b2 = wkb("LINESTRING (2 0, 3 0)")
+    assert(GeomOps.dFullyWithin(a, b2, 3.0)) // farthest pair (0,0)-(3,0) = 3
+    assert(!GeomOps.dFullyWithin(a, b2, 2.9))
+    intercept[IllegalArgumentException](GeomOps.dFullyWithin(a, b2, -1.0))
+
+    // lineExtend: bearings of the end segments, exact on axis-aligned input
+    val le = GeomOps.read(GeomOps.lineExtendBoth(
+      wkb("LINESTRING (0 0, 4 0, 4 3)"), 2.0, 1.0))
+    assert(le.toText == "LINESTRING (-1 0, 4 0, 4 5)", le.toText)
+    val fwd = GeomOps.read(GeomOps.lineExtend(wkb("LINESTRING (0 0, 3 4)"), 5.0))
+    val last = fwd.getCoordinates.last
+    assert(math.abs(last.x - 6.0) < 1e-12 && math.abs(last.y - 8.0) < 1e-12,
+      s"3-4-5 bearing: $last")
+    intercept[IllegalArgumentException](GeomOps.lineExtend(wkb("POINT (0 0)"), 1.0))
+
+    // points: every vertex, duplicates (ring closure) preserved
+    val pts = GeomOps.read(GeomOps.points(wkb("POLYGON ((0 0, 1 0, 1 1, 0 0))")))
+    assert(pts.getGeometryType == "MultiPoint" && pts.getNumGeometries == 4)
+  }
+
   test("SQL surface: the batch resolves and answers through spark.sql") {
     val r = sql("""
       SELECT
