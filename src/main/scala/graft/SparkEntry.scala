@@ -3956,6 +3956,63 @@ object SparkEntry {
            4 AS np
     FROM p ORDER BY id"""
 
+  /** Dump/measure-filter/grid-cell parity (g144, round 20):
+    * ST_DumpSegments (bent line + square ring → 2+4 segments, exact
+    * total length), ST_DumpRings (donut → shell-then-hole polygons with
+    * closed-form areas), ST_FilterByM (integer measure window keeps the
+    * exact interior vertices), ST_Hexagon/ST_Square (the PostGIS grid
+    * tiling: flat-topped hexagon of circumradius s — area 3√3/2·s²,
+    * center at (1.5si, √3·s·(j + odd(i)/2)) — and the size-aligned
+    * square cell; both ROUND-9 exact against arithmetic). */
+  private val g144Spark = """
+    WITH p AS (SELECT CAST(id AS BIGINT) AS id,
+                      CAST(1 + id % 5 AS DOUBLE) AS a,
+                      CAST(id % 4 AS INT) AS i,
+                      CAST(id % 3 AS INT) AS j
+               FROM range(24)),
+    f AS (SELECT id, a, i, j,
+        ST_GeomFromText(CONCAT('GEOMETRYCOLLECTION (LINESTRING (0 0, ', a, ' 0, ', a, ' ', a,
+          '), POLYGON ((0 0, ', 2*a, ' 0, ', 2*a, ' ', 2*a, ', 0 ', 2*a, ', 0 0)))')) AS lw,
+        ST_GeomFromText(CONCAT('POLYGON ((0 0, ', 4*a, ' 0, ', 4*a, ' ', 4*a, ', 0 ', 4*a,
+          ', 0 0), (', a, ' ', a, ', ', 2*a, ' ', a, ', ', 2*a, ' ', 2*a, ', ', a, ' ', 2*a,
+          ', ', a, ' ', a, '))')) AS donut,
+        ST_GeomFromText(CONCAT('LINESTRING M (0 0 0, ', a, ' 0 5, ', 2*a, ' 0 10, ', 3*a,
+          ' 0 15)')) AS mline
+      FROM p)
+    SELECT id,
+           ST_NumGeometries(ST_DumpSegments(lw)) AS seg_n,
+           ROUND(ST_Length(ST_DumpSegments(lw)), 9) AS seg_len,
+           ST_NumGeometries(ST_DumpRings(donut)) AS ring_n,
+           ROUND(ST_Area(ST_GeometryN(ST_DumpRings(donut), 0)), 9) AS shell_a,
+           ROUND(ST_Area(ST_GeometryN(ST_DumpRings(donut), 1)), 9) AS hole_a,
+           ST_NPoints(ST_FilterByM(mline, 4, 12)) AS fm_n,
+           ROUND(ST_XMax(ST_FilterByM(mline, 4, 12)), 9) AS fm_x1,
+           ROUND(ST_Area(ST_Hexagon(a, i, j)) / (a * a), 9) AS hex_a,
+           ROUND(ST_X(ST_Centroid(ST_Hexagon(a, i, j))), 9) AS hex_cx,
+           ROUND(ST_Y(ST_Centroid(ST_Hexagon(a, i, j))), 9) AS hex_cy,
+           ST_XMin(ST_Square(a, i, j, ST_Point(0.5, 0.25))) AS sq_x0,
+           ST_YMax(ST_Square(a, i, j, ST_Point(0.5, 0.25))) AS sq_y1
+    FROM f ORDER BY id"""
+
+  private val g144Duck = """
+    WITH p AS (SELECT i::BIGINT AS id, (1 + i % 5)::DOUBLE AS a,
+                      (i % 4)::INT AS ci, (i % 3)::INT AS cj
+               FROM range(24) t(i))
+    SELECT id,
+           6 AS seg_n,
+           ROUND(2*a + 8*a, 9) AS seg_len,
+           2 AS ring_n,
+           ROUND(16*a*a, 9) AS shell_a,
+           ROUND(a*a, 9) AS hole_a,
+           2 AS fm_n,
+           ROUND(2*a, 9) AS fm_x1,
+           ROUND(3 * sqrt(3.0) / 2, 9) AS hex_a,
+           ROUND(1.5 * a * ci, 9) AS hex_cx,
+           ROUND(sqrt(3.0) * a * (cj + 0.5 * (ci % 2)), 9) AS hex_cy,
+           (0.5 + a * ci)::DOUBLE AS sq_x0,
+           (0.25 + a * (cj + 1))::DOUBLE AS sq_y1
+    FROM p ORDER BY id"""
+
   /** Reader-level pagination (g138, round 20): GeoParquet.read's
     * limit/offset — the reference's _parquet.pyi:134-135 options —
     * over a deterministically ordered single-partition write. Windows
@@ -14222,6 +14279,7 @@ object SparkEntry {
     ("g141_coverage_family", q(g141Spark), g141Duck),
     ("g142_median_wrap", q(g142Spark), g142Duck),
     ("g143_expand_extend", q(g143Spark), g143Duck),
+    ("g144_dump_grid_cells", q(g144Spark), g144Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -1874,6 +1874,132 @@ object GeomOps {
     write(factory.createMultiPointFromCoords(g.getCoordinates))
   }
 
+  /** ST_DumpSegments(g): every 2-point segment of the input's linework
+    * (LineString runs and polygon rings, traversal order) as a
+    * MULTILINESTRING — the scalar face of PostGIS's set-returning dump
+    * (explode with ST_Dump for the row-per-segment form). */
+  def dumpSegments(b: Array[Byte]): Array[Byte] = {
+    val segs = Vector.newBuilder[LineString]
+    def seq(cs: Array[Coordinate]): Unit = {
+      var i = 1
+      while (i < cs.length) {
+        segs += factory.createLineString(Array(cs(i - 1).copy(), cs(i).copy()))
+        i += 1
+      }
+    }
+    def rec(g: Geometry): Unit = g match {
+      case l: LineString => seq(l.getCoordinates)
+      case p: Polygon =>
+        seq(p.getExteriorRing.getCoordinates)
+        (0 until p.getNumInteriorRing).foreach(i => seq(p.getInteriorRingN(i).getCoordinates))
+      case c: GeometryCollection =>
+        (0 until c.getNumGeometries).foreach(i => rec(c.getGeometryN(i)))
+      case _ => () // points carry no segments
+    }
+    rec(read(b))
+    write(factory.createMultiLineString(segs.result().toArray))
+  }
+
+  /** ST_DumpRings(g): each polygon's rings as POLYGONs — shell first,
+    * then every hole as its own (hole-free) polygon, in ring order —
+    * returned as a GEOMETRYCOLLECTION (explode with ST_Dump for rows).
+    * Polygonal input only, the PostGIS contract. */
+  def dumpRings(b: Array[Byte]): Array[Byte] = {
+    val out = Vector.newBuilder[Geometry]
+    def rec(g: Geometry): Unit = g match {
+      case p: Polygon if !p.isEmpty =>
+        out += factory.createPolygon(p.getExteriorRing.getCoordinates)
+        (0 until p.getNumInteriorRing).foreach { i =>
+          out += factory.createPolygon(p.getInteriorRingN(i).getCoordinates)
+        }
+      case p: Polygon => ()
+      case mp: MultiPolygon =>
+        (0 until mp.getNumGeometries).foreach(i => rec(mp.getGeometryN(i)))
+      case other => throw new IllegalArgumentException(
+        s"ST_DumpRings: polygonal input required, got ${other.getGeometryType}")
+    }
+    rec(read(b))
+    write(factory.createGeometryCollection(out.result().toArray))
+  }
+
+  /** ST_FilterByM(g, min, max): keep only vertices whose M lies in
+    * [min, max] — puntal/lineal input (the PostGIS contract). Lines left
+    * with < 2 vertices collapse to LINESTRING EMPTY (dropped from
+    * multis); vertices WITHOUT an M never pass. */
+  def filterByM(b: Array[Byte], mMin: Double, mMax: Double): Array[Byte] = {
+    require(mMin <= mMax, s"ST_FilterByM: min $mMin must be <= max $mMax")
+    val g = read(b)
+    require(g.getDimension <= 1,
+      s"ST_FilterByM: puntal/lineal input required, got ${g.getGeometryType}")
+    def keep(c: Coordinate): Boolean = {
+      val m = c.getM; !m.isNaN && m >= mMin && m <= mMax
+    }
+    def line(l: LineString): LineString = {
+      val cs = l.getCoordinates.filter(keep)
+      if (cs.length < 2) factory.createLineString()
+      else factory.createLineString(cs.map(_.copy()))
+    }
+    val res: Geometry = g match {
+      case p: Point => if (!p.isEmpty && keep(p.getCoordinate)) p else factory.createPoint()
+      case mp: MultiPoint =>
+        factory.createMultiPointFromCoords(mp.getCoordinates.filter(keep).map(_.copy()))
+      case l: LineString => line(l)
+      case ml: MultiLineString =>
+        val kept = (0 until ml.getNumGeometries)
+          .map(i => line(ml.getGeometryN(i).asInstanceOf[LineString]))
+          .filterNot(_.isEmpty)
+        factory.createMultiLineString(kept.toArray)
+      case gc: GeometryCollection =>
+        val parts = (0 until gc.getNumGeometries)
+          .map(i => read(filterByM(write(gc.getGeometryN(i)), mMin, mMax)))
+          .filterNot(_.isEmpty)
+        factory.createGeometryCollection(parts.toArray)
+    }
+    write(res)
+  }
+
+  /** ST_Hexagon(size, cellI, cellJ[, origin]): the (i, j) cell of the
+    * FLAT-TOPPED hexagon tiling with circumradius `size` PostGIS's
+    * ST_HexagonGrid uses — centers at
+    * (origin.x + 1.5·size·i, origin.y + √3·size·(j + (i odd ? 0.5 : 0))),
+    * vertices at the center ± size·{(±1, 0), (±0.5, ±√3/2)}. */
+  def hexagon(size: Double, cellI: Int, cellJ: Int, originB: Array[Byte]): Array[Byte] = {
+    require(size > 0.0, s"ST_Hexagon: size $size must be > 0")
+    val o = read(originB) match {
+      case p: Point if !p.isEmpty => p.getCoordinate
+      case other => throw new IllegalArgumentException(
+        s"ST_Hexagon: POINT origin required, got ${other.getGeometryType}")
+    }
+    val h = math.sqrt(3.0) / 2.0
+    val cx = o.x + 1.5 * size * cellI
+    val cy = o.y + math.sqrt(3.0) * size * (cellJ + (if ((cellI & 1) != 0) 0.5 else 0.0))
+    val vs = Array((-1.0, 0.0), (-0.5, -h), (0.5, -h), (1.0, 0.0), (0.5, h), (-0.5, h))
+    val ring = (vs :+ vs.head).map { case (vx, vy) =>
+      new Coordinate(cx + vx * size, cy + vy * size)
+    }
+    write(factory.createPolygon(ring))
+  }
+  def hexagonAtOrigin(size: Double, cellI: Int, cellJ: Int): Array[Byte] =
+    hexagon(size, cellI, cellJ, write(factory.createPoint(new Coordinate(0, 0))))
+
+  /** ST_Square(size, cellI, cellJ[, origin]): the (i, j) cell of the
+    * size-aligned square tiling anchored at `origin` (PostGIS
+    * ST_SquareGrid addressing): corners (origin + size·(i, j)) to
+    * (origin + size·(i+1, j+1)). */
+  def square(size: Double, cellI: Int, cellJ: Int, originB: Array[Byte]): Array[Byte] = {
+    require(size > 0.0, s"ST_Square: size $size must be > 0")
+    val o = read(originB) match {
+      case p: Point if !p.isEmpty => p.getCoordinate
+      case other => throw new IllegalArgumentException(
+        s"ST_Square: POINT origin required, got ${other.getGeometryType}")
+    }
+    write(factory.toGeometry(new Envelope(
+      o.x + size * cellI, o.x + size * (cellI + 1),
+      o.y + size * cellJ, o.y + size * (cellJ + 1))))
+  }
+  def squareAtOrigin(size: Double, cellI: Int, cellJ: Int): Array[Byte] =
+    square(size, cellI, cellJ, write(factory.createPoint(new Coordinate(0, 0))))
+
   /** ST_LongestLine(g1, g2): the 2-point line realizing [[maxDistance]],
     * from g1's vertex to g2's. */
   def longestLine(a: Array[Byte], b: Array[Byte]): Array[Byte] = {

@@ -286,6 +286,13 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
       Seq(D, D, ArrayType(DoubleType), ArrayType(DoubleType)),
       Class.forName("graft.operators.KMeans"), cast = false),
     "st_dump" -> Sig("dump", ArrayType(BinaryType, containsNull = false), Seq(G)),
+    "st_dumpsegments" -> Sig("dumpSegments", G, Seq(G)),
+    "st_dumprings" -> Sig("dumpRings", G, Seq(G)),
+    "st_filterbym" -> Sig("filterByM", G, Seq(G, D, D)),
+    "st_hexagon" -> Sig("hexagonAtOrigin", G, Seq(D, I, I)),
+    "st_hexagon" -> Sig("hexagon", G, Seq(D, I, I, G)),
+    "st_square" -> Sig("squareAtOrigin", G, Seq(D, I, I)),
+    "st_square" -> Sig("square", G, Seq(D, I, I, G)),
     "st_subdivide" -> Sig("subdivide", ArrayType(BinaryType, containsNull = false), Seq(G, I)),
     "st_geometryn" -> Sig("geometryN", G, Seq(G, I)),
     "st_pointn" -> Sig("pointN", G, Seq(G, I)),

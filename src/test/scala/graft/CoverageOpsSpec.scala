@@ -201,6 +201,63 @@ class CoverageOpsSpec extends SparkTestBase {
     assert(pts.getGeometryType == "MultiPoint" && pts.getNumGeometries == 4)
   }
 
+  test("ST_DumpSegments / ST_DumpRings: linework and ring decomposition") {
+    val segs = GeomOps.read(GeomOps.dumpSegments(wkb(
+      "GEOMETRYCOLLECTION (LINESTRING (0 0, 1 0, 1 1), POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))")))
+    assert(segs.getGeometryType == "MultiLineString")
+    assert(segs.getNumGeometries == 2 + 4, s"${segs.toText}")
+    assert(segs.getLength == 2.0 + 8.0)
+    assert(GeomOps.read(GeomOps.dumpSegments(wkb("POINT (1 1)"))).isEmpty)
+
+    // donut: shell + hole, hole comes back as its OWN polygon
+    val rings = GeomOps.read(GeomOps.dumpRings(wkb(
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")))
+    assert(rings.getNumGeometries == 2)
+    assert(rings.getGeometryN(0).getArea == 16.0, "shell first, hole-free")
+    assert(rings.getGeometryN(1).getArea == 1.0, "hole as its own polygon")
+    intercept[IllegalArgumentException](GeomOps.dumpRings(wkb("LINESTRING (0 0, 1 1)")))
+  }
+
+  test("ST_FilterByM: vertex filter over the measure window") {
+    val f = GeomOps.read(GeomOps.filterByM(wkb(
+      "LINESTRING M (0 0 0, 1 0 5, 2 0 10, 3 0 15)"), 4.0, 12.0))
+    assert(f.getNumPoints == 2 && f.getCoordinates.map(_.x).toSeq == Seq(1.0, 2.0), f.toText)
+    // under 2 surviving vertices → LINESTRING EMPTY
+    assert(GeomOps.read(GeomOps.filterByM(wkb(
+      "LINESTRING M (0 0 0, 1 0 5)"), 4.0, 4.9)).isEmpty)
+    // multipoint keeps matching members; M-less vertices never pass
+    val mp = GeomOps.read(GeomOps.filterByM(wkb(
+      "MULTIPOINT M ((0 0 1), (1 1 9), (2 2 3))"), 0.0, 5.0))
+    assert(mp.getNumGeometries == 2)
+    assert(GeomOps.read(GeomOps.filterByM(wkb("MULTIPOINT ((0 0), (1 1))"), 0.0, 5.0))
+      .isEmpty, "no M → nothing passes")
+    intercept[IllegalArgumentException](
+      GeomOps.filterByM(wkb("POLYGON ((0 0, 1 0, 1 1, 0 0))"), 0.0, 1.0))
+  }
+
+  test("ST_Hexagon / ST_Square: grid-cell constructors match the tiling contract") {
+    val s = 10.0
+    val hex = GeomOps.read(GeomOps.hexagonAtOrigin(s, 0, 0))
+    assert(math.abs(hex.getArea - 3.0 * math.sqrt(3.0) / 2.0 * s * s) < 1e-9)
+    assert(hex.getCentroid.getCoordinate.x == 0.0)
+    // odd column: center shifts right 1.5s and up √3/2·s
+    val h11 = GeomOps.read(GeomOps.hexagon(s, 1, 1, wkb("POINT (0 0)")))
+    val c11 = h11.getCentroid.getCoordinate
+    assert(math.abs(c11.x - 1.5 * s) < 1e-9)
+    assert(math.abs(c11.y - math.sqrt(3.0) * s * 1.5) < 1e-9, s"$c11")
+    // adjacent cells tile: same-column neighbors share an edge, no overlap
+    val h00 = GeomOps.read(GeomOps.hexagonAtOrigin(s, 0, 0))
+    val h01 = GeomOps.read(GeomOps.hexagonAtOrigin(s, 0, 1))
+    val h10 = GeomOps.read(GeomOps.hexagonAtOrigin(s, 1, 0))
+    assert(h00.intersection(h01).getDimension == 1, "vertical neighbors share an edge")
+    assert(h00.intersection(h10).getDimension == 1, "column neighbors share an edge")
+    assert(h00.intersection(h01).getArea == 0.0)
+
+    val sq = GeomOps.read(GeomOps.square(2.0, 3, -1, wkb("POINT (10 10)")))
+    assert(sq.getEnvelopeInternal == new org.locationtech.jts.geom.Envelope(16, 18, 8, 10))
+    intercept[IllegalArgumentException](GeomOps.squareAtOrigin(0.0, 0, 0))
+  }
+
   test("SQL surface: the batch resolves and answers through spark.sql") {
     val r = sql("""
       SELECT
