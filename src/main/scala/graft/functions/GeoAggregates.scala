@@ -89,22 +89,53 @@ object GeoAggregates {
     * so shuffled state is one WKB blob per group per partition. Input
     * must be a valid coverage (ST_CoverageInvalidEdges to audit);
     * non-coverage input gives undefined linework, same as PostGIS. */
-  object CoverageUnionAgg extends Aggregator[Array[Byte], Seq[Array[Byte]], Array[Byte]] {
+  object CoverageUnionAgg
+      extends Aggregator[Array[Byte], Seq[(Int, Array[Byte])], Array[Byte]] {
+    /** Rows per leaf blob. Collapse is a BINARY-COUNTER merge over
+      * size-classed blobs (class k ≈ FanIn·2^k rows): each row is
+      * re-dissolved only O(log n) times and the buffer holds O(log n)
+      * blobs — the accumulate-into-one-blob alternative re-unions the
+      * whole partial every FanIn rows, O(n²/FanIn) edge work per
+      * partition, which is what breaks at 100-TB group sizes. */
     final val FanIn = 64
-    def zero: Seq[Array[Byte]] = Vector.empty
-    def reduce(buf: Seq[Array[Byte]], wkb: Array[Byte]): Seq[Array[Byte]] =
-      if (wkb == null) buf else collapse(buf :+ wkb)
-    def merge(a: Seq[Array[Byte]], b: Seq[Array[Byte]]): Seq[Array[Byte]] =
-      collapse(a ++ b)
-    def finish(buf: Seq[Array[Byte]]): Array[Byte] =
-      if (buf.isEmpty) null else unionAll(buf)
-    private def collapse(buf: Seq[Array[Byte]]): Seq[Array[Byte]] =
-      if (buf.length < FanIn) buf else Vector(unionAll(buf))
-    private def unionAll(buf: Seq[Array[Byte]]): Array[Byte] =
-      if (buf.length == 1) buf.head else GeomOps.coverageUnion(
+    def zero: Seq[(Int, Array[Byte])] = Vector.empty
+    // raw rows enter as class -1 singles; FanIn of them dissolve into a
+    // class-0 leaf; equal-class blobs cascade-merge like carry bits
+    def reduce(buf: Seq[(Int, Array[Byte])], wkb: Array[Byte]): Seq[(Int, Array[Byte])] =
+      if (wkb == null) buf else normalize(buf :+ ((-1, wkb)))
+    // merge only CONCATENATES: partials per group are bounded by the
+    // partition count × O(log) blobs each, and CoverageUnion is linear in
+    // total edges, so ONE union call at finish beats re-normalizing (and
+    // re-serializing the big blobs) on every reducer-side merge step
+    def merge(a: Seq[(Int, Array[Byte])], b: Seq[(Int, Array[Byte])]): Seq[(Int, Array[Byte])] =
+      a ++ b
+    def finish(buf: Seq[(Int, Array[Byte])]): Array[Byte] =
+      if (buf.isEmpty) null else unionAll(buf.map(_._2))
+    private def normalize(buf: Seq[(Int, Array[Byte])]): Seq[(Int, Array[Byte])] = {
+      var cur = buf
+      var done = false
+      while (!done) {
+        val singles = cur.count(_._1 == -1)
+        if (singles >= FanIn) {
+          val (raw, blobs) = cur.partition(_._1 == -1)
+          cur = blobs :+ ((0, unionAll(raw.map(_._2))))
+        } else {
+          cur.groupBy(_._1).find { case (cls, g) => cls >= 0 && g.length >= 2 } match {
+            case Some((cls, g)) =>
+              val rest = cur.filterNot(e => e._1 == cls && g.take(2).exists(_ eq e))
+              cur = rest :+ ((cls + 1, unionAll(g.take(2).map(_._2))))
+            case None => done = true
+          }
+        }
+      }
+      cur
+    }
+    private def unionAll(parts: Seq[Array[Byte]]): Array[Byte] =
+      if (parts.length == 1) parts.head else GeomOps.coverageUnion(
         GeomOps.write(GeomOps.factory.createGeometryCollection(
-          buf.map(GeomOps.read).toArray)))
-    def bufferEncoder: Encoder[Seq[Array[Byte]]] = Encoders.kryo[Seq[Array[Byte]]]
+          parts.map(GeomOps.read).toArray)))
+    def bufferEncoder: Encoder[Seq[(Int, Array[Byte])]] =
+      Encoders.kryo[Seq[(Int, Array[Byte])]]
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
@@ -148,6 +179,7 @@ object GeoAggregates {
           .toAggregateExpression(): Expression)
     Seq(desc("st_extent_agg", ExtentAgg, Encoders.product[BBox]),
         desc("st_union_agg", UnionAgg, Encoders.kryo[Seq[Array[Byte]]]),
-        desc("st_coverageunion_agg", CoverageUnionAgg, Encoders.kryo[Seq[Array[Byte]]]))
+        desc("st_coverageunion_agg", CoverageUnionAgg,
+          Encoders.kryo[Seq[(Int, Array[Byte])]]))
   }
 }
