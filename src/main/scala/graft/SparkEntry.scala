@@ -4013,6 +4013,58 @@ object SparkEntry {
            (0.25 + a * (cj + 1))::DOUBLE AS sq_y1
     FROM p ORDER BY id"""
 
+  /** Grid tessellation generators (g145, round 20): ST_SquareGrid /
+    * ST_HexagonGrid as array-of-(i,j,geom) for LATERAL VIEW explode —
+    * the Spark face of PostGIS's set-returning generators. The square
+    * grid over an exactly cell-aligned envelope emits nx·ny cells that
+    * TILE it (coverage-union area == envelope area — the generator
+    * feeds the coverage aggregate directly); the hexagon grid's count
+    * is the padded index-rectangle closed form
+    * (ceil(W/1.5s)+3)·(ceil(H/√3s)+3), its cells all share the exact
+    * 3√3/2·s² area, and every i is emitted the same number of times
+    * (the j-count). Fixture ratios sit far from ceil boundaries so the
+    * arithmetic mirrors are fp-safe. */
+  private val g145Spark = """
+    WITH p AS (SELECT CAST(id AS BIGINT) AS id,
+                      CAST(1 + id % 4 AS DOUBLE) AS a,
+                      CAST(2 + id % 3 AS INT) AS nx,
+                      CAST(2 + id % 2 AS INT) AS ny
+               FROM range(24)),
+    sq AS (SELECT p.id, p.a, p.nx, p.ny, c.i, c.j, c.geom
+           FROM p LATERAL VIEW explode(
+             ST_SquareGrid(a, ST_MakeEnvelope(0.0, 0.0, nx * a, ny * a))) t AS c),
+    sqa AS (SELECT id, COUNT(*) AS sq_n,
+                   MIN(i) AS sq_i0, MAX(i) AS sq_i1,
+                   ROUND(SUM(ST_Area(geom)), 9) AS sq_area,
+                   ROUND(ST_Area(ST_CoverageUnion_Agg(geom)), 9) AS sq_cov
+            FROM sq GROUP BY id),
+    hx AS (SELECT p.id, p.a, c.i, c.j, c.geom
+           FROM p LATERAL VIEW explode(
+             ST_HexagonGrid(a, ST_MakeEnvelope(0.0, 0.0, 6 * a, 7 * a))) t AS c),
+    hxa AS (SELECT id, COUNT(*) AS hex_n,
+                   COUNT(DISTINCT i) AS hex_ni,
+                   ROUND(MAX(ST_Area(geom)) / (MIN(a) * MIN(a)), 9) AS hex_amax,
+                   ROUND(MIN(ST_Area(geom)) / (MIN(a) * MIN(a)), 9) AS hex_amin
+            FROM hx GROUP BY id)
+    SELECT sqa.id, sq_n, sq_i0, sq_i1, sq_area, sq_cov, hex_n, hex_ni, hex_amax, hex_amin
+    FROM sqa JOIN hxa ON sqa.id = hxa.id ORDER BY sqa.id"""
+
+  private val g145Duck = """
+    WITH p AS (SELECT i::BIGINT AS id, (1 + i % 4)::DOUBLE AS a,
+                      (2 + i % 3)::INT AS nx, (2 + i % 2)::INT AS ny
+               FROM range(24) t(i))
+    SELECT id,
+           (nx * ny)::BIGINT AS sq_n,
+           0 AS sq_i0,
+           (nx - 1) AS sq_i1,
+           ROUND(nx * ny * a * a, 9) AS sq_area,
+           ROUND(nx * ny * a * a, 9) AS sq_cov,
+           ((ceil(6.0 / 1.5) + 3) * (ceil(7.0 / sqrt(3.0)) + 3))::BIGINT AS hex_n,
+           (ceil(6.0 / 1.5) + 3)::BIGINT AS hex_ni,
+           ROUND(3 * sqrt(3.0) / 2, 9) AS hex_amax,
+           ROUND(3 * sqrt(3.0) / 2, 9) AS hex_amin
+    FROM p ORDER BY id"""
+
   /** Reader-level pagination (g138, round 20): GeoParquet.read's
     * limit/offset — the reference's _parquet.pyi:134-135 options —
     * over a deterministically ordered single-partition write. Windows
@@ -14280,6 +14332,7 @@ object SparkEntry {
     ("g142_median_wrap", q(g142Spark), g142Duck),
     ("g143_expand_extend", q(g143Spark), g143Duck),
     ("g144_dump_grid_cells", q(g144Spark), g144Duck),
+    ("g145_grid_generators", q(g145Spark), g145Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -2000,6 +2000,76 @@ object GeomOps {
   def squareAtOrigin(size: Double, cellI: Int, cellJ: Int): Array[Byte] =
     square(size, cellI, cellJ, write(factory.createPoint(new Coordinate(0, 0))))
 
+  /** ST_SquareGrid(size, g): every origin-anchored square cell whose
+    * index rectangle covers g's envelope — array of (i, j, geom) structs
+    * for LATERAL VIEW explode (the Spark face of PostGIS's set-returning
+    * grid): i ∈ [floor(xmin/size), ceil(xmax/size)−1] and likewise j, so
+    * an envelope spanning exactly nx×ny aligned cells yields nx·ny rows.
+    * The tessellation feed for binning non-point geometries into
+    * cell-keyed joins. Emission is bounded: > 4,194,304 cells per row
+    * throws (use a coarser size — a single row must not OOM a task). */
+  def squareGrid(size: Double, b: Array[Byte]): ArrayData = {
+    require(size > 0.0, s"ST_SquareGrid: size $size must be > 0")
+    val g = read(b)
+    if (g.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val e = g.getEnvelopeInternal
+    val i0 = math.floor(e.getMinX / size).toLong
+    val i1 = math.max(i0, math.ceil(e.getMaxX / size).toLong - 1)
+    val j0 = math.floor(e.getMinY / size).toLong
+    val j1 = math.max(j0, math.ceil(e.getMaxY / size).toLong - 1)
+    val n = (i1 - i0 + 1) * (j1 - j0 + 1)
+    require(n <= 4194304,
+      s"ST_SquareGrid: $n cells for one row (bounds $e, size $size) — use a coarser size")
+    val out = new Array[Any](n.toInt)
+    var idx = 0
+    var i = i0
+    while (i <= i1) {
+      var j = j0
+      while (j <= j1) {
+        out(idx) = new GenericInternalRow(Array[Any](i.toInt, j.toInt,
+          squareAtOrigin(size, i.toInt, j.toInt)))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ST_HexagonGrid(size, g): every flat-topped hexagon cell (the
+    * [[hexagon]] tiling, circumradius `size`) whose center-index range
+    * covers g's envelope, padded one cell outward so every point of the
+    * envelope is inside some emitted hexagon — array of (i, j, geom)
+    * structs for explode. Same 4,194,304-cell bound as the square grid. */
+  def hexagonGrid(size: Double, b: Array[Byte]): ArrayData = {
+    require(size > 0.0, s"ST_HexagonGrid: size $size must be > 0")
+    val g = read(b)
+    if (g.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val e = g.getEnvelopeInternal
+    val vs = math.sqrt(3.0) * size // vertical center spacing
+    val i0 = math.floor(e.getMinX / (1.5 * size)).toLong - 1
+    val i1 = math.ceil(e.getMaxX / (1.5 * size)).toLong + 1
+    val j0 = math.floor(e.getMinY / vs).toLong - 1
+    val j1 = math.ceil(e.getMaxY / vs).toLong + 1
+    val n = (i1 - i0 + 1) * (j1 - j0 + 1)
+    require(n <= 4194304,
+      s"ST_HexagonGrid: $n cells for one row (bounds $e, size $size) — use a coarser size")
+    val out = new Array[Any](n.toInt)
+    var idx = 0
+    var i = i0
+    while (i <= i1) {
+      var j = j0
+      while (j <= j1) {
+        out(idx) = new GenericInternalRow(Array[Any](i.toInt, j.toInt,
+          hexagonAtOrigin(size, i.toInt, j.toInt)))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** ST_LongestLine(g1, g2): the 2-point line realizing [[maxDistance]],
     * from g1's vertex to g2's. */
   def longestLine(a: Array[Byte], b: Array[Byte]): Array[Byte] = {

@@ -46,6 +46,14 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     StructField("xmax", DoubleType, nullable = false),
     StructField("ymax", DoubleType, nullable = false)))
 
+  /** ST_SquareGrid/ST_HexagonGrid cell — (i, j, geom), array-of-struct
+    * for LATERAL VIEW explode (the Spark face of the set-returning
+    * PostGIS grid generators). */
+  private val gridCellArrayType = ArrayType(StructType(Seq(
+    StructField("i", IntegerType, nullable = false),
+    StructField("j", IntegerType, nullable = false),
+    StructField("geom", BinaryType, nullable = false))), containsNull = false)
+
   private val geoArrow = Class.forName("graft.core.GeoArrowOps")
 
   // GeoArrow separated-coordinate layouts (GeoParquet 1.1 native encoding)
@@ -293,6 +301,8 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_hexagon" -> Sig("hexagon", G, Seq(D, I, I, G)),
     "st_square" -> Sig("squareAtOrigin", G, Seq(D, I, I)),
     "st_square" -> Sig("square", G, Seq(D, I, I, G)),
+    "st_squaregrid" -> Sig("squareGrid", gridCellArrayType, Seq(D, G)),
+    "st_hexagongrid" -> Sig("hexagonGrid", gridCellArrayType, Seq(D, G)),
     "st_subdivide" -> Sig("subdivide", ArrayType(BinaryType, containsNull = false), Seq(G, I)),
     "st_geometryn" -> Sig("geometryN", G, Seq(G, I)),
     "st_pointn" -> Sig("pointN", G, Seq(G, I)),

@@ -258,6 +258,30 @@ class CoverageOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](GeomOps.squareAtOrigin(0.0, 0, 0))
   }
 
+  test("ST_SquareGrid / ST_HexagonGrid: tessellation generators for explode") {
+    val sq = sql("""
+      SELECT c.i, c.j, ST_Area(c.geom) AS a
+      FROM (SELECT explode(ST_SquareGrid(2.0, ST_MakeEnvelope(0, 0, 6, 4))) AS c)""").collect()
+    assert(sq.length == 3 * 2, s"aligned 6x4 envelope at size 2 → 6 cells, got ${sq.length}")
+    assert(sq.forall(_.getDouble(2) == 4.0))
+    val ua = sql("""
+      SELECT ST_Area(ST_CoverageUnion_Agg(c.geom))
+      FROM (SELECT explode(ST_SquareGrid(2.0, ST_MakeEnvelope(0, 0, 6, 4))) AS c)""")
+      .head().getDouble(0)
+    assert(ua == 24.0, "cells exactly tile the envelope")
+
+    // hexagon grid: emitted cells fully cover the input envelope
+    val cells = GeomOps.hexagonGrid(3.0, wkb("POLYGON ((0 0, 20 0, 20 10, 0 10, 0 0))"))
+    val geoms = (0 until cells.numElements()).map { k =>
+      GeomOps.read(cells.getStruct(k, 3).getBinary(2))
+    }
+    val union = GeomOps.factory.createGeometryCollection(geoms.toArray).union()
+    assert(union.covers(g("POLYGON ((0 0, 20 0, 20 10, 0 10, 0 0))")),
+      "hexagon grid must cover the envelope")
+    intercept[IllegalArgumentException](
+      GeomOps.squareGrid(1e-6, wkb("POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0))")))
+  }
+
   test("SQL surface: the batch resolves and answers through spark.sql") {
     val r = sql("""
       SELECT
