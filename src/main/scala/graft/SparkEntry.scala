@@ -4065,6 +4065,71 @@ object SparkEntry {
            ROUND(3 * sqrt(3.0) / 2, 9) AS hex_amin
     FROM p ORDER BY id"""
 
+  /** Introspection/precision utilities (g146, round 20): ST_NRings
+    * (shell + holes over multis), ST_IsClosed (every lineal component;
+    * puntal/polygonal true by convention), ST_ZMFlag (0/1/2/3 from the
+    * value-level dimension tags), ST_ForceCollection (top-level
+    * components re-wrapped), ST_MemSize (the stored WKB byte length —
+    * the writer emits EWKB with a 4-byte SRID slot, so closed-form:
+    * 13 + 16n for a 2D LineString, 25 for a 2D point),
+    * ST_QuantizeCoordinates (decimal rounding incl. negative digits;
+    * fixture decimals sit away from .5 boundaries so banker's-vs-half-up
+    * can't diverge). */
+  private val g146Spark = """
+    WITH p AS (SELECT CAST(id AS BIGINT) AS id,
+                      CAST(1 + id % 5 AS DOUBLE) AS a,
+                      CAST(2 + id % 3 AS INT) AS n
+               FROM range(25)),
+    f AS (SELECT id, a, n,
+        ST_GeomFromText(CONCAT('POLYGON ((0 0, ', 4*a, ' 0, ', 4*a, ' ', 4*a, ', 0 ', 4*a,
+          ', 0 0), (', a, ' ', a, ', ', 2*a, ' ', a, ', ', 2*a, ' ', 2*a, ', ', a, ' ', 2*a,
+          ', ', a, ' ', a, '))')) AS donut,
+        ST_GeomFromText(CONCAT('LINESTRING (0 0, ', a, ' 0, ', a, ' ', a, ', 0 0)')) AS ring,
+        ST_GeomFromText(CONCAT('LINESTRING (0 0, ', a, ' ', a, ')')) AS open_l,
+        ST_GeomFromText(CONCAT('POINT ZM (', a, ' ', 2*a, ' ', 3*a, ' ', 4*a, ')')) AS pzm,
+        ST_GeomFromText(CONCAT('POINT M (', a, ' ', 2*a, ' ', 3*a, ')')) AS pm,
+        ST_GeomFromText(CONCAT('MULTIPOINT ((0 0), (', a, ' 0), (0 ', a, '))')) AS mp,
+        ST_Point(a + 0.4321, a + 0.8765) AS pq,
+        ST_GeomFromText(CONCAT('LINESTRING (',
+          array_join(transform(sequence(1, n), k -> CONCAT(k, ' 0')), ', '),
+          ')')) AS line_n
+      FROM p)
+    SELECT f.id,
+           ST_NRings(donut) AS nrings,
+           ST_NRings(open_l) AS nrings0,
+           ST_IsClosed(ring) AS closed_t,
+           ST_IsClosed(open_l) AS closed_f,
+           ST_IsClosed(donut) AS closed_poly,
+           ST_ZMFlag(pzm) AS zm3,
+           ST_ZMFlag(pm) AS zm1,
+           ST_ZMFlag(open_l) AS zm0,
+           ST_NumGeometries(ST_ForceCollection(mp)) AS fc_n,
+           ST_MemSize(pq) AS msz_pt,
+           ST_MemSize(line_n) AS msz_line,
+           ROUND(ST_X(ST_QuantizeCoordinates(pq, 2)), 9) AS qx,
+           ROUND(ST_Y(ST_QuantizeCoordinates(pq, 0)), 9) AS qy
+    FROM f ORDER BY f.id"""
+
+  private val g146Duck = """
+    WITH p AS (SELECT i::BIGINT AS id, (1 + i % 5)::DOUBLE AS a,
+                      (2 + i % 3)::INT AS n
+               FROM range(25) t(i))
+    SELECT id,
+           2 AS nrings,
+           0 AS nrings0,
+           true AS closed_t,
+           false AS closed_f,
+           true AS closed_poly,
+           3 AS zm3,
+           1 AS zm1,
+           0 AS zm0,
+           3 AS fc_n,
+           25 AS msz_pt,
+           (13 + 16 * n) AS msz_line,
+           ROUND(a + 0.43, 9) AS qx,
+           ROUND(a + 1.0, 9) AS qy
+    FROM p ORDER BY id"""
+
   /** Reader-level pagination (g138, round 20): GeoParquet.read's
     * limit/offset — the reference's _parquet.pyi:134-135 options —
     * over a deterministically ordered single-partition write. Windows
@@ -14333,6 +14398,7 @@ object SparkEntry {
     ("g143_expand_extend", q(g143Spark), g143Duck),
     ("g144_dump_grid_cells", q(g144Spark), g144Duck),
     ("g145_grid_generators", q(g145Spark), g145Duck),
+    ("g146_introspection", q(g146Spark), g146Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

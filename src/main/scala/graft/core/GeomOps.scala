@@ -176,6 +176,83 @@ object GeomOps {
   def yMax(b: Array[Byte]): Double = read(b).getEnvelopeInternal.getMaxY
   def nPoints(b: Array[Byte]): Int = read(b).getNumPoints
   def numGeometries(b: Array[Byte]): Int = read(b).getNumGeometries
+
+  /** ST_NRings: total ring count over all polygons (exterior + holes) —
+    * 0 for non-areal input, the PostGIS contract. */
+  def nRings(b: Array[Byte]): Int = {
+    var n = 0
+    def rec(g: Geometry): Unit = g match {
+      case p: Polygon => if (!p.isEmpty) n += 1 + p.getNumInteriorRing
+      case c: GeometryCollection =>
+        (0 until c.getNumGeometries).foreach(i => rec(c.getGeometryN(i)))
+      case _ => ()
+    }
+    rec(read(b))
+    n
+  }
+
+  /** ST_IsClosed: every lineal component starts where it ends; puntal
+    * and polygonal inputs answer true (the PostGIS convention — a point
+    * "ends where it starts", polygon rings are closed by definition). */
+  def isClosedCol(b: Array[Byte]): Boolean = {
+    var closed = true
+    def rec(g: Geometry): Unit = g match {
+      case l: LineString => if (!l.isEmpty && !l.isClosed) closed = false
+      case c: GeometryCollection =>
+        (0 until c.getNumGeometries).foreach(i => rec(c.getGeometryN(i)))
+      case _ => ()
+    }
+    rec(read(b))
+    closed
+  }
+
+  /** ST_ZMFlag: 0 = 2D, 1 = M only, 2 = Z only, 3 = ZM (the PostGIS
+    * smallint code), from the value-level dimension tags WKB carries. */
+  def zmFlag(b: Array[Byte]): Int = {
+    val g = read(b)
+    (if (hasZ(g)) 2 else 0) + (if (hasM(g)) 1 else 0)
+  }
+
+  /** ST_ForceCollection: the input's top-level components as a
+    * GEOMETRYCOLLECTION (a single geometry wraps as a 1-element
+    * collection; collections pass through element-wise). */
+  def forceCollection(b: Array[Byte]): Array[Byte] = {
+    val g = read(b)
+    val parts = Array.tabulate[Geometry](g.getNumGeometries)(g.getGeometryN)
+    write(factory.createGeometryCollection(parts))
+  }
+
+  /** ST_MemSize: the stored size of the geometry VALUE in bytes — here
+    * exactly the WKB length (geometry IS type-erased WKB in this engine;
+    * PostGIS reports its serialized varlena size, same intent, different
+    * encoding). */
+  def memSize(b: Array[Byte]): Int = b.length
+
+  /** ST_QuantizeCoordinates(g, prec): round every X/Y/Z/M to `prec`
+    * decimal digits (prec may be negative: tens, hundreds, …) — the
+    * precision-shedding step before dedup/compression. PostGIS zeroes
+    * IEEE mantissa bits instead of decimal rounding; the intent
+    * (collapse sub-precision noise, improve compressibility) is the
+    * same and THIS form is exactly mirrorable in SQL oracles. */
+  def quantizeCoordinates(b: Array[Byte], prec: Int): Array[Byte] = {
+    require(prec >= -15 && prec <= 15, s"ST_QuantizeCoordinates: prec $prec out of [-15, 15]")
+    val scale = math.pow(10.0, prec)
+    val g = read(b).copy()
+    g.apply(new CoordinateSequenceFilter {
+      def filter(seq: CoordinateSequence, i: Int): Unit = {
+        var d = 0
+        while (d < seq.getDimension) {
+          val v = seq.getOrdinate(i, d)
+          if (!v.isNaN) seq.setOrdinate(i, d, math.rint(v * scale) / scale)
+          d += 1
+        }
+      }
+      def isDone: Boolean = false
+      def isGeometryChanged: Boolean = true
+    })
+    g.geometryChanged()
+    write(g)
+  }
   /** Topological dimension (0 points, 1 lines, 2 areas; collections take
     * the max) — PostGIS ST_Dimension. */
   def dimension(b: Array[Byte]): Int = read(b).getDimension

@@ -154,6 +154,12 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_asmvtgeom" -> Sig("asMvtGeom", G, Seq(G, G, I, I, B)),
     "st_npoints" -> Sig("nPoints", I, Seq(G)),
     "st_numgeometries" -> Sig("numGeometries", I, Seq(G)),
+    "st_nrings" -> Sig("nRings", I, Seq(G)),
+    "st_isclosed" -> Sig("isClosedCol", B, Seq(G)),
+    "st_zmflag" -> Sig("zmFlag", I, Seq(G)),
+    "st_forcecollection" -> Sig("forceCollection", G, Seq(G)),
+    "st_memsize" -> Sig("memSize", I, Seq(G)),
+    "st_quantizecoordinates" -> Sig("quantizeCoordinates", G, Seq(G, I)),
     "st_dimension" -> Sig("dimension", I, Seq(G)),
     "st_geometrytype" -> Sig("geometryType", S, Seq(G)),
     "st_isempty" -> Sig("isEmpty", B, Seq(G)),

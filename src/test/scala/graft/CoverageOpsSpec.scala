@@ -282,6 +282,39 @@ class CoverageOpsSpec extends SparkTestBase {
       GeomOps.squareGrid(1e-6, wkb("POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0))")))
   }
 
+  test("introspection utilities: NRings / IsClosed / ZMFlag / ForceCollection / MemSize / Quantize") {
+    val donut = wkb("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
+    assert(GeomOps.nRings(donut) == 2)
+    assert(GeomOps.nRings(wkb("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))")) == 2)
+    assert(GeomOps.nRings(wkb("LINESTRING (0 0, 1 1)")) == 0)
+
+    assert(GeomOps.isClosedCol(wkb("LINESTRING (0 0, 1 0, 1 1, 0 0)")))
+    assert(!GeomOps.isClosedCol(wkb("LINESTRING (0 0, 1 0)")))
+    assert(!GeomOps.isClosedCol(wkb(
+      "MULTILINESTRING ((0 0, 1 0, 0 0), (0 0, 1 1))")), "every component must close")
+    assert(GeomOps.isClosedCol(wkb("POINT (1 1)")) && GeomOps.isClosedCol(donut))
+
+    assert(GeomOps.zmFlag(wkb("POINT (1 2)")) == 0)
+    assert(GeomOps.zmFlag(wkb("POINT M (1 2 7)")) == 1)
+    assert(GeomOps.zmFlag(wkb("POINT Z (1 2 3)")) == 2)
+    assert(GeomOps.zmFlag(wkb("POINT ZM (1 2 3 7)")) == 3)
+
+    val fc = GeomOps.read(GeomOps.forceCollection(wkb("MULTIPOINT ((0 0), (1 1))")))
+    assert(fc.getGeometryType == "GeometryCollection" && fc.getNumGeometries == 2)
+    assert(GeomOps.read(GeomOps.forceCollection(wkb("POINT (5 5)"))).getNumGeometries == 1)
+
+    assert(GeomOps.memSize(donut) == donut.length, "memsize IS the stored WKB length")
+
+    val q = GeomOps.read(GeomOps.quantizeCoordinates(
+      wkb("LINESTRING (1.23456 2.34567, 3.45678 4.56789)"), 2))
+    assert(q.getCoordinates.map(_.x).toSeq == Seq(1.23, 3.46), q.toText)
+    val qneg = GeomOps.read(GeomOps.quantizeCoordinates(wkb("POINT (1234 5678)"), -2))
+    assert(qneg.getCoordinate.x == 1200.0 && qneg.getCoordinate.y == 5700.0)
+    // Z/M quantize too
+    val qm = GeomOps.read(GeomOps.quantizeCoordinates(wkb("POINT M (1.119 2.229 3.339)"), 1))
+    assert(qm.getCoordinate.getM == 3.3, s"${qm.getCoordinate.getM}")
+  }
+
   test("SQL surface: the batch resolves and answers through spark.sql") {
     val r = sql("""
       SELECT
