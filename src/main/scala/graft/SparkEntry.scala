@@ -4130,6 +4130,53 @@ object SparkEntry {
            ROUND(a + 1.0, 9) AS qy
     FROM p ORDER BY id"""
 
+  /** Geohash decode + 3D extent aggregate (g147, round 20):
+    * ST_GeomFromGeoHash / ST_PointFromGeoHash invert the round-15
+    * encoder — the decoded cell COVERS the encoded point (offsets are
+    * non-dyadic so boundary ties cannot occur), its width/height are
+    * the exact dyadic 360/2^⌈5p/2⌉ × 180/2^⌊5p/2⌋ (emitted unrounded:
+    * both engines produce the identical double), the center sits within
+    * a half-cell of the input, and prec-truncation equals prefix
+    * decode. ST_3DExtent_Agg: XYZ bounds with closed-form Z from the
+    * generated Z ramp. */
+  private val g147Spark = """
+    WITH p AS (SELECT CAST(id AS BIGINT) AS id,
+                      -150.0 + 12.0 * (id % 24) + 0.3 AS lon,
+                      -80.0 + 7.0 * (id % 20) + 0.2 AS lat,
+                      CAST(4 + id % 6 AS INT) AS pr,
+                      CAST(id % 7 AS DOUBLE) AS z0
+               FROM range(24)),
+    h AS (SELECT id, lon, lat, pr, z0,
+                 ST_Point(lon, lat) AS pt,
+                 ST_GeoHash(ST_Point(lon, lat), pr) AS gh
+          FROM p),
+    agg3 AS (SELECT h.id,
+                    ST_3DExtent_Agg(ST_GeomFromText(
+                      CONCAT('POINT Z (', k, ' ', 2 * k, ' ', z0 + k, ')'))) AS e
+             FROM h LATERAL VIEW explode(sequence(1, 5)) t AS k
+             GROUP BY h.id)
+    SELECT h.id,
+           ST_Contains(ST_GeomFromGeoHash(gh), pt) AS cell_covers,
+           ST_XMax(ST_GeomFromGeoHash(gh)) - ST_XMin(ST_GeomFromGeoHash(gh)) AS cell_w,
+           ST_YMax(ST_GeomFromGeoHash(gh)) - ST_YMin(ST_GeomFromGeoHash(gh)) AS cell_h,
+           ABS(ST_X(ST_PointFromGeoHash(gh)) - lon) * POW(2.0, CAST((5 * pr + 1) DIV 2 AS DOUBLE)) <= 180.0 AS ctr_ok,
+           ST_XMax(ST_GeomFromGeoHash(gh, 3)) - ST_XMin(ST_GeomFromGeoHash(gh, 3)) AS cell_w3,
+           e.zmin AS zmin, e.zmax AS zmax, e.xmax AS xmax, e.ymax AS ymax
+    FROM h JOIN agg3 ON h.id = agg3.id ORDER BY h.id"""
+
+  private val g147Duck = """
+    WITH p AS (SELECT i::BIGINT AS id, (4 + i % 6)::INT AS pr,
+                      (i % 7)::DOUBLE AS z0
+               FROM range(24) t(i))
+    SELECT id,
+           true AS cell_covers,
+           360.0 / pow(2.0, ((5 * pr + 1) // 2)::DOUBLE) AS cell_w,
+           180.0 / pow(2.0, ((5 * pr) // 2)::DOUBLE) AS cell_h,
+           true AS ctr_ok,
+           360.0 / pow(2.0, 8.0) AS cell_w3,
+           z0 + 1 AS zmin, z0 + 5 AS zmax, 5.0 AS xmax, 10.0 AS ymax
+    FROM p ORDER BY id"""
+
   /** Reader-level pagination (g138, round 20): GeoParquet.read's
     * limit/offset — the reference's _parquet.pyi:134-135 options —
     * over a deterministically ordered single-partition write. Windows
@@ -14399,6 +14446,7 @@ object SparkEntry {
     ("g144_dump_grid_cells", q(g144Spark), g144Duck),
     ("g145_grid_generators", q(g145Spark), g145Duck),
     ("g146_introspection", q(g146Spark), g146Duck),
+    ("g147_geohash_extent3d", q(g147Spark), g147Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

@@ -746,6 +746,58 @@ object Geodesy {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Decode a geohash string to its lon/lat cell bounds — the inverse
+    * of [[geoHash]]'s bit interleave (lon-first, latitude-linear). */
+  private def geoHashBounds(hash: String): (Double, Double, Double, Double) = {
+    require(hash.nonEmpty && hash.length <= 12,
+      s"geohash '$hash' must be 1-12 characters")
+    var lonLo = -180.0; var lonHi = 180.0
+    var latLo = -90.0; var latHi = 90.0
+    var even = true // even bit positions (from the MSB) are longitude
+    hash.foreach { ch =>
+      val v = GeoHashAlphabet.indexOf(ch.toLower)
+      require(v >= 0, s"geohash '$hash': invalid character '$ch'")
+      var bit = 4
+      while (bit >= 0) {
+        val set = ((v >> bit) & 1) == 1
+        if (even) {
+          val mid = (lonLo + lonHi) / 2
+          if (set) lonLo = mid else lonHi = mid
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (set) latLo = mid else latHi = mid
+        }
+        even = !even
+        bit -= 1
+      }
+    }
+    (lonLo, lonHi, latLo, latHi)
+  }
+
+  /** PostGIS `ST_GeomFromGeoHash(hash[, prec])`: the geohash cell as its
+    * bounding POLYGON; `prec` truncates the hash first (≤ 0 or ≥ length
+    * → full hash, the PostGIS contract). */
+  def geomFromGeoHash(hash: UTF8String): Array[Byte] =
+    geomFromGeoHashPrec(hash, -1)
+  def geomFromGeoHashPrec(hash: UTF8String, prec: Int): Array[Byte] = {
+    val s0 = hash.toString
+    val s = if (prec >= 1 && prec < s0.length) s0.substring(0, prec) else s0
+    val (lonLo, lonHi, latLo, latHi) = geoHashBounds(s)
+    GeomOps.write(GeomOps.factory.toGeometry(
+      new org.locationtech.jts.geom.Envelope(lonLo, lonHi, latLo, latHi)))
+  }
+
+  /** PostGIS `ST_PointFromGeoHash(hash[, prec])`: the cell's center. */
+  def pointFromGeoHash(hash: UTF8String): Array[Byte] =
+    pointFromGeoHashPrec(hash, -1)
+  def pointFromGeoHashPrec(hash: UTF8String, prec: Int): Array[Byte] = {
+    val s0 = hash.toString
+    val s = if (prec >= 1 && prec < s0.length) s0.substring(0, prec) else s0
+    val (lonLo, lonHi, latLo, latHi) = geoHashBounds(s)
+    GeomOps.write(GeomOps.factory.createPoint(
+      new org.locationtech.jts.geom.Coordinate((lonLo + lonHi) / 2, (latLo + latHi) / 2)))
+  }
+
   /** PostGIS `ST_TileEnvelope(z, x, y)`: the EPSG:3857 bounding polygon
     * of an XYZ tile over the default web-mercator extent ±π·a. Pure
     * arithmetic — each zoom-z tile is an exact (2πa/2^z)-sided square —

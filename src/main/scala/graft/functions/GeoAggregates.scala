@@ -76,6 +76,44 @@ object GeoAggregates {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  case class BBox3(xmin: Double, ymin: Double, zmin: Double,
+                   xmax: Double, ymax: Double, zmax: Double)
+
+  /** `ST_3DExtent_Agg` — the PostGIS ST_3DExtent: the XYZ bounding box
+    * as a map-side-combined accumulator. Z-less coordinates contribute
+    * only X/Y; a group with NO Z anywhere answers zmin = zmax = 0.0,
+    * the PostGIS BOX3D convention for 2D input. */
+  object Extent3DAgg extends Aggregator[Array[Byte], BBox3, Option[BBox3]] {
+    private val inf = Double.PositiveInfinity
+    private val empty = BBox3(inf, inf, inf, -inf, -inf, -inf)
+    def zero: BBox3 = empty
+    def reduce(b: BBox3, wkb: Array[Byte]): BBox3 = {
+      if (wkb == null) return b
+      val g = GeomOps.read(wkb)
+      if (g.isEmpty) return b
+      var r = b
+      g.getCoordinates.foreach { c =>
+        val z = c.getZ
+        r = BBox3(math.min(r.xmin, c.x), math.min(r.ymin, c.y),
+          if (z.isNaN) r.zmin else math.min(r.zmin, z),
+          math.max(r.xmax, c.x), math.max(r.ymax, c.y),
+          if (z.isNaN) r.zmax else math.max(r.zmax, z))
+      }
+      r
+    }
+    def merge(a: BBox3, b: BBox3): BBox3 =
+      BBox3(math.min(a.xmin, b.xmin), math.min(a.ymin, b.ymin),
+            math.min(a.zmin, b.zmin),
+            math.max(a.xmax, b.xmax), math.max(a.ymax, b.ymax),
+            math.max(a.zmax, b.zmax))
+    def finish(r: BBox3): Option[BBox3] =
+      if (r.xmin.isInfinite) None
+      else if (r.zmin.isInfinite) Some(r.copy(zmin = 0.0, zmax = 0.0))
+      else Some(r)
+    def bufferEncoder: Encoder[BBox3] = Encoders.product[BBox3]
+    def outputEncoder: Encoder[Option[BBox3]] = Encoders.product[Option[BBox3]]
+  }
+
   /** `ST_CoverageUnion_Agg`: union rows that form a valid polygonal
     * COVERAGE (vertex-matched shared edges, no overlaps/gaps — parcel
     * fabrics, admin tessellations, tile grids). JTS CoverageUnion
@@ -145,6 +183,7 @@ object GeoAggregates {
     spark.udf.register("st_extent_agg", F.udaf(ExtentAgg, Encoders.BINARY))
     spark.udf.register("st_union_agg", F.udaf(UnionAgg, Encoders.BINARY))
     spark.udf.register("st_coverageunion_agg", F.udaf(CoverageUnionAgg, Encoders.BINARY))
+    spark.udf.register("st_3dextent_agg", F.udaf(Extent3DAgg, Encoders.BINARY))
   }
 
   /** The aggregates as `injectFunction` descriptors (the
@@ -180,6 +219,7 @@ object GeoAggregates {
     Seq(desc("st_extent_agg", ExtentAgg, Encoders.product[BBox]),
         desc("st_union_agg", UnionAgg, Encoders.kryo[Seq[Array[Byte]]]),
         desc("st_coverageunion_agg", CoverageUnionAgg,
-          Encoders.kryo[Seq[(Int, Array[Byte])]]))
+          Encoders.kryo[Seq[(Int, Array[Byte])]]),
+        desc("st_3dextent_agg", Extent3DAgg, Encoders.product[BBox3]))
   }
 }

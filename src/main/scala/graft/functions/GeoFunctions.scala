@@ -363,6 +363,10 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_perimeterspheroid" -> Sig("perimeterSpheroid", D, Seq(G), geodesy),
     "st_perimetergeodesic" -> Sig("perimeterGeodesic", D, Seq(G), geodesy),
     "st_geohash" -> Sig("geoHash", S, Seq(G, I), geodesy),
+    "st_geomfromgeohash" -> Sig("geomFromGeoHash", G, Seq(S), geodesy),
+    "st_geomfromgeohash" -> Sig("geomFromGeoHashPrec", G, Seq(S, I), geodesy),
+    "st_pointfromgeohash" -> Sig("pointFromGeoHash", G, Seq(S), geodesy),
+    "st_pointfromgeohash" -> Sig("pointFromGeoHashPrec", G, Seq(S, I), geodesy),
     "st_crosstrackdistance" -> Sig("crossTrackMeters", D, Seq(G, G, G), geodesy),
     "st_tilex" -> Sig("tileX", LongType, Seq(D, I), geodesy),
     "st_tiley" -> Sig("tileY", LongType, Seq(D, I), geodesy),

@@ -315,6 +315,47 @@ class CoverageOpsSpec extends SparkTestBase {
     assert(qm.getCoordinate.getM == 3.3, s"${qm.getCoordinate.getM}")
   }
 
+  test("ST_GeomFromGeoHash / ST_PointFromGeoHash: decode inverts encode") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.core.Geodesy
+    // geohash.org reference anchor: ezs42 is the cell of (-5.6, 42.6)
+    val box = GeomOps.read(Geodesy.geomFromGeoHash(UTF8String.fromString("ezs42")))
+    assert(box.covers(g("POINT (-5.6 42.6)")), box.toText)
+    val e = box.getEnvelopeInternal
+    assert(e.getWidth == 360.0 / (1 << 13) && e.getHeight == 180.0 / (1 << 12),
+      s"5-char cell is 13 lon bits x 12 lat bits: $e")
+    // roundtrip: decode(encode(p)) covers p, center within half-cell
+    for ((lon, lat, p) <- Seq((-5.6, 42.6, 5), (151.21, -33.87, 7), (0.0, 0.0, 6))) {
+      val h = Geodesy.geoHash(wkb(s"POINT ($lon $lat)"), p)
+      val cell = GeomOps.read(Geodesy.geomFromGeoHash(h))
+      assert(cell.covers(g(s"POINT ($lon $lat)")), s"$h does not cover its point")
+      val c = GeomOps.read(Geodesy.pointFromGeoHash(h)).getCoordinate
+      assert(cell.getEnvelopeInternal.contains(c.x, c.y))
+    }
+    // prec truncation == decoding the prefix
+    val full = GeomOps.read(Geodesy.geomFromGeoHashPrec(UTF8String.fromString("ezs42"), 2))
+    val pref = GeomOps.read(Geodesy.geomFromGeoHash(UTF8String.fromString("ez")))
+    assert(full.equalsExact(pref))
+    intercept[IllegalArgumentException](
+      Geodesy.geomFromGeoHash(UTF8String.fromString("ab!")))
+  }
+
+  test("ST_3DExtent_Agg: XYZ bounds with the 2D zero-Z convention") {
+    graft.functions.GeoAggregates.register(spark)
+    val r = sql("""
+      SELECT ST_3DExtent_Agg(g) AS e FROM (
+        SELECT ST_GeomFromText('POINT Z (1 2 -4)') AS g
+        UNION ALL SELECT ST_GeomFromText('LINESTRING Z (0 0 5, 3 1 9)')
+        UNION ALL SELECT ST_GeomFromText('POINT (10 -7)'))""").head().getStruct(0)
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == -7.0 && r.getDouble(2) == -4.0)
+    assert(r.getDouble(3) == 10.0 && r.getDouble(4) == 2.0 && r.getDouble(5) == 9.0)
+    // all-2D group: zmin = zmax = 0 (the BOX3D convention)
+    val r2 = sql("""
+      SELECT ST_3DExtent_Agg(ST_Point(CAST(id AS DOUBLE), 0.0)) AS e FROM range(4)""")
+      .head().getStruct(0)
+    assert(r2.getDouble(2) == 0.0 && r2.getDouble(5) == 0.0 && r2.getDouble(3) == 3.0)
+  }
+
   test("SQL surface: the batch resolves and answers through spark.sql") {
     val r = sql("""
       SELECT
