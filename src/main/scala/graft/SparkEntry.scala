@@ -4177,6 +4177,43 @@ object SparkEntry {
            z0 + 1 AS zmin, z0 + 5 AS zmax, 5.0 AS xmax, 10.0 AS ymax
     FROM p ORDER BY id"""
 
+  /** Area construction + DMS text + constructor aliases (g148,
+    * round 20): ST_BuildArea over three nested square rings keeps the
+    * odd-ring-depth regions (100a² − 36a² + 4a² = 68a², the
+    * hole-and-island parity PostGIS documents), ST_AsLatLonText renders
+    * the PostGIS default `DD°MM'SS.SSS"C` with dyadic fixtures landing
+    * on exact minute marks, and ST_MakePoint (2/3/4-arg) aliases the
+    * point constructors. */
+  private val g148Spark = """
+    WITH p AS (SELECT CAST(id AS BIGINT) AS id,
+                      CAST(1 + id % 5 AS DOUBLE) AS a
+               FROM range(25)),
+    f AS (SELECT id, a,
+        ST_GeomFromText(CONCAT('MULTILINESTRING ((0 0, ', 10*a, ' 0, ', 10*a, ' ', 10*a,
+          ', 0 ', 10*a, ', 0 0), (', 2*a, ' ', 2*a, ', ', 8*a, ' ', 2*a, ', ', 8*a, ' ', 8*a,
+          ', ', 2*a, ' ', 8*a, ', ', 2*a, ' ', 2*a, '), (', 4*a, ' ', 4*a, ', ', 6*a, ' ', 4*a,
+          ', ', 6*a, ' ', 6*a, ', ', 4*a, ' ', 6*a, ', ', 4*a, ' ', 4*a, '))')) AS rings
+      FROM p)
+    SELECT id,
+           ROUND(ST_Area(ST_BuildArea(rings)) / (a * a), 9) AS ba,
+           ST_NRings(ST_BuildArea(rings)) AS ba_rings,
+           ST_AsLatLonText(ST_Point(a + 0.75, -(a + 0.5))) AS dms,
+           ST_AsText(ST_MakePoint(a, 2 * a)) AS mk2,
+           ST_Z(ST_MakePoint(a, a, 3 * a)) AS mk3,
+           ST_M(ST_MakePoint(a, a, a, 4 * a)) AS mk4
+    FROM f ORDER BY id"""
+
+  private val g148Duck = """
+    WITH p AS (SELECT i::BIGINT AS id, (1 + i % 5)::DOUBLE AS a FROM range(25) t(i))
+    SELECT id,
+           68.0 AS ba,
+           3 AS ba_rings,
+           CONCAT(a::BIGINT, '°30''0.000"S ', a::BIGINT, '°45''0.000"E') AS dms,
+           CONCAT('POINT (', a::BIGINT, ' ', (2*a)::BIGINT, ')') AS mk2,
+           3 * a AS mk3,
+           4 * a AS mk4
+    FROM p ORDER BY id"""
+
   /** Reader-level pagination (g138, round 20): GeoParquet.read's
     * limit/offset — the reference's _parquet.pyi:134-135 options —
     * over a deterministically ordered single-partition write. Windows
@@ -14447,6 +14484,7 @@ object SparkEntry {
     ("g145_grid_generators", q(g145Spark), g145Duck),
     ("g146_introspection", q(g146Spark), g146Duck),
     ("g147_geohash_extent3d", q(g147Spark), g147Duck),
+    ("g148_buildarea_dms", q(g148Spark), g148Duck),
     ("q24_cumulative_reach", q(q24Spark), q24Duck),
     ("q23_lateral_topk", q(q23Spark), q23Duck),
     ("a09_session_attribution", q(a09Spark), a09Duck),

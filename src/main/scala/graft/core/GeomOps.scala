@@ -955,6 +955,59 @@ object GeomOps {
     write(factory.createGeometryCollection(sorted.toArray[Geometry]))
   }
 
+  /** ST_BuildArea: the areal geometry enclosed by the input's noded
+    * linework, with enclosed faces at ODD containment depth subtracted
+    * as holes (the PostGIS contract — where ST_Polygonize returns every
+    * face as its own polygon, BuildArea returns the covered AREA).
+    * EMPTY when the linework closes nothing. */
+  def buildArea(b: Array[Byte]): Array[Byte] = {
+    val p = new org.locationtech.jts.operation.polygonize.Polygonizer()
+    p.add(read(b))
+    val faces = p.getPolygons.toArray(Array.empty[Polygon])
+    if (faces.isEmpty) return write(factory.createPolygon())
+    // JTS's polygonizer already assigns holes, so the faces are a
+    // DISJOINT planar subdivision. The built area keeps the faces whose
+    // ring-containment depth is ODD (inside an odd number of shell
+    // rings): nested ring sets alternate filled/hole/island to any
+    // depth, while edge-sharing tilings sit at depth 1 and all survive.
+    val shellPolys = faces.map(f =>
+      org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(
+        factory.createPolygon(f.getExteriorRing.getCoordinates)))
+    val kept = faces.filter { f =>
+      val probe = f.getInteriorPoint
+      shellPolys.count(_.contains(probe)) % 2 == 1
+    }
+    if (kept.isEmpty) return write(factory.createPolygon())
+    import org.locationtech.jts.operation.union.UnaryUnionOp
+    write(UnaryUnionOp.union(java.util.Arrays.asList(kept.map(_.asInstanceOf[Geometry]): _*)))
+  }
+
+  /** ST_AsLatLonText(pt): degree-minute-second rendering in the PostGIS
+    * default format — `DD°MM'SS.SSS"C`, latitude then longitude, cardinal
+    * letters N/S/E/W, seconds to 3 decimals with carry (59.9996" rounds
+    * up through minutes/degrees, never prints 60"). */
+  def asLatLonText(b: Array[Byte]): UTF8String = {
+    val g = read(b)
+    val c = g match {
+      case p: Point if !p.isEmpty => p.getCoordinate
+      case other => throw new IllegalArgumentException(
+        s"ST_AsLatLonText: POINT input required, got ${other.getGeometryType}")
+    }
+    def dms(v: Double, pos: Char, neg: Char): String = {
+      val card = if (v < 0) neg else pos
+      val a = math.abs(v)
+      // round at the smallest printed unit FIRST so carry propagates
+      var totalMillis = math.rint(a * 3600.0 * 1000.0).toLong
+      val d = totalMillis / 3600000L
+      totalMillis -= d * 3600000L
+      val m = totalMillis / 60000L
+      totalMillis -= m * 60000L
+      val s = totalMillis / 1000.0
+      f"$d%d°$m%d'$s%.3f" + "\"" + card
+    }
+    UTF8String.fromString(dms(c.y, 'N', 'S') + " " + dms(c.x, 'E', 'W'))
+  }
+
   /** remove consecutive duplicate vertices —
     * ref: rust/geoarrow-old/src/algorithm/geo/remove_repeated_points.rs:19 */
   def removeRepeatedPoints(b: Array[Byte], tol: Double): Array[Byte] =

@@ -97,6 +97,9 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
   private val sigs: Seq[(String, Sig)] = Seq(
     // constructors + codecs
     "st_point" -> Sig("point", G, Seq(D, D)),
+    "st_makepoint" -> Sig("point", G, Seq(D, D)),
+    "st_makepoint" -> Sig("pointZ", G, Seq(D, D, D)),
+    "st_makepoint" -> Sig("pointZM", G, Seq(D, D, D, D)),
     "st_makeenvelope" -> Sig("makeEnvelope", G, Seq(D, D, D, D)),
     "st_makeline" -> Sig("makeLine", G, Seq(G, G)),
     "st_linefrommultipoint" -> Sig("makeLineFromMultiPoint", G, Seq(G)),
@@ -266,6 +269,8 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_polylabel" -> Sig("polyLabel", G, Seq(G, D)),
     "st_linemerge" -> Sig("lineMerge", G, Seq(G)),
     "st_polygonize" -> Sig("polygonize", G, Seq(G)),
+    "st_buildarea" -> Sig("buildArea", G, Seq(G)),
+    "st_aslatlontext" -> Sig("asLatLonText", S, Seq(G)),
     "st_delaunaytriangles" -> Sig("delaunay", G, Seq(G)),
     "st_voronoipolygons" -> Sig("voronoi", G, Seq(G, D, D, D, D)),
     "st_voronoipolygons" -> Sig("voronoiClip", G, Seq(G, G)),

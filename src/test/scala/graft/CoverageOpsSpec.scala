@@ -356,6 +356,29 @@ class CoverageOpsSpec extends SparkTestBase {
     assert(r2.getDouble(2) == 0.0 && r2.getDouble(5) == 0.0 && r2.getDouble(3) == 3.0)
   }
 
+  test("ST_BuildArea / ST_AsLatLonText / ST_MakePoint") {
+    // nested squares: outer shell, inner hole, innermost island (depth 2)
+    val lw = wkb("MULTILINESTRING ((0 0, 10 0, 10 10, 0 10, 0 0), " +
+      "(2 2, 8 2, 8 8, 2 8, 2 2), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    val area = GeomOps.read(GeomOps.buildArea(lw))
+    // 100 − 36 (hole) + 4 (island at even depth) = 68
+    assert(area.getArea == 68.0, s"${area.getArea}: ${area.toText}")
+    assert(GeomOps.read(GeomOps.buildArea(wkb("LINESTRING (0 0, 1 1)"))).isEmpty)
+
+    val txt = GeomOps.asLatLonText(wkb("POINT (30.75 -15.5)")).toString
+    assert(txt == "15°30'0.000\"S 30°45'0.000\"E", txt)
+    // seconds carry: 59.99999° must not print 60'
+    val carry = GeomOps.asLatLonText(wkb("POINT (0.9999999999 59.9999999999)")).toString
+    assert(carry == "60°0'0.000\"N 1°0'0.000\"E", carry)
+    intercept[IllegalArgumentException](
+      GeomOps.asLatLonText(wkb("LINESTRING (0 0, 1 1)")))
+
+    val mp = sql("SELECT ST_AsText(ST_MakePoint(1.0, 2.0)) AS a, " +
+      "ST_Z(ST_MakePoint(1.0, 2.0, 3.0)) AS z, " +
+      "ST_M(ST_MakePoint(1.0, 2.0, 3.0, 4.0)) AS m").head()
+    assert(mp.getString(0) == "POINT (1 2)" && mp.getDouble(1) == 3.0 && mp.getDouble(2) == 4.0)
+  }
+
   test("SQL surface: the batch resolves and answers through spark.sql") {
     val r = sql("""
       SELECT
