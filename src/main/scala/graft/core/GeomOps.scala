@@ -137,6 +137,10 @@ object GeomOps {
     write(factory.buildGeometry(java.util.Arrays.asList(geoms: _*)))
   }
 
+  /** PostGIS 2-arg ST_Collect(g1, g2). */
+  def collect2(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    write(factory.buildGeometry(java.util.Arrays.asList(read(a), read(b))))
+
   def makePolygon(shell: Array[Byte]): Array[Byte] = read(shell) match {
     case l: LineString => write(factory.createPolygon(l.getCoordinates))
     case g => write(g)

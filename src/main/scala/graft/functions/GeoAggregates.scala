@@ -43,25 +43,46 @@ object GeoAggregates {
     def outputEncoder: Encoder[Option[BBox]] = Encoders.product[Option[BBox]]
   }
 
-  object UnionAgg extends Aggregator[Array[Byte], Seq[Array[Byte]], Array[Byte]] {
-    /** collapse threshold: keeps per-group state bounded while letting
-      * UnaryUnionOp see batches big enough for its cascaded strategy. */
+  object UnionAgg extends Aggregator[Array[Byte], Seq[(Int, Array[Byte])], Array[Byte]] {
+    /** Raw rows per leaf union. The map-side buffer is a BINARY COUNTER
+      * of size-classed partial unions (class k ≈ FanIn·2^k rows merged):
+      * each row's geometry passes through O(log n) overlay calls instead
+      * of the accumulate-into-one-blob shape that re-unions the whole
+      * partial every FanIn rows — O(n²/FanIn) overlay work per partition,
+      * the tail that breaks at extreme group sizes. Reducer-side `merge`
+      * only concatenates (bounded by partitions × O(log) blobs);
+      * `finish` runs ONE cascaded union over all blobs. */
     final val FanIn = 32
-    def zero: Seq[Array[Byte]] = Vector.empty
-    // Dedupe on entry, not just inside the collapse: tile/grid workloads
-    // repeat a few distinct shapes per group, and skipping them here keeps
-    // the buffer below FanIn — one JTS union per partition-group instead of
-    // one per FanIn rows. The linear scan is ≤ FanIn short-circuiting
-    // byte-compares, noise next to a single overlay op.
-    def reduce(buf: Seq[Array[Byte]], wkb: Array[Byte]): Seq[Array[Byte]] =
-      if (wkb == null || buf.exists(java.util.Arrays.equals(_, wkb))) buf
-      else collapse(buf :+ wkb)
-    def merge(a: Seq[Array[Byte]], b: Seq[Array[Byte]]): Seq[Array[Byte]] =
-      collapse(a ++ b)
-    def finish(buf: Seq[Array[Byte]]): Array[Byte] =
-      if (buf.isEmpty) null else unionAll(buf)
-    private def collapse(buf: Seq[Array[Byte]]): Seq[Array[Byte]] =
-      if (buf.length < FanIn) buf else Vector(unionAll(buf))
+    def zero: Seq[(Int, Array[Byte])] = Vector.empty
+    // Dedupe raw singles on entry: tile/grid workloads repeat a few
+    // distinct shapes per group; the scan is ≤ FanIn byte-compares,
+    // noise next to one overlay op.
+    def reduce(buf: Seq[(Int, Array[Byte])], wkb: Array[Byte]): Seq[(Int, Array[Byte])] =
+      if (wkb == null ||
+          buf.exists(e => e._1 == -1 && java.util.Arrays.equals(e._2, wkb))) buf
+      else normalize(buf :+ ((-1, wkb)))
+    def merge(a: Seq[(Int, Array[Byte])], b: Seq[(Int, Array[Byte])]): Seq[(Int, Array[Byte])] =
+      a ++ b
+    def finish(buf: Seq[(Int, Array[Byte])]): Array[Byte] =
+      if (buf.isEmpty) null else unionAll(buf.map(_._2))
+    private def normalize(buf: Seq[(Int, Array[Byte])]): Seq[(Int, Array[Byte])] = {
+      var cur = buf
+      var done = false
+      while (!done) {
+        if (cur.count(_._1 == -1) >= FanIn) {
+          val (raw, blobs) = cur.partition(_._1 == -1)
+          cur = blobs :+ ((0, unionAll(raw.map(_._2))))
+        } else {
+          cur.groupBy(_._1).find { case (cls, g) => cls >= 0 && g.length >= 2 } match {
+            case Some((cls, g)) =>
+              val rest = cur.filterNot(e => e._1 == cls && g.take(2).exists(_ eq e))
+              cur = rest :+ ((cls + 1, unionAll(g.take(2).map(_._2))))
+            case None => done = true
+          }
+        }
+      }
+      cur
+    }
     private def unionAll(buf: Seq[Array[Byte]]): Array[Byte] = {
       // union is idempotent: drop byte-identical geometries before the
       // cascade (tile/grid workloads repeat a few shapes millions of times)
@@ -72,7 +93,8 @@ object GeoAggregates {
       distinct.foreach(b => geoms.add(GeomOps.read(b)))
       GeomOps.write(UnaryUnionOp.union(geoms))
     }
-    def bufferEncoder: Encoder[Seq[Array[Byte]]] = Encoders.kryo[Seq[Array[Byte]]]
+    def bufferEncoder: Encoder[Seq[(Int, Array[Byte])]] =
+      Encoders.kryo[Seq[(Int, Array[Byte])]]
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
@@ -217,7 +239,7 @@ object GeoAggregates {
           true, true, 0, 0, scala.None)
           .toAggregateExpression(): Expression)
     Seq(desc("st_extent_agg", ExtentAgg, Encoders.product[BBox]),
-        desc("st_union_agg", UnionAgg, Encoders.kryo[Seq[Array[Byte]]]),
+        desc("st_union_agg", UnionAgg, Encoders.kryo[Seq[(Int, Array[Byte])]]),
         desc("st_coverageunion_agg", CoverageUnionAgg,
           Encoders.kryo[Seq[(Int, Array[Byte])]]),
         desc("st_3dextent_agg", Extent3DAgg, Encoders.product[BBox3]))

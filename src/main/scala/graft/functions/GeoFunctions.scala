@@ -106,6 +106,7 @@ object GeoFunctions extends org.apache.spark.internal.Logging {
     "st_makepolygon" -> Sig("makePolygon", G, Seq(G)),
     "st_makepolygon" -> Sig("makePolygonHoles", G, Seq(G, ArrayType(BinaryType)), cast = false),
     "st_collect" -> Sig("collect", G, Seq(ArrayType(BinaryType))),
+    "st_collect" -> Sig("collect2", G, Seq(G, G)),
     "st_geomfromtext" -> Sig("geomFromText", G, Seq(S)),
     "st_geomfromwkt" -> Sig("geomFromText", G, Seq(S)),
     "st_astext" -> Sig("asText", S, Seq(G)),
