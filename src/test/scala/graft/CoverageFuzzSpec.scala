@@ -83,6 +83,33 @@ class CoverageFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("fuzz: reworked ST_Union_Agg matches the scalar union across partition counts") {
+    // OVERLAPPING random boxes — exercises the binary-counter collapse
+    // through real overlay merges, not just edge-dissolves
+    graft.functions.GeoAggregates.register(spark)
+    import spark.implicits._
+    val r = new Rng(0xC0FFEE05L)
+    for (k <- 0 until 5) {
+      val n = r.int(40, 120)
+      val boxes = (0 until n).map { _ =>
+        val x = 100.0 * r.nextDouble(); val y = 100.0 * r.nextDouble()
+        val w = 1.0 + 20.0 * r.nextDouble(); val h = 1.0 + 20.0 * r.nextDouble()
+        f"POLYGON (($x%.6f $y%.6f, ${x + w}%.6f $y%.6f, ${x + w}%.6f ${y + h}%.6f, $x%.6f ${y + h}%.6f, $x%.6f $y%.6f))"
+      }
+      val truth = GeomOps.read(GeomOps.unaryUnion(wkb(
+        boxes.mkString("GEOMETRYCOLLECTION (", ", ", ")")))).getArea
+      val answers = Seq(1, 5, 13).map { parts =>
+        val df = boxes.toDF("wkt").repartition(parts).selectExpr("ST_GeomFromText(wkt) AS g")
+        df.createOrReplaceTempView("fuzz_union")
+        sql("SELECT ST_Area(ST_Union_Agg(g)) FROM fuzz_union").head().getDouble(0)
+      }
+      answers.foreach { a =>
+        assert(math.abs(a - truth) <= 1e-9 * truth,
+          s"case $k (n=$n): agg $a vs scalar $truth")
+      }
+    }
+  }
+
   test("fuzz: ST_WrapX conserves area; ST_ShiftLongitude is involutive") {
     val r = new Rng(0xC0FFEE03L)
     for (k <- 0 until 150) {
