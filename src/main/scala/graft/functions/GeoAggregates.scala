@@ -61,8 +61,13 @@ object GeoAggregates {
       if (wkb == null ||
           buf.exists(e => e._1 == -1 && java.util.Arrays.equals(e._2, wkb))) buf
       else normalize(buf :+ ((-1, wkb)))
-    def merge(a: Seq[(Int, Array[Byte])], b: Seq[(Int, Array[Byte])]): Seq[(Int, Array[Byte])] =
-      a ++ b
+    // concatenate; only normalize when the blob list grows past what a
+    // few-thousand-partition cluster contributes (keeps reducer-side
+    // merges O(1) in the common case, state bounded in the extreme one)
+    def merge(a: Seq[(Int, Array[Byte])], b: Seq[(Int, Array[Byte])]): Seq[(Int, Array[Byte])] = {
+      val c = a ++ b
+      if (c.length <= 1024) c else normalize(c)
+    }
     def finish(buf: Seq[(Int, Array[Byte])]): Array[Byte] =
       if (buf.isEmpty) null else unionAll(buf.map(_._2))
     private def normalize(buf: Seq[(Int, Array[Byte])]): Seq[(Int, Array[Byte])] = {
@@ -163,12 +168,16 @@ object GeoAggregates {
     // class-0 leaf; equal-class blobs cascade-merge like carry bits
     def reduce(buf: Seq[(Int, Array[Byte])], wkb: Array[Byte]): Seq[(Int, Array[Byte])] =
       if (wkb == null) buf else normalize(buf :+ ((-1, wkb)))
-    // merge only CONCATENATES: partials per group are bounded by the
+    // merge CONCATENATES: partials per group are bounded by the
     // partition count × O(log) blobs each, and CoverageUnion is linear in
     // total edges, so ONE union call at finish beats re-normalizing (and
-    // re-serializing the big blobs) on every reducer-side merge step
-    def merge(a: Seq[(Int, Array[Byte])], b: Seq[(Int, Array[Byte])]): Seq[(Int, Array[Byte])] =
-      a ++ b
+    // re-serializing the big blobs) on every reducer-side merge step.
+    // Past ~1024 blobs (a many-thousand-partition cluster) normalize to
+    // keep the shuffled state bounded.
+    def merge(a: Seq[(Int, Array[Byte])], b: Seq[(Int, Array[Byte])]): Seq[(Int, Array[Byte])] = {
+      val c = a ++ b
+      if (c.length <= 1024) c else normalize(c)
+    }
     def finish(buf: Seq[(Int, Array[Byte])]): Array[Byte] =
       if (buf.isEmpty) null else unionAll(buf.map(_._2))
     private def normalize(buf: Seq[(Int, Array[Byte])]): Seq[(Int, Array[Byte])] = {
