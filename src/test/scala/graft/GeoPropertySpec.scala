@@ -72,9 +72,20 @@ class GeoPropertySpec extends AnyFunSuite {
   }
 
   test("distance is symmetric, nonnegative, zero iff intersecting") {
-    check("dist", Prop.forAll(anyGeom, anyGeom) { (a, b) =>
+    // forAllNoShrink: the default Array[Byte] shrinker mutates raw WKB into
+    // out-of-domain geometries (e.g. POLYGON EMPTY), so a failure report
+    // would show inputs the generators can never produce. Symmetry is
+    // checked to 2 ulp, not bit-equality: JTS DistanceOp's
+    // segmentToSegment evaluates the four point-segment projections in
+    // argument order, and two parallel box edges can round the same
+    // geometric distance differently per direction (observed 1-ulp gap on
+    // chooseNum edge-value boxes).
+    check("dist", Prop.forAllNoShrink(anyGeom, anyGeom) { (a, b) =>
       val d = GeomOps.distance(a, b)
-      d == GeomOps.distance(b, a) && d >= 0.0 &&
+      val dba = GeomOps.distance(b, a)
+      val ulps = math.abs(
+        java.lang.Double.doubleToLongBits(d) - java.lang.Double.doubleToLongBits(dba))
+      ulps <= 2 && d >= 0.0 &&
       ((d == 0.0) == GeomOps.intersects(a, b))
     })
   }
