@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic harness for the optimization rounds: run named queries under
+  * the Bench session shape and report the orchestration profile — job,
+  * stage and task counts, summed task time, and wall — so driver-loop /
+  * micro-batch fixed costs are measurable without the (disabled) UI.
+  *
+  * Usage: runMain graft.Profile <query[,query...]> [reps]
+  * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (same contract as Bench).
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val names = args.headOption.map(_.split(",").toSet)
+      .getOrElse(sys.error("usage: Profile <query[,query...]> [reps]"))
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = stages.incrementAndGet()
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        if (te.taskInfo != null) taskMs.addAndGet(te.taskInfo.duration)
+      }
+    })
+
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    run(SparkEntry.entry(spark)) // warmup: JVM + codegen + footer caches
+
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => names(n) }
+    selected.foreach { case (name, fn) =>
+      for (r <- 1 to reps) {
+        graft.core.Blocks.scrub(spark, blocking = true)
+        Thread.sleep(200) // let listener events from the scrub drain
+        val (j0, s0, t0, m0) = (jobs.get, stages.get, tasks.get, taskMs.get)
+        val w0 = System.nanoTime()
+        run(fn(spark, sfDir))
+        val wall = (System.nanoTime() - w0) / 1e9
+        Thread.sleep(300) // drain async listener events before the snapshot
+        println(f"PROFILE $name rep$r wall=$wall%.2fs jobs=${jobs.get - j0} " +
+          f"stages=${stages.get - s0} tasks=${tasks.get - t0} taskTime=${(taskMs.get - m0) / 1e3}%.1fs")
+      }
+    }
+    spark.stop()
+  }
+}
