@@ -35,6 +35,28 @@ object Blocks {
     (cp, (sc.getPersistentRDDs.keySet -- before).toSet)
   }
 
+  /** LAZY [[checkpoint]] (round 20): marks the plan for local checkpointing
+    * but runs no job — the caller's NEXT action over the returned frame
+    * materializes the blocks and truncates lineage in the same pass. An
+    * iterative loop that previously paid (eager checkpoint job) + (scan for
+    * its convergence signal) per round pays ONE job with this variant: the
+    * signal scan IS the materializer.
+    *
+    * CONTRACT: the first action over the returned frame must compute EVERY
+    * partition (an aggregate/count/full write — NOT limit/isEmpty/take,
+    * which compute a partition subset and leave the checkpoint partial).
+    * The pinned-id capture works exactly as in [[checkpoint]] because
+    * `localCheckpoint` persists (registers) the RDD immediately even in
+    * lazy mode; [[releaseSuperseded]]'s materialization ordering is then
+    * the caller's responsibility — run the materializing action BEFORE
+    * releasing the superseded round. */
+  def checkpointLazy[T](ds: Dataset[T]): (Dataset[T], Set[Int]) = {
+    val sc = ds.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = ds.localCheckpoint(false)
+    (cp, (sc.getPersistentRDDs.keySet -- before).toSet)
+  }
+
   /** Unpersist the given RDD ids (non-blocking). Ids already evicted or
     * unpersisted are ignored.
     *

@@ -193,9 +193,19 @@ object SpatialJoin {
     val Array(le) = left.agg(call_function("st_extent_agg", col(leftGeomCol)).as("e"))
       .select("e.xmin", "e.ymin", "e.xmax", "e.ymax").collect()
     val Array(re) = right.agg(call_function("st_extent_agg", col(rightGeomCol)).as("e"),
-        count(lit(1)).as("n"))
-      .select("e.xmin", "e.ymin", "e.xmax", "e.ymax", "n").collect()
+        count(lit(1)).as("n"),
+        approx_count_distinct(col(rightGeomCol)).as("ndv"))
+      .select("e.xmin", "e.ymin", "e.xmax", "e.ymax", "n", "ndv").collect()
     val nRight = re.getLong(4)
+    // distinct-LOCATION count (round 20): a duplicate-heavy right side
+    // (co-located sensors, tie-class fixtures) makes the ROW density
+    // overestimate spatial density — r0 comes out far too small and the
+    // loop burns empty doubling rounds (each one a full candidate pass)
+    // before the first neighbor appears. HLL ndv of the geometry bytes
+    // rides the same extent aggregate for free; for duplicate-free data
+    // ndv ≈ n and nothing changes. r0 only seeds the search — the loop is
+    // exact for any r0.
+    val ndvRight = math.max(1L, math.min(nRight, re.getLong(5)))
     if (nRight == 0 || le.isNullAt(0))
       return left.limit(0).crossJoin(right.limit(0))
         .withColumn("knn_dist", lit(0.0)).withColumn("knn_rank", lit(1L))
@@ -208,11 +218,16 @@ object SpatialJoin {
     val rMax =
       if (!geodesic) { if (diagDeg > 0) diagDeg else 1.0 }
       else 2.0031e7 // half the earth's circumference: the global distance bound
-    val density = (xmax - xmin) * (ymax - ymin) / nRight
+    val density = (xmax - xmin) * (ymax - ymin) / ndvRight
+    // k in LOCATION units: resolution needs k ROWS per left, and with the
+    // right side duplicated ~n/ndv deep, k·ndv/n locations already carry k
+    // rows (floor 1 — at least one location must fall inside the radius).
+    // Duplicate-free data: ndv ≈ n so kLoc ≈ k, the round-18 formula.
+    val kLoc = math.max(1.0, k.toDouble * ndvRight / math.max(1L, nRight))
     val r0 =
       if (initialRadius > 0) math.min(initialRadius, rMax)
       else if (density > 0) {
-        val r0Deg = math.sqrt(density * k / math.Pi) * 2.0
+        val r0Deg = math.sqrt(density * kLoc / math.Pi) * 2.0
         math.min(if (geodesic) r0Deg * 111320.0 else r0Deg, rMax)
       }
       else rMax / 64
@@ -244,7 +259,23 @@ object SpatialJoin {
         .withColumn("__rcy", explode(sequence(
           floor(col("__rb.ymin") / csy).cast("long"),
           floor(col("__rb.ymax") / csy).cast("long"))))
-      l.join(rr, col("__cx") === col("__rcx") && col("__cy") === col("__rcy"))
+      val joined0 = l.join(rr, col("__cx") === col("__rcx") && col("__cy") === col("__rcy"))
+      // a pair can meet in several cells (envelopes span cells) — keep one
+      // copy. Planar rounds use the REFERENCE-POINT rule (round 20, the
+      // GridSpatialJoinExec dedup): the min corner of (padded-left ∩ right)
+      // routing envelopes lies in exactly one cell, and that cell is always
+      // one of the pair's shared cells, so a plain filter replaces the old
+      // dropDuplicates — which re-shuffled the ENTIRE candidate pair stream
+      // (the operator's widest intermediate) by (leftId, rightId) every
+      // round. Geodesic rounds keep the explicit dedup: pmod-wrapped lon
+      // cells alias several unwrapped ranges onto one key, so no single
+      // unwrapped corner cell is well-defined at the seam.
+      val once =
+        if (geodesic) joined0
+        else joined0.where(
+          floor(greatest(col("__lb.xmin") - csx, col("__rb.xmin")) / csx).cast("long") === col("__cx") &&
+          floor(greatest(col("__lb.ymin") - csy, col("__rb.ymin")) / csy).cast("long") === col("__cy"))
+      val scored = once
         .withColumn("knn_dist",
           call_function(distFn, col(leftGeomCol), col(rightGeomCol)))
         // a NaN from a kernel edge case must fail LOUDLY — `NaN <= r` is
@@ -254,8 +285,7 @@ object SpatialJoin {
           .otherwise(col("knn_dist")))
         .where(col("knn_dist") <= lit(r))
         .drop("__lb", "__cx", "__cy", "__rb", "__rcx", "__rcy")
-        // a pair can meet in several cells (envelopes span cells) — one copy
-        .dropDuplicates(leftIdCol, rightIdCol)
+      if (geodesic) scored.dropDuplicates(leftIdCol, rightIdCol) else scored
     }
 
     val w = org.apache.spark.sql.expressions.Window
@@ -474,12 +504,16 @@ object SpatialJoin {
           .localCheckpoint(true)
         acc = if (acc == null) part else acc.unionByName(part)
         val resolved = part.select(col(leftIdCol).as("__res_id")).distinct()
-        val (next, nextIds) = graft.core.Blocks.checkpoint(
+        // lazy checkpoint + count (round 20): the count job materializes the
+        // anti-join checkpoint AND answers the loop's empty test in one pass
+        // — the old eager checkpoint + isEmpty paid two jobs per round
+        val (next, nextIds) = graft.core.Blocks.checkpointLazy(
           unresolved.join(resolved, col(leftIdCol) === col("__res_id"), "left_anti"))
+        val nUnres = next.count()
         graft.core.Blocks.releaseSuperseded(spark, unresolvedIds, nextIds)
         unresolved = next
         unresolvedIds = nextIds
-        if (unresolved.isEmpty) done = true else r = math.min(r * 2, rMax)
+        if (nUnres == 0) done = true else r = math.min(r * 2, rMax)
       }
     }
     graft.core.Blocks.release(spark, unresolvedIds)

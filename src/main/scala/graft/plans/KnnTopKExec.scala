@@ -78,14 +78,18 @@ case class KnnTopKExec(
     // synthesized unique per-ROW ids on both sides: the operator's
     // candidate dedup / round resolution require a unique left key (the
     // user's partition key may repeat), and the right id drives pair dedup
-    // and tie-break; localCheckpoint(eager) freezes the ids across the
-    // operator's candidate rounds (and caches the sides the rounds re-scan)
+    // and tie-break; localCheckpoint freezes the ids across the operator's
+    // candidate rounds (and caches the sides the rounds re-scan). LAZY
+    // (round 20): the operators' first action over each side is a full
+    // extent/stats aggregate, which materializes the checkpoint in the
+    // same job — the old eager mode paid two extra up-front jobs per query
+    // for the same blocks.
     val lDf = GraftInternal.ofRows(ss, leftPlan).toDF(lNames: _*)
       .withColumn("__knn_lid", monotonically_increasing_id())
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val rDf = GraftInternal.ofRows(ss, rightPlan).toDF(rNames: _*)
       .withColumn("__knn_rid", monotonically_increasing_id())
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val gi = leftPlan.output.indexWhere(_.exprId == leftGeom.exprId)
     val gj = rightPlan.output.indexWhere(_.exprId == rightGeom.exprId)
     val pi = leftPlan.output.indexWhere(_.exprId == partKey.exprId)
