@@ -46,22 +46,32 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
     // undirected closure; checkpointed once, reused by every iteration
-    val (und, undIds) = Blocks.checkpoint(
+    // (lazy — the initial labels sig below scans through it, one job)
+    val (und, undIds) = Blocks.checkpointLazy(
       e.union(e.select(col("b").as("a"), col("a").as("b")))
         .where(col("a") =!= col("b")).distinct())
+    // labels are monotonically non-increasing, so the global label sum
+    // strictly decreases until fixpoint. The signal rides the checkpoint
+    // materialization itself via observe() (round 20): CollectMetrics is
+    // pipelined into the same job, so a round pays ONE pass over the
+    // labels — the old separate sig() aggregate re-scanned the freshly
+    // checkpointed table every round (an extra job here, an extra full
+    // pass at scale).
+    def sigExpr = sum(col("label").cast("decimal(38,0)")).as("s")
+    // SUM over zero rows is null — an edgeless graph must converge on the
+    // first compare, not NPE
+    def sigOf(obs: org.apache.spark.sql.Observation): java.math.BigDecimal =
+      obs.get("s") match {
+        case d: java.math.BigDecimal => d
+        case _ => java.math.BigDecimal.ZERO
+      }
+    val obs0 = org.apache.spark.sql.Observation()
     var (labels, labelIds) = Blocks.checkpoint(
-      und.select(col("a").as("id")).distinct().withColumn("label", col("id")))
+      und.select(col("a").as("id")).distinct().withColumn("label", col("id"))
+        .observe(obs0, sigExpr))
     var iter = 0
     var converged = false
-    // labels are monotonically non-increasing, so the global label sum
-    // strictly decreases until fixpoint — convergence is one cheap scan of
-    // the checkpointed table, not a join
-    def sig(df: DataFrame): java.math.BigDecimal =
-      // SUM over zero rows is null — an edgeless graph must converge on the
-      // first compare, not NPE
-      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSig = sig(labels)
+    var prevSig = sigOf(obs0)
     while (iter < maxIter && !converged) {
       if (iter >= starSwitchIter) {
         // still moving after starSwitchIter rounds => high-diameter graph;
@@ -75,12 +85,15 @@ object ConnectedComponents {
         try return runStars(und, "a", "b", maxIter = math.max(maxIter, 50), strict = strict)
         finally Blocks.release(spark, undIds)
       }
-      // neighbor labels flow along edges; min with own label
+      // neighbor labels flow along edges; min with own label; the
+      // convergence signal is observed inside the checkpoint job
       val msgs = und.join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
         .select(col("a").as("id"), col("label"))
+      val obs = org.apache.spark.sql.Observation()
       val (next, nextIds) = Blocks.checkpoint(
-        labels.union(msgs).groupBy("id").agg(min("label").as("label")))
-      val s = sig(next)
+        labels.union(msgs).groupBy("id").agg(min("label").as("label"))
+          .observe(obs, sigExpr))
+      val s = sigOf(obs)
       converged = s.compareTo(prevSig) == 0
       prevSig = s
       // the new checkpoint is materialized — the previous round's blocks are
@@ -131,36 +144,58 @@ object ConnectedComponents {
       // large-star symmetrizes from
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
-    var (cur, curIds) = Blocks.checkpoint(e0)
     // signature: (count, sum u, sum v, sum xxhash64(u, v)) of the canonical
-    // distinct set — rounds strictly shrink the label mass until fixpoint
-    def sig(df: DataFrame): Seq[Any] =
-      df.agg(count(lit(1)), sum(col("u").cast("decimal(38,0)")),
-        sum(col("v").cast("decimal(38,0)")),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head().toSeq
-    var prevSig = sig(cur)
+    // distinct set — rounds strictly shrink the label mass until fixpoint.
+    // Observed inside each round's checkpoint job (round 20): CollectMetrics
+    // pipelines into the materialization, so no separate signature scan —
+    // one less job per round here, one less full edge pass at scale.
+    def sigExprs = Seq(count(lit(1)).as("n"),
+      sum(col("u").cast("decimal(38,0)")).as("su"),
+      sum(col("v").cast("decimal(38,0)")).as("sv"),
+      sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("sh"))
+    def sigOf(obs: org.apache.spark.sql.Observation): Seq[Any] = {
+      val m = obs.get
+      Seq(m("n"), m("su"), m("sv"), m("sh"))
+    }
+    def observed(df: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = org.apache.spark.sql.Observation()
+      (df.observe(obs, sigExprs.head, sigExprs.tail: _*), obs)
+    }
+    val (e0Obs, obs0) = observed(e0)
+    var (cur, curIds) = Blocks.checkpoint(e0Obs)
+    var prevSig = sigOf(obs0)
     var iter = 0
     var converged = false
+    // per-node neighborhood minima via a WINDOW over the hook key (round
+    // 20): the groupBy(min) + equi-join form paid an aggregate exchange
+    // PLUS a join (a broadcast build locally, a second full edge shuffle
+    // at scale) per star; the window computes the same min in the single
+    // partition-by-u exchange and every edge reads it in place.
+    val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
     while (iter < maxIter && !converged) {
       // ── large-star: for every node a, hook neighbors b > a onto
       // m = min(Γ(a) ∪ {a}); emitted (b, m) always has b > m
       val und = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
-      val mins = und.groupBy("u").agg(min("v").as("mn"))
-      val large = und.join(mins, "u")
+      // no intermediate distinct: duplicate (u, v) pairs don't move the
+      // small-star window minima, and the round's final distinct
+      // canonicalizes — dropping it removes one full exchange per round
+      // (duplicates here are bounded by |und|: each input edge emits at
+      // most one large-star pair)
+      val large = und.withColumn("mn", min(col("v")).over(wU))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
         .where(col("u") =!= col("v"))
-        .distinct()
       // ── small-star over the (bigger → smaller) edges: for every node u,
       // m = min(N_small(u)); hook N_small(u) ∪ {u} (minus m itself) onto m
-      val smins = large.groupBy("u").agg(min("v").as("mn"))
-      val hooked = large.join(smins, "u")
+      val largeM = large.withColumn("mn", min(col("v")).over(wU))
+      val hooked = largeM
         .select(col("v").as("u"), col("mn").as("v"))
         .where(col("u") =!= col("v"))
-        .union(smins.select(col("u"), col("mn").as("v")))
+        .union(largeM.select(col("u"), col("mn").as("v")))
         .distinct()
-      val (next, nextIds) = Blocks.checkpoint(hooked)
-      val s = sig(next)
+      val (hookedObs, obs) = observed(hooked)
+      val (next, nextIds) = Blocks.checkpoint(hookedObs)
+      val s = sigOf(obs)
       converged = s == prevSig
       prevSig = s
       Blocks.releaseSuperseded(spark, curIds, nextIds)
