@@ -30,9 +30,20 @@ object Profile {
     val stages = new java.util.concurrent.atomic.AtomicLong
     val tasks = new java.util.concurrent.atomic.AtomicLong
     val taskMs = new java.util.concurrent.atomic.AtomicLong
+    // per-stage wall + task-time attribution, keyed by the stage's callsite
+    val stageAgg = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = stages.incrementAndGet()
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        val si = sc.stageInfo
+        val key = si.name.split("\n")(0)
+        val dur = (for (a <- si.completionTime; b <- si.submissionTime) yield a - b).getOrElse(0L)
+        stageAgg.compute(key, (_, v) => {
+          val arr = if (v == null) Array(0L, 0L) else v
+          arr(0) += dur; arr(1) += 1; arr
+        })
+      }
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         if (te.taskInfo != null) taskMs.addAndGet(te.taskInfo.duration)
@@ -50,6 +61,7 @@ object Profile {
       for (r <- 1 to reps) {
         graft.core.Blocks.scrub(spark, blocking = true)
         Thread.sleep(200) // let listener events from the scrub drain
+        stageAgg.clear()
         val (j0, s0, t0, m0) = (jobs.get, stages.get, tasks.get, taskMs.get)
         val w0 = System.nanoTime()
         run(fn(spark, sfDir))
@@ -57,6 +69,12 @@ object Profile {
         Thread.sleep(300) // drain async listener events before the snapshot
         println(f"PROFILE $name rep$r wall=$wall%.2fs jobs=${jobs.get - j0} " +
           f"stages=${stages.get - s0} tasks=${tasks.get - t0} taskTime=${(taskMs.get - m0) / 1e3}%.1fs")
+        if (r == reps) {
+          import scala.jdk.CollectionConverters._
+          stageAgg.asScala.toSeq.sortBy(-_._2(0)).take(8).foreach { case (k, v) =>
+            println(f"  STAGE ${v(0) / 1e3}%7.2fs n=${v(1)}%-3d $k")
+          }
+        }
       }
     }
     spark.stop()
