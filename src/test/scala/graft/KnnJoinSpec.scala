@@ -1051,4 +1051,61 @@ class KnnJoinSpec extends SparkTestBase {
       }
     }
   }
+
+  test("knn on multi-cell ENVELOPES: reference-point dedup emits each pair once") {
+    // round-20 guard for the shuffle-free pair dedup: envelopes larger than
+    // the round's cell size meet in SEVERAL grid cells, and a pair emitted
+    // twice would corrupt rank-mode pool counts (__cnt) and duplicate
+    // row_number output rows. Tiny initialRadius forces multi-round
+    // resolution with cells far smaller than the boxes, maximizing
+    // multi-cell co-occurrence; brute force over envelope distance is the
+    // ground truth in BOTH modes.
+    graft.functions.GeoFunctions.register(spark)
+    def boxes(rows: Seq[(Long, Double, Double, Double)], id: String, g: String) =
+      rows.toDF(id, "__x", "__y", "__s")
+        .withColumn(g, call_function("st_makeenvelope",
+          col("__x"), col("__y"), col("__x") + col("__s"), col("__y") + col("__s")))
+        .drop("__x", "__y", "__s")
+    // overlapping + disjoint boxes of mixed sizes; exact-tie distances
+    // (aligned gaps) exercise the ties mode across the boundary
+    val l = Seq((1L, 0.0, 0.0, 8.0), (2L, 20.0, 0.0, 4.0), (3L, 7.0, 7.0, 6.0))
+    val r = Seq((10L, 3.0, 3.0, 9.0), (11L, 12.0, 0.0, 5.0), (12L, 30.0, 0.0, 5.0),
+      (13L, 0.0, 12.0, 4.0), (14L, 20.0, 8.0, 4.0), (15L, -9.0, 0.0, 5.0),
+      (16L, 30.0, 8.0, 2.0))
+    val jtsBoxes = (rows: Seq[(Long, Double, Double, Double)]) => rows.map { case (id, x, y, s) =>
+      id -> graft.core.GeomOps.makeEnvelope(x, y, x + s, y + s) }.toMap
+    val lg = jtsBoxes(l); val rg = jtsBoxes(r)
+    def bf(k: Int) = l.map { case (lid, _, _, _) =>
+      lid -> r.map { case (rid, _, _, _) =>
+        (rid, graft.core.GeomOps.distance(lg(lid), rg(rid))) }
+        .sortBy { case (rid, d) => (d, rid) }.take(k)
+    }.toMap
+    for (mode <- Seq("row_number", "rank")) {
+      val out = SpatialJoin.knn(boxes(l, "lid", "lgm"), boxes(r, "rid", "rgm"),
+        "lgm", "rgm", 3, "lid", "rid", initialRadius = 0.5, rankMode = mode)
+        .select("lid", "rid", "knn_dist", "knn_rank")
+        .as[(Long, Long, Double, Long)].collect()
+      // no pair may appear twice (the dedup contract itself)
+      val pairs = out.map(t => (t._1, t._2)).toSeq
+      assert(pairs.distinct.size == pairs.size, s"$mode: duplicate pairs ${pairs.diff(pairs.distinct)}")
+      val byL = out.groupBy(_._1)
+      for ((lid, _, _, _) <- l) {
+        val exp = bf(3)(lid)
+        val got = byL(lid).sortBy(t => (t._3, t._2)).map(t => (t._2, t._3)).toSeq
+        if (mode == "row_number")
+          assert(got.map(_._1) == exp.map(_._1), s"$mode lid=$lid: got $got expected $exp")
+        else {
+          // rank keeps boundary ties: expected set = all rids with dist <=
+          // the k-th smallest distance
+          val kth = exp.last._2
+          val expSet = r.map(_._1).filter(rid =>
+            graft.core.GeomOps.distance(lg(lid), rg(rid)) <= kth + 1e-12).toSet
+          assert(got.map(_._1).toSet == expSet, s"$mode lid=$lid: got $got expected set $expSet")
+        }
+        got.foreach { case (rid, d) =>
+          assert(math.abs(d - graft.core.GeomOps.distance(lg(lid), rg(rid))) < 1e-12)
+        }
+      }
+    }
+  }
 }
