@@ -55,6 +55,27 @@ object Profile {
       }
     })
 
+    // Catalyst phase attribution (round 21): per-execution analysis /
+    // optimization / planning durations from the QueryPlanningTracker,
+    // summed across every (nested) query execution the query runs — the
+    // e-family diagnosis (VERDICT item 4) needs Catalyst-vs-execution
+    // separation, not just job counts.
+    val phaseMs = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    val execCount = new java.util.concurrent.atomic.AtomicLong
+    def addPhases(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+      execCount.incrementAndGet()
+      qe.tracker.phases.foreach { case (p, s) =>
+        phaseMs.computeIfAbsent(p, _ => new java.util.concurrent.atomic.AtomicLong)
+          .addAndGet(s.durationMs)
+      }
+    }
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             ns: Long): Unit = addPhases(qe)
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = addPhases(qe)
+    })
+
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
@@ -67,13 +88,21 @@ object Profile {
         graft.core.Blocks.scrub(spark, blocking = true)
         Thread.sleep(200) // let listener events from the scrub drain
         stageAgg.clear()
+        phaseMs.clear()
+        execCount.set(0)
         val (j0, s0, t0, m0) = (jobs.get, stages.get, tasks.get, taskMs.get)
         val w0 = System.nanoTime()
-        run(fn(spark, sfDir))
+        val df = fn(spark, sfDir)
+        val buildS = (System.nanoTime() - w0) / 1e9 // spark.sql() = analysis
+        run(df)
         val wall = (System.nanoTime() - w0) / 1e9
         Thread.sleep(300) // drain async listener events before the snapshot
+        import scala.jdk.CollectionConverters._
+        val phases = phaseMs.asScala.toSeq.sortBy(_._1)
+          .map { case (p, v) => f"$p=${v.get / 1e3}%.2fs" }.mkString(" ")
         println(f"PROFILE $name rep$r wall=$wall%.2fs jobs=${jobs.get - j0} " +
-          f"stages=${stages.get - s0} tasks=${tasks.get - t0} taskTime=${(taskMs.get - m0) / 1e3}%.1fs")
+          f"stages=${stages.get - s0} tasks=${tasks.get - t0} taskTime=${(taskMs.get - m0) / 1e3}%.1fs " +
+          f"build=$buildS%.2fs nExec=${execCount.get} $phases")
         if (r == reps) {
           import scala.jdk.CollectionConverters._
           stageAgg.asScala.toSeq.sortBy(-_._2(0)).take(8).foreach { case (k, v) =>

@@ -58,6 +58,93 @@ object ScaleCheck {
       graft.core.Blocks.scrub(spark, blocking = true)
     }
 
+    // ── components: 1M-edge STAR graph (round 21, VERDICT item 3) — the
+    // adversarial hub for the window-based star rounds: every edge shares
+    // vertex 0, so the `min over (partition by u)` window sees ONE key with
+    // 1M rows in a single task's sort. This pins that the round completes
+    // within a sane wall (WindowExec buffers spill past
+    // spark.sql.windowExec.buffer.spill.threshold) instead of OOMing or
+    // stalling — the documented trade against the old groupBy+join form
+    // (whose single-key skew the AQE join split could shave at scale, at
+    // the price of a second full edge shuffle per round).
+    locally {
+      val edges = spark.range(1000000).toDF("id")
+        .select(lit(0L).as("src"), (col("id") + 1).as("dst"))
+      val comp = timed("runStars_1M_hub_star") {
+        val c = graft.operators.ConnectedComponents.runStars(edges, "src", "dst")
+        c.count(); c
+      }
+      val bad = comp.where(col("component") =!= 0L).count()
+      val n = comp.count()
+      println(s"SCALECHECK runStars_hub correctness: mislabeled=$bad of $n (expect 0 of 1000001)")
+      graft.core.Blocks.scrub(spark, blocking = true)
+    }
+
+    // ── streaming: changelog-vs-snapshot RocksDB commit A/B at a state
+    // size where the difference is measurable (round 21, VERDICT item 5):
+    // 20 micro-batches × 50k NEW keys each — by the last batches the store
+    // holds ~1M keys, so a full-snapshot commit zips the whole store per
+    // batch while changelog appends only the 50k-key delta. The s-suite
+    // fixtures (≤200 rows, 4-6 batches) cannot show this; the bench-level
+    // flatness of the r20 change is expected and this is the evidence it
+    // was still the right setting.
+    locally {
+      val src = java.nio.file.Files.createTempDirectory("sc_stream_src").toString
+      (0 until 20).foreach { b =>
+        spark.range(50000).select(
+            (col("id") + b * 50000L).as("key"), lit(1L).as("v"))
+          .coalesce(1).write.parquet(s"$src/stage$b")
+        val part = new java.io.File(s"$src/stage$b").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(src, f"f$b%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + b * 60000L)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+      def run(changelog: Boolean): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("sc_stream_ck").toString
+        val sess = spark.newSession()
+        sess.conf.set("spark.sql.shuffle.partitions", "4")
+        sess.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        sess.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          changelog.toString)
+        val qname = s"sc_stream_${if (changelog) "changelog" else "snapshot"}"
+        try {
+          val q = sess.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .groupBy("key").count()
+            .writeStream.format("memory").queryName(qname)
+            .option("checkpointLocation", tmp + "/ckpt")
+            .outputMode("update")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          timed(qname) { q.awaitTermination() }
+          val rows = sess.table(qname).count()
+          println(s"SCALECHECK $qname rows=$rows (expect 1000000)")
+        } finally {
+          try {
+            val ss = Class.forName(
+              "org.apache.spark.sql.execution.streaming.state.StateStore$")
+            ss.getMethod("unloadAll").invoke(ss.getField("MODULE$").get(null))
+          } catch { case _: ReflectiveOperationException => }
+          def rm(f: java.io.File): Unit = {
+            val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+          }
+          rm(new java.io.File(tmp))
+        }
+      }
+      run(changelog = false)
+      run(changelog = true)
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(src))
+    }
+
     // ── kNN: 1M right points (with 4× duplication — the ndv path), 20k
     // left, k=3; probe: every left row resolves exactly k neighbors and
     // ranks are 1..k

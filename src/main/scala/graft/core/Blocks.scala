@@ -44,12 +44,19 @@ object Blocks {
     *
     * CONTRACT: the first action over the returned frame must compute EVERY
     * partition (an aggregate/count/full write — NOT limit/isEmpty/take,
-    * which compute a partition subset and leave the checkpoint partial).
+    * which compute a partition subset). In current Spark the contract is
+    * additionally self-healing — `LocalRDDCheckpointData.doCheckpoint()`
+    * runs at the end of the FIRST job touching the marked RDD and launches
+    * a completion job for any missing partitions (pinned by BlocksSpec) —
+    * but callers must not lean on that: the completion job is a separate
+    * full pass, i.e. exactly the extra work this variant exists to avoid.
     * The pinned-id capture works exactly as in [[checkpoint]] because
     * `localCheckpoint` persists (registers) the RDD immediately even in
     * lazy mode; [[releaseSuperseded]]'s materialization ordering is then
     * the caller's responsibility — run the materializing action BEFORE
-    * releasing the superseded round. */
+    * releasing the superseded round. `graft.blocks.assertFullyMaterialized`
+    * turns that ordering into a loud per-round assertion (see
+    * [[releaseSuperseded]]). */
   def checkpointLazy[T](ds: Dataset[T]): (Dataset[T], Set[Int]) = {
     val sc = ds.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
@@ -84,6 +91,26 @@ object Blocks {
     require(next.nonEmpty && next.exists(reg.contains),
       s"superseding checkpoint pinned no registered blocks (next=$next) — " +
         "releasing the prior round would make it unrecomputable")
+    // [[checkpointLazy]] contract guard (round 21, opt-in): with
+    // `graft.blocks.assertFullyMaterialized=true` the release additionally
+    // asserts every superseding RDD has ALL partitions in the block store —
+    // a loop whose "materializing" first action was a limit/take/isEmpty
+    // (computing only a partition subset) fails loudly here instead of
+    // surfacing later as an unrecomputable-block heisenbug. Off by default:
+    // the storage-status sweep is a per-round driver RPC aggregation, and
+    // every in-repo loop's first action is a full-partition aggregate by
+    // construction (spec-pinned in BlocksSpec).
+    if (spark.conf.get("graft.blocks.assertFullyMaterialized", "false").toBoolean) {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      next.filter(reg.contains).foreach { id =>
+        val info = infos.find(_.id == id)
+        require(info.exists(i => i.numCachedPartitions == i.numPartitions),
+          s"checkpointLazy contract violated: superseding RDD $id is only " +
+            s"${info.map(i => s"${i.numCachedPartitions}/${i.numPartitions}").getOrElse("0")} " +
+            "materialized — the first action over a lazy checkpoint must " +
+            "compute EVERY partition (full aggregate/count/write, not limit/take/isEmpty)")
+      }
+    }
     release(spark, prev)
   }
 

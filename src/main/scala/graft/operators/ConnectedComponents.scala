@@ -26,6 +26,27 @@ object ConnectedComponents {
   /** Spec probe: number of automatic min-label → star-rounds switches. */
   private[graft] val starSwitches = new java.util.concurrent.atomic.LongAdder
 
+  /** Observed metrics with a BOUNDED wait (round-20 ADVICE): `obs.get`
+    * blocks indefinitely, so if a future Spark version stopped delivering
+    * CollectMetrics for the checkpoint action the loop would hang instead
+    * of failing loudly. Await the observation's public `future` up to a
+    * generous 120 s (the checkpoint job has already completed when this is
+    * called, so the listener delivery is normally microseconds away), then
+    * fall back to re-deriving the signature with a direct aggregate scan —
+    * one extra job, on a path never expected to be taken. */
+  private def awaitMetrics(obs: org.apache.spark.sql.Observation,
+                           fallback: => Map[String, Any]): Map[String, Any] =
+    try {
+      val row = scala.concurrent.Await.result(
+        obs.future, scala.concurrent.duration.Duration(120, "s"))
+      row.schema.fieldNames.zip(row.toSeq).toMap
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        log.warn("ConnectedComponents: observed metrics not delivered within " +
+          "120 s — falling back to a direct signature aggregate")
+        fallback
+    }
+
   /** `edges(srcCol, dstCol)` (any numeric/long ids) → `(id, component)`
     * where `component` is the minimum vertex id reachable from `id`.
     * Vertices only ever seen as isolated (no edges) are absent — union the
@@ -60,8 +81,8 @@ object ConnectedComponents {
     def sigExpr = sum(col("label").cast("decimal(38,0)")).as("s")
     // SUM over zero rows is null — an edgeless graph must converge on the
     // first compare, not NPE
-    def sigOf(obs: org.apache.spark.sql.Observation): java.math.BigDecimal =
-      obs.get("s") match {
+    def sigOf(obs: org.apache.spark.sql.Observation, df: DataFrame): java.math.BigDecimal =
+      awaitMetrics(obs, Map("s" -> df.agg(sigExpr).collect()(0).get(0)))("s") match {
         case d: java.math.BigDecimal => d
         case _ => java.math.BigDecimal.ZERO
       }
@@ -71,7 +92,7 @@ object ConnectedComponents {
         .observe(obs0, sigExpr))
     var iter = 0
     var converged = false
-    var prevSig = sigOf(obs0)
+    var prevSig = sigOf(obs0, labels)
     while (iter < maxIter && !converged) {
       if (iter >= starSwitchIter) {
         // still moving after starSwitchIter rounds => high-diameter graph;
@@ -93,7 +114,7 @@ object ConnectedComponents {
       val (next, nextIds) = Blocks.checkpoint(
         labels.union(msgs).groupBy("id").agg(min("label").as("label"))
           .observe(obs, sigExpr))
-      val s = sigOf(obs)
+      val s = sigOf(obs, next)
       converged = s.compareTo(prevSig) == 0
       prevSig = s
       // the new checkpoint is materialized — the previous round's blocks are
@@ -128,11 +149,25 @@ object ConnectedComponents {
     *
     * Per round: large-star hooks every neighbor v > u onto
     * min(Γ(u) ∪ {u}); small-star then hooks each node's smaller
-    * neighborhood onto its minimum. Both are one groupBy-min + one
-    * equi-join — no collect, no driver-side graph. At fixpoint the edge
-    * set IS the component stars (child → root). Output matches [[run]]:
-    * `(id, component)` with component = min reachable id; isolated
-    * vertices absent. */
+    * neighborhood onto its minimum. Both minima are `min over
+    * (partition by u)` WINDOWS (round 20) — computed inside the single
+    * partition-by-u exchange each star pays anyway, with no aggregate
+    * exchange, no equi-join, no intermediate distinct; no collect, no
+    * driver-side graph. At fixpoint the edge set IS the component stars
+    * (child → root). Output matches [[run]]: `(id, component)` with
+    * component = min reachable id; isolated vertices absent.
+    *
+    * Skew note (round 21): a hub vertex puts its whole neighborhood in ONE
+    * window task's sort — WindowExec buffers spill to disk past
+    * `spark.sql.windowExec.buffer.spill.threshold`, so the round completes
+    * bounded by one task scanning the hub's edges (ScaleCheck pins a
+    * 1M-edge star within a sane wall). The alternative groupBy-min +
+    * equi-join form absorbs the hub map-side and its join partition is
+    * AQE-skew-splittable, but costs a second full edge shuffle per star
+    * round at any scale — a worse trade than one spill-bounded straggler
+    * task on the rare hub. Star rounds also SHRINK hubs: large-star hooks
+    * the hub's neighbors onto the minimum, so the skewed key lasts O(1)
+    * rounds, not the whole run. */
   def runStars(edges: DataFrame, srcCol: String, dstCol: String,
                maxIter: Int = 50, strict: Boolean = true): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
@@ -153,8 +188,11 @@ object ConnectedComponents {
       sum(col("u").cast("decimal(38,0)")).as("su"),
       sum(col("v").cast("decimal(38,0)")).as("sv"),
       sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("sh"))
-    def sigOf(obs: org.apache.spark.sql.Observation): Seq[Any] = {
-      val m = obs.get
+    def sigOf(obs: org.apache.spark.sql.Observation, df: DataFrame): Seq[Any] = {
+      val m = awaitMetrics(obs, {
+        val r = df.agg(sigExprs.head, sigExprs.tail: _*).collect()(0)
+        Map("n" -> r.get(0), "su" -> r.get(1), "sv" -> r.get(2), "sh" -> r.get(3))
+      })
       Seq(m("n"), m("su"), m("sv"), m("sh"))
     }
     def observed(df: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
@@ -163,7 +201,7 @@ object ConnectedComponents {
     }
     val (e0Obs, obs0) = observed(e0)
     var (cur, curIds) = Blocks.checkpoint(e0Obs)
-    var prevSig = sigOf(obs0)
+    var prevSig = sigOf(obs0, cur)
     var iter = 0
     var converged = false
     // per-node neighborhood minima via a WINDOW over the hook key (round
@@ -195,7 +233,7 @@ object ConnectedComponents {
         .distinct()
       val (hookedObs, obs) = observed(hooked)
       val (next, nextIds) = Blocks.checkpoint(hookedObs)
-      val s = sigOf(obs)
+      val s = sigOf(obs, next)
       converged = s == prevSig
       prevSig = s
       Blocks.releaseSuperseded(spark, curIds, nextIds)

@@ -55,11 +55,19 @@ object Dbscan {
     val (pts, _) = Blocks.checkpoint(
       df.select(col(idCol).cast("long").as("id"), col(geomCol).as("geom")))
 
-    // neighbor pairs, self excluded; the strategy plans the cell-grid join
+    // neighbor pairs CANONICAL (src < dst), self excluded — round 21: the
+    // symmetric predicate means (a,b) matches iff (b,a) does, so emitting
+    // each unordered pair once HALVES the join's exact refine tests (the
+    // inequality is absorbed into GridSpatialJoinExec's probe loop and
+    // evaluated before the JTS test) and halves the operator's widest
+    // intermediate — this pair checkpoint. Consumers that need both
+    // directions read the cheap `both` union below (a narrow op over the
+    // half-size checkpoint, not a second join pass).
     val (pairs, _) = Blocks.checkpoint(
       pts.as("a").join(pts.as("b"),
-          expr(predicateSql) && col("a.id") =!= col("b.id"))
+          expr(predicateSql) && col("a.id") < col("b.id"))
         .select(col("a.id").as("src"), col("b.id").as("dst")))
+    def both = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
 
     // ε-degree including the point itself. A point with zero ε-neighbors
     // never reaches the pairs list, so minPts <= 1 (every point core by
@@ -67,12 +75,14 @@ object Dbscan {
     // isolated points would read as noise instead of singleton clusters.
     val core =
       if (minPts <= 1) pts.select("id")
-      else pairs.groupBy("src").agg(count(lit(1)).as("deg"))
+      else both.groupBy("src").agg(count(lit(1)).as("deg"))
         .where(col("deg") + 1 >= minPts)
         .select(col("src").as("id"))
     val (coreCp, _) = Blocks.checkpoint(core)
 
-    // core–core edges → components; isolated core points label themselves
+    // core–core edges → components; isolated core points label themselves.
+    // The half-size canonical pairs are enough: run() symmetrizes its input
+    // into the same undirected closure either way.
     val coreEdges = pairs
       .join(coreCp.withColumnRenamed("id", "src"), Seq("src"))
       .join(coreCp.withColumnRenamed("id", "dst"), Seq("dst"))
@@ -82,17 +92,27 @@ object Dbscan {
       .select(col("id"), coalesce(col("component"), col("id")).as("__core_cluster"))
     val (coreLabelsCp, _) = Blocks.checkpoint(coreLabels)
 
-    // border candidates: smallest core-neighbor cluster per point (core
-    // points also appear here, but coalesce below prefers their own label)
-    val borderLabels = pairs
-      .join(coreLabelsCp.withColumnRenamed("id", "dst"), Seq("dst"))
-      .groupBy(col("src").as("id")).agg(min("__core_cluster").as("__border_cluster"))
-
-    val labels = pts.select("id")
-      .join(coreLabelsCp, Seq("id"), "left")
-      .join(borderLabels, Seq("id"), "left")
-      .select(col("id").as("__dbscan_id"),
-        coalesce(col("__core_cluster"), col("__border_cluster")).as("cluster_id"))
+    val labels =
+      if (minPts <= 1)
+        // every point is core (deg-incl-self = 1 ≥ minPts), so the border
+        // pass can never contribute: coalesce(core, border) always takes
+        // the core label. Skipping it saves a join + aggregate over the
+        // full pair stream for the ST_ClusterWithin/ClusterIntersecting
+        // family (round 21) — coreLabelsCp already has one row per point.
+        coreLabelsCp.select(col("id").as("__dbscan_id"),
+          col("__core_cluster").as("cluster_id"))
+      else {
+        // border candidates: smallest core-neighbor cluster per point (core
+        // points also appear here, but coalesce below prefers their own label)
+        val borderLabels = both
+          .join(coreLabelsCp.withColumnRenamed("id", "dst"), Seq("dst"))
+          .groupBy(col("src").as("id")).agg(min("__core_cluster").as("__border_cluster"))
+        pts.select("id")
+          .join(coreLabelsCp, Seq("id"), "left")
+          .join(borderLabels, Seq("id"), "left")
+          .select(col("id").as("__dbscan_id"),
+            coalesce(col("__core_cluster"), col("__border_cluster")).as("cluster_id"))
+      }
 
     df.join(labels, df(idCol).cast("long") === col("__dbscan_id"), "left")
       .drop("__dbscan_id")

@@ -88,6 +88,13 @@ object SpatialJoin {
     * so the result is deterministic). Emits `knn_dist` and `knn_rank`
     * columns after the two sides' columns (which must be disjoint).
     *
+    * `leftIdCol`/`rightIdCol` MUST be unique per row: the round resolution
+    * keys on the left id and the pair dedup + tie-break on the right id (a
+    * duplicated right id would make its rows indistinguishable to the
+    * ranking in EVERY metric — round 21 aligned geodesic with planar here;
+    * the auto-planned path, [[graft.plans.KnnTopKExec]], synthesizes unique
+    * ids so SQL callers never see this constraint).
+    *
     * Topology (the 100 TB shape): iterative radius doubling over a grid
     * join. Round i buckets both sides into cells of size r_i; a left row
     * probes the cells its envelope expanded by r_i covers, a right row
@@ -241,20 +248,29 @@ object SpatialJoin {
         else (r, 0L, r)
       val csx = lit(csXv)
       val csy = lit(csYv)
+      val nL = lit(nLon)
       def wrapX(c: org.apache.spark.sql.Column) =
-        if (geodesic) pmod(c, lit(nLon)) else c
+        if (geodesic) pmod(c, nL) else c
+      // unwrapped lon-cell range endpoints per side, in CELL INDEX space.
+      // Geodesic upper bounds are CLAMPED to nLon consecutive cells (round
+      // 21): an envelope wider than the circle would otherwise emit the
+      // same wrapped key several times per row — wasted join rows before,
+      // and the seam-aware reference rule below needs each wrapped key
+      // exactly once per row per side. The wrapped key SET is unchanged.
+      val lx0 = floor((col("__lb.xmin") - csx) / csx).cast("long")
+      val lx1raw = floor((col("__lb.xmax") + csx) / csx).cast("long")
+      val lx1 = if (geodesic) least(lx1raw, lx0 + nL - 1) else lx1raw
+      val rx0 = floor(col("__rb.xmin") / csx).cast("long")
+      val rx1raw = floor(col("__rb.xmax") / csx).cast("long")
+      val rx1 = if (geodesic) least(rx1raw, rx0 + nL - 1) else rx1raw
       val l = lhs.withColumn("__lb", call_function("st_bbox", col(leftGeomCol)))
-        .withColumn("__cx", explode(sequence(
-          floor((col("__lb.xmin") - csx) / csx).cast("long"),
-          floor((col("__lb.xmax") + csx) / csx).cast("long"))))
+        .withColumn("__cx", explode(sequence(lx0, lx1)))
         .withColumn("__cx", wrapX(col("__cx")))
         .withColumn("__cy", explode(sequence(
           floor((col("__lb.ymin") - csy) / csy).cast("long"),
           floor((col("__lb.ymax") + csy) / csy).cast("long"))))
       val rr = right.withColumn("__rb", call_function("st_bbox", col(rightGeomCol)))
-        .withColumn("__rcx", explode(sequence(
-          floor(col("__rb.xmin") / csx).cast("long"),
-          floor(col("__rb.xmax") / csx).cast("long"))))
+        .withColumn("__rcx", explode(sequence(rx0, rx1)))
         .withColumn("__rcx", wrapX(col("__rcx")))
         .withColumn("__rcy", explode(sequence(
           floor(col("__rb.ymin") / csy).cast("long"),
@@ -267,15 +283,34 @@ object SpatialJoin {
       // one of the pair's shared cells, so a plain filter replaces the old
       // dropDuplicates — which re-shuffled the ENTIRE candidate pair stream
       // (the operator's widest intermediate) by (leftId, rightId) every
-      // round. Geodesic rounds keep the explicit dedup: pmod-wrapped lon
-      // cells alias several unwrapped ranges onto one key, so no single
-      // unwrapped corner cell is well-defined at the seam.
+      // round. Geodesic rounds (round 21) use the SEAM-AWARE form of the
+      // same rule, in unwrapped lon-cell space modulo nLon: take m = the
+      // smallest integer with rx1 + m·nLon ≥ lx0 (= ceil((lx0−rx1)/nLon)).
+      // For any pair the wrapped join matched, the right range shifted by
+      // m·nLon MUST intersect [lx0, lx1]: if it missed above
+      // (rx0 + m·nLon > lx1) the next copy starts a full circle higher and
+      // misses too, and every copy below m ends under lx0 — so no copy
+      // would intersect and the wrapped keys could not have matched (both
+      // ranges are clamped to ≤ nLon cells, so wrapped-key match ⟺ some
+      // shifted copy intersects). The intersection min
+      // max(lx0, rx0 + m·nLon) is therefore a unique per-pair cell both
+      // sides emitted — a plain filter on its pmod replaces the old
+      // per-round dropDuplicates Exchange of the full candidate stream.
+      // Cell indices stay ≪ 2^53, so the double-division ceil is exact.
+      // Latitude cells never wrap: the planar min-corner rule applies
+      // unchanged on y.
       val once =
-        if (geodesic) joined0
+        if (geodesic) {
+          val m = ceil((lx0 - rx1).cast("double") / nL.cast("double")).cast("long")
+          val refU = greatest(lx0, rx0 + m * nL)
+          joined0.where(
+            pmod(refU, nL) === col("__cx") &&
+            floor(greatest(col("__lb.ymin") - csy, col("__rb.ymin")) / csy).cast("long") === col("__cy"))
+        }
         else joined0.where(
           floor(greatest(col("__lb.xmin") - csx, col("__rb.xmin")) / csx).cast("long") === col("__cx") &&
           floor(greatest(col("__lb.ymin") - csy, col("__rb.ymin")) / csy).cast("long") === col("__cy"))
-      val scored = once
+      once
         .withColumn("knn_dist",
           call_function(distFn, col(leftGeomCol), col(rightGeomCol)))
         // a NaN from a kernel edge case must fail LOUDLY — `NaN <= r` is
@@ -285,7 +320,6 @@ object SpatialJoin {
           .otherwise(col("knn_dist")))
         .where(col("knn_dist") <= lit(r))
         .drop("__lb", "__cx", "__cy", "__rb", "__rcx", "__rcy")
-      if (geodesic) scored.dropDuplicates(leftIdCol, rightIdCol) else scored
     }
 
     val w = org.apache.spark.sql.expressions.Window

@@ -53,13 +53,24 @@ case class GridSpatialJoinExec(
     rightGeom: Expression,
     predicate: String,
     radius: Double,
-    projection: Option[Seq[Attribute]] = None) extends BinaryExecNode {
+    projection: Option[Seq[Attribute]] = None,
+    // residual join conjuncts (deterministic, subquery-free) evaluated in
+    // the probe loop BEFORE the exact geometry predicate (round 21): a
+    // cheap row filter like DBSCAN's canonical `a.id < b.id` then skips
+    // the expensive JTS refine test for the pairs it rejects, instead of
+    // running as a FilterExec above the join after the refine already paid
+    extraCondition: Option[Expression] = None) extends BinaryExecNode {
 
   /** see [[SpatialJoinExec.output]] — narrowed to the consumed attributes */
   override def output: Seq[Attribute] =
     projection.getOrElse(left.output ++ right.output)
 
-  private def test(p: PreparedGeometry, g: Geometry): Boolean = predicate match {
+  private def test(p: PreparedGeometry, g: Geometry): Boolean = {
+    GridSpatialJoinExec.refineTests.increment()
+    testImpl(p, g)
+  }
+
+  private def testImpl(p: PreparedGeometry, g: Geometry): Boolean = predicate match {
     case "intersects" => p.intersects(g)
     case "contains" => p.contains(g)
     case "within" => p.within(g)
@@ -235,6 +246,7 @@ case class GridSpatialJoinExec(
 
     val outAttrs = output
     val joinedAttrs = left.output ++ right.output
+    val extraCond = extraCondition
 
     // (cell, sub, side) sort key; side 0 = build (left), 1 = probe (right)
     val lK = keyed(left, lBound, r).map { case ((cx, cy, sx, sy), row) => ((cx, cy, sx, sy, 0: Byte), row) }
@@ -245,6 +257,13 @@ case class GridSpatialJoinExec(
     merged.mapPartitions { it =>
       val joined = new JoinedRow()
       val proj = UnsafeProjection.create(outAttrs, joinedAttrs)
+      // residual row predicate (null = none): codegen'd once per task,
+      // evaluated on the joined row BEFORE the JTS refine test
+      val extraPred = extraCond.map { c =>
+        val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(c, joinedAttrs)
+        p.initialize(org.apache.spark.TaskContext.getPartitionId())
+        p
+      }.orNull
       val prepF = new PreparedGeometryFactory()
       // per-(cell,sub) state: build rows accumulate, tree builds lazily at
       // the first probe row, probe rows never buffer
@@ -295,6 +314,7 @@ case class GridSpatialJoinExec(
                 (k == 1 ||
                   (math.min(k - 1, math.floor((refX - cx * cs) / sub).toInt) == sx &&
                    math.min(k - 1, math.floor((refY - cy * cs) / sub).toInt) == sy)) &&
+                (extraPred == null || extraPred.eval(joined(lrow, row))) &&
                 test(pg, rg))
               Iterator.single(proj(joined(lrow, row)))
             else Iterator.empty
@@ -309,6 +329,11 @@ case class GridSpatialJoinExec(
 }
 
 object GridSpatialJoinExec {
+  /** Spec probe: number of exact-predicate refine tests run. Local-mode
+    * only (tasks share the driver JVM in every spec/bench session) — the
+    * uncontended LongAdder add is noise next to a JTS predicate test. */
+  private[graft] val refineTests = new java.util.concurrent.atomic.LongAdder
+
   /** Routes by (cell, subcell) only (ignoring the side byte of the sort
     * key), so both sides of a cell land in the same partition; the key
     * ordering then yields build-before-probe within each cell. Hot-cell

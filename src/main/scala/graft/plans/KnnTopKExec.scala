@@ -83,7 +83,12 @@ case class KnnTopKExec(
     // (round 20): the operators' first action over each side is a full
     // extent/stats aggregate, which materializes the checkpoint in the
     // same job — the old eager mode paid two extra up-front jobs per query
-    // for the same blocks.
+    // for the same blocks. Early-return exception (round-20 ADVICE, noted
+    // deliberately): when a side is empty the operators return before
+    // running every aggregate, leaving a side persisted-but-unmaterialized
+    // until the session's next Blocks.scrub — zero blocks, registry entry
+    // only, harmless; releasing here would complicate the shared-result
+    // lifetime for nothing.
     val lDf = GraftInternal.ofRows(ss, leftPlan).toDF(lNames: _*)
       .withColumn("__knn_lid", monotonically_increasing_id())
       .localCheckpoint(false)

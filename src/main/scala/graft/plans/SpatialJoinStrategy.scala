@@ -322,8 +322,20 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
         val hintRight = j.hint.rightHint.exists(_.strategy.contains(BROADCAST))
         val canLeft = hintLeft || (threshold > 0 && lSize <= threshold)
         val canRight = hintRight || (threshold > 0 && rSize <= threshold)
+        val broadcastable = canLeft || canRight
+        // big×big path (round 21): deterministic, subquery-free residual
+        // conjuncts ride INTO the grid exec and are evaluated in its probe
+        // loop BEFORE the exact JTS refine test — a cheap inequality like
+        // DBSCAN's canonical `a.id < b.id` then skips the expensive
+        // geometry test for the pairs it rejects instead of filtering
+        // rows the refine already paid for. Anything non-absorbable stays
+        // a FilterExec above the join.
+        val (absorbed, residual) =
+          if (broadcastable) (Nil, remaining)
+          else remaining.partition(c => c.deterministic &&
+            !c.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
         val exec: SparkPlan =
-          if (canLeft || canRight) {
+          if (broadcastable) {
             val buildRight =
               if (hintRight != hintLeft) hintRight
               else if (canLeft && canRight) rSize <= lSize
@@ -331,17 +343,18 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
             SpatialJoinExec(planLater(left), planLater(right),
               lg, rg, pred, radius, buildRight, narrowed)
           } else // big×big: grid shuffle, never BNLJ
-            GridSpatialJoinExec(planLater(left), planLater(right), lg, rg, pred, radius, narrowed)
+            GridSpatialJoinExec(planLater(left), planLater(right), lg, rg, pred, radius,
+              narrowed, absorbed.reduceOption(And))
         val withFilter: SparkPlan =
-          if (remaining.isEmpty) exec
-          else FilterExec(remaining.reduce(And), exec)
+          if (residual.isEmpty) exec
+          else FilterExec(residual.reduce(And), exec)
         val result: SparkPlan = proj match {
           case Some(pl)
             if pl.length == exec.output.length &&
               pl.zip(exec.output).forall {
                 case (a: Attribute, o) => a.exprId == o.exprId
                 case _ => false
-              } && remaining.isEmpty =>
+              } && residual.isEmpty =>
             exec // projection IS the join output — no extra node
           case Some(pl) => ProjectExec(pl, withFilter)
           case None => withFilter

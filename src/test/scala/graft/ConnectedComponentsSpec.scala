@@ -125,4 +125,32 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(ConnectedComponents.runStars(df, "src", "dst", maxIter = 1, strict = false)
       .count() > 0)
   }
+
+  test("orchestration pin: runStars driver-job count stays bounded (round 21)") {
+    // The round-20 wins (observed convergence signatures riding the
+    // checkpoint job, window-based star minima, dropped intermediate
+    // distinct) live in per-round driver jobs a final plan dump cannot
+    // show. This pins them: a re-introduced per-round signature scan,
+    // aggregate+join star, or eager double-checkpoint shows up here as a
+    // job-count regression. Bound: measured 33 jobs on this fixture
+    // (64-chain, ~7 star rounds with AQE stage-materialization jobs) +
+    // ~10% slack — one extra job per round (a separate signature scan, an
+    // eager double checkpoint) would add ~7 and trip it.
+    val s = spark
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val chain = (0L until 64L).map(i => (i, i + 1))
+    val df = spark.createDataFrame(chain).toDF("src", "dst")
+    s.sparkContext.addSparkListener(listener)
+    try {
+      val out = ConnectedComponents.runStars(df, "src", "dst")
+      assert(out.count() == 65) // 64 edges → 65 chain nodes
+      Thread.sleep(300) // drain the async listener bus
+      val n = jobs.get()
+      assert(n <= 36, s"runStars orchestration regressed: $n driver jobs on the 64-chain fixture")
+    } finally s.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -204,4 +204,41 @@ class DbscanSpec extends SparkTestBase {
       s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
     }
   }
+
+  test("canonical a<b pairs: refine tests halve inside the grid exec (round 21)") {
+    // the round-20 rejected experiment put the inequality in a Filter ABOVE
+    // GridSpatialJoinExec (refine tests unchanged, measured negative); the
+    // round-21 absorption evaluates it in the probe loop BEFORE the JTS
+    // test. The counter is the structural proof: if the inequality ran
+    // above the join, both variants would pay the identical ~n² refine
+    // tests. Also pins pair-set equivalence (canonical set = filtered
+    // symmetric set), which is what Dbscan's rewrite relies on.
+    val s = spark
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // one dense blob: every pair within eps — worst-case symmetric stream
+      s.sql("""
+        SELECT id, ST_Point(CAST(id % 10 AS DOUBLE) * 0.01,
+                            CAST(CAST(id / 10 AS INT) AS DOUBLE) * 0.01) AS geom
+        FROM (SELECT explode(sequence(0L, 99L)) AS id)""")
+        .createOrReplaceTempView("dbscan_canon")
+      def runJoin(cond: String): (Long, Set[(Long, Long)]) = {
+        val before = graft.plans.GridSpatialJoinExec.refineTests.sum()
+        val out = sql(s"""SELECT a.id AS src, b.id AS dst
+          FROM dbscan_canon a JOIN dbscan_canon b
+          ON ST_DWithin(a.geom, b.geom, 5.0) AND $cond""")
+        assert(out.queryExecution.executedPlan.toString.contains("GridSpatialJoin"))
+        val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (graft.plans.GridSpatialJoinExec.refineTests.sum() - before, pairs)
+      }
+      val (fullTests, fullPairs) = runJoin("a.id != b.id")
+      val (halfTests, halfPairs) = runJoin("a.id < b.id")
+      assert(fullPairs.size == 9900 && halfPairs.size == 4950, "fixture decayed")
+      assert(halfPairs == fullPairs.filter(p => p._1 < p._2))
+      assert(fullPairs == halfPairs ++ halfPairs.map(_.swap))
+      assert(halfTests <= (fullTests * 0.55).toLong,
+        s"canonical pairs must ~halve refine tests: $halfTests vs $fullTests")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
 }

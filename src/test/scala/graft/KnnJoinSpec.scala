@@ -62,6 +62,35 @@ class KnnJoinSpec extends SparkTestBase {
     assert(out(2L) == exp(2L).map(_._1))
   }
 
+  test("orchestration pin: planar multi-round knn driver-job count stays bounded (round 21)") {
+    // The round-20 reductions (reference-point pair dedup instead of a
+    // per-round dropDuplicates Exchange, lazy checkpoint fused with the
+    // loop's count) live in driver-job structure, not the final plan.
+    // Pinned on the forced-multi-round fixture: a per-round Exchange or an
+    // un-fused eager checkpoint re-appearing shows up as extra jobs here.
+    // Bound: measured 25 jobs on this fixture (several radius-doubling
+    // rounds, AQE stage jobs included) + ~10% slack — a re-introduced
+    // per-round dropDuplicates Exchange or eager checkpoint adds one or
+    // more jobs per round and trips it.
+    val s = spark
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val l = Seq((1L, 0.0, 0.0), (2L, 50.0, 0.0))
+    val r = (0L until 40L).map(i => (100L + i, i * 2.5, 30.0))
+    s.sparkContext.addSparkListener(listener)
+    try {
+      val out = SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+        "lg", "rg", 2, "lid", "rid", initialRadius = 7.0)
+      assert(out.count() == 4)
+      Thread.sleep(300) // drain the async listener bus
+      val n = jobs.get()
+      assert(n <= 28, s"knn orchestration regressed: $n driver jobs on the multi-round fixture")
+    } finally s.sparkContext.removeSparkListener(listener)
+  }
+
   test("empty right side yields empty result with the knn schema") {
     val l = Seq((1L, 0.0, 0.0))
     val out = SpatialJoin.knn(pts(l, "lid", "lg"), pts(Nil, "rid", "rg"),
@@ -1107,5 +1136,87 @@ class KnnJoinSpec extends SparkTestBase {
         }
       }
     }
+  }
+
+  test("geodesic knn on multi-cell envelopes at the ±180 seam: seam-aware dedup emits each pair once") {
+    // round-21 guard for dropping the geodesic dropDuplicates Exchange:
+    // envelopes wider than the round's lon cell meet in SEVERAL wrapped
+    // cells, and seam-adjacent placement exercises the unwrapped-copy
+    // selection (m = smallest circle shift aligning the ranges). A pair
+    // emitted twice corrupts rank pools; a pair LOST at the seam returns
+    // inferior same-side neighbors. Ground truth is the operator's own
+    // kernel (first-vertex haversine — distanceSphere's documented
+    // semantics for non-points) ranked brute-force driver-side.
+    graft.functions.GeoFunctions.register(spark)
+    def boxes(rows: Seq[(Long, Double, Double, Double, Double)], id: String, g: String) =
+      rows.toDF(id, "__x0", "__y0", "__x1", "__y1")
+        .withColumn(g, call_function("st_makeenvelope",
+          col("__x0"), col("__y0"), col("__x1"), col("__y1")))
+        .drop("__x0", "__y0", "__x1", "__y1")
+    def wkbs(rows: Seq[(Long, Double, Double, Double, Double)]) = rows.map {
+      case (id, x0, y0, x1, y1) => id -> graft.core.GeomOps.makeEnvelope(x0, y0, x1, y1)
+    }.toMap
+    def bf(l: Seq[(Long, Double, Double, Double, Double)],
+           r: Seq[(Long, Double, Double, Double, Double)], k: Int) = {
+      val lw = wkbs(l); val rw = wkbs(r)
+      l.map { case (lid, _, _, _, _) =>
+        lid -> r.map { case (rid, _, _, _, _) =>
+          (rid, graft.core.Geodesy.distanceSphere(lw(lid), rw(rid)))
+        }.sortBy { case (rid, d) => (d, rid) }.take(k)
+      }.toMap
+    }
+    def check(l: Seq[(Long, Double, Double, Double, Double)],
+              r: Seq[(Long, Double, Double, Double, Double)],
+              k: Int, r0: Double, label: String): Unit = {
+      for (mode <- Seq("row_number", "rank")) {
+        val out = SpatialJoin.knn(boxes(l, "lid", "lgm"), boxes(r, "rid", "rgm"),
+          "lgm", "rgm", k, "lid", "rid", initialRadius = r0,
+          metric = "sphere", rankMode = mode)
+          .select("lid", "rid", "knn_dist", "knn_rank")
+          .as[(Long, Long, Double, Long)].collect()
+        val pairs = out.map(t => (t._1, t._2)).toSeq
+        assert(pairs.distinct.size == pairs.size,
+          s"$label/$mode: duplicate pairs ${pairs.diff(pairs.distinct)}")
+        val byL = out.groupBy(_._1)
+        val exp = bf(l, r, k)
+        for ((lid, _, _, _, _) <- l) {
+          val want = exp(lid)
+          if (mode == "row_number")
+            assert(byL(lid).sortBy(_._4).map(_._2).toSeq == want.map(_._1),
+              s"$label/$mode lid=$lid: ${byL(lid).sortBy(_._4).map(_._2).toSeq} vs ${want.map(_._1)}")
+          else {
+            val lw = wkbs(l); val rw = wkbs(r)
+            val kth = want.last._2
+            val expSet = r.map(_._1).filter(rid =>
+              graft.core.Geodesy.distanceSphere(lw(lid), rw(rid)) <= kth + 1e-9).toSet
+            assert(byL(lid).map(_._2).toSet == expSet,
+              s"$label/$mode lid=$lid: ${byL(lid).map(_._2).toSet} vs $expSet")
+          }
+        }
+      }
+    }
+    // (a) narrow seam-straddlers: lefts just EAST of the seam (west edge
+    // exactly −180), true nearest boxes end exactly AT +180 (~55 km away
+    // wrapped), same-side decoys ≥250 km — cells at the resolving radii
+    // are far smaller than the boxes, so every pair is multi-cell
+    val l = (0L until 6L).map(i => (i, -180.0, 40.0 + i * 2.0, -179.5, 40.3 + i * 2.0))
+    val r = (0L until 24L).map { i =>
+      val band = 39.8 + (i / 3) * 2.0 + i * 0.0007
+      if (i % 3 == 0) (100L + i, 179.4, band, 180.0, band + 0.3)
+      else (100L + i, -177.0 + (i % 3) * 0.9, band - 0.2, -176.5 + (i % 3) * 0.9, band + 0.2)
+    }
+    check(l, r, 2, 20000.0, "seam")
+    // the fixture means what it claims: every true top-2 is cross-seam
+    val exp = bf(l, r, 2)
+    l.foreach { case (lid, _, _, _, _) =>
+      assert(exp(lid).forall(_._1 % 3 == 1), s"fixture decayed for left $lid: ${exp(lid)}")
+    }
+    // (b) WIDE boxes (half the circle and more): the unwrapped ranges sum
+    // past nLon at the resolving radii, so several circle shifts align —
+    // the copy-selection rule must still emit exactly one row per pair
+    val lw = Seq((50L, -179.0, 0.0, -2.0, 1.0), (51L, 150.0, 10.0, 179.0, 40.0))
+    val rw = Seq((60L, 170.0, 2.0, 179.8, 3.0), (61L, -10.0, 1.0, 170.0, 2.0),
+      (62L, 140.0, 8.0, 178.0, 12.0), (63L, -120.0, 0.0, 120.0, 30.0))
+    check(lw, rw, 2, 500000.0, "wide")
   }
 }
