@@ -91,8 +91,12 @@ object ScaleCheck {
     locally {
       val src = java.nio.file.Files.createTempDirectory("sc_stream_src").toString
       (0 until 20).foreach { b =>
+        // 64-char string keys: ~1M × ~100 B of RocksDB state by the last
+        // batches — enough bytes that the per-batch full-store zip+fsync
+        // is visible against the changelog's 50k-entry delta append
         spark.range(50000).select(
-            (col("id") + b * 50000L).as("key"), lit(1L).as("v"))
+            lpad((col("id") + b * 50000L).cast("string"), 64, "k").as("key"),
+            lit(1L).as("v"))
           .coalesce(1).write.parquet(s"$src/stage$b")
         val part = new java.io.File(s"$src/stage$b").listFiles()
           .filter(_.getName.endsWith(".parquet")).head
@@ -101,7 +105,7 @@ object ScaleCheck {
         dst.setLastModified(1700000000000L + b * 60000L)
       }
       val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
       def run(changelog: Boolean): Unit = {
         val tmp = java.nio.file.Files.createTempDirectory("sc_stream_ck").toString
@@ -137,6 +141,10 @@ object ScaleCheck {
           rm(new java.io.File(tmp))
         }
       }
+      // alternate modes twice: the first pair absorbs JIT/classload warmup,
+      // the second pair is the warm-vs-warm comparison (order-fair)
+      run(changelog = false)
+      run(changelog = true)
       run(changelog = false)
       run(changelog = true)
       def rm(f: java.io.File): Unit = {

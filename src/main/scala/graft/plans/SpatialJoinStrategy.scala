@@ -323,17 +323,24 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
         val canLeft = hintLeft || (threshold > 0 && lSize <= threshold)
         val canRight = hintRight || (threshold > 0 && rSize <= threshold)
         val broadcastable = canLeft || canRight
-        // big×big path (round 21): deterministic, subquery-free residual
-        // conjuncts ride INTO the grid exec and are evaluated in its probe
-        // loop BEFORE the exact JTS refine test — a cheap inequality like
-        // DBSCAN's canonical `a.id < b.id` then skips the expensive
-        // geometry test for the pairs it rejects instead of filtering
-        // rows the refine already paid for. Anything non-absorbable stays
-        // a FilterExec above the join.
+        // big×big path (round 21): deterministic, subquery-free, KERNEL-FREE
+        // residual conjuncts ride INTO the grid exec and are evaluated in
+        // its probe loop BEFORE the exact JTS refine test — a cheap
+        // inequality like DBSCAN's canonical `a.id < b.id` then skips the
+        // expensive geometry test for the pairs it rejects instead of
+        // filtering rows the refine already paid for. Conjuncts that
+        // invoke kernels (e.g. the strict-< distance residual, which IS a
+        // refine test) stay a FilterExec above the join, where they run on
+        // post-refine survivors only — pushing them below the cheap
+        // prepared-geometry test would invert the cost order.
         val (absorbed, residual) =
           if (broadcastable) (Nil, remaining)
-          else remaining.partition(c => c.deterministic &&
-            !c.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+          else remaining.partition(c => c.deterministic && !c.exists {
+            case _: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] => true
+            case _: org.apache.spark.sql.catalyst.expressions.objects.InvokeLike => true
+            case _: org.apache.spark.sql.catalyst.expressions.ScalaUDF => true
+            case _ => false
+          })
         val exec: SparkPlan =
           if (broadcastable) {
             val buildRight =
