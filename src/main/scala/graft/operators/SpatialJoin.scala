@@ -239,7 +239,7 @@ object SpatialJoin {
       }
       else rMax / 64
 
-    def candidates(lhs: DataFrame, r: Double): DataFrame = {
+    def candidates(lhs: DataFrame, r: Double, unresCount: Long = -1L): DataFrame = {
       // grid in coordinate units: geodesic rounds use the exact-divisor
       // lon cell (wrapped mod nLon, see lonGrid) and a latitude cell
       // bounding the r-meter displacement; planar rounds use r both axes
@@ -269,12 +269,41 @@ object SpatialJoin {
         .withColumn("__cy", explode(sequence(
           floor((col("__lb.ymin") - csy) / csy).cast("long"),
           floor((col("__lb.ymax") + csy) / csy).cast("long"))))
-      val rr = right.withColumn("__rb", call_function("st_bbox", col(rightGeomCol)))
+      val rr0 = right.withColumn("__rb", call_function("st_bbox", col(rightGeomCol)))
         .withColumn("__rcx", explode(sequence(rx0, rx1)))
         .withColumn("__rcx", wrapX(col("__rcx")))
         .withColumn("__rcy", explode(sequence(
           floor(col("__rb.ymin") / csy).cast("long"),
           floor(col("__rb.ymax") / csy).cast("long"))))
+      // Cell pre-filter for the shrinking-remainder rounds (round 21, guide
+      // §3.2): every round re-explodes and re-shuffles the ENTIRE right
+      // side, even when only a handful of left rows remain unresolved — at
+      // scale that is O(rounds × |right|) shuffle for a geometrically
+      // shrinking candidate need. When the loop KNOWS the unresolved count
+      // (rounds after the first) and it is small enough to broadcast
+      // (`graft.knn.cellPrefilterMaxRows`, default 100k lefts ≈ ≤1M cell
+      // keys for point-ish data) and clearly asymmetric vs the right side
+      // (20×), a broadcast LEFT-SEMI join on the exact candidate cell keys
+      // drops non-candidate right rows map-side, BEFORE the shuffle. A
+      // pure superset reduction on the join key — results are identical by
+      // construction; only shuffle bytes move. Engages only when the right
+      // side is big enough for its shuffle to outweigh the ~2 extra driver
+      // jobs of the broadcast build (`graft.knn.cellPrefilterMinRight`,
+      // default 1M rows — measured on the bench fixtures, where engaging on
+      // a 40-row right side costs 6 extra jobs for nothing; at the 100 TB
+      // shape the right-side shuffle dominates rounds by orders of
+      // magnitude). Spec-exercised with the conf lowered to 0.
+      val conf = right.sparkSession.conf
+      val prefilterCap = conf.get("graft.knn.cellPrefilterMaxRows", "100000").toLong
+      val prefilterMinRight = conf.get("graft.knn.cellPrefilterMinRight", "1000000").toLong
+      val rr =
+        if (unresCount >= 0 && unresCount <= prefilterCap &&
+            nRight >= prefilterMinRight && unresCount * 20 <= nRight) {
+          cellPrefilterCount.increment()
+          val cells = l.select(col("__cx").as("__pcx"), col("__cy").as("__pcy")).distinct()
+          rr0.join(org.apache.spark.sql.functions.broadcast(cells),
+            col("__rcx") === col("__pcx") && col("__rcy") === col("__pcy"), "left_semi")
+        } else rr0
       val joined0 = l.join(rr, col("__cx") === col("__rcx") && col("__cy") === col("__rcy"))
       // a pair can meet in several cells (envelopes span cells) — keep one
       // copy. Planar rounds use the REFERENCE-POINT rule (round 20, the
@@ -491,6 +520,10 @@ object SpatialJoin {
     val maxRemainder = spark.conf.get(
       "graft.knn.broadcastRemainderMaxRows", "1000000").toLong
     var unresolved = left
+    // exact unresolved count, known from the previous round's count() —
+    // -1 for the first round (never counted; the cell pre-filter in
+    // candidates() only engages once the remainder is provably small)
+    var unresolvedN = -1L
     // blocks pinned by the current `unresolved` checkpoint — released the
     // moment the next round's checkpoint supersedes it (the per-round `part`
     // checkpoints back the returned result and must outlive the loop;
@@ -518,7 +551,7 @@ object SpatialJoin {
             log.warn(s"graft.knn: remainder $nRem > graft.knn.broadcastRemainderMaxRows=" +
               s"$maxRemainder; falling back to the degenerate single-cell grid " +
               "round (single-task hotspot)")
-            cut(candidates(unresolved, rMax))
+            cut(candidates(unresolved, rMax, nRem))
               .where(col("knn_rank") <= k)
               .select(outCols: _*)
               .localCheckpoint(true)
@@ -531,7 +564,7 @@ object SpatialJoin {
             .select(outCols: _*)
         done = true
       } else {
-        val ranked = cut(candidates(unresolved, r))
+        val ranked = cut(candidates(unresolved, r, unresolvedN))
         val part = ranked
           .where(col("__cnt") >= k && col("knn_rank") <= k)
           .select(outCols: _*)
@@ -547,6 +580,7 @@ object SpatialJoin {
         graft.core.Blocks.releaseSuperseded(spark, unresolvedIds, nextIds)
         unresolved = next
         unresolvedIds = nextIds
+        unresolvedN = nUnres
         if (nUnres == 0) done = true else r = math.min(r * 2, rMax)
       }
     }
@@ -557,6 +591,10 @@ object SpatialJoin {
   /** Spec probe: number of oversized-remainder grid fallbacks taken (the
     * single-task-hotspot path behind graft.knn.broadcastRemainderMaxRows). */
   private[graft] val gridFallbackCount = new java.util.concurrent.atomic.LongAdder
+
+  /** Spec probe: number of rounds that engaged the shrinking-remainder
+    * cell pre-filter (round 21, behind graft.knn.cellPrefilterMinRight). */
+  private[graft] val cellPrefilterCount = new java.util.concurrent.atomic.LongAdder
 
   /** Farthest-k join (round 19 — the last warned-not-planned window
     * shape): per left row, the k rows of `right` with the LARGEST planar

@@ -91,6 +91,39 @@ class KnnJoinSpec extends SparkTestBase {
     } finally s.sparkContext.removeSparkListener(listener)
   }
 
+  test("cell pre-filter rounds (round 21) return exactly the unfiltered answer") {
+    // the shrinking-remainder rounds can broadcast-semi-join the right side
+    // on the unresolved lefts' candidate cells before the shuffle — a pure
+    // superset reduction. Default gating needs a ≥1M-row right side; the
+    // conf drops the bar to 0 so the path runs on the fixture. Both planar
+    // and geodesic (wrapped-cell) forms must match the ungated run exactly.
+    val s = spark
+    val l = Seq((1L, 0.0, 0.0), (2L, 50.0, 0.0), (3L, 179.9, 10.0))
+    val r = (0L until 60L).map { i =>
+      val lon = if (i % 7 == 0) -179.8 + i * 0.001 else (i % 40) * 2.5
+      (100L + i, lon, 10.0 + (i % 5))
+    }
+    def run(metric: String): Map[Long, Seq[Long]] =
+      SpatialJoin.knn(pts(l, "lid", "lg"), pts(r, "rid", "rg"),
+        "lg", "rg", 3, "lid", "rid",
+        initialRadius = if (metric == "planar") 0.5 else 5000.0, metric = metric)
+        .select("lid", "rid", "knn_rank").as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    for (metric <- Seq("planar", "sphere")) {
+      val c0 = SpatialJoin.cellPrefilterCount.sum()
+      val plain = run(metric)
+      assert(SpatialJoin.cellPrefilterCount.sum() == c0,
+        "default gating (minRight 1M) must not engage on a 60-row right side")
+      s.conf.set("graft.knn.cellPrefilterMinRight", "0")
+      val filtered =
+        try run(metric)
+        finally s.conf.unset("graft.knn.cellPrefilterMinRight")
+      assert(SpatialJoin.cellPrefilterCount.sum() > c0,
+        s"$metric: the pre-filter path never engaged — the fixture no longer multi-rounds")
+      assert(filtered == plain, s"$metric: cell pre-filter changed the answer")
+    }
+  }
+
   test("empty right side yields empty result with the knn schema") {
     val l = Seq((1L, 0.0, 0.0))
     val out = SpatialJoin.knn(pts(l, "lid", "lg"), pts(Nil, "rid", "rg"),
