@@ -89,6 +89,9 @@ object ScaleCheck {
     // flatness of the r20 change is expected and this is the evidence it
     // was still the right setting.
     locally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+      }
       val src = java.nio.file.Files.createTempDirectory("sc_stream_src").toString
       (0 until 20).foreach { b =>
         // 64-char string keys: ~1M × ~100 B of RocksDB state by the last
@@ -135,9 +138,10 @@ object ScaleCheck {
               "org.apache.spark.sql.execution.streaming.state.StateStore$")
             ss.getMethod("unloadAll").invoke(ss.getField("MODULE$").get(null))
           } catch { case _: ReflectiveOperationException => }
-          def rm(f: java.io.File): Unit = {
-            val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
-          }
+          // drop the memory sink's rows (a few hundred MB across the four
+          // runs) so they don't sit in the shared heap skewing the kNN
+          // timing below
+          sess.catalog.dropTempView(qname)
           rm(new java.io.File(tmp))
         }
       }
@@ -147,9 +151,6 @@ object ScaleCheck {
       run(changelog = true)
       run(changelog = false)
       run(changelog = true)
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
-      }
       rm(new java.io.File(src))
     }
 

@@ -67,7 +67,14 @@ object Dbscan {
       pts.as("a").join(pts.as("b"),
           expr(predicateSql) && col("a.id") < col("b.id"))
         .select(col("a.id").as("src"), col("b.id").as("dst")))
-    def both = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetric view via a NARROW explode — one scan of the half-size
+    // checkpoint, not a two-branch union (the union shape measured +2
+    // sequential stages on g53's critical path: each branch scans + maps
+    // separately before the consumer's exchange)
+    def both = pairs.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
 
     // ε-degree including the point itself. A point with zero ε-neighbors
     // never reaches the pairs list, so minPts <= 1 (every point core by

@@ -299,10 +299,26 @@ object SpatialJoin {
       val rr =
         if (unresCount >= 0 && unresCount <= prefilterCap &&
             nRight >= prefilterMinRight && unresCount * 20 <= nRight) {
-          cellPrefilterCount.increment()
-          val cells = l.select(col("__cx").as("__pcx"), col("__cy").as("__pcy")).distinct()
-          rr0.join(org.apache.spark.sql.functions.broadcast(cells),
-            col("__rcx") === col("__pcx") && col("__rcy") === col("__pcy"), "left_semi")
+          // bound the broadcast's KEY count, not just the row count
+          // (round-21 review fix): wide multi-cell left envelopes at a
+          // small round radius could otherwise blow the distinct-cells
+          // broadcast past driver memory. One narrow aggregate over the
+          // (small) unresolved side sums each row's covering-cell count —
+          // an upper bound on the distinct keys; past
+          // `graft.knn.cellPrefilterMaxKeys` the round keeps the plain
+          // unfiltered shuffle (slower, never wrong, never OOM).
+          val maxKeys = conf.get("graft.knn.cellPrefilterMaxKeys", "2000000").toLong
+          val ly0 = floor((col("__lb.ymin") - csy) / csy).cast("long")
+          val ly1 = floor((col("__lb.ymax") + csy) / csy).cast("long")
+          val boundRow = lhs.withColumn("__lb", call_function("st_bbox", col(leftGeomCol)))
+            .agg(sum((lx1 - lx0 + 1) * (ly1 - ly0 + 1))).first()
+          val keyBound = if (boundRow.isNullAt(0)) Long.MaxValue else boundRow.getLong(0)
+          if (keyBound <= maxKeys) {
+            cellPrefilterCount.increment()
+            val cells = l.select(col("__cx").as("__pcx"), col("__cy").as("__pcy")).distinct()
+            rr0.join(org.apache.spark.sql.functions.broadcast(cells),
+              col("__rcx") === col("__pcx") && col("__rcy") === col("__pcy"), "left_semi")
+          } else rr0
         } else rr0
       val joined0 = l.join(rr, col("__cx") === col("__rcx") && col("__cy") === col("__rcy"))
       // a pair can meet in several cells (envelopes span cells) — keep one
